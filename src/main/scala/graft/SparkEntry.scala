@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` carries one entry per implemented operator from SURVEY.md §2
+  * (plus the extended training-data-pipeline operators); `oracleSql` the
+  * DuckDB-equivalent SQL for every hash-verifiable one.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** All query definitions, keyed by stable name. */
+  val all: Map[String, Q] =
+    RelationalQueries.defs ++ AggWindowQueries.defs ++ TextQueries.defs ++
+      VectorQueries.defs ++ EventQueries.defs ++ MultimodalQueries.defs
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The SURVEY §7.3 minimum slice: scan → joins → group → aggregate. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    all("q11_join_inner_agg").fn(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (name, q) => name -> q.fn }
+
+  def oracleSql: Map[String, String] =
+    all.collect { case (name, Q(_, Some(sql), _)) => name -> sql }
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the harness fixture tables (TESTDATA.md).
+  *
+  * All tables are plain Parquet under `sfDir`. The `events` table stores
+  * `ts` as parquet INT64 TIMESTAMP(NANOS) which Spark 4 refuses to read as
+  * a timestamp; we flip `spark.sql.legacy.parquet.nanosAsLong` so it
+  * surfaces as a nanosecond epoch long, and expose a derived
+  * microsecond-precision NTZ timestamp column alongside it.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Session confs every graft session needs, applied idempotently. */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    configure(spark)
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame   = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** events with `ts` = epoch nanos (long), plus `ts_us` (epoch micros,
+    * long) and `ts_utc` (TimestampType, microsecond truncation — matches
+    * what DuckDB sees when it reads the same nanos column). */
+  def events(s: SparkSession, d: String): DataFrame =
+    apply(s, d, "events")
+      .withColumn("ts_us", (col("ts") / 1000L).cast("long"))
+      .withColumn("ts_utc", timestamp_micros((col("ts") / 1000L).cast("long")))
+}

@@ -1,0 +1,158 @@
+package graft.domain
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+
+/** The reference workload's domain pipelines, re-expressed as pure
+  * DataFrame functions. These are the two "UDAF-grade" computations of
+  * SURVEY.md §2.10 plus the vessel-history resolution — the algorithmic
+  * heart of fishvice/mfdb-hafro-etl, built Spark-first:
+  * window aggregations instead of agg+rejoin, broadcast overlays instead
+  * of row-by-row fixes, and no driver-side collect anywhere.
+  */
+object Fisheries {
+
+  /** Allometric length–weight parameters (a, b) plus interval width s,
+    * per species — the `biom.teg` table of the reference
+    * (/root/reference/R/shrimp_support_tables.R:2155-2159). */
+  final case class BiomParams(a: Double, b: Double, s: Double)
+
+  /** Length-distribution scaling — semantics of `skala_med_toldum2`
+    * (/root/reference/R/shrimp_support_tables.R:2137-2212).
+    *
+    * Inputs:
+    *  - `lengths`: (sample_id, species, length, count) detail rows
+    *  - `ratios`:  (sample_id, species, counted, measured, catch_weight,
+    *               sample_weight) per-sample tally rows
+    *  - `biom`:    per-species allometric params; species present here are
+    *               scaled by the weight ratio, others by the count ratio
+    *
+    * Output: detail rows with `length_interval`, `scaled_count`,
+    * `mean_weight` — counts raised to whole-catch level and per-interval
+    * mean individual weights from allometric biomass apportioning.
+    *
+    * Shape: two Window sums over (sample_id, species) — one shuffle —
+    * instead of the reference's three aggregate-then-rejoin rounds.
+    */
+  def scaleWithCounts(lengths: DataFrame, ratios: DataFrame,
+                      biom: Map[Int, BiomParams]): DataFrame = {
+    val biomSpp = biom.keys.toSeq
+    val nullD = lit(null).cast("double")
+
+    // 1. per-sample ratios with the reference's exact 0/NA guards
+    //    (shrimp_support_tables.R:2147-2150):
+    //    r      = fj_talid==0 ? 1  : fj_talid / (fj_maelt==0 ? 1 : fj_maelt)
+    //    biom.r = afli==0     ? NA : afli / (vigt_synis==0 ? NA : vigt_synis)
+    val r = ratios.select(col("sample_id"), col("species"),
+      when(col("counted") === 0, lit(1.0))
+        .otherwise(col("counted") /
+          when(col("measured") === 0, lit(1.0)).otherwise(col("measured")))
+        .as("count_ratio"),
+      when(col("catch_weight") === 0, nullD)
+        .otherwise(col("catch_weight") /
+          when(col("sample_weight") === 0, nullD).otherwise(col("sample_weight")))
+        .as("weight_ratio"),
+      col("sample_weight"))
+
+    // 2. species-specific allometric params + interval binning
+    //    (R: lengd_scaler = s==0|NA ? 1 : 1/s; round(scaler*l)/scaler)
+    def paramCol(f: BiomParams => Double, default: Double): Column =
+      biom.foldLeft(lit(default)) { case (acc, (sp, p)) =>
+        when(col("species") === sp, lit(f(p))).otherwise(acc)
+      }
+    val scaler = {
+      val s = paramCol(_.s, 0.0)
+      when(s === 0.0, lit(1.0)).otherwise(lit(1.0) / s)
+    }
+    val detail = lengths
+      .withColumn("length_interval", round(scaler * col("length")) / scaler)
+      .withColumn("__a", paramCol(_.a, 0.0))
+      .withColumn("__b", paramCol(_.b, 0.0))
+
+    // 3–5. interval-level sums and allometric biomass apportioning.
+    //      The reference runs three aggregate-then-rejoin rounds
+    //      (:2176-2206); here it's one groupBy + two window sums on the
+    //      interval-level frame, then a single join back to detail rows.
+    val wSamp = Window.partitionBy("sample_id", "species")
+    val intLevel = detail
+      .groupBy("sample_id", "species", "length_interval", "__a", "__b")
+      .agg(sum("count").as("count_by_int"))
+      .withColumn("count_sum", sum("count_by_int").over(wSamp))
+      .withColumn("prop_weighted", {
+        val w = col("count_sum") * col("__a") * pow(col("length_interval"), col("__b"))
+        when(w === 0, nullD).otherwise(
+          col("count_by_int") / col("count_sum") * col("__a") *
+            pow(col("length_interval"), col("__b")))
+      })
+      .withColumn("prop_weighted_sum", sum("prop_weighted").over(wSamp))
+      .withColumn("biom_prop",
+        when(col("prop_weighted_sum") === 0, nullD)
+          .otherwise(col("prop_weighted") / col("prop_weighted_sum")))
+      .select("sample_id", "species", "length_interval", "count_by_int", "biom_prop")
+
+    // 6. mean weight per individual per interval; counts to whole catch
+    detail
+      .join(intLevel, Seq("sample_id", "species", "length_interval"), "left")
+      .join(r, Seq("sample_id", "species"), "left")
+      .withColumn("mean_weight",
+        col("biom_prop") *
+          when(col("count_by_int") === 0, nullD)
+            .otherwise(when(col("sample_weight") === 0, nullD)
+              .otherwise(col("sample_weight")) / col("count_by_int")))
+      .withColumn("scaled_count",
+        col("count") * when(col("species").isin(biomSpp: _*), col("weight_ratio"))
+          .otherwise(col("count_ratio")))
+      .drop("__a", "__b", "count_by_int", "biom_prop", "count_ratio",
+        "weight_ratio", "sample_weight")
+  }
+
+  /** Vessel-history (slowly-changing-dimension) resolution — the
+    * reference's interval join (/root/reference/R/initdb.R:106-108):
+    * attach to each event row the history row whose validity interval
+    * contains the event date, with the reference's null-tolerant
+    * fallbacks (null interval bound = open-ended; missing vessel keeps
+    * the event row with null history → '-0' unknown-vessel key).
+    */
+  def resolveVesselHistory(events: DataFrame, history: DataFrame,
+                           vesselKey: String, eventDate: Column,
+                           validFrom: Column, validTo: Column): DataFrame = {
+    val matched = Relational.intervalJoin(
+      events, history, Seq(vesselKey), eventDate, validFrom, validTo, "left")
+    matched.withColumn("vessel",
+      concat_ws("-", col(vesselKey),
+        coalesce(col("saga_nr"), lit(0))))
+  }
+
+  /** Station fix overlay — `shrimp_station_fixes` shape
+    * (/root/reference/R/shrimp_support_tables.R:2100-2132): broadcast
+    * correction tables patched over the station register, then rule-based
+    * reclassification driven by a membership set (cruise vectors).
+    */
+  def stationFixes(stations: DataFrame, fixes: DataFrame, key: String,
+                   fixCols: Seq[String], reclassCruises: Set[String]): DataFrame = {
+    val patched = Relational.patchColumns(stations, fixes, Seq(key), fixCols)
+    patched.withColumn("sample_class",
+      when(col("sample_class") === 37 &&
+        col("cruise").isInCollection(reclassCruises), 14)
+        .otherwise(col("sample_class")))
+  }
+
+  /** Effort/area-standardized derived weight
+    * (/root/reference/R/initdb_add_shrimp.R:208-214):
+    * weight = (mean_wt / (survey ? towlength : 1)) / towcount
+    *          * (survey ? area : 1).
+    */
+  def derivedWeight(meanWt: Column, isSurvey: Column, towLength: Column,
+                    towCount: Column, area: Column): Column =
+    (meanWt / when(isSurvey, coalesce(towLength, lit(1.0))).otherwise(lit(1.0))) /
+      towCount * when(isSurvey, coalesce(area, lit(1.0))).otherwise(lit(1.0))
+
+  /** Port-number → division bucketing (/root/reference/R/initdb.R:322-335). */
+  def portToDivision(port: Column): Column =
+    Relational.bucketize(port.cast("double"), Seq(
+      (0d, 15d, 101), (16d, 56d, 102), (57d, 81d, 103), (82d, 96d, 104),
+      (97d, 97d, 105), (98d, 115d, 106), (116d, 121d, 107),
+      (122d, 148d, 108), (149d, 150d, 109)), default = 101)
+}

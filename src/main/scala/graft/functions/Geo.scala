@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Geospatial scalar functions — reference `geo::arcdist`, `geo::sr2d`,
+  * `geo::srA`, `geo::geoinside` (/root/reference/R/initdb.R:33-35,138;
+  * shrimp_support_tables.R:2242-2275).
+  *
+  * All are pure Column expressions built from `functions._` — they stay
+  * inside whole-stage codegen (no black-box UDF in the hot path), which is
+  * what makes them viable over 100 TB of position records.
+  */
+object Geo {
+
+  /** Great-circle distance in nautical miles (haversine). The reference's
+    * `arcdist(lat, lon, lat1, lon1)` computes tow length from shot/haul
+    * positions (/root/reference/R/initdb.R:138). Pure trigonometric
+    * Column expression → codegen'd, no shuffle.
+    */
+  def arcDistNmi(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    // Earth mean radius in nautical miles (1 nmi = 1852 m, R = 6371 km)
+    lit(6371.0 / 1.852) * lit(2.0) * asin(sqrt(a))
+  }
+
+  /** Icelandic statistical rectangle ("reitur") code → center lat/lon.
+    * Public rectangle scheme (used by reference `geo::sr2d`,
+    * /root/reference/R/initdb.R:33): rectangles are 0.5° lat × 1° lon;
+    * code = 100*(2*(lat - 60)) + (lon + 50) hundreds-encoding. Decode is
+    * pure integer arithmetic — codegen'd.
+    */
+  def sr2dLat(r: Column): Column =
+    (floor(r / 100).cast("long").cast("double") / 2.0) + 60.0 + 0.25
+
+  def sr2dLon(r: Column): Column =
+    -((r.cast("long") % 100).cast("double") + 50.0) + 0.5
+
+  /** Rectangle area in km² for the same scheme (reference `geo::srA`):
+    * 0.5° of latitude times 1° of longitude scaled by cos(lat). */
+  def srAreaKm2(r: Column): Column = {
+    val lat = sr2dLat(r)
+    lit(0.5 * 111.32) * (lit(111.32) * cos(radians(lat)))
+  }
+
+  /** Ray-casting point-in-polygon test as a *declarative* Column
+    * expression over a literal polygon: for each edge, test whether a
+    * horizontal ray from (px,py) crosses it; inside = odd crossing count.
+    * The polygon list is small and constant (reference: 7 fjord polygons,
+    * shrimp_support_tables.R:2242-2275), so the whole test folds into one
+    * codegen'd boolean expression — no UDF, no shuffle, scales linearly.
+    * Boundary points are undefined (as in the reference's geoinside).
+    */
+  def pointInPolygon(px: Column, py: Column, poly: Seq[(Double, Double)]): Column = {
+    val n = poly.size
+    val crossings = (0 until n).map { i =>
+      val (x1, y1) = poly(i)
+      val (x2, y2) = poly((i + 1) % n)
+      val crosses = (lit(y1) > py) =!= (lit(y2) > py)
+      val xInt = lit(x1) + (py - lit(y1)) / lit(y2 - y1) * lit(x2 - x1)
+      when(crosses && px < xInt, 1).otherwise(0)
+    }
+    (crossings.reduce(_ + _) % 2) === 1
+  }
+}

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the large-scale training-data pipeline
+  * scope (BASELINE.json north star): tokenization, quality scoring,
+  * language ID, fingerprinting, shingling.
+  *
+  * Everything is a declarative Column expression (built-ins + higher-order
+  * array functions) — no Scala UDFs — so plans stay codegen-friendly and
+  * push down through Catalyst at 100 TB.
+  */
+object Text {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Normalize: lowercase, strip non-alphanumerics, collapse whitespace. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Deterministic document fingerprint = md5 of normalized text
+    * (content-defined identity for exact dedup across formats). */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "in", "to", "is", "it", "for")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(text)
+    val stops = filter(toks, t => t.isInCollection(stopwords))
+    size(stops).cast("double") / size(toks).cast("double")
+  }
+
+  /** Fraction of characters that are not lowercase alphanumerics/space —
+    * a punctuation/noise proxy. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^a-z0-9 ]", "")))
+      .cast("double") / length(text).cast("double")
+
+  /** Composite heuristic quality score in [0,1]: rewards mid-length docs,
+    * healthy stopword presence, low punctuation noise. Mirrors the usual
+    * pretraining-corpus quality gates (length/punct/stopword ratios). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / lit(64d), lit(1d))
+    val stopScore = least(stopwordRatio(text) * 4d, lit(1d))
+    val punctPenalty = greatest(lit(0d), lit(1d) - punctRatio(text) * 4d)
+    (lenScore + stopScore + punctPenalty) / 3d
+  }
+
+  /** Per-language marker words for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: it broadcasts as literals into codegen. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "es"),
+    "fr" -> Seq("le", "la", "les", "est"))
+
+  /** Count of tokens that appear in `words`. */
+  def markerCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(words)))
+
+  /** Heuristic language ID: argmax of marker counts with a deterministic
+    * tie order (first language in `langMarkers` wins ties), 'und' when no
+    * marker hits at all. */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, ws) => lang -> markerCount(text, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(normalize(text))
+    val idx = sequence(lit(0), size(toks) - n)
+    array_distinct(
+      when(size(toks) < n, array())
+        .otherwise(transform(idx, i =>
+          concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
+  }
+
+  /** 64-bit rolling/polynomial hash of the full normalized text —
+    * cheap content fingerprint that, unlike md5, supports incremental
+    * composition. Computed with aggregate() over characters. */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(split(normalize(text), ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => acc * lit(1000003L) + c)
+}

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector math over `ArrayType(FloatType)` columns, as pure
+  * higher-order-function Column expressions: no UDF serialization, no
+  * driver round-trips — the expressions run inside the executors' codegen
+  * pipeline, which is what makes brute-force similarity viable as the
+  * baseline at scale (and LSH/IVF the scale path, see operators.Similarity).
+  *
+  * All math is done in double after an explicit element cast so results
+  * are deterministic and match a DuckDB oracle computing in double.
+  */
+object Vectors {
+
+  def toDoubleArray(v: Column): Column = transform(v, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDoubleArray(a), toDoubleArray(b), (x, y) => x * y),
+      lit(0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(toDoubleArray(a), x => x * x),
+      lit(0d), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random hyperplane component for LSH bucketing:
+    * a unit-free hash-derived value in [-0.5, 0.5) for (seed, dim index).
+    * Pure expression → the "random" projection matrix never exists as
+    * data, only as codegen'd arithmetic.
+    */
+  private def hashUnit(seed: Int, i: Column): Column =
+    (pmod(hash(i, lit(seed)), lit(1000000)).cast("double") / 1000000d) - 0.5d
+
+  /** Sign bit of the projection of `v` onto pseudo-random hyperplane
+    * `seed`. Concatenating `nBits` of these gives a cosine-LSH bucket id:
+    * vectors with small angle collide with high probability. */
+  def lshBit(v: Column, seed: Int): Column = {
+    val prods = transform(toDoubleArray(v),
+      (x, i) => x * hashUnit(seed, i))
+    when(aggregate(prods, lit(0d), (acc, x) => acc + x) >= 0, 1).otherwise(0)
+  }
+
+  /** Cosine-LSH bucket id from `nBits` hyperplane sign bits. */
+  def lshBucket(v: Column, nBits: Int): Column =
+    (0 until nBits).map(b => lshBit(v, b) * lit(1 << b)).reduce(_ + _)
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{Text, Vectors}
+
+/** Deduplication operators for the training-data-pipeline scope: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design: every variant is candidate-generation-by-key (hash /
+  * band / bucket / block) followed by verification *within* candidate
+  * groups — never an all-pairs cross join. At 100 TB the shuffle keys are
+  * the bucket ids, and bucket population is bounded by banding parameters,
+  * so the worst stage is a skew-manageable groupBy, not O(n²).
+  */
+object Dedup {
+
+  /** Exact dedup on a content fingerprint: keep the lowest `idCol` per
+    * fingerprint group. One hash-shuffle on the fingerprint. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = Text.fingerprint(col(textCol))
+    val w = Window.partitionBy(fp).orderBy(col(idCol).asc)
+    df.withColumn("__fp", fp)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the min of xxhash64(shingle, seed) over the doc's shingle set. Pure
+    * column expressions (array_min over transform) — no UDF/UDAF. */
+  def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column = {
+    val sh = Text.shingles(text, shingleSize)
+    array((0 until numHashes).map { seed =>
+      array_min(transform(sh, s => xxhash64(s, lit(seed))))
+    }: _*)
+  }
+
+  /** MinHash+LSH candidate pairs: band the signature (`bands` ×
+    * `rowsPerBand` = numHashes), hash each band to a bucket, self-join on
+    * (band, bucket), emit distinct (a < b) id pairs. The join key space is
+    * dense and uniform, so the shuffle is balanced by construction.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, bands: Int = 4,
+                        rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+    val banded = sig.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
+          .cast("string"), b))).as(Seq("band", "bucket")))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") &&
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact shingle-Jaccard similarity for candidate (or blocked) pairs.
+    * `blockCol`: docs are only compared within the same block (e.g.
+    * source or language) — the standard way to bound pair counts. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   blockCol: String, shingleSize: Int = 3,
+                   minJaccard: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+      explode(Text.shingles(col(textCol), shingleSize)).as("shingle"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val l = sh.as("l"); val r = sh.as("r")
+    val common = l.join(r, col("l.block") === col("r.block") &&
+        col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "nb"), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over tokens: per bit, majority vote of token-hash
+    * bits weighted by occurrence. Near-dups have small Hamming distance.
+    * Pure expressions: token hash via xxhash64, bit votes via aggregate.
+    */
+  def simhash64(text: Column): Column = {
+    val toks = Text.tokens(Text.normalize(text))
+    val hashes = transform(toks, t => xxhash64(t))
+    (0 until 64).map { b =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(lit(-1L)))
+      when(votes > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on the top `prefixBits` bits (near-dups
+    * almost always share them), verify with full Hamming distance. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   prefixBits: Int = 16, maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      simhash64(col(textCol)).as("sig"))
+      .withColumn("prefix", shiftrightunsigned(col("sig"), 64 - prefixBits))
+    val l = sigs.as("l"); val r = sigs.as("r")
+    l.join(r, col("l.prefix") === col("r.prefix") && col("l.id") < col("r.id"))
+      .withColumn("hamming", hamming64(col("l.sig"), col("r.sig")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("hamming"))
+  }
+
+  /** Embedding-cosine near-duplicates, blocked by `blockCol` (e.g. a
+    * cluster label or an LSH bucket from Vectors.lshBucket) so the
+    * self-join is per-block, not global. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        blockCol: Column, minCosine: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      blockCol.as("block"))
+    val l = v.as("l"); val r = v.as("r")
+    l.join(r, col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+      .withColumn("cosine", Vectors.cosine(col("l.vec"), col("r.vec")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("cosine"))
+  }
+}

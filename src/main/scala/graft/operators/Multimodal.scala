@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as opaque
+  * `BinaryType` columns with typed metadata alongside, and run
+  * decode/feature-extract as partition-local batch transforms.
+  *
+  * The actual media decoding is STUBBED (no image/audio codecs in this
+  * environment): `decodeImageStub` derives deterministic fake dimensions
+  * from the bytes. Everything around it — schema contract, binary column
+  * handling, partition-local batched execution via mapPartitions (the
+  * Scala analogue of pandas-UDF `mapInPandas` batches), metadata struct
+  * shape — is real and tested.
+  */
+object Multimodal {
+
+  /** Output contract of the (stubbed) image decoder. */
+  val imageMetaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** Attach a binary payload column derived from a string column —
+    * stands in for reading raw media bytes from object storage. */
+  def withBinaryPayload(df: DataFrame, srcCol: String, binCol: String): DataFrame =
+    df.withColumn(binCol, col(srcCol).cast("binary"))
+
+  /** STUB decoder: deterministic fake image metadata from payload bytes.
+    * A real deployment swaps the body for an actual codec (e.g. javax
+    * ImageIO / ffmpeg via JNI) — the signature and plan shape stay.
+    * Declarative column version: stays in codegen, no serialization.
+    */
+  def decodeImageStub(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    struct(
+      (pmod(crc32(bin), lit(16)).cast("int") * 32 + 32).as("width"),
+      (pmod(crc32(reverse(bin)), lit(16)).cast("int") * 32 + 32).as("height"),
+      (pmod(length(bin).cast("long"), lit(3L)).cast("int") + 1).as("channels"),
+      when(pmod(crc32(bin), lit(2L)) === 0, "png").otherwise("jpeg").as("format"))
+
+  /** Partition-local batched transform — the mapInPandas-shaped path for
+    * decoders that need a real library call per batch. Batches rows per
+    * partition, never collects to the driver. The `decode` function is
+    * the stub seam: swap in a real codec without touching the plan.
+    */
+  def mapImageBatches(df: DataFrame, binCol: String)
+                     (decode: Array[Byte] => (Int, Int, Int, String)): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("image_meta", imageMetaSchema, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val (w, h, c, f) = decode(bytes)
+        Row.fromSeq(r.toSeq :+ Row(w, h, c, f))
+      }
+    }(enc)
+  }
+
+  /** Deterministic stub codec used by tests and the verify query. */
+  def stubCodec(bytes: Array[Byte]): (Int, Int, Int, String) = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(bytes)
+    val v = crc.getValue
+    val w = ((v % 16).toInt) * 32 + 32
+    ((if (w > 0) w else 32), 64, (bytes.length % 3) + 1,
+      if (v % 2 == 0) "png" else "jpeg")
+  }
+
+  /** Frame-sampling plumbing for video-shaped data: given a frame count
+    * metadata column, emit one row per sampled frame index (every
+    * `stride`-th). Pure explode — distributed, no decode needed to plan. */
+  def sampleFrames(df: DataFrame, nFramesCol: String, stride: Int): DataFrame =
+    df.withColumn("frame_idx",
+      explode(sequence(lit(0), greatest(col(nFramesCol) - 1, lit(0)), lit(stride))))
+}

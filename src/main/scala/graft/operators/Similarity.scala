@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: exact brute-force cosine top-k (broadcast the query set,
+  * scan the corpus once — embarrassingly parallel, no shuffle except the
+  * final per-query top-k, which is a bounded window).
+  *
+  * Scale path: LSH-bucketed search — corpus is pre-bucketed by
+  * hyperplane signs (Vectors.lshBucket); a query only scans its bucket
+  * (and optionally neighboring buckets via multi-probe). At 100 TB the
+  * bucket column is a partition key, so a query touches a small fraction
+  * of files (partition pruning does the rest).
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector. `queries` and `corpus`
+    * both carry (`idCol`, `vecCol`); output is one row per (query,
+    * neighbor, rank). Query side is broadcast — the corpus never moves.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Vectors.cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** LSH-bucketed ANN: bucket corpus and queries with the same
+    * hyperplanes; per bucket, exact cosine top-k. Recall < 1 by design;
+    * increase `nBits` ↓bucket size, or probe multiple buckets for recall.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int, nBits: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      Vectors.lshBucket(col(vecCol), nBits).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      Vectors.lshBucket(col(vecCol), nBits).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Vectors.cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+}

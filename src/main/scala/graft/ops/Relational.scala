@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable relational operators covering the reference workload's idioms
+  * (SURVEY.md §2). Each is a thin, composable Spark-first building block:
+  * declarative Column/DataFrame transforms that stay inside Catalyst
+  * (whole-stage codegen, pushdown, AQE) — no driver-side loops, no RDDs.
+  *
+  * Scale notes are given per operator: what shuffles, what broadcasts,
+  * and how the shape survives a 1000-executor / 100 TB deployment.
+  */
+object Relational {
+
+  /** Correction-overlay ("patch") join — reference `shrimp_station_fixes`
+    * pattern (/root/reference/R/shrimp_support_tables.R:2100-2132): left
+    * join a small fixes table on `keys` and, for every column in
+    * `patchCols`, take the fix value when present else the original.
+    *
+    * The fixes side is broadcast: at 100 TB the fact side never shuffles.
+    * Fix columns must appear in `fixes` with the same name as in `base`.
+    */
+  def patchColumns(base: DataFrame, fixes: DataFrame, keys: Seq[String],
+                   patchCols: Seq[String]): DataFrame = {
+    val fixRenamed = patchCols.foldLeft(
+      fixes.select((keys ++ patchCols).map(col): _*)) {
+      (df, c) => df.withColumnRenamed(c, s"__fix_$c")
+    }
+    val joined = base.join(broadcast(fixRenamed), keys, "left")
+    patchCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, coalesce(col(s"__fix_$c"), col(c)))
+        .drop(s"__fix_$c")
+    }
+  }
+
+  /** Order-sensitive keep-first dedup — reference `distinct(.keep_all=TRUE)`
+    * after an explicit ordering (shrimp_support_tables.R:464-475). Spark has
+    * no implicit row order, so the ordering is an explicit parameter.
+    * One shuffle on `keys`; per-key state is a single row (streaming-safe).
+    */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String],
+                     order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Point-in-interval (validity/as-of) join — the reference's vessel
+    * history resolution (/root/reference/R/initdb.R:106-108): equi-join on
+    * `keys` then keep rows whose `point` falls in (start, end], with
+    * null-tolerant bounds (a null start/end means an open interval).
+    *
+    * Planned as a sort-merge (or broadcast, if `right` is small) equi-join
+    * with the range predicate applied as a post-join filter — the same
+    * plan Oracle ran for the reference. Skewed history keys are handled by
+    * AQE skew-join splitting at scale.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   point: Column, start: Column, end: Column,
+                   how: String = "inner"): DataFrame = {
+    val cond = (start.isNull || point > start) && (end.isNull || point <= end)
+    left.join(right, keys, how).filter(cond)
+  }
+
+  /** Range-bucketize a column — reference `port2division`
+    * (/root/reference/R/initdb.R:322-335): ordered (lo, hi, value) rules,
+    * first match wins, `default` otherwise. Pure chained CASE WHEN —
+    * whole-stage-codegen'd, zero shuffle.
+    */
+  def bucketize(c: Column, ranges: Seq[(Double, Double, Any)],
+                default: Any): Column =
+    ranges.foldRight(lit(default)) { case ((lo, hi, v), acc) =>
+      when(c >= lo && c <= hi, lit(v)).otherwise(acc)
+    }
+
+  /** Oracle DECODE — reference decode(flokkur,-6,'GOV',...)
+    * (/root/reference/R/initdb.R:175-187). Chained when/otherwise. */
+  def decode(c: Column, mapping: Seq[(Any, Any)], default: Any): Column =
+    mapping.foldRight(lit(default)) { case ((k, v), acc) =>
+      when(c === lit(k), lit(v)).otherwise(acc)
+    }
+
+  /** Dense dimension grid — reference `expand.grid` temperature grid
+    * (/root/reference/R/initdb.R:55-59). Cross join of ranges and a keys
+    * DataFrame. Ranges are generated distributed via sequence+explode, so
+    * a 201yr × 12mo × 1e6-cell grid never materializes on the driver.
+    */
+  def gridFill(keys: DataFrame, ranges: Seq[(String, Int, Int)]): DataFrame = {
+    val spark = keys.sparkSession
+    ranges.foldLeft(keys) { case (df, (name, lo, hi)) =>
+      df.crossJoin(spark.range(lo, hi + 1L).select(col("id").cast("int").as(name)))
+    }
+  }
+
+  /** First row per group under an explicit ordering — reference
+    * `ddply(... head(x,1))` (/root/reference/R/initdb.R:338). */
+  def firstPerGroup(df: DataFrame, keys: Seq[String],
+                    order: Seq[Column]): DataFrame =
+    dedupKeepFirst(df, keys, order)
+
+  /** Group values to a deterministic (sorted) list — reference
+    * `split() %>% map('GRIDCELL')` (/root/reference/R/initdb.R:52). */
+  def groupToSortedList(df: DataFrame, key: String, value: String): DataFrame =
+    df.groupBy(key).agg(sort_array(collect_list(col(value))).as(s"${value}_list"))
+
+  /** HAVING-style duplicate-key filter — reference `group_by %>%
+    * filter(n()>1)` (shrimp_support_tables.R:1919-1920). Window count
+    * keeps detail rows with one shuffle, no self-join. */
+  def keepDuplicatedKeys(df: DataFrame, keys: Seq[String],
+                         minCount: Long = 2): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__cnt", count(lit(1)).over(w))
+      .filter(col("__cnt") >= minCount).drop("__cnt")
+  }
+
+  /** Ragged union — reference `bind_rows` over files with differing
+    * columns (/root/reference/R/initdb_shrimp.R:526-544). */
+  def raggedUnion(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** compute(temporary=FALSE) equivalent — durable checkpoint: write to
+    * Parquet and re-read, cutting the lineage exactly like the reference's
+    * Oracle CTAS (/root/reference/R/initdb.R:151). `bucketKeys` maps the
+    * reference's `indexes=` to bucketing so downstream equi-joins on those
+    * keys avoid a shuffle.
+    */
+  def checkpoint(df: DataFrame, path: String,
+                 bucketKeys: Seq[String] = Nil, buckets: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    if (bucketKeys.isEmpty) {
+      df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    } else {
+      val table = path.replaceAll("[^A-Za-z0-9_]", "_")
+      df.write.mode("overwrite")
+        .bucketBy(buckets, bucketKeys.head, bucketKeys.tail: _*)
+        .sortBy(bucketKeys.head, bucketKeys.tail: _*)
+        .option("path", path).format("parquet").saveAsTable(table)
+      spark.table(table)
+    }
+  }
+}

@@ -1,0 +1,458 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Relational
+import Q._
+
+/** SURVEY.md §2.4–2.9 coverage: aggregations, window idioms, sorts/limits,
+  * set operations, scalar-function families, and reshape.
+  */
+object AggWindowQueries {
+
+  private val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  val defs: Map[String, Q] = Map(
+
+    // ---- A1: TPC-H Q1 pricing summary (initdb.R:461-465 shape) ----------
+    "q01_pricing_summary" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= lit(java.time.LocalDateTime.of(2000, 12, 1, 0, 0)))
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          xsum4(col("l_extendedprice")).as("sum_base_price"),
+          xsum4(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("sum_disc_price"),
+          xsum4(col("l_extendedprice") * (lit(1d) - col("l_discount")) * (lit(1d) + col("l_tax"))).as("sum_charge"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (xsum4(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          (xsum4(col("l_discount")) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+          sum(l_quantity) AS sum_qty,
+          ${XSUM4("l_extendedprice")} AS sum_base_price,
+          ${XSUM4("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
+          ${XSUM4("l_extendedprice*(1-l_discount)*(1+l_tax)")} AS sum_charge,
+          sum(l_quantity)/count(*) AS avg_qty,
+          ${XSUM4("l_extendedprice")}/count(*) AS avg_price,
+          ${XSUM4("l_discount")}/count(*) AS avg_disc,
+          count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus"""),
+      "grouped multi-aggregate pricing summary"),
+
+    // ---- A2: cascaded regrouping (shrimp_support:2176-2202) --------------
+    "q23_agg_cascaded" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("order_qty"))
+        .withColumn("bucket", floor(col("order_qty") / 50).cast("long"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_orders"),
+          sum("order_qty").as("total_qty")),
+      Some("""SELECT CAST(floor(order_qty/50) AS BIGINT) AS bucket,
+          count(*) AS n_orders, sum(order_qty) AS total_qty
+        FROM (SELECT l_orderkey, sum(l_quantity) AS order_qty
+              FROM lineitem GROUP BY l_orderkey)
+        GROUP BY 1"""),
+      "two-stage cascaded aggregation"),
+
+    // ---- A3: group total attached to detail rows (agg-then-rejoin as window)
+    "q24_window_sum_ratio" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("l_orderkey")
+        Tables.lineitem(s, d)
+          .withColumn("order_qty", sum("l_quantity").over(w))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            q4(col("l_quantity") / col("order_qty")).as("qty_share"))
+      },
+      Some(s"""SELECT l_orderkey, l_linenumber,
+          ${Q4("l_quantity / sum(l_quantity) OVER (PARTITION BY l_orderkey)")} AS qty_share
+        FROM lineitem"""),
+      "windowed group-sum ratio (one shuffle, no rejoin)"),
+
+    // ---- A4: grouped count as column inside CASE (initdb_add_shrimp:150-154)
+    "q25_window_count_case" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"), year(col("o_orderdate")))
+        Tables.orders(s, d)
+          .withColumn("yr_orders", count(lit(1)).over(w))
+          .select(col("o_orderkey"),
+            when(col("o_orderstatus") === "F", col("yr_orders"))
+              .otherwise(lit(-1L)).as("f_year_count"))
+      },
+      Some("""SELECT o_orderkey,
+          CASE WHEN o_orderstatus = 'F' THEN
+            count(*) OVER (PARTITION BY o_custkey, year(o_orderdate))
+          ELSE -1 END AS f_year_count
+        FROM orders"""),
+      "per-partition count consumed conditionally"),
+
+    // ---- A5: first row per group (initdb.R:338) ----------------------------
+    "q26_first_per_group" -> Q(
+      (s, d) => Relational.firstPerGroup(
+        Tables.customer(s, d), Seq("c_nationkey"),
+        Seq(col("c_acctbal").desc, col("c_custkey").asc))
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal")),
+      Some("""SELECT c_nationkey, c_custkey, c_acctbal FROM (
+          SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+          FROM customer) WHERE rn = 1"""),
+      "richest customer per nation (limit-per-group)"),
+
+    // ---- A6: group values to deterministic list (initdb.R:52) --------------
+    "q27_group_to_list" -> Q(
+      (s, d) => Tables.customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments")),
+      Some("""SELECT c_nationkey, string_agg(seg, ',' ORDER BY seg) AS segments
+        FROM (SELECT DISTINCT c_nationkey, c_mktsegment AS seg FROM customer)
+        GROUP BY c_nationkey"""),
+      "collect-to-sorted-list per group"),
+
+    // ---- A7: HAVING-style duplicate filter (shrimp_support:1919-1920) ------
+    "q28_having" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 15),
+      Some("""SELECT o_custkey, count(*) AS n FROM orders
+        GROUP BY o_custkey HAVING count(*) > 15"""),
+      "group count with HAVING filter"),
+
+    // ---- W1: global row_number under explicit order (initdb.R:32) ----------
+    "q29_rownumber_global" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("o_orderdate"), col("o_orderkey"))))
+        .select(col("o_orderkey"), col("rn")),
+      Some("""SELECT o_orderkey,
+          CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn
+        FROM orders"""),
+      "global sequence id (explicit determinism contract)"),
+
+    // ---- W2: row_number offset by another table's max (initdb_add_shrimp:26)
+    "q30_rownumber_offset" -> Q(
+      (s, d) => {
+        val maxSupp = Tables.supplier(s, d).agg(max("s_suppkey").as("mx"))
+        Tables.nation(s, d)
+          .withColumn("rn", row_number().over(Window.orderBy(col("n_name"))))
+          .crossJoin(broadcast(maxSupp))
+          .select(col("n_nationkey"), (col("mx") + col("rn")).as("id"))
+      },
+      Some("""SELECT n_nationkey,
+          (SELECT max(s_suppkey) FROM supplier)
+            + row_number() OVER (ORDER BY n_name) AS id
+        FROM nation"""),
+      "sequence id offset by scalar subquery max"),
+
+    // ---- W4: running sum, ROWS frame ---------------------------------------
+    "q32_running_sum" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .withColumn("cents", floor(col("o_totalprice") * 10000d + 0.5d).cast("long"))
+          .select(col("o_orderkey"),
+            (sum(col("cents")).over(w).cast("double") / 10000d).as("running_total"))
+      },
+      Some("""SELECT o_orderkey,
+          CAST(sum(cents) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/10000
+            AS running_total
+        FROM (SELECT *, CAST(floor(o_totalprice*10000 + 0.5) AS BIGINT) AS cents
+              FROM orders)"""),
+      "running total with explicit ROWS frame (exact arithmetic)"),
+
+    // ---- O1: global top-k (initdb.R:465) ------------------------------------
+    "q33_topk" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select("o_orderkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""),
+      "global sort + limit (TakeOrderedAndProject)"),
+
+    // ---- U1: union_all of aligned subsets (initdb.R:360-363) ----------------
+    "q34_union_all" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val old = o.filter(year(col("o_orderdate")) < 1998)
+          .select(col("o_orderkey"), col("o_totalprice"), lit("old").as("era"))
+        val recent = o.filter(year(col("o_orderdate")) >= 1998)
+          .select(col("o_orderkey"), col("o_totalprice"), lit("new").as("era"))
+        old.unionByName(recent)
+      },
+      Some("""SELECT o_orderkey, o_totalprice, 'old' AS era FROM orders
+          WHERE year(o_orderdate) < 1998
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, 'new' AS era FROM orders
+          WHERE year(o_orderdate) >= 1998"""),
+      "schema-aligned UNION ALL"),
+
+    // ---- U2: ragged union with missing columns (initdb_shrimp:527-540) ------
+    "q35_ragged_union" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val a = o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_totalprice").as("amount"))
+        val b = o.filter(col("o_orderstatus") === "O")
+          .select(col("o_orderkey"), col("o_orderpriority").as("priority"))
+        Relational.raggedUnion(Seq(a, b))
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS amount, CAST(NULL AS VARCHAR) AS priority
+          FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority
+          FROM orders WHERE o_orderstatus = 'O'"""),
+      "ragged union (unionByName allowMissingColumns)"),
+
+    // ---- U3: EXCEPT / INTERSECT ----------------------------------------------
+    "q36_except" -> Q(
+      (s, d) => {
+        val all = Tables.orders(s, d).select(col("o_custkey"))
+        val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey"))
+        all.except(f)
+      },
+      Some("""SELECT o_custkey FROM orders
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"""),
+      "EXCEPT set difference"),
+
+    "q37_intersect" -> Q(
+      (s, d) => {
+        val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey"))
+        val o = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey"))
+        f.intersect(o)
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"""),
+      "INTERSECT"),
+
+    // ---- 2.8: nested conditional decode (initdb.R:118-122,175-187) ----------
+    "q38_decode_scalars" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .withColumn("prio_code", Relational.decode(col("o_orderpriority"),
+          Seq("1-URGENT" -> 1, "2-HIGH" -> 2, "3-MEDIUM" -> 3, "4-NOT SPECIFIED" -> 4),
+          default = 9))
+        .withColumn("status_name", Relational.decode(col("o_orderstatus"),
+          Seq("F" -> "FULL", "O" -> "OPEN", "P" -> "PART"), default = "UNK"))
+        .groupBy("prio_code", "status_name").agg(count(lit(1)).as("n")),
+      Some("""SELECT CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+            WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4 ELSE 9 END AS prio_code,
+          CASE o_orderstatus WHEN 'F' THEN 'FULL' WHEN 'O' THEN 'OPEN'
+            WHEN 'P' THEN 'PART' ELSE 'UNK' END AS status_name,
+          count(*) AS n
+        FROM orders GROUP BY 1, 2"""),
+      "DECODE-style nested conditionals"),
+
+    // ---- 2.8: nvl / nvl2 null handling (initdb.R:116,214-215) ----------------
+    "q39_null_funcs" -> Q(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val po = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+          .groupBy("o_custkey").agg(count(lit(1)).as("p_cnt"))
+        c.join(po, c("c_custkey") === po("o_custkey"), "left")
+          .select(col("c_custkey"),
+            coalesce(col("p_cnt"), lit(0L)).as("nvl_cnt"),
+            when(col("p_cnt").isNotNull, lit("has")).otherwise(lit("none")).as("nvl2_flag"))
+      },
+      Some("""SELECT c_custkey, coalesce(p_cnt, 0) AS nvl_cnt,
+          CASE WHEN p_cnt IS NOT NULL THEN 'has' ELSE 'none' END AS nvl2_flag
+        FROM customer LEFT JOIN (SELECT o_custkey, count(*) AS p_cnt FROM orders
+                                 WHERE o_orderstatus = 'P' GROUP BY 1) po
+        ON c_custkey = po.o_custkey"""),
+      "nvl / nvl2 equivalents over outer-join nulls"),
+
+    // ---- 2.8: string function family (initdb.R:127,407,556) ------------------
+    "q40_strings" -> Q(
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"),
+          upper(col("c_mktsegment")).as("seg_upper"),
+          substring(col("c_name"), 1, 8).as("name_prefix"),
+          length(col("c_name")).as("name_len"),
+          concat_ws("-", col("c_custkey"), col("c_nationkey")).as("vessel_key"),
+          regexp_replace(col("c_name"), "[0-9]", "").as("name_alpha")),
+      Some("""SELECT c_custkey, upper(c_mktsegment) AS seg_upper,
+          substring(c_name, 1, 8) AS name_prefix,
+          CAST(length(c_name) AS INTEGER) AS name_len,
+          concat_ws('-', c_custkey, c_nationkey) AS vessel_key,
+          regexp_replace(c_name, '[0-9]', '', 'g') AS name_alpha
+        FROM customer"""),
+      "string scalar family (concat_ws composite keys etc.)"),
+
+    // ---- 2.8: date family + fishing-season label (initdb.R:362,585-587) ------
+    "q41_dates_season" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .withColumn("y", year(col("o_orderdate")))
+        .withColumn("m", month(col("o_orderdate")))
+        .select(col("o_orderkey"), col("y"), col("m"),
+          quarter(col("o_orderdate")).as("q"),
+          when(col("m") < 9, concat(col("y") - 1, col("y")))
+            .otherwise(concat(col("y"), col("y") + 1)).as("season"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym")),
+      Some("""SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS y,
+          CAST(month(o_orderdate) AS INTEGER) AS m,
+          CAST(quarter(o_orderdate) AS INTEGER) AS q,
+          CASE WHEN month(o_orderdate) < 9
+            THEN concat(CAST(year(o_orderdate)-1 AS VARCHAR), CAST(year(o_orderdate) AS VARCHAR))
+            ELSE concat(CAST(year(o_orderdate) AS VARCHAR), CAST(year(o_orderdate)+1 AS VARCHAR))
+          END AS season,
+          strftime(o_orderdate, '%Y-%m') AS ym
+        FROM orders"""),
+      "date extraction + season-label conditional"),
+
+    // ---- 2.8: math family incl. allometric a*L^b (shrimp_support:2188) -------
+    "q42_math_allometric" -> Q(
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          q4(lit(0.01d) * pow(col("p_size").cast("double"), 3.01d)).as("est_weight"),
+          q4(log(col("p_retailprice"))).as("ln_price"),
+          (floor(col("p_retailprice") / 100d) * 100).cast("long").as("price_bin")),
+      Some(s"""SELECT p_partkey,
+          ${Q4("0.01 * pow(CAST(p_size AS DOUBLE), 3.01)")} AS est_weight,
+          ${Q4("ln(p_retailprice)")} AS ln_price,
+          CAST(floor(p_retailprice/100)*100 AS BIGINT) AS price_bin
+        FROM part"""),
+      "allometric power law, log, binning"),
+
+    // ---- range bucketize (port2division, initdb.R:322-335) --------------------
+    "q43_bucketize_ranges" -> Q(
+      (s, d) => Tables.customer(s, d)
+        .withColumn("band", Relational.bucketize(col("c_acctbal"),
+          Seq((-1000d, 0d, "NEG"), (0d, 3000d, "LOW"), (3000d, 7000d, "MID"),
+            (7000d, 12000d, "HIGH")), default = "OTHER"))
+        .groupBy("band").agg(count(lit(1)).as("n")),
+      Some("""SELECT CASE
+          WHEN c_acctbal >= -1000 AND c_acctbal <= 0 THEN 'NEG'
+          WHEN c_acctbal >= 0 AND c_acctbal <= 3000 THEN 'LOW'
+          WHEN c_acctbal >= 3000 AND c_acctbal <= 7000 THEN 'MID'
+          WHEN c_acctbal >= 7000 AND c_acctbal <= 12000 THEN 'HIGH'
+          ELSE 'OTHER' END AS band, count(*) AS n
+        FROM customer GROUP BY 1"""),
+      "first-match range bucketing (port2division)"),
+
+    // ---- geo: haversine arc distance (initdb.R:138) ----------------------------
+    "q44_haversine" -> Q(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .withColumn("lat", (col("c_custkey") % 120).cast("double") * 0.5d - 30d)
+          .withColumn("lon", ((col("c_custkey") * 7) % 300).cast("double") * 0.5d - 75d)
+        c.select(col("c_custkey"),
+          floor(graft.functions.Geo.arcDistNmi(col("lat"), col("lon"),
+            lit(64.15d), lit(-21.95d))).cast("long").as("dist_nmi"))
+      },
+      Some("""SELECT c_custkey, CAST(floor(
+          (6371.0/1.852) * 2 * asin(sqrt(
+            pow(sin(radians(64.15 - ((c_custkey % 120) * 0.5 - 30))/2), 2)
+            + cos(radians((c_custkey % 120) * 0.5 - 30)) * cos(radians(64.15))
+            * pow(sin(radians(-21.95 - (((c_custkey * 7) % 300) * 0.5 - 75))/2), 2)))
+        ) AS BIGINT) AS dist_nmi
+        FROM customer"""),
+      "great-circle distance (haversine, codegen'd column expr)"),
+
+    // ---- geo: statistical-rectangle codec (initdb.R:33-35) ---------------------
+    "q45_gridcell_codec" -> Q(
+      (s, d) => Tables.customer(s, d)
+        .withColumn("gridcell", (lit(100) * ((col("c_custkey") % 80) + 20)
+          + (col("c_custkey") * 13) % 100).cast("long"))
+        .select(col("gridcell"),
+          graft.functions.Geo.sr2dLat(col("gridcell")).as("cell_lat"),
+          graft.functions.Geo.sr2dLon(col("gridcell")).as("cell_lon"))
+        .distinct(),
+      Some("""SELECT DISTINCT
+          CAST(100 * ((c_custkey % 80) + 20) + (c_custkey * 13) % 100 AS BIGINT) AS gridcell,
+          CAST(CAST(floor((100 * ((c_custkey % 80) + 20) + (c_custkey * 13) % 100) / 100) AS BIGINT) AS DOUBLE)/2.0 + 60.0 + 0.25 AS cell_lat,
+          -(CAST(CAST(100 * ((c_custkey % 80) + 20) + (c_custkey * 13) % 100 AS BIGINT) % 100 AS DOUBLE) + 50.0) + 0.5 AS cell_lon
+        FROM customer"""),
+      "gridcell (statistical rectangle) integer codec"),
+
+    // ---- R1: pivot to wide (shrimp_support:2155-2159) ---------------------------
+    "q46_pivot" -> Q(
+      (s, d) => Tables.customer(s, d)
+        .groupBy("c_nationkey")
+        .pivot("c_mktsegment", segments)
+        .agg(xsum4(col("c_acctbal"))),
+      Some {
+        val cols = segments.map(seg =>
+          s"""${XSUM4(s"CASE WHEN c_mktsegment = '$seg' THEN c_acctbal END")} AS "$seg"""")
+          .mkString(",\n          ")
+        s"SELECT c_nationkey,\n          $cols\n        FROM customer GROUP BY c_nationkey"
+      },
+      "pivot (spread) to wide per-segment sums"),
+
+    // ---- R2: unpivot / melt ------------------------------------------------------
+    "q47_unpivot" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          expr("stack(3, 'qty', l_quantity, 'price', l_extendedprice, 'disc', l_discount) AS (metric, value)"))
+        .groupBy("metric").agg(xsum4(col("value")).as("total")),
+      Some(s"""SELECT 'qty' AS metric, ${XSUM4("l_quantity")} AS total FROM lineitem
+        UNION ALL SELECT 'price', ${XSUM4("l_extendedprice")} FROM lineitem
+        UNION ALL SELECT 'disc', ${XSUM4("l_discount")} FROM lineitem"""),
+      "unpivot (gather) then aggregate per metric"),
+
+    // ---- grouping sets: ROLLUP ----------------------------------------------------
+    "q48_rollup" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+          count(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""),
+      "ROLLUP grouping sets"),
+
+    // ---- grouping sets: CUBE -------------------------------------------------------
+    "q49_cube" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""),
+      "CUBE grouping sets"),
+
+    // ---- exact distinct count --------------------------------------------------------
+    "q50_count_distinct" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+          count(DISTINCT l_partkey) AS n_part
+        FROM lineitem GROUP BY l_returnflag"""),
+      "exact multi distinct-count"),
+
+    // ---- approximate distinct (HLL) — no exact oracle, rows-only check ----------------
+    "q51_approx_distinct" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")),
+      None,
+      "HyperLogLog approximate distinct (sketch)"),
+
+    // ---- S4: inline literal lookup table (initdb.R:408-445) ----------------------------
+    "q52_inline_literal" -> Q(
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val lookup = Seq(
+          ("AUTOMOBILE", "AUT"), ("BUILDING", "BLD"), ("FURNITURE", "FUR"),
+          ("HOUSEHOLD", "HHD"), ("MACHINERY", "MCH")).toDF("c_mktsegment", "shortcode")
+        Tables.customer(s, d).join(broadcast(lookup), Seq("c_mktsegment"))
+          .groupBy("shortcode").agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT shortcode, count(*) AS n
+        FROM customer JOIN (VALUES ('AUTOMOBILE','AUT'), ('BUILDING','BLD'),
+          ('FURNITURE','FUR'), ('HOUSEHOLD','HHD'), ('MACHINERY','MCH'))
+          AS lookup(c_mktsegment, shortcode)
+        USING (c_mktsegment)
+        GROUP BY shortcode"""),
+      "inline literal dimension join"),
+  )
+}

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Q._
+
+/** Event-stream-shaped queries over the `events` table. These are the
+  * batch twins of the Structured Streaming pipelines in
+  * graft.streaming.Events — same windowing semantics, verifiable against
+  * the DuckDB oracle (streaming variants are unit-tested instead).
+  *
+  * `ts` in the fixture is nanosecond-precision; Spark surfaces it as an
+  * epoch-nano long (Tables.events adds ts_us / ts_utc), DuckDB reads it
+  * truncated to microseconds — all bucketing below is done on identical
+  * microsecond values.
+  */
+object EventQueries {
+
+  val defs: Map[String, Q] = Map(
+
+    // ---- tumbling event-time window ---------------------------------------
+    "q64_events_hourly" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(((col("ts") / lit(3600000000000L)).cast("long") * 3600L).as("hour_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), xsum4(col("value")).as("total_value")),
+      Some(s"""SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600 AS BIGINT) AS hour_epoch,
+          event_type, count(*) AS n, ${XSUM4("value")} AS total_value
+        FROM events GROUP BY 1, 2"""),
+      "tumbling 1h event-time window aggregate"),
+
+    // ---- sliding event-time window ------------------------------------------
+    "q65_events_sliding" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts_utc"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), xsum4(col("value")).as("total_value"))
+        .select(col("window.start").cast("long").as("win_start"),
+          col("event_type"), col("n"), col("total_value")),
+      Some(s"""SELECT win_start, event_type, count(*) AS n, ${XSUM4("value")} AS total_value
+        FROM (
+          SELECT CAST(floor(epoch_us(ts) / 1800000000) * 1800 AS BIGINT) AS win_start, *
+          FROM events
+          UNION ALL
+          SELECT CAST(floor(epoch_us(ts) / 1800000000) * 1800 - 1800 AS BIGINT) AS win_start, *
+          FROM events)
+        GROUP BY 1, 2"""),
+      "sliding 1h/30min event-time windows"),
+
+    // ---- lag / gap analysis ----------------------------------------------------
+    "q66_events_lag_gap" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+          .select(col("event_id"),
+            when(col("prev_us").isNull, lit(null).cast("long"))
+              .otherwise(floor((col("ts_us") - col("prev_us")) / 1000000L).cast("long"))
+              .as("gap_s"))
+      },
+      Some("""SELECT event_id,
+          CAST(floor((epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id)) / 1000000) AS BIGINT) AS gap_s
+        FROM events"""),
+      "per-user lag(): inter-event gap seconds"),
+
+    // ---- sessionization (30-min inactivity gap) ------------------------------------
+    "q67_events_sessionize" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              col("ts_us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+          .groupBy("user_id")
+          .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+      },
+      Some("""SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+        FROM (SELECT user_id,
+            CASE WHEN lag(epoch_us(ts), 1) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+          FROM events)
+        GROUP BY user_id"""),
+      "sessionize by 30-min inactivity gap"),
+  )
+}

@@ -1,0 +1,41 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Multimodal
+
+/** Multimodal-column coverage: opaque binary payloads + typed metadata.
+  * Decode itself is stubbed (see operators.Multimodal) — the Spark-side
+  * plumbing (binary columns, digests, partition-local batch transform)
+  * is real and verified.
+  */
+object MultimodalQueries {
+
+  val defs: Map[String, Q] = Map(
+
+    // ---- binary payload handling (oracle-checkable digest path) ------------
+    "q68_multimodal_binary" -> Q(
+      (s, d) => Multimodal.withBinaryPayload(Tables.documents(s, d), "text", "payload")
+        .select(col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          sha2(col("payload"), 256).as("digest")),
+      Some("""SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+          sha256(text) AS digest
+        FROM documents"""),
+      "opaque binary payload column + content digest"),
+
+    // ---- stubbed decode via partition-local batches (rows-only check) --------
+    "q69_multimodal_decode" -> Q(
+      (s, d) => {
+        val withBin = Multimodal.withBinaryPayload(
+          Tables.documents(s, d).select("doc_id", "text"), "text", "payload")
+        Multimodal.mapImageBatches(withBin, "payload")(Multimodal.stubCodec)
+          .select(col("doc_id"), col("image_meta.width").as("width"),
+            col("image_meta.height").as("height"),
+            col("image_meta.channels").as("channels"),
+            col("image_meta.format").as("format"))
+      },
+      None,
+      "stubbed media decode through mapPartitions batch plumbing"),
+  )
+}

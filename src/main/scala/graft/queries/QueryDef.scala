@@ -1,0 +1,34 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One verifiable query: a Spark DataFrame program plus (optionally) the
+  * equivalent ANSI SQL the driver runs in DuckDB over the same parquet
+  * tables. Column names AND types must line up between the two — the
+  * driver sorts columns by name and hashes values.
+  */
+final case class Q(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String)
+
+object Q {
+  /** Order-independent exact money sum: quantize to 1e-4 on the input
+    * (deterministic IEEE mult+floor on identical doubles), sum as exact
+    * BIGINT, then one final division that is bitwise identical on both
+    * engines. Kills float non-determinism from Spark's partial-agg
+    * ordering vs DuckDB's sequential sum.
+    */
+  def xsum4(c: Column): Column =
+    (sum(floor(c * 10000d + 0.5d).cast("long")).cast("double") / 10000d)
+
+  /** DuckDB rendering of [[xsum4]]. */
+  def XSUM4(expr: String): String =
+    s"cast(sum(cast(floor(($expr)*10000 + 0.5) as bigint)) as double)/10000"
+
+  /** Deterministic 4-dp quantization of a scalar double (not a sum). */
+  def q4(c: Column): Column = floor(c * 10000d + 0.5d).cast("long").cast("double") / 10000d
+  def Q4(expr: String): String =
+    s"cast(cast(floor(($expr)*10000 + 0.5) as bigint) as double)/10000"
+}

@@ -1,0 +1,340 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Relational
+import graft.functions.Geo
+import Q._
+
+/** SURVEY.md §2.1–2.3 coverage: scans, projections, filters, predicates,
+  * and every join shape the reference uses — expressed over the harness
+  * fixture tables so the driver's DuckDB oracle can verify each one.
+  */
+object RelationalQueries {
+
+  private val ntz98 = java.time.LocalDateTime.of(1998, 1, 1, 0, 0)
+
+  // Polygon fixtures for q22 (deliberately non-axis-aligned edges so no
+  // synthetic point can land exactly on a boundary).
+  private val triangle = Seq((-5.03, -4.07), (6.11, -3.13), (0.17, 7.19))
+  private val quad = Seq((-8.02, 2.03), (-2.01, 2.05), (-2.03, 8.07), (-8.05, 8.11))
+
+  /** Emit the DuckDB SQL for the same ray-cast Geo.pointInPolygon does —
+    * identical arithmetic on identical literals → identical booleans. */
+  private def rayCastSql(px: String, py: String, poly: Seq[(Double, Double)]): String = {
+    val n = poly.size
+    val terms = (0 until n).map { i =>
+      val (x1, y1) = poly(i)
+      val (x2, y2) = poly((i + 1) % n)
+      s"(CASE WHEN (($y1 > $py) <> ($y2 > $py)) AND $px < $x1 + ($py - $y1)/(${y2 - y1})*(${x2 - x1}) THEN 1 ELSE 0 END)"
+    }
+    s"((${terms.mkString(" + ")}) % 2 = 1)"
+  }
+
+  val defs: Map[String, Q] = Map(
+
+    // ---- P1/P2: project + rename (initdb.R:105,143-147) -----------------
+    "q02_project_rename" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("okey"),
+          col("l_linenumber").as("lnum"),
+          col("l_quantity").as("qty")),
+      Some("SELECT l_orderkey AS okey, l_linenumber AS lnum, l_quantity AS qty FROM lineitem"),
+      "column select + rename"),
+
+    // ---- P3/P4: transmute / derived columns (initdb.R:38,134) -----------
+    "q03_transmute_derive" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("oyear"),
+          q4(col("o_totalprice") / 1000d).as("total_k"),
+          concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("code")),
+      Some(s"""SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS oyear,
+        ${Q4("o_totalprice/1000")} AS total_k,
+        concat_ws('-', o_orderstatus, o_orderpriority) AS code FROM orders"""),
+      "transmute: projection with computed columns"),
+
+    // ---- P5: IN-list filter (initdb.R:117) -------------------------------
+    "q04_filter_in" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R") && col("l_linenumber").isin(1, 3, 5))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag")),
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+        WHERE l_returnflag IN ('A','R') AND l_linenumber IN (1,3,5)"""),
+      "IN-list predicate filter"),
+
+    // ---- P6: compound boolean + null-sentinel (initdb.R:108) ------------
+    "q05_filter_null_sentinel" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .filter(coalesce(col("l_discount"), lit(-999d)) =!= -999d &&
+          (col("l_shipdate") > lit(ntz98) || col("l_tax") < 0.02))
+        .select(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+        WHERE coalesce(l_discount, -999) <> -999
+          AND (l_shipdate > TIMESTAMP '1998-01-01 00:00:00' OR l_tax < 0.02)"""),
+      "compound predicate with null sentinel (nvl idiom)"),
+
+    // ---- P7: anti-membership blacklist (initdb.R:491-494) ---------------
+    "q06_filter_blacklist" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .filter(!col("o_custkey").isin(7L, 13L, 42L, 101L, 500L) &&
+          col("o_totalprice") > 0 && col("o_orderstatus").isNotNull)
+        .select(col("o_orderkey"), col("o_custkey")),
+      Some("""SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey NOT IN (7,13,42,101,500)
+          AND o_totalprice > 0 AND o_orderstatus IS NOT NULL"""),
+      "blacklist NOT IN + not-null guard"),
+
+    // ---- P8: LIKE (initdb.R:556) -----------------------------------------
+    "q07_like" -> Q(
+      (s, d) => Tables.part(s, d)
+        .filter(col("p_name").like("%wid%") || trim(col("p_type")).like("PROMO%"))
+        .select(col("p_partkey"), col("p_name"), col("p_type")),
+      Some("""SELECT p_partkey, p_name, p_type FROM part
+        WHERE p_name LIKE '%wid%' OR trim(p_type) LIKE 'PROMO%'"""),
+      "SQL LIKE pattern filter"),
+
+    // ---- P9: regex filter + rewrite (initdb.R:404-407) -------------------
+    "q08_regex" -> Q(
+      (s, d) => Tables.part(s, d)
+        .filter(col("p_name").rlike("ro[dw]"))
+        .select(col("p_partkey"),
+          regexp_replace(col("p_type"), "[AEIOU]", "_").as("p_type_masked")),
+      Some("""SELECT p_partkey, regexp_replace(p_type, '[AEIOU]', '_', 'g') AS p_type_masked
+        FROM part WHERE regexp_matches(p_name, 'ro[dw]')"""),
+      "regex filter (rlike) + regexp_replace"),
+
+    // ---- P10/P11: na.drop + distinct (initdb.R:39,351) -------------------
+    "q09_dropna_distinct" -> Q(
+      (s, d) => Tables.customer(s, d)
+        .na.drop(Seq("c_acctbal", "c_mktsegment"))
+        .select("c_nationkey", "c_mktsegment").distinct(),
+      Some("""SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+        WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL"""),
+      "drop-NA rows then distinct on subset"),
+
+    // ---- P12: order-sensitive keep-first dedup (shrimp_support:464-475) --
+    "q10_dedup_keepfirst" -> Q(
+      (s, d) => Relational.dedupKeepFirst(
+        Tables.orders(s, d), Seq("o_custkey"),
+        Seq(col("o_orderdate").asc, col("o_orderkey").asc))
+        .select(col("o_custkey"), col("o_orderkey").as("first_order")),
+      Some("""SELECT o_custkey, o_orderkey AS first_order FROM (
+          SELECT o_custkey, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders) WHERE rn = 1"""),
+      "dedup keep-first under explicit ordering"),
+
+    // ---- J1: inner equi-join + agg (initdb.R:204,370; TPC-H Q3 shape) ----
+    "q11_join_inner_agg" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(xsum4(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some(s"""SELECT c_mktsegment,
+          ${XSUM4("l_extendedprice*(1-l_discount)")} AS revenue,
+          count(*) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment"""),
+      "3-way inner equi-join + aggregation"),
+
+    // ---- J2: left outer enrich (initdb.R:128,364) -------------------------
+    "q12_join_left_enrich" -> Q(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val po = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+          .groupBy("o_custkey").agg(count(lit(1)).as("p_cnt"))
+        c.join(po, c("c_custkey") === po("o_custkey"), "left")
+          .select(col("c_custkey"), coalesce(col("p_cnt"), lit(0L)).as("p_cnt"))
+      },
+      Some("""SELECT c_custkey, coalesce(p_cnt, 0) AS p_cnt FROM customer
+        LEFT JOIN (SELECT o_custkey, count(*) AS p_cnt FROM orders
+                   WHERE o_orderstatus = 'P' GROUP BY o_custkey) po
+        ON c_custkey = po.o_custkey"""),
+      "left outer join + null fill"),
+
+    // ---- J3: right outer join + nvl fill (initdb.R:210-215) --------------
+    "q13_join_right_fill" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+        val o = Tables.orders(s, d)
+        li.join(o, li("l_orderkey") === o("o_orderkey"), "right")
+          .groupBy(col("o_orderkey"))
+          .agg(sum(coalesce(col("l_quantity"), lit(0d))).as("big_qty"))
+      },
+      Some("""SELECT o_orderkey, sum(coalesce(l_quantity, 0)) AS big_qty
+        FROM (SELECT * FROM lineitem WHERE l_quantity > 45) li
+        RIGHT JOIN orders ON li.l_orderkey = o_orderkey
+        GROUP BY o_orderkey"""),
+      "right outer join keeping all orders, zero-fill"),
+
+    // ---- J4: full outer join (initdb_add_shrimp.R:15-24) ------------------
+    "q14_join_full_outer" -> Q(
+      (s, d) => {
+        val cn = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+          .groupBy("c_nationkey").agg(count(lit(1)).as("rich_cust"))
+        val sn = Tables.supplier(s, d).filter(col("s_acctbal") > 5000)
+          .groupBy("s_nationkey").agg(count(lit(1)).as("rich_supp"))
+        cn.join(sn, cn("c_nationkey") === sn("s_nationkey"), "full")
+          .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+            coalesce(col("rich_cust"), lit(0L)).as("rich_cust"),
+            coalesce(col("rich_supp"), lit(0L)).as("rich_supp"))
+      },
+      Some("""SELECT coalesce(cn.c_nationkey, sn.s_nationkey) AS nationkey,
+          coalesce(rich_cust, 0) AS rich_cust, coalesce(rich_supp, 0) AS rich_supp
+        FROM (SELECT c_nationkey, count(*) AS rich_cust FROM customer
+              WHERE c_acctbal > 9000 GROUP BY c_nationkey) cn
+        FULL JOIN (SELECT s_nationkey, count(*) AS rich_supp FROM supplier
+                   WHERE s_acctbal > 5000 GROUP BY s_nationkey) sn
+        ON cn.c_nationkey = sn.s_nationkey"""),
+      "full outer join union-merge of two aggregates"),
+
+    // ---- J5: anti join (initdb_add_shrimp.R:169) ---------------------------
+    "q15_join_anti" -> Q(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+        c.join(o, Seq("c_custkey"), "left_anti").select("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""),
+      "anti join: customers without orders"),
+
+    // ---- J5b: semi join ----------------------------------------------------
+    "q16_join_semi" -> Q(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d).filter(col("o_totalprice") > 100000)
+          .select(col("o_custkey").as("c_custkey"))
+        c.join(o, Seq("c_custkey"), "left_semi").select("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 100000)"""),
+      "semi join: customers having a big order"),
+
+    // ---- J6: point-in-interval (validity) join (initdb.R:106-108) --------
+    "q17_interval_join" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+          .withColumnRenamed("o_orderkey", "l_orderkey")
+          .withColumn("valid_to", col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        Relational.intervalJoin(
+          li, o, Seq("l_orderkey"),
+          col("l_shipdate"), col("o_orderdate"), col("valid_to"))
+          .groupBy(year(col("l_shipdate")).as("ship_year"))
+          .agg(count(lit(1)).as("in_window"),
+            xsum4(col("l_extendedprice")).as("in_window_price"))
+      },
+      Some(s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+          count(*) AS in_window, ${XSUM4("l_extendedprice")} AS in_window_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate
+          AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+        GROUP BY year(l_shipdate)"""),
+      "validity-interval join (equi key + point-in-range)"),
+
+    // ---- J7: multi-key join (initdb.R:364) ---------------------------------
+    "q18_join_multikey" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val pairs = li.groupBy("l_partkey", "l_suppkey")
+          .agg(count(lit(1)).as("pair_n")).filter(col("pair_n") > 1)
+        li.join(pairs, Seq("l_partkey", "l_suppkey"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(sum(col("l_quantity")).as("pair_qty"), first(col("pair_n")).as("pair_n"))
+      },
+      Some("""SELECT l_partkey, l_suppkey, sum(l_quantity) AS pair_qty,
+          any_value(pair_n) AS pair_n
+        FROM lineitem JOIN (SELECT l_partkey, l_suppkey, count(*) AS pair_n
+                            FROM lineitem GROUP BY 1,2 HAVING count(*) > 1) p
+        USING (l_partkey, l_suppkey)
+        GROUP BY l_partkey, l_suppkey"""),
+      "composite-key join"),
+
+    // ---- J8: join disambiguation + conditional pick (initdb_add_shrimp.R:338-341)
+    "q19_join_condpick" -> Q(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .withColumn("picked",
+            when(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"),
+              col("r_name")).otherwise(col("n_name")))
+          .groupBy("picked").agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT CASE WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE')
+                     THEN r_name ELSE n_name END AS picked, count(*) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1"""),
+      "two-lookup join with conditional column pick"),
+
+    // ---- J9: cross-join grid generation (initdb.R:55-59) -------------------
+    "q20_cross_grid" -> Q(
+      (s, d) => Relational.gridFill(
+        Tables.region(s, d).select("r_regionkey"),
+        Seq(("y", 1995, 2000), ("m", 1, 12)))
+        .withColumn("temperature", lit(3.0d)),
+      Some("""SELECT r_regionkey, CAST(y AS INTEGER) AS y, CAST(m AS INTEGER) AS m,
+          3.0 AS temperature
+        FROM region, generate_series(1995, 2000) AS ys(y),
+             generate_series(1, 12) AS ms(m)"""),
+      "dense grid via cross join (expand.grid)"),
+
+    // ---- J10: correction-overlay patch join (shrimp_support:2100-2132) -----
+    "q21_patch_overlay" -> Q(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val fixes = c.filter(col("c_custkey") % 97 === 0)
+          .select(col("c_custkey"),
+            lit("PATCHED").as("c_mktsegment"),
+            lit(0d).as("c_acctbal"))
+        Relational.patchColumns(c, fixes, Seq("c_custkey"),
+          Seq("c_mktsegment", "c_acctbal"))
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      },
+      Some("""SELECT c.c_custkey,
+          CASE WHEN f.c_custkey IS NOT NULL THEN 'PATCHED' ELSE c.c_mktsegment END AS c_mktsegment,
+          CASE WHEN f.c_custkey IS NOT NULL THEN 0.0 ELSE c.c_acctbal END AS c_acctbal
+        FROM customer c LEFT JOIN (SELECT c_custkey FROM customer
+                                   WHERE c_custkey % 97 = 0) f
+        ON c.c_custkey = f.c_custkey"""),
+      "broadcast correction-overlay (coalesce fix, orig)"),
+
+    // ---- J11: point-in-polygon spatial classify (shrimp_support:2242-2275) --
+    "q22_point_in_polygon" -> Q(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .withColumn("px", (col("c_custkey") % 199).cast("double") * 0.1d - 9.9d
+            + col("c_acctbal") * 1e-7)
+          .withColumn("py", ((col("c_custkey") * 31) % 211).cast("double") * 0.1d - 10.3d
+            + col("c_acctbal") * 1e-8)
+        c.withColumn("zone",
+          when(Geo.pointInPolygon(col("px"), col("py"), triangle), "T")
+            .when(Geo.pointInPolygon(col("px"), col("py"), quad), "Q")
+            .otherwise("NONE"))
+          .groupBy("zone").agg(count(lit(1)).as("n"))
+      },
+      Some {
+        val px = "((c_custkey % 199) * 0.1 - 9.9 + c_acctbal * 1e-7)"
+        val py = "(((c_custkey * 31) % 211) * 0.1 - 10.3 + c_acctbal * 1e-8)"
+        s"""SELECT CASE WHEN ${rayCastSql(px, py, triangle)} THEN 'T'
+                   WHEN ${rayCastSql(px, py, quad)} THEN 'Q'
+                   ELSE 'NONE' END AS zone, count(*) AS n
+        FROM customer GROUP BY 1"""
+      },
+      "point-in-polygon zone assignment (ray casting, codegen'd)"),
+  )
+}

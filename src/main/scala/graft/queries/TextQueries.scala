@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Text
+import graft.operators.Dedup
+import Q._
+
+/** Text-analysis + dedup coverage over the `documents` table (extended
+  * training-data-pipeline scope; SURVEY.md §2 extension list).
+  */
+object TextQueries {
+
+  val defs: Map[String, Q] = Map(
+
+    // ---- token counting ---------------------------------------------------
+    "q53_token_stats" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          Text.tokenCount(col("text")).as("n_tok"),
+          length(col("text")).as("n_char"),
+          q4(length(col("text")).cast("double") /
+            Text.tokenCount(col("text")).cast("double")).as("chars_per_tok")),
+      Some(s"""SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tok,
+          CAST(length(text) AS INTEGER) AS n_char,
+          ${Q4("CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+'))")} AS chars_per_tok
+        FROM documents"""),
+      "whitespace token counting + chars/token"),
+
+    // ---- quality scoring ----------------------------------------------------
+    "q54_quality_score" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          q4(Text.stopwordRatio(col("text"))).as("stop_ratio"),
+          q4(Text.punctRatio(col("text"))).as("punct_ratio"),
+          q4(Text.qualityScore(col("text"))).as("quality")),
+      Some {
+        val toks = "string_split_regex(trim(text), '\\s+')"
+        val stops = Text.defaultStopwords.map(w => s"'$w'").mkString(", ")
+        val nTok = s"len($toks)"
+        val stopRatio = s"CAST(len(list_filter($toks, t -> t IN ($stops))) AS DOUBLE) / $nTok"
+        val punctRatio = s"CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)"
+        val lenScore = s"least(CAST($nTok AS DOUBLE)/64.0, 1.0)"
+        val stopScore = s"least(($stopRatio)*4.0, 1.0)"
+        val punctPen = s"greatest(0.0, 1.0 - ($punctRatio)*4.0)"
+        s"""SELECT doc_id, ${Q4(stopRatio)} AS stop_ratio,
+          ${Q4(punctRatio)} AS punct_ratio,
+          ${Q4(s"(($lenScore) + ($stopScore) + ($punctPen)) / 3.0")} AS quality
+        FROM documents"""
+      },
+      "length/stopword/punctuation quality gates"),
+
+    // ---- language identification ---------------------------------------------
+    "q55_lang_id" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), Text.langId(col("text")).as("pred_lang"))
+        .groupBy("pred_lang").agg(count(lit(1)).as("n")),
+      Some {
+        val toks = "string_split_regex(trim(text), '\\s+')"
+        def score(ws: Seq[String]) =
+          s"len(list_filter($toks, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+        val scores = Text.langMarkers.map { case (l, ws) => l -> score(ws) }
+        val best = scores.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+        val pick = scores.foldRight("'und'") { case ((l, sc), acc) =>
+          s"CASE WHEN $sc = ($best) AND ($best) > 0 THEN '$l' ELSE $acc END"
+        }
+        s"""SELECT pred_lang, count(*) AS n FROM
+          (SELECT doc_id, $pick AS pred_lang FROM documents)
+        GROUP BY pred_lang"""
+      },
+      "marker-word language-ID heuristic"),
+
+    // ---- fingerprinting ----------------------------------------------------------
+    "q56_fingerprint" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id,
+          md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        FROM documents"""),
+      "normalized-content md5 fingerprint"),
+
+    // ---- exact dedup ----------------------------------------------------------------
+    "q57_dedup_exact" -> Q(
+      (s, d) => Dedup.exact(Tables.documents(s, d), "text", "doc_id")
+        .select("doc_id"),
+      Some("""SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (
+            PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))
+            ORDER BY doc_id) AS rn
+          FROM documents) WHERE rn = 1"""),
+      "exact dedup: survivors after fingerprint-keyed keep-lowest-id"),
+
+    // ---- n-gram Jaccard near-dup (exact, blocked) --------------------------------------
+    "q58_jaccard_pairs" -> Q(
+      (s, d) => Dedup.jaccardPairs(Tables.documents(s, d),
+        "doc_id", "text", blockCol = "source", shingleSize = 3, minJaccard = 0.30)
+        .select(col("id_a"), col("id_b"), q4(col("jaccard")).as("jaccard")),
+      Some {
+        val toksNorm = "string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), '\\s+')"
+        s"""WITH sh AS (
+          SELECT DISTINCT doc_id, source, shingle FROM (
+            SELECT doc_id, source,
+              toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS shingle
+            FROM (SELECT doc_id, source, $toksNorm AS toks FROM documents),
+                 LATERAL (SELECT unnest(range(0, greatest(len(toks) - 3 + 1, 0)))) AS g(i))),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS c
+          FROM sh l JOIN sh r ON l.source = r.source AND l.shingle = r.shingle
+                             AND l.doc_id < r.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          ${Q4("CAST(c AS DOUBLE) / (sa.n + sb.n - c)")} AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.30"""
+      },
+      "exact 3-gram Jaccard near-dup pairs, blocked by source"),
+
+    // ---- MinHash + LSH (banded) — sketch-based, no SQL oracle ---------------------------
+    "q59_minhash_lsh" -> Q(
+      (s, d) => Dedup.minhashCandidates(Tables.documents(s, d),
+        "doc_id", "text", shingleSize = 3, bands = 4, rowsPerBand = 4),
+      None,
+      "MinHash+LSH candidate pairs (shingle→minhash→band→bucket-join)"),
+
+    // ---- SimHash near-dup — sketch-based, no SQL oracle -----------------------------------
+    "q60_simhash" -> Q(
+      (s, d) => Dedup.simhashPairs(Tables.documents(s, d),
+        "doc_id", "text", prefixBits = 12, maxHamming = 8),
+      None,
+      "SimHash 64-bit near-dup pairs (prefix block + Hamming verify)"),
+  )
+}

@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Vectors
+import graft.operators.{Dedup, Similarity}
+import Q._
+
+/** Similarity-search coverage over the `embeddings` table (extended
+  * training-data-pipeline scope): brute-force cosine top-k baseline,
+  * LSH-bucketed scale path, embedding near-dup detection.
+  */
+object VectorQueries {
+
+  val defs: Map[String, Q] = Map(
+
+    // ---- embedding cosine near-dups, blocked by label -----------------------
+    "q61_embed_neardup" -> Q(
+      (s, d) => Dedup.embeddingNearDups(Tables.embeddings(s, d),
+        "vec_id", "embedding", blockCol = col("label"), minCosine = 0.40)
+        .select(col("id_a"), col("id_b"), q4(col("cosine")).as("cosine")),
+      Some(s"""SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+          ${Q4("list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[]))")} AS cosine
+        FROM embeddings l JOIN embeddings r
+          ON l.label = r.label AND l.vec_id < r.vec_id
+        WHERE list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) >= 0.40"""),
+      "embedding-cosine near-dup pairs (label-blocked self-join)"),
+
+    // ---- brute-force cosine ANN top-k ------------------------------------------
+    "q62_ann_bruteforce" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 8)
+        Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            q4(col("cosine")).as("cosine"))
+      },
+      Some(s"""SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+          ${Q4("cosine")} AS cosine FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                     c.vec_id) AS rank,
+          list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cosine
+        FROM (SELECT * FROM embeddings WHERE vec_id < 8) q
+        JOIN embeddings c ON c.vec_id <> q.vec_id)
+        WHERE rank <= 5"""),
+      "exact brute-force cosine top-k (broadcast queries)"),
+
+    // ---- LSH-bucketed ANN — approximate, no SQL oracle ---------------------------
+    "q63_ann_lsh" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 8)
+        Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5, nBits = 6)
+      },
+      None,
+      "LSH-bucketed ANN top-k (hyperplane sign buckets)"),
+  )
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming pipelines over the `events` fixture shape —
+  * the streaming extension of the batch queries in
+  * queries.EventQueries (the reference itself is batch-only, SURVEY §2.11;
+  * this is the 100 TB/LLM-pipeline extension surface).
+  *
+  * Batch/stream parity: the transforms are written against the same
+  * schema the batch loader produces, so a query can be developed and
+  * oracle-verified in batch and then run `readStream` unchanged.
+  */
+object Events {
+
+  /** The events schema as Spark surfaces it with nanosAsLong (ts = epoch
+    * nanos as long). */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet. */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts_utc", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  /** Tumbling 1h event-time window with a 2h watermark — the streaming
+    * twin of q64_events_hourly. Late data beyond the watermark is
+    * dropped; state is bounded by (watermark horizon × key cardinality).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_utc", "2 hours")
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").cast("long").as("hour_epoch"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding 1h/30min windows with watermark — twin of q65. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_utc", "2 hours")
+      .groupBy(window(col("ts_utc"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("win_start"),
+        col("event_type"), col("n"))
+
+  final case class Ev(event_id: Long, ts: Long, user_id: Long,
+                      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class SessionOut(user_id: Long, session_start: Long,
+                              session_end: Long, n_events: Int)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * streaming twin of q67_events_sessionize (30-min inactivity gap).
+    * Emits a session row whenever the gap rule closes one. Timestamps
+    * in epoch micros.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gapUs: Long = 1800000000L): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .select(col("event_id"), (col("ts") / 1000L).cast("long").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Ev]
+
+    def fn(userId: Long, evs: Iterator[Ev],
+           state: GroupState[SessionState]): Iterator[SessionOut] = {
+      var out = List.empty[SessionOut]
+      var st = state.getOption
+      evs.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+        st match {
+          case Some(s) if e.ts - s.last <= gapUs =>
+            st = Some(s.copy(last = e.ts, n = s.n + 1))
+          case Some(s) =>
+            out ::= SessionOut(userId, s.start, s.last, s.n)
+            st = Some(SessionState(e.ts, e.ts, 1))
+          case None =>
+            st = Some(SessionState(e.ts, e.ts, 1))
+        }
+      }
+      st.foreach(state.update)
+      out.reverseIterator
+    }
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+}

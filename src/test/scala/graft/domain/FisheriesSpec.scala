@@ -1,0 +1,97 @@
+package graft.domain
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.domain.Fisheries.BiomParams
+
+class FisheriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // miniature lengdir/numer fixtures (FIXTURES.md §B3/B5 shapes)
+  private def lengths = Seq(
+    // sample 1, species 41 (biom species): two intervals
+    (1L, 41, 2.05, 10.0), (1L, 41, 2.10, 20.0), (1L, 41, 3.00, 30.0),
+    // sample 1, species 1 (count-ratio species)
+    (1L, 1, 50.0, 5.0), (1L, 1, 60.0, 5.0),
+    // sample 2, species 41: zero-guard cases
+    (2L, 41, 2.0, 0.0))
+    .toDF("sample_id", "species", "length", "count")
+
+  private def ratios = Seq(
+    // counted=200, measured=100 → r=2; afli=1000, vigt=100 → biom.r=10
+    (1L, 41, 200.0, 100.0, 1000.0, 100.0),
+    (1L, 1, 50.0, 10.0, 0.0, 0.0),    // r=5; biom.r guard (afli=0 → NA)
+    (2L, 41, 0.0, 0.0, 500.0, 0.0))   // r guard (counted=0 → 1); vigt=0 → NA
+    .toDF("sample_id", "species", "counted", "measured", "catch_weight", "sample_weight")
+
+  private val biom = Map(41 -> BiomParams(0.0006, 2.85, 0.1))
+
+  test("scaleWithCounts: biom species scaled by weight ratio, others by count ratio") {
+    val out = Fisheries.scaleWithCounts(lengths, ratios, biom)
+    val scaled = out.select("sample_id", "species", "length", "scaled_count")
+      .as[(Long, Int, Double, Double)].collect()
+      .map { case (s, sp, l, c) => (s, sp, l) -> c }.toMap
+    // species 41 in sample 1: biom.r = 1000/100 = 10
+    assert(scaled((1L, 41, 2.05)) == 100.0)
+    assert(scaled((1L, 41, 3.00)) == 300.0)
+    // species 1: r = 50/10 = 5
+    assert(scaled((1L, 1, 50.0)) == 25.0)
+  }
+
+  test("scaleWithCounts: interval binning uses round(l/s)*s") {
+    val out = Fisheries.scaleWithCounts(lengths, ratios, biom)
+    val ints = out.filter(col("species") === 41 && col("sample_id") === 1)
+      .select("length", "length_interval").as[(Double, Double)].collect().toMap
+    assert(math.abs(ints(2.05) - 2.1) < 1e-9 ||
+      math.abs(ints(2.05) - 2.0) < 1e-9) // round-half on binary 20.5
+    assert(math.abs(ints(2.10) - 2.1) < 1e-9)
+    assert(math.abs(ints(3.00) - 3.0) < 1e-9)
+  }
+
+  test("scaleWithCounts: mass balance — sum(mean_wt * count_by_int) == sample weight") {
+    val out = Fisheries.scaleWithCounts(lengths, ratios, biom)
+    // reconstruct: per (sample,species) the mean_wt splits vigt_synis fully
+    val w = out.filter(col("sample_id") === 1 && col("species") === 41)
+      .groupBy("length_interval")
+      .agg(first("mean_weight").as("mw"), sum("count").as("cnt"))
+      .agg(sum(col("mw") * col("cnt"))).as[Double].head()
+    assert(math.abs(w - 100.0) < 1e-9, s"expected 100, got $w")
+  }
+
+  test("scaleWithCounts zero-guards: vigt=0 → mean_wt null; counted=0 → ratio 1") {
+    val out = Fisheries.scaleWithCounts(lengths, ratios, biom)
+    val s2 = out.filter(col("sample_id") === 2).select("mean_weight", "scaled_count")
+      .as[(Option[Double], Option[Double])].head()
+    assert(s2._1.isEmpty)            // vigt_synis=0 → NA mean weight
+    // species 41 is biom species → weight_ratio = 500/0-guard → NA → scaled null
+    assert(s2._2.isEmpty)
+  }
+
+  test("portToDivision boundaries (initdb.R:322-335)") {
+    val df = Seq(15, 16, 56, 57, 81, 82, 96, 97, 98, 115, 116, 121, 122, 148, 149, 150)
+      .toDF("hofn")
+    val out = df.select(Fisheries.portToDivision(col("hofn")).as("d"))
+      .as[Int].collect().toSeq
+    assert(out == Seq(101, 102, 102, 103, 103, 104, 104, 105, 106, 106,
+      107, 107, 108, 108, 109, 109))
+  }
+
+  test("derivedWeight formula (initdb_add_shrimp.R:208-214)") {
+    val df = Seq((10.0, true, 2.0, 5.0, 100.0), (10.0, false, 2.0, 5.0, 100.0))
+      .toDF("mw", "survey", "tl", "tc", "area")
+    val out = df.select(Fisheries.derivedWeight(col("mw"), col("survey"),
+      col("tl"), col("tc"), col("area")).as("w")).as[Double].collect()
+    assert(out(0) == 10.0 / 2.0 / 5.0 * 100.0) // survey: /towlength *area
+    assert(out(1) == 10.0 / 5.0)               // commercial: neither
+  }
+
+  test("resolveVesselHistory: SCD interval match + unknown-vessel key") {
+    val ev = Seq((100, 15), (200, 5)).toDF("skip_nr", "dags")
+    val hist = Seq((100, 2, 10, 20)).toDF("skip_nr", "saga_nr", "i_gildi", "ur_gildi")
+    val out = Fisheries.resolveVesselHistory(ev, hist, "skip_nr",
+      col("dags"), col("i_gildi"), col("ur_gildi"))
+      .select("skip_nr", "vessel").as[(Int, String)].collect().toMap
+    assert(out(100) == "100-2")
+    assert(out(200) == "200-0") // no history → nvl(saga,0) unknown key
+  }
+}

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class GeoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("arcDistNmi: Reykjavík→Akureyri ≈ 135 nmi, zero for same point") {
+    val df = Seq((64.1466, -21.9426, 65.6885, -18.1262)).toDF("a", "b", "c", "d")
+    val dist = df.select(Geo.arcDistNmi(col("a"), col("b"), col("c"), col("d")))
+      .as[Double].head()
+    assert(dist > 120 && dist < 150, s"got $dist")
+    val zero = df.select(Geo.arcDistNmi(col("a"), col("b"), col("a"), col("b")))
+      .as[Double].head()
+    assert(math.abs(zero) < 1e-9)
+  }
+
+  test("arcDistNmi: one degree of latitude ≈ 60 nmi") {
+    val df = Seq((64.0, -20.0, 65.0, -20.0)).toDF("a", "b", "c", "d")
+    val dist = df.select(Geo.arcDistNmi(col("a"), col("b"), col("c"), col("d")))
+      .as[Double].head()
+    assert(math.abs(dist - 60.0) < 0.5, s"got $dist")
+  }
+
+  test("sr2d codec: lat in [60,110) half-degrees, lon decode consistent") {
+    val df = Seq(2537L, 9900L, 2000L).toDF("r")
+    val rows = df.select(Geo.sr2dLat(col("r")), Geo.sr2dLon(col("r")))
+      .as[(Double, Double)].collect()
+    // code 2537: lat = 25/2 + 60.25 = 72.75, lon = -(37+50)+0.5 = -86.5
+    assert(rows(0) == ((72.75, -86.5)))
+    // area positive and < full rectangle at equator
+    val areas = df.select(Geo.srAreaKm2(col("r"))).as[Double].collect()
+    assert(areas.forall(a => a > 0 && a < 0.5 * 111.32 * 111.32))
+  }
+
+  test("pointInPolygon: square contains center, excludes outside") {
+    val sq = Seq((0.0, 0.0), (10.0, 0.1), (10.1, 10.0), (0.1, 10.1))
+    val df = Seq((5.0, 5.0), (20.0, 5.0), (-1.0, -1.0)).toDF("x", "y")
+    val out = df.select(Geo.pointInPolygon(col("x"), col("y"), sq))
+      .as[Boolean].collect().toSeq
+    assert(out == Seq(true, false, false))
+  }
+
+  test("pointInPolygon: concave polygon notch excluded") {
+    // U-shape: notch at top center
+    val u = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (7.0, 10.0),
+      (7.0, 3.0), (3.0, 3.0), (3.0, 10.0), (0.0, 10.0))
+    val df = Seq((5.0, 5.0), (5.0, 1.5), (1.5, 5.0)).toDF("x", "y")
+    val out = df.select(Geo.pointInPolygon(col("x"), col("y"), u))
+      .as[Boolean].collect().toSeq
+    assert(out == Seq(false, true, true))
+  }
+}
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens and tokenCount") {
+    val df = Seq("  the quick  brown fox ").toDF("t")
+    assert(df.select(Text.tokenCount(col("t"))).as[Int].head() == 4)
+  }
+
+  test("normalize strips punctuation and collapses whitespace") {
+    val df = Seq("Hello,   World! 42").toDF("t")
+    assert(df.select(Text.normalize(col("t"))).as[String].head() == "hello world 42")
+  }
+
+  test("shingles: n=3 over m tokens yields m-n+1 distinct shingles") {
+    val df = Seq("a b c d e").toDF("t")
+    val sh = df.select(Text.shingles(col("t"), 3)).as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d", "c d e"))
+    // shorter than n → empty
+    val sh2 = Seq("a b").toDF("t")
+      .select(Text.shingles(col("t"), 3)).as[Seq[String]].head()
+    assert(sh2.isEmpty)
+  }
+
+  test("fingerprint invariant to case/punct/whitespace") {
+    val df = Seq(("Hello,  World!", "hello world")).toDF("a", "b")
+    val r = df.select(Text.fingerprint(col("a")) === Text.fingerprint(col("b")))
+      .as[Boolean].head()
+    assert(r)
+  }
+
+  test("langId picks marker-dominant language, und when none") {
+    val df = Seq("the cat and the dog is here",
+      "der hund und die katze ist", "xyzzy plugh").toDF("t")
+    val out = df.select(Text.langId(col("t"))).as[String].collect().toSeq
+    assert(out == Seq("en", "de", "und"))
+  }
+
+  test("qualityScore in [0,1], higher for clean prose") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and runs in a field of green grass for a while",
+      "@#$% ^&*! ~~ ||| @@@").toDF("t")
+    val out = df.select(Text.qualityScore(col("t"))).as[Double].collect()
+    assert(out.forall(s => s >= 0 && s <= 1))
+    assert(out(0) > out(1))
+  }
+
+  test("rollingHash deterministic and content-sensitive") {
+    val df = Seq(("abc", "abc", "abd")).toDF("a", "b", "c")
+    val r = df.select(Text.rollingHash(col("a")) === Text.rollingHash(col("b")),
+      Text.rollingHash(col("a")) === Text.rollingHash(col("c")))
+      .as[(Boolean, Boolean)].head()
+    assert(r == ((true, false)))
+  }
+}
+
+class VectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq((Seq(1.0f, 0f, 2f), Seq(1.0f, 0f, 2f), Seq(0f, 1.0f, 0f)))
+      .toDF("a", "b", "c")
+    val (same, orth) = df.select(
+      Vectors.cosine(col("a"), col("b")),
+      Vectors.cosine(col("a"), col("c"))).as[(Double, Double)].head()
+    assert(math.abs(same - 1.0) < 1e-12)
+    assert(math.abs(orth) < 1e-12)
+  }
+
+  test("dot and norm match hand computation") {
+    val df = Seq((Seq(3.0f, 4.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val (d, n) = df.select(Vectors.dot(col("a"), col("b")),
+      Vectors.norm(col("a"))).as[(Double, Double)].head()
+    assert(d == 11.0 && n == 5.0)
+  }
+
+  test("lshBucket: identical vectors collide, bucket in range") {
+    val v = Seq(0.5f, -1.2f, 3.3f, 0.01f)
+    val df = Seq((v, v)).toDF("a", "b")
+    val (ba, bb) = df.select(Vectors.lshBucket(col("a"), 8),
+      Vectors.lshBucket(col("b"), 8)).as[(Int, Int)].head()
+    assert(ba == bb && ba >= 0 && ba < 256)
+  }
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "s1"),
+    (2L, "THE QUICK  BROWN FOX jumps over the lazy dog!", "s1"), // exact dup of 1 after normalize
+    (3L, "the quick brown fox jumps over the lazy cat today", "s1"), // near-dup of 1
+    (4L, "completely different content about spark engines", "s1"),
+    (5L, "another unrelated document mentioning data pipelines", "s2"))
+    .toDF("doc_id", "text", "source")
+
+  test("exact dedup keeps lowest id per normalized fingerprint") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash signature identical for exact dups, candidates found") {
+    val sig = docs.select(col("doc_id"),
+      Dedup.minhashSignature(col("text"), 3, 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sig(1L) == sig(2L))
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)))
+  }
+
+  test("jaccardPairs computes exact jaccard within blocks") {
+    val out = Dedup.jaccardPairs(docs, "doc_id", "text", "source",
+      shingleSize = 3, minJaccard = 0.1)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    // docs 1 and 2 are identical after normalization → jaccard 1.0
+    assert(out((1L, 2L)) == 1.0)
+    // docs 1 and 3: shingles 7 each, 5 common → 5/9
+    assert(math.abs(out((1L, 3L)) - 5.0 / 9.0) < 1e-12)
+    // cross-block pairs (5 vs others) never appear
+    assert(!out.keySet.exists { case (a, b) => b == 5L || a == 5L })
+  }
+
+  test("simhash: identical docs hamming 0, near-dups close, unrelated far") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    val near = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    val far = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(near < far, s"near=$near far=$far")
+  }
+
+  test("embeddingNearDups finds planted near-duplicate, respects blocks") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0f, 0f, 0f), 0),
+      (2L, Seq(0.99f, 0.05f, 0f, 0f), 0),  // near-dup of 1
+      (3L, Seq(0f, 1.0f, 0f, 0f), 0),
+      (4L, Seq(1.0f, 0f, 0f, 0f), 1))      // same as 1 but other block
+      .toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingNearDups(e, "vec_id", "embedding",
+      col("label"), 0.95).select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, Seq(1.0f, 0f, 0f)), (1L, Seq(0.9f, 0.1f, 0f)),
+    (2L, Seq(0f, 1.0f, 0f)), (3L, Seq(0f, 0.9f, 0.1f)),
+    (4L, Seq(0f, 0f, 1.0f))).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK returns correct neighbors in rank order") {
+    val q = corpus.filter(col("vec_id") === 0L)
+    val out = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L) || out == Seq(1L, 3L)) // rank1 must be vec 1
+    assert(out.head == 1L)
+  }
+
+  test("lshTopK returns subset of exact results (same bucket ⊆ corpus)") {
+    val q = corpus.filter(col("vec_id") === 0L)
+    val out = Similarity.lshTopK(corpus, q, "vec_id", "embedding", 2, nBits = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!out.contains(0L)) // never self
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binary payload + mapImageBatches stub decode plumbing") {
+    val df = Seq((1L, "hello"), (2L, "world!")).toDF("doc_id", "text")
+    val withBin = Multimodal.withBinaryPayload(df, "text", "payload")
+    assert(withBin.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val out = Multimodal.mapImageBatches(withBin, "payload")(Multimodal.stubCodec)
+    val rows = out.select("doc_id", "image_meta.width", "image_meta.format")
+      .as[(Long, Int, String)].collect()
+    assert(rows.length == 2)
+    assert(rows.forall { case (_, w, f) => w >= 32 && (f == "png" || f == "jpeg") })
+    // deterministic: same input → same meta
+    val again = Multimodal.mapImageBatches(withBin, "payload")(Multimodal.stubCodec)
+      .select("doc_id", "image_meta.width", "image_meta.format")
+      .as[(Long, Int, String)].collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("sampleFrames explodes every stride-th frame index") {
+    val df = Seq((1L, 10), (2L, 1)).toDF("id", "n_frames")
+    val out = Multimodal.sampleFrames(df, "n_frames", 4)
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(out(1L) == 3) // frames 0,4,8
+    assert(out(2L) == 1) // frame 0
+  }
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("patchColumns overlays fixes and keeps originals elsewhere") {
+    val base = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0))
+      .toDF("id", "name", "v")
+    val fixes = Seq((2, "B!", 99.0)).toDF("id", "name", "v")
+    val out = Relational.patchColumns(base, fixes, Seq("id"), Seq("name", "v"))
+      .orderBy("id").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("a", "B!", "c"))
+    assert(out.map(_.getDouble(2)).toSeq == Seq(10.0, 99.0, 30.0))
+  }
+
+  test("patchColumns with partial fix columns (null fix keeps original)") {
+    val base = Seq((1, "a"), (2, "b")).toDF("id", "name")
+    val fixes = Seq((2, null.asInstanceOf[String])).toDF("id", "name")
+    val out = Relational.patchColumns(base, fixes, Seq("id"), Seq("name"))
+      .orderBy("id").as[(Int, String)].collect()
+    assert(out.toSeq == Seq((1, "a"), (2, "b")))
+  }
+
+  test("dedupKeepFirst is order-sensitive, keeps first per key") {
+    val df = Seq((1, 3, "x"), (1, 1, "keep"), (2, 5, "only"), (1, 2, "y"))
+      .toDF("k", "ord", "tag")
+    val out = Relational.dedupKeepFirst(df, Seq("k"), Seq(col("ord").asc))
+      .orderBy("k").as[(Int, Int, String)].collect()
+    assert(out.toSeq == Seq((1, 1, "keep"), (2, 5, "only")))
+  }
+
+  test("intervalJoin: point in (start, end], null bounds open") {
+    val events = Seq((1, 10), (1, 20), (1, 30), (2, 5)).toDF("k", "t")
+    val hist = Seq(
+      (1, 0, 10, "h1"),   // t=10 matches h1 (end inclusive)
+      (1, 10, 25, "h2"),  // t=20 matches h2
+      (1, 25, null.asInstanceOf[Integer], "h3"), // t=30 matches h3 (open end)
+      (2, null.asInstanceOf[Integer], 7, "h4"))  // t=5 matches h4 (open start)
+      .toDF("k", "s", "e", "tag")
+    val out = Relational.intervalJoin(events, hist, Seq("k"),
+      col("t"), col("s"), col("e"))
+      .select("k", "t", "tag").as[(Int, Int, String)].collect().toSet
+    assert(out == Set((1, 10, "h1"), (1, 20, "h2"), (1, 30, "h3"), (2, 5, "h4")))
+  }
+
+  test("intervalJoin boundary: point == start excluded, point == end included") {
+    val ev = Seq((1, 10)).toDF("k", "t")
+    val hist = Seq((1, 10, 20, "a"), (1, 5, 10, "b")).toDF("k", "s", "e", "tag")
+    val out = Relational.intervalJoin(ev, hist, Seq("k"), col("t"), col("s"), col("e"))
+      .select("tag").as[String].collect().toSeq
+    assert(out == Seq("b"))
+  }
+
+  test("bucketize boundaries: first match wins, default otherwise") {
+    val df = Seq(15.0, 16.0, 56.0, 57.0, 97.0, 150.0, 151.0).toDF("p")
+    val b = Relational.bucketize(col("p"), Seq(
+      (0d, 15d, "d1"), (16d, 56d, "d2"), (57d, 96d, "d3"), (97d, 150d, "d4")),
+      default = "d0")
+    val out = df.select(b.as("d")).as[String].collect().toSeq
+    assert(out == Seq("d1", "d2", "d2", "d3", "d4", "d4", "d0"))
+  }
+
+  test("decode maps values with default") {
+    val df = Seq(-6, -4, 0).toDF("f")
+    val out = df.select(Relational.decode(col("f"),
+      Seq(-6 -> "GOV", -4 -> "FOREIGN"), "OTHER").as("d"))
+      .as[String].collect().toSeq
+    assert(out == Seq("GOV", "FOREIGN", "OTHER"))
+  }
+
+  test("gridFill generates the full cross product") {
+    val keys = Seq("x", "y").toDF("k")
+    val out = Relational.gridFill(keys, Seq(("a", 1, 3), ("b", 1, 2)))
+    assert(out.count() == 2 * 3 * 2)
+    assert(out.columns.toSeq == Seq("k", "a", "b"))
+  }
+
+  test("keepDuplicatedKeys keeps only groups with >= minCount rows") {
+    val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+    val out = Relational.keepDuplicatedKeys(df, Seq("k"))
+    assert(out.select("k").distinct().as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("raggedUnion aligns by name and null-fills missing columns") {
+    val a = Seq((1, "x")).toDF("id", "s")
+    val b = Seq((2, 9.9)).toDF("id", "d")
+    val out = Relational.raggedUnion(Seq(a, b)).orderBy("id")
+    assert(out.columns.toSeq == Seq("id", "s", "d"))
+    val rows = out.collect()
+    assert(rows(0).getString(1) == "x" && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).getDouble(2) == 9.9)
+  }
+
+  test("checkpoint writes and re-reads (compute() equivalent)") {
+    val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val back = Relational.checkpoint(df, s"$dir/t")
+    assert(back.count() == 2)
+    // overwrite semantics: checkpoint again with different content
+    val back2 = Relational.checkpoint(Seq((3, "c")).toDF("id", "v"), s"$dir/t")
+    assert(back2.count() == 1)
+  }
+}

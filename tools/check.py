@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: compare Verify.scala's
+parquet dumps against DuckDB running SparkEntry.oracleSql on the same
+fixture tables. Dev tool only — NOT part of the shipped library.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+"""
+import json, sys, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def norm(df):
+    # sort columns by name, then rows by everything, stringify for compare
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        sql = oracle[name]
+        pq = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(pq, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchdf()
+            want = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        g, w = norm(got), norm(want)
+        if list(g.columns) != list(w.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+            n_fail += 1
+            continue
+        gt = [str(t) for t in g.dtypes]
+        wt = [str(t) for t in w.dtypes]
+        type_note = "" if gt == wt else f"  [type diff: {gt} vs {wt}]"
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows {len(g)} != {len(w)}{type_note}")
+            n_fail += 1
+            continue
+        gs = g.astype(str)
+        ws = w.astype(str)
+        if not gs.equals(ws):
+            diff = (gs != ws).any(axis=1)
+            idx = list(diff[diff].index[:3])
+            print(f"FAIL {name}: {int(diff.sum())}/{len(g)} rows differ{type_note}")
+            for i in idx:
+                print(f"   spark: {list(g.iloc[i])}")
+                print(f"   duck : {list(w.iloc[i])}")
+            n_fail += 1
+            continue
+        print(f"PASS {name}: {len(g)} rows{type_note}")
+        n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
