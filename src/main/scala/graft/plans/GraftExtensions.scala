@@ -1,0 +1,66 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+import graft.functions.{Geo, Text}
+import graft.operators.Dedup
+
+/** SQL-surface registration for the graft function library.
+  *
+  * Every graft scalar function is a pure Column composition over catalyst
+  * built-ins, so exposing them to SQL needs no custom Expression class:
+  * each builder converts argument Expressions to Columns, applies the
+  * library function, and unwraps the resulting expression tree — which
+  * then analyzes, optimizes and codegens exactly like hand-written SQL.
+  *
+  * Two entry points:
+  *  - `GraftFunctions.register(spark)` — imperative, current session;
+  *  - `spark.sql.extensions=graft.plans.GraftExtensions` — declarative,
+  *    the standard `SparkSessionExtensions` injection path, so a cluster
+  *    rollout gets `SELECT arcdist(...)` everywhere (SURVEY.md §7.4).
+  */
+object GraftFunctions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft.plans.GraftFunctions", name)
+
+  private def c(e: Expression): Column = column(e)
+
+  /** (name, info, builder) for every SQL-exposed graft function. */
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("arcdist", info("arcdist", "great-circle distance in nmi"),
+      (args: Seq[Expression]) => expression(
+        Geo.arcDistNmi(c(args(0)), c(args(1)), c(args(2)), c(args(3))))),
+    ("sr2d_lat", info("sr2d_lat", "statistical-rectangle center latitude"),
+      (args: Seq[Expression]) => expression(Geo.sr2dLat(c(args(0))))),
+    ("sr2d_lon", info("sr2d_lon", "statistical-rectangle center longitude"),
+      (args: Seq[Expression]) => expression(Geo.sr2dLon(c(args(0))))),
+    ("sr_area_km2", info("sr_area_km2", "statistical-rectangle area km²"),
+      (args: Seq[Expression]) => expression(Geo.srAreaKm2(c(args(0))))),
+    ("token_count", info("token_count", "whitespace token count"),
+      (args: Seq[Expression]) => expression(Text.tokenCount(c(args(0))))),
+    ("doc_fingerprint", info("doc_fingerprint", "normalized-content md5"),
+      (args: Seq[Expression]) => expression(Text.fingerprint(c(args(0))))),
+    ("quality_score", info("quality_score", "heuristic doc quality in [0,1]"),
+      (args: Seq[Expression]) => expression(Text.qualityScore(c(args(0))))),
+    ("lang_id", info("lang_id", "marker-word language id"),
+      (args: Seq[Expression]) => expression(Text.langId(c(args(0))))),
+    ("simhash64", info("simhash64", "64-bit content simhash"),
+      (args: Seq[Expression]) => expression(Dedup.simhash64(c(args(0))))))
+
+  /** Register into an already-running session. */
+  def register(spark: SparkSession): Unit = all.foreach { case (n, i, b) =>
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(n), i, b)
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (n, i, b) =>
+      ext.injectFunction((FunctionIdentifier(n), i, b))
+    }
+}

@@ -120,10 +120,11 @@ object AggWindowQueries {
       "group count with HAVING filter"),
 
     // ---- W1: global row_number under explicit order (initdb.R:32) ----------
+    // Scale-safe: range-partitioned sort + per-partition offsets instead
+    // of a single-task unpartitioned window (Relational.globalRowNumber).
     "q29_rownumber_global" -> Q(
-      (s, d) => Tables.orders(s, d)
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("o_orderdate"), col("o_orderkey"))))
+      (s, d) => Relational.globalRowNumber(Tables.orders(s, d),
+        Seq(col("o_orderdate"), col("o_orderkey")))
         .select(col("o_orderkey"), col("rn")),
       Some("""SELECT o_orderkey,
           CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn
@@ -134,8 +135,8 @@ object AggWindowQueries {
     "q30_rownumber_offset" -> Q(
       (s, d) => {
         val maxSupp = Tables.supplier(s, d).agg(max("s_suppkey").as("mx"))
-        Tables.nation(s, d)
-          .withColumn("rn", row_number().over(Window.orderBy(col("n_name"))))
+        Relational.globalRowNumber(Tables.nation(s, d),
+          Seq(col("n_name"), col("n_nationkey")))
           .crossJoin(broadcast(maxSupp))
           .select(col("n_nationkey"), (col("mx") + col("rn")).as("id"))
       },
@@ -278,7 +279,9 @@ object AggWindowQueries {
           substring(col("c_name"), 1, 8).as("name_prefix"),
           length(col("c_name")).as("name_len"),
           concat_ws("-", col("c_custkey"), col("c_nationkey")).as("vessel_key"),
-          regexp_replace(col("c_name"), "[0-9]", "").as("name_alpha")),
+          // translate == regexp_replace('[0-9]','') here, at character-map
+          // cost instead of regex-engine cost (hot at 100 TB row counts)
+          translate(col("c_name"), "0123456789", "").as("name_alpha")),
       Some("""SELECT c_custkey, upper(c_mktsegment) AS seg_upper,
           substring(c_name, 1, 8) AS name_prefix,
           CAST(length(c_name) AS INTEGER) AS name_len,
@@ -360,18 +363,27 @@ object AggWindowQueries {
     // ---- geo: statistical-rectangle codec (initdb.R:33-35) ---------------------
     "q45_gridcell_codec" -> Q(
       (s, d) => Tables.customer(s, d)
-        .withColumn("gridcell", (lit(100) * ((col("c_custkey") % 80) + 20)
+        // synthesize realistic Icelandic rectangle codes: hundreds digit
+        // 0-9 (lat 60-70N), remainder 0-99 (lon 0-49W; +50 = upper half°)
+        .withColumn("gridcell", (lit(100) * (col("c_custkey") % 10)
           + (col("c_custkey") * 13) % 100).cast("long"))
         .select(col("gridcell"),
           graft.functions.Geo.sr2dLat(col("gridcell")).as("cell_lat"),
-          graft.functions.Geo.sr2dLon(col("gridcell")).as("cell_lon"))
+          graft.functions.Geo.sr2dLon(col("gridcell")).as("cell_lon"),
+          q4(graft.functions.Geo.srAreaKm2(col("gridcell"))).as("cell_km2"))
         .distinct(),
-      Some("""SELECT DISTINCT
-          CAST(100 * ((c_custkey % 80) + 20) + (c_custkey * 13) % 100 AS BIGINT) AS gridcell,
-          CAST(CAST(floor((100 * ((c_custkey % 80) + 20) + (c_custkey * 13) % 100) / 100) AS BIGINT) AS DOUBLE)/2.0 + 60.0 + 0.25 AS cell_lat,
-          -(CAST(CAST(100 * ((c_custkey % 80) + 20) + (c_custkey * 13) % 100 AS BIGINT) % 100 AS DOUBLE) + 50.0) + 0.5 AS cell_lon
-        FROM customer"""),
-      "gridcell (statistical rectangle) integer codec"),
+      Some {
+        val g = "(100 * (c_custkey % 10) + (c_custkey * 13) % 100)"
+        val lat = s"CAST(floor($g / 100) AS BIGINT) + 60.0" +
+          s" + (CASE WHEN $g % 100 >= 50 THEN 0.5 ELSE 0 END) + 0.25"
+        s"""SELECT DISTINCT
+          CAST($g AS BIGINT) AS gridcell,
+          $lat AS cell_lat,
+          -(CAST(($g % 100) % 50 AS DOUBLE) + 0.5) AS cell_lon,
+          ${Q4(s"0.5 * 111.32 * 111.32 * cos(radians($lat))")} AS cell_km2
+        FROM customer"""
+      },
+      "gridcell (statistical rectangle) integer codec + area"),
 
     // ---- R1: pivot to wide (shrimp_support:2155-2159) ---------------------------
     "q46_pivot" -> Q(

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.domain.Fisheries
+import graft.domain.Fisheries.BiomParams
+import Q._
+
+/** Oracle-verified coverage for the reference's domain pipelines
+  * (SURVEY.md §2.10) — the algorithmic heart of the workload, exercised
+  * over fixture-derived frames so the DuckDB oracle can reproduce every
+  * step of the math.
+  */
+object DomainQueries {
+
+  val defs: Map[String, Q] = Map(
+
+    // ---- skala_med_toldum2: length-distribution scaling -------------------
+    // (/root/reference/R/shrimp_support_tables.R:2137-2212). Fixture
+    // mapping: lineitem rows as length-measurement detail, their per-
+    // (sample, species) aggregate as the fiskar.numer tally frame.
+    // Species 1 is the allometric (biom) species: a=0.5, b=2, interval
+    // s=0.5 — all chosen so interval squares are exactly representable
+    // and the oracle's IEEE arithmetic is bit-identical.
+    "q70_scale_with_counts" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val lengths = li.select(
+          col("l_orderkey").as("sample_id"),
+          (col("l_suppkey") % 3).as("species"),
+          (col("l_quantity") + lit(0.25) * (col("l_linenumber") % 3)).as("length"),
+          ((col("l_partkey") % 10) + 1).cast("double").as("count"))
+        val ratios = lengths.groupBy("sample_id", "species").agg(
+          (sum("count") + lit(10.0)).as("counted"),
+          sum("count").as("measured"),
+          sum(col("length") * col("count")).as("catch_weight"),
+          sum("length").as("sample_weight"))
+        Fisheries.scaleWithCounts(lengths, ratios,
+          Map(1 -> BiomParams(0.5, 2.0, 0.5)))
+          .select(col("sample_id"), col("species"), col("length"), col("count"),
+            col("length_interval"),
+            q4(col("scaled_count")).as("scaled_count"),
+            q4(col("mean_weight")).as("mean_weight"))
+      },
+      Some(s"""WITH lengths AS (
+          SELECT l_orderkey AS sample_id, l_suppkey % 3 AS species,
+                 l_quantity + 0.25 * (l_linenumber % 3) AS length,
+                 CAST(l_partkey % 10 + 1 AS DOUBLE) AS cnt
+          FROM lineitem),
+        ratios AS (
+          SELECT sample_id, species,
+                 sum(cnt) + 10.0 AS counted, sum(cnt) AS measured,
+                 sum(length * cnt) AS catch_weight, sum(length) AS sample_weight
+          FROM lengths GROUP BY 1, 2),
+        r AS (
+          SELECT sample_id, species,
+            CASE WHEN counted = 0 THEN 1.0
+                 ELSE counted / (CASE WHEN measured = 0 THEN 1.0 ELSE measured END)
+            END AS count_ratio,
+            CASE WHEN catch_weight = 0 THEN NULL
+                 ELSE catch_weight / (CASE WHEN sample_weight = 0 THEN NULL
+                                          ELSE sample_weight END)
+            END AS weight_ratio,
+            sample_weight
+          FROM ratios),
+        detail AS (
+          SELECT *,
+            round((CASE WHEN species = 1 THEN 2.0 ELSE 1.0 END) * length)
+              / (CASE WHEN species = 1 THEN 2.0 ELSE 1.0 END) AS length_interval,
+            CASE WHEN species = 1 THEN 0.5 ELSE 0.0 END AS a,
+            CASE WHEN species = 1 THEN 2.0 ELSE 0.0 END AS b
+          FROM lengths),
+        int0 AS (
+          SELECT sample_id, species, length_interval, a, b,
+                 sum(cnt) AS count_by_int
+          FROM detail GROUP BY 1, 2, 3, 4, 5),
+        int1 AS (
+          SELECT *, sum(count_by_int) OVER (PARTITION BY sample_id, species) AS count_sum
+          FROM int0),
+        int2 AS (
+          SELECT *,
+            CASE WHEN count_sum * a * pow(length_interval, b) = 0 THEN NULL
+                 ELSE count_by_int / count_sum * a * pow(length_interval, b)
+            END AS prop_weighted
+          FROM int1),
+        intlevel AS (
+          SELECT sample_id, species, length_interval, count_by_int,
+            CASE WHEN prop_weighted_sum = 0 THEN NULL
+                 ELSE prop_weighted / prop_weighted_sum END AS biom_prop
+          FROM (SELECT *, sum(prop_weighted) OVER (PARTITION BY sample_id, species)
+                            AS prop_weighted_sum
+                FROM int2))
+        SELECT d.sample_id, d.species, d.length, d.cnt AS "count",
+          d.length_interval,
+          ${Q4("""d.cnt * (CASE WHEN d.species = 1 THEN r.weight_ratio
+                               ELSE r.count_ratio END)""")} AS scaled_count,
+          ${Q4("""i.biom_prop * (CASE WHEN i.count_by_int = 0 THEN NULL
+               ELSE (CASE WHEN r.sample_weight = 0 THEN NULL ELSE r.sample_weight END)
+                    / i.count_by_int END)""")} AS mean_weight
+        FROM detail d
+        LEFT JOIN intlevel i USING (sample_id, species, length_interval)
+        LEFT JOIN r USING (sample_id, species)"""),
+      "skala_med_toldum2: whole-catch scaling + allometric mean weights"),
+
+    // ---- shrimp_station_fixes: overlay + rule reclassification ------------
+    // (/root/reference/R/shrimp_support_tables.R:2100-2132): broadcast
+    // correction overlay, then synaflokkur 37→14 for cruises in the
+    // membership set.
+    "q75_station_fixes" -> Q(
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val stations = Tables.orders(s, d).select(
+          col("o_orderkey").as("sample_id"),
+          when(col("o_custkey") % 10 === 7, 37)
+            .otherwise((col("o_custkey") % 10).cast("int") + 10).as("sample_class"),
+          concat(lit("C"), col("o_custkey") % 5).as("cruise"),
+          col("o_orderpriority").as("gear"),
+          col("o_totalprice").as("lat"))
+        val fixes = Seq((1L, "9-FIXED", 99.5), (3L, "9-FIXED", 88.25),
+          (32L, "8-PATCH", 77.125)).toDF("sample_id", "gear", "lat")
+        Fisheries.stationFixes(stations, fixes, "sample_id",
+          Seq("gear", "lat"), Set("C1", "C3"))
+      },
+      Some("""WITH stations AS (
+          SELECT o_orderkey AS sample_id,
+            CAST(CASE WHEN o_custkey % 10 = 7 THEN 37
+                      ELSE o_custkey % 10 + 10 END AS INTEGER) AS sample_class,
+            concat('C', o_custkey % 5) AS cruise,
+            o_orderpriority AS gear, o_totalprice AS lat
+          FROM orders),
+        fixes AS (SELECT * FROM (VALUES (1, '9-FIXED', 99.5),
+            (3, '9-FIXED', 88.25), (32, '8-PATCH', 77.125)) t(sample_id, gear, lat))
+        SELECT s.sample_id,
+          CAST(CASE WHEN s.sample_class = 37 AND s.cruise IN ('C1', 'C3')
+               THEN 14 ELSE s.sample_class END AS INTEGER) AS sample_class,
+          s.cruise,
+          coalesce(f.gear, s.gear) AS gear,
+          coalesce(f.lat, s.lat) AS lat
+        FROM stations s LEFT JOIN fixes f USING (sample_id)"""),
+      "shrimp_station_fixes: correction overlay + 37→14 cruise reclass"),
+  )
+}

@@ -64,6 +64,33 @@ object EventQueries {
         FROM events"""),
       "per-user lag(): inter-event gap seconds"),
 
+    // ---- AS-OF join: most recent view before each click ----------------------
+    // One shuffle union+window as-of (Relational.asofJoin) — the pair-free
+    // temporal join shape that survives heavy per-user event volumes.
+    "q77_asof_join" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts_us").as("click_us"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("ts_us").as("view_us"))
+        graft.ops.Relational.asofJoin(clicks, views, Seq("user_id"),
+          "click_us", "view_us", tiebreak = Seq("view_id"))
+          .select("click_id", "user_id", "view_id", "view_us")
+      },
+      Some("""SELECT click_id, user_id, view_id, view_us FROM (
+          SELECT c.event_id AS click_id, c.user_id AS user_id,
+                 v.event_id AS view_id, epoch_us(v.ts) AS view_us,
+                 row_number() OVER (PARTITION BY c.event_id
+                   ORDER BY epoch_us(v.ts) DESC, v.event_id DESC) AS rn
+          FROM (SELECT * FROM events WHERE event_type = 'click') c
+          LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+            ON c.user_id = v.user_id AND epoch_us(v.ts) <= epoch_us(c.ts))
+        WHERE rn = 1"""),
+      "as-of join: newest view at-or-before each click per user"),
+
     // ---- sessionization (30-min inactivity gap) ------------------------------------
     "q67_events_sessionize" -> Q(
       (s, d) => {

@@ -1,0 +1,157 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.sources.Sources
+import Q._
+
+/** Oracle-verified coverage for the delimited-file source family
+  * (SURVEY.md §2.1 S2/S3/S6/S7). The parquet fixtures carry no CSV side
+  * files, so each query first materializes small deterministic side files
+  * (the reference's `inst/` mapping files and NFS landings directories,
+  * /root/reference/R/initdb.R:27-30,73,164,449-458;
+  * initdb_shrimp.R:526-544) and then reads them back through the
+  * distributed readers. The DuckDB oracle reads the very same files with
+  * `read_csv`, so parsing — not just transformation — is verified.
+  */
+object SourceQueries {
+
+  /** Side-file root: fixed absolute path, content deterministic, written
+    * idempotently on every invocation (files are KB-sized, like the
+    * reference's). */
+  private val root = "/tmp/graft_srcfiles"
+
+  private def ensureFiles(): Unit = synchronized {
+    Files.createDirectories(Paths.get(root))
+    def w(name: String, content: String): Unit =
+      Files.writeString(Paths.get(root, name), content)
+
+    // S2: header TSV — reitmapping shape (gridcell → division hierarchy)
+    w("reitmapping.tsv", "GRIDCELL\tDIVISION\tSIZE\n" +
+      (100 until 200).map(g => s"$g\t${g % 7}\t${g * 5 / 10.0}").mkString("\n") + "\n")
+
+    // S3: space-delimited gear mapping keyed by nationkey
+    w("gearmap.txt", "nationkey gear\n" +
+      (0 until 25).map(n => s"$n G${n % 4}").mkString("\n") + "\n")
+
+    // S7 family A: tab-separated, header-less, one file per year
+    w("old_1997.dat",
+      (1 to 40).map(i => s"$i\t${i * 1.25}").mkString("\n") + "\n")
+    w("old_1998.dat",
+      (41 to 70).map(i => s"$i\t${i * 1.25}").mkString("\n") + "\n")
+    // S7 family B: semicolon, 2 junk header lines, extra note column
+    w("ready_1999.dat", "file header junk\nunits;are;odd\n" +
+      (71 to 90).map(i => s"$i;${i * 2.5};n$i").mkString("\n") + "\n")
+
+    // S6: per-key landings CSVs (key "ling" deliberately missing)
+    w("landings_cod.csv", "year,total\n" +
+      (1995 to 2004).map(y => s"$y,${(y % 10) * 1.5}").mkString("\n") + "\n")
+    w("landings_haddock.csv", "year,total,flag\n" +
+      (1995 to 1999).map(y => s"$y,${(y % 7) * 2.5},f$y").mkString("\n") + "\n")
+  }
+
+  private val datSchema = StructType(Seq(
+    StructField("station", LongType), StructField("catch", DoubleType)))
+  private val readySchema = StructType(Seq(
+    StructField("station", LongType), StructField("catch", DoubleType),
+    StructField("note", StringType)))
+  private val landingsSchema = StructType(Seq(
+    StructField("year", LongType), StructField("total", DoubleType)))
+  private val landingsFlagSchema = StructType(Seq(
+    StructField("year", LongType), StructField("total", DoubleType),
+    StructField("flag", StringType)))
+
+  val defs: Map[String, Q] = Map(
+
+    // ---- S2: header TSV joined into the warehouse ------------------------
+    "q71_tsv_source" -> Q(
+      (s, d) => {
+        ensureFiles()
+        val schema = StructType(Seq(StructField("GRIDCELL", LongType),
+          StructField("DIVISION", LongType), StructField("SIZE", DoubleType)))
+        Sources.tsvWithHeader(s, s"$root/reitmapping.tsv", Some(schema))
+          .filter(col("DIVISION") =!= 0)
+          .groupBy("DIVISION")
+          .agg(count(lit(1)).as("n_cells"), sum("SIZE").as("total_size"))
+      },
+      Some(s"""SELECT DIVISION, count(*) AS n_cells, sum(SIZE) AS total_size
+        FROM read_csv('$root/reitmapping.tsv', delim=E'\t', header=true,
+          columns={'GRIDCELL':'BIGINT','DIVISION':'BIGINT','SIZE':'DOUBLE'})
+        WHERE DIVISION <> 0 GROUP BY DIVISION"""),
+      "header-TSV source: read, filter, aggregate"),
+
+    // ---- S3: space-delimited lookup joined to a parquet dim ---------------
+    "q72_delimited_source" -> Q(
+      (s, d) => {
+        ensureFiles()
+        val schema = StructType(Seq(StructField("nationkey", LongType),
+          StructField("gear", StringType)))
+        val gearMap = Sources.delimited(s, s"$root/gearmap.txt", " ", Some(schema))
+        Tables.nation(s, d)
+          .join(broadcast(gearMap), col("n_nationkey") === col("nationkey"))
+          .groupBy("gear").agg(count(lit(1)).as("n_nations"),
+            array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+      },
+      Some(s"""SELECT gear, count(*) AS n_nations,
+          string_agg(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation JOIN read_csv('$root/gearmap.txt', delim=' ', header=true,
+          columns={'nationkey':'BIGINT','gear':'VARCHAR'}) g
+        ON n_nationkey = g.nationkey
+        GROUP BY gear"""),
+      "space-delimited lookup file broadcast-joined to a parquet dim"),
+
+    // ---- S7: 3-file 2-format glob family with skip lines -------------------
+    "q73_glob_union" -> Q(
+      (s, d) => {
+        ensureFiles()
+        Sources.globUnion(s, Seq(
+          Sources.GlobSpec("old", s"$root/old_*.dat", "\t", datSchema),
+          Sources.GlobSpec("ready", s"$root/ready_*.dat", ";", readySchema,
+            skipLines = 2)))
+          .groupBy("family")
+          .agg(count(lit(1)).as("n"), sum("catch").as("total_catch"),
+            count(col("note")).as("n_notes"))
+      },
+      Some(s"""SELECT family, count(*) AS n, sum("catch") AS total_catch,
+          count(note) AS n_notes
+        FROM (
+          SELECT 'old' AS family, station, "catch", NULL AS note
+          FROM read_csv('$root/old_*.dat', delim=E'\t', header=false,
+            columns={'station':'BIGINT','catch':'DOUBLE'})
+          UNION ALL
+          SELECT 'ready', station, "catch", note
+          FROM read_csv('$root/ready_1999.dat', delim=';', header=false, skip=2,
+            columns={'station':'BIGINT','catch':'DOUBLE','note':'VARCHAR'}))
+        GROUP BY family"""),
+      "multi-format positional glob family (ragged union + skip lines)"),
+
+    // ---- S6: per-key fan-in with a missing key ------------------------------
+    "q74_fanin_source" -> Q(
+      (s, d) => {
+        ensureFiles()
+        // per-key explicit schemas (cod lacks the flag column → ragged
+        // union null-fills); missing key 'ling' is tolerated by fanIn
+        val schemas = Map("cod" -> landingsSchema, "haddock" -> landingsFlagSchema)
+        Sources.fanIn(s, Seq("cod", "haddock", "ling"),
+          k => s"$root/landings_$k.csv", keyCol = "species", sep = ",",
+          schemaFor = schemas.get)
+          .groupBy("species")
+          .agg(count(lit(1)).as("n_years"), sum("total").as("grand_total"),
+            count(col("flag")).as("n_flags"))
+      },
+      Some(s"""SELECT species, count(*) AS n_years, sum(total) AS grand_total,
+          count(flag) AS n_flags
+        FROM (
+          SELECT year, total, NULL AS flag, 'cod' AS species
+          FROM read_csv('$root/landings_cod.csv', header=true,
+            columns={'year':'BIGINT','total':'DOUBLE'})
+          UNION ALL
+          SELECT year, total, flag, 'haddock'
+          FROM read_csv('$root/landings_haddock.csv', header=true,
+            columns={'year':'BIGINT','total':'DOUBLE','flag':'VARCHAR'}))
+        GROUP BY species"""),
+      "per-key fan-in of ragged landings CSVs (missing key tolerated)"),
+  )
+}

@@ -93,8 +93,13 @@ object TextQueries {
 
     // ---- n-gram Jaccard near-dup (exact, blocked) --------------------------------------
     "q58_jaccard_pairs" -> Q(
+      // maxDocFreq engages the hot-shingle skew guard in the plan; 1000
+      // exceeds any doc frequency at verify scale (500 docs), so the
+      // result is exactly the unguarded Jaccard — while the same query
+      // shape survives a corpus where one trigram appears everywhere.
       (s, d) => Dedup.jaccardPairs(Tables.documents(s, d),
-        "doc_id", "text", blockCol = "source", shingleSize = 3, minJaccard = 0.30)
+        "doc_id", "text", blockCol = "source", shingleSize = 3,
+        minJaccard = 0.30, maxDocFreq = 1000L)
         .select(col("id_a"), col("id_b"), q4(col("jaccard")).as("jaccard")),
       Some {
         val toksNorm = "string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), '\\s+')"
@@ -132,5 +137,51 @@ object TextQueries {
         "doc_id", "text", prefixBits = 12, maxHamming = 8),
       None,
       "SimHash 64-bit near-dup pairs (prefix block + Hamming verify)"),
+
+    // ---- end-to-end corpus cleaning: the composed pretraining pipeline ------------------
+    // language gate → quality gate → exact dedup → per-source survivor
+    // stats. One pass + one dedup shuffle + one agg — the shape of a real
+    // 100 TB corpus-cleanup job.
+    "q76_corpus_clean" -> Q(
+      (s, d) => {
+        val gated = Tables.documents(s, d)
+          .withColumn("lang", Text.langId(col("text")))
+          .withColumn("quality", Text.qualityScore(col("text")))
+          .filter(col("lang") === "en" && col("quality") > 0.5)
+        Dedup.exact(gated, "text", "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            q4(xsum4(col("quality")) / count(lit(1))).as("avg_quality"),
+            sum(Text.tokenCount(col("text")).cast("long")).as("total_tokens"))
+      },
+      Some {
+        val toks = "string_split_regex(trim(text), '\\s+')"
+        val stops = Text.defaultStopwords.map(w => s"'$w'").mkString(", ")
+        val nTok = s"len($toks)"
+        val stopRatio = s"CAST(len(list_filter($toks, t -> t IN ($stops))) AS DOUBLE) / $nTok"
+        val punctRatio = s"CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)"
+        val quality = s"(least(CAST($nTok AS DOUBLE)/64.0, 1.0) + least(($stopRatio)*4.0, 1.0)" +
+          s" + greatest(0.0, 1.0 - ($punctRatio)*4.0)) / 3.0"
+        def langScore(ws: Seq[String]) =
+          s"len(list_filter($toks, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+        val scores = Text.langMarkers.map { case (l, ws) => l -> langScore(ws) }
+        val best = scores.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+        val lang = scores.foldRight("'und'") { case ((l, sc), acc) =>
+          s"CASE WHEN $sc = ($best) AND ($best) > 0 THEN '$l' ELSE $acc END"
+        }
+        val fp = s"md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))"
+        s"""WITH gated AS (
+          SELECT *, $quality AS quality FROM documents
+          WHERE ($lang) = 'en' AND ($quality) > 0.5),
+        survivors AS (
+          SELECT * FROM (SELECT *, row_number() OVER (
+              PARTITION BY $fp ORDER BY doc_id) AS rn FROM gated)
+          WHERE rn = 1)
+        SELECT source, count(*) AS n_docs,
+          ${Q4(s"${XSUM4("quality")} / count(*)")} AS avg_quality,
+          CAST(sum($nTok) AS BIGINT) AS total_tokens
+        FROM survivors GROUP BY source"""
+      },
+      "composed corpus-clean pipeline: lang gate → quality gate → dedup → stats"),
   )
 }

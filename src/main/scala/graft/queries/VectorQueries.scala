@@ -52,9 +52,10 @@ object VectorQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val queries = emb.filter(col("vec_id") < 8)
-        Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5, nBits = 6)
+        Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5,
+          nBits = 6, multiProbe = 3)
       },
       None,
-      "LSH-bucketed ANN top-k (hyperplane sign buckets)"),
+      "LSH-bucketed ANN top-k (hyperplane sign buckets, 1-bit multi-probe)"),
   )
 }

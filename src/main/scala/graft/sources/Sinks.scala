@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse sinks — the reference's S9–S12 surface (SURVEY.md §2.1).
+  *
+  * The centerpiece is the `data_source`-keyed replace sink: every
+  * reference pipeline terminates in `mfdb_import_survey(mdb,
+  * data_source='commercial.landings', df)` (/root/reference/R/initdb.R:485-495)
+  * whose contract is *idempotent replace per source* — re-importing one
+  * data_source replaces exactly that source's rows and leaves every other
+  * source untouched. Spark-first mapping: a parquet table partitioned by
+  * `data_source` written with dynamic partition overwrite, so the replace
+  * is a partition swap (no read-modify-write, no touching other
+  * partitions' files — safe for concurrent sources at 100 TB).
+  */
+object Sinks {
+
+  /** S12: idempotent replace-per-source import. Tags `df` with
+    * `dataSource`, overwrites only the matching partition of the table
+    * rooted at `root`. */
+  def replaceDataSource(df: DataFrame, root: String, dataSource: String): Unit =
+    df.withColumn("data_source", lit(dataSource))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("data_source")
+      .parquet(root)
+
+  /** Read the imported warehouse table back (all sources, with the
+    * `data_source` partition column; partition pruning applies when
+    * filtered by source). */
+  def readImported(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(root)
+
+  /** S10: plain overwrite table sink — `dbWriteTable(overwrite=TRUE)`
+    * (/root/reference/R/initdb.R:69). Overwrite mode covers S11
+    * drop-if-exists implicitly. */
+  def overwriteTable(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** JDBC sink twin of Sources.jdbcTable — `df.write.jdbc` with overwrite
+    * semantics; untestable in a no-egress sandbox, exposed for API
+    * completeness (/root/reference/R/initdb.R:485 final Postgres load). */
+  def jdbcOverwrite(df: DataFrame, url: String, table: String,
+                    props: Map[String, String] = Map.empty): Unit = {
+    val w = df.write.format("jdbc").mode("overwrite")
+      .option("url", url).option("dbtable", table)
+    props.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }.save()
+  }
+}

@@ -1,0 +1,129 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Delimited-file source family — the reference's S2/S3/S6/S7 surface
+  * (SURVEY.md §2.1):
+  *  - header TSV           (/root/reference/R/initdb.R:27-30)
+  *  - space/comma delimited (/root/reference/R/initdb.R:73,164)
+  *  - positional header-less multi-file glob families, 3 formats
+  *    (/root/reference/R/initdb_shrimp.R:526-544)
+  *  - per-key fan-in with per-file error tolerance
+  *    (/root/reference/R/initdb.R:449-458)
+  *  - JDBC warehouse scan  (/root/reference/R/initdb.R:104 `tbl(mar,...)`)
+  *
+  * All readers return plain DataFrames built on `spark.read.csv` — the
+  * distributed, splittable text source (schema inference only where the
+  * reference inferred; explicit `StructType`s for positional files so a
+  * 100 TB glob read never pays an inference pass).
+  */
+object Sources {
+
+  /** S2: TSV with header row — `read.table(header=TRUE)`. Schema
+    * inference mirrors the reference; pass `schema` to skip the extra
+    * inference scan on large inputs. */
+  def tsvWithHeader(spark: SparkSession, path: String,
+                    schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("sep", "\t").option("header", "true")
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+
+  /** S3: arbitrary single-char delimited read with header —
+    * `read_delim(delim=' ')` / `read_csv`. */
+  def delimited(spark: SparkSession, path: String, sep: String,
+                schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("sep", sep).option("header", "true")
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+
+  /** Header-less positional read with explicit column names and an
+    * optional per-file `skipLines` (the reference's `read.table(skip=2)`).
+    *
+    * skipLines is implemented by numbering lines per input file and
+    * filtering before parse (`from_csv`) — this keeps the read
+    * distributed. Line numbering relies on each file occupying a single
+    * input partition, which holds for the side-file sizes this source
+    * models (the reference's are KBs); a splittable >128 MB file would
+    * need `wholetext` staging instead.
+    */
+  def positional(spark: SparkSession, path: String, sep: String,
+                 schema: StructType, skipLines: Int = 0): DataFrame = {
+    if (skipLines == 0) {
+      spark.read.option("sep", sep).option("header", "false")
+        .schema(schema).csv(path)
+    } else {
+      val w = Window.partitionBy(input_file_name())
+        .orderBy(monotonically_increasing_id())
+      val opts = Map("sep" -> sep)
+      spark.read.text(path)
+        .withColumn("__line", row_number().over(w))
+        .filter(col("__line") > skipLines)
+        .select(from_csv(col("value"), schema, opts).as("r"))
+        .select(col("r.*"))
+    }
+  }
+
+  /** S7: multi-format glob family union — N glob patterns, each with its
+    * own delimiter/schema/skip, aligned by column NAME into one frame
+    * (ragged union, missing columns null) and tagged with the family id.
+    */
+  final case class GlobSpec(family: String, glob: String, sep: String,
+                            schema: StructType, skipLines: Int = 0)
+
+  def globUnion(spark: SparkSession, specs: Seq[GlobSpec]): DataFrame =
+    specs.map { s =>
+      positional(spark, s.glob, s.sep, s.schema, s.skipLines)
+        .withColumn("family", lit(s.family))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** S6: per-key fan-in — read one delimited file per key, tag rows with
+    * the key, tolerate missing/unreadable files (the reference's
+    * `tryCatch(read.csv(...), error=...)`), and concatenate raggedly.
+    * Missing keys simply contribute no rows.
+    */
+  def fanIn(spark: SparkSession, keys: Seq[String], pathFor: String => String,
+            keyCol: String = "key", sep: String = ",",
+            schemaFor: String => Option[StructType] = _ => None): DataFrame = {
+    val frames = keys.flatMap { k =>
+      try {
+        val df = delimited(spark, pathFor(k), sep, schemaFor(k))
+        df.schema // force analysis so a missing path fails HERE, not at action
+        Some(df.withColumn(keyCol, lit(k)))
+      } catch { case _: Throwable => None }
+    }
+    require(frames.nonEmpty, "fanIn: no readable input for any key")
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** S5: directory-index scrape — the reference fetches an HTTP index
+    * page and regex-extracts the child directory names that seed the S6
+    * fan-in (/root/reference/R/initdb.R:402-407). Driver-side by nature
+    * (one tiny page feeding a key list); accepts any java.net URL
+    * including file:// so it is exercisable without network egress.
+    * `pattern`'s first capture group is the extracted name.
+    */
+  def scrapeIndex(spark: SparkSession, url: String, pattern: String): DataFrame = {
+    import spark.implicits._
+    val src = scala.io.Source.fromURL(url)
+    val lines = try src.getLines().toList finally src.close()
+    val re = pattern.r
+    lines.flatMap(l => re.findAllMatchIn(l).map(_.group(1))).distinct
+      .toDF("name")
+  }
+
+  /** S1: JDBC warehouse scan — `tbl(mar, 'fiskar.stodvar')`. Thin wrapper
+    * so the engine API surfaces the reader; predicate/column pushdown to
+    * the database comes free from the JDBC source. `numPartitions` +
+    * `partitionColumn` bounds enable parallel extraction. Untestable in a
+    * no-egress sandbox; parquet mirrors stand in for tests.
+    */
+  def jdbcTable(spark: SparkSession, url: String, table: String,
+                props: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+    props.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
+}

@@ -27,7 +27,7 @@ object Events {
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts_utc", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling 1h event-time window with a 2h watermark — the streaming
@@ -66,7 +66,7 @@ object Events {
                  gapUs: Long = 1800000000L): DataFrame = {
     import spark.implicits._
     val typed = events
-      .select(col("event_id"), (col("ts") / 1000L).cast("long").as("ts"),
+      .select(col("event_id"), expr("ts div 1000").as("ts"),
         col("user_id"), col("event_type"), col("value"))
       .as[Ev]
 

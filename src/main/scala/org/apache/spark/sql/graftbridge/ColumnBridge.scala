@@ -1,0 +1,27 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionUtils}
+
+/** Column ⇄ catalyst Expression bridge.
+  *
+  * Spark 4 made the converters (`classic.ExpressionUtils`,
+  * `ColumnNodeToExpressionConverter`) private[sql], so third-party
+  * libraries that register FunctionRegistry builders reach them via a
+  * one-file shim compiled into an org.apache.spark.sql subpackage — the
+  * established pattern used by public Spark extension libraries. Nothing
+  * else in this repo lives outside the graft namespace.
+  *
+  * `expression` converts EAGERLY (ColumnNodeToExpressionConverter):
+  * `ExpressionUtils.expression` would wrap the node in a lazy
+  * `ColumnNodeExpression` that the analyzer never unwraps when it comes
+  * back from a FunctionRegistry builder (it stays Unevaluable and fails
+  * codegen). Eager conversion yields a plain catalyst tree whose
+  * UnresolvedFunction children the analyzer resolves normally.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression =
+    ColumnNodeToExpressionConverter(c.node)
+}

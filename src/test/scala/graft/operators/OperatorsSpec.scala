@@ -37,10 +37,29 @@ class DedupSpec extends SparkSpec {
       .map { case (a, b, j) => (a, b) -> j }.toMap
     // docs 1 and 2 are identical after normalization → jaccard 1.0
     assert(out((1L, 2L)) == 1.0)
-    // docs 1 and 3: shingles 7 each, 5 common → 5/9
-    assert(math.abs(out((1L, 3L)) - 5.0 / 9.0) < 1e-12)
+    // docs 1 (9 tokens → 7 shingles) and 3 (10 tokens → 8 shingles) share
+    // the 6 shingles up to "over the lazy" → 6 / (7 + 8 - 6) = 6/9
+    assert(math.abs(out((1L, 3L)) - 6.0 / 9.0) < 1e-12)
     // cross-block pairs (5 vs others) never appear
     assert(!out.keySet.exists { case (a, b) => b == 5L || a == 5L })
+  }
+
+  test("jaccardPairs maxDocFreq: high threshold is a no-op, low threshold drops hot shingles") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", "source",
+      shingleSize = 3, minJaccard = 0.1)
+      .as[(Long, Long, Double)].collect().toSet
+    val guarded = Dedup.jaccardPairs(docs, "doc_id", "text", "source",
+      shingleSize = 3, minJaccard = 0.1, maxDocFreq = 100L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(guarded == exact) // threshold above every fixture doc frequency
+    // df=3 shingles (shared by docs 1,2,3) dropped → only the df≤2
+    // shingle "the lazy dog" counts for pair (1,2): lower bound 1/13
+    val capped = Dedup.jaccardPairs(docs, "doc_id", "text", "source",
+      shingleSize = 3, minJaccard = 0.01, maxDocFreq = 2L)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(math.abs(capped((1L, 2L)) - 1.0 / 13.0) < 1e-12)
+    assert(!capped.contains((1L, 3L))) // all their common shingles were hot
   }
 
   test("simhash: identical docs hamming 0, near-dups close, unrelated far") {
@@ -63,6 +82,23 @@ class DedupSpec extends SparkSpec {
       col("label"), 0.95).select("id_a", "id_b")
       .as[(Long, Long)].collect().toSet
     assert(out == Set((1L, 2L)))
+  }
+
+  test("embeddingNearDups with an LSH-bucket block finds cross-label dups") {
+    // the label block above misses (1,4); an LSH bucket as blockCol groups
+    // by geometry instead — near-identical vectors collide, so the same
+    // operator finds all planted dups with a bounded per-bucket self-join
+    val e = Seq(
+      (1L, Seq(1.0f, 0f, 0f, 0f), 0),
+      (2L, Seq(0.99f, 0.05f, 0f, 0f), 0),
+      (3L, Seq(0f, 1.0f, 0f, 0f), 0),
+      (4L, Seq(1.0f, 0f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingNearDups(e, "vec_id", "embedding",
+      graft.functions.Vectors.lshBucket(col("embedding"), 2), 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 4L))) // identical vectors, different labels
+    assert(out.contains((1L, 2L)))
   }
 }
 
@@ -87,6 +123,24 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.lshTopK(corpus, q, "vec_id", "embedding", 2, nBits = 2)
       .select("neighbor_id").as[Long].collect().toSet
     assert(!out.contains(0L)) // never self
+  }
+
+  test("ANN recall@5 on fixture embeddings: multi-probe ≥ plain, above floor") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+    val plain = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
+      nBits = 4, multiProbe = 0)
+    val probed = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
+      nBits = 4, multiProbe = 4)
+    val (hitP, total) = Similarity.recallAtK(exact, plain)
+    val (hitM, totalM) = Similarity.recallAtK(exact, probed)
+    assert(total == totalM && total > 0)
+    val rPlain = hitP.toDouble / total
+    val rProbe = hitM.toDouble / total
+    info(f"recall@5 plain=$rPlain%.3f multiProbe(3)=$rProbe%.3f over $total pairs")
+    assert(rProbe >= rPlain) // probing only adds candidate buckets
+    assert(rProbe >= 0.25, f"multi-probe recall@5 $rProbe%.3f below floor")
   }
 }
 

@@ -35,15 +35,46 @@ class RelationalSpec extends SparkSpec {
   test("intervalJoin: point in (start, end], null bounds open") {
     val events = Seq((1, 10), (1, 20), (1, 30), (2, 5)).toDF("k", "t")
     val hist = Seq(
-      (1, 0, 10, "h1"),   // t=10 matches h1 (end inclusive)
-      (1, 10, 25, "h2"),  // t=20 matches h2
-      (1, 25, null.asInstanceOf[Integer], "h3"), // t=30 matches h3 (open end)
-      (2, null.asInstanceOf[Integer], 7, "h4"))  // t=5 matches h4 (open start)
+      (1, Some(0), Some(10), "h1"),  // t=10 matches h1 (end inclusive)
+      (1, Some(10), Some(25), "h2"), // t=20 matches h2
+      (1, Some(25), None, "h3"),     // t=30 matches h3 (open end)
+      (2, None, Some(7), "h4"))      // k=2 matches h4 (null start → always)
       .toDF("k", "s", "e", "tag")
     val out = Relational.intervalJoin(events, hist, Seq("k"),
       col("t"), col("s"), col("e"))
       .select("k", "t", "tag").as[(Int, Int, String)].collect().toSet
     assert(out == Set((1, 10, "h1"), (1, 20, "h2"), (1, 30, "h3"), (2, 5, "h4")))
+  }
+
+  test("intervalJoin: null start keeps row even past a closed end (initdb.R:108)") {
+    // the reference's nvl(i_gildi, 2100-01-01) escape matches regardless
+    // of ur_gildi — a history row with open start but closed end must
+    // still match later points
+    val ev = Seq((1, 99)).toDF("k", "t")
+    val hist = Seq((1, Option.empty[Int], Some(7), "open-start"))
+      .toDF("k", "s", "e", "tag")
+    val out = Relational.intervalJoin(ev, hist, Seq("k"), col("t"), col("s"), col("e"))
+      .select("tag").as[String].collect().toSeq
+    assert(out == Seq("open-start"))
+  }
+
+  test("asofJoin: newest right at-or-before left time, ties by tiebreak, unmatched null") {
+    val clicks = Seq((1, 100L, 10L), (1, 101L, 20L), (2, 102L, 5L))
+      .toDF("uid", "click_id", "click_t")
+    val views = Seq(
+      (1, 200L, 5L),   // before both clicks
+      (1, 201L, 10L),  // ties click 100's time (<= matches), newer than 200
+      (1, 202L, 10L),  // same time as 201 → tiebreak: larger view_id wins
+      (1, 203L, 15L),  // between the two clicks
+      (2, 204L, 9L))   // AFTER click 102 → no match for uid 2
+      .toDF("uid", "view_id", "view_t")
+    val out = Relational.asofJoin(clicks, views, Seq("uid"),
+      "click_t", "view_t", tiebreak = Seq("view_id"))
+      .select("click_id", "view_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(100L).contains(202L)) // equal-time view matches, max id wins
+    assert(out(101L).contains(203L))
+    assert(out(102L).isEmpty)        // only future views → null
   }
 
   test("intervalJoin boundary: point == start excluded, point == end included") {
@@ -94,6 +125,25 @@ class RelationalSpec extends SparkSpec {
     assert(rows(1).isNullAt(1) && rows(1).getDouble(2) == 9.9)
   }
 
+  test("globalRowNumber matches single-partition window, no exchange-to-one in plan") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 500).map(i => ((i * 7919) % 1000, i)).toDF("v", "id")
+      .repartition(4)
+    val expected = df
+      .withColumn("rn", row_number().over(Window.orderBy(col("v"), col("id"))))
+      .select("id", "rn").as[(Int, Int)].collect().toMap
+    val got = Relational.globalRowNumber(df, Seq(col("v"), col("id")))
+      .select("id", "rn").as[(Int, Int)].collect().toMap
+    assert(got == expected)
+    // data path: range-partitioned sort + pid-partitioned row_number — the
+    // single-partition exchange may only appear in the metadata-sized
+    // offsets subtree (broadcast side), never as the data-path window
+    val plan = Relational.globalRowNumber(df, Seq(col("v"), col("id")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(plan.contains("row_number() windowspecdefinition(__gr_pid"), plan)
+  }
+
   test("checkpoint writes and re-reads (compute() equivalent)") {
     val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
     val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
@@ -102,5 +152,18 @@ class RelationalSpec extends SparkSpec {
     // overwrite semantics: checkpoint again with different content
     val back2 = Relational.checkpoint(Seq((3, "c")).toDF("id", "v"), s"$dir/t")
     assert(back2.count() == 1)
+  }
+
+  test("bucketed checkpoint (compute + index): self-join on bucket key shuffles nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("ckptb").toString
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val t = Relational.checkpoint(df, s"$dir/tbl", bucketKeys = Seq("k"), buckets = 4)
+    assert(t.count() == 100)
+    val joined = t.as("a").join(t.as("b"), "k")
+    assert(joined.count() == 100)
+    // the reference's indexes=list('tow') → bucketing: an equi-join on the
+    // bucket key must plan with NO exchange on either side
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 }

@@ -1,0 +1,37 @@
+package graft.plans
+
+import graft.SparkSpec
+
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions evaluate like their Column twins") {
+    GraftFunctions.register(spark)
+    // arcdist: Reykjavík→Akureyri
+    val d = spark.sql(
+      "SELECT arcdist(64.1466, -21.9426, 65.6885, -18.1262) AS d")
+      .as[Double].head()
+    assert(d > 120 && d < 150, s"got $d")
+    // sr2d codec on a known Icelandic square
+    val (lat, lon) = spark.sql(
+      "SELECT sr2d_lat(520), sr2d_lon(520)").as[(Double, Double)].head()
+    assert(lat == 65.25 && lon == -20.5)
+    // text functions compose into plain SQL
+    val row = spark.sql(
+      """SELECT token_count('the quick brown fox') AS n,
+             lang_id('the cat and the dog is here') AS l,
+             quality_score('the quick brown fox jumps over the lazy dog') AS q,
+             doc_fingerprint('Hello,  World!') = doc_fingerprint('hello world') AS same,
+             simhash64('a b c') = simhash64('a b c') AS sh""")
+      .as[(Int, String, Double, Boolean, Boolean)].head()
+    assert(row == ((4, "en", row._3, true, true)) && row._3 > 0 && row._3 <= 1)
+  }
+
+  test("functions registered via injection participate in codegen/optimizer") {
+    GraftFunctions.register(spark)
+    // constant folding: a fully-literal call folds to a literal in the plan
+    val plan = spark.sql("SELECT sr2d_lat(520) AS x")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("65.25"), plan)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir: Path = Files.createTempDirectory("graft-src")
+  private def write(p: Path, name: String, content: String): String = {
+    val f = p.resolve(name)
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  test("tsvWithHeader reads header TSV with inferred schema (S2)") {
+    val d = tmpDir
+    val f = write(d, "reitmapping.tsv",
+      "GRIDCELL\tDIVISION\tlat\n101\t5\t64.5\n102\t6\t65.0\n")
+    val df = Sources.tsvWithHeader(spark, f)
+    assert(df.columns.toSeq == Seq("GRIDCELL", "DIVISION", "lat"))
+    assert(df.count() == 2)
+    assert(df.filter(col("GRIDCELL") === 102).select("lat").as[Double].head() == 65.0)
+  }
+
+  test("delimited reads space-separated with header (S3)") {
+    val d = tmpDir
+    val f = write(d, "mapping.txt", "veidarfaeri gear_id\n1 10\n2 10\n3 12\n")
+    val df = Sources.delimited(spark, f, " ")
+    assert(df.count() == 3)
+    assert(df.filter(col("veidarfaeri") === 3).select("gear_id").as[Int].head() == 12)
+  }
+
+  test("positional header-less read with explicit schema and skipLines (S7)") {
+    val d = tmpDir
+    val f = write(d, "afli.1998",
+      "junk header line\nsecond junk\n10;64.1;100.5\n11;64.2;200.25\n")
+    val schema = StructType(Seq(StructField("station", IntegerType),
+      StructField("lat", DoubleType), StructField("catch", DoubleType)))
+    val df = Sources.positional(spark, f, ";", schema, skipLines = 2)
+    assert(df.count() == 2)
+    assert(df.orderBy("station").select("catch").as[Double].collect().toSeq ==
+      Seq(100.5, 200.25))
+  }
+
+  test("globUnion: multi-format families align by name, tag family (S7)") {
+    val d = tmpDir
+    write(d, "1998.dat", "1\t100.0\n2\t200.0\n")
+    write(d, "ready.dat", "3;300.0;extra\n")
+    val famA = Sources.GlobSpec("old", s"$d/19*.dat", "\t",
+      StructType(Seq(StructField("station", IntegerType),
+        StructField("catch", DoubleType))))
+    val famB = Sources.GlobSpec("ready", s"$d/ready*.dat", ";",
+      StructType(Seq(StructField("station", IntegerType),
+        StructField("catch", DoubleType), StructField("note", StringType))))
+    val out = Sources.globUnion(spark, Seq(famA, famB))
+    assert(out.count() == 3)
+    assert(out.columns.toSet == Set("station", "catch", "note", "family"))
+    assert(out.filter(col("family") === "old").count() == 2)
+    assert(out.filter(col("note").isNotNull).count() == 1)
+  }
+
+  test("fanIn tolerates missing files per key, tags key (S6)") {
+    val d = tmpDir
+    write(d, "cod.csv", "year,Total\n1999,10.5\n2000,11.5\n")
+    write(d, "haddock.csv", "year,Total,extra\n1999,5.25,x\n")
+    // "ling" has no file → contributes nothing, does not fail the read
+    val out = Sources.fanIn(spark, Seq("cod", "haddock", "ling"),
+      k => s"$d/$k.csv", keyCol = "species")
+    assert(out.count() == 3)
+    assert(out.filter(col("species") === "cod").count() == 2)
+    assert(out.columns.contains("extra")) // ragged union kept the extra col
+  }
+
+  test("scrapeIndex extracts capture group from a file:// index page (S5)") {
+    val d = tmpDir
+    val f = write(d, "index.html",
+      """<html><a href="cod/">cod/</a><a href="haddock/">haddock/</a>
+        |<a href="style.css">css</a></html>""".stripMargin)
+    val out = Sources.scrapeIndex(spark, s"file://$f",
+      """href="([a-z]+)/"""")
+      .as[String].collect().toSet
+    assert(out == Set("cod", "haddock"))
+  }
+
+  test("replaceDataSource: re-import of one source leaves others intact (S12)") {
+    val root = tmpDir.resolve("warehouse").toString
+    Sinks.replaceDataSource(Seq((1, "a"), (2, "b")).toDF("id", "v"), root, "srcA")
+    Sinks.replaceDataSource(Seq((10, "x"), (11, "y"), (12, "z")).toDF("id", "v"),
+      root, "srcB")
+    val before = Sinks.readImported(spark, root)
+    assert(before.count() == 5)
+    // idempotent replace: srcA shrinks to 1 row, srcB untouched
+    Sinks.replaceDataSource(Seq((3, "c")).toDF("id", "v"), root, "srcA")
+    val after = Sinks.readImported(spark, root)
+    assert(after.filter(col("data_source") === "srcA").count() == 1)
+    assert(after.filter(col("data_source") === "srcB").count() == 3)
+    assert(after.filter(col("data_source") === "srcB")
+      .select("id").as[Int].collect().toSet == Set(10, 11, 12))
+  }
+}

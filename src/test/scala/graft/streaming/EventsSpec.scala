@@ -8,7 +8,13 @@ class EventsSpec extends SparkSpec {
   import spark.implicits._
 
   test("streaming hourlyCounts matches the batch q64 oracle query") {
-    val stream = Events.readStream(spark, s"$sf0001/events.parquet")
+    // FileStreamSource needs a directory; the fixture is a single file —
+    // stage it into a temp dir as a stream source
+    val dir = java.nio.file.Files.createTempDirectory("evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val stream = Events.readStream(spark, dir.toString)
     val q = Events.hourlyCounts(stream)
       .writeStream.format("memory").queryName("hourly")
       .outputMode("complete")
@@ -38,7 +44,7 @@ class EventsSpec extends SparkSpec {
       Events.Ev(2, 1060L * 1000000, 1, "a", 0.0),     // same session (60s gap)
       Events.Ev(3, 10000L * 1000000, 1, "a", 0.0),    // new session (gap > 30min)
       Events.Ev(4, 500L * 1000000, 2, "a", 0.0))
-    import org.apache.spark.sql.execution.streaming.MemoryStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[Events.Ev]
     ms.addData(ev: _*)
