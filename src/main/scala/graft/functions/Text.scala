@@ -110,10 +110,11 @@ object Text {
 
   /** 64-bit rolling/polynomial hash of the full normalized text —
     * cheap content fingerprint that, unlike md5, supports incremental
-    * composition. Computed with aggregate() over characters. */
-  def rollingHash(text: Column): Column =
-    aggregate(
-      transform(split(normalize(text), ""), c => ascii(c).cast("long")),
-      lit(0L),
-      (acc, c) => acc * lit(1000003L) + c)
+    * composition. Backed by the native codegen'd [[RollingHashExpr]]
+    * (a byte loop); the interpreted per-character aggregate() it
+    * replaces allocated one string per character. */
+  def rollingHash(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(RollingHashExpr(ColumnBridge.expression(normalize(text))))
+  }
 }

@@ -133,12 +133,37 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** DataFrame-level SimHash: (id, sig) for every row of `df`.
+    *
+    * Same vote semantics as [[simhash64]], but computed via explode +
+    * one hash aggregate with 64 codegen'd sum expressions instead of a
+    * higher-order aggregate (HOFs run interpreted — fine for ad-hoc SQL,
+    * 3× slower in the bulk path). Shape: explode tokens (no shuffle) →
+    * partial map-side sums → one shuffle on id → assemble word. Docs with
+    * no tokens get signature 0 (restored by left join), matching the
+    * Column variant.
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ids = df.select(col(idCol).as("id"))
+    val toks = df.select(col(idCol).as("id"),
+      explode(Text.tokens(Text.normalize(col(textCol)))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val voteCols = (0 until 64).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1L) * 2L - 1L).as(s"v$b")
+    }
+    val votes = toks.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+    val word = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    ids.join(votes.withColumn("sig", word).select("id", "sig"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("sig"), lit(0L)).as("sig"))
+  }
+
   /** SimHash near-dup pairs: block on the top `prefixBits` bits (near-dups
     * almost always share them), verify with full Hamming distance. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    prefixBits: Int = 16, maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-      simhash64(col(textCol)).as("sig"))
+    val sigs = simhashSignatures(df, idCol, textCol)
       .withColumn("prefix", shiftrightunsigned(col("sig"), 64 - prefixBits))
     val l = sigs.as("l"); val r = sigs.as("r")
     l.join(r, col("l.prefix") === col("r.prefix") && col("l.id") < col("r.id"))

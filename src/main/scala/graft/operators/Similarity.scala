@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Vectors
@@ -86,5 +86,66 @@ object Similarity {
     val total = e.count()
     val hit = e.join(a, Seq("query_id", "neighbor_id"), "left_semi").count()
     (hit, total)
+  }
+
+  // ---------------- IVF (inverted-file) ANN ----------------
+
+  /** Deterministic coarse centroids: the `k` corpus vectors whose id
+    * hashes lowest — a reproducible stand-in for k-means|| that still
+    * adapts to the data (centroids are real corpus points). One tiny job;
+    * k rows come to the driver, which is bounded metadata (the same class
+    * of driver state as a broadcast dimension), not a data collect. */
+  def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int): Seq[Seq[Float]] =
+    corpus.select(col(vecCol)).orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(k).collect().map(_.getSeq[Float](0)).toSeq
+
+  /** (negated cosine, index) structs against each literal centroid —
+    * struct ordering makes array_min/sort_array pick the BEST centroid
+    * first. Centroids exist only as codegen literals, like the LSH
+    * hyperplanes. */
+  private def centroidScores(vec: Column, centroids: Seq[Seq[Float]]): Column =
+    array(centroids.zipWithIndex.map { case (cv, i) =>
+      val litVec = array(cv.map(lit): _*)
+      val cos = Vectors.dot(vec, litVec) / (Vectors.norm(vec) * Vectors.norm(litVec))
+      struct((-cos).as("neg"), lit(i).as("idx"))
+    }: _*)
+
+  /** Index of the nearest centroid (cosine). */
+  def nearestCentroid(vec: Column, centroids: Seq[Seq[Float]]): Column =
+    array_min(centroidScores(vec, centroids)).getField("idx")
+
+  /** The `nProbe` nearest centroid indices, best first. */
+  def centroidProbes(vec: Column, centroids: Seq[Seq[Float]],
+                     nProbe: Int): Column =
+    transform(slice(sort_array(centroidScores(vec, centroids)), 1, nProbe),
+      s => s.getField("idx"))
+
+  /** IVF ANN: corpus rows are assigned to their nearest coarse centroid
+    * (the inverted file); each query scans the `nProbe` lists nearest to
+    * it. Data-adaptive twin of [[lshTopK]]: where hyperplane buckets cut
+    * blindly, IVF lists follow the corpus distribution. At scale the
+    * centroid id is a partition key, so a query touches nProbe/k of the
+    * files. Queries are broadcast ×nProbe; the corpus never shuffles.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, centroids: Seq[Seq[Float]],
+              nProbe: Int = 2): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.size)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      Vectors.norm(col(vecCol)).as("nnrm"),
+      nearestCentroid(col(vecCol), centroids).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      Vectors.norm(col(vecCol)).as("qnrm"),
+      explode(centroidProbes(col(vecCol), centroids, nProbe)).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        Vectors.dot(col("qvec"), col("nvec")) / (col("qnrm") * col("nnrm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
   }
 }

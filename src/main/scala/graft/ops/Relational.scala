@@ -192,6 +192,27 @@ object Relational {
       .filter(col("__cnt") >= minCount).drop("__cnt")
   }
 
+  /** Skew-salted equi-join: when one join key carries a disproportionate
+    * share of the left side (the 100 TB hot-key case AQE's skew handling
+    * may not fully split), spread each left row across `factor` salt
+    * values derived from `saltSrc` (any well-distributed column, e.g. a
+    * row id) and replicate the right side once per salt value. The
+    * shuffle then spreads a hot key over `factor` reducers. Results are
+    * identical to a plain join; right-side cost is ×factor, so use for
+    * joins against small-to-medium right sides. Inner and left joins
+    * only (right/full would duplicate unmatched right rows).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 saltSrc: Column, factor: Int,
+                 how: String = "inner"): DataFrame = {
+    require(how == "inner" || how == "left",
+      s"saltedJoin supports inner/left, got $how")
+    val l = left.withColumn("__salt", pmod(hash(saltSrc), lit(factor)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    l.join(r, keys :+ "__salt", how).drop("__salt")
+  }
+
   /** Ragged union — reference `bind_rows` over files with differing
     * columns (/root/reference/R/initdb_shrimp.R:526-544). */
   def raggedUnion(dfs: Seq[DataFrame]): DataFrame =

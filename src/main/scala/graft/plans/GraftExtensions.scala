@@ -48,7 +48,9 @@ object GraftFunctions {
     ("lang_id", info("lang_id", "marker-word language id"),
       (args: Seq[Expression]) => expression(Text.langId(c(args(0))))),
     ("simhash64", info("simhash64", "64-bit content simhash"),
-      (args: Seq[Expression]) => expression(Dedup.simhash64(c(args(0))))))
+      (args: Seq[Expression]) => expression(Dedup.simhash64(c(args(0))))),
+    ("rolling_hash", info("rolling_hash", "polynomial hash of normalized text"),
+      (args: Seq[Expression]) => expression(Text.rollingHash(c(args(0))))))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit = all.foreach { case (n, i, b) =>

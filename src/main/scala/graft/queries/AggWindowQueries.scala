@@ -440,6 +440,22 @@ object AggWindowQueries {
         FROM lineitem GROUP BY l_returnflag"""),
       "exact multi distinct-count"),
 
+    // ---- exact interpolated percentiles ------------------------------------------------
+    // l_quantity is integer-valued and the probe points are dyadic
+    // (0.25/0.5/0.75), so linear interpolation is exact on both engines.
+    "q78_percentiles" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"), lit(0.25)).as("p25"),
+          percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75")),
+      Some("""SELECT l_returnflag,
+          quantile_cont(l_quantity, 0.25) AS p25,
+          quantile_cont(l_quantity, 0.50) AS p50,
+          quantile_cont(l_quantity, 0.75) AS p75
+        FROM lineitem GROUP BY l_returnflag"""),
+      "exact interpolated percentiles (sort-based agg)"),
+
     // ---- approximate distinct (HLL) — no exact oracle, rows-only check ----------------
     "q51_approx_distinct" -> Q(
       (s, d) => Tables.lineitem(s, d)

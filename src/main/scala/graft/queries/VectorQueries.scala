@@ -57,5 +57,17 @@ object VectorQueries {
       },
       None,
       "LSH-bucketed ANN top-k (hyperplane sign buckets, 1-bit multi-probe)"),
+
+    // ---- IVF ANN — approximate, no SQL oracle ------------------------------------
+    "q79_ann_ivf" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 8)
+        val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", 16)
+        Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
+          cents, nProbe = 3)
+      },
+      None,
+      "IVF ANN top-k (inverted coarse-centroid lists, nProbe probing)"),
   )
 }

@@ -51,6 +51,14 @@ object Events {
       .select(col("window.start").cast("long").as("win_start"),
         col("event_type"), col("n"))
 
+  /** Streaming exact dedup — the streaming twin of Dedup.exact for
+    * at-least-once sources: duplicate event_ids arriving within the
+    * watermark horizon are dropped; state for an id is freed once the
+    * watermark passes it, so state stays bounded by (horizon × rate). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts_utc", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Ev(event_id: Long, ts: Long, user_id: Long,
                       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int)

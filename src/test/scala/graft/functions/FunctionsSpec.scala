@@ -106,6 +106,30 @@ class TextSpec extends SparkSpec {
     assert(out(0) > out(1))
   }
 
+  test("RollingHashExpr: codegen matches a reference Scala loop, stays in WholeStageCodegen") {
+    // reference implementation of the same modular polynomial over the
+    // normalized bytes (the SQL HOF formulation can't serve as oracle:
+    // ANSI mode turns its deliberate wraparound into ARITHMETIC_OVERFLOW)
+    def expected(s: String): Long = {
+      val norm = s.toLowerCase.replaceAll("[^a-z0-9\\s]", " ")
+        .replaceAll("\\s+", " ").trim
+      norm.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 1000003L + (b & 0xFF))
+    }
+    val inputs = Seq("the quick brown fox", "Hello,  World! 42", "x")
+    val df = inputs.toDF("t")
+    val native = df.select(Text.rollingHash(col("t")).as("h")).as[Long].collect().toSeq
+    assert(native == inputs.map(expected))
+    // codegen check needs a non-local source (a LocalTableScan folds the
+    // projection eagerly and shows no codegen stage)
+    // "*(n)" prefixes mark whole-stage-codegen stages in the compact
+    // plan string — the projection containing rolling_hash must carry one
+    val plan = spark.range(3)
+      .select(concat(lit("doc "), col("id")).as("t"))
+      .select(Text.rollingHash(col("t")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("rolling_hash"), plan)
+  }
+
   test("rollingHash deterministic and content-sensitive") {
     val df = Seq(("abc", "abc", "abd")).toDF("a", "b", "c")
     val r = df.select(Text.rollingHash(col("a")) === Text.rollingHash(col("b")),

@@ -62,6 +62,22 @@ class DedupSpec extends SparkSpec {
     assert(!capped.contains((1L, 3L))) // all their common shingles were hot
   }
 
+  test("simhashSignatures (bulk codegen path) equals simhash64 (column) per doc") {
+    val bulk = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val viaCol = docs.select(col("doc_id"), Dedup.simhash64(col("text")))
+      .as[(Long, Long)].collect().toMap
+    assert(bulk == viaCol)
+    // punctuation-only doc normalizes to one empty token — both paths
+    // must still agree on its signature
+    val empty = Seq((9L, "!!!")).toDF("doc_id", "text")
+    val bulkE = Dedup.simhashSignatures(empty, "doc_id", "text")
+      .as[(Long, Long)].head()
+    val colE = empty.select(col("doc_id"), Dedup.simhash64(col("text")))
+      .as[(Long, Long)].head()
+    assert(bulkE == colE)
+  }
+
   test("simhash: identical docs hamming 0, near-dups close, unrelated far") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("s"))
       .as[(Long, Long)].collect().toMap
@@ -123,6 +139,24 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.lshTopK(corpus, q, "vec_id", "embedding", 2, nBits = 2)
       .select("neighbor_id").as[Long].collect().toSet
     assert(!out.contains(0L)) // never self
+  }
+
+  test("IVF ANN: centroids deterministic, more probes → recall ≥ single probe + floor") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 8)
+    val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", 16)
+    assert(cents.size == 16)
+    assert(cents == Similarity.sampleCentroids(emb, "vec_id", "embedding", 16))
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+    val p1 = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5, cents, nProbe = 1)
+    val p4 = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5, cents, nProbe = 4)
+    val (h1, t1) = Similarity.recallAtK(exact, p1)
+    val (h4, t4) = Similarity.recallAtK(exact, p4)
+    assert(t1 == t4 && t1 > 0)
+    val (r1, r4) = (h1.toDouble / t1, h4.toDouble / t4)
+    info(f"IVF recall@5 nProbe=1 $r1%.3f nProbe=4 $r4%.3f over $t1 pairs")
+    assert(r4 >= r1)
+    assert(r4 >= 0.2, f"IVF recall@5 $r4%.3f below floor")
   }
 
   test("ANN recall@5 on fixture embeddings: multi-probe ≥ plain, above floor") {

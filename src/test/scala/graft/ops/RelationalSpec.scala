@@ -85,6 +85,26 @@ class RelationalSpec extends SparkSpec {
     assert(out == Seq("b"))
   }
 
+  test("saltedJoin produces identical results to a plain join on skewed keys") {
+    // 90% of left rows share one hot key
+    val left = (1 to 200).map(i => (if (i <= 180) 7 else i % 5, i))
+      .toDF("k", "lid")
+    val right = Seq((7, "hot"), (0, "a"), (1, "b"), (9, "miss"))
+      .toDF("k", "tag")
+    val plainInner = left.join(right, Seq("k")).select("k", "lid", "tag")
+      .as[(Int, Int, String)].collect().toSet
+    val saltedInner = Relational.saltedJoin(left, right, Seq("k"),
+      col("lid"), factor = 8).select("k", "lid", "tag")
+      .as[(Int, Int, String)].collect().toSet
+    assert(saltedInner == plainInner)
+    val plainLeft = left.join(right, Seq("k"), "left").select("k", "lid", "tag")
+      .as[(Int, Int, Option[String])].collect().toSet
+    val saltedLeft = Relational.saltedJoin(left, right, Seq("k"),
+      col("lid"), factor = 8, how = "left").select("k", "lid", "tag")
+      .as[(Int, Int, Option[String])].collect().toSet
+    assert(saltedLeft == plainLeft)
+  }
+
   test("bucketize boundaries: first match wins, default otherwise") {
     val df = Seq(15.0, 16.0, 56.0, 57.0, 97.0, 150.0, 151.0).toDF("p")
     val b = Relational.bucketize(col("p"), Seq(

@@ -31,6 +31,24 @@ class EventsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("dedupStream drops duplicate event_ids within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Events.Ev]
+    ms.addData(
+      Events.Ev(1, 1000L * 1000000, 1, "a", 0.0),
+      Events.Ev(1, 1000L * 1000000, 1, "a", 0.0), // duplicate delivery
+      Events.Ev(2, 2000L * 1000000, 1, "a", 0.0))
+    val df = ms.toDF().withColumn("ts", col("ts") * 1000)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    val out = Events.dedupStream(df)
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val ids = spark.table("dedup").select("event_id").as[Long].collect().toSeq
+    assert(ids.sorted == Seq(1L, 2L))
+  }
+
   test("stateful sessionize emits closed sessions with correct counts") {
     val batchDf = graft.Tables.events(spark, sf0001)
     val sessions = Events.sessionize(spark, batchDf.limit(0)) // schema check
