@@ -71,30 +71,39 @@ object Fisheries {
       .withColumn("__a", paramCol(_.a, 0.0))
       .withColumn("__b", paramCol(_.b, 0.0))
 
-    // 3–5. interval-level sums and allometric biomass apportioning.
-    //      The reference runs three aggregate-then-rejoin rounds
-    //      (:2176-2206); here it's one groupBy + two window sums on the
-    //      interval-level frame, then a single join back to detail rows.
+    // 3–5. interval-level sums and allometric biomass apportioning —
+    //      computed entirely as windows over the DETAIL frame so the
+    //      whole pipeline shuffles ONCE on (sample_id, species) (the
+    //      reference runs three aggregate-then-rejoin rounds,
+    //      :2176-2206; a groupBy+join-back formulation costs 4
+    //      shuffles). Interval-level quantities become windows over the
+    //      interval sub-partition; interval-DISTINCT sums are emulated
+    //      with a first-row-of-interval marker so each interval
+    //      contributes once.
+    val wInt = Window.partitionBy("sample_id", "species", "length_interval")
     val wSamp = Window.partitionBy("sample_id", "species")
-    val intLevel = detail
-      .groupBy("sample_id", "species", "length_interval", "__a", "__b")
-      .agg(sum("count").as("count_by_int"))
-      .withColumn("count_sum", sum("count_by_int").over(wSamp))
+    val wIntOrd = wInt.orderBy("length", "count")
+    val scaled = detail
+      .withColumn("__rn", row_number().over(wIntOrd))
+      .withColumn("count_by_int", sum("count").over(wInt))
+      .withColumn("count_sum", sum("count").over(wSamp))
       .withColumn("prop_weighted", {
         val w = col("count_sum") * col("__a") * pow(col("length_interval"), col("__b"))
         when(w === 0, nullD).otherwise(
           col("count_by_int") / col("count_sum") * col("__a") *
             pow(col("length_interval"), col("__b")))
       })
-      .withColumn("prop_weighted_sum", sum("prop_weighted").over(wSamp))
+      .withColumn("prop_weighted_sum",
+        sum(when(col("__rn") === 1, col("prop_weighted"))).over(wSamp))
       .withColumn("biom_prop",
         when(col("prop_weighted_sum") === 0, nullD)
           .otherwise(col("prop_weighted") / col("prop_weighted_sum")))
-      .select("sample_id", "species", "length_interval", "count_by_int", "biom_prop")
 
-    // 6. mean weight per individual per interval; counts to whole catch
-    detail
-      .join(intLevel, Seq("sample_id", "species", "length_interval"), "left")
+    // 6. mean weight per individual per interval; counts to whole catch.
+    //    `r` is per-(sample_id, species) — a window-partition-aligned
+    //    broadcast-sized join at fixture scale, same-key SMJ at 100 TB
+    //    (no new shuffle key).
+    scaled
       .join(r, Seq("sample_id", "species"), "left")
       .withColumn("mean_weight",
         col("biom_prop") *
@@ -104,7 +113,8 @@ object Fisheries {
       .withColumn("scaled_count",
         col("count") * when(col("species").isin(biomSpp: _*), col("weight_ratio"))
           .otherwise(col("count_ratio")))
-      .drop("__a", "__b", "count_by_int", "biom_prop", "count_ratio",
+      .drop("__a", "__b", "__rn", "count_by_int", "count_sum",
+        "prop_weighted", "prop_weighted_sum", "biom_prop", "count_ratio",
         "weight_ratio", "sample_weight")
   }
 

@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed `Aggregator`s — the Dataset-native custom-aggregate surface
+  * (SURVEY.md §2.10 flags the mean-weight step of skala_med_toldum2 as
+  * the natural typed-Aggregator exercise).
+  *
+  * `weightedMean` accumulates in exact fixed-point (1e-4 quanta as
+  * longs), so the result is independent of partial-aggregation merge
+  * order — the same trick as queries.Q.xsum4, which is what lets an
+  * Aggregator output hash-match a DuckDB oracle. Register for SQL with
+  * `spark.udf.register("wmean", functions.udaf(Aggregators.weightedMean))`.
+  */
+object Aggregators {
+
+  final case class WmBuf(var wxCents: Long, var wCents: Long)
+
+  /** Weighted mean Σwx/Σw over (value, weight) pairs, null-safe: zero
+    * total weight yields null (reference's vigt_synis==0 guard shape). */
+  val weightedMean: Aggregator[(Double, Double), WmBuf, java.lang.Double] =
+    new Aggregator[(Double, Double), WmBuf, java.lang.Double] {
+      private def cents(d: Double): Long = math.floor(d * 10000d + 0.5d).toLong
+      def zero: WmBuf = WmBuf(0L, 0L)
+      def reduce(b: WmBuf, in: (Double, Double)): WmBuf = {
+        val (x, w) = in
+        b.wxCents += cents(x * w)
+        b.wCents += cents(w)
+        b
+      }
+      def merge(a: WmBuf, b: WmBuf): WmBuf = {
+        a.wxCents += b.wxCents
+        a.wCents += b.wCents
+        a
+      }
+      def finish(b: WmBuf): java.lang.Double =
+        if (b.wCents == 0L) null
+        else Double.box(b.wxCents.toDouble / b.wCents.toDouble)
+      def bufferEncoder: Encoder[WmBuf] = Encoders.product[WmBuf]
+      def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+    }
+}

@@ -42,21 +42,27 @@ object Multimodal {
       when(pmod(crc32(bin), lit(2L)) === 0, "png").otherwise("jpeg").as("format"))
 
   /** Partition-local batched transform — the mapInPandas-shaped path for
-    * decoders that need a real library call per batch. Batches rows per
-    * partition, never collects to the driver. The `decode` function is
-    * the stub seam: swap in a real codec without touching the plan.
+    * decoders that need a real library call per BATCH (codec init and
+    * native-call overhead amortize across the batch, exactly like Arrow
+    * batches under a pandas UDF). Rows are grouped to `batchSize` within
+    * each partition and handed to `decodeBatch` as one call; nothing
+    * collects to the driver. The decode function is the stub seam: swap
+    * in a real codec without touching the plan.
     */
-  def mapImageBatches(df: DataFrame, binCol: String)
-                     (decode: Array[Byte] => (Int, Int, Int, String)): DataFrame = {
+  def mapImageBatches(df: DataFrame, binCol: String, batchSize: Int = 64)
+                     (decodeBatch: Seq[Array[Byte]] => Seq[(Int, Int, Int, String)]): DataFrame = {
     val schema = StructType(df.schema.fields :+
       StructField("image_meta", imageMetaSchema, nullable = true))
     val binIdx = df.schema.fieldIndex(binCol)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.mapPartitions { rows =>
-      rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](binIdx)
-        val (w, h, c, f) = decode(bytes)
-        Row.fromSeq(r.toSeq :+ Row(w, h, c, f))
+      rows.grouped(batchSize).flatMap { batch =>
+        val metas = decodeBatch(batch.map(_.getAs[Array[Byte]](binIdx)))
+        require(metas.length == batch.length,
+          s"decodeBatch returned ${metas.length} results for ${batch.length} inputs")
+        batch.iterator.zip(metas.iterator).map { case (r, (w, h, c, f)) =>
+          Row.fromSeq(r.toSeq :+ Row(w, h, c, f))
+        }
       }
     }(enc)
   }
@@ -70,6 +76,34 @@ object Multimodal {
     ((if (w > 0) w else 32), 64, (bytes.length % 3) + 1,
       if (v % 2 == 0) "png" else "jpeg")
   }
+
+  /** Batch form of [[stubCodec]] for [[mapImageBatches]]. */
+  def stubBatchCodec(batch: Seq[Array[Byte]]): Seq[(Int, Int, Int, String)] =
+    batch.map(stubCodec)
+
+  /** Aspect-preserving resize target: scale so the longer edge equals
+    * `maxEdge` (never upscales). Pure integer/double arithmetic — the
+    * standard pre-embedding resize computed in codegen, so planning a
+    * 100 TB image corpus's resize needs no decode at all. */
+  def resizeDims(w: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column,
+                 maxEdge: Int): org.apache.spark.sql.Column = {
+    val longEdge = greatest(w, h)
+    val scale = lit(maxEdge.toDouble) / longEdge.cast("double")
+    when(longEdge <= maxEdge, struct(w.as("w"), h.as("h")))
+      .otherwise(struct(
+        greatest(round(w.cast("double") * scale).cast("int"), lit(1)).as("w"),
+        greatest(round(h.cast("double") * scale).cast("int"), lit(1)).as("h")))
+  }
+
+  /** Audio chunking plumbing: one row per fixed-length chunk of a clip,
+    * from a duration column — explode over a sequence, no decode. The
+    * last chunk may be short; `chunk_start_ms` marks its offset. */
+  def chunkAudio(df: DataFrame, durationMsCol: String, chunkMs: Int): DataFrame =
+    df.withColumn("chunk_start_ms",
+      explode(sequence(lit(0),
+        greatest(col(durationMsCol) - 1, lit(0)), lit(chunkMs))))
+      .withColumn("chunk_ms",
+        least(lit(chunkMs), col(durationMsCol) - col("chunk_start_ms")))
 
   /** Frame-sampling plumbing for video-shaped data: given a frame count
     * metadata column, emit one row per sampled frame index (every

@@ -456,6 +456,22 @@ object AggWindowQueries {
         FROM lineitem GROUP BY l_returnflag"""),
       "exact interpolated percentiles (sort-based agg)"),
 
+    // ---- typed Aggregator via udaf: weighted mean -------------------------------------
+    // Exact fixed-point accumulation inside the Aggregator makes the
+    // result independent of partial-agg merge order → hash-matchable.
+    "q80_weighted_mean" -> Q(
+      (s, d) => {
+        val wmean = udaf(graft.functions.Aggregators.weightedMean)
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(wmean(col("l_extendedprice"), col("l_quantity")).as("wavg_price"))
+      },
+      Some("""SELECT l_returnflag,
+          cast(sum(cast(floor(l_extendedprice*l_quantity*10000 + 0.5) as bigint)) as double)
+          / cast(sum(cast(floor(l_quantity*10000 + 0.5) as bigint)) as double) AS wavg_price
+        FROM lineitem GROUP BY l_returnflag"""),
+      "typed Aggregator (udaf): merge-order-independent weighted mean"),
+
     // ---- approximate distinct (HLL) — no exact oracle, rows-only check ----------------
     "q51_approx_distinct" -> Q(
       (s, d) => Tables.lineitem(s, d)

@@ -139,5 +139,71 @@ object DomainQueries {
           coalesce(f.lat, s.lat) AS lat
         FROM stations s LEFT JOIN fixes f USING (sample_id)"""),
       "shrimp_station_fixes: correction overlay + 37→14 cruise reclass"),
+
+    // ---- vessel SCD resolution (initdb.R:106-108) --------------------------
+    // Events (orders) resolved against a synthetic non-overlapping vessel
+    // history; the '-0' unknown-vessel key falls out of the left interval
+    // join exactly as in the reference.
+    "q81_vessel_resolution" -> Q(
+      (s, d) => {
+        val events = Tables.orders(s, d).select(
+          col("o_orderkey").as("event_id"),
+          (col("o_custkey") % 97).as("skip_nr"),
+          col("o_orderdate").as("dags"))
+        // 3 validity epochs per vessel: [1992,1995), [1995,1998), [1998,∞)
+        val hist = Tables.nation(s, d).crossJoin(
+            s.range(0, 97).select(col("id").as("skip_nr")))
+          .select(col("skip_nr"), (col("n_nationkey") % 3).as("saga_nr"))
+          .distinct()
+          .withColumn("i_gildi", to_date(concat(lit(1992) + col("saga_nr") * 3,
+            lit("-01-01"))))
+          .withColumn("ur_gildi",
+            when(col("saga_nr") === 2, lit(null).cast("date"))
+              .otherwise(to_date(concat(lit(1995) + col("saga_nr") * 3,
+                lit("-01-01")))))
+        Fisheries.resolveVesselHistory(events, hist, "skip_nr",
+          col("dags"), col("i_gildi"), col("ur_gildi"))
+          .select(col("event_id"), col("skip_nr"), col("saga_nr"), col("vessel"))
+      },
+      Some("""WITH events AS (
+          SELECT o_orderkey AS event_id, o_custkey % 97 AS skip_nr,
+                 o_orderdate AS dags
+          FROM orders),
+        hist AS (
+          SELECT DISTINCT g.skip_nr, n.n_nationkey % 3 AS saga_nr
+          FROM nation n CROSS JOIN (SELECT unnest(range(0, 97)) AS skip_nr) g),
+        hist2 AS (
+          SELECT skip_nr, saga_nr,
+            CAST(concat(1992 + saga_nr * 3, '-01-01') AS DATE) AS i_gildi,
+            CASE WHEN saga_nr = 2 THEN NULL
+                 ELSE CAST(concat(1995 + saga_nr * 3, '-01-01') AS DATE)
+            END AS ur_gildi
+          FROM hist)
+        SELECT e.event_id, e.skip_nr, h.saga_nr,
+          concat(e.skip_nr, '-', coalesce(h.saga_nr, 0)) AS vessel
+        FROM events e LEFT JOIN hist2 h
+          ON e.skip_nr = h.skip_nr
+          AND (h.i_gildi IS NULL OR
+               (e.dags > h.i_gildi AND (h.ur_gildi IS NULL OR e.dags <= h.ur_gildi)))"""),
+      "vessel slowly-changing-dimension resolution (interval join + key)"),
+
+    // ---- effort/area-standardized derived weight (initdb_add_shrimp.R:208-214)
+    "q82_derived_weight" -> Q(
+      (s, d) => Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        q4(Fisheries.derivedWeight(
+          meanWt = col("l_extendedprice"),
+          isSurvey = col("l_returnflag") === "R",
+          towLength = col("l_quantity"),
+          towCount = (col("l_linenumber") % 3) + 1,
+          area = col("l_discount") * 1000 + 1)).as("std_weight")),
+      Some(s"""SELECT l_orderkey, l_linenumber,
+          ${Q4("""(l_extendedprice /
+              (CASE WHEN l_returnflag = 'R' THEN coalesce(l_quantity, 1.0) ELSE 1.0 END))
+            / (l_linenumber % 3 + 1)
+            * (CASE WHEN l_returnflag = 'R' THEN coalesce(l_discount * 1000 + 1, 1.0) ELSE 1.0 END)""")}
+            AS std_weight
+        FROM lineitem"""),
+      "effort/area-standardized derived weight formula"),
   )
 }

@@ -29,11 +29,13 @@ object MultimodalQueries {
       (s, d) => {
         val withBin = Multimodal.withBinaryPayload(
           Tables.documents(s, d).select("doc_id", "text"), "text", "payload")
-        Multimodal.mapImageBatches(withBin, "payload")(Multimodal.stubCodec)
+        Multimodal.mapImageBatches(withBin, "payload")(Multimodal.stubBatchCodec)
           .select(col("doc_id"), col("image_meta.width").as("width"),
             col("image_meta.height").as("height"),
             col("image_meta.channels").as("channels"),
-            col("image_meta.format").as("format"))
+            col("image_meta.format").as("format"),
+            Multimodal.resizeDims(col("image_meta.width"),
+              col("image_meta.height"), 224).as("resize"))
       },
       None,
       "stubbed media decode through mapPartitions batch plumbing"),

@@ -51,6 +51,24 @@ object Events {
       .select(col("window.start").cast("long").as("win_start"),
         col("event_type"), col("n"))
 
+  /** Stream-stream interval join: each click is enriched with the same
+    * user's views from the preceding hour. Both sides carry watermarks
+    * and the join condition carries a time range, so Spark can bound the
+    * buffered state on each side (state horizon = watermark + range).
+    * The batch twin of this shape is Relational.asofJoin /
+    * q77_asof_join.
+    */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts_utc", "1 hour").alias("c")
+    val v = views.withWatermark("ts_utc", "2 hours").alias("v")
+    c.join(v,
+      expr("""c.user_id = v.user_id AND
+              v.ts_utc BETWEEN c.ts_utc - INTERVAL 1 HOUR AND c.ts_utc"""))
+      .select(col("c.event_id").as("click_id"),
+        col("v.event_id").as("view_id"),
+        col("c.user_id").as("user_id"))
+  }
+
   /** Streaming exact dedup — the streaming twin of Dedup.exact for
     * at-least-once sources: duplicate event_ids arriving within the
     * watermark horizon are dropped; state for an id is freed once the

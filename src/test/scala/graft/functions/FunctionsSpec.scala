@@ -139,6 +139,31 @@ class TextSpec extends SparkSpec {
   }
 }
 
+class AggregatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("weightedMean: exact weighted average, zero weight → null, SQL-registrable") {
+    spark.udf.register("wmean", udaf(Aggregators.weightedMean))
+    val df = Seq(("a", 10.0, 1.0), ("a", 20.0, 3.0), ("b", 5.0, 0.0))
+      .toDF("g", "x", "w")
+    df.createOrReplaceTempView("wm_t")
+    val out = spark.sql("SELECT g, wmean(x, w) AS m FROM wm_t GROUP BY g")
+      .as[(String, Option[Double])].collect().toMap
+    assert(out("a").contains((10.0 * 1 + 20.0 * 3) / 4)) // 17.5
+    assert(out("b").isEmpty) // zero total weight guard
+  }
+
+  test("weightedMean result is independent of partitioning (merge order)") {
+    val wm = udaf(Aggregators.weightedMean)
+    val rows = (1 to 1000).map(i => (i.toDouble * 1.01, (i % 7 + 1).toDouble))
+    val one = rows.toDF("x", "w").coalesce(1)
+      .agg(wm(col("x"), col("w"))).as[Double].head()
+    val many = rows.toDF("x", "w").repartition(13)
+      .agg(wm(col("x"), col("w"))).as[Double].head()
+    assert(one == many) // bitwise equal, not approximately
+  }
+}
+
 class VectorsSpec extends SparkSpec {
   import spark.implicits._
 

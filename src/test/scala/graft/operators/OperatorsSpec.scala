@@ -186,16 +186,49 @@ class MultimodalSpec extends SparkSpec {
     val withBin = Multimodal.withBinaryPayload(df, "text", "payload")
     assert(withBin.schema("payload").dataType ==
       org.apache.spark.sql.types.BinaryType)
-    val out = Multimodal.mapImageBatches(withBin, "payload")(Multimodal.stubCodec)
+    val out = Multimodal.mapImageBatches(withBin, "payload")(Multimodal.stubBatchCodec)
     val rows = out.select("doc_id", "image_meta.width", "image_meta.format")
       .as[(Long, Int, String)].collect()
     assert(rows.length == 2)
     assert(rows.forall { case (_, w, f) => w >= 32 && (f == "png" || f == "jpeg") })
     // deterministic: same input → same meta
-    val again = Multimodal.mapImageBatches(withBin, "payload")(Multimodal.stubCodec)
+    val again = Multimodal.mapImageBatches(withBin, "payload")(Multimodal.stubBatchCodec)
       .select("doc_id", "image_meta.width", "image_meta.format")
       .as[(Long, Int, String)].collect()
     assert(rows.toSeq == again.toSeq)
+  }
+
+  test("mapImageBatches hands the codec real batches bounded by batchSize") {
+    val df = (1 to 10).map(i => (i.toLong, s"doc$i")).toDF("doc_id", "text")
+      .repartition(2)
+    val withBin = Multimodal.withBinaryPayload(df, "text", "payload")
+    val seen = spark.sparkContext.collectionAccumulator[Int]("batchSizes")
+    val out = Multimodal.mapImageBatches(withBin, "payload", batchSize = 3) { batch =>
+      seen.add(batch.length)
+      Multimodal.stubBatchCodec(batch)
+    }
+    assert(out.count() == 10)
+    val sizes = seen.value
+    assert(sizes.size() >= 4)                       // 10 rows / batches of ≤3
+    (0 until sizes.size()).foreach(i => assert(sizes.get(i) <= 3 && sizes.get(i) > 0))
+  }
+
+  test("resizeDims: aspect-preserving downscale, never upscales") {
+    val df = Seq((640, 480), (300, 600), (64, 64)).toDF("w", "h")
+    val out = df.select(Multimodal.resizeDims(col("w"), col("h"), 224).as("r"))
+      .select("r.w", "r.h").as[(Int, Int)].collect().toSeq
+    assert(out(0) == ((224, 168)))  // 640x480 → long edge 224
+    assert(out(1) == ((112, 224)))  // portrait 300x600 → long edge 224
+    assert(out(2) == ((64, 64)))    // already small → never upscaled
+  }
+
+  test("chunkAudio: one row per fixed chunk, short tail chunk") {
+    val df = Seq((1L, 2500), (2L, 900)).toDF("clip_id", "dur_ms")
+    val out = Multimodal.chunkAudio(df, "dur_ms", 1000)
+      .select("clip_id", "chunk_start_ms", "chunk_ms")
+      .as[(Long, Int, Int)].collect().toSet
+    assert(out == Set((1L, 0, 1000), (1L, 1000, 1000), (1L, 2000, 500),
+      (2L, 0, 900)))
   }
 
   test("sampleFrames explodes every stride-th frame index") {

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+import graft.SparkSpec
+
+/** Property-based invariants (SURVEY.md §5.3) — each operator checked
+  * against a plain-Scala reference implementation on randomized small
+  * frames. Deterministic seed; 15 cases per property keeps the Spark
+  * job count sane.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(15)
+    .withInitialSeed(Seed(42L))
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(params, p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("intervalJoin matches a brute-force reference on random intervals") {
+    val evGen = Gen.listOfN(6, Gen.zip(Gen.choose(0, 3), Gen.choose(0, 30)))
+    val histGen = Gen.listOfN(5, Gen.zip(Gen.choose(0, 3),
+      Gen.option(Gen.choose(0, 30)), Gen.option(Gen.choose(0, 30)),
+      Gen.alphaLowerStr.map(_.take(3))))
+    check(Prop.forAll(evGen, histGen) { (evs, hist) =>
+      val ev = evs.toDF("k", "t")
+      val h = hist.toDF("k", "s", "e", "tag")
+      val got = Relational.intervalJoin(ev, h, Seq("k"),
+        col("t"), col("s"), col("e"))
+        .select("k", "t", "tag").as[(Int, Int, String)].collect().toSet
+      // reference: null start keeps unconditionally; else (s, e] with
+      // null end open (initdb.R:108)
+      val want = (for {
+        (ek, t) <- evs
+        (hk, s, e, tag) <- hist
+        if ek == hk
+        if s.isEmpty || (t > s.get && (e.isEmpty || t <= e.get))
+      } yield (ek, t, tag)).toSet
+      got == want
+    })
+  }
+
+  test("dedupKeepFirst returns exactly the order-minimal row per key") {
+    val rowsGen = Gen.listOfN(10, Gen.choose(0, 3)).map(_.zipWithIndex)
+    check(Prop.forAll(rowsGen) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("k", "ord")
+        val got = Relational.dedupKeepFirst(df, Seq("k"), Seq(col("ord").asc))
+          .as[(Int, Int)].collect().toSet
+        val want = rows.groupBy(_._1).map { case (_, g) => g.minBy(_._2) }.toSet
+        got == want
+      }
+    })
+  }
+
+  test("bucketize matches linear first-match scan for random rule tables") {
+    val rulesGen = Gen.listOfN(4, Gen.zip(Gen.choose(0d, 50d), Gen.choose(0d, 50d)))
+      .map(_.zipWithIndex.map { case ((a, b), i) =>
+        (math.min(a, b), math.max(a, b), s"d$i") })
+    val valsGen = Gen.listOfN(8, Gen.choose(-5d, 55d))
+    check(Prop.forAll(rulesGen, valsGen) { (rules, vs) =>
+      val df = vs.toDF("p")
+      val got = df.select(Relational.bucketize(col("p"),
+        rules.map { case (lo, hi, v) => (lo, hi, v: Any) }, "d0").as("d"))
+        .as[String].collect().toSeq
+      val want = vs.map(v =>
+        rules.find { case (lo, hi, _) => v >= lo && v <= hi }
+          .map(_._3).getOrElse("d0"))
+      got == want
+    })
+  }
+
+  test("globalRowNumber assigns exactly the sort rank (dense 1..n)") {
+    val rowsGen = Gen.listOfN(40, Gen.choose(0, 100)).map(_.zipWithIndex)
+    check(Prop.forAll(rowsGen) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("v", "id").repartition(3)
+        val got = Relational.globalRowNumber(df, Seq(col("v"), col("id")))
+          .select("id", "rn").as[(Int, Int)].collect().toMap
+        val want = rows.sortBy(r => (r._1, r._2)).zipWithIndex
+          .map { case ((_, id), i) => id -> (i + 1) }.toMap
+        got == want
+      }
+    })
+  }
+
+  test("scaleWithCounts mass invariant: Σ scaled == ratio × Σ count per sample") {
+    import graft.domain.Fisheries
+    val lenGen = Gen.listOfN(6,
+      Gen.zip(Gen.choose(1, 2), Gen.choose(1d, 50d), Gen.choose(1d, 20d)))
+    check(Prop.forAll(lenGen) { ls =>
+      val lengths = ls.map { case (s, l, c) => (s.toLong, 1, l, c) }
+        .toDF("sample_id", "species", "length", "count")
+      val ratios = ls.map(_._1).distinct.map { s =>
+        (s.toLong, 1, 30.0, 10.0, 0.0, 0.0) // count ratio 3, weight NA
+      }.toDF("sample_id", "species", "counted", "measured",
+        "catch_weight", "sample_weight")
+      val out = Fisheries.scaleWithCounts(lengths, ratios, Map.empty)
+      val bySample = out.groupBy("sample_id")
+        .agg(sum("scaled_count").as("sc"), sum("count").as("c"))
+        .as[(Long, Double, Double)].collect()
+      bySample.forall { case (_, sc, c) => math.abs(sc - 3.0 * c) < 1e-9 }
+    })
+  }
+}

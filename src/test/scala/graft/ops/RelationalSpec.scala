@@ -129,6 +129,14 @@ class RelationalSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("k", "a", "b"))
   }
 
+  test("groupToSortedList produces deterministic sorted lists") {
+    val df = Seq((1, "c"), (1, "a"), (2, "z"), (1, "b")).toDF("k", "v")
+    val out = Relational.groupToSortedList(df, "k", "v")
+    assert(out.columns.toSeq == Seq("k", "v_list"))
+    val m = out.as[(Int, Seq[String])].collect().toMap
+    assert(m(1) == Seq("a", "b", "c") && m(2) == Seq("z"))
+  }
+
   test("keepDuplicatedKeys keeps only groups with >= minCount rows") {
     val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
     val out = Relational.keepDuplicatedKeys(df, Seq("k"))

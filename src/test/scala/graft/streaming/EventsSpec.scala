@@ -31,6 +31,29 @@ class EventsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("clickViewJoin: stream-stream time-range join matches hand expectation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Events.Ev]
+    val views = MemoryStream[Events.Ev]
+    // times in seconds → micros → nanos below; click at t=4000s
+    clicks.addData(Events.Ev(100, 4000L * 1000000, 1, "click", 0.0))
+    views.addData(
+      Events.Ev(200, 3900L * 1000000, 1, "view", 0.0), // within 1h before
+      Events.Ev(201, 100L * 1000000, 1, "view", 0.0),  // too old
+      Events.Ev(202, 3950L * 1000000, 2, "view", 0.0)) // other user
+    def prep(ms: MemoryStream[Events.Ev]) = ms.toDF()
+      .withColumn("ts", col("ts") * 1000)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    val out = Events.clickViewJoin(prep(clicks), prep(views))
+    val q = out.writeStream.format("memory").queryName("cvjoin")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("cvjoin")
+      .select("click_id", "view_id").as[(Long, Long)].collect().toSet
+    assert(rows == Set((100L, 200L)))
+  }
+
   test("dedupStream drops duplicate event_ids within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
