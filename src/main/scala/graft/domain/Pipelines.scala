@@ -1,0 +1,76 @@
+package graft.domain
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+import graft.sources.Sinks
+
+/** End-to-end reconstruction of the reference's main ETL DAG
+  * (/root/reference/R/initdb.R) as one composable pipeline: the proof
+  * that a user of the reference can run their whole flow on this
+  * library, not just its individual operators.
+  *
+  * Stages mirror initdb.R's stations→ldist build:
+  *  1. vessel SCD resolution over the event date (initdb.R:106-108)
+  *  2. correction overlay + rule reclassification (shrimp_station_fixes)
+  *  3. durable checkpoint bucketed by the join key — the reference's
+  *     `compute(name='stations', indexes=list('tow'))` (initdb.R:151)
+  *  4. measurements RIGHT-joined to stations (every station kept,
+  *     zero-fill; initdb.R:210-215) + sex recode (initdb.R:216-219)
+  *  5. whole-catch scaling via skala_med_toldum2 semantics
+  *  6. idempotent `data_source`-keyed import (mfdb_import_survey)
+  */
+object Pipelines {
+
+  final case class LdistConfig(
+      vesselKey: String = "skip_nr",
+      stationKey: String = "sample_id",
+      dataSource: String = "iceland-ldist",
+      checkpointPath: Option[String] = None)
+
+  def buildLdist(stations: DataFrame, vesselHistory: DataFrame,
+                 stationFixes: DataFrame, fixCols: Seq[String],
+                 reclassCruises: Set[String], lengths: DataFrame,
+                 ratios: DataFrame, biom: Map[Int, Fisheries.BiomParams],
+                 warehousePath: String,
+                 cfg: LdistConfig = LdistConfig()): DataFrame = {
+    // 1-2. station register: SCD vessel resolution, then fix overlay
+    val resolved = Fisheries.resolveVesselHistory(
+      stations, vesselHistory, cfg.vesselKey,
+      col("dags"), col("i_gildi"), col("ur_gildi"))
+    val fixed = Fisheries.stationFixes(
+      resolved, stationFixes, cfg.stationKey, fixCols, reclassCruises)
+
+    // 3. compute()-style checkpoint, bucketed on the downstream join key
+    val stationsReady = cfg.checkpointPath match {
+      case Some(p) => Relational.checkpoint(fixed, p, Seq(cfg.stationKey))
+      case None => fixed
+    }
+
+    // 4. measurements right-joined so stations without lengths survive
+    //    with zero counts (nvl(fjoldi,0) in the reference)
+    val joined = lengths.join(stationsReady, Seq(cfg.stationKey), "right")
+      .na.fill(0.0, Seq("count"))
+      .withColumn("sex",
+        when(col("kyn") === 2, "F").when(col("kyn") === 1, "M").otherwise(""))
+
+    // 5. whole-catch scaling (skala_med_toldum2) on measured rows;
+    //    stations with no measurements re-enter with zero counts (the
+    //    reference's nvl(lengd,0)/nvl(fjoldi,0) rows)
+    val measured = joined.filter(col("length").isNotNull)
+    val unmeasured = joined.filter(col("length").isNull)
+    val scaled = Fisheries.scaleWithCounts(
+      measured.select(cfg.stationKey, "species", "length", "count"),
+      ratios, biom)
+    val out = measured
+      .join(scaled.select(col(cfg.stationKey), col("species"),
+          col("length"), col("count"), col("length_interval"),
+          col("scaled_count"), col("mean_weight")),
+        Seq(cfg.stationKey, "species", "length", "count"), "left")
+      .unionByName(unmeasured, allowMissingColumns = true)
+
+    // 6. idempotent replace-per-source import
+    Sinks.replaceDataSource(out, warehousePath, cfg.dataSource)
+    out
+  }
+}

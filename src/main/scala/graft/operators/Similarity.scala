@@ -103,13 +103,15 @@ object Similarity {
   /** (negated cosine, index) structs against each literal centroid —
     * struct ordering makes array_min/sort_array pick the BEST centroid
     * first. Centroids exist only as codegen literals, like the LSH
-    * hyperplanes. */
+    * hyperplanes. The row vector's norm is let-bound (one evaluation,
+    * not one per centroid); each centroid's norm constant-folds. */
   private def centroidScores(vec: Column, centroids: Seq[Seq[Float]]): Column =
-    array(centroids.zipWithIndex.map { case (cv, i) =>
-      val litVec = array(cv.map(lit): _*)
-      val cos = Vectors.dot(vec, litVec) / (Vectors.norm(vec) * Vectors.norm(litVec))
-      struct((-cos).as("neg"), lit(i).as("idx"))
-    }: _*)
+    graft.functions.Text.bindOnce(Vectors.norm(vec), nv =>
+      array(centroids.zipWithIndex.map { case (cv, i) =>
+        val litVec = array(cv.map(lit): _*)
+        val cos = Vectors.dot(vec, litVec) / (nv * Vectors.norm(litVec))
+        struct((-cos).as("neg"), lit(i).as("idx"))
+      }: _*))
 
   /** Index of the nearest centroid (cosine). */
   def nearestCentroid(vec: Column, centroids: Seq[Seq[Float]]): Column =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-import graft.functions.{Geo, Text}
+import graft.functions.{Geo, Text, Vectors}
 import graft.operators.Dedup
 
 /** SQL-surface registration for the graft function library.
@@ -50,7 +50,11 @@ object GraftFunctions {
     ("simhash64", info("simhash64", "64-bit content simhash"),
       (args: Seq[Expression]) => expression(Dedup.simhash64(c(args(0))))),
     ("rolling_hash", info("rolling_hash", "polynomial hash of normalized text"),
-      (args: Seq[Expression]) => expression(Text.rollingHash(c(args(0))))))
+      (args: Seq[Expression]) => expression(Text.rollingHash(c(args(0))))),
+    ("dot_f", info("dot_f", "dot product of two float-array embeddings"),
+      (args: Seq[Expression]) => expression(Vectors.dot(c(args(0)), c(args(1))))),
+    ("cosine_f", info("cosine_f", "cosine similarity of two float-array embeddings"),
+      (args: Seq[Expression]) => expression(Vectors.cosine(c(args(0)), c(args(1))))))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit = all.foreach { case (n, i, b) =>

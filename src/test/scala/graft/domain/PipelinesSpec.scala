@@ -1,0 +1,64 @@
+package graft.domain
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.domain.Fisheries.BiomParams
+import graft.sources.Sinks
+
+class PipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("buildLdist: full stations→ldist DAG end-to-end with import sink") {
+    val dir = java.nio.file.Files.createTempDirectory("ldist").toString
+
+    // station register: two stations, one with a bad lat to be fixed,
+    // one on a reclassified cruise
+    val stations = Seq(
+      (10L, 100, 15, 37, "CA", -99.0), // cruise CA member → class 14; lat fixed
+      (20L, 200, 5, 30, "CB", 64.5))   // no history match → vessel "200-0"
+      .toDF("sample_id", "skip_nr", "dags", "sample_class", "cruise", "lat")
+    val hist = Seq((100, 2, 10, 20)).toDF("skip_nr", "saga_nr", "i_gildi", "ur_gildi")
+    val fixes = Seq((10L, 65.75)).toDF("sample_id", "lat")
+
+    // measurements for station 10 only — station 20 must still survive
+    val lengths = Seq(
+      (10L, 41, 2.0, 10.0, 2), (10L, 41, 3.0, 30.0, 1))
+      .toDF("sample_id", "species", "length", "count", "kyn")
+    val ratios = Seq((10L, 41, 200.0, 100.0, 1000.0, 100.0))
+      .toDF("sample_id", "species", "counted", "measured", "catch_weight",
+        "sample_weight")
+
+    val out = Pipelines.buildLdist(stations, hist, fixes, Seq("lat"),
+      Set("CA"), lengths, ratios, Map(41 -> BiomParams(0.0006, 2.85, 0.1)),
+      warehousePath = s"$dir/warehouse",
+      cfg = Pipelines.LdistConfig(checkpointPath = Some(s"$dir/ckpt")))
+
+    val rows = out.select("sample_id", "sample_class", "lat", "vessel",
+      "sex", "scaled_count").collect()
+    // station 20 has no measurements but survives (right-join contract)
+    // with zero count and the unknown-vessel key
+    val s20 = out.filter(col("sample_id") === 20L)
+      .select("count", "vessel").as[(Double, String)].collect()
+    assert(s20.toSeq == Seq((0.0, "200-0")))
+    val s10 = rows.filter(_.getLong(0) == 10L)
+    assert(s10.nonEmpty)
+    assert(s10.forall(_.getInt(1) == 14))       // 37→14 reclass applied
+    assert(s10.forall(_.getDouble(2) == 65.75)) // lat overlay applied
+    assert(s10.forall(_.getString(3) == "100-2")) // SCD resolved key
+    // biom species scaled by weight ratio 1000/100 = 10
+    val scaledByLen = out.filter(col("sample_id") === 10L)
+      .select("length", "scaled_count").as[(Double, Double)].collect().toMap
+    assert(scaledByLen(2.0) == 100.0 && scaledByLen(3.0) == 300.0)
+    assert(s10.forall(r => r.getString(4) == "F" || r.getString(4) == "M"))
+
+    // sink is idempotent per data_source: re-run replaces, not appends
+    val again = Pipelines.buildLdist(stations, hist, fixes, Seq("lat"),
+      Set("CA"), lengths, ratios, Map(41 -> BiomParams(0.0006, 2.85, 0.1)),
+      warehousePath = s"$dir/warehouse",
+      cfg = Pipelines.LdistConfig(checkpointPath = Some(s"$dir/ckpt2")))
+    val imported = Sinks.readImported(spark, s"$dir/warehouse")
+    assert(imported.count() == again.count())
+    assert(imported.select("data_source").distinct().as[String].collect()
+      .toSeq == Seq("iceland-ldist"))
+  }
+}

@@ -184,6 +184,25 @@ class VectorsSpec extends SparkSpec {
     assert(d == 11.0 && n == 5.0)
   }
 
+  test("native dot matches the HOF formulation bitwise, stays in codegen") {
+    val vecs = (0 until 12).map(i =>
+      (i.toLong, Seq.tabulate(16)(j => (((i * 31 + j) % 17) - 8) * 0.25f)))
+    val df = vecs.toDF("id", "v")
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .select(col("a.v").as("va"), col("b.v").as("vb"))
+    val native = pairs.select(Vectors.dot(col("va"), col("vb")).as("d"))
+      .as[Double].collect().toSeq
+    val hof = pairs.select(
+      aggregate(zip_with(transform(col("va"), _.cast("double")),
+        transform(col("vb"), _.cast("double")), (x, y) => x * y),
+        lit(0d), (acc, x) => acc + x).as("d"))
+      .as[Double].collect().toSeq
+    assert(native == hof) // bitwise-equal accumulation order
+    val plan = pairs.select(Vectors.dot(col("va"), col("vb")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dot_f"), plan)
+  }
+
   test("lshBucket: identical vectors collide, bucket in range") {
     val v = Seq(0.5f, -1.2f, 3.3f, 0.01f)
     val df = Seq((v, v)).toDF("a", "b")
