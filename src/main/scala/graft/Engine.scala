@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.plans.GraftExtensions
+
+/** Session factory — the one place the engine's required configuration
+  * lives (SURVEY §7.1 `core`): UTC semantics, AQE on, nanos-as-long for
+  * the event fixtures, shuffle parallelism sized to the executor count,
+  * and the graft SQL functions injected via SparkSessionExtensions.
+  */
+object Engine {
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
+            appName: String = "graft"): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -41,6 +41,27 @@ object Dedup {
         array_min(transform(sh, s => xxhash64(s, lit(seed))))
       }: _*))
 
+  /** Bulk MinHash signatures: (id, sig) via explode + one hash aggregate
+    * with `numHashes` codegen'd min() columns — the same
+    * interpreted-HOF-to-codegen move as [[simhashSignatures]]. Signatures
+    * equal [[minhashSignature]] exactly (min over the same distinct
+    * shingle set; docs with no shingles get the all-null signature the
+    * Column form produces). One shuffle on id. */
+  def minhashSignaturesBulk(df: DataFrame, idCol: String, textCol: String,
+                            shingleSize: Int, numHashes: Int): DataFrame = {
+    val ids = df.select(col(idCol).as("id"))
+    val sh = df.select(col(idCol).as("id"),
+      explode(Text.shingles(col(textCol), shingleSize)).as("sh"))
+    val minCols = (0 until numHashes).map { seed =>
+      min(xxhash64(col("sh"), lit(seed))).as(s"m$seed")
+    }
+    val sigs = sh.groupBy("id").agg(minCols.head, minCols.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(s => col(s"m$s")): _*).as("sig"))
+    ids.join(sigs, Seq("id"), "left")
+      .select(col("id"), coalesce(col("sig"),
+        array_repeat(lit(null).cast("long"), numHashes)).as("sig"))
+  }
+
   /** MinHash+LSH candidate pairs: band the signature (`bands` ×
     * `rowsPerBand` = numHashes), hash each band to a bucket, self-join on
     * (band, bucket), emit distinct (a < b) id pairs. The join key space is
@@ -50,8 +71,7 @@ object Dedup {
                         shingleSize: Int = 3, bands: Int = 4,
                         rowsPerBand: Int = 4): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+    val sig = minhashSignaturesBulk(df, idCol, textCol, shingleSize, numHashes)
     val banded = sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))

@@ -30,6 +30,22 @@ class DedupSpec extends SparkSpec {
     assert(cands.contains((1L, 2L)))
   }
 
+  test("minhashSignaturesBulk (codegen path) equals minhashSignature (column) per doc") {
+    val bulk = Dedup.minhashSignaturesBulk(docs, "doc_id", "text", 3, 16)
+      .as[(Long, Seq[Option[Long]])].collect().toMap
+    val viaCol = docs.select(col("doc_id"),
+      Dedup.minhashSignature(col("text"), 3, 16))
+      .as[(Long, Seq[Option[Long]])].collect().toMap
+    assert(bulk == viaCol)
+    // doc shorter than the shingle size → all-null signature on both paths
+    val tiny = Seq((9L, "a b")).toDF("doc_id", "text")
+    val b = Dedup.minhashSignaturesBulk(tiny, "doc_id", "text", 3, 4)
+      .as[(Long, Seq[Option[Long]])].head()
+    val c = tiny.select(col("doc_id"), Dedup.minhashSignature(col("text"), 3, 4))
+      .as[(Long, Seq[Option[Long]])].head()
+    assert(b == c && b._2.forall(_.isEmpty))
+  }
+
   test("jaccardPairs computes exact jaccard within blocks") {
     val out = Dedup.jaccardPairs(docs, "doc_id", "text", "source",
       shingleSize = 3, minJaccard = 0.1)

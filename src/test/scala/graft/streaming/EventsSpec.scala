@@ -31,6 +31,30 @@ class EventsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("watermark: late events are dropped, finalized windows don't reopen") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Events.Ev]
+    def ev(id: Long, sec: Long) = Events.Ev(id, sec * 1000000L, 1, "a", 1.0)
+    def prep = ms.toDF().withColumn("ts", col("ts") * 1000)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    val q = Events.hourlyCounts(prep)
+      .writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    try {
+      // batch 1: 10:30 and 14:00 → watermark advances to 12:00, the
+      // [10:00,11:00) window finalizes and appends with n=1
+      ms.addData(ev(1, 3600 * 10 + 1800), ev(2, 3600 * 14))
+      q.processAllAvailable()
+      // batch 2: both events are older than the 12:00 watermark → dropped
+      ms.addData(ev(3, 3600 * 10 + 2700), ev(4, 3600 * 11 + 1800))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("late")
+      .select("hour_epoch", "n").as[(Long, Long)].collect().toSet
+    assert(rows == Set((3600L * 10, 1L))) // n stays 1; no hour-11 row
+  }
+
   test("clickViewJoin: stream-stream time-range join matches hand expectation") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
