@@ -18,6 +18,16 @@ object Text {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-style pre-tokenizer count: letter runs, digit runs, and single
+    * punctuation marks each count as one token — the split shape GPT-ish
+    * byte-pair tokenizers apply before merges, minus lookahead so the
+    * same pattern runs on RE2 engines (DuckDB oracle). A cheap proxy for
+    * "model tokens" in corpus budgeting, where whitespace counts
+    * undercount code/punctuation-heavy text. */
+  val subwordPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def subwordTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit(subwordPattern))
+
   /** Normalize: lowercase, strip non-alphanumerics, collapse whitespace. */
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))

@@ -36,21 +36,41 @@ object Vectors {
   /** Deterministic pseudo-random hyperplane component for LSH bucketing:
     * a unit-free hash-derived value in [-0.5, 0.5) for (seed, dim index).
     * Pure expression → the "random" projection matrix never exists as
-    * data, only as codegen'd arithmetic.
+    * data, only as codegen'd arithmetic. `seed` may be a literal or a
+    * bound column — `hash(i, seed)` is the same Murmur3 either way, so
+    * the two formulations produce identical buckets.
     */
-  private def hashUnit(seed: Int, i: Column): Column =
-    (pmod(hash(i, lit(seed)), lit(1000000)).cast("double") / 1000000d) - 0.5d
+  private def hashUnit(seed: Column, i: Column): Column =
+    (pmod(hash(i, seed), lit(1000000)).cast("double") / 1000000d) - 0.5d
 
   /** Sign bit of the projection of `v` onto pseudo-random hyperplane
     * `seed`. Concatenating `nBits` of these gives a cosine-LSH bucket id:
     * vectors with small angle collide with high probability. */
   def lshBit(v: Column, seed: Int): Column = {
     val prods = transform(toDoubleArray(v),
-      (x, i) => x * hashUnit(seed, i))
+      (x, i) => x * hashUnit(lit(seed), i))
     when(aggregate(prods, lit(0d), (acc, x) => acc + x) >= 0, 1).otherwise(0)
   }
 
-  /** Cosine-LSH bucket id from `nBits` hyperplane sign bits. */
-  def lshBucket(v: Column, nBits: Int): Column =
-    (0 until nBits).map(b => lshBit(v, b) * lit(1 << b)).reduce(_ + _)
+  /** Cosine-LSH bucket id from `nBits` hyperplane sign bits.
+    *
+    * Single-pass form: one indexed traversal accumulates all nBits
+    * projection sums at once (vote vector accumulator), instead of
+    * 2·nBits array passes via per-bit lshBit — the interpreted-HOF cost
+    * model again (see Text.bindOnce). Per-bit sums accumulate in the
+    * same element order as lshBit, so bucket ids are bit-identical.
+    */
+  def lshBucket(v: Column, nBits: Int): Column = {
+    val bitIdx = sequence(lit(0), lit(nBits - 1))
+    graft.functions.Text.bindOnce(toDoubleArray(v), dv => {
+      val indexed = transform(dv, (x, i) => struct(x.as("x"), i.as("i")))
+      val votes = aggregate(indexed, array_repeat(lit(0d), nBits),
+        (acc, p) => zip_with(acc, bitIdx, (a, b) =>
+          a + p.getField("x") * hashUnit(b, p.getField("i"))))
+      aggregate(
+        zip_with(votes, bitIdx, (vv, b) =>
+          when(vv >= 0, call_function("shiftleft", lit(1), b)).otherwise(lit(0))),
+        lit(0), (acc, x) => acc + x)
+    })
+  }
 }

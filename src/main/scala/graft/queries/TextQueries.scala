@@ -18,15 +18,17 @@ object TextQueries {
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
           Text.tokenCount(col("text")).as("n_tok"),
+          Text.subwordTokenCount(col("text")).as("n_subword"),
           length(col("text")).as("n_char"),
           q4(length(col("text")).cast("double") /
             Text.tokenCount(col("text")).cast("double")).as("chars_per_tok")),
       Some(s"""SELECT doc_id,
           CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tok,
+          CAST(len(regexp_extract_all(lower(text), '${Text.subwordPattern}')) AS INTEGER) AS n_subword,
           CAST(length(text) AS INTEGER) AS n_char,
           ${Q4("CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+'))")} AS chars_per_tok
         FROM documents"""),
-      "whitespace token counting + chars/token"),
+      "whitespace + BPE-ish subword token counting, chars/token"),
 
     // ---- quality scoring ----------------------------------------------------
     "q54_quality_score" -> Q(

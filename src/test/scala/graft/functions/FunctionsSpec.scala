@@ -68,6 +68,16 @@ class TextSpec extends SparkSpec {
     assert(df.select(Text.tokenCount(col("t"))).as[Int].head() == 4)
   }
 
+  test("subwordTokenCount: letter runs, digit runs, punct each one token") {
+    // "hello" "," "world" "42" "!" → 5; code-ish text counts higher than
+    // its whitespace count
+    val df = Seq(("Hello, world 42!", "x=y+1;")).toDF("a", "b")
+    val (a, b) = df.select(Text.subwordTokenCount(col("a")),
+      Text.subwordTokenCount(col("b"))).as[(Int, Int)].head()
+    assert(a == 5)
+    assert(b == 6) // x = y + 1 ;
+  }
+
   test("normalize strips punctuation and collapses whitespace") {
     val df = Seq("Hello,   World! 42").toDF("t")
     assert(df.select(Text.normalize(col("t"))).as[String].head() == "hello world 42")
@@ -209,5 +219,18 @@ class VectorsSpec extends SparkSpec {
     val (ba, bb) = df.select(Vectors.lshBucket(col("a"), 8),
       Vectors.lshBucket(col("b"), 8)).as[(Int, Int)].head()
     assert(ba == bb && ba >= 0 && ba < 256)
+  }
+
+  test("lshBucket single-pass equals the per-bit lshBit formulation") {
+    val vecs = (0 until 10).map(i =>
+      Tuple1(Seq.tabulate(12)(j => (((i * 13 + j) % 11) - 5) * 0.5f)))
+    val df = vecs.toDF("v")
+    val onePass = df.select(Vectors.lshBucket(col("v"), 6).as("b"))
+      .as[Int].collect().toSeq
+    val perBit = df.select(
+      (0 until 6).map(b => Vectors.lshBit(col("v"), b) * lit(1 << b))
+        .reduce(_ + _).as("b"))
+      .as[Int].collect().toSeq
+    assert(onePass == perBit)
   }
 }
