@@ -91,6 +91,21 @@ object EventQueries {
         WHERE rn = 1"""),
       "as-of join: newest view at-or-before each click per user"),
 
+    // ---- semi-structured props: JSON extraction --------------------------------
+    // from_json with an explicit schema (vectorized parse once per row)
+    // rather than repeated get_json_object path probes.
+    "q83_json_extract" -> Q(
+      (s, d) => Tables.events(s, d)
+        .withColumn("parsed", from_json(col("props"), "k BIGINT", Map.empty[String, String]))
+        .select(col("event_id"), col("parsed.k").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum("k").as("k_sum")),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+          count(*) AS n,
+          CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+        FROM events GROUP BY 1"""),
+      "JSON property extraction (from_json) + aggregate"),
+
     // ---- sessionization (30-min inactivity gap) ------------------------------------
     "q67_events_sessionize" -> Q(
       (s, d) => {
