@@ -33,12 +33,17 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the JSON line short enough to survive the
+    // driver's bounded stdout-tail capture (r01/r02 both came back
+    // "parsed": null because full-precision doubles pushed the line past
+    // the capture window and truncated its front).
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     val outPath = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(outPath), line + "\n")

@@ -1,0 +1,24 @@
+package graft
+
+/** Dev tool: time individual queries by name against
+  * SPARK_GRAFT_SF_DIR (default sf0.1) with the same noop-sink methodology
+  * as Bench. Usage: runMain graft.TimeQ q63_ann_lsh q60_simhash
+  * Runs each query twice (warm JIT/scan) and reports both timings.
+  */
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Engine.local(appName = "graft-timeq")
+    spark.range(1000000L).selectExpr("sum(id)").write
+      .mode("overwrite").format("noop").save()
+    args.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      (1 to 2).foreach { run =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        println(f"[timeq] $name run$run: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+
+/** Native cosine-LSH bucket id over an `array<float>` embedding column:
+  * the sign bits of `nBits` pseudo-random hyperplane projections packed
+  * into an int.
+  *
+  * Bit-identical to the higher-order-function formulation in
+  * [[Vectors.lshBucket]] (votes accumulated per element in array order,
+  * hyperplane components `pmod(hash(i, seed), 1e6)/1e6 - 0.5` with
+  * Spark's Murmur3 `hash()` chain: `hashInt(seed=b, hashInt(i, 42))`),
+  * so bucket assignments — and therefore ANN results — are unchanged.
+  *
+  * Why native: the HOF form runs interpreted — per row it allocates an
+  * index struct per element plus an nBits-long accumulator array per
+  * element (zip_with), ~O(d·nBits) lambda dispatches. This was the
+  * dominant cost of the LSH ANN path (q63: ~10 s of a 95 s sf0.1 bench).
+  * The generated tight loop reads primitive float storage directly and
+  * keeps votes in a local double[]. SURVEY §7.4 tier (b): custom
+  * Expression where the built-in surface can't stay in codegen.
+  *
+  * Null semantics mirror the HOF form: null array → null; any null
+  * ELEMENT nulls every vote (null propagates through the per-element
+  * zip_with update simultaneously for all bits), and `when(null >= 0)`
+  * then drops every bit → bucket 0.
+  */
+case class LshBucketExpr(child: Expression, nBits: Int)
+    extends UnaryExpression {
+
+  require(nBits >= 1 && nBits <= 30, s"nBits must be in [1,30], got $nBits")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "lsh_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> input, got ${other.catalogString}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Double](nBits)
+    var nullElem = false
+    var j = 0
+    while (j < n && !nullElem) {
+      if (arr.isNullAt(j)) nullElem = true
+      else {
+        val x = arr.getFloat(j).toDouble
+        val h0 = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(j, 42)
+        var b = 0
+        while (b < nBits) {
+          val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(b, h0)
+          val u = (((h % 1000000) + 1000000) % 1000000) / 1000000.0 - 0.5
+          votes(b) += x * u
+          b += 1
+        }
+      }
+      j += 1
+    }
+    if (nullElem) 0
+    else {
+      var bucket = 0
+      var b = 0
+      while (b < nBits) {
+        if (votes(b) >= 0) bucket += (1 << b)
+        b += 1
+      }
+      bucket
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m3 = "org.apache.spark.unsafe.hash.Murmur3_x86_32"
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val b = ctx.freshName("b")
+      val x = ctx.freshName("x")
+      val h0 = ctx.freshName("h0")
+      val h = ctx.freshName("h")
+      val votes = ctx.freshName("votes")
+      val nullElem = ctx.freshName("nullElem")
+      val bucket = ctx.freshName("bucket")
+      s"""
+        int $n = $a.numElements();
+        double[] $votes = new double[$nBits];
+        boolean $nullElem = false;
+        for (int $j = 0; $j < $n && !$nullElem; $j++) {
+          if ($a.isNullAt($j)) { $nullElem = true; break; }
+          double $x = (double) $a.getFloat($j);
+          int $h0 = $m3.hashInt($j, 42);
+          for (int $b = 0; $b < $nBits; $b++) {
+            int $h = $m3.hashInt($b, $h0);
+            $votes[$b] += $x * (((($h % 1000000) + 1000000) % 1000000) / 1000000.0 - 0.5);
+          }
+        }
+        int $bucket = 0;
+        if (!$nullElem) {
+          for (int $b = 0; $b < $nBits; $b++) {
+            if ($votes[$b] >= 0) $bucket += (1 << $b);
+          }
+        }
+        ${ev.value} = $bucket;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketExpr =
+    copy(child = newChild)
+}

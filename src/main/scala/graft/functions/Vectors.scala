@@ -52,15 +52,23 @@ object Vectors {
     when(aggregate(prods, lit(0d), (acc, x) => acc + x) >= 0, 1).otherwise(0)
   }
 
-  /** Cosine-LSH bucket id from `nBits` hyperplane sign bits.
-    *
-    * Single-pass form: one indexed traversal accumulates all nBits
-    * projection sums at once (vote vector accumulator), instead of
-    * 2·nBits array passes via per-bit lshBit — the interpreted-HOF cost
-    * model again (see Text.bindOnce). Per-bit sums accumulate in the
-    * same element order as lshBit, so bucket ids are bit-identical.
-    */
+  /** Cosine-LSH bucket id from `nBits` hyperplane sign bits. Backed by
+    * the native codegen'd [[LshBucketExpr]] — the interpreted HOF form
+    * ([[lshBucketHof]], kept as the executable spec it must match
+    * bit-for-bit) allocates an index struct and an nBits accumulator
+    * array per ELEMENT and dominated the ANN profile. */
   def lshBucket(v: Column, nBits: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(LshBucketExpr(ColumnBridge.expression(v), nBits))
+  }
+
+  /** Reference formulation of [[lshBucket]] as pure Column HOFs:
+    * one indexed traversal accumulates all nBits projection sums at once
+    * (vote vector accumulator); per-bit sums accumulate in the same
+    * element order as lshBit, so bucket ids are bit-identical across all
+    * three forms. Used by tests to pin the native expression's output.
+    */
+  def lshBucketHof(v: Column, nBits: Int): Column = {
     val bitIdx = sequence(lit(0), lit(nBits - 1))
     graft.functions.Text.bindOnce(toDoubleArray(v), dv => {
       val indexed = transform(dv, (x, i) => struct(x.as("x"), i.as("i")))

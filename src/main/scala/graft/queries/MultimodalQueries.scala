@@ -34,8 +34,12 @@ object MultimodalQueries {
             col("image_meta.height").as("height"),
             col("image_meta.channels").as("channels"),
             col("image_meta.format").as("format"),
+            // flattened (not a struct): the driver's rows-only check reads
+            // the parquet with pandas, which cannot sort struct/dict cells
             Multimodal.resizeDims(col("image_meta.width"),
-              col("image_meta.height"), 224).as("resize"))
+              col("image_meta.height"), 224).getField("w").as("resize_w"),
+            Multimodal.resizeDims(col("image_meta.width"),
+              col("image_meta.height"), 224).getField("h").as("resize_h"))
       },
       None,
       "stubbed media decode through mapPartitions batch plumbing"),

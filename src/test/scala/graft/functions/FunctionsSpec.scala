@@ -233,4 +233,19 @@ class VectorsSpec extends SparkSpec {
       .as[Int].collect().toSeq
     assert(onePass == perBit)
   }
+
+  test("native lshBucket equals the HOF spec on fixture embeddings, codegen'd") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    for (nBits <- Seq(1, 6, 8, 16)) {
+      val got = emb.select(Vectors.lshBucket(col("embedding"), nBits).as("b"))
+        .as[Int].collect().toSeq
+      val want = emb.select(Vectors.lshBucketHof(col("embedding"), nBits).as("b"))
+        .as[Int].collect().toSeq
+      assert(got == want, s"nBits=$nBits")
+      assert(got.forall(b => b >= 0 && b < (1 << nBits)))
+    }
+    val plan = emb.select(Vectors.lshBucket(col("embedding"), 6))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("lsh_bucket"), plan)
+  }
 }
