@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives for dedup clustering: near-dup PAIRS
+  * (from Dedup.jaccardPairs / minhashCandidates / simhashPairs) become
+  * duplicate GROUPS via connected components — the standard final step of
+  * a corpus-dedup pipeline (keep one representative per component).
+  *
+  * The algorithm is min-label propagation in Pregel-style supersteps:
+  * every node starts labeled with its own id; each round, every node
+  * takes the min of its label and its neighbors' labels; converged when a
+  * round changes nothing. Each superstep is two hash-shuffles (join +
+  * groupBy) over the edge list — fully distributed; the driver only
+  * orchestrates rounds and reads one convergence COUNT per round (the
+  * Pregel/GraphX control model, not a data collect). Rounds needed =
+  * graph diameter; dedup-cluster graphs are near-cliques, so 2-4 rounds
+  * in practice. `localCheckpoint` after each round cuts the lineage so
+  * plan depth stays O(1) per round instead of O(rounds).
+  */
+object Graphs {
+
+  /** Connected components of the undirected graph given as an edge list
+    * (`srcCol`, `dstCol`). Returns one row per distinct node id in the
+    * edge list: (id, component) with component = min node id reachable.
+    * Isolated nodes (no edges) don't appear — union the full node set and
+    * `coalesce(component, id)` at the call site if singletons matter.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    // symmetrize once; both propagation directions come from one edge list
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(eager = true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // candidate label for dst = min label among its neighbors
+      val fromNeighbors = sym
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min("component").as("__nbr"))
+      val next = labels.join(fromNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__nbr"), col("component")))
+            .as("component"),
+          (col("__nbr") < col("component")).as("__changed"))
+        .localCheckpoint(eager = true)
+      converged = next.filter(col("__changed")).limit(1).count() == 0L
+      labels = next.drop("__changed")
+      iter += 1
+    }
+    require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")
+    labels
+  }
+
+  /** Duplicate-group assignment for a document set: every doc gets the
+    * component id of the near-dup graph induced by `edges`, docs with no
+    * near-dup edge form their own singleton group. The canonical "keep
+    * one per group" step is then a trivial min/first per component. */
+  def dupGroups(docs: DataFrame, idCol: String, edges: DataFrame,
+                srcCol: String, dstCol: String): DataFrame = {
+    val comps = connectedComponents(edges, srcCol, dstCol)
+      .withColumnRenamed("id", idCol)
+    docs.join(comps, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+  }
+}

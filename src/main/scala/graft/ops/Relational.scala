@@ -182,6 +182,35 @@ object Relational {
       .drop("__gr_pid", "__gr_off")
   }
 
+  /** Scale-safe global running sum of `value` under a total order — the
+    * cumulative-token-count primitive behind sequence packing (and any
+    * "global cumsum" ask). Same distributed shape as [[globalRowNumber]]:
+    * range-partition + sort on the order keys, per-partition running sum,
+    * then add each partition's broadcast prefix total — no
+    * single-partition window anywhere. `outCol` is the cumsum INCLUDING
+    * the current row; subtract the row's value for the exclusive prefix.
+    * `order` must be a total order for determinism.
+    */
+  def globalCumSum(df: DataFrame, order: Seq[Column], value: Column,
+                   outCol: String = "cumsum"): DataFrame = {
+    val sorted = df.withColumn("__cs_v", value.cast("long"))
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__cs_pid", spark_partition_id())
+    val offsets = sorted.groupBy("__cs_pid")
+      .agg(sum("__cs_v").as("__cs_tot"))
+      .withColumn("__cs_off",
+        coalesce(sum("__cs_tot").over(
+          Window.orderBy("__cs_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__cs_pid", "__cs_off")
+    val w = Window.partitionBy("__cs_pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sorted.join(broadcast(offsets), Seq("__cs_pid"))
+      .withColumn(outCol, col("__cs_off") + sum(col("__cs_v")).over(w))
+      .drop("__cs_pid", "__cs_off", "__cs_v")
+  }
+
   /** HAVING-style duplicate-key filter — reference `group_by %>%
     * filter(n()>1)` (shrimp_support_tables.R:1919-1920). Window count
     * keeps detail rows with one shuffle, no self-join. */

@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Text
+import graft.operators.{Dedup, Graphs}
+import graft.ops.Relational
+import Q._
+
+/** Corpus-pipeline coverage beyond per-doc scoring (SURVEY.md §2
+  * extension list): vocabulary building, TF-IDF, token-budget packing,
+  * deterministic stratified sampling, bigram statistics, duplicate-group
+  * clustering, per-label embedding centroids. All fully oracle-verified.
+  */
+object CorpusQueries {
+
+  /** DuckDB rendering of Text.normalize (shared by several oracles). */
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+  private val tokSql = s"string_split_regex($normSql, '\\s+')"
+
+  val defs: Map[String, Q] = Map(
+
+    // ---- corpus vocabulary: global top-k tokens ---------------------------
+    // orderBy+limit plans as TakeOrderedAndProject (distributed partial
+    // top-k per partition); the rank window then runs over only k rows.
+    "q84_vocab_topk" -> Q(
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(explode(Text.tokens(Text.normalize(col("text")))).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+        counts.orderBy(col("n").desc, col("tok").asc).limit(20)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("n").desc, col("tok").asc)))
+      },
+      Some(s"""SELECT tok, n, CAST(rank AS INTEGER) AS rank FROM (
+          SELECT tok, count(*) AS n,
+            row_number() OVER (ORDER BY count(*) DESC, tok) AS rank
+          FROM (SELECT unnest($tokSql) AS tok FROM documents)
+          WHERE tok <> '' GROUP BY tok)
+        WHERE rank <= 20"""),
+      "corpus vocabulary: global top-20 tokens by count"),
+
+    // ---- TF-IDF: top-3 terms per document ---------------------------------
+    // Scores are quantized to 4dp BEFORE ranking so Spark and DuckDB rank
+    // identically (ln() may differ in the last ulp across libm builds).
+    "q88_tfidf" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val n = docs.count() // corpus size: one scalar job, parameterizes idf
+        val tf = docs
+          .select(col("doc_id"),
+            explode(Text.tokens(Text.normalize(col("text")))).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val scored = tf.join(dfreq, "term")
+          .withColumn("tfidf", q4(col("tf") * log(lit(n.toDouble) / col("df"))))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("term").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("term"), col("tf"),
+            col("tfidf"), col("rank").cast("int").as("rank"))
+      },
+      Some(s"""WITH tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest($tokSql) AS term FROM documents)
+          WHERE term <> '' GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT doc_id, term, tf,
+            ${Q4("tf * ln(CAST(n.n AS DOUBLE) / df)")} AS tfidf
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        SELECT doc_id, term, tf, tfidf, CAST(rank AS INTEGER) AS rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, term) AS rank FROM scored)
+        WHERE rank <= 3"""),
+      "TF-IDF: top-3 distinguishing terms per document"),
+
+    // ---- token-budget sequence packing ------------------------------------
+    // Concat-then-chunk packing (the GPT-pretraining shape): documents in
+    // doc_id order form one virtual token stream cut every 2048 tokens.
+    // The global cumsum is the scale-safe range-partitioned one — no
+    // single-partition window (the q29 lesson).
+    "q85_token_packing" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n_tok"))
+        Relational.globalCumSum(docs, Seq(col("doc_id")), col("n_tok"), "cum")
+          .select(col("doc_id"), col("n_tok"),
+            expr("(cum - n_tok) div 2048").as("pack_id"),
+            expr("(cum - n_tok) % 2048").as("pack_off"))
+      },
+      Some("""SELECT doc_id, n_tok,
+          (c - n_tok) // 2048 AS pack_id, (c - n_tok) % 2048 AS pack_off
+        FROM (SELECT doc_id, n_tok,
+            CAST(sum(n_tok) OVER (ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+          FROM (SELECT doc_id,
+              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+            FROM documents))"""),
+      "token-budget sequence packing: concat-then-chunk pack assignment"),
+
+    // ---- deterministic stratified sampling --------------------------------
+    // Hash-gate sampling: keep a row iff the md5 of a salted stable key
+    // falls under the stratum's threshold — reproducible across engines
+    // and runs (no RNG state), the standard trick for sampling a 100 TB
+    // corpus with per-source rates. src0 ~75%, src1 ~12.5%, rest ~50%.
+    "q86_stratified_sample" -> Q(
+      (s, d) => {
+        val gate = substring(
+          md5(concat(lit("graft-sample:"), col("doc_id").cast("string"))), 1, 2)
+        val thresh = Relational.decode(col("source"),
+          Seq("src0" -> "c0", "src1" -> "20"), "80")
+        Tables.documents(s, d)
+          .filter(gate < thresh)
+          .select(col("doc_id"), col("source"))
+      },
+      Some("""SELECT doc_id, source FROM documents
+        WHERE substr(md5('graft-sample:' || CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE source WHEN 'src0' THEN 'c0' WHEN 'src1' THEN '20' ELSE '80' END"""),
+      "deterministic hash-gate stratified sampling with per-source rates"),
+
+    // ---- bigram document frequency ----------------------------------------
+    "q89_bigram_df" -> Q(
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(col("doc_id"), explode(Text.shingles(col("text"), 2)).as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("n"))
+        counts.orderBy(col("n").desc, col("bigram").asc).limit(20)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("n").desc, col("bigram").asc)))
+      },
+      Some(s"""SELECT bigram, n, CAST(rank AS INTEGER) AS rank FROM (
+          SELECT bigram, count(*) AS n,
+            row_number() OVER (ORDER BY count(*) DESC, bigram) AS rank
+          FROM (SELECT DISTINCT doc_id, bigram FROM (
+            SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS bigram
+            FROM (SELECT doc_id, $tokSql AS toks FROM documents),
+                 LATERAL (SELECT unnest(range(0, greatest(len(toks) - 1, 0)))) AS g(i)))
+          GROUP BY bigram)
+        WHERE rank <= 20"""),
+      "top-20 word bigrams by document frequency"),
+
+    // ---- duplicate-group clustering (connected components) ----------------
+    // Near-dup PAIRS → duplicate GROUPS: min-label propagation over the
+    // jaccard-pair graph (Pregel supersteps, 2 shuffles per round), then
+    // every doc labeled with its group id (singletons = own id). The
+    // DuckDB oracle recomputes components with a recursive CTE.
+    "q87_dup_components" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val edges = Dedup.jaccardPairs(docs, "doc_id", "text",
+          blockCol = "source", shingleSize = 3, minJaccard = 0.02,
+          maxDocFreq = 1000L)
+        Graphs.dupGroups(docs.select("doc_id"), "doc_id",
+            edges, "id_a", "id_b")
+          .select(col("doc_id"), col("component"))
+      },
+      Some {
+        val toksNorm = tokSql
+        s"""WITH RECURSIVE sh AS (
+          SELECT DISTINCT doc_id, source, shingle FROM (
+            SELECT doc_id, source,
+              toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS shingle
+            FROM (SELECT doc_id, source, $toksNorm AS toks FROM documents),
+                 LATERAL (SELECT unnest(range(0, greatest(len(toks) - 3 + 1, 0)))) AS g(i))),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS c
+          FROM sh l JOIN sh r ON l.source = r.source AND l.shingle = r.shingle
+                             AND l.doc_id < r.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b FROM common
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.02),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (SELECT a AS id, min(b) AS mn FROM reach GROUP BY a)
+        SELECT d.doc_id, COALESCE(least(c.mn, d.doc_id), d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id"""
+      },
+      "near-dup pairs → duplicate groups via distributed connected components"),
+
+    // ---- per-label embedding centroids ------------------------------------
+    // posexplode keeps the aggregation columnar (label, dim) — the mean
+    // vector is assembled per dimension with exact long-cents sums, never
+    // via driver-side vector math.
+    "q90_label_centroids" -> Q(
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(q4(xsum4(col("x")) / count(lit(1))).as("centroid"))
+        .select(col("label"), col("dim").cast("int").as("dim"), col("centroid")),
+      Some(s"""SELECT label, CAST(i AS INTEGER) AS dim,
+          ${Q4(s"${XSUM4("e[i+1]")} / count(*)")} AS centroid
+        FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             LATERAL (SELECT unnest(range(0, len(e)))) AS g(i)
+        GROUP BY label, i"""),
+      "per-label mean embedding, dimension-wise exact aggregation"),
+  )
+}

@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents: chain, clique, and separate component") {
+    // chain 1-2-3-4 (diameter > 1 forces multiple supersteps),
+    // pair 10-11, triangle 20-21-22
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val got = Graphs.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents: long path converges within diameter rounds") {
+    // path 0-1-2-...-9: min label must walk the full diameter
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Graphs.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 10 && got.values.forall(_ == 0L))
+  }
+
+  test("dupGroups: docs without edges are singleton components") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val edges = Seq((1L, 3L)).toDF("id_a", "id_b")
+    val got = Graphs.dupGroups(docs, "doc_id", edges, "id_a", "id_b")
+      .select("doc_id", "component").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 4L, 5L -> 5L))
+  }
+}

@@ -172,6 +172,22 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("row_number() windowspecdefinition(__gr_pid"), plan)
   }
 
+  test("globalCumSum matches single-partition window, stays range-partitioned") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 500).map(i => (i, ((i * 7919) % 97).toLong)).toDF("id", "v")
+      .repartition(4)
+    val expected = df
+      .withColumn("cumsum", sum(col("v")).over(Window.orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cumsum").as[(Int, Long)].collect().toMap
+    val got = Relational.globalCumSum(df, Seq(col("id")), col("v"))
+      .select("id", "cumsum").as[(Int, Long)].collect().toMap
+    assert(got == expected)
+    val plan = Relational.globalCumSum(df, Seq(col("id")), col("v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+  }
+
   test("checkpoint writes and re-reads (compute() equivalent)") {
     val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
     val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
