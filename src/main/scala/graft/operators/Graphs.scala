@@ -8,16 +8,22 @@ import org.apache.spark.sql.functions._
   * duplicate GROUPS via connected components — the standard final step of
   * a corpus-dedup pipeline (keep one representative per component).
   *
-  * The algorithm is min-label propagation in Pregel-style supersteps:
-  * every node starts labeled with its own id; each round, every node
-  * takes the min of its label and its neighbors' labels; converged when a
-  * round changes nothing. Each superstep is two hash-shuffles (join +
-  * groupBy) over the edge list — fully distributed; the driver only
-  * orchestrates rounds and reads one convergence COUNT per round (the
-  * Pregel/GraphX control model, not a data collect). Rounds needed =
-  * graph diameter; dedup-cluster graphs are near-cliques, so 2-4 rounds
-  * in practice. `localCheckpoint` after each round cuts the lineage so
-  * plan depth stays O(1) per round instead of O(rounds).
+  * The algorithm is min-label propagation in Pregel-style supersteps
+  * accelerated by pointer jumping: every node starts labeled with its own
+  * id; each round every node takes the min of its label and its
+  * neighbors' labels (edge hop), then replaces its label with its LABEL's
+  * label (path-doubling jump — valid because labels always name a node of
+  * the same component, and it compresses stale label chains the way
+  * union-find path halving does). The edge hop alone needs
+  * diameter-many rounds — near-dup graphs can be long chains of
+  * pairwise-similar docs — while the jump makes label distance double
+  * per round, so convergence is O(log diameter). Everything is
+  * distributed joins/groupBys; the driver only orchestrates rounds and
+  * reads one convergence COUNT per round (the Pregel/GraphX control
+  * model, not a data collect). `localCheckpoint` after each step cuts
+  * lineage so plan depth stays O(1) per round — and because each step's
+  * output feeds the next round TWICE (join probe + neighbor-min build),
+  * an unmaterialized step would execute its whole DAG twice.
   */
 object Graphs {
 
@@ -40,17 +46,29 @@ object Graphs {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // candidate label for dst = min label among its neighbors
+      // edge hop: candidate label for dst = min label among its neighbors
       val fromNeighbors = sym
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min("component").as("__nbr"))
-      val next = labels.join(fromNeighbors, Seq("id"), "left")
+      val hopped = labels.join(fromNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("__nbr"), col("component")))
             .as("component"),
           (col("__nbr") < col("component")).as("__changed"))
         .localCheckpoint(eager = true)
+      // pointer jump: component := component's component. Every label is a
+      // node id of the same component, so the lookup stays in-component;
+      // left join + coalesce covers labels whose target has no row yet.
+      val parents = hopped.select(col("id").as("__pid"), col("component").as("__pc"))
+      val next = hopped
+        .join(parents, col("component") === col("__pid"), "left")
+        .select(col("id"), coalesce(col("__pc"), col("component")).as("component"),
+          col("__changed"))
+        .localCheckpoint(eager = true)
+      // Convergence is tested on the EDGE HOP's flag: a hop-stable
+      // labeling is constant across every edge, hence constant per
+      // component, which also makes the jump a no-op.
       converged = next.filter(col("__changed")).limit(1).count() == 0L
       labels = next.drop("__changed")
       iter += 1

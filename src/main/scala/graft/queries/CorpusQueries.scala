@@ -192,6 +192,59 @@ object CorpusQueries {
       },
       "near-dup pairs → duplicate groups via distributed connected components"),
 
+    // ---- document-length histogram ----------------------------------------
+    // Fixed-width token-count bins with a top catch-all — the standard
+    // corpus-composition report (one scan + one tiny agg at any scale).
+    "q92_length_histogram" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(Text.tokenCount(col("text")).cast("long").as("n_tok"))
+        .select(least(expr("n_tok div 32"), lit(15L)).as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("bin_lo_tok", col("bin") * 32),
+      Some("""SELECT bin, count(*) AS n_docs, bin * 32 AS bin_lo_tok FROM (
+          SELECT least(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) // 32,
+                       15) AS bin
+          FROM documents)
+        GROUP BY bin"""),
+      "token-count histogram: fixed-width bins + catch-all"),
+
+    // ---- int8 embedding quantization ---------------------------------------
+    // Per-vector symmetric scalar quantization (scale = max |x|, the
+    // faiss/SQ8-style codec): 4× smaller vectors for the ANN scale path.
+    // Verified through scalar digests (sum/min/max of the quantized
+    // codes) because the driver's pandas compare can't sort list cells.
+    // Vectors with scale 0 (all-zero) are excluded — quantization is
+    // undefined for them and div-by-zero semantics differ across engines.
+    "q93_embed_quantize" -> Q(
+      (s, d) => {
+        val dv = transform(col("embedding"), _.cast("double"))
+        Tables.embeddings(s, d)
+          .withColumn("scale", array_max(transform(dv, x => abs(x))))
+          .filter(col("scale") > 0)
+          .withColumn("q",
+            transform(dv, x =>
+              greatest(lit(-127L), least(lit(127L),
+                round(x / col("scale") * 127d).cast("long")))))
+          .select(col("vec_id"), q4(col("scale")).as("scale"),
+            aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("qsum"),
+            array_min(col("q")).cast("int").as("qmin"),
+            array_max(col("q")).cast("int").as("qmax"))
+      },
+      Some(s"""SELECT vec_id, ${Q4("scale")} AS scale,
+          CAST(sum(q) AS BIGINT) AS qsum,
+          CAST(min(q) AS INTEGER) AS qmin, CAST(max(q) AS INTEGER) AS qmax
+        FROM (
+          SELECT vec_id, scale,
+            greatest(-127, least(127, CAST(round(e[i+1] / scale * 127) AS BIGINT))) AS q
+          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                  list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS scale
+                FROM embeddings)
+              , LATERAL (SELECT unnest(range(0, len(e)))) AS g(i)
+          WHERE scale > 0)
+        GROUP BY vec_id, scale"""),
+      "int8 symmetric embedding quantization with scalar digests"),
+
     // ---- per-label embedding centroids ------------------------------------
     // posexplode keeps the aggregation columnar (label, dim) — the mean
     // vector is assembled per dimension with exact long-cents sums, never

@@ -106,6 +106,28 @@ object EventQueries {
         FROM events GROUP BY 1"""),
       "JSON property extraction (from_json) + aggregate"),
 
+    // ---- SCD2 interval construction -------------------------------------------
+    // Build slowly-changing-dimension validity intervals from a change
+    // stream: each per-user event opens a state valid until the next
+    // event; the latest state is open-ended (null valid_to) — the inverse
+    // of the reference's vessel-history CONSUMPTION (initdb.R:106-108,
+    // q17/q81 resolve such intervals; this query produces them). Ordering
+    // uses the raw nanosecond ts so ties resolve identically in both
+    // engines; interval bounds are exposed in microseconds.
+    "q91_scd_build" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+          .select(col("user_id"), col("event_id"),
+            col("ts_us").as("valid_from_us"), col("valid_to_us"))
+      },
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
+          lead(epoch_us(ts), 1) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS valid_to_us
+        FROM events"""),
+      "SCD2 build: validity intervals from a per-key change stream"),
+
     // ---- sessionization (30-min inactivity gap) ------------------------------------
     "q67_events_sessionize" -> Q(
       (s, d) => {
