@@ -429,6 +429,71 @@ object AggWindowQueries {
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""),
       "CUBE grouping sets"),
 
+    // ---- grouping sets: explicit GROUPING SETS --------------------------------------
+    // The general form behind q48/q49 — arbitrary set lists, expressed in
+    // SQL (the DataFrame API only surfaces rollup/cube). grouping() marks
+    // which nulls are subtotal placeholders vs data nulls.
+    "q94_grouping_sets" -> Q(
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+            CAST(grouping(o_orderstatus) AS INT) AS g_status,
+            CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+            count(*) AS n
+          FROM orders_v
+          GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                  (o_orderpriority), ())""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+          CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+          CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+          count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderpriority), ())"""),
+      "explicit GROUPING SETS with grouping() subtotal markers"),
+
+    // ---- ntile quartiles per group ---------------------------------------------------
+    "q95_ntile" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            ntile(4).over(w).as("quartile"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+          CAST(ntile(4) OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
+        FROM orders"""),
+      "ntile quartiles within group"),
+
+    // ---- bounded-frame moving average --------------------------------------------------
+    // Exact long-cents accumulation inside the frame: DuckDB evaluates
+    // bounded window aggregates with a segment tree (different float
+    // summation order than Spark's frame rescan), so double-sum moving
+    // averages are not bit-stable across engines — integer cents are.
+    "q96_moving_avg" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(-3, Window.currentRow)
+        Tables.orders(s, d)
+          .withColumn("cents", floor(col("o_totalprice") * 10000d + 0.5d).cast("long"))
+          .select(col("o_orderkey"),
+            (sum("cents").over(w).cast("double") /
+              (count(lit(1)).over(w) * 10000L).cast("double")).as("avg_last4"))
+      },
+      Some("""SELECT o_orderkey,
+          CAST(sum(cents) OVER w AS DOUBLE) /
+            CAST(count(*) OVER w * 10000 AS DOUBLE) AS avg_last4
+        FROM (SELECT o_orderkey, o_custkey, o_orderdate,
+            CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS cents
+          FROM orders)
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"""),
+      "4-row moving average, merge-order-independent accumulation"),
+
     // ---- exact distinct count --------------------------------------------------------
     "q50_count_distinct" -> Q(
       (s, d) => Tables.lineitem(s, d)
