@@ -67,6 +67,69 @@ object Relational {
     left.join(right, keys, how).filter(cond)
   }
 
+  /** Bucketed (range-partitioned) interval join — the 100 TB scale path
+    * for [[intervalJoin]]. The plain form equi-joins on `keys` and
+    * post-filters the range predicate: correct, but when one key carries a
+    * long history (k intervals) and many points (n rows), every point
+    * pairs with every interval before the filter — O(n·k) per key, the
+    * classic validity-join blowup. Here time is cut into fixed-width
+    * buckets: each interval is exploded to the buckets it overlaps, each
+    * point maps to exactly ONE bucket, and the join key becomes
+    * (`keys`, bucket) — a point only meets the intervals alive in its
+    * bucket, so per-key fan-out drops from k to the number of
+    * concurrently-valid intervals. Interval replication is bounded by
+    * span/`bucketWidth`; pick `bucketWidth` ≈ median interval span.
+    *
+    * Exactly [[intervalJoin]]'s inner-join semantics, including the
+    * reference's null escapes (initdb.R:106-108): a null start keeps the
+    * row unconditionally (routed through a plain equi-join — such rows
+    * span all time and gain nothing from bucketing), and a null end is
+    * open-ended (clamped to the left side's max point: one scalar
+    * metadata job, the same parameterize-the-plan shape as q88's corpus
+    * size). Each (point, interval) pair appears at most once — the point
+    * lands in one bucket and the interval occurs once per bucket — so no
+    * dedup pass is needed.
+    *
+    * `epoch` maps a time column to a long used ONLY for bucket
+    * assignment (default: plain long cast). It must be monotonic —
+    * truncation is fine (a truncated point still lands inside its
+    * interval's truncated bucket span) — e.g. pass
+    * `_.cast("timestamp").cast("long")` for TIMESTAMP_NTZ columns under
+    * the engine's UTC session. The exact range filter always runs on the
+    * ORIGINAL columns, so bucketing precision never affects results.
+    * `bucketWidth` is in `epoch` units.
+    */
+  def intervalJoinBucketed(left: DataFrame, right: DataFrame,
+                           keys: Seq[String], point: Column, start: Column,
+                           end: Column, bucketWidth: Long,
+                           epoch: Column => Column = _.cast("long")): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val pL = epoch(point)
+    val maxPoint = left.select(max(pL)).head() match {
+      case r if r.isNullAt(0) => return left.join(right, keys).filter(lit(false))
+      case r                  => r.getLong(0)
+    }
+    val openKeep = left.join(right.filter(start.isNull), keys)
+    val sL = epoch(start)
+    val eL = coalesce(epoch(end), lit(maxPoint))
+    val bounded = right.filter(start.isNotNull)
+      .withColumn("__ib_lo", floorDiv(sL, bucketWidth))
+      .withColumn("__ib_hi", floorDiv(eL, bucketWidth))
+      .filter(col("__ib_hi") >= col("__ib_lo"))
+      .withColumn("__ib_b", explode(sequence(col("__ib_lo"), col("__ib_hi"))))
+      .drop("__ib_lo", "__ib_hi")
+    val points = left.withColumn("__ib_b", floorDiv(pL, bucketWidth))
+    points.join(bounded, keys :+ "__ib_b")
+      .filter(point > start && (end.isNull || point <= end))
+      .drop("__ib_b")
+      .unionByName(openKeep)
+  }
+
+  /** Floor division on longs (negative-safe; `/` on longs is double
+    * division in Column algebra and `div` truncates toward zero). */
+  private def floorDiv(a: Column, w: Long): Column =
+    floor(a.cast("double") / w).cast("long") // exact: |epoch|·w well under 2^53
+
   /** Range-bucketize a column — reference `port2division`
     * (/root/reference/R/initdb.R:322-335): ordered (lo, hi, value) rules,
     * first match wins, `default` otherwise. Pure chained CASE WHEN —

@@ -261,5 +261,207 @@ object CorpusQueries {
              LATERAL (SELECT unnest(range(0, len(e)))) AS g(i)
         GROUP BY label, i"""),
       "per-label mean embedding, dimension-wise exact aggregation"),
+
+    // ---- end-to-end corpus dedup ------------------------------------------
+    // The full fuzzy-dedup pipeline composed: exact-Jaccard near-dup
+    // pairs (blocked, hot-shingle-capped) → connected components → keep
+    // the min-id doc per duplicate group. Output is one row per SURVIVING
+    // document with the size of the group it represents — what a corpus
+    // builder actually ships. Every stage is the distributed-by-
+    // construction one (no all-pairs, no driver loops); the DuckDB oracle
+    // recomputes groups with a recursive CTE.
+    "q97_dedup_corpus" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val edges = Dedup.jaccardPairs(docs, "doc_id", "text",
+          blockCol = "source", shingleSize = 3, minJaccard = 0.02,
+          maxDocFreq = 1000L)
+        Graphs.dupGroups(docs.select("doc_id"), "doc_id",
+            edges, "id_a", "id_b")
+          .groupBy("component")
+          .agg(count(lit(1)).as("group_size"))
+          .select(col("component").as("doc_id"), col("group_size"))
+      },
+      Some(s"""WITH RECURSIVE sh AS (
+          SELECT DISTINCT doc_id, source, shingle FROM (
+            SELECT doc_id, source,
+              toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS shingle
+            FROM (SELECT doc_id, source, $tokSql AS toks FROM documents),
+                 LATERAL (SELECT unnest(range(0, greatest(len(toks) - 3 + 1, 0)))) AS g(i))),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS c
+          FROM sh l JOIN sh r ON l.source = r.source AND l.shingle = r.shingle
+                             AND l.doc_id < r.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b FROM common
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.02),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (SELECT a AS id, min(b) AS mn FROM reach GROUP BY a),
+        labeled AS (
+          SELECT d.doc_id,
+            COALESCE(least(c.mn, d.doc_id), d.doc_id) AS component
+          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+        SELECT component AS doc_id, count(*) AS group_size
+        FROM labeled GROUP BY component"""),
+      "end-to-end fuzzy dedup: pairs → groups → surviving docs"),
+
+    // ---- within-document repetition metrics -------------------------------
+    // The Gopher-style repetition gates: fraction of repeated word
+    // 3-grams (1 − distinct/total) and the most-common-token share. Both
+    // are single-scan per-doc signals — the 3-gram stats come from array
+    // expressions (zero shuffle), the token mode from one explode+groupBy.
+    "q98_repetition" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tokStats = docs
+          .select(col("doc_id"),
+            explode(Text.tokens(Text.normalize(col("text")))).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id")
+          .agg(max("n").as("max_tok"), sum("n").as("n_tok"))
+        val gramStats = docs.select(col("doc_id"),
+          size(Text.shingles(col("text"), 3)).cast("long").as("n_distinct3"),
+          greatest(Text.tokenCount(Text.normalize(col("text"))) - 2, lit(0))
+            .cast("long").as("n_gram3"))
+        gramStats.join(tokStats, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            q4(coalesce(col("max_tok").cast("double") / col("n_tok"), lit(0d)))
+              .as("top_token_frac"),
+            q4(when(col("n_gram3") > 0,
+                lit(1d) - col("n_distinct3").cast("double") / col("n_gram3"))
+              .otherwise(0d)).as("dup_3gram_frac"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $tokSql AS toks FROM documents),
+        tc AS (SELECT doc_id, tok, count(*) AS n
+               FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+               WHERE tok <> '' GROUP BY doc_id, tok),
+        tstat AS (SELECT doc_id, max(n) AS max_tok,
+                    CAST(sum(n) AS BIGINT) AS n_tok FROM tc GROUP BY doc_id),
+        gstat AS (
+          SELECT t.doc_id,
+            greatest(len(t.toks) - 2, 0) AS n_gram3,
+            (SELECT count(DISTINCT t.toks[i+1] || ' ' || t.toks[i+2] || ' ' || t.toks[i+3])
+             FROM unnest(range(0, greatest(len(t.toks) - 2, 0))) AS g(i)) AS n_distinct3
+          FROM toks t)
+        SELECT g.doc_id,
+          ${Q4("COALESCE(CAST(max_tok AS DOUBLE) / n_tok, 0)")} AS top_token_frac,
+          ${Q4("CASE WHEN n_gram3 > 0 THEN 1 - CAST(n_distinct3 AS DOUBLE) / n_gram3 ELSE 0 END")} AS dup_3gram_frac
+        FROM gstat g LEFT JOIN tstat USING (doc_id)"""),
+      "within-doc repetition: dup 3-gram fraction + top-token share"),
+
+    // ---- eval-set contamination scan --------------------------------------
+    // Benchmark decontamination: flag corpus docs sharing a word 5-gram
+    // with any doc of a (deterministic) eval subset. The eval side of the
+    // join is the distinct eval shingle set — benchmark suites are tiny
+    // next to a 100 TB corpus, so it broadcasts and the corpus side never
+    // shuffles for the probe (one shuffle for the per-doc count).
+    "q99_contamination" -> Q(
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), explode(Text.shingles(col("text"), 5)).as("sh"))
+        val evalSh = sh.filter(col("doc_id") % 50 === 0)
+          .select("sh").distinct()
+        sh.filter(col("doc_id") % 50 =!= 0)
+          .join(broadcast(evalSh), "sh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_contaminated"))
+      },
+      Some(s"""WITH sh AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+              toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+                toks[i+4] || ' ' || toks[i+5] AS shingle
+            FROM (SELECT doc_id, $tokSql AS toks FROM documents),
+                 LATERAL (SELECT unnest(range(0, greatest(len(toks) - 5 + 1, 0)))) AS g(i)))
+        SELECT c.doc_id, count(*) AS n_contaminated
+        FROM sh c JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0) e
+          USING (shingle)
+        WHERE c.doc_id % 50 <> 0
+        GROUP BY c.doc_id"""),
+      "eval-set contamination: corpus docs sharing a 5-gram with eval docs"),
+
+    // ---- deterministic train/val/test split -------------------------------
+    // The md5-gate split: assignment is a pure function of doc_id, so the
+    // split is reproducible across engines, runs, and re-shards — no RNG
+    // state, no global sort. Report = doc counts + exact char volume per
+    // (split, source) cell. Gates: first byte < 0x0d → test (~5%),
+    // < 0x1a → val (~5%), else train.
+    "q100_hash_split" -> Q(
+      (s, d) => {
+        val gate = substring(
+          md5(concat(lit("graft-split:"), col("doc_id").cast("string"))), 1, 2)
+        Tables.documents(s, d)
+          .withColumn("split",
+            when(gate < "0d", "test").when(gate < "1a", "val")
+              .otherwise("train"))
+          .groupBy("split", "source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      },
+      Some("""SELECT split, source, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM (SELECT source, n_chars,
+            CASE WHEN g < '0d' THEN 'test' WHEN g < '1a' THEN 'val'
+                 ELSE 'train' END AS split
+          FROM (SELECT source, n_chars,
+              substr(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS g
+            FROM documents))
+        GROUP BY split, source"""),
+      "deterministic md5-gate train/val/test split with volume report"),
+
+    // ---- PII redaction ----------------------------------------------------
+    // Email / NANP-phone / IPv4 scrubbing with typed placeholders + hit
+    // counts — the standard pre-training privacy pass. Pure regexp
+    // projections (codegen'd, zero shuffle; the patterns stay in the RE2
+    // subset so the DuckDB oracle runs them verbatim). The fixture corpus
+    // is synthetic word-salad with no PII, so the op is demonstrated on
+    // an inline frame carrying real-shaped strings.
+    "q102_pii_scrub" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val rows = Seq(
+          (1L, "contact john.doe@example.com or jane_smith+tag@mail.co.uk today"),
+          (2L, "call 555-123-4567 or 555.987.6543 before noon"),
+          (3L, "server at 192.168.0.1 proxies 10.0.255.254 and 8.8.8.8"),
+          (4L, "mixed: bob@corp.io from 172.16.4.20 dialed 555-000-1111"),
+          (5L, "nothing sensitive here at all")).toDF("id", "text")
+        val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+        val phone = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+        val ip = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+        rows.select(col("id"),
+          regexp_replace(regexp_replace(regexp_replace(col("text"),
+            email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>").as("redacted"),
+          regexp_count(col("text"), lit(email)).cast("long").as("n_email"),
+          regexp_count(col("text"), lit(phone)).cast("long").as("n_phone"),
+          regexp_count(col("text"), lit(ip)).cast("long").as("n_ip"))
+      },
+      Some {
+        val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+        val phone = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+        val ip = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+        s"""SELECT CAST(id AS BIGINT) AS id,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g')
+            AS redacted,
+          CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+          CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phone,
+          CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ip
+        FROM (VALUES
+          (1, 'contact john.doe@example.com or jane_smith+tag@mail.co.uk today'),
+          (2, 'call 555-123-4567 or 555.987.6543 before noon'),
+          (3, 'server at 192.168.0.1 proxies 10.0.255.254 and 8.8.8.8'),
+          (4, 'mixed: bob@corp.io from 172.16.4.20 dialed 555-000-1111'),
+          (5, 'nothing sensitive here at all')) AS t(id, text)"""
+      },
+      "PII redaction: email/phone/IPv4 placeholders + hit counts"),
   )
 }

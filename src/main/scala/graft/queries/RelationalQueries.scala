@@ -243,6 +243,33 @@ object RelationalQueries {
         GROUP BY year(l_shipdate)"""),
       "validity-interval join (equi key + point-in-range)"),
 
+    // ---- J6 scale path: bucketed interval join -----------------------------
+    // Same rows as q17 through Relational.intervalJoinBucketed (time cut
+    // into 30-day buckets, join on (key, bucket)) — the hash match IS the
+    // proof that the scale path preserves the plain join's semantics.
+    "q101_interval_bucketed" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+          .withColumnRenamed("o_orderkey", "l_orderkey")
+          .withColumn("valid_to", col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        Relational.intervalJoinBucketed(
+          li, o, Seq("l_orderkey"),
+          col("l_shipdate"), col("o_orderdate"), col("valid_to"),
+          bucketWidth = 30L * 86400,
+          epoch = _.cast("timestamp").cast("long"))
+          .groupBy(year(col("l_shipdate")).as("ship_year"))
+          .agg(count(lit(1)).as("in_window"),
+            xsum4(col("l_extendedprice")).as("in_window_price"))
+      },
+      Some(s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+          count(*) AS in_window, ${XSUM4("l_extendedprice")} AS in_window_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate
+          AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+        GROUP BY year(l_shipdate)"""),
+      "bucketed interval join: the J6 scale path, hash-identical to q17"),
+
     // ---- J7: multi-key join (initdb.R:364) ---------------------------------
     "q18_join_multikey" -> Q(
       (s, d) => {

@@ -45,6 +45,28 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("intervalJoinBucketed matches intervalJoin on random intervals") {
+    val evGen = Gen.listOfN(6, Gen.zip(Gen.choose(0, 3), Gen.choose(0, 30)))
+    val histGen = Gen.listOfN(5, Gen.zip(Gen.choose(0, 3),
+      Gen.option(Gen.choose(0, 30)), Gen.option(Gen.choose(0, 30)),
+      Gen.alphaLowerStr.map(_.take(3))))
+    // width 7 exercises multi-bucket spans, same-bucket hits, and the
+    // null-start / null-end branches against the plain join's semantics
+    check(Prop.forAll(evGen, histGen) { (evs, hist) =>
+      val ev = evs.toDF("k", "t")
+      val h = hist.toDF("k", "s", "e", "tag")
+      // MULTISET compare: an interval exploded into several buckets must
+      // still produce each (point, interval) pair exactly once
+      val got = Relational.intervalJoinBucketed(ev, h, Seq("k"),
+        col("t"), col("s"), col("e"), bucketWidth = 7L)
+        .select("k", "t", "tag").as[(Int, Int, String)].collect().toSeq.sorted
+      val want = Relational.intervalJoin(ev, h, Seq("k"),
+        col("t"), col("s"), col("e"))
+        .select("k", "t", "tag").as[(Int, Int, String)].collect().toSeq.sorted
+      got == want
+    })
+  }
+
   test("dedupKeepFirst returns exactly the order-minimal row per key") {
     val rowsGen = Gen.listOfN(10, Gen.choose(0, 3)).map(_.zipWithIndex)
     check(Prop.forAll(rowsGen) { rows =>
