@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Haversine distance as a first-class catalyst node.
+  *
+  * Semantically identical to [[Geo.arcDistNmi]] (same operation order, so
+  * results are bit-identical for double inputs); the point of the node is
+  * to be *recognizable*: `graft.plans.ArcDistBoundingBox` pattern-matches
+  * `arcdist(colLat, colLon, LAT0, LON0) < r` filters and conjoins a
+  * sargable lat/lon bounding box that reaches the parquet scan as
+  * PushedFilters — row-group min/max pruning turns a full scan of 100 TB
+  * of position records into a scan of the geographic neighborhood. A
+  * composed trig Column can't be matched reliably; a named node can.
+  *
+  * `RuntimeReplaceable`: after the analyzer (and the bounding-box rule)
+  * have seen the node, the optimizer's ReplaceExpressions swaps in the
+  * trig tree, which then folds/codegens exactly like [[Geo.arcDistNmi]]
+  * — the node costs nothing at execution time.
+  */
+case class ArcDist(lat1: Expression, lon1: Expression,
+                   lat2: Expression, lon2: Expression)
+    extends RuntimeReplaceable {
+
+  private def d(e: Expression): Expression =
+    if (e.dataType == DoubleType) e else Cast(e, DoubleType)
+
+  override lazy val replacement: Expression = {
+    val dLat = ToRadians(Subtract(d(lat2), d(lat1)))
+    val dLon = ToRadians(Subtract(d(lon2), d(lon1)))
+    val a = Add(
+      Pow(Sin(Divide(dLat, Literal(2.0))), Literal(2.0)),
+      Multiply(Multiply(Cos(ToRadians(d(lat1))), Cos(ToRadians(d(lat2)))),
+        Pow(Sin(Divide(dLon, Literal(2.0))), Literal(2.0))))
+    Multiply(Multiply(Literal(6371.0 / 1.852), Literal(2.0)), Asin(Sqrt(a)))
+  }
+
+  override def children: Seq[Expression] = Seq(lat1, lon1, lat2, lon2)
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(c(0), c(1), c(2), c(3))
+
+  override def prettyName: String = "arcdist"
+}

@@ -27,6 +27,19 @@ object Geo {
     lit(6371.0 / 1.852) * lit(2.0) * asin(sqrt(a))
   }
 
+  /** [[arcDistNmi]] as the named [[ArcDist]] catalyst node — same values,
+    * but radius predicates over it (`arcDist(...) < lit(r)`) get a
+    * sargable bounding box conjoined by `plans.ArcDistBoundingBox`, so
+    * the filter prunes parquet row groups instead of evaluating trig on
+    * every row. Prefer this form for proximity SEARCHES; the plain form
+    * for dense distance COMPUTATION (e.g. tow length on every row).
+    */
+  def arcDist(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(ArcDist(expression(lat1), expression(lon1),
+      expression(lat2), expression(lon2)))
+  }
+
   /** Icelandic statistical rectangle ("reitur") code → center lat/lon.
     * Public rectangle scheme (used by reference `geo::sr2d`,
     * /root/reference/R/initdb.R:33): rectangles are 0.5° lat × 1° lon.

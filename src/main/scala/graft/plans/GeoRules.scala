@@ -1,0 +1,107 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.types.DoubleType
+import graft.functions.ArcDist
+
+/** Radius-search bounding-box rewrite.
+  *
+  * `arcdist(lat, lon, LAT0, LON0) <= r` is the reference workload's
+  * proximity predicate (tow-position searches, geo::arcdist —
+  * /root/reference/R/initdb.R:138). As written it is unsargable: every
+  * row must evaluate four trig calls, and the parquet reader can prune
+  * nothing, so at 100 TB the query IS the full scan.
+  *
+  * A great-circle distance of r nmi constrains each coordinate
+  * separately: Δlat ≤ r/60 degrees always, and within the resulting
+  * latitude band Δlon ≤ r/(60·cos(lat)). This rule conjoins those four
+  * simple comparisons (on a conservatively WIDENED box — divisor 59.5
+  * vs the true ≈60.04 nmi/degree, so the box strictly contains the
+  * circle and results are unchanged; the exact arcdist predicate still
+  * runs on what's left). The added conjuncts are plain `col >= lit`
+  * comparisons — Catalyst pushes them into the scan as PushedFilters,
+  * and parquet row-group statistics skip everything outside the
+  * geographic neighborhood.
+  *
+  * Injected as an analyzer resolution rule (GraftExtensions): it must
+  * see the [[ArcDist]] node BEFORE the optimizer's ReplaceExpressions
+  * dissolves it into raw trigonometry. A tag keeps the fixpoint batch
+  * idempotent. Skipped near the poles (band touching ±89°), where the
+  * longitude bound degenerates.
+  */
+object ArcDistBoundingBox extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val Bboxed = TreeNodeTag[Boolean]("graft.arcdist.bboxed")
+  /** nmi per degree of latitude, rounded DOWN so boxes only widen. */
+  private val NmiPerDegSafe = 59.5
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case f @ Filter(cond, child) if cond.resolved &&
+        f.getTagValue(Bboxed).isEmpty =>
+      val extra = splitConjunctivePredicates(cond).flatMap(boxFor)
+      if (extra.isEmpty) f
+      else {
+        val nf = Filter(extra.foldLeft(cond)(And), child)
+        nf.setTagValue(Bboxed, true)
+        nf
+      }
+  }
+
+  /** Bounding-box conjuncts for one `arcdist(...) < r` predicate, if it
+    * has the (variable point, constant point, constant radius) shape. */
+  private def boxFor(p: Expression): Seq[Expression] = p match {
+    case LessThan(ad: ArcDist, r) => box(ad, r)
+    case LessThanOrEqual(ad: ArcDist, r) => box(ad, r)
+    case GreaterThan(r, ad: ArcDist) => box(ad, r)
+    case GreaterThanOrEqual(r, ad: ArcDist) => box(ad, r)
+    case _ => Nil
+  }
+
+  private def box(ad: ArcDist, r: Expression): Seq[Expression] = {
+    val radius = constDouble(r)
+    // arcdist is symmetric: find which end is the constant query point
+    val byEnd = (constDouble(ad.lat1), constDouble(ad.lon1),
+      constDouble(ad.lat2), constDouble(ad.lon2)) match {
+      case (Some(la), Some(lo), None, None) => Some((la, lo, ad.lat2, ad.lon2))
+      case (None, None, Some(la), Some(lo)) => Some((la, lo, ad.lat1, ad.lon1))
+      case _ => None
+    }
+    (radius, byEnd) match {
+      case (Some(rv), Some((lat0, lon0, latE, lonE))) if rv >= 0 =>
+        val dLat = rv / NmiPerDegSafe
+        val (latMin, latMax) = (lat0 - dLat, lat0 + dLat)
+        val latC = Cast(latE, DoubleType)
+        val latBounds = Seq(
+          GreaterThanOrEqual(latC, Literal(latMin)),
+          LessThanOrEqual(latC, Literal(latMax)))
+        val band = math.max(math.abs(latMin), math.abs(latMax))
+        if (band >= 89.0) latBounds
+        else {
+          val dLon = rv / (NmiPerDegSafe * math.cos(math.toRadians(band)))
+          val lonC = Cast(lonE, DoubleType)
+          latBounds ++ Seq(
+            GreaterThanOrEqual(lonC, Literal(lon0 - dLon)),
+            LessThanOrEqual(lonC, Literal(lon0 + dLon)))
+        }
+      case _ => Nil
+    }
+  }
+
+  /** Evaluate a foldable numeric expression to a double. */
+  private def constDouble(e: Expression): Option[Double] =
+    if (!e.foldable) None
+    else e.eval() match {
+      case d: java.lang.Double  => Some(d)
+      case f: java.lang.Float   => Some(f.toDouble)
+      case i: java.lang.Integer => Some(i.toDouble)
+      case l: java.lang.Long    => Some(l.toDouble)
+      case s: java.lang.Short   => Some(s.toDouble)
+      case b: java.lang.Byte    => Some(b.toDouble)
+      // SQL numeric literals (64.1466) parse as DECIMAL, not DOUBLE
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case _                    => None
+    }
+}

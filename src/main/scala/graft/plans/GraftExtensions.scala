@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-import graft.functions.{Geo, Text, Vectors}
+import graft.functions.{ArcDist, Geo, Text, Vectors}
 import graft.operators.Dedup
 
 /** SQL-surface registration for the graft function library.
@@ -30,9 +30,11 @@ object GraftFunctions {
 
   /** (name, info, builder) for every SQL-exposed graft function. */
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    // the named ArcDist node (not the inline trig tree) so the
+    // ArcDistBoundingBox rule can recognize radius predicates; the
+    // optimizer later dissolves it into the identical trig expression
     ("arcdist", info("arcdist", "great-circle distance in nmi"),
-      (args: Seq[Expression]) => expression(
-        Geo.arcDistNmi(c(args(0)), c(args(1)), c(args(2)), c(args(3))))),
+      (args: Seq[Expression]) => ArcDist(args(0), args(1), args(2), args(3))),
     ("sr2d_lat", info("sr2d_lat", "statistical-rectangle center latitude"),
       (args: Seq[Expression]) => expression(Geo.sr2dLat(c(args(0))))),
     ("sr2d_lon", info("sr2d_lon", "statistical-rectangle center longitude"),
@@ -65,8 +67,12 @@ object GraftFunctions {
 
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (n, i, b) =>
       ext.injectFunction((FunctionIdentifier(n), i, b))
     }
+    // must run at analysis time, before ReplaceExpressions dissolves the
+    // ArcDist node (an injected *optimizer* rule would see only trig)
+    ext.injectResolutionRule(_ => ArcDistBoundingBox)
+  }
 }

@@ -360,6 +360,35 @@ object AggWindowQueries {
         FROM customer"""),
       "great-circle distance (haversine, codegen'd column expr)"),
 
+    // ---- geo: radius search through the ArcDist node ----------------------------
+    // Geo.arcDist (the named catalyst node) + a radius predicate: the
+    // ArcDistBoundingBox resolution rule conjoins sargable lat/lon
+    // bounds; over MATERIALIZED coordinate columns they reach the scan as
+    // PushedFilters and prune row groups (asserted in GeoRulesSpec — here
+    // the coords are derived from c_custkey, so the box stays a cheap
+    // pre-filter). The hash match against the rule-free DuckDB rendering
+    // proves the box never changes results.
+    "q103_geo_radius" -> Q(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .withColumn("lat", (col("c_custkey") % 120).cast("double") * 0.5d - 30d)
+          .withColumn("lon", ((col("c_custkey") * 7) % 300).cast("double") * 0.5d - 75d)
+        c.filter(graft.functions.Geo.arcDist(col("lat"), col("lon"),
+            lit(10.0d), lit(-40.0d)) <= lit(600.0d))
+          .select(col("c_custkey"),
+            floor(graft.functions.Geo.arcDistNmi(col("lat"), col("lon"),
+              lit(10.0d), lit(-40.0d))).cast("long").as("dist_nmi"))
+      },
+      Some("""SELECT c_custkey, CAST(floor(dist) AS BIGINT) AS dist_nmi FROM (
+          SELECT c_custkey,
+            (6371.0/1.852) * 2 * asin(sqrt(
+              pow(sin(radians(10.0 - ((c_custkey % 120) * 0.5 - 30))/2), 2)
+              + cos(radians((c_custkey % 120) * 0.5 - 30)) * cos(radians(10.0))
+              * pow(sin(radians(-40.0 - (((c_custkey * 7) % 300) * 0.5 - 75))/2), 2))) AS dist
+          FROM customer)
+        WHERE dist <= 600.0"""),
+      "radius search: ArcDist node + bounding-box rule, results unchanged"),
+
     // ---- geo: statistical-rectangle codec (initdb.R:33-35) ---------------------
     "q45_gridcell_codec" -> Q(
       (s, d) => Tables.customer(s, d)

@@ -1,0 +1,93 @@
+package graft.plans
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.Geo
+
+/** ArcDistBoundingBox: the radius predicate must gain a sargable lat/lon
+  * box that reaches the parquet scan, without changing results. */
+class GeoRulesSpec extends SparkSpec {
+
+  /** A session with GraftExtensions injected (the shared test session has
+    * none — extensions only apply at session construction). Reuses the
+    * JVM's SparkContext; default/active session restored afterwards. */
+  private def withExtendedSession[A](f: SparkSession => A): A = {
+    val base = spark // force shared session (and its SparkContext) first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      // full PushedFilters in plan strings (default truncates at 100)
+      .config("spark.sql.maxMetadataStringLength", "2000")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try f(s2)
+    finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("radius filter gains pushed lat/lon bounds and keeps results") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val dir = Files.createTempDirectory("geo_rule").toFile.getAbsolutePath
+      // grid around Iceland: lat 60..70, lon -30..-10
+      val pts = for (i <- 0 until 2000) yield
+        (i.toLong, 60.0 + (i % 100) * 0.1, -30.0 + (i / 100) * 1.0)
+      pts.toDF("id", "lat", "lon").write.mode("overwrite").parquet(dir)
+
+      val radius = s.read.parquet(dir)
+        .filter(Geo.arcDist(col("lat"), col("lon"),
+          lit(64.1466), lit(-21.9426)) < lit(60.0))
+      val plain = s.read.parquet(dir)
+        .filter(Geo.arcDistNmi(col("lat"), col("lon"),
+          lit(64.1466), lit(-21.9426)) < lit(60.0))
+
+      // same rows: the box only prunes what the circle already excludes
+      val got = radius.select("id").as[Long].collect().toSet
+      val want = plain.select("id").as[Long].collect().toSet
+      assert(got == want && got.nonEmpty, s"got ${got.size}, want ${want.size}")
+
+      // the box reached the scan: pushed-down simple comparisons on BOTH
+      // coordinates (the plain trig form pushes nothing)
+      val scan = radius.queryExecution.executedPlan.toString
+      assert(scan.contains("PushedFilters") &&
+        scan.contains("GreaterThanOrEqual(lat") &&
+        scan.contains("LessThanOrEqual(lon"), scan)
+      val plainScan = plain.queryExecution.executedPlan.toString
+      assert(!plainScan.contains("GreaterThanOrEqual(lat"), plainScan)
+    }
+  }
+
+  test("SQL arcdist radius predicates get the same box; distances agree") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val dir = Files.createTempDirectory("geo_sql").toFile.getAbsolutePath
+      (0 until 500).map(i => (i.toLong, 63.0 + i * 0.01, -25.0 + i * 0.02))
+        .toDF("id", "lat", "lon").write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir).createOrReplaceTempView("pts")
+      val viaSql = s.sql(
+        """SELECT id FROM pts
+           WHERE arcdist(lat, lon, 64.1466, -21.9426) <= 45.0""")
+      val viaCol = s.read.parquet(dir)
+        .filter(Geo.arcDistNmi(col("lat"), col("lon"),
+          lit(64.1466), lit(-21.9426)) <= lit(45.0))
+        .select("id")
+      assert(viaSql.as[Long].collect().toSet ===
+        viaCol.as[Long].collect().toSet)
+      assert(viaSql.queryExecution.executedPlan.toString
+        .contains("GreaterThanOrEqual(lat"))
+      // node form and trig form are value-identical (same op order)
+      val (a, b) = s.range(1).select(
+          Geo.arcDist(lit(64.0), lit(-22.0), lit(65.6885), lit(-18.1262)),
+          Geo.arcDistNmi(lit(64.0), lit(-22.0), lit(65.6885), lit(-18.1262)))
+        .as[(Double, Double)].head()
+      assert(a == b)
+    }
+  }
+}
