@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 100+ bench queries accumulate codegen classes, file-index caches and
+  // checkpoint blocks in ONE JVM; 8g starts GC-thrashing around query 70
+  // (q79/q81 measured 1.5s alone but 20s+ late in a full bench run).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
 )

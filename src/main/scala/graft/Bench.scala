@@ -33,11 +33,12 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
-    // Millisecond precision keeps the JSON line short enough to survive the
-    // driver's bounded stdout-tail capture (r01/r02 both came back
+    // Centisecond precision keeps the JSON line short enough to survive
+    // the driver's bounded stdout-tail capture (r01/r02 both came back
     // "parsed": null because full-precision doubles pushed the line past
-    // the capture window and truncated its front).
-    def fmt(v: Double): String = f"$v%.3f"
+    // the capture window and truncated its front; ~100+ queries at 3dp
+    // would crowd the margin again). bench_out.json carries the same line.
+    def fmt(v: Double): String = f"$v%.2f"
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) curve encoding — multi-dimensional data clustering
+  * for file/row-group skipping.
+  *
+  * Sorting a table by ONE column gives perfect min/max pruning on that
+  * column and none on any other; interleaving the bits of two (or more)
+  * columns gives useful pruning on BOTH: points close on the Z-curve are
+  * close in every dimension, so each written file covers a small
+  * rectangle of the key space and a predicate on either dimension skips
+  * most files. This is how lakehouse OPTIMIZE ZORDER layouts work; here
+  * it is a pure Column expression (shiftleft/or chain, codegen'd) used
+  * with `repartitionByRange(zval).sortWithinPartitions(zval)` before a
+  * parquet write.
+  */
+object ZOrder {
+
+  /** Interleave the low `bits` bits of two non-negative ints:
+    * result bit 2k = bit k of `a`, bit 2k+1 = bit k of `b`.
+    * Values must fit in `bits` bits (caller buckets/clamps first).
+    */
+  def zorder2(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val al = a.cast("long")
+    val bl = b.cast("long")
+    (0 until bits).foldLeft(lit(0L)) { (acc, k) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(al, k).bitwiseAND(lit(1L)), 2 * k))
+        .bitwiseOR(shiftleft(shiftright(bl, k).bitwiseAND(lit(1L)), 2 * k + 1))
+    }
+  }
+
+  /** DuckDB rendering of [[zorder2]] over column expressions `a`, `b` —
+    * the same or/shift/and chain, for oracle SQL. */
+  def zorder2Sql(a: String, b: String, bits: Int = 16): String =
+    (0 until bits).flatMap { k =>
+      Seq(s"((($a >> $k) & 1) << ${2 * k})", s"((($b >> $k) & 1) << ${2 * k + 1})")
+    }.mkString("(CAST(", " | ", " AS BIGINT))")
+}

@@ -101,30 +101,57 @@ object Dedup {
                    blockCol: String, shingleSize: Int = 3,
                    minJaccard: Double = 0.5,
                    maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), col(blockCol).as("block"),
-      explode(Text.shingles(col(textCol), shingleSize)).as("shingle"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    // ONE shingle pipeline, consumed by every downstream need. Earlier
+    // shape re-derived the exploded-shingle frame per branch (set sizes,
+    // both self-join sides) — 3-4 interpreted array_distinct/transform
+    // passes over every document. Here shingles come from a codegen'd
+    // position-explode (no array construction, no HOF), per-doc set
+    // sizes ride along as a window count, and the self-join's two sides
+    // share one shuffle through ReuseExchange.
+    val sh = explodedShingles(df, idCol, textCol, blockCol, shingleSize)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
     val shJoin =
       if (maxDocFreq == Long.MaxValue) sh
       else {
+        // drop hot shingles from the JOIN only: `n` (the Jaccard
+        // denominator) is computed above the cap, so per-doc set sizes
+        // still include them (result = strict lower bound, exact when no
+        // compared pair shares a dropped shingle)
         val w = Window.partitionBy("block", "shingle")
         sh.withColumn("__df", count(lit(1)).over(w))
           .filter(col("__df") <= maxDocFreq).drop("__df")
       }
     val l = shJoin.as("l"); val r = shJoin.as("r")
-    val common = l.join(r, col("l.block") === col("r.block") &&
+    l.join(r, col("l.block") === col("r.block") &&
         col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "na"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "nb"), "id_b")
+      .agg(count(lit(1)).as("common"),
+        first(col("l.n")).as("na"), first(col("r.n")).as("nb"))
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("na") + col("nb") - col("common")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Distinct word-n-gram shingles as ROWS — (id, block, shingle) — via
+    * position explode + codegen'd element_at/concat, never materializing
+    * a shingle array per document. `Text.shingles` (the array form) runs
+    * as an interpreted higher-order transform: fine as a per-doc scalar,
+    * 2× slower as the bulk feed of pair-generation operators.
+    */
+  def explodedShingles(df: DataFrame, idCol: String, textCol: String,
+                       blockCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), col(blockCol).as("block"),
+        split(Text.normalize(col(textCol)), " ").as("__toks"))
+      .select(col("id"), col("block"), col("__toks"),
+        explode(when(size(col("__toks")) >= n,
+            sequence(lit(0), size(col("__toks")) - n))
+          .otherwise(array())).as("__i"))
+      .select(col("id"), col("block"), concat_ws(" ",
+        (0 until n).map(k =>
+          element_at(col("__toks"), col("__i") + k + 1)): _*).as("shingle"))
+      .distinct()
 
   /** 64-bit SimHash over tokens: per bit, majority vote of token-hash
     * bits weighted by occurrence. Near-dups have small Hamming distance.

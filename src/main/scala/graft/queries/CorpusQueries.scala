@@ -463,5 +463,34 @@ object CorpusQueries {
           (5, 'nothing sensitive here at all')) AS t(id, text)"""
       },
       "PII redaction: email/phone/IPv4 placeholders + hit counts"),
+
+    // ---- RAG-style document chunking ---------------------------------------
+    // Overlapping token windows (size 32, stride 24): the retrieval-index
+    // preprocessing shape. Chunk starts come from one codegen'd
+    // sequence-explode; each chunk slices the SAME tokenized column (no
+    // per-chunk re-tokenization), so cost is O(total chunk tokens) and
+    // the op is a single narrow projection + explode — no shuffle at all.
+    "q104_doc_chunks" -> Q(
+      (s, d) => {
+        val stride = 24
+        val size32 = 32
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            split(Text.normalize(col("text")), " ").as("toks"))
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0),
+              expr("(size(toks) - 1) div 24").cast("int"))).as("ci"))
+          .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+            array_join(slice(col("toks"), col("ci") * stride + 1, lit(size32)), " ")
+              .as("chunk_text"),
+            least(size(col("toks")) - col("ci") * stride, lit(size32))
+              .cast("long").as("chunk_len"))
+      },
+      Some(s"""SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+          array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
+          CAST(least(len(toks) - i*24, 32) AS BIGINT) AS chunk_len
+        FROM (SELECT doc_id, $tokSql AS toks FROM documents),
+             LATERAL (SELECT unnest(range(0, (len(toks) - 1) // 24 + 1))) AS g(i)"""),
+      "RAG chunking: overlapping token windows, one explode, no shuffle"),
   )
 }

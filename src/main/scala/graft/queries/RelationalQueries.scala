@@ -270,6 +270,45 @@ object RelationalQueries {
         GROUP BY year(l_shipdate)"""),
       "bucketed interval join: the J6 scale path, hash-identical to q17"),
 
+    // ---- Z-order clustering value ------------------------------------------
+    // Morton interleave of (customer bucket, order day-of-year): the
+    // multi-dim layout key for file skipping. ZOrderSpec proves the
+    // layout effect (a z-sorted write answers a 2-dim box query reading
+    // fewer files); this query hash-verifies the curve itself against an
+    // independent DuckDB rendering of the bit chain.
+    "q105_zorder" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          graft.functions.ZOrder.zorder2(
+            col("o_custkey") % 1024, dayofyear(col("o_orderdate")), bits = 10)
+            .as("zval")),
+      Some {
+        val z = graft.functions.ZOrder.zorder2Sql(
+          "(o_custkey % 1024)", "dayofyear(o_orderdate)", bits = 10)
+        s"SELECT o_orderkey, $z AS zval FROM orders"
+      },
+      "z-order curve value for 2-dim file-skipping layouts"),
+
+    // ---- MERGE/upsert ------------------------------------------------------
+    // Relational.upsert: updates win per key, base fills the rest — one
+    // shuffle, no join. Updates here double the price of every 100th
+    // order; the oracle recomputes the merge with a UNION of disjoint
+    // halves.
+    "q106_upsert" -> Q(
+      (s, d) => {
+        val base = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val updates = base.filter(col("o_orderkey") % 100 === 0)
+          .withColumn("o_totalprice", q4(col("o_totalprice") * 2))
+        Relational.upsert(base, updates, Seq("o_orderkey"))
+      },
+      Some(s"""SELECT o_orderkey, o_custkey, ${Q4("o_totalprice * 2")} AS o_totalprice
+          FROM orders WHERE o_orderkey % 100 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice
+          FROM orders WHERE o_orderkey % 100 <> 0"""),
+      "MERGE upsert: updates-win keep-first union, one shuffle, no join"),
+
     // ---- J7: multi-key join (initdb.R:364) ---------------------------------
     "q18_join_multikey" -> Q(
       (s, d) => {

@@ -1,0 +1,25 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert: updates win on matched keys, new keys insert, rest survive") {
+    val base = Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("k", "s", "v")
+    val updates = Seq((2, "B", 99), (4, "d", 40)).toDF("k", "s", "v")
+    val out = Relational.upsert(base, updates, Seq("k"))
+      .as[(Int, String, Int)].collect().toSet
+    assert(out == Set((1, "a", 10), (2, "B", 99), (3, "c", 30), (4, "d", 40)))
+  }
+
+  test("upsert: multi-row updates per key need a prior keep-first; ties stay within updates") {
+    val base = Seq((1, 10)).toDF("k", "v")
+    val updates = Seq((1, 99), (1, 98)).toDF("k", "v")
+    val picked = Relational.upsert(base,
+      Relational.dedupKeepFirst(updates, Seq("k"), Seq(col("v").asc)),
+      Seq("k")).as[(Int, Int)].collect().toSet
+    assert(picked == Set((1, 98))) // update beat base; order chose 98
+  }
+}
