@@ -74,5 +74,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // must run at analysis time, before ReplaceExpressions dissolves the
     // ArcDist node (an injected *optimizer* rule would see only trig)
     ext.injectResolutionRule(_ => ArcDistBoundingBox)
+    // custom operator: bounded-heap limit-per-group (logical + physical)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

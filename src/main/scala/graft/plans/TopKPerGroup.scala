@@ -1,0 +1,117 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Limit-per-group as a first-class operator — the SURVEY §7.4 tier-(c)
+  * path: custom LogicalPlan + Strategy + SparkPlan, injected via
+  * SparkSessionExtensions.
+  *
+  * The declarative formulation (`row_number().over(partitionBy(keys)
+  * .orderBy(o)) <= k`, reference `ddply(... head(x, k))`) shuffles EVERY
+  * row to its group's reducer and fully sorts each group, only to discard
+  * all but k rows — at 100 TB the shuffle is the job. This operator keeps
+  * a bounded heap of k rows per group on the MAP side, so the exchange
+  * carries at most k·groups·partitions rows (the same partial/final shape
+  * hash aggregation uses), and no group is ever fully sorted — per-row
+  * cost is O(log k) against a heap of k, not a total sort.
+  *
+  * Contract: rows of the k order-minimal rows per group, in NO guaranteed
+  * intra-group order (sort after if order matters). `order` must be a
+  * total order (include a tiebreaker) for deterministic output — same
+  * contract as every keep-first operator in this library.
+  */
+case class TopKPerGroup(groupExprs: Seq[Expression], order: Seq[SortOrder],
+                        k: Int, child: LogicalPlan) extends UnaryNode {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+/** Physical bounded-heap top-k. `partial = true` runs map-side on
+  * whatever partitioning arrives; the final copy demands clustering on
+  * the group keys (EnsureRequirements inserts the one exchange). */
+case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
+                            k: Int, partial: Boolean, child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else if (groupExprs.isEmpty) Seq(AllTuples)
+    else Seq(ClusteredDistribution(groupExprs))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val groupExprsLocal = groupExprs
+    val childOutput = child.output
+    // serializable, codegen-compiled lazily on each executor
+    val ordering = new LazilyGeneratedOrdering(order, childOutput)
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(groupExprsLocal, childOutput)
+      val heaps = new java.util.HashMap[UnsafeRow,
+        scala.collection.mutable.PriorityQueue[InternalRow]]()
+      iter.foreach { row =>
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          // max-heap under `ordering`: head = worst row currently kept
+          heap = scala.collection.mutable.PriorityQueue.empty(ordering)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < k) heap.enqueue(row.copy())
+        else if (ordering.compare(row, heap.head) < 0) {
+          heap.dequeue(); heap.enqueue(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+/** Plans TopKPerGroup as partial→exchange→final bounded heaps. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(groups, order, k, child) =>
+      val partial = TopKPerGroupExec(groups, order, k, partial = true,
+        planLater(child))
+      TopKPerGroupExec(groups, order, k, partial = false, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopK {
+  /** Public entry: k order-minimal rows per group. Works in any session:
+    * registers [[TopKStrategy]] into `spark.experimental` if the session
+    * was not built with GraftExtensions. */
+  def topKPerGroup(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                   k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy) &&
+        !spark.sessionState.planner.strategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    }
+    val sortOrders = order.map(c => ColumnBridge.expression(c) match {
+      case s: SortOrder => s
+      case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
+    })
+    ColumnBridge.ofRows(spark, TopKPerGroup(
+      keys.map(ColumnBridge.expression),
+      sortOrders, k, df.queryExecution.analyzed))
+  }
+}

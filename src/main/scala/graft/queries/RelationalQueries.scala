@@ -309,6 +309,25 @@ object RelationalQueries {
           FROM orders WHERE o_orderkey % 100 <> 0"""),
       "MERGE upsert: updates-win keep-first union, one shuffle, no join"),
 
+    // ---- limit-per-group via the custom bounded-heap operator --------------
+    // graft.plans.TopKPerGroup: partial k-heaps map-side, ONE exchange of
+    // ≤ k·groups·partitions rows, final k-heaps — vs the window
+    // formulation that shuffles and sorts EVERY row. The oracle IS the
+    // window formulation, so the hash match proves operator semantics.
+    "q107_topk_per_group" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select("o_custkey", "o_orderkey", "o_totalprice")
+        graft.plans.TopK.topKPerGroup(o, Seq(o("o_custkey")),
+          Seq(o("o_totalprice").desc, o("o_orderkey").asc), k = 3)
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) WHERE rn <= 3"""),
+      "custom SparkPlan limit-per-group: bounded heaps, minimal shuffle"),
+
     // ---- J7: multi-key join (initdb.R:364) ---------------------------------
     "q18_join_multikey" -> Q(
       (s, d) => {

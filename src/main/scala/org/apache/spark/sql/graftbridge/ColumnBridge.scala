@@ -24,4 +24,13 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     ColumnNodeToExpressionConverter(c.node)
+
+  /** Wrap a custom LogicalPlan into a DataFrame (classic
+    * `Dataset.ofRows` is private[sql]; needed to surface custom
+    * operators like TopKPerGroup through the public DataFrame API). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

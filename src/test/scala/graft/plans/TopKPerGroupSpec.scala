@@ -1,0 +1,46 @@
+package graft.plans
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TopKPerGroupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topKPerGroup equals the window row_number formulation") {
+    val df = (1 to 1000).map(i => (i % 7, (i * 37) % 211, i)).toDF("g", "v", "id")
+    val got = TopK.topKPerGroup(df, Seq(df("g")),
+        Seq(df("v").asc, df("id").asc), k = 3)
+      .as[(Int, Int, Int)].collect().toSet
+    val w = Window.partitionBy("g").orderBy(col("v").asc, col("id").asc)
+    val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .drop("rn").as[(Int, Int, Int)].collect().toSet
+    assert(got == want && got.size == 21)
+  }
+
+  test("descending order and k larger than group size") {
+    val df = Seq((1, 5), (1, 9), (2, 1)).toDF("g", "v")
+    val got = TopK.topKPerGroup(df, Seq(df("g")), Seq(df("v").desc), k = 5)
+      .as[(Int, Int)].collect().toSet
+    assert(got == Set((1, 5), (1, 9), (2, 1)))
+  }
+
+  test("plan shape: partial heaps below ONE exchange, final above") {
+    val df = (1 to 100).map(i => (i % 5, i)).toDF("g", "v")
+    val q = TopK.topKPerGroup(df, Seq(df("g")), Seq(df("v").asc), k = 2)
+    q.collect()
+    val plan = (q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    // partial heap (true) below the one exchange, final (false) above —
+    // string-level because AQE wraps the exchange in a query stage that
+    // TreeNode.collect does not descend into
+    val partialIdx = plan.indexOf(", 2, true")
+    val finalIdx = plan.indexOf(", 2, false")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(finalIdx >= 0 && exchangeIdx > finalIdx && partialIdx > exchangeIdx, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+}
