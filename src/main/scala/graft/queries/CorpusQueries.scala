@@ -492,5 +492,40 @@ object CorpusQueries {
         FROM (SELECT doc_id, $tokSql AS toks FROM documents),
              LATERAL (SELECT unnest(range(0, (len(toks) - 1) // 24 + 1))) AS g(i)"""),
       "RAG chunking: overlapping token windows, one explode, no shuffle"),
+
+    // ---- unigram LM score (perplexity proxy) ------------------------------
+    // CCNet-style quality gate: mean unigram log-probability of each doc
+    // under the corpus's own unigram distribution. Two corpus-wide aggs
+    // (vocab counts, total) + one broadcast-friendly join back to doc
+    // tokens. Per-token log-probs are quantized to 4dp BEFORE the exact
+    // long-cents sum (the q88 pattern) so ln() ulp differences between
+    // JVM and DuckDB libm never reach the hash.
+    "q108_unigram_logprob" -> Q(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(Text.tokens(Text.normalize(col("text")))).as("tok"))
+          .filter(col("tok") =!= "")
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val total = toks.count() // corpus size: one scalar metadata job
+        toks.join(broadcast(vocab), "tok")
+          .withColumn("lp", q4(log(col("cnt").cast("double") / total.toDouble)))
+          .groupBy("doc_id")
+          .agg(q4(xsum4(col("lp")) / count(lit(1))).as("mean_logprob"),
+            count(lit(1)).as("n_tok"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest($tokSql) AS tok FROM documents)
+          WHERE tok <> ''),
+        vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        total AS (SELECT count(*) AS n FROM toks)
+        SELECT doc_id,
+          ${Q4(s"${XSUM4(Q4("ln(CAST(cnt AS DOUBLE) / CAST(total.n AS DOUBLE))"))} / count(*)")}
+            AS mean_logprob,
+          count(*) AS n_tok
+        FROM toks JOIN vocab USING (tok) CROSS JOIN total
+        GROUP BY doc_id"""),
+      "unigram LM quality score: mean log-prob under corpus distribution"),
   )
 }

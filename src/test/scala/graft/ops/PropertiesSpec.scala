@@ -67,6 +67,43 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("upsert matches a map-merge reference on random frames") {
+    val frameGen = Gen.listOfN(8, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 100)))
+    check(Prop.forAll(frameGen, frameGen) { (baseRows, updRowsRaw) =>
+      // updates deduped per key (operator contract: unique update keys)
+      val updRows = updRowsRaw.groupBy(_._1).map(_._2.head).toList
+      (baseRows.isEmpty || updRows.isEmpty) || {
+        val got = Relational.upsert(
+          baseRows.toDF("k", "v"), updRows.toDF("k", "v"), Seq("k"))
+          .as[(Int, Int)].collect()
+        // one row per key overall: update value wins when present, else
+        // a base row's value (keep-first collapses base-side key dupes)
+        val updMap = updRows.toMap
+        val wantKeys = (baseRows.map(_._1) ++ updRows.map(_._1)).toSet
+        val gotMap = got.toMap
+        got.length == wantKeys.size && wantKeys.forall { k =>
+          updMap.get(k).orElse(baseRows.find(_._1 == k).map(_._2))
+            .contains(gotMap(k))
+        }
+      }
+    })
+  }
+
+  test("doc chunk starts cover every token with the configured overlap") {
+    // chunking invariant over random token counts: starts are
+    // 0,24,48,...; every token index < n is inside some [s, s+32) window,
+    // consecutive windows overlap by exactly 8 when full
+    val nGen = Gen.choose(1, 200)
+    check(Prop.forAll(nGen) { n =>
+      val starts = (0 to (n - 1) / 24).map(_ * 24)
+      starts.head == 0 &&
+        (0 until n).forall(i => starts.exists(s => i >= s && i < s + 32)) &&
+        starts.sliding(2).forall {
+          case Seq(a, b) => b - a == 24; case _ => true
+        }
+    })
+  }
+
   test("dedupKeepFirst returns exactly the order-minimal row per key") {
     val rowsGen = Gen.listOfN(10, Gen.choose(0, 3)).map(_.zipWithIndex)
     check(Prop.forAll(rowsGen) { rows =>
