@@ -33,21 +33,28 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
-    // Centisecond precision keeps the JSON line short enough to survive
-    // the driver's bounded stdout-tail capture (r01/r02 both came back
-    // "parsed": null because full-precision doubles pushed the line past
-    // the capture window and truncated its front; ~100+ queries at 3dp
-    // would crowd the margin again). bench_out.json carries the same line.
+    // The driver captures only the LAST ~2000 chars of stdout (measured
+    // from BENCH_r02.json: tail=2000, trailing sbt "[success]" banner
+    // included), so a full 100+-query map (~2600 chars) truncates from
+    // the front and parses as null (this killed r01 and r02). stdout
+    // therefore carries a trimmed line — total + the 40 slowest queries,
+    // which is what a plan audit reads — and bench_out.json (committed to
+    // the repo) carries every query at the same precision.
     def fmt(v: Double): String = f"$v%.2f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def qmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
-    println(line)
+    def line(rs: Seq[(String, Double)], extra: String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(rs)},"failed":$failed,"sf":"$sfDir"$extra}"""
+    // failures (-1) first so they never fall off the trimmed line
+    val slowest40 = (results.toSeq.filter(_._2 < 0) ++
+      results.toSeq.filter(_._2 >= 0).sortBy(-_._2)).take(40)
+    println(line(slowest40, ""","queries_full":"bench_out.json""""))
     val outPath = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
-    try Files.writeString(Paths.get(outPath), line + "\n")
+    try Files.writeString(Paths.get(outPath),
+      line(results.toSeq.sortBy(_._1), "") + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }
     spark.stop()
   }
