@@ -55,16 +55,38 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
   protected override def doExecute(): RDD[InternalRow] = {
     val groupExprsLocal = groupExprs
     val childOutput = child.output
+    val partialLocal = partial
+    val flushLimit = TopKPerGroupExec.maxGroupsInMemory
     // serializable, codegen-compiled lazily on each executor
     val ordering = new LazilyGeneratedOrdering(order, childOutput)
     child.execute().mapPartitions { iter =>
+      import scala.jdk.CollectionConverters._
       val keyProj = UnsafeProjection.create(groupExprsLocal, childOutput)
-      val heaps = new java.util.HashMap[UnsafeRow,
+      var heaps = new java.util.HashMap[UnsafeRow,
         scala.collection.mutable.PriorityQueue[InternalRow]]()
+      var flushed: Iterator[InternalRow] = Iterator.empty
       iter.foreach { row =>
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
+          // Bounded memory on the MAP side: with pathological group
+          // cardinality (group ≈ row) the heap map would hold the whole
+          // partition, like a hash agg without spill. Emitting a segment's
+          // heaps early and restarting is CORRECT for the partial pass: a
+          // row in the partition's true top-k beats <k rows overall, so
+          // it beats <k rows in whatever segment it lands in and survives
+          // that segment's heap; the final pass prunes the union. (The
+          // final pass sees ≤ k rows per group by construction — partials
+          // already reduced — so its map is bounded by k·groups-in-task.)
+          if (partialLocal && heaps.size >= flushLimit) {
+            // evaluate NOW into a val: Iterator.++'s right operand is
+            // by-name, and a thunk over `heaps` would otherwise read the
+            // (cleared, reassigned) map only at consumption time
+            val segment = heaps.values().iterator().asScala.toVector
+              .flatMap(_.iterator)
+            flushed = flushed ++ segment
+            heaps = new java.util.HashMap()
+          }
           // max-heap under `ordering`: head = worst row currently kept
           heap = scala.collection.mutable.PriorityQueue.empty(ordering)
           heaps.put(key.copy(), heap)
@@ -74,13 +96,19 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
           heap.dequeue(); heap.enqueue(row.copy())
         }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator)
+      flushed ++ heaps.values().iterator().asScala.flatMap(_.iterator)
     }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
+}
+
+object TopKPerGroupExec {
+  /** Map-side flush threshold (distinct groups held at once); var so
+    * tests can force segment flushing on small data. ~1M group heaps of
+    * k row copies is comfortably under executor memory for sane k. */
+  @volatile var maxGroupsInMemory: Int = 1 << 20
 }
 
 /** Plans TopKPerGroup as partial→exchange→final bounded heaps. */

@@ -26,6 +26,21 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(got == Set((1, 5), (1, 9), (2, 1)))
   }
 
+  test("map-side segment flushing (bounded memory) preserves results") {
+    val saved = TopKPerGroupExec.maxGroupsInMemory
+    try {
+      TopKPerGroupExec.maxGroupsInMemory = 2 // force flushes constantly
+      val df = (1 to 500).map(i => (i % 40, (i * 17) % 97, i)).toDF("g", "v", "id")
+      val got = TopK.topKPerGroup(df, Seq(df("g")),
+          Seq(df("v").asc, df("id").asc), k = 2)
+        .as[(Int, Int, Int)].collect().toSet
+      val w = Window.partitionBy("g").orderBy(col("v").asc, col("id").asc)
+      val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+        .drop("rn").as[(Int, Int, Int)].collect().toSet
+      assert(got == want)
+    } finally TopKPerGroupExec.maxGroupsInMemory = saved
+  }
+
   test("plan shape: partial heaps below ONE exchange, final above") {
     val df = (1 to 100).map(i => (i % 5, i)).toDF("g", "v")
     val q = TopK.topKPerGroup(df, Seq(df("g")), Seq(df("v").asc), k = 2)
