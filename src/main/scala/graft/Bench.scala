@@ -23,6 +23,14 @@ object Bench {
         .mode("overwrite").format("noop").save()
       SparkEntry.queries.get("q33_topk").foreach(
         _(spark, sfDir).write.mode("overwrite").format("noop").save())
+      // tiny connected-components run: compiles the iterative loop's
+      // codegen plan shapes once, so the first real CC query (q87) is
+      // measured warm like everything else instead of absorbing ~5s of
+      // one-time Janino work
+      import spark.implicits._
+      graft.operators.Graphs.connectedComponents(
+        Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b"), "a", "b")
+        .write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -50,8 +50,8 @@ object Dedup {
   def minhashSignaturesBulk(df: DataFrame, idCol: String, textCol: String,
                             shingleSize: Int, numHashes: Int): DataFrame = {
     val ids = df.select(col(idCol).as("id"))
-    val sh = df.select(col(idCol).as("id"),
-      explode(Text.shingles(col(textCol), shingleSize)).as("sh"))
+    val sh = explodedShingles(df, idCol, textCol, shingleSize)
+      .withColumnRenamed("shingle", "sh")
     val minCols = (0 until numHashes).map { seed =>
       min(xxhash64(col("sh"), lit(seed))).as(s"m$seed")
     }
@@ -108,7 +108,8 @@ object Dedup {
     // position-explode (no array construction, no HOF), per-doc set
     // sizes ride along as a window count, and the self-join's two sides
     // share one shuffle through ReuseExchange.
-    val sh = explodedShingles(df, idCol, textCol, blockCol, shingleSize)
+    val sh = explodedShingles(df, idCol, textCol, shingleSize,
+        carry = Seq(blockCol -> "block"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
     val shJoin =
       if (maxDocFreq == Long.MaxValue) sh
@@ -134,24 +135,29 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Distinct word-n-gram shingles as ROWS — (id, block, shingle) — via
-    * position explode + codegen'd element_at/concat, never materializing
-    * a shingle array per document. `Text.shingles` (the array form) runs
-    * as an interpreted higher-order transform: fine as a per-doc scalar,
-    * 2× slower as the bulk feed of pair-generation operators.
+  /** Distinct word-n-gram shingles as ROWS — (id[, carried...], shingle)
+    * — via position explode + codegen'd element_at/concat, never
+    * materializing a shingle array per document. `Text.shingles` (the
+    * array form) runs as an interpreted higher-order transform: fine as
+    * a per-doc scalar, 2× slower as the bulk feed of pair-generation
+    * operators. `carry` = (sourceColumn → outputAlias) passengers (e.g.
+    * the dedup block key).
     */
   def explodedShingles(df: DataFrame, idCol: String, textCol: String,
-                       blockCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"), col(blockCol).as("block"),
-        split(Text.normalize(col(textCol)), " ").as("__toks"))
-      .select(col("id"), col("block"), col("__toks"),
+                       n: Int, carry: Seq[(String, String)] = Nil): DataFrame = {
+    val carried = carry.map { case (src, alias) => col(src).as(alias) }
+    val carriedOut = carry.map { case (_, alias) => col(alias) }
+    df.select(col(idCol).as("id") +: carried :+
+        split(Text.normalize(col(textCol)), " ").as("__toks"): _*)
+      .select(col("id") +: carriedOut :+ col("__toks") :+
         explode(when(size(col("__toks")) >= n,
             sequence(lit(0), size(col("__toks")) - n))
-          .otherwise(array())).as("__i"))
-      .select(col("id"), col("block"), concat_ws(" ",
+          .otherwise(array())).as("__i"): _*)
+      .select(col("id") +: carriedOut :+ concat_ws(" ",
         (0 until n).map(k =>
-          element_at(col("__toks"), col("__i") + k + 1)): _*).as("shingle"))
+          element_at(col("__toks"), col("__i") + k + 1)): _*).as("shingle"): _*)
       .distinct()
+  }
 
   /** 64-bit SimHash over tokens: per bit, majority vote of token-hash
     * bits weighted by occurrence. Near-dups have small Hamming distance.

@@ -128,8 +128,9 @@ object CorpusQueries {
     // ---- bigram document frequency ----------------------------------------
     "q89_bigram_df" -> Q(
       (s, d) => {
-        val counts = Tables.documents(s, d)
-          .select(col("doc_id"), explode(Text.shingles(col("text"), 2)).as("bigram"))
+        val counts = Dedup
+          .explodedShingles(Tables.documents(s, d), "doc_id", "text", 2)
+          .select(col("id").as("doc_id"), col("shingle").as("bigram"))
           .groupBy("bigram").agg(count(lit(1)).as("n"))
         counts.orderBy(col("n").desc, col("bigram").asc).limit(20)
           .withColumn("rank",
@@ -367,8 +368,9 @@ object CorpusQueries {
     // shuffles for the probe (one shuffle for the per-doc count).
     "q99_contamination" -> Q(
       (s, d) => {
-        val sh = Tables.documents(s, d)
-          .select(col("doc_id"), explode(Text.shingles(col("text"), 5)).as("sh"))
+        val sh = Dedup
+          .explodedShingles(Tables.documents(s, d), "doc_id", "text", 5)
+          .select(col("id").as("doc_id"), col("shingle").as("sh"))
         val evalSh = sh.filter(col("doc_id") % 50 === 0)
           .select("sh").distinct()
         sh.filter(col("doc_id") % 50 =!= 0)
