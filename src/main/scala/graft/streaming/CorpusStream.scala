@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Streaming corpus intake — the training-data pipeline's front door run
+  * as a continuous job instead of a batch sweep: quality-gate, language-
+  * tag, and exact-dup-suppress documents as they arrive.
+  *
+  * Batch/stream parity by construction: every transform is a stateless
+  * Column expression from `functions.Text` (the same ones q53–q56 verify
+  * against DuckDB), so the only streaming-specific piece is the
+  * watermarked dedup state. State is bounded by (watermark horizon ×
+  * arrival rate) — the fingerprint dedup drops any doc whose content
+  * hash was already admitted within the horizon, which is the streaming
+  * version of `Dedup.exact` (global dedup still runs as a periodic batch
+  * compaction; a stream can only ever dedup within its state horizon).
+  *
+  * Input schema: (doc_id, text, ingest_ts timestamp) — `ingest_ts` is
+  * the event-time column the watermark rides on.
+  */
+object CorpusStream {
+
+  def cleanStream(docs: DataFrame, minQuality: Double = 0.3,
+                  horizon: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", Text.fingerprint(col("text")))
+      .withColumn("quality", Text.qualityScore(col("text")))
+      .withColumn("lang", Text.langId(col("text")))
+      .filter(col("quality") >= minQuality)
+      .withWatermark("ingest_ts", horizon)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Batch twin of [[cleanStream]] for oracle-style parity tests: same
+    * gates, deterministic keep-first (by ingest time, then id) dedup on
+    * the fingerprint. */
+  def cleanBatch(docs: DataFrame, minQuality: Double = 0.3): DataFrame =
+    graft.ops.Relational.dedupKeepFirst(
+      docs
+        .withColumn("fp", Text.fingerprint(col("text")))
+        .withColumn("quality", Text.qualityScore(col("text")))
+        .withColumn("lang", Text.langId(col("text")))
+        .filter(col("quality") >= minQuality),
+      Seq("fp"), Seq(col("ingest_ts").asc, col("doc_id").asc))
+}

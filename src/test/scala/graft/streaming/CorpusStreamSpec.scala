@@ -1,0 +1,54 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+
+class CorpusStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // base well past epoch 0: a streaming query's INITIAL watermark is 0,
+  // and an event at exactly epoch 0 is already "late" and dropped
+  private def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("streaming corpus intake: quality gate + in-horizon dup suppression = batch twin") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "the fox naps in the sun for an hour while the dog watches it"
+    val good2 = "a completely different document about the sea and the " +
+      "ships that sail on it every day for the trade of the north"
+    val docs = ms.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = CorpusStream.cleanStream(docs, minQuality = 0.3)
+      .select("doc_id", "lang")
+      .writeStream.format("memory").queryName("corpus_clean")
+      .outputMode("append")
+
+    // two processed micro-batches: the duplicate arrives AFTER doc 1's
+    // batch commits, so which copy survives is deterministic (within one
+    // batch, "first" among equal fingerprints is partition-order-
+    // dependent — AvailableNow would coalesce pending addData calls)
+    val run = q.start()
+    ms.addData(
+      (1L, good, ts(0)),
+      (2L, "!!!", ts(1)))            // junk → quality-gated
+    run.processAllAvailable()
+    ms.addData(
+      (3L, good + " ", ts(2)),       // same fingerprint as 1 → suppressed
+      (4L, good2, ts(3)))
+    run.processAllAvailable()
+    run.stop()
+
+    val streamed = spark.table("corpus_clean")
+      .as[(Long, String)].collect().toSet
+    assert(streamed == Set((1L, "en"), (4L, "en")), streamed.toString)
+
+    // batch twin over the same rows agrees
+    val batchRows = Seq((1L, good, ts(0)), (2L, "!!!", ts(1)),
+      (3L, good + " ", ts(2)), (4L, good2, ts(3)))
+      .toDF("doc_id", "text", "ingest_ts")
+    val batch = CorpusStream.cleanBatch(batchRows, minQuality = 0.3)
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    assert(batch == streamed)
+  }
+}
