@@ -79,6 +79,7 @@ object Graphs {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      val prev = labels
       val next = round(round(labels).drop("__changed"))
         .localCheckpoint(eager = true)
       // Convergence is tested on the LAST EDGE HOP's flag: a hop-stable
@@ -86,11 +87,26 @@ object Graphs {
       // component, which also makes the jump a no-op.
       converged = next.filter(col("__changed")).limit(1).count() == 0L
       labels = next.drop("__changed")
+      // the superseded round's checkpoint blocks are dead the moment
+      // `next` is materialized — free them instead of waiting for the
+      // ContextCleaner's GC-driven sweep (at corpus scale each round
+      // pins a full labeling in the block manager)
+      freeCheckpoint(prev)
       iter += 2
     }
     require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")
     labels
   }
+
+  /** Unpersist a localCheckpoint'd DataFrame's materialized RDD (Dataset
+    * .unpersist only covers CacheManager entries, not checkpoint RDDs).
+    * No-op on frames that aren't checkpoint scans. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Duplicate-group assignment for a document set: every doc gets the
     * component id of the near-dup graph induced by `edges`, docs with no
