@@ -19,6 +19,32 @@ object EventQueries {
 
   val defs: Map[String, Q] = Map(
 
+    // ---- retention cohorts -------------------------------------------------
+    // The standard warehouse cohort matrix: users grouped by their first
+    // active day, distinct-counted per day-offset. Two shuffles (first-day
+    // agg on user, cohort-cell agg) — the first-day side joins back on
+    // user_id, which AQE plans as a broadcast at small SF and a co-
+    // partitioned SMJ at scale (both sides cluster on user_id).
+    "q109_retention_cohorts" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts_utc")).as("day"))
+        val firstDay = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+        ev.join(firstDay, "user_id")
+          .groupBy(col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).as("offset_days"))
+          .agg(countDistinct("user_id").as("n_users"))
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        fd AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+        SELECT cohort_day,
+          CAST(date_diff('day', cohort_day, day) AS INTEGER) AS offset_days,
+          count(DISTINCT user_id) AS n_users
+        FROM ev JOIN fd USING (user_id)
+        GROUP BY cohort_day, offset_days"""),
+      "retention cohort matrix: first-active-day × day-offset distinct users"),
+
     // ---- tumbling event-time window ---------------------------------------
     "q64_events_hourly" -> Q(
       (s, d) => Tables.events(s, d)
