@@ -328,6 +328,27 @@ object RelationalQueries {
           FROM orders) WHERE rn <= 3"""),
       "custom SparkPlan limit-per-group: bounded heaps, minimal shuffle"),
 
+    // ---- skew-salted join, hash-identical to the plain join ----------------
+    // Relational.saltedJoin spreads each left row over `factor` salt
+    // values and replicates the right side per salt — a hot join key
+    // lands on `factor` reducers instead of one. The oracle is the PLAIN
+    // join: the hash match proves salting is result-invariant.
+    "q110_salted_join" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+        val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+          .withColumnRenamed("o_orderkey", "l_orderkey")
+        Relational.saltedJoin(li, o, Seq("l_orderkey"),
+            saltSrc = col("l_extendedprice"), factor = 8)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), xsum4(col("l_extendedprice")).as("price"))
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS n,
+          ${XSUM4("l_extendedprice")} AS price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority"""),
+      "salted skew join: result-invariant spreading of hot keys"),
+
     // ---- J7: multi-key join (initdb.R:364) ---------------------------------
     "q18_join_multikey" -> Q(
       (s, d) => {

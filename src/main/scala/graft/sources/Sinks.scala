@@ -39,6 +39,29 @@ object Sinks {
   def overwriteTable(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Small-files compaction: rewrite a dataset into files of roughly
+    * `rowsPerFile` rows. The chronic failure mode of a long-running
+    * ingest (streaming micro-batches, per-source imports) is thousands
+    * of KB-sized files whose open/footer overhead dominates scans;
+    * periodic compaction is standard lakehouse hygiene (OPTIMIZE).
+    * Row-count is the proxy for size because it is computable in one
+    * cheap count job; `maxRecordsPerFile` enforces the ceiling and the
+    * repartition sets the floor. Optional `sortCol` co-locates a key
+    * (e.g. a ZOrder.zorder2 value) for min/max file skipping on read.
+    */
+  def compact(df: DataFrame, path: String, rowsPerFile: Long,
+              sortCol: Option[String] = None): Unit = {
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
+    val arranged = sortCol match {
+      case Some(c) => df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(c)
+      case None    => df.repartition(nFiles)
+    }
+    arranged.write.mode("overwrite")
+      .option("maxRecordsPerFile", rowsPerFile)
+      .parquet(path)
+  }
+
   /** JDBC sink twin of Sources.jdbcTable — `df.write.jdbc` with overwrite
     * semantics; untestable in a no-egress sandbox, exposed for API
     * completeness (/root/reference/R/initdb.R:485 final Postgres load). */

@@ -100,4 +100,23 @@ class SourcesSpec extends SparkSpec {
     assert(after.filter(col("data_source") === "srcB")
       .select("id").as[Int].collect().toSet == Set(10, 11, 12))
   }
+
+  test("compact: rewrites many small files into ~rowsPerFile-sized files") {
+    val srcDir = tmpDir.resolve("frag").toString
+    // simulate a fragmented ingest: 50 files of 20 rows
+    spark.range(1000).select(col("id"), (col("id") % 7).as("k"))
+      .repartition(50).write.mode("overwrite").parquet(srcDir)
+    assert(new java.io.File(srcDir).listFiles().count(_.getName.endsWith(".parquet")) == 50)
+    val outDir = tmpDir.resolve("compacted").toString
+    Sinks.compact(spark.read.parquet(srcDir), outDir, rowsPerFile = 250)
+    val files = new java.io.File(outDir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 4, s"expected 4 compacted files, got $files")
+    assert(spark.read.parquet(outDir).count() == 1000)
+    // sorted variant co-locates the key for min/max skipping
+    val outSorted = tmpDir.resolve("compacted_sorted").toString
+    Sinks.compact(spark.read.parquet(srcDir), outSorted, 250, sortCol = Some("id"))
+    assert(spark.read.parquet(outSorted).agg(sum("id")).as[Long].head() ==
+      spark.read.parquet(srcDir).agg(sum("id")).as[Long].head())
+  }
 }
