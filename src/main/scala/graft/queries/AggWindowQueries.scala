@@ -574,6 +574,25 @@ object AggWindowQueries {
       None,
       "HyperLogLog approximate distinct (sketch)"),
 
+    // ---- HLL error-bound check, oracle-verified ---------------------------------------
+    // The sketch VALUES can't hash-match DuckDB (different HLL), but the
+    // accuracy CONTRACT can: emit exact distinct + a boolean "approx
+    // within 2×rsd". Both engines agree on the exact side; the boolean is
+    // deterministic for fixed data. Turns the q51 sketch from trust-me
+    // into a driver-checked accuracy assertion.
+    "q112_approx_distinct_bound" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")).cast("double") <=
+            col("exact_parts").cast("double") * 0.04).as("within_bound")),
+      Some("""SELECT l_returnflag,
+          count(DISTINCT l_partkey) AS exact_parts, TRUE AS within_bound
+        FROM lineitem GROUP BY l_returnflag"""),
+      "HLL accuracy contract: |approx − exact| ≤ 2·rsd·exact, hash-checked"),
+
     // ---- S4: inline literal lookup table (initdb.R:408-445) ----------------------------
     "q52_inline_literal" -> Q(
       (s, d) => {

@@ -11,6 +11,11 @@ import Q._
   */
 object TextQueries {
 
+  /** DuckDB rendering of Text.normalize → tokens (q111 oracle). */
+  private val tokSql =
+    "string_split_regex(trim(regexp_replace(regexp_replace(lower(text), " +
+      "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), '\\s+')"
+
   val defs: Map[String, Q] = Map(
 
     // ---- token counting ---------------------------------------------------
@@ -132,6 +137,48 @@ object TextQueries {
         "doc_id", "text", shingleSize = 3, bands = 4, rowsPerBand = 4),
       None,
       "MinHash+LSH candidate pairs (shingle→minhash→band→bucket-join)"),
+
+    // ---- LSH + exact-verify pipeline, oracle-verified --------------------------------
+    // The full production near-dup shape: LSH candidates (8 bands × 2
+    // rows — collision prob ≥ 0.9997 per pair at J=0.8) → exact Jaccard
+    // verification ≥ 0.8. The DuckDB oracle computes the ground-truth
+    // pair set by brute force, so the hash match asserts BOTH the verify
+    // math AND that banding missed nothing on this corpus — the oracle-
+    // able complement of q59's raw candidate sketch.
+    "q111_minhash_verified" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+          shingleSize = 3, bands = 8, rowsPerBand = 2)
+        val sh = Dedup.explodedShingles(docs, "doc_id", "text", 3)
+        val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+        val cs = cand
+          .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
+          .join(sh.select(col("id").as("id_b"), col("shingle")),
+            Seq("id_b", "shingle"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+        cs.join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+          .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+          .withColumn("jaccard", q4(col("common").cast("double") /
+            (col("na") + col("nb") - col("common")).cast("double")))
+          .filter(col("jaccard") >= 0.8)
+          .select("id_a", "id_b", "jaccard")
+      },
+      Some(s"""WITH sh AS (
+          SELECT DISTINCT doc_id,
+            toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS shingle
+          FROM (SELECT doc_id, $tokSql AS toks FROM documents),
+               LATERAL (SELECT unnest(range(0, greatest(len(toks) - 2, 0)))) AS g(i)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS c
+          FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, ${Q4("CAST(c AS DOUBLE)/(sa.n + sb.n - c)")} AS jaccard
+        FROM common JOIN sizes sa ON sa.doc_id = id_a
+                    JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ${Q4("CAST(c AS DOUBLE)/(sa.n + sb.n - c)")} >= 0.8"""),
+      "LSH candidates + exact-Jaccard verify ≥ 0.8, brute-force oracle"),
 
     // ---- SimHash near-dup — sketch-based, no SQL oracle -----------------------------------
     "q60_simhash" -> Q(
