@@ -64,6 +64,35 @@ class GeoRulesSpec extends SparkSpec {
     }
   }
 
+  test("edge cases: polar band skips lon bounds; non-constant radius adds no box") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val df = Seq((1L, 89.0, 10.0), (2L, 88.0, -170.0)).toDF("id", "lat", "lon")
+      // query point at 88.9N with 120nmi radius → band reaches past 89°:
+      // lat bounds only, no lon bounds (cos degenerates at the pole)
+      // assert on the ANALYZED plan: the optimizer folds a 2-row local
+      // relation away entirely, box and all
+      val polar = df.filter(Geo.arcDist(col("lat"), col("lon"),
+        lit(88.9), lit(0.0)) < lit(120.0))
+      val polarCond = polar.queryExecution.analyzed.toString
+      // lat bounds present (88.9 − 120/59.5 ≈ 86.88)...
+      assert(polarCond.contains("cast(lat") && polarCond.contains("86.8"),
+        polarCond)
+      // ...but no lon bounds: the band reaches past 89°N
+      assert(!polarCond.contains("cast(lon"), polarCond)
+      // non-foldable radius: no box conjoined, plan is just the trig filter
+      val dyn = df.filter(Geo.arcDist(col("lat"), col("lon"),
+        lit(64.0), lit(-20.0)) < col("id") * 100.0)
+      val dynCond = dyn.queryExecution.analyzed.toString
+      assert(!dynCond.contains("cast(lat"), dynCond)
+      // both-points-variable: symmetric form, no constants to box on
+      val sym = df.as("a").crossJoin(df.as("b"))
+        .filter(Geo.arcDist(col("a.lat"), col("a.lon"),
+          col("b.lat"), col("b.lon")) < lit(50.0))
+      assert(sym.count() >= 2) // analyzes and runs without a box
+    }
+  }
+
   test("SQL arcdist radius predicates get the same box; distances agree") {
     withExtendedSession { s =>
       import s.implicits._
