@@ -34,12 +34,15 @@ object Multimodal {
     * ImageIO / ffmpeg via JNI) — the signature and plan shape stay.
     * Declarative column version: stays in codegen, no serialization.
     */
-  def decodeImageStub(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  def decodeImageStub(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val b0 = conv(substring(md5(bin), 1, 2), 16, 10).cast("int")
+    val b1 = conv(substring(md5(bin), 3, 2), 16, 10).cast("int")
     struct(
-      (pmod(crc32(bin), lit(16)).cast("int") * 32 + 32).as("width"),
-      (pmod(crc32(reverse(bin)), lit(16)).cast("int") * 32 + 32).as("height"),
+      (pmod(b0, lit(16)) * 32 + 32).as("width"),
+      (pmod(b1, lit(16)) * 32 + 32).as("height"),
       (pmod(length(bin).cast("long"), lit(3L)).cast("int") + 1).as("channels"),
-      when(pmod(crc32(bin), lit(2L)) === 0, "png").otherwise("jpeg").as("format"))
+      when(pmod(b0, lit(2)) === 0, "png").otherwise("jpeg").as("format"))
+  }
 
   /** Partition-local batched transform — the mapInPandas-shaped path for
     * decoders that need a real library call per BATCH (codec init and
@@ -67,14 +70,17 @@ object Multimodal {
     }(enc)
   }
 
-  /** Deterministic stub codec used by tests and the verify query. */
+  /** Deterministic stub codec used by tests and the verify query.
+    * md5-derived (not CRC) so an independent SQL engine can recompute
+    * the exact values — that makes the q69 batch-plumbing query
+    * hash-verifiable end-to-end: a row/metadata misalignment anywhere in
+    * the mapPartitions batching would flip every downstream value. */
   def stubCodec(bytes: Array[Byte]): (Int, Int, Int, String) = {
-    val crc = new java.util.zip.CRC32()
-    crc.update(bytes)
-    val v = crc.getValue
-    val w = ((v % 16).toInt) * 32 + 32
-    ((if (w > 0) w else 32), 64, (bytes.length % 3) + 1,
-      if (v % 2 == 0) "png" else "jpeg")
+    val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val b0 = md(0) & 0xff
+    val b1 = md(1) & 0xff
+    ((b0 % 16) * 32 + 32, (b1 % 16) * 32 + 32, (bytes.length % 3) + 1,
+      if (b0 % 2 == 0) "png" else "jpeg")
   }
 
   /** Batch form of [[stubCodec]] for [[mapImageBatches]]. */

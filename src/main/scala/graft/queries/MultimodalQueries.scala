@@ -24,7 +24,10 @@ object MultimodalQueries {
         FROM documents"""),
       "opaque binary payload column + content digest"),
 
-    // ---- stubbed decode via partition-local batches (rows-only check) --------
+    // ---- stubbed decode via partition-local batches (hash-verified) ----------
+    // The stub codec is md5-derived precisely so DuckDB can recompute it:
+    // the hash match proves the mapPartitions BATCHING preserved row ↔
+    // metadata alignment end-to-end (a swap anywhere would flip values).
     "q69_multimodal_decode" -> Q(
       (s, d) => {
         val withBin = Multimodal.withBinaryPayload(
@@ -41,7 +44,23 @@ object MultimodalQueries {
             Multimodal.resizeDims(col("image_meta.width"),
               col("image_meta.height"), 224).getField("h").as("resize_h"))
       },
-      None,
-      "stubbed media decode through mapPartitions batch plumbing"),
+      Some("""SELECT doc_id,
+          CAST((b0 % 16) * 32 + 32 AS INTEGER) AS width,
+          CAST((b1 % 16) * 32 + 32 AS INTEGER) AS height,
+          CAST(octet_length(CAST(text AS BLOB)) % 3 + 1 AS INTEGER) AS channels,
+          CASE WHEN b0 % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+          CAST(CASE WHEN greatest(w, h) <= 224 THEN w
+            ELSE greatest(round(w * 224.0 / greatest(w, h)), 1) END AS INTEGER)
+            AS resize_w,
+          CAST(CASE WHEN greatest(w, h) <= 224 THEN h
+            ELSE greatest(round(h * 224.0 / greatest(w, h)), 1) END AS INTEGER)
+            AS resize_h
+        FROM (SELECT doc_id, text, b0, b1,
+            (b0 % 16) * 32 + 32 AS w, (b1 % 16) * 32 + 32 AS h
+          FROM (SELECT doc_id, text,
+              CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) AS b0,
+              CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) AS b1
+            FROM documents))"""),
+      "stubbed media decode through mapPartitions batches, hash-verified"),
   )
 }
