@@ -593,6 +593,26 @@ object AggWindowQueries {
         FROM lineitem GROUP BY l_returnflag"""),
       "HLL accuracy contract: |approx − exact| ≤ 2·rsd·exact, hash-checked"),
 
+    // ---- approx-percentile error-bound check, oracle-verified --------------------------
+    // Same contract pattern as q112: the t-digest-style sketch value
+    // can't cross-engine hash, but "approx within ±2% of the exact
+    // rank's neighborhood" can — emit the exact percentile and a
+    // boolean. approx_percentile(accuracy=10000) on ~60k rows is
+    // rank-exact to ±6 rows; the 2%-of-value tolerance is generous.
+    "q113_approx_percentile_bound" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx"))
+        .select(col("l_returnflag"), q4(col("exact_p50")).as("exact_p50"),
+          (abs(col("approx") - col("exact_p50")) <=
+            col("exact_p50") * 0.02).as("within_bound")),
+      Some(s"""SELECT l_returnflag,
+          ${Q4("quantile_cont(l_extendedprice, 0.5)")} AS exact_p50,
+          TRUE AS within_bound
+        FROM lineitem GROUP BY l_returnflag"""),
+      "approx-percentile accuracy contract, hash-checked"),
+
     // ---- S4: inline literal lookup table (initdb.R:408-445) ----------------------------
     "q52_inline_literal" -> Q(
       (s, d) => {

@@ -45,6 +45,38 @@ object EventQueries {
         GROUP BY cohort_day, offset_days"""),
       "retention cohort matrix: first-active-day × day-offset distinct users"),
 
+    // ---- ordered conversion funnel ----------------------------------------
+    // view → click → purchase, strictly ordered per user: a user counts
+    // at step k iff their earliest step-k event follows their earliest
+    // step-(k-1) event. One shuffle (groupBy user) computes all three
+    // first-times via conditional min — no self-joins, no per-step scans.
+    "q114_event_funnel" -> Q(
+      (s, d) => {
+        val firsts = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "view", col("ts_us"))).as("t_view"),
+            min(when(col("event_type") === "click", col("ts_us"))).as("t_click"),
+            min(when(col("event_type") === "purchase", col("ts_us"))).as("t_buy"))
+        firsts.agg(
+          count(col("t_view")).as("n_view"),
+          count(when(col("t_click") > col("t_view"), 1)).as("n_click_after_view"),
+          count(when(col("t_click") > col("t_view") &&
+            col("t_buy") > col("t_click"), 1)).as("n_full_funnel"))
+      },
+      Some("""WITH firsts AS (
+          SELECT user_id,
+            min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+            min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+            min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+          FROM events GROUP BY user_id)
+        SELECT count(t_view) AS n_view,
+          count(CASE WHEN t_click > t_view THEN 1 END) AS n_click_after_view,
+          count(CASE WHEN t_click > t_view AND t_buy > t_click THEN 1 END)
+            AS n_full_funnel
+        FROM firsts"""),
+      "ordered 3-step conversion funnel, one shuffle via conditional mins"),
+
     // ---- tumbling event-time window ---------------------------------------
     "q64_events_hourly" -> Q(
       (s, d) => Tables.events(s, d)
