@@ -67,6 +67,37 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("topKPerGroup matches the window formulation on random frames") {
+    val rowsGen = Gen.listOfN(30, Gen.zip(Gen.choose(0, 4),
+      Gen.choose(0, 50), Gen.choose(0, 1000)))
+    val kGen = Gen.choose(1, 4)
+    check(Prop.forAll(rowsGen, kGen) { (rows, k) =>
+      rows.isEmpty || {
+        // unique (g,v,id) triples make the order total → deterministic
+        val df = rows.distinct.toDF("g", "v", "id")
+        val got = graft.plans.TopK.topKPerGroup(df, Seq(df("g")),
+          Seq(df("v").asc, df("id").asc), k).as[(Int, Int, Int)].collect().toSet
+        val want = rows.distinct.groupBy(_._1).values.flatMap(
+          _.sortBy(t => (t._2, t._3)).take(k)).toSet
+        got == want
+      }
+    })
+  }
+
+  test("zorder2 equals a plain-Scala bit-interleave reference") {
+    val g = Gen.choose(0, 1023)
+    check(Prop.forAll(g, g) { (a, b) =>
+      val got = spark.range(1)
+        .select(graft.functions.ZOrder.zorder2(lit(a), lit(b), 10))
+        .as[Long].head()
+      val want = (0 until 10).foldLeft(0L) { (acc, k) =>
+        acc | (((a.toLong >> k) & 1L) << (2 * k)) |
+          (((b.toLong >> k) & 1L) << (2 * k + 1))
+      }
+      got == want
+    })
+  }
+
   test("upsert matches a map-merge reference on random frames") {
     val frameGen = Gen.listOfN(8, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 100)))
     check(Prop.forAll(frameGen, frameGen) { (baseRows, updRowsRaw) =>
