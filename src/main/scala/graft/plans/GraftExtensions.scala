@@ -56,7 +56,16 @@ object GraftFunctions {
     ("dot_f", info("dot_f", "dot product of two float-array embeddings"),
       (args: Seq[Expression]) => expression(Vectors.dot(c(args(0)), c(args(1))))),
     ("cosine_f", info("cosine_f", "cosine similarity of two float-array embeddings"),
-      (args: Seq[Expression]) => expression(Vectors.cosine(c(args(0)), c(args(1))))))
+      (args: Seq[Expression]) => expression(Vectors.cosine(c(args(0)), c(args(1))))),
+    ("zorder2", info("zorder2", "Morton interleave of two ints (16-bit)"),
+      (args: Seq[Expression]) =>
+        expression(graft.functions.ZOrder.zorder2(c(args(0)), c(args(1))))),
+    ("subword_count", info("subword_count", "BPE-style pre-tokenizer token count"),
+      (args: Seq[Expression]) => expression(Text.subwordTokenCount(c(args(0))))),
+    ("stopword_ratio", info("stopword_ratio", "stopword token fraction"),
+      (args: Seq[Expression]) => expression(Text.stopwordRatio(c(args(0))))),
+    ("punct_ratio", info("punct_ratio", "non-alphanumeric character fraction"),
+      (args: Seq[Expression]) => expression(Text.punctRatio(c(args(0))))))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit = all.foreach { case (n, i, b) =>

@@ -32,6 +32,18 @@ class RelationalSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, 1, "keep"), (2, 5, "only")))
   }
 
+  test("intervalJoinBucketed plans as equi-joins — no nested loop, no cartesian") {
+    val events = (1 to 200).map(i => (i % 5, i)).toDF("k", "t")
+    val hist = (1 to 50).map(i => (i % 5, Some(i), Some(i + 20), s"h$i"))
+      .toDF("k", "s", "e", "tag")
+    val q = Relational.intervalJoinBucketed(events, hist, Seq("k"),
+      col("t"), col("s"), col("e"), bucketWidth = 10L)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("intervalJoin: point in (start, end], null bounds open") {
     val events = Seq((1, 10), (1, 20), (1, 30), (2, 5)).toDF("k", "t")
     val hist = Seq(

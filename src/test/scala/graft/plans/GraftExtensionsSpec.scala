@@ -27,6 +27,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row == ((4, "en", row._3, true, true)) && row._3 > 0 && row._3 <= 1)
   }
 
+  test("round-3 SQL functions: zorder2 / subword_count / text ratios") {
+    GraftFunctions.register(spark)
+    val (z, sw, sr, pr) = spark.sql(
+      """SELECT zorder2(5, 3),
+             subword_count('hello, world 42!'),
+             stopword_ratio('the quick fox'),
+             punct_ratio('ab!!')""")
+      .as[(Long, Int, Double, Double)].head()
+    assert(z == 27L)           // interleave(101, 011) = 11011
+    assert(sw == 5)            // hello , world 42 !
+    assert(sr == 1.0 / 3.0)
+    assert(pr == 0.5)
+  }
+
   test("functions registered via injection participate in codegen/optimizer") {
     GraftFunctions.register(spark)
     // constant folding: a fully-literal call folds to a literal in the plan
