@@ -146,6 +146,29 @@ object AggWindowQueries {
         FROM nation"""),
       "sequence id offset by scalar subquery max"),
 
+    // ---- W3: lead() inter-order gap / churn flag ---------------------------
+    "q31_order_gaps" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+          .select(col("o_orderkey"),
+            datediff(col("next_date"), col("o_orderdate")).as("gap_days"),
+            (col("next_date").isNotNull &&
+              datediff(col("next_date"), col("o_orderdate")) > 90)
+              .as("churn_gap"))
+      },
+      Some("""SELECT o_orderkey,
+          CAST(date_diff('day', o_orderdate, next_date) AS INTEGER) AS gap_days,
+          next_date IS NOT NULL
+            AND date_diff('day', o_orderdate, next_date) > 90 AS churn_gap
+        FROM (SELECT o_orderkey, o_orderdate,
+            lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey) AS next_date
+          FROM orders)"""),
+      "lead() inter-order gaps with churn flag"),
+
     // ---- W4: running sum, ROWS frame ---------------------------------------
     "q32_running_sum" -> Q(
       (s, d) => {
