@@ -28,6 +28,24 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
+  /** Incremental exact dedup: admit only rows of `incoming` whose content
+    * fingerprint is neither in the historical `knownFingerprints` set nor
+    * duplicated earlier within the batch itself — the daily-ingest shape
+    * (new crawl vs an existing corpus index). The history side carries
+    * ONLY fingerprints (one slim column at 100 TB); the anti-join
+    * shuffles on the fingerprint hash and AQE picks broadcast when the
+    * day's index partition-pruned slice is small. Within-batch ties keep
+    * the lowest `idCol` (same contract as [[exact]]).
+    */
+  def incrementalExact(incoming: DataFrame, idCol: String, textCol: String,
+                       knownFingerprints: DataFrame,
+                       fpCol: String): DataFrame =
+    exact(incoming, textCol, idCol)
+      .withColumn("__fp", Text.fingerprint(col(textCol)))
+      .join(knownFingerprints.select(col(fpCol).as("__fp")),
+        Seq("__fp"), "left_anti")
+      .drop("__fp")
+
   /** MinHash signature: for each of `numHashes` seeded hash functions,
     * the min of xxhash64(shingle, seed) over the doc's shingle set. Pure
     * column expressions (array_min over transform) — no UDF/UDAF.

@@ -180,6 +180,33 @@ object TextQueries {
         WHERE ${Q4("CAST(c AS DOUBLE)/(sa.n + sb.n - c)")} >= 0.8"""),
       "LSH candidates + exact-Jaccard verify ≥ 0.8, brute-force oracle"),
 
+    // ---- incremental dedup against a historical index ----------------------------------
+    // Day-N ingest: docs ≥ 250 arrive against an index of fingerprints
+    // from docs < 250. Admitted = not in the index, not duplicated
+    // within the batch (lowest doc_id wins).
+    "q115_incremental_dedup" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val index = docs.filter(col("doc_id") < 250)
+          .select(Text.fingerprint(col("text")).as("fp")).distinct()
+        Dedup.incrementalExact(docs.filter(col("doc_id") >= 250),
+            "doc_id", "text", index, "fp")
+          .select("doc_id", "source")
+      },
+      Some(s"""WITH fp AS (
+          SELECT doc_id, source,
+            md5(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp
+          FROM documents),
+        idx AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 250),
+        batch AS (
+          SELECT doc_id, source, fp,
+            row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM fp WHERE doc_id >= 250)
+        SELECT doc_id, source FROM batch
+        WHERE rn = 1 AND fp NOT IN (SELECT fp FROM idx)"""),
+      "incremental exact dedup: new batch vs historical fingerprint index"),
+
     // ---- SimHash near-dup — sketch-based, no SQL oracle -----------------------------------
     "q60_simhash" -> Q(
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d),

@@ -20,6 +20,23 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(1L, 3L, 4L, 5L))
   }
 
+  test("incrementalExact drops index hits AND within-batch dups") {
+    import graft.functions.Text
+    // history index: doc 4's content already ingested
+    val index = docs.filter(col("doc_id") === 4L)
+      .select(Text.fingerprint(col("text")).as("fp"))
+    // batch: 2 (dup of content already in batch via 1), 1, 4's dup, 5
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog", "s1"),
+      (11L, "THE QUICK  BROWN FOX jumps over the lazy dog!", "s1"), // within-batch dup of 10
+      (12L, "completely different content about spark engines", "s1"), // in index → dropped
+      (13L, "brand new material never seen before", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.incrementalExact(batch, "doc_id", "text", index, "fp")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(10L, 13L))
+  }
+
   test("minhash signature identical for exact dups, candidates found") {
     val sig = docs.select(col("doc_id"),
       Dedup.minhashSignature(col("text"), 3, 16).as("sig"))
