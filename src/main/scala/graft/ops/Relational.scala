@@ -325,6 +325,36 @@ object Relational {
       keys, Seq(col("__pri").asc))
       .drop("__pri")
 
+  /** Fuzzy equi-join on string keys with edit distance ≤ 1, via FastSS
+    * deletion-neighborhood blocking: every key generates its 1-deletion
+    * variants (plus itself); two strings within edit distance 1 ALWAYS
+    * share a variant, so an equi-join on variants finds every true pair
+    * (lossless blocking — proved by the q116 hash match against a
+    * brute-force oracle) and a `levenshtein` post-filter removes false
+    * candidates. Shuffle volume is O(rows × avg key length) variant
+    * rows instead of the |L|×|R| cross join brute force needs — the
+    * record-linkage shape (vessel/port name matching, near-duplicate
+    * titles) at 100 TB. Returns DISTINCT (leftKey, rightKey) pairs.
+    */
+  def fuzzyJoin(left: DataFrame, right: DataFrame,
+                leftKey: String, rightKey: String): DataFrame = {
+    // key + its 1-deletion variants, as (key, variant) rows
+    def variants(df: DataFrame, key: String): DataFrame = {
+      val c = col(key)
+      df.select(c).distinct()
+        .select(c, explode(array_distinct(concat(
+          array(c),
+          transform(sequence(lit(1), length(c)), i =>
+            concat(c.substr(lit(1), i - 1),
+              c.substr(i + 1, length(c))))))).as("__v"))
+    }
+    variants(left, leftKey)
+      .join(variants(right, rightKey), Seq("__v"))
+      .select(col(leftKey), col(rightKey))
+      .distinct()
+      .filter(levenshtein(col(leftKey), col(rightKey)) <= 1)
+  }
+
   /** Ragged union — reference `bind_rows` over files with differing
     * columns (/root/reference/R/initdb_shrimp.R:526-544). */
   def raggedUnion(dfs: Seq[DataFrame]): DataFrame =

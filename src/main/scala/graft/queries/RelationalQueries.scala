@@ -349,6 +349,32 @@ object RelationalQueries {
         GROUP BY o_orderpriority"""),
       "salted skew join: result-invariant spreading of hot keys"),
 
+    // ---- fuzzy join via lossless deletion blocking -------------------------
+    // Record linkage: probe names with typos matched to supplier names at
+    // edit distance ≤ 1. Relational.fuzzyJoin blocks on 1-deletion
+    // variants (two strings within distance 1 always share one), so the
+    // equi-join finds EVERY true pair; the brute-force cross-join oracle
+    // proves the blocking lost nothing.
+    "q116_fuzzy_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val probes = Seq(
+          "Supplier#000000007",  // exact
+          "Supplier#00000001",   // deletion
+          "Supplier#0000000421", // insertion
+          "Suppliar#000000033",  // substitution
+          "Suplier#00000044")    // distance 2 → no match
+          .toDF("probe")
+        Relational.fuzzyJoin(probes, Tables.supplier(s, d), "probe", "s_name")
+      },
+      Some("""SELECT probe, s_name
+        FROM (VALUES ('Supplier#000000007'), ('Supplier#00000001'),
+                     ('Supplier#0000000421'), ('Suppliar#000000033'),
+                     ('Suplier#00000044')) AS p(probe)
+        CROSS JOIN (SELECT DISTINCT s_name FROM supplier)
+        WHERE levenshtein(probe, s_name) <= 1"""),
+      "fuzzy join at edit distance ≤ 1, deletion blocking vs brute force"),
+
     // ---- J7: multi-key join (initdb.R:364) ---------------------------------
     "q18_join_multikey" -> Q(
       (s, d) => {

@@ -98,6 +98,29 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("fuzzyJoin equals brute-force levenshtein ≤ 1 on random strings") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val strGen = Gen.listOfN(8, Gen.choose(1, 4)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+    check(Prop.forAll(strGen, strGen) { (ls, rs) =>
+      val got = Relational.fuzzyJoin(
+        ls.toDF("lk"), rs.toDF("rk"), "lk", "rk")
+        .as[(String, String)].collect().toSet
+      val want = (for {
+        l <- ls.distinct; r <- rs.distinct if lev(l, r) <= 1
+      } yield (l, r)).toSet
+      got == want
+    })
+  }
+
   test("upsert matches a map-merge reference on random frames") {
     val frameGen = Gen.listOfN(8, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 100)))
     check(Prop.forAll(frameGen, frameGen) { (baseRows, updRowsRaw) =>
