@@ -529,5 +529,53 @@ object CorpusQueries {
         FROM toks JOIN vocab USING (tok) CROSS JOIN total
         GROUP BY doc_id"""),
       "unigram LM quality score: mean log-prob under corpus distribution"),
+
+    // ---- quality-weighted sampling without replacement --------------------
+    // Efraimidis–Spirakis exponential clocks: each doc draws a
+    // deterministic uniform u from md5(doc_id) and competes with key
+    // −ln(u)/w (w = heuristic quality score); the k smallest keys are a
+    // weighted sample without replacement. No RNG state — reproducible
+    // across engines, runs, and re-shards, and the top-k is a distributed
+    // partial top-k (TakeOrderedAndProject), never a global sort. Keys
+    // are 4dp-quantized with doc_id tiebreak so both engines rank
+    // identically.
+    "q117_weighted_sample" -> Q(
+      (s, d) => {
+        val u = (conv(substring(
+          md5(concat(lit("graft-ws:"), col("doc_id").cast("string"))), 1, 6),
+          16, 10).cast("double") + 1d) / 16777217d
+        Tables.documents(s, d)
+          // w quantized FIRST: q54 proves the two engines' quality
+          // renderings agree at 4dp, and quantized doubles are then
+          // bit-identical inputs to the key computation
+          .withColumn("w", q4(Text.qualityScore(col("text"))))
+          .filter(col("w") > 0)
+          .withColumn("key", q4(-log(u) / col("w")))
+          .orderBy(col("key").asc, col("doc_id").asc)
+          .limit(20)
+          .select(col("doc_id"), col("key"))
+      },
+      Some {
+        // DuckDB rendering of Text.qualityScore — same strings as the
+        // (hash-green) q54 oracle
+        val toks = "string_split_regex(trim(text), '\\s+')"
+        val stops = Text.defaultStopwords.map(w => s"'$w'").mkString(", ")
+        val nTok = s"len($toks)"
+        val stopRatio = s"CAST(len(list_filter($toks, t -> t IN ($stops))) AS DOUBLE) / $nTok"
+        val punctRatio = s"CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)"
+        val lenScore = s"least(CAST($nTok AS DOUBLE)/64.0, 1.0)"
+        val stopScore = s"least(($stopRatio)*4.0, 1.0)"
+        val punctPen = s"greatest(0.0, 1.0 - ($punctRatio)*4.0)"
+        val quality = s"(($lenScore) + ($stopScore) + ($punctPen)) / 3.0"
+        s"""SELECT doc_id, key FROM (
+          SELECT doc_id, ${Q4("-ln(u) / w")} AS key
+          FROM (SELECT doc_id, ${Q4(quality)} AS w,
+              (CAST(('0x' || substr(md5('graft-ws:' || CAST(doc_id AS VARCHAR)), 1, 6))
+                 AS BIGINT) + 1.0) / 16777217.0 AS u
+            FROM documents)
+          WHERE w > 0)
+        ORDER BY key, doc_id LIMIT 20"""
+      },
+      "weighted sampling w/o replacement: deterministic exponential clocks"),
   )
 }
