@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench/verify JSON from captured stdout. sbt's
+// default BufferedOutput prefixes every forked-process line with
+// "[info] " and appends a "[success] Total time..." banner — both broke
+// JSON parsing in rounds 1-3 (BENCH_r0{1,2,3}.json all have
+// "parsed": null). StdoutOutput passes the forked JVM's stdout through
+// verbatim; showSuccess drops the trailing banner.
+outputStrategy := Some(StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
