@@ -252,11 +252,14 @@ object Relational {
     * then add each partition's broadcast prefix total — no
     * single-partition window anywhere. `outCol` is the cumsum INCLUDING
     * the current row; subtract the row's value for the exclusive prefix.
-    * `order` must be a total order for determinism.
+    * `order` must be a total order for determinism. The sum accumulates
+    * in `value`'s native numeric type (Spark's sum widening: int/long →
+    * long, float/double → double, decimal → wider decimal) — fractional
+    * inputs are NOT truncated.
     */
   def globalCumSum(df: DataFrame, order: Seq[Column], value: Column,
                    outCol: String = "cumsum"): DataFrame = {
-    val sorted = df.withColumn("__cs_v", value.cast("long"))
+    val sorted = df.withColumn("__cs_v", value)
       .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__cs_pid", spark_partition_id())
@@ -334,25 +337,34 @@ object Relational {
     * candidates. Shuffle volume is O(rows × avg key length) variant
     * rows instead of the |L|×|R| cross join brute force needs — the
     * record-linkage shape (vessel/port name matching, near-duplicate
-    * titles) at 100 TB. Returns DISTINCT (leftKey, rightKey) pairs.
+    * titles) at 100 TB. Returns DISTINCT (leftKey, rightKey) pairs; when
+    * both sides use the SAME column name (joining two `name` columns —
+    * the common record-linkage case) the output pair is disambiguated as
+    * `<key>_l` / `<key>_r`.
     */
   def fuzzyJoin(left: DataFrame, right: DataFrame,
                 leftKey: String, rightKey: String): DataFrame = {
+    // alias each side's key to a distinct internal name BEFORE the
+    // variant join — same-named keys would otherwise collide into an
+    // ambiguous-column error at the final select
+    val (lOut, rOut) =
+      if (leftKey == rightKey) (s"${leftKey}_l", s"${rightKey}_r")
+      else (leftKey, rightKey)
     // key + its 1-deletion variants, as (key, variant) rows
-    def variants(df: DataFrame, key: String): DataFrame = {
-      val c = col(key)
+    def variants(df: DataFrame, key: String, out: String): DataFrame = {
+      val c = col(key).as(out)
       df.select(c).distinct()
-        .select(c, explode(array_distinct(concat(
-          array(c),
-          transform(sequence(lit(1), length(c)), i =>
-            concat(c.substr(lit(1), i - 1),
-              c.substr(i + 1, length(c))))))).as("__v"))
+        .select(col(out), explode(array_distinct(concat(
+          array(col(out)),
+          transform(sequence(lit(1), length(col(out))), i =>
+            concat(col(out).substr(lit(1), i - 1),
+              col(out).substr(i + 1, length(col(out)))))))).as("__v"))
     }
-    variants(left, leftKey)
-      .join(variants(right, rightKey), Seq("__v"))
-      .select(col(leftKey), col(rightKey))
+    variants(left, leftKey, lOut)
+      .join(variants(right, rightKey, rOut), Seq("__v"))
+      .select(col(lOut), col(rOut))
       .distinct()
-      .filter(levenshtein(col(leftKey), col(rightKey)) <= 1)
+      .filter(levenshtein(col(lOut), col(rOut)) <= 1)
   }
 
   /** Ragged union — reference `bind_rows` over files with differing

@@ -81,10 +81,17 @@ object ArcDistBoundingBox extends Rule[LogicalPlan] with PredicateHelper {
         if (band >= 89.0) latBounds
         else {
           val dLon = rv / (NmiPerDegSafe * math.cos(math.toRadians(band)))
-          val lonC = Cast(lonE, DoubleType)
-          latBounds ++ Seq(
-            GreaterThanOrEqual(lonC, Literal(lon0 - dLon)),
-            LessThanOrEqual(lonC, Literal(lon0 + dLon)))
+          // Antimeridian wrap: a box that crosses lon ±180 would exclude
+          // true matches on the far side (lon0=179.5, r=60nmi must keep
+          // lon=-179.9). The lat band alone is still a valid relaxation,
+          // so drop the lon conjuncts rather than emit a wrong box.
+          if (lon0 - dLon < -180.0 || lon0 + dLon > 180.0) latBounds
+          else {
+            val lonC = Cast(lonE, DoubleType)
+            latBounds ++ Seq(
+              GreaterThanOrEqual(lonC, Literal(lon0 - dLon)),
+              LessThanOrEqual(lonC, Literal(lon0 + dLon)))
+          }
         }
       case _ => Nil
     }

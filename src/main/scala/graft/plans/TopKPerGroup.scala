@@ -62,41 +62,61 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
     child.execute().mapPartitions { iter =>
       import scala.jdk.CollectionConverters._
       val keyProj = UnsafeProjection.create(groupExprsLocal, childOutput)
-      var heaps = new java.util.HashMap[UnsafeRow,
-        scala.collection.mutable.PriorityQueue[InternalRow]]()
-      var flushed: Iterator[InternalRow] = Iterator.empty
-      iter.foreach { row =>
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          // Bounded memory on the MAP side: with pathological group
-          // cardinality (group ≈ row) the heap map would hold the whole
-          // partition, like a hash agg without spill. Emitting a segment's
-          // heaps early and restarting is CORRECT for the partial pass: a
-          // row in the partition's true top-k beats <k rows overall, so
-          // it beats <k rows in whatever segment it lands in and survives
-          // that segment's heap; the final pass prunes the union. (The
-          // final pass sees ≤ k rows per group by construction — partials
-          // already reduced — so its map is bounded by k·groups-in-task.)
-          if (partialLocal && heaps.size >= flushLimit) {
-            // evaluate NOW into a val: Iterator.++'s right operand is
-            // by-name, and a thunk over `heaps` would otherwise read the
-            // (cleared, reassigned) map only at consumption time
-            val segment = heaps.values().iterator().asScala.toVector
-              .flatMap(_.iterator)
-            flushed = flushed ++ segment
-            heaps = new java.util.HashMap()
+      // Bounded memory on the MAP side: with pathological group
+      // cardinality (group ≈ row) the heap map would hold the whole
+      // partition, like a hash agg without spill. When the map reaches
+      // flushLimit groups, the current segment's heaps are handed to the
+      // CONSUMER (the shuffle writer) and the map restarts — the emitted
+      // rows leave this task's memory before more input is read, so
+      // retention is O(flushLimit·k) regardless of partition size.
+      // Early emission is CORRECT for the partial pass: a row in the
+      // partition's true top-k beats <k rows overall, so it beats <k rows
+      // in whatever segment it lands in and survives that segment's heap;
+      // the final pass prunes the union. (The final pass sees ≤ k rows
+      // per group by construction — partials already reduced — so its map
+      // is bounded by k·groups-in-task and never flushes.)
+      new Iterator[InternalRow] {
+        private var heaps = new java.util.HashMap[UnsafeRow,
+          scala.collection.mutable.PriorityQueue[InternalRow]]()
+        private var out: Iterator[InternalRow] = Iterator.empty
+        private def insert(row: InternalRow): Boolean = {
+          val key = keyProj(row)
+          var heap = heaps.get(key)
+          var flushedNow = false
+          if (heap == null) {
+            if (partialLocal && heaps.size >= flushLimit) {
+              // the old map is captured by `out` and drained lazily; the
+              // new empty map takes over accumulation
+              val segment = heaps
+              heaps = new java.util.HashMap()
+              out = segment.values().iterator().asScala.flatMap(_.iterator)
+              flushedNow = true
+            }
+            // max-heap under `ordering`: head = worst row currently kept
+            heap = scala.collection.mutable.PriorityQueue.empty(ordering)
+            heaps.put(key.copy(), heap)
           }
-          // max-heap under `ordering`: head = worst row currently kept
-          heap = scala.collection.mutable.PriorityQueue.empty(ordering)
-          heaps.put(key.copy(), heap)
+          if (heap.size < k) heap.enqueue(row.copy())
+          else if (ordering.compare(row, heap.head) < 0) {
+            heap.dequeue(); heap.enqueue(row.copy())
+          }
+          flushedNow
         }
-        if (heap.size < k) heap.enqueue(row.copy())
-        else if (ordering.compare(row, heap.head) < 0) {
-          heap.dequeue(); heap.enqueue(row.copy())
+        private def advance(): Unit = {
+          while (!out.hasNext && iter.hasNext) {
+            // consume input until a flush produces output or input ends
+            var flushed = false
+            while (!flushed && iter.hasNext) flushed = insert(iter.next())
+          }
+          if (!out.hasNext && !iter.hasNext && heaps != null) {
+            val last = heaps
+            heaps = null // final drain happens exactly once
+            out = last.values().iterator().asScala.flatMap(_.iterator)
+          }
         }
+        override def hasNext: Boolean = { advance(); out.hasNext }
+        override def next(): InternalRow = { advance(); out.next() }
       }
-      flushed ++ heaps.values().iterator().asScala.flatMap(_.iterator)
     }
   }
 

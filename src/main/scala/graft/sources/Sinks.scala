@@ -48,6 +48,13 @@ object Sinks {
     * cheap count job; `maxRecordsPerFile` enforces the ceiling and the
     * repartition sets the floor. Optional `sortCol` co-locates a key
     * (e.g. a ZOrder.zorder2 value) for min/max file skipping on read.
+    *
+    * The natural call is IN-PLACE — compacting the very parquet dir `df`
+    * was read from — and a direct overwrite there would fail (Spark
+    * refuses to overwrite a path it is reading) or lose data. The write
+    * therefore stages to a sibling temp dir (fully materializing `df`
+    * while its source files are still intact) and then atomically swaps
+    * the staged dir into `path`.
     */
   def compact(df: DataFrame, path: String, rowsPerFile: Long,
               sortCol: Option[String] = None): Unit = {
@@ -57,9 +64,20 @@ object Sinks {
       case Some(c) => df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(c)
       case None    => df.repartition(nFiles)
     }
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    val staged = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}__compacting")
     arranged.write.mode("overwrite")
       .option("maxRecordsPerFile", rowsPerFile)
-      .parquet(path)
+      .parquet(staged.toString)
+    // df is fully materialized into `staged` at this point; replacing the
+    // source dir underneath it is now safe
+    fs.delete(target, true)
+    if (!fs.rename(staged, target))
+      throw new java.io.IOException(
+        s"compact: rename $staged -> $target failed (data preserved in $staged)")
   }
 
   /** JDBC sink twin of Sources.jdbcTable — `df.write.jdbc` with overwrite

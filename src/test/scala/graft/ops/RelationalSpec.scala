@@ -200,6 +200,24 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("rangepartitioning"), plan)
   }
 
+  test("globalCumSum keeps fractional values (no silent long cast)") {
+    val df = Seq((1, 0.5), (2, 0.25), (3, 1.75)).toDF("id", "w")
+    val got = Relational.globalCumSum(df, Seq(col("id")), col("w"))
+      .select("id", "cumsum").as[(Int, Double)].collect().toMap
+    assert(got == Map(1 -> 0.5, 2 -> 0.75, 3 -> 2.5))
+  }
+
+  test("fuzzyJoin with same-named keys disambiguates as _l/_r") {
+    val l = Seq("skip", "ship", "crab").toDF("name")
+    val r = Seq("skip", "shop", "boat").toDF("name")
+    val out = Relational.fuzzyJoin(l, r, "name", "name")
+    assert(out.columns.toSeq == Seq("name_l", "name_r"))
+    val pairs = out.as[(String, String)].collect().toSet
+    // lev(skip,shop)=2 is correctly absent
+    assert(pairs == Set(("skip", "skip"), ("ship", "shop"),
+      ("ship", "skip")))
+  }
+
   test("checkpoint writes and re-reads (compute() equivalent)") {
     val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
     val df = Seq((1, "a"), (2, "b")).toDF("id", "v")

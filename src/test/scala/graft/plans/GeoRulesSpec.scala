@@ -93,6 +93,38 @@ class GeoRulesSpec extends SparkSpec {
     }
   }
 
+  test("antimeridian-crossing radius keeps far-side matches (lat-only box)") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val dir = Files.createTempDirectory("geo_wrap").toFile.getAbsolutePath
+      // points straddling lon ±180 at lat 64, plus decoys far away
+      Seq((1L, 64.0, 179.8), (2L, 64.0, -179.9), (3L, 64.0, 179.95),
+          (4L, 64.0, 170.0), (5L, 64.0, -170.0), (6L, 20.0, 179.95))
+        .toDF("id", "lat", "lon").write.mode("overwrite").parquet(dir)
+      // query point lon 179.95: a 60nmi box would span past +180 and a
+      // naive [lon0-d, lon0+d] box drops id=2 at lon=-179.9
+      val got = s.read.parquet(dir)
+        .filter(Geo.arcDist(col("lat"), col("lon"),
+          lit(64.0), lit(179.95)) < lit(60.0))
+        .select("id").as[Long].collect().toSet
+      val want = s.read.parquet(dir)
+        .filter(Geo.arcDistNmi(col("lat"), col("lon"),
+          lit(64.0), lit(179.95)) < lit(60.0))
+        .select("id").as[Long].collect().toSet
+      assert(got == want, s"got $got, want $want")
+      assert(got.contains(2L), "far-side match across the antimeridian dropped")
+      // the rewrite still contributes the (valid) lat band, but must not
+      // emit lon bounds for a wrap-crossing box
+      val cond = s.read.parquet(dir)
+        .filter(Geo.arcDist(col("lat"), col("lon"),
+          lit(64.0), lit(179.95)) < lit(60.0))
+        .queryExecution.optimizedPlan.toString
+      assert("lat#\\d+ >= ".r.findFirstIn(cond).isDefined, cond)
+      assert("lon#\\d+ >= ".r.findFirstIn(cond).isEmpty,
+        s"lon bounds emitted for wrap box: $cond")
+    }
+  }
+
   test("SQL arcdist radius predicates get the same box; distances agree") {
     withExtendedSession { s =>
       import s.implicits._

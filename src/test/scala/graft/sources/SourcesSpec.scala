@@ -119,4 +119,21 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(outSorted).agg(sum("id")).as[Long].head() ==
       spark.read.parquet(srcDir).agg(sum("id")).as[Long].head())
   }
+
+  test("compact in-place: target path == source path, content preserved") {
+    val base = tmpDir
+    val dir = base.resolve("inplace").toString
+    spark.range(1000).select(col("id"), (col("id") % 7).as("k"))
+      .repartition(50).write.mode("overwrite").parquet(dir)
+    // the natural OPTIMIZE call: compact the dir we just read
+    Sinks.compact(spark.read.parquet(dir), dir, rowsPerFile = 250)
+    val files = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 4, s"expected 4 compacted files, got $files")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000)
+    assert(back.agg(sum("id")).as[Long].head() == 499500L)
+    // no staging dir left behind
+    assert(!new java.io.File(base.toFile, ".inplace__compacting").exists())
+  }
 }
