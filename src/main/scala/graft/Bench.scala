@@ -32,16 +32,20 @@ object Bench {
         Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b"), "a", "b")
         .write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => () }
-    var sinceGc = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Pay accumulated GC debt OUTSIDE the timed section (the JMH
-      // between-iterations pattern): heavy allocators early in the
+      // Reset JVM/session state OUTSIDE the timed section (the JMH
+      // between-iterations pattern). Heavy allocators early in the
       // alphabet otherwise trigger multi-second collections that land on
-      // whatever cheap query happens to run minutes later — measured as
-      // a 10-20s stall band wandering across unrelated queries between
-      // runs. Every 4th query bounds the overhead.
-      sinceGc += 1
-      if (sinceGc >= 4) { System.gc(); sinceGc = 0 }
+      // whatever query happens to run minutes later — measured as a
+      // 10-20s stall band wandering across unrelated queries between
+      // runs, worst on the late-alphabet heavy queries (q87/q97 ran 9×
+      // their standalone time on the round-3 driver box). Unpersisting
+      // stray cached/checkpointed RDDs also lets the ContextCleaner drop
+      // their blocks now instead of at an arbitrary later GC.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }

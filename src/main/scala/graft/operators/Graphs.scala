@@ -40,8 +40,12 @@ object Graphs {
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
       .localCheckpoint(eager = true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // init fused with the first edge hop: label(v) = min(v, min neighbor)
+    // comes out of the same groupBy that would enumerate the node set, so
+    // the star-shaped components (the common near-dup cluster) are done
+    // before the loop starts
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(least(min("dst"), first("src")).as("component"))
       .localCheckpoint(eager = true)
     // One hop+jump round, built LAZILY on `labels`. `__changed` carries
     // whether this round's hop improved any label.
@@ -80,12 +84,16 @@ object Graphs {
     var iter = 0
     while (!converged && iter < maxIter) {
       val prev = labels
+      // LAZY checkpoint: the convergence count below is the first action
+      // on `next`, so ONE job both materializes the checkpoint blocks and
+      // returns the changed-row count — the eager variant spends a
+      // separate job per pass on materialization alone.
       val next = round(round(labels).drop("__changed"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       // Convergence is tested on the LAST EDGE HOP's flag: a hop-stable
       // labeling is constant across every edge, hence constant per
       // component, which also makes the jump a no-op.
-      converged = next.filter(col("__changed")).limit(1).count() == 0L
+      converged = next.filter(col("__changed")).count() == 0L
       labels = next.drop("__changed")
       // the superseded round's checkpoint blocks are dead the moment
       // `next` is materialized — free them instead of waiting for the
