@@ -16,6 +16,29 @@ object Vectors {
 
   def toDoubleArray(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Symmetric per-vector int8 quantization — the storage form of an
+    * embedding corpus at 100 TB (4× smaller than float32, SIMD-friendly
+    * dot products on the int domain). Returns
+    * `struct(scale: double, q: array<int>)` with
+    * `scale = max|x| / 127` and `q_i = round(x_i / scale)` ∈ [-127, 127];
+    * dequantize as `q_i * scale` (max abs error ≤ scale/2). An all-zero
+    * vector keeps scale 0 and quantizes to zeros.
+    *
+    * `scale` is let-bound (Text.bindOnce): the max-abs reduction runs
+    * once per vector, not once per element — interpreted higher-order
+    * lambdas do not share subtrees. Values pass through double (exact
+    * for float32 inputs) so both the scale and each ratio are single
+    * deterministic IEEE ops, reproducible across engines.
+    */
+  def quantizeInt8(v: Column): Column =
+    graft.functions.Text.bindOnce(
+      array_max(transform(v, x => abs(x.cast("double")))) / 127d, scale =>
+        struct(scale.as("scale"),
+          transform(v, x =>
+            when(scale === 0d, lit(0))
+              .otherwise(round(x.cast("double") / scale).cast("int")))
+            .as("q")))
+
   /** Dot product of two equal-length `array<float>` columns, accumulated
     * in double left-to-right. Backed by the native codegen'd
     * [[DotProductExpr]] — pair-generation operators evaluate dot once per

@@ -153,6 +153,43 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Shingle-containment pairs: containment(a⊂b) = |Sa ∩ Sb| / |Sa|.
+    * Catches the asymmetric duplicates Jaccard misses — an excerpt,
+    * quote, or boilerplate-wrapped copy of a long document shares almost
+    * ALL of its own shingles with the original while Jaccard stays near
+    * |small|/|big| ≈ 0 (Broder's containment measure). Emits (id_a,
+    * id_b, containment) with id_a < id_b and containment = the larger of
+    * the two directions (each direction's denominator is its own side's
+    * set size). Same blocked, hot-shingle-capped self-join shape as
+    * [[jaccardPairs]]; both ratios are exact integer divisions.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       blockCol: String, shingleSize: Int = 3,
+                       minContainment: Double = 0.9,
+                       maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val sh = explodedShingles(df, idCol, textCol, shingleSize,
+        carry = Seq(blockCol -> "block"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
+    val shJoin =
+      if (maxDocFreq == Long.MaxValue) sh
+      else {
+        val w = Window.partitionBy("block", "shingle")
+        sh.withColumn("__df", count(lit(1)).over(w))
+          .filter(col("__df") <= maxDocFreq).drop("__df")
+      }
+    val l = shJoin.as("l"); val r = shJoin.as("r")
+    l.join(r, col("l.block") === col("r.block") &&
+        col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("common"),
+        first(col("l.n")).as("na"), first(col("r.n")).as("nb"))
+      .withColumn("containment",
+        greatest(col("common").cast("double") / col("na").cast("double"),
+          col("common").cast("double") / col("nb").cast("double")))
+      .filter(col("containment") >= minContainment)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** Distinct word-n-gram shingles as ROWS — (id[, carried...], shingle)
     * — via position explode + codegen'd element_at/concat, never
     * materializing a shingle array per document. `Text.shingles` (the

@@ -308,6 +308,50 @@ object Relational {
     l.join(r, keys :+ "__salt", how).drop("__salt")
   }
 
+  /** Build a Bloom filter over `dim`'s join key — the manual form of
+    * Spark's runtime row-level filtering, for when the optimizer can't
+    * see the opportunity (pre-computed dims, cross-job reuse). The
+    * returned sketch is a few MB for millions of keys (driver-held, like
+    * a broadcast): keys are xxhash64'd (seed 42) into the distributed
+    * aggregate, so only ONE long per row reaches the bloom builder.
+    */
+  def bloomOf(dim: DataFrame, key: String,
+              expectedItems: Long = 4000000L): Array[Byte] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(ColumnBridge.expression(xxhash64(col(key))),
+        expectedItems)
+      .toAggregateExpression()
+    dim.select(ColumnBridge.column(agg).as("bf")).head().getAs[Array[Byte]](0)
+  }
+
+  /** Keep only rows whose `key` MIGHT be in the bloom sketch — a
+    * superset of the true semi-join (false positives pass, nothing true
+    * is dropped). BloomFilterMightContain is codegen'd, so the probe
+    * rides inside the scan's WholeStageCodegen: at 100 TB this drops
+    * most of the fact table BEFORE the join shuffle materializes it.
+    */
+  def bloomPrune(fact: DataFrame, key: String,
+                 bloom: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    fact.filter(ColumnBridge.column(BloomFilterMightContain(
+      Literal.create(bloom, org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expression(xxhash64(col(key))))))
+  }
+
+  /** Exact semi-join accelerated by a bloom pre-filter: prune the fact
+    * side with [[bloomOf]]/[[bloomPrune]], then close the false
+    * positives with a real left-semi join. Result is identical to the
+    * plain semi-join; the shuffle carries only the pruned survivors.
+    */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame,
+                    factKey: String, dimKey: String,
+                    expectedItems: Long = 4000000L): DataFrame =
+    bloomPrune(fact, factKey, bloomOf(dim, dimKey, expectedItems))
+      .join(dim.select(col(dimKey)).distinct(),
+        col(factKey) === col(dimKey), "left_semi")
+
   /** MERGE/upsert: apply `updates` over `base` by `keys` — update rows
     * whose key exists in `updates`, keep the rest, append keys new to
     * `updates` (the "when matched update, when not matched insert" MERGE

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal/versioned-table operators: SCD2 merge (the write side of the
+  * reference's vessel validity-interval model), time-series gap filling,
+  * and repeated-event collapse.
+  *
+  * The reference keeps slowly-changing vessel attributes as validity
+  * intervals and resolves reads against them
+  * (/root/reference/R/stations_vessels.R — consumed by
+  * `Fisheries.resolveVesselHistory` / the interval joins). These
+  * operators produce and maintain that shape at warehouse scale.
+  */
+object Temporal {
+
+  /** SCD2 merge: apply one batch of attribute `updates` to a
+    * validity-interval `current` table.
+    *
+    * `current`: `keys ++ attrs ++ (fromCol, toCol)`; `toCol` IS NULL
+    * marks the open (current) version of each key.
+    * `updates`: `keys ++ attrs ++ effCol` — at most ONE row per key (pre-
+    * aggregate a busier batch with e.g. dedupKeepFirst on the newest).
+    *
+    * Semantics per update row: if the key has no open version, insert a
+    * new open row effective at `effCol`; if the open version's attrs
+    * already equal the update's (null-safely), do nothing; otherwise
+    * close the open row at `effCol` and insert the new open version.
+    * History rows (`toCol` non-null) pass through untouched.
+    *
+    * Shape: ONE equi-join of open-rows × updates on `keys` (broadcast
+    * when the batch is small — the nightly-batch case), then three
+    * filters over the joined frame unioned with untouched history;
+    * the join's exchanges are shared across branches via ReuseExchange.
+    * No window, no collect.
+    */
+  def scd2Apply(current: DataFrame, updates: DataFrame, keys: Seq[String],
+                attrs: Seq[String], effCol: String,
+                fromCol: String = "valid_from",
+                toCol: String = "valid_to"): DataFrame = {
+    val outCols = (keys ++ attrs :+ fromCol :+ toCol).map(col)
+    val closedHistory = current.filter(col(toCol).isNotNull)
+    val open = current.filter(col(toCol).isNull)
+      .withColumn("__has_cur", lit(true))
+    val u = updates.select(
+      keys.map(col) ++ attrs.map(a => col(a).as(s"__u_$a")) :+
+        col(effCol).as("__eff") :+ lit(true).as("__has_upd"): _*)
+    val j = open.join(u, keys, "full_outer")
+    val hasCur = coalesce(col("__has_cur"), lit(false))
+    val hasUpd = coalesce(col("__has_upd"), lit(false))
+    val changed = attrs.map(a => !(col(a) <=> col(s"__u_$a")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    // open rows that survive as-is: no update for the key, or a no-op one
+    val keptOpen = j.filter(hasCur && (!hasUpd || !changed)).select(outCols: _*)
+    // open rows superseded by a real change: close at the effective time
+    val closedNow = j.filter(hasCur && hasUpd && changed)
+      .withColumn(toCol, col("__eff")).select(outCols: _*)
+    // new open versions: brand-new keys, or keys whose attrs changed
+    val newOpen = j.filter(hasUpd && (!hasCur || changed))
+      .select(keys.map(col) ++ attrs.map(a => col(s"__u_$a").as(a)) :+
+        col("__eff").as(fromCol) :+ lit(null).cast(
+          current.schema(toCol).dataType).as(toCol): _*)
+    closedHistory.select(outCols: _*)
+      .union(keptOpen).union(closedNow).union(newOpen)
+  }
+
+  /** Per-key dense time grid with forward fill: regularize an irregular
+    * (or gappy) series to one row per `step` between each key's first and
+    * last observation, carrying the last seen value of each `fillCol`
+    * forward through the gaps (nulls before a key's first observation
+    * stay null). The resample-and-ffill primitive of gauge-style series.
+    *
+    * `step` is an interval column (e.g. `expr("interval 1 hour")`);
+    * `timeCol` values must land ON the grid (truncate first — a grid
+    * point only matches an observation at exactly that instant).
+    *
+    * Shape: per-key min/max agg (one shuffle, partial-agg'd) → grid via
+    * codegen'd `sequence` explode — never a driver-side range — → left
+    * join back on (keys, time) → one window per key for the fill. Grid
+    * size is data-bounded: Spark caps a single `sequence` at
+    * MAX_ROUNDED_ARRAY_LENGTH; beyond that, chunk the span.
+    */
+  def gapFill(df: DataFrame, keys: Seq[String], timeCol: String,
+              step: Column, fillCols: Seq[String]): DataFrame = {
+    val bounds = df.groupBy(keys.map(col): _*)
+      .agg(min(timeCol).as("__mn"), max(timeCol).as("__mx"))
+    val grid = bounds.select(
+      keys.map(col) :+
+        explode(sequence(col("__mn"), col("__mx"), step)).as(timeCol): _*)
+    val joined = grid.join(df, keys :+ timeCol, "left")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(timeCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fillCols.foldLeft(joined) { (acc, c) =>
+      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
+  /** Collapse repeated events: within each key, keep only the first event
+    * of every burst, where a burst groups events separated by less than
+    * `gap` from their predecessor (chained — a long run of sub-gap
+    * events is ONE burst however long it stretches). The
+    * notification-dedup / retry-collapse shape over event streams; the
+    * batch twin of sessionize's gap rule, keeping heads instead of
+    * aggregating.
+    *
+    * Collapse-to-head means a kept row is exactly a row whose
+    * predecessor (if any) is `gap`-or-more away: burst starts ARE the
+    * survivors, so one lag window suffices — no burst-id bookkeeping.
+    *
+    * `gap` is in seconds (against `timeCol` cast to epoch seconds).
+    * `order` must total-order events within a key (include a
+    * tiebreaker). Cost: one shuffle on `keys`, one window, no join.
+    */
+  def collapseRepeats(df: DataFrame, keys: Seq[String], timeCol: String,
+                      gap: Column, order: Seq[Column]): DataFrame = {
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__prev", lag(col(timeCol), 1).over(wOrd))
+      .filter(col("__prev").isNull ||
+        col(timeCol).cast("long") - col("__prev").cast("long") >= gap)
+      .drop("__prev")
+  }
+}

@@ -654,5 +654,25 @@ object AggWindowQueries {
         USING (c_mktsegment)
         GROUP BY shortcode"""),
       "inline literal dimension join"),
+
+    // ---- exact grouped quantiles ------------------------------------------
+    // percentile() (exact sort-based linear interpolation, the same
+    // type-7 formula as DuckDB's quantile_cont) over each return flag,
+    // four probes in ONE aggregate pass, unnested to rows. Quantized to
+    // 4dp before compare (interpolation's last ulp may differ).
+    "q123_group_quantiles" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("qs"))
+        .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("i", "v")))
+        .select(col("l_returnflag"), col("i"), q4(col("v")).as("v")),
+      Some(s"""WITH qs AS (
+          SELECT l_returnflag,
+            quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95]) AS q
+          FROM lineitem GROUP BY 1)
+        SELECT l_returnflag, CAST(i AS INTEGER) AS i, ${Q4("q[i+1]")} AS v
+        FROM qs, LATERAL (SELECT unnest(range(4)) AS i) g"""),
+      "exact per-group quantiles (one pass, four probes)"),
   )
 }

@@ -577,5 +577,61 @@ object CorpusQueries {
         ORDER BY key, doc_id LIMIT 20"""
       },
       "weighted sampling w/o replacement: deterministic exponential clocks"),
+
+    // ---- shingle-containment pairs ----------------------------------------
+    // The asymmetric dup case Jaccard misses: an excerpt shares ~all of
+    // its own shingles with its source while Jaccard ≈ |small|/|big|.
+    // Same blocked shingle self-join as q58; both direction ratios are
+    // exact integer divisions.
+    "q121_containment" -> Q(
+      (s, d) => Dedup.containmentPairs(Tables.documents(s, d),
+        "doc_id", "text", blockCol = "source", shingleSize = 3,
+        minContainment = 0.8, maxDocFreq = 1000L),
+      Some(s"""WITH sh AS (
+          SELECT DISTINCT doc_id, source, shingle FROM (
+            SELECT doc_id, source,
+              toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS shingle
+            FROM (SELECT doc_id, source, $tokSql AS toks FROM documents),
+                 LATERAL (SELECT unnest(range(0, greatest(len(toks) - 3 + 1, 0)))) AS g(i))),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS c
+          FROM sh l JOIN sh r ON l.source = r.source AND l.shingle = r.shingle
+                             AND l.doc_id < r.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          greatest(CAST(c AS DOUBLE) / sa.n, CAST(c AS DOUBLE) / sb.n) AS containment
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE greatest(CAST(c AS DOUBLE) / sa.n, CAST(c AS DOUBLE) / sb.n) >= 0.8"""),
+      "containment near-dup pairs (excerpt/boilerplate detection)"),
+
+    // ---- inverted index ---------------------------------------------------
+    // term → (document frequency, sorted posting list). The posting list
+    // is emitted as a comma-joined string: list cells aren't hashable in
+    // the driver's pandas compare, and the flat form is what a sharded
+    // index file would store anyway. Mid-frequency slice keeps output
+    // bounded.
+    "q125_inverted_index" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.Text.tokens(
+            graft.functions.Text.normalize(col("text")))).as("term"))
+        .filter(col("term") =!= "")
+        .distinct()
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          concat_ws(",", transform(array_sort(collect_list(col("doc_id"))),
+            _.cast("string"))).as("postings"))
+        .filter(col("df").between(3, 8)),
+      Some(s"""WITH t AS (
+          SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest($tokSql) AS term FROM documents)
+          WHERE term <> '')
+        SELECT term, count(*) AS df,
+          string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        FROM t GROUP BY term HAVING count(*) BETWEEN 3 AND 8"""),
+      "inverted index: term → df + sorted posting list"),
   )
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.domain.Fisheries
 import graft.domain.Fisheries.BiomParams
+import graft.ops.Temporal
 import Q._
 
 /** Oracle-verified coverage for the reference's domain pipelines
@@ -14,6 +15,57 @@ import Q._
 object DomainQueries {
 
   val defs: Map[String, Q] = Map(
+
+    // ---- SCD2 merge: the write side of the vessel validity model ----------
+    // (/root/reference/R/stations_vessels.R validity intervals — q81/q17
+    // cover the read side). Current = every customer open since 1990;
+    // batch = re-registrations for custkey ≤ 500 (odd keys change
+    // segment, even keys are no-ops) plus 5 brand-new keys. Exercises
+    // all four merge branches: untouched, no-op update, close+reopen,
+    // fresh insert.
+    "q118_scd2_apply" -> Q(
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val current = cust.select(col("c_custkey").as("k"),
+          col("c_mktsegment").as("seg"),
+          to_date(lit("1990-01-01")).as("valid_from"),
+          lit(null).cast("date").as("valid_to"))
+        val updates = cust.filter(col("c_custkey") <= 500)
+          .select(col("c_custkey").as("k"),
+            when(col("c_custkey") % 2 === 0, col("c_mktsegment"))
+              .otherwise(concat(col("c_mktsegment"), lit("-R4"))).as("seg"),
+            to_date(lit("1995-06-01")).as("eff"))
+          .unionAll(cust.filter(col("c_custkey") <= 5)
+            .select((col("c_custkey") + 1000000L).as("k"),
+              lit("NEWSEG").as("seg"), to_date(lit("1995-06-01")).as("eff")))
+        Temporal.scd2Apply(current, updates, Seq("k"), Seq("seg"), "eff")
+      },
+      Some("""WITH cur AS (
+          SELECT c_custkey AS k, c_mktsegment AS seg,
+            DATE '1990-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+          FROM customer),
+        upd AS (
+          SELECT c_custkey AS k,
+            CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment
+                 ELSE c_mktsegment || '-R4' END AS seg,
+            DATE '1995-06-01' AS eff
+          FROM customer WHERE c_custkey <= 500
+          UNION ALL
+          SELECT c_custkey + 1000000, 'NEWSEG', DATE '1995-06-01'
+          FROM customer WHERE c_custkey <= 5),
+        j AS (
+          SELECT cur.k AS ck, cur.seg AS cseg, cur.valid_from AS vf,
+                 upd.k AS uk, upd.seg AS useg, upd.eff AS eff
+          FROM cur FULL OUTER JOIN upd ON cur.k = upd.k)
+        SELECT ck AS k, cseg AS seg, vf AS valid_from, CAST(NULL AS DATE) AS valid_to
+        FROM j WHERE ck IS NOT NULL AND (uk IS NULL OR cseg IS NOT DISTINCT FROM useg)
+        UNION ALL
+        SELECT ck, cseg, vf, eff
+        FROM j WHERE ck IS NOT NULL AND uk IS NOT NULL AND cseg IS DISTINCT FROM useg
+        UNION ALL
+        SELECT uk, useg, eff, CAST(NULL AS DATE)
+        FROM j WHERE uk IS NOT NULL AND (ck IS NULL OR cseg IS DISTINCT FROM useg)"""),
+      "SCD2 merge: close changed versions, insert new, pass no-ops through"),
 
     // ---- skala_med_toldum2: length-distribution scaling -------------------
     // (/root/reference/R/shrimp_support_tables.R:2137-2212). Fixture

@@ -208,5 +208,60 @@ object EventQueries {
           FROM events)
         GROUP BY user_id"""),
       "sessionize by 30-min inactivity gap"),
+
+    // ---- time-series gap fill + forward fill ------------------------------
+    // Regularize the per-type hourly gauge (max value observed in the
+    // hour) to a dense hourly grid between each type's first and last
+    // observation, carrying the last reading through empty hours — the
+    // resample-and-ffill primitive. Grid generation is a codegen'd
+    // sequence() explode off a per-key min/max agg; no driver ranges.
+    "q120_gap_fill" -> Q(
+      (s, d) => {
+        val obs = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts_utc")).as("hour"))
+          .agg(q4(max(col("value"))).as("gauge"))
+        graft.ops.Temporal.gapFill(obs, Seq("event_type"), "hour",
+            expr("interval 1 hour"), Seq("gauge"))
+          .select(col("event_type"),
+            col("hour").cast("long").as("hour_epoch"), col("gauge"))
+      },
+      Some(s"""WITH obs AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour,
+            ${Q4("max(value)")} AS gauge
+          FROM events GROUP BY 1, 2),
+        b AS (SELECT event_type, min(hour) AS mn, max(hour) AS mx
+              FROM obs GROUP BY 1),
+        grid AS (SELECT event_type,
+            unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour FROM b),
+        j AS (SELECT g.event_type, g.hour, o.gauge
+              FROM grid g LEFT JOIN obs o USING (event_type, hour))
+        SELECT event_type, CAST(epoch_us(hour) // 1000000 AS BIGINT) AS hour_epoch,
+          last_value(gauge IGNORE NULLS) OVER (
+            PARTITION BY event_type ORDER BY hour
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gauge
+        FROM j"""),
+      "hourly gap fill with forward-filled gauge per event type"),
+
+    // ---- repeated-event collapse ------------------------------------------
+    // Keep only the first event of every burst per (user, type): an
+    // event survives iff its predecessor is ≥ 10 min away (chained
+    // bursts collapse to one head however long they run) — the
+    // notification-dedup / retry-collapse shape. One window, no join.
+    "q124_collapse_repeats" -> Q(
+      (s, d) => graft.ops.Temporal.collapseRepeats(
+          Tables.events(s, d),
+          Seq("user_id", "event_type"), "ts_us", lit(600000000L),
+          Seq(col("ts_us").asc, col("event_id").asc))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_us")),
+      Some("""SELECT event_id, user_id, event_type, ts_us FROM (
+          SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+            lag(epoch_us(ts), 1) OVER (
+              PARTITION BY user_id, event_type
+              ORDER BY epoch_us(ts), event_id) AS prev
+          FROM events)
+        WHERE prev IS NULL OR ts_us - prev >= 600000000"""),
+      "collapse event bursts to their head (10-min gap rule)"),
   )
 }

@@ -468,5 +468,25 @@ object RelationalQueries {
         FROM customer GROUP BY 1"""
       },
       "point-in-polygon zone assignment (ray casting, codegen'd)"),
+
+    // ---- bloom-pruned semi-join (manual runtime filter) -------------------
+    // The 100 TB shape: a few-MB bloom sketch of the dim keys probes
+    // inside the fact scan's WholeStageCodegen, so most fact rows die
+    // before the join shuffle; the left-semi close-up join then removes
+    // the bloom's false positives. Result ≡ plain semi-join (the oracle
+    // is exactly that), hash-verified.
+    "q119_bloom_semi" -> Q(
+      (s, d) => {
+        val urgent = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+        graft.ops.Relational.bloomSemiJoin(
+            Tables.lineitem(s, d), urgent, "l_orderkey", "o_orderkey",
+            expectedItems = 100000L)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE l_orderkey IN
+          (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')"""),
+      "semi-join with bloom-filter fact pruning before the shuffle"),
   )
 }

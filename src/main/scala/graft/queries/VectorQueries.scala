@@ -69,5 +69,26 @@ object VectorQueries {
       },
       None,
       "IVF ANN top-k (inverted coarse-centroid lists, nProbe probing)"),
+
+    // ---- int8 embedding quantization --------------------------------------
+    // The storage form of an embedding corpus at 100 TB (4× smaller than
+    // float32). Every (vector, position) cell is hash-checked: scale =
+    // max|x|/127 and each round(x/scale) are single deterministic IEEE
+    // double ops reproduced exactly by the oracle.
+    "q122_quantize_int8" -> Q(
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"), Vectors.quantizeInt8(col("embedding")).as("qz"))
+        .select(col("vec_id"), q4(col("qz.scale")).as("scale"),
+          posexplode(col("qz.q")).as(Seq("i", "qv"))),
+      Some(s"""SELECT vec_id, ${Q4("scale")} AS scale, CAST(i AS INTEGER) AS i,
+          CAST(CASE WHEN scale = 0 THEN 0
+               ELSE round(CAST(embedding[i+1] AS DOUBLE) / scale) END
+            AS INTEGER) AS qv
+        FROM (SELECT vec_id, embedding,
+            list_max(list_transform(embedding,
+              x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+          FROM embeddings),
+          LATERAL (SELECT unnest(range(len(embedding))) AS i) g"""),
+      "symmetric per-vector int8 quantization of embeddings"),
   )
 }

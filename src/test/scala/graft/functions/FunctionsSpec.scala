@@ -248,4 +248,30 @@ class VectorsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("lsh_bucket"), plan)
   }
+
+  test("quantizeInt8: |q|≤127, dequant error ≤ scale/2, zero vector stays zero") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.125f)),
+      (2L, Seq(127.0f, -127.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (4L, Seq(1e-6f, -2e-6f, 3e-6f, 0.0f))) // tiny scale still exact-ish
+      .toDF("vec_id", "embedding")
+    val out = vecs.select(col("vec_id"), col("embedding"),
+        Vectors.quantizeInt8(col("embedding")).as("qz"))
+      .select(col("vec_id"), col("embedding"),
+        col("qz.scale").as("scale"), col("qz.q").as("q"))
+      .as[(Long, Seq[Float], Double, Seq[Int])].collect()
+    out.foreach { case (id, orig, scale, q) =>
+      assert(q.forall(v => v >= -127 && v <= 127), s"vec $id out of range")
+      if (id == 3L) assert(scale == 0.0 && q.forall(_ == 0))
+      else orig.zip(q).foreach { case (x, qi) =>
+        assert(math.abs(qi * scale - x) <= scale / 2 + 1e-12,
+          s"vec $id: $x -> $qi (scale $scale)")
+      }
+    }
+    // exact at the extremes: max|x| quantizes to ±127 exactly
+    val m = out.find(_._1 == 2L).get
+    assert(m._4.take(2) == Seq(127, -127))
+  }
 }

@@ -63,6 +63,26 @@ class DedupSpec extends SparkSpec {
     assert(b == c && b._2.forall(_.isEmpty))
   }
 
+  test("containmentPairs finds excerpts that jaccard misses") {
+    val corpus = Seq(
+      // doc 20 = a 5-token excerpt (3 shingles) of 9-shingle doc 21
+      (20L, "alpha beta gamma delta epsilon", "s1"),
+      (21L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda", "s1"),
+      (22L, "completely unrelated words here now", "s1"))
+      .toDF("doc_id", "text", "source")
+    val cont = Dedup.containmentPairs(corpus, "doc_id", "text", "source",
+      shingleSize = 3, minContainment = 0.9)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(cont((20L, 21L)) == 1.0) // every excerpt shingle is in the source
+    // jaccard for the same pair is 3/9 — far below any dedup threshold
+    val jac = Dedup.jaccardPairs(corpus, "doc_id", "text", "source",
+      shingleSize = 3, minJaccard = 0.01)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(math.abs(jac((20L, 21L)) - 3.0 / 9.0) < 1e-12)
+  }
+
   test("jaccardPairs computes exact jaccard within blocks") {
     val out = Dedup.jaccardPairs(docs, "doc_id", "text", "source",
       shingleSize = 3, minJaccard = 0.1)

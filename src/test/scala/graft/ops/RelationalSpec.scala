@@ -218,6 +218,20 @@ class RelationalSpec extends SparkSpec {
       ("ship", "skip")))
   }
 
+  test("bloom prune is a superset; bloomSemiJoin equals the exact semi-join") {
+    val fact = (1 to 2000).map(i => (i.toLong, s"r$i")).toDF("fk", "payload")
+    val dim = (1 to 2000 by 7).map(i => (i.toLong, "d")).toDF("dk", "attr")
+    val bloom = Relational.bloomOf(dim, "dk", expectedItems = 1000L)
+    val pruned = Relational.bloomPrune(fact, "fk", bloom)
+      .select("fk").as[Long].collect().toSet
+    val exact = fact.join(dim, col("fk") === col("dk"), "left_semi")
+      .select("fk").as[Long].collect().toSet
+    assert(exact.subsetOf(pruned), "bloom dropped a true match")
+    val viaBloom = Relational.bloomSemiJoin(fact, dim, "fk", "dk", 1000L)
+      .select("fk").as[Long].collect().toSet
+    assert(viaBloom == exact)
+  }
+
   test("checkpoint writes and re-reads (compute() equivalent)") {
     val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
     val df = Seq((1, "a"), (2, "b")).toDF("id", "v")

@@ -1,0 +1,73 @@
+package graft.ops
+
+import java.sql.Date
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d0 = Date.valueOf("1990-01-01")
+  private val dEff = Date.valueOf("1995-06-01")
+
+  test("scd2Apply: four merge branches (untouched, no-op, change, insert)") {
+    val current = Seq(
+      (1L, "A", d0, null.asInstanceOf[Date]),   // will change
+      (2L, "B", d0, null.asInstanceOf[Date]),   // no-op update
+      (3L, "C", d0, null.asInstanceOf[Date]),   // untouched
+      (1L, "Z", Date.valueOf("1980-01-01"), d0) // closed history
+    ).toDF("k", "seg", "valid_from", "valid_to")
+    val updates = Seq(
+      (1L, "A2", dEff), // change
+      (2L, "B", dEff),  // same attrs → no-op
+      (9L, "N", dEff)   // brand new key
+    ).toDF("k", "seg", "eff")
+    val out = Temporal.scd2Apply(current, updates, Seq("k"), Seq("seg"), "eff")
+      .as[(Long, String, Date, Option[Date])].collect().toSet
+    assert(out == Set(
+      (1L, "Z", Date.valueOf("1980-01-01"), Some(d0)), // history untouched
+      (1L, "A", d0, Some(dEff)),                       // closed at eff
+      (1L, "A2", dEff, None),                          // new open version
+      (2L, "B", d0, None),                             // no-op kept open
+      (3L, "C", d0, None),                             // untouched open
+      (9L, "N", dEff, None)))                          // fresh insert
+  }
+
+  test("scd2Apply is idempotent: re-applying the same batch changes nothing") {
+    val current = Seq((1L, "A", d0, null.asInstanceOf[Date]))
+      .toDF("k", "seg", "valid_from", "valid_to")
+    val updates = Seq((1L, "A2", dEff)).toDF("k", "seg", "eff")
+    val once = Temporal.scd2Apply(current, updates, Seq("k"), Seq("seg"), "eff")
+    val twice = Temporal.scd2Apply(once, updates, Seq("k"), Seq("seg"), "eff")
+    assert(twice.as[(Long, String, Date, Option[Date])].collect().toSet ==
+      once.as[(Long, String, Date, Option[Date])].collect().toSet)
+  }
+
+  test("gapFill: dense grid per key, forward fill, leading nulls stay null") {
+    val ts = (h: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val df = Seq(
+      ("a", ts(1), Some(10.0)), ("a", ts(4), Some(40.0)),
+      ("a", ts(2), None), // observed row with null value: fill carries past it
+      ("b", ts(0), Some(5.0)), ("b", ts(2), Some(7.0))
+    ).toDF("k", "t", "v")
+    val got = Temporal.gapFill(df, Seq("k"), "t", expr("interval 1 hour"), Seq("v"))
+      .as[(String, java.sql.Timestamp, Option[Double])].collect()
+      .map { case (k, t, v) => (k, t.toString.take(13), v) }.toSet
+    assert(got == Set(
+      ("a", "2024-01-01 01", Some(10.0)), ("a", "2024-01-01 02", Some(10.0)),
+      ("a", "2024-01-01 03", Some(10.0)), ("a", "2024-01-01 04", Some(40.0)),
+      ("b", "2024-01-01 00", Some(5.0)), ("b", "2024-01-01 01", Some(5.0)),
+      ("b", "2024-01-01 02", Some(7.0))))
+  }
+
+  test("collapseRepeats: chained bursts collapse to one head") {
+    // gap 60: 0,50,100,150 chain into ONE burst; 300 starts a new one
+    val df = Seq((1L, "x", 0L, 1L), (1L, "x", 50L, 2L), (1L, "x", 100L, 3L),
+      (1L, "x", 150L, 4L), (1L, "x", 300L, 5L), (1L, "y", 10L, 6L),
+      (2L, "x", 55L, 7L)).toDF("u", "typ", "t", "id")
+    val kept = Temporal.collapseRepeats(df, Seq("u", "typ"), "t", lit(60L),
+        Seq(col("t").asc, col("id").asc))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 5L, 6L, 7L))
+  }
+}
