@@ -308,6 +308,55 @@ object Relational {
     l.join(r, keys :+ "__salt", how).drop("__salt")
   }
 
+  /** Snapshot diff: classify every key of two table versions as
+    * `added` / `removed` / `changed`, comparing `attrs` null-safely
+    * (unchanged keys are omitted — at 100 TB the diff is tiny next to
+    * the snapshots, and emitting it keeps the shuffle output bounded).
+    * The change-data-capture primitive between warehouse loads: ONE
+    * full-outer equi-join on `keys`, nothing else.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                   attrs: Seq[String]): DataFrame = {
+    val o = oldDf.select(keys.map(col) ++
+      attrs.map(a => col(a).as(s"__o_$a")) :+ lit(true).as("__in_old"): _*)
+    val n = newDf.select(keys.map(col) ++
+      attrs.map(a => col(a).as(s"__n_$a")) :+ lit(true).as("__in_new"): _*)
+    val same = attrs.map(a => col(s"__o_$a") <=> col(s"__n_$a"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    o.join(n, keys, "full_outer")
+      .withColumn("change",
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(!same, "changed"))
+      .filter(col("change").isNotNull)
+      .select(keys.map(col) :+ col("change"): _*)
+  }
+
+  /** One-pass data profile: per listed column, total rows, null count,
+    * exact distinct count, and min/max rendered as strings. ONE
+    * aggregate job (the distinct counts expand-plan within it), then a
+    * stack() unpivot of the single stats row — no per-column scans. The
+    * first look at any unfamiliar 100 TB table.
+    *
+    * String rendering caveat: double→string uses the engine's
+    * shortest-roundtrip formatting — keep doubles below 1e7 (or cast
+    * upstream) if cross-engine byte-identical output matters.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val statCols = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"__rows_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(statCols.head, statCols.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', __rows_$c, __nulls_$c, __nd_$c, __min_$c, __max_$c").mkString(", ")
+    one.selectExpr(s"stack(${cols.size}, $stackArgs) " +
+      "AS (column_name, n_rows, n_null, n_distinct, min_s, max_s)")
+  }
+
   /** Build a Bloom filter over `dim`'s join key — the manual form of
     * Spark's runtime row-level filtering, for when the optimizer can't
     * see the opportunity (pre-computed dims, cross-job reuse). The

@@ -674,5 +674,50 @@ object AggWindowQueries {
         SELECT l_returnflag, CAST(i AS INTEGER) AS i, ${Q4("q[i+1]")} AS v
         FROM qs, LATERAL (SELECT unnest(range(4)) AS i) g"""),
       "exact per-group quantiles (one pass, four probes)"),
+
+    // ---- fixed-width histogram --------------------------------------------
+    // Distributed min/max (one partial-agg'd scan) broadcast back as a
+    // 1-row frame; the binning projection is then pure codegen arithmetic
+    // inside the second scan. Both engines run identical IEEE ops on
+    // identical doubles, so bin ids hash-match exactly.
+    "q127_histogram" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val b = o.agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+        o.crossJoin(broadcast(b))
+          .withColumn("bin", least(
+            floor((col("o_totalprice") - col("mn")) / ((col("mx") - col("mn")) / 20d)),
+            lit(19d)).cast("int"))
+          .groupBy("bin").agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+          FROM orders)
+        SELECT CAST(least(floor((o_totalprice - mn) / ((mx - mn) / 20)), 19)
+            AS INTEGER) AS bin, count(*) AS n
+        FROM orders, b GROUP BY 1"""),
+      "fixed-width 20-bin histogram (distributed min/max + codegen binning)"),
+
+    // ---- one-pass column profiler -----------------------------------------
+    "q128_profile" -> Q(
+      (s, d) => Relational.profile(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_discount", "l_returnflag")),
+      Some("""SELECT * FROM (
+        SELECT 'l_quantity' AS column_name, count(*) AS n_rows,
+          CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+          count(DISTINCT l_quantity) AS n_distinct,
+          CAST(min(l_quantity) AS VARCHAR) AS min_s,
+          CAST(max(l_quantity) AS VARCHAR) AS max_s FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', count(*),
+          CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          count(DISTINCT l_discount),
+          CAST(min(l_discount) AS VARCHAR), CAST(max(l_discount) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', count(*),
+          CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          count(DISTINCT l_returnflag),
+          min(l_returnflag), max(l_returnflag) FROM lineitem)"""),
+      "one-pass multi-column profile (rows/nulls/distinct/min/max)"),
   )
 }

@@ -263,5 +263,31 @@ object EventQueries {
           FROM events)
         WHERE prev IS NULL OR ts_us - prev >= 600000000"""),
       "collapse event bursts to their head (10-min gap rule)"),
+
+    // ---- rolling 7-day distinct actives -----------------------------------
+    // Rolling-window COUNT DISTINCT is not window-function expressible
+    // (distinct doesn't decompose over frames); the scalable shape is a
+    // bounded-fan-out range join: the day grid (tiny, broadcast) against
+    // distinct user-days, each contributing to ≤7 grid days, then one
+    // distinct-count shuffle keyed by day.
+    "q126_rolling_actives" -> Q(
+      (s, d) => {
+        val ud = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts_utc")).as("day"))
+          .distinct()
+        val days = ud.select(col("day").as("grid_day")).distinct()
+        broadcast(days)
+          .join(ud, col("day").between(date_sub(col("grid_day"), 6),
+            col("grid_day")))
+          .groupBy("grid_day")
+          .agg(countDistinct("user_id").as("active_7d"))
+      },
+      Some("""WITH ud AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        days AS (SELECT DISTINCT day AS grid_day FROM ud)
+        SELECT grid_day, count(DISTINCT user_id) AS active_7d
+        FROM days JOIN ud ON day BETWEEN grid_day - 6 AND grid_day
+        GROUP BY 1"""),
+      "rolling 7-day distinct active users per day"),
   )
 }

@@ -488,5 +488,43 @@ object RelationalQueries {
         WHERE l_orderkey IN
           (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')"""),
       "semi-join with bloom-filter fact pruning before the shuffle"),
+
+    // ---- snapshot diff (CDC between loads) --------------------------------
+    // Old = orders as stored; new = a synthetic next load (every 97th
+    // customer's orders gone, every 5th order repriced, 10 fresh keys).
+    // One full-outer join, emitting only the changed keys.
+    "q129_snapshot_diff" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val newSnap = o.filter(col("o_custkey") % 97 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 5 === 0, q4(col("o_totalprice") * 1.1d))
+              .otherwise(col("o_totalprice")))
+          .unionByName(Tables.orders(s, d).filter(col("o_orderkey") <= 10)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+        graft.ops.Relational.snapshotDiff(o, newSnap, Seq("o_orderkey"),
+          Seq("o_custkey", "o_totalprice"))
+      },
+      Some(s"""WITH new_snap AS (
+          SELECT o_orderkey, o_custkey,
+            CASE WHEN o_orderkey % 5 = 0 THEN ${Q4("o_totalprice * 1.1")}
+                 ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_custkey % 97 <> 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+          FROM orders WHERE o_orderkey <= 10)
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+          CASE WHEN o.o_orderkey IS NULL THEN 'added'
+               WHEN n.o_orderkey IS NULL THEN 'removed'
+               WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+                     AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+               THEN 'changed' END AS change
+        FROM orders o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+        WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+               WHEN n.o_orderkey IS NULL THEN 'removed'
+               WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+                     AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+               THEN 'changed' END IS NOT NULL"""),
+      "snapshot diff: added/removed/changed keys between two loads"),
   )
 }

@@ -218,6 +218,31 @@ class RelationalSpec extends SparkSpec {
       ("ship", "skip")))
   }
 
+  test("snapshotDiff classifies added/removed/changed, omits unchanged") {
+    val oldDf = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40))
+      .toDF("k", "s", "v")
+    val newDf = Seq((1L, "a", 10), (2L, "B", 20), (3L, "c", 31), (5L, "e", 50))
+      .toDF("k", "s", "v")
+    val got = Relational.snapshotDiff(oldDf, newDf, Seq("k"), Seq("s", "v"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+  }
+
+  test("profile: one aggregate job, correct stats per column") {
+    val df = Seq((Some(1.0), "x"), (Some(2.0), "y"), (None, "x"), (Some(2.0), null))
+      .toDF("num", "str")
+    val got = Relational.profile(df, Seq("num", "str"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("num") == ("num", 4L, 1L, 2L, Some("1.0"), Some("2.0")))
+    assert(got("str") == ("str", 4L, 1L, 2L, Some("x"), Some("y")))
+    // single scan: exactly one Aggregate subtree chain, no union of scans
+    val plan = Relational.profile(df, Seq("num", "str"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Union"), plan)
+  }
+
   test("bloom prune is a superset; bloomSemiJoin equals the exact semi-join") {
     val fact = (1 to 2000).map(i => (i.toLong, s"r$i")).toDF("fk", "payload")
     val dim = (1 to 2000 by 7).map(i => (i.toLong, "d")).toDF("dk", "attr")
