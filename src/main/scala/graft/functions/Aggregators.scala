@@ -40,4 +40,47 @@ object Aggregators {
       def bufferEncoder: Encoder[WmBuf] = Encoders.product[WmBuf]
       def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
     }
+
+  final case class MgBuf(counts: Map[String, Long])
+
+  /** Misra-Gries top-k frequency summary: a k-counter mergeable sketch
+    * whose undercount error is bounded by N/(k+1) over N processed
+    * items, so EVERY item with true frequency > N/(k+1) is guaranteed
+    * present in the summary (the heavy-hitter guarantee — verified as a
+    * hash-checked contract by q130). The distributed-merge step follows
+    * Agarwal et al. (Mergeable Summaries, PODS'12): sum the maps, then
+    * subtract the (k+1)-th largest count and keep the positive
+    * survivors — error stays within the same bound under any partial-
+    * aggregation tree, which is exactly what a Spark two-phase
+    * aggregate executes. At 100 TB this replaces a full token groupBy
+    * (shuffle of every distinct token) with k-sized partial buffers.
+    */
+  def topKFreq(k: Int): Aggregator[String, MgBuf, Map[String, Long]] =
+    new Aggregator[String, MgBuf, Map[String, Long]] {
+      def zero: MgBuf = MgBuf(Map.empty)
+      def reduce(b: MgBuf, t: String): MgBuf = {
+        val c = b.counts
+        if (c.contains(t)) MgBuf(c.updated(t, c(t) + 1L))
+        else if (c.size < k) MgBuf(c.updated(t, 1L))
+        // full and unseen: decrement every counter (the arriving item's
+        // virtual counter hits zero too, so it is not stored)
+        else MgBuf(c.collect { case (key, n) if n > 1L => key -> (n - 1L) })
+      }
+      def merge(a: MgBuf, b: MgBuf): MgBuf = {
+        val summed = b.counts.foldLeft(a.counts) { case (acc, (t, n)) =>
+          acc.updated(t, acc.getOrElse(t, 0L) + n)
+        }
+        if (summed.size <= k) MgBuf(summed)
+        else {
+          val cut = summed.values.toSeq.sorted(Ordering[Long].reverse)(k)
+          MgBuf(summed.collect {
+            case (t, n) if n > cut => t -> (n - cut)
+          })
+        }
+      }
+      def finish(b: MgBuf): Map[String, Long] = b.counts
+      def bufferEncoder: Encoder[MgBuf] = Encoders.product[MgBuf]
+      def outputEncoder: Encoder[Map[String, Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    }
 }

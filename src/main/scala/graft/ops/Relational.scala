@@ -308,6 +308,40 @@ object Relational {
     l.join(r, keys :+ "__salt", how).drop("__salt")
   }
 
+  /** Key-skew report: the `topN` hottest key groups with their row count
+    * and share of the table — the first diagnostic before any 100 TB
+    * join or aggregation (a key with share ≫ 1/shuffle-partitions is the
+    * straggler; feed it to [[saltedJoin]] or AQE skew handling). One
+    * partial-agg'd groupBy; the top-N is a TakeOrderedAndProject, the
+    * total rides along as a broadcast single-row agg of the counts.
+    */
+  def skewReport(df: DataFrame, keys: Seq[String], topN: Int): DataFrame = {
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    counts
+      .orderBy(col("n").desc +: keys.map(col(_).asc): _*).limit(topN)
+      .crossJoin(broadcast(counts.agg(sum("n").as("__tot"))))
+      .withColumn("share", col("n").cast("double") / col("__tot").cast("double"))
+      .drop("__tot")
+  }
+
+  /** CDC merge: apply a change batch with an op column (`I` insert, `U`
+    * update, `D` delete) to `base` — the full MERGE INTO surface, one
+    * step past [[upsert]]. Same one-shuffle union + keep-first shape
+    * (changes win over base, delete winners drop their key entirely);
+    * no join. `changes` needs `base`'s columns plus `opCol`, at most one
+    * row per key. Unknown keys with `U` behave as inserts and with `D`
+    * as no-ops — the tolerant MERGE semantics batch pipelines want on
+    * replays.
+    */
+  def cdcMerge(base: DataFrame, changes: DataFrame, keys: Seq[String],
+               opCol: String): DataFrame = {
+    val c = changes.withColumn("__pri", lit(0))
+    val b = base.withColumn(opCol, lit("KEEP")).withColumn("__pri", lit(1))
+    dedupKeepFirst(c.unionByName(b), keys, Seq(col("__pri").asc))
+      .filter(col(opCol) =!= "D")
+      .select(base.columns.map(col): _*)
+  }
+
   /** Snapshot diff: classify every key of two table versions as
     * `added` / `removed` / `changed`, comparing `attrs` null-safely
     * (unchanged keys are omitted — at 100 TB the diff is tiny next to

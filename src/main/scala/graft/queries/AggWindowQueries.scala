@@ -719,5 +719,20 @@ object AggWindowQueries {
           count(DISTINCT l_returnflag),
           min(l_returnflag), max(l_returnflag) FROM lineitem)"""),
       "one-pass multi-column profile (rows/nulls/distinct/min/max)"),
+
+    // ---- key-skew report --------------------------------------------------
+    // The pre-join diagnostic for 100 TB shuffles: hottest keys + their
+    // share of the table. Ties broken by key so the top-N cut is
+    // deterministic across engines.
+    "q131_skew_report" -> Q(
+      (s, d) => Relational.skewReport(Tables.lineitem(s, d),
+          Seq("l_orderkey"), topN = 5)
+        .select(col("l_orderkey"), col("n"), q4(col("share")).as("share")),
+      Some(s"""WITH c AS (
+          SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+        SELECT l_orderkey, n, ${Q4("n / t")} AS share
+        FROM c, tot ORDER BY n DESC, l_orderkey LIMIT 5"""),
+      "key-skew report: top-5 hottest join keys with table share"),
   )
 }

@@ -633,5 +633,37 @@ object CorpusQueries {
           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
         FROM t GROUP BY term HAVING count(*) BETWEEN 3 AND 8"""),
       "inverted index: term → df + sorted posting list"),
+
+    // ---- Misra-Gries heavy hitters, contract-verified ---------------------
+    // The k-counter mergeable sketch replaces a full token groupBy
+    // (shuffle of every distinct token) with k-sized partial buffers.
+    // Its guarantee — every token with true count > N/(k+1) is captured
+    // — is hash-checked like q112/q113: the oracle recomputes the exact
+    // heavy hitters and expects captured=TRUE on each.
+    "q130_heavy_hitters" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select(explode(Text.tokens(Text.normalize(col("text")))).as("tok"))
+          .filter(col("tok") =!= "")
+        val n = toks.count() // scalar job, parameterizes the threshold
+        val captured = toks.as[String]
+          .select(graft.functions.Aggregators.topKFreq(64).toColumn)
+          .toDF("mg")
+          .select(explode(map_keys(col("mg"))).as("tok"))
+          .withColumn("captured", lit(true))
+        toks.groupBy("tok").agg(count(lit(1)).as("n_tok"))
+          .filter(col("n_tok").cast("double") > lit(n.toDouble / 65d))
+          .join(captured, Seq("tok"), "left")
+          .select(col("tok"), col("n_tok"),
+            coalesce(col("captured"), lit(false)).as("captured"))
+      },
+      Some(s"""WITH tt AS (
+          SELECT tok FROM (SELECT unnest($tokSql) AS tok FROM documents)
+          WHERE tok <> '')
+        SELECT tok, count(*) AS n_tok, TRUE AS captured
+        FROM tt GROUP BY tok
+        HAVING count(*) > (SELECT count(*) FROM tt) / 65.0"""),
+      "Misra-Gries heavy hitters: capture guarantee hash-checked"),
   )
 }

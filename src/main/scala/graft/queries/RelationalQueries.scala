@@ -526,5 +526,45 @@ object RelationalQueries {
                      AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
                THEN 'changed' END IS NOT NULL"""),
       "snapshot diff: added/removed/changed keys between two loads"),
+
+    // ---- CDC merge (MERGE INTO with deletes) ------------------------------
+    // Change batch derived from orders: every 7th key deleted, the next
+    // seventh repriced (U), 20 fresh keys inserted. One union +
+    // keep-first shuffle — no join (Relational.cdcMerge).
+    "q132_cdc_merge" -> Q(
+      (s, d) => {
+        val base = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val o = Tables.orders(s, d)
+        val changes = o.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            lit("D").as("op"))
+          .unionByName(o.filter(col("o_orderkey") % 7 === 1)
+            .select(col("o_orderkey"), col("o_custkey"),
+              q4(col("o_totalprice") * 0.9d).as("o_totalprice"),
+              lit("U").as("op")))
+          .unionByName(o.filter(col("o_orderkey") <= 20)
+            .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+              col("o_custkey"), col("o_totalprice"), lit("I").as("op")))
+        graft.ops.Relational.cdcMerge(base, changes, Seq("o_orderkey"), "op")
+      },
+      Some(s"""WITH chg AS (
+          SELECT o_orderkey, o_custkey, o_totalprice, 'D' AS op
+          FROM orders WHERE o_orderkey % 7 = 0
+          UNION ALL
+          SELECT o_orderkey, o_custkey, ${Q4("o_totalprice * 0.9")}, 'U'
+          FROM orders WHERE o_orderkey % 7 = 1
+          UNION ALL
+          SELECT o_orderkey + 20000000, o_custkey, o_totalprice, 'I'
+          FROM orders WHERE o_orderkey <= 20)
+        SELECT o_orderkey, o_custkey, o_totalprice FROM (
+          SELECT *, row_number() OVER (
+              PARTITION BY o_orderkey ORDER BY pri) AS rn
+          FROM (
+            SELECT o_orderkey, o_custkey, o_totalprice, op, 0 AS pri FROM chg
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_totalprice, 'KEEP', 1 FROM orders))
+        WHERE rn = 1 AND op <> 'D'"""),
+      "CDC merge: I/U/D change batch applied in one keep-first pass"),
   )
 }

@@ -79,6 +79,42 @@ object Events {
 
   final case class Ev(event_id: Long, ts: Long, user_id: Long,
                       event_type: String, value: Double)
+  final case class BurstKey(user_id: Long, event_type: String)
+  final case class BurstState(lastTs: Long)
+
+  /** Streaming repeated-event collapse — the streaming twin of
+    * Temporal.collapseRepeats (chained gap rule, keep burst heads):
+    * an event is emitted iff the key's previous event is ≥ `gapUs`
+    * older; EVERY arriving event advances the state clock, so a long
+    * sub-gap run stays one burst. State per (user, type) is a single
+    * timestamp. Within a micro-batch events are applied in
+    * (ts, event_id) order — same total order as the batch operator.
+    */
+  def collapseStream(spark: SparkSession, events: DataFrame,
+                     gapUs: Long = 600000000L): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .select(col("event_id"), expr("ts div 1000").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Ev]
+
+    def fn(key: BurstKey, evs: Iterator[Ev],
+           state: GroupState[BurstState]): Iterator[Ev] = {
+      var last = state.getOption.map(_.lastTs)
+      val out = List.newBuilder[Ev]
+      evs.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+        if (last.forall(l => e.ts - l >= gapUs)) out += e
+        last = Some(e.ts)
+      }
+      last.foreach(l => state.update(BurstState(l)))
+      out.result().iterator
+    }
+
+    typed.groupByKey(e => BurstKey(e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class SessionOut(user_id: Long, session_start: Long,
                               session_end: Long, n_events: Int)

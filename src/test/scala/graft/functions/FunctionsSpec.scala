@@ -172,6 +172,28 @@ class AggregatorsSpec extends SparkSpec {
       .agg(wm(col("x"), col("w"))).as[Double].head()
     assert(one == many) // bitwise equal, not approximately
   }
+
+  test("topKFreq (Misra-Gries): heavy-hitter guarantee holds under any partitioning") {
+    // zipf-ish stream: token i appears ~1000/i times, N ≈ 7485, k = 9 →
+    // every token with count > N/10 (= tokens 1) must be captured;
+    // in practice MG with k=9 catches the whole head here
+    val items = (1 to 50).flatMap(i => Seq.fill(1000 / i)(s"t$i"))
+    val n = items.size
+    for (parts <- Seq(1, 7)) {
+      val mg = items.toDF("t").repartition(parts).as[String]
+        .select(Aggregators.topKFreq(9).toColumn).head()
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val mustCapture = exact.filter(_._2 > n / 10.0).keySet
+      assert(mustCapture.subsetOf(mg.keySet),
+        s"parts=$parts missing ${mustCapture -- mg.keySet}")
+      assert(mg.size <= 9)
+      // undercount bounded by N/(k+1)
+      mg.foreach { case (t, est) =>
+        assert(est <= exact(t) && exact(t) - est <= n / 10.0 + 1,
+          s"$t est=$est exact=${exact(t)}")
+      }
+    }
+  }
 }
 
 class VectorsSpec extends SparkSpec {

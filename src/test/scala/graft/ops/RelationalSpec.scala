@@ -218,6 +218,28 @@ class RelationalSpec extends SparkSpec {
       ("ship", "skip")))
   }
 
+  test("cdcMerge applies I/U/D; unknown-key U inserts, unknown-key D no-ops") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (2L, "B", "U"),  // update
+      (3L, "c", "D"),  // delete
+      (4L, "d", "I"),  // insert
+      (5L, "e", "U"),  // unknown key update → insert
+      (9L, "x", "D"))  // unknown key delete → no-op
+      .toDF("k", "v", "op")
+    val got = Relational.cdcMerge(base, changes, Seq("k"), "op")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 4L -> "d", 5L -> "e"))
+  }
+
+  test("skewReport: hottest keys with exact share, deterministic tie cut") {
+    val df = (Seq.fill(60)(1) ++ Seq.fill(30)(2) ++ Seq.fill(5)(3) ++
+      Seq.fill(5)(4)).toDF("k")
+    val got = Relational.skewReport(df, Seq("k"), topN = 3)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(got == Seq((1, 60L, 0.6), (2, 30L, 0.3), (3, 5L, 0.05)))
+  }
+
   test("snapshotDiff classifies added/removed/changed, omits unchanged") {
     val oldDf = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40))
       .toDF("k", "s", "v")

@@ -123,4 +123,36 @@ class EventsSpec extends SparkSpec {
       .select("user_id", "n_events").as[(Long, Int)].collect().toSet
     assert(rows == Set((1L, 2)))
   }
+
+  test("collapseStream matches the batch collapseRepeats across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    // bursts split across two micro-batches: state must carry the last
+    // event time so the chained gap rule survives the batch boundary
+    val batch1 = Seq(
+      Events.Ev(1, 0L, 1, "x", 0.0),
+      Events.Ev(2, 50L * 1000000000L, 1, "x", 0.0), // < 600s after 1
+      Events.Ev(3, 10L * 1000000000L, 2, "x", 0.0))
+    val batch2 = Seq(
+      Events.Ev(4, 100L * 1000000000L, 1, "x", 0.0), // < 600s after 2 → same burst
+      Events.Ev(5, 2000L * 1000000000L, 1, "x", 0.0), // new burst
+      Events.Ev(6, 15L * 1000000000L, 2, "y", 0.0))   // other type → own head
+    val ms = MemoryStream[Events.Ev]
+    val out = Events.collapseStream(spark, ms.toDF())
+    val q = out.writeStream.format("memory").queryName("collapse")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    ms.addData(batch1: _*); q.processAllAvailable()
+    ms.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("collapse").select("event_id").as[Long].collect().toSet
+
+    val batchTwin = (batch1 ++ batch2)
+      .map(e => (e.event_id, e.ts / 1000, e.user_id, e.event_type))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    val want = graft.ops.Temporal.collapseRepeats(batchTwin,
+        Seq("user_id", "event_type"), "ts_us", lit(600000000L),
+        Seq(col("ts_us").asc, col("event_id").asc))
+      .select("event_id").as[Long].collect().toSet
+    assert(got == want && got == Set(1L, 3L, 5L, 6L), s"got $got want $want")
+  }
 }
