@@ -35,10 +35,15 @@ object Graphs {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 20): DataFrame = {
-    // symmetrize once; both propagation directions come from one edge list
+    // symmetrize once; both propagation directions come from one edge list.
+    // Re-partition on src AFTER the distinct: the checkpointed Dataset
+    // keeps its outputPartitioning, so every round's hop join reuses this
+    // side's layout instead of re-exchanging the (static) edge list per
+    // round — only the labels side moves.
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
+      .repartition(col("src"))
       .localCheckpoint(eager = true)
     // init fused with the first edge hop: label(v) = min(v, min neighbor)
     // comes out of the same groupBy that would enumerate the node set, so
