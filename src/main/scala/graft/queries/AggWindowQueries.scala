@@ -734,5 +734,36 @@ object AggWindowQueries {
         SELECT l_orderkey, n, ${Q4("n / t")} AS share
         FROM c, tot ORDER BY n DESC, l_orderkey LIMIT 5"""),
       "key-skew report: top-5 hottest join keys with table share"),
+
+    // ---- IQR outlier detection --------------------------------------------
+    // The Tukey-fence cleaning rule: per-group p25/p75 (one exact
+    // percentile agg, broadcast back), keep rows outside
+    // [p25 − 1.5·IQR, p75 + 1.5·IQR]. Fence arithmetic is written with
+    // identical op order on both engines, so the row cut is exact.
+    "q133_iqr_outliers" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val fences = li.groupBy("l_returnflag")
+          .agg(percentile(col("l_extendedprice"), lit(0.25)).as("p25"),
+            percentile(col("l_extendedprice"), lit(0.75)).as("p75"))
+          .withColumn("lo", col("p25") - (col("p75") - col("p25")) * 1.5d)
+          .withColumn("hi", col("p75") + (col("p75") - col("p25")) * 1.5d)
+          .select("l_returnflag", "lo", "hi")
+        li.join(broadcast(fences), "l_returnflag")
+          .filter(col("l_extendedprice") < col("lo") ||
+            col("l_extendedprice") > col("hi"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_extendedprice"))
+      },
+      Some("""WITH f AS (
+          SELECT l_returnflag,
+            quantile_cont(l_extendedprice, 0.25) AS p25,
+            quantile_cont(l_extendedprice, 0.75) AS p75
+          FROM lineitem GROUP BY 1)
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
+        FROM lineitem JOIN f USING (l_returnflag)
+        WHERE l_extendedprice < p25 - (p75 - p25) * 1.5
+           OR l_extendedprice > p75 + (p75 - p25) * 1.5"""),
+      "Tukey-fence IQR outliers per group (exact percentile fences)"),
   )
 }

@@ -665,5 +665,55 @@ object CorpusQueries {
         FROM tt GROUP BY tok
         HAVING count(*) > (SELECT count(*) FROM tt) / 65.0"""),
       "Misra-Gries heavy hitters: capture guarantee hash-checked"),
+
+    // ---- PMI collocations -------------------------------------------------
+    // Pointwise mutual information over adjacent-token pairs:
+    // ln((c_ab/N2) / ((c_a/N1)·(c_b/N1))), occurrence counts (not the
+    // per-doc-distinct counts q89 uses). Scores are quantized to 4dp
+    // BEFORE the top-20 cut so both engines rank identically; every
+    // division is written with the same operand order for bit-equal
+    // doubles.
+    "q134_pmi_bigrams" -> Q(
+      (s, d) => {
+        val withToks = Tables.documents(s, d)
+          .select(split(Text.normalize(col("text")), " ").as("toks"))
+        val uniOcc = withToks.select(explode(col("toks")).as("w"))
+          .filter(col("w") =!= "")
+        val n1 = uniOcc.count() // scalar jobs parameterize the
+        val uni = uniOcc.groupBy("w").agg(count(lit(1)).as("c"))
+        val pairs = withToks
+          .select(col("toks"), explode(when(size(col("toks")) >= 2,
+            sequence(lit(0), size(col("toks")) - 2)).otherwise(array())).as("i"))
+          .select(element_at(col("toks"), col("i") + 1).as("w1"),
+            element_at(col("toks"), col("i") + 2).as("w2"))
+        val n2 = pairs.count() // ... probability denominators
+        pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 5)
+          .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+          .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+          .withColumn("pmi", q4(log(
+            (col("n_ab").cast("double") / lit(n2.toDouble)) /
+              ((col("c1").cast("double") / lit(n1.toDouble)) *
+                (col("c2").cast("double") / lit(n1.toDouble))))))
+          .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+          .limit(20)
+          .select("w1", "w2", "n_ab", "pmi")
+      },
+      Some(s"""WITH toks AS (SELECT $tokSql AS toks FROM documents),
+        uni_occ AS (SELECT unnest(toks) AS w FROM toks),
+        uni AS (SELECT w, count(*) AS c FROM uni_occ WHERE w <> '' GROUP BY w),
+        n1 AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni_occ WHERE w <> ''),
+        pr AS (SELECT toks[i+1] AS w1, toks[i+2] AS w2
+          FROM toks, LATERAL (SELECT unnest(range(0, greatest(len(toks) - 1, 0)))) AS g(i)),
+        n2 AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM pr),
+        bi AS (SELECT w1, w2, count(*) AS n_ab FROM pr
+               GROUP BY 1, 2 HAVING count(*) >= 5)
+        SELECT w1, w2, n_ab,
+          ${Q4("ln((CAST(n_ab AS DOUBLE) / n2.v) / ((CAST(a.c AS DOUBLE) / n1.v) * (CAST(b.c AS DOUBLE) / n1.v)))")} AS pmi
+        FROM bi
+        JOIN uni a ON a.w = w1
+        JOIN uni b ON b.w = w2, n1, n2
+        ORDER BY pmi DESC, w1, w2 LIMIT 20"""),
+      "top-20 PMI collocations over adjacent-token pairs"),
   )
 }
