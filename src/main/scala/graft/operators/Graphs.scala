@@ -111,6 +111,57 @@ object Graphs {
     labels
   }
 
+  /** PageRank over a directed edge list, with CROSS-ENGINE-EXACT
+    * arithmetic: every per-node inflow is accumulated as exact 1e-4
+    * fixed-point longs (the xsum4 trick — independent of Spark's
+    * partial-aggregation merge order) and each iteration's rank is
+    * re-quantized to 4dp, so a SQL engine replaying the same recurrence
+    * reproduces the ranks bit-for-bit (q135's DuckDB oracle does).
+    *
+    * Fixed `iterations` (PageRank converges geometrically; pipelines
+    * run a fixed budget), damping 0.85, teleport (1−d)/N. Rank mass of
+    * dangling nodes (out-degree 0) is dropped, not redistributed — pass
+    * a symmetrized edge list if the graph has sinks. Per iteration: one
+    * join of ranks onto the (static, src-partitioned, checkpointed)
+    * edge list and one fixed-point groupBy — the distributed shape that
+    * survives a billion-edge graph; the driver never sees rank data.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    def q4(c: org.apache.spark.sql.Column) =
+      floor(c * 10000d + 0.5d).cast("long").cast("double") / 10000d
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(eager = true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(eager = true)
+    val n = nodes.count() // one scalar job parameterizes the teleport term
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = true)
+    var ranks = nodes.withColumn("rank", q4(lit(1.0 / n.toDouble)))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iterations) {
+      val prev = ranks
+      val inflow = e
+        .join(ranks.select(col("id").as("src"), col("rank")), "src")
+        .join(deg, "src")
+        .select(col("dst").as("id"),
+          (col("rank") / col("deg").cast("double")).as("contrib"))
+        .groupBy("id")
+        .agg((sum(floor(col("contrib") * 10000d + 0.5d).cast("long"))
+          .cast("double") / 10000d).as("inflow"))
+      ranks = nodes.join(inflow, Seq("id"), "left")
+        .withColumn("rank", q4(lit((1.0 - damping) / n.toDouble) +
+          lit(damping) * coalesce(col("inflow"), lit(0.0d))))
+        .select("id", "rank")
+        .localCheckpoint(eager = true)
+      freeCheckpoint(prev)
+    }
+    ranks
+  }
+
   /** Unpersist a localCheckpoint'd DataFrame's materialized RDD (Dataset
     * .unpersist only covers CacheManager entries, not checkpoint RDDs).
     * No-op on frames that aren't checkpoint scans. */

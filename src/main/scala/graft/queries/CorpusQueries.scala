@@ -715,5 +715,85 @@ object CorpusQueries {
         JOIN uni b ON b.w = w2, n1, n2
         ORDER BY pmi DESC, w1, w2 LIMIT 20"""),
       "top-20 PMI collocations over adjacent-token pairs"),
+
+    // ---- PageRank, cross-engine exact -------------------------------------
+    // Centrality over the (symmetrized) customer↔supplier trade graph.
+    // Inflows accumulate as exact 1e-4 fixed-point longs and each
+    // iteration re-quantizes (Graphs.pageRank), so DuckDB replaying the
+    // identical recurrence — generated below per iteration — reproduces
+    // every rank bit-for-bit. The teleport term is written as
+    // (1.0 − 0.85)/n in BOTH engines: literal 0.15 is a different double.
+    "q135_pagerank" -> Q(
+      (s, d) => {
+        val cs = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+          .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .distinct()
+        val edges = cs.unionByName(
+          cs.select(col("dst").as("src"), col("src").as("dst")))
+        Graphs.pageRank(edges, "src", "dst", iterations = 3)
+          .orderBy(col("rank").desc, col("id").asc).limit(20)
+      },
+      Some {
+        val iters = (1 to 3).map { k =>
+          s"""i$k AS (SELECT e.dst AS id,
+            CAST(sum(CAST(floor((r${k - 1}.rank / deg.deg) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS inflow
+          FROM e JOIN r${k - 1} ON r${k - 1}.id = e.src
+                 JOIN deg ON deg.src = e.src GROUP BY 1),
+        r$k AS (SELECT nodes.id,
+            ${Q4("(1.0 - 0.85)/n + 0.85 * coalesce(inflow, 0.0)")} AS rank
+          FROM nodes LEFT JOIN i$k ON i$k.id = nodes.id, nn)"""
+        }.mkString(",\n")
+        s"""WITH cs AS (
+          SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                          's' || CAST(l_suppkey AS VARCHAR) AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        e AS (SELECT src, dst FROM cs UNION SELECT dst, src FROM cs),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        r0 AS (SELECT id, ${Q4("1.0 / n")} AS rank FROM nodes, nn),
+        $iters
+        SELECT id, rank FROM r3 ORDER BY rank DESC, id LIMIT 20"""
+      },
+      "3-iteration PageRank, fixed-point inflows, hash-exact vs oracle"),
+
+    // ---- tokenizer vocab coverage -----------------------------------------
+    // Apply a top-1000 corpus vocabulary back to every document and
+    // report its out-of-vocabulary rate — the coverage check run before
+    // committing to a tokenizer vocab. Deterministic vocab cut
+    // (count desc, token asc) mirrored by the oracle's row_number.
+    "q136_vocab_coverage" -> Q(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(Text.tokens(Text.normalize(col("text")))).as("tok"))
+          .filter(col("tok") =!= "")
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok").asc).limit(1000)
+          .select(col("tok"), lit(true).as("in_vocab"))
+        toks.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_rate",
+            q4(col("n_oov").cast("double") / col("n_toks").cast("double")))
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest($tokSql) AS tok FROM documents)
+          WHERE tok <> ''),
+        v AS (SELECT tok FROM (
+            SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+            FROM t GROUP BY tok)
+          WHERE rn <= 1000)
+        SELECT doc_id, count(*) AS n_toks,
+          CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+          ${Q4("CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS oov_rate
+        FROM t LEFT JOIN v ON t.tok = v.tok
+        GROUP BY doc_id"""),
+      "top-1000 vocab applied back: per-doc OOV rate"),
   )
 }

@@ -153,5 +153,28 @@ object SourceQueries {
             columns={'year':'BIGINT','total':'DOUBLE','flag':'VARCHAR'}))
         GROUP BY species"""),
       "per-key fan-in of ragged landings CSVs (missing key tolerated)"),
+
+    // ---- JSONL roundtrip --------------------------------------------------
+    // The LLM-corpus interchange format: write a projection of
+    // `documents` as JSON-lines, read it back through Sources.jsonl with
+    // an explicit schema (no inference scan), aggregate. The oracle
+    // aggregates the parquet directly — a hash match proves the
+    // serialize→parse cycle is lossless.
+    "q137_jsonl_roundtrip" -> Q(
+      (s, d) => {
+        val tmp = Files.createTempDirectory("graft_jsonl").toString
+        Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+          .write.mode("overwrite").json(tmp)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", StringType),
+          StructField("n_chars", LongType)))
+        Sources.jsonl(s, tmp, Some(schema))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang"""),
+      "JSONL write→read roundtrip verified against the parquet original"),
   )
 }

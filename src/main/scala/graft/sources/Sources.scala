@@ -126,4 +126,20 @@ object Sources {
       .option("url", url).option("dbtable", table)
     props.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
   }
+
+  /** JSON-lines reader — the de-facto interchange format of LLM corpus
+    * pipelines (one JSON doc per line, splittable, glob-able). An
+    * explicit schema skips Spark's whole-file inference scan (a full
+    * extra read at 100 TB) and pins types; pass
+    * `spark.read.json`-compatible globs. Corrupt lines land in
+    * `_corrupt_record` when the schema includes it (PERMISSIVE mode)
+    * instead of failing the batch — the error tolerance S6's fan-in
+    * reader applies per file, here per line.
+    */
+  def jsonl(spark: SparkSession, path: String,
+            schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
 }

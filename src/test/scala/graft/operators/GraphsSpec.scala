@@ -25,6 +25,22 @@ class GraphsSpec extends SparkSpec {
     assert(got.size == 10 && got.values.forall(_ == 0L))
   }
 
+  test("pageRank: hub outranks leaves, mass ≈ 1, partition-invariant") {
+    // symmetric star: hub h connected to leaves l1..l4
+    val edges = Seq(("h", "l1"), ("h", "l2"), ("h", "l3"), ("h", "l4"))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("s", "t")
+    val ranks = Graphs.pageRank(edges, "s", "t", iterations = 3)
+      .as[(String, Double)].collect().toMap
+    assert(ranks("h") > ranks("l1"), ranks)
+    assert(ranks("l1") == ranks("l2") && ranks("l2") == ranks("l3"))
+    // rank mass conserved up to per-node quantization (±1e-4 each)
+    assert(math.abs(ranks.values.sum - 1.0) < 5 * 1e-4 * ranks.size)
+    // exact fixed-point accumulation → identical ranks for any layout
+    val repart = Graphs.pageRank(edges.repartition(7), "s", "t", 3)
+      .as[(String, Double)].collect().toMap
+    assert(repart == ranks)
+  }
+
   test("dupGroups: docs without edges are singleton components") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val edges = Seq((1L, 3L)).toDF("id_a", "id_b")
