@@ -162,6 +162,46 @@ object Graphs {
     ranks
   }
 
+  /** Exact triangle count of the undirected graph given as an edge list,
+    * via degree-ordered orientation (the MapReduce-era trick that makes
+    * triangle counting feasible at scale): orient every edge from the
+    * (degree, id)-smaller endpoint to the larger, enumerate wedges only
+    * between a node's OUT-neighbors, and close them against the oriented
+    * edge list. Out-degrees are bounded by O(√m) on any graph — a
+    * celebrity node with 10⁸ followers contributes almost no wedges
+    * because nearly all its edges point INTO it — so the wedge join is
+    * O(m^1.5) worst-case instead of Σdeg² (which the naive neighbor
+    * self-join pays, and which one hub key makes quadratic).
+    * Each triangle {x,y,z} (in orientation order) is counted exactly
+    * once: as the wedge (y,z) at x closed by the oriented edge y→z.
+    * Returns a single row (n_triangles).
+    */
+  def triangleCount(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val keyed = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val fwd = struct(col("da").as("d"), col("a").as("n")) <
+      struct(col("db").as("d"), col("b").as("n"))
+    val o = keyed.select(
+      when(fwd, col("a")).otherwise(col("b")).as("u"),
+      when(fwd, col("b")).otherwise(col("a")).as("v"),
+      when(fwd, struct(col("db").as("d"), col("b").as("n")))
+        .otherwise(struct(col("da").as("d"), col("a").as("n"))).as("kv"))
+      .localCheckpoint(eager = true) // consumed by all three join roles
+    val wedges = o.as("x").join(o.as("y"),
+        col("x.u") === col("y.u") && col("x.kv") < col("y.kv"))
+      .select(col("x.v").as("u"), col("y.v").as("v"))
+    wedges.join(o.select("u", "v"), Seq("u", "v"), "inner")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Unpersist a localCheckpoint'd DataFrame's materialized RDD (Dataset
     * .unpersist only covers CacheManager entries, not checkpoint RDDs).
     * No-op on frames that aren't checkpoint scans. */

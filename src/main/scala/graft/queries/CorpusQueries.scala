@@ -795,5 +795,32 @@ object CorpusQueries {
         FROM t LEFT JOIN v ON t.tok = v.tok
         GROUP BY doc_id"""),
       "top-1000 vocab applied back: per-doc OOV rate"),
+
+    // ---- triangle count ---------------------------------------------------
+    // Co-purchase graph: parts sharing an order are connected; triangles
+    // = tightly coupled part triples. Spark side runs degree-ordered
+    // orientation (wedge work bounded O(m^1.5) — hub-proof); the oracle
+    // counts the same triangles with the naive 3-way join, which is fine
+    // at fixture scale and proves the clever plan exact.
+    "q138_triangle_count" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        val e = li.as("l1").join(li.as("l2"),
+            col("l1.l_orderkey") === col("l2.l_orderkey") &&
+              col("l1.l_partkey") < col("l2.l_partkey"))
+          .select(col("l1.l_partkey").as("pa"), col("l2.l_partkey").as("pb"))
+          .distinct()
+        Graphs.triangleCount(e, "pa", "pb")
+      },
+      Some("""WITH pe AS (
+          SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+          FROM lineitem l1 JOIN lineitem l2
+            ON l1.l_orderkey = l2.l_orderkey
+           AND l1.l_partkey < l2.l_partkey)
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM pe ab
+        JOIN pe bc ON bc.a = ab.b
+        JOIN pe ac ON ac.a = ab.a AND ac.b = bc.b"""),
+      "exact triangle count, degree-ordered orientation vs naive oracle"),
   )
 }

@@ -41,6 +41,18 @@ class GraphsSpec extends SparkSpec {
     assert(repart == ranks)
   }
 
+  test("triangleCount: known graphs, direction/duplicate insensitivity") {
+    // K4 has 4 triangles; a square (4-cycle) has none
+    val k4 = (for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a, b)).toDF("a", "b")
+    assert(Graphs.triangleCount(k4, "a", "b").as[Long].head() == 4L)
+    val square = Seq((1, 2), (2, 3), (3, 4), (4, 1)).toDF("a", "b")
+    assert(Graphs.triangleCount(square, "a", "b").as[Long].head() == 0L)
+    // duplicate + reversed edges must not change the count
+    val messy = Seq((1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (1, 3), (3, 4))
+      .toDF("a", "b")
+    assert(Graphs.triangleCount(messy, "a", "b").as[Long].head() == 1L)
+  }
+
   test("dupGroups: docs without edges are singleton components") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val edges = Seq((1L, 3L)).toDF("id_a", "id_b")

@@ -120,6 +120,21 @@ class SourcesSpec extends SparkSpec {
       spark.read.parquet(srcDir).agg(sum("id")).as[Long].head())
   }
 
+  test("replaceDataSource table prunes partitions when filtered by source") {
+    val root = tmpDir.resolve("dsroot").toString
+    Sinks.replaceDataSource(spark.range(100).toDF("id"), root, "survey.a")
+    Sinks.replaceDataSource(spark.range(50).toDF("id"), root, "survey.b")
+    val filtered = Sinks.readImported(spark, root)
+      .filter(col("data_source") === "survey.a")
+    assert(filtered.count() == 100)
+    // the filter must become a PartitionFilter on the scan — at 100 TB
+    // this is the difference between reading one source and all of them
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*data_source".r.findFirstIn(plan).isDefined,
+      plan)
+  }
+
   test("compact in-place: target path == source path, content preserved") {
     val base = tmpDir
     val dir = base.resolve("inplace").toString
