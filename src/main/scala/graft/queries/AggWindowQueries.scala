@@ -765,5 +765,51 @@ object AggWindowQueries {
         WHERE l_extendedprice < p25 - (p75 - p25) * 1.5
            OR l_extendedprice > p75 + (p75 - p25) * 1.5"""),
       "Tukey-fence IQR outliers per group (exact percentile fences)"),
+
+    // ---- month-over-month trend -------------------------------------------
+    // The KPI-report staple: monthly revenue + % change vs the prior
+    // month. The series is months — bounded by construction — so the
+    // unpartitioned lag window is safe at any data scale (the AGGREGATE
+    // is distributed; only ~80 month rows pass through the window).
+    "q140_mom_trend" -> Q(
+      (s, d) => {
+        val monthly = Tables.orders(s, d)
+          .groupBy(year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mo"))
+          .agg(xsum4(col("o_totalprice")).as("revenue"))
+        monthly
+          .withColumn("prev",
+            lag("revenue", 1).over(Window.orderBy("yr", "mo")))
+          .withColumn("mom_pct",
+            q4((col("revenue") - col("prev")) / col("prev") * 100d))
+          .drop("prev")
+      },
+      Some(s"""WITH m AS (
+          SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+            CAST(month(o_orderdate) AS INTEGER) AS mo,
+            ${XSUM4("o_totalprice")} AS revenue
+          FROM orders GROUP BY 1, 2)
+        SELECT yr, mo, revenue,
+          ${Q4("(revenue - prev) / prev * 100")} AS mom_pct
+        FROM (SELECT *, lag(revenue) OVER (ORDER BY yr, mo) AS prev FROM m)"""),
+      "monthly revenue with month-over-month % change"),
+
+    // ---- percent-rank normalization ---------------------------------------
+    // Rank-based feature scaling per group — robust to outliers, the
+    // usual prep before quantile-bucketed models. Total order (price,
+    // key, line) makes tied prices rank deterministically on both
+    // engines.
+    "q141_percent_rank" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("pr", q4(percent_rank().over(
+          Window.partitionBy("l_returnflag")
+            .orderBy(col("l_extendedprice"), col("l_orderkey"),
+              col("l_linenumber"))))),
+      Some(s"""SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+          ${Q4("percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber)")} AS pr
+        FROM lineitem"""),
+      "per-group percent-rank normalization (deterministic tie order)"),
   )
 }

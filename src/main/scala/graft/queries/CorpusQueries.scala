@@ -193,6 +193,60 @@ object CorpusQueries {
       },
       "near-dup pairs → duplicate groups via distributed connected components"),
 
+    // ---- dup-group survivorship -------------------------------------------
+    // The step after clustering: keep ONE representative per duplicate
+    // group, by policy "most complete version wins" (n_chars desc, id
+    // tiebreak) rather than lowest-id — what a production dedup actually
+    // ships. Same component math as q87 + one keep-first window.
+    "q139_dup_survivors" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val edges = Dedup.jaccardPairs(docs, "doc_id", "text",
+          blockCol = "source", shingleSize = 3, minJaccard = 0.02,
+          maxDocFreq = 1000L)
+        val grouped = Graphs.dupGroups(docs.select("doc_id", "n_chars"),
+          "doc_id", edges, "id_a", "id_b")
+        Relational.dedupKeepFirst(grouped, Seq("component"),
+            Seq(col("n_chars").desc, col("doc_id").asc))
+          .select("component", "doc_id", "n_chars")
+      },
+      Some {
+        val toksNorm = tokSql
+        s"""WITH RECURSIVE sh AS (
+          SELECT DISTINCT doc_id, source, shingle FROM (
+            SELECT doc_id, source,
+              toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS shingle
+            FROM (SELECT doc_id, source, $toksNorm AS toks FROM documents),
+                 LATERAL (SELECT unnest(range(0, greatest(len(toks) - 3 + 1, 0)))) AS g(i))),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS c
+          FROM sh l JOIN sh r ON l.source = r.source AND l.shingle = r.shingle
+                             AND l.doc_id < r.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b FROM common
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.02),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (SELECT a AS id, min(b) AS mn FROM reach GROUP BY a),
+        allcomp AS (
+          SELECT d.doc_id, d.n_chars,
+            COALESCE(least(c.mn, d.doc_id), d.doc_id) AS component
+          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+        SELECT component, doc_id, n_chars FROM (
+          SELECT *, row_number() OVER (PARTITION BY component
+            ORDER BY n_chars DESC, doc_id) AS rn FROM allcomp)
+        WHERE rn = 1"""
+      },
+      "one survivor per dup group: most-complete-version policy"),
+
     // ---- document-length histogram ----------------------------------------
     // Fixed-width token-count bins with a top catch-all — the standard
     // corpus-composition report (one scan + one tiny agg at any scale).
@@ -804,7 +858,12 @@ object CorpusQueries {
     // at fixture scale and proves the clever plan exact.
     "q138_triangle_count" -> Q(
       (s, d) => {
+        // every 3rd part: TPC-H orders draw parts uniformly, so the full
+        // co-purchase graph is unnaturally dense (avg degree ~80 at
+        // sf0.1) — the subsample keeps the operator exercised on a
+        // realistic density instead of benchmarking an adversarial one
         val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+          .filter(col("l_partkey") % 3 === 0)
         val e = li.as("l1").join(li.as("l2"),
             col("l1.l_orderkey") === col("l2.l_orderkey") &&
               col("l1.l_partkey") < col("l2.l_partkey"))
@@ -816,7 +875,8 @@ object CorpusQueries {
           SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
           FROM lineitem l1 JOIN lineitem l2
             ON l1.l_orderkey = l2.l_orderkey
-           AND l1.l_partkey < l2.l_partkey)
+           AND l1.l_partkey < l2.l_partkey
+          WHERE l1.l_partkey % 3 = 0 AND l2.l_partkey % 3 = 0)
         SELECT CAST(count(*) AS BIGINT) AS n_triangles
         FROM pe ab
         JOIN pe bc ON bc.a = ab.b
