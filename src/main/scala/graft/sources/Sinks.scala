@@ -64,20 +64,32 @@ object Sinks {
       case Some(c) => df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(c)
       case None    => df.repartition(nFiles)
     }
+    stagedOverwrite(arranged, path,
+      _.option("maxRecordsPerFile", rowsPerFile))
+  }
+
+  /** Overwrite `path` with `df` even when `df` READS from `path`: write
+    * to a hidden sibling dir (fully materializing `df` while its source
+    * files are intact), then swap the staged dir in. The primitive
+    * behind in-place [[compact]] and the streaming [[upsertSink]]'s
+    * read-merge-rewrite cycle. */
+  def stagedOverwrite(df: DataFrame, path: String,
+                      writerOpts: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =>
+                        org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = identity)
+      : Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(
       df.sparkSession.sessionState.newHadoopConf())
     val staged = new org.apache.hadoop.fs.Path(
-      target.getParent, s".${target.getName}__compacting")
-    arranged.write.mode("overwrite")
-      .option("maxRecordsPerFile", rowsPerFile)
-      .parquet(staged.toString)
+      target.getParent, s".${target.getName}__staging")
+    writerOpts(df.write.mode("overwrite")).parquet(staged.toString)
     // df is fully materialized into `staged` at this point; replacing the
     // source dir underneath it is now safe
     fs.delete(target, true)
     if (!fs.rename(staged, target))
       throw new java.io.IOException(
-        s"compact: rename $staged -> $target failed (data preserved in $staged)")
+        s"stagedOverwrite: rename $staged -> $target failed " +
+          s"(data preserved in $staged)")
   }
 
   /** JDBC sink twin of Sources.jdbcTable — `df.write.jdbc` with overwrite

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.ops.Relational
+import graft.sources.Sinks
+
+/** Stream→warehouse MERGE sink: the production pattern for landing a
+  * stream into a table that batch queries read — `foreachBatch` gives
+  * each micro-batch to ordinary batch code, which upserts it into the
+  * parquet table by key (insert new keys, replace changed ones;
+  * exactly-once per key under retries because the merge is idempotent
+  * and foreachBatch replays whole batches).
+  *
+  * The read-merge-rewrite cycle uses Sinks.stagedOverwrite, so the
+  * rewrite of `path` is safe while the merge plan is still reading it.
+  * Suited to dimension-sized tables (the rewrite is O(table)); for
+  * fact-sized apppend-mostly streams use the partitioned
+  * replaceDataSource sink instead.
+  */
+object WarehouseSink {
+
+  /** Start the sink. Within a batch, later rows win per key (total order
+    * = batch arrival tagged by a monotonic row id); across batches the
+    * newest batch wins. `checkpoint` makes restarts resume, not replay
+    * from scratch. */
+  def upsertSink(stream: DataFrame, path: String, keys: Seq[String],
+                 checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        // collapse within-batch duplicates so upsert's ≤1-row-per-key
+        // contract holds: keep the LAST occurrence per key
+        val ordered = batch.withColumn("__seq", monotonically_increasing_id())
+        val latest = Relational.dedupKeepFirst(ordered, keys,
+          Seq(col("__seq").desc)).drop("__seq")
+        val existing =
+          try spark.read.parquet(path)
+          catch { case _: Throwable => latest.limit(0) }
+        Sinks.stagedOverwrite(
+          Relational.upsert(existing, latest, keys), path)
+        ()
+      }
+      .start()
+}

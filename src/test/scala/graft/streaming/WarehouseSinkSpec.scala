@@ -1,0 +1,32 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class WarehouseSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsertSink merges micro-batches into a parquet table by key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("whsink")
+    val table = dir.resolve("dim").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = WarehouseSink.upsertSink(ms.toDF().toDF("k", "v"),
+      table, Seq("k"), ckpt)
+    try {
+      // batch 1: fresh keys, with a within-batch duplicate (later wins)
+      ms.addData((1L, "a"), (2L, "b"), (2L, "b2"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(table).as[(Long, String)].collect().toMap ==
+        Map(1L -> "a", 2L -> "b2"))
+      // batch 2: update key 2, insert key 3; key 1 untouched
+      ms.addData((2L, "B"), (3L, "c"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(table).as[(Long, String)].collect().toMap ==
+        Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    } finally q.stop()
+  }
+}
