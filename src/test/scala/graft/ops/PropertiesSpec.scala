@@ -220,4 +220,72 @@ class PropertiesSpec extends SparkSpec {
       bySample.forall { case (_, sc, c) => math.abs(sc - 3.0 * c) < 1e-9 }
     })
   }
+
+  test("scd2Apply invariants on random batches") {
+    // current: one open row per key 0..4 (+ a closed history row each);
+    // updates: random subset with random attrs
+    val updGen = Gen.listOfN(5, Gen.zip(Gen.choose(0L, 6L), Gen.choose(0, 3)))
+      .map(_.groupBy(_._1).map(_._2.head).toList) // ≤1 per key
+    check(Prop.forAll(updGen) { upds =>
+      val curKeys = (0L to 4L)
+      val current = (curKeys.map(k => (k, s"v$k", 100L, None: Option[Long])) ++
+        curKeys.map(k => (k, s"old$k", 0L, Some(100L))))
+        .toDF("k", "attr", "valid_from", "valid_to")
+      // a == 0 re-sends the current attr → exercises the no-op branch
+      def attrOf(k: Long, a: Int) = if (a == 0) s"v$k" else s"u$a"
+      val updates = upds.map { case (k, a) => (k, attrOf(k, a), 200L) }
+        .toDF("k", "attr", "eff")
+      val out = Temporal.scd2Apply(current, updates, Seq("k"), Seq("attr"), "eff")
+        .as[(Long, String, Long, Option[Long])].collect()
+      val updMap = upds.map { case (k, a) => k -> attrOf(k, a) }.toMap
+      val allKeys = curKeys.toSet ++ updMap.keySet
+      val openByKey = out.filter(_._4.isEmpty).groupBy(_._1)
+      // exactly one open row per key, carrying the winning attr
+      allKeys.forall { k =>
+        openByKey.get(k).exists(_.length == 1) && {
+          val (_, attr, from, _) = openByKey(k).head
+          updMap.get(k) match {
+            case Some(u) if curKeys.contains(k) && u == s"v$k" =>
+              attr == u && from == 100L // no-op: original row kept
+            case Some(u) => attr == u && from == 200L
+            case None => attr == s"v$k" && from == 100L
+          }
+        }
+      } &&
+      // closed history preserved verbatim
+      curKeys.forall(k => out.contains((k, s"old$k", 0L, Some(100L)))) &&
+      // a real change also closes the previous open row at eff
+      curKeys.filter(k => updMap.get(k).exists(_ != s"v$k")).forall(k =>
+        out.contains((k, s"v$k", 100L, Some(200L))))
+    })
+  }
+
+  test("gapFill matches an in-memory grid+ffill reference on random series") {
+    val obsGen = Gen.listOfN(8,
+      Gen.zip(Gen.oneOf("a", "b"), Gen.choose(0, 12), Gen.option(Gen.choose(1, 9))))
+      .map(_.groupBy(t => (t._1, t._2)).map(_._2.head).toList) // ≤1 per (k,t)
+    check(Prop.forAll(obsGen) { obs =>
+      obs.isEmpty || {
+        val df = obs.map { case (k, h, v) =>
+          (k, java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00"),
+            v.map(_.toDouble))
+        }.toDF("k", "t", "v")
+        val got = Temporal.gapFill(df, Seq("k"), "t",
+            expr("interval 1 hour"), Seq("v"))
+          .as[(String, java.sql.Timestamp, Option[Double])].collect()
+          .map { case (k, t, v) => (k, t.toString.substring(11, 13).toInt, v) }
+          .toSet
+        val want = obs.groupBy(_._1).flatMap { case (k, rows) =>
+          val byHour = rows.map(r => r._2 -> r._3).toMap
+          val (lo, hi) = (rows.map(_._2).min, rows.map(_._2).max)
+          var last: Option[Int] = None
+          (lo to hi).map { h =>
+            last = byHour.get(h).flatten.orElse(last)
+            (k, h, last.map(_.toDouble))
+          }
+        }.toSet
+        got == want
+      }
+    })
+  }
 }
