@@ -720,6 +720,28 @@ object CorpusQueries {
         HAVING count(*) > (SELECT count(*) FROM tt) / 65.0"""),
       "Misra-Gries heavy hitters: capture guarantee hash-checked"),
 
+    // ---- mergeable HLL sketches -------------------------------------------
+    // The warehouse sketch pattern q112's plain approx_count_distinct
+    // can't show: build one DataSketches HLL PER SOURCE (storable,
+    // incrementally maintainable), then hll_union_agg them for the
+    // global distinct — re-scanning nothing. Contract-checked like
+    // q112: lgK=12 → rsd ≈ 1.6%, bound 5%.
+    "q142_hll_mergeable" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val est = docs.groupBy("source")
+          .agg(expr("hll_sketch_agg(text, 12)").as("sk"))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx"))
+        docs.agg(countDistinct(col("text")).as("exact_texts"))
+          .crossJoin(est)
+          .select(col("exact_texts"),
+            (abs(col("approx") - col("exact_texts")).cast("double") <=
+              col("exact_texts").cast("double") * 0.05).as("within_bound"))
+      },
+      Some("""SELECT count(DISTINCT text) AS exact_texts, TRUE AS within_bound
+        FROM documents"""),
+      "per-source HLL sketches unioned to a global distinct, bound-checked"),
+
     // ---- PMI collocations -------------------------------------------------
     // Pointwise mutual information over adjacent-token pairs:
     // ln((c_ab/N2) / ((c_a/N1)·(c_b/N1))), occurrence counts (not the
