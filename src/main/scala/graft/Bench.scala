@@ -31,6 +31,14 @@ object Bench {
       graft.operators.Graphs.connectedComponents(
         Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b"), "a", "b")
         .write.mode("overwrite").format("noop").save()
+      // same reasoning for the other iterative/multi-join graph shapes
+      graft.operators.Graphs.pageRank(
+        Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("a", "b"), "a", "b",
+        iterations = 1)
+        .write.mode("overwrite").format("noop").save()
+      graft.operators.Graphs.triangleCount(
+        Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b"), "a", "b")
+        .write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Reset JVM/session state OUTSIDE the timed section (the JMH
