@@ -15,6 +15,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.local(appName = "graft-bench")
+    // ERROR-only logging: with pass-through stdout (build.sbt
+    // StdoutOutput) Spark's INFO/WARN stream interleaves in real time,
+    // and shutdown-hook chatter printed AFTER the result line can push
+    // the JSON out of the driver's bounded tail capture.
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm the JVM/codegen/parquet-reader paths before timing: the first
     // query otherwise absorbs seconds of one-time JIT + scan setup and
     // distorts per-query comparisons across rounds.
