@@ -117,4 +117,26 @@ object Multimodal {
   def sampleFrames(df: DataFrame, nFramesCol: String, stride: Int): DataFrame =
     df.withColumn("frame_idx",
       explode(sequence(lit(0), greatest(col(nFramesCol) - 1, lit(0)), lit(stride))))
+
+  /** WebDataset-style shard manifest: lay binary payloads end-to-end in
+    * `idCol` order and assign each to the size-bounded shard its START
+    * byte falls in (a record may overflow its shard by one payload —
+    * the standard sequential-packing contract, no payload is split).
+    * Returns (id, n_bytes, shard_id, offset_bytes) — the manifest a
+    * shard WRITER consumes; the byte layout itself is then a
+    * partitionBy("shard_id") write. Built on the range-partitioned
+    * [[graft.ops.Relational.globalCumSum]] — no single-task window, so
+    * the manifest of a billion-object corpus plans the same way. All
+    * arithmetic is integer-exact.
+    */
+  def shardManifest(df: DataFrame, idCol: String, payloadCol: String,
+                    shardBytes: Long): DataFrame =
+    graft.ops.Relational.globalCumSum(
+        df.select(col(idCol), length(col(payloadCol)).cast("long").as("n_bytes")),
+        Seq(col(idCol)), col("n_bytes"), outCol = "__cum")
+      .withColumn("__start", col("__cum") - col("n_bytes"))
+      .withColumn("shard_id", expr(s"__start div ${shardBytes}L"))
+      .withColumn("offset_bytes",
+        col("__start") - col("shard_id") * shardBytes)
+      .drop("__cum", "__start")
 }

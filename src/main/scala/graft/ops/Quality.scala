@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations (the dbt-test / Deequ shape):
+  * a rule set evaluated in ONE aggregate pass over the table, returning
+  * one row per rule with its violation count. Everything — including
+  * the uniqueness checks, via count−countDistinct — folds into a single
+  * scan's partial+final aggregation, so a 100 TB table pays one read
+  * for its whole quality suite, not one per rule.
+  */
+object Quality {
+
+  sealed trait Rule { def name: String }
+  /** `col` must not be null. */
+  final case class NotNull(col: String) extends Rule {
+    def name = s"not_null($col)"
+  }
+  /** `cols` must be unique together; violations = surplus rows beyond
+    * one per key. */
+  final case class Unique(cols: Seq[String]) extends Rule {
+    def name = s"unique(${cols.mkString(",")})"
+  }
+  /** Non-null values of `col` must lie in [lo, hi]. */
+  final case class InRange(col: String, lo: Double, hi: Double) extends Rule {
+    def name = s"in_range($col,$lo,$hi)"
+  }
+  /** Non-null values of `col` must be one of `values`. */
+  final case class AcceptedValues(col: String, values: Seq[String]) extends Rule {
+    def name = s"accepted_values($col)"
+  }
+
+  private def violationsOf(r: Rule): Column = r match {
+    case NotNull(c) =>
+      sum(when(col(c).isNull, 1L).otherwise(0L))
+    case Unique(cs) =>
+      count(lit(1)) - countDistinct(struct(cs.map(col): _*))
+    case InRange(c, lo, hi) =>
+      sum(when(col(c).isNotNull && !col(c).between(lo, hi), 1L).otherwise(0L))
+    case AcceptedValues(c, vs) =>
+      sum(when(col(c).isNotNull && !col(c).isin(vs: _*), 1L).otherwise(0L))
+  }
+
+  /** Evaluate `rules` over `df`: one row per rule — (rule, violations).
+    * Rule order is preserved in a `rule_idx` column so reports are
+    * stable. */
+  def expectations(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val aggs = rules.zipWithIndex.map { case (r, i) =>
+      violationsOf(r).cast("long").as(s"__v$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.zipWithIndex.map { case (r, i) =>
+      s"${i}, '${r.name}', __v$i"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${rules.size}, $stackArgs) AS (rule_idx, rule, violations)")
+  }
+}

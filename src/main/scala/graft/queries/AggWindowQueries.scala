@@ -811,5 +811,39 @@ object AggWindowQueries {
           ${Q4("percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber)")} AS pr
         FROM lineitem"""),
       "per-group percent-rank normalization (deterministic tie order)"),
+
+    // ---- data-quality expectations ----------------------------------------
+    // A whole dbt-style rule suite in ONE aggregate pass (uniqueness via
+    // count − countDistinct inside the same agg). The l_quantity range
+    // rule is deliberately failing so nonzero counts are exercised.
+    "q144_expectations" -> Q(
+      (s, d) => graft.ops.Quality.expectations(Tables.lineitem(s, d), Seq(
+        graft.ops.Quality.NotNull("l_orderkey"),
+        graft.ops.Quality.Unique(Seq("l_orderkey", "l_linenumber")),
+        graft.ops.Quality.InRange("l_discount", 0.0, 0.1),
+        graft.ops.Quality.InRange("l_quantity", 1.0, 49.0),
+        graft.ops.Quality.AcceptedValues("l_returnflag", Seq("A", "N", "R")))),
+      Some("""SELECT 0 AS rule_idx, 'not_null(l_orderkey)' AS rule,
+          CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS violations FROM lineitem
+        UNION ALL
+        SELECT 1, 'unique(l_orderkey,l_linenumber)',
+          count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+        UNION ALL
+        SELECT 2, 'in_range(l_discount,0.0,0.1)',
+          CAST(sum(CASE WHEN l_discount IS NOT NULL
+            AND l_discount NOT BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM lineitem
+        UNION ALL
+        SELECT 3, 'in_range(l_quantity,1.0,49.0)',
+          CAST(sum(CASE WHEN l_quantity IS NOT NULL
+            AND l_quantity NOT BETWEEN 1.0 AND 49.0 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM lineitem
+        UNION ALL
+        SELECT 4, 'accepted_values(l_returnflag)',
+          CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+            AND l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT)
+          FROM lineitem"""),
+      "one-pass data-quality rule suite with violation counts"),
   )
 }

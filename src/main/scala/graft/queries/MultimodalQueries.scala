@@ -24,6 +24,28 @@ object MultimodalQueries {
         FROM documents"""),
       "opaque binary payload column + content digest"),
 
+    // ---- WebDataset-style shard manifest ----------------------------------
+    // Lay payloads end-to-end, assign each to the 64 KiB shard its start
+    // byte falls in. Integer-exact math on the range-partitioned global
+    // cumsum — a billion-object corpus plans identically.
+    "q143_shard_manifest" -> Q(
+      (s, d) => Multimodal.shardManifest(
+        Multimodal.withBinaryPayload(Tables.documents(s, d), "text", "payload"),
+        "doc_id", "payload", shardBytes = 65536L),
+      Some("""WITH s AS (
+          SELECT doc_id,
+            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+          FROM documents),
+        c AS (SELECT doc_id, n_bytes,
+            CAST(sum(n_bytes) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes
+              AS BIGINT) AS strt
+          FROM s)
+        SELECT doc_id, n_bytes, strt // 65536 AS shard_id,
+          strt - (strt // 65536) * 65536 AS offset_bytes
+        FROM c"""),
+      "shard-packing manifest: sequential 64KiB shard + offset per payload"),
+
     // ---- stubbed decode via partition-local batches (hash-verified) ----------
     // The stub codec is md5-derived precisely so DuckDB can recompute it:
     // the hash match proves the mapPartitions BATCHING preserved row ↔

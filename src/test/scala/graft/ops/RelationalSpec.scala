@@ -218,6 +218,42 @@ class RelationalSpec extends SparkSpec {
       ("ship", "skip")))
   }
 
+  test("expectations: one agg pass, exact violation counts per rule") {
+    import graft.ops.Quality._
+    val df = Seq(
+      (Some(1L), 1, 0.05, "A"), (Some(1L), 1, 0.05, "A"), // dup key
+      (None, 2, 0.50, "X"),                               // null id, bad range+value
+      (Some(3L), 3, 0.08, "N"))
+      .toDF("id", "line", "disc", "flag")
+    val out = expectations(df, Seq(
+      NotNull("id"), Unique(Seq("id", "line")),
+      InRange("disc", 0.0, 0.1), AcceptedValues("flag", Seq("A", "N"))))
+      .as[(Int, String, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(out == Map(
+      "not_null(id)" -> 1L, "unique(id,line)" -> 1L,
+      "in_range(disc,0.0,0.1)" -> 1L, "accepted_values(flag)" -> 1L))
+    // the whole suite is one scan — no union of per-rule subplans
+    val plan = expectations(df, Seq(NotNull("id"), Unique(Seq("id"))))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Union"), plan)
+  }
+
+  test("shardManifest: contiguous offsets, no payload split, shards bounded") {
+    import graft.operators.Multimodal
+    val df = (1 to 40).map(i => (i.toLong, "x" * (i * 7 % 23 + 1)))
+      .toDF("doc_id", "payload")
+    val m = Multimodal.shardManifest(df, "doc_id", "payload", shardBytes = 64L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // global layout is contiguous: start bytes are the running sum
+    var expectStart = 0L
+    m.foreach { case (_, n, shard, off) =>
+      assert(shard == expectStart / 64 && off == expectStart - shard * 64)
+      expectStart += n
+    }
+    // every shard's payload starts inside its 64-byte window
+    assert(m.forall { case (_, _, _, off) => off >= 0 && off < 64 })
+  }
+
   test("cdcMerge applies I/U/D; unknown-key U inserts, unknown-key D no-ops") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val changes = Seq(
