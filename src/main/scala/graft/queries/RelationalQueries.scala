@@ -566,5 +566,38 @@ object RelationalQueries {
             SELECT o_orderkey, o_custkey, o_totalprice, 'KEEP', 1 FROM orders))
         WHERE rn = 1 AND op <> 'D'"""),
       "CDC merge: I/U/D change batch applied in one keep-first pass"),
+
+    // ---- pure SQL-text path (TPC-H Q3 shape) ------------------------------
+    // The engine's spark.sql() surface end-to-end: temp views over the
+    // warehouse tables, the whole query as SQL text — and the SAME text
+    // (modulo nothing) runs in DuckDB as the oracle, proving SQL-dialect
+    // parity for the join+agg+topk core. xsum4 is spelled inline: the
+    // floor/cast quantization is valid in both dialects verbatim.
+    "q145_sql_tpch_q3" -> Q(
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql(RelationalQueries.q3Sql("v_customer", "v_orders", "v_lineitem"))
+      },
+      Some(q3Sql("customer", "orders", "lineitem")),
+      "TPC-H Q3 as shared SQL text through spark.sql()"),
   )
+
+  /** TPC-H Q3 (shipping priority), written in the common SQL dialect
+    * both Spark and DuckDB parse identically — the oracle IS this text
+    * over the same tables. */
+  def q3Sql(customer: String, orders: String, lineitem: String): String =
+    s"""SELECT l_orderkey,
+      ${XSUM4("l_extendedprice * (1 - l_discount)")} AS revenue,
+      CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+    FROM $customer
+    JOIN $orders ON c_custkey = o_custkey
+    JOIN $lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10"""
 }
