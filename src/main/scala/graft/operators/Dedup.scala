@@ -118,39 +118,55 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCol: String, shingleSize: Int = 3,
                    minJaccard: Double = 0.5,
-                   maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    // ONE shingle pipeline, consumed by every downstream need. Earlier
-    // shape re-derived the exploded-shingle frame per branch (set sizes,
-    // both self-join sides) — 3-4 interpreted array_distinct/transform
-    // passes over every document. Here shingles come from a codegen'd
-    // position-explode (no array construction, no HOF), per-doc set
-    // sizes ride along as a window count, and the self-join's two sides
-    // share one shuffle through ReuseExchange.
-    val sh = explodedShingles(df, idCol, textCol, shingleSize,
-        carry = Seq(blockCol -> "block"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
-    val shJoin =
-      if (maxDocFreq == Long.MaxValue) sh
-      else {
-        // drop hot shingles from the JOIN only: `n` (the Jaccard
-        // denominator) is computed above the cap, so per-doc set sizes
-        // still include them (result = strict lower bound, exact when no
-        // compared pair shares a dropped shingle)
-        val w = Window.partitionBy("block", "shingle")
-        sh.withColumn("__df", count(lit(1)).over(w))
-          .filter(col("__df") <= maxDocFreq).drop("__df")
-      }
-    val l = shJoin.as("l"); val r = shJoin.as("r")
-    l.join(r, col("l.block") === col("r.block") &&
-        col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .agg(count(lit(1)).as("common"),
-        first(col("l.n")).as("na"), first(col("r.n")).as("nb"))
+                   maxDocFreq: Long = Long.MaxValue): DataFrame =
+    sharedShingleCounts(df, idCol, textCol, blockCol, shingleSize, maxDocFreq)
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("na") + col("nb") - col("common")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+
+  /** Shared-shingle counts per candidate pair: (id_a < id_b, common,
+    * na, nb) where `common` = |Sa ∩ Sb| within `blockCol` and na/nb are
+    * the full per-doc distinct-shingle counts (cap-independent). The
+    * engine of [[jaccardPairs]] and [[containmentPairs]].
+    *
+    * Pair generation is grouped-by-shingle, not a self-join: shingles
+    * hash to 64-bit keys (the string never rides a shuffle), each
+    * (block, shingleHash) group collects its sorted doc-id set once, and
+    * pairs stream out of a double position-explode over that array. Per
+    * shingle of document frequency f this emits exactly f(f−1)/2 rows —
+    * the same rows the self-join emitted — but the exchange carries
+    * (block, long) instead of (block, string, id, n) rows twice, there is
+    * no per-partition window sort, and the df cap becomes a plain
+    * `size(ids) ≤ cap` filter instead of a second window pass. Set sizes
+    * rejoin at the END on the (already aggregated, pair-count-sized)
+    * result — AQE broadcasts them when small.
+    */
+  private def sharedShingleCounts(df: DataFrame, idCol: String,
+                                  textCol: String, blockCol: String,
+                                  shingleSize: Int,
+                                  maxDocFreq: Long): DataFrame = {
+    val sh = explodedShingles(df, idCol, textCol, shingleSize,
+        carry = Seq(blockCol -> "block"))
+      .select(col("id"), col("block"), xxhash64(col("shingle")).as("h"))
+    // Jaccard/containment denominators: per-doc distinct-shingle counts,
+    // computed ABOVE the df cap so dropping hot shingles from pair
+    // generation keeps the result a strict lower bound (exact whenever no
+    // compared pair shares a dropped shingle).
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val groups = sh.groupBy("block", "h")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDocFreq)
+    groups
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"), explode(
+        slice(col("ids"), col("i") + lit(2),
+          size(col("ids")) - col("i") - lit(1))).as("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
   }
 
   /** Shingle-containment pairs: containment(a⊂b) = |Sa ∩ Sb| / |Sa|.
@@ -166,29 +182,13 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        blockCol: String, shingleSize: Int = 3,
                        minContainment: Double = 0.9,
-                       maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    val sh = explodedShingles(df, idCol, textCol, shingleSize,
-        carry = Seq(blockCol -> "block"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
-    val shJoin =
-      if (maxDocFreq == Long.MaxValue) sh
-      else {
-        val w = Window.partitionBy("block", "shingle")
-        sh.withColumn("__df", count(lit(1)).over(w))
-          .filter(col("__df") <= maxDocFreq).drop("__df")
-      }
-    val l = shJoin.as("l"); val r = shJoin.as("r")
-    l.join(r, col("l.block") === col("r.block") &&
-        col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .agg(count(lit(1)).as("common"),
-        first(col("l.n")).as("na"), first(col("r.n")).as("nb"))
+                       maxDocFreq: Long = Long.MaxValue): DataFrame =
+    sharedShingleCounts(df, idCol, textCol, blockCol, shingleSize, maxDocFreq)
       .withColumn("containment",
         greatest(col("common").cast("double") / col("na").cast("double"),
           col("common").cast("double") / col("nb").cast("double")))
       .filter(col("containment") >= minContainment)
       .select("id_a", "id_b", "containment")
-  }
 
   /** Distinct word-n-gram shingles as ROWS — (id[, carried...], shingle)
     * — via position explode + codegen'd element_at/concat, never

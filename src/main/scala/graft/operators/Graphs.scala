@@ -130,23 +130,31 @@ object Graphs {
                iterations: Int = 3, damping: Double = 0.85): DataFrame = {
     def q4(c: org.apache.spark.sql.Column) =
       floor(c * 10000d + 0.5d).cast("long").cast("double") / 10000d
+    // Out-degree is static, so it is folded INTO the (static,
+    // src-partitioned, checkpointed) edge list once — each iteration then
+    // pays exactly one join (ranks onto edges) and one fixed-point
+    // groupBy instead of a second per-iteration deg join. The window
+    // count rides the repartition(src) exchange the edge list needs
+    // anyway: zero extra shuffles.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
       .repartition(col("src"))
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
       .localCheckpoint(eager = true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(eager = true)
     val n = nodes.count() // one scalar job parameterizes the teleport term
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(eager = true)
     var ranks = nodes.withColumn("rank", q4(lit(1.0 / n.toDouble)))
-      .localCheckpoint(eager = true)
+    // The recurrence is a single-reference chain (ranks_k feeds only
+    // iteration k+1), so the whole fixed-iteration loop stays LAZY — one
+    // job executes all iterations when the caller acts, with no
+    // per-iteration checkpoint materialization. Nothing is recomputed:
+    // each subtree has exactly one parent in the final DAG.
     for (_ <- 1 to iterations) {
-      val prev = ranks
       val inflow = e
         .join(ranks.select(col("id").as("src"), col("rank")), "src")
-        .join(deg, "src")
         .select(col("dst").as("id"),
           (col("rank") / col("deg").cast("double")).as("contrib"))
         .groupBy("id")
@@ -156,8 +164,6 @@ object Graphs {
         .withColumn("rank", q4(lit((1.0 - damping) / n.toDouble) +
           lit(damping) * coalesce(col("inflow"), lit(0.0d))))
         .select("id", "rank")
-        .localCheckpoint(eager = true)
-      freeCheckpoint(prev)
     }
     ranks
   }

@@ -801,15 +801,24 @@ object CorpusQueries {
     // (1.0 − 0.85)/n in BOTH engines: literal 0.15 is a different double.
     "q135_pagerank" -> Q(
       (s, d) => {
+        // Node ids are LONGS inside the iteration (custkey*2 / suppkey*2+1
+        // — injective, so the graph is isomorphic to the labeled one and
+        // every rank is bit-identical); the display label is minted only
+        // on the 20 output rows. String keys would ride every per-
+        // iteration shuffle otherwise.
         val cs = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
           .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
             col("l_orderkey") === col("o_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("src"),
-            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
           .distinct()
         val edges = cs.unionByName(
           cs.select(col("dst").as("src"), col("src").as("dst")))
         Graphs.pageRank(edges, "src", "dst", iterations = 3)
+          .select(when(col("id") % 2 === 0,
+              concat(lit("c"), (col("id") / 2).cast("long")))
+            .otherwise(concat(lit("s"), ((col("id") - 1) / 2).cast("long")))
+            .as("id"), col("rank"))
           .orderBy(col("rank").desc, col("id").asc).limit(20)
       },
       Some {
