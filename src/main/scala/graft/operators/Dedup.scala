@@ -106,14 +106,17 @@ object Dedup {
     * `blockCol`: docs are only compared within the same block (e.g.
     * source or language) — the standard way to bound pair counts.
     *
-    * `maxDocFreq` is the skew guard for the shingle-level self-join: a
-    * shingle appearing in more than this many docs joins every pair of
-    * them (a hot key that produces O(df²) rows — at 100 TB one ubiquitous
-    * trigram would dominate the stage). Such shingles carry almost no
-    * similarity signal, so they are dropped from the join side only;
-    * per-doc shingle counts (the Jaccard denominator) still include them,
-    * making the result a strict lower bound that is exact whenever no
-    * compared pair shares a dropped shingle. Default keeps every shingle.
+    * `maxDocFreq` is the skew guard for the shingle-level pair
+    * generation: a shingle appearing in more than this many docs pairs
+    * every two of them (a hot key that produces O(df²) rows — at 100 TB
+    * one ubiquitous trigram would dominate the stage). Such shingles
+    * carry almost no similarity signal, so they are dropped from pair
+    * generation only (before their id arrays are ever built); per-doc
+    * shingle counts (the Jaccard denominator) still include them, making
+    * the result a strict lower bound that is exact whenever no compared
+    * pair shares a dropped shingle. Default keeps every shingle. Results
+    * are exact up to 64-bit shingle-hash collisions (see
+    * [[sharedShingleCounts]]).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCol: String, shingleSize: Int = 3,
@@ -131,17 +134,30 @@ object Dedup {
     * the full per-doc distinct-shingle counts (cap-independent). The
     * engine of [[jaccardPairs]] and [[containmentPairs]].
     *
-    * Pair generation is grouped-by-shingle, not a self-join: shingles
-    * hash to 64-bit keys (the string never rides a shuffle), each
-    * (block, shingleHash) group collects its sorted doc-id set once, and
-    * pairs stream out of a double position-explode over that array. Per
-    * shingle of document frequency f this emits exactly f(f−1)/2 rows —
-    * the same rows the self-join emitted — but the exchange carries
-    * (block, long) instead of (block, string, id, n) rows twice, there is
-    * no per-partition window sort, and the df cap becomes a plain
-    * `size(ids) ≤ cap` filter instead of a second window pass. Set sizes
-    * rejoin at the END on the (already aggregated, pair-count-sized)
-    * result — AQE broadcasts them when small.
+    * Pair generation is grouped-by-shingle: shingles hash to 64-bit keys
+    * (the string never rides a shuffle), each (block, shingleHash) group
+    * collects its sorted doc-id set once, and pairs stream out of a
+    * double position-explode over that array. Per shingle of document
+    * frequency f this emits exactly f(f−1)/2 rows — the rows a blocked
+    * self-join would emit — but the exchange carries (block, long)
+    * instead of wide string rows twice and there is no per-partition
+    * window sort. Results are exact up to 64-bit xxhash64 collisions
+    * between distinct shingles (which could merge two shingle groups);
+    * a defensive id_a ≠ id_b filter drops the self-pairs a within-doc
+    * collision would otherwise emit. Rows whose block key is NULL are
+    * excluded up front, preserving the join semantics this shape
+    * replaced (NULL never matched; grouping would silently compare all
+    * unblocked docs against each other — an all-pairs skew bomb).
+    *
+    * Skew guard: per-(block, hash) document frequencies are counted
+    * FIRST with a plain (spillable, map-side-combined) count aggregate,
+    * and only shingles with 2 ≤ df ≤ maxDocFreq reach the array-building
+    * collect_list — a ubiquitous shingle at 100 TB never materializes a
+    * giant id array in an aggregation buffer. The semi-join back onto
+    * the shingle rows reuses the (block, h) hash partitioning, so the
+    * collect_list aggregation adds no exchange. Set sizes rejoin at the
+    * END on the (already aggregated, pair-count-sized) result — AQE
+    * broadcasts them when small.
     */
   private def sharedShingleCounts(df: DataFrame, idCol: String,
                                   textCol: String, blockCol: String,
@@ -149,20 +165,25 @@ object Dedup {
                                   maxDocFreq: Long): DataFrame = {
     val sh = explodedShingles(df, idCol, textCol, shingleSize,
         carry = Seq(blockCol -> "block"))
+      .filter(col("block").isNotNull)
       .select(col("id"), col("block"), xxhash64(col("shingle")).as("h"))
     // Jaccard/containment denominators: per-doc distinct-shingle counts,
     // computed ABOVE the df cap so dropping hot shingles from pair
     // generation keeps the result a strict lower bound (exact whenever no
     // compared pair shares a dropped shingle).
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val groups = sh.groupBy("block", "h")
+    val eligible = sh.groupBy("block", "h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDocFreq)
+      .select("block", "h")
+    val groups = sh.join(eligible, Seq("block", "h"))
+      .groupBy("block", "h")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDocFreq)
     groups
       .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
       .select(col("id_a"), explode(
         slice(col("ids"), col("i") + lit(2),
           size(col("ids")) - col("i") - lit(1))).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("common"))
       .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
@@ -176,8 +197,9 @@ object Dedup {
     * |small|/|big| ≈ 0 (Broder's containment measure). Emits (id_a,
     * id_b, containment) with id_a < id_b and containment = the larger of
     * the two directions (each direction's denominator is its own side's
-    * set size). Same blocked, hot-shingle-capped self-join shape as
-    * [[jaccardPairs]]; both ratios are exact integer divisions.
+    * set size). Same blocked, hot-shingle-capped group-by-shingle pair
+    * generation as [[jaccardPairs]] (exact up to 64-bit shingle-hash
+    * collisions); both ratios are exact integer divisions.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        blockCol: String, shingleSize: Int = 3,

@@ -27,14 +27,36 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Materialize an iteration step. `checkpointDir = None` (the default)
+    * uses `localCheckpoint` — executor-memory-resident, fastest, right
+    * for local mode and for clusters where re-running the job on
+    * executor loss is acceptable. Passing a directory switches every
+    * step to RELIABLE checkpoints (`Dataset.checkpoint` into that
+    * HDFS/object-store path), which survive executor failure — the
+    * durability a multi-hour billion-edge run on a real cluster needs.
+    * Step files live until the Spark context's checkpoint cleanup or the
+    * caller removes the directory. */
+  private def persistStep(df: DataFrame, checkpointDir: Option[String],
+                          eager: Boolean): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
+    }
+
   /** Connected components of the undirected graph given as an edge list
     * (`srcCol`, `dstCol`). Returns one row per distinct node id in the
     * edge list: (id, component) with component = min node id reachable.
     * Isolated nodes (no edges) don't appear — union the full node set and
     * `coalesce(component, id)` at the call site if singletons matter.
+    * `checkpointDir`: see [[persistStep]] — None = fast local-memory
+    * checkpoints, Some(dir) = fault-tolerant reliable checkpoints.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
     // symmetrize once; both propagation directions come from one edge list.
     // Re-partition on src AFTER the distinct: the checkpointed Dataset
     // keeps its outputPartitioning, so every round's hop join reuses this
@@ -44,19 +66,20 @@ object Graphs {
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
       .repartition(col("src"))
-      .localCheckpoint(eager = true)
+    val symP = persistStep(sym, checkpointDir, eager = true)
     // init fused with the first edge hop: label(v) = min(v, min neighbor)
     // comes out of the same groupBy that would enumerate the node set, so
     // the star-shaped components (the common near-dup cluster) are done
     // before the loop starts
-    var labels = sym.groupBy(col("src").as("id"))
-      .agg(least(min("dst"), first("src")).as("component"))
-      .localCheckpoint(eager = true)
+    var labels = persistStep(
+      symP.groupBy(col("src").as("id"))
+        .agg(least(min("dst"), first("src")).as("component")),
+      checkpointDir, eager = true)
     // One hop+jump round, built LAZILY on `labels`. `__changed` carries
     // whether this round's hop improved any label.
     def round(labels: DataFrame): DataFrame = {
       // edge hop: candidate label for dst = min label among its neighbors
-      val fromNeighbors = sym
+      val fromNeighbors = symP
         .join(labels.select(col("id").as("src"), col("component")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min("component").as("__nbr"))
@@ -93,8 +116,8 @@ object Graphs {
       // on `next`, so ONE job both materializes the checkpoint blocks and
       // returns the changed-row count — the eager variant spends a
       // separate job per pass on materialization alone.
-      val next = round(round(labels).drop("__changed"))
-        .localCheckpoint(eager = false)
+      val next = persistStep(round(round(labels).drop("__changed")),
+        checkpointDir, eager = false)
       // Convergence is tested on the LAST EDGE HOP's flag: a hop-stable
       // labeling is constant across every edge, hence constant per
       // component, which also makes the jump a no-op.
@@ -127,7 +150,8 @@ object Graphs {
     * survives a billion-edge graph; the driver never sees rank data.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+               iterations: Int = 3, damping: Double = 0.85,
+               checkpointDir: Option[String] = None): DataFrame = {
     def q4(c: org.apache.spark.sql.Column) =
       floor(c * 10000d + 0.5d).cast("long").cast("double") / 10000d
     // Out-degree is static, so it is folded INTO the (static,
@@ -136,15 +160,17 @@ object Graphs {
     // groupBy instead of a second per-iteration deg join. The window
     // count rides the repartition(src) exchange the edge list needs
     // anyway: zero extra shuffles.
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
-      .repartition(col("src"))
-      .withColumn("deg", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("src")))
-      .localCheckpoint(eager = true)
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(eager = true)
+    val e = persistStep(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .distinct()
+        .repartition(col("src"))
+        .withColumn("deg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("src"))),
+      checkpointDir, eager = true)
+    val nodes = persistStep(
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct(),
+      checkpointDir, eager = true)
     val n = nodes.count() // one scalar job parameterizes the teleport term
     var ranks = nodes.withColumn("rank", q4(lit(1.0 / n.toDouble)))
     // The recurrence is a single-reference chain (ranks_k feeds only
@@ -165,7 +191,13 @@ object Graphs {
           lit(damping) * coalesce(col("inflow"), lit(0.0d))))
         .select("id", "rank")
     }
-    ranks
+    // LAZY final checkpoint: the first action still runs the whole
+    // recurrence as one job (preserving the no-per-iteration-
+    // materialization win), but its result is pinned, so a caller
+    // performing several actions on the returned frame (tests asserting
+    // multiple properties, a write followed by a count) re-reads the
+    // materialized blocks instead of re-executing every iteration.
+    persistStep(ranks, checkpointDir, eager = false)
   }
 
   /** Exact triangle count of the undirected graph given as an edge list,
@@ -223,8 +255,10 @@ object Graphs {
     * near-dup edge form their own singleton group. The canonical "keep
     * one per group" step is then a trivial min/first per component. */
   def dupGroups(docs: DataFrame, idCol: String, edges: DataFrame,
-                srcCol: String, dstCol: String): DataFrame = {
-    val comps = connectedComponents(edges, srcCol, dstCol)
+                srcCol: String, dstCol: String,
+                checkpointDir: Option[String] = None): DataFrame = {
+    val comps = connectedComponents(edges, srcCol, dstCol,
+      checkpointDir = checkpointDir)
       .withColumnRenamed("id", idCol)
     docs.join(comps, Seq(idCol), "left")
       .withColumn("component", coalesce(col("component"), col(idCol)))

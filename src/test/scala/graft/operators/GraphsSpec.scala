@@ -53,6 +53,33 @@ class GraphsSpec extends SparkSpec {
     assert(Graphs.triangleCount(messy, "a", "b").as[Long].head() == 1L)
   }
 
+  test("reliable checkpointDir: identical results, files actually written") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    try {
+      val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+        .toDF("id_a", "id_b")
+      val local = Graphs.connectedComponents(edges, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      val durable = Graphs.connectedComponents(edges, "id_a", "id_b",
+        checkpointDir = Some(dir)).as[(Long, Long)].collect().toMap
+      assert(durable == local)
+      val prEdges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"))
+        .toDF("s", "t")
+      val prLocal = Graphs.pageRank(prEdges, "s", "t", iterations = 3)
+        .as[(String, Double)].collect().toMap
+      val prDurable = Graphs.pageRank(prEdges, "s", "t", iterations = 3,
+        checkpointDir = Some(dir)).as[(String, Double)].collect().toMap
+      assert(prDurable == prLocal)
+      // the durable path really wrote reliable-checkpoint files
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "no checkpoint files written under checkpointDir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      ()
+    }
+  }
+
   test("dupGroups: docs without edges are singleton components") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val edges = Seq((1L, 3L)).toDF("id_a", "id_b")

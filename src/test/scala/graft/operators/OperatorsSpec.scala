@@ -115,6 +115,22 @@ class DedupSpec extends SparkSpec {
     assert(!capped.contains((1L, 3L))) // all their common shingles were hot
   }
 
+  test("jaccardPairs: NULL-block rows never pair (join null-semantics preserved)") {
+    // two docs with identical text but a null block key: the blocked
+    // join this shape replaced never matched NULL = NULL, so grouping
+    // must not quietly compare all unblocked docs against each other
+    val withNulls = docs.unionByName(Seq(
+      (8L, "the quick brown fox jumps over the lazy dog", None: Option[String]),
+      (9L, "the quick brown fox jumps over the lazy dog", None: Option[String]))
+      .toDF("doc_id", "text", "source"))
+    val out = Dedup.jaccardPairs(withNulls, "doc_id", "text", "source",
+      shingleSize = 3, minJaccard = 0.01)
+      .as[(Long, Long, Double)].collect()
+    assert(!out.exists { case (a, b, _) => a >= 8L || b >= 8L })
+    // and the non-null blocks are unaffected
+    assert(out.exists { case (a, b, _) => (a, b) == (1L, 2L) })
+  }
+
   test("simhashSignatures (bulk codegen path) equals simhash64 (column) per doc") {
     val bulk = Dedup.simhashSignatures(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
