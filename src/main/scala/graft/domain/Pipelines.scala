@@ -73,4 +73,149 @@ object Pipelines {
     Sinks.replaceDataSource(out, warehousePath, cfg.dataSource)
     out
   }
+
+  // --------------------------------------------------------------------------
+  // Commercial / foreign landings — the reference's second ETL leg
+  // (/root/reference/R/initdb.R:344-399 landed_catch + :461-495 rescale).
+  // --------------------------------------------------------------------------
+
+  /** Knobs of the landings leg. `foreign = true` flips to the
+    * foreign-landings variant (initdb.R:380-399): keeps ONLY the
+    * flokkur = −4 vessel class, tags FLND, skips the pre-1994 file
+    * union and the assessment rescale. */
+  final case class LandingsConfig(
+      minYear: Int = 1993,          // keep rows with ar strictly greater
+      foreign: Boolean = false,
+      samplingType: String = "LND",
+      defaultGear: String = "LLN",
+      scalarYears: (Int, Int) = (1993, 2005),
+      vesselBlacklist: Set[String] = Set.empty,
+      dataSource: String = "commercial.landings")
+
+  /** `landings_map` (initdb.R:345-350): landing-event → vessel-history
+    * epoch. Join the landings detail to the vessel SCD on skip_nr and
+    * keep the epoch whose validity interval STRICTLY contains the
+    * landing date (the reference's `l_dags < ur_gildi, l_dags > i_gildi`
+    * filter after a left join — identical to inner join + filter, and
+    * null interval bounds drop the row in both). History is a dimension:
+    * AQE broadcasts it, so this costs one scan of the fact, no shuffle.
+    * The distinct then dedups per (skip_nr, saga_nr, komunr, hofn). */
+  def landingsMap(lods: DataFrame, vesselHistory: DataFrame): DataFrame =
+    lods.join(vesselHistory, Seq("skip_nr"))
+      .filter(col("l_dags") > col("i_gildi") && col("l_dags") < col("ur_gildi"))
+      .select("skip_nr", "saga_nr", "komunr", "hofn")
+      .distinct()
+
+  /** `landed_catch` (initdb.R:352-377): the harmonized landings fact.
+    *
+    *  1. electronic registry rows after `minYear`, epoch-resolved via
+    *     [[landingsMap]] (a fact-to-fact left join on (skip_nr, komunr,
+    *     hofn) — both sides hash-partition on the same keys, one
+    *     co-located shuffle pair, the only big exchange in the leg)
+    *  2. union_all of the pre-1994 paper records (`fiskifelag`), which
+    *     carry no epoch: saga_nr 0, l_dags = first of month
+    *     (initdb.R:360-362)
+    *  3. vessel-class lookup on (skip_nr, saga_nr) → flokkur, the
+    *     '<skip>-<saga>' vessel key with the reference's '-0'
+    *     unknown-vessel fallback, domestic-area filter, vessel-class
+    *     keep/drop (commercial: ≠ −4; foreign: = −4)
+    *  4. gear decode (unmapped → `defaultGear`), species allow-list
+    *     (inner join), port → areacell — all broadcast dimensions
+    *
+    * Output contract: (weight_total, sampling_type, areacell, vessel,
+    * species, year, month, gear).
+    */
+  def landedCatch(lods: DataFrame, fiskifelag: Option[DataFrame],
+                  vesselHistory: DataFrame, gearMapping: DataFrame,
+                  speciesKey: DataFrame, portAreas: DataFrame,
+                  cfg: LandingsConfig = LandingsConfig()): DataFrame = {
+    val detailCols = Seq("veidarfaeri", "skip_nr", "fteg", "ar", "man",
+      "hofn", "magn_oslaegt", "veidisvaedi", "l_dags", "saga_nr")
+    val post = lods.filter(col("ar") > cfg.minYear)
+      .join(landingsMap(lods, vesselHistory),
+        Seq("skip_nr", "komunr", "hofn"), "left")
+      .select(detailCols.map(col): _*)
+    val unioned = fiskifelag match {
+      case Some(f) => post.unionByName(
+        f.withColumn("l_dags", make_date(col("ar"), col("man"), lit(1)))
+          .withColumn("saga_nr", lit(0L))
+          .select(detailCols.map(col): _*))
+      case None => post
+    }
+    val classFilter =
+      if (cfg.foreign) col("flokkur") === -4 else col("flokkur") =!= -4
+    unioned
+      .join(vesselHistory.select("skip_nr", "saga_nr", "flokkur"),
+        Seq("skip_nr", "saga_nr"), "left")
+      .withColumn("vessel", concat(
+        coalesce(col("skip_nr").cast("string"), lit("")), lit("-"),
+        coalesce(col("saga_nr"), lit(0L)).cast("string")))
+      .withColumn("flokkur", coalesce(col("flokkur"), lit(0)))
+      .filter(col("veidisvaedi") === "I" && classFilter)
+      .join(gearMapping, Seq("veidarfaeri"), "left")
+      .join(speciesKey, col("fteg") === col("tegund"))
+      .join(portAreas, Seq("hofn"), "left")
+      .select(col("magn_oslaegt").as("weight_total"),
+        lit(cfg.samplingType).as("sampling_type"), col("areacell"),
+        col("vessel"), col("species"),
+        col("ar").as("year"), col("man").as("month"),
+        coalesce(col("gear"), lit(cfg.defaultGear)).as("gear"))
+  }
+
+  /** Assessment-totals rescale (initdb.R:461-484, the ling/tusk scalar):
+    * own-catch per (species, year) divided into the published assessment
+    * total gives a ratio r; rows of the scalar years are re-weighted by
+    * it, everything else passes through (`is.na(r)` branch). The
+    * per-(species, year) catch aggregate is map-side-combined into a
+    * years×species-sized frame and the scalar join broadcasts — no
+    * full-fact shuffle. */
+  def rescaleByAssessmentTotals(landed: DataFrame, totals: DataFrame,
+                                scalarYears: (Int, Int)): DataFrame = {
+    val tmp = landed.groupBy("species", "year")
+      .agg((sum("weight_total") / 1000).as("catch"))
+    val scalar = totals.join(tmp, Seq("species", "year"))
+      .filter(col("year").between(scalarYears._1, scalarYears._2))
+      .select(col("species"), col("year"), (col("total") / col("catch")).as("r"))
+    landed.join(scalar, Seq("species", "year"), "left")
+      .withColumn("weight_total",
+        when(col("r").isNull, col("weight_total"))
+          .otherwise(col("r") * col("weight_total")))
+      .drop("r")
+  }
+
+  /** The reference's import-side cleanup (initdb.R:485-495): '-0' becomes
+    * the NULL unknown vessel, hotfix-blacklisted vessels drop (R
+    * semantics: an NA vessel passes a `!(vessel %in% ...)` filter, so
+    * NULL is explicitly kept), and only positive, non-null weights
+    * import. */
+  def importFilter(df: DataFrame, vesselBlacklist: Set[String]): DataFrame = {
+    val cleaned = df.withColumn("vessel",
+      when(col("vessel") === "-0", lit(null).cast("string"))
+        .otherwise(col("vessel")))
+    val keep =
+      if (vesselBlacklist.isEmpty) lit(true)
+      else col("vessel").isNull || !col("vessel").isin(vesselBlacklist.toSeq: _*)
+    cleaned.filter(keep && col("weight_total").isNotNull && col("weight_total") > 0)
+  }
+
+  /** Full commercial-landings DAG (initdb.R:344-399 + :461-495):
+    * harmonize → (commercial only) rescale → import cleanup → optional
+    * idempotent replace-per-source import. */
+  def buildLandings(lods: DataFrame, fiskifelag: Option[DataFrame],
+                    vesselHistory: DataFrame, gearMapping: DataFrame,
+                    speciesKey: DataFrame, portAreas: DataFrame,
+                    assessmentTotals: Option[DataFrame],
+                    cfg: LandingsConfig = LandingsConfig(),
+                    warehousePath: Option[String] = None): DataFrame = {
+    val landed = landedCatch(lods, fiskifelag, vesselHistory, gearMapping,
+      speciesKey, portAreas, cfg)
+    val rescaled = assessmentTotals match {
+      case Some(t) if !cfg.foreign =>
+        rescaleByAssessmentTotals(landed, t, cfg.scalarYears)
+      case _ => landed
+    }
+    val out = importFilter(rescaled, cfg.vesselBlacklist)
+    warehousePath.foreach(Sinks.replaceDataSource(out, _, cfg.dataSource))
+    out
+  }
 }

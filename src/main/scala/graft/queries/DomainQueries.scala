@@ -1,8 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.domain.Fisheries
+import graft.domain.{Fisheries, Pipelines}
 import graft.domain.Fisheries.BiomParams
 import graft.ops.Temporal
 import Q._
@@ -13,6 +14,150 @@ import Q._
   * step of the math.
   */
 object DomainQueries {
+
+  /** Fixture frames for the landings-pipeline queries (q146/q150): the
+    * TPC-H lineitem as the landings registry plus the five dimension
+    * tables the reference DAG needs, all derivable identically in
+    * DuckDB (see [[LandingsSql]]). Weights stay integer-valued so every
+    * aggregate is an exact sum — order-independent across engines. */
+  private final case class LandingsFixture(
+      base: DataFrame, fisk: DataFrame, saga: DataFrame,
+      gearMap: DataFrame, speciesKey: DataFrame, portAreas: DataFrame,
+      totals: DataFrame)
+
+  private def landingsFixture(s: SparkSession, d: String): LandingsFixture = {
+    import s.implicits._
+    val base = Tables.lineitem(s, d).select(
+        when(col("l_suppkey") % 29 === 0, lit(null).cast("long"))
+          .otherwise(col("l_suppkey") % 97).as("skip_nr"),
+        col("l_orderkey").as("komunr"),
+        (col("l_partkey") % 150).as("hofn"),
+        (lit(1990) + col("l_orderkey") % 8).cast("int").as("ar"),
+        (lit(1) + col("l_suppkey") % 12).cast("int").as("man"),
+        (col("l_partkey") % 8).as("fteg"),
+        (col("l_linenumber") % 7).as("veidarfaeri"),
+        when(col("l_orderkey") % 23 === 0, lit(null).cast("double"))
+          .when(col("l_orderkey") % 19 === 0, lit(0.0))
+          .otherwise(col("l_quantity")).as("magn_oslaegt"),
+        when(col("l_orderkey") % 11 === 0, lit("X")).otherwise(lit("I"))
+          .as("veidisvaedi"))
+      .withColumn("l_dags", make_date(col("ar"), col("man"), lit(15)))
+    val fisk = base.filter(col("ar") <= 1993)
+      .select("veidarfaeri", "skip_nr", "fteg", "ar", "man", "hofn",
+        "magn_oslaegt", "veidisvaedi")
+    val saga = s.range(0, 97).select(col("id").as("skip_nr"))
+      .crossJoin(s.range(0, 3).select(col("id").as("saga_nr")))
+      .select(col("skip_nr"), col("saga_nr"),
+        make_date((lit(1992) + col("saga_nr") * 3).cast("int"), lit(1), lit(1))
+          .as("i_gildi"),
+        make_date((lit(1995) + col("saga_nr") * 3).cast("int"), lit(1), lit(1))
+          .as("ur_gildi"),
+        when(col("skip_nr") % 5 === 3 && col("saga_nr") === 1, -4)
+          .otherwise((col("skip_nr") % 5).cast("int")).as("flokkur"))
+    val gearMap = Seq((0, "BMT"), (1, "GIL"), (2, "LLN"), (3, "DSE"),
+      (4, "PGT")).toDF("veidarfaeri", "gear")
+    val speciesKey = (0L to 5L).map(t => (t, s"SP$t")).toDF("tegund", "species")
+    val portAreas = s.range(0, 150).select(col("id").as("hofn"),
+      (Fisheries.portToDivision(col("id")) * 10 + (col("id") % 3).cast("int"))
+        .cast("int").as("areacell"))
+    val totals = s.range(1992, 2007).select(col("id").as("yr"))
+      .crossJoin(s.range(1, 3).select(col("id").as("sp")))
+      .select(concat(lit("SP"), col("sp")).as("species"),
+        col("yr").cast("int").as("year"),
+        (lit(1000) + (col("yr") - 1990) * 37 + col("sp") * 11).cast("double")
+          .as("total"))
+    LandingsFixture(base, fisk, saga, gearMap, speciesKey, portAreas, totals)
+  }
+
+  private val landingsBlacklist = Set("5-0", "40-1", "86-0")
+
+  /** DuckDB rendering of [[landingsFixture]] + the landed_catch DAG up to
+    * the `landed` CTE, parameterized by the vessel-class branch
+    * (commercial ≠ −4 / foreign = −4) and sampling_type. */
+  private def landedSql(classPred: String, samplingType: String,
+                        withFisk: Boolean): String = {
+    val fiskUnion =
+      if (withFisk) """
+        UNION ALL
+        SELECT veidarfaeri, skip_nr, fteg, ar, man, hofn, magn_oslaegt,
+               veidisvaedi, l_dags, saga_nr
+        FROM fisk"""
+      else ""
+    s"""WITH base AS (
+        SELECT CASE WHEN l_suppkey % 29 = 0 THEN NULL
+                    ELSE l_suppkey % 97 END AS skip_nr,
+               l_orderkey AS komunr,
+               l_partkey % 150 AS hofn,
+               CAST(1990 + l_orderkey % 8 AS INTEGER) AS ar,
+               CAST(1 + l_suppkey % 12 AS INTEGER) AS man,
+               l_partkey % 8 AS fteg,
+               l_linenumber % 7 AS veidarfaeri,
+               CASE WHEN l_orderkey % 23 = 0 THEN CAST(NULL AS DOUBLE)
+                    WHEN l_orderkey % 19 = 0 THEN 0.0
+                    ELSE l_quantity END AS magn_oslaegt,
+               CASE WHEN l_orderkey % 11 = 0 THEN 'X' ELSE 'I' END AS veidisvaedi,
+               make_date(CAST(1990 + l_orderkey % 8 AS INTEGER),
+                         CAST(1 + l_suppkey % 12 AS INTEGER), 15) AS l_dags
+        FROM lineitem),
+      saga AS (
+        SELECT a.skip_nr, b.saga_nr,
+               make_date(CAST(1992 + b.saga_nr * 3 AS INTEGER), 1, 1) AS i_gildi,
+               make_date(CAST(1995 + b.saga_nr * 3 AS INTEGER), 1, 1) AS ur_gildi,
+               CAST(CASE WHEN a.skip_nr % 5 = 3 AND b.saga_nr = 1 THEN -4
+                         ELSE a.skip_nr % 5 END AS INTEGER) AS flokkur
+        FROM (SELECT unnest(range(0, 97)) AS skip_nr) a
+        CROSS JOIN (SELECT unnest(range(0, 3)) AS saga_nr) b),
+      gearmap AS (SELECT * FROM (VALUES (0, 'BMT'), (1, 'GIL'), (2, 'LLN'),
+        (3, 'DSE'), (4, 'PGT')) t(veidarfaeri, gear)),
+      sp_key AS (SELECT * FROM (VALUES (0, 'SP0'), (1, 'SP1'), (2, 'SP2'),
+        (3, 'SP3'), (4, 'SP4'), (5, 'SP5')) t(tegund, species)),
+      port2sr AS (
+        SELECT hofn, CAST((CASE
+            WHEN hofn >= 0 AND hofn <= 15 THEN 101
+            WHEN hofn >= 16 AND hofn <= 56 THEN 102
+            WHEN hofn >= 57 AND hofn <= 81 THEN 103
+            WHEN hofn >= 82 AND hofn <= 96 THEN 104
+            WHEN hofn = 97 THEN 105
+            WHEN hofn >= 98 AND hofn <= 115 THEN 106
+            WHEN hofn >= 116 AND hofn <= 121 THEN 107
+            WHEN hofn >= 122 AND hofn <= 148 THEN 108
+            WHEN hofn >= 149 AND hofn <= 150 THEN 109
+            ELSE 101 END) * 10 + hofn % 3 AS INTEGER) AS areacell
+        FROM (SELECT unnest(range(0, 150)) AS hofn)),
+      totals AS (
+        SELECT 'SP' || CAST(sp AS VARCHAR) AS species, CAST(yr AS INTEGER) AS year,
+               CAST(1000 + (yr - 1990) * 37 + sp * 11 AS DOUBLE) AS total
+        FROM (SELECT unnest(range(1992, 2007)) AS yr)
+        CROSS JOIN (SELECT unnest(range(1, 3)) AS sp)),
+      fisk AS (
+        SELECT veidarfaeri, skip_nr, fteg, ar, man, hofn, magn_oslaegt,
+               veidisvaedi, make_date(ar, man, 1) AS l_dags,
+               CAST(0 AS BIGINT) AS saga_nr
+        FROM base WHERE ar <= 1993),
+      lmap AS (
+        SELECT DISTINCT l.skip_nr, s.saga_nr, l.komunr, l.hofn
+        FROM base l JOIN saga s ON l.skip_nr = s.skip_nr
+          AND l.l_dags > s.i_gildi AND l.l_dags < s.ur_gildi),
+      unioned AS (
+        SELECT p.veidarfaeri, p.skip_nr, p.fteg, p.ar, p.man, p.hofn,
+               p.magn_oslaegt, p.veidisvaedi, p.l_dags, m.saga_nr
+        FROM (SELECT * FROM base WHERE ar > 1993) p
+        LEFT JOIN lmap m ON p.skip_nr = m.skip_nr AND p.komunr = m.komunr
+          AND p.hofn = m.hofn$fiskUnion),
+      landed AS (
+        SELECT u.magn_oslaegt AS weight_total, '$samplingType' AS sampling_type,
+               pp.areacell,
+               concat(coalesce(CAST(u.skip_nr AS VARCHAR), ''), '-',
+                      CAST(coalesce(u.saga_nr, 0) AS VARCHAR)) AS vessel,
+               k.species, u.ar AS year, u.man AS month,
+               coalesce(g.gear, 'LLN') AS gear
+        FROM unioned u
+        LEFT JOIN saga s ON u.skip_nr = s.skip_nr AND u.saga_nr = s.saga_nr
+        LEFT JOIN gearmap g ON u.veidarfaeri = g.veidarfaeri
+        JOIN sp_key k ON u.fteg = k.tegund
+        LEFT JOIN port2sr pp ON u.hofn = pp.hofn
+        WHERE u.veidisvaedi = 'I' AND coalesce(s.flokkur, 0) $classPred)"""
+  }
 
   val defs: Map[String, Q] = Map(
 
@@ -257,5 +402,68 @@ object DomainQueries {
             AS std_weight
         FROM lineitem"""),
       "effort/area-standardized derived weight formula"),
+
+    // ---- composed commercial-landings DAG (initdb.R:344-399 + :461-495) ----
+    // The reference's second-biggest ETL leg end-to-end: landings_map
+    // interval resolution, post-1993 ⋃ pre-1994 union, vessel-class
+    // lookup + '-0' fallback, domestic/class filters, gear/species/port
+    // decodes, assessment-totals rescale, import cleanup (blacklist with
+    // R's NA-passes semantics, positive weights). One oracle row proves
+    // the composition, mirroring how q70/q75/q81 closed the pieces.
+    "q146_landings_pipeline" -> Q(
+      (s, d) => {
+        val f = landingsFixture(s, d)
+        Pipelines.buildLandings(f.base, Some(f.fisk), f.saga, f.gearMap,
+            f.speciesKey, f.portAreas, Some(f.totals),
+            Pipelines.LandingsConfig(vesselBlacklist = landingsBlacklist))
+          .select(q4(col("weight_total")).as("weight_total"),
+            col("sampling_type"), col("areacell"), col("vessel"),
+            col("species"), col("year"), col("month"), col("gear"))
+      },
+      Some(s"""${landedSql("<> -4", "LND", withFisk = true)},
+        tmp AS (SELECT species, year, sum(weight_total) / 1000 AS catch
+                FROM landed GROUP BY 1, 2),
+        scalar AS (
+          SELECT t.species, t.year, tt.total / t.catch AS r
+          FROM totals tt JOIN tmp t ON tt.species = t.species AND tt.year = t.year
+          WHERE t.year BETWEEN 1993 AND 2005),
+        resc AS (
+          SELECT CASE WHEN sc.r IS NULL THEN l.weight_total
+                      ELSE sc.r * l.weight_total END AS weight_total,
+                 l.sampling_type, l.areacell,
+                 CASE WHEN l.vessel = '-0' THEN NULL ELSE l.vessel END AS vessel,
+                 l.species, l.year, l.month, l.gear
+          FROM landed l LEFT JOIN scalar sc
+            ON l.species = sc.species AND l.year = sc.year)
+        SELECT ${Q4("weight_total")} AS weight_total, sampling_type, areacell,
+               vessel, species, year, month, gear
+        FROM resc
+        WHERE (vessel IS NULL OR vessel NOT IN ('5-0', '40-1', '86-0'))
+          AND weight_total IS NOT NULL AND weight_total > 0"""),
+      "composed commercial-landings pipeline (union, SCD, rescale, import)"),
+
+    // ---- foreign-landings variant (initdb.R:380-399) -----------------------
+    // Same harmonization with the vessel-class branch flipped
+    // (flokkur = −4 only), FLND tag, no paper union and no rescale. The
+    // reference gates on ar > 2013; the fixture keeps 1993 so the branch
+    // has data — the year floor is a config knob, the DAG is identical.
+    "q150_foreign_landings" -> Q(
+      (s, d) => {
+        val f = landingsFixture(s, d)
+        Pipelines.buildLandings(f.base, None, f.saga, f.gearMap,
+            f.speciesKey, f.portAreas, None,
+            Pipelines.LandingsConfig(foreign = true, samplingType = "FLND",
+              dataSource = "lods.foreign.landings"))
+          .select(q4(col("weight_total")).as("weight_total"),
+            col("sampling_type"), col("areacell"), col("vessel"),
+            col("species"), col("year"), col("month"), col("gear"))
+      },
+      Some(s"""${landedSql("= -4", "FLND", withFisk = false)}
+        SELECT ${Q4("weight_total")} AS weight_total, sampling_type, areacell,
+               CASE WHEN vessel = '-0' THEN NULL ELSE vessel END AS vessel,
+               species, year, month, gear
+        FROM landed
+        WHERE weight_total IS NOT NULL AND weight_total > 0"""),
+      "foreign-landings leg: flokkur = -4 class, FLND, no union/rescale"),
   )
 }

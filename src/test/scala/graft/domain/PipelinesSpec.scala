@@ -61,4 +61,60 @@ class PipelinesSpec extends SparkSpec {
     assert(imported.select("data_source").distinct().as[String].collect()
       .toSeq == Seq("iceland-ldist"))
   }
+
+  test("buildLandings: epoch resolution, union, rescale, import semantics") {
+    // one vessel (7) with two epochs; vessel 8 is class −4 in epoch 0
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val saga = Seq(
+      (7L, 0L, d("1992-01-01"), d("1995-01-01"), 1),
+      (7L, 1L, d("1995-01-01"), d("1998-01-01"), 2),
+      (8L, 0L, d("1992-01-01"), d("1999-01-01"), -4))
+      .toDF("skip_nr", "saga_nr", "i_gildi", "ur_gildi", "flokkur")
+    // lods: 1994 + 1996 landings of vessel 7 (→ epochs 0 and 1), a 1996
+    // landing of the −4 vessel 8, a null-vessel row, and an 'X'-area row
+    val lods = Seq(
+      (Some(7L), 1L, 5L, 1994, 3, 0L, 0, Some(10.0), "I"),
+      (Some(7L), 2L, 5L, 1996, 4, 0L, 9, Some(20.0), "I"),
+      (Some(8L), 3L, 6L, 1996, 5, 0L, 0, Some(40.0), "I"),
+      (None,     4L, 7L, 1996, 6, 0L, 0, Some(8.0),  "I"),
+      (Some(7L), 5L, 5L, 1996, 7, 0L, 0, Some(99.0), "X"))
+      .toDF("skip_nr", "komunr", "hofn", "ar", "man", "fteg", "veidarfaeri",
+        "magn_oslaegt", "veidisvaedi")
+      .withColumn("l_dags", make_date(col("ar"), col("man"), lit(15)))
+    // paper records: one 1993 landing of vessel 7 (saga 0 by contract)
+    val fisk = Seq((0, Some(7L), 0L, 1993, 2, 5L, Some(5.0), "I"))
+      .toDF("veidarfaeri", "skip_nr", "fteg", "ar", "man", "hofn",
+        "magn_oslaegt", "veidisvaedi")
+    val gearMap = Seq((0, "BMT")).toDF("veidarfaeri", "gear")
+    val speciesKey = Seq((0L, "COD")).toDF("tegund", "species")
+    val portAreas = Seq((5L, 1010), (6L, 1011), (7L, 1012))
+      .toDF("hofn", "areacell")
+    // published total for 1996 = 2× the fixture's own 1996 catch
+    // (catch = (20+8)/1000) → r = 2 → weights double
+    val totals = Seq(("COD", 1996, 0.056)).toDF("species", "year", "total")
+
+    val out = Pipelines.buildLandings(lods, Some(fisk), saga, gearMap,
+      speciesKey, portAreas, Some(totals),
+      Pipelines.LandingsConfig(vesselBlacklist = Set("9-9")))
+    val rows = out.select("vessel", "year", "weight_total", "gear", "areacell")
+      .as[(Option[String], Int, Double, String, Int)].collect().toSet
+    assert(rows == Set(
+      (Some("7-0"), 1994, 10.0, "BMT", 1010),   // epoch 0, pre-scalar year… rescaled? 1994 has no total → passthrough
+      (Some("7-1"), 1996, 40.0, "LLN", 1010),   // epoch 1, unmapped gear 9 → LLN, r=2 applied
+      (None,        1996, 16.0, "BMT", 1012),   // '-0' → NULL vessel kept, r=2
+      (Some("7-0"), 1993, 5.0,  "BMT", 1010)))  // paper leg, saga 0
+    // class −4 vessel 8 is absent from commercial but IS the foreign leg
+    val foreign = Pipelines.buildLandings(lods, None, saga, gearMap,
+      speciesKey, portAreas, None,
+      Pipelines.LandingsConfig(foreign = true, samplingType = "FLND"))
+    val f = foreign.select("vessel", "weight_total", "sampling_type")
+      .as[(String, Double, String)].collect().toSeq
+    assert(f == Seq(("8-0", 40.0, "FLND")))
+    // blacklist drops its vessel but keeps NULL-vessel rows (R semantics)
+    val black = Pipelines.buildLandings(lods, Some(fisk), saga, gearMap,
+      speciesKey, portAreas, None,
+      Pipelines.LandingsConfig(vesselBlacklist = Set("7-1")))
+    val bv = black.select("vessel").as[Option[String]].collect().toSeq
+    assert(!bv.contains(Some("7-1")) && bv.contains(None))
+  }
 }
