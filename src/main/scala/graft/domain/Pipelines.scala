@@ -218,4 +218,68 @@ object Pipelines {
     warehousePath.foreach(Sinks.replaceDataSource(out, _, cfg.dataSource))
     out
   }
+
+  // --------------------------------------------------------------------------
+  // Age–length (aldist) measurement contract (initdb.R:293-312)
+  // --------------------------------------------------------------------------
+
+  /** The 20-column import contract of the aldist leg, in the reference's
+    * select order (initdb.R:304-308). */
+  val AldistColumns: Seq[String] = Seq(
+    "tow", "latitude", "longitude", "year", "month", "areacell", "gear",
+    "vessel", "sampling_type", "count", "species", "age", "sex",
+    "maturity_stage", "length", "no", "weight", "gutted", "liver", "gonad")
+
+  /** Age–length measurements (initdb.R:293-312): otolith records
+    * (`kvarnir`: synis_id, tegund, nr, aldur, lengd, kyn, kynthroski,
+    * oslaegt, slaegt, lifur, kynfaeri) inner-joined to the species
+    * allow-list, RIGHT-joined to the station register (every station
+    * survives — unmeasured ones as a count-1, length-0, all-null-biology
+    * row), then the measurement recodes:
+    *
+    *  - length = nvl(lengd, 0); count = 1 on every row
+    *  - sex: 2→'F', 1→'M', else NULL
+    *  - maturity: the reference's two-branch recode incl. the species-9
+    *    special case (initdb.R:299-301 — for lumpfish only female
+    *    stages recode, 3+→2 and {1,2}→1; all other species: >1→2, 1→1,
+    *    else NULL). The branch reads the RECODED sex, exactly as the
+    *    reference's sequential dplyr mutate does, and every NULL
+    *    propagation (NULL kyn, NULL kynthroski, station-only rows with
+    *    NULL tegund) lands on NULL in both engines' CASE semantics.
+    *
+    * Import-side cleanup (the mfdb_import_survey call, initdb.R:310-312):
+    * tow ids in `excludedTows` drop ("weird tows" 1e5/4e5) and '-0'
+    * becomes the NULL unknown vessel.
+    *
+    * Scale: speciesKey is an allow-list dimension (broadcast); the
+    * right join shuffles measurements and stations on `tow` once —
+    * measurement detail dominates and arrives partitioned by its
+    * natural key. No other exchange.
+    */
+  def buildAldist(kvarnir: DataFrame, speciesKey: DataFrame,
+                  stations: DataFrame,
+                  excludedTows: Seq[Long] = Seq(100000L, 400000L)): DataFrame = {
+    val kv = kvarnir.withColumnRenamed("synis_id", "tow")
+      .join(speciesKey, Seq("tegund"))
+    val j = kv.join(stations.drop("towlength"), Seq("tow"), "right")
+      .withColumn("sex",
+        when(col("kyn") === 2, "F").when(col("kyn") === 1, "M"))
+    val maturity = when(col("tegund") === 9,
+        when(col("kynthroski") > 2 && col("sex") === "F", 2)
+          .when(col("kynthroski").isin(1, 2) && col("sex") === "F", 1))
+      .otherwise(
+        when(col("kynthroski") > 1, 2).when(col("kynthroski") === 1, 1))
+    val out = j
+      .select(col("tow"), col("latitude"), col("longitude"), col("year"),
+        col("month"), col("areacell"), col("gear"),
+        when(col("vessel") === "-0", lit(null).cast("string"))
+          .otherwise(col("vessel")).as("vessel"),
+        col("sampling_type"), lit(1.0).as("count"), col("species"),
+        col("aldur").as("age"), col("sex"), maturity.as("maturity_stage"),
+        coalesce(col("lengd"), lit(0.0)).as("length"), col("nr").as("no"),
+        col("oslaegt").as("weight"), col("slaegt").as("gutted"),
+        col("lifur").as("liver"), col("kynfaeri").as("gonad"))
+    if (excludedTows.isEmpty) out
+    else out.filter(!col("tow").isin(excludedTows: _*))
+  }
 }

@@ -465,5 +465,101 @@ object DomainQueries {
         FROM landed
         WHERE weight_total IS NOT NULL AND weight_total > 0"""),
       "foreign-landings leg: flokkur = -4 class, FLND, no union/rescale"),
+
+    // ---- composed aldist measurement contract (initdb.R:293-312) -----------
+    // Otolith records (lineitem) × species allow-list, RIGHT-joined to
+    // the station register (orders) so unmeasured stations survive as
+    // count-1/length-0 rows, with the sex recode, the two-branch
+    // maturity recode incl. the species-9 special case, the '-0'
+    // unknown-vessel fallback, and the weird-tow exclusion — the full
+    // 20-column import contract in one oracle row.
+    "q147_aldist_pipeline" -> Q(
+      (s, d) => {
+        val kvarnir = Tables.lineitem(s, d)
+          .filter(col("l_partkey") % 5 =!= 0)
+          .select(col("l_orderkey").as("synis_id"),
+            (col("l_partkey") % 12).as("tegund"),
+            col("l_linenumber").as("nr"),
+            when(col("l_suppkey") % 7 === 0, lit(null).cast("int"))
+              .otherwise((col("l_suppkey") % 15).cast("int")).as("aldur"),
+            when(col("l_orderkey") % 13 === 0, lit(null).cast("double"))
+              .otherwise(col("l_quantity")).as("lengd"),
+            (col("l_suppkey") % 3).cast("int").as("kyn"),
+            when(col("l_partkey") % 11 === 0, lit(null).cast("int"))
+              .otherwise((col("l_partkey") % 5).cast("int")).as("kynthroski"),
+            col("l_extendedprice").as("oslaegt"),
+            (col("l_tax") * 1000).as("slaegt"),
+            (col("l_discount") * 100).as("lifur"),
+            (col("l_extendedprice") * 0.1).as("kynfaeri"))
+        val speciesKey = s.range(0, 10).select(col("id").as("tegund"),
+          concat(lit("SP"), col("id")).as("species"))
+        val stations = Tables.orders(s, d).select(
+          col("o_orderkey").as("tow"),
+          ((col("o_custkey") % 120).cast("double") * 0.5 - 30).as("latitude"),
+          (((col("o_custkey") * 7) % 300).cast("double") * 0.5 - 75).as("longitude"),
+          (lit(1992) + col("o_orderkey") % 6).cast("int").as("year"),
+          (lit(1) + col("o_custkey") % 12).cast("int").as("month"),
+          (col("o_custkey") % 50).cast("int").as("areacell"),
+          concat(lit("G"), (col("o_orderkey") % 4).cast("string")).as("gear"),
+          when(col("o_custkey") % 17 === 0, lit("-0"))
+            .otherwise(concat((col("o_custkey") % 97).cast("string"), lit("-"),
+              (col("o_orderkey") % 3).cast("string"))).as("vessel"),
+          lit("SEA").as("sampling_type"),
+          col("o_totalprice").as("towlength"))
+        Pipelines.buildAldist(kvarnir, speciesKey, stations,
+          excludedTows = Seq(8L, 32L))
+      },
+      Some("""WITH kv AS (
+          SELECT l_orderkey AS tow, l_partkey % 12 AS tegund,
+                 l_linenumber AS nr,
+                 CASE WHEN l_suppkey % 7 = 0 THEN NULL
+                      ELSE CAST(l_suppkey % 15 AS INTEGER) END AS aldur,
+                 CASE WHEN l_orderkey % 13 = 0 THEN NULL
+                      ELSE l_quantity END AS lengd,
+                 CAST(l_suppkey % 3 AS INTEGER) AS kyn,
+                 CASE WHEN l_partkey % 11 = 0 THEN NULL
+                      ELSE CAST(l_partkey % 5 AS INTEGER) END AS kynthroski,
+                 l_extendedprice AS oslaegt, l_tax * 1000 AS slaegt,
+                 l_discount * 100 AS lifur, l_extendedprice * 0.1 AS kynfaeri
+          FROM lineitem WHERE l_partkey % 5 <> 0),
+        spk AS (SELECT unnest(range(0, 10)) AS tegund),
+        kvs AS (
+          SELECT kv.*, 'SP' || CAST(kv.tegund AS VARCHAR) AS species
+          FROM kv JOIN spk ON kv.tegund = spk.tegund),
+        st AS (
+          SELECT o_orderkey AS tow,
+                 (o_custkey % 120) * 0.5 - 30 AS latitude,
+                 ((o_custkey * 7) % 300) * 0.5 - 75 AS longitude,
+                 CAST(1992 + o_orderkey % 6 AS INTEGER) AS year,
+                 CAST(1 + o_custkey % 12 AS INTEGER) AS month,
+                 CAST(o_custkey % 50 AS INTEGER) AS areacell,
+                 'G' || CAST(o_orderkey % 4 AS VARCHAR) AS gear,
+                 CASE WHEN o_custkey % 17 = 0 THEN '-0'
+                      ELSE CAST(o_custkey % 97 AS VARCHAR) || '-' ||
+                           CAST(o_orderkey % 3 AS VARCHAR) END AS vessel,
+                 'SEA' AS sampling_type
+          FROM orders),
+        m AS (
+          SELECT s.tow, s.latitude, s.longitude, s.year, s.month, s.areacell,
+                 s.gear, s.vessel, s.sampling_type, k.species, k.tegund,
+                 k.aldur, k.nr, k.oslaegt, k.slaegt, k.lifur, k.kynfaeri,
+                 k.kynthroski, coalesce(k.lengd, 0) AS length,
+                 CASE WHEN k.kyn = 2 THEN 'F'
+                      WHEN k.kyn = 1 THEN 'M' END AS sex
+          FROM kvs k RIGHT JOIN st s ON k.tow = s.tow)
+        SELECT tow, latitude, longitude, year, month, areacell, gear,
+               CASE WHEN vessel = '-0' THEN NULL ELSE vessel END AS vessel,
+               sampling_type, CAST(1 AS DOUBLE) AS "count", species,
+               aldur AS age, sex,
+               CASE WHEN tegund = 9 THEN
+                      CASE WHEN kynthroski > 2 AND sex = 'F' THEN 2
+                           WHEN kynthroski IN (1, 2) AND sex = 'F' THEN 1 END
+                    ELSE CASE WHEN kynthroski > 1 THEN 2
+                              WHEN kynthroski = 1 THEN 1 END
+               END AS maturity_stage,
+               length, nr AS no, oslaegt AS weight, slaegt AS gutted,
+               lifur AS liver, kynfaeri AS gonad
+        FROM m WHERE tow NOT IN (8, 32)"""),
+      "composed aldist pipeline: 20-column age-length import contract"),
   )
 }

@@ -117,4 +117,56 @@ class PipelinesSpec extends SparkSpec {
     val bv = black.select("vessel").as[Option[String]].collect().toSeq
     assert(!bv.contains(Some("7-1")) && bv.contains(None))
   }
+
+  test("buildAldist: 20-column contract, species-9 maturity, right-join zero-fill") {
+    // kvarnir: lumpfish (9) females/males across stages, a std species,
+    // a disallowed species (99), and nothing for station 4
+    val kvarnir = Seq(
+      (1L, 9L, 1, Some(5), Some(40.0), 2, Some(3), 1000.0, 800.0, 50.0, 20.0),
+      (1L, 9L, 2, Some(4), Some(38.0), 2, Some(2), 900.0, 700.0, 40.0, 15.0),
+      (1L, 9L, 3, Some(4), Some(37.0), 1, Some(3), 850.0, 650.0, 35.0, 12.0),
+      (2L, 1L, 1, None, None, 0, Some(4), 500.0, 400.0, 20.0, 5.0),
+      (2L, 1L, 2, Some(2), Some(20.0), 1, None, 450.0, 350.0, 15.0, 4.0),
+      (3L, 99L, 1, Some(1), Some(10.0), 2, Some(1), 100.0, 80.0, 5.0, 1.0),
+      (100000L, 1L, 1, Some(3), Some(30.0), 2, Some(1), 600.0, 500.0, 25.0, 8.0))
+      .toDF("synis_id", "tegund", "nr", "aldur", "lengd", "kyn",
+        "kynthroski", "oslaegt", "slaegt", "lifur", "kynfaeri")
+    val speciesKey = Seq((9L, "LUM"), (1L, "COD")).toDF("tegund", "species")
+    val stations = (1L to 4L).map(t =>
+        (t, 64.0 + t, -20.0 - t, 1998, 3, 101, "BMT",
+          if (t == 3L) "-0" else s"$t-1", "SEA", 2.5))
+      .toDF("tow", "latitude", "longitude", "year", "month", "areacell",
+        "gear", "vessel", "sampling_type", "towlength") unionByName
+      Seq((100000L, 60.0, -25.0, 1998, 3, 101, "BMT", "5-1", "SEA", 2.5))
+        .toDF("tow", "latitude", "longitude", "year", "month", "areacell",
+          "gear", "vessel", "sampling_type", "towlength")
+
+    val out = Pipelines.buildAldist(kvarnir, speciesKey, stations)
+    assert(out.columns.toSeq == Pipelines.AldistColumns) // the 20-col contract
+    // weird tow 1e5 excluded even though measured
+    assert(out.filter(col("tow") === 100000L).count() == 0)
+    val m = out.select("tow", "no", "sex", "maturity_stage", "length",
+        "count", "species")
+      .as[(Long, Option[Int], Option[String], Option[Int], Double, Double,
+        Option[String])].collect()
+    val byKey = m.map(r => (r._1, r._2) -> r).toMap
+    // species 9: F stage 3 → 2, F stage 2 → 1, M stage 3 → NULL
+    assert(byKey((1L, Some(1)))._4 == Some(2))
+    assert(byKey((1L, Some(2)))._4 == Some(1))
+    assert(byKey((1L, Some(3)))._4 == None)
+    // std species: stage 4 → 2 (sex NULL irrelevant), NULL stage → NULL
+    assert(byKey((2L, Some(1)))._4 == Some(2))
+    assert(byKey((2L, Some(1)))._3 == None)        // kyn 0 → NULL sex
+    assert(byKey((2L, Some(1)))._5 == 0.0)         // nvl(lengd, 0)
+    assert(byKey((2L, Some(2)))._4 == None)
+    // station 3: its only record is a disallowed species → zero-filled
+    // row survives the right join with the '-0' vessel nulled
+    val s3 = out.filter(col("tow") === 3L)
+      .select("species", "count", "length", "vessel", "maturity_stage")
+      .as[(Option[String], Double, Double, Option[String], Option[Int])]
+      .collect().toSeq
+    assert(s3 == Seq((None, 1.0, 0.0, None, None)))
+    // station 4: never measured → same zero-fill shape
+    assert(out.filter(col("tow") === 4L).count() == 1)
+  }
 }
