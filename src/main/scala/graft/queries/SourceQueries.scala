@@ -176,5 +176,57 @@ object SourceQueries {
           CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY lang"""),
       "JSONL write→read roundtrip verified against the parquet original"),
+
+    // ---- S9 compute()/checkpoint roundtrip --------------------------------
+    // The durable-checkpoint sink as an oracle row: write a filtered
+    // projection through Relational.checkpoint's bucketed path (the
+    // reference's compute(name=..., indexes=...) — CTAS + index,
+    // initdb.R:151) and return THE RE-READ ROWS. The oracle recomputes
+    // the frame straight from the parquet original, so a hash match
+    // proves the write→read cycle is lossless row-for-row, not merely
+    // that the sink ran.
+    "q148_checkpoint_roundtrip" -> Q(
+      (s, d) => {
+        val tmp = Files.createTempDirectory("graft_ckpt_q").toString
+        val frame = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+          .filter(col("c_acctbal") > 0)
+        graft.ops.Relational.checkpoint(frame, s"$tmp/cust",
+          bucketKeys = Seq("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment, c_acctbal
+        FROM customer WHERE c_acctbal > 0"""),
+      "compute()-style durable checkpoint read back row-for-row"),
+
+    // ---- S12 data_source-keyed replace sink -------------------------------
+    // The reference's import contract (mfdb_import_survey,
+    // initdb.R:485-495): re-importing one data_source replaces exactly
+    // that source's rows and leaves other sources untouched. Three
+    // writes — source A (stale version), source B, source A again with
+    // different rows AND values — then read the warehouse back. The
+    // oracle is the expected post-replace union; any append-instead-of-
+    // replace, stale-A leak, or cross-source clobber changes the hash.
+    "q149_replace_source_roundtrip" -> Q(
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_repl_q").toString + "/wh"
+        val o = Tables.orders(s, d)
+        val aV1 = o.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_totalprice").as("val"))
+        val aV2 = o.filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("val"))
+        val b = o.filter(col("o_orderkey") % 3 === 1)
+          .select(col("o_orderkey"), col("o_totalprice").as("val"))
+        graft.sources.Sinks.replaceDataSource(aV1, root, "src_a")
+        graft.sources.Sinks.replaceDataSource(b, root, "src_b")
+        graft.sources.Sinks.replaceDataSource(aV2, root, "src_a")
+        graft.sources.Sinks.readImported(s, root)
+          .select("o_orderkey", "val", "data_source")
+      },
+      Some("""SELECT o_orderkey, o_totalprice * 2 AS val, 'src_a' AS data_source
+        FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, 'src_b'
+        FROM orders WHERE o_orderkey % 3 = 1"""),
+      "idempotent replace-per-source import: re-import replaces, never appends"),
   )
 }
