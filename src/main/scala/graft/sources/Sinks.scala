@@ -93,8 +93,8 @@ object Sinks {
   }
 
   /** JDBC sink twin of Sources.jdbcTable — `df.write.jdbc` with overwrite
-    * semantics; untestable in a no-egress sandbox, exposed for API
-    * completeness (/root/reference/R/initdb.R:485 final Postgres load). */
+    * semantics (/root/reference/R/initdb.R:485 final Postgres load).
+    * Round-tripped against embedded Derby in SourcesSpec. */
   def jdbcOverwrite(df: DataFrame, url: String, table: String,
                     props: Map[String, String] = Map.empty): Unit = {
     val w = df.write.format("jdbc").mode("overwrite")

@@ -117,8 +117,9 @@ object Sources {
   /** S1: JDBC warehouse scan — `tbl(mar, 'fiskar.stodvar')`. Thin wrapper
     * so the engine API surfaces the reader; predicate/column pushdown to
     * the database comes free from the JDBC source. `numPartitions` +
-    * `partitionColumn` bounds enable parallel extraction. Untestable in a
-    * no-egress sandbox; parquet mirrors stand in for tests.
+    * `partitionColumn` bounds enable parallel extraction. Round-tripped
+    * against embedded Derby in SourcesSpec; parquet mirrors stand in for
+    * the oracle-checked queries.
     */
   def jdbcTable(spark: SparkSession, url: String, table: String,
                 props: Map[String, String] = Map.empty): DataFrame = {

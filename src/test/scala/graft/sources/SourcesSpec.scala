@@ -151,4 +151,29 @@ class SourcesSpec extends SparkSpec {
     // no staging dir left behind
     assert(!new java.io.File(base.toFile, ".inplace__compacting").exists())
   }
+
+  test("JDBC round-trip: jdbcOverwrite → jdbcTable on embedded Derby") {
+    // Derby ships on the Spark classpath; an in-memory database gives
+    // the S1b reader / jdbcOverwrite sink a real JDBC round-trip without
+    // network egress. Same-JVM only (memory: scope), which is exactly
+    // what this forked test JVM provides.
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val in = Seq((1L, "cod", 104.5), (2L, "haddock", 33.25), (3L, "ling", 7.0))
+      .toDF("fish_id", "name", "weight")
+    Sinks.jdbcOverwrite(in, url, "catch_log")
+    // overwrite really overwrites: second write with different rows wins
+    val in2 = Seq((4L, "tusk", 1.5), (5L, "saithe", 2.5))
+      .toDF("fish_id", "name", "weight")
+    Sinks.jdbcOverwrite(in2, url, "catch_log")
+    val back = Sources.jdbcTable(spark, url, "catch_log")
+      .select("fish_id", "name", "weight")
+      .as[(Long, String, Double)].collect().toSet
+    assert(back == Set((4L, "tusk", 1.5), (5L, "saithe", 2.5)))
+    // predicate pushdown reaches the database: the JDBC relation scans
+    // with the filter attached (PushedFilters in the scan node)
+    val filtered = Sources.jdbcTable(spark, url, "catch_log",
+      Map("pushDownPredicate" -> "true"))
+      .filter(col("fish_id") === 5L)
+    assert(filtered.count() == 1L)
+  }
 }
