@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness (dev tool, like Verify/Bench): materializes a
+  * FACTOR× copy of the sf dir's documents/lineitem/orders with salted
+  * keys — each copy gets a disjoint id space and its own block labels,
+  * i.e. FACTOR independent replicas of the original problem — and runs
+  * the iterative/pair-generation headliners (q87, q97, q135, q138) at
+  * both scales. A task listener records per-stage task-duration
+  * distributions so skew shows up as max≫median inside a stage, not
+  * just as wall-clock.
+  *
+  * Replica salting (not verbatim duplication) is deliberate: exact
+  * copies would make every document a 10-way near-duplicate and blow
+  * pair generation up quadratically — a different (content-dup)
+  * workload, not a scale measurement. With disjoint replicas, ideal
+  * scaling is linear; the report prints the achieved ratio.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), STRESS_FACTOR (default 10),
+  * STRESS_DIR (default /tmp/graft_stress).
+  */
+object Stress {
+
+  private final case class StageStats(stage: Int, n: Int, maxMs: Long,
+                                      medMs: Long)
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("STRESS_FACTOR", "10").toInt
+    val outDir = sys.env.getOrElse("STRESS_DIR", "/tmp/graft_stress")
+    val spark = Engine.local(appName = "graft-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    buildCorpus(spark, srcDir, outDir, factor)
+
+    // per-stage task durations, drained between queries
+    val durations =
+      new scala.collection.concurrent.TrieMap[Int, Vector[Long]]()
+    val stageNames = new scala.collection.concurrent.TrieMap[Int, String]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val ms = Option(t.taskInfo).map(_.duration).getOrElse(0L)
+        durations.updateWith(t.stageId)(v => Some(v.getOrElse(Vector.empty) :+ ms))
+        ()
+      }
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stageNames.put(s.stageInfo.stageId,
+          s.stageInfo.name.takeWhile(_ != '\n').take(60))
+        ()
+      }
+    })
+    val verbose = sys.env.contains("STRESS_VERBOSE")
+
+    val targets = Seq("q87_dup_components", "q97_dedup_corpus",
+      "q135_pagerank", "q138_triangle_count")
+    println(f"${"query"}%-22s ${"base_s"}%8s ${"stress_s"}%9s ${"ratio"}%6s  worst-stage max/med (ms, tasks)")
+    targets.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      def run(dir: String): Double = {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val base = run(srcDir)
+      durations.clear()
+      val stress = run(outDir)
+      val stats = durations.toSeq.map { case (sid, ds) =>
+        val sorted = ds.sorted
+        StageStats(sid, ds.size, sorted.last, sorted(ds.size / 2))
+      }
+      // skew = max/median within a stage; only stages whose slowest task
+      // is ≥2s matter (below that, constant overheads dominate the ratio)
+      val heavy = stats.filter(_.maxMs >= 2000)
+      val worst = (if (heavy.nonEmpty) heavy else stats)
+        .maxByOption(s => s.maxMs.toDouble / math.max(s.medMs, 1))
+      val w = worst.map(s =>
+        f"stage ${s.stage}: ${s.maxMs}/${s.medMs} (${s.n} tasks, " +
+          f"x${s.maxMs.toDouble / math.max(s.medMs, 1)}%.1f)").getOrElse("-")
+      println(f"$name%-22s $base%8.2f $stress%9.2f ${stress / base}%6.2f  $w")
+      if (verbose) stats.sortBy(-_.maxMs).take(8).foreach { s =>
+        println(f"    stage ${s.stage}%4d max=${s.maxMs}%6d med=${s.medMs}%6d " +
+          f"n=${s.n}%3d  ${stageNames.getOrElse(s.stage, "?")}")
+      }
+    }
+    spark.stop()
+  }
+
+  /** Write FACTOR disjoint salted replicas of documents, lineitem and
+    * orders into `outDir` (idempotent: skipped when already present). */
+  def buildCorpus(spark: SparkSession, srcDir: String, outDir: String,
+                  factor: Int): Unit = {
+    val marker = new java.io.File(s"$outDir/_built_x$factor")
+    if (marker.exists()) return
+    val off = 10000000L // id-space stride per replica
+    def salted(table: String)(f: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Unit = {
+      val df = spark.read.parquet(s"$srcDir/$table.parquet")
+      val copies = df.crossJoin(
+        spark.range(factor.toLong).select(col("id").as("__cp")))
+      // realistic file layout: the crossJoin inherits the (tiny) source
+      // partition count, and a 1-2-giant-file table serializes the scan
+      // stage behind single row groups — repartition so the corpus reads
+      // with normal parallelism, as a real ingest would have written it
+      f(copies, col("__cp") * off).drop("__cp")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    }
+    salted("documents") { (df, d) =>
+      df.withColumn("doc_id", col("doc_id") + d)
+        .withColumn("source", concat(col("source"), lit("_c"), col("__cp")))
+    }
+    salted("lineitem") { (df, d) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + d)
+        .withColumn("l_suppkey", col("l_suppkey") + d)
+        .withColumn("l_partkey", col("l_partkey") + d)
+    }
+    salted("orders") { (df, d) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + d)
+        .withColumn("o_custkey", col("o_custkey") + d)
+    }
+    marker.getParentFile.mkdirs()
+    marker.createNewFile()
+    ()
+  }
+}
