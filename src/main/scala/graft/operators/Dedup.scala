@@ -302,6 +302,53 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("hamming"))
   }
 
+  /** Repeated-line (boilerplate) removal — the RefinedWeb/CCNet line-dedup
+    * pass: any line occurring in at least `minDocFreq` DISTINCT documents
+    * (nav bars, cookie banners, license footers) is removed from EVERY
+    * document, and each document's remaining lines are reassembled in
+    * their original order. Returns (idCol, textCol, n_lines_kept,
+    * n_lines_removed) — one row per input row, including documents whose
+    * lines were all removed (empty text).
+    *
+    * Scale design: the document TEXT never rides a shuffle. Lines hash to
+    * 64-bit keys immediately after the explode, so the two aggregations —
+    * distinct (id, h) then df count per h — exchange slim longs only; the
+    * per-document hot-hash sets (bounded by lines-per-doc) join back to
+    * the intact documents table, where AQE broadcasts them whenever the
+    * hot set is small (the common case: boilerplate is by definition a
+    * tiny fraction of distinct lines). Reassembly is a per-row array
+    * filter against that set — original order is free, no posexplode /
+    * collect_list(line) / re-sort. A line repeated WITHIN one doc counts
+    * once toward the threshold, but if hot, all its occurrences are
+    * removed. Exact up to 64-bit xxhash64 collisions between distinct
+    * lines. `delim` must be a literal that is its own regex (it feeds
+    * both split and array_join); "\n" qualifies.
+    */
+  def removeRepeatedLines(df: DataFrame, idCol: String, textCol: String,
+                          delim: String = "\n",
+                          minDocFreq: Long = 2L): DataFrame = {
+    val docLines = df
+      .select(col(idCol).as("__id"),
+        explode(split(col(textCol), delim)).as("__line"))
+      .select(col("__id"), xxhash64(col("__line")).as("__h"))
+      .distinct()
+    val hot = docLines.groupBy("__h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select("__h")
+    val hotPerDoc = docLines.join(hot, Seq("__h"))
+      .groupBy("__id").agg(collect_set(col("__h")).as("__hot"))
+    df.join(hotPerDoc, col(idCol) === col("__id"), "left")
+      .withColumn("__parts", split(col(textCol), delim))
+      .withColumn("__keep", when(col("__hot").isNull, col("__parts"))
+        .otherwise(filter(col("__parts"),
+          l => !array_contains(col("__hot"), xxhash64(l)))))
+      .select(col(idCol),
+        array_join(col("__keep"), delim).as(textCol),
+        size(col("__keep")).cast("long").as("n_lines_kept"),
+        (size(col("__parts")) - size(col("__keep"))).cast("long")
+          .as("n_lines_removed"))
+  }
+
   /** Embedding-cosine near-duplicates, blocked by `blockCol` (e.g. a
     * cluster label or an LSH bucket from Vectors.lshBucket) so the
     * self-join is per-block, not global. */

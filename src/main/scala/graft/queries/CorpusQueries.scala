@@ -913,5 +913,49 @@ object CorpusQueries {
         JOIN pe bc ON bc.a = ab.b
         JOIN pe ac ON ac.a = ab.a AND ac.b = bc.b"""),
       "exact triangle count, degree-ordered orientation vs naive oracle"),
+
+    // ---- repeated-line (boilerplate) removal --------------------------------
+    // The RefinedWeb/CCNet line-dedup pass: lines occurring in ≥2 distinct
+    // docs (nav bars, footers) are removed from every doc, survivors are
+    // reassembled in order. The fixture corpus has no newlines, so each
+    // doc is first cut into non-overlapping 8-token pseudo-lines (the
+    // q104 chunking contract) — which the corpus's planted near-dups then
+    // genuinely share. Operator side never shuffles document text: lines
+    // hash to longs for both aggregations and each doc filters its own
+    // split array against its (AQE-broadcast) hot-hash set.
+    "q151_line_dedup" -> Q(
+      (s, d) => {
+        val lined = Tables.documents(s, d)
+          .select(col("doc_id"),
+            split(Text.normalize(col("text")), " ").as("toks"))
+          .select(col("doc_id"),
+            array_join(transform(
+              sequence(lit(0), expr("(size(toks) - 1) div 8").cast("int")),
+              i => array_join(slice(col("toks"), i * 8 + 1, lit(8)), " ")),
+              "\n").as("text"))
+        Dedup.removeRepeatedLines(lined, "doc_id", "text",
+          delim = "\n", minDocFreq = 2L)
+      },
+      Some(s"""WITH src AS (
+          SELECT doc_id, array_to_string(list_transform(
+              range(0, (len(toks)-1)//8 + 1),
+              i -> array_to_string(toks[i*8+1 : i*8+8], ' ')), chr(10)) AS text
+          FROM (SELECT doc_id, $tokSql AS toks FROM documents)),
+        lines AS (
+          SELECT doc_id, i, parts[i+1] AS line
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM src),
+               LATERAL (SELECT unnest(range(0, len(parts)))) AS g(i)),
+        hot AS (SELECT line FROM (
+            SELECT line, count(DISTINCT doc_id) AS c FROM lines GROUP BY line)
+          WHERE c >= 2),
+        kept AS (SELECT lines.* FROM lines ANTI JOIN hot USING (line)),
+        reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text,
+            count(*) AS k FROM kept GROUP BY doc_id)
+        SELECT s.doc_id, coalesce(r.text, '') AS text,
+          CAST(coalesce(r.k, 0) AS BIGINT) AS n_lines_kept,
+          CAST(len(string_split(s.text, chr(10))) - coalesce(r.k, 0) AS BIGINT)
+            AS n_lines_removed
+        FROM src s LEFT JOIN reb r USING (doc_id)"""),
+      "repeated-line boilerplate removal: hot lines stripped, order kept"),
   )
 }

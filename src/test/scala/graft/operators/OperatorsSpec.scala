@@ -185,6 +185,29 @@ class DedupSpec extends SparkSpec {
     assert(out.contains((1L, 4L))) // identical vectors, different labels
     assert(out.contains((1L, 2L)))
   }
+
+  test("removeRepeatedLines strips cross-doc boilerplate, keeps order, handles all-removed docs") {
+    val lined = Seq(
+      (1L, "unique alpha\ncookie banner\nunique beta"),
+      (2L, "cookie banner\nsecond doc body\nfooter text"),
+      (3L, "third doc start\nfooter text\ncookie banner\nthird doc end"),
+      (4L, "cookie banner\nfooter text"), // every line is boilerplate
+      (5L, "solo content\nsolo content")) // within-doc repeat: df=1, kept
+      .toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedLines(lined, "doc_id", "text",
+        delim = "\n", minDocFreq = 2L)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // "cookie banner" df=4 and "footer text" df=3 are hot; all else df=1
+    assert(out(1L) == (("unique alpha\nunique beta", 2L, 1L)))
+    assert(out(2L) == (("second doc body", 1L, 2L)))
+    // order of survivors is the original document order
+    assert(out(3L) == (("third doc start\nthird doc end", 2L, 2L)))
+    // a doc reduced to nothing still appears, as the empty string
+    assert(out(4L) == (("", 0L, 2L)))
+    // duplicated WITHIN one doc only: counts once toward df, stays
+    assert(out(5L) == (("solo content\nsolo content", 2L, 0L)))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
