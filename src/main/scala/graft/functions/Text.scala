@@ -118,6 +118,32 @@ object Text {
           .otherwise(transform(sequence(lit(0), size(toks) - n), i =>
             concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))))
 
+  /** Canonical form of a URL for crawl dedup — the Common-Crawl-style
+    * normalization that makes scheme/host-case/www/default-port/
+    * trailing-slash/tracking-param variants of one page compare equal:
+    * scheme dropped (http vs https is never two documents), host
+    * lowercased with leading "www." and ports :80/:443 stripped, path
+    * kept case-sensitive minus trailing slashes, fragment dropped, and
+    * the query reduced to its non-tracking params (utm_*, fbclid, gclid,
+    * ref) sorted into a stable order. Pure regex/array expressions in the
+    * RE2 subset, so a SQL oracle runs the identical patterns. Input must
+    * carry a scheme ("scheme://..."); anything else canonicalizes to its
+    * query-normalized tail only. */
+  def canonicalizeUrl(url: Column): Column = {
+    val host = regexp_replace(regexp_replace(
+      lower(regexp_extract(url, "(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)),
+      "^www\\.", ""), ":(80|443)$", "")
+    val path = regexp_replace(
+      regexp_extract(url, "(?i)^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
+      "/+$", "")
+    val params = array_sort(filter(
+      split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" && !p.rlike("(?i)^(utm_[a-z0-9_]*|fbclid|gclid|ref)=")))
+    val query = array_join(params, "&")
+    concat(host, path,
+      when(query === "", lit("")).otherwise(concat(lit("?"), query)))
+  }
+
   /** 64-bit rolling/polynomial hash of the full normalized text —
     * cheap content fingerprint that, unlike md5, supports incremental
     * composition. Backed by the native codegen'd [[RollingHashExpr]]

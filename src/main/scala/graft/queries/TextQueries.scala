@@ -259,5 +259,64 @@ object TextQueries {
         FROM survivors GROUP BY source"""
       },
       "composed corpus-clean pipeline: lang gate → quality gate → dedup → stats"),
+
+    // ---- URL canonicalization + crawl dedup --------------------------------
+    // Text.canonicalizeUrl collapses scheme / host case / www / default
+    // port / trailing slash / fragment / tracking-param variants of one
+    // page to a single key; dedup is then a plain group-by. The corpus
+    // has no URL column, so four deterministic variants per page are
+    // minted from doc_id in BOTH engines (variants 0–2 canonicalize
+    // together; variant 3 carries real params a=1&b=2 — sorted from the
+    // raw b=2&a=1 — and stays distinct). Zero-shuffle scalar work plus
+    // one aggregation; the regexes stay in the RE2 subset so the oracle
+    // runs them verbatim.
+    "q152_url_canonical" -> Q(
+      (s, d) => {
+        val p = expr("doc_id div 4").cast("string")
+        val h = expr("(doc_id div 4) % 7").cast("string")
+        val url = when(col("doc_id") % 4 === 0,
+            concat(lit("https://example"), h, lit(".com/art/"), p))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("HTTP://WWW.example"), h, lit(".com/art/"), p, lit("/")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("https://example"), h, lit(".com:443/art/"), p,
+              lit("?utm_source=feed&ref=tw")))
+          .otherwise(
+            concat(lit("http://example"), h, lit(".com/art/"), p,
+              lit("?b=2&a=1#frag")))
+        graft.Tables.documents(s, d)
+          .select(col("doc_id"), Text.canonicalizeUrl(url).as("canonical_url"))
+          .groupBy("canonical_url")
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
+      },
+      Some("""WITH u AS (
+          SELECT doc_id,
+            CASE doc_id % 4
+              WHEN 0 THEN 'https://example' || h || '.com/art/' || p
+              WHEN 1 THEN 'HTTP://WWW.example' || h || '.com/art/' || p || '/'
+              WHEN 2 THEN 'https://example' || h || '.com:443/art/' || p
+                || '?utm_source=feed&ref=tw'
+              ELSE 'http://example' || h || '.com/art/' || p || '?b=2&a=1#frag'
+            END AS url
+          FROM (SELECT doc_id, CAST(doc_id // 4 AS VARCHAR) AS p,
+              CAST((doc_id // 4) % 7 AS VARCHAR) AS h FROM documents)),
+        c AS (
+          SELECT doc_id,
+            regexp_replace(regexp_replace(lower(regexp_extract(url,
+                '(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)),
+              '^www\.', ''), ':(80|443)$', '')
+            || regexp_replace(regexp_extract(url,
+                 '(?i)^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '')
+            || CASE WHEN len(ps) = 0 THEN ''
+                    ELSE '?' || array_to_string(ps, '&') END AS canonical_url
+          FROM (SELECT doc_id, url,
+              list_sort(list_filter(
+                string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                x -> x <> '' AND NOT regexp_matches(x,
+                  '(?i)^(utm_[a-z0-9_]*|fbclid|gclid|ref)='))) AS ps
+            FROM u))
+        SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS min_doc_id
+        FROM c GROUP BY canonical_url"""),
+      "URL canonicalization: variant URLs collapse to one dedup key"),
   )
 }

@@ -147,6 +147,30 @@ class TextSpec extends SparkSpec {
       .as[(Boolean, Boolean)].head()
     assert(r == ((true, false)))
   }
+
+  test("canonicalizeUrl collapses page variants, keeps real params sorted") {
+    def canon(urls: String*): Seq[String] =
+      urls.toDF("u").select(Text.canonicalizeUrl(col("u")))
+        .as[String].collect().toSeq
+    // scheme, host case, www, default port, trailing slash, fragment,
+    // tracking params: all eight spellings of one page collapse
+    val variants = canon(
+      "https://example.com/a/b",
+      "http://example.com/a/b",
+      "HTTPS://EXAMPLE.COM/a/b",
+      "https://www.example.com/a/b",
+      "https://example.com:443/a/b",
+      "http://example.com:80/a/b/",
+      "https://example.com/a/b#section-2",
+      "https://example.com/a/b?utm_source=x&utm_campaign=y&fbclid=z")
+    assert(variants.toSet == Set("example.com/a/b"))
+    // real params survive, sorted into a stable order; path case kept
+    assert(canon("https://example.com/A/B?b=2&a=1&utm_source=x") ==
+      Seq("example.com/A/B?a=1&b=2"))
+    // root path and bare host are the same page
+    assert(canon("https://example.com/", "https://example.com").toSet ==
+      Set("example.com"))
+  }
 }
 
 class AggregatorsSpec extends SparkSpec {
