@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-sampling operators. Everything here is a pure
+  * function of (salt, row id) — no RNG state — so a sample is
+  * reproducible across engines, runs, cluster sizes, and re-shards, and
+  * an external SQL engine can replay it row-for-row (the q153 oracle
+  * does).
+  */
+object Sampling {
+
+  /** Downsample to a target domain mix — the pretraining data-mixture
+    * step ("make the corpus 50% en / 20% fr / ..."): keep the LARGEST
+    * total volume that realizes the target shares exactly without
+    * upsampling any domain, i.e. K = min over domains of n_s/share_s,
+    * then admit each domain's rows at rate share_s·K/n_s. The binding
+    * (scarcest-relative-to-target) domain keeps all its rows; every
+    * other domain is thinned down to proportion.
+    *
+    * Admission is a deterministic md5 gate on (salt, idCol) — the q100
+    * split trick — so re-running admits the same rows. Domains absent
+    * from `targets` are dropped. Shares need not sum to 1 (only ratios
+    * matter). All arithmetic is plain IEEE +,·,/ on identical inputs in
+    * any replaying engine — no quantization needed.
+    *
+    * Scale: one count aggregate per domain (map-side combined), a
+    * #domains-row metadata frame reduced to the scalar K on the driver
+    * (broadcast-class, same as a count()), and one broadcast join of the
+    * per-domain rates back onto the data — the corpus itself never
+    * shuffles.
+    */
+  def targetMix(df: DataFrame, domainCol: String, idCol: String,
+                targets: Seq[(String, Double)],
+                salt: String = "graft-mix:"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = targets.toDF(domainCol, "__share")
+    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("__n"))
+      .join(broadcast(t), Seq(domainCol))
+    // K = min(n_s / share_s): a one-scalar reduction over #domains rows —
+    // driver-held metadata, not data (the q108 corpus-count pattern)
+    val k = counts.agg(min(col("__n") / col("__share"))).head().getDouble(0)
+    val rates = counts
+      .select(col(domainCol), (col("__share") * k / col("__n")).as("__rate"))
+    val u = (conv(substring(
+      md5(concat(lit(salt), col(idCol).cast("string"))), 1, 6),
+      16, 10).cast("double") + 1d) / 16777217d
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(u <= col("__rate"))
+      .drop("__rate")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Dedup, Graphs}
+import graft.operators.{Dedup, Graphs, Sampling}
 import graft.ops.Relational
 import Q._
 
@@ -957,5 +957,37 @@ object CorpusQueries {
             AS n_lines_removed
         FROM src s LEFT JOIN reb r USING (doc_id)"""),
       "repeated-line boilerplate removal: hot lines stripped, order kept"),
+
+    // ---- target domain-mix resampling --------------------------------------
+    // The pretraining data-mixture step: downsample to the largest corpus
+    // that realizes target language shares exactly without upsampling
+    // (K = min nₛ/shareₛ; the binding language keeps all rows). The md5
+    // admission gate is a pure function of doc_id, so DuckDB replays the
+    // identical sample row-for-row — shares are CAST AS DOUBLE in the
+    // oracle because bare decimals parse as DECIMAL there and exact
+    // decimal division would diverge from Spark's IEEE doubles.
+    "q153_domain_mix" -> Q(
+      (s, d) => Sampling.targetMix(Tables.documents(s, d), "lang", "doc_id",
+          Seq("en" -> 0.5, "fr" -> 0.2, "de" -> 0.15, "es" -> 0.1,
+            "zh" -> 0.05))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("sum_chars")),
+      Some("""WITH t AS (SELECT * FROM (VALUES
+            ('en', CAST(0.5 AS DOUBLE)), ('fr', CAST(0.2 AS DOUBLE)),
+            ('de', CAST(0.15 AS DOUBLE)), ('es', CAST(0.1 AS DOUBLE)),
+            ('zh', CAST(0.05 AS DOUBLE))) AS v(lang, share)),
+        counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        k AS (SELECT min(n / share) AS k FROM counts JOIN t USING (lang)),
+        rates AS (SELECT lang, share * k.k / n AS rate
+          FROM counts JOIN t USING (lang) CROSS JOIN k),
+        picked AS (
+          SELECT d.lang, d.n_chars FROM documents d JOIN rates USING (lang)
+          WHERE (CAST(('0x' || substr(md5('graft-mix:'
+              || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 1.0)
+            / 16777217.0 <= rate)
+        SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT)
+          AS sum_chars
+        FROM picked GROUP BY lang"""),
+      "target domain-mix resample: exact shares, binding domain keeps all"),
   )
 }

@@ -210,6 +210,35 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("targetMix: binding domain keeps all, untargeted domains drop, deterministic") {
+    val rows =
+      (1 to 100).map(i => (i.toLong, "a")) ++
+        (101 to 150).map(i => (i.toLong, "b")) ++
+        (151 to 160).map(i => (i.toLong, "c")) ++
+        (161 to 165).map(i => (i.toLong, "d"))
+    val df = rows.toDF("id", "dom")
+    // n/share: a 100/.5=200, b 50/.25=200, c 10/.25=40 → K=40 →
+    // rates a=0.2, b=0.2, c=1.0 (the binding domain keeps everything)
+    val targets = Seq("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)
+    val kept = Sampling.targetMix(df, "dom", "id", targets)
+      .as[(String, Long)].collect().map(_.swap).toSet
+    assert(kept.count(_._2 == "c") == 10) // rate 1.0 → all admitted
+    assert(!kept.exists(_._2 == "d"))     // no target → dropped
+    val inIds = rows.map(_._1).toSet
+    assert(kept.forall(r => inIds.contains(r._1)))
+    // thinned domains land near rate·n (md5 gate is uniform)
+    val nA = kept.count(_._2 == "a")
+    assert(nA > 5 && nA < 40, s"a kept $nA of 100 at rate 0.2")
+    // pure function of (salt, id): a rerun admits exactly the same rows
+    val again = Sampling.targetMix(df, "dom", "id", targets)
+      .as[(String, Long)].collect().map(_.swap).toSet
+    assert(again == kept)
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
