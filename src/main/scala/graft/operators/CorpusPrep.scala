@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** The composed pretraining corpus-prep DAG — the end-to-end shape of a
+  * Dolma/CCNet-style cleaning run, chaining the individually-verified
+  * stages in the order a 100 TB pass wants them: cheap per-row scalar
+  * gates first (language, heuristic quality) so every later stage sees a
+  * pruned corpus, then hash dedup (one slim shuffle), then benchmark
+  * decontamination (shingle semi-join) last, when the doc set is
+  * smallest.
+  */
+object CorpusPrep {
+
+  /** Clean `docs` for training: keep rows whose `langCol` equals
+    * `keepLang` and whose [[Text.qualityScore]] exceeds `minQuality`,
+    * drop exact duplicates (lowest `idCol` survives, [[Dedup.exact]]
+    * contract), then drop every doc sharing at least one `shingleSize`-
+    * gram with `evalDocs` (benchmark contamination). Returns survivors
+    * with all input columns plus `quality`.
+    *
+    * Scale: the contamination check never builds pairs — eval shingles
+    * hash to a distinct long set (tiny next to the corpus: an eval
+    * benchmark is KBs-to-MBs), the corpus's shingles semi-join against
+    * it on the hash, and only contaminated doc IDS flow into the final
+    * anti-join. Document text crosses a shuffle only inside
+    * [[Dedup.exact]]'s fingerprint window.
+    */
+  def prepare(docs: DataFrame, idCol: String, textCol: String,
+              langCol: String, keepLang: String, minQuality: Double,
+              evalDocs: DataFrame, shingleSize: Int = 5): DataFrame = {
+    val gated = docs
+      .withColumn("quality", Text.qualityScore(col(textCol)))
+      .filter(col(langCol) === keepLang && col("quality") > minQuality)
+    val deduped = Dedup.exact(gated, textCol, idCol)
+    val evalShingles = Dedup
+      .explodedShingles(evalDocs, idCol, textCol, shingleSize)
+      .select(xxhash64(col("shingle")).as("__h"))
+      .distinct()
+    val contaminated = Dedup
+      .explodedShingles(deduped, idCol, textCol, shingleSize)
+      .select(col("id").as("__cid"), xxhash64(col("shingle")).as("__h"))
+      .join(evalShingles, Seq("__h"), "left_semi")
+      .select("__cid")
+      .distinct()
+    deduped.join(contaminated, col(idCol) === col("__cid"), "left_anti")
+  }
+}

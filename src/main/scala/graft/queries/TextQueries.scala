@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Text
-import graft.operators.Dedup
+import graft.operators.{CorpusPrep, Dedup}
 import Q._
 
 /** Text-analysis + dedup coverage over the `documents` table (extended
@@ -318,5 +318,58 @@ object TextQueries {
         SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS min_doc_id
         FROM c GROUP BY canonical_url"""),
       "URL canonicalization: variant URLs collapse to one dedup key"),
+
+    // ---- composed corpus-prep pipeline --------------------------------------
+    // The full Dolma/CCNet-style cleaning DAG as ONE composition
+    // (CorpusPrep.prepare): language + quality gates first (cheap scalar
+    // prunes), exact dedup on the pruned set, benchmark decontamination
+    // (5-gram semi-join vs the held-out eval split, the q99 convention)
+    // last when the doc set is smallest. Goes beyond q76 by one full
+    // stage: q76 stops at dedup; production prep must also prove the
+    // eval set never leaks into training data.
+    "q154_corpus_prep" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ev = docs.filter(col("doc_id") % 50 === 0)
+        val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+        CorpusPrep.prepare(corpus, "doc_id", "text", "lang",
+            keepLang = "en", minQuality = 0.5, evalDocs = ev,
+            shingleSize = 5)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            q4(xsum4(col("quality")) / count(lit(1))).as("avg_quality"),
+            sum(Text.tokenCount(col("text")).cast("long")).as("total_tokens"))
+      },
+      Some {
+        val toks = "string_split_regex(trim(text), '\\s+')"
+        val stops = Text.defaultStopwords.map(w => s"'$w'").mkString(", ")
+        val nTok = s"len($toks)"
+        val stopRatio = s"CAST(len(list_filter($toks, t -> t IN ($stops))) AS DOUBLE) / $nTok"
+        val punctRatio = s"CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)"
+        val quality = s"(least(CAST($nTok AS DOUBLE)/64.0, 1.0) + least(($stopRatio)*4.0, 1.0)" +
+          s" + greatest(0.0, 1.0 - ($punctRatio)*4.0)) / 3.0"
+        val fp = s"md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))"
+        val gram5 = "toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5]"
+        def sh(src: String) =
+          s"""SELECT DISTINCT doc_id, $gram5 AS shingle
+            FROM (SELECT doc_id, $tokSql AS toks FROM $src),
+                 LATERAL (SELECT unnest(range(0, greatest(len(toks) - 5 + 1, 0)))) AS g(i)"""
+        s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+          ev AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+          gated AS (SELECT doc_id, source, text, $quality AS quality
+            FROM corpus WHERE lang = 'en' AND ($quality) > 0.5),
+          dedup AS (SELECT * FROM (SELECT *, row_number() OVER (
+              PARTITION BY $fp ORDER BY doc_id) AS rn FROM gated)
+            WHERE rn = 1),
+          evsh AS (SELECT DISTINCT shingle FROM (${sh("ev")})),
+          dsh AS (${sh("dedup")}),
+          cont AS (SELECT DISTINCT doc_id FROM dsh SEMI JOIN evsh USING (shingle)),
+          fin AS (SELECT * FROM dedup ANTI JOIN cont USING (doc_id))
+          SELECT source, count(*) AS n_docs,
+            ${Q4(s"${XSUM4("quality")} / count(*)")} AS avg_quality,
+            CAST(sum($nTok) AS BIGINT) AS total_tokens
+          FROM fin GROUP BY source"""
+      },
+      "composed corpus prep: gates → dedup → eval decontamination → stats"),
   )
 }

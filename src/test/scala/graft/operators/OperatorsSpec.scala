@@ -210,6 +210,27 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class CorpusPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("prepare: lang gate, quality gate, exact dedup, eval decontamination compose") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog in the park", "en", "s1"),
+      (2L, "THE QUICK brown fox, jumps over a lazy dog in the park!", "en", "s1"), // exact dup of 1
+      (3L, "!!!! ???? ++++", "en", "s1"),                                // fails quality
+      (4L, "le renard brun saute par dessus le chien dans le parc", "fr", "s1"), // wrong lang
+      (5L, "we found the secret eval answer key number nine in a drawer", "en", "s2"), // contaminated
+      (6L, "a completely fresh document about the weather in the highlands", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val ev = Seq((100L, "secret eval answer key number nine", "en", "ev"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = CorpusPrep.prepare(corpus, "doc_id", "text", "lang",
+      keepLang = "en", minQuality = 0.5, evalDocs = ev, shingleSize = 5)
+    assert(out.columns.contains("quality"))
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 6L))
+  }
+}
+
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
