@@ -90,5 +90,46 @@ object VectorQueries {
           FROM embeddings),
           LATERAL (SELECT unnest(range(len(embedding))) AS i) g"""),
       "symmetric per-vector int8 quantization of embeddings"),
+
+    // ---- semantic dedup: near-dup clusters → survivors per label ------------
+    // SemDeDup-style semantic dedup closed end-to-end: the q61 cosine
+    // edge set (label-blocked, threshold 0.40) becomes duplicate GROUPS
+    // via distributed connected components, one representative survives
+    // per group. Components never span labels (edges are label-blocked),
+    // so n_kept per label = its distinct-component count. The oracle
+    // replays the identical cosine predicate and resolves components
+    // with a recursive CTE (the q87 pattern).
+    "q155_semantic_dedup" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val edges = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+          blockCol = col("label"), minCosine = 0.40)
+        graft.operators.Graphs.dupGroups(emb.select("vec_id", "label"),
+            "vec_id", edges, "id_a", "id_b")
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            countDistinct("component").as("n_kept"))
+      },
+      Some("""WITH RECURSIVE pairs AS (
+          SELECT l.vec_id AS id_a, r.vec_id AS id_b
+          FROM embeddings l JOIN embeddings r
+            ON l.label = r.label AND l.vec_id < r.vec_id
+          WHERE list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+              CAST(r.embedding AS DOUBLE[])) >= 0.40),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (SELECT a AS id, min(b) AS mn FROM reach GROUP BY a),
+        assigned AS (
+          SELECT e.vec_id, e.label,
+            COALESCE(least(c.mn, e.vec_id), e.vec_id) AS component
+          FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id)
+        SELECT label, count(*) AS n_vecs,
+          count(DISTINCT component) AS n_kept
+        FROM assigned GROUP BY label"""),
+      "semantic dedup: cosine clusters → one survivor per component"),
   )
 }
