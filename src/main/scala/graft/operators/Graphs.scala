@@ -242,8 +242,11 @@ object Graphs {
 
   /** Unpersist a localCheckpoint'd DataFrame's materialized RDD (Dataset
     * .unpersist only covers CacheManager entries, not checkpoint RDDs).
-    * No-op on frames that aren't checkpoint scans. */
-  private def freeCheckpoint(df: DataFrame): Unit =
+    * No-op on frames that aren't checkpoint scans. Public because every
+    * long-running caller that localCheckpoints per step (iterative ops
+    * here, per-micro-batch sinks in streaming/) needs it to free blocks
+    * promptly instead of waiting for the GC-driven ContextCleaner sweep. */
+  def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)

@@ -45,4 +45,55 @@ object WarehouseSink {
         ()
       }
       .start()
+
+  /** Streaming corpus intake with CROSS-BATCH incremental dedup — the
+    * daily-crawl-ingest shape run continuously: each micro-batch is
+    * deduped within itself AND against the content-fingerprint index of
+    * everything already admitted ([[graft.operators.Dedup.incrementalExact]]),
+    * survivors append to the corpus table at `docsPath` and their
+    * fingerprints append to the index at `indexPath` — so a document seen
+    * in ANY earlier batch (or earlier in the same batch) never lands
+    * twice. Watermark-window streaming dedup can't make this guarantee:
+    * its state is bounded by the watermark, while the fingerprint index
+    * is durable and unbounded-horizon.
+    *
+    * Scale: the index carries ONE slim hash column regardless of corpus
+    * width; each batch's anti-join shuffles the (small) batch, not the
+    * index history, and both writes are appends — no table rewrite, so
+    * the sink stays O(batch) as the corpus grows to billions of docs.
+    * Exactly-once per content under retries: a replayed batch's rows are
+    * already in the index, so they dedup to nothing.
+    */
+  def dedupIngestSink(stream: DataFrame, idCol: String, textCol: String,
+                      docsPath: String, indexPath: String,
+                      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val known =
+          try spark.read.parquet(indexPath)
+          catch { case _: Throwable =>
+            spark.range(0).select(lit("").as("fp")).limit(0)
+          }
+        // materialize ONCE before either write: both writes act on this
+        // frame, and the second would otherwise lazily re-scan the index
+        // it just appended to and admit nothing
+        val admitted = graft.operators.Dedup
+          .incrementalExact(batch, idCol, textCol, known, "fp")
+          .localCheckpoint(true)
+        // index BEFORE docs: if the sink dies between the writes, the
+        // replayed batch finds its fingerprints already indexed and
+        // admits zero — fail closed (never a duplicate, possibly a gap
+        // reconcilable from the index). Docs-first would instead replay
+        // rows not yet indexed and land them twice.
+        admitted
+          .select(graft.functions.Text.fingerprint(col(textCol)).as("fp"))
+          .write.mode("append").parquet(indexPath)
+        admitted.write.mode("append").parquet(docsPath)
+        graft.operators.Graphs.freeCheckpoint(admitted)
+        ()
+      }
+      .start()
 }

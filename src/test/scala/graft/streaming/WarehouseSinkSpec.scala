@@ -29,4 +29,31 @@ class WarehouseSinkSpec extends SparkSpec {
         Map(1L -> "a", 2L -> "B", 3L -> "c"))
     } finally q.stop()
   }
+
+  test("dedupIngestSink: cross-batch content dedup against the durable fingerprint index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("ingestsink")
+    val docs = dir.resolve("docs").toString
+    val idx = dir.resolve("idx").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = WarehouseSink.dedupIngestSink(ms.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", docs, idx, ckpt)
+    try {
+      // batch 1: 2 distinct docs + a within-batch dup (case/punct variant)
+      ms.addData((1L, "the quick brown fox"), (2L, "a different doc"),
+        (3L, "THE QUICK brown fox!"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(docs).select("doc_id")
+        .as[Long].collect().toSet == Set(1L, 2L))
+      // batch 2: one cross-batch dup of doc 1, one genuinely new doc
+      ms.addData((4L, "the quick BROWN fox"), (5L, "brand new content"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(docs).select("doc_id")
+        .as[Long].collect().toSet == Set(1L, 2L, 5L))
+      // the index holds one fingerprint per admitted doc
+      assert(spark.read.parquet(idx).distinct().count() == 3L)
+    } finally q.stop()
+  }
 }
