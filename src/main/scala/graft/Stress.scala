@@ -56,7 +56,10 @@ object Stress {
     val verbose = sys.env.contains("STRESS_VERBOSE")
 
     val targets = Seq("q87_dup_components", "q97_dedup_corpus",
-      "q135_pagerank", "q138_triangle_count")
+      "q135_pagerank", "q138_triangle_count",
+      // round-6 additions: line dedup (corpus-wide hot-line aggregation)
+      // and semantic dedup (label-blocked cosine pairs → components)
+      "q151_line_dedup", "q155_semantic_dedup")
     println(f"${"query"}%-22s ${"base_s"}%8s ${"stress_s"}%9s ${"ratio"}%6s  worst-stage max/med (ms, tasks)")
     targets.foreach { name =>
       val fn = SparkEntry.queries(name)
@@ -93,11 +96,13 @@ object Stress {
     spark.stop()
   }
 
-  /** Write FACTOR disjoint salted replicas of documents, lineitem and
-    * orders into `outDir` (idempotent: skipped when already present). */
+  /** Write FACTOR disjoint salted replicas of documents, lineitem,
+    * orders and embeddings into `outDir` (idempotent: skipped when
+    * already present; the marker is versioned so adding a table to this
+    * builder invalidates corpora built before it existed). */
   def buildCorpus(spark: SparkSession, srcDir: String, outDir: String,
                   factor: Int): Unit = {
-    val marker = new java.io.File(s"$outDir/_built_x$factor")
+    val marker = new java.io.File(s"$outDir/_built_v2_x$factor")
     if (marker.exists()) return
     val off = 10000000L // id-space stride per replica
     def salted(table: String)(f: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Unit = {
@@ -124,6 +129,15 @@ object Stress {
     salted("orders") { (df, d) =>
       df.withColumn("o_orderkey", col("o_orderkey") + d)
         .withColumn("o_custkey", col("o_custkey") + d)
+    }
+    // labels salt too (small stride — the label space is ~10 wide):
+    // un-salted labels would make every replica's vectors near-dup
+    // CANDIDATES of 9 other replicas' (label-blocked pair gen), turning
+    // the 10× corpus into a 100× pair workload instead of 10 replicas
+    salted("embeddings") { (df, d) =>
+      df.withColumn("vec_id", col("vec_id") + d)
+        .withColumn("label",
+          (col("label") + col("__cp") * 100).cast(df.schema("label").dataType))
     }
     marker.getParentFile.mkdirs()
     marker.createNewFile()
