@@ -19,6 +19,14 @@ object Engine {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // synchronous shuffle-file cleanup: the ContextCleaner otherwise
+      // deletes dereferenced shuffle dirs ASYNC after a GC, and in a
+      // long sequential run (Bench's 155 queries, an iterative CC loop)
+      // those deletion storms land inside whatever query happens to run
+      // next — measured as multi-second wander on the heavy dedup trio.
+      // Blocking cleanup pins the cost to the moment of dereference
+      // (Bench's between-query reset), where it is untimed.
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
