@@ -150,4 +150,91 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
+
+  // ---------------- k-means (Lloyd) centroid training ----------------
+  //
+  // The trained counterpart of [[sampleCentroids]]: proper Lloyd
+  // iterations over the corpus, each one a single distributed pass —
+  // assignment is a codegen'd argmin against centroid LITERALS (no
+  // shuffle, no join), and the re-estimation groupBy carries at most
+  // partitions × k × d partially-aggregated rows into one exchange.
+  // Only the k × d per-cluster sums ever reach the driver (the same
+  // bounded-metadata class as a broadcast dimension), so the loop is
+  // driver-orchestrated but never driver-computed. Cross-engine
+  // determinism (the property every oracle row here rests on) comes from
+  // two choices: the argmin compares 4-dp-QUANTIZED cosines with the
+  // centroid id as tie-break, and component sums are exact fixed-point
+  // longs (1e-6 resolution), so partial-aggregation order can't wiggle a
+  // mean by an ulp and flip a later assignment.
+
+  private def q4(c: Column): Column =
+    floor(c * 10000d + 0.5d).cast("long").cast("double") / 10000d
+
+  /** Deterministic seed centroids: the k lowest-id corpus vectors (as
+    * doubles), labeled 0..k-1 in id order. Replayable in any engine —
+    * no hash function involved; k driver rows = bounded metadata. */
+  def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int): Seq[(Int, Seq[Double])] =
+    corpus.select(col(idCol), Vectors.toDoubleArray(col(vecCol)).as("v"))
+      .orderBy(col(idCol)).limit(k).collect()
+      .map(_.getSeq[Double](1).toSeq).zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq
+
+  /** Cluster id of the nearest centroid by QUANTIZED cosine (4 dp), ties
+    * to the smallest cluster id — a bit-reproducible argmin (see the
+    * section comment). Centroids are codegen literals applied at FLOAT
+    * precision (the corpus storage dtype, and what the native dot kernel
+    * reads); double→float rounding is the same IEEE round-to-nearest in
+    * any engine, so oracles mirror it with a FLOAT[] cast. Empty clusters
+    * keep their original ids so labels stay stable across iterations. */
+  def assignCluster(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+    array_min(graft.functions.Text.bindOnce(Vectors.norm(vec), nv =>
+      array(centroids.map { case (cid, cv) =>
+        val litVec = array(cv.map(v => lit(v.toFloat)): _*)
+        val cos = Vectors.dot(vec, litVec) / (nv * Vectors.norm(litVec))
+        struct((-q4(cos)).as("neg"), lit(cid).as("cid"))
+      }: _*))).getField("cid")
+
+  /** One distributed Lloyd pass: per (cluster, dim) the member count and
+    * the exact fixed-point component sum (longs at 1e-6 resolution —
+    * order-independent, spillable, map-side combined). Empty clusters
+    * simply emit no rows. The engine of [[kmeansCentroids]] and
+    * [[clusterSummary]]. */
+  def lloydStep(corpus: DataFrame, vecCol: String,
+                centroids: Seq[(Int, Seq[Double])]): DataFrame =
+    corpus
+      .select(assignCluster(col(vecCol), centroids).as("cluster"),
+        posexplode(Vectors.toDoubleArray(col(vecCol))).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x") * 1000000d + 0.5d).cast("long")).as("s"))
+
+  /** Lloyd's k-means: seed with [[seedCentroids]], then `iterations`
+    * distributed passes, re-estimating each centroid as the component
+    * mean of its members. Returns (clusterId, centroid) pairs; clusters
+    * that lose all members drop out (their ids are not recycled). */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iterations: Int): Seq[(Int, Seq[Double])] = {
+    var cents = seedCentroids(corpus, idCol, vecCol, k)
+    for (_ <- 1 to iterations) {
+      val rows = lloydStep(corpus, vecCol, cents).collect() // ≤ k·d rows
+      cents = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
+        case (cid, dims) =>
+          val mean = dims.sortBy(_.getInt(1))
+            .map(r => r.getLong(3).toDouble / 1000000d / r.getLong(2))
+          (cid, mean.toSeq)
+      }
+    }
+    cents
+  }
+
+  /** Final per-cluster statistics as a fully distributed frame: one row
+    * per (cluster, dim) with the member count and the 4-dp-quantized
+    * centroid component — the shape an IVF index build or a
+    * cluster-balanced sampler consumes. */
+  def clusterSummary(corpus: DataFrame, vecCol: String,
+                     centroids: Seq[(Int, Seq[Double])]): DataFrame =
+    lloydStep(corpus, vecCol, centroids)
+      .select(col("cluster"), col("dim"), col("n"),
+        q4(col("s").cast("double") / 1000000d / col("n")).as("cval"))
 }

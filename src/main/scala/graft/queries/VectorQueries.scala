@@ -131,5 +131,56 @@ object VectorQueries {
           count(DISTINCT component) AS n_kept
         FROM assigned GROUP BY label"""),
       "semantic dedup: cosine clusters → one survivor per component"),
+
+    // ---- distributed k-means (Lloyd) over embeddings ------------------------
+    // Seed = the 8 lowest-id vectors; one driver-orchestrated Lloyd
+    // update (assignment is a codegen argmin on QUANTIZED cosine with
+    // cluster-id tie-break; component sums are exact fixed-point longs,
+    // so both engines derive bit-identical means); output = the NEXT
+    // assignment's per-(cluster, dim) member count and centroid
+    // component, computed fully distributed. The oracle replays both
+    // Lloyd levels as layered CTEs.
+    "q156_kmeans_train" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+          k = 8, iterations = 1)
+        Similarity.clusterSummary(emb, "embedding", cents)
+      },
+      Some(s"""WITH init AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+                 embedding AS cvec
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+        assign1 AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, i.cid,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${Q4("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(i.cvec AS DOUBLE[]))")} DESC,
+                i.cid) AS rn
+            FROM embeddings e CROSS JOIN init i) WHERE rn = 1),
+        sums1 AS (
+          SELECT cid, CAST(g.i AS INTEGER) AS dim, count(*) AS n,
+            CAST(sum(CAST(floor(CAST(embedding[g.i+1] AS DOUBLE)
+                * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+              AS BIGINT) AS s
+          FROM assign1, LATERAL (SELECT unnest(range(len(embedding))) AS i) g
+          GROUP BY cid, dim),
+        cents1 AS (
+          SELECT cid, CAST(
+            list(CAST(s AS DOUBLE)/CAST(1000000 AS DOUBLE)/n ORDER BY dim)
+            AS FLOAT[]) AS cvec
+          FROM sums1 GROUP BY cid),
+        assign2 AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${Q4("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[]))")} DESC,
+                c.cid) AS rn
+            FROM embeddings e CROSS JOIN cents1 c) WHERE rn = 1)
+        SELECT cid AS cluster, CAST(g.i AS INTEGER) AS dim, count(*) AS n,
+          ${Q4("CAST(sum(CAST(floor(CAST(embedding[g.i+1] AS DOUBLE) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)/CAST(1000000 AS DOUBLE)/count(*)")} AS cval
+        FROM assign2, LATERAL (SELECT unnest(range(len(embedding))) AS i) g
+        GROUP BY cluster, dim"""),
+      "distributed Lloyd k-means: trained centroids + cluster stats"),
   )
 }

@@ -301,6 +301,45 @@ class SimilaritySpec extends SparkSpec {
     assert(r4 >= 0.2, f"IVF recall@5 $r4%.3f below floor")
   }
 
+  test("kmeans: deterministic, clusters partition the corpus, objective improves") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val total = emb.count()
+    val c2 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iterations = 2)
+    assert(c2 == Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iterations = 2))
+    assert(c2.nonEmpty && c2.size <= 4 && c2.forall(_._2.size == 64))
+    // clusterSummary rows partition the corpus: each dim's counts sum to N
+    val sums = Similarity.clusterSummary(emb, "embedding", c2)
+      .groupBy("dim").agg(sum("n").as("t")).select("t").as[Long].collect()
+    assert(sums.length == 64 && sums.forall(_ == total))
+    // spherical-kmeans objective (avg cosine to assigned centroid; cosine is
+    // scale-invariant so the unnormalized mean update still ascends it)
+    val seed = Similarity.seedCentroids(emb, "vec_id", "embedding", 4)
+    val objSeed = avgAssignedCosine(emb, seed)
+    val objTrained = avgAssignedCosine(emb, c2)
+    info(f"kmeans objective seed=$objSeed%.4f trained=$objTrained%.4f")
+    assert(objTrained >= objSeed - 1e-3)
+    // trained centroids slot straight into the IVF index build
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      c2.map(_._2.map(_.toFloat)), nProbe = 2)
+    val (h, t) = Similarity.recallAtK(exact, ivf)
+    assert(t > 0 && h.toDouble / t >= 0.2)
+  }
+
+  private def avgAssignedCosine(emb: org.apache.spark.sql.DataFrame,
+                                cents: Seq[(Int, Seq[Double])]): Double = {
+    val scored = emb.select(col("embedding"),
+      Similarity.assignCluster(col("embedding"), cents).as("c"))
+    val perCluster = cents.map { case (cid, cv) =>
+      val litVec = array(cv.map(v => lit(v.toFloat)): _*)
+      when(col("c") === cid,
+        graft.functions.Vectors.cosine(col("embedding"), litVec))
+    }
+    scored.select(avg(coalesce(perCluster: _*)).as("o"))
+      .select("o").as[Double].collect().head
+  }
+
   test("ANN recall@5 on fixture embeddings: multi-probe ≥ plain, above floor") {
     val emb = graft.Tables.embeddings(spark, sf0001)
     val queries = emb.filter(col("vec_id") < 8)
