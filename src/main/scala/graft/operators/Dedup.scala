@@ -366,4 +366,34 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("cosine"))
   }
+
+  /** Bipartite embedding near-dup: (left_id, right_id, cosine) pairs
+    * BETWEEN two corpora — the incremental form of
+    * [[embeddingNearDups]], where a new snapshot (left) is deduplicated
+    * against an existing corpus (right) without ever generating
+    * within-corpus pairs. Blocked on `blockCol` (same name on both
+    * sides); NULL blocks never match, as in the self-join form.
+    *
+    * Scale: norms are precomputed per row on each side before the join;
+    * the usual shape is a small daily batch against a huge corpus, where
+    * AQE broadcasts the batch side and the corpus never shuffles. When
+    * both sides are large the equi-join on the block key shuffles each
+    * side once, partitioned by block.
+    */
+  def crossEmbeddingNearDups(left: DataFrame, right: DataFrame,
+                             idCol: String, vecCol: String,
+                             blockCol: String,
+                             minCosine: Double): DataFrame = {
+    def prep(df: DataFrame, side: String) =
+      df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"),
+        col(blockCol).as(s"${side}_block"),
+        Vectors.norm(col(vecCol)).as(s"${side}_nrm"))
+    prep(left, "left").join(prep(right, "right"),
+        col("left_block") === col("right_block"))
+      .withColumn("cosine",
+        Vectors.dot(col("left_vec"), col("right_vec")) /
+          (col("left_nrm") * col("right_nrm")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("left_id"), col("right_id"), col("cosine"))
+  }
 }

@@ -188,12 +188,19 @@ object Similarity {
     * any engine, so oracles mirror it with a FLOAT[] cast. Empty clusters
     * keep their original ids so labels stay stable across iterations. */
   def assignCluster(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+    bestCentroid(vec, centroids).getField("cid")
+
+  /** The winning (negated quantized cosine, cluster id) struct — the
+    * argmin both [[assignCluster]] and [[clusterCoreset]] read, so the
+    * assignment and the centrality score come from ONE evaluation. */
+  private def bestCentroid(vec: Column,
+                           centroids: Seq[(Int, Seq[Double])]): Column =
     array_min(graft.functions.Text.bindOnce(Vectors.norm(vec), nv =>
       array(centroids.map { case (cid, cv) =>
         val litVec = array(cv.map(v => lit(v.toFloat)): _*)
         val cos = Vectors.dot(vec, litVec) / (nv * Vectors.norm(litVec))
         struct((-q4(cos)).as("neg"), lit(cid).as("cid"))
-      }: _*))).getField("cid")
+      }: _*)))
 
   /** One distributed Lloyd pass: per (cluster, dim) the member count and
     * the exact fixed-point component sum (longs at 1e-6 resolution —
@@ -237,4 +244,29 @@ object Similarity {
     lloydStep(corpus, vecCol, centroids)
       .select(col("cluster"), col("dim"), col("n"),
         q4(col("s").cast("double") / 1000000d / col("n")).as("cval"))
+
+  /** Cluster-balanced coreset: the `perCluster` most-central vectors of
+    * each cluster (highest quantized cosine to the assigned centroid,
+    * id tie-break) — the prototypical-subset sampler a curated training
+    * mix draws from after k-means, guaranteeing every region of the
+    * embedding space keeps representatives regardless of cluster size.
+    * Runs on the [[graft.plans.TopKPerGroup]] physical operator:
+    * per-partition k-heaps, then ONE exchange carrying at most
+    * partitions × k × perCluster rows — no full sort, no skewed
+    * k-partition window. Returns (cluster, id, cos) with cos the 4-dp
+    * centrality score.
+    */
+  def clusterCoreset(corpus: DataFrame, idCol: String, vecCol: String,
+                     centroids: Seq[(Int, Seq[Double])],
+                     perCluster: Int): DataFrame = {
+    // materialize the argmin struct once, then read both fields — keeps
+    // the centroid scan at one evaluation per row without relying on CSE
+    val scored = corpus
+      .select(col(idCol).as("id"),
+        bestCentroid(col(vecCol), centroids).as("b"))
+      .select(col("id"), col("b.cid").as("cluster"), col("b.neg").as("neg"))
+    graft.plans.TopK.topKPerGroup(scored, Seq(col("cluster")),
+        Seq(col("neg").asc, col("id").asc), perCluster)
+      .select(col("cluster"), col("id"), (-col("neg")).as("cos"))
+  }
 }

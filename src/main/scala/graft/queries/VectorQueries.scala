@@ -182,5 +182,60 @@ object VectorQueries {
         FROM assign2, LATERAL (SELECT unnest(range(len(embedding))) AS i) g
         GROUP BY cluster, dim"""),
       "distributed Lloyd k-means: trained centroids + cluster stats"),
+
+    // ---- cross-corpus (bipartite) embedding near-dup ------------------------
+    // Incremental semantic dedup: a new snapshot (vec_id ≡ 0 mod 7)
+    // deduplicated against the existing corpus (the rest) — only
+    // cross-corpus pairs are generated, label-blocked. The usual scale
+    // shape broadcasts the small batch side; the corpus never shuffles.
+    "q157_cross_neardup" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Dedup.crossEmbeddingNearDups(
+            emb.filter(col("vec_id") % 7 === 0),
+            emb.filter(col("vec_id") % 7 =!= 0),
+            "vec_id", "embedding", "label", minCosine = 0.35)
+          .select(col("left_id"), col("right_id"),
+            q4(col("cosine")).as("cosine"))
+      },
+      Some(s"""SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+          ${Q4("list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[]))")} AS cosine
+        FROM (SELECT * FROM embeddings WHERE vec_id % 7 = 0) l
+        JOIN (SELECT * FROM embeddings WHERE vec_id % 7 <> 0) r
+          ON l.label = r.label
+        WHERE list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+            CAST(r.embedding AS DOUBLE[])) >= 0.35"""),
+      "bipartite embedding near-dup: new snapshot vs existing corpus"),
+
+    // ---- cluster-balanced coreset sampling ----------------------------------
+    // The 5 most-central vectors per seed cluster (quantized cosine to
+    // the assigned centroid, id tie-break) via the TopKPerGroup
+    // physical operator — per-partition k-heaps, one slim exchange, no
+    // full sort. The oracle replays assignment + window rank.
+    "q158_cluster_coreset" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 8)
+        Similarity.clusterCoreset(emb, "vec_id", "embedding", cents, 5)
+          .withColumnRenamed("id", "vec_id")
+      },
+      Some(s"""WITH init AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+                 embedding AS cvec
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+        assign AS (
+          SELECT vec_id, cid, cos4 FROM (
+            SELECT e.vec_id, i.cid,
+              ${Q4("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(i.cvec AS DOUBLE[]))")} AS cos4,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${Q4("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(i.cvec AS DOUBLE[]))")} DESC,
+                i.cid) AS rn
+            FROM embeddings e CROSS JOIN init i) WHERE rn = 1)
+        SELECT cid AS cluster, vec_id, cos4 AS cos FROM (
+          SELECT cid, vec_id, cos4,
+            row_number() OVER (PARTITION BY cid
+              ORDER BY cos4 DESC, vec_id) AS rk
+          FROM assign) WHERE rk <= 5"""),
+      "cluster-balanced coreset: top-5 most-central per cluster"),
   )
 }

@@ -327,6 +327,38 @@ class SimilaritySpec extends SparkSpec {
     assert(t > 0 && h.toDouble / t >= 0.2)
   }
 
+  test("crossEmbeddingNearDups: only cross-corpus pairs, null blocks never match") {
+    val left = Seq((10L, Seq(1.0f, 0f, 0f), "a"), (11L, Seq(0f, 1.0f, 0f), null.asInstanceOf[String]))
+      .toDF("vec_id", "embedding", "lang")
+    val right = Seq(
+      (20L, Seq(0.99f, 0.1f, 0f), "a"),  // near-dup of 10, same block
+      (21L, Seq(1.0f, 0f, 0f), "b"),     // identical to 10 but other block
+      (22L, Seq(0f, 1.0f, 0f), null.asInstanceOf[String]), // null block: never matches
+      (23L, Seq(0f, 0.98f, 0.05f), "a")) // far from 10
+      .toDF("vec_id", "embedding", "lang")
+    val out = Dedup.crossEmbeddingNearDups(left, right, "vec_id", "embedding",
+        "lang", minCosine = 0.9)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((10L, 20L)))
+  }
+
+  test("clusterCoreset: ≤ m per cluster, members belong to their cluster, deterministic") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 4)
+    val core = Similarity.clusterCoreset(emb, "vec_id", "embedding", cents, 3)
+    val rows = core.select("cluster", "id", "cos").as[(Int, Long, Double)].collect()
+    assert(rows.groupBy(_._1).values.forall(_.length <= 3))
+    assert(rows.nonEmpty && rows.forall(r => r._3 >= -1.0 && r._3 <= 1.0))
+    // every coreset member's assigned cluster is the cluster it was kept for
+    val assign = emb.select(col("vec_id"),
+        Similarity.assignCluster(col("embedding"), cents).as("c"))
+      .as[(Long, Int)].collect().toMap
+    assert(rows.forall(r => assign(r._2) == r._1))
+    val again = Similarity.clusterCoreset(emb, "vec_id", "embedding", cents, 3)
+      .select("cluster", "id", "cos").as[(Int, Long, Double)].collect()
+    assert(rows.toSet == again.toSet)
+  }
+
   private def avgAssignedCosine(emb: org.apache.spark.sql.DataFrame,
                                 cents: Seq[(Int, Seq[Double])]): Double = {
     val scored = emb.select(col("embedding"),
