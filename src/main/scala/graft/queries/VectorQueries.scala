@@ -237,5 +237,84 @@ object VectorQueries {
               ORDER BY cos4 DESC, vec_id) AS rk
           FROM assign) WHERE rk <= 5"""),
       "cluster-balanced coreset: top-5 most-central per cluster"),
+
+    // ---- composed embedding-corpus pipeline ---------------------------------
+    // The full embedding leg end-to-end, the q154 story for vectors:
+    // label-blocked cosine edges → connected components → min-id
+    // survivors (semantic dedup) → Lloyd k-means trained ON the
+    // deduplicated corpus → cluster-balanced coreset. Every stage is an
+    // individually verified operator (q61, q87/q155, q156, q158); this
+    // row proves the COMPOSITION. The oracle replays the whole DAG:
+    // recursive-CTE components, then both Lloyd levels, then the
+    // coreset window.
+    "q159_embed_pipeline" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val edges = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+          blockCol = col("label"), minCosine = 0.40)
+        val survivors = graft.operators.Graphs.dupGroups(
+            emb.select("vec_id", "label", "embedding"), "vec_id",
+            edges, "id_a", "id_b")
+          .filter(col("component") === col("vec_id")) // min-id representative
+          .select("vec_id", "embedding")
+        val cents = Similarity.kmeansCentroids(survivors, "vec_id",
+          "embedding", k = 8, iterations = 1)
+        Similarity.clusterCoreset(survivors, "vec_id", "embedding", cents, 5)
+          .withColumnRenamed("id", "vec_id")
+      },
+      Some(s"""WITH RECURSIVE pairs AS (
+          SELECT l.vec_id AS id_a, r.vec_id AS id_b
+          FROM embeddings l JOIN embeddings r
+            ON l.label = r.label AND l.vec_id < r.vec_id
+          WHERE list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+              CAST(r.embedding AS DOUBLE[])) >= 0.40),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (SELECT a AS id, min(b) AS mn FROM reach GROUP BY a),
+        survivors AS (
+          SELECT e.vec_id, e.embedding
+          FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+          WHERE COALESCE(least(c.mn, e.vec_id), e.vec_id) = e.vec_id),
+        init AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+                 embedding AS cvec
+          FROM (SELECT * FROM survivors ORDER BY vec_id LIMIT 8)),
+        assign1 AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, i.cid,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${Q4("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(i.cvec AS DOUBLE[]))")} DESC,
+                i.cid) AS rn
+            FROM survivors e CROSS JOIN init i) WHERE rn = 1),
+        sums1 AS (
+          SELECT cid, CAST(g.i AS INTEGER) AS dim, count(*) AS n,
+            CAST(sum(CAST(floor(CAST(embedding[g.i+1] AS DOUBLE)
+                * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+              AS BIGINT) AS s
+          FROM assign1, LATERAL (SELECT unnest(range(len(embedding))) AS i) g
+          GROUP BY cid, dim),
+        cents1 AS (
+          SELECT cid, CAST(
+            list(CAST(s AS DOUBLE)/CAST(1000000 AS DOUBLE)/n ORDER BY dim)
+            AS FLOAT[]) AS cvec
+          FROM sums1 GROUP BY cid),
+        assign2 AS (
+          SELECT vec_id, cid, cos4 FROM (
+            SELECT e.vec_id, c.cid,
+              ${Q4("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[]))")} AS cos4,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${Q4("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[]))")} DESC,
+                c.cid) AS rn
+            FROM survivors e CROSS JOIN cents1 c) WHERE rn = 1)
+        SELECT cid AS cluster, vec_id, cos4 AS cos FROM (
+          SELECT cid, vec_id, cos4,
+            row_number() OVER (PARTITION BY cid
+              ORDER BY cos4 DESC, vec_id) AS rk
+          FROM assign2) WHERE rk <= 5"""),
+      "composed embedding pipeline: semantic dedup → k-means → coreset"),
   )
 }
