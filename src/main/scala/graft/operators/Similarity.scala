@@ -269,4 +269,41 @@ object Similarity {
         Seq(col("neg").asc, col("id").asc), perCluster)
       .select(col("cluster"), col("id"), (-col("neg")).as("cos"))
   }
+
+  /** Embedding-drift monitor: per `keyCol` (label, language, source…)
+    * the cosine between the two snapshots' centroid vectors, plus both
+    * member counts — the corpus-health check run between crawl
+    * snapshots (a key whose centroid swings is a key whose content
+    * changed). Keys present in only one snapshot are dropped (no
+    * centroid to compare).
+    *
+    * Fully distributed: per-(key, dim) means are exact fixed-point sums
+    * (one slim exchange of longs per side), the cross-snapshot join is
+    * on (key, dim) — k·d rows, broadcast-class — and the final cosine
+    * folds dot and both norms in the same aggregation, each term
+    * quantized to 1e-12 longs so partial-agg order cannot move the
+    * result. Deterministic for an oracle end to end.
+    */
+  def centroidShift(a: DataFrame, b: DataFrame, keyCol: String,
+                    vecCol: String): DataFrame = {
+    def means(df: DataFrame, side: String) = df
+      .select(col(keyCol).as("k"),
+        posexplode(Vectors.toDoubleArray(col(vecCol))).as(Seq("dim", "x")))
+      .groupBy("k", "dim")
+      .agg(count(lit(1)).as(s"n_$side"),
+        sum(floor(col("x") * 1000000d + 0.5d).cast("long")).as("s"))
+      .select(col("k"), col("dim"), col(s"n_$side"),
+        (col("s").cast("double") / 1000000d / col(s"n_$side")).as(s"m_$side"))
+    def fx12(c: Column): Column = floor(c * 1e12 + 0.5d).cast("long")
+    means(a, "a").join(means(b, "b"), Seq("k", "dim"))
+      .groupBy("k")
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        sum(fx12(col("m_a") * col("m_b"))).as("sd"),
+        sum(fx12(col("m_a") * col("m_a"))).as("sa"),
+        sum(fx12(col("m_b") * col("m_b"))).as("sb"))
+      .select(col("k").as(keyCol), col("n_a"), col("n_b"),
+        q4((col("sd").cast("double") / 1e12) /
+          (sqrt(col("sa").cast("double") / 1e12) *
+            sqrt(col("sb").cast("double") / 1e12))).as("cos_shift"))
+  }
 }

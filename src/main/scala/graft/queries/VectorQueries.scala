@@ -316,5 +316,44 @@ object VectorQueries {
               ORDER BY cos4 DESC, vec_id) AS rk
           FROM assign2) WHERE rk <= 5"""),
       "composed embedding pipeline: semantic dedup → k-means → coreset"),
+
+    // ---- per-label centroid drift between snapshots -------------------------
+    // Corpus-health monitoring: split the table into two "snapshots"
+    // (vec_id parity) and measure, per label, the cosine between their
+    // centroid vectors. Means are exact fixed-point; the dot/norm fold
+    // quantizes each term to 1e-12 longs, so the whole statistic is
+    // deterministic cross-engine.
+    "q160_centroid_drift" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.centroidShift(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "label", "embedding")
+      },
+      Some(s"""WITH ma AS (
+          SELECT label AS k, CAST(g.i AS INTEGER) AS dim, count(*) AS n_a,
+            CAST(sum(CAST(floor(CAST(embedding[g.i+1] AS DOUBLE)
+                * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+              AS DOUBLE)/CAST(1000000 AS DOUBLE)/count(*) AS m_a
+          FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS i) g
+          WHERE vec_id % 2 = 0 GROUP BY k, dim),
+        mb AS (
+          SELECT label AS k, CAST(g.i AS INTEGER) AS dim, count(*) AS n_b,
+            CAST(sum(CAST(floor(CAST(embedding[g.i+1] AS DOUBLE)
+                * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+              AS DOUBLE)/CAST(1000000 AS DOUBLE)/count(*) AS m_b
+          FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS i) g
+          WHERE vec_id % 2 = 1 GROUP BY k, dim),
+        j AS (
+          SELECT ma.k, ma.n_a, mb.n_b,
+            CAST(floor(m_a*m_b*CAST(1000000000000 AS DOUBLE)+CAST(0.5 AS DOUBLE)) AS BIGINT) AS td,
+            CAST(floor(m_a*m_a*CAST(1000000000000 AS DOUBLE)+CAST(0.5 AS DOUBLE)) AS BIGINT) AS ta,
+            CAST(floor(m_b*m_b*CAST(1000000000000 AS DOUBLE)+CAST(0.5 AS DOUBLE)) AS BIGINT) AS tb
+          FROM ma JOIN mb ON ma.k = mb.k AND ma.dim = mb.dim)
+        SELECT k AS label, max(n_a) AS n_a, max(n_b) AS n_b,
+          ${Q4("(CAST(sum(td) AS DOUBLE)/CAST(1000000000000 AS DOUBLE)) / (sqrt(CAST(sum(ta) AS DOUBLE)/CAST(1000000000000 AS DOUBLE)) * sqrt(CAST(sum(tb) AS DOUBLE)/CAST(1000000000000 AS DOUBLE)))")} AS cos_shift
+        FROM j GROUP BY k"""),
+      "per-label centroid drift between two snapshots (cosine of means)"),
   )
 }

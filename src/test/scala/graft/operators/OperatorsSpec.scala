@@ -359,6 +359,17 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.toSet == again.toSet)
   }
 
+  test("centroidShift: self-comparison is 1.0, one-sided keys dropped") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val self = Similarity.centroidShift(emb, emb, "label", "embedding")
+      .select("cos_shift").as[Double].collect()
+    assert(self.nonEmpty && self.forall(v => math.abs(v - 1.0) < 1e-9))
+    val onlyA = Similarity.centroidShift(
+      emb.filter(col("label") === 0), emb.filter(col("label") === 1),
+      "label", "embedding")
+    assert(onlyA.count() == 0) // no shared key survives the join
+  }
+
   private def avgAssignedCosine(emb: org.apache.spark.sql.DataFrame,
                                 cents: Seq[(Int, Seq[Double])]): Double = {
     val scored = emb.select(col("embedding"),
