@@ -34,6 +34,24 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("kmeans lloydStep: assignment is join-free, exactly one exchange (the groupBy)") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val cents = graft.operators.Similarity.seedCentroids(emb, "vec_id", "embedding", 4)
+    val p = graft.operators.Similarity.lloydStep(emb, "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+  }
+
+  test("clusterCoreset plans through TopKPerGroupExec — no full sort, no window") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val cents = graft.operators.Similarity.seedCentroids(emb, "vec_id", "embedding", 4)
+    val p = graft.operators.Similarity.clusterCoreset(emb, "vec_id", "embedding", cents, 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroup"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q119 bloom probe runs inside the fact scan's filter, before the join") {
     val p = plan("q119_bloom_semi")
     val probeAt = p.indexOf("might_contain")
