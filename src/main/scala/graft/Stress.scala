@@ -59,7 +59,10 @@ object Stress {
       "q135_pagerank", "q138_triangle_count",
       // round-6 additions: line dedup (corpus-wide hot-line aggregation)
       // and semantic dedup (label-blocked cosine pairs → components)
-      "q151_line_dedup", "q155_semantic_dedup")
+      "q151_line_dedup", "q155_semantic_dedup",
+      // iterative k-means (driver-orchestrated Lloyd passes) and the
+      // composed dedup→kmeans→coreset embedding pipeline
+      "q156_kmeans_train", "q159_embed_pipeline")
     println(f"${"query"}%-22s ${"base_s"}%8s ${"stress_s"}%9s ${"ratio"}%6s  worst-stage max/med (ms, tasks)")
     targets.foreach { name =>
       val fn = SparkEntry.queries(name)

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Streaming embedding intake — cluster-score vectors as they arrive.
+  *
+  * The model (trained k-means centroids) is applied as codegen LITERALS,
+  * exactly like the batch operator: the stream carries no model state,
+  * no broadcast join, no per-batch lookup — assignment is a stateless
+  * projection, so batch/stream parity holds by construction and the
+  * only streaming-specific piece is the watermarked window aggregation.
+  * Per-cluster arrival counts are the standard drift alarm on a
+  * continuous embedding feed (a cluster whose share jumps is a content
+  * shift — the streaming twin of [[Similarity.centroidShift]]).
+  *
+  * Input schema: (id, embedding array<float>, ingest_ts timestamp).
+  */
+object VectorStream {
+
+  /** Tumbling per-(window, cluster) arrival counts. */
+  def clusterCounts(vecs: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                    vecCol: String = "embedding",
+                    tsCol: String = "ingest_ts",
+                    windowLen: String = "10 minutes",
+                    horizon: String = "1 hour"): DataFrame =
+    vecs
+      .withColumn("cluster", Similarity.assignCluster(col(vecCol), centroids))
+      .withWatermark(tsCol, horizon)
+      .groupBy(window(col(tsCol), windowLen).as("w"), col("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("cluster"), col("n"))
+
+  /** Batch twin of [[clusterCounts]] for parity tests. */
+  def clusterCountsBatch(vecs: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                         vecCol: String = "embedding",
+                         tsCol: String = "ingest_ts",
+                         windowLen: String = "10 minutes"): DataFrame =
+    vecs
+      .withColumn("cluster", Similarity.assignCluster(col(vecCol), centroids))
+      .groupBy(window(col(tsCol), windowLen).as("w"), col("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("cluster"), col("n"))
+}

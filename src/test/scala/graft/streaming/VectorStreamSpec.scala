@@ -1,0 +1,45 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+import graft.operators.Similarity
+
+class VectorStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("streaming cluster counts over two micro-batches = batch twin") {
+    implicit val sq = spark.sqlContext
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 4, iterations = 1)
+
+    val rows = Seq(
+      (1L, Seq(1.0f, 0f) ++ Seq.fill(62)(0f), ts(0)),
+      (2L, Seq(0f, 1.0f) ++ Seq.fill(62)(0f), ts(1)),
+      (3L, Seq(0.9f, 0.1f) ++ Seq.fill(62)(0f), ts(12)), // next window
+      (4L, Seq(0f, 0f) ++ Seq.fill(61)(0f) :+ 1.0f, ts(13)))
+
+    val ms = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val stream = ms.toDF().toDF("vec_id", "embedding", "ingest_ts")
+    val q = VectorStream.clusterCounts(stream, cents)
+      .writeStream.format("memory").queryName("vec_counts")
+      .outputMode("complete").start()
+    ms.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    ms.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("vec_counts")
+      .as[(Timestamp, Int, Long)].collect().toSet
+    val batch = VectorStream.clusterCountsBatch(
+        rows.toDF("vec_id", "embedding", "ingest_ts"), cents)
+      .as[(Timestamp, Int, Long)].collect().toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(batch.toSeq.map(_._3).sum == rows.size.toLong) // every vector counted
+    assert(batch.map(_._1).size >= 2)               // spans both windows
+  }
+}
