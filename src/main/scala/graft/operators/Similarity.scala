@@ -245,6 +245,47 @@ object Similarity {
       .select(col("cluster"), col("dim"), col("n"),
         q4(col("s").cast("double") / 1000000d / col("n")).as("cval"))
 
+  /** Deterministic IVF ANN: same inverted-file search as [[ivfTopK]],
+    * but every engine-sensitive comparison is 4-dp-quantized with a
+    * fixed tie-break — corpus bucketing and query probes use the
+    * [[assignCluster]]/[[bestCentroid]] argmin, and the final ranking
+    * orders on the quantized cosine with neighbor id as tie. The result
+    * is bit-reproducible in any engine, so the approximate-search
+    * FAMILY gets a hash-verified oracle row (q161), not just recall
+    * units. Same scale shape as [[ivfTopK]]: queries broadcast
+    * ×nProbe, the corpus never shuffles, bucket id is the partition
+    * key at scale.
+    */
+  def ivfTopKDeterministic(corpus: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String, k: Int,
+                           centroids: Seq[(Int, Seq[Double])],
+                           nProbe: Int = 2): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.size)
+    val probeStructs = graft.functions.Text.bindOnce(
+      Vectors.norm(col(vecCol)), nv =>
+        array(centroids.map { case (cid, cv) =>
+          val litVec = array(cv.map(v => lit(v.toFloat)): _*)
+          val cos = Vectors.dot(col(vecCol), litVec) / (nv * Vectors.norm(litVec))
+          struct((-q4(cos)).as("neg"), lit(cid).as("cid"))
+        }: _*))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      Vectors.norm(col(vecCol)).as("qnrm"),
+      explode(transform(slice(sort_array(probeStructs), 1, nProbe),
+        s => s.getField("cid"))).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      Vectors.norm(col(vecCol)).as("nnrm"),
+      assignCluster(col(vecCol), centroids).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos4", q4(Vectors.dot(col("qvec"), col("nvec")) /
+        (col("qnrm") * col("nnrm"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos4").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos4")
+  }
+
   /** Cluster-balanced coreset: the `perCluster` most-central vectors of
     * each cluster (highest quantized cosine to the assigned centroid,
     * id tie-break) — the prototypical-subset sampler a curated training

@@ -355,5 +355,50 @@ object VectorQueries {
           ${Q4("(CAST(sum(td) AS DOUBLE)/CAST(1000000000000 AS DOUBLE)) / (sqrt(CAST(sum(ta) AS DOUBLE)/CAST(1000000000000 AS DOUBLE)) * sqrt(CAST(sum(tb) AS DOUBLE)/CAST(1000000000000 AS DOUBLE)))")} AS cos_shift
         FROM j GROUP BY k"""),
       "per-label centroid drift between two snapshots (cosine of means)"),
+
+    // ---- deterministic IVF ANN — the approximate family, hash-verified -----
+    // Same inverted-file search as q79, with every engine-sensitive
+    // comparison quantized (bucket argmin, probe ranking, final top-k)
+    // so the oracle can replay it exactly: the ANN family's search
+    // semantics get a green row, not just recall units.
+    "q161_ann_ivf_verified" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 8)
+        Similarity.ivfTopKDeterministic(emb,
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, cents, nProbe = 2)
+      },
+      Some(s"""WITH init AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+                 embedding AS cvec
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+        cassign AS (
+          SELECT vec_id, embedding, cid AS bucket FROM (
+            SELECT e.vec_id, e.embedding, i.cid,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${Q4("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(i.cvec AS DOUBLE[]))")} DESC,
+                i.cid) AS rn
+            FROM embeddings e CROSS JOIN init i) WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, embedding AS qemb, cid AS bucket FROM (
+            SELECT e.vec_id, e.embedding, i.cid,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${Q4("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(i.cvec AS DOUBLE[]))")} DESC,
+                i.cid) AS rn
+            FROM (SELECT * FROM embeddings WHERE vec_id < 8) e
+            CROSS JOIN init i) WHERE rn <= 2),
+        cand AS (
+          SELECT p.query_id, c.vec_id AS neighbor_id,
+            ${Q4("list_cosine_similarity(CAST(p.qemb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))")} AS cos4
+          FROM probes p JOIN cassign c ON c.bucket = p.bucket
+          WHERE c.vec_id <> p.query_id)
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos4
+        FROM (
+          SELECT query_id, neighbor_id, cos4,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos4 DESC, neighbor_id) AS rank
+          FROM cand) WHERE rank <= 5"""),
+      "deterministic IVF ANN: bucket assignment + probes + top-k, all quantized"),
   )
 }

@@ -359,6 +359,28 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.toSet == again.toSet)
   }
 
+  test("ivfTopKDeterministic: ≤k per query, never self, recall floor, stable") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 8)
+    val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 8)
+    val out = Similarity.ivfTopKDeterministic(emb, queries, "vec_id",
+        "embedding", k = 5, cents, nProbe = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    assert(out.nonEmpty && out.forall(r => r._1 != r._2))
+    assert(out.groupBy(_._1).values.forall(_.length <= 5))
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+    val approx = Similarity.ivfTopKDeterministic(emb, queries, "vec_id",
+      "embedding", k = 5, cents, nProbe = 4)
+    val (h, t) = Similarity.recallAtK(exact, approx)
+    assert(t > 0 && h.toDouble / t >= 0.2, s"recall ${h.toDouble / t}")
+    val again = Similarity.ivfTopKDeterministic(emb, queries, "vec_id",
+        "embedding", k = 5, cents, nProbe = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    assert(out.toSet == again.toSet)
+  }
+
   test("centroidShift: self-comparison is 1.0, one-sided keys dropped") {
     val emb = graft.Tables.embeddings(spark, sf0001)
     val self = Similarity.centroidShift(emb, emb, "label", "embedding")
