@@ -367,6 +367,86 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("cosine"))
   }
 
+  /** Exact-substring (repeated token-span) dedup report — the
+    * rolling-window form of Lee et al.'s "Deduplicating Training Data
+    * Makes Language Models Better" suffix-array pass: every k-token
+    * window whose normalized content occurs MORE than once corpus-wide
+    * is a duplicated span everywhere except its canonical (globally
+    * first, by (id, pos)) occurrence. Returns one row per document:
+    * (id, n_tokens, dup_windows, dup_positions) where dup_positions is
+    * the size of the union of the non-canonical windows' token ranges —
+    * the token count [[removeDuplicateSpans]] would cut.
+    *
+    * Scale: window strings exist only inside the scan-side projection
+    * (they hash to 64-bit keys before anything moves — results exact up
+    * to xxhash64 collisions, like [[jaccardPairs]]); the canonical
+    * aggregation and the enrich-back join both carry slim (hash, id,
+    * pos) rows partitioned by hash, and each window occurrence joins
+    * exactly one canonical row, so a corpus-hot window (boilerplate
+    * sentence) fans out linearly in its occurrence count, never
+    * quadratically. Coverage counting explodes k rows per DUPLICATED
+    * window only.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      split(Text.normalize(col(textCol)), " ").as("__toks"))
+      .select(col("id"), size(col("__toks")).as("n_tokens"), col("__toks"))
+    val wins = base.filter(size(col("__toks")) >= k)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), size(col("__toks")) - k),
+          i => xxhash64(concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))))
+          .as(Seq("pos", "h")))
+    val canon = wins.groupBy("h")
+      .agg(count(lit(1)).as("__df"), min(struct(col("id"), col("pos"))).as("c"))
+      .filter(col("__df") >= 2)
+      .select("h", "c")
+    val dup = wins.join(canon, Seq("h"))
+      .filter(col("id") =!= col("c.id") || col("pos") =!= col("c.pos"))
+      .select("id", "pos")
+    val dupWin = dup.groupBy("id").agg(count(lit(1)).as("dup_windows"))
+    val covered = dup
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + k - 1)).as("p"))
+      .groupBy("id").agg(countDistinct(col("p")).as("dup_positions"))
+    base.select("id", "n_tokens")
+      .join(dupWin, Seq("id"), "left")
+      .join(covered, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("dup_positions"), lit(0L)).as("dup_positions"))
+  }
+
+  /** Companion removal pass: cut every non-canonical duplicated k-token
+    * span (the spans [[duplicateSpans]] counts) and reassemble each
+    * document from its surviving tokens in original order. Documents
+    * keep exactly `n_tokens - dup_positions` tokens. The covered
+    * position set per doc is bounded by document length, built as a
+    * broadcast-friendly aggregated array only for AFFECTED documents.
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      split(Text.normalize(col(textCol)), " ").as("__toks"))
+    val wins = base.filter(size(col("__toks")) >= k)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), size(col("__toks")) - k),
+          i => xxhash64(concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))))
+          .as(Seq("pos", "h")))
+    val canon = wins.groupBy("h")
+      .agg(count(lit(1)).as("__df"), min(struct(col("id"), col("pos"))).as("c"))
+      .filter(col("__df") >= 2)
+      .select("h", "c")
+    val cut = wins.join(canon, Seq("h"))
+      .filter(col("id") =!= col("c.id") || col("pos") =!= col("c.pos"))
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + k - 1)).as("p"))
+      .groupBy("id").agg(collect_set(col("p")).as("__cut"))
+    base.join(cut, Seq("id"), "left")
+      .select(col("id"),
+        concat_ws(" ", filter(col("__toks"), (t, i) =>
+          col("__cut").isNull || !array_contains(col("__cut"), i)))
+          .as("clean_text"))
+  }
+
   /** Bipartite embedding near-dup: (left_id, right_id, cosine) pairs
     * BETWEEN two corpora — the incremental form of
     * [[embeddingNearDups]], where a new snapshot (left) is deduplicated

@@ -989,5 +989,41 @@ object CorpusQueries {
           AS sum_chars
         FROM picked GROUP BY lang"""),
       "target domain-mix resample: exact shares, binding domain keeps all"),
+
+    // ---- exact-substring (repeated token-span) dedup report -----------------
+    // The rolling-window form of Lee et al.'s suffix-array pass: any
+    // 8-token window occurring twice corpus-wide is duplicated
+    // everywhere but its globally-first occurrence. Spark compares
+    // xxhash64(window) (exact up to 64-bit collisions, the q58
+    // contract); the oracle compares window STRINGS — a hash match
+    // therefore also certifies collision-freedom on this corpus.
+    "q162_dup_spans" -> Q(
+      (s, d) => Dedup.duplicateSpans(Tables.documents(s, d),
+          "doc_id", "text", k = 8)
+        .withColumnRenamed("id", "doc_id"),
+      Some(s"""WITH b AS (
+          SELECT doc_id, toks, len(toks) AS n_tokens
+          FROM (SELECT doc_id, $tokSql AS toks FROM documents)),
+        w AS (
+          SELECT doc_id, g.i AS pos,
+            array_to_string(toks[g.i+1 : g.i+8], ' ') AS win
+          FROM b, LATERAL (SELECT unnest(range(len(toks) - 7)) AS i) g
+          WHERE len(toks) >= 8),
+        marked AS (
+          SELECT doc_id, pos,
+            count(*) OVER (PARTITION BY win) AS df,
+            row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+          FROM w),
+        dup AS (SELECT doc_id, pos FROM marked WHERE df >= 2 AND rn > 1),
+        dw AS (SELECT doc_id, count(*) AS dup_windows FROM dup GROUP BY doc_id),
+        covered AS (
+          SELECT doc_id, count(DISTINCT pos + g.j) AS dup_positions
+          FROM dup, LATERAL (SELECT unnest(range(8)) AS j) g
+          GROUP BY doc_id)
+        SELECT b.doc_id, CAST(b.n_tokens AS INTEGER) AS n_tokens,
+          CAST(coalesce(dw.dup_windows, 0) AS BIGINT) AS dup_windows,
+          CAST(coalesce(covered.dup_positions, 0) AS BIGINT) AS dup_positions
+        FROM b LEFT JOIN dw USING (doc_id) LEFT JOIN covered USING (doc_id)"""),
+      "exact-substring dedup report: duplicated 8-token spans per doc"),
   )
 }

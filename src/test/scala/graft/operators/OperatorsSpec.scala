@@ -37,6 +37,28 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(10L, 13L))
   }
 
+  test("duplicateSpans + removeDuplicateSpans: cross-doc and within-doc spans cut, canonical kept") {
+    val spans = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "intro words alpha beta gamma delta closing remark"),
+      (3L, "one two three four one two three four"),
+      (4L, "totally unrelated short text here"))
+      .toDF("doc_id", "text")
+    val rep = Dedup.duplicateSpans(spans, "doc_id", "text", k = 4)
+      .select("id", "n_tokens", "dup_windows", "dup_positions")
+      .as[(Long, Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rep(1L) == ((1L, 6, 0L, 0L)))   // canonical occurrence: untouched
+    assert(rep(2L) == ((2L, 8, 1L, 4L)))   // shares "alpha beta gamma delta"
+    assert(rep(3L) == ((3L, 8, 1L, 4L)))   // within-doc repeat of first window
+    assert(rep(4L) == ((4L, 5, 0L, 0L)))
+    val clean = Dedup.removeDuplicateSpans(spans, "doc_id", "text", k = 4)
+      .as[(Long, String)].collect().toMap
+    assert(clean(1L) == "alpha beta gamma delta epsilon zeta")
+    assert(clean(2L) == "intro words closing remark")
+    assert(clean(3L) == "one two three four")
+    assert(clean(4L) == "totally unrelated short text here")
+  }
+
   test("minhash signature identical for exact dups, candidates found") {
     val sig = docs.select(col("doc_id"),
       Dedup.minhashSignature(col("text"), 3, 16).as("sig"))
