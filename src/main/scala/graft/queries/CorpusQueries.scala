@@ -1025,5 +1025,39 @@ object CorpusQueries {
           CAST(coalesce(covered.dup_positions, 0) AS BIGINT) AS dup_positions
         FROM b LEFT JOIN dw USING (doc_id) LEFT JOIN covered USING (doc_id)"""),
       "exact-substring dedup report: duplicated 8-token spans per doc"),
+
+    // ---- exact-substring span REMOVAL (the q162 cut, applied) ---------------
+    // Cleaned text per document: non-canonical duplicated 8-token spans
+    // cut, surviving tokens reassembled in order (q151's oracle pattern,
+    // at token granularity).
+    "q163_span_removal" -> Q(
+      (s, d) => Dedup.removeDuplicateSpans(Tables.documents(s, d),
+          "doc_id", "text", k = 8)
+        .withColumnRenamed("id", "doc_id"),
+      Some(s"""WITH b AS (
+          SELECT doc_id, toks FROM (SELECT doc_id, $tokSql AS toks FROM documents)),
+        w AS (
+          SELECT doc_id, g.i AS pos,
+            array_to_string(toks[g.i+1 : g.i+8], ' ') AS win
+          FROM b, LATERAL (SELECT unnest(range(len(toks) - 7)) AS i) g
+          WHERE len(toks) >= 8),
+        marked AS (
+          SELECT doc_id, pos,
+            count(*) OVER (PARTITION BY win) AS df,
+            row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+          FROM w),
+        cut AS (
+          SELECT DISTINCT doc_id, pos + g.j AS p
+          FROM (SELECT doc_id, pos FROM marked WHERE df >= 2 AND rn > 1),
+               LATERAL (SELECT unnest(range(8)) AS j) g),
+        pos AS (
+          SELECT doc_id, g.p, toks[g.p+1] AS tok
+          FROM b, LATERAL (SELECT unnest(range(len(toks))) AS p) g),
+        kept AS (SELECT pos.* FROM pos ANTI JOIN cut USING (doc_id, p)),
+        reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS t
+                FROM kept GROUP BY doc_id)
+        SELECT b.doc_id, coalesce(reb.t, '') AS clean_text
+        FROM b LEFT JOIN reb USING (doc_id)"""),
+      "exact-substring span removal: cleaned text, order preserved"),
   )
 }
