@@ -261,20 +261,36 @@ object Similarity {
                            centroids: Seq[(Int, Seq[Double])],
                            nProbe: Int = 2): DataFrame = {
     require(nProbe >= 1 && nProbe <= centroids.size)
-    val probeStructs = graft.functions.Text.bindOnce(
-      Vectors.norm(col(vecCol)), nv =>
-        array(centroids.map { case (cid, cv) =>
-          val litVec = array(cv.map(v => lit(v.toFloat)): _*)
-          val cos = Vectors.dot(col(vecCol), litVec) / (nv * Vectors.norm(litVec))
-          struct((-q4(cos)).as("neg"), lit(cid).as("cid"))
-        }: _*))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      Vectors.norm(col(vecCol)).as("qnrm"),
-      explode(transform(slice(sort_array(probeStructs), 1, nProbe),
-        s => s.getField("cid"))).as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
       Vectors.norm(col(vecCol)).as("nnrm"),
       assignCluster(col(vecCol), centroids).as("bucket"))
+    probedSearch(c, queries, idCol, vecCol, k, centroids, nProbe)
+  }
+
+  /** The `nProbe` nearest centroids by QUANTIZED cosine, best first —
+    * the probe sequence of the deterministic IVF variants. */
+  private def quantizedProbes(vec: Column, centroids: Seq[(Int, Seq[Double])],
+                              nProbe: Int): Column = {
+    val probeStructs = graft.functions.Text.bindOnce(Vectors.norm(vec), nv =>
+      array(centroids.map { case (cid, cv) =>
+        val litVec = array(cv.map(v => lit(v.toFloat)): _*)
+        val cos = Vectors.dot(vec, litVec) / (nv * Vectors.norm(litVec))
+        struct((-q4(cos)).as("neg"), lit(cid).as("cid"))
+      }: _*))
+    transform(slice(sort_array(probeStructs), 1, nProbe), s => s.getField("cid"))
+  }
+
+  /** Shared search tail of the deterministic IVF variants: probe-explode
+    * the broadcast query side, join on bucket, rank by quantized cosine
+    * with neighbor-id tie-break. `c` must carry (neighbor_id, nvec,
+    * nnrm, bucket). */
+  private def probedSearch(c: DataFrame, queries: DataFrame, idCol: String,
+                           vecCol: String, k: Int,
+                           centroids: Seq[(Int, Seq[Double])],
+                           nProbe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      Vectors.norm(col(vecCol)).as("qnrm"),
+      explode(quantizedProbes(col(vecCol), centroids, nProbe)).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos4", q4(Vectors.dot(col("qvec"), col("nvec")) /
@@ -284,6 +300,35 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos4")
+  }
+
+  /** IVF with a MATERIALIZED inverted file: the index build writes the
+    * corpus partitioned by assigned bucket (with norms precomputed);
+    * the search reads back ONLY the probed buckets, so the scan is
+    * partition-PRUNED — at 100 TB a query bundle touches
+    * |probe buckets|/k of the files, which is the entire point of an
+    * inverted file. The probe bucket set is derived from the tiny query
+    * side on the driver (bounded metadata, ≤ queries × nProbe ints);
+    * search semantics are identical to [[ivfTopKDeterministic]], so the
+    * storage round-trip is hash-verifiable against the same oracle
+    * family (q164).
+    */
+  def ivfPartitionedTopK(corpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, k: Int,
+                         centroids: Seq[(Int, Seq[Double])],
+                         nProbe: Int, indexPath: String): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.size)
+    val spark = corpus.sparkSession
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+        Vectors.norm(col(vecCol)).as("nnrm"),
+        assignCluster(col(vecCol), centroids).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(indexPath)
+    val probeBuckets = queries
+      .select(explode(quantizedProbes(col(vecCol), centroids, nProbe)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val c = spark.read.parquet(indexPath)
+      .filter(col("bucket").isin(probeBuckets: _*))
+    probedSearch(c, queries, idCol, vecCol, k, centroids, nProbe)
   }
 
   /** Cluster-balanced coreset: the `perCluster` most-central vectors of

@@ -400,5 +400,52 @@ object VectorQueries {
               ORDER BY cos4 DESC, neighbor_id) AS rank
           FROM cand) WHERE rank <= 5"""),
       "deterministic IVF ANN: bucket assignment + probes + top-k, all quantized"),
+
+    // ---- materialized IVF: partitioned index build + pruned probe read -----
+    // The storage form of the inverted file: corpus written partitioned
+    // by assigned bucket, search reads back only the probed partitions
+    // (partition pruning — the unit asserts PartitionFilters in the
+    // plan). The oracle ignores storage entirely and replays pure search
+    // semantics: the round-trip must not change a single row.
+    "q164_ivf_partitioned" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 16)
+        Similarity.ivfPartitionedTopK(emb,
+          emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+          k = 5, cents, nProbe = 2,
+          indexPath = "/tmp/graft_ivf_index")
+      },
+      Some(s"""WITH init AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+                 embedding AS cvec
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+        cassign AS (
+          SELECT vec_id, embedding, cid AS bucket FROM (
+            SELECT e.vec_id, e.embedding, i.cid,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${Q4("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(i.cvec AS DOUBLE[]))")} DESC,
+                i.cid) AS rn
+            FROM embeddings e CROSS JOIN init i) WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, embedding AS qemb, cid AS bucket FROM (
+            SELECT e.vec_id, e.embedding, i.cid,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${Q4("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(i.cvec AS DOUBLE[]))")} DESC,
+                i.cid) AS rn
+            FROM (SELECT * FROM embeddings WHERE vec_id < 4) e
+            CROSS JOIN init i) WHERE rn <= 2),
+        cand AS (
+          SELECT p.query_id, c.vec_id AS neighbor_id,
+            ${Q4("list_cosine_similarity(CAST(p.qemb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))")} AS cos4
+          FROM probes p JOIN cassign c ON c.bucket = p.bucket
+          WHERE c.vec_id <> p.query_id)
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos4
+        FROM (
+          SELECT query_id, neighbor_id, cos4,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos4 DESC, neighbor_id) AS rank
+          FROM cand) WHERE rank <= 5"""),
+      "materialized IVF: partitioned index write + pruned probe read-back"),
   )
 }

@@ -403,6 +403,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSet == again.toSet)
   }
 
+  test("ivfPartitionedTopK: probe read is partition-pruned, rows ≡ in-memory variant") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 4)
+    val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_unit").toString
+    val part = Similarity.ivfPartitionedTopK(emb, queries, "vec_id",
+      "embedding", k = 5, cents, nProbe = 2, indexPath = dir)
+    val plan = part.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined, plan.take(3000))
+    val mem = Similarity.ivfTopKDeterministic(emb, queries, "vec_id",
+      "embedding", k = 5, cents, nProbe = 2)
+    val a = part.as[(Long, Long, Int, Double)].collect().toSet
+    val b = mem.as[(Long, Long, Int, Double)].collect().toSet
+    assert(a.nonEmpty && a == b)
+  }
+
   test("centroidShift: self-comparison is 1.0, one-sided keys dropped") {
     val emb = graft.Tables.embeddings(spark, sf0001)
     val self = Similarity.centroidShift(emb, emb, "label", "embedding")
