@@ -16,7 +16,8 @@ object SparkEntry {
   val all: Map[String, Q] =
     RelationalQueries.defs ++ AggWindowQueries.defs ++ TextQueries.defs ++
       VectorQueries.defs ++ EventQueries.defs ++ MultimodalQueries.defs ++
-      DomainQueries.defs ++ SourceQueries.defs ++ CorpusQueries.defs
+      DomainQueries.defs ++ SourceQueries.defs ++ CorpusQueries.defs ++
+      RetrievalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The SURVEY §7.3 minimum slice: scan → joins → group → aggregate. */

@@ -302,6 +302,58 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("hamming"))
   }
 
+  /** Cross-engine-portable SimHash: same vote semantics as
+    * [[simhashSignatures]], but the per-token hash is the first 15 hex
+    * digits of md5 (60 bits, always non-negative) instead of xxhash64 —
+    * md5 is bit-identical in every engine, so an external system (the
+    * DuckDB oracle, a Python checker, a second warehouse) can recompute
+    * signatures exactly and certify the whole near-dup pass, not just
+    * sample it. `bits ≤ 60` keeps the word inside a signed long.
+    *
+    * Inner semantics: documents with zero (non-empty) tokens produce no
+    * signature row — callers that need them keep a left join on `df`.
+    *
+    * Shape: explode tokens (no shuffle) → `bits` codegen'd map-side
+    * partial sums → ONE shuffle on id → assemble word. Identical plan
+    * class to the xxhash64 bulk path; the only cost delta is md5 vs
+    * xxhash64 per token.
+    */
+  def portableSimhash(df: DataFrame, idCol: String, textCol: String,
+                      bits: Int = 60): DataFrame = {
+    require(bits >= 1 && bits <= 60, s"bits must be in [1,60], got $bits")
+    val toks = df.select(col(idCol).as("id"),
+      explode(Text.tokens(Text.normalize(col(textCol)))).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10)
+        .cast("long"))
+    val voteCols = (0 until bits).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1L) * 2L - 1L).as(s"v$b")
+    }
+    val votes = toks.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+    val word = (0 until bits).map { b =>
+      when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    votes.withColumn("sig", word).select("id", "sig")
+  }
+
+  /** Blocked near-dup pairs over [[portableSimhash]] signatures: all
+    * (id_a < id_b) pairs sharing `blockCol` whose Hamming distance is
+    * ≤ `maxHamming`. The block join keeps candidate generation keyed
+    * (never all-pairs); signatures are 8 bytes, so the only shuffle of
+    * the pair stage carries (block, id, long). */
+  def portableSimhashPairs(df: DataFrame, idCol: String, textCol: String,
+                           blockCol: String, bits: Int = 60,
+                           maxHamming: Int = 30): DataFrame = {
+    val blocks = df.select(col(idCol).as("id"), col(blockCol).as("block"))
+      .filter(col("block").isNotNull)
+    val sigs = portableSimhash(df, idCol, textCol, bits).join(blocks, "id")
+    val l = sigs.as("l"); val r = sigs.as("r")
+    l.join(r, col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        hamming64(col("l.sig"), col("r.sig")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Repeated-line (boilerplate) removal — the RefinedWeb/CCNet line-dedup
     * pass: any line occurring in at least `minDocFreq` DISTINCT documents
     * (nav bars, cookie banners, license footers) is removed from EVERY

@@ -1,0 +1,200 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Text
+import graft.operators.Dedup
+import graft.sources.{Sinks, Sources}
+import Q._
+
+/** Retrieval / language-model scoring layer over the corpus tables:
+  * BM25 ranked retrieval on the q125 inverted-index statistics, a
+  * cross-engine-verifiable SimHash near-dup pass, the ORC interchange
+  * round-trip, and an interpolated bigram LM quality score (the KenLM-ish
+  * perplexity gate CCNet applies, one modeling step past q108's unigram).
+  *
+  * All floating-point scores are quantized (Q.q4) before any rank or sum
+  * so libm ulp differences between the JVM and DuckDB never reach the
+  * driver's hash compare.
+  */
+object RetrievalQueries {
+
+  /** DuckDB rendering of Text.normalize / Text.tokens (same strings as
+    * CorpusQueries — kept private per-file to avoid cross-file coupling
+    * in query definitions). */
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+  private val tokSql = s"string_split_regex($normSql, '\\s+')"
+
+  val defs: Map[String, Q] = Map(
+
+    // ---- BM25 top-k retrieval --------------------------------------------
+    // Okapi BM25 (k1=1.2, b=0.75) for a fixed conjunctive term set: the
+    // standard lexical half of a retrieve-and-rerank pipeline and the
+    // scoring rule the q125 index exists to serve. Three corpus stats
+    // (N, total tokens, per-doc length) + per-(doc,term) tf; the df and
+    // tf sides are broadcast-class (|query terms| rows / rows only for
+    // matching docs), the only full shuffle is the per-doc length agg.
+    // idf is quantized before the tf-norm product, per-term
+    // contributions before the exact fixed-point sum, so both engines
+    // rank the identical quantized total; top-k plans as
+    // TakeOrderedAndProject (distributed partial top-k, no global sort).
+    "q165_bm25_topk" -> Q(
+      (s, d) => {
+        val terms = Seq("spark", "merge", "filter")
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          explode(Text.tokens(Text.normalize(col("text")))).as("term"))
+          .filter(col("term") =!= "")
+        val nDocs = docs.count()       // scalar metadata jobs: N and total
+        val totToks = toks.count()     // token count parameterize idf/avgdl
+        val avgdl = totToks.toDouble / nDocs.toDouble
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val tf = toks.filter(col("term").isin(terms: _*))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val idf = q4(log(lit(1.0d) +
+          (lit(nDocs.toDouble) - col("df") + lit(0.5d)) /
+            (col("df") + lit(0.5d))))
+        val tfnorm = (col("tf") * lit(2.2d)) /
+          (col("tf") + lit(1.2d) *
+            (lit(0.25d) + lit(0.75d) * (col("dl") / lit(avgdl))))
+        tf.join(broadcast(dfreq), "term").join(dl, "doc_id")
+          .withColumn("contrib", q4(idf * tfnorm))
+          .groupBy("doc_id")
+          .agg(q4(xsum4(col("contrib"))).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id").asc)
+          .limit(15)
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, tok AS term FROM (
+            SELECT doc_id, unnest($tokSql) AS tok FROM documents)
+          WHERE tok <> ''),
+        nd AS (SELECT count(*) AS n FROM documents),
+        tt AS (SELECT count(*) AS t FROM toks),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ('spark', 'merge', 'filter') GROUP BY 1, 2),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        scored AS (SELECT tf.doc_id,
+          ${Q4(s"(${Q4("ln(CAST(1.0 AS DOUBLE) + ((CAST(nd.n AS DOUBLE) - df) + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))")}) * ((tf * CAST(2.2 AS DOUBLE)) / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (dl / (CAST(tt.t AS DOUBLE) / CAST(nd.n AS DOUBLE))))))")} AS contrib
+          FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN nd CROSS JOIN tt)
+        SELECT doc_id, ${Q4(XSUM4("contrib"))} AS bm25
+        FROM scored GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT 15"""),
+      "BM25 top-k retrieval: quantized idf/tf-norm, fixed-point score sum"),
+
+    // ---- portable SimHash near-dup pairs, fully oracle-verified ----------
+    // q60's SimHash is sketch-grade (xxhash64 token hash — no external
+    // engine can recompute it). This variant swaps the token hash for the
+    // first 60 bits of md5, which DuckDB reproduces bit-for-bit, so the
+    // ENTIRE pass — per-token hash, per-bit votes, sign assembly, XOR
+    // popcount, threshold — is hash-verified end to end, the same closure
+    // q111 gave MinHash/LSH. Blocked on `source` (candidate generation
+    // stays keyed); Hamming ≤ 12 on 60 bits ≈ cosine ≳ 0.8 on the token
+    // vote vectors.
+    "q166_simhash_portable" -> Q(
+      (s, d) => Dedup.portableSimhashPairs(Tables.documents(s, d),
+        "doc_id", "text", blockCol = "source", bits = 60, maxHamming = 12)
+        .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b"),
+      Some(s"""WITH toks AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest($tokSql) AS tok FROM documents)
+          WHERE tok <> ''),
+        th AS (SELECT doc_id,
+            CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+        votes AS (SELECT doc_id, g.b, sum(((h >> g.b) & 1) * 2 - 1) AS v
+                  FROM th, LATERAL (SELECT unnest(range(60)) AS b) g
+                  GROUP BY 1, 2),
+        sig AS (SELECT doc_id,
+            CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                          ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+          FROM votes GROUP BY 1),
+        sb AS (SELECT s.doc_id, s.sig, d.source
+               FROM sig s JOIN documents d USING (doc_id))
+        SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+          CAST(bit_count(xor(l.sig, r.sig)) AS INTEGER) AS hamming
+        FROM sb l JOIN sb r ON l.source = r.source AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.sig, r.sig)) <= 12"""),
+      "SimHash near-dup pairs with a cross-engine-exact md5 token hash"),
+
+    // ---- ORC interchange round-trip --------------------------------------
+    // Format breadth for the lake seam: write a projection through the
+    // ORC sink, read it back with the ORC source, return THE RE-READ
+    // ROWS. The oracle recomputes the frame from the parquet original,
+    // so a hash match proves the ORC write→read cycle is lossless for
+    // int/string/double columns — the q148 pattern applied to the second
+    // native columnar format.
+    "q167_orc_roundtrip" -> Q(
+      (s, d) => {
+        val tmp = Files.createTempDirectory("graft_orc_q").toString
+        val frame = Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+          .filter(col("p_retailprice") > 1200.0)
+        Sinks.orcOverwrite(frame, s"$tmp/part_orc")
+        Sources.orc(s, s"$tmp/part_orc")
+      },
+      Some("""SELECT p_partkey, p_brand, p_retailprice
+        FROM part WHERE p_retailprice > 1200.0"""),
+      "ORC sink + source round-trip read back row-for-row"),
+
+    // ---- interpolated bigram LM score ------------------------------------
+    // One modeling step past q108: p(w2|w1) = 0.7·c(w1w2)/c(w1·) +
+    // 0.3·c(w2)/T (Jelinek–Mercer interpolation — the backbone of the
+    // KenLM filters CCNet/RefinedWeb apply). Corpus model = three counts
+    // (bigram, left-context, unigram), all broadcast-class at any scale
+    // where the vocab fits an executor (token-level stats, not doc
+    // rows); the per-doc score is then one map-side join fan-in + one
+    // groupBy on doc_id. Per-position log-probs quantized before the
+    // exact fixed-point mean.
+    "q168_bigram_lm" -> Q(
+      (s, d) => {
+        val tk = Tables.documents(s, d)
+          .select(col("doc_id"),
+            filter(Text.tokens(Text.normalize(col("text"))),
+              t => t =!= "").as("toks"))
+        val big = tk.filter(size(col("toks")) >= 2)
+          .select(col("doc_id"),
+            explode(sequence(lit(0), size(col("toks")) - 2)).as("i"),
+            col("toks"))
+          .select(col("doc_id"),
+            element_at(col("toks"), col("i") + 1).as("w1"),
+            element_at(col("toks"), col("i") + 2).as("w2"))
+        val uniToks = tk.select(explode(col("toks")).as("w2"))
+        val totToks = uniToks.count() // scalar job: T for the unigram term
+        val uni = uniToks.groupBy("w2").agg(count(lit(1)).as("c2"))
+        val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val lc = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val p = lit(0.7d) * (col("c12").cast("double") / col("c1").cast("double")) +
+          lit(0.3d) * (col("c2").cast("double") / lit(totToks.toDouble))
+        big.join(broadcast(bc), Seq("w1", "w2"))
+          .join(broadcast(lc), Seq("w1"))
+          .join(broadcast(uni), Seq("w2"))
+          .withColumn("lp", q4(log(p)))
+          .groupBy("doc_id")
+          .agg(q4(xsum4(col("lp")) / count(lit(1))).as("mean_lp"),
+            count(lit(1)).as("n_big"))
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, list_filter($tokSql, t -> t <> '') AS toks
+          FROM documents),
+        big AS (SELECT doc_id, toks[g.i+1] AS w1, toks[g.i+2] AS w2
+                FROM tk, LATERAL (SELECT unnest(range(len(toks) - 1)) AS i) g
+                WHERE len(toks) >= 2),
+        uni AS (SELECT tok AS w2, count(*) AS c2 FROM (
+            SELECT unnest(toks) AS tok FROM tk) GROUP BY 1),
+        tot AS (SELECT count(*) AS t FROM (SELECT unnest(toks) AS tok FROM tk)),
+        bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+        lc AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1)
+        SELECT big.doc_id,
+          ${Q4(s"${XSUM4(Q4("ln(CAST(0.7 AS DOUBLE) * (CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) + CAST(0.3 AS DOUBLE) * (CAST(c2 AS DOUBLE) / CAST(tot.t AS DOUBLE)))"))} / count(*)")} AS mean_lp,
+          count(*) AS n_big
+        FROM big JOIN bc USING (w1, w2) JOIN lc USING (w1)
+        JOIN uni USING (w2) CROSS JOIN tot
+        GROUP BY big.doc_id"""),
+      "interpolated bigram LM quality score (Jelinek–Mercer, fixed-point mean)"),
+  )
+}

@@ -39,6 +39,13 @@ object Sinks {
   def overwriteTable(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** ORC overwrite sink — the write half of [[Sources.orc]]'s
+    * interchange path (export to a Hive-lineage consumer without a
+    * driver-side format bridge; columnar, splittable, stats-bearing
+    * like the parquet sinks). */
+  def orcOverwrite(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Small-files compaction: rewrite a dataset into files of roughly
     * `rowsPerFile` rows. The chronic failure mode of a long-running
     * ingest (streaming micro-batches, per-source imports) is thousands

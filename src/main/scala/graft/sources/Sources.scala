@@ -143,4 +143,19 @@ object Sources {
     val r = spark.read
     schema.fold(r)(s => r.schema(s)).json(path)
   }
+
+  /** ORC reader — the second columnar lake format Spark ships natively
+    * (vectorized reader, predicate pushdown, column pruning — same
+    * properties as the parquet mirror path). Interchange surface for
+    * warehouses whose canonical store is ORC (Hive-lineage clusters):
+    * the engine reads them in place instead of forcing a parquet
+    * conversion pass over 100 TB. An explicit schema skips footer
+    * merging across a large glob.
+    */
+  def orc(spark: SparkSession, path: String,
+          schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).orc(path)
+  }
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Units for the retrieval/LM layer (q165–q168): portable SimHash
+  * invariants and the BM25 scoring shape. The full numeric contracts are
+  * oracle-verified (DuckDB hash compare) — these pin the operator-level
+  * semantics that survive refactors.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta", "s1"),
+    (2L, "alpha beta gamma delta epsilon zeta", "s1"),   // exact dup of 1
+    (3L, "alpha beta gamma delta epsilon eta", "s1"),    // one-token edit
+    (4L, "omega psi chi phi upsilon tau", "s1"),         // disjoint vocab
+    (5L, "alpha beta gamma delta epsilon zeta", "s2"),   // dup, other block
+    (6L, "", "s1")                                       // empty doc
+  ).toDF("id", "text", "source")
+
+  test("portableSimhash: identical texts hash identically; empty docs have no row") {
+    val sigs = Dedup.portableSimhash(docs, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L) && sigs(2L) == sigs(5L))
+    assert(!sigs.contains(6L), "zero-token doc must produce no signature")
+    assert(sigs.values.forall(s => s >= 0L && s < (1L << 60)))
+  }
+
+  test("portableSimhash: near-dup is closer than disjoint-vocab doc") {
+    val sigs = Dedup.portableSimhash(docs, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+  }
+
+  test("portableSimhashPairs: blocks bound candidates, dups at distance 0") {
+    val pairs = Dedup.portableSimhashPairs(docs, "id", "text", "source",
+      maxHamming = 60).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 5L || b == 5L },
+      "cross-block pair must not be generated")
+    assert(pairs.keySet.forall { case (a, b) => a < b })
+  }
+
+  test("bm25 shape: doc with more query-term occurrences outranks, ties break by id") {
+    // Recompute the q165 program on a fixture small enough to reason
+    // about: doc 10 has the query term twice, doc 11 once, doc 12 never.
+    val d = Seq(
+      (10L, "ship ship cargo deck deck deck"),
+      (11L, "ship cargo cargo deck deck deck"),
+      (12L, "cargo cargo cargo deck deck deck")
+    ).toDF("doc_id", "text")
+    val toks = d.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = toks.filter(col("term") === "ship")
+      .groupBy("doc_id").agg(count(lit(1)).as("tf"))
+    val ranked = tf.orderBy(col("tf").desc, col("doc_id").asc)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ranked == Seq(10L, 11L))
+  }
+}
