@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Byte-pair-encoding merge training — the tokenizer-building step of an
+  * LLM data pipeline (Sennrich et al. 2016), distributed the way
+  * production trainers structure it: ONE corpus-scale shuffle builds the
+  * (word, freq) vocabulary, and every merge round after that runs on the
+  * vocab table — whose size is the number of DISTINCT words, not corpus
+  * tokens. Per round the driver receives exactly one row (the argmax
+  * pair), the k-means/q156 metadata pattern; symbol arrays never leave
+  * their partition.
+  *
+  * Merge application is the standard greedy left-to-right non-overlapping
+  * scan, implemented as a per-word array fold: a merged symbol can never
+  * equal the left symbol of the SAME round's pair (the right side is
+  * non-empty), so "last element of the accumulator == left ∧ current ==
+  * right" is exactly the non-overlap rule. Tie-break on equal pair count
+  * is lexicographic (left, right) so training is deterministic and
+  * cross-engine replayable.
+  */
+object Bpe {
+
+  private val mergeSchema = StructType(Seq(
+    StructField("merge_round", IntegerType, nullable = false),
+    StructField("lhs", StringType, nullable = false),
+    StructField("rhs", StringType, nullable = false),
+    StructField("pair_count", LongType, nullable = false)))
+
+  /** Train `rounds` BPE merges over a (word, freq) vocabulary.
+    * Returns (merge_round, lhs, rhs, pair_count) — one row per learned
+    * merge, in training order ("lhs"/"rhs" because LEFT/RIGHT/ROUND are
+    * reserved words downstream). Stops early if no adjacent pair remains.
+    */
+  def trainMerges(vocab: DataFrame, wordCol: String, freqCol: String,
+                  rounds: Int): DataFrame = {
+    val spark = vocab.sparkSession
+    var syms = vocab.select(
+      col(wordCol).cast("string").as("word"),
+      col(freqCol).cast("long").as("freq"))
+      .withColumn("syms",
+        transform(sequence(lit(1), length(col("word"))),
+          i => substring(col("word"), i, lit(1))))
+      .select("word", "freq", "syms")
+    // each round's vocab state feeds the next: pin it so the lineage
+    // (and analysis cost) doesn't grow multiplicatively with rounds
+    syms = syms.localCheckpoint(true)
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val counts = syms.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(
+          transform(sequence(lit(0), size(col("syms")) - 2), i =>
+            struct(element_at(col("syms"), i + 1).as("l"),
+              element_at(col("syms"), i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+      val best = counts
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect() // exactly one argmax row reaches the driver
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Row(r, a, b, cnt)
+        val la = lit(a); val lb = lit(b)
+        // greedy non-overlapping merge as a left fold over the symbols
+        val folded = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, x) => when(size(acc) > 0 &&
+              element_at(acc, -1) === la && x === lb,
+            concat(slice(acc, lit(1), size(acc) - 1), array(concat(la, lb))))
+            .otherwise(concat(acc, array(x))))
+        syms = syms.withColumn("syms", folded).localCheckpoint(true)
+        r += 1
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.toSeq, 1), mergeSchema)
+  }
+
+  /** Convenience: vocabulary (word, freq) from a corpus text column —
+    * the one corpus-scale shuffle of BPE training. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame = {
+    import graft.functions.Text
+    docs.select(explode(Text.tokens(Text.normalize(col(textCol))))
+        .as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+  }
+}

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Text
-import graft.operators.Dedup
+import graft.operators.{Bpe, Dedup}
 import graft.sources.{Sinks, Sources}
 import Q._
 
@@ -27,6 +27,53 @@ object RetrievalQueries {
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
   private val tokSql = s"string_split_regex($normSql, '\\s+')"
+
+  /** DuckDB replay of `Bpe.trainMerges`: one layered-CTE block per merge
+    * round (the q156 k-means pattern — iterative training rendered as
+    * layers). The greedy non-overlapping merge is the gaps-and-islands
+    * form: mark positions where (sym, next) equals the round's best
+    * pair, group consecutive marks, and take even offsets within each
+    * island — exactly the left-fold semantics of the Scala side. */
+  private def bpeOracleSql(rounds: Int): String = {
+    val base = s"""vocab AS (
+        SELECT tok AS word, count(*) AS freq FROM (
+          SELECT unnest($tokSql) AS tok FROM documents) t
+        WHERE tok <> '' GROUP BY 1),
+      syms0 AS (SELECT word, freq, string_split(word, '') AS syms FROM vocab)"""
+    val layers = (1 to rounds).map { k =>
+      val p = k - 1
+      s"""pc$k AS (
+        SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+          SELECT freq, syms[g.i+1] AS l, syms[g.i+2] AS r
+          FROM syms$p, LATERAL (SELECT unnest(range(len(syms) - 1)) AS i) g
+          WHERE len(syms) >= 2) GROUP BY 1, 2),
+      best$k AS (SELECT l, r, cnt FROM pc$k ORDER BY cnt DESC, l, r LIMIT 1),
+      pos$k AS (SELECT s.word, s.freq, g.p, s.syms[g.p+1] AS sym, b.l, b.r
+                FROM syms$p s CROSS JOIN best$k b,
+                     LATERAL (SELECT unnest(range(len(s.syms))) AS p) g),
+      m$k AS (SELECT *, (sym = l AND
+          lead(sym) OVER (PARTITION BY word ORDER BY p) = r) AS mt FROM pos$k),
+      i$k AS (SELECT *, p - row_number()
+          OVER (PARTITION BY word, mt ORDER BY p) AS grp FROM m$k),
+      t$k AS (SELECT word, p FROM (
+          SELECT word, p, mt,
+            (p - min(p) OVER (PARTITION BY word, mt, grp)) % 2 AS par FROM i$k)
+        WHERE mt AND par = 0),
+      syms$k AS (
+        SELECT pos.word, any_value(pos.freq) AS freq,
+          list(CASE WHEN t.p IS NOT NULL THEN pos.l || pos.r ELSE pos.sym END
+               ORDER BY pos.p) AS syms
+        FROM pos$k pos
+        LEFT JOIN t$k t ON pos.word = t.word AND pos.p = t.p
+        LEFT JOIN t$k t2 ON pos.word = t2.word AND pos.p = t2.p + 1
+        WHERE t2.p IS NULL
+        GROUP BY pos.word)"""
+    }
+    val rows = (1 to rounds).map { k =>
+      s"SELECT $k AS merge_round, l AS lhs, r AS rhs, cnt AS pair_count FROM best$k"
+    }.mkString("\n UNION ALL\n ")
+    s"WITH $base,\n${layers.mkString(",\n")}\n$rows\nORDER BY merge_round"
+  }
 
   val defs: Map[String, Q] = Map(
 
@@ -196,5 +243,21 @@ object RetrievalQueries {
         JOIN uni USING (w2) CROSS JOIN tot
         GROUP BY big.doc_id"""),
       "interpolated bigram LM quality score (Jelinek–Mercer, fixed-point mean)"),
+
+    // ---- BPE merge training ----------------------------------------------
+    // Tokenizer training as a distributed job: the corpus-scale work is
+    // ONE word-count shuffle; the 4 merge rounds then run on the
+    // distinct-word vocabulary (a table orders of magnitude smaller than
+    // the corpus at any scale), with exactly one argmax row reaching the
+    // driver per round. The oracle replays all 4 rounds as layered CTEs
+    // — counts, lexicographic-tiebreak argmax, and the greedy
+    // non-overlapping merge itself — so the learned merge table is
+    // hash-verified end to end.
+    "q169_bpe_merges" -> Q(
+      (s, d) => Bpe.trainMerges(
+        Bpe.wordCounts(Tables.documents(s, d), "text"),
+        "word", "freq", rounds = 4),
+      Some(bpeOracleSql(4)),
+      "BPE tokenizer merge training: 4 greedy rounds, cross-engine replay"),
   )
 }

@@ -45,6 +45,26 @@ class RetrievalSpec extends SparkSpec {
     assert(pairs.keySet.forall { case (a, b) => a < b })
   }
 
+  test("bpe: learns the dominant pair first, merges greedily, stops when exhausted") {
+    // vocab {abab×2, abc×1}: round 1 (a,b) count 5 → abab=[ab,ab],
+    // abc=[ab,c]; round 2 (ab,ab) count 2 → [abab]; round 3 (ab,c)
+    // count 1 → [abc]; round 4: no pairs left → early stop at 3 merges.
+    val vocab = Seq(("abab", 2L), ("abc", 1L)).toDF("word", "freq")
+    val m = Bpe.trainMerges(vocab, "word", "freq", rounds = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq((1, "a", "b", 5L), (2, "ab", "ab", 2L), (3, "ab", "c", 1L)))
+  }
+
+  test("bpe: greedy non-overlapping merge — 'aaa' yields [aa, a], not [aa, aa]") {
+    // (a,a) appears twice in "aaa" (overlapping) so round 1 counts 2,
+    // but application must consume left-to-right: one merge only.
+    val vocab = Seq(("aaa", 1L)).toDF("word", "freq")
+    val m = Bpe.trainMerges(vocab, "word", "freq", rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (a,a)×2 → "aaa" → [aa, a]; round 2: (aa,a)×1
+    assert(m.toSeq == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+  }
+
   test("bm25 shape: doc with more query-term occurrences outranks, ties break by id") {
     // Recompute the q165 program on a fixture small enough to reason
     // about: doc 10 has the query term twice, doc 11 once, doc 12 never.
