@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -29,6 +29,36 @@ object Bpe {
     StructField("rhs", StringType, nullable = false),
     StructField("pair_count", LongType, nullable = false)))
 
+  /** One greedy non-overlapping merge pass of pair (a, b) over a symbol
+    * array, as a left fold: a merged symbol can never equal `a` again in
+    * the same pass (its suffix `b` is non-empty), so "last(acc) == a ∧
+    * current == b" is exactly the left-to-right non-overlap rule. */
+  private def foldMerge(syms: Column, a: String, b: String): Column = {
+    val la = lit(a); val lb = lit(b)
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === la && x === lb,
+        concat(slice(acc, lit(1), size(acc) - 1), array(concat(la, lb))))
+        .otherwise(concat(acc, array(x))))
+  }
+
+  /** Split a word into single-character symbol arrays. */
+  private def charSplit(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => substring(word, i, lit(1)))
+
+  /** Encode a word list with an ordered merge table (the inference half
+    * of BPE): char-split, then apply each learned merge in training
+    * order. Pure per-row map — no shuffle; at scale this runs once per
+    * DISTINCT word and the result broadcasts to the corpus. */
+  def applyMerges(words: DataFrame, wordCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val init = words.select(col(wordCol).cast("string").as("word"))
+      .withColumn("syms", charSplit(col("word")))
+    merges.foldLeft(init) { case (df, (a, b)) =>
+      df.withColumn("syms", foldMerge(col("syms"), a, b))
+    }
+  }
+
   /** Train `rounds` BPE merges over a (word, freq) vocabulary.
     * Returns (merge_round, lhs, rhs, pair_count) — one row per learned
     * merge, in training order ("lhs"/"rhs" because LEFT/RIGHT/ROUND are
@@ -40,9 +70,7 @@ object Bpe {
     var syms = vocab.select(
       col(wordCol).cast("string").as("word"),
       col(freqCol).cast("long").as("freq"))
-      .withColumn("syms",
-        transform(sequence(lit(1), length(col("word"))),
-          i => substring(col("word"), i, lit(1))))
+      .withColumn("syms", charSplit(col("word")))
       .select("word", "freq", "syms")
     // each round's vocab state feeds the next: pin it so the lineage
     // (and analysis cost) doesn't grow multiplicatively with rounds
@@ -67,15 +95,8 @@ object Bpe {
         val (a, b, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += Row(r, a, b, cnt)
-        val la = lit(a); val lb = lit(b)
-        // greedy non-overlapping merge as a left fold over the symbols
-        val folded = aggregate(col("syms"),
-          array().cast("array<string>"),
-          (acc, x) => when(size(acc) > 0 &&
-              element_at(acc, -1) === la && x === lb,
-            concat(slice(acc, lit(1), size(acc) - 1), array(concat(la, lb))))
-            .otherwise(concat(acc, array(x))))
-        syms = syms.withColumn("syms", folded).localCheckpoint(true)
+        syms = syms.withColumn("syms", foldMerge(col("syms"), a, b))
+          .localCheckpoint(true)
         r += 1
       }
     }

@@ -34,7 +34,7 @@ object RetrievalQueries {
     * form: mark positions where (sym, next) equals the round's best
     * pair, group consecutive marks, and take even offsets within each
     * island — exactly the left-fold semantics of the Scala side. */
-  private def bpeOracleSql(rounds: Int): String = {
+  private def bpeLayersSql(rounds: Int): String = {
     val base = s"""vocab AS (
         SELECT tok AS word, count(*) AS freq FROM (
           SELECT unnest($tokSql) AS tok FROM documents) t
@@ -69,11 +69,28 @@ object RetrievalQueries {
         WHERE t2.p IS NULL
         GROUP BY pos.word)"""
     }
+    s"$base,\n${layers.mkString(",\n")}"
+  }
+
+  private def bpeOracleSql(rounds: Int): String = {
     val rows = (1 to rounds).map { k =>
       s"SELECT $k AS merge_round, l AS lhs, r AS rhs, cnt AS pair_count FROM best$k"
     }.mkString("\n UNION ALL\n ")
-    s"WITH $base,\n${layers.mkString(",\n")}\n$rows\nORDER BY merge_round"
+    s"WITH ${bpeLayersSql(rounds)}\n$rows\nORDER BY merge_round"
   }
+
+  /** Same layered replay, but the final select joins the trained
+    * word→symbols table back to the corpus: per-doc BPE token counts
+    * (the inference half, q170). */
+  private def bpeEncodeOracleSql(rounds: Int): String =
+    s"""WITH ${bpeLayersSql(rounds)},
+      dw AS (SELECT doc_id, tok AS word FROM (
+          SELECT doc_id, unnest($tokSql) AS tok FROM documents)
+        WHERE tok <> '')
+      SELECT doc_id, count(*) AS n_words,
+        CAST(sum(len(syms)) AS BIGINT) AS n_bpe
+      FROM dw JOIN syms$rounds USING (word)
+      GROUP BY doc_id"""
 
   val defs: Map[String, Q] = Map(
 
@@ -259,5 +276,30 @@ object RetrievalQueries {
         "word", "freq", rounds = 4),
       Some(bpeOracleSql(4)),
       "BPE tokenizer merge training: 4 greedy rounds, cross-engine replay"),
+
+    // ---- BPE encoding (inference) ----------------------------------------
+    // The companion pass: train merges, encode the DISTINCT-word
+    // vocabulary once (pure map, no shuffle), broadcast the word→symbols
+    // table to the corpus, and report per-doc BPE token counts — the
+    // "model tokens per document" statistic every corpus budget is
+    // denominated in. The corpus-scale work is one explode + one
+    // broadcast join + one groupBy on doc_id.
+    "q170_bpe_encode" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val vocab = Bpe.wordCounts(docs, "text")
+        val merges = Bpe.trainMerges(vocab, "word", "freq", rounds = 4)
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        val encoded = Bpe.applyMerges(vocab.select("word"), "word", merges)
+          .select(col("word"), size(col("syms")).cast("long").as("n_syms"))
+        docs.select(col("doc_id"),
+          explode(Text.tokens(Text.normalize(col("text")))).as("word"))
+          .filter(col("word") =!= "")
+          .join(broadcast(encoded), "word")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_bpe"))
+      },
+      Some(bpeEncodeOracleSql(4)),
+      "BPE encoding: per-doc model-token counts under the trained merges"),
   )
 }

@@ -65,6 +65,20 @@ class RetrievalSpec extends SparkSpec {
     assert(m.toSeq == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
   }
 
+  test("bpe: applyMerges encodes with trained merges in order") {
+    val vocab = Seq(("abab", 2L), ("abc", 1L)).toDF("word", "freq")
+    val merges = Bpe.trainMerges(vocab, "word", "freq", rounds = 4)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = Bpe.applyMerges(vocab.select("word"), "word", merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(enc("abab") == Seq("abab"))
+    assert(enc("abc") == Seq("abc"))
+    // an unseen word still encodes (falls back toward chars)
+    val unseen = Bpe.applyMerges(Seq("cab").toDF("word"), "word", merges)
+      .collect().map(r => r.getSeq[String](1)).head
+    assert(unseen == Seq("c", "ab"))
+  }
+
   test("bm25 shape: doc with more query-term occurrences outranks, ties break by id") {
     // Recompute the q165 program on a fixture small enough to reason
     // about: doc 10 has the query term twice, doc 11 once, doc 12 never.
