@@ -45,7 +45,11 @@ object Plans {
     "q155_semantic_dedup" -> "semantic dedup: label-blocked pair join feeds component propagation, no all-pairs",
     "q156_kmeans_train" -> "k-means: assignment is join-free codegen argmin over centroid literals, ONE (cluster,dim) agg exchange",
     "q158_cluster_coreset" -> "coreset: TopKPerGroupExec heaps below one exchange — no full sort, no k-partition window",
-    "q159_embed_pipeline" -> "embedding pipeline: dedup components → kmeans → coreset, each stage's plan shape preserved under composition")
+    "q159_embed_pipeline" -> "embedding pipeline: dedup components → kmeans → coreset, each stage's plan shape preserved under composition",
+    "q165_bm25_topk" -> "BM25: df/tf sides broadcast, one dl agg shuffle, top-k as TakeOrderedAndProject",
+    "q166_simhash_portable" -> "portable simhash: explode + 60-column codegen agg, ONE id shuffle, source-blocked pair join",
+    "q168_bigram_lm" -> "bigram LM: three count aggs all broadcast back, per-doc score is map-side join fan-in + one doc_id agg",
+    "q170_bpe_encode" -> "BPE encode: vocab-table merges, word→syms broadcast to corpus, one doc_id agg shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

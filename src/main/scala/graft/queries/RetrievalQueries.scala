@@ -2,6 +2,8 @@ package graft.queries
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Text
@@ -92,6 +94,54 @@ object RetrievalQueries {
       FROM dw JOIN syms$rounds USING (word)
       GROUP BY doc_id"""
 
+  /** The q165 BM25 program (k1=1.2, b=0.75), shared with the q171
+    * fusion query: (doc_id, bm25) for every document matching ≥1 query
+    * term, scores quantized so both engines rank identically. */
+  private def bm25Scores(s: SparkSession, d: String,
+                         terms: Seq[String]): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(Text.tokens(Text.normalize(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+    val nDocs = docs.count()       // scalar metadata jobs: N and total
+    val totToks = toks.count()     // token count parameterize idf/avgdl
+    val avgdl = totToks.toDouble / nDocs.toDouble
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = q4(log(lit(1.0d) +
+      (lit(nDocs.toDouble) - col("df") + lit(0.5d)) /
+        (col("df") + lit(0.5d))))
+    val tfnorm = (col("tf") * lit(2.2d)) /
+      (col("tf") + lit(1.2d) *
+        (lit(0.25d) + lit(0.75d) * (col("dl") / lit(avgdl))))
+    tf.join(broadcast(dfreq), "term").join(dl, "doc_id")
+      .withColumn("contrib", q4(idf * tfnorm))
+      .groupBy("doc_id")
+      .agg(q4(xsum4(col("contrib"))).as("bm25"))
+  }
+
+  /** DuckDB rendering of [[bm25Scores]] — CTE list ending in a
+    * `bm25(doc_id, bm25)` relation. */
+  private def bm25Cte(termsSql: String): String =
+    s"""toks AS (
+        SELECT doc_id, tok AS term FROM (
+          SELECT doc_id, unnest($tokSql) AS tok FROM documents)
+        WHERE tok <> ''),
+      nd AS (SELECT count(*) AS n FROM documents),
+      tt AS (SELECT count(*) AS t FROM toks),
+      dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             WHERE term IN ($termsSql) GROUP BY 1, 2),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      scored AS (SELECT tf.doc_id,
+        ${Q4(s"(${Q4("ln(CAST(1.0 AS DOUBLE) + ((CAST(nd.n AS DOUBLE) - df) + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))")}) * ((tf * CAST(2.2 AS DOUBLE)) / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (dl / (CAST(tt.t AS DOUBLE) / CAST(nd.n AS DOUBLE))))))")} AS contrib
+        FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+        CROSS JOIN nd CROSS JOIN tt),
+      bm25 AS (SELECT doc_id, ${Q4(XSUM4("contrib"))} AS bm25
+        FROM scored GROUP BY doc_id)"""
+
   val defs: Map[String, Q] = Map(
 
     // ---- BM25 top-k retrieval --------------------------------------------
@@ -106,48 +156,11 @@ object RetrievalQueries {
     // rank the identical quantized total; top-k plans as
     // TakeOrderedAndProject (distributed partial top-k, no global sort).
     "q165_bm25_topk" -> Q(
-      (s, d) => {
-        val terms = Seq("spark", "merge", "filter")
-        val docs = Tables.documents(s, d)
-        val toks = docs.select(col("doc_id"),
-          explode(Text.tokens(Text.normalize(col("text")))).as("term"))
-          .filter(col("term") =!= "")
-        val nDocs = docs.count()       // scalar metadata jobs: N and total
-        val totToks = toks.count()     // token count parameterize idf/avgdl
-        val avgdl = totToks.toDouble / nDocs.toDouble
-        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val tf = toks.filter(col("term").isin(terms: _*))
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val idf = q4(log(lit(1.0d) +
-          (lit(nDocs.toDouble) - col("df") + lit(0.5d)) /
-            (col("df") + lit(0.5d))))
-        val tfnorm = (col("tf") * lit(2.2d)) /
-          (col("tf") + lit(1.2d) *
-            (lit(0.25d) + lit(0.75d) * (col("dl") / lit(avgdl))))
-        tf.join(broadcast(dfreq), "term").join(dl, "doc_id")
-          .withColumn("contrib", q4(idf * tfnorm))
-          .groupBy("doc_id")
-          .agg(q4(xsum4(col("contrib"))).as("bm25"))
-          .orderBy(col("bm25").desc, col("doc_id").asc)
-          .limit(15)
-      },
-      Some(s"""WITH toks AS (
-          SELECT doc_id, tok AS term FROM (
-            SELECT doc_id, unnest($tokSql) AS tok FROM documents)
-          WHERE tok <> ''),
-        nd AS (SELECT count(*) AS n FROM documents),
-        tt AS (SELECT count(*) AS t FROM toks),
-        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
-               WHERE term IN ('spark', 'merge', 'filter') GROUP BY 1, 2),
-        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        scored AS (SELECT tf.doc_id,
-          ${Q4(s"(${Q4("ln(CAST(1.0 AS DOUBLE) + ((CAST(nd.n AS DOUBLE) - df) + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))")}) * ((tf * CAST(2.2 AS DOUBLE)) / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (dl / (CAST(tt.t AS DOUBLE) / CAST(nd.n AS DOUBLE))))))")} AS contrib
-          FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
-          CROSS JOIN nd CROSS JOIN tt)
-        SELECT doc_id, ${Q4(XSUM4("contrib"))} AS bm25
-        FROM scored GROUP BY doc_id
+      (s, d) => bm25Scores(s, d, Seq("spark", "merge", "filter"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(15),
+      Some(s"""WITH ${bm25Cte("'spark', 'merge', 'filter'")}
+        SELECT doc_id, bm25 FROM bm25
         ORDER BY bm25 DESC, doc_id LIMIT 15"""),
       "BM25 top-k retrieval: quantized idf/tf-norm, fixed-point score sum"),
 
@@ -301,5 +314,59 @@ object RetrievalQueries {
       },
       Some(bpeEncodeOracleSql(4)),
       "BPE encoding: per-doc model-token counts under the trained merges"),
+
+    // ---- hybrid retrieval: reciprocal-rank fusion ------------------------
+    // The standard two-tower serving pattern: a lexical BM25 ranking and
+    // an embedding-cosine ranking, fused with RRF (score = Σ 1/(60+rank)
+    // over the lists that contain the doc — Cormack et al.'s k=60).
+    // Each leg is itself bounded (top-15, TakeOrderedAndProject); the
+    // fusion join touches ≤30 rows regardless of corpus size. Ranks are
+    // over quantized scores with id tie-breaks, so both engines fuse
+    // identical lists.
+    "q171_hybrid_rrf" -> Q(
+      (s, d) => {
+        val lex = bm25Scores(s, d, Seq("spark", "merge", "filter"))
+          .orderBy(col("bm25").desc, col("doc_id").asc).limit(15)
+          .withColumn("lex_rank", row_number().over(
+            Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+          .select("doc_id", "lex_rank")
+        val emb = Tables.embeddings(s, d)
+        val sem = graft.operators.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+          k = 15)
+          .select(col("neighbor_id").as("doc_id"),
+            col("rank").as("sem_rank"))
+        lex.join(sem, Seq("doc_id"), "outer")
+          .withColumn("rrf", q4(
+            coalesce(lit(1.0d) / (lit(60d) + col("lex_rank")), lit(0.0d)) +
+            coalesce(lit(1.0d) / (lit(60d) + col("sem_rank")), lit(0.0d))))
+          .select(col("doc_id"),
+            coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+            coalesce(col("sem_rank"), lit(0)).as("sem_rank"),
+            col("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id").asc)
+          .limit(10)
+      },
+      Some(s"""WITH ${bm25Cte("'spark', 'merge', 'filter'")},
+        lexr AS (
+          SELECT doc_id, CAST(row_number() OVER (
+              ORDER BY bm25 DESC, doc_id) AS INTEGER) AS lex_rank
+          FROM bm25 QUALIFY lex_rank <= 15),
+        semr AS (
+          SELECT c.vec_id AS doc_id, CAST(row_number() OVER (
+              ORDER BY list_cosine_similarity(
+                CAST(q.embedding AS DOUBLE[]),
+                CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id)
+            AS INTEGER) AS sem_rank
+          FROM (SELECT * FROM embeddings WHERE vec_id = 0) q
+          JOIN embeddings c ON c.vec_id <> 0
+          QUALIFY sem_rank <= 15)
+        SELECT doc_id,
+          COALESCE(lex_rank, 0) AS lex_rank,
+          COALESCE(sem_rank, 0) AS sem_rank,
+          ${Q4("COALESCE(CAST(1.0 AS DOUBLE) / (60 + lex_rank), CAST(0.0 AS DOUBLE)) + COALESCE(CAST(1.0 AS DOUBLE) / (60 + sem_rank), CAST(0.0 AS DOUBLE))")} AS rrf
+        FROM lexr FULL JOIN semr USING (doc_id)
+        ORDER BY rrf DESC, doc_id LIMIT 10"""),
+      "hybrid retrieval: BM25 ⊕ embedding cosine via reciprocal-rank fusion"),
   )
 }
