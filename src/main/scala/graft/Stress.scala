@@ -62,7 +62,10 @@ object Stress {
       "q151_line_dedup", "q155_semantic_dedup",
       // iterative k-means (driver-orchestrated Lloyd passes) and the
       // composed dedup→kmeans→coreset embedding pipeline
-      "q156_kmeans_train", "q159_embed_pipeline")
+      "q156_kmeans_train", "q159_embed_pipeline",
+      // retrieval/LM layer: 60-column signature agg + blocked pair join,
+      // and BPE training (corpus word-count shuffle + vocab-table rounds)
+      "q166_simhash_portable", "q169_bpe_merges")
     println(f"${"query"}%-22s ${"base_s"}%8s ${"stress_s"}%9s ${"ratio"}%6s  worst-stage max/med (ms, tasks)")
     targets.foreach { name =>
       val fn = SparkEntry.queries(name)

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Inverted-index build and incremental maintenance. The q125 index is a
+  * one-shot build; a production index over a growing corpus must absorb
+  * a new document batch WITHOUT rescanning the documents already
+  * indexed. [[mergePostings]] does that as one term-keyed join between
+  * the stored index and the delta batch's (much smaller) index — the
+  * incremental-dedup pattern (Dedup.incrementalExact) applied to
+  * retrieval state.
+  */
+object Indexing {
+
+  /** (term, postings: sorted array<long>) for every distinct (doc, term)
+    * occurrence. One shuffle on term; posting arrays stay sorted so
+    * downstream merges are order-stable. */
+  def buildPostings(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+      explode(Text.tokens(Text.normalize(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+      .groupBy("term")
+      .agg(array_sort(collect_list(col("id"))).as("postings"))
+
+  /** Merge a delta index into a stored index: full outer join on term,
+    * union + re-sort the two posting lists. Cost is keyed by |terms|,
+    * not corpus size — the indexed documents are never rescanned.
+    * Assumes delta doc ids are new (an upsert of re-crawled docs would
+    * first delete their old postings — out of scope here, as in the
+    * reference's append-per-data_source model). */
+  def mergePostings(stored: DataFrame, delta: DataFrame): DataFrame =
+    stored.select(col("term"), col("postings").as("p_old"))
+      .join(delta.select(col("term"), col("postings").as("p_new")),
+        Seq("term"), "outer")
+      .select(col("term"),
+        array_sort(concat(
+          coalesce(col("p_old"), array().cast("array<long>")),
+          coalesce(col("p_new"), array().cast("array<long>"))))
+          .as("postings"))
+}

@@ -678,14 +678,14 @@ object CorpusQueries {
         .agg(count(lit(1)).as("df"),
           concat_ws(",", transform(array_sort(collect_list(col("doc_id"))),
             _.cast("string"))).as("postings"))
-        .filter(col("df").between(3, 8)),
+        .filter(col("df") >= 3),
       Some(s"""WITH t AS (
           SELECT DISTINCT doc_id, term FROM (
             SELECT doc_id, unnest($tokSql) AS term FROM documents)
           WHERE term <> '')
         SELECT term, count(*) AS df,
           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
-        FROM t GROUP BY term HAVING count(*) BETWEEN 3 AND 8"""),
+        FROM t GROUP BY term HAVING count(*) >= 3"""),
       "inverted index: term → df + sorted posting list"),
 
     // ---- Misra-Gries heavy hitters, contract-verified ---------------------

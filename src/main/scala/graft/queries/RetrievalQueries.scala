@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Bpe, Dedup}
+import graft.operators.{Bpe, Dedup, Indexing}
 import graft.sources.{Sinks, Sources}
 import Q._
 
@@ -368,5 +368,77 @@ object RetrievalQueries {
         FROM lexr FULL JOIN semr USING (doc_id)
         ORDER BY rrf DESC, doc_id LIMIT 10"""),
       "hybrid retrieval: BM25 ⊕ embedding cosine via reciprocal-rank fusion"),
+
+    // ---- incremental inverted-index maintenance --------------------------
+    // Absorb a new document batch into a stored index WITHOUT rescanning
+    // indexed documents: stored index (90% of docs) ⊕ delta index (10%)
+    // via one term-keyed outer join. The oracle rebuilds the index from
+    // the FULL corpus, so a hash match proves incremental ≡ rebuild —
+    // the q115 incremental-dedup closure applied to retrieval state.
+    // Mid-df slice keeps output bounded, as in q125.
+    "q172_index_update" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val stored = Indexing.buildPostings(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+        val delta = Indexing.buildPostings(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+        Indexing.mergePostings(stored, delta)
+          .select(col("term"), size(col("postings")).as("df"),
+            concat_ws(",", transform(col("postings"), _.cast("string")))
+              .as("postings"))
+          .filter(col("df") >= 3)
+      },
+      Some(s"""WITH t AS (
+          SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest($tokSql) AS term FROM documents)
+          WHERE term <> '')
+        SELECT term, CAST(count(*) AS INTEGER) AS df,
+          string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        FROM t GROUP BY term HAVING count(*) >= 3"""),
+      "incremental index maintenance: stored ⊕ delta ≡ full rebuild"),
+
+    // ---- model-based quality gate (logistic classifier) ------------------
+    // The fastText-classifier-shaped filter CCNet/RefinedWeb apply: a
+    // logistic score over the engine's quality features with fixed
+    // (pre-trained) weights, fully codegen — the model IS the expression,
+    // no UDF, no serving seam. z is quantized before the sigmoid so libm
+    // exp() ulp differences never flip the 4dp score or the keep gate.
+    "q173_quality_logistic" -> Q(
+      (s, d) => {
+        // raw trim-split tokens (NOT normalize) — mirrors Text.qualityScore
+        // and the hash-green q54/q117 oracle rendering
+        val toks = Text.tokens(col("text"))
+        val nTok = size(toks).cast("double")
+        val lenScore = least(nTok / lit(64.0d), lit(1.0d))
+        val stopRatio = size(filter(toks,
+          t => t.isin(Text.defaultStopwords: _*))).cast("double") / nTok
+        val punctRatio =
+          (length(col("text")) - length(regexp_replace(col("text"),
+            "[^a-z0-9 ]", ""))).cast("double") /
+            length(col("text")).cast("double")
+        val z = q4(lit(-2.0d) + lit(3.0d) * lenScore +
+          lit(4.0d) * stopRatio - lit(5.0d) * punctRatio)
+        Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+            q4(lit(1.0d) / (lit(1.0d) + exp(-z))).as("q_score"))
+          .withColumn("keep", col("q_score") >= 0.5d)
+      },
+      Some {
+        val toks = "string_split_regex(trim(text), '\\s+')"
+        val stops = Text.defaultStopwords.map(w => s"'$w'").mkString(", ")
+        val nTok = s"CAST(len($toks) AS DOUBLE)"
+        val lenScore = s"least($nTok / CAST(64.0 AS DOUBLE), CAST(1.0 AS DOUBLE))"
+        val stopRatio =
+          s"CAST(len(list_filter($toks, t -> t IN ($stops))) AS DOUBLE) / $nTok"
+        val punctRatio = s"CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)"
+        val z = Q4(s"CAST(-2.0 AS DOUBLE) + CAST(3.0 AS DOUBLE) * ($lenScore) + CAST(4.0 AS DOUBLE) * ($stopRatio) - CAST(5.0 AS DOUBLE) * ($punctRatio)")
+        s"""SELECT doc_id,
+            ${Q4(s"CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-($z)))")} AS q_score,
+            ${Q4(s"CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-($z)))")} >= 0.5 AS keep
+          FROM documents WHERE length(trim(text)) > 0"""
+      },
+      "logistic quality gate: fixed-weight classifier as a codegen expression"),
   )
 }

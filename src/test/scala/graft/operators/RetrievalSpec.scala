@@ -79,6 +79,23 @@ class RetrievalSpec extends SparkSpec {
     assert(unseen == Seq("c", "ab"))
   }
 
+  test("indexing: merge of stored+delta equals a full rebuild") {
+    val d = Seq(
+      (1L, "alpha beta"), (2L, "beta gamma"), (3L, "alpha gamma"),
+      (10L, "alpha delta"), (20L, "beta beta alpha")
+    ).toDF("doc_id", "text")
+    val stored = Indexing.buildPostings(
+      d.filter(col("doc_id") < 10), "doc_id", "text")
+    val delta = Indexing.buildPostings(
+      d.filter(col("doc_id") >= 10), "doc_id", "text")
+    val merged = Indexing.mergePostings(stored, delta)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val full = Indexing.buildPostings(d, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(merged == full)
+    assert(merged("alpha") == Seq(1L, 3L, 10L, 20L)) // sorted, deduped per doc
+  }
+
   test("bm25 shape: doc with more query-term occurrences outranks, ties break by id") {
     // Recompute the q165 program on a fixture small enough to reason
     // about: doc 10 has the query term twice, doc 11 once, doc 12 never.
