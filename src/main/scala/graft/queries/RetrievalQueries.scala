@@ -440,5 +440,45 @@ object RetrievalQueries {
           FROM documents WHERE length(trim(text)) > 0"""
       },
       "logistic quality gate: fixed-weight classifier as a codegen expression"),
+
+    // ---- per-source quality percentile gate ------------------------------
+    // Real curation truncates per DOMAIN, not globally (a global cut
+    // would drop entire low-register domains): keep the top half of each
+    // source by quality score. Exact integer rank gate (rn·2 ≤ n+1) over
+    // a quantized score with id tie-break — deterministic in both
+    // engines. The per-source window sorts within domain partitions
+    // only; at extreme per-domain cardinality the same gate is served by
+    // an approx-quantile threshold join instead (q112's sketch family).
+    "q174_quality_percentile_gate" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("source")
+          .orderBy(col("q").desc, col("doc_id").asc)
+        Tables.documents(s, d)
+          .withColumn("q", q4(Text.qualityScore(col("text"))))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+          .filter(col("rn") * 2 <= col("n") + 1)
+          .select("doc_id", "source", "q")
+      },
+      Some {
+        // DuckDB rendering of Text.qualityScore — same strings as the
+        // hash-green q54/q117 oracles
+        val toks = "string_split_regex(trim(text), '\\s+')"
+        val stops = Text.defaultStopwords.map(w => s"'$w'").mkString(", ")
+        val nTok = s"len($toks)"
+        val stopRatio = s"CAST(len(list_filter($toks, t -> t IN ($stops))) AS DOUBLE) / $nTok"
+        val punctRatio = s"CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)"
+        val lenScore = s"least(CAST($nTok AS DOUBLE)/64.0, 1.0)"
+        val stopScore = s"least(($stopRatio)*4.0, 1.0)"
+        val punctPen = s"greatest(0.0, 1.0 - ($punctRatio)*4.0)"
+        val quality = s"(($lenScore) + ($stopScore) + ($punctPen)) / 3.0"
+        s"""SELECT doc_id, source, q FROM (
+          SELECT doc_id, source, q,
+            row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rn,
+            count(*) OVER (PARTITION BY source) AS n
+          FROM (SELECT doc_id, source, ${Q4(quality)} AS q FROM documents))
+        WHERE rn * 2 <= n + 1"""
+      },
+      "per-source quality gate: keep each domain's top half by score"),
   )
 }

@@ -96,4 +96,33 @@ object WarehouseSink {
         ()
       }
       .start()
+
+  /** Streaming inverted-index maintenance: each micro-batch's postings
+    * merge into the stored index via `Indexing.mergePostings` — the
+    * incremental q172 closure kept current by the stream, with no
+    * rescan of previously indexed documents. The merged index is
+    * staged-rewritten (it both reads and replaces `indexPath`), the
+    * same in-place cycle as upsertSink. Batch ids are assumed
+    * append-only doc batches (exactly-once per the q172 contract).
+    */
+  def indexMaintenanceSink(stream: DataFrame, idCol: String,
+                           textCol: String, indexPath: String,
+                           checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val delta = graft.operators.Indexing
+          .buildPostings(batch, idCol, textCol)
+        val stored =
+          try spark.read.parquet(indexPath)
+          catch { case _: Throwable =>
+            delta.limit(0)
+          }
+        val merged = graft.operators.Indexing.mergePostings(stored, delta)
+        graft.sources.Sinks.stagedOverwrite(merged, indexPath)
+        ()
+      }
+      .start()
 }

@@ -56,4 +56,30 @@ class WarehouseSinkSpec extends SparkSpec {
       assert(spark.read.parquet(idx).distinct().count() == 3L)
     } finally q.stop()
   }
+
+  test("indexMaintenanceSink: streamed postings equal a full batch rebuild") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("idxsink")
+    val idx = dir.resolve("idx").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = WarehouseSink.indexMaintenanceSink(ms.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", idx, ckpt)
+    val all = Seq((1L, "alpha beta"), (2L, "beta gamma"),
+      (3L, "alpha gamma delta"), (4L, "delta alpha"))
+    try {
+      ms.addData(all(0), all(1))
+      q.processAllAvailable()
+      ms.addData(all(2), all(3))
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(idx)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val rebuilt = graft.operators.Indexing.buildPostings(
+        all.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(streamed == rebuilt)
+      assert(streamed("alpha") == Seq(1L, 3L, 4L))
+    } finally q.stop()
+  }
 }
