@@ -480,5 +480,76 @@ object RetrievalQueries {
         WHERE rn * 2 <= n + 1"""
       },
       "per-source quality gate: keep each domain's top half by score"),
+
+    // ---- one-row corpus health report ------------------------------------
+    // The dashboard row a curation pipeline emits after every ingest:
+    // volume (docs, tokens, vocabulary), integrity (exact-dup rate via
+    // fingerprints), quality (mean heuristic score), and risk (docs with
+    // email-shaped PII). One scan computes everything except vocabulary
+    // size (its own explode+distinct agg); the two single-row results
+    // cross-join for free. Exact counts, fixed-point mean — fully
+    // hash-verifiable.
+    "q175_corpus_report" -> Q(
+      (s, d) => {
+        val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+        val per = Tables.documents(s, d).select(
+          Text.fingerprint(col("text")).as("fp"),
+          size(filter(Text.tokens(Text.normalize(col("text"))),
+            t => t =!= "")).cast("long").as("n_tok"),
+          q4(Text.qualityScore(col("text"))).as("q"),
+          col("text").rlike(email).cast("long").as("has_pii"))
+        val head = per.agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          countDistinct("fp").as("distinct_docs"),
+          q4(xsum4(col("q")) / count(lit(1))).as("mean_quality"),
+          sum("has_pii").as("pii_docs"))
+          .withColumn("dup_rate",
+            q4((col("n_docs") - col("distinct_docs")).cast("double") /
+              col("n_docs").cast("double")))
+        val vocab = Tables.documents(s, d)
+          .select(explode(Text.tokens(Text.normalize(col("text"))))
+            .as("tok"))
+          .filter(col("tok") =!= "")
+          .agg(countDistinct("tok").as("vocab_size"))
+        head.crossJoin(vocab)
+          .select("n_docs", "n_tokens", "vocab_size", "distinct_docs",
+            "dup_rate", "mean_quality", "pii_docs")
+      },
+      Some {
+        val toks = "string_split_regex(trim(text), '\\s+')"
+        val stops = Text.defaultStopwords.map(w => s"'$w'").mkString(", ")
+        val nTok = s"len($toks)"
+        val stopRatio = s"CAST(len(list_filter($toks, t -> t IN ($stops))) AS DOUBLE) / $nTok"
+        val punctRatio = s"CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)"
+        val lenScore = s"least(CAST($nTok AS DOUBLE)/64.0, 1.0)"
+        val stopScore = s"least(($stopRatio)*4.0, 1.0)"
+        val punctPen = s"greatest(0.0, 1.0 - ($punctRatio)*4.0)"
+        val quality = s"(($lenScore) + ($stopScore) + ($punctPen)) / 3.0"
+        s"""WITH per AS (
+          SELECT md5($normSql) AS fp,
+            CAST(len(list_filter($tokSql, t -> t <> '')) AS BIGINT) AS n_tok,
+            ${Q4(quality)} AS q,
+            CASE WHEN regexp_matches(text,
+              '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')
+              THEN 1 ELSE 0 END AS has_pii
+          FROM documents),
+        head AS (
+          SELECT count(*) AS n_docs,
+            CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+            count(DISTINCT fp) AS distinct_docs,
+            ${Q4(s"${XSUM4("q")} / count(*)")} AS mean_quality,
+            CAST(sum(has_pii) AS BIGINT) AS pii_docs
+          FROM per),
+        vocab AS (
+          SELECT count(DISTINCT tok) AS vocab_size FROM (
+            SELECT unnest($tokSql) AS tok FROM documents)
+          WHERE tok <> '')
+        SELECT n_docs, n_tokens, vocab_size, distinct_docs,
+          ${Q4("CAST(n_docs - distinct_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)")} AS dup_rate,
+          mean_quality, pii_docs
+        FROM head CROSS JOIN vocab"""
+      },
+      "corpus health report: volume, dup rate, quality, PII — one row"),
   )
 }
