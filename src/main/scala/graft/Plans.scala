@@ -49,7 +49,10 @@ object Plans {
     "q165_bm25_topk" -> "BM25: df/tf sides broadcast, one dl agg shuffle, top-k as TakeOrderedAndProject",
     "q166_simhash_portable" -> "portable simhash: explode + 60-column codegen agg, ONE id shuffle, source-blocked pair join",
     "q168_bigram_lm" -> "bigram LM: three count aggs all broadcast back, per-doc score is map-side join fan-in + one doc_id agg",
-    "q170_bpe_encode" -> "BPE encode: vocab-table merges, word→syms broadcast to corpus, one doc_id agg shuffle")
+    "q170_bpe_encode" -> "BPE encode: vocab-table merges, word→syms broadcast to corpus, one doc_id agg shuffle",
+    "q172_index_update" -> "index update: stored ⊕ delta postings via ONE term-keyed outer join — indexed docs never rescanned",
+    "q174_quality_percentile_gate" -> "percentile gate: one scan, per-source window only (no global sort), quantized score rank",
+    "q175_corpus_report" -> "corpus report: one scan for all doc-level stats + one explode agg for vocab, single-row cross join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
