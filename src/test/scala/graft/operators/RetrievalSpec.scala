@@ -65,6 +65,26 @@ class RetrievalSpec extends SparkSpec {
     assert(m.toSeq == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
   }
 
+  test("bpe: encoding is lossless — symbols always concatenate back to the word") {
+    // Random lowercase vocab, full training depth: whatever merges are
+    // learned, re-joining each word's symbols must reproduce the word,
+    // and no symbol may be empty. (The invariant a tokenizer must hold
+    // for decode(encode(x)) == x.)
+    val rnd = new scala.util.Random(42)
+    val words = Seq.fill(30)(
+      (1 to (1 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(3)).toChar)
+        .mkString).distinct
+    val vocab = words.map(w => (w, 1L + rnd.nextInt(5))).toDF("word", "freq")
+    val merges = Bpe.trainMerges(vocab, "word", "freq", rounds = 6)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = Bpe.applyMerges(vocab.select("word"), "word", merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1))
+    enc.foreach { case (w, syms) =>
+      assert(syms.mkString == w, s"lossy encode of '$w': $syms")
+      assert(syms.forall(_.nonEmpty))
+    }
+  }
+
   test("bpe: applyMerges encodes with trained merges in order") {
     val vocab = Seq(("abab", 2L), ("abc", 1L)).toDF("word", "freq")
     val merges = Bpe.trainMerges(vocab, "word", "freq", rounds = 4)

@@ -61,4 +61,31 @@ class PlanHygieneSpec extends SparkSpec {
     // is a child of the join's streamed side, not applied post-join
     assert(probeAt > joinAt, s"probe@$probeAt join@$joinAt")
   }
+
+  test("q165 BM25: top-k is a distributed partial top-k, never a global sort") {
+    val p = plan("q165_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q172 index update: ONE term-keyed merge join, no corpus rescan beyond the two builds") {
+    val p = plan("q172_index_update")
+    // exactly two parquet scans (stored-build + delta-build); the merge
+    // itself must not re-read documents
+    assert("Scan parquet".r.findAllIn(p).length == 2, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q174 percentile gate: windows are per-source only — no global Window.orderBy") {
+    val p = SparkEntry.queries("q174_quality_percentile_gate")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    // every Window node must carry the source partition spec
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("source")), p.take(2000))
+  }
+
+  test("q175 corpus report: doc-level stats come from ONE scan pass (plus the vocab agg)") {
+    val p = plan("q175_corpus_report")
+    assert("Scan parquet".r.findAllIn(p).length == 2, p.take(2000))
+  }
 }
