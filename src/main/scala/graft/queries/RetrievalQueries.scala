@@ -247,9 +247,13 @@ object RetrievalQueries {
         val lc = big.groupBy("w1").agg(count(lit(1)).as("c1"))
         val p = lit(0.7d) * (col("c12").cast("double") / col("c1").cast("double")) +
           lit(0.3d) * (col("c2").cast("double") / lit(totToks.toDouble))
-        big.join(broadcast(bc), Seq("w1", "w2"))
-          .join(broadcast(lc), Seq("w1"))
-          .join(broadcast(uni), Seq("w2"))
+        // NO forced broadcast hints: these joins are vocab-keyed, and a
+        // web-scale bigram table can be billions of rows — size-based
+        // selection broadcasts them while they fit and degrades to a
+        // shuffle join when they don't
+        big.join(bc, Seq("w1", "w2"))
+          .join(lc, Seq("w1"))
+          .join(uni, Seq("w2"))
           .withColumn("lp", q4(log(p)))
           .groupBy("doc_id")
           .agg(q4(xsum4(col("lp")) / count(lit(1))).as("mean_lp"),
@@ -305,10 +309,12 @@ object RetrievalQueries {
           .collect().map(r => (r.getString(1), r.getString(2))).toSeq
         val encoded = Bpe.applyMerges(vocab.select("word"), "word", merges)
           .select(col("word"), size(col("syms")).cast("long").as("n_syms"))
+        // word→length map joins by size-based selection (broadcast while
+        // the vocab fits, shuffle join at web-scale vocab sizes)
         docs.select(col("doc_id"),
           explode(Text.tokens(Text.normalize(col("text")))).as("word"))
           .filter(col("word") =!= "")
-          .join(broadcast(encoded), "word")
+          .join(encoded, "word")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_bpe"))
       },
