@@ -20,6 +20,13 @@ import org.apache.spark.sql.types._
   * right" is exactly the non-overlap rule. Tie-break on equal pair count
   * is lexicographic (left, right) so training is deterministic and
   * cross-engine replayable.
+  *
+  * Scalability note: each round is one count job over the vocab table —
+  * right for bounded merge tables (the verified queries train 4). A
+  * full 32k-merge production vocabulary would incrementalize pair-count
+  * DELTAS between rounds (only words containing the merged pair change)
+  * rather than recount; the per-round argmax/driver contract here is
+  * unchanged by that optimization.
   */
 object Bpe {
 
@@ -65,7 +72,8 @@ object Bpe {
     * reserved words downstream). Stops early if no adjacent pair remains.
     */
   def trainMerges(vocab: DataFrame, wordCol: String, freqCol: String,
-                  rounds: Int): DataFrame = {
+                  rounds: Int,
+                  checkpointDir: Option[String] = None): DataFrame = {
     val spark = vocab.sparkSession
     var syms = vocab.select(
       col(wordCol).cast("string").as("word"),
@@ -73,8 +81,11 @@ object Bpe {
       .withColumn("syms", charSplit(col("word")))
       .select("word", "freq", "syms")
     // each round's vocab state feeds the next: pin it so the lineage
-    // (and analysis cost) doesn't grow multiplicatively with rounds
-    syms = syms.localCheckpoint(true)
+    // (and analysis cost) doesn't grow multiplicatively with rounds.
+    // checkpointDir: None = localCheckpoint (fast, executor-memory);
+    // a path = reliable checkpoints for long multi-round cluster runs
+    // (same durability contract as Graphs.persistStep).
+    syms = Graphs.persistStep(syms, checkpointDir, eager = true)
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
     var r = 1
@@ -95,8 +106,9 @@ object Bpe {
         val (a, b, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += Row(r, a, b, cnt)
-        syms = syms.withColumn("syms", foldMerge(col("syms"), a, b))
-          .localCheckpoint(true)
+        syms = Graphs.persistStep(
+          syms.withColumn("syms", foldMerge(col("syms"), a, b)),
+          checkpointDir, eager = true)
         r += 1
       }
     }

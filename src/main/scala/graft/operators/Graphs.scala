@@ -36,8 +36,9 @@ object Graphs {
     * durability a multi-hour billion-edge run on a real cluster needs.
     * Step files live until the Spark context's checkpoint cleanup or the
     * caller removes the directory. */
-  private def persistStep(df: DataFrame, checkpointDir: Option[String],
-                          eager: Boolean): DataFrame =
+  private[operators] def persistStep(df: DataFrame,
+                                     checkpointDir: Option[String],
+                                     eager: Boolean): DataFrame =
     checkpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext

@@ -85,6 +85,16 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("bpe: reliable-checkpoint path trains identical merges") {
+    val vocab = Seq(("abab", 2L), ("abc", 1L), ("aaa", 3L)).toDF("word", "freq")
+    val dir = java.nio.file.Files.createTempDirectory("bpeckpt").toString
+    val local = Bpe.trainMerges(vocab, "word", "freq", rounds = 3)
+      .collect().map(_.toSeq).toSeq
+    val durable = Bpe.trainMerges(vocab, "word", "freq", rounds = 3,
+      checkpointDir = Some(dir)).collect().map(_.toSeq).toSeq
+    assert(local == durable)
+  }
+
   test("bpe: applyMerges encodes with trained merges in order") {
     val vocab = Seq(("abab", 2L), ("abc", 1L)).toDF("word", "freq")
     val merges = Bpe.trainMerges(vocab, "word", "freq", rounds = 4)
