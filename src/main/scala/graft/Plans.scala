@@ -52,7 +52,9 @@ object Plans {
     "q170_bpe_encode" -> "BPE encode: vocab-table merges, word→syms broadcast to corpus, one doc_id agg shuffle",
     "q172_index_update" -> "index update: stored ⊕ delta postings via ONE term-keyed outer join — indexed docs never rescanned",
     "q174_quality_percentile_gate" -> "percentile gate: one scan, per-source window only (no global sort), quantized score rank",
-    "q175_corpus_report" -> "corpus report: one scan for all doc-level stats + one explode agg for vocab, single-row cross join")
+    "q175_corpus_report" -> "corpus report: one scan for all doc-level stats + one explode agg for vocab, single-row cross join",
+    "q146_landings_pipeline" -> "landings DAG: pre/post-1994 union, broadcast gear map, interval vessel join, ratio rescale — no cartesian",
+    "q162_dup_spans" -> "span dedup: rolling-window hashes, ONE window-hash shuffle, text never rides the exchange")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
