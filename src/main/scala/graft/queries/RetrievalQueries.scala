@@ -557,5 +557,55 @@ object RetrievalQueries {
         FROM head CROSS JOIN vocab"""
       },
       "corpus health report: volume, dup rate, quality, PII — one row"),
+
+    // ---- BM25 served from a materialized index ---------------------------
+    // The build/serve split of a production retrieval system: one
+    // corpus pass materializes the (term, doc, tf) postings, doc-length,
+    // and corpus-stats tables; the query then reads ONLY those tables —
+    // query-time cost is proportional to the query terms' postings (the
+    // term IN filter is pushed into the index scan), never the corpus.
+    // The oracle recomputes BM25 directly from documents, so a hash
+    // match proves build+serve ≡ direct computation.
+    "q176_bm25_served" -> Q(
+      (s, d) => {
+        val terms = Seq("spark", "merge", "filter")
+        val idx = Files.createTempDirectory("graft_bm25_idx").toString
+        // ---- build: one corpus pass → three index tables
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          explode(Text.tokens(Text.normalize(col("text")))).as("term"))
+          .filter(col("term") =!= "")
+        toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .write.mode("overwrite").parquet(s"$idx/tf")
+        toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+          .write.mode("overwrite").parquet(s"$idx/dl")
+        docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+          toks.agg(count(lit(1)).as("tot_toks")))
+          .write.mode("overwrite").parquet(s"$idx/stats")
+        // ---- serve: touch only the index tables
+        val st = s.read.parquet(s"$idx/stats").collect()(0)
+        val nDocs = st.getLong(0); val totToks = st.getLong(1)
+        val avgdl = totToks.toDouble / nDocs.toDouble
+        val tf = s.read.parquet(s"$idx/tf")
+          .filter(col("term").isin(terms: _*))
+        val dl = s.read.parquet(s"$idx/dl")
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val idf = q4(log(lit(1.0d) +
+          (lit(nDocs.toDouble) - col("df") + lit(0.5d)) /
+            (col("df") + lit(0.5d))))
+        val tfnorm = (col("tf") * lit(2.2d)) /
+          (col("tf") + lit(1.2d) *
+            (lit(0.25d) + lit(0.75d) * (col("dl") / lit(avgdl))))
+        tf.join(broadcast(dfreq), "term").join(dl, "doc_id")
+          .withColumn("contrib", q4(idf * tfnorm))
+          .groupBy("doc_id")
+          .agg(q4(xsum4(col("contrib"))).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id").asc)
+          .limit(15)
+      },
+      Some(s"""WITH ${bm25Cte("'spark', 'merge', 'filter'")}
+        SELECT doc_id, bm25 FROM bm25
+        ORDER BY bm25 DESC, doc_id LIMIT 15"""),
+      "BM25 from a materialized index: build/serve split ≡ direct compute"),
   )
 }

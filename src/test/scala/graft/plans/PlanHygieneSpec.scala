@@ -88,4 +88,11 @@ class PlanHygieneSpec extends SparkSpec {
     val p = plan("q175_corpus_report")
     assert("Scan parquet".r.findAllIn(p).length == 2, p.take(2000))
   }
+
+  test("q176 served BM25: the query-term filter is pushed into the index scan") {
+    val p = plan("q176_bm25_served")
+    assert(p.contains("PushedFilters") &&
+      p.contains("In(term, [filter,merge,spark])"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
 }
