@@ -607,5 +607,40 @@ object RetrievalQueries {
         SELECT doc_id, bm25 FROM bm25
         ORDER BY bm25 DESC, doc_id LIMIT 15"""),
       "BM25 from a materialized index: build/serve split ≡ direct compute"),
+
+    // ---- phrase search over positional postings --------------------------
+    // The feature a bag-of-words index can't serve: "fast merge" as an
+    // ADJACENT pair. Positional postings (doc, term, pos) filtered to
+    // the two phrase terms, then one doc-keyed join with a pos+1
+    // adjacency filter — each side is bounded by its term's document
+    // frequency, never the corpus. Generalizes to k-term phrases by
+    // chaining the same join.
+    "q177_phrase_search" -> Q(
+      (s, d) => {
+        val pos = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(Text.tokens(Text.normalize(col("text"))))
+              .as(Seq("pos", "term")))
+          .filter(col("term") =!= "")
+        val a = pos.filter(col("term") === "fast")
+          .select(col("doc_id"), col("pos"))
+        val b = pos.filter(col("term") === "merge")
+          .select(col("doc_id"), col("pos").as("pos2"))
+        a.join(b, "doc_id")
+          .filter(col("pos2") === col("pos") + 1)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
+        pos AS (SELECT doc_id, g.i AS pos, toks[g.i+1] AS term
+                FROM tk, LATERAL (SELECT unnest(range(len(toks))) AS i) g
+                WHERE toks[g.i+1] <> ''),
+        a AS (SELECT doc_id, pos FROM pos WHERE term = 'fast'),
+        b AS (SELECT doc_id, pos AS pos2 FROM pos WHERE term = 'merge')
+        SELECT doc_id, count(*) AS n_hits
+        FROM a JOIN b USING (doc_id)
+        WHERE pos2 = pos + 1
+        GROUP BY doc_id"""),
+      "phrase search: positional postings join with adjacency filter"),
   )
 }
