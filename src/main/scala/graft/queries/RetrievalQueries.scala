@@ -642,5 +642,49 @@ object RetrievalQueries {
         WHERE pos2 = pos + 1
         GROUP BY doc_id"""),
       "phrase search: positional postings join with adjacency filter"),
+
+    // ---- snippet extraction ----------------------------------------------
+    // The display half of q177: for each matching document, an 8-token
+    // window starting 3 tokens before the FIRST phrase hit. Hits are
+    // df-bounded as in q177; the snippet join brings the token array in
+    // doc-keyed (only for matching docs), and the slice is a pure
+    // per-row expression — no text ever shuffles for non-matches.
+    "q178_snippets" -> Q(
+      (s, d) => {
+        val tk = Tables.documents(s, d)
+          .select(col("doc_id"),
+            Text.tokens(Text.normalize(col("text"))).as("toks"))
+        val pos = tk.select(col("doc_id"),
+          posexplode(col("toks")).as(Seq("pos", "term")))
+          .filter(col("term") =!= "")
+        val a = pos.filter(col("term") === "fast")
+          .select(col("doc_id"), col("pos"))
+        val b = pos.filter(col("term") === "merge")
+          .select(col("doc_id"), col("pos").as("pos2"))
+        val firstHit = a.join(b, "doc_id")
+          .filter(col("pos2") === col("pos") + 1)
+          .groupBy("doc_id")
+          .agg(min(col("pos")).cast("long").as("first_pos"))
+        firstHit.join(tk, "doc_id")
+          .withColumn("from", greatest(lit(0L), col("first_pos") - 3))
+          .select(col("doc_id"), col("first_pos"),
+            concat_ws(" ", slice(col("toks"),
+              (col("from") + 1).cast("int"), lit(8))).as("snippet"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
+        pos AS (SELECT doc_id, g.i AS pos, toks[g.i+1] AS term
+                FROM tk, LATERAL (SELECT unnest(range(len(toks))) AS i) g
+                WHERE toks[g.i+1] <> ''),
+        a AS (SELECT doc_id, pos FROM pos WHERE term = 'fast'),
+        b AS (SELECT doc_id, pos AS pos2 FROM pos WHERE term = 'merge'),
+        fh AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS first_pos
+               FROM a JOIN b USING (doc_id) WHERE pos2 = pos + 1
+               GROUP BY doc_id)
+        SELECT doc_id, first_pos,
+          array_to_string(toks[greatest(0, first_pos - 3) + 1 :
+                               greatest(0, first_pos - 3) + 8], ' ')
+            AS snippet
+        FROM fh JOIN tk USING (doc_id)"""),
+      "snippet extraction: 8-token window around the first phrase hit"),
   )
 }
