@@ -686,5 +686,71 @@ object RetrievalQueries {
             AS snippet
         FROM fh JOIN tk USING (doc_id)"""),
       "snippet extraction: 8-token window around the first phrase hit"),
+
+    // ---- proximity search (NEAR operator) --------------------------------
+    // Between phrase match (adjacent, ordered) and bag-of-words (anywhere)
+    // sits NEAR: both terms within a w-token window, either order. Same
+    // df-bounded postings join as q177 with the adjacency equality
+    // relaxed to a band — the band predicate stays inside the join's
+    // codegen (no explosion: pairs are bounded by df_a × df_b per doc,
+    // and the filter applies before the aggregate).
+    "q179_proximity_search" -> Q(
+      (s, d) => {
+        val pos = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(Text.tokens(Text.normalize(col("text"))))
+              .as(Seq("pos", "term")))
+          .filter(col("term") =!= "")
+        val a = pos.filter(col("term") === "fast")
+          .select(col("doc_id"), col("pos"))
+        val b = pos.filter(col("term") === "merge")
+          .select(col("doc_id"), col("pos").as("pos2"))
+        a.join(b, "doc_id")
+          .filter(abs(col("pos2") - col("pos")) <= 3)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"),
+            min(abs(col("pos2") - col("pos"))).cast("long").as("min_dist"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
+        pos AS (SELECT doc_id, g.i AS pos, toks[g.i+1] AS term
+                FROM tk, LATERAL (SELECT unnest(range(len(toks))) AS i) g
+                WHERE toks[g.i+1] <> ''),
+        a AS (SELECT doc_id, pos FROM pos WHERE term = 'fast'),
+        b AS (SELECT doc_id, pos AS pos2 FROM pos WHERE term = 'merge')
+        SELECT doc_id, count(*) AS n_hits,
+          CAST(min(abs(pos2 - pos)) AS BIGINT) AS min_dist
+        FROM a JOIN b USING (doc_id)
+        WHERE abs(pos2 - pos) <= 3
+        GROUP BY doc_id"""),
+      "proximity (NEAR) search: terms within a 3-token window, either order"),
+
+    // ---- prefix lookup over a materialized term dictionary ---------------
+    // Typeahead's storage contract: the term dictionary persists sorted
+    // by term, and a prefix query must reach the scan as a pushed
+    // StringStartsWith filter (row-group min/max on the sorted file
+    // prunes everything outside the prefix range). The oracle recomputes
+    // from the corpus, proving the dictionary build+lookup cycle.
+    "q180_prefix_lookup" -> Q(
+      (s, d) => {
+        val tmp = Files.createTempDirectory("graft_dict_q").toString
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(Text.tokens(Text.normalize(col("text")))).as("term"))
+          .filter(col("term") =!= "")
+          .distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+          .repartitionByRange(1, col("term"))
+          .sortWithinPartitions("term")
+          .write.mode("overwrite").parquet(s"$tmp/dict")
+        s.read.parquet(s"$tmp/dict")
+          .filter(col("term").startsWith("s"))
+      },
+      Some(s"""WITH t AS (
+          SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest($tokSql) AS term FROM documents)
+          WHERE term <> '')
+        SELECT term, count(*) AS df FROM t
+        WHERE term LIKE 's%' GROUP BY term"""),
+      "prefix lookup: sorted term dictionary, StartsWith pushed to the scan"),
   )
 }

@@ -89,6 +89,12 @@ class PlanHygieneSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).length == 2, p.take(2000))
   }
 
+  test("q180 prefix lookup: StringStartsWith is pushed into the dictionary scan") {
+    val p = plan("q180_prefix_lookup")
+    assert(p.contains("PushedFilters") &&
+      p.contains("StringStartsWith(term,s)"), p.take(3000))
+  }
+
   test("q176 served BM25: the query-term filter is pushed into the index scan") {
     val p = plan("q176_bm25_served")
     assert(p.contains("PushedFilters") &&
