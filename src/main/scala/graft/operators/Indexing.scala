@@ -41,4 +41,19 @@ object Indexing {
           coalesce(col("p_old"), array().cast("array<long>")),
           coalesce(col("p_new"), array().cast("array<long>"))))
           .as("postings"))
+
+  /** Remove a batch of documents from a stored index — the
+    * right-to-be-forgotten pass over derived retrieval state. The
+    * removed-id set rides into codegen as an `array_except` literal
+    * argument (a deletion batch is bounded, broadcast-class by nature),
+    * so the pass is a pure per-row array filter over the index: no
+    * shuffle, no corpus rescan. Terms whose posting lists empty out are
+    * dropped. Sorted order is preserved (array_except keeps left order).
+    */
+  def removePostings(stored: DataFrame, removedIds: Seq[Long]): DataFrame =
+    stored
+      .select(col("term"),
+        array_except(col("postings"),
+          lit(removedIds.toArray)).as("postings"))
+      .filter(size(col("postings")) > 0)
 }

@@ -752,5 +752,34 @@ object RetrievalQueries {
         SELECT term, count(*) AS df FROM t
         WHERE term LIKE 's%' GROUP BY term"""),
       "prefix lookup: sorted term dictionary, StartsWith pushed to the scan"),
+
+    // ---- deletion from the index (right-to-be-forgotten) -----------------
+    // Remove a document batch from stored retrieval state WITHOUT
+    // rescanning the corpus: the bounded removed-id set becomes an
+    // array_except literal, so the pass is one shuffle-free array filter
+    // over the index. The oracle rebuilds from the corpus minus the
+    // removed docs — a hash match proves delete-in-place ≡ rebuild, the
+    // q172 closure for the removal direction. Docs ending in 7 play the
+    // deletion batch.
+    "q181_index_delete" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val stored = Indexing.buildPostings(docs, "doc_id", "text")
+        val removed = docs.filter(col("doc_id") % 10 === 7)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+        Indexing.removePostings(stored, removed)
+          .select(col("term"), size(col("postings")).as("df"),
+            concat_ws(",", transform(col("postings"), _.cast("string")))
+              .as("postings"))
+          .filter(col("df") >= 3)
+      },
+      Some(s"""WITH t AS (
+          SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest($tokSql) AS term FROM documents)
+          WHERE term <> '' AND doc_id % 10 <> 7)
+        SELECT term, CAST(count(*) AS INTEGER) AS df,
+          string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        FROM t GROUP BY term HAVING count(*) >= 3"""),
+      "index deletion: remove a doc batch from postings ≡ rebuild without them"),
   )
 }

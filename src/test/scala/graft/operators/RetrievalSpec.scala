@@ -126,6 +126,22 @@ class RetrievalSpec extends SparkSpec {
     assert(merged("alpha") == Seq(1L, 3L, 10L, 20L)) // sorted, deduped per doc
   }
 
+  test("indexing: removePostings drops ids everywhere and empties terms cleanly") {
+    val d = Seq(
+      (1L, "alpha beta"), (2L, "beta gamma"), (3L, "alpha gamma"),
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    val idx = Indexing.buildPostings(d, "doc_id", "text")
+    val after = Indexing.removePostings(idx, Seq(2L, 4L))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val rebuilt = Indexing.buildPostings(
+      d.filter(!col("doc_id").isin(2L, 4L)), "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(after == rebuilt)
+    assert(!after.contains("solo"), "term with emptied postings must drop")
+    assert(after("beta") == Seq(1L))
+  }
+
   test("bm25 shape: doc with more query-term occurrences outranks, ties break by id") {
     // Recompute the q165 program on a fixture small enough to reason
     // about: doc 10 has the query term twice, doc 11 once, doc 12 never.
