@@ -781,5 +781,38 @@ object RetrievalQueries {
           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
         FROM t GROUP BY term HAVING count(*) >= 3"""),
       "index deletion: remove a doc batch from postings ≡ rebuild without them"),
+
+    // ---- boolean retrieval over postings ---------------------------------
+    // The classic index algebra: (fast AND merge) NOT slow as one
+    // semi-join and one anti-join between single-term posting sets —
+    // each side bounded by its term's df, the relational J5 operators
+    // applied to retrieval state. Returns the matching docs with both
+    // terms' frequencies.
+    "q182_boolean_query" -> Q(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(Text.tokens(Text.normalize(col("text")))).as("term"))
+          .filter(col("term") =!= "")
+        def postings(t: String) = toks.filter(col("term") === t)
+          .groupBy("doc_id").agg(count(lit(1)).as(s"tf_$t"))
+        postings("fast")
+          .join(postings("merge"), "doc_id")                  // AND
+          .join(postings("slow"), Seq("doc_id"), "left_anti") // NOT
+          .select("doc_id", "tf_fast", "tf_merge")
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, tok AS term FROM (
+            SELECT doc_id, unnest($tokSql) AS tok FROM documents)
+          WHERE tok <> ''),
+        f AS (SELECT doc_id, count(*) AS tf_fast FROM toks
+              WHERE term = 'fast' GROUP BY 1),
+        m AS (SELECT doc_id, count(*) AS tf_merge FROM toks
+              WHERE term = 'merge' GROUP BY 1),
+        sl AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'slow')
+        SELECT doc_id, tf_fast, tf_merge
+        FROM f JOIN m USING (doc_id)
+        ANTI JOIN sl USING (doc_id)"""),
+      "boolean retrieval: (fast AND merge) NOT slow via semi/anti postings joins"),
   )
 }
