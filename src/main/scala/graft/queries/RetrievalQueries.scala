@@ -739,7 +739,10 @@ object RetrievalQueries {
           .filter(col("term") =!= "")
           .distinct()
           .groupBy("term").agg(count(lit(1)).as("df"))
-          .repartitionByRange(1, col("term"))
+          // range-partition (no forced count): each file holds a disjoint
+          // sorted term range, so StartsWith prunes via row-group min/max
+          // AND the write stays parallel at real vocabulary sizes
+          .repartitionByRange(col("term"))
           .sortWithinPartitions("term")
           .write.mode("overwrite").parquet(s"$tmp/dict")
         s.read.parquet(s"$tmp/dict")
