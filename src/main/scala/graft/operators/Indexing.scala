@@ -45,10 +45,13 @@ object Indexing {
   /** Remove a batch of documents from a stored index — the
     * right-to-be-forgotten pass over derived retrieval state. The
     * removed-id set rides into codegen as an `array_except` literal
-    * argument (a deletion batch is bounded, broadcast-class by nature),
-    * so the pass is a pure per-row array filter over the index: no
-    * shuffle, no corpus rescan. Terms whose posting lists empty out are
-    * dropped. Sorted order is preserved (array_except keeps left order).
+    * argument, so the pass is a pure per-row array filter over the
+    * index: no shuffle, no corpus rescan. ONLY for genuinely small
+    * batches (the literal lives in the plan and `array_except` scans it
+    * per row) — a deletion set of unknown or corpus-proportional size
+    * must use the DataFrame overload below, which never leaves the
+    * cluster. Terms whose posting lists empty out are dropped. Sorted
+    * order is preserved (array_except keeps left order).
     */
   def removePostings(stored: DataFrame, removedIds: Seq[Long]): DataFrame =
     stored
@@ -56,4 +59,51 @@ object Indexing {
         array_except(col("postings"),
           lit(removedIds.toArray)).as("postings"))
       .filter(size(col("postings")) > 0)
+
+  /** Distributed deletion: the removed ids arrive as a DataFrame (first
+    * column, cast to long) and never touch the driver. Two-phase so a
+    * small batch only pays for the postings it actually hits:
+    *
+    *  1. explode the index once and semi-join against the removed ids
+    *     (size-based broadcast when the batch is small) to find the
+    *     AFFECTED terms;
+    *  2. terms with no hit pass through untouched — no re-aggregation,
+    *     no shuffle of their (typically huge) posting arrays;
+    *  3. affected terms alone are exploded, anti-joined on id, and
+    *     re-aggregated — one term-keyed shuffle bounded by the postings
+    *     that contain a removed id, not by the index.
+    *
+    * Equivalent to the Seq variant for any batch (unit-pinned); at a
+    * corpus-proportional batch the split degenerates gracefully to a
+    * full re-aggregation, which is exactly the rebuild cost — never a
+    * driver-side literal. */
+  def removePostings(stored: DataFrame, removed: DataFrame): DataFrame = {
+    val ids = removed.select(col(removed.columns.head).cast("long").as("id"))
+    val exploded = stored.select(col("term"), explode(col("postings")).as("id"))
+    val hitTerms = exploded.join(ids, Seq("id"), "left_semi")
+      .select("term").distinct()
+    val untouched = stored.join(hitTerms, Seq("term"), "left_anti")
+    val rebuilt = stored.join(hitTerms, Seq("term"), "left_semi")
+      .select(col("term"), explode(col("postings")).as("id"))
+      .join(ids, Seq("id"), "left_anti")
+      .groupBy("term")
+      .agg(array_sort(collect_list(col("id"))).as("postings"))
+    untouched.unionByName(rebuilt)
+  }
+
+  /** Upsert a batch of re-crawled documents: their OLD postings are
+    * deleted (distributed [[removePostings]] keyed on the batch's ids),
+    * then the batch's freshly built index merges in ([[mergePostings]]).
+    * The composition crawl pipelines actually need — a changed page must
+    * not leave stale postings behind, which plain merge would. Cost is
+    * the deletion's affected-terms shuffle plus a |delta-terms|-keyed
+    * merge join; unchanged documents are never rescanned. A genuinely
+    * NEW document flows through the same path (deleting an absent id is
+    * a no-op), so one operator covers both crawl outcomes. */
+  def upsertPostings(stored: DataFrame, recrawled: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val cleaned = removePostings(stored,
+      recrawled.select(col(idCol).cast("long").as("id")))
+    mergePostings(cleaned, buildPostings(recrawled, idCol, textCol))
+  }
 }

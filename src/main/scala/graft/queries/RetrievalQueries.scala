@@ -758,18 +758,20 @@ object RetrievalQueries {
 
     // ---- deletion from the index (right-to-be-forgotten) -----------------
     // Remove a document batch from stored retrieval state WITHOUT
-    // rescanning the corpus: the bounded removed-id set becomes an
-    // array_except literal, so the pass is one shuffle-free array filter
-    // over the index. The oracle rebuilds from the corpus minus the
+    // rescanning the corpus OR collecting the batch: the removed ids
+    // stay a DataFrame, affected terms are found by one semi-join, and
+    // only their postings re-aggregate (untouched terms pass through
+    // shuffle-free). The oracle rebuilds from the corpus minus the
     // removed docs — a hash match proves delete-in-place ≡ rebuild, the
     // q172 closure for the removal direction. Docs ending in 7 play the
-    // deletion batch.
+    // deletion batch — deliberately corpus-proportional, which is
+    // exactly the size the old driver-literal variant couldn't carry.
     "q181_index_delete" -> Q(
       (s, d) => {
         val docs = Tables.documents(s, d)
         val stored = Indexing.buildPostings(docs, "doc_id", "text")
         val removed = docs.filter(col("doc_id") % 10 === 7)
-          .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+          .select(col("doc_id"))
         Indexing.removePostings(stored, removed)
           .select(col("term"), size(col("postings")).as("df"),
             concat_ws(",", transform(col("postings"), _.cast("string")))
@@ -817,5 +819,40 @@ object RetrievalQueries {
         FROM f JOIN m USING (doc_id)
         ANTI JOIN sl USING (doc_id)"""),
       "boolean retrieval: (fast AND merge) NOT slow via semi/anti postings joins"),
+
+    // ---- index upsert for re-crawled documents ---------------------------
+    // The crawl-pipeline composition: a re-fetched page whose content
+    // CHANGED must replace its old postings, not append beside them.
+    // upsertPostings = distributed delete of the batch's ids (only
+    // affected terms re-aggregate) + term-keyed merge of the batch's
+    // fresh index — unchanged documents never rescan. Docs ending in 3
+    // play the re-crawl, with ' recrawled update' appended to their
+    // text; the oracle rebuilds the whole index over the UPDATED corpus,
+    // so a hash match proves upsert-in-place ≡ rebuild.
+    "q184_index_upsert" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val stored = Indexing.buildPostings(docs, "doc_id", "text")
+        val recrawled = docs.filter(col("doc_id") % 10 === 3)
+          .withColumn("text", concat(col("text"), lit(" recrawled update")))
+        Indexing.upsertPostings(stored, recrawled, "doc_id", "text")
+          .select(col("term"), size(col("postings")).as("df"),
+            concat_ws(",", transform(col("postings"), _.cast("string")))
+              .as("postings"))
+          .filter(col("df") >= 3)
+      },
+      Some(s"""WITH docs2 AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 10 = 3 THEN text || ' recrawled update'
+                 ELSE text END AS text
+          FROM documents),
+        t AS (
+          SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest($tokSql) AS term FROM docs2)
+          WHERE term <> '')
+        SELECT term, CAST(count(*) AS INTEGER) AS df,
+          string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        FROM t GROUP BY term HAVING count(*) >= 3"""),
+      "index upsert: delete-then-merge for re-crawled docs ≡ full rebuild"),
   )
 }

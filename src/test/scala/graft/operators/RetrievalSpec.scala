@@ -142,6 +142,47 @@ class RetrievalSpec extends SparkSpec {
     assert(after("beta") == Seq(1L))
   }
 
+  test("indexing: distributed removePostings ≡ Seq variant ≡ rebuild") {
+    val d = Seq(
+      (1L, "alpha beta"), (2L, "beta gamma"), (3L, "alpha gamma"),
+      (4L, "solo"), (5L, "beta delta alpha")
+    ).toDF("doc_id", "text")
+    val idx = Indexing.buildPostings(d, "doc_id", "text")
+    val viaSeq = Indexing.removePostings(idx, Seq(2L, 4L))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val viaDf = Indexing.removePostings(idx,
+      Seq(2L, 4L).toDF("doc_id"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(viaDf == viaSeq)
+    // deleting an id absent from the index is a no-op, not an error
+    val noop = Indexing.removePostings(idx, Seq(99L).toDF("doc_id"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val orig = idx.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(noop == orig)
+  }
+
+  test("indexing: upsertPostings replaces changed docs and admits new ones ≡ rebuild") {
+    val before = Seq(
+      (1L, "alpha beta"), (2L, "beta gamma"), (3L, "alpha gamma")
+    ).toDF("doc_id", "text")
+    // doc 2 re-crawled with NEW content (gamma dropped!), doc 9 brand new
+    val recrawled = Seq(
+      (2L, "beta epsilon"), (9L, "epsilon alpha")
+    ).toDF("doc_id", "text")
+    val after = Seq(
+      (1L, "alpha beta"), (2L, "beta epsilon"), (3L, "alpha gamma"),
+      (9L, "epsilon alpha")
+    ).toDF("doc_id", "text")
+    val stored = Indexing.buildPostings(before, "doc_id", "text")
+    val up = Indexing.upsertPostings(stored, recrawled, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val rebuilt = Indexing.buildPostings(after, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(up == rebuilt)
+    assert(up("gamma") == Seq(3L), "stale posting from re-crawled doc must go")
+    assert(up("epsilon") == Seq(2L, 9L))
+  }
+
   test("bm25 shape: doc with more query-term occurrences outranks, ties break by id") {
     // Recompute the q165 program on a fixture small enough to reason
     // about: doc 10 has the query term twice, doc 11 once, doc 12 never.
