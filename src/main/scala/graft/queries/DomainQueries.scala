@@ -561,5 +561,185 @@ object DomainQueries {
                lifur AS liver, kynfaeri AS gonad
         FROM m WHERE tow NOT IN (8, 32)"""),
       "composed aldist pipeline: 20-column age-length import contract"),
+
+    // ---- composed stations→ldist DAG (initdb.R:113-151, 202-288) -----------
+    // The reference's FIRST leg, end-to-end with an oracle row: vessel
+    // SCD resolution over the event date, correction overlay + 37→14
+    // cruise reclassification, measurements RIGHT-joined so unmeasured
+    // stations survive with zero counts, sex recode, and the
+    // skala_med_toldum2 whole-catch scaling — every stage previously
+    // closed piecewise (q81/q75/q70) now replayed as ONE layered-CTE
+    // oracle over the composed output, the closure q146/q147 gave the
+    // other two legs. Orders play the station register (1/3 measured via
+    // lineitem), a 97×3-epoch SCD plays vessel history; biom species
+    // 1 and 3 take the weight-ratio path, the rest the count-ratio path.
+    "q183_ldist_pipeline" -> Q(
+      (s, d) => {
+        val stations = Tables.orders(s, d).select(
+          col("o_orderkey").as("sample_id"),
+          when(col("o_custkey") % 31 === 0, lit(null).cast("long"))
+            .otherwise(col("o_custkey") % 97).as("skip_nr"),
+          make_date((lit(1992) + col("o_orderkey") % 6).cast("int"),
+            (lit(1) + col("o_custkey") % 12).cast("int"), lit(10)).as("dags"),
+          when(col("o_custkey") % 10 === 7, 37)
+            .otherwise((col("o_custkey") % 10).cast("int") + 10)
+            .as("sample_class"),
+          concat(lit("C"), col("o_custkey") % 5).as("cruise"),
+          ((col("o_custkey") % 120).cast("double") * 0.5 - 30).as("lat"))
+        val hist = s.range(0, 97).select(col("id").as("skip_nr"))
+          .crossJoin(s.range(0, 3).select(col("id").as("saga_nr")))
+          .select(col("skip_nr"), col("saga_nr"),
+            make_date((lit(1992) + col("saga_nr") * 2).cast("int"),
+              lit(1), lit(1)).as("i_gildi"),
+            make_date((lit(1994) + col("saga_nr") * 2).cast("int"),
+              lit(1), lit(1)).as("ur_gildi"))
+        val fixes = Tables.orders(s, d).filter(col("o_orderkey") % 13 === 0)
+          .select(col("o_orderkey").as("sample_id"),
+            (lit(60.0) + (col("o_orderkey") % 40).cast("double") * 0.25)
+              .as("lat"))
+        val lengths = Tables.lineitem(s, d).filter(col("l_orderkey") % 3 === 0)
+          .select(col("l_orderkey").as("sample_id"),
+            (col("l_suppkey") % 5).as("species"),
+            (col("l_quantity") + col("l_linenumber") * 100
+              + lit(0.25) * (col("l_partkey") % 3)).as("length"),
+            ((col("l_partkey") % 10) + 1).cast("double").as("count"),
+            (col("l_suppkey") % 3).cast("int").as("kyn"))
+        val ratios = lengths.groupBy("sample_id", "species").agg(
+          (sum("count") + lit(10.0)).as("counted"),
+          sum("count").as("measured"),
+          sum(col("length") * col("count")).as("catch_weight"),
+          sum("length").as("sample_weight"))
+        val wh = java.nio.file.Files.createTempDirectory("graft_ldist_q")
+          .toString
+        Pipelines.buildLdist(stations, hist, fixes, Seq("lat"),
+          Set("C1", "C3"), lengths, ratios,
+          Map(1 -> BiomParams(0.5, 2.0, 0.5), 3 -> BiomParams(0.02, 2.0, 2.0)),
+          warehousePath = s"$wh/warehouse")
+          .select(col("sample_id"), col("vessel"), col("sample_class"),
+            col("cruise"), col("lat"), col("sex"), col("species"),
+            col("length"), col("count"), col("length_interval"),
+            q4(col("scaled_count")).as("scaled_count"),
+            q4(col("mean_weight")).as("mean_weight"))
+      },
+      Some(s"""WITH st0 AS (
+          SELECT o_orderkey AS sample_id,
+            CASE WHEN o_custkey % 31 = 0 THEN NULL
+                 ELSE o_custkey % 97 END AS skip_nr,
+            make_date(CAST(1992 + o_orderkey % 6 AS INTEGER),
+                      CAST(1 + o_custkey % 12 AS INTEGER), 10) AS dags,
+            CASE WHEN o_custkey % 10 = 7 THEN 37
+                 ELSE CAST(o_custkey % 10 AS INTEGER) + 10 END AS sample_class,
+            'C' || CAST(o_custkey % 5 AS VARCHAR) AS cruise,
+            (o_custkey % 120) * 0.5 - 30 AS lat
+          FROM orders),
+        hist AS (
+          SELECT a.skip_nr, b.saga_nr,
+            make_date(CAST(1992 + b.saga_nr * 2 AS INTEGER), 1, 1) AS i_gildi,
+            make_date(CAST(1994 + b.saga_nr * 2 AS INTEGER), 1, 1) AS ur_gildi
+          FROM (SELECT unnest(range(0, 97)) AS skip_nr) a
+          CROSS JOIN (SELECT unnest(range(0, 3)) AS saga_nr) b),
+        resolved AS (
+          SELECT s.sample_id, s.dags, s.sample_class, s.cruise, s.lat,
+            CASE WHEN s.skip_nr IS NULL THEN '0'
+                 ELSE CAST(s.skip_nr AS VARCHAR) || '-' ||
+                      CAST(h.saga_nr AS VARCHAR) END AS vessel
+          FROM st0 s LEFT JOIN hist h ON s.skip_nr = h.skip_nr
+          WHERE h.i_gildi IS NULL
+             OR (s.dags > h.i_gildi AND s.dags <= h.ur_gildi)),
+        fixes AS (
+          SELECT o_orderkey AS sample_id,
+                 60.0 + (o_orderkey % 40) * 0.25 AS lat
+          FROM orders WHERE o_orderkey % 13 = 0),
+        fixed AS (
+          SELECT r.sample_id, r.vessel,
+            CAST(CASE WHEN r.sample_class = 37 AND r.cruise IN ('C1', 'C3')
+                      THEN 14 ELSE r.sample_class END AS INTEGER)
+              AS sample_class,
+            r.cruise, coalesce(f.lat, r.lat) AS lat
+          FROM resolved r LEFT JOIN fixes f USING (sample_id)),
+        lengths AS (
+          SELECT l_orderkey AS sample_id, l_suppkey % 5 AS species,
+                 l_quantity + l_linenumber * 100 + 0.25 * (l_partkey % 3)
+                   AS length,
+                 CAST(l_partkey % 10 + 1 AS DOUBLE) AS cnt,
+                 CAST(l_suppkey % 3 AS INTEGER) AS kyn
+          FROM lineitem WHERE l_orderkey % 3 = 0),
+        ratios AS (
+          SELECT sample_id, species,
+                 sum(cnt) + 10.0 AS counted, sum(cnt) AS measured,
+                 sum(length * cnt) AS catch_weight,
+                 sum(length) AS sample_weight
+          FROM lengths GROUP BY 1, 2),
+        r AS (
+          SELECT sample_id, species,
+            CASE WHEN counted = 0 THEN 1.0
+                 ELSE counted / (CASE WHEN measured = 0 THEN 1.0
+                                      ELSE measured END) END AS count_ratio,
+            CASE WHEN catch_weight = 0 THEN NULL
+                 ELSE catch_weight / (CASE WHEN sample_weight = 0 THEN NULL
+                                          ELSE sample_weight END)
+            END AS weight_ratio,
+            sample_weight
+          FROM ratios),
+        detail AS (
+          SELECT *,
+            round((CASE WHEN species = 1 THEN 2.0 WHEN species = 3 THEN 0.5
+                        ELSE 1.0 END) * length)
+              / (CASE WHEN species = 1 THEN 2.0 WHEN species = 3 THEN 0.5
+                      ELSE 1.0 END) AS length_interval,
+            CASE WHEN species = 1 THEN 0.5 WHEN species = 3 THEN 0.02
+                 ELSE 0.0 END AS a,
+            CASE WHEN species = 1 THEN 2.0 WHEN species = 3 THEN 2.0
+                 ELSE 0.0 END AS b
+          FROM lengths),
+        int0 AS (
+          SELECT sample_id, species, length_interval, a, b,
+                 sum(cnt) AS count_by_int
+          FROM detail GROUP BY 1, 2, 3, 4, 5),
+        int1 AS (
+          SELECT *, sum(count_by_int)
+              OVER (PARTITION BY sample_id, species) AS count_sum
+          FROM int0),
+        int2 AS (
+          SELECT *,
+            CASE WHEN count_sum * a * pow(length_interval, b) = 0 THEN NULL
+                 ELSE count_by_int / count_sum * a * pow(length_interval, b)
+            END AS prop_weighted
+          FROM int1),
+        intlevel AS (
+          SELECT sample_id, species, length_interval, count_by_int,
+            CASE WHEN prop_weighted_sum = 0 THEN NULL
+                 ELSE prop_weighted / prop_weighted_sum END AS biom_prop
+          FROM (SELECT *, sum(prop_weighted)
+                    OVER (PARTITION BY sample_id, species) AS prop_weighted_sum
+                FROM int2)),
+        meas AS (
+          SELECT d.sample_id, d.species, d.length, d.cnt, d.kyn,
+            d.length_interval,
+            d.cnt * (CASE WHEN d.species IN (1, 3) THEN r.weight_ratio
+                          ELSE r.count_ratio END) AS scaled_count,
+            i.biom_prop * (CASE WHEN i.count_by_int = 0 THEN NULL
+                ELSE (CASE WHEN r.sample_weight = 0 THEN NULL
+                           ELSE r.sample_weight END) / i.count_by_int END)
+              AS mean_weight
+          FROM detail d
+          LEFT JOIN intlevel i USING (sample_id, species, length_interval)
+          LEFT JOIN r USING (sample_id, species))
+        SELECT f.sample_id, f.vessel, f.sample_class, f.cruise, f.lat,
+          CASE WHEN m.kyn = 2 THEN 'F' WHEN m.kyn = 1 THEN 'M'
+               ELSE '' END AS sex,
+          m.species, m.length, m.cnt AS "count", m.length_interval,
+          ${Q4("m.scaled_count")} AS scaled_count,
+          ${Q4("m.mean_weight")} AS mean_weight
+        FROM meas m JOIN fixed f USING (sample_id)
+        UNION ALL
+        SELECT f.sample_id, f.vessel, f.sample_class, f.cruise, f.lat,
+          '' AS sex, CAST(NULL AS BIGINT) AS species,
+          CAST(NULL AS DOUBLE) AS length, 0.0 AS "count",
+          CAST(NULL AS DOUBLE) AS length_interval,
+          CAST(NULL AS DOUBLE) AS scaled_count,
+          CAST(NULL AS DOUBLE) AS mean_weight
+        FROM fixed f ANTI JOIN lengths l USING (sample_id)"""),
+      "composed stations→ldist DAG: SCD, overlay, right-join, whole-catch scale"),
   )
 }
