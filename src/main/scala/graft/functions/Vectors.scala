@@ -85,6 +85,37 @@ object Vectors {
     ColumnBridge.column(LshBucketExpr(ColumnBridge.expression(v), nBits))
   }
 
+  /** Cross-engine-replayable cosine-LSH bucket — the portable-SimHash
+    * recipe (q166) applied to hyperplane bucketing. The hyperplane
+    * component for (bit b, dim i) derives from md5("b_i"): the first 3
+    * hex digits make a 12-bit dyadic unit in [-0.5, 0.5) — exact in
+    * binary, so its product with a float component is exact in double —
+    * and every projection term quantizes to an exact 1e-6-grid integer
+    * BEFORE the vote sum, so partial-sum order can never flip a sign
+    * bit. Any engine with md5 computes the identical bucket id;
+    * [[lshBucket]] stays the fast Murmur3 production path.
+    */
+  def portableLshBucket(v: Column, nBits: Int): Column = {
+    require(nBits >= 1 && nBits <= 30, s"nBits must be in [1, 30], got $nBits")
+    val bitIdx = sequence(lit(0), lit(nBits - 1))
+    def unit(b: Column, i: Column): Column =
+      (conv(substring(md5(concat(b.cast("string"), lit("_"),
+        i.cast("string"))), 1, 3), 16, 10).cast("long").cast("double")
+        / 4096d) - 0.5d
+    graft.functions.Text.bindOnce(toDoubleArray(v), dv => {
+      val indexed = transform(dv, (x, i) => struct(x.as("x"), i.as("i")))
+      val votes = aggregate(indexed, array_repeat(lit(0L), nBits),
+        (acc, p) => zip_with(acc, bitIdx, (a, b) =>
+          a + floor(p.getField("x") * unit(b, p.getField("i")) * 1000000d
+            + 0.5d).cast("long")))
+      aggregate(
+        zip_with(votes, bitIdx, (vv, b) =>
+          when(vv >= 0, call_function("shiftleft", lit(1), b))
+            .otherwise(lit(0))),
+        lit(0), (acc, x) => acc + x)
+    })
+  }
+
   /** Reference formulation of [[lshBucket]] as pure Column HOFs:
     * one indexed traversal accumulates all nBits projection sums at once
     * (vote vector accumulator); per-bit sums accumulate in the same

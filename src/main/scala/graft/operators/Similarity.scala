@@ -76,6 +76,33 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** LSH ANN with the portable (md5-derived, integer-vote) bucket family
+    * and quantized-cosine ranking — the cross-engine-exact twin of
+    * [[lshTopK]], in the [[ivfTopKDeterministic]] mold: candidates come
+    * from hyperplane buckets (`Vectors.portableLshBucket`), the final
+    * top-k ranks on q4(cosine) with the neighbor id as tie-break, so an
+    * oracle can replay the entire search bit-for-bit. Same scale shape
+    * as [[lshTopK]]: queries broadcast, the corpus never shuffles, the
+    * bucket id is a partition key at scale. */
+  def lshTopKPortable(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int, nBits: Int = 6): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      Vectors.norm(col(vecCol)).as("qnrm"),
+      Vectors.portableLshBucket(col(vecCol), nBits).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      Vectors.norm(col(vecCol)).as("nnrm"),
+      Vectors.portableLshBucket(col(vecCol), nBits).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos4", q4(Vectors.dot(col("qvec"), col("nvec")) /
+        (col("qnrm") * col("nnrm"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos4").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos4")
+  }
+
   /** Recall@k of an ANN result against the exact result: fraction of the
     * exact top-k (query, neighbor) pairs the ANN result recovered.
     * Returns (hit, total) so callers can aggregate however they like.

@@ -447,5 +447,53 @@ object VectorQueries {
               ORDER BY cos4 DESC, neighbor_id) AS rank
           FROM cand) WHERE rank <= 5"""),
       "materialized IVF: partitioned index write + pruned probe read-back"),
+
+    // ---- deterministic verified LSH ANN ------------------------------------
+    // The cross-engine closure for the LSH family (q63's verified twin,
+    // in the q161/q166 mold): hyperplane components derive from md5, every
+    // projection term quantizes to a 1e-6-grid integer before the vote
+    // sum (no float sum can flip a sign bit), candidates come from exact
+    // bucket equality, and the top-k ranks on q4(cosine) with the
+    // neighbor-id tie-break — so DuckDB replays hash → votes → sign →
+    // bucket join → ranked top-k bit-for-bit.
+    "q185_ann_lsh_verified" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.lshTopKPortable(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, nBits = 6)
+      },
+      Some(s"""WITH dims AS (
+          SELECT vec_id, g.i AS i, CAST(embedding[g.i+1] AS DOUBLE) AS x
+          FROM embeddings,
+               LATERAL (SELECT unnest(range(len(embedding))) AS i) g),
+        votes AS (
+          SELECT vec_id, b.b,
+            sum(CAST(floor(x * (CAST(('0x' || substr(md5(
+                  CAST(b.b AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 3))
+                  AS BIGINT) / 4096.0 - 0.5) * 1000000 + 0.5) AS BIGINT))
+              AS vote
+          FROM dims CROSS JOIN (SELECT unnest(range(0, 6)) AS b) b
+          GROUP BY 1, 2),
+        bucket AS (
+          SELECT vec_id,
+            CAST(sum(CASE WHEN vote >= 0 THEN 1 << b ELSE 0 END) AS INTEGER)
+              AS bucket
+          FROM votes GROUP BY 1),
+        cand AS (
+          SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+            ${Q4("list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[]))")}
+              AS cos4
+          FROM bucket qb
+          JOIN bucket cb ON cb.bucket = qb.bucket AND cb.vec_id <> qb.vec_id
+          JOIN embeddings qe ON qe.vec_id = qb.vec_id
+          JOIN embeddings ce ON ce.vec_id = cb.vec_id
+          WHERE qb.vec_id < 8)
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos4
+        FROM (
+          SELECT query_id, neighbor_id, cos4,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos4 DESC, neighbor_id) AS rank
+          FROM cand) WHERE rank <= 5"""),
+      "deterministic LSH ANN: md5 hyperplanes, integer votes, quantized top-k"),
   )
 }

@@ -305,6 +305,29 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.contains(0L)) // never self
   }
 
+  test("portable LSH: deterministic buckets in range, ANN recall over fixture") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val buckets = emb.select(graft.functions.Vectors
+        .portableLshBucket(col("embedding"), 6).as("b"))
+      .as[Int].collect()
+    assert(buckets.forall(b => b >= 0 && b < 64))
+    assert(buckets.distinct.length > 1, "hyperplanes must actually split")
+    // 2 bits → 4 buckets: at the ~50-vector sf0.001 scale, buckets stay
+    // populated enough for recall to be a meaningful assertion (q185
+    // runs the 6-bit variant at sf0.01 under the oracle gate)
+    val queries = emb.filter(col("vec_id") < 8)
+    val out = Similarity.lshTopKPortable(emb, queries, "vec_id", "embedding",
+      k = 5, nBits = 2)
+    val again = Similarity.lshTopKPortable(emb, queries, "vec_id", "embedding",
+      k = 5, nBits = 2)
+    assert(out.collect().toSet == again.collect().toSet)
+    assert(out.filter(col("query_id") === col("neighbor_id")).isEmpty)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+    val (h, t) = Similarity.recallAtK(exact, out)
+    info(f"portable LSH recall@5 ${h.toDouble / t}%.3f over $t pairs")
+    assert(t > 0 && h > 0, "portable LSH must recover some exact neighbors")
+  }
+
   test("IVF ANN: centroids deterministic, more probes → recall ≥ single probe + floor") {
     val emb = graft.Tables.embeddings(spark, sf0001)
     val queries = emb.filter(col("vec_id") < 8)
