@@ -27,19 +27,23 @@ object Indexing {
       .agg(array_sort(collect_list(col("id"))).as("postings"))
 
   /** Merge a delta index into a stored index: full outer join on term,
-    * union + re-sort the two posting lists. Cost is keyed by |terms|,
-    * not corpus size — the indexed documents are never rescanned.
-    * Assumes delta doc ids are new (an upsert of re-crawled docs would
-    * first delete their old postings — out of scope here, as in the
-    * reference's append-per-data_source model). */
+    * union + dedup + re-sort the two posting lists. Cost is keyed by
+    * |terms|, not corpus size — the indexed documents are never
+    * rescanned. Postings are doc-id SETS (buildPostings distincts), so
+    * the dedup changes nothing for genuinely new delta ids and makes
+    * the merge IDEMPOTENT: a delta replayed by an at-least-once caller
+    * (foreachBatch after a crash) merges to the identical index instead
+    * of duplicating every doc id and corrupting df counts. A re-crawled
+    * (changed) document still needs [[upsertPostings]], which deletes
+    * its old postings first. */
   def mergePostings(stored: DataFrame, delta: DataFrame): DataFrame =
     stored.select(col("term"), col("postings").as("p_old"))
       .join(delta.select(col("term"), col("postings").as("p_new")),
         Seq("term"), "outer")
       .select(col("term"),
-        array_sort(concat(
+        array_sort(array_distinct(concat(
           coalesce(col("p_old"), array().cast("array<long>")),
-          coalesce(col("p_new"), array().cast("array<long>"))))
+          coalesce(col("p_new"), array().cast("array<long>")))))
           .as("postings"))
 
   /** Remove a batch of documents from a stored index — the

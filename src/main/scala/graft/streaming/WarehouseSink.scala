@@ -21,6 +21,20 @@ import graft.sources.Sinks
   */
 object WarehouseSink {
 
+  /** Read the table at `path`, or `empty` if the path does not exist
+    * yet (first batch). Existence is probed explicitly rather than by
+    * catching read errors: every caller's next step is a staged
+    * OVERWRITE, so absorbing a transient read failure (FS hiccup,
+    * corrupt footer) as "empty table" would silently replace the whole
+    * table with just the current micro-batch. A real read error must
+    * fail the batch and let the checkpoint retry it. */
+  private def readOrEmpty(spark: org.apache.spark.sql.SparkSession,
+                          path: String, empty: => DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val exists = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    if (exists) spark.read.parquet(path) else empty
+  }
+
   /** Start the sink. Within a batch, later rows win per key (total order
     * = batch arrival tagged by a monotonic row id); across batches the
     * newest batch wins. `checkpoint` makes restarts resume, not replay
@@ -37,9 +51,7 @@ object WarehouseSink {
         val ordered = batch.withColumn("__seq", monotonically_increasing_id())
         val latest = Relational.dedupKeepFirst(ordered, keys,
           Seq(col("__seq").desc)).drop("__seq")
-        val existing =
-          try spark.read.parquet(path)
-          catch { case _: Throwable => latest.limit(0) }
+        val existing = readOrEmpty(spark, path, latest.limit(0))
         Sinks.stagedOverwrite(
           Relational.upsert(existing, latest, keys), path)
         ()
@@ -72,11 +84,8 @@ object WarehouseSink {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val known =
-          try spark.read.parquet(indexPath)
-          catch { case _: Throwable =>
-            spark.range(0).select(lit("").as("fp")).limit(0)
-          }
+        val known = readOrEmpty(spark, indexPath,
+          spark.range(0).select(lit("").as("fp")).limit(0))
         // materialize ONCE before either write: both writes act on this
         // frame, and the second would otherwise lazily re-scan the index
         // it just appended to and admit nothing
@@ -102,8 +111,10 @@ object WarehouseSink {
     * incremental q172 closure kept current by the stream, with no
     * rescan of previously indexed documents. The merged index is
     * staged-rewritten (it both reads and replaces `indexPath`), the
-    * same in-place cycle as upsertSink. Batch ids are assumed
-    * append-only doc batches (exactly-once per the q172 contract).
+    * same in-place cycle as upsertSink. Exactly-once under foreachBatch
+    * replay because the merge dedups doc ids per term: a batch replayed
+    * after a crash finds its postings already present and merges to the
+    * identical index.
     */
   def indexMaintenanceSink(stream: DataFrame, idCol: String,
                            textCol: String, indexPath: String,
@@ -115,11 +126,7 @@ object WarehouseSink {
         val spark = batch.sparkSession
         val delta = graft.operators.Indexing
           .buildPostings(batch, idCol, textCol)
-        val stored =
-          try spark.read.parquet(indexPath)
-          catch { case _: Throwable =>
-            delta.limit(0)
-          }
+        val stored = readOrEmpty(spark, indexPath, delta.limit(0))
         val merged = graft.operators.Indexing.mergePostings(stored, delta)
         graft.sources.Sinks.stagedOverwrite(merged, indexPath)
         ()

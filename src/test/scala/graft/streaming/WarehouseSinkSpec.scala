@@ -80,6 +80,40 @@ class WarehouseSinkSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
       assert(streamed == rebuilt)
       assert(streamed("alpha") == Seq(1L, 3L, 4L))
+      // at-least-once replay: merging an already-absorbed batch again
+      // must leave the index unchanged (no duplicated doc ids / df drift)
+      val delta = graft.operators.Indexing.buildPostings(
+        Seq(all(2), all(3)).toDF("doc_id", "text"), "doc_id", "text")
+      val replayed = graft.operators.Indexing
+        .mergePostings(spark.read.parquet(idx), delta)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(replayed == streamed)
+    } finally q.stop()
+  }
+
+  test("readOrEmpty: absent table yields empty, real read errors propagate") {
+    val dir = Files.createTempDirectory("readorempty")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    // a sink pointed at a CORRUPT existing table must fail its batch
+    // (checkpoint retries it), never staged-overwrite the table away
+    val table = dir.resolve("dim").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(table))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(table, "part-00000.parquet"),
+      "not a parquet file".getBytes)
+    val ms = MemoryStream[(Long, String)]
+    val q = WarehouseSink.upsertSink(ms.toDF().toDF("k", "v"),
+      table, Seq("k"), dir.resolve("ckpt").toString)
+    try {
+      ms.addData((1L, "a"))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      // the corrupt file was NOT replaced by the micro-batch
+      val left = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(table, "part-00000.parquet")))
+      assert(left == "not a parquet file")
     } finally q.stop()
   }
 }
