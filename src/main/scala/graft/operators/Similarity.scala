@@ -76,6 +76,29 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** [[bruteForceTopK]] under the cross-engine rank contract every
+    * oracle row here rests on: neighbors rank on the QUANTIZED cosine
+    * (4 dp) with the neighbor id as tie-break, so an ulp difference in
+    * the engines' accumulation order can never flip a rank. Use this
+    * whenever the result feeds a hash-compared oracle; the raw variant
+    * remains the recall baseline. */
+  def bruteForceTopKQuantized(corpus: DataFrame, queries: DataFrame,
+                              idCol: String, vecCol: String,
+                              k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      Vectors.norm(col(vecCol)).as("qnrm"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      Vectors.norm(col(vecCol)).as("nnrm"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos4", q4(Vectors.dot(col("qvec"), col("nvec")) /
+        (col("qnrm") * col("nnrm"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos4").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos4")
+  }
+
   /** LSH ANN with the portable (md5-derived, integer-vote) bucket family
     * and quantized-cosine ranking — the cross-engine-exact twin of
     * [[lshTopK]], in the [[ivfTopKDeterministic]] mold: candidates come

@@ -337,7 +337,10 @@ object RetrievalQueries {
             Window.orderBy(col("bm25").desc, col("doc_id").asc)))
           .select("doc_id", "lex_rank")
         val emb = Tables.embeddings(s, d)
-        val sem = graft.operators.Similarity.bruteForceTopK(
+        // quantized-rank brute force: the file-header invariant (all FP
+        // scores quantize before any rank) applies to the semantic leg
+        // too, so an ulp flip can never reorder sem_rank vs the oracle
+        val sem = graft.operators.Similarity.bruteForceTopKQuantized(
           emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
           k = 15)
           .select(col("neighbor_id").as("doc_id"),
@@ -360,9 +363,9 @@ object RetrievalQueries {
           FROM bm25 QUALIFY lex_rank <= 15),
         semr AS (
           SELECT c.vec_id AS doc_id, CAST(row_number() OVER (
-              ORDER BY list_cosine_similarity(
+              ORDER BY ${Q4("""list_cosine_similarity(
                 CAST(q.embedding AS DOUBLE[]),
-                CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id)
+                CAST(c.embedding AS DOUBLE[]))""")} DESC, c.vec_id)
             AS INTEGER) AS sem_rank
           FROM (SELECT * FROM embeddings WHERE vec_id = 0) q
           JOIN embeddings c ON c.vec_id <> 0

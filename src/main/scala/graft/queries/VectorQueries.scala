@@ -414,7 +414,8 @@ object VectorQueries {
         Similarity.ivfPartitionedTopK(emb,
           emb.filter(col("vec_id") < 4), "vec_id", "embedding",
           k = 5, cents, nProbe = 2,
-          indexPath = "/tmp/graft_ivf_index")
+          indexPath = java.nio.file.Files
+            .createTempDirectory("graft_ivf_q").toString + "/index")
       },
       Some(s"""WITH init AS (
           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
