@@ -491,11 +491,24 @@ object Dedup {
     val cut = wins.join(canon, Seq("h"))
       .filter(col("id") =!= col("c.id") || col("pos") =!= col("c.pos"))
       .select(col("id"), explode(sequence(col("pos"), col("pos") + k - 1)).as("p"))
-      .groupBy("id").agg(collect_set(col("p")).as("__cut"))
+      .groupBy("id").agg(array_sort(collect_set(col("p"))).as("__cut"))
+    // reassembly is LINEAR in doc length: the sorted cut positions band
+    // the token array into keep-slices (gap j spans (cut[j-1], cut[j])),
+    // so a heavily-duplicated doc costs O(n + |cut|), not the O(n·|cut|)
+    // of a per-token membership scan. Sentinels -1 and n close the first
+    // and last gap; the bounds array is let-bound so it is built once
+    // per row, not once per gap.
     base.join(cut, Seq("id"), "left")
       .select(col("id"),
-        concat_ws(" ", filter(col("__toks"), (t, i) =>
-          col("__cut").isNull || !array_contains(col("__cut"), i)))
+        when(col("__cut").isNull, concat_ws(" ", col("__toks")))
+          .otherwise(graft.functions.Text.bindOnce(
+            concat(array(lit(-1)), col("__cut"),
+              array(size(col("__toks")))), bounds =>
+              concat_ws(" ", flatten(
+                transform(sequence(lit(0), size(col("__cut"))), j =>
+                  slice(col("__toks"), element_at(bounds, j + 1) + 2,
+                    element_at(bounds, j + 2) - element_at(bounds, j + 1)
+                      - 1))))))
           .as("clean_text"))
   }
 

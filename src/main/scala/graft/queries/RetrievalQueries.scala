@@ -241,12 +241,15 @@ object RetrievalQueries {
             element_at(col("toks"), col("i") + 1).as("w1"),
             element_at(col("toks"), col("i") + 2).as("w2"))
         val uniToks = tk.select(explode(col("toks")).as("w2"))
-        val totToks = uniToks.count() // scalar job: T for the unigram term
         val uni = uniToks.groupBy("w2").agg(count(lit(1)).as("c2"))
+        // T = Σ c2 of the unigram aggregate — a vocab-sized re-aggregate
+        // broadcast as one row, NOT a second tokenization pass over the
+        // corpus (the count() scalar job this replaces)
+        val tot = uni.agg(sum(col("c2")).cast("double").as("t"))
         val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
         val lc = big.groupBy("w1").agg(count(lit(1)).as("c1"))
         val p = lit(0.7d) * (col("c12").cast("double") / col("c1").cast("double")) +
-          lit(0.3d) * (col("c2").cast("double") / lit(totToks.toDouble))
+          lit(0.3d) * (col("c2").cast("double") / col("t"))
         // NO forced broadcast hints: these joins are vocab-keyed, and a
         // web-scale bigram table can be billions of rows — size-based
         // selection broadcasts them while they fit and degrades to a
@@ -254,6 +257,7 @@ object RetrievalQueries {
         big.join(bc, Seq("w1", "w2"))
           .join(lc, Seq("w1"))
           .join(uni, Seq("w2"))
+          .crossJoin(broadcast(tot))
           .withColumn("lp", q4(log(p)))
           .groupBy("doc_id")
           .agg(q4(xsum4(col("lp")) / count(lit(1))).as("mean_lp"),
