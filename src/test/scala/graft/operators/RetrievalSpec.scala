@@ -85,6 +85,51 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("bpe: incremental pair-count deltas equal a full recount at 14 rounds") {
+    // Independent reference trainer: plain-Scala full recount every
+    // round, replicating the argmax tie-break (count desc, then lex
+    // (l, r)) and the greedy left-to-right fold. 14 rounds exercises
+    // many delta merges, pair extinction, and merged-symbol pairs.
+    def refTrain(vocab: Seq[(String, Long)],
+                 rounds: Int): Seq[(Int, String, String, Long)] = {
+      def fold(syms: Vector[String], a: String, b: String): Vector[String] =
+        syms.foldLeft(Vector.empty[String])((acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+          else acc :+ x)
+      var words = vocab.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, Long)]
+      var r = 1
+      var done = false
+      while (r <= rounds && !done) {
+        val counts = scala.collection.mutable.Map
+          .empty[(String, String), Long].withDefaultValue(0L)
+        for ((syms, f) <- words; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) += f
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), c) = counts.minBy { case ((l, rr), cc) => (-cc, l, rr) }
+          out += ((r, a, b, c))
+          words = words.map { case (syms, f) => (fold(syms, a, b), f) }
+          r += 1
+        }
+      }
+      out.toSeq
+    }
+    val fixture = Seq(
+      ("ababab", 3L), ("abcabc", 2L), ("aabb", 5L), ("banana", 4L),
+      ("bandana", 2L), ("cabbage", 1L), ("baggage", 2L), ("cabana", 3L))
+    val got = Bpe.trainMerges(fixture.toDF("word", "freq"), "word", "freq",
+      rounds = 14)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val want = refTrain(fixture, 14)
+    assert(got == want, s"incremental deltas diverged from recount:\n" +
+      s" got  $got\n want $want")
+    assert(got.size >= 12, s"fixture must sustain >=12 rounds, got ${got.size}")
+  }
+
   test("bpe: reliable-checkpoint path trains identical merges") {
     val vocab = Seq(("abab", 2L), ("abc", 1L), ("aaa", 3L)).toDF("word", "freq")
     val dir = java.nio.file.Files.createTempDirectory("bpeckpt").toString
