@@ -95,6 +95,85 @@ object Indexing {
     untouched.unionByName(rebuilt)
   }
 
+  /** Positional postings (doc_id, term, pos) — the build half of the
+    * phrase / proximity / snippet serving path. Persist sorted by term
+    * (repartitionByRange + sortWithinPartitions) so a serve-time term
+    * filter prunes parquet row groups via min/max and reaches the scan
+    * as a pushed filter: query cost is the queried terms' postings,
+    * never the corpus. */
+  def buildPositional(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(Text.tokens(Text.normalize(col(textCol))))
+        .as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+
+  /** Phrase hits ("first second" ADJACENT) served from a positional
+    * postings table: slice each term's postings off the index (term
+    * filters — pushed to the scan on a term-sorted store), one
+    * doc-keyed join, adjacency predicate, per-doc count. */
+  def phraseHits(positional: DataFrame, first: String,
+                 second: String): DataFrame = {
+    val a = positional.filter(col("term") === first)
+      .select(col("doc_id"), col("pos"))
+    val b = positional.filter(col("term") === second)
+      .select(col("doc_id"), col("pos").as("pos2"))
+    a.join(b, "doc_id")
+      .filter(col("pos2") === col("pos") + 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** NEAR search served from a positional postings table: both terms
+    * within `window` tokens, either order. Same df-bounded join shape
+    * as [[phraseHits]] with the adjacency equality relaxed to a band. */
+  def proximityHits(positional: DataFrame, first: String, second: String,
+                    window: Int): DataFrame = {
+    val a = positional.filter(col("term") === first)
+      .select(col("doc_id"), col("pos"))
+    val b = positional.filter(col("term") === second)
+      .select(col("doc_id"), col("pos").as("pos2"))
+    a.join(b, "doc_id")
+      .filter(abs(col("pos2") - col("pos")) <= window)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        min(abs(col("pos2") - col("pos"))).cast("long").as("min_dist"))
+  }
+
+  /** Snippets served from the positional postings plus a doc-keyed
+    * FORWARD index (doc_id, toks): the first phrase hit per matching
+    * doc comes from the positional side, and only MATCHING docs pull
+    * their token array for the window slice — non-matching documents'
+    * text never moves. */
+  def phraseSnippets(positional: DataFrame, forward: DataFrame,
+                     first: String, second: String, before: Int = 3,
+                     len: Int = 8): DataFrame = {
+    val firstHit = phraseFirstHit(positional, first, second)
+    firstHit.join(forward, "doc_id")
+      .withColumn("from", greatest(lit(0L), col("first_pos") - before))
+      .select(col("doc_id"), col("first_pos"),
+        concat_ws(" ", slice(col("toks"),
+          (col("from") + 1).cast("int"), lit(len))).as("snippet"))
+  }
+
+  private def phraseFirstHit(positional: DataFrame, first: String,
+                             second: String): DataFrame = {
+    val a = positional.filter(col("term") === first)
+      .select(col("doc_id"), col("pos"))
+    val b = positional.filter(col("term") === second)
+      .select(col("doc_id"), col("pos").as("pos2"))
+    a.join(b, "doc_id")
+      .filter(col("pos2") === col("pos") + 1)
+      .groupBy("doc_id")
+      .agg(min(col("pos")).cast("long").as("first_pos"))
+  }
+
+  /** The forward index for [[phraseSnippets]]: (doc_id, toks). */
+  def buildForward(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      Text.tokens(Text.normalize(col(textCol))).as("toks"))
+
   /** Upsert a batch of re-crawled documents: their OLD postings are
     * deleted (distributed [[removePostings]] keyed on the batch's ids),
     * then the batch's freshly built index merges in ([[mergePostings]]).

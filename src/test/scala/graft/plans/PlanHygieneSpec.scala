@@ -101,4 +101,11 @@ class PlanHygieneSpec extends SparkSpec {
       p.contains("In(term, [filter,merge,spark])"), p.take(3000))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
+
+  test("q186 served phrase search: both term filters pushed into the positional-index scan") {
+    val p = plan("q186_phrase_served")
+    assert(p.contains("PushedFilters") &&
+      p.contains("EqualTo(term,fast)") && p.contains("EqualTo(term,merge)"),
+      p.take(3000))
+  }
 }
