@@ -54,7 +54,11 @@ object Plans {
     "q174_quality_percentile_gate" -> "percentile gate: one scan, per-source window only (no global sort), quantized score rank",
     "q175_corpus_report" -> "corpus report: one scan for all doc-level stats + one explode agg for vocab, single-row cross join",
     "q146_landings_pipeline" -> "landings DAG: pre/post-1994 union, broadcast gear map, interval vessel join, ratio rescale — no cartesian",
-    "q162_dup_spans" -> "span dedup: rolling-window hashes, ONE window-hash shuffle, text never rides the exchange")
+    "q162_dup_spans" -> "span dedup: rolling-window hashes, ONE window-hash shuffle, text never rides the exchange",
+    "q181_index_delete" -> "distributed index delete: semi-join finds affected terms, only their postings re-aggregate, untouched terms pass through shuffle-free",
+    "q183_ldist_pipeline" -> "ldist DAG: broadcast SCD/fix overlays, ONE (sample,species) window shuffle for scaling, right-join zero-fill — no agg+rejoin rounds",
+    "q185_ann_lsh_verified" -> "portable LSH ANN: md5 hyperplane buckets in scan-side codegen, query side broadcast, corpus never shuffles",
+    "q186_phrase_served" -> "served phrase search: term EqualTo filters pushed into the positional-index scan, df-bounded doc-keyed join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
