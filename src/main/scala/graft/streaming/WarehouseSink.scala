@@ -106,6 +106,34 @@ object WarehouseSink {
       }
       .start()
 
+  /** Streaming right-to-be-forgotten: each micro-batch is a set of doc
+    * ids to REMOVE from the stored inverted index — the deletion
+    * direction of [[indexMaintenanceSink]], riding the distributed
+    * `Indexing.removePostings` (ids never touch the driver; only
+    * affected terms re-aggregate). Idempotent under foreachBatch
+    * replay: removing an id that is already gone is a no-op, so a
+    * replayed batch rewrites the identical index. An absent index stays
+    * absent — there is nothing to forget from. */
+  def deletionSink(stream: DataFrame, idCol: String, indexPath: String,
+                   checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val p = new org.apache.hadoop.fs.Path(indexPath)
+        val exists =
+          p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+        if (exists) {
+          val stored = spark.read.parquet(indexPath)
+          Sinks.stagedOverwrite(
+            graft.operators.Indexing.removePostings(stored,
+              batch.select(col(idCol))), indexPath)
+        }
+        ()
+      }
+      .start()
+
   /** Streaming inverted-index maintenance: each micro-batch's postings
     * merge into the stored index via `Indexing.mergePostings` — the
     * incremental q172 closure kept current by the stream, with no

@@ -91,6 +91,39 @@ class WarehouseSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("deletionSink: streamed id batches forget docs ≡ rebuild without them") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("delsink")
+    val idx = dir.resolve("idx").toString
+    val all = Seq((1L, "alpha beta"), (2L, "beta gamma"),
+      (3L, "alpha gamma delta"), (4L, "delta alpha"))
+    graft.operators.Indexing.buildPostings(
+      all.toDF("doc_id", "text"), "doc_id", "text")
+      .write.parquet(idx)
+    val ms = MemoryStream[Long]
+    val q = WarehouseSink.deletionSink(ms.toDF().toDF("doc_id"),
+      "doc_id", idx, dir.resolve("ckpt").toString)
+    try {
+      ms.addData(2L)
+      q.processAllAvailable()
+      ms.addData(4L, 99L) // 99 was never indexed: must be a no-op
+      q.processAllAvailable()
+      val after = spark.read.parquet(idx)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val rebuilt = graft.operators.Indexing.buildPostings(
+        all.filterNot(d => Set(2L, 4L)(d._1)).toDF("doc_id", "text"),
+        "doc_id", "text")
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(after == rebuilt)
+      // replay idempotence: forgetting the same ids again changes nothing
+      val replayed = graft.operators.Indexing.removePostings(
+        spark.read.parquet(idx), Seq(2L, 4L).toDF("doc_id"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(replayed == after)
+    } finally q.stop()
+  }
+
   test("readOrEmpty: absent table yields empty, real read errors propagate") {
     val dir = Files.createTempDirectory("readorempty")
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
