@@ -1,0 +1,37 @@
+package graft
+
+/** Dev tool (like Verify/Bench): time the named queries REPEATEDLY in
+  * one fresh JVM to separate plan regressions from bench-run noise —
+  * the full Bench interleaves 180+ queries in one JVM, so any single
+  * query's number carries whatever GC/code-cache state the alphabet
+  * left it. Usage:
+  *   runMain graft.TimeQueries <sfDir> <reps> <query...>
+  * Prints per-rep seconds and the min (the plan-cost estimate: noise
+  * only ever adds).
+  */
+object TimeQueries {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val reps = args(1).toInt
+    val names = args.drop(2).toSeq
+    val spark = Engine.local(appName = "graft-time")
+    spark.sparkContext.setLogLevel("ERROR")
+    // same warmup as Bench so rep 1 is not a JIT measurement
+    spark.range(1000000L).selectExpr("sum(id)").write
+      .mode("overwrite").format("noop").save()
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to reps).map { _ =>
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[time] $name reps=${times.map(t => f"$t%.2f").mkString(",")} min=${times.min}%.2f")
+    }
+    spark.stop()
+  }
+}
