@@ -113,16 +113,47 @@ object Indexing {
     * filters — pushed to the scan on a term-sorted store), one
     * doc-keyed join, adjacency predicate, per-doc count. */
   def phraseHits(positional: DataFrame, first: String,
-                 second: String): DataFrame = {
-    val a = positional.filter(col("term") === first)
+                 second: String): DataFrame =
+    phraseHitsK(positional, Seq(first, second))
+
+  /** K-term phrase search: chain the [[phraseHits]] adjacency join once
+    * per additional term — term j's postings join doc-keyed with the
+    * accumulated matches under `pos_j = pos_0 + j`. Every join side is
+    * bounded by its term's postings, the intermediate match set only
+    * shrinks as terms chain, and the whole pipeline stays doc-keyed, so
+    * a k-term phrase costs k pushed index slices + (k−1) df-bounded
+    * joins — never a corpus pass. */
+  def phraseHitsK(positional: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.size >= 2, s"a phrase needs >= 2 terms, got $terms")
+    val first = positional.filter(col("term") === terms.head)
       .select(col("doc_id"), col("pos"))
-    val b = positional.filter(col("term") === second)
-      .select(col("doc_id"), col("pos").as("pos2"))
-    a.join(b, "doc_id")
-      .filter(col("pos2") === col("pos") + 1)
+    terms.zipWithIndex.tail.foldLeft(first) { case (acc, (t, j)) =>
+      acc.join(positional.filter(col("term") === t)
+          .select(col("doc_id"), col("pos").as(s"__p$j")), "doc_id")
+        .filter(col(s"__p$j") === col("pos") + j)
+        .drop(s"__p$j")
+    }
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"))
   }
+
+  /** Positional-index deletion: on the flat (doc_id, term, pos) store
+    * the right-to-be-forgotten pass is pure relational algebra — one
+    * doc-keyed anti join, no posting arrays to rewrite. The removed ids
+    * stay a DataFrame (broadcast when small), never a driver literal. */
+  def removePositional(stored: DataFrame, removed: DataFrame): DataFrame =
+    stored.join(
+      removed.select(col(removed.columns.head).cast("long").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+
+  /** Positional-index upsert for re-crawled documents: delete the
+    * batch's old rows, union the batch's fresh postings — the
+    * [[upsertPostings]] contract on the positional store. Unchanged
+    * documents never rescan; only the touched doc ids move. */
+  def upsertPositional(stored: DataFrame, recrawled: DataFrame,
+                       idCol: String, textCol: String): DataFrame =
+    removePositional(stored, recrawled.select(col(idCol)))
+      .unionByName(buildPositional(recrawled, idCol, textCol))
 
   /** NEAR search served from a positional postings table: both terms
     * within `window` tokens, either order. Same df-bounded join shape

@@ -851,6 +851,62 @@ object RetrievalQueries {
         GROUP BY doc_id"""),
       "phrase search served from a term-sorted positional index ≡ direct"),
 
+    // ---- k-term phrase search (adjacency chain) ---------------------------
+    // The generalization q177's docstring promises: a 3-term phrase as
+    // two chained doc-keyed adjacency joins (pos+1, pos+2). Each side is
+    // bounded by its term's postings and the match set only shrinks as
+    // terms chain — query cost stays k index slices + (k−1) df-bounded
+    // joins at any corpus size.
+    "q189_phrase_k" -> Q(
+      (s, d) => Indexing.phraseHitsK(
+        Indexing.buildPositional(Tables.documents(s, d), "doc_id", "text"),
+        Seq("slow", "hash", "batch")),
+      Some(s"""WITH tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
+        pos AS (SELECT doc_id, g.i AS pos, toks[g.i+1] AS term
+                FROM tk, LATERAL (SELECT unnest(range(len(toks))) AS i) g
+                WHERE toks[g.i+1] <> ''),
+        a AS (SELECT doc_id, pos FROM pos WHERE term = 'slow'),
+        b AS (SELECT doc_id, pos AS p1 FROM pos WHERE term = 'hash'),
+        c AS (SELECT doc_id, pos AS p2 FROM pos WHERE term = 'batch')
+        SELECT doc_id, count(*) AS n_hits
+        FROM a JOIN b USING (doc_id) JOIN c USING (doc_id)
+        WHERE p1 = pos + 1 AND p2 = pos + 2
+        GROUP BY doc_id"""),
+      "k-term phrase search: chained adjacency joins over positional postings"),
+
+    // ---- positional-index upsert for re-crawled docs ----------------------
+    // q184's contract on the positional store: a changed page's old
+    // (doc, term, pos) rows are anti-joined away and its fresh postings
+    // union in — pure relational algebra on the flat store, no arrays
+    // to rewrite. The oracle rebuilds positional postings from the
+    // UPDATED corpus; the per-term (df, occurrences) profile of the
+    // upserted index must hash-match the rebuild.
+    "q190_positional_upsert" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val stored = Indexing.buildPositional(docs, "doc_id", "text")
+        val recrawled = docs.filter(col("doc_id") % 10 === 3)
+          .withColumn("text", concat(col("text"), lit(" recrawled update")))
+        Indexing.upsertPositional(stored, recrawled, "doc_id", "text")
+          .groupBy("term")
+          .agg(countDistinct(col("doc_id")).as("df"),
+            count(lit(1)).as("n_occ"))
+          .filter(col("df") >= 5)
+      },
+      Some(s"""WITH docs2 AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 10 = 3 THEN text || ' recrawled update'
+                 ELSE text END AS text
+          FROM documents),
+        tk AS (SELECT doc_id, $tokSql AS toks FROM docs2),
+        pos AS (SELECT doc_id, g.i AS pos, toks[g.i+1] AS term
+                FROM tk, LATERAL (SELECT unnest(range(len(toks))) AS i) g
+                WHERE toks[g.i+1] <> '')
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+          CAST(count(*) AS BIGINT) AS n_occ
+        FROM pos GROUP BY term HAVING count(DISTINCT doc_id) >= 5"""),
+      "positional-index upsert: delete-then-union ≡ rebuild over updated corpus"),
+
     // ---- proximity search SERVED from the same stored index --------------
     "q187_proximity_served" -> Q(
       (s, d) => {

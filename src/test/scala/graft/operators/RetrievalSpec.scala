@@ -228,6 +228,36 @@ class RetrievalSpec extends SparkSpec {
     assert(up("epsilon") == Seq(2L, 9L))
   }
 
+  test("indexing: phraseHitsK chains adjacency — k=2 matches phraseHits, k=3 narrows") {
+    val d = Seq(
+      (1L, "slow hash batch end"), (2L, "slow hash line"),
+      (3L, "slow hash batch slow hash batch"), (4L, "hash batch slow")
+    ).toDF("doc_id", "text")
+    val pos = Indexing.buildPositional(d, "doc_id", "text")
+    val k2 = Indexing.phraseHits(pos, "slow", "hash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k2 == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+    val k3 = Indexing.phraseHitsK(pos, Seq("slow", "hash", "batch"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k3 == Map(1L -> 1L, 3L -> 2L), "k=3 must drop doc 2 (no 'batch')")
+  }
+
+  test("indexing: upsertPositional replaces changed docs ≡ positional rebuild") {
+    val before = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val recrawled = Seq((2L, "beta epsilon"), (9L, "epsilon alpha"))
+      .toDF("doc_id", "text")
+    val after = Seq((1L, "alpha beta"), (2L, "beta epsilon"),
+      (9L, "epsilon alpha")).toDF("doc_id", "text")
+    val stored = Indexing.buildPositional(before, "doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(2), r.getInt(1))).toSet
+    val up = key(Indexing.upsertPositional(stored, recrawled, "doc_id", "text")
+      .select("doc_id", "pos", "term"))
+    val rebuilt = key(Indexing.buildPositional(after, "doc_id", "text")
+      .select("doc_id", "pos", "term"))
+    assert(up == rebuilt)
+  }
+
   test("bm25 shape: doc with more query-term occurrences outranks, ties break by id") {
     // Recompute the q165 program on a fixture small enough to reason
     // about: doc 10 has the query term twice, doc 11 once, doc 12 never.
