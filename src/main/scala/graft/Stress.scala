@@ -65,7 +65,14 @@ object Stress {
       "q156_kmeans_train", "q159_embed_pipeline",
       // retrieval/LM layer: 60-column signature agg + blocked pair join,
       // and BPE training (corpus word-count shuffle + vocab-table rounds)
-      "q166_simhash_portable", "q169_bpe_merges")
+      "q166_simhash_portable", "q169_bpe_merges",
+      // round-7 additions: distributed index delete (semi-join affected
+      // terms, corpus-proportional batch), the composed ldist DAG (SCD +
+      // overlay + right-join + window scaling), re-crawl upsert
+      // (delete-then-merge), and portable-LSH ANN (bucketed candidates,
+      // fixed query set against a growing corpus)
+      "q181_index_delete", "q183_ldist_pipeline", "q184_index_upsert",
+      "q185_ann_lsh_verified")
     println(f"${"query"}%-22s ${"base_s"}%8s ${"stress_s"}%9s ${"ratio"}%6s  worst-stage max/med (ms, tasks)")
     targets.foreach { name =>
       val fn = SparkEntry.queries(name)
