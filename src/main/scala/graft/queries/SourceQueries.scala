@@ -228,5 +228,86 @@ object SourceQueries {
         SELECT o_orderkey, o_totalprice, 'src_b'
         FROM orders WHERE o_orderkey % 3 = 1"""),
       "idempotent replace-per-source import: re-import replaces, never appends"),
+
+    // ---- S10/S11: overwrite-table sink (drop-if-exists semantics) ---------
+    // Write one frame, overwrite it with a DIFFERENT frame, read back:
+    // the hash can only match if the second write dropped the first
+    // entirely (any residue changes the row multiset) — the q148/q149
+    // read-back closure applied to the plain overwrite sink.
+    "q191_overwrite_roundtrip" -> Q(
+      (s, d) => {
+        val path = Files.createTempDirectory("graft_ovw_q").toString + "/t"
+        val n = Tables.nation(s, d)
+        graft.sources.Sinks.overwriteTable(
+          n.filter(col("n_nationkey") < 10)
+            .select(col("n_nationkey"), lit("stale").as("tag")), path)
+        graft.sources.Sinks.overwriteTable(
+          n.filter(col("n_nationkey") >= 10)
+            .select(col("n_nationkey"), col("n_name").as("tag")), path)
+        s.read.parquet(path)
+      },
+      Some("""SELECT n_nationkey, n_name AS tag
+        FROM nation WHERE n_nationkey >= 10"""),
+      "overwrite sink: second write replaces the first completely (read-back hash)"),
+
+    // ---- S5: directory-index scrape seeding the S6 fan-in -----------------
+    // The reference scrapes an HTTP index page for child names and
+    // fans-in one file per name (initdb.R:402-407 → 449-458). Replayed
+    // against a file:// index page over the side-file root: scrape →
+    // regex-extract keys → per-key CSV read → ragged union. The oracle
+    // reads the same CSVs directly, so the scrape must discover exactly
+    // the right keys for the hash to match.
+    "q192_scrape_fanin" -> Q(
+      (s, d) => {
+        ensureFiles()
+        Files.writeString(Paths.get(root, "index.html"),
+          """<html><body>
+            |<a href="landings_cod.csv">landings_cod.csv</a>
+            |<a href="landings_haddock.csv">landings_haddock.csv</a>
+            |<a href="notes.txt">notes.txt</a>
+            |</body></html>""".stripMargin)
+        val keys = Sources.scrapeIndex(s, s"file://$root/index.html",
+          """landings_([a-z]+)\.csv""")
+          .orderBy("name").collect().map(_.getString(0)).toSeq
+        Sources.fanIn(s, keys, k => s"$root/landings_$k.csv",
+          schemaFor = k => Some(
+            if (k == "haddock") landingsFlagSchema else landingsSchema))
+          .groupBy("key")
+          .agg(count(lit(1)).as("n_rows"), sum("total").as("sum_total"))
+      },
+      Some(s"""SELECT key, count(*) AS n_rows, sum(total) AS sum_total FROM (
+          SELECT 'cod' AS key, total FROM read_csv('$root/landings_cod.csv',
+            header=true, columns={'year':'BIGINT','total':'DOUBLE'})
+          UNION ALL
+          SELECT 'haddock', total FROM read_csv('$root/landings_haddock.csv',
+            header=true,
+            columns={'year':'BIGINT','total':'DOUBLE','flag':'VARCHAR'}))
+        GROUP BY key"""),
+      "scrape→fan-in: index page discovers the keys, per-key CSVs union raggedly"),
+
+    // ---- S1b: JDBC round-trip (embedded Derby) ----------------------------
+    // The warehouse write/read pair on a REAL JDBC database: supplier
+    // rows go out through jdbcOverwrite (twice — the second write must
+    // win) and come back through jdbcTable. The oracle recomputes from
+    // the parquet mirror, so the hash proves both directions preserve
+    // every row and the overwrite dropped the stale load.
+    "q193_jdbc_roundtrip" -> Q(
+      (s, d) => {
+        val db = "q193db_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val url = s"jdbc:derby:memory:$db;create=true"
+        val sup = Tables.supplier(s, d)
+        graft.sources.Sinks.jdbcOverwrite(
+          sup.filter(col("s_suppkey") % 2 === 0)
+            .select(col("s_suppkey"), col("s_acctbal")), url, "sup_load")
+        graft.sources.Sinks.jdbcOverwrite(
+          sup.filter(col("s_suppkey") % 2 === 1)
+            .select(col("s_suppkey"), col("s_acctbal")), url, "sup_load")
+        Sources.jdbcTable(s, url, "sup_load")
+          .filter(col("s_acctbal") > 0)
+          .select(col("s_suppkey"), col("s_acctbal"))
+      },
+      Some("""SELECT s_suppkey, s_acctbal FROM supplier
+        WHERE s_suppkey % 2 = 1 AND s_acctbal > 0"""),
+      "JDBC round-trip: overwrite-then-read on embedded Derby ≡ parquet mirror"),
   )
 }
