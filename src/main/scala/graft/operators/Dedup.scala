@@ -492,12 +492,19 @@ object Dedup {
       .filter(col("id") =!= col("c.id") || col("pos") =!= col("c.pos"))
       .select(col("id"), explode(sequence(col("pos"), col("pos") + k - 1)).as("p"))
       .groupBy("id").agg(array_sort(collect_set(col("p"))).as("__cut"))
-    // reassembly is LINEAR in doc length: the sorted cut positions band
-    // the token array into keep-slices (gap j spans (cut[j-1], cut[j])),
-    // so a heavily-duplicated doc costs O(n + |cut|), not the O(n·|cut|)
-    // of a per-token membership scan. Sentinels -1 and n close the first
-    // and last gap; the bounds array is let-bound so it is built once
-    // per row, not once per gap.
+    reassembleWithout(base, cut)
+  }
+
+  /** Rebuild each doc's text from its tokens minus the cut positions.
+    * `base` carries (id, __toks); `cut` carries (id, __cut) with the
+    * 0-based positions to drop, SORTED ascending. Reassembly is LINEAR
+    * in doc length: the sorted cut positions band the token array into
+    * keep-slices (gap j spans (cut[j-1], cut[j])), so a heavily-cut doc
+    * costs O(n + |cut|), not the O(n·|cut|) of a per-token membership
+    * scan. Sentinels -1 and n close the first and last gap; the bounds
+    * array is let-bound so it is built once per row, not once per gap.
+    * Docs with no cut row pass through as-is. */
+  private def reassembleWithout(base: DataFrame, cut: DataFrame): DataFrame =
     base.join(cut, Seq("id"), "left")
       .select(col("id"),
         when(col("__cut").isNull, concat_ws(" ", col("__toks")))
@@ -510,6 +517,38 @@ object Dedup {
                     element_at(bounds, j + 2) - element_at(bounds, j + 1)
                       - 1))))))
           .as("clean_text"))
+
+  /** Decontamination by SPAN REMOVAL: cut every k-token window of
+    * `docs` that appears verbatim in the eval corpus, and reassemble
+    * the survivors in order — the surgical form of eval decontamination
+    * (q99 detects and REJECTS whole documents; this keeps the document
+    * minus the leaked spans, the right call when a long doc quotes a
+    * short eval item). Detection is the q99 shape: the eval corpus's
+    * window hashes are a distinct slim set (eval suites are bounded —
+    * broadcast-class by nature) semi-joined against the corpus's
+    * windows; document text never shuffles, and reassembly is the same
+    * linear banded slicing as [[removeDuplicateSpans]]. */
+  def removeContaminatedSpans(docs: DataFrame, idCol: String,
+                              textCol: String, evalDocs: DataFrame,
+                              evalTextCol: String, k: Int = 8): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+      split(Text.normalize(col(textCol)), " ").as("__toks"))
+    def winHashes(toks: Column): Column =
+      transform(sequence(lit(0), size(toks) - k),
+        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    val wins = base.filter(size(col("__toks")) >= k)
+      .select(col("id"), posexplode(winHashes(col("__toks")))
+        .as(Seq("pos", "h")))
+    val evalWins = evalDocs
+      .select(split(Text.normalize(col(evalTextCol)), " ").as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(explode(winHashes(col("__toks"))).as("h"))
+      .distinct()
+    val cut = wins.join(evalWins, Seq("h"), "left_semi")
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + k - 1)).as("p"))
+      .groupBy("id").agg(array_sort(collect_set(col("p"))).as("__cut"))
+    reassembleWithout(base, cut)
   }
 
   /** Bipartite embedding near-dup: (left_id, right_id, cosine) pairs

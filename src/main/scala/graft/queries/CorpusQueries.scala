@@ -1059,5 +1059,47 @@ object CorpusQueries {
         SELECT b.doc_id, coalesce(reb.t, '') AS clean_text
         FROM b LEFT JOIN reb USING (doc_id)"""),
       "exact-substring span removal: cleaned text, order preserved"),
+
+    // ---- eval decontamination by span removal -------------------------------
+    // The surgical sibling of q99: instead of rejecting a contaminated
+    // document outright, cut exactly the 8-token windows that appear
+    // verbatim in the held-out eval split and keep the rest. Every
+    // train doc appears in the output — clean docs must reassemble to
+    // identity, contaminated ones to text-minus-leaked-spans — so the
+    // hash checks the whole reassembly path, not just the hits.
+    "q194_decontaminate_spans" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.removeContaminatedSpans(
+          docs.filter(col("doc_id") % 37 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 37 === 0), "text", k = 8)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some(s"""WITH b AS (
+          SELECT doc_id, $tokSql AS toks FROM documents WHERE doc_id % 37 <> 0),
+        eb AS (
+          SELECT doc_id, $tokSql AS toks FROM documents WHERE doc_id % 37 = 0),
+        ew AS (
+          SELECT DISTINCT array_to_string(toks[g.i+1 : g.i+8], ' ') AS win
+          FROM eb, LATERAL (SELECT unnest(range(len(toks) - 7)) AS i) g
+          WHERE len(toks) >= 8),
+        w AS (
+          SELECT doc_id, g.i AS pos,
+            array_to_string(toks[g.i+1 : g.i+8], ' ') AS win
+          FROM b, LATERAL (SELECT unnest(range(len(toks) - 7)) AS i) g
+          WHERE len(toks) >= 8),
+        cut AS (
+          SELECT DISTINCT doc_id, pos + g.j AS p
+          FROM (SELECT w.doc_id, w.pos FROM w SEMI JOIN ew USING (win)),
+               LATERAL (SELECT unnest(range(8)) AS j) g),
+        pos AS (
+          SELECT doc_id, g.p, toks[g.p+1] AS tok
+          FROM b, LATERAL (SELECT unnest(range(len(toks))) AS p) g),
+        kept AS (SELECT pos.* FROM pos ANTI JOIN cut USING (doc_id, p)),
+        reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS t
+                FROM kept GROUP BY doc_id)
+        SELECT b.doc_id, coalesce(reb.t, '') AS clean_text
+        FROM b LEFT JOIN reb USING (doc_id)"""),
+      "eval decontamination: leaked 8-token spans cut, document kept"),
   )
 }

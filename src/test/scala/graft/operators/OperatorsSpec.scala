@@ -59,6 +59,24 @@ class DedupSpec extends SparkSpec {
     assert(clean(4L) == "totally unrelated short text here")
   }
 
+  test("removeContaminatedSpans cuts eval windows, keeps clean text verbatim") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tail end"),
+      (2L, "totally unrelated content with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "padding quick brown fox jumps over the lazy dog padding")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeContaminatedSpans(train, "doc_id", "text",
+      eval_, "text", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 shares the 8-gram "quick brown fox jumps over the lazy dog"
+    // (positions 1-8) plus the shifted window starting at 'the' is NOT
+    // in eval (eval has 'padding' before 'quick') — cut = positions 1-8
+    assert(out(1L) == "the tail end", s"got '${out(1L)}'")
+    assert(out(2L) == "totally unrelated content with no overlap at all here")
+  }
+
   test("minhash signature identical for exact dups, candidates found") {
     val sig = docs.select(col("doc_id"),
       Dedup.minhashSignature(col("text"), 3, 16).as("sig"))
