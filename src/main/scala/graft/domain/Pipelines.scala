@@ -32,7 +32,7 @@ object Pipelines {
                  stationFixes: DataFrame, fixCols: Seq[String],
                  reclassCruises: Set[String], lengths: DataFrame,
                  ratios: DataFrame, biom: Map[Int, Fisheries.BiomParams],
-                 warehousePath: String,
+                 warehousePath: Option[String] = None,
                  cfg: LdistConfig = LdistConfig()): DataFrame = {
     // 1-2. station register: SCD vessel resolution, then fix overlay
     val resolved = Fisheries.resolveVesselHistory(
@@ -69,8 +69,9 @@ object Pipelines {
         Seq(cfg.stationKey, "species", "length", "count"), "left")
       .unionByName(unmeasured, allowMissingColumns = true)
 
-    // 6. idempotent replace-per-source import
-    Sinks.replaceDataSource(out, warehousePath, cfg.dataSource)
+    // 6. idempotent replace-per-source import (None = compute only, the
+    //    buildLandings contract — the sink itself is q148/q149-verified)
+    warehousePath.foreach(Sinks.replaceDataSource(out, _, cfg.dataSource))
     out
   }
 

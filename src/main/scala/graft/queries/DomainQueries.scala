@@ -609,12 +609,9 @@ object DomainQueries {
           sum("count").as("measured"),
           sum(col("length") * col("count")).as("catch_weight"),
           sum("length").as("sample_weight"))
-        val wh = java.nio.file.Files.createTempDirectory("graft_ldist_q")
-          .toString
         Pipelines.buildLdist(stations, hist, fixes, Seq("lat"),
           Set("C1", "C3"), lengths, ratios,
-          Map(1 -> BiomParams(0.5, 2.0, 0.5), 3 -> BiomParams(0.02, 2.0, 2.0)),
-          warehousePath = s"$wh/warehouse")
+          Map(1 -> BiomParams(0.5, 2.0, 0.5), 3 -> BiomParams(0.02, 2.0, 2.0)))
           .select(col("sample_id"), col("vessel"), col("sample_class"),
             col("cruise"), col("lat"), col("sex"), col("species"),
             col("length"), col("count"), col("length_interval"),

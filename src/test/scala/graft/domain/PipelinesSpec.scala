@@ -30,7 +30,7 @@ class PipelinesSpec extends SparkSpec {
 
     val out = Pipelines.buildLdist(stations, hist, fixes, Seq("lat"),
       Set("CA"), lengths, ratios, Map(41 -> BiomParams(0.0006, 2.85, 0.1)),
-      warehousePath = s"$dir/warehouse",
+      warehousePath = Some(s"$dir/warehouse"),
       cfg = Pipelines.LdistConfig(checkpointPath = Some(s"$dir/ckpt")))
 
     val rows = out.select("sample_id", "sample_class", "lat", "vessel",
@@ -54,7 +54,7 @@ class PipelinesSpec extends SparkSpec {
     // sink is idempotent per data_source: re-run replaces, not appends
     val again = Pipelines.buildLdist(stations, hist, fixes, Seq("lat"),
       Set("CA"), lengths, ratios, Map(41 -> BiomParams(0.0006, 2.85, 0.1)),
-      warehousePath = s"$dir/warehouse",
+      warehousePath = Some(s"$dir/warehouse"),
       cfg = Pipelines.LdistConfig(checkpointPath = Some(s"$dir/ckpt2")))
     val imported = Sinks.readImported(spark, s"$dir/warehouse")
     assert(imported.count() == again.count())
