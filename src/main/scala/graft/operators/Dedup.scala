@@ -518,6 +518,29 @@ object Dedup {
                       - 1))))))
           .as("clean_text"))
 
+  /** Cross-source k-gram overlap matrix — the corpus forensic behind
+    * "who syndicates whom": for each unordered source pair, the number
+    * of DISTINCT k-token windows both contain. Windows hash to 64 bits
+    * at the scan (slim (source, hash) rows; text never shuffles), the
+    * distinct is one hash-keyed aggregate, and the pair join is
+    * window-keyed so per-window fan-out is bounded by the number of
+    * sources containing it (≤ the domain count), never the corpus. */
+  def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
+                    k: Int = 8): DataFrame = {
+    val wins = docs.select(col(sourceCol).as("source"),
+      split(Text.normalize(col(textCol)), " ").as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col("source"),
+        explode(transform(sequence(lit(0), size(col("__toks")) - k),
+          i => xxhash64(concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))))
+          .as("h"))
+      .distinct()
+    wins.as("a").join(wins.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_windows"))
+  }
+
   /** Decontamination by SPAN REMOVAL: cut every k-token window of
     * `docs` that appears verbatim in the eval corpus, and reassemble
     * the survivors in order — the surgical form of eval decontamination

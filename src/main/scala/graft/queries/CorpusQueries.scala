@@ -1101,5 +1101,26 @@ object CorpusQueries {
         SELECT b.doc_id, coalesce(reb.t, '') AS clean_text
         FROM b LEFT JOIN reb USING (doc_id)"""),
       "eval decontamination: leaked 8-token spans cut, document kept"),
+
+    // ---- cross-source overlap matrix ----------------------------------------
+    // The syndication forensic: for each source pair, how many distinct
+    // 8-token windows both carry. Text hashes at the scan, the pair
+    // join is window-keyed (fan-out ≤ sources per window), and the
+    // string-compare oracle certifies the hash path collision-free —
+    // the q162 design applied across sources instead of documents.
+    "q195_source_overlap" -> Q(
+      (s, d) => Dedup.sourceOverlap(Tables.documents(s, d),
+        "source", "text", k = 8),
+      Some(s"""WITH b AS (SELECT source, $tokSql AS toks FROM documents),
+        w AS (
+          SELECT DISTINCT source,
+            array_to_string(toks[g.i+1 : g.i+8], ' ') AS win
+          FROM b, LATERAL (SELECT unnest(range(len(toks) - 7)) AS i) g
+          WHERE len(toks) >= 8)
+        SELECT a.source AS src_a, b.source AS src_b,
+          count(*) AS shared_windows
+        FROM w a JOIN w b ON a.win = b.win AND a.source < b.source
+        GROUP BY 1, 2"""),
+      "cross-source 8-gram overlap matrix: who shares content with whom"),
   )
 }

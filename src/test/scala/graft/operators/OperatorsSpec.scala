@@ -77,6 +77,18 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) == "totally unrelated content with no overlap at all here")
   }
 
+  test("sourceOverlap counts distinct shared windows per source pair, ordered") {
+    val d = Seq(
+      (1L, "one two three four five six seven eight tail", "sA"),
+      (2L, "one two three four five six seven eight other", "sB"),
+      (3L, "one two three four five six seven eight more", "sB"), // same win, counted once
+      (4L, "nothing in common with anything else at all here", "sC")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(d, "source", "text", k = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("sA", "sB") -> 1L), s"got $out")
+  }
+
   test("minhash signature identical for exact dups, candidates found") {
     val sig = docs.select(col("doc_id"),
       Dedup.minhashSignature(col("text"), 3, 16).as("sig"))
