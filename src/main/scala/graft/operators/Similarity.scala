@@ -406,6 +406,152 @@ object Similarity {
       .select(col("cluster"), col("id"), (-col("neg")).as("cos"))
   }
 
+  // ---------------- product quantization (PQ / ADC) ----------------
+  //
+  // The memory-compression scale path for vector search (Jégou et al.,
+  // "Product Quantization for Nearest Neighbor Search", PAMI 2011): the
+  // d-dim vector is split into m contiguous sub-vectors, each quantized
+  // to its own ksub-codeword codebook, so a corpus vector is stored as m
+  // small integers instead of d floats (64-dim float → 4 bytes at
+  // m=4/ksub≤256: a 64× memory cut). Search is asymmetric distance
+  // computation (ADC): the QUERY stays exact; per subspace a
+  // query-to-codeword distance table is computed once (m × ksub entries,
+  // bounded metadata riding the broadcast query side), and scoring a
+  // corpus row is m table lookups — no float math against the corpus at
+  // all. At 100 TB the codes table is the only thing scanned, the query
+  // side (with its distance tables) broadcasts, and the corpus never
+  // shuffles; compose with the IVF partition-pruned layout (q164) for
+  // the standard IVFPQ shape.
+  //
+  // Cross-engine determinism follows the house k-means recipe: codebooks
+  // train from id-ordered seeds with fixed-point Lloyd sums; assignment
+  // argmins compare 1e-4 fixed-point squared-L2 LONGS with the codeword
+  // id as tie-break; ADC totals are sums of those longs (order-free), so
+  // an oracle replays training, encoding, and search bit-for-bit.
+
+  /** 1e-4 fixed-point squared L2 distance between a float (sub-)vector
+    * column and a codeword literal applied at FLOAT precision (the
+    * corpus storage dtype — oracles mirror with a FLOAT[] cast). The
+    * row's self-dot is passed in so the codeword loop evaluates it once. */
+  private def subDist2fx(selfDot: Column, sv: Column, cw: Seq[Double]): Column = {
+    val litVec = array(cw.map(v => lit(v.toFloat)): _*)
+    floor((selfDot - lit(2d) * Vectors.dot(sv, litVec)
+      + Vectors.dot(litVec, litVec)) * 10000d + 0.5d).cast("long")
+  }
+
+  /** Codeword id of the nearest codeword by fixed-point squared L2,
+    * ties to the smallest id — the PQ assignment argmin. */
+  private def pqAssign(sv: Column, book: Seq[(Int, Seq[Double])]): Column =
+    array_min(graft.functions.Text.bindOnce(Vectors.dot(sv, sv), selfDot =>
+      array(book.map { case (cid, cw) =>
+        struct(subDist2fx(selfDot, sv, cw).as("dfx"), lit(cid).as("cid"))
+      }: _*))).getField("cid")
+
+  /** Per-subspace seed codebooks: the ksub lowest-id corpus vectors,
+    * sliced into m contiguous sub-vectors (ksub driver rows = bounded
+    * metadata; replayable by id order in any engine). */
+  def pqSeeds(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, ksub: Int): Seq[Seq[(Int, Seq[Double])]] = {
+    val rows = corpus.select(col(idCol), Vectors.toDoubleArray(col(vecCol)).as("v"))
+      .orderBy(col(idCol)).limit(ksub).collect()
+      .map(_.getSeq[Double](1).toSeq)
+    val d = rows.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val sub = d / m
+    (0 until m).map(j => rows.toSeq.zipWithIndex.map { case (v, i) =>
+      (i, v.slice(j * sub, (j + 1) * sub))
+    }).toSeq
+  }
+
+  /** One distributed Lloyd pass over ALL m subspaces at once: each row
+    * contributes its m (subspace, assigned codeword, sub-vector) triples
+    * to one aggregation keyed (subspace, codeword, dim) with fixed-point
+    * component sums — a single job whose exchange carries at most
+    * partitions × m × ksub × (d/m) slim rows, and only m·ksub·(d/m) =
+    * ksub·d rows reach the driver. Codewords that lose all members drop
+    * out (ids are not recycled), exactly as in [[kmeansCentroids]]. */
+  def pqLloydRound(corpus: DataFrame, vecCol: String,
+                   books: Seq[Seq[(Int, Seq[Double])]]): Seq[Seq[(Int, Seq[Double])]] = {
+    val m = books.size
+    val sub = books.head.head._2.length
+    val triples = (0 until m).map { j =>
+      val sv = slice(col(vecCol), j * sub + 1, sub)
+      struct(lit(j).as("j"), pqAssign(sv, books(j)).as("cid"), sv.as("sv"))
+    }
+    val rows = corpus.select(explode(array(triples: _*)).as("a"))
+      .select(col("a.j"), col("a.cid"),
+        posexplode(Vectors.toDoubleArray(col("a.sv"))).as(Seq("dim", "x")))
+      .groupBy("j", "cid", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x") * 1000000d + 0.5d).cast("long")).as("s"))
+      .collect() // ≤ ksub·d rows — bounded metadata
+    (0 until m).map { j =>
+      rows.filter(_.getInt(0) == j).groupBy(_.getInt(1)).toSeq.sortBy(_._1)
+        .map { case (cid, dims) =>
+          val mean = dims.sortBy(_.getInt(2))
+            .map(r => r.getLong(4).toDouble / 1000000d / r.getLong(3))
+          (cid, mean.toSeq)
+        }
+    }.toSeq
+  }
+
+  /** Train the m per-subspace codebooks: id-ordered seeds, then
+    * `iterations` joint Lloyd passes (one distributed job each). */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, ksub: Int, iterations: Int): Seq[Seq[(Int, Seq[Double])]] = {
+    var books = pqSeeds(corpus, idCol, vecCol, m, ksub)
+    for (_ <- 1 to iterations) books = pqLloydRound(corpus, vecCol, books)
+    books
+  }
+
+  /** Encode each corpus vector as its m codeword ids — the compressed
+    * representation a PQ index stores (m small ints per row instead of
+    * d floats). Pure per-row codegen: no shuffle, no join. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               books: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    val sub = books.head.head._2.length
+    corpus.select(col(idCol),
+      array(books.indices.map(j =>
+        pqAssign(slice(col(vecCol), j * sub + 1, sub), books(j))): _*).as("codes"))
+  }
+
+  /** ADC top-k: corpus rows are scored through their PQ codes only — the
+    * broadcast query side carries, per query, the m × ksub fixed-point
+    * distance-table longs, and a corpus row's score is the order-free sum
+    * of its m looked-up entries. Ranking is (ADC distance asc, neighbor
+    * id) on the fixed-point total, so the whole search — training,
+    * encoding, tables, ranking — replays in an oracle. `adc` in the
+    * output is the 4-dp distance (total / 1e4). Codeword ids index the
+    * table arrays; ids dropped by training resolve to a +∞ sentinel
+    * (can't match: no corpus row carries a dropped id either). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int,
+             books: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    val sub = books.head.head._2.length
+    val codes = pqEncode(corpus, idCol, vecCol, books)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val dtab = array(books.indices.map { j =>
+      val sv = slice(col(vecCol), j * sub + 1, sub)
+      val byId = books(j).toMap
+      val width = books(j).map(_._1).max + 1
+      graft.functions.Text.bindOnce(Vectors.dot(sv, sv), selfDot =>
+        array((0 until width).map(cid => byId.get(cid)
+          .map(cw => subDist2fx(selfDot, sv, cw))
+          .getOrElse(lit(Long.MaxValue))): _*))
+    }: _*)
+    val q = queries.select(col(idCol).as("query_id"), dtab.as("dtab"))
+    val scored = codes.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sfx", aggregate(
+        zip_with(col("codes"), col("dtab"), (c, tab) => element_at(tab, c + 1)),
+        lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sfx").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (col("sfx").cast("double") / 10000d).as("adc"))
+  }
+
   /** Embedding-drift monitor: per `keyCol` (label, language, source…)
     * the cosine between the two snapshots' centroid vectors, plus both
     * member counts — the corpus-health check run between crawl

@@ -496,5 +496,86 @@ object VectorQueries {
               ORDER BY cos4 DESC, neighbor_id) AS rank
           FROM cand) WHERE rank <= 5"""),
       "deterministic LSH ANN: md5 hyperplanes, integer votes, quantized top-k"),
+
+    // ---- product quantization: train → encode → ADC search ------------------
+    // The PQ memory-compression path (Jégou et al. 2011): 4 per-subspace
+    // codebooks trained with one fixed-point Lloyd pass from id-ordered
+    // seeds, the corpus stored as 4 codeword ids per vector, and search
+    // by asymmetric distance — per query a 4×4 fixed-point
+    // distance-table, a corpus row scored as the order-free sum of its
+    // looked-up entries. The oracle replays ALL of it: per-subspace
+    // seeds, the Lloyd update, encoding, distance tables, and the
+    // (adc asc, id) ranking — the q156/q161 determinism recipe applied
+    // to squared-L2 codebook quantization.
+    "q196_pq_adc" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val books = Similarity.pqTrain(emb, "vec_id", "embedding",
+          m = 4, ksub = 4, iterations = 1)
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", k = 5, books)
+      },
+      Some("""WITH sub AS (
+          SELECT vec_id, CAST(jj.j AS INTEGER) AS j,
+            embedding[jj.j*(len(embedding)//4)+1 : (jj.j+1)*(len(embedding)//4)]
+              AS sv
+          FROM embeddings, LATERAL (SELECT unnest(range(4)) AS j) jj),
+        seeds AS (
+          SELECT s.j,
+            CAST(row_number() OVER (PARTITION BY s.j ORDER BY s.vec_id) - 1
+              AS INTEGER) AS cid,
+            s.sv AS cvec
+          FROM sub s
+          WHERE s.vec_id IN
+            (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+        a1 AS (
+          SELECT vec_id, j, cid FROM (
+            SELECT s.vec_id, s.j, c.cid,
+              row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                CAST(floor((list_inner_product(CAST(s.sv AS DOUBLE[]), CAST(s.sv AS DOUBLE[]))
+                  - 2*list_inner_product(CAST(s.sv AS DOUBLE[]), CAST(c.cvec AS DOUBLE[]))
+                  + list_inner_product(CAST(c.cvec AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])))
+                  * 10000 + 0.5) AS BIGINT) ASC, c.cid) AS rn
+            FROM sub s JOIN seeds c USING (j)) WHERE rn = 1),
+        sums AS (
+          SELECT a.j, a.cid, CAST(g.i AS INTEGER) AS dim, count(*) AS n,
+            sum(CAST(floor(CAST(s.sv[g.i+1] AS DOUBLE)*1000000 + 0.5)
+              AS BIGINT)) AS fs
+          FROM a1 a JOIN sub s USING (vec_id, j),
+               LATERAL (SELECT unnest(range(len(s.sv))) AS i) g
+          GROUP BY a.j, a.cid, dim),
+        book AS (
+          SELECT j, cid,
+            CAST(list(CAST(fs AS DOUBLE)/1000000/n ORDER BY dim) AS FLOAT[])
+              AS cvec
+          FROM sums GROUP BY j, cid),
+        codes AS (
+          SELECT vec_id, j, cid FROM (
+            SELECT s.vec_id, s.j, b.cid,
+              row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                CAST(floor((list_inner_product(CAST(s.sv AS DOUBLE[]), CAST(s.sv AS DOUBLE[]))
+                  - 2*list_inner_product(CAST(s.sv AS DOUBLE[]), CAST(b.cvec AS DOUBLE[]))
+                  + list_inner_product(CAST(b.cvec AS DOUBLE[]), CAST(b.cvec AS DOUBLE[])))
+                  * 10000 + 0.5) AS BIGINT) ASC, b.cid) AS rn
+            FROM sub s JOIN book b USING (j)) WHERE rn = 1),
+        dt AS (
+          SELECT q.vec_id AS qid, q.j, b.cid,
+            CAST(floor((list_inner_product(CAST(q.sv AS DOUBLE[]), CAST(q.sv AS DOUBLE[]))
+              - 2*list_inner_product(CAST(q.sv AS DOUBLE[]), CAST(b.cvec AS DOUBLE[]))
+              + list_inner_product(CAST(b.cvec AS DOUBLE[]), CAST(b.cvec AS DOUBLE[])))
+              * 10000 + 0.5) AS BIGINT) AS dfx
+          FROM (SELECT * FROM sub WHERE vec_id % 100 = 0) q
+          JOIN book b USING (j)),
+        scores AS (
+          SELECT d.qid, c.vec_id AS nid, CAST(sum(d.dfx) AS BIGINT) AS sfx
+          FROM codes c JOIN dt d ON d.j = c.j AND d.cid = c.cid
+          WHERE d.qid <> c.vec_id
+          GROUP BY d.qid, c.vec_id)
+        SELECT qid AS query_id, nid AS neighbor_id,
+          CAST(rank AS INTEGER) AS rank, CAST(sfx AS DOUBLE)/10000 AS adc
+        FROM (SELECT qid, nid, sfx,
+                row_number() OVER (PARTITION BY qid ORDER BY sfx, nid) AS rank
+              FROM scores) WHERE rank <= 5"""),
+      "product quantization: fixed-point codebooks, codes, ADC top-k"),
   )
 }

@@ -402,6 +402,49 @@ class SimilaritySpec extends SparkSpec {
     assert(t > 0 && h.toDouble / t >= 0.2)
   }
 
+  test("PQ: deterministic codebooks, ADC equals per-row recomputation, recall > 0") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 4, ksub = 8, iterations = 2)
+    assert(books == Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 4, ksub = 8, iterations = 2))
+    assert(books.size == 4 &&
+      books.forall(b => b.nonEmpty && b.size <= 8 && b.forall(_._2.size == 16)))
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    val live = books.map(_.map(_._1).toSet)
+    val codeMap = codes.select(col("vec_id"), col("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codeMap.values.forall(cs => cs.size == 4 &&
+      cs.zipWithIndex.forall { case (c, j) => live(j)(c) }))
+    val queries = emb.filter(col("vec_id") < 4)
+    val out = Similarity.pqTopK(emb, queries, "vec_id", "embedding", 5, books)
+    assert(out.filter(col("query_id") === col("neighbor_id")).isEmpty)
+    // the ADC lookup plumbing, verified: every returned distance equals a
+    // driver-side recomputation from the codes and codebooks (same float
+    // literal + left-to-right double fold the codegen kernel uses)
+    def dotF(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0d)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+    val qvecs = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    val byBook = books.map(_.toMap)
+    out.collect().foreach { r =>
+      val qv = qvecs(r.getLong(0))
+      val cs = codeMap(r.getLong(1))
+      val sfx = (0 until 4).map { j =>
+        val sv = qv.slice(j * 16, (j + 1) * 16)
+        val cw = byBook(j)(cs(j)).map(_.toFloat)
+        math.floor((dotF(sv, sv) - 2d * dotF(sv, cw) + dotF(cw, cw))
+          * 10000d + 0.5d).toLong
+      }.sum
+      assert(math.abs(r.getDouble(3) - sfx.toDouble / 10000d) < 1e-12,
+        s"ADC mismatch for ${r.getLong(0)}->${r.getLong(1)}")
+    }
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+    val (h, t) = Similarity.recallAtK(exact, out)
+    info(f"PQ ADC recall@5 ${h.toDouble / t}%.3f over $t pairs")
+    assert(t > 0 && h > 0, "PQ ADC must recover some exact neighbors")
+  }
+
   test("crossEmbeddingNearDups: only cross-corpus pairs, null blocks never match") {
     val left = Seq((10L, Seq(1.0f, 0f, 0f), "a"), (11L, Seq(0f, 1.0f, 0f), null.asInstanceOf[String]))
       .toDF("vec_id", "embedding", "lang")
