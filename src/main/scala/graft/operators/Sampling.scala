@@ -51,4 +51,39 @@ object Sampling {
       .filter(u <= col("__rate"))
       .drop("__rate")
   }
+
+  /** Temperature-scaled domain rebalancing — the multilingual-sampling
+    * rule (sampling probability ∝ p_s^α for natural share p_s, the
+    * exponentiated-share mix used by multilingual pretraining recipes):
+    * instead of naming explicit target shares like [[targetMix]], a
+    * single temperature α ∈ [0, 1] interpolates between the natural mix
+    * (α = 1, nothing dropped) and a uniform mix (α = 0, every domain cut
+    * to the smallest's size). Solving the [[targetMix]] K-normalization
+    * against targets n_s^α collapses to a closed form: the per-domain
+    * keep rate is (n_min/n_s)^(1−α) — the smallest domain keeps all its
+    * rows, larger domains are thinned toward it. The rate is 4-dp
+    * quantized before the gate (libm `pow` may differ in the last ulp
+    * across engines; +,·,/ do not), then admission is the same
+    * deterministic md5 gate as [[targetMix]].
+    *
+    * Scale shape: one count aggregate, ONE scalar (n_min) on the driver,
+    * a broadcast #domains-row rate join — the corpus never shuffles.
+    */
+  def temperatureMix(df: DataFrame, domainCol: String, idCol: String,
+                     alpha: Double, salt: String = "graft-temp:"): DataFrame = {
+    require(alpha >= 0d && alpha <= 1d, s"alpha must be in [0,1], got $alpha")
+    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min("__n")).head().getLong(0)
+    def q4(c: org.apache.spark.sql.Column) =
+      floor(c * 10000d + 0.5d).cast("long").cast("double") / 10000d
+    val rates = counts.select(col(domainCol),
+      q4(pow(lit(nMin.toDouble) / col("__n").cast("double"),
+        lit(1d - alpha))).as("__rate"))
+    val u = (conv(substring(
+      md5(concat(lit(salt), col(idCol).cast("string"))), 1, 6),
+      16, 10).cast("double") + 1d) / 16777217d
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(u <= col("__rate"))
+      .drop("__rate")
+  }
 }

@@ -990,6 +990,35 @@ object CorpusQueries {
         FROM picked GROUP BY lang"""),
       "target domain-mix resample: exact shares, binding domain keeps all"),
 
+    // ---- temperature-scaled domain rebalancing ------------------------------
+    // The α-temperature mix (sampling ∝ p^α): keep rate collapses to
+    // (n_min/n_s)^(1-α) — smallest language keeps everything, larger
+    // ones thin toward it. Rates are 4-dp quantized (libm pow can
+    // differ in the last ulp across engines); the md5 admission gate
+    // replays row-for-row.
+    "q197_temperature_mix" -> Q(
+      (s, d) => Sampling.temperatureMix(Tables.documents(s, d), "lang",
+          "doc_id", alpha = 0.5)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("sum_chars")),
+      Some("""WITH counts AS (
+          SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        mn AS (SELECT min(n) AS mn FROM counts),
+        rates AS (SELECT lang,
+            CAST(floor(power(CAST(mn.mn AS DOUBLE) / CAST(n AS DOUBLE),
+              CAST(0.5 AS DOUBLE)) * 10000 + 0.5) AS BIGINT) / 10000.0
+              AS rate
+          FROM counts CROSS JOIN mn),
+        picked AS (
+          SELECT d.lang, d.n_chars FROM documents d JOIN rates USING (lang)
+          WHERE (CAST(('0x' || substr(md5('graft-temp:'
+              || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 1.0)
+            / 16777217.0 <= rate)
+        SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT)
+          AS sum_chars
+        FROM picked GROUP BY lang"""),
+      "temperature-scaled mix: rate (n_min/n)^(1-alpha), md5 gate"),
+
     // ---- exact-substring (repeated token-span) dedup report -----------------
     // The rolling-window form of Lee et al.'s suffix-array pass: any
     // 8-token window occurring twice corpus-wide is duplicated

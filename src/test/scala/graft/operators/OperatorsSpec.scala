@@ -310,6 +310,32 @@ class SamplingSpec extends SparkSpec {
       .as[(String, Long)].collect().map(_.swap).toSet
     assert(again == kept)
   }
+
+  test("temperatureMix: alpha=1 keeps all, alpha=0 levels domains, deterministic") {
+    val rows =
+      (1 to 400).map(i => (i.toLong, "big")) ++
+        (401 to 500).map(i => (i.toLong, "mid")) ++
+        (501 to 525).map(i => (i.toLong, "small"))
+    val df = rows.toDF("id", "dom")
+    // α = 1 → natural mix: rate (n_min/n)^0 = 1 for every domain
+    assert(Sampling.temperatureMix(df, "dom", "id", alpha = 1d).count() == 525)
+    // α = 0 → uniform: every domain thins to ~n_min (rate n_min/n)
+    val flat = Sampling.temperatureMix(df, "dom", "id", alpha = 0d)
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(flat("small") == 25) // smallest domain keeps everything
+    assert(flat("big") > 5 && flat("big") < 60, s"big kept ${flat("big")} of 400 at rate 1/16")
+    assert(flat("mid") > 5 && flat("mid") < 55, s"mid kept ${flat("mid")} of 100 at rate 1/4")
+    // intermediate α sits between: per-domain keep counts are monotone in α
+    val half = Sampling.temperatureMix(df, "dom", "id", alpha = 0.5)
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(half("small") == 25)
+    assert(half("big") >= flat("big") && half("mid") >= flat("mid"))
+    // pure function of (salt, id)
+    val kept = Sampling.temperatureMix(df, "dom", "id", 0.5)
+      .as[(String, Long)].collect().toSet
+    assert(kept == Sampling.temperatureMix(df, "dom", "id", 0.5)
+      .as[(String, Long)].collect().toSet)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
