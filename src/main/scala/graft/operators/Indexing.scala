@@ -214,6 +214,76 @@ object Indexing {
     * merge join; unchanged documents are never rescanned. A genuinely
     * NEW document flows through the same path (deleting an absent id is
     * a no-op), so one operator covers both crawl outcomes. */
+  /** MaxScore/WAND-style pruned BM25 top-k — the dynamic-pruning rule
+    * production lexical engines apply, in its set-oriented (batch) form,
+    * provably LOSSLESS vs exhaustive scoring (the q200 oracle ranks with
+    * plain exhaustive BM25 and the hashes match):
+    *
+    *  1. static per-term upper bounds from the dictionary alone:
+    *     tfnorm = tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) < k1+1 = 2.2 for
+    *     any (tf, dl), so UB_t = q4(idf_t · 2.2) needs only df — no
+    *     postings are read to bound a term;
+    *  2. threshold θ = k-th best EXACT score among the docs of the
+    *     rarest query term (the cheapest, most selective posting list —
+    *     if it has < k docs, θ = −∞ and nothing is pruned);
+    *  3. candidate docs are bounded from slim (doc, term) pairs and the
+    *     broadcast UBs only — the doc-length join and exact scoring run
+    *     solely for docs whose UB sum reaches θ. Since UB_t ≥ contrib_t
+    *     pointwise on the quantized fixed-point longs, every true top-k
+    *     doc survives; ties at θ survive too (≥, not >).
+    *
+    * `toks` is the flat (doc_id, term) token stream (one row per
+    * occurrence); `nDocs` the CORPUS doc count (token-less docs count in
+    * N, matching the q165 contract). The rarest-term pick and θ are one
+    * and ≤ k driver rows respectively — bounded metadata. Output
+    * (doc_id, bm25) is bit-identical to exhaustive BM25 (k1=1.2,
+    * b=0.75, 4-dp quantized contribs, fixed-point sums). */
+  def bm25MaxScoreTopK(toks: DataFrame, nDocs: Long, terms: Seq[String],
+                       k: Int): DataFrame = {
+    val totToks = toks.count()
+    val avgdl = totToks.toDouble / nDocs.toDouble
+    def q4d(c: Column) =
+      floor(c * 10000d + 0.5d).cast("long").cast("double") / 10000d
+    def fx4(c: Column) = floor(c * 10000d + 0.5d).cast("long")
+    val idfq = q4d(log(lit(1.0d) +
+      (lit(nDocs.toDouble) - col("df") + lit(0.5d)) / (col("df") + lit(0.5d))))
+    val tfnorm = (col("tf") * lit(2.2d)) /
+      (col("tf") + lit(1.2d) *
+        (lit(0.25d) + lit(0.75d) * (col("dl") / lit(avgdl))))
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    def exactFx(t: DataFrame): DataFrame = t
+      .join(broadcast(dfreq), "term").join(dl, "doc_id")
+      .withColumn("cfx", fx4(q4d(idfq * tfnorm)))
+      .groupBy("doc_id").agg(sum("cfx").as("s_fx"))
+    // phase 1: rarest term (1 driver row) → θ from its exact scores
+    val rarestRows = dfreq.orderBy(col("df").asc, col("term").asc).limit(1)
+      .collect()
+    if (rarestRows.isEmpty) // no query term matches any doc
+      return exactFx(tf).select(col("doc_id"), lit(0.0d).as("bm25")).limit(0)
+    val rarest = rarestRows(0).getString(0)
+    val seedDocs = tf.filter(col("term") === rarest).select("doc_id")
+    val seedTop = exactFx(tf.join(broadcast(seedDocs), Seq("doc_id"), "left_semi"))
+      .orderBy(col("s_fx").desc, col("doc_id").asc).limit(k)
+      .select("s_fx").collect() // ≤ k driver rows
+    val theta = if (seedTop.length < k) Long.MinValue
+                else seedTop.last.getLong(0)
+    // phase 2: UB-bounded candidates from (doc, term) pairs only
+    val ub = dfreq.select(col("term"), fx4(q4d(idfq * lit(2.2d))).as("ub_fx"))
+    val cands = tf.join(broadcast(ub), "term")
+      .groupBy("doc_id").agg(sum("ub_fx").as("ub_sum"))
+      .filter(col("ub_sum") >= theta)
+      .select("doc_id")
+    // exact scoring only for survivors; output matches exhaustive BM25
+    exactFx(tf.join(cands, Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"),
+        q4d(col("s_fx").cast("double") / 10000d).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   def upsertPostings(stored: DataFrame, recrawled: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     val cleaned = removePostings(stored,

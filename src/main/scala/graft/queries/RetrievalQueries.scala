@@ -94,11 +94,11 @@ object RetrievalQueries {
       FROM dw JOIN syms$rounds USING (word)
       GROUP BY doc_id"""
 
-  /** The q165 BM25 program (k1=1.2, b=0.75), shared with the q171
-    * fusion query: (doc_id, bm25) for every document matching ≥1 query
-    * term, scores quantized so both engines rank identically. */
-  private def bm25Scores(s: SparkSession, d: String,
-                         terms: Seq[String]): DataFrame = {
+  /** Per-(doc, term) quantized BM25 contributions (k1=1.2, b=0.75) —
+    * the shared engine of [[bm25Scores]] and the q198 feedback rescoring
+    * (which needs term granularity to apply per-term weights). */
+  private def bm25Contribs(s: SparkSession, d: String,
+                           terms: Seq[String]): DataFrame = {
     val docs = Tables.documents(s, d)
     val toks = docs.select(col("doc_id"),
       explode(Text.tokens(Text.normalize(col("text")))).as("term"))
@@ -117,10 +117,16 @@ object RetrievalQueries {
       (col("tf") + lit(1.2d) *
         (lit(0.25d) + lit(0.75d) * (col("dl") / lit(avgdl))))
     tf.join(broadcast(dfreq), "term").join(dl, "doc_id")
-      .withColumn("contrib", q4(idf * tfnorm))
+      .select(col("doc_id"), col("term"), q4(idf * tfnorm).as("contrib"))
+  }
+
+  /** The q165 BM25 program: (doc_id, bm25) for every document matching
+    * ≥1 query term, scores quantized so both engines rank identically. */
+  private def bm25Scores(s: SparkSession, d: String,
+                         terms: Seq[String]): DataFrame =
+    bm25Contribs(s, d, terms)
       .groupBy("doc_id")
       .agg(q4(xsum4(col("contrib"))).as("bm25"))
-  }
 
   /** DuckDB rendering of [[bm25Scores]] — CTE list ending in a
     * `bm25(doc_id, bm25)` relation. */
@@ -163,6 +169,110 @@ object RetrievalQueries {
         SELECT doc_id, bm25 FROM bm25
         ORDER BY bm25 DESC, doc_id LIMIT 15"""),
       "BM25 top-k retrieval: quantized idf/tf-norm, fixed-point score sum"),
+
+    // ---- pseudo-relevance-feedback query expansion (RM3-style) -----------
+    // The classic two-pass retrieval refinement: run the original query,
+    // take the top-5 docs as pseudo-relevant, extract the 3
+    // highest-weight non-query terms (relevance-model weight
+    // Σ_d tf/dl over the feedback docs), then rescore with RM3
+    // interpolation — original terms share λ=0.7 uniformly, expansion
+    // terms split 0.3 by normalized feedback weight. The expansion term
+    // set is 3 driver rows (bounded metadata, the centroid pattern);
+    // every weight is integer fixed-point so both engines compute
+    // bit-identical ranks. Scale shape: two bounded-term BM25 passes +
+    // one feedback-doc-bounded aggregation; the corpus shuffles only
+    // for the dl aggregate both passes share.
+    "q198_prf_expansion" -> Q(
+      (s, d) => {
+        val q0 = Seq("spark", "merge", "filter")
+        val fb = bm25Scores(s, d, q0)
+          .orderBy(col("bm25").desc, col("doc_id").asc).limit(5)
+          .select("doc_id")
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          explode(Text.tokens(Text.normalize(col("text")))).as("term"))
+          .filter(col("term") =!= "")
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val expTop = toks.join(broadcast(fb), Seq("doc_id"), "left_semi")
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .join(dl, "doc_id")
+          .withColumn("p", q4(col("tf").cast("double") / col("dl")))
+          .groupBy("term").agg(q4(xsum4(col("p"))).as("w"))
+          .filter(!col("term").isin(q0: _*) && length(col("term")) >= 3)
+          .orderBy(col("w").desc, col("term").asc).limit(3)
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+        val sumFx = expTop.map(t => math.floor(t._2 * 10000d + 0.5d).toLong).sum
+        val wOrig = math.floor(0.7d / q0.size * 10000d + 0.5d) / 10000d
+        val weights = q0.map(t => (t, wOrig)) ++ expTop.map { case (t, w) =>
+          val wFx = math.floor(w * 10000d + 0.5d).toLong
+          (t, math.floor(0.3d * wFx / sumFx * 10000d + 0.5d) / 10000d)
+        }
+        import s.implicits._
+        val wTbl = weights.toDF("term", "wt")
+        bm25Contribs(s, d, weights.map(_._1))
+          .join(broadcast(wTbl), "term")
+          .withColumn("wc", q4(col("wt") * col("contrib")))
+          .groupBy("doc_id").agg(q4(xsum4(col("wc"))).as("prf"))
+          .orderBy(col("prf").desc, col("doc_id").asc).limit(15)
+      },
+      Some(s"""WITH ${bm25Cte("'spark', 'merge', 'filter'")},
+        fb AS (SELECT doc_id FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT 5),
+        expw AS (
+          SELECT term, ${Q4(XSUM4(Q4("CAST(tf AS DOUBLE)/dl")))} AS w
+          FROM (SELECT tk.doc_id, tk.term, count(*) AS tf
+                FROM toks tk WHERE tk.doc_id IN (SELECT doc_id FROM fb)
+                GROUP BY 1, 2) e
+          JOIN dl USING (doc_id)
+          WHERE term NOT IN ('spark', 'merge', 'filter')
+            AND length(term) >= 3
+          GROUP BY term),
+        expt AS (
+          SELECT term, CAST(floor(w*10000 + 0.5) AS BIGINT) AS wfx
+          FROM expw ORDER BY w DESC, term LIMIT 3),
+        sfx AS (SELECT CAST(sum(wfx) AS BIGINT) AS s FROM expt),
+        wts AS (
+          SELECT term,
+            CAST(floor(CAST(0.7 AS DOUBLE)/3*10000 + 0.5) AS BIGINT)/10000.0
+              AS wt
+          FROM (VALUES ('spark'), ('merge'), ('filter')) v(term)
+          UNION ALL
+          SELECT e.term,
+            CAST(floor(CAST(0.3 AS DOUBLE)*e.wfx/x.s*10000 + 0.5)
+              AS BIGINT)/10000.0 AS wt
+          FROM expt e CROSS JOIN sfx x),
+        tf2 AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term IN (SELECT term FROM wts) GROUP BY 1, 2),
+        dfq2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY 1),
+        scored2 AS (SELECT tf2.doc_id, tf2.term,
+          ${Q4(s"(${Q4("ln(CAST(1.0 AS DOUBLE) + ((CAST(nd.n AS DOUBLE) - df) + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))")}) * ((tf * CAST(2.2 AS DOUBLE)) / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (dl / (CAST(tt.t AS DOUBLE) / CAST(nd.n AS DOUBLE))))))")}
+            AS contrib
+          FROM tf2 JOIN dfq2 USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN nd CROSS JOIN tt)
+        SELECT doc_id, ${Q4(XSUM4(Q4("wt * contrib")))} AS prf
+        FROM scored2 JOIN wts USING (term)
+        GROUP BY doc_id ORDER BY prf DESC, doc_id LIMIT 15"""),
+      "RM3 pseudo-relevance feedback: top-5 docs, 3 expansion terms, rescore"),
+
+    // ---- MaxScore/WAND-pruned BM25 ---------------------------------------
+    // The dynamic-pruning rule production lexical engines use, batch
+    // form: static per-term upper bounds (tfnorm < k1+1, so UB needs
+    // only df), a threshold from exactly scoring the RAREST term's
+    // postings, and the doc-length join + exact scoring run only for
+    // docs whose UB sum reaches it. The oracle ranks with plain
+    // exhaustive BM25 — the hash match IS the losslessness proof.
+    "q200_bm25_maxscore" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          explode(Text.tokens(Text.normalize(col("text")))).as("term"))
+          .filter(col("term") =!= "")
+        Indexing.bm25MaxScoreTopK(toks, docs.count(),
+          Seq("spark", "merge", "filter"), k = 15)
+      },
+      Some(s"""WITH ${bm25Cte("'spark', 'merge', 'filter'")}
+        SELECT doc_id, bm25 FROM bm25
+        ORDER BY bm25 DESC, doc_id LIMIT 15"""),
+      "MaxScore-pruned BM25 top-k: static UBs + rarest-term threshold"),
 
     // ---- portable SimHash near-dup pairs, fully oracle-verified ----------
     // q60's SimHash is sketch-grade (xxhash64 token hash — no external
@@ -723,6 +833,47 @@ object RetrievalQueries {
         SELECT term, count(*) AS df FROM t
         WHERE term LIKE 's%' GROUP BY term"""),
       "prefix lookup: sorted term dictionary, StartsWith pushed to the scan"),
+
+    // ---- fuzzy term suggestion ("did you mean") --------------------------
+    // Misspelled query terms matched against the corpus dictionary at
+    // edit distance ≤ 1 via the q116 FastSS deletion-neighborhood
+    // blocking (lossless: ED≤1 strings always share a 1-deletion
+    // variant), suggestions ranked by document frequency. The dictionary
+    // side shuffles O(vocab × avg term length) slim variant rows — never
+    // the |probes| × |vocab| cross join the oracle brute-forces.
+    "q199_fuzzy_suggest" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val probes = Seq("sparc", "mergee", "filtr", "qualaty").toDF("probe")
+        val dict = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(Text.tokens(Text.normalize(col("text")))).as("term"))
+          .filter(col("term") =!= "").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val pairs = graft.ops.Relational.fuzzyJoin(probes, dict, "probe", "term")
+        val w = Window.partitionBy("probe")
+          .orderBy(col("df").desc, col("term").asc)
+        pairs.join(dict, "term")
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("probe", "term", "df", "rank")
+      },
+      Some(s"""WITH t AS (
+          SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest($tokSql) AS term FROM documents)
+          WHERE term <> ''),
+        dict AS (SELECT term, count(*) AS df FROM t GROUP BY term),
+        probes AS (SELECT * FROM (VALUES ('sparc'), ('mergee'), ('filtr'),
+          ('qualaty')) v(probe)),
+        cand AS (SELECT p.probe, d.term, d.df FROM probes p
+          JOIN dict d ON levenshtein(p.probe, d.term) <= 1)
+        SELECT probe, term, CAST(df AS BIGINT) AS df,
+          CAST(rank AS INTEGER) AS rank
+        FROM (SELECT probe, term, df,
+                row_number() OVER (PARTITION BY probe
+                  ORDER BY df DESC, term) AS rank
+              FROM cand) WHERE rank <= 3"""),
+      "fuzzy term suggestion: ED<=1 deletion blocking, df-ranked top 3"),
 
     // ---- deletion from the index (right-to-be-forgotten) -----------------
     // Remove a document batch from stored retrieval state WITHOUT

@@ -274,4 +274,45 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(ranked == Seq(10L, 11L))
   }
+
+  test("bm25MaxScoreTopK: pruned result ≡ exhaustive BM25 across query shapes") {
+    val emb = graft.Tables.documents(spark, sf0001)
+    val toks = emb.select(col("doc_id"),
+      explode(graft.functions.Text.tokens(
+        graft.functions.Text.normalize(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+    val n = emb.count()
+    // exhaustive reference — the q165 program
+    def exhaustive(terms: Seq[String], k: Int) = {
+      val tot = toks.count()
+      val avgdl = tot.toDouble / n.toDouble
+      def q4d(c: org.apache.spark.sql.Column) =
+        floor(c * 10000d + 0.5d).cast("long").cast("double") / 10000d
+      val tf = toks.filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val idf = q4d(log(lit(1.0d) +
+        (lit(n.toDouble) - col("df") + lit(0.5d)) / (col("df") + lit(0.5d))))
+      val tfnorm = (col("tf") * lit(2.2d)) / (col("tf") + lit(1.2d) *
+        (lit(0.25d) + lit(0.75d) * (col("dl") / lit(avgdl))))
+      tf.join(dfreq, "term").join(dl, "doc_id")
+        .withColumn("cfx",
+          floor(q4d(idf * tfnorm) * 10000d + 0.5d).cast("long"))
+        .groupBy("doc_id").agg(sum("cfx").as("s"))
+        .select(col("doc_id"), q4d(col("s").cast("double") / 10000d).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(k)
+    }
+    for (terms <- Seq(Seq("spark", "merge", "filter"), // multi-term
+                      Seq("spark"),                    // single term
+                      Seq("nosuchterm", "spark"))) {   // dead term in the set
+      val pruned = Indexing.bm25MaxScoreTopK(toks, n, terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val full = exhaustive(terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(pruned == full, s"MaxScore diverged for $terms")
+    }
+    // no term matches at all → empty, not an exception
+    assert(Indexing.bm25MaxScoreTopK(toks, n, Seq("zzzznope"), 5).isEmpty)
+  }
 }
