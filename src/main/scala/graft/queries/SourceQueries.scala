@@ -309,5 +309,38 @@ object SourceQueries {
       Some("""SELECT s_suppkey, s_acctbal FROM supplier
         WHERE s_suppkey % 2 = 1 AND s_acctbal > 0"""),
       "JDBC round-trip: overwrite-then-read on embedded Derby ≡ parquet mirror"),
+
+    // ---- binary payload ingestion (binaryFile source) ---------------------
+    // The multimodal intake seam: opaque payload files land as
+    // (path, length, content) rows via Spark's binaryFile source, with
+    // pathGlobFilter pruning non-payload files at LISTING time. Fixture
+    // prep writes 10 .bin payloads (plus a decoy .txt that the glob must
+    // skip) from document texts; the oracle recomputes byte length and
+    // md5 from the same parquet rows, so the hash proves the
+    // bytes-in-bytes-out contract of the ingestion path.
+    "q201_binary_ingest" -> Q(
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bin_q")
+        val picked = Tables.documents(s, d)
+          .filter(col("doc_id") % 50 === 0)
+          .select("doc_id", "text").collect() // fixture prep: 10 bounded rows
+        picked.foreach { r =>
+          java.nio.file.Files.write(tmp.resolve(s"doc_${r.getLong(0)}.bin"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+        java.nio.file.Files.write(tmp.resolve("ignore_me.txt"),
+          "decoy".getBytes("UTF-8"))
+        Sources.binaryFiles(s, tmp.toString, glob = Some("*.bin"))
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+              .cast("long").as("doc_id"),
+            col("length").as("n_bytes"),
+            md5(col("content")).as("content_md5"))
+      },
+      Some("""SELECT doc_id,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          md5(text) AS content_md5
+        FROM documents WHERE doc_id % 50 = 0"""),
+      "binaryFile ingestion: payload bytes + glob pruning, md5-verified"),
   )
 }

@@ -158,4 +158,20 @@ object Sources {
     val r = spark.read
     schema.fold(r)(s => r.schema(s)).orc(path)
   }
+
+  /** Raw binary payload ingestion — Spark's `binaryFile` source over a
+    * directory of opaque files (images, audio, model shards…): one row
+    * per file with (path, modificationTime, length, content). This is
+    * the ingestion seam of the multimodal surface (Multimodal.scala):
+    * files land as bytes + typed metadata, decode happens behind the
+    * codec seam. The source is split-per-file (a file is never split),
+    * so parallelism = file count — at 100 TB the shard manifests
+    * (Multimodal.shardManifest) keep files at healthy sizes, and
+    * `pathGlobFilter` prunes non-payload files at listing time, before
+    * any read. */
+  def binaryFiles(spark: SparkSession, dir: String,
+                  glob: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(dir)
+  }
 }

@@ -176,4 +176,21 @@ class SourcesSpec extends SparkSpec {
       .filter(col("fish_id") === 5L)
     assert(filtered.count() == 1L)
   }
+
+  test("binaryFiles: bytes round-trip exactly, glob prunes at listing time") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bin_t")
+    val payload = Array[Byte](0, 1, -1, 127, -128, 10, 13, 0) // non-UTF8 bytes
+    java.nio.file.Files.write(tmp.resolve("a.bin"), payload)
+    java.nio.file.Files.write(tmp.resolve("b.bin"), "plain".getBytes("UTF-8"))
+    java.nio.file.Files.write(tmp.resolve("skip.txt"), "decoy".getBytes("UTF-8"))
+    val rows = Sources.binaryFiles(spark, tmp.toString, Some("*.bin"))
+      .select("path", "length", "content").collect()
+    assert(rows.length == 2, "glob must exclude the .txt decoy")
+    val byName = rows.map(r => r.getString(0).split('/').last ->
+      (r.getLong(1), r.getAs[Array[Byte]](2))).toMap
+    assert(byName("a.bin")._1 == 8L &&
+      byName("a.bin")._2.toSeq == payload.toSeq,
+      "arbitrary bytes must survive the read untouched")
+    assert(new String(byName("b.bin")._2, "UTF-8") == "plain")
+  }
 }
