@@ -515,6 +515,25 @@ object Similarity {
         pqAssign(slice(col(vecCol), j * sub + 1, sub), books(j))): _*).as("codes"))
   }
 
+  /** Per-query ADC distance tables: array over subspaces of the
+    * fixed-point distances to every codeword, indexed by codeword id
+    * (ids dropped by training resolve to a +∞ sentinel — no corpus row
+    * carries a dropped id either). m × ksub longs riding the broadcast
+    * query side. */
+  private def pqDistTables(vec: Column,
+                           books: Seq[Seq[(Int, Seq[Double])]]): Column = {
+    val sub = books.head.head._2.length
+    array(books.indices.map { j =>
+      val sv = slice(vec, j * sub + 1, sub)
+      val byId = books(j).toMap
+      val width = books(j).map(_._1).max + 1
+      graft.functions.Text.bindOnce(Vectors.dot(sv, sv), selfDot =>
+        array((0 until width).map(cid => byId.get(cid)
+          .map(cw => subDist2fx(selfDot, sv, cw))
+          .getOrElse(lit(Long.MaxValue))): _*))
+    }: _*)
+  }
+
   /** ADC top-k: corpus rows are scored through their PQ codes only — the
     * broadcast query side carries, per query, the m × ksub fixed-point
     * distance-table longs, and a corpus row's score is the order-free sum
@@ -530,17 +549,59 @@ object Similarity {
     val sub = books.head.head._2.length
     val codes = pqEncode(corpus, idCol, vecCol, books)
       .withColumnRenamed(idCol, "neighbor_id")
-    val dtab = array(books.indices.map { j =>
-      val sv = slice(col(vecCol), j * sub + 1, sub)
-      val byId = books(j).toMap
-      val width = books(j).map(_._1).max + 1
-      graft.functions.Text.bindOnce(Vectors.dot(sv, sv), selfDot =>
-        array((0 until width).map(cid => byId.get(cid)
-          .map(cw => subDist2fx(selfDot, sv, cw))
-          .getOrElse(lit(Long.MaxValue))): _*))
-    }: _*)
-    val q = queries.select(col(idCol).as("query_id"), dtab.as("dtab"))
+    val q = queries.select(col(idCol).as("query_id"),
+      pqDistTables(col(vecCol), books).as("dtab"))
     val scored = codes.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sfx", aggregate(
+        zip_with(col("codes"), col("dtab"), (c, tab) => element_at(tab, c + 1)),
+        lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sfx").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (col("sfx").cast("double") / 10000d).as("adc"))
+  }
+
+  /** IVFPQ — the materialized billion-scale ANN layout: the inverted
+    * file prunes WHICH files a query reads (partition pruning on the
+    * coarse bucket), PQ codes shrink WHAT those files hold (m small ints
+    * per vector; no float vectors in the index at all — at 100 TB of
+    * raw embeddings the index is ~1–2 % of corpus size and the probe
+    * reads |probe buckets|/k of THAT). Build writes (id, codes)
+    * partitioned by the coarse assignment; search derives the probe
+    * bucket set from the tiny query side (bounded metadata), reads only
+    * those partitions, and ADC-scores codes exactly as [[pqTopK]].
+    *
+    * Vectors are PQ-encoded RAW (IVF-Flat-PQ without residual encoding:
+    * codebooks quantize the vector itself, not x − centroid — the
+    * layout and pruning are identical, and the whole search stays
+    * replayable by the q202 oracle). Deterministic end to end: coarse
+    * assignment/probes use the quantized-cosine argmin (q161 recipe),
+    * ADC the fixed-point distance tables (q196 recipe). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, centroids: Seq[(Int, Seq[Double])],
+                books: Seq[Seq[(Int, Seq[Double])]], nProbe: Int,
+                indexPath: String): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.size)
+    val spark = corpus.sparkSession
+    val sub = books.head.head._2.length
+    corpus.select(col(idCol).as("neighbor_id"),
+        array(books.indices.map(j =>
+          pqAssign(slice(col(vecCol), j * sub + 1, sub), books(j))): _*)
+          .as("codes"),
+        assignCluster(col(vecCol), centroids).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(indexPath)
+    val probeBuckets = queries
+      .select(explode(quantizedProbes(col(vecCol), centroids, nProbe)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val codes = spark.read.parquet(indexPath)
+      .filter(col("bucket").isin(probeBuckets: _*))
+    val q = queries.select(col(idCol).as("query_id"),
+      explode(quantizedProbes(col(vecCol), centroids, nProbe)).as("bucket"),
+      pqDistTables(col(vecCol), books).as("dtab"))
+    val scored = codes.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sfx", aggregate(
         zip_with(col("codes"), col("dtab"), (c, tab) => element_at(tab, c + 1)),
         lit(0L), (acc, x) => acc + x))

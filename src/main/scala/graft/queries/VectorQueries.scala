@@ -577,5 +577,108 @@ object VectorQueries {
                 row_number() OVER (PARTITION BY qid ORDER BY sfx, nid) AS rank
               FROM scores) WHERE rank <= 5"""),
       "product quantization: fixed-point codebooks, codes, ADC top-k"),
+
+    // ---- IVFPQ: partition-pruned inverted file over PQ codes ----------------
+    // The billion-scale composition: the q164 inverted-file layout
+    // storing q196 PQ codes instead of raw vectors — partition pruning
+    // bounds which files a query reads, PQ bounds what they hold. The
+    // oracle replays coarse assignment + probes (q161 recipe), codebook
+    // training + encoding + ADC tables (q196 recipe), and the joined
+    // candidate ranking — the entire index lifecycle, bit for bit.
+    "q202_ivfpq" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val coarse = Similarity.seedCentroids(emb, "vec_id", "embedding", 8)
+        val books = Similarity.pqTrain(emb, "vec_id", "embedding",
+          m = 4, ksub = 4, iterations = 1)
+        Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, coarse, books, nProbe = 2,
+          indexPath = java.nio.file.Files
+            .createTempDirectory("graft_ivfpq_q").toString + "/index")
+      },
+      Some(s"""WITH init AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+                 embedding AS cvec
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+        cassign AS (
+          SELECT vec_id, cid AS bucket FROM (
+            SELECT e.vec_id, i.cid,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${Q4("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(i.cvec AS DOUBLE[]))")} DESC,
+                i.cid) AS rn
+            FROM embeddings e CROSS JOIN init i) WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cid AS bucket FROM (
+            SELECT e.vec_id, i.cid,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${Q4("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(i.cvec AS DOUBLE[]))")} DESC,
+                i.cid) AS rn
+            FROM (SELECT * FROM embeddings WHERE vec_id < 8) e
+            CROSS JOIN init i) WHERE rn <= 2),
+        sub AS (
+          SELECT vec_id, CAST(jj.j AS INTEGER) AS j,
+            embedding[jj.j*(len(embedding)//4)+1 : (jj.j+1)*(len(embedding)//4)]
+              AS sv
+          FROM embeddings, LATERAL (SELECT unnest(range(4)) AS j) jj),
+        seeds AS (
+          SELECT s.j,
+            CAST(row_number() OVER (PARTITION BY s.j ORDER BY s.vec_id) - 1
+              AS INTEGER) AS cid,
+            s.sv AS cvec
+          FROM sub s
+          WHERE s.vec_id IN
+            (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+        a1 AS (
+          SELECT vec_id, j, cid FROM (
+            SELECT s.vec_id, s.j, c.cid,
+              row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                CAST(floor((list_inner_product(CAST(s.sv AS DOUBLE[]), CAST(s.sv AS DOUBLE[]))
+                  - 2*list_inner_product(CAST(s.sv AS DOUBLE[]), CAST(c.cvec AS DOUBLE[]))
+                  + list_inner_product(CAST(c.cvec AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])))
+                  * 10000 + 0.5) AS BIGINT) ASC, c.cid) AS rn
+            FROM sub s JOIN seeds c USING (j)) WHERE rn = 1),
+        sums AS (
+          SELECT a.j, a.cid, CAST(g.i AS INTEGER) AS dim, count(*) AS n,
+            sum(CAST(floor(CAST(s.sv[g.i+1] AS DOUBLE)*1000000 + 0.5)
+              AS BIGINT)) AS fs
+          FROM a1 a JOIN sub s USING (vec_id, j),
+               LATERAL (SELECT unnest(range(len(s.sv))) AS i) g
+          GROUP BY a.j, a.cid, dim),
+        book AS (
+          SELECT j, cid,
+            CAST(list(CAST(fs AS DOUBLE)/1000000/n ORDER BY dim) AS FLOAT[])
+              AS cvec
+          FROM sums GROUP BY j, cid),
+        codes AS (
+          SELECT vec_id, j, cid FROM (
+            SELECT s.vec_id, s.j, b.cid,
+              row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                CAST(floor((list_inner_product(CAST(s.sv AS DOUBLE[]), CAST(s.sv AS DOUBLE[]))
+                  - 2*list_inner_product(CAST(s.sv AS DOUBLE[]), CAST(b.cvec AS DOUBLE[]))
+                  + list_inner_product(CAST(b.cvec AS DOUBLE[]), CAST(b.cvec AS DOUBLE[])))
+                  * 10000 + 0.5) AS BIGINT) ASC, b.cid) AS rn
+            FROM sub s JOIN book b USING (j)) WHERE rn = 1),
+        dt AS (
+          SELECT q.vec_id AS qid, q.j, b.cid,
+            CAST(floor((list_inner_product(CAST(q.sv AS DOUBLE[]), CAST(q.sv AS DOUBLE[]))
+              - 2*list_inner_product(CAST(q.sv AS DOUBLE[]), CAST(b.cvec AS DOUBLE[]))
+              + list_inner_product(CAST(b.cvec AS DOUBLE[]), CAST(b.cvec AS DOUBLE[])))
+              * 10000 + 0.5) AS BIGINT) AS dfx
+          FROM (SELECT * FROM sub WHERE vec_id < 8) q
+          JOIN book b USING (j)),
+        scores AS (
+          SELECT p.query_id, ca.vec_id AS nid, CAST(sum(d.dfx) AS BIGINT) AS sfx
+          FROM probes p
+          JOIN cassign ca ON ca.bucket = p.bucket AND ca.vec_id <> p.query_id
+          JOIN codes c ON c.vec_id = ca.vec_id
+          JOIN dt d ON d.qid = p.query_id AND d.j = c.j AND d.cid = c.cid
+          GROUP BY p.query_id, ca.vec_id)
+        SELECT query_id, nid AS neighbor_id,
+          CAST(rank AS INTEGER) AS rank, CAST(sfx AS DOUBLE)/10000 AS adc
+        FROM (SELECT query_id, nid, sfx,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY sfx, nid) AS rank
+              FROM scores) WHERE rank <= 5"""),
+      "IVFPQ: partition-pruned inverted file over PQ codes, ADC-ranked"),
   )
 }
