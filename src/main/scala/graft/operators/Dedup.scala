@@ -587,6 +587,61 @@ object Dedup {
     * both sides are large the equi-join on the block key shuffles each
     * side once, partitioned by block.
     */
+  /** Portable MinHash signatures — the q166 md5 trick applied to
+    * MinHash: per seed b, the signature component is the minimum
+    * md5-derived 60-bit hash of the doc's distinct shingles, so an
+    * external engine replays the signature bit-for-bit (xxhash-based
+    * [[minhashSignaturesBulk]] stays the fast in-engine path). Pure
+    * per-row column expression — no shuffle; zero-shingle docs get no
+    * row. Returns (id, sig: array<long>[numHashes]). */
+  def portableMinhashSignatures(df: DataFrame, idCol: String,
+                                textCol: String, shingleSize: Int = 3,
+                                numHashes: Int = 16): DataFrame =
+    df.select(col(idCol).as("id"),
+        Text.shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"),
+        transform(sequence(lit(0), lit(numHashes - 1)), b =>
+          array_min(transform(col("sh"), s =>
+            conv(substring(md5(concat(b.cast("string"), lit("_"), s)), 1, 15),
+              16, 10).cast("long")))).as("sig"))
+
+  /** Incremental fuzzy dedup — a new crawl batch deduplicated against a
+    * STORED MinHash signature index without touching the historical
+    * corpus text (the [[incrementalExact]] shape lifted to near-dups,
+    * and the piece a real crawl pipeline runs daily: signatures are the
+    * only state kept). Candidates come from an LSH band join between
+    * the stored and batch signatures (bucket = the band's component
+    * string, portable across engines); similarity is then ESTIMATED
+    * from the signatures alone — the fraction of equal components, the
+    * classic MinHash estimator — so verification needs no text either.
+    * Returns (id_new, id_stored, est ≥ minEst) pairs, 4-dp quantized.
+    *
+    * Scale shape: both sides shuffle only (band, bucket, sig) slim
+    * rows; the historical side is the signature INDEX (numHashes longs
+    * per doc), never the corpus; bucket population is bounded by the
+    * banding parameters exactly as in [[minhashCandidates]]. */
+  def incrementalMinhashPairs(storedSigs: DataFrame, batchSigs: DataFrame,
+                              bands: Int = 4, rowsPerBand: Int = 4,
+                              minEst: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    def banded(s: DataFrame, idOut: String, sigOut: String) =
+      s.select(col("id").as(idOut), col("sig").as(sigOut), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          concat_ws("_", transform(
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            _.cast("string"))))).as(Seq("band", "bucket")))
+    banded(storedSigs, "id_stored", "sig_s")
+      .join(banded(batchSigs, "id_new", "sig_n"), Seq("band", "bucket"))
+      .select("id_new", "id_stored", "sig_n", "sig_s").distinct()
+      .withColumn("est", floor(
+        size(filter(zip_with(col("sig_s"), col("sig_n"), (a, b) => a === b),
+          x => x)).cast("double") / numHashes * 10000d + 0.5d)
+        .cast("long").cast("double") / 10000d)
+      .filter(col("est") >= minEst)
+      .select("id_new", "id_stored", "est")
+  }
+
   def crossEmbeddingNearDups(left: DataFrame, right: DataFrame,
                              idCol: String, vecCol: String,
                              blockCol: String,

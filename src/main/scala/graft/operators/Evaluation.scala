@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Offline ranking-quality evaluation — the metrics half of the
+  * retrieval stack (BM25/RRF/ANN produce rankings; an eval harness has
+  * to grade them against labeled judgments at corpus scale). All math
+  * follows the house determinism contract: per-position gains are 4-dp
+  * quantized before exact fixed-point sums, ratios are quantized after
+  * division, so a DuckDB oracle replays every metric bit-for-bit
+  * (libm `ln` may differ in the last ulp; +,·,/ do not).
+  */
+object Evaluation {
+
+  private def q4(c: Column): Column =
+    floor(c * 10000d + 0.5d).cast("long").cast("double") / 10000d
+  private def fx4(c: Column): Column = floor(c * 10000d + 0.5d).cast("long")
+
+  /** Graded-relevance ranking metrics at cutoff `k`, one row per query:
+    *
+    *  - `mrr`      — 1/rank of the first relevant result in the top-k
+    *                 (0 when none);
+    *  - `ndcg`     — DCG@k / ideal-DCG@k with the standard
+    *                 rel/log2(rank+1) gain (0 when the query has no
+    *                 relevant docs at all);
+    *  - `recall`   — |relevant ∩ top-k| / |relevant| (0 likewise).
+    *
+    * `ranked` carries (query_id, doc_id, rank); `labels` carries
+    * (query_id, doc_id, rel ≥ 0) for every judged pair — unjudged
+    * retrieved docs count as rel 0, the TREC convention. Scale shape:
+    * one (query, doc)-keyed join bounded by k rows per query on the
+    * ranked side, one per-query window over the judged pairs for the
+    * ideal ordering, and per-query aggregations — nothing touches the
+    * corpus.
+    */
+  def rankingMetrics(ranked: DataFrame, labels: DataFrame,
+                     k: Int): DataFrame = {
+    // gain at a position: rel / log2(pos + 1), quantized
+    def gain(rel: Column, pos: Column): Column =
+      q4(rel.cast("double") / (log(pos.cast("double") + 1d) / log(lit(2.0d))))
+    val top = ranked.filter(col("rank") <= k)
+      .join(labels, Seq("query_id", "doc_id"), "left")
+      .na.fill(0, Seq("rel"))
+    val dcg = top.groupBy("query_id").agg(
+      (sum(fx4(gain(col("rel"), col("rank")))).cast("double") / 10000d)
+        .as("dcg"),
+      min(when(col("rel") > 0, col("rank"))).as("first_rel"),
+      count(when(col("rel") > 0, lit(1))).as("hit"))
+    // ideal ordering of the judged relevant pairs, cut at k
+    val iw = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("doc_id").asc)
+    val ideal = labels.filter(col("rel") > 0)
+      .withColumn("ipos", row_number().over(iw))
+      .groupBy("query_id").agg(
+        (sum(when(col("ipos") <= k, fx4(gain(col("rel"), col("ipos"))))
+          .otherwise(lit(0L))).cast("double") / 10000d).as("idcg"),
+        count(lit(1)).as("n_rel"))
+    dcg.join(ideal, Seq("query_id"), "left")
+      .select(col("query_id"),
+        q4(coalesce(lit(1.0d) / col("first_rel"), lit(0d))).as("mrr"),
+        q4(coalesce(col("dcg") / col("idcg"), lit(0d))).as("ndcg"),
+        q4(coalesce(col("hit").cast("double") / col("n_rel"), lit(0d)))
+          .as("recall"))
+  }
+}

@@ -274,6 +274,64 @@ object RetrievalQueries {
         ORDER BY bm25 DESC, doc_id LIMIT 15"""),
       "MaxScore-pruned BM25 top-k: static UBs + rarest-term threshold"),
 
+    // ---- offline ranking-quality metrics (MRR / nDCG@10 / recall@10) -----
+    // The eval harness the retrieval stack is graded by: four
+    // single-term queries ranked by a crawl-order baseline (doc_id
+    // ascending), judged against graded labels (rel = tf capped at 3,
+    // tf=1 judged irrelevant). Gains are quantized before fixed-point
+    // sums, ratios after division — the oracle replays every metric.
+    "q203_ranking_metrics" -> Q(
+      (s, d) => {
+        val terms = Seq("spark", "data", "merge", "quality")
+        val toks = Tables.documents(s, d).select(col("doc_id"),
+          explode(Text.tokens(Text.normalize(col("text")))).as("term"))
+          .filter(col("term").isin(terms: _*))
+        val tf = toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        val labels = tf.select(col("term").as("query_id"), col("doc_id"),
+          when(col("tf") >= 2, least(col("tf"), lit(3L)))
+            .otherwise(lit(0L)).cast("int").as("rel"))
+        val ranked = tf.withColumn("rank", row_number().over(
+            Window.partitionBy("term").orderBy(col("doc_id").asc)))
+          .select(col("term").as("query_id"), col("doc_id"), col("rank"))
+        graft.operators.Evaluation.rankingMetrics(ranked, labels, k = 10)
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, tok AS term FROM (
+            SELECT doc_id, unnest($tokSql) AS tok FROM documents)
+          WHERE tok IN ('spark', 'data', 'merge', 'quality')),
+        tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+        labels AS (SELECT term AS query_id, doc_id,
+            CAST(CASE WHEN tf >= 2 THEN least(tf, 3) ELSE 0 END AS INTEGER)
+              AS rel
+          FROM tf),
+        ranked AS (SELECT term AS query_id, doc_id,
+            row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rank
+          FROM tf),
+        top AS (SELECT r.query_id, r.doc_id, r.rank, coalesce(l.rel, 0) AS rel
+          FROM ranked r LEFT JOIN labels l USING (query_id, doc_id)
+          WHERE r.rank <= 10),
+        dcg AS (SELECT query_id,
+            CAST(sum(CAST(floor((${Q4("rel / (ln(CAST(rank AS DOUBLE) + 1)/ln(2))")})*10000 + 0.5) AS BIGINT)) AS BIGINT) AS dfx,
+            min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+            count(CASE WHEN rel > 0 THEN 1 END) AS hit
+          FROM top GROUP BY query_id),
+        ideal AS (SELECT query_id,
+            CAST(sum(CASE WHEN ipos <= 10 THEN
+              CAST(floor((${Q4("rel / (ln(CAST(ipos AS DOUBLE) + 1)/ln(2))")})*10000 + 0.5) AS BIGINT)
+              ELSE 0 END) AS BIGINT) AS ifx,
+            count(*) AS n_rel
+          FROM (SELECT query_id, rel,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY rel DESC, doc_id) AS ipos
+                FROM labels WHERE rel > 0)
+          GROUP BY query_id)
+        SELECT d2.query_id,
+          ${Q4("coalesce(CAST(1.0 AS DOUBLE)/first_rel, CAST(0 AS DOUBLE))")} AS mrr,
+          ${Q4("coalesce((CAST(dfx AS DOUBLE)/10000)/(CAST(ifx AS DOUBLE)/10000), CAST(0 AS DOUBLE))")} AS ndcg,
+          ${Q4("coalesce(CAST(hit AS DOUBLE)/n_rel, CAST(0 AS DOUBLE))")} AS recall
+        FROM dcg d2 LEFT JOIN ideal USING (query_id)"""),
+      "ranking eval: MRR, nDCG@10, recall@10 over graded labels"),
+
     // ---- portable SimHash near-dup pairs, fully oracle-verified ----------
     // q60's SimHash is sketch-grade (xxhash64 token hash — no external
     // engine can recompute it). This variant swaps the token hash for the

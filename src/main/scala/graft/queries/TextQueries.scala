@@ -207,6 +207,60 @@ object TextQueries {
         WHERE rn = 1 AND fp NOT IN (SELECT fp FROM idx)"""),
       "incremental exact dedup: new batch vs historical fingerprint index"),
 
+    // ---- incremental MinHash dedup against a stored signature index --------
+    // q115's shape lifted to NEAR-dups: the day-N batch (doc_id ≥ 250)
+    // is deduplicated against the historical corpus represented ONLY by
+    // its MinHash signature index — candidates from a cross-side LSH
+    // band join, similarity estimated from signature agreement (the
+    // classic MinHash estimator), no historical text touched. The md5
+    // signature family lets the oracle replay signatures, banding,
+    // candidates, and estimates bit-for-bit.
+    "q204_incremental_minhash" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val stored = Dedup.portableMinhashSignatures(
+          docs.filter(col("doc_id") < 250), "doc_id", "text")
+        val batch = Dedup.portableMinhashSignatures(
+          docs.filter(col("doc_id") >= 250), "doc_id", "text")
+        Dedup.incrementalMinhashPairs(stored, batch,
+          bands = 4, rowsPerBand = 4, minEst = 0.5)
+      },
+      Some(s"""WITH sh AS (
+          SELECT DISTINCT doc_id,
+            toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS shingle
+          FROM (SELECT doc_id, $tokSql AS toks FROM documents),
+               LATERAL (SELECT unnest(range(0, greatest(len(toks) - 2, 0)))) AS g(i)),
+        sig AS (
+          SELECT doc_id, list(mn ORDER BY b) AS sig FROM (
+            SELECT doc_id, g.b,
+              min(CAST(('0x' || substr(md5(CAST(g.b AS VARCHAR) || '_'
+                || shingle), 1, 15)) AS BIGINT)) AS mn
+            FROM sh, LATERAL (SELECT unnest(range(16)) AS b) g
+            GROUP BY doc_id, g.b)
+          GROUP BY doc_id),
+        bl AS (SELECT s.doc_id, g.b AS band,
+            array_to_string(s.sig[g.b*4+1 : g.b*4+4], '_') AS bucket
+          FROM sig s, LATERAL (SELECT unnest(range(4)) AS b) g
+          WHERE s.doc_id < 250),
+        br AS (SELECT s.doc_id, g.b AS band,
+            array_to_string(s.sig[g.b*4+1 : g.b*4+4], '_') AS bucket
+          FROM sig s, LATERAL (SELECT unnest(range(4)) AS b) g
+          WHERE s.doc_id >= 250),
+        cand AS (SELECT DISTINCT l.doc_id AS id_stored, r.doc_id AS id_new
+                 FROM bl l JOIN br r ON l.band = r.band
+                                    AND l.bucket = r.bucket),
+        est AS (SELECT c.id_new, c.id_stored,
+            CAST(CAST(floor(CAST(sum(CASE WHEN ls.sig[g.i+1] = rs.sig[g.i+1]
+                THEN 1 ELSE 0 END) AS DOUBLE)/16*10000 + 0.5) AS BIGINT)
+              AS DOUBLE)/10000 AS est
+          FROM cand c
+          JOIN sig ls ON ls.doc_id = c.id_stored
+          JOIN sig rs ON rs.doc_id = c.id_new,
+          LATERAL (SELECT unnest(range(16)) AS i) g
+          GROUP BY 1, 2)
+        SELECT id_new, id_stored, est FROM est WHERE est >= 0.5"""),
+      "incremental MinHash dedup: batch vs stored signatures, est-verified"),
+
     // ---- SimHash near-dup — sketch-based, no SQL oracle -----------------------------------
     "q60_simhash" -> Q(
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d),

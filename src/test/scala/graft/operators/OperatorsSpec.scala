@@ -99,6 +99,31 @@ class DedupSpec extends SparkSpec {
     assert(cands.contains((1L, 2L)))
   }
 
+  test("incrementalMinhashPairs: batch near-dups found via stored sigs only") {
+    val stored = Dedup.portableMinhashSignatures(docs, "doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog", "s1"), // dup of 1/2
+      (11L, "totally novel text with no prior sibling anywhere", "s1"),
+      (12L, "more totally novel text with no prior sibling", "s2")
+    ).toDF("doc_id", "text", "source")
+    val bs = Dedup.portableMinhashSignatures(batch, "doc_id", "text")
+    val pairs = Dedup.incrementalMinhashPairs(stored, bs)
+      .as[(Long, Long, Double)].collect()
+    // the exact dups pair at estimate 1.0; the near-dup (doc 3, one
+    // token edit + one appended) lands at a mid estimate — found via
+    // signatures alone, no stored text consulted
+    val for10 = pairs.filter(_._1 == 10L).map(p => (p._2, p._3)).toSet
+    assert(for10 == Set((1L, 1.0), (2L, 1.0), (3L, 0.5625)))
+    // novel docs pair with nothing; within-batch pairs never reported
+    assert(!pairs.exists(p => p._1 == 11L || p._1 == 12L))
+    assert(pairs.forall(p => p._2 <= 5L), "stored side only on the right")
+    // signatures are deterministic (md5 family): rerun is identical
+    val again = Dedup.portableMinhashSignatures(docs, "doc_id", "text")
+      .as[(Long, Seq[Long])].collect().toMap
+    val first = stored.as[(Long, Seq[Long])].collect().toMap
+    assert(again == first && first.values.forall(_.size == 16))
+  }
+
   test("minhashSignaturesBulk (codegen path) equals minhashSignature (column) per doc") {
     val bulk = Dedup.minhashSignaturesBulk(docs, "doc_id", "text", 3, 16)
       .as[(Long, Seq[Option[Long]])].collect().toMap

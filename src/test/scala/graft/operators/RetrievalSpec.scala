@@ -315,4 +315,30 @@ class RetrievalSpec extends SparkSpec {
     // no term matches at all → empty, not an exception
     assert(Indexing.bm25MaxScoreTopK(toks, n, Seq("zzzznope"), 5).isEmpty)
   }
+
+  test("rankingMetrics: hand-computed MRR/nDCG/recall, edge queries zeroed") {
+    val ranked = Seq(
+      ("q1", 1L, 1), ("q1", 2L, 2), ("q1", 3L, 3),   // rel doc at rank 2
+      ("q2", 4L, 1), ("q2", 5L, 2),                  // nothing relevant
+      ("q3", 6L, 1), ("q3", 7L, 2), ("q3", 8L, 3), ("q3", 9L, 4)
+    ).toDF("query_id", "doc_id", "rank")
+    val labels = Seq(
+      ("q1", 2L, 1),
+      ("q3", 6L, 2), ("q3", 9L, 1), ("q3", 99L, 3)   // 99 never retrieved
+    ).toDF("query_id", "doc_id", "rel")
+    val m = graft.operators.Evaluation.rankingMetrics(ranked, labels, k = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // q1: mrr = 1/2; dcg = 1/log2(3) = .6309; idcg = 1 → ndcg .6309; recall 1/1
+    assert(m("q1") == ((0.5, 0.6309, 1.0)))
+    // q2: no judged relevant docs at all → all zero
+    assert(m("q2") == ((0.0, 0.0, 0.0)))
+    // q3: top-3 = docs 6(rel2),7(0),8(0); mrr = 1; recall = 1/3 = .3333;
+    // dcg = 2/log2(2) = 2; ideal order = 99(3),6(2),9(1):
+    // idcg = 3 + 2/log2(3) + 1/log2(4) = 3 + 1.2619 + 0.5 = 4.7619
+    // ndcg = q4(2/4.7619) = 0.42
+    val (mrr3, ndcg3, rec3) = m("q3")
+    assert(mrr3 == 1.0 && rec3 == 0.3333)
+    assert(math.abs(ndcg3 - 0.42) < 0.0001, s"ndcg3 $ndcg3")
+  }
 }
