@@ -58,7 +58,12 @@ object Plans {
     "q181_index_delete" -> "distributed index delete: semi-join finds affected terms, only their postings re-aggregate, untouched terms pass through shuffle-free",
     "q183_ldist_pipeline" -> "ldist DAG: broadcast SCD/fix overlays, ONE (sample,species) window shuffle for scaling, right-join zero-fill — no agg+rejoin rounds",
     "q185_ann_lsh_verified" -> "portable LSH ANN: md5 hyperplane buckets in scan-side codegen, query side broadcast, corpus never shuffles",
-    "q186_phrase_served" -> "served phrase search: term EqualTo filters pushed into the positional-index scan, df-bounded doc-keyed join")
+    "q186_phrase_served" -> "served phrase search: term EqualTo filters pushed into the positional-index scan, df-bounded doc-keyed join",
+    "q196_pq_adc" -> "PQ/ADC: codes + distance tables in scan-side codegen, query side broadcast, corpus vectors never shuffle",
+    "q200_bm25_maxscore" -> "MaxScore BM25: UBs from the df dictionary, rarest-term seed scoring, dl join + exact scoring only for UB-surviving candidates",
+    "q202_ivfpq" -> "IVFPQ: PartitionFilters prune to probed buckets, ADC over stored codes — no raw vectors in the index",
+    "q204_incremental_minhash" -> "incremental minhash: stored signature index vs batch band join, estimator verify — historical text never read",
+    "q206_zipf_stats" -> "zipf stats: TopKPerGroupExec bounds the regression input to 100 rows/source, no full vocab sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1151,5 +1151,72 @@ object CorpusQueries {
         FROM w a JOIN w b ON a.win = b.win AND a.source < b.source
         GROUP BY 1, 2"""),
       "cross-source 8-gram overlap matrix: who shares content with whom"),
+
+    // ---- per-source Zipf slope + type-token ratio --------------------------
+    // Corpus linguistics forensics: a natural-language source follows
+    // Zipf (log-freq vs log-rank slope ≈ −1); template/spam sources
+    // deviate sharply, so the slope is a cheap corpus-health signal.
+    // Closed-form least squares over the top-100 terms per source —
+    // the top-100 ride the TopKPerGroup physical operator (per-partition
+    // heaps, one slim exchange, no full vocab sort); log terms are
+    // quantized before fixed-point sums, the slope after division.
+    "q206_zipf_stats" -> Q(
+      (s, d) => {
+        val toks = Tables.documents(s, d).select(col("source"),
+          explode(Text.tokens(Text.normalize(col("text")))).as("term"))
+          .filter(col("term") =!= "")
+        val freq = toks.groupBy("source", "term").agg(count(lit(1)).as("freq"))
+        val stats = freq.groupBy("source").agg(
+          sum("freq").as("n_tokens"), count(lit(1)).as("vocab"))
+        val top100 = graft.plans.TopK.topKPerGroup(freq, Seq(col("source")),
+          Seq(col("freq").desc, col("term").asc), 100)
+        def fx(c: org.apache.spark.sql.Column) =
+          floor(c * 10000d + 0.5d).cast("long")
+        val w = Window.partitionBy("source")
+          .orderBy(col("freq").desc, col("term").asc)
+        val xy = top100.withColumn("rank", row_number().over(w))
+          .select(col("source"),
+            q4(log(col("rank").cast("double"))).as("x"),
+            q4(log(col("freq").cast("double"))).as("y"))
+        val reg = xy.groupBy("source").agg(count(lit(1)).as("n"),
+          sum(fx(col("x"))).as("sx"), sum(fx(col("y"))).as("sy"),
+          sum(fx(q4(col("x") * col("y")))).as("sxy"),
+          sum(fx(q4(col("x") * col("x")))).as("sxx"))
+        def dv(c: org.apache.spark.sql.Column) = c.cast("double") / 10000d
+        stats.join(reg, "source")
+          .select(col("source"), col("n_tokens"), col("vocab"),
+            q4(col("vocab").cast("double") / col("n_tokens")).as("ttr"),
+            q4((col("n") * dv(col("sxy")) - dv(col("sx")) * dv(col("sy"))) /
+              (col("n") * dv(col("sxx")) - dv(col("sx")) * dv(col("sx"))))
+              .as("zipf_slope"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT source, tok AS term FROM (
+            SELECT source, unnest($tokSql) AS tok FROM documents)
+          WHERE tok <> ''),
+        freq AS (SELECT source, term, count(*) AS freq
+                 FROM toks GROUP BY 1, 2),
+        stats AS (SELECT source, CAST(sum(freq) AS BIGINT) AS n_tokens,
+                    count(*) AS vocab
+                  FROM freq GROUP BY source),
+        xy AS (SELECT source,
+            ${Q4("ln(CAST(rank AS DOUBLE))")} AS x,
+            ${Q4("ln(CAST(freq AS DOUBLE))")} AS y
+          FROM (SELECT source, freq,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY freq DESC, term) AS rank
+                FROM freq) WHERE rank <= 100),
+        reg AS (SELECT source, count(*) AS n,
+            CAST(sum(CAST(floor(x*10000 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+            CAST(sum(CAST(floor(y*10000 + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+            CAST(sum(CAST(floor((${Q4("x * y")})*10000 + 0.5) AS BIGINT)) AS BIGINT) AS sxy,
+            CAST(sum(CAST(floor((${Q4("x * x")})*10000 + 0.5) AS BIGINT)) AS BIGINT) AS sxx
+          FROM xy GROUP BY source)
+        SELECT s.source, s.n_tokens, s.vocab,
+          ${Q4("CAST(vocab AS DOUBLE) / n_tokens")} AS ttr,
+          ${Q4("(n * (CAST(sxy AS DOUBLE)/10000) - (CAST(sx AS DOUBLE)/10000) * (CAST(sy AS DOUBLE)/10000)) / (n * (CAST(sxx AS DOUBLE)/10000) - (CAST(sx AS DOUBLE)/10000) * (CAST(sx AS DOUBLE)/10000))")}
+            AS zipf_slope
+        FROM stats s JOIN reg USING (source)"""),
+      "per-source Zipf slope + type-token ratio (template-source detector)"),
   )
 }

@@ -289,5 +289,36 @@ object EventQueries {
         FROM days JOIN ud ON day BETWEEN grid_day - 6 AND grid_day
         GROUP BY 1"""),
       "rolling 7-day distinct active users per day"),
+
+    // ---- exponentially time-decayed aggregates (trending score) ------------
+    // The trending-topics shape: per event type, counts and values
+    // decayed toward the corpus's latest timestamp at rate 0.1/hour —
+    // recent activity dominates, old activity fades smoothly (the
+    // continuous version of the sliding window, no bucket cliff).
+    // Reference time is a 1-row broadcast agg (no driver collect);
+    // per-event weights are quantized before exact fixed-point sums so
+    // libm exp ulps never reach the hash. One shuffle (the final
+    // groupBy); weights are pure row expressions.
+    "q205_decayed_trend" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val ref = ev.agg(max(col("ts_us")).as("t"))
+        val age = (col("t") - col("ts_us")).cast("double") / lit(3600000000d)
+        val w4 = q4(exp(lit(-0.1d) * age))
+        ev.crossJoin(broadcast(ref))
+          .select(col("event_type"), w4.as("w"), col("value"))
+          .groupBy("event_type")
+          .agg(q4(xsum4(col("w"))).as("decayed_events"),
+            q4(xsum4(q4(col("w") * col("value")))).as("decayed_value"))
+      },
+      Some(s"""WITH ref AS (SELECT max(epoch_us(ts)) AS t FROM events),
+        w AS (SELECT event_type,
+            ${Q4("exp(CAST(-0.1 AS DOUBLE) * (CAST((t - epoch_us(ts)) AS DOUBLE) / CAST(3600000000 AS DOUBLE)))")} AS w,
+            value
+          FROM events CROSS JOIN ref)
+        SELECT event_type, ${Q4(XSUM4("w"))} AS decayed_events,
+          ${Q4(XSUM4(Q4("w * value")))} AS decayed_value
+        FROM w GROUP BY event_type"""),
+      "exponentially decayed per-type trending score at 0.1/hour"),
   )
 }
