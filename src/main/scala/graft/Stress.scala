@@ -72,7 +72,15 @@ object Stress {
       // (delete-then-merge), and portable-LSH ANN (bucketed candidates,
       // fixed query set against a growing corpus)
       "q181_index_delete", "q183_ldist_pipeline", "q184_index_upsert",
-      "q185_ann_lsh_verified")
+      "q185_ann_lsh_verified",
+      // round-7 second wave: IVFPQ (fixed query set probes a growing
+      // partition-pruned codes index — the PQ scale path; plain q196
+      // ADC is excluded because its query SET also grows with the
+      // corpus, a deliberately quadratic workload), MaxScore-pruned
+      // BM25 (fixed terms, growing corpus), incremental minhash (fixed
+      // stored index, growing batch), and the Zipf/TTR per-source scan
+      "q202_ivfpq", "q200_bm25_maxscore", "q204_incremental_minhash",
+      "q206_zipf_stats")
     println(f"${"query"}%-22s ${"base_s"}%8s ${"stress_s"}%9s ${"ratio"}%6s  worst-stage max/med (ms, tasks)")
     targets.foreach { name =>
       val fn = SparkEntry.queries(name)

@@ -587,24 +587,44 @@ object Dedup {
     * both sides are large the equi-join on the block key shuffles each
     * side once, partitioned by block.
     */
+  /** Fixed odd multipliers for the portable min-wise family — shared
+    * verbatim with the q204 oracle SQL. Odd ⇒ x ↦ a·x mod 2^48 is a
+    * bijection; distinct multipliers scramble the shingle order
+    * near-independently (an additive g_b = h1 + b·h2 family was tried
+    * first and rejected: the same small-h1 shingle wins the min for
+    * every b, collapsing the estimator). */
+  val minhashMultipliers: Seq[Long] = Seq(
+    9871L, 11003L, 12007L, 13001L, 14009L, 15013L, 16033L, 17011L,
+    18013L, 19031L, 20011L, 21001L, 22003L, 23003L, 24007L, 25013L)
+
   /** Portable MinHash signatures — the q166 md5 trick applied to
-    * MinHash: per seed b, the signature component is the minimum
-    * md5-derived 60-bit hash of the doc's distinct shingles, so an
-    * external engine replays the signature bit-for-bit (xxhash-based
-    * [[minhashSignaturesBulk]] stays the fast in-engine path). Pure
+    * MinHash: the signature components are md5-derived so an external
+    * engine replays them bit-for-bit (xxhash-based
+    * [[minhashSignaturesBulk]] stays the fast in-engine path). Each
+    * shingle is md5'd ONCE (48 bits); component b is then
+    * min over shingles of (a_b · h) mod 2^48 — the multiply-mod
+    * min-wise family with the fixed odd multipliers above. The product
+    * stays < 2^63, so the arithmetic is exact signed-64 in both engines
+    * (DuckDB errors on BIGINT overflow rather than wrapping). Pure
     * per-row column expression — no shuffle; zero-shingle docs get no
     * row. Returns (id, sig: array<long>[numHashes]). */
   def portableMinhashSignatures(df: DataFrame, idCol: String,
                                 textCol: String, shingleSize: Int = 3,
-                                numHashes: Int = 16): DataFrame =
+                                numHashes: Int = 16): DataFrame = {
+    require(numHashes <= minhashMultipliers.size,
+      s"at most ${minhashMultipliers.size} portable hashes available")
+    val mask = (1L << 48) - 1
     df.select(col(idCol).as("id"),
         Text.shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"),
-        transform(sequence(lit(0), lit(numHashes - 1)), b =>
-          array_min(transform(col("sh"), s =>
-            conv(substring(md5(concat(b.cast("string"), lit("_"), s)), 1, 15),
-              16, 10).cast("long")))).as("sig"))
+        Text.bindOnce(
+          transform(col("sh"), s =>
+            conv(substring(md5(s), 1, 12), 16, 10).cast("long")),
+          hs => array(minhashMultipliers.take(numHashes).map(a =>
+            array_min(transform(hs, h =>
+              (h * lit(a)).bitwiseAND(lit(mask))))): _*)).as("sig"))
+  }
 
   /** Incremental fuzzy dedup — a new crawl batch deduplicated against a
     * STORED MinHash signature index without touching the historical

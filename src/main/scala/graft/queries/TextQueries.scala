@@ -230,13 +230,20 @@ object TextQueries {
             toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS shingle
           FROM (SELECT doc_id, $tokSql AS toks FROM documents),
                LATERAL (SELECT unnest(range(0, greatest(len(toks) - 2, 0)))) AS g(i)),
+        hs AS (
+          SELECT doc_id,
+            CAST(('0x' || substr(md5(shingle), 1, 12)) AS BIGINT) AS h
+          FROM sh),
+        mult AS (SELECT * FROM (VALUES (0, 9871), (1, 11003), (2, 12007),
+          (3, 13001), (4, 14009), (5, 15013), (6, 16033), (7, 17011),
+          (8, 18013), (9, 19031), (10, 20011), (11, 21001), (12, 22003),
+          (13, 23003), (14, 24007), (15, 25013)) m(b, a)),
         sig AS (
           SELECT doc_id, list(mn ORDER BY b) AS sig FROM (
-            SELECT doc_id, g.b,
-              min(CAST(('0x' || substr(md5(CAST(g.b AS VARCHAR) || '_'
-                || shingle), 1, 15)) AS BIGINT)) AS mn
-            FROM sh, LATERAL (SELECT unnest(range(16)) AS b) g
-            GROUP BY doc_id, g.b)
+            SELECT doc_id, m.b,
+              min((h * m.a) & 281474976710655) AS mn
+            FROM hs CROSS JOIN mult m
+            GROUP BY doc_id, m.b)
           GROUP BY doc_id),
         bl AS (SELECT s.doc_id, g.b AS band,
             array_to_string(s.sig[g.b*4+1 : g.b*4+4], '_') AS bucket

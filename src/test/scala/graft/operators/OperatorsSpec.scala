@@ -107,13 +107,18 @@ class DedupSpec extends SparkSpec {
       (12L, "more totally novel text with no prior sibling", "s2")
     ).toDF("doc_id", "text", "source")
     val bs = Dedup.portableMinhashSignatures(batch, "doc_id", "text")
-    val pairs = Dedup.incrementalMinhashPairs(stored, bs)
+    // 8 bands × 2 rows: band-collision probability at J≈0.67 is high
+    // enough that the near-dup must surface as a candidate
+    val pairs = Dedup.incrementalMinhashPairs(stored, bs,
+        bands = 8, rowsPerBand = 2, minEst = 0.3)
       .as[(Long, Long, Double)].collect()
-    // the exact dups pair at estimate 1.0; the near-dup (doc 3, one
-    // token edit + one appended) lands at a mid estimate — found via
+    // the exact dups pair at estimate 1.0; the near-dup (doc 3, true
+    // Jaccard 6/9 ≈ 0.67) lands at a mid estimate — found via
     // signatures alone, no stored text consulted
-    val for10 = pairs.filter(_._1 == 10L).map(p => (p._2, p._3)).toSet
-    assert(for10 == Set((1L, 1.0), (2L, 1.0), (3L, 0.5625)))
+    val for10 = pairs.filter(_._1 == 10L).map(p => (p._2, p._3)).toMap
+    assert(for10(1L) == 1.0 && for10(2L) == 1.0)
+    assert(for10.contains(3L) && for10(3L) >= 0.3 && for10(3L) < 1.0,
+      s"near-dup estimate ${for10.get(3L)}")
     // novel docs pair with nothing; within-batch pairs never reported
     assert(!pairs.exists(p => p._1 == 11L || p._1 == 12L))
     assert(pairs.forall(p => p._2 <= 5L), "stored side only on the right")
