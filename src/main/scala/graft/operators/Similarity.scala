@@ -563,6 +563,37 @@ object Similarity {
         (col("sfx").cast("double") / 10000d).as("adc"))
   }
 
+  /** Two-stage PQ search — ADC shortlist, exact re-rank: the standard
+    * production retrieval shape (compressed codes pick `candK`
+    * candidates cheaply; the true vectors are fetched ONLY for those
+    * and re-scored exactly). The candidate set is |queries| × candK
+    * rows (broadcast-class); the vector fetch is a doc-keyed join that
+    * touches exactly the candidates, so full-precision vectors are
+    * read for a vanishing fraction of the corpus. Final ranking is the
+    * quantized-cosine contract (q4, id tie-break) shared with
+    * [[bruteForceTopKQuantized]], so the whole two-stage pipeline
+    * replays in an oracle (q207). */
+  def pqRerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int,
+                   books: Seq[Seq[(Int, Seq[Double])]],
+                   candK: Int): DataFrame = {
+    require(candK >= k, s"candidate pool $candK must cover final k=$k")
+    val cand = pqTopK(corpus, queries, idCol, vecCol, candK, books)
+      .select("query_id", "neighbor_id")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      Vectors.norm(col(vecCol)).as("qnrm"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      Vectors.norm(col(vecCol)).as("nnrm"))
+    val scored = cand.join(broadcast(q), "query_id").join(c, "neighbor_id")
+      .withColumn("cos4", q4(Vectors.dot(col("qvec"), col("nvec")) /
+        (col("qnrm") * col("nnrm"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos4").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos4")
+  }
+
   /** IVFPQ — the materialized billion-scale ANN layout: the inverted
     * file prunes WHICH files a query reads (partition pruning on the
     * coarse bucket), PQ codes shrink WHAT those files hold (m small ints

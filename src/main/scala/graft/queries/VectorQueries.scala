@@ -680,5 +680,94 @@ object VectorQueries {
                   ORDER BY sfx, nid) AS rank
               FROM scores) WHERE rank <= 5"""),
       "IVFPQ: partition-pruned inverted file over PQ codes, ADC-ranked"),
+
+    // ---- two-stage PQ search: ADC shortlist → exact re-rank -----------------
+    // The production retrieval shape: compressed codes nominate 20
+    // candidates per query, true vectors are fetched only for those and
+    // re-scored by exact quantized cosine. The oracle replays both
+    // stages — codebooks/codes/tables for the shortlist, then
+    // list_cosine_similarity for the re-rank.
+    "q207_pq_rerank" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val books = Similarity.pqTrain(emb, "vec_id", "embedding",
+          m = 4, ksub = 4, iterations = 1)
+        Similarity.pqRerankTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", k = 5, books, candK = 20)
+      },
+      Some(s"""WITH sub AS (
+          SELECT vec_id, CAST(jj.j AS INTEGER) AS j,
+            embedding[jj.j*(len(embedding)//4)+1 : (jj.j+1)*(len(embedding)//4)]
+              AS sv
+          FROM embeddings, LATERAL (SELECT unnest(range(4)) AS j) jj),
+        seeds AS (
+          SELECT s.j,
+            CAST(row_number() OVER (PARTITION BY s.j ORDER BY s.vec_id) - 1
+              AS INTEGER) AS cid,
+            s.sv AS cvec
+          FROM sub s
+          WHERE s.vec_id IN
+            (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+        a1 AS (
+          SELECT vec_id, j, cid FROM (
+            SELECT s.vec_id, s.j, c.cid,
+              row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                CAST(floor((list_inner_product(CAST(s.sv AS DOUBLE[]), CAST(s.sv AS DOUBLE[]))
+                  - 2*list_inner_product(CAST(s.sv AS DOUBLE[]), CAST(c.cvec AS DOUBLE[]))
+                  + list_inner_product(CAST(c.cvec AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])))
+                  * 10000 + 0.5) AS BIGINT) ASC, c.cid) AS rn
+            FROM sub s JOIN seeds c USING (j)) WHERE rn = 1),
+        sums AS (
+          SELECT a.j, a.cid, CAST(g.i AS INTEGER) AS dim, count(*) AS n,
+            sum(CAST(floor(CAST(s.sv[g.i+1] AS DOUBLE)*1000000 + 0.5)
+              AS BIGINT)) AS fs
+          FROM a1 a JOIN sub s USING (vec_id, j),
+               LATERAL (SELECT unnest(range(len(s.sv))) AS i) g
+          GROUP BY a.j, a.cid, dim),
+        book AS (
+          SELECT j, cid,
+            CAST(list(CAST(fs AS DOUBLE)/1000000/n ORDER BY dim) AS FLOAT[])
+              AS cvec
+          FROM sums GROUP BY j, cid),
+        codes AS (
+          SELECT vec_id, j, cid FROM (
+            SELECT s.vec_id, s.j, b.cid,
+              row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                CAST(floor((list_inner_product(CAST(s.sv AS DOUBLE[]), CAST(s.sv AS DOUBLE[]))
+                  - 2*list_inner_product(CAST(s.sv AS DOUBLE[]), CAST(b.cvec AS DOUBLE[]))
+                  + list_inner_product(CAST(b.cvec AS DOUBLE[]), CAST(b.cvec AS DOUBLE[])))
+                  * 10000 + 0.5) AS BIGINT) ASC, b.cid) AS rn
+            FROM sub s JOIN book b USING (j)) WHERE rn = 1),
+        dt AS (
+          SELECT q.vec_id AS qid, q.j, b.cid,
+            CAST(floor((list_inner_product(CAST(q.sv AS DOUBLE[]), CAST(q.sv AS DOUBLE[]))
+              - 2*list_inner_product(CAST(q.sv AS DOUBLE[]), CAST(b.cvec AS DOUBLE[]))
+              + list_inner_product(CAST(b.cvec AS DOUBLE[]), CAST(b.cvec AS DOUBLE[])))
+              * 10000 + 0.5) AS BIGINT) AS dfx
+          FROM (SELECT * FROM sub WHERE vec_id % 100 = 0) q
+          JOIN book b USING (j)),
+        scores AS (
+          SELECT d.qid, c.vec_id AS nid, CAST(sum(d.dfx) AS BIGINT) AS sfx
+          FROM codes c JOIN dt d ON d.j = c.j AND d.cid = c.cid
+          WHERE d.qid <> c.vec_id
+          GROUP BY d.qid, c.vec_id),
+        cand AS (
+          SELECT qid, nid FROM (
+            SELECT qid, nid,
+              row_number() OVER (PARTITION BY qid ORDER BY sfx, nid) AS rk
+            FROM scores) WHERE rk <= 20),
+        rr AS (
+          SELECT c.qid AS query_id, c.nid AS neighbor_id,
+            ${Q4("list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ne.embedding AS DOUBLE[]))")}
+              AS cos4
+          FROM cand c
+          JOIN embeddings qe ON qe.vec_id = c.qid
+          JOIN embeddings ne ON ne.vec_id = c.nid)
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos4
+        FROM (SELECT query_id, neighbor_id, cos4,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos4 DESC, neighbor_id) AS rank
+              FROM rr) WHERE rank <= 5"""),
+      "two-stage PQ: ADC shortlist of 20, exact quantized-cosine re-rank"),
   )
 }

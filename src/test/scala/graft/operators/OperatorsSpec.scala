@@ -571,6 +571,33 @@ class SimilaritySpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("pqRerankTopK: exact re-rank lifts recall over the raw ADC ranking") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 4)
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 4, ksub = 8, iterations = 2)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+    val adc = Similarity.pqTopK(emb, queries, "vec_id", "embedding", 5, books)
+    val rr = Similarity.pqRerankTopK(emb, queries, "vec_id", "embedding",
+      k = 5, books, candK = 30)
+    assert(rr.filter(col("query_id") === col("neighbor_id")).isEmpty)
+    assert(rr.groupBy("query_id").count()
+      .filter(col("count") > 5).isEmpty)
+    val (hA, t) = Similarity.recallAtK(exact, adc)
+    val (hR, _) = Similarity.recallAtK(exact, rr)
+    info(f"recall@5 adc=${hA.toDouble / t}%.3f rerank=${hR.toDouble / t}%.3f")
+    assert(hR >= hA, "exact re-rank must not lose recall vs raw ADC order")
+    assert(hR.toDouble / t >= 0.4, "two-stage recall floor")
+    // candK covering the whole 500-vector corpus degenerates to brute
+    // force — must match the QUANTIZED brute force (same q4 + id rank)
+    val full = Similarity.pqRerankTopK(emb, queries, "vec_id", "embedding",
+      k = 5, books, candK = 600)
+    val exactQ = Similarity.bruteForceTopKQuantized(emb, queries,
+      "vec_id", "embedding", 5)
+    val (hF, tF) = Similarity.recallAtK(exactQ, full)
+    assert(hF == tF, s"full-pool rerank must equal quantized brute force ($hF/$tF)")
+  }
+
   test("ivfPqTopK: partition-pruned probe, neighbors only from probed buckets, stable") {
     val emb = graft.Tables.embeddings(spark, sf0001)
     val queries = emb.filter(col("vec_id") < 4)
