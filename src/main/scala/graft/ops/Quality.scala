@@ -42,6 +42,24 @@ object Quality {
       sum(when(col(c).isNotNull && !col(c).isin(vs: _*), 1L).otherwise(0L))
   }
 
+  /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): band rows
+    * into `k` equal-frequency buckets per group by a model score, best
+    * scores first. The only wide operation is one window over
+    * (`groupCol`) — each group's rows sort independently, so the job
+    * parallelizes across groups/languages and no global sort exists.
+    * Callers pass an ALREADY-QUANTIZED score (the file-header q4
+    * contract) with `idCol` as tie-break so band edges are deterministic
+    * cross-engine. Bands are named "b1" (best) … "bk". */
+  def scoreBands(scored: DataFrame, idCol: String, groupCol: String,
+                 scoreCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"need at least 2 bands, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    scored.withColumn("band",
+      concat(lit("b"), ntile(k).over(w).cast("string")))
+  }
+
   /** Evaluate `rules` over `df`: one row per rule — (rule, violations).
     * Rule order is preserved in a `rule_idx` column so reports are
     * stable. */

@@ -30,6 +30,63 @@ object RetrievalQueries {
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
   private val tokSql = s"string_split_regex($normSql, '\\s+')"
 
+  /** Per-document interpolated bigram-LM score (q168's frame, shared
+    * with the q208 perplexity gate): p(w2|w1) = 0.7·c(w1w2)/c(w1·) +
+    * 0.3·c(w2)/T. Corpus model = three vocab-keyed counts joined back
+    * to bigram positions by size-based selection (no forced broadcast —
+    * a web-scale bigram table can be billions of rows); T is a
+    * re-aggregate of the unigram table broadcast as one row, not a
+    * second tokenization pass. Per-position log-probs quantize before
+    * the exact fixed-point mean. */
+  private def bigramLmDocScores(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"),
+        filter(Text.tokens(Text.normalize(col("text"))),
+          t => t =!= "").as("toks"))
+    val big = tk.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("toks")) - 2)).as("i"),
+        col("toks"))
+      .select(col("doc_id"),
+        element_at(col("toks"), col("i") + 1).as("w1"),
+        element_at(col("toks"), col("i") + 2).as("w2"))
+    val uniToks = tk.select(explode(col("toks")).as("w2"))
+    val uni = uniToks.groupBy("w2").agg(count(lit(1)).as("c2"))
+    val tot = uni.agg(sum(col("c2")).cast("double").as("t"))
+    val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val lc = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val p = lit(0.7d) * (col("c12").cast("double") / col("c1").cast("double")) +
+      lit(0.3d) * (col("c2").cast("double") / col("t"))
+    big.join(bc, Seq("w1", "w2"))
+      .join(lc, Seq("w1"))
+      .join(uni, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lp", q4(log(p)))
+      .groupBy("doc_id")
+      .agg(q4(xsum4(col("lp")) / count(lit(1))).as("mean_lp"),
+        count(lit(1)).as("n_big"))
+  }
+
+  /** DuckDB replay of [[bigramLmDocScores]] as a CTE chain ending in
+    * `lmscores(doc_id, mean_lp, n_big)` — prepend inside WITH. */
+  private val bigramLmCtes: String = s"""tk AS (
+          SELECT doc_id, list_filter($tokSql, t -> t <> '') AS toks
+          FROM documents),
+        big AS (SELECT doc_id, toks[g.i+1] AS w1, toks[g.i+2] AS w2
+                FROM tk, LATERAL (SELECT unnest(range(len(toks) - 1)) AS i) g
+                WHERE len(toks) >= 2),
+        uni AS (SELECT tok AS w2, count(*) AS c2 FROM (
+            SELECT unnest(toks) AS tok FROM tk) GROUP BY 1),
+        tot AS (SELECT count(*) AS t FROM (SELECT unnest(toks) AS tok FROM tk)),
+        bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+        lc AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+        lmscores AS (SELECT big.doc_id AS doc_id,
+          ${Q4(s"${XSUM4(Q4("ln(CAST(0.7 AS DOUBLE) * (CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) + CAST(0.3 AS DOUBLE) * (CAST(c2 AS DOUBLE) / CAST(tot.t AS DOUBLE)))"))} / count(*)")} AS mean_lp,
+          count(*) AS n_big
+        FROM big JOIN bc USING (w1, w2) JOIN lc USING (w1)
+        JOIN uni USING (w2) CROSS JOIN tot
+        GROUP BY big.doc_id)"""
+
   /** DuckDB replay of `Bpe.trainMerges`: one layered-CTE block per merge
     * round (the q156 k-means pattern — iterative training rendered as
     * layers). The greedy non-overlapping merge is the gaps-and-islands
@@ -396,59 +453,35 @@ object RetrievalQueries {
     // groupBy on doc_id. Per-position log-probs quantized before the
     // exact fixed-point mean.
     "q168_bigram_lm" -> Q(
-      (s, d) => {
-        val tk = Tables.documents(s, d)
-          .select(col("doc_id"),
-            filter(Text.tokens(Text.normalize(col("text"))),
-              t => t =!= "").as("toks"))
-        val big = tk.filter(size(col("toks")) >= 2)
-          .select(col("doc_id"),
-            explode(sequence(lit(0), size(col("toks")) - 2)).as("i"),
-            col("toks"))
-          .select(col("doc_id"),
-            element_at(col("toks"), col("i") + 1).as("w1"),
-            element_at(col("toks"), col("i") + 2).as("w2"))
-        val uniToks = tk.select(explode(col("toks")).as("w2"))
-        val uni = uniToks.groupBy("w2").agg(count(lit(1)).as("c2"))
-        // T = Σ c2 of the unigram aggregate — a vocab-sized re-aggregate
-        // broadcast as one row, NOT a second tokenization pass over the
-        // corpus (the count() scalar job this replaces)
-        val tot = uni.agg(sum(col("c2")).cast("double").as("t"))
-        val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-        val lc = big.groupBy("w1").agg(count(lit(1)).as("c1"))
-        val p = lit(0.7d) * (col("c12").cast("double") / col("c1").cast("double")) +
-          lit(0.3d) * (col("c2").cast("double") / col("t"))
-        // NO forced broadcast hints: these joins are vocab-keyed, and a
-        // web-scale bigram table can be billions of rows — size-based
-        // selection broadcasts them while they fit and degrades to a
-        // shuffle join when they don't
-        big.join(bc, Seq("w1", "w2"))
-          .join(lc, Seq("w1"))
-          .join(uni, Seq("w2"))
-          .crossJoin(broadcast(tot))
-          .withColumn("lp", q4(log(p)))
-          .groupBy("doc_id")
-          .agg(q4(xsum4(col("lp")) / count(lit(1))).as("mean_lp"),
-            count(lit(1)).as("n_big"))
-      },
-      Some(s"""WITH tk AS (
-          SELECT doc_id, list_filter($tokSql, t -> t <> '') AS toks
-          FROM documents),
-        big AS (SELECT doc_id, toks[g.i+1] AS w1, toks[g.i+2] AS w2
-                FROM tk, LATERAL (SELECT unnest(range(len(toks) - 1)) AS i) g
-                WHERE len(toks) >= 2),
-        uni AS (SELECT tok AS w2, count(*) AS c2 FROM (
-            SELECT unnest(toks) AS tok FROM tk) GROUP BY 1),
-        tot AS (SELECT count(*) AS t FROM (SELECT unnest(toks) AS tok FROM tk)),
-        bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
-        lc AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1)
-        SELECT big.doc_id,
-          ${Q4(s"${XSUM4(Q4("ln(CAST(0.7 AS DOUBLE) * (CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) + CAST(0.3 AS DOUBLE) * (CAST(c2 AS DOUBLE) / CAST(tot.t AS DOUBLE)))"))} / count(*)")} AS mean_lp,
-          count(*) AS n_big
-        FROM big JOIN bc USING (w1, w2) JOIN lc USING (w1)
-        JOIN uni USING (w2) CROSS JOIN tot
-        GROUP BY big.doc_id"""),
+      (s, d) => bigramLmDocScores(s, d),
+      Some(s"""WITH $bigramLmCtes
+        SELECT doc_id, mean_lp, n_big FROM lmscores"""),
       "interpolated bigram LM quality score (Jelinek–Mercer, fixed-point mean)"),
+
+    // ---- CCNet perplexity gate: head/middle/tail LM-score bands -----------
+    // The filtering step the LM score exists FOR (Wenzek et al. 2020
+    // §4.3): band every document into thirds of its source's bigram-LM
+    // score distribution, best scores first ("b1" ≙ CCNet's head).
+    // Training and scoring are q168's vocab-keyed aggregates; the gate
+    // adds exactly ONE window partitioned by source — each source sorts
+    // independently, so the pass parallelizes across domains/languages
+    // and no global sort exists. Band edges split on the q4-QUANTIZED
+    // score with doc_id tie-break, so they are deterministic and the
+    // oracle replays them bit-for-bit.
+    "q208_perplexity_gate" -> Q(
+      (s, d) => {
+        val src = Tables.documents(s, d).select("doc_id", "source")
+        graft.ops.Quality.scoreBands(
+          bigramLmDocScores(s, d).join(src, "doc_id"),
+          idCol = "doc_id", groupCol = "source", scoreCol = "mean_lp", k = 3)
+          .select("doc_id", "source", "mean_lp", "band")
+      },
+      Some(s"""WITH $bigramLmCtes
+        SELECT doc_id, source, mean_lp,
+          'b' || CAST(ntile(3) OVER (PARTITION BY source
+            ORDER BY mean_lp DESC, doc_id ASC) AS VARCHAR) AS band
+        FROM lmscores JOIN documents USING (doc_id)"""),
+      "CCNet-style perplexity gate: per-source head/middle/tail LM bands"),
 
     // ---- BPE merge training ----------------------------------------------
     // Tokenizer training as a distributed job: the corpus-scale work is

@@ -238,6 +238,24 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("Union"), plan)
   }
 
+  test("scoreBands: equal-frequency per-group bands, best scores first") {
+    import graft.ops.Quality
+    // group A: 7 rows (ntile(3) → 3/2/2), group B: 3 rows (1/1/1)
+    val df = (1 to 7).map(i => (i.toLong, "A", i.toDouble)) ++
+      Seq((10L, "B", 5.0), (11L, "B", 5.0), (12L, "B", 1.0))
+    val out = Quality.scoreBands(df.toDF("id", "src", "score"),
+      "id", "src", "score", k = 3)
+      .as[(Long, String, Double, String)].collect()
+    val a = out.filter(_._2 == "A")
+    assert(a.count(_._4 == "b1") == 3 && a.count(_._4 == "b2") == 2 &&
+      a.count(_._4 == "b3") == 2)
+    // best scores land in b1: A's top-3 scores are 7,6,5
+    assert(a.filter(_._4 == "b1").map(_._3).sorted.toSeq == Seq(5.0, 6.0, 7.0))
+    // tie on score resolves by id: B's 5.0-pair splits 10→b1, 11→b2
+    val b = out.filter(_._2 == "B").map(r => r._1 -> r._4).toMap
+    assert(b == Map(10L -> "b1", 11L -> "b2", 12L -> "b3"))
+  }
+
   test("shardManifest: contiguous offsets, no payload split, shards bounded") {
     import graft.operators.Multimodal
     val df = (1 to 40).map(i => (i.toLong, "x" * (i * 7 % 23 + 1)))
