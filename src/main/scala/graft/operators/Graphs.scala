@@ -201,6 +201,59 @@ object Graphs {
     persistStep(ranks, checkpointDir, eager = false)
   }
 
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007), made DETERMINISTIC: every node starts labeled with its
+    * own id; each round every node simultaneously adopts the most
+    * frequent label among its neighbors, ties broken by SMALLEST label.
+    * The classic asynchronous formulation is run-order-dependent; the
+    * synchronous + min-tiebreak variant is a pure function of the graph,
+    * so a SQL engine replaying the same rounds reproduces every label
+    * bit-for-bit (q209's oracle does) — and, unlike PageRank, the
+    * recurrence is all integer counts, no floating point to quantize.
+    *
+    * Node ids must be NUMERIC (mint longs injectively, as q135 does):
+    * the tie-break compares labels, and a string min would order
+    * differently from the numeric min. Fixed `rounds` budget (the
+    * pipeline shape; LPA has no monotone convergence guarantee —
+    * synchronous runs can 2-cycle on bipartite regions, so a fixed
+    * budget is also the honest semantics). Per round: ONE join of
+    * labels onto the static, src-partitioned, checkpointed symmetric
+    * edge list, a count per (node, label), and an argmax per node —
+    * each label_k feeds only round k+1, so the whole loop stays lazy
+    * and executes as one job (the pageRank pattern). Isolated nodes
+    * don't appear (no edges → no community membership).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int = 3,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    val sym = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .union(edges.select(col(dstCol).cast("long").as("src"),
+        col(srcCol).cast("long").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("src"))
+    val symP = persistStep(sym, checkpointDir, eager = true)
+    // every node has >= 1 neighbor in the symmetrized list, so the
+    // per-round argmax covers the full node set — no keep-old-label
+    // fallback join, which is what keeps labels_k single-referenced
+    var labels = symP.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    for (_ <- 1 to rounds) {
+      labels = symP
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        // argmax(cnt) with min-label tie-break as ONE max: struct
+        // compares (cnt, -label) lexicographically, so bigger count
+        // wins, then bigger -label = smaller label
+        .groupBy("id")
+        .agg(max(struct(col("cnt").as("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("id"), (-col("m.nl")).as("label"))
+    }
+    persistStep(labels, checkpointDir, eager = false)
+  }
+
   /** Exact triangle count of the undirected graph given as an edge list,
     * via degree-ordered orientation (the MapReduce-era trick that makes
     * triangle counting feasible at scale): orient every edge from the

@@ -845,6 +845,51 @@ object CorpusQueries {
       },
       "3-iteration PageRank, fixed-point inflows, hash-exact vs oracle"),
 
+    // ---- label-propagation communities -------------------------------------
+    // Deterministic synchronous LPA over the same customer⇄supplier
+    // graph as q135: 3 rounds of "adopt the most frequent neighbor
+    // label, ties to the smallest", replayed by the oracle as layered
+    // CTEs. The recurrence is ALL integer counts — no fixed-point
+    // quantization needed anywhere — and runs on injective long ids
+    // (custkey·2 / suppkey·2+1) so both engines break label ties on the
+    // same numeric order; display labels are minted on output rows only.
+    "q209_lpa_communities" -> Q(
+      (s, d) => {
+        val cs = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+          .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        def disp(c: org.apache.spark.sql.Column) =
+          when(c % 2 === 0, concat(lit("c"), (c / 2).cast("long")))
+            .otherwise(concat(lit("s"), ((c - 1) / 2).cast("long")))
+        Graphs.labelPropagation(cs, "src", "dst", rounds = 3)
+          .select(disp(col("id")).as("id"), disp(col("label")).as("community"))
+      },
+      Some {
+        val iters = (1 to 3).map { k =>
+          s"""c$k AS (SELECT e.dst AS id, l${k - 1}.label, count(*) AS cnt
+            FROM e JOIN l${k - 1} ON l${k - 1}.id = e.src GROUP BY 1, 2),
+        l$k AS (SELECT id, label FROM (
+            SELECT id, label, row_number() OVER (
+              PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+            FROM c$k) WHERE rn = 1)"""
+        }.mkString(",\n")
+        s"""WITH cs AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        e AS (SELECT src, dst FROM cs UNION SELECT dst, src FROM cs),
+        l0 AS (SELECT DISTINCT src AS id, src AS label FROM e),
+        $iters
+        SELECT CASE WHEN id % 2 = 0 THEN 'c' || CAST(id // 2 AS VARCHAR)
+                    ELSE 's' || CAST((id - 1) // 2 AS VARCHAR) END AS id,
+               CASE WHEN label % 2 = 0 THEN 'c' || CAST(label // 2 AS VARCHAR)
+                    ELSE 's' || CAST((label - 1) // 2 AS VARCHAR) END AS community
+        FROM l3"""
+      },
+      "3-round deterministic label propagation, integer-exact replay"),
+
     // ---- tokenizer vocab coverage -----------------------------------------
     // Apply a top-1000 corpus vocabulary back to every document and
     // report its out-of-vocabulary rate — the coverage check run before

