@@ -98,21 +98,38 @@ object Vectors {
   def portableLshBucket(v: Column, nBits: Int): Column = {
     require(nBits >= 1 && nBits <= 30, s"nBits must be in [1, 30], got $nBits")
     val bitIdx = sequence(lit(0), lit(nBits - 1))
+    graft.functions.Text.bindOnce(portableProjection(v, nBits), votes =>
+      aggregate(
+        zip_with(votes, bitIdx, (vv, b) =>
+          when(vv >= 0, call_function("shiftleft", lit(1), b))
+            .otherwise(lit(0))),
+        lit(0), (acc, x) => acc + x))
+  }
+
+  /** Johnson–Lindenstrauss-style random projection with the SAME
+    * md5-dyadic hyperplane family as [[portableLshBucket]] (whose bucket
+    * id is exactly this vector's sign bits): `outDims` fixed-point
+    * coordinates on the 1e-6 grid, each the exact integer sum of
+    * per-dimension terms floor(x·u(j,i)·1e6 + 0.5) — order-free, so any
+    * engine with md5 reproduces every coordinate bit-for-bit (q210).
+    * Coordinates are UNSCALED projections; distance estimation rescales
+    * by √(12/outDims) (the units are uniform on [-0.5, 0.5), variance
+    * 1/12) — callers keep that float step out of verified data. The
+    * matrix never exists as data, only as codegen'd arithmetic, so
+    * projecting 100 TB of vectors is a map-only pass. */
+  def portableProjection(v: Column, outDims: Int): Column = {
+    require(outDims >= 1, s"outDims must be positive, got $outDims")
+    val dimIdx = sequence(lit(0), lit(outDims - 1))
     def unit(b: Column, i: Column): Column =
       (conv(substring(md5(concat(b.cast("string"), lit("_"),
         i.cast("string"))), 1, 3), 16, 10).cast("long").cast("double")
         / 4096d) - 0.5d
     graft.functions.Text.bindOnce(toDoubleArray(v), dv => {
       val indexed = transform(dv, (x, i) => struct(x.as("x"), i.as("i")))
-      val votes = aggregate(indexed, array_repeat(lit(0L), nBits),
-        (acc, p) => zip_with(acc, bitIdx, (a, b) =>
+      aggregate(indexed, array_repeat(lit(0L), outDims),
+        (acc, p) => zip_with(acc, dimIdx, (a, b) =>
           a + floor(p.getField("x") * unit(b, p.getField("i")) * 1000000d
             + 0.5d).cast("long")))
-      aggregate(
-        zip_with(votes, bitIdx, (vv, b) =>
-          when(vv >= 0, call_function("shiftleft", lit(1), b))
-            .otherwise(lit(0))),
-        lit(0), (acc, x) => acc + x)
     })
   }
 

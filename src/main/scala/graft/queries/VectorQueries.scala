@@ -769,5 +769,32 @@ object VectorQueries {
                   ORDER BY cos4 DESC, neighbor_id) AS rank
               FROM rr) WHERE rank <= 5"""),
       "two-stage PQ: ADC shortlist of 20, exact quantized-cosine re-rank"),
+
+    // ---- JL random projection ----------------------------------------------
+    // Dimensionality reduction as a MAP-ONLY pass: every 32-dim embedding
+    // projects to 8 md5-dyadic hyperplane coordinates (the q185 LSH
+    // family — the bucket id is these coords' sign bits), each an exact
+    // integer sum on the 1e-6 grid, so the projected table is
+    // hash-verified coordinate by coordinate. No shuffle anywhere: the
+    // projection matrix exists only as codegen'd arithmetic, which is
+    // what makes re-embedding 100 TB of vectors a single scan.
+    "q210_random_projection" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        emb.select(col("vec_id"),
+          posexplode(Vectors.portableProjection(col("embedding"), 8)))
+          .select(col("vec_id"), col("pos").as("j"),
+            (col("col").cast("double") / 1000000d).as("coord"))
+      },
+      Some("""SELECT e.vec_id, CAST(g.j AS INTEGER) AS j,
+          CAST(sum(CAST(floor(CAST(e.embedding[h.i+1] AS DOUBLE) *
+            (CAST(('0x' || substr(md5(CAST(g.j AS VARCHAR) || '_' ||
+              CAST(h.i AS VARCHAR)), 1, 3)) AS BIGINT) / 4096.0 - 0.5)
+            * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS coord
+        FROM embeddings e,
+             LATERAL (SELECT unnest(range(8)) AS j) g,
+             LATERAL (SELECT unnest(range(len(e.embedding))) AS i) h
+        GROUP BY e.vec_id, g.j"""),
+      "JL random projection: 8 md5-dyadic coords, exact fixed-point grid"),
   )
 }

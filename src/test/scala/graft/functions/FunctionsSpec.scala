@@ -259,6 +259,37 @@ class VectorsSpec extends SparkSpec {
     assert(plan.contains("dot_f"), plan)
   }
 
+  test("portableProjection: LSH bucket is its sign bits; distances survive JL") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // the portable bucket id must be exactly the projection's sign bits
+    val rows = emb.select(
+      Vectors.portableProjection(col("embedding"), 8).as("p"),
+      Vectors.portableLshBucket(col("embedding"), 8).as("b"))
+      .as[(Seq[Long], Int)].collect()
+    rows.foreach { case (p, b) =>
+      val want = p.zipWithIndex.map { case (v, i) => if (v >= 0L) 1 << i else 0 }.sum
+      assert(want == b, s"p=$p b=$b")
+    }
+    // JL: rescaled projected distance tracks the true distance on
+    // average (units uniform [-0.5,0.5) → variance 1/12, scale 12/k)
+    val emb32 = emb.limit(20).select("embedding").as[Seq[Float]]
+      .collect().map(_.map(_.toDouble))
+    val proj = emb.limit(20)
+      .select(Vectors.portableProjection(col("embedding"), 8))
+      .as[Seq[Long]].collect().map(_.map(_.toDouble / 1e6))
+    val ratios = for (i <- emb32.indices; j <- 0 until i) yield {
+      val d2 = emb32(i).zip(emb32(j)).map { case (a, b) => (a - b) * (a - b) }.sum
+      val p2 = proj(i).zip(proj(j)).map { case (a, b) => (a - b) * (a - b) }.sum
+      (12.0 / 8) * p2 / d2
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.5 && mean < 2.0, s"mean distortion $mean")
+    // map-only pass: no exchange in the projection plan
+    val plan = emb.select(Vectors.portableProjection(col("embedding"), 8))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("lshBucket: identical vectors collide, bucket in range") {
     val v = Seq(0.5f, -1.2f, 3.3f, 0.01f)
     val df = Seq((v, v)).toDF("a", "b")
