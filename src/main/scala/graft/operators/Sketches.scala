@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch (Cormode & Muthukrishnan 2005) in its distributed
+  * form: the sketch IS a (row, bucket, cnt) counter TABLE of fixed size
+  * depth×width, built by one groupBy over the depth-exploded input —
+  * so a 100 TB stream folds into a few-KB table in a single pass, and
+  * two sketches (two days, two sources, two shards) merge by summing
+  * counters, never by touching raw data again. Point-frequency
+  * estimates read min over depth counters; the guarantee is one-sided
+  * (estimate ≥ true count, the unit pins it).
+  *
+  * The hash family is the portable 60-bit md5 recipe (q166/q204):
+  * row r's hash of item x = first 15 hex digits of md5("r_x"), mod
+  * width — any engine with md5 reproduces every counter, which is what
+  * lets q211 hash-verify the whole sketch lifecycle cross-engine
+  * (where Spark's built-in `count_min_sketch` aggregate is a binary
+  * blob only Spark can read).
+  */
+object Sketches {
+
+  private def hash60(r: Column, item: Column): Column =
+    conv(substring(md5(concat(r.cast("string"), lit("_"), item)), 1, 15),
+      16, 10).cast("long")
+
+  private def bucketed(items: DataFrame, itemCol: String,
+                       depth: Int, width: Int): DataFrame =
+    items.select(col(itemCol).cast("string").as("item"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("item"), col("r"),
+        pmod(hash60(col("r"), col("item")), lit(width.toLong)).as("bucket"))
+
+  /** Build the counter table over `df`'s `itemCol` values: one row per
+    * non-empty (r, bucket) — absent cells are zero. One shuffle, keyed
+    * by (r, bucket): at most depth×width groups regardless of input
+    * size, with map-side partial aggregation doing almost all the work. */
+  def countMin(df: DataFrame, itemCol: String,
+               depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    bucketed(df, itemCol, depth, width)
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge counter tables built with the SAME (depth, width): sum
+    * counters cell-wise. Associative and commutative — fold any number
+    * of shard/day/source sketches in any order. */
+  def countMinMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("r", "bucket")
+      .agg(sum("cnt").cast("long").as("cnt"))
+
+  /** Point-frequency estimates for `probes`: min over the depth
+    * counters each probe hashes to (missing cell = 0). The join carries
+    * |probes|×depth rows against a ≤ depth×width sketch — both sides
+    * broadcast-class, no corpus access. */
+  def countMinEstimate(sketch: DataFrame, probes: DataFrame, itemCol: String,
+                       depth: Int, width: Int): DataFrame =
+    bucketed(probes, itemCol, depth, width)
+      .join(sketch, Seq("r", "bucket"), "left")
+      .groupBy("item")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+}

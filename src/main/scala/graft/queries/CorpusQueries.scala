@@ -742,6 +742,49 @@ object CorpusQueries {
         FROM documents"""),
       "per-source HLL sketches unioned to a global distinct, bound-checked"),
 
+    // ---- count-min sketch ---------------------------------------------------
+    // The point-frequency member of the sketch family (HLL=distinct,
+    // Misra-Gries=top-k): a 4×64 md5-hashed counter TABLE built in one
+    // groupBy — constant size however large the corpus — probed for the
+    // 10 most frequent tokens' estimates next to their true counts. The
+    // portable hash family means the oracle rebuilds every counter and
+    // every min-of-depth estimate, so the sketch is hash-verified
+    // end-to-end (Spark's count_min_sketch blob can't be), and the
+    // one-sided est ≥ true guarantee is visible in the output itself.
+    "q211_count_min" -> Q(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(explode(Text.tokens(Text.normalize(col("text")))).as("item"))
+          .filter(col("item") =!= "")
+        val sk = graft.operators.Sketches.countMin(toks, "item",
+          depth = 4, width = 64)
+        val top = toks.groupBy("item").agg(count(lit(1)).as("true_cnt"))
+          .orderBy(col("true_cnt").desc, col("item").asc).limit(10)
+        graft.operators.Sketches.countMinEstimate(sk, top, "item",
+          depth = 4, width = 64)
+          .join(top, "item")
+          .select("item", "true_cnt", "est")
+      },
+      Some(s"""WITH t AS (
+          SELECT tok AS item FROM (SELECT unnest($tokSql) AS tok FROM documents)
+          WHERE tok <> ''),
+        cm AS (SELECT g.r,
+            CAST(('0x' || substr(md5(CAST(g.r AS VARCHAR) || '_' || item),
+              1, 15)) AS BIGINT) % 64 AS bucket,
+            count(*) AS cnt
+          FROM t, LATERAL (SELECT unnest(range(4)) AS r) g
+          GROUP BY 1, 2),
+        top AS (SELECT item, count(*) AS true_cnt FROM t GROUP BY 1
+          ORDER BY true_cnt DESC, item LIMIT 10),
+        ph AS (SELECT item, g.r,
+            CAST(('0x' || substr(md5(CAST(g.r AS VARCHAR) || '_' || item),
+              1, 15)) AS BIGINT) % 64 AS bucket
+          FROM top, LATERAL (SELECT unnest(range(4)) AS r) g),
+        est AS (SELECT ph.item, min(coalesce(cm.cnt, 0)) AS est
+          FROM ph LEFT JOIN cm USING (r, bucket) GROUP BY 1)
+        SELECT item, true_cnt, est FROM top JOIN est USING (item)"""),
+      "count-min sketch: portable counters, min-of-depth estimates replayed"),
+
     // ---- PMI collocations -------------------------------------------------
     // Pointwise mutual information over adjacent-token pairs:
     // ln((c_ab/N2) / ((c_a/N1)·(c_b/N1))), occurrence counts (not the

@@ -673,6 +673,36 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("countMin: one-sided guarantee, bounded size, merge ≡ whole-build") {
+    // skewed stream: item k appears k times, k = 1..40
+    val items = (1 to 40).flatMap(k => Seq.fill(k)(s"w$k")).toDF("item")
+    val (d, w) = (4, 16) // tiny width forces collisions
+    val sk = Sketches.countMin(items, "item", d, w)
+    assert(sk.count() <= d.toLong * w)
+    val probes = items.distinct()
+    val est = Sketches.countMinEstimate(sk, probes, "item", d, w)
+      .as[(String, Long)].collect().toMap
+    assert(est.size == 40)
+    (1 to 40).foreach { k =>
+      assert(est(s"w$k") >= k.toLong, s"w$k: est ${est(s"w$k")} < true $k")
+    }
+    // mergeability: two half-sketches summed cell-wise == one build
+    val (h1, h2) = (items.filter(length(col("item")) === 2),
+      items.filter(length(col("item")) =!= 2))
+    val merged = Sketches.countMinMerge(
+      Sketches.countMin(h1, "item", d, w),
+      Sketches.countMin(h2, "item", d, w))
+    assert(merged.as[(Int, Long, Long)].collect().toSet ==
+      sk.as[(Int, Long, Long)].collect().toSet)
+    val estM = Sketches.countMinEstimate(merged, probes, "item", d, w)
+      .as[(String, Long)].collect().toMap
+    assert(estM == est)
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
