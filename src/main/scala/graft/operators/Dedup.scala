@@ -419,6 +419,52 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("cosine"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster embeddings with
+    * k-means, then within each cluster drop every member whose cosine to
+    * a higher-priority member reaches `tau`. Priority follows the paper:
+    * the member LEAST similar to its centroid is kept first (it carries
+    * the most marginal information), ties to the lower id — so exact
+    * duplicates of a cluster's "center of mass" are exactly what gets
+    * cut. Returns one row per input: (id, cluster, cent_cos, kept).
+    *
+    * Every comparison that drives a keep/drop decision — the cluster
+    * argmin, the priority order, the pair similarity — is 4-dp-quantized
+    * with an id tie-break (the q156/q161 k-means recipe), so the whole
+    * operator replays bit-for-bit in any engine (q212).
+    *
+    * Scale: centroids are broadcast codegen literals, so assignment is a
+    * map-only pass; the only shuffle keys on cluster id, and the
+    * verification self-join is per-cluster — the paper's own design
+    * scales k with the corpus precisely so |cluster| stays bounded and
+    * Σ|cluster|² never approaches all-pairs. Norms are computed once per
+    * row (O(n·d)), not inside the pair predicate (O(pairs·d)). */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               centroids: Seq[(Int, Seq[Double])], tau: Double): DataFrame = {
+    val m = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        Vectors.norm(col(vecCol)).as("nrm"),
+        Similarity.centroidArgmin(col(vecCol), centroids).as("b"))
+      .select(col("id"), col("vec"), col("nrm"),
+        col("b").getField("cid").as("cluster"),
+        (-col("b").getField("neg")).as("cent_cos"))
+    val l = m.as("l"); val r = m.as("r")
+    // l is the higher-priority (kept-first) side: lower centroid cosine,
+    // then lower id. Any r reaching tau against some l is dropped.
+    val dropped = l.join(r, col("l.cluster") === col("r.cluster") &&
+        (col("l.cent_cos") < col("r.cent_cos") ||
+          (col("l.cent_cos") === col("r.cent_cos") && col("l.id") < col("r.id"))))
+      .filter(q4sim(Vectors.dot(col("l.vec"), col("r.vec")) /
+        (col("l.nrm") * col("r.nrm"))) >= lit(tau))
+      .select(col("r.id").as("id")).distinct()
+    m.select("id", "cluster", "cent_cos")
+      .join(dropped.withColumn("__drop", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("cent_cos"),
+        col("__drop").isNull.as("kept"))
+  }
+
+  private def q4sim(c: Column): Column =
+    floor(c * 10000d + 0.5d).cast("long").cast("double") / 10000d
+
   /** Exact-substring (repeated token-span) dedup report — the
     * rolling-window form of Lee et al.'s "Deduplicating Training Data
     * Makes Language Models Better" suffix-array pass: every k-token

@@ -252,6 +252,13 @@ object Similarity {
         struct((-q4(cos)).as("neg"), lit(cid).as("cid"))
       }: _*)))
 
+  /** Public accessor to the [[bestCentroid]] argmin struct (`neg` =
+    * negated quantized cosine, `cid` = winning cluster) so composing
+    * operators (SemDeDup in [[Dedup.semDedup]]) read the assignment and
+    * the centroid affinity from ONE centroid scan. */
+  def centroidArgmin(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+    bestCentroid(vec, centroids)
+
   /** One distributed Lloyd pass: per (cluster, dim) the member count and
     * the exact fixed-point component sum (longs at 1e-6 resolution —
     * order-independent, spillable, map-side combined). Empty clusters

@@ -796,5 +796,43 @@ object VectorQueries {
              LATERAL (SELECT unnest(range(len(e.embedding))) AS i) h
         GROUP BY e.vec_id, g.j"""),
       "JL random projection: 8 md5-dyadic coords, exact fixed-point grid"),
+
+    // ---- SemDeDup: semantic dedup via cluster-blocked cosine ----------------
+    // Abbas et al. 2023: k-means the embeddings, then within each
+    // cluster drop every member whose quantized cosine to a
+    // higher-priority member (LOWER centroid affinity first — the
+    // least-redundant example is the keeper) reaches tau. The oracle
+    // replays assignment, priority, pair similarity, and the final
+    // keep/drop verdict for every row — the dedup DECISION itself is
+    // hash-verified, not just the candidate pairs (q61's scope).
+    "q212_semdedup" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 8)
+        Dedup.semDedup(emb, "vec_id", "embedding", cents, tau = 0.45)
+      },
+      Some(s"""WITH init AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+                 embedding AS cvec
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+        assign AS (
+          SELECT vec_id, embedding, cid AS cluster, cos4 AS cent_cos FROM (
+            SELECT e.vec_id, e.embedding, i.cid,
+              ${Q4("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(i.cvec AS DOUBLE[]))")} AS cos4,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${Q4("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(i.cvec AS DOUBLE[]))")} DESC,
+                i.cid) AS rn
+            FROM embeddings e CROSS JOIN init i) WHERE rn = 1),
+        dropped AS (
+          SELECT DISTINCT r.vec_id AS id
+          FROM assign l JOIN assign r ON l.cluster = r.cluster
+            AND (l.cent_cos < r.cent_cos
+                 OR (l.cent_cos = r.cent_cos AND l.vec_id < r.vec_id))
+          WHERE ${Q4("list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[]))")}
+                >= CAST(0.45 AS DOUBLE))
+        SELECT a.vec_id AS id, a.cluster, a.cent_cos,
+               (d.id IS NULL) AS kept
+        FROM assign a LEFT JOIN dropped d ON a.vec_id = d.id"""),
+      "SemDeDup: cluster-blocked semantic dedup, keep/drop verdicts replayed"),
   )
 }

@@ -251,6 +251,30 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
+  test("semDedup drops the centroid-redundant member, keeps the diverse one") {
+    // seeds (k=2) = the two lowest ids: c0=v1=(1,0), c1=v2=(0,1).
+    // cluster 0 holds v1 (cent_cos 1.0), v3 (~0.999), v4 (~0.9).
+    // priority = LOWER centroid affinity first, so v4 > v3 > v1;
+    // cos(v3,v1) ≥ 0.97 → v1 (the member most like the centroid) drops.
+    val e = Seq(
+      (1L, Seq(1.0f, 0f)),
+      (2L, Seq(0f, 1.0f)),
+      (3L, Seq(0.999f, 0.0447f)),
+      (4L, Seq(0.9f, 0.436f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", 2)
+    val out = Dedup.semDedup(e, "vec_id", "embedding", cents, tau = 0.97)
+      .as[(Long, Int, Double, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._4)).toMap
+    assert(out(1L)._2 === false, "v1 (== centroid) must be dropped")
+    assert(out(3L)._2 === true, "v3 kept: only its dup v1 is lower priority")
+    assert(out(4L)._2 === true, "v4 kept: below tau against everything")
+    assert(out(2L)._2 === true, "singleton cluster always kept")
+    assert(out(1L)._1 == out(3L)._1 && out(3L)._1 == out(4L)._1)
+    // every input row appears exactly once with its verdict
+    assert(out.size == 4)
+  }
+
   test("embeddingNearDups with an LSH-bucket block finds cross-label dups") {
     // the label block above misses (1,4); an LSH bucket as blockCol groups
     // by geometry instead — near-identical vectors collide, so the same
