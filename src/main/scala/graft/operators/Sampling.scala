@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Text
 
 /** Deterministic corpus-sampling operators. Everything here is a pure
   * function of (salt, row id) — no RNG state — so a sample is
@@ -50,6 +51,78 @@ object Sampling {
     df.join(broadcast(rates), Seq(domainCol))
       .filter(u <= col("__rate"))
       .drop("__rate")
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every RAW
+    * (non-target) document by how target-like its hashed bag-of-words
+    * is. Token counts hash into `buckets` cells (the portable md5
+    * family); the target and raw token distributions are estimated per
+    * cell with add-1 smoothing; a document's log importance weight is
+    * the sum over its tokens of the cell's log-likelihood ratio
+    * ln(p_target/p_raw). High-weight documents are the ones a
+    * quality-targeted pretraining selection keeps.
+    *
+    * Determinism: each cell's log-ratio is quantized to a 1e-4
+    * fixed-point LONG immediately after the `ln` (libm may differ in
+    * the last ulp across engines), so per-doc sums are order-free
+    * integer sums and the whole scoring replays exactly (q214).
+    *
+    * Scale: two corpus scans — one to fit the 2×`buckets`-cell model
+    * (map-side combined into ≤ `buckets` rows of metadata), one to
+    * score, with the ratio table broadcast — that fit-then-score shape
+    * is DSIR's own design. The corpus never shuffles; the only
+    * groupBys key on bucket id (bounded) and doc id (the score
+    * reduction). */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, buckets: Int = 64,
+                  salt: String = "graft-dsir:"): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val toks = df.select(col(idCol).as("id"), isTarget.as("__t"),
+        explode(Text.tokens(Text.normalize(col(textCol)))).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("bucket", pmod(conv(substring(
+          md5(concat(lit(salt), col("tok"))), 1, 15), 16, 10).cast("long"),
+        lit(buckets.toLong)))
+    val cells = toks.groupBy("bucket")
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("__t"), 0L).otherwise(1L)).as("tq"))
+    val totals = cells.agg(sum("tp").as("totp"), sum("tq").as("totq"))
+    val lr = cells.crossJoin(broadcast(totals))
+      .select(col("bucket"), floor(
+        (log((col("tp") + 1d) / (col("totp") + buckets.toDouble)) -
+          log((col("tq") + 1d) / (col("totq") + buckets.toDouble))) * 10000d
+          + 0.5d).cast("long").as("lr4"))
+    toks.filter(!col("__t"))
+      .join(broadcast(lr), Seq("bucket"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lr4").as("w4"))
+      .select(col("id"), col("n_tokens"),
+        (col("w4").cast("double") / 10000d).as("logw"))
+  }
+
+  /** Uniform-without-replacement fixed-size sample per group — the
+    * distributed reservoir sample (Vitter's Algorithm R semantics, k
+    * uniform rows per stratum): rank each row by the deterministic md5
+    * uniform on (salt, id) — every permutation of a group equally likely
+    * under the hash's uniformity — and keep the k smallest ranks per
+    * group. Re-running, re-sharding, or replaying in another engine
+    * selects the SAME rows (ranks are pure functions of the id), which
+    * is what an eval-set carve or a human-review draw needs.
+    *
+    * Scale: no reservoir state and no full sort — the ranking rides
+    * [[graft.plans.TopK.topKPerGroup]]'s per-partition bounded heaps
+    * (O(k) memory per group per partition, map-side pre-prune), so the
+    * shuffle carries at most k rows per group per input partition. */
+  def uniformPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                      k: Int, salt: String = "graft-upg:"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rank = (conv(substring(
+      md5(concat(lit(salt), col(idCol).cast("string"))), 1, 6),
+      16, 10).cast("double") + 1d) / 16777217d
+    graft.plans.TopK.topKPerGroup(df.withColumn("__rank", rank),
+        Seq(col(groupCol)), Seq(col("__rank").asc, col(idCol).asc), k)
+      .drop("__rank")
   }
 
   /** Temperature-scaled domain rebalancing — the multilingual-sampling

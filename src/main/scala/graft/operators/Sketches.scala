@@ -61,4 +61,34 @@ object Sketches {
       .join(sketch, Seq("r", "bucket"), "left")
       .groupBy("item")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** Bloom filter (Bloom 1970) as a set-bit TABLE — the membership
+    * member of the sketch family (count-min = frequency, HLL =
+    * distinct, Misra-Gries = top-k): one row per SET (r, bucket) cell,
+    * ≤ depth×width rows however large the member set, built by one
+    * distinct over the depth-exploded input. Same portable md5 hash
+    * family as [[countMin]], so any engine reproduces every bit. */
+  def bloomBits(df: DataFrame, itemCol: String,
+                depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    bucketed(df, itemCol, depth, width).select("r", "bucket").distinct()
+  }
+
+  /** Merge bit tables built with the SAME (depth, width): bitwise OR =
+    * union distinct. Associative and commutative. */
+  def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).distinct()
+
+  /** Membership probes: an item is maybe-present iff ALL depth cells it
+    * hashes to are set — misses are certain (no false negatives; the
+    * unit pins it), hits are probabilistic with the standard
+    * (1−e^{−depth·n/width})^depth false-positive rate. |probes|×depth
+    * rows against a ≤ depth×width bit table — broadcast-class. */
+  def bloomProbe(sketch: DataFrame, probes: DataFrame, itemCol: String,
+                 depth: Int, width: Int): DataFrame =
+    bucketed(probes, itemCol, depth, width)
+      .join(sketch.withColumn("__set", lit(true)), Seq("r", "bucket"), "left")
+      .groupBy("item")
+      .agg((count(col("__set")) === depth).as("maybe_present"))
 }

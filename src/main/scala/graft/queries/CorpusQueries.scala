@@ -1306,5 +1306,112 @@ object CorpusQueries {
             AS zipf_slope
         FROM stats s JOIN reg USING (source)"""),
       "per-source Zipf slope + type-token ratio (template-source detector)"),
+
+    // ---- uniform k-per-group sample (distributed reservoir) ----------------
+    // Fixed-size uniform draw per stratum — the eval-set carve. Rides
+    // the TopKPerGroup heaps (no full sort, no reservoir state); the md5
+    // rank makes the draw identical across engines/runs/shardings, so
+    // the oracle replays the exact selected rows. The oracle orders by
+    // the raw 24-bit hash integer — the same order as the (h+1)/2^24
+    // uniform without touching cross-engine division.
+    "q213_reservoir_sample" -> Q(
+      (s, d) => graft.operators.Sampling.uniformPerGroup(
+          Tables.documents(s, d), "source", "doc_id", k = 5)
+        .select(col("doc_id"), col("source")),
+      Some("""SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+            row_number() OVER (PARTITION BY source ORDER BY
+              CAST(('0x' || substr(md5('graft-upg:' || CAST(doc_id AS VARCHAR)),
+                1, 6)) AS BIGINT),
+              doc_id) AS rn
+          FROM documents) WHERE rn <= 5"""),
+      "uniform k-per-group reservoir sample, selected rows replayed"),
+
+    // ---- DSIR importance weights -------------------------------------------
+    // Data Selection via Importance Resampling (Xie et al. 2023): fit
+    // hashed bag-of-words models of the target (src0) and raw
+    // distributions, score every raw doc by its summed per-token
+    // log-likelihood ratio. Every cell ratio is quantized to a 1e-4
+    // fixed-point LONG right after the ln, so doc scores are order-free
+    // integer sums and the oracle replays model fit + scoring exactly.
+    "q214_dsir_weights" -> Q(
+      (s, d) => graft.operators.Sampling.dsirWeights(
+          Tables.documents(s, d), "doc_id", "text",
+          isTarget = col("source") === "src0", buckets = 64)
+        .orderBy(col("logw").desc, col("id").asc).limit(20)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("logw")),
+      Some(s"""WITH t AS (
+          SELECT doc_id, (source = 'src0') AS tgt, tok FROM (
+            SELECT doc_id, source, unnest($tokSql) AS tok FROM documents)
+          WHERE tok <> ''),
+        b AS (SELECT doc_id, tgt,
+            CAST(('0x' || substr(md5('graft-dsir:' || tok), 1, 15)) AS BIGINT)
+              % 64 AS bucket
+          FROM t),
+        cells AS (SELECT bucket,
+            CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS tq
+          FROM b GROUP BY 1),
+        tot AS (SELECT CAST(sum(tp) AS BIGINT) AS totp,
+                       CAST(sum(tq) AS BIGINT) AS totq FROM cells),
+        lr AS (SELECT bucket, CAST(floor(
+            (ln(CAST(tp + 1 AS DOUBLE) / CAST(totp + 64 AS DOUBLE)) -
+             ln(CAST(tq + 1 AS DOUBLE) / CAST(totq + 64 AS DOUBLE)))
+            * 10000 + 0.5) AS BIGINT) AS lr4
+          FROM cells CROSS JOIN tot),
+        sc AS (SELECT b.doc_id, count(*) AS n_tokens,
+            CAST(sum(lr.lr4) AS BIGINT) AS w4
+          FROM b JOIN lr USING (bucket) WHERE NOT tgt GROUP BY 1)
+        SELECT doc_id, n_tokens, CAST(w4 AS DOUBLE) / 10000 AS logw
+        FROM sc ORDER BY w4 DESC, doc_id LIMIT 20"""),
+      "DSIR: hashed-ngram importance weights, model fit + scoring replayed"),
+
+    // ---- Bloom filter ------------------------------------------------------
+    // The membership member of the sketch family, on the BIGRAM domain
+    // (916 distinct at sf0.01 — the unigram vocab is a closed 31-token
+    // set, so every token probe would answer yes): bigrams of docs 0-49
+    // set ≤ depth×width bits; the 15 hottest + 15 rarest corpus bigrams
+    // probe it, so both verdicts appear. Misses are certain, hits
+    // probabilistic — and because the bit table uses the portable md5
+    // family, the oracle rebuilds every bit and every verdict (Spark's
+    // own bloom_filter_agg is an opaque blob).
+    "q215_bloom_filter" -> Q(
+      (s, d) => {
+        val bg = Dedup.explodedShingles(Tables.documents(s, d),
+            "doc_id", "text", 2)
+          .select(col("id").as("doc_id"), col("shingle").as("item"))
+        val sk = graft.operators.Sketches.bloomBits(
+          bg.filter(col("doc_id") < 50), "item", depth = 3, width = 16384)
+        val freq = bg.groupBy("item").agg(count(lit(1)).as("freq"))
+        val probes = freq.orderBy(col("freq").desc, col("item").asc).limit(15)
+          .unionByName(freq.orderBy(col("freq").asc, col("item").asc).limit(15))
+          .select("item").distinct()
+        graft.operators.Sketches.bloomProbe(sk, probes, "item",
+          depth = 3, width = 16384)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $tokSql AS toks FROM documents),
+        bg AS (SELECT DISTINCT doc_id, toks[i+1] || ' ' || toks[i+2] AS item
+          FROM d, LATERAL (SELECT unnest(range(0, greatest(len(toks) - 1, 0)))) AS g(i)),
+        bits AS (SELECT DISTINCT g.r,
+            CAST(('0x' || substr(md5(CAST(g.r AS VARCHAR) || '_' || item),
+              1, 15)) AS BIGINT) % 16384 AS bucket, 1 AS hit
+          FROM (SELECT DISTINCT item FROM bg WHERE doc_id < 50),
+               LATERAL (SELECT unnest(range(3)) AS r) g),
+        top AS (
+          (SELECT item FROM (
+            SELECT item, count(*) AS freq FROM bg GROUP BY 1
+            ORDER BY freq DESC, item LIMIT 15))
+          UNION
+          (SELECT item FROM (
+            SELECT item, count(*) AS freq FROM bg GROUP BY 1
+            ORDER BY freq ASC, item LIMIT 15))),
+        ph AS (SELECT item, g.r,
+            CAST(('0x' || substr(md5(CAST(g.r AS VARCHAR) || '_' || item),
+              1, 15)) AS BIGINT) % 16384 AS bucket
+          FROM top, LATERAL (SELECT unnest(range(3)) AS r) g)
+        SELECT ph.item, (count(b.hit) = 3) AS maybe_present
+        FROM ph LEFT JOIN bits b ON b.r = ph.r AND b.bucket = ph.bucket
+        GROUP BY ph.item"""),
+      "Bloom filter: portable bit table, membership verdicts replayed"),
   )
 }

@@ -340,6 +340,37 @@ class CorpusPrepSpec extends SparkSpec {
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("uniformPerGroup: exactly k per big group, all of small groups, stable") {
+    val rows = (1 to 55).map(i => (i.toLong, if (i <= 50) "big" else "small"))
+    val df = rows.toDF("id", "grp")
+    val out = Sampling.uniformPerGroup(df, "grp", "id", k = 7)
+      .as[(Long, String)].collect()
+    val byGrp = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byGrp("big").size == 7)
+    assert(byGrp("small") == (51L to 55L).toSet, "groups under k keep every row")
+    assert(out.map(_._1).toSet.subsetOf((1L to 55L).toSet))
+    // deterministic: a re-run (and a differently-sharded input) draws
+    // the same rows — the rank is a pure function of the id
+    val again = Sampling.uniformPerGroup(df.repartition(7), "grp", "id", k = 7)
+      .as[(Long, String)].collect().toSet
+    assert(again == out.toSet)
+  }
+
+  test("dsirWeights: target-like raw docs outscore unlike ones, targets excluded") {
+    val docs = Seq(
+      (1L, "aurora borealis polar night sky", true),   // target
+      (2L, "aurora polar night observations", true),   // target
+      (3L, "aurora polar sky tonight", false),         // raw, target-like
+      (4L, "football game final score report", false), // raw, unlike
+      (5L, "polar aurora night sky aurora", false))    // raw, most target-like
+      .toDF("id", "text", "tgt")
+    val out = Sampling.dsirWeights(docs, "id", "text", col("tgt"), buckets = 32)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out.keySet == Set(3L, 4L, 5L), "only raw docs are scored")
+    assert(out(3L) > out(4L), s"target-like ${out(3L)} must beat unlike ${out(4L)}")
+    assert(out(5L) > out(4L))
+  }
+
   test("targetMix: binding domain keeps all, untargeted domains drop, deterministic") {
     val rows =
       (1 to 100).map(i => (i.toLong, "a")) ++
@@ -724,6 +755,29 @@ class SketchesSpec extends SparkSpec {
     val estM = Sketches.countMinEstimate(merged, probes, "item", d, w)
       .as[(String, Long)].collect().toMap
     assert(estM == est)
+  }
+
+  test("bloomBits: no false negatives, bounded size, merge ≡ whole-build") {
+    val members = (1 to 50).map(k => s"w$k").toDF("item")
+    val (d, w) = (3, 64)
+    val sk = Sketches.bloomBits(members, "item", d, w)
+    assert(sk.count() <= d.toLong * w)
+    // every member answers maybe_present — misses are impossible
+    val memProbe = Sketches.bloomProbe(sk, members, "item", d, w)
+      .as[(String, Boolean)].collect().toMap
+    assert(memProbe.size == 50 && memProbe.values.forall(identity))
+    // a roomy filter rejects a non-member; a saturated one false-positives
+    val absent = Seq("zz1", "zz2", "zz3", "zz4").toDF("item")
+    val roomy = Sketches.bloomProbe(
+      Sketches.bloomBits(members, "item", 4, 4096), absent, "item", 4, 4096)
+      .as[(String, Boolean)].collect()
+    assert(roomy.exists(!_._2), "4k-bit filter with 50 members must reject")
+    // mergeability: two half-filters ORed cell-wise == one build
+    val (h1, h2) = (members.limit(25), members.except(members.limit(25)))
+    val merged = Sketches.bloomMerge(
+      Sketches.bloomBits(h1, "item", d, w), Sketches.bloomBits(h2, "item", d, w))
+    assert(merged.as[(Int, Long)].collect().toSet ==
+      sk.as[(Int, Long)].collect().toSet)
   }
 }
 
