@@ -62,6 +62,48 @@ object Sketches {
       .groupBy("item")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
+  /** Fixed-grid histogram — the quantile member of the sketch family:
+    * per-group counts over value buckets `floor(value/grid)`. The cell
+    * count is value-range/grid per group regardless of row count, merge
+    * is cell-wise sum, and quantile reads walk the SKETCH's cumulative
+    * counts, never the data. Pure integer arithmetic end to end, so
+    * every cell and every quantile verdict replays in any engine —
+    * where Spark's approx_percentile is an opaque blob with
+    * non-reproducible error. Answers are exact on the grid: the
+    * reported value is the lower edge of the bucket holding the
+    * ceil(q·n)-th ordered row, < grid below the true quantile. */
+  def gridHistogram(df: DataFrame, groupCol: String, valueCol: String,
+                    grid: Double): DataFrame = {
+    require(grid > 0d, s"grid must be positive, got $grid")
+    df.groupBy(col(groupCol).as("grp"),
+        floor(col(valueCol).cast("double") / grid).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge histograms built with the SAME (groupCol domain, grid):
+    * cell-wise sum. Associative and commutative. */
+  def histogramMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("grp", "bucket")
+      .agg(sum("cnt").cast("long").as("cnt"))
+
+  /** Quantile probe: per group and requested q, the grid value of the
+    * first bucket whose cumulative count reaches ceil(q·n). The windows
+    * and the explode run over the sketch's cells — bounded metadata —
+    * so probing is O(cells·|qs|) however large the streamed data was. */
+  def histogramQuantiles(hist: DataFrame, grid: Double,
+                         qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = hist
+      .withColumn("cum", sum("cnt")
+        .over(Window.partitionBy("grp").orderBy("bucket")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("grp")))
+    cum.select(col("grp"), col("bucket"), col("cum"), col("n"),
+        explode(array(qs.map(lit(_)): _*)).as("q"))
+      .filter(col("cum") >= ceil(col("q") * col("n")))
+      .groupBy("grp", "q")
+      .agg((min("bucket") * grid).as("value"))
+  }
+
   /** Bloom filter (Bloom 1970) as a set-bit TABLE — the membership
     * member of the sketch family (count-min = frequency, HLL =
     * distinct, Misra-Gries = top-k): one row per SET (r, bucket) cell,

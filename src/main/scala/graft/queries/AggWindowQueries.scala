@@ -845,5 +845,36 @@ object AggWindowQueries {
             AND l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT)
           FROM lineitem"""),
       "one-pass data-quality rule suite with violation counts"),
+
+    // ---- mergeable grid-histogram quantiles --------------------------------
+    // The quantile member of the sketch-as-table family (count-min =
+    // frequency, Bloom = membership, HLL = distinct): per-flag price
+    // histograms on a $1000 grid — ~105 cells per flag however many
+    // rows stream through — probed for 4 quantiles by walking the
+    // sketch's cumulative counts. All integer arithmetic, so the oracle
+    // replays every cell and every quantile verdict (q113's
+    // approx_percentile contract can only bound its error).
+    "q216_grid_quantiles" -> Q(
+      (s, d) => {
+        val hist = graft.operators.Sketches.gridHistogram(
+          Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+          grid = 1000d)
+        graft.operators.Sketches.histogramQuantiles(hist, grid = 1000d,
+          qs = Seq(0.25, 0.5, 0.75, 0.95))
+      },
+      Some("""WITH h AS (
+          SELECT l_returnflag AS grp,
+            CAST(floor(l_extendedprice / CAST(1000 AS DOUBLE)) AS BIGINT) AS bucket,
+            count(*) AS cnt
+          FROM lineitem GROUP BY 1, 2),
+        c AS (SELECT grp, bucket,
+            CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS BIGINT) AS cum,
+            CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n
+          FROM h)
+        SELECT grp, q, CAST(min(bucket) * 1000 AS DOUBLE) AS value
+        FROM c, LATERAL (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS q) g
+        WHERE cum >= ceil(q * n)
+        GROUP BY grp, q"""),
+      "mergeable grid-histogram sketch probed for per-flag price quantiles"),
   )
 }

@@ -144,6 +144,48 @@ object WarehouseSink {
     * after a crash finds its postings already present and merges to the
     * identical index.
     */
+  /** One micro-batch's count-min delta, written as an idempotent
+    * overwrite of its OWN `batch=<id>` directory — the unit of work
+    * [[sketchDeltaSink]] replays safely. Public so the replay contract
+    * is testable: writing the same (batch, id) twice leaves the merged
+    * sketch unchanged. */
+  def writeSketchDelta(batch: DataFrame, itemCol: String,
+                       depth: Int, width: Int,
+                       path: String, batchId: Long): Unit = {
+    graft.operators.Sketches.countMin(batch, itemCol, depth, width)
+      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+    ()
+  }
+
+  /** Streaming count-min maintenance. Each micro-batch folds into a
+    * per-batch DELTA sketch (≤ depth×width rows) under its own
+    * `batch=<id>` directory; [[readMergedSketch]] sums the deltas at
+    * read time. Exactly-once under at-least-once foreachBatch replay
+    * because a replayed batch OVERWRITES its own delta directory —
+    * the tempting alternative (read global sketch + add batch counters
+    * + rewrite) double-counts every replayed row, the same corruption
+    * mergePostings had to dedup against. Deltas are associative, so an
+    * offline compactor can fold old ones without stopping the stream. */
+  def sketchDeltaSink(stream: DataFrame, itemCol: String,
+                      depth: Int, width: Int, path: String,
+                      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeSketchDelta(batch, itemCol, depth, width, path, batchId)
+      }
+      .start()
+
+  /** Fold every delta under `path` into the current global sketch:
+    * partition discovery exposes `batch` as a column, the groupBy sums
+    * it away. Work is proportional to #deltas × sketch size, never to
+    * the streamed data. */
+  def readMergedSketch(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy("r", "bucket").agg(sum("cnt").cast("long").as("cnt"))
+
   def indexMaintenanceSink(stream: DataFrame, idCol: String,
                            textCol: String, indexPath: String,
                            checkpoint: String): StreamingQuery =

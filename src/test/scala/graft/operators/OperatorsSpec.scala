@@ -757,6 +757,25 @@ class SketchesSpec extends SparkSpec {
     assert(estM == est)
   }
 
+  test("gridHistogram: quantiles exact on the grid, merge ≡ whole-build") {
+    // group g: values 1..100 → bucket b holds 10 values (b0 has 9, b10 has 1)
+    val vals = (1 to 100).map(v => ("g", v.toDouble)).toDF("k", "v")
+    val hist = Sketches.gridHistogram(vals, "k", "v", grid = 10d)
+    assert(hist.count() == 11)
+    val qv = Sketches.histogramQuantiles(hist, 10d, Seq(0.5, 0.95, 1.0))
+      .as[(String, Double, Double)].collect()
+      .map(r => r._2 -> r._3).toMap
+    // ceil(0.5·100)=50th value = 50 → bucket 5 edge 50; 95th = 95 → bucket 9;
+    // 100th = 100 → bucket 10
+    assert(qv == Map(0.5 -> 50d, 0.95 -> 90d, 1.0 -> 100d))
+    // merge of two halves equals the whole build, cell for cell
+    val merged = Sketches.histogramMerge(
+      Sketches.gridHistogram(vals.filter(col("v") <= 40), "k", "v", 10d),
+      Sketches.gridHistogram(vals.filter(col("v") > 40), "k", "v", 10d))
+    assert(merged.as[(String, Long, Long)].collect().toSet ==
+      hist.as[(String, Long, Long)].collect().toSet)
+  }
+
   test("bloomBits: no false negatives, bounded size, merge ≡ whole-build") {
     val members = (1 to 50).map(k => s"w$k").toDF("item")
     val (d, w) = (3, 64)

@@ -149,4 +149,35 @@ class WarehouseSinkSpec extends SparkSpec {
       assert(left == "not a parquet file")
     } finally q.stop()
   }
+
+  test("sketchDeltaSink: streamed sketch ≡ whole-build, batch replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Sketches
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("sketchsink")
+    val path = dir.resolve("cms").toString
+    val (d, w) = (4, 32)
+    val all = (1 to 30).flatMap(k => Seq.fill(k)(s"w$k"))
+    val ms = MemoryStream[String]
+    val q = WarehouseSink.sketchDeltaSink(ms.toDF().toDF("item"),
+      "item", d, w, path, dir.resolve("ckpt").toString)
+    try {
+      ms.addData(all.take(200): _*)
+      q.processAllAvailable()
+      ms.addData(all.drop(200): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = WarehouseSink.readMergedSketch(spark, path)
+      .as[(Int, Long, Long)].collect().toSet
+    val whole = Sketches.countMin(all.toDF("item"), "item", d, w)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed == whole)
+    // at-least-once replay: rewriting batch 1's delta from the same
+    // rows leaves the merged sketch byte-identical (no double count)
+    WarehouseSink.writeSketchDelta(all.drop(200).toDF("item"),
+      "item", d, w, path, 1L)
+    val replayed = WarehouseSink.readMergedSketch(spark, path)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(replayed == whole)
+  }
 }
