@@ -80,7 +80,23 @@ object Stress {
       // BM25 (fixed terms, growing corpus), incremental minhash (fixed
       // stored index, growing batch), and the Zipf/TTR per-source scan
       "q202_ivfpq", "q200_bm25_maxscore", "q204_incremental_minhash",
-      "q206_zipf_stats")
+      "q206_zipf_stats",
+      // round-7 third wave: sketches (count-min/bloom/grid-quantile fold
+      // any corpus into bounded cells — expect near-flat ratios), DSIR
+      // (two linear scans against a broadcast 64-cell model), reservoir
+      // sample (TopKPerGroup heaps, bounded output). q212 semDedup is
+      // excluded like q196: its demo query fixes k=8, so 10× data means
+      // 10× clusters² — the operator's documented scale path grows k
+      // with the corpus, which the fixture query deliberately doesn't.
+      "q211_count_min", "q213_reservoir_sample", "q214_dsir_weights",
+      "q215_bloom_filter", "q216_grid_quantiles")
+      // STRESS_ONLY=q211_count_min,q214_dsir_weights narrows a run to
+      // the named targets (comma-separated) — new-op iteration without
+      // re-timing the whole suite
+      .filter(sys.env.get("STRESS_ONLY") match {
+        case Some(only) => only.split(",").map(_.trim).toSet
+        case None => (_: String) => true
+      })
     println(f"${"query"}%-22s ${"base_s"}%8s ${"stress_s"}%9s ${"ratio"}%6s  worst-stage max/med (ms, tasks)")
     targets.foreach { name =>
       val fn = SparkEntry.queries(name)
