@@ -63,7 +63,11 @@ object Plans {
     "q200_bm25_maxscore" -> "MaxScore BM25: UBs from the df dictionary, rarest-term seed scoring, dl join + exact scoring only for UB-surviving candidates",
     "q202_ivfpq" -> "IVFPQ: PartitionFilters prune to probed buckets, ADC over stored codes — no raw vectors in the index",
     "q204_incremental_minhash" -> "incremental minhash: stored signature index vs batch band join, estimator verify — historical text never read",
-    "q206_zipf_stats" -> "zipf stats: TopKPerGroupExec bounds the regression input to 100 rows/source, no full vocab sort")
+    "q206_zipf_stats" -> "zipf stats: TopKPerGroupExec bounds the regression input to 100 rows/source, no full vocab sort",
+    "q211_count_min" -> "count-min: depth-exploded scan folds into ≤ depth×width cells via ONE map-side-combined agg, probes broadcast-class",
+    "q212_semdedup" -> "SemDeDup: centroid argmin in scan-side codegen (no assignment join), pair join keyed on cluster id only",
+    "q214_dsir_weights" -> "DSIR: 64-cell model fit then broadcast back — corpus scans twice, never shuffles; score agg keys on doc id",
+    "q216_grid_quantiles" -> "grid quantiles: rows fold to ~105 cells/flag in ONE agg; windows + quantile explode run over the sketch, not the data")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
