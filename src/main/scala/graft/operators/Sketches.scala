@@ -133,4 +133,41 @@ object Sketches {
       .join(sketch.withColumn("__set", lit(true)), Seq("r", "bucket"), "left")
       .groupBy("item")
       .agg((count(col("__set")) === depth).as("maybe_present"))
+
+  /** AMS/tug-of-war sketch (Alon, Matias & Szegedy 1996) — the
+    * second-moment member of the family (count-min = frequency, Bloom =
+    * membership, HLL = distinct, grid histogram = quantiles): k signed
+    * counters z_r = Σ_x f(x)·s_r(x) with s_r(x) ∈ {−1,+1}, so
+    * E[z_r²] = F2 = Σ_x f(x)², the self-join size — the number the
+    * optimizer wants BEFORE running a key-equality join on a skewed
+    * column, estimated from k longs instead of a groupBy over 100 TB.
+    * One shuffle into ≤ k groups; merge is counter-wise sum (a shard's
+    * z_r adds linearly because the sign function is shared).
+    *
+    * The sign is the low bit of the portable 60-bit md5 hash, so every
+    * counter — not just the final estimate — replays in any engine
+    * with md5 (q217 hash-verifies the full lifecycle). Estimates stay
+    * in exact integer arithmetic until one final division. */
+  def amsF2(df: DataFrame, itemCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"k in [1,64], got $k")
+    df.select(col(itemCol).cast("string").as("item"),
+        explode(sequence(lit(0), lit(k - 1))).as("r"))
+      .select(col("r"),
+        (lit(1L) - lit(2L) * (hash60(col("r"), col("item"))
+          .bitwiseAND(lit(1L)))).as("s"))
+      .groupBy("r").agg(sum("s").cast("long").as("z"))
+  }
+
+  /** Merge AMS sketches built with the SAME k: counter-wise sum.
+    * Associative and commutative. */
+  def amsF2Merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("r").agg(sum("z").cast("long").as("z"))
+
+  /** F2 point estimate: mean of z_r² over the k estimators — exact
+    * integer sum, one final double division. Runs over k rows of
+    * sketch metadata, never the data. */
+  def amsF2Estimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.agg(sum(col("z") * col("z")).cast("long").as("sum_z2"))
+      .select(col("sum_z2"),
+        (col("sum_z2").cast("double") / lit(k.toDouble)).as("est_f2"))
 }

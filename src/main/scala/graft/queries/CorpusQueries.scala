@@ -1413,5 +1413,41 @@ object CorpusQueries {
         FROM ph LEFT JOIN bits b ON b.r = ph.r AND b.bucket = ph.bucket
         GROUP BY ph.item"""),
       "Bloom filter: portable bit table, membership verdicts replayed"),
+
+    // ---- AMS second-moment (self-join size) sketch ----------------------
+    // The tug-of-war sketch estimates F2 = Σ c(x)² — the self-join size
+    // of the token column — from 16 signed longs instead of a full
+    // groupBy, which is the skew/join-size probe a planner wants before
+    // committing to a shuffle strategy at 100 TB. Signs come from the
+    // portable md5 hash family's low bit, so every counter AND the
+    // estimate replay exactly in DuckDB; arithmetic is pure integer
+    // until one final division. true_f2 rides along to show the
+    // estimate lands (contract pinned loosely in the unit; the hash
+    // compare here proves the lifecycle, not the accuracy).
+    "q217_ams_f2" -> Q(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(explode(Text.tokens(Text.normalize(col("text")))).as("item"))
+          .filter(col("item") =!= "")
+        val sk = graft.operators.Sketches.amsF2(toks, "item", k = 16)
+        val est = graft.operators.Sketches.amsF2Estimate(sk, k = 16)
+        val truth = toks.groupBy("item").agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * col("c")).cast("long").as("true_f2"))
+        est.crossJoin(truth)
+      },
+      Some(s"""WITH t AS (
+          SELECT tok AS item FROM (SELECT unnest($tokSql) AS tok FROM documents)
+          WHERE tok <> ''),
+        z AS (SELECT g.r, CAST(sum(1 - 2 * (CAST(('0x' || substr(
+              md5(CAST(g.r AS VARCHAR) || '_' || item), 1, 15)) AS BIGINT)
+              & 1)) AS BIGINT) AS z
+          FROM t, LATERAL (SELECT unnest(range(16)) AS r) g
+          GROUP BY 1),
+        e AS (SELECT CAST(sum(z * z) AS BIGINT) AS sum_z2 FROM z),
+        tr AS (SELECT CAST(sum(c * c) AS BIGINT) AS true_f2 FROM (
+          SELECT count(*) AS c FROM t GROUP BY item))
+        SELECT sum_z2, CAST(sum_z2 AS DOUBLE) / 16 AS est_f2, true_f2
+        FROM e, tr"""),
+      "AMS tug-of-war sketch: signed counters and F2 estimate replayed"),
   )
 }

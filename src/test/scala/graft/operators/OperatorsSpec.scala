@@ -776,6 +776,27 @@ class SketchesSpec extends SparkSpec {
       hist.as[(String, Long, Long)].collect().toSet)
   }
 
+  test("amsF2: estimate brackets true F2, merge ≡ whole-build") {
+    // skewed stream: item k appears k times → F2 = Σ k² = 22140 for k=1..40
+    val items = (1 to 40).flatMap(k => Seq.fill(k)(s"w$k")).toDF("item")
+    val trueF2 = (1 to 40).map(k => k.toLong * k).sum
+    val k = 16
+    val sk = Sketches.amsF2(items, "item", k)
+    assert(sk.count() <= k.toLong)
+    val est = Sketches.amsF2Estimate(sk, k)
+      .as[(Long, Double)].collect().head._2
+    // Var(est) = 2·F2²/k → std ≈ 0.35·F2; 3σ bracket is loose but real
+    assert(est > 0.1 * trueF2 && est < 3.0 * trueF2,
+      f"AMS estimate $est%.0f vs true $trueF2 outside loose bracket")
+    // mergeability: two half-sketches summed counter-wise == one build
+    val (h1, h2) = (items.filter(length(col("item")) === 2),
+      items.filter(length(col("item")) =!= 2))
+    val merged = Sketches.amsF2Merge(
+      Sketches.amsF2(h1, "item", k), Sketches.amsF2(h2, "item", k))
+    assert(merged.as[(Int, Long)].collect().toSet ==
+      sk.as[(Int, Long)].collect().toSet)
+  }
+
   test("bloomBits: no false negatives, bounded size, merge ≡ whole-build") {
     val members = (1 to 50).map(k => s"w$k").toDF("item")
     val (d, w) = (3, 64)
