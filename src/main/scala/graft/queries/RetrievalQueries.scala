@@ -227,6 +227,65 @@ object RetrievalQueries {
         ORDER BY bm25 DESC, doc_id LIMIT 15"""),
       "BM25 top-k retrieval: quantized idf/tf-norm, fixed-point score sum"),
 
+    // ---- Dirichlet query-likelihood retrieval ----------------------------
+    // The language-modeling half of classic retrieval (Zhai & Lafferty
+    // 2001): score(d) = Σ_{w∈q} ln((tf + μ·cf_w/T) / (dl + μ)), μ=2000.
+    // Unlike BM25 every document scores (the smoothing term varies with
+    // dl even at tf=0), so the frame is dl × |q| broadcast query terms —
+    // per-doc work is O(|q|), and the only corpus shuffle is the dl
+    // aggregate; T re-aggregates dl (one tiny row, no second
+    // tokenization pass — the q168 lesson). cf and the term list are
+    // broadcast-class. Per-term log-probs quantize before the exact
+    // fixed-point sum so both engines rank identically.
+    "q218_query_likelihood" -> Q(
+      (s, d) => {
+        val terms = Seq("spark", "merge", "filter")
+        val toks = Tables.documents(s, d).select(col("doc_id"),
+          explode(Text.tokens(Text.normalize(col("text")))).as("term"))
+          .filter(col("term") =!= "")
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val tot = dl.agg(sum("dl").cast("double").as("t"))
+        val cf = toks.filter(col("term").isin(terms: _*))
+          .groupBy("term").agg(count(lit(1)).as("cf"))
+        val tf = toks.filter(col("term").isin(terms: _*))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        import s.implicits._
+        val qt = terms.toDF("term")
+        val lp = q4(log(
+          (coalesce(col("tf"), lit(0L)).cast("double") +
+            lit(2000.0d) * (col("cf").cast("double") / col("t"))) /
+            (col("dl").cast("double") + lit(2000.0d))))
+        dl.crossJoin(broadcast(qt))
+          .join(broadcast(cf), Seq("term"))
+          .join(tf, Seq("doc_id", "term"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), lp.as("lp"))
+          .groupBy("doc_id").agg(q4(xsum4(col("lp"))).as("ql"))
+          .orderBy(col("ql").desc, col("doc_id").asc)
+          .limit(15)
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, tok AS term FROM (
+            SELECT doc_id, unnest($tokSql) AS tok FROM documents)
+          WHERE tok <> ''),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(sum(dl) AS DOUBLE) AS t FROM dl),
+        cf AS (SELECT term, count(*) AS cf FROM toks
+               WHERE term IN ('spark', 'merge', 'filter') GROUP BY 1),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ('spark', 'merge', 'filter') GROUP BY 1, 2),
+        qt AS (SELECT * FROM (VALUES ('spark'), ('merge'), ('filter')) v(term)),
+        lp AS (SELECT dl.doc_id,
+            ${Q4("ln((CAST(coalesce(tf.tf, 0) AS DOUBLE) + CAST(2000.0 AS DOUBLE) * (CAST(cf.cf AS DOUBLE) / tot.t)) / (CAST(dl.dl AS DOUBLE) + CAST(2000.0 AS DOUBLE)))")} AS lp
+          FROM dl CROSS JOIN qt
+          JOIN cf USING (term)
+          LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = qt.term
+          CROSS JOIN tot)
+        SELECT doc_id, ${Q4(XSUM4("lp"))} AS ql
+        FROM lp GROUP BY doc_id
+        ORDER BY ql DESC, doc_id LIMIT 15"""),
+      "Dirichlet query-likelihood retrieval: smoothed LM scores replayed"),
+
     // ---- pseudo-relevance-feedback query expansion (RM3-style) -----------
     // The classic two-pass retrieval refinement: run the original query,
     // take the top-5 docs as pseudo-relevant, extract the 3

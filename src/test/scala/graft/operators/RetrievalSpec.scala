@@ -275,6 +275,33 @@ class RetrievalSpec extends SparkSpec {
     assert(ranked == Seq(10L, 11L))
   }
 
+  test("query likelihood: tf raises the score, length alone lowers it at tf=0") {
+    // The q218 Dirichlet formula on a fixture small enough to reason
+    // about: score = ln((tf + mu·cf/T) / (dl + mu)) for the single
+    // query term "ship", mu = 2000.
+    val d = Seq(
+      (10L, "ship ship cargo deck"),   // tf=2, dl=4
+      (11L, "ship cargo cargo deck"),  // tf=1, dl=4
+      (12L, "cargo cargo deck deck"),  // tf=0, dl=4
+      (13L, "cargo cargo deck deck cargo deck cargo deck") // tf=0, dl=8
+    ).toDF("doc_id", "text")
+    val toks = d.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val cfT = toks.filter(col("term") === "ship").count().toDouble /
+      toks.count().toDouble
+    val tf = toks.filter(col("term") === "ship")
+      .groupBy("doc_id").agg(count(lit(1)).as("tf"))
+    val score = dl.join(tf, Seq("doc_id"), "left")
+      .withColumn("ql", log(
+        (coalesce(col("tf"), lit(0L)).cast("double") + lit(2000.0d) * lit(cfT)) /
+          (col("dl").cast("double") + lit(2000.0d))))
+    val ranked = score.orderBy(col("ql").desc, col("doc_id").asc)
+      .collect().map(_.getLong(0)).toSeq
+    // more hits first; among tf=0 docs the shorter one wins (smoothing)
+    assert(ranked == Seq(10L, 11L, 12L, 13L))
+  }
+
   test("bm25MaxScoreTopK: pruned result ≡ exhaustive BM25 across query shapes") {
     val emb = graft.Tables.documents(spark, sf0001)
     val toks = emb.select(col("doc_id"),
