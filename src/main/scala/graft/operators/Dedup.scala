@@ -190,6 +190,73 @@ object Dedup {
       .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
   }
 
+  /** Prefix-filtered set-similarity join (the PPJoin family — Chaudhuri
+    * et al. 2006's SSJoin prefix filter, Xiao et al. 2008): exact
+    * τ-Jaccard pairs WITHOUT a blocking key and WITHOUT the full
+    * share-a-shingle pair explosion. Each document's distinct shingles
+    * are ordered by ascending global document frequency (rarest first,
+    * ties by hash); only the first |S| − ⌈τ·|S|⌉ + 1 shingles — the
+    * PREFIX — generate candidates, because two sets with J ≥ τ must
+    * share a prefix element under any common total order (overlap
+    * ≥ ⌈τ·max(|A|,|B|)⌉). Candidates then verify EXACTLY against both
+    * full sorted-hash sets.
+    *
+    * Why this scales where [[jaccardPairs]]' grouped-by-shingle form
+    * explodes: pair generation touches only ≈ (1−τ) of each set, and
+    * those are its RAREST shingles — the ubiquitous boilerplate shingle
+    * that forces jaccardPairs' maxDocFreq cap sorts to the END of every
+    * ordering and never reaches a prefix group unless a document is
+    * small or made of nothing but hot shingles. No cap means no
+    * lossiness: the unit pins prefix-pairs ≡ exhaustive pairs. Shingles
+    * ride shuffles as the portable 60-bit md5 hash (exact up to
+    * collisions, like the xxhash64 paths; portable so q219 replays
+    * every rank, prefix, candidate, and verdict cross-engine).
+    * Verification joins carry per-doc sorted hash arrays for CANDIDATE
+    * pairs only — O(|A|+|B|) each, the PPJoin contract.
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int = 3,
+                         minJaccard: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = explodedShingles(df, idCol, textCol, shingleSize)
+      .select(col("id"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val dfq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfq, "h")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("h"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
+    val prefix = ranked
+      .filter(col("rn") <=
+        col("n") - ceil(lit(minJaccard) * col("n")) + lit(1))
+      .select("id", "h")
+    val eligible = prefix.groupBy("h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2).select("h")
+    val cands = prefix.join(eligible, Seq("h"))
+      .groupBy("h").agg(sort_array(collect_list(col("id"))).as("ids"))
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"), explode(
+        slice(col("ids"), col("i") + lit(2),
+          size(col("ids")) - col("i") - lit(1))).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+    val sets = sh.groupBy("id")
+      .agg(sort_array(collect_list(col("h"))).as("hs"),
+        count(lit(1)).as("n"))
+    cands
+      .join(sets.select(col("id").as("id_a"), col("hs").as("ha"),
+        col("n").as("na")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("hs").as("hb"),
+        col("n").as("nb")), "id_b")
+      .withColumn("common", size(array_intersect(col("ha"), col("hb")))
+        .cast("long"))
+      .withColumn("jac", col("common").cast("double") /
+        (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jac") >= minJaccard)
+      .select("id_a", "id_b", "jac")
+  }
+
   /** Shingle-containment pairs: containment(a⊂b) = |Sa ∩ Sb| / |Sa|.
     * Catches the asymmetric duplicates Jaccard misses — an excerpt,
     * quote, or boilerplate-wrapped copy of a long document shares almost

@@ -131,6 +131,50 @@ object TextQueries {
       },
       "exact 3-gram Jaccard near-dup pairs, blocked by source"),
 
+    // ---- prefix-filtered similarity join (PPJoin family) ------------------
+    // Exact τ-Jaccard pairs with NO blocking key and NO share-a-shingle
+    // pair explosion: each doc's shingles order by ascending global df
+    // (rarest first), only the first |S|−⌈τ|S|⌉+1 generate candidates
+    // (two sets with J ≥ τ must share a prefix element), candidates
+    // verify exactly against both full hash sets. The hot boilerplate
+    // shingle that forces q58's maxDocFreq cap sorts LAST and never
+    // reaches a prefix group — pruning is provably lossless (the unit
+    // pins prefix ≡ exhaustive). Every rank, prefix cut, candidate, and
+    // verdict replays in DuckDB via the portable md5 shingle hash.
+    "q219_prefix_jaccard" -> Q(
+      (s, d) => Dedup.prefixJaccardPairs(Tables.documents(s, d),
+        "doc_id", "text", shingleSize = 3, minJaccard = 0.5)
+        .select(col("id_a"), col("id_b"), q4(col("jac")).as("jac")),
+      Some(s"""WITH sh AS (
+          SELECT DISTINCT doc_id AS id,
+            CAST(('0x' || substr(md5(toks[i+1] || ' ' || toks[i+2] || ' ' ||
+              toks[i+3]), 1, 15)) AS BIGINT) AS h
+          FROM (SELECT doc_id, $tokSql AS toks FROM documents),
+               LATERAL (SELECT unnest(range(0, greatest(len(toks) - 2, 0)))) AS g(i)),
+        dfq AS (SELECT h, count(*) AS df FROM sh GROUP BY 1),
+        rk AS (SELECT id, h,
+            row_number() OVER (PARTITION BY id ORDER BY df, h) AS rn,
+            count(*) OVER (PARTITION BY id) AS n
+          FROM sh JOIN dfq USING (h)),
+        pre AS (SELECT id, h FROM rk
+          WHERE rn <= n - CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT) + 1),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM pre a JOIN pre b USING (h) WHERE a.id < b.id),
+        sets AS (SELECT id, list_sort(list(h)) AS hs, count(*) AS n
+          FROM sh GROUP BY 1),
+        ver AS (SELECT id_a, id_b,
+            CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS common,
+            sa.n AS na, sb.n AS nb
+          FROM cand
+          JOIN sets sa ON sa.id = cand.id_a
+          JOIN sets sb ON sb.id = cand.id_b)
+        SELECT id_a, id_b,
+          ${Q4("CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE)")} AS jac
+        FROM ver
+        WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE)
+          >= CAST(0.5 AS DOUBLE)"""),
+      "prefix-filtered exact Jaccard join: lossless PPJoin-style pruning"),
+
     // ---- MinHash + LSH (banded) — sketch-based, no SQL oracle ---------------------------
     "q59_minhash_lsh" -> Q(
       (s, d) => Dedup.minhashCandidates(Tables.documents(s, d),

@@ -145,6 +145,32 @@ class DedupSpec extends SparkSpec {
     assert(b == c && b._2.forall(_.isEmpty))
   }
 
+  test("prefixJaccardPairs: prefix pruning is lossless vs exhaustive pairs") {
+    // near-dup pair (J ≈ 0.67), exact-dup pair (J = 1), plus docs whose
+    // ONLY shared shingle is corpus-wide boilerplate (J below τ) — the
+    // case where the prefix must still behave without a df cap
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight"),
+      (4L, "common header line alpha beta gamma delta epsilon"),
+      (5L, "common header line zeta eta theta iota kappa"),
+      (6L, "totally different words in every position here"))
+      .toDF("doc_id", "text").withColumn("blk", lit("b"))
+    val pref = Dedup.prefixJaccardPairs(corpus, "doc_id", "text",
+        shingleSize = 3, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> math.floor(j * 10000d + 0.5d) }.toMap
+    // exhaustive reference: every sharing pair, then the same τ filter
+    val full = Dedup.jaccardPairs(corpus, "doc_id", "text", "blk",
+        shingleSize = 3, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> math.floor(j * 10000d + 0.5d) }.toMap
+    assert(pref == full, s"prefix $pref != exhaustive $full")
+    assert(pref.contains((1L, 3L)) && pref((1L, 3L)) == 10000L)
+    assert(pref.contains((1L, 2L)) && !pref.contains((4L, 5L)))
+  }
+
   test("containmentPairs finds excerpts that jaccard misses") {
     val corpus = Seq(
       // doc 20 = a 5-token excerpt (3 shingles) of 9-shingle doc 21
