@@ -294,6 +294,52 @@ object Graphs {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Flatten a parent-child hierarchy (forest) to per-node (root, depth)
+    * by POINTER DOUBLING: each round every node's pointer jumps to its
+    * pointer's pointer while accumulating the hop distance, so a chain
+    * of depth D resolves in ⌈log₂ D⌉ rounds of one self-join each — the
+    * recursive-CTE closure Spark SQL lacks, without the D sequential
+    * joins a naive loop pays (a 1M-deep chain resolves in 20 rounds).
+    *
+    * Input contract: one row per node — (`idCol`, `parentCol`), parent
+    * NULL for roots. Dimension hierarchies (category trees, org charts,
+    * area→division rollups) are exactly this shape. Returns (id, root,
+    * depth). Cycles never terminate a doubling chain, so `maxIter`
+    * bounds the loop (a well-formed forest of depth ≤ 2^maxIter
+    * converges — the unit pins chain, forest, and deep-chain shapes;
+    * rows on a cycle would surface with depth > node count, an easy
+    * caller-side audit). Same persistStep/free
+    * cadence as [[connectedComponents]]: the static input never
+    * re-shuffles; only the shrinking pointer state moves per round.
+    */
+  def flattenHierarchy(nodes: DataFrame, idCol: String, parentCol: String,
+                       maxIter: Int = 25,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    var state = persistStep(
+      nodes.select(col(idCol).as("id"),
+        coalesce(col(parentCol), col(idCol)).as("ptr"),
+        when(col(parentCol).isNull, lit(0L)).otherwise(lit(1L)).as("dist")),
+      checkpointDir, eager = true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val prev = state
+      val ptrs = state.select(col("id").as("__p"), col("ptr").as("__pp"),
+        col("dist").as("__pd"))
+      val next = persistStep(
+        state.join(ptrs, col("ptr") === col("__p"), "left")
+          .select(col("id"), coalesce(col("__pp"), col("ptr")).as("ptr"),
+            (col("dist") + coalesce(col("__pd"), lit(0L))).as("dist"),
+            (coalesce(col("__pd"), lit(0L)) > 0L).as("__changed")),
+        checkpointDir, eager = false)
+      converged = next.filter(col("__changed")).count() == 0L
+      state = next.drop("__changed")
+      freeCheckpoint(prev)
+      iter += 1
+    }
+    state.select(col("id"), col("ptr").as("root"), col("dist").as("depth"))
+  }
+
   /** Unpersist a localCheckpoint'd DataFrame's materialized RDD (Dataset
     * .unpersist only covers CacheManager entries, not checkpoint RDDs).
     * No-op on frames that aren't checkpoint scans. Public because every

@@ -582,6 +582,48 @@ object RelationalQueries {
       },
       Some(q3Sql("customer", "orders", "lineitem")),
       "TPC-H Q3 as shared SQL text through spark.sql()"),
+
+    // ---- hierarchy flatten (transitive closure to roots) ------------------
+    // The recursive-CTE capability Spark SQL lacks, as a pointer-doubling
+    // operator: region ← nation ← customer ← order assembled into one
+    // parent-child forest, every node resolved to (root, depth) in
+    // ⌈log₂ depth⌉ self-joins — 2 rounds here, 20 for a million-deep
+    // chain. The oracle IS a recursive CTE (DuckDB has one), walking
+    // down from the roots; hash equality proves the doubling loop
+    // computes exactly the closure. Scale shape: the static node table
+    // never re-shuffles; only the pointer state (one slim row per node)
+    // moves per round, and rounds shrink to no-ops once chains resolve.
+    "q220_hierarchy_flatten" -> Q(
+      (s, d) => {
+        val r = Tables.region(s, d).select(
+          concat(lit("r_"), col("r_regionkey")).as("id"),
+          lit(null).cast("string").as("parent"))
+        val n = Tables.nation(s, d).select(
+          concat(lit("n_"), col("n_nationkey")).as("id"),
+          concat(lit("r_"), col("n_regionkey")).as("parent"))
+        val c = Tables.customer(s, d).select(
+          concat(lit("c_"), col("c_custkey")).as("id"),
+          concat(lit("n_"), col("c_nationkey")).as("parent"))
+        val o = Tables.orders(s, d).select(
+          concat(lit("o_"), col("o_orderkey")).as("id"),
+          concat(lit("c_"), col("o_custkey")).as("parent"))
+        val nodes = r.unionByName(n).unionByName(c).unionByName(o)
+        graft.operators.Graphs.flattenHierarchy(nodes, "id", "parent")
+      },
+      Some("""WITH RECURSIVE h AS (
+          SELECT 'r_' || r_regionkey AS id, CAST(NULL AS VARCHAR) AS parent
+          FROM region
+          UNION ALL SELECT 'n_' || n_nationkey, 'r_' || n_regionkey FROM nation
+          UNION ALL SELECT 'c_' || c_custkey, 'n_' || c_nationkey FROM customer
+          UNION ALL SELECT 'o_' || o_orderkey, 'c_' || o_custkey FROM orders),
+        walk AS (
+          SELECT id, id AS root, CAST(0 AS BIGINT) AS depth
+          FROM h WHERE parent IS NULL
+          UNION ALL
+          SELECT h.id, w.root, w.depth + 1
+          FROM h JOIN walk w ON h.parent = w.id)
+        SELECT id, root, depth FROM walk"""),
+      "hierarchy flatten: pointer-doubling closure vs recursive-CTE oracle"),
   )
 
   /** TPC-H Q3 (shipping priority), written in the common SQL dialect

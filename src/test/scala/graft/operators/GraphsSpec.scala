@@ -105,4 +105,27 @@ class GraphsSpec extends SparkSpec {
       .select("doc_id", "component").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 4L, 5L -> 5L))
   }
+
+  test("flattenHierarchy: forest roots/depths exact, deep chain in log rounds") {
+    // two trees: r1 ← a ← b ← c (chain) and r2 ← x, plus lone root r3
+    val nodes = Seq(
+      ("r1", None), ("a", Some("r1")), ("b", Some("a")), ("c", Some("b")),
+      ("r2", None), ("x", Some("r2")), ("r3", None))
+      .toDF("id", "parent")
+    val got = Graphs.flattenHierarchy(nodes, "id", "parent")
+      .as[(String, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      "r1" -> (("r1", 0L)), "a" -> (("r1", 1L)), "b" -> (("r1", 2L)),
+      "c" -> (("r1", 3L)), "r2" -> (("r2", 0L)), "x" -> (("r2", 1L)),
+      "r3" -> (("r3", 0L))))
+    // a 70-deep chain converges within maxIter=8 (2^8 ≥ 70) — doubling,
+    // not one-hop-per-round
+    val chain = (("n0", None: Option[String]) +:
+      (1 to 70).map(i => (s"n$i", Some(s"n${i - 1}")))).toDF("id", "parent")
+    val deep = Graphs.flattenHierarchy(chain, "id", "parent", maxIter = 8)
+      .as[(String, String, Long)].collect()
+    assert(deep.length == 71 && deep.forall(_._2 == "n0"))
+    assert(deep.find(_._1 == "n70").get._3 == 70L)
+  }
 }
