@@ -125,6 +125,36 @@ object Sampling {
       .drop("__rank")
   }
 
+  /** Leakage-free train/val/test split: the q100 md5 gate applied to
+    * the near-dup GROUP instead of the document. A plain per-doc hash
+    * split puts two near-duplicates of the same page on opposite sides
+    * of the train/test fence — the classic eval-contamination leak a
+    * per-doc gate cannot see. Here every document first resolves to its
+    * duplicate-group component ([[Graphs.dupGroups]] over caller-chosen
+    * near-dup edges — exact, Jaccard, MinHash, or semantic), and the
+    * gate hashes the COMPONENT id, so an entire dup group always lands
+    * in one split. Docs with no near-dup edge are singleton groups and
+    * split exactly as q100 would.
+    *
+    * Returns (id, component, split). Gate thresholds are on the first
+    * two hex chars of md5(salt || component): test < '0d' (≈ 5%),
+    * val < '1a' (≈ 5%), else train — identical constants to q100 so the
+    * two splits are comparable. Scale: the component join is the only
+    * addition over q100; the edge set is whatever the chosen dedup
+    * operator produces (banded/blocked, never all-pairs).
+    */
+  def leakageFreeSplit(docs: DataFrame, idCol: String, edges: DataFrame,
+                       srcCol: String, dstCol: String,
+                       salt: String = "graft-split:"): DataFrame = {
+    val groups = Graphs.dupGroups(docs.select(col(idCol)), idCol,
+      edges, srcCol, dstCol)
+    val gate = substring(
+      md5(concat(lit(salt), col("component").cast("string"))), 1, 2)
+    groups.select(col(idCol), col("component"),
+      when(gate < "0d", "test").when(gate < "1a", "val")
+        .otherwise("train").as("split"))
+  }
+
   /** Temperature-scaled domain rebalancing — the multilingual-sampling
     * rule (sampling probability ∝ p_s^α for natural share p_s, the
     * exponentiated-share mix used by multilingual pretraining recipes):

@@ -1449,5 +1449,58 @@ object CorpusQueries {
         SELECT sum_z2, CAST(sum_z2 AS DOUBLE) / 16 AS est_f2, true_f2
         FROM e, tr"""),
       "AMS tug-of-war sketch: signed counters and F2 estimate replayed"),
+
+    // ---- leakage-free (group-aware) train/val/test split -----------------
+    // q100's md5 gate hashed per DOCUMENT, so two near-duplicates of the
+    // same page could land on opposite sides of the train/test fence —
+    // the eval-contamination leak a per-doc split cannot see. Here the
+    // gate hashes the near-dup COMPONENT (Jaccard ≥ 0.5 pairs → connected
+    // components, the q97 machinery), so every dup group moves as one
+    // unit; singletons split exactly as q100 would. The oracle replays
+    // pairs → recursive-CTE components → gate end to end.
+    "q221_leakage_split" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val edges = Dedup.jaccardPairs(docs, "doc_id", "text",
+          blockCol = "source", shingleSize = 3, minJaccard = 0.5,
+          maxDocFreq = 1000L)
+        graft.operators.Sampling.leakageFreeSplit(
+          docs, "doc_id", edges, "id_a", "id_b")
+      },
+      Some(s"""WITH RECURSIVE sh AS (
+          SELECT DISTINCT doc_id, source, shingle FROM (
+            SELECT doc_id, source,
+              toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS shingle
+            FROM (SELECT doc_id, source, $tokSql AS toks FROM documents),
+                 LATERAL (SELECT unnest(range(0, greatest(len(toks) - 3 + 1, 0)))) AS g(i))),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS c
+          FROM sh l JOIN sh r ON l.source = r.source AND l.shingle = r.shingle
+                             AND l.doc_id < r.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b FROM common
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (SELECT a AS id, min(b) AS mn FROM reach GROUP BY a),
+        labeled AS (
+          SELECT d.doc_id,
+            COALESCE(least(c.mn, d.doc_id), d.doc_id) AS component
+          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+        SELECT doc_id, component,
+          CASE WHEN g < '0d' THEN 'test' WHEN g < '1a' THEN 'val'
+               ELSE 'train' END AS split
+        FROM (SELECT doc_id, component,
+            substr(md5('graft-split:' || CAST(component AS VARCHAR)), 1, 2) AS g
+          FROM labeled)"""),
+      "group-aware split: near-dup components share one train/val/test fate"),
   )
 }

@@ -366,6 +366,26 @@ class CorpusPrepSpec extends SparkSpec {
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("leakageFreeSplit: dup groups share one split, singletons gate per-doc") {
+    val docs = (1L to 40L).map(i => Tuple1(i)).toDF("doc_id")
+    // components: {1,2,3} (chain), {10,11}, rest singletons
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Sampling.leakageFreeSplit(docs, "doc_id", edges, "id_a", "id_b")
+      .as[(Long, Long, String)].collect()
+    assert(got.length == 40)
+    val byId = got.map(r => r._1 -> r).toMap
+    // entire group inherits the component-min's gate — no fence crossing
+    assert(Set(byId(1L), byId(2L), byId(3L)).map(_._3).size == 1)
+    assert(byId(10L)._3 == byId(11L)._3)
+    assert(byId(1L)._2 == 1L && byId(10L)._2 == 10L)
+    // a singleton's verdict equals the per-doc q100 gate on its own id
+    val g = java.security.MessageDigest.getInstance("MD5")
+      .digest("graft-split:25".getBytes("UTF-8"))
+      .take(1).map("%02x".format(_)).mkString
+    val expect25 = if (g < "0d") "test" else if (g < "1a") "val" else "train"
+    assert(byId(25L)._3 == expect25)
+  }
+
   test("uniformPerGroup: exactly k per big group, all of small groups, stable") {
     val rows = (1 to 55).map(i => (i.toLong, if (i <= 50) "big" else "small"))
     val df = rows.toDF("id", "grp")
