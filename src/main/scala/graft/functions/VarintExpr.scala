@@ -1,0 +1,206 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
+
+/** Delta + LEB128-varint codec for sorted posting lists, as native
+  * codegen expressions — the storage format every serious inverted index
+  * uses (gaps between ascending doc ids are small, so most postings fit
+  * one byte instead of eight). At 100 TB the index's dominant cost is
+  * its own storage and scan bandwidth; a 5–8× postings shrink is a 5–8×
+  * serve-time scan cut on top of parquet's own encodings, and the codec
+  * runs inside whole-stage codegen (tight byte loops, zero boxing) —
+  * built-in functions could only express it as an interpreted
+  * aggregate() over per-element allocations (the RollingHashExpr
+  * rationale, SURVEY.md §7.4 preference order).
+  *
+  * Contract: input arrays are ascending and non-negative (what
+  * Indexing.buildPostings emits). A negative gap — unsorted input —
+  * raises rather than corrupting the stream. Encode writes gap₀ = v₀,
+  * gapᵢ = vᵢ − vᵢ₋₁, each as little-endian base-128 with the high bit
+  * as continuation; decode prefix-sums back to absolute ids. Decode ∘
+  * encode = identity (unit + q222's oracle-verified round trip).
+  */
+case class VarintEncodeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "varint_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT> input, got ${other.catalogString}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var size = 0
+    var prev = 0L
+    var i = 0
+    while (i < n) {
+      val v = a.getLong(i)
+      val gap = if (i == 0) v else v - prev
+      if (gap < 0) throw new IllegalArgumentException(
+        s"varint_encode requires ascending non-negative input, gap $gap")
+      prev = v
+      var g = gap >>> 7
+      size += 1
+      while (g != 0L) { size += 1; g >>>= 7 }
+      i += 1
+    }
+    val out = new Array[Byte](size)
+    var p = 0
+    prev = 0L
+    i = 0
+    while (i < n) {
+      val v = a.getLong(i)
+      var g = if (i == 0) v else v - prev
+      prev = v
+      while ((g & ~0x7FL) != 0L) {
+        out(p) = ((g & 0x7FL) | 0x80L).toByte; p += 1; g >>>= 7
+      }
+      out(p) = g.toByte; p += 1
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val size = ctx.freshName("size")
+      val prev = ctx.freshName("prev")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      val gap = ctx.freshName("gap")
+      val g = ctx.freshName("g")
+      val out = ctx.freshName("out")
+      val p = ctx.freshName("p")
+      s"""
+        int $n = $c.numElements();
+        int $size = 0;
+        long $prev = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          long $v = $c.getLong($i);
+          long $gap = $i == 0 ? $v : $v - $prev;
+          if ($gap < 0L) throw new IllegalArgumentException(
+            "varint_encode requires ascending non-negative input, gap " + $gap);
+          $prev = $v;
+          long $g = $gap >>> 7;
+          $size++;
+          while ($g != 0L) { $size++; $g >>>= 7; }
+        }
+        byte[] $out = new byte[$size];
+        int $p = 0;
+        $prev = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          long $v = $c.getLong($i);
+          long $g = $i == 0 ? $v : $v - $prev;
+          $prev = $v;
+          while (($g & ~0x7FL) != 0L) {
+            $out[$p++] = (byte) (($g & 0x7FL) | 0x80L);
+            $g >>>= 7;
+          }
+          $out[$p++] = (byte) $g;
+        }
+        ${ev.value} = $out;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VarintEncodeExpr =
+    copy(child = newChild)
+}
+
+/** Inverse of [[VarintEncodeExpr]]: LEB128 gaps → prefix-summed
+  * ascending array<long>. See the codec contract there. */
+case class VarintDecodeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "varint_decode"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${child.dataType.catalogString}")
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    var n = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0x80) == 0) n += 1
+      i += 1
+    }
+    val vals = new Array[Long](n)
+    var idx = 0
+    var acc = 0L
+    var shift = 0
+    var run = 0L
+    i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      acc |= (b & 0x7FL) << shift
+      if ((b & 0x80) == 0) {
+        run += acc
+        vals(idx) = run; idx += 1
+        acc = 0L; shift = 0
+      } else shift += 7
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(vals)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val vals = ctx.freshName("vals")
+      val idx = ctx.freshName("idx")
+      val acc = ctx.freshName("acc")
+      val shift = ctx.freshName("shift")
+      val run = ctx.freshName("run")
+      val b = ctx.freshName("b")
+      s"""
+        int $n = 0;
+        for (int $i = 0; $i < $c.length; $i++) {
+          if (($c[$i] & 0x80) == 0) $n++;
+        }
+        long[] $vals = new long[$n];
+        int $idx = 0;
+        long $acc = 0L;
+        int $shift = 0;
+        long $run = 0L;
+        for (int $i = 0; $i < $c.length; $i++) {
+          byte $b = $c[$i];
+          $acc |= ((long) ($b & 0x7F)) << $shift;
+          if (($b & 0x80) == 0) {
+            $run += $acc;
+            $vals[$idx++] = $run;
+            $acc = 0L; $shift = 0;
+          } else $shift += 7;
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray($vals);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VarintDecodeExpr =
+    copy(child = newChild)
+}
+
+/** Column-API face of the varint codec. */
+object Varint {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  def encode(sortedLongs: Column): Column =
+    ColumnBridge.column(VarintEncodeExpr(ColumnBridge.expression(sortedLongs)))
+
+  def decode(bytes: Column): Column =
+    ColumnBridge.column(VarintDecodeExpr(ColumnBridge.expression(bytes)))
+}

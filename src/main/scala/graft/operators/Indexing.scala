@@ -26,6 +26,22 @@ object Indexing {
       .groupBy("term")
       .agg(array_sort(collect_list(col("id"))).as("postings"))
 
+  /** Posting lists as delta+varint-packed binary — the storage format of
+    * every serious inverted index (gaps between ascending doc ids are
+    * small; most postings take 1 byte instead of 8). The codec is the
+    * native codegen'd [[graft.functions.VarintEncodeExpr]] pair; this is
+    * the index-level face: (term, postings) ↔ (term, enc binary).
+    * Compression composes with parquet's own page encodings and cuts
+    * serve-time scan bandwidth by the same factor. */
+  def compressPostings(index: DataFrame): DataFrame =
+    index.select(col("term"),
+      graft.functions.Varint.encode(col("postings")).as("enc"))
+
+  /** Inverse of [[compressPostings]] — restores (term, postings). */
+  def decompressPostings(compressed: DataFrame): DataFrame =
+    compressed.select(col("term"),
+      graft.functions.Varint.decode(col("enc")).as("postings"))
+
   /** Merge a delta index into a stored index: full outer join on term,
     * union + dedup + re-sort the two posting lists. Cost is keyed by
     * |terms|, not corpus size — the indexed documents are never

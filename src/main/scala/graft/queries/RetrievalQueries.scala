@@ -286,6 +286,53 @@ object RetrievalQueries {
         ORDER BY ql DESC, doc_id LIMIT 15"""),
       "Dirichlet query-likelihood retrieval: smoothed LM scores replayed"),
 
+    // ---- varint-compressed postings storage ------------------------------
+    // The q125 index stored with the delta+LEB128 codec every production
+    // inverted index uses: ascending doc-id gaps varint-pack to ~1 byte
+    // each instead of 8, cutting index storage AND serve-time scan
+    // bandwidth by the same factor (on top of parquet's page encodings).
+    // The codec is a native codegen'd Expression pair (tight byte loops
+    // inside WholeStageCodegen — a SQL formulation would be an
+    // interpreted per-element aggregate). The round trip is REAL: encode
+    // → parquet → read back → decode → explode; the oracle rebuilds
+    // postings straight from the corpus AND recomputes every term's
+    // exact encoded byte count from the gap sequence (pure integer
+    // threshold sums), so a single wrong continuation bit anywhere
+    // breaks the hash.
+    "q222_varint_postings" -> Q(
+      (s, d) => {
+        val idx = Indexing.buildPostings(Tables.documents(s, d),
+          "doc_id", "text")
+        val dir = Files.createTempDirectory("graft_varint_idx").toString
+        Indexing.compressPostings(idx).write.mode("overwrite").parquet(dir)
+        val stored = s.read.parquet(dir)
+        Indexing.decompressPostings(stored)
+          .join(stored.select(col("term"),
+            octet_length(col("enc")).cast("long").as("bytes_enc")), "term")
+          .select(col("term"), col("bytes_enc"),
+            explode(col("postings")).as("doc_id"))
+      },
+      Some(s"""WITH post AS (
+          SELECT DISTINCT doc_id, tok AS term FROM (
+            SELECT doc_id, unnest($tokSql) AS tok FROM documents)
+          WHERE tok <> ''),
+        gaps AS (SELECT term, doc_id,
+            doc_id - coalesce(lag(doc_id) OVER (
+              PARTITION BY term ORDER BY doc_id), 0) AS gap
+          FROM post),
+        tb AS (SELECT term, CAST(sum(1
+            + CAST(gap >= 128 AS INT)
+            + CAST(gap >= 16384 AS INT)
+            + CAST(gap >= 2097152 AS INT)
+            + CAST(gap >= 268435456 AS INT)
+            + CAST(gap >= 34359738368 AS INT)
+            + CAST(gap >= 4398046511104 AS INT)
+            + CAST(gap >= 562949953421312 AS INT)) AS BIGINT) AS bytes_enc
+          FROM gaps GROUP BY 1)
+        SELECT g.term AS term, tb.bytes_enc AS bytes_enc, g.doc_id AS doc_id
+        FROM gaps g JOIN tb USING (term)"""),
+      "varint-packed postings: parquet round trip + exact byte accounting"),
+
     // ---- pseudo-relevance-feedback query expansion (RM3-style) -----------
     // The classic two-pass retrieval refinement: run the original query,
     // take the top-5 docs as pseudo-relevant, extract the 3

@@ -140,6 +140,35 @@ class TextSpec extends SparkSpec {
     assert(plan.contains("*(1) Project") && plan.contains("rolling_hash"), plan)
   }
 
+  test("Varint codec: decode ∘ encode = identity, bytes shrink, codegen stage") {
+    // round trip across shapes: empty, single, dense gaps, 2^40-scale ids
+    val arrays: Seq[Seq[Long]] = Seq(
+      Seq(), Seq(0L), Seq(7L), Seq(1L, 2L, 3L, 4L, 5L),
+      Seq(100L, 227L, 228L, 100000L),
+      Seq(1L << 40, (1L << 40) + 1, (1L << 41)))
+    val df = arrays.map(Tuple1(_)).toDF("a")
+    val back = df.select(Varint.decode(Varint.encode(col("a"))).as("b"))
+      .as[Seq[Long]].collect().toSeq
+    assert(back == arrays)
+    // dense ascending ids: ~1 byte per posting vs 8 raw
+    val dense = Seq(Tuple1((1000L to 2000L).toSeq)).toDF("a")
+    val nBytes = dense.select(octet_length(Varint.encode(col("a"))))
+      .as[Int].head()
+    assert(nBytes < 1010 && nBytes >= 1002, s"dense encoding $nBytes bytes")
+    // unsorted input raises instead of corrupting the stream
+    val bad = Seq(Tuple1(Seq(5L, 3L))).toDF("a")
+    val ex = intercept[Exception] {
+      bad.select(Varint.encode(col("a"))).collect()
+    }
+    assert(ex.getMessage != null)
+    // the codec participates in whole-stage codegen
+    val plan = spark.range(3)
+      .select(array(col("id"), col("id") + 10).as("a"))
+      .select(Varint.decode(Varint.encode(col("a"))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("varint_"), plan)
+  }
+
   test("rollingHash deterministic and content-sensitive") {
     val df = Seq(("abc", "abc", "abd")).toDF("a", "b", "c")
     val r = df.select(Text.rollingHash(col("a")) === Text.rollingHash(col("b")),
