@@ -1502,5 +1502,61 @@ object CorpusQueries {
             substr(md5('graft-split:' || CAST(component AS VARCHAR)), 1, 2) AS g
           FROM labeled)"""),
       "group-aware split: near-dup components share one train/val/test fate"),
+
+    // ---- HLL set-intersection estimates (inclusion-exclusion) ------------
+    // q142 unions per-source HLL sketches; this answers the OTHER
+    // planning question — how much vocabulary do two sources SHARE —
+    // without ever joining them: |A∩B| ≈ est(A) + est(B) − est(A∪B),
+    // three estimates off the same few-KB mergeable sketches (scalar
+    // hll_union on the stored blobs, no data access). The corpus is
+    // touched once to sketch; the pair frame is #sources² sketch rows.
+    // Contract-verified like q142: the exact per-pair overlap (computed
+    // by the oracle AND by a Spark exact join at fixture scale) must sit
+    // within 5% of the exact union — the standard inclusion-exclusion
+    // error envelope at lgK=12.
+    "q223_hll_intersect" -> Q(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("source"),
+            explode(Text.tokens(Text.normalize(col("text")))).as("term"))
+          .filter(col("term") =!= "").distinct()
+        val sk = toks.groupBy("source")
+          .agg(expr("hll_sketch_agg(term, 12)").as("sk"),
+            count(lit(1)).as("n"))
+        val pairs = sk.as("a").join(sk.as("b"),
+            col("a.source") < col("b.source"))
+          .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+            expr("hll_sketch_estimate(a.sk)").as("ea"),
+            expr("hll_sketch_estimate(b.sk)").as("eb"),
+            expr("hll_sketch_estimate(hll_union(a.sk, b.sk))").as("eu"),
+            col("a.n").as("na"), col("b.n").as("nb"))
+        val common = toks.as("x").join(toks.as("y"),
+            col("x.term") === col("y.term") &&
+              col("x.source") < col("y.source"))
+          .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+          .agg(count(lit(1)).as("exact_common"))
+        pairs.join(common, Seq("src_a", "src_b"), "left")
+          .withColumn("exact_common", coalesce(col("exact_common"), lit(0L)))
+          .select(col("src_a"), col("src_b"), col("exact_common"),
+            (abs((col("ea") + col("eb") - col("eu")) -
+              col("exact_common").cast("double")) <=
+              (col("na") + col("nb") - col("exact_common")).cast("double") *
+                0.05d).as("within_bound"))
+      },
+      Some(s"""WITH st AS (
+          SELECT DISTINCT source, tok AS term FROM (
+            SELECT source, unnest($tokSql) AS tok FROM documents)
+          WHERE tok <> ''),
+        n AS (SELECT source, count(*) AS n FROM st GROUP BY 1),
+        c AS (SELECT x.source AS src_a, y.source AS src_b,
+            count(*) AS exact_common
+          FROM st x JOIN st y ON x.term = y.term AND x.source < y.source
+          GROUP BY 1, 2)
+        SELECT a.source AS src_a, b.source AS src_b,
+          CAST(coalesce(c.exact_common, 0) AS BIGINT) AS exact_common,
+          TRUE AS within_bound
+        FROM n a JOIN n b ON a.source < b.source
+        LEFT JOIN c ON c.src_a = a.source AND c.src_b = b.source"""),
+      "HLL inclusion-exclusion: cross-source overlap from mergeable sketches"),
   )
 }
