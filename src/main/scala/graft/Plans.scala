@@ -67,7 +67,12 @@ object Plans {
     "q211_count_min" -> "count-min: depth-exploded scan folds into ≤ depth×width cells via ONE map-side-combined agg, probes broadcast-class",
     "q212_semdedup" -> "SemDeDup: centroid argmin in scan-side codegen (no assignment join), pair join keyed on cluster id only",
     "q214_dsir_weights" -> "DSIR: 64-cell model fit then broadcast back — corpus scans twice, never shuffles; score agg keys on doc id",
-    "q216_grid_quantiles" -> "grid quantiles: rows fold to ~105 cells/flag in ONE agg; windows + quantile explode run over the sketch, not the data")
+    "q216_grid_quantiles" -> "grid quantiles: rows fold to ~105 cells/flag in ONE agg; windows + quantile explode run over the sketch, not the data",
+    "q217_ams_f2" -> "AMS F2: depth-exploded signs fold into ≤ k counters via ONE map-side-combined agg; estimate reads k rows",
+    "q218_query_likelihood" -> "query likelihood: cf/term sides broadcast, ONE dl agg shuffle, T re-aggregates dl (no second corpus pass), top-k as TakeOrderedAndProject",
+    "q219_prefix_jaccard" -> "prefix jaccard: df-ranked per-doc windows, ONLY prefix rows reach the candidate group-by, verification joins carry candidate pairs not the corpus",
+    "q220_hierarchy_flatten" -> "hierarchy flatten: static node table, pointer state only moves per doubling round, log-depth rounds",
+    "q222_varint_postings" -> "varint postings: term-keyed index agg, encode/decode inside scan-side codegen, byte accounting off the stored binary")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

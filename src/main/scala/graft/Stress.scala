@@ -89,7 +89,22 @@ object Stress {
       // 10× clusters² — the operator's documented scale path grows k
       // with the corpus, which the fixture query deliberately doesn't.
       "q211_count_min", "q213_reservoir_sample", "q214_dsir_weights",
-      "q215_bloom_filter", "q216_grid_quantiles")
+      "q215_bloom_filter", "q216_grid_quantiles",
+      // round-7 fourth wave: AMS F2 (bounded counters + the true-F2
+      // corpus agg), prefix-filtered Jaccard (the PPJoin candidate
+      // path — NOTE: q219 has no blocking key BY DESIGN, so the salted
+      // corpus's 10 verbatim text replicas make every doc a 10-way
+      // exact dup and the TRUE τ-pair OUTPUT grows ~45× quadratically
+      // across replicas; its ratio measures output growth, not operator
+      // overhead — ~20 at 10× is deeply sublinear per emitted pair),
+      // Dirichlet QL (all-docs scoring, fixed terms), hierarchy flatten
+      // (pointer doubling over 10× nodes), leakage split (pairs →
+      // components → gate), varint postings (index build + codec round
+      // trip through parquet), HLL intersections (sketch build linear,
+      // pair frame flat)
+      "q217_ams_f2", "q219_prefix_jaccard", "q218_query_likelihood",
+      "q220_hierarchy_flatten", "q221_leakage_split",
+      "q222_varint_postings", "q223_hll_intersect")
       // STRESS_ONLY=q211_count_min,q214_dsir_weights narrows a run to
       // the named targets (comma-separated) — new-op iteration without
       // re-timing the whole suite
@@ -139,7 +154,7 @@ object Stress {
     * builder invalidates corpora built before it existed). */
   def buildCorpus(spark: SparkSession, srcDir: String, outDir: String,
                   factor: Int): Unit = {
-    val marker = new java.io.File(s"$outDir/_built_v2_x$factor")
+    val marker = new java.io.File(s"$outDir/_built_v3_x$factor")
     if (marker.exists()) return
     val off = 10000000L // id-space stride per replica
     def salted(table: String)(f: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Unit = {
@@ -166,6 +181,17 @@ object Stress {
     salted("orders") { (df, d) =>
       df.withColumn("o_orderkey", col("o_orderkey") + d)
         .withColumn("o_custkey", col("o_custkey") + d)
+    }
+    // fact-side hierarchy tables: customers salt with the same stride the
+    // orders FK uses (FK consistency across replicas); nation/region are
+    // genuine shared dimensions — 10× facts, fixed dims, as a real
+    // warehouse grows
+    salted("customer") { (df, d) =>
+      df.withColumn("c_custkey", col("c_custkey") + d)
+    }
+    for (t <- Seq("nation", "region")) {
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
     // labels salt too (small stride — the label space is ~10 wide):
     // un-salted labels would make every replica's vectors near-dup

@@ -601,6 +601,53 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos4")
   }
 
+  /** Matryoshka-style truncated-dimension retrieval (Kusupati et al.
+    * 2022's MRL deployment pattern): shortlist on the FIRST `dPrefix`
+    * coordinates only — MRL-trained embeddings pack most signal into
+    * the leading dims — then re-rank the candidates exactly on the full
+    * vector. The [[pqRerankTopK]] two-stage shape with dimension
+    * truncation as the cheap stage instead of codes: stage 1's dot is
+    * dPrefix/d of the work (and, at scale, dPrefix/d of the scan when
+    * the prefix is stored as its own column), stage 2 touches full
+    * vectors for |queries|×candK rows only. Both stages rank on the
+    * quantized-cosine contract (q4, id tie-break) so q224 replays the
+    * whole cascade; recall vs full brute force is the unit's business.
+    */
+  def truncatedRerankTopK(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, k: Int,
+                          dPrefix: Int, candK: Int): DataFrame = {
+    require(candK >= k, s"candidate pool $candK must cover final k=$k")
+    require(dPrefix >= 1, s"dPrefix must be >= 1, got $dPrefix")
+    val qt = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec"), Vectors.norm(col(vecCol)).as("qnrm"),
+      slice(col(vecCol), 1, dPrefix).as("qtv"))
+      .withColumn("qtn", Vectors.norm(col("qtv")))
+    val ct = corpus.select(col(idCol).as("neighbor_id"),
+      slice(col(vecCol), 1, dPrefix).as("ntv"))
+      .withColumn("ntn", Vectors.norm(col("ntv")))
+    val short = ct.join(broadcast(qt.select("query_id", "qtv", "qtn")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("t4", q4(Vectors.dot(col("qtv"), col("ntv")) /
+        (col("qtn") * col("ntn"))))
+    val ws = Window.partitionBy("query_id")
+      .orderBy(col("t4").desc, col("neighbor_id").asc)
+    val cand = short.withColumn("crank", row_number().over(ws))
+      .filter(col("crank") <= candK)
+      .select("query_id", "neighbor_id")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      Vectors.norm(col(vecCol)).as("nnrm"))
+    val scored = cand
+      .join(broadcast(qt.select("query_id", "qvec", "qnrm")), "query_id")
+      .join(c, "neighbor_id")
+      .withColumn("cos4", q4(Vectors.dot(col("qvec"), col("nvec")) /
+        (col("qnrm") * col("nnrm"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos4").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos4")
+  }
+
   /** IVFPQ — the materialized billion-scale ANN layout: the inverted
     * file prunes WHICH files a query reads (partition pruning on the
     * coarse bucket), PQ codes shrink WHAT those files hold (m small ints

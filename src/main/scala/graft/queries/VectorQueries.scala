@@ -770,6 +770,44 @@ object VectorQueries {
               FROM rr) WHERE rank <= 5"""),
       "two-stage PQ: ADC shortlist of 20, exact quantized-cosine re-rank"),
 
+    // ---- Matryoshka truncated-dimension rerank ----------------------------
+    // The MRL deployment cascade (Kusupati et al. 2022): shortlist on
+    // the FIRST 16 of 64 dims (¼ the dot-product work; at scale the
+    // prefix is its own stored column and the shortlist scan reads ¼
+    // the bytes), then exact full-dim re-rank of the 25 candidates per
+    // query. Both stages rank on the q207 quantized-cosine contract, so
+    // the oracle replays shortlist AND rerank bit-for-bit — DuckDB list
+    // slices are 1-based inclusive, matching Spark's slice(vec, 1, 16).
+    "q224_matryoshka_rerank" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.truncatedRerankTopK(emb,
+          emb.filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", k = 10, dPrefix = 16, candK = 25)
+      },
+      Some(s"""WITH q AS (
+          SELECT vec_id AS query_id, embedding FROM embeddings
+          WHERE vec_id % 100 = 0),
+        short AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+            ${Q4("list_cosine_similarity(CAST(q.embedding[1:16] AS DOUBLE[]), CAST(c.embedding[1:16] AS DOUBLE[]))")} AS t4
+          FROM q JOIN embeddings c ON c.vec_id <> q.query_id),
+        cand AS (SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY t4 DESC, neighbor_id) AS crank
+            FROM short) WHERE crank <= 25),
+        rer AS (
+          SELECT cand.query_id, cand.neighbor_id,
+            ${Q4("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))")} AS cos4
+          FROM cand
+          JOIN q ON q.query_id = cand.query_id
+          JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos4
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos4 DESC, neighbor_id) AS rank FROM rer)
+        WHERE rank <= 10"""),
+      "Matryoshka cascade: 16-dim shortlist, exact 64-dim re-rank, replayed"),
+
     // ---- JL random projection ----------------------------------------------
     // Dimensionality reduction as a MAP-ONLY pass: every 32-dim embedding
     // projects to 8 md5-dyadic hyperplane coordinates (the q185 LSH

@@ -699,6 +699,26 @@ class SimilaritySpec extends SparkSpec {
     assert(hF == tF, s"full-pool rerank must equal quantized brute force ($hF/$tF)")
   }
 
+  test("truncatedRerankTopK: prefix shortlist + exact rerank, full pool ≡ brute force") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+    val mrl = Similarity.truncatedRerankTopK(emb, queries, "vec_id",
+      "embedding", k = 5, dPrefix = 16, candK = 30)
+    assert(mrl.filter(col("query_id") === col("neighbor_id")).isEmpty)
+    assert(mrl.groupBy("query_id").count().filter(col("count") > 5).isEmpty)
+    val (h, t) = Similarity.recallAtK(exact, mrl)
+    info(f"recall@5 truncated-16/64 rerank=${h.toDouble / t}%.3f")
+    assert(h.toDouble / t >= 0.4, "truncated-shortlist recall floor")
+    // candK covering the whole corpus degenerates to quantized brute force
+    val full = Similarity.truncatedRerankTopK(emb, queries, "vec_id",
+      "embedding", k = 5, dPrefix = 16, candK = 600)
+    val exactQ = Similarity.bruteForceTopKQuantized(emb, queries,
+      "vec_id", "embedding", 5)
+    val (hF, tF) = Similarity.recallAtK(exactQ, full)
+    assert(hF == tF, s"full-pool rerank must equal quantized brute force ($hF/$tF)")
+  }
+
   test("ivfPqTopK: partition-pruned probe, neighbors only from probed buckets, stable") {
     val emb = graft.Tables.embeddings(spark, sf0001)
     val queries = emb.filter(col("vec_id") < 4)
