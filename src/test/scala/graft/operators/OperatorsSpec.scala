@@ -703,12 +703,17 @@ class SimilaritySpec extends SparkSpec {
     val emb = graft.Tables.embeddings(spark, sf0001)
     val queries = emb.filter(col("vec_id") < 4)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+    // the fixture embeddings are isotropic random — no MRL training, so
+    // leading dims carry no extra signal and a prefix shortlist behaves
+    // like a random projection; assert the recall floor at the half-dim
+    // point (a 16/64 prefix on MRL-trained vectors would do far better
+    // than it can here)
     val mrl = Similarity.truncatedRerankTopK(emb, queries, "vec_id",
-      "embedding", k = 5, dPrefix = 16, candK = 30)
+      "embedding", k = 5, dPrefix = 32, candK = 30)
     assert(mrl.filter(col("query_id") === col("neighbor_id")).isEmpty)
     assert(mrl.groupBy("query_id").count().filter(col("count") > 5).isEmpty)
     val (h, t) = Similarity.recallAtK(exact, mrl)
-    info(f"recall@5 truncated-16/64 rerank=${h.toDouble / t}%.3f")
+    info(f"recall@5 truncated-32/64 rerank=${h.toDouble / t}%.3f")
     assert(h.toDouble / t >= 0.4, "truncated-shortlist recall floor")
     // candK covering the whole corpus degenerates to quantized brute force
     val full = Similarity.truncatedRerankTopK(emb, queries, "vec_id",
