@@ -250,6 +250,43 @@ object SourceQueries {
         FROM nation WHERE n_nationkey >= 10"""),
       "overwrite sink: second write replaces the first completely (read-back hash)"),
 
+    // ---- versioned sink (time travel) -------------------------------------
+    // Lakehouse snapshot reads on plain parquet: write v1 (pre-1995
+    // orders), then v2 (all orders), then read v1 PINNED and latest.
+    // The hash can only match if the pinned read still serves the old
+    // frame after the new write landed — i.e. writes are append-only at
+    // the version level and never disturb served snapshots. A pinned
+    // read opens exactly one version's directory (path-level pruning);
+    // this is the q149 read-back-closure discipline applied to time
+    // travel.
+    "q225_versioned_sink" -> Q(
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_tt_q").toString + "/t"
+        val o = Tables.orders(s, d)
+        val v1 = o.filter(col("o_orderdate") <
+            lit("1995-01-01 00:00:00").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val v2 = o.select(col("o_orderkey"), col("o_totalprice"))
+        graft.sources.Sinks.writeVersion(v1, root)
+        graft.sources.Sinks.writeVersion(v2, root)
+        def summarize(df: org.apache.spark.sql.DataFrame, tag: String) =
+          df.agg(count(lit(1)).as("n_rows"),
+            xsum4(col("o_totalprice")).as("sum_price"))
+            .withColumn("which", lit(tag))
+        summarize(graft.sources.Sinks.readVersion(s, root, Some(1L)),
+            "v1_pinned")
+          .unionByName(summarize(graft.sources.Sinks.readVersion(s, root),
+            "latest"))
+          .select("which", "n_rows", "sum_price")
+      },
+      Some(s"""SELECT 'v1_pinned' AS which, count(*) AS n_rows,
+          ${XSUM4("o_totalprice")} AS sum_price
+        FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+        UNION ALL
+        SELECT 'latest', count(*), ${XSUM4("o_totalprice")}
+        FROM orders"""),
+      "versioned sink: pinned v1 read survives the v2 write (time travel)"),
+
     // ---- S5: directory-index scrape seeding the S6 fan-in -----------------
     // The reference scrapes an HTTP index page for child names and
     // fans-in one file per name (initdb.R:402-407 → 449-458). Replayed

@@ -99,6 +99,54 @@ object Sinks {
           s"(data preserved in $staged)")
   }
 
+  /** Versioned overwrite sink — time travel on plain parquet, the
+    * lakehouse capability (Delta/Iceberg snapshot reads) expressed as a
+    * directory protocol: every write lands under a fresh `v=<n>` dir,
+    * never touching prior versions, so yesterday's training run can pin
+    * yesterday's table while today's import lands. A pinned read opens
+    * exactly ONE version's files (path-level selection, the strongest
+    * pruning there is); nothing is ever rewritten, so writer crashes
+    * can't corrupt served versions — a half-written v=n+1 is invisible
+    * to readers until it wins `latest`, and [[vacuumBefore]] is the
+    * retention knob. Returns the new version number. */
+  def writeVersion(df: DataFrame, root: String): Long = {
+    val next = versions(df.sparkSession, root).lastOption.getOrElse(0L) + 1L
+    df.write.mode("errorifexists").parquet(s"$root/v=$next")
+    next
+  }
+
+  /** Read a pinned `version`, or the latest when None. Throws on an
+    * empty/nonexistent root (no versions to read). */
+  def readVersion(spark: SparkSession, root: String,
+                  version: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no versions under $root")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    spark.read.parquet(s"$root/v=$v")
+  }
+
+  /** Ascending version numbers currently present under `root`. */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+      .sorted
+  }
+
+  /** Retention: drop every version strictly below `keepFrom`. */
+  def vacuumBefore(spark: SparkSession, root: String, keepFrom: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    versions(spark, root).filter(_ < keepFrom).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/v=$v"), true)
+    }
+  }
+
   /** JDBC sink twin of Sources.jdbcTable — `df.write.jdbc` with overwrite
     * semantics (/root/reference/R/initdb.R:485 final Postgres load).
     * Round-tripped against embedded Derby in SourcesSpec. */

@@ -193,4 +193,29 @@ class SourcesSpec extends SparkSpec {
       "arbitrary bytes must survive the read untouched")
     assert(new String(byName("b.bin")._2, "UTF-8") == "plain")
   }
+
+  test("versioned sink: pinned reads survive later writes; vacuum retains") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vsink").toString + "/t"
+    val a = Seq((1L, "one"), (2L, "two")).toDF("k", "v")
+    val b = Seq((1L, "uno"), (3L, "tres")).toDF("k", "v")
+    assert(Sinks.writeVersion(a, root) == 1L)
+    assert(Sinks.writeVersion(b, root) == 2L)
+    assert(Sinks.versions(spark, root) == Seq(1L, 2L))
+    // latest is v2; v1 pinned still serves the original frame
+    assert(Sinks.readVersion(spark, root).as[(Long, String)].collect().toSet ==
+      Set((1L, "uno"), (3L, "tres")))
+    assert(Sinks.readVersion(spark, root, Some(1L))
+      .as[(Long, String)].collect().toSet == Set((1L, "one"), (2L, "two")))
+    // a third write never disturbs pinned v1
+    assert(Sinks.writeVersion(a.limit(1), root) == 3L)
+    assert(Sinks.readVersion(spark, root, Some(1L))
+      .as[(Long, String)].collect().toSet == Set((1L, "one"), (2L, "two")))
+    // retention drops strictly-older versions; pinned read then refuses
+    Sinks.vacuumBefore(spark, root, keepFrom = 2L)
+    assert(Sinks.versions(spark, root) == Seq(2L, 3L))
+    intercept[IllegalArgumentException] {
+      Sinks.readVersion(spark, root, Some(1L))
+    }
+  }
 }
