@@ -342,6 +342,46 @@ object Relational {
       .select(base.columns.map(col): _*)
   }
 
+  /** Count/sum aggregate STATE over `df`: (keys..., cnt, sum_fx) with
+    * the value summed as 1e-4 fixed-point longs — the exact-integer
+    * representation that makes [[aggMaintain]]'s add/subtract algebra
+    * bit-identical to a full recompute (float sums would drift under
+    * incremental updates). `sum_fx / 10000.0` is the served total. */
+  def aggState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col(valueCol) * 10000d + 0.5d).cast("long")).as("sum_fx"))
+
+  /** Incremental aggregate (materialized-view) maintenance: fold an
+    * insert batch and a delete batch into a stored [[aggState]] WITHOUT
+    * rescanning the base table — the count/sum algebra of incremental
+    * view maintenance (inserts add (+cnt, +sum), deletes subtract;
+    * an update is delete-old + insert-new, the standard CDC encoding).
+    * Keys whose count reaches zero leave the view, exactly as a full
+    * recompute would drop them.
+    *
+    * This is what keeps a 100 TB dashboard refresh proportional to the
+    * DELTA: the union+groupBy touches |stored keys| + |delta| rows —
+    * view-sized, never base-sized — and the fixed-point state makes
+    * maintained ≡ recomputed an exact-equality (q226's oracle recomputes
+    * from scratch and the hashes must collide). Contract: `deletes`
+    * rows must be rows currently reflected in the state (the CDC
+    * discipline); deleting a never-inserted row corrupts counts, as in
+    * any IVM system.
+    */
+  def aggMaintain(stored: DataFrame, inserts: DataFrame, deletes: DataFrame,
+                  keys: Seq[String], valueCol: String): DataFrame = {
+    val dIns = aggState(inserts, keys, valueCol)
+    val dDel = aggState(deletes, keys, valueCol)
+      .select(keys.map(col) :+ (-col("cnt")).as("cnt") :+
+        (-col("sum_fx")).as("sum_fx"): _*)
+    stored.unionByName(dIns).unionByName(dDel)
+      .groupBy(keys.map(col): _*)
+      .agg(sum("cnt").cast("long").as("cnt"),
+        sum("sum_fx").cast("long").as("sum_fx"))
+      .filter(col("cnt") > 0)
+  }
+
   /** Snapshot diff: classify every key of two table versions as
     * `added` / `removed` / `changed`, comparing `attrs` null-safely
     * (unchanged keys are omitted — at 100 TB the diff is tiny next to

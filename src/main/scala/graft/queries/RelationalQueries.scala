@@ -624,6 +624,34 @@ object RelationalQueries {
           FROM h JOIN walk w ON h.parent = w.id)
         SELECT id, root, depth FROM walk"""),
       "hierarchy flatten: pointer-doubling closure vs recursive-CTE oracle"),
+
+    // ---- incremental aggregate (materialized-view) maintenance ------------
+    // The IVM count/sum algebra: a stored per-(returnflag, linestatus)
+    // aggregate absorbs an insert batch and a delete batch WITHOUT
+    // rescanning the base — refresh cost is view-size + delta-size. The
+    // state holds fixed-point longs, so maintained ≡ recomputed is exact
+    // equality: the oracle aggregates the post-change base from scratch
+    // and the hashes must collide. Deletes here are real stored rows and
+    // inserts are genuinely new (the %7 slice held out of the base).
+    "q226_view_maintain" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val keys = Seq("l_returnflag", "l_linestatus")
+        val base = li.filter(col("l_orderkey") % 7 =!= 0)
+        val stored = Relational.aggState(base, keys, "l_quantity")
+        val deletes = base.filter(col("l_orderkey") % 5 === 0)
+        val inserts = li.filter(col("l_orderkey") % 7 === 0)
+        Relational.aggMaintain(stored, inserts, deletes, keys, "l_quantity")
+          .select(col("l_returnflag"), col("l_linestatus"), col("cnt"),
+            (col("sum_fx").cast("double") / 10000d).as("sum_qty"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+          ${XSUM4("l_quantity")} AS sum_qty
+        FROM lineitem
+        WHERE (l_orderkey % 7 <> 0 AND l_orderkey % 5 <> 0)
+           OR l_orderkey % 7 = 0
+        GROUP BY l_returnflag, l_linestatus"""),
+      "incremental view maintenance: delta-folded aggregate ≡ full recompute"),
   )
 
   /** TPC-H Q3 (shipping priority), written in the common SQL dialect

@@ -286,6 +286,25 @@ class RelationalSpec extends SparkSpec {
     assert(got == Map(1L -> "a", 2L -> "B", 4L -> "d", 5L -> "e"))
   }
 
+  test("aggMaintain: delta fold ≡ recompute; zero-count keys leave the view") {
+    val base = Seq(("a", 1.5), ("a", 2.5), ("b", 10.0), ("c", 4.0))
+      .toDF("k", "v")
+    val stored = Relational.aggState(base, Seq("k"), "v")
+    // update a: one row re-valued (delete old + insert new); delete c out
+    val deletes = Seq(("a", 2.5), ("c", 4.0)).toDF("k", "v")
+    val inserts = Seq(("a", 3.0), ("d", 7.0)).toDF("k", "v")
+    val got = Relational.aggMaintain(stored, inserts, deletes, Seq("k"), "v")
+      .as[(String, Long, Long)].collect().toSet
+    // recompute from the post-change base must be bit-identical state
+    val post = Seq(("a", 1.5), ("a", 3.0), ("b", 10.0), ("d", 7.0))
+      .toDF("k", "v")
+    val want = Relational.aggState(post, Seq("k"), "v")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(!got.exists(_._1 == "c"), "fully-deleted key must leave the view")
+    assert(got.find(_._1 == "a").get == (("a", 2L, 45000L)))
+  }
+
   test("skewReport: hottest keys with exact share, deterministic tie cut") {
     val df = (Seq.fill(60)(1) ++ Seq.fill(30)(2) ++ Seq.fill(5)(3) ++
       Seq.fill(5)(4)).toDF("k")
