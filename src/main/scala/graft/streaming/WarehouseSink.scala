@@ -182,9 +182,41 @@ object WarehouseSink {
     * it away. Work is proportional to #deltas × sketch size, never to
     * the streamed data. */
   def readMergedSketch(spark: org.apache.spark.sql.SparkSession,
-                       path: String): DataFrame =
+                      path: String): DataFrame =
     spark.read.parquet(path)
       .groupBy("r", "bucket").agg(sum("cnt").cast("long").as("cnt"))
+
+  /** Streaming materialized-view maintenance — the [[graft.ops.
+    * Relational.aggMaintain]] algebra under a stream: each micro-batch
+    * folds into a per-batch [[graft.ops.Relational.aggState]] DELTA
+    * (keys × (cnt, sum_fx), view-sized) under its own `batch=<id>` dir;
+    * [[readMaintainedAgg]] sums deltas cell-wise at read time. Same
+    * exactly-once-under-replay argument as [[sketchDeltaSink]]: a
+    * replayed batch OVERWRITES its own delta dir instead of double-
+    * folding into a global state, and deltas are associative so an
+    * offline compactor can fold history without stopping the stream.
+    * The served view is always delta-fold-equal to the batch aggState
+    * over everything streamed so far (the unit pins it). */
+  def aggDeltaSink(stream: DataFrame, keys: Seq[String], valueCol: String,
+                   path: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Relational.aggState(batch, keys, valueCol)
+          .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** Fold every per-batch aggregate delta under `path` into the served
+    * view. Work ∝ #deltas × view size, never streamed-data size. */
+  def readMaintainedAgg(spark: org.apache.spark.sql.SparkSession,
+                        path: String, keys: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
+      .agg(sum("cnt").cast("long").as("cnt"),
+        sum("sum_fx").cast("long").as("sum_fx"))
 
   def indexMaintenanceSink(stream: DataFrame, idCol: String,
                            textCol: String, indexPath: String,

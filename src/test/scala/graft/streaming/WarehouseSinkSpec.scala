@@ -180,4 +180,34 @@ class WarehouseSinkSpec extends SparkSpec {
       .as[(Int, Long, Long)].collect().toSet
     assert(replayed == whole)
   }
+
+  test("aggDeltaSink: streamed view ≡ batch aggState, batch replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("aggsink")
+    val path = dir.resolve("view").toString
+    val all = (1 to 40).map(i => (s"k${i % 3}", i * 1.5))
+    val ms = MemoryStream[(String, Double)]
+    val q = WarehouseSink.aggDeltaSink(ms.toDF().toDF("k", "v"),
+      Seq("k"), "v", path, dir.resolve("ckpt").toString)
+    try {
+      ms.addData(all.take(25): _*)
+      q.processAllAvailable()
+      ms.addData(all.drop(25): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = WarehouseSink.readMaintainedAgg(spark, path, Seq("k"))
+      .as[(String, Long, Long)].collect().toSet
+    val whole = graft.ops.Relational
+      .aggState(all.toDF("k", "v"), Seq("k"), "v")
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed == whole)
+    // at-least-once replay: batch 1's delta rewritten from the same rows
+    // leaves the served view identical (overwrite, never double-fold)
+    graft.ops.Relational.aggState(all.drop(25).toDF("k", "v"), Seq("k"), "v")
+      .write.mode("overwrite").parquet(s"$path/batch=1")
+    val replayed = WarehouseSink.readMaintainedAgg(spark, path, Seq("k"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(replayed == whole)
+  }
 }
