@@ -65,7 +65,13 @@ object GraftFunctions {
     ("stopword_ratio", info("stopword_ratio", "stopword token fraction"),
       (args: Seq[Expression]) => expression(Text.stopwordRatio(c(args(0))))),
     ("punct_ratio", info("punct_ratio", "non-alphanumeric character fraction"),
-      (args: Seq[Expression]) => expression(Text.punctRatio(c(args(0))))))
+      (args: Seq[Expression]) => expression(Text.punctRatio(c(args(0))))),
+    // the varint codec registers as the raw native Expressions — these
+    // are the two SQL-exposed functions that are NOT Column compositions
+    ("varint_encode", info("varint_encode", "delta+LEB128 pack of a sorted bigint array"),
+      (args: Seq[Expression]) => graft.functions.VarintEncodeExpr(args(0))),
+    ("varint_decode", info("varint_decode", "unpack delta+LEB128 binary to bigint array"),
+      (args: Seq[Expression]) => graft.functions.VarintDecodeExpr(args(0))))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit = all.foreach { case (n, i, b) =>

@@ -41,6 +41,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(pr == 0.5)
   }
 
+  test("varint codec through SQL: round trip + constant folding") {
+    GraftFunctions.register(spark)
+    val back = spark.sql(
+      "SELECT varint_decode(varint_encode(array(3L, 10L, 100000L))) AS a")
+      .as[Seq[Long]].head()
+    assert(back == Seq(3L, 10L, 100000L))
+    // fully-literal call constant-folds like any native expression
+    val plan = spark.sql("SELECT varint_encode(array(1L, 2L)) AS x")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("0x0101"), plan) // gaps 1,1 → two one-byte varints
+  }
+
   test("functions registered via injection participate in codegen/optimizer") {
     GraftFunctions.register(spark)
     // constant folding: a fully-literal call folds to a literal in the plan
