@@ -652,6 +652,86 @@ object RelationalQueries {
            OR l_orderkey % 7 = 0
         GROUP BY l_returnflag, l_linestatus"""),
       "incremental view maintenance: delta-folded aggregate ≡ full recompute"),
+
+    // ---- entity resolution: fuzzy pairs → components → golden records -----
+    // The composed record-linkage DAG (dedupe/Splink shape): a dirty
+    // registry (every 10th customer gains a 1-char-truncated duplicate
+    // with a missing balance), ED≤1 candidate pairs via the q116
+    // deletion-blocking fuzzy join — the ORACLE pairs by brute-force
+    // levenshtein over all ~1.36M combinations, so the hash ALSO
+    // re-proves the blocking lossless inside a composition — then
+    // connected components, then survivorship: per entity keep the most
+    // COMPLETE record (non-null balance first), lowest id on ties. The
+    // linkage key appends nationkey|mktsegment to the name so the
+    // registry doesn't collapse into one digit-hypercube component;
+    // residual accidental ED1 links are deterministic and replay
+    // identically in both engines.
+    "q227_entity_resolution" -> Q(
+      (s, d) => {
+        val c = Tables.customer(s, d).select(
+          col("c_custkey").as("rec_id"),
+          concat(col("c_name"), lit("|"), col("c_nationkey"),
+            lit("|"), col("c_mktsegment")).as("k"),
+          col("c_acctbal"))
+        val dups = c.filter(col("rec_id") % 10 === 0)
+          .select((col("rec_id") + 1000000L).as("rec_id"),
+            col("k").substr(lit(1), length(col("k")) - 1).as("k"),
+            lit(null).cast("double").as("c_acctbal"))
+        val reg = c.unionByName(dups)
+        val kPairs = Relational.fuzzyJoin(reg, reg, "k", "k")
+        val edges = reg.select(col("rec_id").as("id_a"), col("k").as("k_l"))
+          .join(kPairs, "k_l")
+          .join(reg.select(col("rec_id").as("id_b"), col("k").as("k_r")),
+            "k_r")
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+        val groups = graft.operators.Graphs.dupGroups(
+          reg.select("rec_id"), "rec_id", edges, "id_a", "id_b")
+        Relational.dedupKeepFirst(
+            groups.join(reg, "rec_id"), Seq("component"),
+            Seq(col("c_acctbal").isNull.asc, col("rec_id").asc))
+          .join(groups.groupBy("component")
+            .agg(count(lit(1)).as("n_members")), "component")
+          .select(col("component"), col("rec_id").as("golden_id"),
+            col("n_members"))
+      },
+      Some("""WITH RECURSIVE c AS (
+          SELECT c_custkey AS rec_id,
+            c_name || '|' || c_nationkey || '|' || c_mktsegment AS k,
+            c_acctbal
+          FROM customer),
+        reg AS (
+          SELECT * FROM c
+          UNION ALL
+          SELECT rec_id + 1000000, substr(k, 1, length(k) - 1),
+            CAST(NULL AS DOUBLE)
+          FROM c WHERE rec_id % 10 = 0),
+        pairs AS (
+          SELECT a.rec_id AS id_a, b.rec_id AS id_b
+          FROM reg a JOIN reg b
+            ON a.rec_id < b.rec_id AND levenshtein(a.k, b.k) <= 1),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (SELECT a AS id, min(b) AS mn FROM reach GROUP BY a),
+        labeled AS (
+          SELECT reg.rec_id, reg.c_acctbal,
+            COALESCE(least(c2.mn, reg.rec_id), reg.rec_id) AS component
+          FROM reg LEFT JOIN comp c2 ON c2.id = reg.rec_id),
+        golden AS (
+          SELECT component, rec_id AS golden_id FROM (
+            SELECT component, rec_id, row_number() OVER (
+              PARTITION BY component
+              ORDER BY (c_acctbal IS NULL), rec_id) AS rn
+            FROM labeled) WHERE rn = 1)
+        SELECT g.component, g.golden_id, n.n_members
+        FROM golden g
+        JOIN (SELECT component, count(*) AS n_members
+              FROM labeled GROUP BY 1) n USING (component)"""),
+      "entity resolution: lossless fuzzy pairs → components → golden records"),
   )
 
   /** TPC-H Q3 (shipping priority), written in the common SQL dialect
