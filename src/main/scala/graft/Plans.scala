@@ -72,7 +72,9 @@ object Plans {
     "q218_query_likelihood" -> "query likelihood: cf/term sides broadcast, ONE dl agg shuffle, T re-aggregates dl (no second corpus pass), top-k as TakeOrderedAndProject",
     "q219_prefix_jaccard" -> "prefix jaccard: df-ranked per-doc windows, ONLY prefix rows reach the candidate group-by, verification joins carry candidate pairs not the corpus",
     "q220_hierarchy_flatten" -> "hierarchy flatten: static node table, pointer state only moves per doubling round, log-depth rounds",
-    "q222_varint_postings" -> "varint postings: term-keyed index agg, encode/decode inside scan-side codegen, byte accounting off the stored binary")
+    "q222_varint_postings" -> "varint postings: term-keyed index agg, encode/decode inside scan-side codegen, byte accounting off the stored binary",
+    "q226_view_maintain" -> "view maintenance: delta aggStates union into the stored state via ONE view-keyed agg — the base table is scanned only to build the fixture state, never to refresh",
+    "q227_entity_resolution" -> "entity resolution: deletion-variant blocking bounds the pair join, components propagate, ONE keep-first window for survivorship")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -104,7 +104,13 @@ object Stress {
       // pair frame flat)
       "q217_ams_f2", "q219_prefix_jaccard", "q218_query_likelihood",
       "q220_hierarchy_flatten", "q221_leakage_split",
-      "q222_varint_postings", "q223_hll_intersect")
+      "q222_varint_postings", "q223_hll_intersect",
+      // round-7 fifth wave: versioned-sink round trip (two writes + two
+      // version reads), incremental view maintenance (delta fold over a
+      // view-sized state), entity resolution (deletion-variant blocked
+      // pair join → components → survivorship)
+      "q225_versioned_sink", "q226_view_maintain",
+      "q227_entity_resolution")
       // STRESS_ONLY=q211_count_min,q214_dsir_weights narrows a run to
       // the named targets (comma-separated) — new-op iteration without
       // re-timing the whole suite

@@ -53,6 +53,34 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Distribution-matched resampling: downsample `df` so the
+    * DISTRIBUTION of `valueCol` (on a fixed grid) matches a reference
+    * corpus's — the curation step that aligns a raw crawl's length /
+    * quality-score / perplexity profile with a trusted corpus before
+    * mixing. Pure composition of two verified pieces: the reference's
+    * grid histogram (bounded cells, the q216 sketch shape) becomes the
+    * target-share table of [[targetMix]] (only ratios matter, so raw
+    * cell counts ARE the shares), which then keeps the largest volume
+    * realizing those shares exactly without upsampling. Buckets where
+    * the reference has no mass are dropped — matching semantics, not an
+    * accident. The reference histogram is driver-held metadata
+    * (value-range/grid rows, the centroid pattern); the corpus never
+    * shuffles (md5 gate + broadcast rate join, q153's plan).
+    */
+  def matchDistribution(df: DataFrame, reference: DataFrame, idCol: String,
+                        valueCol: String, grid: Double,
+                        salt: String = "graft-matchdist:"): DataFrame = {
+    require(grid > 0d, s"grid must be positive, got $grid")
+    def bucket(c: Column): Column =
+      floor(c.cast("double") / grid).cast("long").cast("string")
+    val targets = reference
+      .select(bucket(col(valueCol)).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toSeq
+    targetMix(df.withColumn("__b", bucket(col(valueCol))), "__b", idCol,
+      targets, salt).drop("__b")
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every RAW
     * (non-target) document by how target-like its hashed bag-of-words

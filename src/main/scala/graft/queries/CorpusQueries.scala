@@ -1078,6 +1078,48 @@ object CorpusQueries {
         FROM picked GROUP BY lang"""),
       "target domain-mix resample: exact shares, binding domain keeps all"),
 
+    // ---- distribution-matched resampling ----------------------------------
+    // Match the corpus's length profile to a reference subcorpus
+    // (src0): the reference's 200-char grid histogram becomes the
+    // target-share table of the q153 mix (raw cell counts ARE shares —
+    // only ratios matter), so the kept sample realizes the reference's
+    // length distribution exactly without upsampling any bucket.
+    // Buckets the reference lacks drop out by definition of matching.
+    // Corpus never shuffles: histogram cells are broadcast-class
+    // metadata, admission is the md5 gate in scan-side codegen.
+    "q228_match_distribution" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Sampling.matchDistribution(docs,
+            docs.filter(col("source") === "src0"), "doc_id", "n_chars",
+            grid = 200d)
+          .select(floor(col("n_chars").cast("double") / 200d)
+            .cast("long").as("b"), col("n_chars"))
+          .groupBy("b")
+          .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("sum_chars"))
+      },
+      Some("""WITH bkt AS (
+          SELECT doc_id, n_chars,
+            CAST(CAST(floor(CAST(n_chars AS DOUBLE) / 200) AS BIGINT)
+              AS VARCHAR) AS b,
+            source
+          FROM documents),
+        t AS (SELECT b, CAST(count(*) AS DOUBLE) AS share FROM bkt
+              WHERE source = 'src0' GROUP BY 1),
+        counts AS (SELECT b, count(*) AS n FROM bkt GROUP BY 1),
+        k AS (SELECT min(n / share) AS k FROM counts JOIN t USING (b)),
+        rates AS (SELECT b, share * k.k / n AS rate
+          FROM counts JOIN t USING (b) CROSS JOIN k),
+        picked AS (
+          SELECT bkt.b, bkt.n_chars FROM bkt JOIN rates USING (b)
+          WHERE (CAST(('0x' || substr(md5('graft-matchdist:'
+              || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 1.0)
+            / 16777217.0 <= rate)
+        SELECT CAST(b AS BIGINT) AS b, count(*) AS n_kept,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM picked GROUP BY b"""),
+      "distribution matching: reference histogram as exact target shares"),
+
     // ---- temperature-scaled domain rebalancing ------------------------------
     // The α-temperature mix (sampling ∝ p^α): keep rate collapses to
     // (n_min/n_s)^(1-α) — smallest language keeps everything, larger

@@ -386,6 +386,29 @@ class SamplingSpec extends SparkSpec {
     assert(byId(25L)._3 == expect25)
   }
 
+  test("matchDistribution: kept sample realizes reference bucket ratios") {
+    // corpus: 400 docs in bucket 0 (len<10), 100 in bucket 1 (len>=10);
+    // reference wants 1:1 — so bucket 1 (binding) keeps all 100 and
+    // bucket 0 thins to ≈100; bucket 5 exists only in the corpus and
+    // must vanish (reference has no mass there)
+    val corpus = ((1 to 400).map(i => (i.toLong, 5.0)) ++
+      (401 to 500).map(i => (i.toLong, 15.0)) ++
+      (501 to 510).map(i => (i.toLong, 55.0))).toDF("id", "len")
+    val ref = Seq((1L, 7.0), (2L, 12.0)).toDF("id", "len")
+    val kept = Sampling.matchDistribution(corpus, ref, "id", "len",
+      grid = 10d).as[(Long, Double)].collect()
+    val byBucket = kept.groupBy(r => (r._2 / 10).toInt)
+      .view.mapValues(_.length).toMap
+    assert(!byBucket.contains(5), "reference-absent bucket must drop")
+    assert(byBucket(1) == 100, "binding bucket keeps every row")
+    assert(byBucket(0) >= 80 && byBucket(0) <= 120,
+      s"bucket 0 should thin to ≈100, got ${byBucket(0)}")
+    // deterministic: re-run selects the same rows
+    val again = Sampling.matchDistribution(corpus.repartition(7), ref,
+      "id", "len", grid = 10d).as[(Long, Double)].collect()
+    assert(again.map(_._1).toSet == kept.map(_._1).toSet)
+  }
+
   test("uniformPerGroup: exactly k per big group, all of small groups, stable") {
     val rows = (1 to 55).map(i => (i.toLong, if (i <= 50) "big" else "small"))
     val df = rows.toDF("id", "grp")
