@@ -134,6 +134,23 @@ object Sketches {
       .groupBy("item")
       .agg((count(col("__set")) === depth).as("maybe_present"))
 
+  /** Equi-join cardinality estimate from two count-min sketches built
+    * with the SAME (depth, width) over the two join keys: |A ⋈ B| =
+    * Σ_k fA(k)·fB(k) is estimated by min over rows r of
+    * Σ_b cntA[r,b]·cntB[r,b] — the count-min inner product (Cormode &
+    * Muthukrishnan §4.2). Collisions only ADD mass, so the estimate is
+    * one-sided (≥ true size, the unit pins it), and it costs a
+    * depth×width cell join instead of running the join — the number a
+    * planner wants before choosing shuffle strategy or sizing AQE
+    * thresholds at 100 TB. Completes the sketch algebra next to
+    * [[amsF2]] (self-join size = F2 of one key column). */
+  def countMinJoinSize(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("r"), col("bucket"), col("cnt").as("ca"))
+      .join(b.select(col("r"), col("bucket"), col("cnt").as("cb")),
+        Seq("r", "bucket"))
+      .groupBy("r").agg(sum(col("ca") * col("cb")).cast("long").as("ip"))
+      .agg(min("ip").cast("long").as("est_join_size"))
+
   /** AMS/tug-of-war sketch (Alon, Matias & Szegedy 1996) — the
     * second-moment member of the family (count-min = frequency, Bloom =
     * membership, HLL = distinct, grid histogram = quantiles): k signed

@@ -1492,6 +1492,45 @@ object CorpusQueries {
         FROM e, tr"""),
       "AMS tug-of-war sketch: signed counters and F2 estimate replayed"),
 
+    // ---- count-min inner product: join-size estimation --------------------
+    // The planner-side use of the q211 sketches: |customer ⋈ orders| =
+    // Σ_k f_c(k)·f_o(k), estimated by the min-over-rows inner product of
+    // two count-min tables — a depth×width cell join instead of running
+    // the join. One-sided (collisions only add; est ≥ true, visible in
+    // the output), error envelope N_c·N_o/width. Every counter and the
+    // estimate replay via the portable md5 family; the exact join count
+    // rides along.
+    "q229_cms_join_size" -> Q(
+      (s, d) => {
+        val (dep, w) = (4, 8192)
+        val ck = Tables.customer(s, d).select(col("c_custkey").as("k"))
+        val ok = Tables.orders(s, d).select(col("o_custkey").as("k"))
+        val est = graft.operators.Sketches.countMinJoinSize(
+          graft.operators.Sketches.countMin(ck, "k", dep, w),
+          graft.operators.Sketches.countMin(ok, "k", dep, w))
+        val truth = ck.join(ok, "k").agg(count(lit(1)).as("true_join"))
+        est.crossJoin(truth)
+      },
+      Some("""WITH ca AS (SELECT g.r,
+            CAST(('0x' || substr(md5(CAST(g.r AS VARCHAR) || '_' ||
+              CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 8192 AS bucket,
+            count(*) AS cnt
+          FROM customer, LATERAL (SELECT unnest(range(4)) AS r) g
+          GROUP BY 1, 2),
+        cb AS (SELECT g.r,
+            CAST(('0x' || substr(md5(CAST(g.r AS VARCHAR) || '_' ||
+              CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 8192 AS bucket,
+            count(*) AS cnt
+          FROM orders, LATERAL (SELECT unnest(range(4)) AS r) g
+          GROUP BY 1, 2),
+        ip AS (SELECT ca.r, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS ip
+          FROM ca JOIN cb USING (r, bucket) GROUP BY 1),
+        e AS (SELECT CAST(min(ip) AS BIGINT) AS est_join_size FROM ip),
+        tr AS (SELECT count(*) AS true_join
+          FROM customer JOIN orders ON c_custkey = o_custkey)
+        SELECT est_join_size, true_join FROM e, tr"""),
+      "count-min inner product: one-sided join-size estimate replayed"),
+
     // ---- leakage-free (group-aware) train/val/test split -----------------
     // q100's md5 gate hashed per DOCUMENT, so two near-duplicates of the
     // same page could land on opposite sides of the train/test fence —

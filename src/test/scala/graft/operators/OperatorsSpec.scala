@@ -870,6 +870,25 @@ class SketchesSpec extends SparkSpec {
       hist.as[(String, Long, Long)].collect().toSet)
   }
 
+  test("countMinJoinSize: one-sided estimate, exact when collision-free") {
+    // key k appears k times on the left, 41-k times on the right →
+    // true join size = Σ k·(41−k)
+    val left = (1 to 40).flatMap(k => Seq.fill(k)(s"w$k")).toDF("k")
+    val right = (1 to 40).flatMap(k => Seq.fill(41 - k)(s"w$k")).toDF("k")
+    val trueSize = (1 to 40).map(k => k.toLong * (41 - k)).sum
+    val (d, w) = (4, 16)  // tiny width forces collisions
+    val est = Sketches.countMinJoinSize(
+      Sketches.countMin(left, "k", d, w), Sketches.countMin(right, "k", d, w))
+      .as[Long].head()
+    assert(est >= trueSize, s"inner product must be one-sided: $est < $trueSize")
+    // a roomy sketch with no colliding cells is exact
+    val roomy = Sketches.countMinJoinSize(
+      Sketches.countMin(left, "k", 4, 65536),
+      Sketches.countMin(right, "k", 4, 65536))
+      .as[Long].head()
+    assert(roomy == trueSize, s"collision-free estimate $roomy != $trueSize")
+  }
+
   test("amsF2: estimate brackets true F2, merge ≡ whole-build") {
     // skewed stream: item k appears k times → F2 = Σ k² = 22140 for k=1..40
     val items = (1 to 40).flatMap(k => Seq.fill(k)(s"w$k")).toDF("item")
