@@ -110,7 +110,12 @@ object Stress {
       // view-sized state), entity resolution (deletion-variant blocked
       // pair join → components → survivorship)
       "q225_versioned_sink", "q226_view_maintain",
-      "q227_entity_resolution")
+      "q227_entity_resolution",
+      // MRL cascade (fixed query set, growing corpus), distribution
+      // matching (histogram + gate, corpus never shuffles), retrieval
+      // leaderboard (two limit-bounded retriever legs + 10-row metrics)
+      "q224_matryoshka_rerank", "q228_match_distribution",
+      "q230_retrieval_leaderboard")
       // STRESS_ONLY=q211_count_min,q214_dsir_weights narrows a run to
       // the named targets (comma-separated) — new-op iteration without
       // re-timing the whole suite

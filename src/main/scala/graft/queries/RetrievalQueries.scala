@@ -177,6 +177,57 @@ object RetrievalQueries {
       .select(col("doc_id"), col("term"), q4(idf * tfnorm).as("contrib"))
   }
 
+  /** The q218 Dirichlet query-likelihood program: (doc_id, ql) for
+    * EVERY document (smoothing varies with dl even at tf=0), quantized
+    * per-term log-probs + exact fixed-point sum. Shared by q218 and the
+    * q230 leaderboard. */
+  private def qlScores(s: SparkSession, d: String,
+                       terms: Seq[String]): DataFrame = {
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      explode(Text.tokens(Text.normalize(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tot = dl.agg(sum("dl").cast("double").as("t"))
+    val cf = toks.filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("cf"))
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    import s.implicits._
+    val qt = terms.toDF("term")
+    val lp = q4(log(
+      (coalesce(col("tf"), lit(0L)).cast("double") +
+        lit(2000.0d) * (col("cf").cast("double") / col("t"))) /
+        (col("dl").cast("double") + lit(2000.0d))))
+    dl.crossJoin(broadcast(qt))
+      .join(broadcast(cf), Seq("term"))
+      .join(tf, Seq("doc_id", "term"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), lp.as("lp"))
+      .groupBy("doc_id").agg(q4(xsum4(col("lp"))).as("ql"))
+  }
+
+  /** DuckDB replay of [[qlScores]] — CTE list ending in
+    * `ql(doc_id, ql)`. */
+  private def qlCte(termsSql: String): String =
+    s"""qtoks AS (
+        SELECT doc_id, tok AS term FROM (
+          SELECT doc_id, unnest($tokSql) AS tok FROM documents)
+        WHERE tok <> ''),
+      qdl AS (SELECT doc_id, count(*) AS dl FROM qtoks GROUP BY 1),
+      qtot AS (SELECT CAST(sum(dl) AS DOUBLE) AS t FROM qdl),
+      qcf AS (SELECT term, count(*) AS cf FROM qtoks
+              WHERE term IN ($termsSql) GROUP BY 1),
+      qtf AS (SELECT doc_id, term, count(*) AS tf FROM qtoks
+              WHERE term IN ($termsSql) GROUP BY 1, 2),
+      qlp AS (SELECT qdl.doc_id,
+          ${Q4("ln((CAST(coalesce(qtf.tf, 0) AS DOUBLE) + CAST(2000.0 AS DOUBLE) * (CAST(qcf.cf AS DOUBLE) / qtot.t)) / (CAST(qdl.dl AS DOUBLE) + CAST(2000.0 AS DOUBLE)))")} AS lp
+        FROM qdl CROSS JOIN (SELECT DISTINCT term FROM qcf) qq
+        JOIN qcf ON qcf.term = qq.term
+        LEFT JOIN qtf ON qtf.doc_id = qdl.doc_id AND qtf.term = qq.term
+        CROSS JOIN qtot),
+      ql AS (SELECT doc_id, ${Q4(XSUM4("lp"))} AS ql
+        FROM qlp GROUP BY doc_id)"""
+
   /** The q165 BM25 program: (doc_id, bm25) for every document matching
     * ≥1 query term, scores quantized so both engines rank identically. */
   private def bm25Scores(s: SparkSession, d: String,
@@ -238,32 +289,9 @@ object RetrievalQueries {
     // broadcast-class. Per-term log-probs quantize before the exact
     // fixed-point sum so both engines rank identically.
     "q218_query_likelihood" -> Q(
-      (s, d) => {
-        val terms = Seq("spark", "merge", "filter")
-        val toks = Tables.documents(s, d).select(col("doc_id"),
-          explode(Text.tokens(Text.normalize(col("text")))).as("term"))
-          .filter(col("term") =!= "")
-        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val tot = dl.agg(sum("dl").cast("double").as("t"))
-        val cf = toks.filter(col("term").isin(terms: _*))
-          .groupBy("term").agg(count(lit(1)).as("cf"))
-        val tf = toks.filter(col("term").isin(terms: _*))
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        import s.implicits._
-        val qt = terms.toDF("term")
-        val lp = q4(log(
-          (coalesce(col("tf"), lit(0L)).cast("double") +
-            lit(2000.0d) * (col("cf").cast("double") / col("t"))) /
-            (col("dl").cast("double") + lit(2000.0d))))
-        dl.crossJoin(broadcast(qt))
-          .join(broadcast(cf), Seq("term"))
-          .join(tf, Seq("doc_id", "term"), "left")
-          .crossJoin(broadcast(tot))
-          .select(col("doc_id"), lp.as("lp"))
-          .groupBy("doc_id").agg(q4(xsum4(col("lp"))).as("ql"))
-          .orderBy(col("ql").desc, col("doc_id").asc)
-          .limit(15)
-      },
+      (s, d) => qlScores(s, d, Seq("spark", "merge", "filter"))
+        .orderBy(col("ql").desc, col("doc_id").asc)
+        .limit(15),
       Some(s"""WITH toks AS (
           SELECT doc_id, tok AS term FROM (
             SELECT doc_id, unnest($tokSql) AS tok FROM documents)
@@ -332,6 +360,79 @@ object RetrievalQueries {
         SELECT g.term AS term, tb.bytes_enc AS bytes_enc, g.doc_id AS doc_id
         FROM gaps g JOIN tb USING (term)"""),
       "varint-packed postings: parquet round trip + exact byte accounting"),
+
+    // ---- retrieval leaderboard: BM25 vs query-likelihood ------------------
+    // The offline eval harness closed over itself: two retrievers (q165
+    // BM25, q218 Dirichlet QL) rank the same conjunctive query, graded
+    // against deterministic qrels (rel = distinct query terms present
+    // − 1), scored with the q203 metric machinery at k=10 — one row per
+    // retriever. Everything replays: both score functions, both
+    // rankings, the qrels, and every metric. Scale shape: both
+    // retriever legs are limit-10 bounded before the rank window (the
+    // q171 discipline); metrics touch 10 rows per retriever.
+    "q230_retrieval_leaderboard" -> Q(
+      (s, d) => {
+        val terms = Seq("spark", "merge", "filter")
+        val qrels = Tables.documents(s, d).select(col("doc_id"),
+            explode(Text.tokens(Text.normalize(col("text")))).as("term"))
+          .filter(col("term").isin(terms: _*))
+          .groupBy("doc_id")
+          .agg(countDistinct(col("term")).as("n"))
+          .select(col("doc_id"),
+            greatest(col("n") - 1, lit(0L)).cast("int").as("rel"))
+        def top10(df: DataFrame, scoreCol: String, name: String) =
+          df.orderBy(col(scoreCol).desc, col("doc_id").asc).limit(10)
+            .withColumn("rank", row_number().over(
+              Window.orderBy(col(scoreCol).desc, col("doc_id").asc)))
+            .select(lit(name).as("query_id"), col("doc_id"), col("rank"))
+        val ranked = top10(bm25Scores(s, d, terms), "bm25", "bm25")
+          .unionByName(top10(qlScores(s, d, terms), "ql", "ql"))
+        val labels = qrels.withColumn("query_id", lit("bm25"))
+          .unionByName(qrels.withColumn("query_id", lit("ql")))
+        graft.operators.Evaluation.rankingMetrics(ranked, labels, k = 10)
+          .select(col("query_id").as("retriever"), col("mrr"),
+            col("ndcg"), col("recall"))
+      },
+      Some(s"""WITH ${bm25Cte("'spark', 'merge', 'filter'")},
+        ${qlCte("'spark', 'merge', 'filter'")},
+        qrels AS (SELECT doc_id,
+            CAST(greatest(n - 1, 0) AS INTEGER) AS rel
+          FROM (SELECT doc_id, count(DISTINCT term) AS n FROM toks
+                WHERE term IN ('spark', 'merge', 'filter') GROUP BY 1)),
+        rbm AS (SELECT 'bm25' AS query_id, doc_id,
+            row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+          FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT 10),
+        rql AS (SELECT 'ql' AS query_id, doc_id,
+            row_number() OVER (ORDER BY ql DESC, doc_id) AS rank
+          FROM ql ORDER BY ql DESC, doc_id LIMIT 10),
+        ranked AS (SELECT * FROM rbm UNION ALL SELECT * FROM rql),
+        labels AS (SELECT v.query_id, q.doc_id, q.rel
+          FROM qrels q CROSS JOIN (VALUES ('bm25'), ('ql')) v(query_id)),
+        top AS (SELECT r.query_id, r.doc_id, r.rank,
+            coalesce(l.rel, 0) AS rel
+          FROM ranked r LEFT JOIN labels l USING (query_id, doc_id)
+          WHERE r.rank <= 10),
+        dcg AS (SELECT query_id,
+            CAST(sum(CAST(floor((${Q4("rel / (ln(CAST(rank AS DOUBLE) + 1)/ln(2))")})*10000 + 0.5) AS BIGINT)) AS BIGINT) AS dfx,
+            min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+            count(CASE WHEN rel > 0 THEN 1 END) AS hit
+          FROM top GROUP BY query_id),
+        ideal AS (SELECT query_id,
+            CAST(sum(CASE WHEN ipos <= 10 THEN
+              CAST(floor((${Q4("rel / (ln(CAST(ipos AS DOUBLE) + 1)/ln(2))")})*10000 + 0.5) AS BIGINT)
+              ELSE 0 END) AS BIGINT) AS ifx,
+            count(*) AS n_rel
+          FROM (SELECT query_id, rel,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY rel DESC, doc_id) AS ipos
+                FROM labels WHERE rel > 0)
+          GROUP BY query_id)
+        SELECT d2.query_id AS retriever,
+          ${Q4("coalesce(CAST(1.0 AS DOUBLE)/first_rel, CAST(0 AS DOUBLE))")} AS mrr,
+          ${Q4("coalesce((CAST(dfx AS DOUBLE)/10000)/(CAST(ifx AS DOUBLE)/10000), CAST(0 AS DOUBLE))")} AS ndcg,
+          ${Q4("coalesce(CAST(hit AS DOUBLE)/n_rel, CAST(0 AS DOUBLE))")} AS recall
+        FROM dcg d2 LEFT JOIN ideal USING (query_id)"""),
+      "retrieval leaderboard: BM25 vs QL graded by the same replayed qrels"),
 
     // ---- pseudo-relevance-feedback query expansion (RM3-style) -----------
     // The classic two-pass retrieval refinement: run the original query,
