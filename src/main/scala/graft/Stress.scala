@@ -115,7 +115,10 @@ object Stress {
       // matching (histogram + gate, corpus never shuffles), retrieval
       // leaderboard (two limit-bounded retriever legs + 10-row metrics)
       "q224_matryoshka_rerank", "q228_match_distribution",
-      "q230_retrieval_leaderboard")
+      "q230_retrieval_leaderboard",
+      // CMS join-size probe: two bounded counter tables + a cell join —
+      // expect near-flat (the exact-join truth column is the linear part)
+      "q229_cms_join_size")
       // STRESS_ONLY=q211_count_min,q214_dsir_weights narrows a run to
       // the named targets (comma-separated) — new-op iteration without
       // re-timing the whole suite

@@ -77,6 +77,8 @@ object Sampling {
       .select(bucket(col(valueCol)).as("__b"))
       .groupBy("__b").agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toSeq
+    require(targets.nonEmpty,
+      "matchDistribution: reference corpus is empty — no histogram to match")
     targetMix(df.withColumn("__b", bucket(col(valueCol))), "__b", idCol,
       targets, salt).drop("__b")
   }

@@ -1091,8 +1091,8 @@ object CorpusQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
         graft.operators.Sampling.matchDistribution(docs,
-            docs.filter(col("source") === "src0"), "doc_id", "n_chars",
-            grid = 200d)
+            docs.filter(col("source").startsWith("src0")), "doc_id",
+            "n_chars", grid = 200d)
           .select(floor(col("n_chars").cast("double") / 200d)
             .cast("long").as("b"), col("n_chars"))
           .groupBy("b")
@@ -1105,7 +1105,7 @@ object CorpusQueries {
             source
           FROM documents),
         t AS (SELECT b, CAST(count(*) AS DOUBLE) AS share FROM bkt
-              WHERE source = 'src0' GROUP BY 1),
+              WHERE source LIKE 'src0%' GROUP BY 1),
         counts AS (SELECT b, count(*) AS n FROM bkt GROUP BY 1),
         k AS (SELECT min(n / share) AS k FROM counts JOIN t USING (b)),
         rates AS (SELECT b, share * k.k / n AS rate
