@@ -380,12 +380,72 @@ object Similarity {
         Vectors.norm(col(vecCol)).as("nnrm"),
         assignCluster(col(vecCol), centroids).as("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(indexPath)
+    ivfProbeStored(spark, indexPath, queries, idCol, vecCol, k,
+      centroids, nProbe)
+  }
+
+  /** Partition-pruned probe of an ALREADY-materialized IVF index (the
+    * read half of [[ivfPartitionedTopK]], shared with searches over an
+    * index maintained by [[ivfIndexUpsert]]): the probe-bucket set
+    * derives from the tiny query side, the read opens only those
+    * partitions. */
+  def ivfProbeStored(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int,
+                     centroids: Seq[(Int, Seq[Double])],
+                     nProbe: Int): DataFrame = {
     val probeBuckets = queries
       .select(explode(quantizedProbes(col(vecCol), centroids, nProbe)).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val c = spark.read.parquet(indexPath)
       .filter(col("bucket").isin(probeBuckets: _*))
     probedSearch(c, queries, idCol, vecCol, k, centroids, nProbe)
+  }
+
+  /** Incremental maintenance of the materialized IVF index — absorb a
+    * batch of NEW or RE-CRAWLED vectors without rebuilding (the q184
+    * upsert discipline applied to the vector store): affected buckets =
+    * buckets the batch assigns to ∪ buckets holding old versions of the
+    * batch ids (a changed embedding may MOVE buckets, so the stale row
+    * is hunted by id, not assumed in place). Only those partitions
+    * rewrite — dynamic partition overwrite — and an affected bucket
+    * whose rows all belonged to re-crawled ids is deleted outright
+    * (dynamic overwrite cannot rewrite a partition to empty). Untouched
+    * buckets' files are never opened or rewritten; q231 proves the
+    * maintained index searches identically to a full rebuild over the
+    * updated corpus. */
+  def ivfIndexUpsert(indexPath: String, batch: DataFrame, idCol: String,
+                     vecCol: String,
+                     centroids: Seq[(Int, Seq[Double])]): Unit = {
+    val spark = batch.sparkSession
+    val newRows = batch.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("nvec"), Vectors.norm(col(vecCol)).as("nnrm"),
+      assignCluster(col(vecCol), centroids).as("bucket"))
+    val ids = batch.select(col(idCol).as("neighbor_id")).distinct()
+    val stored = spark.read.parquet(indexPath)
+    val affected = stored
+      .join(broadcast(ids), Seq("neighbor_id"), "left_semi")
+      .select("bucket")
+      .unionByName(newRows.select("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq // ≤ |centroids| ints
+    val survivors = stored.filter(col("bucket").isin(affected: _*))
+      .join(broadcast(ids), Seq("neighbor_id"), "left_anti")
+    val out = survivors.select("neighbor_id", "nvec", "nnrm", "bucket")
+      .unionByName(newRows.select("neighbor_id", "nvec", "nnrm", "bucket"))
+      .localCheckpoint(eager = true) // plan reads indexPath; cut before write
+    val written = out.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    out.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(indexPath)
+    // a fully-emptied affected bucket never appears in `out`, so dynamic
+    // overwrite leaves its stale files — remove the partition dir itself
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    affected.filterNot(written).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/bucket=$b"), true)
+    }
+    graft.operators.Graphs.freeCheckpoint(out)
   }
 
   /** Cluster-balanced coreset: the `perCluster` most-central vectors of

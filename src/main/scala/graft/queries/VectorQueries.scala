@@ -449,6 +449,72 @@ object VectorQueries {
           FROM cand) WHERE rank <= 5"""),
       "materialized IVF: partitioned index write + pruned probe read-back"),
 
+    // ---- incremental IVF index maintenance --------------------------------
+    // The q184 re-crawl-upsert discipline applied to the VECTOR store: a
+    // stale index (ids 10–19 carry wrong embeddings, ids 0–9 absent)
+    // absorbs the correcting batch via ivfIndexUpsert — stale rows are
+    // hunted by id (a changed embedding may have MOVED buckets), only
+    // affected bucket partitions rewrite, and the post-upsert pruned
+    // probe must hash-match the oracle's search over a FULL REBUILD of
+    // the corrected corpus. Centroids seed from ids 100–115 (unchanged
+    // in both worlds) so assignment is identical across build, upsert,
+    // and oracle.
+    "q231_ivf_upsert" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = Similarity.seedCentroids(
+          emb.filter(col("vec_id").between(100, 115)),
+          "vec_id", "embedding", 16)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_ivf_ups").toString + "/index"
+        val wrong = emb.filter(col("vec_id").between(110, 119))
+          .select((col("vec_id") - 100).as("vec_id"), col("embedding"))
+        val stale = emb.filter(col("vec_id") >= 20)
+          .select(col("vec_id"), col("embedding")).unionByName(wrong)
+        stale.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("nvec"),
+            Vectors.norm(col("embedding")).as("nnrm"),
+            Similarity.assignCluster(col("embedding"), cents).as("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+        Similarity.ivfIndexUpsert(dir,
+          emb.filter(col("vec_id") < 20).select("vec_id", "embedding"),
+          "vec_id", "embedding", cents)
+        Similarity.ivfProbeStored(s, dir, emb.filter(col("vec_id") < 4),
+          "vec_id", "embedding", k = 5, cents, nProbe = 2)
+      },
+      Some(s"""WITH init AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+                 embedding AS cvec
+          FROM (SELECT * FROM embeddings WHERE vec_id BETWEEN 100 AND 115
+                ORDER BY vec_id LIMIT 16)),
+        cassign AS (
+          SELECT vec_id, embedding, cid AS bucket FROM (
+            SELECT e.vec_id, e.embedding, i.cid,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${Q4("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(i.cvec AS DOUBLE[]))")} DESC,
+                i.cid) AS rn
+            FROM embeddings e CROSS JOIN init i) WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, embedding AS qemb, cid AS bucket FROM (
+            SELECT e.vec_id, e.embedding, i.cid,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${Q4("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(i.cvec AS DOUBLE[]))")} DESC,
+                i.cid) AS rn
+            FROM (SELECT * FROM embeddings WHERE vec_id < 4) e
+            CROSS JOIN init i) WHERE rn <= 2),
+        cand AS (
+          SELECT p.query_id, c.vec_id AS neighbor_id,
+            ${Q4("list_cosine_similarity(CAST(p.qemb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))")} AS cos4
+          FROM probes p JOIN cassign c ON c.bucket = p.bucket
+          WHERE c.vec_id <> p.query_id)
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos4
+        FROM (
+          SELECT query_id, neighbor_id, cos4,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos4 DESC, neighbor_id) AS rank
+          FROM cand) WHERE rank <= 5"""),
+      "IVF upsert: maintained index searches ≡ full rebuild, buckets pruned"),
+
     // ---- deterministic verified LSH ANN ------------------------------------
     // The cross-engine closure for the LSH family (q63's verified twin,
     // in the q161/q166 mold): hyperplane components derive from md5, every

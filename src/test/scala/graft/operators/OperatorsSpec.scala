@@ -747,6 +747,52 @@ class SimilaritySpec extends SparkSpec {
     assert(hF == tF, s"full-pool rerank must equal quantized brute force ($hF/$tF)")
   }
 
+  test("ivfIndexUpsert: moved rows hunted by id, emptied buckets deleted, untouched files intact") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val cents = Similarity.seedCentroids(
+      emb.filter(col("vec_id").between(20, 23)), "vec_id", "embedding", 4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfups_u").toString + "/index"
+    // stale world: id 1 carries id 40's embedding (wrong bucket possible),
+    // id 0 is absent; everything else true
+    val stale = emb.filter(col("vec_id") >= 2)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") === 40)
+        .select(lit(1L).as("vec_id"), col("embedding")))
+    stale.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nvec"),
+        graft.functions.Vectors.norm(col("embedding")).as("nnrm"),
+        Similarity.assignCluster(col("embedding"), cents).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    def filesOf(b: Int): Set[String] = {
+      val f = new java.io.File(s"$dir/bucket=$b")
+      if (!f.exists()) Set.empty
+      else f.listFiles().map(_.getName).filter(_.startsWith("part-")).toSet
+    }
+    val batchIds = Set(0L, 1L)
+    val touched = spark.read.parquet(dir)
+      .filter(col("neighbor_id").isin(batchIds.toSeq: _*))
+      .select("bucket").as[Int].collect().toSet ++
+      emb.filter(col("vec_id") < 2)
+        .select(Similarity.assignCluster(col("embedding"), cents))
+        .as[Int].collect().toSet
+    val untouched = (0 until 4).toSet -- touched
+    val before = untouched.map(b => b -> filesOf(b)).toMap
+    Similarity.ivfIndexUpsert(dir,
+      emb.filter(col("vec_id") < 2).select("vec_id", "embedding"),
+      "vec_id", "embedding", cents)
+    // read-back ≡ a full rebuild over the corrected corpus, row for row
+    val got = spark.read.parquet(dir)
+      .select("neighbor_id", "bucket").as[(Long, Int)].collect().toSet
+    val want = emb.select(col("vec_id"),
+        Similarity.assignCluster(col("embedding"), cents).as("b"))
+      .as[(Long, Int)].collect().toSet
+    assert(got == want)
+    // untouched partitions kept their exact files (never rewritten)
+    untouched.foreach(b => assert(filesOf(b) == before(b),
+      s"bucket $b was rewritten without need"))
+  }
+
   test("ivfPqTopK: partition-pruned probe, neighbors only from probed buckets, stable") {
     val emb = graft.Tables.embeddings(spark, sf0001)
     val queries = emb.filter(col("vec_id") < 4)
