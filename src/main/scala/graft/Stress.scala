@@ -118,7 +118,10 @@ object Stress {
       "q230_retrieval_leaderboard",
       // CMS join-size probe: two bounded counter tables + a cell join —
       // expect near-flat (the exact-join truth column is the linear part)
-      "q229_cms_join_size")
+      "q229_cms_join_size",
+      // IVF upsert: fixed batch against a 10× index — stale-row hunt is
+      // the only index-wide scan; the rewrite touches affected buckets
+      "q231_ivf_upsert")
       // STRESS_ONLY=q211_count_min,q214_dsir_weights narrows a run to
       // the named targets (comma-separated) — new-op iteration without
       // re-timing the whole suite

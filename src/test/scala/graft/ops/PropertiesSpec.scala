@@ -288,4 +288,27 @@ class PropertiesSpec extends SparkSpec {
       }
     })
   }
+
+  test("varint codec: decode ∘ encode = identity on random sorted arrays") {
+    // random non-negative gaps (incl. 0 and multi-byte magnitudes) →
+    // strictly ascending-or-equal absolute ids; byte count must also
+    // equal the closed-form LEB128 length so the q222 oracle's integer
+    // threshold sum stays honest
+    val gapsGen = Gen.listOf(Gen.oneOf(
+      Gen.choose(0L, 3L), Gen.choose(100L, 20000L),
+      Gen.choose(1L << 20, 1L << 45)))
+    check(Prop.forAll(gapsGen) { gaps =>
+      val vals = gaps.scanLeft(0L)(_ + _).drop(1)
+      val df = Seq(Tuple1(vals)).toDF("a")
+      val back = df.select(graft.functions.Varint
+          .decode(graft.functions.Varint.encode(col("a"))))
+        .as[Seq[Long]].head()
+      val nBytes = df.select(octet_length(
+        graft.functions.Varint.encode(col("a")))).as[Int].head()
+      def leb(x: Long): Int =
+        1 + Iterator.iterate(x >>> 7)(_ >>> 7).takeWhile(_ != 0L).size
+      val wantBytes = gaps.map(leb).sum
+      back == vals && nBytes == wantBytes
+    })
+  }
 }
