@@ -74,7 +74,8 @@ object Plans {
     "q220_hierarchy_flatten" -> "hierarchy flatten: static node table, pointer state only moves per doubling round, log-depth rounds",
     "q222_varint_postings" -> "varint postings: term-keyed index agg, encode/decode inside scan-side codegen, byte accounting off the stored binary",
     "q226_view_maintain" -> "view maintenance: delta aggStates union into the stored state via ONE view-keyed agg — the base table is scanned only to build the fixture state, never to refresh",
-    "q227_entity_resolution" -> "entity resolution: deletion-variant blocking bounds the pair join, components propagate, ONE keep-first window for survivorship")
+    "q227_entity_resolution" -> "entity resolution: deletion-variant blocking bounds the pair join, components propagate, ONE keep-first window for survivorship",
+    "q231_ivf_upsert" -> "IVF upsert probe: PartitionFilters prune the maintained index to probed buckets — upsert left untouched buckets' files unopened")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1023,6 +1023,67 @@ object RetrievalQueries {
         ORDER BY bm25 DESC, doc_id LIMIT 15"""),
       "BM25 from a materialized index: build/serve split ≡ direct compute"),
 
+    // ---- BM25 served from VARINT-COMPRESSED postings ----------------------
+    // q222 proved the codec stores; this proves it SERVES: the index
+    // holds one row per term — delta+LEB128-packed doc ids plus the
+    // aligned tf array (tiny ints parquet encodes itself) — the serve
+    // path filters terms (pushed to the scan), decodes only the query
+    // terms' postings inside codegen, and the scores must hash-match
+    // the direct q165 computation. Query cost ∝ the query terms'
+    // postings bytes — which the codec just shrank 8×.
+    "q232_bm25_compressed" -> Q(
+      (s, d) => {
+        val terms = Seq("spark", "merge", "filter")
+        val idx = Files.createTempDirectory("graft_bm25_cidx").toString
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          explode(Text.tokens(Text.normalize(col("text")))).as("term"))
+          .filter(col("term") =!= "")
+        val sorted = array_sort(collect_list(struct(col("doc_id"), col("tf"))))
+        toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .groupBy("term").agg(sorted.as("ps"))
+          .select(col("term"),
+            graft.functions.Varint.encode(
+              transform(col("ps"), x => x.getField("doc_id"))).as("enc"),
+            transform(col("ps"), x => x.getField("tf").cast("int"))
+              .as("tfs"))
+          .write.mode("overwrite").parquet(s"$idx/postings")
+        toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+          .write.mode("overwrite").parquet(s"$idx/dl")
+        docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+          toks.agg(count(lit(1)).as("tot_toks")))
+          .write.mode("overwrite").parquet(s"$idx/stats")
+        // ---- serve: decode ONLY the query terms' postings
+        val st = s.read.parquet(s"$idx/stats").collect()(0)
+        val nDocs = st.getLong(0); val totToks = st.getLong(1)
+        val avgdl = totToks.toDouble / nDocs.toDouble
+        val tf = s.read.parquet(s"$idx/postings")
+          .filter(col("term").isin(terms: _*))
+          .select(col("term"), col("tfs"),
+            posexplode(graft.functions.Varint.decode(col("enc")))
+              .as(Seq("i", "doc_id")))
+          .select(col("term"), col("doc_id"),
+            element_at(col("tfs"), col("i") + 1).cast("long").as("tf"))
+        val dl = s.read.parquet(s"$idx/dl")
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val idf = q4(log(lit(1.0d) +
+          (lit(nDocs.toDouble) - col("df") + lit(0.5d)) /
+            (col("df") + lit(0.5d))))
+        val tfnorm = (col("tf") * lit(2.2d)) /
+          (col("tf") + lit(1.2d) *
+            (lit(0.25d) + lit(0.75d) * (col("dl") / lit(avgdl))))
+        tf.join(broadcast(dfreq), "term").join(dl, "doc_id")
+          .withColumn("contrib", q4(idf * tfnorm))
+          .groupBy("doc_id")
+          .agg(q4(xsum4(col("contrib"))).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id").asc)
+          .limit(15)
+      },
+      Some(s"""WITH ${bm25Cte("'spark', 'merge', 'filter'")}
+        SELECT doc_id, bm25 FROM bm25
+        ORDER BY bm25 DESC, doc_id LIMIT 15"""),
+      "BM25 served from varint-packed postings ≡ direct compute"),
+
     // ---- phrase search over positional postings --------------------------
     // The feature a bag-of-words index can't serve: "fast merge" as an
     // ADJACENT pair. Positional postings (doc, term, pos) filtered to
