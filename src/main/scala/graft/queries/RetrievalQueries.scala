@@ -1084,6 +1084,44 @@ object RetrievalQueries {
         ORDER BY bm25 DESC, doc_id LIMIT 15"""),
       "BM25 served from varint-packed postings ≡ direct compute"),
 
+    // ---- phrase search from position-compressed postings ------------------
+    // The codec's positional closure: per (term, doc) the ascending
+    // position list delta+LEB128-packs (in-doc gaps are tiny — mostly
+    // one byte), the store stays term-sorted for pushdown, and the
+    // served phrase hits must hash-match the direct q177 computation.
+    // Positions dominate a positional index's bytes, so this is where
+    // the 8× shrink actually pays at serve time.
+    "q233_phrase_compressed" -> Q(
+      (s, d) => {
+        val idx = Files.createTempDirectory("graft_pos_cidx").toString
+        val pos = Indexing.buildPositional(Tables.documents(s, d),
+          "doc_id", "text")
+        pos.groupBy("term", "doc_id")
+          .agg(array_sort(collect_list(col("pos").cast("long"))).as("ps"))
+          .select(col("term"), col("doc_id"),
+            graft.functions.Varint.encode(col("ps")).as("enc"))
+          .repartitionByRange(8, col("term")).sortWithinPartitions("term")
+          .write.mode("overwrite").parquet(idx)
+        val stored = s.read.parquet(idx)
+          .filter(col("term").isin("fast", "merge"))
+          .select(col("term"), col("doc_id"),
+            explode(graft.functions.Varint.decode(col("enc"))).as("posl"))
+          .select(col("doc_id"), col("posl").cast("int").as("pos"),
+            col("term"))
+        Indexing.phraseHits(stored, "fast", "merge")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
+        pos AS (SELECT doc_id, g.i AS pos, toks[g.i+1] AS term
+                FROM tk, LATERAL (SELECT unnest(range(len(toks))) AS i) g
+                WHERE toks[g.i+1] <> ''),
+        a AS (SELECT doc_id, pos FROM pos WHERE term = 'fast'),
+        b AS (SELECT doc_id, pos AS pos2 FROM pos WHERE term = 'merge')
+        SELECT doc_id, count(*) AS n_hits
+        FROM a JOIN b USING (doc_id)
+        WHERE pos2 = pos + 1
+        GROUP BY doc_id"""),
+      "phrase search from position-compressed postings ≡ direct q177"),
+
     // ---- phrase search over positional postings --------------------------
     // The feature a bag-of-words index can't serve: "fast merge" as an
     // ADJACENT pair. Positional postings (doc, term, pos) filtered to
