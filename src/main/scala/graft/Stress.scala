@@ -121,7 +121,10 @@ object Stress {
       "q229_cms_join_size",
       // IVF upsert: fixed batch against a 10× index — stale-row hunt is
       // the only index-wide scan; the rewrite touches affected buckets
-      "q231_ivf_upsert")
+      "q231_ivf_upsert",
+      // compressed-index serving: build is corpus-linear, the serve leg
+      // decodes only the query terms' postings
+      "q232_bm25_compressed", "q233_phrase_compressed")
       // STRESS_ONLY=q211_count_min,q214_dsir_weights narrows a run to
       // the named targets (comma-separated) — new-op iteration without
       // re-timing the whole suite
