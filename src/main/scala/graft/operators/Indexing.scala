@@ -306,4 +306,97 @@ object Indexing {
       recrawled.select(col(idCol).cast("long").as("id")))
     mergePostings(cleaned, buildPostings(recrawled, idCol, textCol))
   }
+
+  /** Block-max postings (Ding & Suel 2011's layout, batch form): each
+    * term's sorted (doc, tf) postings chunk into fixed-size blocks; a
+    * block row carries [min_doc, max_doc], max_tf, its size, the
+    * varint-packed doc ids and the aligned tf array. The metadata
+    * columns answer df (Σ n) and upper-bound questions WITHOUT decoding
+    * anything, and a serve path can skip whole blocks by doc-range —
+    * the point of the layout at 100 TB, where decode bandwidth is the
+    * serving cost. */
+  def buildBlockMax(toks: DataFrame, blockSize: Int): DataFrame = {
+    require(blockSize >= 1, s"blockSize must be >= 1, got $blockSize")
+    import org.apache.spark.sql.expressions.Window
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("term").orderBy(col("doc_id"))
+    tf.withColumn("blk",
+        ((row_number().over(w) - 1) / blockSize).cast("int"))
+      .groupBy("term", "blk")
+      .agg(min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+        max("tf").as("max_tf"), count(lit(1)).as("n"),
+        array_sort(collect_list(struct(col("doc_id"), col("tf")))).as("ps"))
+      .select(col("term"), col("blk"), col("min_doc"), col("max_doc"),
+        col("max_tf"), col("n"),
+        graft.functions.Varint.encode(
+          transform(col("ps"), x => x.getField("doc_id"))).as("enc"),
+        transform(col("ps"), x => x.getField("tf").cast("int")).as("tfs"))
+  }
+
+  /** Conjunctive (all-terms) BM25 top-k served from a [[buildBlockMax]]
+    * store, decoding ONLY blocks that can matter:
+    *
+    *  1. df per term comes from block metadata (Σ n — nothing decoded);
+    *  2. the RAREST term's blocks decode fully — its docs are the
+    *     candidate superset of the conjunction;
+    *  3. every other term's blocks decode only if their [min_doc,
+    *     max_doc] range holds ≥ 1 candidate (a broadcast range
+    *     semi-join over block METADATA — skipped blocks' bytes are
+    *     never read);
+    *  4. docs present for ALL terms score exactly (the q165 math, df
+    *     global from metadata), top-k with the id tie-break.
+    *
+    * Lossless for the conjunctive semantics by construction: a
+    * conjunction doc is a candidate (it has the rarest term), so every
+    * other term's block holding it overlaps the candidate set and is
+    * decoded — the q234 oracle ranks the conjunction exhaustively and
+    * the hashes must match. */
+  def conjunctiveBlockTopK(index: DataFrame, dl: DataFrame, nDocs: Long,
+                           avgdl: Double, terms: Seq[String],
+                           k: Int): DataFrame = {
+    def q4d(c: Column) =
+      floor(c * 10000d + 0.5d).cast("long").cast("double") / 10000d
+    def decode(blocks: DataFrame): DataFrame = blocks
+      .select(col("term"), col("tfs"),
+        posexplode(graft.functions.Varint.decode(col("enc")))
+          .as(Seq("i", "doc_id")))
+      .select(col("term"), col("doc_id"),
+        element_at(col("tfs"), col("i") + 1).cast("long").as("tf"))
+    val meta = index.filter(col("term").isin(terms: _*))
+    val dfreq = meta.groupBy("term").agg(sum("n").cast("long").as("df"))
+    val dfRows = dfreq.collect() // ≤ |query terms| rows
+    if (dfRows.length < terms.size) // some term matches nothing → empty
+      return decode(meta).limit(0)
+        .select(col("doc_id"), lit(0.0d).as("bm25"))
+    val rarest = dfRows.minBy(r => (r.getLong(1), r.getString(0)))
+      .getString(0)
+    val cand = decode(meta.filter(col("term") === rarest))
+      .select(col("doc_id"), col("tf"))
+    val others = meta.filter(col("term") =!= rarest)
+    // block-range pruning: a block survives iff it holds ≥1 candidate
+    val survivors = others.join(cand.select(col("doc_id").as("__c")),
+        col("__c").between(col("min_doc"), col("max_doc")), "left_semi")
+    val otherTf = decode(survivors)
+      .join(cand.select("doc_id"), Seq("doc_id"), "left_semi")
+    val allTf = otherTf.unionByName(
+      cand.select(lit(rarest).as("term"), col("doc_id"), col("tf")))
+    val conj = allTf.groupBy("doc_id")
+      .agg(count(lit(1)).as("__nt"))
+      .filter(col("__nt") === terms.size).select("doc_id")
+    val idf = q4d(log(lit(1.0d) +
+      (lit(nDocs.toDouble) - col("df") + lit(0.5d)) /
+        (col("df") + lit(0.5d))))
+    val tfnorm = (col("tf") * lit(2.2d)) /
+      (col("tf") + lit(1.2d) *
+        (lit(0.25d) + lit(0.75d) * (col("dl") / lit(avgdl))))
+    allTf.join(conj, Seq("doc_id"), "left_semi")
+      .join(broadcast(dfreq), "term").join(dl, "doc_id")
+      .withColumn("cfx",
+        floor(q4d(idf * tfnorm) * 10000d + 0.5d).cast("long"))
+      .groupBy("doc_id").agg(sum("cfx").as("s_fx"))
+      .select(col("doc_id"),
+        q4d(col("s_fx").cast("double") / 10000d).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

@@ -1122,6 +1122,43 @@ object RetrievalQueries {
         GROUP BY doc_id"""),
       "phrase search from position-compressed postings ≡ direct q177"),
 
+    // ---- conjunctive BM25 over a BLOCK-MAX compressed index ---------------
+    // The Ding & Suel layout serving an AND query: per-term posting
+    // blocks carry [min_doc, max_doc] / max_tf / n metadata, so df
+    // resolves without decoding anything, the rarest term's blocks
+    // decode fully (candidate superset), and every other term's blocks
+    // decode ONLY if their doc-range holds a candidate — skipped
+    // blocks' bytes are never read. Lossless for the conjunction by
+    // construction; the oracle ranks the conjunction exhaustively and
+    // the hashes must match.
+    "q234_conjunctive_block" -> Q(
+      (s, d) => {
+        val terms = Seq("spark", "merge", "filter")
+        val idx = Files.createTempDirectory("graft_bmx_idx").toString
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          explode(Text.tokens(Text.normalize(col("text")))).as("term"))
+          .filter(col("term") =!= "")
+        Indexing.buildBlockMax(toks, blockSize = 32)
+          .repartitionByRange(8, col("term"))
+          .sortWithinPartitions("term", "blk")
+          .write.mode("overwrite").parquet(s"$idx/blocks")
+        toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+          .write.mode("overwrite").parquet(s"$idx/dl")
+        val nDocs = docs.count()
+        val totToks = toks.count()
+        Indexing.conjunctiveBlockTopK(s.read.parquet(s"$idx/blocks"),
+          s.read.parquet(s"$idx/dl"), nDocs,
+          totToks.toDouble / nDocs.toDouble, terms, k = 15)
+      },
+      Some(s"""WITH ${bm25Cte("'spark', 'merge', 'filter'")},
+        conj AS (SELECT doc_id FROM tf GROUP BY doc_id
+                 HAVING count(*) = 3)
+        SELECT doc_id, bm25 FROM bm25
+        WHERE doc_id IN (SELECT doc_id FROM conj)
+        ORDER BY bm25 DESC, doc_id LIMIT 15"""),
+      "conjunctive BM25 from a block-max store: range-pruned block decode"),
+
     // ---- phrase search over positional postings --------------------------
     // The feature a bag-of-words index can't serve: "fast merge" as an
     // ADJACENT pair. Positional postings (doc, term, pos) filtered to

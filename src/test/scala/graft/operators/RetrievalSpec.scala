@@ -302,6 +302,29 @@ class RetrievalSpec extends SparkSpec {
     assert(ranked == Seq(10L, 11L, 12L, 13L))
   }
 
+  test("conjunctiveBlockTopK: block-size invariant, AND-only docs, absent term → empty") {
+    val d = Seq(
+      (1L, "ship cargo deck ship"), (2L, "ship cargo"),
+      (3L, "cargo deck cargo"), (4L, "ship deck deck"),
+      (5L, "ship cargo deck cargo deck")).toDF("doc_id", "text")
+    val toks = d.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val avgdl = toks.count().toDouble / 5d
+    def run(blockSize: Int, terms: Seq[String]) =
+      Indexing.conjunctiveBlockTopK(
+        Indexing.buildBlockMax(toks, blockSize), dl, 5L, avgdl, terms, k = 10)
+        .as[(Long, Double)].collect().toSeq
+    val fine = run(1, Seq("ship", "cargo", "deck"))
+    val coarse = run(1000, Seq("ship", "cargo", "deck"))
+    // pruning with single-row blocks must equal no-pruning-at-all blocks
+    assert(fine == coarse, s"$fine != $coarse")
+    // only docs carrying ALL terms appear: 1, 5
+    assert(fine.map(_._1).toSet == Set(1L, 5L))
+    // a term absent from the corpus empties the conjunction
+    assert(run(2, Seq("ship", "zzz")).isEmpty)
+  }
+
   test("bm25MaxScoreTopK: pruned result ≡ exhaustive BM25 across query shapes") {
     val emb = graft.Tables.documents(spark, sf0001)
     val toks = emb.select(col("doc_id"),
