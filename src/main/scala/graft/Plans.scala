@@ -76,7 +76,8 @@ object Plans {
     "q226_view_maintain" -> "view maintenance: delta aggStates union into the stored state via ONE view-keyed agg — the base table is scanned only to build the fixture state, never to refresh",
     "q227_entity_resolution" -> "entity resolution: deletion-variant blocking bounds the pair join, components propagate, ONE keep-first window for survivorship",
     "q231_ivf_upsert" -> "IVF upsert probe: PartitionFilters prune the maintained index to probed buckets — upsert left untouched buckets' files unopened",
-    "q232_bm25_compressed" -> "compressed BM25 serve: term In filter pushed to the postings scan, varint_decode in scan-side codegen, only query terms' bytes read")
+    "q232_bm25_compressed" -> "compressed BM25 serve: term In filter pushed to the postings scan, varint_decode in scan-side codegen, only query terms' bytes read",
+    "q234_conjunctive_block" -> "block-max conjunctive serve: df from block metadata (no decode), rarest-term blocks decode, others range-semi-join candidates first")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

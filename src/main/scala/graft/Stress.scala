@@ -124,7 +124,10 @@ object Stress {
       "q231_ivf_upsert",
       // compressed-index serving: build is corpus-linear, the serve leg
       // decodes only the query terms' postings
-      "q232_bm25_compressed", "q233_phrase_compressed")
+      "q232_bm25_compressed", "q233_phrase_compressed",
+      // block-max conjunctive serve: metadata answers df, range pruning
+      // bounds decode to candidate-overlapping blocks
+      "q234_conjunctive_block")
       // STRESS_ONLY=q211_count_min,q214_dsir_weights narrows a run to
       // the named targets (comma-separated) — new-op iteration without
       // re-timing the whole suite
