@@ -379,5 +379,84 @@ object SourceQueries {
           md5(text) AS content_md5
         FROM documents WHERE doc_id % 50 = 0"""),
       "binaryFile ingestion: payload bytes + glob pruning, md5-verified"),
+
+    // ---- CDC: snapshot diff → changelog → apply ---------------------------
+    // Two synthetic snapshots of a keyed orders projection: the new
+    // version drops some keys (deletes), gains others (inserts), doubles
+    // some prices and NULLs some statuses (updates — including a
+    // value→NULL transition, which only a null-safe compare catches).
+    // q235 returns the changelog itself; the oracle reclassifies every
+    // key with IS DISTINCT FROM logic, so a missed change, a spurious
+    // update on equal NULLs, or wrong side-of-diff values all flip the
+    // hash. The delta is churn-sized: unchanged keys emit nothing.
+    "q235_table_diff" -> Q(
+      (s, d) => {
+        val (oldDf, newDf) = cdcSnapshots(s, d)
+        graft.ops.ChangeCapture.tableDiff(oldDf, newDf, Seq("o_orderkey"))
+      },
+      Some(s"""WITH oldv AS ($cdcOldSql), newv AS ($cdcNewSql),
+        j AS (
+          SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+            CASE WHEN n.o_orderkey IS NULL THEN o.val ELSE n.val END AS val,
+            CASE WHEN n.o_orderkey IS NULL THEN o.status ELSE n.status
+              END AS status,
+            CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                 WHEN n.o_orderkey IS NULL THEN 'delete'
+                 WHEN (o.val IS DISTINCT FROM n.val)
+                   OR (o.status IS DISTINCT FROM n.status) THEN 'update'
+              END AS op
+          FROM oldv o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey)
+        SELECT o_orderkey, val, status, op FROM j WHERE op IS NOT NULL"""),
+      "CDC snapshot diff: churn-sized insert/update/delete changelog"),
+
+    // The closure: applying the diff back onto the old snapshot must
+    // reproduce the new snapshot row-for-row — the oracle IS the new
+    // snapshot, so apply∘diff = identity is what the hash proves. The
+    // apply is one shuffle (union + keep-first window, no join).
+    "q236_changelog_apply" -> Q(
+      (s, d) => {
+        val (oldDf, newDf) = cdcSnapshots(s, d)
+        val diff = graft.ops.ChangeCapture
+          .tableDiff(oldDf, newDf, Seq("o_orderkey"))
+        graft.ops.ChangeCapture
+          .applyChangelog(oldDf, diff, Seq("o_orderkey"))
+      },
+      Some(cdcNewSql),
+      "CDC apply: old snapshot + changelog ≡ new snapshot (identity hash)"),
   )
+
+  /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed
+    * orders projection with inserts (%7 keys return), deletes (%5 keys
+    * leave), price-doubling updates (%3) and status→NULL updates (%13,
+    * layered on the %11 NULLs both sides share so equal NULLs also get
+    * exercised). */
+  private def cdcSnapshots(s: org.apache.spark.sql.SparkSession,
+                           d: String) = {
+    val o = Tables.orders(s, d)
+    val oldDf = o.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice").as("val"),
+        when(col("o_orderkey") % 11 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")).as("status"))
+    val newDf = o.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")).as("val"),
+        when(col("o_orderkey") % 11 === 0 || col("o_orderkey") % 13 === 0,
+          lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")).as("status"))
+    (oldDf, newDf)
+  }
+
+  private def cdcOldSql: String =
+    """SELECT o_orderkey, o_totalprice AS val,
+        CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderstatus END AS status
+      FROM orders WHERE o_orderkey % 7 <> 0"""
+
+  private def cdcNewSql: String =
+    """SELECT o_orderkey,
+        CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+             ELSE o_totalprice END AS val,
+        CASE WHEN o_orderkey % 11 = 0 OR o_orderkey % 13 = 0 THEN NULL
+             ELSE o_orderstatus END AS status
+      FROM orders WHERE o_orderkey % 5 <> 0"""
 }

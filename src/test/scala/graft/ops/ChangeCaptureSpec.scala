@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ChangeCaptureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val oldDf = Seq(
+    (1L, Some(10.0), Some("a")),  // unchanged
+    (2L, Some(20.0), Some("b")),  // value update
+    (3L, Some(30.0), Some("c")),  // deleted in new
+    (4L, None: Option[Double], Some("d")), // NULL stays NULL → unchanged
+    (5L, Some(50.0), None: Option[String]) // status NULL→value → update
+  ).toDF("id", "val", "status")
+
+  private val newDf = Seq(
+    (1L, Some(10.0), Some("a")),
+    (2L, Some(22.0), Some("b")),
+    (4L, None: Option[Double], Some("d")),
+    (5L, Some(50.0), Some("e")),
+    (6L, Some(60.0), Some("f"))   // inserted
+  ).toDF("id", "val", "status")
+
+  test("tableDiff classifies insert/update/delete with null-safe compare") {
+    val ops = ChangeCapture.tableDiff(oldDf, newDf, Seq("id"))
+      .orderBy("id").select("id", "op").as[(Long, String)].collect().toSeq
+    assert(ops == Seq((2L, "update"), (3L, "delete"),
+      (5L, "update"), (6L, "insert")))
+  }
+
+  test("tableDiff carries new values for upserts, old values for deletes") {
+    val rows = ChangeCapture.tableDiff(oldDf, newDf, Seq("id"))
+      .orderBy("id")
+      .as[(Long, Option[Double], Option[String], String)].collect().toSeq
+    assert(rows == Seq(
+      (2L, Some(22.0), Some("b"), "update"),
+      (3L, Some(30.0), Some("c"), "delete"),
+      (5L, Some(50.0), Some("e"), "update"),
+      (6L, Some(60.0), Some("f"), "insert")))
+  }
+
+  test("applyChangelog(old, diff(old,new)) reproduces new exactly") {
+    val diff = ChangeCapture.tableDiff(oldDf, newDf, Seq("id"))
+    val applied = ChangeCapture.applyChangelog(oldDf, diff, Seq("id"))
+    assert(applied.columns.sorted.sameElements(newDf.columns.sorted))
+    assert(applied.exceptAll(newDf).isEmpty &&
+      newDf.exceptAll(applied).isEmpty)
+  }
+
+  test("empty diff applies as identity; diff of identical snapshots is empty") {
+    assert(ChangeCapture.tableDiff(oldDf, oldDf, Seq("id")).isEmpty)
+    val applied = ChangeCapture.applyChangelog(
+      oldDf, ChangeCapture.tableDiff(oldDf, oldDf, Seq("id")), Seq("id"))
+    assert(applied.exceptAll(oldDf).isEmpty && oldDf.exceptAll(applied).isEmpty)
+  }
+}
