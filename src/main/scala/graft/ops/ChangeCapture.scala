@@ -54,19 +54,15 @@ object ChangeCapture {
   }
 
   /** Apply a [[tableDiff]]-shaped changelog onto `base`: deletes remove
-    * the key, inserts/updates win over base rows. ONE shuffle — base
-    * and changelog union, a keep-first window prefers the changelog row
-    * per key, and kept deletes drop out. `applyChangelog(old,
-    * tableDiff(old, new), keys)` reproduces `new` row-for-row (pinned
-    * by the q236 oracle hash). */
+    * the key, inserts/updates win over base rows. Rides
+    * [[Relational.cdcMerge]]'s one-shuffle union + keep-first machinery
+    * (no join) with the changelog's op vocabulary mapped onto the I/U/D
+    * one. `applyChangelog(old, tableDiff(old, new), keys)` reproduces
+    * `new` row-for-row (pinned by the q236 oracle hash). */
   def applyChangelog(base: DataFrame, changes: DataFrame,
-                     keys: Seq[String]): DataFrame = {
-    val tagged = changes.withColumn("__pri", lit(0))
-      .unionByName(
-        base.withColumn("op", lit(null).cast("string"))
-          .withColumn("__pri", lit(1)))
-    Relational.dedupKeepFirst(tagged, keys, Seq(col("__pri").asc))
-      .filter(!coalesce(col("op") === "delete", lit(false)))
-      .drop("op", "__pri")
-  }
+                     keys: Seq[String]): DataFrame =
+    Relational.cdcMerge(base,
+      changes.withColumn("op",
+        when(col("op") === "delete", lit("D")).otherwise(col("op"))),
+      keys, "op")
 }

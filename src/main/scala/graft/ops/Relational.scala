@@ -390,21 +390,15 @@ object Relational {
     * full-outer equi-join on `keys`, nothing else.
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
-                   attrs: Seq[String]): DataFrame = {
-    val o = oldDf.select(keys.map(col) ++
-      attrs.map(a => col(a).as(s"__o_$a")) :+ lit(true).as("__in_old"): _*)
-    val n = newDf.select(keys.map(col) ++
-      attrs.map(a => col(a).as(s"__n_$a")) :+ lit(true).as("__in_new"): _*)
-    val same = attrs.map(a => col(s"__o_$a") <=> col(s"__n_$a"))
-      .reduceOption(_ && _).getOrElse(lit(true))
-    o.join(n, keys, "full_outer")
+                   attrs: Seq[String]): DataFrame =
+    ChangeCapture.tableDiff(
+        oldDf.select((keys ++ attrs).map(col): _*),
+        newDf.select((keys ++ attrs).map(col): _*), keys)
       .withColumn("change",
-        when(col("__in_old").isNull, "added")
-          .when(col("__in_new").isNull, "removed")
-          .when(!same, "changed"))
-      .filter(col("change").isNotNull)
+        when(col("op") === "insert", "added")
+          .when(col("op") === "delete", "removed")
+          .otherwise("changed"))
       .select(keys.map(col) :+ col("change"): _*)
-  }
 
   /** One-pass data profile: per listed column, total rows, null count,
     * exact distinct count, and min/max rendered as strings. ONE
