@@ -423,6 +423,30 @@ object SourceQueries {
       },
       Some(cdcNewSql),
       "CDC apply: old snapshot + changelog ≡ new snapshot (identity hash)"),
+
+    // ---- zone-map data skipping -------------------------------------------
+    // The lakehouse scan-planning loop end-to-end: compact orders into
+    // key-clustered files (range-partitioned on o_orderkey), build the
+    // per-file min/max zone-map table in one scan, then serve a range
+    // query by opening ONLY the files whose zone intersects. The oracle
+    // filters the original table directly, so the hash proves pruning
+    // lost no rows and the exact post-filter kept no extras; the
+    // fewer-files-opened half of the contract is pinned by
+    // ZoneMapsSpec's file-count assert.
+    "q237_zonemap_scan" -> Q(
+      (s, d) => {
+        val tmp = Files.createTempDirectory("graft_zm_q").toString + "/orders"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        graft.sources.Sinks.compact(o, tmp, rowsPerFile = 2000,
+          sortCol = Some("o_orderkey"))
+        val zm = graft.sources.ZoneMaps.build(s, tmp, Seq("o_orderkey"))
+        graft.sources.ZoneMaps.prunedRead(s, tmp, zm,
+          "o_orderkey", 10000L, 20000L)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderkey BETWEEN 10000 AND 20000"""),
+      "zone-map pruned range scan ≡ direct filter (clustered compact + min/max skip)"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

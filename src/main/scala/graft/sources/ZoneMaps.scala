@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level zone maps: an explicit per-file min/max statistics table
+  * over a parquet directory, consulted at query time to open only the
+  * files whose value range can intersect a predicate — the data-skipping
+  * index every lakehouse keeps next to its manifests (Delta/Iceberg
+  * file stats, the scan-planning half of OPTIMIZE ZORDER).
+  *
+  * Spark already skips parquet ROW GROUPS via footer stats, but it must
+  * still open every footer to find that out; at 100 TB / millions of
+  * files the listing+footer pass IS the bottleneck. A zone-map table is
+  * O(#files) metadata computed once per write, so a selective query
+  * plans its file set from one tiny scan instead of touching every
+  * footer. Skipping is only as good as the layout: cluster first
+  * ([[Sinks.compact]] with a sort column, or a [[graft.functions.ZOrder]]
+  * value for 2-dim predicates) so each file covers a narrow range.
+  */
+object ZoneMaps {
+
+  /** One scan of `path`: per-file min/max for each of `cols` (plus the
+    * row count). Build-once metadata, re-built only when the directory
+    * is rewritten — pair with [[Sinks.compact]], whose staged swap
+    * invalidates old file names wholesale. */
+  def build(spark: SparkSession, path: String,
+            cols: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .select(input_file_name().as("file") +: cols.map(col): _*)
+      .groupBy("file")
+      .agg(count(lit(1)).as("n_rows"),
+        cols.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+
+  /** The files whose `[min,max]` zone can contain a value in `[lo,hi]`.
+    * The collect is bounded by file count — driver-side METADATA, the
+    * same class as Spark's own FileIndex listing, never data rows. NULL
+    * zone bounds (all-null file) never match a range predicate, exactly
+    * as `BETWEEN` itself treats NULL. */
+  def pruneFiles(stats: DataFrame, colName: String,
+                 lo: Any, hi: Any): Seq[String] =
+    stats.filter(col(s"max_$colName") >= lit(lo) &&
+        col(s"min_$colName") <= lit(hi))
+      .select("file").collect().map(_.getString(0)).toSeq
+
+  /** Range query served through the zone map: open only the surviving
+    * files, then apply the exact predicate (file pruning is a superset —
+    * a zone that intersects the range can still hold rows outside it).
+    * Result ≡ `spark.read.parquet(path).filter(between)` row-for-row
+    * (q237's oracle), with file-open cost ∝ matching zones. */
+  def prunedRead(spark: SparkSession, path: String, stats: DataFrame,
+                 colName: String, lo: Any, hi: Any): DataFrame = {
+    val files = pruneFiles(stats, colName, lo, hi)
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(files: _*)
+    base.filter(col(colName).between(lit(lo), lit(hi)))
+  }
+}

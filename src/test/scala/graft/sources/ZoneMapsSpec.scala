@@ -1,0 +1,55 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class ZoneMapsSpec extends SparkSpec {
+
+  private lazy val dir = {
+    val tmp = Files.createTempDirectory("graft_zm_t").toString + "/orders"
+    Sinks.compact(
+      Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice"),
+      tmp, rowsPerFile = 200, sortCol = Some("o_orderkey"))
+    tmp
+  }
+
+  test("build: one stats row per file, zones cover all rows") {
+    val stats = ZoneMaps.build(spark, dir, Seq("o_orderkey")).collect()
+    val nFiles = spark.read.parquet(dir).inputFiles.length
+    assert(stats.length == nFiles && nFiles > 1)
+    val total = spark.read.parquet(dir).count()
+    assert(stats.map(_.getAs[Long]("n_rows")).sum == total)
+  }
+
+  test("pruneFiles keeps a strict subset for a narrow range on a clustered key") {
+    val stats = ZoneMaps.build(spark, dir, Seq("o_orderkey"))
+    val all = spark.read.parquet(dir).inputFiles.length
+    val bounds = spark.read.parquet(dir)
+      .agg(min("o_orderkey"), max("o_orderkey")).head()
+    val lo = bounds.getLong(0)
+    val survivors = ZoneMaps.pruneFiles(stats, "o_orderkey", lo, lo + 10L)
+    assert(survivors.nonEmpty && survivors.length < all,
+      s"expected pruning: ${survivors.length} of $all files")
+  }
+
+  test("prunedRead ≡ direct filter, including an empty range") {
+    val stats = ZoneMaps.build(spark, dir, Seq("o_orderkey"))
+    val got = ZoneMaps.prunedRead(spark, dir, stats, "o_orderkey", 100L, 3000L)
+    val want = spark.read.parquet(dir)
+      .filter(col("o_orderkey").between(100L, 3000L))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(ZoneMaps.prunedRead(spark, dir, stats, "o_orderkey",
+      -100L, -1L).isEmpty)
+  }
+
+  test("prunedRead actually opens only the surviving files") {
+    val stats = ZoneMaps.build(spark, dir, Seq("o_orderkey"))
+    val bounds = spark.read.parquet(dir)
+      .agg(min("o_orderkey"), max("o_orderkey")).head()
+    val lo = bounds.getLong(0)
+    val pruned = ZoneMaps.prunedRead(spark, dir, stats, "o_orderkey", lo, lo + 10L)
+    val all = spark.read.parquet(dir).inputFiles.length
+    assert(pruned.inputFiles.length < all)
+  }
+}
