@@ -121,4 +121,78 @@ object Temporal {
         col(timeCol).cast("long") - col("__prev").cast("long") >= gap)
       .drop("__prev")
   }
+
+  /** Empty open-session state for [[sessionizeFold]]'s first fold. */
+  def emptySessionState(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("user_id"),
+      col("id").as("session_start"), col("id").as("session_end"),
+      col("id").as("n_events"))
+
+  /** Incremental BATCH sessionization: fold one day's (or hour's) event
+    * batch into the per-user open-session state carried from previous
+    * folds — the warehouse twin of the streaming flatMapGroupsWithState
+    * sessionizer ([[graft.streaming.Events.sessionize]]), for pipelines
+    * that land events in daily batches and must NOT rescan history to
+    * keep sessions correct across the batch boundary.
+    *
+    * `state`: open sessions `(user_id, session_start, session_end,
+    * n_events)` — the `is_open` rows of the previous fold (empty on the
+    * first). `delta`: events `(user_id, ts_us, event_id)` all at-or-after
+    * the state's horizon (the append-only warehouse contract). Returns
+    * one row per session touched this fold: sessions that closed
+    * (`is_open = false` — a later event proved the gap) and the
+    * currently open tail per user (`is_open = true` — feed these back in
+    * as the next fold's state). Sessions of users absent from `delta`
+    * pass through still open: absence of evidence never closes a
+    * session, exactly as a full recompute over history ∪ delta would
+    * leave each user's last session open.
+    *
+    * Work ∝ |delta| + |state|, never |history|: the delta sessionizes
+    * with one user-keyed window (its groupBy reuses the same hash
+    * partitioning — no second exchange), the state joins in on user_id,
+    * and the fold ≡ full-recompute equality is pinned by q238's oracle,
+    * which re-sessionizes ALL events from scratch in SQL.
+    */
+  def sessionizeFold(state: DataFrame, delta: DataFrame,
+                     gapUs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val sess = delta
+      .withColumn("__prev", lag(col("ts_us"), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col("ts_us") - col("__prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(w))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(min("ts_us").as("session_start"), max("ts_us").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .withColumn("__maxsid",
+        max(col("__sid")).over(Window.partitionBy("user_id")))
+    val st = state.select(col("user_id"),
+      col("session_start").as("__st_start"),
+      col("session_end").as("__st_end"), col("n_events").as("__st_n"))
+    val j = sess.join(st, Seq("user_id"), "left_outer")
+    val merges = col("__sid") === 1 && col("__st_end").isNotNull &&
+      col("session_start") - col("__st_end") <= gapUs
+    // delta sessions, first one per user absorbing the open state
+    // session when the gap rule continues it; the last one stays open
+    val adjusted = j.select(col("user_id"),
+      when(merges, col("__st_start")).otherwise(col("session_start"))
+        .as("session_start"),
+      col("session_end"),
+      when(merges, col("__st_n") + col("n_events")).otherwise(col("n_events"))
+        .as("n_events"),
+      (col("__sid") === col("__maxsid")).as("is_open"))
+    // open state sessions superseded WITHOUT merging: the first delta
+    // event was beyond the gap, so the old session is now provably over
+    val closedState = j
+      .filter(col("__sid") === 1 && col("__st_end").isNotNull && !merges)
+      .select(col("user_id"), col("__st_start").as("session_start"),
+        col("__st_end").as("session_end"), col("__st_n").as("n_events"),
+        lit(false).as("is_open"))
+    // users with no delta events: their open session rides through
+    val untouched = state
+      .join(sess.select("user_id").distinct(), Seq("user_id"), "left_anti")
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), lit(true).as("is_open"))
+    adjusted.unionByName(closedState).unionByName(untouched)
+  }
 }

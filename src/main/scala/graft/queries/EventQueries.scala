@@ -320,5 +320,49 @@ object EventQueries {
           ${Q4(XSUM4(Q4("w * value")))} AS decayed_value
         FROM w GROUP BY event_type"""),
       "exponentially decayed per-type trending score at 0.1/hour"),
+
+    // ---- incremental batch sessionization ---------------------------------
+    // The daily-batch twin of streaming sessionization: the month of
+    // events splits at a mid-month cut into two loads; fold 1 builds
+    // per-user open-session state from load 1, fold 2 folds load 2 into
+    // that state WITHOUT rescanning load 1 — sessions spanning the cut
+    // must merge (start from load 1, end from load 2, counts summed),
+    // gaps across the cut must close the old session, and users absent
+    // from load 2 must ride through still open. The oracle
+    // re-sessionizes ALL events from scratch (gaps-and-islands SQL), so
+    // the hash proves fold-over-state ≡ full recompute exactly — the
+    // property that lets a 100 TB pipeline keep sessions correct
+    // touching only |delta| + |open state| per day.
+    "q238_sessionize_fold" -> Q(
+      (s, d) => {
+        val gap = 1800000000L
+        val cut = 1705367000000000L // mid-fixture; both loads non-empty
+        val ev = Tables.events(s, d).select("user_id", "ts_us", "event_id")
+        val f1 = graft.ops.Temporal.sessionizeFold(
+          graft.ops.Temporal.emptySessionState(s),
+          ev.filter(col("ts_us") <= cut), gap)
+        val f2 = graft.ops.Temporal.sessionizeFold(
+          f1.filter(col("is_open")).drop("is_open"),
+          ev.filter(col("ts_us") > cut), gap)
+        f1.filter(!col("is_open")).unionByName(f2)
+      },
+      Some("""WITH e AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+        m AS (SELECT user_id, ts_us, event_id,
+            CASE WHEN lag(ts_us, 1) OVER w IS NULL
+                   OR ts_us - lag(ts_us, 1) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        sids AS (SELECT user_id, ts_us,
+            sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM m),
+        g AS (SELECT user_id, sid, min(ts_us) AS session_start,
+            max(ts_us) AS session_end, count(*) AS n_events
+          FROM sids GROUP BY user_id, sid)
+        SELECT user_id, session_start, session_end, n_events,
+          sid = max(sid) OVER (PARTITION BY user_id) AS is_open
+        FROM g"""),
+      "two-load incremental sessionization ≡ full recompute (cross-load merge)"),
   )
 }

@@ -70,4 +70,44 @@ class TemporalSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(kept == Set(1L, 5L, 6L, 7L))
   }
+
+  // sessionizeFold fixture: gap 100. u1 spans the cut WITHIN gap
+  // (merges), u2 spans the cut BEYOND gap (old session closes), u3 only
+  // in batch 1 (rides through open), u4 only in batch 2 (fresh).
+  private val evAll = Seq(
+    (1L, 0L, 1L), (1L, 50L, 2L), (1L, 140L, 3L), (1L, 400L, 4L),
+    (2L, 10L, 5L), (2L, 500L, 6L),
+    (3L, 20L, 7L),
+    (4L, 300L, 8L), (4L, 350L, 9L))
+  private val cut = 100L
+
+  private def fold2(gap: Long) = {
+    val all = evAll.toDF("user_id", "ts_us", "event_id")
+    val f1 = Temporal.sessionizeFold(Temporal.emptySessionState(spark),
+      all.filter(col("ts_us") <= cut), gap)
+    val f2 = Temporal.sessionizeFold(
+      f1.filter(col("is_open")).drop("is_open"),
+      all.filter(col("ts_us") > cut), gap)
+    f1.filter(!col("is_open")).unionByName(f2)
+  }
+
+  test("sessionizeFold: two folds ≡ one fold over everything") {
+    val folded = fold2(100L)
+    val whole = Temporal.sessionizeFold(Temporal.emptySessionState(spark),
+      evAll.toDF("user_id", "ts_us", "event_id"), 100L)
+    assert(folded.exceptAll(whole).isEmpty && whole.exceptAll(folded).isEmpty)
+  }
+
+  test("sessionizeFold: cross-cut merge, close, ride-through, fresh user") {
+    val rows = fold2(100L)
+      .orderBy("user_id", "session_start")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(rows == Seq(
+      (1L, 0L, 140L, 3L, false),   // merged across the cut, then closed by 400
+      (1L, 400L, 400L, 1L, true),
+      (2L, 10L, 10L, 1L, false),   // gap 490 > 100: closed by fold 2
+      (2L, 500L, 500L, 1L, true),
+      (3L, 20L, 20L, 1L, true),    // untouched by fold 2: still open
+      (4L, 300L, 350L, 2L, true))) // fresh user in fold 2
+  }
 }
