@@ -111,6 +111,76 @@ object Indexing {
     untouched.unionByName(rebuilt)
   }
 
+  // ---- segmented (log-structured) index store -----------------------------
+  // The layout that makes CONTINUOUS index maintenance O(batch): each
+  // ingest writes its own postings segment under `root/seg=<id>` and
+  // nothing on the ingest path ever reads or rewrites the stored index
+  // (contrast the streaming indexMaintenanceSink, which merges and
+  // staged-overwrites the FULL index every micro-batch — right for a
+  // small always-materialized index, O(index·batches) at warehouse
+  // scale). Queries merge segments at read time — one term-keyed
+  // shuffle — and periodic compaction folds old segments so that merge
+  // stays over few segments: the Lucene/LSM design on parquet dirs.
+  // Posting lists are doc-id SETS, so the read-time merge is
+  // IDEMPOTENT: a replayed segment, or a crash that left both a
+  // compacted segment and its inputs on disk, changes nothing.
+
+  /** Land one postings segment (a [[buildPostings]] frame) under
+    * `root/seg=<segId>`. Overwrites ITS OWN directory only — the
+    * replay-safe unit of the streaming segmented sink. */
+  def writeSegment(postings: DataFrame, root: String, segId: Long): Unit = {
+    postings.write.mode("overwrite").parquet(s"$root/seg=$segId")
+    ()
+  }
+
+  /** Ascending segment ids currently present under `root`. */
+  def segmentIds(spark: org.apache.spark.sql.SparkSession,
+                 root: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("seg=") => n.drop(4).toLong }
+      .sorted
+  }
+
+  /** The merged view over every segment: partition discovery lists the
+    * `seg=` dirs, one term-keyed groupBy set-merges the posting lists.
+    * Equivalent to a one-shot [[buildPostings]] over everything indexed
+    * (q239's oracle) however the corpus arrived. */
+  def readSegmented(spark: org.apache.spark.sql.SparkSession,
+                    root: String): DataFrame =
+    spark.read.parquet(root)
+      .groupBy("term")
+      .agg(array_sort(array_distinct(flatten(collect_list(col("postings")))))
+        .as("postings"))
+
+  /** Fold every segment with id ≤ `upTo` into one compacted segment at
+    * `seg=<upTo>` and drop the inputs — the maintenance pass that
+    * bounds read-time merge width. Crash-safe in both halves: the
+    * compacted segment is staged and swapped (never a half-written
+    * serving dir), and if the process dies before the old-segment
+    * deletes, the leftover segments are duplicates the read-time
+    * set-merge absorbs — re-running compaction converges. */
+  def compactSegments(spark: org.apache.spark.sql.SparkSession,
+                      root: String, upTo: Long): Unit = {
+    val segs = segmentIds(spark, root).filter(_ <= upTo)
+    if (segs.length > 1) {
+      val merged = spark.read
+        .parquet(segs.map(i => s"$root/seg=$i"): _*)
+        .groupBy("term")
+        .agg(array_sort(array_distinct(flatten(collect_list(col("postings")))))
+          .as("postings"))
+      graft.sources.Sinks.stagedOverwrite(merged, s"$root/seg=$upTo")
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      segs.filter(_ < upTo).foreach { i =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/seg=$i"), true)
+      }
+    }
+  }
+
   /** Positional postings (doc_id, term, pos) — the build half of the
     * phrase / proximity / snippet serving path. Persist sorted by term
     * (repartitionByRange + sortWithinPartitions) so a serve-time term

@@ -1549,5 +1549,40 @@ object RetrievalQueries {
             AS snippet
         FROM fh JOIN tk USING (doc_id)"""),
       "snippets served from positional + forward indexes ≡ direct compute"),
+
+    // ---- segmented (log-structured) index store ---------------------------
+    // The O(batch) continuous-maintenance layout: the corpus arrives as
+    // three ingest batches, each landing its OWN postings segment
+    // (nothing rewrites the stored index), segments 0–1 then compact
+    // into one, and the read-time set-merge serves the q125 index
+    // shape. The oracle is the one-shot build over ALL documents, so
+    // the hash proves segment writes + compaction + read-time merge
+    // lose and invent nothing — however the corpus arrived. Compaction
+    // crash-safety (leftover input segments) is pinned in the spec.
+    "q239_segmented_index" -> Q(
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_seg_q").toString + "/idx"
+        val docs = Tables.documents(s, d)
+        (0 until 3).foreach { i =>
+          Indexing.writeSegment(
+            Indexing.buildPostings(
+              docs.filter(col("doc_id") % 3 === i), "doc_id", "text"),
+            root, i.toLong)
+        }
+        Indexing.compactSegments(s, root, upTo = 1L)
+        Indexing.readSegmented(s, root)
+          .select(col("term"), size(col("postings")).cast("long").as("df"),
+            concat_ws(",", transform(col("postings"), _.cast("string")))
+              .as("postings"))
+          .filter(col("df") >= 3)
+      },
+      Some(s"""WITH t AS (
+          SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest($tokSql) AS term FROM documents)
+          WHERE term <> '')
+        SELECT term, count(*) AS df,
+          string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        FROM t GROUP BY term HAVING count(*) >= 3"""),
+      "segmented index: 3 segment writes + compaction ≡ one-shot build"),
   )
 }

@@ -218,6 +218,29 @@ object WarehouseSink {
       .agg(sum("cnt").cast("long").as("cnt"),
         sum("sum_fx").cast("long").as("sum_fx"))
 
+  /** Streaming SEGMENTED index maintenance — the O(batch) sibling of
+    * [[indexMaintenanceSink]]: each micro-batch's postings land as one
+    * new segment dir ([[graft.operators.Indexing.writeSegment]]); the
+    * stored index is never read or rewritten on the ingest path, so
+    * per-batch cost is the batch's own postings regardless of index
+    * size. Exactly-once under foreachBatch replay because a replayed
+    * batch OVERWRITES its own `seg=<batchId>` dir (the sketchDeltaSink
+    * argument), and the read-time set-merge absorbs anything a partial
+    * write left. Serve with `Indexing.readSegmented`; run
+    * `Indexing.compactSegments` on a maintenance schedule to bound the
+    * segment count. */
+  def segmentedIndexSink(stream: DataFrame, idCol: String, textCol: String,
+                         root: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Indexing.writeSegment(
+          graft.operators.Indexing.buildPostings(batch, idCol, textCol),
+          root, batchId)
+      }
+      .start()
+
   def indexMaintenanceSink(stream: DataFrame, idCol: String,
                            textCol: String, indexPath: String,
                            checkpoint: String): StreamingQuery =

@@ -1,0 +1,63 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class IndexSegmentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "alpha beta"), (2L, "beta gamma"), (3L, "alpha gamma delta"),
+    (4L, "delta beta"), (5L, "epsilon alpha")
+  ).toDF("doc_id", "text")
+
+  private def fullBuild = Indexing.buildPostings(docs, "doc_id", "text")
+
+  private def assertSame(a: org.apache.spark.sql.DataFrame,
+                         b: org.apache.spark.sql.DataFrame): Unit =
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+
+  private def writeThirds(root: String): Unit =
+    (0 until 3).foreach { i =>
+      Indexing.writeSegment(Indexing.buildPostings(
+        docs.filter(col("doc_id") % 3 === i), "doc_id", "text"), root, i.toLong)
+    }
+
+  test("readSegmented over 3 segments ≡ one-shot build") {
+    val root = Files.createTempDirectory("segidx").toString + "/idx"
+    writeThirds(root)
+    assertSame(Indexing.readSegmented(spark, root), fullBuild)
+  }
+
+  test("segment replay (rewriting its own dir) changes nothing") {
+    val root = Files.createTempDirectory("segidx").toString + "/idx"
+    writeThirds(root)
+    Indexing.writeSegment(Indexing.buildPostings(
+      docs.filter(col("doc_id") % 3 === 1), "doc_id", "text"), root, 1L)
+    assertSame(Indexing.readSegmented(spark, root), fullBuild)
+  }
+
+  test("compaction folds segments; ids shrink; served view unchanged") {
+    val root = Files.createTempDirectory("segidx").toString + "/idx"
+    writeThirds(root)
+    Indexing.compactSegments(spark, root, upTo = 1L)
+    assert(Indexing.segmentIds(spark, root) == Seq(1L, 2L))
+    assertSame(Indexing.readSegmented(spark, root), fullBuild)
+  }
+
+  test("compaction crash leftovers (input segment survives) are absorbed") {
+    val root = Files.createTempDirectory("segidx").toString + "/idx"
+    writeThirds(root)
+    Indexing.compactSegments(spark, root, upTo = 1L)
+    // simulate the crash-before-delete state: input segment 0 reappears
+    // alongside the compacted segment 1 that already contains its ids
+    Indexing.writeSegment(Indexing.buildPostings(
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text"), root, 0L)
+    assertSame(Indexing.readSegmented(spark, root), fullBuild)
+    // re-running compaction converges to the clean state
+    Indexing.compactSegments(spark, root, upTo = 1L)
+    assert(Indexing.segmentIds(spark, root) == Seq(1L, 2L))
+    assertSame(Indexing.readSegmented(spark, root), fullBuild)
+  }
+}

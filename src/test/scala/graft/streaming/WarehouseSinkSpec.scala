@@ -7,6 +7,29 @@ import graft.SparkSpec
 class WarehouseSinkSpec extends SparkSpec {
   import spark.implicits._
 
+  test("segmentedIndexSink: one segment per batch, merged view ≡ full build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("segsink")
+    val root = dir.resolve("idx").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = WarehouseSink.segmentedIndexSink(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", root, ckpt)
+    try {
+      ms.addData((1L, "alpha beta"), (2L, "beta gamma"))
+      q.processAllAvailable()
+      ms.addData((3L, "alpha gamma delta"))
+      q.processAllAvailable()
+      assert(graft.operators.Indexing.segmentIds(spark, root).size == 2)
+      val all = Seq((1L, "alpha beta"), (2L, "beta gamma"),
+        (3L, "alpha gamma delta")).toDF("doc_id", "text")
+      val want = graft.operators.Indexing.buildPostings(all, "doc_id", "text")
+      val got = graft.operators.Indexing.readSegmented(spark, root)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    } finally q.stop()
+  }
+
   test("upsertSink merges micro-batches into a parquet table by key") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
