@@ -77,7 +77,11 @@ object Plans {
     "q227_entity_resolution" -> "entity resolution: deletion-variant blocking bounds the pair join, components propagate, ONE keep-first window for survivorship",
     "q231_ivf_upsert" -> "IVF upsert probe: PartitionFilters prune the maintained index to probed buckets — upsert left untouched buckets' files unopened",
     "q232_bm25_compressed" -> "compressed BM25 serve: term In filter pushed to the postings scan, varint_decode in scan-side codegen, only query terms' bytes read",
-    "q234_conjunctive_block" -> "block-max conjunctive serve: df from block metadata (no decode), rarest-term blocks decode, others range-semi-join candidates first")
+    "q234_conjunctive_block" -> "block-max conjunctive serve: df from block metadata (no decode), rarest-term blocks decode, others range-semi-join candidates first",
+    "q235_table_diff" -> "CDC diff: ONE co-partitioned exchange pair into the full-outer SMJ, null-safe compares in codegen, churn-sized output",
+    "q237_zonemap_scan" -> "zone-map scan: pruned file list from O(#files) stats (metadata, not data), exact predicate re-applied over surviving files only",
+    "q238_sessionize_fold" -> "sessionize fold: delta window + session groupBy share ONE user exchange, state joins by user, history never re-read",
+    "q239_segmented_index" -> "segmented index serve: per-segment scans union into ONE term-keyed set-merge agg — ingest never reads the stored index")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

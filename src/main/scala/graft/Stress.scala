@@ -127,7 +127,15 @@ object Stress {
       "q232_bm25_compressed", "q233_phrase_compressed",
       // block-max conjunctive serve: metadata answers df, range pruning
       // bounds decode to candidate-overlapping blocks
-      "q234_conjunctive_block")
+      "q234_conjunctive_block",
+      // round-7 closing wave: CDC diff (one co-partitioned outer join,
+      // churn-sized output), zone-map scan (compact + stats build are
+      // corpus-linear; the pruned read opens a fixed key range), two-load
+      // sessionization fold (delta window + state join, history never
+      // read), segmented index (3 segment writes + compaction + read-time
+      // term merge)
+      "q235_table_diff", "q237_zonemap_scan", "q238_sessionize_fold",
+      "q239_segmented_index")
       // STRESS_ONLY=q211_count_min,q214_dsir_weights narrows a run to
       // the named targets (comma-separated) — new-op iteration without
       // re-timing the whole suite
@@ -177,7 +185,7 @@ object Stress {
     * builder invalidates corpora built before it existed). */
   def buildCorpus(spark: SparkSession, srcDir: String, outDir: String,
                   factor: Int): Unit = {
-    val marker = new java.io.File(s"$outDir/_built_v3_x$factor")
+    val marker = new java.io.File(s"$outDir/_built_v4_x$factor")
     if (marker.exists()) return
     val off = 10000000L // id-space stride per replica
     def salted(table: String)(f: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Unit = {
@@ -224,6 +232,13 @@ object Stress {
       df.withColumn("vec_id", col("vec_id") + d)
         .withColumn("label",
           (col("label") + col("__cp") * 100).cast(df.schema("label").dataType))
+    }
+    // events: disjoint user spaces per replica, timestamps unchanged —
+    // 10× users with the same per-user session structure, the linear
+    // growth axis of an event warehouse
+    salted("events") { (df, d) =>
+      df.withColumn("event_id", col("event_id") + d)
+        .withColumn("user_id", col("user_id") + d)
     }
     marker.getParentFile.mkdirs()
     marker.createNewFile()

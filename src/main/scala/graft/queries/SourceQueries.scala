@@ -442,10 +442,10 @@ object SourceQueries {
           sortCol = Some("o_orderkey"))
         val zm = graft.sources.ZoneMaps.build(s, tmp, Seq("o_orderkey"))
         graft.sources.ZoneMaps.prunedRead(s, tmp, zm,
-          "o_orderkey", 10000L, 20000L)
+          "o_orderkey", 100L, 10000L)
       },
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        WHERE o_orderkey BETWEEN 10000 AND 20000"""),
+        WHERE o_orderkey BETWEEN 100 AND 10000"""),
       "zone-map pruned range scan ≡ direct filter (clustered compact + min/max skip)"),
   )
 
