@@ -74,4 +74,31 @@ object Quality {
     one.selectExpr(
       s"stack(${rules.size}, $stackArgs) AS (rule_idx, rule, violations)")
   }
+
+  /** Referential-integrity rule — the one dbt-style check the one-pass
+    * [[expectations]] aggregate cannot express (it needs a join):
+    * count child rows whose key tuple has no match in `parent`.
+    * NULL-keyed child rows never violate (SQL FK semantics). Output
+    * schema matches [[expectations]] (`rule_idx, rule, violations`) so
+    * FK rows union into the same report.
+    *
+    * Shape for the 100 TB fact-table case: parent keys project +
+    * distinct to dim-sized, then the child anti-joins on the key — one
+    * key-shuffle pair, with the parent side left to size-based
+    * broadcast selection. The child never scans twice. */
+  def foreignKeyViolations(child: DataFrame, childKeys: Seq[String],
+                           parent: DataFrame, parentKeys: Seq[String],
+                           ruleIdx: Int = 0): DataFrame = {
+    val p = parent.select(parentKeys.zip(childKeys).map {
+      case (pk, ck) => col(pk).as(ck)
+    }: _*).distinct()
+    val nonNull = childKeys.map(col(_).isNotNull).reduce(_ && _)
+    child.filter(nonNull)
+      .join(p, childKeys, "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit(ruleIdx).as("rule_idx"),
+        lit(s"foreign_key(${childKeys.mkString(",")} -> " +
+          s"${parentKeys.mkString(",")})").as("rule"),
+        col("violations"))
+  }
 }

@@ -846,6 +846,35 @@ object AggWindowQueries {
           FROM lineitem"""),
       "one-pass data-quality rule suite with violation counts"),
 
+    // ---- referential-integrity expectations -------------------------------
+    // The FK rule class q144's single-agg pass can't express (it needs
+    // a join): lineitem→orders holds in the fixtures (0 violations —
+    // a passing rule must prove itself too), while orders→even-custkey
+    // customers is deliberately broken so a real orphan count is
+    // exercised. Same (rule_idx, rule, violations) schema as q144, so
+    // FK rows union straight into the one-pass report.
+    "q240_fk_expectations" -> Q(
+      (s, d) => graft.ops.Quality.foreignKeyViolations(
+          Tables.lineitem(s, d), Seq("l_orderkey"),
+          Tables.orders(s, d), Seq("o_orderkey"), ruleIdx = 0)
+        .unionByName(graft.ops.Quality.foreignKeyViolations(
+          Tables.orders(s, d), Seq("o_custkey"),
+          Tables.customer(s, d).filter(col("c_custkey") % 2 === 0),
+          Seq("c_custkey"), ruleIdx = 1)),
+      Some("""SELECT 0 AS rule_idx,
+          'foreign_key(l_orderkey -> o_orderkey)' AS rule,
+          CAST((SELECT count(*) FROM lineitem l
+            WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+              (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT) AS violations
+        UNION ALL
+        SELECT 1, 'foreign_key(o_custkey -> c_custkey)',
+          CAST((SELECT count(*) FROM orders
+            WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+              (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0))
+            AS BIGINT)"""),
+      "referential-integrity expectations: anti-join orphan counts, q144-composable"),
+
     // ---- mergeable grid-histogram quantiles --------------------------------
     // The quantile member of the sketch-as-table family (count-min =
     // frequency, Bloom = membership, HLL = distinct): per-flag price

@@ -374,4 +374,21 @@ class RelationalSpec extends SparkSpec {
     val plan = joined.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
+
+  test("foreignKeyViolations: orphans counted, NULL keys never violate") {
+    import graft.ops.Quality
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(2L), Some(9L), Some(9L), None)
+      .toDF("fk")
+    val out = Quality.foreignKeyViolations(child, Seq("fk"), parent,
+      Seq("pk"), ruleIdx = 7).collect().head
+    assert(out.getInt(0) == 7)
+    assert(out.getString(1) == "foreign_key(fk -> pk)")
+    assert(out.getLong(2) == 2L) // the two 9s; NULL fk is skipped
+    // a holding FK reports zero violations (the rule proves itself)
+    val ok = Quality.foreignKeyViolations(
+      Seq(1L, 3L).toDF("fk"), Seq("fk"), parent, Seq("pk"))
+      .collect().head
+    assert(ok.getLong(2) == 0L)
+  }
 }
