@@ -1584,5 +1584,40 @@ object RetrievalQueries {
           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
         FROM t GROUP BY term HAVING count(*) >= 3"""),
       "segmented index: 3 segment writes + compaction ≡ one-shot build"),
+
+    // ---- boolean retrieval SERVED from the segmented store ----------------
+    // The serve-side closure of q239: the same (fast AND merge) NOT
+    // slow query as q182, answered from the on-disk segment dirs — the
+    // term filter pushes through the set-merge aggregate into every
+    // segment's parquet scan, so the query decodes only the three
+    // terms' postings however many segments the corpus arrived in. The
+    // oracle recomputes membership from the documents table directly.
+    "q241_boolean_segmented" -> Q(
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_segb_q").toString + "/idx"
+        val docs = Tables.documents(s, d)
+        (0 until 3).foreach { i =>
+          Indexing.writeSegment(
+            Indexing.buildPostings(
+              docs.filter(col("doc_id") % 3 === i), "doc_id", "text"),
+            root, i.toLong)
+        }
+        val idx = Indexing.readSegmented(s, root)
+        def hits(t: String) = idx.filter(col("term") === t)
+          .select(explode(col("postings")).as("doc_id"))
+        hits("fast")
+          .join(hits("merge"), "doc_id")                  // AND
+          .join(hits("slow"), Seq("doc_id"), "left_anti") // NOT
+      },
+      Some(s"""WITH toks AS (
+          SELECT DISTINCT doc_id, tok AS term FROM (
+            SELECT doc_id, unnest($tokSql) AS tok FROM documents)
+          WHERE tok <> ''),
+        f AS (SELECT doc_id FROM toks WHERE term = 'fast'),
+        m AS (SELECT doc_id FROM toks WHERE term = 'merge'),
+        sl AS (SELECT doc_id FROM toks WHERE term = 'slow')
+        SELECT doc_id FROM f JOIN m USING (doc_id)
+        ANTI JOIN sl USING (doc_id)"""),
+      "boolean query served from segment dirs, term filter pushed to every scan"),
   )
 }

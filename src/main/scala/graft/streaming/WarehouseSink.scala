@@ -218,6 +218,33 @@ object WarehouseSink {
       .agg(sum("cnt").cast("long").as("cnt"),
         sum("sum_fx").cast("long").as("sum_fx"))
 
+  /** Streaming CDC apply: each micro-batch is a changelog in
+    * [[graft.ops.ChangeCapture.tableDiff]] shape (key cols + value cols
+    * + `op` ∈ insert|update|delete) folded onto the stored table — the
+    * consume side of a change feed, turning someone else's published
+    * diffs into a maintained replica with O(batch) merge work. Within a
+    * batch, later rows win per key (the upsertSink discipline);
+    * idempotent under foreachBatch replay because applying a changelog
+    * twice converges (re-upserting identical rows and re-deleting
+    * absent keys are no-ops). */
+  def cdcApplySink(stream: DataFrame, path: String, keys: Seq[String],
+                   checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val ordered = batch.withColumn("__seq", monotonically_increasing_id())
+        val latest = Relational.dedupKeepFirst(ordered, keys,
+          Seq(col("__seq").desc)).drop("__seq")
+        val existing = readOrEmpty(spark, path, latest.drop("op").limit(0))
+        Sinks.stagedOverwrite(
+          graft.ops.ChangeCapture.applyChangelog(existing, latest, keys),
+          path)
+        ()
+      }
+      .start()
+
   /** Streaming SEGMENTED index maintenance — the O(batch) sibling of
     * [[indexMaintenanceSink]]: each micro-batch's postings land as one
     * new segment dir ([[graft.operators.Indexing.writeSegment]]); the

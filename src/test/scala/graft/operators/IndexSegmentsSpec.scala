@@ -46,6 +46,18 @@ class IndexSegmentsSpec extends SparkSpec {
     assertSame(Indexing.readSegmented(spark, root), fullBuild)
   }
 
+  test("serving with a term filter pushes the predicate into segment scans") {
+    val root = Files.createTempDirectory("segidx").toString + "/idx"
+    writeThirds(root)
+    val served = Indexing.readSegmented(spark, root)
+      .filter(col("term") === "beta")
+    val scans = served.queryExecution.executedPlan.toString
+    assert(scans.contains("PushedFilters: [IsNotNull(term), EqualTo(term,beta)]"),
+      scans)
+    assert(served.select(explode(col("postings"))).as[Long].collect()
+      .toSet == Set(1L, 2L, 4L))
+  }
+
   test("compaction crash leftovers (input segment survives) are absorbed") {
     val root = Files.createTempDirectory("segidx").toString + "/idx"
     writeThirds(root)

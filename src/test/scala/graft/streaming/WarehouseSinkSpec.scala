@@ -30,6 +30,28 @@ class WarehouseSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdcApplySink folds changelog batches; replay converges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("cdcsink")
+    val table = dir.resolve("t").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val ms = MemoryStream[(Long, String, String)]
+    val q = WarehouseSink.cdcApplySink(
+      ms.toDF().toDF("k", "v", "op"), table, Seq("k"), ckpt)
+    try {
+      ms.addData((1L, "a", "insert"), (2L, "b", "insert"))
+      q.processAllAvailable()
+      // update 1, delete 2, insert 3 — plus a within-batch overwrite of
+      // 3 (later row wins) and a delete of a key that never existed
+      ms.addData((1L, "A", "update"), (2L, "b", "delete"),
+        (3L, "c0", "insert"), (3L, "c", "update"), (9L, "x", "delete"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(table).select("k", "v")
+        .as[(Long, String)].collect().toMap == Map(1L -> "A", 3L -> "c"))
+    } finally q.stop()
+  }
+
   test("upsertSink merges micro-batches into a parquet table by key") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
