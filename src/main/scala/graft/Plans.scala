@@ -81,7 +81,8 @@ object Plans {
     "q235_table_diff" -> "CDC diff: ONE co-partitioned exchange pair into the full-outer SMJ, null-safe compares in codegen, churn-sized output",
     "q237_zonemap_scan" -> "zone-map scan: pruned file list from O(#files) stats (metadata, not data), exact predicate re-applied over surviving files only",
     "q238_sessionize_fold" -> "sessionize fold: delta window + session groupBy share ONE user exchange, state joins by user, history never re-read",
-    "q239_segmented_index" -> "segmented index serve: per-segment scans union into ONE term-keyed set-merge agg — ingest never reads the stored index")
+    "q239_segmented_index" -> "segmented index serve: per-segment scans union into ONE term-keyed set-merge agg — ingest never reads the stored index",
+    "q242_mv_rewrite" -> "MV rewrite: the aggregate's scan is the VIEW path, not the base table — rollup over view-sized state, no base exchange")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -89,6 +89,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // must run at analysis time, before ReplaceExpressions dissolves the
     // ArcDist node (an injected *optimizer* rule would see only trig)
     ext.injectResolutionRule(_ => ArcDistBoundingBox)
+    // MV rewrite runs post-hoc: attributes are resolved, the optimizer
+    // has not yet reshaped aggregates
+    ext.injectPostHocResolutionRule(_ => MaterializedViewRewrite)
     // custom operator: bounded-heap limit-per-group (logical + physical)
     ext.injectPlannerStrategy(_ => TopKStrategy)
   }

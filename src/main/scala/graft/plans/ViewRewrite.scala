@@ -1,0 +1,147 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** A registered aggregate materialized view: `viewPath` holds
+  * [[graft.ops.Relational.aggState]] of the table at `basePath` grouped
+  * by `keys` over `valueCol` — `(keys..., cnt, sum_fx)` with the value
+  * summed as 1e-4 fixed-point longs. Maintained incrementally by
+  * [[graft.ops.Relational.aggMaintain]] / the streaming aggDeltaSink. */
+final case class AggView(basePath: String, keys: Seq[String],
+                         valueCol: String, viewPath: String)
+
+/** Session-global registry the [[MaterializedViewRewrite]] rule consults.
+  * Register after writing/refreshing the view; clear when the view goes
+  * stale relative to the base (the caller owns freshness, exactly as in
+  * every MV-rewrite system). */
+object ViewRegistry {
+  private val views =
+    new scala.collection.concurrent.TrieMap[String, AggView]
+  def register(v: AggView): Unit = { views.put(v.viewPath, v); () }
+  def clear(): Unit = views.clear()
+  def all: Seq[AggView] = views.values.toSeq
+}
+
+/** Transparent aggregate-to-materialized-view rewrite — the optimizer
+  * capability that makes maintained views USEFUL: a query that
+  * aggregates the 100 TB base table by (a subset of) a view's keys is
+  * answered from the view-sized state instead, turning a full scan into
+  * a read of |view| rows. The classic MV-matching rules, scoped to the
+  * exact algebra the aggState/aggMaintain family keeps:
+  *
+  *  - the aggregate's child must scan the registered base path (bare
+  *    relation or pure-column Project — any Filter blocks the rewrite,
+  *    since the view covers the whole table);
+  *  - grouping keys must be a SUBSET of the view's keys (the rollup
+  *    case re-aggregates the view: counts sum, fixed-point sums sum —
+  *    exact integer algebra, so the rewrite is bit-identical, never
+  *    approximately right);
+  *  - every aggregate call must be `count(1)`/`count(*)` (→ sum(cnt))
+  *    or the xsum4 fixed-point pattern
+  *    `sum(cast(floor(valueCol*10000 + 0.5) as long))` (→ sum(sum_fx)).
+  *    A raw float `sum(valueCol)` deliberately does NOT match: its
+  *    partial-order float addition is not exactly derivable from the
+  *    fixed-point state, and a rewrite must never change results.
+  *
+  * Injected post-hoc at analysis (GraftExtensions) so it sees resolved
+  * attributes before the optimizer reshapes aggregates; q242's oracle
+  * recomputes from the base table in DuckDB, proving result identity,
+  * and the unit asserts the plan really reads the view path. */
+object MaterializedViewRewrite extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (ViewRegistry.all.isEmpty) plan
+    else plan.resolveOperatorsUp {
+      case agg: Aggregate if agg.resolved =>
+        ViewRegistry.all.view.flatMap(v => rewrite(agg, v))
+          .headOption.getOrElse(agg)
+    }
+  }
+
+  /** Root paths of the scanned v1 file relation, scheme-normalized;
+    * empty when the child is anything but a (projected) relation. */
+  private def relationPaths(p: LogicalPlan): Seq[String] = p match {
+    case l: LogicalRelation => l.relation match {
+      case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toUri.getPath)
+      case _ => Nil
+    }
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      relationPaths(child)
+    case _ => Nil
+  }
+
+  private def isCount1(f: Expression): Boolean = f match {
+    case Count(Seq(Literal(v, _))) => v != null
+    case _ => false
+  }
+
+  /** The xsum4 inner pattern: cast(floor(value*10000 + 0.5) as long). */
+  private def isFxSum(f: Expression, valueCol: String): Boolean = {
+    def isFx(e: Expression): Boolean = {
+      val inner = e match {
+        case c: Cast if c.dataType == LongType => c.child
+        case other => other
+      }
+      inner match {
+        case Floor(Add(Multiply(a: AttributeReference,
+            Literal(m, DoubleType), _), Literal(h, DoubleType), _)) =>
+          m == 10000.0 && h == 0.5 && a.name == valueCol
+        case _ => false
+      }
+    }
+    f match {
+      case Sum(child, _) => isFx(child)
+      case _ => false
+    }
+  }
+
+  private def rewrite(agg: Aggregate, v: AggView): Option[LogicalPlan] = {
+    val baseNorm = new org.apache.hadoop.fs.Path(v.basePath).toUri.getPath
+    if (!relationPaths(agg.child).contains(baseNorm)) return None
+    // every grouping expression is a bare column within the view's keys
+    val groupNames = agg.groupingExpressions.map {
+      case a: AttributeReference => a.name
+      case _ => return None
+    }
+    if (!groupNames.toSet.subsetOf(v.keys.toSet)) return None
+    // every aggregate call is count(1) or the fixed-point sum
+    val aggCalls = agg.aggregateExpressions
+      .flatMap(_.collect { case ae: AggregateExpression => ae })
+    if (aggCalls.isEmpty) return None
+    val allMatch = aggCalls.forall(ae =>
+      !ae.isDistinct && ae.filter.isEmpty &&
+        (isCount1(ae.aggregateFunction) ||
+          isFxSum(ae.aggregateFunction, v.valueCol)))
+    if (!allMatch) return None
+
+    val spark = SparkSession.active
+    val viewPlan = spark.read.parquet(v.viewPath).queryExecution.analyzed
+    val vAttr = viewPlan.output.map(a => a.name -> a).toMap
+    if (!(v.keys :+ "cnt" :+ "sum_fx").forall(vAttr.contains)) return None
+
+    def remap(e: Expression): Expression = e.transformUp {
+      case ae: AggregateExpression if isCount1(ae.aggregateFunction) =>
+        AggregateExpression(Sum(vAttr("cnt")), Complete, isDistinct = false)
+      case ae: AggregateExpression =>
+        AggregateExpression(Sum(vAttr("sum_fx")), Complete, isDistinct = false)
+      case a: AttributeReference if vAttr.contains(a.name) => vAttr(a.name)
+    }
+    val newAggExprs = agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        Alias(vAttr(a.name), a.name)(exprId = a.exprId,
+          qualifier = a.qualifier)
+      case other => remap(other).asInstanceOf[NamedExpression]
+    }
+    val out = Aggregate(groupNames.map(vAttr), newAggExprs, viewPlan)
+    // a rewrite must be invisible: same names, same types, or no deal
+    if (out.output.map(o => (o.name, o.dataType)) ==
+        agg.output.map(o => (o.name, o.dataType))) Some(out)
+    else None
+  }
+}

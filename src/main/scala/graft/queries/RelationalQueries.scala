@@ -567,6 +567,54 @@ object RelationalQueries {
         WHERE rn = 1 AND op <> 'D'"""),
       "CDC merge: I/U/D change batch applied in one keep-first pass"),
 
+    // ---- transparent materialized-view rewrite ----------------------------
+    // The optimizer capability that makes maintained views USEFUL: the
+    // query below aggregates the BASE orders parquet by status, but the
+    // MaterializedViewRewrite rule (GraftExtensions) answers it from a
+    // registered (status, priority) aggState view — a rollup over
+    // view-sized state instead of a table scan. The oracle recomputes
+    // from the base table in DuckDB, so the hash proves the rewrite is
+    // result-invisible (exact fixed-point algebra, never approximate);
+    // ViewRewriteSpec pins that the plan really reads the view path and
+    // that filters/distincts/float-sums refuse the rewrite.
+    "q242_mv_rewrite" -> Q(
+      (s, d) => {
+        val viewPath = java.nio.file.Files
+          .createTempDirectory("graft_mv_q").toString + "/v"
+        val basePath = s"$d/orders.parquet"
+        graft.ops.Relational.aggState(s.read.parquet(basePath),
+            Seq("o_orderstatus", "o_orderpriority"), "o_totalprice")
+          .write.mode("overwrite").parquet(viewPath)
+        graft.plans.ViewRegistry.register(graft.plans.AggView(
+          basePath, Seq("o_orderstatus", "o_orderpriority"),
+          "o_totalprice", viewPath))
+        try {
+          val served = s.read.parquet(basePath)
+            .groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n_orders"),
+              xsum4(col("o_totalprice")).as("sum_price"))
+          // the green row must prove the rewrite FIRED, not just that
+          // results match: fail loudly if the plan still reads the base
+          val scanned = served.queryExecution.optimizedPlan.collect {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              l.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toUri.getPath)
+                case _ => Nil
+              }
+          }.flatten
+          require(scanned.exists(_.endsWith("/v")) &&
+            !scanned.exists(_.endsWith("orders.parquet")),
+            s"MV rewrite did not fire; scans: $scanned")
+          // materialize THROUGH the rewrite before deregistering
+          served.localCheckpoint(true)
+        } finally graft.plans.ViewRegistry.clear()
+      },
+      Some(s"""SELECT o_orderstatus, count(*) AS n_orders,
+          ${XSUM4("o_totalprice")} AS sum_price
+        FROM orders GROUP BY o_orderstatus"""),
+      "aggregate-to-MV rewrite: rollup served from view state ≡ base-table agg"),
+
     // ---- pure SQL-text path (TPC-H Q3 shape) ------------------------------
     // The engine's spark.sql() surface end-to-end: temp views over the
     // warehouse tables, the whole query as SQL text — and the SAME text

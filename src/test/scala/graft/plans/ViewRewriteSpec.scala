@@ -1,0 +1,125 @@
+package graft.plans
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterEach
+import graft.SparkSpec
+import graft.queries.Q
+
+class ViewRewriteSpec extends SparkSpec with BeforeAndAfterEach {
+
+  override def afterEach(): Unit = ViewRegistry.clear()
+
+  /** A session with GraftExtensions injected (the shared test session
+    * has none — extensions only apply at session construction). Reuses
+    * the JVM's SparkContext; active session restored afterwards. */
+  private def withExtendedSession[A](f: SparkSession => A): A = {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try f(s2)
+    finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  private def scannedPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toUri.getPath)
+        case _ => Nil
+      }
+    }.flatten
+
+  /** base parquet (k1,k2,x) + registered 2-key view; returns the paths. */
+  private def fixture(s: SparkSession): (String, String) = {
+    import s.implicits._
+    val dir = Files.createTempDirectory("mvrw").toString
+    val base = s"$dir/base"
+    val view = s"$dir/view"
+    Seq(("a", "p", 1.5), ("a", "p", 2.0), ("a", "q", 3.25),
+      ("b", "p", -1.0), ("b", "q", 0.0), ("b", "q", 4.75))
+      .toDF("k1", "k2", "x").write.parquet(base)
+    graft.ops.Relational.aggState(
+        s.read.parquet(base), Seq("k1", "k2"), "x")
+      .write.parquet(view)
+    ViewRegistry.register(AggView(base, Seq("k1", "k2"), "x", view))
+    (base, view)
+  }
+
+  private def q(s: SparkSession, base: String) =
+    s.read.parquet(base).groupBy("k1")
+      .agg(count(lit(1)).as("n"), Q.xsum4(col("x")).as("sx"))
+
+  test("rollup query is served from the view, results identical") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val (base, view) = fixture(s)
+      val served = q(s, base)
+      assert(scannedPaths(served).contains(view) &&
+        !scannedPaths(served).contains(base))
+      val rows = served.orderBy("k1").as[(String, Long, Double)]
+        .collect().toSeq
+      assert(rows == Seq(("a", 3L, 6.75), ("b", 3L, 3.75)))
+      // and it equals the unrewritten aggregation, bit for bit
+      ViewRegistry.clear()
+      val direct = q(s, base)
+      assert(scannedPaths(direct).contains(base))
+      assert(direct.orderBy("k1").as[(String, Long, Double)]
+        .collect().toSeq == rows)
+    }
+  }
+
+  test("exact-key grouping also rewrites; plain float sum never does") {
+    withExtendedSession { s =>
+      val (base, view) = fixture(s)
+      val exact = s.read.parquet(base).groupBy("k1", "k2")
+        .agg(count(lit(1)).as("n"))
+      assert(scannedPaths(exact).contains(view))
+      val floatSum = s.read.parquet(base).groupBy("k1")
+        .agg(sum(col("x")).as("sx"))
+      assert(scannedPaths(floatSum).contains(base),
+        "raw float sum is not derivable from fixed-point state")
+    }
+  }
+
+  test("filters below the aggregate and wider groupings block the rewrite") {
+    withExtendedSession { s =>
+      val (base, view) = fixture(s)
+      val filtered = s.read.parquet(base).filter(col("k2") === "p")
+        .groupBy("k1").agg(count(lit(1)).as("n"))
+      assert(scannedPaths(filtered).contains(base) &&
+        !scannedPaths(filtered).contains(view))
+      // subset keys in any order still rewrite
+      val reordered = s.read.parquet(base).groupBy("k2", "k1")
+        .agg(count(lit(1)).as("n"))
+      assert(scannedPaths(reordered).contains(view))
+      // a view keyed NARROWER than the grouping cannot serve it
+      ViewRegistry.clear()
+      ViewRegistry.register(AggView(base, Seq("k1"), "x", view))
+      val wider = s.read.parquet(base).groupBy("k1", "k2")
+        .agg(count(lit(1)).as("n"))
+      assert(scannedPaths(wider).contains(base))
+    }
+  }
+
+  test("distinct counts are never rewritten") {
+    withExtendedSession { s =>
+      val (base, view) = fixture(s)
+      val d = s.read.parquet(base).groupBy("k1")
+        .agg(countDistinct(col("k2")).as("nd"))
+      assert(scannedPaths(d).contains(base) &&
+        !scannedPaths(d).contains(view))
+    }
+  }
+}
