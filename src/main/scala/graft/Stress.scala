@@ -135,7 +135,12 @@ object Stress {
       // read), segmented index (3 segment writes + compaction + read-time
       // term merge)
       "q235_table_diff", "q237_zonemap_scan", "q238_sessionize_fold",
-      "q239_segmented_index")
+      "q239_segmented_index",
+      // FK expectations (two anti-joins over 10× facts), boolean serve
+      // from segments (term filter pushed into every segment scan), MV
+      // rewrite (aggState build is corpus-linear; the SERVED query reads
+      // view-sized state, so its cost should barely move)
+      "q240_fk_expectations", "q241_boolean_segmented", "q242_mv_rewrite")
       // STRESS_ONLY=q211_count_min,q214_dsir_weights narrows a run to
       // the named targets (comma-separated) — new-op iteration without
       // re-timing the whole suite

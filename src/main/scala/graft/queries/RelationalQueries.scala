@@ -606,8 +606,10 @@ object RelationalQueries {
           require(scanned.exists(_.endsWith("/v")) &&
             !scanned.exists(_.endsWith("orders.parquet")),
             s"MV rewrite did not fire; scans: $scanned")
-          // materialize THROUGH the rewrite before deregistering
-          served.localCheckpoint(true)
+          // Dataset analysis is EAGER, so the rewritten plan is already
+          // baked into `served`; clearing the registry only affects
+          // queries analyzed later
+          served
         } finally graft.plans.ViewRegistry.clear()
       },
       Some(s"""SELECT o_orderstatus, count(*) AS n_orders,
