@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -36,8 +36,11 @@ object ViewRegistry {
   * exact algebra the aggState/aggMaintain family keeps:
   *
   *  - the aggregate's child must scan the registered base path (bare
-  *    relation or pure-column Project — any Filter blocks the rewrite,
-  *    since the view covers the whole table);
+  *    relation, pure-column Projects, and Filters whose predicates
+  *    touch ONLY view keys — a key predicate commutes with grouping by
+  *    those keys, so it applies to view rows verbatim; any predicate
+  *    reading a non-key column blocks the rewrite, since the view
+  *    cannot reproduce a partial group);
   *  - grouping keys must be a SUBSET of the view's keys (the rollup
   *    case re-aggregates the view: counts sum, fixed-point sums sum —
   *    exact integer algebra, so the rewrite is bit-identical, never
@@ -64,17 +67,24 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** Root paths of the scanned v1 file relation, scheme-normalized;
-    * empty when the child is anything but a (projected) relation. */
-  private def relationPaths(p: LogicalPlan): Seq[String] = p match {
-    case l: LogicalRelation => l.relation match {
+  /** Strip pure-column Projects and Filters off the aggregate's child,
+    * collecting filter predicates; None when anything else intervenes. */
+  private def stripToRelation(p: LogicalPlan)
+      : Option[(Seq[Expression], LogicalRelation)] = p match {
+    case l: LogicalRelation => Some((Nil, l))
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      stripToRelation(child)
+    case Filter(cond, child) =>
+      stripToRelation(child).map { case (cs, l) => (cond +: cs, l) }
+    case _ => None
+  }
+
+  /** Root paths of the scanned v1 file relation, scheme-normalized. */
+  private def relationPaths(l: LogicalRelation): Seq[String] =
+    l.relation match {
       case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toUri.getPath)
       case _ => Nil
     }
-    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      relationPaths(child)
-    case _ => Nil
-  }
 
   private def isCount1(f: Expression): Boolean = f match {
     case Count(Seq(Literal(v, _))) => v != null
@@ -103,7 +113,17 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
 
   private def rewrite(agg: Aggregate, v: AggView): Option[LogicalPlan] = {
     val baseNorm = new org.apache.hadoop.fs.Path(v.basePath).toUri.getPath
-    if (!relationPaths(agg.child).contains(baseNorm)) return None
+    val (filters, rel) = stripToRelation(agg.child) match {
+      case Some(x) => x
+      case None => return None
+    }
+    if (!relationPaths(rel).contains(baseNorm)) return None
+    // filters must be deterministic and touch only view keys: such a
+    // predicate commutes with grouping by those keys, so it applies to
+    // view rows verbatim
+    val filtersOk = filters.forall(c => c.deterministic &&
+      c.references.forall(a => v.keys.contains(a.name)))
+    if (!filtersOk) return None
     // every grouping expression is a bare column within the view's keys
     val groupNames = agg.groupingExpressions.map {
       case a: AttributeReference => a.name
@@ -138,7 +158,12 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
           qualifier = a.qualifier)
       case other => remap(other).asInstanceOf[NamedExpression]
     }
-    val out = Aggregate(groupNames.map(vAttr), newAggExprs, viewPlan)
+    val newChild = filters.foldLeft(viewPlan) { (acc, cond) =>
+      Filter(cond.transformUp {
+        case a: AttributeReference if vAttr.contains(a.name) => vAttr(a.name)
+      }, acc)
+    }
+    val out = Aggregate(groupNames.map(vAttr), newAggExprs, newChild)
     // a rewrite must be invisible: same names, same types, or no deal
     if (out.output.map(o => (o.name, o.dataType)) ==
         agg.output.map(o => (o.name, o.dataType))) Some(out)

@@ -93,13 +93,24 @@ class ViewRewriteSpec extends SparkSpec with BeforeAndAfterEach {
     }
   }
 
-  test("filters below the aggregate and wider groupings block the rewrite") {
+  test("key-only filters rewrite (and stay correct); value filters block") {
     withExtendedSession { s =>
+      import s.implicits._
       val (base, view) = fixture(s)
-      val filtered = s.read.parquet(base).filter(col("k2") === "p")
+      // a predicate on a view KEY commutes with the grouping: it
+      // filters view rows verbatim
+      val keyFiltered = s.read.parquet(base).filter(col("k2") === "p")
         .groupBy("k1").agg(count(lit(1)).as("n"))
-      assert(scannedPaths(filtered).contains(base) &&
-        !scannedPaths(filtered).contains(view))
+      assert(scannedPaths(keyFiltered).contains(view) &&
+        !scannedPaths(keyFiltered).contains(base))
+      assert(keyFiltered.orderBy("k1").as[(String, Long)].collect().toSeq
+        == Seq(("a", 2L), ("b", 1L)))
+      // a predicate reading the VALUE column cannot be answered from
+      // group-level state
+      val valFiltered = s.read.parquet(base).filter(col("x") > 0)
+        .groupBy("k1").agg(count(lit(1)).as("n"))
+      assert(scannedPaths(valFiltered).contains(base) &&
+        !scannedPaths(valFiltered).contains(view))
       // subset keys in any order still rewrite
       val reordered = s.read.parquet(base).groupBy("k2", "k1")
         .agg(count(lit(1)).as("n"))
