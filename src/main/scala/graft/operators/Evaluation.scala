@@ -64,4 +64,27 @@ object Evaluation {
         q4(coalesce(col("hit").cast("double") / col("n_rel"), lit(0d)))
           .as("recall"))
   }
+
+  /** Hard-negative mining for retriever / embedding training: from a
+    * scored candidate list keep the k highest-scoring docs per query
+    * that are NOT labeled positive — the BM25-negatives recipe of DPR
+    * (Karpukhin et al. 2020): lexically close enough to fool the model,
+    * labeled wrong, which is exactly what contrastive training wants.
+    *
+    * `scored` carries (query_id, doc_id, score); `positives` the
+    * labeled (query_id, doc_id) pairs. Scale shape: the positives side
+    * is qrel-bounded (human labels — broadcast-class), the anti-join is
+    * per-query keyed, and the per-query window runs over a retriever
+    * SHORTLIST (postings-bounded BM25 candidates), never the corpus.
+    */
+  def hardNegatives(scored: DataFrame, positives: DataFrame,
+                    k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .join(positives.select("query_id", "doc_id"),
+        Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -294,6 +294,80 @@ object Graphs {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** k-core decomposition membership: the maximal induced subgraph in
+    * which every node has degree ≥ k, computed by iterative peeling —
+    * drop every node whose degree within the surviving set falls below
+    * k, recount, repeat to fixpoint (Matula–Beck / Batagelj–Zaveršnik,
+    * the standard community-density filter: spam-farm and boilerplate
+    * link clusters survive high-k cores, long tail chains peel away).
+    *
+    * Input: undirected edge list (`srcCol`, `dstCol`); self-loops are
+    * dropped, direction and duplicates are normalized away. Returns one
+    * row per surviving node: (id, core_deg) with core_deg = its degree
+    * inside the k-core. Isolated / sub-k nodes simply don't appear.
+    *
+    * Scale shape: the symmetrized edge list is shuffled ONCE onto src
+    * and checkpointed; each peel round streams it through a src-side
+    * semi-join against the (slim, shrinking) alive set, re-counts
+    * in-set degrees with one edge→node aggregation, and keeps nodes
+    * back in the alive set with a node-scale semi-join — the per-round
+    * exchange volume is the filtered edge list once plus two node-scale
+    * sides, the same cadence [[connectedComponents]] pays per hop. The
+    * driver sees only one surviving-count per round (convergence test);
+    * peeling is monotone, so an unchanged count IS the fixpoint proof.
+    * Rounds needed = peel depth of the graph (bounded by the degeneracy
+    * ordering length, ≪ n in practice; maxIter guards pathologies).
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxIter: Int = 50,
+            checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("src"))
+    val symP = persistStep(sym, checkpointDir, eager = true)
+    // one peel round: degree of v within `alive` = # edges from an alive
+    // src landing on v, kept only if v itself is alive and deg ≥ k
+    def peel(alive: DataFrame): DataFrame =
+      symP.join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
+        .groupBy(col("dst").as("id"))
+        .agg(count(lit(1)).as("core_deg"))
+        .filter(col("core_deg") >= k)
+        .join(alive, Seq("id"), "left_semi")
+    // round 0 fused with node-set enumeration: every endpoint with full-
+    // graph degree ≥ k (the symmetrized list enumerates each node's
+    // neighborhood under groupBy src)
+    var alive = persistStep(
+      symP.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("core_deg"))
+        .filter(col("core_deg") >= k)
+        .select("id"),
+      checkpointDir, eager = true)
+    var n = alive.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val prev = alive
+      val next = persistStep(peel(alive).select("id"),
+        checkpointDir, eager = false)
+      val m = next.count()
+      // peeling only ever removes nodes, so equal cardinality ⇒ equal set
+      converged = m == n
+      n = m
+      alive = next
+      freeCheckpoint(prev)
+      iter += 1
+    }
+    require(converged, s"kCore: no fixpoint after $maxIter rounds")
+    // fixpoint degrees ARE the k-core degrees: recount within the final set
+    symP.join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
+      .groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("core_deg"))
+      .join(alive, Seq("id"), "left_semi")
+  }
+
   /** Flatten a parent-child hierarchy (forest) to per-node (root, depth)
     * by POINTER DOUBLING: each round every node's pointer jumps to its
     * pointer's pointer while accumulating the hop distance, so a chain

@@ -933,6 +933,54 @@ object CorpusQueries {
       },
       "3-round deterministic label propagation, integer-exact replay"),
 
+    // ---- k-core decomposition ---------------------------------------------
+    // The density filter of link-graph curation (spam farms and mutual-
+    // citation clusters live in high-k cores; tail chains peel away):
+    // iterative peel to fixpoint over a deterministic hash-derived doc
+    // graph (3 md5 out-edges per doc mod |docs| — same node count at any
+    // SF, no fixture dependence beyond doc_id). Spark peels until the
+    // alive-count stops moving (3 rounds here); the oracle replays 12
+    // peel layers — peeling is idempotent past the fixpoint, so the
+    // overshoot is harmless — and recounts in-core degrees at the end.
+    // The graph scales with the corpus; every round's exchange is the
+    // src-filtered edge list plus two node-scale semi-join sides.
+    "q243_kcore" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+        val nd = docs.agg(count(lit(1)).as("n"))
+        val edges = docs.crossJoin(broadcast(nd))
+          .select(col("doc_id"),
+            explode(array(lit(1), lit(2), lit(3))).as("seed"), col("n"))
+          .withColumn("h",
+            conv(substring(md5(concat(col("doc_id"), lit("_"), col("seed"))),
+              1, 12), 16, 10).cast("long"))
+          .select(col("doc_id").as("src"), (col("h") % col("n")).as("dst"))
+        Graphs.kCore(edges, "src", "dst", k = 4)
+      },
+      Some {
+        val peels = (1 to 12).map { i =>
+          s"""a$i AS (SELECT dst AS id FROM sym
+            WHERE src IN (SELECT id FROM a${i - 1})
+              AND dst IN (SELECT id FROM a${i - 1})
+            GROUP BY dst HAVING count(*) >= 4)"""
+        }.mkString(",\n")
+        s"""WITH docs AS (SELECT doc_id FROM documents),
+          nd AS (SELECT count(*) AS n FROM docs),
+          raw AS (SELECT doc_id AS src,
+              CAST(('0x' || substr(md5(doc_id || '_' || s), 1, 12)) AS BIGINT)
+                % nd.n AS dst
+            FROM docs CROSS JOIN (VALUES (1), (2), (3)) v(s), nd),
+          sym AS (SELECT DISTINCT src, dst FROM (
+              SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)
+            WHERE src <> dst),
+          a0 AS (SELECT DISTINCT src AS id FROM sym),
+          $peels
+          SELECT dst AS id, count(*) AS core_deg FROM sym
+          WHERE src IN (SELECT id FROM a12) AND dst IN (SELECT id FROM a12)
+          GROUP BY dst"""
+      },
+      "4-core membership + in-core degree, peel-to-fixpoint vs layered oracle"),
+
     // ---- tokenizer vocab coverage -----------------------------------------
     // Apply a top-1000 corpus vocabulary back to every document and
     // report its out-of-vocabulary rate — the coverage check run before

@@ -434,6 +434,41 @@ object RetrievalQueries {
         FROM dcg d2 LEFT JOIN ideal USING (query_id)"""),
       "retrieval leaderboard: BM25 vs QL graded by the same replayed qrels"),
 
+    // ---- hard-negative mining (DPR / BM25-negatives recipe) ---------------
+    // The training-data op that turns a retriever into a labeled
+    // contrastive set: positives = docs carrying ≥2 distinct query
+    // terms (the q230 qrel construction), hard negatives = the top-15
+    // BM25 scorers that are NOT positive — lexically close, labeled
+    // wrong. Anti-join then per-query top-k window; candidates are
+    // postings-bounded (docs containing ≥1 query term), positives are
+    // qrel-bounded, so nothing here touches the full corpus beyond the
+    // BM25 statistics pass itself.
+    "q244_hard_negatives" -> Q(
+      (s, d) => {
+        val terms = Seq("spark", "merge", "filter")
+        val pos = Tables.documents(s, d).select(col("doc_id"),
+            explode(Text.tokens(Text.normalize(col("text")))).as("term"))
+          .filter(col("term").isin(terms: _*))
+          .groupBy("doc_id").agg(countDistinct(col("term")).as("n"))
+          .filter(col("n") >= 2)
+          .select(lit("q0").as("query_id"), col("doc_id"))
+        val scored = bm25Scores(s, d, terms)
+          .select(lit("q0").as("query_id"), col("doc_id"),
+            col("bm25").as("score"))
+        graft.operators.Evaluation.hardNegatives(scored, pos, k = 15)
+      },
+      Some(s"""WITH ${bm25Cte("'spark', 'merge', 'filter'")},
+        pos AS (SELECT doc_id FROM (
+            SELECT doc_id, count(DISTINCT term) AS n FROM toks
+            WHERE term IN ('spark', 'merge', 'filter') GROUP BY 1)
+          WHERE n >= 2)
+        SELECT 'q0' AS query_id, doc_id, score, rank FROM (
+          SELECT doc_id, bm25 AS score,
+            row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+          FROM bm25 ANTI JOIN pos USING (doc_id))
+        WHERE rank <= 15"""),
+      "hard negatives: top BM25 scorers anti-joined against the qrels"),
+
     // ---- pseudo-relevance-feedback query expansion (RM3-style) -----------
     // The classic two-pass retrieval refinement: run the original query,
     // take the top-5 docs as pseudo-relevant, extract the 3

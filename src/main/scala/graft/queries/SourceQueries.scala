@@ -250,6 +250,38 @@ object SourceQueries {
         FROM nation WHERE n_nationkey >= 10"""),
       "overwrite sink: second write replaces the first completely (read-back hash)"),
 
+    // ---- schema evolution on read -----------------------------------------
+    // A producer renamed `balance` → `c_acctbal` and introduced
+    // `segment` mid-history without rewriting old files: even-keyed
+    // customers land in the OLD layout, odd-keyed in the NEW one, and
+    // one evolvedParquet read reconciles both generations — footer-merge
+    // the schemas, coalesce the renamed column, backfill the missing
+    // dimension. The oracle rebuilds the same frame from the base table
+    // with the generation split spelled as a CASE, so the hash proves
+    // no row lost a value crossing the schema boundary.
+    "q245_schema_evolution" -> Q(
+      (s, d) => {
+        val dir = Files.createTempDirectory("graft_evo_q").toString
+        val c = Tables.customer(s, d)
+        c.filter(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey"), col("c_name"),
+            col("c_acctbal").as("balance"))
+          .write.mode("overwrite").parquet(s"$dir/gen_old")
+        c.filter(col("c_custkey") % 2 =!= 0)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("c_mktsegment").as("segment"))
+          .write.mode("overwrite").parquet(s"$dir/gen_new")
+        Sources.evolvedParquet(s,
+          Seq(s"$dir/gen_old", s"$dir/gen_new"),
+          renames = Map("balance" -> "c_acctbal"),
+          defaults = Map("segment" -> lit("UNKNOWN")))
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal,
+          CASE WHEN c_custkey % 2 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END
+            AS segment
+        FROM customer"""),
+      "schema evolution: rename + added column reconciled across file generations"),
+
     // ---- versioned sink (time travel) -------------------------------------
     // Lakehouse snapshot reads on plain parquet: write v1 (pre-1995
     // orders), then v2 (all orders), then read v1 PINNED and latest.

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -157,6 +157,36 @@ object Sources {
       : DataFrame = {
     val r = spark.read
     schema.fold(r)(s => r.schema(s)).orc(path)
+  }
+
+  /** Schema-evolution-tolerant parquet read: union the schemas of every
+    * footer under `paths` (Spark's `mergeSchema`), then reconcile a
+    * producer-side column RENAME by coalescing the old column into the
+    * new one, and backfill `defaults` for columns that predate their
+    * introduction — the lake-ops answer to a table whose writers changed
+    * schema mid-history without rewriting old files. Files missing a
+    * column surface NULL for it (parquet missing-column semantics), so
+    * after the coalesce every row carries the CURRENT schema.
+    *
+    * Scale shape: schema merge is a footer-only operation (no data
+    * scan; Spark samples footers in a distributed job for large globs),
+    * and the reconciliation is a per-row projection — no shuffle, and
+    * filters/pruning still push to the scan beneath it.
+    */
+  def evolvedParquet(spark: SparkSession, paths: Seq[String],
+                     renames: Map[String, String] = Map.empty,
+                     defaults: Map[String, Column] = Map.empty): DataFrame = {
+    val merged = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    val renamed = renames.foldLeft(merged) { case (df, (oldC, newC)) =>
+      if (!df.columns.contains(oldC)) df
+      else if (df.columns.contains(newC))
+        df.withColumn(newC, coalesce(col(newC), col(oldC))).drop(oldC)
+      else df.withColumnRenamed(oldC, newC)
+    }
+    defaults.foldLeft(renamed) { case (df, (c, d)) =>
+      if (df.columns.contains(c)) df.withColumn(c, coalesce(col(c), d))
+      else df.withColumn(c, d)
+    }
   }
 
   /** Raw binary payload ingestion — Spark's `binaryFile` source over a
