@@ -201,6 +201,73 @@ object Graphs {
     persistStep(ranks, checkpointDir, eager = false)
   }
 
+  /** Personalized PageRank (Haveliwala 2002): the teleport distribution
+    * is uniform over a SEED set instead of all nodes, so rank measures
+    * proximity to the seeds — the crawl-curation primitive that
+    * propagates "quality" from a trusted whitelist across the link
+    * graph (the TrustRank recipe, Gyöngyi et al. 2004). Nodes the seeds
+    * cannot reach keep rank exactly 0.0.
+    *
+    * Determinism contract matches [[pageRank]]: inflows accumulate as
+    * 1e-4 fixed-point longs and every iteration re-quantizes to 4dp, so
+    * a SQL engine replaying the recurrence (q244's DuckDB oracle)
+    * reproduces every rank bit-for-bit. The teleport term is written
+    * `(1.0 − damping) · tele` with `tele = 1.0/|S|` on seeds and 0.0
+    * elsewhere — the oracle must use the same textual order (a·b vs b·a
+    * is commutative in IEEE, but a/n vs a·(1/n) is NOT the same double).
+    *
+    * Scale shape is pageRank's exactly: the seed frame contributes one
+    * node-keyed left join folded into the static `nodes` frame (NOT
+    * per-iteration), each iteration is one join of ranks onto the
+    * src-partitioned checkpointed edge list plus one fixed-point
+    * groupBy, and the loop stays lazy — one job runs all iterations.
+    * Dangling-node mass is dropped, as in [[pageRank]]; symmetrize the
+    * edge list if sinks should reflect. The driver sees only the seed
+    * COUNT (one scalar), never rank data.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iterations: Int = 3, damping: Double = 0.85,
+                           checkpointDir: Option[String] = None): DataFrame = {
+    def q4(c: org.apache.spark.sql.Column) =
+      floor(c * 10000d + 0.5d).cast("long").cast("double") / 10000d
+    val e = persistStep(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .distinct()
+        .repartition(col("src"))
+        .withColumn("deg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("src"))),
+      checkpointDir, eager = true)
+    val seedIds = seeds.select(col(seedCol).as("id")).distinct()
+    val nS = seedIds.count() // one scalar parameterizes the teleport mass
+    require(nS > 0, "personalizedPageRank needs a non-empty seed set")
+    // tele is a static per-node column: fold the seed membership into the
+    // persisted nodes frame once so iterations never re-join the seeds.
+    val nodes = persistStep(
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+        .join(seedIds.withColumn("tele", lit(1.0 / nS.toDouble)),
+          Seq("id"), "left")
+        .withColumn("tele", coalesce(col("tele"), lit(0.0d))),
+      checkpointDir, eager = true)
+    var ranks = nodes.withColumn("rank", q4(col("tele")))
+      .select("id", "rank")
+    for (_ <- 1 to iterations) {
+      val inflow = e
+        .join(ranks.select(col("id").as("src"), col("rank")), "src")
+        .select(col("dst").as("id"),
+          (col("rank") / col("deg").cast("double")).as("contrib"))
+        .groupBy("id")
+        .agg((sum(floor(col("contrib") * 10000d + 0.5d).cast("long"))
+          .cast("double") / 10000d).as("inflow"))
+      ranks = nodes.join(inflow, Seq("id"), "left")
+        .withColumn("rank", q4(lit(1.0 - damping) * col("tele") +
+          lit(damping) * coalesce(col("inflow"), lit(0.0d))))
+        .select("id", "rank")
+    }
+    persistStep(ranks, checkpointDir, eager = false)
+  }
+
   /** Community detection by synchronous label propagation (Raghavan et
     * al. 2007), made DETERMINISTIC: every node starts labeled with its
     * own id; each round every node simultaneously adopts the most

@@ -958,28 +958,95 @@ object CorpusQueries {
         Graphs.kCore(edges, "src", "dst", k = 4)
       },
       Some {
+        // every peel layer references its predecessor TWICE; without
+        // MATERIALIZED DuckDB inlines CTEs per reference → 2^12 expansions
+        // of the base parquet scan (observed as "Too many open files")
         val peels = (1 to 12).map { i =>
-          s"""a$i AS (SELECT dst AS id FROM sym
+          s"""a$i AS MATERIALIZED (SELECT dst AS id FROM sym
             WHERE src IN (SELECT id FROM a${i - 1})
               AND dst IN (SELECT id FROM a${i - 1})
             GROUP BY dst HAVING count(*) >= 4)"""
         }.mkString(",\n")
-        s"""WITH docs AS (SELECT doc_id FROM documents),
+        s"""WITH docs AS MATERIALIZED (SELECT doc_id FROM documents),
           nd AS (SELECT count(*) AS n FROM docs),
           raw AS (SELECT doc_id AS src,
               CAST(('0x' || substr(md5(doc_id || '_' || s), 1, 12)) AS BIGINT)
                 % nd.n AS dst
             FROM docs CROSS JOIN (VALUES (1), (2), (3)) v(s), nd),
-          sym AS (SELECT DISTINCT src, dst FROM (
+          sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
               SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)
             WHERE src <> dst),
-          a0 AS (SELECT DISTINCT src AS id FROM sym),
+          a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym),
           $peels
           SELECT dst AS id, count(*) AS core_deg FROM sym
           WHERE src IN (SELECT id FROM a12) AND dst IN (SELECT id FROM a12)
           GROUP BY dst"""
       },
       "4-core membership + in-core degree, peel-to-fixpoint vs layered oracle"),
+
+    // ---- personalized PageRank (TrustRank-style seed propagation) --------
+    // Quality propagation from a trusted whitelist: teleport mass lands
+    // only on seed docs (source 'src0…' — prefix match so salted stress
+    // replicas keep a seed population), so rank measures link-proximity
+    // to the trusted set and unreached docs score exactly 0. Same
+    // deterministic md5-derived doc graph as q243 (3 out-edges per doc
+    // mod |docs|, self-loops dropped); the oracle replays the identical
+    // fixed-point recurrence as layered CTEs. Every literal in BOTH
+    // engines is forced to DOUBLE before any arithmetic — DuckDB's bare
+    // decimals are exact DECIMALs, and (1.0−0.85) as decimal is a
+    // DIFFERENT double from IEEE 1.0−0.85, a 1-ulp landmine under the
+    // 4dp floor (the q135 teleport-literal rule, tightened with casts).
+    "q244_personalized_pagerank" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        val nd = docs.agg(count(lit(1)).as("n"))
+        val edges = docs.crossJoin(broadcast(nd))
+          .select(col("doc_id"),
+            explode(array(lit(1), lit(2), lit(3))).as("seed"), col("n"))
+          .withColumn("h",
+            conv(substring(md5(concat(col("doc_id"), lit("_"), col("seed"))),
+              1, 12), 16, 10).cast("long"))
+          .select(col("doc_id").as("src"), (col("h") % col("n")).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val seeds = docs.filter(col("source").like("src0%")).select("doc_id")
+        Graphs.personalizedPageRank(edges, "src", "dst", seeds, "doc_id",
+            iterations = 3)
+          .select(col("id").as("doc_id"), col("rank"))
+          .orderBy(col("rank").desc, col("doc_id").asc).limit(20)
+      },
+      Some {
+        val iters = (1 to 3).map { k =>
+          s"""i$k AS (SELECT e0.dst AS id,
+            CAST(sum(CAST(floor((r${k - 1}.rank / deg.deg) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS inflow
+          FROM e0 JOIN r${k - 1} ON r${k - 1}.id = e0.src
+                  JOIN deg ON deg.src = e0.src GROUP BY 1),
+        r$k AS MATERIALIZED (SELECT nodes.id,
+            ${Q4("(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * tele + CAST(0.85 AS DOUBLE) * coalesce(inflow, CAST(0.0 AS DOUBLE))")} AS rank
+          FROM nodes LEFT JOIN i$k ON i$k.id = nodes.id)"""
+        }.mkString(",\n")
+        s"""WITH docs AS MATERIALIZED (SELECT doc_id, source FROM documents),
+          nd AS (SELECT count(*) AS n FROM docs),
+          raw AS (SELECT doc_id AS src,
+              CAST(('0x' || substr(md5(doc_id || '_' || s), 1, 12)) AS BIGINT)
+                % nd.n AS dst
+            FROM docs CROSS JOIN (VALUES (1), (2), (3)) v(s), nd),
+          e0 AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+          deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e0 GROUP BY 1),
+          nodes0 AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+          sd AS (SELECT DISTINCT doc_id AS id FROM docs
+                 WHERE source LIKE 'src0%'),
+          ns AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM sd),
+          nodes AS MATERIALIZED (SELECT nodes0.id,
+              CASE WHEN sd.id IS NULL THEN CAST(0.0 AS DOUBLE)
+                   ELSE CAST(1.0 AS DOUBLE) / ns.s END AS tele
+            FROM nodes0 LEFT JOIN sd ON sd.id = nodes0.id, ns),
+          r0 AS (SELECT id, ${Q4("tele")} AS rank FROM nodes),
+          $iters
+          SELECT id AS doc_id, rank FROM r3
+          ORDER BY rank DESC, doc_id LIMIT 20"""
+      },
+      "3-iteration seed-personalized PageRank, fixed-point, hash-exact"),
 
     // ---- tokenizer vocab coverage -----------------------------------------
     // Apply a top-1000 corpus vocabulary back to every document and

@@ -59,6 +59,36 @@ class GraphsSpec extends SparkSpec {
     assert(repart == ranks)
   }
 
+  test("personalizedPageRank: mass stays near seeds, unreached nodes get 0") {
+    // symmetric star seeded at the hub (1 ↔ 2,3,4), plus a disjoint
+    // pair 10-11 the teleport never touches
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("s", "t")
+    val seeds = Seq(1L).toDF("id")
+    val r = Graphs.personalizedPageRank(edges, "s", "t", seeds, "id", 3)
+      .as[(Long, Double)].collect().toMap
+    // hub keeps the teleport mass, leaves split the rest evenly; the
+    // disconnected pair scores exactly 0
+    assert(r(1L) > r(2L), r.toString)
+    assert(r(2L) == r(3L) && r(3L) == r(4L), r.toString)
+    assert(r(10L) == 0.0 && r(11L) == 0.0, r.toString)
+    // partition-layout invariance (fixed-point accumulation)
+    val repart = Graphs.personalizedPageRank(
+      edges.repartition(7), "s", "t", seeds.repartition(3), "id", 3)
+      .as[(Long, Double)].collect().toMap
+    assert(repart == r)
+    // uniform teleport over ALL nodes ≡ classic pageRank on this graph
+    val allSeeds = Seq(1L, 2L, 3L, 4L, 10L, 11L).toDF("id")
+    val ppr = Graphs.personalizedPageRank(edges, "s", "t", allSeeds, "id", 3)
+      .as[(Long, Double)].collect().toMap
+    val pr = Graphs.pageRank(edges, "s", "t", iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    // teleport terms are (1−d)·(1/n) vs (1−d)/n — a 1-ulp literal gap —
+    // so compare at the 4dp contract, not bit-for-bit
+    assert(ppr.keySet == pr.keySet &&
+      ppr.forall { case (k, v) => math.abs(v - pr(k)) <= 1e-4 })
+  }
+
   test("triangleCount: known graphs, direction/duplicate insensitivity") {
     // K4 has 4 triangles; a square (4-cycle) has none
     val k4 = (for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a, b)).toDF("a", "b")
