@@ -210,7 +210,7 @@ object Graphs {
     *
     * Determinism contract matches [[pageRank]]: inflows accumulate as
     * 1e-4 fixed-point longs and every iteration re-quantizes to 4dp, so
-    * a SQL engine replaying the recurrence (q244's DuckDB oracle)
+    * a SQL engine replaying the recurrence (q246's DuckDB oracle)
     * reproduces every rank bit-for-bit. The teleport term is written
     * `(1.0 − damping) · tele` with `tele = 1.0/|S|` on seeds and 0.0
     * elsewhere — the oracle must use the same textual order (a·b vs b·a

@@ -996,7 +996,7 @@ object CorpusQueries {
     // decimals are exact DECIMALs, and (1.0−0.85) as decimal is a
     // DIFFERENT double from IEEE 1.0−0.85, a 1-ulp landmine under the
     // 4dp floor (the q135 teleport-literal rule, tightened with casts).
-    "q244_personalized_pagerank" -> Q(
+    "q246_personalized_pagerank" -> Q(
       (s, d) => {
         val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
         val nd = docs.agg(count(lit(1)).as("n"))
