@@ -479,6 +479,85 @@ object SourceQueries {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         WHERE o_orderkey BETWEEN 100 AND 10000"""),
       "zone-map pruned range scan ≡ direct filter (clustered compact + min/max skip)"),
+
+    // ---- manifest-based lake table: time travel over shared files ---------
+    // Three commits — append F-orders, append O-orders, logical overwrite
+    // with P-orders — then read every version back. Unlike the v=<n>
+    // directory sink (which copies the table per version), appends here
+    // share the prior commit's files by manifest reference: v2 readers
+    // open v1's files plus only the delta. The oracle recomputes each
+    // version's expected content from the base table (v1=F, v2=F∪O,
+    // v3=P), so the hash proves manifest isolation: the overwrite hid
+    // nothing from v1/v2 and leaked nothing into v3.
+    "q247_lake_time_travel" -> Q(
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_lake_q").toString + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderstatus") === "F"), root)
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderstatus") === "O"), root)
+        graft.sources.LakeTable.overwrite(
+          o.filter(col("o_orderstatus") === "P"), root)
+        Seq(1L, 2L, 3L).map { v =>
+          graft.sources.LakeTable.read(s, root, Some(v))
+            .agg(count(lit(1)).as("n_rows"),
+              xsum4(col("o_totalprice")).as("sum_price"))
+            .withColumn("version", lit(v))
+        }.reduce(_.unionByName(_))
+          .select("version", "n_rows", "sum_price")
+      },
+      Some(s"""SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+          ${XSUM4("o_totalprice")} AS sum_price
+        FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), count(*), ${XSUM4("o_totalprice")}
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), count(*), ${XSUM4("o_totalprice")}
+        FROM orders WHERE o_orderstatus = 'P'"""),
+      "lake-table time travel: append/append/overwrite, every version replayed"),
+
+    // ---- lake-table MERGE: file-granular copy-on-write upsert -------------
+    // Commit a key-clustered base (keys %7≠0), then merge one batch
+    // carrying all four MERGE fates: U on present keys (%5, price
+    // doubles), U on absent keys (%7, becomes insert), D on present keys
+    // (%5∧%3, row leaves), D on absent keys (no-op). Zone stats on the
+    // clustered key mean only the files the batch touches are rewritten
+    // (LakeTableSpec pins the strict file subset); the oracle computes
+    // the post-merge table directly from orders, so the hash proves
+    // every fate landed and untouched files carried over by reference
+    // without loss or duplication.
+    "q248_lake_merge" -> Q(
+      (s, d) => {
+        val root = Files.createTempDirectory("graft_lakem_q").toString + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 7 =!= 0)
+            .repartitionByRange(8, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"), root)
+        val batch = o
+          .filter(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"),
+            when(col("o_orderkey") % 3 === 0, lit("D"))
+              .otherwise(lit("U")).as("op"))
+        graft.sources.LakeTable.mergeInto(s, root, batch,
+          Seq("o_orderkey"), "op")
+        graft.sources.LakeTable.read(s, root)
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+               ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE o_orderkey % 7 <> 0
+          AND NOT (o_orderkey % 5 = 0 AND o_orderkey % 3 = 0)
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice * 2
+        FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0"""),
+      "copy-on-write MERGE: update/insert/delete/no-op fates ≡ direct recompute"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed
