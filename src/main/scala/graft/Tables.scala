@@ -1,15 +1,19 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the harness fixture tables (TESTDATA.md).
   *
-  * All tables are plain Parquet under `sfDir`. The `events` table stores
-  * `ts` as parquet INT64 TIMESTAMP(NANOS) which Spark 4 refuses to read as
-  * a timestamp; we flip `spark.sql.legacy.parquet.nanosAsLong` so it
-  * surfaces as a nanosecond epoch long, and expose a derived
-  * microsecond-precision NTZ timestamp column alongside it.
+  * All tables are plain Parquet under `sfDir`. The `events` table's `ts`
+  * encoding has varied across fixture generations — parquet INT64
+  * TIMESTAMP(NANOS) (surfaced as an epoch-nano long under
+  * `spark.sql.legacy.parquet.nanosAsLong`) and plain `timestamp[us]`
+  * (surfaced as TIMESTAMP_NTZ) — so the loader dispatches on the type it
+  * actually reads and always exposes the same derived columns: `ts_us`
+  * (epoch micros, long) and `ts_utc` (TimestampType at micro precision,
+  * identical to what DuckDB's `epoch_us(ts)` sees in either encoding).
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -38,14 +42,26 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
-  /** events with `ts` = epoch nanos (long), plus `ts_us` (epoch micros,
-    * long) and `ts_utc` (TimestampType, microsecond truncation — matches
-    * what DuckDB sees when it reads the same nanos column).
-    * `div` = integer division: `/` on longs is double division and epoch
-    * nanos (~1.7e18) exceed double's 2^53 exact range, so `/` can be off
-    * by 1µs on non-µs-aligned data. */
-  def events(s: SparkSession, d: String): DataFrame =
-    apply(s, d, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+  /** Epoch-micros expression for whatever encoding `df`'s `ts` column
+    * arrived in. For the nano-long encoding, `div` (integer division) is
+    * required: epoch nanos (~1.7e18) exceed double's 2^53 exact range, so
+    * `/` can be off by 1µs on non-µs-aligned data. For NTZ the cast to
+    * TimestampType is value-preserving because the session timezone is
+    * pinned to UTC in [[configure]]. */
+  def tsMicros(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType         => expr("ts div 1000")
+    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+    case TimestampType    => unix_micros(col("ts"))
+    case other => throw new IllegalArgumentException(
+      s"events.ts has unsupported type $other (expected long nanos or timestamp)")
+  }
+
+  /** events with the raw `ts` as read, plus `ts_us` (epoch micros, long)
+    * and `ts_utc` (TimestampType, microsecond precision) derived
+    * type-agnostically via [[tsMicros]]. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = apply(s, d, "events")
+    raw.withColumn("ts_us", tsMicros(raw))
+      .withColumn("ts_utc", timestamp_micros(col("ts_us")))
+  }
 }

@@ -10,10 +10,10 @@ import Q._
   * graft.streaming.Events — same windowing semantics, verifiable against
   * the DuckDB oracle (streaming variants are unit-tested instead).
   *
-  * `ts` in the fixture is nanosecond-precision; Spark surfaces it as an
-  * epoch-nano long (Tables.events adds ts_us / ts_utc), DuckDB reads it
-  * truncated to microseconds — all bucketing below is done on identical
-  * microsecond values.
+  * `ts` in the fixture has shipped as both nano-long and timestamp[us];
+  * Tables.events normalizes either encoding to `ts_us` / `ts_utc`
+  * (microsecond precision — exactly what DuckDB's `epoch_us(ts)` sees),
+  * so all bucketing below is done on identical microsecond values.
   */
 object EventQueries {
 
@@ -80,7 +80,7 @@ object EventQueries {
     // ---- tumbling event-time window ---------------------------------------
     "q64_events_hourly" -> Q(
       (s, d) => Tables.events(s, d)
-        .groupBy(((col("ts") / lit(3600000000000L)).cast("long") * 3600L).as("hour_epoch"),
+        .groupBy(expr("(ts_us div 3600000000) * 3600").as("hour_epoch"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), xsum4(col("value")).as("total_value")),
       Some(s"""SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600 AS BIGINT) AS hour_epoch,
@@ -170,8 +170,8 @@ object EventQueries {
     // event; the latest state is open-ended (null valid_to) — the inverse
     // of the reference's vessel-history CONSUMPTION (initdb.R:106-108,
     // q17/q81 resolve such intervals; this query produces them). Ordering
-    // uses the raw nanosecond ts so ties resolve identically in both
-    // engines; interval bounds are exposed in microseconds.
+    // uses the raw ts so ties resolve identically in both engines
+    // whatever its encoding; interval bounds are exposed in microseconds.
     "q91_scd_build" -> Q(
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))

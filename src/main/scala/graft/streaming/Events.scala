@@ -16,18 +16,17 @@ import org.apache.spark.sql.types._
   */
 object Events {
 
-  /** The events schema as Spark surfaces it with nanosAsLong (ts = epoch
-    * nanos as long). */
-  val schema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** File-source stream over a directory of events parquet. */
+  /** File-source stream over a directory of events parquet. The stream
+    * schema is derived from a one-footer batch read of the same directory
+    * (file streams require an explicit schema), so a fixture regeneration
+    * that changes the `ts` encoding — nano-long vs timestamp[us] — degrades
+    * gracefully instead of mis-declaring the file type. `ts_utc` is added
+    * type-agnostically via [[graft.Tables.tsMicros]]. */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    stream.withColumn("ts_utc", timestamp_micros(graft.Tables.tsMicros(stream)))
   }
 
   /** Tumbling 1h event-time window with a 2h watermark — the streaming
@@ -94,7 +93,7 @@ object Events {
                      gapUs: Long = 600000000L): DataFrame = {
     import spark.implicits._
     val typed = events
-      .select(col("event_id"), expr("ts div 1000").as("ts"),
+      .select(col("event_id"), graft.Tables.tsMicros(events).as("ts"),
         col("user_id"), col("event_type"), col("value"))
       .as[Ev]
 
@@ -128,7 +127,7 @@ object Events {
                  gapUs: Long = 1800000000L): DataFrame = {
     import spark.implicits._
     val typed = events
-      .select(col("event_id"), expr("ts div 1000").as("ts"),
+      .select(col("event_id"), graft.Tables.tsMicros(events).as("ts"),
         col("user_id"), col("event_type"), col("value"))
       .as[Ev]
 

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Tables.events must normalize `ts` to identical ts_us/ts_utc values
+  * whichever encoding the fixture generation shipped — epoch-nano long
+  * (the pre-r8 parquet TIMESTAMP(NANOS) surfaced under nanosAsLong) or
+  * timestamp[us] (the current fixture). */
+class TablesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val micros = Seq(1705312800000000L, 1705312800000001L, 0L)
+
+  test("tsMicros on the nano-long encoding is integer-exact micros") {
+    val df = micros.map(_ * 1000L).toDF("ts")
+    val got = df.select(Tables.tsMicros(df).as("us")).as[Long].collect().toSeq
+    assert(got == micros)
+  }
+
+  test("tsMicros on the timestamp encoding matches epoch micros") {
+    val tz = micros.toDF("raw").select(timestamp_micros(col("raw")).as("ts"))
+    val gotTz = tz.select(Tables.tsMicros(tz).as("us")).as[Long].collect().toSeq
+    assert(gotTz == micros)
+    // NTZ is what Spark 4 infers from plain parquet timestamp[us]; with the
+    // session timezone pinned to UTC the cast inside tsMicros is identity
+    val ntz = tz.select(col("ts").cast("timestamp_ntz").as("ts"))
+    val gotNtz = ntz.select(Tables.tsMicros(ntz).as("us")).as[Long].collect().toSeq
+    assert(gotNtz == micros)
+  }
+
+  test("events loader exposes ts_us/ts_utc over the real fixture") {
+    val ev = Tables.events(spark, sf0001)
+    val r = ev.select(col("ts_us"),
+        unix_micros(col("ts_utc")).as("utc_us")).limit(100)
+      .as[(Long, Long)].collect()
+    assert(r.nonEmpty && r.forall { case (a, b) => a == b })
+  }
+}
