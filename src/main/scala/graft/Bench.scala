@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions.col
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional args: bench only these queries (dev iteration; the driver
+    // always passes zero args → full run)
+    val only = args.toSet
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter(kv => only.contains(kv._1))
     val spark = Engine.local(appName = "graft-bench")
     // ERROR-only logging: with pass-through stdout (build.sbt
     // StdoutOutput) Spark's INFO/WARN stream interleaves in real time,
@@ -64,7 +70,7 @@ object Bench {
         Seq("component"), Seq(col("n_chars").desc, col("doc_id").asc))
         .write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Reset JVM/session state OUTSIDE the timed section (the JMH
       // between-iterations pattern). Heavy allocators early in the
       // alphabet otherwise trigger multi-second collections that land on
