@@ -23,6 +23,20 @@ object SourceQueries {
     * reference's). */
   private val root = "/tmp/graft_srcfiles"
 
+  /** Fixed per-query scratch root, wiped and recreated on every
+    * invocation: repeated bench/verify runs reuse ONE directory instead
+    * of accumulating a fresh temp copy of the staged table per run
+    * (these queries materialize the orders table several times each). */
+  private def freshRoot(name: String): String = {
+    val dir = Paths.get("/tmp", name)
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del)
+      f.delete(): Unit
+    }
+    if (Files.exists(dir)) del(dir.toFile)
+    dir.toString
+  }
+
   private def ensureFiles(): Unit = synchronized {
     Files.createDirectories(Paths.get(root))
     def w(name: String, content: String): Unit =
@@ -491,7 +505,7 @@ object SourceQueries {
     // nothing from v1/v2 and leaked nothing into v3.
     "q247_lake_time_travel" -> Q(
       (s, d) => {
-        val root = Files.createTempDirectory("graft_lake_q").toString + "/t"
+        val root = freshRoot("graft_lake_q247") + "/t"
         val o = Tables.orders(s, d)
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
         graft.sources.LakeTable.append(
@@ -531,13 +545,14 @@ object SourceQueries {
     // without loss or duplication.
     "q248_lake_merge" -> Q(
       (s, d) => {
-        val root = Files.createTempDirectory("graft_lakem_q").toString + "/t"
+        val root = freshRoot("graft_lakem_q248") + "/t"
         val o = Tables.orders(s, d)
           .select("o_orderkey", "o_custkey", "o_totalprice")
         graft.sources.LakeTable.append(
           o.filter(col("o_orderkey") % 7 =!= 0)
             .repartitionByRange(8, col("o_orderkey"))
-            .sortWithinPartitions("o_orderkey"), root)
+            .sortWithinPartitions("o_orderkey"), root,
+          zoneKey = Some("o_orderkey"))
         val batch = o
           .filter(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 5 === 0)
           .select(col("o_orderkey"), col("o_custkey"),

@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.ops.Relational
 
 /** Manifest-based versioned table — the lakehouse transaction layer
@@ -14,27 +15,46 @@ import graft.ops.Relational
   * across versions through per-version manifests:
   *
   * {{{
-  *   root/_log/00000000001.manifest   one line per live data file (relative)
+  *   root/_log/00000000001.manifest   one line per live data file:
+  *                                    relpath[\tzoneKey\tlo\thi] (URL-enc)
   *   root/data/<commit-uuid>/part-*.parquet   written once, never mutated
   * }}}
   *
   * - '''append''' writes only the new rows' files; the new manifest is
-  *   the old file list plus the new files → O(delta) I/O per commit.
+  *   the old entry list plus the new entries → O(delta) I/O per commit.
   * - '''overwrite''' writes the new content and lists only it; prior
   *   versions still resolve through their own manifests (time travel).
-  * - '''mergeInto''' is file-granular copy-on-write: leading-key zone
-  *   stats pick the files an upsert/delete batch can touch, ONLY those
-  *   are rewritten (merged with the batch), every other live file is
-  *   carried into the new manifest by reference. A 0.1% churn batch
-  *   rewrites ~0.1% of a clustered table, not all of it.
-  * - '''commit''' is an atomic create-if-absent of the next manifest:
-  *   two concurrent writers race to the same version number and exactly
-  *   one wins; the loser gets a conflict exception and retries on the
-  *   new snapshot (optimistic concurrency, the Delta protocol's rule).
-  *   A crashed writer leaves orphan data files but NO manifest — readers
-  *   never see partial commits; [[vacuum]] sweeps orphans.
+  * - '''zone stats ride the manifest''': when a writer declares a
+  *   clustering key, per-file min/max of that key are computed from the
+  *   just-written delta (one slim-column scan of O(delta) data) and
+  *   stored on the file's manifest line. Readers of the metadata — MERGE
+  *   file pruning below — get zones as O(#files) driver-side metadata
+  *   without touching ANY data file, the same cost class as Delta's
+  *   add-file stats or Iceberg's manifest entries.
+  * - '''mergeInto''' is file-granular copy-on-write: manifest zone stats
+  *   pick the files an upsert/delete batch can touch, ONLY those are
+  *   read and rewritten (merged with the batch), every other live file
+  *   is carried into the new manifest by reference — zone metadata
+  *   intact, zero data I/O. A 0.1% churn batch rewrites ~0.1% of a
+  *   clustered table. Files with no stats for the merge key (legacy
+  *   manifests, different clustering) are conservatively treated as
+  *   affected — correctness never depends on stats being present.
+  * - '''commit''' publishes a FULLY-WRITTEN manifest atomically: content
+  *   goes to a dot-hidden temp file first (invisible to [[versions]]'s
+  *   listing), then lands at its final name via hard-link (local fs;
+  *   atomic, EEXIST on conflict) or no-overwrite rename (HDFS-class
+  *   stores). Readers therefore never see a partial manifest, and of two
+  *   racing committers exactly one wins; the loser gets
+  *   [[CommitConflictException]] — re-read the new snapshot and retry
+  *   the transaction ([[withRetry]] wraps that loop). Only
+  *   already-exists failures map to conflict; transient I/O errors
+  *   propagate as themselves. A crashed writer leaves orphan data files
+  *   but NO manifest; [[vacuum]] sweeps orphans.
   * - '''vacuum''' drops manifests below a retention floor and deletes
-  *   every data file no retained manifest references (reachability GC).
+  *   every data file no retained manifest references (reachability GC) —
+  *   but only files older than `orphanGraceMs`, so an in-flight writer's
+  *   just-written, not-yet-committed files survive a concurrent vacuum
+  *   (the Delta/Iceberg retention-horizon rule).
   *
   * Scale shape: manifests are O(#files) metadata — the only driver-side
   * state — and every data path is path-level file selection, the same
@@ -46,32 +66,66 @@ object LakeTable {
   final class CommitConflictException(msg: String)
       extends RuntimeException(msg)
 
+  /** One manifest line: a live data file (root-relative) plus optional
+    * per-file zone stats (min/max of `zoneKey`, rendered as strings and
+    * cast back to the key's type at prune time). */
+  final case class FileEntry(path: String, zoneKey: Option[String],
+                             lo: Option[String], hi: Option[String])
+
   private def hfs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
 
   private def manifestPath(root: String, v: Long): Path =
     new Path(f"$root/_log/$v%011d.manifest")
 
-  /** Ascending committed version numbers (manifest files present). */
+  // URL-encoding keeps tabs/newlines in string zone values from
+  // corrupting the line format; '/' is restored for path readability
+  // (decode treats a bare '/' as itself, so round-trip is unaffected)
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8").replace("%2F", "/")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def renderEntry(e: FileEntry): String = e match {
+    case FileEntry(p, Some(k), Some(lo), Some(hi)) =>
+      s"${enc(p)}\t${enc(k)}\t${enc(lo)}\t${enc(hi)}"
+    case FileEntry(p, _, _, _) => enc(p)
+  }
+
+  private def parseEntry(line: String): FileEntry =
+    line.split('\t') match {
+      case Array(p, k, lo, hi) =>
+        FileEntry(dec(p), Some(dec(k)), Some(dec(lo)), Some(dec(hi)))
+      case Array(p) => FileEntry(dec(p), None, None, None)
+      case other => throw new IllegalStateException(
+        s"malformed manifest line (${other.length} fields): $line")
+    }
+
+  /** Ascending committed version numbers (manifest files present).
+    * In-flight temp files are dot-prefixed and skipped. */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val log = new Path(s"$root/_log")
     val fs = hfs(spark, root)
     if (!fs.exists(log)) Seq.empty
     else fs.listStatus(log).toSeq.map(_.getPath.getName)
-      .collect { case n if n.endsWith(".manifest") =>
+      .collect { case n if n.endsWith(".manifest") && !n.startsWith(".") =>
         n.stripSuffix(".manifest").toLong }
       .sorted
   }
 
-  /** The data files (absolute paths) version `v` consists of. */
-  def liveFiles(spark: SparkSession, root: String, v: Long): Seq[String] = {
+  /** The manifest entries of version `v`. */
+  def entries(spark: SparkSession, root: String, v: Long): Seq[FileEntry] = {
     val fs = hfs(spark, root)
     val in = fs.open(manifestPath(root, v))
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    text.linesIterator.filter(_.nonEmpty).map(rel => s"$root/$rel").toSeq
+    text.linesIterator.filter(_.nonEmpty).map(parseEntry).toSeq
   }
+
+  /** The data files (absolute paths) version `v` consists of. */
+  def liveFiles(spark: SparkSession, root: String, v: Long): Seq[String] =
+    entries(spark, root, v).map(e => s"$root/${e.path}")
 
   /** Snapshot read: the file set of one manifest, nothing else. Empty
     * manifests (a table overwritten to empty) read as an empty frame of
@@ -94,57 +148,143 @@ object LakeTable {
     }
   }
 
+  /** Zone stats are recorded only for types whose toString render
+    * round-trips through a string cast (atomic orderable types). */
+  private def zoneSupported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | StringType | DateType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
   /** Write `df` under a fresh immutable commit dir; return the new
-    * files' root-relative paths. A crash after this but before the
-    * manifest create leaves unreachable files only. */
-  private def writeData(df: DataFrame, root: String): Seq[String] = {
+    * files' manifest entries. With `zoneKey` set (and of a supported
+    * type), per-file min/max of that column are computed from the delta
+    * just written — a single-column scan of O(delta) data, never the
+    * table — and attached to the entries. A crash after this but before
+    * the manifest create leaves unreachable files only. */
+  private def writeData(df: DataFrame, root: String,
+                        zoneKey: Option[String]): Seq[FileEntry] = {
+    val spark = df.sparkSession
     val commitDir = s"data/${java.util.UUID.randomUUID().toString}"
     df.write.mode("errorifexists").parquet(s"$root/$commitDir")
-    val fs = hfs(df.sparkSession, root)
-    fs.listStatus(new Path(s"$root/$commitDir")).toSeq
+    val fs = hfs(spark, root)
+    val rels = fs.listStatus(new Path(s"$root/$commitDir")).toSeq
       .map(_.getPath.getName)
       .filter(_.endsWith(".parquet"))
       .map(n => s"$commitDir/$n")
+    val key = zoneKey.filter(k => zoneSupported(df.schema(k).dataType))
+    key match {
+      case None => rels.map(FileEntry(_, None, None, None))
+      case Some(k) =>
+        // per-file min/max keyed by FILE NAME: the commit dir is unique
+        // to this write, so names are unambiguous and no scheme/URI
+        // normalization of input_file_name output is needed
+        val stats = spark.read
+          .parquet(rels.map(r => s"$root/$r"): _*)
+          .select(input_file_name().as("__f"), col(k))
+          .groupBy("__f")
+          .agg(min(col(k)).as("__lo"), max(col(k)).as("__hi"))
+          .collect() // bounded: one row per file just written
+          .map(r => new Path(r.getString(0)).getName ->
+            (Option(r.get(1)), Option(r.get(2))))
+          .toMap
+        rels.map { rel =>
+          stats.get(new Path(rel).getName) match {
+            case Some((Some(lo), Some(hi))) =>
+              FileEntry(rel, Some(k), Some(lo.toString), Some(hi.toString))
+            case _ => FileEntry(rel, None, None, None) // empty/all-null file
+          }
+        }
+    }
   }
 
-  /** Atomically publish `files` as version `next`. `create(path,
-    * overwrite=false)` is the whole concurrency protocol: on HDFS-class
-    * stores the create is atomic, so of two racing committers exactly
-    * one manifest lands and the other throws [[CommitConflictException]]
-    * — re-read the new snapshot and retry the transaction. */
-  private def commit(spark: SparkSession, root: String,
-                     files: Seq[String], next: Long): Long = {
+  /** Atomically publish `entries` as version `next`. The manifest body is
+    * fully written (and flushed) to a dot-hidden temp file first, then
+    * moved to its final name with an atomic no-overwrite primitive:
+    * hard-link on the local filesystem (create-if-absent via EEXIST),
+    * rename on HDFS-class stores (which refuses an existing destination).
+    * Listings therefore only ever see complete manifests, and of two
+    * racing committers exactly one wins. Only already-exists outcomes map
+    * to [[CommitConflictException]]; any other I/O failure propagates —
+    * misreporting a quota or network error as a version conflict would
+    * send [[withRetry]] into useless replays. */
+  private[sources] def commit(spark: SparkSession, root: String,
+                              entries: Seq[FileEntry], next: Long): Long = {
     val fs = hfs(spark, root)
     val p = manifestPath(root, next)
     fs.mkdirs(p.getParent)
-    val out =
-      try fs.create(p, /* overwrite = */ false)
-      catch { case e: java.io.IOException =>
-        throw new CommitConflictException(
-          s"version $next already committed under $root: ${e.getMessage}")
+    val tmp = new Path(p.getParent,
+      s".tmp-${java.util.UUID.randomUUID().toString}")
+    val out = fs.create(tmp, /* overwrite = */ false)
+    try {
+      out.write(entries.map(renderEntry).mkString("\n").getBytes("UTF-8"))
+      out.hflush()
+    } finally out.close()
+    try {
+      val isLocal = Option(fs.getScheme).contains("file")
+      if (isLocal) {
+        val target = java.nio.file.Paths.get(
+          fs.makeQualified(p).toUri.getPath)
+        val source = java.nio.file.Paths.get(
+          fs.makeQualified(tmp).toUri.getPath)
+        try java.nio.file.Files.createLink(target, source)
+        catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            throw new CommitConflictException(
+              s"version $next already committed under $root: $e")
+        }
+      } else {
+        // HDFS-class rename refuses an existing destination (returns
+        // false) and is atomic on the namenode
+        if (fs.exists(p) || !fs.rename(tmp, p))
+          throw new CommitConflictException(
+            s"version $next already committed under $root")
       }
-    try out.write(files.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    next
+      next
+    } finally fs.delete(tmp, false)
   }
 
-  /** O(delta) append: new files + previous manifest's list. */
-  def append(df: DataFrame, root: String): Long = {
+  /** Run `txn` (a full read-snapshot → write → commit transaction),
+    * retrying on [[CommitConflictException]] with doubling backoff. The
+    * transaction MUST re-read the table inside the closure — that is
+    * what makes the retry a replay on the new snapshot rather than a
+    * blind re-commit of stale state; [[append]]/[[overwrite]]/
+    * [[mergeInto]] all have that shape already. */
+  @annotation.tailrec
+  def withRetry[T](maxAttempts: Int = 8, backoffMs: Long = 25)
+                  (txn: () => T): T = {
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    val r =
+      try Right(txn())
+      catch { case e: CommitConflictException if maxAttempts > 1 => Left(e) }
+    r match {
+      case Right(v) => v
+      case Left(_) =>
+        Thread.sleep(backoffMs)
+        withRetry(maxAttempts - 1, math.min(backoffMs * 2, 1000L))(txn)
+    }
+  }
+
+  /** O(delta) append: new entries + previous manifest's list (zone
+    * metadata carried verbatim). `zoneKey` attaches per-file min/max to
+    * the NEW files so later merges can prune them from metadata. */
+  def append(df: DataFrame, root: String,
+             zoneKey: Option[String] = None): Long = {
     val spark = df.sparkSession
     val prev = versions(spark, root).lastOption
-    val prevFiles = prev.map(liveFiles(spark, root, _))
-      .getOrElse(Seq.empty)
-      .map(_.stripPrefix(s"$root/"))
-    val fresh = writeData(df, root)
-    commit(spark, root, prevFiles ++ fresh, prev.getOrElse(0L) + 1L)
+    val prevEntries = prev.map(entries(spark, root, _)).getOrElse(Seq.empty)
+    val fresh = writeData(df, root, zoneKey)
+    commit(spark, root, prevEntries ++ fresh, prev.getOrElse(0L) + 1L)
   }
 
   /** Logical overwrite: the new manifest lists only the new files; old
     * versions remain readable until [[vacuum]]. */
-  def overwrite(df: DataFrame, root: String): Long = {
+  def overwrite(df: DataFrame, root: String,
+                zoneKey: Option[String] = None): Long = {
     val spark = df.sparkSession
     val next = versions(spark, root).lastOption.getOrElse(0L) + 1L
-    commit(spark, root, writeData(df, root), next)
+    commit(spark, root, writeData(df, root, zoneKey), next)
   }
 
   /** File-granular copy-on-write MERGE. `updates` carries the table's
@@ -152,51 +292,57 @@ object LakeTable {
     * D rows delete their key). Contract: one row per key in `updates`.
     *
     * Plan shape at 100 TB: per-file min/max zones on `keys.head` (the
-    * clustered leading key) are O(#files) metadata; the batch's keys
-    * join against them to name the files the batch CAN touch — only
-    * those are read and rewritten (one [[Relational.cdcMerge]] keep-first
-    * shuffle over |affected files| + |batch| rows). Keys landing outside
-    * every zone are provably absent and become pure inserts without
-    * reading anything. Unaffected files move to the new manifest BY
-    * REFERENCE — zero data I/O for them.
+    * clustered leading key) come from the MANIFEST — O(#files) metadata
+    * read on the driver, zero data-file I/O — and the batch's keys join
+    * against them (zones broadcast: they are file-count-sized) to name
+    * the files the batch CAN touch. Only those are read and rewritten
+    * (one [[Relational.cdcMerge]] keep-first shuffle over
+    * |affected files| + |batch| rows). Keys landing outside every zone
+    * are provably absent and become pure inserts without reading
+    * anything. Unaffected files move to the new manifest BY REFERENCE —
+    * zone metadata intact, zero data I/O. Files without stats for
+    * `keys.head` (legacy manifest, different clustering key) are
+    * conservatively affected.
     */
   def mergeInto(spark: SparkSession, root: String, updates: DataFrame,
                 keys: Seq[String], opCol: String): Long = {
+    import spark.implicits._
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"mergeInto: no table at $root")
     val cur = vs.last
-    val live = liveFiles(spark, root, cur)
+    val ents = entries(spark, root, cur)
     val lead = keys.head
-    val snap = spark.read.parquet(live: _*)
-    val dataCols = snap.columns.toSeq
+    val keyType = updates.schema(lead).dataType
 
-    // O(#files) zone stats on the leading key, from one columnar scan
-    // of just that column.
-    val zones = snap
-      .select(input_file_name().as("__file"), col(lead))
-      .groupBy("__file")
-      .agg(min(col(lead)).as("__lo"), max(col(lead)).as("__hi"))
+    val (zoned, unzoned) = ents.partition(e =>
+      e.zoneKey.contains(lead) && e.lo.isDefined && e.hi.isDefined)
 
-    // Files whose zone admits any batch key — driver-side METADATA
-    // (bounded by file count, same class as FileIndex listing).
-    // input_file_name() yields file:// URIs while manifests carry plain
-    // paths — normalize both sides or the set difference silently keeps
-    // affected files and duplicates their rows.
-    val batchKeys = updates.select(col(lead)).distinct()
-    val affected = zones
-      .join(batchKeys,
-        col(lead) >= col("__lo") && col(lead) <= col("__hi"), "leftsemi")
-      .select("__file").collect()
-      .map(r => new Path(r.getString(0)).toUri.getPath).toSet
+    // Zone pruning from manifest metadata: zones are a driver-built,
+    // file-count-sized frame (broadcast); batch keys stay distributed.
+    val affectedZoned: Set[String] =
+      if (zoned.isEmpty) Set.empty
+      else {
+        val zonesDf = zoned.map(e => (e.path, e.lo.get, e.hi.get))
+          .toDF("__file", "__lo_s", "__hi_s")
+          .select(col("__file"),
+            col("__lo_s").cast(keyType).as("__lo"),
+            col("__hi_s").cast(keyType).as("__hi"))
+        val batchKeys = updates.select(col(lead)).distinct()
+        broadcast(zonesDf)
+          .join(batchKeys,
+            col(lead) >= col("__lo") && col(lead) <= col("__hi"), "leftsemi")
+          .select("__file").collect() // bounded by file count
+          .map(_.getString(0)).toSet
+      }
+    val affected = affectedZoned ++ unzoned.map(_.path)
 
-    val kept = live
-      .filterNot(f => affected.contains(new Path(f).toUri.getPath))
-      .map(_.stripPrefix(s"$root/"))
+    val kept = ents.filterNot(e => affected.contains(e.path))
 
     // Exact key membership, read from the affected files only.
     val touched =
-      if (affected.isEmpty) snap.filter(lit(false))
-      else spark.read.parquet(affected.toSeq: _*)
+      if (affected.isEmpty) read(spark, root, Some(cur)).filter(lit(false))
+      else spark.read.parquet(affected.toSeq.map(p => s"$root/$p"): _*)
+    val dataCols = touched.columns.toSeq
     val present = touched.select(keys.map(col): _*).distinct()
 
     val matched = updates.join(present, keys, "leftsemi")
@@ -206,28 +352,52 @@ object LakeTable {
     val rewritten = Relational.cdcMerge(touched, matched, keys, opCol)
       .unionByName(inserts)
 
-    val fresh = writeData(rewritten, root)
+    val fresh = writeData(rewritten, root, Some(lead))
     commit(spark, root, kept ++ fresh, cur + 1L)
   }
 
   /** Retention GC: drop manifests strictly below `keepFrom`, then delete
     * every data file unreachable from the surviving manifests (including
     * crashed writers' orphan commit dirs). Served (retained) versions
-    * are untouched — their manifests still resolve file-for-file. */
-  def vacuum(spark: SparkSession, root: String, keepFrom: Long): Unit = {
+    * are untouched — their manifests still resolve file-for-file.
+    *
+    * `orphanGraceMs` is the in-flight-writer guard: an unreferenced file
+    * younger than the grace window is NOT deleted, because it may belong
+    * to a writer that has written data but not yet published its
+    * manifest — deleting it would let that writer commit a manifest
+    * pointing at vanished files. Production default one hour (the
+    * Delta/Iceberg retention-horizon rule); tests GC immediately with 0.
+    *
+    * `keepFrom` above the latest version is refused: it would drop every
+    * manifest and with them every data file — almost certainly a caller
+    * bug, and a table with no versions cannot be distinguished from a
+    * never-created one. Readers of vacuumed-away versions are the
+    * caller's retention contract: pick `keepFrom` (and grace) longer
+    * than the longest-running reader of old snapshots. */
+  def vacuum(spark: SparkSession, root: String, keepFrom: Long,
+             orphanGraceMs: Long = 3600000L): Unit = {
     val fs = hfs(spark, root)
-    val (drop, keep) = versions(spark, root).partition(_ < keepFrom)
-    val reachable = keep.flatMap(liveFiles(spark, root, _)).toSet
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"vacuum: no committed versions under $root")
+    require(keepFrom <= vs.last,
+      s"vacuum: keepFrom=$keepFrom exceeds latest version ${vs.last} — " +
+        "refusing to delete every manifest and all data")
+    val (drop, keep) = vs.partition(_ < keepFrom)
+    val reachable = keep.flatMap(liveFiles(spark, root, _))
+      .map(f => fs.makeQualified(new Path(f)).toString).toSet
     drop.foreach(v => fs.delete(manifestPath(root, v), false))
+    val horizon = System.currentTimeMillis() - orphanGraceMs
     val dataRoot = new Path(s"$root/data")
     if (fs.exists(dataRoot)) {
       val it = fs.listFiles(dataRoot, /* recursive = */ true)
-      val normReach = reachable.map(f => new Path(f).toUri.getPath)
       val doomed = Iterator.continually(it)
-        .takeWhile(_.hasNext).map(_.next().getPath)
-        .filter(p => p.getName.endsWith(".parquet") &&
-          !normReach.contains(p.toUri.getPath))
-        .toList
+        .takeWhile(_.hasNext).map(_.next())
+        .filter { st =>
+          st.getPath.getName.endsWith(".parquet") &&
+            st.getModificationTime <= horizon &&
+            !reachable.contains(fs.makeQualified(st.getPath).toString)
+        }
+        .map(_.getPath).toList
       doomed.foreach(fs.delete(_, false))
       // sweep now-empty commit dirs
       fs.listStatus(dataRoot).foreach { st =>

@@ -1,0 +1,184 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.LakeTable.CommitConflictException
+
+class LakeTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("laketest").toString + "/t"
+
+  test("append/append/overwrite: every version time-travels correctly") {
+    val root = freshRoot()
+    val a = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val b = Seq((3L, "c")).toDF("k", "v")
+    val c = Seq((9L, "z")).toDF("k", "v")
+    assert(LakeTable.append(a, root) == 1L)
+    assert(LakeTable.append(b, root) == 2L)
+    assert(LakeTable.overwrite(c, root) == 3L)
+    def keys(v: Long) = LakeTable.read(spark, root, Some(v))
+      .select("k").as[Long].collect().toSet
+    assert(keys(1) == Set(1L, 2L))
+    assert(keys(2) == Set(1L, 2L, 3L))
+    assert(keys(3) == Set(9L))
+  }
+
+  test("zone stats: recorded on append, survive string round-trip with tabs") {
+    val root = freshRoot()
+    LakeTable.append(
+      Seq(("a\tb", 1L), ("z\nq", 2L)).toDF("s", "k"), root,
+      zoneKey = Some("s"))
+    val ents = LakeTable.entries(spark, root, 1L)
+    assert(ents.nonEmpty && ents.forall(_.zoneKey.contains("s")))
+    val los = ents.flatMap(_.lo).toSet
+    assert(los.contains("a\tb")) // tab round-tripped through the manifest
+  }
+
+  test("mergeInto prunes from MANIFEST zones: unaffected files never read") {
+    val root = freshRoot()
+    // 4 range-clustered files over k ∈ 0..399
+    val base = spark.range(0, 400).select(col("id").as("k"),
+        (col("id") * 10).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    LakeTable.append(base, root, zoneKey = Some("k"))
+    val v1 = LakeTable.entries(spark, root, 1L)
+    assert(v1.size == 4 && v1.forall(e => e.zoneKey.contains("k")))
+
+    // batch touches two low keys + one key outside every zone (pure insert)
+    val batchKeys = Seq(10L, 20L)
+    val batch = Seq((10L, 111L, "U"), (20L, 222L, "D"), (450L, 333L, "U"))
+      .toDF("k", "v", "op")
+    val admits = v1.filter(e => batchKeys.exists(k =>
+      e.lo.get.toLong <= k && k <= e.hi.get.toLong))
+    val untouched = v1.filterNot(e => admits.exists(_.path == e.path))
+    assert(admits.nonEmpty && untouched.nonEmpty) // pruning has something to prove
+
+    // corrupt every UNAFFECTED data file on disk: if the merge scanned
+    // any of them — for zone stats or anything else — the parquet read
+    // would throw. Merge succeeding proves zones came from the manifest
+    // and only admitted files were opened.
+    untouched.foreach { e =>
+      Files.write(Paths.get(s"$root/${e.path}"),
+        Array.fill[Byte](64)(0), StandardOpenOption.TRUNCATE_EXISTING)
+    }
+    LakeTable.mergeInto(spark, root, batch, Seq("k"), "op")
+
+    val v2 = LakeTable.entries(spark, root, 2L)
+    // kept = the corrupted files carried BY REFERENCE, zone metadata intact
+    val keptPaths = v2.map(_.path).toSet
+    untouched.foreach { e =>
+      assert(keptPaths.contains(e.path))
+      assert(v2.find(_.path == e.path).get == e)
+    }
+    // every admitted file was rewritten away
+    admits.foreach(e => assert(!keptPaths.contains(e.path)))
+    // fresh (merged) files only — readable without touching kept ones
+    val freshPaths = v2.filterNot(e => v1.exists(_.path == e.path))
+    val merged = spark.read
+      .parquet(freshPaths.map(e => s"$root/${e.path}"): _*)
+      .select("k", "v").as[(Long, Long)].collect().toMap
+    assert(merged(10L) == 111L)   // update landed
+    assert(!merged.contains(20L)) // delete landed
+    assert(merged(450L) == 333L)  // outside-zone key became a pure insert
+    // every other row of the admitted files rode along unchanged
+    val expectedRideAlong = admits.flatMap(e =>
+      (e.lo.get.toLong to e.hi.get.toLong).filterNot(k =>
+        batchKeys.contains(k) || k >= 400L))
+    expectedRideAlong.foreach(k => assert(merged(k) == k * 10))
+    assert(freshPaths.forall(_.zoneKey.contains("k"))) // re-zoned on write
+  }
+
+  test("commit conflict: publishing an already-taken version throws "
+      + "CommitConflictException; withRetry replays until success") {
+    val root = freshRoot()
+    LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)
+    // a second writer racing to version 1 loses at the atomic publish
+    intercept[CommitConflictException] {
+      LakeTable.commit(spark, root, Seq.empty, 1L)
+    }
+    // the losing manifest's temp file never became listable
+    assert(LakeTable.versions(spark, root) == Seq(1L))
+    assert(LakeTable.read(spark, root).count() == 1L)
+
+    // withRetry: replays the transaction on conflict, returns on success
+    var attempts = 0
+    val got = LakeTable.withRetry() { () =>
+      attempts += 1
+      if (attempts < 3) throw new CommitConflictException("simulated race")
+      42
+    }
+    assert(got == 42 && attempts == 3)
+    // bounded: attempts exhausted → the conflict propagates
+    intercept[CommitConflictException] {
+      LakeTable.withRetry(maxAttempts = 2) { () =>
+        throw new CommitConflictException("always loses")
+      }
+    }
+  }
+
+  test("two-writer race: every concurrent append lands exactly once") {
+    val root = freshRoot()
+    LakeTable.append(Seq((0L, "seed")).toDF("k", "v"), root)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (1 to 4).map { i =>
+      Future {
+        LakeTable.withRetry() { () =>
+          LakeTable.append(Seq((i.toLong, s"w$i")).toDF("k", "v"), root)
+        }
+      }
+    }
+    val got = Await.result(Future.sequence(writers), 120.seconds)
+    // one distinct version per winner, no gaps, no double-grants
+    assert(got.toSet.size == 4)
+    assert(LakeTable.versions(spark, root) == Seq(1L, 2L, 3L, 4L, 5L))
+    // final table carries the seed and every writer's delta exactly once
+    val ks = LakeTable.read(spark, root).select("k").as[Long].collect().toSeq
+    assert(ks.sorted == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("vacuum: grace window protects an in-flight writer's orphans") {
+    val root = freshRoot()
+    LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)
+    // an uncommitted writer's fresh file (no manifest references it)
+    val orphanDir = Paths.get(s"$root/data/inflight-commit")
+    Files.createDirectories(orphanDir)
+    val orphan = orphanDir.resolve("part-0.parquet")
+    Files.write(orphan, Array[Byte](1, 2, 3))
+    // default grace (1h): the young orphan must survive
+    LakeTable.vacuum(spark, root, keepFrom = 1L)
+    assert(Files.exists(orphan))
+    // grace 0: reachability GC may collect it
+    LakeTable.vacuum(spark, root, keepFrom = 1L, orphanGraceMs = 0L)
+    assert(!Files.exists(orphan))
+    // committed data untouched either way
+    assert(LakeTable.read(spark, root).count() == 1L)
+  }
+
+  test("vacuum: dropped versions' unshared files go, shared files stay") {
+    val root = freshRoot()
+    LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)   // v1
+    LakeTable.append(Seq((2L, "b")).toDF("k", "v"), root)   // v2 = v1 files + delta
+    LakeTable.overwrite(Seq((3L, "c")).toDF("k", "v"), root) // v3: fresh files only
+    val v2Files = LakeTable.liveFiles(spark, root, 2L)
+    LakeTable.vacuum(spark, root, keepFrom = 3L, orphanGraceMs = 0L)
+    assert(LakeTable.versions(spark, root) == Seq(3L))
+    v2Files.foreach(f => assert(!Files.exists(Paths.get(f)))) // unreferenced now
+    assert(LakeTable.read(spark, root).select("k").as[Long].collect().toSet
+      == Set(3L))
+  }
+
+  test("vacuum refuses keepFrom above the latest version") {
+    val root = freshRoot()
+    LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)
+    intercept[IllegalArgumentException] {
+      LakeTable.vacuum(spark, root, keepFrom = 99L)
+    }
+    // nothing was deleted by the refused call
+    assert(LakeTable.read(spark, root).count() == 1L)
+  }
+}
