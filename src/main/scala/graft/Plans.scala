@@ -17,12 +17,9 @@ object Plans {
     "q17_interval_join" -> "validity join: equi key SMJ/BHJ + range filter, no nested loop",
     "q29_rownumber_global" -> "global sequence: range-partitioned sort, NO single-task data window",
     "q57_dedup_exact" -> "exact dedup: one hash shuffle on fingerprint",
-    "q59_minhash_lsh" -> "LSH candidates: banded bucket self-join, bounded key space",
-    "q60_simhash" -> "simhash: explode + 64-column codegen'd hash agg, prefix-block join",
     "q62_ann_bruteforce" -> "brute-force ANN: corpus never shuffles, query side broadcast",
     "q70_scale_with_counts" -> "scaling pipeline: windows over (sample,species), no agg+rejoin rounds",
     "q77_asof_join" -> "as-of join: ONE shuffle union+window, no pair explosion",
-    "q63_ann_lsh" -> "LSH ANN: native codegen lsh_bucket on both sides, corpus never shuffles",
     "q84_vocab_topk" -> "vocab top-k: partial top-k per partition (TakeOrderedAndProject), rank window over k rows only",
     "q85_token_packing" -> "packing: range-partitioned global cumsum, NO single-task data window",
     "q88_tfidf" -> "tf-idf: two hash aggs + term-keyed join, rank window partitioned by doc",

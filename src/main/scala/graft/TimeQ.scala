@@ -2,7 +2,7 @@ package graft
 
 /** Dev tool: time individual queries by name against
   * SPARK_GRAFT_SF_DIR (default sf0.1) with the same noop-sink methodology
-  * as Bench. Usage: runMain graft.TimeQ q63_ann_lsh q60_simhash
+  * as Bench. Usage: runMain graft.TimeQ q185_ann_lsh_verified q166_simhash_portable
   * Runs each query twice (warm JIT/scan) and reports both timings.
   */
 object TimeQ {

@@ -589,13 +589,10 @@ object AggWindowQueries {
         FROM lineitem GROUP BY l_returnflag"""),
       "typed Aggregator (udaf): merge-order-independent weighted mean"),
 
-    // ---- approximate distinct (HLL) — no exact oracle, rows-only check ----------------
-    "q51_approx_distinct" -> Q(
-      (s, d) => Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")),
-      None,
-      "HyperLogLog approximate distinct (sketch)"),
+    // (the raw HLL sketch — formerly q51, no oracle — is retired: q112
+    // below runs the same approx_count_distinct against the exact
+    // distinct and hash-checks the accuracy contract, which is the
+    // strongest cross-engine statement a sketch value admits)
 
     // ---- HLL error-bound check, oracle-verified ---------------------------------------
     // The sketch VALUES can't hash-match DuckDB (different HLL), but the

@@ -175,12 +175,11 @@ object TextQueries {
           >= CAST(0.5 AS DOUBLE)"""),
       "prefix-filtered exact Jaccard join: lossless PPJoin-style pruning"),
 
-    // ---- MinHash + LSH (banded) — sketch-based, no SQL oracle ---------------------------
-    "q59_minhash_lsh" -> Q(
-      (s, d) => Dedup.minhashCandidates(Tables.documents(s, d),
-        "doc_id", "text", shingleSize = 3, bands = 4, rowsPerBand = 4),
-      None,
-      "MinHash+LSH candidate pairs (shingle→minhash→band→bucket-join)"),
+    // (the raw MinHash+LSH candidate sketch — formerly q59, no oracle —
+    // is retired in favor of q111 below, which runs the same
+    // Dedup.minhashCandidates banding AND hash-verifies the full
+    // LSH→exact-verify pipeline against a brute-force DuckDB oracle;
+    // OperatorsSpec additionally units the candidate generator alone)
 
     // ---- LSH + exact-verify pipeline, oracle-verified --------------------------------
     // The full production near-dup shape: LSH candidates (8 bands × 2
@@ -312,12 +311,11 @@ object TextQueries {
         SELECT id_new, id_stored, est FROM est WHERE est >= 0.5"""),
       "incremental MinHash dedup: batch vs stored signatures, est-verified"),
 
-    // ---- SimHash near-dup — sketch-based, no SQL oracle -----------------------------------
-    "q60_simhash" -> Q(
-      (s, d) => Dedup.simhashPairs(Tables.documents(s, d),
-        "doc_id", "text", prefixBits = 12, maxHamming = 8),
-      None,
-      "SimHash 64-bit near-dup pairs (prefix block + Hamming verify)"),
+    // (the raw xxhash64 SimHash pair sketch — formerly q60, no oracle —
+    // is retired in favor of q166, which hash-verifies the identical
+    // vote/block/Hamming pipeline through the md5-portable signature the
+    // DuckDB oracle can recompute; OperatorsSpec units simhashPairs'
+    // prefix-block join directly)
 
     // ---- end-to-end corpus cleaning: the composed pretraining pipeline ------------------
     // language gate → quality gate → exact dedup → per-source survivor

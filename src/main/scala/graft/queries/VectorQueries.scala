@@ -47,28 +47,13 @@ object VectorQueries {
         WHERE rank <= 5"""),
       "exact brute-force cosine top-k (broadcast queries)"),
 
-    // ---- LSH-bucketed ANN — approximate, no SQL oracle ---------------------------
-    "q63_ann_lsh" -> Q(
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val queries = emb.filter(col("vec_id") < 8)
-        Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5,
-          nBits = 6, multiProbe = 3)
-      },
-      None,
-      "LSH-bucketed ANN top-k (hyperplane sign buckets, 1-bit multi-probe)"),
-
-    // ---- IVF ANN — approximate, no SQL oracle ------------------------------------
-    "q79_ann_ivf" -> Q(
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val queries = emb.filter(col("vec_id") < 8)
-        val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", 16)
-        Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
-          cents, nProbe = 3)
-      },
-      None,
-      "IVF ANN top-k (inverted coarse-centroid lists, nProbe probing)"),
+    // (the raw LSH ANN (formerly q63) and seeded-random IVF ANN
+    // (formerly q79) sketches — no oracle by construction — are retired
+    // in favor of q185/q161, which run the same bucketed search shapes
+    // through portable md5 hyperplanes / deterministic farthest-point
+    // centroids and hash-verify end-to-end against DuckDB; OperatorsSpec
+    // units lshTopK (bucket-subset, multi-probe recall) and ivfTopK
+    // (probe monotonicity, recall floor) directly)
 
     // ---- int8 embedding quantization --------------------------------------
     // The storage form of an embedding corpus at 100 TB (4× smaller than

@@ -255,6 +255,16 @@ class DedupSpec extends SparkSpec {
     assert(bulkE == colE)
   }
 
+  test("simhashPairs: exact dups pair at hamming 0, unrelated docs don't pair") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+        prefixBits = 4, maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number]("hamming").intValue()))
+    assert(pairs.exists { case (a, b, h) => (a, b) == (1L, 2L) && h == 0 })
+    assert(!pairs.exists { case (a, b, _) =>
+      Set(a, b) == Set(1L, 4L) || Set(a, b) == Set(1L, 5L) })
+  }
+
   test("simhash: identical docs hamming 0, near-dups close, unrelated far") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("s"))
       .as[(Long, Long)].collect().toMap
