@@ -79,7 +79,9 @@ object Plans {
     "q237_zonemap_scan" -> "zone-map scan: pruned file list from O(#files) stats (metadata, not data), exact predicate re-applied over surviving files only",
     "q238_sessionize_fold" -> "sessionize fold: delta window + session groupBy share ONE user exchange, state joins by user, history never re-read",
     "q239_segmented_index" -> "segmented index serve: per-segment scans union into ONE term-keyed set-merge agg — ingest never reads the stored index",
-    "q242_mv_rewrite" -> "MV rewrite: the aggregate's scan is the VIEW path, not the base table — rollup over view-sized state, no base exchange")
+    "q242_mv_rewrite" -> "MV rewrite: the aggregate's scan is the VIEW path, not the base table — rollup over view-sized state, no base exchange",
+    "q247_lake_time_travel" -> "lake time travel: each version reads exactly its manifest's file list — no version directories copied, appends share prior files by reference",
+    "q248_lake_merge" -> "lake MERGE: zone pruning from MANIFEST metadata (no data scan), only admitted files re-read + rewritten, kept files carried by reference")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
