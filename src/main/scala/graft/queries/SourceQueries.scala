@@ -573,6 +573,33 @@ object SourceQueries {
         SELECT o_orderkey, o_custkey, o_totalprice * 2
         FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0"""),
       "copy-on-write MERGE: update/insert/delete/no-op fates ≡ direct recompute"),
+
+    // ---- lake-table compaction: small-file bin-packing ---------------------
+    // Sixteen small files from four appends (the O(delta)-append debris
+    // every lake table accrues) are bin-packed into range-clustered
+    // files in one compact() commit. The oracle is the plain base
+    // table: the hash proves compaction is content-IDENTICAL — no row
+    // lost, duplicated, or mutated by the rewrite — while the unit
+    // suite separately pins the layout effects (file count shrinks,
+    // at-size files carried by reference, prior versions still
+    // time-travel).
+    "q249_lake_compact" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_lakec_q249") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        (0 until 4).foreach { i =>
+          graft.sources.LakeTable.append(
+            o.filter(col("o_orderkey") % 4 === i).repartition(4), root,
+            zoneKey = Some("o_orderkey"))
+        }
+        graft.sources.LakeTable.compact(s, root,
+          smallBytes = Long.MaxValue, targetBytes = 1L << 20,
+          zoneKey = Some("o_orderkey"))
+        graft.sources.LakeTable.read(s, root)
+      },
+      Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"),
+      "lake compaction: 16 append files bin-packed, content hash-identical"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

@@ -92,6 +92,11 @@ object LakeTable {
     case FileEntry(p, _, _, _) => enc(p)
   }
 
+  // manifest header line recording the streaming transaction that
+  // produced the version (the Delta `txn` action): #txn\tappId\tbatchId
+  private def renderTxn(t: (String, Long)): String =
+    s"#txn\t${enc(t._1)}\t${t._2}"
+
   private def parseEntry(line: String): FileEntry =
     line.split('\t') match {
       case Array(p, k, lo, hi) =>
@@ -113,15 +118,40 @@ object LakeTable {
       .sorted
   }
 
-  /** The manifest entries of version `v`. */
-  def entries(spark: SparkSession, root: String, v: Long): Seq[FileEntry] = {
+  private def manifestLines(spark: SparkSession, root: String,
+                            v: Long): Seq[String] = {
     val fs = hfs(spark, root)
     val in = fs.open(manifestPath(root, v))
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    text.linesIterator.filter(_.nonEmpty).map(parseEntry).toSeq
+    text.linesIterator.filter(_.nonEmpty).toSeq
   }
+
+  /** The manifest entries of version `v` (header lines skipped). */
+  def entries(spark: SparkSession, root: String, v: Long): Seq[FileEntry] =
+    manifestLines(spark, root, v)
+      .filterNot(_.startsWith("#")).map(parseEntry)
+
+  /** The streaming transaction tag of version `v`, if it carries one. */
+  def txnOf(spark: SparkSession, root: String,
+            v: Long): Option[(String, Long)] =
+    manifestLines(spark, root, v).collectFirst {
+      case l if l.startsWith("#txn\t") =>
+        val Array(_, app, batch) = l.split('\t')
+        (dec(app), batch.toLong)
+    }
+
+  /** The highest batch id `appId` has committed, scanning manifests from
+    * the newest back — O(retained versions) driver metadata reads, the
+    * Delta `txnVersion(appId)` lookup. Vacuuming away every manifest of
+    * an app shortens its replay-protection horizon; keep retention
+    * longer than the longest possible stream replay. */
+  def lastTxn(spark: SparkSession, root: String,
+              appId: String): Option[Long] =
+    versions(spark, root).reverseIterator
+      .flatMap(v => txnOf(spark, root, v))
+      .collectFirst { case (a, b) if a == appId => b }
 
   /** The data files (absolute paths) version `v` consists of. */
   def liveFiles(spark: SparkSession, root: String, v: Long): Seq[String] =
@@ -210,7 +240,8 @@ object LakeTable {
     * misreporting a quota or network error as a version conflict would
     * send [[withRetry]] into useless replays. */
   private[sources] def commit(spark: SparkSession, root: String,
-                              entries: Seq[FileEntry], next: Long): Long = {
+                              entries: Seq[FileEntry], next: Long,
+                              txn: Option[(String, Long)] = None): Long = {
     val fs = hfs(spark, root)
     val p = manifestPath(root, next)
     fs.mkdirs(p.getParent)
@@ -218,7 +249,8 @@ object LakeTable {
       s".tmp-${java.util.UUID.randomUUID().toString}")
     val out = fs.create(tmp, /* overwrite = */ false)
     try {
-      out.write(entries.map(renderEntry).mkString("\n").getBytes("UTF-8"))
+      out.write((txn.map(renderTxn).toSeq ++ entries.map(renderEntry))
+        .mkString("\n").getBytes("UTF-8"))
       out.hflush()
     } finally out.close()
     try {
@@ -270,12 +302,29 @@ object LakeTable {
     * metadata carried verbatim). `zoneKey` attaches per-file min/max to
     * the NEW files so later merges can prune them from metadata. */
   def append(df: DataFrame, root: String,
-             zoneKey: Option[String] = None): Long = {
+             zoneKey: Option[String] = None,
+             txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     val prev = versions(spark, root).lastOption
     val prevEntries = prev.map(entries(spark, root, _)).getOrElse(Seq.empty)
     val fresh = writeData(df, root, zoneKey)
-    commit(spark, root, prevEntries ++ fresh, prev.getOrElse(0L) + 1L)
+    commit(spark, root, prevEntries ++ fresh, prev.getOrElse(0L) + 1L, txn)
+  }
+
+  /** Idempotent streaming append: apply `df` as `appId`'s batch
+    * `batchId` unless a retained manifest shows that batch (or a later
+    * one) already committed — the exactly-once primitive under
+    * at-least-once foreachBatch replay. Batch ids must be monotonic per
+    * app (Structured Streaming's contract). Returns the table's latest
+    * version either way. Wrap in [[withRetry]] when other writers race:
+    * the replay re-checks [[lastTxn]] on the fresh snapshot, so a retry
+    * after a conflict never double-applies. */
+  def appendOnce(df: DataFrame, root: String, appId: String, batchId: Long,
+                 zoneKey: Option[String] = None): Long = {
+    val spark = df.sparkSession
+    if (lastTxn(spark, root, appId).exists(_ >= batchId))
+      versions(spark, root).last
+    else append(df, root, zoneKey, Some(appId -> batchId))
   }
 
   /** Logical overwrite: the new manifest lists only the new files; old
@@ -354,6 +403,46 @@ object LakeTable {
 
     val fresh = writeData(rewritten, root, Some(lead))
     commit(spark, root, kept ++ fresh, cur + 1L)
+  }
+
+  /** Small-file compaction: the maintenance pass every O(delta)-append
+    * table needs — thousands of tiny commit files otherwise accumulate
+    * until open/footer overhead dominates scans. Files under
+    * `smallBytes` are read once and rewritten bin-packed to
+    * ~`targetBytes`; every file already at size is carried into the new
+    * manifest BY REFERENCE (zone metadata intact, zero I/O). With
+    * `zoneKey` set the rewrite range-clusters on it, so compaction also
+    * RESTORES zone tightness that interleaved appends erode — the
+    * OPTIMIZE-style layout pass. Content is identical by construction
+    * (same multiset of rows); only layout and zone granularity change,
+    * and prior versions still time-travel to the pre-compaction files
+    * until [[vacuum]]. Returns the new version, or the current one
+    * unchanged when fewer than two small files exist (idempotent no-op
+    * — repeated maintenance runs don't churn versions). Wrap in
+    * [[withRetry]] alongside concurrent writers. */
+  def compact(spark: SparkSession, root: String,
+              smallBytes: Long = 128L << 20,
+              targetBytes: Long = 128L << 20,
+              zoneKey: Option[String] = None): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"compact: no table at $root")
+    val cur = vs.last
+    val ents = entries(spark, root, cur)
+    val fs = hfs(spark, root)
+    val sized = ents.map(e =>
+      e -> fs.getFileStatus(new Path(s"$root/${e.path}")).getLen)
+    val (small, big) = sized.partition(_._2 < smallBytes)
+    if (small.size <= 1) return cur
+    val nOut = math.max(1,
+      math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(small.map(s => s"$root/${s._1.path}"): _*)
+    val packed = zoneKey match {
+      case Some(k) =>
+        df.repartitionByRange(nOut, col(k)).sortWithinPartitions(k)
+      case None => df.repartition(nOut)
+    }
+    val fresh = writeData(packed, root, zoneKey)
+    commit(spark, root, big.map(_._1) ++ fresh, cur + 1L)
   }
 
   /** Retention GC: drop manifests strictly below `keepFrom`, then delete

@@ -268,6 +268,34 @@ object WarehouseSink {
       }
       .start()
 
+  /** Stream → [[graft.sources.LakeTable]] append sink: each micro-batch
+    * lands as one O(delta) manifest commit, so the table grows without
+    * ever rewriting served files and batch readers time-travel across
+    * stream progress. Exactly-once under at-least-once foreachBatch
+    * replay via the manifest txn tag ([[graft.sources.LakeTable
+    * .appendOnce]]): a replayed batch finds its (appId, batchId) already
+    * committed and skips. withRetry makes the commit safe alongside
+    * concurrent batch writers on the same table — the replayed
+    * transaction re-checks the txn tag on the fresh snapshot before
+    * re-appending. `zoneKey` keeps per-file zone stats flowing so MERGE
+    * pruning and compaction stay effective on the streamed table;
+    * schedule [[graft.sources.LakeTable.compact]] to bin-pack the
+    * per-batch small files. */
+  def lakeAppendSink(stream: DataFrame, root: String, appId: String,
+                     checkpoint: String,
+                     zoneKey: Option[String] = None): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.LakeTable.withRetry() { () =>
+          graft.sources.LakeTable.appendOnce(batch, root, appId, batchId,
+            zoneKey)
+        }
+        ()
+      }
+      .start()
+
   def indexMaintenanceSink(stream: DataFrame, idCol: String,
                            textCol: String, indexPath: String,
                            checkpoint: String): StreamingQuery =

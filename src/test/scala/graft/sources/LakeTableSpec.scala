@@ -141,6 +141,43 @@ class LakeTableSpec extends SparkSpec {
     assert(ks.sorted == Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("compact: bin-packs small files, keeps at-size files by reference, "
+      + "preserves content and history") {
+    val root = freshRoot()
+    // one at-size file (10k rows) + three small append files
+    LakeTable.append(
+      spark.range(0, 10000).select(col("id").as("k")).coalesce(1),
+      root, zoneKey = Some("k"))
+    (0 until 3).foreach { i =>
+      LakeTable.append(
+        spark.range(20000 + i * 100L, 20000 + i * 100L + 20)
+          .select(col("id").as("k")).coalesce(1),
+        root, zoneKey = Some("k"))
+    }
+    val v4 = LakeTable.entries(spark, root, 4L)
+    assert(v4.size == 4)
+    val bigEntry = v4.head // v1's file, carried through the appends
+
+    val v5 = LakeTable.compact(spark, root,
+      smallBytes = 10240L, targetBytes = 1L << 20, zoneKey = Some("k"))
+    assert(v5 == 5L)
+    val ents = LakeTable.entries(spark, root, 5L)
+    // big file by reference, metadata verbatim; three smalls became one
+    assert(ents.contains(bigEntry))
+    assert(ents.size == 2)
+    assert(ents.forall(_.zoneKey.contains("k"))) // packed file re-zoned
+    // content identical
+    val got = LakeTable.read(spark, root).select("k").as[Long].collect().toSet
+    val want = (0L until 10000L).toSet ++
+      (0 until 3).flatMap(i => 20000 + i * 100L until 20000 + i * 100L + 20)
+    assert(got == want)
+    // pre-compaction version still time-travels
+    assert(LakeTable.read(spark, root, Some(4L)).count() == 10060L)
+    // idempotent: a second maintenance run is a version-preserving no-op
+    assert(LakeTable.compact(spark, root, smallBytes = 10240L,
+      targetBytes = 1L << 20, zoneKey = Some("k")) == 5L)
+  }
+
   test("vacuum: grace window protects an in-flight writer's orphans") {
     val root = freshRoot()
     LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)

@@ -30,6 +30,44 @@ class WarehouseSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lakeAppendSink: one lake version per batch, txn-tagged, "
+      + "replayed batch never double-appends") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.LakeTable
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("lakesink")
+    val root = dir.resolve("t").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = WarehouseSink.lakeAppendSink(
+      ms.toDF().toDF("k", "v"), root, appId = "ingest-a", checkpoint = ckpt,
+      zoneKey = Some("k"))
+    try {
+      ms.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      ms.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(LakeTable.versions(spark, root) == Seq(1L, 2L))
+    assert(LakeTable.txnOf(spark, root, 1L).contains(("ingest-a", 0L)))
+    assert(LakeTable.txnOf(spark, root, 2L).contains(("ingest-a", 1L)))
+    assert(LakeTable.lastTxn(spark, root, "ingest-a").contains(1L))
+    assert(LakeTable.read(spark, root).select("k").as[Long].collect().toSet
+      == Set(1L, 2L, 3L))
+    // at-least-once replay: re-applying an already-committed batch is a
+    // no-op — no new version, no duplicate rows
+    val replayed = LakeTable.appendOnce(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root, "ingest-a", 0L,
+      zoneKey = Some("k"))
+    assert(replayed == 2L)
+    assert(LakeTable.read(spark, root).count() == 3L)
+    // a DIFFERENT app's batch 0 is its own transaction and does land
+    LakeTable.appendOnce(Seq((9L, "z")).toDF("k", "v"), root, "ingest-b", 0L)
+    assert(LakeTable.versions(spark, root) == Seq(1L, 2L, 3L))
+    // and app A's replay protection survives app B's interleaved commit
+    assert(LakeTable.lastTxn(spark, root, "ingest-a").contains(1L))
+  }
+
   test("cdcApplySink folds changelog batches; replay converges") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
