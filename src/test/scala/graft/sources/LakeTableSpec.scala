@@ -178,6 +178,39 @@ class LakeTableSpec extends SparkSpec {
       targetBytes = 1L << 20, zoneKey = Some("k")) == 5L)
   }
 
+  test("compaction racing appends: both retry through conflicts, no row "
+      + "lost or duplicated") {
+    val root = freshRoot()
+    LakeTable.append(spark.range(0, 100).select(col("id").as("k")), root,
+      zoneKey = Some("k"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val appender = Future {
+      (1 to 4).foreach { i =>
+        LakeTable.withRetry() { () =>
+          LakeTable.append(
+            spark.range(i * 1000L, i * 1000L + 100)
+              .select(col("id").as("k")),
+            root, zoneKey = Some("k"))
+        }
+      }
+    }
+    val compactor = Future {
+      (1 to 3).foreach { _ =>
+        LakeTable.withRetry() { () =>
+          LakeTable.compact(spark, root, smallBytes = Long.MaxValue,
+            targetBytes = 64L << 20, zoneKey = Some("k"))
+        }
+      }
+    }
+    Await.result(Future.sequence(Seq(appender, compactor)), 180.seconds)
+    val got = LakeTable.read(spark, root).select("k").as[Long].collect().toSet
+    val want = (0L until 100L).toSet ++
+      (1 to 4).flatMap(i => i * 1000L until i * 1000L + 100)
+    assert(got == want)
+  }
+
   test("vacuum: grace window protects an in-flight writer's orphans") {
     val root = freshRoot()
     LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)
