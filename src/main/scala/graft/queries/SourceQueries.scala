@@ -600,6 +600,29 @@ object SourceQueries {
       },
       Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"),
       "lake compaction: 16 append files bin-packed, content hash-identical"),
+
+    // ---- lake zone-pruned range read ---------------------------------------
+    // The serve-side payoff of manifest zone stats: a key-range read
+    // over the clustered lake table opens only the files whose manifest
+    // zone overlaps the range (unit pins the strict subset via the
+    // corrupted-file trick); the exact predicate re-applies on top, so
+    // the hash against DuckDB's direct BETWEEN proves pruning loses and
+    // invents nothing.
+    "q250_lake_zone_read" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_lakez_q250") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.repartitionByRange(8, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"), root,
+          zoneKey = Some("o_orderkey"))
+        graft.sources.LakeTable.readRange(s, root, "o_orderkey",
+          1000L, 5000L)
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000"""),
+      "zone-pruned lake range read ≡ direct filter (manifest min/max skip)"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

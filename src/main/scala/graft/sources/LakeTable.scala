@@ -157,10 +157,14 @@ object LakeTable {
   def liveFiles(spark: SparkSession, root: String, v: Long): Seq[String] =
     entries(spark, root, v).map(e => s"$root/${e.path}")
 
-  /** Snapshot read: the file set of one manifest, nothing else. Empty
-    * manifests (a table overwritten to empty) read as an empty frame of
-    * the latest non-empty version's schema — callers with a truly empty
-    * v1 table should keep their own schema. */
+  /** Snapshot read: the file set of one manifest, nothing else. Schema
+    * is the merged union across the snapshot's files (parquet
+    * mergeSchema — O(#files) footer reads, metadata-class), so a table
+    * whose later appends ADDED columns reads whole: old files null-fill
+    * the new columns, the unionByName rule every lakehouse applies.
+    * Empty manifests (a table overwritten to empty) read as an empty
+    * frame of the latest non-empty version's schema — callers with a
+    * truly empty v1 table should keep their own schema. */
   def read(spark: SparkSession, root: String,
            version: Option[Long] = None): DataFrame = {
     val vs = versions(spark, root)
@@ -168,7 +172,8 @@ object LakeTable {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
     val files = liveFiles(spark, root, v)
-    if (files.nonEmpty) spark.read.parquet(files: _*)
+    if (files.nonEmpty)
+      spark.read.option("mergeSchema", "true").parquet(files: _*)
     else {
       val donor = vs.reverse.map(liveFiles(spark, root, _))
         .find(_.nonEmpty)
@@ -176,6 +181,42 @@ object LakeTable {
           s"$root has only empty manifests"))
       spark.read.parquet(donor: _*).filter(lit(false))
     }
+  }
+
+  /** Zone-pruned range read — the read-side complement of
+    * [[mergeInto]]'s file pruning: `key BETWEEN lo AND hi` is answered
+    * by opening ONLY the files whose manifest zone overlaps [lo, hi]
+    * (plus any file without stats for `key`, conservatively). On a
+    * key-clustered 100 TB table a point/range lookup therefore reads
+    * O(matching files), not the table — and the pruning decision itself
+    * is manifest metadata, zero data I/O (file-count-sized driver
+    * frame, the q237 zone-map discipline). The exact predicate is
+    * re-applied on top, so correctness never depends on zone tightness.
+    */
+  def readRange(spark: SparkSession, root: String, key: String,
+                lo: Any, hi: Any,
+                version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions under $root")
+    val v = version.getOrElse(vs.last)
+    val ents = entries(spark, root, v)
+    val (zoned, unzoned) = ents.partition(e =>
+      e.zoneKey.contains(key) && e.lo.isDefined && e.hi.isDefined)
+    val dt =
+      org.apache.spark.sql.catalyst.expressions.Literal(lo).dataType
+    val admitted: Seq[String] =
+      if (zoned.isEmpty) Seq.empty
+      else zoned.map(e => (e.path, e.lo.get, e.hi.get))
+        .toDF("__file", "__lo_s", "__hi_s")
+        .filter(col("__lo_s").cast(dt) <= lit(hi) &&
+          col("__hi_s").cast(dt) >= lit(lo))
+        .select("__file").as[String].collect().toSeq // bounded by #files
+    val files = (admitted ++ unzoned.map(_.path)).map(p => s"$root/$p")
+    val base =
+      if (files.isEmpty) read(spark, root, Some(v)).filter(lit(false))
+      else spark.read.option("mergeSchema", "true").parquet(files: _*)
+    base.filter(col(key) >= lit(lo) && col(key) <= lit(hi))
   }
 
   /** Zone stats are recorded only for types whose toString render

@@ -178,6 +178,43 @@ class LakeTableSpec extends SparkSpec {
       targetBytes = 1L << 20, zoneKey = Some("k")) == 5L)
   }
 
+  test("readRange prunes from manifest zones: non-overlapping files never "
+      + "opened, exact predicate still applies") {
+    val root = freshRoot()
+    val base = spark.range(0, 400).select(col("id").as("k"),
+        (col("id") * 10).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    LakeTable.append(base, root, zoneKey = Some("k"))
+    val ents = LakeTable.entries(spark, root, 1L)
+    val admits = ents.filter(e =>
+      e.lo.get.toLong <= 120L && 100L <= e.hi.get.toLong)
+    val outside = ents.filterNot(e => admits.exists(_.path == e.path))
+    assert(admits.nonEmpty && outside.nonEmpty)
+    // a range outside every zone reads empty (schema comes from the
+    // snapshot's footers — metadata-class, so checked before corruption)
+    assert(LakeTable.readRange(spark, root, "k", 9000L, 9100L).count() == 0L)
+    // corrupt every non-overlapping file: readRange must succeed anyway
+    outside.foreach { e =>
+      Files.write(Paths.get(s"$root/${e.path}"),
+        Array.fill[Byte](64)(0), StandardOpenOption.TRUNCATE_EXISTING)
+    }
+    val got = LakeTable.readRange(spark, root, "k", 100L, 120L)
+      .select("k").as[Long].collect().toSet
+    assert(got == (100L to 120L).toSet)
+  }
+
+  test("schema evolution: a later append's new column null-fills old files") {
+    val root = freshRoot()
+    LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)
+    LakeTable.append(Seq((2L, "b", 7.5)).toDF("k", "v", "w"), root)
+    val rows = LakeTable.read(spark, root)
+      .select("k", "v", "w").as[(Long, String, Option[Double])]
+      .collect().toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", Some(7.5))))
+    // v1 still reads with its own (pre-evolution) schema
+    assert(LakeTable.read(spark, root, Some(1L)).columns.toSeq == Seq("k", "v"))
+  }
+
   test("compaction racing appends: both retry through conflicts, no row "
       + "lost or duplicated") {
     val root = freshRoot()
