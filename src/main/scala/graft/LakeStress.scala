@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.LakeTable
+
+/** Scale-stress for the manifest lake table (dev tool, like Stress):
+  * builds a key-clustered table at FACTOR× the sf dir's orders (salted
+  * disjoint key spaces, the Stress discipline) and measures the three
+  * claims the design makes:
+  *
+  *   1. MERGE cost tracks the CHURN, not the table: a ~0.1%-of-keyspace
+  *      batch must rewrite a small fraction of files (reported) and run
+  *      far faster than the full-rewrite baseline (`overwrite`, the
+  *      writeVersion-style O(table) path).
+  *   2. Zone-pruned range reads open O(matching files): readRange over
+  *      the same narrow range vs a full-scan filter.
+  *   3. Compaction debris recovery: many small appends, one compact(),
+  *      file count collapses, content count preserved.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), STRESS_FACTOR (default 10),
+  * LAKE_STRESS_DIR (default /tmp/graft_lakestress). Prints one
+  * readable report; numbers land in BENCH_STRESS.md.
+  */
+object LakeStress {
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("STRESS_FACTOR", "10").toInt
+    val base = sys.env.getOrElse("LAKE_STRESS_DIR", "/tmp/graft_lakestress")
+    val spark = Engine.local(appName = "graft-lakestress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def wipe(p: String): Unit = {
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(del)
+        f.delete(): Unit
+      }
+      del(new java.io.File(p))
+    }
+    wipe(base)
+    val root = s"$base/t"
+
+    val o = Tables.orders(spark, srcDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val stride = 10000000L
+    val big = (0 until factor).map(i =>
+        o.withColumn("o_orderkey", col("o_orderkey") + lit(i * stride)))
+      .reduce(_.unionByName(_))
+    val nFiles = 64
+
+    val (_, tBuild) = timed {
+      LakeTable.append(
+        big.repartitionByRange(nFiles, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        root, zoneKey = Some("o_orderkey"))
+    }
+    val nRows = LakeTable.read(spark, root).count()
+    val v1Files = LakeTable.entries(spark, root, 1L).map(_.path).toSet
+
+    // ~0.1% of the rows, contiguous keys (the clustered-churn shape):
+    // double the price of every key in a narrow band of one replica —
+    // 1% of replica 2's occupied key span = 0.1% of the table's rows
+    val keySpan = o.agg(max(col("o_orderkey"))).head().getLong(0)
+    val lo = 2L * stride + keySpan / 4
+    val hi = lo + keySpan / 100L
+    val batch = LakeTable.readRange(spark, root, "o_orderkey", lo, hi)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") * 2).as("o_totalprice"))
+      .withColumn("op", lit("U"))
+      .localCheckpoint(true) // freeze: the merge rewrites what it read
+    val batchRows = batch.count()
+    val (_, tMerge) = timed {
+      LakeTable.mergeInto(spark, root, batch, Seq("o_orderkey"), "op")
+    }
+    val v2 = LakeTable.entries(spark, root, 2L).map(_.path).toSet
+    val rewritten = v1Files.diff(v2).size
+    val carried = v1Files.intersect(v2).size
+
+    // full-rewrite baseline: the O(table) path MERGE replaces
+    val (_, tRewrite) = timed {
+      LakeTable.overwrite(
+        LakeTable.read(spark, root)
+          .repartitionByRange(nFiles, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        root, zoneKey = Some("o_orderkey"))
+    }
+
+    // zone-pruned range read vs full-scan filter, same predicate
+    val (prunedN, tPruned) = timed {
+      LakeTable.readRange(spark, root, "o_orderkey", lo, hi).count()
+    }
+    val (scanN, tScan) = timed {
+      LakeTable.read(spark, root)
+        .filter(col("o_orderkey").between(lo, hi)).count()
+    }
+    require(prunedN == scanN, s"pruned $prunedN != scan $scanN")
+
+    // compaction debris recovery: 16 small appends, one compact
+    (0 until 16).foreach { i =>
+      LakeTable.append(
+        o.limit(1000).withColumn("o_orderkey",
+          col("o_orderkey") + lit((factor + i) * stride)).coalesce(1),
+        root, zoneKey = Some("o_orderkey"))
+    }
+    val preCompact = LakeTable.entries(spark, root,
+      LakeTable.versions(spark, root).last).size
+    val preRows = LakeTable.read(spark, root).count()
+    val (_, tCompact) = timed {
+      // threshold between the append debris (~tens of KB) and the
+      // clustered base files — only the debris should repack
+      LakeTable.compact(spark, root, smallBytes = 128L << 10,
+        targetBytes = 64L << 20, zoneKey = Some("o_orderkey"))
+    }
+    val postEnts = LakeTable.entries(spark, root,
+      LakeTable.versions(spark, root).last).size
+    val postRows = LakeTable.read(spark, root).count()
+    require(preRows == postRows, s"compact changed rows $preRows -> $postRows")
+
+    println(f"""
+      |lake-stress @ ${factor}x $srcDir  (rows=$nRows%,d, files=$nFiles)
+      |  build (clustered append)        ${tBuild}%8.2f s
+      |  MERGE 0.1%% churn ($batchRows%,d rows)   ${tMerge}%8.2f s  rewrote $rewritten/${v1Files.size} files, carried $carried by reference
+      |  full rewrite baseline           ${tRewrite}%8.2f s  (merge speedup ${tRewrite / tMerge}%.1fx)
+      |  zone-pruned range read          ${tPruned}%8.2f s  ($prunedN%,d rows)
+      |  full-scan filter (same range)   ${tScan}%8.2f s  (pruning speedup ${tScan / tPruned}%.1fx)
+      |  compact 16 small appends        ${tCompact}%8.2f s  ($preCompact -> $postEnts files, rows preserved)
+      |""".stripMargin)
+    spark.stop()
+  }
+}
