@@ -623,6 +623,40 @@ object SourceQueries {
       Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
         FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000"""),
       "zone-pruned lake range read ≡ direct filter (manifest min/max skip)"),
+
+    // ---- lake MERGE with schema evolution ---------------------------------
+    // The batch carries a column the table never had (o_flag): updated
+    // keys land with it, deleted keys leave, and every untouched row —
+    // rewritten ride-alongs and kept-by-reference files alike — reads
+    // back with a NULL flag via merged-footer schema. The oracle
+    // recomputes the evolved table directly from orders, so the hash
+    // proves the widen/null-fill rule end to end.
+    "q251_lake_merge_evolve" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_lakee_q251") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.repartitionByRange(8, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"), root,
+          zoneKey = Some("o_orderkey"))
+        val batch = o.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"),
+            lit("churned").as("o_flag"),
+            when(col("o_orderkey") % 3 === 0, lit("D"))
+              .otherwise(lit("U")).as("op"))
+        graft.sources.LakeTable.mergeInto(s, root, batch,
+          Seq("o_orderkey"), "op")
+        graft.sources.LakeTable.read(s, root)
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+               ELSE o_totalprice END AS o_totalprice,
+          CASE WHEN o_orderkey % 5 = 0 THEN 'churned' END AS o_flag
+        FROM orders
+        WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey % 3 = 0)"""),
+      "MERGE schema evolution: batch-added column, null-filled history ≡ recompute"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

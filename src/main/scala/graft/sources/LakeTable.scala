@@ -429,9 +429,17 @@ object LakeTable {
     val kept = ents.filterNot(e => affected.contains(e.path))
 
     // Exact key membership, read from the affected files only.
-    val touched =
+    val touched0 =
       if (affected.isEmpty) read(spark, root, Some(cur)).filter(lit(false))
-      else spark.read.parquet(affected.toSeq.map(p => s"$root/$p"): _*)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(affected.toSeq.map(p => s"$root/$p"): _*)
+    // Schema evolution: columns the batch ADDS widen the table — rewritten
+    // rows carry them, kept files null-fill at read time (mergeSchema),
+    // exactly the Delta MERGE evolution rule.
+    val added = updates.columns.toSeq
+      .filterNot(c => c == opCol || touched0.columns.contains(c))
+    val touched = added.foldLeft(touched0)((df, c) =>
+      df.withColumn(c, lit(null).cast(updates.schema(c).dataType)))
     val dataCols = touched.columns.toSeq
     val present = touched.select(keys.map(col): _*).distinct()
 

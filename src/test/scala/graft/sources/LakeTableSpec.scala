@@ -203,6 +203,26 @@ class LakeTableSpec extends SparkSpec {
     assert(got == (100L to 120L).toSet)
   }
 
+  test("schema evolution through MERGE: batch-added column lands on "
+      + "rewritten rows, null-fills kept files") {
+    val root = freshRoot()
+    val base = spark.range(0, 200).select(col("id").as("k"),
+        (col("id") * 10).as("v"))
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+    LakeTable.append(base, root, zoneKey = Some("k"))
+    // batch touches only the low file and carries a NEW column
+    val batch = Seq((10L, 111L, "hot", "U"), (20L, 0L, null: String, "D"))
+      .toDF("k", "v", "tag", "op")
+    LakeTable.mergeInto(spark, root, batch, Seq("k"), "op")
+    val rows = LakeTable.read(spark, root)
+      .select("k", "v", "tag").as[(Long, Long, Option[String])]
+      .collect().map { case (k, v, t) => k -> (v, t) }.toMap
+    assert(rows(10L) == (111L, Some("hot"))) // update carried the new column
+    assert(!rows.contains(20L))              // delete still lands
+    assert(rows(30L) == (300L, None))        // rewritten ride-along: null tag
+    assert(rows(150L) == (1500L, None))      // kept file: null-filled at read
+  }
+
   test("schema evolution: a later append's new column null-fills old files") {
     val root = freshRoot()
     LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)
