@@ -81,7 +81,9 @@ object Plans {
     "q239_segmented_index" -> "segmented index serve: per-segment scans union into ONE term-keyed set-merge agg — ingest never reads the stored index",
     "q242_mv_rewrite" -> "MV rewrite: the aggregate's scan is the VIEW path, not the base table — rollup over view-sized state, no base exchange",
     "q247_lake_time_travel" -> "lake time travel: each version reads exactly its manifest's file list — no version directories copied, appends share prior files by reference",
-    "q248_lake_merge" -> "lake MERGE: zone pruning from MANIFEST metadata (no data scan), only admitted files re-read + rewritten, kept files carried by reference")
+    "q248_lake_merge" -> "lake MERGE: zone pruning from MANIFEST metadata (no data scan), only admitted files re-read + rewritten, kept files carried by reference",
+    "q250_lake_zone_read" -> "lake range read: manifest zones prune the file list before the scan — the plan's scan should list only overlapping files",
+    "q251_lake_merge_evolve" -> "lake MERGE evolution: batch-added column widens the rewrite, kept files null-fill via merged footer schema")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
