@@ -23,16 +23,24 @@ object SourceQueries {
     * reference's). */
   private val root = "/tmp/graft_srcfiles"
 
-  /** Fixed per-query scratch root, wiped and recreated on every
-    * invocation: repeated bench/verify runs reuse ONE directory instead
-    * of accumulating a fresh temp copy of the staged table per run
-    * (these queries materialize the orders table several times each). */
+  /** Per-query scratch root, wiped and recreated on every invocation:
+    * repeated bench/verify runs reuse ONE directory per JVM instead of
+    * accumulating a fresh temp copy of the staged table per run (these
+    * queries materialize the orders table several times each). The pid
+    * suffix keeps CONCURRENT sbt invocations (verify + bench can
+    * overlap) off each other's tables; roots left by dead JVMs are
+    * reaped once they are safely stale. */
+  private def del(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(del)
+    f.delete(): Unit
+  }
   private def freshRoot(name: String): String = {
-    val dir = Paths.get("/tmp", name)
-    def del(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(del)
-      f.delete(): Unit
-    }
+    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+    Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(name + "_") &&
+        f.lastModified() < cutoff)
+      .foreach(del)
+    val dir = Paths.get("/tmp", s"${name}_${ProcessHandle.current().pid()}")
     if (Files.exists(dir)) del(dir.toFile)
     dir.toString
   }
