@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * `BinaryType` columns with typed metadata alongside, and run
   * decode/feature-extract as partition-local batch transforms.
   *
-  * The actual media decoding is STUBBED (no image/audio codecs in this
-  * environment): `decodeImageStub` derives deterministic fake dimensions
-  * from the bytes. Everything around it — schema contract, binary column
-  * handling, partition-local batched execution via mapPartitions (the
-  * Scala analogue of pandas-UDF `mapInPandas` batches), metadata struct
-  * shape — is real and tested.
+  * IMAGE decoding is REAL — [[decodeImageStats]] runs the JDK's own
+  * `javax.imageio` codecs (PNG/JPEG/BMP/GIF) partition-locally and is
+  * hash-verified end-to-end against analytically recomputed pixel sums
+  * (q252). Audio/video decoding stays behind a declared deterministic
+  * stub (`decodeImageStub`/`stubCodec` — no such codecs in the JDK);
+  * everything around the seam — schema contract, binary column handling,
+  * partition-local batched execution via mapPartitions (the Scala
+  * analogue of pandas-UDF `mapInPandas` batches), metadata struct shape
+  * — is real and tested either way.
   */
 object Multimodal {
 
@@ -86,6 +89,81 @@ object Multimodal {
   /** Batch form of [[stubCodec]] for [[mapImageBatches]]. */
   def stubBatchCodec(batch: Seq[Array[Byte]]): Seq[(Int, Int, Int, String)] =
     batch.map(stubCodec)
+
+  /** Output contract of the REAL image decoder ([[decodeImageStats]]). */
+  val imageStatsSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false)))
+
+  /** REAL image decode — JDK `javax.imageio` (PNG/JPEG/BMP/GIF readers
+    * ship with the JVM; no external codec needed), run partition-local
+    * so nothing collects to the driver: each row's payload decodes to
+    * its true dimensions plus exact per-channel pixel sums (the
+    * downstream-feature shape: integer-exact, so an oracle that knows
+    * the pixel function can replay it bit-for-bit). Undecodable
+    * payloads yield a NULL stats struct rather than failing the
+    * partition — at 100 TB some corrupt members are a certainty.
+    * This is the codec seam of [[mapImageBatches]] made real for the
+    * formats the JDK carries; genuinely exotic codecs (video, audio)
+    * remain behind the declared stub. */
+  def decodeImageStats(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("image_stats", imageStatsSchema, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        val stats = if (img == null) null else {
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          Row(img.getWidth, img.getHeight, sr, sg, sb)
+        }
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic PNG: pixel (x, y) of image `id` is a fixed
+    * integer function of (id, x, y), so an external engine can recompute
+    * [[decodeImageStats]]'s exact sums without any codec — the fixture
+    * generator for the real-decode verification path. PNG is lossless;
+    * the round trip preserves every pixel. */
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((id * 17 + x * 3 + y * 29) % 256).toInt
+        val b = ((id * 59 + x * 11 + y * 5) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   /** Aspect-preserving resize target: scale so the longer edge equals
     * `maxEdge` (never upscales). Pure integer/double arithmetic — the

@@ -11,7 +11,57 @@ import graft.operators.Multimodal
   */
 object MultimodalQueries {
 
+  /** Deterministic PNG fixture set for the REAL-decode path: 200 images
+    * with varying dimensions whose every pixel is a fixed function of
+    * (id, x, y). Content-addressed and idempotent — concurrent or
+    * repeated runs rewrite identical bytes, so no wipe/pid isolation is
+    * needed (the ensureFiles discipline). */
+  private val imageRoot = "/tmp/graft_images"
+  private def ensureImages(): String = synchronized {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(imageRoot))
+    (0 until 200).foreach { id =>
+      val p = java.nio.file.Paths.get(imageRoot, f"img_$id%04d.png")
+      if (!java.nio.file.Files.exists(p))
+        java.nio.file.Files.write(p,
+          Multimodal.syntheticPng(id.toLong, 8 + id % 5, 8 + id % 7))
+    }
+    imageRoot
+  }
+
   val defs: Map[String, Q] = Map(
+
+    // ---- REAL image decode (JDK ImageIO), analytically hash-verified -------
+    // The pixels of each fixture PNG are a pure function of (id, x, y),
+    // so DuckDB recomputes the decoder's exact per-channel sums and true
+    // dimensions from arithmetic alone — the hash proves a REAL
+    // codec path end to end: encode → binaryFile read → partition-local
+    // ImageIO decode → integer pixel aggregation, with no codec on the
+    // oracle side at all.
+    "q252_image_decode" -> Q(
+      (s, d) => {
+        val dir = ensureImages()
+        val bin = s.read.format("binaryFile").load(s"$dir/*.png")
+          .select(regexp_extract(col("path"), "img_(\\d+)\\.png", 1)
+            .cast("long").as("img_id"), col("content"))
+        Multimodal.decodeImageStats(bin, "content")
+          .select(col("img_id"),
+            col("image_stats.width").as("width"),
+            col("image_stats.height").as("height"),
+            col("image_stats.sum_r").as("sum_r"),
+            col("image_stats.sum_g").as("sum_g"),
+            col("image_stats.sum_b").as("sum_b"))
+      },
+      Some("""SELECT CAST(id AS BIGINT) AS img_id,
+          CAST(8 + id % 5 AS INTEGER) AS width,
+          CAST(8 + id % 7 AS INTEGER) AS height,
+          CAST(sum((id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+          CAST(sum((id * 17 + x * 3 + y * 29) % 256) AS BIGINT) AS sum_g,
+          CAST(sum((id * 59 + x * 11 + y * 5) % 256) AS BIGINT) AS sum_b
+        FROM range(200) t(id)
+        CROSS JOIN range(12) xs(x) CROSS JOIN range(14) ys(y)
+        WHERE x < 8 + id % 5 AND y < 8 + id % 7
+        GROUP BY id"""),
+      "REAL ImageIO decode: dims + exact channel sums ≡ analytic recompute"),
 
     // ---- binary payload handling (oracle-checkable digest path) ------------
     "q68_multimodal_binary" -> Q(

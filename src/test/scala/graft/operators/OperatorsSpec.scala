@@ -993,6 +993,28 @@ class SketchesSpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("decodeImageStats: real ImageIO round trip matches analytic sums; "
+      + "corrupt payload yields null stats") {
+    val id = 42L; val w = 10; val h = 9
+    def px(f: (Long, Int, Int) => Long): Long =
+      (0 until h).flatMap(y => (0 until w).map(x => f(id, x, y))).sum
+    val wantR = px((i, x, y) => (i * 31 + x * 7 + y * 13) % 256)
+    val wantG = px((i, x, y) => (i * 17 + x * 3 + y * 29) % 256)
+    val wantB = px((i, x, y) => (i * 59 + x * 11 + y * 5) % 256)
+    val df = Seq(
+      (1L, Multimodal.syntheticPng(id, w, h)),
+      (2L, Array[Byte](1, 2, 3, 4))) // not an image
+      .toDF("img_id", "content")
+    val out = Multimodal.decodeImageStats(df, "content")
+      .select(col("img_id"), col("image_stats.width"),
+        col("image_stats.sum_r"), col("image_stats.sum_g"),
+        col("image_stats.sum_b"))
+      .as[(Long, Option[Int], Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, Some(w), Some(wantR), Some(wantG), Some(wantB))))
+    assert(out(2L) == ((2L, None, None, None, None)))
+  }
+
   test("binary payload + mapImageBatches stub decode plumbing") {
     val df = Seq((1L, "hello"), (2L, "world!")).toDF("doc_id", "text")
     val withBin = Multimodal.withBinaryPayload(df, "text", "payload")
