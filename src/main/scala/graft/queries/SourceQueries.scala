@@ -665,6 +665,48 @@ object SourceQueries {
         FROM orders
         WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey % 3 = 0)"""),
       "MERGE schema evolution: batch-added column, null-filled history ≡ recompute"),
+
+    // ---- capstone: exactly-once lake ingest with cross-batch dedup --------
+    // The continuous-corpus-ingestion composition: three arrival batches
+    // each dedup within themselves AND against the fingerprints already
+    // committed to the lake table, then land via the txn-tagged
+    // appendOnce (the exactly-once streaming primitive, driven here in
+    // its batch form). The oracle re-derives the survivor set from
+    // SCRATCH — first batch wins per content, lowest id within a batch
+    // — so the hash proves fold-over-lake-state ≡ one-shot global
+    // dedup: no content lands twice, no novel content is lost, across
+    // commits. At 100 TB each batch touches O(batch + fp-index read),
+    // never re-reading corpus history.
+    "q253_lake_ingest_dedup" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_lakei_q253") + "/t"
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        (0 until 3).foreach { b =>
+          val batch = docs.filter(col("doc_id") % 3 === b)
+          val known =
+            if (graft.sources.LakeTable.versions(s, root).isEmpty)
+              batch.select(lit("").as("fp")).limit(0)
+            else graft.sources.LakeTable.read(s, root).select("fp")
+          val admitted = graft.operators.Dedup
+            .incrementalExact(batch, "doc_id", "text", known, "fp")
+            .select(col("doc_id"),
+              graft.functions.Text.fingerprint(col("text")).as("fp"))
+            .localCheckpoint(true)
+          graft.sources.LakeTable.appendOnce(admitted, root, "ingest",
+            b.toLong)
+        }
+        graft.sources.LakeTable.read(s, root).select("doc_id", "fp")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id,
+            md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp,
+            doc_id % 3 AS b
+          FROM documents)
+        SELECT doc_id, fp FROM (
+          SELECT doc_id, fp,
+            row_number() OVER (PARTITION BY fp ORDER BY b, doc_id) AS rn
+          FROM d) WHERE rn = 1"""),
+      "exactly-once lake ingest + cross-batch dedup ≡ one-shot global dedup"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

@@ -86,7 +86,7 @@ object LakeTable {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
-  private def renderEntry(e: FileEntry): String = e match {
+  private[sources] def renderEntry(e: FileEntry): String = e match {
     case FileEntry(p, Some(k), Some(lo), Some(hi)) =>
       s"${enc(p)}\t${enc(k)}\t${enc(lo)}\t${enc(hi)}"
     case FileEntry(p, _, _, _) => enc(p)
@@ -97,8 +97,11 @@ object LakeTable {
   private def renderTxn(t: (String, Long)): String =
     s"#txn\t${enc(t._1)}\t${t._2}"
 
-  private def parseEntry(line: String): FileEntry =
-    line.split('\t') match {
+  // split with limit -1: a trailing empty field (an empty-string zone
+  // value — legal for a string key whose file minimum is "") must
+  // survive, and Scala's char-split drops trailing empties
+  private[sources] def parseEntry(line: String): FileEntry =
+    line.split("\t", -1) match {
       case Array(p, k, lo, hi) =>
         FileEntry(dec(p), Some(dec(k)), Some(dec(lo)), Some(dec(hi)))
       case Array(p) => FileEntry(dec(p), None, None, None)

@@ -26,6 +26,33 @@ class LakeTableSpec extends SparkSpec {
     assert(keys(3) == Set(9L))
   }
 
+  test("manifest entry codec round-trips arbitrary zone values (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(300).withInitialSeed(Seed(7L))
+    // hostile zone values: tabs, newlines, the encoder's own escape
+    // chars, '#' (the header marker), unicode, and the EMPTY string (a
+    // legal min for a string key)
+    val valGen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar,
+      Gen.oneOf('\t', '\n', '\r', '%', '+', '/', ' ', '#', '=', 'µ')))
+      .map(_.mkString)
+    val entGen = for {
+      path <- Gen.nonEmptyListOf(Gen.alphaNumChar)
+        .map(cs => s"data/${cs.mkString}.parquet")
+      zone <- Gen.option(Gen.zip(
+        Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString), valGen, valGen))
+    } yield zone match {
+      case Some((k, lo, hi)) =>
+        LakeTable.FileEntry(path, Some(k), Some(lo), Some(hi))
+      case None => LakeTable.FileEntry(path, None, None, None)
+    }
+    val res = SCTest.check(params, Prop.forAll(entGen) { e =>
+      LakeTable.parseEntry(LakeTable.renderEntry(e)) == e
+    })
+    assert(res.passed, res.status.toString)
+  }
+
   test("zone stats: recorded on append, survive string round-trip with tabs") {
     val root = freshRoot()
     LakeTable.append(
