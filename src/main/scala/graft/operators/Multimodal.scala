@@ -90,13 +90,20 @@ object Multimodal {
   def stubBatchCodec(batch: Seq[Array[Byte]]): Seq[(Int, Int, Int, String)] =
     batch.map(stubCodec)
 
-  /** Output contract of the REAL image decoder ([[decodeImageStats]]). */
+  /** Output contract of the REAL image decoder ([[decodeImageStats]]).
+    * `pixel_md5` is a CANONICAL content fingerprint — md5 over
+    * (width, height, row-major RGB triplets) of the DECODED pixels — so
+    * the same picture stored in different containers (PNG vs BMP,
+    * different encoder settings) fingerprints identically: the image
+    * twin of [[Dedup.exact]]'s normalized-text fingerprint, and the key
+    * an image-corpus dedup shuffles on. */
   val imageStatsSchema: StructType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
     StructField("sum_r", LongType, nullable = false),
     StructField("sum_g", LongType, nullable = false),
-    StructField("sum_b", LongType, nullable = false)))
+    StructField("sum_b", LongType, nullable = false),
+    StructField("pixel_md5", StringType, nullable = false)))
 
   /** REAL image decode — JDK `javax.imageio` (PNG/JPEG/BMP/GIF readers
     * ship with the JVM; no external codec needed), run partition-local
@@ -122,18 +129,25 @@ object Multimodal {
             new java.io.ByteArrayInputStream(bytes))
           catch { case _: java.io.IOException => null }
         val stats = if (img == null) null else {
+          val (w, h) = (img.getWidth, img.getHeight)
           var sr = 0L; var sg = 0L; var sb = 0L
+          val canon = java.nio.ByteBuffer.allocate(8 + w * h * 3)
+          canon.putInt(w); canon.putInt(h)
           var y = 0
-          while (y < img.getHeight) {
+          while (y < h) {
             var x = 0
-            while (x < img.getWidth) {
+            while (x < w) {
               val p = img.getRGB(x, y)
-              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              val (pr, pg, pb) = ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+              sr += pr; sg += pg; sb += pb
+              canon.put(pr.toByte); canon.put(pg.toByte); canon.put(pb.toByte)
               x += 1
             }
             y += 1
           }
-          Row(img.getWidth, img.getHeight, sr, sg, sb)
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(canon.array()).map("%02x".format(_)).mkString
+          Row(w, h, sr, sg, sb, md5)
         }
         Row.fromSeq(r.toSeq :+ stats)
       }
@@ -145,7 +159,15 @@ object Multimodal {
     * [[decodeImageStats]]'s exact sums without any codec — the fixture
     * generator for the real-decode verification path. PNG is lossless;
     * the round trip preserves every pixel. */
-  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] =
+    syntheticImage(id, w, h, "png")
+
+  /** [[syntheticPng]] generalized over the container format ("png",
+    * "bmp", ... — any JDK ImageIO writer). Same (id, x, y) pixel
+    * function: two formats of one id are DIFFERENT bytes encoding the
+    * SAME picture — the cross-format duplicate the pixel fingerprint
+    * must catch. */
+  def syntheticImage(id: Long, w: Int, h: Int, format: String): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -161,7 +183,7 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(img, format, bos)
     bos.toByteArray
   }
 

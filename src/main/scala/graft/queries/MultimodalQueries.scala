@@ -25,6 +25,14 @@ object MultimodalQueries {
         java.nio.file.Files.write(p,
           Multimodal.syntheticPng(id.toLong, 8 + id % 5, 8 + id % 7))
     }
+    // cross-format duplicates: ids 0..9 re-encoded as BMP — different
+    // container bytes, identical pixels
+    (0 until 10).foreach { id =>
+      val p = java.nio.file.Paths.get(imageRoot, f"dup_$id%04d.bmp")
+      if (!java.nio.file.Files.exists(p))
+        java.nio.file.Files.write(p,
+          Multimodal.syntheticImage(id.toLong, 8 + id % 5, 8 + id % 7, "bmp"))
+    }
     imageRoot
   }
 
@@ -62,6 +70,36 @@ object MultimodalQueries {
         WHERE x < 8 + id % 5 AND y < 8 + id % 7
         GROUP BY id"""),
       "REAL ImageIO decode: dims + exact channel sums ≡ analytic recompute"),
+
+    // ---- cross-format image dedup on decoded pixels ------------------------
+    // Ten fixture images exist twice — PNG and BMP, different container
+    // bytes, identical pixels — so byte-level dedup (q68's digest) can
+    // NEVER pair them; the canonical decoded-pixel fingerprint must.
+    // The join emits exactly the ten planted (png, bmp) twin pairs: the
+    // image analogue of Dedup.exact's normalized-text fingerprint, with
+    // the decode running distributed and the fingerprint as the shuffle
+    // key — the shape an image-corpus dedup keeps at 100 TB.
+    "q254_image_dedup" -> Q(
+      (s, d) => {
+        val dir = ensureImages()
+        val bin = s.read.format("binaryFile").load(s"$dir/*.{png,bmp}")
+          .select(col("path"), col("content"))
+        val dec = Multimodal.decodeImageStats(bin, "content")
+          .select(
+            regexp_extract(col("path"), "(img|dup)_(\\d+)\\.", 2)
+              .cast("long").as("file_id"),
+            regexp_extract(col("path"), "\\.(png|bmp)$", 1).as("fmt"),
+            col("image_stats.pixel_md5").as("pixel_md5"))
+        dec.filter(col("fmt") === "png")
+          .select(col("file_id").as("id_png"), col("pixel_md5"))
+          .join(dec.filter(col("fmt") === "bmp")
+            .select(col("file_id").as("id_bmp"), col("pixel_md5")),
+            "pixel_md5")
+          .select("id_png", "id_bmp")
+      },
+      Some("""SELECT CAST(id AS BIGINT) AS id_png, CAST(id AS BIGINT) AS id_bmp
+        FROM range(10) t(id)"""),
+      "cross-format image dedup: decoded-pixel fingerprint pairs PNG/BMP twins"),
 
     // ---- binary payload handling (oracle-checkable digest path) ------------
     "q68_multimodal_binary" -> Q(

@@ -1015,6 +1015,20 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) == ((2L, None, None, None, None)))
   }
 
+  test("pixel fingerprint: same picture in PNG and BMP matches, "
+      + "different pictures differ, container bytes differ") {
+    val png = Multimodal.syntheticImage(7L, 9, 6, "png")
+    val bmp = Multimodal.syntheticImage(7L, 9, 6, "bmp")
+    val other = Multimodal.syntheticImage(8L, 9, 6, "png")
+    assert(!java.util.Arrays.equals(png, bmp)) // dedup can't use raw bytes
+    val df = Seq((1L, png), (2L, bmp), (3L, other)).toDF("id", "content")
+    val fps = Multimodal.decodeImageStats(df, "content")
+      .select(col("id"), col("image_stats.pixel_md5"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
   test("binary payload + mapImageBatches stub decode plumbing") {
     val df = Seq((1L, "hello"), (2L, "world!")).toDF("doc_id", "text")
     val withBin = Multimodal.withBinaryPayload(df, "text", "payload")
