@@ -31,6 +31,29 @@ class EventsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("readStream handles the legacy nano-long ts encoding from files") {
+    // a fixture generation that stores ts as an epoch-nano long: the
+    // stream schema is derived from the data, so the same pipeline must
+    // produce the same windows as the timestamp[us] path
+    val dir = java.nio.file.Files.createTempDirectory("evnano")
+    Seq(
+      (1L, 3600L * 10 * 1000000000L, 1L, "a", 1.0, "{}"),
+      (2L, (3600L * 10 + 1800) * 1000000000L, 1L, "a", 2.0, "{}"),
+      (3L, 3600L * 12 * 1000000000L, 2L, "b", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(dir.resolve("src").toString)
+    val stream = Events.readStream(spark, dir.resolve("src").toString)
+    val q = Events.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("nanolong")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("nanolong")
+      .select("hour_epoch", "event_type", "n")
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows == Set((3600L * 10, "a", 2L), (3600L * 12, "b", 1L)))
+  }
+
   test("watermark: late events are dropped, finalized windows don't reopen") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
