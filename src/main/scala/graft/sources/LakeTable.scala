@@ -160,6 +160,20 @@ object LakeTable {
   def liveFiles(spark: SparkSession, root: String, v: Long): Seq[String] =
     entries(spark, root, v).map(e => s"$root/${e.path}")
 
+  /** TIMESTAMP AS OF resolution: the latest version whose manifest was
+    * published at or before `tsMillis` (manifest mtime = commit time —
+    * the hard-link/rename publish preserves the temp file's write
+    * time within filesystem resolution). None if the table did not
+    * exist yet. Compose with [[read]]:
+    * `read(spark, root, versionAsOf(spark, root, ts))`. */
+  def versionAsOf(spark: SparkSession, root: String,
+                  tsMillis: Long): Option[Long] = {
+    val fs = hfs(spark, root)
+    versions(spark, root).filter(v =>
+      fs.getFileStatus(manifestPath(root, v))
+        .getModificationTime <= tsMillis).lastOption
+  }
+
   /** Snapshot read: the file set of one manifest, nothing else. Schema
     * is the merged union across the snapshot's files (parquet
     * mergeSchema — O(#files) footer reads, metadata-class), so a table

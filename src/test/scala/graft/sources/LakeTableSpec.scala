@@ -295,6 +295,64 @@ class LakeTableSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("versionAsOf resolves TIMESTAMP AS OF against commit times") {
+    val root = freshRoot()
+    assert(LakeTable.versionAsOf(spark, root,
+      System.currentTimeMillis()).isEmpty) // no _log dir yet → no table
+    LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(50)
+    LakeTable.append(Seq((2L, "b")).toDF("k", "v"), root)
+    assert(LakeTable.versionAsOf(spark, root, afterV1).contains(1L))
+    assert(LakeTable.versionAsOf(spark, root,
+      System.currentTimeMillis()).contains(2L))
+    assert(LakeTable.versionAsOf(spark, root, 0L).isEmpty) // before creation
+    val v = LakeTable.versionAsOf(spark, root, afterV1)
+    assert(LakeTable.read(spark, root, v)
+      .select("k").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("mixed append/compact/vacuum fuzz: invariants hold under concurrency") {
+    val root = freshRoot()
+    LakeTable.append(spark.range(0, 50).select(col("id").as("k")), root,
+      zoneKey = Some("k"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val appenders = (1 to 3).map { t =>
+      Future {
+        (0 until 3).foreach { i =>
+          LakeTable.withRetry() { () =>
+            LakeTable.append(
+              spark.range(t * 1000L + i * 100L, t * 1000L + i * 100L + 50)
+                .select(col("id").as("k")), root, zoneKey = Some("k"))
+          }
+        }
+      }
+    }
+    val maintenance = Future {
+      (0 until 3).foreach { _ =>
+        LakeTable.withRetry() { () =>
+          LakeTable.compact(spark, root, smallBytes = Long.MaxValue,
+            targetBytes = 64L << 20, zoneKey = Some("k"))
+        }
+        // retention margin of 10 versions: the caller contract is a
+        // horizon longer than any in-flight transaction (keepFrom =
+        // latest while writers run could GC a manifest a concurrent
+        // append is still reading); default grace protects all data
+        LakeTable.vacuum(spark, root,
+          keepFrom = math.max(1L, LakeTable.versions(spark, root).last - 10))
+      }
+    }
+    Await.result(Future.sequence(appenders :+ maintenance), 240.seconds)
+    val got = LakeTable.read(spark, root).select("k").as[Long].collect()
+    val want = (0L until 50L) ++
+      (for (t <- 1 to 3; i <- 0 until 3;
+            k <- t * 1000L + i * 100L until t * 1000L + i * 100L + 50)
+        yield k)
+    assert(got.sorted.toSeq == want.sorted.toSeq) // nothing lost, nothing doubled
+  }
+
   test("vacuum: grace window protects an in-flight writer's orphans") {
     val root = freshRoot()
     LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)
