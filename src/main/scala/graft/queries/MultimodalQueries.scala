@@ -17,7 +17,21 @@ object MultimodalQueries {
     * repeated runs rewrite identical bytes, so no wipe/pid isolation is
     * needed (the ensureFiles discipline). */
   private val imageRoot = "/tmp/graft_images"
+  // bump when the pixel function or fixture set changes: a stale cached
+  // set would otherwise silently poison the analytic oracles
+  private val imageGen = "v2-png200-bmp10"
   private def ensureImages(): String = synchronized {
+    val marker = java.nio.file.Paths.get(imageRoot, ".generation")
+    val stale = !java.nio.file.Files.exists(marker) ||
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") != imageGen
+    if (stale && java.nio.file.Files.exists(
+        java.nio.file.Paths.get(imageRoot))) {
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(del)
+        f.delete(): Unit
+      }
+      del(new java.io.File(imageRoot))
+    }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(imageRoot))
     (0 until 200).foreach { id =>
       val p = java.nio.file.Paths.get(imageRoot, f"img_$id%04d.png")
@@ -33,6 +47,7 @@ object MultimodalQueries {
         java.nio.file.Files.write(p,
           Multimodal.syntheticImage(id.toLong, 8 + id % 5, 8 + id % 7, "bmp"))
     }
+    java.nio.file.Files.write(marker, imageGen.getBytes("UTF-8"))
     imageRoot
   }
 
