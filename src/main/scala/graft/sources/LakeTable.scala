@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.ops.Relational
@@ -15,10 +15,23 @@ import graft.ops.Relational
   * across versions through per-version manifests:
   *
   * {{{
-  *   root/_log/00000000001.manifest   one line per live data file:
+  *   root/_log/00000000001.manifest   header lines (#ts commit-millis,
+  *                                    #schema json-DDL, #txn app batch),
+  *                                    then one line per live data file:
   *                                    relpath[\tzoneKey\tlo\thi] (URL-enc)
   *   root/data/<commit-uuid>/part-*.parquet   written once, never mutated
   * }}}
+  *
+  * - '''the schema rides the manifest''' (`#schema` header): each commit
+  *   records the table schema AS OF that version, evolved by the writer
+  *   from O(1) metadata (prev schema ∪ delta schema — new columns
+  *   append, shared columns widen). Snapshot reads build their
+  *   DataFrame from that one line; no mergeSchema footer scan, so a
+  *   1M-file read does zero data-file I/O for schema discovery — the
+  *   Delta/Iceberg log-resident-schema rule. `#ts` likewise makes
+  *   TIMESTAMP AS OF self-contained (file mtime breaks under
+  *   object-store copies; the manifest body does not). Pre-header
+  *   manifests stay readable through the old footer-merge path.
   *
   * - '''append''' writes only the new rows' files; the new manifest is
   *   the old entry list plus the new entries → O(delta) I/O per commit.
@@ -97,6 +110,21 @@ object LakeTable {
   private def renderTxn(t: (String, Long)): String =
     s"#txn\t${enc(t._1)}\t${t._2}"
 
+  // #ts\t<epochMillis>: the commit wall-clock, written by the committer
+  // itself so TIMESTAMP AS OF is self-contained in the manifest body —
+  // file mtime breaks under object-store copies and clock-skewed
+  // replicas, the manifest content does not
+  private def renderTs(millis: Long): String = s"#ts\t$millis"
+
+  // #schema\t<json>: the table schema AS OF this version, evolved by the
+  // writer from O(1) metadata (previous manifest's schema ∪ the delta's
+  // schema). Readers build their DataFrame from this single line instead
+  // of mergeSchema footer scans — at 1M files that is the difference
+  // between one log line and 1M footer reads per snapshot read, the
+  // Delta/Iceberg log-resident-schema rule.
+  private def renderSchema(s: StructType): String =
+    s"#schema\t${enc(s.json)}"
+
   // split with limit -1: a trailing empty field (an empty-string zone
   // value — legal for a string key whose file minimum is "") must
   // survive, and Scala's char-split drops trailing empties
@@ -145,6 +173,25 @@ object LakeTable {
         (dec(app), batch.toLong)
     }
 
+  /** The table schema as of version `v`, from the manifest's `#schema`
+    * header — one log line, no data-file I/O. None for manifests written
+    * before schema lines existed (readers then fall back to footer
+    * merging). */
+  def schemaOf(spark: SparkSession, root: String,
+               v: Long): Option[StructType] =
+    manifestLines(spark, root, v).collectFirst {
+      case l if l.startsWith("#schema\t") =>
+        DataType.fromJson(dec(l.split("\t", -1)(1))).asInstanceOf[StructType]
+    }
+
+  /** Commit wall-clock of version `v` from the `#ts` header; None for
+    * legacy manifests (callers fall back to manifest file mtime). */
+  def commitTimeOf(spark: SparkSession, root: String,
+                   v: Long): Option[Long] =
+    manifestLines(spark, root, v).collectFirst {
+      case l if l.startsWith("#ts\t") => l.split("\t", -1)(1).toLong
+    }
+
   /** The highest batch id `appId` has committed, scanning manifests from
     * the newest back — O(retained versions) driver metadata reads, the
     * Delta `txnVersion(appId)` lookup. Vacuuming away every manifest of
@@ -160,28 +207,69 @@ object LakeTable {
   def liveFiles(spark: SparkSession, root: String, v: Long): Seq[String] =
     entries(spark, root, v).map(e => s"$root/${e.path}")
 
-  /** TIMESTAMP AS OF resolution: the latest version whose manifest was
-    * published at or before `tsMillis` (manifest mtime = commit time —
-    * the hard-link/rename publish preserves the temp file's write
-    * time within filesystem resolution). None if the table did not
-    * exist yet. Compose with [[read]]:
+  /** Widest common type of two evolving column types — the same
+    * promotions parquet's own footer merge (and its reader's type
+    * widening) supports, so files written at the narrow type stay
+    * readable under the widened table schema. Anything else is a
+    * genuine contract break and throws rather than silently picking a
+    * side. */
+  private[sources] def widen(a: DataType, b: DataType): DataType = {
+    val ints = IndexedSeq[DataType](ByteType, ShortType, IntegerType, LongType)
+    val (ia, ib) = (ints.indexOf(a), ints.indexOf(b))
+    if (a == b) a
+    else if (ia >= 0 && ib >= 0) ints(math.max(ia, ib))
+    else if (Set[DataType](FloatType, DoubleType)(a) &&
+             Set[DataType](FloatType, DoubleType)(b)) DoubleType
+    else throw new IllegalArgumentException(
+      s"incompatible schema evolution: $a vs $b")
+  }
+
+  /** Evolve `prev` by `next` (a delta's schema): existing columns keep
+    * their position and widen if needed, new columns append. Every field
+    * is recorded nullable — any file not carrying a column null-fills it
+    * at read time, and file-source reads are nullable regardless. */
+  private[sources] def unionSchema(prev: StructType,
+                                   next: StructType): StructType = {
+    val prevNames = prev.fieldNames.toSet
+    val merged = prev.fields.map { f =>
+      next.fields.find(_.name == f.name) match {
+        case Some(nf) => StructField(f.name, widen(f.dataType, nf.dataType),
+          nullable = true)
+        case None => f.copy(nullable = true)
+      }
+    }
+    val added = next.fields.filterNot(f => prevNames.contains(f.name))
+      .map(_.copy(nullable = true))
+    StructType(merged ++ added)
+  }
+
+  /** TIMESTAMP AS OF resolution: the latest version whose commit time is
+    * at or before `tsMillis`. Commit time is the manifest's own `#ts`
+    * header — self-contained, immune to object-store copies and mtime
+    * scrambling — falling back to manifest file mtime for manifests
+    * written before the header existed. None if the table did not exist
+    * yet. Compose with [[read]]:
     * `read(spark, root, versionAsOf(spark, root, ts))`. */
   def versionAsOf(spark: SparkSession, root: String,
                   tsMillis: Long): Option[Long] = {
     val fs = hfs(spark, root)
-    versions(spark, root).filter(v =>
-      fs.getFileStatus(manifestPath(root, v))
-        .getModificationTime <= tsMillis).lastOption
+    versions(spark, root).filter { v =>
+      commitTimeOf(spark, root, v).getOrElse(
+        fs.getFileStatus(manifestPath(root, v)).getModificationTime
+      ) <= tsMillis
+    }.lastOption
   }
 
   /** Snapshot read: the file set of one manifest, nothing else. Schema
-    * is the merged union across the snapshot's files (parquet
-    * mergeSchema — O(#files) footer reads, metadata-class), so a table
-    * whose later appends ADDED columns reads whole: old files null-fill
-    * the new columns, the unionByName rule every lakehouse applies.
+    * comes from the manifest's own `#schema` header — per-version, one
+    * log line, ZERO data-file I/O — so a table whose later appends ADDED
+    * columns reads whole: old files null-fill the new columns, the
+    * unionByName rule every lakehouse applies, and a 1M-file snapshot
+    * opens no footer just to discover its columns. Manifests predating
+    * the header fall back to the old parquet-mergeSchema footer merge.
     * Empty manifests (a table overwritten to empty) read as an empty
-    * frame of the latest non-empty version's schema — callers with a
-    * truly empty v1 table should keep their own schema. */
+    * frame of the manifest schema (legacy: of the latest non-empty
+    * version's footers). */
   def read(spark: SparkSession, root: String,
            version: Option[Long] = None): DataFrame = {
     val vs = versions(spark, root)
@@ -189,14 +277,18 @@ object LakeTable {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
     val files = liveFiles(spark, root, v)
-    if (files.nonEmpty)
-      spark.read.option("mergeSchema", "true").parquet(files: _*)
-    else {
-      val donor = vs.reverse.map(liveFiles(spark, root, _))
-        .find(_.nonEmpty)
-        .getOrElse(throw new IllegalStateException(
-          s"$root has only empty manifests"))
-      spark.read.parquet(donor: _*).filter(lit(false))
+    (schemaOf(spark, root, v), files.nonEmpty) match {
+      case (Some(s), true) => spark.read.schema(s).parquet(files: _*)
+      case (Some(s), false) =>
+        spark.createDataFrame(java.util.Collections.emptyList[Row](), s)
+      case (None, true) =>
+        spark.read.option("mergeSchema", "true").parquet(files: _*)
+      case (None, false) =>
+        val donor = vs.reverse.map(liveFiles(spark, root, _))
+          .find(_.nonEmpty)
+          .getOrElse(throw new IllegalStateException(
+            s"$root has only empty manifests"))
+        spark.read.parquet(donor: _*).filter(lit(false))
     }
   }
 
@@ -218,21 +310,37 @@ object LakeTable {
     require(vs.nonEmpty, s"no committed versions under $root")
     val v = version.getOrElse(vs.last)
     val ents = entries(spark, root, v)
+    val schema = schemaOf(spark, root, v)
     val (zoned, unzoned) = ents.partition(e =>
       e.zoneKey.contains(key) && e.lo.isDefined && e.hi.isDefined)
-    val dt =
-      org.apache.spark.sql.catalyst.expressions.Literal(lo).dataType
+    // Stats cast to the TABLE column's type (manifest schema), not the
+    // query literal's: an Int literal probing a Long-keyed table must
+    // not truncate file bounds. Legacy manifests without a schema fall
+    // back to the literal's type. Any zone whose lo/hi (or the query
+    // bound itself) fails the cast resolves to a NULL verdict and is
+    // conservatively ADMITTED — pruning may only ever skip files it
+    // proved non-overlapping.
+    val dt = schema.flatMap(_.fields.find(_.name == key).map(_.dataType))
+      .getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(lo).dataType)
     val admitted: Seq[String] =
       if (zoned.isEmpty) Seq.empty
       else zoned.map(e => (e.path, e.lo.get, e.hi.get))
         .toDF("__file", "__lo_s", "__hi_s")
-        .filter(col("__lo_s").cast(dt) <= lit(hi) &&
-          col("__hi_s").cast(dt) >= lit(lo))
-        .select("__file").as[String].collect().toSeq // bounded by #files
+        .select(col("__file"),
+          (col("__lo_s").cast(dt) <= lit(hi).cast(dt) &&
+            col("__hi_s").cast(dt) >= lit(lo).cast(dt)).as("__ov"))
+        .collect() // bounded by #files
+        .collect { case r if r.isNullAt(1) || r.getBoolean(1) =>
+          r.getString(0) }.toSeq
     val files = (admitted ++ unzoned.map(_.path)).map(p => s"$root/$p")
-    val base =
-      if (files.isEmpty) read(spark, root, Some(v)).filter(lit(false))
-      else spark.read.option("mergeSchema", "true").parquet(files: _*)
+    val base = (schema, files.nonEmpty) match {
+      case (Some(s), true) => spark.read.schema(s).parquet(files: _*)
+      case (Some(s), false) =>
+        spark.createDataFrame(java.util.Collections.emptyList[Row](), s)
+      case (None, true) =>
+        spark.read.option("mergeSchema", "true").parquet(files: _*)
+      case (None, false) => read(spark, root, Some(v)).filter(lit(false))
+    }
     base.filter(col(key) >= lit(lo) && col(key) <= lit(hi))
   }
 
@@ -299,7 +407,8 @@ object LakeTable {
     * send [[withRetry]] into useless replays. */
   private[sources] def commit(spark: SparkSession, root: String,
                               entries: Seq[FileEntry], next: Long,
-                              txn: Option[(String, Long)] = None): Long = {
+                              txn: Option[(String, Long)] = None,
+                              schema: Option[StructType] = None): Long = {
     val fs = hfs(spark, root)
     val p = manifestPath(root, next)
     fs.mkdirs(p.getParent)
@@ -307,7 +416,9 @@ object LakeTable {
       s".tmp-${java.util.UUID.randomUUID().toString}")
     val out = fs.create(tmp, /* overwrite = */ false)
     try {
-      out.write((txn.map(renderTxn).toSeq ++ entries.map(renderEntry))
+      out.write((Seq(renderTs(System.currentTimeMillis())) ++
+        schema.map(renderSchema).toSeq ++
+        txn.map(renderTxn).toSeq ++ entries.map(renderEntry))
         .mkString("\n").getBytes("UTF-8"))
       out.hflush()
     } finally out.close()
@@ -358,15 +469,24 @@ object LakeTable {
 
   /** O(delta) append: new entries + previous manifest's list (zone
     * metadata carried verbatim). `zoneKey` attaches per-file min/max to
-    * the NEW files so later merges can prune them from metadata. */
+    * the NEW files so later merges can prune them from metadata. The
+    * manifest schema evolves as prevSchema ∪ delta schema (new columns
+    * append, shared columns widen) — O(1) metadata, no footer reads;
+    * a legacy table without a recorded schema derives prevSchema once
+    * from its footers and carries it forward in the log thereafter. */
   def append(df: DataFrame, root: String,
              zoneKey: Option[String] = None,
              txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     val prev = versions(spark, root).lastOption
     val prevEntries = prev.map(entries(spark, root, _)).getOrElse(Seq.empty)
+    val prevSchema = prev.map(v => schemaOf(spark, root, v)
+      .getOrElse(read(spark, root, Some(v)).schema)) // legacy: footers, once
     val fresh = writeData(df, root, zoneKey)
-    commit(spark, root, prevEntries ++ fresh, prev.getOrElse(0L) + 1L, txn)
+    val evolved = prevSchema.map(unionSchema(_, df.schema))
+      .getOrElse(StructType(df.schema.map(_.copy(nullable = true))))
+    commit(spark, root, prevEntries ++ fresh, prev.getOrElse(0L) + 1L, txn,
+      Some(evolved))
   }
 
   /** Idempotent streaming append: apply `df` as `appId`'s batch
@@ -391,7 +511,8 @@ object LakeTable {
                 zoneKey: Option[String] = None): Long = {
     val spark = df.sparkSession
     val next = versions(spark, root).lastOption.getOrElse(0L) + 1L
-    commit(spark, root, writeData(df, root, zoneKey), next)
+    commit(spark, root, writeData(df, root, zoneKey), next,
+      schema = Some(StructType(df.schema.map(_.copy(nullable = true)))))
   }
 
   /** File-granular copy-on-write MERGE. `updates` carries the table's
@@ -418,38 +539,66 @@ object LakeTable {
     require(vs.nonEmpty, s"mergeInto: no table at $root")
     val cur = vs.last
     val ents = entries(spark, root, cur)
+    val tableSchema = schemaOf(spark, root, cur)
     val lead = keys.head
-    val keyType = updates.schema(lead).dataType
+    // Zone-stat casts use the widest of the TABLE's key type and the
+    // batch's — an Int-keyed batch against a Long-keyed table must not
+    // truncate file bounds (a hi beyond Int range casting to null would
+    // silently misroute rows). One extra O(batch) pass enforces the
+    // documented one-row-per-key contract instead of letting a violating
+    // batch resolve by an arbitrary keep-first.
+    val keyType = tableSchema
+      .flatMap(_.fields.find(_.name == lead).map(_.dataType))
+      .map(widen(_, updates.schema(lead).dataType))
+      .getOrElse(updates.schema(lead).dataType)
+    val (nRows, nKeys) = updates
+      .agg(count(lit(1)), count_distinct(struct(keys.map(col): _*)))
+      .as[(Long, Long)].head()
+    require(nRows == nKeys,
+      s"mergeInto: updates must carry one row per key " +
+        s"($nRows rows over $nKeys distinct keys ${keys.mkString(",")})")
 
     val (zoned, unzoned) = ents.partition(e =>
       e.zoneKey.contains(lead) && e.lo.isDefined && e.hi.isDefined)
 
     // Zone pruning from manifest metadata: zones are a driver-built,
     // file-count-sized frame (broadcast); batch keys stay distributed.
-    val affectedZoned: Set[String] =
-      if (zoned.isEmpty) Set.empty
+    // A zone whose lo/hi fails the cast is conservatively AFFECTED —
+    // never pruned on a null verdict.
+    val (affectedZoned, castBad) =
+      if (zoned.isEmpty) (Set.empty[String], Set.empty[String])
       else {
         val zonesDf = zoned.map(e => (e.path, e.lo.get, e.hi.get))
           .toDF("__file", "__lo_s", "__hi_s")
           .select(col("__file"),
             col("__lo_s").cast(keyType).as("__lo"),
             col("__hi_s").cast(keyType).as("__hi"))
+        val bad = zonesDf // local relation: one driver-side job, O(#files)
+          .filter(col("__lo").isNull || col("__hi").isNull)
+          .select("__file").collect().map(_.getString(0)).toSet
         val batchKeys = updates.select(col(lead)).distinct()
-        broadcast(zonesDf)
+        val hit = broadcast(
+            zonesDf.filter(col("__lo").isNotNull && col("__hi").isNotNull))
           .join(batchKeys,
             col(lead) >= col("__lo") && col(lead) <= col("__hi"), "leftsemi")
           .select("__file").collect() // bounded by file count
           .map(_.getString(0)).toSet
+        (hit, bad)
       }
-    val affected = affectedZoned ++ unzoned.map(_.path)
+    val affected = affectedZoned ++ castBad ++ unzoned.map(_.path)
 
     val kept = ents.filterNot(e => affected.contains(e.path))
 
-    // Exact key membership, read from the affected files only.
+    // Exact key membership, read from the affected files only — with the
+    // manifest schema when present (no footer scans), mergeSchema legacy.
     val touched0 =
       if (affected.isEmpty) read(spark, root, Some(cur)).filter(lit(false))
-      else spark.read.option("mergeSchema", "true")
-        .parquet(affected.toSeq.map(p => s"$root/$p"): _*)
+      else tableSchema match {
+        case Some(s) => spark.read.schema(s)
+          .parquet(affected.toSeq.map(p => s"$root/$p"): _*)
+        case None => spark.read.option("mergeSchema", "true")
+          .parquet(affected.toSeq.map(p => s"$root/$p"): _*)
+      }
     // Schema evolution: columns the batch ADDS widen the table — rewritten
     // rows carry them, kept files null-fill at read time (mergeSchema),
     // exactly the Delta MERGE evolution rule.
@@ -468,7 +617,12 @@ object LakeTable {
       .unionByName(inserts)
 
     val fresh = writeData(rewritten, root, Some(lead))
-    commit(spark, root, kept ++ fresh, cur + 1L)
+    // schema evolves in the LOG: prev schema ∪ rewritten schema (the
+    // batch's added columns). Legacy tables derive prev from footers once.
+    val evolved = unionSchema(
+      tableSchema.getOrElse(read(spark, root, Some(cur)).schema),
+      rewritten.schema)
+    commit(spark, root, kept ++ fresh, cur + 1L, schema = Some(evolved))
   }
 
   /** Small-file compaction: the maintenance pass every O(delta)-append
@@ -494,21 +648,43 @@ object LakeTable {
     require(vs.nonEmpty, s"compact: no table at $root")
     val cur = vs.last
     val ents = entries(spark, root, cur)
+    val tableSchema = schemaOf(spark, root, cur)
     val fs = hfs(spark, root)
-    val sized = ents.map(e =>
-      e -> fs.getFileStatus(new Path(s"$root/${e.path}")).getLen)
+    // one listStatus per commit DIR, not one getFileStatus per file:
+    // against object-store RPC a million-file table stats in O(#dirs)
+    // LIST calls (each returning its dir's whole page) instead of 1M
+    // point GETs
+    val lenByPath: Map[String, Long] = ents.map(_.path)
+      .groupBy(p => new Path(s"$root/$p").getParent)
+      .flatMap { case (dir, paths) =>
+        val listed = fs.listStatus(dir)
+          .map(st => st.getPath.getName -> st.getLen).toMap
+        paths.map(p => p -> listed(new Path(p).getName))
+      }
+    val sized = ents.map(e => e -> lenByPath(e.path))
     val (small, big) = sized.partition(_._2 < smallBytes)
     if (small.size <= 1) return cur
     val nOut = math.max(1,
       math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
-    val df = spark.read.parquet(small.map(s => s"$root/${s._1.path}"): _*)
+    // The manifest schema (not one winner footer): after a
+    // schema-evolving MERGE the small files are heterogeneous, and a
+    // bare read would silently drop the columns absent from whichever
+    // footer Spark sampled — violating compact's content-identical
+    // contract. Legacy manifests get the same guarantee from mergeSchema.
+    val smallPaths = small.map(s => s"$root/${s._1.path}")
+    val df = tableSchema match {
+      case Some(s) => spark.read.schema(s).parquet(smallPaths: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(smallPaths: _*)
+    }
     val packed = zoneKey match {
       case Some(k) =>
         df.repartitionByRange(nOut, col(k)).sortWithinPartitions(k)
       case None => df.repartition(nOut)
     }
     val fresh = writeData(packed, root, zoneKey)
-    commit(spark, root, big.map(_._1) ++ fresh, cur + 1L)
+    commit(spark, root, big.map(_._1) ++ fresh, cur + 1L,
+      schema = tableSchema) // content-identical: schema carries verbatim
   }
 
   /** Retention GC: drop manifests strictly below `keepFrom`, then delete
@@ -542,6 +718,14 @@ object LakeTable {
       .map(f => fs.makeQualified(new Path(f)).toString).toSet
     drop.foreach(v => fs.delete(manifestPath(root, v), false))
     val horizon = System.currentTimeMillis() - orphanGraceMs
+    // a writer that crashed between creating its .tmp-<uuid> manifest and
+    // the finally-delete leaves it in _log forever; sweep those past the
+    // same grace horizon (an in-flight commit's temp file is younger)
+    fs.listStatus(new Path(s"$root/_log")).foreach { st =>
+      if (st.getPath.getName.startsWith(".tmp-") &&
+          st.getModificationTime <= horizon)
+        fs.delete(st.getPath, false)
+    }
     val dataRoot = new Path(s"$root/data")
     if (fs.exists(dataRoot)) {
       val it = fs.listFiles(dataRoot, /* recursive = */ true)

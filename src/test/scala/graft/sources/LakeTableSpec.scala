@@ -384,6 +384,149 @@ class LakeTableSpec extends SparkSpec {
       == Set(3L))
   }
 
+  test("schema discovery is manifest-resident: a snapshot read opens NO "
+      + "data file for schema (every file corrupted, schema still resolves)") {
+    val root = freshRoot()
+    LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)
+    LakeTable.append(Seq((2L, "b", 7.5)).toDF("k", "v", "w"), root)
+    // corrupt EVERY data file: any footer read anywhere would throw
+    LakeTable.entries(spark, root, 2L).foreach { e =>
+      Files.write(Paths.get(s"$root/${e.path}"),
+        Array.fill[Byte](64)(0), StandardOpenOption.TRUNCATE_EXISTING)
+    }
+    assert(LakeTable.read(spark, root).columns.toSeq == Seq("k", "v", "w"))
+    assert(LakeTable.read(spark, root, Some(1L)).columns.toSeq == Seq("k", "v"))
+    import org.apache.spark.sql.types._
+    assert(LakeTable.read(spark, root).schema("w").dataType == DoubleType)
+  }
+
+  test("versionAsOf keys on the #ts manifest header, immune to mtime "
+      + "scrambling (object-store copy / clock-skew scenario)") {
+    val root = freshRoot()
+    LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(50)
+    LakeTable.append(Seq((2L, "b")).toDF("k", "v"), root)
+    // scramble every manifest's mtime as a copy/restore would
+    val log = Paths.get(s"$root/_log")
+    Files.list(log).forEach { p =>
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(123456789000L))
+    }
+    assert(LakeTable.versionAsOf(spark, root, afterV1).contains(1L))
+    assert(LakeTable.versionAsOf(spark, root,
+      System.currentTimeMillis()).contains(2L))
+    assert(LakeTable.versionAsOf(spark, root, 0L).isEmpty)
+  }
+
+  test("mergeInto enforces the one-row-per-key contract") {
+    val root = freshRoot()
+    LakeTable.append(Seq((1L, 10L)).toDF("k", "v"), root, zoneKey = Some("k"))
+    val dup = Seq((1L, 11L, "U"), (1L, 12L, "U")).toDF("k", "v", "op")
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.mergeInto(spark, root, dup, Seq("k"), "op")
+    }
+    assert(e.getMessage.contains("one row per key"))
+    assert(LakeTable.versions(spark, root) == Seq(1L)) // nothing committed
+  }
+
+  test("readRange with narrower-typed literals against a Long-keyed table "
+      + "loses no rows (zone stats cast to the TABLE type)") {
+    val root = freshRoot()
+    // one file whose hi exceeds Int range: an Int-typed cast of the zone
+    // stat would null out and (pre-fix) silently exclude the file
+    LakeTable.append(
+      Seq((1L, "low"), (3L, "low2"), (3000000000L, "big")).toDF("k", "v")
+        .coalesce(1),
+      root, zoneKey = Some("k"))
+    val got = LakeTable.readRange(spark, root, "k", 1, 5) // Int literals
+      .select("k").as[Long].collect().toSet
+    assert(got == Set(1L, 3L))
+  }
+
+  test("mergeInto with an Int-keyed batch against a Long-keyed table whose "
+      + "file hi exceeds Int range: update lands, no duplicate insert") {
+    val root = freshRoot()
+    LakeTable.append(
+      Seq((10L, 100L), (3000000000L, 999L)).toDF("k", "v").coalesce(1),
+      root, zoneKey = Some("k"))
+    // batch key is IntegerType: widest(Long, Int) = Long must drive the
+    // zone cast, else hi="3000000000" casts null, the file is skipped,
+    // and k=10 re-inserts as a duplicate
+    val batch = Seq((10, 111L, "U")).toDF("k", "v", "op")
+    LakeTable.mergeInto(spark, root, batch, Seq("k"), "op")
+    val rows = LakeTable.read(spark, root)
+      .select("k", "v").as[(Long, Long)].collect().toSeq.sorted
+    assert(rows == Seq((10L, 111L), (3000000000L, 999L)))
+  }
+
+  test("compact after a schema-evolving MERGE keeps the added column "
+      + "(content-identical contract under heterogeneous file schemas)") {
+    val root = freshRoot()
+    val base = spark.range(0, 100).select(col("id").as("k"),
+        (col("id") * 10).as("v"))
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+    LakeTable.append(base, root, zoneKey = Some("k"))
+    val batch = Seq((10L, 111L, "hot", "U")).toDF("k", "v", "tag", "op")
+    LakeTable.mergeInto(spark, root, batch, Seq("k"), "op")
+    // files are now heterogeneous: (k,v) kept file + (k,v,tag) rewrites
+    LakeTable.compact(spark, root, smallBytes = Long.MaxValue,
+      targetBytes = 64L << 20, zoneKey = Some("k"))
+    val rows = LakeTable.read(spark, root)
+      .select("k", "v", "tag").as[(Long, Long, Option[String])]
+      .collect().map { case (k, v, t) => k -> (v, t) }.toMap
+    assert(rows(10L) == (111L, Some("hot"))) // evolved column survived
+    assert(rows(50L) == (500L, None))
+    assert(rows.size == 100)
+  }
+
+  test("legacy manifests (no header lines) still read via footer merging") {
+    val root = freshRoot()
+    LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)
+    LakeTable.append(Seq((2L, "b", 7.5)).toDF("k", "v", "w"), root)
+    // strip every header line from v2's manifest — the pre-schema format
+    val m = Paths.get(s"$root/_log/00000000002.manifest")
+    val legacy = new String(Files.readAllBytes(m), "UTF-8")
+      .linesIterator.filterNot(_.startsWith("#")).mkString("\n")
+    Files.write(m, legacy.getBytes("UTF-8"))
+    assert(LakeTable.schemaOf(spark, root, 2L).isEmpty)
+    assert(LakeTable.commitTimeOf(spark, root, 2L).isEmpty)
+    val rows = LakeTable.read(spark, root)
+      .select("k", "v", "w").as[(Long, String, Option[Double])]
+      .collect().toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", Some(7.5))))
+    // versionAsOf falls back to mtime for the stripped manifest
+    assert(LakeTable.versionAsOf(spark, root,
+      System.currentTimeMillis()).contains(2L))
+  }
+
+  test("schema widening through append: Int column widens to Long") {
+    val root = freshRoot()
+    LakeTable.append(Seq((1L, 5)).toDF("k", "n"), root)   // n: Int
+    LakeTable.append(Seq((2L, 6L)).toDF("k", "n"), root)  // n: Long
+    import org.apache.spark.sql.types._
+    assert(LakeTable.read(spark, root).schema("n").dataType == LongType)
+    val rows = LakeTable.read(spark, root)
+      .select("k", "n").as[(Long, Long)].collect().toSet
+    assert(rows == Set((1L, 5L), (2L, 6L)))
+    // incompatible evolution is refused, not silently resolved
+    intercept[IllegalArgumentException] {
+      LakeTable.append(Seq((3L, "oops")).toDF("k", "n"), root)
+    }
+  }
+
+  test("vacuum sweeps crashed writers' orphan .tmp manifests past grace") {
+    val root = freshRoot()
+    LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)
+    val orphanTmp = Paths.get(s"$root/_log/.tmp-crashed-writer")
+    Files.write(orphanTmp, "partial".getBytes("UTF-8"))
+    LakeTable.vacuum(spark, root, keepFrom = 1L) // default grace: survives
+    assert(Files.exists(orphanTmp))
+    LakeTable.vacuum(spark, root, keepFrom = 1L, orphanGraceMs = 0L)
+    assert(!Files.exists(orphanTmp))
+    assert(LakeTable.versions(spark, root) == Seq(1L)) // real manifest intact
+  }
+
   test("vacuum refuses keepFrom above the latest version") {
     val root = freshRoot()
     LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)
