@@ -123,32 +123,47 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](binIdx)
-        val img =
-          try javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes))
-          catch { case _: java.io.IOException => null }
-        val stats = if (img == null) null else {
-          val (w, h) = (img.getWidth, img.getHeight)
-          var sr = 0L; var sg = 0L; var sb = 0L
-          val canon = java.nio.ByteBuffer.allocate(8 + w * h * 3)
-          canon.putInt(w); canon.putInt(h)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = img.getRGB(x, y)
-              val (pr, pg, pb) = ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
-              sr += pr; sg += pg; sb += pb
-              canon.put(pr.toByte); canon.put(pg.toByte); canon.put(pb.toByte)
-              x += 1
+        // the corrupt-payload contract is NULL stats, never a task
+        // failure: null payloads would NPE in ByteArrayInputStream, and
+        // some ImageIO codecs throw RuntimeExceptions (not IOException)
+        // on malformed data — catch NonFatal around the whole decode
+        val stats =
+          try {
+            val bytes = r.getAs[Array[Byte]](binIdx)
+            val img =
+              if (bytes == null) null
+              else javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+            if (img == null) null else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              // 8 + w*h*3 must fit an Int buffer: a decoded dimension
+              // bomb (e.g. 50k×50k) overflows Int and would wrap into a
+              // tiny/negative allocation — treat as undecodable instead
+              if (8L + w.toLong * h.toLong * 3L > Int.MaxValue) null
+              else {
+                var sr = 0L; var sg = 0L; var sb = 0L
+                val canon = java.nio.ByteBuffer.allocate(8 + w * h * 3)
+                canon.putInt(w); canon.putInt(h)
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val p = img.getRGB(x, y)
+                    val (pr, pg, pb) =
+                      ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+                    sr += pr; sg += pg; sb += pb
+                    canon.put(pr.toByte); canon.put(pg.toByte)
+                    canon.put(pb.toByte)
+                    x += 1
+                  }
+                  y += 1
+                }
+                val md5 = java.security.MessageDigest.getInstance("MD5")
+                  .digest(canon.array()).map("%02x".format(_)).mkString
+                Row(w, h, sr, sg, sb, md5)
+              }
             }
-            y += 1
-          }
-          val md5 = java.security.MessageDigest.getInstance("MD5")
-            .digest(canon.array()).map("%02x".format(_)).mkString
-          Row(w, h, sr, sg, sb, md5)
-        }
+          } catch { case scala.util.control.NonFatal(_) => null }
         Row.fromSeq(r.toSeq :+ stats)
       }
     }(enc)

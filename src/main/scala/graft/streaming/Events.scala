@@ -16,16 +16,41 @@ import org.apache.spark.sql.types._
   */
 object Events {
 
+  /** The declared events contract — the schema a stream starts with when
+    * its source directory has no files yet to infer from (`ts` in the
+    * epoch-NANOS long rendering, the encoding [[graft.Tables.tsMicros]]
+    * assigns to LongType; when inference IS possible it dispatches on
+    * whatever encoding actually arrives). */
+  val declaredSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** File-source stream over a directory of events parquet. The stream
     * schema is derived from a one-footer batch read of the same directory
     * (file streams require an explicit schema), so a fixture regeneration
     * that changes the `ts` encoding — nano-long vs timestamp[us] — degrades
-    * gracefully instead of mis-declaring the file type. `ts_utc` is added
-    * type-agnostically via [[graft.Tables.tsMicros]]. */
-  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    * gracefully instead of mis-declaring the file type. A directory with
+    * no files yet (the start-stream-before-producer deployment order)
+    * falls back to `schema`, default [[declaredSchema]], instead of
+    * failing inference. `ts_utc` is added type-agnostically via
+    * [[graft.Tables.tsMicros]]. */
+  def readStream(spark: SparkSession, dir: String,
+                 schema: Option[StructType] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(dir).schema
-    val stream = spark.readStream.schema(schema).parquet(dir)
+    val resolved =
+      try spark.read.parquet(dir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Seq("UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND")
+              .exists(c => Option(e.getCondition).contains(c)) ||
+               Option(e.getMessage).exists(_.contains("infer schema")) =>
+          schema.getOrElse(declaredSchema)
+      }
+    val stream = spark.readStream.schema(resolved).parquet(dir)
     stream.withColumn("ts_utc", timestamp_micros(graft.Tables.tsMicros(stream)))
   }
 

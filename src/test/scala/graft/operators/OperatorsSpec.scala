@@ -1003,7 +1003,11 @@ class MultimodalSpec extends SparkSpec {
     val wantB = px((i, x, y) => (i * 59 + x * 11 + y * 5) % 256)
     val df = Seq(
       (1L, Multimodal.syntheticPng(id, w, h)),
-      (2L, Array[Byte](1, 2, 3, 4))) // not an image
+      (2L, Array[Byte](1, 2, 3, 4)),   // not an image
+      (3L, null: Array[Byte]),         // missing payload: NULL, not NPE
+      // a valid PNG signature with a truncated/garbled body: some codecs
+      // throw RuntimeException (not IOException) here — must yield NULL
+      (4L, Multimodal.syntheticPng(id, w, h).take(40)))
       .toDF("img_id", "content")
     val out = Multimodal.decodeImageStats(df, "content")
       .select(col("img_id"), col("image_stats.width"),
@@ -1013,6 +1017,8 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r._1 -> r).toMap
     assert(out(1L) == ((1L, Some(w), Some(wantR), Some(wantG), Some(wantB))))
     assert(out(2L) == ((2L, None, None, None, None)))
+    assert(out(3L) == ((3L, None, None, None, None)))
+    assert(out(4L) == ((4L, None, None, None, None)))
   }
 
   test("pixel fingerprint: same picture in PNG and BMP matches, "

@@ -54,6 +54,31 @@ class EventsSpec extends SparkSpec {
     assert(rows == Set((3600L * 10, "a", 2L), (3600L * 12, "b", 1L)))
   }
 
+  test("readStream starts against an EMPTY directory (declared-schema "
+      + "fallback) and picks up files that arrive later") {
+    val dir = java.nio.file.Files.createTempDirectory("evempty")
+    // no files yet: batch inference is impossible; the stream must still
+    // construct (producer-after-consumer deployment order)
+    val stream = Events.readStream(spark, dir.toString)
+    assert(stream.isStreaming)
+    assert(stream.columns.contains("ts_utc"))
+    // files arrive after the stream was declared (ts as epoch-NANOS
+    // long, the declared contract)
+    Seq((1L, 3600L * 10 * 1000000000L, 1L, "a", 1.0, "{}"),
+        (2L, 3600L * 12 * 1000000000L, 2L, "b", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val q = Events.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("lateboot")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("lateboot")
+      .select("hour_epoch", "event_type", "n")
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows == Set((3600L * 10, "a", 1L), (3600L * 12, "b", 1L)))
+  }
+
   test("watermark: late events are dropped, finalized windows don't reopen") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
