@@ -11,8 +11,11 @@ import org.apache.spark.sql.types._
   * IMAGE decoding is REAL — [[decodeImageStats]] runs the JDK's own
   * `javax.imageio` codecs (PNG/JPEG/BMP/GIF) partition-locally and is
   * hash-verified end-to-end against analytically recomputed pixel sums
-  * (q252). Audio/video decoding stays behind a declared deterministic
-  * stub (`decodeImageStub`/`stubCodec` — no such codecs in the JDK);
+  * (q252). AUDIO decoding is REAL too — [[decodeAudioStats]] runs the
+  * JDK's `javax.sound.sampled` WAV/PCM parser the same way, verified
+  * against analytically recomputed amplitude sums (q255). Only VIDEO
+  * decoding stays behind a declared deterministic stub
+  * (`decodeImageStub`/`stubCodec` — no such codec in the JDK);
   * everything around the seam — schema contract, binary column handling,
   * partition-local batched execution via mapPartitions (the Scala
   * analogue of pandas-UDF `mapInPandas` batches), metadata struct shape
@@ -199,6 +202,103 @@ object Multimodal {
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  /** Output contract of the REAL audio decoder ([[decodeAudioStats]]):
+    * true frame/channel/rate metadata plus integer-exact amplitude sums
+    * over the decoded PCM — the downstream-feature shape an analytic
+    * oracle can replay bit-for-bit, the audio twin of
+    * [[imageStatsSchema]]. */
+  val audioStatsSchema: StructType = StructType(Seq(
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("sum_amp", LongType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false)))
+
+  /** REAL audio decode — JDK `javax.sound.sampled` (the WAV/PCM reader
+    * ships with the JVM; no external codec), run partition-local like
+    * [[decodeImageStats]]: each payload decodes through the actual
+    * container/chunk parser to its true frame count, channel count and
+    * sample rate plus exact signed-16-bit amplitude sums across all
+    * interleaved channels. Undecodable payloads (null, truncated,
+    * non-PCM16, codec RuntimeExceptions) yield a NULL stats struct, never
+    * a task failure. This makes the audio half of the declared codec
+    * seam real; video remains behind the stub. */
+  def decodeAudioStats(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("audio_stats", audioStatsSchema, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val stats =
+          try {
+            val bytes = r.getAs[Array[Byte]](binIdx)
+            if (bytes == null) null
+            else {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = ais.getFormat
+              val pcm16 = fmt.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                fmt.getSampleSizeInBits == 16
+              if (!pcm16) null
+              else {
+                val ch = fmt.getChannels
+                val data = ais.readAllBytes()
+                val nFrames = data.length / (2 * ch)
+                var sum = 0L; var sabs = 0L
+                var i = 0
+                val limit = nFrames * ch * 2 // whole frames only
+                while (i + 1 < limit) {
+                  val v: Int =
+                    if (fmt.isBigEndian)
+                      (((data(i) & 0xff) << 8) | (data(i + 1) & 0xff)).toShort
+                    else
+                      (((data(i + 1) & 0xff) << 8) | (data(i) & 0xff)).toShort
+                  sum += v; sabs += math.abs(v)
+                  i += 2
+                }
+                Row(nFrames, ch, fmt.getSampleRate.toInt, sum, sabs)
+              }
+            }
+          } catch { case scala.util.control.NonFatal(_) => null }
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic PCM-16 WAV: sample `s` of channel `c` in
+    * clip `id` is a fixed integer function of (id, s, c), so an external
+    * engine recomputes [[decodeAudioStats]]'s exact sums from arithmetic
+    * alone — the audio twin of [[syntheticPng]]. PCM is lossless; the
+    * container round trip preserves every sample. */
+  def syntheticWav(id: Long, nFrames: Int, channels: Int,
+                   rateHz: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      rateHz.toFloat, 16, channels, 2 * channels, rateHz.toFloat,
+      /* bigEndian = */ false)
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    var s = 0; var i = 0
+    while (s < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val v = (((id * 37 + s.toLong * 11 + c * 17 + 12345) % 65536)
+          - 32768).toInt
+        pcm(i) = (v & 0xff).toByte
+        pcm(i + 1) = ((v >> 8) & 0xff).toByte
+        i += 2; c += 1
+      }
+      s += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 

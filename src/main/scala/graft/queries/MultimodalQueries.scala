@@ -51,7 +51,73 @@ object MultimodalQueries {
     imageRoot
   }
 
+  /** Deterministic WAV fixture set for the REAL audio-decode path: 100
+    * PCM-16 clips with varying frame counts / channel layouts / rates
+    * whose every sample is a fixed function of (id, s, c). Same
+    * content-addressed ensure discipline as the image set. */
+  private val audioRoot = "/tmp/graft_audio"
+  private val audioGen = "v1-wav100"
+  private def ensureAudio(): String = synchronized {
+    val marker = java.nio.file.Paths.get(audioRoot, ".generation")
+    val stale = !java.nio.file.Files.exists(marker) ||
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") != audioGen
+    if (stale && java.nio.file.Files.exists(
+        java.nio.file.Paths.get(audioRoot))) {
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(del)
+        f.delete(): Unit
+      }
+      del(new java.io.File(audioRoot))
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(audioRoot))
+    (0 until 100).foreach { id =>
+      val p = java.nio.file.Paths.get(audioRoot, f"clip_$id%04d.wav")
+      if (!java.nio.file.Files.exists(p))
+        java.nio.file.Files.write(p,
+          Multimodal.syntheticWav(id.toLong, 400 + id % 50, 1 + id % 2,
+            8000 + (id % 3) * 4000))
+    }
+    java.nio.file.Files.write(marker, audioGen.getBytes("UTF-8"))
+    audioRoot
+  }
+
   val defs: Map[String, Q] = Map(
+
+    // ---- REAL audio decode (javax.sound.sampled), analytically verified ----
+    // Every sample of each fixture WAV is a pure function of
+    // (id, frame, channel), so DuckDB recomputes the decoder's exact
+    // amplitude sums and true frame/channel/rate metadata from
+    // arithmetic alone — the hash proves a REAL codec path end to end
+    // (PCM encode → WAV container → binaryFile read → partition-local
+    // javax.sound decode → integer aggregation) with no codec on the
+    // oracle side, the audio twin of q252.
+    "q255_audio_decode" -> Q(
+      (s, d) => {
+        val dir = ensureAudio()
+        val bin = s.read.format("binaryFile").load(s"$dir/*.wav")
+          .select(regexp_extract(col("path"), "clip_(\\d+)\\.wav", 1)
+            .cast("long").as("clip_id"), col("content"))
+        Multimodal.decodeAudioStats(bin, "content")
+          .select(col("clip_id"),
+            col("audio_stats.n_frames").as("n_frames"),
+            col("audio_stats.channels").as("channels"),
+            col("audio_stats.sample_rate").as("sample_rate"),
+            col("audio_stats.sum_amp").as("sum_amp"),
+            col("audio_stats.sum_abs").as("sum_abs"))
+      },
+      Some("""SELECT CAST(id AS BIGINT) AS clip_id,
+          CAST(400 + id % 50 AS INTEGER) AS n_frames,
+          CAST(1 + id % 2 AS INTEGER) AS channels,
+          CAST(8000 + (id % 3) * 4000 AS INTEGER) AS sample_rate,
+          CAST(sum((id * 37 + s * 11 + c * 17 + 12345) % 65536 - 32768)
+            AS BIGINT) AS sum_amp,
+          CAST(sum(abs((id * 37 + s * 11 + c * 17 + 12345) % 65536 - 32768))
+            AS BIGINT) AS sum_abs
+        FROM range(100) t(id)
+        CROSS JOIN range(450) ss(s) CROSS JOIN range(2) cc(c)
+        WHERE s < 400 + id % 50 AND c < 1 + id % 2
+        GROUP BY id"""),
+      "REAL WAV decode: frames/channels/rate + exact amplitude sums ≡ analytic"),
 
     // ---- REAL image decode (JDK ImageIO), analytically hash-verified -------
     // The pixels of each fixture PNG are a pure function of (id, x, y),

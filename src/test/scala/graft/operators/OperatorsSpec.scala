@@ -1021,6 +1021,38 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L) == ((4L, None, None, None, None)))
   }
 
+  test("decodeAudioStats: real javax.sound WAV round trip matches analytic "
+      + "sums for mono and stereo; corrupt payloads yield null stats") {
+    val id = 17L
+    def amp(i: Long, s: Long, c: Long): Long =
+      (i * 37 + s * 11 + c * 17 + 12345) % 65536 - 32768
+    def sums(i: Long, n: Int, ch: Int): (Long, Long) = {
+      val vs = for (s <- 0 until n; c <- 0 until ch) yield amp(i, s, c)
+      (vs.sum, vs.map(math.abs).sum)
+    }
+    val (sumMono, absMono) = sums(id, 300, 1)
+    val (sumSt, absSt) = sums(id + 1, 250, 2)
+    val df = Seq(
+      (1L, Multimodal.syntheticWav(id, 300, 1, 8000)),
+      (2L, Multimodal.syntheticWav(id + 1, 250, 2, 16000)),
+      (3L, Array[Byte](82, 73, 70, 70, 0, 1)), // "RIFF" then garbage
+      (4L, null: Array[Byte]))
+      .toDF("clip_id", "content")
+    val out = Multimodal.decodeAudioStats(df, "content")
+      .select(col("clip_id"), col("audio_stats.n_frames"),
+        col("audio_stats.channels"), col("audio_stats.sample_rate"),
+        col("audio_stats.sum_amp"), col("audio_stats.sum_abs"))
+      .as[(Long, Option[Int], Option[Int], Option[Int],
+        Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, Some(300), Some(1), Some(8000),
+      Some(sumMono), Some(absMono))))
+    assert(out(2L) == ((2L, Some(250), Some(2), Some(16000),
+      Some(sumSt), Some(absSt))))
+    assert(out(3L) == ((3L, None, None, None, None, None)))
+    assert(out(4L) == ((4L, None, None, None, None, None)))
+  }
+
   test("pixel fingerprint: same picture in PNG and BMP matches, "
       + "different pictures differ, container bytes differ") {
     val png = Multimodal.syntheticImage(7L, 9, 6, "png")
