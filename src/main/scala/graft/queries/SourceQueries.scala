@@ -707,6 +707,87 @@ object SourceQueries {
             row_number() OVER (PARTITION BY fp ORDER BY b, doc_id) AS rn
           FROM d) WHERE rn = 1"""),
       "exactly-once lake ingest + cross-batch dedup ≡ one-shot global dedup"),
+
+    // ---- lake Z-order compaction: second-column zone pruning ---------------
+    // Four interleaved appends zone-stat two INDEPENDENT keys; compact
+    // lays the table out along the (o_orderkey, o_custkey) Z-curve, so
+    // every output file covers a small rectangle of both key spaces and
+    // a range read on the NON-leading key opens only the overlapping
+    // files (the unit pins the strict file subset via the corrupted-file
+    // trick). The hash against DuckDB's direct BETWEEN proves the prune
+    // loses and invents nothing.
+    "q256_lake_zorder" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_lakezz_q256") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        (0 until 4).foreach { i =>
+          graft.sources.LakeTable.append(
+            o.filter(col("o_orderkey") % 4 === i).repartition(2), root,
+            zoneKey = Some("o_orderkey"), zoneKeys = Seq("o_custkey"))
+        }
+        graft.sources.LakeTable.compact(s, root,
+          smallBytes = Long.MaxValue, targetBytes = 64L << 10,
+          zoneKey = Some("o_orderkey"), zoneKeys = Seq("o_custkey"))
+        graft.sources.LakeTable.readRange(s, root, "o_custkey", 100L, 400L)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_custkey BETWEEN 100 AND 400"""),
+      "Z-order compact: range read on the SECOND zone key ≡ direct filter"),
+
+    // ---- lake incremental read: files added after a version ----------------
+    // Three appends land thirds of orders; readChanges(v1 → v3) opens
+    // ONLY the files versions 2–3 added (O(delta), never the table —
+    // the unit proves v1's files stay unopened via corruption). For the
+    // append-only history this is exactly read(v3) EXCEPT ALL read(v1),
+    // which the oracle recomputes as the direct slice predicate.
+    "q257_lake_changes" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_lakech_q257") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        (0 until 3).foreach { i =>
+          graft.sources.LakeTable.append(
+            o.filter(col("o_orderkey") % 3 === i), root,
+            zoneKey = Some("o_orderkey"))
+        }
+        graft.sources.LakeTable.readChanges(s, root, Some(1L), 3L)
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 IN (1, 2)"""),
+      "incremental lake read: files added after v1 ≡ direct slice recompute"),
+
+    // ---- streaming lake tail → exactly-once lake sink ----------------------
+    // The continuous-pipeline composition: a Structured Streaming source
+    // tails the source table's manifest log (offsets ride Spark's own
+    // file-source checkpoint), each micro-batch ships only the files its
+    // new manifests added, and the txn-tagged appendOnce sink makes the
+    // landing exactly-once. The hash against the full orders selection
+    // proves source → stream → sink loses and duplicates nothing.
+    "q258_lake_tail" -> Q(
+      (s, d) => {
+        val src = freshRoot("graft_laket_q258s") + "/t"
+        val dst = freshRoot("graft_laket_q258d") + "/t"
+        val ckpt = freshRoot("graft_laket_q258c")
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        (0 until 3).foreach { i =>
+          graft.sources.LakeTable.append(
+            o.filter(col("o_orderkey") % 3 === i), src,
+            zoneKey = Some("o_orderkey"))
+        }
+        val q = graft.streaming.LakeStream.tail(s, src, ckpt) { (df, bid) =>
+          graft.sources.LakeTable.withRetry() { () =>
+            graft.sources.LakeTable.appendOnce(df, dst, "tail", bid,
+              zoneKey = Some("o_orderkey"))
+          }
+          ()
+        }
+        q.awaitTermination()
+        graft.sources.LakeTable.read(s, dst)
+      },
+      Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"),
+      "streaming lake tail: manifest-log source → exactly-once sink ≡ table"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

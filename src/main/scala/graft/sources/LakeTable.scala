@@ -79,11 +79,34 @@ object LakeTable {
   final class CommitConflictException(msg: String)
       extends RuntimeException(msg)
 
-  /** One manifest line: a live data file (root-relative) plus optional
-    * per-file zone stats (min/max of `zoneKey`, rendered as strings and
-    * cast back to the key's type at prune time). */
-  final case class FileEntry(path: String, zoneKey: Option[String],
-                             lo: Option[String], hi: Option[String])
+  /** Per-file min/max of one column, rendered as strings and cast back
+    * to the column's type at prune time. */
+  final case class Zone(key: String, lo: String, hi: String)
+
+  /** One manifest line: a live data file (root-relative) plus zero or
+    * more per-column zone stats. Multiple zones make a predicate on ANY
+    * stat'd column prunable — the second-column payoff of a Z-ordered
+    * layout (a single-column cluster gives tight zones on that column
+    * only; the manifest format itself is indifferent to how the writer
+    * clustered). */
+  final case class FileEntry(path: String, zones: Seq[Zone]) {
+    /** Leading-zone compatibility accessors (single-key callers). */
+    def zoneKey: Option[String] = zones.headOption.map(_.key)
+    def lo: Option[String] = zones.headOption.map(_.lo)
+    def hi: Option[String] = zones.headOption.map(_.hi)
+    /** The stats for column `k`, if this file carries them. */
+    def zoneFor(k: String): Option[Zone] = zones.find(_.key == k)
+  }
+
+  object FileEntry {
+    /** Single-zone construction (the pre-multi-zone shape). */
+    def apply(path: String, zoneKey: Option[String], lo: Option[String],
+              hi: Option[String]): FileEntry =
+      (zoneKey, lo, hi) match {
+        case (Some(k), Some(l), Some(h)) => FileEntry(path, Seq(Zone(k, l, h)))
+        case _ => FileEntry(path, Seq.empty)
+      }
+  }
 
   private def hfs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
@@ -99,11 +122,9 @@ object LakeTable {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
-  private[sources] def renderEntry(e: FileEntry): String = e match {
-    case FileEntry(p, Some(k), Some(lo), Some(hi)) =>
-      s"${enc(p)}\t${enc(k)}\t${enc(lo)}\t${enc(hi)}"
-    case FileEntry(p, _, _, _) => enc(p)
-  }
+  private[sources] def renderEntry(e: FileEntry): String =
+    (enc(e.path) +: e.zones.flatMap(z =>
+      Seq(enc(z.key), enc(z.lo), enc(z.hi)))).mkString("\t")
 
   // manifest header line recording the streaming transaction that
   // produced the version (the Delta `txn` action): #txn\tappId\tbatchId
@@ -127,15 +148,17 @@ object LakeTable {
 
   // split with limit -1: a trailing empty field (an empty-string zone
   // value — legal for a string key whose file minimum is "") must
-  // survive, and Scala's char-split drops trailing empties
-  private[sources] def parseEntry(line: String): FileEntry =
-    line.split("\t", -1) match {
-      case Array(p, k, lo, hi) =>
-        FileEntry(dec(p), Some(dec(k)), Some(dec(lo)), Some(dec(hi)))
-      case Array(p) => FileEntry(dec(p), None, None, None)
-      case other => throw new IllegalStateException(
-        s"malformed manifest line (${other.length} fields): $line")
-    }
+  // survive, and Scala's char-split drops trailing empties. Lines are
+  // path + zero or more (key, lo, hi) triples — 1 + 3n fields.
+  private[sources] def parseEntry(line: String): FileEntry = {
+    val fields = line.split("\t", -1)
+    if (fields.length % 3 != 1) throw new IllegalStateException(
+      s"malformed manifest line (${fields.length} fields): $line")
+    FileEntry(dec(fields.head),
+      fields.tail.grouped(3).map { case Array(k, lo, hi) =>
+        Zone(dec(k), dec(lo), dec(hi))
+      }.toSeq)
+  }
 
   /** Ascending committed version numbers (manifest files present).
     * In-flight temp files are dot-prefixed and skipped. */
@@ -292,6 +315,44 @@ object LakeTable {
     }
   }
 
+  /** Root-relative data files present in `toV` but not in `fromV` —
+    * the manifest diff behind incremental reads. O(#files) driver
+    * metadata, zero data I/O. `fromV = None` means "from before the
+    * table existed" (everything is new). */
+  def changedFiles(spark: SparkSession, root: String,
+                   fromV: Option[Long], toV: Long): Seq[String] = {
+    val before = fromV.map(entries(spark, root, _).map(_.path).toSet)
+      .getOrElse(Set.empty[String])
+    entries(spark, root, toV).map(_.path).filterNot(before)
+  }
+
+  /** Incremental read: the rows of the files ADDED between `fromV`
+    * (exclusive) and `toV` (inclusive) — for an append-only history this
+    * is exactly `read(toV) EXCEPT ALL read(fromV)`, computed by opening
+    * ONLY the delta files (O(changed), never the table). Versions that
+    * REWRITE files (mergeInto, compact, overwrite) surface the whole
+    * rewritten files — file-granular change capture, the
+    * incremental-maintenance contract of a manifest log; row-level
+    * before/after images are [[graft.ops.ChangeCapture]]'s job. Schema
+    * is `toV`'s manifest schema (files written before a column existed
+    * null-fill it). Requires `fromV`'s manifest to still be retained —
+    * keep vacuum's floor below the oldest incremental reader, the same
+    * horizon rule as [[lastTxn]]. */
+  def readChanges(spark: SparkSession, root: String,
+                  fromV: Option[Long], toV: Long): DataFrame = {
+    val changed = changedFiles(spark, root, fromV, toV)
+      .map(p => s"$root/$p")
+    val schema = schemaOf(spark, root, toV)
+    (schema, changed.nonEmpty) match {
+      case (Some(s), true) => spark.read.schema(s).parquet(changed: _*)
+      case (Some(s), false) =>
+        spark.createDataFrame(java.util.Collections.emptyList[Row](), s)
+      case (None, true) =>
+        spark.read.option("mergeSchema", "true").parquet(changed: _*)
+      case (None, false) => read(spark, root, Some(toV)).filter(lit(false))
+    }
+  }
+
   /** Zone-pruned range read — the read-side complement of
     * [[mergeInto]]'s file pruning: `key BETWEEN lo AND hi` is answered
     * by opening ONLY the files whose manifest zone overlaps [lo, hi]
@@ -311,8 +372,12 @@ object LakeTable {
     val v = version.getOrElse(vs.last)
     val ents = entries(spark, root, v)
     val schema = schemaOf(spark, root, v)
-    val (zoned, unzoned) = ents.partition(e =>
-      e.zoneKey.contains(key) && e.lo.isDefined && e.hi.isDefined)
+    // prune on WHICHEVER column the query ranges over, leading or not —
+    // with a Z-ordered (or multi-key range) layout the non-leading
+    // zones are tight enough to skip most files too
+    val withZone = ents.map(e => e -> e.zoneFor(key))
+    val zoned = withZone.collect { case (e, Some(z)) => (e, z) }
+    val unzoned = withZone.collect { case (e, None) => e }
     // Stats cast to the TABLE column's type (manifest schema), not the
     // query literal's: an Int literal probing a Long-keyed table must
     // not truncate file bounds. Legacy manifests without a schema fall
@@ -324,7 +389,7 @@ object LakeTable {
       .getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(lo).dataType)
     val admitted: Seq[String] =
       if (zoned.isEmpty) Seq.empty
-      else zoned.map(e => (e.path, e.lo.get, e.hi.get))
+      else zoned.map { case (e, z) => (e.path, z.lo, z.hi) }
         .toDF("__file", "__lo_s", "__hi_s")
         .select(col("__file"),
           (col("__lo_s").cast(dt) <= lit(hi).cast(dt) &&
@@ -354,13 +419,13 @@ object LakeTable {
   }
 
   /** Write `df` under a fresh immutable commit dir; return the new
-    * files' manifest entries. With `zoneKey` set (and of a supported
-    * type), per-file min/max of that column are computed from the delta
-    * just written — a single-column scan of O(delta) data, never the
-    * table — and attached to the entries. A crash after this but before
-    * the manifest create leaves unreachable files only. */
+    * files' manifest entries. With `zoneKeys` set (supported-type
+    * columns only), per-file min/max of EVERY listed column come from
+    * one slim-column scan of the delta just written — never the table —
+    * and ride the entries. A crash after this but before the manifest
+    * create leaves unreachable files only. */
   private def writeData(df: DataFrame, root: String,
-                        zoneKey: Option[String]): Seq[FileEntry] = {
+                        zoneKeys: Seq[String]): Seq[FileEntry] = {
     val spark = df.sparkSession
     val commitDir = s"data/${java.util.UUID.randomUUID().toString}"
     df.write.mode("errorifexists").parquet(s"$root/$commitDir")
@@ -369,29 +434,33 @@ object LakeTable {
       .map(_.getPath.getName)
       .filter(_.endsWith(".parquet"))
       .map(n => s"$commitDir/$n")
-    val key = zoneKey.filter(k => zoneSupported(df.schema(k).dataType))
-    key match {
-      case None => rels.map(FileEntry(_, None, None, None))
-      case Some(k) =>
-        // per-file min/max keyed by FILE NAME: the commit dir is unique
-        // to this write, so names are unambiguous and no scheme/URI
-        // normalization of input_file_name output is needed
-        val stats = spark.read
-          .parquet(rels.map(r => s"$root/$r"): _*)
-          .select(input_file_name().as("__f"), col(k))
-          .groupBy("__f")
-          .agg(min(col(k)).as("__lo"), max(col(k)).as("__hi"))
-          .collect() // bounded: one row per file just written
-          .map(r => new Path(r.getString(0)).getName ->
-            (Option(r.get(1)), Option(r.get(2))))
-          .toMap
-        rels.map { rel =>
-          stats.get(new Path(rel).getName) match {
-            case Some((Some(lo), Some(hi))) =>
-              FileEntry(rel, Some(k), Some(lo.toString), Some(hi.toString))
-            case _ => FileEntry(rel, None, None, None) // empty/all-null file
+    val keys = zoneKeys.distinct.filter(k =>
+      df.schema.fieldNames.contains(k) && zoneSupported(df.schema(k).dataType))
+    if (keys.isEmpty) rels.map(FileEntry(_, Seq.empty))
+    else {
+      // per-file min/max of all keys in ONE pass, keyed by FILE NAME:
+      // the commit dir is unique to this write, so names are unambiguous
+      // and no scheme/URI normalization of input_file_name is needed
+      val aggs = keys.flatMap(k =>
+        Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
+      val stats = spark.read
+        .parquet(rels.map(r => s"$root/$r"): _*)
+        .select(input_file_name().as("__f") +: keys.map(col): _*)
+        .groupBy("__f")
+        .agg(aggs.head, aggs.tail: _*)
+        .collect() // bounded: one row per file just written
+        .map { r =>
+          val zones = keys.zipWithIndex.flatMap { case (k, i) =>
+            (Option(r.get(1 + 2 * i)), Option(r.get(2 + 2 * i))) match {
+              case (Some(lo), Some(hi)) =>
+                Some(Zone(k, lo.toString, hi.toString))
+              case _ => None // all-null column in this file
+            }
           }
-        }
+          new Path(r.getString(0)).getName -> zones
+        }.toMap
+      rels.map(rel =>
+        FileEntry(rel, stats.getOrElse(new Path(rel).getName, Seq.empty)))
     }
   }
 
@@ -476,13 +545,14 @@ object LakeTable {
     * from its footers and carries it forward in the log thereafter. */
   def append(df: DataFrame, root: String,
              zoneKey: Option[String] = None,
-             txn: Option[(String, Long)] = None): Long = {
+             txn: Option[(String, Long)] = None,
+             zoneKeys: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     val prev = versions(spark, root).lastOption
     val prevEntries = prev.map(entries(spark, root, _)).getOrElse(Seq.empty)
     val prevSchema = prev.map(v => schemaOf(spark, root, v)
       .getOrElse(read(spark, root, Some(v)).schema)) // legacy: footers, once
-    val fresh = writeData(df, root, zoneKey)
+    val fresh = writeData(df, root, zoneKey.toSeq ++ zoneKeys)
     val evolved = prevSchema.map(unionSchema(_, df.schema))
       .getOrElse(StructType(df.schema.map(_.copy(nullable = true))))
     commit(spark, root, prevEntries ++ fresh, prev.getOrElse(0L) + 1L, txn,
@@ -498,20 +568,22 @@ object LakeTable {
     * the replay re-checks [[lastTxn]] on the fresh snapshot, so a retry
     * after a conflict never double-applies. */
   def appendOnce(df: DataFrame, root: String, appId: String, batchId: Long,
-                 zoneKey: Option[String] = None): Long = {
+                 zoneKey: Option[String] = None,
+                 zoneKeys: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     if (lastTxn(spark, root, appId).exists(_ >= batchId))
       versions(spark, root).last
-    else append(df, root, zoneKey, Some(appId -> batchId))
+    else append(df, root, zoneKey, Some(appId -> batchId), zoneKeys)
   }
 
   /** Logical overwrite: the new manifest lists only the new files; old
     * versions remain readable until [[vacuum]]. */
   def overwrite(df: DataFrame, root: String,
-                zoneKey: Option[String] = None): Long = {
+                zoneKey: Option[String] = None,
+                zoneKeys: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     val next = versions(spark, root).lastOption.getOrElse(0L) + 1L
-    commit(spark, root, writeData(df, root, zoneKey), next,
+    commit(spark, root, writeData(df, root, zoneKey.toSeq ++ zoneKeys), next,
       schema = Some(StructType(df.schema.map(_.copy(nullable = true)))))
   }
 
@@ -558,8 +630,9 @@ object LakeTable {
       s"mergeInto: updates must carry one row per key " +
         s"($nRows rows over $nKeys distinct keys ${keys.mkString(",")})")
 
-    val (zoned, unzoned) = ents.partition(e =>
-      e.zoneKey.contains(lead) && e.lo.isDefined && e.hi.isDefined)
+    val withZone = ents.map(e => e -> e.zoneFor(lead))
+    val zoned = withZone.collect { case (e, Some(z)) => (e, z) }
+    val unzoned = withZone.collect { case (e, None) => e }
 
     // Zone pruning from manifest metadata: zones are a driver-built,
     // file-count-sized frame (broadcast); batch keys stay distributed.
@@ -568,7 +641,7 @@ object LakeTable {
     val (affectedZoned, castBad) =
       if (zoned.isEmpty) (Set.empty[String], Set.empty[String])
       else {
-        val zonesDf = zoned.map(e => (e.path, e.lo.get, e.hi.get))
+        val zonesDf = zoned.map { case (e, z) => (e.path, z.lo, z.hi) }
           .toDF("__file", "__lo_s", "__hi_s")
           .select(col("__file"),
             col("__lo_s").cast(keyType).as("__lo"),
@@ -616,7 +689,13 @@ object LakeTable {
     val rewritten = Relational.cdcMerge(touched, matched, keys, opCol)
       .unionByName(inserts)
 
-    val fresh = writeData(rewritten, root, Some(lead))
+    // Fresh files keep the table's full zoning discipline: every zone
+    // key any current entry carries (plus the merge lead) gets stats on
+    // the rewritten files, so a multi-zoned table doesn't lose its
+    // second-column prunability to a MERGE.
+    val tableZoneKeys =
+      (lead +: ents.flatMap(_.zones.map(_.key))).distinct
+    val fresh = writeData(rewritten, root, tableZoneKeys)
     // schema evolves in the LOG: prev schema ∪ rewritten schema (the
     // batch's added columns). Legacy tables derive prev from footers once.
     val evolved = unionSchema(
@@ -643,7 +722,8 @@ object LakeTable {
   def compact(spark: SparkSession, root: String,
               smallBytes: Long = 128L << 20,
               targetBytes: Long = 128L << 20,
-              zoneKey: Option[String] = None): Long = {
+              zoneKey: Option[String] = None,
+              zoneKeys: Seq[String] = Seq.empty): Long = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"compact: no table at $root")
     val cur = vs.last
@@ -677,12 +757,58 @@ object LakeTable {
       case None =>
         spark.read.option("mergeSchema", "true").parquet(smallPaths: _*)
     }
-    val packed = zoneKey match {
-      case Some(k) =>
-        df.repartitionByRange(nOut, col(k)).sortWithinPartitions(k)
-      case None => df.repartition(nOut)
+    val keys = (zoneKey.toSeq ++ zoneKeys).distinct
+      .filter(df.schema.fieldNames.contains)
+    def numeric(k: String) = df.schema(k).dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType => true
+      case _ => false
     }
-    val fresh = writeData(packed, root, zoneKey)
+    // min/max of the first two numeric keys for Z-order bucket scaling —
+    // one slim-column agg over data compact is about to rewrite anyway
+    val bounds: Option[(Double, Double, Double, Double)] = keys match {
+      case k1 +: k2 +: _ if numeric(k1) && numeric(k2) =>
+        val r = df.agg(
+          min(col(k1)).cast("double"), max(col(k1)).cast("double"),
+          min(col(k2)).cast("double"), max(col(k2)).cast("double")).head()
+        if ((0 to 3).exists(r.isNullAt)) None // an all-null key: no curve
+        else Some((r.getDouble(0), r.getDouble(1),
+                   r.getDouble(2), r.getDouble(3)))
+      case _ => None
+    }
+    val packed = keys match {
+      case Seq() => df.repartition(nOut)
+      case Seq(k) =>
+        df.repartitionByRange(nOut, col(k)).sortWithinPartitions(k)
+      case k1 +: k2 +: _ => bounds match {
+        case Some((lo1, hi1, lo2, hi2)) =>
+          // Z-order layout: normalize each key into 2^bits buckets over
+          // its observed range, interleave bits, range-cluster on the
+          // curve. Each output file then covers a small RECTANGLE of
+          // (k1, k2) space, so the manifest zones are tight on BOTH keys
+          // and a predicate on either one prunes — the OPTIMIZE ZORDER
+          // rule a single-key sort cannot give.
+          val bits = 16
+          def bucket(k: String, lo: Double, hi: Double) = {
+            val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+            least(lit((1 << bits) - 1), greatest(lit(0L),
+              floor((col(k).cast("double") - lit(lo)) / lit(span)
+                * lit(1 << bits)).cast("long")))
+          }
+          val z = graft.functions.ZOrder.zorder2(
+            bucket(k1, lo1, hi1), bucket(k2, lo2, hi2), bits)
+          df.withColumn("__z", z)
+            .repartitionByRange(nOut, col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        case None =>
+          // non-numeric composite: lexicographic multi-key clustering
+          // (tight zones on the leading key, best-effort on the rest)
+          df.repartitionByRange(nOut, keys.map(col): _*)
+            .sortWithinPartitions(keys.map(col): _*)
+      }
+    }
+    val fresh = writeData(packed, root, keys)
     commit(spark, root, big.map(_._1) ++ fresh, cur + 1L,
       schema = tableSchema) // content-identical: schema carries verbatim
   }

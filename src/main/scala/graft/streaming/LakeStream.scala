@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.sources.LakeTable
+
+/** Streaming INCREMENTAL SOURCE over a [[LakeTable]] commit log — the
+  * read-side mirror of [[WarehouseSink.lakeAppendSink]]'s exactly-once
+  * write side. Together they chain lake tables into continuous
+  * pipelines: stage N tails stage N-1's manifests and lands its output
+  * as txn-tagged commits for stage N+1 to tail.
+  *
+  * Mechanism: manifests ARE the stream's files. A Structured Streaming
+  * text source watches the `_log` manifest glob, so Spark's own
+  * FileStreamSource checkpoint tracks which VERSIONS have been
+  * processed — offsets, replay, and restart semantics ride battle-tested
+  * machinery instead of a bespoke offset file, and a restarted stream
+  * resumes exactly after the last recorded manifest. Manifests are
+  * atomically published and immutable ([[LakeTable.commit]]), so a
+  * listed manifest is always complete — the property that makes a
+  * file-watch source correct here.
+  *
+  * Each micro-batch maps its new manifests to the data files they ADDED
+  * over their predecessor ([[LakeTable.changedFiles]] — O(#files)
+  * metadata, no data I/O) and hands ONE DataFrame of those files' rows
+  * to `fn` with the stream's batch id. Pair `fn` with
+  * [[LakeTable.appendOnce]] keyed on that id for end-to-end
+  * exactly-once: a replayed batch re-derives the same file set from the
+  * same manifests and the txn tag makes the re-append a no-op.
+  *
+  * Scale shape: per batch, O(new versions) manifest reads on the driver
+  * plus a distributed scan of ONLY the delta files. A consumer starting
+  * against a table whose early manifests were vacuumed bootstraps from
+  * its first visible manifest as a full snapshot, then increments —
+  * keep vacuum's floor below the slowest tail, the [[LakeTable.lastTxn]]
+  * horizon rule. Versions that REWRITE files (merge/compact/overwrite)
+  * surface the whole rewritten files, the file-granular change contract
+  * of [[LakeTable.readChanges]].
+  */
+object LakeStream {
+
+  def tail(spark: SparkSession, root: String, checkpoint: String,
+           trigger: Trigger = Trigger.AvailableNow())
+          (fn: (DataFrame, Long) => Unit): StreamingQuery = {
+    val manifests = spark.readStream.text(s"$root/_log/*.manifest")
+    manifests.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the batch's manifests, by version — bounded by #new versions
+        val vs = batch.select(input_file_name().as("__f")).distinct()
+          .collect()
+          .map(r => new Path(r.getString(0)).getName
+            .stripSuffix(".manifest").toLong)
+          .sorted
+        if (vs.nonEmpty) {
+          val retained = LakeTable.versions(spark, root).toSet
+          val newFiles = vs.flatMap { v =>
+            // predecessor vacuumed (or v == 1): bootstrap — the whole
+            // manifest is new to this consumer
+            val prev = Some(v - 1).filter(retained.contains)
+            LakeTable.changedFiles(spark, root, prev, v)
+          }.distinct.map(p => s"$root/$p")
+          if (newFiles.nonEmpty) {
+            val rows = LakeTable.schemaOf(spark, root, vs.max) match {
+              case Some(s) => spark.read.schema(s).parquet(newFiles: _*)
+              case None => spark.read.option("mergeSchema", "true")
+                .parquet(newFiles: _*)
+            }
+            fn(rows, batchId)
+          }
+        }
+      }
+      .start()
+  }
+}

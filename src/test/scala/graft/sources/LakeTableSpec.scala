@@ -37,16 +37,15 @@ class LakeTableSpec extends SparkSpec {
     val valGen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar,
       Gen.oneOf('\t', '\n', '\r', '%', '+', '/', ' ', '#', '=', 'µ')))
       .map(_.mkString)
+    val zoneGen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString), valGen, valGen)
+      .map { case (k, lo, hi) => LakeTable.Zone(k, lo, hi) }
     val entGen = for {
       path <- Gen.nonEmptyListOf(Gen.alphaNumChar)
         .map(cs => s"data/${cs.mkString}.parquet")
-      zone <- Gen.option(Gen.zip(
-        Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString), valGen, valGen))
-    } yield zone match {
-      case Some((k, lo, hi)) =>
-        LakeTable.FileEntry(path, Some(k), Some(lo), Some(hi))
-      case None => LakeTable.FileEntry(path, None, None, None)
-    }
+      n <- Gen.choose(0, 3) // multi-zone lines: 0..3 (key, lo, hi) triples
+      zones <- Gen.listOfN(n, zoneGen)
+    } yield LakeTable.FileEntry(path, zones)
     val res = SCTest.check(params, Prop.forAll(entGen) { e =>
       LakeTable.parseEntry(LakeTable.renderEntry(e)) == e
     })
@@ -535,5 +534,87 @@ class LakeTableSpec extends SparkSpec {
     }
     // nothing was deleted by the refused call
     assert(LakeTable.read(spark, root).count() == 1L)
+  }
+
+  test("Z-order compact: SECOND-column zones prune file reads "
+      + "(non-overlapping files corrupted, range read still exact)") {
+    val root = freshRoot()
+    val n = 4096L
+    // k2 is a pseudo-random pairing of k1 — the dims are independent, so
+    // a single-column sort would give useless k2 zones
+    def k2of(id: Long): Long = (id * 2654435761L) % n
+    val base = spark.range(0, n).select(col("id").as("k1"),
+      ((col("id") * 2654435761L) % n).as("k2"), (col("id") * 3).as("v"))
+    (0 until 4).foreach { i =>
+      LakeTable.append(base.filter(col("k1") % 4 === i).repartition(2),
+        root, zoneKey = Some("k1"), zoneKeys = Seq("k2"))
+    }
+    LakeTable.compact(spark, root, smallBytes = Long.MaxValue,
+      targetBytes = 4L << 10, zoneKey = Some("k1"), zoneKeys = Seq("k2"))
+    val v = LakeTable.versions(spark, root).last
+    val ents = LakeTable.entries(spark, root, v)
+    assert(ents.size >= 4) // several files to prune among
+    assert(ents.forall(e =>
+      e.zoneFor("k1").isDefined && e.zoneFor("k2").isDefined))
+    val (lo, hi) = (100L, 300L)
+    val outside = ents.filter { e =>
+      val z = e.zoneFor("k2").get
+      z.hi.toLong < lo || z.lo.toLong > hi
+    }
+    // the Z-curve payoff: most files' k2 rectangles miss a 5% k2 range
+    assert(outside.nonEmpty)
+    // corrupt every non-overlapping file: reading any of them throws, so
+    // a correct result proves the prune skipped them
+    outside.foreach { e =>
+      Files.write(Paths.get(s"$root/${e.path}"),
+        Array.fill[Byte](64)(0), StandardOpenOption.TRUNCATE_EXISTING)
+    }
+    val got = LakeTable.readRange(spark, root, "k2", lo, hi)
+      .select("k1", "k2", "v").as[(Long, Long, Long)].collect().toSet
+    val want = (0L until n).filter(id => k2of(id) >= lo && k2of(id) <= hi)
+      .map(id => (id, k2of(id), id * 3)).toSet
+    assert(got == want)
+  }
+
+  test("mergeInto keeps the table's multi-zone discipline on rewritten "
+      + "files") {
+    val root = freshRoot()
+    val base = spark.range(0, 400).select(col("id").as("k1"),
+      (col("id") % 40).as("k2"), (col("id") * 10).as("v"))
+      .repartitionByRange(4, col("k1")).sortWithinPartitions("k1")
+    LakeTable.append(base, root, zoneKey = Some("k1"), zoneKeys = Seq("k2"))
+    val batch = Seq((10L, 10L, 111L, "U")).toDF("k1", "k2", "v", "op")
+    LakeTable.mergeInto(spark, root, batch, Seq("k1"), "op")
+    val v1 = LakeTable.entries(spark, root, 1L).map(_.path).toSet
+    val fresh = LakeTable.entries(spark, root, 2L)
+      .filterNot(e => v1.contains(e.path))
+    assert(fresh.nonEmpty)
+    // rewritten files carry zones for BOTH keys, not just the merge lead
+    assert(fresh.forall(e =>
+      e.zoneFor("k1").isDefined && e.zoneFor("k2").isDefined))
+  }
+
+  test("readChanges(v1, v3) ≡ read(v3) EXCEPT ALL read(v1) for an "
+      + "append-only history, opening only the delta files") {
+    val root = freshRoot()
+    (0 until 3).foreach { i =>
+      LakeTable.append(
+        spark.range(i * 100L, i * 100L + 100)
+          .select(col("id").as("k"), (col("id") * 2).as("v")),
+        root, zoneKey = Some("k"))
+    }
+    // corrupt v1's files: an incremental read of (v1, v3] must not open
+    // them
+    LakeTable.entries(spark, root, 1L).foreach { e =>
+      Files.write(Paths.get(s"$root/${e.path}"),
+        Array.fill[Byte](64)(0), StandardOpenOption.TRUNCATE_EXISTING)
+    }
+    val inc = LakeTable.readChanges(spark, root, Some(1L), 3L)
+      .select("k", "v").as[(Long, Long)].collect().sorted
+    val want = (100L until 300L).map(k => (k, k * 2)).sorted
+    assert(inc.toSeq == want)
+    // fromV = None bootstraps the full snapshot
+    assert(LakeTable.changedFiles(spark, root, None, 3L).toSet ==
+      LakeTable.entries(spark, root, 3L).map(_.path).toSet)
   }
 }
