@@ -8,18 +8,16 @@ import org.apache.spark.sql.types._
   * `BinaryType` columns with typed metadata alongside, and run
   * decode/feature-extract as partition-local batch transforms.
   *
-  * IMAGE decoding is REAL — [[decodeImageStats]] runs the JDK's own
-  * `javax.imageio` codecs (PNG/JPEG/BMP/GIF) partition-locally and is
-  * hash-verified end-to-end against analytically recomputed pixel sums
-  * (q252). AUDIO decoding is REAL too — [[decodeAudioStats]] runs the
-  * JDK's `javax.sound.sampled` WAV/PCM parser the same way, verified
-  * against analytically recomputed amplitude sums (q255). Only VIDEO
-  * decoding stays behind a declared deterministic stub
-  * (`decodeImageStub`/`stubCodec` — no such codec in the JDK);
-  * everything around the seam — schema contract, binary column handling,
-  * partition-local batched execution via mapPartitions (the Scala
-  * analogue of pandas-UDF `mapInPandas` batches), metadata struct shape
-  * — is real and tested either way.
+  * All three modalities decode through REAL JDK codecs, each verified
+  * end-to-end against an analytic oracle: IMAGE via `javax.imageio`
+  * (PNG/JPEG/BMP/GIF, q252), AUDIO via `javax.sound.sampled` (WAV/PCM,
+  * q255), and multi-frame VIDEO-shaped containers via the GIF
+  * ImageReader's frame directory ([[decodeVideoFrames]], q259 — one row
+  * per sampled frame). Exotic containers the JDK lacks (mp4/mkv, mp3)
+  * would swap an ffmpeg JNI call into the same partition-local seam;
+  * `decodeImageStub`/`stubCodec` remain as the deterministic
+  * hash-verifiable stand-ins that test the batching plumbing itself
+  * (q69) independent of any codec.
   */
 object Multimodal {
 
@@ -299,6 +297,125 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Output contract of the REAL video decoder ([[decodeVideoFrames]]):
+    * container-true frame count, the sampled frame's index and
+    * dimensions, plus integer-exact per-channel pixel sums for that
+    * frame — one row per SAMPLED frame, the frame-sampling shape a
+    * video-corpus featurizer lands on ([[sampleFrames]] made real). */
+  val videoFrameSchema: StructType = StructType(Seq(
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false)))
+
+  /** REAL multi-frame (video-shaped) decode — the JDK's GIF ImageReader
+    * parses a genuine multi-frame container (frame directory, per-frame
+    * rasters, palettes) partition-locally: every `stride`-th frame of
+    * each payload decodes to its true dimensions and exact per-channel
+    * pixel sums, emitted as one output row per sampled frame (flatMap —
+    * a clip fans out to its frames, the explode-after-decode shape).
+    * Frame COUNT comes from the container index, so stride sampling
+    * never decodes the skipped frames' rasters. Undecodable payloads
+    * (null, corrupt, zero frames, codec RuntimeExceptions) yield ONE
+    * row with a NULL stats struct rather than disappearing or failing
+    * the task — at 100 TB both silent loss and task abort are wrong.
+    * This retires the last of the declared codec-seam stubs: image
+    * (q252), audio (q255) and multi-frame video-shaped decode all run
+    * real JDK codecs; exotic containers (mp4/mkv) would swap in an
+    * ffmpeg JNI call behind the same mapPartitions seam. */
+  def decodeVideoFrames(df: DataFrame, binCol: String,
+                        stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val schema = StructType(df.schema.fields :+
+      StructField("frame_stats", videoFrameSchema, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val frames: Seq[Row] =
+          try {
+            val bytes = r.getAs[Array[Byte]](binIdx)
+            if (bytes == null) null
+            else {
+              val reader = javax.imageio.ImageIO
+                .getImageReadersByFormatName("gif").next()
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try {
+                reader.setInput(iis, /* seekForwardOnly = */ false,
+                  /* ignoreMetadata = */ true)
+                val n = reader.getNumImages(/* allowSearch = */ true)
+                if (n <= 0) null
+                else (0 until n by stride).map { f =>
+                  val img = reader.read(f)
+                  val (w, h) = (img.getWidth, img.getHeight)
+                  var sr = 0L; var sg = 0L; var sb = 0L
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val p = img.getRGB(x, y)
+                      sr += (p >> 16) & 0xff
+                      sg += (p >> 8) & 0xff
+                      sb += p & 0xff
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  Row(n, f, w, h, sr, sg, sb)
+                }
+              } finally { reader.dispose(); iis.close() }
+            }
+          } catch { case scala.util.control.NonFatal(_) => null }
+        if (frames == null) Iterator.single(Row.fromSeq(r.toSeq :+ null))
+        else frames.iterator.map(st => Row.fromSeq(r.toSeq :+ st))
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic animated GIF: pixel (x, y) of frame `f` in
+    * clip `id` is a fixed grayscale function of (id, f, x, y). The
+    * frames are TYPE_BYTE_INDEXED over a full 256-entry grayscale
+    * palette, which the GIF color table holds EXACTLY — the round trip
+    * is lossless like PNG, so an external engine replays
+    * [[decodeVideoFrames]]'s sums from arithmetic alone (grayscale ⇒
+    * sum_r = sum_g = sum_b). The video twin of [[syntheticPng]] /
+    * [[syntheticWav]]. */
+  def syntheticGif(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val lut = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, lut, lut, lut)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until nFrames).foreach { f =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0,
+              ((id * 23 + f * 41 + x * 7 + y * 13) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
     bos.toByteArray
   }
 

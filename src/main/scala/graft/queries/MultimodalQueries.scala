@@ -4,10 +4,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Multimodal
 
-/** Multimodal-column coverage: opaque binary payloads + typed metadata.
-  * Decode itself is stubbed (see operators.Multimodal) — the Spark-side
-  * plumbing (binary columns, digests, partition-local batch transform)
-  * is real and verified.
+/** Multimodal-column coverage: opaque binary payloads + typed metadata,
+  * with REAL JDK codecs for image (q252), audio (q255) and multi-frame
+  * video-shaped containers (q259), each hash-verified against an
+  * analytic oracle; the stub codec remains only to verify the batching
+  * plumbing itself (q69) independent of any codec.
   */
 object MultimodalQueries {
 
@@ -81,7 +82,77 @@ object MultimodalQueries {
     audioRoot
   }
 
+  /** Deterministic animated-GIF fixture set for the REAL video-decode
+    * path: 60 clips with varying dimensions and frame counts whose
+    * every pixel of every frame is a fixed grayscale function of
+    * (id, f, x, y). Same content-addressed ensure discipline. */
+  private val videoRoot = "/tmp/graft_video"
+  private val videoGen = "v1-gif60"
+  private def ensureVideo(): String = synchronized {
+    val marker = java.nio.file.Paths.get(videoRoot, ".generation")
+    val stale = !java.nio.file.Files.exists(marker) ||
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") != videoGen
+    if (stale && java.nio.file.Files.exists(
+        java.nio.file.Paths.get(videoRoot))) {
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(del)
+        f.delete(): Unit
+      }
+      del(new java.io.File(videoRoot))
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(videoRoot))
+    (0 until 60).foreach { id =>
+      val p = java.nio.file.Paths.get(videoRoot, f"vid_$id%04d.gif")
+      if (!java.nio.file.Files.exists(p))
+        java.nio.file.Files.write(p,
+          Multimodal.syntheticGif(id.toLong, 6 + id % 4, 6 + id % 5,
+            4 + id % 5))
+    }
+    java.nio.file.Files.write(marker, videoGen.getBytes("UTF-8"))
+    videoRoot
+  }
+
   val defs: Map[String, Q] = Map(
+
+    // ---- REAL multi-frame video decode, analytically hash-verified ---------
+    // Every pixel of every frame of each fixture GIF is a pure grayscale
+    // function of (id, frame, x, y), and the 256-entry grayscale palette
+    // makes the container round-trip lossless — so DuckDB recomputes the
+    // decoder's exact per-frame sums, true frame counts and dimensions
+    // from arithmetic alone. Stride-2 sampling exercises the
+    // frame-directory path (skipped frames' rasters are never decoded);
+    // the hash proves the whole chain: frame encode → animated-GIF
+    // container → binaryFile read → partition-local multi-frame decode →
+    // per-frame fan-out → integer aggregation. The last codec-seam stub
+    // (video) is hereby real.
+    "q259_video_decode" -> Q(
+      (s, d) => {
+        val dir = ensureVideo()
+        val bin = s.read.format("binaryFile").load(s"$dir/*.gif")
+          .select(regexp_extract(col("path"), "vid_(\\d+)\\.gif", 1)
+            .cast("long").as("vid_id"), col("content"))
+        Multimodal.decodeVideoFrames(bin, "content", stride = 2)
+          .select(col("vid_id"),
+            col("frame_stats.n_frames").as("n_frames"),
+            col("frame_stats.frame_idx").as("frame_idx"),
+            col("frame_stats.width").as("width"),
+            col("frame_stats.height").as("height"),
+            col("frame_stats.sum_r").as("sum_gray"))
+      },
+      Some("""SELECT CAST(id AS BIGINT) AS vid_id,
+          CAST(4 + id % 5 AS INTEGER) AS n_frames,
+          CAST(f AS INTEGER) AS frame_idx,
+          CAST(6 + id % 4 AS INTEGER) AS width,
+          CAST(6 + id % 5 AS INTEGER) AS height,
+          CAST(sum((id * 23 + f * 41 + x * 7 + y * 13) % 256) AS BIGINT)
+            AS sum_gray
+        FROM range(60) t(id)
+        CROSS JOIN range(8) fs(f)
+        CROSS JOIN range(9) xs(x) CROSS JOIN range(10) ys(y)
+        WHERE f < 4 + id % 5 AND f % 2 = 0
+          AND x < 6 + id % 4 AND y < 6 + id % 5
+        GROUP BY id, f"""),
+      "REAL multi-frame decode: stride-sampled frame sums ≡ analytic replay"),
 
     // ---- REAL audio decode (javax.sound.sampled), analytically verified ----
     // Every sample of each fixture WAV is a pure function of

@@ -1053,6 +1053,43 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L) == ((4L, None, None, None, None, None)))
   }
 
+  test("decodeVideoFrames: real multi-frame GIF round trip matches "
+      + "analytic per-frame sums; stride samples; corrupt yields one "
+      + "null row") {
+    val id = 5L; val w = 7; val h = 6; val nFrames = 5
+    def gray(f: Int, x: Int, y: Int): Long =
+      (id * 23 + f * 41 + x * 7 + y * 13) % 256
+    def frameSum(f: Int): Long =
+      (0 until h).flatMap(y => (0 until w).map(x => gray(f, x, y))).sum
+    val df = Seq(
+      (1L, Multimodal.syntheticGif(id, w, h, nFrames)),
+      (2L, Array[Byte](71, 73, 70, 56, 9, 9)), // "GIF8" then garbage
+      (3L, null: Array[Byte]))
+      .toDF("vid_id", "content")
+    val out = Multimodal.decodeVideoFrames(df, "content", stride = 2)
+      .select(col("vid_id"), col("frame_stats.n_frames"),
+        col("frame_stats.frame_idx"), col("frame_stats.width"),
+        col("frame_stats.height"), col("frame_stats.sum_r"),
+        col("frame_stats.sum_g"), col("frame_stats.sum_b"))
+      .as[(Long, Option[Int], Option[Int], Option[Int], Option[Int],
+        Option[Long], Option[Long], Option[Long])]
+      .collect()
+    val good = out.filter(_._1 == 1L).sortBy(_._3)
+    // stride 2 over 5 frames: indices 0, 2, 4 — skipped frames absent
+    assert(good.map(_._3) === Seq(Some(0), Some(2), Some(4)))
+    good.foreach { r =>
+      val f = r._3.get
+      // grayscale palette: all three channel sums equal the gray sum
+      assert(r === ((1L, Some(nFrames), Some(f), Some(w), Some(h),
+        Some(frameSum(f)), Some(frameSum(f)), Some(frameSum(f)))))
+    }
+    // corrupt and null payloads: one row each, null stats, no fan-out
+    assert(out.count(_._1 == 2L) == 1)
+    assert(out.count(_._1 == 3L) == 1)
+    assert(out.filter(r => r._1 == 2L || r._1 == 3L)
+      .forall(r => r._2.isEmpty && r._3.isEmpty))
+  }
+
   test("pixel fingerprint: same picture in PNG and BMP matches, "
       + "different pictures differ, container bytes differ") {
     val png = Multimodal.syntheticImage(7L, 9, 6, "png")
