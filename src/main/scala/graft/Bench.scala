@@ -1,6 +1,67 @@
 package graft
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions.col
+
+/** Per-query executor-side counters, accumulated from task-end events.
+  * Answers the "why is q87 3× slower in-run than exclusively" question
+  * (VERDICT r9 #2) with data instead of guesses: if the in-run penalty is
+  * GC pressure inherited from earlier queries the jvmGCTime column shows
+  * it; if it's spill, the spill columns do; if neither moves, the wall
+  * gap is scheduler/CPU contention external to this query's own work.
+  *
+  * Attribution caveat: task-end events arrive on the async listener bus,
+  * so [[drainAndSnapshot]] polls until the event counter goes quiet
+  * (bounded) before reading — good to task granularity, which is what
+  * per-query attribution needs. All counters are executor-task metrics
+  * (the same fields the Spark UI sums), so they stay meaningful on a
+  * real cluster, not just local mode.
+  */
+private final class QueryMetricsListener extends SparkListener {
+  private val events = new AtomicLong
+  private val runMs, gcMs, spillMemB, spillDiskB, shufReadB, shufWriteB,
+    inputB, tasks = new AtomicLong
+  private val peakExecB = new AtomicLong
+  override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+    events.incrementAndGet()
+    val m = t.taskMetrics
+    if (m != null) {
+      tasks.incrementAndGet()
+      runMs.addAndGet(m.executorRunTime)
+      gcMs.addAndGet(m.jvmGCTime)
+      spillMemB.addAndGet(m.memoryBytesSpilled)
+      spillDiskB.addAndGet(m.diskBytesSpilled)
+      shufReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      shufWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      inputB.addAndGet(m.inputMetrics.bytesRead)
+      peakExecB.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+    }
+  }
+  /** Wait for the listener bus to go quiet (two consecutive 50 ms polls
+    * with no new task-end, ≤2 s), then return-and-zero the counters.
+    */
+  def drainAndSnapshot(): Map[String, Long] = {
+    val deadline = System.nanoTime() + 2000000000L
+    var quiet = 0
+    while (quiet < 2 && System.nanoTime() < deadline) {
+      val before = events.get(); Thread.sleep(50)
+      if (events.get() == before) quiet += 1 else quiet = 0
+    }
+    val snap = Map(
+      "tasks" -> tasks.getAndSet(0L),
+      "run_ms" -> runMs.getAndSet(0L),
+      "gc_ms" -> gcMs.getAndSet(0L),
+      "spill_mem_b" -> spillMemB.getAndSet(0L),
+      "spill_disk_b" -> spillDiskB.getAndSet(0L),
+      "shuf_read_b" -> shufReadB.getAndSet(0L),
+      "shuf_write_b" -> shufWriteB.getAndSet(0L),
+      "input_b" -> inputB.getAndSet(0L),
+      "peak_exec_b" -> peakExecB.getAndSet(0L))
+    events.set(0L)
+    snap
+  }
+}
 
 /** Benchmark main: times every SparkEntry query against
   * SPARK_GRAFT_SF_DIR with a noop sink (forces full column evaluation;
@@ -22,6 +83,8 @@ object Bench {
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter(kv => only.contains(kv._1))
     val spark = Engine.local(appName = "graft-bench")
+    val metricsListener = new QueryMetricsListener
+    spark.sparkContext.addSparkListener(metricsListener)
     // ERROR-only logging: with pass-through stdout (build.sbt
     // StdoutOutput) Spark's INFO/WARN stream interleaves in real time,
     // and shutdown-hook chatter printed AFTER the result line can push
@@ -89,14 +152,18 @@ object Bench {
         .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
       System.gc()
+      // zero the counters AFTER the reset work above so unpersist/clean
+      // task events (if any) don't bill to this query
+      metricsListener.drainAndSnapshot()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }.toMap
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, if (ok) sec else -1.0, metricsListener.drainAndSnapshot())
+    }
     // The driver captures only the LAST ~2000 chars of stdout (measured
     // from BENCH_r02.json: tail=2000, trailing sbt "[success]" banner
     // included), so a full 100+-query map (~2600 chars) truncates from
@@ -104,21 +171,30 @@ object Bench {
     // therefore carries a trimmed line — total + the 40 slowest queries,
     // which is what a plan audit reads — and bench_out.json (committed to
     // the repo) carries every query at the same precision.
+    val timings = results.map { case (n, s, _) => (n, s) }
     def fmt(v: Double): String = f"$v%.2f"
     def qmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    val failed = results.count(_._2 < 0)
+    val total = timings.collect { case (_, s) if s >= 0 => s }.sum
+    val failed = timings.count(_._2 < 0)
     def line(rs: Seq[(String, Double)], extra: String): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(rs)},"failed":$failed,"sf":"$sfDir"$extra}"""
     // failures (-1) first so they never fall off the trimmed line
-    val slowest40 = (results.toSeq.filter(_._2 < 0) ++
-      results.toSeq.filter(_._2 >= 0).sortBy(-_._2)).take(40)
+    val slowest40 = (timings.filter(_._2 < 0) ++
+      timings.filter(_._2 >= 0).sortBy(-_._2)).take(40)
     println(line(slowest40, ""","queries_full":"bench_out.json""""))
+    // bench_out.json additionally carries per-query executor metrics
+    // (task-summed run/GC/spill/shuffle/input, max peakExecutionMemory)
+    // so a wall-time anomaly can be attributed without a re-run.
+    val metricsJson = results.map { case (n, _, m) =>
+      "\"" + n + "\":" + m.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    }.sorted.mkString("{", ",", "}")
     val outPath = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(outPath),
-      line(results.toSeq.sortBy(_._1), "") + "\n")
+      line(timings.sortBy(_._1), s""","metrics":$metricsJson""") + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }
     spark.stop()
   }
