@@ -788,6 +788,54 @@ object SourceQueries {
       },
       Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"),
       "streaming lake tail: manifest-log source → exactly-once sink ≡ table"),
+
+    // ---- row-level lake change feed (CDF) ----------------------------------
+    // append (v1) → four-fate MERGE (v2) → late append (v3); the feed
+    // over (1, 3] serves v2 from the O(batch) cdc sidecar the merge
+    // wrote (update post-images, insert rows, delete PRE-images — the
+    // unit proves no table file is opened) and v3 from its delta files.
+    // The oracle recomputes every change row from orders arithmetic:
+    // the hash proves each fate lands with the right type, version tag,
+    // and values — including delete pre-images carrying v1's prices.
+    "q260_lake_cdf" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_lakecdf_q260") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 7 =!= 0)
+            .repartitionByRange(8, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"), root,
+          zoneKey = Some("o_orderkey"))
+        val batch = o
+          .filter(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"),
+            when(col("o_orderkey") % 3 === 0, lit("D"))
+              .otherwise(lit("U")).as("op"))
+        graft.sources.LakeTable.mergeInto(s, root, batch,
+          Seq("o_orderkey"), "op")
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 11 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 1), root,
+          zoneKey = Some("o_orderkey"))
+        graft.sources.LakeTable.changeFeed(s, root, 1L, 3L)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+          'update' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+        FROM orders
+        WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0 AND o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice * 2, 'insert', 2
+        FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice, 'delete', 2
+        FROM orders
+        WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice + 1, 'insert', 3
+        FROM orders WHERE o_orderkey % 11 = 0"""),
+      "row-level lake change feed: MERGE sidecar + append deltas ≡ recompute"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

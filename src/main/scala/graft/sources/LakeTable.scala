@@ -20,6 +20,9 @@ import graft.ops.Relational
   *                                    then one line per live data file:
   *                                    relpath[\tzoneKey\tlo\thi] (URL-enc)
   *   root/data/<commit-uuid>/part-*.parquet   written once, never mutated
+  *   root/cdc/<commit-uuid>/part-*.parquet    row-level change sidecar
+  *                                    (MERGE commits; #cdc header points
+  *                                    here, [[changeFeed]] serves it)
   * }}}
   *
   * - '''the schema rides the manifest''' (`#schema` header): each commit
@@ -146,6 +149,16 @@ object LakeTable {
   private def renderSchema(s: StructType): String =
     s"#schema\t${enc(s.json)}"
 
+  // #op\t<append|overwrite|merge|compact>: what KIND of commit produced
+  // the version — what [[changeFeed]] needs to serve row-level changes
+  // without diffing snapshots (append deltas are pure inserts, compact
+  // is a logical no-op, merge points at its #cdc sidecar).
+  private def renderOp(op: String): String = s"#op\t${enc(op)}"
+
+  // #cdc\t<reldir>: the commit's row-level change sidecar (written by
+  // mergeInto before the commit, immutable like data files)
+  private def renderCdc(dir: String): String = s"#cdc\t${enc(dir)}"
+
   // split with limit -1: a trailing empty field (an empty-string zone
   // value — legal for a string key whose file minimum is "") must
   // survive, and Scala's char-split drops trailing empties. Lines are
@@ -213,6 +226,20 @@ object LakeTable {
                    v: Long): Option[Long] =
     manifestLines(spark, root, v).collectFirst {
       case l if l.startsWith("#ts\t") => l.split("\t", -1)(1).toLong
+    }
+
+  /** The commit kind of version `v` (`#op` header); None for manifests
+    * written before the header existed. */
+  def opOf(spark: SparkSession, root: String, v: Long): Option[String] =
+    manifestLines(spark, root, v).collectFirst {
+      case l if l.startsWith("#op\t") => dec(l.split("\t", -1)(1))
+    }
+
+  /** The root-relative CDC sidecar dir of version `v`, if one rides the
+    * manifest (MERGE commits). */
+  def cdcOf(spark: SparkSession, root: String, v: Long): Option[String] =
+    manifestLines(spark, root, v).collectFirst {
+      case l if l.startsWith("#cdc\t") => dec(l.split("\t", -1)(1))
     }
 
   /** The highest batch id `appId` has committed, scanning manifests from
@@ -353,6 +380,74 @@ object LakeTable {
     }
   }
 
+  /** Row-level CHANGE FEED over `(fromV, toV]` — the Delta CDF read
+    * path: each row of the result is one logical change, tagged
+    * `_change_type` ∈ insert|update|delete and `_commit_version`.
+    * Cost is O(changes), NEVER a snapshot diff: MERGE versions serve
+    * their `#cdc` sidecar (written by [[mergeInto]] from data it had in
+    * hand anyway — update/insert rows from the batch, delete pre-images
+    * from the affected files), append versions serve their delta files
+    * as inserts ([[readChanges]]), compactions are logical no-ops, and
+    * overwrites surface the new content as inserts plus the replaced
+    * content as deletes (reading the replaced version — the true change
+    * volume of an overwrite). Versions written before the `#op` header
+    * existed cannot be served row-level and throw. Retention rule:
+    * every version in `[fromV, toV]` must still be retained
+    * ([[vacuum]] floor below the slowest feed consumer). Columns added
+    * by later schema evolution null-fill earlier changes (unionByName). */
+  def changeFeed(spark: SparkSession, root: String,
+                 fromV: Long, toV: Long): DataFrame = {
+    val retained = versions(spark, root)
+    val vs = retained.filter(v => v > fromV && v <= toV)
+    require(fromV == 0L || retained.contains(fromV),
+      s"changeFeed: version $fromV no longer retained under $root")
+    val parts = vs.flatMap { v =>
+      val changes = opOf(spark, root, v) match {
+        case Some("merge") =>
+          val dir = cdcOf(spark, root, v).getOrElse(
+            throw new IllegalStateException(
+              s"merge version $v carries no #cdc sidecar"))
+          // read with v's manifest schema + the change tag: robust to an
+          // EMPTY sidecar (an all-no-op batch writes no part rows to
+          // infer from) and free of footer scans like every other read
+          val sidecarSchema = schemaOf(spark, root, v).map(ts =>
+            StructType(ts.fields.map(_.copy(nullable = true)) :+
+              StructField("_change_type", StringType, nullable = true)))
+          Some(sidecarSchema match {
+            case Some(ss) => spark.read.schema(ss).parquet(s"$root/$dir")
+            case None => spark.read.parquet(s"$root/$dir")
+          })
+        case Some("append") =>
+          val prev = Some(v - 1).filter(retained.contains)
+          Some(readChanges(spark, root, prev, v)
+            .withColumn("_change_type", lit("insert")))
+        case Some("compact") => None // layout-only: no logical change
+        case Some("overwrite") =>
+          val inserts = read(spark, root, Some(v))
+            .withColumn("_change_type", lit("insert"))
+          Some(Some(v - 1).filter(retained.contains) match {
+            case Some(pv) => inserts.unionByName(
+              read(spark, root, Some(pv))
+                .withColumn("_change_type", lit("delete")),
+              allowMissingColumns = true)
+            case None => inserts
+          })
+        case other => throw new IllegalStateException(
+          s"version $v has no usable #op header ($other) — written " +
+            "before change tracking; row-level feed unavailable")
+      }
+      changes.map(_.withColumn("_commit_version", lit(v)))
+    }
+    if (parts.isEmpty) {
+      val s = schemaOf(spark, root, toV)
+        .getOrElse(read(spark, root, Some(toV)).schema)
+      val full = StructType(s.fields.map(_.copy(nullable = true)) ++ Seq(
+        StructField("_change_type", StringType, nullable = true),
+        StructField("_commit_version", LongType, nullable = true)))
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), full)
+    } else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Zone-pruned range read — the read-side complement of
     * [[mergeInto]]'s file pruning: `key BETWEEN lo AND hi` is answered
     * by opening ONLY the files whose manifest zone overlaps [lo, hi]
@@ -477,7 +572,9 @@ object LakeTable {
   private[sources] def commit(spark: SparkSession, root: String,
                               entries: Seq[FileEntry], next: Long,
                               txn: Option[(String, Long)] = None,
-                              schema: Option[StructType] = None): Long = {
+                              schema: Option[StructType] = None,
+                              op: Option[String] = None,
+                              cdc: Option[String] = None): Long = {
     val fs = hfs(spark, root)
     val p = manifestPath(root, next)
     fs.mkdirs(p.getParent)
@@ -486,6 +583,7 @@ object LakeTable {
     val out = fs.create(tmp, /* overwrite = */ false)
     try {
       out.write((Seq(renderTs(System.currentTimeMillis())) ++
+        op.map(renderOp).toSeq ++ cdc.map(renderCdc).toSeq ++
         schema.map(renderSchema).toSeq ++
         txn.map(renderTxn).toSeq ++ entries.map(renderEntry))
         .mkString("\n").getBytes("UTF-8"))
@@ -556,7 +654,7 @@ object LakeTable {
     val evolved = prevSchema.map(unionSchema(_, df.schema))
       .getOrElse(StructType(df.schema.map(_.copy(nullable = true))))
     commit(spark, root, prevEntries ++ fresh, prev.getOrElse(0L) + 1L, txn,
-      Some(evolved))
+      Some(evolved), op = Some("append"))
   }
 
   /** Idempotent streaming append: apply `df` as `appId`'s batch
@@ -584,7 +682,8 @@ object LakeTable {
     val spark = df.sparkSession
     val next = versions(spark, root).lastOption.getOrElse(0L) + 1L
     commit(spark, root, writeData(df, root, zoneKey.toSeq ++ zoneKeys), next,
-      schema = Some(StructType(df.schema.map(_.copy(nullable = true)))))
+      schema = Some(StructType(df.schema.map(_.copy(nullable = true)))),
+      op = Some("overwrite"))
   }
 
   /** File-granular copy-on-write MERGE. `updates` carries the table's
@@ -696,12 +795,33 @@ object LakeTable {
     val tableZoneKeys =
       (lead +: ents.flatMap(_.zones.map(_.key))).distinct
     val fresh = writeData(rewritten, root, tableZoneKeys)
+
+    // Row-level change sidecar (the Delta CDF write path): the merge
+    // already has every change in hand — updates/inserts from the batch,
+    // delete pre-images from the affected files being read anyway — so
+    // recording them costs one O(batch) write, and [[changeFeed]] later
+    // serves row-level changes WITHOUT diffing table snapshots. The
+    // sidecar is immutable and referenced from the manifest header; a
+    // crashed writer leaves an orphan dir that vacuum sweeps.
+    val cdcDir = s"cdc/${java.util.UUID.randomUUID().toString}"
+    val changeRows =
+      matched.filter(col(opCol) =!= "D").select(dataCols.map(col): _*)
+        .withColumn("_change_type", lit("update"))
+      .unionByName(touched
+        .join(matched.filter(col(opCol) === "D").select(keys.map(col): _*),
+          keys, "leftsemi")
+        .select(dataCols.map(col): _*)
+        .withColumn("_change_type", lit("delete")))
+      .unionByName(inserts.withColumn("_change_type", lit("insert")))
+    changeRows.write.mode("errorifexists").parquet(s"$root/$cdcDir")
+
     // schema evolves in the LOG: prev schema ∪ rewritten schema (the
     // batch's added columns). Legacy tables derive prev from footers once.
     val evolved = unionSchema(
       tableSchema.getOrElse(read(spark, root, Some(cur)).schema),
       rewritten.schema)
-    commit(spark, root, kept ++ fresh, cur + 1L, schema = Some(evolved))
+    commit(spark, root, kept ++ fresh, cur + 1L, schema = Some(evolved),
+      op = Some("merge"), cdc = Some(cdcDir))
   }
 
   /** Small-file compaction: the maintenance pass every O(delta)-append
@@ -810,7 +930,8 @@ object LakeTable {
     }
     val fresh = writeData(packed, root, keys)
     commit(spark, root, big.map(_._1) ++ fresh, cur + 1L,
-      schema = tableSchema) // content-identical: schema carries verbatim
+      schema = tableSchema, // content-identical: schema carries verbatim
+      op = Some("compact"))
   }
 
   /** Retention GC: drop manifests strictly below `keepFrom`, then delete
@@ -868,6 +989,21 @@ object LakeTable {
       fs.listStatus(dataRoot).foreach { st =>
         if (st.isDirectory && fs.listStatus(st.getPath).isEmpty)
           fs.delete(st.getPath, false)
+      }
+    }
+    // CDC sidecars unreferenced by any retained manifest (dropped
+    // versions' feeds, crashed mergers' orphans) go the same way — whole
+    // dirs, past the same grace horizon so an in-flight merge's
+    // just-written sidecar survives
+    val cdcRoot = new Path(s"$root/cdc")
+    if (fs.exists(cdcRoot)) {
+      val liveCdc = keep.flatMap(cdcOf(spark, root, _))
+        .map(d => fs.makeQualified(new Path(s"$root/$d")).toString).toSet
+      fs.listStatus(cdcRoot).foreach { st =>
+        if (st.isDirectory &&
+            !liveCdc.contains(fs.makeQualified(st.getPath).toString) &&
+            st.getModificationTime <= horizon)
+          fs.delete(st.getPath, true)
       }
     }
   }

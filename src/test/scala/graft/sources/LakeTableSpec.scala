@@ -594,6 +594,62 @@ class LakeTableSpec extends SparkSpec {
       e.zoneFor("k1").isDefined && e.zoneFor("k2").isDefined))
   }
 
+  test("changeFeed: merge sidecar + append deltas serve row-level changes "
+      + "without opening ANY pre-merge table file") {
+    val root = freshRoot()
+    LakeTable.append(
+      spark.range(0, 100).select(col("id").as("k"), (col("id") * 10).as("v"))
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      root, zoneKey = Some("k"))
+    val batch = Seq((10L, 111L, "U"), (20L, 0L, "D"), (200L, 222L, "U"))
+      .toDF("k", "v", "op")
+    LakeTable.mergeInto(spark, root, batch, Seq("k"), "op") // v2
+    LakeTable.append(
+      spark.range(300, 305).select(col("id").as("k"), (col("id") * 10).as("v")),
+      root, zoneKey = Some("k")) // v3
+    // corrupt EVERY data file of v2's manifest (kept AND rewritten):
+    // the feed over (1, 3] must serve the merge from its cdc sidecar and
+    // the append from v3's delta files only
+    LakeTable.entries(spark, root, 2L).foreach { e =>
+      Files.write(Paths.get(s"$root/${e.path}"),
+        Array.fill[Byte](64)(0), StandardOpenOption.TRUNCATE_EXISTING)
+    }
+    val feed = LakeTable.changeFeed(spark, root, 1L, 3L)
+      .select("k", "v", "_change_type", "_commit_version")
+      .as[(Long, Long, String, Long)].collect().toSet
+    val want = Set(
+      (10L, 111L, "update", 2L),
+      (20L, 200L, "delete", 2L), // pre-image: v1's value
+      (200L, 222L, "insert", 2L)) ++
+      (300L until 305L).map(k => (k, k * 10, "insert", 3L))
+    assert(feed == want)
+    // dropping the merge version sweeps its now-unreferenced sidecar
+    val cdcDir = LakeTable.cdcOf(spark, root, 2L).get
+    assert(Files.exists(Paths.get(s"$root/$cdcDir")))
+    LakeTable.vacuum(spark, root, keepFrom = 3L, orphanGraceMs = 0L)
+    assert(!Files.exists(Paths.get(s"$root/$cdcDir")))
+  }
+
+  test("changeFeed: compact is a logical no-op, overwrite emits "
+      + "inserts of the new and deletes of the replaced content") {
+    val root = freshRoot()
+    (0 until 2).foreach { i =>
+      LakeTable.append(
+        Seq((i.toLong, s"a$i")).toDF("k", "v").coalesce(1), root)
+    }
+    LakeTable.compact(spark, root, smallBytes = Long.MaxValue,
+      targetBytes = 1L << 20) // v3
+    assert(LakeTable.changeFeed(spark, root, 2L, 3L).count() == 0L)
+    LakeTable.overwrite(Seq((9L, "z")).toDF("k", "v"), root) // v4
+    val feed = LakeTable.changeFeed(spark, root, 3L, 4L)
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(feed == Set((9L, "insert"), (0L, "delete"), (1L, "delete")))
+    // vacuum to the overwrite drops the merge-free history and any
+    // unreferenced sidecars without touching the live version
+    LakeTable.vacuum(spark, root, keepFrom = 4L, orphanGraceMs = 0L)
+    assert(LakeTable.read(spark, root).count() == 1L)
+  }
+
   test("readChanges(v1, v3) ≡ read(v3) EXCEPT ALL read(v1) for an "
       + "append-only history, opening only the delta files") {
     val root = freshRoot()
