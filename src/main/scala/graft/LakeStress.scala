@@ -122,6 +122,49 @@ object LakeStress {
     val postRows = LakeTable.read(spark, root).count()
     require(preRows == postRows, s"compact changed rows $preRows -> $postRows")
 
+    // 4. row-level change feed cost tracks the CHANGES, not the table:
+    //    serving the MERGE's feed (cdc sidecar) vs recomputing the same
+    //    rows as a two-snapshot anti-join diff (the O(table) path CDF
+    //    replaces)
+    val (feedN, tFeed) = timed {
+      LakeTable.changeFeed(spark, root, 1L, 2L).count()
+    }
+    require(feedN == batchRows, s"feed $feedN != batch $batchRows")
+    val (diffN, tDiff) = timed {
+      val a = LakeTable.read(spark, root, Some(1L))
+      val b = LakeTable.read(spark, root, Some(2L))
+      b.exceptAll(a).count() + a.exceptAll(b).count()
+    }
+
+    // 5. Z-order second-key pruning: a (o_orderkey, o_custkey) Z-curve
+    //    layout must answer a NON-leading-key range by opening a small
+    //    file subset — measured as admitted-file count via the manifest
+    //    zones plus wall time vs the full-scan filter
+    val zroot = s"$base/z"
+    val (_, tZBuild) = timed {
+      LakeTable.append(big.repartition(nFiles), zroot,
+        zoneKey = Some("o_orderkey"), zoneKeys = Seq("o_custkey"))
+      LakeTable.compact(spark, zroot, smallBytes = Long.MaxValue,
+        targetBytes = 64L << 20, zoneKey = Some("o_orderkey"),
+        zoneKeys = Seq("o_custkey"))
+    }
+    val zv = LakeTable.versions(spark, zroot).last
+    val zents = LakeTable.entries(spark, zroot, zv)
+    val custSpan = o.agg(max(col("o_custkey"))).head().getLong(0)
+    val (clo, chi) = (custSpan / 4, custSpan / 4 + custSpan / 50L)
+    val admitted = zents.count { e =>
+      e.zoneFor("o_custkey").forall(z =>
+        !(z.hi.toLong < clo || z.lo.toLong > chi))
+    }
+    val (zPrunedN, tZPruned) = timed {
+      LakeTable.readRange(spark, zroot, "o_custkey", clo, chi).count()
+    }
+    val (zScanN, tZScan) = timed {
+      LakeTable.read(spark, zroot, Some(zv))
+        .filter(col("o_custkey").between(clo, chi)).count()
+    }
+    require(zPrunedN == zScanN, s"zorder pruned $zPrunedN != scan $zScanN")
+
     println(f"""
       |lake-stress @ ${factor}x $srcDir  (rows=$nRows%,d, files=$nFiles)
       |  build (clustered append)        ${tBuild}%8.2f s
@@ -130,6 +173,11 @@ object LakeStress {
       |  zone-pruned range read          ${tPruned}%8.2f s  ($prunedN%,d rows)
       |  full-scan filter (same range)   ${tScan}%8.2f s  (pruning speedup ${tScan / tPruned}%.1fx)
       |  compact 16 small appends        ${tCompact}%8.2f s  ($preCompact -> $postEnts files, rows preserved)
+      |  change feed of the MERGE        ${tFeed}%8.2f s  ($feedN%,d change rows from the cdc sidecar)
+      |  two-snapshot diff baseline      ${tDiff}%8.2f s  ($diffN%,d rows; feed speedup ${tDiff / tFeed}%.1fx)
+      |  Z-order build+compact           ${tZBuild}%8.2f s  (${zents.size} files, zones on both keys)
+      |  2nd-key range read (Z-order)    ${tZPruned}%8.2f s  ($zPrunedN%,d rows, opened $admitted/${zents.size} files)
+      |  full-scan filter (same range)   ${tZScan}%8.2f s  (pruning speedup ${tZScan / tZPruned}%.1fx)
       |""".stripMargin)
     spark.stop()
   }
