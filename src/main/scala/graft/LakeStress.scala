@@ -144,8 +144,14 @@ object LakeStress {
     val (_, tZBuild) = timed {
       LakeTable.append(big.repartition(nFiles), zroot,
         zoneKey = Some("o_orderkey"), zoneKeys = Seq("o_custkey"))
+      // target sized so the curve splits into ~nFiles rectangles — a
+      // single output file would have nothing to prune
+      val zPath = new org.apache.hadoop.fs.Path(s"$zroot/data")
+      val zfs = zPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val zBytes = math.max(1L << 20,
+        zfs.getContentSummary(zPath).getLength / nFiles)
       LakeTable.compact(spark, zroot, smallBytes = Long.MaxValue,
-        targetBytes = 64L << 20, zoneKey = Some("o_orderkey"),
+        targetBytes = zBytes, zoneKey = Some("o_orderkey"),
         zoneKeys = Seq("o_custkey"))
     }
     val zv = LakeTable.versions(spark, zroot).last

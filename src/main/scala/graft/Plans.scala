@@ -83,7 +83,10 @@ object Plans {
     "q247_lake_time_travel" -> "lake time travel: each version reads exactly its manifest's file list — no version directories copied, appends share prior files by reference",
     "q248_lake_merge" -> "lake MERGE: zone pruning from MANIFEST metadata (no data scan), only admitted files re-read + rewritten, kept files carried by reference",
     "q250_lake_zone_read" -> "lake range read: manifest zones prune the file list before the scan — the plan's scan should list only overlapping files",
-    "q251_lake_merge_evolve" -> "lake MERGE evolution: batch-added column widens the rewrite, kept files null-fill via merged footer schema")
+    "q251_lake_merge_evolve" -> "lake MERGE evolution: batch-added column widens the rewrite, kept files null-fill via merged footer schema",
+    "q256_lake_zorder" -> "Z-order lake read: NON-leading-key range served from the file subset the manifest zone rectangles admit, exact predicate re-applied on top",
+    "q257_lake_changes" -> "incremental lake read: the scan lists ONLY files later versions added — O(delta) file set, no snapshot diff",
+    "q260_lake_cdf" -> "change feed: merge rows come from the O(batch) cdc sidecar scan, append rows from delta files — no table-sized exchange anywhere")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

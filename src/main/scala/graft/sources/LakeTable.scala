@@ -702,9 +702,16 @@ object LakeTable {
     * zone metadata intact, zero data I/O. Files without stats for
     * `keys.head` (legacy manifest, different clustering key) are
     * conservatively affected.
+    *
+    * With `cdf` (default on) the merge also records its row-level
+    * changes as an O(batch) sidecar for [[changeFeed]] — update/insert
+    * rows from the batch, delete pre-images from the files it was
+    * reading anyway. `cdf = false` skips that one write for tables
+    * nobody tails.
     */
   def mergeInto(spark: SparkSession, root: String, updates: DataFrame,
-                keys: Seq[String], opCol: String): Long = {
+                keys: Seq[String], opCol: String,
+                cdf: Boolean = true): Long = {
     import spark.implicits._
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"mergeInto: no table at $root")
@@ -803,17 +810,24 @@ object LakeTable {
     // serves row-level changes WITHOUT diffing table snapshots. The
     // sidecar is immutable and referenced from the manifest header; a
     // crashed writer leaves an orphan dir that vacuum sweeps.
-    val cdcDir = s"cdc/${java.util.UUID.randomUUID().toString}"
-    val changeRows =
-      matched.filter(col(opCol) =!= "D").select(dataCols.map(col): _*)
-        .withColumn("_change_type", lit("update"))
-      .unionByName(touched
-        .join(matched.filter(col(opCol) === "D").select(keys.map(col): _*),
-          keys, "leftsemi")
-        .select(dataCols.map(col): _*)
-        .withColumn("_change_type", lit("delete")))
-      .unionByName(inserts.withColumn("_change_type", lit("insert")))
-    changeRows.write.mode("errorifexists").parquet(s"$root/$cdcDir")
+    // `cdf = false` drops the sidecar write (one O(batch) job) for
+    // tables nobody tails — [[changeFeed]] then refuses the version.
+    val cdcDir =
+      if (!cdf) None
+      else {
+        val dir = s"cdc/${java.util.UUID.randomUUID().toString}"
+        val changeRows =
+          matched.filter(col(opCol) =!= "D").select(dataCols.map(col): _*)
+            .withColumn("_change_type", lit("update"))
+          .unionByName(touched
+            .join(matched.filter(col(opCol) === "D")
+              .select(keys.map(col): _*), keys, "leftsemi")
+            .select(dataCols.map(col): _*)
+            .withColumn("_change_type", lit("delete")))
+          .unionByName(inserts.withColumn("_change_type", lit("insert")))
+        changeRows.write.mode("errorifexists").parquet(s"$root/$dir")
+        Some(dir)
+      }
 
     // schema evolves in the LOG: prev schema ∪ rewritten schema (the
     // batch's added columns). Legacy tables derive prev from footers once.
@@ -821,7 +835,7 @@ object LakeTable {
       tableSchema.getOrElse(read(spark, root, Some(cur)).schema),
       rewritten.schema)
     commit(spark, root, kept ++ fresh, cur + 1L, schema = Some(evolved),
-      op = Some("merge"), cdc = Some(cdcDir))
+      op = Some("merge"), cdc = cdcDir)
   }
 
   /** Small-file compaction: the maintenance pass every O(delta)-append

@@ -630,6 +630,23 @@ class LakeTableSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(s"$root/$cdcDir")))
   }
 
+  test("mergeInto with cdf = false writes no sidecar; changeFeed refuses "
+      + "the untracked version instead of guessing") {
+    val root = freshRoot()
+    LakeTable.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), root)
+    LakeTable.mergeInto(spark, root,
+      Seq((1L, 11L, "U")).toDF("k", "v", "op"), Seq("k"), "op",
+      cdf = false)
+    assert(LakeTable.cdcOf(spark, root, 2L).isEmpty)
+    assert(!Files.exists(Paths.get(s"$root/cdc")))
+    intercept[IllegalStateException] {
+      LakeTable.changeFeed(spark, root, 1L, 2L).count()
+    }
+    // the merge itself still landed
+    assert(LakeTable.read(spark, root).select("k", "v")
+      .as[(Long, Long)].collect().toSet == Set((1L, 11L), (2L, 20L)))
+  }
+
   test("changeFeed: compact is a logical no-op, overwrite emits "
       + "inserts of the new and deletes of the replaced content") {
     val root = freshRoot()
