@@ -101,4 +101,104 @@ object Quality {
           s"${parentKeys.mkString(",")})").as("rule"),
         col("violations"))
   }
+
+  /** DISTRIBUTED TRAINING of the logistic quality gate itself — the
+    * step upstream of q173's fixed-weight scoring: full-batch gradient
+    * descent where each iteration is ONE map-side-combined aggregation
+    * over the corpus and the only driver state is the weight vector
+    * (O(d) doubles). That is exactly how a linear gate trains over
+    * 100 TB: no parameter server, no per-row driver traffic, iteration
+    * cost = one slim-column scan.
+    *
+    * Determinism is the engineering point: floating sums depend on
+    * partition order, so a naive implementation trains different
+    * weights on every shuffle layout. Here every per-row gradient
+    * contribution quantizes to 1e-8 fixed-point and sums as an EXACT
+    * long; features and sigmoid outputs quantize to 4 dp (the q173
+    * discipline, burying libm exp ulp differences); the weight update
+    * runs in fixed-order double arithmetic and re-quantizes to 6 dp.
+    * The trained weights are therefore bit-identical under any
+    * partitioning — and replayable by an external engine running the
+    * same expression sequence (the q261 oracle unrolls the iterations
+    * as SQL CTEs).
+    *
+    * `features` are (name, column) pairs; the label column must cast to
+    * 0.0/1.0. Returns ("bias" +: names) zipped with trained weights. */
+  def trainLogistic(df: DataFrame, features: Seq[(String, Column)],
+                    label: Column, iters: Int,
+                    lr: Double): Seq[(String, Double)] = {
+    require(iters >= 1 && features.nonEmpty)
+    def q4c(c: Column): Column =
+      floor(c * 1e4 + 0.5).cast("long").cast("double") / 1e4
+    val prepared = df.select(label.cast("double").as("__y") +:
+        features.map { case (nm, c) => q4c(c).as(s"__x_$nm") }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = prepared.count() // materializes the cache; exact n
+      var w = Array.fill(features.size + 1)(0.0d)
+      for (_ <- 0 until iters) {
+        // z built LEFT-ASSOCIATIVE so the oracle's replay adds in the
+        // same order: ((w0 + w1·x1) + w2·x2) + …
+        var z: Column = lit(w(0))
+        features.zipWithIndex.foreach { case ((nm, _), j) =>
+          z = z + lit(w(j + 1)) * col(s"__x_$nm")
+        }
+        val err = q4c(lit(1.0d) / (lit(1.0d) + exp(-q4c(z)))) - col("__y")
+        val xs = lit(1.0d) +: features.map(f => col(s"__x_${f._1}"))
+        val grads = xs.map(x =>
+          sum(floor((err * x) * 1e8 + 0.5).cast("long")))
+        val g = prepared.agg(grads.head, grads.tail: _*).head()
+        w = w.zipWithIndex.map { case (wj, j) =>
+          val gj = g.getLong(j).toDouble * 1e-8 / n
+          math.floor((wj - lr * gj) * 1e6 + 0.5) / 1e6
+        }
+      }
+      ("bias" +: features.map(_._1)) zip w.toSeq
+    } finally { prepared.unpersist(); () }
+  }
+
+  /** DuckDB replay of [[trainLogistic]] — the oracle side, generated
+    * from the same iteration count so the two can never drift: feature
+    * SQL snippets mirror the Spark columns, each iteration is one CTE
+    * pair (gradient sums over `feats` × previous weights, then the
+    * fixed-order update), and the final SELECT emits (feature, weight)
+    * rows. */
+  def trainLogisticOracleSql(featureSqls: Seq[(String, String)],
+                             labelSql: String, fromWhereSql: String,
+                             iters: Int, lr: Double): String = {
+    val d = featureSqls.size
+    def q4(e: String): String =
+      s"CAST(floor(($e) * 1e4 + 0.5) AS BIGINT) / 1e4"
+    val featCols = featureSqls.zipWithIndex.map { case ((_, sql), j) =>
+      s"${q4(sql)} AS x${j + 1}" }.mkString(",\n    ")
+    val ws = (0 to d).map(j => s"w$j")
+    val z = (1 to d).foldLeft("w0")((acc, j) => s"($acc + w$j * x$j)")
+    val err = s"(${q4(s"1.0 / (1.0 + exp(-(${q4(z)})))")} - y)"
+    val xs = "1.0" +: (1 to d).map(j => s"x$j")
+    val iterCtes = (1 to iters).map { t =>
+      val gsums = xs.zipWithIndex.map { case (x, j) =>
+        s"sum(CAST(floor(($err * $x) * 1e8 + 0.5) AS BIGINT)) AS g$j"
+      }.mkString(",\n      ")
+      val upds = ws.zipWithIndex.map { case (wn, j) =>
+        s"floor(($wn - $lr * (CAST(g$j AS DOUBLE) * 1e-8 / n)) * 1e6 + 0.5) / 1e6 AS $wn"
+      }.mkString(",\n      ")
+      s"""g$t AS (SELECT count(*) AS n,
+      $gsums
+    FROM feats CROSS JOIN it${t - 1}),
+  it$t AS (SELECT
+      $upds
+    FROM g$t CROSS JOIN it${t - 1})"""
+    }.mkString(",\n  ")
+    val zeros = ws.map(wn => s"CAST(0.0 AS DOUBLE) AS $wn").mkString(", ")
+    val out = ("bias" +: featureSqls.map(_._1)).zipWithIndex.map {
+      case (nm, j) => s"SELECT '$nm' AS feature, w$j AS weight FROM it$iters"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH feats AS (
+    SELECT CAST(($labelSql) AS DOUBLE) AS y,
+    $featCols
+    $fromWhereSql),
+  it0 AS (SELECT $zeros),
+  $iterCtes
+  $out"""
+  }
 }

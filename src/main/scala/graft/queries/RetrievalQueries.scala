@@ -897,6 +897,55 @@ object RetrievalQueries {
       },
       "logistic quality gate: fixed-weight classifier as a codegen expression"),
 
+    // ---- DISTRIBUTED training of the quality gate (q173's upstream) ------
+    // Full-batch gradient descent over the corpus: per iteration ONE
+    // map-side-combined aggregation, driver state = the weight vector.
+    // Per-row gradient contributions quantize to 1e-8 fixed point and
+    // sum as exact longs, so the trained weights are bit-identical
+    // under any partitioning — and the oracle REPLAYS THE WHOLE
+    // OPTIMIZATION in DuckDB (one unrolled CTE pair per iteration,
+    // generated from the same code so the engines can't drift). The
+    // hash match proves 8 iterations of distributed training land on
+    // exactly the weights sequential SQL arithmetic computes.
+    "q261_train_quality" -> Q(
+      (s, d) => {
+        val toks = Text.tokens(col("text"))
+        val nTok = size(toks).cast("double")
+        val lenScore = least(nTok / lit(64.0d), lit(1.0d))
+        val stopRatio = size(filter(toks,
+          t => t.isin(Text.defaultStopwords: _*))).cast("double") / nTok
+        val punctRatio =
+          (length(col("text")) - length(regexp_replace(col("text"),
+            "[^a-z0-9 ]", ""))).cast("double") /
+            length(col("text")).cast("double")
+        val docs = Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+        val weights = graft.ops.Quality.trainLogistic(docs,
+          Seq("len_score" -> lenScore, "stop_ratio" -> stopRatio,
+            "punct_ratio" -> punctRatio),
+          (length(col("text")) > 200).cast("double"),
+          iters = 8, lr = 0.5)
+        import s.implicits._
+        weights.toDF("feature", "weight")
+      },
+      Some {
+        val toks = "string_split_regex(trim(text), '\\s+')"
+        val stops = Text.defaultStopwords.map(w => s"'$w'").mkString(", ")
+        val nTok = s"CAST(len($toks) AS DOUBLE)"
+        val lenScore =
+          s"least($nTok / CAST(64.0 AS DOUBLE), CAST(1.0 AS DOUBLE))"
+        val stopRatio =
+          s"CAST(len(list_filter($toks, t -> t IN ($stops))) AS DOUBLE) / $nTok"
+        val punctRatio = s"CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)"
+        graft.ops.Quality.trainLogisticOracleSql(
+          Seq("len_score" -> lenScore, "stop_ratio" -> stopRatio,
+            "punct_ratio" -> punctRatio),
+          labelSql = "length(text) > 200",
+          fromWhereSql = "FROM documents WHERE length(trim(text)) > 0",
+          iters = 8, lr = 0.5)
+      },
+      "distributed GD training of the quality gate ≡ sequential SQL replay"),
+
     // ---- per-source quality percentile gate ------------------------------
     // Real curation truncates per DOMAIN, not globally (a global cut
     // would drop entire low-register domains): keep the top half of each

@@ -391,4 +391,29 @@ class RelationalSpec extends SparkSpec {
       .collect().head
     assert(ok.getLong(2) == 0L)
   }
+
+  test("trainLogistic: weights are bit-identical under any partitioning, "
+      + "learn the separating direction, and score better than chance") {
+    import graft.ops.Quality
+    // y = 1 iff x > 0.5 — linearly separable on one feature
+    val rows = (0 until 400).map { i =>
+      val x = (i % 100) / 100.0
+      (x, if (x > 0.5) 1.0 else 0.0)
+    }
+    val df = rows.toDF("x", "y")
+    def train(parts: Int) = Quality.trainLogistic(
+      df.repartition(parts), Seq("x" -> col("x")), col("y"),
+      iters = 12, lr = 1.0)
+    val w1 = train(1)
+    val w7 = train(7)
+    // partitioning invariance is EXACT equality — the integer-sum claim
+    assert(w1 == w7)
+    val wx = w1.find(_._1 == "x").get._2
+    val bias = w1.find(_._1 == "bias").get._2
+    assert(wx > 0.0) // higher x → higher P(y=1)
+    // the trained boundary sits between the classes: P at x=0.9 above
+    // 0.5, P at x=0.1 below
+    def p(x: Double) = 1.0 / (1.0 + math.exp(-(bias + wx * x)))
+    assert(p(0.9) > 0.5 && p(0.1) < 0.5)
+  }
 }
