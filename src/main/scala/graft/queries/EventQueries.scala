@@ -122,6 +122,34 @@ object EventQueries {
         FROM events"""),
       "per-user lag(): inter-event gap seconds"),
 
+    // ---- interval attribution join (batch twin of streaming clickViewJoin) -
+    // EVERY view in the click's preceding hour, not just the latest
+    // (q77's as-of) — the exact semantics of the stream-stream
+    // time-range join in streaming/Events.clickViewJoin, whose state
+    // bound comes from the same range. Plan shape: one user_id
+    // equi-shuffle pair with the range as a join residual — no
+    // cartesian, survives heavy per-user event volumes.
+    "q262_click_attribution" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts_us").as("c_us"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"),
+            col("ts_us").as("v_us"))
+        clicks.join(views, Seq("user_id"))
+          .filter(col("v_us") >= col("c_us") - 3600000000L &&
+            col("v_us") <= col("c_us"))
+          .select(col("click_id"), col("view_id"), col("user_id"))
+      },
+      Some("""SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
+        FROM events c JOIN events v ON c.user_id = v.user_id
+        WHERE c.event_type = 'click' AND v.event_type = 'view'
+          AND epoch_us(v.ts)
+            BETWEEN epoch_us(c.ts) - 3600000000 AND epoch_us(c.ts)"""),
+      "interval attribution join: all views in the click's preceding hour"),
+
     // ---- AS-OF join: most recent view before each click ----------------------
     // One shuffle union+window as-of (Relational.asofJoin) — the pair-free
     // temporal join shape that survives heavy per-user event volumes.
