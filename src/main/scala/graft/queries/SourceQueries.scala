@@ -822,7 +822,11 @@ object SourceQueries {
         graft.sources.LakeTable.changeFeed(s, root, 1L, 3L)
       },
       Some("""SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
-          'update' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+          'update_postimage' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+        FROM orders
+        WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0 AND o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice, 'update_preimage', 2
         FROM orders
         WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0 AND o_orderkey % 7 <> 0
         UNION ALL
@@ -836,6 +840,78 @@ object SourceQueries {
         SELECT o_orderkey, o_custkey, o_totalprice + 1, 'insert', 3
         FROM orders WHERE o_orderkey % 11 = 0"""),
       "row-level lake change feed: MERGE sidecar + append deltas ≡ recompute"),
+
+    // ---- incremental MV maintenance from the change feed -------------------
+    // The O(changes) payoff of shipping both update images: a grouped
+    // count/sum view built at v1 folds the feed of (1, 3] —
+    // +insert +update_postimage −update_preimage −delete, in exact
+    // fixed-point — and must land on EXACTLY the aggregate of the final
+    // table, which the oracle recomputes from scratch. The view never
+    // rescans the table after v1; refresh cost is the churn. (The
+    // streaming form is LakeStream.tailChangeFeed feeding the same
+    // fold per micro-batch.)
+    "q263_lake_cdf_mv" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_lakemv_q263") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 7 =!= 0)
+            .repartitionByRange(8, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"), root,
+          zoneKey = Some("o_orderkey"))
+        val batch = o
+          .filter(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"),
+            when(col("o_orderkey") % 3 === 0, lit("D"))
+              .otherwise(lit("U")).as("op"))
+        graft.sources.LakeTable.mergeInto(s, root, batch,
+          Seq("o_orderkey"), "op")
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 11 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 1), root,
+          zoneKey = Some("o_orderkey"))
+        def fx(c: org.apache.spark.sql.Column) =
+          floor(c * 10000d + 0.5d).cast("long")
+        val base = graft.sources.LakeTable.read(s, root, Some(1L))
+          .groupBy((col("o_custkey") % 7).as("grp"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(fx(col("o_totalprice"))).as("sum_fx"))
+        val feed = graft.sources.LakeTable.changeFeed(s, root, 1L, 3L)
+          .withColumn("__sign",
+            when(col("_change_type").isin("insert", "update_postimage"),
+              1L).otherwise(-1L))
+        val delta = feed.groupBy((col("o_custkey") % 7).as("grp"))
+          .agg(sum(col("__sign")).as("d_cnt"),
+            sum(col("__sign") * fx(col("o_totalprice"))).as("d_fx"))
+        base.join(delta, Seq("grp"), "full_outer")
+          .select(col("grp"),
+            (coalesce(col("cnt"), lit(0L)) +
+              coalesce(col("d_cnt"), lit(0L))).as("cnt"),
+            ((coalesce(col("sum_fx"), lit(0L)) +
+              coalesce(col("d_fx"), lit(0L))).cast("double") / 10000d)
+              .as("sum_price"))
+          .filter(col("cnt") > 0)
+      },
+      Some("""WITH final AS (
+          SELECT o_custkey,
+            CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                 ELSE o_totalprice END AS p
+          FROM orders
+          WHERE o_orderkey % 7 <> 0
+            AND NOT (o_orderkey % 5 = 0 AND o_orderkey % 3 = 0)
+          UNION ALL
+          SELECT o_custkey, o_totalprice * 2 FROM orders
+          WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
+          UNION ALL
+          SELECT o_custkey, o_totalprice + 1 FROM orders
+          WHERE o_orderkey % 11 = 0)
+        SELECT o_custkey % 7 AS grp, count(*) AS cnt,
+          CAST(sum(CAST(floor(p * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000
+            AS sum_price
+        FROM final GROUP BY 1"""),
+      "MV maintained from the CDF fold ≡ from-scratch aggregate of the table"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

@@ -382,7 +382,11 @@ object LakeTable {
 
   /** Row-level CHANGE FEED over `(fromV, toV]` — the Delta CDF read
     * path: each row of the result is one logical change, tagged
-    * `_change_type` ∈ insert|update|delete and `_commit_version`.
+    * `_change_type` ∈ insert | update_preimage | update_postimage |
+    * delete and `_commit_version`. Both update images ship (from data
+    * the merge had in hand), so the feed FOLDS INTO AGGREGATES:
+    * maintained_sum += insert + update_postimage − update_preimage −
+    * delete, the O(changes) incremental-view-maintenance input.
     * Cost is O(changes), NEVER a snapshot diff: MERGE versions serve
     * their `#cdc` sidecar (written by [[mergeInto]] from data it had in
     * hand anyway — update/insert rows from the batch, delete pre-images
@@ -812,16 +816,25 @@ object LakeTable {
     // crashed writer leaves an orphan dir that vacuum sweeps.
     // `cdf = false` drops the sidecar write (one O(batch) job) for
     // tables nobody tails — [[changeFeed]] then refuses the version.
+    // Updates emit BOTH images (the Delta CDF convention): the
+    // pre-image comes from the affected files the merge reads anyway,
+    // and together the pair makes the feed fold into aggregates —
+    // maintained_sum += post − pre — without consulting the table.
     val cdcDir =
       if (!cdf) None
       else {
         val dir = s"cdc/${java.util.UUID.randomUUID().toString}"
+        val updKeys = matched.filter(col(opCol) =!= "D")
+          .select(keys.map(col): _*)
+        val delKeys = matched.filter(col(opCol) === "D")
+          .select(keys.map(col): _*)
         val changeRows =
           matched.filter(col(opCol) =!= "D").select(dataCols.map(col): _*)
-            .withColumn("_change_type", lit("update"))
-          .unionByName(touched
-            .join(matched.filter(col(opCol) === "D")
-              .select(keys.map(col): _*), keys, "leftsemi")
+            .withColumn("_change_type", lit("update_postimage"))
+          .unionByName(touched.join(updKeys, keys, "leftsemi")
+            .select(dataCols.map(col): _*)
+            .withColumn("_change_type", lit("update_preimage")))
+          .unionByName(touched.join(delKeys, keys, "leftsemi")
             .select(dataCols.map(col): _*)
             .withColumn("_change_type", lit("delete")))
           .unionByName(inserts.withColumn("_change_type", lit("insert")))

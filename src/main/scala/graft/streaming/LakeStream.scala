@@ -41,11 +41,13 @@ import graft.sources.LakeTable
   */
 object LakeStream {
 
-  def tail(spark: SparkSession, root: String, checkpoint: String,
-           trigger: Trigger = Trigger.AvailableNow())
-          (fn: (DataFrame, Long) => Unit): StreamingQuery = {
-    val manifests = spark.readStream.text(s"$root/_log/*.manifest")
-    manifests.writeStream
+  /** The shared skeleton: watch the manifest glob, map each micro-batch
+    * to the sorted list of NEW version numbers it delivered, hand them
+    * to `fn` with the stream's batch id. */
+  private def tailVersions(spark: SparkSession, root: String,
+                           checkpoint: String, trigger: Trigger)
+                          (fn: (Seq[Long], Long) => Unit): StreamingQuery =
+    spark.readStream.text(s"$root/_log/*.manifest").writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -54,25 +56,46 @@ object LakeStream {
           .collect()
           .map(r => new Path(r.getString(0)).getName
             .stripSuffix(".manifest").toLong)
-          .sorted
-        if (vs.nonEmpty) {
-          val retained = LakeTable.versions(spark, root).toSet
-          val newFiles = vs.flatMap { v =>
-            // predecessor vacuumed (or v == 1): bootstrap — the whole
-            // manifest is new to this consumer
-            val prev = Some(v - 1).filter(retained.contains)
-            LakeTable.changedFiles(spark, root, prev, v)
-          }.distinct.map(p => s"$root/$p")
-          if (newFiles.nonEmpty) {
-            val rows = LakeTable.schemaOf(spark, root, vs.max) match {
-              case Some(s) => spark.read.schema(s).parquet(newFiles: _*)
-              case None => spark.read.option("mergeSchema", "true")
-                .parquet(newFiles: _*)
-            }
-            fn(rows, batchId)
-          }
-        }
+          .sorted.toSeq
+        if (vs.nonEmpty) fn(vs, batchId)
       }
       .start()
-  }
+
+  def tail(spark: SparkSession, root: String, checkpoint: String,
+           trigger: Trigger = Trigger.AvailableNow())
+          (fn: (DataFrame, Long) => Unit): StreamingQuery =
+    tailVersions(spark, root, checkpoint, trigger) { (vs, batchId) =>
+      val retained = LakeTable.versions(spark, root).toSet
+      val newFiles = vs.flatMap { v =>
+        // predecessor vacuumed (or v == 1): bootstrap — the whole
+        // manifest is new to this consumer
+        val prev = Some(v - 1).filter(retained.contains)
+        LakeTable.changedFiles(spark, root, prev, v)
+      }.distinct.map(p => s"$root/$p")
+      if (newFiles.nonEmpty) {
+        val rows = LakeTable.schemaOf(spark, root, vs.max) match {
+          case Some(s) => spark.read.schema(s).parquet(newFiles: _*)
+          case None => spark.read.option("mergeSchema", "true")
+            .parquet(newFiles: _*)
+        }
+        fn(rows, batchId)
+      }
+    }
+
+  /** Row-level streaming tail: each micro-batch hands `fn` the
+    * [[LakeTable.changeFeed]] of exactly its new versions — tagged
+    * insert / update_preimage / update_postimage / delete rows, the
+    * O(changes) input for continuously maintaining a downstream
+    * aggregate or replica off a lake table that takes MERGES, not just
+    * appends (where [[tail]]'s file-level delta suffices). Same
+    * exactly-once recipe: Spark's file-source checkpoint owns the
+    * offsets; pair `fn` with a txn-tagged sink keyed on the batch id.
+    * Every version in the batch must carry change tracking (`#op` +
+    * merge sidecars) — [[LakeTable.changeFeed]] throws otherwise. */
+  def tailChangeFeed(spark: SparkSession, root: String, checkpoint: String,
+                     trigger: Trigger = Trigger.AvailableNow())
+                    (fn: (DataFrame, Long) => Unit): StreamingQuery =
+    tailVersions(spark, root, checkpoint, trigger) { (vs, batchId) =>
+      fn(LakeTable.changeFeed(spark, root, vs.min - 1, vs.max), batchId)
+    }
 }

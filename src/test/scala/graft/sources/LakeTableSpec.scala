@@ -618,7 +618,8 @@ class LakeTableSpec extends SparkSpec {
       .select("k", "v", "_change_type", "_commit_version")
       .as[(Long, Long, String, Long)].collect().toSet
     val want = Set(
-      (10L, 111L, "update", 2L),
+      (10L, 100L, "update_preimage", 2L),  // v1's value
+      (10L, 111L, "update_postimage", 2L),
       (20L, 200L, "delete", 2L), // pre-image: v1's value
       (200L, 222L, "insert", 2L)) ++
       (300L until 305L).map(k => (k, k * 10, "insert", 3L))

@@ -45,6 +45,38 @@ class LakeStreamSpec extends SparkSpec {
     assert(shipped.sum == 4L && dstKeys == Set(1L, 2L, 3L, 9L))
   }
 
+  test("tailChangeFeed: ships each version's row-level changes exactly "
+      + "once, both update images included") {
+    val base = Files.createTempDirectory("lakestream3").toString
+    val src = s"$base/src"
+    val ckpt = s"$base/ckpt"
+    LakeTable.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), src)
+    LakeTable.mergeInto(spark, src,
+      Seq((1L, 11L, "U"), (2L, 0L, "D"), (3L, 30L, "U")).toDF("k", "v", "op"),
+      Seq("k"), "op")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long)]
+    def run(): Unit = {
+      val q = LakeStream.tailChangeFeed(spark, src, ckpt) { (df, _) =>
+        got ++= df.select("k", "v", "_change_type", "_commit_version")
+          .as[(Long, Long, String, Long)].collect()
+        ()
+      }
+      q.awaitTermination()
+    }
+    run()
+    assert(got.toSet == Set(
+      (1L, 10L, "insert", 1L), (2L, 20L, "insert", 1L),
+      (1L, 10L, "update_preimage", 2L), (1L, 11L, "update_postimage", 2L),
+      (2L, 20L, "delete", 2L), (3L, 30L, "insert", 2L)))
+    // restart: a further merge ships ONLY its own changes
+    val before = got.size
+    LakeTable.mergeInto(spark, src,
+      Seq((3L, 33L, "U")).toDF("k", "v", "op"), Seq("k"), "op")
+    run()
+    assert(got.drop(before).toSet == Set(
+      (3L, 30L, "update_preimage", 3L), (3L, 33L, "update_postimage", 3L)))
+  }
+
   test("tail: starting against an empty log, commits arriving later are "
       + "picked up") {
     val base = Files.createTempDirectory("lakestream2").toString
