@@ -83,4 +83,33 @@ object Aggregators {
       def outputEncoder: Encoder[Map[String, Long]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
     }
+
+  /** Distributed Bloom-filter build over pre-hashed values (xxhash64 of
+    * the indexed column), one filter per group — the per-FILE secondary
+    * index [[graft.sources.LakeTable]] rides in its manifest sidecars.
+    * Spark's own sketch (`org.apache.spark.util.sketch.BloomFilter`, the
+    * `df.stat.bloomFilter` implementation) does the bit math; the
+    * aggregator only threads it through partial aggregation, where
+    * map-side filters OR-merge before the shuffle — the filter, not the
+    * values, crosses the wire. Buffers live as objects inside the hash
+    * aggregate (Java serialization only at shuffle boundaries). */
+  def bloomAgg(expectedItems: Long, fpp: Double)
+      : Aggregator[Long, org.apache.spark.util.sketch.BloomFilter,
+        Array[Byte]] =
+    new Aggregator[Long, org.apache.spark.util.sketch.BloomFilter,
+        Array[Byte]] {
+      import org.apache.spark.util.sketch.BloomFilter
+      def zero: BloomFilter = BloomFilter.create(expectedItems, fpp)
+      def reduce(b: BloomFilter, h: Long): BloomFilter = { b.putLong(h); b }
+      def merge(a: BloomFilter, b: BloomFilter): BloomFilter =
+        a.mergeInPlace(b)
+      def finish(b: BloomFilter): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream()
+        b.writeTo(out)
+        out.toByteArray
+      }
+      def bufferEncoder: Encoder[BloomFilter] =
+        Encoders.javaSerialization[BloomFilter]
+      def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    }
 }

@@ -912,6 +912,106 @@ object SourceQueries {
             AS sum_price
         FROM final GROUP BY 1"""),
       "MV maintained from the CDF fold ≡ from-scratch aggregate of the table"),
+
+    // ---- lake DELETE: predicate-derived file skipping ----------------------
+    // `DELETE WHERE key-range AND residual` over a key-clustered lake
+    // table: the range conjunct is mined from the parsed predicate and
+    // judged against manifest zones, so only overlapping files are read
+    // and rewritten (LakeTableSpec pins the strict subset via the
+    // corrupted-file trick); the residual conjunct applies row-level
+    // inside them. The oracle deletes from the plain table with the same
+    // predicate text, so the hash proves SQL DELETE semantics exactly —
+    // including boundary rows and residual-false survivors.
+    "q264_lake_delete" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_laked_q264") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.repartitionByRange(8, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"), root,
+          zoneKey = Some("o_orderkey"))
+        graft.sources.LakeTable.deleteWhere(s, root,
+          "o_orderkey BETWEEN 1000 AND 20000 AND o_orderstatus = 'O'")
+        graft.sources.LakeTable.read(s, root)
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE NOT (o_orderkey BETWEEN 1000 AND 20000
+          AND o_orderstatus = 'O')"""),
+      "lake DELETE: zone-mined predicate skips files, SQL semantics exact"),
+
+    // ---- lake UPDATE: copy-on-write assignments, feed-verified -------------
+    // `UPDATE SET price = price * 1.5 WHERE key-range` rewrites only the
+    // zone-overlapping files; the result re-reads the table AND folds
+    // the update's change feed (post − pre per customer group) so the
+    // one hash proves both the table content and that the sidecar's two
+    // images reproduce the delta exactly.
+    "q265_lake_update" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_lakeu_q265") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.repartitionByRange(8, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"), root,
+          zoneKey = Some("o_orderkey"))
+        graft.sources.LakeTable.updateWhere(s, root,
+          "o_orderkey BETWEEN 2000 AND 30000",
+          Map("o_totalprice" -> "o_totalprice * 1.5"))
+        val table = graft.sources.LakeTable.read(s, root)
+          .groupBy((col("o_custkey") % 5).as("grp"))
+          .agg(count(lit(1)).as("n_rows"),
+            xsum4(col("o_totalprice")).as("sum_price"))
+        // post − pre, each image quantized independently (the exact
+        // doubles the oracle's CASE recomputes) — never their raw
+        // difference, whose last-ulp rounding differs from 0.5·p
+        val feedDelta = graft.sources.LakeTable.changeFeed(s, root, 1L, 2L)
+          .groupBy((col("o_custkey") % 5).as("grp"))
+          .agg((xsum4(when(col("_change_type") === "update_postimage",
+              col("o_totalprice"))) -
+            xsum4(when(col("_change_type") === "update_preimage",
+              col("o_totalprice")))).as("feed_delta"))
+        table.join(feedDelta, Seq("grp"), "left")
+          .select(col("grp"), col("n_rows"), col("sum_price"),
+            coalesce(col("feed_delta"), lit(0d)).as("feed_delta"))
+      },
+      Some(s"""SELECT o_custkey % 5 AS grp, count(*) AS n_rows,
+          ${XSUM4("CASE WHEN o_orderkey BETWEEN 2000 AND 30000 " +
+            "THEN o_totalprice * 1.5 ELSE o_totalprice END")} AS sum_price,
+          coalesce(${XSUM4("CASE WHEN o_orderkey BETWEEN 2000 AND 30000 " +
+            "THEN o_totalprice * 1.5 END")} -
+            ${XSUM4("CASE WHEN o_orderkey BETWEEN 2000 AND 30000 " +
+              "THEN o_totalprice END")}, 0) AS feed_delta
+        FROM orders GROUP BY 1"""),
+      "lake UPDATE: zone-skipped rewrite; table + folded CDF images ≡ direct"),
+
+    // ---- lake Bloom index: point lookups on a NON-clustered column ---------
+    // The table clusters (and zones) on o_orderkey, so every file's
+    // o_custkey range spans ~the whole domain — zones prune nothing for
+    // a customer lookup. The per-file Bloom sidecar written with the
+    // append does: membership tests over file-count-sized metadata name
+    // the files that might hold the customer, only those are opened
+    // (LakeTableSpec pins the strict subset via the corrupted-file
+    // trick), and the exact predicate re-applies. Three lookups union;
+    // the oracle is a direct IN filter.
+    "q266_lake_bloom_point" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_lakeb_q266") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.repartitionByRange(8, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"), root,
+          zoneKey = Some("o_orderkey"), bloomKeys = Seq("o_custkey"),
+          bloomExpectedPerFile = 1L << 14)
+        Seq(7L, 331L, 1001L)
+          .map(c => graft.sources.LakeTable.readPoint(
+            s, root, "o_custkey", c))
+          .reduce(_.unionByName(_))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_custkey IN (7, 331, 1001)"""),
+      "Bloom-index point lookups on a non-clustered column ≡ direct filter"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

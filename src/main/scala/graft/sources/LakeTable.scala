@@ -159,6 +159,11 @@ object LakeTable {
   // mergeInto before the commit, immutable like data files)
   private def renderCdc(dir: String): String = s"#cdc\t${enc(dir)}"
 
+  // #idx\t<reldir>: a per-file Bloom-index sidecar dir (repeatable —
+  // each indexed commit adds one; readers union them and join on the
+  // version's live files, so stale rows for rewritten files are inert)
+  private def renderIdx(dir: String): String = s"#idx\t${enc(dir)}"
+
   // split with limit -1: a trailing empty field (an empty-string zone
   // value — legal for a string key whose file minimum is "") must
   // survive, and Scala's char-split drops trailing empties. Lines are
@@ -240,6 +245,13 @@ object LakeTable {
   def cdcOf(spark: SparkSession, root: String, v: Long): Option[String] =
     manifestLines(spark, root, v).collectFirst {
       case l if l.startsWith("#cdc\t") => dec(l.split("\t", -1)(1))
+    }
+
+  /** ALL Bloom-index sidecar dirs version `v` references (`#idx`
+    * headers, repeatable — one per indexed commit still live). */
+  def idxOf(spark: SparkSession, root: String, v: Long): Seq[String] =
+    manifestLines(spark, root, v).collect {
+      case l if l.startsWith("#idx\t") => dec(l.split("\t", -1)(1))
     }
 
   /** The highest batch id `appId` has committed, scanning manifests from
@@ -407,10 +419,10 @@ object LakeTable {
       s"changeFeed: version $fromV no longer retained under $root")
     val parts = vs.flatMap { v =>
       val changes = opOf(spark, root, v) match {
-        case Some("merge") =>
+        case Some(op) if op == "merge" || op == "delete" || op == "update" =>
           val dir = cdcOf(spark, root, v).getOrElse(
             throw new IllegalStateException(
-              s"merge version $v carries no #cdc sidecar"))
+              s"$op version $v carries no #cdc sidecar"))
           // read with v's manifest schema + the change tag: robust to an
           // EMPTY sidecar (an all-no-op batch writes no part rows to
           // infer from) and free of footer scans like every other read
@@ -425,7 +437,8 @@ object LakeTable {
           val prev = Some(v - 1).filter(retained.contains)
           Some(readChanges(spark, root, prev, v)
             .withColumn("_change_type", lit("insert")))
-        case Some("compact") => None // layout-only: no logical change
+        case Some("compact") => None  // layout-only: no logical change
+        case Some("reindex") => None  // metadata-only: no logical change
         case Some("overwrite") =>
           val inserts = read(spark, root, Some(v))
             .withColumn("_change_type", lit("insert"))
@@ -508,6 +521,115 @@ object LakeTable {
     base.filter(col(key) >= lit(lo) && col(key) <= lit(hi))
   }
 
+  /** Bloom-pruned point lookup — `key = value` answered by opening only
+    * the files that MIGHT hold the value. Zones prune range-wise first
+    * (free when `key` is the clustering column); the per-file Bloom
+    * sidecars then prune within the survivors — which is where the
+    * index earns its keep: on a HIGH-CARDINALITY column that is NOT the
+    * clustering key, every file's zone spans the whole domain and zones
+    * prune nothing, while a 1% -fpp Bloom skips ~99% of non-holding
+    * files. The membership test runs over the sidecar rows (file-count-
+    * sized metadata, one slim job — data files stay closed); files
+    * without a sidecar row (unindexed commits, rewrites since the last
+    * [[reindex]]) are conservatively read. The exact predicate
+    * re-applies on top, so false positives cost I/O, never correctness.
+    */
+  def readPoint(spark: SparkSession, root: String, key: String, value: Any,
+                version: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions under $root")
+    val v = version.getOrElse(vs.last)
+    val ents = entries(spark, root, v)
+    val schema = schemaOf(spark, root, v)
+
+    // zone admission for the equality (reuses the DML pruning path)
+    val eq = org.apache.spark.sql.catalyst.expressions.EqualTo(
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(key),
+      org.apache.spark.sql.catalyst.expressions.Literal(value))
+    val (zoneAdmitted, _) = splitByPredicate(spark, ents, schema, eq)
+
+    // Bloom admission: hash the probe EXACTLY as the build hashed the
+    // column — xxhash64 of the value AT THE TABLE COLUMN'S TYPE (an Int
+    // probe against a Long column must widen before hashing or the
+    // filter would wrongly report absence). No manifest schema → no
+    // type to trust → skip Bloom pruning (conservative).
+    val idxDirs = idxOf(spark, root, v)
+    val colType = schema.flatMap(_.fields.find(_.name == key)
+      .map(_.dataType))
+    val bloomAdmitted: Set[String] = (idxDirs.nonEmpty, colType) match {
+      case (true, Some(dt)) =>
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+        val castVal = Cast(Literal(value), dt).eval(null)
+        if (castVal == null) ents.map(_.path).toSet // unprobable: admit all
+        else {
+          // seed 42 = functions.xxhash64's, the build-side hash
+          val h = XxHash64(Seq(Literal(castVal, dt)), 42L).eval(null)
+            .asInstanceOf[Long]
+          val live = ents.map(_.path).toSet
+          val rows = spark.read
+            .parquet(idxDirs.map(d => s"$root/$d"): _*)
+            .filter(col("col") === key)
+            .select("file", "bloom").collect() // file-count-bounded rows;
+          // driver-side test keeps this a metadata operation (no UDF in
+          // any data path) — at extreme file counts move it to a job
+          val indexed = rows.map(_.getString(0)).toSet
+          val hits = rows.filter { r =>
+            val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            bf.mightContainLong(h)
+          }.map(_.getString(0)).toSet
+          hits ++ (live -- indexed) // unindexed files: conservative
+        }
+      case _ => ents.map(_.path).toSet
+    }
+
+    val files = zoneAdmitted.map(_.path).filter(bloomAdmitted)
+    readFiles(spark, root, files, schema, v)
+      .filter(col(key) === lit(value))
+  }
+
+  /** Build Bloom rows for the live files that LACK them (rewrites since
+    * the last indexing pass, pre-index commits) — the index maintenance
+    * op, O(unindexed files) I/O. Publishes one new sidecar plus a
+    * same-entries manifest referencing it; a fully-indexed table is a
+    * version-preserving no-op. `cols` defaults to every column already
+    * indexed somewhere in the table. */
+  def reindex(spark: SparkSession, root: String,
+              cols: Seq[String] = Seq.empty,
+              expectedPerFile: Long = 1L << 20,
+              fpp: Double = 0.01): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"reindex: no table at $root")
+    val cur = vs.last
+    val ents = entries(spark, root, cur)
+    val idxDirs = idxOf(spark, root, cur)
+    val indexedCols =
+      if (cols.nonEmpty) cols.distinct
+      else if (idxDirs.isEmpty) Seq.empty
+      else spark.read.parquet(idxDirs.map(d => s"$root/$d"): _*)
+        .select("col").distinct().collect().map(_.getString(0)).toSeq
+    if (indexedCols.isEmpty) return cur
+    val live = ents.map(_.path).toSet
+    // a file is covered once it has a row for EVERY target column
+    val covered: Set[String] =
+      if (idxDirs.isEmpty) Set.empty
+      else spark.read.parquet(idxDirs.map(d => s"$root/$d"): _*)
+        .filter(col("col").isin(indexedCols: _*))
+        .groupBy("file").agg(count_distinct(col("col")).as("n"))
+        .filter(col("n") === indexedCols.length)
+        .select("file").collect().map(_.getString(0)).toSet
+    val missing = ents.map(_.path).filter(p => live(p) && !covered(p))
+    if (missing.isEmpty) cur
+    else {
+      val fresh = writeBloomIndex(spark, root, missing, indexedCols,
+        expectedPerFile, fpp)
+      if (fresh.isEmpty) cur
+      else commit(spark, root, ents, cur + 1L,
+        schema = schemaOf(spark, root, cur), op = Some("reindex"),
+        idx = idxDirs ++ fresh.toSeq)
+    }
+  }
+
   /** Zone stats are recorded only for types whose toString render
     * round-trips through a string cast (atomic orderable types). */
   private def zoneSupported(dt: DataType): Boolean = dt match {
@@ -563,6 +685,50 @@ object LakeTable {
     }
   }
 
+  /** Root-relative `data/<commit>/<name>` of the file each row came
+    * from — recomputed from `input_file_name` so sidecar rows key on the
+    * same strings the manifest entries carry. */
+  private def relFileCol: org.apache.spark.sql.Column = {
+    val parts = split(input_file_name(), "/")
+    concat(lit("data/"), element_at(parts, -2), lit("/"),
+      element_at(parts, -1))
+  }
+
+  /** Build one Bloom-index sidecar over `rels` (live data files): for
+    * every listed column present in the files, a (file, col, bloom) row
+    * whose filter holds xxhash64 of the column's non-null values in that
+    * file. The build is one slim-column scan of exactly those files —
+    * map-side partial aggregation merges filters BEFORE the shuffle, so
+    * only file-count-many filters (not values) cross the wire. Returns
+    * the sidecar's root-relative dir, or None when no listed column
+    * exists in the data. */
+  private def writeBloomIndex(spark: SparkSession, root: String,
+                              rels: Seq[String], cols: Seq[String],
+                              expectedPerFile: Long,
+                              fpp: Double): Option[String] = {
+    import spark.implicits._
+    if (rels.isEmpty) return None
+    val data = spark.read.parquet(rels.map(r => s"$root/$r"): _*)
+    val present = cols.distinct.filter(data.schema.fieldNames.contains)
+    if (present.isEmpty) None
+    else {
+      val agg = graft.functions.Aggregators
+        .bloomAgg(expectedPerFile, fpp).toColumn
+      val parts = present.map { c =>
+        data.filter(col(c).isNotNull)
+          .select(relFileCol.as("file"), xxhash64(col(c)).as("h"))
+          .as[(String, Long)]
+          .groupByKey(_._1).mapValues(_._2).agg(agg)
+          .map { case (f, b) => (f, c, b) }
+          .toDF("file", "col", "bloom")
+      }
+      val dir = s"idx/${java.util.UUID.randomUUID().toString}"
+      parts.reduce(_.unionByName(_)).coalesce(1)
+        .write.mode("errorifexists").parquet(s"$root/$dir")
+      Some(dir)
+    }
+  }
+
   /** Atomically publish `entries` as version `next`. The manifest body is
     * fully written (and flushed) to a dot-hidden temp file first, then
     * moved to its final name with an atomic no-overwrite primitive:
@@ -578,7 +744,8 @@ object LakeTable {
                               txn: Option[(String, Long)] = None,
                               schema: Option[StructType] = None,
                               op: Option[String] = None,
-                              cdc: Option[String] = None): Long = {
+                              cdc: Option[String] = None,
+                              idx: Seq[String] = Seq.empty): Long = {
     val fs = hfs(spark, root)
     val p = manifestPath(root, next)
     fs.mkdirs(p.getParent)
@@ -588,6 +755,7 @@ object LakeTable {
     try {
       out.write((Seq(renderTs(System.currentTimeMillis())) ++
         op.map(renderOp).toSeq ++ cdc.map(renderCdc).toSeq ++
+        idx.distinct.map(renderIdx) ++
         schema.map(renderSchema).toSeq ++
         txn.map(renderTxn).toSeq ++ entries.map(renderEntry))
         .mkString("\n").getBytes("UTF-8"))
@@ -648,7 +816,10 @@ object LakeTable {
   def append(df: DataFrame, root: String,
              zoneKey: Option[String] = None,
              txn: Option[(String, Long)] = None,
-             zoneKeys: Seq[String] = Seq.empty): Long = {
+             zoneKeys: Seq[String] = Seq.empty,
+             bloomKeys: Seq[String] = Seq.empty,
+             bloomExpectedPerFile: Long = 1L << 20,
+             bloomFpp: Double = 0.01): Long = {
     val spark = df.sparkSession
     val prev = versions(spark, root).lastOption
     val prevEntries = prev.map(entries(spark, root, _)).getOrElse(Seq.empty)
@@ -657,8 +828,15 @@ object LakeTable {
     val fresh = writeData(df, root, zoneKey.toSeq ++ zoneKeys)
     val evolved = prevSchema.map(unionSchema(_, df.schema))
       .getOrElse(StructType(df.schema.map(_.copy(nullable = true))))
+    // Bloom sidecar over the delta just written (never the table); the
+    // new manifest carries the previous version's sidecars forward
+    val freshIdx =
+      if (bloomKeys.isEmpty) None
+      else writeBloomIndex(spark, root, fresh.map(_.path), bloomKeys,
+        bloomExpectedPerFile, bloomFpp)
+    val prevIdx = prev.map(idxOf(spark, root, _)).getOrElse(Seq.empty)
     commit(spark, root, prevEntries ++ fresh, prev.getOrElse(0L) + 1L, txn,
-      Some(evolved), op = Some("append"))
+      Some(evolved), op = Some("append"), idx = prevIdx ++ freshIdx.toSeq)
   }
 
   /** Idempotent streaming append: apply `df` as `appId`'s batch
@@ -848,7 +1026,266 @@ object LakeTable {
       tableSchema.getOrElse(read(spark, root, Some(cur)).schema),
       rewritten.schema)
     commit(spark, root, kept ++ fresh, cur + 1L, schema = Some(evolved),
-      op = Some("merge"), cdc = cdcDir)
+      op = Some("merge"), cdc = cdcDir, idx = idxOf(spark, root, cur))
+  }
+
+  // -----------------------------------------------------------------------
+  // Predicate-derived file skipping + row-level DML (DELETE / UPDATE)
+  // -----------------------------------------------------------------------
+
+  /** One range constraint mined from a predicate conjunct: a column name
+    * plus optional lower/upper bounds rendered as SQL expression text
+    * (`Literal.sql` keeps quoting and typing intact — `'abc'`,
+    * `DATE '2020-01-01'` — so the bound re-parses into the admit
+    * predicate without a round-trip through Scala values). */
+  private[sources] final case class Bound(column: String,
+                                          loSql: Option[String],
+                                          hiSql: Option[String])
+
+  /** Mine prunable range constraints from a parsed predicate: top-level
+    * AND conjuncts shaped `col <cmp> literal` (either operand order),
+    * `col IN (literals)`, and BETWEEN (which the parser desugars into
+    * two comparisons). Anything else — ORs, functions, column-column
+    * comparisons — contributes NO bound, so pruning stays conservative:
+    * a file is skipped only when a mined conjunct PROVES no row in it
+    * can satisfy the whole predicate. Strict inequalities widen to
+    * inclusive bounds (admitting a boundary-only file is harmless; the
+    * exact predicate re-applies on the rows). This is the Delta
+    * data-skipping derivation re-expressed over manifest zone stats. */
+  private[sources] def minedBounds(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Bound] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      And, Between, EqualTo, Expression, GreaterThan, GreaterThanOrEqual,
+      In, LessThan, LessThanOrEqual, Literal => CLit}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def attr(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 => Some(a.name)
+      case _ => None
+    }
+    def litSql(x: Expression): Option[String] = x match {
+      case l: CLit if l.value != null => Some(l.sql)
+      case _ => None
+    }
+    // col <cmp> lit in either operand order; `flip` says what the bound
+    // means when the LITERAL is on the left (lit > col ≡ col < lit)
+    def sided(a: Expression, b: Expression,
+              mk: String => Bound, flip: String => Bound): Seq[Bound] =
+      (attr(a), litSql(b), attr(b), litSql(a)) match {
+        case (Some(c), Some(v), _, _) => Seq(mk(v).copy(column = c))
+        case (_, _, Some(c), Some(v)) => Seq(flip(v).copy(column = c))
+        case _ => Seq.empty
+      }
+    val lo = (v: String) => Bound("", Some(v), None)
+    val hi = (v: String) => Bound("", None, Some(v))
+    e match {
+      case And(l, r) => minedBounds(l) ++ minedBounds(r)
+      // the parser keeps BETWEEN as an unresolved function call; the
+      // resolved form is the RuntimeReplaceable Between node — both
+      // desugar to the same two comparisons
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase) == Seq("between") &&
+            f.arguments.length == 3 =>
+        minedBounds(GreaterThanOrEqual(f.arguments(0), f.arguments(1))) ++
+          minedBounds(LessThanOrEqual(f.arguments(0), f.arguments(2)))
+      case b: Between => minedBounds(b.replacement)
+      case EqualTo(a, b) =>
+        sided(a, b, v => Bound("", Some(v), Some(v)),
+          v => Bound("", Some(v), Some(v)))
+      case GreaterThan(a, b) => sided(a, b, lo, hi)
+      case GreaterThanOrEqual(a, b) => sided(a, b, lo, hi)
+      case LessThan(a, b) => sided(a, b, hi, lo)
+      case LessThanOrEqual(a, b) => sided(a, b, hi, lo)
+      case In(a, vs) if vs.nonEmpty =>
+        (attr(a), vs.flatMap(litSql)) match {
+          case (Some(c), sqls) if sqls.length == vs.length =>
+            // envelope [min, max] of the list — conservative and cheap;
+            // rendered with least/greatest so typing rides the literals
+            val (l, h) =
+              if (sqls.length == 1) (sqls.head, sqls.head)
+              else (s"least(${sqls.mkString(", ")})",
+                s"greatest(${sqls.mkString(", ")})")
+            Seq(Bound(c, Some(l), Some(h)))
+          case _ => Seq.empty
+        }
+      case _ => Seq.empty
+    }
+  }
+
+  /** Split `ents` into (affected, kept) for a predicate: affected files
+    * MAY contain a matching row, kept files PROVABLY cannot — judged
+    * from manifest zone stats alone, zero data I/O. One local-relation
+    * job evaluates every mined conjunct's interval overlap with every
+    * file's zone in the TABLE column's type (the readRange/mergeInto
+    * cast discipline); a NULL verdict — failed cast, missing stats —
+    * conservatively admits the file. */
+  private def splitByPredicate(spark: SparkSession, ents: Seq[FileEntry],
+      schema: Option[StructType],
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : (Seq[FileEntry], Seq[FileEntry]) = {
+    val usable = minedBounds(cond).filter { b =>
+      schema.exists(s => s.fieldNames.contains(b.column) &&
+        zoneSupported(s(b.column).dataType)) &&
+        ents.exists(_.zoneFor(b.column).isDefined)
+    }
+    if (usable.isEmpty || ents.isEmpty) (ents, Seq.empty)
+    else {
+      import scala.jdk.CollectionConverters._
+      val rows: Seq[Row] = ents.map { e =>
+        Row.fromSeq(e.path +: usable.flatMap { b =>
+          e.zoneFor(b.column) match {
+            case Some(z) => Seq(z.lo, z.hi)
+            case None => Seq(null, null)
+          }
+        })
+      }
+      val fields = StructField("__file", StringType) +:
+        usable.indices.flatMap(i => Seq(
+          StructField(s"__lo_$i", StringType),
+          StructField(s"__hi_$i", StringType)))
+      val zdf = spark.createDataFrame(rows.asJava, StructType(fields))
+      val admit = usable.zipWithIndex.map { case (b, i) =>
+        val dt = schema.get(b.column).dataType
+        val fl = col(s"__lo_$i"); val fh = col(s"__hi_$i")
+        val belowHi = b.hiSql.map(h =>
+          coalesce(fl.cast(dt) <= expr(h).cast(dt), lit(true)))
+          .getOrElse(lit(true))
+        val aboveLo = b.loSql.map(l =>
+          coalesce(fh.cast(dt) >= expr(l).cast(dt), lit(true)))
+          .getOrElse(lit(true))
+        when(fl.isNull || fh.isNull, lit(true))
+          .otherwise(belowHi && aboveLo)
+      }.reduce(_ && _)
+      val hit = zdf.select(col("__file"), admit.as("__a"))
+        .collect() // bounded: one row per live file
+        .collect { case r if r.isNullAt(1) || r.getBoolean(1) =>
+          r.getString(0) }.toSet
+      (ents.filter(e => hit.contains(e.path)),
+        ents.filterNot(e => hit.contains(e.path)))
+    }
+  }
+
+  /** Read the affected files with the manifest schema (mergeSchema only
+    * for legacy logs), or an empty frame of that schema. */
+  private def readFiles(spark: SparkSession, root: String,
+                        paths: Seq[String], schema: Option[StructType],
+                        v: Long): DataFrame =
+    (schema, paths.nonEmpty) match {
+      case (Some(s), true) =>
+        spark.read.schema(s).parquet(paths.map(p => s"$root/$p"): _*)
+      case (Some(s), false) =>
+        spark.createDataFrame(java.util.Collections.emptyList[Row](), s)
+      case (None, true) => spark.read.option("mergeSchema", "true")
+        .parquet(paths.map(p => s"$root/$p"): _*)
+      case (None, false) => read(spark, root, Some(v)).filter(lit(false))
+    }
+
+  /** Row-level DELETE — `DELETE FROM t WHERE condSql` as file-granular
+    * copy-on-write. The predicate is parsed with Spark's own SQL parser
+    * and its range conjuncts are judged against manifest zone stats
+    * ([[minedBounds]]): only files that MAY hold a matching row are read
+    * and rewritten without their matching rows; every other live file is
+    * carried into the new manifest BY REFERENCE. On a clustered 100 TB
+    * table, `DELETE WHERE key BETWEEN a AND b` therefore costs
+    * O(overlapping files) — the Delta DELETE data-skipping shape — and
+    * when the manifest PROVES no file can match, NO new version is
+    * committed at all (the no-op returns the current version).
+    *
+    * SQL DELETE semantics: rows where the predicate is TRUE leave;
+    * FALSE and NULL verdicts keep their row. With `cdf` (default on)
+    * the removed rows ride a `#cdc` sidecar tagged `delete`, so
+    * [[changeFeed]] serves the deletion row-level at O(changes).
+    * Wrap in [[withRetry]] alongside concurrent writers. */
+  def deleteWhere(spark: SparkSession, root: String, condSql: String,
+                  cdf: Boolean = true): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"deleteWhere: no table at $root")
+    val cur = vs.last
+    val ents = entries(spark, root, cur)
+    val tableSchema = schemaOf(spark, root, cur)
+    val parsed = spark.sessionState.sqlParser.parseExpression(condSql)
+    val (affected, kept) = splitByPredicate(spark, ents, tableSchema, parsed)
+    if (affected.isEmpty) cur
+    else {
+      val touched =
+        readFiles(spark, root, affected.map(_.path), tableSchema, cur)
+      val matches = coalesce(expr(condSql), lit(false))
+      val rewritten = touched.filter(!matches)
+      // rewritten files keep the table's full zoning discipline
+      val zoneKeys = ents.flatMap(_.zones.map(_.key)).distinct
+      val fresh = writeData(rewritten, root, zoneKeys)
+      val cdcDir =
+        if (!cdf) None
+        else {
+          val dir = s"cdc/${java.util.UUID.randomUUID().toString}"
+          touched.filter(matches)
+            .withColumn("_change_type", lit("delete"))
+            .write.mode("errorifexists").parquet(s"$root/$dir")
+          Some(dir)
+        }
+      val out = tableSchema.getOrElse(read(spark, root, Some(cur)).schema)
+      commit(spark, root, kept ++ fresh, cur + 1L,
+        schema = Some(StructType(out.map(_.copy(nullable = true)))),
+        op = Some("delete"), cdc = cdcDir, idx = idxOf(spark, root, cur))
+    }
+  }
+
+  /** Row-level UPDATE — `UPDATE t SET col = expr, ... WHERE condSql` as
+    * file-granular copy-on-write with the same predicate-derived file
+    * skipping as [[deleteWhere]]: only files that MAY hold a matching
+    * row are rewritten; the rest carry by reference, and a provably
+    * no-op update commits nothing. Assignments are SQL expression text
+    * evaluated against the row (`Map("v" -> "v * 2", ...)`), cast to
+    * the table column's existing type (the Delta UPDATE rule — UPDATE
+    * never evolves the schema; use [[mergeInto]] for that). Rows where
+    * the predicate is TRUE take the assignments; FALSE and NULL keep
+    * every value. With `cdf`, both update images ride the sidecar
+    * (`update_preimage` / `update_postimage`), so the feed folds into
+    * downstream aggregates without consulting the table. */
+  def updateWhere(spark: SparkSession, root: String, condSql: String,
+                  assignments: Map[String, String],
+                  cdf: Boolean = true): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"updateWhere: no table at $root")
+    require(assignments.nonEmpty, "updateWhere: no assignments")
+    val cur = vs.last
+    val ents = entries(spark, root, cur)
+    val tableSchema = schemaOf(spark, root, cur)
+    val schemaNow = tableSchema
+      .getOrElse(read(spark, root, Some(cur)).schema)
+    assignments.keys.foreach(c => require(
+      schemaNow.fieldNames.contains(c),
+      s"updateWhere: no column $c in table (UPDATE never adds columns)"))
+    val parsed = spark.sessionState.sqlParser.parseExpression(condSql)
+    val (affected, kept) = splitByPredicate(spark, ents, tableSchema, parsed)
+    if (affected.isEmpty) cur
+    else {
+      val touched =
+        readFiles(spark, root, affected.map(_.path), tableSchema, cur)
+      val matches = coalesce(expr(condSql), lit(false))
+      def applied(df: DataFrame): DataFrame =
+        assignments.foldLeft(df) { case (d, (c, sql)) =>
+          d.withColumn(c,
+            when(matches, expr(sql).cast(schemaNow(c).dataType))
+              .otherwise(col(c)))
+        }
+      val rewritten = applied(touched)
+      val zoneKeys = ents.flatMap(_.zones.map(_.key)).distinct
+      val fresh = writeData(rewritten, root, zoneKeys)
+      val cdcDir =
+        if (!cdf) None
+        else {
+          val dir = s"cdc/${java.util.UUID.randomUUID().toString}"
+          val pre = touched.filter(matches)
+          pre.withColumn("_change_type", lit("update_preimage"))
+            .unionByName(applied(pre)
+              .withColumn("_change_type", lit("update_postimage")))
+            .write.mode("errorifexists").parquet(s"$root/$dir")
+          Some(dir)
+        }
+      commit(spark, root, kept ++ fresh, cur + 1L,
+        schema = Some(StructType(schemaNow.map(_.copy(nullable = true)))),
+        op = Some("update"), cdc = cdcDir, idx = idxOf(spark, root, cur))
+    }
   }
 
   /** Small-file compaction: the maintenance pass every O(delta)-append
@@ -958,7 +1395,7 @@ object LakeTable {
     val fresh = writeData(packed, root, keys)
     commit(spark, root, big.map(_._1) ++ fresh, cur + 1L,
       schema = tableSchema, // content-identical: schema carries verbatim
-      op = Some("compact"))
+      op = Some("compact"), idx = idxOf(spark, root, cur))
   }
 
   /** Retention GC: drop manifests strictly below `keepFrom`, then delete
@@ -1029,6 +1466,19 @@ object LakeTable {
       fs.listStatus(cdcRoot).foreach { st =>
         if (st.isDirectory &&
             !liveCdc.contains(fs.makeQualified(st.getPath).toString) &&
+            st.getModificationTime <= horizon)
+          fs.delete(st.getPath, true)
+      }
+    }
+    // Bloom-index sidecars go by the same reachability rule: a dir no
+    // retained manifest's #idx header names is garbage once past grace
+    val idxRoot = new Path(s"$root/idx")
+    if (fs.exists(idxRoot)) {
+      val liveIdx = keep.flatMap(idxOf(spark, root, _))
+        .map(d => fs.makeQualified(new Path(s"$root/$d")).toString).toSet
+      fs.listStatus(idxRoot).foreach { st =>
+        if (st.isDirectory &&
+            !liveIdx.contains(fs.makeQualified(st.getPath).toString) &&
             st.getModificationTime <= horizon)
           fs.delete(st.getPath, true)
       }

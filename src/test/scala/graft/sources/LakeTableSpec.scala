@@ -691,4 +691,213 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.changedFiles(spark, root, None, 3L).toSet ==
       LakeTable.entries(spark, root, 3L).map(_.path).toSet)
   }
+
+  test("minedBounds: AND conjuncts, BETWEEN, IN, reversed operands mine "
+      + "bounds; OR and column-column comparisons mine nothing") {
+    def mine(sql: String) = LakeTable.minedBounds(
+      spark.sessionState.sqlParser.parseExpression(sql))
+    assert(mine("k BETWEEN 10 AND 20") ==
+      Seq(LakeTable.Bound("k", Some("10"), None),
+        LakeTable.Bound("k", None, Some("20"))))
+    assert(mine("5 < k AND v = 'x'") ==
+      Seq(LakeTable.Bound("k", Some("5"), None),
+        LakeTable.Bound("v", Some("'x'"), Some("'x'"))))
+    assert(mine("k IN (7, 3, 9)") ==
+      Seq(LakeTable.Bound("k", Some("least(7, 3, 9)"),
+        Some("greatest(7, 3, 9)"))))
+    assert(mine("k IN (4)") == Seq(LakeTable.Bound("k", Some("4"), Some("4"))))
+    // non-prunable shapes contribute nothing (conservative)
+    assert(mine("k = 1 OR k = 2").isEmpty)
+    assert(mine("a < b").isEmpty)
+    assert(mine("abs(k) = 3").isEmpty)
+    // ...but a prunable conjunct next to them still mines
+    assert(mine("(k = 1 OR v = 2) AND k <= 99") ==
+      Seq(LakeTable.Bound("k", None, Some("99"))))
+  }
+
+  test("deleteWhere: zone-skipped files never opened, carried by "
+      + "reference; full predicate applies on rows; no-op commits nothing") {
+    val root = freshRoot()
+    val base = spark.range(0, 400).select(col("id").as("k"),
+        (col("id") * 10).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    LakeTable.append(base, root, zoneKey = Some("k"))
+    val v1 = LakeTable.entries(spark, root, 1L)
+    assert(v1.size == 4)
+    // predicate: range conjunct (prunes) AND residual conjunct (applies
+    // row-level only)
+    val condSql = "k BETWEEN 110 AND 130 AND v % 40 = 0"
+    val admits = v1.filter(e =>
+      e.lo.get.toLong <= 130L && e.hi.get.toLong >= 110L)
+    val untouched = v1.filterNot(e => admits.exists(_.path == e.path))
+    assert(admits.nonEmpty && untouched.nonEmpty)
+    untouched.foreach { e =>
+      Files.write(Paths.get(s"$root/${e.path}"),
+        Array.fill[Byte](64)(0), StandardOpenOption.TRUNCATE_EXISTING)
+    }
+    assert(LakeTable.deleteWhere(spark, root, condSql) == 2L)
+    val v2 = LakeTable.entries(spark, root, 2L)
+    untouched.foreach(e => assert(v2.find(_.path == e.path).contains(e)))
+    admits.foreach(e => assert(!v2.map(_.path).contains(e.path)))
+    // rewritten content: rows where the FULL predicate held are gone,
+    // boundary/residual-false rows stayed
+    val freshPaths = v2.filterNot(e => v1.exists(_.path == e.path))
+    val left = spark.read
+      .parquet(freshPaths.map(e => s"$root/${e.path}"): _*)
+      .select("k").as[Long].collect().toSet
+    val zoneLo = admits.map(_.lo.get.toLong).min
+    val zoneHi = admits.map(_.hi.get.toLong).max
+    val want = (zoneLo to zoneHi).toSet
+      .filterNot(k => k >= 110 && k <= 130 && (k * 10) % 40 == 0)
+    assert(left == want)
+    assert(freshPaths.forall(_.zoneKey.contains("k"))) // re-zoned
+    // feed serves the deletion row-level
+    val feed = LakeTable.changeFeed(spark, root, 1L, 2L)
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(feed == (110L to 130L).filter(k => (k * 10) % 40 == 0)
+      .map(k => (k, "delete")).toSet)
+    // provable no-op: outside every zone — no version churn
+    assert(LakeTable.deleteWhere(spark, root, "k > 5000") == 2L)
+    assert(LakeTable.versions(spark, root) == Seq(1L, 2L))
+  }
+
+  test("deleteWhere: NULL predicate verdicts keep their row") {
+    val root = freshRoot()
+    LakeTable.append(Seq((1L, Some("x")), (2L, None), (3L, Some("y")))
+      .toDF("k", "s"), root)
+    LakeTable.deleteWhere(spark, root, "s = 'x'")
+    assert(LakeTable.read(spark, root).select("k").as[Long]
+      .collect().toSet == Set(2L, 3L)) // the NULL-s row survives
+  }
+
+  test("updateWhere: assignments cast to the column type, skipped files "
+      + "carried by reference, both images on the feed, no-op commits "
+      + "nothing") {
+    val root = freshRoot()
+    val base = spark.range(0, 400).select(col("id").as("k"),
+        (col("id") * 10).as("v"), lit("keep").as("tag"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    LakeTable.append(base, root, zoneKey = Some("k"))
+    val v1 = LakeTable.entries(spark, root, 1L)
+    val untouched = v1.filter(e => e.lo.get.toLong > 50L)
+    assert(untouched.nonEmpty)
+    untouched.foreach { e =>
+      Files.write(Paths.get(s"$root/${e.path}"),
+        Array.fill[Byte](64)(0), StandardOpenOption.TRUNCATE_EXISTING)
+    }
+    // v is LongType; the assignment's double expression casts back to it
+    assert(LakeTable.updateWhere(spark, root, "k <= 50",
+      Map("v" -> "v * 2.5", "tag" -> "'boosted'")) == 2L)
+    val v2ents = LakeTable.entries(spark, root, 2L)
+    untouched.foreach(e => assert(v2ents.find(_.path == e.path).contains(e)))
+    val freshPaths = v2ents.filterNot(e => v1.exists(_.path == e.path))
+    val got = spark.read
+      .parquet(freshPaths.map(e => s"$root/${e.path}"): _*)
+      .select("k", "v", "tag").as[(Long, Long, String)].collect()
+    got.foreach { case (k, v, tag) =>
+      if (k <= 50) { assert(v == (k * 10 * 2.5).toLong && tag == "boosted") }
+      else { assert(v == k * 10 && tag == "keep") }
+    }
+    assert(LakeTable.schemaOf(spark, root, 2L).get("v").dataType ==
+      org.apache.spark.sql.types.LongType) // UPDATE never evolves schema
+    // both images, foldable: post − pre on v = sum over updated keys
+    val feed = LakeTable.changeFeed(spark, root, 1L, 2L)
+    val images = feed.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(images == Map("update_preimage" -> 51L,
+      "update_postimage" -> 51L))
+    // unknown column → refused; provable no-op → no version churn
+    intercept[IllegalArgumentException] {
+      LakeTable.updateWhere(spark, root, "k = 1", Map("nope" -> "1"))
+    }
+    assert(LakeTable.updateWhere(spark, root, "k > 5000",
+      Map("v" -> "0")) == 2L)
+    assert(LakeTable.versions(spark, root) == Seq(1L, 2L))
+  }
+
+  test("bloom point lookup: non-holding files provably never opened "
+      + "(corrupted-file trick); zones alone cannot prune the scattered "
+      + "column") {
+    val root = freshRoot()
+    // 8 files clustered by k; u = k·7919 mod 10007 is injective over
+    // 0..799 and SCATTERED — every file's u-zone spans ~the whole
+    // domain, so only the Bloom sidecar can skip files on u
+    val base = spark.range(0, 800).select(col("id").as("k"),
+        ((col("id") * 7919) % 10007).as("u"))
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+    LakeTable.append(base, root, zoneKey = Some("k"),
+      bloomKeys = Seq("u"), bloomExpectedPerFile = 4096)
+    val idx = LakeTable.idxOf(spark, root, 1L)
+    assert(idx.size == 1)
+    val probe = (123L * 7919L) % 10007L
+    // replicate readPoint's admission from the sidecar, driver-side
+    val h = spark.range(1).select(xxhash64(lit(probe))).as[Long].head()
+    val rows = spark.read.parquet(idx.map(d => s"$root/$d"): _*)
+      .filter(col("col") === "u")
+      .select("file", "bloom").as[(String, Array[Byte])].collect()
+    assert(rows.length == 8) // one row per file
+    val admitted = rows.filter { case (_, b) =>
+      org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(b)).mightContainLong(h)
+    }.map(_._1).toSet
+    assert(admitted.nonEmpty && admitted.size < 8) // the index prunes
+    // corrupt every non-admitted file: the lookup succeeding proves the
+    // pruned files were never opened
+    LakeTable.entries(spark, root, 1L)
+      .filterNot(e => admitted.contains(e.path))
+      .foreach { e =>
+        Files.write(Paths.get(s"$root/${e.path}"),
+          Array.fill[Byte](64)(0), StandardOpenOption.TRUNCATE_EXISTING)
+      }
+    val got = LakeTable.readPoint(spark, root, "u", probe)
+      .select("k", "u").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((123L, probe)))
+    // absent value whose bloom admits nothing: zero rows, zero files
+    val absent = (0L until 10007L).find(u =>
+      !base.select("u").as[Long].collect().contains(u) && {
+        val ah = spark.range(1).select(xxhash64(lit(u))).as[Long].head()
+        rows.forall { case (_, b) =>
+          !org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(b))
+            .mightContainLong(ah)
+        }
+      }).get
+    assert(LakeTable.readPoint(spark, root, "u", absent).count() == 0L)
+  }
+
+  test("reindex covers files rewritten since indexing; repeated runs "
+      + "are version-preserving no-ops; vacuum sweeps dead sidecars") {
+    val root = freshRoot()
+    val base = spark.range(0, 400).select(col("id").as("k"),
+        ((col("id") * 7919) % 10007).as("u"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    LakeTable.append(base, root, zoneKey = Some("k"),
+      bloomKeys = Seq("u"), bloomExpectedPerFile = 4096)
+    // DELETE rewrites the low-k file → its bloom rows go stale; the
+    // manifest still carries the old sidecar (stale rows are inert)
+    assert(LakeTable.deleteWhere(spark, root, "k BETWEEN 0 AND 9") == 2L)
+    assert(LakeTable.idxOf(spark, root, 2L) ==
+      LakeTable.idxOf(spark, root, 1L))
+    // a value living in the REWRITTEN file still resolves (conservative
+    // read of unindexed files)
+    val probe = (42L * 7919L) % 10007L
+    assert(LakeTable.readPoint(spark, root, "u", probe)
+      .select("k").as[Long].collect().toSeq == Seq(42L))
+    // reindex: only the unindexed files get rows; point lookup exact
+    val v3 = LakeTable.reindex(spark, root, expectedPerFile = 4096)
+    assert(v3 == 3L && LakeTable.idxOf(spark, root, 3L).size == 2)
+    assert(LakeTable.readPoint(spark, root, "u", probe)
+      .select("k").as[Long].collect().toSeq == Seq(42L))
+    // fully indexed → no-op, no version churn
+    assert(LakeTable.reindex(spark, root, expectedPerFile = 4096) == 3L)
+    // feed treats reindex as a logical no-op
+    assert(LakeTable.changeFeed(spark, root, 2L, 3L).count() == 0L)
+    // overwrite drops the index refs; vacuum reaps the sidecar dirs
+    LakeTable.overwrite(Seq((1L, 2L)).toDF("k", "u"), root)
+    LakeTable.vacuum(spark, root, keepFrom = 4L, orphanGraceMs = 0L)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    val idxRoot = new org.apache.hadoop.fs.Path(s"$root/idx")
+    assert(!fs.exists(idxRoot) || fs.listStatus(idxRoot).isEmpty)
+  }
 }
