@@ -49,9 +49,15 @@ object LakeStress {
     val o = Tables.orders(spark, srcDir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
     val stride = 10000000L
+    // o_uid: a unique SCATTERED secondary identifier (multiplicative
+    // hash, injective below the prime modulus) — the shape where a
+    // point lookup needs the Bloom index, because clustering on
+    // o_orderkey leaves every file's o_uid zone spanning the domain
     val big = (0 until factor).map(i =>
         o.withColumn("o_orderkey", col("o_orderkey") + lit(i * stride)))
       .reduce(_.unionByName(_))
+      .withColumn("o_uid",
+        pmod(col("o_orderkey") * lit(2654435761L), lit(1000000007L)))
     val nFiles = 64
 
     val (_, tBuild) = timed {
@@ -71,7 +77,7 @@ object LakeStress {
     val hi = lo + keySpan / 100L
     val batch = LakeTable.readRange(spark, root, "o_orderkey", lo, hi)
       .select(col("o_orderkey"), col("o_custkey"),
-        (col("o_totalprice") * 2).as("o_totalprice"))
+        (col("o_totalprice") * 2).as("o_totalprice"), col("o_uid"))
       .withColumn("op", lit("U"))
       .localCheckpoint(true) // freeze: the merge rewrites what it read
     val batchRows = batch.count()
@@ -129,7 +135,8 @@ object LakeStress {
     val (feedN, tFeed) = timed {
       LakeTable.changeFeed(spark, root, 1L, 2L).count()
     }
-    require(feedN == batchRows, s"feed $feedN != batch $batchRows")
+    // a pure-update batch feeds BOTH images per row (pre + post)
+    require(feedN == 2 * batchRows, s"feed $feedN != 2x batch $batchRows")
     val (diffN, tDiff) = timed {
       val a = LakeTable.read(spark, root, Some(1L))
       val b = LakeTable.read(spark, root, Some(2L))
@@ -171,6 +178,57 @@ object LakeStress {
     }
     require(zPrunedN == zScanN, s"zorder pruned $zPrunedN != scan $zScanN")
 
+    // 6. DELETE cost tracks the affected key band, not the table: the
+    //    predicate's range conjunct is mined and judged against the
+    //    manifest zones, so only overlapping files rewrite
+    val dlo = 1L * stride + keySpan / 3
+    val dhi = dlo + keySpan / 200L
+    val preDelV = LakeTable.versions(spark, root).last
+    val preDel = LakeTable.entries(spark, root, preDelV).map(_.path).toSet
+    val preDelRows = LakeTable.read(spark, root).count()
+    val (dv, tDelete) = timed {
+      LakeTable.deleteWhere(spark, root,
+        s"o_orderkey BETWEEN $dlo AND $dhi")
+    }
+    val postDel = LakeTable.entries(spark, root, dv).map(_.path).toSet
+    val delRewrote = preDel.diff(postDel).size
+    val delCarried = preDel.intersect(postDel).size
+    val delRows = preDelRows - LakeTable.read(spark, root).count()
+
+    // 7. Bloom point lookup on the scattered unique id: index build is
+    //    one slim-column pass (reported), then the lookup opens only
+    //    the files whose filter might hold the value — vs the full scan
+    val (_, tIndex) = timed {
+      LakeTable.reindex(spark, root, Seq("o_uid"),
+        expectedPerFile = math.max(4096L, 2L * nRows / nFiles))
+    }
+    val probeKey = 2L * stride + keySpan / 2
+    val probeUid = (probeKey * 2654435761L) % 1000000007L
+    val (pN, tPoint) = timed {
+      LakeTable.readPoint(spark, root, "o_uid", probeUid).count()
+    }
+    val (fN, tFullEq) = timed {
+      LakeTable.read(spark, root)
+        .filter(col("o_uid") === probeUid).count()
+    }
+    require(pN == fN, s"bloom point $pN != scan $fN")
+    // admitted-file count, recomputed from the sidecar metadata
+    val bv = LakeTable.versions(spark, root).last
+    val bLive = LakeTable.entries(spark, root, bv).map(_.path).toSet
+    val bHash = spark.range(1)
+      .select(xxhash64(lit(probeUid))).head().getLong(0)
+    val bAdmitted = spark.read
+      .parquet(LakeTable.idxOf(spark, root, bv).map(d => s"$root/$d"): _*)
+      .filter(col("col") === "o_uid")
+      .select("file", "bloom")
+      .collect()
+      .count { r =>
+        bLive.contains(r.getString(0)) &&
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            .mightContainLong(bHash)
+      }
+
     println(f"""
       |lake-stress @ ${factor}x $srcDir  (rows=$nRows%,d, files=$nFiles)
       |  build (clustered append)        ${tBuild}%8.2f s
@@ -184,6 +242,10 @@ object LakeStress {
       |  Z-order build+compact           ${tZBuild}%8.2f s  (${zents.size} files, zones on both keys)
       |  2nd-key range read (Z-order)    ${tZPruned}%8.2f s  ($zPrunedN%,d rows, opened $admitted/${zents.size} files)
       |  full-scan filter (same range)   ${tZScan}%8.2f s  (pruning speedup ${tZScan / tZPruned}%.1fx)
+      |  DELETE 0.5%% key band            ${tDelete}%8.2f s  ($delRows%,d rows; rewrote $delRewrote/${preDel.size} files, carried $delCarried by reference)
+      |  Bloom index build (o_uid)       ${tIndex}%8.2f s  (one slim-column pass over ${bLive.size} files)
+      |  Bloom point lookup              ${tPoint}%8.2f s  ($pN%,d rows, admitted $bAdmitted/${bLive.size} files)
+      |  full-scan equality (same probe) ${tFullEq}%8.2f s  (lookup speedup ${tFullEq / tPoint}%.1fx)
       |""".stripMargin)
     spark.stop()
   }

@@ -86,7 +86,10 @@ object Plans {
     "q251_lake_merge_evolve" -> "lake MERGE evolution: batch-added column widens the rewrite, kept files null-fill via merged footer schema",
     "q256_lake_zorder" -> "Z-order lake read: NON-leading-key range served from the file subset the manifest zone rectangles admit, exact predicate re-applied on top",
     "q257_lake_changes" -> "incremental lake read: the scan lists ONLY files later versions added — O(delta) file set, no snapshot diff",
-    "q260_lake_cdf" -> "change feed: merge rows come from the O(batch) cdc sidecar scan, append rows from delta files — no table-sized exchange anywhere")
+    "q260_lake_cdf" -> "change feed: merge rows come from the O(batch) cdc sidecar scan, append rows from delta files — no table-sized exchange anywhere",
+    "q264_lake_delete" -> "lake DELETE: mined range conjunct prunes files from manifest zones; only may-match files re-read + rewritten without their matching rows",
+    "q266_lake_bloom_point" -> "Bloom point lookup: sidecar membership names the might-hold files; the scan lists only those, exact equality re-applied",
+    "q267_lake_sql" -> "lake behind SQL (USING graftlake): native parquet scan with PushedFilters; the FileIndex already shrank the file list via zones + Bloom")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1012,6 +1012,40 @@ object SourceQueries {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         WHERE o_custkey IN (7, 331, 1001)"""),
       "Bloom-index point lookups on a non-clustered column ≡ direct filter"),
+
+    // ---- lake table as a first-class SQL source ----------------------------
+    // `CREATE TEMPORARY VIEW ... USING graftlake` puts the manifest
+    // table behind Spark's own planner: the query below is PLAIN SQL —
+    // a join against the customer mirror with a key-range + customer
+    // equality — and file pruning happens inside the custom FileIndex
+    // (zones for the range, Bloom sidecar for the equality) while the
+    // scan itself stays Spark's vectorized parquet reader with
+    // PushedFilters (GraftLakeSourceSpec pins both, corrupted-file
+    // trick + plan assert). Oracle: the same SQL over the plain tables.
+    "q267_lake_sql" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_lakesql_q267") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.repartitionByRange(8, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"), root,
+          zoneKey = Some("o_orderkey"), bloomKeys = Seq("o_custkey"),
+          bloomExpectedPerFile = 1L << 14)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW lake_orders " +
+          s"USING graftlake OPTIONS (path '$root')")
+        Tables.customer(s, d).createOrReplaceTempView("lake_q267_cust")
+        s.sql("""SELECT l.o_orderkey, l.o_totalprice, c.c_name
+          FROM lake_orders l
+          JOIN lake_q267_cust c ON l.o_custkey = c.c_custkey
+          WHERE l.o_orderkey BETWEEN 1000 AND 30000
+            AND l.o_custkey = 331""")
+      },
+      Some("""SELECT o.o_orderkey, o.o_totalprice, c.c_name
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderkey BETWEEN 1000 AND 30000
+          AND o.o_custkey = 331"""),
+      "lake table behind plain SQL (USING graftlake) ≡ direct join+filter"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

@@ -1,0 +1,170 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference,
+  EqualTo, Expression, Literal}
+import org.apache.spark.sql.execution.datasources.{FileIndex,
+  HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation,
+  CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types.StructType
+
+/** [[LakeTable]] as a first-class Spark data source — the Delta-style
+  * integration: the relation is a plain `HadoopFsRelation` over the
+  * native parquet `FileFormat` (vectorized reader, whole-stage codegen,
+  * column pruning and parquet row-group PushedFilters all intact), and
+  * ONLY file listing is ours: [[LakeFileIndex.listFiles]] receives the
+  * query's data filters from the planner and answers with the manifest
+  * snapshot pruned by zone stats ([[LakeTable.splitByPredicate]]) and
+  * Bloom sidecars ([[LakeTable.bloomCandidates]]) — zero data-file I/O
+  * in the listing, exactly the add-file pruning Delta's log-backed
+  * FileIndex does.
+  *
+  * {{{
+  *   spark.read.format("graftlake").option("path", root).load()
+  *   spark.sql(s"CREATE TABLE t USING graftlake OPTIONS (path '$root')")
+  *   df.write.format("graftlake").mode("append")
+  *     .option("path", root).option("zoneKey", "k").save()
+  * }}}
+  *
+  * Options: `versionAsOf` (manifest version) / `timestampAsOf` (epoch
+  * millis, resolved via `#ts` headers) pin a snapshot; write mode
+  * `append`/`overwrite` maps onto the manifest transaction of the same
+  * name (`zoneKey`/`zoneKeys`/`bloomKeys` thread through). The relation
+  * is an immutable SNAPSHOT — re-resolve (or re-`load()`) to see later
+  * commits, the same semantics as every other [[LakeTable]] read.
+  */
+class GraftLakeSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graftlake"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graftlake: 'path' option is required"))
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String])
+      : BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val vs = LakeTable.versions(spark, root)
+    require(vs.nonEmpty, s"graftlake: no committed versions under $root")
+    val v = parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map { ts =>
+        LakeTable.versionAsOf(spark, root, ts.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"graftlake: no version at or before timestamp $ts"))
+      })
+      .getOrElse(vs.last)
+    require(vs.contains(v), s"graftlake: version $v not in ${vs.mkString(",")}")
+    val schema = LakeTable.schemaOf(spark, root, v)
+      .getOrElse(LakeTable.read(spark, root, Some(v)).schema) // legacy
+    HadoopFsRelation(
+      location = new LakeFileIndex(spark, root, v, schema),
+      partitionSchema = new StructType(),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = parameters)(spark)
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val zoneKey = parameters.get("zoneKey")
+    val zoneKeys = parameters.get("zoneKeys")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
+    val bloomKeys = parameters.get("bloomKeys")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
+    mode match {
+      case SaveMode.Append =>
+        LakeTable.append(data, root, zoneKey, zoneKeys = zoneKeys,
+          bloomKeys = bloomKeys)
+      case SaveMode.Overwrite =>
+        LakeTable.overwrite(data, root, zoneKey, zoneKeys)
+      case other => throw new UnsupportedOperationException(
+        s"graftlake: SaveMode $other (use append or overwrite; " +
+          "row-level DML goes through LakeTable.mergeInto/deleteWhere/" +
+          "updateWhere)")
+    }
+    createRelation(sqlContext, parameters) // fresh post-write snapshot
+  }
+}
+
+/** Manifest-backed `FileIndex` for one immutable lake snapshot. File
+  * statuses come from ONE `listStatus` per commit directory at
+  * construction (never a per-file RPC, never a data-file read);
+  * `listFiles` prunes that cached set with the planner's data filters —
+  * zone-stat interval checks for mined range conjuncts, Bloom sidecar
+  * membership for equality conjuncts on indexed columns. Everything the
+  * listing returns still carries the exact predicate downstream
+  * (parquet row-group skipping + Spark's own filter), so pruning can
+  * only skip provably non-matching files, never change results. */
+class LakeFileIndex(spark: SparkSession, root: String, version: Long,
+                    schema: StructType) extends FileIndex {
+
+  private val entries = LakeTable.entries(spark, root, version)
+
+  // one listStatus per distinct commit dir; manifest rels are
+  // data/<commit>/<name>
+  private val statusByRel: Map[String, FileStatus] = {
+    val fs = new Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val byDir = entries.map(_.path).groupBy(p =>
+      p.substring(0, p.lastIndexOf('/')))
+    byDir.flatMap { case (dir, rels) =>
+      val wanted = rels.map(r => r.substring(r.lastIndexOf('/') + 1)).toSet
+      fs.listStatus(new Path(s"$root/$dir")).toSeq
+        .filter(st => wanted.contains(st.getPath.getName))
+        .map(st => s"$dir/${st.getPath.getName}" -> st)
+    }
+  }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(root))
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def sizeInBytes: Long = statusByRel.values.map(_.getLen).sum
+
+  override def inputFiles: Array[String] =
+    entries.map(e => s"$root/${e.path}").toArray
+
+  override def refresh(): Unit = () // immutable snapshot
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression])
+      : Seq[PartitionDirectory] = {
+    val cond = dataFilters.reduceOption(And)
+    // zone pruning on mined range conjuncts (resolved AttributeReference
+    // form goes through the same minedBounds as the DML path)
+    val zoneAdmitted = cond match {
+      case Some(c) =>
+        LakeTable.splitByPredicate(spark, entries, Some(schema), c)._1
+      case None => entries
+    }
+    // Bloom pruning on equality conjuncts over indexed columns
+    def eqConjuncts(e: Expression): Seq[(String, Literal)] = e match {
+      case And(l, r) => eqConjuncts(l) ++ eqConjuncts(r)
+      case EqualTo(a: AttributeReference, l: Literal) if l.value != null =>
+        Seq(a.name -> l)
+      case EqualTo(l: Literal, a: AttributeReference) if l.value != null =>
+        Seq(a.name -> l)
+      case _ => Seq.empty
+    }
+    val live = zoneAdmitted.map(_.path).toSet
+    val admitted = cond.map(eqConjuncts).getOrElse(Seq.empty)
+      .foldLeft(live) { case (acc, (key, probe)) =>
+        acc.intersect(LakeTable.bloomCandidates(spark, root, version,
+          acc, Some(schema), key, probe))
+      }
+    Seq(PartitionDirectory(InternalRow.empty,
+      admitted.toSeq.sorted.flatMap(statusByRel.get).toArray))
+  }
+}

@@ -548,44 +548,54 @@ object LakeTable {
       org.apache.spark.sql.catalyst.expressions.Literal(value))
     val (zoneAdmitted, _) = splitByPredicate(spark, ents, schema, eq)
 
-    // Bloom admission: hash the probe EXACTLY as the build hashed the
-    // column — xxhash64 of the value AT THE TABLE COLUMN'S TYPE (an Int
-    // probe against a Long column must widen before hashing or the
-    // filter would wrongly report absence). No manifest schema → no
-    // type to trust → skip Bloom pruning (conservative).
+    val bloomAdmitted = bloomCandidates(spark, root, v,
+      ents.map(_.path).toSet, schema, key,
+      org.apache.spark.sql.catalyst.expressions.Literal(value))
+
+    val files = zoneAdmitted.map(_.path).filter(bloomAdmitted)
+    readFiles(spark, root, files, schema, v)
+      .filter(col(key) === lit(value))
+  }
+
+  /** Bloom admission for `key = probe` at version `v`: the subset of
+    * `live` files that MIGHT hold the value, from sidecar metadata
+    * alone. The probe hashes EXACTLY as the build hashed the column —
+    * xxhash64 (seed 42, `functions.xxhash64`'s) of the value AT THE
+    * TABLE COLUMN'S TYPE (an Int probe against a Long column must widen
+    * before hashing or the filter would wrongly report absence). No
+    * manifest schema, no sidecars, or an uncastable probe → `live`
+    * unchanged (conservative); files without a sidecar row stay
+    * admitted. Driver-side membership test over file-count-bounded rows
+    * — a metadata operation; move to a job at extreme file counts. */
+  private[sources] def bloomCandidates(spark: SparkSession, root: String,
+      v: Long, live: Set[String], schema: Option[StructType], key: String,
+      probe: org.apache.spark.sql.catalyst.expressions.Literal)
+      : Set[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
     val idxDirs = idxOf(spark, root, v)
     val colType = schema.flatMap(_.fields.find(_.name == key)
       .map(_.dataType))
-    val bloomAdmitted: Set[String] = (idxDirs.nonEmpty, colType) match {
+    (idxDirs.nonEmpty, colType) match {
       case (true, Some(dt)) =>
-        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
-        val castVal = Cast(Literal(value), dt).eval(null)
-        if (castVal == null) ents.map(_.path).toSet // unprobable: admit all
+        val castVal = Cast(probe, dt).eval(null)
+        if (castVal == null) live
         else {
-          // seed 42 = functions.xxhash64's, the build-side hash
           val h = XxHash64(Seq(Literal(castVal, dt)), 42L).eval(null)
             .asInstanceOf[Long]
-          val live = ents.map(_.path).toSet
           val rows = spark.read
             .parquet(idxDirs.map(d => s"$root/$d"): _*)
             .filter(col("col") === key)
-            .select("file", "bloom").collect() // file-count-bounded rows;
-          // driver-side test keeps this a metadata operation (no UDF in
-          // any data path) — at extreme file counts move it to a job
+            .select("file", "bloom").collect()
           val indexed = rows.map(_.getString(0)).toSet
           val hits = rows.filter { r =>
             val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
               new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
             bf.mightContainLong(h)
           }.map(_.getString(0)).toSet
-          hits ++ (live -- indexed) // unindexed files: conservative
+          (hits ++ (live -- indexed)).intersect(live)
         }
-      case _ => ents.map(_.path).toSet
+      case _ => live
     }
-
-    val files = zoneAdmitted.map(_.path).filter(bloomAdmitted)
-    readFiles(spark, root, files, schema, v)
-      .filter(col(key) === lit(value))
   }
 
   /** Build Bloom rows for the live files that LACK them (rewrites since
@@ -1055,11 +1065,15 @@ object LakeTable {
   private[sources] def minedBounds(
       e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Bound] = {
     import org.apache.spark.sql.catalyst.expressions.{
-      And, Between, EqualTo, Expression, GreaterThan, GreaterThanOrEqual,
-      In, LessThan, LessThanOrEqual, Literal => CLit}
+      And, AttributeReference, Between, EqualTo, Expression, GreaterThan,
+      GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal => CLit}
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    // parsed predicates carry UnresolvedAttribute (the DML path);
+    // planner-resolved ones carry AttributeReference (the FileIndex
+    // path) — both name a plain column
     def attr(x: Expression): Option[String] = x match {
       case a: UnresolvedAttribute if a.nameParts.length == 1 => Some(a.name)
+      case a: AttributeReference => Some(a.name)
       case _ => None
     }
     def litSql(x: Expression): Option[String] = x match {
@@ -1118,7 +1132,7 @@ object LakeTable {
     * file's zone in the TABLE column's type (the readRange/mergeInto
     * cast discipline); a NULL verdict — failed cast, missing stats —
     * conservatively admits the file. */
-  private def splitByPredicate(spark: SparkSession, ents: Seq[FileEntry],
+  private[sources] def splitByPredicate(spark: SparkSession, ents: Seq[FileEntry],
       schema: Option[StructType],
       cond: org.apache.spark.sql.catalyst.expressions.Expression)
       : (Seq[FileEntry], Seq[FileEntry]) = {

@@ -1,0 +1,117 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class GraftLakeSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("lakesrc").toString + "/t"
+
+  private def corrupt(root: String, rel: String): Unit =
+    Files.write(Paths.get(s"$root/$rel"),
+      Array.fill[Byte](64)(0), StandardOpenOption.TRUNCATE_EXISTING): Unit
+
+  test("format(graftlake): load ≡ LakeTable.read; versionAsOf and "
+      + "timestampAsOf pin snapshots") {
+    val root = freshRoot()
+    LakeTable.append(spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") * 3).as("v")), root)
+    LakeTable.append(spark.range(100, 150)
+      .select(col("id").as("k"), (col("id") * 3).as("v")), root)
+    val latest = spark.read.format("graftlake").option("path", root).load()
+    assert(latest.count() == 150L)
+    assert(latest.select("k").as[Long].collect().toSet ==
+      LakeTable.read(spark, root).select("k").as[Long].collect().toSet)
+    val v1 = spark.read.format("graftlake").option("path", root)
+      .option("versionAsOf", "1").load()
+    assert(v1.count() == 100L)
+    val t1 = LakeTable.commitTimeOf(spark, root, 1L).get
+    val byTs = spark.read.format("graftlake").option("path", root)
+      .option("timestampAsOf", t1.toString).load()
+    assert(byTs.count() == 100L)
+  }
+
+  test("SQL range predicate prunes files through the FileIndex "
+      + "(corrupted-file trick), plan keeps parquet PushedFilters") {
+    val root = freshRoot()
+    val base = spark.range(0, 400).select(col("id").as("k"),
+        (col("id") * 10).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    LakeTable.append(base, root, zoneKey = Some("k"))
+    val ents = LakeTable.entries(spark, root, 1L)
+    val out = ents.filter(_.hi.get.toLong < 150L)
+      .filterNot(e => e.lo.get.toLong <= 260L && e.hi.get.toLong >= 150L)
+    assert(out.nonEmpty)
+    out.foreach(e => corrupt(root, e.path))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW lake_t USING graftlake " +
+      s"OPTIONS (path '$root')")
+    val q = spark.sql(
+      "SELECT sum(v) AS s, count(*) AS n FROM lake_t " +
+        "WHERE k BETWEEN 150 AND 260")
+    // the corrupted below-range files were never opened
+    val r = q.as[(Long, Long)].head()
+    assert(r == ((150L to 260L).map(_ * 10).sum, 111L))
+    // native parquet scan survived our FileIndex: pushdown intact
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && !plan.contains("PushedFilters: []"))
+  }
+
+  test("SQL equality on a Bloom-indexed scattered column prunes through "
+      + "the FileIndex (corrupted-file trick)") {
+    val root = freshRoot()
+    val base = spark.range(0, 800).select(col("id").as("k"),
+        ((col("id") * 7919) % 10007).as("u"))
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+    LakeTable.append(base, root, zoneKey = Some("k"),
+      bloomKeys = Seq("u"), bloomExpectedPerFile = 4096)
+    val probe = (123L * 7919L) % 10007L
+    val h = spark.range(1).select(xxhash64(lit(probe))).as[Long].head()
+    val idx = LakeTable.idxOf(spark, root, 1L)
+    val admitted = spark.read.parquet(idx.map(d => s"$root/$d"): _*)
+      .filter(col("col") === "u")
+      .select("file", "bloom").as[(String, Array[Byte])].collect()
+      .filter { case (_, b) =>
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(b)).mightContainLong(h)
+      }.map(_._1).toSet
+    assert(admitted.size < 8)
+    LakeTable.entries(spark, root, 1L)
+      .filterNot(e => admitted.contains(e.path))
+      .foreach(e => corrupt(root, e.path))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW lake_b USING graftlake " +
+      s"OPTIONS (path '$root')")
+    assert(spark.sql(s"SELECT k FROM lake_b WHERE u = $probe")
+      .as[Long].collect().toSeq == Seq(123L))
+  }
+
+  test("write path: append and overwrite via the DataFrame writer, "
+      + "options thread zone and bloom keys") {
+    val root = freshRoot()
+    spark.range(0, 50).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .write.format("graftlake").mode("append")
+      .option("path", root).option("zoneKey", "k")
+      .option("bloomKeys", "v").save()
+    assert(LakeTable.versions(spark, root) == Seq(1L))
+    assert(LakeTable.entries(spark, root, 1L)
+      .forall(_.zoneKey.contains("k")))
+    assert(LakeTable.idxOf(spark, root, 1L).size == 1)
+    spark.range(50, 60).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .write.format("graftlake").mode("append").option("path", root).save()
+    assert(spark.read.format("graftlake").option("path", root)
+      .load().count() == 60L)
+    spark.range(0, 7).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .write.format("graftlake").mode("overwrite").option("path", root).save()
+    assert(spark.read.format("graftlake").option("path", root)
+      .load().count() == 7L)
+    // prior snapshots still time-travel
+    assert(spark.read.format("graftlake").option("path", root)
+      .option("versionAsOf", "2").load().count() == 60L)
+    intercept[UnsupportedOperationException] {
+      spark.range(1).select(col("id").as("k"), col("id").as("v"))
+        .write.format("graftlake").mode("ignore").option("path", root).save()
+    }
+  }
+}

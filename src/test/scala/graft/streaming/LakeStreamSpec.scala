@@ -75,6 +75,16 @@ class LakeStreamSpec extends SparkSpec {
     run()
     assert(got.drop(before).toSet == Set(
       (3L, 30L, "update_preimage", 3L), (3L, 33L, "update_postimage", 3L)))
+    // restart over row-level DML versions: the feed serves their
+    // sidecars the same way (delete rows; update pre+post images)
+    val before2 = got.size
+    LakeTable.deleteWhere(spark, src, "k = 1")
+    LakeTable.updateWhere(spark, src, "k = 3", Map("v" -> "v + 1"))
+    run()
+    assert(got.drop(before2).toSet == Set(
+      (1L, 11L, "delete", 4L),
+      (3L, 33L, "update_preimage", 5L),
+      (3L, 34L, "update_postimage", 5L)))
   }
 
   test("tail: starting against an empty log, commits arriving later are "
