@@ -130,6 +130,46 @@ object Similarity {
     * exact top-k (query, neighbor) pairs the ANN result recovered.
     * Returns (hit, total) so callers can aggregate however they like.
     */
+  /** All ordered same-frame cosine pairs (src ≠ dst) — the EXACT
+    * candidate generator for [[knnGraphFromPairs]]. The inequality join
+    * is a nested-loop product: test-scale / per-bucket use only. At
+    * 100 TB feed the graph from LSH/IVF candidate stages instead —
+    * blocking changes candidate RECALL, never how ranks and mutuality
+    * are computed. Norms are computed once per side before the join. */
+  def allPairsCosine(corpus: DataFrame, idCol: String,
+                     vecCol: String): DataFrame = {
+    val a = corpus.select(col(idCol).as("src"), col(vecCol).as("__av"),
+      Vectors.norm(col(vecCol)).as("__an"))
+    val b = corpus.select(col(idCol).as("dst"), col(vecCol).as("__bv"),
+      Vectors.norm(col(vecCol)).as("__bn"))
+    a.join(b, col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        (Vectors.dot(col("__av"), col("__bv")) /
+          (col("__an") * col("__bn"))).as("cosine"))
+  }
+
+  /** Mutual k-NN graph over candidate pairs (`src`, `dst`, `cosine`,
+    * both directions present): per-node top-k by cosine (ties break on
+    * neighbor id), kept only where BOTH endpoints rank each other —
+    * the backbone graph of graph-based curation (semantic-dup
+    * components, diversity chains). One row per unordered mutual edge,
+    * `src < dst`. Plan shape: one window over the per-node partition,
+    * then a self left-semi join on the k·n surviving rows — the
+    * candidate volume, never the pair volume. */
+  def knnGraphFromPairs(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("src")
+      .orderBy(col("cosine").desc, col("dst").asc)
+    val topk = pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val reversed = topk.select(col("dst").as("__rsrc"),
+      col("src").as("__rdst"))
+    topk.join(reversed,
+        col("src") === col("__rsrc") && col("dst") === col("__rdst"),
+        "leftsemi")
+      .filter(col("src") < col("dst"))
+      .select("src", "dst", "cosine")
+  }
+
   def recallAtK(exact: DataFrame, approx: DataFrame): (Long, Long) = {
     val e = exact.select("query_id", "neighbor_id")
     val a = approx.select("query_id", "neighbor_id")

@@ -923,5 +923,35 @@ object VectorQueries {
                (d.id IS NULL) AS kept
         FROM assign a LEFT JOIN dropped d ON a.vec_id = d.id"""),
       "SemDeDup: cluster-blocked semantic dedup, keep/drop verdicts replayed"),
+
+    // ---- mutual k-NN graph -------------------------------------------------
+    // The backbone of graph-based curation: per-node exact top-5 by
+    // cosine, an edge kept only when BOTH endpoints rank each other
+    // (mutuality suppresses hub nodes — the standard kNN-graph
+    // cleanup). The exact all-pairs generator is the test-scale /
+    // per-bucket path; at 100 TB the same graph op consumes LSH/IVF
+    // candidate stages (blocking changes recall only, never ranks or
+    // mutuality). The oracle replays pairs, ranks, and the mutual
+    // filter in SQL.
+    "q268_knn_graph" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val pairs = Similarity.allPairsCosine(emb, "vec_id", "embedding")
+        Similarity.knnGraphFromPairs(pairs, k = 5)
+          .select(col("src"), col("dst"), q4(col("cosine")).as("cosine"))
+      },
+      Some(s"""WITH sims AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+            list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+              CAST(b.embedding AS DOUBLE[])) AS cosine
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        topk AS (
+          SELECT src, dst, cosine, row_number() OVER (PARTITION BY src
+            ORDER BY cosine DESC, dst) AS rk
+          FROM sims)
+        SELECT f.src, f.dst, ${Q4("f.cosine")} AS cosine
+        FROM topk f JOIN topk g ON f.src = g.dst AND f.dst = g.src
+        WHERE f.rk <= 5 AND g.rk <= 5 AND f.src < f.dst"""),
+      "mutual k-NN graph: per-node top-k kept both ways ≡ SQL replay"),
   )
 }

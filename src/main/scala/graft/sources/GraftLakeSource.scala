@@ -8,8 +8,11 @@ import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference,
 import org.apache.spark.sql.execution.datasources.{FileIndex,
   HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.sources.{BaseRelation,
-  CreatableRelationProvider, DataSourceRegister, RelationProvider}
+  CreatableRelationProvider, DataSourceRegister, RelationProvider,
+  StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** [[LakeTable]] as a first-class Spark data source — the Delta-style
@@ -38,7 +41,8 @@ import org.apache.spark.sql.types.StructType
   * commits, the same semantics as every other [[LakeTable]] read.
   */
 class GraftLakeSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graftlake"
 
@@ -96,6 +100,56 @@ class GraftLakeSource extends RelationProvider
     }
     createRelation(sqlContext, parameters) // fresh post-write snapshot
   }
+
+  /** `df.writeStream.format("graftlake")` — the exactly-once streaming
+    * sink: each micro-batch lands through [[LakeTable.appendOnce]]
+    * keyed on (`appId`, batchId), so an at-least-once replay after a
+    * crash re-commits NOTHING (the manifest's `#txn` tag proves the
+    * batch already landed), and a conflict against a concurrent writer
+    * replays the transaction on the fresh snapshot. `appId` defaults to
+    * the checkpoint location — stable across restarts, distinct across
+    * independent streams, overridable for multi-sink topologies. */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append || outputMode == OutputMode.Update,
+      s"graftlake sink: unsupported output mode $outputMode (append-only " +
+        "table; use foreachBatch + mergeInto for upsert semantics)")
+    val root = rootOf(parameters)
+    val appId = parameters.get("appId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graftlake sink: need 'appId' or a checkpointLocation"))
+    val zoneKey = parameters.get("zoneKey")
+    val zoneKeys = parameters.get("zoneKeys")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
+    new Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        // the sink's DataFrame rides the incremental execution plan —
+        // re-planning it (collect aside, ANY new action) trips the
+        // streaming-source analyzer check. Take the already-planned
+        // internal rows (queryExecution.toRdd) and lift them into a
+        // plain batch frame via the row encoder; the deserializer also
+        // copies out of the scan's reused UnsafeRows.
+        val spark = data.sparkSession
+        val schema = data.schema
+        val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+          org.apache.spark.sql.catalyst.encoders.RowEncoder
+            .encoderFor(schema)).resolveAndBind()
+        val rowRdd = data.queryExecution.toRdd.mapPartitions { it =>
+          val de = enc.createDeserializer()
+          it.map(r => de(r))
+        }
+        val batchDf = spark.createDataFrame(rowRdd, schema)
+        LakeTable.withRetry() { () =>
+          LakeTable.appendOnce(batchDf, root, appId, batchId,
+            zoneKey, zoneKeys)
+        }: Unit
+      }
+      override def toString: String = s"GraftLakeSink[$root]"
+    }
+  }
 }
 
 /** Manifest-backed `FileIndex` for one immutable lake snapshot. File
@@ -149,20 +203,27 @@ class LakeFileIndex(spark: SparkSession, root: String, version: Long,
         LakeTable.splitByPredicate(spark, entries, Some(schema), c)._1
       case None => entries
     }
-    // Bloom pruning on equality conjuncts over indexed columns
-    def eqConjuncts(e: Expression): Seq[(String, Literal)] = e match {
+    // Bloom pruning on equality / IN conjuncts over indexed columns: a
+    // file survives an IN conjunct when its filter might hold ANY of
+    // the listed values (per-value probe union)
+    def eqConjuncts(e: Expression): Seq[(String, Seq[Literal])] = e match {
       case And(l, r) => eqConjuncts(l) ++ eqConjuncts(r)
       case EqualTo(a: AttributeReference, l: Literal) if l.value != null =>
-        Seq(a.name -> l)
+        Seq(a.name -> Seq(l))
       case EqualTo(l: Literal, a: AttributeReference) if l.value != null =>
-        Seq(a.name -> l)
+        Seq(a.name -> Seq(l))
+      case org.apache.spark.sql.catalyst.expressions.In(
+          a: AttributeReference, vs)
+          if vs.nonEmpty && vs.forall {
+            case l: Literal => l.value != null; case _ => false } =>
+        Seq(a.name -> vs.collect { case l: Literal => l })
       case _ => Seq.empty
     }
     val live = zoneAdmitted.map(_.path).toSet
     val admitted = cond.map(eqConjuncts).getOrElse(Seq.empty)
-      .foldLeft(live) { case (acc, (key, probe)) =>
-        acc.intersect(LakeTable.bloomCandidates(spark, root, version,
-          acc, Some(schema), key, probe))
+      .foldLeft(live) { case (acc, (key, probes)) =>
+        probes.map(p => LakeTable.bloomCandidates(spark, root, version,
+          acc, Some(schema), key, p)).reduce(_ union _).intersect(acc)
       }
     Seq(PartitionDirectory(InternalRow.empty,
       admitted.toSeq.sorted.flatMap(statusByRel.get).toArray))

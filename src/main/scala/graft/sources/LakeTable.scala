@@ -1066,7 +1066,8 @@ object LakeTable {
       e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Bound] = {
     import org.apache.spark.sql.catalyst.expressions.{
       And, AttributeReference, Between, EqualTo, Expression, GreaterThan,
-      GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal => CLit}
+      GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or,
+      Literal => CLit}
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     // parsed predicates carry UnresolvedAttribute (the DML path);
     // planner-resolved ones carry AttributeReference (the FileIndex
@@ -1093,6 +1094,40 @@ object LakeTable {
     val hi = (v: String) => Bound("", None, Some(v))
     e match {
       case And(l, r) => minedBounds(l) ++ minedBounds(r)
+      // OR of single-column ranges folds to their envelope on that
+      // column (`k = 1 OR k BETWEEN 9 AND 12` → k ∈ [1, 12]) — a
+      // correct over-approximation: every row satisfying either side
+      // lies inside the envelope. Disjuncts on DIFFERENT columns (or
+      // with an unmineable side) prune nothing.
+      case Or(l, r) =>
+        val (lb, rb) = (minedBounds(l), minedBounds(r))
+        val cols = (lb ++ rb).map(_.column).distinct
+        if (lb.isEmpty || rb.isEmpty || cols.length != 1) Seq.empty
+        else {
+          // per side, a column may carry several conjunct bounds
+          // (k >= a AND k <= b) — INTERSECT them: absent sides don't
+          // constrain and are ignored; tightest lo = max, hi = min
+          def inter(bs: Seq[Bound]): Bound = {
+            def side(ss: Seq[String], f: String) = ss match {
+              case Seq() => None
+              case Seq(one) => Some(one)
+              case many => Some(s"$f(${many.mkString(", ")})")
+            }
+            Bound(cols.head, side(bs.flatMap(_.loSql), "greatest"),
+              side(bs.flatMap(_.hiSql), "least"))
+          }
+          // across the OR, UNION the two intervals: an open side in
+          // EITHER disjunct opens the envelope on that side
+          def union(a: Option[String], b: Option[String],
+                    f: String): Option[String] = (a, b) match {
+            case (Some(x), Some(y)) =>
+              Some(if (x == y) x else s"$f($x, $y)")
+            case _ => None
+          }
+          val (ml, mr) = (inter(lb), inter(rb))
+          Seq(Bound(cols.head, union(ml.loSql, mr.loSql, "least"),
+            union(ml.hiSql, mr.hiSql, "greatest")))
+        }
       // the parser keeps BETWEEN as an unresolved function call; the
       // resolved form is the RuntimeReplaceable Between node — both
       // desugar to the same two comparisons

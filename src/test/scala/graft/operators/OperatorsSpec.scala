@@ -876,6 +876,24 @@ class SimilaritySpec extends SparkSpec {
     assert(rProbe >= rPlain) // probing only adds candidate buckets
     assert(rProbe >= 0.25, f"multi-probe recall@5 $rProbe%.3f below floor")
   }
+
+  test("knnGraphFromPairs: only mutually-ranked edges survive; ties "
+      + "break on neighbor id; each edge emitted once") {
+    // hand-built candidates, k = 1:
+    //   1's best is 2 (0.9), 2's best is 1 (0.9)  -> mutual edge (1,2)
+    //   3's best is 1 (0.8), but 1 ranks 2 first  -> NOT mutual
+    //   4 and 5 tie at 0.7 from 6; 6's top-1 breaks to the LOWER id 4;
+    //   4's best is 6                              -> mutual edge (4,6)
+    val pairs = Seq(
+      (1L, 2L, 0.9), (2L, 1L, 0.9),
+      (3L, 1L, 0.8), (1L, 3L, 0.5), (2L, 3L, 0.1), (3L, 2L, 0.1),
+      (4L, 6L, 0.7), (6L, 4L, 0.7), (5L, 6L, 0.7), (6L, 5L, 0.7),
+      (4L, 5L, 0.2), (5L, 4L, 0.2)
+    ).toDF("src", "dst", "cosine")
+    val got = Similarity.knnGraphFromPairs(pairs, k = 1)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (4L, 6L)))
+  }
 }
 
 class SketchesSpec extends SparkSpec {
@@ -1161,4 +1179,5 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L) == 3) // frames 0,4,8
     assert(out(2L) == 1) // frame 0
   }
+
 }

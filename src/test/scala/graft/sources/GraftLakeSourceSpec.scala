@@ -87,6 +87,37 @@ class GraftLakeSourceSpec extends SparkSpec {
       .as[Long].collect().toSeq == Seq(123L))
   }
 
+  test("SQL IN-list on a Bloom-indexed column prunes to the probe UNION "
+      + "(corrupted-file trick)") {
+    val root = freshRoot()
+    val base = spark.range(0, 800).select(col("id").as("k"),
+        ((col("id") * 7919) % 10007).as("u"))
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+    LakeTable.append(base, root, zoneKey = Some("k"),
+      bloomKeys = Seq("u"), bloomExpectedPerFile = 4096)
+    val probes = Seq(123L, 457L).map(k => (k * 7919L) % 10007L)
+    val idx = LakeTable.idxOf(spark, root, 1L)
+    val rows = spark.read.parquet(idx.map(d => s"$root/$d"): _*)
+      .filter(col("col") === "u")
+      .select("file", "bloom").as[(String, Array[Byte])].collect()
+    val admitted = probes.flatMap { p =>
+      val h = spark.range(1).select(xxhash64(lit(p))).as[Long].head()
+      rows.filter { case (_, b) =>
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(b)).mightContainLong(h)
+      }.map(_._1)
+    }.toSet
+    assert(admitted.size < 8)
+    LakeTable.entries(spark, root, 1L)
+      .filterNot(e => admitted.contains(e.path))
+      .foreach(e => corrupt(root, e.path))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW lake_in USING graftlake " +
+      s"OPTIONS (path '$root')")
+    assert(spark.sql(
+      s"SELECT k FROM lake_in WHERE u IN (${probes.mkString(", ")})")
+      .as[Long].collect().toSet == Set(123L, 457L))
+  }
+
   test("write path: append and overwrite via the DataFrame writer, "
       + "options thread zone and bloom keys") {
     val root = freshRoot()
@@ -113,5 +144,42 @@ class GraftLakeSourceSpec extends SparkSpec {
       spark.range(1).select(col("id").as("k"), col("id").as("v"))
         .write.format("graftlake").mode("ignore").option("path", root).save()
     }
+  }
+
+  test("writeStream.format(graftlake): one txn-tagged version per "
+      + "micro-batch; restart over the same checkpoint replays nothing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("lakesinkfmt")
+    val root = dir.resolve("t").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val ms = MemoryStream[(Long, String)]
+    def start() = ms.toDF().toDF("k", "v").writeStream
+      .format("graftlake")
+      .option("path", root)
+      .option("checkpointLocation", ckpt)
+      .option("appId", "fmt-sink")
+      .option("zoneKey", "k")
+      .start()
+    val q = start()
+    try {
+      ms.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      ms.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(LakeTable.versions(spark, root) == Seq(1L, 2L))
+    assert(LakeTable.txnOf(spark, root, 1L).contains(("fmt-sink", 0L)))
+    assert(LakeTable.entries(spark, root, 1L)
+      .forall(_.zoneKey.contains("k")))
+    // restart on the same checkpoint: no re-commit, new data still lands
+    val q2 = start()
+    try {
+      ms.addData((4L, "d"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(LakeTable.versions(spark, root) == Seq(1L, 2L, 3L))
+    assert(LakeTable.read(spark, root).select("k").as[Long]
+      .collect().toSet == Set(1L, 2L, 3L, 4L))
   }
 }

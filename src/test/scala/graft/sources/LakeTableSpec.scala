@@ -706,8 +706,14 @@ class LakeTableSpec extends SparkSpec {
       Seq(LakeTable.Bound("k", Some("least(7, 3, 9)"),
         Some("greatest(7, 3, 9)"))))
     assert(mine("k IN (4)") == Seq(LakeTable.Bound("k", Some("4"), Some("4"))))
+    // OR of same-column ranges folds to the envelope
+    assert(mine("k = 1 OR k = 2") ==
+      Seq(LakeTable.Bound("k", Some("least(1, 2)"),
+        Some("greatest(1, 2)"))))
+    assert(mine("k < 5 OR k BETWEEN 9 AND 12") ==
+      Seq(LakeTable.Bound("k", None, Some("greatest(5, 12)"))))
     // non-prunable shapes contribute nothing (conservative)
-    assert(mine("k = 1 OR k = 2").isEmpty)
+    assert(mine("k = 1 OR v = 2").isEmpty) // disjuncts on different cols
     assert(mine("a < b").isEmpty)
     assert(mine("abs(k) = 3").isEmpty)
     // ...but a prunable conjunct next to them still mines
