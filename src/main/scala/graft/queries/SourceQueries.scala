@@ -1046,6 +1046,42 @@ object SourceQueries {
         WHERE o.o_orderkey BETWEEN 1000 AND 30000
           AND o.o_custkey = 331"""),
       "lake table behind plain SQL (USING graftlake) ≡ direct join+filter"),
+
+    // ---- lake CHECK constraints: guarded pipeline, content unchanged -------
+    // ADD CONSTRAINT validates the existing data, then every later
+    // write enforces at O(delta) BEFORE data lands (LakeTableSpec pins
+    // the rejection paths for append/merge/update and the
+    // no-grandfathering rule). Here the guarded pipeline ingests orders
+    // in three constrained appends plus a violating batch that must
+    // leave NO trace; the oracle is the plain table — the hash proves
+    // enforcement neither drops, mutates, nor leaks rows.
+    "q269_lake_constraints" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_lakecon_q269") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 3 === 0), root)
+        graft.sources.LakeTable.addConstraint(s, root,
+          "price_pos", "o_totalprice > 0")
+        graft.sources.LakeTable.addConstraint(s, root,
+          "status_nn", "o_orderstatus IS NOT NULL")
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 3 === 1), root)
+        // the violating batch is refused atomically — nothing lands
+        try {
+          graft.sources.LakeTable.append(
+            o.filter(col("o_orderkey") % 3 === 2)
+              .withColumn("o_totalprice", -col("o_totalprice")), root)
+        } catch {
+          case _: graft.sources.LakeTable.ConstraintViolationException => ()
+        }
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 3 === 2), root)
+        graft.sources.LakeTable.read(s, root)
+      },
+      Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"),
+      "constrained lake ingest ≡ plain table (refused batch left no trace)"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

@@ -82,6 +82,31 @@ object LakeTable {
   final class CommitConflictException(msg: String)
       extends RuntimeException(msg)
 
+  final class ConstraintViolationException(msg: String)
+      extends RuntimeException(msg)
+
+  /** Every row of `df` must satisfy every CHECK (NULL verdicts violate
+    * — the SQL CHECK rule is 'not false', but for WRITE enforcement a
+    * NULL check on new data is almost always a bug, so we hold the
+    * stricter line Delta holds: the check must be TRUE). One aggregate
+    * job counts violations of ALL constraints at once; nothing runs
+    * when the table has none. */
+  private def enforceConstraints(df: DataFrame,
+                                 constraints: Seq[(String, String)],
+                                 what: String): Unit =
+    if (constraints.nonEmpty) {
+      val counts = constraints.map { case (n, sql) =>
+        sum(when(!coalesce(expr(sql), lit(false)), 1L).otherwise(0L))
+          .as(s"__c_$n")
+      }
+      val row = df.agg(counts.head, counts.tail: _*).head()
+      constraints.zipWithIndex.foreach { case ((n, sql), i) =>
+        val bad = if (row.isNullAt(i)) 0L else row.getLong(i) // empty df
+        if (bad > 0) throw new ConstraintViolationException(
+          s"$what violates CHECK constraint $n ($sql): $bad row(s)")
+      }
+    }
+
   /** Per-file min/max of one column, rendered as strings and cast back
     * to the column's type at prune time. */
   final case class Zone(key: String, lo: String, hi: String)
@@ -163,6 +188,12 @@ object LakeTable {
   // each indexed commit adds one; readers union them and join on the
   // version's live files, so stale rows for rewritten files are inert)
   private def renderIdx(dir: String): String = s"#idx\t${enc(dir)}"
+
+  // #constraint\t<name>\t<sqlExpr>: a CHECK constraint every row of
+  // every subsequent write must satisfy (NOT NULL is CHECK(col IS NOT
+  // NULL)); repeatable, carried forward by every commit
+  private def renderConstraint(c: (String, String)): String =
+    s"#constraint\t${enc(c._1)}\t${enc(c._2)}"
 
   // split with limit -1: a trailing empty field (an empty-string zone
   // value — legal for a string key whose file minimum is "") must
@@ -252,6 +283,15 @@ object LakeTable {
   def idxOf(spark: SparkSession, root: String, v: Long): Seq[String] =
     manifestLines(spark, root, v).collect {
       case l if l.startsWith("#idx\t") => dec(l.split("\t", -1)(1))
+    }
+
+  /** The CHECK constraints in force at version `v` (name → SQL). */
+  def constraintsOf(spark: SparkSession, root: String,
+                    v: Long): Seq[(String, String)] =
+    manifestLines(spark, root, v).collect {
+      case l if l.startsWith("#constraint\t") =>
+        val f = l.split("\t", -1)
+        (dec(f(1)), dec(f(2)))
     }
 
   /** The highest batch id `appId` has committed, scanning manifests from
@@ -439,6 +479,7 @@ object LakeTable {
             .withColumn("_change_type", lit("insert")))
         case Some("compact") => None  // layout-only: no logical change
         case Some("reindex") => None  // metadata-only: no logical change
+        case Some("metadata") => None // constraint add/drop: no rows change
         case Some("overwrite") =>
           val inserts = read(spark, root, Some(v))
             .withColumn("_change_type", lit("insert"))
@@ -636,8 +677,48 @@ object LakeTable {
       if (fresh.isEmpty) cur
       else commit(spark, root, ents, cur + 1L,
         schema = schemaOf(spark, root, cur), op = Some("reindex"),
-        idx = idxDirs ++ fresh.toSeq)
+        idx = idxDirs ++ fresh.toSeq,
+        constraints = constraintsOf(spark, root, cur))
     }
+  }
+
+  /** Record a CHECK constraint (`NOT NULL` is `CHECK(col IS NOT NULL)`)
+    * on the table — Delta's ADD CONSTRAINT: the CURRENT data is
+    * validated first (one scan; a table already in violation refuses
+    * the rule rather than grandfathering bad rows), then every
+    * subsequent append / overwrite / merge / update enforces it at
+    * O(delta) before any data lands. Same-entries metadata commit;
+    * [[changeFeed]] treats it as a logical no-op. */
+  def addConstraint(spark: SparkSession, root: String,
+                    name: String, checkSql: String): Long = {
+    require(name.nonEmpty && !name.contains('\t'), s"bad name: $name")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"addConstraint: no table at $root")
+    val cur = vs.last
+    val existing = constraintsOf(spark, root, cur)
+    require(!existing.exists(_._1 == name),
+      s"addConstraint: constraint $name already exists")
+    enforceConstraints(read(spark, root, Some(cur)),
+      Seq(name -> checkSql), "existing table data")
+    commit(spark, root, entries(spark, root, cur), cur + 1L,
+      schema = schemaOf(spark, root, cur), op = Some("metadata"),
+      idx = idxOf(spark, root, cur),
+      constraints = existing :+ (name -> checkSql))
+  }
+
+  /** Drop a CHECK constraint by name (unknown name is a no-op that
+    * commits nothing). */
+  def dropConstraint(spark: SparkSession, root: String,
+                     name: String): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"dropConstraint: no table at $root")
+    val cur = vs.last
+    val existing = constraintsOf(spark, root, cur)
+    if (!existing.exists(_._1 == name)) cur
+    else commit(spark, root, entries(spark, root, cur), cur + 1L,
+      schema = schemaOf(spark, root, cur), op = Some("metadata"),
+      idx = idxOf(spark, root, cur),
+      constraints = existing.filterNot(_._1 == name))
   }
 
   /** Zone stats are recorded only for types whose toString render
@@ -755,7 +836,9 @@ object LakeTable {
                               schema: Option[StructType] = None,
                               op: Option[String] = None,
                               cdc: Option[String] = None,
-                              idx: Seq[String] = Seq.empty): Long = {
+                              idx: Seq[String] = Seq.empty,
+                              constraints: Seq[(String, String)] =
+                                Seq.empty): Long = {
     val fs = hfs(spark, root)
     val p = manifestPath(root, next)
     fs.mkdirs(p.getParent)
@@ -766,6 +849,7 @@ object LakeTable {
       out.write((Seq(renderTs(System.currentTimeMillis())) ++
         op.map(renderOp).toSeq ++ cdc.map(renderCdc).toSeq ++
         idx.distinct.map(renderIdx) ++
+        constraints.map(renderConstraint) ++
         schema.map(renderSchema).toSeq ++
         txn.map(renderTxn).toSeq ++ entries.map(renderEntry))
         .mkString("\n").getBytes("UTF-8"))
@@ -835,6 +919,8 @@ object LakeTable {
     val prevEntries = prev.map(entries(spark, root, _)).getOrElse(Seq.empty)
     val prevSchema = prev.map(v => schemaOf(spark, root, v)
       .getOrElse(read(spark, root, Some(v)).schema)) // legacy: footers, once
+    val checks = prev.map(constraintsOf(spark, root, _)).getOrElse(Seq.empty)
+    enforceConstraints(df, checks, "append")
     val fresh = writeData(df, root, zoneKey.toSeq ++ zoneKeys)
     val evolved = prevSchema.map(unionSchema(_, df.schema))
       .getOrElse(StructType(df.schema.map(_.copy(nullable = true))))
@@ -846,7 +932,8 @@ object LakeTable {
         bloomExpectedPerFile, bloomFpp)
     val prevIdx = prev.map(idxOf(spark, root, _)).getOrElse(Seq.empty)
     commit(spark, root, prevEntries ++ fresh, prev.getOrElse(0L) + 1L, txn,
-      Some(evolved), op = Some("append"), idx = prevIdx ++ freshIdx.toSeq)
+      Some(evolved), op = Some("append"), idx = prevIdx ++ freshIdx.toSeq,
+      constraints = checks)
   }
 
   /** Idempotent streaming append: apply `df` as `appId`'s batch
@@ -872,10 +959,15 @@ object LakeTable {
                 zoneKey: Option[String] = None,
                 zoneKeys: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
-    val next = versions(spark, root).lastOption.getOrElse(0L) + 1L
-    commit(spark, root, writeData(df, root, zoneKey.toSeq ++ zoneKeys), next,
+    val prev = versions(spark, root).lastOption
+    // constraints are table METADATA: an overwrite replaces the data,
+    // keeps the rules, and its new content must satisfy them
+    val checks = prev.map(constraintsOf(spark, root, _)).getOrElse(Seq.empty)
+    enforceConstraints(df, checks, "overwrite")
+    commit(spark, root, writeData(df, root, zoneKey.toSeq ++ zoneKeys),
+      prev.getOrElse(0L) + 1L,
       schema = Some(StructType(df.schema.map(_.copy(nullable = true)))),
-      op = Some("overwrite"))
+      op = Some("overwrite"), constraints = checks)
   }
 
   /** File-granular copy-on-write MERGE. `updates` carries the table's
@@ -927,6 +1019,12 @@ object LakeTable {
     require(nRows == nKeys,
       s"mergeInto: updates must carry one row per key " +
         s"($nRows rows over $nKeys distinct keys ${keys.mkString(",")})")
+    // rows the merge writes come from the batch (I/U images) or ride
+    // along unchanged (valid by induction) — enforcing on the batch
+    // alone is exact and O(batch)
+    val tableChecks = constraintsOf(spark, root, cur)
+    enforceConstraints(updates.filter(col(opCol) =!= "D"),
+      tableChecks, "mergeInto batch")
 
     val withZone = ents.map(e => e -> e.zoneFor(lead))
     val zoned = withZone.collect { case (e, Some(z)) => (e, z) }
@@ -1036,7 +1134,8 @@ object LakeTable {
       tableSchema.getOrElse(read(spark, root, Some(cur)).schema),
       rewritten.schema)
     commit(spark, root, kept ++ fresh, cur + 1L, schema = Some(evolved),
-      op = Some("merge"), cdc = cdcDir, idx = idxOf(spark, root, cur))
+      op = Some("merge"), cdc = cdcDir, idx = idxOf(spark, root, cur),
+      constraints = tableChecks)
   }
 
   // -----------------------------------------------------------------------
@@ -1274,7 +1373,8 @@ object LakeTable {
       val out = tableSchema.getOrElse(read(spark, root, Some(cur)).schema)
       commit(spark, root, kept ++ fresh, cur + 1L,
         schema = Some(StructType(out.map(_.copy(nullable = true)))),
-        op = Some("delete"), cdc = cdcDir, idx = idxOf(spark, root, cur))
+        op = Some("delete"), cdc = cdcDir, idx = idxOf(spark, root, cur),
+        constraints = constraintsOf(spark, root, cur)) // removal can't violate
     }
   }
 
@@ -1318,6 +1418,11 @@ object LakeTable {
               .otherwise(col(c)))
         }
       val rewritten = applied(touched)
+      // new values must satisfy the table's CHECKs — post-images only,
+      // O(changed), BEFORE any data lands (a violating update writes
+      // nothing, not even vacuum-fodder orphans)
+      enforceConstraints(applied(touched.filter(matches)),
+        constraintsOf(spark, root, cur), "updateWhere")
       val zoneKeys = ents.flatMap(_.zones.map(_.key)).distinct
       val fresh = writeData(rewritten, root, zoneKeys)
       val cdcDir =
@@ -1333,7 +1438,8 @@ object LakeTable {
         }
       commit(spark, root, kept ++ fresh, cur + 1L,
         schema = Some(StructType(schemaNow.map(_.copy(nullable = true)))),
-        op = Some("update"), cdc = cdcDir, idx = idxOf(spark, root, cur))
+        op = Some("update"), cdc = cdcDir, idx = idxOf(spark, root, cur),
+        constraints = constraintsOf(spark, root, cur))
     }
   }
 
@@ -1444,7 +1550,8 @@ object LakeTable {
     val fresh = writeData(packed, root, keys)
     commit(spark, root, big.map(_._1) ++ fresh, cur + 1L,
       schema = tableSchema, // content-identical: schema carries verbatim
-      op = Some("compact"), idx = idxOf(spark, root, cur))
+      op = Some("compact"), idx = idxOf(spark, root, cur),
+      constraints = constraintsOf(spark, root, cur))
   }
 
   /** Retention GC: drop manifests strictly below `keepFrom`, then delete

@@ -821,6 +821,54 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.versions(spark, root) == Seq(1L, 2L))
   }
 
+  test("CHECK constraints: validated on add, enforced O(delta) on every "
+      + "write path, carried by every commit, dropped cleanly") {
+    import LakeTable.ConstraintViolationException
+    val root = freshRoot()
+    LakeTable.append(Seq((1L, 10L, "a")).toDF("k", "v", "s"), root)
+    assert(LakeTable.addConstraint(spark, root, "v_pos", "v > 0") == 2L)
+    // a rule the EXISTING data violates is refused, not grandfathered
+    intercept[ConstraintViolationException] {
+      LakeTable.addConstraint(spark, root, "v_big", "v > 100")
+    }
+    // append: violating batch writes NOTHING (no version, no orphans)
+    intercept[ConstraintViolationException] {
+      LakeTable.append(Seq((2L, -5L, "b")).toDF("k", "v", "s"), root)
+    }
+    assert(LakeTable.versions(spark, root) == Seq(1L, 2L))
+    LakeTable.append(Seq((2L, 5L, "b")).toDF("k", "v", "s"), root) // v3
+    // NOT NULL is CHECK(col IS NOT NULL); NULL verdicts violate
+    LakeTable.addConstraint(spark, root, "s_nn", "s IS NOT NULL") // v4
+    intercept[ConstraintViolationException] {
+      LakeTable.append(Seq((3L, 1L, null.asInstanceOf[String]))
+        .toDF("k", "v", "s"), root)
+    }
+    // MERGE enforces on the batch's I/U images
+    intercept[ConstraintViolationException] {
+      LakeTable.mergeInto(spark, root,
+        Seq((1L, -1L, "x", "U")).toDF("k", "v", "s", "op"),
+        Seq("k"), "op")
+    }
+    // ...but D rows don't need valid payloads (removal can't violate)
+    // and UPDATE enforces on post-images
+    intercept[ConstraintViolationException] {
+      LakeTable.updateWhere(spark, root, "k = 1", Map("v" -> "-3"))
+    }
+    assert(LakeTable.versions(spark, root) == Seq(1L, 2L, 3L, 4L))
+    // constraints ride every commit: still both after a delete
+    LakeTable.deleteWhere(spark, root, "k = 2") // v5
+    assert(LakeTable.constraintsOf(spark, root, 5L).toSet ==
+      Set("v_pos" -> "v > 0", "s_nn" -> "s IS NOT NULL"))
+    // feed over the metadata commits serves zero rows, no refusal
+    assert(LakeTable.changeFeed(spark, root, 3L, 4L).count() == 0L)
+    // drop: the rule leaves, the formerly-violating append lands
+    LakeTable.dropConstraint(spark, root, "v_pos") // v6
+    assert(LakeTable.dropConstraint(spark, root, "nope") == 6L) // no-op
+    LakeTable.append(Seq((9L, -9L, "z")).toDF("k", "v", "s"), root)
+    assert(LakeTable.read(spark, root).select("v").as[Long]
+      .collect().toSet == Set(10L, -9L))
+  }
+
   test("bloom point lookup: non-holding files provably never opened "
       + "(corrupted-file trick); zones alone cannot prune the scattered "
       + "column") {
