@@ -1082,6 +1082,86 @@ object SourceQueries {
       },
       Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"),
       "constrained lake ingest ≡ plain table (refused batch left no trace)"),
+
+    // ---- corpus RELEASE capstone: prep → governed lake → feed report -------
+    // The end-to-end training-data release: q154's prep composition
+    // (lang gate → quality gate → exact dedup → eval decontamination)
+    // lands in a lake table in three appends under a quality CHECK
+    // constraint (added after the first batch, so it VALIDATES shipped
+    // data and guards the rest), and the per-source release report is
+    // folded from the CHANGE FEED — never from re-reading the table.
+    // The oracle replays the whole prep in SQL (q154's derivation) and
+    // aggregates directly, so one hash proves prep ∘ lake ∘ feed ≡
+    // prep ∘ aggregate.
+    "q270_corpus_release" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ev = docs.filter(col("doc_id") % 50 === 0)
+        val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+        val released = graft.operators.CorpusPrep.prepare(corpus,
+          "doc_id", "text", "lang", keepLang = "en", minQuality = 0.5,
+          evalDocs = ev, shingleSize = 5)
+          .select(col("doc_id"), col("source"), col("text"),
+            col("quality"),
+            graft.functions.Text.tokenCount(col("text")).cast("long")
+              .as("n_tokens"))
+        val root = freshRoot("graft_lakerel_q270") + "/t"
+        graft.sources.LakeTable.append(
+          released.filter(col("doc_id") % 3 === 0), root,
+          zoneKey = Some("doc_id"))
+        graft.sources.LakeTable.addConstraint(s, root,
+          "q_gate", "quality > 0.5")
+        graft.sources.LakeTable.addConstraint(s, root,
+          "toks_nn", "n_tokens IS NOT NULL")
+        (1 to 2).foreach(i => graft.sources.LakeTable.append(
+          released.filter(col("doc_id") % 3 === i), root,
+          zoneKey = Some("doc_id")))
+        val last = graft.sources.LakeTable.versions(s, root).last
+        graft.sources.LakeTable.changeFeed(s, root, 0L, last)
+          .filter(col("_change_type") === "insert")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            q4(xsum4(col("quality")) / count(lit(1))).as("avg_quality"),
+            sum(col("n_tokens")).as("total_tokens"))
+      },
+      Some {
+        val tokSql = "string_split_regex(trim(text), '\\s+')"
+        val toks = tokSql
+        val stops = graft.functions.Text.defaultStopwords
+          .map(w => s"'$w'").mkString(", ")
+        val nTok = s"len($toks)"
+        val stopRatio =
+          s"CAST(len(list_filter($toks, t -> t IN ($stops))) AS DOUBLE) / $nTok"
+        val punctRatio = "CAST(length(text) - length(regexp_replace(text, " +
+          "'[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)"
+        val quality =
+          s"(least(CAST($nTok AS DOUBLE)/64.0, 1.0) + least(($stopRatio)*4.0, 1.0)" +
+            s" + greatest(0.0, 1.0 - ($punctRatio)*4.0)) / 3.0"
+        val fp = "md5(trim(regexp_replace(regexp_replace(lower(text), " +
+          "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))"
+        val gram5 = "toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] " +
+          "|| ' ' || toks[i+4] || ' ' || toks[i+5]"
+        def sh(src: String) =
+          s"""SELECT DISTINCT doc_id, $gram5 AS shingle
+            FROM (SELECT doc_id, $tokSql AS toks FROM $src),
+                 LATERAL (SELECT unnest(range(0, greatest(len(toks) - 5 + 1, 0)))) AS g(i)"""
+        s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+          ev AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+          gated AS (SELECT doc_id, source, text, $quality AS quality
+            FROM corpus WHERE lang = 'en' AND ($quality) > 0.5),
+          dedup AS (SELECT * FROM (SELECT *, row_number() OVER (
+              PARTITION BY $fp ORDER BY doc_id) AS rn FROM gated)
+            WHERE rn = 1),
+          evsh AS (SELECT DISTINCT shingle FROM (${sh("ev")})),
+          dsh AS (${sh("dedup")}),
+          cont AS (SELECT DISTINCT doc_id FROM dsh SEMI JOIN evsh USING (shingle)),
+          fin AS (SELECT * FROM dedup ANTI JOIN cont USING (doc_id))
+          SELECT source, count(*) AS n_docs,
+            ${Q4(s"${XSUM4("quality")} / count(*)")} AS avg_quality,
+            CAST(sum($nTok) AS BIGINT) AS total_tokens
+          FROM fin GROUP BY source"""
+      },
+      "corpus release: prep ∘ constrained lake ∘ feed fold ≡ SQL replay"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

@@ -869,6 +869,48 @@ class LakeTableSpec extends SparkSpec {
       .collect().toSet == Set(10L, -9L))
   }
 
+  test("deleteWhere ≡ filter(NOT pred) for randomized predicate shapes "
+      + "(ranges, IN lists, OR envelopes, residuals) — property") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    // one clustered base reused across cases (tables are cheap to
+    // rebuild from it); k ∈ 0..199, v = k·10, s cycles a,b,c
+    val base = spark.range(0, 200).select(col("id").as("k"),
+        (col("id") * 10).as("v"),
+        element_at(array(lit("a"), lit("b"), lit("c")),
+          (col("id") % 3 + 1).cast("int")).as("s"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .localCheckpoint(true)
+    val lo = Gen.choose(-20L, 220L)
+    val predGen: Gen[String] = for {
+      a <- lo; b <- lo
+      inList <- Gen.nonEmptyListOf(Gen.choose(-5L, 210L)).map(_.take(4))
+      shape <- Gen.oneOf(
+        s"k BETWEEN ${math.min(a, b)} AND ${math.max(a, b)}",
+        s"k >= $a",
+        s"k < $b",
+        s"k IN (${inList.mkString(", ")})",
+        s"k BETWEEN ${math.min(a, b)} AND ${math.max(a, b)} AND v % 40 = 0",
+        s"k < $a OR k > $b",
+        s"(k BETWEEN $a AND ${a + 30}) OR (k BETWEEN $b AND ${b + 10})",
+        s"s = 'b' AND k >= $a",
+        s"v % 30 = 0") // residual-only: no prunable conjunct at all
+    } yield shape
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(25).withInitialSeed(Seed(11L))
+    val res = SCTest.check(params, Prop.forAll(predGen) { pred =>
+      val root = freshRoot()
+      LakeTable.append(base, root, zoneKey = Some("k"))
+      LakeTable.deleteWhere(spark, root, pred)
+      val got = LakeTable.read(spark, root)
+        .select("k").as[Long].collect().sorted.toSeq
+      val want = base.filter(!coalesce(expr(pred), lit(false)))
+        .select("k").as[Long].collect().sorted.toSeq
+      got == want
+    })
+    assert(res.passed, res.status.toString)
+  }
+
   test("bloom point lookup: non-holding files provably never opened "
       + "(corrupted-file trick); zones alone cannot prune the scattered "
       + "column") {
