@@ -481,6 +481,42 @@ object Graphs {
     state.select(col("id"), col("ptr").as("root"), col("dist").as("depth"))
   }
 
+  /** Hop-bounded multi-source shortest paths (weighted, positive
+    * weights): `dist_H(v)` = the cheapest path of at most `hops` edges
+    * from ANY seed to `v` — the "distance to trusted seeds" shape of
+    * link-graph curation (crawl frontier tiers, seed-proximity quality
+    * priors). Plain Bellman-Ford sweeps: each round relaxes every edge
+    * once (one key-partitioned join with the STATIC edge list + one
+    * min-combine agg — partial aggregation collapses duplicate
+    * relaxations map-side), so round cost is O(|frontier ⋈ edges|) and
+    * the hop bound makes the result exact and engine-replayable without
+    * convergence detection. Nodes unreachable within the bound are
+    * absent. Lineage is cut per round ([[persistStep]]); superseded
+    * blocks free eagerly. */
+  def boundedShortestPaths(edges: DataFrame, srcCol: String,
+                           dstCol: String, weightCol: String,
+                           seeds: DataFrame, seedCol: String, hops: Int,
+                           checkpointDir: Option[String] = None)
+      : DataFrame = {
+    val e = edges.select(col(srcCol).as("node"), col(dstCol).as("__d"),
+      col(weightCol).cast("long").as("__w"))
+    var dist = persistStep(
+      seeds.select(col(seedCol).as("node")).distinct()
+        .withColumn("dist", lit(0L)),
+      checkpointDir, eager = true)
+    (1 to hops).foreach { _ =>
+      val prev = dist
+      val relaxed = dist.join(e, "node")
+        .select(col("__d").as("node"), (col("dist") + col("__w")).as("dist"))
+      dist = persistStep(
+        dist.unionByName(relaxed)
+          .groupBy("node").agg(min("dist").as("dist")),
+        checkpointDir, eager = true)
+      freeCheckpoint(prev)
+    }
+    dist
+  }
+
   /** Unpersist a localCheckpoint'd DataFrame's materialized RDD (Dataset
     * .unpersist only covers CacheManager entries, not checkpoint RDDs).
     * No-op on frames that aren't checkpoint scans. Public because every

@@ -97,6 +97,43 @@ object Temporal {
     }
   }
 
+  /** Linear interpolation over a per-key regular time grid — the
+    * numeric sibling of [[gapFill]] (which carries the LAST observation
+    * forward; gauges that trend want the line between neighbors
+    * instead). The grid spans each key's observed [min, max] at `step`,
+    * so every missing point lies strictly between two observations and
+    * `prev + (next − prev) · (t − tp)/(tn − tp)` is always defined;
+    * observed points pass through untouched (no FP round-trip). Cost:
+    * one key shuffle, four windows over it (prev/next value+time), no
+    * self-join — same plan class as gapFill.
+    */
+  def interpolateLinear(df: DataFrame, keys: Seq[String], timeCol: String,
+                        step: Column, valueCols: Seq[String]): DataFrame = {
+    val bounds = df.groupBy(keys.map(col): _*)
+      .agg(min(timeCol).as("__mn"), max(timeCol).as("__mx"))
+    val grid = bounds.select(
+      keys.map(col) :+
+        explode(sequence(col("__mn"), col("__mx"), step)).as(timeCol): _*)
+    val joined = grid.join(df, keys :+ timeCol, "left")
+    val wPrev = Window.partitionBy(keys.map(col): _*).orderBy(col(timeCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(keys.map(col): _*).orderBy(col(timeCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val t = col(timeCol).cast("long").cast("double")
+    valueCols.foldLeft(joined) { (acc, c) =>
+      val obsT = when(col(c).isNotNull, col(timeCol))
+      val pv = last(col(c), ignoreNulls = true).over(wPrev)
+      val pt = last(obsT, ignoreNulls = true).over(wPrev)
+        .cast("long").cast("double")
+      val nv = first(col(c), ignoreNulls = true).over(wNext)
+      val nt = first(obsT, ignoreNulls = true).over(wNext)
+        .cast("long").cast("double")
+      acc.withColumn(c,
+        when(col(c).isNotNull, col(c))
+          .otherwise(pv + (nv - pv) * ((t - pt) / (nt - pt))))
+    }
+  }
+
   /** Collapse repeated events: within each key, keep only the first event
     * of every burst, where a burst groups events separated by less than
     * `gap` from their predecessor (chained — a long run of sub-gap

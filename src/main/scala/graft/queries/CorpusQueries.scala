@@ -944,6 +944,49 @@ object CorpusQueries {
     // overshoot is harmless — and recounts in-core degrees at the end.
     // The graph scales with the corpus; every round's exchange is the
     // src-filtered edge list plus two node-scale semi-join sides.
+    // ---- hop-bounded multi-source shortest paths ---------------------------
+    // Distance to the nearest trusted seed over the synthetic link
+    // graph (same md5-derived edges as q243, plus a positive weight):
+    // six Bellman-Ford sweeps give the exact ≤6-hop cheapest distance
+    // from any seed (doc_id % 97 = 0). The oracle replays the same
+    // bounded relaxation as a depth-capped recursive CTE and
+    // min-aggregates — hop-bounding is what makes the operator exact
+    // and replayable with no convergence race.
+    "q272_seed_distance" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+        val nd = docs.agg(count(lit(1)).as("n"))
+        val edges = docs.crossJoin(broadcast(nd))
+          .select(col("doc_id"),
+            explode(array(lit(1), lit(2), lit(3))).as("seed"), col("n"))
+          .withColumn("h",
+            conv(substring(md5(concat(col("doc_id"), lit("_"), col("seed"))),
+              1, 12), 16, 10).cast("long"))
+          .select(col("doc_id").as("src"), (col("h") % col("n")).as("dst"),
+            (col("h") % 9 + 1).as("w"))
+        val seeds = docs.filter(col("doc_id") % 97 === 0)
+        Graphs.boundedShortestPaths(edges, "src", "dst", "w",
+          seeds, "doc_id", hops = 6)
+      },
+      Some("""WITH RECURSIVE docs AS MATERIALIZED (
+          SELECT doc_id FROM documents),
+        nd AS (SELECT count(*) AS n FROM docs),
+        edges AS MATERIALIZED (SELECT doc_id AS src,
+            CAST(('0x' || substr(md5(doc_id || '_' || s), 1, 12)) AS BIGINT)
+              % n AS dst,
+            CAST(('0x' || substr(md5(doc_id || '_' || s), 1, 12)) AS BIGINT)
+              % 9 + 1 AS w
+          FROM docs CROSS JOIN nd, (SELECT unnest([1, 2, 3]) AS s)),
+        walk(node, dist, depth) AS (
+          SELECT doc_id AS node, CAST(0 AS BIGINT) AS dist, 0 AS depth
+          FROM docs WHERE doc_id % 97 = 0
+          UNION ALL
+          SELECT e.dst, w.dist + e.w, w.depth + 1
+          FROM walk w JOIN edges e ON e.src = w.node
+          WHERE w.depth < 6)
+        SELECT node, min(dist) AS dist FROM walk GROUP BY node"""),
+      "≤6-hop cheapest seed distance ≡ depth-capped recursive-CTE replay"),
+
     "q243_kcore" -> Q(
       (s, d) => {
         val docs = Tables.documents(s, d).select(col("doc_id"))

@@ -271,6 +271,60 @@ object EventQueries {
         FROM j"""),
       "hourly gap fill with forward-filled gauge per event type"),
 
+    // ---- linear interpolation over the hourly grid -------------------------
+    // The numeric sibling of q120: missing interior hours take the LINE
+    // between their neighboring observations instead of carrying the
+    // last one forward (grid spans each type's observed [min, max], so
+    // prev/next always exist for a gap). Both engines compute the same
+    // IEEE expression prev + (next − prev)·(Δt/Δtn) on the same
+    // quantized observations, so the hash pins every interpolated point.
+    "q271_interpolate" -> Q(
+      (s, d) => {
+        val obs = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts_utc")).as("hour"))
+          .agg(q4(max(col("value"))).as("gauge"))
+        graft.ops.Temporal.interpolateLinear(obs, Seq("event_type"),
+            "hour", expr("interval 1 hour"), Seq("gauge"))
+          .select(col("event_type"),
+            col("hour").cast("long").as("hour_epoch"),
+            q4(col("gauge")).as("gauge"))
+      },
+      Some(s"""WITH obs AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour,
+            ${Q4("max(value)")} AS gauge
+          FROM events GROUP BY 1, 2),
+        b AS (SELECT event_type, min(hour) AS mn, max(hour) AS mx
+              FROM obs GROUP BY 1),
+        grid AS (SELECT event_type,
+            unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour FROM b),
+        j AS (SELECT g.event_type, g.hour, o.gauge
+              FROM grid g LEFT JOIN obs o USING (event_type, hour)),
+        w AS (SELECT event_type, hour, gauge,
+            CAST(epoch_us(hour) // 1000000 AS DOUBLE) AS t,
+            last_value(gauge IGNORE NULLS) OVER (
+              PARTITION BY event_type ORDER BY hour
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+            CAST(epoch_us(last_value(CASE WHEN gauge IS NOT NULL THEN hour END
+                IGNORE NULLS) OVER (
+              PARTITION BY event_type ORDER BY hour
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) // 1000000
+              AS DOUBLE) AS pt,
+            first_value(gauge IGNORE NULLS) OVER (
+              PARTITION BY event_type ORDER BY hour
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+            CAST(epoch_us(first_value(CASE WHEN gauge IS NOT NULL THEN hour END
+                IGNORE NULLS) OVER (
+              PARTITION BY event_type ORDER BY hour
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) // 1000000
+              AS DOUBLE) AS nt
+          FROM j)
+        SELECT event_type, CAST(epoch_us(hour) // 1000000 AS BIGINT) AS hour_epoch,
+          ${Q4("CASE WHEN gauge IS NOT NULL THEN gauge " +
+            "ELSE pv + (nv - pv) * ((t - pt) / (nt - pt)) END")} AS gauge
+        FROM w"""),
+      "hourly linear interpolation between neighboring observations"),
+
     // ---- repeated-event collapse ------------------------------------------
     // Keep only the first event of every burst per (user, type): an
     // event survives iff its predecessor is ≥ 10 min away (chained
