@@ -229,6 +229,18 @@ object LakeStress {
             .mightContainLong(bHash)
       }
 
+    // 8. SQL-surface parity: the same key range served through
+    //    format("graftlake") — planner-driven FileIndex pruning — must
+    //    match the programmatic zone-pruned read in rows and cost class
+    val (rangeN2, tRange2) = timed {
+      LakeTable.readRange(spark, root, "o_orderkey", lo, hi).count()
+    }
+    val (sqlN, tSqlPath) = timed {
+      spark.read.format("graftlake").option("path", root).load()
+        .filter(col("o_orderkey").between(lo, hi)).count()
+    }
+    require(sqlN == rangeN2, s"graftlake SQL path $sqlN != range $rangeN2")
+
     println(f"""
       |lake-stress @ ${factor}x $srcDir  (rows=$nRows%,d, files=$nFiles)
       |  build (clustered append)        ${tBuild}%8.2f s
@@ -246,6 +258,8 @@ object LakeStress {
       |  Bloom index build (o_uid)       ${tIndex}%8.2f s  (one slim-column pass over ${bLive.size} files)
       |  Bloom point lookup              ${tPoint}%8.2f s  ($pN%,d rows, admitted $bAdmitted/${bLive.size} files)
       |  full-scan equality (same probe) ${tFullEq}%8.2f s  (lookup speedup ${tFullEq / tPoint}%.1fx)
+      |  zone range read (re-run)        ${tRange2}%8.2f s  ($rangeN2%,d rows)
+      |  same range via SQL (graftlake)  ${tSqlPath}%8.2f s  (planner FileIndex pruning, rows equal)
       |""".stripMargin)
     spark.stop()
   }

@@ -268,6 +268,79 @@ object Multimodal {
     }(enc)
   }
 
+  /** Output contract of [[decodeAudioWindows]]: one row per fixed-size
+    * frame window with integer-exact energy sums — the
+    * feature-extraction shape (VAD gates, loudness normalization,
+    * silence trimming) an audio-corpus pipeline reduces clips to. */
+  val audioWindowSchema: StructType = StructType(Seq(
+    StructField("win_idx", IntegerType, nullable = false),
+    StructField("win_frames", IntegerType, nullable = false),
+    StructField("sum_amp", LongType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false)))
+
+  /** Windowed audio features over the REAL decode: each payload decodes
+    * once (same javax.sound path as [[decodeAudioStats]]) and fans out
+    * to one row per `windowFrames`-frame window carrying exact signed /
+    * absolute / squared amplitude sums across interleaved channels —
+    * the explode-after-decode shape ([[decodeVideoFrames]]'s audio
+    * twin; sum_sq/win_frames is the window's mean energy, all in exact
+    * long arithmetic so an analytic oracle replays it). The tail window
+    * is short, never padded. Undecodable payloads yield ONE row with a
+    * NULL window struct — no silent loss, no task failure. */
+  def decodeAudioWindows(df: DataFrame, binCol: String,
+                         windowFrames: Int): DataFrame = {
+    require(windowFrames > 0, s"windowFrames must be > 0: $windowFrames")
+    val schema = StructType(df.schema.fields :+
+      StructField("audio_window", audioWindowSchema, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val wins: Seq[Row] =
+          try {
+            val bytes = r.getAs[Array[Byte]](binIdx)
+            if (bytes == null) Seq(null)
+            else {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = ais.getFormat
+              val pcm16 = fmt.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                fmt.getSampleSizeInBits == 16
+              if (!pcm16) Seq(null)
+              else {
+                val ch = fmt.getChannels
+                val data = ais.readAllBytes()
+                val nFrames = data.length / (2 * ch)
+                (0 until nFrames by windowFrames).map { w0 =>
+                  val wEnd = math.min(w0 + windowFrames, nFrames)
+                  var sum = 0L; var sabs = 0L; var ssq = 0L
+                  var s = w0
+                  while (s < wEnd) {
+                    var c = 0
+                    while (c < ch) {
+                      val i = (s * ch + c) * 2
+                      val v: Int =
+                        if (fmt.isBigEndian)
+                          (((data(i) & 0xff) << 8) | (data(i + 1) & 0xff)).toShort
+                        else
+                          (((data(i + 1) & 0xff) << 8) | (data(i) & 0xff)).toShort
+                      sum += v; sabs += math.abs(v); ssq += v.toLong * v
+                      c += 1
+                    }
+                    s += 1
+                  }
+                  Row(w0 / windowFrames, wEnd - w0, sum, sabs, ssq)
+                }
+              }
+            }
+          } catch { case scala.util.control.NonFatal(_) => Seq(null) }
+        wins.map(w => Row.fromSeq(r.toSeq :+ w))
+      }
+    }(enc)
+  }
+
   /** Deterministic synthetic PCM-16 WAV: sample `s` of channel `c` in
     * clip `id` is a fixed integer function of (id, s, c), so an external
     * engine recomputes [[decodeAudioStats]]'s exact sums from arithmetic

@@ -150,6 +150,35 @@ object EventQueries {
             BETWEEN epoch_us(c.ts) - 3600000000 AND epoch_us(c.ts)"""),
       "interval attribution join: all views in the click's preceding hour"),
 
+    // ---- LEFT OUTER interval attribution (batch twin of the streaming
+    // outer join) — un-attributed clicks SURVIVE with a null view (the
+    // report that has to show dark traffic, not just matches). Same
+    // one-equi-shuffle plan as q262 with the range as the join residual;
+    // streaming/Events.clickViewJoinOuter is the stateful twin (outer
+    // rows emitted at the watermark horizon).
+    "q273_attribution_outer" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts_us").as("c_us"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"),
+            col("user_id").as("v_user"), col("ts_us").as("v_us"))
+        clicks.join(views,
+            col("user_id") === col("v_user") &&
+              col("v_us") >= col("c_us") - 3600000000L &&
+              col("v_us") <= col("c_us"), "left_outer")
+          .select(col("click_id"), col("view_id"), col("user_id"))
+      },
+      Some("""SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id
+          AND epoch_us(v.ts)
+            BETWEEN epoch_us(c.ts) - 3600000000 AND epoch_us(c.ts)"""),
+      "left-outer interval attribution: dark clicks survive with null view"),
+
     // ---- AS-OF join: most recent view before each click ----------------------
     // One shuffle union+window as-of (Relational.asofJoin) — the pair-free
     // temporal join shape that survives heavy per-user event volumes.

@@ -190,6 +190,41 @@ object MultimodalQueries {
         GROUP BY id"""),
       "REAL WAV decode: frames/channels/rate + exact amplitude sums ≡ analytic"),
 
+    // ---- windowed audio energy over the REAL decode ------------------------
+    // Each clip decodes once and fans out to 128-frame windows with
+    // exact signed/absolute/squared amplitude sums (short tail window,
+    // never padded) — the VAD/loudness feature shape. The oracle
+    // re-derives every window from the fixture's analytic sample
+    // function grouped by s // 128, so the hash pins window boundaries,
+    // tail handling, and all three energy sums per window.
+    "q274_audio_windows" -> Q(
+      (s, d) => {
+        val dir = ensureAudio()
+        val bin = s.read.format("binaryFile").load(s"$dir/*.wav")
+          .select(regexp_extract(col("path"), "clip_(\\d+)\\.wav", 1)
+            .cast("long").as("clip_id"), col("content"))
+        Multimodal.decodeAudioWindows(bin, "content", windowFrames = 128)
+          .select(col("clip_id"),
+            col("audio_window.win_idx").as("win_idx"),
+            col("audio_window.win_frames").as("win_frames"),
+            col("audio_window.sum_amp").as("sum_amp"),
+            col("audio_window.sum_abs").as("sum_abs"),
+            col("audio_window.sum_sq").as("sum_sq"))
+      },
+      Some("""SELECT CAST(id AS BIGINT) AS clip_id,
+          CAST(s // 128 AS INTEGER) AS win_idx,
+          CAST(count(DISTINCT s) AS INTEGER) AS win_frames,
+          CAST(sum(v) AS BIGINT) AS sum_amp,
+          CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+          CAST(sum(v * v) AS BIGINT) AS sum_sq
+        FROM (SELECT id, s, c,
+            (id * 37 + s * 11 + c * 17 + 12345) % 65536 - 32768 AS v
+          FROM range(100) t(id)
+          CROSS JOIN range(450) ss(s) CROSS JOIN range(2) cc(c)
+          WHERE s < 400 + id % 50 AND c < 1 + id % 2)
+        GROUP BY id, s // 128"""),
+      "windowed audio energy (exact per-window sums) ≡ analytic replay"),
+
     // ---- REAL image decode (JDK ImageIO), analytically hash-verified -------
     // The pixels of each fixture PNG are a pure function of (id, x, y),
     // so DuckDB recomputes the decoder's exact per-channel sums and true

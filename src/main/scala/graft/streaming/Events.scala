@@ -93,6 +93,26 @@ object Events {
         col("c.user_id").as("user_id"))
   }
 
+  /** LEFT OUTER stream-stream interval join — [[clickViewJoin]] with
+    * unmatched clicks SURVIVING (null view): the attribution shape that
+    * also has to report un-attributed traffic. The outer side emits a
+    * null-extended row only once the watermark proves no matching view
+    * can still arrive (state horizon = watermark + range, the same
+    * bound as the inner join — outer results are just delayed to the
+    * horizon). Batch twin: q273's left join with the identical range
+    * condition. */
+  def clickViewJoinOuter(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts_utc", "1 hour").alias("c")
+    val v = views.withWatermark("ts_utc", "2 hours").alias("v")
+    c.join(v,
+      expr("""c.user_id = v.user_id AND
+              v.ts_utc BETWEEN c.ts_utc - INTERVAL 1 HOUR AND c.ts_utc"""),
+      "left_outer")
+      .select(col("c.event_id").as("click_id"),
+        col("v.event_id").as("view_id"),
+        col("c.user_id").as("user_id"))
+  }
+
   /** Streaming exact dedup — the streaming twin of Dedup.exact for
     * at-least-once sources: duplicate event_ids arriving within the
     * watermark horizon are dropped; state for an id is freed once the

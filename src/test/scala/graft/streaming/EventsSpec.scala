@@ -126,6 +126,37 @@ class EventsSpec extends SparkSpec {
     assert(rows == Set((100L, 200L)))
   }
 
+  test("clickViewJoinOuter: unmatched clicks surface with a null view "
+      + "once the watermark passes the join horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Events.Ev]
+    val views = MemoryStream[Events.Ev]
+    clicks.addData(
+      Events.Ev(100, 4000L * 1000000, 1, "click", 0.0), // has a view
+      Events.Ev(101, 4100L * 1000000, 3, "click", 0.0)) // dark click
+    views.addData(
+      Events.Ev(200, 3900L * 1000000, 1, "view", 0.0),
+      // a late advancing view pushes BOTH watermarks far past the
+      // horizon so the outer result for click 101 can be finalized
+      Events.Ev(210, 40000L * 1000000, 9, "view", 0.0))
+    clicks.addData(Events.Ev(199, 40000L * 1000000, 9, "click", 0.0))
+    def prep(ms: MemoryStream[Events.Ev]) = ms.toDF()
+      .withColumn("ts", col("ts") * 1000)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    val out = Events.clickViewJoinOuter(prep(clicks), prep(views))
+    val q = out.writeStream.format("memory").queryName("cvouter")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("cvouter")
+      .select("click_id", "view_id").as[(Long, Option[Long])]
+      .collect().toSet
+    // matched pair emitted with its view; the dark click emitted
+    // null-extended after the horizon passed
+    assert(rows.contains((100L, Some(200L))))
+    assert(rows.contains((101L, None)))
+  }
+
   test("dedupStream drops duplicate event_ids within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
