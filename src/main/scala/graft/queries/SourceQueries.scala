@@ -1162,6 +1162,44 @@ object SourceQueries {
           FROM fin GROUP BY source"""
       },
       "corpus release: prep ∘ constrained lake ∘ feed fold ≡ SQL replay"),
+
+    // ---- lake DESCRIBE HISTORY --------------------------------------------
+    // A deterministic op sequence (two single-file appends, a
+    // zone-pruned DELETE that rewrites exactly one file, a compaction
+    // packing two files into one, a constraint metadata commit) and
+    // the history's stable columns — version, op, and file-level
+    // add/remove deltas, all computed from manifests alone. The oracle
+    // is the expected ledger as literals, so the hash pins the
+    // accounting (the wall-clock column is intentionally excluded).
+    "q275_lake_history" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_lakeh_q275") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") < 10000).repartition(1), root,
+          zoneKey = Some("o_orderkey"))
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") >= 10000).repartition(1), root,
+          zoneKey = Some("o_orderkey"))
+        graft.sources.LakeTable.deleteWhere(s, root,
+          "o_orderkey BETWEEN 100 AND 200")
+        graft.sources.LakeTable.compact(s, root,
+          smallBytes = Long.MaxValue, targetBytes = 1L << 30,
+          zoneKey = Some("o_orderkey"))
+        graft.sources.LakeTable.addConstraint(s, root,
+          "price_pos", "o_totalprice > 0")
+        graft.sources.LakeTable.history(s, root)
+          .select("version", "op", "n_files", "n_added", "n_removed")
+      },
+      Some("""SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), 'append',   CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+          (CAST(2 AS BIGINT), 'append',   CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+          (CAST(3 AS BIGINT), 'delete',   CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+          (CAST(4 AS BIGINT), 'compact',  CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+          (CAST(5 AS BIGINT), 'metadata', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT))
+        ) AS t(version, op, n_files, n_added, n_removed)"""),
+      "DESCRIBE HISTORY: per-version op + file add/remove ledger ≡ literals"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

@@ -706,6 +706,38 @@ object LakeTable {
       constraints = existing :+ (name -> checkSql))
   }
 
+  /** DESCRIBE HISTORY — one row per retained version: commit kind
+    * (`#op`), wall-clock (`#ts`), streaming txn tag, and file-level
+    * add/remove counts computed from adjacent retained manifests. Pure
+    * driver metadata (manifest reads only, zero data-file I/O); across
+    * a vacuum gap the add/remove deltas are relative to the previous
+    * RETAINED version. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val vs = versions(spark, root)
+    val rows = vs.foldLeft(
+        (Set.empty[String], List.empty[Row])) { case ((prev, acc), v) =>
+      val files = entries(spark, root, v).map(_.path).toSet
+      val txn = txnOf(spark, root, v)
+      val r = Row(v, opOf(spark, root, v).orNull,
+        commitTimeOf(spark, root, v).map(Long.box).orNull,
+        txn.map(_._1).orNull, txn.map(t => Long.box(t._2)).orNull,
+        files.size.toLong, files.diff(prev).size.toLong,
+        prev.diff(files).size.toLong)
+      (files, r :: acc)
+    }._2.reverse
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("op", StringType, nullable = true),
+      StructField("commit_ms", LongType, nullable = true),
+      StructField("app_id", StringType, nullable = true),
+      StructField("batch_id", LongType, nullable = true),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_added", LongType, nullable = false),
+      StructField("n_removed", LongType, nullable = false)))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   /** Drop a CHECK constraint by name (unknown name is a no-op that
     * commits nothing). */
   def dropConstraint(spark: SparkSession, root: String,

@@ -118,6 +118,22 @@ class GraftLakeSourceSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(123L, 457L))
   }
 
+  test("a USING graftlake temp view pins its creation-time snapshot; "
+      + "re-creating it (or re-loading) picks up later commits") {
+    val root = freshRoot()
+    LakeTable.append(spark.range(0, 5).select(col("id").as("k")), root)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW lake_pin USING graftlake " +
+      s"OPTIONS (path '$root')")
+    assert(spark.table("lake_pin").count() == 5L)
+    LakeTable.append(spark.range(5, 12).select(col("id").as("k")), root)
+    // the view resolved once at creation — still the old snapshot (the
+    // same immutability contract as LakeTable.read(version))
+    assert(spark.table("lake_pin").count() == 5L)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW lake_pin USING graftlake " +
+      s"OPTIONS (path '$root')")
+    assert(spark.table("lake_pin").count() == 12L)
+  }
+
   test("write path: append and overwrite via the DataFrame writer, "
       + "options thread zone and bloom keys") {
     val root = freshRoot()
