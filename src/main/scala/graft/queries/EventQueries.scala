@@ -266,6 +266,39 @@ object EventQueries {
         GROUP BY user_id"""),
       "sessionize by 30-min inactivity gap"),
 
+    // ---- native session_window sessionization ------------------------------
+    // The same gap rule served by Spark's built-in session_window
+    // (merge-on-overlap grouping state) instead of the q67 window
+    // arithmetic — one operator call, and the subtle boundary semantics
+    // differ: a gap EXACTLY equal to the timeout starts a NEW session
+    // (windows [t, t+gap) that touch don't overlap), where q67's lag
+    // rule keeps it. The oracle replays islands with the >= boundary,
+    // so the hash pins exactly Spark's rule, per session with its
+    // span and event count.
+    "q277_session_window" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts_utc"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+        .select("user_id", "start_us", "end_us", "n_events"),
+      Some("""WITH marked AS (
+          SELECT user_id, epoch_us(ts) AS us,
+            CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w
+                    >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        ids AS (SELECT user_id, us,
+            sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM marked)
+        SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+          count(*) AS n_events
+        FROM ids GROUP BY user_id, sid"""),
+      "built-in session_window sessions ≡ gaps-and-islands replay"),
+
     // ---- time-series gap fill + forward fill ------------------------------
     // Regularize the per-type hourly gauge (max value observed in the
     // hour) to a dense hourly grid between each type's first and last

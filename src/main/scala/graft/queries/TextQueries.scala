@@ -58,6 +58,38 @@ object TextQueries {
       },
       "length/stopword/punctuation quality gates"),
 
+    // ---- score calibration bins --------------------------------------------
+    // The classifier-eval reliability diagram's input: quality scores
+    // bucketed into deciles, each bin carrying its size, positive-label
+    // count (here: lang = 'en' as the target) and exact score mass —
+    // mean(label) vs mean(score) per bin IS the calibration curve. One
+    // map-side-combined aggregation over the corpus; the oracle
+    // recomputes the same IEEE score and the same floor-binning.
+    "q276_calibration" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(Text.qualityScore(col("text")).as("q"),
+          (col("lang") === "en").cast("long").as("pos"))
+        .groupBy(least(floor(col("q") * 10), lit(9d)).cast("int").as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+          xsum4(col("q")).as("sum_score")),
+      Some {
+        val toks = "string_split_regex(trim(text), '\\s+')"
+        val stops = Text.defaultStopwords.map(w => s"'$w'").mkString(", ")
+        val nTok = s"len($toks)"
+        val stopRatio = s"CAST(len(list_filter($toks, t -> t IN ($stops))) AS DOUBLE) / $nTok"
+        val punctRatio = s"CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)"
+        val q = s"(least(CAST($nTok AS DOUBLE)/64.0, 1.0) + least(($stopRatio)*4.0, 1.0)" +
+          s" + greatest(0.0, 1.0 - ($punctRatio)*4.0)) / 3.0"
+        s"""SELECT CAST(least(floor(q * 10), 9) AS INTEGER) AS bin,
+            count(*) AS n,
+            CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_pos,
+            ${XSUM4("q")} AS sum_score
+          FROM (SELECT lang, $q AS q FROM documents)
+          GROUP BY 1"""
+      },
+      "calibration bins: decile size / positives / exact score mass ≡ replay"),
+
     // ---- language identification ---------------------------------------------
     "q55_lang_id" -> Q(
       (s, d) => Tables.documents(s, d)
