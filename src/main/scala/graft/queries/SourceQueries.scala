@@ -1200,6 +1200,42 @@ object SourceQueries {
           (CAST(5 AS BIGINT), 'metadata', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT))
         ) AS t(version, op, n_files, n_added, n_removed)"""),
       "DESCRIBE HISTORY: per-version op + file add/remove ledger ≡ literals"),
+
+    // ---- lake DML through pure SQL statements (DSv2 catalog) ---------------
+    // The GraftLakeCatalog makes lake paths first-class SQL tables:
+    // DELETE FROM runs the zone-mined file-granular copy-on-write
+    // (filters rendered back to predicate SQL via SupportsDelete — the
+    // catalog spec pins the skipped-files proof), INSERT INTO lands as
+    // a manifest append, and the final SELECT reads through the
+    // V1Scan-bridged pruning FileIndex. The oracle recomputes the whole
+    // statement sequence relationally.
+    "q278_lake_sql_dml" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graftlake",
+          classOf[graft.sources.GraftLakeCatalog].getName)
+        val root = freshRoot("graft_lakecat_q278") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 2 === 0)
+            .repartitionByRange(8, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"), root,
+          zoneKey = Some("o_orderkey"))
+        o.filter(col("o_orderkey") % 2 =!= 0)
+          .createOrReplaceTempView("q278_odd")
+        s.sql(s"DELETE FROM graftlake.`$root` " +
+          "WHERE o_orderkey BETWEEN 1000 AND 20000 AND o_orderstatus = 'O'")
+        s.sql(s"INSERT INTO graftlake.`$root` SELECT * FROM q278_odd")
+        s.sql(s"SELECT * FROM graftlake.`$root`")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 2 = 0
+          AND NOT (o_orderkey BETWEEN 1000 AND 20000
+                   AND o_orderstatus = 'O')
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 2 <> 0"""),
+      "pure-SQL lake DML (DELETE/INSERT/SELECT via catalog) ≡ relational replay"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

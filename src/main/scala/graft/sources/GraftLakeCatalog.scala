@@ -1,0 +1,290 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder,
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write,
+  Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DataSource-V2 catalog exposing [[LakeTable]] paths as SQL tables —
+  * the wiring that makes DML *statements* work (how Delta plugs into
+  * Spark SQL):
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graftlake",
+  *     "graft.sources.GraftLakeCatalog")
+  *   spark.sql("SELECT * FROM graftlake.`/data/t` WHERE k = 5")
+  *   spark.sql("SELECT * FROM graftlake.`/data/t` VERSION AS OF 2")
+  *   spark.sql("INSERT INTO graftlake.`/data/t` SELECT ...")
+  *   spark.sql("DELETE FROM graftlake.`/data/t` WHERE k BETWEEN 5 AND 9")
+  * }}}
+  *
+  * The table identifier IS the table root path (backquoted). Reads go
+  * through the V1Scan bridge onto [[GraftLakeSource]]'s
+  * HadoopFsRelation, so the planner's filters still reach
+  * [[LakeFileIndex]] (zone + Bloom pruning) and the scan stays the
+  * native vectorized parquet reader. DELETE resolves through
+  * `SupportsDelete`: Spark hands over the statement's filters, they
+  * render back to predicate SQL, and [[LakeTable.deleteWhere]] runs the
+  * same zone-mined file-granular copy-on-write as the programmatic API
+  * — `canDeleteWhere` refuses (falls back to an analysis error) only
+  * when a filter doesn't render. INSERT INTO (append) and INSERT
+  * OVERWRITE map onto the manifest transactions of the same name via
+  * the V1 InsertableRelation bridge. UPDATE/MERGE statements need the
+  * row-level-operation API and stay programmatic
+  * ([[LakeTable.updateWhere]] / [[LakeTable.mergeInto]]).
+  */
+class GraftLakeCatalog extends TableCatalog {
+
+  private var catalogName: String = "graftlake"
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  private def rootOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString("/")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty // path-addressed: not enumerable
+
+  override def tableExists(ident: Identifier): Boolean =
+    LakeTable.versions(SparkSession.active, rootOf(ident)).nonEmpty
+
+  override def loadTable(ident: Identifier): Table =
+    load(ident, None)
+
+  /** SQL `VERSION AS OF <v>`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version.toLong))
+
+  /** SQL `TIMESTAMP AS OF <ts>` (micros per the TableCatalog contract);
+    * resolved against the manifests' `#ts` commit times. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val spark = SparkSession.active
+    val root = rootOf(ident)
+    val v = LakeTable.versionAsOf(spark, root, timestamp / 1000L)
+      .getOrElse(throw new NoSuchTableException(ident))
+    load(ident, Some(v))
+  }
+
+  private def load(ident: Identifier, version: Option[Long]): Table = {
+    val spark = SparkSession.active
+    val root = rootOf(ident)
+    if (LakeTable.versions(spark, root).isEmpty)
+      throw new NoSuchTableException(ident)
+    new GraftLakeV2Table(root, version)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graftlake tables are created by their first write " +
+        "(LakeTable.append / df.write.format(\"graftlake\"))")
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graftlake: use LakeTable.addConstraint/dropConstraint; the " +
+        "schema evolves through writes")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "graftlake: dropping a lake table is a filesystem operation; " +
+        "use vacuum for retention")
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graftlake: path-addressed")
+}
+
+/** One lake snapshot as a DSv2 `Table`: V1Scan-bridged reads (pruning
+  * FileIndex + vectorized parquet), V1Write-bridged INSERT
+  * INTO/OVERWRITE, and filter-rendered `SupportsDelete`. */
+class GraftLakeV2Table(root: String, version: Option[Long])
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = s"graftlake.`$root`"
+
+  override def schema(): StructType = {
+    val vs = LakeTable.versions(spark, root)
+    val v = version.getOrElse(vs.last)
+    LakeTable.schemaOf(spark, root, v)
+      .getOrElse(LakeTable.read(spark, root, Some(v)).schema)
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  // ---- read path: V1Scan bridge onto the HadoopFsRelation source ------
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters
+        with SupportsPushDownRequiredColumns {
+      private var filters: Array[Filter] = Array.empty
+      private var required: StructType = schema()
+
+      // every filter is reported residual (Spark re-applies them above
+      // the scan); we keep them only to seed the FileIndex pruning and
+      // the parquet row-group PushedFilters inside the bridged plan
+      override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+        filters = fs; fs
+      }
+      override def pushedFilters(): Array[Filter] = Array.empty
+      override def pruneColumns(s: StructType): Unit =
+        if (s.nonEmpty) required = s
+
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = required
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            ctx: SQLContext): T =
+          new GraftLakeV1TableScan(ctx, root, version, filters, required)
+            .asInstanceOf[T]
+      }
+    }
+
+  // ---- write path: INSERT INTO / INSERT OVERWRITE ---------------------
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // INSERT OVERWRITE arrives as truncate-then-write
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame,
+                                overwrite: Boolean): Unit =
+              if (replace || overwrite) LakeTable.overwrite(data, root): Unit
+              else LakeTable.append(data, root): Unit
+          }
+      }
+    }
+
+  // ---- DELETE FROM ----------------------------------------------------
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftLakeV2Table.filterSql(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val sql =
+      if (filters.isEmpty) "true" // TRUNCATE
+      else filters.map(f => GraftLakeV2Table.filterSql(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graftlake DELETE: unsupported predicate $f")))
+        .map(s => s"($s)").mkString(" AND ")
+    LakeTable.deleteWhere(spark, root, sql): Unit
+  }
+}
+
+object GraftLakeV2Table {
+
+  /** Render a DSv2 source Filter back to predicate SQL for
+    * [[LakeTable.deleteWhere]] (which parses it and mines zone bounds —
+    * so a ranged SQL DELETE stays file-granular). None = not renderable
+    * → `canDeleteWhere` refuses and Spark raises an analysis error
+    * instead of running a wrong delete. */
+  private[sources] def filterSql(f: Filter): Option[String] = {
+    def litSql(v: Any): Option[String] = v match {
+      case null => None
+      case s: String => Some("'" + s.replace("'", "''") + "'")
+      case b: Boolean => Some(b.toString)
+      case n @ (_: Byte | _: Short | _: Int | _: Long) => Some(n.toString)
+      case d: Double => Some(s"CAST($d AS DOUBLE)")
+      case fl: Float => Some(s"CAST($fl AS FLOAT)")
+      case d: java.math.BigDecimal => Some(d.toPlainString)
+      case d: java.sql.Date => Some(s"DATE '$d'")
+      case t: java.sql.Timestamp => Some(s"TIMESTAMP '$t'")
+      case _ => None
+    }
+    def q(attr: String): String = s"`$attr`"
+    f match {
+      case EqualTo(a, v) => litSql(v).map(l => s"${q(a)} = $l")
+      case GreaterThan(a, v) => litSql(v).map(l => s"${q(a)} > $l")
+      case GreaterThanOrEqual(a, v) => litSql(v).map(l => s"${q(a)} >= $l")
+      case LessThan(a, v) => litSql(v).map(l => s"${q(a)} < $l")
+      case LessThanOrEqual(a, v) => litSql(v).map(l => s"${q(a)} <= $l")
+      case In(a, vs) =>
+        val ls = vs.map(litSql)
+        if (ls.nonEmpty && ls.forall(_.isDefined))
+          Some(s"${q(a)} IN (${ls.flatten.mkString(", ")})")
+        else None
+      case IsNull(a) => Some(s"${q(a)} IS NULL")
+      case IsNotNull(a) => Some(s"${q(a)} IS NOT NULL")
+      case StringStartsWith(a, p) =>
+        Some(s"${q(a)} LIKE '${p.replace("'", "''")}%'")
+      case And(l, r) =>
+        for (ls <- filterSql(l); rs <- filterSql(r))
+          yield s"($ls AND $rs)"
+      case Or(l, r) =>
+        for (ls <- filterSql(l); rs <- filterSql(r))
+          yield s"($ls OR $rs)"
+      case Not(c) => filterSql(c).map(s => s"(NOT $s)")
+      case AlwaysTrue() => Some("true")
+      case AlwaysFalse() => Some("false")
+      case _ => None
+    }
+  }
+
+  /** Translate a DSv2 Filter to a Column for the bridged read (best
+    * effort — untranslated filters are simply not applied here; Spark
+    * re-applies every filter above the scan, so this only affects how
+    * much the FileIndex can prune). */
+  private[sources] def filterColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case And(l, r) =>
+      for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc && rc
+    case Or(l, r) =>
+      for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc || rc
+    case Not(c) => filterColumn(c).map(not)
+    case _ => None
+  }
+}
+
+/** The V1 bridge relation: builds a plain DataFrame over
+  * [[GraftLakeSource]]'s HadoopFsRelation with the scan's filters and
+  * column pruning applied — so the RDD handed back to the v2 plan went
+  * through the pruning FileIndex and the vectorized parquet reader. */
+class GraftLakeV1TableScan(ctx: SQLContext, root: String,
+                           version: Option[Long], filters: Array[Filter],
+                           required: StructType)
+    extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = required
+
+  override def buildScan(): RDD[Row] = {
+    val opts = Map("path" -> root) ++
+      version.map(v => "versionAsOf" -> v.toString)
+    val base = ctx.sparkSession.baseRelationToDataFrame(
+      new GraftLakeSource().createRelation(ctx, opts))
+    val filtered = filters.flatMap(GraftLakeV2Table.filterColumn)
+      .foldLeft(base)((df, c) => df.filter(c))
+    filtered.select(required.fieldNames.map(col).toIndexedSeq: _*).rdd
+  }
+}

@@ -1,0 +1,89 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class GraftLakeCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  spark.conf.set("spark.sql.catalog.graftlake",
+    classOf[GraftLakeCatalog].getName)
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("lakecat").toString + "/t"
+
+  private def corrupt(root: String, rel: String): Unit =
+    Files.write(Paths.get(s"$root/$rel"),
+      Array.fill[Byte](64)(0), StandardOpenOption.TRUNCATE_EXISTING): Unit
+
+  test("catalog SELECT, VERSION AS OF and TIMESTAMP AS OF resolve "
+      + "through plain SQL identifiers") {
+    val root = freshRoot()
+    LakeTable.append(spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), root)
+    LakeTable.append(spark.range(100, 150)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), root)
+    assert(spark.sql(s"SELECT count(*) FROM graftlake.`$root`")
+      .head().getLong(0) == 150L)
+    assert(spark.sql(
+        s"SELECT sum(v) FROM graftlake.`$root` WHERE k < 10")
+      .head().getLong(0) == (0 until 10).map(_ * 2).sum)
+    assert(spark.sql(
+        s"SELECT count(*) FROM graftlake.`$root` VERSION AS OF 1")
+      .head().getLong(0) == 100L)
+    val t1 = LakeTable.commitTimeOf(spark, root, 1L).get
+    val ts = new java.sql.Timestamp(t1).toString
+    assert(spark.sql(s"SELECT count(*) FROM graftlake.`$root` " +
+        s"TIMESTAMP AS OF '$ts'").head().getLong(0) == 100L)
+  }
+
+  test("SQL DELETE goes through the zone-pruned file-granular path "
+      + "(corrupted-file trick); untranslatable predicates are refused "
+      + "before touching data") {
+    val root = freshRoot()
+    val base = spark.range(0, 400).select(col("id").as("k"),
+        (col("id") * 10).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    LakeTable.append(base, root, zoneKey = Some("k"))
+    val v1 = LakeTable.entries(spark, root, 1L)
+    val out = v1.filterNot(e =>
+      e.lo.get.toLong <= 130L && e.hi.get.toLong >= 110L)
+    assert(out.nonEmpty)
+    out.foreach(e => corrupt(root, e.path))
+    spark.sql(s"DELETE FROM graftlake.`$root` WHERE k BETWEEN 110 AND 130")
+    val v2 = LakeTable.entries(spark, root, 2L)
+    out.foreach(e => assert(v2.find(_.path == e.path).contains(e)))
+    val freshPaths = v2.filterNot(e => v1.exists(_.path == e.path))
+    val left = spark.read
+      .parquet(freshPaths.map(e => s"$root/${e.path}"): _*)
+      .select("k").as[Long].collect().toSet
+    assert(!left.exists(k => k >= 110 && k <= 130))
+    // a predicate the Filter API can't carry (arithmetic) must refuse,
+    // not silently delete wrong rows
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM graftlake.`$root` WHERE k % 2 = 0")
+    }
+    assert(LakeTable.versions(spark, root) == Seq(1L, 2L))
+  }
+
+  test("INSERT INTO appends a version; INSERT OVERWRITE replaces; "
+      + "string predicates round-trip quoting") {
+    val root = freshRoot()
+    LakeTable.append(Seq((1L, "a"), (2L, "it's")).toDF("k", "s"), root)
+    spark.sql(s"INSERT INTO graftlake.`$root` VALUES (3, 'c')")
+    assert(LakeTable.versions(spark, root) == Seq(1L, 2L))
+    assert(spark.sql(s"SELECT count(*) FROM graftlake.`$root`")
+      .head().getLong(0) == 3L)
+    // embedded quote renders back through the DELETE filter safely
+    spark.sql(s"DELETE FROM graftlake.`$root` WHERE s = 'it''s'")
+    assert(spark.sql(s"SELECT k FROM graftlake.`$root` ORDER BY k")
+      .as[Long].collect().toSeq == Seq(1L, 3L))
+    spark.sql(s"INSERT OVERWRITE graftlake.`$root` VALUES (9, 'z')")
+    assert(spark.sql(s"SELECT k FROM graftlake.`$root`")
+      .as[Long].collect().toSeq == Seq(9L))
+    // prior snapshots still time-travel under the catalog
+    assert(spark.sql(s"SELECT count(*) FROM graftlake.`$root` " +
+      "VERSION AS OF 2").head().getLong(0) == 3L)
+  }
+}
