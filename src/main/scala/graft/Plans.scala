@@ -89,7 +89,9 @@ object Plans {
     "q260_lake_cdf" -> "change feed: merge rows come from the O(batch) cdc sidecar scan, append rows from delta files — no table-sized exchange anywhere",
     "q264_lake_delete" -> "lake DELETE: mined range conjunct prunes files from manifest zones; only may-match files re-read + rewritten without their matching rows",
     "q266_lake_bloom_point" -> "Bloom point lookup: sidecar membership names the might-hold files; the scan lists only those, exact equality re-applied",
-    "q267_lake_sql" -> "lake behind SQL (USING graftlake): native parquet scan with PushedFilters; the FileIndex already shrank the file list via zones + Bloom")
+    "q267_lake_sql" -> "lake behind SQL (USING graftlake): native parquet scan with PushedFilters; the FileIndex already shrank the file list via zones + Bloom",
+    "q272_seed_distance" -> "bounded SSSP: per-round static-edge join + min-combine with map-side partials; six rounds, no convergence count",
+    "q278_lake_sql_dml" -> "catalog SQL read after DML: V1Scan-bridged plan — the same pruning FileIndex + vectorized parquet scan under the v2 table")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -606,8 +606,11 @@ object LakeTable {
     * before hashing or the filter would wrongly report absence). No
     * manifest schema, no sidecars, or an uncastable probe → `live`
     * unchanged (conservative); files without a sidecar row stay
-    * admitted. Driver-side membership test over file-count-bounded rows
-    * — a metadata operation; move to a job at extreme file counts. */
+    * admitted. The membership test runs AS A JOB over the sidecar
+    * parquet — only file NAMES come back to the driver, never the
+    * filters' bit arrays, so a million-file index costs one slim
+    * distributed scan per probe (the UDF is metadata-path only; no
+    * data-file plan contains it). */
   private[sources] def bloomCandidates(spark: SparkSession, root: String,
       v: Long, live: Set[String], schema: Option[StructType], key: String,
       probe: org.apache.spark.sql.catalyst.expressions.Literal)
@@ -623,16 +626,19 @@ object LakeTable {
         else {
           val h = XxHash64(Seq(Literal(castVal, dt)), 42L).eval(null)
             .asInstanceOf[Long]
-          val rows = spark.read
+          val mightContain = udf { (b: Array[Byte]) =>
+            org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(b)).mightContainLong(h)
+          }
+          val verdicts = spark.read
             .parquet(idxDirs.map(d => s"$root/$d"): _*)
             .filter(col("col") === key)
-            .select("file", "bloom").collect()
-          val indexed = rows.map(_.getString(0)).toSet
-          val hits = rows.filter { r =>
-            val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-            bf.mightContainLong(h)
-          }.map(_.getString(0)).toSet
+            .select(col("file"), mightContain(col("bloom")).as("__hit"))
+            .collect() // (name, bool) per indexed file — names only
+          val indexed = verdicts.map(_.getString(0)).toSet
+          val hits = verdicts.collect {
+            case r if r.getBoolean(1) => r.getString(0)
+          }.toSet
           (hits ++ (live -- indexed)).intersect(live)
         }
       case _ => live

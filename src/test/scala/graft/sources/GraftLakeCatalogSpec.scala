@@ -86,4 +86,18 @@ class GraftLakeCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM graftlake.`$root` " +
       "VERSION AS OF 2").head().getLong(0) == 3L)
   }
+
+  test("CHECK constraints govern SQL INSERTs too: a violating statement "
+      + "is refused and leaves no version") {
+    val root = freshRoot()
+    LakeTable.append(Seq((1L, 10L)).toDF("k", "v"), root)
+    LakeTable.addConstraint(spark, root, "v_pos", "v > 0")
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO graftlake.`$root` VALUES (2, -5)")
+    }
+    assert(LakeTable.versions(spark, root) == Seq(1L, 2L))
+    spark.sql(s"INSERT INTO graftlake.`$root` VALUES (2, 5)")
+    assert(spark.sql(s"SELECT count(*) FROM graftlake.`$root`")
+      .head().getLong(0) == 2L)
+  }
 }
