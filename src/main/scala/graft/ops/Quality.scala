@@ -124,6 +124,21 @@ object Quality {
     *
     * `features` are (name, column) pairs; the label column must cast to
     * 0.0/1.0. Returns ("bias" +: names) zipped with trained weights. */
+  /** k-anonymity / l-diversity audit — the privacy gate a
+    * training-data release runs beside PII scrubbing: group the data by
+    * its quasi-identifier columns and report, per equivalence class,
+    * its size (k-anonymity: every class must reach `k` members or the
+    * rows are re-identifiable) and the number of DISTINCT sensitive
+    * values (l-diversity: a uniform sensitive value leaks even in a
+    * large class). One map-side-combined aggregation; the caller
+    * filters `class_size < k OR l_distinct < l` for the violation set
+    * or aggregates min(k)/min(l) for the release scorecard. */
+  def kAnonymity(df: DataFrame, quasiIdentifiers: Seq[String],
+                 sensitiveCol: String): DataFrame =
+    df.groupBy(quasiIdentifiers.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        count_distinct(col(sensitiveCol)).as("l_distinct"))
+
   def trainLogistic(df: DataFrame, features: Seq[(String, Column)],
                     label: Column, iters: Int,
                     lr: Double): Seq[(String, Double)] = {

@@ -902,5 +902,27 @@ object AggWindowQueries {
         WHERE cum >= ceil(q * n)
         GROUP BY grp, q"""),
       "mergeable grid-histogram sketch probed for per-flag price quantiles"),
+
+    // ---- k-anonymity / l-diversity privacy audit ---------------------------
+    // The release-side privacy gate beside q102's PII scrub: customers
+    // grouped by their quasi-identifiers (nation, market segment,
+    // account-balance band) with each equivalence class's size and its
+    // count of DISTINCT sensitive values (the name stands in for the
+    // sensitive attribute). The release scorecard aggregates per class;
+    // a curator filters class_size < k OR l_distinct < l for the
+    // violation set. One aggregation; trivially exact cross-engine.
+    "q279_k_anonymity" -> Q(
+      (s, d) => graft.ops.Quality.kAnonymity(
+          Tables.customer(s, d)
+            .withColumn("bal_band", floor(col("c_acctbal") / 1000)),
+          Seq("c_nationkey", "c_mktsegment", "bal_band"), "c_name")
+        .select(col("c_nationkey"), col("c_mktsegment"), col("bal_band"),
+          col("class_size"), col("l_distinct")),
+      Some("""SELECT c_nationkey, c_mktsegment,
+          CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+          count(*) AS class_size,
+          CAST(count(DISTINCT c_name) AS BIGINT) AS l_distinct
+        FROM customer GROUP BY 1, 2, 3"""),
+      "k-anonymity/l-diversity audit per quasi-identifier class ≡ direct"),
   )
 }

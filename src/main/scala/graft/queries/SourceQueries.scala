@@ -1236,6 +1236,39 @@ object SourceQueries {
         SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         WHERE o_orderkey % 2 <> 0"""),
       "pure-SQL lake DML (DELETE/INSERT/SELECT via catalog) ≡ relational replay"),
+
+    // ---- lake schema-drift ledger ------------------------------------------
+    // A deterministic evolution sequence — base (k int, v int), an
+    // append that widens v to bigint and adds s, an overwrite that
+    // drops s — read back as one row per change from the manifests'
+    // #schema lines alone. The oracle is the expected ledger as
+    // literals, so the hash pins the add/remove/retype accounting (the
+    // audit a consumer checks before replaying history).
+    "q280_schema_drift" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.types.{IntegerType, LongType}
+        val root = freshRoot("graft_laked_q280") + "/t"
+        val base = s.range(0, 10)
+          .select(col("id").cast(IntegerType).as("k"),
+            col("id").cast(IntegerType).as("v"))
+        graft.sources.LakeTable.append(base, root)
+        graft.sources.LakeTable.append(
+          s.range(10, 20).select(col("id").cast(IntegerType).as("k"),
+            col("id").cast(LongType).as("v"),
+            concat(lit("s"), col("id")).as("s")), root)
+        graft.sources.LakeTable.overwrite(
+          s.range(0, 5).select(col("id").cast(IntegerType).as("k"),
+            col("id").cast(LongType).as("v")), root)
+        graft.sources.LakeTable.schemaChanges(s, root)
+      },
+      Some("""SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), 'added',   'k', 'int'),
+          (CAST(1 AS BIGINT), 'added',   'v', 'int'),
+          (CAST(2 AS BIGINT), 'added',   's', 'string'),
+          (CAST(2 AS BIGINT), 'retyped', 'v', 'int->bigint'),
+          (CAST(3 AS BIGINT), 'removed', 's', 'string')
+        ) AS t(version, change, "column", detail)"""),
+      "schema-drift ledger from manifest #schema lines ≡ literal history"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

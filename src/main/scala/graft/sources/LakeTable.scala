@@ -744,6 +744,54 @@ object LakeTable {
     spark.createDataFrame(rows.asJava, schema)
   }
 
+  /** Schema-drift ledger — the manifest-resident `#schema` lines
+    * diffed across retained versions: one row per change, tagged
+    * `added` / `removed` (overwrites can drop columns) / `retyped`
+    * (widenings), with the first schema-bearing version reporting every
+    * column as added. Pure driver metadata; versions without a schema
+    * line (legacy) are skipped as baselines. The audit trail a
+    * training-data consumer checks before replaying history. */
+  def schemaChanges(spark: SparkSession, root: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val vs = versions(spark, root)
+    val rows = vs.foldLeft(
+        (Option.empty[StructType], List.empty[Row])) {
+      case ((prev, acc), v) =>
+        schemaOf(spark, root, v) match {
+          case None => (prev, acc)
+          case Some(cur) =>
+            val changes = prev match {
+              case None =>
+                cur.fields.map(f =>
+                  Row(v, "added", f.name, f.dataType.simpleString)).toList
+              case Some(p) =>
+                val pf = p.fields.map(f => f.name -> f.dataType).toMap
+                val cf = cur.fields.map(f => f.name -> f.dataType).toMap
+                cur.fields.collect {
+                  case f if !pf.contains(f.name) =>
+                    Row(v, "added", f.name, f.dataType.simpleString)
+                }.toList ++
+                p.fields.collect {
+                  case f if !cf.contains(f.name) =>
+                    Row(v, "removed", f.name, f.dataType.simpleString)
+                }.toList ++
+                cur.fields.collect {
+                  case f if pf.get(f.name).exists(_ != f.dataType) =>
+                    Row(v, "retyped", f.name,
+                      s"${pf(f.name).simpleString}->${f.dataType.simpleString}")
+                }.toList
+            }
+            (Some(cur), acc ++ changes)
+        }
+    }._2
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("change", StringType, nullable = false),
+      StructField("column", StringType, nullable = false),
+      StructField("detail", StringType, nullable = false)))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   /** Drop a CHECK constraint by name (unknown name is a no-op that
     * commits nothing). */
   def dropConstraint(spark: SparkSession, root: String,
