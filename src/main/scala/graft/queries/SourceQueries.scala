@@ -1269,6 +1269,67 @@ object SourceQueries {
           (CAST(3 AS BIGINT), 'removed', 's', 'string')
         ) AS t(version, change, "column", detail)"""),
       "schema-drift ledger from manifest #schema lines ≡ literal history"),
+
+    // ---- Delta Lake log interop reader -------------------------------------
+    // A table in the OPEN Delta protocol (hand-authored JSON commits
+    // over plain parquet — exactly what another engine's Delta writer
+    // produces): v0 adds the even-key half, v1 adds the odd half, v2
+    // replaces the even file with a price-doubled rewrite (remove+add,
+    // the upsert shape). Reading the latest snapshot AND v1 through the
+    // interop reader, verified against a relational recompute, proves
+    // the add/remove fold, schemaString decoding, and version replay.
+    "q281_delta_interop" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_delta_q281") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        def writeOne(df: org.apache.spark.sql.DataFrame,
+                     name: String): Unit = {
+          val stage = s"$root/_stage_$name"
+          df.coalesce(1).write.parquet(stage)
+          val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+            .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+          fs.rename(part, new org.apache.hadoop.fs.Path(s"$root/$name"))
+          fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+        }
+        writeOne(o.filter(col("o_orderkey") % 2 === 0), "part-even.parquet")
+        writeOne(o.filter(col("o_orderkey") % 2 =!= 0), "part-odd.parquet")
+        writeOne(o.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+          "part-even2.parquet")
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val schemaJson = om.writeValueAsString(o.schema.json)
+        Files.createDirectories(Paths.get(s"$root/_delta_log"))
+        def commit(v: Long, actions: Seq[String]): Unit =
+          Files.writeString(
+            Paths.get(f"$root/_delta_log/$v%020d.json"),
+            actions.mkString("\n"))
+        commit(0L, Seq(
+          s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          s"""{"metaData":{"id":"q281","schemaString":$schemaJson,"partitionColumns":[],"format":{"provider":"parquet"}}}""",
+          """{"add":{"path":"part-even.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+        commit(1L, Seq(
+          """{"add":{"path":"part-odd.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+        commit(2L, Seq(
+          """{"remove":{"path":"part-even.parquet","deletionTimestamp":2,"dataChange":true}}""",
+          """{"add":{"path":"part-even2.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}"""))
+        Seq(Some(1L) -> 1L, None -> 3L).map { case (v, tag) =>
+          graft.sources.DeltaInterop.readDelta(s, root, v)
+            .withColumn("version", lit(tag))
+        }.reduce(_.unionByName(_))
+          .select("version", "o_orderkey", "o_orderstatus", "o_totalprice")
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS version, o_orderkey,
+          o_orderstatus, o_totalprice
+        FROM orders
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), o_orderkey, o_orderstatus,
+          CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+               ELSE o_totalprice END
+        FROM orders"""),
+      "open Delta-protocol log replay (add/remove fold + time travel) ≡ direct"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

@@ -1,0 +1,121 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Interop READER for the open Delta Lake transaction-log format
+  * (delta.io protocol: `_delta_log/<v>.json` commits of add / remove /
+  * metaData actions over plain parquet) — so tables written by OTHER
+  * engines' Delta writers are directly queryable here, next to the
+  * native [[LakeTable]] manifests. Scope: JSON-only logs (every Delta
+  * table's first 10 commits; checkpoint-parquet replay is out of scope
+  * and detected → error, never silent truncation), add/remove/metaData
+  * actions, unpartitioned and hive-partitioned tables (partition
+  * values materialize from the add action's `partitionValues`, cast to
+  * the declared column types — Delta files don't store partition
+  * columns). Time travel via `versionAsOf` replays the prefix of
+  * commits, exactly like the native manifest reads.
+  *
+  * The log is driver-side metadata (like every Delta client): each
+  * commit file is a handful of JSON lines; the data path is a plain
+  * pruned parquet scan of the live files.
+  */
+object DeltaInterop {
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Committed versions (ascending) of the Delta log at `root`. */
+  def deltaVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val log = new Path(s"$root/_delta_log")
+    val f = fs(spark, root)
+    if (!f.exists(log)) Seq.empty
+    else f.listStatus(log).toSeq.map(_.getPath.getName)
+      .collect {
+        case n if n.endsWith(".checkpoint.parquet") =>
+          throw new UnsupportedOperationException(
+            s"$root has Delta checkpoints; this interop reader replays " +
+              "JSON commits only")
+        case n if n.endsWith(".json") && n.dropRight(5).forall(_.isDigit) =>
+          n.dropRight(5).toLong
+      }.sorted
+  }
+
+  // the action fields this reader consumes, as an explicit read schema
+  // (inference would drop fields absent from a given commit file)
+  private val actionSchema = StructType(Seq(
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)))),
+      nullable = true),
+    StructField("remove", StructType(Seq(
+      StructField("path", StringType))), nullable = true),
+    StructField("metaData", StructType(Seq(
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)))),
+      nullable = true)))
+
+  /** Snapshot read of a Delta table, latest or `versionAsOf`. */
+  def readDelta(spark: SparkSession, root: String,
+                versionAsOf: Option[Long] = None): DataFrame = {
+    val vs = deltaVersions(spark, root)
+    require(vs.nonEmpty, s"no Delta log under $root")
+    val upTo = versionAsOf.getOrElse(vs.max)
+    require(vs.contains(upTo), s"version $upTo not in ${vs.mkString(",")}")
+
+    // replay commits in order: per-version add/remove fold plus the
+    // latest metaData wins (schema evolution)
+    var live = Map.empty[String, Map[String, String]] // path -> partValues
+    var schemaString: Option[String] = None
+    var partCols: Seq[String] = Seq.empty
+    vs.filter(_ <= upTo).foreach { v =>
+      val f = f"$root/_delta_log/$v%020d.json"
+      val actions = spark.read.schema(actionSchema).json(f).collect()
+      actions.foreach { a =>
+        Option(a.getAs[Row]("metaData")).foreach { m =>
+          Option(m.getAs[String]("schemaString"))
+            .foreach(s => schemaString = Some(s))
+          Option(m.getAs[scala.collection.Seq[String]]("partitionColumns"))
+            .foreach(p => partCols = p.toSeq)
+        }
+        Option(a.getAs[Row]("remove")).foreach { r =>
+          live -= r.getAs[String]("path")
+        }
+        Option(a.getAs[Row]("add")).foreach { ad =>
+          live += ad.getAs[String]("path") ->
+            Option(ad.getAs[Map[String, String]]("partitionValues"))
+              .getOrElse(Map.empty)
+        }
+      }
+    }
+    val schema = DataType.fromJson(schemaString.getOrElse(
+      throw new IllegalStateException(
+        s"$root: no metaData action in the replayed log")))
+      .asInstanceOf[StructType]
+    val dataSchema = StructType(
+      schema.fields.filterNot(f => partCols.contains(f.name)))
+
+    if (live.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), schema)
+
+    if (partCols.isEmpty)
+      spark.read.schema(dataSchema)
+        .parquet(live.keys.toSeq.sorted.map(p => s"$root/$p"): _*)
+    else {
+      // files of one partition share partitionValues: group, read each
+      // group once, materialize the partition columns as typed literals
+      live.groupBy(_._2).map { case (pv, files) =>
+        val base = spark.read.schema(dataSchema)
+          .parquet(files.keys.toSeq.sorted.map(p => s"$root/$p"): _*)
+        partCols.foldLeft(base) { (df, c) =>
+          val dt = schema(c).dataType
+          df.withColumn(c, lit(pv.getOrElse(c, null)).cast(dt))
+        }
+      }.reduce(_.unionByName(_))
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+  }
+}

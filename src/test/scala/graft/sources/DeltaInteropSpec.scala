@@ -1,0 +1,69 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DeltaInteropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("deltain").toString + "/t"
+
+  private def writeOne(df: org.apache.spark.sql.DataFrame, root: String,
+                       name: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val stage = s"$root/_stage_$name"
+    df.coalesce(1).write.parquet(stage)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$root/$name"))
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+  }
+
+  private def commit(root: String, v: Long, actions: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(s"$root/_delta_log"))
+    Files.writeString(Paths.get(f"$root/_delta_log/$v%020d.json"),
+      actions.mkString("\n")): Unit
+  }
+
+  test("partitioned Delta table: partition columns materialize from "
+      + "partitionValues with their declared types") {
+    val root = freshRoot()
+    // data files do NOT contain the partition column `part` (the Delta
+    // layout); it lives only in the add actions
+    writeOne(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root,
+      "p1/f1.parquet")
+    writeOne(Seq((3L, "c")).toDF("k", "v"), root, "p2/f2.parquet")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("part",
+        org.apache.spark.sql.types.IntegerType)))
+    val sj = om.writeValueAsString(schema.json)
+    commit(root, 0L, Seq(
+      s"""{"metaData":{"id":"p","schemaString":$sj,"partitionColumns":["part"],"format":{"provider":"parquet"}}}""",
+      """{"add":{"path":"p1/f1.parquet","partitionValues":{"part":"10"},"size":1,"modificationTime":1,"dataChange":true}}""",
+      """{"add":{"path":"p2/f2.parquet","partitionValues":{"part":"20"},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val got = DeltaInterop.readDelta(spark, root)
+    assert(got.schema("part").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(got.select("k", "part").as[(Long, Int)].collect().toSet ==
+      Set((1L, 10), (2L, 10), (3L, 20)))
+  }
+
+  test("checkpointed logs are refused loudly, never silently truncated") {
+    val root = freshRoot()
+    commit(root, 0L, Seq("""{"metaData":{"id":"x","schemaString":"{}","partitionColumns":[]}}"""))
+    Files.write(Paths.get(
+      s"$root/_delta_log/00000000000000000010.checkpoint.parquet"),
+      Array[Byte](1))
+    intercept[UnsupportedOperationException] {
+      DeltaInterop.deltaVersions(spark, root)
+    }
+  }
+}
