@@ -1330,6 +1330,46 @@ object SourceQueries {
                ELSE o_totalprice END
         FROM orders"""),
       "open Delta-protocol log replay (add/remove fold + time travel) ≡ direct"),
+
+    // ---- Delta export round-trip -------------------------------------------
+    // The outbound interop: a lake table built through append + MERGE
+    // (so the snapshot mixes carried and rewritten files) exports as a
+    // Delta-protocol table — hard-linked data files plus one JSON
+    // commit — and reads BACK through the protocol reader. The oracle
+    // recomputes the post-merge content directly, so the hash proves
+    // the export is a faithful open-format copy of the snapshot.
+    "q282_delta_export" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_deltax_q282") + "/t"
+        val out = freshRoot("graft_deltax_q282_out") + "/d"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 7 =!= 0)
+            .repartitionByRange(8, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"), root,
+          zoneKey = Some("o_orderkey"))
+        val batch = o
+          .filter(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"),
+            when(col("o_orderkey") % 3 === 0, lit("D"))
+              .otherwise(lit("U")).as("op"))
+        graft.sources.LakeTable.mergeInto(s, root, batch,
+          Seq("o_orderkey"), "op")
+        graft.sources.DeltaInterop.exportToDelta(s, root, out)
+        graft.sources.DeltaInterop.readDelta(s, out)
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+               ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE o_orderkey % 7 <> 0
+          AND NOT (o_orderkey % 5 = 0 AND o_orderkey % 3 = 0)
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice * 2
+        FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0"""),
+      "lake→Delta export read back through the protocol ≡ direct recompute"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

@@ -57,6 +57,62 @@ object DeltaInterop {
       StructField("partitionColumns", ArrayType(StringType)))),
       nullable = true)))
 
+  /** EXPORT a [[LakeTable]] snapshot as a Delta-protocol table — the
+    * outbound half of the interop: any engine with a Delta reader can
+    * consume our releases. The snapshot's live data files HARD-LINK
+    * into `deltaRoot` under their manifest-relative paths (zero copy on
+    * one filesystem; falls back to a real copy across filesystems), and
+    * one JSON commit records protocol, metaData (the manifest schema as
+    * Delta's `schemaString` — same StructType JSON dialect) and an add
+    * action per file. The export is a fresh immutable table; re-export
+    * a newer snapshot to a new directory rather than mutating one. */
+  def exportToDelta(spark: SparkSession, lakeRoot: String,
+                    deltaRoot: String,
+                    version: Option[Long] = None): Unit = {
+    val vs = LakeTable.versions(spark, lakeRoot)
+    require(vs.nonEmpty, s"no lake table at $lakeRoot")
+    val v = version.getOrElse(vs.last)
+    val ents = LakeTable.entries(spark, lakeRoot, v)
+    val schema = LakeTable.schemaOf(spark, lakeRoot, v)
+      .getOrElse(LakeTable.read(spark, lakeRoot, Some(v)).schema)
+    val f = fs(spark, deltaRoot)
+    require(!f.exists(new Path(s"$deltaRoot/_delta_log")),
+      s"$deltaRoot already holds a Delta log — exports are immutable")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val adds = ents.map { e =>
+      val src = new Path(s"$lakeRoot/${e.path}")
+      val dst = new Path(s"$deltaRoot/${e.path}")
+      f.mkdirs(dst.getParent)
+      val srcLocal = java.nio.file.Paths.get(
+        f.makeQualified(src).toUri.getPath)
+      val dstLocal = java.nio.file.Paths.get(
+        f.makeQualified(dst).toUri.getPath)
+      if (Option(f.getScheme).contains("file"))
+        java.nio.file.Files.createLink(dstLocal, srcLocal)
+      else
+        org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst,
+          /* deleteSource = */ false, spark.sessionState.newHadoopConf())
+      val st = f.getFileStatus(dst)
+      s"""{"add":{"path":${om.writeValueAsString(e.path)},""" +
+        s""""partitionValues":{},"size":${st.getLen},""" +
+        s""""modificationTime":${st.getModificationTime},""" +
+        s""""dataChange":true}}"""
+    }
+    val header = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":${om.writeValueAsString(
+        java.util.UUID.randomUUID().toString)},""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${om.writeValueAsString(schema.json)},""" +
+        """"partitionColumns":[],"configuration":{}}}""")
+    f.mkdirs(new Path(s"$deltaRoot/_delta_log"))
+    val out = f.create(
+      new Path(s"$deltaRoot/_delta_log/00000000000000000000.json"),
+      /* overwrite = */ false)
+    try out.write((header ++ adds).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** Snapshot read of a Delta table, latest or `versionAsOf`. */
   def readDelta(spark: SparkSession, root: String,
                 versionAsOf: Option[Long] = None): DataFrame = {
