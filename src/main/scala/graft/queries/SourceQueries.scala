@@ -1370,6 +1370,31 @@ object SourceQueries {
         SELECT o_orderkey, o_custkey, o_totalprice * 2
         FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0"""),
       "lake→Delta export read back through the protocol ≡ direct recompute"),
+
+    // ---- Delta range read with exported data skipping ----------------------
+    // The exported table carries our zone stats as Delta per-file
+    // `stats`, so a key-range read over the export opens only the
+    // overlapping files (the unit pins the strict subset via
+    // broken-link corruption) — the interop path keeps the SOURCE
+    // table's scale behavior. Exact predicate re-applies; oracle is
+    // the direct BETWEEN.
+    "q283_delta_range" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_deltar_q283") + "/t"
+        val out = freshRoot("graft_deltar_q283_out") + "/e"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.repartitionByRange(8, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"), root,
+          zoneKey = Some("o_orderkey"))
+        graft.sources.DeltaInterop.exportToDelta(s, root, out)
+        graft.sources.DeltaInterop.readDeltaRange(s, out,
+          "o_orderkey", 1000L, 5000L)
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000"""),
+      "zone-pruned range read over the Delta EXPORT ≡ direct filter"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

@@ -48,7 +48,8 @@ object DeltaInterop {
   private val actionSchema = StructType(Seq(
     StructField("add", StructType(Seq(
       StructField("path", StringType),
-      StructField("partitionValues", MapType(StringType, StringType)))),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("stats", StringType))),
       nullable = true),
     StructField("remove", StructType(Seq(
       StructField("path", StringType))), nullable = true),
@@ -56,6 +57,46 @@ object DeltaInterop {
       StructField("schemaString", StringType),
       StructField("partitionColumns", ArrayType(StringType)))),
       nullable = true)))
+
+  private case class LiveFile(partitionValues: Map[String, String],
+                              stats: Option[String])
+
+  private case class Snapshot(live: Map[String, LiveFile],
+                              schema: StructType, partCols: Seq[String])
+
+  private def replay(spark: SparkSession, root: String,
+                     upTo: Long): Snapshot = {
+    val vs = deltaVersions(spark, root)
+    var live = Map.empty[String, LiveFile]
+    var schemaString: Option[String] = None
+    var partCols: Seq[String] = Seq.empty
+    vs.filter(_ <= upTo).foreach { v =>
+      val f = f"$root/_delta_log/$v%020d.json"
+      val actions = spark.read.schema(actionSchema).json(f).collect()
+      actions.foreach { a =>
+        Option(a.getAs[Row]("metaData")).foreach { m =>
+          Option(m.getAs[String]("schemaString"))
+            .foreach(s => schemaString = Some(s))
+          Option(m.getAs[scala.collection.Seq[String]]("partitionColumns"))
+            .foreach(p => partCols = p.toSeq)
+        }
+        Option(a.getAs[Row]("remove")).foreach { r =>
+          live -= r.getAs[String]("path")
+        }
+        Option(a.getAs[Row]("add")).foreach { ad =>
+          live += ad.getAs[String]("path") -> LiveFile(
+            Option(ad.getAs[Map[String, String]]("partitionValues"))
+              .getOrElse(Map.empty),
+            Option(ad.getAs[String]("stats")))
+        }
+      }
+    }
+    val schema = DataType.fromJson(schemaString.getOrElse(
+      throw new IllegalStateException(
+        s"$root: no metaData action in the replayed log")))
+      .asInstanceOf[StructType]
+    Snapshot(live, schema, partCols)
+  }
 
   /** EXPORT a [[LakeTable]] snapshot as a Delta-protocol table — the
     * outbound half of the interop: any engine with a Delta reader can
@@ -79,6 +120,25 @@ object DeltaInterop {
     require(!f.exists(new Path(s"$deltaRoot/_delta_log")),
       s"$deltaRoot already holds a Delta log — exports are immutable")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // manifest zone stats travel as Delta per-file `stats`
+    // (minValues/maxValues), so a Delta reader's data skipping — and
+    // [[readDeltaRange]] below — prunes the export exactly like the
+    // native zone reads prune the source table
+    def statsJson(e: LakeTable.FileEntry): Option[String] = {
+      val zs = e.zones.filter(z => schema.fieldNames.contains(z.key))
+      if (zs.isEmpty) None
+      else {
+        def side(pick: LakeTable.Zone => String) = zs.map { z =>
+          val v = schema(z.key).dataType match {
+            case _: NumericType => pick(z)
+            case _ => om.writeValueAsString(pick(z))
+          }
+          s"${om.writeValueAsString(z.key)}:$v"
+        }.mkString("{", ",", "}")
+        Some(om.writeValueAsString(
+          s"""{"minValues":${side(_.lo)},"maxValues":${side(_.hi)}}"""))
+      }
+    }
     val adds = ents.map { e =>
       val src = new Path(s"$lakeRoot/${e.path}")
       val dst = new Path(s"$deltaRoot/${e.path}")
@@ -96,6 +156,7 @@ object DeltaInterop {
       s"""{"add":{"path":${om.writeValueAsString(e.path)},""" +
         s""""partitionValues":{},"size":${st.getLen},""" +
         s""""modificationTime":${st.getModificationTime},""" +
+        statsJson(e).map(s => s""""stats":$s,""").getOrElse("") +
         s""""dataChange":true}}"""
     }
     val header = Seq(
@@ -120,58 +181,73 @@ object DeltaInterop {
     require(vs.nonEmpty, s"no Delta log under $root")
     val upTo = versionAsOf.getOrElse(vs.max)
     require(vs.contains(upTo), s"version $upTo not in ${vs.mkString(",")}")
+    val snap = replay(spark, root, upTo)
+    readLive(spark, root, snap, snap.live)
+  }
 
-    // replay commits in order: per-version add/remove fold plus the
-    // latest metaData wins (schema evolution)
-    var live = Map.empty[String, Map[String, String]] // path -> partValues
-    var schemaString: Option[String] = None
-    var partCols: Seq[String] = Seq.empty
-    vs.filter(_ <= upTo).foreach { v =>
-      val f = f"$root/_delta_log/$v%020d.json"
-      val actions = spark.read.schema(actionSchema).json(f).collect()
-      actions.foreach { a =>
-        Option(a.getAs[Row]("metaData")).foreach { m =>
-          Option(m.getAs[String]("schemaString"))
-            .foreach(s => schemaString = Some(s))
-          Option(m.getAs[scala.collection.Seq[String]]("partitionColumns"))
-            .foreach(p => partCols = p.toSeq)
-        }
-        Option(a.getAs[Row]("remove")).foreach { r =>
-          live -= r.getAs[String]("path")
-        }
-        Option(a.getAs[Row]("add")).foreach { ad =>
-          live += ad.getAs[String]("path") ->
-            Option(ad.getAs[Map[String, String]]("partitionValues"))
-              .getOrElse(Map.empty)
-        }
-      }
+  /** Range read with Delta data skipping: only files whose
+    * `stats.minValues/maxValues` for `key` overlap [lo, hi] are opened
+    * (plus, conservatively, files without stats for the key — a failed
+    * stat parse admits too); the exact predicate re-applies on top.
+    * The interop twin of [[LakeTable.readRange]] — an export carrying
+    * our zone stats prunes here exactly as the source table does. */
+  def readDeltaRange(spark: SparkSession, root: String, key: String,
+                     lo: Any, hi: Any,
+                     versionAsOf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val vs = deltaVersions(spark, root)
+    require(vs.nonEmpty, s"no Delta log under $root")
+    val snap = replay(spark, root, versionAsOf.getOrElse(vs.max))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def bound(stats: String, side: String): Option[String] =
+      try {
+        val n = om.readTree(stats).path(side).path(key)
+        if (n.isMissingNode || n.isNull) None
+        else Some(if (n.isTextual) n.asText else n.toString)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val triples = snap.live.toSeq.map { case (p, lf) =>
+      (p,
+        lf.stats.flatMap(bound(_, "minValues")).orNull,
+        lf.stats.flatMap(bound(_, "maxValues")).orNull)
     }
-    val schema = DataType.fromJson(schemaString.getOrElse(
-      throw new IllegalStateException(
-        s"$root: no metaData action in the replayed log")))
-      .asInstanceOf[StructType]
+    val dt = snap.schema.fields.find(_.name == key).map(_.dataType)
+      .getOrElse(org.apache.spark.sql.catalyst.expressions
+        .Literal(lo).dataType)
+    // same conservative cast discipline as the manifest zone reads:
+    // a NULL verdict (missing or unparsable stat, failed cast) admits
+    val admitted = triples.toDF("__file", "__lo_s", "__hi_s")
+      .select(col("__file"),
+        (col("__lo_s").cast(dt) <= lit(hi).cast(dt) &&
+          col("__hi_s").cast(dt) >= lit(lo).cast(dt)).as("__ov"))
+      .collect() // bounded by #files
+      .collect { case r if r.isNullAt(1) || r.getBoolean(1) =>
+        r.getString(0) }.toSet
+    readLive(spark, root, snap, snap.live.filter(e => admitted(e._1)))
+      .filter(col(key) >= lit(lo) && col(key) <= lit(hi))
+  }
+
+  private def readLive(spark: SparkSession, root: String, snap: Snapshot,
+                       files: Map[String, LiveFile]): DataFrame = {
     val dataSchema = StructType(
-      schema.fields.filterNot(f => partCols.contains(f.name)))
-
-    if (live.isEmpty)
-      return spark.createDataFrame(
-        java.util.Collections.emptyList[Row](), schema)
-
-    if (partCols.isEmpty)
+      snap.schema.fields.filterNot(f => snap.partCols.contains(f.name)))
+    if (files.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), snap.schema)
+    else if (snap.partCols.isEmpty)
       spark.read.schema(dataSchema)
-        .parquet(live.keys.toSeq.sorted.map(p => s"$root/$p"): _*)
+        .parquet(files.keys.toSeq.sorted.map(p => s"$root/$p"): _*)
     else {
       // files of one partition share partitionValues: group, read each
       // group once, materialize the partition columns as typed literals
-      live.groupBy(_._2).map { case (pv, files) =>
+      files.groupBy(_._2.partitionValues).map { case (pv, group) =>
         val base = spark.read.schema(dataSchema)
-          .parquet(files.keys.toSeq.sorted.map(p => s"$root/$p"): _*)
-        partCols.foldLeft(base) { (df, c) =>
-          val dt = schema(c).dataType
+          .parquet(group.keys.toSeq.sorted.map(p => s"$root/$p"): _*)
+        snap.partCols.foldLeft(base) { (df, c) =>
+          val dt = snap.schema(c).dataType
           df.withColumn(c, lit(pv.getOrElse(c, null)).cast(dt))
         }
       }.reduce(_.unionByName(_))
-        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
     }
   }
 }
