@@ -339,7 +339,7 @@ object Relational {
     val b = base.withColumn(opCol, lit("KEEP")).withColumn("__pri", lit(1))
     dedupKeepFirst(c.unionByName(b), keys, Seq(col("__pri").asc))
       .filter(col(opCol) =!= "D")
-      .select(base.columns.map(col): _*)
+      .select(base.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Count/sum aggregate STATE over `df`: (keys..., cnt, sum_fx) with

@@ -961,6 +961,43 @@ class LakeTableSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("updateWhere ≡ CASE recompute for randomized predicates and "
+      + "assignments — property") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    val base = spark.range(0, 200).select(col("id").as("k"),
+        (col("id") * 10).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .localCheckpoint(true)
+    val bnd = Gen.choose(-20L, 220L)
+    val caseGen: Gen[(String, String)] = for {
+      a <- bnd; b <- bnd
+      pred <- Gen.oneOf(
+        s"k BETWEEN ${math.min(a, b)} AND ${math.max(a, b)}",
+        s"k >= $a AND v % 30 = 0",
+        s"k IN ($a, $b)",
+        s"k < $a OR k > $b",
+        s"v % 40 = 0") // residual-only
+      assign <- Gen.oneOf("v + 1", "v * 2", "0", "k - v")
+    } yield (pred, assign)
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(20).withInitialSeed(Seed(13L))
+    val res = SCTest.check(params, Prop.forAll(caseGen) {
+      case (pred, assign) =>
+        val root = freshRoot()
+        LakeTable.append(base, root, zoneKey = Some("k"))
+        LakeTable.updateWhere(spark, root, pred, Map("v" -> assign))
+        val got = LakeTable.read(spark, root)
+          .select("k", "v").as[(Long, Long)].collect().sorted.toSeq
+        val want = base.withColumn("v",
+            when(coalesce(expr(pred), lit(false)),
+              expr(assign).cast("long")).otherwise(col("v")))
+          .select("k", "v").as[(Long, Long)].collect().sorted.toSeq
+        got == want
+    })
+    assert(res.passed, res.status.toString)
+  }
+
   test("bloom point lookup: non-holding files provably never opened "
       + "(corrupted-file trick); zones alone cannot prune the scattered "
       + "column") {
