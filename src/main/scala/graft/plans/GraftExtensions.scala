@@ -92,6 +92,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // MV rewrite runs post-hoc: attributes are resolved, the optimizer
     // has not yet reshaped aggregates
     ext.injectPostHocResolutionRule(_ => MaterializedViewRewrite)
+    // SQL UPDATE on graftlake catalog tables → LakeTable.updateWhere
+    ext.injectPostHocResolutionRule(spark => LakeDmlRules(spark))
     // custom operator: bounded-heap limit-per-group (logical + physical)
     ext.injectPlannerStrategy(_ => TopKStrategy)
   }

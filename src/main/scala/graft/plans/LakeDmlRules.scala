@@ -1,0 +1,96 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
+  AttributeReference, Between, Expression, GreaterThanOrEqual,
+  LessThanOrEqual, RuntimeReplaceable, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
+  LogicalPlan, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import graft.sources.{GraftLakeV2Table, LakeTable}
+
+/** SQL `UPDATE` for graftlake catalog tables — the rule-rewrite route
+  * (how Delta shipped UPDATE before the row-level-operation API): the
+  * analyzer resolves `UPDATE graftlake.`path` SET ... WHERE ...` into a
+  * [[UpdateTable]] over our DSv2 relation, and this post-hoc resolution
+  * rule replaces it with a command running
+  * [[LakeTable.updateWhere]] — so the statement gets the SAME
+  * zone-mined file-granular copy-on-write, CHECK enforcement, CDF
+  * images and no-op elision as the programmatic API. Resolved
+  * expressions render back to SQL text via `Expression.sql` (column
+  * references come out backquoted, so hostile names survive).
+  *
+  * Deliberately refused (left to Spark's standard unsupported-table
+  * error rather than half-translated): subqueries in the condition or
+  * assignments, nested-field assignment targets, and time-travel-pinned
+  * targets (an immutable snapshot cannot take DML). */
+case class LakeDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  // RuntimeReplaceable nodes render their `.sql` from parameter fields
+  // a child-transform can't reach (their tree child is the
+  // replacement), so qualifier stripping would leak — BETWEEN we
+  // desugar structurally below; any other replaceable refuses the
+  // rewrite and falls back to Spark's standard unsupported error
+  private def renderable(e: Expression): Boolean =
+    !SubqueryExpression.hasSubquery(e) &&
+      e.find {
+        case _: Between => false
+        case _: RuntimeReplaceable => true
+        case _ => false
+      }.isEmpty
+
+  // render with BARE column names: the command re-parses against the
+  // table's own frame, where qualified `graftlake.path.k` means nothing
+  private def bareSql(e: Expression): String =
+    e.transformUp {
+      case b: Between => CAnd(GreaterThanOrEqual(b.input, b.lower),
+        LessThanOrEqual(b.input, b.upper))
+    }.transformUp {
+      case a: AttributeReference => a.withQualifier(Seq.empty)
+    }.sql
+
+  // the resolved target arrives alias-wrapped (`UPDATE t` puts a
+  // SubqueryAlias over the relation); strip down to our table
+  private def lakeTable(p: LogicalPlan): Option[GraftLakeV2Table] =
+    p match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftLakeV2Table => Some(t)
+        case _ => None
+      }
+      case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        lakeTable(a.child)
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case u @ UpdateTable(target, assignments, cond)
+          if u.resolved &&
+            lakeTable(target).exists(_.pinnedVersion.isEmpty) &&
+            cond.forall(renderable) &&
+            assignments.forall {
+              case Assignment(_: AttributeReference, v) => renderable(v)
+              case _ => false // nested-field targets stay unsupported
+            } =>
+        GraftLakeUpdateCommand(lakeTable(target).get.tableRoot,
+          cond.map(bareSql).getOrElse("true"),
+          assignments.map { case Assignment(k: AttributeReference, v) =>
+            k.name -> bareSql(v)
+          }.toMap)
+    }
+}
+
+/** Eagerly-executed UPDATE: one manifest transaction via
+  * [[LakeTable.updateWhere]]. */
+case class GraftLakeUpdateCommand(root: String, condSql: String,
+                                  assignments: Map[String, String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    LakeTable.withRetry() { () =>
+      LakeTable.updateWhere(spark, root, condSql, assignments)
+    }
+    Seq.empty
+  }
+}

@@ -1395,6 +1395,36 @@ object SourceQueries {
       Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
         FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000"""),
       "zone-pruned range read over the Delta EXPORT ≡ direct filter"),
+
+    // ---- SQL UPDATE statement -----------------------------------------------
+    // `UPDATE graftlake.t SET price = price * 1.5 WHERE key-range AND
+    // status` as a pure statement: the injected resolution rule routes
+    // it to updateWhere, so the statement inherits the zone-mined file
+    // skipping (rendered CAST-wrapped bounds included), type-preserving
+    // assignment casts and CDF images. Oracle: the same CASE recompute.
+    "q284_lake_sql_update" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graftlake",
+          classOf[graft.sources.GraftLakeCatalog].getName)
+        val root = freshRoot("graft_lakeu_q284") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.repartitionByRange(8, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"), root,
+          zoneKey = Some("o_orderkey"))
+        s.sql(s"UPDATE graftlake.`$root` SET o_totalprice = " +
+          "o_totalprice * 1.5 WHERE o_orderkey BETWEEN 2000 AND 30000 " +
+          "AND o_orderstatus = 'F'")
+        s.sql(s"SELECT * FROM graftlake.`$root`")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+          CASE WHEN o_orderkey BETWEEN 2000 AND 30000
+                AND o_orderstatus = 'F'
+               THEN o_totalprice * 1.5 ELSE o_totalprice END
+            AS o_totalprice
+        FROM orders"""),
+      "SQL UPDATE statement (rule-routed to updateWhere) ≡ CASE recompute"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

@@ -116,6 +116,11 @@ class GraftLakeCatalog extends TableCatalog {
 class GraftLakeV2Table(root: String, version: Option[Long])
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
+  /** The lake root this table serves (the DML rules route on it). */
+  def tableRoot: String = root
+  /** Pinned snapshot (VERSION/TIMESTAMP AS OF), None = latest. */
+  def pinnedVersion: Option[Long] = version
+
   private def spark: SparkSession = SparkSession.active
 
   override def name(): String = s"graftlake.`$root`"

@@ -1250,8 +1250,8 @@ object LakeTable {
   private[sources] def minedBounds(
       e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Bound] = {
     import org.apache.spark.sql.catalyst.expressions.{
-      And, AttributeReference, Between, EqualTo, Expression, GreaterThan,
-      GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or,
+      And, AttributeReference, Between, Cast, EqualTo, Expression,
+      GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or,
       Literal => CLit}
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     // parsed predicates carry UnresolvedAttribute (the DML path);
@@ -1264,6 +1264,13 @@ object LakeTable {
     }
     def litSql(x: Expression): Option[String] = x match {
       case l: CLit if l.value != null => Some(l.sql)
+      // analyzer-rendered predicates wrap literals in explicit casts
+      // (`k <= CAST(50 AS BIGINT)`) — still a constant bound; its SQL
+      // re-evaluates in the admit expression
+      case c: Cast => c.child match {
+        case l: CLit if l.value != null => Some(c.sql)
+        case _ => None
+      }
       case _ => None
     }
     // col <cmp> lit in either operand order; `flip` says what the bound

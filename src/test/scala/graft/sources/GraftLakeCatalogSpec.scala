@@ -87,6 +87,50 @@ class GraftLakeCatalogSpec extends SparkSpec {
       "VERSION AS OF 2").head().getLong(0) == 3L)
   }
 
+  test("SQL UPDATE routes through updateWhere: zone-skipped files "
+      + "carried by reference, assignments cast, constraints enforced, "
+      + "no-op commits nothing") {
+    val root = freshRoot()
+    val base = spark.range(0, 400).select(col("id").as("k"),
+        (col("id") * 10).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    LakeTable.append(base, root, zoneKey = Some("k"))
+    val v1 = LakeTable.entries(spark, root, 1L)
+    val untouched = v1.filter(_.lo.get.toLong > 50L)
+    assert(untouched.nonEmpty)
+    untouched.foreach(e => corrupt(root, e.path))
+    spark.sql(s"UPDATE graftlake.`$root` SET v = v * 2 WHERE k <= 50")
+    val v2 = LakeTable.entries(spark, root, 2L)
+    untouched.foreach(e => assert(v2.find(_.path == e.path).contains(e)))
+    val freshPaths = v2.filterNot(e => v1.exists(_.path == e.path))
+    spark.read.parquet(freshPaths.map(e => s"$root/${e.path}"): _*)
+      .select("k", "v").as[(Long, Long)].collect().foreach {
+        case (k, v) => assert(v == (if (k <= 50) k * 20 else k * 10))
+      }
+    // CDF carries both images for the statement
+    assert(LakeTable.changeFeed(spark, root, 1L, 2L)
+      .groupBy("_change_type").count().as[(String, Long)].collect().toMap
+      == Map("update_preimage" -> 51L, "update_postimage" -> 51L))
+    // provably-no-op statement commits nothing
+    spark.sql(s"UPDATE graftlake.`$root` SET v = 0 WHERE k > 5000")
+    assert(LakeTable.versions(spark, root) == Seq(1L, 2L))
+    // constraints gate statements exactly like API calls (fresh table —
+    // ADD CONSTRAINT validates existing data with a full read)
+    val root2 = freshRoot()
+    LakeTable.append(Seq((1L, 10L)).toDF("k", "v"), root2)
+    LakeTable.addConstraint(spark, root2, "v_pos", "v >= 0")
+    intercept[Exception] {
+      spark.sql(s"UPDATE graftlake.`$root2` SET v = -1 WHERE k = 1")
+    }
+    assert(LakeTable.versions(spark, root2) == Seq(1L, 2L))
+    // a subquery condition is refused with Spark's standard error, not
+    // half-translated
+    intercept[Exception] {
+      spark.sql(s"UPDATE graftlake.`$root2` SET v = 0 WHERE k IN " +
+        s"(SELECT k FROM graftlake.`$root2` WHERE v > 100)")
+    }
+  }
+
   test("CHECK constraints govern SQL INSERTs too: a violating statement "
       + "is refused and leaves no version") {
     val root = freshRoot()
