@@ -2,13 +2,15 @@ package graft.plans
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
-  AttributeReference, Between, Expression, GreaterThanOrEqual,
+  AttributeReference, Between, EqualTo, Expression, GreaterThanOrEqual,
   LessThanOrEqual, RuntimeReplaceable, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
-  LogicalPlan, UpdateTable}
+  DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction,
+  UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.expr
 import graft.sources.{GraftLakeV2Table, LakeTable}
 
 /** SQL `UPDATE` for graftlake catalog tables — the rule-rewrite route
@@ -79,7 +81,123 @@ case class LakeDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
           assignments.map { case Assignment(k: AttributeReference, v) =>
             k.name -> bareSql(v)
           }.toMap)
+
+      case m: MergeIntoTable if m.resolved &&
+          lakeTable(m.targetTable).exists(_.pinnedVersion.isEmpty) &&
+          m.notMatchedBySourceActions.isEmpty =>
+        translateMerge(m).getOrElse(m)
     }
+
+  /** Map a resolved MERGE onto [[LakeTable.mergeInto]]'s four row fates
+    * when the statement's shape preserves exactness:
+    *
+    *   UPDATE(all cols) + INSERT(same values)          → fate U
+    *   UPDATE(all cols) only                           → fate M
+    *   UPDATE(all cols) + DELETE(source-only cond)     → CASE cond D M
+    *   DELETE (unconditional) only                     → fate D
+    *   INSERT only                                     → fate I
+    *
+    * Everything else — partial-column updates (the rewritten row would
+    * need target values the batch doesn't carry), conditional matched
+    * updates, DELETE beside INSERT (a not-matched row must insert even
+    * when the delete condition holds), expressions touching target
+    * columns, non-equi merge conditions — returns None and falls back
+    * to Spark's standard unsupported-table error. */
+  private def translateMerge(m: MergeIntoTable): Option[LogicalPlan] = {
+    val table = lakeTable(m.targetTable).get
+    val targetOut = m.targetTable.outputSet
+    val sourceOut = m.sourceTable.outputSet
+    def sourceOnly(e: Expression): Boolean =
+      renderable(e) && e.references.subsetOf(sourceOut)
+
+    // equi-key pairs: target attr = source-only expression
+    def keyPairs(e: Expression): Option[Seq[(String, Expression)]] =
+      e match {
+        case CAnd(l, r) =>
+          for (lp <- keyPairs(l); rp <- keyPairs(r)) yield lp ++ rp
+        case EqualTo(t: AttributeReference, s)
+            if targetOut.contains(t) && sourceOnly(s) =>
+          Some(Seq(t.name -> s))
+        case EqualTo(s, t: AttributeReference)
+            if targetOut.contains(t) && sourceOnly(s) =>
+          Some(Seq(t.name -> s))
+        case _ => None
+      }
+
+    val targetCols = m.targetTable.output.map(_.name)
+
+    def fullAssignment(as: Seq[Assignment],
+                       keys: Seq[(String, Expression)])
+        : Option[Map[String, Expression]] = {
+      val byName = as.collect {
+        case Assignment(k: AttributeReference, v) if sourceOnly(v) =>
+          k.name -> v
+      }.toMap
+      val withKeys = keys.foldLeft(byName) { case (acc, (k, v)) =>
+        if (acc.contains(k)) acc else acc + (k -> v)
+      }
+      if (byName.size == as.size &&
+          targetCols.forall(withKeys.contains)) Some(withKeys)
+      else None
+    }
+
+    keyPairs(m.mergeCondition).flatMap { keys =>
+      val upd = m.matchedActions.collect { case u: UpdateAction => u }
+      val del = m.matchedActions.collect { case d: DeleteAction => d }
+      val ins = m.notMatchedActions.collect { case i: InsertAction => i }
+      if (m.matchedActions.length != upd.length + del.length ||
+          m.notMatchedActions.length != ins.length ||
+          upd.length > 1 || del.length > 1 || ins.length > 1) None
+      else {
+        val updOk = upd.forall(_.condition.isEmpty)
+        val insOk = ins.forall(_.condition.isEmpty)
+        val updAssign = upd.headOption
+          .flatMap(u => fullAssignment(u.assignments, keys))
+        val insAssign = ins.headOption
+          .flatMap(i => fullAssignment(i.assignments, keys))
+        val delCondOk = del.headOption.forall(
+          _.condition.forall(sourceOnly))
+        def sameValues: Boolean =
+          (updAssign, insAssign) match {
+            case (Some(u), Some(i)) =>
+              targetCols.forall(c => bareSql(u(c)) == bareSql(i(c)))
+            case _ => true
+          }
+        val opSql: Option[String] =
+          (upd.nonEmpty, del.headOption, ins.nonEmpty) match {
+            case (true, None, true)
+                if updOk && insOk && updAssign.isDefined &&
+                  insAssign.isDefined && sameValues => Some("'U'")
+            case (true, None, false) if updOk && updAssign.isDefined =>
+              Some("'M'")
+            case (true, Some(d), false)
+                if updOk && updAssign.isDefined && d.condition.isDefined &&
+                  delCondOk =>
+              Some(s"CASE WHEN (${bareSql(d.condition.get)}) " +
+                "THEN 'D' ELSE 'M' END")
+            case (false, Some(d), false) if d.condition.isEmpty =>
+              Some("'D'")
+            case (false, None, true) if insOk && insAssign.isDefined =>
+              Some("'I'")
+            case _ => None
+          }
+        opSql.map { op =>
+          val values = updAssign.orElse(insAssign)
+            .getOrElse(keys.toMap) // pure DELETE: only keys matter
+          val typeOf = m.targetTable.output
+            .map(a => a.name -> a.dataType).toMap
+          // non-key columns of a pure DELETE ride as TYPED nulls (their
+          // values are never read; the types must still line up)
+          val cols = targetCols.map { c =>
+            c -> values.get(c).map(bareSql)
+              .getOrElse(s"CAST(NULL AS ${typeOf(c).sql})")
+          }
+          GraftLakeMergeCommand(table.tableRoot, m.sourceTable,
+            keys.map(_._1), cols, op)
+        }
+      }
+    }
+  }
 }
 
 /** Eagerly-executed UPDATE: one manifest transaction via
@@ -90,6 +208,31 @@ case class GraftLakeUpdateCommand(root: String, condSql: String,
   override def run(spark: SparkSession): Seq[Row] = {
     LakeTable.withRetry() { () =>
       LakeTable.updateWhere(spark, root, condSql, assignments)
+    }
+    Seq.empty
+  }
+}
+
+/** Eagerly-executed MERGE: projects the (already-resolved) source plan
+  * into a one-row-per-key fate batch and runs
+  * [[LakeTable.mergeInto]]'s file-granular copy-on-write. The source
+  * plan is a FIELD, not a tree child — it is fully resolved and
+  * executes verbatim inside `run`. A source with duplicate keys hits
+  * mergeInto's one-row-per-key contract error, matching SQL MERGE's
+  * multiple-matches rejection. */
+case class GraftLakeMergeCommand(root: String, source: LogicalPlan,
+                                 keys: Seq[String],
+                                 columns: Seq[(String, String)],
+                                 opSql: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.graftbridge.ColumnBridge
+      .ofRows(spark, source)
+    val batch = src.select(
+      (columns.map { case (n, sql) => expr(sql).as(n) } :+
+        expr(opSql).as("__op")): _*)
+    LakeTable.withRetry() { () =>
+      LakeTable.mergeInto(spark, root, batch, keys, "__op")
     }
     Seq.empty
   }

@@ -1425,6 +1425,58 @@ object SourceQueries {
             AS o_totalprice
         FROM orders"""),
       "SQL UPDATE statement (rule-routed to updateWhere) ≡ CASE recompute"),
+
+    // ---- SQL MERGE INTO statement ------------------------------------------
+    // The q248 merge scenario driven entirely by SQL statements: the
+    // resolution rule maps the matched-UPDATE/conditional-DELETE/
+    // not-matched-INSERT clauses onto mergeInto's row fates (CASE →
+    // D/U), so the statement inherits the manifest zone pruning and
+    // copy-on-write of the programmatic MERGE. The same relational
+    // oracle proves all four fates landed.
+    "q285_lake_sql_merge" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graftlake",
+          classOf[graft.sources.GraftLakeCatalog].getName)
+        val root = freshRoot("graft_lakem_q285") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 7 =!= 0)
+            .repartitionByRange(8, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"), root,
+          zoneKey = Some("o_orderkey"))
+        o.filter(col("o_orderkey") % 7 === 0 ||
+            col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"))
+          .createOrReplaceTempView("q285_src")
+        // %3 keys delete (matched only), the rest upsert at doubled
+        // price — but a not-matched %3 row must still INSERT per SQL
+        // semantics, so the delete fate applies only to matched rows;
+        // two statements express it exactly: upsert the non-%3 rows,
+        // then delete the matched %3 rows
+        s.sql(s"""MERGE INTO graftlake.`$root` t
+          USING (SELECT * FROM q285_src WHERE o_orderkey % 3 <> 0) s
+          ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+        s.sql(s"""MERGE INTO graftlake.`$root` t
+          USING (SELECT * FROM q285_src WHERE o_orderkey % 3 = 0) s
+          ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED THEN DELETE""")
+        s.sql(s"SELECT * FROM graftlake.`$root`")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0
+               THEN o_totalprice * 2 ELSE o_totalprice END
+            AS o_totalprice
+        FROM orders
+        WHERE o_orderkey % 7 <> 0
+          AND NOT (o_orderkey % 5 = 0 AND o_orderkey % 3 = 0)
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice * 2
+        FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0"""),
+      "SQL MERGE statements (upsert + matched-delete) ≡ relational replay"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

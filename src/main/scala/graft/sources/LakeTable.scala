@@ -1057,8 +1057,12 @@ object LakeTable {
   }
 
   /** File-granular copy-on-write MERGE. `updates` carries the table's
-    * columns plus `opCol` ∈ I|U|D (insert/update rows carry new values;
-    * D rows delete their key). Contract: one row per key in `updates`.
+    * columns plus `opCol` encoding the row's FATE: `U` upserts (update
+    * if present, insert if absent), `M` updates only if present, `I`
+    * inserts only if absent, `D` deletes if present — the four
+    * combinations SQL MERGE's matched/not-matched clauses compose
+    * (U = UPDATE+INSERT, M = UPDATE only, I = INSERT only, D = DELETE).
+    * Contract: one row per key in `updates`.
     *
     * Plan shape at 100 TB: per-file min/max zones on `keys.head` (the
     * clustered leading key) come from the MANIFEST — O(#files) metadata
@@ -1164,8 +1168,13 @@ object LakeTable {
     val dataCols = touched.columns.toSeq
     val present = touched.select(keys.map(col): _*).distinct()
 
-    val matched = updates.join(present, keys, "leftsemi")
-    val inserts = updates.filter(col(opCol) =!= "D")
+    // fates: U = upsert (update if present, insert if absent),
+    //        M = update only if present (absent → no-op),
+    //        I = insert only if absent (present → no-op),
+    //        D = delete if present (absent → no-op)
+    val matched = updates.filter(col(opCol) =!= "I")
+      .join(present, keys, "leftsemi")
+    val inserts = updates.filter(col(opCol).isin("U", "I"))
       .join(present, keys, "leftanti")
       .select(dataCols.map(col): _*)
     val rewritten = Relational.cdcMerge(touched, matched, keys, opCol)

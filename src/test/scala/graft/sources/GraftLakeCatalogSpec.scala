@@ -131,6 +131,78 @@ class GraftLakeCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SQL MERGE INTO: the exactness-preserving shapes route through "
+      + "mergeInto's four fates; unsupported shapes are refused") {
+    val root = freshRoot()
+    LakeTable.append(Seq((1L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("k", "v"), root)
+    def table: Map[Long, Long] =
+      spark.sql(s"SELECT k, v FROM graftlake.`$root`")
+        .as[(Long, Long)].collect().toMap
+
+    // classic upsert (fate U): UPDATE SET * + INSERT *
+    Seq((2L, 200L), (4L, 400L)).toDF("k", "v")
+      .createOrReplaceTempView("m_src")
+    spark.sql(s"""MERGE INTO graftlake.`$root` t USING m_src s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(table == Map(1L -> 10L, 2L -> 200L, 3L -> 30L, 4L -> 400L))
+
+    // update-only (fate M): the absent key is NOT inserted
+    Seq((3L, 333L), (9L, 999L)).toDF("k", "v")
+      .createOrReplaceTempView("m_src")
+    spark.sql(s"""MERGE INTO graftlake.`$root` t USING m_src s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET k = s.k, v = s.v""")
+    assert(table == Map(1L -> 10L, 2L -> 200L, 3L -> 333L, 4L -> 400L))
+
+    // insert-only (fate I): the present key is NOT rewritten
+    Seq((4L, -4L), (5L, 500L)).toDF("k", "v")
+      .createOrReplaceTempView("m_src")
+    spark.sql(s"""MERGE INTO graftlake.`$root` t USING m_src s
+      ON t.k = s.k
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(table == Map(1L -> 10L, 2L -> 200L, 3L -> 333L, 4L -> 400L,
+      5L -> 500L))
+
+    // unconditional delete (fate D): absent keys are no-ops
+    Seq((1L, 0L), (77L, 0L)).toDF("k", "v")
+      .createOrReplaceTempView("m_src")
+    spark.sql(s"""MERGE INTO graftlake.`$root` t USING m_src s
+      ON t.k = s.k
+      WHEN MATCHED THEN DELETE""")
+    assert(table == Map(2L -> 200L, 3L -> 333L, 4L -> 400L, 5L -> 500L))
+
+    // update + conditional delete (CASE → D/M)
+    Seq((2L, 1L), (3L, 2L)).toDF("k", "flag")
+      .createOrReplaceTempView("m_src")
+    spark.sql(s"""MERGE INTO graftlake.`$root` t USING m_src s
+      ON t.k = s.k
+      WHEN MATCHED AND s.flag = 1 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET k = s.k, v = s.flag * 1000""")
+    assert(table == Map(3L -> 2000L, 4L -> 400L, 5L -> 500L))
+
+    // partial-column update: refused (falls to Spark's standard error),
+    // table untouched
+    Seq((4L, 9L)).toDF("k", "v").createOrReplaceTempView("m_src")
+    intercept[Exception] {
+      spark.sql(s"""MERGE INTO graftlake.`$root` t USING m_src s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v + t.v""")
+    }
+    assert(table == Map(3L -> 2000L, 4L -> 400L, 5L -> 500L))
+    // duplicate source keys hit the one-row-per-key contract
+    Seq((4L, 1L), (4L, 2L)).toDF("k", "v")
+      .createOrReplaceTempView("m_src")
+    intercept[Exception] {
+      spark.sql(s"""MERGE INTO graftlake.`$root` t USING m_src s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+    }
+  }
+
   test("CHECK constraints govern SQL INSERTs too: a violating statement "
       + "is refused and leaves no version") {
     val root = freshRoot()
