@@ -226,6 +226,23 @@ object DeltaInterop {
       .filter(col(key) >= lit(lo) && col(key) <= lit(hi))
   }
 
+  /** Incremental read over a Delta log: the rows of the files ADDED in
+    * `(fromV, toV]` — O(changed) I/O, the interop twin of
+    * [[LakeTable.readChanges]]. For an append-only Delta history this
+    * is exactly the version delta; commits that rewrite files surface
+    * the whole rewritten files (file-granular change capture — the
+    * same contract as the native manifest reads). */
+  def readDeltaChanges(spark: SparkSession, root: String,
+                       fromV: Option[Long], toV: Long): DataFrame = {
+    val vs = deltaVersions(spark, root)
+    require(vs.contains(toV), s"version $toV not in ${vs.mkString(",")}")
+    val snap = replay(spark, root, toV)
+    val before = fromV.map(v => replay(spark, root, v).live.keySet)
+      .getOrElse(Set.empty[String])
+    readLive(spark, root, snap,
+      snap.live.filter { case (p, _) => !before.contains(p) })
+  }
+
   private def readLive(spark: SparkSession, root: String, snap: Snapshot,
                        files: Map[String, LiveFile]): DataFrame = {
     val dataSchema = StructType(

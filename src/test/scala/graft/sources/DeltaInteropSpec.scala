@@ -86,6 +86,29 @@ class DeltaInteropSpec extends SparkSpec {
     assert(LakeTable.read(spark, lake).count() == 400L)
   }
 
+  test("readDeltaChanges serves only the files a version range added "
+      + "(corrupted earlier files never opened)") {
+    val root = freshRoot()
+    writeOne(Seq((1L, "a")).toDF("k", "v"), root, "f0.parquet")
+    writeOne(Seq((2L, "b"), (3L, "c")).toDF("k", "v"), root, "f1.parquet")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val sj = om.writeValueAsString(schema.json)
+    commit(root, 0L, Seq(
+      s"""{"metaData":{"id":"c","schemaString":$sj,"partitionColumns":[],"format":{"provider":"parquet"}}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    commit(root, 1L, Seq(
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    // v0's file must never be opened by the incremental read
+    Files.write(Paths.get(s"$root/f0.parquet"), Array.fill[Byte](64)(0))
+    assert(DeltaInterop.readDeltaChanges(spark, root, Some(0L), 1L)
+      .select("k").as[Long].collect().toSet == Set(2L, 3L))
+  }
+
   test("checkpointed logs are refused loudly, never silently truncated") {
     val root = freshRoot()
     commit(root, 0L, Seq("""{"metaData":{"id":"x","schemaString":"{}","partitionColumns":[]}}"""))
