@@ -84,7 +84,8 @@ case class LakeDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
 
       case m: MergeIntoTable if m.resolved &&
           lakeTable(m.targetTable).exists(_.pinnedVersion.isEmpty) &&
-          m.notMatchedBySourceActions.isEmpty =>
+          m.notMatchedBySourceActions.isEmpty &&
+          !m.schemaEvolutionEnabled => // batch carries target cols only
         translateMerge(m).getOrElse(m)
     }
 
