@@ -1513,12 +1513,19 @@ object LakeTable {
       val touched =
         readFiles(spark, root, affected.map(_.path), tableSchema, cur)
       val matches = coalesce(expr(condSql), lit(false))
+      // ONE select applies every assignment SIMULTANEOUSLY against the
+      // input row — the SQL UPDATE rule: `SET a = b, b = a` swaps, it
+      // doesn't copy (a sequential withColumn fold would feed the new
+      // `a` into `b`'s expression)
       def applied(df: DataFrame): DataFrame =
-        assignments.foldLeft(df) { case (d, (c, sql)) =>
-          d.withColumn(c,
-            when(matches, expr(sql).cast(schemaNow(c).dataType))
-              .otherwise(col(c)))
-        }
+        df.select(df.columns.map { c =>
+          assignments.get(c) match {
+            case Some(sql) =>
+              when(matches, expr(sql).cast(schemaNow(c).dataType))
+                .otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }.toIndexedSeq: _*)
       val rewritten = applied(touched)
       // new values must satisfy the table's CHECKs — post-images only,
       // O(changed), BEFORE any data lands (a violating update writes

@@ -961,6 +961,18 @@ class LakeTableSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("updateWhere applies assignments SIMULTANEOUSLY: SET a = b, "
+      + "b = a swaps (every RHS sees the OLD row)") {
+    val root = freshRoot()
+    LakeTable.append(Seq((1L, 10L, 100L), (2L, 20L, 200L))
+      .toDF("k", "a", "b"), root)
+    LakeTable.updateWhere(spark, root, "k = 1",
+      Map("a" -> "b", "b" -> "a"))
+    assert(LakeTable.read(spark, root).select("k", "a", "b")
+      .as[(Long, Long, Long)].collect().toSet ==
+      Set((1L, 100L, 10L), (2L, 20L, 200L)))
+  }
+
   test("updateWhere ≡ CASE recompute for randomized predicates and "
       + "assignments — property") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
