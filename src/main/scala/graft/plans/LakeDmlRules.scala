@@ -134,10 +134,16 @@ case class LakeDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
         case Assignment(k: AttributeReference, v) if sourceOnly(v) =>
           k.name -> v
       }.toMap
+      // a KEY column may only be assigned the ON expression itself —
+      // anything else is a key-CHANGING update the fate batch cannot
+      // express (it would match on the new key, not the old one)
+      val keysStable = keys.forall { case (k, onExpr) =>
+        byName.get(k).forall(v => bareSql(v) == bareSql(onExpr))
+      }
       val withKeys = keys.foldLeft(byName) { case (acc, (k, v)) =>
         if (acc.contains(k)) acc else acc + (k -> v)
       }
-      if (byName.size == as.size &&
+      if (keysStable && byName.size == as.size &&
           targetCols.forall(withKeys.contains)) Some(withKeys)
       else None
     }

@@ -201,6 +201,14 @@ class GraftLakeCatalogSpec extends SparkSpec {
         WHEN MATCHED THEN UPDATE SET *
         WHEN NOT MATCHED THEN INSERT *""")
     }
+    // key-CHANGING update: refused, not mis-keyed
+    Seq((4L, 9L)).toDF("k", "v").createOrReplaceTempView("m_src")
+    intercept[Exception] {
+      spark.sql(s"""MERGE INTO graftlake.`$root` t USING m_src s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET k = s.k + 1, v = s.v""")
+    }
+    assert(table == Map(3L -> 2000L, 4L -> 400L, 5L -> 500L))
   }
 
   test("CHECK constraints govern SQL INSERTs too: a violating statement "
