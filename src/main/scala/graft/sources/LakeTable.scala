@@ -1109,12 +1109,7 @@ object LakeTable {
     require(nRows == nKeys,
       s"mergeInto: updates must carry one row per key " +
         s"($nRows rows over $nKeys distinct keys ${keys.mkString(",")})")
-    // rows the merge writes come from the batch (I/U images) or ride
-    // along unchanged (valid by induction) — enforcing on the batch
-    // alone is exact and O(batch)
     val tableChecks = constraintsOf(spark, root, cur)
-    enforceConstraints(updates.filter(col(opCol) =!= "D"),
-      tableChecks, "mergeInto batch")
 
     val withZone = ents.map(e => e -> e.zoneFor(lead))
     val zoned = withZone.collect { case (e, Some(z)) => (e, z) }
@@ -1177,6 +1172,14 @@ object LakeTable {
     val inserts = updates.filter(col(opCol).isin("U", "I"))
       .join(present, keys, "leftanti")
       .select(dataCols.map(col): _*)
+    // CHECK enforcement covers exactly the rows that will LAND —
+    // matched update images plus inserts; an I row on a present key or
+    // an M row on an absent key is a no-op and must not be able to
+    // fail the statement. O(batch), before any data is written.
+    enforceConstraints(
+      matched.filter(col(opCol) =!= "D").select(dataCols.map(col): _*)
+        .unionByName(inserts),
+      tableChecks, "mergeInto batch")
     val rewritten = Relational.cdcMerge(touched, matched, keys, opCol)
       .unionByName(inserts)
 
