@@ -211,6 +211,41 @@ class GraftLakeCatalogSpec extends SparkSpec {
     assert(table == Map(3L -> 2000L, 4L -> 400L, 5L -> 500L))
   }
 
+  test("SQL DELETE ≡ filter(NOT pred) for randomized predicate shapes "
+      + "through the catalog's filter rendering — property") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    val base = spark.range(0, 120).select(col("id").as("k"),
+        (col("id") * 10).as("v"),
+        element_at(array(lit("a"), lit("b'c"), lit("d")),
+          (col("id") % 3 + 1).cast("int")).as("s"))
+      .localCheckpoint(true)
+    val bnd = Gen.choose(-10L, 130L)
+    val predGen: Gen[String] = for {
+      a <- bnd; b <- bnd
+      p <- Gen.oneOf(
+        s"k BETWEEN ${math.min(a, b)} AND ${math.max(a, b)}",
+        s"k >= $a AND s = 'b''c'",
+        s"k IN ($a, $b, 7)",
+        s"s = 'a' OR k < $a",
+        s"k < $a AND NOT (s = 'd')",
+        "s IS NOT NULL AND k = 3")
+    } yield p
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(15).withInitialSeed(Seed(17L))
+    val res = SCTest.check(params, Prop.forAll(predGen) { pred =>
+      val root = freshRoot()
+      LakeTable.append(base, root)
+      spark.sql(s"DELETE FROM graftlake.`$root` WHERE $pred")
+      val got = LakeTable.read(spark, root)
+        .select("k").as[Long].collect().sorted.toSeq
+      val want = base.filter(!coalesce(expr(pred), lit(false)))
+        .select("k").as[Long].collect().sorted.toSeq
+      got == want
+    })
+    assert(res.passed, res.status.toString)
+  }
+
   test("CHECK constraints govern SQL INSERTs too: a violating statement "
       + "is refused and leaves no version") {
     val root = freshRoot()
