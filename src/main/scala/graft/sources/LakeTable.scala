@@ -712,6 +712,32 @@ object LakeTable {
       constraints = existing :+ (name -> checkSql))
   }
 
+  /** Compact the Bloom index: many per-commit sidecar dirs (every
+    * indexed append adds one; [[readPoint]] unions them all) fold into
+    * ONE, keeping only rows for currently-live files — the index twin
+    * of data [[compact]]. Metadata-sized I/O (sidecars, never data
+    * files); a single-sidecar index is a version-preserving no-op.
+    * Superseded sidecar dirs become unreferenced and [[vacuum]] reaps
+    * them past the grace horizon. */
+  def compactIndex(spark: SparkSession, root: String): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"compactIndex: no table at $root")
+    val cur = vs.last
+    val idxDirs = idxOf(spark, root, cur)
+    if (idxDirs.length <= 1) cur
+    else {
+      val live = entries(spark, root, cur).map(_.path)
+      val dir = s"idx/${java.util.UUID.randomUUID().toString}"
+      spark.read.parquet(idxDirs.map(d => s"$root/$d"): _*)
+        .filter(col("file").isin(live: _*))
+        .coalesce(1)
+        .write.mode("errorifexists").parquet(s"$root/$dir")
+      commit(spark, root, entries(spark, root, cur), cur + 1L,
+        schema = schemaOf(spark, root, cur), op = Some("reindex"),
+        idx = Seq(dir), constraints = constraintsOf(spark, root, cur))
+    }
+  }
+
   /** DESCRIBE HISTORY — one row per retained version: commit kind
     * (`#op`), wall-clock (`#ts`), streaming txn tag, and file-level
     * add/remove counts computed from adjacent retained manifests. Pure

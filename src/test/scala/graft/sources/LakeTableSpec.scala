@@ -1060,6 +1060,34 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.readPoint(spark, root, "u", absent).count() == 0L)
   }
 
+  test("compactIndex folds per-commit sidecars into one; lookups stay "
+      + "exact; vacuum reaps the superseded dirs") {
+    val root = freshRoot()
+    (0 until 3).foreach { i =>
+      LakeTable.append(spark.range(i * 100L, i * 100L + 100)
+        .select(col("id").as("k"), ((col("id") * 7919) % 10007).as("u")),
+        root, bloomKeys = Seq("u"), bloomExpectedPerFile = 4096)
+    }
+    assert(LakeTable.idxOf(spark, root, 3L).size == 3)
+    val v4 = LakeTable.compactIndex(spark, root)
+    assert(v4 == 4L && LakeTable.idxOf(spark, root, 4L).size == 1)
+    // point lookups still prune and still answer exactly
+    val probe = (142L * 7919L) % 10007L
+    assert(LakeTable.readPoint(spark, root, "u", probe)
+      .select("k").as[Long].collect().toSeq == Seq(142L))
+    // idempotent no-op on a single-sidecar index
+    assert(LakeTable.compactIndex(spark, root) == 4L)
+    // the three superseded dirs are unreferenced → vacuum reaps them
+    LakeTable.vacuum(spark, root, keepFrom = 4L, orphanGraceMs = 0L)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    val left = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/idx"))
+      .count(_.isDirectory)
+    assert(left == 1)
+    assert(LakeTable.readPoint(spark, root, "u", probe)
+      .select("k").as[Long].collect().toSeq == Seq(142L))
+  }
+
   test("reindex covers files rewritten since indexing; repeated runs "
       + "are version-preserving no-ops; vacuum sweeps dead sidecars") {
     val root = freshRoot()
