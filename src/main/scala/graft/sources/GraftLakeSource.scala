@@ -124,6 +124,8 @@ class GraftLakeSource extends RelationProvider
     val zoneKey = parameters.get("zoneKey")
     val zoneKeys = parameters.get("zoneKeys")
       .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
+    val bloomKeys = parameters.get("bloomKeys")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
     new Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         // the sink's DataFrame rides the incremental execution plan —
@@ -144,7 +146,7 @@ class GraftLakeSource extends RelationProvider
         val batchDf = spark.createDataFrame(rowRdd, schema)
         LakeTable.withRetry() { () =>
           LakeTable.appendOnce(batchDf, root, appId, batchId,
-            zoneKey, zoneKeys)
+            zoneKey, zoneKeys, bloomKeys)
         }: Unit
       }
       override def toString: String = s"GraftLakeSink[$root]"

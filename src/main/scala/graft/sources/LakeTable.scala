@@ -1058,11 +1058,13 @@ object LakeTable {
     * after a conflict never double-applies. */
   def appendOnce(df: DataFrame, root: String, appId: String, batchId: Long,
                  zoneKey: Option[String] = None,
-                 zoneKeys: Seq[String] = Seq.empty): Long = {
+                 zoneKeys: Seq[String] = Seq.empty,
+                 bloomKeys: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     if (lastTxn(spark, root, appId).exists(_ >= batchId))
       versions(spark, root).last
-    else append(df, root, zoneKey, Some(appId -> batchId), zoneKeys)
+    else append(df, root, zoneKey, Some(appId -> batchId), zoneKeys,
+      bloomKeys = bloomKeys)
   }
 
   /** Logical overwrite: the new manifest lists only the new files; old

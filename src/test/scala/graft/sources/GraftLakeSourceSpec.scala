@@ -176,6 +176,7 @@ class GraftLakeSourceSpec extends SparkSpec {
       .option("checkpointLocation", ckpt)
       .option("appId", "fmt-sink")
       .option("zoneKey", "k")
+      .option("bloomKeys", "v")
       .start()
     val q = start()
     try {
@@ -188,6 +189,8 @@ class GraftLakeSourceSpec extends SparkSpec {
     assert(LakeTable.txnOf(spark, root, 1L).contains(("fmt-sink", 0L)))
     assert(LakeTable.entries(spark, root, 1L)
       .forall(_.zoneKey.contains("k")))
+    // streaming batches build their Bloom sidecars too
+    assert(LakeTable.idxOf(spark, root, 2L).size == 2)
     // restart on the same checkpoint: no re-commit, new data still lands
     val q2 = start()
     try {
