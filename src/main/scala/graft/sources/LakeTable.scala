@@ -712,6 +712,52 @@ object LakeTable {
       constraints = existing :+ (name -> checkSql))
   }
 
+  /** File-level inventory of a snapshot — one row per live file with
+    * its size and flattened zone stats (`zone_<col>_lo/_hi` string
+    * pairs for every zoned column, NULL where a file lacks them) plus
+    * whether any Bloom sidecar row covers it. The ops-dashboard /
+    * layout-debugging view (DESCRIBE DETAIL at file granularity);
+    * driver metadata + one listStatus per commit dir, no data I/O. */
+  def files(spark: SparkSession, root: String,
+            version: Option[Long] = None): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"files: no table at $root")
+    val v = version.getOrElse(vs.last)
+    val ents = entries(spark, root, v)
+    val fs = hfs(spark, root)
+    val zoneCols = ents.flatMap(_.zones.map(_.key)).distinct.sorted
+    val idxDirs = idxOf(spark, root, v)
+    val indexed: Set[String] =
+      if (idxDirs.isEmpty) Set.empty
+      else spark.read.parquet(idxDirs.map(d => s"$root/$d"): _*)
+        .select("file").distinct().collect().map(_.getString(0)).toSet
+    val sizes = ents.map(_.path).groupBy(p =>
+        p.substring(0, p.lastIndexOf('/')))
+      .flatMap { case (dir, rels) =>
+        val wanted = rels.map(r => r.substring(r.lastIndexOf('/') + 1)).toSet
+        fs.listStatus(new Path(s"$root/$dir")).toSeq
+          .filter(st => wanted.contains(st.getPath.getName))
+          .map(st => s"$dir/${st.getPath.getName}" -> st.getLen)
+      }
+    val rows = ents.map { e =>
+      Row.fromSeq(Seq(e.path, sizes.getOrElse(e.path, -1L),
+        indexed.contains(e.path)) ++
+        zoneCols.flatMap(k => e.zoneFor(k) match {
+          case Some(z) => Seq(z.lo, z.hi)
+          case None => Seq(null, null)
+        }))
+    }
+    val schema = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false),
+      StructField("bloom_indexed", BooleanType, nullable = false)) ++
+      zoneCols.flatMap(k => Seq(
+        StructField(s"zone_${k}_lo", StringType, nullable = true),
+        StructField(s"zone_${k}_hi", StringType, nullable = true))))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   /** Compact the Bloom index: many per-commit sidecar dirs (every
     * indexed append adds one; [[readPoint]] unions them all) fold into
     * ONE, keeping only rows for currently-live files — the index twin

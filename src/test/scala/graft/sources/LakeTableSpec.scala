@@ -1060,6 +1060,35 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.readPoint(spark, root, "u", absent).count() == 0L)
   }
 
+  test("files(): per-file inventory carries sizes, flattened zones, "
+      + "and bloom coverage") {
+    val root = freshRoot()
+    LakeTable.append(spark.range(0, 200)
+      .select(col("id").as("k"), ((col("id") * 7919) % 10007).as("u"))
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k"),
+      root, zoneKey = Some("k"), bloomKeys = Seq("u"),
+      bloomExpectedPerFile = 4096)
+    LakeTable.append(spark.range(200, 210)
+      .select(col("id").as("k"), col("id").as("u"))
+      .coalesce(1), root) // one unzoned file
+    val inv = LakeTable.files(spark, root).collect()
+    assert(inv.length == 3)
+    val byPath = inv.map(r => r.getString(0) -> r).toMap
+    assert(inv.forall(_.getLong(1) > 0L)) // real sizes
+    val zoned = inv.filter(r => r.getAs[String]("zone_k_lo") != null)
+    assert(zoned.length == 2)
+    assert(zoned.forall(_.getBoolean(2))) // first commit bloom-indexed
+    val unzoned = inv.filterNot(r => r.getAs[String]("zone_k_lo") != null)
+    assert(unzoned.length == 1 && !unzoned.head.getBoolean(2))
+    // zone strings round-trip to the manifest entries
+    LakeTable.entries(spark, root, 2L).filter(_.zoneKey.isDefined)
+      .foreach { e =>
+        val r = byPath(e.path)
+        assert(r.getAs[String]("zone_k_lo") == e.lo.get &&
+          r.getAs[String]("zone_k_hi") == e.hi.get)
+      }
+  }
+
   test("compactIndex folds per-commit sidecars into one; lookups stay "
       + "exact; vacuum reaps the superseded dirs") {
     val root = freshRoot()
