@@ -73,6 +73,11 @@ class GraftLakeCatalogSpec extends SparkSpec {
     LakeTable.append(Seq((1L, "a"), (2L, "it's")).toDF("k", "s"), root)
     spark.sql(s"INSERT INTO graftlake.`$root` VALUES (3, 'c')")
     assert(LakeTable.versions(spark, root) == Seq(1L, 2L))
+    // column-list inserts resolve by name, reordered columns included
+    spark.sql(s"INSERT INTO graftlake.`$root` (s, k) VALUES ('rc', 7)")
+    assert(spark.sql(s"SELECT s FROM graftlake.`$root` WHERE k = 7")
+      .as[String].head() == "rc")
+    spark.sql(s"DELETE FROM graftlake.`$root` WHERE k = 7")
     assert(spark.sql(s"SELECT count(*) FROM graftlake.`$root`")
       .head().getLong(0) == 3L)
     // embedded quote renders back through the DELETE filter safely
