@@ -89,10 +89,20 @@ class GraftLakeCatalog extends TableCatalog {
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graftlake tables are created by their first write " +
-        "(LakeTable.append / df.write.format(\"graftlake\"))")
+                           properties: util.Map[String, String]): Table = {
+    // CTAS support: the catalog hands back an empty-table handle and
+    // the statement's write creates version 1 through the ordinary
+    // append path (a lake table IS its first commit — there is no
+    // separate metadata object to stage). Plain CREATE TABLE without
+    // AS SELECT yields a handle whose reads fail until a write lands.
+    require(partitions.isEmpty,
+      "graftlake: PARTITIONED BY is not supported (cluster with " +
+        "zoneKey/zoneKeys options instead)")
+    val root = rootOf(ident)
+    require(LakeTable.versions(SparkSession.active, root).isEmpty,
+      s"graftlake: table already exists at $root")
+    new GraftLakeV2Table(root, None, declaredSchema = Some(schema))
+  }
 
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table =
@@ -101,7 +111,11 @@ class GraftLakeCatalog extends TableCatalog {
         "schema evolves through writes")
 
   override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
+    // a failed CTAS "drops" its never-written table — nothing exists,
+    // nothing to do; dropping a COMMITTED lake table stays refused
+    if (LakeTable.versions(SparkSession.active, rootOf(ident)).isEmpty)
+      true
+    else throw new UnsupportedOperationException(
       "graftlake: dropping a lake table is a filesystem operation; " +
         "use vacuum for retention")
 
@@ -113,7 +127,8 @@ class GraftLakeCatalog extends TableCatalog {
 /** One lake snapshot as a DSv2 `Table`: V1Scan-bridged reads (pruning
   * FileIndex + vectorized parquet), V1Write-bridged INSERT
   * INTO/OVERWRITE, and filter-rendered `SupportsDelete`. */
-class GraftLakeV2Table(root: String, version: Option[Long])
+class GraftLakeV2Table(root: String, version: Option[Long],
+                       declaredSchema: Option[StructType] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   /** The lake root this table serves (the DML rules route on it). */
@@ -127,9 +142,16 @@ class GraftLakeV2Table(root: String, version: Option[Long])
 
   override def schema(): StructType = {
     val vs = LakeTable.versions(spark, root)
-    val v = version.getOrElse(vs.last)
-    LakeTable.schemaOf(spark, root, v)
-      .getOrElse(LakeTable.read(spark, root, Some(v)).schema)
+    if (vs.isEmpty)
+      // pre-first-write CTAS handle: the declared schema stands in
+      // until the statement's write commits version 1
+      declaredSchema.getOrElse(throw new IllegalStateException(
+        s"graftlake: no committed versions under $root"))
+    else {
+      val v = version.getOrElse(vs.last)
+      LakeTable.schemaOf(spark, root, v)
+        .getOrElse(LakeTable.read(spark, root, Some(v)).schema)
+    }
   }
 
   override def capabilities(): util.Set[TableCapability] =

@@ -92,6 +92,25 @@ class GraftLakeCatalogSpec extends SparkSpec {
       "VERSION AS OF 2").head().getLong(0) == 3L)
   }
 
+  test("CREATE TABLE AS SELECT lands as the table's first commit; "
+      + "re-creating an existing table is refused") {
+    val root = freshRoot()
+    spark.range(0, 9).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .createOrReplaceTempView("ctas_src")
+    spark.sql(s"CREATE TABLE graftlake.`$root` AS SELECT * FROM ctas_src")
+    assert(LakeTable.versions(spark, root) == Seq(1L))
+    assert(spark.sql(s"SELECT sum(v) FROM graftlake.`$root`")
+      .head().getLong(0) == (0 until 9).map(_ * 2).sum)
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graftlake.`$root` AS SELECT 1 AS x")
+    }
+    assert(LakeTable.versions(spark, root) == Seq(1L))
+    // ...and the CTAS table takes ordinary DML
+    spark.sql(s"DELETE FROM graftlake.`$root` WHERE k < 3")
+    assert(spark.sql(s"SELECT count(*) FROM graftlake.`$root`")
+      .head().getLong(0) == 6L)
+  }
+
   test("SQL UPDATE routes through updateWhere: zone-skipped files "
       + "carried by reference, assignments cast, constraints enforced, "
       + "no-op commits nothing") {
