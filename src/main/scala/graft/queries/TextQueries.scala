@@ -90,6 +90,43 @@ object TextQueries {
       },
       "calibration bins: decile size / positives / exact score mass ≡ replay"),
 
+    // ---- padding-waste audit for length-bucketed batching ------------------
+    // The batch-inference / training-dataloader economics view: docs
+    // bucket by next-power-of-two token length, and each bucket reports
+    // its doc count, real token mass, padded mass (bucket ceiling ×
+    // docs) and the wasted fraction — the number that decides bucket
+    // granularity at serving time. Exact integer arithmetic replayed
+    // by the oracle.
+    "q286_padding_waste" -> Q(
+      (s, d) => {
+        val toks = Text.tokenCount(col("text")).cast("long")
+        Tables.documents(s, d)
+          .select(toks.as("n_tok"))
+          .filter(col("n_tok") > 0)
+          .withColumn("bucket",
+            pow(lit(2d), ceil(log2(col("n_tok")))).cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("real_tokens"),
+            (max(col("bucket")) * count(lit(1))).as("padded_tokens"))
+          .withColumn("waste",
+            q4(lit(1d) - col("real_tokens").cast("double") /
+              col("padded_tokens")))
+      },
+      Some(s"""SELECT bucket, count(*) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+          CAST(bucket * count(*) AS BIGINT) AS padded_tokens,
+          ${Q4("1.0 - CAST(sum(n_tok) AS DOUBLE) / (bucket * count(*))")}
+            AS waste
+        FROM (SELECT CAST(pow(2, ceil(log2(len(string_split_regex(
+              trim(text), '\\s+')))) ) AS BIGINT) AS bucket,
+            CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+              AS n_tok
+          FROM documents
+          WHERE len(string_split_regex(trim(text), '\\s+')) > 0)
+        GROUP BY bucket"""),
+      "padding waste per power-of-two length bucket ≡ exact replay"),
+
     // ---- language identification ---------------------------------------------
     "q55_lang_id" -> Q(
       (s, d) => Tables.documents(s, d)
