@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Multimodal
+import Q.{q4, Q4}
 
 /** Multimodal-column coverage: opaque binary payloads + typed metadata,
   * with REAL JDK codecs for image (q252), audio (q255) and multi-frame
@@ -320,6 +321,50 @@ object MultimodalQueries {
           strt - (strt // 65536) * 65536 AS offset_bytes
         FROM c"""),
       "shard-packing manifest: sequential 64KiB shard + offset per payload"),
+
+    // ---- shard balance audit -----------------------------------------------
+    // The serving-side health check over q143's packing: per-shard
+    // payload count and byte mass, plus each shard's deviation from the
+    // ideal (total/shards) — the skew report a dataloader fleet reads
+    // before assigning shards to workers (one hot shard = one straggler
+    // epoch). Exact integers; the oracle replays the same packing and
+    // accounting.
+    "q287_shard_balance" -> Q(
+      (s, d) => {
+        val manifest = Multimodal.shardManifest(
+          Multimodal.withBinaryPayload(Tables.documents(s, d),
+            "text", "payload"),
+          "doc_id", "payload", shardBytes = 65536L)
+        val perShard = manifest.groupBy("shard_id")
+          .agg(count(lit(1)).as("n_payloads"),
+            sum(col("n_bytes")).as("shard_bytes"))
+        val totals = perShard.agg(
+          sum(col("shard_bytes")).as("__total"),
+          count(lit(1)).as("__n")).select(
+          (col("__total").cast("double") / col("__n")).as("__ideal"))
+        perShard.crossJoin(broadcast(totals))
+          .select(col("shard_id"), col("n_payloads"), col("shard_bytes"),
+            q4(col("shard_bytes").cast("double") / col("__ideal"))
+              .as("load_ratio"))
+      },
+      Some(s"""WITH s AS (
+          SELECT doc_id,
+            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+          FROM documents),
+        c AS (SELECT doc_id, n_bytes,
+            CAST(sum(n_bytes) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes
+              AS BIGINT) AS strt
+          FROM s),
+        ps AS (SELECT strt // 65536 AS shard_id, count(*) AS n_payloads,
+            CAST(sum(n_bytes) AS BIGINT) AS shard_bytes
+          FROM c GROUP BY 1),
+        t AS (SELECT CAST(sum(shard_bytes) AS DOUBLE) / count(*) AS ideal
+          FROM ps)
+        SELECT shard_id, n_payloads, shard_bytes,
+          ${Q4("CAST(shard_bytes AS DOUBLE) / ideal")} AS load_ratio
+        FROM ps CROSS JOIN t"""),
+      "shard balance: per-shard mass + load ratio vs ideal ≡ exact replay"),
 
     // ---- stubbed decode via partition-local batches (hash-verified) ----------
     // The stub codec is md5-derived precisely so DuckDB can recompute it:
