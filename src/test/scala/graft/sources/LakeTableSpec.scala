@@ -961,6 +961,49 @@ class LakeTableSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("mergeInto fates ≡ relational model for randomized batches "
+      + "(U upsert / M update-only / I insert-only / D delete) — property") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    val baseKeys = (0L until 40L).toSet
+    val base = spark.range(0, 40)
+      .select(col("id").as("k"), (col("id") * 10).as("v"))
+      .localCheckpoint(true)
+    val batchGen: Gen[List[(Long, String)]] = for {
+      ks <- Gen.someOf(0L until 60L) // present and absent keys
+      ops <- Gen.listOfN(ks.size, Gen.oneOf("U", "M", "I", "D"))
+    } yield ks.toList.zip(ops)
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(20).withInitialSeed(Seed(19L))
+    val res = SCTest.check(params, Prop.forAll(batchGen) { batch =>
+      val root = freshRoot()
+      LakeTable.append(base, root, zoneKey = Some("k"))
+      val updates = spark.createDataFrame(batch.map { case (k, op) =>
+        (k, k * 100, op)
+      }).toDF("k", "v", "op")
+      LakeTable.mergeInto(spark, root, updates, Seq("k"), "op")
+      val got = LakeTable.read(spark, root)
+        .select("k", "v").as[(Long, Long)].collect().toMap
+      // relational model of the four fates
+      val byKey = batch.toMap
+      val want = (baseKeys ++ byKey.keySet).flatMap { k =>
+        val present = baseKeys.contains(k)
+        byKey.get(k) match {
+          case None => if (present) Some(k -> k * 10) else None
+          case Some("U") => Some(k -> k * 100)
+          case Some("M") =>
+            if (present) Some(k -> k * 100) else None
+          case Some("I") =>
+            if (present) Some(k -> k * 10) else Some(k -> k * 100)
+          case Some("D") => None
+          case _ => None
+        }
+      }.toMap
+      got == want
+    })
+    assert(res.passed, res.status.toString)
+  }
+
   test("updateWhere applies assignments SIMULTANEOUSLY: SET a = b, "
       + "b = a swaps (every RHS sees the OLD row)") {
     val root = freshRoot()
