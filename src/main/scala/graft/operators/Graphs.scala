@@ -498,11 +498,26 @@ object Graphs {
                            seeds: DataFrame, seedCol: String, hops: Int,
                            checkpointDir: Option[String] = None)
       : DataFrame = {
+    import org.apache.spark.sql.types._
+    // distances carry the weight column's arithmetic: integral weights
+    // accumulate exactly as longs; fractional weights as doubles —
+    // a blanket cast-to-long would silently truncate 0.5 → 0
+    val (wCast, zero) = edges.schema.fields
+      .find(_.name == weightCol)
+      .getOrElse(throw new IllegalArgumentException(
+        s"boundedShortestPaths: no column $weightCol in edges"))
+      .dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ("long", lit(0L))
+      case _: NumericType => ("double", lit(0.0d))
+      case dt => throw new IllegalArgumentException(
+        s"boundedShortestPaths: weight column $weightCol must be " +
+          s"numeric, got $dt")
+    }
     val e = edges.select(col(srcCol).as("node"), col(dstCol).as("__d"),
-      col(weightCol).cast("long").as("__w"))
+      col(weightCol).cast(wCast).as("__w"))
     var dist = persistStep(
       seeds.select(col(seedCol).as("node")).distinct()
-        .withColumn("dist", lit(0L)),
+        .withColumn("dist", zero),
       checkpointDir, eager = true)
     (1 to hops).foreach { _ =>
       val prev = dist

@@ -956,7 +956,7 @@ object SourceQueries {
             .sortWithinPartitions("o_orderkey"), root,
           zoneKey = Some("o_orderkey"))
         graft.sources.LakeTable.updateWhere(s, root,
-          "o_orderkey BETWEEN 2000 AND 30000",
+          "o_orderkey BETWEEN 200 AND 1300",
           Map("o_totalprice" -> "o_totalprice * 1.5"))
         val table = graft.sources.LakeTable.read(s, root)
           .groupBy((col("o_custkey") % 5).as("grp"))
@@ -976,11 +976,11 @@ object SourceQueries {
             coalesce(col("feed_delta"), lit(0d)).as("feed_delta"))
       },
       Some(s"""SELECT o_custkey % 5 AS grp, count(*) AS n_rows,
-          ${XSUM4("CASE WHEN o_orderkey BETWEEN 2000 AND 30000 " +
+          ${XSUM4("CASE WHEN o_orderkey BETWEEN 200 AND 1300 " +
             "THEN o_totalprice * 1.5 ELSE o_totalprice END")} AS sum_price,
-          coalesce(${XSUM4("CASE WHEN o_orderkey BETWEEN 2000 AND 30000 " +
+          coalesce(${XSUM4("CASE WHEN o_orderkey BETWEEN 200 AND 1300 " +
             "THEN o_totalprice * 1.5 END")} -
-            ${XSUM4("CASE WHEN o_orderkey BETWEEN 2000 AND 30000 " +
+            ${XSUM4("CASE WHEN o_orderkey BETWEEN 200 AND 1300 " +
               "THEN o_totalprice END")}, 0) AS feed_delta
         FROM orders GROUP BY 1"""),
       "lake UPDATE: zone-skipped rewrite; table + folded CDF images ≡ direct"),
@@ -1176,11 +1176,15 @@ object SourceQueries {
         val root = freshRoot("graft_lakeh_q275") + "/t"
         val o = Tables.orders(s, d)
           .select("o_orderkey", "o_totalprice")
+        // split at 1000: non-degenerate at EVERY fixture SF (orderkeys
+        // are dense from 0, so sf0.001's 1500 keys still populate both
+        // sides — a higher literal made the second append empty there
+        // and collapsed the history this query pins)
         graft.sources.LakeTable.append(
-          o.filter(col("o_orderkey") < 10000).repartition(1), root,
+          o.filter(col("o_orderkey") < 1000).repartition(1), root,
           zoneKey = Some("o_orderkey"))
         graft.sources.LakeTable.append(
-          o.filter(col("o_orderkey") >= 10000).repartition(1), root,
+          o.filter(col("o_orderkey") >= 1000).repartition(1), root,
           zoneKey = Some("o_orderkey"))
         graft.sources.LakeTable.deleteWhere(s, root,
           "o_orderkey BETWEEN 100 AND 200")
@@ -1414,12 +1418,12 @@ object SourceQueries {
             .sortWithinPartitions("o_orderkey"), root,
           zoneKey = Some("o_orderkey"))
         s.sql(s"UPDATE graftlake.`$root` SET o_totalprice = " +
-          "o_totalprice * 1.5 WHERE o_orderkey BETWEEN 2000 AND 30000 " +
+          "o_totalprice * 1.5 WHERE o_orderkey BETWEEN 200 AND 1300 " +
           "AND o_orderstatus = 'F'")
         s.sql(s"SELECT * FROM graftlake.`$root`")
       },
       Some("""SELECT o_orderkey, o_orderstatus,
-          CASE WHEN o_orderkey BETWEEN 2000 AND 30000
+          CASE WHEN o_orderkey BETWEEN 200 AND 1300
                 AND o_orderstatus = 'F'
                THEN o_totalprice * 1.5 ELSE o_totalprice END
             AS o_totalprice

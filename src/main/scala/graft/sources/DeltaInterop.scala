@@ -27,20 +27,39 @@ object DeltaInterop {
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** Committed versions (ascending) of the Delta log at `root`. */
+  /** Committed versions (ascending) of the Delta log at `root`.
+    * Refuses LOUDLY — never silently truncates — when the log carries
+    * checkpoints in ANY of the protocol's shapes: classic
+    * `<v>.checkpoint.parquet`, multi-part
+    * `<v>.checkpoint.<i>.<n>.parquet`, v2 `<v>.checkpoint.<uuid>.json`,
+    * or a `_last_checkpoint` pointer (checkpointed tables may have had
+    * their early JSON commits log-cleaned, so a JSON-only replay would
+    * miss add actions). The surviving JSON versions must also form a
+    * contiguous range starting at 0 — a gapped or truncated prefix
+    * means cleaned history even without a visible checkpoint file. */
   def deltaVersions(spark: SparkSession, root: String): Seq[Long] = {
     val log = new Path(s"$root/_delta_log")
     val f = fs(spark, root)
     if (!f.exists(log)) Seq.empty
-    else f.listStatus(log).toSeq.map(_.getPath.getName)
-      .collect {
-        case n if n.endsWith(".checkpoint.parquet") =>
-          throw new UnsupportedOperationException(
-            s"$root has Delta checkpoints; this interop reader replays " +
-              "JSON commits only")
-        case n if n.endsWith(".json") && n.dropRight(5).forall(_.isDigit) =>
+    else {
+      val names = f.listStatus(log).toSeq.map(_.getPath.getName)
+      if (names.exists(n => n.contains(".checkpoint.")) ||
+          names.contains("_last_checkpoint"))
+        throw new UnsupportedOperationException(
+          s"$root has Delta checkpoints; this interop reader replays " +
+            "JSON commits only")
+      val vs = names.collect {
+        case n if n.endsWith(".json") && n.dropRight(5).nonEmpty &&
+            n.dropRight(5).forall(_.isDigit) =>
           n.dropRight(5).toLong
       }.sorted
+      if (vs.nonEmpty && !vs.zipWithIndex.forall { case (v, i) => v == i })
+        throw new IllegalStateException(
+          s"$root: Delta JSON commits are not contiguous from 0 " +
+            s"(${vs.mkString(",")}) — log-cleaned history; replay would " +
+            "silently miss actions")
+      vs
+    }
   }
 
   // the action fields this reader consumes, as an explicit read schema

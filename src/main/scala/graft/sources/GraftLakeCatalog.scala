@@ -224,25 +224,72 @@ class GraftLakeV2Table(root: String, version: Option[Long],
 
 object GraftLakeV2Table {
 
+  private val tsLocalFmt = java.time.format.DateTimeFormatter
+    .ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS")
+  private val tsOffsetFmt = java.time.format.DateTimeFormatter
+    .ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSSXXX")
+
+  /** A string as a SQL literal the SESSION's parser reads back
+    * verbatim. Under the default lexer mode
+    * (`spark.sql.parser.escapedStringLiterals=false`) backslash escapes
+    * are interpreted inside quoted literals, so backslashes AND quotes
+    * must both be backslash-escaped or a value containing `\` re-parses
+    * to a different string; in the legacy mode backslashes are literal
+    * and only quotes need doubling. */
+  private def stringLit(s: String): String =
+    if (org.apache.spark.sql.internal.SQLConf.get.escapedStringLiterals)
+      "'" + s.replace("'", "''") + "'"
+    else
+      "'" + s.flatMap {
+        case '\\' => "\\\\"
+        case '\'' => "\\'"
+        case c => c.toString
+      } + "'"
+
+  /** An instant as a TIMESTAMP literal with an EXPLICIT offset (the
+    * session zone's offset at that instant) — rendering the wall time
+    * via `java.sql.Timestamp.toString` would use the JVM default zone
+    * while the parser reads it back in the session zone, shifting
+    * DELETE boundaries whenever the two differ; the explicit offset
+    * makes the literal zone-independent (and DST-fold-proof). */
+  private def timestampLit(micros: Long): String = {
+    val zone = java.time.ZoneId.of(
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    val odt = java.time.OffsetDateTime.ofInstant(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .microsToInstant(micros), zone)
+    s"TIMESTAMP '${odt.format(tsOffsetFmt)}'"
+  }
+
   /** Render a DSv2 source Filter back to predicate SQL for
     * [[LakeTable.deleteWhere]] (which parses it and mines zone bounds —
     * so a ranged SQL DELETE stays file-granular). None = not renderable
     * → `canDeleteWhere` refuses and Spark raises an analysis error
     * instead of running a wrong delete. */
   private[sources] def filterSql(f: Filter): Option[String] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
     def litSql(v: Any): Option[String] = v match {
       case null => None
-      case s: String => Some("'" + s.replace("'", "''") + "'")
+      case s: String => Some(stringLit(s))
       case b: Boolean => Some(b.toString)
       case n @ (_: Byte | _: Short | _: Int | _: Long) => Some(n.toString)
       case d: Double => Some(s"CAST($d AS DOUBLE)")
       case fl: Float => Some(s"CAST($fl AS FLOAT)")
       case d: java.math.BigDecimal => Some(d.toPlainString)
-      case d: java.sql.Date => Some(s"DATE '$d'")
-      case t: java.sql.Timestamp => Some(s"TIMESTAMP '$t'")
+      // temporal values render calendar-locally (dates) or with an
+      // explicit offset (instants) — never via java.sql toString, whose
+      // JVM-default-zone wall time re-parses in the SESSION zone
+      case d: java.sql.Date => Some(s"DATE '${d.toLocalDate}'")
+      case d: java.time.LocalDate => Some(s"DATE '$d'")
+      case t: java.sql.Timestamp =>
+        Some(timestampLit(DateTimeUtils.fromJavaTimestamp(t)))
+      case i: java.time.Instant =>
+        Some(timestampLit(DateTimeUtils.instantToMicros(i)))
+      case l: java.time.LocalDateTime => // TIMESTAMP_NTZ: zone-free
+        Some(s"TIMESTAMP_NTZ '${l.format(tsLocalFmt)}'")
       case _ => None
     }
-    def q(attr: String): String = s"`$attr`"
+    def q(attr: String): String = s"`${attr.replace("`", "``")}`"
     f match {
       case EqualTo(a, v) => litSql(v).map(l => s"${q(a)} = $l")
       case GreaterThan(a, v) => litSql(v).map(l => s"${q(a)} > $l")
@@ -257,7 +304,17 @@ object GraftLakeV2Table {
       case IsNull(a) => Some(s"${q(a)} IS NULL")
       case IsNotNull(a) => Some(s"${q(a)} IS NOT NULL")
       case StringStartsWith(a, p) =>
-        Some(s"${q(a)} LIKE '${p.replace("'", "''")}%'")
+        // escape LIKE wildcards (and the escape char itself) inside the
+        // prefix, or a prefix containing % / _ widens the predicate and
+        // DELETE removes extra rows; stringLit then handles literal-level
+        // escaping on top of the pattern-level escapes
+        val pat = p.flatMap {
+          case '\\' => "\\\\"
+          case '%' => "\\%"
+          case '_' => "\\_"
+          case c => c.toString
+        } + "%"
+        Some(s"${q(a)} LIKE ${stringLit(pat)}")
       case And(l, r) =>
         for (ls <- filterSql(l); rs <- filterSql(r))
           yield s"($ls AND $rs)"

@@ -971,8 +971,27 @@ object LakeTable {
           .map { case (f, b) => (f, c, b) }
           .toDF("file", "col", "bloom")
       }
+      // Every (file, column) pair scanned gets a sidecar row, INCLUDING
+      // files whose column is entirely NULL (which the non-null scan
+      // yields no group for): a minimal empty filter — correctly answers
+      // "might contain? no" for every probe. Without it, [[reindex]]'s
+      // per-file row-count coverage check would see such files as
+      // uncovered forever and commit a fresh no-op version plus sidecar
+      // dir on every invocation.
+      val emptyBloom: Array[Byte] = {
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+        val out = new java.io.ByteArrayOutputStream()
+        bf.writeTo(out)
+        out.toByteArray
+      }
+      val universe = rels.flatMap(r => present.map(c => (r, c)))
+        .toDF("file", "col") // bounded: #files × #cols
+      val full = universe.join(parts.reduce(_.unionByName(_)),
+          Seq("file", "col"), "left")
+        .select(col("file"), col("col"),
+          coalesce(col("bloom"), lit(emptyBloom)).as("bloom"))
       val dir = s"idx/${java.util.UUID.randomUUID().toString}"
-      parts.reduce(_.unionByName(_)).coalesce(1)
+      full.coalesce(1)
         .write.mode("errorifexists").parquet(s"$root/$dir")
       Some(dir)
     }

@@ -158,4 +158,30 @@ class GraphsSpec extends SparkSpec {
     assert(deep.length == 71 && deep.forall(_._2 == "n0"))
     assert(deep.find(_._1 == "n70").get._3 == 70L)
   }
+
+  test("boundedShortestPaths: fractional weights accumulate as doubles "
+      + "(no silent long truncation); integral weights stay exact longs") {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val seeds = Seq("s").toDF("id")
+    // s -0.5-> a -0.25-> b, plus a costly direct s -2.5-> b
+    val fe = Seq(("s", "a", 0.5), ("a", "b", 0.25), ("s", "b", 2.5))
+      .toDF("src", "dst", "w")
+    val fd = Graphs.boundedShortestPaths(fe, "src", "dst", "w",
+      seeds, "id", hops = 3)
+    assert(fd.schema("dist").dataType == DoubleType)
+    val fm = fd.as[(String, Double)].collect().toMap
+    // pre-fix the cast-to-long made every weight 0 and both paths tied
+    assert(fm == Map("s" -> 0.0, "a" -> 0.5, "b" -> 0.75))
+    val ie = Seq(("s", "a", 2L), ("a", "b", 3L)).toDF("src", "dst", "w")
+    val id = Graphs.boundedShortestPaths(ie, "src", "dst", "w",
+      seeds, "id", hops = 2)
+    assert(id.schema("dist").dataType == LongType)
+    assert(id.as[(String, Long)].collect().toMap ==
+      Map("s" -> 0L, "a" -> 2L, "b" -> 5L))
+    intercept[IllegalArgumentException] {
+      Graphs.boundedShortestPaths(
+        Seq(("s", "a", "x")).toDF("src", "dst", "w"), "src", "dst", "w",
+        seeds, "id", hops = 1)
+    }
+  }
 }

@@ -119,4 +119,49 @@ class DeltaInteropSpec extends SparkSpec {
       DeltaInterop.deltaVersions(spark, root)
     }
   }
+
+  test("multi-part and v2 checkpoint shapes, and _last_checkpoint "
+      + "pointers, are refused too") {
+    // multi-part: <v>.checkpoint.<i>.<n>.parquet
+    val r1 = freshRoot()
+    commit(r1, 0L, Seq("""{"metaData":{"id":"x","schemaString":"{}","partitionColumns":[]}}"""))
+    Files.write(Paths.get(s"$r1/_delta_log/" +
+      "00000000000000000010.checkpoint.0000000001.0000000002.parquet"),
+      Array[Byte](1))
+    intercept[UnsupportedOperationException] {
+      DeltaInterop.deltaVersions(spark, r1)
+    }
+    // v2: <v>.checkpoint.<uuid>.json — naming collides with commit
+    // JSONs, so a suffix check alone would replay it as data
+    val r2 = freshRoot()
+    commit(r2, 0L, Seq("""{"metaData":{"id":"x","schemaString":"{}","partitionColumns":[]}}"""))
+    Files.write(Paths.get(s"$r2/_delta_log/" +
+      "00000000000000000010.checkpoint.80a083e8-7026.json"),
+      Array[Byte](1))
+    intercept[UnsupportedOperationException] {
+      DeltaInterop.deltaVersions(spark, r2)
+    }
+    // a _last_checkpoint pointer means checkpoints exist(ed) even if
+    // none is visible in this listing
+    val r3 = freshRoot()
+    commit(r3, 0L, Seq("""{"metaData":{"id":"x","schemaString":"{}","partitionColumns":[]}}"""))
+    Files.write(Paths.get(s"$r3/_delta_log/_last_checkpoint"),
+      """{"version":10,"size":1}""".getBytes)
+    intercept[UnsupportedOperationException] {
+      DeltaInterop.deltaVersions(spark, r3)
+    }
+  }
+
+  test("a log-cleaned (non-contiguous) JSON history errors instead of "
+      + "replaying a truncated prefix") {
+    val root = freshRoot()
+    // versions 2 and 3 survive; 0-1 were cleaned — a silent replay
+    // would miss their add/metaData actions
+    commit(root, 2L, Seq("""{"metaData":{"id":"x","schemaString":"{}","partitionColumns":[]}}"""))
+    commit(root, 3L, Seq(
+      """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    intercept[IllegalStateException] {
+      DeltaInterop.deltaVersions(spark, root)
+    }
+  }
 }

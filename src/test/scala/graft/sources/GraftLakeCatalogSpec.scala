@@ -270,6 +270,70 @@ class GraftLakeCatalogSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("filterSql literals survive the session parser: backslashes, "
+      + "quotes, LIKE wildcards in prefixes") {
+    import org.apache.spark.sql.sources.{EqualTo, StringStartsWith}
+    val values = Seq("a\\b", "a'b", "a\\'b", "a\\nb", "plain",
+      "back\\\\slash", "50%", "a_b")
+    val df = values.toDF("k")
+    values.foreach { v =>
+      val sql = GraftLakeV2Table.filterSql(EqualTo("k", v)).get
+      val got = df.filter(expr(sql)).as[String].collect().toSeq
+      assert(got == Seq(v), s"EqualTo($v) rendered as $sql matched $got")
+    }
+    // a prefix containing LIKE wildcards must match LITERALLY — "10%"
+    // must not admit "10x..." and "a_" must not admit "axb"
+    val pdf = Seq("10%off", "10xoff", "a_b", "axb", "c\\d", "c\\de", "cxd")
+      .toDF("k")
+    def starts(p: String): Seq[String] = {
+      val sql = GraftLakeV2Table.filterSql(StringStartsWith("k", p)).get
+      pdf.filter(expr(sql)).as[String].collect().toSeq.sorted
+    }
+    assert(starts("10%") == Seq("10%off"))
+    assert(starts("a_") == Seq("a_b"))
+    assert(starts("c\\d") == Seq("c\\d", "c\\de"))
+  }
+
+  test("SQL DELETE with backslash-bearing string literals deletes "
+      + "exactly the named rows end-to-end") {
+    val root = freshRoot()
+    LakeTable.append(
+      Seq("a\\b", "anb", "a\nb", "keep").toDF("s"), root)
+    // Scala "a\\\\b" = SQL text 'a\\b' = the value a\b under the
+    // default lexer — pre-fix, canDeleteWhere rendered the value back
+    // UNESCAPED so the delete re-parsed 'a\b' as "a<b>" ≠ a\b
+    spark.sql(s"DELETE FROM graftlake.`$root` WHERE s = 'a\\\\b'")
+    assert(LakeTable.read(spark, root).as[String].collect().toSet ==
+      Set("anb", "a\nb", "keep"))
+  }
+
+  test("timestamp filter literals round-trip when session timezone "
+      + "differs from the JVM default") {
+    import org.apache.spark.sql.sources.LessThan
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val boundary = java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-06-01T12:00:00.123456Z"))
+      val df = Seq(
+        java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-06-01T11:59:59Z")),
+        java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-06-01T12:00:01Z")))
+        .toDF("ts")
+      val sql = GraftLakeV2Table.filterSql(LessThan("ts", boundary)).get
+      // pre-fix the literal rendered via java.sql.Timestamp.toString
+      // (JVM default zone, here UTC) but re-parsed in the session zone
+      // (EDT) — shifting the boundary 4 hours and flipping the verdicts
+      assert(df.filter(expr(sql)).count() == 1L, s"rendered: $sql")
+      val d = java.sql.Date.valueOf("2024-06-01")
+      val dsql = GraftLakeV2Table.filterSql(
+        org.apache.spark.sql.sources.EqualTo("d", d)).get
+      assert(Seq("2024-06-01", "2024-06-02").map(java.sql.Date.valueOf)
+        .toDF("d").filter(expr(dsql)).count() == 1L)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("CHECK constraints govern SQL INSERTs too: a violating statement "
       + "is refused and leaves no version") {
     val root = freshRoot()

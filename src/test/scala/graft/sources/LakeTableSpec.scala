@@ -1195,4 +1195,30 @@ class LakeTableSpec extends SparkSpec {
     val idxRoot = new org.apache.hadoop.fs.Path(s"$root/idx")
     assert(!fs.exists(idxRoot) || fs.listStatus(idxRoot).isEmpty)
   }
+
+  test("a file whose indexed column is all NULL still gets a sidecar "
+      + "row — reindex converges instead of committing no-op versions "
+      + "forever") {
+    val root = freshRoot()
+    LakeTable.append(
+      Seq((1L, Some("x")), (2L, Some("y"))).toDF("k", "u").coalesce(1),
+      root, bloomKeys = Seq("u"), bloomExpectedPerFile = 64)
+    // second commit's file holds ONLY nulls in the indexed column: the
+    // non-null bloom scan yields no group for it, so pre-fix it had no
+    // sidecar row and every reindex saw it as uncovered
+    LakeTable.append(
+      Seq((3L, Option.empty[String]), (4L, Option.empty[String]))
+        .toDF("k", "u").coalesce(1),
+      root, bloomKeys = Seq("u"), bloomExpectedPerFile = 64)
+    val v = LakeTable.versions(spark, root).last
+    assert(LakeTable.reindex(spark, root, expectedPerFile = 64) == v)
+    assert(LakeTable.reindex(spark, root, expectedPerFile = 64) == v)
+    assert(LakeTable.versions(spark, root).last == v)
+    // the empty filter answers membership correctly: a point lookup
+    // opens only the file that might hold the value
+    assert(LakeTable.readPoint(spark, root, "u", "x")
+      .select("k").as[Long].collect().toSeq == Seq(1L))
+    // and null-heavy data still round-trips
+    assert(LakeTable.read(spark, root).count() == 4L)
+  }
 }
