@@ -241,6 +241,32 @@ object LakeStress {
     }
     require(sqlN == rangeN2, s"graftlake SQL path $sqlN != range $rangeN2")
 
+    // 9. merge-on-read DELETE (deletion vectors) vs the copy-on-write
+    //    path of stage 6: the same 0.5% key-band shape must commit
+    //    WITHOUT rewriting any data file (sidecar rows only), the
+    //    vectored read pays a bounded anti-join penalty, and
+    //    purgeDeletes folds back to the vector-free plan by rewriting
+    //    exactly the vectored files
+    val mlo = 3L * stride + keySpan / 3
+    val mhi = mlo + keySpan / 200L
+    val preDvV = LakeTable.versions(spark, root).last
+    val preDvFiles = LakeTable.entries(spark, root, preDvV).map(_.path).toSet
+    val preDvRows = LakeTable.read(spark, root).count()
+    val (dvV, tDvDelete) = timed {
+      LakeTable.deleteWhereDV(spark, root,
+        s"o_orderkey BETWEEN $mlo AND $mhi")
+    }
+    val postDvFiles = LakeTable.entries(spark, root, dvV).map(_.path).toSet
+    require(postDvFiles == preDvFiles,
+      "DV delete rewrote data files — merge-on-read contract broken")
+    val dvDeleted = preDvRows - LakeTable.read(spark, root).count()
+    val (_, tDvRead) = timed { LakeTable.read(spark, root).count() }
+    val (_, tDvPurge) = timed { LakeTable.purgeDeletes(spark, root) }
+    val purgedV = LakeTable.versions(spark, root).last
+    val purgedFiles = LakeTable.entries(spark, root, purgedV).map(_.path).toSet
+    val dvRewrote = preDvFiles.diff(purgedFiles).size
+    val (_, tCleanRead) = timed { LakeTable.read(spark, root).count() }
+
     println(f"""
       |lake-stress @ ${factor}x $srcDir  (rows=$nRows%,d, files=$nFiles)
       |  build (clustered append)        ${tBuild}%8.2f s
@@ -260,6 +286,10 @@ object LakeStress {
       |  full-scan equality (same probe) ${tFullEq}%8.2f s  (lookup speedup ${tFullEq / tPoint}%.1fx)
       |  zone range read (re-run)        ${tRange2}%8.2f s  ($rangeN2%,d rows)
       |  same range via SQL (graftlake)  ${tSqlPath}%8.2f s  (planner FileIndex pruning, rows equal)
+      |  DV DELETE 0.5%% key band         ${tDvDelete}%8.2f s  ($dvDeleted%,d rows; 0/${preDvFiles.size} files rewritten — vs COW's $delRewrote (speedup ${tDelete / tDvDelete}%.1fx)
+      |  vectored snapshot read          ${tDvRead}%8.2f s  (anti-join penalty vs clean read below)
+      |  purgeDeletes (fold vectors)     ${tDvPurge}%8.2f s  (rewrote $dvRewrote/${preDvFiles.size} vectored files)
+      |  vector-free read (post-purge)   ${tCleanRead}%8.2f s
       |""".stripMargin)
     spark.stop()
   }

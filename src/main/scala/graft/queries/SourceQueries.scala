@@ -1481,6 +1481,121 @@ object SourceQueries {
         SELECT o_orderkey, o_custkey, o_totalprice * 2
         FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0"""),
       "SQL MERGE statements (upsert + matched-delete) ≡ relational replay"),
+
+    // ---- merge-on-read DELETE (deletion vectors) ---------------------------
+    // Two stacked DV deletes over a key-clustered lake table: neither
+    // rewrites a data file (the manifest lists the same files; the
+    // matching rows' (file, position) pairs ride #dv sidecars and every
+    // read anti-joins them), so at 100 TB a small DELETE costs
+    // O(matching rows) sidecar write instead of O(affected files)
+    // rewrite. The read folds the change feed of BOTH deletes back in
+    // (their counts must reproduce the two predicates' true row counts
+    // — including that delete #2 must NOT re-report rows delete #1
+    // already removed where the bands overlap). Oracle: plain relational
+    // replay of both predicates.
+    "q288_lake_dv_delete" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_lakedv_q288") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.repartitionByRange(8, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"), root,
+          zoneKey = Some("o_orderkey"))
+        graft.sources.LakeTable.deleteWhereDV(s, root,
+          "o_orderkey BETWEEN 100 AND 700 AND o_orderstatus = 'O'")
+        graft.sources.LakeTable.deleteWhereDV(s, root,
+          "o_orderkey BETWEEN 500 AND 900")
+        val feed = graft.sources.LakeTable.changeFeed(s, root, 1L, 3L)
+          .groupBy("_commit_version")
+          .agg(count(lit(1)).as("n_deleted"))
+        graft.sources.LakeTable.read(s, root)
+          .groupBy((col("o_orderkey") % 3).as("grp"))
+          .agg(count(lit(1)).as("n_rows"),
+            xsum4(col("o_totalprice")).as("sum_price"))
+          .crossJoin(feed.agg(
+            sum(when(col("_commit_version") === 2L,
+              col("n_deleted"))).as("fed_v2"),
+            sum(when(col("_commit_version") === 3L,
+              col("n_deleted"))).as("fed_v3")))
+      },
+      Some(s"""WITH live AS (
+          SELECT * FROM orders
+          WHERE NOT (o_orderkey BETWEEN 100 AND 700
+                     AND o_orderstatus = 'O')
+            AND NOT (o_orderkey BETWEEN 500 AND 900)),
+        f2 AS (SELECT count(*) AS fed_v2 FROM orders
+          WHERE o_orderkey BETWEEN 100 AND 700 AND o_orderstatus = 'O'),
+        f3 AS (SELECT count(*) AS fed_v3 FROM orders
+          WHERE o_orderkey BETWEEN 500 AND 900
+            AND NOT (o_orderkey BETWEEN 100 AND 700
+                     AND o_orderstatus = 'O'))
+        SELECT o_orderkey % 3 AS grp, count(*) AS n_rows,
+          ${XSUM4("o_totalprice")} AS sum_price, fed_v2, fed_v3
+        FROM live CROSS JOIN f2 CROSS JOIN f3
+        GROUP BY 1, fed_v2, fed_v3"""),
+      "DV DELETE: merge-on-read reads + stacked non-overlapping CDC ≡ replay"),
+
+    // ---- deletion-vector purge (REORG ... APPLY PURGE) ---------------------
+    // DV delete, then purgeDeletes folds the vectors into a physical
+    // rewrite of exactly the vectored files and drops the #dv refs —
+    // after which a zone-pruned range read runs the vector-free fast
+    // path. The result is that range read; the oracle recomputes it
+    // relationally, so the hash proves delete semantics survived the
+    // fold exactly.
+    "q289_lake_dv_purge" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_lakedp_q289") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.repartitionByRange(8, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"), root,
+          zoneKey = Some("o_orderkey"))
+        graft.sources.LakeTable.deleteWhereDV(s, root,
+          "o_orderkey BETWEEN 200 AND 600 AND o_orderstatus = 'F'")
+        graft.sources.LakeTable.purgeDeletes(s, root)
+        graft.sources.LakeTable.readRange(s, root, "o_orderkey",
+          0L, 1000L)
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey BETWEEN 0 AND 1000
+          AND NOT (o_orderkey BETWEEN 200 AND 600
+                   AND o_orderstatus = 'F')"""),
+      "DV purge: fold-in rewrite ≡ relational delete; zone fast path back"),
+
+    // ---- RESTORE TABLE ... VERSION AS OF -----------------------------------
+    // Append, bad overwrite-style churn (delete + second append),
+    // restore to v1, then continue appending: the table must read as
+    // v1's content plus the post-restore append — and the restore
+    // itself is pure manifest metadata (the restored entry list
+    // re-published under a new version; zero data I/O), so rolling a
+    // 100 TB table back costs one log write. Oracle reconstructs the
+    // final content relationally.
+    "q290_lake_restore" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_laker_q290") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 2 === 0), root)
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 2 === 1), root)
+        graft.sources.LakeTable.deleteWhere(s, root,
+          "o_orderkey BETWEEN 0 AND 400")
+        graft.sources.LakeTable.restore(s, root, 1L)
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 2 === 1)
+            .select(col("o_orderkey"),
+              (col("o_totalprice") * 3).as("o_totalprice")), root)
+        graft.sources.LakeTable.read(s, root)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice * 3 FROM orders
+        WHERE o_orderkey % 2 = 1"""),
+      "RESTORE: metadata-only rollback; content ≡ v1 ∪ post-restore append"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

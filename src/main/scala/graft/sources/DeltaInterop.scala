@@ -132,6 +132,12 @@ object DeltaInterop {
     val vs = LakeTable.versions(spark, lakeRoot)
     require(vs.nonEmpty, s"no lake table at $lakeRoot")
     val v = version.getOrElse(vs.last)
+    // the export hard-links RAW data files; a snapshot with live
+    // deletion vectors would resurrect its deleted rows on the Delta
+    // side — fold them in first
+    require(LakeTable.dvOf(spark, lakeRoot, v).isEmpty,
+      s"exportToDelta: version $v of $lakeRoot carries deletion " +
+        "vectors; run LakeTable.purgeDeletes first")
     val ents = LakeTable.entries(spark, lakeRoot, v)
     val schema = LakeTable.schemaOf(spark, lakeRoot, v)
       .getOrElse(LakeTable.read(spark, lakeRoot, Some(v)).schema)

@@ -68,7 +68,13 @@ class GraftLakeSource extends RelationProvider
     require(vs.contains(v), s"graftlake: version $v not in ${vs.mkString(",")}")
     val schema = LakeTable.schemaOf(spark, root, v)
       .getOrElse(LakeTable.read(spark, root, Some(v)).schema) // legacy
-    HadoopFsRelation(
+    if (LakeTable.dvOf(spark, root, v).nonEmpty)
+      // merge-on-read snapshot: rows must anti-join the deletion
+      // vectors, which a bare HadoopFsRelation cannot express — serve
+      // the DV-applied read instead (filters re-apply above the scan;
+      // the FileIndex pruning fast path returns after purgeDeletes)
+      new DvSnapshotRelation(sqlContext, root, v, schema)
+    else HadoopFsRelation(
       location = new LakeFileIndex(spark, root, v, schema),
       partitionSchema = new StructType(),
       dataSchema = schema,
@@ -152,6 +158,23 @@ class GraftLakeSource extends RelationProvider
       override def toString: String = s"GraftLakeSink[$root]"
     }
   }
+}
+
+/** Fallback relation for snapshots that carry deletion vectors: the
+  * scan is [[LakeTable.read]]'s DV-applied plan (parquet scan
+  * anti-joined with the broadcast-sized vector sidecar). Spark
+  * re-applies every query filter above a V1 TableScan, so correctness
+  * is exact; the trade is losing zone/Bloom FILE pruning while vectors
+  * are live — [[LakeTable.purgeDeletes]] restores the pruning path. */
+class DvSnapshotRelation(ctx: SQLContext, root: String, version: Long,
+                         s: StructType)
+    extends BaseRelation
+    with org.apache.spark.sql.sources.TableScan {
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = s
+  override def buildScan(): org.apache.spark.rdd.RDD[
+      org.apache.spark.sql.Row] =
+    LakeTable.read(ctx.sparkSession, root, Some(version)).rdd
 }
 
 /** Manifest-backed `FileIndex` for one immutable lake snapshot. File

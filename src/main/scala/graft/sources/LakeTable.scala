@@ -195,6 +195,13 @@ object LakeTable {
   private def renderConstraint(c: (String, String)): String =
     s"#constraint\t${enc(c._1)}\t${enc(c._2)}"
 
+  // #dv\t<reldir>: a deletion-vector sidecar dir (repeatable — each
+  // merge-on-read DELETE adds one). Sidecar rows are (file, pos): row
+  // `pos` of live data file `file` is logically deleted. Readers
+  // anti-join; rewritten files get fresh paths so their stale vector
+  // rows are inert, like stale Bloom rows.
+  private def renderDv(dir: String): String = s"#dv\t${enc(dir)}"
+
   // split with limit -1: a trailing empty field (an empty-string zone
   // value — legal for a string key whose file minimum is "") must
   // survive, and Scala's char-split drops trailing empties. Lines are
@@ -284,6 +291,53 @@ object LakeTable {
     manifestLines(spark, root, v).collect {
       case l if l.startsWith("#idx\t") => dec(l.split("\t", -1)(1))
     }
+
+  /** ALL deletion-vector sidecar dirs version `v` references (`#dv`
+    * headers, repeatable — one per merge-on-read DELETE still live). */
+  def dvOf(spark: SparkSession, root: String, v: Long): Seq[String] =
+    manifestLines(spark, root, v).collect {
+      case l if l.startsWith("#dv\t") => dec(l.split("\t", -1)(1))
+    }
+
+  /** Deletion-vector sidecar rows: which row of which live file is
+    * logically deleted. `pos` is the parquet row index within the file
+    * (`_metadata.row_index` — stable across reads, including reads that
+    * skip row groups). */
+  private[sources] val dvSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+
+  /** Attach the manifest-relative file path and in-file row position of
+    * every row — join keys for deletion vectors. `df` must be a direct
+    * parquet file-source scan ( `_metadata` resolves only there). */
+  private def withFilePos(df: DataFrame): DataFrame = {
+    val parts = split(col("_metadata.file_path"), "/")
+    df.withColumn("__dv_file", concat(lit("data/"),
+        element_at(parts, -2), lit("/"), element_at(parts, -1)))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+  }
+
+  /** Apply version `v`'s deletion vectors to `df` (a parquet scan of
+    * this table's data files): anti-join on (file, row position). The
+    * vector side is sidecar metadata — O(deleted rows), small by
+    * design (that is when merge-on-read beats copy-on-write) — so the
+    * optimizer broadcasts it and the data side never shuffles; when
+    * vectors grow past broadcast size [[purgeDeletes]] (or any
+    * rewriting op) is the maintenance answer. No-op when `v` carries no
+    * `#dv` header — the plan of a vector-free table is untouched. */
+  private[graft] def applyDv(spark: SparkSession, root: String, v: Long,
+                             df: DataFrame): DataFrame = {
+    val dirs = dvOf(spark, root, v)
+    if (dirs.isEmpty) df
+    else {
+      val dv = spark.read.schema(dvSchema)
+        .parquet(dirs.map(d => s"$root/$d"): _*)
+        .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+      withFilePos(df)
+        .join(dv, Seq("__dv_file", "__dv_pos"), "left_anti")
+        .drop("__dv_file", "__dv_pos")
+    }
+  }
 
   /** The CHECK constraints in force at version `v` (name → SQL). */
   def constraintsOf(spark: SparkSession, root: String,
@@ -380,11 +434,12 @@ object LakeTable {
     require(vs.contains(v), s"version $v not in $vs")
     val files = liveFiles(spark, root, v)
     (schemaOf(spark, root, v), files.nonEmpty) match {
-      case (Some(s), true) => spark.read.schema(s).parquet(files: _*)
+      case (Some(s), true) =>
+        applyDv(spark, root, v, spark.read.schema(s).parquet(files: _*))
       case (Some(s), false) =>
         spark.createDataFrame(java.util.Collections.emptyList[Row](), s)
-      case (None, true) =>
-        spark.read.option("mergeSchema", "true").parquet(files: _*)
+      case (None, true) => applyDv(spark, root, v,
+        spark.read.option("mergeSchema", "true").parquet(files: _*))
       case (None, false) =>
         val donor = vs.reverse.map(liveFiles(spark, root, _))
           .find(_.nonEmpty)
@@ -423,11 +478,12 @@ object LakeTable {
       .map(p => s"$root/$p")
     val schema = schemaOf(spark, root, toV)
     (schema, changed.nonEmpty) match {
-      case (Some(s), true) => spark.read.schema(s).parquet(changed: _*)
+      case (Some(s), true) => applyDv(spark, root, toV,
+        spark.read.schema(s).parquet(changed: _*))
       case (Some(s), false) =>
         spark.createDataFrame(java.util.Collections.emptyList[Row](), s)
-      case (None, true) =>
-        spark.read.option("mergeSchema", "true").parquet(changed: _*)
+      case (None, true) => applyDv(spark, root, toV,
+        spark.read.option("mergeSchema", "true").parquet(changed: _*))
       case (None, false) => read(spark, root, Some(toV)).filter(lit(false))
     }
   }
@@ -480,7 +536,10 @@ object LakeTable {
         case Some("compact") => None  // layout-only: no logical change
         case Some("reindex") => None  // metadata-only: no logical change
         case Some("metadata") => None // constraint add/drop: no rows change
-        case Some("overwrite") =>
+        case Some("purge") => None    // DV fold-in: rows already deleted
+        case Some(ow) if ow == "overwrite" || ow == "restore" =>
+          // restore IS an overwrite to an old snapshot's content: new
+          // content surfaces as inserts, the replaced version's as deletes
           val inserts = read(spark, root, Some(v))
             .withColumn("_change_type", lit("insert"))
           Some(Some(v - 1).filter(retained.contains) match {
@@ -552,11 +611,12 @@ object LakeTable {
           r.getString(0) }.toSeq
     val files = (admitted ++ unzoned.map(_.path)).map(p => s"$root/$p")
     val base = (schema, files.nonEmpty) match {
-      case (Some(s), true) => spark.read.schema(s).parquet(files: _*)
+      case (Some(s), true) =>
+        applyDv(spark, root, v, spark.read.schema(s).parquet(files: _*))
       case (Some(s), false) =>
         spark.createDataFrame(java.util.Collections.emptyList[Row](), s)
-      case (None, true) =>
-        spark.read.option("mergeSchema", "true").parquet(files: _*)
+      case (None, true) => applyDv(spark, root, v,
+        spark.read.option("mergeSchema", "true").parquet(files: _*))
       case (None, false) => read(spark, root, Some(v)).filter(lit(false))
     }
     base.filter(col(key) >= lit(lo) && col(key) <= lit(hi))
@@ -684,7 +744,8 @@ object LakeTable {
       else commit(spark, root, ents, cur + 1L,
         schema = schemaOf(spark, root, cur), op = Some("reindex"),
         idx = idxDirs ++ fresh.toSeq,
-        constraints = constraintsOf(spark, root, cur))
+        constraints = constraintsOf(spark, root, cur),
+        dv = dvOf(spark, root, cur))
     }
   }
 
@@ -709,7 +770,8 @@ object LakeTable {
     commit(spark, root, entries(spark, root, cur), cur + 1L,
       schema = schemaOf(spark, root, cur), op = Some("metadata"),
       idx = idxOf(spark, root, cur),
-      constraints = existing :+ (name -> checkSql))
+      constraints = existing :+ (name -> checkSql),
+      dv = dvOf(spark, root, cur))
   }
 
   /** File-level inventory of a snapshot — one row per live file with
@@ -780,7 +842,8 @@ object LakeTable {
         .write.mode("errorifexists").parquet(s"$root/$dir")
       commit(spark, root, entries(spark, root, cur), cur + 1L,
         schema = schemaOf(spark, root, cur), op = Some("reindex"),
-        idx = Seq(dir), constraints = constraintsOf(spark, root, cur))
+        idx = Seq(dir), constraints = constraintsOf(spark, root, cur),
+        dv = dvOf(spark, root, cur))
     }
   }
 
@@ -876,7 +939,8 @@ object LakeTable {
     else commit(spark, root, entries(spark, root, cur), cur + 1L,
       schema = schemaOf(spark, root, cur), op = Some("metadata"),
       idx = idxOf(spark, root, cur),
-      constraints = existing.filterNot(_._1 == name))
+      constraints = existing.filterNot(_._1 == name),
+      dv = dvOf(spark, root, cur))
   }
 
   /** Zone stats are recorded only for types whose toString render
@@ -1015,7 +1079,8 @@ object LakeTable {
                               cdc: Option[String] = None,
                               idx: Seq[String] = Seq.empty,
                               constraints: Seq[(String, String)] =
-                                Seq.empty): Long = {
+                                Seq.empty,
+                              dv: Seq[String] = Seq.empty): Long = {
     val fs = hfs(spark, root)
     val p = manifestPath(root, next)
     fs.mkdirs(p.getParent)
@@ -1026,6 +1091,7 @@ object LakeTable {
       out.write((Seq(renderTs(System.currentTimeMillis())) ++
         op.map(renderOp).toSeq ++ cdc.map(renderCdc).toSeq ++
         idx.distinct.map(renderIdx) ++
+        dv.distinct.map(renderDv) ++
         constraints.map(renderConstraint) ++
         schema.map(renderSchema).toSeq ++
         txn.map(renderTxn).toSeq ++ entries.map(renderEntry))
@@ -1110,7 +1176,8 @@ object LakeTable {
     val prevIdx = prev.map(idxOf(spark, root, _)).getOrElse(Seq.empty)
     commit(spark, root, prevEntries ++ fresh, prev.getOrElse(0L) + 1L, txn,
       Some(evolved), op = Some("append"), idx = prevIdx ++ freshIdx.toSeq,
-      constraints = checks)
+      constraints = checks,
+      dv = prev.map(dvOf(spark, root, _)).getOrElse(Seq.empty))
   }
 
   /** Idempotent streaming append: apply `df` as `appId`'s batch
@@ -1241,10 +1308,11 @@ object LakeTable {
     val touched0 =
       if (affected.isEmpty) read(spark, root, Some(cur)).filter(lit(false))
       else tableSchema match {
-        case Some(s) => spark.read.schema(s)
-          .parquet(affected.toSeq.map(p => s"$root/$p"): _*)
-        case None => spark.read.option("mergeSchema", "true")
-          .parquet(affected.toSeq.map(p => s"$root/$p"): _*)
+        case Some(s) => applyDv(spark, root, cur, spark.read.schema(s)
+          .parquet(affected.toSeq.map(p => s"$root/$p"): _*))
+        case None => applyDv(spark, root, cur,
+          spark.read.option("mergeSchema", "true")
+            .parquet(affected.toSeq.map(p => s"$root/$p"): _*))
       }
     // Schema evolution: columns the batch ADDS widen the table — rewritten
     // rows carry them, kept files null-fill at read time (mergeSchema),
@@ -1326,7 +1394,7 @@ object LakeTable {
       rewritten.schema)
     commit(spark, root, kept ++ fresh, cur + 1L, schema = Some(evolved),
       op = Some("merge"), cdc = cdcDir, idx = idxOf(spark, root, cur),
-      constraints = tableChecks)
+      constraints = tableChecks, dv = dvOf(spark, root, cur))
   }
 
   // -----------------------------------------------------------------------
@@ -1511,17 +1579,20 @@ object LakeTable {
   }
 
   /** Read the affected files with the manifest schema (mergeSchema only
-    * for legacy logs), or an empty frame of that schema. */
+    * for legacy logs), or an empty frame of that schema. Version `v`'s
+    * deletion vectors apply — a rewrite path reading through here can
+    * never resurrect a merge-on-read-deleted row. */
   private def readFiles(spark: SparkSession, root: String,
                         paths: Seq[String], schema: Option[StructType],
                         v: Long): DataFrame =
     (schema, paths.nonEmpty) match {
-      case (Some(s), true) =>
-        spark.read.schema(s).parquet(paths.map(p => s"$root/$p"): _*)
+      case (Some(s), true) => applyDv(spark, root, v,
+        spark.read.schema(s).parquet(paths.map(p => s"$root/$p"): _*))
       case (Some(s), false) =>
         spark.createDataFrame(java.util.Collections.emptyList[Row](), s)
-      case (None, true) => spark.read.option("mergeSchema", "true")
-        .parquet(paths.map(p => s"$root/$p"): _*)
+      case (None, true) => applyDv(spark, root, v,
+        spark.read.option("mergeSchema", "true")
+          .parquet(paths.map(p => s"$root/$p"): _*))
       case (None, false) => read(spark, root, Some(v)).filter(lit(false))
     }
 
@@ -1572,8 +1643,156 @@ object LakeTable {
       commit(spark, root, kept ++ fresh, cur + 1L,
         schema = Some(StructType(out.map(_.copy(nullable = true)))),
         op = Some("delete"), cdc = cdcDir, idx = idxOf(spark, root, cur),
-        constraints = constraintsOf(spark, root, cur)) // removal can't violate
+        constraints = constraintsOf(spark, root, cur), // removal can't violate
+        dv = dvOf(spark, root, cur))
     }
+  }
+
+  /** Merge-on-read DELETE — the deletion-vector twin of [[deleteWhere]]
+    * (Delta's DV-enabled DELETE / Iceberg's position deletes). Instead
+    * of rewriting every file that holds a matching row, the matching
+    * rows' (file, position) pairs land in a small sidecar and every
+    * reader anti-joins it; the data files are untouched. Cost model:
+    * copy-on-write pays O(affected FILES) rewrite per delete,
+    * merge-on-read pays O(matching ROWS) sidecar write plus a per-read
+    * anti-join against sidecar metadata — the right trade when deletes
+    * are small and frequent relative to file size (GDPR row erasure,
+    * streaming retractions) on a 100 TB table where one matching row
+    * per file would otherwise rewrite the whole table. [[purgeDeletes]]
+    * (or any rewriting op touching the file) folds vectors back into
+    * the data; [[compact]] carries them correctly either way.
+    *
+    * Same zone discipline as the COW path: only files the manifest
+    * can't prove clean are scanned for positions. Same SQL semantics
+    * (TRUE deletes; FALSE/NULL keep). Same CDF contract: deleted
+    * pre-images ride a `#cdc` sidecar tagged `delete`. A delete the
+    * zones prove empty — or that matches no row — commits nothing. */
+  def deleteWhereDV(spark: SparkSession, root: String, condSql: String,
+                    cdf: Boolean = true): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"deleteWhereDV: no table at $root")
+    val cur = vs.last
+    val ents = entries(spark, root, cur)
+    val tableSchema = schemaOf(spark, root, cur)
+    val parsed = spark.sessionState.sqlParser.parseExpression(condSql)
+    val (affected, _) = splitByPredicate(spark, ents, tableSchema, parsed)
+    if (affected.isEmpty) return cur
+    val matches = coalesce(expr(condSql), lit(false))
+    // candidate-file scan with positions attached; rows ALREADY deleted
+    // by earlier vectors are excluded so their positions never re-enter
+    // (and the CDC feed never double-reports them)
+    val paths = affected.map(p => s"$root/${p.path}")
+    val scan = tableSchema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+    val priorDirs = dvOf(spark, root, cur)
+    val keyed0 = withFilePos(scan)
+    val keyed =
+      if (priorDirs.isEmpty) keyed0
+      else keyed0.join(
+        spark.read.schema(dvSchema)
+          .parquet(priorDirs.map(d => s"$root/$d"): _*)
+          .select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
+        Seq("__dv_file", "__dv_pos"), "left_anti")
+    val hits = keyed.filter(matches)
+    val dvDir = s"dv/${java.util.UUID.randomUUID().toString}"
+    hits.select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+      .write.mode("errorifexists").parquet(s"$root/$dvDir")
+    val fs = hfs(spark, root)
+    // one sidecar-sized count decides no-op: nothing matched → remove
+    // the empty sidecar, commit nothing (parity with the COW path's
+    // zone-proven no-op)
+    val n = spark.read.schema(dvSchema).parquet(s"$root/$dvDir").count()
+    if (n == 0L) {
+      fs.delete(new Path(s"$root/$dvDir"), true)
+      return cur
+    }
+    val cdcDir =
+      if (!cdf) None
+      else {
+        val dir = s"cdc/${java.util.UUID.randomUUID().toString}"
+        hits.drop("__dv_file", "__dv_pos")
+          .withColumn("_change_type", lit("delete"))
+          .write.mode("errorifexists").parquet(s"$root/$dir")
+        Some(dir)
+      }
+    val out = tableSchema.getOrElse(read(spark, root, Some(cur)).schema)
+    commit(spark, root, ents, cur + 1L,
+      schema = Some(StructType(out.map(_.copy(nullable = true)))),
+      op = Some("delete"), cdc = cdcDir, idx = idxOf(spark, root, cur),
+      constraints = constraintsOf(spark, root, cur),
+      dv = priorDirs :+ dvDir)
+  }
+
+  /** Fold deletion vectors back into the data (Delta's
+    * `REORG TABLE ... APPLY (PURGE)`): exactly the files that carry
+    * vector rows are rewritten without their deleted rows; every clean
+    * file carries by reference, and the new manifest drops all `#dv`
+    * refs — readers return to the vector-free plan (no anti-join).
+    * Content is identical by construction (the purged rows were already
+    * logically deleted), so the commit is a layout-only `purge` op the
+    * change feed skips. The maintenance valve for when accumulated
+    * vectors outgrow the merge-on-read read penalty. */
+  def purgeDeletes(spark: SparkSession, root: String): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"purgeDeletes: no table at $root")
+    val cur = vs.last
+    val dvDirs = dvOf(spark, root, cur)
+    if (dvDirs.isEmpty) return cur
+    val ents = entries(spark, root, cur)
+    val tableSchema = schemaOf(spark, root, cur)
+    val live = ents.map(_.path).toSet
+    val dvFiles = spark.read.schema(dvSchema)
+      .parquet(dvDirs.map(d => s"$root/$d"): _*)
+      .select("file").distinct()
+      .collect().map(_.getString(0)).toSet // bounded by #files
+      .filter(live)
+    val (affected, kept) = ents.partition(e => dvFiles(e.path))
+    if (affected.isEmpty)
+      // every vector row is stale (its file was since rewritten): drop
+      // the refs with a metadata-only commit so readers stop paying for
+      // dead sidecars
+      return commit(spark, root, ents, cur + 1L,
+        schema = tableSchema, op = Some("purge"),
+        idx = idxOf(spark, root, cur),
+        constraints = constraintsOf(spark, root, cur))
+    val touched =
+      readFiles(spark, root, affected.map(_.path), tableSchema, cur)
+    val zoneKeys = ents.flatMap(_.zones.map(_.key)).distinct
+    val fresh = writeData(touched, root, zoneKeys)
+    commit(spark, root, kept ++ fresh, cur + 1L,
+      schema = tableSchema, op = Some("purge"),
+      idx = idxOf(spark, root, cur),
+      constraints = constraintsOf(spark, root, cur))
+  }
+
+  /** RESTORE TABLE ... TO VERSION AS OF — roll the table back to the
+    * content of `toVersion` as a NEW commit (history is immutable; the
+    * bad versions stay time-travelable until [[vacuum]]). Pure manifest
+    * metadata — the restored version's entry list, schema, index and
+    * deletion-vector refs are re-published under the next version
+    * number, zero data I/O — which is why the restored version must
+    * still be retained AND its data files not vacuumed. CHECK
+    * constraints are table governance, not content: the CURRENT rule
+    * set carries forward (restoring data must not silently resurrect a
+    * dropped rule or drop a new one). The change feed reports the
+    * restore like an overwrite: restored content as inserts, the
+    * replaced version's content as deletes. */
+  def restore(spark: SparkSession, root: String, toVersion: Long): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"restore: no table at $root")
+    require(vs.contains(toVersion),
+      s"restore: version $toVersion not retained (${vs.mkString(",")})")
+    val cur = vs.last
+    if (toVersion == cur) return cur
+    commit(spark, root, entries(spark, root, toVersion), cur + 1L,
+      schema = schemaOf(spark, root, toVersion),
+      op = Some("restore"),
+      idx = idxOf(spark, root, toVersion),
+      constraints = constraintsOf(spark, root, cur),
+      dv = dvOf(spark, root, toVersion))
   }
 
   /** Row-level UPDATE — `UPDATE t SET col = expr, ... WHERE condSql` as
@@ -1644,7 +1863,8 @@ object LakeTable {
       commit(spark, root, kept ++ fresh, cur + 1L,
         schema = Some(StructType(schemaNow.map(_.copy(nullable = true)))),
         op = Some("update"), cdc = cdcDir, idx = idxOf(spark, root, cur),
-        constraints = constraintsOf(spark, root, cur))
+        constraints = constraintsOf(spark, root, cur),
+        dv = dvOf(spark, root, cur))
     }
   }
 
@@ -1696,10 +1916,14 @@ object LakeTable {
     // footer Spark sampled — violating compact's content-identical
     // contract. Legacy manifests get the same guarantee from mergeSchema.
     val smallPaths = small.map(s => s"$root/${s._1.path}")
+    // deletion vectors apply to the rewrite read: compaction PURGES the
+    // rewritten files' logically-deleted rows physically (content stays
+    // identical — they were already deleted); refs for kept files carry
     val df = tableSchema match {
-      case Some(s) => spark.read.schema(s).parquet(smallPaths: _*)
-      case None =>
-        spark.read.option("mergeSchema", "true").parquet(smallPaths: _*)
+      case Some(s) => applyDv(spark, root, cur,
+        spark.read.schema(s).parquet(smallPaths: _*))
+      case None => applyDv(spark, root, cur,
+        spark.read.option("mergeSchema", "true").parquet(smallPaths: _*))
     }
     val keys = (zoneKey.toSeq ++ zoneKeys).distinct
       .filter(df.schema.fieldNames.contains)
@@ -1756,7 +1980,8 @@ object LakeTable {
     commit(spark, root, big.map(_._1) ++ fresh, cur + 1L,
       schema = tableSchema, // content-identical: schema carries verbatim
       op = Some("compact"), idx = idxOf(spark, root, cur),
-      constraints = constraintsOf(spark, root, cur))
+      constraints = constraintsOf(spark, root, cur),
+      dv = dvOf(spark, root, cur))
   }
 
   /** Retention GC: drop manifests strictly below `keepFrom`, then delete
@@ -1840,6 +2065,19 @@ object LakeTable {
       fs.listStatus(idxRoot).foreach { st =>
         if (st.isDirectory &&
             !liveIdx.contains(fs.makeQualified(st.getPath).toString) &&
+            st.getModificationTime <= horizon)
+          fs.delete(st.getPath, true)
+      }
+    }
+    // deletion-vector sidecars: unreferenced (purged or dropped
+    // versions' vectors, crashed deleters' orphans) → gone past grace
+    val dvRoot = new Path(s"$root/dv")
+    if (fs.exists(dvRoot)) {
+      val liveDv = keep.flatMap(dvOf(spark, root, _))
+        .map(d => fs.makeQualified(new Path(s"$root/$d")).toString).toSet
+      fs.listStatus(dvRoot).foreach { st =>
+        if (st.isDirectory &&
+            !liveDv.contains(fs.makeQualified(st.getPath).toString) &&
             st.getModificationTime <= horizon)
           fs.delete(st.getPath, true)
       }

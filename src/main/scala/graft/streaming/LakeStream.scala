@@ -73,11 +73,16 @@ object LakeStream {
         LakeTable.changedFiles(spark, root, prev, v)
       }.distinct.map(p => s"$root/$p")
       if (newFiles.nonEmpty) {
-        val rows = LakeTable.schemaOf(spark, root, vs.max) match {
-          case Some(s) => spark.read.schema(s).parquet(newFiles: _*)
-          case None => spark.read.option("mergeSchema", "true")
-            .parquet(newFiles: _*)
-        }
+        // deletion vectors apply: new files never carry vector rows
+        // (a DV delete adds no files), but the BOOTSTRAP batch of a
+        // consumer starting against a vacuumed table serves a whole
+        // snapshot whose files may — applyDv is a no-op otherwise
+        val rows = LakeTable.applyDv(spark, root, vs.max,
+          LakeTable.schemaOf(spark, root, vs.max) match {
+            case Some(s) => spark.read.schema(s).parquet(newFiles: _*)
+            case None => spark.read.option("mergeSchema", "true")
+              .parquet(newFiles: _*)
+          })
         fn(rows, batchId)
       }
     }

@@ -108,4 +108,22 @@ class PlanHygieneSpec extends SparkSpec {
       p.contains("EqualTo(term,fast)") && p.contains("EqualTo(term,merge)"),
       p.take(3000))
   }
+
+  test("DV-applied lake read: broadcast anti-join, the data side never "
+      + "shuffles") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-dvplan")
+      .toString + "/t"
+    graft.sources.LakeTable.append(spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), root)
+    graft.sources.LakeTable.deleteWhereDV(spark, root, "k < 10")
+    val p = graft.sources.LakeTable.read(spark, root)
+      .queryExecution.executedPlan.toString
+    // the vector side is sidecar metadata (O(deleted rows)) — it must
+    // plan as the broadcast side of a LeftAnti hash join; a sort-merge
+    // join here would shuffle the 100 TB data side per read
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
 }

@@ -1221,4 +1221,156 @@ class LakeTableSpec extends SparkSpec {
     // and null-heavy data still round-trips
     assert(LakeTable.read(spark, root).count() == 4L)
   }
+
+  test("deletion-vector DELETE: no data file rewritten, reads exclude, "
+      + "time travel intact, stacked deletes don't double-report") {
+    val root = freshRoot()
+    LakeTable.append(spark.range(0, 400)
+      .select(col("id").as("k"), (col("id") * 3).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      root, zoneKey = Some("k"))
+    val filesBefore = LakeTable.entries(spark, root, 1L).map(_.path)
+    val v2 = LakeTable.deleteWhereDV(spark, root, "k BETWEEN 50 AND 59")
+    assert(v2 == 2L)
+    // merge-on-read: the manifest lists the SAME data files
+    assert(LakeTable.entries(spark, root, 2L).map(_.path) == filesBefore)
+    assert(LakeTable.dvOf(spark, root, 2L).size == 1)
+    // reads exclude the vectored rows; old snapshot unaffected
+    assert(LakeTable.read(spark, root).count() == 390L)
+    assert(LakeTable.read(spark, root)
+      .filter(col("k").between(50, 59)).count() == 0L)
+    assert(LakeTable.read(spark, root, Some(1L)).count() == 400L)
+    assert(LakeTable.readRange(spark, root, "k", 40L, 70L)
+      .select("k").as[Long].collect().toSet ==
+      ((40L to 49L) ++ (60L to 70L)).toSet)
+    // a provably-empty delete commits nothing and leaves no sidecar
+    assert(LakeTable.deleteWhereDV(spark, root, "k > 100000") == 2L)
+    assert(LakeTable.dvOf(spark, root, 2L).size == 1)
+    // stacked second delete: CDC reports ONLY its own rows (never the
+    // already-deleted band), vectors accumulate, reads compose
+    val v3 = LakeTable.deleteWhereDV(spark, root, "k BETWEEN 55 AND 64")
+    assert(v3 == 3L && LakeTable.dvOf(spark, root, 3L).size == 2)
+    assert(LakeTable.changeFeed(spark, root, 2L, 3L)
+      .select("k").as[Long].collect().toSet == (60L to 64L).toSet)
+    assert(LakeTable.read(spark, root).count() == 385L)
+    // CDF of the first delete still serves its band
+    assert(LakeTable.changeFeed(spark, root, 1L, 2L)
+      .select("k").as[Long].collect().toSet == (50L to 59L).toSet)
+  }
+
+  test("deletion vectors: zone-skipped files never opened by the delete "
+      + "scan; rewriting ops never resurrect; purge folds and frees") {
+    val root = freshRoot()
+    LakeTable.append(spark.range(0, 400)
+      .select(col("id").as("k"), (col("id") * 3).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      root, zoneKey = Some("k"))
+    // corrupt the top file (k ≥ 300): a DV delete of [10, 20] must not
+    // open it — zone pruning works from manifest metadata alone
+    val top = LakeTable.entries(spark, root, 1L)
+      .find(_.hi.get.toLong >= 399L).get.path
+    Files.write(Paths.get(s"$root/$top"),
+      Array.fill[Byte](64)(0), StandardOpenOption.TRUNCATE_EXISTING)
+    assert(LakeTable.deleteWhereDV(spark, root,
+      "k BETWEEN 10 AND 20") == 2L)
+    // restore the corrupted file for the rest of the test
+    val good = freshRoot()
+    LakeTable.append(spark.range(300, 400)
+      .select(col("id").as("k"), (col("id") * 3).as("v")).coalesce(1),
+      good)
+    val src = Paths.get(s"$good/${LakeTable.entries(spark, good, 1L).head.path}")
+    Files.write(Paths.get(s"$root/$top"), Files.readAllBytes(src),
+      StandardOpenOption.TRUNCATE_EXISTING)
+    assert(LakeTable.read(spark, root).count() == 389L)
+    // an append carries the vector refs forward
+    LakeTable.append(spark.range(400, 410)
+      .select(col("id").as("k"), (col("id") * 3).as("v")), root,
+      zoneKey = Some("k"))
+    assert(LakeTable.dvOf(spark, root, 3L).size == 1)
+    assert(LakeTable.read(spark, root).count() == 399L)
+    // a COW update touching the vectored file does NOT resurrect the
+    // deleted band (readFiles applies vectors before the rewrite)
+    LakeTable.updateWhere(spark, root, "k BETWEEN 5 AND 8",
+      Map("v" -> "v + 1"))
+    assert(LakeTable.read(spark, root)
+      .filter(col("k").between(10, 20)).count() == 0L)
+    assert(LakeTable.read(spark, root).count() == 399L)
+    // purge: content identical, refs dropped, clean files by reference
+    val before = LakeTable.read(spark, root)
+      .as[(Long, Long)].collect().toSet
+    val entsBefore = LakeTable.entries(spark, root, 4L).map(_.path).toSet
+    val v5 = LakeTable.purgeDeletes(spark, root)
+    assert(v5 == 5L && LakeTable.dvOf(spark, root, 5L).isEmpty)
+    assert(LakeTable.read(spark, root)
+      .as[(Long, Long)].collect().toSet == before)
+    val entsAfter = LakeTable.entries(spark, root, 5L).map(_.path).toSet
+    // only files that carried vector rows were rewritten
+    assert((entsBefore intersect entsAfter).nonEmpty)
+    // repeated purge on a vector-free table is a version-preserving no-op
+    assert(LakeTable.purgeDeletes(spark, root) == 5L)
+    // vacuum reaps the now-unreferenced dv sidecar dirs
+    LakeTable.vacuum(spark, root, keepFrom = 5L, orphanGraceMs = 0L)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    val dvRoot = new org.apache.hadoop.fs.Path(s"$root/dv")
+    assert(!fs.exists(dvRoot) || fs.listStatus(dvRoot).isEmpty)
+  }
+
+  test("deletion vectors through the SQL catalog and the Delta export "
+      + "guard") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[GraftLakeCatalog].getName)
+    val root = freshRoot()
+    LakeTable.append(spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), root,
+      zoneKey = Some("k"))
+    LakeTable.deleteWhereDV(spark, root, "k < 10")
+    // SQL reads must anti-join the vectors (DV fallback relation)
+    assert(spark.sql(s"SELECT count(*) FROM graftlake.`$root`")
+      .head().getLong(0) == 90L)
+    assert(spark.sql(
+        s"SELECT sum(v) FROM graftlake.`$root` WHERE k < 20")
+      .head().getLong(0) == (10 until 20).map(_ * 2).sum)
+    // raw-file export would resurrect the deleted rows — refused
+    val out = freshRoot() + "_d"
+    intercept[IllegalArgumentException] {
+      DeltaInterop.exportToDelta(spark, root, out)
+    }
+    LakeTable.purgeDeletes(spark, root)
+    DeltaInterop.exportToDelta(spark, root, out)
+    assert(DeltaInterop.readDelta(spark, out).count() == 90L)
+  }
+
+  test("restore rolls content back as a new commit; history immutable; "
+      + "feed reports it overwrite-style") {
+    val root = freshRoot()
+    LakeTable.append(spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), root)
+    LakeTable.append(spark.range(100, 150)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), root)
+    LakeTable.deleteWhere(spark, root, "k < 10")
+    assert(LakeTable.read(spark, root).count() == 140L)
+    // roll back to v1 (the first append)
+    val v4 = LakeTable.restore(spark, root, 1L)
+    assert(v4 == 4L)
+    assert(LakeTable.read(spark, root)
+      .select("k").as[Long].collect().toSet == (0L until 100L).toSet)
+    // the bad versions still time-travel
+    assert(LakeTable.read(spark, root, Some(3L)).count() == 140L)
+    // restore to the current version is a no-op
+    assert(LakeTable.restore(spark, root, 4L) == 4L)
+    // ledger shows the restore op
+    assert(LakeTable.history(spark, root)
+      .filter(col("version") === 4L).select("op").head().getString(0)
+      == "restore")
+    // feed: restored content as inserts, replaced content as deletes
+    val feed = LakeTable.changeFeed(spark, root, 3L, 4L)
+      .groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(feed == Map("insert" -> 100L, "delete" -> 140L))
+    // writes continue normally after a restore
+    LakeTable.append(spark.range(500, 510)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), root)
+    assert(LakeTable.read(spark, root).count() == 110L)
+  }
 }
