@@ -1596,6 +1596,49 @@ object SourceQueries {
         SELECT o_orderkey, o_totalprice * 3 FROM orders
         WHERE o_orderkey % 2 = 1"""),
       "RESTORE: metadata-only rollback; content ≡ v1 ∪ post-restore append"),
+
+    // ---- merge-on-read UPDATE (deletion vectors + appended images) ---------
+    // The q265 scenario on the DV path: matched rows' positions vector
+    // out, their updated images append as fresh files — no pre-existing
+    // file rewrites (the spec pins that), so a sparse UPDATE on a
+    // 100 TB table writes O(matched rows). Result folds the CDF images
+    // back in exactly like q265, so one hash proves table content AND
+    // sidecar parity of the merge-on-read path.
+    "q291_lake_dv_update" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_lakedu_q291") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.repartitionByRange(8, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"), root,
+          zoneKey = Some("o_orderkey"))
+        graft.sources.LakeTable.updateWhereDV(s, root,
+          "o_orderkey BETWEEN 200 AND 1300",
+          Map("o_totalprice" -> "o_totalprice * 1.5"))
+        val table = graft.sources.LakeTable.read(s, root)
+          .groupBy((col("o_custkey") % 5).as("grp"))
+          .agg(count(lit(1)).as("n_rows"),
+            xsum4(col("o_totalprice")).as("sum_price"))
+        val feedDelta = graft.sources.LakeTable.changeFeed(s, root, 1L, 2L)
+          .groupBy((col("o_custkey") % 5).as("grp"))
+          .agg((xsum4(when(col("_change_type") === "update_postimage",
+              col("o_totalprice"))) -
+            xsum4(when(col("_change_type") === "update_preimage",
+              col("o_totalprice")))).as("feed_delta"))
+        table.join(feedDelta, Seq("grp"), "left")
+          .select(col("grp"), col("n_rows"), col("sum_price"),
+            coalesce(col("feed_delta"), lit(0d)).as("feed_delta"))
+      },
+      Some(s"""SELECT o_custkey % 5 AS grp, count(*) AS n_rows,
+          ${XSUM4("CASE WHEN o_orderkey BETWEEN 200 AND 1300 " +
+            "THEN o_totalprice * 1.5 ELSE o_totalprice END")} AS sum_price,
+          coalesce(${XSUM4("CASE WHEN o_orderkey BETWEEN 200 AND 1300 " +
+            "THEN o_totalprice * 1.5 END")} -
+            ${XSUM4("CASE WHEN o_orderkey BETWEEN 200 AND 1300 " +
+              "THEN o_totalprice END")}, 0) AS feed_delta
+        FROM orders GROUP BY 1"""),
+      "DV UPDATE: vector + appended images; table + folded CDF ≡ q265's oracle"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

@@ -1868,6 +1868,101 @@ object LakeTable {
     }
   }
 
+  /** Merge-on-read UPDATE — the deletion-vector twin of [[updateWhere]]
+    * (how Delta runs UPDATE with DVs enabled): the matched rows'
+    * positions land in a `#dv` sidecar (their old images become
+    * invisible without touching their files) and their UPDATED images
+    * append as fresh data files. Cost is O(matched rows) written +
+    * O(candidate files) scanned — never a rewrite of the unmatched rows
+    * sharing those files, which is what [[updateWhere]]'s copy-on-write
+    * pays and what dominates when updates are sparse relative to file
+    * size. Same simultaneous-assignment SQL semantics, type-preserving
+    * casts, O(changed) CHECK enforcement before any data lands, and
+    * CDF contract (both images) as the COW path. [[purgeDeletes]] folds
+    * the vector half back into the layout later. */
+  def updateWhereDV(spark: SparkSession, root: String, condSql: String,
+                    assignments: Map[String, String],
+                    cdf: Boolean = true): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"updateWhereDV: no table at $root")
+    require(assignments.nonEmpty, "updateWhereDV: no assignments")
+    val cur = vs.last
+    val ents = entries(spark, root, cur)
+    val tableSchema = schemaOf(spark, root, cur)
+    val schemaNow = tableSchema
+      .getOrElse(read(spark, root, Some(cur)).schema)
+    assignments.keys.foreach(c => require(
+      schemaNow.fieldNames.contains(c),
+      s"updateWhereDV: no column $c in table (UPDATE never adds columns)"))
+    val parsed = spark.sessionState.sqlParser.parseExpression(condSql)
+    val (affected, _) = splitByPredicate(spark, ents, tableSchema, parsed)
+    if (affected.isEmpty) return cur
+    val matches = coalesce(expr(condSql), lit(false))
+    val paths = affected.map(p => s"$root/${p.path}")
+    val scan = tableSchema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+    val priorDirs = dvOf(spark, root, cur)
+    val keyed0 = withFilePos(scan)
+    val keyed =
+      if (priorDirs.isEmpty) keyed0
+      else keyed0.join(
+        spark.read.schema(dvSchema)
+          .parquet(priorDirs.map(d => s"$root/$d"): _*)
+          .select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
+        Seq("__dv_file", "__dv_pos"), "left_anti")
+    // O(matched) rows, consumed four times (vector, fresh data, CDC,
+    // constraint check) — materialize once instead of re-scanning the
+    // candidate files per consumer
+    val hits = keyed.filter(matches).localCheckpoint(true)
+    if (hits.isEmpty) { freeLocalCheckpoint(hits); return cur }
+    def applied(df: DataFrame): DataFrame =
+      df.select(schemaNow.fieldNames.map { c =>
+        assignments.get(c) match {
+          // all RHS evaluate against the OLD row (simultaneous SET)
+          case Some(sql) => expr(sql).cast(schemaNow(c).dataType).as(c)
+          case None => col(c)
+        }
+      }.toIndexedSeq: _*)
+    val post = applied(hits)
+    enforceConstraints(post, constraintsOf(spark, root, cur),
+      "updateWhereDV")
+    val dvDir = s"dv/${java.util.UUID.randomUUID().toString}"
+    hits.select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+      .write.mode("errorifexists").parquet(s"$root/$dvDir")
+    val zoneKeys = ents.flatMap(_.zones.map(_.key)).distinct
+    val fresh = writeData(post, root, zoneKeys)
+    val cdcDir =
+      if (!cdf) None
+      else {
+        val dir = s"cdc/${java.util.UUID.randomUUID().toString}"
+        hits.drop("__dv_file", "__dv_pos")
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(post
+            .withColumn("_change_type", lit("update_postimage")))
+          .write.mode("errorifexists").parquet(s"$root/$dir")
+        Some(dir)
+      }
+    val v = commit(spark, root, ents ++ fresh, cur + 1L,
+      schema = Some(StructType(schemaNow.map(_.copy(nullable = true)))),
+      op = Some("update"), cdc = cdcDir, idx = idxOf(spark, root, cur),
+      constraints = constraintsOf(spark, root, cur),
+      dv = priorDirs :+ dvDir)
+    freeLocalCheckpoint(hits)
+    v
+  }
+
+  /** Unpersist a localCheckpoint'd frame's blocks promptly (same freeing
+    * discipline as `Graphs.freeCheckpoint`). */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Small-file compaction: the maintenance pass every O(delta)-append
     * table needs — thousands of tiny commit files otherwise accumulate
     * until open/footer overhead dominates scans. Files under

@@ -1341,6 +1341,61 @@ class LakeTableSpec extends SparkSpec {
     assert(DeltaInterop.readDelta(spark, out).count() == 90L)
   }
 
+  test("merge-on-read UPDATE: old files untouched, post-images append, "
+      + "simultaneous SET, CDC both images, purge folds") {
+    val root = freshRoot()
+    LakeTable.append(spark.range(0, 400)
+      .select(col("id").as("k"), (col("id") * 3).as("a"),
+        (col("id") * 5).as("b"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      root, zoneKey = Some("k"))
+    val filesBefore = LakeTable.entries(spark, root, 1L).map(_.path).toSet
+    val v2 = LakeTable.updateWhereDV(spark, root, "k BETWEEN 100 AND 109",
+      Map("a" -> "b", "b" -> "a")) // swap — SET is simultaneous
+    assert(v2 == 2L)
+    val after = LakeTable.entries(spark, root, 2L).map(_.path).toSet
+    // merge-on-read: every pre-existing file carries by reference; the
+    // post-images are NEW files appended
+    assert(filesBefore.subsetOf(after) && after.size > filesBefore.size)
+    assert(LakeTable.dvOf(spark, root, 2L).size == 1)
+    val got = LakeTable.read(spark, root)
+      .filter(col("k").between(100, 109))
+      .select("k", "a", "b").as[(Long, Long, Long)].collect()
+    assert(got.length == 10 &&
+      got.forall { case (k, a, b) => a == k * 5 && b == k * 3 }, // swapped
+      got.mkString(","))
+    assert(LakeTable.read(spark, root).count() == 400L)
+    // untouched rows keep their values; time travel intact
+    assert(LakeTable.read(spark, root).filter(col("k") === 50)
+      .select("a").as[Long].head() == 150L)
+    assert(LakeTable.read(spark, root, Some(1L))
+      .filter(col("k") === 100).select("a").as[Long].head() == 300L)
+    // CDC: both images, foldable
+    val feed = LakeTable.changeFeed(spark, root, 1L, 2L)
+      .groupBy("_change_type").count().as[(String, Long)].collect().toMap
+    assert(feed == Map("update_preimage" -> 10L,
+      "update_postimage" -> 10L))
+    // a second DV update over an OVERLAPPING band updates the NEW
+    // images, not the dead originals
+    LakeTable.updateWhereDV(spark, root, "k BETWEEN 105 AND 114",
+      Map("a" -> "a + 1"))
+    val k105 = LakeTable.read(spark, root).filter(col("k") === 105)
+      .select("a").as[Long].collect()
+    assert(k105.toSeq == Seq(105L * 5 + 1), k105.mkString(","))
+    assert(LakeTable.read(spark, root).count() == 400L)
+    // no-match update commits nothing
+    assert(LakeTable.updateWhereDV(spark, root, "k > 99999",
+      Map("a" -> "0")) == 3L)
+    // purge: content identical, vectors gone
+    val before = LakeTable.read(spark, root)
+      .as[(Long, Long, Long)].collect().toSet
+    LakeTable.purgeDeletes(spark, root)
+    assert(LakeTable.dvOf(spark, root,
+      LakeTable.versions(spark, root).last).isEmpty)
+    assert(LakeTable.read(spark, root)
+      .as[(Long, Long, Long)].collect().toSet == before)
+  }
+
   test("restore rolls content back as a new commit; history immutable; "
       + "feed reports it overwrite-style") {
     val root = freshRoot()
