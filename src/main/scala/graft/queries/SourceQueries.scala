@@ -1639,6 +1639,36 @@ object SourceQueries {
               "THEN o_totalprice END")}, 0) AS feed_delta
         FROM orders GROUP BY 1"""),
       "DV UPDATE: vector + appended images; table + folded CDF ≡ q265's oracle"),
+
+    // ---- maintenance procedures as SQL: CALL graftlake.system.* ------------
+    // The whole lifecycle driven by statements alone (DSv2 stored
+    // procedures, the Iceberg CALL convention): a merge-on-read DELETE,
+    // an undo via RESTORE, a second DV delete, and the purge fold-in —
+    // then one SELECT. The oracle replays only the surviving predicate,
+    // so the hash proves the restore really undid delete #1 and the
+    // purge preserved delete #2's semantics through the physical fold.
+    "q292_lake_call" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graftlake",
+          classOf[graft.sources.GraftLakeCatalog].getName)
+        val root = freshRoot("graft_lakec_q292") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.repartitionByRange(8, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"), root,
+          zoneKey = Some("o_orderkey"))
+        s.sql(s"CALL graftlake.system.dv_delete('$root', " +
+          "'o_orderkey BETWEEN 100 AND 800 AND o_orderstatus = ''O''')")
+        s.sql(s"CALL graftlake.system.restore('$root', 1)")
+        s.sql(s"CALL graftlake.system.dv_delete('$root', " +
+          "'o_orderkey BETWEEN 300 AND 1100')")
+        s.sql(s"CALL graftlake.system.purge_deletes('$root')")
+        s.sql(s"SELECT * FROM graftlake.`$root`")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE NOT (o_orderkey BETWEEN 300 AND 1100)"""),
+      "CALL procedures: dv_delete → restore undo → dv_delete → purge ≡ replay"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

@@ -43,7 +43,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * row-level-operation API and stay programmatic
   * ([[LakeTable.updateWhere]] / [[LakeTable.mergeInto]]).
   */
-class GraftLakeCatalog extends TableCatalog {
+class GraftLakeCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = "graftlake"
 
@@ -52,6 +53,25 @@ class GraftLakeCatalog extends TableCatalog {
     catalogName = name
 
   override def name(): String = catalogName
+
+  // ---- maintenance procedures: CALL graftlake.system.<proc>(...) ------
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftLakeProcedures.all.keys.toArray.sorted
+        .map(n => Identifier.of(Array("system"), n))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"graftlake: procedures live under the system namespace " +
+        s"(CALL $catalogName.system.<name>(...)), got $ident")
+    GraftLakeProcedures.all.getOrElse(ident.name(),
+      throw new UnsupportedOperationException(
+        s"graftlake: unknown procedure ${ident.name()} (have: " +
+          s"${GraftLakeProcedures.all.keys.toSeq.sorted.mkString(", ")})"))
+  }
 
   private def rootOf(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString("/")
@@ -122,6 +142,108 @@ class GraftLakeCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graftlake: path-addressed")
+}
+
+/** The maintenance-procedure surface (DSv2 stored procedures, the
+  * Iceberg `CALL catalog.system.<proc>` convention): every lake
+  * lifecycle operation that is NOT a read/DML statement becomes a SQL
+  * statement too, so an operator never needs the Scala API —
+  *
+  * {{{
+  *   CALL graftlake.system.restore('/data/t', 3)
+  *   CALL graftlake.system.purge_deletes('/data/t')
+  *   CALL graftlake.system.dv_delete('/data/t', 'k BETWEEN 5 AND 9')
+  *   CALL graftlake.system.compact('/data/t')
+  *   CALL graftlake.system.reindex('/data/t')
+  *   CALL graftlake.system.compact_index('/data/t')
+  *   CALL graftlake.system.vacuum('/data/t', 4)
+  * }}}
+  *
+  * Each returns one row (the resulting version; vacuum returns the
+  * retained floor) through a `LocalScan`. Optional parameters carry SQL
+  * default values, so positional and named invocation both work. */
+private[sources] object GraftLakeProcedures {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{
+    BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{DataType, LongType, StringType,
+    StructField}
+
+  private def in(n: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, dt).build()
+  private def inD(n: String, dt: DataType,
+                  defaultSql: String): ProcedureParameter =
+    ProcedureParameter.in(n, dt).defaultValue(defaultSql).build()
+
+  private val versionOut =
+    StructType(Seq(StructField("version", LongType, nullable = false)))
+
+  /** One self-binding procedure returning a single BIGINT row. */
+  private final class Proc(procName: String, desc: String,
+                           ps: Seq[ProcedureParameter])
+                          (run: InternalRow => Long)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = ps.toArray
+    override def isDeterministic: Boolean = false // mutates table state
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val v = run(input)
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(v))
+        override def readSchema(): StructType = versionOut
+      }
+      java.util.Collections.singletonList(scan).iterator()
+    }
+  }
+
+  private def spark = SparkSession.active
+
+  val all: Map[String, UnboundProcedure] = Seq[UnboundProcedure](
+    new Proc("restore",
+      "roll the table back to a retained version (metadata-only commit)",
+      Seq(in("table", StringType), in("version", LongType)))(r =>
+      LakeTable.restore(spark, r.getUTF8String(0).toString, r.getLong(1))),
+    new Proc("purge_deletes",
+      "fold deletion vectors into a rewrite of the vectored files",
+      Seq(in("table", StringType)))(r =>
+      LakeTable.purgeDeletes(spark, r.getUTF8String(0).toString)),
+    new Proc("dv_delete",
+      "merge-on-read DELETE: vector matching rows, rewrite nothing",
+      Seq(in("table", StringType), in("predicate", StringType)))(r =>
+      LakeTable.deleteWhereDV(spark, r.getUTF8String(0).toString,
+        r.getUTF8String(1).toString)),
+    new Proc("compact",
+      "bin-pack small files; optional zone_key re-clusters the rewrite",
+      Seq(in("table", StringType),
+        inD("small_bytes", LongType, (128L << 20).toString),
+        inD("target_bytes", LongType, (128L << 20).toString),
+        inD("zone_key", StringType, "NULL")))(r =>
+      LakeTable.compact(spark, r.getUTF8String(0).toString,
+        smallBytes = r.getLong(1), targetBytes = r.getLong(2),
+        zoneKey = if (r.isNullAt(3)) None
+                  else Some(r.getUTF8String(3).toString))),
+    new Proc("reindex",
+      "Bloom-index rows for live files that lack them",
+      Seq(in("table", StringType)))(r =>
+      LakeTable.reindex(spark, r.getUTF8String(0).toString)),
+    new Proc("compact_index",
+      "fold accumulated Bloom sidecar dirs into one (live rows only)",
+      Seq(in("table", StringType)))(r =>
+      LakeTable.compactIndex(spark, r.getUTF8String(0).toString)),
+    new Proc("vacuum",
+      "drop manifests below keep_from and GC unreachable files " +
+        "(grace_ms guards in-flight writers); returns keep_from",
+      Seq(in("table", StringType), in("keep_from", LongType),
+        inD("grace_ms", LongType, "3600000")))({ r =>
+      LakeTable.vacuum(spark, r.getUTF8String(0).toString, r.getLong(1),
+        orphanGraceMs = r.getLong(2))
+      r.getLong(1)
+    })
+  ).map(p => p.name() -> p).toMap
 }
 
 /** One lake snapshot as a DSv2 `Table`: V1Scan-bridged reads (pruning

@@ -334,6 +334,50 @@ class GraftLakeCatalogSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
+  test("CALL graftlake.system.* procedures: dv_delete, purge, restore, "
+      + "compact, vacuum — the whole maintenance surface as SQL") {
+    val root = freshRoot()
+    LakeTable.append(spark.range(0, 200)
+      .select(col("id").as("k"), (col("id") * 2).as("v")),
+      root, zoneKey = Some("k"))
+    // dv_delete via CALL: merge-on-read, no file rewritten
+    val filesBefore = LakeTable.entries(spark, root, 1L).map(_.path).toSet
+    val r1 = spark.sql(
+      s"CALL graftlake.system.dv_delete('$root', 'k < 20')").collect()
+    assert(r1.map(_.getLong(0)).toSeq == Seq(2L))
+    assert(LakeTable.entries(spark, root, 2L).map(_.path).toSet
+      == filesBefore)
+    assert(spark.sql(s"SELECT count(*) FROM graftlake.`$root`")
+      .head().getLong(0) == 180L)
+    // purge via CALL (named args): vectors fold, refs drop
+    val r2 = spark.sql(
+      s"CALL graftlake.system.purge_deletes(table => '$root')").collect()
+    assert(r2.head.getLong(0) == 3L &&
+      LakeTable.dvOf(spark, root, 3L).isEmpty)
+    // restore via CALL: back to v1 content
+    spark.sql(s"CALL graftlake.system.restore('$root', 1)")
+    assert(spark.sql(s"SELECT count(*) FROM graftlake.`$root`")
+      .head().getLong(0) == 200L)
+    // compact via CALL with a default-valued optional zone_key
+    LakeTable.append(spark.range(200, 210)
+      .select(col("id").as("k"), (col("id") * 2).as("v")).coalesce(1), root)
+    val r4 = spark.sql(s"CALL graftlake.system.compact('$root')").collect()
+    assert(r4.head.getLong(0) == 6L)
+    assert(spark.sql(s"SELECT count(*) FROM graftlake.`$root`")
+      .head().getLong(0) == 210L)
+    // vacuum via CALL: old manifests go, current survives
+    spark.sql(s"CALL graftlake.system.vacuum('$root', 6, 0)")
+    assert(LakeTable.versions(spark, root) == Seq(6L))
+    assert(spark.sql(s"SELECT count(*) FROM graftlake.`$root`")
+      .head().getLong(0) == 210L)
+    // unknown procedure: loud refusal listing the surface
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graftlake.system.nope('$root')")
+    }
+    assert(e.getMessage.contains("nope") ||
+      e.getCause != null && e.getCause.getMessage.contains("nope"))
+  }
+
   test("CHECK constraints govern SQL INSERTs too: a violating statement "
       + "is refused and leaves no version") {
     val root = freshRoot()
