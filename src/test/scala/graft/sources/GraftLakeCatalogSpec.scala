@@ -270,6 +270,54 @@ class GraftLakeCatalogSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("interleaved COW / DV deletes + purge ≡ relational fold of the "
+      + "predicate sequence — property") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    val base = spark.range(0, 120).select(col("id").as("k"),
+        (col("id") * 10).as("v"),
+        element_at(array(lit("a"), lit("b"), lit("d")),
+          (col("id") % 3 + 1).cast("int")).as("s"))
+      .repartitionByRange(3, col("k")).sortWithinPartitions("k")
+      .localCheckpoint(true)
+    val bnd = Gen.choose(-10L, 130L)
+    val predGen: Gen[String] = for {
+      a <- bnd; b <- bnd
+      p <- Gen.oneOf(
+        s"k BETWEEN ${math.min(a, b)} AND ${math.max(a, b)}",
+        s"k >= $a AND s = 'b'",
+        s"k IN ($a, $b, 7)",
+        s"k < $a AND NOT (s = 'd')")
+    } yield p
+    // a script is 2-4 deletes, each COW or DV, with an optional purge
+    // somewhere in the middle — the composition the paths must agree on
+    val scriptGen = for {
+      n <- Gen.choose(2, 4)
+      preds <- Gen.listOfN(n, predGen)
+      modes <- Gen.listOfN(n, Gen.oneOf("cow", "dv"))
+      purgeAt <- Gen.choose(0, n)
+    } yield (preds.zip(modes), purgeAt)
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(12).withInitialSeed(Seed(23L))
+    val res = SCTest.check(params, Prop.forAll(scriptGen) {
+      case (steps, purgeAt) =>
+        val root = freshRoot()
+        LakeTable.append(base, root, zoneKey = Some("k"))
+        steps.zipWithIndex.foreach { case ((pred, mode), i) =>
+          if (i == purgeAt) LakeTable.purgeDeletes(spark, root)
+          if (mode == "cow") LakeTable.deleteWhere(spark, root, pred)
+          else LakeTable.deleteWhereDV(spark, root, pred)
+        }
+        val got = LakeTable.read(spark, root)
+          .select("k").as[Long].collect().sorted.toSeq
+        val want = steps.map(_._1).foldLeft(base)((df, p) =>
+          df.filter(!coalesce(expr(p), lit(false))))
+          .select("k").as[Long].collect().sorted.toSeq
+        got == want
+    })
+    assert(res.passed, res.status.toString)
+  }
+
   test("filterSql literals survive the session parser: backslashes, "
       + "quotes, LIKE wildcards in prefixes") {
     import org.apache.spark.sql.sources.{EqualTo, StringStartsWith}
