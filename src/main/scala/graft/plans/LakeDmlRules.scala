@@ -214,7 +214,11 @@ case class GraftLakeUpdateCommand(root: String, condSql: String,
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     LakeTable.withRetry() { () =>
-      LakeTable.updateWhere(spark, root, condSql, assignments)
+      // session merge-on-read switch: vector the pre-images + append
+      // the post-images instead of rewriting affected files
+      if (graft.sources.GraftLakeV2Table.mergeOnRead(spark))
+        LakeTable.updateWhereDV(spark, root, condSql, assignments)
+      else LakeTable.updateWhere(spark, root, condSql, assignments)
     }
     Seq.empty
   }

@@ -340,11 +340,22 @@ class GraftLakeV2Table(root: String, version: Option[Long],
         throw new UnsupportedOperationException(
           s"graftlake DELETE: unsupported predicate $f")))
         .map(s => s"($s)").mkString(" AND ")
-    LakeTable.deleteWhere(spark, root, sql): Unit
+    // `SET spark.graftlake.dml.mode = merge-on-read` routes statements
+    // through the deletion-vector path (sidecar write, no file rewrite)
+    // — the Delta enableDeletionVectors switch, session-scoped here
+    if (GraftLakeV2Table.mergeOnRead(spark))
+      LakeTable.deleteWhereDV(spark, root, sql): Unit
+    else LakeTable.deleteWhere(spark, root, sql): Unit
   }
 }
 
 object GraftLakeV2Table {
+
+  /** Whether session DML statements run merge-on-read (deletion
+    * vectors) instead of copy-on-write file rewrites. */
+  private[graft] def mergeOnRead(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graftlake.dml.mode")
+      .exists(_.trim.equalsIgnoreCase("merge-on-read"))
 
   private val tsLocalFmt = java.time.format.DateTimeFormatter
     .ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS")

@@ -270,6 +270,54 @@ class GraftLakeCatalogSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("spark.graftlake.dml.mode=merge-on-read routes SQL DELETE and "
+      + "UPDATE through deletion vectors (no file rewrites)") {
+    val root = freshRoot()
+    LakeTable.append(spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), root,
+      zoneKey = Some("k"))
+    val files1 = LakeTable.entries(spark, root, 1L).map(_.path).toSet
+    try {
+      spark.conf.set("spark.graftlake.dml.mode", "merge-on-read")
+      spark.sql(s"DELETE FROM graftlake.`$root` WHERE k < 10")
+      assert(LakeTable.entries(spark, root, 2L).map(_.path).toSet
+        == files1) // no rewrite
+      assert(LakeTable.dvOf(spark, root, 2L).size == 1)
+      spark.sql(s"UPDATE graftlake.`$root` SET v = v + 1 " +
+        "WHERE k BETWEEN 20 AND 29")
+      // update: old files all carried, post-images appended
+      val files3 = LakeTable.entries(spark, root, 3L).map(_.path).toSet
+      assert(files1.subsetOf(files3) && files3.size > files1.size)
+      assert(spark.sql(s"SELECT sum(v) FROM graftlake.`$root`")
+        .head().getLong(0) ==
+        (10 until 100).map(k => if (k >= 20 && k <= 29) 2 * k + 1
+                                else 2 * k).sum)
+    } finally spark.conf.unset("spark.graftlake.dml.mode")
+    // default mode still copy-on-write
+    spark.sql(s"DELETE FROM graftlake.`$root` WHERE k >= 90")
+    val v4 = LakeTable.versions(spark, root).last
+    // COW delete carries the two existing vector dirs, adds none
+    assert(LakeTable.dvOf(spark, root, v4).size == 2)
+    assert(spark.sql(s"SELECT count(*) FROM graftlake.`$root`")
+      .head().getLong(0) == 80L)
+  }
+
+  test("deletion vectors work on tables with array columns (row_index "
+      + "available on non-flat schemas)") {
+    val root = freshRoot()
+    LakeTable.append(spark.range(0, 50)
+      .select(col("id").as("k"),
+        array(col("id").cast("float"), (col("id") * 2).cast("float"))
+          .as("emb")), root)
+    LakeTable.deleteWhereDV(spark, root, "k < 5")
+    assert(LakeTable.read(spark, root).count() == 45L)
+    assert(LakeTable.read(spark, root)
+      .select(org.apache.spark.sql.functions.min(col("k")))
+      .head().getLong(0) == 5L)
+    LakeTable.purgeDeletes(spark, root)
+    assert(LakeTable.read(spark, root).count() == 45L)
+  }
+
   test("interleaved COW / DV deletes + purge ≡ relational fold of the "
       + "predicate sequence — property") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
