@@ -63,18 +63,27 @@ object DeltaInterop {
   }
 
   // the action fields this reader consumes, as an explicit read schema
-  // (inference would drop fields absent from a given commit file)
+  // (inference would drop fields absent from a given commit file).
+  // protocol.readerFeatures and add.deletionVector are read ONLY to
+  // refuse what this reader can't serve: a Delta table whose adds carry
+  // deletion vectors would otherwise read its deleted rows back in.
   private val actionSchema = StructType(Seq(
     StructField("add", StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
-      StructField("stats", StringType))),
+      StructField("stats", StringType),
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType))), nullable = true))),
       nullable = true),
     StructField("remove", StructType(Seq(
       StructField("path", StringType))), nullable = true),
     StructField("metaData", StructType(Seq(
       StructField("schemaString", StringType),
       StructField("partitionColumns", ArrayType(StringType)))),
+      nullable = true),
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)))),
       nullable = true)))
 
   private case class LiveFile(partitionValues: Map[String, String],
@@ -93,6 +102,20 @@ object DeltaInterop {
       val f = f"$root/_delta_log/$v%020d.json"
       val actions = spark.read.schema(actionSchema).json(f).collect()
       actions.foreach { a =>
+        Option(a.getAs[Row]("protocol")).foreach { p =>
+          // reader-feature tables this replay can't serve correctly are
+          // refused LOUDLY (the checkpoint discipline): a deletion-vector
+          // or column-mapping table would read wrong rows, not fail
+          val feats = Option(p.getAs[scala.collection.Seq[String]](
+            "readerFeatures")).map(_.toSeq).getOrElse(Seq.empty)
+          val unsupported = feats.filter(f =>
+            f == "deletionVectors" || f == "columnMapping" || f == "v2Checkpoint")
+          if (unsupported.nonEmpty)
+            throw new UnsupportedOperationException(
+              s"$root requires Delta reader features " +
+                s"${unsupported.mkString(", ")}; this interop reader " +
+                "serves plain add/remove JSON logs only")
+        }
         Option(a.getAs[Row]("metaData")).foreach { m =>
           Option(m.getAs[String]("schemaString"))
             .foreach(s => schemaString = Some(s))
@@ -103,6 +126,12 @@ object DeltaInterop {
           live -= r.getAs[String]("path")
         }
         Option(a.getAs[Row]("add")).foreach { ad =>
+          if (!ad.isNullAt(ad.fieldIndex("deletionVector")))
+            throw new UnsupportedOperationException(
+              s"$root: add action for ${ad.getAs[String]("path")} carries " +
+                "a deletion vector; replaying it as a plain file would " +
+                "resurrect its deleted rows — unsupported by this " +
+                "interop reader")
           live += ad.getAs[String]("path") -> LiveFile(
             Option(ad.getAs[Map[String, String]]("partitionValues"))
               .getOrElse(Map.empty),

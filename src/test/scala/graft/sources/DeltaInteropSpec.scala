@@ -152,6 +152,46 @@ class DeltaInteropSpec extends SparkSpec {
     }
   }
 
+  test("deletion-vector adds and DV/column-mapping reader features are "
+      + "refused — never replayed as plain files") {
+    import spark.implicits._
+    // an add carrying a deletionVector would resurrect deleted rows
+    val r1 = freshRoot()
+    writeOne(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), r1, "f0.parquet")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val sj = om.writeValueAsString(schema.json)
+    commit(r1, 0L, Seq(
+      s"""{"metaData":{"id":"d","schemaString":$sj,"partitionColumns":[],"format":{"provider":"parquet"}}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":40,"cardinality":1}}}"""))
+    intercept[UnsupportedOperationException] {
+      DeltaInterop.readDelta(spark, r1)
+    }
+    // a protocol action demanding the deletionVectors reader feature is
+    // refused even before any vectored add appears
+    val r2 = freshRoot()
+    writeOne(Seq((1L, "a")).toDF("k", "v"), r2, "f0.parquet")
+    commit(r2, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"d2","schemaString":$sj,"partitionColumns":[],"format":{"provider":"parquet"}}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    intercept[UnsupportedOperationException] {
+      DeltaInterop.readDelta(spark, r2)
+    }
+    // plain protocol actions (the common v1/v2 header) stay accepted
+    val r3 = freshRoot()
+    writeOne(Seq((1L, "a")).toDF("k", "v"), r3, "f0.parquet")
+    commit(r3, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"d3","schemaString":$sj,"partitionColumns":[],"format":{"provider":"parquet"}}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    assert(DeltaInterop.readDelta(spark, r3).count() == 1L)
+  }
+
   test("a log-cleaned (non-contiguous) JSON history errors instead of "
       + "replaying a truncated prefix") {
     val root = freshRoot()
