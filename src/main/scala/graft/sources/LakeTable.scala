@@ -794,6 +794,15 @@ object LakeTable {
       if (idxDirs.isEmpty) Set.empty
       else spark.read.parquet(idxDirs.map(d => s"$root/$d"): _*)
         .select("file").distinct().collect().map(_.getString(0)).toSet
+    // per-file deletion-vector row counts — the purge-planning signal
+    // ("which files carry dead rows worth folding"); sidecar-sized
+    val dvDirs = dvOf(spark, root, v)
+    val dvCounts: Map[String, Long] =
+      if (dvDirs.isEmpty) Map.empty
+      else spark.read.schema(dvSchema)
+        .parquet(dvDirs.map(d => s"$root/$d"): _*)
+        .groupBy("file").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val sizes = ents.map(_.path).groupBy(p =>
         p.substring(0, p.lastIndexOf('/')))
       .flatMap { case (dir, rels) =>
@@ -804,7 +813,7 @@ object LakeTable {
       }
     val rows = ents.map { e =>
       Row.fromSeq(Seq(e.path, sizes.getOrElse(e.path, -1L),
-        indexed.contains(e.path)) ++
+        indexed.contains(e.path), dvCounts.getOrElse(e.path, 0L)) ++
         zoneCols.flatMap(k => e.zoneFor(k) match {
           case Some(z) => Seq(z.lo, z.hi)
           case None => Seq(null, null)
@@ -813,7 +822,8 @@ object LakeTable {
     val schema = StructType(Seq(
       StructField("path", StringType, nullable = false),
       StructField("size_bytes", LongType, nullable = false),
-      StructField("bloom_indexed", BooleanType, nullable = false)) ++
+      StructField("bloom_indexed", BooleanType, nullable = false),
+      StructField("dv_deleted_rows", LongType, nullable = false)) ++
       zoneCols.flatMap(k => Seq(
         StructField(s"zone_${k}_lo", StringType, nullable = true),
         StructField(s"zone_${k}_hi", StringType, nullable = true))))

@@ -1130,6 +1130,13 @@ class LakeTableSpec extends SparkSpec {
         assert(r.getAs[String]("zone_k_lo") == e.lo.get &&
           r.getAs[String]("zone_k_hi") == e.hi.get)
       }
+    // deletion-vector counts surface per file (the purge-planning
+    // signal): exactly the low-k file carries the 10 vectored rows
+    assert(inv.forall(_.getAs[Long]("dv_deleted_rows") == 0L))
+    LakeTable.deleteWhereDV(spark, root, "k BETWEEN 10 AND 19")
+    val inv2 = LakeTable.files(spark, root).collect()
+    assert(inv2.map(_.getAs[Long]("dv_deleted_rows")).sum == 10L)
+    assert(inv2.count(_.getAs[Long]("dv_deleted_rows") > 0L) == 1)
   }
 
   test("compactIndex folds per-commit sidecars into one; lookups stay "
