@@ -91,7 +91,9 @@ object Plans {
     "q266_lake_bloom_point" -> "Bloom point lookup: sidecar membership names the might-hold files; the scan lists only those, exact equality re-applied",
     "q267_lake_sql" -> "lake behind SQL (USING graftlake): native parquet scan with PushedFilters; the FileIndex already shrank the file list via zones + Bloom",
     "q272_seed_distance" -> "bounded SSSP: per-round static-edge join + min-combine with map-side partials; six rounds, no convergence count",
-    "q278_lake_sql_dml" -> "catalog SQL read after DML: V1Scan-bridged plan — the same pruning FileIndex + vectorized parquet scan under the v2 table")
+    "q278_lake_sql_dml" -> "catalog SQL read after DML: V1Scan-bridged plan — the same pruning FileIndex + vectorized parquet scan under the v2 table",
+    "q288_lake_dv_delete" -> "merge-on-read DELETE: vectored read = parquet scan + BroadcastHashJoin LeftAnti against the sidecar — data side never shuffles, no sort-merge",
+    "q289_lake_dv_purge" -> "post-purge range read: #dv refs dropped, the plan is the vector-free zone-pruned scan again (no anti-join node)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
