@@ -834,4 +834,68 @@ object Similarity {
           (sqrt(col("sa").cast("double") / 1e12) *
             sqrt(col("sb").cast("double") / 1e12))).as("cos_shift"))
   }
+
+  /** Top principal direction of an embedding column — fixed-point power
+    * iteration over the centered scatter matrix, the first step of
+    * PCA/whitening (embedding-diversity analysis, anisotropy checks,
+    * dominant-direction removal à la all-but-the-top).
+    *
+    * Distribution shape: the corpus-scale work is ONE exchange of
+    * d²-cell partial sums (the scatter matrix, built map-side-combined
+    * from a per-row double unnest — rows never shuffle); the mean is a
+    * d-cell aggregate the same way. Iteration state is the d-vector and
+    * the d×d matrix — driver-resident like the k-means centroids, far
+    * below any memory bar (d ≤ a few thousand). Everything numeric is
+    * EXACT fixed-point: per-row centered products quantize to 1e-4
+    * longs before summing (partial-agg order can't move a bit), the
+    * matrix-vector products are integer arithmetic, the norm square is
+    * exact BigInt, and only the final sqrt/divide touch floating point
+    * — immediately re-quantized, so a DuckDB replay of the same
+    * integer layers reproduces the loadings bit-for-bit (sign
+    * included: iteration starts from e₀ deterministically).
+    *
+    * Returns one row per dimension: (i, mu, loading) — the quantized
+    * per-dim mean and the unit principal direction at 1e-4 resolution.
+    */
+  def principalDirection(df: DataFrame, vecCol: String, dim: Int,
+                         iters: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def q4l(c: Column): Column = floor(c * 10000d + 0.5d).cast("long")
+    val x = df.select(Vectors.toDoubleArray(col(vecCol)).as("v"))
+    val muRows = x.select(posexplode(col("v")).as(Seq("i", "xi")))
+      .groupBy("i")
+      .agg(sum(q4l(col("xi"))).as("s"), count(lit(1)).as("n"))
+      .select(col("i"),
+        (floor(col("s").cast("double") / col("n").cast("double") + 0.5d)
+          / 10000d).as("mu"))
+      .collect() // bounded: d rows
+    val mu = Array.ofDim[Double](dim)
+    muRows.foreach(r => mu(r.getInt(0)) = r.getDouble(1))
+    val centered = x.select(
+      zip_with(col("v"), array(mu.map(lit).toIndexedSeq: _*),
+        (a, b) => a - b).as("c"))
+    val cellRows = centered
+      .select(col("c"), posexplode(col("c")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("c")).as(Seq("j", "xj")))
+      .groupBy("i", "j")
+      .agg(sum(q4l(col("xi") * col("xj"))).as("cij"))
+      .collect() // bounded: d² cells
+    val scat = Array.ofDim[Long](dim, dim)
+    cellRows.foreach(r => scat(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    var v = Array.tabulate[Long](dim)(i => if (i == 0) 10000L else 0L)
+    (1 to iters).foreach { _ =>
+      val u = Array.tabulate(dim) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < dim) { acc += scat(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val norm2 = u.foldLeft(BigInt(0))((a, ui) => a + BigInt(ui) * ui)
+      val norm = math.sqrt(norm2.toDouble)
+      v = u.map(ui => math.floor(ui.toDouble / norm * 10000d + 0.5d).toLong)
+    }
+    (0 until dim).map(i => (i.toLong, mu(i), v(i) / 10000d))
+      .toDF("i", "mu", "loading")
+  }
 }

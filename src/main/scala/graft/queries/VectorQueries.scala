@@ -953,5 +953,55 @@ object VectorQueries {
         FROM topk f JOIN topk g ON f.src = g.dst AND f.dst = g.src
         WHERE f.rk <= 5 AND g.rk <= 5 AND f.src < f.dst"""),
       "mutual k-NN graph: per-node top-k kept both ways ≡ SQL replay"),
+
+    // ---- PCA: top principal direction by power iteration -------------------
+    // First step of embedding whitening / anisotropy analysis
+    // (all-but-the-top dominant-direction removal): the centered
+    // scatter matrix folds distributedly into d² fixed-point cells (ONE
+    // slim exchange; rows never shuffle), then 8 integer power-iteration
+    // steps run on the driver — d-vector state, the k-means discipline.
+    // Everything but the per-step sqrt/divide is exact integer
+    // arithmetic, so the oracle's layered-CTE replay (matrix-vector
+    // products as BIGINT sums, norm² as exact HUGEINT) reproduces the
+    // loadings bit-for-bit, sign included.
+    "q294_pca_power" -> Q(
+      (s, d) => Similarity.principalDirection(
+        Tables.embeddings(s, d), "embedding", dim = 64, iters = 8),
+      Some(pcaPowerOracle(dim = 64, iters = 8)),
+      "PCA top component: fixed-point power iteration ≡ layered-CTE replay"),
   )
+
+  /** DuckDB replay of [[Similarity.principalDirection]]: mean and
+    * scatter as fixed-point aggregates, then one CTE layer per power
+    * iteration — u (BIGINT matrix-vector sum), n (exact HUGEINT norm²
+    * → one sqrt), v (requantized direction). */
+  private def pcaPowerOracle(dim: Int, iters: Int): String = {
+    val layers = (1 to iters).map { k =>
+      val p = k - 1
+      s"""u$k AS (SELECT c.i AS i, CAST(sum(c.c * v.v) AS BIGINT) AS u
+             FROM cells c JOIN v$p v ON c.j = v.i GROUP BY 1),
+        n$k AS (SELECT sqrt(CAST(sum(CAST(u AS HUGEINT) * CAST(u AS HUGEINT))
+             AS DOUBLE)) AS nrm FROM u$k),
+        v$k AS (SELECT i, CAST(floor(CAST(u AS DOUBLE) / nrm * 10000 + 0.5)
+             AS BIGINT) AS v FROM u$k CROSS JOIN n$k)"""
+    }.mkString(",\n        ")
+    s"""WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        ex AS (SELECT vec_id, g.i AS i, v[g.i+1] AS xi
+               FROM x, LATERAL (SELECT unnest(range($dim)) AS i) g),
+        mu AS (SELECT i,
+            floor(CAST(sum(CAST(floor(xi * 10000 + 0.5) AS BIGINT))
+              AS DOUBLE) / count(*) + 0.5) / 10000 AS mu
+          FROM ex GROUP BY 1),
+        cx AS (SELECT vec_id, i, xi - mu AS ci FROM ex JOIN mu USING (i)),
+        cells AS (SELECT a.i AS i, b.i AS j,
+            CAST(sum(CAST(floor(a.ci * b.ci * 10000 + 0.5) AS BIGINT))
+              AS BIGINT) AS c
+          FROM cx a JOIN cx b USING (vec_id) GROUP BY 1, 2),
+        v0 AS (SELECT i, CAST(CASE WHEN i = 0 THEN 10000 ELSE 0 END
+            AS BIGINT) AS v FROM range($dim) t(i)),
+        $layers
+        SELECT i, mu, CAST(v AS DOUBLE) / 10000 AS loading
+        FROM v$iters JOIN mu USING (i)"""
+  }
 }

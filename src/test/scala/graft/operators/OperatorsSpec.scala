@@ -894,6 +894,33 @@ class SimilaritySpec extends SparkSpec {
       .select("src", "dst").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L), (4L, 6L)))
   }
+  test("principalDirection: recovers a planted dominant axis, unit "
+      + "norm, partition-layout invariant") {
+    // variance concentrated on axis 2: x = t·e2 + small deterministic
+    // leakage on e0 — the top component must align with e2
+    val rows = (0 until 200).map { t =>
+      val a = Array.fill(8)(0.0)
+      a(2) = (t % 21 - 10).toDouble         // dominant: variance ~36
+      a(0) = ((t * 7) % 5 - 2).toDouble / 10 // leakage: variance ~0.02
+      Tuple1(a)
+    }
+    val df = rows.toDF("embedding")
+    val got = Similarity.principalDirection(df, "embedding", dim = 8)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    val loadings = got.map(_._3)
+    assert(math.abs(math.abs(loadings(2)) - 1.0) < 2e-3, // dominant axis
+      loadings.mkString(","))
+    assert(loadings.zipWithIndex.filter(_._2 != 2)
+      .forall { case (l, _) => math.abs(l) < 0.05 }, loadings.mkString(","))
+    // unit norm at quantization resolution
+    val norm = math.sqrt(loadings.map(l => l * l).sum)
+    assert(math.abs(norm - 1.0) < 2e-3, norm.toString)
+    // exact fixed-point pipeline → identical loadings under any layout
+    val again = Similarity.principalDirection(
+      df.repartition(7), "embedding", dim = 8)
+      .as[(Long, Double, Double)].collect().sortBy(_._1).map(_._3)
+    assert(again.toSeq == loadings.toSeq)
+  }
 }
 
 class SketchesSpec extends SparkSpec {
@@ -1179,5 +1206,6 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L) == 3) // frames 0,4,8
     assert(out(2L) == 1) // frame 0
   }
+
 
 }
