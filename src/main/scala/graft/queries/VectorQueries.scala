@@ -969,39 +969,105 @@ object VectorQueries {
         Tables.embeddings(s, d), "embedding", dim = 64, iters = 8),
       Some(pcaPowerOracle(dim = 64, iters = 8)),
       "PCA top component: fixed-point power iteration ≡ layered-CTE replay"),
+
+    // ---- all-but-the-top: dominant-direction removal, then near-dup --------
+    // The PCA component in USE (Mu & Viswanath 2018: embedding quality
+    // improves after removing the common dominant direction): center,
+    // project out the q294 principal direction, re-run the label-blocked
+    // near-dup pass on the projected vectors. The projection coefficient
+    // is an EXACT fixed-point dot (quantized centered vector · quantized
+    // loading — integer, order-free), so the projected arrays are
+    // bit-identical cross-engine and the pair cosines compare under the
+    // same Q4 discipline as q61. Corpus cost: one map-only projection
+    // pass over the embeddings (the model is d-sized broadcast
+    // literals), then the near-dup join unchanged.
+    "q295_abtt_neardup" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val pc = Similarity.principalDirection(emb, "embedding",
+          dim = 64, iters = 8).collect().sortBy(_.getLong(0))
+        val mu = pc.map(_.getDouble(1))
+        val vq = pc.map(r => math.round(r.getDouble(2) * 10000d))
+        val muLit = array(mu.map(lit).toIndexedSeq: _*)
+        val vqLit = array(vq.map(lit).toIndexedSeq: _*)
+        // let-bind the centered array and the fixed-point coefficient
+        // (Text.bindOnce): withColumn chains collapse and a plain column
+        // reference inside a HOF lambda would re-evaluate its whole
+        // subtree PER ARRAY ELEMENT — 64× the work per row
+        val projCol = graft.functions.Text.bindOnce(
+          zip_with(graft.functions.Vectors.toDoubleArray(col("embedding")),
+            muLit, (a, b) => a - b),
+          c => graft.functions.Text.bindOnce(
+            aggregate(
+              zip_with(transform(c, e => floor(e * 10000d + 0.5d)
+                .cast("long")), vqLit, (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x),
+            dot => transform(
+              zip_with(c, vqLit, (ci, vi) =>
+                ci - (dot.cast("double") / lit(1e8d)) *
+                  (vi.cast("double") / lit(10000d))),
+              e => e.cast("float")))) // storage dtype, IEEE-identical cast
+        val projected = emb.withColumn("proj", projCol)
+        Dedup.embeddingNearDups(projected, "vec_id", "proj",
+          blockCol = col("label"), minCosine = 0.25)
+          .select(col("id_a"), col("id_b"), q4(col("cosine")).as("cosine"))
+      },
+      Some(s"""WITH ${pcaPowerCtes(dim = 64, iters = 8)},
+        cq AS MATERIALIZED (SELECT vec_id, i, ci,
+            CAST(floor(ci * 10000 + 0.5) AS BIGINT) AS cqi FROM cx),
+        dots AS MATERIALIZED (SELECT c.vec_id, CAST(sum(c.cqi * v.v) AS BIGINT) AS dot
+          FROM cq c JOIN v8 v USING (i) GROUP BY 1),
+        proj AS MATERIALIZED (SELECT c.vec_id, c.i,
+            CAST(c.ci - (CAST(d.dot AS DOUBLE) / 100000000)
+              * (CAST(v.v AS DOUBLE) / 10000) AS FLOAT) AS pi
+          FROM cq c JOIN v8 v USING (i)
+          JOIN dots d ON c.vec_id = d.vec_id),
+        parr AS MATERIALIZED (SELECT vec_id, list(pi ORDER BY i) AS p
+                 FROM proj GROUP BY 1),
+        pl AS MATERIALIZED (SELECT parr.vec_id, CAST(p AS DOUBLE[]) AS p, e.label
+               FROM parr JOIN embeddings e USING (vec_id))
+        SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+          ${Q4("list_cosine_similarity(l.p, r.p)")} AS cosine
+        FROM pl l JOIN pl r ON l.label = r.label AND l.vec_id < r.vec_id
+        WHERE list_cosine_similarity(l.p, r.p) >= 0.25"""),
+      "all-but-the-top: exact-fixed-point projection, near-dups ≡ replay"),
   )
 
   /** DuckDB replay of [[Similarity.principalDirection]]: mean and
     * scatter as fixed-point aggregates, then one CTE layer per power
     * iteration — u (BIGINT matrix-vector sum), n (exact HUGEINT norm²
-    * → one sqrt), v (requantized direction). */
-  private def pcaPowerOracle(dim: Int, iters: Int): String = {
+    * → one sqrt), v (requantized direction). Returns the WITH body
+    * (ending in `v<iters>`, with `mu` and `cx` also in scope). */
+  private def pcaPowerCtes(dim: Int, iters: Int): String = {
     val layers = (1 to iters).map { k =>
       val p = k - 1
-      s"""u$k AS (SELECT c.i AS i, CAST(sum(c.c * v.v) AS BIGINT) AS u
+      s"""u$k AS MATERIALIZED (SELECT c.i AS i, CAST(sum(c.c * v.v) AS BIGINT) AS u
              FROM cells c JOIN v$p v ON c.j = v.i GROUP BY 1),
-        n$k AS (SELECT sqrt(CAST(sum(CAST(u AS HUGEINT) * CAST(u AS HUGEINT))
+        n$k AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(u AS HUGEINT) * CAST(u AS HUGEINT))
              AS DOUBLE)) AS nrm FROM u$k),
-        v$k AS (SELECT i, CAST(floor(CAST(u AS DOUBLE) / nrm * 10000 + 0.5)
+        v$k AS MATERIALIZED (SELECT i, CAST(floor(CAST(u AS DOUBLE) / nrm * 10000 + 0.5)
              AS BIGINT) AS v FROM u$k CROSS JOIN n$k)"""
     }.mkString(",\n        ")
-    s"""WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    s"""x AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
           FROM embeddings),
-        ex AS (SELECT vec_id, g.i AS i, v[g.i+1] AS xi
+        ex AS MATERIALIZED (SELECT vec_id, g.i AS i, v[g.i+1] AS xi
                FROM x, LATERAL (SELECT unnest(range($dim)) AS i) g),
-        mu AS (SELECT i,
+        mu AS MATERIALIZED (SELECT i,
             floor(CAST(sum(CAST(floor(xi * 10000 + 0.5) AS BIGINT))
               AS DOUBLE) / count(*) + 0.5) / 10000 AS mu
           FROM ex GROUP BY 1),
-        cx AS (SELECT vec_id, i, xi - mu AS ci FROM ex JOIN mu USING (i)),
-        cells AS (SELECT a.i AS i, b.i AS j,
+        cx AS MATERIALIZED (SELECT vec_id, i, xi - mu AS ci FROM ex JOIN mu USING (i)),
+        cells AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
             CAST(sum(CAST(floor(a.ci * b.ci * 10000 + 0.5) AS BIGINT))
               AS BIGINT) AS c
           FROM cx a JOIN cx b USING (vec_id) GROUP BY 1, 2),
-        v0 AS (SELECT i, CAST(CASE WHEN i = 0 THEN 10000 ELSE 0 END
+        v0 AS MATERIALIZED (SELECT i, CAST(CASE WHEN i = 0 THEN 10000 ELSE 0 END
             AS BIGINT) AS v FROM range($dim) t(i)),
-        $layers
+        $layers"""
+  }
+
+  private def pcaPowerOracle(dim: Int, iters: Int): String =
+    s"""WITH ${pcaPowerCtes(dim, iters)}
         SELECT i, mu, CAST(v AS DOUBLE) / 10000 AS loading
         FROM v$iters JOIN mu USING (i)"""
-  }
 }
