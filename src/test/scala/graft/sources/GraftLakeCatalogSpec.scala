@@ -302,6 +302,30 @@ class GraftLakeCatalogSpec extends SparkSpec {
       .head().getLong(0) == 80L)
   }
 
+  test("deletion vectors across schema evolution: positions hit the "
+      + "right rows in files written before a column existed") {
+    val root = freshRoot()
+    LakeTable.append(spark.range(0, 50)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), root)
+    // evolution: second commit adds w; first commit's files null-fill
+    LakeTable.append(spark.range(50, 100)
+      .select(col("id").as("k"), (col("id") * 2).as("v"),
+        (col("id") * 3).as("w")), root)
+    // the delete band spans BOTH generations of files
+    LakeTable.deleteWhereDV(spark, root, "k BETWEEN 40 AND 59")
+    val got = LakeTable.read(spark, root)
+    assert(got.count() == 80L)
+    assert(got.filter(col("k").between(40, 59)).count() == 0L)
+    // null-fill of the added column still intact on survivors
+    assert(got.filter(col("k") === 10).select("w").head().isNullAt(0))
+    assert(got.filter(col("k") === 90).select("w").as[Long].head() == 270L)
+    // purge folds across the evolved schema too
+    LakeTable.purgeDeletes(spark, root)
+    assert(LakeTable.read(spark, root).count() == 80L)
+    assert(LakeTable.read(spark, root)
+      .filter(col("k") === 10).select("w").head().isNullAt(0))
+  }
+
   test("deletion vectors work on tables with array columns (row_index "
       + "available on non-flat schemas)") {
     val root = freshRoot()
