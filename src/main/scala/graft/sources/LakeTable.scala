@@ -1706,19 +1706,19 @@ object LakeTable {
           .parquet(priorDirs.map(d => s"$root/$d"): _*)
           .select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
         Seq("__dv_file", "__dv_pos"), "left_anti")
-    val hits = keyed.filter(matches)
+    // O(matched) rows, consumed up to three times (no-op check, vector,
+    // CDC) — materialize once instead of rescanning the candidate files
+    // per consumer
+    val hits = keyed.filter(matches).localCheckpoint(true)
+    if (hits.isEmpty) {
+      // nothing matched → commit nothing (parity with the COW path's
+      // zone-proven no-op)
+      freeLocalCheckpoint(hits)
+      return cur
+    }
     val dvDir = s"dv/${java.util.UUID.randomUUID().toString}"
     hits.select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
       .write.mode("errorifexists").parquet(s"$root/$dvDir")
-    val fs = hfs(spark, root)
-    // one sidecar-sized count decides no-op: nothing matched → remove
-    // the empty sidecar, commit nothing (parity with the COW path's
-    // zone-proven no-op)
-    val n = spark.read.schema(dvSchema).parquet(s"$root/$dvDir").count()
-    if (n == 0L) {
-      fs.delete(new Path(s"$root/$dvDir"), true)
-      return cur
-    }
     val cdcDir =
       if (!cdf) None
       else {
@@ -1729,11 +1729,13 @@ object LakeTable {
         Some(dir)
       }
     val out = tableSchema.getOrElse(read(spark, root, Some(cur)).schema)
-    commit(spark, root, ents, cur + 1L,
+    val v = commit(spark, root, ents, cur + 1L,
       schema = Some(StructType(out.map(_.copy(nullable = true)))),
       op = Some("delete"), cdc = cdcDir, idx = idxOf(spark, root, cur),
       constraints = constraintsOf(spark, root, cur),
       dv = priorDirs :+ dvDir)
+    freeLocalCheckpoint(hits)
+    v
   }
 
   /** Fold deletion vectors back into the data (Delta's
