@@ -1669,6 +1669,43 @@ object SourceQueries {
       Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         WHERE NOT (o_orderkey BETWEEN 300 AND 1100)"""),
       "CALL procedures: dv_delete → restore undo → dv_delete → purge ≡ replay"),
+
+    // ---- readStream.format("graftlake"): the streaming SOURCE API ----------
+    // q258's pipeline through the FIRST-CLASS API instead of the
+    // LakeStream util: manifest versions ARE the stream's offsets
+    // (Spark's offset log owns replay/restart), each micro-batch is the
+    // version delta's files, and the exactly-once graftlake sink lands
+    // it downstream. Source takes a DV delete mid-history: vectors
+    // serve applied at the bootstrap (v1's batch reads at the latest
+    // offset's vector state — files are the offset unit, vectors are
+    // read-time state). Oracle: the source table's final content.
+    "q296_lake_readstream" -> Q(
+      (s, d) => {
+        val src = freshRoot("graft_lakers_q296s") + "/t"
+        val dst = freshRoot("graft_lakers_q296d") + "/t"
+        val ckpt = freshRoot("graft_lakers_q296c")
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        (0 until 3).foreach { i =>
+          graft.sources.LakeTable.append(
+            o.filter(col("o_orderkey") % 3 === i), src,
+            zoneKey = Some("o_orderkey"))
+        }
+        graft.sources.LakeTable.deleteWhereDV(s, src,
+          "o_orderkey BETWEEN 100 AND 900")
+        val q = s.readStream.format("graftlake").option("path", src)
+          .load()
+          .writeStream.format("graftlake")
+          .option("path", dst).option("appId", "q296-tail")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.sources.LakeTable.read(s, dst)
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE NOT (o_orderkey BETWEEN 100 AND 900)"""),
+      "readStream graftlake source → exactly-once sink ≡ DV-applied table"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

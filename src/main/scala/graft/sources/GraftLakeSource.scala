@@ -42,6 +42,7 @@ import org.apache.spark.sql.types.StructType
   */
 class GraftLakeSource extends RelationProvider
     with CreatableRelationProvider with StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graftlake"
@@ -50,6 +51,53 @@ class GraftLakeSource extends RelationProvider
     parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "graftlake: 'path' option is required"))
+
+  // ---- streaming SOURCE: spark.readStream.format("graftlake") ---------
+
+  /** The stream's fixed schema: the table's manifest schema at stream
+    * definition (columns later evolution adds are dropped per batch;
+    * the standard streaming fixed-schema rule). */
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    val root = rootOf(parameters)
+    val s = schema.getOrElse {
+      val spark = sqlContext.sparkSession
+      val vs = LakeTable.versions(spark, root)
+      require(vs.nonEmpty,
+        s"graftlake source: no committed versions under $root " +
+          "(pass an explicit schema to tail a not-yet-created table)")
+      LakeTable.schemaOf(spark, root, vs.last)
+        .getOrElse(LakeTable.read(spark, root).schema)
+    }
+    (s"graftlake[$root]", s)
+  }
+
+  /** `spark.readStream.format("graftlake")` — the incremental SOURCE
+    * over the manifest log, the read-side mirror of the exactly-once
+    * sink: OFFSETS ARE VERSION NUMBERS, so Spark's own offset log owns
+    * replay/restart semantics and a restarted stream resumes exactly
+    * after its last committed version. Each batch serves the files
+    * versions `(start, end]` added (file-granular appends — the
+    * [[LakeTable.readChanges]] contract; rewriting commits surface the
+    * rewritten files, DV deletes surface nothing and the vectors apply
+    * to what IS served), with the very first batch bootstrapping the
+    * full snapshot. Retention rule: keep vacuum's floor below the
+    * slowest stream's committed version, as with every incremental
+    * reader. `startingVersion` skips the bootstrap and tails only
+    * versions AFTER it. */
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val root = rootOf(parameters)
+    val fixed = sourceSchema(sqlContext, schema, providerName, parameters)._2
+    val startAt = parameters.get("startingVersion").map(_.toLong)
+    new GraftLakeStreamSource(sqlContext, root, fixed, startAt)
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String])
@@ -158,6 +206,59 @@ class GraftLakeSource extends RelationProvider
       override def toString: String = s"GraftLakeSink[$root]"
     }
   }
+}
+
+/** V1 streaming Source over a lake table's manifest log: offsets are
+  * committed VERSION NUMBERS ([[LongOffset]]); `getBatch(a, b]` is
+  * [[LakeTable.readChanges]] over that version range (O(changed files)
+  * I/O, deletion vectors applied, `a = None` bootstraps the snapshot),
+  * column-aligned to the stream's fixed schema. Versions are immutable
+  * once committed, so a replayed batch is deterministically identical —
+  * the property Spark's offset log needs for exactly-once composition
+  * with an idempotent sink. */
+class GraftLakeStreamSource(ctx: SQLContext, root: String,
+                            fixed: StructType, startAt: Option[Long])
+    extends org.apache.spark.sql.execution.streaming.Source {
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+  import org.apache.spark.sql.functions.{col, lit}
+
+  private def spark = ctx.sparkSession
+
+  override def schema: StructType = fixed
+
+  override def getOffset
+      : Option[org.apache.spark.sql.execution.streaming.Offset] =
+    LakeTable.versions(spark, root).lastOption
+      .filter(v => startAt.forall(v > _)) // nothing new past the skip point
+      .map(LongOffset(_))
+
+  private def at(o: org.apache.spark.sql.connector.read.streaming.Offset)
+      : Long = o match {
+    case LongOffset(v) => v
+    case other =>
+      // checkpoint-recovered offsets arrive serialized
+      other.json.trim.toLong
+  }
+
+  override def getBatch(
+      start: Option[org.apache.spark.sql.execution.streaming.Offset],
+      end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
+    val from = start.map(at).orElse(startAt)
+    val df = LakeTable.readChanges(spark, root, from, at(end))
+    // align to the stream's fixed schema: evolution-added columns drop,
+    // files written before a column existed already null-fill upstream
+    val aligned = df.select(fixed.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    org.apache.spark.sql.graftbridge.ColumnBridge.streamingFrame(
+      ctx, aligned.queryExecution.toRdd, StructType(fixed.map(
+        _.copy(nullable = true))))
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftLakeStreamSource[$root]"
 }
 
 /** Fallback relation for snapshots that carry deletion vectors: the

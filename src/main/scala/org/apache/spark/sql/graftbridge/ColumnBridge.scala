@@ -33,4 +33,15 @@ object ColumnBridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Streaming-tagged batch frame from internal rows — the V1 streaming
+    * `Source.getBatch` return contract (what FileStreamSource does);
+    * classic `internalCreateDataFrame` is private[sql]. */
+  def streamingFrame(ctx: org.apache.spark.sql.SQLContext,
+                     rdd: org.apache.spark.rdd.RDD[
+                       org.apache.spark.sql.catalyst.InternalRow],
+                     schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    ctx.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
 }

@@ -201,4 +201,71 @@ class GraftLakeSourceSpec extends SparkSpec {
     assert(LakeTable.read(spark, root).select("k").as[Long]
       .collect().toSet == Set(1L, 2L, 3L, 4L))
   }
+
+  test("readStream.format(graftlake): bootstrap + incremental batches, "
+      + "restart resumes after the committed version, no duplicates — "
+      + "lake→stream→lake end-to-end") {
+    val dir = Files.createTempDirectory("lakesrcstream")
+    val src = dir.resolve("src").toString
+    val dst = dir.resolve("dst").toString
+    val ckpt = dir.resolve("ckpt").toString
+    LakeTable.append(spark.range(0, 50)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), src)
+    // stage N → stage N+1: graftlake source piped into the exactly-once
+    // graftlake sink over one checkpoint — the continuous-pipeline shape
+    def run(): Unit = {
+      val q = spark.readStream.format("graftlake").option("path", src)
+        .load()
+        .writeStream.format("graftlake")
+        .option("path", dst).option("appId", "src-tail")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    assert(LakeTable.read(spark, dst).count() == 50L) // bootstrap snapshot
+    // two more commits land; the restarted stream serves ONLY them
+    LakeTable.append(spark.range(50, 80)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), src)
+    LakeTable.append(spark.range(80, 90)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), src)
+    run()
+    assert(LakeTable.read(spark, dst).select("k").as[Long]
+      .collect().toSet == (0L until 90L).toSet) // no dups, no gaps
+    // nothing new → the restarted stream commits nothing downstream
+    val dstV = LakeTable.versions(spark, dst).last
+    run()
+    assert(LakeTable.versions(spark, dst).last == dstV)
+    // a DV delete adds no files → nothing streams to the tail...
+    LakeTable.deleteWhereDV(spark, src, "k < 10")
+    run()
+    assert(LakeTable.read(spark, dst).count() == 90L)
+    // ...but a FRESH consumer's bootstrap serves the vector-applied
+    // snapshot
+    val q2 = spark.readStream.format("graftlake").option("path", src)
+      .load()
+      .writeStream.format("graftlake")
+      .option("path", dir.resolve("dst2").toString)
+      .option("appId", "fresh-tail")
+      .option("checkpointLocation", dir.resolve("ckpt2").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(LakeTable.read(spark, dir.resolve("dst2").toString)
+      .select("k").as[Long].collect().toSet == (10L until 90L).toSet)
+    // startingVersion skips the bootstrap: only versions AFTER it
+    val q3 = spark.readStream.format("graftlake").option("path", src)
+      .option("startingVersion", "2").load()
+      .writeStream.format("graftlake")
+      .option("path", dir.resolve("dst3").toString)
+      .option("appId", "from2-tail")
+      .option("checkpointLocation", dir.resolve("ckpt3").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q3.awaitTermination()
+    assert(LakeTable.read(spark, dir.resolve("dst3").toString)
+      .select("k").as[Long].collect().toSet ==
+      (80L until 90L).toSet) // v3's files only
+  }
 }
