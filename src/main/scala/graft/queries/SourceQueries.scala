@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
-import graft.sources.Sources
+import graft.sources.{Sinks, Sources}
 import Q._
 
 /** Oracle-verified coverage for the delimited-file source family
@@ -1706,6 +1706,30 @@ object SourceQueries {
       Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         WHERE NOT (o_orderkey BETWEEN 100 AND 900)"""),
       "readStream graftlake source → exactly-once sink ≡ DV-applied table"),
+
+    // ---- WET crawl-archive round-trip --------------------------------------
+    // The CommonCrawl extracted-text layout: documents render as
+    // record-delimited WARC/1.0 conversion records (URI, Content-Length,
+    // payload) across shard files, then parse back through the custom
+    // lineSep text read — splittable like any line read, so a 100 TB
+    // crawl drop ingests fully parallel. The oracle recomputes the
+    // URIs and texts from the documents table directly, so the hash
+    // proves the format round-trips payloads exactly (lengths included).
+    "q297_wet_roundtrip" -> Q(
+      (s, d) => {
+        val tmp = freshRoot("graft_wet_q297")
+        val docs = Tables.documents(s, d)
+          .select(concat(lit("https://crawl.example/"), col("source"),
+            lit("/"), col("doc_id")).as("uri"), col("text"))
+        Sinks.wetWrite(docs, s"$tmp/wet")
+        Sources.wetRecords(s, s"$tmp/wet")
+          .select(col("uri"), col("content_length"), col("text"))
+      },
+      Some("""SELECT 'https://crawl.example/' || source || '/'
+            || CAST(doc_id AS VARCHAR) AS uri,
+          CAST(length(text) AS BIGINT) AS content_length, text
+        FROM documents"""),
+      "WET archive: render shards, parse back via splittable lineSep read"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

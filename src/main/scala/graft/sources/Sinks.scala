@@ -46,6 +46,22 @@ object Sinks {
   def orcOverwrite(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** WET-style crawl-archive writer — the export half of
+    * [[Sources.wetRecords]]: `df` carries (uri, text); each row renders
+    * as one `WARC/1.0` conversion record (type, target URI,
+    * Content-Length as a CHARACTER count — see the reader's dialect
+    * note) and the records concatenate through the text sink, one shard
+    * file per partition. Distribution is the text sink's own: no
+    * driver-side assembly, shard count = partition count. */
+  def wetWrite(df: DataFrame, path: String): Unit =
+    df.select(concat(
+        lit("WARC/1.0\n"),
+        lit("WARC-Type: conversion\n"),
+        lit("WARC-Target-URI: "), col("uri"), lit("\n"),
+        lit("Content-Length: "), length(col("text")), lit("\n\n"),
+        col("text")).as("value"))
+      .write.mode("overwrite").text(path)
+
   /** Small-files compaction: rewrite a dataset into files of roughly
     * `rowsPerFile` rows. The chronic failure mode of a long-running
     * ingest (streaming micro-batches, per-source imports) is thousands

@@ -144,6 +144,39 @@ object Sources {
     schema.fold(r)(s => r.schema(s)).json(path)
   }
 
+  /** WET-style crawl-archive reader (the CommonCrawl extracted-text
+    * layout this engine's corpus ingestion models): record-delimited
+    * text files where each record is a `WARC/1.0` header block — type,
+    * target URI, content length — a blank line, then the payload.
+    * Returns one row per record: (uri, content_length, text).
+    *
+    * Mechanism: the text source's custom `lineSep` splits the stream on
+    * the `WARC/1.0` magic — Hadoop's delimited line reader, so a
+    * multi-GB shard still SPLITS across tasks (each split scans forward
+    * to the next magic, the same contract as ordinary line reads) and a
+    * 100 TB crawl drop reads fully parallel with no whole-file staging.
+    * Header fields parse with codegen regexes; the payload is cut to
+    * exactly `Content-Length` CHARACTERS (the dialect [[Sinks.wetWrite]]
+    * emits — character count, not bytes, so multi-byte text round-trips
+    * through Spark's char-indexed substring), which makes payloads
+    * containing blank lines or trailing newlines unambiguous. Records
+    * whose payload would itself contain the record magic at line start
+    * are the format's own ambiguity — real WET emits length-prefixed
+    * records for the same reason this reader trusts Content-Length. */
+  def wetRecords(spark: SparkSession, path: String): DataFrame = {
+    val rec = spark.read.option("lineSep", "WARC/1.0\n").text(path)
+      .filter(length(trim(col("value"))) > 0) // preamble before 1st magic
+    rec.select(
+      regexp_extract(col("value"), "WARC-Target-URI: ([^\n]*)", 1)
+        .as("uri"),
+      regexp_extract(col("value"), "Content-Length: ([0-9]+)", 1)
+        .cast("long").as("content_length"),
+      col("value"))
+      .select(col("uri"), col("content_length"),
+        element_at(split(col("value"), "\n\n", 2), 2)
+          .substr(lit(1), col("content_length")).as("text"))
+  }
+
   /** ORC reader — the second columnar lake format Spark ships natively
     * (vectorized reader, predicate pushdown, column pruning — same
     * properties as the parquet mirror path). Interchange surface for

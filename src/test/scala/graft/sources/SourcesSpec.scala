@@ -218,4 +218,35 @@ class SourcesSpec extends SparkSpec {
       Sinks.readVersion(spark, root, Some(1L))
     }
   }
+
+  test("WET archive round-trip: blank lines, trailing newlines, unicode "
+      + "and empty payloads all survive (Content-Length cuts exactly)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wet").toString
+    val docs = Seq(
+      ("u1", "plain body"),
+      ("u2", "multi\nline\n\nwith a blank line inside"),
+      ("u3", "trailing newline\n"),
+      ("u4", "unicode: åßç 中文 🚀"),
+      ("u5", ""),
+      ("u6", "line that could look like a header\nContent-Length: 99")
+    ).toDF("uri", "text")
+    Sinks.wetWrite(docs.repartition(2), s"$dir/wet")
+    val back = Sources.wetRecords(spark, s"$dir/wet")
+      .select("uri", "text").as[(String, String)].collect().toMap
+    assert(back == Map(
+      "u1" -> "plain body",
+      "u2" -> "multi\nline\n\nwith a blank line inside",
+      "u3" -> "trailing newline\n",
+      "u4" -> "unicode: åßç 中文 🚀",
+      "u5" -> "",
+      "u6" -> "line that could look like a header\nContent-Length: 99"),
+      back.toString)
+    // content_length reports the payload's CODE-POINT count (Spark's
+    // length/substr unit — a surrogate-pair emoji is one character)
+    val u4 = "unicode: åßç 中文 🚀"
+    val lens = Sources.wetRecords(spark, s"$dir/wet")
+      .select("uri", "content_length").as[(String, Long)].collect().toMap
+    assert(lens("u4") == u4.codePointCount(0, u4.length).toLong)
+    assert(lens("u5") == 0L)
+  }
 }
