@@ -167,6 +167,36 @@ class LakeTableSpec extends SparkSpec {
     assert(ks.sorted == Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("racing DV deleters: both vectors land, neither is lost — the "
+      + "retry replays on the fresh snapshot's vector refs") {
+    val root = freshRoot()
+    LakeTable.append(spark.range(0, 200)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), root)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // disjoint bands: the loser's retry must re-read dvOf on the new
+    // snapshot or its commit would drop the winner's #dv ref and
+    // resurrect the winner's deleted band
+    val deleters = Seq("k < 10", "k >= 190").map { pred =>
+      Future {
+        LakeTable.withRetry() { () =>
+          LakeTable.deleteWhereDV(spark, root, pred)
+        }
+      }
+    }
+    val got = Await.result(Future.sequence(deleters), 120.seconds)
+    assert(got.toSet == Set(2L, 3L))
+    val vLast = LakeTable.versions(spark, root).last
+    assert(LakeTable.dvOf(spark, root, vLast).size == 2)
+    assert(LakeTable.read(spark, root).select("k").as[Long]
+      .collect().toSet == (10L until 190L).toSet)
+    // a crashed loser's orphan dv dir (if any) is vacuum-fodder, not a
+    // correctness problem: only manifest-referenced dirs serve reads
+    LakeTable.vacuum(spark, root, keepFrom = vLast, orphanGraceMs = 0L)
+    assert(LakeTable.read(spark, root).count() == 180L)
+  }
+
   test("compact: bin-packs small files, keeps at-size files by reference, "
       + "preserves content and history") {
     val root = freshRoot()
