@@ -67,6 +67,67 @@ object RetrievalQueries {
         count(lit(1)).as("n_big"))
   }
 
+  /** Per-document Kneser–Ney bigram-LM score (q293's frame, shared with
+    * the q298 gate): P(w2|w1) = max(c12−d,0)/c1 + d·N₁₊(w1,·)/c1 ·
+    * N₁₊(·,w2)/N₁₊(·,·), fixed discount d = 0.75. Every statistic is a
+    * re-aggregate of the one distinct-bigram table (vocab-keyed; the
+    * type total broadcasts as one row); per-position log-probs quantize
+    * before the exact fixed-point mean. */
+  private def knLmDocScores(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"),
+        filter(Text.tokens(Text.normalize(col("text"))),
+          t => t =!= "").as("toks"))
+    val big = tk.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("toks")) - 2)).as("i"),
+        col("toks"))
+      .select(col("doc_id"),
+        element_at(col("toks"), col("i") + 1).as("w1"),
+        element_at(col("toks"), col("i") + 2).as("w2"))
+    val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val lc = bc.groupBy("w1").agg(sum(col("c12")).as("c1"),
+      count(lit(1)).as("nf")) // tokens out of w1 + distinct followers
+    val np = bc.groupBy("w2").agg(count(lit(1)).as("np"))
+    val nt = bc.agg(count(lit(1)).cast("double").as("nt"))
+    val p = (greatest(col("c12").cast("double") - lit(0.75d), lit(0.0d)) /
+        col("c1").cast("double")) +
+      (lit(0.75d) * col("nf").cast("double") / col("c1").cast("double")) *
+        (col("np").cast("double") / col("nt"))
+    big.join(bc, Seq("w1", "w2"))
+      .join(lc, Seq("w1"))
+      .join(np, Seq("w2"))
+      .crossJoin(broadcast(nt))
+      .withColumn("lp", q4(log(p)))
+      .groupBy("doc_id")
+      .agg(q4(xsum4(col("lp")) / count(lit(1))).as("mean_kn"),
+        count(lit(1)).as("n_big"))
+  }
+
+  /** DuckDB replay of [[knLmDocScores]] as a CTE chain ending in
+    * `knscores(doc_id, mean_kn, n_big)` — prepend inside WITH. */
+  private val knLmCtes: String = s"""tk AS (
+          SELECT doc_id, list_filter($tokSql, t -> t <> '') AS toks
+          FROM documents),
+        big AS (SELECT doc_id, toks[g.i+1] AS w1, toks[g.i+2] AS w2
+                FROM tk, LATERAL (SELECT unnest(range(len(toks) - 1)) AS i) g
+                WHERE len(toks) >= 2),
+        bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+        lc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                 count(*) AS nf FROM bc GROUP BY 1),
+        np AS (SELECT w2, count(*) AS np FROM bc GROUP BY 1),
+        nt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM bc),
+        knscores AS (SELECT big.doc_id AS doc_id,
+          ${Q4(s"${XSUM4(Q4("ln((greatest(CAST(c12 AS DOUBLE) - " +
+            "CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / CAST(c1 AS DOUBLE)) " +
+            "+ (CAST(0.75 AS DOUBLE) * CAST(nf AS DOUBLE) / " +
+            "CAST(c1 AS DOUBLE)) * (CAST(np AS DOUBLE) / nt))"))} / count(*)")}
+            AS mean_kn,
+          count(*) AS n_big
+        FROM big JOIN bc USING (w1, w2) JOIN lc USING (w1)
+        JOIN np USING (w2) CROSS JOIN nt
+        GROUP BY big.doc_id)"""
+
   /** DuckDB replay of [[bigramLmDocScores]] as a CTE chain ending in
     * `lmscores(doc_id, mean_lp, n_big)` — prepend inside WITH. */
   private val bigramLmCtes: String = s"""tk AS (
@@ -741,58 +802,32 @@ object RetrievalQueries {
     // fixed-point mean; the oracle replays the identical IEEE
     // expression, so scores hash-match bit-for-bit.
     "q293_kneser_ney" -> Q(
-      (s, d) => {
-        val tk = Tables.documents(s, d)
-          .select(col("doc_id"),
-            filter(Text.tokens(Text.normalize(col("text"))),
-              t => t =!= "").as("toks"))
-        val big = tk.filter(size(col("toks")) >= 2)
-          .select(col("doc_id"),
-            explode(sequence(lit(0), size(col("toks")) - 2)).as("i"),
-            col("toks"))
-          .select(col("doc_id"),
-            element_at(col("toks"), col("i") + 1).as("w1"),
-            element_at(col("toks"), col("i") + 2).as("w2"))
-        val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-        val lc = bc.groupBy("w1").agg(sum(col("c12")).as("c1"),
-          count(lit(1)).as("nf")) // tokens out of w1 + distinct followers
-        val np = bc.groupBy("w2").agg(count(lit(1)).as("np"))
-        val nt = bc.agg(count(lit(1)).cast("double").as("nt"))
-        val p = (greatest(col("c12").cast("double") - lit(0.75d), lit(0.0d)) /
-            col("c1").cast("double")) +
-          (lit(0.75d) * col("nf").cast("double") / col("c1").cast("double")) *
-            (col("np").cast("double") / col("nt"))
-        big.join(bc, Seq("w1", "w2"))
-          .join(lc, Seq("w1"))
-          .join(np, Seq("w2"))
-          .crossJoin(broadcast(nt))
-          .withColumn("lp", q4(log(p)))
-          .groupBy("doc_id")
-          .agg(q4(xsum4(col("lp")) / count(lit(1))).as("mean_kn"),
-            count(lit(1)).as("n_big"))
-      },
-      Some(s"""WITH tk AS (
-          SELECT doc_id, list_filter($tokSql, t -> t <> '') AS toks
-          FROM documents),
-        big AS (SELECT doc_id, toks[g.i+1] AS w1, toks[g.i+2] AS w2
-                FROM tk, LATERAL (SELECT unnest(range(len(toks) - 1)) AS i) g
-                WHERE len(toks) >= 2),
-        bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
-        lc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
-                 count(*) AS nf FROM bc GROUP BY 1),
-        np AS (SELECT w2, count(*) AS np FROM bc GROUP BY 1),
-        nt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM bc)
-        SELECT big.doc_id AS doc_id,
-          ${Q4(s"${XSUM4(Q4("ln((greatest(CAST(c12 AS DOUBLE) - " +
-            "CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / CAST(c1 AS DOUBLE)) " +
-            "+ (CAST(0.75 AS DOUBLE) * CAST(nf AS DOUBLE) / " +
-            "CAST(c1 AS DOUBLE)) * (CAST(np AS DOUBLE) / nt))"))} / count(*)")}
-            AS mean_kn,
-          count(*) AS n_big
-        FROM big JOIN bc USING (w1, w2) JOIN lc USING (w1)
-        JOIN np USING (w2) CROSS JOIN nt
-        GROUP BY big.doc_id"""),
+      (s, d) => knLmDocScores(s, d),
+      Some(s"""WITH $knLmCtes
+        SELECT doc_id, mean_kn, n_big FROM knscores"""),
       "Kneser–Ney bigram LM: type-count continuation ≡ identical IEEE replay"),
+
+    // ---- the CCNet gate on the KN model ------------------------------------
+    // q208's head/middle/tail banding driven by the Kneser–Ney score
+    // instead of the Jelinek–Mercer one — the actual CCNet
+    // configuration (KenLM is KN-smoothed). Same single per-source
+    // window; the q4-quantized score + doc_id tie-break keeps the band
+    // edges deterministic for the replay.
+    "q298_kn_gate" -> Q(
+      (s, d) => {
+        val src = Tables.documents(s, d).select("doc_id", "source")
+        graft.ops.Quality.scoreBands(
+          knLmDocScores(s, d).join(src, "doc_id"),
+          idCol = "doc_id", groupCol = "source", scoreCol = "mean_kn",
+          k = 3)
+          .select("doc_id", "source", "mean_kn", "band")
+      },
+      Some(s"""WITH ${knLmCtes}
+        SELECT doc_id, source, mean_kn,
+          'b' || CAST(ntile(3) OVER (PARTITION BY source
+            ORDER BY mean_kn DESC, doc_id ASC) AS VARCHAR) AS band
+        FROM knscores JOIN documents USING (doc_id)"""),
+      "CCNet gate on the Kneser–Ney model: per-source LM-score bands"),
 
     // ---- BPE merge training ----------------------------------------------
     // Tokenizer training as a distributed job: the corpus-scale work is
