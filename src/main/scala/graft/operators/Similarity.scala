@@ -885,15 +885,23 @@ object Similarity {
     cellRows.foreach(r => scat(r.getInt(0))(r.getInt(1)) = r.getLong(2))
     var v = Array.tabulate[Long](dim)(i => if (i == 0) 10000L else 0L)
     (1 to iters).foreach { _ =>
+      // matvec accumulates in BigInt (like the norm below): scatter
+      // cells scale with rowCount × variance × 1e4, so a Long product
+      // sum can silently wrap on a large or high-variance corpus —
+      // which would corrupt the loadings while the DuckDB replay's
+      // BIGINT sum errors out, breaking bit-for-bit replayability
       val u = Array.tabulate(dim) { i =>
-        var acc = 0L
+        var acc = BigInt(0)
         var j = 0
-        while (j < dim) { acc += scat(i)(j) * v(j); j += 1 }
+        while (j < dim) {
+          acc += BigInt(scat(i)(j)) * BigInt(v(j)); j += 1
+        }
         acc
       }
-      val norm2 = u.foldLeft(BigInt(0))((a, ui) => a + BigInt(ui) * ui)
+      val norm2 = u.foldLeft(BigInt(0))((a, ui) => a + ui * ui)
       val norm = math.sqrt(norm2.toDouble)
-      v = u.map(ui => math.floor(ui.toDouble / norm * 10000d + 0.5d).toLong)
+      v = u.map(ui =>
+        math.floor(ui.toDouble / norm * 10000d + 0.5d).toLong)
     }
     (0 until dim).map(i => (i.toLong, mu(i), v(i) / 10000d))
       .toDF("i", "mu", "loading")

@@ -1725,9 +1725,10 @@ object SourceQueries {
         Sources.wetRecords(s, s"$tmp/wet")
           .select(col("uri"), col("content_length"), col("text"))
       },
+      // strlen = DuckDB's BYTE length, matching the WARC octet contract
       Some("""SELECT 'https://crawl.example/' || source || '/'
             || CAST(doc_id AS VARCHAR) AS uri,
-          CAST(length(text) AS BIGINT) AS content_length, text
+          CAST(strlen(text) AS BIGINT) AS content_length, text
         FROM documents"""),
       "WET archive: render shards, parse back via splittable lineSep read"),
   )

@@ -103,18 +103,29 @@ object DeltaInterop {
       val actions = spark.read.schema(actionSchema).json(f).collect()
       actions.foreach { a =>
         Option(a.getAs[Row]("protocol")).foreach { p =>
-          // reader-feature tables this replay can't serve correctly are
-          // refused LOUDLY (the checkpoint discipline): a deletion-vector
-          // or column-mapping table would read wrong rows, not fail
+          // protocol gate is an ALLOWLIST, not a blocklist: the Delta
+          // spec requires a reader to refuse ANY reader feature outside
+          // the set it implements (a blocklist would silently replay
+          // tables carrying features invented after this code — e.g.
+          // typeWidening — and return wrong data). This replay
+          // implements NO optional reader features and no reader
+          // protocol beyond the base one, so: any listed feature
+          // refuses, and so does minReaderVersion 2 (column-mapping
+          // capability mandated without a feature list to inspect).
           val feats = Option(p.getAs[scala.collection.Seq[String]](
             "readerFeatures")).map(_.toSeq).getOrElse(Seq.empty)
-          val unsupported = feats.filter(f =>
-            f == "deletionVectors" || f == "columnMapping" || f == "v2Checkpoint")
-          if (unsupported.nonEmpty)
+          if (feats.nonEmpty)
             throw new UnsupportedOperationException(
               s"$root requires Delta reader features " +
-                s"${unsupported.mkString(", ")}; this interop reader " +
-                "serves plain add/remove JSON logs only")
+                s"${feats.mkString(", ")}; this interop reader " +
+                "implements none — plain add/remove JSON logs only")
+          val mrv = if (p.isNullAt(p.fieldIndex("minReaderVersion"))) 1
+            else p.getInt(p.fieldIndex("minReaderVersion"))
+          if (mrv != 1 && mrv != 3)
+            throw new UnsupportedOperationException(
+              s"$root declares minReaderVersion $mrv; this interop " +
+                "reader supports version 1 (and 3 only with an empty " +
+                "readerFeatures set)")
         }
         Option(a.getAs[Row]("metaData")).foreach { m =>
           Option(m.getAs[String]("schemaString"))

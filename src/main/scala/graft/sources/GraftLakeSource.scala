@@ -55,8 +55,13 @@ class GraftLakeSource extends RelationProvider
   // ---- streaming SOURCE: spark.readStream.format("graftlake") ---------
 
   /** The stream's fixed schema: the table's manifest schema at stream
-    * definition (columns later evolution adds are dropped per batch;
-    * the standard streaming fixed-schema rule). */
+    * START (columns evolution adds MID-RUN are dropped per batch; the
+    * standard streaming fixed-schema rule). Restarting a stream from its
+    * checkpoint calls back into this resolution, so a restart ADOPTS
+    * evolved columns — offsets are version numbers independent of
+    * schema, which is what makes the refresh safe. Mid-stream
+    * incompatible (narrowing) evolutions fail the stream with a
+    * restart hint instead of wrapping values (see getBatch). */
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],
                             providerName: String,
@@ -246,10 +251,25 @@ class GraftLakeStreamSource(ctx: SQLContext, root: String,
     val from = start.map(at).orElse(startAt)
     val df = LakeTable.readChanges(spark, root, from, at(end))
     // align to the stream's fixed schema: evolution-added columns drop,
-    // files written before a column existed already null-fill upstream
+    // files written before a column existed already null-fill upstream.
+    // An INCOMPATIBLE evolution — a column type the fixed dtype cannot
+    // represent losslessly (e.g. int widened to long mid-stream; casting
+    // back would silently wrap values) — fails the stream loudly; a
+    // RESTART re-resolves the schema (see [[GraftLakeSource.sourceSchema]])
+    // and adopts the widened type.
     val aligned = df.select(fixed.map { f =>
-      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      if (df.columns.contains(f.name)) {
+        val from = df.schema(f.name).dataType
+        if (from != f.dataType &&
+            !org.apache.spark.sql.catalyst.expressions.Cast
+              .canUpCast(from, f.dataType))
+          throw new IllegalStateException(
+            s"graftlake source: column '${f.name}' evolved to $from, " +
+              s"which the stream's fixed type ${f.dataType} cannot hold " +
+              "without narrowing — restart the stream (its next start " +
+              "re-resolves the manifest schema and adopts the evolution)")
+        col(f.name).cast(f.dataType).as(f.name)
+      } else lit(null).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
     org.apache.spark.sql.graftbridge.ColumnBridge.streamingFrame(
       ctx, aligned.queryExecution.toRdd, StructType(fixed.map(

@@ -49,17 +49,34 @@ object Sinks {
   /** WET-style crawl-archive writer — the export half of
     * [[Sources.wetRecords]]: `df` carries (uri, text); each row renders
     * as one `WARC/1.0` conversion record (type, target URI,
-    * Content-Length as a CHARACTER count — see the reader's dialect
-    * note) and the records concatenate through the text sink, one shard
-    * file per partition. Distribution is the text sink's own: no
-    * driver-side assembly, shard count = partition count. */
+    * Content-Length as an OCTET count of the UTF-8 payload — the WARC
+    * spec's unit, so the shards parse in any compliant WET reader, not
+    * just ours) and the records concatenate through the text sink, one
+    * shard file per partition. Distribution is the text sink's own: no
+    * driver-side assembly, shard count = partition count.
+    *
+    * Unrepresentable rows are REFUSED, not silently corrupted: a payload
+    * containing the record-delimiter byte sequence `WARC/1.0\n` (the
+    * lineSep reader splits on it ANYWHERE, not only at line starts), or
+    * ending in `WARC/1.0` (the sink's record terminator would complete
+    * the sequence), would split mid-record on read; a URI containing a
+    * newline would forge header lines; all raise at write time. */
   def wetWrite(df: DataFrame, path: String): Unit =
     df.select(concat(
         lit("WARC/1.0\n"),
         lit("WARC-Type: conversion\n"),
-        lit("WARC-Target-URI: "), col("uri"), lit("\n"),
-        lit("Content-Length: "), length(col("text")), lit("\n\n"),
-        col("text")).as("value"))
+        lit("WARC-Target-URI: "),
+        when(col("uri").contains("\n"), raise_error(concat(
+          lit("wetWrite: uri contains a newline — would forge WARC "),
+          lit("header lines")))).otherwise(col("uri")), lit("\n"),
+        lit("Content-Length: "), octet_length(col("text")), lit("\n\n"),
+        when(col("text").contains("WARC/1.0\n") ||
+            col("text").endsWith("WARC/1.0"),
+          raise_error(concat(
+            lit("wetWrite: payload for uri='"), col("uri"),
+            lit("' contains the record magic WARC/1.0 at line start — " +
+              "unrepresentable in the record-delimited WET layout"))))
+          .otherwise(col("text"))).as("value"))
       .write.mode("overwrite").text(path)
 
   /** Small-files compaction: rewrite a dataset into files of roughly

@@ -156,13 +156,18 @@ object Sources {
     * to the next magic, the same contract as ordinary line reads) and a
     * 100 TB crawl drop reads fully parallel with no whole-file staging.
     * Header fields parse with codegen regexes; the payload is cut to
-    * exactly `Content-Length` CHARACTERS (the dialect [[Sinks.wetWrite]]
-    * emits — character count, not bytes, so multi-byte text round-trips
-    * through Spark's char-indexed substring), which makes payloads
-    * containing blank lines or trailing newlines unambiguous. Records
-    * whose payload would itself contain the record magic at line start
-    * are the format's own ambiguity — real WET emits length-prefixed
-    * records for the same reason this reader trusts Content-Length. */
+    * exactly `Content-Length` OCTETS — the WARC spec's unit, and what
+    * real CommonCrawl WET shards carry — by re-encoding to UTF-8,
+    * slicing the BINARY, and decoding the slice (Spark's string substr
+    * counts code points, which over-extends every multi-byte payload and
+    * swallows the next record's headers into `text`). Byte-exact cuts
+    * make payloads containing blank lines or trailing newlines
+    * unambiguous. Corruption is never silent: a record whose payload
+    * holds fewer bytes than its declared Content-Length (a payload
+    * containing the record magic splits mid-record at read), or a
+    * magic-delimited block with no Content-Length header at all, raises
+    * instead of emitting a truncated/spurious row — the length prefix is
+    * the format's integrity check, so a violated prefix is an error. */
   def wetRecords(spark: SparkSession, path: String): DataFrame = {
     val rec = spark.read.option("lineSep", "WARC/1.0\n").text(path)
       .filter(length(trim(col("value"))) > 0) // preamble before 1st magic
@@ -171,10 +176,23 @@ object Sources {
         .as("uri"),
       regexp_extract(col("value"), "Content-Length: ([0-9]+)", 1)
         .cast("long").as("content_length"),
-      col("value"))
+      encode(element_at(split(col("value"), "\n\n", 2), 2), "UTF-8")
+        .as("__payload"))
       .select(col("uri"), col("content_length"),
-        element_at(split(col("value"), "\n\n", 2), 2)
-          .substr(lit(1), col("content_length")).as("text"))
+        decode(
+          when(col("content_length").isNull, raise_error(concat(
+            lit("wetRecords: record block without Content-Length header " +
+              "(corrupt archive, or a payload containing the record " +
+              "magic) near uri='"), col("uri"), lit("'"))))
+          .when(octet_length(col("__payload")) < col("content_length"),
+            raise_error(concat(
+              lit("wetRecords: truncated record at uri='"), col("uri"),
+              lit("': payload holds "),
+              octet_length(col("__payload")).cast("string"),
+              lit(" bytes < Content-Length "),
+              col("content_length").cast("string"))))
+          .otherwise(col("__payload").substr(lit(1), col("content_length"))),
+          "UTF-8").as("text"))
   }
 
   /** ORC reader — the second columnar lake format Spark ships natively

@@ -192,6 +192,38 @@ class DeltaInteropSpec extends SparkSpec {
     assert(DeltaInterop.readDelta(spark, r3).count() == 1L)
   }
 
+  test("reader-feature gate is an ALLOWLIST: features unknown to this "
+      + "reader (e.g. typeWidening) and minReaderVersion 2 refuse, "
+      + "rather than silently replaying possibly-wrong data") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    val sj = om.writeValueAsString(schema.json)
+    val r1 = freshRoot()
+    writeOne(Seq(Tuple1(1L)).toDF("k"), r1, "f0.parquet")
+    commit(r1, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""",
+      s"""{"metaData":{"id":"tw","schemaString":$sj,"partitionColumns":[],"format":{"provider":"parquet"}}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val e1 = intercept[UnsupportedOperationException] {
+      DeltaInterop.readDelta(spark, r1)
+    }
+    assert(e1.getMessage.contains("typeWidening"))
+    // minReaderVersion 2 mandates column-mapping capability without a
+    // feature list to consult — refused as outside the supported set
+    val r2 = freshRoot()
+    writeOne(Seq(Tuple1(1L)).toDF("k"), r2, "f0.parquet")
+    commit(r2, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"cm","schemaString":$sj,"partitionColumns":[],"format":{"provider":"parquet"}}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val e2 = intercept[UnsupportedOperationException] {
+      DeltaInterop.readDelta(spark, r2)
+    }
+    assert(e2.getMessage.contains("minReaderVersion 2"))
+  }
+
   test("a log-cleaned (non-contiguous) JSON history errors instead of "
       + "replaying a truncated prefix") {
     val root = freshRoot()

@@ -268,4 +268,68 @@ class GraftLakeSourceSpec extends SparkSpec {
       .select("k").as[Long].collect().toSet ==
       (80L until 90L).toSet) // v3's files only
   }
+
+  test("stream RESTART re-resolves the manifest schema: columns evolved "
+      + "between two runs are adopted by the next run (mid-run they are "
+      + "dropped, per the fixed-schema rule)") {
+    val dir = Files.createTempDirectory("lakesrcevolve")
+    val src = dir.resolve("src").toString
+    val dst = dir.resolve("dst").toString
+    val ckpt = dir.resolve("ckpt").toString
+    LakeTable.append(spark.range(0, 20)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), src)
+    def run(): Unit = {
+      val q = spark.readStream.format("graftlake").option("path", src)
+        .load()
+        .writeStream.format("graftlake")
+        .option("path", dst).option("appId", "evolve-tail")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    assert(!LakeTable.read(spark, dst).columns.contains("w"))
+    // evolution between runs: the appended commit carries a new column
+    LakeTable.append(spark.range(20, 30)
+      .select(col("id").as("k"), (col("id") * 2).as("v"),
+        lit("tag").as("w")), src)
+    run() // restart: sourceSchema re-resolves → 'w' flows downstream
+    val out = LakeTable.read(spark, dst)
+    assert(out.columns.contains("w"))
+    assert(out.filter(col("w").isNotNull).select("k").as[Long]
+      .collect().toSet == (20L until 30L).toSet)
+    assert(out.filter(col("w").isNull).count() == 20L) // pre-evolution rows
+  }
+
+  test("mid-stream NARROWING evolution (int column widened to long) "
+      + "fails the batch with a restart hint instead of wrapping values") {
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("lakesrcnarrow").toString + "/t"
+    LakeTable.append(spark.range(0, 10)
+      .select(col("id").as("k"), (col("id") * 2).cast("int").as("v")), root)
+    // a long-running stream pinned v as int before the widening commit
+    val pinned = StructType(Seq(StructField("k", LongType),
+      StructField("v", IntegerType)))
+    val srcObj = new GraftLakeStreamSource(
+      spark.sqlContext, root, pinned, None)
+    // widening commit lands mid-stream: v evolves int → long
+    LakeTable.append(spark.range(10, 12)
+      .select(col("id").as("k"),
+        (col("id") * 2 + 4000000000L).as("v")), root)
+    val latest = LakeTable.versions(spark, root).last
+    val e = intercept[IllegalStateException] {
+      srcObj.getBatch(None, LongOffset(latest))
+    }
+    assert(e.getMessage.contains("restart the stream"), e.getMessage)
+    // the widened read works on a fresh (restarted) fixed schema — the
+    // guard fires only on genuine narrowing, not on upcasts (old int
+    // files upcast into the long column)
+    val fresh = new GraftLakeStreamSource(spark.sqlContext, root,
+      StructType(Seq(StructField("k", LongType),
+        StructField("v", LongType))), None)
+    val got = fresh.getBatch(None, LongOffset(latest))
+    assert(got.schema("v").dataType == LongType)
+  }
 }

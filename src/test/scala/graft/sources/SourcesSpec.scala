@@ -241,12 +241,67 @@ class SourcesSpec extends SparkSpec {
       "u5" -> "",
       "u6" -> "line that could look like a header\nContent-Length: 99"),
       back.toString)
-    // content_length reports the payload's CODE-POINT count (Spark's
-    // length/substr unit — a surrogate-pair emoji is one character)
+    // content_length reports the payload's UTF-8 OCTET count — the WARC
+    // spec's unit, so real WET consumers parse our shards and we parse
+    // theirs
     val u4 = "unicode: åßç 中文 🚀"
     val lens = Sources.wetRecords(spark, s"$dir/wet")
       .select("uri", "content_length").as[(String, Long)].collect().toMap
-    assert(lens("u4") == u4.codePointCount(0, u4.length).toLong)
+    assert(lens("u4") == u4.getBytes("UTF-8").length.toLong)
     assert(lens("u5") == 0L)
+  }
+
+  test("WET reader slices Content-Length in BYTES: a genuine CommonCrawl-"
+      + "style record with a multi-byte body doesn't swallow its "
+      + "successor's headers") {
+    // hand-written fixture, NOT via wetWrite: byte-valued Content-Length
+    // over multi-byte UTF-8 bodies exactly as real crawl shards emit.
+    // "héllo wörld — 日本語" = 18 code points but 27 UTF-8 bytes; a
+    // code-point cut at 27 would run 9 characters into the next record.
+    val dir = java.nio.file.Files.createTempDirectory("graft-wetb").toString
+    val body1 = "héllo wörld — 日本語"
+    val body2 = "plain ascii follow-up"
+    def rec(uri: String, body: String): String =
+      s"WARC/1.0\nWARC-Type: conversion\nWARC-Target-URI: $uri\n" +
+        s"Content-Length: ${body.getBytes("UTF-8").length}\n\n$body\n"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/shard-00000.warc.wet"),
+      (rec("u1", body1) + rec("u2", body2)).getBytes("UTF-8"))
+    val back = Sources.wetRecords(spark, dir)
+      .select("uri", "text").as[(String, String)].collect().toMap
+    assert(back == Map("u1" -> body1, "u2" -> body2), back.toString)
+  }
+
+  test("WET reader raises on a truncated record (payload shorter than its "
+      + "declared Content-Length) instead of emitting corrupt rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wett").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/bad.warc.wet"),
+      ("WARC/1.0\nWARC-Type: conversion\nWARC-Target-URI: u1\n" +
+        "Content-Length: 999\n\nshort body\n").getBytes("UTF-8"))
+    val e = intercept[Exception] {
+      Sources.wetRecords(spark, dir).collect()
+    }
+    assert(e.getMessage != null || e.getCause != null)
+  }
+
+  test("WET writer refuses payloads carrying the record-delimiter "
+      + "sequence (inline or as a trailing WARC/1.0) and newline URIs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wetr").toString
+    def attempt(rows: Seq[(String, String)], sub: String) = {
+      val e = intercept[Exception] {
+        Sinks.wetWrite(rows.toDF("uri", "text"), s"$dir/$sub")
+      }
+      assert(e != null)
+    }
+    attempt(Seq(("u1", "evil\nWARC/1.0\npayload")), "a")
+    attempt(Seq(("u2", "ends with WARC/1.0")), "b")
+    attempt(Seq(("u\nforged: header", "ok body")), "c")
+    // a payload merely MENTIONING the magic mid-line stays representable
+    Sinks.wetWrite(Seq(("u3", "the WARC/1.0 format, described inline"))
+      .toDF("uri", "text"), s"$dir/ok")
+    val back = Sources.wetRecords(spark, s"$dir/ok")
+      .select("uri", "text").as[(String, String)].collect().toSet
+    assert(back == Set(("u3", "the WARC/1.0 format, described inline")))
   }
 }
