@@ -1731,6 +1731,86 @@ object SourceQueries {
           CAST(strlen(text) AS BIGINT) AS content_length, text
         FROM documents"""),
       "WET archive: render shards, parse back via splittable lineSep read"),
+
+    // ---- Delta interop: classic checkpoint replay --------------------------
+    // The mature-table shape: Delta writers checkpoint every 10 commits
+    // and vacuum old JSON, so a real table's early log is GONE — the
+    // reader must bootstrap from the single-part checkpoint parquet
+    // (latest action per file + protocol/metaData) and replay only the
+    // JSON tail. Here versions 0–2's JSONs are cleaned; the v2
+    // checkpoint carries two live files (one rewritten with doubled
+    // prices, proving checkpoint state — not some stale add — is what
+    // serves) plus a remove tombstone, and JSON v3 appends the third
+    // shard. The oracle recomputes the expected union from orders.
+    "q299_delta_checkpoint" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val root = freshRoot("graft_delta_q299") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        def writeOne(df: org.apache.spark.sql.DataFrame, dir: String,
+                     name: String): Unit = {
+          val stage = s"$dir/_stage_$name"
+          df.coalesce(1).write.parquet(stage)
+          val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+            .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+          fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name"))
+          fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+        }
+        writeOne(o.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+          root, "part-a2.parquet")
+        writeOne(o.filter(col("o_orderkey") % 3 === 1), root,
+          "part-b.parquet")
+        writeOne(o.filter(col("o_orderkey") % 3 === 2), root,
+          "part-c.parquet")
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val schemaJson = om.writeValueAsString(o.schema.json)
+        Files.createDirectories(Paths.get(s"$root/_delta_log"))
+        // v2 checkpoint (actions as parquet rows); v0–v2 JSON cleaned
+        val ckptSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("add",
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("path",
+                org.apache.spark.sql.types.StringType))), nullable = true),
+          org.apache.spark.sql.types.StructField("remove",
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("path",
+                org.apache.spark.sql.types.StringType))), nullable = true),
+          org.apache.spark.sql.types.StructField("metaData",
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("schemaString",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("partitionColumns",
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.StringType)))),
+            nullable = true),
+          org.apache.spark.sql.types.StructField("protocol",
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("minReaderVersion",
+                org.apache.spark.sql.types.IntegerType))), nullable = true)))
+        writeOne(s.read.schema(ckptSchema).json(Seq(
+          """{"protocol":{"minReaderVersion":1}}""",
+          s"""{"metaData":{"schemaString":$schemaJson,"partitionColumns":[]}}""",
+          """{"add":{"path":"part-a2.parquet"}}""",
+          """{"add":{"path":"part-b.parquet"}}""",
+          """{"remove":{"path":"part-a.parquet"}}""").toDS),
+          s"$root/_delta_log", "00000000000000000002.checkpoint.parquet")
+        Files.writeString(Paths.get(s"$root/_delta_log/_last_checkpoint"),
+          """{"version":2,"size":5}""")
+        Files.writeString(
+          Paths.get(s"$root/_delta_log/00000000000000000003.json"),
+          """{"add":{"path":"part-c.parquet","partitionValues":{},"size":1,"modificationTime":3,"dataChange":true}}""")
+        graft.sources.DeltaInterop.readDelta(s, root)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+               ELSE o_totalprice END AS o_totalprice
+        FROM orders"""),
+      "Delta classic-checkpoint replay: log-cleaned table = ckpt + tail"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

@@ -9,9 +9,13 @@ import org.apache.spark.sql.types._
   * (delta.io protocol: `_delta_log/<v>.json` commits of add / remove /
   * metaData actions over plain parquet) — so tables written by OTHER
   * engines' Delta writers are directly queryable here, next to the
-  * native [[LakeTable]] manifests. Scope: JSON-only logs (every Delta
-  * table's first 10 commits; checkpoint-parquet replay is out of scope
-  * and detected → error, never silent truncation), add/remove/metaData
+  * native [[LakeTable]] manifests. Scope: JSON commit logs PLUS classic
+  * single-part `<v>.checkpoint.parquet` replay (real Delta writers
+  * checkpoint every 10 commits and clean old JSON, so mature tables are
+  * unreadable without it; the checkpoint's rows are the latest action
+  * per file in the same shape as commit actions, so one application
+  * path serves both). Multi-part and v2/uuid checkpoint shapes are
+  * detected → error, never silent truncation. Add/remove/metaData
   * actions, unpartitioned and hive-partitioned tables (partition
   * values materialize from the add action's `partitionValues`, cast to
   * the declared column types — Delta files don't store partition
@@ -27,39 +31,106 @@ object DeltaInterop {
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** Committed versions (ascending) of the Delta log at `root`.
-    * Refuses LOUDLY — never silently truncates — when the log carries
-    * checkpoints in ANY of the protocol's shapes: classic
-    * `<v>.checkpoint.parquet`, multi-part
-    * `<v>.checkpoint.<i>.<n>.parquet`, v2 `<v>.checkpoint.<uuid>.json`,
-    * or a `_last_checkpoint` pointer (checkpointed tables may have had
-    * their early JSON commits log-cleaned, so a JSON-only replay would
-    * miss add actions). The surviving JSON versions must also form a
-    * contiguous range starting at 0 — a gapped or truncated prefix
-    * means cleaned history even without a visible checkpoint file. */
-  def deltaVersions(spark: SparkSession, root: String): Seq[Long] = {
+  /** The log directory's layout: classic single-part checkpoint
+    * versions + surviving JSON commit versions, with every checkpoint
+    * shape this reader canNOT replay refused LOUDLY (never silent
+    * truncation): multi-part `<v>.checkpoint.<i>.<n>.parquet` and v2
+    * `<v>.checkpoint.<uuid>.{json,parquet}` (the uuid-json shape would
+    * even replay as commit data under a naive suffix check), plus a
+    * `_last_checkpoint` pointer naming a checkpoint that is neither
+    * present as a classic file nor covered by a complete JSON history
+    * (log-cleaned past what we can reconstruct). */
+  private case class LogLayout(checkpoints: Seq[Long], jsons: Seq[Long]) {
+    private def contiguousFrom(vs: Seq[Long], start: Long): Boolean =
+      vs.zipWithIndex.forall { case (v, i) => v == start + i }
+    /** JSON alone reconstructs every version: contiguous from 0 AND not
+      * older than the newest checkpoint (a checkpoint past the JSON max
+      * proves versions the JSON never saw). */
+    def jsonComplete: Boolean =
+      jsons.nonEmpty && jsons.head == 0L && contiguousFrom(jsons, 0L) &&
+        checkpoints.forall(_ <= jsons.last)
+    /** JSON commits newer than the newest checkpoint — the replay tail.
+      * Must be gap-free right after the checkpoint. */
+    def tailAfter(c: Long): Seq[Long] = {
+      val t = jsons.filter(_ > c)
+      if (!contiguousFrom(t, c + 1))
+        throw new IllegalStateException(
+          s"Delta JSON commits after checkpoint $c are not contiguous " +
+            s"(${t.mkString(",")}) — log-cleaned history; replay would " +
+            "silently miss actions")
+      t
+    }
+  }
+
+  private def layoutOf(spark: SparkSession, root: String): LogLayout = {
     val log = new Path(s"$root/_delta_log")
     val f = fs(spark, root)
-    if (!f.exists(log)) Seq.empty
+    if (!f.exists(log)) LogLayout(Seq.empty, Seq.empty)
     else {
       val names = f.listStatus(log).toSeq.map(_.getPath.getName)
-      if (names.exists(n => n.contains(".checkpoint.")) ||
-          names.contains("_last_checkpoint"))
+      def isVer(s: String) = s.nonEmpty && s.forall(_.isDigit)
+      val classic = names.collect {
+        case n if n.endsWith(".checkpoint.parquet") &&
+            isVer(n.dropRight(".checkpoint.parquet".length)) =>
+          n.dropRight(".checkpoint.parquet".length).toLong
+      }.sorted
+      val otherCkpt = names.filter(n => n.contains(".checkpoint.") &&
+        !(n.endsWith(".checkpoint.parquet") &&
+          isVer(n.dropRight(".checkpoint.parquet".length))))
+      if (otherCkpt.nonEmpty)
         throw new UnsupportedOperationException(
-          s"$root has Delta checkpoints; this interop reader replays " +
-            "JSON commits only")
-      val vs = names.collect {
-        case n if n.endsWith(".json") && n.dropRight(5).nonEmpty &&
-            n.dropRight(5).forall(_.isDigit) =>
+          s"$root has multi-part or v2 Delta checkpoints " +
+            s"(${otherCkpt.take(3).mkString(", ")}); this interop reader " +
+            "replays JSON commits and classic single-part checkpoints only")
+      val jsons = names.collect {
+        case n if n.endsWith(".json") && isVer(n.dropRight(5)) =>
           n.dropRight(5).toLong
       }.sorted
-      if (vs.nonEmpty && !vs.zipWithIndex.forall { case (v, i) => v == i })
-        throw new IllegalStateException(
-          s"$root: Delta JSON commits are not contiguous from 0 " +
-            s"(${vs.mkString(",")}) — log-cleaned history; replay would " +
-            "silently miss actions")
-      vs
+      val layout = LogLayout(classic, jsons)
+      if (names.contains("_last_checkpoint")) {
+        // the pointer is a hint (our listing is authoritative), but a
+        // pointer to a checkpoint we can neither see nor cover via
+        // complete JSON means the log was cleaned past reconstruction
+        val in = f.open(new Path(s"$root/_delta_log/_last_checkpoint"))
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(txt)
+        val vlc = node.path("version").asLong(-1L)
+        if (node.path("parts").asInt(1) > 1)
+          throw new UnsupportedOperationException(
+            s"$root: _last_checkpoint declares a multi-part checkpoint " +
+              s"(parts=${node.path("parts").asInt()}); unsupported")
+        if (vlc >= 0 && !classic.contains(vlc) &&
+            !(layout.jsonComplete && layout.jsons.last >= vlc))
+          throw new UnsupportedOperationException(
+            s"$root: _last_checkpoint points at version $vlc but no " +
+              "classic checkpoint file for it survives and the JSON " +
+              "history is incomplete — cannot reconstruct the table")
+      }
+      layout
     }
+  }
+
+  /** Committed versions (ascending) of the Delta log at `root` that this
+    * reader can serve as snapshots: with a complete JSON history, every
+    * commit; with log-cleaned history, each classic single-part
+    * checkpoint version plus the contiguous JSON tail after the newest
+    * one (the overwhelmingly common real-table shape — Delta writers
+    * checkpoint every 10 commits and clean old JSON). Multi-part and v2
+    * checkpoint shapes are refused loudly, never silently truncated. */
+  def deltaVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val layout = layoutOf(spark, root)
+    if (layout.checkpoints.isEmpty && layout.jsons.isEmpty) Seq.empty
+    else if (layout.jsonComplete) layout.jsons
+    else if (layout.checkpoints.isEmpty)
+      throw new IllegalStateException(
+        s"$root: Delta JSON commits are not contiguous from 0 " +
+          s"(${layout.jsons.mkString(",")}) and no checkpoint survives — " +
+          "log-cleaned history; replay would silently miss actions")
+    else
+      (layout.checkpoints ++ layout.tailAfter(layout.checkpoints.last))
+        .distinct.sorted
   }
 
   // the action fields this reader consumes, as an explicit read schema
@@ -94,13 +165,38 @@ object DeltaInterop {
 
   private def replay(spark: SparkSession, root: String,
                      upTo: Long): Snapshot = {
-    val vs = deltaVersions(spark, root)
+    val layout = layoutOf(spark, root)
     var live = Map.empty[String, LiveFile]
     var schemaString: Option[String] = None
     var partCols: Seq[String] = Seq.empty
-    vs.filter(_ <= upTo).foreach { v =>
-      val f = f"$root/_delta_log/$v%020d.json"
-      val actions = spark.read.schema(actionSchema).json(f).collect()
+    // base: with a complete JSON history replay JSON from 0 (keeps time
+    // travel to every version); otherwise load the newest classic
+    // checkpoint at or below `upTo` — its rows are the latest action per
+    // file (live adds + remove tombstones) plus protocol/metaData, the
+    // same Row shape as a commit, so one action-application path serves
+    // both (tombstone "removes" are no-ops against the empty state)
+    val base: Option[Long] =
+      if (layout.jsonComplete) None
+      else Some(layout.checkpoints.filter(_ <= upTo).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"$root: version $upTo predates the oldest surviving " +
+            s"checkpoint (${layout.checkpoints.headOption.getOrElse(-1L)})" +
+            " and the JSON history is incomplete")))
+    val jsonVersions = base match {
+      case None => layout.jsons.filter(_ <= upTo)
+      case Some(c) => layout.tailAfter(c).filter(_ <= upTo)
+    }
+    val actionBatches: Seq[Seq[Row]] =
+      base.map { c =>
+        spark.read.schema(actionSchema)
+          .parquet(f"$root/_delta_log/$c%020d.checkpoint.parquet")
+          .collect().toSeq
+      }.toSeq ++
+      jsonVersions.map { v =>
+        spark.read.schema(actionSchema)
+          .json(f"$root/_delta_log/$v%020d.json").collect().toSeq
+      }
+    actionBatches.foreach { actions =>
       actions.foreach { a =>
         Option(a.getAs[Row]("protocol")).foreach { p =>
           // protocol gate is an ALLOWLIST, not a blocklist: the Delta

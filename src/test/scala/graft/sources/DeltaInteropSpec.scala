@@ -109,13 +109,88 @@ class DeltaInteropSpec extends SparkSpec {
       .select("k").as[Long].collect().toSet == Set(2L, 3L))
   }
 
-  test("checkpointed logs are refused loudly, never silently truncated") {
+  // build a classic single-part checkpoint parquet from action-JSON
+  // lines (the shape real Delta writers emit: latest action per file +
+  // protocol + metaData, one row each)
+  private def writeCheckpoint(root: String, v: Long,
+                              actions: Seq[String]): Unit = {
+    import org.apache.spark.sql.types._
+    val s = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("stats", StringType),
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType)))))),
+        nullable = true),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType))), nullable = true),
+      StructField("metaData", StructType(Seq(
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)))),
+        nullable = true),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)))),
+        nullable = true)))
+    val df = spark.read.schema(s).json(actions.toDS)
+    writeOne(df, s"$root/_delta_log",
+      f"$v%020d.checkpoint.parquet")
+  }
+
+  test("classic single-part checkpoint replay: a log-cleaned mature "
+      + "table reads via checkpoint + JSON tail; time travel to the "
+      + "checkpoint version and incremental reads past it work") {
     val root = freshRoot()
-    commit(root, 0L, Seq("""{"metaData":{"id":"x","schemaString":"{}","partitionColumns":[]}}"""))
-    Files.write(Paths.get(
-      s"$root/_delta_log/00000000000000000010.checkpoint.parquet"),
-      Array[Byte](1))
-    intercept[UnsupportedOperationException] {
+    writeOne(Seq((1L, "a")).toDF("k", "v"), root, "f1.parquet")
+    writeOne(Seq((2L, "b")).toDF("k", "v"), root, "f2.parquet")
+    writeOne(Seq((3L, "c")).toDF("k", "v"), root, "f3.parquet")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val sj = om.writeValueAsString(schema.json)
+    // history: v0 added f0 (since removed) + metaData; v1 added f1; v2
+    // removed f0, added f2. v0–v2's JSONs were log-cleaned; the
+    // checkpoint at v2 carries the surviving state — f0 as a remove
+    // tombstone only
+    writeCheckpoint(root, 2L, Seq(
+      """{"protocol":{"minReaderVersion":1}}""",
+      s"""{"metaData":{"schemaString":$sj,"partitionColumns":[]}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{}}}""",
+      """{"add":{"path":"f2.parquet","partitionValues":{}}}""",
+      """{"remove":{"path":"f0.parquet"}}"""))
+    Files.writeString(Paths.get(s"$root/_delta_log/_last_checkpoint"),
+      """{"version":2,"size":5}""")
+    commit(root, 3L, Seq(
+      """{"add":{"path":"f3.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    assert(DeltaInterop.deltaVersions(spark, root) == Seq(2L, 3L))
+    assert(DeltaInterop.readDelta(spark, root)
+      .select("k").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // time travel to the checkpoint version itself
+    assert(DeltaInterop.readDelta(spark, root, Some(2L))
+      .select("k").as[Long].collect().toSet == Set(1L, 2L))
+    // incremental read over the tail serves only the added file
+    assert(DeltaInterop.readDeltaChanges(spark, root, Some(2L), 3L)
+      .select("k").as[Long].collect().toSet == Set(3L))
+    // versions older than the oldest surviving checkpoint are refused
+    intercept[Exception] {
+      DeltaInterop.readDelta(spark, root, Some(1L))
+    }
+  }
+
+  test("JSON tail after the checkpoint must be contiguous: a gap "
+      + "refuses instead of silently skipping commits") {
+    val root = freshRoot()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val sj = om.writeValueAsString("{\"type\":\"struct\",\"fields\":[]}")
+    writeCheckpoint(root, 2L, Seq(
+      s"""{"metaData":{"schemaString":$sj,"partitionColumns":[]}}"""))
+    commit(root, 4L, Seq( // v3 missing
+      """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    intercept[IllegalStateException] {
       DeltaInterop.deltaVersions(spark, root)
     }
   }
