@@ -267,6 +267,26 @@ object LakeStress {
     val dvRewrote = preDvFiles.diff(purgedFiles).size
     val (_, tCleanRead) = timed { LakeTable.read(spark, root).count() }
 
+    // 10. auto-DV maintenance policy: with a sidecar-row budget set, a
+    //     MoR delete that crosses it must land AND fold in the same
+    //     call — the latest version is vector-free without any operator
+    //     running purgeDeletes, and the read returns to the clean plan
+    val alo = 5L * stride + keySpan / 3
+    val ahi = alo + keySpan / 200L
+    spark.conf.set("spark.graftlake.dv.maxRows", "100")
+    spark.conf.set("spark.graftlake.dv.policy", "purge")
+    val preAutoRows = LakeTable.read(spark, root).count()
+    val (autoV, tAutoDelete) = timed {
+      LakeTable.deleteWhereDV(spark, root,
+        s"o_orderkey BETWEEN $alo AND $ahi")
+    }
+    spark.conf.unset("spark.graftlake.dv.maxRows")
+    spark.conf.unset("spark.graftlake.dv.policy")
+    require(LakeTable.dvOf(spark, root, autoV).isEmpty,
+      "auto-purge policy did not fold the vectors")
+    val autoDeleted = preAutoRows - LakeTable.read(spark, root).count()
+    val (_, tAutoRead) = timed { LakeTable.read(spark, root).count() }
+
     println(f"""
       |lake-stress @ ${factor}x $srcDir  (rows=$nRows%,d, files=$nFiles)
       |  build (clustered append)        ${tBuild}%8.2f s
@@ -290,6 +310,8 @@ object LakeStress {
       |  vectored snapshot read          ${tDvRead}%8.2f s  (anti-join penalty vs clean read below)
       |  purgeDeletes (fold vectors)     ${tDvPurge}%8.2f s  (rewrote $dvRewrote/${preDvFiles.size} vectored files)
       |  vector-free read (post-purge)   ${tCleanRead}%8.2f s
+      |  DV DELETE + AUTO-purge policy   ${tAutoDelete}%8.2f s  ($autoDeleted%,d rows; budget crossed -> delete commit + fold in one call, v$autoV vector-free)
+      |  read after auto-purge           ${tAutoRead}%8.2f s  (clean plan restored without operator intervention)
       |""".stripMargin)
     spark.stop()
   }

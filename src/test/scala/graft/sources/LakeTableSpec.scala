@@ -1433,6 +1433,60 @@ class LakeTableSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet == before)
   }
 
+  test("dv maintenance policy: purge auto-folds past maxRows (reads "
+      + "return vector-free), fail refuses the write with a hint, unset "
+      + "budget keeps the historical unbounded behavior") {
+    val root = freshRoot()
+    LakeTable.append(spark.range(0, 400)
+      .select(col("id").as("k"), (col("id") * 3).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      root, zoneKey = Some("k"))
+    try {
+      spark.conf.set("spark.graftlake.dv.maxRows", "5")
+      spark.conf.set("spark.graftlake.dv.policy", "purge")
+      // under budget: vectors stay live (merge-on-read untouched)
+      val v2 = LakeTable.deleteWhereDV(spark, root, "k < 3")
+      assert(v2 == 2L && LakeTable.dvOf(spark, root, v2).size == 1)
+      // crossing the budget: the DML commits, then the auto-purge commit
+      // folds the vectors — latest version is vector-free and content
+      // reflects BOTH deletes
+      val v4 = LakeTable.deleteWhereDV(spark, root, "k >= 3 AND k < 7")
+      assert(v4 == 4L) // v3 = the delete, v4 = its auto-purge
+      assert(LakeTable.dvOf(spark, root, v4).isEmpty)
+      assert(LakeTable.read(spark, root).count() == 393L)
+      assert(LakeTable.read(spark, root).filter(col("k") < 7).count() == 0L)
+      // fail policy: the write refuses BEFORE any sidecar lands and the
+      // table is unchanged
+      spark.conf.set("spark.graftlake.dv.policy", "fail")
+      val e = intercept[IllegalStateException] {
+        LakeTable.deleteWhereDV(spark, root, "k >= 7 AND k < 20")
+      }
+      assert(e.getMessage.contains("purgeDeletes"), e.getMessage)
+      assert(LakeTable.versions(spark, root).last == v4)
+      assert(LakeTable.read(spark, root).count() == 393L)
+      // a within-budget write under fail policy still lands (prior rows
+      // count toward the budget)
+      val v5 = LakeTable.deleteWhereDV(spark, root, "k >= 7 AND k < 11")
+      assert(v5 == 5L && LakeTable.dvOf(spark, root, v5).size == 1)
+      intercept[IllegalStateException] {
+        // 4 prior + 2 new > 5 → refused
+        LakeTable.deleteWhereDV(spark, root, "k >= 11 AND k < 13")
+      }
+      // MoR UPDATE honors the same budget: switch to purge and cross it
+      spark.conf.set("spark.graftlake.dv.policy", "purge")
+      val v7 = LakeTable.updateWhereDV(spark, root, "k >= 11 AND k < 14",
+        Map("v" -> "v + 1"))
+      assert(v7 == 7L) // v6 = the update, v7 = its auto-purge
+      assert(LakeTable.dvOf(spark, root, v7).isEmpty)
+      assert(LakeTable.read(spark, root)
+        .filter(col("k").between(11, 13)).select("v").as[Long]
+        .collect().toSet == Set(34L, 37L, 40L))
+    } finally {
+      spark.conf.unset("spark.graftlake.dv.maxRows")
+      spark.conf.unset("spark.graftlake.dv.policy")
+    }
+  }
+
   test("restore rolls content back as a new commit; history immutable; "
       + "feed reports it overwrite-style") {
     val root = freshRoot()
