@@ -141,15 +141,16 @@ object Stress {
       // rewrite (aggState build is corpus-linear; the SERVED query reads
       // view-sized state, so its cost should barely move)
       "q240_fk_expectations", "q241_boolean_segmented", "q242_mv_rewrite")
-      // STRESS_ONLY=q211_count_min,q214_dsir_weights narrows a run to
-      // the named targets (comma-separated) — new-op iteration without
-      // re-timing the whole suite
-      .filter(sys.env.get("STRESS_ONLY") match {
-        case Some(only) => only.split(",").map(_.trim).toSet
-        case None => (_: String) => true
-      })
+    // STRESS_ONLY=q211_count_min,q214_dsir_weights replaces the target
+    // list with the named queries (comma-separated, any SparkEntry
+    // query) — new-op iteration without re-timing the whole suite
+    val selected = sys.env.get("STRESS_ONLY") match {
+      case Some(only) => only.split(",").map(_.trim).toSeq
+        .filter(SparkEntry.queries.contains)
+      case None => targets
+    }
     println(f"${"query"}%-22s ${"base_s"}%8s ${"stress_s"}%9s ${"ratio"}%6s  worst-stage max/med (ms, tasks)")
-    targets.foreach { name =>
+    selected.foreach { name =>
       val fn = SparkEntry.queries(name)
       def run(dir: String): Double = {
         spark.sparkContext.getPersistentRDDs.values

@@ -321,6 +321,73 @@ object Graphs {
     persistStep(labels, checkpointDir, eager = false)
   }
 
+  /** Convergence-mode LPA — [[labelPropagation]] with a `maxRounds`
+    * budget and a changed-count EARLY EXIT, the variant VERDICT r11
+    * asked for: on a 100× graph a fixed 3-round budget is a quality
+    * bound the caller can't see, while most real community structures
+    * stabilize in a handful of rounds. Per round the update is the same
+    * single join + fused argmax as the fixed-budget loop, but each
+    * round ALSO left-joins its predecessor's labels to flag changes and
+    * materializes via the lazy-checkpoint/convergence-count fusion of
+    * [[connectedComponents]] — ONE job per round both writes the
+    * checkpoint blocks and returns the changed count, and superseded
+    * rounds free their blocks immediately. The trade vs the fixed
+    * budget is one count job per round instead of one job total; the
+    * payoff is stopping exactly when the labeling is stable.
+    *
+    * Termination honesty: synchronous LPA has NO convergence guarantee
+    * (bipartite regions can 2-cycle forever), so hitting `maxRounds`
+    * returns the current labeling rather than throwing — `maxRounds`
+    * is the semantics, convergence is the common-case shortcut. Same
+    * numeric-id and deterministic-tie-break contract as the
+    * fixed-budget variant; a run that converges in k rounds returns
+    * exactly what `labelPropagation(rounds = k')` returns for any
+    * k' ≥ k (a stable labeling is a fixed point of the update). */
+  def labelPropagationConverged(edges: DataFrame, srcCol: String,
+                                dstCol: String, maxRounds: Int = 20,
+                                checkpointDir: Option[String] = None)
+      : DataFrame = {
+    val sym = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .union(edges.select(col(dstCol).cast("long").as("src"),
+        col(srcCol).cast("long").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("src"))
+    val symP = persistStep(sym, checkpointDir, eager = true)
+    var labels = persistStep(
+      symP.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")),
+      checkpointDir, eager = true)
+    var converged = false
+    var r = 0
+    while (!converged && r < maxRounds) {
+      val prev = labels
+      val updated = symP
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("id")
+        .agg(max(struct(col("cnt").as("c"), (-col("label")).as("nl")))
+          .as("m"))
+        .select(col("id"), (-col("m.nl")).as("label"))
+      // LAZY checkpoint + changed-count fusion (the CC pattern): the
+      // count below is the first action, so one job materializes the
+      // round AND returns how many labels moved
+      val next = persistStep(
+        updated.join(prev.select(col("id"), col("label").as("__old")),
+            Seq("id"))
+          .select(col("id"), col("label"),
+            (col("label") =!= col("__old")).as("__changed")),
+        checkpointDir, eager = false)
+      converged = next.filter(col("__changed")).count() == 0L
+      labels = next.drop("__changed")
+      freeCheckpoint(prev)
+      r += 1
+    }
+    labels
+  }
+
   /** Exact triangle count of the undirected graph given as an edge list,
     * via degree-ordered orientation (the MapReduce-era trick that makes
     * triangle counting feasible at scale): orient every edge from the

@@ -933,6 +933,52 @@ object CorpusQueries {
       },
       "3-round deterministic label propagation, integer-exact replay"),
 
+    // ---- convergence-mode label propagation --------------------------------
+    // labelPropagationConverged over deterministic ~4-doc cliques
+    // (doc_id % ceil(n/4) buckets, all-pairs within a bucket — bucket
+    // size is scale-invariant so the edge count stays linear in docs).
+    // Cliques stabilize in ≤ 4 rounds, so the run EXITS EARLY under its
+    // 6-round budget; the oracle replays exactly 6 fixed layers, which
+    // is hash-equal either way because a stable labeling is a fixed
+    // point of the update (and an unstable one runs all 6 rounds on
+    // both sides) — the equality that makes convergence mode safely
+    // replayable by a fixed-depth SQL engine.
+    "q300_lpa_converged" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+        val nb = docs.agg(
+          ceil(count(lit(1)) / 4.0).cast("long").as("nb"))
+        val bucketed = docs.crossJoin(broadcast(nb))
+          .select(col("doc_id"), (col("doc_id") % col("nb")).as("bk"))
+        val edges = bucketed.as("a")
+          .join(bucketed.as("b"), "bk")
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        Graphs.labelPropagationConverged(edges, "src", "dst",
+          maxRounds = 6)
+          .select(col("id"), col("label").as("community"))
+      },
+      Some {
+        val iters = (1 to 6).map { k =>
+          s"""c$k AS (SELECT e.dst AS id, l${k - 1}.label, count(*) AS cnt
+            FROM e JOIN l${k - 1} ON l${k - 1}.id = e.src GROUP BY 1, 2),
+        l$k AS (SELECT id, label FROM (
+            SELECT id, label, row_number() OVER (
+              PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+            FROM c$k) WHERE rn = 1)"""
+        }.mkString(",\n")
+        s"""WITH nb AS (
+          SELECT CAST(ceil(count(*) / 4.0) AS BIGINT) AS nb FROM documents),
+        bk AS (SELECT doc_id, doc_id % nb AS bk FROM documents, nb),
+        cs AS (SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+        e AS (SELECT src, dst FROM cs UNION SELECT dst, src FROM cs),
+        l0 AS (SELECT DISTINCT src AS id, src AS label FROM e),
+        $iters
+        SELECT id, label AS community FROM l6"""
+      },
+      "converged LPA on clique communities ≡ fixed-depth replay"),
+
     // ---- k-core decomposition ---------------------------------------------
     // The density filter of link-graph curation (spam farms and mutual-
     // citation clusters live in high-k cores; tail chains peel away):

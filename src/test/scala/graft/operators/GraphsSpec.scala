@@ -43,6 +43,31 @@ class GraphsSpec extends SparkSpec {
     assert(again == got, "partition-layout invariance")
   }
 
+  test("labelPropagationConverged: early exit on a graph that stabilizes "
+      + "before maxRounds; result ≡ any fixed budget past convergence; "
+      + "oscillators still terminate at the budget") {
+    // two disjoint triangles stabilize in ≤ 2 rounds — far before the
+    // 50-round budget, so this test passing quickly IS the early exit
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (14L, 15L), (15L, 16L), (14L, 16L)).toDF("a", "b")
+    val conv = Graphs.labelPropagationConverged(tri, "a", "b",
+      maxRounds = 50).as[(Long, Long)].collect().toMap
+    assert(conv == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      14L -> 14L, 15L -> 14L, 16L -> 14L), conv.toString)
+    // a stable labeling is a fixed point: ≡ fixed budgets 3 and 7
+    for (k <- Seq(3, 7)) {
+      val fixed = Graphs.labelPropagation(tri, "a", "b", rounds = k)
+        .as[(Long, Long)].collect().toMap
+      assert(fixed == conv, s"fixed budget $k diverged from converged")
+    }
+    // the bipartite 2-cycle (8,9) never converges; the budget bounds it
+    val osc = Seq((8L, 9L)).toDF("a", "b")
+    val bounded = Graphs.labelPropagationConverged(osc, "a", "b",
+      maxRounds = 4).as[(Long, Long)].collect().toMap
+    // 4 rounds of synchronous swap = even parity = swapped-back twice
+    assert(bounded == Map(8L -> 8L, 9L -> 9L), bounded.toString)
+  }
+
   test("pageRank: hub outranks leaves, mass ≈ 1, partition-invariant") {
     // symmetric star: hub h connected to leaves l1..l4
     val edges = Seq(("h", "l1"), ("h", "l2"), ("h", "l3"), ("h", "l4"))
