@@ -72,6 +72,13 @@ private final class QueryMetricsListener extends SparkListener {
   * truncate the driver's capture — the file is the reliable channel).
   * A failing query is recorded as -1.0 so regressions are visible instead
   * of masquerading as fast successes.
+  *
+  * SELF-ADJUDICATING: the previous round's committed `bench_out.json`
+  * (override with BENCH_PREV) supplies per-query reference times; any
+  * query ≥1.5× its reference (and over 1 s) re-runs in isolation after
+  * the full pass, and both numbers are recorded — `queries` holds the
+  * in-run time, `rerun_s` the exclusive one — so contention/GC anomalies
+  * are dispositioned inside the artifact of record, not in prose.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -133,6 +140,30 @@ object Bench {
         Seq("component"), Seq(col("n_chars").desc, col("doc_id").asc))
         .write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => () }
+    // previous-round per-query reference for the self-adjudication pass
+    // below: the committed bench_out.json (last round's artifact of
+    // record) unless BENCH_PREV points elsewhere. Absent/unparsable →
+    // no reference, no reruns.
+    val prevTimes: Map[String, Double] = {
+      val path = sys.env.getOrElse("BENCH_PREV", "bench_out.json")
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File(path)).path("queries")
+        val it = node.fieldNames()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) {
+          val k = it.next(); b += k -> node.path(k).asDouble()
+        }
+        b.result()
+      } catch { case _: Throwable => Map.empty }
+    }
+    def resetBetweenQueries(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      System.gc()
+      metricsListener.drainAndSnapshot(): Unit
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Reset JVM/session state OUTSIDE the timed section (the JMH
       // between-iterations pattern). Heavy allocators early in the
@@ -148,13 +179,9 @@ object Bench {
       // query follows a checkpoint-hungry one (q139 ran 11s in a round-6
       // pass, 6.3s standalone). Blocking is fine here: this runs outside
       // the timed window.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      spark.catalog.clearCache()
-      System.gc()
-      // zero the counters AFTER the reset work above so unpersist/clean
-      // task events (if any) don't bill to this query
-      metricsListener.drainAndSnapshot()
+      // (reset zeroes the counters AFTER the unpersist/clean work so
+      // those task events, if any, don't bill to this query)
+      resetBetweenQueries()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -163,6 +190,25 @@ object Bench {
         }
       val sec = (System.nanoTime() - t0) / 1e9
       (name, if (ok) sec else -1.0, metricsListener.drainAndSnapshot())
+    }
+    // SELF-ADJUDICATING RERUNS (VERDICT r11 #1): any query ≥1.5× its
+    // previous-round time re-runs in ISOLATION at the end of the pass
+    // (fresh reset, nothing queued behind it), and BOTH numbers land in
+    // the artifact — so an in-run contention/GC anomaly is dispositioned
+    // against the bench of record instead of in prose. The 1 s floor
+    // keeps sub-second jitter from triggering re-timings.
+    val reruns: Seq[(String, Double)] = results.collect {
+      case (name, sec, _)
+          if sec > 1.0 && prevTimes.get(name).exists(p =>
+            p > 0 && sec > 1.5 * p) =>
+        resetBetweenQueries()
+        Thread.sleep(200) // let async cleanup settle outside the timing
+        val t0 = System.nanoTime()
+        val ok = try {
+          selected(name)(spark, sfDir).write.mode("overwrite")
+            .format("noop").save(); true
+        } catch { case _: Throwable => false }
+        (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     // The driver captures only the LAST ~2000 chars of stdout (measured
     // from BENCH_r02.json: tail=2000, trailing sbt "[success]" banner
@@ -178,8 +224,13 @@ object Bench {
         .mkString("{", ",", "}")
     val total = timings.collect { case (_, s) if s >= 0 => s }.sum
     val failed = timings.count(_._2 < 0)
+    // reruns ride every output line: "rerun_s" maps each >1.5×-prev
+    // mover to its exclusive re-timing (empty when nothing moved)
+    val rerunJson =
+      if (reruns.isEmpty) ""
+      else s""","rerun_s":${qmap(reruns)}"""
     def line(rs: Seq[(String, Double)], extra: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(rs)},"failed":$failed,"sf":"$sfDir"$extra}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(rs)},"failed":$failed,"sf":"$sfDir"$rerunJson$extra}"""
     // failures (-1) first so they never fall off the trimmed line
     val slowest40 = (timings.filter(_._2 < 0) ++
       timings.filter(_._2 >= 0).sortBy(-_._2)).take(40)

@@ -264,16 +264,25 @@ object DeltaInterop {
     * a newer snapshot to a new directory rather than mutating one. */
   def exportToDelta(spark: SparkSession, lakeRoot: String,
                     deltaRoot: String,
-                    version: Option[Long] = None): Unit = {
+                    version: Option[Long] = None,
+                    purgeFirst: Boolean = false): Unit = {
     val vs = LakeTable.versions(spark, lakeRoot)
     require(vs.nonEmpty, s"no lake table at $lakeRoot")
-    val v = version.getOrElse(vs.last)
     // the export hard-links RAW data files; a snapshot with live
     // deletion vectors would resurrect its deleted rows on the Delta
-    // side — fold them in first
+    // side — fold them in first. `purgeFirst` does that in one call for
+    // the LATEST snapshot (purge commits a new version, so it cannot
+    // serve a pinned historical `version` — those still require the
+    // explicit purge-then-pin dance, or were vector-free to begin with)
+    val v =
+      if (purgeFirst && version.isEmpty &&
+          LakeTable.dvOf(spark, lakeRoot, vs.last).nonEmpty)
+        LakeTable.purgeDeletes(spark, lakeRoot)
+      else version.getOrElse(vs.last)
     require(LakeTable.dvOf(spark, lakeRoot, v).isEmpty,
       s"exportToDelta: version $v of $lakeRoot carries deletion " +
-        "vectors; run LakeTable.purgeDeletes first")
+        "vectors; run LakeTable.purgeDeletes first (or call with " +
+        "purgeFirst = true to fold the latest snapshot automatically)")
     val ents = LakeTable.entries(spark, lakeRoot, v)
     val schema = LakeTable.schemaOf(spark, lakeRoot, v)
       .getOrElse(LakeTable.read(spark, lakeRoot, Some(v)).schema)

@@ -267,6 +267,26 @@ class DeltaInteropSpec extends SparkSpec {
     assert(DeltaInterop.readDelta(spark, r3).count() == 1L)
   }
 
+  test("exportToDelta(purgeFirst = true): a DV-bearing snapshot exports "
+      + "in one call and the Delta read-back lacks the deleted rows; "
+      + "without it the refusal carries the hint") {
+    val lake = freshRoot()
+    val out = freshRoot() + "_d"
+    LakeTable.append(spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") * 3).as("v")), lake)
+    LakeTable.deleteWhereDV(spark, lake, "k < 10")
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.exportToDelta(spark, lake, out)
+    }
+    assert(e.getMessage.contains("purgeFirst"), e.getMessage)
+    DeltaInterop.exportToDelta(spark, lake, out, purgeFirst = true)
+    assert(DeltaInterop.readDelta(spark, out)
+      .select("k").as[Long].collect().toSet == (10L until 100L).toSet)
+    // the purge landed on the source table too: vectors folded
+    val latest = LakeTable.versions(spark, lake).last
+    assert(LakeTable.dvOf(spark, lake, latest).isEmpty)
+  }
+
   test("reader-feature gate is an ALLOWLIST: features unknown to this "
       + "reader (e.g. typeWidening) and minReaderVersion 2 refuse, "
       + "rather than silently replaying possibly-wrong data") {
