@@ -251,3 +251,53 @@ object Stress {
     ()
   }
 }
+
+/** BPE trainer scale probe — the ≥1k-merge timing behind the batched-
+  * merge claim: a production vocabulary is 32k–100k merges, so the cost
+  * model that matters is DRIVER ROUNDS (each round is a fixed batch of
+  * Spark jobs), not corpus passes. Trains the same documents-derived
+  * (word, freq) vocabulary to BPE_ROUNDS merges (default 1000)
+  * sequentially (batchMerges=1) and batched (default 16), checks the
+  * outputs are bit-identical, and prints wall plus realized rounds.
+  * Env: SPARK_GRAFT_SF_DIR, BPE_ROUNDS, BPE_BATCH. */
+object BpeStress {
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val rounds = sys.env.getOrElse("BPE_ROUNDS", "1000").toInt
+    val batch = sys.env.getOrElse("BPE_BATCH", "16").toInt
+    val spark = Engine.local(appName = "graft-bpestress")
+    spark.sparkContext.setLogLevel("ERROR")
+    // the synthetic documents table draws from ~31 distinct words — far
+    // too small a vocabulary to sustain 1k merges — so the probe trains
+    // on word TRIGRAMS ('_'-joined, ~20-char "words", Zipfian freqs):
+    // thousands of distinct entries, the shape of a real subword vocab
+    val toks = Tables.documents(spark, srcDir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val vocab = toks
+      .select(concat_ws("_", col("w"), lead("w", 1).over(win),
+        lead("w", 2).over(win)).as("word"))
+      .filter(length(col("word")) > 0 && !col("word").endsWith("_"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true)
+    println(s"vocab: ${vocab.count()} distinct words")
+    def run(b: Int): (Seq[Seq[Any]], Double) = {
+      // no blanket unpersist here: the shared vocab's checkpoint blocks
+      // must survive both runs (trainMerges frees its own round state)
+      System.gc()
+      val t0 = System.nanoTime()
+      val m = graft.operators.Bpe.trainMerges(vocab, "word", "freq",
+        rounds, batchMerges = b).collect().map(_.toSeq).toSeq
+      (m, (System.nanoTime() - t0) / 1e9)
+    }
+    val (mb, tb) = run(batch)
+    val (ms, ts) = run(1)
+    require(mb == ms, "batched merges diverged from sequential")
+    println(f"bpe-stress: $rounds merges  sequential ${ts}%.1f s   " +
+      f"batch=$batch ${tb}%.1f s  (speedup ${ts / tb}%.2fx, " +
+      f"outputs bit-identical, ${ms.size} merges learned)")
+    spark.stop()
+  }
+}

@@ -86,19 +86,43 @@ object Bpe {
     * merge, in training order ("lhs"/"rhs" because LEFT/RIGHT/ROUND are
     * reserved words downstream). Stops early if no adjacent pair remains.
     *
-    * Per round: one argmax over the maintained pair-count table, one
-    * staged pass that rewrites ONLY the words containing the winning
-    * pair (others pass through untouched), and one pair-keyed outer
-    * join folding the signed before/after delta of those words into the
-    * counts. checkpointDir: None = localCheckpoint (fast,
-    * executor-memory; each round frees its predecessor's blocks so
-    * storage stays O(1) in rounds); a path = reliable checkpoints for
+    * Per DRIVER round: one bounded top-K collect over the maintained
+    * pair-count table, one staged pass that rewrites ONLY the words
+    * containing any selected pair (others pass through untouched), and
+    * one pair-keyed outer join folding the signed before/after delta of
+    * those words into the counts. checkpointDir: None = localCheckpoint
+    * (fast, executor-memory; each round frees its predecessor's blocks
+    * so storage stays O(1) in rounds); a path = reliable checkpoints for
     * long multi-round cluster runs (same durability contract as
     * Graphs.persistStep).
-    */
+    *
+    * BATCHED MERGES, provably ≡ sequential greedy: one driver round may
+    * take up to `batchMerges` merges when equivalence is provable from
+    * the sorted top of the count table alone. The batch is the maximal
+    * PREFIX of the (cnt desc, lhs, rhs)-sorted pairs that is
+    * (1) pairwise symbol-disjoint — merging (a,b) then can't change any
+    * other batched pair's count or occurrence positions;
+    * (2) strictly above the first excluded pair's count — every pair a
+    * batch merge can create or shrink is bounded by the old count of
+    * some SYMBOL-SHARING pair, and all sharers are excluded (rank ≥ the
+    * prefix end), so nothing can climb past the boundary count and
+    * perturb the selection order sequential greedy would have made
+    * (ties inside the prefix resolve in the same lexicographic order on
+    * both sides);
+    * (3) collision-free — no batched merged string (lhs+rhs) already
+    * occurs as a symbol in the count table (one bounded existence probe
+    * per round), otherwise a new merge's occurrences would ADD to an
+    * existing pair's count and break the bound in (2).
+    * When any condition fails the round falls back toward a single
+    * merge — always exact. A fully-disjoint table batches whole (no
+    * sharer has positive count, so no new pair can appear at all).
+    * This is what turns a 32k-merge vocabulary from 32k sequential
+    * Spark rounds into a few thousand, with bit-identical output. */
   def trainMerges(vocab: DataFrame, wordCol: String, freqCol: String,
                   rounds: Int,
-                  checkpointDir: Option[String] = None): DataFrame = {
+                  checkpointDir: Option[String] = None,
+                  batchMerges: Int = 8): DataFrame = {
+    require(batchMerges >= 1, "batchMerges must be >= 1")
     val spark = vocab.sparkSession
     var syms = Graphs.persistStep(vocab.select(
       col(wordCol).cast("string").as("word"),
@@ -117,22 +141,64 @@ object Bpe {
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val best = pc
+      val cap = math.min(batchMerges, rounds - r + 1)
+      // top rows reaching the driver stay bounded: cap + 1 (the +1 row
+      // is the boundary whose count condition (2) reads)
+      val top = pc
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect() // exactly one argmax row reaches the driver
-      if (best.isEmpty) exhausted = true
+        .limit(cap + 1).collect()
+      if (top.isEmpty) exhausted = true
       else {
-        val (a, b, cnt) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += Row(r, a, b, cnt)
-        val hasPair = exists(pairsOf(col("syms")),
-          p => p.getField("l") === a && p.getField("r") === b)
-        // stage the round: __new is the merged array for affected words,
-        // null otherwise — materialized ONCE, read by both the delta
-        // aggregate and the next round's vocab state
+        // (1) maximal pairwise-disjoint prefix, capped
+        val dirty = scala.collection.mutable.Set.empty[String]
+        val prefix = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        var stop = false
+        top.iterator.takeWhile(_ => !stop && prefix.size < cap)
+          .foreach { row =>
+            val (a, b) = (row.getString(0), row.getString(1))
+            if (prefix.isEmpty) {
+              prefix += ((a, b, row.getLong(2))); dirty += a; dirty += b
+              dirty += (a + b)
+            } else if (dirty(a) || dirty(b) || dirty(a + b) ||
+                a + b == prefix.last._1 + prefix.last._2) stop = true
+            else {
+              prefix += ((a, b, row.getLong(2))); dirty += a; dirty += b
+              dirty += (a + b)
+            }
+          }
+        // (2) strict count drop at the boundary: shrink until the last
+        // selected pair sits strictly above the first excluded row (a
+        // prefix covering the whole table needs no boundary)
+        var j = prefix.size
+        while (j > 1 && j < top.length && prefix(j - 1)._3 <= top(j).getLong(2))
+          j -= 1
+        var batch = prefix.take(j).toSeq
+        // (3) merged-string collision probe (bounded: one tiny filter
+        // job; on a hit fall back to the always-exact single merge)
+        if (batch.size > 1) {
+          val ms = batch.map(p => p._1 + p._2)
+          val collides = pc.filter(col("l").isInCollection(ms) ||
+            col("r").isInCollection(ms)).limit(1).collect().nonEmpty
+          if (collides) batch = batch.take(1)
+        }
+        batch.foreach { case (a, b, cnt) =>
+          merges += Row(r, a, b, cnt); r += 1
+        }
+        val hasAny = batch.map { case (a, b, _) =>
+          exists(pairsOf(col("syms")),
+            p => p.getField("l") === a && p.getField("r") === b)
+        }.reduce(_ || _)
+        // stage the round: __new is the fully-merged array for affected
+        // words (batch merges compose left-to-right, exactly the order
+        // sequential training would apply them), null otherwise —
+        // materialized ONCE, read by both the delta aggregate and the
+        // next round's vocab state
+        val folded = batch.foldLeft(col("syms")) {
+          case (c, (a, b, _)) => foldMerge(c, a, b)
+        }
         val staged = Graphs.persistStep(
-          syms.withColumn("__new",
-            when(hasPair, foldMerge(col("syms"), a, b))),
+          syms.withColumn("__new", when(hasAny, folded)),
           checkpointDir, eager = true)
         val delta = staged.filter(col("__new").isNotNull)
           .select(col("freq"), explode(concat(
@@ -161,7 +227,6 @@ object Bpe {
           Graphs.freeCheckpoint(prevSyms)
           Graphs.freeCheckpoint(prevPc)
         }
-        r += 1
       }
     }
     spark.createDataFrame(

@@ -101,7 +101,10 @@ class GraftLakeSource extends RelationProvider
     val root = rootOf(parameters)
     val fixed = sourceSchema(sqlContext, schema, providerName, parameters)._2
     val startAt = parameters.get("startingVersion").map(_.toLong)
-    new GraftLakeStreamSource(sqlContext, root, fixed, startAt)
+    val maxV = parameters.get("maxVersionsPerBatch").map(_.toLong)
+    maxV.foreach(m => require(m >= 1,
+      s"graftlake source: maxVersionsPerBatch must be >= 1, got $m"))
+    new GraftLakeStreamSource(sqlContext, root, fixed, startAt, maxV)
   }
 
   override def createRelation(sqlContext: SQLContext,
@@ -220,21 +223,78 @@ class GraftLakeSource extends RelationProvider
   * column-aligned to the stream's fixed schema. Versions are immutable
   * once committed, so a replayed batch is deterministically identical —
   * the property Spark's offset log needs for exactly-once composition
-  * with an idempotent sink. */
+  * with an idempotent sink.
+  *
+  * ADMISSION CONTROL ([[SupportsAdmissionControl]]): the
+  * `maxVersionsPerBatch` option bounds each micro-batch to that many
+  * manifest versions past the committed offset — Delta's
+  * maxFilesPerTrigger analogue, and the knob that matters at 100 TB: a
+  * restarted stream that fell behind (or a fresh one bootstrapping)
+  * otherwise serves its whole backlog as ONE batch whose shuffle state
+  * must fit the cluster. The bootstrap batch rate-limits to the
+  * earliest RETAINED version + budget (a snapshot read at that version,
+  * then incremental tails — total I/O equals the direct bootstrap plus
+  * the deltas). Spark passes the committed start offset into
+  * [[latestOffset]], so rate limiting is stateless across restarts.
+  *
+  * TRIGGER.AVAILABLENOW ([[SupportsTriggerAvailableNow]]): the prepare
+  * hook pins the table's latest version at stream start; batches then
+  * drain up to that pin (in `maxVersionsPerBatch` slices when set) and
+  * the query stops — real multi-batch AvailableNow semantics instead of
+  * Spark's single-batch fallback for unsupporting sources. */
 class GraftLakeStreamSource(ctx: SQLContext, root: String,
-                            fixed: StructType, startAt: Option[Long])
-    extends org.apache.spark.sql.execution.streaming.Source {
+                            fixed: StructType, startAt: Option[Long],
+                            maxVersionsPerBatch: Option[Long] = None)
+    extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{
+    Offset => OffsetV2, ReadLimit}
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
   import org.apache.spark.sql.functions.{col, lit}
 
   private def spark = ctx.sparkSession
 
+  @volatile private var availableNowCap: Option[Long] = None
+
   override def schema: StructType = fixed
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = LakeTable.versions(spark, root).lastOption
+
+  /** Next end offset: the newest committed version, clamped by the
+    * AvailableNow pin and the per-batch version budget. `null` = no new
+    * data (the admission-control contract). */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val vs = LakeTable.versions(spark, root)
+    val latest = (vs.lastOption, availableNowCap) match {
+      case (Some(l), Some(cap)) => Some(math.min(l, cap))
+      case (l, cap) => l.orElse(cap)
+    }
+    val from = Option(start).map(at).orElse(startAt)
+    latest
+      .filter(v => from.forall(v > _)) // nothing new past the skip point
+      .map { v =>
+        val capped = maxVersionsPerBatch match {
+          case Some(m) => from match {
+            case Some(f) => math.min(v, f + m)
+            // bootstrap: snapshot at the earliest retained version plus
+            // the remaining budget, tails follow incrementally
+            case None => math.min(v, vs.head + m - 1)
+          }
+          case None => v
+        }
+        LongOffset(capped): OffsetV2
+      }.orNull
+  }
 
   override def getOffset
       : Option[org.apache.spark.sql.execution.streaming.Offset] =
+    // legacy (non-admission-control) entry point: same answer, no
+    // rate limiting — MicroBatchExecution routes admission-control
+    // sources through latestOffset above
     LakeTable.versions(spark, root).lastOption
-      .filter(v => startAt.forall(v > _)) // nothing new past the skip point
+      .filter(v => startAt.forall(v > _))
       .map(LongOffset(_))
 
   private def at(o: org.apache.spark.sql.connector.read.streaming.Offset)

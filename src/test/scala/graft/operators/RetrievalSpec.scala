@@ -130,6 +130,30 @@ class RetrievalSpec extends SparkSpec {
     assert(got.size >= 12, s"fixture must sustain >=12 rounds, got ${got.size}")
   }
 
+  test("bpe: batched rounds are bit-identical to sequential greedy on "
+      + "interacting, disjoint, collision-prone and tie-heavy fixtures") {
+    val fixtures = Seq(
+      // interacting: the top pairs share symbols, so the disjoint-prefix
+      // rule degenerates toward single merges — must still match exactly
+      Seq(("xaxa", 5L), ("axb", 4L), ("xba", 3L)),
+      // disjoint sub-alphabets: real multi-merge batches fire
+      Seq(("abab", 5L), ("cdcd", 5L), ("abcd", 2L), ("efef", 4L)),
+      // collision-prone: ("ab","c") and ("a","bc") both reach "abc",
+      // exercising the merged-string collision probe
+      Seq(("abcabc", 3L), ("abc", 2L), ("bcbc", 4L), ("aab", 2L)),
+      // ties + pair extinction (the 14-round reference fixture)
+      Seq(("ababab", 3L), ("abcabc", 2L), ("aabb", 5L), ("banana", 4L),
+        ("bandana", 2L), ("cabbage", 1L), ("baggage", 2L), ("cabana", 3L)))
+    for (fx <- fixtures; rounds <- Seq(6, 14)) {
+      val seq1 = Bpe.trainMerges(fx.toDF("word", "freq"), "word", "freq",
+        rounds, batchMerges = 1).collect().map(_.toSeq).toSeq
+      val bat = Bpe.trainMerges(fx.toDF("word", "freq"), "word", "freq",
+        rounds, batchMerges = 8).collect().map(_.toSeq).toSeq
+      assert(bat == seq1, s"batch diverged on $fx at $rounds rounds:\n" +
+        s" batch $bat\n seq   $seq1")
+    }
+  }
+
   test("bpe: reliable-checkpoint path trains identical merges") {
     val vocab = Seq(("abab", 2L), ("abc", 1L), ("aaa", 3L)).toDF("word", "freq")
     val dir = java.nio.file.Files.createTempDirectory("bpeckpt").toString

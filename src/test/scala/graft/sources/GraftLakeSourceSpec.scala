@@ -269,6 +269,33 @@ class GraftLakeSourceSpec extends SparkSpec {
       (80L until 90L).toSet) // v3's files only
   }
 
+  test("maxVersionsPerBatch rate-limits the stream to bounded version "
+      + "slices — multi-batch AvailableNow drains the backlog in "
+      + "several commits, content identical to the unlimited run") {
+    val dir = Files.createTempDirectory("lakesrclimit")
+    val src = dir.resolve("src").toString
+    val dst = dir.resolve("dst").toString
+    // four versions of backlog before the stream ever starts
+    (0 until 4).foreach { i =>
+      LakeTable.append(spark.range(i * 10L, i * 10L + 10)
+        .select(col("id").as("k"), (col("id") * 2).as("v")), src)
+    }
+    val q = spark.readStream.format("graftlake").option("path", src)
+      .option("maxVersionsPerBatch", "1").load()
+      .writeStream.format("graftlake")
+      .option("path", dst).option("appId", "limit-tail")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // every row arrived, and the drain took one sink commit per source
+    // version (4 batches), not one giant bootstrap batch
+    assert(LakeTable.read(spark, dst).select("k").as[Long]
+      .collect().toSet == (0L until 40L).toSet)
+    assert(LakeTable.versions(spark, dst).size == 4,
+      LakeTable.versions(spark, dst).toString)
+  }
+
   test("stream RESTART re-resolves the manifest schema: columns evolved "
       + "between two runs are adopted by the next run (mid-run they are "
       + "dropped, per the fixed-schema rule)") {
