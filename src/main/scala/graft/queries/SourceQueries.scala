@@ -1811,6 +1811,38 @@ object SourceQueries {
                ELSE o_totalprice END AS o_totalprice
         FROM orders"""),
       "Delta classic-checkpoint replay: log-cleaned table = ckpt + tail"),
+
+    // ---- metadata-only COUNT(*) --------------------------------------------
+    // The Delta numRecords fast path: per-file row counts ride the
+    // manifest as `#rows` stats (written from the parquet footers at
+    // commit time, zero extra data I/O) and live deletion-vector rows
+    // subtract, so COUNT(*) on a 100 TB table is one manifest read +
+    // one sidecar-sized aggregate instead of a full scan. The oracle
+    // recomputes the surviving multiset from orders directly.
+    "q301_lake_count" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val root = freshRoot("graft_lake_q301") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.repartitionByRange(4, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"),
+          root, zoneKey = Some("o_orderkey"))
+        graft.sources.LakeTable.deleteWhereDV(s, root,
+          "o_orderkey % 5 = 0")
+        val meta = graft.sources.LakeTable.countRows(s, root)
+          .getOrElse(sys.error("q301: manifest lacks row stats"))
+        // pre-delete snapshot counts from its own manifest state
+        val before = graft.sources.LakeTable.countRows(s, root, Some(1L))
+          .getOrElse(sys.error("q301: v1 lacks row stats"))
+        Seq((before, meta)).toDF("n_before", "n_after")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_before,
+          CAST(count(*) FILTER (WHERE o_orderkey % 5 <> 0) AS BIGINT)
+            AS n_after
+        FROM orders"""),
+      "metadata-only COUNT(*): manifest row stats minus live DV rows"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

@@ -295,7 +295,7 @@ object DeltaInterop {
     // [[readDeltaRange]] below — prunes the export exactly like the
     // native zone reads prune the source table
     def statsJson(e: LakeTable.FileEntry): Option[String] = {
-      val zs = e.zones.filter(z => schema.fieldNames.contains(z.key))
+      val zs = e.dataZones.filter(z => schema.fieldNames.contains(z.key))
       if (zs.isEmpty) None
       else {
         def side(pick: LakeTable.Zone => String) = zs.map { z =>

@@ -117,13 +117,30 @@ object LakeTable {
     * layout (a single-column cluster gives tight zones on that column
     * only; the manifest format itself is indifferent to how the writer
     * clustered). */
+  /** Reserved pseudo-zone key carrying a file's ROW COUNT (lo = hi =
+    * count) — rides the existing entry format, so manifests with and
+    * without counts interoperate in both directions: an old reader sees
+    * a zone on a column named `#rows` that matches no schema field
+    * (conservatively ignored everywhere zones prune), a new reader gets
+    * metadata-only COUNT(*) via [[countRows]]. The Delta `numRecords`
+    * analogue. `#` is not a legal start for the format's header tag
+    * position inside an entry line (entries never start with `#`), and
+    * real columns named `#rows` are declared unsupported. */
+  private[sources] val RowsKey = "#rows"
+
   final case class FileEntry(path: String, zones: Seq[Zone]) {
+    /** Zones on REAL columns (the pruning surface) — excludes the
+      * reserved row-count pseudo-zone. */
+    def dataZones: Seq[Zone] = zones.filterNot(_.key == RowsKey)
+    /** This file's recorded row count, if its writer recorded one. */
+    def rowCount: Option[Long] =
+      zones.find(_.key == RowsKey).map(_.lo.toLong)
     /** Leading-zone compatibility accessors (single-key callers). */
-    def zoneKey: Option[String] = zones.headOption.map(_.key)
-    def lo: Option[String] = zones.headOption.map(_.lo)
-    def hi: Option[String] = zones.headOption.map(_.hi)
+    def zoneKey: Option[String] = dataZones.headOption.map(_.key)
+    def lo: Option[String] = dataZones.headOption.map(_.lo)
+    def hi: Option[String] = dataZones.headOption.map(_.hi)
     /** The stats for column `k`, if this file carries them. */
-    def zoneFor(k: String): Option[Zone] = zones.find(_.key == k)
+    def zoneFor(k: String): Option[Zone] = dataZones.find(_.key == k)
   }
 
   object FileEntry {
@@ -780,6 +797,40 @@ object LakeTable {
     * whether any Bloom sidecar row covers it. The ops-dashboard /
     * layout-debugging view (DESCRIBE DETAIL at file granularity);
     * driver metadata + one listStatus per commit dir, no data I/O. */
+  /** Metadata-only COUNT(*) of version `v` (default latest): the sum of
+    * the per-file `#rows` manifest stats minus live deletion-vector
+    * rows — ZERO data-file I/O (plus one sidecar-sized aggregate when
+    * vectors are live; vector refs on since-rewritten files don't
+    * subtract). The Delta `numRecords` fast path: at 100 TB a bare
+    * `count()` is a full scan, this is one manifest read. Returns None
+    * when any live file predates row-count stats (manifests written
+    * before this feature) — callers then fall back to
+    * `read(...).count()`, never a wrong number. */
+  def countRows(spark: SparkSession, root: String,
+                version: Option[Long] = None): Option[Long] = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"countRows: no table at $root")
+    val v = version.getOrElse(vs.last)
+    val ents = entries(spark, root, v)
+    val counts = ents.map(_.rowCount)
+    if (counts.exists(_.isEmpty)) None
+    else {
+      val dvDirs = dvOf(spark, root, v)
+      val deleted =
+        if (dvDirs.isEmpty) 0L
+        else {
+          val live = ents.map(_.path).toSet
+          spark.read.schema(dvSchema)
+            .parquet(dvDirs.map(d => s"$root/$d"): _*)
+            .groupBy("file").agg(count(lit(1)).as("n"))
+            .collect() // bounded: one row per vectored file
+            .iterator.filter(r => live(r.getString(0)))
+            .map(_.getLong(1)).sum
+        }
+      Some(counts.flatten.sum - deleted)
+    }
+  }
+
   def files(spark: SparkSession, root: String,
             version: Option[Long] = None): DataFrame = {
     import scala.jdk.CollectionConverters._
@@ -788,7 +839,7 @@ object LakeTable {
     val v = version.getOrElse(vs.last)
     val ents = entries(spark, root, v)
     val fs = hfs(spark, root)
-    val zoneCols = ents.flatMap(_.zones.map(_.key)).distinct.sorted
+    val zoneCols = ents.flatMap(_.dataZones.map(_.key)).distinct.sorted
     val idxDirs = idxOf(spark, root, v)
     val indexed: Set[String] =
       if (idxDirs.isEmpty) Set.empty
@@ -813,6 +864,7 @@ object LakeTable {
       }
     val rows = ents.map { e =>
       Row.fromSeq(Seq(e.path, sizes.getOrElse(e.path, -1L),
+        e.rowCount.map(java.lang.Long.valueOf).orNull,
         indexed.contains(e.path), dvCounts.getOrElse(e.path, 0L)) ++
         zoneCols.flatMap(k => e.zoneFor(k) match {
           case Some(z) => Seq(z.lo, z.hi)
@@ -822,6 +874,8 @@ object LakeTable {
     val schema = StructType(Seq(
       StructField("path", StringType, nullable = false),
       StructField("size_bytes", LongType, nullable = false),
+      // NULL for files written before row-count stats existed
+      StructField("rows", LongType, nullable = true),
       StructField("bloom_indexed", BooleanType, nullable = false),
       StructField("dv_deleted_rows", LongType, nullable = false)) ++
       zoneCols.flatMap(k => Seq(
@@ -980,7 +1034,23 @@ object LakeTable {
       .map(n => s"$commitDir/$n")
     val keys = zoneKeys.distinct.filter(k =>
       df.schema.fieldNames.contains(k) && zoneSupported(df.schema(k).dataType))
-    if (keys.isEmpty) rels.map(FileEntry(_, Seq.empty))
+    // per-file ROW COUNTS from the parquet FOOTERS just written —
+    // driver-side, O(files in this commit), zero data I/O — recorded as
+    // the reserved `#rows` pseudo-zone so COUNT(*) ([[countRows]]) and
+    // the DV maintenance math are manifest-resident, the Delta
+    // `numRecords` rule. Footer metadata is authoritative (the writer
+    // flushed it a moment ago).
+    val rowCounts: Map[String, Long] = rels.map { rel =>
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(s"$root/$rel"), spark.sessionState.newHadoopConf()))
+      val n = try rdr.getRecordCount finally rdr.close()
+      rel -> n
+    }.toMap
+    def withRows(rel: String, zones: Seq[Zone]): FileEntry =
+      FileEntry(rel, zones ++ rowCounts.get(rel).map(n =>
+        Zone(RowsKey, n.toString, n.toString)))
+    if (keys.isEmpty) rels.map(withRows(_, Seq.empty))
     else {
       // per-file min/max of all keys in ONE pass, keyed by FILE NAME:
       // the commit dir is unique to this write, so names are unambiguous
@@ -1004,7 +1074,7 @@ object LakeTable {
           new Path(r.getString(0)).getName -> zones
         }.toMap
       rels.map(rel =>
-        FileEntry(rel, stats.getOrElse(new Path(rel).getName, Seq.empty)))
+        withRows(rel, stats.getOrElse(new Path(rel).getName, Seq.empty)))
     }
   }
 
@@ -1359,7 +1429,7 @@ object LakeTable {
     // the rewritten files, so a multi-zoned table doesn't lose its
     // second-column prunability to a MERGE.
     val tableZoneKeys =
-      (lead +: ents.flatMap(_.zones.map(_.key))).distinct
+      (lead +: ents.flatMap(_.dataZones.map(_.key))).distinct
     val fresh = writeData(rewritten, root, tableZoneKeys)
 
     // Row-level change sidecar (the Delta CDF write path): the merge
@@ -1638,7 +1708,7 @@ object LakeTable {
       val matches = coalesce(expr(condSql), lit(false))
       val rewritten = touched.filter(!matches)
       // rewritten files keep the table's full zoning discipline
-      val zoneKeys = ents.flatMap(_.zones.map(_.key)).distinct
+      val zoneKeys = ents.flatMap(_.dataZones.map(_.key)).distinct
       val fresh = writeData(rewritten, root, zoneKeys)
       val cdcDir =
         if (!cdf) None
@@ -1774,7 +1844,7 @@ object LakeTable {
         constraints = constraintsOf(spark, root, cur))
     val touched =
       readFiles(spark, root, affected.map(_.path), tableSchema, cur)
-    val zoneKeys = ents.flatMap(_.zones.map(_.key)).distinct
+    val zoneKeys = ents.flatMap(_.dataZones.map(_.key)).distinct
     val fresh = writeData(touched, root, zoneKeys)
     commit(spark, root, kept ++ fresh, cur + 1L,
       schema = tableSchema, op = Some("purge"),
@@ -1861,7 +1931,7 @@ object LakeTable {
       // nothing, not even vacuum-fodder orphans)
       enforceConstraints(applied(touched.filter(matches)),
         constraintsOf(spark, root, cur), "updateWhere")
-      val zoneKeys = ents.flatMap(_.zones.map(_.key)).distinct
+      val zoneKeys = ents.flatMap(_.dataZones.map(_.key)).distinct
       val fresh = writeData(rewritten, root, zoneKeys)
       val cdcDir =
         if (!cdf) None
@@ -1948,7 +2018,7 @@ object LakeTable {
     val dvDir = s"dv/${java.util.UUID.randomUUID().toString}"
     hits.select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
       .write.mode("errorifexists").parquet(s"$root/$dvDir")
-    val zoneKeys = ents.flatMap(_.zones.map(_.key)).distinct
+    val zoneKeys = ents.flatMap(_.dataZones.map(_.key)).distinct
     val fresh = writeData(post, root, zoneKeys)
     val cdcDir =
       if (!cdf) None

@@ -1150,9 +1150,14 @@ class LakeTableSpec extends SparkSpec {
     assert(inv.forall(_.getLong(1) > 0L)) // real sizes
     val zoned = inv.filter(r => r.getAs[String]("zone_k_lo") != null)
     assert(zoned.length == 2)
-    assert(zoned.forall(_.getBoolean(2))) // first commit bloom-indexed
+    assert(zoned.forall(_.getAs[Boolean]("bloom_indexed")))
     val unzoned = inv.filterNot(r => r.getAs[String]("zone_k_lo") != null)
-    assert(unzoned.length == 1 && !unzoned.head.getBoolean(2))
+    assert(unzoned.length == 1 &&
+      !unzoned.head.getAs[Boolean]("bloom_indexed"))
+    // per-file row counts from the write-time footer read sum to the
+    // table's rows
+    assert(inv.map(_.getAs[Long]("rows")).sum == 210L)
+    assert(unzoned.head.getAs[Long]("rows") == 10L)
     // zone strings round-trip to the manifest entries
     LakeTable.entries(spark, root, 2L).filter(_.zoneKey.isDefined)
       .foreach { e =>
@@ -1167,6 +1172,57 @@ class LakeTableSpec extends SparkSpec {
     val inv2 = LakeTable.files(spark, root).collect()
     assert(inv2.map(_.getAs[Long]("dv_deleted_rows")).sum == 10L)
     assert(inv2.count(_.getAs[Long]("dv_deleted_rows") > 0L) == 1)
+  }
+
+  test("countRows: metadata-only COUNT(*) ≡ read().count() across "
+      + "appends, DV deletes, purge, compaction, and time travel; "
+      + "manifests predating row counts answer None, never wrong") {
+    val root = freshRoot()
+    LakeTable.append(spark.range(0, 300)
+      .select(col("id").as("k"), (col("id") * 3).as("v"))
+      .repartitionByRange(3, col("k")).sortWithinPartitions("k"),
+      root, zoneKey = Some("k"))
+    assert(LakeTable.countRows(spark, root) == Some(300L))
+    LakeTable.append(spark.range(300, 350)
+      .select(col("id").as("k"), (col("id") * 3).as("v")), root)
+    assert(LakeTable.countRows(spark, root) == Some(350L))
+    // DV delete: vectors subtract without touching data files
+    LakeTable.deleteWhereDV(spark, root, "k BETWEEN 10 AND 39")
+    assert(LakeTable.countRows(spark, root) == Some(320L))
+    assert(LakeTable.countRows(spark, root).get ==
+      LakeTable.read(spark, root).count())
+    // stacked vectors compose (30–39 already deleted: only 40–49 adds)
+    LakeTable.deleteWhereDV(spark, root, "k BETWEEN 30 AND 49")
+    assert(LakeTable.countRows(spark, root) == Some(310L))
+    // time travel: pre-delete versions still count their own state
+    assert(LakeTable.countRows(spark, root, Some(2L)) == Some(350L))
+    // purge folds vectors; counts recompute from the rewritten footers
+    LakeTable.purgeDeletes(spark, root)
+    assert(LakeTable.countRows(spark, root) == Some(310L))
+    // compaction preserves the total
+    LakeTable.compact(spark, root, smallBytes = 1L << 30)
+    assert(LakeTable.countRows(spark, root) == Some(310L))
+    assert(LakeTable.read(spark, root).count() == 310L)
+    // legacy manifest (pre-row-count writer): strip the #rows pseudo-
+    // zones from the latest manifest in place → None (fall back), not
+    // a silently wrong number
+    val cur = LakeTable.versions(spark, root).last
+    val mf = java.nio.file.Paths.get(f"$root/_log/$cur%011d.manifest")
+    val stripped = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+      .linesIterator.map { l =>
+        if (l.startsWith("#")) l
+        else l.split("\t", -1).grouped(1).flatten.toSeq match {
+          case fields =>
+            // drop the (key, lo, hi) triple whose key decodes to #rows
+            val path = fields.head
+            val triples = fields.tail.grouped(3).filterNot(
+              _.head == java.net.URLEncoder.encode("#rows", "UTF-8"))
+            (path +: triples.flatten.toSeq).mkString("\t")
+        }
+      }.mkString("\n")
+    java.nio.file.Files.write(mf, stripped.getBytes("UTF-8"))
+    assert(LakeTable.countRows(spark, root).isEmpty)
+    assert(LakeTable.read(spark, root).count() == 310L) // reads unaffected
   }
 
   test("compactIndex folds per-commit sidecars into one; lookups stay "
