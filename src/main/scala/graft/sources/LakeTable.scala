@@ -1786,7 +1786,8 @@ object LakeTable {
       freeLocalCheckpoint(hits)
       return cur
     }
-    try dvFailGate(spark, root, priorDirs, hits.count(), "deleteWhereDV")
+    try dvFailGate(spark, root, priorDirs, hits.count(), ents,
+      "deleteWhereDV")
     catch { case e: Throwable => freeLocalCheckpoint(hits); throw e }
     val dvDir = s"dv/${java.util.UUID.randomUUID().toString}"
     hits.select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
@@ -2013,7 +2014,8 @@ object LakeTable {
     val post = applied(hits)
     enforceConstraints(post, constraintsOf(spark, root, cur),
       "updateWhereDV")
-    try dvFailGate(spark, root, priorDirs, hits.count(), "updateWhereDV")
+    try dvFailGate(spark, root, priorDirs, hits.count(), ents,
+      "updateWhereDV")
     catch { case e: Throwable => freeLocalCheckpoint(hits); throw e }
     val dvDir = s"dv/${java.util.UUID.randomUUID().toString}"
     hits.select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
@@ -2054,18 +2056,53 @@ object LakeTable {
     *  - `fail`: the MoR write is REFUSED before any sidecar lands, with
     *    a purge hint — for ops teams that schedule maintenance windows
     *    explicitly and want writes to surface the debt instead.
-    * Unset (default) = unbounded, the historical behavior. The budget
-    * counts sidecar rows (O(sidecar metadata), no table scan — the
-    * manifest carries no row counts, so a fraction-of-table policy
-    * would cost a full count per DML commit at 100 TB). */
-  private def dvBudget(spark: SparkSession): Option[(Long, String)] =
-    spark.conf.getOption("spark.graftlake.dv.maxRows").map { n =>
+    * Unset (default) = unbounded, the historical behavior. Two bounds,
+    * either or both: `maxRows` is an absolute sidecar-row ceiling;
+    * `spark.graftlake.dv.maxFraction` bounds vectored rows as a
+    * fraction of the table's PHYSICAL rows, served by the manifest's
+    * `#rows` stats — O(manifest), still no table scan; on a mixed
+    * history where counts are missing the fraction bound is skipped
+    * (the absolute bound still applies). */
+  private case class DvBudget(maxRows: Option[Long],
+                              maxFraction: Option[Double], policy: String)
+
+  private def dvBudget(spark: SparkSession): Option[DvBudget] = {
+    val maxRows = spark.conf.getOption("spark.graftlake.dv.maxRows")
+      .map(_.toLong)
+    val maxFrac = spark.conf.getOption("spark.graftlake.dv.maxFraction")
+      .map(_.toDouble)
+    maxFrac.foreach(f => require(f > 0 && f < 1,
+      s"spark.graftlake.dv.maxFraction must be in (0, 1), got $f"))
+    if (maxRows.isEmpty && maxFrac.isEmpty) None
+    else {
       val p = spark.conf.getOption("spark.graftlake.dv.policy")
         .getOrElse("purge")
       require(p == "purge" || p == "fail",
         s"spark.graftlake.dv.policy must be purge or fail, got '$p'")
-      (n.toLong, p)
+      Some(DvBudget(maxRows, maxFrac, p))
     }
+  }
+
+  /** Does `dvRows` exceed the budget against `ents`' physical rows?
+    * A describable reason string rides along for error messages. */
+  private def dvOverBudget(b: DvBudget, dvRows: Long,
+                           ents: Seq[FileEntry]): Option[String] = {
+    val absolute = b.maxRows.collect {
+      case n if dvRows > n => s"$dvRows rows > maxRows=$n"
+    }
+    lazy val fractional = b.maxFraction.flatMap { f =>
+      val counts = ents.map(_.rowCount)
+      if (counts.isEmpty || counts.exists(_.isEmpty)) None // mixed history
+      else {
+        val total = counts.flatten.sum
+        if (total > 0 && dvRows.toDouble / total > f)
+          Some(f"$dvRows of $total rows (${dvRows.toDouble / total}%.4f) " +
+            s"> maxFraction=${b.maxFraction.get}")
+        else None
+      }
+    }
+    absolute.orElse(fractional)
+  }
 
   private def dvRowCount(spark: SparkSession, root: String,
                          dirs: Seq[String]): Long =
@@ -2078,17 +2115,17 @@ object LakeTable {
     * the budget. */
   private def dvFailGate(spark: SparkSession, root: String,
                          priorDirs: Seq[String], adding: Long,
-                         op: String): Unit =
-    dvBudget(spark).foreach { case (n, policy) =>
-      if (policy == "fail") {
+                         ents: Seq[FileEntry], op: String): Unit =
+    dvBudget(spark).foreach { b =>
+      if (b.policy == "fail") {
         val total = dvRowCount(spark, root, priorDirs) + adding
-        if (total > n)
+        dvOverBudget(b, total, ents).foreach { why =>
           throw new IllegalStateException(
-            s"$op: deletion-vector rows would reach $total > " +
-              s"spark.graftlake.dv.maxRows=$n for $root — run " +
-              "LakeTable.purgeDeletes (or CALL graftlake.system." +
+            s"$op: deletion-vector budget exceeded for $root ($why) — " +
+              "run LakeTable.purgeDeletes (or CALL graftlake.system." +
               "purge_deletes) first, or set " +
               "spark.graftlake.dv.policy=purge to fold automatically")
+        }
       }
     }
 
@@ -2098,8 +2135,10 @@ object LakeTable {
   private def dvAutoPurge(spark: SparkSession, root: String,
                           committed: Long): Long =
     dvBudget(spark) match {
-      case Some((n, "purge"))
-          if dvRowCount(spark, root, dvOf(spark, root, committed)) > n =>
+      case Some(b) if b.policy == "purge" &&
+          dvOverBudget(b,
+            dvRowCount(spark, root, dvOf(spark, root, committed)),
+            entries(spark, root, committed)).nonEmpty =>
         purgeDeletes(spark, root)
       case _ => committed
     }

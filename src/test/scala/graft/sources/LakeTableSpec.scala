@@ -1537,8 +1537,20 @@ class LakeTableSpec extends SparkSpec {
       assert(LakeTable.read(spark, root)
         .filter(col("k").between(11, 13)).select("v").as[Long]
         .collect().toSet == Set(34L, 37L, 40L))
+      // FRACTION bound (manifest `#rows` stats make table size free):
+      // with only maxFraction set, a delete vectoring > 2% of physical
+      // rows auto-purges; a smaller one stays merge-on-read
+      spark.conf.unset("spark.graftlake.dv.maxRows")
+      spark.conf.set("spark.graftlake.dv.maxFraction", "0.02")
+      val v8 = LakeTable.deleteWhereDV(spark, root, "k >= 20 AND k < 23")
+      assert(LakeTable.dvOf(spark, root, v8).size == 1) // 3/~389 < 2%
+      val v10 = LakeTable.deleteWhereDV(spark, root, "k >= 23 AND k < 33")
+      assert(LakeTable.dvOf(spark, root, v10).isEmpty) // 13/~389 > 2% → fold
+      assert(LakeTable.read(spark, root)
+        .filter(col("k").between(20, 32)).count() == 0L)
     } finally {
       spark.conf.unset("spark.graftlake.dv.maxRows")
+      spark.conf.unset("spark.graftlake.dv.maxFraction")
       spark.conf.unset("spark.graftlake.dv.policy")
     }
   }
