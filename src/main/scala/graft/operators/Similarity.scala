@@ -138,8 +138,13 @@ object Similarity {
     * are computed. Norms are computed once per side before the join. */
   def allPairsCosine(corpus: DataFrame, idCol: String,
                      vecCol: String): DataFrame = {
+    // the probe side drives the nested-loop parallelism: a small corpus
+    // read from one parquet split would otherwise run the whole n²
+    // dot-product volume on a handful of tasks — spread it across the
+    // session's shuffle width (the broadcast side is unaffected)
+    val width = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val a = corpus.select(col(idCol).as("src"), col(vecCol).as("__av"),
-      Vectors.norm(col(vecCol)).as("__an"))
+      Vectors.norm(col(vecCol)).as("__an")).repartition(width)
     val b = corpus.select(col(idCol).as("dst"), col(vecCol).as("__bv"),
       Vectors.norm(col(vecCol)).as("__bn"))
     a.join(b, col("src") =!= col("dst"))

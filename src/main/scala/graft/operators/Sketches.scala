@@ -40,8 +40,18 @@ object Sketches {
                depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth in [1,16], got $depth")
     require(width >= 2, s"width must be >= 2, got $width")
-    bucketed(df, itemCol, depth, width)
-      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+    // pre-aggregate to (distinct item, count) BEFORE the depth-explode
+    // and md5 bucketing: hash work drops from rows×depth to
+    // distinct×depth — on a Zipfian corpus that is the average term
+    // frequency as a divisor, at any scale. Counter values are
+    // identical (sum of per-item counts ≡ count of occurrences).
+    val perItem = df.select(col(itemCol).cast("string").as("item"))
+      .groupBy("item").agg(count(lit(1)).as("__n"))
+    perItem.select(col("__n"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"), col("item"))
+      .select(col("__n"), col("r"),
+        pmod(hash60(col("r"), col("item")), lit(width.toLong)).as("bucket"))
+      .groupBy("r", "bucket").agg(sum("__n").cast("long").as("cnt"))
   }
 
   /** Merge counter tables built with the SAME (depth, width): sum
@@ -167,11 +177,18 @@ object Sketches {
     * in exact integer arithmetic until one final division. */
   def amsF2(df: DataFrame, itemCol: String, k: Int): DataFrame = {
     require(k >= 1 && k <= 64, s"k in [1,64], got $k")
-    df.select(col(itemCol).cast("string").as("item"),
-        explode(sequence(lit(0), lit(k - 1))).as("r"))
+    // per-distinct-item signs weighted by occurrence count (z_r =
+    // Σ_item sign_r(item)·n_item ≡ the per-occurrence sum): md5 work
+    // drops from rows×k to distinct×k — the same pre-aggregation
+    // dividend as countMin, and the first shuffle is the map-side-
+    // combined item count instead of the raw row stream
+    val perItem = df.select(col(itemCol).cast("string").as("item"))
+      .groupBy("item").agg(count(lit(1)).as("__n"))
+    perItem.select(col("__n"),
+        explode(sequence(lit(0), lit(k - 1))).as("r"), col("item"))
       .select(col("r"),
-        (lit(1L) - lit(2L) * (hash60(col("r"), col("item"))
-          .bitwiseAND(lit(1L)))).as("s"))
+        ((lit(1L) - lit(2L) * (hash60(col("r"), col("item"))
+          .bitwiseAND(lit(1L)))) * col("__n")).as("s"))
       .groupBy("r").agg(sum("s").cast("long").as("z"))
   }
 
