@@ -61,23 +61,32 @@ object Sinks {
     * ending in `WARC/1.0` (the sink's record terminator would complete
     * the sequence), would split mid-record on read; a URI containing a
     * newline would forge header lines; all raise at write time. */
-  def wetWrite(df: DataFrame, path: String): Unit =
+  def wetWrite(df: DataFrame, path: String, crlf: Boolean = false): Unit = {
+    // crlf = true emits the WARC spec's mandatory CRLF line endings —
+    // shards any compliant WET consumer parses; the LF default stays
+    // for hand-inspectable internal drops. The reader auto-detects
+    // either dialect.
+    val nl = if (crlf) "\r\n" else "\n"
     df.select(concat(
-        lit("WARC/1.0\n"),
-        lit("WARC-Type: conversion\n"),
+        lit(s"WARC/1.0$nl"),
+        lit(s"WARC-Type: conversion$nl"),
         lit("WARC-Target-URI: "),
-        when(col("uri").contains("\n"), raise_error(concat(
-          lit("wetWrite: uri contains a newline — would forge WARC "),
-          lit("header lines")))).otherwise(col("uri")), lit("\n"),
-        lit("Content-Length: "), octet_length(col("text")), lit("\n\n"),
-        when(col("text").contains("WARC/1.0\n") ||
-            col("text").endsWith("WARC/1.0"),
+        when(col("uri").contains("\n") || col("uri").contains("\r"),
+          raise_error(concat(
+            lit("wetWrite: uri contains a newline — would forge WARC "),
+            lit("header lines")))).otherwise(col("uri")), lit(nl),
+        lit("Content-Length: "), octet_length(col("text")), lit(nl + nl),
+        // the trailing check covers the delimiter minus the sink's own
+        // record-final "\n": LF → "WARC/1.0", CRLF → "WARC/1.0\r"
+        when(col("text").contains(s"WARC/1.0$nl") ||
+            col("text").endsWith("WARC/1.0" + nl.dropRight(1)),
           raise_error(concat(
             lit("wetWrite: payload for uri='"), col("uri"),
-            lit("' contains the record magic WARC/1.0 at line start — " +
+            lit("' contains the record-delimiter sequence — " +
               "unrepresentable in the record-delimited WET layout"))))
           .otherwise(col("text"))).as("value"))
       .write.mode("overwrite").text(path)
+  }
 
   /** Small-files compaction: rewrite a dataset into files of roughly
     * `rowsPerFile` rows. The chronic failure mode of a long-running

@@ -167,16 +167,56 @@ object Sources {
     * containing the record magic splits mid-record at read), or a
     * magic-delimited block with no Content-Length header at all, raises
     * instead of emitting a truncated/spurious row — the length prefix is
-    * the format's integrity check, so a violated prefix is an error. */
+    * the format's integrity check, so a violated prefix is an error.
+    *
+    * Both newline DIALECTS parse: CRLF (the WARC spec's mandatory line
+    * ending — what genuine CommonCrawl shards carry, warcinfo header
+    * record included: it surfaces as a row with an empty `uri`, filter
+    * it like real WET consumers do) and bare LF ([[Sinks.wetWrite]]'s
+    * default), auto-detected from the first shard's leading bytes. */
+  /** Newline dialect of the WET shards at `path`: real CommonCrawl WARC
+    * uses CRLF (the spec's mandatory line ending), [[Sinks.wetWrite]]'s
+    * default is bare LF. Decided by peeking the first bytes of one
+    * shard on the driver (every record starts with the same magic, so
+    * one probe settles the whole drop); an unreadable/ambiguous probe
+    * defaults to LF. */
+  private def wetIsCrlf(spark: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    try {
+      val p = new Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val st = fs.getFileStatus(p)
+      val probe =
+        if (st.isDirectory)
+          fs.listStatus(p).toSeq.filter(_.isFile)
+            .sortBy(_.getPath.getName)
+            .find(_.getLen > 0).map(_.getPath)
+        else Some(p)
+      probe.exists { f =>
+        val in = fs.open(f)
+        try {
+          val buf = new Array[Byte](10)
+          val n = in.read(buf)
+          n >= 10 && new String(buf, 0, 10, "UTF-8") == "WARC/1.0\r\n"
+        } finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
+  }
+
   def wetRecords(spark: SparkSession, path: String): DataFrame = {
-    val rec = spark.read.option("lineSep", "WARC/1.0\n").text(path)
+    // CRLF (real CommonCrawl / WARC-spec shards) vs LF (this engine's
+    // default sink dialect), auto-detected: only the record delimiter
+    // and the header/payload separator change — Content-Length octet
+    // slicing is dialect-independent
+    val nl = if (wetIsCrlf(spark, path)) "\r\n" else "\n"
+    val rec = spark.read.option("lineSep", s"WARC/1.0$nl").text(path)
       .filter(length(trim(col("value"))) > 0) // preamble before 1st magic
     rec.select(
-      regexp_extract(col("value"), "WARC-Target-URI: ([^\n]*)", 1)
+      regexp_extract(col("value"), "WARC-Target-URI: ([^\r\n]*)", 1)
         .as("uri"),
       regexp_extract(col("value"), "Content-Length: ([0-9]+)", 1)
         .cast("long").as("content_length"),
-      encode(element_at(split(col("value"), "\n\n", 2), 2), "UTF-8")
+      encode(element_at(split(col("value"), s"$nl$nl", 2), 2), "UTF-8")
         .as("__payload"))
       .select(col("uri"), col("content_length"),
         decode(

@@ -285,6 +285,48 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage != null || e.getCause != null)
   }
 
+  test("CRLF dialect: a genuine CommonCrawl-shaped shard (warcinfo "
+      + "header record, CRLF line endings, byte-valued Content-Length "
+      + "over multi-byte bodies) parses; crlf=true writes round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wetcrlf")
+      .toString
+    val body1 = "Ðe quick brøwn føx — 速い茶色の狐"
+    val body2 = "plain ascii body"
+    val info = "software: graft-test\r\nformat: WARC File Format 1.0"
+    def rec(headers: Seq[String], body: String): String =
+      ("WARC/1.0" +: headers :+
+        s"Content-Length: ${body.getBytes("UTF-8").length}")
+        .mkString("", "\r\n", "\r\n\r\n") + body + "\r\n"
+    val shard =
+      rec(Seq("WARC-Type: warcinfo"), info) +
+      rec(Seq("WARC-Type: conversion", "WARC-Target-URI: http://a/1"),
+        body1) +
+      rec(Seq("WARC-Type: conversion", "WARC-Target-URI: http://a/2"),
+        body2)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/cc.warc.wet"),
+      shard.getBytes("UTF-8"))
+    val got = Sources.wetRecords(spark, dir)
+      .select("uri", "text").as[(String, String)].collect().toMap
+    // warcinfo surfaces with an empty uri (real consumers filter it)
+    assert(got == Map("" -> info, "http://a/1" -> body1,
+      "http://a/2" -> body2), got.toString)
+    // crlf=true writes parse back through the auto-detecting reader
+    val out = s"$dir/out"
+    Sinks.wetWrite(Seq(("u1", body1), ("u2", "two\nlines\r\nmixed"))
+      .toDF("uri", "text"), out, crlf = true)
+    val back = Sources.wetRecords(spark, out)
+      .select("uri", "text").as[(String, String)].collect().toMap
+    assert(back == Map("u1" -> body1, "u2" -> "two\nlines\r\nmixed"),
+      back.toString)
+    // CRLF-mode magic guard: a payload whose tail would complete the
+    // CRLF delimiter with the sink's record-final newline is refused
+    intercept[Exception] {
+      Sinks.wetWrite(Seq(("u3", "ends with WARC/1.0\r")).toDF("uri", "text"),
+        s"$dir/bad", crlf = true)
+    }
+  }
+
   test("WET writer refuses payloads carrying the record-delimiter "
       + "sequence (inline or as a trailing WARC/1.0) and newline URIs") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wetr").toString
