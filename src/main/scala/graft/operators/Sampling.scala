@@ -219,4 +219,28 @@ object Sampling {
       .filter(u <= col("__rate"))
       .drop("__rate")
   }
+
+  /** Token-budget sampling per group — the "give me ~N tokens of each
+    * domain" primitive of training-mix assembly (domain token budgets,
+    * not document counts, are what a data recipe specifies). Documents
+    * take a DETERMINISTIC, content-independent order (md5 of the id —
+    * replayable across engines and runs, unbiased w.r.t. content) and
+    * each group keeps documents until its cumulative `weightCol` (token
+    * count) reaches `budget`: a document is kept iff the tokens BEFORE
+    * it are still under budget, so the straddling document is included
+    * and every group with enough material delivers ≥ `budget` tokens
+    * (the fill-the-budget convention; a group below budget keeps
+    * everything). One shuffle on the group key + one window — the
+    * running sum never leaves its partition, and group count bounds
+    * driver state at zero. */
+  def tokenBudgetSample(df: DataFrame, groupCol: String, idCol: String,
+                        weightCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(weightCol).cast("long")).over(w))
+      .filter(col("__cum") - col(weightCol).cast("long") < budget)
+      .drop("__cum")
+  }
 }

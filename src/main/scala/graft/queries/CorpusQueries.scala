@@ -1282,6 +1282,31 @@ object CorpusQueries {
         FROM picked GROUP BY lang"""),
       "target domain-mix resample: exact shares, binding domain keeps all"),
 
+    // ---- token-budget sampling per source ----------------------------------
+    // The recipe primitive "give me ~20k tokens of each source":
+    // documents take a deterministic md5-of-id order and each source
+    // keeps docs until its cumulative char weight reaches the budget
+    // (the straddling doc included, so well-stocked sources deliver ≥
+    // budget; thin ones keep everything). One shuffle on source + one
+    // window; the oracle replays the identical running sum.
+    "q303_token_budget" -> Q(
+      (s, d) => Sampling.tokenBudgetSample(Tables.documents(s, d),
+          "source", "doc_id", "n_chars", budget = 20000L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("sum_tokens")),
+      Some("""WITH ordered AS (
+          SELECT source, n_chars,
+            sum(n_chars) OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS sum_tokens
+        FROM ordered WHERE cum - n_chars < 20000
+        GROUP BY source"""),
+      "token-budget per-source sample: deterministic fill ≡ window replay"),
+
     // ---- distribution-matched resampling ----------------------------------
     // Match the corpus's length profile to a reference subcorpus
     // (src0): the reference's 200-char grid histogram becomes the

@@ -1843,6 +1843,34 @@ object SourceQueries {
             AS n_after
         FROM orders"""),
       "metadata-only COUNT(*): manifest row stats minus live DV rows"),
+
+    // ---- metadata-only MIN/MAX -------------------------------------------
+    // The zone-stat fold: when every live file carries a zone for the
+    // key and no deletion vectors are live (a vector could delete the
+    // extremal row), global bounds come from one manifest read. The
+    // query also proves the SOUNDNESS rule in-line: after a MoR delete
+    // the bounds REFUSE (None) rather than risk a stale extremum.
+    "q302_lake_bounds" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val root = freshRoot("graft_lake_q302") + "/t"
+        val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.repartitionByRange(4, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"),
+          root, zoneKey = Some("o_orderkey"))
+        val (lo, hi) = graft.sources.LakeTable
+          .columnBounds(s, root, "o_orderkey")
+          .getOrElse(sys.error("q302: zones missing"))
+        graft.sources.LakeTable.deleteWhereDV(s, root, "o_orderkey <= 10")
+        require(graft.sources.LakeTable
+          .columnBounds(s, root, "o_orderkey").isEmpty,
+          "q302: bounds must refuse under live deletion vectors")
+        Seq((lo.toLong, hi.toLong)).toDF("lo", "hi")
+      },
+      Some("""SELECT CAST(min(o_orderkey) AS BIGINT) AS lo,
+          CAST(max(o_orderkey) AS BIGINT) AS hi FROM orders"""),
+      "metadata-only MIN/MAX from zone stats; refuses under live DVs"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

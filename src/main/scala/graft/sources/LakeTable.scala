@@ -831,6 +831,53 @@ object LakeTable {
     }
   }
 
+  /** Metadata-only MIN/MAX of `key` at version `v` — the zone-stat
+    * sibling of [[countRows]]: when EVERY live file carries a zone for
+    * `key` and the snapshot has no live deletion vectors (a vector
+    * could delete precisely the extremal row, making file-level bounds
+    * unsound), the global bounds are the fold of the per-file bounds —
+    * one manifest read, zero data I/O. Values return as the manifest's
+    * strings; cast with the table schema at the call site (the same
+    * discipline as zone pruning). None = not answerable from metadata
+    * (missing zones, live vectors, or an empty table) — fall back to an
+    * aggregate, never a wrong bound. */
+  def columnBounds(spark: SparkSession, root: String, key: String,
+                   version: Option[Long] = None)
+      : Option[(String, String)] = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"columnBounds: no table at $root")
+    val v = version.getOrElse(vs.last)
+    if (dvOf(spark, root, v).nonEmpty) return None
+    val ents = entries(spark, root, v)
+    val zones = ents.map(_.zoneFor(key))
+    if (ents.isEmpty || zones.exists(_.isEmpty)) None
+    else {
+      val schema = schemaOf(spark, root, v)
+      val dt = schema.flatMap(_.fields.find(_.name == key))
+        .map(_.dataType)
+      // compare in the COLUMN's type, not lexicographically: "9" > "10"
+      // as strings. Numeric zones compare as BigDecimal; everything
+      // else (strings, dates in ISO form) orders correctly as text.
+      def ord(s: String): Any = dt match {
+        case Some(_: org.apache.spark.sql.types.NumericType) =>
+          BigDecimal(s)
+        case _ => s
+      }
+      val zs = zones.flatten
+      val lo = zs.minBy(z => ord(z.lo))(
+        Ordering.fromLessThan[Any] {
+          case (a: BigDecimal, b: BigDecimal) => a < b
+          case (a, b) => a.toString < b.toString
+        })
+      val hi = zs.maxBy(z => ord(z.hi))(
+        Ordering.fromLessThan[Any] {
+          case (a: BigDecimal, b: BigDecimal) => a < b
+          case (a, b) => a.toString < b.toString
+        })
+      Some((lo.lo, hi.hi))
+    }
+  }
+
   def files(spark: SparkSession, root: String,
             version: Option[Long] = None): DataFrame = {
     import scala.jdk.CollectionConverters._
