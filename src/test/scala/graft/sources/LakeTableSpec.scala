@@ -1225,6 +1225,30 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.read(spark, root).count() == 310L) // reads unaffected
   }
 
+  test("columnBounds: numeric zones compare as numbers (lex would say "
+      + "'9' > '10'); missing zones and string keys behave; version "
+      + "pinning works") {
+    val root = freshRoot()
+    // file 1 holds 1..9, file 2 holds 10..100 — lexicographic zone
+    // comparison would pick lo='10' and hi='9'
+    LakeTable.append(spark.range(1, 10)
+      .select(col("id").as("k"), lit("a").as("s")).coalesce(1),
+      root, zoneKey = Some("k"))
+    LakeTable.append(spark.range(10, 101)
+      .select(col("id").as("k"), lit("b").as("s")).coalesce(1),
+      root, zoneKey = Some("k"))
+    assert(LakeTable.columnBounds(spark, root, "k") == Some(("1", "100")))
+    // pinned to v1: only the first file's range
+    assert(LakeTable.columnBounds(spark, root, "k", Some(1L)) ==
+      Some(("1", "9")))
+    // a column with no zones anywhere → None
+    assert(LakeTable.columnBounds(spark, root, "s").isEmpty)
+    // mixed coverage (one file lacks the zone) → None
+    LakeTable.append(spark.range(200, 210)
+      .select(col("id").as("k"), lit("c").as("s")).coalesce(1), root)
+    assert(LakeTable.columnBounds(spark, root, "k").isEmpty)
+  }
+
   test("compactIndex folds per-commit sidecars into one; lookups stay "
       + "exact; vacuum reaps the superseded dirs") {
     val root = freshRoot()
