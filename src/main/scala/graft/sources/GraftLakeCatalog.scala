@@ -176,14 +176,16 @@ private[sources] object GraftLakeProcedures {
                   defaultSql: String): ProcedureParameter =
     ProcedureParameter.in(n, dt).defaultValue(defaultSql).build()
 
-  private val versionOut =
-    StructType(Seq(StructField("version", LongType, nullable = false)))
-
-  /** One self-binding procedure returning a single BIGINT row. */
+  /** One self-binding procedure returning a single BIGINT row
+    * (column name `outCol` — `version` for the mutators, a metric name
+    * for the read-only ones). */
   private final class Proc(procName: String, desc: String,
-                           ps: Seq[ProcedureParameter])
+                           ps: Seq[ProcedureParameter],
+                           outCol: String = "version")
                           (run: InternalRow => Long)
       extends UnboundProcedure with BoundProcedure {
+    private val out =
+      StructType(Seq(StructField(outCol, LongType, nullable = false)))
     override def name(): String = procName
     override def description(): String = desc
     override def bind(inputType: StructType): BoundProcedure = this
@@ -194,7 +196,7 @@ private[sources] object GraftLakeProcedures {
       val scan: Scan = new LocalScan {
         override def rows(): Array[InternalRow] =
           Array(InternalRow(v))
-        override def readSchema(): StructType = versionOut
+        override def readSchema(): StructType = out
       }
       java.util.Collections.singletonList(scan).iterator()
     }
@@ -242,7 +244,18 @@ private[sources] object GraftLakeProcedures {
       LakeTable.vacuum(spark, r.getUTF8String(0).toString, r.getLong(1),
         orphanGraceMs = r.getLong(2))
       r.getLong(1)
-    })
+    }),
+    new Proc("count_rows",
+      "metadata-only COUNT(*): manifest row stats minus live deletion-" +
+        "vector rows; errors (never guesses) when files predate row " +
+        "stats — fall back to a real count",
+      Seq(in("table", StringType), inD("version", LongType, "NULL")),
+      outCol = "rows")(r =>
+      LakeTable.countRows(spark, r.getUTF8String(0).toString,
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))
+        .getOrElse(throw new IllegalStateException(
+          "count_rows: row stats unavailable for this snapshot (live " +
+            "files predate per-file row counts) — run a full count")))
   ).map(p => p.name() -> p).toMap
 }
 

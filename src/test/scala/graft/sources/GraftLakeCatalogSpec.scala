@@ -490,6 +490,12 @@ class GraftLakeCatalogSpec extends SparkSpec {
     assert(LakeTable.versions(spark, root) == Seq(6L))
     assert(spark.sql(s"SELECT count(*) FROM graftlake.`$root`")
       .head().getLong(0) == 210L)
+    // count_rows via CALL: the metadata-only COUNT(*), optional version
+    assert(spark.sql(s"CALL graftlake.system.count_rows('$root')")
+      .head().getLong(0) == 210L)
+    assert(spark.sql(
+      s"CALL graftlake.system.count_rows('$root', version => 6)")
+      .head().getLong(0) == 210L)
     // unknown procedure: loud refusal listing the surface
     val e = intercept[Exception] {
       spark.sql(s"CALL graftlake.system.nope('$root')")
