@@ -139,6 +139,70 @@ object Quality {
       .agg(count(lit(1)).as("class_size"),
         count_distinct(col(sensitiveCol)).as("l_distinct"))
 
+  /** Multinomial Naive Bayes over the TOKEN VOCABULARY — the
+    * fastText-shaped learned quality gate real curation pipelines train
+    * (CCNet / GPT-3 "curated vs crawl" classifiers; Joulin et al. 2017's
+    * linear bag-of-words model), complementary to [[trainLogistic]]:
+    * there the parameter vector is a handful of dense features held on
+    * the driver; here the parameters are VOCABULARY-SIZED, so the model
+    * itself stays distributed — per-token class counts live in a
+    * vocab-keyed table that never collects, which is the only shape
+    * that survives a 100 TB corpus whose vocabulary is billions of
+    * types.
+    *
+    * Training is closed-form (one pass of vocab-keyed counting, Laplace
+    * smoothing α=1), scoring is one explode + one vocab-keyed left join
+    * + one per-doc aggregation; class totals / vocab size / priors are
+    * one-row aggregates broadcast to the scorer. Per-position log-odds
+    * quantize to 1e-4 before the exact fixed-point sum, so scores are
+    * bit-identical under any partitioning and replayable by sequential
+    * SQL. Out-of-vocabulary tokens smooth to count 0 (they still carry
+    * the class-total imbalance); documents with NO tokens score the
+    * prior alone with n_tok = 0.
+    *
+    * `train` needs (labelCol castable to int 0/1, toksCol array);
+    * `score` needs (idCol, toksCol array). Returns
+    * (idCol, n_tok, log_odds, pred) where pred = 1 iff log_odds > 0. */
+  def nbScore(train: DataFrame, labelCol: String, trainToksCol: String,
+              score: DataFrame, idCol: String,
+              scoreToksCol: String): DataFrame = {
+    def q4c(c: Column): Column =
+      floor(c * 10000d + 0.5d).cast("long").cast("double") / 10000d
+    val tr = train.select(col(labelCol).cast("int").as("__y"),
+      col(trainToksCol).as("__toks"))
+    val trtok = tr.select(col("__y"), explode(col("__toks")).as("__w"))
+    // vocab-keyed class counts: the distributed parameter table
+    val cw = trtok.groupBy("__w").agg(
+      sum(when(col("__y") === 1, 1L).otherwise(0L)).as("__c1"),
+      sum(when(col("__y") === 0, 1L).otherwise(0L)).as("__c0"))
+    // one-row model constants: class token totals, vocab size, priors
+    val tot = cw.agg(sum(col("__c1")).as("__t1"), sum(col("__c0")).as("__t0"),
+      count(lit(1)).as("__v"))
+    val pri = tr.agg(sum(col("__y").cast("long")).as("__d1"),
+      (count(lit(1)) - sum(col("__y").cast("long"))).as("__d0"))
+    val priLo = q4c(log(col("__d1").cast("double") / col("__d0").cast("double")))
+    val pos = score.select(col(idCol), explode(col(scoreToksCol)).as("__w"))
+    val lp = pos.join(cw, Seq("__w"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol), q4c(
+        log((coalesce(col("__c1"), lit(0L)) + lit(1L)).cast("double") /
+          (col("__t1") + col("__v")).cast("double")) -
+        log((coalesce(col("__c0"), lit(0L)) + lit(1L)).cast("double") /
+          (col("__t0") + col("__v")).cast("double"))).as("__lp"))
+    val sums = lp.groupBy(idCol).agg(
+      (sum(floor(col("__lp") * 10000d + 0.5d).cast("long")).cast("double") /
+        10000d).as("__s"),
+      count(lit(1)).as("__n"))
+    score.select(col(idCol)).distinct()
+      .join(sums, Seq(idCol), "left")
+      .crossJoin(broadcast(pri))
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_tok"),
+        q4c(coalesce(col("__s"), lit(0.0d)) + priLo).as("log_odds"))
+      .withColumn("pred",
+        when(col("log_odds") > 0.0d, 1).otherwise(0))
+  }
+
   def trainLogistic(df: DataFrame, features: Seq[(String, Column)],
                     label: Column, iters: Int,
                     lr: Double): Seq[(String, Double)] = {

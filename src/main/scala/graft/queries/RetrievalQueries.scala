@@ -829,6 +829,69 @@ object RetrievalQueries {
         FROM knscores JOIN documents USING (doc_id)"""),
       "CCNet gate on the Kneser–Ney model: per-source LM-score bands"),
 
+    // ---- learned quality classifier: vocab-sized Naive Bayes --------------
+    // The fastText-shaped curated-vs-crawl gate (GPT-3 / CCNet train a
+    // linear bag-of-words classifier on "reference corpus vs random
+    // crawl"): sources src0–src4 act as the curated pool, src15–src19 as
+    // the crawl pool, and EVERY document scores its Laplace-smoothed
+    // log-odds. Unlike q261's dense-feature logistic (driver-held
+    // weights), the NB parameter table here is VOCABULARY-SIZED and
+    // stays distributed — one vocab-keyed count shuffle to train, one
+    // vocab-keyed left join to score, one-row class totals broadcast.
+    // Per-position log-odds quantize before the exact fixed-point sum,
+    // so the oracle replays the whole model bit-for-bit.
+    "q304_nb_quality" -> Q(
+      (s, d) => {
+        val tk = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            filter(Text.tokens(Text.normalize(col("text"))),
+              t => t =!= "").as("toks"))
+        val posSrc = (0 to 4).map(i => s"src$i")
+        val negSrc = (15 to 19).map(i => s"src$i")
+        val train = tk
+          .filter(col("source").isin((posSrc ++ negSrc).map(x => x: Any): _*))
+          .select(when(col("source").isin(posSrc.map(x => x: Any): _*), 1)
+            .otherwise(0).as("y"), col("toks"))
+        graft.ops.Quality.nbScore(train, "y", "toks", tk, "doc_id", "toks")
+      },
+      Some {
+        val posIn = (0 to 4).map(i => s"'src$i'").mkString(", ")
+        val allIn = ((0 to 4) ++ (15 to 19)).map(i => s"'src$i'")
+          .mkString(", ")
+        val lpExpr = Q4(
+          "ln(CAST(coalesce(c1, 0) + 1 AS DOUBLE) / CAST(t1 + v AS DOUBLE))" +
+          " - ln(CAST(coalesce(c0, 0) + 1 AS DOUBLE) / CAST(t0 + v AS DOUBLE))")
+        val priLo = Q4("ln(CAST(d1 AS DOUBLE) / CAST(d0 AS DOUBLE))")
+        s"""WITH tk AS (
+          SELECT doc_id, source, list_filter($tokSql, t -> t <> '') AS toks
+          FROM documents),
+        tr AS (SELECT CASE WHEN source IN ($posIn) THEN 1 ELSE 0 END AS y,
+                 toks
+               FROM tk WHERE source IN ($allIn)),
+        trtok AS (SELECT y, unnest(toks) AS w FROM tr),
+        cw AS (SELECT w,
+            CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+            CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
+          FROM trtok GROUP BY w),
+        tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t1,
+            CAST(sum(c0) AS BIGINT) AS t0, count(*) AS v FROM cw),
+        pri AS (SELECT CAST(sum(y) AS BIGINT) AS d1,
+            count(*) - CAST(sum(y) AS BIGINT) AS d0 FROM tr),
+        pos AS (SELECT doc_id, unnest(toks) AS w FROM tk),
+        lps AS (SELECT doc_id, $lpExpr AS lp
+          FROM pos LEFT JOIN cw USING (w) CROSS JOIN tot),
+        agg AS (SELECT doc_id, ${XSUM4("lp")} AS s, count(*) AS n
+          FROM lps GROUP BY doc_id),
+        sc AS (SELECT tk.doc_id AS doc_id,
+            coalesce(n, 0) AS n_tok,
+            ${Q4(s"coalesce(s, CAST(0 AS DOUBLE)) + $priLo")} AS log_odds
+          FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id CROSS JOIN pri)
+        SELECT doc_id, n_tok, log_odds,
+          CASE WHEN log_odds > 0 THEN 1 ELSE 0 END AS pred
+        FROM sc"""
+      },
+      "vocab-sized Naive Bayes quality classifier ≡ sequential SQL replay"),
+
     // ---- BPE merge training ----------------------------------------------
     // Tokenizer training as a distributed job: the corpus-scale work is
     // ONE word-count shuffle; the 4 merge rounds then run on the

@@ -1796,7 +1796,7 @@ object SourceQueries {
           s"""{"metaData":{"schemaString":$schemaJson,"partitionColumns":[]}}""",
           """{"add":{"path":"part-a2.parquet"}}""",
           """{"add":{"path":"part-b.parquet"}}""",
-          """{"remove":{"path":"part-a.parquet"}}""").toDS),
+          """{"remove":{"path":"part-a.parquet"}}""").toDS()),
           s"$root/_delta_log", "00000000000000000002.checkpoint.parquet")
         Files.writeString(Paths.get(s"$root/_delta_log/_last_checkpoint"),
           """{"version":2,"size":5}""")

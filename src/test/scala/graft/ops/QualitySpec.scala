@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Unit checks for the vocab-sized Naive Bayes classifier against a
+  * hand-computed posterior (Laplace α=1, 1e-4 quantized log-odds). */
+class QualitySpec extends SparkSpec {
+
+  test("nbScore matches the hand-computed smoothed log-odds") {
+    val s = spark
+    import s.implicits._
+    // train: one curated doc {good good fine}, one crawl doc {bad awful}
+    //   c(good)=(2,0) c(fine)=(1,0) c(bad)=(0,1) c(awful)=(0,1)
+    //   t1=3 t0=2 V=4, priors 1:1 → prior log-odds 0
+    val train = Seq(
+      (1, Seq("good", "good", "fine")),
+      (0, Seq("bad", "awful"))).toDF("y", "toks")
+    val score = Seq(
+      (10L, Seq("good", "bad")), // ln(3/7)-ln(1/6) + ln(1/7)-ln(2/6)
+      (11L, Seq.empty[String]),  // no tokens → prior alone
+      (12L, Seq("zzz"))          // OOV → ln(1/7)-ln(1/6)
+    ).toDF("doc_id", "toks")
+    val out = Quality.nbScore(train, "y", "toks", score, "doc_id", "toks")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    // doc 10: q4(ln(18/7)) = 0.9445, q4(ln(3/7)) = -0.8473 → 0.0972
+    assert(out(10L).getAs[Long]("n_tok") == 2L)
+    assert(out(10L).getAs[Double]("log_odds") == 0.0972d)
+    assert(out(10L).getAs[Int]("pred") == 1)
+    // doc 11: zero tokens → log_odds = prior = q4(ln(1)) = 0, pred 0
+    assert(out(11L).getAs[Long]("n_tok") == 0L)
+    assert(out(11L).getAs[Double]("log_odds") == 0.0d)
+    assert(out(11L).getAs[Int]("pred") == 0)
+    // doc 12: OOV smooths to q4(ln(6/7)) = -0.1542
+    // (ln(6/7)·1e4 = -1541.5067; +0.5 → floor(-1541.0067) = -1542)
+    assert(out(12L).getAs[Long]("n_tok") == 1L)
+    assert(out(12L).getAs[Double]("log_odds") == -0.1542d)
+    assert(out(12L).getAs[Int]("pred") == 0)
+  }
+
+  test("nbScore prior shifts the decision for unbalanced classes") {
+    val s = spark
+    import s.implicits._
+    // 3 curated docs vs 1 crawl doc, all with one shared token → the
+    // token itself is class-neutral-ish but the prior ln(3/1) dominates
+    val train = Seq(
+      (1, Seq("x")), (1, Seq("x")), (1, Seq("x")), (0, Seq("x"))
+    ).toDF("y", "toks")
+    val score = Seq((1L, Seq("x"))).toDF("doc_id", "toks")
+    val Row(_, _, lo: Double, pred: Int) =
+      Quality.nbScore(train, "y", "toks", score, "doc_id", "toks")
+        .select("doc_id", "n_tok", "log_odds", "pred").head()
+    // token: c1=3 c0=1 t1=3 t0=1 V=1 → ln(4/4)-ln(2/2)=0; prior ln 3
+    assert(lo == 1.0986d)
+    assert(pred == 1)
+  }
+}
