@@ -1871,6 +1871,36 @@ object SourceQueries {
       Some("""SELECT CAST(min(o_orderkey) AS BIGINT) AS lo,
           CAST(max(o_orderkey) AS BIGINT) AS hi FROM orders"""),
       "metadata-only MIN/MAX from zone stats; refuses under live DVs"),
+
+    // ---- named tags: VERSION AS OF '<name>' --------------------------------
+    // Iceberg-style refs: a tag is a durable name → version pin
+    // (`_refs/<name>.ref`, atomic no-overwrite create), so a training
+    // run's exact input stays addressable as 'train-v1' however many
+    // commits — here an OVERWRITE that shrinks the head — land after
+    // it, and vacuum refuses to delete what it pins. The query tags v1,
+    // overwrites, then aggregates THROUGH the SQL tag read; the oracle
+    // recomputes the pre-overwrite content from orders directly, so a
+    // tag resolving to the head instead of the pin would hash-mismatch.
+    "q305_lake_tag" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graftlake",
+          classOf[graft.sources.GraftLakeCatalog].getName)
+        val root = freshRoot("graft_laketag_q305") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        graft.sources.LakeTable.append(o, root) // v1: full table
+        s.sql(s"CALL graftlake.system.tag('$root', 'train-v1')")
+        graft.sources.LakeTable.overwrite(     // v2: head shrinks
+          o.filter(col("o_orderkey") % 2 === 0), root)
+        s.sql(s"""SELECT o_orderstatus, count(*) AS cnt,
+            ${XSUM4("o_totalprice")} AS total
+          FROM graftlake.`$root` VERSION AS OF 'train-v1'
+          GROUP BY o_orderstatus""")
+      },
+      Some(s"""SELECT o_orderstatus, count(*) AS cnt,
+          ${XSUM4("o_totalprice")} AS total
+        FROM orders GROUP BY o_orderstatus"""),
+      "named tag pins the pre-overwrite snapshot through SQL time travel"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

@@ -85,9 +85,14 @@ class GraftLakeCatalog extends TableCatalog
   override def loadTable(ident: Identifier): Table =
     load(ident, None)
 
-  /** SQL `VERSION AS OF <v>`. */
-  override def loadTable(ident: Identifier, version: String): Table =
-    load(ident, Some(version.toLong))
+  /** SQL `VERSION AS OF <v>` — a numeric version or a tag name
+    * ([[LakeTable.tag]]): `VERSION AS OF 'train-v1'` pins the release a
+    * tag named, however many commits later. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val spark = SparkSession.active
+    val root = rootOf(ident)
+    load(ident, Some(LakeTable.resolveVersion(spark, root, version)))
+  }
 
   /** SQL `TIMESTAMP AS OF <ts>` (micros per the TableCatalog contract);
     * resolved against the manifests' `#ts` commit times. */
@@ -151,6 +156,8 @@ class GraftLakeCatalog extends TableCatalog
   *
   * {{{
   *   CALL graftlake.system.restore('/data/t', 3)
+  *   CALL graftlake.system.tag('/data/t', 'train-v1')
+  *   CALL graftlake.system.drop_tag('/data/t', 'train-v1')
   *   CALL graftlake.system.purge_deletes('/data/t')
   *   CALL graftlake.system.dv_delete('/data/t', 'k BETWEEN 5 AND 9')
   *   CALL graftlake.system.compact('/data/t')
@@ -167,8 +174,8 @@ private[sources] object GraftLakeProcedures {
   import org.apache.spark.sql.connector.catalog.procedures.{
     BoundProcedure, ProcedureParameter, UnboundProcedure}
   import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-  import org.apache.spark.sql.types.{DataType, LongType, StringType,
-    StructField}
+  import org.apache.spark.sql.types.{BooleanType, DataType, LongType,
+    StringType, StructField}
 
   private def in(n: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(n, dt).build()
@@ -244,6 +251,29 @@ private[sources] object GraftLakeProcedures {
       LakeTable.vacuum(spark, r.getUTF8String(0).toString, r.getLong(1),
         orphanGraceMs = r.getLong(2))
       r.getLong(1)
+    }),
+    new Proc("tag",
+      "pin a named ref to a version (default latest): VERSION AS OF " +
+        "'<name>' then reads it forever; vacuum refuses to drop it",
+      Seq(in("table", StringType), in("name", StringType),
+        inD("version", LongType, "NULL"),
+        inD("replace", BooleanType, "false")))(r =>
+      LakeTable.tag(spark, r.getUTF8String(0).toString,
+        r.getUTF8String(1).toString,
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        replace = !r.isNullAt(3) && r.getBoolean(3))),
+    new Proc("drop_tag",
+      "drop a named ref; its pinned version becomes vacuum-eligible; " +
+        "returns the version it pinned",
+      Seq(in("table", StringType), in("name", StringType)))({ r =>
+      val root = r.getUTF8String(0).toString
+      val name = r.getUTF8String(1).toString
+      val pinned = LakeTable.tags(spark, root)
+        .collectFirst { case (n, v) if n == name => v }
+        .getOrElse(throw new IllegalStateException(
+          s"tag: no tag '$name' under $root"))
+      LakeTable.dropTag(spark, root, name)
+      pinned
     }),
     new Proc("count_rows",
       "metadata-only COUNT(*): manifest row stats minus live deletion-" +

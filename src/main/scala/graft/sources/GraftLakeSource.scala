@@ -114,7 +114,8 @@ class GraftLakeSource extends RelationProvider
     val root = rootOf(parameters)
     val vs = LakeTable.versions(spark, root)
     require(vs.nonEmpty, s"graftlake: no committed versions under $root")
-    val v = parameters.get("versionAsOf").map(_.toLong)
+    val v = parameters.get("versionAsOf")
+      .map(LakeTable.resolveVersion(spark, root, _)) // version or tag
       .orElse(parameters.get("timestampAsOf").map { ts =>
         LakeTable.versionAsOf(spark, root, ts.toLong).getOrElse(
           throw new IllegalArgumentException(

@@ -1927,6 +1927,127 @@ object LakeTable {
       dv = dvOf(spark, root, toVersion))
   }
 
+  // ---- named refs: tags (Iceberg-style) ---------------------------------
+  // A tag is a durable name → version pin under `root/_refs/<name>.ref`:
+  // one tiny text file (`version\t<v>` + `#ts` header), created with the
+  // same atomic no-overwrite primitive as a manifest so two racing
+  // taggers of the same name resolve to exactly one winner. Tags make
+  // reproducibility survive retention: `VERSION AS OF 'train-v1'` keeps
+  // meaning the same bytes years later, and [[vacuum]] refuses to drop a
+  // version a tag still pins. Pure metadata — no data I/O at any scale.
+
+  /** Tag names must start with a letter (never ambiguous with a numeric
+    * version string) and stay path-safe. */
+  private val tagNameRe = "^[A-Za-z][A-Za-z0-9._-]*$".r
+
+  private def refDir(root: String): Path = new Path(s"$root/_refs")
+  private def refPath(root: String, name: String): Path =
+    new Path(refDir(root), s"$name.ref")
+
+  private def requireTagName(name: String): Unit =
+    require(tagNameRe.matches(name),
+      s"tag: name '$name' must match ${tagNameRe.regex} " +
+        "(start with a letter; letters/digits/._- only)")
+
+  /** Pin tag `name` to `version` (default: the latest committed
+    * version). Creation is atomic no-overwrite; an existing tag fails
+    * unless `replace = true`, which drops it first (last-writer-wins
+    * between racing replacers — pins are still always complete files).
+    * Returns the pinned version. */
+  def tag(spark: SparkSession, root: String, name: String,
+          version: Option[Long] = None, replace: Boolean = false): Long = {
+    requireTagName(name)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"tag: no table at $root")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v),
+      s"tag: version $v not retained (${vs.mkString(",")})")
+    val fs = hfs(spark, root)
+    val p = refPath(root, name)
+    if (replace) fs.delete(p, false)
+    fs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent,
+      s".tmp-${java.util.UUID.randomUUID().toString}")
+    val out = fs.create(tmp, /* overwrite = */ false)
+    try {
+      out.write((renderTs(System.currentTimeMillis()) +
+        s"\nversion\t$v").getBytes("UTF-8"))
+      out.hflush()
+    } finally out.close()
+    try {
+      val isLocal = Option(fs.getScheme).contains("file")
+      if (isLocal) {
+        val target =
+          java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
+        val source =
+          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+        try java.nio.file.Files.createLink(target, source)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            throw new IllegalStateException(
+              s"tag: '$name' already exists under $root " +
+                "(pass replace = true to repoint it)")
+        }
+      } else if (fs.exists(p) || !fs.rename(tmp, p))
+        throw new IllegalStateException(
+          s"tag: '$name' already exists under $root " +
+            "(pass replace = true to repoint it)")
+      v
+    } finally fs.delete(tmp, false)
+  }
+
+  /** All tags of the table as (name, pinned version), name-sorted.
+    * A tag whose version was force-dropped resolves lazily — listing
+    * never fails; [[resolveVersion]] errors on use. */
+  def tags(spark: SparkSession, root: String): Seq[(String, Long)] = {
+    val fs = hfs(spark, root)
+    val dir = refDir(root)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .collect { case st if st.getPath.getName.endsWith(".ref") &&
+          !st.getPath.getName.startsWith(".") =>
+        val name = st.getPath.getName.stripSuffix(".ref")
+        val in = fs.open(st.getPath)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val v = text.linesIterator
+          .collectFirst { case l if l.startsWith("version\t") =>
+            l.split("\t", -1)(1).toLong }
+          .getOrElse(throw new IllegalStateException(
+            s"tag: malformed ref file ${st.getPath}"))
+        name -> v
+      }.sortBy(_._1)
+  }
+
+  /** Drop tag `name`; its pinned version becomes vacuum-eligible. */
+  def dropTag(spark: SparkSession, root: String, name: String): Unit = {
+    requireTagName(name)
+    val fs = hfs(spark, root)
+    if (!fs.delete(refPath(root, name), false))
+      throw new IllegalStateException(
+        s"tag: no tag '$name' under $root")
+  }
+
+  /** Resolve a user-facing ref string — a numeric version or a tag
+    * name — to a committed version, erroring (never guessing) when the
+    * tag is unknown or pins a vacuumed version. */
+  def resolveVersion(spark: SparkSession, root: String,
+                     ref: String): Long = {
+    val v =
+      if (ref.forall(_.isDigit) && ref.nonEmpty) ref.toLong
+      else tags(spark, root).collectFirst {
+        case (n, tv) if n == ref => tv
+      }.getOrElse(throw new IllegalArgumentException(
+        s"graftlake: no version or tag '$ref' under $root (tags: " +
+          s"${tags(spark, root).map(_._1).mkString(", ")})"))
+    val vs = versions(spark, root)
+    require(vs.contains(v),
+      s"graftlake: ref '$ref' resolves to version $v, which is not " +
+        s"retained (${vs.mkString(",")})")
+    v
+  }
+
   /** Row-level UPDATE — `UPDATE t SET col = expr, ... WHERE condSql` as
     * file-granular copy-on-write with the same predicate-derived file
     * skipping as [[deleteWhere]]: only files that MAY hold a matching
@@ -2342,6 +2463,13 @@ object LakeTable {
       s"vacuum: keepFrom=$keepFrom exceeds latest version ${vs.last} — " +
         "refusing to delete every manifest and all data")
     val (drop, keep) = vs.partition(_ < keepFrom)
+    // tags are durable pins: silently deleting a tagged version would
+    // turn every 'VERSION AS OF <tag>' reader into a data-loss error
+    val pinnedBelow = tags(spark, root).filter(_._2 < keepFrom)
+    require(pinnedBelow.isEmpty,
+      s"vacuum: tags pin versions below keepFrom=$keepFrom — " +
+        pinnedBelow.map { case (n, v) => s"$n→$v" }.mkString(", ") +
+        "; drop the tags first (dropTag) or raise keepFrom")
     val reachable = keep.flatMap(liveFiles(spark, root, _))
       .map(f => fs.makeQualified(new Path(f)).toString).toSet
     drop.foreach(v => fs.delete(manifestPath(root, v), false))

@@ -504,6 +504,38 @@ class GraftLakeCatalogSpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("nope"))
   }
 
+  test("tags through SQL: CALL tag/drop_tag, VERSION AS OF '<name>'") {
+    val root = freshRoot()
+    LakeTable.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root) // v1
+    LakeTable.overwrite(Seq((9L, "z")).toDF("k", "v"), root)         // v2
+    // pin v1 by name via CALL (named args incl. explicit version)
+    assert(spark.sql(
+      s"CALL graftlake.system.tag('$root', 'train-v1', version => 1)")
+      .head().getLong(0) == 1L)
+    // the tag read is the pinned snapshot, the bare read is the head
+    assert(spark.sql(s"SELECT count(*) FROM graftlake.`$root` " +
+      "VERSION AS OF 'train-v1'").head().getLong(0) == 2L)
+    assert(spark.sql(s"SELECT count(*) FROM graftlake.`$root`")
+      .head().getLong(0) == 1L)
+    // numeric VERSION AS OF still resolves numerically
+    assert(spark.sql(s"SELECT count(*) FROM graftlake.`$root` " +
+      "VERSION AS OF 1").head().getLong(0) == 2L)
+    // repoint via replace, then read through the new pin
+    spark.sql(s"CALL graftlake.system.tag('$root', 'train-v1', " +
+      "version => 2, replace => true)")
+    assert(spark.sql(s"SELECT count(*) FROM graftlake.`$root` " +
+      "VERSION AS OF 'train-v1'").head().getLong(0) == 1L)
+    // drop_tag returns the version it pinned; the name stops resolving
+    assert(spark.sql(
+      s"CALL graftlake.system.drop_tag('$root', 'train-v1')")
+      .head().getLong(0) == 2L)
+    val e = intercept[Exception](spark.sql(
+      s"SELECT count(*) FROM graftlake.`$root` VERSION AS OF 'train-v1'")
+      .collect())
+    assert(e.getMessage.contains("train-v1") ||
+      e.getCause != null && e.getCause.getMessage.contains("train-v1"))
+  }
+
   test("CHECK constraints govern SQL INSERTs too: a violating statement "
       + "is refused and leaves no version") {
     val root = freshRoot()

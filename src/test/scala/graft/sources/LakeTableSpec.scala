@@ -1611,4 +1611,68 @@ class LakeTableSpec extends SparkSpec {
       .select(col("id").as("k"), (col("id") * 2).as("v")), root)
     assert(LakeTable.read(spark, root).count() == 110L)
   }
+
+  test("tags: pin, resolve, replace, drop; vacuum refuses a pinned drop") {
+    val root = freshRoot()
+    LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root) // v1
+    LakeTable.append(Seq((2L, "b")).toDF("k", "v"), root) // v2
+    LakeTable.overwrite(Seq((9L, "z")).toDF("k", "v"), root) // v3
+    // default pins latest; explicit version pins that version
+    assert(LakeTable.tag(spark, root, "release") == 3L)
+    assert(LakeTable.tag(spark, root, "train-v1", Some(2L)) == 2L)
+    assert(LakeTable.tags(spark, root) ==
+      Seq("release" -> 3L, "train-v1" -> 2L))
+    // resolution: tag name → version, numeric string → version
+    assert(LakeTable.resolveVersion(spark, root, "train-v1") == 2L)
+    assert(LakeTable.resolveVersion(spark, root, "2") == 2L)
+    intercept[IllegalArgumentException](
+      LakeTable.resolveVersion(spark, root, "nope"))
+    // a tag read is the pinned snapshot, not the head
+    assert(spark.read.format("graftlake")
+      .option("versionAsOf", "train-v1").load(root)
+      .select("k").as[Long].collect().toSet == Set(1L, 2L))
+    // immutable unless replace = true
+    intercept[IllegalStateException](
+      LakeTable.tag(spark, root, "train-v1", Some(3L)))
+    assert(LakeTable.tag(spark, root, "train-v1", Some(3L),
+      replace = true) == 3L)
+    assert(LakeTable.resolveVersion(spark, root, "train-v1") == 3L)
+    // names must not look like versions and must be path-safe
+    intercept[IllegalArgumentException](
+      LakeTable.tag(spark, root, "7"))
+    intercept[IllegalArgumentException](
+      LakeTable.tag(spark, root, "a/b"))
+    // vacuum refuses while a tag pins below keepFrom…
+    LakeTable.tag(spark, root, "old", Some(1L))
+    val e = intercept[IllegalArgumentException](
+      LakeTable.vacuum(spark, root, keepFrom = 2L, orphanGraceMs = 0L))
+    assert(e.getMessage.contains("old→1"))
+    // …and proceeds once the tag is dropped
+    LakeTable.dropTag(spark, root, "old")
+    LakeTable.vacuum(spark, root, keepFrom = 2L, orphanGraceMs = 0L)
+    assert(LakeTable.versions(spark, root) == Seq(2L, 3L))
+    // a dropped tag is gone; dropping again errors
+    intercept[IllegalStateException](LakeTable.dropTag(spark, root, "old"))
+    // surviving tags still resolve after the vacuum
+    assert(LakeTable.resolveVersion(spark, root, "release") == 3L)
+  }
+
+  test("tags: racing creators of one name — exactly one wins") {
+    val root = freshRoot()
+    LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)
+    LakeTable.append(Seq((2L, "b")).toDF("k", "v"), root)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val attempts = Future.traverse((1L to 2L).toList) { v =>
+      Future(
+        try Right(LakeTable.tag(spark, root, "winner", Some(v)))
+        catch { case e: IllegalStateException => Left(e) })
+    }
+    val rs = Await.result(attempts, 60.seconds)
+    assert(rs.count(_.isRight) == 1)
+    // the ref file is complete and resolves to the winner's version
+    val won = rs.collectFirst { case Right(v) => v }.get
+    assert(LakeTable.resolveVersion(spark, root, "winner") == won)
+  }
 }
