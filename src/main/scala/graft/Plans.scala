@@ -93,7 +93,8 @@ object Plans {
     "q272_seed_distance" -> "bounded SSSP: per-round static-edge join + min-combine with map-side partials; six rounds, no convergence count",
     "q278_lake_sql_dml" -> "catalog SQL read after DML: V1Scan-bridged plan — the same pruning FileIndex + vectorized parquet scan under the v2 table",
     "q288_lake_dv_delete" -> "merge-on-read DELETE: vectored read = parquet scan + BroadcastHashJoin LeftAnti against the sidecar — data side never shuffles, no sort-merge",
-    "q289_lake_dv_purge" -> "post-purge range read: #dv refs dropped, the plan is the vector-free zone-pruned scan again (no anti-join node)")
+    "q289_lake_dv_purge" -> "post-purge range read: #dv refs dropped, the plan is the vector-free zone-pruned scan again (no anti-join node)",
+    "q306_suffix_spans" -> "suffix-ranked exact dup spans: 16-char gram window (the only text shuffle), one doubling round on long labels with the dup count fused into its window, explicit-width repartition guarding the explode from post-AQE single-partition collapse")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -631,6 +631,114 @@ object Dedup {
                       - 1))))))
           .as("clean_text"))
 
+  /** EXACT duplicated-span detection by distributed suffix ranking
+    * (prefix doubling) — the hash-FREE counterpart to
+    * [[removeDuplicateSpans]]'s rolling-hash windows, and the structure
+    * behind suffix-array dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"). Position `p` of a
+    * document is a duplicate start iff some OTHER position (same or
+    * different doc) shares its first `span` CHARACTERS exactly.
+    *
+    * Why not group `span`-char substrings directly? That shuffles
+    * span × corpus bytes of text. Prefix doubling shuffles 4-char grams
+    * ONCE (round 0); every later round moves only (doc, pos, label)
+    * rows: rank_{2k}(p) = canonical label of the PAIR
+    * (rank_k(p), rank_k(p+k)), where the canonical label is the group's
+    * minimum (doc, pos) — equality-preserving with a hash-partitioned
+    * groupBy-min, NO global sort (a corpus-length dense_rank window
+    * would serialize on one partition; min-labeling is the same trick
+    * as the CC loop's min-label propagation). Equal final label ⟺ equal
+    * span-prefix, by induction over rounds — no hash collisions to
+    * argue away, which the oracle proves by direct substring group-by.
+    *
+    * `span` must be a power of two ≥ 4 (the ladder 4 → 8 → … → span):
+    * log2(span) − 2 self-joins on (doc, pos+k) keys, one label shuffle
+    * each. Documents shorter than `span` report n_pos = 0. Returns one
+    * row per input doc: (idCol, n_pos, n_dup) with n_dup the number of
+    * duplicated span-start positions. */
+  def suffixDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     span: Int = 32): DataFrame = {
+    require(span >= 4 && (span & (span - 1)) == 0,
+      s"suffixDupSpans: span must be a power of two >= 4, got $span")
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("__t"))
+    // round 0 grams are up to 16 chars: the only stage that ever
+    // shuffles text. Every halving of the base adds one (join + label
+    // shuffle) BARRIER over the whole corpus, so the base takes the
+    // widest gram whose shuffle rows stay label-sized (16 ASCII chars ≈
+    // two label longs); past 16, doubling's 8-byte labels are strictly
+    // narrower and the ladder takes over. span=32 therefore costs round
+    // 0 plus ONE doubling round.
+    val g = math.max(4, math.min(16, span / 2))
+    val eligible = base.filter(length(col("__t")) >= g)
+    // positions get a GLOBAL LONG coordinate gp = docOffset + p, with an
+    // inter-doc gap of `span` so gp ± k arithmetic (k < span) can never
+    // land in a neighboring document. Labels are then plain longs
+    // (min gp per group) instead of (id, pos) structs — struct ordering
+    // falls out of codegen and made every label sort ~3× slower. The
+    // offsets come from the scale-safe distributed cumsum (range
+    // partition + broadcast prefix totals, no single-task window).
+    val offs = graft.ops.Relational.globalCumSum(
+        eligible, Seq(col("id")),
+        (length(col("__t")) + lit(span)).cast("long"), "__cum")
+      .select(col("id"), col("__t"),
+        (col("__cum") - length(col("__t")) - lit(span)).as("__off"))
+    // the explode multiplies rows ~docLength× AFTER the (tiny, doc-level)
+    // cumsum exchange — without an explicit-width repartition here, AQE
+    // rightly coalesces that exchange to one partition and the ENTIRE
+    // op runs single-threaded (measured: every downstream stage on 1
+    // partition). Explicit numPartitions opts this one exchange out of
+    // coalescing; at real scale the doc rows are big enough that the
+    // spread is what AQE would pick anyway.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val pos = offs
+      .repartition(par)
+      .select(col("id"), col("__off"),
+        explode(sequence(lit(1), length(col("__t")) - (g - 1))).as("p"),
+        col("__t"))
+      .select(col("id"),
+        (col("__off") + col("p")).as("gp"),
+        col("__t").substr(col("p"), lit(g)).as("__g"))
+    // rows carry (id, gp, label) through the rounds — id rides along
+    // (8 bytes) so the final per-doc fold needs NO position-mapping
+    // join. Every round's output feeds its successor's join twice
+    // (probe + shifted build): without materialization the lineage
+    // doubles per round and the text scan re-executes 2^rounds times.
+    // The LAST labeling window also emits its group count in the same
+    // frame (same partition keys → zero extra exchange): final group
+    // size ≥ 2 IS the duplication verdict.
+    def label(df: DataFrame, keys: Seq[String],
+              last: Boolean): DataFrame = {
+      val w = Window.partitionBy(keys.map(col): _*)
+      val withMin = df.withColumn("r", min(col("gp")).over(w))
+      (if (last) withMin.withColumn("__n", count(lit(1)).over(w))
+         .select("id", "gp", "r", "__n")
+       else withMin.select("id", "gp", "r"))
+        .localCheckpoint(false)
+    }
+    var cur = label(pos, Seq("__g"), last = g >= span)
+    var k = g
+    while (k < span) {
+      // rank_{2k}(gp) keys on (rank_k(gp), rank_k(gp+k)); the shifted
+      // side joins on gp, so the position set tightens to positions
+      // with 2k chars of runway automatically (gp+k must itself exist)
+      cur = label(
+        cur.join(
+          cur.select((col("gp") - k).as("gp"), col("r").as("__r2")),
+          Seq("gp")),
+        Seq("r", "__r2"), last = k * 2 >= span)
+      k *= 2
+    }
+    val dups = cur
+      .filter(col("__n") >= 2)
+      .groupBy("id").agg(count(lit(1)).as("n_dup"))
+    base.select(col("id"),
+        greatest(length(col("__t")) - (span - 1), lit(0))
+          .cast("long").as("n_pos"))
+      .join(dups, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_pos"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+  }
+
   /** Cross-source k-gram overlap matrix — the corpus forensic behind
     * "who syndicates whom": for each unordered source pair, the number
     * of DISTINCT k-token windows both contain. Windows hash to 64 bits

@@ -233,6 +233,37 @@ object Sampling {
     * everything). One shuffle on the group key + one window — the
     * running sum never leaves its partition, and group count bounds
     * driver state at zero. */
+  /** Weighted sampling WITHOUT replacement, k per group — the
+    * Efraimidis–Spirakis A-ES scheme ("give me k documents per domain,
+    * quality-weighted"): each row draws key = ln(u)/w (u ∈ (0,1], w =
+    * its weight; equivalent to the textbook u^(1/w) by monotonicity)
+    * and the k LARGEST keys per group win, which realizes exactly
+    * successive draw-proportional-to-weight-without-replacement.
+    * u is DETERMINISTIC (salted md5 of the id, the [[temperatureMix]]
+    * gate), so the sample replays across engines and runs; keys
+    * quantize to 1e-4 with an id tie-break so the cross-engine order is
+    * exact. Rows with weight ≤ 0 are never sampled (A-ES is undefined
+    * there). Executes as [[graft.plans.TopK.topKPerGroup]] — per-group
+    * bounded heaps with a map-side partial pass, never a full per-group
+    * sort, so a 100 TB group costs one combine-then-shuffle of ≤ 2k
+    * rows per partition. */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String,
+                             idCol: String, weightCol: String, k: Int,
+                             salt: String = "graft-wrs:"): DataFrame = {
+    require(k >= 1, s"weightedSamplePerGroup: k must be >= 1, got $k")
+    val u = (conv(substring(
+      md5(concat(lit(salt), col(idCol).cast("string"))), 1, 6),
+      16, 10).cast("double") + 1d) / 16777217d
+    val key = floor(log(u) / col(weightCol).cast("double") * 10000d
+      + 0.5d).cast("long").cast("double") / 10000d
+    graft.plans.TopK.topKPerGroup(
+        df.filter(col(weightCol).cast("double") > 0d)
+          .withColumn("__wkey", key),
+        Seq(col(groupCol)),
+        Seq(col("__wkey").desc, col(idCol).asc), k)
+      .drop("__wkey")
+  }
+
   def tokenBudgetSample(df: DataFrame, groupCol: String, idCol: String,
                         weightCol: String, budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window

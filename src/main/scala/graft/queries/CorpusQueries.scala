@@ -1307,6 +1307,35 @@ object CorpusQueries {
         GROUP BY source"""),
       "token-budget per-source sample: deterministic fill ≡ window replay"),
 
+    // ---- weighted sampling without replacement (A-ES) ----------------------
+    // "k docs per domain, drawn ∝ weight, no repeats" — the
+    // Efraimidis–Spirakis exponential-keys scheme with a deterministic
+    // md5 uniform, so the draw replays bit-for-bit in both engines. The
+    // Spark side executes as the TopKPerGroup HEAP operator (map-side
+    // partial pass, ≤2k rows per partition reach the shuffle); the
+    // oracle replays the textbook form — a full per-group sort — so the
+    // hash match also proves heap-ordering ≡ sort-ordering under the
+    // quantized key + id tie-break.
+    "q307_weighted_sample" -> Q(
+      (s, d) => Sampling.weightedSamplePerGroup(Tables.documents(s, d),
+          "source", "doc_id", "n_chars", k = 5)
+        .select("doc_id", "source", "n_chars"),
+      Some("""WITH keyed AS (
+          SELECT doc_id, source, n_chars,
+            CAST(CAST(floor(
+              ln((CAST(('0x' || substr(md5('graft-wrs:'
+                    || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 1.0)
+                 / 16777217.0)
+              / CAST(n_chars AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+              AS DOUBLE) / 10000 AS wkey
+          FROM documents WHERE CAST(n_chars AS DOUBLE) > 0),
+        r AS (SELECT doc_id, source, n_chars,
+            row_number() OVER (PARTITION BY source
+              ORDER BY wkey DESC, doc_id ASC) AS rn
+          FROM keyed)
+        SELECT doc_id, source, n_chars FROM r WHERE rn <= 5"""),
+      "A-ES weighted k-per-group sample: heap top-k ≡ sorted SQL replay"),
+
     // ---- distribution-matched resampling ----------------------------------
     // Match the corpus's length profile to a reference subcorpus
     // (src0): the reference's 200-char grid histogram becomes the
@@ -1377,6 +1406,33 @@ object CorpusQueries {
           AS sum_chars
         FROM picked GROUP BY lang"""),
       "temperature-scaled mix: rate (n_min/n)^(1-alpha), md5 gate"),
+
+    // ---- suffix-ranked exact duplicated spans (prefix doubling) ------------
+    // The hash-FREE form of Lee et al.'s suffix-array pass: a position
+    // is a duplicate start iff another position shares its first 32
+    // CHARACTERS exactly, decided by 3 rounds of prefix doubling over
+    // min-(doc,pos) group labels — after round 0's 4-char grams, only
+    // (doc, pos, label) rows ever shuffle, and there is no global sort
+    // (dense_rank would serialize) and no hash to collide. The oracle
+    // groups the 32-char substrings DIRECTLY, so the hash match proves
+    // the doubling ladder's equal-label ⟺ equal-span invariant on the
+    // whole corpus.
+    "q306_suffix_spans" -> Q(
+      (s, d) => Dedup.suffixDupSpans(Tables.documents(s, d),
+        "doc_id", "text", span = 32),
+      Some("""WITH pos AS (
+          SELECT doc_id, substr(text, CAST(g.i AS INTEGER), 32) AS g
+          FROM documents,
+            LATERAL (SELECT unnest(range(1, length(text) - 30)) AS i) g
+          WHERE length(text) >= 32),
+        cnt AS (SELECT g, count(*) AS c FROM pos GROUP BY g),
+        agg AS (SELECT doc_id, count(*) AS n_dup
+          FROM pos JOIN cnt USING (g) WHERE c >= 2 GROUP BY doc_id)
+        SELECT d.doc_id, CAST(greatest(length(text) - 31, 0) AS BIGINT)
+            AS n_pos,
+          CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup
+        FROM documents d LEFT JOIN agg USING (doc_id)"""),
+      "suffix-ranked exact 32-char dup spans ≡ direct substring groups"),
 
     // ---- exact-substring (repeated token-span) dedup report -----------------
     // The rolling-window form of Lee et al.'s suffix-array pass: any

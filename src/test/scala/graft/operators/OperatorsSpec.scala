@@ -59,6 +59,33 @@ class DedupSpec extends SparkSpec {
     assert(clean(4L) == "totally unrelated short text here")
   }
 
+  test("suffixDupSpans: exact span-32 dup starts, cross-doc and within-doc") {
+    // 40 chars of 'a' in doc 1: positions 1..9 all share the 32-a
+    // prefix WITHIN the doc → 9 dup starts. Doc 2 embeds doc 3's exact
+    // 32-char head at offset 3 → 1 dup start each (cross-doc). Doc 4 is
+    // 32 unique chars (1 position, no partner); doc 5 is shorter than
+    // the span → n_pos = 0.
+    val head32 = "the quick brown fox jumps over a" // 32 chars
+    assert(head32.length == 32)
+    val docs = Seq(
+      (1L, "a" * 40),
+      (2L, "xy:" + head32 + "nd more trailing text"),
+      (3L, head32 + " totally different tail here"),
+      (4L, "0123456789abcdefghij!@#$%^&*()-="),
+      (5L, "short doc"))
+      .toDF("doc_id", "text")
+    val out = Dedup.suffixDupSpans(docs, "doc_id", "text", span = 32)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 9L, 9L)))
+    assert(out(2L) == ((2L, 25L, 1L)))
+    assert(out(3L) == ((3L, 29L, 1L)))
+    assert(out(4L) == ((4L, 1L, 0L)))
+    assert(out(5L) == ((5L, 0L, 0L)))
+    // span must be a power of two (the doubling ladder)
+    intercept[IllegalArgumentException](
+      Dedup.suffixDupSpans(docs, "doc_id", "text", span = 24))
+  }
+
   test("removeContaminatedSpans cuts eval windows, keeps clean text verbatim") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tail end"),
@@ -499,6 +526,41 @@ class SamplingSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet
     assert(kept == Sampling.temperatureMix(df, "dom", "id", 0.5)
       .as[(String, Long)].collect().toSet)
+  }
+
+  test("weightedSamplePerGroup: k per group, zero-weight excluded, " +
+      "heap path ≡ window-sort replay, deterministic") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 200L).map { i =>
+      (i, s"g${i % 4}", if (i % 17 == 0) 0L else (i % 7) * 100L + 1L)
+    }.toDF("id", "grp", "w")
+    val got = Sampling.weightedSamplePerGroup(df, "grp", "id", "w", k = 5)
+      .select("id", "grp", "w").as[(Long, String, Long)].collect()
+    // exactly k per group; never a zero-weight row
+    assert(got.groupBy(_._2).forall(_._2.length == 5))
+    assert(got.forall(_._3 > 0L))
+    // determinism: a second run draws the identical sample
+    val again = Sampling
+      .weightedSamplePerGroup(df, "grp", "id", "w", k = 5)
+      .select("id").as[Long].collect().toSet
+    assert(again == got.map(_._1).toSet)
+    // the heap operator realizes exactly the textbook windowed form
+    val u = (conv(substring(
+      md5(concat(lit("graft-wrs:"), col("id").cast("string"))), 1, 6),
+      16, 10).cast("double") + 1d) / 16777217d
+    val key = floor(log(u) / col("w").cast("double") * 10000d + 0.5d)
+      .cast("long").cast("double") / 10000d
+    val ref = df.filter(col("w") > 0)
+      .withColumn("__k", key)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("grp").orderBy(col("__k").desc, col("id").asc)))
+      .filter(col("__rn") <= 5)
+      .select("id").as[Long].collect().toSet
+    assert(ref == got.map(_._1).toSet)
+    // groups smaller than k return whole group (minus zero weights)
+    val tiny = Seq((1L, "a", 5L), (2L, "a", 0L)).toDF("id", "grp", "w")
+    assert(Sampling.weightedSamplePerGroup(tiny, "grp", "id", "w", 3)
+      .select("id").as[Long].collect().toSeq == Seq(1L))
   }
 }
 
