@@ -179,6 +179,11 @@ object Dedup {
       .groupBy("block", "h")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
     groups
+      // the group-size² pair explode follows the (id-list-sized) groups
+      // exchange, whose byte size AQE can coalesce to a handful of
+      // partitions without seeing the multiplier — explicit width keeps
+      // pair generation parallel (the q306 single-partition lesson)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
       .select(col("id_a"), explode(
         slice(col("ids"), col("i") + lit(2),
@@ -235,6 +240,8 @@ object Dedup {
       .filter(col("__df") >= 2).select("h")
     val cands = prefix.join(eligible, Seq("h"))
       .groupBy("h").agg(sort_array(collect_list(col("id"))).as("ids"))
+      // explicit width before the group-size² explode (see jaccardPairs)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
       .select(col("id_a"), explode(
         slice(col("ids"), col("i") + lit(2),
@@ -329,6 +336,44 @@ object Dedup {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** LOSSLESS Hamming-distance pairing over any 64-bit fingerprint
+    * column (SimHash, image dHash, audio chromaprint-style words):
+    * split the word into `bands` equal slices — by pigeonhole, two
+    * words within Hamming distance `maxHamming < bands` agree on at
+    * least one whole slice — join candidates per (slice index, slice
+    * value), then verify the exact distance. Candidate fan-out per
+    * bucket is bounded by the fingerprint collision structure, never
+    * the corpus: the all-pairs loop that can't scale never exists.
+    * Unlike [[simhashPairs]]' single-prefix heuristic, this blocking
+    * provably misses nothing (the oracle brute-forces the verdicts).
+    * Returns (id_a, id_b, hamming), id_a < id_b, NULL hashes dropped. */
+  def hammingPairsBanded(df: DataFrame, idCol: String, hashCol: String,
+                         bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"hammingPairsBanded: bands must divide 64, got $bands")
+    require(maxHamming < bands,
+      s"hammingPairsBanded: lossless only for maxHamming < bands " +
+        s"(pigeonhole), got maxHamming=$maxHamming bands=$bands")
+    val bw = 64 / bands
+    val mask = if (bw == 64) -1L else (1L << bw) - 1L
+    val sl = df.filter(col(hashCol).isNotNull)
+      .select(col(idCol).as("id"), col(hashCol).as("h"))
+      .select(col("id"), col("h"),
+        explode(array((0 until bands).map(i =>
+          struct(lit(i).as("b"),
+            shiftrightunsigned(col("h"), i * bw)
+              .bitwiseAND(lit(mask)).as("v"))): _*)).as("s"))
+      .select(col("id"), col("h"),
+        col("s.b").as("b"), col("s.v").as("v"))
+    sl.as("l").join(sl.as("r"),
+        col("l.b") === col("r.b") && col("l.v") === col("r.v") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        hamming64(col("l.h"), col("r.h")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 
   /** DataFrame-level SimHash: (id, sig) for every row of `df`.
     *

@@ -170,6 +170,120 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual difference hash (dHash) over REAL ImageIO decode — the
+    * image near-duplicate fingerprint LAION-scale curation uses: resize
+    * to a 9×8 grayscale grid, set bit (y·8+x) iff the right neighbor is
+    * brighter than the left. Robust to re-encoding, scaling, and
+    * uniform brightness shifts (the comparison cancels constants);
+    * near-duplicates differ in a few bits, so pairing is a Hamming
+    * join ([[Dedup.hammingPairsBanded]]), not an equality join.
+    *
+    * Determinism contract (what lets an external engine replay the
+    * hash analytically): nearest-neighbor sampling sx = ⌊x·W/9⌋,
+    * sy = ⌊y·H/8⌋ and integer-division grayscale (r+g+b)/3 — no
+    * float anywhere. Partition-local decode like [[decodeImageStats]];
+    * corrupt payloads yield NULL, never a task failure. Appends a
+    * nullable LongType `dhash` column. */
+  /** The dHash kernel shared by [[decodeDHash]] (stills) and
+    * [[decodeVideoFrameDHashes]] (per frame): 9×8 nearest-neighbor
+    * integer grayscale grid, bit (y·8+x) iff right neighbor brighter. */
+  private[operators] def dHashOf(img: java.awt.image.BufferedImage): Long = {
+    val (w, ht) = (img.getWidth, img.getHeight)
+    val g = Array.ofDim[Int](8, 9)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val p = img.getRGB((x.toLong * w / 9).toInt,
+          (y.toLong * ht / 8).toInt)
+        g(y)(x) =
+          (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y)(x + 1) > g(y)(x)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  def decodeDHash(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("dhash", LongType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val h: java.lang.Long =
+          try {
+            val bytes = r.getAs[Array[Byte]](binIdx)
+            val img =
+              if (bytes == null) null
+              else javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+            if (img == null) null
+            else java.lang.Long.valueOf(dHashOf(img))
+          } catch { case scala.util.control.NonFatal(_) => null }
+        Row.fromSeq(r.toSeq :+ h)
+      }
+    }(enc)
+  }
+
+  /** Per-frame perceptual hashes of a multi-frame container —
+    * [[decodeVideoFrames]]' traversal with [[dHashOf]] per decoded
+    * frame: the video near-duplicate primitive (two videos match when
+    * their frame-hash SETS overlap, robust to re-encoding and frame
+    * brightness drift; pairing composes with
+    * [[Dedup.hammingPairsBanded]] or a shared-hash count join).
+    * Appends a nullable struct (n_frames, frame_idx, dhash), one row
+    * per sampled frame; undecodable payloads yield one NULL-struct row. */
+  def decodeVideoFrameDHashes(df: DataFrame, binCol: String,
+                              stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val frameHashSchema = StructType(Seq(
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    val schema = StructType(df.schema.fields :+
+      StructField("frame_hash", frameHashSchema, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val frames: Seq[Row] =
+          try {
+            val bytes = r.getAs[Array[Byte]](binIdx)
+            if (bytes == null) null
+            else {
+              val reader = javax.imageio.ImageIO
+                .getImageReadersByFormatName("gif").next()
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try {
+                reader.setInput(iis, /* seekForwardOnly = */ false,
+                  /* ignoreMetadata = */ true)
+                val n = reader.getNumImages(/* allowSearch = */ true)
+                if (n <= 0) null
+                else (0 until n by stride).map { f =>
+                  Row(n, f, dHashOf(reader.read(f)))
+                }
+              } finally { reader.dispose(); iis.close() }
+            }
+          } catch { case scala.util.control.NonFatal(_) => null }
+        if (frames == null) Iterator.single(Row.fromSeq(r.toSeq :+ null))
+        else frames.iterator.map(st => Row.fromSeq(r.toSeq :+ st))
+      }
+    }(enc)
+  }
+
   /** Deterministic synthetic PNG: pixel (x, y) of image `id` is a fixed
     * integer function of (id, x, y), so an external engine can recompute
     * [[decodeImageStats]]'s exact sums without any codec — the fixture

@@ -511,10 +511,15 @@ object Relational {
     val (lOut, rOut) =
       if (leftKey == rightKey) (s"${leftKey}_l", s"${rightKey}_r")
       else (leftKey, rightKey)
-    // key + its 1-deletion variants, as (key, variant) rows
+    // key + its 1-deletion variants, as (key, variant) rows. The
+    // ~|key|× explode sits right after the distinct's (small) exchange,
+    // which AQE coalesces to very few partitions — the explicit-width
+    // repartition keeps the variant generation and the downstream join
+    // map side parallel (the q306 single-partition-collapse lesson).
     def variants(df: DataFrame, key: String, out: String): DataFrame = {
       val c = col(key).as(out)
       df.select(c).distinct()
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(col(out), explode(array_distinct(concat(
           array(col(out)),
           transform(sequence(lit(1), length(col(out))), i =>

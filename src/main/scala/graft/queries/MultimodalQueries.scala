@@ -18,6 +18,66 @@ object MultimodalQueries {
     * (id, x, y). Content-addressed and idempotent — concurrent or
     * repeated runs rewrite identical bytes, so no wipe/pid isolation is
     * needed (the ensureFiles discipline). */
+  /** DuckDB replay of [[Multimodal.decodeDHash]] over the analytic
+    * fixture pixels — a CTE chain ending in `hashes(id, dhash)`.
+    * Pure integer arithmetic: nearest-neighbor sample sx = (x·W)//9,
+    * sy = (y·H)//8, grayscale (r+g+b)//3, bit (y·8+x) set iff the
+    * right neighbor is brighter; bit 63 contributes the two's-
+    * complement sign term so the 64-bit word lands as the identical
+    * signed BIGINT. */
+  private val dhashCtes: String = """grid AS (
+          SELECT t.id, xs.x, ys.y,
+            ((xs.x * (8 + t.id % 5)) // 9) AS sx,
+            ((ys.y * (8 + t.id % 7)) // 8) AS sy
+          FROM range(200) t(id), range(9) xs(x), range(8) ys(y)),
+        gv AS MATERIALIZED (
+          SELECT id, x, y,
+            ((((id*31 + sx*7 + sy*13) % 256)
+              + ((id*17 + sx*3 + sy*29) % 256)
+              + ((id*59 + sx*11 + sy*5) % 256)) // 3) AS g
+          FROM grid),
+        hashes AS MATERIALIZED (
+          SELECT l.id,
+            CAST(sum(CASE WHEN r.g > l.g THEN
+                CASE WHEN l.y*8 + l.x = 63
+                     THEN CAST(-9223372036854775808 AS HUGEINT)
+                     ELSE CAST(CAST(1 AS BIGINT) << (l.y*8 + l.x)
+                          AS HUGEINT) END
+                ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS dhash
+          FROM gv l JOIN gv r
+            ON l.id = r.id AND l.y = r.y AND r.x = l.x + 1
+          WHERE l.x < 8
+          GROUP BY l.id)"""
+
+  /** DuckDB replay of [[Multimodal.decodeVideoFrameDHashes]] over the
+    * analytic GIF fixture — CTE chain ending in
+    * `vhashes(id, f, dhash)`. The GIF LUT is the identity grayscale, so
+    * the decoded (r+g+b)//3 IS the sample value. */
+  private val videoDhashCtes: String = """vgrid AS (
+          SELECT t.id, fs.f, xs.x, ys.y,
+            ((xs.x * (6 + t.id % 4)) // 9) AS sx,
+            ((ys.y * (6 + t.id % 5)) // 8) AS sy
+          FROM range(60) t(id)
+          CROSS JOIN range(8) fs(f)
+          CROSS JOIN range(9) xs(x) CROSS JOIN range(8) ys(y)
+          WHERE fs.f < 4 + t.id % 5),
+        vg AS MATERIALIZED (
+          SELECT id, f, x, y,
+            ((id*23 + f*41 + sx*7 + sy*13) % 256) AS g
+          FROM vgrid),
+        vhashes AS MATERIALIZED (
+          SELECT l.id, l.f,
+            CAST(sum(CASE WHEN r.g > l.g THEN
+                CASE WHEN l.y*8 + l.x = 63
+                     THEN CAST(-9223372036854775808 AS HUGEINT)
+                     ELSE CAST(CAST(1 AS BIGINT) << (l.y*8 + l.x)
+                          AS HUGEINT) END
+                ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS dhash
+          FROM vg l JOIN vg r
+            ON l.id = r.id AND l.f = r.f AND l.y = r.y AND r.x = l.x + 1
+          WHERE l.x < 8
+          GROUP BY l.id, l.f)"""
+
   private val imageRoot = "/tmp/graft_images"
   // bump when the pixel function or fixture set changes: a stale cached
   // set would otherwise silently poison the analytic oracles
@@ -288,6 +348,115 @@ object MultimodalQueries {
       Some("""SELECT CAST(id AS BIGINT) AS id_png, CAST(id AS BIGINT) AS id_bmp
         FROM range(10) t(id)"""),
       "cross-format image dedup: decoded-pixel fingerprint pairs PNG/BMP twins"),
+
+    // ---- perceptual image hash (dHash) over REAL decode --------------------
+    // The LAION-style image near-dup fingerprint: 9×8 nearest-neighbor
+    // grayscale grid, bit = right-neighbor brighter. Every step is
+    // integer arithmetic, so the oracle recomputes the hash of every
+    // fixture image ANALYTICALLY from the pixel formula — the hash
+    // match certifies decode, resampling, and bit assembly end to end.
+    "q308_image_dhash" -> Q(
+      (s, d) => {
+        val dir = ensureImages()
+        val bin = s.read.format("binaryFile").load(s"$dir/*.png")
+          .select(regexp_extract(col("path"), "img_(\\d+)\\.png", 1)
+            .cast("long").as("img_id"), col("content"))
+        Multimodal.decodeDHash(bin, "content").select("img_id", "dhash")
+      },
+      Some(s"""WITH $dhashCtes
+        SELECT CAST(id AS BIGINT) AS img_id, dhash FROM hashes"""),
+      "REAL-decode perceptual dHash ≡ analytic integer replay"),
+
+    // ---- perceptual near-dup pairing: lossless banded Hamming join ---------
+    // Pair the 210 decoded images (200 PNG + 10 BMP twins) within
+    // Hamming distance 3 via 4×16-bit band blocking — pigeonhole-
+    // lossless, and PROVEN so here: the oracle brute-forces all ~22k
+    // pairs over the analytic hashes, so any pair the banding missed
+    // would hash-mismatch. The BMP twins land at distance 0 (same
+    // pixels); any further pairs are true near-collisions both engines
+    // must agree on bit for bit.
+    "q309_image_neardup" -> Q(
+      (s, d) => {
+        val dir = ensureImages()
+        val bin = s.read.format("binaryFile").load(s"$dir/*.{png,bmp}")
+          .select(concat(
+            regexp_extract(col("path"), "\\.(png|bmp)$", 1), lit("_"),
+            regexp_extract(col("path"), "(img|dup)_(\\d+)\\.", 2)
+              .cast("long").cast("string")).as("fid"),
+            col("content"))
+        graft.operators.Dedup.hammingPairsBanded(
+          Multimodal.decodeDHash(bin, "content"), "fid", "dhash",
+          bands = 4, maxHamming = 3)
+      },
+      Some(s"""WITH $dhashCtes,
+        files AS (
+          SELECT 'png_' || CAST(id AS VARCHAR) AS fid, id
+          FROM range(200) t(id)
+          UNION ALL
+          SELECT 'bmp_' || CAST(id AS VARCHAR), id FROM range(10) t2(id)),
+        fh AS MATERIALIZED (
+          SELECT fid, dhash FROM files JOIN hashes USING (id))
+        SELECT a.fid AS id_a, b.fid AS id_b,
+          CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+        FROM fh a JOIN fh b ON a.fid < b.fid
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 3"""),
+      "banded Hamming image near-dup ≡ analytic brute force (lossless)"),
+
+    // ---- per-frame video perceptual hashes ----------------------------------
+    // The video near-dup primitive: every frame of every fixture GIF
+    // dHashes through the REAL multi-frame reader, and the oracle
+    // recomputes all ~350 frame hashes analytically — certifying frame
+    // traversal + the shared dHash kernel in one pass.
+    "q310_video_dhash" -> Q(
+      (s, d) => {
+        val dir = ensureVideo()
+        val bin = s.read.format("binaryFile").load(s"$dir/*.gif")
+          .select(regexp_extract(col("path"), "vid_(\\d+)\\.gif", 1)
+            .cast("long").as("vid_id"), col("content"))
+        Multimodal.decodeVideoFrameDHashes(bin, "content")
+          .select(col("vid_id"),
+            col("frame_hash.n_frames").as("n_frames"),
+            col("frame_hash.frame_idx").as("frame_idx"),
+            col("frame_hash.dhash").as("dhash"))
+      },
+      Some(s"""WITH $videoDhashCtes
+        SELECT CAST(id AS BIGINT) AS vid_id,
+          CAST(4 + id % 5 AS INTEGER) AS n_frames,
+          CAST(f AS INTEGER) AS frame_idx, dhash
+        FROM vhashes"""),
+      "per-frame video dHash ≡ analytic replay of every fixture frame"),
+
+    // ---- video near-dup: shared frame-hash pairing --------------------------
+    // Two videos are near-duplicates when their frame-hash SETS overlap
+    // (re-encode/brightness-robust via dHash, frame-order-free via the
+    // set join). Pairing is hash-keyed — per-hash fan-out bounded by
+    // the number of videos containing that frame, never the corpus —
+    // and the oracle brute-forces the same overlap from the analytic
+    // hashes, so a missed or phantom pair cannot hash-match.
+    "q311_video_neardup" -> Q(
+      (s, d) => {
+        val dir = ensureVideo()
+        val bin = s.read.format("binaryFile").load(s"$dir/*.gif")
+          .select(regexp_extract(col("path"), "vid_(\\d+)\\.gif", 1)
+            .cast("long").as("vid_id"), col("content"))
+        val fh = Multimodal.decodeVideoFrameDHashes(bin, "content")
+          .select(col("vid_id"), col("frame_hash.dhash").as("dhash"))
+          .distinct()
+        fh.as("a").join(fh.as("b"),
+            col("a.dhash") === col("b.dhash") &&
+              col("a.vid_id") < col("b.vid_id"))
+          .groupBy(col("a.vid_id").as("vid_a"),
+            col("b.vid_id").as("vid_b"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 3)
+      },
+      Some(s"""WITH $videoDhashCtes,
+        vv AS (SELECT DISTINCT id, dhash FROM vhashes)
+        SELECT CAST(a.id AS BIGINT) AS vid_a, CAST(b.id AS BIGINT) AS vid_b,
+          count(*) AS shared
+        FROM vv a JOIN vv b ON a.dhash = b.dhash AND a.id < b.id
+        GROUP BY 1, 2 HAVING count(*) >= 3"""),
+      "video near-dup by shared frame-hashes ≡ analytic brute force"),
 
     // ---- binary payload handling (oracle-checkable digest path) ------------
     "q68_multimodal_binary" -> Q(

@@ -1128,6 +1128,101 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L) == ((4L, None, None, None, None)))
   }
 
+  test("decodeDHash: gradient bits, brightness invariance, re-encode " +
+      "invariance, corrupt -> null") {
+    // hand image A: 9×8, grayscale strictly increasing in x → every
+    // right neighbor is brighter → all 64 bits set → dhash = -1
+    def mk(shift: Int, w: Int = 9, h: Int = 8): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = math.min(255, x * 20 + shift)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, mk(0)),
+      (2L, mk(5)),          // uniform brightness shift: same comparisons
+      (3L, {                 // same picture, BMP container
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(mk(0)))
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "bmp", bos)
+        bos.toByteArray
+      }),
+      (4L, Array[Byte](9, 9, 9))) // corrupt
+      .toDF("img_id", "content")
+    val out = Multimodal.decodeDHash(df, "content")
+      .select("img_id", "dhash")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(1L) == Some(-1L)) // all 64 bits set
+    assert(out(2L) == out(1L))   // brightness-shift invariant
+    assert(out(3L) == out(1L))   // container-invariant
+    assert(out(4L).isEmpty)
+  }
+
+  test("decodeVideoFrameDHashes: one row per frame, stride honored, " +
+      "hashes match the still-image kernel, corrupt -> null row") {
+    val gif = Multimodal.syntheticGif(7L, 9, 8, 5)
+    val df = Seq((1L, gif), (2L, Array[Byte](0, 1, 2))).toDF("vid", "content")
+    val out = Multimodal.decodeVideoFrameDHashes(df, "content")
+      .select(col("vid"), col("frame_hash.frame_idx"),
+        col("frame_hash.dhash"))
+      .as[(Long, Option[Int], Option[Long])].collect()
+    val v1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(v1.map(_._2) sameElements Array(Some(0), Some(1), Some(2),
+      Some(3), Some(4)))
+    // frame hashes equal the shared kernel applied to each decoded frame
+    val reader = javax.imageio.ImageIO
+      .getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif))
+    reader.setInput(iis, false, true)
+    val want = (0 until 5).map(f => Multimodal.dHashOf(reader.read(f)))
+    reader.dispose(); iis.close()
+    assert(v1.flatMap(_._3).toSeq == want)
+    // corrupt payload: exactly one row, null struct
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, None, None)))
+    // stride=2 keeps frames 0,2,4
+    assert(Multimodal.decodeVideoFrameDHashes(
+        Seq((1L, gif)).toDF("vid", "content"), "content", stride = 2)
+      .select(col("frame_hash.frame_idx")).as[Int].collect().sorted
+      .sameElements(Array(0, 2, 4)))
+  }
+
+  test("hammingPairsBanded: lossless vs brute force, guards hold") {
+    val rnd = new scala.util.Random(7)
+    val base = (1L to 60L).map(i => (i, rnd.nextLong()))
+    // plant near-dups: flip ≤3 bits of some hashes
+    val planted = Seq(
+      (101L, base(0)._2 ^ 1L),                 // hamming 1 of id 1
+      (102L, base(1)._2 ^ (1L << 13) ^ (1L << 60)), // hamming 2 of id 2
+      (103L, base(2)._2 ^ 7L))                  // hamming 3 of id 3
+    val rows = base ++ planted :+ ((104L, null.asInstanceOf[Any]))
+    val df = rows.map { case (i, h) => (i, Option(h).map(_.asInstanceOf[Long])) }
+      .toDF("id", "h")
+    val got = graft.operators.Dedup
+      .hammingPairsBanded(df, "id", "h", bands = 4, maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // brute-force reference over the non-null hashes
+    val all = (base ++ planted)
+    val want = (for {
+      a <- all; b <- all if a._1 < b._1
+      d = java.lang.Long.bitCount(a._2 ^ b._2) if d <= 3
+    } yield (a._1, b._1) -> d).toMap
+    assert(got == want)
+    assert(want.contains((1L, 101L)) && want((1L, 101L)) == 1)
+    assert(want.contains((2L, 102L)) && want((3L, 103L)) == 3)
+    intercept[IllegalArgumentException](graft.operators.Dedup
+      .hammingPairsBanded(df, "id", "h", bands = 4, maxHamming = 4))
+    intercept[IllegalArgumentException](graft.operators.Dedup
+      .hammingPairsBanded(df, "id", "h", bands = 5))
+  }
+
   test("decodeAudioStats: real javax.sound WAV round trip matches analytic "
       + "sums for mono and stereo; corrupt payloads yield null stats") {
     val id = 17L
