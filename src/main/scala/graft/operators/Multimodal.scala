@@ -382,6 +382,78 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual audio fingerprint over the REAL PCM decode — the
+    * 1-D analogue of [[decodeDHash]] (chromaprint-lite): fold the clip
+    * to a per-frame magnitude (Σ|sample| across channels), bucket the
+    * frames into 65 time windows (window of frame s = ⌊s·65/n⌋ — pure
+    * integer arithmetic), and set bit i iff window i+1 carries more
+    * energy than window i. Uniform gain scales every magnitude by the
+    * same factor, so the comparisons — and the fingerprint — are
+    * GAIN-INVARIANT, and near-identical clips land within a small
+    * Hamming distance (pair with [[Dedup.hammingPairsBanded]]).
+    * Appends a nullable LongType `afp`; non-PCM16 / corrupt / empty
+    * payloads yield NULL, never a task failure. */
+  def decodeAudioFingerprint(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("afp", LongType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val h: java.lang.Long =
+          try {
+            val bytes = r.getAs[Array[Byte]](binIdx)
+            if (bytes == null) null
+            else {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = ais.getFormat
+              val pcm16 = fmt.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                fmt.getSampleSizeInBits == 16
+              if (!pcm16) null
+              else {
+                val ch = fmt.getChannels
+                val data = ais.readAllBytes()
+                val n = data.length / (2 * ch)
+                if (n <= 0) null
+                else {
+                  val e = new Array[Long](65)
+                  var s = 0
+                  while (s < n) {
+                    var m = 0L
+                    var c = 0
+                    while (c < ch) {
+                      val i = (s * ch + c) * 2
+                      val v: Int =
+                        if (fmt.isBigEndian)
+                          (((data(i) & 0xff) << 8) |
+                            (data(i + 1) & 0xff)).toShort
+                        else
+                          (((data(i + 1) & 0xff) << 8) |
+                            (data(i) & 0xff)).toShort
+                      m += math.abs(v)
+                      c += 1
+                    }
+                    e((s.toLong * 65 / n).toInt) += m
+                    s += 1
+                  }
+                  var bits = 0L
+                  var i = 0
+                  while (i < 64) {
+                    if (e(i + 1) > e(i)) bits |= 1L << i
+                    i += 1
+                  }
+                  java.lang.Long.valueOf(bits)
+                }
+              }
+            }
+          } catch { case scala.util.control.NonFatal(_) => null }
+        Row.fromSeq(r.toSeq :+ h)
+      }
+    }(enc)
+  }
+
   /** Output contract of [[decodeAudioWindows]]: one row per fixed-size
     * frame window with integer-exact energy sums — the
     * feature-extraction shape (VAD gates, loudness normalization,

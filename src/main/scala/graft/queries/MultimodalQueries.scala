@@ -78,6 +78,36 @@ object MultimodalQueries {
           WHERE l.x < 8
           GROUP BY l.id, l.f)"""
 
+  /** DuckDB replay of [[Multimodal.decodeAudioFingerprint]] over the
+    * analytic WAV fixture — CTE chain ending in `afps(id, afp)`:
+    * per-frame magnitude Σ|sample| across channels, 65 integer time
+    * windows (w = (s·65)//n), bit i iff window i+1 outweighs window i,
+    * bit 63 as the two's-complement sign term. */
+  private val audioFpCtes: String = """asamp AS (
+          SELECT t.id, fs.s,
+            CAST(sum(abs(((t.id*37 + fs.s*11 + cs.c*17 + 12345) % 65536)
+              - 32768)) AS BIGINT) AS m
+          FROM range(100) t(id)
+          CROSS JOIN range(450) fs(s)
+          CROSS JOIN range(2) cs(c)
+          WHERE fs.s < 400 + t.id % 50
+            AND cs.c < 1 + t.id % 2
+          GROUP BY t.id, fs.s),
+        aw AS MATERIALIZED (
+          SELECT id, ((s * 65) // (400 + id % 50)) AS w,
+            CAST(sum(m) AS BIGINT) AS e
+          FROM asamp GROUP BY 1, 2),
+        afps AS MATERIALIZED (
+          SELECT l.id,
+            CAST(sum(CASE WHEN r.e > l.e THEN
+                CASE WHEN l.w = 63
+                     THEN CAST(-9223372036854775808 AS HUGEINT)
+                     ELSE CAST(CAST(1 AS BIGINT) << l.w AS HUGEINT) END
+                ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS afp
+          FROM aw l JOIN aw r ON l.id = r.id AND r.w = l.w + 1
+          WHERE l.w < 64
+          GROUP BY l.id)"""
+
   private val imageRoot = "/tmp/graft_images"
   // bump when the pixel function or fixture set changes: a stale cached
   // set would otherwise silently poison the analytic oracles
@@ -457,6 +487,46 @@ object MultimodalQueries {
         FROM vv a JOIN vv b ON a.dhash = b.dhash AND a.id < b.id
         GROUP BY 1, 2 HAVING count(*) >= 3"""),
       "video near-dup by shared frame-hashes ≡ analytic brute force"),
+
+    // ---- perceptual audio fingerprint (envelope dHash) ----------------------
+    // The audio leg of the perceptual near-dup triple: gain-invariant
+    // 64-bit envelope fingerprint over the REAL PCM decode, with the
+    // oracle recomputing every clip's fingerprint analytically from the
+    // fixture sample formula — decode, channel fold, integer windowing
+    // and bit assembly all certified by the hash match.
+    "q312_audio_fingerprint" -> Q(
+      (s, d) => {
+        val dir = ensureAudio()
+        val bin = s.read.format("binaryFile").load(s"$dir/*.wav")
+          .select(regexp_extract(col("path"), "clip_(\\d+)\\.wav", 1)
+            .cast("long").as("clip_id"), col("content"))
+        Multimodal.decodeAudioFingerprint(bin, "content")
+          .select("clip_id", "afp")
+      },
+      Some(s"""WITH $audioFpCtes
+        SELECT CAST(id AS BIGINT) AS clip_id, afp FROM afps"""),
+      "gain-invariant audio envelope fingerprint ≡ analytic replay"),
+
+    // ---- audio near-dup pairing over the fingerprint ------------------------
+    // Clips within Hamming distance 3 of each other, via the same
+    // lossless 4×16 banding as the image pass; the oracle brute-forces
+    // all pairs over the analytic fingerprints.
+    "q313_audio_neardup" -> Q(
+      (s, d) => {
+        val dir = ensureAudio()
+        val bin = s.read.format("binaryFile").load(s"$dir/*.wav")
+          .select(regexp_extract(col("path"), "clip_(\\d+)\\.wav", 1)
+            .cast("long").as("clip_id"), col("content"))
+        graft.operators.Dedup.hammingPairsBanded(
+          Multimodal.decodeAudioFingerprint(bin, "content"),
+          "clip_id", "afp", bands = 4, maxHamming = 3)
+      },
+      Some(s"""WITH $audioFpCtes
+        SELECT a.id AS id_a, b.id AS id_b,
+          CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+        FROM afps a JOIN afps b ON a.id < b.id
+        WHERE bit_count(xor(a.afp, b.afp)) <= 3"""),
+      "banded audio near-dup ≡ analytic brute force"),
 
     // ---- binary payload handling (oracle-checkable digest path) ------------
     "q68_multimodal_binary" -> Q(

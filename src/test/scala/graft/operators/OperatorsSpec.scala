@@ -1193,6 +1193,36 @@ class MultimodalSpec extends SparkSpec {
       .sameElements(Array(0, 2, 4)))
   }
 
+  test("decodeAudioFingerprint: envelope bits, gain invariance, corrupt") {
+    def wav(gain: Int): Array[Byte] = {
+      // 130 frames mono: magnitude grows with the window index, so
+      // every window-(i+1) outweighs window i → all 64 bits set → -1
+      val n = 130
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val pcm = new Array[Byte](n * 2)
+      for (s <- 0 until n) {
+        val v = (s * 20 + 1) * gain
+        pcm(2 * s) = (v & 0xff).toByte
+        pcm(2 * s + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val df = Seq((1L, wav(1)), (2L, wav(3)), (3L, Array[Byte](1, 2)))
+      .toDF("clip", "content")
+    val out = Multimodal.decodeAudioFingerprint(df, "content")
+      .select("clip", "afp").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L) == Some(-1L))  // strictly rising envelope: all bits
+    assert(out(2L) == out(1L))    // 3× gain: identical fingerprint
+    assert(out(3L).isEmpty)       // corrupt: NULL, not a task failure
+  }
+
   test("hammingPairsBanded: lossless vs brute force, guards hold") {
     val rnd = new scala.util.Random(7)
     val base = (1L to 60L).map(i => (i, rnd.nextLong()))
