@@ -703,61 +703,95 @@ object Dedup {
     * duplicated span-start positions. */
   def suffixDupSpans(docs: DataFrame, idCol: String, textCol: String,
                      span: Int = 32): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), lit(0).as("side"),
+      col(textCol).as("__t"))
+    val dups = suffixLastRound(base, span)
+      .filter(col("__n") >= 2)
+      .groupBy("id").agg(count(lit(1)).as("n_dup"))
+    base.select(col("id"),
+        greatest(length(col("__t")) - (span - 1), lit(0))
+          .cast("long").as("n_pos"))
+      .join(dups, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_pos"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+  }
+
+  /** EXACT cross-corpus span contamination through the same suffix
+    * ladder: a train position is contaminated iff some EVAL position
+    * shares its first `span` characters byte-for-byte — the exact form
+    * of [[removeContaminatedSpans]]' rolling-hash check (no collision
+    * caveat to argue away). One ladder over the tagged union; the last
+    * labeling window's fused max(side) answers "does an eval member sit
+    * in this group" with zero extra exchange. Returns one row per TRAIN
+    * doc: (idCol, n_pos, n_contam). */
+  def suffixContamination(train: DataFrame, eval: DataFrame,
+                          idCol: String, textCol: String,
+                          span: Int = 32): DataFrame = {
+    val t = train.select(col(idCol).as("id"), lit(0).as("side"),
+      col(textCol).as("__t"))
+    val e = eval.select(col(idCol).as("id"), lit(1).as("side"),
+      col(textCol).as("__t"))
+    val contam = suffixLastRound(t.unionByName(e), span)
+      .filter(col("side") === 0 && col("__mx") === 1)
+      .groupBy("id").agg(count(lit(1)).as("n_contam"))
+    t.select(col("id"),
+        greatest(length(col("__t")) - (span - 1), lit(0))
+          .cast("long").as("n_pos"))
+      .join(contam, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_pos"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"))
+  }
+
+  /** The shared prefix-doubling ladder behind [[suffixDupSpans]] and
+    * [[suffixContamination]]: input (id, side, __t), output one row per
+    * position surviving to the last round with its final group's size
+    * (`__n`) and max side tag (`__mx`).
+    *
+    * Round 0 grams are up to 16 chars — the only stage that ever
+    * shuffles text. Every halving of the base adds one (join + label
+    * shuffle) BARRIER over the whole corpus, so the base takes the
+    * widest gram whose shuffle rows stay label-sized (16 ASCII chars ≈
+    * two label longs); past 16, doubling's 8-byte labels are strictly
+    * narrower and the ladder takes over (span=32 = round 0 plus ONE
+    * doubling round). Positions get a GLOBAL LONG coordinate
+    * gp = docOffset + p with an inter-doc gap of `span`, so gp ± k
+    * arithmetic never lands in a neighboring document and labels are
+    * plain longs (min gp per group — struct labels fell out of codegen
+    * ordering and ran ~3× slower); offsets come from the scale-safe
+    * distributed cumsum. The explode multiplies rows ~docLength× AFTER
+    * the tiny doc-level cumsum exchange — without an explicit-width
+    * repartition AQE rightly coalesces that exchange to ONE partition
+    * and the whole ladder runs single-threaded (measured). Every
+    * round's output feeds its successor's join twice (probe + shifted
+    * build), so each round localCheckpoints or the lineage doubles. */
+  private def suffixLastRound(docs2: DataFrame, span: Int): DataFrame = {
     require(span >= 4 && (span & (span - 1)) == 0,
-      s"suffixDupSpans: span must be a power of two >= 4, got $span")
-    val base = docs.select(col(idCol).as("id"), col(textCol).as("__t"))
-    // round 0 grams are up to 16 chars: the only stage that ever
-    // shuffles text. Every halving of the base adds one (join + label
-    // shuffle) BARRIER over the whole corpus, so the base takes the
-    // widest gram whose shuffle rows stay label-sized (16 ASCII chars ≈
-    // two label longs); past 16, doubling's 8-byte labels are strictly
-    // narrower and the ladder takes over. span=32 therefore costs round
-    // 0 plus ONE doubling round.
+      s"suffix ladder: span must be a power of two >= 4, got $span")
     val g = math.max(4, math.min(16, span / 2))
-    val eligible = base.filter(length(col("__t")) >= g)
-    // positions get a GLOBAL LONG coordinate gp = docOffset + p, with an
-    // inter-doc gap of `span` so gp ± k arithmetic (k < span) can never
-    // land in a neighboring document. Labels are then plain longs
-    // (min gp per group) instead of (id, pos) structs — struct ordering
-    // falls out of codegen and made every label sort ~3× slower. The
-    // offsets come from the scale-safe distributed cumsum (range
-    // partition + broadcast prefix totals, no single-task window).
+    val eligible = docs2.filter(length(col("__t")) >= g)
     val offs = graft.ops.Relational.globalCumSum(
-        eligible, Seq(col("id")),
+        eligible, Seq(col("side"), col("id")),
         (length(col("__t")) + lit(span)).cast("long"), "__cum")
-      .select(col("id"), col("__t"),
+      .select(col("id"), col("side"), col("__t"),
         (col("__cum") - length(col("__t")) - lit(span)).as("__off"))
-    // the explode multiplies rows ~docLength× AFTER the (tiny, doc-level)
-    // cumsum exchange — without an explicit-width repartition here, AQE
-    // rightly coalesces that exchange to one partition and the ENTIRE
-    // op runs single-threaded (measured: every downstream stage on 1
-    // partition). Explicit numPartitions opts this one exchange out of
-    // coalescing; at real scale the doc rows are big enough that the
-    // spread is what AQE would pick anyway.
-    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val par = docs2.sparkSession.sparkContext.defaultParallelism
     val pos = offs
       .repartition(par)
-      .select(col("id"), col("__off"),
+      .select(col("id"), col("side"), col("__off"),
         explode(sequence(lit(1), length(col("__t")) - (g - 1))).as("p"),
         col("__t"))
-      .select(col("id"),
+      .select(col("id"), col("side"),
         (col("__off") + col("p")).as("gp"),
         col("__t").substr(col("p"), lit(g)).as("__g"))
-    // rows carry (id, gp, label) through the rounds — id rides along
-    // (8 bytes) so the final per-doc fold needs NO position-mapping
-    // join. Every round's output feeds its successor's join twice
-    // (probe + shifted build): without materialization the lineage
-    // doubles per round and the text scan re-executes 2^rounds times.
-    // The LAST labeling window also emits its group count in the same
-    // frame (same partition keys → zero extra exchange): final group
-    // size ≥ 2 IS the duplication verdict.
     def label(df: DataFrame, keys: Seq[String],
               last: Boolean): DataFrame = {
       val w = Window.partitionBy(keys.map(col): _*)
       val withMin = df.withColumn("r", min(col("gp")).over(w))
-      (if (last) withMin.withColumn("__n", count(lit(1)).over(w))
-         .select("id", "gp", "r", "__n")
-       else withMin.select("id", "gp", "r"))
+      (if (last) withMin
+         .withColumn("__n", count(lit(1)).over(w))
+         .withColumn("__mx", max(col("side")).over(w))
+         .select("id", "side", "gp", "r", "__n", "__mx")
+       else withMin.select("id", "side", "gp", "r"))
         .localCheckpoint(false)
     }
     var cur = label(pos, Seq("__g"), last = g >= span)
@@ -773,15 +807,7 @@ object Dedup {
         Seq("r", "__r2"), last = k * 2 >= span)
       k *= 2
     }
-    val dups = cur
-      .filter(col("__n") >= 2)
-      .groupBy("id").agg(count(lit(1)).as("n_dup"))
-    base.select(col("id"),
-        greatest(length(col("__t")) - (span - 1), lit(0))
-          .cast("long").as("n_pos"))
-      .join(dups, Seq("id"), "left")
-      .select(col("id").as(idCol), col("n_pos"),
-        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+    cur
   }
 
   /** Cross-source k-gram overlap matrix — the corpus forensic behind

@@ -530,7 +530,9 @@ object Relational {
       .join(variants(right, rightKey, rOut), Seq("__v"))
       .select(col(lOut), col(rOut))
       .distinct()
-      .filter(levenshtein(col(lOut), col(rOut)) <= 1)
+      // threshold form short-circuits the DP at distance > 1: O(n·k)
+      // per verify instead of O(n²) (returns -1 above the threshold)
+      .filter(levenshtein(col(lOut), col(rOut), 1) >= 0)
   }
 
   /** Ragged union — reference `bind_rows` over files with differing

@@ -1434,6 +1434,41 @@ object CorpusQueries {
         FROM documents d LEFT JOIN agg USING (doc_id)"""),
       "suffix-ranked exact 32-char dup spans ≡ direct substring groups"),
 
+    // ---- EXACT cross-corpus decontamination via the suffix ladder ----------
+    // q194's rolling-hash contamination check, EXACT: a train position
+    // is contaminated iff an eval (src19) position shares its first 32
+    // characters byte-for-byte, decided by the same one-doubling-round
+    // ladder over the tagged union — the last labeling window's fused
+    // max(side) answers "is an eval member in this group" with zero
+    // extra exchange. Oracle compares substrings directly.
+    "q314_exact_decontaminate" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.suffixContamination(
+          docs.filter(col("source") =!= "src19"),
+          docs.filter(col("source") === "src19"),
+          "doc_id", "text", span = 32)
+      },
+      Some("""WITH tr AS (
+          SELECT doc_id, text FROM documents WHERE source <> 'src19'),
+        tp AS (
+          SELECT doc_id, substr(text, CAST(g.i AS INTEGER), 32) AS gm
+          FROM tr, LATERAL (SELECT unnest(range(1, length(text) - 30))
+            AS i) g
+          WHERE length(text) >= 32),
+        eg AS (
+          SELECT DISTINCT substr(text, CAST(g.i AS INTEGER), 32) AS gm
+          FROM documents,
+            LATERAL (SELECT unnest(range(1, length(text) - 30)) AS i) g
+          WHERE source = 'src19' AND length(text) >= 32),
+        hits AS (SELECT doc_id, count(*) AS n_contam
+          FROM tp JOIN eg USING (gm) GROUP BY doc_id)
+        SELECT tr.doc_id,
+          CAST(greatest(length(text) - 31, 0) AS BIGINT) AS n_pos,
+          CAST(coalesce(n_contam, 0) AS BIGINT) AS n_contam
+        FROM tr LEFT JOIN hits USING (doc_id)"""),
+      "exact eval-span contamination via the suffix ladder ≡ direct"),
+
     // ---- exact-substring (repeated token-span) dedup report -----------------
     // The rolling-window form of Lee et al.'s suffix-array pass: any
     // 8-token window occurring twice corpus-wide is duplicated

@@ -86,6 +86,30 @@ class DedupSpec extends SparkSpec {
       Dedup.suffixDupSpans(docs, "doc_id", "text", span = 24))
   }
 
+  test("suffixContamination: exact eval-span hits, clean docs untouched") {
+    val evalSpan = "the quick brown fox jumps over a" // 32 chars
+    val train = Seq(
+      // 2 hits: the span itself AND the next position (both sides
+      // continue the span with a space, so the 32-window shifted by
+      // one still matches before diverging)
+      (1L, "xx:" + evalSpan + " plus trailing content"),
+      (2L, "completely clean training document content here ok"),
+      (3L, evalSpan)) // the span verbatim: 1 position, 1 hit
+      .toDF("doc_id", "text")
+    val ev = Seq((100L, evalSpan + " with an eval-only tail"))
+      .toDF("doc_id", "text")
+    val out = Dedup.suffixContamination(train, ev, "doc_id", "text", 32)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._3 == 2L && out(1L)._2 == 26L)
+    assert(out(2L)._3 == 0L)
+    assert(out(3L) == ((3L, 1L, 1L)))
+    // train-internal duplication alone is NOT contamination
+    val selfDup = Seq((1L, evalSpan), (2L, evalSpan)).toDF("doc_id", "text")
+    val clean = Seq((9L, "z" * 40)).toDF("doc_id", "text")
+    assert(Dedup.suffixContamination(selfDup, clean, "doc_id", "text", 32)
+      .agg(sum("n_contam")).head().getLong(0) == 0L)
+  }
+
   test("removeContaminatedSpans cuts eval windows, keeps clean text verbatim") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tail end"),
