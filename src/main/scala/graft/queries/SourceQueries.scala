@@ -1901,6 +1901,40 @@ object SourceQueries {
           ${XSUM4("o_totalprice")} AS total
         FROM orders GROUP BY o_orderstatus"""),
       "named tag pins the pre-overwrite snapshot through SQL time travel"),
+
+    // ---- DSv2 aggregate pushdown: plain-SQL metadata aggregates ------------
+    // `SELECT count(*), min(k), max(k)` on the lake table plans as ONE
+    // LocalTableScan served from the manifest (per-file row stats +
+    // zone extrema) — no data file opens; the q301/q302 metadata
+    // answers behind STANDARD SQL instead of CALL procedures. The query
+    // asserts the plan shape in-line (refusal-is-fallback keeps any
+    // unsound case correct, so a silent fallback here would still
+    // hash-match — the assert is what proves the pushdown engaged).
+    "q315_lake_agg_pushdown" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graftlake",
+          classOf[graft.sources.GraftLakeCatalog].getName)
+        val root = freshRoot("graft_lakeagg_q315") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.repartitionByRange(4, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"),
+          root, zoneKey = Some("o_orderkey"))
+        val q = s.sql(s"""SELECT count(*) AS cnt,
+            min(o_orderkey) AS mn, max(o_orderkey) AS mx
+          FROM graftlake.`$root`""")
+        val plan = q.queryExecution.executedPlan.toString
+        require(plan.contains("LocalTableScan") &&
+          !plan.toLowerCase.contains("parquet"),
+          s"q315: aggregate pushdown did not engage:\n$plan")
+        q
+      },
+      Some("""SELECT count(*) AS cnt,
+          CAST(min(o_orderkey) AS BIGINT) AS mn,
+          CAST(max(o_orderkey) AS BIGINT) AS mx
+        FROM orders"""),
+      "metadata-only SQL aggregates: LocalTableScan plan ≡ direct SQL"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

@@ -504,6 +504,46 @@ class GraftLakeCatalogSpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("nope"))
   }
 
+  test("aggregate pushdown: COUNT(*)/MIN/MAX answer from the manifest " +
+      "as a LocalScan; anything unsound falls back to the real scan") {
+    val root = freshRoot()
+    LakeTable.append(spark.range(0, 500)
+      .select(col("id").as("k"), (col("id") % 7).cast("double").as("v"),
+        concat(lit("s"), col("id") % 10).as("s")),
+      root, zoneKey = Some("k"))
+    def plan(sql: String): String =
+      spark.sql(sql).queryExecution.executedPlan.toString
+    def one(sql: String) = spark.sql(sql).head()
+    // count/min/max all served: the plan contains a LocalTableScan and
+    // NO parquet scan of the table's data
+    val q = s"SELECT count(*), min(k), max(k) FROM graftlake.`$root`"
+    assert(one(q) == org.apache.spark.sql.Row(500L, 0L, 499L))
+    val p = plan(q)
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.toLowerCase.contains("filescan") &&
+      !p.toLowerCase.contains("parquet"), p)
+    // a WHERE clause blocks the metadata answer: real scan, same truth
+    val qf = s"SELECT count(*) FROM graftlake.`$root` WHERE k >= 250"
+    assert(one(qf).getLong(0) == 250L)
+    assert(!plan(qf).contains("LocalTableScan"), plan(qf))
+    // min/max on a column without zones: fallback, still correct
+    val qs = s"SELECT min(s), max(s) FROM graftlake.`$root`"
+    assert(one(qs) == org.apache.spark.sql.Row("s0", "s9"))
+    assert(!plan(qs).contains("LocalTableScan"), plan(qs))
+    // live deletion vectors: COUNT still metadata-served (stats minus
+    // vector rows), bounds fall back
+    LakeTable.deleteWhereDV(spark, root, "k < 10")
+    val qc = s"SELECT count(*) FROM graftlake.`$root`"
+    assert(one(qc).getLong(0) == 490L)
+    assert(plan(qc).contains("LocalTableScan"), plan(qc))
+    val qm = s"SELECT min(k) FROM graftlake.`$root`"
+    assert(one(qm).getLong(0) == 10L)
+    assert(!plan(qm).contains("LocalTableScan"), plan(qm))
+    // version-pinned reads serve the pinned snapshot's metadata
+    assert(one(s"SELECT count(*) FROM graftlake.`$root` VERSION AS OF 1")
+      .getLong(0) == 500L)
+  }
+
   test("tags through SQL: CALL tag/drop_tag, VERSION AS OF '<name>'") {
     val root = freshRoot()
     LakeTable.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root) // v1
