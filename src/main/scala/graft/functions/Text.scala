@@ -144,6 +144,18 @@ object Text {
       when(query === "", lit("")).otherwise(concat(lit("?"), query)))
   }
 
+  /** Reversed-label host of a URL — "https://mail.Spam.com:8080/x" →
+    * "com.spam.mail": the form under which domain-suffix blocking
+    * ("spam.com and every subdomain") becomes a PREFIX match, the
+    * standard trick behind UT1-style blocklist filters and
+    * registrable-domain grouping. Host lowercased, port stripped,
+    * www KEPT (suffix blocking covers it). Same RE2-subset regexes as
+    * [[canonicalizeUrl]], so a SQL oracle replays it verbatim. */
+  def reversedHost(url: Column): Column =
+    array_join(reverse(split(
+      lower(regexp_extract(url, "(?i)^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)),
+      "\\.")), ".")
+
   /** 64-bit rolling/polynomial hash of the full normalized text —
     * cheap content fingerprint that, unlike md5, supports incremental
     * composition. Backed by the native codegen'd [[RollingHashExpr]]

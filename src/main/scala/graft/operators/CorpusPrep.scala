@@ -47,4 +47,43 @@ object CorpusPrep {
       .distinct()
     deduped.join(contaminated, col(idCol) === col("__cid"), "left_anti")
   }
+
+  /** Domain-blocklist gate — the UT1/adult-list style crawl filter:
+    * an entry "spam.com" blocks that host AND every subdomain. Hosts
+    * and entries compare in reversed-label form ([[Text.reversedHost]])
+    * so suffix blocking is a PREFIX match, and candidates bucket on the
+    * first two reversed labels (the registrable-domain granularity), so
+    * the join key distribution follows domains, not the skew of a raw
+    * TLD key ("com" would hot-spot), and per-bucket fan-out is bounded
+    * by the blocklist's entries under one registrable domain. Returns
+    * `docs` plus `blocked_by` — the lexicographically-first matching
+    * entry, NULL for clean rows (filter `blocked_by IS NULL` to gate).
+    * The blocklist side is entries-count-sized (MBs for real lists):
+    * broadcast-class next to any corpus. */
+  def domainBlocklistFilter(docs: DataFrame, urlCol: String,
+                            blocklist: DataFrame,
+                            domainCol: String): DataFrame = {
+    def key2(c: org.apache.spark.sql.Column) =
+      array_join(slice(split(c, "\\."), 1, 2), ".")
+    // fold the entries under each bucket into ONE sorted array row, so
+    // the doc-side broadcast join has at-most-one match per row — the
+    // corpus NEVER shuffles and needs no post-join de-multiplication
+    val blk = blocklist.select(lower(col(domainCol)).as("__orig"))
+      .distinct()
+      .select(col("__orig"),
+        array_join(reverse(split(col("__orig"), "\\.")), ".").as("__rev"))
+      .groupBy(key2(col("__rev")).as("__k2"))
+      .agg(sort_array(collect_list(
+        struct(col("__rev"), col("__orig")))).as("__entries"))
+    docs.withColumn("__rh", Text.reversedHost(col(urlCol)))
+      .withColumn("__k2", key2(col("__rh")))
+      .join(broadcast(blk), Seq("__k2"), "left")
+      .withColumn("blocked_by", try_element_at(
+        filter(col("__entries"), e =>
+          col("__rh") === e.getField("__rev") ||
+            col("__rh").startsWith(
+              concat(e.getField("__rev"), lit(".")))), lit(1))
+        .getField("__orig"))
+      .drop("__rh", "__k2", "__entries")
+  }
 }

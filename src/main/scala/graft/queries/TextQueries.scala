@@ -491,6 +491,37 @@ object TextQueries {
         FROM c GROUP BY canonical_url"""),
       "URL canonicalization: variant URLs collapse to one dedup key"),
 
+    // ---- domain-blocklist crawl gate ----------------------------------------
+    // The UT1-style curation filter: entry "spam.com" blocks the host
+    // and every subdomain, via reversed-label PREFIX matching bucketed
+    // on the first two reversed labels (registrable-domain granularity
+    // — a raw TLD key would hot-spot on "com"). The corpus never
+    // shuffles: the folded blocklist broadcasts, matching is scan-side
+    // codegen. URLs mint deterministically (q152's convention); the
+    // oracle computes the expected verdict analytically.
+    "q316_domain_blocklist" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val url = concat(lit("https://"),
+          when(col("doc_id") % 3 === 0, lit("cdn.")).otherwise(lit("")),
+          lit("Example"), (col("doc_id") % 7).cast("string"),
+          lit(".com/p/"), col("doc_id").cast("string"))
+        val blocklist = Seq("example2.com", "cdn.example4.com",
+          "EXAMPLE5.com").toDF("domain")
+        graft.operators.CorpusPrep.domainBlocklistFilter(
+            graft.Tables.documents(s, d).select(col("doc_id"), url.as("url")),
+            "url", blocklist, "domain")
+          .select("doc_id", "blocked_by")
+      },
+      Some("""SELECT doc_id,
+          CASE WHEN doc_id % 7 = 2 THEN 'example2.com'
+               WHEN doc_id % 7 = 5 THEN 'example5.com'
+               WHEN doc_id % 7 = 4 AND doc_id % 3 = 0
+                 THEN 'cdn.example4.com'
+               ELSE NULL END AS blocked_by
+        FROM documents"""),
+      "domain-blocklist gate: subdomain suffix blocking ≡ analytic verdict"),
+
     // ---- composed corpus-prep pipeline --------------------------------------
     // The full Dolma/CCNet-style cleaning DAG as ONE composition
     // (CorpusPrep.prepare): language + quality gates first (cheap scalar

@@ -406,6 +406,34 @@ class DedupSpec extends SparkSpec {
 class CorpusPrepSpec extends SparkSpec {
   import spark.implicits._
 
+  test("domainBlocklistFilter: suffix blocking, precedence, clean rows") {
+    val docs = Seq(
+      (1L, "https://spam.com/x"),          // exact entry
+      (2L, "https://Mail.SPAM.com:8080/y"),// subdomain + case + port
+      (3L, "https://notspam.com/z"),       // suffix of the STRING, not
+                                           // of the domain: must pass
+      (4L, "https://a.mail.spam.com/w"),   // two entries match: the
+                                           // lexicographically-first
+                                           // reversed entry wins
+      (5L, "https://clean.org/ok"),
+      (6L, "no-scheme-at-all"))            // unparseable host: clean
+      .toDF("doc_id", "url")
+    val blk = Seq("spam.com", "mail.spam.com").toDF("domain")
+    val out = graft.operators.CorpusPrep
+      .domainBlocklistFilter(docs, "url", blk, "domain")
+      .select("doc_id", "blocked_by")
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(1L) == Some("spam.com"))
+    assert(out(2L) == Some("spam.com"))
+    assert(out(3L).isEmpty)
+    assert(out(4L) == Some("spam.com")) // com.spam < com.spam.mail
+    assert(out(5L).isEmpty)
+    assert(out(6L).isEmpty)
+    // row count preserved: the gate annotates, callers filter
+    assert(graft.operators.CorpusPrep
+      .domainBlocklistFilter(docs, "url", blk, "domain").count() == 6L)
+  }
+
   test("prepare: lang gate, quality gate, exact dedup, eval decontamination compose") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over a lazy dog in the park", "en", "s1"),
