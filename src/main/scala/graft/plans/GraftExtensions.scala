@@ -66,6 +66,14 @@ object GraftFunctions {
       (args: Seq[Expression]) => expression(Text.stopwordRatio(c(args(0))))),
     ("punct_ratio", info("punct_ratio", "non-alphanumeric character fraction"),
       (args: Seq[Expression]) => expression(Text.punctRatio(c(args(0))))),
+    ("canonical_url", info("canonical_url",
+      "canonical crawl-dedup key of a URL"),
+      (args: Seq[Expression]) =>
+        expression(Text.canonicalizeUrl(c(args(0))))),
+    ("reversed_host", info("reversed_host",
+      "reversed-label host for domain-suffix blocking"),
+      (args: Seq[Expression]) =>
+        expression(Text.reversedHost(c(args(0))))),
     // the varint codec registers as the raw native Expressions — these
     // are the two SQL-exposed functions that are NOT Column compositions
     ("varint_encode", info("varint_encode", "delta+LEB128 pack of a sorted bigint array"),

@@ -60,4 +60,14 @@ class GraftExtensionsSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("65.25"), plan)
   }
+
+  test("URL SQL functions: canonical_url / reversed_host") {
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT canonical_url(" +
+      "'HTTP://WWW.Example.com:80/a/b/?b=2&a=1&utm_source=x#f') AS c")
+      .head().getString(0) == "example.com/a/b?a=1&b=2")
+    assert(spark.sql(
+      "SELECT reversed_host('https://Mail.Spam.com:8080/x') AS r")
+      .head().getString(0) == "com.spam.mail")
+  }
 }
