@@ -342,12 +342,20 @@ object Dedup {
     * split the word into `bands` equal slices — by pigeonhole, two
     * words within Hamming distance `maxHamming < bands` agree on at
     * least one whole slice — join candidates per (slice index, slice
-    * value), then verify the exact distance. Candidate fan-out per
-    * bucket is bounded by the fingerprint collision structure, never
-    * the corpus: the all-pairs loop that can't scale never exists.
-    * Unlike [[simhashPairs]]' single-prefix heuristic, this blocking
-    * provably misses nothing (the oracle brute-forces the verdicts).
-    * Returns (id_a, id_b, hamming), id_a < id_b, NULL hashes dropped. */
+    * value), then verify the exact distance.
+    *
+    * Banding and verification run over DISTINCT fingerprints, not
+    * members: a degenerate hot hash (a corpus of uniform images all
+    * dHashing to one word) would otherwise make one band bucket
+    * quadratic in MEMBERS; deduplicated, bucket fan-out is bounded by
+    * distinct-fingerprint collisions, and member expansion happens only
+    * at the very end — on the pairs that are genuinely in the answer
+    * (the output itself is what's quadratic for a giant duplicate
+    * class, which no algorithm avoids; callers wanting clusters instead
+    * of pairs feed the verdicts to connectedComponents). Unlike
+    * [[simhashPairs]]' single-prefix heuristic, this blocking provably
+    * misses nothing (the oracles brute-force the verdicts). Returns
+    * (id_a, id_b, hamming), id_a < id_b, NULL hashes dropped. */
   def hammingPairsBanded(df: DataFrame, idCol: String, hashCol: String,
                          bands: Int = 4, maxHamming: Int = 3): DataFrame = {
     require(bands >= 2 && 64 % bands == 0,
@@ -357,22 +365,34 @@ object Dedup {
         s"(pigeonhole), got maxHamming=$maxHamming bands=$bands")
     val bw = 64 / bands
     val mask = if (bw == 64) -1L else (1L << bw) - 1L
-    val sl = df.filter(col(hashCol).isNotNull)
+    val members = df.filter(col(hashCol).isNotNull)
       .select(col(idCol).as("id"), col(hashCol).as("h"))
-      .select(col("id"), col("h"),
+    val uniq = members.select("h").distinct()
+    val sl = uniq
+      .select(col("h"),
         explode(array((0 until bands).map(i =>
           struct(lit(i).as("b"),
             shiftrightunsigned(col("h"), i * bw)
               .bitwiseAND(lit(mask)).as("v"))): _*)).as("s"))
-      .select(col("id"), col("h"),
-        col("s.b").as("b"), col("s.v").as("v"))
-    sl.as("l").join(sl.as("r"),
+      .select(col("h"), col("s.b").as("b"), col("s.v").as("v"))
+    // verified pairs of DISTINCT words, ha <= hb (the ha = hb row
+    // carries the within-group pairs of an exact-duplicate class)
+    val hashPairs = sl.as("l").join(sl.as("r"),
         col("l.b") === col("r.b") && col("l.v") === col("r.v") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+          col("l.h") <= col("r.h"))
+      .select(col("l.h").as("ha"), col("r.h").as("hb"),
         hamming64(col("l.h"), col("r.h")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    val a = members.select(col("id").as("id_a"), col("h").as("ha"))
+    val b = members.select(col("id").as("id_b"), col("h").as("hb"))
+    // ha < hb rows expand to one (x, y) per member combination,
+    // normalized by least/greatest; the ha = hb row takes ordered
+    // combinations directly (also excludes the x-with-itself row)
+    hashPairs.join(a, "ha").join(b, "hb")
+      .filter(col("ha") =!= col("hb") || col("id_a") < col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("hamming"))
   }
 
   /** DataFrame-level SimHash: (id, sig) for every row of `df`.

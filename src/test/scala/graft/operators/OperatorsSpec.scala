@@ -1282,7 +1282,10 @@ class MultimodalSpec extends SparkSpec {
     val planted = Seq(
       (101L, base(0)._2 ^ 1L),                 // hamming 1 of id 1
       (102L, base(1)._2 ^ (1L << 13) ^ (1L << 60)), // hamming 2 of id 2
-      (103L, base(2)._2 ^ 7L))                  // hamming 3 of id 3
+      (103L, base(2)._2 ^ 7L),                  // hamming 3 of id 3
+      // an exact-duplicate CLASS (3 members, one hash): exercises the
+      // distinct-fingerprint path's within-group (ha = hb) expansion
+      (201L, base(3)._2), (202L, base(3)._2))
     val rows = base ++ planted :+ ((104L, null.asInstanceOf[Any]))
     val df = rows.map { case (i, h) => (i, Option(h).map(_.asInstanceOf[Long])) }
       .toDF("id", "h")
