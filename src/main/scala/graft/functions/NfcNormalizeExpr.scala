@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode NFC normalization (java.text.Normalizer, Form.NFC) as a
+  * native codegen Expression — the canonicalization pass a multilingual
+  * corpus runs BEFORE any text dedup: "café" typed with a precomposed
+  * é (U+00E9) and with e + combining acute (U+0301) are different byte
+  * strings, so every hash/fingerprint/shingle operator in the library
+  * sees two distinct documents until composition variants fold to the
+  * canonical form. NFC (not NFKC) is deliberate: canonical composition
+  * only, no compatibility folding that would conflate ligatures or
+  * width variants the corpus may care about.
+  *
+  * Fast path: the generated code probes `Normalizer.isNormalized`
+  * first — for the overwhelmingly-common already-NFC document (all of
+  * ASCII trivially) the input UTF8String passes through without the
+  * String round trip; only actual composition variants pay the
+  * normalize + re-encode. DuckDB ships `nfc_normalize`, so oracles
+  * replay the exact semantics.
+  */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.catalogString}")
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("str")
+      s"""
+        String $s = $c.toString();
+        if (java.text.Normalizer.isNormalized($s,
+            java.text.Normalizer.Form.NFC)) {
+          ${ev.value} = $c;
+        } else {
+          ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+            java.text.Normalizer.normalize($s,
+              java.text.Normalizer.Form.NFC));
+        }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : NfcNormalizeExpr = copy(child = newChild)
+}

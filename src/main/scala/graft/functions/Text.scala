@@ -156,6 +156,16 @@ object Text {
       lower(regexp_extract(url, "(?i)^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)),
       "\\.")), ".")
 
+  /** Unicode NFC canonicalization — composition variants ("café" with
+    * precomposed é vs e + combining acute) fold to one byte string
+    * BEFORE any hash/fingerprint/shingle dedup sees them. Native
+    * codegen [[NfcNormalizeExpr]] with an isNormalized fast path
+    * (ASCII and already-NFC text pass through without re-encoding). */
+  def nfcNormalize(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(text)))
+  }
+
   /** 64-bit rolling/polynomial hash of the full normalized text —
     * cheap content fingerprint that, unlike md5, supports incremental
     * composition. Backed by the native codegen'd [[RollingHashExpr]]

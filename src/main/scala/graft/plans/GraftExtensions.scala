@@ -66,6 +66,9 @@ object GraftFunctions {
       (args: Seq[Expression]) => expression(Text.stopwordRatio(c(args(0))))),
     ("punct_ratio", info("punct_ratio", "non-alphanumeric character fraction"),
       (args: Seq[Expression]) => expression(Text.punctRatio(c(args(0))))),
+    ("nfc_normalize", info("nfc_normalize",
+      "Unicode NFC canonicalization (codegen, fast-path for NFC input)"),
+      (args: Seq[Expression]) => graft.functions.NfcNormalizeExpr(args(0))),
     ("canonical_url", info("canonical_url",
       "canonical crawl-dedup key of a URL"),
       (args: Seq[Expression]) =>

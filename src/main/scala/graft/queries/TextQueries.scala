@@ -522,6 +522,34 @@ object TextQueries {
         FROM documents"""),
       "domain-blocklist gate: subdomain suffix blocking ≡ analytic verdict"),
 
+    // ---- Unicode NFC canonicalization before dedup --------------------------
+    // The multilingual-corpus trap every hash dedup falls into: "café"
+    // with precomposed é (U+00E9) and with e + combining acute (U+0301)
+    // are different BYTES, so fingerprints see two documents. Each doc
+    // mints one of the two composition variants (by parity); after the
+    // codegen nfc_normalize both collapse, so the group-by lands on 5
+    // canonical keys with both parities inside — DuckDB's own
+    // nfc_normalize replays the fold byte-for-byte.
+    "q317_nfc_dedup" -> Q(
+      (s, d) => {
+        val marker = when(col("doc_id") % 2 === 0, lit("caf\u00e9")) // precomposed
+          .otherwise(lit("cafe\u0301")) // combining acute
+        graft.Tables.documents(s, d)
+          .select(col("doc_id"), Text.nfcNormalize(concat(lit("doc "),
+            marker, lit(" #"), (col("doc_id") % 5).cast("string")))
+            .as("canon"))
+          .groupBy("canon")
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"))
+      },
+      Some("""SELECT canon, count(*) AS n_docs, min(doc_id) AS min_id
+        FROM (SELECT doc_id, nfc_normalize('doc ' ||
+            CASE WHEN doc_id % 2 = 0 THEN 'café'
+                 ELSE 'cafe' || chr(769) END
+            || ' #' || CAST(doc_id % 5 AS VARCHAR)) AS canon
+          FROM documents)
+        GROUP BY canon"""),
+      "NFC canonicalization folds composition variants before dedup"),
+
     // ---- composed corpus-prep pipeline --------------------------------------
     // The full Dolma/CCNet-style cleaning DAG as ONE composition
     // (CorpusPrep.prepare): language + quality gates first (cheap scalar

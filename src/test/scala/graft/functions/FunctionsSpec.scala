@@ -100,6 +100,30 @@ class TextSpec extends SparkSpec {
     assert(r)
   }
 
+  test("nfcNormalize: composition variants fold, NFC input passes " +
+      "through, SQL registration works, nulls survive") {
+    val composed = "caf\u00e9"        // precomposed e-acute
+    val decomposed = "cafe\u0301"     // e + combining acute
+    assert(composed != decomposed)    // different byte strings going in
+    val df = Seq((1L, Some(composed)), (2L, Some(decomposed)),
+      (3L, Some("plain ascii")), (4L, None))
+      .toDF("id", "t")
+    val out = df.select(col("id"), Text.nfcNormalize(col("t")).as("c"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(1L) == Some(composed))
+    assert(out(2L) == Some(composed)) // folded to the canonical form
+    assert(out(3L) == Some("plain ascii"))
+    assert(out(4L).isEmpty)
+    // dedup now sees ONE fingerprint for the two variants
+    assert(df.filter(col("t").isNotNull)
+      .select(Text.fingerprint(Text.nfcNormalize(col("t"))))
+      .distinct().count() == 2L) // café + plain ascii
+    // SQL surface
+    graft.plans.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT nfc_normalize('cafe\u0301') AS c")
+      .head().getString(0) == composed)
+  }
+
   test("langId picks marker-dominant language, und when none") {
     val df = Seq("the cat and the dog is here",
       "der hund und die katze ist", "xyzzy plugh").toDF("t")
