@@ -92,7 +92,9 @@ class GraftLakeSource extends RelationProvider
     * full snapshot. Retention rule: keep vacuum's floor below the
     * slowest stream's committed version, as with every incremental
     * reader. `startingVersion` skips the bootstrap and tails only
-    * versions AFTER it. */
+    * versions AFTER it — a numeric version or a TAG name
+    * ([[LakeTable.tag]]), so "stream everything after release
+    * 'train-v1'" is one option away. */
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType],
                             providerName: String,
@@ -100,7 +102,8 @@ class GraftLakeSource extends RelationProvider
       : org.apache.spark.sql.execution.streaming.Source = {
     val root = rootOf(parameters)
     val fixed = sourceSchema(sqlContext, schema, providerName, parameters)._2
-    val startAt = parameters.get("startingVersion").map(_.toLong)
+    val startAt = parameters.get("startingVersion")
+      .map(LakeTable.resolveVersion(sqlContext.sparkSession, root, _))
     val maxV = parameters.get("maxVersionsPerBatch").map(_.toLong)
     maxV.foreach(m => require(m >= 1,
       s"graftlake source: maxVersionsPerBatch must be >= 1, got $m"))

@@ -267,6 +267,19 @@ class GraftLakeSourceSpec extends SparkSpec {
     assert(LakeTable.read(spark, dir.resolve("dst3").toString)
       .select("k").as[Long].collect().toSet ==
       (80L until 90L).toSet) // v3's files only
+    // startingVersion also accepts a TAG name: identical tail
+    LakeTable.tag(spark, src, "rel", Some(2L))
+    val q4 = spark.readStream.format("graftlake").option("path", src)
+      .option("startingVersion", "rel").load()
+      .writeStream.format("graftlake")
+      .option("path", dir.resolve("dst4").toString)
+      .option("appId", "fromtag-tail")
+      .option("checkpointLocation", dir.resolve("ckpt4").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q4.awaitTermination()
+    assert(LakeTable.read(spark, dir.resolve("dst4").toString)
+      .select("k").as[Long].collect().toSet == (80L until 90L).toSet)
   }
 
   test("maxVersionsPerBatch rate-limits the stream to bounded version "
