@@ -762,6 +762,52 @@ object Dedup {
         coalesce(col("n_contam"), lit(0L)).as("n_contam"))
   }
 
+  /** EXACT duplicated-span REMOVAL — apply [[suffixDupSpans]]' verdicts:
+    * every flagged position (its span-group has ≥ 2 members and it is
+    * NOT the group's canonical minimum-gp occurrence) contributes its
+    * `span` characters to the doc's cut set; survivors reassemble in
+    * order. The globally-first occurrence of every duplicated span
+    * stays — the Lee et al. convention [[removeDuplicateSpans]] applies
+    * at token level with hashes, here char-exact. Canonical order is
+    * (doc, position) because the ladder's gp coordinates are monotone
+    * in exactly that order. Reassembly is LINEAR per doc (sorted cut
+    * positions band the text into keep-slices, the
+    * [[reassembleWithout]] discipline at character granularity).
+    * Returns (idCol, clean_text). */
+  def removeSuffixDupSpans(docs: DataFrame, idCol: String,
+                           textCol: String, span: Int = 32): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), lit(0).as("side"),
+      col(textCol).as("__t"))
+    val flagged = suffixLastRound(base, span)
+      .filter(col("__n") >= 2 && col("r") =!= col("gp"))
+    // map gp back to the doc-local position via the SAME deterministic
+    // cumsum the ladder used (doc-keyed metadata join, no text moves)
+    val g = math.max(4, math.min(16, span / 2))
+    val offs = graft.ops.Relational.globalCumSum(
+        base.filter(length(col("__t")) >= g),
+        Seq(col("side"), col("id")),
+        (length(col("__t")) + lit(span)).cast("long"), "__cum")
+      .select(col("id"),
+        (col("__cum") - length(col("__t")) - lit(span)).as("__off"))
+    val cut = flagged.join(offs, Seq("id"))
+      .select(col("id"), (col("gp") - col("__off")).cast("int").as("p"))
+      .select(col("id"),
+        explode(sequence(col("p"), col("p") + (span - 1))).as("i"))
+      .groupBy("id").agg(array_sort(collect_set(col("i"))).as("__cut"))
+    base.join(cut, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("__cut").isNull, col("__t"))
+          .otherwise(graft.functions.Text.bindOnce(
+            concat(array(lit(0)), col("__cut"),
+              array(length(col("__t")) + 1)), bounds =>
+              array_join(transform(sequence(lit(0), size(col("__cut"))),
+                j => col("__t").substr(
+                  element_at(bounds, j + 1) + 1,
+                  element_at(bounds, j + 2) - element_at(bounds, j + 1)
+                    - 1)), "")))
+          .as("clean_text"))
+  }
+
   /** The shared prefix-doubling ladder behind [[suffixDupSpans]] and
     * [[suffixContamination]]: input (id, side, __t), output one row per
     * position surviving to the last round with its final group's size

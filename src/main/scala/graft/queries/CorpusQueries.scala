@@ -1469,6 +1469,44 @@ object CorpusQueries {
         FROM tr LEFT JOIN hits USING (doc_id)"""),
       "exact eval-span contamination via the suffix ladder ≡ direct"),
 
+    // ---- EXACT span removal (the q306 verdicts, applied) -------------------
+    // q163's span removal at character granularity and hash-free: every
+    // non-canonical duplicated 32-char span cuts (the globally-first
+    // (doc, pos) occurrence stays — gp order IS (doc, pos) order), and
+    // survivors reassemble linearly per doc. The oracle rebuilds every
+    // document character by character from the direct substring groups,
+    // so both the verdicts and the reassembly replay exactly.
+    "q318_suffix_removal" -> Q(
+      (s, d) => Dedup.removeSuffixDupSpans(Tables.documents(s, d),
+        "doc_id", "text", span = 32),
+      Some("""WITH tp AS (
+          SELECT doc_id, CAST(g.i AS INTEGER) AS p,
+            substr(text, CAST(g.i AS INTEGER), 32) AS gm
+          FROM documents,
+            LATERAL (SELECT unnest(range(1, length(text) - 30)) AS i) g
+          WHERE length(text) >= 32),
+        ranked AS (
+          SELECT doc_id, p,
+            row_number() OVER (PARTITION BY gm ORDER BY doc_id, p) AS rn,
+            count(*) OVER (PARTITION BY gm) AS c
+          FROM tp),
+        flag AS (SELECT doc_id, p FROM ranked WHERE c >= 2 AND rn > 1),
+        cov AS (SELECT DISTINCT doc_id, p + g.j AS i
+          FROM flag, LATERAL (SELECT unnest(range(32)) AS j) g),
+        chars AS (
+          SELECT d.doc_id, CAST(g.i AS INTEGER) AS i,
+            substr(d.text, CAST(g.i AS INTEGER), 1) AS ch
+          FROM documents d,
+            LATERAL (SELECT unnest(range(1, length(d.text) + 1)) AS i) g)
+        SELECT d.doc_id,
+          coalesce((SELECT string_agg(c.ch, '' ORDER BY c.i)
+            FROM chars c LEFT JOIN cov
+              ON cov.doc_id = c.doc_id AND cov.i = c.i
+            WHERE c.doc_id = d.doc_id AND cov.i IS NULL), '')
+            AS clean_text
+        FROM documents d"""),
+      "exact span removal: suffix-ladder cuts ≡ per-character rebuild"),
+
     // ---- exact-substring (repeated token-span) dedup report -----------------
     // The rolling-window form of Lee et al.'s suffix-array pass: any
     // 8-token window occurring twice corpus-wide is duplicated

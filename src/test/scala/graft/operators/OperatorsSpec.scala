@@ -86,6 +86,24 @@ class DedupSpec extends SparkSpec {
       Dedup.suffixDupSpans(docs, "doc_id", "text", span = 24))
   }
 
+  test("removeSuffixDupSpans: canonical kept, non-canonical cut, " +
+      "within-doc repeats cut, short docs pass") {
+    val docs = Seq(
+      (1L, "AAmatchme!BB"),        // canonical occurrence (min doc,pos)
+      (2L, "matchme!ZZZZ"),        // cross-doc dup at pos 1 → cut 8 chars
+      (3L, "matchme!matchme!"),    // both occurrences non-canonical → ""
+      (4L, "totally unique text"),
+      (5L, "hi"))                  // shorter than span
+      .toDF("doc_id", "text")
+    val out = Dedup.removeSuffixDupSpans(docs, "doc_id", "text", span = 8)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "AAmatchme!BB")
+    assert(out(2L) == "ZZZZ")
+    assert(out(3L) == "")
+    assert(out(4L) == "totally unique text")
+    assert(out(5L) == "hi")
+  }
+
   test("suffixContamination: exact eval-span hits, clean docs untouched") {
     val evalSpan = "the quick brown fox jumps over a" // 32 chars
     val train = Seq(
