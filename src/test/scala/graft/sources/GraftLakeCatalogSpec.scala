@@ -542,6 +542,13 @@ class GraftLakeCatalogSpec extends SparkSpec {
     // version-pinned reads serve the pinned snapshot's metadata
     assert(one(s"SELECT count(*) FROM graftlake.`$root` VERSION AS OF 1")
       .getLong(0) == 500L)
+    // ...and so do TAG-pinned reads — the pre-delete count through the
+    // tag, still as a LocalTableScan (DVs live only on the head)
+    LakeTable.tag(spark, root, "pre-delete", Some(1L))
+    val qt = s"SELECT count(*), min(k), max(k) FROM graftlake.`$root` " +
+      "VERSION AS OF 'pre-delete'"
+    assert(one(qt) == org.apache.spark.sql.Row(500L, 0L, 499L))
+    assert(plan(qt).contains("LocalTableScan"), plan(qt))
   }
 
   test("tags through SQL: CALL tag/drop_tag, VERSION AS OF '<name>'") {
