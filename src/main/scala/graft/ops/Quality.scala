@@ -180,7 +180,17 @@ object Quality {
       count(lit(1)).as("__v"))
     val pri = tr.agg(sum(col("__y").cast("long")).as("__d1"),
       (count(lit(1)) - sum(col("__y").cast("long"))).as("__d0"))
-    val priLo = q4c(log(col("__d1").cast("double") / col("__d0").cast("double")))
+    // a single-class training set has no decision boundary — the prior
+    // log-odds would be ±Infinity and every score NaN-adjacent. Refuse
+    // loudly AT EXECUTION (raise_error inside the plan — no extra eager
+    // pass over the training set) instead of emitting scores that
+    // silently classify everything one way.
+    val priLo = when(col("__d1") > 0 && col("__d0") > 0,
+      q4c(log(col("__d1").cast("double") / col("__d0").cast("double"))))
+      .otherwise(raise_error(concat(
+        lit("nbScore: training set must contain BOTH classes (got "),
+        col("__d1"), lit(" positive / "), col("__d0"),
+        lit(" negative docs)"))))
     val pos = score.select(col(idCol), explode(col(scoreToksCol)).as("__w"))
     val lp = pos.join(cw, Seq("__w"), "left")
       .crossJoin(broadcast(tot))

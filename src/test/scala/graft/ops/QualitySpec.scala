@@ -39,6 +39,19 @@ class QualitySpec extends SparkSpec {
     assert(out(12L).getAs[Int]("pred") == 0)
   }
 
+  test("nbScore refuses a single-class training set at execution") {
+    val s = spark
+    import s.implicits._
+    val train = Seq((1, Seq("x")), (1, Seq("y"))).toDF("y", "toks")
+    val score = Seq((1L, Seq("x"))).toDF("doc_id", "toks")
+    val e = intercept[Exception](
+      Quality.nbScore(train, "y", "toks", score, "doc_id", "toks")
+        .collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("BOTH classes")), msgs(e).mkString("; "))
+  }
+
   test("nbScore prior shifts the decision for unbalanced classes") {
     val s = spark
     import s.implicits._
