@@ -104,6 +104,59 @@ object RetrievalQueries {
         count(lit(1)).as("n_big"))
   }
 
+  /** Per-document Naive Bayes curated-vs-crawl scores (q304's frame,
+    * shared with the q319 gate): sources src0–4 train positive,
+    * src15–19 negative, every doc scores — see
+    * [[graft.ops.Quality.nbScore]] for the scale posture. */
+  private def nbDocScores(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        filter(Text.tokens(Text.normalize(col("text"))),
+          t => t =!= "").as("toks"))
+    val posSrc = (0 to 4).map(i => s"src$i")
+    val negSrc = (15 to 19).map(i => s"src$i")
+    val train = tk
+      .filter(col("source").isin((posSrc ++ negSrc).map(x => x: Any): _*))
+      .select(when(col("source").isin(posSrc.map(x => x: Any): _*), 1)
+        .otherwise(0).as("y"), col("toks"))
+    graft.ops.Quality.nbScore(train, "y", "toks", tk, "doc_id", "toks")
+  }
+
+  /** DuckDB replay of [[nbDocScores]] as a CTE chain ending in
+    * `sc(doc_id, n_tok, log_odds)` — prepend inside WITH. */
+  private val nbCtes: String = {
+    val posIn = (0 to 4).map(i => s"'src$i'").mkString(", ")
+    val allIn = ((0 to 4) ++ (15 to 19)).map(i => s"'src$i'").mkString(", ")
+    val lpExpr = Q4(
+      "ln(CAST(coalesce(c1, 0) + 1 AS DOUBLE) / CAST(t1 + v AS DOUBLE))" +
+      " - ln(CAST(coalesce(c0, 0) + 1 AS DOUBLE) / CAST(t0 + v AS DOUBLE))")
+    val priLo = Q4("ln(CAST(d1 AS DOUBLE) / CAST(d0 AS DOUBLE))")
+    s"""tk AS (
+          SELECT doc_id, source, list_filter($tokSql, t -> t <> '') AS toks
+          FROM documents),
+        tr AS (SELECT CASE WHEN source IN ($posIn) THEN 1 ELSE 0 END AS y,
+                 toks
+               FROM tk WHERE source IN ($allIn)),
+        trtok AS (SELECT y, unnest(toks) AS w FROM tr),
+        cw AS (SELECT w,
+            CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+            CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
+          FROM trtok GROUP BY w),
+        tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t1,
+            CAST(sum(c0) AS BIGINT) AS t0, count(*) AS v FROM cw),
+        pri AS (SELECT CAST(sum(y) AS BIGINT) AS d1,
+            count(*) - CAST(sum(y) AS BIGINT) AS d0 FROM tr),
+        pos AS (SELECT doc_id, unnest(toks) AS w FROM tk),
+        lps AS (SELECT doc_id, $lpExpr AS lp
+          FROM pos LEFT JOIN cw USING (w) CROSS JOIN tot),
+        agg AS (SELECT doc_id, ${XSUM4("lp")} AS s, count(*) AS n
+          FROM lps GROUP BY doc_id),
+        sc AS MATERIALIZED (SELECT tk.doc_id AS doc_id,
+            coalesce(n, 0) AS n_tok,
+            ${Q4(s"coalesce(s, CAST(0 AS DOUBLE)) + $priLo")} AS log_odds
+          FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id CROSS JOIN pri)"""
+  }
+
   /** DuckDB replay of [[knLmDocScores]] as a CTE chain ending in
     * `knscores(doc_id, mean_kn, n_big)` — prepend inside WITH. */
   private val knLmCtes: String = s"""tk AS (
@@ -841,56 +894,38 @@ object RetrievalQueries {
     // Per-position log-odds quantize before the exact fixed-point sum,
     // so the oracle replays the whole model bit-for-bit.
     "q304_nb_quality" -> Q(
-      (s, d) => {
-        val tk = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"),
-            filter(Text.tokens(Text.normalize(col("text"))),
-              t => t =!= "").as("toks"))
-        val posSrc = (0 to 4).map(i => s"src$i")
-        val negSrc = (15 to 19).map(i => s"src$i")
-        val train = tk
-          .filter(col("source").isin((posSrc ++ negSrc).map(x => x: Any): _*))
-          .select(when(col("source").isin(posSrc.map(x => x: Any): _*), 1)
-            .otherwise(0).as("y"), col("toks"))
-        graft.ops.Quality.nbScore(train, "y", "toks", tk, "doc_id", "toks")
-      },
-      Some {
-        val posIn = (0 to 4).map(i => s"'src$i'").mkString(", ")
-        val allIn = ((0 to 4) ++ (15 to 19)).map(i => s"'src$i'")
-          .mkString(", ")
-        val lpExpr = Q4(
-          "ln(CAST(coalesce(c1, 0) + 1 AS DOUBLE) / CAST(t1 + v AS DOUBLE))" +
-          " - ln(CAST(coalesce(c0, 0) + 1 AS DOUBLE) / CAST(t0 + v AS DOUBLE))")
-        val priLo = Q4("ln(CAST(d1 AS DOUBLE) / CAST(d0 AS DOUBLE))")
-        s"""WITH tk AS (
-          SELECT doc_id, source, list_filter($tokSql, t -> t <> '') AS toks
-          FROM documents),
-        tr AS (SELECT CASE WHEN source IN ($posIn) THEN 1 ELSE 0 END AS y,
-                 toks
-               FROM tk WHERE source IN ($allIn)),
-        trtok AS (SELECT y, unnest(toks) AS w FROM tr),
-        cw AS (SELECT w,
-            CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
-            CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
-          FROM trtok GROUP BY w),
-        tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t1,
-            CAST(sum(c0) AS BIGINT) AS t0, count(*) AS v FROM cw),
-        pri AS (SELECT CAST(sum(y) AS BIGINT) AS d1,
-            count(*) - CAST(sum(y) AS BIGINT) AS d0 FROM tr),
-        pos AS (SELECT doc_id, unnest(toks) AS w FROM tk),
-        lps AS (SELECT doc_id, $lpExpr AS lp
-          FROM pos LEFT JOIN cw USING (w) CROSS JOIN tot),
-        agg AS (SELECT doc_id, ${XSUM4("lp")} AS s, count(*) AS n
-          FROM lps GROUP BY doc_id),
-        sc AS (SELECT tk.doc_id AS doc_id,
-            coalesce(n, 0) AS n_tok,
-            ${Q4(s"coalesce(s, CAST(0 AS DOUBLE)) + $priLo")} AS log_odds
-          FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id CROSS JOIN pri)
+      (s, d) => nbDocScores(s, d),
+      Some(s"""WITH $nbCtes
         SELECT doc_id, n_tok, log_odds,
           CASE WHEN log_odds > 0 THEN 1 ELSE 0 END AS pred
-        FROM sc"""
-      },
+        FROM sc"""),
       "vocab-sized Naive Bayes quality classifier ≡ sequential SQL replay"),
+
+    // ---- the NB classifier as a corpus GATE --------------------------------
+    // What the classifier exists FOR (the q208 pattern for the learned
+    // model): keep documents the curated-vs-crawl NB accepts and report
+    // the surviving mix per source — every src0–4 ("curated") source
+    // should survive nearly whole, the crawl pool should thin, and the
+    // untrained middle sources land wherever their vocabulary points.
+    // One shared scoring frame with q304; the oracle replays the gate
+    // over the identical CTE chain.
+    "q319_nb_gate" -> Q(
+      (s, d) => nbDocScores(s, d)
+        .filter(col("pred") === 1)
+        .join(Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+          "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars").cast("long")).as("kept_chars"),
+          xsum4(col("log_odds")).as("sum_lo")),
+      Some(s"""WITH $nbCtes
+        SELECT source, count(*) AS n_kept,
+          CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+          ${XSUM4("log_odds")} AS sum_lo
+        FROM sc JOIN documents USING (doc_id)
+        WHERE log_odds > 0
+        GROUP BY source"""),
+      "NB quality gate: per-source surviving mix ≡ replayed gate"),
 
     // ---- BPE merge training ----------------------------------------------
     // Tokenizer training as a distributed job: the corpus-scale work is
