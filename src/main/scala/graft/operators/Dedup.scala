@@ -866,11 +866,16 @@ object Dedup {
       // rank_{2k}(gp) keys on (rank_k(gp), rank_k(gp+k)); the shifted
       // side joins on gp, so the position set tightens to positions
       // with 2k chars of runway automatically (gp+k must itself exist)
+      val prev = cur
       cur = label(
-        cur.join(
-          cur.select((col("gp") - k).as("gp"), col("r").as("__r2")),
+        prev.join(
+          prev.select((col("gp") - k).as("gp"), col("r").as("__r2")),
           Seq("gp")),
         Seq("r", "__r2"), last = k * 2 >= span)
+      // the new round is materialized (localCheckpoint is eager), so
+      // the superseded round's corpus-position-sized cache can go —
+      // same discipline as Graphs.freeCheckpoint in the CC/LPA loops
+      graft.operators.Graphs.freeCheckpoint(prev)
       k *= 2
     }
     cur

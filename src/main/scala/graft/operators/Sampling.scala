@@ -240,9 +240,16 @@ object Sampling {
     * and the k LARGEST keys per group win, which realizes exactly
     * successive draw-proportional-to-weight-without-replacement.
     * u is DETERMINISTIC (salted md5 of the id, the [[temperatureMix]]
-    * gate), so the sample replays across engines and runs; keys
-    * quantize to 1e-4 with an id tie-break so the cross-engine order is
-    * exact. Rows with weight ≤ 0 are never sampled (A-ES is undefined
+    * gate), so the sample replays across engines and runs. Cross-engine
+    * replay needs a quantization (ln implementations may differ in the
+    * last ulp) but it must NOT be applied to the final key: for weights
+    * ≳1e3 the whole key range falls under any fixed quantum and the id
+    * tie-break — not the weights — would pick the sample. Instead ln(u)
+    * is quantized to 1e-6 in ITS OWN bounded domain (u ≥ 2^-24 so
+    * ln(u) ∈ [-16.7, 0); ~2^24 distinct codes) and the division by w is
+    * left exact — IEEE division is bit-deterministic across engines, so
+    * the order stays weight-faithful at every weight scale. Rows with
+    * weight ≤ 0 are never sampled (A-ES is undefined
     * there). Executes as [[graft.plans.TopK.topKPerGroup]] — per-group
     * bounded heaps with a map-side partial pass, never a full per-group
     * sort, so a 100 TB group costs one combine-then-shuffle of ≤ 2k
@@ -254,8 +261,8 @@ object Sampling {
     val u = (conv(substring(
       md5(concat(lit(salt), col(idCol).cast("string"))), 1, 6),
       16, 10).cast("double") + 1d) / 16777217d
-    val key = floor(log(u) / col(weightCol).cast("double") * 10000d
-      + 0.5d).cast("long").cast("double") / 10000d
+    val key = floor(log(u) * 1000000d + 0.5d).cast("long")
+      .cast("double") / 1000000d / col(weightCol).cast("double")
     graft.plans.TopK.topKPerGroup(
         df.filter(col(weightCol).cast("double") > 0d)
           .withColumn("__wkey", key),

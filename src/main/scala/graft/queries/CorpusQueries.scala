@@ -1326,8 +1326,8 @@ object CorpusQueries {
               ln((CAST(('0x' || substr(md5('graft-wrs:'
                     || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 1.0)
                  / 16777217.0)
-              / CAST(n_chars AS DOUBLE) * 10000 + 0.5) AS BIGINT)
-              AS DOUBLE) / 10000 AS wkey
+              * 1000000 + 0.5) AS BIGINT)
+              AS DOUBLE) / 1000000 / CAST(n_chars AS DOUBLE) AS wkey
           FROM documents WHERE CAST(n_chars AS DOUBLE) > 0),
         r AS (SELECT doc_id, source, n_chars,
             row_number() OVER (PARTITION BY source

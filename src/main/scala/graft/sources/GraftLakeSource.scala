@@ -278,18 +278,21 @@ class GraftLakeStreamSource(ctx: SQLContext, root: String,
     val from = Option(start).map(at).orElse(startAt)
     latest
       .filter(v => from.forall(v > _)) // nothing new past the skip point
-      .map { v =>
-        val capped = maxVersionsPerBatch match {
+      .flatMap { v =>
+        maxVersionsPerBatch match {
           case Some(m) => from match {
-            case Some(f) => math.min(v, f + m)
+            case Some(f) => Some(math.min(v, f + m))
             // bootstrap: snapshot at the earliest retained version plus
-            // the remaining budget, tails follow incrementally
-            case None => math.min(v, vs.head + m - 1)
+            // the remaining budget, tails follow incrementally. The
+            // listing can come back empty while the AvailableNow cap is
+            // still set (table vacuumed/recreated between prepare and
+            // this batch) — that's "no data", not a crash
+            case None => vs.headOption.map(h => math.min(v, h + m - 1))
           }
-          case None => v
+          case None => Some(v)
         }
-        LongOffset(capped): OffsetV2
-      }.orNull
+      }
+      .map(LongOffset(_): OffsetV2).orNull
   }
 
   override def getOffset

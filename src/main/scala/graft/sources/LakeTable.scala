@@ -858,23 +858,29 @@ object LakeTable {
       // compare in the COLUMN's type, not lexicographically: "9" > "10"
       // as strings. Numeric zones compare as BigDecimal; everything
       // else (strings, dates in ISO form) orders correctly as text.
+      // Float/Double zones can hold "NaN"/"Infinity" (Spark's max treats
+      // NaN as largest) which BigDecimal cannot parse — refusal is
+      // fallback, never an error, so an unparsable zone degrades to None
+      // and the caller runs the ordinary scan-side aggregate.
       def ord(s: String): Any = dt match {
         case Some(_: org.apache.spark.sql.types.NumericType) =>
           BigDecimal(s)
         case _ => s
       }
       val zs = zones.flatten
-      val lo = zs.minBy(z => ord(z.lo))(
-        Ordering.fromLessThan[Any] {
-          case (a: BigDecimal, b: BigDecimal) => a < b
-          case (a, b) => a.toString < b.toString
-        })
-      val hi = zs.maxBy(z => ord(z.hi))(
-        Ordering.fromLessThan[Any] {
-          case (a: BigDecimal, b: BigDecimal) => a < b
-          case (a, b) => a.toString < b.toString
-        })
-      Some((lo.lo, hi.hi))
+      scala.util.Try {
+        val lo = zs.minBy(z => ord(z.lo))(
+          Ordering.fromLessThan[Any] {
+            case (a: BigDecimal, b: BigDecimal) => a < b
+            case (a, b) => a.toString < b.toString
+          })
+        val hi = zs.maxBy(z => ord(z.hi))(
+          Ordering.fromLessThan[Any] {
+            case (a: BigDecimal, b: BigDecimal) => a < b
+            case (a, b) => a.toString < b.toString
+          })
+        (lo.lo, hi.hi)
+      }.toOption
     }
   }
 
@@ -1079,6 +1085,13 @@ object LakeTable {
       .map(_.getPath.getName)
       .filter(_.endsWith(".parquet"))
       .map(n => s"$commitDir/$n")
+    // the reserved `#rows` pseudo-zone key must never collide with a
+    // data zone: a column literally named "#rows" is declared
+    // unsupported, enforced here (not just documented) so FileEntry
+    // .rowCount can never read a data zone's lo by ordering accident
+    require(!zoneKeys.contains(RowsKey),
+      s"zone key '$RowsKey' is reserved for manifest row counts; " +
+        "columns named '#rows' are not zone-indexable")
     val keys = zoneKeys.distinct.filter(k =>
       df.schema.fieldNames.contains(k) && zoneSupported(df.schema(k).dataType))
     // per-file ROW COUNTS from the parquet FOOTERS just written —

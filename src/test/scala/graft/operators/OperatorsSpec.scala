@@ -618,8 +618,8 @@ class SamplingSpec extends SparkSpec {
     val u = (conv(substring(
       md5(concat(lit("graft-wrs:"), col("id").cast("string"))), 1, 6),
       16, 10).cast("double") + 1d) / 16777217d
-    val key = floor(log(u) / col("w").cast("double") * 10000d + 0.5d)
-      .cast("long").cast("double") / 10000d
+    val key = floor(log(u) * 1000000d + 0.5d).cast("long")
+      .cast("double") / 1000000d / col("w").cast("double")
     val ref = df.filter(col("w") > 0)
       .withColumn("__k", key)
       .withColumn("__rn", row_number().over(
@@ -631,6 +631,23 @@ class SamplingSpec extends SparkSpec {
     val tiny = Seq((1L, "a", 5L), (2L, "a", 0L)).toDF("id", "grp", "w")
     assert(Sampling.weightedSamplePerGroup(tiny, "grp", "id", "w", 3)
       .select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("weightedSamplePerGroup: large weights don't collapse to the " +
+      "id tie-break (quantization is weight-relative)") {
+    // weights in the millions: a fixed key quantum would flatten every
+    // ln(u)/w to 0 and the id-ascending tie-break — not the weights —
+    // would pick ids 1..k. With ln(u) quantized in its own domain the
+    // keys stay distinct and the draw stays ∝ weight.
+    val df = (1L to 100L).map(i => (i, "g", i * 1000000L))
+      .toDF("id", "grp", "w")
+    val got = Sampling.weightedSamplePerGroup(df, "grp", "id", "w", 5)
+      .select("id").as[Long].collect().toSet
+    assert(got != (1L to 5L).toSet,
+      "sample degenerated to the id tie-break")
+    // heavier docs dominate: the drawn set should lean heavy (E[rank]
+    // under ∝-weight drawing is far above the midpoint for this ramp)
+    assert(got.sum > 5 * 50, s"sample $got is not weight-leaning")
   }
 }
 

@@ -372,4 +372,24 @@ class GraftLakeSourceSpec extends SparkSpec {
     val got = fresh.getBatch(None, LongOffset(latest))
     assert(got.schema("v").dataType == LongType)
   }
+
+  test("latestOffset: empty version listing under a live AvailableNow " +
+      "cap reports no-data (null), never NoSuchElementException") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val root = freshRoot()
+    LakeTable.append(spark.range(3).toDF("id"), root)
+    val src = new GraftLakeStreamSource(spark.sqlContext, root,
+      LakeTable.read(spark, root).schema, None,
+      maxVersionsPerBatch = Some(1L))
+    src.prepareForTriggerAvailableNow() // pins the cap at v1
+    // table vanishes between prepare and the batch (vacuum/recreate
+    // race): the bootstrap branch must not vs.head an empty listing
+    def rmr(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).forEach(rmr(_))
+      Files.delete(p)
+    }
+    rmr(Paths.get(root))
+    assert(src.latestOffset(null, ReadLimit.allAvailable()) == null)
+  }
 }

@@ -1249,6 +1249,36 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.columnBounds(spark, root, "k").isEmpty)
   }
 
+  test("columnBounds: NaN/Infinity zones degrade to None (fallback, " +
+      "never a planning error)") {
+    val root = freshRoot()
+    // Spark's max treats NaN as largest, so a double column containing
+    // NaN records the zone string "NaN" — unparsable as BigDecimal. The
+    // contract is refusal-as-fallback: bounds come back None and the
+    // caller runs the ordinary scan-side aggregate.
+    LakeTable.append(Seq(1.0, Double.NaN, 3.5).toDF("x").coalesce(1),
+      root, zoneKey = Some("x"))
+    assert(LakeTable.columnBounds(spark, root, "x").isEmpty)
+    val root2 = freshRoot()
+    LakeTable.append(
+      Seq(1.0, Double.PositiveInfinity).toDF("x").coalesce(1),
+      root2, zoneKey = Some("x"))
+    assert(LakeTable.columnBounds(spark, root2, "x").isEmpty)
+  }
+
+  test("reserved '#rows' zone key is refused at write time") {
+    val root = freshRoot()
+    val err = intercept[IllegalArgumentException] {
+      LakeTable.append(Seq((1L, 2L)).toDF("a", "#rows"), root,
+        zoneKeys = Seq("#rows"))
+    }
+    assert(err.getMessage.contains("#rows"))
+    // a column NAMED #rows is fine as data — it just can't be zoned
+    LakeTable.append(Seq((1L, 2L)).toDF("a", "#rows"), root,
+      zoneKey = Some("a"))
+    assert(LakeTable.countRows(spark, root) == Some(1L))
+  }
+
   test("compactIndex folds per-commit sidecars into one; lookups stay "
       + "exact; vacuum reaps the superseded dirs") {
     val root = freshRoot()
