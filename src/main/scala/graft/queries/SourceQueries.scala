@@ -1812,6 +1812,105 @@ object SourceQueries {
         FROM orders"""),
       "Delta classic-checkpoint replay: log-cleaned table = ckpt + tail"),
 
+    // ---- Delta deletion vectors (merge-on-read interop) --------------------
+    // A Delta table whose adds carry DELETION VECTORS — the default
+    // output of current Delta writers (protocol 3/7, readerFeatures
+    // ["deletionVectors"]): the even-key file's vector lives ON DISK
+    // ('u' storage under a random-prefix dir, portable
+    // RoaringBitmapArray frame with CRC), the odd-key file's rides
+    // INLINE ('i', Z85 in the descriptor itself). The vectors delete
+    // physical row positions — discovered here by reading each file's
+    // `_metadata.row_index` for the doomed predicate, exactly how a
+    // real writer computes them — and the interop read anti-joins them
+    // back out executor-side ([[graft.sources.DeltaDeletionVectors]]).
+    // Oracle: orders minus the two deletion predicates.
+    "q320_delta_dv" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_deltadv_q320") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        def writeOne(df: org.apache.spark.sql.DataFrame,
+                     name: String): Unit = {
+          val stage = s"$root/_stage_$name"
+          df.coalesce(1).write.parquet(stage)
+          val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+            .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+          fs.rename(part, new org.apache.hadoop.fs.Path(s"$root/$name"))
+          fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+        }
+        writeOne(o.filter(col("o_orderkey") % 2 === 0), "f-even.parquet")
+        writeOne(o.filter(col("o_orderkey") % 2 =!= 0), "f-odd.parquet")
+        // the physical row positions each vector deletes (what a real
+        // DV writer records): collect is O(deleted rows) — the same
+        // sidecar-sized bound the MoR read itself broadcasts
+        def doomed(name: String,
+                   pred: org.apache.spark.sql.Column): Array[Long] =
+          s.read.parquet(s"$root/$name")
+            .select(col("_metadata.row_index").as("pos"),
+              col("o_orderkey"))
+            .filter(pred)
+            .select("pos").collect().map(_.getLong(0)).sorted
+        val dv = graft.sources.DeltaDeletionVectors
+        val evenPos = doomed("f-even.parquet", col("o_orderkey") % 3 === 0)
+        val oddPos = doomed("f-odd.parquet", col("o_orderkey") % 5 === 0)
+        val uuid = java.util.UUID.randomUUID()
+        Files.createDirectories(Paths.get(s"$root/xy"))
+        val (off, size) = dv.writeDvFile(s,
+          s"$root/xy/deletion_vector_$uuid.bin",
+          Seq(dv.serializeBitmap(evenPos))).head
+        val encU = "xy" + dv.encodeUuid(uuid)
+        val inlineBm = dv.serializeBitmap(oddPos)
+        val encI = dv.z85Encode(inlineBm)
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val schemaJson = om.writeValueAsString(o.schema.json)
+        Files.createDirectories(Paths.get(s"$root/_delta_log"))
+        Files.writeString(
+          Paths.get(s"$root/_delta_log/00000000000000000000.json"), Seq(
+            """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+            s"""{"metaData":{"id":"q320","schemaString":$schemaJson,"partitionColumns":[],"format":{"provider":"parquet"}}}""",
+            s"""{"add":{"path":"f-even.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"$encU","offset":$off,"sizeInBytes":$size,"cardinality":${evenPos.length}}}}""",
+            s"""{"add":{"path":"f-odd.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$encI","sizeInBytes":${inlineBm.length},"cardinality":${oddPos.length}}}}""")
+            .mkString("\n"))
+        graft.sources.DeltaInterop.readDelta(s, root)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE NOT (o_orderkey % 6 = 0)
+          AND NOT (o_orderkey % 2 <> 0 AND o_orderkey % 5 = 0)"""),
+      "Delta deletion-vector MoR read (on-disk 'u' + inline 'i') ≡ filter"),
+
+    // ---- Delta deletion-vector export round-trip ----------------------------
+    // The outbound half: a lake snapshot whose rows were deleted
+    // merge-on-read (deleteWhereDV sidecars) exports as a REAL
+    // DV-bearing Delta table — data files hard-linked untouched, the
+    // native (file, pos) sidecars re-serialized as one portable
+    // RoaringBitmapArray .bin with per-add descriptors and the
+    // protocol (3,7) feature gate — and reads back through the
+    // protocol reader minus the deleted rows. Oracle: the surviving
+    // predicate recomputed directly.
+    "q321_delta_dv_export" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_deltadvx_q321") + "/t"
+        val out = freshRoot("graft_deltadvx_q321_out") + "/e"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.repartitionByRange(4, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"), root,
+          zoneKey = Some("o_orderkey"))
+        graft.sources.LakeTable.deleteWhereDV(s, root,
+          "o_orderkey % 9 = 0 OR o_totalprice > 400000")
+        graft.sources.DeltaInterop.exportToDelta(s, root, out)
+        graft.sources.DeltaInterop.readDelta(s, out)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE NOT (o_orderkey % 9 = 0 OR o_totalprice > 400000)"""),
+      "lake MoR deletes → real Delta DV export → protocol read-back ≡ filter"),
+
     // ---- metadata-only COUNT(*) --------------------------------------------
     // The Delta numRecords fast path: per-file row counts ride the
     // manifest as `#rows` stats (written from the parquet footers at

@@ -1,0 +1,287 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.UUID
+import java.util.zip.CRC32
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Codec + storage layout for Delta Lake DELETION VECTORS, per the open
+  * protocol (delta.io PROTOCOL.md, "Deletion Vectors" + "Deletion
+  * Vector Format"): a DV is a set of 64-bit row indexes (physical
+  * parquet row positions) serialized as a "portable" RoaringBitmapArray
+  * — 4-byte little-endian magic 1681511377, an 8-byte little-endian
+  * count of 32-bit buckets, then per bucket a 4-byte little-endian key
+  * (the high 32 bits) followed by the STANDARD RoaringBitmap portable
+  * serialization of the low 32 bits (the format the org.roaringbitmap
+  * library reads/writes natively — Spark already ships it). On disk a
+  * DV file opens with a format-version byte (1) and holds one or more
+  * DVs, each framed as [4-byte BIG-endian length][bitmap bytes][4-byte
+  * BIG-endian CRC-32 of the bitmap bytes]; a descriptor's `offset`
+  * points at a frame's length prefix. Descriptors address storage three
+  * ways: `u` = file named `deletion_vector_<uuid>.bin` under the table
+  * root (optionally below a random prefix directory), with the uuid
+  * Z85-encoded as the LAST 20 chars of `pathOrInlineDv` and the prefix
+  * as the leading chars; `i` = the bitmap bytes themselves Z85-encoded
+  * inline in `pathOrInlineDv`; `p` = an absolute path.
+  *
+  * Everything here is sidecar-sized by design (DVs exist exactly when
+  * merge-on-read beats copy-on-write): decode work is O(deleted rows)
+  * and runs on executors via the binaryFile source — the driver only
+  * ever sees descriptors (bounded by live-file count).
+  */
+object DeltaDeletionVectors {
+
+  /** One add-action's deletion-vector descriptor (the protocol's
+    * DeletionVectorDescriptor fields this reader consumes). */
+  case class Descriptor(storageType: String, pathOrInlineDv: String,
+                        offset: Option[Int], sizeInBytes: Int,
+                        cardinality: Long)
+
+  // ---- Z85 (ZeroMQ base85, the alphabet Delta's Base85Codec uses) ----
+
+  private val Z85Alphabet =
+    "0123456789abcdefghijklmnopqrstuvwxyz" +
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+  private val Z85Decode: Array[Int] = {
+    val t = Array.fill(128)(-1)
+    Z85Alphabet.zipWithIndex.foreach { case (c, i) => t(c.toInt) = i }
+    t
+  }
+
+  /** Z85-encode `bytes`, zero-padding to a 4-byte multiple first (the
+    * decoder truncates back using the descriptor's byte length). */
+  def z85Encode(bytes: Array[Byte]): String = {
+    val padded =
+      if (bytes.length % 4 == 0) bytes
+      else bytes ++ Array.fill[Byte](4 - bytes.length % 4)(0)
+    val sb = new StringBuilder(padded.length / 4 * 5)
+    var i = 0
+    while (i < padded.length) {
+      var v = 0L
+      (0 until 4).foreach(j => v = (v << 8) | (padded(i + j) & 0xffL))
+      val digits = new Array[Char](5)
+      (4 to 0 by -1).foreach { j =>
+        digits(j) = Z85Alphabet((v % 85).toInt); v /= 85
+      }
+      sb.appendAll(digits)
+      i += 4
+    }
+    sb.toString
+  }
+
+  /** Z85-decode to exactly `outLen` bytes (strips encode padding). */
+  def z85Decode(s: String, outLen: Int): Array[Byte] = {
+    require(s.length % 5 == 0,
+      s"Z85 input length ${s.length} is not a multiple of 5")
+    val out = new Array[Byte](s.length / 5 * 4)
+    var i = 0; var o = 0
+    while (i < s.length) {
+      var v = 0L
+      (0 until 5).foreach { j =>
+        val c = s.charAt(i + j)
+        val d = if (c < 128) Z85Decode(c.toInt) else -1
+        require(d >= 0, s"invalid Z85 character '$c'")
+        v = v * 85 + d
+      }
+      (3 to 0 by -1).foreach { j => out(o + j) = (v & 0xff).toByte; v >>= 8 }
+      i += 5; o += 4
+    }
+    require(outLen <= out.length && outLen > out.length - 4,
+      s"Z85 payload of ${out.length} bytes cannot carry $outLen")
+    out.take(outLen)
+  }
+
+  def encodeUuid(u: UUID): String = {
+    val bb = ByteBuffer.allocate(16)
+    bb.putLong(u.getMostSignificantBits)
+    bb.putLong(u.getLeastSignificantBits)
+    z85Encode(bb.array())
+  }
+
+  def decodeUuid(s: String): UUID = {
+    val bb = ByteBuffer.wrap(z85Decode(s, 16))
+    new UUID(bb.getLong, bb.getLong)
+  }
+
+  // ---- portable RoaringBitmapArray ----------------------------------
+
+  private val PortableMagic = 1681511377
+
+  /** Serialize sorted distinct 64-bit row indexes as a portable
+    * RoaringBitmapArray (the exact bytes a DV frame carries). */
+  def serializeBitmap(positions: Array[Long]): Array[Byte] = {
+    require(positions.forall(_ >= 0), "row indexes are non-negative")
+    val byKey = positions.distinct.sorted.groupBy(p => (p >>> 32).toInt)
+    val baos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(baos)
+    out.writeInt(Integer.reverseBytes(PortableMagic))
+    out.writeLong(java.lang.Long.reverseBytes(byKey.size.toLong))
+    byKey.keys.toArray.sorted.foreach { key =>
+      out.writeInt(Integer.reverseBytes(key))
+      val rb = new org.roaringbitmap.RoaringBitmap()
+      byKey(key).foreach(p => rb.add((p & 0xffffffffL).toInt))
+      rb.runOptimize()
+      rb.serialize(out) // standard spec format (little-endian)
+    }
+    out.flush()
+    baos.toByteArray
+  }
+
+  /** Parse a portable RoaringBitmapArray back to 64-bit row indexes. */
+  def deserializeBitmap(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = bb.getInt
+    require(magic == PortableMagic,
+      s"not a portable RoaringBitmapArray (magic $magic)")
+    val n = bb.getLong
+    require(n >= 0 && n <= Int.MaxValue, s"corrupt bucket count $n")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    (0L until n).foreach { _ =>
+      val key = bb.getInt
+      val rb = new org.roaringbitmap.RoaringBitmap()
+      rb.deserialize(bb)
+      bb.position(bb.position() + rb.serializedSizeInBytes())
+      rb.forEach(new org.roaringbitmap.IntConsumer {
+        override def accept(v: Int): Unit =
+          out += (key.toLong << 32) | (v.toLong & 0xffffffffL)
+      })
+    }
+    out.toArray
+  }
+
+  // ---- DV file frames ------------------------------------------------
+
+  /** Write one DV FILE holding the given bitmaps back to back; returns
+    * per-bitmap (offset, sizeInBytes) for the descriptors. Layout per
+    * the protocol: a version byte (1), then per DV a big-endian length,
+    * the bitmap bytes, and a big-endian CRC-32 of those bytes. */
+  def writeDvFile(spark: SparkSession, path: String,
+                  bitmaps: Seq[Array[Byte]]): Seq[(Int, Int)] = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new Path(path), /* overwrite = */ false)
+    try {
+      out.write(1) // format version
+      var pos = 1
+      bitmaps.map { b =>
+        val crc = new CRC32(); crc.update(b)
+        val bb = ByteBuffer.allocate(8 + b.length) // big-endian default
+        bb.putInt(b.length); bb.put(b); bb.putInt(crc.getValue.toInt)
+        out.write(bb.array())
+        val at = pos
+        pos += 8 + b.length
+        (at, b.length)
+      }
+    } finally out.close()
+  }
+
+  /** Extract one DV's row indexes from the raw bytes of its file:
+    * verify the length prefix against the descriptor, the CRC against
+    * the payload, then parse — corruption refuses loudly (a silent
+    * partial DV would resurrect deleted rows). */
+  def framePositions(fileBytes: Array[Byte], offset: Int,
+                     sizeInBytes: Int): Array[Long] = {
+    require(offset >= 1 && offset + 8 + sizeInBytes <= fileBytes.length,
+      s"DV frame [$offset, +${8 + sizeInBytes}) exceeds file of " +
+        s"${fileBytes.length} bytes")
+    val bb = ByteBuffer.wrap(fileBytes, offset, 8 + sizeInBytes)
+    val len = bb.getInt
+    require(len == sizeInBytes,
+      s"DV frame length $len != descriptor sizeInBytes $sizeInBytes")
+    val data = new Array[Byte](len)
+    bb.get(data)
+    val stored = bb.getInt
+    val crc = new CRC32(); crc.update(data)
+    require(stored == crc.getValue.toInt,
+      s"DV frame CRC mismatch (stored $stored, computed " +
+        s"${crc.getValue.toInt})")
+    deserializeBitmap(data)
+  }
+
+  /** Absolute storage location of a descriptor's DV file, or None for
+    * inline storage. `u` resolves `deletion_vector_<uuid>.bin` under
+    * the table root, below the descriptor's random-prefix directory
+    * when one is encoded ahead of the 20 uuid chars. */
+  def fileOf(root: String, d: Descriptor): Option[String] =
+    d.storageType match {
+      case "u" =>
+        val enc = d.pathOrInlineDv
+        require(enc.length >= 20,
+          s"storageType u needs >= 20 uuid chars, got '$enc'")
+        val uuid = decodeUuid(enc.takeRight(20))
+        val prefix = enc.dropRight(20)
+        val dir = if (prefix.isEmpty) root else s"$root/$prefix"
+        Some(s"$dir/deletion_vector_$uuid.bin")
+      case "p" => Some(d.pathOrInlineDv)
+      case "i" => None
+      case other => throw new UnsupportedOperationException(
+        s"unknown deletion-vector storageType '$other'")
+    }
+
+  /** The deleted (data-file path, row index) pairs of a snapshot, as a
+    * DataFrame `(__dv_path, __dv_pos)` — the anti-join side of a
+    * merge-on-read scan, the same shape as [[LakeTable]]'s native DV
+    * sidecars. On-disk DV bytes load through the binaryFile source and
+    * decode on EXECUTORS (a typed flatMap slices each descriptor's
+    * frame after a broadcast join on the file's qualified URI — the
+    * bitmap-library decode is the per-batch point, the Multimodal
+    * discipline); inline DVs decode straight from their descriptors.
+    * Driver state is descriptor-sized; each decode re-verifies the
+    * descriptor's `cardinality` so a truncated bitmap can never
+    * silently resurrect rows. */
+  def deletedPositions(spark: SparkSession, root: String,
+                       dvs: Seq[(String, Descriptor)]): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    def qualified(p: String): String = {
+      val hp = new Path(p)
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+    def checked(path: String, card: Long,
+                pos: Array[Long]): Array[(String, Long)] = {
+      require(pos.length.toLong == card,
+        s"deletion vector for $path decodes ${pos.length} rows but " +
+          s"declares cardinality $card")
+      pos.map(path -> _)
+    }
+    val (inline, onDisk) = dvs.partition(_._2.storageType == "i")
+    val inlineDf: Option[DataFrame] =
+      if (inline.isEmpty) None
+      else Some(inline.map { case (path, d) =>
+          (path, d.pathOrInlineDv, d.sizeInBytes, d.cardinality)
+        }.toDS()
+        .flatMap { case (path, enc, size, card) =>
+          checked(path, card, deserializeBitmap(z85Decode(enc, size)))
+        }.toDF("__dv_path", "__dv_pos"))
+    val onDiskDf: Option[DataFrame] =
+      if (onDisk.isEmpty) None
+      else {
+        val descs = onDisk.map { case (path, d) =>
+            (path, qualified(fileOf(root, d).get), d.offset.getOrElse(
+              throw new IllegalStateException(
+                s"on-disk deletion vector for $path lacks an offset")),
+              d.sizeInBytes, d.cardinality)
+          }.toDF("__dv_path", "__uri", "__off", "__size", "__card")
+        val files = onDisk.map { case (_, d) => fileOf(root, d).get }
+          .distinct
+        val bytes = spark.read.format("binaryFile")
+          .load(files: _*)
+          .select(col("path").as("__uri"), col("content"))
+        // descriptors are the SMALL side (≤ live-file count) — the DV
+        // bytes never shuffle, each frame decodes where its file landed
+        Some(bytes.join(broadcast(descs), Seq("__uri"))
+          .select(col("__dv_path"), col("content"), col("__off"),
+            col("__size"), col("__card"))
+          .as[(String, Array[Byte], Int, Int, Long)]
+          .flatMap { case (path, fileBytes, off, size, card) =>
+            checked(path, card, framePositions(fileBytes, off, size))
+          }.toDF("__dv_path", "__dv_pos"))
+      }
+    (inlineDf.toSeq ++ onDiskDf.toSeq)
+      .reduceOption(_.unionByName(_))
+      .getOrElse(Seq.empty[(String, Long)].toDF("__dv_path", "__dv_pos"))
+  }
+}

@@ -135,16 +135,20 @@ object DeltaInterop {
 
   // the action fields this reader consumes, as an explicit read schema
   // (inference would drop fields absent from a given commit file).
-  // protocol.readerFeatures and add.deletionVector are read ONLY to
-  // refuse what this reader can't serve: a Delta table whose adds carry
-  // deletion vectors would otherwise read its deleted rows back in.
+  // add.deletionVector descriptors are SERVED (merge-on-read via the
+  // native anti-join shape, [[DeltaDeletionVectors]]); readerFeatures
+  // outside the implemented set still refuse.
   private val actionSchema = StructType(Seq(
     StructField("add", StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("stats", StringType),
       StructField("deletionVector", StructType(Seq(
-        StructField("storageType", StringType))), nullable = true))),
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType))), nullable = true))),
       nullable = true),
     StructField("remove", StructType(Seq(
       StructField("path", StringType))), nullable = true),
@@ -158,7 +162,9 @@ object DeltaInterop {
       nullable = true)))
 
   private case class LiveFile(partitionValues: Map[String, String],
-                              stats: Option[String])
+                              stats: Option[String],
+                              dv: Option[DeltaDeletionVectors.Descriptor]
+                                = None)
 
   private case class Snapshot(live: Map[String, LiveFile],
                               schema: StructType, partCols: Seq[String])
@@ -204,24 +210,26 @@ object DeltaInterop {
           // the set it implements (a blocklist would silently replay
           // tables carrying features invented after this code — e.g.
           // typeWidening — and return wrong data). This replay
-          // implements NO optional reader features and no reader
-          // protocol beyond the base one, so: any listed feature
-          // refuses, and so does minReaderVersion 2 (column-mapping
-          // capability mandated without a feature list to inspect).
+          // implements exactly ONE optional reader feature —
+          // deletionVectors ([[DeltaDeletionVectors]]) — so any other
+          // listed feature refuses, and so does minReaderVersion 2
+          // (column-mapping capability mandated without a feature list
+          // to inspect).
           val feats = Option(p.getAs[scala.collection.Seq[String]](
             "readerFeatures")).map(_.toSeq).getOrElse(Seq.empty)
-          if (feats.nonEmpty)
+          val unsupported = feats.filterNot(_ == "deletionVectors")
+          if (unsupported.nonEmpty)
             throw new UnsupportedOperationException(
               s"$root requires Delta reader features " +
-                s"${feats.mkString(", ")}; this interop reader " +
-                "implements none — plain add/remove JSON logs only")
+                s"${unsupported.mkString(", ")}; this interop reader " +
+                "implements only deletionVectors")
           val mrv = if (p.isNullAt(p.fieldIndex("minReaderVersion"))) 1
             else p.getInt(p.fieldIndex("minReaderVersion"))
           if (mrv != 1 && mrv != 3)
             throw new UnsupportedOperationException(
               s"$root declares minReaderVersion $mrv; this interop " +
-                "reader supports version 1 (and 3 only with an empty " +
-                "readerFeatures set)")
+                "reader supports version 1 (and 3 with readerFeatures " +
+                "⊆ {deletionVectors})")
         }
         Option(a.getAs[Row]("metaData")).foreach { m =>
           Option(m.getAs[String]("schemaString"))
@@ -233,16 +241,21 @@ object DeltaInterop {
           live -= r.getAs[String]("path")
         }
         Option(a.getAs[Row]("add")).foreach { ad =>
-          if (!ad.isNullAt(ad.fieldIndex("deletionVector")))
-            throw new UnsupportedOperationException(
-              s"$root: add action for ${ad.getAs[String]("path")} carries " +
-                "a deletion vector; replaying it as a plain file would " +
-                "resurrect its deleted rows — unsupported by this " +
-                "interop reader")
+          // a DV update re-adds the same path with a fresh descriptor,
+          // so the newest add's descriptor (or its absence) always wins
+          val dv = Option(ad.getAs[Row]("deletionVector")).map { d =>
+            DeltaDeletionVectors.Descriptor(
+              d.getAs[String]("storageType"),
+              d.getAs[String]("pathOrInlineDv"),
+              if (d.isNullAt(d.fieldIndex("offset"))) None
+              else Some(d.getInt(d.fieldIndex("offset"))),
+              d.getInt(d.fieldIndex("sizeInBytes")),
+              d.getLong(d.fieldIndex("cardinality")))
+          }.filter(_.cardinality > 0L)
           live += ad.getAs[String]("path") -> LiveFile(
             Option(ad.getAs[Map[String, String]]("partitionValues"))
               .getOrElse(Map.empty),
-            Option(ad.getAs[String]("stats")))
+            Option(ad.getAs[String]("stats")), dv)
         }
       }
     }
@@ -260,30 +273,50 @@ object DeltaInterop {
     * one filesystem; falls back to a real copy across filesystems), and
     * one JSON commit records protocol, metaData (the manifest schema as
     * Delta's `schemaString` — same StructType JSON dialect) and an add
-    * action per file. The export is a fresh immutable table; re-export
-    * a newer snapshot to a new directory rather than mutating one. */
+    * action per file. A snapshot carrying live deletion vectors exports
+    * them as REAL Delta deletion vectors by default — the native
+    * (file, row-position) sidecars re-serialize as one
+    * `deletion_vector_<uuid>.bin` of portable RoaringBitmapArray frames
+    * ([[DeltaDeletionVectors]]) with per-add descriptors, and the
+    * commit declares protocol (3, 7) + the deletionVectors
+    * reader/writer features so spec-compliant readers gate correctly;
+    * `purgeFirst = true` instead folds the vectors into rewritten data
+    * files for a plain protocol-1 export (maximum-compatibility mode
+    * for readers without DV support). The export is a fresh immutable
+    * table; re-export a newer snapshot to a new directory rather than
+    * mutating one. */
   def exportToDelta(spark: SparkSession, lakeRoot: String,
                     deltaRoot: String,
                     version: Option[Long] = None,
                     purgeFirst: Boolean = false): Unit = {
     val vs = LakeTable.versions(spark, lakeRoot)
     require(vs.nonEmpty, s"no lake table at $lakeRoot")
-    // the export hard-links RAW data files; a snapshot with live
-    // deletion vectors would resurrect its deleted rows on the Delta
-    // side — fold them in first. `purgeFirst` does that in one call for
-    // the LATEST snapshot (purge commits a new version, so it cannot
-    // serve a pinned historical `version` — those still require the
-    // explicit purge-then-pin dance, or were vector-free to begin with)
+    // purgeFirst commits a new version, so it cannot serve a pinned
+    // historical `version` — those export their vectors as Delta DVs
+    // (or were vector-free to begin with)
     val v =
       if (purgeFirst && version.isEmpty &&
           LakeTable.dvOf(spark, lakeRoot, vs.last).nonEmpty)
         LakeTable.purgeDeletes(spark, lakeRoot)
       else version.getOrElse(vs.last)
-    require(LakeTable.dvOf(spark, lakeRoot, v).isEmpty,
-      s"exportToDelta: version $v of $lakeRoot carries deletion " +
-        "vectors; run LakeTable.purgeDeletes first (or call with " +
-        "purgeFirst = true to fold the latest snapshot automatically)")
     val ents = LakeTable.entries(spark, lakeRoot, v)
+    // live deletion vectors re-serialize as real Delta DVs: the native
+    // (file, row-position) sidecars aggregate per file — this collect
+    // carries exactly the rows the native MoR read already broadcasts
+    // (sidecar-sized by contract; purgeDeletes is the escape hatch when
+    // vectors outgrow that) — and pack into ONE on-disk DV file of
+    // portable RoaringBitmapArray frames, one descriptor per add
+    val dvDirs = LakeTable.dvOf(spark, lakeRoot, v)
+    val dvByFile: Map[String, Array[Long]] =
+      if (dvDirs.isEmpty) Map.empty
+      else spark.read.schema(LakeTable.dvSchema)
+        .parquet(dvDirs.map(d => s"$lakeRoot/$d"): _*)
+        .groupBy("file")
+        .agg(sort_array(collect_set("pos")).as("pos"))
+        .collect()
+        .map(r => r.getString(0) ->
+          r.getSeq[Long](1).toArray)
+        .toMap
     val schema = LakeTable.schemaOf(spark, lakeRoot, v)
       .getOrElse(LakeTable.read(spark, lakeRoot, Some(v)).schema)
     val f = fs(spark, deltaRoot)
@@ -309,6 +342,25 @@ object DeltaInterop {
           s"""{"minValues":${side(_.lo)},"maxValues":${side(_.hi)}}"""))
       }
     }
+    val dvFiles = ents.map(_.path).filter(p =>
+      dvByFile.get(p).exists(_.nonEmpty))
+    val descriptors: Map[String, String] =
+      if (dvFiles.isEmpty) Map.empty
+      else {
+        val uuid = java.util.UUID.randomUUID()
+        f.mkdirs(new Path(deltaRoot))
+        val frames = DeltaDeletionVectors.writeDvFile(spark,
+          s"$deltaRoot/deletion_vector_$uuid.bin",
+          dvFiles.map(p => DeltaDeletionVectors.serializeBitmap(
+            dvByFile(p))))
+        val enc = DeltaDeletionVectors.encodeUuid(uuid)
+        dvFiles.zip(frames).map { case (p, (off, size)) =>
+          p -> (s""""deletionVector":{"storageType":"u",""" +
+            s""""pathOrInlineDv":${om.writeValueAsString(enc)},""" +
+            s""""offset":$off,"sizeInBytes":$size,""" +
+            s""""cardinality":${dvByFile(p).length}},""")
+        }.toMap
+      }
     val adds = ents.map { e =>
       val src = new Path(s"$lakeRoot/${e.path}")
       val dst = new Path(s"$deltaRoot/${e.path}")
@@ -327,10 +379,21 @@ object DeltaInterop {
         s""""partitionValues":{},"size":${st.getLen},""" +
         s""""modificationTime":${st.getModificationTime},""" +
         statsJson(e).map(s => s""""stats":$s,""").getOrElse("") +
+        descriptors.getOrElse(e.path, "") +
         s""""dataChange":true}}"""
     }
+    // a DV-carrying export must gate spec-compliant readers: protocol
+    // (3, 7) + the deletionVectors reader/writer features. A vector-free
+    // export stays protocol 1 (maximum compatibility).
+    val protocol =
+      if (dvFiles.isEmpty)
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      else
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["deletionVectors"],""" +
+          """"writerFeatures":["deletionVectors"]}}"""
     val header = Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      protocol,
       s"""{"metaData":{"id":${om.writeValueAsString(
         java.util.UUID.randomUUID().toString)},""" +
         s""""format":{"provider":"parquet","options":{}},""" +
@@ -417,24 +480,58 @@ object DeltaInterop {
                        files: Map[String, LiveFile]): DataFrame = {
     val dataSchema = StructType(
       snap.schema.fields.filterNot(f => snap.partCols.contains(f.name)))
-    if (files.isEmpty)
-      spark.createDataFrame(
-        java.util.Collections.emptyList[Row](), snap.schema)
-    else if (snap.partCols.isEmpty)
-      spark.read.schema(dataSchema)
-        .parquet(files.keys.toSeq.sorted.map(p => s"$root/$p"): _*)
+    val dvs = files.toSeq.collect {
+      case (p, lf) if lf.dv.isDefined => (p, lf.dv.get) }
+    // with live DVs every scan carries its parquet file URI + physical
+    // row index (`_metadata` — stable across reads, including reads
+    // that skip row groups); a DV-free table's plan is untouched
+    def scan(paths: Seq[String]): DataFrame = {
+      val base = spark.read.schema(dataSchema)
+        .parquet(paths.sorted.map(p => s"$root/$p"): _*)
+      if (dvs.isEmpty) base
+      else base.withColumn("__dv_uri", col("_metadata.file_path"))
+        .withColumn("__dv_pos", col("_metadata.row_index"))
+    }
+    val cols = snap.schema.fieldNames.toIndexedSeq ++
+      (if (dvs.isEmpty) Seq.empty else Seq("__dv_uri", "__dv_pos"))
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[Row](), snap.schema)
+      else if (snap.partCols.isEmpty) scan(files.keys.toSeq)
+      else {
+        // files of one partition share partitionValues: group, read
+        // each group once, materialize partition columns as literals
+        files.groupBy(_._2.partitionValues).map { case (pv, group) =>
+          val b = scan(group.keys.toSeq)
+          snap.partCols.foldLeft(b) { (df, c) =>
+            val dt = snap.schema(c).dataType
+            df.withColumn(c, lit(pv.getOrElse(c, null)).cast(dt))
+          }
+        }.reduce(_.unionByName(_))
+          .select(cols.map(col): _*)
+      }
+    if (dvs.isEmpty) base
     else {
-      // files of one partition share partitionValues: group, read each
-      // group once, materialize the partition columns as typed literals
-      files.groupBy(_._2.partitionValues).map { case (pv, group) =>
-        val base = spark.read.schema(dataSchema)
-          .parquet(group.keys.toSeq.sorted.map(p => s"$root/$p"): _*)
-        snap.partCols.foldLeft(base) { (df, c) =>
-          val dt = snap.schema(c).dataType
-          df.withColumn(c, lit(pv.getOrElse(c, null)).cast(dt))
-        }
-      }.reduce(_.unionByName(_))
-        .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+      // merge-on-read, the native [[LakeTable.applyDv]] shape: deleted
+      // (file, row-position) pairs anti-join the scan. The DV side is
+      // sidecar metadata — O(deleted rows), small by design — so the
+      // optimizer broadcasts it and the data side never shuffles.
+      // Add paths translate to the scan's qualified URIs driver-side
+      // (bounded by live-file count; verified identical to the
+      // `_metadata.file_path` and binaryFile renderings).
+      val conf = spark.sessionState.newHadoopConf()
+      import spark.implicits._
+      val uris = dvs.map { case (p, _) =>
+        val hp = new Path(s"$root/$p")
+        (p, hp.getFileSystem(conf).makeQualified(hp).toString)
+      }.toDF("__dv_path", "__dv_uri")
+      val deleted = DeltaDeletionVectors
+        .deletedPositions(spark, root, dvs)
+        .join(broadcast(uris), Seq("__dv_path"))
+        .select(col("__dv_uri"), col("__dv_pos"))
+      base.join(deleted, Seq("__dv_uri", "__dv_pos"), "left_anti")
+        .drop("__dv_uri", "__dv_pos")
     }
   }
 }

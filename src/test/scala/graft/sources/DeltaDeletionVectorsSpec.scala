@@ -1,0 +1,135 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util.UUID
+import java.util.zip.CRC32
+
+import graft.SparkSpec
+
+class DeltaDeletionVectorsSpec extends SparkSpec {
+  import DeltaDeletionVectors._
+
+  test("Z85 codec matches the published ZeroMQ test vector and "
+      + "round-trips arbitrary lengths (with padding stripped)") {
+    // the Z85 spec's reference vector: 0x86 0x4F 0xD2 0x6F 0xB5 0x59
+    // 0xF7 0x5B <-> "HelloWorld"
+    val helloBytes = Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7,
+      0x5b).map(_.toByte)
+    assert(z85Encode(helloBytes) == "HelloWorld")
+    assert(z85Decode("HelloWorld", 8).sameElements(helloBytes))
+    // non-multiple-of-4 payloads zero-pad on encode, truncate on decode
+    (1 to 17).foreach { n =>
+      val bytes = Array.tabulate(n)(i => (i * 37 + 11).toByte)
+      val enc = z85Encode(bytes)
+      assert(enc.length % 5 == 0)
+      assert(z85Decode(enc, n).sameElements(bytes), s"len $n")
+    }
+    // invalid characters and impossible lengths refuse
+    intercept[IllegalArgumentException] { z85Decode("~~~~~", 4) }
+    intercept[IllegalArgumentException] { z85Decode("HelloWorld", 3) }
+    intercept[IllegalArgumentException] { z85Decode("Hello", 8) }
+  }
+
+  test("uuid Z85 codec round-trips and is exactly 20 chars (the "
+      + "protocol's fixed-width descriptor suffix)") {
+    (0 until 20).foreach { _ =>
+      val u = UUID.randomUUID()
+      val enc = encodeUuid(u)
+      assert(enc.length == 20)
+      assert(decodeUuid(enc) == u)
+    }
+  }
+
+  test("portable RoaringBitmapArray round-trips 64-bit row indexes, "
+      + "including positions above 2^32 (multi-bucket)") {
+    val positions = Array(0L, 1L, 7L, 100000L, (1L << 32) + 5L,
+      (1L << 33) + 17L, (1L << 32) - 1L)
+    val bytes = serializeBitmap(positions)
+    assert(deserializeBitmap(bytes).sorted.sameElements(positions.sorted))
+    // empty vector is a 0-bucket array
+    assert(deserializeBitmap(serializeBitmap(Array.empty[Long])).isEmpty)
+    // duplicates collapse
+    assert(deserializeBitmap(serializeBitmap(Array(5L, 5L, 5L)))
+      .sameElements(Array(5L)))
+    // wrong magic refuses
+    val bad = bytes.clone(); bad(0) = (bad(0) ^ 0x7f).toByte
+    intercept[IllegalArgumentException] { deserializeBitmap(bad) }
+  }
+
+  test("DV file frames: writeDvFile emits version byte + [len|bytes|"
+      + "crc] frames; framePositions verifies length AND crc, refusing "
+      + "corruption instead of resurrecting rows") {
+    val dir = Files.createTempDirectory("dvfile").toString
+    val path = s"$dir/deletion_vector_test.bin"
+    val bms = Seq(serializeBitmap(Array(1L, 3L)),
+      serializeBitmap(Array(0L, (1L << 32) + 2L)))
+    val frames = writeDvFile(spark, path, bms)
+    val raw = Files.readAllBytes(Paths.get(path))
+    assert(raw(0) == 1.toByte) // format version
+    assert(frames.head._1 == 1) // first frame right after it
+    assert(framePositions(raw, frames(0)._1, frames(0)._2)
+      .sameElements(Array(1L, 3L)))
+    assert(framePositions(raw, frames(1)._1, frames(1)._2).sorted
+      .sameElements(Array(0L, (1L << 32) + 2L)))
+    // the stored CRC matches a recomputation of the payload
+    val crc = new CRC32(); crc.update(bms.head)
+    // flip one payload byte → CRC refusal
+    val corrupt = raw.clone()
+    corrupt(frames.head._1 + 4 + 2) =
+      (corrupt(frames.head._1 + 4 + 2) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException] {
+      framePositions(corrupt, frames(0)._1, frames(0)._2)
+    }
+    assert(e.getMessage.contains("CRC"))
+    // descriptor/frame length disagreement refuses
+    intercept[IllegalArgumentException] {
+      framePositions(raw, frames(0)._1, frames(0)._2 + 1)
+    }
+    // an offset past the file refuses
+    intercept[IllegalArgumentException] {
+      framePositions(raw, raw.length, 8)
+    }
+  }
+
+  test("fileOf resolves the three storage types: 'u' with and without "
+      + "a random-prefix directory, 'p' absolute, 'i' none") {
+    val u = UUID.randomUUID()
+    val enc = encodeUuid(u)
+    assert(fileOf("/t", Descriptor("u", enc, Some(1), 10, 1L))
+      .contains(s"/t/deletion_vector_$u.bin"))
+    assert(fileOf("/t", Descriptor("u", "xY" + enc, Some(1), 10, 1L))
+      .contains(s"/t/xY/deletion_vector_$u.bin"))
+    assert(fileOf("/t", Descriptor("p", "/abs/dv.bin", Some(1), 10, 1L))
+      .contains("/abs/dv.bin"))
+    assert(fileOf("/t", Descriptor("i", "payload", None, 10, 1L)).isEmpty)
+    intercept[UnsupportedOperationException] {
+      fileOf("/t", Descriptor("z", "x", None, 10, 1L))
+    }
+  }
+
+  test("deletedPositions decodes a mixed batch (inline + on-disk) into "
+      + "the anti-join frame, executor-side, verifying cardinality") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dvmix").toString
+    val u = UUID.randomUUID()
+    val bm = serializeBitmap(Array(2L, 4L))
+    val frames = writeDvFile(spark,
+      s"$dir/deletion_vector_$u.bin", Seq(bm))
+    val inline = serializeBitmap(Array(7L))
+    val dvs = Seq(
+      "data/a.parquet" -> Descriptor("u", encodeUuid(u),
+        Some(frames.head._1), frames.head._2, 2L),
+      "data/b.parquet" -> Descriptor("i", z85Encode(inline), None,
+        inline.length, 1L))
+    val got = deletedPositions(spark, dir, dvs)
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("data/a.parquet", 2L), ("data/a.parquet", 4L),
+      ("data/b.parquet", 7L)))
+    // a lying cardinality refuses at decode time
+    val bad = Seq("data/b.parquet" -> Descriptor("i", z85Encode(inline),
+      None, inline.length, 5L))
+    intercept[Exception] {
+      deletedPositions(spark, dir, bad).count()
+    }
+  }
+}

@@ -227,12 +227,16 @@ class DeltaInteropSpec extends SparkSpec {
     }
   }
 
-  test("deletion-vector adds and DV/column-mapping reader features are "
-      + "refused — never replayed as plain files") {
-    import spark.implicits._
-    // an add carrying a deletionVector would resurrect deleted rows
-    val r1 = freshRoot()
-    writeOne(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), r1, "f0.parquet")
+  // hand-authored DV-bearing Delta table: two data files, one DV on
+  // disk under a random-prefix directory ('u'), one inline ('i') —
+  // both storage shapes the open protocol defines for real writers
+  private def dvFixture(): (String,
+      org.apache.spark.sql.types.StructType) = {
+    val root = freshRoot()
+    writeOne(Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"))
+      .toDF("k", "v"), root, "f0.parquet")
+    writeOne(Seq((10L, "x"), (11L, "y"), (12L, "z")).toDF("k", "v"),
+      root, "f1.parquet")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("k",
@@ -240,26 +244,87 @@ class DeltaInteropSpec extends SparkSpec {
       org.apache.spark.sql.types.StructField("v",
         org.apache.spark.sql.types.StringType)))
     val sj = om.writeValueAsString(schema.json)
-    commit(r1, 0L, Seq(
-      s"""{"metaData":{"id":"d","schemaString":$sj,"partitionColumns":[],"format":{"provider":"parquet"}}}""",
-      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":40,"cardinality":1}}}"""))
-    intercept[UnsupportedOperationException] {
-      DeltaInterop.readDelta(spark, r1)
-    }
-    // a protocol action demanding the deletionVectors reader feature is
-    // refused even before any vectored add appears
-    val r2 = freshRoot()
-    writeOne(Seq((1L, "a")).toDF("k", "v"), r2, "f0.parquet")
-    commit(r2, 0L, Seq(
+    // on-disk DV for f0 (delete positions 1 and 3 → keeps k=0,2),
+    // stored below prefix directory "ab" (descriptor = "ab" + uuid)
+    val uuid = java.util.UUID.randomUUID()
+    val bm0 = DeltaDeletionVectors.serializeBitmap(Array(1L, 3L))
+    Files.createDirectories(Paths.get(s"$root/ab"))
+    val frames = DeltaDeletionVectors.writeDvFile(spark,
+      s"$root/ab/deletion_vector_$uuid.bin", Seq(bm0))
+    val (off0, size0) = frames.head
+    val encU = "ab" + DeltaDeletionVectors.encodeUuid(uuid)
+    // inline DV for f1 (delete position 0 → keeps k=11,12)
+    val bm1 = DeltaDeletionVectors.serializeBitmap(Array(0L))
+    val encI = DeltaDeletionVectors.z85Encode(bm1)
+    commit(root, 0L, Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
-      s"""{"metaData":{"id":"d2","schemaString":$sj,"partitionColumns":[],"format":{"provider":"parquet"}}}""",
-      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
-    intercept[UnsupportedOperationException] {
-      DeltaInterop.readDelta(spark, r2)
+      s"""{"metaData":{"id":"dv","schemaString":$sj,"partitionColumns":[],"format":{"provider":"parquet"}}}""",
+      s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"$encU","offset":$off0,"sizeInBytes":$size0,"cardinality":2}}}""",
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$encI","sizeInBytes":${bm1.length},"cardinality":1}}}"""))
+    (root, schema)
+  }
+
+  test("deletion-vector adds are SERVED merge-on-read: on-disk ('u' "
+      + "with prefix dir) and inline ('i') vectors both drop exactly "
+      + "their row positions; the deletionVectors reader feature is "
+      + "accepted") {
+    val (root, _) = dvFixture()
+    assert(DeltaInterop.readDelta(spark, root)
+      .select("k").as[Long].collect().toSet == Set(0L, 2L, 11L, 12L))
+  }
+
+  test("a DV update (re-add of the same path with a fresh descriptor) "
+      + "replaces the old vector; dropping the descriptor restores all "
+      + "rows") {
+    val (root, _) = dvFixture()
+    // v1 re-adds f0 with NO descriptor (e.g. after a purge) and f1
+    // with a vector now deleting position 2 instead of 0
+    val bm = DeltaDeletionVectors.serializeBitmap(Array(2L))
+    val enc = DeltaDeletionVectors.z85Encode(bm)
+    commit(root, 1L, Seq(
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":false}}""",
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":false,"deletionVector":{"storageType":"i","pathOrInlineDv":"$enc","sizeInBytes":${bm.length},"cardinality":1}}}"""))
+    assert(DeltaInterop.readDelta(spark, root)
+      .select("k").as[Long].collect().toSet ==
+      Set(0L, 1L, 2L, 3L, 10L, 11L))
+    // time travel still serves v0's vectors
+    assert(DeltaInterop.readDelta(spark, root, Some(0L))
+      .select("k").as[Long].collect().toSet == Set(0L, 2L, 11L, 12L))
+  }
+
+  test("a truncated/corrupt DV refuses loudly (cardinality mismatch) "
+      + "instead of silently resurrecting rows") {
+    val (root, schema) = dvFixture()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val sj = om.writeValueAsString(schema.json)
+    // v1 re-adds f1 with a descriptor whose cardinality LIES about the
+    // inline bitmap's true content (says 2, bitmap holds 1)
+    val bm = DeltaDeletionVectors.serializeBitmap(Array(0L))
+    val enc = DeltaDeletionVectors.z85Encode(bm)
+    commit(root, 1L, Seq(
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":false,"deletionVector":{"storageType":"i","pathOrInlineDv":"$enc","sizeInBytes":${bm.length},"cardinality":2}}}"""))
+    val e = intercept[Exception] {
+      DeltaInterop.readDelta(spark, root).count()
     }
-    // plain protocol actions (the common v1/v2 header) stay accepted
+    assert(e.getMessage != null)
+    // unknown storage types refuse too
+    commit(root, 2L, Seq(
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":3,"dataChange":false,"deletionVector":{"storageType":"q","pathOrInlineDv":"$enc","sizeInBytes":${bm.length},"cardinality":1}}}"""))
+    intercept[Exception] {
+      DeltaInterop.readDelta(spark, root).count()
+    }
+  }
+
+  test("plain protocol actions (the common v1/v2 header) stay accepted") {
     val r3 = freshRoot()
     writeOne(Seq((1L, "a")).toDF("k", "v"), r3, "f0.parquet")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val sj = om.writeValueAsString(schema.json)
     commit(r3, 0L, Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
       s"""{"metaData":{"id":"d3","schemaString":$sj,"partitionColumns":[],"format":{"provider":"parquet"}}}""",
@@ -267,20 +332,35 @@ class DeltaInteropSpec extends SparkSpec {
     assert(DeltaInterop.readDelta(spark, r3).count() == 1L)
   }
 
-  test("exportToDelta(purgeFirst = true): a DV-bearing snapshot exports "
-      + "in one call and the Delta read-back lacks the deleted rows; "
-      + "without it the refusal carries the hint") {
+  test("exportToDelta: a DV-bearing snapshot exports REAL Delta "
+      + "deletion vectors by default (protocol 3/7 + descriptors), and "
+      + "the read-back lacks the deleted rows; purgeFirst folds them "
+      + "into rewritten files for a plain protocol-1 export") {
     val lake = freshRoot()
     val out = freshRoot() + "_d"
     LakeTable.append(spark.range(0, 100)
       .select(col("id").as("k"), (col("id") * 3).as("v")), lake)
     LakeTable.deleteWhereDV(spark, lake, "k < 10")
-    val e = intercept[IllegalArgumentException] {
-      DeltaInterop.exportToDelta(spark, lake, out)
-    }
-    assert(e.getMessage.contains("purgeFirst"), e.getMessage)
-    DeltaInterop.exportToDelta(spark, lake, out, purgeFirst = true)
+    DeltaInterop.exportToDelta(spark, lake, out)
+    // the export's commit declares the DV protocol gate
+    val commit0 = Files.readString(
+      Paths.get(s"$out/_delta_log/00000000000000000000.json"))
+    assert(commit0.contains(""""minReaderVersion":3"""))
+    assert(commit0.contains(""""readerFeatures":["deletionVectors"]"""))
+    assert(commit0.contains(""""storageType":"u""""))
     assert(DeltaInterop.readDelta(spark, out)
+      .select("k").as[Long].collect().toSet == (10L until 100L).toSet)
+    // source table untouched: vectors still live there
+    assert(LakeTable.dvOf(spark, lake,
+      LakeTable.versions(spark, lake).last).nonEmpty)
+    // purgeFirst path: plain protocol-1 export, no DV file written
+    val out2 = freshRoot() + "_d2"
+    DeltaInterop.exportToDelta(spark, lake, out2, purgeFirst = true)
+    val commit1 = Files.readString(
+      Paths.get(s"$out2/_delta_log/00000000000000000000.json"))
+    assert(commit1.contains(""""minReaderVersion":1"""))
+    assert(!commit1.contains("deletionVector"))
+    assert(DeltaInterop.readDelta(spark, out2)
       .select("k").as[Long].collect().toSet == (10L until 100L).toSet)
     // the purge landed on the source table too: vectors folded
     val latest = LakeTable.versions(spark, lake).last
