@@ -1911,6 +1911,84 @@ object SourceQueries {
         WHERE NOT (o_orderkey % 9 = 0 OR o_totalprice > 400000)"""),
       "lake MoR deletes → real Delta DV export → protocol read-back ≡ filter"),
 
+    // ---- Delta v2 (uuid) checkpoint + sidecars ------------------------------
+    // A log-cleaned Delta table whose only surviving base is a V2
+    // checkpoint: top-level `<v>.checkpoint.<uuid>.parquet` carrying
+    // protocol (3, v2Checkpoint feature) + metaData + one inline add
+    // + a `sidecar` reference, file actions for the rest living in
+    // `_delta_log/_sidecars/<name>.parquet`, plus a JSON tail commit —
+    // the shape current Delta writers emit at scale. Replay = top file
+    // ∪ sidecars ∪ tail. Oracle: the recomposed snapshot recomputed
+    // relationally.
+    "q322_delta_v2_checkpoint" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_deltav2_q322") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        def writeOne(df: org.apache.spark.sql.DataFrame, dir: String,
+                     name: String): Unit = {
+          val stage = s"$dir/_stage_$name"
+          df.coalesce(1).write.parquet(stage)
+          val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+            .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+          fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name"))
+          fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+        }
+        writeOne(o.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+          root, "part-a2.parquet")
+        writeOne(o.filter(col("o_orderkey") % 3 === 1), root,
+          "part-b.parquet")
+        writeOne(o.filter(col("o_orderkey") % 3 === 2), root,
+          "part-c.parquet")
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val schemaJson = om.writeValueAsString(o.schema.json)
+        val ckptSchema = StructType(Seq(
+          StructField("add", StructType(Seq(
+            StructField("path", StringType))), nullable = true),
+          StructField("remove", StructType(Seq(
+            StructField("path", StringType))), nullable = true),
+          StructField("metaData", StructType(Seq(
+            StructField("schemaString", StringType),
+            StructField("partitionColumns", ArrayType(StringType)))),
+            nullable = true),
+          StructField("protocol", StructType(Seq(
+            StructField("minReaderVersion", IntegerType),
+            StructField("readerFeatures", ArrayType(StringType)))),
+            nullable = true),
+          StructField("sidecar", StructType(Seq(
+            StructField("path", StringType))), nullable = true)))
+        import s.implicits._
+        // top-level v2 file: protocol + metaData + inline add(part-a2)
+        // + sidecar ref; sidecar: add(part-b) + remove tombstone
+        writeOne(s.read.schema(ckptSchema).json(Seq(
+          """{"protocol":{"minReaderVersion":3,"readerFeatures":["v2Checkpoint"]}}""",
+          s"""{"metaData":{"schemaString":$schemaJson,"partitionColumns":[]}}""",
+          """{"add":{"path":"part-a2.parquet"}}""",
+          """{"sidecar":{"path":"sc-q322.parquet"}}""").toDS()),
+          s"$root/_delta_log",
+          "00000000000000000002.checkpoint." +
+            "0f0e0d0c-1234-5678-9abc-def012345678.parquet")
+        writeOne(s.read.schema(ckptSchema).json(Seq(
+          """{"add":{"path":"part-b.parquet"}}""",
+          """{"remove":{"path":"part-a.parquet"}}""").toDS()),
+          s"$root/_delta_log/_sidecars", "sc-q322.parquet")
+        Files.writeString(Paths.get(s"$root/_delta_log/_last_checkpoint"),
+          """{"version":2}""")
+        Files.writeString(
+          Paths.get(s"$root/_delta_log/00000000000000000003.json"),
+          """{"add":{"path":"part-c.parquet","partitionValues":{},"size":1,"modificationTime":3,"dataChange":true}}""")
+        graft.sources.DeltaInterop.readDelta(s, root)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+               ELSE o_totalprice END AS o_totalprice
+        FROM orders"""),
+      "Delta v2 uuid-checkpoint + sidecar replay: ckpt ∪ sidecars ∪ tail"),
+
     // ---- metadata-only COUNT(*) --------------------------------------------
     // The Delta numRecords fast path: per-file row counts ride the
     // manifest as `#rows` stats (written from the parquet footers at

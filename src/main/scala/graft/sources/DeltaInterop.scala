@@ -9,12 +9,16 @@ import org.apache.spark.sql.types._
   * (delta.io protocol: `_delta_log/<v>.json` commits of add / remove /
   * metaData actions over plain parquet) — so tables written by OTHER
   * engines' Delta writers are directly queryable here, next to the
-  * native [[LakeTable]] manifests. Scope: JSON commit logs PLUS classic
-  * single-part `<v>.checkpoint.parquet` replay (real Delta writers
-  * checkpoint every 10 commits and clean old JSON, so mature tables are
-  * unreadable without it; the checkpoint's rows are the latest action
-  * per file in the same shape as commit actions, so one application
-  * path serves both). Multi-part and v2/uuid checkpoint shapes are
+  * native [[LakeTable]] manifests. Scope: JSON commit logs PLUS
+  * checkpoint replay in all three protocol shapes — classic single-part
+  * `<v>.checkpoint.parquet`, multi-part
+  * `<v>.checkpoint.<i>.<n>.parquet` (union of a complete part set), and
+  * v2 `<v>.checkpoint.<uuid>.{parquet,json}` with `sidecar` files under
+  * `_delta_log/_sidecars/` (real Delta writers checkpoint every 10
+  * commits and clean old JSON, so mature tables are unreadable without
+  * it; a checkpoint's rows are the latest action per file in the same
+  * shape as commit actions, so one application path serves both).
+  * Incomplete multi-part sets and unrecognized checkpoint names are
   * detected → error, never silent truncation. Add/remove/metaData
   * actions, unpartitioned and hive-partitioned tables (partition
   * values materialize from the add action's `partitionValues`, cast to
@@ -31,16 +35,35 @@ object DeltaInterop {
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** The log directory's layout: classic single-part checkpoint
-    * versions + surviving JSON commit versions, with every checkpoint
-    * shape this reader canNOT replay refused LOUDLY (never silent
-    * truncation): multi-part `<v>.checkpoint.<i>.<n>.parquet` and v2
-    * `<v>.checkpoint.<uuid>.{json,parquet}` (the uuid-json shape would
-    * even replay as commit data under a naive suffix check), plus a
-    * `_last_checkpoint` pointer naming a checkpoint that is neither
-    * present as a classic file nor covered by a complete JSON history
-    * (log-cleaned past what we can reconstruct). */
-  private case class LogLayout(checkpoints: Seq[Long], jsons: Seq[Long]) {
+  /** One replayable checkpoint of the log, in any of the three shapes
+    * the open protocol defines. */
+  private sealed trait Ckpt { def version: Long }
+  /** Classic `<v>.checkpoint.parquet` — one file, all actions. */
+  private case class ClassicCkpt(version: Long) extends Ckpt
+  /** Multi-part `<v>.checkpoint.<i>.<n>.parquet` — the version's
+    * actions split across `n` parts; replay unions all of them (a
+    * checkpoint holds at most one file action per path, so part order
+    * is immaterial). Constructed only when the part set is COMPLETE. */
+  private case class MultiPartCkpt(version: Long, parts: Seq[String])
+    extends Ckpt
+  /** V2 `<v>.checkpoint.<uuid>.{parquet,json}` — a top-level file
+    * holding checkpointMetadata/protocol/metaData plus file actions
+    * inline and/or `sidecar` references to parquet files under
+    * `_delta_log/_sidecars/` that carry the add/remove actions. */
+  private case class V2Ckpt(version: Long, file: String) extends Ckpt
+
+  /** The log directory's layout: replayable checkpoints (classic
+    * single-part, complete multi-part, v2+sidecars) + surviving JSON
+    * commit versions, with every checkpoint shape this reader canNOT
+    * replay refused LOUDLY (never silent truncation): an INCOMPLETE
+    * multi-part set (a missing part would silently drop its files),
+    * unrecognized `.checkpoint.` names, and a `_last_checkpoint`
+    * pointer naming a checkpoint that is neither present nor covered
+    * by a complete JSON history (log-cleaned past what we can
+    * reconstruct). The v2 uuid-json shape is classified here precisely
+    * because a naive `.json` suffix check would replay it as commit
+    * data. */
+  private case class LogLayout(checkpoints: Seq[Ckpt], jsons: Seq[Long]) {
     private def contiguousFrom(vs: Seq[Long], start: Long): Boolean =
       vs.zipWithIndex.forall { case (v, i) => v == start + i }
     /** JSON alone reconstructs every version: contiguous from 0 AND not
@@ -48,7 +71,7 @@ object DeltaInterop {
       * proves versions the JSON never saw). */
     def jsonComplete: Boolean =
       jsons.nonEmpty && jsons.head == 0L && contiguousFrom(jsons, 0L) &&
-        checkpoints.forall(_ <= jsons.last)
+        checkpoints.forall(_.version <= jsons.last)
     /** JSON commits newer than the newest checkpoint — the replay tail.
       * Must be gap-free right after the checkpoint. */
     def tailAfter(c: Long): Seq[Long] = {
@@ -69,24 +92,53 @@ object DeltaInterop {
     else {
       val names = f.listStatus(log).toSeq.map(_.getPath.getName)
       def isVer(s: String) = s.nonEmpty && s.forall(_.isDigit)
-      val classic = names.collect {
+      val classicRaw = names.collect {
         case n if n.endsWith(".checkpoint.parquet") &&
             isVer(n.dropRight(".checkpoint.parquet".length)) =>
-          n.dropRight(".checkpoint.parquet".length).toLong
-      }.sorted
+          (n.dropRight(".checkpoint.parquet".length).toLong, n)
+      }
+      val classic = classicRaw.map { case (v, _) => ClassicCkpt(v) }
+      val MultiPartName =
+        """(\d+)\.checkpoint\.(\d+)\.(\d+)\.parquet""".r
+      // v2 names carry a UUID between "checkpoint" and the extension
+      val V2Name =
+        """(\d+)\.checkpoint\.([0-9a-fA-F-]*[a-fA-F-][0-9a-fA-F-]*)\.(parquet|json)""".r
+      val multiRaw = names.collect {
+        case n @ MultiPartName(v, i, c) => (v.toLong, i.toLong, c.toLong, n)
+      }
+      val multi = multiRaw.groupBy(_._1).map { case (v, parts) =>
+        val counts = parts.map(_._3).distinct
+        val have = parts.map(_._2).sorted
+        if (counts.size != 1 || have != (1L to counts.head))
+          throw new UnsupportedOperationException(
+            s"$root: multi-part checkpoint $v is incomplete (have parts " +
+              s"${have.mkString(",")} of ${counts.mkString("/")}); " +
+              "replaying a partial checkpoint would silently drop files")
+        MultiPartCkpt(v, parts.sortBy(_._2).map(_._4))
+      }.toSeq
+      val v2 = names.collect { case n @ V2Name(v, _, _) => (v.toLong, n) }
+        .groupBy(_._1)
+        // concurrent writers may leave several uuid files for one
+        // version; each is complete — pick one deterministically
+        .map { case (v, fs0) => V2Ckpt(v, fs0.map(_._2).max) }.toSeq
+      val known: Set[String] = classicRaw.map(_._2).toSet ++
+        multiRaw.map(_._4) ++ names.collect { case n @ V2Name(_, _, _) => n }
       val otherCkpt = names.filter(n => n.contains(".checkpoint.") &&
-        !(n.endsWith(".checkpoint.parquet") &&
-          isVer(n.dropRight(".checkpoint.parquet".length))))
+        !known.contains(n))
       if (otherCkpt.nonEmpty)
         throw new UnsupportedOperationException(
-          s"$root has multi-part or v2 Delta checkpoints " +
+          s"$root has Delta checkpoints in an unrecognized shape " +
             s"(${otherCkpt.take(3).mkString(", ")}); this interop reader " +
-            "replays JSON commits and classic single-part checkpoints only")
+            "replays JSON commits plus classic, multi-part and " +
+            "v2+sidecar checkpoints only")
+      val v2Names = v2.map(_.file).toSet
       val jsons = names.collect {
-        case n if n.endsWith(".json") && isVer(n.dropRight(5)) =>
+        case n if n.endsWith(".json") && isVer(n.dropRight(5)) &&
+            !v2Names.contains(n) =>
           n.dropRight(5).toLong
       }.sorted
-      val layout = LogLayout(classic, jsons)
+      val layout = LogLayout(
+        (classic ++ multi ++ v2).sortBy(_.version), jsons)
       if (names.contains("_last_checkpoint")) {
         // the pointer is a hint (our listing is authoritative), but a
         // pointer to a checkpoint we can neither see nor cover via
@@ -97,15 +149,11 @@ object DeltaInterop {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(txt)
         val vlc = node.path("version").asLong(-1L)
-        if (node.path("parts").asInt(1) > 1)
-          throw new UnsupportedOperationException(
-            s"$root: _last_checkpoint declares a multi-part checkpoint " +
-              s"(parts=${node.path("parts").asInt()}); unsupported")
-        if (vlc >= 0 && !classic.contains(vlc) &&
+        if (vlc >= 0 && !layout.checkpoints.exists(_.version == vlc) &&
             !(layout.jsonComplete && layout.jsons.last >= vlc))
           throw new UnsupportedOperationException(
             s"$root: _last_checkpoint points at version $vlc but no " +
-              "classic checkpoint file for it survives and the JSON " +
+              "replayable checkpoint for it survives and the JSON " +
               "history is incomplete — cannot reconstruct the table")
       }
       layout
@@ -114,11 +162,12 @@ object DeltaInterop {
 
   /** Committed versions (ascending) of the Delta log at `root` that this
     * reader can serve as snapshots: with a complete JSON history, every
-    * commit; with log-cleaned history, each classic single-part
-    * checkpoint version plus the contiguous JSON tail after the newest
-    * one (the overwhelmingly common real-table shape — Delta writers
-    * checkpoint every 10 commits and clean old JSON). Multi-part and v2
-    * checkpoint shapes are refused loudly, never silently truncated. */
+    * commit; with log-cleaned history, each surviving checkpoint version
+    * (classic single-part, complete multi-part, or v2+sidecars) plus the
+    * contiguous JSON tail after the newest one (the overwhelmingly
+    * common real-table shape — Delta writers checkpoint every 10 commits
+    * and clean old JSON). Unreplayable checkpoint shapes are refused
+    * loudly, never silently truncated. */
   def deltaVersions(spark: SparkSession, root: String): Seq[Long] = {
     val layout = layoutOf(spark, root)
     if (layout.checkpoints.isEmpty && layout.jsons.isEmpty) Seq.empty
@@ -129,7 +178,8 @@ object DeltaInterop {
           s"(${layout.jsons.mkString(",")}) and no checkpoint survives — " +
           "log-cleaned history; replay would silently miss actions")
     else
-      (layout.checkpoints ++ layout.tailAfter(layout.checkpoints.last))
+      (layout.checkpoints.map(_.version) ++
+        layout.tailAfter(layout.checkpoints.last.version))
         .distinct.sorted
   }
 
@@ -159,7 +209,49 @@ object DeltaInterop {
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
       StructField("readerFeatures", ArrayType(StringType)))),
-      nullable = true)))
+      nullable = true),
+    // v2-checkpoint actions: sidecar references (file actions live in
+    // parquet files under _delta_log/_sidecars/) — absent from commit
+    // JSONs and classic checkpoints, where the explicit schema reads
+    // them as null
+    StructField("sidecar", StructType(Seq(
+      StructField("path", StringType))), nullable = true)))
+
+  /** All actions of one checkpoint, whatever its shape: classic = one
+    * parquet; multi-part = the union of its parts (at most one file
+    * action per path, so order is immaterial); v2 = the top-level
+    * uuid file (parquet or json) plus every sidecar parquet it
+    * references. Row counts are checkpoint-sized (latest action per
+    * live/tombstoned file) — the same driver-side bound every Delta
+    * client pays. */
+  private def checkpointActions(spark: SparkSession, root: String,
+                                c: Ckpt): Seq[Row] = c match {
+    case ClassicCkpt(v) =>
+      spark.read.schema(actionSchema)
+        .parquet(f"$root/_delta_log/$v%020d.checkpoint.parquet")
+        .collect().toSeq
+    case MultiPartCkpt(_, parts) =>
+      spark.read.schema(actionSchema)
+        .parquet(parts.map(p => s"$root/_delta_log/$p"): _*)
+        .collect().toSeq
+    case V2Ckpt(_, file) =>
+      val top =
+        if (file.endsWith(".json"))
+          spark.read.schema(actionSchema)
+            .json(s"$root/_delta_log/$file").collect().toSeq
+        else
+          spark.read.schema(actionSchema)
+            .parquet(s"$root/_delta_log/$file").collect().toSeq
+      val sidecars = top.flatMap(r => Option(r.getAs[Row]("sidecar")))
+        .map(_.getAs[String]("path"))
+        .map(p => if (p.contains("/")) p else s"_sidecars/$p")
+      val rest =
+        if (sidecars.isEmpty) Seq.empty
+        else spark.read.schema(actionSchema)
+          .parquet(sidecars.map(p => s"$root/_delta_log/$p"): _*)
+          .collect().toSeq
+      top ++ rest
+  }
 
   private case class LiveFile(partitionValues: Map[String, String],
                               stats: Option[String],
@@ -176,28 +268,26 @@ object DeltaInterop {
     var schemaString: Option[String] = None
     var partCols: Seq[String] = Seq.empty
     // base: with a complete JSON history replay JSON from 0 (keeps time
-    // travel to every version); otherwise load the newest classic
-    // checkpoint at or below `upTo` — its rows are the latest action per
-    // file (live adds + remove tombstones) plus protocol/metaData, the
-    // same Row shape as a commit, so one action-application path serves
-    // both (tombstone "removes" are no-ops against the empty state)
-    val base: Option[Long] =
+    // travel to every version); otherwise load the newest checkpoint
+    // (any replayable shape) at or below `upTo` — its rows are the
+    // latest action per file (live adds + remove tombstones) plus
+    // protocol/metaData, the same Row shape as a commit, so one
+    // action-application path serves both (tombstone "removes" are
+    // no-ops against the empty state)
+    val base: Option[Ckpt] =
       if (layout.jsonComplete) None
-      else Some(layout.checkpoints.filter(_ <= upTo).lastOption.getOrElse(
-        throw new IllegalArgumentException(
+      else Some(layout.checkpoints.filter(_.version <= upTo).lastOption
+        .getOrElse(throw new IllegalArgumentException(
           s"$root: version $upTo predates the oldest surviving " +
-            s"checkpoint (${layout.checkpoints.headOption.getOrElse(-1L)})" +
+            s"checkpoint (${layout.checkpoints.headOption
+              .map(_.version).getOrElse(-1L)})" +
             " and the JSON history is incomplete")))
     val jsonVersions = base match {
       case None => layout.jsons.filter(_ <= upTo)
-      case Some(c) => layout.tailAfter(c).filter(_ <= upTo)
+      case Some(c) => layout.tailAfter(c.version).filter(_ <= upTo)
     }
     val actionBatches: Seq[Seq[Row]] =
-      base.map { c =>
-        spark.read.schema(actionSchema)
-          .parquet(f"$root/_delta_log/$c%020d.checkpoint.parquet")
-          .collect().toSeq
-      }.toSeq ++
+      base.map(c => checkpointActions(spark, root, c)).toSeq ++
       jsonVersions.map { v =>
         spark.read.schema(actionSchema)
           .json(f"$root/_delta_log/$v%020d.json").collect().toSeq
@@ -210,26 +300,27 @@ object DeltaInterop {
           // the set it implements (a blocklist would silently replay
           // tables carrying features invented after this code — e.g.
           // typeWidening — and return wrong data). This replay
-          // implements exactly ONE optional reader feature —
-          // deletionVectors ([[DeltaDeletionVectors]]) — so any other
-          // listed feature refuses, and so does minReaderVersion 2
-          // (column-mapping capability mandated without a feature list
-          // to inspect).
+          // implements exactly TWO optional reader features —
+          // deletionVectors ([[DeltaDeletionVectors]]) and v2Checkpoint
+          // ([[checkpointActions]]) — so any other listed feature
+          // refuses, and so does minReaderVersion 2 (column-mapping
+          // capability mandated without a feature list to inspect).
+          val implemented = Set("deletionVectors", "v2Checkpoint")
           val feats = Option(p.getAs[scala.collection.Seq[String]](
             "readerFeatures")).map(_.toSeq).getOrElse(Seq.empty)
-          val unsupported = feats.filterNot(_ == "deletionVectors")
+          val unsupported = feats.filterNot(implemented)
           if (unsupported.nonEmpty)
             throw new UnsupportedOperationException(
               s"$root requires Delta reader features " +
                 s"${unsupported.mkString(", ")}; this interop reader " +
-                "implements only deletionVectors")
+                s"implements only ${implemented.mkString(", ")}")
           val mrv = if (p.isNullAt(p.fieldIndex("minReaderVersion"))) 1
             else p.getInt(p.fieldIndex("minReaderVersion"))
           if (mrv != 1 && mrv != 3)
             throw new UnsupportedOperationException(
               s"$root declares minReaderVersion $mrv; this interop " +
                 "reader supports version 1 (and 3 with readerFeatures " +
-                "⊆ {deletionVectors})")
+                "⊆ {deletionVectors, v2Checkpoint})")
         }
         Option(a.getAs[Row]("metaData")).foreach { m =>
           Option(m.getAs[String]("schemaString"))

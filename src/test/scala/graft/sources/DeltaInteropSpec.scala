@@ -109,11 +109,11 @@ class DeltaInteropSpec extends SparkSpec {
       .select("k").as[Long].collect().toSet == Set(2L, 3L))
   }
 
-  // build a classic single-part checkpoint parquet from action-JSON
-  // lines (the shape real Delta writers emit: latest action per file +
+  // build a checkpoint parquet (any file name) from action-JSON lines
+  // (the shape real Delta writers emit: latest action per file +
   // protocol + metaData, one row each)
-  private def writeCheckpoint(root: String, v: Long,
-                              actions: Seq[String]): Unit = {
+  private def writeCkptFile(dir: String, name: String,
+                            actions: Seq[String]): Unit = {
     import org.apache.spark.sql.types._
     val s = StructType(Seq(
       StructField("add", StructType(Seq(
@@ -132,11 +132,17 @@ class DeltaInteropSpec extends SparkSpec {
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
         StructField("readerFeatures", ArrayType(StringType)))),
-        nullable = true)))
+        nullable = true),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType))), nullable = true)))
     val df = spark.read.schema(s).json(actions.toDS)
-    writeOne(df, s"$root/_delta_log",
-      f"$v%020d.checkpoint.parquet")
+    writeOne(df, dir, name)
   }
+
+  private def writeCheckpoint(root: String, v: Long,
+                              actions: Seq[String]): Unit =
+    writeCkptFile(s"$root/_delta_log", f"$v%020d.checkpoint.parquet",
+      actions)
 
   test("classic single-part checkpoint replay: a log-cleaned mature "
       + "table reads via checkpoint + JSON tail; time travel to the "
@@ -195,26 +201,117 @@ class DeltaInteropSpec extends SparkSpec {
     }
   }
 
-  test("multi-part and v2 checkpoint shapes, and _last_checkpoint "
-      + "pointers, are refused too") {
-    // multi-part: <v>.checkpoint.<i>.<n>.parquet
+  private def kvSchemaJson(): String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    om.writeValueAsString(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType))).json)
+  }
+
+  test("multi-part checkpoint replay: a COMPLETE part set unions into "
+      + "one snapshot; a missing part refuses instead of silently "
+      + "dropping its files") {
+    val root = freshRoot()
+    writeOne(Seq((1L, "a")).toDF("k", "v"), root, "f1.parquet")
+    writeOne(Seq((2L, "b")).toDF("k", "v"), root, "f2.parquet")
+    writeOne(Seq((3L, "c")).toDF("k", "v"), root, "f3.parquet")
+    val sj = kvSchemaJson()
+    // v2 checkpointed across two parts; v0-v2 JSONs log-cleaned
+    writeCkptFile(s"$root/_delta_log",
+      "00000000000000000002.checkpoint.0000000001.0000000002.parquet",
+      Seq("""{"protocol":{"minReaderVersion":1}}""",
+        s"""{"metaData":{"schemaString":$sj,"partitionColumns":[]}}""",
+        """{"add":{"path":"f1.parquet","partitionValues":{}}}"""))
+    writeCkptFile(s"$root/_delta_log",
+      "00000000000000000002.checkpoint.0000000002.0000000002.parquet",
+      Seq("""{"add":{"path":"f2.parquet","partitionValues":{}}}""",
+        """{"remove":{"path":"f0.parquet"}}"""))
+    commit(root, 3L, Seq(
+      """{"add":{"path":"f3.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    assert(DeltaInterop.deltaVersions(spark, root) == Seq(2L, 3L))
+    assert(DeltaInterop.readDelta(spark, root)
+      .select("k").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(DeltaInterop.readDelta(spark, root, Some(2L))
+      .select("k").as[Long].collect().toSet == Set(1L, 2L))
+    // deleting one part makes the set incomplete → loud refusal
+    Files.delete(Paths.get(s"$root/_delta_log/" +
+      "00000000000000000002.checkpoint.0000000002.0000000002.parquet"))
+    val e = intercept[UnsupportedOperationException] {
+      DeltaInterop.deltaVersions(spark, root)
+    }
+    assert(e.getMessage.contains("incomplete"))
+  }
+
+  test("v2 uuid checkpoint replay: the top-level parquet's sidecar "
+      + "actions pull file actions from _delta_log/_sidecars/, inline "
+      + "file actions apply too, and the v2Checkpoint reader feature "
+      + "is accepted") {
+    val root = freshRoot()
+    writeOne(Seq((1L, "a")).toDF("k", "v"), root, "f1.parquet")
+    writeOne(Seq((2L, "b")).toDF("k", "v"), root, "f2.parquet")
+    writeOne(Seq((3L, "c")).toDF("k", "v"), root, "f3.parquet")
+    val sj = kvSchemaJson()
+    // top-level v2 file: protocol(3/7 + v2Checkpoint), metaData, ONE
+    // inline add, and a sidecar reference carrying the other add +
+    // a tombstone
+    writeCkptFile(s"$root/_delta_log",
+      "00000000000000000002.checkpoint." +
+        "3a4b5c6d-1111-2222-3333-444455556666.parquet",
+      Seq("""{"protocol":{"minReaderVersion":3,"readerFeatures":["v2Checkpoint"]}}""",
+        s"""{"metaData":{"schemaString":$sj,"partitionColumns":[]}}""",
+        """{"add":{"path":"f1.parquet","partitionValues":{}}}""",
+        """{"sidecar":{"path":"sc-001.parquet"}}"""))
+    writeCkptFile(s"$root/_delta_log/_sidecars", "sc-001.parquet",
+      Seq("""{"add":{"path":"f2.parquet","partitionValues":{}}}""",
+        """{"remove":{"path":"f0.parquet"}}"""))
+    Files.writeString(Paths.get(s"$root/_delta_log/_last_checkpoint"),
+      """{"version":2}""")
+    commit(root, 3L, Seq(
+      """{"add":{"path":"f3.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    assert(DeltaInterop.deltaVersions(spark, root) == Seq(2L, 3L))
+    assert(DeltaInterop.readDelta(spark, root)
+      .select("k").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(DeltaInterop.readDelta(spark, root, Some(2L))
+      .select("k").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("the v2 uuid-JSON top-level shape replays as a CHECKPOINT, "
+      + "never as commit data (the naming collision a naive suffix "
+      + "check would hit)") {
+    val root = freshRoot()
+    writeOne(Seq((1L, "a")).toDF("k", "v"), root, "f1.parquet")
+    val sj = kvSchemaJson()
+    // uuid-json checkpoint at v1 holding the live state
+    Files.createDirectories(Paths.get(s"$root/_delta_log"))
+    Files.writeString(Paths.get(s"$root/_delta_log/" +
+      "00000000000000000001.checkpoint." +
+      "aaaabbbb-cccc-dddd-eeee-ffff00001111.json"), Seq(
+      """{"protocol":{"minReaderVersion":3,"readerFeatures":["v2Checkpoint"]}}""",
+      s"""{"metaData":{"schemaString":$sj,"partitionColumns":[]}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{}}}""")
+      .mkString("\n"))
+    // versions = [1] (the checkpoint), NOT [1] from a misparsed commit:
+    // time travel below it refuses, proving it was not read as v-JSON
+    assert(DeltaInterop.deltaVersions(spark, root) == Seq(1L))
+    assert(DeltaInterop.readDelta(spark, root)
+      .select("k").as[Long].collect().toSet == Set(1L))
+    intercept[Exception] {
+      DeltaInterop.readDelta(spark, root, Some(0L))
+    }
+  }
+
+  test("unrecognized checkpoint names and dangling _last_checkpoint "
+      + "pointers are refused") {
+    // a checkpoint-ish name that matches no protocol shape
     val r1 = freshRoot()
     commit(r1, 0L, Seq("""{"metaData":{"id":"x","schemaString":"{}","partitionColumns":[]}}"""))
     Files.write(Paths.get(s"$r1/_delta_log/" +
-      "00000000000000000010.checkpoint.0000000001.0000000002.parquet"),
+      "00000000000000000010.checkpoint.weird.shape.extra.parquet"),
       Array[Byte](1))
     intercept[UnsupportedOperationException] {
       DeltaInterop.deltaVersions(spark, r1)
-    }
-    // v2: <v>.checkpoint.<uuid>.json — naming collides with commit
-    // JSONs, so a suffix check alone would replay it as data
-    val r2 = freshRoot()
-    commit(r2, 0L, Seq("""{"metaData":{"id":"x","schemaString":"{}","partitionColumns":[]}}"""))
-    Files.write(Paths.get(s"$r2/_delta_log/" +
-      "00000000000000000010.checkpoint.80a083e8-7026.json"),
-      Array[Byte](1))
-    intercept[UnsupportedOperationException] {
-      DeltaInterop.deltaVersions(spark, r2)
     }
     // a _last_checkpoint pointer means checkpoints exist(ed) even if
     // none is visible in this listing
