@@ -213,6 +213,93 @@ object Quality {
         when(col("log_odds") > 0.0d, 1).otherwise(0))
   }
 
+  /** K-CLASS multinomial Naive Bayes — [[nbScore]] generalized to the
+    * multiclass gates real curation stacks run (CCNet / fastText heads
+    * are routinely per-domain or lang×quality, not binary): the same
+    * vocab-keyed distributed parameter table now carries one count
+    * column per class, scoring is the same explode + vocab join + one
+    * per-doc aggregation with K fixed-point sums, and the prediction is
+    * the smoothed-log-posterior ARGMAX (ties break to the earliest
+    * class in `classes` — deterministic, so cross-engine replayable).
+    *
+    * `classes` declares the label domain explicitly (a gate knows its
+    * heads), which keeps the plan buildable without an eager pass over
+    * the training set; degenerate training still refuses AT EXECUTION,
+    * exactly like the binary gate: a declared class with ZERO training
+    * docs, or a training label OUTSIDE `classes`, raises in-plan via
+    * `raise_error` rather than silently skewing every posterior.
+    *
+    * Returns (idCol, n_tok, score_<class>..., pred) where each score is
+    * the quantized log posterior ln(prior_k) + Σ ln((c_kw+1)/(t_k+V)).
+    * For K=2 the decision agrees with [[nbScore]] up to quantization
+    * placement: there the per-position DIFFERENCE quantizes, here each
+    * class's log-prob does, so score_1 − score_0 tracks log_odds within
+    * 1e-4 per token position. */
+  def nbScoreK(train: DataFrame, labelCol: String, trainToksCol: String,
+               classes: Seq[String], score: DataFrame, idCol: String,
+               scoreToksCol: String): DataFrame = {
+    require(classes.size >= 2,
+      s"nbScoreK: need at least 2 classes, got ${classes.size}")
+    require(classes.distinct.size == classes.size,
+      s"nbScoreK: duplicate class labels in ${classes.mkString(",")}")
+    val ks = classes.indices
+    def q4c(c: Column): Column =
+      floor(c * 10000d + 0.5d).cast("long").cast("double") / 10000d
+    val tr = train.select(col(labelCol).cast("string").as("__y"),
+      col(trainToksCol).as("__toks"))
+    val trtok = tr.select(col("__y"), explode(col("__toks")).as("__w"))
+    // vocab-keyed per-class counts: the distributed parameter table
+    val cCols = classes.zipWithIndex.map { case (cls, k) =>
+      sum(when(col("__y") === cls, 1L).otherwise(0L)).as(s"__c$k") }
+    val cw = trtok.groupBy("__w").agg(cCols.head, cCols.tail: _*)
+    // one-row model constants: per-class token totals + vocab size
+    val tCols = ks.map(k => sum(col(s"__c$k")).as(s"__t$k")) :+
+      count(lit(1)).as("__v")
+    val tot = cw.agg(tCols.head, tCols.tail: _*)
+    // per-class doc counts + the count of labels outside `classes`
+    val dCols = classes.zipWithIndex.map { case (cls, k) =>
+      sum(when(col("__y") === cls, 1L).otherwise(0L)).as(s"__d$k") } :+
+      sum(when(col("__y").isInCollection(classes), 0L).otherwise(1L))
+        .as("__unk")
+    val pri = tr.agg(dCols.head, dCols.tail: _*)
+    val dTot = ks.map(k => col(s"__d$k")).reduce(_ + _)
+    def priLo(k: Int): Column =
+      when(col("__unk") > 0, raise_error(concat(
+        lit("nbScoreK: training labels outside the declared classes ("),
+        col("__unk"), lit(" docs)"))))
+        .otherwise(when(ks.map(j => col(s"__d$j") > 0).reduce(_ && _),
+          q4c(log(col(s"__d$k").cast("double") / dTot.cast("double"))))
+          .otherwise(raise_error(concat(
+            lit("nbScoreK: every declared class needs training docs " +
+              "(got "),
+            concat_ws("/", ks.map(j => col(s"__d$j").cast("string")): _*),
+            lit(s" for ${classes.mkString("/")})")))))
+    val pos = score.select(col(idCol), explode(col(scoreToksCol)).as("__w"))
+    val lp = pos.join(cw, Seq("__w"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol) +: ks.map { k =>
+        q4c(log((coalesce(col(s"__c$k"), lit(0L)) + lit(1L)).cast("double") /
+          (col(s"__t$k") + col("__v")).cast("double"))).as(s"__lp$k")
+      }: _*)
+    val sCols = ks.map(k =>
+      (sum(floor(col(s"__lp$k") * 10000d + 0.5d).cast("long"))
+        .cast("double") / 10000d).as(s"__s$k")) :+
+      count(lit(1)).as("__n")
+    val sums = lp.groupBy(idCol).agg(sCols.head, sCols.tail: _*)
+    val scored = score.select(col(idCol)).distinct()
+      .join(sums, Seq(idCol), "left")
+      .crossJoin(broadcast(pri))
+      .select(col(idCol) +:
+        coalesce(col("__n"), lit(0L)).as("n_tok") +:
+        classes.zipWithIndex.map { case (cls, k) =>
+          q4c(coalesce(col(s"__s$k"), lit(0.0d)) + priLo(k))
+            .as(s"score_$cls") }: _*)
+    val best = greatest(classes.map(cls => col(s"score_$cls")): _*)
+    // first class (in declaration order) reaching the max wins ties
+    scored.withColumn("pred", coalesce(
+      classes.map(cls => when(col(s"score_$cls") === best, cls)): _*))
+  }
+
   def trainLogistic(df: DataFrame, features: Seq[(String, Column)],
                     label: Column, iters: Int,
                     lr: Double): Seq[(String, Double)] = {

@@ -927,6 +927,91 @@ object RetrievalQueries {
         GROUP BY source"""),
       "NB quality gate: per-source surviving mix ≡ replayed gate"),
 
+    // ---- MULTICLASS Naive Bayes head ---------------------------------------
+    // The K-class generalization real stacks run (per-domain or
+    // lang×quality heads, not one log-odds): three training pools —
+    // src0–4 "hi", src8–11 "mid", src15–19 "lo" — share ONE vocab-keyed
+    // parameter table with one count column per class; every document
+    // scores K smoothed log posteriors and predicts the argmax (ties to
+    // the earliest declared class). The oracle replays the full model —
+    // per-class counts, totals, priors, quantized per-position
+    // log-probs, fixed-point sums, and the argmax CASE — so the
+    // 3-class posterior surface is hash-verified end to end.
+    "q323_nb_multiclass" -> Q(
+      (s, d) => {
+        val tk = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            filter(Text.tokens(Text.normalize(col("text"))),
+              t => t =!= "").as("toks"))
+        val hi = (0 to 4).map(i => s"src$i")
+        val mid = (8 to 11).map(i => s"src$i")
+        val lo = (15 to 19).map(i => s"src$i")
+        val train = tk
+          .filter(col("source").isin((hi ++ mid ++ lo).map(x => x: Any): _*))
+          .select(when(col("source").isin(hi.map(x => x: Any): _*), "hi")
+            .when(col("source").isin(mid.map(x => x: Any): _*), "mid")
+            .otherwise("lo").as("y"), col("toks"))
+        graft.ops.Quality.nbScoreK(train, "y", "toks",
+          Seq("hi", "mid", "lo"), tk, "doc_id", "toks")
+      },
+      Some {
+        val hiIn = (0 to 4).map(i => s"'src$i'").mkString(", ")
+        val midIn = (8 to 11).map(i => s"'src$i'").mkString(", ")
+        val allIn = ((0 to 4) ++ (8 to 11) ++ (15 to 19))
+          .map(i => s"'src$i'").mkString(", ")
+        def lpK(c: String, t: String) = Q4(
+          s"ln(CAST(coalesce($c, 0) + 1 AS DOUBLE) / CAST($t + v AS DOUBLE))")
+        def priK(dk: String) = Q4(
+          s"ln(CAST($dk AS DOUBLE) / CAST(dh + dm + dl AS DOUBLE))")
+        s"""WITH tk AS (
+            SELECT doc_id, source, list_filter($tokSql, t -> t <> '') AS toks
+            FROM documents),
+          tr AS (SELECT CASE WHEN source IN ($hiIn) THEN 'hi'
+                   WHEN source IN ($midIn) THEN 'mid'
+                   ELSE 'lo' END AS y, toks
+                 FROM tk WHERE source IN ($allIn)),
+          trtok AS (SELECT y, unnest(toks) AS w FROM tr),
+          cw AS (SELECT w,
+              CAST(sum(CASE WHEN y = 'hi' THEN 1 ELSE 0 END) AS BIGINT) AS ch,
+              CAST(sum(CASE WHEN y = 'mid' THEN 1 ELSE 0 END) AS BIGINT) AS cm,
+              CAST(sum(CASE WHEN y = 'lo' THEN 1 ELSE 0 END) AS BIGINT) AS cl
+            FROM trtok GROUP BY w),
+          tot AS (SELECT CAST(sum(ch) AS BIGINT) AS th,
+              CAST(sum(cm) AS BIGINT) AS tm,
+              CAST(sum(cl) AS BIGINT) AS tl, count(*) AS v FROM cw),
+          pri AS (SELECT
+              CAST(sum(CASE WHEN y = 'hi' THEN 1 ELSE 0 END) AS BIGINT) AS dh,
+              CAST(sum(CASE WHEN y = 'mid' THEN 1 ELSE 0 END) AS BIGINT) AS dm,
+              CAST(sum(CASE WHEN y = 'lo' THEN 1 ELSE 0 END) AS BIGINT) AS dl
+            FROM tr),
+          pos AS (SELECT doc_id, unnest(toks) AS w FROM tk),
+          lps AS (SELECT doc_id,
+              ${lpK("ch", "th")} AS lph,
+              ${lpK("cm", "tm")} AS lpm,
+              ${lpK("cl", "tl")} AS lpl
+            FROM pos LEFT JOIN cw USING (w) CROSS JOIN tot),
+          agg AS (SELECT doc_id, ${XSUM4("lph")} AS sh,
+              ${XSUM4("lpm")} AS sm, ${XSUM4("lpl")} AS sl,
+              count(*) AS n
+            FROM lps GROUP BY doc_id),
+          sc AS MATERIALIZED (SELECT tk.doc_id AS doc_id,
+              coalesce(n, 0) AS n_tok,
+              ${Q4(s"coalesce(sh, CAST(0 AS DOUBLE)) + ${priK("dh")}")}
+                AS score_hi,
+              ${Q4(s"coalesce(sm, CAST(0 AS DOUBLE)) + ${priK("dm")}")}
+                AS score_mid,
+              ${Q4(s"coalesce(sl, CAST(0 AS DOUBLE)) + ${priK("dl")}")}
+                AS score_lo
+            FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id CROSS JOIN pri)
+          SELECT doc_id, n_tok, score_hi, score_mid, score_lo,
+            CASE WHEN score_hi >= score_mid AND score_hi >= score_lo
+                   THEN 'hi'
+                 WHEN score_mid >= score_lo THEN 'mid'
+                 ELSE 'lo' END AS pred
+          FROM sc"""
+      },
+      "3-class NB head: per-class posteriors + argmax ≡ replayed model"),
+
     // ---- BPE merge training ----------------------------------------------
     // Tokenizer training as a distributed job: the corpus-scale work is
     // ONE word-count shuffle; the 4 merge rounds then run on the

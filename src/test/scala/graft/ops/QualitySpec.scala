@@ -52,6 +52,88 @@ class QualitySpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("BOTH classes")), msgs(e).mkString("; "))
   }
 
+  test("nbScoreK matches hand-computed 3-class posteriors, argmax "
+      + "prediction, and first-class tie-break") {
+    val s = spark
+    import s.implicits._
+    // t_a=2 t_b=1 t_c=3, V=3, priors 1/3 each → q4(ln(1/3)) = -1.0986
+    val train = Seq(
+      ("a", Seq("good", "good")),
+      ("b", Seq("bad")),
+      ("c", Seq("weird", "weird", "weird"))).toDF("y", "toks")
+    val score = Seq(
+      (10L, Seq("good")),        // a: ln(3/5), b: ln(1/4), c: ln(1/6)
+      (11L, Seq.empty[String]),  // priors tie → earliest class wins
+      (12L, Seq("zzz"))          // OOV → smoothing alone: b wins (t_b min)
+    ).toDF("doc_id", "toks")
+    val out = Quality.nbScoreK(train, "y", "toks", Seq("a", "b", "c"),
+      score, "doc_id", "toks")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(10L).getAs[Long]("n_tok") == 1L)
+    assert(out(10L).getAs[Double]("score_a") == -1.6094d) // -0.5108-1.0986
+    assert(out(10L).getAs[Double]("score_b") == -2.4849d) // -1.3863-1.0986
+    assert(out(10L).getAs[Double]("score_c") == -2.8904d) // -1.7918-1.0986
+    assert(out(10L).getAs[String]("pred") == "a")
+    // zero tokens → every score is its prior; 3-way tie → "a"
+    assert(out(11L).getAs[Long]("n_tok") == 0L)
+    assert(out(11L).getAs[Double]("score_a") == -1.0986d)
+    assert(out(11L).getAs[Double]("score_b") == -1.0986d)
+    assert(out(11L).getAs[Double]("score_c") == -1.0986d)
+    assert(out(11L).getAs[String]("pred") == "a")
+    // OOV: the smallest class-token total smooths least negatively
+    assert(out(12L).getAs[String]("pred") == "b")
+    assert(out(12L).getAs[Double]("score_b") == -2.4849d)
+  }
+
+  test("nbScoreK K=2 decisions agree with the binary nbScore on its "
+      + "own fixture") {
+    val s = spark
+    import s.implicits._
+    val train = Seq(
+      (1, Seq("good", "good", "fine")),
+      (0, Seq("bad", "awful"))).toDF("y", "toks")
+    val score = Seq(
+      (10L, Seq("good", "bad")),
+      (11L, Seq.empty[String]),
+      (12L, Seq("zzz"))).toDF("doc_id", "toks")
+    val bin = Quality.nbScore(train, "y", "toks", score, "doc_id", "toks")
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("pred")).toMap
+    val multi = Quality.nbScoreK(train, "y", "toks", Seq("0", "1"),
+      score, "doc_id", "toks")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("pred")).toMap
+    // binary pred 0 ≡ multiclass "0" (log_odds 0 ties to class 0 in
+    // both: binary needs > 0, multiclass ties break to the first class)
+    assert(bin.keySet == multi.keySet)
+    bin.foreach { case (id, p) => assert(multi(id) == p.toString, s"doc $id") }
+  }
+
+  test("nbScoreK refuses at execution: a declared class with zero "
+      + "training docs, or a training label outside the declared set") {
+    val s = spark
+    import s.implicits._
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val score = Seq((1L, Seq("x"))).toDF("doc_id", "toks")
+    // class "c" declared but absent from training
+    val t1 = Seq(("a", Seq("x")), ("b", Seq("y"))).toDF("y", "toks")
+    val e1 = intercept[Exception](
+      Quality.nbScoreK(t1, "y", "toks", Seq("a", "b", "c"),
+        score, "doc_id", "toks").collect())
+    assert(msgs(e1).exists(_.contains("training docs")),
+      msgs(e1).mkString("; "))
+    // label "d" not among the declared classes
+    val t2 = Seq(("a", Seq("x")), ("b", Seq("y")), ("d", Seq("z")))
+      .toDF("y", "toks")
+    val e2 = intercept[Exception](
+      Quality.nbScoreK(t2, "y", "toks", Seq("a", "b"),
+        score, "doc_id", "toks").collect())
+    assert(msgs(e2).exists(_.contains("outside")), msgs(e2).mkString("; "))
+    // fewer than 2 classes refuses at plan build
+    intercept[IllegalArgumentException](
+      Quality.nbScoreK(t1, "y", "toks", Seq("a"),
+        score, "doc_id", "toks"))
+  }
+
   test("nbScore prior shifts the decision for unbalanced classes") {
     val s = spark
     import s.implicits._
