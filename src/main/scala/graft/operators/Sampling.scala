@@ -66,17 +66,33 @@ object Sampling {
     * accident. The reference histogram is driver-held metadata
     * (value-range/grid rows, the centroid pattern); the corpus never
     * shuffles (md5 gate + broadcast rate join, q153's plan).
-    */
+    *
+    * The histogram collect is bounded STRUCTURALLY, not by hope: at
+    * most `maxBuckets + 1` rows ever reach the driver (a `limit` above
+    * the collect), and exceeding `maxBuckets` refuses with the fix —
+    * widen the grid. Without the cap, a fine grid over a wide-range
+    * value column (e.g. grid=1e-6 on perplexities) would collect
+    * millions of rows: the one data-dependent driver transfer this
+    * module had. */
   def matchDistribution(df: DataFrame, reference: DataFrame, idCol: String,
                         valueCol: String, grid: Double,
-                        salt: String = "graft-matchdist:"): DataFrame = {
+                        salt: String = "graft-matchdist:",
+                        maxBuckets: Int = 65536): DataFrame = {
     require(grid > 0d, s"grid must be positive, got $grid")
+    require(maxBuckets >= 1, s"maxBuckets must be >= 1, got $maxBuckets")
     def bucket(c: Column): Column =
       floor(c.cast("double") / grid).cast("long").cast("string")
-    val targets = reference
+    val rows = reference
       .select(bucket(col(valueCol)).as("__b"))
       .groupBy("__b").agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toSeq
+      .limit(maxBuckets + 1)
+      .collect()
+    require(rows.length <= maxBuckets,
+      s"matchDistribution: the reference histogram exceeds $maxBuckets " +
+        s"buckets at grid=$grid — widen the grid (or raise maxBuckets); " +
+        "the target table must stay driver-held metadata")
+    val targets = rows.map(r => r.getString(0) -> r.getLong(1).toDouble)
+      .toSeq
     require(targets.nonEmpty,
       "matchDistribution: reference corpus is empty — no histogram to match")
     targetMix(df.withColumn("__b", bucket(col(valueCol))), "__b", idCol,

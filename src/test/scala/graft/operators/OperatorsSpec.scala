@@ -516,6 +516,23 @@ class SamplingSpec extends SparkSpec {
     assert(again.map(_._1).toSet == kept.map(_._1).toSet)
   }
 
+  test("matchDistribution: a pathological grid refuses before the "
+      + "histogram can flood the driver (structural limit, not a "
+      + "post-hoc count)") {
+    // 500 reference values spread wide; a tiny grid puts each in its
+    // own bucket → 500 buckets > maxBuckets=100 → refuse with the fix
+    val corpus = (1 to 50).map(i => (i.toLong, i.toDouble)).toDF("id", "len")
+    val ref = (1 to 500).map(i => (i.toLong, i * 1000.0)).toDF("id", "len")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.matchDistribution(corpus, ref, "id", "len",
+        grid = 0.001, maxBuckets = 100)
+    }
+    assert(e.getMessage.contains("widen the grid"), e.getMessage)
+    // the same data under a coarse grid (few buckets) still works
+    assert(Sampling.matchDistribution(corpus, ref, "id", "len",
+      grid = 1e6, maxBuckets = 100).count() > 0)
+  }
+
   test("uniformPerGroup: exactly k per big group, all of small groups, stable") {
     val rows = (1 to 55).map(i => (i.toLong, if (i <= 50) "big" else "small"))
     val df = rows.toDF("id", "grp")
