@@ -229,8 +229,10 @@ object Bench {
     val rerunJson =
       if (reruns.isEmpty) ""
       else s""","rerun_s":${qmap(reruns)}"""
+    // n_queries rides the artifact so closing-notes headlines are
+    // GENERATED from this line, never typed (the r12 "313 vs 314" slip)
     def line(rs: Seq[(String, Double)], extra: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(rs)},"failed":$failed,"sf":"$sfDir"$rerunJson$extra}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timings.length},"queries":${qmap(rs)},"failed":$failed,"sf":"$sfDir"$rerunJson$extra}"""
     // failures (-1) first so they never fall off the trimmed line
     val slowest40 = (timings.filter(_._2 < 0) ++
       timings.filter(_._2 >= 0).sortBy(-_._2)).take(40)

@@ -36,6 +36,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // gate-claim source of truth: closing notes quote THIS line (and
+    // check.py's pass/fail count), never hand-typed totals
+    System.err.println(s"[verify] dumped ${selected.size} queries, " +
+      s"${SparkEntry.oracleSql.size} oracle entries -> $outDir")
     spark.stop()
   }
 }

@@ -117,12 +117,26 @@ object Bpe {
     * merge — always exact. A fully-disjoint table batches whole (no
     * sharer has positive count, so no new pair can appear at all).
     * This is what turns a 32k-merge vocabulary from 32k sequential
-    * Spark rounds into a few thousand, with bit-identical output. */
+    * Spark rounds into a few thousand, with bit-identical output.
+    *
+    * The cap ADAPTS: `batchMerges` is the floor, not the ceiling.
+    * When a round's provable batch FILLS its cap — i.e. the cap, not
+    * the equivalence conditions, was binding — the next round tries
+    * twice as much (the only added cost is a cap+1-row driver collect,
+    * hard-ceilinged at max(batchMerges, 4096) so the collect stays
+    * structurally bounded); when the conditions bind, the cap decays
+    * to 2× the realized batch. Head-heavy disjoint vocabularies thus
+    * batch as wide as their structure allows with no tuning, while
+    * Zipf-plateau tables (where the safe prefix is 1–2) never pay for
+    * a cap they can't use. Equivalence is untouched — the proof per
+    * round never depends on the cap's value. */
   def trainMerges(vocab: DataFrame, wordCol: String, freqCol: String,
                   rounds: Int,
                   checkpointDir: Option[String] = None,
                   batchMerges: Int = 8): DataFrame = {
     require(batchMerges >= 1, "batchMerges must be >= 1")
+    var capNow = batchMerges
+    val capMax = math.max(batchMerges, 4096)
     val spark = vocab.sparkSession
     var syms = Graphs.persistStep(vocab.select(
       col(wordCol).cast("string").as("word"),
@@ -141,7 +155,7 @@ object Bpe {
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val cap = math.min(batchMerges, rounds - r + 1)
+      val cap = math.min(capNow, rounds - r + 1)
       // top rows reaching the driver stay bounded: cap + 1 (the +1 row
       // is the boundary whose count condition (2) reads)
       val top = pc
@@ -182,6 +196,11 @@ object Bpe {
             col("r").isInCollection(ms)).limit(1).collect().nonEmpty
           if (collides) batch = batch.take(1)
         }
+        // cap-filled → the cap was binding, try wider next round;
+        // conditions bound → decay toward what the table can prove
+        capNow =
+          if (batch.size == cap) math.min(capNow * 2, capMax)
+          else math.max(batchMerges, batch.size * 2)
         batch.foreach { case (a, b, cnt) =>
           merges += Row(r, a, b, cnt); r += 1
         }

@@ -154,6 +154,28 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("bpe: the adaptive cap grows past batchMerges on a disjoint "
+      + "vocabulary and stays bit-identical to sequential greedy") {
+    // 40 disjoint two-symbol alphabets (unicode letters, one word each,
+    // strictly decreasing freq so there are no ties): every merge is
+    // provably independent, so with batchMerges=2 the adaptive cap must
+    // double (2→4→8→16) to finish 40 merges — a fixed cap of 2 would
+    // need 20 driver rounds; adaptation needs ~6. Bit-exactness is the
+    // assertion; the growth shows up as this test finishing the same
+    // output with the small floor.
+    val fx = (0 until 40).map { i =>
+      val a = (0x3b1 + 2 * i).toChar // α, γ, ε, … distinct per word
+      val b = (0x3b2 + 2 * i).toChar
+      (s"$a$b$a$b", (1000L - i))
+    }
+    val seq1 = Bpe.trainMerges(fx.toDF("word", "freq"), "word", "freq",
+      rounds = 40, batchMerges = 1).collect().map(_.toSeq).toSeq
+    val ad = Bpe.trainMerges(fx.toDF("word", "freq"), "word", "freq",
+      rounds = 40, batchMerges = 2).collect().map(_.toSeq).toSeq
+    assert(ad == seq1)
+    assert(ad.size == 40)
+  }
+
   test("bpe: reliable-checkpoint path trains identical merges") {
     val vocab = Seq(("abab", 2L), ("abc", 1L), ("aaa", 3L)).toDF("word", "freq")
     val dir = java.nio.file.Files.createTempDirectory("bpeckpt").toString

@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Generate the closing-notes headline block FROM the artifacts of record,
+so gate claims are emitted, never typed (VERDICT r12 finding #1: the
+closing commit said 313/313 while the artifact held 314).
+
+Usage: python3 tools/claims.py [bench_out.json] [check_output.txt]
+
+- bench_out.json: the Bench main's artifact (default ./bench_out.json).
+- check_output.txt: optional file holding tools/check.py stdout; its
+  final "N pass, M fail" line becomes the correctness claim.
+
+Prints a markdown block to paste verbatim into BENCH_NOTES/README.
+Dev tool only — NOT part of the shipped library.
+"""
+import json, re, sys
+
+
+def main():
+    bench_path = sys.argv[1] if len(sys.argv) > 1 else "bench_out.json"
+    b = json.load(open(bench_path))
+    n = b.get("n_queries", len(b.get("queries", {})))
+    total = b["value"]
+    failed = b.get("failed", 0)
+    sf = b.get("sf", "?")
+    reruns = b.get("rerun_s", {})
+    lines = [
+        f"- bench of record ({bench_path}): **{total} s total, "
+        f"{n} queries, {failed} failures** at sf `{sf}`",
+    ]
+    if reruns:
+        rr = ", ".join(f"{k}={v}s" for k, v in sorted(reruns.items()))
+        lines.append(f"- self-adjudicated reruns: {rr}")
+    else:
+        lines.append("- self-adjudicated reruns: none triggered "
+                     "(`rerun_s` empty)")
+    if len(sys.argv) > 2:
+        txt = open(sys.argv[2]).read()
+        m = re.findall(r"(\d+) pass, (\d+) fail", txt)
+        if m:
+            p, f = m[-1]
+            lines.append(f"- correctness (tools/check.py): "
+                         f"**{p} pass, {f} fail**")
+    qs = {k: v for k, v in b.get("queries", {}).items() if v >= 0}
+    slow = sorted(qs.items(), key=lambda kv: -kv[1])[:5]
+    lines.append("- slowest 5: " + ", ".join(
+        f"{k} {v:.2f}s" for k, v in slow))
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
