@@ -301,3 +301,103 @@ object BpeStress {
     spark.stop()
   }
 }
+
+/** Streaming-latency probe for the graftlake SOURCE under admission
+  * control — the O(batch) evidence: build a lake table from one
+  * bootstrap commit plus STREAM_COMMITS equal-sized appends, then drain
+  * it with `maxVersionsPerBatch=1` + Trigger.AvailableNow and record
+  * EVERY micro-batch's trigger wall time from the progress events. If
+  * per-batch work is O(batch) end-to-end (offset resolution, manifest
+  * listing, change read, sink), the per-batch trend is FLAT as the
+  * consumed history grows; anything O(table) or O(versions) in the loop
+  * shows up as a rising tail. STRESS_FACTOR scales the per-commit row
+  * volume (10× rows per batch should cost ~10× per batch, not more).
+  * Env: SPARK_GRAFT_SF_DIR, STREAM_COMMITS (default 40), STREAM_ROWS
+  * (default 2000 rows/commit), STRESS_FACTOR (default 1). */
+object StreamStress {
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val commits = sys.env.getOrElse("STREAM_COMMITS", "40").toInt
+    val rowsPer = sys.env.getOrElse("STREAM_ROWS", "2000").toInt
+    val factor = sys.env.getOrElse("STRESS_FACTOR", "1").toInt
+    val base = sys.env.getOrElse("STREAM_STRESS_DIR", "/tmp/graft_streamstress")
+    val spark = Engine.local(appName = "graft-streamstress")
+    spark.sparkContext.setLogLevel("ERROR")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(base))
+    val root = s"$base/t"
+    val ckpt = s"$base/ckpt"
+    val n = rowsPer * factor
+    val o = Tables.orders(spark, srcDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .limit(n).coalesce(1).localCheckpoint(true)
+    val (_, tBuild) = {
+      val t0 = System.nanoTime()
+      graft.sources.LakeTable.append(o, root)
+      (1 until commits).foreach { i =>
+        graft.sources.LakeTable.append(
+          o.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L)),
+          root)
+      }
+      ((), (System.nanoTime() - t0) / 1e9)
+    }
+    // per-batch trigger wall times from the engine's own progress events
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val p = e.progress
+          batches.add((p.batchId, p.numInputRows,
+            Option(p.durationMs.get("triggerExecution"))
+              .map(_.longValue).getOrElse(-1L)))
+          ()
+        }
+      })
+    val seen = new java.util.concurrent.atomic.AtomicLong
+    val t0 = System.nanoTime()
+    val q = spark.readStream.format("graftlake").option("path", root)
+      .option("maxVersionsPerBatch", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.addAndGet(df.count()): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(1000) // drain the async listener bus
+    val bs = {
+      import scala.jdk.CollectionConverters._
+      batches.asScala.toSeq.sortBy(_._1).filter(_._2 > 0)
+    }
+    require(seen.get() == n.toLong * commits,
+      s"drained ${seen.get()} rows, expected ${n.toLong * commits}")
+    require(bs.size == commits,
+      s"expected $commits data batches (admission control: 1 version " +
+        s"per trigger), got ${bs.size}")
+    def mean(xs: Seq[Long]): Double =
+      if (xs.isEmpty) 0d else xs.sum.toDouble / xs.size
+    val times = bs.map(_._3)
+    val firstQ = times.take(commits / 4)
+    val lastQ = times.takeRight(commits / 4)
+    println(f"stream-stress: factor $factor%d, $commits%d commits x $n%d " +
+      f"rows (build ${tBuild}%.1f s)")
+    println(f"  drained ${seen.get()}%d rows in $wall%.1f s = " +
+      f"${bs.size / wall}%.2f batches/s (${bs.size}%d micro-batches)")
+    println(f"  per-batch triggerExecution: mean ${mean(times)}%.0f ms, " +
+      f"first-quartile mean ${mean(firstQ)}%.0f ms, " +
+      f"last-quartile mean ${mean(lastQ)}%.0f ms " +
+      f"(flatness ratio ${mean(lastQ) / math.max(mean(firstQ), 1d)}%.2f)")
+    println("  batch_ms=" + times.mkString(","))
+    spark.stop()
+  }
+}
