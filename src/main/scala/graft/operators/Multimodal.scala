@@ -215,6 +215,119 @@ object Multimodal {
     bits
   }
 
+  /** Fixed-point DCT basis for [[pHashOf]]: C(u)(i) =
+    * round(cos(π·(2i+1)·u / 64) · 2^14) for u < 8, i < 32 — the 8
+    * output frequencies over a 32-sample window. The table is PART OF
+    * THE ALGORITHM (the oracle embeds these exact integers as
+    * constants), so no engine ever re-derives a cosine at replay time
+    * and the last-ulp libm question disappears. */
+  private[graft] val phashCos: Array[Array[Long]] =
+    Array.tabulate(8, 32) { (u, i) =>
+      math.round(math.cos(math.Pi * (2 * i + 1) * u / 64.0) * 16384.0)
+    }
+
+  /** Perceptual DCT hash (pHash) kernel — the frequency-domain
+    * companion to [[dHashOf]]: 32×32 nearest-neighbor integer
+    * grayscale sample (sx = ⌊x·W/32⌋, sy = ⌊y·H/32⌋, gray =
+    * (r+g+b)/3 — the dHash determinism contract), then an ENTIRELY
+    * INTEGER 2-D DCT-II via [[phashCos]]: F(u,v) = Σ_y Σ_x g(x,y) ·
+    * C(u)(y) · C(v)(x) (≤ 2^47, no overflow), keep the 63
+    * low-frequency coefficients (u,v) < 8 minus the DC term, and set
+    * bit (u·8+v) iff the coefficient exceeds the lower median (sorted
+    * index 31 of 63). Where dHash reads 72 sampled pixels and flips a
+    * bit per disturbed comparison, every pHash bit aggregates all 1024
+    * samples — high-frequency noise spreads into coefficients the
+    * hash never reads. No floats anywhere, so an external engine
+    * replays the hash analytically from the pixel formula plus the
+    * embedded cosine table. */
+  private[operators] def pHashOf(img: java.awt.image.BufferedImage): Long = {
+    val (w, ht) = (img.getWidth, img.getHeight)
+    val g = Array.ofDim[Long](32, 32) // g(y)(x)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        val p = img.getRGB((x.toLong * w / 32).toInt,
+          (y.toLong * ht / 32).toInt)
+        g(y)(x) =
+          ((((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3).toLong
+        x += 1
+      }
+      y += 1
+    }
+    // row pass then column pass: t(u)(x) = Σ_y C(u)(y)·g(y)(x), then
+    // F(u)(v) = Σ_x C(v)(x)·t(u)(x) — 2·8·32 multiplies per output
+    // instead of 1024, same exact integer result as the double sum
+    val t = Array.ofDim[Long](8, 32)
+    var u = 0
+    while (u < 8) {
+      var x = 0
+      while (x < 32) {
+        var s = 0L; var yy = 0
+        while (yy < 32) { s += phashCos(u)(yy) * g(yy)(x); yy += 1 }
+        t(u)(x) = s
+        x += 1
+      }
+      u += 1
+    }
+    val coeffs = new Array[Long](63)
+    u = 0
+    var k = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (u != 0 || v != 0) {
+          var s = 0L; var x = 0
+          while (x < 32) { s += phashCos(v)(x) * t(u)(x); x += 1 }
+          coeffs(k) = s
+          k += 1
+        }
+        v += 1
+      }
+      u += 1
+    }
+    val med = coeffs.sorted.apply(31)
+    var bits = 0L
+    u = 0; k = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (u != 0 || v != 0) {
+          if (coeffs(k) > med) bits |= 1L << (u * 8 + v)
+          k += 1
+        }
+        v += 1
+      }
+      u += 1
+    }
+    bits
+  }
+
+  /** [[pHashOf]] over REAL ImageIO decode, the [[decodeDHash]] shape:
+    * partition-local, corrupt payloads yield NULL, appends a nullable
+    * LongType `phash` column. */
+  def decodePHash(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("phash", LongType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val h: java.lang.Long =
+          try {
+            val bytes = r.getAs[Array[Byte]](binIdx)
+            val img =
+              if (bytes == null) null
+              else javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+            if (img == null) null
+            else java.lang.Long.valueOf(pHashOf(img))
+          } catch { case scala.util.control.NonFatal(_) => null }
+        Row.fromSeq(r.toSeq :+ h)
+      }
+    }(enc)
+  }
+
   def decodeDHash(df: DataFrame, binCol: String): DataFrame = {
     val schema = StructType(df.schema.fields :+
       StructField("dhash", LongType, nullable = true))

@@ -111,6 +111,51 @@ object MultimodalQueries {
   private val imageRoot = "/tmp/graft_images"
   // bump when the pixel function or fixture set changes: a stale cached
   // set would otherwise silently poison the analytic oracles
+  /** DuckDB replay of [[Multimodal.decodePHash]] over the analytic
+    * fixture pixels — a CTE chain ending in `phashes(id, phash)`. The
+    * fixed-point cosine basis rides along as 256 integer VALUES rows
+    * (generated from [[Multimodal.phashCos]], the algorithm's own
+    * constants), the 2-D DCT is one grouped integer sum over
+    * gv ⋈ cos ⋈ cos, the lower median is the rn=32 row of the 63
+    * non-DC coefficients, and bit 63 lands through the same HUGEINT
+    * sign-term trick as the dHash replay. */
+  private val phashCtes: String = {
+    val ct = (for (u <- 0 until 8; i <- 0 until 32)
+      yield s"($u,$i,${graft.operators.Multimodal.phashCos(u)(i)})")
+      .mkString(", ")
+    s"""pgrid AS (
+          SELECT t.id, xs.x, ys.y,
+            ((xs.x * (8 + t.id % 5)) // 32) AS sx,
+            ((ys.y * (8 + t.id % 7)) // 32) AS sy
+          FROM range(200) t(id), range(32) xs(x), range(32) ys(y)),
+        pgv AS MATERIALIZED (
+          SELECT id, x, y,
+            ((((id*31 + sx*7 + sy*13) % 256)
+              + ((id*17 + sx*3 + sy*29) % 256)
+              + ((id*59 + sx*11 + sy*5) % 256)) // 3) AS g
+          FROM pgrid),
+        pct(u, i, c) AS (VALUES $ct),
+        pcoef AS MATERIALIZED (
+          SELECT pgv.id, a.u AS u, b.u AS v,
+            CAST(sum(CAST(pgv.g AS BIGINT) * a.c * b.c) AS BIGINT) AS f
+          FROM pgv JOIN pct a ON a.i = pgv.y JOIN pct b ON b.i = pgv.x
+          GROUP BY pgv.id, a.u, b.u),
+        pnz AS MATERIALIZED (
+          SELECT id, u, v, f,
+            row_number() OVER (PARTITION BY id ORDER BY f) AS rn
+          FROM pcoef WHERE NOT (u = 0 AND v = 0)),
+        pmed AS (SELECT id, f AS m FROM pnz WHERE rn = 32),
+        phashes AS MATERIALIZED (
+          SELECT pnz.id,
+            CAST(sum(CASE WHEN pnz.f > pmed.m THEN
+                CASE WHEN pnz.u*8 + pnz.v = 63
+                     THEN CAST(-9223372036854775808 AS HUGEINT)
+                     ELSE CAST(CAST(1 AS BIGINT) << (pnz.u*8 + pnz.v)
+                          AS HUGEINT) END
+                ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS phash
+          FROM pnz JOIN pmed USING (id) GROUP BY pnz.id)"""
+  }
+
   private val imageGen = "v2-png200-bmp10"
   private def ensureImages(): String = synchronized {
     val marker = java.nio.file.Paths.get(imageRoot, ".generation")
@@ -431,6 +476,60 @@ object MultimodalQueries {
         FROM fh a JOIN fh b ON a.fid < b.fid
         WHERE bit_count(xor(a.dhash, b.dhash)) <= 3"""),
       "banded Hamming image near-dup ≡ analytic brute force (lossless)"),
+
+    // ---- perceptual DCT hash (pHash) over REAL decode -----------------------
+    // The frequency-domain fingerprint beside q308's dHash: 32×32
+    // nearest-neighbor integer sample, fixed-point 2^14 DCT-II (the
+    // cosine table is embedded in the oracle as 256 integer constants —
+    // part of the algorithm, so no engine re-derives a cosine), 63
+    // low-band coefficients minus DC, lower-median threshold. Every
+    // step is integer arithmetic, so DuckDB recomputes all 200 hashes
+    // analytically: pixel formula → DCT sum → median window → bit
+    // assembly (HUGEINT sign-bit path included).
+    "q324_image_phash" -> Q(
+      (s, d) => {
+        val dir = ensureImages()
+        val bin = s.read.format("binaryFile").load(s"$dir/*.png")
+          .select(regexp_extract(col("path"), "img_(\\d+)\\.png", 1)
+            .cast("long").as("img_id"), col("content"))
+        Multimodal.decodePHash(bin, "content").select("img_id", "phash")
+      },
+      Some(s"""WITH $phashCtes
+        SELECT CAST(id AS BIGINT) AS img_id, phash FROM phashes"""),
+      "REAL-decode fixed-point DCT pHash ≡ analytic integer replay"),
+
+    // ---- pHash near-dup pairing: the q309 banding over the DCT hash --------
+    // The same lossless 4×16-bit Hamming banding, now over the
+    // frequency-domain hash: the oracle brute-forces all pairs over
+    // the analytic pHashes, so a banding miss or a kernel divergence
+    // on ANY of the 210 images (200 PNG + 10 BMP pixel twins, which
+    // must land at distance 0) breaks the hash.
+    "q325_phash_neardup" -> Q(
+      (s, d) => {
+        val dir = ensureImages()
+        val bin = s.read.format("binaryFile").load(s"$dir/*.{png,bmp}")
+          .select(concat(
+            regexp_extract(col("path"), "\\.(png|bmp)$", 1), lit("_"),
+            regexp_extract(col("path"), "(img|dup)_(\\d+)\\.", 2)
+              .cast("long").cast("string")).as("fid"),
+            col("content"))
+        graft.operators.Dedup.hammingPairsBanded(
+          Multimodal.decodePHash(bin, "content"), "fid", "phash",
+          bands = 4, maxHamming = 3)
+      },
+      Some(s"""WITH $phashCtes,
+        pfiles AS (
+          SELECT 'png_' || CAST(id AS VARCHAR) AS fid, id
+          FROM range(200) t(id)
+          UNION ALL
+          SELECT 'bmp_' || CAST(id AS VARCHAR), id FROM range(10) t2(id)),
+        pfh AS MATERIALIZED (
+          SELECT fid, phash FROM pfiles JOIN phashes USING (id))
+        SELECT a.fid AS id_a, b.fid AS id_b,
+          CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+        FROM pfh a JOIN pfh b ON a.fid < b.fid
+        WHERE bit_count(xor(a.phash, b.phash)) <= 3"""),
+      "banded Hamming pHash near-dup ≡ analytic brute force (lossless)"),
 
     // ---- per-frame video perceptual hashes ----------------------------------
     // The video near-dup primitive: every frame of every fixture GIF

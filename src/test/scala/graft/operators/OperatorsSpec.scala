@@ -1268,6 +1268,102 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L).isEmpty)
   }
 
+  test("decodePHash: fixed-point DCT hash — container/brightness " +
+      "invariance, corrupt -> null, and the cosine table is the pinned " +
+      "2^14 fixed-point basis") {
+    // basis sanity: C(0)(i) = 16384 exactly (cos 0), antisymmetry of
+    // the odd rows, values bounded by the scale
+    assert(Multimodal.phashCos(0).forall(_ == 16384L))
+    assert(Multimodal.phashCos.flatten.forall(c => math.abs(c) <= 16384L))
+    assert((0 until 32).forall(i =>
+      Multimodal.phashCos(1)(i) == -Multimodal.phashCos(1)(31 - i)))
+    def encode(img: java.awt.image.BufferedImage,
+               fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    def mk(shift: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        40, 40, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 40; x <- 0 until 40) {
+        val v = (x * 5 + (y / 8) * 37 + shift) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val df = Seq(
+      (1L, encode(mk(0), "png")),
+      (2L, encode(mk(0), "bmp")),  // same pixels, other container
+      (3L, Array[Byte](9, 9, 9)))  // corrupt
+      .toDF("img_id", "content")
+    val out = Multimodal.decodePHash(df, "content")
+      .select("img_id", "phash")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).isDefined)
+    assert(out(1L) == out(2L)) // container-invariant
+    assert(out(3L).isEmpty)
+    // constant brightness shift moves ONLY the (excluded) DC term:
+    // every retained coefficient and hence the hash is unchanged.
+    // (+40 below stays wrap-free for this formula's value range.)
+    val base = mk(0)
+    val lifted = new java.awt.image.BufferedImage(
+      40, 40, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 40; x <- 0 until 40) {
+      val v = math.min(255, ((x * 5 + (y / 8) * 37) % 256) / 2 + 40)
+      val v0 = ((x * 5 + (y / 8) * 37) % 256) / 2
+      lifted.setRGB(x, y, (v << 16) | (v << 8) | v)
+      base.setRGB(x, y, (v0 << 16) | (v0 << 8) | v0)
+    }
+    assert(Multimodal.pHashOf(base) == Multimodal.pHashOf(lifted))
+    // bit 63 (coefficient u=7,v=7) is reachable: across the synthetic
+    // fixture formulas at least one image sets the sign bit, so the
+    // oracle's HUGEINT top-bit path is exercised by q324's hash match
+    val anyNegative = (0 until 200).exists { id =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        Multimodal.syntheticPng(id.toLong, 8 + id % 5, 8 + id % 7)))
+      Multimodal.pHashOf(img) < 0
+    }
+    assert(anyNegative, "no fixture image sets phash bit 63")
+  }
+
+  test("pHash vs dHash under targeted high-frequency noise: " +
+      "perturbing exactly dHash's sample points flips many dHash bits " +
+      "while the DCT hash, which aggregates all 1024 samples, barely " +
+      "moves") {
+    def smooth(): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = (x * 3 + y * 2) % 200 + 20
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val base = smooth()
+    val noisy = smooth()
+    // hit every dHash sample point (sx=⌊x·64/9⌋, sy=⌊y·64/8⌋) with an
+    // alternating ±60 checkerboard: adjacent-sample comparisons see
+    // ±120 swings (dHash's worst case), while the alternation makes
+    // the perturbation high-frequency — pHash's 63 low-band
+    // coefficients receive almost none of its energy
+    for (gy <- 0 until 8; gx <- 0 until 9) {
+      val px = gx * 64 / 9; val py = gy * 64 / 8
+      val old = noisy.getRGB(px, py) & 0xff
+      val v = math.max(0, math.min(255,
+        old + (if ((gx + gy) % 2 == 0) 60 else -60)))
+      noisy.setRGB(px, py, (v << 16) | (v << 8) | v)
+    }
+    val hamD = java.lang.Long.bitCount(
+      Multimodal.dHashOf(base) ^ Multimodal.dHashOf(noisy))
+    val hamP = java.lang.Long.bitCount(
+      Multimodal.pHashOf(base) ^ Multimodal.pHashOf(noisy))
+    assert(hamD >= 8, s"dHash should flip many bits, flipped $hamD")
+    assert(hamP < hamD,
+      s"pHash ($hamP flips) should beat dHash ($hamD flips)")
+    assert(hamP <= 4, s"pHash should barely move, flipped $hamP")
+  }
+
   test("decodeVideoFrameDHashes: one row per frame, stride honored, " +
       "hashes match the still-image kernel, corrupt -> null row") {
     val gif = Multimodal.syntheticGif(7L, 9, 8, 5)
