@@ -401,3 +401,47 @@ object StreamStress {
     spark.stop()
   }
 }
+
+/** Suffix-ladder barrier-cost probe — validates the per-round cost
+  * model the docs claim (one extra doubling round per span power of
+  * two beyond 32, ~1.5 s/round at sf0.1): times
+  * [[graft.operators.Dedup.suffixDupSpans]] at span 32 / 64 / 128 over
+  * the sf documents table and prints the per-span walls plus the
+  * marginal cost of each added round. Env: SPARK_GRAFT_SF_DIR,
+  * SUFFIX_SPANS (default "32,64,128"), SUFFIX_REPS (default 2 — the
+  * first pass absorbs JIT, the LAST pass is the reported number). */
+object SuffixStress {
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spans = sys.env.getOrElse("SUFFIX_SPANS", "32,64,128")
+      .split(",").map(_.trim.toInt).toSeq
+    val reps = sys.env.getOrElse("SUFFIX_REPS", "2").toInt
+    val spark = Engine.local(appName = "graft-suffixstress")
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, srcDir)
+      .select("doc_id", "text").localCheckpoint(true)
+    println(s"docs: ${docs.count()}")
+    val walls = spans.map { span =>
+      var last = 0d
+      (1 to reps).foreach { _ =>
+        spark.sparkContext.getPersistentRDDs.values
+          .filterNot(_.name == null) // keep the shared docs checkpoint
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        graft.operators.Dedup.suffixDupSpans(docs, "doc_id", "text", span)
+          .write.mode("overwrite").format("noop").save()
+        last = (System.nanoTime() - t0) / 1e9
+      }
+      println(f"suffix-stress: span=$span%4d  ${last}%.2f s  " +
+        f"(rounds=${(math.log(span / 16.0) / math.log(2)).max(0).toInt + 1}%d past the gram base)")
+      (span, last)
+    }
+    walls.sliding(2).foreach {
+      case Seq((s1, t1), (s2, t2)) =>
+        println(f"  marginal: span $s1->$s2 adds ${t2 - t1}%.2f s per extra doubling round")
+      case _ => ()
+    }
+    spark.stop()
+  }
+}
