@@ -1989,6 +1989,62 @@ object SourceQueries {
         FROM orders"""),
       "Delta v2 uuid-checkpoint + sidecar replay: ckpt ∪ sidecars ∪ tail"),
 
+    // ---- Delta column mapping ('name' mode) ---------------------------------
+    // The rename/drop-columns protocol shape (minReaderVersion 2): the
+    // parquet files carry opaque PHYSICAL column names (col-…); the
+    // logical names users query live only in the schemaString's
+    // per-field `delta.columnMapping.physicalName` metadata. The
+    // interop read scans physically and projects back to logical via
+    // rename-only casts, so the oracle is simply the orders table
+    // under its logical names.
+    "q326_delta_column_mapping" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_deltacm_q326") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        def writeOne(df: org.apache.spark.sql.DataFrame,
+                     name: String): Unit = {
+          val stage = s"$root/_stage_$name"
+          df.coalesce(1).write.parquet(stage)
+          val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+            .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+          fs.rename(part, new org.apache.hadoop.fs.Path(s"$root/$name"))
+          fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+        }
+        // physical layout: opaque col-<n> names, two files
+        val phys = o.toDF("col-a1", "col-b2", "col-c3")
+        writeOne(phys.filter(col("`col-a1`") % 2 === 0), "f-even.parquet")
+        writeOne(phys.filter(col("`col-a1`") % 2 =!= 0), "f-odd.parquet")
+        def meta(pn: String, id: Long) =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", pn)
+            .putLong("delta.columnMapping.id", id).build()
+        val logical = StructType(Seq(
+          StructField("o_orderkey", LongType, nullable = true,
+            meta("col-a1", 1L)),
+          StructField("o_orderstatus", StringType, nullable = true,
+            meta("col-b2", 2L)),
+          StructField("o_totalprice", DoubleType, nullable = true,
+            meta("col-c3", 3L))))
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val schemaJson = om.writeValueAsString(logical.json)
+        Files.createDirectories(Paths.get(s"$root/_delta_log"))
+        Files.writeString(
+          Paths.get(s"$root/_delta_log/00000000000000000000.json"), Seq(
+            """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+            s"""{"metaData":{"id":"q326","schemaString":$schemaJson,"partitionColumns":[],"format":{"provider":"parquet"},"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"}}}""",
+            """{"add":{"path":"f-even.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""",
+            """{"add":{"path":"f-odd.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
+            .mkString("\n"))
+        graft.sources.DeltaInterop.readDelta(s, root)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders"""),
+      "Delta columnMapping 'name' read: physical files → logical names"),
+
     // ---- metadata-only COUNT(*) --------------------------------------------
     // The Delta numRecords fast path: per-file row counts ride the
     // manifest as `#rows` stats (written from the parquet footers at

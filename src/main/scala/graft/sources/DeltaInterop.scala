@@ -204,7 +204,8 @@ object DeltaInterop {
       StructField("path", StringType))), nullable = true),
     StructField("metaData", StructType(Seq(
       StructField("schemaString", StringType),
-      StructField("partitionColumns", ArrayType(StringType)))),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)))),
       nullable = true),
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
@@ -258,8 +259,37 @@ object DeltaInterop {
                               dv: Option[DeltaDeletionVectors.Descriptor]
                                 = None)
 
+  /** `schema` carries the LOGICAL field names users query; `physSchema`
+    * the PHYSICAL names the parquet files (and partitionValues / stats
+    * keys) use — identical unless the table enables column mapping. */
   private case class Snapshot(live: Map[String, LiveFile],
-                              schema: StructType, partCols: Seq[String])
+                              schema: StructType, physSchema: StructType,
+                              partCols: Seq[String]) {
+    def physNameOf(logical: String): String =
+      schema.fields.zip(physSchema.fields)
+        .collectFirst { case (lf, pf) if lf.name == logical => pf.name }
+        .getOrElse(logical)
+  }
+
+  /** The column-mapping 'name'-mode physical rendering of a type: every
+    * struct field renames to its `delta.columnMapping.physicalName`
+    * metadata (recursively — nested structs/arrays/maps carry their own
+    * physical names), structure and types untouched. Fields without the
+    * metadata keep their logical name, so a mode-none schema maps to
+    * itself. */
+  private def physicalType(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map { f =>
+      val pn =
+        if (f.metadata.contains("delta.columnMapping.physicalName"))
+          f.metadata.getString("delta.columnMapping.physicalName")
+        else f.name
+      StructField(pn, physicalType(f.dataType), f.nullable)
+    })
+    case ArrayType(et, n) => ArrayType(physicalType(et), n)
+    case MapType(k, v, n) =>
+      MapType(physicalType(k), physicalType(v), n)
+    case other => other
+  }
 
   private def replay(spark: SparkSession, root: String,
                      upTo: Long): Snapshot = {
@@ -267,6 +297,7 @@ object DeltaInterop {
     var live = Map.empty[String, LiveFile]
     var schemaString: Option[String] = None
     var partCols: Seq[String] = Seq.empty
+    var tableConf: Map[String, String] = Map.empty
     // base: with a complete JSON history replay JSON from 0 (keeps time
     // travel to every version); otherwise load the newest checkpoint
     // (any replayable shape) at or below `upTo` — its rows are the
@@ -300,12 +331,15 @@ object DeltaInterop {
           // the set it implements (a blocklist would silently replay
           // tables carrying features invented after this code — e.g.
           // typeWidening — and return wrong data). This replay
-          // implements exactly TWO optional reader features —
-          // deletionVectors ([[DeltaDeletionVectors]]) and v2Checkpoint
-          // ([[checkpointActions]]) — so any other listed feature
-          // refuses, and so does minReaderVersion 2 (column-mapping
-          // capability mandated without a feature list to inspect).
-          val implemented = Set("deletionVectors", "v2Checkpoint")
+          // implements exactly THREE optional reader features —
+          // deletionVectors ([[DeltaDeletionVectors]]), v2Checkpoint
+          // ([[checkpointActions]]) and columnMapping 'name' mode
+          // ([[physicalType]]; 'id' mode still refuses at metaData
+          // parse) — so any other listed feature refuses.
+          // minReaderVersion 2 IS column mapping (the pre-feature-list
+          // way to mandate it), so it is admitted on the same grounds.
+          val implemented =
+            Set("deletionVectors", "v2Checkpoint", "columnMapping")
           val feats = Option(p.getAs[scala.collection.Seq[String]](
             "readerFeatures")).map(_.toSeq).getOrElse(Seq.empty)
           val unsupported = feats.filterNot(implemented)
@@ -316,17 +350,20 @@ object DeltaInterop {
                 s"implements only ${implemented.mkString(", ")}")
           val mrv = if (p.isNullAt(p.fieldIndex("minReaderVersion"))) 1
             else p.getInt(p.fieldIndex("minReaderVersion"))
-          if (mrv != 1 && mrv != 3)
+          if (mrv != 1 && mrv != 2 && mrv != 3)
             throw new UnsupportedOperationException(
               s"$root declares minReaderVersion $mrv; this interop " +
-                "reader supports version 1 (and 3 with readerFeatures " +
-                "⊆ {deletionVectors, v2Checkpoint})")
+                "reader supports versions 1, 2 (column mapping) and 3 " +
+                "with readerFeatures ⊆ {deletionVectors, v2Checkpoint, " +
+                "columnMapping}")
         }
         Option(a.getAs[Row]("metaData")).foreach { m =>
           Option(m.getAs[String]("schemaString"))
             .foreach(s => schemaString = Some(s))
           Option(m.getAs[scala.collection.Seq[String]]("partitionColumns"))
             .foreach(p => partCols = p.toSeq)
+          Option(m.getAs[Map[String, String]]("configuration"))
+            .foreach(c => tableConf = c)
         }
         Option(a.getAs[Row]("remove")).foreach { r =>
           live -= r.getAs[String]("path")
@@ -354,7 +391,21 @@ object DeltaInterop {
       throw new IllegalStateException(
         s"$root: no metaData action in the replayed log")))
       .asInstanceOf[StructType]
-    Snapshot(live, schema, partCols)
+    // column mapping: 'name' mode resolves by physical names carried in
+    // the schema metadata; 'id' mode (parquet field-id resolution) is
+    // refused loudly — serving it by name would silently misread any
+    // file whose physical layout diverged from the current schema
+    val physSchema =
+      tableConf.getOrElse("delta.columnMapping.mode", "none") match {
+        case "none" => schema
+        case "name" => physicalType(schema).asInstanceOf[StructType]
+        case "id" => throw new UnsupportedOperationException(
+          s"$root uses columnMapping mode 'id' (parquet field-id " +
+            "resolution); this interop reader implements 'name' mode only")
+        case other => throw new UnsupportedOperationException(
+          s"$root declares unknown columnMapping mode '$other'")
+      }
+    Snapshot(live, schema, physSchema, partCols)
   }
 
   /** EXPORT a [[LakeTable]] snapshot as a Delta-protocol table — the
@@ -523,9 +574,10 @@ object DeltaInterop {
     require(vs.nonEmpty, s"no Delta log under $root")
     val snap = replay(spark, root, versionAsOf.getOrElse(vs.max))
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val statsKey = snap.physNameOf(key) // stats keys are physical names
     def bound(stats: String, side: String): Option[String] =
       try {
-        val n = om.readTree(stats).path(side).path(key)
+        val n = om.readTree(stats).path(side).path(statsKey)
         if (n.isMissingNode || n.isNull) None
         else Some(if (n.isTextual) n.asText else n.toString)
       } catch { case scala.util.control.NonFatal(_) => None }
@@ -569,22 +621,32 @@ object DeltaInterop {
 
   private def readLive(spark: SparkSession, root: String, snap: Snapshot,
                        files: Map[String, LiveFile]): DataFrame = {
-    val dataSchema = StructType(
-      snap.schema.fields.filterNot(f => snap.partCols.contains(f.name)))
+    // logical/physical field pairs, aligned by position (mapping only
+    // renames — structure and order are invariant)
+    val pairs = snap.schema.fields.zip(snap.physSchema.fields)
+    val dataPairs = pairs.filterNot {
+      case (lf, _) => snap.partCols.contains(lf.name) }
+    val dataSchema = StructType(dataPairs.map(_._2)) // PHYSICAL scan
     val dvs = files.toSeq.collect {
       case (p, lf) if lf.dv.isDefined => (p, lf.dv.get) }
+    val dvCols = if (dvs.isEmpty) Seq.empty else Seq("__dv_uri", "__dv_pos")
     // with live DVs every scan carries its parquet file URI + physical
     // row index (`_metadata` — stable across reads, including reads
-    // that skip row groups); a DV-free table's plan is untouched
+    // that skip row groups); a DV-free table's plan is untouched.
+    // The physical→logical projection is rename-only casts (struct
+    // casts rename nested fields by position), a no-op without mapping.
     def scan(paths: Seq[String]): DataFrame = {
-      val base = spark.read.schema(dataSchema)
+      val raw = spark.read.schema(dataSchema)
         .parquet(paths.sorted.map(p => s"$root/$p"): _*)
-      if (dvs.isEmpty) base
-      else base.withColumn("__dv_uri", col("_metadata.file_path"))
-        .withColumn("__dv_pos", col("_metadata.row_index"))
+      val withDv =
+        if (dvs.isEmpty) raw
+        else raw.withColumn("__dv_uri", col("_metadata.file_path"))
+          .withColumn("__dv_pos", col("_metadata.row_index"))
+      withDv.select(dataPairs.map { case (lf, pf) =>
+        col(pf.name).cast(lf.dataType).as(lf.name) } ++
+        dvCols.map(col): _*)
     }
-    val cols = snap.schema.fieldNames.toIndexedSeq ++
-      (if (dvs.isEmpty) Seq.empty else Seq("__dv_uri", "__dv_pos"))
+    val cols = snap.schema.fieldNames.toIndexedSeq ++ dvCols
     val base =
       if (files.isEmpty)
         spark.createDataFrame(
@@ -593,11 +655,13 @@ object DeltaInterop {
       else {
         // files of one partition share partitionValues: group, read
         // each group once, materialize partition columns as literals
+        // (partitionValues keys are PHYSICAL names under mapping)
         files.groupBy(_._2.partitionValues).map { case (pv, group) =>
           val b = scan(group.keys.toSeq)
           snap.partCols.foldLeft(b) { (df, c) =>
             val dt = snap.schema(c).dataType
-            df.withColumn(c, lit(pv.getOrElse(c, null)).cast(dt))
+            df.withColumn(c,
+              lit(pv.getOrElse(snap.physNameOf(c), null)).cast(dt))
           }
         }.reduce(_.unionByName(_))
           .select(cols.map(col): _*)

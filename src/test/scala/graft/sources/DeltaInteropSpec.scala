@@ -465,8 +465,8 @@ class DeltaInteropSpec extends SparkSpec {
   }
 
   test("reader-feature gate is an ALLOWLIST: features unknown to this "
-      + "reader (e.g. typeWidening) and minReaderVersion 2 refuse, "
-      + "rather than silently replaying possibly-wrong data") {
+      + "reader (e.g. typeWidening) and unknown minReaderVersions "
+      + "refuse, rather than silently replaying possibly-wrong data") {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("k",
@@ -482,18 +482,94 @@ class DeltaInteropSpec extends SparkSpec {
       DeltaInterop.readDelta(spark, r1)
     }
     assert(e1.getMessage.contains("typeWidening"))
-    // minReaderVersion 2 mandates column-mapping capability without a
-    // feature list to consult — refused as outside the supported set
+    // an unknown future minReaderVersion refuses
     val r2 = freshRoot()
     writeOne(Seq(Tuple1(1L)).toDF("k"), r2, "f0.parquet")
     commit(r2, 0L, Seq(
-      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-      s"""{"metaData":{"id":"cm","schemaString":$sj,"partitionColumns":[],"format":{"provider":"parquet"}}}""",
+      """{"protocol":{"minReaderVersion":4,"minWriterVersion":9}}""",
+      s"""{"metaData":{"id":"v4","schemaString":$sj,"partitionColumns":[],"format":{"provider":"parquet"}}}""",
       """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
     val e2 = intercept[UnsupportedOperationException] {
       DeltaInterop.readDelta(spark, r2)
     }
-    assert(e2.getMessage.contains("minReaderVersion 2"))
+    assert(e2.getMessage.contains("minReaderVersion 4"))
+    // minReaderVersion 2 (column mapping, pre-feature-list) is SERVED
+    // now — mode none reads plainly
+    val r3 = freshRoot()
+    writeOne(Seq(Tuple1(1L)).toDF("k"), r3, "f0.parquet")
+    commit(r3, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"cm","schemaString":$sj,"partitionColumns":[],"format":{"provider":"parquet"}}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    assert(DeltaInterop.readDelta(spark, r3).count() == 1L)
+  }
+
+  // schemaString with column-mapping metadata: logical (k, v, part?)
+  // over physical names col-kkk / col-vvv / col-ppp
+  private def mappedSchemaJson(withPart: Boolean): String = {
+    import org.apache.spark.sql.types._
+    def meta(pn: String, id: Long) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", pn)
+      .putLong("delta.columnMapping.id", id).build()
+    val fields = Seq(
+      StructField("k", LongType, nullable = true, meta("col-kkk", 1L)),
+      StructField("v", StringType, nullable = true, meta("col-vvv", 2L))) ++
+      (if (withPart)
+        Seq(StructField("part", IntegerType, nullable = true,
+          meta("col-ppp", 3L)))
+      else Seq.empty)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    om.writeValueAsString(StructType(fields).json)
+  }
+
+  test("columnMapping 'name' mode: parquet physical names resolve to "
+      + "logical columns, partitionValues and stats keys resolve by "
+      + "physical name, and renamed-column reads work") {
+    val root = freshRoot()
+    // data files carry PHYSICAL column names (what a mapping writer
+    // emits) — the logical names exist only in the schemaString
+    writeOne(Seq((1L, "a"), (2L, "b")).toDF("col-kkk", "col-vvv"),
+      root, "p1/f1.parquet")
+    writeOne(Seq((3L, "c")).toDF("col-kkk", "col-vvv"),
+      root, "p2/f2.parquet")
+    val sj = mappedSchemaJson(withPart = true)
+    commit(root, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m","schemaString":$sj,"partitionColumns":["part"],"format":{"provider":"parquet"},"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"}}}""",
+      """{"add":{"path":"p1/f1.parquet","partitionValues":{"col-ppp":"10"},"size":1,"modificationTime":1,"dataChange":true,"stats":"{\"minValues\":{\"col-kkk\":1},\"maxValues\":{\"col-kkk\":2}}"}}""",
+      """{"add":{"path":"p2/f2.parquet","partitionValues":{"col-ppp":"20"},"size":1,"modificationTime":1,"dataChange":true,"stats":"{\"minValues\":{\"col-kkk\":3},\"maxValues\":{\"col-kkk\":3}}"}}"""))
+    val got = DeltaInterop.readDelta(spark, root)
+    assert(got.columns.toSeq == Seq("k", "v", "part"))
+    assert(got.select("k", "v", "part").as[(Long, String, Int)]
+      .collect().toSet == Set((1L, "a", 10), (2L, "b", 10), (3L, "c", 20)))
+    // stats-pruned range read resolves the stats key physically: break
+    // the non-overlapping file — the pruned read must not open it
+    Files.delete(Paths.get(s"$root/p2/f2.parquet"))
+    Files.write(Paths.get(s"$root/p2/f2.parquet"), Array.fill[Byte](32)(0))
+    assert(DeltaInterop.readDeltaRange(spark, root, "k", 1L, 2L)
+      .select("k").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("columnMapping: 'id' mode and unknown modes refuse loudly") {
+    val root = freshRoot()
+    writeOne(Seq((1L, "a")).toDF("col-kkk", "col-vvv"), root, "f0.parquet")
+    val sj = mappedSchemaJson(withPart = false)
+    commit(root, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m","schemaString":$sj,"partitionColumns":[],"format":{"provider":"parquet"},"configuration":{"delta.columnMapping.mode":"id"}}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val e = intercept[UnsupportedOperationException] {
+      DeltaInterop.readDelta(spark, root)
+    }
+    assert(e.getMessage.contains("'name' mode only"), e.getMessage)
+    val r2 = freshRoot()
+    writeOne(Seq((1L, "a")).toDF("col-kkk", "col-vvv"), r2, "f0.parquet")
+    commit(r2, 0L, Seq(
+      s"""{"metaData":{"id":"m2","schemaString":$sj,"partitionColumns":[],"format":{"provider":"parquet"},"configuration":{"delta.columnMapping.mode":"banana"}}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    intercept[UnsupportedOperationException] {
+      DeltaInterop.readDelta(spark, r2)
+    }
   }
 
   test("a log-cleaned (non-contiguous) JSON history errors instead of "
