@@ -2045,6 +2045,55 @@ object SourceQueries {
         FROM orders"""),
       "Delta columnMapping 'name' read: physical files → logical names"),
 
+    // ---- Delta interop: continuous publication -----------------------------
+    // The outbound mirror lifecycle a real lakehouse runs: every lake
+    // version lands as ONE O(changed-files) Delta commit (txn cursor =
+    // the protocol's SetTransaction idempotence), the sync's own
+    // cadence writes a classic checkpoint, the JSON history it covers
+    // is cleaned (what Delta writers do every 10 commits), and the
+    // mirror keeps following — the post-clean sync bootstraps its
+    // cursor FROM the checkpoint, and a merge-on-read DV delete
+    // publishes as the protocol's remove+re-add-with-descriptor shape.
+    // The oracle recomputes the final state relationally, so the hash
+    // proves the whole commit/checkpoint/clean/resume composition.
+    "q327_delta_sync" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_deltasync_q327")
+        val lake = root + "/lake"
+        val out = root + "/delta"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 3 === 0), lake,
+          zoneKey = Some("o_orderkey"))
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 3 === 1), lake,
+          zoneKey = Some("o_orderkey"))
+        // copy-on-write delete: the mirror sees remove + re-add
+        graft.sources.LakeTable.deleteWhere(s, lake,
+          "o_orderkey % 10 = 5")
+        // 3 lake versions → Delta commits 0–2; interval 3 checkpoints v2
+        graft.sources.DeltaInterop.syncToDelta(s, lake, out,
+          checkpointInterval = 3)
+        graft.sources.DeltaInterop.cleanDeltaLog(s, out)
+        // the mirror keeps following past its own checkpoint: an append
+        // and a merge-on-read DV delete (descriptor-bearing re-add)
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 3 === 2), lake,
+          zoneKey = Some("o_orderkey"))
+        graft.sources.LakeTable.deleteWhereDV(s, lake,
+          "o_orderkey BETWEEN 400 AND 799")
+        graft.sources.DeltaInterop.syncToDelta(s, lake, out)
+        graft.sources.DeltaInterop.readDelta(s, out)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      },
+      // the COW delete ran before the %3==2 third was appended, so it
+      // touched only the %3<=1 rows; the DV delete hit everything live
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE NOT (o_orderkey % 10 = 5 AND o_orderkey % 3 <= 1)
+          AND NOT (o_orderkey BETWEEN 400 AND 799)"""),
+      "Delta sync mirror: O(changed) commits, own checkpoint, DV tail"),
+
     // ---- metadata-only COUNT(*) --------------------------------------------
     // The Delta numRecords fast path: per-file row counts ride the
     // manifest as `#rows` stats (written from the parquet footers at

@@ -203,6 +203,7 @@ object DeltaInterop {
     StructField("remove", StructType(Seq(
       StructField("path", StringType))), nullable = true),
     StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
       StructField("schemaString", StringType),
       StructField("partitionColumns", ArrayType(StringType)),
       StructField("configuration", MapType(StringType, StringType)))),
@@ -211,6 +212,12 @@ object DeltaInterop {
       StructField("minReaderVersion", IntegerType),
       StructField("readerFeatures", ArrayType(StringType)))),
       nullable = true),
+    // SetTransaction actions (the protocol's idempotent-writer cursor):
+    // [[syncToDelta]] records the last mirrored lake version here, and
+    // checkpoints carry the latest version per appId forward
+    StructField("txn", StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType))), nullable = true),
     // v2-checkpoint actions: sidecar references (file actions live in
     // parquet files under _delta_log/_sidecars/) — absent from commit
     // JSONs and classic checkpoints, where the explicit schema reads
@@ -264,7 +271,11 @@ object DeltaInterop {
     * keys) use — identical unless the table enables column mapping. */
   private case class Snapshot(live: Map[String, LiveFile],
                               schema: StructType, physSchema: StructType,
-                              partCols: Seq[String]) {
+                              partCols: Seq[String],
+                              conf: Map[String, String] = Map.empty,
+                              txns: Map[String, Long] = Map.empty,
+                              metaId: Option[String] = None,
+                              protoFeatures: Set[String] = Set.empty) {
     def physNameOf(logical: String): String =
       schema.fields.zip(physSchema.fields)
         .collectFirst { case (lf, pf) if lf.name == logical => pf.name }
@@ -298,6 +309,9 @@ object DeltaInterop {
     var schemaString: Option[String] = None
     var partCols: Seq[String] = Seq.empty
     var tableConf: Map[String, String] = Map.empty
+    var txns = Map.empty[String, Long]
+    var metaId: Option[String] = None
+    var protoFeatures = Set.empty[String]
     // base: with a complete JSON history replay JSON from 0 (keeps time
     // travel to every version); otherwise load the newest checkpoint
     // (any replayable shape) at or below `upTo` — its rows are the
@@ -348,6 +362,7 @@ object DeltaInterop {
               s"$root requires Delta reader features " +
                 s"${unsupported.mkString(", ")}; this interop reader " +
                 s"implements only ${implemented.mkString(", ")}")
+          protoFeatures ++= feats
           val mrv = if (p.isNullAt(p.fieldIndex("minReaderVersion"))) 1
             else p.getInt(p.fieldIndex("minReaderVersion"))
           if (mrv != 1 && mrv != 2 && mrv != 3)
@@ -358,12 +373,20 @@ object DeltaInterop {
                 "columnMapping}")
         }
         Option(a.getAs[Row]("metaData")).foreach { m =>
+          Option(m.getAs[String]("id")).foreach(i => metaId = Some(i))
           Option(m.getAs[String]("schemaString"))
             .foreach(s => schemaString = Some(s))
           Option(m.getAs[scala.collection.Seq[String]]("partitionColumns"))
             .foreach(p => partCols = p.toSeq)
           Option(m.getAs[Map[String, String]]("configuration"))
             .foreach(c => tableConf = c)
+        }
+        Option(a.getAs[Row]("txn")).foreach { t =>
+          Option(t.getAs[String]("appId")).foreach { id =>
+            if (!t.isNullAt(t.fieldIndex("version")))
+              // later commits replay later: the newest cursor wins
+              txns += id -> t.getLong(t.fieldIndex("version"))
+          }
         }
         Option(a.getAs[Row]("remove")).foreach { r =>
           live -= r.getAs[String]("path")
@@ -405,7 +428,60 @@ object DeltaInterop {
         case other => throw new UnsupportedOperationException(
           s"$root declares unknown columnMapping mode '$other'")
       }
-    Snapshot(live, schema, physSchema, partCols)
+    Snapshot(live, schema, physSchema, partCols, tableConf, txns,
+      metaId, protoFeatures)
+  }
+
+  /** Manifest zone stats rendered as Delta per-file `stats` JSON
+    * (minValues/maxValues), so Delta readers' data skipping — and
+    * [[readDeltaRange]] — prunes published tables exactly like the
+    * native zone reads prune the source table. */
+  private def statsJsonOf(e: LakeTable.FileEntry, schema: StructType,
+      om: com.fasterxml.jackson.databind.ObjectMapper): Option[String] = {
+    val zs = e.dataZones.filter(z => schema.fieldNames.contains(z.key))
+    if (zs.isEmpty) None
+    else {
+      def side(pick: LakeTable.Zone => String) = zs.map { z =>
+        val v = schema(z.key).dataType match {
+          case _: NumericType => pick(z)
+          case _ => om.writeValueAsString(pick(z))
+        }
+        s"${om.writeValueAsString(z.key)}:$v"
+      }.mkString("{", ",", "}")
+      Some(om.writeValueAsString(
+        s"""{"minValues":${side(_.lo)},"maxValues":${side(_.hi)}}"""))
+    }
+  }
+
+  /** Hard-link `src` into `dst` (zero copy on one local filesystem);
+    * falls back to a real copy across filesystems/schemes. */
+  private def linkOrCopy(spark: SparkSession,
+                         f: org.apache.hadoop.fs.FileSystem,
+                         src: Path, dst: Path): Unit = {
+    f.mkdirs(dst.getParent)
+    if (Option(f.getScheme).contains("file"))
+      java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath),
+        java.nio.file.Paths.get(f.makeQualified(src).toUri.getPath))
+    else
+      org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst,
+        /* deleteSource = */ false, spark.sessionState.newHadoopConf())
+  }
+
+  /** The lake snapshot's live deletion-vector state, per file: sorted
+    * deleted row positions. Sidecar-sized by contract (the same rows
+    * the native MoR read broadcasts). */
+  private def lakeDvByFile(spark: SparkSession, lakeRoot: String,
+                           v: Long): Map[String, Array[Long]] = {
+    val dvDirs = LakeTable.dvOf(spark, lakeRoot, v)
+    if (dvDirs.isEmpty) Map.empty
+    else spark.read.schema(LakeTable.dvSchema)
+      .parquet(dvDirs.map(d => s"$lakeRoot/$d"): _*)
+      .groupBy("file")
+      .agg(sort_array(collect_set("pos")).as("pos"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+      .toMap
   }
 
   /** EXPORT a [[LakeTable]] snapshot as a Delta-protocol table — the
@@ -425,8 +501,8 @@ object DeltaInterop {
     * `purgeFirst = true` instead folds the vectors into rewritten data
     * files for a plain protocol-1 export (maximum-compatibility mode
     * for readers without DV support). The export is a fresh immutable
-    * table; re-export a newer snapshot to a new directory rather than
-    * mutating one. */
+    * table; for a CONTINUOUSLY-mirrored publication (O(changed)
+    * commits per lake version) use [[syncToDelta]] instead. */
   def exportToDelta(spark: SparkSession, lakeRoot: String,
                     deltaRoot: String,
                     version: Option[Long] = None,
@@ -448,17 +524,7 @@ object DeltaInterop {
     // (sidecar-sized by contract; purgeDeletes is the escape hatch when
     // vectors outgrow that) — and pack into ONE on-disk DV file of
     // portable RoaringBitmapArray frames, one descriptor per add
-    val dvDirs = LakeTable.dvOf(spark, lakeRoot, v)
-    val dvByFile: Map[String, Array[Long]] =
-      if (dvDirs.isEmpty) Map.empty
-      else spark.read.schema(LakeTable.dvSchema)
-        .parquet(dvDirs.map(d => s"$lakeRoot/$d"): _*)
-        .groupBy("file")
-        .agg(sort_array(collect_set("pos")).as("pos"))
-        .collect()
-        .map(r => r.getString(0) ->
-          r.getSeq[Long](1).toArray)
-        .toMap
+    val dvByFile = lakeDvByFile(spark, lakeRoot, v)
     val schema = LakeTable.schemaOf(spark, lakeRoot, v)
       .getOrElse(LakeTable.read(spark, lakeRoot, Some(v)).schema)
     val f = fs(spark, deltaRoot)
@@ -469,21 +535,8 @@ object DeltaInterop {
     // (minValues/maxValues), so a Delta reader's data skipping — and
     // [[readDeltaRange]] below — prunes the export exactly like the
     // native zone reads prune the source table
-    def statsJson(e: LakeTable.FileEntry): Option[String] = {
-      val zs = e.dataZones.filter(z => schema.fieldNames.contains(z.key))
-      if (zs.isEmpty) None
-      else {
-        def side(pick: LakeTable.Zone => String) = zs.map { z =>
-          val v = schema(z.key).dataType match {
-            case _: NumericType => pick(z)
-            case _ => om.writeValueAsString(pick(z))
-          }
-          s"${om.writeValueAsString(z.key)}:$v"
-        }.mkString("{", ",", "}")
-        Some(om.writeValueAsString(
-          s"""{"minValues":${side(_.lo)},"maxValues":${side(_.hi)}}"""))
-      }
-    }
+    def statsJson(e: LakeTable.FileEntry): Option[String] =
+      statsJsonOf(e, schema, om)
     val dvFiles = ents.map(_.path).filter(p =>
       dvByFile.get(p).exists(_.nonEmpty))
     val descriptors: Map[String, String] =
@@ -504,18 +557,8 @@ object DeltaInterop {
         }.toMap
       }
     val adds = ents.map { e =>
-      val src = new Path(s"$lakeRoot/${e.path}")
       val dst = new Path(s"$deltaRoot/${e.path}")
-      f.mkdirs(dst.getParent)
-      val srcLocal = java.nio.file.Paths.get(
-        f.makeQualified(src).toUri.getPath)
-      val dstLocal = java.nio.file.Paths.get(
-        f.makeQualified(dst).toUri.getPath)
-      if (Option(f.getScheme).contains("file"))
-        java.nio.file.Files.createLink(dstLocal, srcLocal)
-      else
-        org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst,
-          /* deleteSource = */ false, spark.sessionState.newHadoopConf())
+      linkOrCopy(spark, f, new Path(s"$lakeRoot/${e.path}"), dst)
       val st = f.getFileStatus(dst)
       s"""{"add":{"path":${om.writeValueAsString(e.path)},""" +
         s""""partitionValues":{},"size":${st.getLen},""" +
@@ -547,6 +590,324 @@ object DeltaInterop {
       /* overwrite = */ false)
     try out.write((header ++ adds).mkString("\n").getBytes("UTF-8"))
     finally out.close()
+  }
+
+  // ---- continuous publication: incremental sync + checkpoint writer ----
+
+  // full writer-side action schema for checkpoint parquet files — a
+  // superset of [[actionSchema]] carrying the spec-required fields
+  // (add.size/modificationTime/dataChange, metaData.format, the four
+  // protocol fields) so FOREIGN Delta readers replay our checkpoints,
+  // not just this one
+  private val ckptWriteSchema = StructType(Seq(
+    StructField("txn", StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType))), nullable = true),
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType),
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType)))))), nullable = true),
+    StructField("remove", StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType),
+      StructField("dataChange", BooleanType))), nullable = true),
+    StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType))))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)))),
+      nullable = true),
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType)))),
+      nullable = true)))
+
+  /** One parquet file of log actions (checkpoint shape): the action
+    * JSON lines parse under [[ckptWriteSchema]] and land as a SINGLE
+    * part renamed to `dir/name`. Stages OUTSIDE `_delta_log` so a
+    * crashed write never leaves an unrecognized `.checkpoint.` name
+    * for [[layoutOf]] to refuse. */
+  private def writeLogParquet(spark: SparkSession, deltaRoot: String,
+                              name: String,
+                              actions: Seq[String]): Unit = {
+    import spark.implicits._
+    val f = fs(spark, deltaRoot)
+    val stage = s"$deltaRoot/_ckpt_stage_$name"
+    spark.read.schema(ckptWriteSchema).json(actions.toDS())
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = f.listStatus(new Path(stage)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no parquet in $stage"))
+    f.rename(part, new Path(s"$deltaRoot/_delta_log/$name"))
+    f.delete(new Path(stage), true): Unit
+  }
+
+  /** CONTINUOUSLY publish a [[LakeTable]] as a Delta-protocol table:
+    * every not-yet-mirrored lake version lands as ONE Delta commit of
+    * exactly its file delta — add actions for new files (hard-linked,
+    * zone stats as Delta `stats`), remove actions for dropped ones,
+    * remove+re-add with a fresh [[DeltaDeletionVectors]] descriptor for
+    * files whose deletion-vector state changed (the protocol's DV-update
+    * shape), a metaData action when the schema evolved, and a `txn`
+    * (SetTransaction) action recording the mirrored LAKE version — the
+    * protocol's idempotent-writer cursor, so re-running the sync is a
+    * no-op and a crashed run resumes where it stopped. The first DV the
+    * mirror carries upgrades the protocol to (3, 7) + deletionVectors
+    * in that same commit, exactly like Delta writers enabling the
+    * feature. Every `checkpointInterval` commits the sync writes a
+    * classic checkpoint ([[writeDeltaCheckpoint]]), so consumers of a
+    * long-lived mirror never replay an unbounded JSON tail.
+    *
+    * Cost per call: O(changed files + DV sidecar rows) driver-side
+    * metadata — the same bound as every Delta client — plus hard links
+    * for the new files; at 100 TB the data never copies and never
+    * scans. Returns the Delta versions written (empty = up to date).
+    * Refuses a `deltaRoot` holding a Delta log without this `appId`'s
+    * txn cursor (e.g. an [[exportToDelta]] output — those are
+    * immutable) rather than corrupting a foreign table. */
+  def syncToDelta(spark: SparkSession, lakeRoot: String,
+                  deltaRoot: String,
+                  appId: String = "graftlake-sync",
+                  checkpointInterval: Int = 10): Seq[Long] = {
+    val lakeVs = LakeTable.versions(spark, lakeRoot)
+    require(lakeVs.nonEmpty, s"no lake table at $lakeRoot")
+    val f = fs(spark, deltaRoot)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val hasLog = f.exists(new Path(s"$deltaRoot/_delta_log"))
+    val (lastLake, firstDeltaV, dvDeclared0, tableId, schemaJson0) =
+      if (!hasLog)
+        (Option.empty[Long], 0L, false,
+          java.util.UUID.randomUUID().toString, Option.empty[String])
+      else {
+        val dvs = deltaVersions(spark, deltaRoot)
+        require(dvs.nonEmpty, s"$deltaRoot: empty Delta log")
+        val snap = replay(spark, deltaRoot, dvs.max)
+        val cursor = snap.txns.get(appId)
+        require(cursor.isDefined,
+          s"$deltaRoot holds a Delta log without a '$appId' txn cursor " +
+            "— not a graftlake sync target (exports are immutable; " +
+            "pick an empty directory or the original appId)")
+        (cursor, dvs.max + 1L,
+          snap.protoFeatures.contains("deletionVectors"),
+          snap.metaId.getOrElse(
+            java.util.UUID.randomUUID().toString),
+          Some(snap.schema.json))
+      }
+    val pending = lakeVs.filter(v => lastLake.forall(v > _))
+    if (pending.isEmpty) return Seq.empty
+    var prevEnts: Map[String, LakeTable.FileEntry] = lastLake
+      .map(lv => LakeTable.entries(spark, lakeRoot, lv)
+        .map(e => e.path -> e).toMap)
+      .getOrElse(Map.empty)
+    var prevDv: Map[String, Array[Long]] = lastLake
+      .map(lv => lakeDvByFile(spark, lakeRoot, lv))
+      .getOrElse(Map.empty)
+    var prevSchemaJson = schemaJson0
+    var dvDeclared = dvDeclared0
+    var deltaV = firstDeltaV
+    val written = Seq.newBuilder[Long]
+    pending.foreach { lv =>
+      val entsNow = LakeTable.entries(spark, lakeRoot, lv)
+        .map(e => e.path -> e).toMap
+      val dvNow = lakeDvByFile(spark, lakeRoot, lv)
+      val schemaNow = LakeTable.schemaOf(spark, lakeRoot, lv)
+        .getOrElse(LakeTable.read(spark, lakeRoot, Some(lv)).schema)
+      val added = (entsNow.keySet -- prevEnts.keySet).toSeq.sorted
+      val removed = (prevEnts.keySet -- entsNow.keySet).toSeq.sorted
+      val dvChanged = (entsNow.keySet & prevEnts.keySet).toSeq.sorted
+        .filter(p => !java.util.Arrays.equals(
+          dvNow.getOrElse(p, Array.empty[Long]),
+          prevDv.getOrElse(p, Array.empty[Long])))
+      added.foreach { p =>
+        val dst = new Path(s"$deltaRoot/$p")
+        // idempotent: a crashed run may have linked the file without
+        // committing the JSON; lake file paths are immutable content
+        if (!f.exists(dst))
+          linkOrCopy(spark, f, new Path(s"$lakeRoot/$p"), dst)
+      }
+      val needDesc = (added ++ dvChanged)
+        .filter(p => dvNow.get(p).exists(_.nonEmpty)).sorted
+      val descriptors: Map[String, String] =
+        if (needDesc.isEmpty) Map.empty
+        else {
+          val uuid = java.util.UUID.randomUUID()
+          val frames = DeltaDeletionVectors.writeDvFile(spark,
+            s"$deltaRoot/deletion_vector_$uuid.bin",
+            needDesc.map(p =>
+              DeltaDeletionVectors.serializeBitmap(dvNow(p))))
+          val enc = DeltaDeletionVectors.encodeUuid(uuid)
+          needDesc.zip(frames).map { case (p, (off, size)) =>
+            p -> (s""""deletionVector":{"storageType":"u",""" +
+              s""""pathOrInlineDv":${om.writeValueAsString(enc)},""" +
+              s""""offset":$off,"sizeInBytes":$size,""" +
+              s""""cardinality":${dvNow(p).length}},""")
+          }.toMap
+        }
+      val ts = LakeTable.commitTimeOf(spark, lakeRoot, lv).getOrElse(0L)
+      def addJson(p: String): String = {
+        val st = f.getFileStatus(new Path(s"$deltaRoot/$p"))
+        s"""{"add":{"path":${om.writeValueAsString(p)},""" +
+          s""""partitionValues":{},"size":${st.getLen},""" +
+          s""""modificationTime":${st.getModificationTime},""" +
+          statsJsonOf(entsNow(p), schemaNow, om)
+            .map(s => s""""stats":$s,""").getOrElse("") +
+          descriptors.getOrElse(p, "") +
+          s""""dataChange":true}}"""
+      }
+      def removeJson(p: String): String =
+        s"""{"remove":{"path":${om.writeValueAsString(p)},""" +
+          s""""deletionTimestamp":$ts,"dataChange":true}}"""
+      val actions = Seq.newBuilder[String]
+      if (deltaV == 0L)
+        actions +=
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      if (needDesc.nonEmpty && !dvDeclared) {
+        actions +=
+          """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+            """"readerFeatures":["deletionVectors"],""" +
+            """"writerFeatures":["deletionVectors"]}}"""
+        dvDeclared = true
+      }
+      if (!prevSchemaJson.contains(schemaNow.json)) {
+        actions += s"""{"metaData":{"id":${om.writeValueAsString(
+          tableId)},""" +
+          s""""format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${om.writeValueAsString(schemaNow.json)},""" +
+          """"partitionColumns":[],"configuration":{}}}"""
+        prevSchemaJson = Some(schemaNow.json)
+      }
+      (removed ++ dvChanged).foreach(p => actions += removeJson(p))
+      (dvChanged ++ added).foreach(p => actions += addJson(p))
+      actions += s"""{"txn":{"appId":${om.writeValueAsString(appId)},""" +
+        s""""version":$lv}}"""
+      f.mkdirs(new Path(s"$deltaRoot/_delta_log"))
+      val out = f.create(
+        new Path(f"$deltaRoot/_delta_log/$deltaV%020d.json"),
+        /* overwrite = */ false)
+      try out.write(actions.result().mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      written += deltaV
+      deltaV += 1
+      prevEnts = entsNow
+      prevDv = dvNow
+    }
+    if (checkpointInterval > 0) {
+      val lastCkpt = layoutOf(spark, deltaRoot).checkpoints
+        .map(_.version).maxOption.getOrElse(-1L)
+      if (deltaV - 1 - lastCkpt >= checkpointInterval)
+        writeDeltaCheckpoint(spark, deltaRoot): Unit
+    }
+    written.result()
+  }
+
+  /** Write a CLASSIC single-part checkpoint (`<v>.checkpoint.parquet`
+    * + `_last_checkpoint` pointer) for the Delta log at `deltaRoot` —
+    * the writer-side companion of the checkpoint READER: the version's
+    * replayed state (protocol, metaData, one `txn` cursor per appId,
+    * one add per live file with its stats and deletion-vector
+    * descriptor) lands as parquet action rows in the spec's shape, so
+    * both this reader and foreign Delta readers bootstrap from it
+    * after [[cleanDeltaLog]] drops the JSON history it covers.
+    * Tombstoned removes are NOT carried (they exist for foreign
+    * writers' vacuum bookkeeping; this checkpointer serves tables this
+    * engine publishes). Driver-side metadata, O(live files). */
+  def writeDeltaCheckpoint(spark: SparkSession, deltaRoot: String,
+                           version: Option[Long] = None): Long = {
+    val vs = deltaVersions(spark, deltaRoot)
+    require(vs.nonEmpty, s"no Delta log under $deltaRoot")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
+    val snap = replay(spark, deltaRoot, v)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val f = fs(spark, deltaRoot)
+    def obj(m: Seq[(String, String)]): String =
+      m.map { case (k, vv) => s"${om.writeValueAsString(k)}:$vv" }
+        .mkString("{", ",", "}")
+    val proto =
+      if (snap.protoFeatures.nonEmpty) {
+        val fe = snap.protoFeatures.toSeq.sorted
+          .map(om.writeValueAsString).mkString("[", ",", "]")
+        s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          s""""readerFeatures":$fe,"writerFeatures":$fe}}"""
+      } else if (snap.conf.getOrElse("delta.columnMapping.mode", "none")
+          != "none")
+        // pre-feature-list column mapping stays on the legacy gate
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+      else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    val meta = s"""{"metaData":{"id":${om.writeValueAsString(
+      snap.metaId.getOrElse(java.util.UUID.randomUUID().toString))},""" +
+      s""""format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${om.writeValueAsString(snap.schema.json)},""" +
+      s""""partitionColumns":${snap.partCols.map(om.writeValueAsString)
+        .mkString("[", ",", "]")},""" +
+      s""""configuration":${obj(snap.conf.toSeq.sorted.map {
+        case (k, vv) => k -> om.writeValueAsString(vv) })}}}"""
+    val txns = snap.txns.toSeq.sortBy(_._1).map { case (id, tv) =>
+      s"""{"txn":{"appId":${om.writeValueAsString(id)},"version":$tv}}"""
+    }
+    val adds = snap.live.toSeq.sortBy(_._1).map { case (p, lf) =>
+      val st = f.getFileStatus(new Path(s"$deltaRoot/$p"))
+      val dvj = lf.dv.map { d =>
+        s""""deletionVector":{"storageType":${om.writeValueAsString(
+          d.storageType)},""" +
+          s""""pathOrInlineDv":${om.writeValueAsString(
+            d.pathOrInlineDv)},""" +
+          d.offset.map(o => s""""offset":$o,""").getOrElse("") +
+          s""""sizeInBytes":${d.sizeInBytes},""" +
+          s""""cardinality":${d.cardinality}},"""
+      }.getOrElse("")
+      s"""{"add":{"path":${om.writeValueAsString(p)},""" +
+        s""""partitionValues":${obj(lf.partitionValues.toSeq.sorted.map {
+          case (k, vv) => k -> om.writeValueAsString(vv) })},""" +
+        s""""size":${st.getLen},""" +
+        s""""modificationTime":${st.getModificationTime},""" +
+        lf.stats.map(s0 =>
+          s""""stats":${om.writeValueAsString(s0)},""").getOrElse("") +
+        dvj +
+        s""""dataChange":false}}"""
+    }
+    val rows = Seq(proto, meta) ++ txns ++ adds
+    writeLogParquet(spark, deltaRoot,
+      f"$v%020d.checkpoint.parquet", rows)
+    val out = f.create(new Path(s"$deltaRoot/_delta_log/_last_checkpoint"),
+      /* overwrite = */ true)
+    try out.write(
+      s"""{"version":$v,"size":${rows.size}}""".getBytes("UTF-8"))
+    finally out.close()
+    v
+  }
+
+  /** Delta log cleanup: delete the JSON commits a surviving checkpoint
+    * covers (`v <= newest checkpoint`) — what real Delta writers do on
+    * their checkpoint cadence, and exactly the mature-table layout the
+    * checkpoint READER bootstraps from. Refuses when no checkpoint
+    * exists (cleaning would destroy the table). Returns the versions
+    * dropped; time travel to them is gone, by design. */
+  def cleanDeltaLog(spark: SparkSession, deltaRoot: String): Seq[Long] = {
+    val layout = layoutOf(spark, deltaRoot)
+    require(layout.checkpoints.nonEmpty,
+      s"$deltaRoot has no checkpoint — cleaning the JSON log would " +
+        "destroy the table; writeDeltaCheckpoint first")
+    val c = layout.checkpoints.map(_.version).max
+    val f = fs(spark, deltaRoot)
+    val doomed = layout.jsons.filter(_ <= c)
+    doomed.foreach(v =>
+      f.delete(new Path(f"$deltaRoot/_delta_log/$v%020d.json"), false))
+    doomed
   }
 
   /** Snapshot read of a Delta table, latest or `versionAsOf`. */

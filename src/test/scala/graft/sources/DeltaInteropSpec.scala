@@ -572,6 +572,149 @@ class DeltaInteropSpec extends SparkSpec {
     }
   }
 
+  test("syncToDelta mirrors the lake history 1:1 (one Delta commit per "
+      + "lake version), resumes from the txn cursor, and re-running is "
+      + "a no-op") {
+    val lake = freshRoot()
+    val out = freshRoot() + "_d"
+    LakeTable.append(spark.range(0, 50)
+      .select(col("id").as("k"), (col("id") * 3).as("v")), lake,
+      zoneKey = Some("k"))
+    LakeTable.append(spark.range(50, 100)
+      .select(col("id").as("k"), (col("id") * 3).as("v")), lake,
+      zoneKey = Some("k"))
+    LakeTable.deleteWhere(spark, lake, "k % 10 = 5") // COW: remove+add
+    val w1 = DeltaInterop.syncToDelta(spark, lake, out)
+    assert(w1 == Seq(0L, 1L, 2L))
+    // every Delta version ≡ its lake version (full history mirror)
+    val lakeVs = LakeTable.versions(spark, lake)
+    lakeVs.zipWithIndex.foreach { case (lv, i) =>
+      assert(DeltaInterop.readDelta(spark, out, Some(i.toLong))
+        .select("k").as[Long].collect().sorted.toSeq ==
+        LakeTable.read(spark, lake, Some(lv))
+          .select("k").as[Long].collect().sorted.toSeq, s"delta v$i")
+    }
+    // nothing new → nothing written; the cursor holds
+    assert(DeltaInterop.syncToDelta(spark, lake, out).isEmpty)
+    // a new lake version lands as exactly one new Delta commit
+    LakeTable.append(spark.range(100, 120)
+      .select(col("id").as("k"), (col("id") * 3).as("v")), lake,
+      zoneKey = Some("k"))
+    assert(DeltaInterop.syncToDelta(spark, lake, out) == Seq(3L))
+    assert(DeltaInterop.readDelta(spark, out).count() ==
+      LakeTable.read(spark, lake).count())
+    // zone stats rode along: range reads prune the mirror
+    assert(DeltaInterop.readDeltaRange(spark, out, "k", 100L, 119L)
+      .count() == 20L)
+  }
+
+  test("syncToDelta publishes DV deltas as remove+re-add with fresh "
+      + "descriptors and upgrades the protocol in that commit; stacked "
+      + "deletes compose") {
+    val lake = freshRoot()
+    val out = freshRoot() + "_d"
+    LakeTable.append(spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake,
+      zoneKey = Some("k"))
+    assert(DeltaInterop.syncToDelta(spark, lake, out) == Seq(0L))
+    val c0 = Files.readString(
+      Paths.get(s"$out/_delta_log/00000000000000000000.json"))
+    assert(c0.contains(""""minReaderVersion":1"""))
+    LakeTable.deleteWhereDV(spark, lake, "k < 10")
+    assert(DeltaInterop.syncToDelta(spark, lake, out) == Seq(1L))
+    val c1 = Files.readString(
+      Paths.get(s"$out/_delta_log/00000000000000000001.json"))
+    assert(c1.contains(""""readerFeatures":["deletionVectors"]"""))
+    assert(c1.contains(""""remove""""), "DV update = remove + re-add")
+    assert(c1.contains(""""storageType":"u""""))
+    assert(DeltaInterop.readDelta(spark, out)
+      .select("k").as[Long].collect().toSet == (10L until 100L).toSet)
+    // a second DV delete re-publishes the union vector; no second
+    // protocol upgrade rides the commit
+    LakeTable.deleteWhereDV(spark, lake, "k >= 90")
+    assert(DeltaInterop.syncToDelta(spark, lake, out) == Seq(2L))
+    val c2 = Files.readString(
+      Paths.get(s"$out/_delta_log/00000000000000000002.json"))
+    assert(!c2.contains("protocol"))
+    assert(DeltaInterop.readDelta(spark, out)
+      .select("k").as[Long].collect().toSet == (10L until 90L).toSet)
+  }
+
+  test("writeDeltaCheckpoint + cleanDeltaLog: the mirror's own classic "
+      + "checkpoint (protocol/metaData/txn/adds with stats and DV "
+      + "descriptors) bootstraps reads AND the next sync after the "
+      + "JSON history is gone") {
+    val lake = freshRoot()
+    val out = freshRoot() + "_d"
+    LakeTable.append(spark.range(0, 60)
+      .select(col("id").as("k"), (col("id") * 7).as("v")), lake,
+      zoneKey = Some("k"))
+    LakeTable.append(spark.range(60, 100)
+      .select(col("id").as("k"), (col("id") * 7).as("v")), lake,
+      zoneKey = Some("k"))
+    LakeTable.deleteWhereDV(spark, lake, "k BETWEEN 20 AND 29")
+    // interval 3 → the sync's own cadence writes the checkpoint at v2
+    assert(DeltaInterop.syncToDelta(spark, lake, out,
+      checkpointInterval = 3) == Seq(0L, 1L, 2L))
+    assert(Files.exists(Paths.get(
+      s"$out/_delta_log/00000000000000000002.checkpoint.parquet")))
+    assert(DeltaInterop.cleanDeltaLog(spark, out) == Seq(0L, 1L, 2L))
+    // bootstrap read: checkpoint only, no JSON left
+    assert(DeltaInterop.deltaVersions(spark, out) == Seq(2L))
+    assert(DeltaInterop.readDelta(spark, out)
+      .select("k").as[Long].collect().toSet ==
+      ((0L until 20L) ++ (30L until 100L)).toSet)
+    // the txn cursor survived INSIDE the checkpoint: the next sync
+    // resumes incrementally instead of re-mirroring from scratch
+    LakeTable.append(spark.range(100, 110)
+      .select(col("id").as("k"), (col("id") * 7).as("v")), lake,
+      zoneKey = Some("k"))
+    assert(DeltaInterop.syncToDelta(spark, lake, out) == Seq(3L))
+    assert(DeltaInterop.readDelta(spark, out)
+      .select("k").as[Long].collect().toSet ==
+      ((0L until 20L) ++ (30L until 110L)).toSet)
+    // zone stats survived the checkpoint round-trip: pruning holds
+    assert(DeltaInterop.readDeltaRange(spark, out, "k", 100L, 109L)
+      .count() == 10L)
+    // cleaning without a checkpoint refuses
+    val bare = freshRoot() + "_bare"
+    LakeTable.append(spark.range(0, 5).select(col("id").as("k")), bare)
+    DeltaInterop.syncToDelta(spark, bare, bare + "_d",
+      checkpointInterval = 0)
+    intercept[IllegalArgumentException] {
+      DeltaInterop.cleanDeltaLog(spark, bare + "_d")
+    }
+  }
+
+  test("syncToDelta refuses a foreign Delta log (no txn cursor for the "
+      + "appId) and follows lake schema evolution with a metaData "
+      + "action") {
+    val lake = freshRoot()
+    val out = freshRoot() + "_d"
+    LakeTable.append(spark.range(0, 10)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake)
+    DeltaInterop.exportToDelta(spark, lake, out)
+    // exports are immutable — sync must not append onto them
+    intercept[IllegalArgumentException] {
+      DeltaInterop.syncToDelta(spark, lake, out)
+    }
+    // schema evolution: a later append's new column re-emits metaData
+    val out2 = freshRoot() + "_d2"
+    assert(DeltaInterop.syncToDelta(spark, lake, out2) == Seq(0L))
+    LakeTable.append(spark.range(10, 20)
+      .select(col("id").as("k"), (col("id") * 2).as("v"),
+        lit("x").as("tag")), lake)
+    assert(DeltaInterop.syncToDelta(spark, lake, out2) == Seq(1L))
+    val c1 = Files.readString(
+      Paths.get(s"$out2/_delta_log/00000000000000000001.json"))
+    assert(c1.contains("metaData"))
+    val got = DeltaInterop.readDelta(spark, out2)
+    assert(got.columns.toSeq == Seq("k", "v", "tag"))
+    // old files null-fill the added column, exactly like the lake read
+    assert(got.filter(col("tag").isNull).count() == 10L)
+    assert(got.filter(col("tag") === "x").count() == 10L)
+  }
+
   test("a log-cleaned (non-contiguous) JSON history errors instead of "
       + "replaying a truncated prefix") {
     val root = freshRoot()

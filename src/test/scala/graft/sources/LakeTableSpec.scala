@@ -1463,8 +1463,7 @@ class LakeTableSpec extends SparkSpec {
     assert(!fs.exists(dvRoot) || fs.listStatus(dvRoot).isEmpty)
   }
 
-  test("deletion vectors through the SQL catalog and the Delta export "
-      + "guard") {
+  test("deletion vectors through the SQL catalog and the Delta export") {
     spark.conf.set("spark.sql.catalog.graftlake",
       classOf[GraftLakeCatalog].getName)
     val root = freshRoot()
@@ -1478,14 +1477,21 @@ class LakeTableSpec extends SparkSpec {
     assert(spark.sql(
         s"SELECT sum(v) FROM graftlake.`$root` WHERE k < 20")
       .head().getLong(0) == (10 until 20).map(_ * 2).sum)
-    // raw-file export would resurrect the deleted rows — refused
+    // a DV-bearing snapshot exports its vectors as REAL Delta DVs —
+    // the raw files travel unrewritten, the read anti-joins them out
     val out = freshRoot() + "_d"
+    DeltaInterop.exportToDelta(spark, root, out)
+    assert(DeltaInterop.readDelta(spark, out).count() == 90L)
+    // exports are immutable: a second export onto the same log refuses
     intercept[IllegalArgumentException] {
       DeltaInterop.exportToDelta(spark, root, out)
     }
-    LakeTable.purgeDeletes(spark, root)
-    DeltaInterop.exportToDelta(spark, root, out)
-    assert(DeltaInterop.readDelta(spark, out).count() == 90L)
+    // purgeFirst folds the vectors for a protocol-1 (max-compat) export
+    val out2 = freshRoot() + "_d2"
+    DeltaInterop.exportToDelta(spark, root, out2, purgeFirst = true)
+    assert(DeltaInterop.readDelta(spark, out2).count() == 90L)
+    assert(LakeTable.dvOf(spark, root,
+      LakeTable.versions(spark, root).last).isEmpty)
   }
 
   test("merge-on-read UPDATE: old files untouched, post-images append, "
