@@ -175,4 +175,91 @@ object Text {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(RollingHashExpr(ColumnBridge.expression(normalize(text))))
   }
+
+  // ---- HTML main-content extraction (crawl → training text) ----------
+
+  /** Block-level tags whose open OR close splits an HTML document into
+    * visually separate text blocks — the segmentation unit of
+    * jusText/trafilatura-style boilerplate removal. */
+  private val htmlBlockSplit =
+    "(?i)</?(p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|tr|td|th|br|hr|" +
+      "section|article|aside|header|footer|nav|main|blockquote|pre|" +
+      "form|figure|figcaption)\\b[^>]*>"
+
+  /** An HTML document cut into block-level segments, with
+    * script/style/noscript payloads, comments and the entire `<head>`
+    * removed FIRST (their contents are code/metadata, not prose —
+    * stripping tags alone would leak JavaScript and titles into the
+    * corpus; scripts strip before head so a "</head>" inside JS can't
+    * truncate the cut). RE2-subset regexes throughout this family, so
+    * a SQL oracle replays the identical patterns. */
+  def htmlBlocks(html: Column): Column =
+    split(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(html,
+            "(?is)<(script|style|noscript)[^>]*>.*?</(script|style|noscript)>",
+            " "),
+          "(?s)<!--.*?-->", " "),
+        "(?is)<head[^>]*>.*?</head>", " "),
+      htmlBlockSplit)
+
+  /** Visible text of one HTML fragment: inline tags stripped to spaces,
+    * the five standard entities + nbsp decoded (amp LAST, so
+    * "&amp;lt;" correctly yields a literal "&lt;"), whitespace
+    * collapsed. */
+  def htmlBlockText(block: Column): Column = {
+    val noTags = regexp_replace(block, "(?s)<[^>]*>", " ")
+    val decoded = replace(
+      replace(replace(replace(replace(noTags,
+        lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+        lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
+      lit("&nbsp;"), lit(" "))
+    trim(regexp_replace(replace(decoded, lit("&amp;"), lit("&")),
+      "\\s+", " "))
+  }
+
+  /** Characters of anchor (`<a>…</a>`) inner text in an HTML fragment —
+    * the numerator of the link-density boilerplate heuristic. Inner
+    * markup strips; entities count in raw form (a heuristic needs
+    * cross-engine equality, not entity exactness). */
+  def htmlAnchorChars(block: Column): Column =
+    coalesce(
+      aggregate(
+        transform(
+          regexp_extract_all(block, lit("(?is)<a\\b[^>]*>(.*?)</a>"),
+            lit(1)),
+          a => length(trim(regexp_replace(
+            regexp_replace(a, "(?s)<[^>]*>", " "), "\\s+", " ")))),
+        lit(0), (acc, x) => acc + x),
+      lit(0))
+
+  /** The document's `<title>` text, whitespace-collapsed; NULL when
+    * absent. */
+  def htmlTitle(html: Column): Column = {
+    val t = regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)
+    when(t === "", lit(null).cast("string"))
+      .otherwise(htmlBlockText(t))
+  }
+
+  /** Main-content extraction from raw HTML — the crawl pipeline's
+    * boilerplate cut (jusText/trafilatura shape): the page splits into
+    * block-level segments, each block keeps only if its visible text
+    * is long enough (`minChars`) AND link-dominated chrome is excluded
+    * (anchor chars ≤ `maxLinkPct`% of visible chars — navs, footers,
+    * share bars and tag clouds are mostly anchor text), and survivors
+    * join in document order. Integer cross-multiplication instead of a
+    * float density, so verdicts replay bit-exactly in SQL. Pure
+    * codegen'd column expressions: map-only over the corpus — at
+    * 100 TB this runs in the scan with zero shuffle. */
+  def htmlMainText(html: Column, minChars: Int = 25,
+                   maxLinkPct: Int = 33): Column =
+    bindOnce(htmlBlocks(html), blocks => {
+      val scored = transform(blocks, b =>
+        struct(htmlBlockText(b).as("t"), htmlAnchorChars(b).as("a")))
+      val kept = filter(scored, s =>
+        length(s.getField("t")) >= minChars &&
+          s.getField("a") * 100 <= length(s.getField("t")) * maxLinkPct)
+      array_join(transform(kept, s => s.getField("t")), "\n")
+    })
 }

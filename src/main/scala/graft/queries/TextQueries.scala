@@ -558,6 +558,96 @@ object TextQueries {
     // last when the doc set is smallest. Goes beyond q76 by one full
     // stage: q76 stops at dedup; production prep must also prove the
     // eval set never leaks into training data.
+    // ---- HTML main-content extraction ---------------------------------------
+    // The crawl pipeline's first real step: raw HTML → training text.
+    // Each document renders as a full synthetic page (head with
+    // title/style/script, nav, comment, h1, main div, share bar,
+    // footer — the chrome a real crawl drop carries), and
+    // Text.htmlMainText cuts it back to prose: script/style/head
+    // stripped, block segmentation, per-block link-density + length
+    // gates (integer cross-multiplication, so verdicts replay
+    // bit-exactly), survivors joined in document order. htmlTitle
+    // recovers the metadata separately. Pure codegen'd column
+    // expressions — map-only, zero shuffle at any scale. The oracle
+    // replays the page construction AND the whole extraction with the
+    // identical RE2-subset regexes.
+    "q328_html_extract" -> Q(
+      (s, d) => {
+        val page = concat(
+          lit("<html><head><title>Doc "),
+          col("doc_id").cast("string"), lit(" | "), col("source"),
+          lit("</title><style>body{margin:0}</style>" +
+            "<script>var t=\"<div>not text</div>\";</script></head>" +
+            "<body><nav><a href=\"/\">Home</a> " +
+            "<a href=\"/a\">About us</a> " +
+            "<a href=\"/c\">Contact</a></nav><!-- chrome -->" +
+            "<h1>Stories &amp; notes from "),
+          col("source"),
+          lit("</h1><div id=\"m\">"), col("text"),
+          lit("</div><p>Share this: <a href=\"/t\">tweet</a> " +
+            "<a href=\"/f\">facebook</a> <a href=\"/m\">mail</a></p>" +
+            "<footer>&copy; corp <a href=\"/p\">Privacy</a> " +
+            "<a href=\"/t2\">Terms</a></footer></body></html>"))
+        Tables.documents(s, d).select(col("doc_id"),
+          Text.htmlTitle(page).as("title"),
+          Text.htmlMainText(page).as("main"))
+      },
+      Some("""WITH page AS (
+          SELECT doc_id,
+            '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' | '
+            || source || '</title><style>body{margin:0}</style>'
+            || '<script>var t="<div>not text</div>";</script></head>'
+            || '<body><nav><a href="/">Home</a> <a href="/a">About us</a> '
+            || '<a href="/c">Contact</a></nav><!-- chrome -->'
+            || '<h1>Stories &amp; notes from ' || source
+            || '</h1><div id="m">' || text
+            || '</div><p>Share this: <a href="/t">tweet</a> '
+            || '<a href="/f">facebook</a> <a href="/m">mail</a></p>'
+            || '<footer>&copy; corp <a href="/p">Privacy</a> '
+            || '<a href="/t2">Terms</a></footer></body></html>' AS html
+          FROM documents
+        ), blocks AS (
+          SELECT doc_id, html,
+            regexp_split_to_array(
+              regexp_replace(regexp_replace(regexp_replace(html,
+                '(?is)<(script|style|noscript)[^>]*>.*?</(script|style|noscript)>',
+                ' ', 'g'),
+                '(?s)<!--.*?-->', ' ', 'g'),
+                '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
+              '(?i)</?(p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|tr|td|th|br|hr|section|article|aside|header|footer|nav|main|blockquote|pre|form|figure|figcaption)\b[^>]*>')
+            AS bs
+          FROM page
+        ), scored AS (
+          SELECT doc_id, html,
+            list_transform(bs, b -> struct_pack(
+              t := trim(regexp_replace(replace(replace(replace(replace(
+                     replace(replace(
+                       regexp_replace(b, '(?s)<[^>]*>', ' ', 'g'),
+                     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                     '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                     '\s+', ' ', 'g')),
+              a := coalesce(list_sum(list_transform(
+                     regexp_extract_all(b, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+                     x -> length(trim(regexp_replace(
+                       regexp_replace(x, '(?s)<[^>]*>', ' ', 'g'),
+                       '\s+', ' ', 'g'))))), 0))) AS sc
+          FROM blocks
+        )
+        SELECT doc_id,
+          CASE WHEN regexp_extract(html,
+              '(?is)<title[^>]*>(.*?)</title>', 1) = '' THEN NULL
+            ELSE trim(regexp_replace(replace(replace(replace(replace(
+              replace(replace(regexp_replace(
+                regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+                '(?s)<[^>]*>', ' ', 'g'),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+              '&nbsp;', ' '), '&amp;', '&'), '\s+', ' ', 'g')) END AS title,
+          array_to_string(list_transform(list_filter(sc,
+            s -> length(s.t) >= 25 AND s.a * 100 <= length(s.t) * 33),
+            s -> s.t), chr(10)) AS main
+        FROM scored"""),
+      "HTML main-content extraction: block link-density boilerplate cut"),
+
     "q154_corpus_prep" -> Q(
       (s, d) => {
         val docs = Tables.documents(s, d)

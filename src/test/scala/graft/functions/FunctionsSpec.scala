@@ -224,6 +224,73 @@ class TextSpec extends SparkSpec {
     assert(canon("https://example.com/", "https://example.com").toSet ==
       Set("example.com"))
   }
+
+  test("htmlMainText: scripts/styles/comments/head stripped, link-dense "
+      + "chrome dropped, prose blocks survive in order, entities decode") {
+    def main(html: String, minChars: Int = 25): String =
+      Seq(html).toDF("h")
+        .select(Text.htmlMainText(col("h"), minChars = minChars))
+        .as[String].head()
+    val page =
+      "<html><head><title>T</title><style>p{}</style>" +
+        "<script>var a=\"</head>trap\";</script></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/x\">Archive</a> " +
+        "<a href=\"/y\">Tags</a> <a href=\"/z\">Feed</a></nav>" +
+        "<!-- rendered by cms 3.1 -->" +
+        "<p>First paragraph with enough characters to clear the floor " +
+        "and one <a href=\"/in\">inline link</a> inside real prose.</p>" +
+        "<p>Second &amp; final paragraph, also long enough to keep, " +
+        "with &lt;angle&gt; entities and &amp;lt; staying literal.</p>" +
+        "<p><a href=\"/t\">share</a> <a href=\"/f\">repost</a> " +
+        "<a href=\"/m\">mail this page</a></p>" +
+        "<footer>Copyright <a href=\"/legal\">Legal notice here</a> " +
+        "<a href=\"/priv\">Privacy policy page</a></footer></body></html>"
+    val got = main(page)
+    val paras = got.split("\n").toSeq
+    assert(paras.size == 2, got)
+    assert(paras.head.startsWith("First paragraph"))
+    assert(paras.head.contains("inline link inside real prose."))
+    // entity decode: &amp; → &, &lt;/&gt; → <>, &amp;lt; → literal "&lt;"
+    assert(paras(1) == "Second & final paragraph, also long enough to " +
+      "keep, with <angle> entities and &lt; staying literal.")
+    // the script's "</head>" string never truncated the head cut: the
+    // title text is gone (head removed), not leaked into the body
+    assert(!got.contains("T\n") && !got.startsWith("T"))
+    // minChars gates short prose too: raise the floor, lose both paras
+    assert(main(page, minChars = 200) == "")
+    // null passes through
+    assert(Seq((1, null: String)).toDF("i", "h")
+      .select(Text.htmlMainText(col("h"))).as[String].head() == null)
+  }
+
+  test("htmlAnchorChars counts stripped anchor text; the density gate "
+      + "uses exact integer cross-multiplication") {
+    def anchors(html: String): Int =
+      Seq(html).toDF("h").select(Text.htmlAnchorChars(col("h")))
+        .as[Int].head()
+    assert(anchors("no links at all") == 0)
+    // nested markup inside the anchor strips before counting
+    assert(anchors("<a href=x><b>bold</b> link</a>") == "bold link".length)
+    assert(anchors("<a>one</a> and <a>two2</a>") == 3 + 4)
+    // exactly AT the 33% threshold the block is kept (<=, not <):
+    // 33 anchor chars in 100 visible chars
+    val prose = "p" * 63 // 63 + 1 + 33 anchor + 3 → exactly 100 visible
+    val block = s"<p>$prose <a>${"a" * 33}</a> xx</p>"
+    val kept = Seq(block).toDF("h")
+      .select(Text.htmlMainText(col("h"))).as[String].head()
+    assert(kept.nonEmpty, "block at exactly 33% must survive")
+  }
+
+  test("htmlTitle: first title wins, inner tags strip, whitespace "
+      + "collapses; absent → null") {
+    def title(html: String): String =
+      Seq(html).toDF("h").select(Text.htmlTitle(col("h")))
+        .as[String].head()
+    assert(title("<title>  A&amp;B <b>site</b>\n page </title>") ==
+      "A&B site page")
+    assert(title("<TITLE lang=en>Upper</TITLE>") == "Upper")
+    assert(title("<html><body>no title</body></html>") == null)
+  }
 }
 
 class AggregatorsSpec extends SparkSpec {
