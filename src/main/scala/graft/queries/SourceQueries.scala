@@ -2094,6 +2094,48 @@ object SourceQueries {
           AND NOT (o_orderkey BETWEEN 400 AND 799)"""),
       "Delta sync mirror: O(changed) commits, own checkpoint, DV tail"),
 
+    // ---- Iceberg interop: publication + read -------------------------------
+    // The OTHER open lakehouse format: lake snapshots publish as an
+    // Iceberg v2 table (avro manifests + manifest lists + metadata
+    // JSON, spec field-ids, version-hint) that accumulates a
+    // time-travelable snapshot history across exports, and live
+    // deletion vectors publish as REAL position deletes — the native
+    // (file, pos) sidecars ARE Iceberg's position-delete shape, served
+    // back merge-on-read by the same anti-join plan. One query reads
+    // the current snapshot (DV-applied) AND time-travels to the first;
+    // the oracle recomputes both states relationally.
+    "q329_iceberg_publish" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_iceberg_q329")
+        val lake = root + "/lake"
+        val ice = root + "/ice"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 2 === 0), lake,
+          zoneKey = Some("o_orderkey"))
+        graft.sources.IcebergInterop.exportToIceberg(s, lake, ice)
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 2 === 1), lake,
+          zoneKey = Some("o_orderkey"))
+        graft.sources.LakeTable.deleteWhereDV(s, lake,
+          "o_orderkey BETWEEN 500 AND 999")
+        graft.sources.IcebergInterop.exportToIceberg(s, lake, ice)
+        val cur = graft.sources.IcebergInterop.readIceberg(s, ice)
+          .withColumn("snap", lit("current"))
+        val old = graft.sources.IcebergInterop
+          .readIceberg(s, ice, Some(1L)).withColumn("snap", lit("v1"))
+        cur.unionByName(old)
+          .select("snap", "o_orderkey", "o_orderstatus", "o_totalprice")
+      },
+      Some("""SELECT 'current' AS snap, o_orderkey, o_orderstatus,
+            o_totalprice FROM orders
+          WHERE NOT (o_orderkey BETWEEN 500 AND 999)
+        UNION ALL
+        SELECT 'v1' AS snap, o_orderkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey % 2 = 0"""),
+      "Iceberg publication: snapshots, position deletes, time travel"),
+
     // ---- metadata-only COUNT(*) --------------------------------------------
     // The Delta numRecords fast path: per-file row counts ride the
     // manifest as `#rows` stats (written from the parquet footers at

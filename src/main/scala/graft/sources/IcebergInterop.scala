@@ -1,0 +1,591 @@
+package graft.sources
+
+import org.apache.avro.generic.{GenericData, GenericDatumReader,
+  GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Interop for the open Apache Iceberg table format (iceberg.apache.org
+  * spec) — the OTHER major open lakehouse format beside Delta
+  * ([[DeltaInterop]]), so tables published by Iceberg writers are
+  * directly queryable here and [[LakeTable]] snapshots publish as
+  * Iceberg tables any Iceberg engine can consume.
+  *
+  * Scope, mirroring the Delta interop's read discipline:
+  *
+  *  - READ: `metadata/v<N>.metadata.json` (version-hint.text or
+  *    highest-version discovery, plain and uuid-suffixed names),
+  *    format versions 1 and 2, snapshot listing + time travel by
+  *    snapshot id, per-snapshot schema-id resolution, manifest lists
+  *    and manifests (Avro, parsed DRIVER-side with the Avro Java
+  *    library — manifest files are metadata, the same driver-side
+  *    bound every Iceberg client pays), and v2 POSITION DELETES served
+  *    merge-on-read through the engine's existing anti-join shape
+  *    (the same plan [[LakeTable.applyDv]] and the Delta DV read use).
+  *  - REFUSED LOUDLY, never silently wrong: format-version 3+,
+  *    equality deletes, non-parquet data files, v1 logs carrying the
+  *    legacy inline `manifests` snapshot field, and Iceberg types this
+  *    engine cannot map (uuid, fixed, time). Column resolution is
+  *    by NAME (the overwhelmingly common case); field-id-based rename
+  *    tracking is out of scope and documented as such.
+  *  - WRITE: [[exportToIceberg]] publishes a lake snapshot as an
+  *    Iceberg v2 table — hard-linked parquet, one data manifest, a
+  *    position-delete manifest when the snapshot carries live deletion
+  *    vectors (the native (file, pos) sidecars ARE Iceberg position
+  *    deletes), a manifest list, and a new `v<N>.metadata.json`.
+  *    Repeated exports of later lake versions APPEND snapshots, so the
+  *    published table accumulates a time-travelable history.
+  */
+object IcebergInterop {
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  // ---- Iceberg schema JSON <-> Spark StructType -----------------------
+
+  private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+
+  /** Iceberg type JSON → Spark type. Nested struct/list/map recurse;
+    * types with no faithful Spark rendering refuse loudly. */
+  private def sparkType(node: com.fasterxml.jackson.databind.JsonNode)
+      : DataType =
+    if (node.isTextual) node.asText match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "date" => DateType
+      case "string" => StringType
+      case "binary" => BinaryType
+      case "timestamp" => TimestampNTZType
+      case "timestamptz" => TimestampType
+      case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
+      case other => throw new UnsupportedOperationException(
+        s"Iceberg type '$other' has no faithful Spark mapping in this " +
+          "interop reader (uuid/fixed/time are out of scope)")
+    } else node.path("type").asText match {
+      case "struct" =>
+        StructType(node.path("fields").elements().asScala.map { f =>
+          StructField(f.path("name").asText, sparkType(f.path("type")),
+            nullable = !f.path("required").asBoolean(false))
+        }.toSeq)
+      case "list" =>
+        ArrayType(sparkType(node.path("element")),
+          containsNull = !node.path("element-required").asBoolean(false))
+      case "map" =>
+        MapType(sparkType(node.path("key")),
+          sparkType(node.path("value")),
+          valueContainsNull = !node.path("value-required").asBoolean(false))
+      case other => throw new UnsupportedOperationException(
+        s"unknown Iceberg composite type '$other'")
+    }
+
+  private implicit class IterAsScala[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
+  }
+
+  /** Spark type → Iceberg type-JSON string (export side). Flat
+    * primitives only — the lake's own tables are flat; nested export
+    * refuses rather than guessing element-id assignment. */
+  private def icebergTypeName(dt: DataType): String = dt match {
+    case BooleanType => "boolean"
+    case IntegerType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case DateType => "date"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case TimestampNTZType => "timestamp"
+    case TimestampType => "timestamptz"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case other => throw new UnsupportedOperationException(
+      s"cannot export column type $other to Iceberg (flat primitive " +
+        "columns only)")
+  }
+
+  /** The lake schema as Iceberg schema JSON, field ids 1..n. */
+  private def icebergSchemaJson(schema: StructType,
+      om: com.fasterxml.jackson.databind.ObjectMapper,
+      schemaId: Int): String = {
+    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"id":${i + 1},"name":${om.writeValueAsString(f.name)},""" +
+        s""""required":${!f.nullable},""" +
+        s""""type":${om.writeValueAsString(icebergTypeName(f.dataType))}}"""
+    }
+    s"""{"type":"struct","schema-id":$schemaId,""" +
+      s""""identifier-field-ids":[],""" +
+      s""""fields":${fields.mkString("[", ",", "]")}}"""
+  }
+
+  // ---- Avro plumbing (driver-side, like every Iceberg client) ---------
+
+  private def readAvro(spark: SparkSession, uri: String)
+      : Seq[GenericRecord] = {
+    val in = new org.apache.avro.mapred.FsInput(new Path(uri),
+      spark.sessionState.newHadoopConf())
+    val r = org.apache.avro.file.DataFileReader.openReader(
+      in, new GenericDatumReader[GenericRecord]())
+    try {
+      val b = Seq.newBuilder[GenericRecord]
+      while (r.hasNext) b += r.next()
+      b.result()
+    } finally r.close()
+  }
+
+  private[sources] def writeAvro(spark: SparkSession, uri: String,
+                        schema: org.apache.avro.Schema,
+                        records: Seq[GenericRecord]): Long = {
+    val f = fs(spark, uri)
+    val out = f.create(new Path(uri), /* overwrite = */ false)
+    val w = new org.apache.avro.file.DataFileWriter(
+      new GenericDatumWriter[GenericRecord](schema))
+    try {
+      w.create(schema, out)
+      records.foreach(w.append)
+    } finally w.close()
+    f.getFileStatus(new Path(uri)).getLen
+  }
+
+  /** Manifest-entry Avro schema (v2 shape, spec field-ids). */
+  private[sources] val manifestSchema = new org.apache.avro.Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+      |{"name":"content","type":"int","field-id":134},
+      |{"name":"file_path","type":"string","field-id":100},
+      |{"name":"file_format","type":"string","field-id":101},
+      |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+      |{"name":"record_count","type":"long","field-id":103},
+      |{"name":"file_size_in_bytes","type":"long","field-id":104}
+      |]}}]}""".stripMargin)
+
+  /** Manifest-list Avro schema (v2 shape, spec field-ids). */
+  private[sources] val manifestListSchema =
+    new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string","field-id":500},
+        |{"name":"manifest_length","type":"long","field-id":501},
+        |{"name":"partition_spec_id","type":"int","field-id":502},
+        |{"name":"content","type":"int","field-id":517},
+        |{"name":"sequence_number","type":"long","field-id":515},
+        |{"name":"min_sequence_number","type":"long","field-id":516},
+        |{"name":"added_snapshot_id","type":"long","field-id":503},
+        |{"name":"added_files_count","type":"int","field-id":504},
+        |{"name":"existing_files_count","type":"int","field-id":505},
+        |{"name":"deleted_files_count","type":"int","field-id":506},
+        |{"name":"added_rows_count","type":"long","field-id":512},
+        |{"name":"existing_rows_count","type":"long","field-id":513},
+        |{"name":"deleted_rows_count","type":"long","field-id":514}
+        |]}""".stripMargin)
+
+  // ---- metadata discovery + parsing ------------------------------------
+
+  private case class IceSnapshot(id: Long, tsMs: Long,
+                                 manifestList: String,
+                                 schemaId: Option[Int],
+                                 sequenceNumber: Long)
+  private case class IceMeta(formatVersion: Int, version: Int,
+                             schemas: Map[Int, StructType],
+                             currentSchemaId: Int,
+                             snapshots: Seq[IceSnapshot],
+                             currentSnapshotId: Option[Long],
+                             raw: com.fasterxml.jackson.databind.JsonNode)
+
+  private val PlainMeta = """v(\d+)\.metadata\.json""".r
+  private val UuidMeta = """(\d+)-[0-9a-fA-F-]+\.metadata\.json""".r
+
+  /** The table's current metadata file: `version-hint.text` when
+    * present (the spec's file-system-catalog pointer), else the
+    * highest-versioned `*.metadata.json` (plain `v<N>` and
+    * uuid-suffixed `<N>-<uuid>` spellings both discover). */
+  private def currentMetadataFile(spark: SparkSession, root: String)
+      : (String, Int) = {
+    val f = fs(spark, root)
+    val dir = new Path(s"$root/metadata")
+    require(f.exists(dir), s"no Iceberg metadata directory under $root")
+    val names = f.listStatus(dir).toSeq.map(_.getPath.getName)
+    val hintPath = new Path(s"$root/metadata/version-hint.text")
+    val byName = names.collect {
+      case n @ PlainMeta(v) => (v.toInt, n)
+      case n @ UuidMeta(v) => (v.toInt, n)
+    }
+    if (f.exists(hintPath)) {
+      val in = f.open(hintPath)
+      val hint = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toInt finally in.close()
+      val named = byName.filter(_._1 == hint)
+      require(named.nonEmpty,
+        s"$root: version-hint.text names version $hint but no " +
+          "matching *.metadata.json exists")
+      (s"$root/metadata/${named.maxBy(_._2)._2}", hint)
+    } else {
+      require(byName.nonEmpty, s"$root: no *.metadata.json under metadata/")
+      val (v, n) = byName.maxBy(identity)
+      (s"$root/metadata/$n", v)
+    }
+  }
+
+  private def parseMetadata(spark: SparkSession, root: String): IceMeta = {
+    val (file, ver) = currentMetadataFile(spark, root)
+    val f = fs(spark, root)
+    val in = f.open(new Path(file))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(txt)
+    val fv = node.path("format-version").asInt(-1)
+    if (fv != 1 && fv != 2)
+      throw new UnsupportedOperationException(
+        s"$root declares Iceberg format-version $fv; this interop " +
+          "reader implements versions 1 and 2")
+    val schemas: Map[Int, StructType] =
+      if (node.has("schemas"))
+        node.path("schemas").elements().asScala.map { s =>
+          s.path("schema-id").asInt(0) ->
+            sparkType(s).asInstanceOf[StructType]
+        }.toMap
+      else if (node.has("schema")) // v1 single-schema shape
+        Map(0 -> sparkType(node.path("schema")).asInstanceOf[StructType])
+      else throw new IllegalStateException(s"$root: metadata has no schema")
+    val currentSchemaId = node.path("current-schema-id").asInt(0)
+    val snapshots = node.path("snapshots").elements().asScala.map { s =>
+      if (s.has("manifests"))
+        throw new UnsupportedOperationException(
+          s"$root uses the legacy v1 inline `manifests` snapshot field; " +
+            "this reader consumes manifest lists only")
+      IceSnapshot(
+        s.path("snapshot-id").asLong(),
+        s.path("timestamp-ms").asLong(),
+        s.path("manifest-list").asText(),
+        if (s.has("schema-id")) Some(s.path("schema-id").asInt) else None,
+        s.path("sequence-number").asLong(0L))
+    }.toSeq
+    val cur = node.path("current-snapshot-id").asLong(-1L)
+    IceMeta(fv, ver, schemas, currentSchemaId, snapshots,
+      if (cur >= 0) Some(cur) else None, node)
+  }
+
+  /** Resolve a possibly-relative manifest/data location against the
+    * table root (Iceberg writes absolute URIs; hand-built logs may
+    * carry root-relative paths). */
+  private def resolve(root: String, loc: String): String =
+    // a URI scheme ("file:/…", "s3://…") or an absolute path stands;
+    // anything else is root-relative
+    if (loc.startsWith("/") || loc.matches("[A-Za-z][A-Za-z0-9+.-]*:.*"))
+      loc
+    else s"$root/$loc"
+
+  // ---- READ ------------------------------------------------------------
+
+  /** Snapshot ids + commit times (ms) of the Iceberg table at `root`,
+    * ascending by time — the time-travel surface. */
+  def icebergSnapshots(spark: SparkSession, root: String)
+      : Seq[(Long, Long)] =
+    parseMetadata(spark, root).snapshots.sortBy(_.tsMs).map(s =>
+      (s.id, s.tsMs))
+
+  /** Snapshot read of an Iceberg table, current or `snapshotId` time
+    * travel. Data files resolve by NAME against the snapshot's schema;
+    * v2 position deletes anti-join out executor-side (the engine's
+    * standard merge-on-read shape: the delete side is metadata-scale,
+    * the data side never shuffles); equality deletes refuse. */
+  def readIceberg(spark: SparkSession, root: String,
+                  snapshotId: Option[Long] = None): DataFrame = {
+    val meta = parseMetadata(spark, root)
+    val snapId = snapshotId.orElse(meta.currentSnapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"$root has no current snapshot (empty table)"))
+    val snap = meta.snapshots.find(_.id == snapId).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot $snapId not in " +
+          meta.snapshots.map(_.id).mkString(",")))
+    val schema = snap.schemaId.flatMap(meta.schemas.get)
+      .orElse(meta.schemas.get(meta.currentSchemaId))
+      .getOrElse(meta.schemas.head._2)
+    val listEntries = readAvro(spark, resolve(root, snap.manifestList))
+    def str(r: GenericRecord, k: String): String =
+      Option(r.get(k)).map(_.toString).orNull
+    def int(r: GenericRecord, k: String, dflt: Int): Int =
+      Option(r.get(k)).map(_.asInstanceOf[Number].intValue)
+        .getOrElse(dflt)
+    val manifests = listEntries.map(e =>
+      (str(e, "manifest_path"), int(e, "content", 0)))
+    var dataFiles = Seq.empty[String]
+    var deleteFiles = Seq.empty[String]
+    manifests.foreach { case (mPath, mContent) =>
+      readAvro(spark, resolve(root, mPath)).foreach { e =>
+        val status = int(e, "status", 0)
+        val df0 = e.get("data_file").asInstanceOf[GenericRecord]
+        val content = int(df0, "content", 0)
+        val path = str(df0, "file_path")
+        val fmt = Option(str(df0, "file_format")).getOrElse("PARQUET")
+        if (status != 2) { // 2 = DELETED (removed from this snapshot)
+          if (!fmt.equalsIgnoreCase("parquet"))
+            throw new UnsupportedOperationException(
+              s"$root: data file $path has format $fmt; this interop " +
+                "reader scans parquet only")
+          (mContent, content) match {
+            case (0, 0) => dataFiles :+= path
+            case (1, 1) => deleteFiles :+= path
+            case (_, 2) => throw new UnsupportedOperationException(
+              s"$root carries EQUALITY deletes ($path); this interop " +
+                "reader serves position deletes only — compact the " +
+                "table with its writing engine first")
+            case other => throw new IllegalStateException(
+              s"$root: manifest content $mContent holds a file with " +
+                s"content ${other._2} ($path)")
+          }
+        }
+      }
+    }
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    if (dataFiles.isEmpty) return empty
+    val conf = spark.sessionState.newHadoopConf()
+    def qualify(p: String): String = {
+      val hp = new Path(resolve(root, p))
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+    val scan0 = spark.read.schema(schema)
+      .parquet(dataFiles.sorted.map(p => resolve(root, p)): _*)
+    if (deleteFiles.isEmpty) return scan0
+    import spark.implicits._
+    // position deletes: (file_path, pos) parquet rows — metadata-scale
+    // by design (O(deleted rows)); broadcast and anti-join, the exact
+    // plan LakeTable.applyDv and the Delta DV read use. Delete rows
+    // reference data files by their MANIFEST spelling; translate both
+    // sides to the scan's qualified URI rendering.
+    val uris = dataFiles.map(p => (p, qualify(p))).toDF("__p", "__uri")
+    val deletes = spark.read
+      .schema(StructType(Seq(
+        StructField("file_path", StringType),
+        StructField("pos", LongType))))
+      .parquet(deleteFiles.map(p => resolve(root, p)): _*)
+      .join(broadcast(uris),
+        col("file_path") === col("__p") ||
+          col("file_path") === col("__uri"))
+      .select(col("__uri").as("__ice_uri"), col("pos").as("__ice_pos"))
+    scan0
+      .withColumn("__ice_uri", col("_metadata.file_path"))
+      .withColumn("__ice_pos", col("_metadata.row_index"))
+      .join(deletes, Seq("__ice_uri", "__ice_pos"), "left_anti")
+      .drop("__ice_uri", "__ice_pos")
+  }
+
+  // ---- WRITE (publication) ----------------------------------------------
+
+  /** Publish a [[LakeTable]] snapshot as an Iceberg v2 table. The
+    * snapshot's live files HARD-LINK under `iceRoot/data/` (zero copy
+    * on one filesystem), one data manifest + manifest list land as
+    * spec-shaped Avro, and `metadata/v<N>.metadata.json` +
+    * `version-hint.text` commit the snapshot. Live deletion vectors
+    * publish as REAL Iceberg position deletes: the native (file, pos)
+    * sidecars write as one sorted parquet delete file under a
+    * content=1 manifest — no data file rewrites, exactly the lake's
+    * own merge-on-read contract.
+    *
+    * Repeated calls with LATER lake versions APPEND snapshots (the
+    * snapshot id IS the lake version), so the published table carries
+    * a time-travelable history; re-exporting an already-published
+    * version is a no-op. Unlike [[exportToDelta]]'s one-shot
+    * immutability, this is the incremental publication path —
+    * the Iceberg twin of [[DeltaInterop.syncToDelta]] at snapshot
+    * granularity. Driver-side metadata is O(live files + DV rows). */
+  def exportToIceberg(spark: SparkSession, lakeRoot: String,
+                      iceRoot: String,
+                      version: Option[Long] = None): Long = {
+    val lakeVs = LakeTable.versions(spark, lakeRoot)
+    require(lakeVs.nonEmpty, s"no lake table at $lakeRoot")
+    val v = version.getOrElse(lakeVs.last)
+    require(lakeVs.contains(v), s"version $v not in ${lakeVs.mkString(",")}")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val f = fs(spark, iceRoot)
+    val existing: Option[IceMeta] =
+      if (f.exists(new Path(s"$iceRoot/metadata"))) {
+        val m = parseMetadata(spark, iceRoot)
+        require(m.snapshots.forall(_.id < v) ||
+            m.snapshots.exists(_.id == v),
+          s"$iceRoot already holds snapshots newer than lake version $v")
+        Some(m)
+      } else None
+    if (existing.exists(_.snapshots.exists(_.id == v))) return v // no-op
+    val ents = LakeTable.entries(spark, lakeRoot, v)
+    val schema = LakeTable.schemaOf(spark, lakeRoot, v)
+      .getOrElse(LakeTable.read(spark, lakeRoot, Some(v)).schema)
+    val ts = LakeTable.commitTimeOf(spark, lakeRoot, v).getOrElse(0L)
+    val conf = spark.sessionState.newHadoopConf()
+    def qualify(p: Path): String =
+      p.getFileSystem(conf).makeQualified(p).toString
+    // data files: hard-link (idempotent — shared files carry across
+    // snapshots by reference, like the lake's own manifests)
+    val dataUris = ents.map { e =>
+      val dst = new Path(s"$iceRoot/data/${e.path}")
+      if (!f.exists(dst)) {
+        f.mkdirs(dst.getParent)
+        val src = new Path(s"$lakeRoot/${e.path}")
+        if (Option(f.getScheme).contains("file"))
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath),
+            java.nio.file.Paths.get(f.makeQualified(src).toUri.getPath))
+        else org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst,
+          /* deleteSource = */ false, conf)
+      }
+      e -> qualify(dst)
+    }
+    val seqNum = existing.map(_.snapshots.map(_.sequenceNumber).max + 1)
+      .getOrElse(1L)
+    def entry(content: Int, path: String, rows: Long,
+              size: Long): GenericRecord = {
+      val df0 = new GenericData.Record(
+        manifestSchema.getField("data_file").schema())
+      df0.put("content", content)
+      df0.put("file_path", path)
+      df0.put("file_format", "PARQUET")
+      df0.put("partition", new GenericData.Record(
+        df0.getSchema.getField("partition").schema()))
+      df0.put("record_count", rows)
+      df0.put("file_size_in_bytes", size)
+      val e = new GenericData.Record(manifestSchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", v)
+      e.put("sequence_number", seqNum)
+      e.put("file_sequence_number", seqNum)
+      e.put("data_file", df0)
+      e
+    }
+    val uuid = java.util.UUID.randomUUID().toString
+    val dataEntries = dataUris.map { case (e, uri) =>
+      val st = f.getFileStatus(new Path(new java.net.URI(uri)))
+      val rows = e.rowCount.getOrElse(
+        spark.read.parquet(uri).count())
+      entry(0, uri, rows, st.getLen)
+    }
+    val dataManifest = s"$iceRoot/metadata/$uuid-m0.avro"
+    f.mkdirs(new Path(s"$iceRoot/metadata"))
+    val dataLen = writeAvro(spark, dataManifest, manifestSchema,
+      dataEntries)
+    // position deletes: the lake's DV sidecars, re-keyed to the
+    // published data-file URIs, sorted (file_path, pos) per spec
+    val dvByFile = {
+      val dirs = LakeTable.dvOf(spark, lakeRoot, v)
+      if (dirs.isEmpty) Map.empty[String, Array[Long]]
+      else spark.read.schema(LakeTable.dvSchema)
+        .parquet(dirs.map(d => s"$lakeRoot/$d"): _*)
+        .groupBy("file").agg(sort_array(collect_set("pos")).as("pos"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    }
+    val uriOf = dataUris.map { case (e, uri) => e.path -> uri }.toMap
+    val deleteManifest: Option[(String, Long, Long)] =
+      if (dvByFile.isEmpty) None
+      else {
+        import spark.implicits._
+        val rows = dvByFile.toSeq.flatMap { case (p, pos) =>
+          pos.map(x => (uriOf(p), x)) }
+        val stage = s"$iceRoot/_stage_del_$uuid"
+        rows.toDF("file_path", "pos")
+          .orderBy("file_path", "pos").coalesce(1)
+          .write.parquet(stage)
+        val part = f.listStatus(new Path(stage)).map(_.getPath)
+          .find(_.getName.endsWith(".parquet")).get
+        val delFile = new Path(s"$iceRoot/data/$uuid-deletes.parquet")
+        f.rename(part, delFile)
+        f.delete(new Path(stage), true)
+        val delUri = qualify(delFile)
+        val mf = s"$iceRoot/metadata/$uuid-m1.avro"
+        val len = writeAvro(spark, mf, manifestSchema, Seq(
+          entry(1, delUri, rows.size.toLong,
+            f.getFileStatus(delFile).getLen)))
+        Some((mf, len, rows.size.toLong))
+      }
+    def listEntry(path: String, len: Long, content: Int, files: Int,
+                  rows: Long): GenericRecord = {
+      val r = new GenericData.Record(manifestListSchema)
+      r.put("manifest_path", qualify(new Path(path)))
+      r.put("manifest_length", len)
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("sequence_number", seqNum)
+      r.put("min_sequence_number", seqNum)
+      r.put("added_snapshot_id", v)
+      r.put("added_files_count", files)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", rows)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r
+    }
+    val totalRows = dataEntries.map(
+      _.get("data_file").asInstanceOf[GenericRecord]
+        .get("record_count").asInstanceOf[Long]).sum
+    val listPath = s"$iceRoot/metadata/snap-$v-1-$uuid.avro"
+    writeAvro(spark, listPath, manifestListSchema,
+      listEntry(dataManifest, dataLen, 0, dataEntries.size, totalRows) +:
+        deleteManifest.toSeq.map { case (p, l, n) =>
+          listEntry(p, l, 1, 1, n) })
+    // metadata: append the snapshot (and the schema, if it evolved)
+    val schemaJsonNoId = icebergSchemaJson(schema, om, 0)
+    val (schemas, schemaId) = existing match {
+      case None => (Seq(schemaJsonNoId), 0)
+      case Some(m) =>
+        val olds = m.raw.path("schemas").elements().asScala
+          .map(_.toString).toSeq
+        val matching = m.schemas.collectFirst {
+          case (id, st) if st == schema => id }
+        matching match {
+          case Some(id) => (olds, id)
+          case None =>
+            val id = m.schemas.keys.max + 1
+            (olds :+ icebergSchemaJson(schema, om, id), id)
+        }
+    }
+    val snapJson =
+      s"""{"snapshot-id":$v,"sequence-number":$seqNum,""" +
+        s""""timestamp-ms":$ts,"schema-id":$schemaId,""" +
+        s""""summary":{"operation":"append"},""" +
+        s""""manifest-list":${om.writeValueAsString(
+          qualify(new Path(listPath)))}}"""
+    val snaps = existing.map(_.raw.path("snapshots").elements().asScala
+      .map(_.toString).toSeq).getOrElse(Seq.empty) :+ snapJson
+    val tableUuid = existing.map(_.raw.path("table-uuid").asText())
+      .filter(_.nonEmpty)
+      .getOrElse(java.util.UUID.randomUUID().toString)
+    val newVer = existing.map(_.version + 1).getOrElse(1)
+    val metaJson =
+      s"""{"format-version":2,""" +
+        s""""table-uuid":${om.writeValueAsString(tableUuid)},""" +
+        s""""location":${om.writeValueAsString(iceRoot)},""" +
+        s""""last-sequence-number":$seqNum,"last-updated-ms":$ts,""" +
+        s""""last-column-id":${schema.fields.length},""" +
+        s""""current-schema-id":$schemaId,""" +
+        s""""schemas":${schemas.mkString("[", ",", "]")},""" +
+        s""""default-spec-id":0,""" +
+        s""""partition-specs":[{"spec-id":0,"fields":[]}],""" +
+        s""""last-partition-id":999,"default-sort-order-id":0,""" +
+        s""""sort-orders":[{"order-id":0,"fields":[]}],""" +
+        s""""properties":{},"current-snapshot-id":$v,""" +
+        s""""snapshots":${snaps.mkString("[", ",", "]")},""" +
+        s""""snapshot-log":[],"metadata-log":[]}"""
+    val metaOut = f.create(
+      new Path(s"$iceRoot/metadata/v$newVer.metadata.json"),
+      /* overwrite = */ false)
+    try metaOut.write(metaJson.getBytes("UTF-8")) finally metaOut.close()
+    val hintOut = f.create(
+      new Path(s"$iceRoot/metadata/version-hint.text"),
+      /* overwrite = */ true)
+    try hintOut.write(newVer.toString.getBytes("UTF-8"))
+    finally hintOut.close()
+    v
+  }
+}

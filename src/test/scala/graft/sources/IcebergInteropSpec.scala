@@ -1,0 +1,269 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import org.apache.avro.generic.GenericData
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class IcebergInteropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("icein").toString + "/t"
+
+  test("export → read round-trip: repeated exports append snapshots, "
+      + "time travel resolves, re-export is a no-op, version-hint "
+      + "discovery works") {
+    val lake = freshRoot()
+    val ice = freshRoot() + "_i"
+    LakeTable.append(spark.range(0, 60)
+      .select(col("id").as("k"), (col("id") * 3).as("v")), lake,
+      zoneKey = Some("k"))
+    IcebergInterop.exportToIceberg(spark, lake, ice)
+    assert(IcebergInterop.readIceberg(spark, ice)
+      .select("k").as[Long].collect().toSet == (0L until 60L).toSet)
+    LakeTable.append(spark.range(60, 100)
+      .select(col("id").as("k"), (col("id") * 3).as("v")), lake,
+      zoneKey = Some("k"))
+    IcebergInterop.exportToIceberg(spark, lake, ice)
+    val snaps = IcebergInterop.icebergSnapshots(spark, ice)
+    assert(snaps.map(_._1) == Seq(1L, 2L), snaps)
+    // current = lake v2; snapshot 1 time-travels to lake v1
+    assert(IcebergInterop.readIceberg(spark, ice).count() == 100L)
+    assert(IcebergInterop.readIceberg(spark, ice, Some(1L))
+      .select("k").as[Long].collect().toSet == (0L until 60L).toSet)
+    // values survive, not just counts
+    assert(IcebergInterop.readIceberg(spark, ice)
+      .filter(col("k") === 7).select("v").as[Long].head() == 21L)
+    // re-export of an already-published version: no-op
+    assert(IcebergInterop.exportToIceberg(spark, lake, ice,
+      Some(2L)) == 2L)
+    assert(IcebergInterop.icebergSnapshots(spark, ice).size == 2)
+    // discovery without the hint file still finds the newest metadata
+    Files.delete(Paths.get(s"$ice/metadata/version-hint.text"))
+    assert(IcebergInterop.readIceberg(spark, ice).count() == 100L)
+  }
+
+  test("live deletion vectors publish as Iceberg v2 POSITION DELETES: "
+      + "no data file rewrites, the read anti-joins them out, stacked "
+      + "deletes compose across snapshots") {
+    val lake = freshRoot()
+    val ice = freshRoot() + "_i"
+    LakeTable.append(spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake,
+      zoneKey = Some("k"))
+    LakeTable.deleteWhereDV(spark, lake, "k < 10")
+    IcebergInterop.exportToIceberg(spark, lake, ice)
+    assert(IcebergInterop.readIceberg(spark, ice)
+      .select("k").as[Long].collect().toSet == (10L until 100L).toSet)
+    // the delete manifest is real: a content=1 manifest list entry +
+    // a sorted (file_path, pos) parquet landed under data/
+    val names = new java.io.File(s"$ice/data").listFiles().map(_.getName)
+    assert(names.exists(_.endsWith("-deletes.parquet")), names.toSeq)
+    // stacked: a second DV delete exports as the NEXT snapshot
+    LakeTable.deleteWhereDV(spark, lake, "k >= 90")
+    IcebergInterop.exportToIceberg(spark, lake, ice)
+    assert(IcebergInterop.readIceberg(spark, ice)
+      .select("k").as[Long].collect().toSet == (10L until 90L).toSet)
+    // the earlier snapshot still serves its own delete state
+    val first = IcebergInterop.icebergSnapshots(spark, ice).head._1
+    assert(IcebergInterop.readIceberg(spark, ice, Some(first))
+      .select("k").as[Long].collect().toSet == (10L until 100L).toSet)
+  }
+
+  test("schema evolution across exports: each snapshot reads with ITS "
+      + "schema-id; the new column exists only from the snapshot that "
+      + "added it") {
+    val lake = freshRoot()
+    val ice = freshRoot() + "_i"
+    LakeTable.append(spark.range(0, 10)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake)
+    IcebergInterop.exportToIceberg(spark, lake, ice)
+    LakeTable.append(spark.range(10, 20)
+      .select(col("id").as("k"), (col("id") * 2).as("v"),
+        lit("x").as("tag")), lake)
+    IcebergInterop.exportToIceberg(spark, lake, ice)
+    val cur = IcebergInterop.readIceberg(spark, ice)
+    assert(cur.columns.toSeq == Seq("k", "v", "tag"))
+    assert(cur.filter(col("tag").isNull).count() == 10L)
+    val firstSnap = IcebergInterop.icebergSnapshots(spark, ice).head._1
+    assert(IcebergInterop.readIceberg(spark, ice, Some(firstSnap))
+      .columns.toSeq == Seq("k", "v"))
+  }
+
+  test("a hand-built v1 table (single `schema` field, relative paths, "
+      + "uuid-suffixed metadata name) reads; refusals: equality "
+      + "deletes, format-version 3, legacy inline manifests") {
+    val root = freshRoot()
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def writeOne(df: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val stage = s"$root/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = fsys.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/$rel").getParent)
+      fsys.rename(part, new org.apache.hadoop.fs.Path(s"$root/$rel"))
+      fsys.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+    }
+    writeOne(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "data/f1.parquet")
+    def manifestEntry(status: Int, content: Int, path: String)
+        : GenericData.Record = {
+      val df0 = new GenericData.Record(
+        IcebergInterop.manifestSchema.getField("data_file").schema())
+      df0.put("content", content)
+      df0.put("file_path", path)
+      df0.put("file_format", "PARQUET")
+      df0.put("partition", new GenericData.Record(
+        df0.getSchema.getField("partition").schema()))
+      df0.put("record_count", 2L)
+      df0.put("file_size_in_bytes", 1L)
+      val e = new GenericData.Record(IcebergInterop.manifestSchema)
+      e.put("status", status)
+      e.put("data_file", df0)
+      e
+    }
+    def listEntry(path: String, content: Int): GenericData.Record = {
+      val r = new GenericData.Record(IcebergInterop.manifestListSchema)
+      r.put("manifest_path", path)
+      r.put("manifest_length", 1L)
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("sequence_number", 1L)
+      r.put("min_sequence_number", 1L)
+      r.put("added_snapshot_id", 9L)
+      r.put("added_files_count", 1)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", 2L)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r
+    }
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/metadata"))
+    IcebergInterop.writeAvro(spark, s"$root/metadata/m0.avro",
+      IcebergInterop.manifestSchema,
+      Seq(manifestEntry(1, 0, "data/f1.parquet")))
+    IcebergInterop.writeAvro(spark, s"$root/metadata/snap-9.avro",
+      IcebergInterop.manifestListSchema,
+      Seq(listEntry("metadata/m0.avro", 0)))
+    val schemaJson =
+      """{"type":"struct","fields":[
+        |{"id":1,"name":"k","required":false,"type":"long"},
+        |{"id":2,"name":"v","required":false,"type":"string"}]}"""
+        .stripMargin.replace("\n", "")
+    // v1 shape: single `schema`, no schemas list, uuid-suffixed name
+    Files.writeString(
+      Paths.get(s"$root/metadata/00001-abc-def.metadata.json"),
+      s"""{"format-version":1,"table-uuid":"t","location":"$root",
+         |"last-updated-ms":5,"last-column-id":2,"schema":$schemaJson,
+         |"partition-spec":[],"current-snapshot-id":9,
+         |"snapshots":[{"snapshot-id":9,"timestamp-ms":5,
+         |"manifest-list":"metadata/snap-9.avro"}]}"""
+        .stripMargin.replace("\n", ""))
+    assert(IcebergInterop.readIceberg(spark, root)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // equality deletes refuse loudly
+    IcebergInterop.writeAvro(spark, s"$root/metadata/m-eq.avro",
+      IcebergInterop.manifestSchema,
+      Seq(manifestEntry(1, 2, "data/eq-del.parquet")))
+    IcebergInterop.writeAvro(spark, s"$root/metadata/snap-10.avro",
+      IcebergInterop.manifestListSchema,
+      Seq(listEntry("metadata/m0.avro", 0),
+        listEntry("metadata/m-eq.avro", 1)))
+    Files.writeString(
+      Paths.get(s"$root/metadata/00002-abc-def.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"t","location":"$root",
+         |"last-sequence-number":2,"last-updated-ms":6,"last-column-id":2,
+         |"current-schema-id":0,"schemas":[$schemaJson],
+         |"default-spec-id":0,"partition-specs":[],"last-partition-id":9,
+         |"current-snapshot-id":10,
+         |"snapshots":[{"snapshot-id":10,"timestamp-ms":6,
+         |"manifest-list":"metadata/snap-10.avro"}]}"""
+        .stripMargin.replace("\n", ""))
+    val e1 = intercept[UnsupportedOperationException] {
+      IcebergInterop.readIceberg(spark, root)
+    }
+    assert(e1.getMessage.contains("EQUALITY"), e1.getMessage)
+    // format-version 3 refuses
+    val r3 = freshRoot()
+    Files.createDirectories(Paths.get(s"$r3/metadata"))
+    Files.writeString(Paths.get(s"$r3/metadata/v1.metadata.json"),
+      """{"format-version":3,"schemas":[]}""")
+    val e2 = intercept[UnsupportedOperationException] {
+      IcebergInterop.readIceberg(spark, r3)
+    }
+    assert(e2.getMessage.contains("format-version 3"), e2.getMessage)
+    // legacy inline `manifests` snapshots refuse
+    val r4 = freshRoot()
+    Files.createDirectories(Paths.get(s"$r4/metadata"))
+    Files.writeString(Paths.get(s"$r4/metadata/v1.metadata.json"),
+      s"""{"format-version":1,"schema":$schemaJson,
+         |"current-snapshot-id":1,"snapshots":[{"snapshot-id":1,
+         |"timestamp-ms":1,"manifests":["metadata/m0.avro"]}]}"""
+        .stripMargin.replace("\n", ""))
+    val e3 = intercept[UnsupportedOperationException] {
+      IcebergInterop.readIceberg(spark, r4)
+    }
+    assert(e3.getMessage.contains("manifests"), e3.getMessage)
+  }
+
+  test("non-parquet data files and unmappable Iceberg types refuse "
+      + "loudly instead of scanning garbage") {
+    val root = freshRoot()
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/metadata"))
+    val df0 = new GenericData.Record(
+      IcebergInterop.manifestSchema.getField("data_file").schema())
+    df0.put("content", 0)
+    df0.put("file_path", "data/f1.orc")
+    df0.put("file_format", "ORC")
+    df0.put("partition", new GenericData.Record(
+      df0.getSchema.getField("partition").schema()))
+    df0.put("record_count", 1L)
+    df0.put("file_size_in_bytes", 1L)
+    val e0 = new GenericData.Record(IcebergInterop.manifestSchema)
+    e0.put("status", 1)
+    e0.put("data_file", df0)
+    IcebergInterop.writeAvro(spark, s"$root/metadata/m0.avro",
+      IcebergInterop.manifestSchema, Seq(e0))
+    val le = new GenericData.Record(IcebergInterop.manifestListSchema)
+    le.put("manifest_path", "metadata/m0.avro")
+    le.put("manifest_length", 1L)
+    le.put("partition_spec_id", 0)
+    le.put("content", 0)
+    le.put("sequence_number", 1L)
+    le.put("min_sequence_number", 1L)
+    le.put("added_snapshot_id", 1L)
+    le.put("added_files_count", 1)
+    le.put("existing_files_count", 0)
+    le.put("deleted_files_count", 0)
+    le.put("added_rows_count", 1L)
+    le.put("existing_rows_count", 0L)
+    le.put("deleted_rows_count", 0L)
+    IcebergInterop.writeAvro(spark, s"$root/metadata/snap-1.avro",
+      IcebergInterop.manifestListSchema, Seq(le))
+    Files.writeString(Paths.get(s"$root/metadata/v1.metadata.json"),
+      """{"format-version":1,"schema":{"type":"struct","fields":[
+        |{"id":1,"name":"k","required":false,"type":"long"}]},
+        |"current-snapshot-id":1,"snapshots":[{"snapshot-id":1,
+        |"timestamp-ms":1,"manifest-list":"metadata/snap-1.avro"}]}"""
+        .stripMargin.replace("\n", ""))
+    val e = intercept[UnsupportedOperationException] {
+      IcebergInterop.readIceberg(spark, root)
+    }
+    assert(e.getMessage.contains("ORC"), e.getMessage)
+    // uuid type refuses at schema parse
+    val r2 = freshRoot()
+    Files.createDirectories(Paths.get(s"$r2/metadata"))
+    Files.writeString(Paths.get(s"$r2/metadata/v1.metadata.json"),
+      """{"format-version":1,"schema":{"type":"struct","fields":[
+        |{"id":1,"name":"u","required":false,"type":"uuid"}]},
+        |"snapshots":[]}""".stripMargin.replace("\n", ""))
+    val e4 = intercept[UnsupportedOperationException] {
+      IcebergInterop.readIceberg(spark, r2)
+    }
+    assert(e4.getMessage.contains("uuid"), e4.getMessage)
+  }
+}
