@@ -2136,6 +2136,32 @@ object SourceQueries {
           FROM orders WHERE o_orderkey % 2 = 0"""),
       "Iceberg publication: snapshots, position deletes, time travel"),
 
+    // ---- Iceberg data skipping on reads ------------------------------------
+    // Exports carry the manifest zone stats as the spec's
+    // lower_bounds/upper_bounds (field-id-keyed single-value
+    // binaries), so range reads open only overlapping files — the
+    // published table keeps the source's scale behavior for ANY
+    // Iceberg engine, and readIcebergRange proves it here (the unit
+    // suite corrupts non-overlapping files to show they never open).
+    "q330_iceberg_range" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_iceberg_q330")
+        val lake = root + "/lake"
+        val ice = root + "/ice"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.repartitionByRange(8, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"),
+          lake, zoneKey = Some("o_orderkey"))
+        graft.sources.IcebergInterop.exportToIceberg(s, lake, ice)
+        graft.sources.IcebergInterop.readIcebergRange(s, ice,
+          "o_orderkey", 1000L, 2000L)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey BETWEEN 1000 AND 2000"""),
+      "Iceberg range read: exported bounds prune, exact filter on top"),
+
     // ---- metadata-only COUNT(*) --------------------------------------------
     // The Delta numRecords fast path: per-file row counts ride the
     // manifest as `#rows` stats (written from the parquet footers at

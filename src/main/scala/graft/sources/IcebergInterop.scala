@@ -166,8 +166,50 @@ object IcebergInterop {
       |{"name":"file_format","type":"string","field-id":101},
       |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
       |{"name":"record_count","type":"long","field-id":103},
-      |{"name":"file_size_in_bytes","type":"long","field-id":104}
+      |{"name":"file_size_in_bytes","type":"long","field-id":104},
+      |{"name":"lower_bounds","field-id":125,"default":null,"type":["null",
+      |{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[
+      |{"name":"key","type":"int","field-id":126},
+      |{"name":"value","type":"bytes","field-id":127}]}}]},
+      |{"name":"upper_bounds","field-id":128,"default":null,"type":["null",
+      |{"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[
+      |{"name":"key","type":"int","field-id":129},
+      |{"name":"value","type":"bytes","field-id":130}]}}]}
       |]}}]}""".stripMargin)
+
+  // ---- Iceberg single-value binary serialization (bounds) -------------
+  // Per the spec: int/long/float/double little-endian, string UTF-8.
+
+  private def boundBytes(dt: DataType, s: String)
+      : Option[java.nio.ByteBuffer] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    try dt match {
+      case LongType => Some(le(8).putLong(s.toLong).rewind())
+      case IntegerType => Some(le(4).putInt(s.toInt).rewind())
+      case DoubleType => Some(le(8).putDouble(s.toDouble).rewind())
+      case FloatType => Some(le(4).putFloat(s.toFloat).rewind())
+      case StringType =>
+        Some(ByteBuffer.wrap(s.getBytes("UTF-8")))
+      case _ => None // other types: no bounds, readers admit
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def boundValue(dt: DataType, bb: java.nio.ByteBuffer)
+      : Option[Any] = {
+    import java.nio.ByteOrder
+    val b = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+    try dt match {
+      case LongType => Some(BigDecimal(b.getLong))
+      case IntegerType => Some(BigDecimal(b.getInt))
+      case DoubleType => Some(BigDecimal(b.getDouble))
+      case FloatType => Some(BigDecimal(b.getFloat.toDouble))
+      case StringType =>
+        val arr = new Array[Byte](b.remaining()); b.get(arr)
+        Some(new String(arr, "UTF-8"))
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Manifest-list Avro schema (v2 shape, spec field-ids). */
   private[sources] val manifestListSchema =
@@ -194,8 +236,12 @@ object IcebergInterop {
                                  manifestList: String,
                                  schemaId: Option[Int],
                                  sequenceNumber: Long)
+  /** A parsed Iceberg schema: the Spark rendering + the spec's
+    * name→field-id map (bounds maps key on field ids, not names). */
+  private case class IceSchema(spark: StructType,
+                               fieldIds: Map[String, Int])
   private case class IceMeta(formatVersion: Int, version: Int,
-                             schemas: Map[Int, StructType],
+                             schemas: Map[Int, IceSchema],
                              currentSchemaId: Int,
                              snapshots: Seq[IceSnapshot],
                              currentSnapshotId: Option[Long],
@@ -248,14 +294,18 @@ object IcebergInterop {
       throw new UnsupportedOperationException(
         s"$root declares Iceberg format-version $fv; this interop " +
           "reader implements versions 1 and 2")
-    val schemas: Map[Int, StructType] =
+    def parseSchema(s: com.fasterxml.jackson.databind.JsonNode)
+        : IceSchema = IceSchema(
+      sparkType(s).asInstanceOf[StructType],
+      s.path("fields").elements().asScala.map(f =>
+        f.path("name").asText -> f.path("id").asInt(-1)).toMap)
+    val schemas: Map[Int, IceSchema] =
       if (node.has("schemas"))
         node.path("schemas").elements().asScala.map { s =>
-          s.path("schema-id").asInt(0) ->
-            sparkType(s).asInstanceOf[StructType]
+          s.path("schema-id").asInt(0) -> parseSchema(s)
         }.toMap
       else if (node.has("schema")) // v1 single-schema shape
-        Map(0 -> sparkType(node.path("schema")).asInstanceOf[StructType])
+        Map(0 -> parseSchema(node.path("schema")))
       else throw new IllegalStateException(s"$root: metadata has no schema")
     val currentSchemaId = node.path("current-schema-id").asInt(0)
     val snapshots = node.path("snapshots").elements().asScala.map { s =>
@@ -294,13 +344,20 @@ object IcebergInterop {
     parseMetadata(spark, root).snapshots.sortBy(_.tsMs).map(s =>
       (s.id, s.tsMs))
 
-  /** Snapshot read of an Iceberg table, current or `snapshotId` time
-    * travel. Data files resolve by NAME against the snapshot's schema;
-    * v2 position deletes anti-join out executor-side (the engine's
-    * standard merge-on-read shape: the delete side is metadata-scale,
-    * the data side never shuffles); equality deletes refuse. */
-  def readIceberg(spark: SparkSession, root: String,
-                  snapshotId: Option[Long] = None): DataFrame = {
+  /** One live data file of a snapshot: its manifest path spelling and
+    * the spec's per-column bounds maps (field-id → single-value
+    * bytes), absent when the writer recorded none. */
+  private case class DataFileMeta(path: String,
+      lower: Map[Int, java.nio.ByteBuffer],
+      upper: Map[Int, java.nio.ByteBuffer])
+
+  /** Walk a snapshot's manifest list + manifests: the resolved schema,
+    * live data files (with bounds) and position-delete files. All
+    * refusals (equality deletes, non-parquet, unknown content) live
+    * here so every read path gates identically. */
+  private def snapshotFiles(spark: SparkSession, root: String,
+                            snapshotId: Option[Long])
+      : (IceSchema, Seq[DataFileMeta], Seq[String]) = {
     val meta = parseMetadata(spark, root)
     val snapId = snapshotId.orElse(meta.currentSnapshotId).getOrElse(
       throw new IllegalArgumentException(
@@ -318,9 +375,20 @@ object IcebergInterop {
     def int(r: GenericRecord, k: String, dflt: Int): Int =
       Option(r.get(k)).map(_.asInstanceOf[Number].intValue)
         .getOrElse(dflt)
+    def boundsOf(r: GenericRecord, k: String)
+        : Map[Int, java.nio.ByteBuffer] =
+      Option(r.get(k)) match {
+        case Some(arr: java.util.Collection[_]) =>
+          arr.iterator().asScala.map { kv0 =>
+            val kv = kv0.asInstanceOf[GenericRecord]
+            kv.get("key").asInstanceOf[Number].intValue ->
+              kv.get("value").asInstanceOf[java.nio.ByteBuffer]
+          }.toMap
+        case _ => Map.empty
+      }
     val manifests = listEntries.map(e =>
       (str(e, "manifest_path"), int(e, "content", 0)))
-    var dataFiles = Seq.empty[String]
+    var dataFiles = Seq.empty[DataFileMeta]
     var deleteFiles = Seq.empty[String]
     manifests.foreach { case (mPath, mContent) =>
       readAvro(spark, resolve(root, mPath)).foreach { e =>
@@ -335,7 +403,8 @@ object IcebergInterop {
               s"$root: data file $path has format $fmt; this interop " +
                 "reader scans parquet only")
           (mContent, content) match {
-            case (0, 0) => dataFiles :+= path
+            case (0, 0) => dataFiles :+= DataFileMeta(path,
+              boundsOf(df0, "lower_bounds"), boundsOf(df0, "upper_bounds"))
             case (1, 1) => deleteFiles :+= path
             case (_, 2) => throw new UnsupportedOperationException(
               s"$root carries EQUALITY deletes ($path); this interop " +
@@ -348,9 +417,21 @@ object IcebergInterop {
         }
       }
     }
-    val empty = spark.createDataFrame(
-      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-    if (dataFiles.isEmpty) return empty
+    (schema, dataFiles, deleteFiles)
+  }
+
+  /** Scan `dataFiles` and anti-join the position deletes out — the
+    * engine's standard merge-on-read shape: the delete side is
+    * metadata-scale (O(deleted rows)), broadcast; the data side never
+    * shuffles. Delete rows reference data files by their MANIFEST
+    * spelling; both sides translate to the scan's qualified URIs. */
+  private def readLiveIce(spark: SparkSession, root: String,
+                          schema: StructType, dataFiles: Seq[String],
+                          deleteFiles: Seq[String]): DataFrame = {
+    if (dataFiles.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        schema)
     val conf = spark.sessionState.newHadoopConf()
     def qualify(p: String): String = {
       val hp = new Path(resolve(root, p))
@@ -360,11 +441,6 @@ object IcebergInterop {
       .parquet(dataFiles.sorted.map(p => resolve(root, p)): _*)
     if (deleteFiles.isEmpty) return scan0
     import spark.implicits._
-    // position deletes: (file_path, pos) parquet rows — metadata-scale
-    // by design (O(deleted rows)); broadcast and anti-join, the exact
-    // plan LakeTable.applyDv and the Delta DV read use. Delete rows
-    // reference data files by their MANIFEST spelling; translate both
-    // sides to the scan's qualified URI rendering.
     val uris = dataFiles.map(p => (p, qualify(p))).toDF("__p", "__uri")
     val deletes = spark.read
       .schema(StructType(Seq(
@@ -380,6 +456,63 @@ object IcebergInterop {
       .withColumn("__ice_pos", col("_metadata.row_index"))
       .join(deletes, Seq("__ice_uri", "__ice_pos"), "left_anti")
       .drop("__ice_uri", "__ice_pos")
+  }
+
+  /** Snapshot read of an Iceberg table, current or `snapshotId` time
+    * travel. Data files resolve by NAME against the snapshot's schema;
+    * v2 position deletes anti-join out executor-side; equality deletes
+    * refuse. */
+  def readIceberg(spark: SparkSession, root: String,
+                  snapshotId: Option[Long] = None): DataFrame = {
+    val (schema, dataFiles, deleteFiles) =
+      snapshotFiles(spark, root, snapshotId)
+    readLiveIce(spark, root, schema.spark, dataFiles.map(_.path),
+      deleteFiles)
+  }
+
+  /** Range read with Iceberg data skipping: only files whose
+    * `lower_bounds`/`upper_bounds` for `key` (the spec's field-id-keyed
+    * single-value binaries) overlap [lo, hi] are opened — plus,
+    * conservatively, files without bounds for the key. The exact
+    * predicate re-applies on top, and position deletes still serve.
+    * The interop twin of [[LakeTable.readRange]] and
+    * [[DeltaInterop.readDeltaRange]]: exports carry the lake's zone
+    * stats as bounds, so a published table prunes exactly like its
+    * source. */
+  def readIcebergRange(spark: SparkSession, root: String, key: String,
+                       lo: Any, hi: Any,
+                       snapshotId: Option[Long] = None): DataFrame = {
+    val (schema, dataFiles, deleteFiles) =
+      snapshotFiles(spark, root, snapshotId)
+    val fieldId = schema.fieldIds.getOrElse(key, -1)
+    val dt = schema.spark.fields.find(_.name == key).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$root: no column '$key' in the snapshot schema"))
+    def qv(x: Any): Option[Any] = dt match {
+      case StringType => Some(x.toString)
+      case _: NumericType =>
+        scala.util.Try(BigDecimal(x.toString)).toOption
+      case _ => None
+    }
+    val (qlo, qhi) = (qv(lo), qv(hi))
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: BigDecimal, y: BigDecimal) => x.compare(y)
+      case (x: String, y: String) => x.compareTo(y)
+      case _ => 0
+    }
+    val admitted = dataFiles.filter { f =>
+      val flo = f.lower.get(fieldId).flatMap(boundValue(dt, _))
+      val fhi = f.upper.get(fieldId).flatMap(boundValue(dt, _))
+      // a missing/undecodable bound (or unsupported type) admits
+      (flo, fhi, qlo, qhi) match {
+        case (Some(l), Some(h), Some(ql), Some(qh)) =>
+          cmp(l, qh) <= 0 && cmp(h, ql) >= 0
+        case _ => true
+      }
+    }
+    readLiveIce(spark, root, schema.spark, admitted.map(_.path),
+      deleteFiles)
+      .filter(col(key) >= lit(lo) && col(key) <= lit(hi))
   }
 
   // ---- WRITE (publication) ----------------------------------------------
@@ -444,8 +577,9 @@ object IcebergInterop {
     }
     val seqNum = existing.map(_.snapshots.map(_.sequenceNumber).max + 1)
       .getOrElse(1L)
-    def entry(content: Int, path: String, rows: Long,
-              size: Long): GenericRecord = {
+    def entry(content: Int, path: String, rows: Long, size: Long,
+              bounds: Seq[(Int, java.nio.ByteBuffer,
+                java.nio.ByteBuffer)] = Seq.empty): GenericRecord = {
       val df0 = new GenericData.Record(
         manifestSchema.getField("data_file").schema())
       df0.put("content", content)
@@ -455,6 +589,24 @@ object IcebergInterop {
         df0.getSchema.getField("partition").schema()))
       df0.put("record_count", rows)
       df0.put("file_size_in_bytes", size)
+      if (bounds.nonEmpty) {
+        def boundArr(field: String, pick: ((Int, java.nio.ByteBuffer,
+            java.nio.ByteBuffer)) => java.nio.ByteBuffer): Unit = {
+          val arrSchema = df0.getSchema.getField(field).schema()
+            .getTypes.get(1) // union [null, array]
+          val arr = new GenericData.Array[GenericRecord](
+            bounds.size, arrSchema)
+          bounds.foreach { b =>
+            val kv = new GenericData.Record(arrSchema.getElementType)
+            kv.put("key", b._1)
+            kv.put("value", pick(b))
+            arr.add(kv)
+          }
+          df0.put(field, arr)
+        }
+        boundArr("lower_bounds", _._2)
+        boundArr("upper_bounds", _._3)
+      }
       val e = new GenericData.Record(manifestSchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", v)
@@ -468,7 +620,20 @@ object IcebergInterop {
       val st = f.getFileStatus(new Path(new java.net.URI(uri)))
       val rows = e.rowCount.getOrElse(
         spark.read.parquet(uri).count())
-      entry(0, uri, rows, st.getLen)
+      // manifest zone stats ride as spec bounds (field-id-keyed
+      // single-value binaries), so Iceberg engines' data skipping —
+      // and readIcebergRange — prunes the export like the source table
+      val bounds = e.dataZones.flatMap { z =>
+        schema.fields.zipWithIndex
+          .find { case (sf, _) => sf.name == z.key }
+          .flatMap { case (sf, i) =>
+            for {
+              l <- boundBytes(sf.dataType, z.lo)
+              h <- boundBytes(sf.dataType, z.hi)
+            } yield (i + 1, l, h)
+          }
+      }
+      entry(0, uri, rows, st.getLen, bounds)
     }
     val dataManifest = s"$iceRoot/metadata/$uuid-m0.avro"
     f.mkdirs(new Path(s"$iceRoot/metadata"))

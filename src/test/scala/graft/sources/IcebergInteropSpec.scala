@@ -71,6 +71,37 @@ class IcebergInteropSpec extends SparkSpec {
       .select("k").as[Long].collect().toSet == (10L until 100L).toSet)
   }
 
+  test("readIcebergRange prunes on exported bounds: non-overlapping "
+      + "files provably never opened (corrupted-file trick); position "
+      + "deletes still apply inside the range") {
+    val lake = freshRoot()
+    val ice = freshRoot() + "_i"
+    LakeTable.append(spark.range(0, 400)
+      .select(col("id").as("k"), (col("id") * 2).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      lake, zoneKey = Some("k"))
+    LakeTable.deleteWhereDV(spark, lake, "k BETWEEN 110 AND 119")
+    IcebergInterop.exportToIceberg(spark, lake, ice)
+    // corrupt every data file whose k-zone misses [100, 150]: if the
+    // range read opened one, the parquet footer parse would throw
+    val ents = LakeTable.entries(spark, lake,
+      LakeTable.versions(spark, lake).head)
+    val doomed = ents.filter { e =>
+      val z = e.zoneFor("k").get
+      z.hi.toLong < 100L || z.lo.toLong > 150L
+    }
+    assert(doomed.nonEmpty, "fixture needs non-overlapping files")
+    doomed.foreach(e => Files.write(Paths.get(s"$ice/data/${e.path}"),
+      "garbage".getBytes("UTF-8")))
+    val got = IcebergInterop.readIcebergRange(spark, ice, "k", 100L, 150L)
+      .select("k").as[Long].collect().toSet
+    assert(got == ((100L to 150L).toSet -- (110L to 119L)), got.size)
+    // the corruption is real: an unpruned snapshot read fails
+    intercept[Throwable] {
+      IcebergInterop.readIceberg(spark, ice).count()
+    }
+  }
+
   test("schema evolution across exports: each snapshot reads with ITS "
       + "schema-id; the new column exists only from the snapshot that "
       + "added it") {
