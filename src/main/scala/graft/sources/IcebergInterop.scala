@@ -515,6 +515,25 @@ object IcebergInterop {
       .filter(col(key) >= lit(lo) && col(key) <= lit(hi))
   }
 
+  /** Incremental read over an Iceberg log: the rows of the data files
+    * ADDED between `fromSnapshot` (exclusive; None = everything) and
+    * `toSnapshot` — O(changed) I/O, the interop twin of
+    * [[LakeTable.readChanges]] and [[DeltaInterop.readDeltaChanges]].
+    * File-granular change capture: snapshots that rewrite files
+    * surface the whole rewritten file; the target snapshot's position
+    * deletes apply to what is read. */
+  def readIcebergChanges(spark: SparkSession, root: String,
+                         fromSnapshot: Option[Long],
+                         toSnapshot: Long): DataFrame = {
+    val (schema, dataFiles, deleteFiles) =
+      snapshotFiles(spark, root, Some(toSnapshot))
+    val before: Set[String] = fromSnapshot
+      .map(s => snapshotFiles(spark, root, Some(s))._2.map(_.path).toSet)
+      .getOrElse(Set.empty)
+    readLiveIce(spark, root, schema.spark,
+      dataFiles.map(_.path).filterNot(before), deleteFiles)
+  }
+
   // ---- WRITE (publication) ----------------------------------------------
 
   /** Publish a [[LakeTable]] snapshot as an Iceberg v2 table. The

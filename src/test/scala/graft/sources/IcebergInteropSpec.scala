@@ -42,6 +42,11 @@ class IcebergInteropSpec extends SparkSpec {
     // discovery without the hint file still finds the newest metadata
     Files.delete(Paths.get(s"$ice/metadata/version-hint.text"))
     assert(IcebergInterop.readIceberg(spark, ice).count() == 100L)
+    // incremental read: exactly the second export's delta, O(changed)
+    assert(IcebergInterop.readIcebergChanges(spark, ice, Some(1L), 2L)
+      .select("k").as[Long].collect().toSet == (60L until 100L).toSet)
+    assert(IcebergInterop.readIcebergChanges(spark, ice, None, 1L)
+      .count() == 60L)
   }
 
   test("live deletion vectors publish as Iceberg v2 POSITION DELETES: "
