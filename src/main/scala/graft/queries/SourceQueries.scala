@@ -2162,6 +2162,61 @@ object SourceQueries {
         WHERE o_orderkey BETWEEN 1000 AND 2000"""),
       "Iceberg range read: exported bounds prune, exact filter on top"),
 
+    // ---- Delta STREAMING source --------------------------------------------
+    // The lake → Delta → stream loop closed: a continuously-synced
+    // Delta mirror tails into Structured Streaming via
+    // readStream.format("graftdelta") (offsets = Delta versions,
+    // rate-limited AvailableNow drain, one micro-batch per version)
+    // and lands through the exactly-once graftlake sink. The DV-bearing
+    // bootstrap serves the vector-applied snapshot. Oracle: the final
+    // state recomputed relationally — the hash proves the whole
+    // sync/stream/sink composition moved every row exactly once.
+    "q331_delta_stream" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_deltastream_q331")
+        val lake = root + "/lake"
+        val mirror = root + "/delta"
+        val dst = root + "/dst"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        def run(): Unit = {
+          val q = s.readStream.format("graftdelta")
+            .option("path", mirror)
+            .load()
+            .writeStream.format("graftlake")
+            .option("path", dst).option("appId", "q331")
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming
+              .Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        // three quarters land, a MoR DV delete hits them, the mirror
+        // syncs — the stream's bootstrap serves the DV-applied snapshot
+        (0 until 3).foreach { i =>
+          graft.sources.LakeTable.append(
+            o.filter(col("o_orderkey") % 4 === i), lake,
+            zoneKey = Some("o_orderkey"))
+        }
+        graft.sources.LakeTable.deleteWhereDV(s, lake,
+          "o_orderkey BETWEEN 100 AND 900")
+        graft.sources.DeltaInterop.syncToDelta(s, lake, mirror)
+        run()
+        // the last quarter appends; the RESTARTED stream serves only
+        // the incremental (append-only) Delta tail — exactly once
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 4 === 3), lake,
+          zoneKey = Some("o_orderkey"))
+        graft.sources.DeltaInterop.syncToDelta(s, lake, mirror)
+        run()
+        graft.sources.LakeTable.read(s, dst)
+      },
+      // the DV delete ran before the %4==3 quarter was appended
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE NOT (o_orderkey BETWEEN 100 AND 900
+                   AND o_orderkey % 4 <= 2)"""),
+      "graftdelta stream: synced mirror → bootstrap + tail → lake sink"),
+
     // ---- metadata-only COUNT(*) --------------------------------------------
     // The Delta numRecords fast path: per-file row counts ride the
     // manifest as `#rows` stats (written from the parquet footers at

@@ -963,6 +963,30 @@ object DeltaInterop {
       .filter(col(key) >= lit(lo) && col(key) <= lit(hi))
   }
 
+  /** The logical schema of the Delta table's newest (or pinned)
+    * snapshot. */
+  def deltaSchema(spark: SparkSession, root: String,
+                  versionAsOf: Option[Long] = None): StructType = {
+    val vs = deltaVersions(spark, root)
+    require(vs.nonEmpty, s"no Delta log under $root")
+    replay(spark, root, versionAsOf.getOrElse(vs.max)).schema
+  }
+
+  /** Non-append changes in `(fromV, toV]`: (files removed, files
+    * re-added with a different deletion-vector state). Empty pair =
+    * the range is pure file appends — the streaming source's
+    * admission contract. */
+  private[sources] def changeKinds(spark: SparkSession, root: String,
+                                   fromV: Long, toV: Long)
+      : (Seq[String], Seq[String]) = {
+    val a = replay(spark, root, fromV).live
+    val b = replay(spark, root, toV).live
+    val removed = (a.keySet -- b.keySet).toSeq.sorted
+    val readded = a.keySet.intersect(b.keySet).toSeq.sorted
+      .filter(p => a(p).dv != b(p).dv)
+    (removed, readded)
+  }
+
   /** Incremental read over a Delta log: the rows of the files ADDED in
     * `(fromV, toV]` — O(changed) I/O, the interop twin of
     * [[LakeTable.readChanges]]. For an append-only Delta history this

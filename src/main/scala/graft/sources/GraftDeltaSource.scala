@@ -1,0 +1,181 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+
+/** `spark.readStream.format("graftdelta")` — a STREAMING source over a
+  * foreign Delta transaction log ([[DeltaInterop]]), so tables other
+  * engines keep writing (or our own [[DeltaInterop.syncToDelta]]
+  * mirrors) tail straight into Structured Streaming here, completing
+  * the lake → Delta → stream loop.
+  *
+  * Same architecture as the native [[GraftLakeStreamSource]]: OFFSETS
+  * ARE DELTA VERSION NUMBERS, so Spark's offset log owns replay and a
+  * restarted stream resumes exactly after its last committed version;
+  * `getBatch(a, b]` is [[DeltaInterop.readDeltaChanges]] (O(changed
+  * files) I/O, the target snapshot's deletion vectors applied, `a =
+  * None` bootstraps the snapshot); `maxVersionsPerBatch` admission
+  * control and real multi-batch Trigger.AvailableNow carry over
+  * unchanged.
+  *
+  * Append discipline, per Delta's own streaming contract: a version
+  * range containing NON-APPEND changes (removed files, or files
+  * re-added with a different deletion-vector state) fails the stream
+  * loudly — silently continuing would miss or duplicate rewritten
+  * rows. `ignoreChanges=true` opts into Delta's documented relaxation:
+  * newly added files stream, rewritten content is the consumer's
+  * problem. */
+class GraftDeltaSource
+    extends org.apache.spark.sql.sources.StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graftdelta"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graftdelta: 'path' option is required"))
+
+  /** The stream's fixed schema: the Delta snapshot schema at stream
+    * START. A restart re-resolves it, adopting evolved columns —
+    * offsets are version numbers independent of schema. */
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    val root = rootOf(parameters)
+    val s = schema.getOrElse(
+      DeltaInterop.deltaSchema(sqlContext.sparkSession, root))
+    (s"graftdelta[$root]", s)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val root = rootOf(parameters)
+    val fixed = sourceSchema(sqlContext, schema, providerName,
+      parameters)._2
+    val startAt = parameters.get("startingVersion").map(_.toLong)
+    val maxV = parameters.get("maxVersionsPerBatch").map(_.toLong)
+    maxV.foreach(m => require(m >= 1,
+      s"graftdelta source: maxVersionsPerBatch must be >= 1, got $m"))
+    val ignoreChanges = parameters.get("ignoreChanges")
+      .exists(_.toBoolean)
+    new GraftDeltaStreamSource(sqlContext, root, fixed, startAt, maxV,
+      ignoreChanges)
+  }
+}
+
+/** V1 streaming Source over a Delta log — see [[GraftDeltaSource]]. */
+class GraftDeltaStreamSource(ctx: SQLContext, root: String,
+                             fixed: StructType, startAt: Option[Long],
+                             maxVersionsPerBatch: Option[Long],
+                             ignoreChanges: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{
+    Offset => OffsetV2, ReadLimit}
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+  import org.apache.spark.sql.functions.{col, lit}
+
+  private def spark = ctx.sparkSession
+
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def schema: StructType = fixed
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap =
+      DeltaInterop.deltaVersions(spark, root).lastOption
+
+  /** Next end offset: newest Delta version, clamped by the
+    * AvailableNow pin and the per-batch version budget; `null` = no
+    * new data (the admission-control contract). */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit)
+      : OffsetV2 = {
+    val vs = DeltaInterop.deltaVersions(spark, root)
+    val latest = (vs.lastOption, availableNowCap) match {
+      case (Some(l), Some(cap)) => Some(math.min(l, cap))
+      case (l, cap) => l.orElse(cap)
+    }
+    val from = Option(start).map(at).orElse(startAt)
+    latest
+      .filter(v => from.forall(v > _))
+      .flatMap { v =>
+        maxVersionsPerBatch match {
+          case Some(m) => from match {
+            case Some(f) => Some(math.min(v, f + m))
+            // bootstrap: snapshot at the oldest replayable version plus
+            // the remaining budget (log-cleaned tables start at their
+            // checkpoint), incremental tails follow
+            case None => vs.headOption.map(h => math.min(v, h + m - 1))
+          }
+          case None => Some(v)
+        }
+      }
+      .map(LongOffset(_): OffsetV2).orNull
+  }
+
+  override def getOffset
+      : Option[org.apache.spark.sql.execution.streaming.Offset] =
+    DeltaInterop.deltaVersions(spark, root).lastOption
+      .filter(v => startAt.forall(v > _))
+      .map(LongOffset(_))
+
+  private def at(o: OffsetV2): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.trim.toLong
+  }
+
+  override def getBatch(
+      start: Option[org.apache.spark.sql.execution.streaming.Offset],
+      end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
+    val from = start.map(o => at(o.asInstanceOf[OffsetV2]))
+      .orElse(startAt)
+    val to = at(end.asInstanceOf[OffsetV2])
+    from.foreach { f =>
+      if (!ignoreChanges) {
+        val (removed, readded) =
+          DeltaInterop.changeKinds(spark, root, f, to)
+        if (removed.nonEmpty || readded.nonEmpty)
+          throw new IllegalStateException(
+            s"graftdelta source: versions ($f, $to] of $root contain " +
+              "non-append changes (" +
+              s"removed: ${removed.take(3).mkString(", ")}; " +
+              s"rewritten: ${readded.take(3).mkString(", ")}) — " +
+              "streaming past them would miss or duplicate rewritten " +
+              "rows; set ignoreChanges=true to stream only newly added " +
+              "files (Delta's documented relaxation)")
+      }
+    }
+    val df = DeltaInterop.readDeltaChanges(spark, root, from, to)
+    // align to the stream's fixed schema (evolution-added columns drop
+    // per batch; narrowing evolutions fail loudly with a restart hint)
+    val aligned = df.select(fixed.map { f =>
+      if (df.columns.contains(f.name)) {
+        val have = df.schema(f.name).dataType
+        if (have != f.dataType &&
+            !org.apache.spark.sql.catalyst.expressions.Cast
+              .canUpCast(have, f.dataType))
+          throw new IllegalStateException(
+            s"graftdelta source: column '${f.name}' evolved to $have, " +
+              s"which the stream's fixed type ${f.dataType} cannot " +
+              "hold without narrowing — restart the stream to adopt " +
+              "the evolution")
+        col(f.name).cast(f.dataType).as(f.name)
+      } else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    org.apache.spark.sql.graftbridge.ColumnBridge.streamingFrame(
+      ctx, aligned.queryExecution.toRdd, StructType(fixed.map(
+        _.copy(nullable = true))))
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftDeltaStreamSource[$root]"
+}

@@ -1,0 +1,124 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class GraftDeltaSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("readStream.format(graftdelta): bootstrap + incremental batches "
+      + "over a synced Delta mirror, restart resumes after the "
+      + "committed version, DV-bearing bootstrap serves live rows") {
+    val dir = Files.createTempDirectory("deltasrc")
+    val lake = dir.resolve("lake").toString
+    val delta = dir.resolve("delta").toString
+    val dst = dir.resolve("dst").toString
+    val ckpt = dir.resolve("ckpt").toString
+    LakeTable.append(spark.range(0, 50)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake)
+    DeltaInterop.syncToDelta(spark, lake, delta)
+    def run(): Unit = {
+      val q = spark.readStream.format("graftdelta")
+        .option("path", delta).load()
+        .writeStream.format("graftlake")
+        .option("path", dst).option("appId", "delta-tail")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    assert(LakeTable.read(spark, dst).count() == 50L) // bootstrap
+    // two appended + synced versions: the restart serves ONLY them
+    LakeTable.append(spark.range(50, 80)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake)
+    LakeTable.append(spark.range(80, 90)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake)
+    DeltaInterop.syncToDelta(spark, lake, delta)
+    run()
+    assert(LakeTable.read(spark, dst).select("k").as[Long]
+      .collect().toSet == (0L until 90L).toSet)
+    // nothing new → nothing committed downstream
+    val dstV = LakeTable.versions(spark, dst).last
+    run()
+    assert(LakeTable.versions(spark, dst).last == dstV)
+    // a fresh consumer of a DV-bearing mirror bootstraps the
+    // vector-applied snapshot
+    LakeTable.deleteWhereDV(spark, lake, "k < 10")
+    DeltaInterop.syncToDelta(spark, lake, delta)
+    val fresh = dir.resolve("dst2").toString
+    val q2 = spark.readStream.format("graftdelta")
+      .option("path", delta)
+      // the DV commit is a non-append change for an EXISTING stream,
+      // but a fresh bootstrap reads the snapshot (no prior offset)
+      .load()
+      .writeStream.format("graftlake")
+      .option("path", fresh).option("appId", "delta-tail-2")
+      .option("checkpointLocation", dir.resolve("ckpt2").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(LakeTable.read(spark, fresh).select("k").as[Long]
+      .collect().toSet == (10L until 90L).toSet)
+  }
+
+  test("graftdelta source refuses non-append version ranges (removed "
+      + "or DV-rewritten files) unless ignoreChanges=true; admission "
+      + "control slices the drain") {
+    val dir = Files.createTempDirectory("deltasrc2")
+    val lake = dir.resolve("lake").toString
+    val delta = dir.resolve("delta").toString
+    LakeTable.append(spark.range(0, 40)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake)
+    DeltaInterop.syncToDelta(spark, lake, delta)
+    val dst = dir.resolve("dst").toString
+    val ckpt = dir.resolve("ckpt").toString
+    def run(ignore: Boolean): Unit = {
+      val q = spark.readStream.format("graftdelta")
+        .option("path", delta)
+        .option("ignoreChanges", ignore.toString).load()
+        .writeStream.format("graftlake")
+        .option("path", dst).option("appId", "guard-tail")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run(ignore = false) // bootstrap fine
+    assert(LakeTable.read(spark, dst).count() == 40L)
+    // a DV delete syncs as remove+re-add: non-append for the stream
+    LakeTable.deleteWhereDV(spark, lake, "k < 5")
+    LakeTable.append(spark.range(40, 60)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake)
+    DeltaInterop.syncToDelta(spark, lake, delta)
+    val e = intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException] { run(ignore = false) }
+    assert(e.getMessage.contains("non-append") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-append")),
+      e.getMessage)
+    // ignoreChanges: the newly added files stream; the rewritten
+    // (DV-updated) file is skipped per Delta's documented relaxation
+    run(ignore = true)
+    assert(LakeTable.read(spark, dst).select("k").as[Long]
+      .collect().toSet == (0L until 60L).toSet)
+    // admission control: a fresh AvailableNow drain with
+    // maxVersionsPerBatch=1 lands one micro-batch per Delta version
+    // (bootstrap at delta v0 — which PREDATES the DV, so k<5 is still
+    // present there — then two single-version tails = 3 sink commits)
+    val dst2 = dir.resolve("dst2").toString
+    val q3 = spark.readStream.format("graftdelta")
+      .option("path", delta).option("maxVersionsPerBatch", "1")
+      .option("ignoreChanges", "true").load()
+      .writeStream.format("graftlake")
+      .option("path", dst2).option("appId", "sliced-tail")
+      .option("checkpointLocation", dir.resolve("ckpt3").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q3.awaitTermination()
+    assert(LakeTable.versions(spark, dst2).size == 3,
+      LakeTable.versions(spark, dst2))
+    assert(LakeTable.read(spark, dst2).select("k").as[Long]
+      .collect().toSet == (0L until 60L).toSet)
+  }
+}
