@@ -2217,6 +2217,57 @@ object SourceQueries {
                    AND o_orderkey % 4 <= 2)"""),
       "graftdelta stream: synced mirror → bootstrap + tail → lake sink"),
 
+    // ---- Iceberg STREAMING source ------------------------------------------
+    // The third open-format streaming leg: an incrementally-published
+    // Iceberg table tails into Structured Streaming via
+    // readStream.format("grafticeberg") — offsets are the spec's
+    // monotonic sequence-numbers (snapshot ids are unordered), the
+    // bootstrap serves the position-delete-applied snapshot, and the
+    // restarted stream serves only later snapshots' added files.
+    "q332_iceberg_stream" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_icestream_q332")
+        val lake = root + "/lake"
+        val ice = root + "/ice"
+        val dst = root + "/dst"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        def run(): Unit = {
+          val q = s.readStream.format("grafticeberg")
+            .option("path", ice)
+            .load()
+            .writeStream.format("graftlake")
+            .option("path", dst).option("appId", "q332")
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming
+              .Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        // half the orders land with a MoR DV delete; the bootstrap
+        // batch serves that position-delete-applied snapshot
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 2 === 0), lake,
+          zoneKey = Some("o_orderkey"))
+        graft.sources.LakeTable.deleteWhereDV(s, lake,
+          "o_orderkey BETWEEN 100 AND 900")
+        graft.sources.IcebergInterop.exportToIceberg(s, lake, ice)
+        run()
+        // the other half publishes as the next snapshot; the restart
+        // serves only its added files — exactly once
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 2 === 1), lake,
+          zoneKey = Some("o_orderkey"))
+        graft.sources.IcebergInterop.exportToIceberg(s, lake, ice)
+        run()
+        graft.sources.LakeTable.read(s, dst)
+      },
+      // the DV delete ran before the odd half was appended
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE NOT (o_orderkey BETWEEN 100 AND 900
+                   AND o_orderkey % 2 = 0)"""),
+      "grafticeberg stream: published snapshots → bootstrap + tail"),
+
     // ---- metadata-only COUNT(*) --------------------------------------------
     // The Delta numRecords fast path: per-file row counts ride the
     // manifest as `#rows` stats (written from the parquet footers at

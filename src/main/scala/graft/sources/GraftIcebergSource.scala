@@ -1,0 +1,189 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+
+/** `spark.readStream.format("grafticeberg")` — a STREAMING source over
+  * an Iceberg table ([[IcebergInterop]]), the third leg of the
+  * open-format streaming surface beside the native graftlake source
+  * and [[GraftDeltaSource]]: tables other engines keep committing (or
+  * our own [[IcebergInterop.exportToIceberg]] publishes incrementally)
+  * tail straight into Structured Streaming.
+  *
+  * OFFSETS ARE THE SPEC'S `sequence-number`s — the v2 protocol's
+  * monotonic commit order (snapshot IDs are unordered, so they cannot
+  * be offsets; v1 histories without sequence numbers refuse loudly).
+  * `getBatch(a, b]` is [[IcebergInterop.readIcebergChanges]] between
+  * the snapshots at those sequence numbers (O(changed files) I/O, the
+  * target snapshot's position deletes applied); the first batch
+  * bootstraps the snapshot. `maxVersionsPerBatch` admission control
+  * and multi-batch Trigger.AvailableNow carry over from the other two
+  * sources unchanged — here a "version" is one snapshot.
+  *
+  * Append discipline: a sequence range that removed data files or
+  * added new position-delete files fails the stream loudly (continuing
+  * would miss or duplicate rewritten rows); `ignoreChanges=true` opts
+  * into streaming only newly added data files. */
+class GraftIcebergSource
+    extends org.apache.spark.sql.sources.StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "grafticeberg"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "grafticeberg: 'path' option is required"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    val root = rootOf(parameters)
+    val s = schema.getOrElse(
+      IcebergInterop.icebergSchema(sqlContext.sparkSession, root))
+    (s"grafticeberg[$root]", s)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val root = rootOf(parameters)
+    val fixed = sourceSchema(sqlContext, schema, providerName,
+      parameters)._2
+    val startAt = parameters.get("startingSequence").map(_.toLong)
+    val maxV = parameters.get("maxVersionsPerBatch").map(_.toLong)
+    maxV.foreach(m => require(m >= 1,
+      s"grafticeberg source: maxVersionsPerBatch must be >= 1, got $m"))
+    val ignoreChanges = parameters.get("ignoreChanges")
+      .exists(_.toBoolean)
+    new GraftIcebergStreamSource(sqlContext, root, fixed, startAt, maxV,
+      ignoreChanges)
+  }
+}
+
+/** V1 streaming Source over an Iceberg snapshot history — see
+  * [[GraftIcebergSource]]. */
+class GraftIcebergStreamSource(ctx: SQLContext, root: String,
+                               fixed: StructType, startAt: Option[Long],
+                               maxVersionsPerBatch: Option[Long],
+                               ignoreChanges: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{
+    Offset => OffsetV2, ReadLimit}
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+  import org.apache.spark.sql.functions.{col, lit}
+
+  private def spark = ctx.sparkSession
+
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def schema: StructType = fixed
+
+  private def seqs: Seq[(Long, Long)] =
+    IcebergInterop.snapshotsBySequence(spark, root)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = seqs.lastOption.map(_._1)
+
+  /** Next end offset (a sequence number), clamped by the AvailableNow
+    * pin and the per-batch snapshot budget. Sequence numbers may be
+    * sparse under concurrent writers, so the budget counts SNAPSHOTS
+    * past the committed offset, not number distance. */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit)
+      : OffsetV2 = {
+    val ss = seqs
+    val latest = (ss.lastOption.map(_._1), availableNowCap) match {
+      case (Some(l), Some(cap)) => Some(math.min(l, cap))
+      case (l, cap) => l.orElse(cap)
+    }
+    val from = Option(start).map(at).orElse(startAt)
+    latest
+      .filter(v => from.forall(v > _))
+      .flatMap { v =>
+        maxVersionsPerBatch match {
+          case Some(m) =>
+            val pending = ss.map(_._1)
+              .filter(s => from.forall(s > _) && s <= v)
+            // bootstrap consumes its whole budget on the first
+            // snapshot read; tails advance m snapshots per batch
+            val take = from match {
+              case Some(_) => pending.take(m.toInt)
+              case None => pending.take(1)
+            }
+            take.lastOption
+          case None => Some(v)
+        }
+      }
+      .map(LongOffset(_): OffsetV2).orNull
+  }
+
+  override def getOffset
+      : Option[org.apache.spark.sql.execution.streaming.Offset] =
+    seqs.lastOption.map(_._1)
+      .filter(v => startAt.forall(v > _))
+      .map(LongOffset(_))
+
+  private def at(o: OffsetV2): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.trim.toLong
+  }
+
+  override def getBatch(
+      start: Option[org.apache.spark.sql.execution.streaming.Offset],
+      end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
+    val from = start.map(o => at(o.asInstanceOf[OffsetV2]))
+      .orElse(startAt)
+    val to = at(end.asInstanceOf[OffsetV2])
+    val ss = seqs
+    def snapAt(seq: Long): Long = ss.filter(_._1 <= seq).lastOption
+      .map(_._2).getOrElse(throw new IllegalStateException(
+        s"grafticeberg source: no snapshot at or below sequence $seq " +
+          s"of $root (expired history?)"))
+    val toSnap = snapAt(to)
+    val fromSnap = from.map(snapAt)
+    fromSnap.foreach { f =>
+      if (!ignoreChanges) {
+        val (removed, newDeletes) =
+          IcebergInterop.icebergChangeKinds(spark, root, f, toSnap)
+        if (removed.nonEmpty || newDeletes.nonEmpty)
+          throw new IllegalStateException(
+            s"grafticeberg source: sequences ($from, $to] of $root " +
+              "contain non-append changes (removed data files: " +
+              s"${removed.take(3).mkString(", ")}; new delete files: " +
+              s"${newDeletes.take(3).mkString(", ")}) — streaming past " +
+              "them would miss or duplicate rewritten rows; set " +
+              "ignoreChanges=true to stream only newly added files")
+      }
+    }
+    val df = IcebergInterop.readIcebergChanges(spark, root, fromSnap,
+      toSnap)
+    val aligned = df.select(fixed.map { f =>
+      if (df.columns.contains(f.name)) {
+        val have = df.schema(f.name).dataType
+        if (have != f.dataType &&
+            !org.apache.spark.sql.catalyst.expressions.Cast
+              .canUpCast(have, f.dataType))
+          throw new IllegalStateException(
+            s"grafticeberg source: column '${f.name}' evolved to " +
+              s"$have, which the stream's fixed type ${f.dataType} " +
+              "cannot hold without narrowing — restart the stream to " +
+              "adopt the evolution")
+        col(f.name).cast(f.dataType).as(f.name)
+      } else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    org.apache.spark.sql.graftbridge.ColumnBridge.streamingFrame(
+      ctx, aligned.queryExecution.toRdd, StructType(fixed.map(
+        _.copy(nullable = true))))
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftIcebergStreamSource[$root]"
+}

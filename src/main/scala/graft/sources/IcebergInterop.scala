@@ -515,6 +515,42 @@ object IcebergInterop {
       .filter(col(key) >= lit(lo) && col(key) <= lit(hi))
   }
 
+  /** The logical Spark schema of the table's current (or pinned)
+    * snapshot. */
+  def icebergSchema(spark: SparkSession, root: String,
+                    snapshotId: Option[Long] = None): StructType =
+    snapshotFiles(spark, root, snapshotId)._1.spark
+
+  /** Snapshots ordered by the spec's monotonic `sequence-number`
+    * (the streaming offset axis): (sequenceNumber, snapshotId).
+    * Refuses logs without distinct positive sequence numbers (format
+    * v1 histories) — there is no total order to stream by. */
+  private[sources] def snapshotsBySequence(spark: SparkSession,
+                                           root: String)
+      : Seq[(Long, Long)] = {
+    val snaps = parseMetadata(spark, root).snapshots
+    if (snaps.isEmpty) return Seq.empty
+    val seqs = snaps.map(_.sequenceNumber)
+    require(seqs.forall(_ > 0L) && seqs.distinct.size == seqs.size,
+      s"$root: snapshots lack distinct positive sequence-numbers " +
+        "(format v1 history?) — streaming needs the v2 total order")
+    snaps.sortBy(_.sequenceNumber).map(s => (s.sequenceNumber, s.id))
+  }
+
+  /** Non-append changes between two snapshots: (data files removed,
+    * delete files added — i.e. rows of EXISTING files rewritten by new
+    * position deletes). Empty pair = pure file appends. */
+  private[sources] def icebergChangeKinds(spark: SparkSession,
+      root: String, fromSnap: Long, toSnap: Long)
+      : (Seq[String], Seq[String]) = {
+    val (_, aData, aDel) = snapshotFiles(spark, root, Some(fromSnap))
+    val (_, bData, bDel) = snapshotFiles(spark, root, Some(toSnap))
+    val removed =
+      (aData.map(_.path).toSet -- bData.map(_.path).toSet).toSeq.sorted
+    val newDeletes = (bDel.toSet -- aDel.toSet).toSeq.sorted
+    (removed, newDeletes)
+  }
+
   /** Incremental read over an Iceberg log: the rows of the data files
     * ADDED between `fromSnapshot` (exclusive; None = everything) and
     * `toSnapshot` — O(changed) I/O, the interop twin of
@@ -675,16 +711,25 @@ object IcebergInterop {
       else {
         import spark.implicits._
         val rows = dvByFile.toSeq.flatMap { case (p, pos) =>
-          pos.map(x => (uriOf(p), x)) }
-        val stage = s"$iceRoot/_stage_del_$uuid"
-        rows.toDF("file_path", "pos")
-          .orderBy("file_path", "pos").coalesce(1)
-          .write.parquet(stage)
-        val part = f.listStatus(new Path(stage)).map(_.getPath)
-          .find(_.getName.endsWith(".parquet")).get
-        val delFile = new Path(s"$iceRoot/data/$uuid-deletes.parquet")
-        f.rename(part, delFile)
-        f.delete(new Path(stage), true)
+          pos.map(x => (uriOf(p), x)) }.sorted
+        // CONTENT-ADDRESSED delete file: an unchanged DV state across
+        // exports reuses the same file by reference — no rewrite, and
+        // incremental consumers (the grafticeberg stream) correctly
+        // see "no new delete files" for append-only snapshot ranges
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(rows.mkString("\n").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val delFile = new Path(s"$iceRoot/data/deletes-$digest.parquet")
+        if (!f.exists(delFile)) {
+          val stage = s"$iceRoot/_stage_del_$uuid"
+          rows.toDF("file_path", "pos")
+            .orderBy("file_path", "pos").coalesce(1)
+            .write.parquet(stage)
+          val part = f.listStatus(new Path(stage)).map(_.getPath)
+            .find(_.getName.endsWith(".parquet")).get
+          f.rename(part, delFile)
+          f.delete(new Path(stage), true): Unit
+        }
         val delUri = qualify(delFile)
         val mf = s"$iceRoot/metadata/$uuid-m1.avro"
         val len = writeAvro(spark, mf, manifestSchema, Seq(

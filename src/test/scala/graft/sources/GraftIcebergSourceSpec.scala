@@ -1,0 +1,108 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class GraftIcebergSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("readStream.format(grafticeberg): bootstrap + incremental "
+      + "snapshots by sequence number, restart resumes, position-"
+      + "delete-bearing bootstrap serves live rows") {
+    val dir = Files.createTempDirectory("icesrc")
+    val lake = dir.resolve("lake").toString
+    val ice = dir.resolve("ice").toString
+    val dst = dir.resolve("dst").toString
+    val ckpt = dir.resolve("ckpt").toString
+    LakeTable.append(spark.range(0, 50)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake)
+    LakeTable.deleteWhereDV(spark, lake, "k < 10")
+    IcebergInterop.exportToIceberg(spark, lake, ice)
+    def run(): Unit = {
+      val q = spark.readStream.format("grafticeberg")
+        .option("path", ice).load()
+        .writeStream.format("graftlake")
+        .option("path", dst).option("appId", "ice-tail")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run() // bootstrap: the position-delete-applied snapshot
+    assert(LakeTable.read(spark, dst).select("k").as[Long]
+      .collect().toSet == (10L until 50L).toSet)
+    // two more exported snapshots; the restarted stream serves ONLY
+    // their added files
+    LakeTable.append(spark.range(50, 80)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake)
+    IcebergInterop.exportToIceberg(spark, lake, ice)
+    LakeTable.append(spark.range(80, 90)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake)
+    IcebergInterop.exportToIceberg(spark, lake, ice)
+    run()
+    assert(LakeTable.read(spark, dst).select("k").as[Long]
+      .collect().toSet == (10L until 90L).toSet)
+    // nothing new → nothing committed downstream
+    val dstV = LakeTable.versions(spark, dst).last
+    run()
+    assert(LakeTable.versions(spark, dst).last == dstV)
+  }
+
+  test("grafticeberg source refuses snapshot ranges with new position "
+      + "deletes unless ignoreChanges=true; admission control drains "
+      + "one snapshot per batch") {
+    val dir = Files.createTempDirectory("icesrc2")
+    val lake = dir.resolve("lake").toString
+    val ice = dir.resolve("ice").toString
+    LakeTable.append(spark.range(0, 40)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake)
+    IcebergInterop.exportToIceberg(spark, lake, ice)
+    val dst = dir.resolve("dst").toString
+    val ckpt = dir.resolve("ckpt").toString
+    def run(ignore: Boolean): Unit = {
+      val q = spark.readStream.format("grafticeberg")
+        .option("path", ice)
+        .option("ignoreChanges", ignore.toString).load()
+        .writeStream.format("graftlake")
+        .option("path", dst).option("appId", "ice-guard")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run(ignore = false)
+    assert(LakeTable.read(spark, dst).count() == 40L)
+    // a DV delete + append export as one new snapshot: its new
+    // position-delete file is a non-append change
+    LakeTable.deleteWhereDV(spark, lake, "k < 5")
+    LakeTable.append(spark.range(40, 60)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake)
+    IcebergInterop.exportToIceberg(spark, lake, ice)
+    val e = intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException] { run(ignore = false) }
+    assert(e.getMessage.contains("non-append") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-append")),
+      e.getMessage)
+    run(ignore = true) // newly added files stream
+    assert(LakeTable.read(spark, dst).select("k").as[Long]
+      .collect().toSet == (0L until 60L).toSet)
+    // admission control: a fresh drain with maxVersionsPerBatch=1
+    // lands one micro-batch per snapshot (bootstrap + 1 tail)
+    val dst2 = dir.resolve("dst2").toString
+    val q3 = spark.readStream.format("grafticeberg")
+      .option("path", ice).option("maxVersionsPerBatch", "1")
+      .option("ignoreChanges", "true").load()
+      .writeStream.format("graftlake")
+      .option("path", dst2).option("appId", "ice-sliced")
+      .option("checkpointLocation", dir.resolve("ckpt3").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q3.awaitTermination()
+    assert(LakeTable.versions(spark, dst2).size == 2,
+      LakeTable.versions(spark, dst2))
+    // bootstrap snapshot 1 predates the DV, so k<5 is present there
+    assert(LakeTable.read(spark, dst2).select("k").as[Long]
+      .collect().toSet == (0L until 60L).toSet)
+  }
+}

@@ -64,7 +64,8 @@ class IcebergInteropSpec extends SparkSpec {
     // the delete manifest is real: a content=1 manifest list entry +
     // a sorted (file_path, pos) parquet landed under data/
     val names = new java.io.File(s"$ice/data").listFiles().map(_.getName)
-    assert(names.exists(_.endsWith("-deletes.parquet")), names.toSeq)
+    assert(names.exists(n => n.startsWith("deletes-") &&
+      n.endsWith(".parquet")), names.toSeq)
     // stacked: a second DV delete exports as the NEXT snapshot
     LakeTable.deleteWhereDV(spark, lake, "k >= 90")
     IcebergInterop.exportToIceberg(spark, lake, ice)
