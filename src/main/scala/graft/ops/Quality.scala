@@ -300,6 +300,64 @@ object Quality {
       classes.map(cls => when(col(s"score_$cls") === best, cls)): _*))
   }
 
+  /** One-pass-per-shape data profile — "know your corpus before you
+    * train on it": one output row per profiled column with exact row /
+    * null / distinct counts, typed min/max (rendered as strings), and
+    * the exact modal value with its frequency.
+    *
+    * Execution shape, column-count-independent: ONE scan explodes each
+    * row into (column, value) pairs that map-side-combine into a
+    * (column, value)-grouped count — the only data-sized shuffle, and
+    * it moves one row per DISTINCT value per column (the same cost
+    * class as COUNT(DISTINCT), which an exact profile cannot beat) —
+    * then a column-grouped fold and a top-1 window run on that
+    * distinct-sized intermediate. A SECOND one-row scan computes typed
+    * min/max (string-cast ordering would say '9' > '10'). Everything
+    * is exact and deterministic, so a SQL oracle replays it verbatim;
+    * for sketch-grade profiling at wider cardinalities the HLL /
+    * Misra-Gries operators ([[graft.operators.Sketches]]) compose the
+    * same long format. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns: no columns given")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val long = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("column"),
+        col(c).cast("string").as("value"))): _*)).as("kv"))
+      .select(col("kv.column").as("column"), col("kv.value").as("value"))
+    val byVal = long.groupBy("column", "value")
+      .agg(count(lit(1)).as("cnt"))
+    val stats = byVal.groupBy("column").agg(
+      sum("cnt").as("n_rows"),
+      coalesce(sum(when(col("value").isNull, col("cnt"))), lit(0L))
+        .as("n_null"),
+      count(when(col("value").isNotNull, lit(1))).as("n_distinct"))
+    val top = byVal.filter(col("value").isNotNull)
+      .withColumn("__rk", row_number().over(Window.partitionBy("column")
+        .orderBy(col("cnt").desc, col("value").asc)))
+      .filter(col("__rk") === 1)
+      .select(col("column"), col("value").as("top_value"),
+        col("cnt").as("top_count"))
+    // typed bounds: one-row aggregate, rendered to strings AFTER the
+    // typed comparison so numeric order survives
+    val boundCols = cols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")))
+    val boundsRow = df.agg(boundCols.head, boundCols.tail: _*)
+    import spark.implicits._
+    val bounds = boundsRow.collect().headOption.map { r =>
+      cols.map(c => (c,
+        Option(r.getAs[String](s"__min_$c")).orNull,
+        Option(r.getAs[String](s"__max_$c")).orNull))
+    }.getOrElse(cols.map(c => (c, null, null)))
+      .toDF("column", "min_value", "max_value")
+    stats
+      .join(broadcast(bounds), Seq("column"), "left")
+      .join(top, Seq("column"), "left")
+      .select("column", "n_rows", "n_null", "n_distinct",
+        "min_value", "max_value", "top_value", "top_count")
+  }
+
   def trainLogistic(df: DataFrame, features: Seq[(String, Column)],
                     label: Column, iters: Int,
                     lr: Double): Seq[(String, Double)] = {

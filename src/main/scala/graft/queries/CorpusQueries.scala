@@ -250,6 +250,41 @@ object CorpusQueries {
     // ---- document-length histogram ----------------------------------------
     // Fixed-width token-count bins with a top catch-all — the standard
     // corpus-composition report (one scan + one tiny agg at any scale).
+    // ---- table profile (know your data before you train on it) ------------
+    // Quality.profileColumns: per-column exact row/null/distinct
+    // counts, typed min/max, exact modal value — one exploded scan
+    // whose only data-sized shuffle moves a row per DISTINCT value per
+    // column (the COUNT(DISTINCT) cost class), then distinct-sized
+    // folds. Profiled here on integer/string columns (Spark and DuckDB
+    // render doubles to strings differently; the OP is type-generic,
+    // the demo keeps the oracle byte-exact).
+    "q333_profile" -> Q(
+      (s, d) => graft.ops.Quality.profileColumns(
+        Tables.orders(s, d),
+        Seq("o_orderstatus", "o_orderkey", "o_orderpriority")),
+      Some {
+        def block(c: String) =
+          s"""SELECT '$c' AS "column",
+            (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+            CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT) AS n_null,
+            CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+            CAST(min($c) AS VARCHAR) AS min_value,
+            CAST(max($c) AS VARCHAR) AS max_value,
+            (SELECT CAST($c AS VARCHAR) AS v FROM orders
+               WHERE $c IS NOT NULL
+               GROUP BY 1 ORDER BY count(*) DESC, v ASC
+               LIMIT 1) AS top_value,
+            (SELECT CAST(count(*) AS BIGINT) FROM orders
+               GROUP BY CAST($c AS VARCHAR)
+               HAVING CAST($c AS VARCHAR) IS NOT NULL
+               ORDER BY count(*) DESC, CAST($c AS VARCHAR) ASC
+               LIMIT 1) AS top_count
+          FROM orders"""
+        Seq("o_orderstatus", "o_orderkey", "o_orderpriority")
+          .map(block).mkString("\nUNION ALL\n")
+      },
+      "table profile: exact nulls/distincts/bounds/mode per column"),
+
     "q92_length_histogram" -> Q(
       (s, d) => Tables.documents(s, d)
         .select(Text.tokenCount(col("text")).cast("long").as("n_tok"))

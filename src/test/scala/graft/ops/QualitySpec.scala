@@ -134,6 +134,35 @@ class QualitySpec extends SparkSpec {
         score, "doc_id", "toks"))
   }
 
+  test("profileColumns: exact nulls/distincts, TYPED bounds (9 < 10), "
+      + "deterministic modal tie-break, null-only column survives") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[(java.lang.Long, String, String)](
+      (9L, "b", null), (10L, "a", null), (2L, "a", null),
+      (null, "a", null), (2L, null, null))
+      .toDF("n", "s", "z")
+    val got = Quality.profileColumns(df, Seq("n", "s", "z"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val n = got("n")
+    assert(n.getLong(1) == 5L && n.getLong(2) == 1L && n.getLong(3) == 3L)
+    // typed bounds: numeric min/max, not lexicographic ('9' > '10')
+    assert(n.getString(4) == "2" && n.getString(5) == "10")
+    // modal: 2 appears twice
+    assert(n.getString(6) == "2" && n.getLong(7) == 2L)
+    val sC = got("s")
+    assert(sC.getLong(2) == 1L && sC.getLong(3) == 2L)
+    assert(sC.getString(6) == "a" && sC.getLong(7) == 3L)
+    // all-null column: distinct 0, bounds and mode null
+    val z = got("z")
+    assert(z.getLong(2) == 5L && z.getLong(3) == 0L)
+    assert(z.isNullAt(4) && z.isNullAt(5) && z.isNullAt(6))
+    // tie-break is the SMALLEST string value among the most frequent
+    val tied = Seq("y", "x", "y", "x").toDF("t")
+    assert(Quality.profileColumns(tied, Seq("t"))
+      .select("top_value").head().getString(0) == "x")
+  }
+
   test("nbScore prior shifts the decision for unbalanced classes") {
     val s = spark
     import s.implicits._
