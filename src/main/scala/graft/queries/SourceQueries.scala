@@ -2268,6 +2268,43 @@ object SourceQueries {
                    AND o_orderkey % 2 = 0)"""),
       "grafticeberg stream: published snapshots → bootstrap + tail"),
 
+    // ---- interop batch SQL surface -----------------------------------------
+    // Plain SQL over BOTH published open formats: `USING graftdelta` /
+    // `USING grafticeberg` serve a native pruned parquet relation —
+    // Delta `stats` and Iceberg bounds skip files through the same
+    // zone machinery as native lake reads, PushedFilters and codegen
+    // intact (plan-asserted in the unit suites). One query ranges over
+    // both mirrors of the same lake table; the oracle recomputes
+    // relationally.
+    "q334_interop_sql" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_interopsql_q334")
+        val lake = root + "/lake"
+        val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.repartitionByRange(8, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"),
+          lake, zoneKey = Some("o_orderkey"))
+        graft.sources.DeltaInterop.syncToDelta(s, lake, root + "/delta")
+        graft.sources.IcebergInterop.exportToIceberg(s, lake,
+          root + "/ice")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q334_d USING " +
+          s"graftdelta OPTIONS (path '$root/delta')")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q334_i USING " +
+          s"grafticeberg OPTIONS (path '$root/ice')")
+        s.sql("""SELECT 'delta' AS fmt, o_orderkey, o_totalprice
+            FROM q334_d WHERE o_orderkey BETWEEN 1000 AND 2000
+          UNION ALL
+          SELECT 'iceberg' AS fmt, o_orderkey, o_totalprice
+            FROM q334_i WHERE o_orderkey BETWEEN 1000 AND 2000""")
+      },
+      Some("""SELECT 'delta' AS fmt, o_orderkey, o_totalprice
+          FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000
+        UNION ALL
+        SELECT 'iceberg' AS fmt, o_orderkey, o_totalprice
+          FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000"""),
+      "SQL USING graftdelta/grafticeberg: pruned native parquet scans"),
+
     // ---- metadata-only COUNT(*) --------------------------------------------
     // The Delta numRecords fast path: per-file row counts ride the
     // manifest as `#rows` stats (written from the parquet footers at

@@ -972,6 +972,54 @@ object DeltaInterop {
     replay(spark, root, versionAsOf.getOrElse(vs.max)).schema
   }
 
+  /** Batch-relation view of a snapshot for the `graftdelta` SQL
+    * surface: `(schema, Some(files with stats rendered as zones))`
+    * when a plain pruned parquet relation serves it exactly —
+    * unpartitioned, no column mapping, no live deletion vectors;
+    * `(schema, None)` when the full merge-on-read read path must serve
+    * instead. Zone strings reuse the manifest zone comparison
+    * machinery ([[LakeTable.splitByPredicate]]), so Delta `stats`
+    * prune SQL scans exactly like native lake zones. */
+  private[sources] def relationInfo(spark: SparkSession, root: String,
+                                    versionAsOf: Option[Long])
+      : (StructType, Option[Seq[(String, Seq[LakeTable.Zone])]]) = {
+    val vs = deltaVersions(spark, root)
+    require(vs.nonEmpty, s"no Delta log under $root")
+    val v = versionAsOf.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
+    val snap = replay(spark, root, v)
+    val plain = snap.partCols.isEmpty &&
+      snap.schema == snap.physSchema &&
+      snap.live.values.forall(_.dv.isEmpty)
+    if (!plain) (snap.schema, None)
+    else {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val files = snap.live.toSeq.sortBy(_._1).map { case (p, lf) =>
+        val zones = lf.stats.toSeq.flatMap { st =>
+          try {
+            val node = om.readTree(st)
+            def render(n: com.fasterxml.jackson.databind.JsonNode)
+                : Option[String] =
+              if (n.isMissingNode || n.isNull) None
+              else Some(if (n.isTextual) n.asText else n.toString)
+            snap.schema.fields.toSeq.flatMap { f =>
+              for {
+                lo <- render(node.path("minValues").path(f.name))
+                hi <- render(node.path("maxValues").path(f.name))
+              } yield LakeTable.Zone(f.name, lo, hi)
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => Seq.empty
+          }
+        }
+        val abs = if (p.startsWith("/") ||
+            p.matches("[A-Za-z][A-Za-z0-9+.-]*:.*")) p else s"$root/$p"
+        (abs, zones)
+      }
+      (snap.schema, Some(files))
+    }
+  }
+
   /** Non-append changes in `(fromV, toV]`: (files removed, files
     * re-added with a different deletion-vector state). Empty pair =
     * the range is pure file appends — the streaming source's

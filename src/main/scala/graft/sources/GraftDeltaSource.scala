@@ -28,6 +28,7 @@ import org.apache.spark.sql.types.StructType
   * problem. */
 class GraftDeltaSource
     extends org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.RelationProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graftdelta"
@@ -36,6 +37,34 @@ class GraftDeltaSource
     parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "graftdelta: 'path' option is required"))
+
+  /** `spark.read.format("graftdelta")` / SQL `USING graftdelta` — the
+    * batch surface: plain snapshots (unpartitioned, no column mapping,
+    * no live DVs) serve as a native pruned parquet relation whose
+    * Delta `stats` skip files through the zone machinery
+    * ([[InteropFileIndex]]); everything else falls back to the full
+    * merge-on-read read. `versionAsOf` pins a snapshot. */
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String])
+      : org.apache.spark.sql.sources.BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val v = parameters.get("versionAsOf").map(_.toLong)
+    DeltaInterop.relationInfo(spark, root, v) match {
+      case (schema, Some(files)) =>
+        org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+          location = new InteropFileIndex(spark, root, files, schema),
+          partitionSchema = new StructType(),
+          dataSchema = schema,
+          bucketSpec = None,
+          fileFormat = new org.apache.spark.sql.execution.datasources
+            .parquet.ParquetFileFormat,
+          options = parameters)(spark)
+      case (schema, None) =>
+        new InteropSnapshotRelation(sqlContext, schema,
+          () => DeltaInterop.readDelta(spark, root, v))
+    }
+  }
 
   /** The stream's fixed schema: the Delta snapshot schema at stream
     * START. A restart re-resolves it, adopting evolved columns —

@@ -27,6 +27,7 @@ import org.apache.spark.sql.types.StructType
   * into streaming only newly added data files. */
 class GraftIcebergSource
     extends org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.RelationProvider
     with DataSourceRegister {
 
   override def shortName(): String = "grafticeberg"
@@ -35,6 +36,34 @@ class GraftIcebergSource
     parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "grafticeberg: 'path' option is required"))
+
+  /** `spark.read.format("grafticeberg")` / SQL `USING grafticeberg` —
+    * the batch surface: snapshots without position deletes serve as a
+    * native pruned parquet relation whose spec bounds skip files
+    * through the zone machinery ([[InteropFileIndex]]); delete-bearing
+    * snapshots fall back to the merge-on-read read. `snapshotId` pins
+    * a snapshot (time travel). */
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String])
+      : org.apache.spark.sql.sources.BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val snap = parameters.get("snapshotId").map(_.toLong)
+    IcebergInterop.relationInfo(spark, root, snap) match {
+      case (schema, Some(files)) =>
+        org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+          location = new InteropFileIndex(spark, root, files, schema),
+          partitionSchema = new StructType(),
+          dataSchema = schema,
+          bucketSpec = None,
+          fileFormat = new org.apache.spark.sql.execution.datasources
+            .parquet.ParquetFileFormat,
+          options = parameters)(spark)
+      case (schema, None) =>
+        new InteropSnapshotRelation(sqlContext, schema,
+          () => IcebergInterop.readIceberg(spark, root, snap))
+    }
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],

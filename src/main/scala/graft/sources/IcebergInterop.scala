@@ -521,6 +521,31 @@ object IcebergInterop {
                     snapshotId: Option[Long] = None): StructType =
     snapshotFiles(spark, root, snapshotId)._1.spark
 
+  /** Batch-relation view of a snapshot for the `grafticeberg` SQL
+    * surface: `(schema, Some(files with bounds rendered as zones))`
+    * when a plain pruned parquet relation serves it exactly (no
+    * position deletes); `(schema, None)` when the merge-on-read path
+    * must serve. Bounds decode by the spec's single-value binary
+    * encoding and re-render as zone strings, reusing the manifest
+    * zone comparison machinery. */
+  private[sources] def relationInfo(spark: SparkSession, root: String,
+                                    snapshotId: Option[Long])
+      : (StructType, Option[Seq[(String, Seq[LakeTable.Zone])]]) = {
+    val (schema, dataFiles, deleteFiles) =
+      snapshotFiles(spark, root, snapshotId)
+    if (deleteFiles.nonEmpty) (schema.spark, None)
+    else (schema.spark, Some(dataFiles.map { f =>
+      val zones = schema.spark.fields.toSeq.flatMap { sf =>
+        val id = schema.fieldIds.getOrElse(sf.name, -1)
+        for {
+          lo <- f.lower.get(id).flatMap(boundValue(sf.dataType, _))
+          hi <- f.upper.get(id).flatMap(boundValue(sf.dataType, _))
+        } yield LakeTable.Zone(sf.name, lo.toString, hi.toString)
+      }
+      (resolve(root, f.path), zones)
+    }))
+  }
+
   /** Snapshots ordered by the spec's monotonic `sequence-number`
     * (the streaming offset axis): (sequenceNumber, snapshotId).
     * Refuses logs without distinct positive sequence numbers (format

@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+import org.apache.spark.sql.execution.datasources.{FileIndex,
+  PartitionDirectory}
+import org.apache.spark.sql.sources.BaseRelation
+import org.apache.spark.sql.types.StructType
+
+/** `FileIndex` over an interop snapshot's live files (Delta adds with
+  * `stats`, Iceberg data files with `lower_bounds`/`upper_bounds`,
+  * both rendered as [[LakeTable.Zone]]s): the planner's data filters
+  * prune through the SAME zone comparison machinery the native
+  * manifest reads use ([[LakeTable.splitByPredicate]]), and the
+  * listing feeds Spark's native vectorized parquet scan — SQL over a
+  * published Delta/Iceberg table keeps file skipping, PushedFilters
+  * and whole-stage codegen. File statuses come from one `listStatus`
+  * per distinct parent directory at construction. */
+class InteropFileIndex(spark: SparkSession, tableRoot: String,
+                       files: Seq[(String, Seq[LakeTable.Zone])],
+                       tableSchema: StructType) extends FileIndex {
+
+  private val entries =
+    files.map { case (p, zs) => LakeTable.FileEntry(p, zs) }
+
+  private val statusByPath: Map[String, FileStatus] = {
+    val conf = spark.sessionState.newHadoopConf()
+    files.map(_._1).groupBy(p => new Path(p).getParent)
+      .flatMap { case (dir, paths) =>
+        val fs = dir.getFileSystem(conf)
+        val wanted = paths.map(p => new Path(p).getName).toSet
+        val byName = fs.listStatus(dir).toSeq
+          .filter(st => wanted.contains(st.getPath.getName))
+          .map(st => st.getPath.getName -> st).toMap
+        paths.map(p => p -> byName(new Path(p).getName))
+      }
+  }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(tableRoot))
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def sizeInBytes: Long = statusByPath.values.map(_.getLen).sum
+
+  override def inputFiles: Array[String] = files.map(_._1).toArray
+
+  override def refresh(): Unit = () // immutable snapshot
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression])
+      : Seq[PartitionDirectory] = {
+    val admitted = dataFilters.reduceOption(And) match {
+      case Some(c) =>
+        LakeTable.splitByPredicate(spark, entries, Some(tableSchema), c)._1
+      case None => entries
+    }
+    Seq(PartitionDirectory(InternalRow.empty,
+      admitted.map(_.path).sorted.flatMap(statusByPath.get).toArray))
+  }
+}
+
+/** Fallback relation for interop snapshots a bare parquet relation
+  * cannot express (deletion vectors / position deletes, column
+  * mapping, partitioned Delta): serves the full merge-on-read
+  * DataFrame. Filters still apply above the scan — correct always,
+  * pruned only by parquet row groups. */
+class InteropSnapshotRelation(ctx: SQLContext, s: StructType,
+                              mk: () => DataFrame)
+    extends BaseRelation with org.apache.spark.sql.sources.TableScan {
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = s
+  override def buildScan(): org.apache.spark.rdd.RDD[
+      org.apache.spark.sql.Row] = mk().rdd
+}

@@ -7,6 +7,54 @@ import graft.SparkSpec
 class GraftDeltaSourceSpec extends SparkSpec {
   import spark.implicits._
 
+  test("spark.read.format(graftdelta) / SQL USING graftdelta: Delta "
+      + "stats prune files through the zone machinery (corrupted-file "
+      + "trick), PushedFilters intact; DV snapshots fall back to the "
+      + "merge-on-read read; versionAsOf pins") {
+    val dir = Files.createTempDirectory("deltabatch")
+    val lake = dir.resolve("lake").toString
+    val delta = dir.resolve("delta").toString
+    LakeTable.append(spark.range(0, 400)
+      .select(col("id").as("k"), (col("id") * 10).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      lake, zoneKey = Some("k"))
+    DeltaInterop.syncToDelta(spark, lake, delta)
+    assert(spark.read.format("graftdelta").load(delta).count() == 400L)
+    // corrupt the files whose k-stats miss [150, 260]; SQL must never
+    // open them
+    val ents = LakeTable.entries(spark, lake, 1L)
+    val doomed = ents.filter(e => e.hi.get.toLong < 150L ||
+      e.lo.get.toLong > 260L)
+    assert(doomed.nonEmpty)
+    doomed.foreach(e => java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$delta/${e.path}"),
+      "garbage".getBytes("UTF-8")))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW delta_t USING " +
+      s"graftdelta OPTIONS (path '$delta')")
+    val q = spark.sql(
+      "SELECT sum(v) AS s, count(*) AS n FROM delta_t " +
+        "WHERE k BETWEEN 150 AND 260")
+    assert(q.as[(Long, Long)].head() ==
+      (((150L to 260L).map(_ * 10).sum, 111L)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      !plan.contains("PushedFilters: []"), plan.take(800))
+    // a DV-bearing snapshot routes through the fallback relation and
+    // serves the anti-joined rows
+    val lake2 = dir.resolve("lake2").toString
+    val delta2 = dir.resolve("delta2").toString
+    LakeTable.append(spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake2)
+    LakeTable.deleteWhereDV(spark, lake2, "k < 10")
+    DeltaInterop.syncToDelta(spark, lake2, delta2)
+    val dv = spark.read.format("graftdelta").load(delta2)
+    assert(dv.select("k").as[Long].collect().toSet ==
+      (10L until 100L).toSet)
+    // versionAsOf pins the pre-DV snapshot
+    assert(spark.read.format("graftdelta")
+      .option("versionAsOf", "0").load(delta2).count() == 100L)
+  }
+
   test("readStream.format(graftdelta): bootstrap + incremental batches "
       + "over a synced Delta mirror, restart resumes after the "
       + "committed version, DV-bearing bootstrap serves live rows") {

@@ -7,6 +7,54 @@ import graft.SparkSpec
 class GraftIcebergSourceSpec extends SparkSpec {
   import spark.implicits._
 
+  test("spark.read.format(grafticeberg) / SQL USING grafticeberg: "
+      + "spec bounds prune files (corrupted-file trick), PushedFilters "
+      + "intact; position-delete snapshots fall back; snapshotId pins") {
+    val dir = Files.createTempDirectory("icebatch")
+    val lake = dir.resolve("lake").toString
+    val ice = dir.resolve("ice").toString
+    LakeTable.append(spark.range(0, 400)
+      .select(col("id").as("k"), (col("id") * 10).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      lake, zoneKey = Some("k"))
+    IcebergInterop.exportToIceberg(spark, lake, ice)
+    assert(spark.read.format("grafticeberg").load(ice).count() == 400L)
+    val ents = LakeTable.entries(spark, lake, 1L)
+    val doomed = ents.filter(e => e.hi.get.toLong < 150L ||
+      e.lo.get.toLong > 260L)
+    assert(doomed.nonEmpty)
+    doomed.foreach(e => java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$ice/data/${e.path}"),
+      "garbage".getBytes("UTF-8")))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW ice_t USING " +
+      s"grafticeberg OPTIONS (path '$ice')")
+    val q = spark.sql(
+      "SELECT sum(v) AS s, count(*) AS n FROM ice_t " +
+        "WHERE k BETWEEN 150 AND 260")
+    assert(q.as[(Long, Long)].head() ==
+      (((150L to 260L).map(_ * 10).sum, 111L)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      !plan.contains("PushedFilters: []"), plan.take(800))
+    // position-delete snapshots route through the fallback relation;
+    // snapshotId pins the pre-delete snapshot (fresh tables — the
+    // pruning fixture's files are hard-linked and now corrupt)
+    val lake2 = dir.resolve("lake2").toString
+    val ice2 = dir.resolve("ice2").toString
+    LakeTable.append(spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake2)
+    IcebergInterop.exportToIceberg(spark, lake2, ice2)
+    LakeTable.deleteWhereDV(spark, lake2, "k < 10")
+    IcebergInterop.exportToIceberg(spark, lake2, ice2)
+    val dv = spark.read.format("grafticeberg").load(ice2)
+    assert(dv.select("k").as[Long].collect().toSet ==
+      (10L until 100L).toSet)
+    val first = IcebergInterop.icebergSnapshots(spark, ice2).head._1
+    assert(spark.read.format("grafticeberg")
+      .option("snapshotId", first.toString).load(ice2)
+      .count() == 100L)
+  }
+
   test("readStream.format(grafticeberg): bootstrap + incremental "
       + "snapshots by sequence number, restart resumes, position-"
       + "delete-bearing bootstrap serves live rows") {
