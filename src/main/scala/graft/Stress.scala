@@ -360,9 +360,34 @@ object StreamStress {
           ()
         }
       })
+    // STREAM_FORMAT picks the source under test: the native manifest
+    // log, a continuously-synced Delta mirror, or an incrementally
+    // published Iceberg table — one commit/version/snapshot per batch
+    // in all three, so the flatness contract is comparable
+    val fmt = sys.env.getOrElse("STREAM_FORMAT", "graftlake")
+    val (streamPath, tMirror) = fmt match {
+      case "graftlake" => (root, 0d)
+      case "graftdelta" =>
+        val d = s"$base/delta"
+        val m0 = System.nanoTime()
+        graft.sources.DeltaInterop.syncToDelta(spark, root, d,
+          checkpointInterval = 0)
+        (d, (System.nanoTime() - m0) / 1e9)
+      case "grafticeberg" =>
+        val ic = s"$base/ice"
+        val m0 = System.nanoTime()
+        graft.sources.LakeTable.versions(spark, root).foreach(v =>
+          graft.sources.IcebergInterop.exportToIceberg(spark, root, ic,
+            Some(v)))
+        (ic, (System.nanoTime() - m0) / 1e9)
+      case other => sys.error(s"unknown STREAM_FORMAT $other")
+    }
+    if (tMirror > 0)
+      println(f"  mirror build ($fmt): $tMirror%.1f s for $commits " +
+        "commits")
     val seen = new java.util.concurrent.atomic.AtomicLong
     val t0 = System.nanoTime()
-    val q = spark.readStream.format("graftlake").option("path", root)
+    val q = spark.readStream.format(fmt).option("path", streamPath)
       .option("maxVersionsPerBatch", "1")
       .load()
       .writeStream
@@ -389,8 +414,8 @@ object StreamStress {
     val times = bs.map(_._3)
     val firstQ = times.take(commits / 4)
     val lastQ = times.takeRight(commits / 4)
-    println(f"stream-stress: factor $factor%d, $commits%d commits x $n%d " +
-      f"rows (build ${tBuild}%.1f s)")
+    println(f"stream-stress[$fmt%s]: factor $factor%d, $commits%d " +
+      f"commits x $n%d rows (build ${tBuild}%.1f s)")
     println(f"  drained ${seen.get()}%d rows in $wall%.1f s = " +
       f"${bs.size / wall}%.2f batches/s (${bs.size}%d micro-batches)")
     println(f"  per-batch triggerExecution: mean ${mean(times)}%.0f ms, " +

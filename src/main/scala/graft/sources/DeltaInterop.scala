@@ -225,6 +225,59 @@ object DeltaInterop {
     StructField("sidecar", StructType(Seq(
       StructField("path", StringType))), nullable = true)))
 
+  // ---- driver-side JSON-commit parsing ---------------------------------
+  // Commit files are a handful of JSON lines; parsing them DRIVER-side
+  // (Jackson → Rows in the actionSchema shape) instead of one
+  // spark.read.json JOB per version keeps replay O(#versions) cheap —
+  // a job-per-commit replay is quadratic over a streaming consumer's
+  // life (caught by the graftdelta StreamStress flatness probe).
+
+  private def valueFromJson(n: com.fasterxml.jackson.databind.JsonNode,
+                            dt: DataType): Any =
+    if (n == null || n.isMissingNode || n.isNull) null
+    else dt match {
+      case st: StructType => rowFromJson(n, st)
+      case StringType => if (n.isTextual) n.asText else n.toString
+      case IntegerType => n.asInt
+      case LongType => n.asLong
+      case BooleanType => n.asBoolean
+      case ArrayType(et, _) =>
+        val b = Seq.newBuilder[Any]
+        val it = n.elements()
+        while (it.hasNext) b += valueFromJson(it.next(), et)
+        b.result()
+      case MapType(StringType, vt, _) =>
+        val b = Map.newBuilder[String, Any]
+        val it = n.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          b += e.getKey -> valueFromJson(e.getValue, vt)
+        }
+        b.result()
+      case other => throw new IllegalStateException(
+        s"unexpected action-schema type $other")
+    }
+
+  private def rowFromJson(n: com.fasterxml.jackson.databind.JsonNode,
+                          st: StructType): Row =
+    new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      st.fields.map(f => valueFromJson(n.path(f.name), f.dataType))
+        .toArray[Any], st)
+
+  /** One commit file's actions, parsed driver-side into the
+    * [[actionSchema]] Row shape (the same shape checkpoint parquet
+    * rows arrive in, so one application path serves both). */
+  private def jsonActions(spark: SparkSession, root: String,
+                          v: Long): Seq[Row] = {
+    val f = fs(spark, root)
+    val in = f.open(new Path(f"$root/_delta_log/$v%020d.json"))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .map(l => rowFromJson(om.readTree(l), actionSchema)).toSeq
+  }
+
   /** All actions of one checkpoint, whatever its shape: classic = one
     * parquet; multi-part = the union of its parts (at most one file
     * action per path, so order is immaterial); v2 = the top-level
@@ -244,10 +297,16 @@ object DeltaInterop {
         .collect().toSeq
     case V2Ckpt(_, file) =>
       val top =
-        if (file.endsWith(".json"))
-          spark.read.schema(actionSchema)
-            .json(s"$root/_delta_log/$file").collect().toSeq
-        else
+        if (file.endsWith(".json")) {
+          // uuid-JSON top level: driver-side parse, like commit files
+          val f = fs(spark, root)
+          val in = f.open(new Path(s"$root/_delta_log/$file"))
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString finally in.close()
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+            .map(l => rowFromJson(om.readTree(l), actionSchema)).toSeq
+        } else
           spark.read.schema(actionSchema)
             .parquet(s"$root/_delta_log/$file").collect().toSeq
       val sidecars = top.flatMap(r => Option(r.getAs[Row]("sidecar")))
@@ -333,10 +392,7 @@ object DeltaInterop {
     }
     val actionBatches: Seq[Seq[Row]] =
       base.map(c => checkpointActions(spark, root, c)).toSeq ++
-      jsonVersions.map { v =>
-        spark.read.schema(actionSchema)
-          .json(f"$root/_delta_log/$v%020d.json").collect().toSeq
-      }
+      jsonVersions.map(v => jsonActions(spark, root, v))
     actionBatches.foreach { actions =>
       actions.foreach { a =>
         Option(a.getAs[Row]("protocol")).foreach { p =>
