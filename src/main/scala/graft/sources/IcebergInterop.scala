@@ -595,6 +595,89 @@ object IcebergInterop {
       dataFiles.map(_.path).filterNot(before), deleteFiles)
   }
 
+  /** Every path a snapshot references: its manifest list, manifests,
+    * data files and delete files — the reachability set for expiry. */
+  private def reachableOf(spark: SparkSession, root: String,
+                          snap: IceSnapshot): Set[String] = {
+    val list = resolve(root, snap.manifestList)
+    val entries = readAvro(spark, list)
+    val manifests = entries.map(e =>
+      resolve(root, e.get("manifest_path").toString))
+    val files = manifests.flatMap(m => readAvro(spark, m).map { e =>
+      resolve(root, e.get("data_file").asInstanceOf[GenericRecord]
+        .get("file_path").toString)
+    })
+    (Seq(list) ++ manifests ++ files).toSet
+  }
+
+  /** Expire all but the newest `keepLast` snapshots of a published
+    * Iceberg table — the publication-hygiene twin of
+    * [[LakeTable.vacuum]]: a new metadata version lists only the kept
+    * snapshots, superseded `*.metadata.json` files are removed, and
+    * every manifest list / manifest / data / delete file reachable
+    * ONLY from dropped snapshots is deleted (files shared with kept
+    * snapshots survive — exports carry unchanged files by reference).
+    * Time travel to expired snapshots is gone, by design. Returns the
+    * dropped snapshot ids. Driver-side metadata, O(files). */
+  def expireIcebergSnapshots(spark: SparkSession, root: String,
+                             keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val meta = parseMetadata(spark, root)
+    val ordered = meta.snapshots.sortBy(_.sequenceNumber)
+    val keep = ordered.takeRight(keepLast)
+    val drop = ordered.dropRight(keepLast)
+    if (drop.isEmpty) return Seq.empty
+    val f = fs(spark, root)
+    val kept: Set[String] =
+      keep.map(reachableOf(spark, root, _))
+        .foldLeft(Set.empty[String])(_ ++ _)
+    val doomed: Set[String] =
+      drop.map(reachableOf(spark, root, _))
+        .foldLeft(Set.empty[String])(_ ++ _) -- kept
+    // new metadata version: kept snapshots only; current pointer moves
+    // to the newest kept snapshot if it pointed at a dropped one
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = meta.raw.deepCopy[com.fasterxml.jackson.databind.node
+      .ObjectNode]()
+    val keepIds = keep.map(_.id).toSet
+    val snapArr = om.createArrayNode()
+    meta.raw.path("snapshots").elements().asScala
+      .filter(s => keepIds.contains(s.path("snapshot-id").asLong()))
+      .foreach(snapArr.add)
+    node.set[com.fasterxml.jackson.databind.JsonNode]("snapshots",
+      snapArr)
+    if (!meta.currentSnapshotId.exists(keepIds.contains))
+      node.put("current-snapshot-id", keep.last.id)
+    val newVer = meta.version + 1
+    val out = f.create(
+      new Path(s"$root/metadata/v$newVer.metadata.json"),
+      /* overwrite = */ false)
+    try out.write(om.writeValueAsString(node).getBytes("UTF-8"))
+    finally out.close()
+    val hint = f.create(new Path(s"$root/metadata/version-hint.text"),
+      /* overwrite = */ true)
+    try hint.write(newVer.toString.getBytes("UTF-8"))
+    finally hint.close()
+    // superseded metadata versions would dangle at the deleted files —
+    // remove them (the spec's delete-after-commit behavior)
+    f.listStatus(new Path(s"$root/metadata")).toSeq
+      .map(_.getPath.getName)
+      .collect {
+        case n @ PlainMeta(v) if v.toInt < newVer => n
+        case n @ UuidMeta(v) if v.toInt < newVer => n
+      }
+      .foreach(n => f.delete(new Path(s"$root/metadata/$n"), false))
+    // reachability GC: only paths under this table's root are ours to
+    // delete (exports hard-link under root; anything else is foreign)
+    val rootUri = f.makeQualified(new Path(root)).toString
+    doomed.foreach { p =>
+      val q = f.makeQualified(new Path(p)).toString
+      if (q.startsWith(rootUri + "/"))
+        f.delete(new Path(p), false): Unit
+    }
+    drop.map(_.id)
+  }
+
   // ---- WRITE (publication) ----------------------------------------------
 
   /** Publish a [[LakeTable]] snapshot as an Iceberg v2 table. The

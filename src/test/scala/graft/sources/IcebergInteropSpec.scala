@@ -128,6 +128,48 @@ class IcebergInteropSpec extends SparkSpec {
       .columns.toSeq == Seq("k", "v"))
   }
 
+  test("expireIcebergSnapshots: dropped-only files are deleted, files "
+      + "shared with kept snapshots survive by reference, superseded "
+      + "metadata goes, time travel to expired snapshots refuses") {
+    val lake = freshRoot()
+    val ice = freshRoot() + "_i"
+    LakeTable.append(spark.range(0, 40)
+      .select(col("id").as("k"), (col("id") * 3).as("v")), lake)
+    IcebergInterop.exportToIceberg(spark, lake, ice) // snap 1
+    LakeTable.append(spark.range(40, 70)
+      .select(col("id").as("k"), (col("id") * 3).as("v")), lake)
+    IcebergInterop.exportToIceberg(spark, lake, ice) // snap 2 (shares)
+    LakeTable.append(spark.range(70, 90)
+      .select(col("id").as("k"), (col("id") * 3).as("v")), lake)
+    IcebergInterop.exportToIceberg(spark, lake, ice) // snap 3
+    assert(IcebergInterop.icebergSnapshots(spark, ice).size == 3)
+    val dropped = IcebergInterop.expireIcebergSnapshots(spark, ice, 2)
+    assert(dropped == Seq(1L))
+    // the newest two snapshots still read in full — snapshot 2 shares
+    // snapshot 1's data files, so expiry must NOT have deleted them
+    assert(IcebergInterop.readIceberg(spark, ice)
+      .select("k").as[Long].collect().toSet == (0L until 90L).toSet)
+    assert(IcebergInterop.readIceberg(spark, ice, Some(2L))
+      .select("k").as[Long].collect().toSet == (0L until 70L).toSet)
+    // time travel to the expired snapshot refuses
+    intercept[IllegalArgumentException] {
+      IcebergInterop.readIceberg(spark, ice, Some(1L))
+    }
+    // snapshot 1's manifest list is gone; kept lists survive
+    val metaFiles = new java.io.File(s"$ice/metadata").listFiles()
+      .map(_.getName).toSeq
+    assert(!metaFiles.exists(_.startsWith("snap-1-")), metaFiles)
+    assert(metaFiles.exists(_.startsWith("snap-2-")))
+    assert(metaFiles.exists(_.startsWith("snap-3-")))
+    // superseded metadata versions were removed; the hint names v4
+    assert(!metaFiles.contains("v1.metadata.json") &&
+      !metaFiles.contains("v3.metadata.json"))
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$ice/metadata/version-hint.text")).trim == "4")
+    // expiring below the floor is a no-op
+    assert(IcebergInterop.expireIcebergSnapshots(spark, ice, 5).isEmpty)
+  }
+
   test("a hand-built v1 table (single `schema` field, relative paths, "
       + "uuid-suffixed metadata name) reads; refusals: equality "
       + "deletes, format-version 3, legacy inline manifests") {
