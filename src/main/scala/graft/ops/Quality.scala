@@ -102,28 +102,6 @@ object Quality {
         col("violations"))
   }
 
-  /** DISTRIBUTED TRAINING of the logistic quality gate itself — the
-    * step upstream of q173's fixed-weight scoring: full-batch gradient
-    * descent where each iteration is ONE map-side-combined aggregation
-    * over the corpus and the only driver state is the weight vector
-    * (O(d) doubles). That is exactly how a linear gate trains over
-    * 100 TB: no parameter server, no per-row driver traffic, iteration
-    * cost = one slim-column scan.
-    *
-    * Determinism is the engineering point: floating sums depend on
-    * partition order, so a naive implementation trains different
-    * weights on every shuffle layout. Here every per-row gradient
-    * contribution quantizes to 1e-8 fixed-point and sums as an EXACT
-    * long; features and sigmoid outputs quantize to 4 dp (the q173
-    * discipline, burying libm exp ulp differences); the weight update
-    * runs in fixed-order double arithmetic and re-quantizes to 6 dp.
-    * The trained weights are therefore bit-identical under any
-    * partitioning — and replayable by an external engine running the
-    * same expression sequence (the q261 oracle unrolls the iterations
-    * as SQL CTEs).
-    *
-    * `features` are (name, column) pairs; the label column must cast to
-    * 0.0/1.0. Returns ("bias" +: names) zipped with trained weights. */
   /** k-anonymity / l-diversity audit — the privacy gate a
     * training-data release runs beside PII scrubbing: group the data by
     * its quasi-identifier columns and report, per equivalence class,
@@ -300,10 +278,12 @@ object Quality {
       classes.map(cls => when(col(s"score_$cls") === best, cls)): _*))
   }
 
-  /** One-pass-per-shape data profile — "know your corpus before you
-    * train on it": one output row per profiled column with exact row /
-    * null / distinct counts, typed min/max (rendered as strings), and
-    * the exact modal value with its frequency.
+  /** Frequency-bearing data profile — the modal complement of the
+    * Expand-shaped [[Relational.profile]] (q128): one output row per
+    * profiled column with exact row / null / distinct counts, typed
+    * min/max (rendered as strings), and the EXACT MODAL VALUE with its
+    * frequency — the one statistic a single-pass multi-distinct Expand
+    * cannot produce, because it needs per-value counts.
     *
     * Execution shape, column-count-independent: ONE scan explodes each
     * row into (column, value) pairs that map-side-combine into a
@@ -358,6 +338,28 @@ object Quality {
         "min_value", "max_value", "top_value", "top_count")
   }
 
+  /** DISTRIBUTED TRAINING of the logistic quality gate itself — the
+    * step upstream of q173's fixed-weight scoring: full-batch gradient
+    * descent where each iteration is ONE map-side-combined aggregation
+    * over the corpus and the only driver state is the weight vector
+    * (O(d) doubles). That is exactly how a linear gate trains over
+    * 100 TB: no parameter server, no per-row driver traffic, iteration
+    * cost = one slim-column scan.
+    *
+    * Determinism is the engineering point: floating sums depend on
+    * partition order, so a naive implementation trains different
+    * weights on every shuffle layout. Here every per-row gradient
+    * contribution quantizes to 1e-8 fixed-point and sums as an EXACT
+    * long; features and sigmoid outputs quantize to 4 dp (the q173
+    * discipline, burying libm exp ulp differences); the weight update
+    * runs in fixed-order double arithmetic and re-quantizes to 6 dp.
+    * The trained weights are therefore bit-identical under any
+    * partitioning — and replayable by an external engine running the
+    * same expression sequence (the q261 oracle unrolls the iterations
+    * as SQL CTEs).
+    *
+    * `features` are (name, column) pairs; the label column must cast to
+    * 0.0/1.0. Returns ("bias" +: names) zipped with trained weights. */
   def trainLogistic(df: DataFrame, features: Seq[(String, Column)],
                     label: Column, iters: Int,
                     lr: Double): Seq[(String, Double)] = {

@@ -250,14 +250,15 @@ object CorpusQueries {
     // ---- document-length histogram ----------------------------------------
     // Fixed-width token-count bins with a top catch-all — the standard
     // corpus-composition report (one scan + one tiny agg at any scale).
-    // ---- table profile (know your data before you train on it) ------------
-    // Quality.profileColumns: per-column exact row/null/distinct
-    // counts, typed min/max, exact modal value — one exploded scan
-    // whose only data-sized shuffle moves a row per DISTINCT value per
-    // column (the COUNT(DISTINCT) cost class), then distinct-sized
-    // folds. Profiled here on integer/string columns (Spark and DuckDB
-    // render doubles to strings differently; the OP is type-generic,
-    // the demo keeps the oracle byte-exact).
+    // ---- modal table profile ----------------------------------------------
+    // Quality.profileColumns — the frequency-bearing complement of
+    // q128's Expand-shaped Relational.profile: adds the EXACT MODAL
+    // value + count, which a multi-distinct Expand cannot produce.
+    // One exploded scan whose only data-sized shuffle moves a row per
+    // DISTINCT value per column (the COUNT(DISTINCT) cost class), then
+    // distinct-sized folds. Profiled on integer/string columns (Spark
+    // and DuckDB render doubles to strings differently; the OP is
+    // type-generic, the demo keeps the oracle byte-exact).
     "q333_profile" -> Q(
       (s, d) => graft.ops.Quality.profileColumns(
         Tables.orders(s, d),
