@@ -911,4 +911,76 @@ object Similarity {
     (0 until dim).map(i => (i.toLong, mu(i), v(i) / 10000d))
       .toDF("i", "mu", "loading")
   }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)
+    * of an ANN shortlist — the diversity pass retrieval stacks run
+    * after candidate generation so the top-k isn't k near-duplicates:
+    * greedily pick the candidate maximizing
+    * `λ·relevance − (1−λ)·max_sim_to_already_picked`.
+    *
+    * `shortlist` carries (query_id, neighbor_id, cos4, <vecCol>) — the
+    * output of any candidate stage (brute-force / LSH / IVF / PQ
+    * rerank) joined back to its vectors. Execution is
+    * `flatMapGroups` per query over a SHORTLIST-sized group (bounded
+    * by the candidate stage's k, never the corpus), so the greedy is
+    * partition-local with O(shortlist²·d) work per query and zero
+    * extra shuffles beyond the group-by — the same cost any MMR
+    * implementation pays, placed executor-side.
+    *
+    * Cross-engine exactness: relevance and pairwise cosines are
+    * 4-dp-quantized BEFORE the combine, `λ` is an integer percent, and
+    * the MMR value `q4((λ·cos4 − (100−λ)·red4) / 100)` uses one fixed
+    * operation order — ties break on neighbor id — so a SQL oracle
+    * unrolls the greedy layer by layer and replays every pick. */
+  def mmrRerank(shortlist: DataFrame, vecCol: String, k: Int,
+                lambdaPct: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambdaPct >= 0 && lambdaPct <= 100,
+      s"lambdaPct must be in [0, 100], got $lambdaPct")
+    val spark = shortlist.sparkSession
+    import spark.implicits._
+    val ds = shortlist.select(
+      col("query_id").cast("long"), col("neighbor_id").cast("long"),
+      col("cos4").cast("double"), col(vecCol).cast("array<float>"))
+      .as[(Long, Long, Double, Array[Float])]
+    def q4d(x: Double): Double = math.floor(x * 10000d + 0.5d) / 10000d
+    def cos4(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0d; var na = 0d; var nb = 0d; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      q4d(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    ds.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cands = it.toArray
+        val picked = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Int, Double, Double)]
+        val pickedVecs = scala.collection.mutable.ArrayBuffer
+          .empty[Array[Float]]
+        val remaining = scala.collection.mutable.ArrayBuffer(
+          cands.toIndexedSeq: _*)
+        var r = 1
+        while (r <= math.min(k, cands.length)) {
+          val scored = remaining.map { c =>
+            val red =
+              if (pickedVecs.isEmpty) 0d
+              else pickedVecs.map(sv => cos4(c._4, sv)).max
+            val mmr = q4d(
+              (lambdaPct * c._3 - (100 - lambdaPct) * red) / 100d)
+            (c, mmr)
+          }
+          val best = scored.minBy { case (c, m) => (-m, c._2) }
+          picked += ((qid, best._1._2, r, best._1._3, best._2))
+          pickedVecs += best._1._4
+          remaining -= best._1
+          r += 1
+        }
+        picked.iterator
+      }
+      .toDF("query_id", "neighbor_id", "mmr_rank", "cos4", "mmr4")
+  }
 }

@@ -821,6 +821,93 @@ object VectorQueries {
               FROM rr) WHERE rank <= 5"""),
       "two-stage PQ: ADC shortlist of 20, exact quantized-cosine re-rank"),
 
+    // ---- MMR diversified re-ranking -----------------------------------------
+    // Carbonell & Goldstein's maximal marginal relevance — the
+    // diversity pass after candidate generation, so the top-k isn't k
+    // near-duplicates: greedily pick argmax of λ·relevance −
+    // (1−λ)·max-sim-to-already-picked. Shortlist of 8 per query from
+    // the exact quantized search, then a 4-pick greedy at λ=70%.
+    // Executor-side per-query greedy over the SHORTLIST only (bounded
+    // group); relevance, pairwise cosines and the combine are all
+    // 4-dp-quantized with one fixed operation order, so the oracle
+    // unrolls the greedy as four SQL layers and replays every pick.
+    "q335_mmr_rerank" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 4)
+        val shortlist = Similarity.bruteForceTopKQuantized(
+          emb, queries, "vec_id", "embedding", k = 8)
+          .join(emb.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("nvec")), Seq("neighbor_id"))
+        Similarity.mmrRerank(shortlist, "nvec", k = 4, lambdaPct = 70)
+          .select(col("query_id"), col("neighbor_id"),
+            col("mmr_rank").cast("int").as("mmr_rank"),
+            col("cos4"), col("mmr4"))
+      },
+      Some {
+        val simc = (a: String, b: String) =>
+          s"floor(list_cosine_similarity(CAST($a AS DOUBLE[]), " +
+            s"CAST($b AS DOUBLE[])) * 10000 + 0.5) / 10000"
+        val mmr = (cos: String, red: String) =>
+          s"floor(((70 * $cos - 30 * $red) / 100) * 10000 + 0.5) / 10000"
+        s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < 4),
+          cand AS (SELECT query_id, neighbor_id, cos4, nvec FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              ${simc("q.embedding", "c.embedding")} AS cos4,
+              c.embedding AS nvec,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${simc("q.embedding", "c.embedding")} DESC,
+                         c.vec_id) AS rk
+            FROM q JOIN embeddings c ON c.vec_id <> q.vec_id)
+            WHERE rk <= 8),
+          s1 AS (SELECT *, ${mmr("cos4", "0")} AS mmr FROM cand),
+          p1 AS (SELECT * FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY mmr DESC, neighbor_id) rn
+            FROM s1) WHERE rn = 1),
+          b2 AS (SELECT c.* FROM cand c
+            ANTI JOIN p1 USING (query_id, neighbor_id)),
+          s2 AS (SELECT b.query_id, b.neighbor_id, b.cos4, b.nvec,
+              ${mmr("b.cos4", simc("b.nvec", "p.nvec"))} AS mmr
+            FROM b2 b JOIN p1 p USING (query_id)),
+          p2 AS (SELECT * FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY mmr DESC, neighbor_id) rn
+            FROM s2) WHERE rn = 1),
+          sel2 AS (SELECT query_id, neighbor_id, nvec FROM p1
+            UNION ALL SELECT query_id, neighbor_id, nvec FROM p2),
+          b3 AS (SELECT c.* FROM cand c
+            ANTI JOIN sel2 USING (query_id, neighbor_id)),
+          r3 AS (SELECT b.query_id, b.neighbor_id,
+              any_value(b.cos4) AS cos4, any_value(b.nvec) AS nvec,
+              max(${simc("b.nvec", "s.nvec")}) AS red
+            FROM b3 b JOIN sel2 s USING (query_id)
+            GROUP BY b.query_id, b.neighbor_id),
+          s3 AS (SELECT query_id, neighbor_id, cos4, nvec,
+              ${mmr("cos4", "red")} AS mmr FROM r3),
+          p3 AS (SELECT * FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY mmr DESC, neighbor_id) rn
+            FROM s3) WHERE rn = 1),
+          sel3 AS (SELECT query_id, neighbor_id, nvec FROM sel2
+            UNION ALL SELECT query_id, neighbor_id, nvec FROM p3),
+          b4 AS (SELECT c.* FROM cand c
+            ANTI JOIN sel3 USING (query_id, neighbor_id)),
+          r4 AS (SELECT b.query_id, b.neighbor_id,
+              any_value(b.cos4) AS cos4, any_value(b.nvec) AS nvec,
+              max(${simc("b.nvec", "s.nvec")}) AS red
+            FROM b4 b JOIN sel3 s USING (query_id)
+            GROUP BY b.query_id, b.neighbor_id),
+          s4 AS (SELECT query_id, neighbor_id, cos4, nvec,
+              ${mmr("cos4", "red")} AS mmr FROM r4),
+          p4 AS (SELECT * FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY mmr DESC, neighbor_id) rn
+            FROM s4) WHERE rn = 1)
+          SELECT query_id, neighbor_id, 1 AS mmr_rank, cos4,
+            mmr AS mmr4 FROM p1
+          UNION ALL SELECT query_id, neighbor_id, 2, cos4, mmr FROM p2
+          UNION ALL SELECT query_id, neighbor_id, 3, cos4, mmr FROM p3
+          UNION ALL SELECT query_id, neighbor_id, 4, cos4, mmr FROM p4"""
+      },
+      "MMR diversified top-k: unrolled greedy ≡ executor-side rerank"),
+
     // ---- Matryoshka truncated-dimension rerank ----------------------------
     // The MRL deployment cascade (Kusupati et al. 2022): shortlist on
     // the FIRST 16 of 64 dims (¼ the dot-product work; at scale the

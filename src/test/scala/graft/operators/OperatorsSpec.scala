@@ -1087,6 +1087,38 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Double, Double)].collect().sortBy(_._1).map(_._3)
     assert(again.toSeq == loadings.toSeq)
   }
+
+  test("mmrRerank: λ=100 reduces to plain relevance top-k; lower λ "
+      + "breaks up a near-duplicate cluster; ranks and group size "
+      + "bound by k") {
+    // two tight clusters: A (3 near-identical, highest relevance) and
+    // B (2 near-identical, lower relevance) against one query
+    def v(x: Double, y: Double): Array[Float] =
+      Array(x.toFloat, y.toFloat, 0f, 0f)
+    val cands = Seq(
+      (0L, 10L, 0.99, v(1.0, 0.01)), // cluster A
+      (0L, 11L, 0.98, v(1.0, 0.02)),
+      (0L, 12L, 0.97, v(1.0, 0.03)),
+      (0L, 20L, 0.80, v(0.1, 1.0)), // cluster B
+      (0L, 21L, 0.79, v(0.12, 1.0)))
+      .toDF("query_id", "neighbor_id", "cos4", "nvec")
+    // λ=100: pure relevance order — A's three dups fill the top-3
+    val pure = Similarity.mmrRerank(cands, "nvec", k = 3,
+      lambdaPct = 100)
+      .orderBy("mmr_rank").select("neighbor_id").as[Long].collect()
+    assert(pure.toSeq == Seq(10L, 11L, 12L))
+    // λ=50: after picking 10, its near-dups are penalized ~1.0 while
+    // cluster B's redundancy is low — B breaks in at rank 2
+    val div = Similarity.mmrRerank(cands, "nvec", k = 3, lambdaPct = 50)
+      .orderBy("mmr_rank").select("neighbor_id").as[Long].collect()
+    assert(div.head == 10L)
+    assert(div(1) == 20L, div.toSeq)
+    // never more than k per query; never more than the group has
+    assert(Similarity.mmrRerank(cands, "nvec", k = 10, lambdaPct = 70)
+      .count() == 5L)
+    assert(Similarity.mmrRerank(cands, "nvec", k = 2, lambdaPct = 70)
+      .count() == 2L)
+  }
 }
 
 class SketchesSpec extends SparkSpec {
