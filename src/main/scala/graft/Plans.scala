@@ -96,7 +96,9 @@ object Plans {
     "q289_lake_dv_purge" -> "post-purge range read: #dv refs dropped, the plan is the vector-free zone-pruned scan again (no anti-join node)",
     "q306_suffix_spans" -> "suffix-ranked exact dup spans: 16-char gram window (the only text shuffle), one doubling round on long labels with the dup count fused into its window, explicit-width repartition guarding the explode from post-AQE single-partition collapse",
     "q309_image_neardup" -> "banded Hamming near-dup: distinct-fingerprint banding (hot-hash-immune) + exact verify, member expansion only on verified pairs; decode stays partition-local mapPartitions",
-    "q315_lake_agg_pushdown" -> "DSv2 aggregate pushdown: COUNT/MIN/MAX served from manifest metadata as a LocalTableScan — the plan should contain NO parquet scan")
+    "q315_lake_agg_pushdown" -> "DSv2 aggregate pushdown: COUNT/MIN/MAX served from manifest metadata as a LocalTableScan — the plan should contain NO parquet scan",
+    "q328_html_extract" -> "HTML main-content extraction: pure codegen'd column expressions riding the scan — ONE WholeStageCodegen span, zero exchanges",
+    "q334_interop_sql" -> "interop batch SQL: published Delta + Iceberg mirrors scan as native pruned parquet relations — PushedFilters present on both legs, no fallback RDD scan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
