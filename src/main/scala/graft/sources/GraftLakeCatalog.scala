@@ -285,7 +285,37 @@ private[sources] object GraftLakeProcedures {
         if (r.isNullAt(1)) None else Some(r.getLong(1)))
         .getOrElse(throw new IllegalStateException(
           "count_rows: row stats unavailable for this snapshot (live " +
-            "files predate per-file row counts) — run a full count")))
+            "files predate per-file row counts) — run a full count"))),
+    new Proc("sync_delta",
+      "mirror the lake table into a Delta log: one O(changed-files) " +
+        "commit per unsynced lake version, SetTransaction resume " +
+        "cursor, own classic checkpoints every checkpoint_interval; " +
+        "returns the number of Delta commits written (0 = up to date)",
+      Seq(in("table", StringType), in("delta_root", StringType),
+        inD("checkpoint_interval", LongType, "10")),
+      outCol = "commits_written")(r =>
+      DeltaInterop.syncToDelta(spark, r.getUTF8String(0).toString,
+        r.getUTF8String(1).toString,
+        checkpointInterval = r.getLong(2).toInt).size.toLong),
+    new Proc("export_iceberg",
+      "publish a lake snapshot (default latest) as an Iceberg v2 " +
+        "table; repeated calls APPEND snapshots (time-travelable " +
+        "history); live deletion vectors publish as position deletes; " +
+        "returns the published snapshot id (= the lake version)",
+      Seq(in("table", StringType), in("iceberg_root", StringType),
+        inD("version", LongType, "NULL")),
+      outCol = "snapshot_id")(r =>
+      IcebergInterop.exportToIceberg(spark, r.getUTF8String(0).toString,
+        r.getUTF8String(1).toString,
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))),
+    new Proc("expire_iceberg",
+      "expire all but the newest keep_last snapshots of a published " +
+        "Iceberg table (reachability GC: dropped-only files deleted, " +
+        "shared files survive); returns the snapshots dropped",
+      Seq(in("iceberg_root", StringType), in("keep_last", LongType)),
+      outCol = "snapshots_dropped")(r =>
+      IcebergInterop.expireIcebergSnapshots(spark,
+        r.getUTF8String(0).toString, r.getLong(1).toInt).size.toLong)
   ).map(p => p.name() -> p).toMap
 }
 

@@ -504,6 +504,44 @@ class GraftLakeCatalogSpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("nope"))
   }
 
+  test("CALL graftlake.system.{sync_delta, export_iceberg, "
+      + "expire_iceberg}: the publication surface as SQL") {
+    val root = freshRoot()
+    val delta = root + "_delta"
+    val ice = root + "_ice"
+    LakeTable.append(spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") * 2).as("v")),
+      root, zoneKey = Some("k"))
+    // sync_delta: first call mirrors the whole history (1 commit)
+    assert(spark.sql(
+      s"CALL graftlake.system.sync_delta('$root', '$delta')")
+      .head().getLong(0) == 1L)
+    assert(DeltaInterop.readDelta(spark, delta).count() == 100L)
+    // up to date → 0 commits
+    assert(spark.sql(
+      s"CALL graftlake.system.sync_delta('$root', '$delta')")
+      .head().getLong(0) == 0L)
+    // export_iceberg twice → two snapshots; returned id = lake version
+    assert(spark.sql(
+      s"CALL graftlake.system.export_iceberg('$root', '$ice')")
+      .head().getLong(0) == 1L)
+    LakeTable.append(spark.range(100, 150)
+      .select(col("id").as("k"), (col("id") * 2).as("v")),
+      root, zoneKey = Some("k"))
+    assert(spark.sql(
+      s"CALL graftlake.system.export_iceberg('$root', '$ice')")
+      .head().getLong(0) == 2L)
+    assert(IcebergInterop.icebergSnapshots(spark, ice).size == 2)
+    // expire_iceberg keeps the newest snapshot only
+    assert(spark.sql(
+      s"CALL graftlake.system.expire_iceberg('$ice', 1)")
+      .head().getLong(0) == 1L)
+    assert(IcebergInterop.readIceberg(spark, ice).count() == 150L)
+    intercept[IllegalArgumentException] {
+      IcebergInterop.readIceberg(spark, ice, Some(1L))
+    }
+  }
+
   test("aggregate pushdown: COUNT(*)/MIN/MAX answer from the manifest " +
       "as a LocalScan; anything unsound falls back to the real scan") {
     val root = freshRoot()
