@@ -49,6 +49,11 @@ class GraftIcebergSource
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
     val snap = parameters.get("snapshotId").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map { ts =>
+        IcebergInterop.icebergSnapshotAsOf(spark, root, ts.toLong)
+          .getOrElse(throw new IllegalArgumentException(
+            s"grafticeberg: no snapshot at or before timestamp $ts"))
+      })
     IcebergInterop.relationInfo(spark, root, snap) match {
       case (schema, Some(files)) =>
         org.apache.spark.sql.execution.datasources.HadoopFsRelation(

@@ -344,6 +344,14 @@ object IcebergInterop {
     parseMetadata(spark, root).snapshots.sortBy(_.tsMs).map(s =>
       (s.id, s.tsMs))
 
+  /** The snapshot current AS OF `timestampMs` (the newest whose
+    * `timestamp-ms` is at or before it) — Iceberg's timestamp time
+    * travel. None when the timestamp predates the table. */
+  def icebergSnapshotAsOf(spark: SparkSession, root: String,
+                          timestampMs: Long): Option[Long] =
+    icebergSnapshots(spark, root).takeWhile(_._2 <= timestampMs)
+      .lastOption.map(_._1)
+
   /** One live data file of a snapshot: its manifest path spelling and
     * the spec's per-column bounds maps (field-id → single-value
     * bytes), absent when the writer recorded none. */

@@ -53,6 +53,15 @@ class GraftIcebergSourceSpec extends SparkSpec {
     assert(spark.read.format("grafticeberg")
       .option("snapshotId", first.toString).load(ice2)
       .count() == 100L)
+    // timestamp time travel resolves to the snapshot current AS OF
+    val ts1 = IcebergInterop.icebergSnapshots(spark, ice2).head._2
+    assert(IcebergInterop.icebergSnapshotAsOf(spark, ice2, ts1)
+      .contains(first))
+    assert(spark.read.format("grafticeberg")
+      .option("timestampAsOf", ts1.toString).load(ice2)
+      .count() == 100L)
+    assert(IcebergInterop.icebergSnapshotAsOf(spark, ice2, ts1 - 1)
+      .isEmpty)
   }
 
   test("readStream.format(grafticeberg): bootstrap + incremental "
