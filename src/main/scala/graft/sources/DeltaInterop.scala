@@ -1028,28 +1028,48 @@ object DeltaInterop {
     replay(spark, root, versionAsOf.getOrElse(vs.max)).schema
   }
 
-  /** Batch-relation view of a snapshot for the `graftdelta` SQL
-    * surface: `(schema, Some(files with stats rendered as zones))`
-    * when a plain pruned parquet relation serves it exactly —
-    * unpartitioned, no column mapping, no live deletion vectors;
-    * `(schema, None)` when the full merge-on-read read path must serve
-    * instead. Zone strings reuse the manifest zone comparison
-    * machinery ([[LakeTable.splitByPredicate]]), so Delta `stats`
-    * prune SQL scans exactly like native lake zones. */
+  /** What the `graftdelta` batch SQL surface needs of a snapshot:
+    * the full logical schema, plus — when a plain pruned parquet
+    * relation can serve it exactly — the data/partition schema split,
+    * live files with stats rendered as zones, and each file's typed
+    * partition values. The plain path requires no column mapping, no
+    * live deletion vectors, and (for partitioned tables) the
+    * partition columns forming a SUFFIX of the schema in order —
+    * Spark file relations append partition columns after data
+    * columns, so any other layout would silently reorder the view;
+    * those snapshots fall back to the merge-on-read read instead.
+    * Zone strings reuse the manifest zone comparison machinery
+    * ([[LakeTable.splitByPredicate]]), so Delta `stats` prune SQL
+    * scans exactly like native lake zones. */
+  private[sources] case class DeltaRelationFiles(
+      dataSchema: StructType, partSchema: StructType,
+      files: Seq[(String, Seq[LakeTable.Zone])],
+      partValues: Map[String, Map[String, String]])
+
   private[sources] def relationInfo(spark: SparkSession, root: String,
                                     versionAsOf: Option[Long])
-      : (StructType, Option[Seq[(String, Seq[LakeTable.Zone])]]) = {
+      : (StructType, Option[DeltaRelationFiles]) = {
     val vs = deltaVersions(spark, root)
     require(vs.nonEmpty, s"no Delta log under $root")
     val v = versionAsOf.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
     val snap = replay(spark, root, v)
-    val plain = snap.partCols.isEmpty &&
-      snap.schema == snap.physSchema &&
-      snap.live.values.forall(_.dv.isEmpty)
+    val partsAreSuffix = snap.partCols.isEmpty ||
+      snap.schema.fieldNames.takeRight(snap.partCols.length).toSeq ==
+        snap.partCols
+    val plain = snap.schema == snap.physSchema &&
+      snap.live.values.forall(_.dv.isEmpty) && partsAreSuffix
     if (!plain) (snap.schema, None)
     else {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val dataSchema = StructType(snap.schema.fields
+        .filterNot(f => snap.partCols.contains(f.name)))
+      val partSchema = StructType(snap.partCols.map(c =>
+        snap.schema(c)))
+      def abs(p: String): String =
+        if (p.startsWith("/") ||
+            p.matches("[A-Za-z][A-Za-z0-9+.-]*:.*")) p
+        else s"$root/$p"
       val files = snap.live.toSeq.sortBy(_._1).map { case (p, lf) =>
         val zones = lf.stats.toSeq.flatMap { st =>
           try {
@@ -1058,7 +1078,7 @@ object DeltaInterop {
                 : Option[String] =
               if (n.isMissingNode || n.isNull) None
               else Some(if (n.isTextual) n.asText else n.toString)
-            snap.schema.fields.toSeq.flatMap { f =>
+            dataSchema.fields.toSeq.flatMap { f =>
               for {
                 lo <- render(node.path("minValues").path(f.name))
                 hi <- render(node.path("maxValues").path(f.name))
@@ -1068,11 +1088,13 @@ object DeltaInterop {
             case scala.util.control.NonFatal(_) => Seq.empty
           }
         }
-        val abs = if (p.startsWith("/") ||
-            p.matches("[A-Za-z][A-Za-z0-9+.-]*:.*")) p else s"$root/$p"
-        (abs, zones)
+        (abs(p), zones)
       }
-      (snap.schema, Some(files))
+      val pv = snap.live.toSeq.map { case (p, lf) =>
+        abs(p) -> lf.partitionValues
+      }.toMap
+      (snap.schema,
+        Some(DeltaRelationFiles(dataSchema, partSchema, files, pv)))
     }
   }
 

@@ -51,11 +51,12 @@ class GraftDeltaSource
     val root = rootOf(parameters)
     val v = parameters.get("versionAsOf").map(_.toLong)
     DeltaInterop.relationInfo(spark, root, v) match {
-      case (schema, Some(files)) =>
+      case (_, Some(fi)) =>
         org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-          location = new InteropFileIndex(spark, root, files, schema),
-          partitionSchema = new StructType(),
-          dataSchema = schema,
+          location = new InteropFileIndex(spark, root, fi.files,
+            fi.dataSchema, fi.partSchema, fi.partValues),
+          partitionSchema = fi.partSchema,
+          dataSchema = fi.dataSchema,
           bucketSpec = None,
           fileFormat = new org.apache.spark.sql.execution.datasources
             .parquet.ParquetFileFormat,

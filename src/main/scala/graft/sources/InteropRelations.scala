@@ -3,7 +3,9 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+import org.apache.spark.sql.catalyst.expressions.{And,
+  AttributeReference, BoundReference, Cast, Expression, Literal,
+  Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex,
   PartitionDirectory}
 import org.apache.spark.sql.sources.BaseRelation
@@ -16,11 +18,19 @@ import org.apache.spark.sql.types.StructType
   * manifest reads use ([[LakeTable.splitByPredicate]]), and the
   * listing feeds Spark's native vectorized parquet scan — SQL over a
   * published Delta/Iceberg table keeps file skipping, PushedFilters
-  * and whole-stage codegen. File statuses come from one `listStatus`
-  * per distinct parent directory at construction. */
+  * and whole-stage codegen. Hive-partitioned Delta tables serve too:
+  * `partValues` (the add actions' partitionValues, string-typed per
+  * the protocol) cast to the declared column types, the planner's
+  * partition filters prune whole partitions here, and Spark appends
+  * the partition columns from the directory values exactly like its
+  * own file sources. File statuses come from one `listStatus` per
+  * distinct parent directory at construction. */
 class InteropFileIndex(spark: SparkSession, tableRoot: String,
                        files: Seq[(String, Seq[LakeTable.Zone])],
-                       tableSchema: StructType) extends FileIndex {
+                       tableSchema: StructType,
+                       partSchema: StructType = new StructType(),
+                       partValues: Map[String, Map[String, String]] =
+                         Map.empty) extends FileIndex {
 
   private val entries =
     files.map { case (p, zs) => LakeTable.FileEntry(p, zs) }
@@ -38,9 +48,19 @@ class InteropFileIndex(spark: SparkSession, tableRoot: String,
       }
   }
 
+  /** One partition's values cast from their protocol string form to
+    * the declared types, as a catalyst row. */
+  private def partRow(vals: Map[String, String]): InternalRow =
+    InternalRow.fromSeq(partSchema.fields.toSeq.map { f =>
+      vals.get(f.name).filter(_ != null) match {
+        case Some(s) => Cast(Literal(s), f.dataType, Some("UTC")).eval()
+        case None => null
+      }
+    })
+
   override def rootPaths: Seq[Path] = Seq(new Path(tableRoot))
 
-  override def partitionSchema: StructType = new StructType()
+  override def partitionSchema: StructType = partSchema
 
   override def sizeInBytes: Long = statusByPath.values.map(_.getLen).sum
 
@@ -56,8 +76,28 @@ class InteropFileIndex(spark: SparkSession, tableRoot: String,
         LakeTable.splitByPredicate(spark, entries, Some(tableSchema), c)._1
       case None => entries
     }
-    Seq(PartitionDirectory(InternalRow.empty,
-      admitted.map(_.path).sorted.flatMap(statusByPath.get).toArray))
+    if (partSchema.isEmpty)
+      return Seq(PartitionDirectory(InternalRow.empty,
+        admitted.map(_.path).sorted.flatMap(statusByPath.get).toArray))
+    // partition pruning: bind the planner's partition filters by name
+    // against the partition row (the InMemoryFileIndex shape)
+    val pred = partitionFilters.reduceOption(And).map { cond =>
+      Predicate.createInterpreted(cond.transform {
+        case a: AttributeReference =>
+          val i = partSchema.fieldNames.indexOf(a.name)
+          BoundReference(i, partSchema.fields(i).dataType,
+            nullable = true)
+      })
+    }
+    admitted.map(_.path)
+      .groupBy(p => partValues.getOrElse(p, Map.empty))
+      .toSeq
+      .map { case (vals, paths) => (partRow(vals), paths) }
+      .filter { case (row, _) => pred.forall(_.eval(row)) }
+      .map { case (row, paths) =>
+        PartitionDirectory(row,
+          paths.sorted.flatMap(statusByPath.get).toArray)
+      }
   }
 }
 

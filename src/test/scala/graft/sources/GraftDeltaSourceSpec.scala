@@ -55,6 +55,90 @@ class GraftDeltaSourceSpec extends SparkSpec {
       .option("versionAsOf", "0").load(delta2).count() == 100L)
   }
 
+  test("USING graftdelta over a hive-partitioned Delta table: partition "
+      + "columns materialize typed, partition filters prune whole "
+      + "partitions (corrupted-file trick), suffix-violating layouts "
+      + "fall back") {
+    val root = Files.createTempDirectory("deltapart").toString + "/t"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def writeOne(df: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val stage = s"$root/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = fsys.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/$rel").getParent)
+      fsys.rename(part, new org.apache.hadoop.fs.Path(s"$root/$rel"))
+      fsys.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+    }
+    // data files do NOT contain the partition column (Delta layout)
+    writeOne(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "p10/f1.parquet")
+    writeOne(Seq((3L, "c"), (4L, "d")).toDF("k", "v"), "p20/f2.parquet")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("part",
+        org.apache.spark.sql.types.IntegerType)))
+    val sj = om.writeValueAsString(schema.json)
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/_delta_log"))
+    Files.writeString(java.nio.file.Paths.get(
+      s"$root/_delta_log/00000000000000000000.json"), Seq(
+      s"""{"metaData":{"id":"p","schemaString":$sj,"partitionColumns":["part"],"format":{"provider":"parquet"}}}""",
+      """{"add":{"path":"p10/f1.parquet","partitionValues":{"part":"10"},"size":1,"modificationTime":1,"dataChange":true}}""",
+      """{"add":{"path":"p20/f2.parquet","partitionValues":{"part":"20"},"size":1,"modificationTime":1,"dataChange":true}}""")
+      .mkString("\n"))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW dpart USING graftdelta " +
+      s"OPTIONS (path '$root')")
+    // typed partition column, full read
+    val all = spark.sql("SELECT k, part FROM dpart")
+    assert(all.schema("part").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(all.as[(Long, Int)].collect().toSet ==
+      Set((1L, 10), (2L, 10), (3L, 20), (4L, 20)))
+    // partition pruning: corrupt partition 20's file; a part=10 query
+    // must never open it
+    Files.write(java.nio.file.Paths.get(s"$root/p20/f2.parquet"),
+      "garbage".getBytes("UTF-8"))
+    assert(spark.sql("SELECT sum(k) FROM dpart WHERE part = 10")
+      .head().getLong(0) == 3L)
+    // and the corruption is real
+    intercept[Throwable] {
+      spark.sql("SELECT count(k) FROM dpart WHERE part = 20").collect()
+    }
+    // a schema whose partition column is NOT a suffix falls back to
+    // the merge-on-read relation (column order preserved)
+    val root2 = Files.createTempDirectory("deltapart2").toString + "/t"
+    val fsys2 = new org.apache.hadoop.fs.Path(root2)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val stage2 = s"$root2/_stage"
+    Seq((1L, "a")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(stage2)
+    val part2 = fsys2.listStatus(new org.apache.hadoop.fs.Path(stage2))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fsys2.rename(part2, new org.apache.hadoop.fs.Path(s"$root2/f1.parquet"))
+    fsys2.delete(new org.apache.hadoop.fs.Path(stage2), true)
+    val schema2 = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("part",
+        org.apache.spark.sql.types.IntegerType), // FIRST, not a suffix
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val sj2 = om.writeValueAsString(schema2.json)
+    Files.createDirectories(java.nio.file.Paths.get(s"$root2/_delta_log"))
+    Files.writeString(java.nio.file.Paths.get(
+      s"$root2/_delta_log/00000000000000000000.json"), Seq(
+      s"""{"metaData":{"id":"p2","schemaString":$sj2,"partitionColumns":["part"],"format":{"provider":"parquet"}}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{"part":"7"},"size":1,"modificationTime":1,"dataChange":true}}""")
+      .mkString("\n"))
+    val got2 = spark.read.format("graftdelta").load(root2)
+    assert(got2.columns.toSeq == Seq("part", "k", "v")) // order kept
+    assert(got2.as[(Int, Long, String)].head() == ((7, 1L, "a")))
+  }
+
   test("readStream.format(graftdelta): bootstrap + incremental batches "
       + "over a synced Delta mirror, restart resumes after the "
       + "committed version, DV-bearing bootstrap serves live rows") {
