@@ -2217,6 +2217,83 @@ object SourceQueries {
                    AND o_orderkey % 4 <= 2)"""),
       "graftdelta stream: synced mirror → bootstrap + tail → lake sink"),
 
+    // ---- Delta change-data-feed interop ------------------------------------
+    // table_changes(from, to) over a foreign CDF-enabled Delta log:
+    // commits carrying `cdc` actions serve exactly their _change_data
+    // parquet (both update images ride pre-typed), blind appends feed
+    // as inserts, remove-only commits feed as deletes from the
+    // still-on-disk tombstoned files. The oracle recomputes the whole
+    // feed relationally from orders.
+    "q336_delta_cdf" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_deltacdf_q336") + "/t"
+        val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        def writeOne(df: org.apache.spark.sql.DataFrame,
+                     rel: String): Unit = {
+          val stage = s"$root/_stage"
+          df.coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+            .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+          fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/$rel")
+            .getParent)
+          fs.rename(part, new org.apache.hadoop.fs.Path(s"$root/$rel"))
+          fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+        }
+        writeOne(o.filter(col("o_orderkey") % 2 === 0), "f-even.parquet")
+        writeOne(o.filter(col("o_orderkey") % 2 === 1), "f-odd.parquet")
+        // the CDF writer's _change_data file: both update images for
+        // the evens divisible by 10 (price doubled)
+        val upd = o.filter(col("o_orderkey") % 10 === 0)
+        writeOne(
+          upd.withColumn("_change_type", lit("update_preimage"))
+            .unionByName(upd
+              .withColumn("o_totalprice", col("o_totalprice") * 2)
+              .withColumn("_change_type", lit("update_postimage"))),
+          "_change_data/c1.parquet")
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val schemaJson = om.writeValueAsString(o.schema.json)
+        Files.createDirectories(Paths.get(s"$root/_delta_log"))
+        def commit(v: Long, actions: Seq[String]): Unit =
+          Files.writeString(
+            Paths.get(f"$root/_delta_log/$v%020d.json"),
+            actions.mkString("\n")): Unit
+        commit(0L, Seq(
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+          s"""{"metaData":{"id":"q336","schemaString":$schemaJson,"partitionColumns":[],"format":{"provider":"parquet"},"configuration":{"delta.enableChangeDataFeed":"true"}}}""",
+          """{"add":{"path":"f-even.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+        // v1: an update commit — CDC file + the rewrite actions a real
+        // writer emits (the feed must serve the cdc file, NOT derive
+        // from the rewrite)
+        commit(1L, Seq(
+          """{"cdc":{"path":"_change_data/c1.parquet","partitionValues":{},"size":1,"dataChange":false}}""",
+          """{"remove":{"path":"f-even.parquet","deletionTimestamp":2,"dataChange":true}}""",
+          """{"add":{"path":"f-even.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}"""))
+        // v2: blind append → inserts
+        commit(2L, Seq(
+          """{"add":{"path":"f-odd.parquet","partitionValues":{},"size":1,"modificationTime":3,"dataChange":true}}"""))
+        // v3: remove-only → deletes from the tombstoned file
+        commit(3L, Seq(
+          """{"remove":{"path":"f-odd.parquet","deletionTimestamp":4,"dataChange":true}}"""))
+        graft.sources.DeltaInterop.readDeltaFeed(s, root, 0L, 3L)
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+          'update_preimage' AS _change_type,
+          CAST(1 AS BIGINT) AS _commit_version
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice * 2, 'update_postimage',
+          CAST(1 AS BIGINT)
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, 'insert', CAST(2 AS BIGINT)
+        FROM orders WHERE o_orderkey % 2 = 1
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, 'delete', CAST(3 AS BIGINT)
+        FROM orders WHERE o_orderkey % 2 = 1"""),
+      "Delta CDF interop: cdc files + blind appends + remove-deletes"),
+
     // ---- Iceberg STREAMING source ------------------------------------------
     // The third open-format streaming leg: an incrementally-published
     // Iceberg table tails into Structured Streaming via

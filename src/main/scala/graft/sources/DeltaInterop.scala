@@ -223,6 +223,11 @@ object DeltaInterop {
     // JSONs and classic checkpoints, where the explicit schema reads
     // them as null
     StructField("sidecar", StructType(Seq(
+      StructField("path", StringType))), nullable = true),
+    // change-data-feed actions: per-commit CDC parquet under
+    // _change_data/ (ignored by snapshot replay; [[readDeltaFeed]]
+    // consumes them)
+    StructField("cdc", StructType(Seq(
       StructField("path", StringType))), nullable = true)))
 
   // ---- driver-side JSON-commit parsing ---------------------------------
@@ -1017,6 +1022,97 @@ object DeltaInterop {
         r.getString(0) }.toSet
     readLive(spark, root, snap, snap.live.filter(e => admitted(e._1)))
       .filter(col(key) >= lit(lo) && col(key) <= lit(hi))
+  }
+
+  /** Row-level CHANGE FEED over a Delta log — the interop twin of
+    * Delta's `table_changes(from, to)` and of the native
+    * [[LakeTable.changeFeed]]: every row change in versions
+    * `(fromV, toV]` with `_change_type` and `_commit_version`
+    * columns. Per version, in the protocol's own precedence:
+    *
+    *  - a commit carrying `cdc` actions serves EXACTLY its
+    *    `_change_data/` parquet (written by CDF-enabled writers; the
+    *    files already carry `_change_type`, including both update
+    *    images);
+    *  - a cdc-less commit of pure data-changing ADDS is a blind
+    *    append → its files' rows feed as `insert`;
+    *  - a cdc-less commit of pure data-changing REMOVES is a delete →
+    *    the tombstoned files (still on disk until vacuum) feed as
+    *    `delete`;
+    *  - a cdc-less commit MIXING adds and removes (a rewrite) REFUSES
+    *    loudly — reconstructing row-level changes from a rewrite
+    *    would mislabel unchanged carried rows, exactly why the
+    *    protocol gates `table_changes` on CDF being enabled. DV
+    *    changes refuse on the same grounds.
+    *
+    * I/O is O(changed files + cdc files) in the range; metadata is
+    * the usual driver-side log parse. Requires the range's commit
+    * JSONs to survive (feeds cannot be served from checkpoints). */
+  def readDeltaFeed(spark: SparkSession, root: String,
+                    fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"empty range ($fromV, $toV]")
+    val layout = layoutOf(spark, root)
+    val versions = ((fromV + 1) to toV).map { v =>
+      require(layout.jsons.contains(v),
+        s"$root: commit JSON for version $v is gone (log-cleaned); " +
+          "the change feed cannot be reconstructed from checkpoints")
+      v
+    }
+    val schema = deltaSchema(spark, root, Some(toV))
+    val withMeta = StructType(schema.fields ++ Seq(
+      StructField("_change_type", StringType),
+      StructField("_commit_version", LongType)))
+    def abs(p: String): String =
+      if (p.startsWith("/") || p.matches("[A-Za-z][A-Za-z0-9+.-]*:.*"))
+        p
+      else s"$root/$p"
+    def readFiles(paths: Seq[String], change: Option[String],
+                  v: Long): DataFrame = {
+      val readSchema = if (change.isDefined) schema else
+        StructType(schema.fields :+
+          StructField("_change_type", StringType))
+      val df = spark.read.schema(readSchema)
+        .parquet(paths.map(abs): _*)
+      val typed = change match {
+        case Some(c) => df.withColumn("_change_type", lit(c))
+        case None => df
+      }
+      typed.withColumn("_commit_version", lit(v))
+    }
+    val parts = versions.flatMap { v =>
+      val actions = jsonActions(spark, root, v)
+      val cdcPaths = actions.flatMap(a => Option(a.getAs[Row]("cdc")))
+        .map(_.getAs[String]("path"))
+      val adds = actions.flatMap(a => Option(a.getAs[Row]("add")))
+      val removes = actions.flatMap(a => Option(a.getAs[Row]("remove")))
+      if (adds.exists(a =>
+          Option(a.getAs[Row]("deletionVector")).isDefined) &&
+          cdcPaths.isEmpty)
+        throw new UnsupportedOperationException(
+          s"$root version $v changes deletion vectors without CDC " +
+            "data; row-level changes cannot be reconstructed — enable " +
+            "the change feed on the writer")
+      if (cdcPaths.nonEmpty)
+        Some(readFiles(cdcPaths, None, v))
+      else (adds.nonEmpty, removes.nonEmpty) match {
+        case (true, false) =>
+          Some(readFiles(adds.map(_.getAs[String]("path")),
+            Some("insert"), v))
+        case (false, true) =>
+          Some(readFiles(removes.map(_.getAs[String]("path")),
+            Some("delete"), v))
+        case (true, true) => throw new UnsupportedOperationException(
+          s"$root version $v rewrites files without CDC data; " +
+            "row-level changes cannot be reconstructed from a rewrite " +
+            "— enable the change feed on the writer")
+        case (false, false) => None // metadata-only commit
+      }
+    }
+    if (parts.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), withMeta)
+    else parts.map(_.select(withMeta.fieldNames.map(col): _*))
+      .reduce(_.unionByName(_))
   }
 
   /** The logical schema of the Delta table's newest (or pinned)

@@ -715,6 +715,65 @@ class DeltaInteropSpec extends SparkSpec {
     assert(got.filter(col("tag") === "x").count() == 10L)
   }
 
+  test("readDeltaFeed: cdc commits override their rewrite actions; "
+      + "cdc-less rewrites and DV changes refuse; metadata-only "
+      + "commits are feed no-ops") {
+    val root = freshRoot()
+    writeOne(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), root,
+      "f0.parquet")
+    writeOne(Seq((3L, 30L)).toDF("k", "v"), root, "f1.parquet")
+    writeOne(Seq((1L, 10L, "update_preimage"),
+      (1L, 11L, "update_postimage")).toDF("k", "v", "_change_type"),
+      root, "_change_data/c.parquet")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val sj = om.writeValueAsString(
+      Seq((1L, 10L)).toDF("k", "v").schema.json)
+    commit(root, 0L, Seq(
+      s"""{"metaData":{"id":"m","schemaString":$sj,"partitionColumns":[],"format":{"provider":"parquet"}}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    // v1: cdc + a rewrite — the feed serves ONLY the cdc rows
+    commit(root, 1L, Seq(
+      """{"cdc":{"path":"_change_data/c.parquet","partitionValues":{},"size":1,"dataChange":false}}""",
+      """{"remove":{"path":"f0.parquet","deletionTimestamp":2,"dataChange":true}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}"""))
+    // v2: metadata-only (a tag-style commit) — feed no-op
+    commit(root, 2L, Seq(
+      s"""{"metaData":{"id":"m","schemaString":$sj,"partitionColumns":[],"format":{"provider":"parquet"}}}"""))
+    // v3: blind append
+    commit(root, 3L, Seq(
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":3,"dataChange":true}}"""))
+    val feed = DeltaInterop.readDeltaFeed(spark, root, 0L, 3L)
+      .select("k", "v", "_change_type", "_commit_version")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(feed == Set(
+      (1L, 10L, "update_preimage", 1L),
+      (1L, 11L, "update_postimage", 1L),
+      (3L, 30L, "insert", 3L)))
+    // partial range: only the tail
+    assert(DeltaInterop.readDeltaFeed(spark, root, 1L, 3L)
+      .count() == 1L)
+    // a cdc-less REWRITE refuses loudly
+    commit(root, 4L, Seq(
+      """{"remove":{"path":"f1.parquet","deletionTimestamp":4,"dataChange":true}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":4,"dataChange":true}}"""))
+    val e = intercept[UnsupportedOperationException] {
+      DeltaInterop.readDeltaFeed(spark, root, 3L, 4L).collect()
+    }
+    assert(e.getMessage.contains("rewrites files without CDC"),
+      e.getMessage)
+    // remove-only commit feeds the tombstoned file as deletes
+    val root2 = freshRoot()
+    writeOne(Seq((9L, 90L)).toDF("k", "v"), root2, "g0.parquet")
+    commit(root2, 0L, Seq(
+      s"""{"metaData":{"id":"m2","schemaString":$sj,"partitionColumns":[],"format":{"provider":"parquet"}}}""",
+      """{"add":{"path":"g0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    commit(root2, 1L, Seq(
+      """{"remove":{"path":"g0.parquet","deletionTimestamp":2,"dataChange":true}}"""))
+    assert(DeltaInterop.readDeltaFeed(spark, root2, 0L, 1L)
+      .filter(col("_change_type") === "delete")
+      .select("k").as[Long].collect().toSeq == Seq(9L))
+  }
+
   test("a log-cleaned (non-contiguous) JSON history errors instead of "
       + "replaying a truncated prefix") {
     val root = freshRoot()
