@@ -2294,6 +2294,49 @@ object SourceQueries {
         FROM orders WHERE o_orderkey % 2 = 1"""),
       "Delta CDF interop: cdc files + blind appends + remove-deletes"),
 
+    // ---- the CDC loop closed: lake feed → published Delta feed -------------
+    // syncToDelta publishes the lake's row-level change feed as REAL
+    // Delta cdc actions (merge/delete/update sidecars hard-link,
+    // layout commits mirror dataChange=false), so a Delta consumer's
+    // table_changes — replayed here by readDeltaFeed over the mirror —
+    // sees exactly the lake's changes. The oracle recomputes the whole
+    // feed relationally from orders.
+    "q337_delta_sync_cdf" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_deltasynccdf_q337")
+        val lake = root + "/lake"
+        val out = root + "/delta"
+        val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.repartitionByRange(4, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"),
+          lake, zoneKey = Some("o_orderkey")) // v1: inserts
+        graft.sources.LakeTable.deleteWhereDV(s, lake,
+          "o_orderkey BETWEEN 100 AND 499")   // v2: deletes (DV + cdc)
+        graft.sources.LakeTable.updateWhere(s, lake,
+          "o_orderkey BETWEEN 500 AND 899",
+          Map("o_totalprice" -> "o_totalprice * 2")) // v3: updates
+        graft.sources.DeltaInterop.syncToDelta(s, lake, out)
+        graft.sources.DeltaInterop.readDeltaFeed(s, out, -1L, 2L)
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+          'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, 'delete', CAST(1 AS BIGINT)
+        FROM orders WHERE o_orderkey BETWEEN 100 AND 499
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, 'update_preimage',
+          CAST(2 AS BIGINT)
+        FROM orders WHERE o_orderkey BETWEEN 500 AND 899
+          AND NOT (o_orderkey BETWEEN 100 AND 499)
+        UNION ALL
+        SELECT o_orderkey, o_totalprice * 2, 'update_postimage',
+          CAST(2 AS BIGINT)
+        FROM orders WHERE o_orderkey BETWEEN 500 AND 899
+          AND NOT (o_orderkey BETWEEN 100 AND 499)"""),
+      "lake CDC → Delta mirror cdc actions → table_changes, loop closed"),
+
     // ---- Iceberg STREAMING source ------------------------------------------
     // The third open-format streaming leg: an incrementally-published
     // Iceberg table tails into Structured Streaming via

@@ -193,6 +193,7 @@ object DeltaInterop {
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("stats", StringType),
+      StructField("dataChange", BooleanType),
       StructField("deletionVector", StructType(Seq(
         StructField("storageType", StringType),
         StructField("pathOrInlineDv", StringType),
@@ -201,7 +202,8 @@ object DeltaInterop {
         StructField("cardinality", LongType))), nullable = true))),
       nullable = true),
     StructField("remove", StructType(Seq(
-      StructField("path", StringType))), nullable = true),
+      StructField("path", StringType),
+      StructField("dataChange", BooleanType))), nullable = true),
     StructField("metaData", StructType(Seq(
       StructField("id", StringType),
       StructField("schemaString", StringType),
@@ -819,6 +821,14 @@ object DeltaInterop {
           }.toMap
         }
       val ts = LakeTable.commitTimeOf(spark, lakeRoot, lv).getOrElse(0L)
+      val op = LakeTable.opOf(spark, lakeRoot, lv)
+      // layout-only lake commits (compaction, index upkeep, DV purge,
+      // constraint metadata) mirror with dataChange=false — the
+      // protocol's "rows did not change" signal, which table_changes
+      // consumers (incl. readDeltaFeed) skip
+      val layoutOnly = op.exists(o =>
+        Set("compact", "reindex", "metadata", "purge")(o))
+      val dc = (!layoutOnly).toString
       def addJson(p: String): String = {
         val st = f.getFileStatus(new Path(s"$deltaRoot/$p"))
         s"""{"add":{"path":${om.writeValueAsString(p)},""" +
@@ -827,11 +837,54 @@ object DeltaInterop {
           statsJsonOf(entsNow(p), schemaNow, om)
             .map(s => s""""stats":$s,""").getOrElse("") +
           descriptors.getOrElse(p, "") +
-          s""""dataChange":true}}"""
+          s""""dataChange":$dc}}"""
       }
       def removeJson(p: String): String =
         s"""{"remove":{"path":${om.writeValueAsString(p)},""" +
-          s""""deletionTimestamp":$ts,"dataChange":true}}"""
+          s""""deletionTimestamp":$ts,"dataChange":$dc}}"""
+      // CHANGE-DATA-FEED publication: row-level ops whose changes are
+      // not derivable from blind appends/removes emit real Delta cdc
+      // actions. merge/delete/update lake commits HARD-LINK their #cdc
+      // sidecar parquet (zero compute, zero copy); overwrite/restore
+      // compute their feed rows once (O(changed rows) — what any CDF
+      // writer pays) when the predecessor version is still retained.
+      val cdcActions: Seq[String] = op match {
+        case Some(o) if Set("merge", "delete", "update")(o) =>
+          LakeTable.cdcOf(spark, lakeRoot, lv).toSeq.flatMap { dir =>
+            val srcDir = new Path(s"$lakeRoot/$dir")
+            f.listStatus(srcDir).toSeq
+              .filter(_.getPath.getName.endsWith(".parquet"))
+              .map { st =>
+                val rel = f"_change_data/v$lv%011d-${st.getPath.getName}"
+                val dst = new Path(s"$deltaRoot/$rel")
+                if (!f.exists(dst))
+                  linkOrCopy(spark, f, st.getPath, dst)
+                s"""{"cdc":{"path":${om.writeValueAsString(rel)},""" +
+                  s""""partitionValues":{},"size":${st.getLen},""" +
+                  s""""dataChange":false}}"""
+              }
+          }
+        case Some(o) if Set("overwrite", "restore")(o) &&
+            LakeTable.versions(spark, lakeRoot).contains(lv - 1) =>
+          val feed = LakeTable.changeFeed(spark, lakeRoot, lv - 1, lv)
+            .drop("_commit_version")
+          val stage = s"$deltaRoot/_cdc_stage_$lv"
+          feed.write.mode("overwrite").parquet(stage)
+          val parts = f.listStatus(new Path(stage)).toSeq
+            .filter(_.getPath.getName.endsWith(".parquet"))
+          val out = parts.zipWithIndex.map { case (st, i) =>
+            val rel = f"_change_data/v$lv%011d-ow-$i%05d.parquet"
+            f.rename(st.getPath, new Path(s"$deltaRoot/$rel"))
+            val len = f.getFileStatus(
+              new Path(s"$deltaRoot/$rel")).getLen
+            s"""{"cdc":{"path":${om.writeValueAsString(rel)},""" +
+              s""""partitionValues":{},"size":$len,""" +
+              s""""dataChange":false}}"""
+          }
+          f.delete(new Path(stage), true)
+          out
+        case _ => Seq.empty // appends derive as inserts; layout = no-op
+      }
       val actions = Seq.newBuilder[String]
       if (deltaV == 0L)
         actions +=
@@ -853,6 +906,7 @@ object DeltaInterop {
       }
       (removed ++ dvChanged).foreach(p => actions += removeJson(p))
       (dvChanged ++ added).foreach(p => actions += addJson(p))
+      cdcActions.foreach(actions += _)
       actions += s"""{"txn":{"appId":${om.writeValueAsString(appId)},""" +
         s""""version":$lv}}"""
       f.mkdirs(new Path(s"$deltaRoot/_delta_log"))
@@ -1083,8 +1137,16 @@ object DeltaInterop {
       val actions = jsonActions(spark, root, v)
       val cdcPaths = actions.flatMap(a => Option(a.getAs[Row]("cdc")))
         .map(_.getAs[String]("path"))
+      // dataChange=false actions are LAYOUT moves (compaction) — the
+      // protocol's signal that the rows did not change; a missing flag
+      // (older writers) conservatively counts as a data change
+      def changed(r: Row): Boolean =
+        Option(r.getAs[java.lang.Boolean]("dataChange"))
+          .forall(_.booleanValue)
       val adds = actions.flatMap(a => Option(a.getAs[Row]("add")))
+        .filter(changed)
       val removes = actions.flatMap(a => Option(a.getAs[Row]("remove")))
+        .filter(changed)
       if (adds.exists(a =>
           Option(a.getAs[Row]("deletionVector")).isDefined) &&
           cdcPaths.isEmpty)

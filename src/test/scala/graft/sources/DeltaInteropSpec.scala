@@ -774,6 +774,45 @@ class DeltaInteropSpec extends SparkSpec {
       .select("k").as[Long].collect().toSeq == Seq(9L))
   }
 
+  test("syncToDelta publishes the lake's CHANGE FEED: sidecar cdc files "
+      + "link through, overwrites compute theirs, layout commits mirror "
+      + "dataChange=false, and the mirror's readDeltaFeed ≡ the lake's "
+      + "changeFeed") {
+    val lake = freshRoot()
+    val out = freshRoot() + "_d"
+    LakeTable.append(spark.range(0, 60)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake,
+      zoneKey = Some("k"))                        // v1: insert
+    LakeTable.deleteWhereDV(spark, lake, "k < 10") // v2: delete (DV + cdc)
+    LakeTable.updateWhere(spark, lake, "k BETWEEN 20 AND 24",
+      Map("v" -> "v * 10"))                       // v3: update (cdc)
+    LakeTable.compact(spark, lake)                // v4: layout-only
+    LakeTable.overwrite(spark.range(100, 110)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake) // v5
+    DeltaInterop.syncToDelta(spark, lake, out)
+    // mirror feed over everything ≡ lake feed (delta versions are
+    // 0-based, lake 1-based; compare the version-independent content)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "_change_type")
+        .as[(Long, Long, String)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val lakeFeed = norm(LakeTable.changeFeed(spark, lake, 0L, 5L))
+    val mirrorFeed = norm(DeltaInterop.readDeltaFeed(spark, out, -1L, 4L))
+    assert(mirrorFeed == lakeFeed)
+    // the layout-only commit mirrored as dataChange=false: the feed
+    // over just that delta version is EMPTY, not a refusal
+    assert(DeltaInterop.readDeltaFeed(spark, out, 2L, 3L).count() == 0L)
+    // the update commit's feed carries both images
+    val upd = DeltaInterop.readDeltaFeed(spark, out, 1L, 2L)
+    assert(upd.filter(col("_change_type") === "update_preimage")
+      .count() == 5L)
+    assert(upd.filter(col("_change_type") === "update_postimage")
+      .filter(col("v") === col("k") * 20).count() == 5L)
+    // snapshot reads are untouched by the cdc publication
+    assert(DeltaInterop.readDelta(spark, out)
+      .select("k").as[Long].collect().toSet == (100L until 110L).toSet)
+  }
+
   test("a log-cleaned (non-contiguous) JSON history errors instead of "
       + "replaying a truncated prefix") {
     val root = freshRoot()
