@@ -196,11 +196,14 @@ object Bench {
     // (fresh reset, nothing queued behind it), and BOTH numbers land in
     // the artifact — so an in-run contention/GC anomaly is dispositioned
     // against the bench of record instead of in prose. The 1 s floor
-    // keeps sub-second jitter from triggering re-timings.
+    // keeps sub-second jitter from triggering re-timings; queries ≥3 s
+    // use the tighter 1.3× trigger (VERDICT r13 #5 — a 1.4× drift on a
+    // 5 s query is a real anomaly the record must disposition, while on
+    // a 1 s query it is scheduler noise).
     val reruns: Seq[(String, Double)] = results.collect {
       case (name, sec, _)
           if sec > 1.0 && prevTimes.get(name).exists(p =>
-            p > 0 && sec > 1.5 * p) =>
+            p > 0 && sec > (if (sec >= 3.0) 1.3 else 1.5) * p) =>
         resetBetweenQueries()
         Thread.sleep(200) // let async cleanup settle outside the timing
         val t0 = System.nanoTime()
@@ -224,7 +227,7 @@ object Bench {
         .mkString("{", ",", "}")
     val total = timings.collect { case (_, s) if s >= 0 => s }.sum
     val failed = timings.count(_._2 < 0)
-    // reruns ride every output line: "rerun_s" maps each >1.5×-prev
+    // reruns ride every output line: "rerun_s" maps each over-trigger
     // mover to its exclusive re-timing (empty when nothing moved)
     val rerunJson =
       if (reruns.isEmpty) ""

@@ -21,13 +21,18 @@ import org.apache.spark.sql.types._
   *    snapshot id, per-snapshot schema-id resolution, manifest lists
   *    and manifests (Avro, parsed DRIVER-side with the Avro Java
   *    library — manifest files are metadata, the same driver-side
-  *    bound every Iceberg client pays), and v2 POSITION DELETES served
-  *    merge-on-read through the engine's existing anti-join shape
-  *    (the same plan [[LakeTable.applyDv]] and the Delta DV read use).
+  *    bound every Iceberg client pays), and BOTH v2 delete kinds
+  *    served merge-on-read through the engine's existing anti-join
+  *    shape (the same plan [[LakeTable.applyDv]] and the Delta DV
+  *    read use): POSITION deletes on (file, row-index), EQUALITY
+  *    deletes (what Flink CDC and other streaming writers emit)
+  *    null-safely on their equality-id columns, scoped to data files
+  *    with strictly older sequence numbers per the spec.
   *  - REFUSED LOUDLY, never silently wrong: format-version 3+,
-  *    equality deletes, non-parquet data files, v1 logs carrying the
-  *    legacy inline `manifests` snapshot field, and Iceberg types this
-  *    engine cannot map (uuid, fixed, time). Column resolution is
+  *    equality deletes in v1 logs (no sequence order to scope by) or
+  *    without equality_ids, non-parquet data files, v1 logs carrying
+  *    the legacy inline `manifests` snapshot field, and Iceberg types
+  *    this engine cannot map (uuid, fixed, time). Column resolution is
   *    by NAME (the overwhelmingly common case); field-id-based rename
   *    tracking is out of scope and documented as such.
   *  - WRITE: [[exportToIceberg]] publishes a lake snapshot as an
@@ -110,12 +115,16 @@ object IcebergInterop {
         "columns only)")
   }
 
-  /** The lake schema as Iceberg schema JSON, field ids 1..n. */
+  /** The lake schema as Iceberg schema JSON. `ids` is the STABLE
+    * name→field-id assignment (Iceberg resolves columns, bounds and
+    * delete files by field id, so ids must never move between columns
+    * across schema evolution — [[exportToIceberg]] computes the
+    * carried-forward assignment; a fresh table gets 1..n). */
   private def icebergSchemaJson(schema: StructType,
       om: com.fasterxml.jackson.databind.ObjectMapper,
-      schemaId: Int): String = {
-    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-      s"""{"id":${i + 1},"name":${om.writeValueAsString(f.name)},""" +
+      schemaId: Int, ids: Map[String, Int]): String = {
+    val fields = schema.fields.map { f =>
+      s"""{"id":${ids(f.name)},"name":${om.writeValueAsString(f.name)},""" +
         s""""required":${!f.nullable},""" +
         s""""type":${om.writeValueAsString(icebergTypeName(f.dataType))}}"""
     }
@@ -139,7 +148,7 @@ object IcebergInterop {
     } finally r.close()
   }
 
-  private[sources] def writeAvro(spark: SparkSession, uri: String,
+  private[graft] def writeAvro(spark: SparkSession, uri: String,
                         schema: org.apache.avro.Schema,
                         records: Seq[GenericRecord]): Long = {
     val f = fs(spark, uri)
@@ -154,7 +163,7 @@ object IcebergInterop {
   }
 
   /** Manifest-entry Avro schema (v2 shape, spec field-ids). */
-  private[sources] val manifestSchema = new org.apache.avro.Schema.Parser().parse(
+  private[graft] val manifestSchema = new org.apache.avro.Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int","field-id":0},
       |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
@@ -174,7 +183,9 @@ object IcebergInterop {
       |{"name":"upper_bounds","field-id":128,"default":null,"type":["null",
       |{"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[
       |{"name":"key","type":"int","field-id":129},
-      |{"name":"value","type":"bytes","field-id":130}]}}]}
+      |{"name":"value","type":"bytes","field-id":130}]}}]},
+      |{"name":"equality_ids","field-id":135,"default":null,"type":["null",
+      |{"type":"array","items":"int"}]}
       |]}}]}""".stripMargin)
 
   // ---- Iceberg single-value binary serialization (bounds) -------------
@@ -212,7 +223,7 @@ object IcebergInterop {
   }
 
   /** Manifest-list Avro schema (v2 shape, spec field-ids). */
-  private[sources] val manifestListSchema =
+  private[graft] val manifestListSchema =
     new org.apache.avro.Schema.Parser().parse(
       """{"type":"record","name":"manifest_file","fields":[
         |{"name":"manifest_path","type":"string","field-id":500},
@@ -352,20 +363,32 @@ object IcebergInterop {
     icebergSnapshots(spark, root).takeWhile(_._2 <= timestampMs)
       .lastOption.map(_._1)
 
-  /** One live data file of a snapshot: its manifest path spelling and
-    * the spec's per-column bounds maps (field-id → single-value
-    * bytes), absent when the writer recorded none. */
+  /** One live data file of a snapshot: its manifest path spelling, the
+    * spec's per-column bounds maps (field-id → single-value bytes,
+    * absent when the writer recorded none), and its data sequence
+    * number (inherited from the manifest-list entry when the manifest
+    * entry carries none — the v2 inheritance rule). */
   private case class DataFileMeta(path: String,
       lower: Map[Int, java.nio.ByteBuffer],
-      upper: Map[Int, java.nio.ByteBuffer])
+      upper: Map[Int, java.nio.ByteBuffer],
+      seq: Long = 0L)
+
+  /** One live delete file of a snapshot. `content` 1 = position
+    * deletes (file_path, pos rows), 2 = equality deletes (rows of the
+    * columns named by `equalityIds`, matched null-safely, scoped to
+    * data files with STRICTLY older sequence numbers per the v2
+    * spec). */
+  private[sources] case class DeleteFileMeta(path: String, content: Int,
+      seq: Long, equalityIds: Seq[Int])
 
   /** Walk a snapshot's manifest list + manifests: the resolved schema,
-    * live data files (with bounds) and position-delete files. All
-    * refusals (equality deletes, non-parquet, unknown content) live
-    * here so every read path gates identically. */
+    * live data files (with bounds + sequence numbers) and delete files
+    * (position AND equality). All refusals (v1 equality deletes,
+    * missing equality_ids, non-parquet, unknown content) live here so
+    * every read path gates identically. */
   private def snapshotFiles(spark: SparkSession, root: String,
                             snapshotId: Option[Long])
-      : (IceSchema, Seq[DataFileMeta], Seq[String]) = {
+      : (IceSchema, Seq[DataFileMeta], Seq[DeleteFileMeta]) = {
     val meta = parseMetadata(spark, root)
     val snapId = snapshotId.orElse(meta.currentSnapshotId).getOrElse(
       throw new IllegalArgumentException(
@@ -394,17 +417,24 @@ object IcebergInterop {
           }.toMap
         case _ => Map.empty
       }
+    def lng(r: GenericRecord, k: String, dflt: Long): Long =
+      Option(r.get(k)).map(_.asInstanceOf[Number].longValue)
+        .getOrElse(dflt)
     val manifests = listEntries.map(e =>
-      (str(e, "manifest_path"), int(e, "content", 0)))
+      (str(e, "manifest_path"), int(e, "content", 0),
+        lng(e, "sequence_number", 0L)))
     var dataFiles = Seq.empty[DataFileMeta]
-    var deleteFiles = Seq.empty[String]
-    manifests.foreach { case (mPath, mContent) =>
+    var deleteFiles = Seq.empty[DeleteFileMeta]
+    manifests.foreach { case (mPath, mContent, mSeq) =>
       readAvro(spark, resolve(root, mPath)).foreach { e =>
         val status = int(e, "status", 0)
         val df0 = e.get("data_file").asInstanceOf[GenericRecord]
         val content = int(df0, "content", 0)
         val path = str(df0, "file_path")
         val fmt = Option(str(df0, "file_format")).getOrElse("PARQUET")
+        // v2 sequence-number inheritance: an entry without an explicit
+        // sequence number takes its manifest's
+        val seq = lng(e, "sequence_number", mSeq)
         if (status != 2) { // 2 = DELETED (removed from this snapshot)
           if (!fmt.equalsIgnoreCase("parquet"))
             throw new UnsupportedOperationException(
@@ -412,12 +442,29 @@ object IcebergInterop {
                 "reader scans parquet only")
           (mContent, content) match {
             case (0, 0) => dataFiles :+= DataFileMeta(path,
-              boundsOf(df0, "lower_bounds"), boundsOf(df0, "upper_bounds"))
-            case (1, 1) => deleteFiles :+= path
-            case (_, 2) => throw new UnsupportedOperationException(
-              s"$root carries EQUALITY deletes ($path); this interop " +
-                "reader serves position deletes only — compact the " +
-                "table with its writing engine first")
+              boundsOf(df0, "lower_bounds"), boundsOf(df0, "upper_bounds"),
+              seq)
+            case (1, 1) =>
+              deleteFiles :+= DeleteFileMeta(path, 1, seq, Seq.empty)
+            case (1, 2) =>
+              // equality deletes serve only under the v2 total order —
+              // sequence-number scoping is what makes them row-exact
+              if (meta.formatVersion < 2)
+                throw new UnsupportedOperationException(
+                  s"$root carries EQUALITY deletes ($path) in a " +
+                    "format-v1 table; equality deletes need v2 " +
+                    "sequence-number scoping")
+              val ids = Option(df0.get("equality_ids")) match {
+                case Some(arr: java.util.Collection[_]) =>
+                  arr.iterator().asScala
+                    .map(_.asInstanceOf[Number].intValue).toSeq
+                case _ => Seq.empty
+              }
+              if (ids.isEmpty)
+                throw new UnsupportedOperationException(
+                  s"$root: EQUALITY delete file $path carries no " +
+                    "equality_ids; the delete cannot be applied")
+              deleteFiles :+= DeleteFileMeta(path, 2, seq, ids)
             case other => throw new IllegalStateException(
               s"$root: manifest content $mContent holds a file with " +
                 s"content ${other._2} ($path)")
@@ -428,54 +475,93 @@ object IcebergInterop {
     (schema, dataFiles, deleteFiles)
   }
 
-  /** Scan `dataFiles` and anti-join the position deletes out — the
-    * engine's standard merge-on-read shape: the delete side is
-    * metadata-scale (O(deleted rows)), broadcast; the data side never
-    * shuffles. Delete rows reference data files by their MANIFEST
-    * spelling; both sides translate to the scan's qualified URIs. */
+  /** Scan `dataFiles` and anti-join the deletes out — the engine's
+    * standard merge-on-read shape: every delete side is metadata-scale
+    * (O(deleted rows)), broadcast; the data side never shuffles.
+    *
+    *  - POSITION deletes (content 1): (file_path, pos) rows reference
+    *    data files by their MANIFEST spelling; both sides translate to
+    *    the scan's qualified URIs and anti-join on (uri, row_index).
+    *  - EQUALITY deletes (content 2): each (sequence number,
+    *    equality-id set) group reads ONLY its equality columns,
+    *    distincts them, and anti-joins the scan NULL-SAFELY on those
+    *    columns, scoped to data files whose data sequence number is
+    *    STRICTLY below the delete's — the v2 rule that makes a delete
+    *    invisible to rows (re-)inserted at or after it. The per-row
+    *    data sequence number rides in via a broadcast (uri → seq) map
+    *    join, so the scan still never shuffles. */
   private def readLiveIce(spark: SparkSession, root: String,
-                          schema: StructType, dataFiles: Seq[String],
-                          deleteFiles: Seq[String]): DataFrame = {
+                          schema: IceSchema,
+                          dataFiles: Seq[DataFileMeta],
+                          deleteFiles: Seq[DeleteFileMeta]): DataFrame = {
     if (dataFiles.isEmpty)
       return spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        schema)
+        schema.spark)
     val conf = spark.sessionState.newHadoopConf()
     def qualify(p: String): String = {
       val hp = new Path(resolve(root, p))
       hp.getFileSystem(conf).makeQualified(hp).toString
     }
-    val scan0 = spark.read.schema(schema)
-      .parquet(dataFiles.sorted.map(p => resolve(root, p)): _*)
+    val scan0 = spark.read.schema(schema.spark)
+      .parquet(dataFiles.map(_.path).sorted.map(p => resolve(root, p)): _*)
     if (deleteFiles.isEmpty) return scan0
     import spark.implicits._
-    val uris = dataFiles.map(p => (p, qualify(p))).toDF("__p", "__uri")
-    val deletes = spark.read
-      .schema(StructType(Seq(
-        StructField("file_path", StringType),
-        StructField("pos", LongType))))
-      .parquet(deleteFiles.map(p => resolve(root, p)): _*)
-      .join(broadcast(uris),
-        col("file_path") === col("__p") ||
-          col("file_path") === col("__uri"))
-      .select(col("__uri").as("__ice_uri"), col("pos").as("__ice_pos"))
-    scan0
+    val posDeletes = deleteFiles.filter(_.content == 1)
+    val eqDeletes = deleteFiles.filter(_.content == 2)
+    var df = scan0
       .withColumn("__ice_uri", col("_metadata.file_path"))
       .withColumn("__ice_pos", col("_metadata.row_index"))
-      .join(deletes, Seq("__ice_uri", "__ice_pos"), "left_anti")
-      .drop("__ice_uri", "__ice_pos")
+    if (posDeletes.nonEmpty) {
+      val uris = dataFiles.map(f => (f.path, qualify(f.path)))
+        .toDF("__p", "__uri")
+      val deletes = spark.read
+        .schema(StructType(Seq(
+          StructField("file_path", StringType),
+          StructField("pos", LongType))))
+        .parquet(posDeletes.map(d => resolve(root, d.path)): _*)
+        .join(broadcast(uris),
+          col("file_path") === col("__p") ||
+            col("file_path") === col("__uri"))
+        .select(col("__uri").as("__ice_uri"), col("pos").as("__ice_pos"))
+      df = df.join(deletes, Seq("__ice_uri", "__ice_pos"), "left_anti")
+    }
+    if (eqDeletes.nonEmpty) {
+      val idToName: Map[Int, String] = schema.fieldIds.map(_.swap)
+      val seqDf = broadcast(dataFiles
+        .map(f => (qualify(f.path), f.seq)).toDF("__ice_uri", "__ice_seq"))
+      df = df.join(seqDf, Seq("__ice_uri"), "left")
+      eqDeletes.groupBy(d => (d.seq, d.equalityIds)).toSeq
+        .sortBy { case ((s0, ids), _) => (s0, ids.mkString(",")) }
+        .foreach { case ((dSeq, ids), group) =>
+          val cols = ids.map(id => idToName.getOrElse(id,
+            throw new UnsupportedOperationException(
+              s"$root: EQUALITY delete references field id $id, not " +
+                "in the snapshot schema — the delete cannot be " +
+                "applied")))
+          val delSchema = StructType(cols.map(c => StructField(c,
+            schema.spark(c).dataType)))
+          val del = spark.read.schema(delSchema)
+            .parquet(group.map(d => resolve(root, d.path)): _*)
+            .distinct()
+          val cond = cols.map(c => df(c) <=> del(c)).reduce(_ && _) &&
+            df("__ice_seq") < lit(dSeq)
+          df = df.join(broadcast(del), cond, "left_anti")
+        }
+      df = df.drop("__ice_seq")
+    }
+    df.drop("__ice_uri", "__ice_pos")
   }
 
   /** Snapshot read of an Iceberg table, current or `snapshotId` time
     * travel. Data files resolve by NAME against the snapshot's schema;
-    * v2 position deletes anti-join out executor-side; equality deletes
-    * refuse. */
+    * v2 position AND equality deletes anti-join out executor-side
+    * (equality deletes null-safe, scoped by sequence number). */
   def readIceberg(spark: SparkSession, root: String,
                   snapshotId: Option[Long] = None): DataFrame = {
     val (schema, dataFiles, deleteFiles) =
       snapshotFiles(spark, root, snapshotId)
-    readLiveIce(spark, root, schema.spark, dataFiles.map(_.path),
-      deleteFiles)
+    readLiveIce(spark, root, schema, dataFiles, deleteFiles)
   }
 
   /** Range read with Iceberg data skipping: only files whose
@@ -518,8 +604,7 @@ object IcebergInterop {
         case _ => true
       }
     }
-    readLiveIce(spark, root, schema.spark, admitted.map(_.path),
-      deleteFiles)
+    readLiveIce(spark, root, schema, admitted, deleteFiles)
       .filter(col(key) >= lit(lo) && col(key) <= lit(hi))
   }
 
@@ -580,7 +665,8 @@ object IcebergInterop {
     val (_, bData, bDel) = snapshotFiles(spark, root, Some(toSnap))
     val removed =
       (aData.map(_.path).toSet -- bData.map(_.path).toSet).toSeq.sorted
-    val newDeletes = (bDel.toSet -- aDel.toSet).toSeq.sorted
+    val newDeletes =
+      (bDel.map(_.path).toSet -- aDel.map(_.path).toSet).toSeq.sorted
     (removed, newDeletes)
   }
 
@@ -599,8 +685,8 @@ object IcebergInterop {
     val before: Set[String] = fromSnapshot
       .map(s => snapshotFiles(spark, root, Some(s))._2.map(_.path).toSet)
       .getOrElse(Set.empty)
-    readLiveIce(spark, root, schema.spark,
-      dataFiles.map(_.path).filterNot(before), deleteFiles)
+    readLiveIce(spark, root, schema,
+      dataFiles.filterNot(f => before(f.path)), deleteFiles)
   }
 
   /** Every path a snapshot references: its manifest list, manifests,
@@ -704,7 +790,8 @@ object IcebergInterop {
     * version is a no-op. Unlike [[exportToDelta]]'s one-shot
     * immutability, this is the incremental publication path —
     * the Iceberg twin of [[DeltaInterop.syncToDelta]] at snapshot
-    * granularity. Driver-side metadata is O(live files + DV rows). */
+    * granularity. Driver-side metadata is O(live files) — deleted
+    * row positions write distributedly and never reach the driver. */
   def exportToIceberg(spark: SparkSession, lakeRoot: String,
                       iceRoot: String,
                       version: Option[Long] = None): Long = {
@@ -726,6 +813,39 @@ object IcebergInterop {
     val ents = LakeTable.entries(spark, lakeRoot, v)
     val schema = LakeTable.schemaOf(spark, lakeRoot, v)
       .getOrElse(LakeTable.read(spark, lakeRoot, Some(v)).schema)
+    // STABLE field ids across schema evolution: Iceberg engines resolve
+    // columns and bounds by field id, so an id must never move between
+    // columns. Names carry their ids forward from every previously
+    // exported schema (newest assignment wins); genuinely new columns
+    // take fresh ids above every id ever assigned (last-column-id can
+    // therefore never shrink); a type change under a reused name
+    // refuses loudly — the id would alias two types across snapshots
+    // and foreign readers would misread older snapshots' data/bounds.
+    val prevSchemas = existing.map(_.schemas).getOrElse(
+      Map.empty[Int, IceSchema])
+    val prevIds: Map[String, Int] = prevSchemas.toSeq.sortBy(_._1)
+      .flatMap(_._2.fieldIds.toSeq).toMap
+    prevSchemas.values.foreach { s0 =>
+      s0.spark.fields.foreach { pf =>
+        schema.fields.find(_.name == pf.name).foreach { nf =>
+          require(nf.dataType == pf.dataType,
+            s"$iceRoot: column '${pf.name}' changed type " +
+              s"${pf.dataType.simpleString} -> " +
+              s"${nf.dataType.simpleString}; Iceberg field ids must " +
+              "stay stable across evolution — export to a fresh " +
+              "location instead")
+        }
+      }
+    }
+    val maxUsedBefore = (existing.map(
+      _.raw.path("last-column-id").asInt(0)).getOrElse(0) +:
+      prevIds.values.toSeq).max
+    var nextFieldId = maxUsedBefore
+    val fieldIdOf: Map[String, Int] = schema.fields.map { f0 =>
+      f0.name -> prevIds.getOrElse(f0.name,
+        { nextFieldId += 1; nextFieldId })
+    }.toMap
+    val lastColumnId = (maxUsedBefore +: fieldIdOf.values.toSeq).max
     val ts = LakeTable.commitTimeOf(spark, lakeRoot, v).getOrElse(0L)
     val conf = spark.sessionState.newHadoopConf()
     def qualify(p: Path): String =
@@ -795,14 +915,12 @@ object IcebergInterop {
       // single-value binaries), so Iceberg engines' data skipping —
       // and readIcebergRange — prunes the export like the source table
       val bounds = e.dataZones.flatMap { z =>
-        schema.fields.zipWithIndex
-          .find { case (sf, _) => sf.name == z.key }
-          .flatMap { case (sf, i) =>
-            for {
-              l <- boundBytes(sf.dataType, z.lo)
-              h <- boundBytes(sf.dataType, z.hi)
-            } yield (i + 1, l, h)
-          }
+        schema.fields.find(_.name == z.key).flatMap { sf =>
+          for {
+            l <- boundBytes(sf.dataType, z.lo)
+            h <- boundBytes(sf.dataType, z.hi)
+          } yield (fieldIdOf(sf.name), l, h)
+        }
       }
       entry(0, uri, rows, st.getLen, bounds)
     }
@@ -811,47 +929,66 @@ object IcebergInterop {
     val dataLen = writeAvro(spark, dataManifest, manifestSchema,
       dataEntries)
     // position deletes: the lake's DV sidecars, re-keyed to the
-    // published data-file URIs, sorted (file_path, pos) per spec
-    val dvByFile = {
-      val dirs = LakeTable.dvOf(spark, lakeRoot, v)
-      if (dirs.isEmpty) Map.empty[String, Array[Long]]
-      else spark.read.schema(LakeTable.dvSchema)
-        .parquet(dirs.map(d => s"$lakeRoot/$d"): _*)
-        .groupBy("file").agg(sort_array(collect_set("pos")).as("pos"))
-        .collect()
-        .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
-    }
+    // published data-file URIs, sorted (file_path, pos) per spec.
+    // FULLY DISTRIBUTED (VERDICT r13 #2): positions never materialize
+    // on the driver — the sidecar scan joins the broadcast path→URI
+    // map executor-side and lands as ONE spec-sorted parquet part via
+    // repartition(1) + sortWithinPartitions; the driver sees only the
+    // cardinality and an order-independent content digest (one agg).
     val uriOf = dataUris.map { case (e, uri) => e.path -> uri }.toMap
+    val dvDirs = LakeTable.dvOf(spark, lakeRoot, v)
     val deleteManifest: Option[(String, Long, Long)] =
-      if (dvByFile.isEmpty) None
+      if (dvDirs.isEmpty) None
       else {
         import spark.implicits._
-        val rows = dvByFile.toSeq.flatMap { case (p, pos) =>
-          pos.map(x => (uriOf(p), x)) }.sorted
-        // CONTENT-ADDRESSED delete file: an unchanged DV state across
-        // exports reuses the same file by reference — no rewrite, and
-        // incremental consumers (the grafticeberg stream) correctly
-        // see "no new delete files" for append-only snapshot ranges
-        val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(rows.mkString("\n").getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        val delFile = new Path(s"$iceRoot/data/deletes-$digest.parquet")
-        if (!f.exists(delFile)) {
-          val stage = s"$iceRoot/_stage_del_$uuid"
-          rows.toDF("file_path", "pos")
-            .orderBy("file_path", "pos").coalesce(1)
-            .write.parquet(stage)
-          val part = f.listStatus(new Path(stage)).map(_.getPath)
-            .find(_.getName.endsWith(".parquet")).get
-          f.rename(part, delFile)
-          f.delete(new Path(stage), true): Unit
+        val uriDf = broadcast(
+          uriOf.toSeq.toDF("__p", "file_path"))
+        val delRows = spark.read.schema(LakeTable.dvSchema)
+          .parquet(dvDirs.map(d => s"$lakeRoot/$d"): _*)
+          .select(col("file").as("__p"), col("pos")).distinct()
+          .join(uriDf, Seq("__p"), "left")
+          .select(col("file_path"), col("pos"))
+        // cardinality + content digest + orphan check in ONE pass; the
+        // digest (count + xor of per-row hashes, commutative over the
+        // DISTINCT rows, overflow-free under ANSI) content-addresses
+        // the delete file: an unchanged DV state across exports reuses
+        // the same file by reference — no rewrite, and incremental
+        // consumers (the grafticeberg stream) correctly see "no new
+        // delete files" for append-only snapshot ranges
+        val a = delRows.agg(
+          count(lit(1)).as("n"),
+          coalesce(bit_xor(xxhash64(col("file_path"), col("pos"))),
+            lit(0L)).as("h"),
+          sum(when(col("file_path").isNull, 1L).otherwise(0L)).as("bad"))
+          .collect()(0)
+        val nDel = a.getLong(0)
+        require(nDel == 0L || a.getLong(2) == 0L,
+          s"$lakeRoot version $v: DV sidecars reference " +
+            s"${a.getLong(2)} positions of files not live at the " +
+            "version — refusing to export a corrupt delete set")
+        if (nDel == 0L) None
+        else {
+          val digest = f"${a.getLong(1)}%016x-$nDel"
+          val delFile =
+            new Path(s"$iceRoot/data/deletes-$digest.parquet")
+          if (!f.exists(delFile)) {
+            val stage = s"$iceRoot/_stage_del_$uuid"
+            delRows.repartition(1)
+              .sortWithinPartitions("file_path", "pos")
+              .write.parquet(stage)
+            val part = f.listStatus(new Path(stage)).map(_.getPath)
+              .find(_.getName.endsWith(".parquet")).get
+            if (!f.rename(part, delFile))
+              throw new java.io.IOException(
+                s"rename $part -> $delFile failed")
+            f.delete(new Path(stage), true): Unit
+          }
+          val delUri = qualify(delFile)
+          val mf = s"$iceRoot/metadata/$uuid-m1.avro"
+          val len = writeAvro(spark, mf, manifestSchema, Seq(
+            entry(1, delUri, nDel, f.getFileStatus(delFile).getLen)))
+          Some((mf, len, nDel))
         }
-        val delUri = qualify(delFile)
-        val mf = s"$iceRoot/metadata/$uuid-m1.avro"
-        val len = writeAvro(spark, mf, manifestSchema, Seq(
-          entry(1, delUri, rows.size.toLong,
-            f.getFileStatus(delFile).getLen)))
-        Some((mf, len, rows.size.toLong))
       }
     def listEntry(path: String, len: Long, content: Int, files: Int,
                   rows: Long): GenericRecord = {
@@ -879,20 +1016,27 @@ object IcebergInterop {
       listEntry(dataManifest, dataLen, 0, dataEntries.size, totalRows) +:
         deleteManifest.toSeq.map { case (p, l, n) =>
           listEntry(p, l, 1, 1, n) })
-    // metadata: append the snapshot (and the schema, if it evolved)
-    val schemaJsonNoId = icebergSchemaJson(schema, om, 0)
+    // metadata: append the snapshot (and the schema, ONLY if it
+    // evolved — an unchanged schema reuses its existing schema-id, so
+    // a continuously published table's metadata.json stays bounded)
     val (schemas, schemaId) = existing match {
-      case None => (Seq(schemaJsonNoId), 0)
+      case None => (Seq(icebergSchemaJson(schema, om, 0, fieldIdOf)), 0)
       case Some(m) =>
         val olds = m.raw.path("schemas").elements().asScala
           .map(_.toString).toSeq
+        // shape comparison, not StructType ==: the Iceberg JSON
+        // round-trip drops Spark field metadata, which must not make
+        // an unchanged schema look new on every export
+        def shapeOf(s: StructType) =
+          s.fields.toSeq.map(f => (f.name, f.dataType, f.nullable))
         val matching = m.schemas.collectFirst {
-          case (id, st) if st == schema => id }
+          case (id, st) if shapeOf(st.spark) == shapeOf(schema) &&
+            st.fieldIds == fieldIdOf => id }
         matching match {
           case Some(id) => (olds, id)
           case None =>
             val id = m.schemas.keys.max + 1
-            (olds :+ icebergSchemaJson(schema, om, id), id)
+            (olds :+ icebergSchemaJson(schema, om, id, fieldIdOf), id)
         }
     }
     val snapJson =
@@ -912,7 +1056,7 @@ object IcebergInterop {
         s""""table-uuid":${om.writeValueAsString(tableUuid)},""" +
         s""""location":${om.writeValueAsString(iceRoot)},""" +
         s""""last-sequence-number":$seqNum,"last-updated-ms":$ts,""" +
-        s""""last-column-id":${schema.fields.length},""" +
+        s""""last-column-id":$lastColumnId,""" +
         s""""current-schema-id":$schemaId,""" +
         s""""schemas":${schemas.mkString("[", ",", "]")},""" +
         s""""default-spec-id":0,""" +

@@ -345,4 +345,131 @@ class IcebergInteropSpec extends SparkSpec {
     }
     assert(e4.getMessage.contains("uuid"), e4.getMessage)
   }
+
+  test("a hand-built v2 table carrying BOTH position and equality "
+      + "deletes serves merge-on-read: equality matches null-safely "
+      + "and applies only to STRICTLY older sequence numbers; "
+      + "missing equality_ids still refuses") {
+    val root = freshRoot()
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def writeOne(df: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val stage = s"$root/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = fsys.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/$rel").getParent)
+      fsys.rename(part, new org.apache.hadoop.fs.Path(s"$root/$rel"))
+      fsys.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+    }
+    // f1 @ seq 1 (rows in written order: pos 0..3)
+    writeOne(Seq((Option(1L), "a"), (Option(2L), "b"), (Option(3L), "c"),
+      (Option.empty[Long], "n")).toDF("k", "v"), "data/f1.parquet")
+    // f2 @ seq 3 — re-inserts k=2 AFTER the deletes; must survive
+    writeOne(Seq((Option(2L), "b2"), (Option(4L), "d")).toDF("k", "v"),
+      "data/f2.parquet")
+    // equality delete @ seq 2 on field id 1 (k): k=2 and k IS NULL
+    writeOne(Seq(Option(2L), Option.empty[Long]).toDF("k"),
+      "data/eq1.parquet")
+    // position delete @ seq 2: f1 pos 2 → (3, "c")
+    writeOne(Seq(("data/f1.parquet", 2L)).toDF("file_path", "pos"),
+      "data/pd1.parquet")
+    def manifestEntry(content: Int, path: String,
+        eqIds: Seq[Int] = Seq.empty): GenericData.Record = {
+      val df0 = new GenericData.Record(
+        IcebergInterop.manifestSchema.getField("data_file").schema())
+      df0.put("content", content)
+      df0.put("file_path", path)
+      df0.put("file_format", "PARQUET")
+      df0.put("partition", new GenericData.Record(
+        df0.getSchema.getField("partition").schema()))
+      df0.put("record_count", 1L)
+      df0.put("file_size_in_bytes", 1L)
+      if (eqIds.nonEmpty) {
+        val l = new java.util.ArrayList[Integer]()
+        eqIds.foreach(i => l.add(Int.box(i)))
+        df0.put("equality_ids", l)
+      }
+      val e = new GenericData.Record(IcebergInterop.manifestSchema)
+      e.put("status", 1)
+      e.put("data_file", df0)
+      e // no entry-level sequence_number → inherits the manifest's
+    }
+    def listEntry(path: String, content: Int, seq: Long)
+        : GenericData.Record = {
+      val r = new GenericData.Record(IcebergInterop.manifestListSchema)
+      r.put("manifest_path", path)
+      r.put("manifest_length", 1L)
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("sequence_number", seq)
+      r.put("min_sequence_number", seq)
+      r.put("added_snapshot_id", 30L)
+      r.put("added_files_count", 1)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", 1L)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r
+    }
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/metadata"))
+    IcebergInterop.writeAvro(spark, s"$root/metadata/md1.avro",
+      IcebergInterop.manifestSchema,
+      Seq(manifestEntry(0, "data/f1.parquet")))
+    IcebergInterop.writeAvro(spark, s"$root/metadata/md2.avro",
+      IcebergInterop.manifestSchema,
+      Seq(manifestEntry(0, "data/f2.parquet")))
+    IcebergInterop.writeAvro(spark, s"$root/metadata/mdel.avro",
+      IcebergInterop.manifestSchema,
+      Seq(manifestEntry(2, "data/eq1.parquet", Seq(1)),
+        manifestEntry(1, "data/pd1.parquet")))
+    IcebergInterop.writeAvro(spark, s"$root/metadata/snap-30.avro",
+      IcebergInterop.manifestListSchema,
+      Seq(listEntry("metadata/md1.avro", 0, 1L),
+        listEntry("metadata/md2.avro", 0, 3L),
+        listEntry("metadata/mdel.avro", 1, 2L)))
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"k","required":false,"type":"long"},
+        |{"id":2,"name":"v","required":false,"type":"string"}]}"""
+        .stripMargin.replace("\n", "")
+    Files.writeString(Paths.get(s"$root/metadata/v1.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"t2","location":"$root",
+         |"last-sequence-number":3,"last-updated-ms":9,"last-column-id":2,
+         |"current-schema-id":0,"schemas":[$schemaJson],
+         |"default-spec-id":0,"partition-specs":[],"last-partition-id":9,
+         |"current-snapshot-id":30,
+         |"snapshots":[{"snapshot-id":30,"timestamp-ms":9,
+         |"sequence-number":3,"manifest-list":"metadata/snap-30.avro"}]}"""
+        .stripMargin.replace("\n", ""))
+    // f1 (seq 1 < 2): loses k=2 and k IS NULL to the equality delete
+    // and (3, "c") to the position delete → keeps (1, "a").
+    // f2 (seq 3 ≮ 2): untouched — the re-inserted k=2 survives.
+    val got = IcebergInterop.readIceberg(spark, root)
+      .as[(Option[Long], String)].collect().toSet
+    assert(got == Set((Some(1L), "a"), (Some(2L), "b2"),
+      (Some(4L), "d")), got)
+    // an equality delete WITHOUT equality_ids still refuses loudly
+    IcebergInterop.writeAvro(spark, s"$root/metadata/mdel-bad.avro",
+      IcebergInterop.manifestSchema,
+      Seq(manifestEntry(2, "data/eq1.parquet")))
+    IcebergInterop.writeAvro(spark, s"$root/metadata/snap-31.avro",
+      IcebergInterop.manifestListSchema,
+      Seq(listEntry("metadata/md1.avro", 0, 1L),
+        listEntry("metadata/mdel-bad.avro", 1, 2L)))
+    Files.writeString(Paths.get(s"$root/metadata/v2.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"t2","location":"$root",
+         |"last-sequence-number":3,"last-updated-ms":10,"last-column-id":2,
+         |"current-schema-id":0,"schemas":[$schemaJson],
+         |"default-spec-id":0,"partition-specs":[],"last-partition-id":9,
+         |"current-snapshot-id":31,
+         |"snapshots":[{"snapshot-id":31,"timestamp-ms":10,
+         |"sequence-number":4,"manifest-list":"metadata/snap-31.avro"}]}"""
+        .stripMargin.replace("\n", ""))
+    val eBad = intercept[UnsupportedOperationException] {
+      IcebergInterop.readIceberg(spark, root)
+    }
+    assert(eBad.getMessage.contains("equality_ids"), eBad.getMessage)
+  }
 }
