@@ -283,21 +283,28 @@ object BpeStress {
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .localCheckpoint(true)
     println(s"vocab: ${vocab.count()} distinct words")
-    def run(b: Int): (Seq[Seq[Any]], Double) = {
+    def run(b: Int, budget: Long): (Seq[Seq[Any]], Double) = {
       // no blanket unpersist here: the shared vocab's checkpoint blocks
       // must survive both runs (trainMerges frees its own round state)
       System.gc()
       val t0 = System.nanoTime()
       val m = graft.operators.Bpe.trainMerges(vocab, "word", "freq",
-        rounds, batchMerges = b).collect().map(_.toSeq).toSeq
+        rounds, batchMerges = b, driverBudget = budget)
+        .collect().map(_.toSeq).toSeq
       (m, (System.nanoTime() - t0) / 1e9)
     }
-    val (mb, tb) = run(batch)
-    val (ms, ts) = run(1)
+    // driver-held fast path (vocab within budget → zero per-merge jobs)
+    val (md, td) = run(1, 1000000L)
+    // distributed paths (budget 0 forces them), batched and sequential
+    val (mb, tb) = run(batch, 0L)
+    val (ms, ts) = run(1, 0L)
     require(mb == ms, "batched merges diverged from sequential")
+    require(md == ms, "driver-held merges diverged from sequential")
     println(f"bpe-stress: $rounds merges  sequential ${ts}%.1f s   " +
-      f"batch=$batch ${tb}%.1f s  (speedup ${ts / tb}%.2fx, " +
-      f"outputs bit-identical, ${ms.size} merges learned)")
+      f"batch=$batch ${tb}%.1f s  (speedup ${ts / tb}%.2fx)   " +
+      f"driver-held ${td}%.1f s (${ms.size / td}%.0f merges/s, " +
+      f"${ts / td}%.0fx vs sequential; outputs bit-identical, " +
+      f"${ms.size} merges learned)")
     spark.stop()
   }
 }

@@ -133,8 +133,28 @@ object Bpe {
   def trainMerges(vocab: DataFrame, wordCol: String, freqCol: String,
                   rounds: Int,
                   checkpointDir: Option[String] = None,
-                  batchMerges: Int = 8): DataFrame = {
+                  batchMerges: Int = 8,
+                  driverBudget: Long = 1000000L): DataFrame = {
     require(batchMerges >= 1, "batchMerges must be >= 1")
+    // DRIVER-HELD FAST PATH: BPE state is the (word, freq) VOCABULARY,
+    // whose size is distinct words — usually millions of times smaller
+    // than the corpus. When it fits the declared budget (ONE count to
+    // check — structurally bounded collect), the whole merge loop runs
+    // driver-side with zero per-merge Spark jobs: bit-identical by
+    // construction (same argmax order, same greedy fold, UTF-8 byte
+    // tie-break = Spark's binary string ordering). A 32k-merge train
+    // drops from hours of driver-round latency to seconds. Over-budget
+    // vocabularies fall back to the distributed incremental path below.
+    if (driverBudget > 0 && driverBudget < Int.MaxValue &&
+        vocab.select(wordCol).limit(driverBudget.toInt + 1).count()
+          <= driverBudget) {
+      val rows = vocab
+        .select(col(wordCol).cast("string"), col(freqCol).cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      return vocab.sparkSession.createDataFrame(
+        vocab.sparkSession.sparkContext.parallelize(
+          trainMergesLocal(rows, rounds), 1), mergeSchema)
+    }
     var capNow = batchMerges
     val capMax = math.max(batchMerges, 4096)
     val spark = vocab.sparkSession
@@ -250,6 +270,115 @@ object Bpe {
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(merges.toSeq, 1), mergeSchema)
+  }
+
+  /** Unsigned UTF-8 byte comparison — EXACTLY Spark's binary string
+    * ordering (UTF8String.compareTo), so driver-side tie-breaks match
+    * the distributed `orderBy(l.asc, r.asc)` bit-for-bit (UTF-16
+    * `String.compareTo` would disagree on supplementary-plane
+    * characters). */
+  private def ltUtf8(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The driver-held merge loop: sequential greedy BPE over an
+    * in-memory vocabulary, equivalent by construction to the
+    * distributed path's provably-sequential batching (same argmax
+    * order `(cnt desc, l, r)` with UTF-8 tie-break, same
+    * left-to-right non-overlapping fold, per-round count recorded
+    * BEFORE the merge). Incremental: a pair→words index means each
+    * round touches only the words containing the merged pair. */
+  private def trainMergesLocal(vocab: Array[(String, Long)],
+                               rounds: Int): Seq[Row] = {
+    // code-point split — Spark's substring() walks code points, so a
+    // UTF-16 char split would diverge on supplementary-plane text
+    val syms = vocab.map { case (w, _) =>
+      val b = Array.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      b.result()
+    }
+    val freqs = vocab.map(_._2)
+    val counts =
+      scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val byPair = scala.collection.mutable
+      .HashMap.empty[(String, String), scala.collection.mutable.Set[Int]]
+    def addPairs(wi: Int, arr: Array[String], sgn: Long): Unit = {
+      var i = 0
+      while (i < arr.length - 1) {
+        val p = (arr(i), arr(i + 1))
+        val c = counts.getOrElse(p, 0L) + sgn * freqs(wi)
+        if (c == 0L) counts.remove(p) else counts(p) = c
+        if (sgn > 0)
+          byPair.getOrElseUpdate(p,
+            scala.collection.mutable.Set.empty[Int]) += wi
+        i += 1
+      }
+    }
+    var wi = 0
+    while (wi < syms.length) { addPairs(wi, syms(wi), 1L); wi += 1 }
+    def mergeOne(arr: Array[String], a: String, b: String)
+        : Array[String] = {
+      val out = Array.newBuilder[String]
+      var last: String = null
+      var i = 0
+      while (i < arr.length) {
+        if (last == a && arr(i) == b) { last = a + b }
+        else { if (last != null) out += last; last = arr(i) }
+        i += 1
+      }
+      if (last != null) out += last
+      out.result()
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // argmax (cnt desc, l asc, r asc) — one scan of the pair table
+      var best: (String, String) = null
+      var bestCnt = 0L
+      counts.foreach { case (p, c) =>
+        if (c > 0 && (best == null || c > bestCnt ||
+            (c == bestCnt && (ltUtf8(p._1, best._1) ||
+              (p._1 == best._1 && ltUtf8(p._2, best._2))))))
+          { best = p; bestCnt = c }
+      }
+      if (best == null) exhausted = true
+      else {
+        val (a, b) = best
+        merges += Row(r, a, b, bestCnt)
+        val touched = byPair.getOrElse(best, Set.empty[Int])
+        touched.foreach { w =>
+          val old = syms(w)
+          var has = false
+          var i = 0
+          while (!has && i < old.length - 1) {
+            if (old(i) == a && old(i + 1) == b) has = true
+            i += 1
+          }
+          if (has) { // index entries can be stale; re-check
+            addPairs(w, old, -1L)
+            syms(w) = mergeOne(old, a, b)
+            addPairs(w, syms(w), 1L)
+          }
+        }
+        r += 1
+      }
+    }
+    merges.toSeq
   }
 
   /** Convenience: vocabulary (word, freq) from a corpus text column —

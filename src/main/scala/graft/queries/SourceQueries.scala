@@ -2045,6 +2045,65 @@ object SourceQueries {
         FROM orders"""),
       "Delta columnMapping 'name' read: physical files → logical names"),
 
+    // ---- Delta columnMapping 'id' mode --------------------------------------
+    // id-mode writers resolve parquet columns by WRITER-EMBEDDED FIELD
+    // IDS, not names — the fixture's parquet columns carry names that
+    // share nothing with the schema's physicalNames, so a name-based
+    // read would return all nulls; only id matching (the requested
+    // scan schema carries parquet.field.id per field) reads the data.
+    "q339_delta_colmap_id" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_deltacmid_q339") + "/t"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        def writeOne(df: org.apache.spark.sql.DataFrame,
+                     name: String): Unit = {
+          val stage = s"$root/_stage_$name"
+          df.coalesce(1).write.parquet(stage)
+          val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+            .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+          fs.rename(part, new org.apache.hadoop.fs.Path(s"$root/$name"))
+          fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+        }
+        def pmeta(id: Long) =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", id).build()
+        val phys = o.select(
+          col("o_orderkey").as("anon_x", pmeta(1L)),
+          col("o_orderstatus").as("anon_y", pmeta(2L)),
+          col("o_totalprice").as("anon_z", pmeta(3L)))
+        writeOne(phys.filter(col("anon_x") % 2 === 0), "f-even.parquet")
+        writeOne(phys.filter(col("anon_x") % 2 =!= 0), "f-odd.parquet")
+        def meta(pn: String, id: Long) =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", pn)
+            .putLong("delta.columnMapping.id", id).build()
+        val logical = StructType(Seq(
+          StructField("o_orderkey", LongType, nullable = true,
+            meta("col-a1", 1L)),
+          StructField("o_orderstatus", StringType, nullable = true,
+            meta("col-b2", 2L)),
+          StructField("o_totalprice", DoubleType, nullable = true,
+            meta("col-c3", 3L))))
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val schemaJson = om.writeValueAsString(logical.json)
+        Files.createDirectories(Paths.get(s"$root/_delta_log"))
+        Files.writeString(
+          Paths.get(s"$root/_delta_log/00000000000000000000.json"), Seq(
+            """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+            s"""{"metaData":{"id":"q339","schemaString":$schemaJson,"partitionColumns":[],"format":{"provider":"parquet"},"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"3"}}}""",
+            """{"add":{"path":"f-even.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""",
+            """{"add":{"path":"f-odd.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
+            .mkString("\n"))
+        graft.sources.DeltaInterop.readDelta(s, root)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders"""),
+      "Delta columnMapping 'id' read: parquet field ids → logical names"),
+
     // ---- Delta interop: continuous publication -----------------------------
     // The outbound mirror lifecycle a real lakehouse runs: every lake
     // version lands as ONE O(changed-files) Delta commit (txn cursor =
@@ -2336,6 +2395,63 @@ object SourceQueries {
         FROM orders WHERE o_orderkey BETWEEN 500 AND 899
           AND NOT (o_orderkey BETWEEN 100 AND 499)"""),
       "lake CDC → Delta mirror cdc actions → table_changes, loop closed"),
+
+    // ---- Iceberg continuous sync: CALL graftlake.system.sync_iceberg ------
+    // The Iceberg twin of q327's Delta sync lifecycle, driven through
+    // the SQL procedure surface: every unsynced lake version appends
+    // one snapshot (published ids are the resume cursor — the second
+    // CALL publishes exactly the two new versions, the third is a
+    // no-op), and keep_last expires history in the same call, so a
+    // cron'd CALL keeps the mirror current AND bounded. A DV delete
+    // publishes as real position deletes; time travel to the kept
+    // snapshot still serves. The oracle recomputes both reads
+    // relationally.
+    "q340_iceberg_sync" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graftlake",
+          classOf[graft.sources.GraftLakeCatalog].getName)
+        val root = freshRoot("graft_icesync_q340")
+        val lake = root + "/lake"
+        val ice = root + "/ice"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 2 === 0), lake,
+          zoneKey = Some("o_orderkey"))
+        val n1 = s.sql(
+          s"CALL graftlake.system.sync_iceberg('$lake', '$ice')")
+          .collect()(0).getLong(0)
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 2 =!= 0), lake,
+          zoneKey = Some("o_orderkey"))
+        graft.sources.LakeTable.deleteWhereDV(s, lake,
+          "o_orderkey BETWEEN 200 AND 700")
+        val n2 = s.sql(
+          s"CALL graftlake.system.sync_iceberg('$lake', '$ice', 2)")
+          .collect()(0).getLong(0)
+        val n3 = s.sql(
+          s"CALL graftlake.system.sync_iceberg('$lake', '$ice')")
+          .collect()(0).getLong(0)
+        require(n1 == 1 && n2 == 2 && n3 == 0,
+          s"sync cursor broke: $n1/$n2/$n3 (want 1/2/0)")
+        val snaps = graft.sources.IcebergInterop
+          .icebergSnapshots(s, ice).map(_._1)
+        require(snaps == Seq(2L, 3L),
+          s"keep_last=2 must leave snapshots 2,3; got $snaps")
+        val cur = graft.sources.IcebergInterop.readIceberg(s, ice)
+          .withColumn("snap", lit("current"))
+        val v2 = graft.sources.IcebergInterop.readIceberg(s, ice,
+          Some(2L)).withColumn("snap", lit("v2"))
+        cur.unionByName(v2)
+          .select("snap", "o_orderkey", "o_orderstatus", "o_totalprice")
+      },
+      Some("""SELECT 'current' AS snap, o_orderkey, o_orderstatus,
+            o_totalprice FROM orders
+          WHERE NOT (o_orderkey BETWEEN 200 AND 700)
+        UNION ALL
+        SELECT 'v2', o_orderkey, o_orderstatus, o_totalprice
+          FROM orders"""),
+      "sync_iceberg CALL: incremental publish + expiry, resume = no-op"),
 
     // ---- Iceberg EQUALITY deletes (foreign CDC-writer tables) --------------
     // Flink CDC and other streaming Iceberg writers emit EQUALITY

@@ -368,6 +368,39 @@ object DeltaInterop {
     case other => other
   }
 
+  /** The column-mapping 'id'-mode physical rendering: like 'name' mode
+    * every struct field renames to its physicalName (stats and
+    * partitionValues keys still use those), but resolution against the
+    * PARQUET files is by the writer-embedded parquet field ids — each
+    * field carries `parquet.field.id` = `delta.columnMapping.id`, which
+    * Spark's parquet reader matches against the file footers' ids when
+    * `spark.sql.parquet.fieldId.read.enabled` is on (the parquet column
+    * NAMES of an id-mode table are arbitrary and must be ignored).
+    * A field without the id metadata refuses — guessing by name is
+    * exactly the misread the mode exists to prevent. */
+  private def physicalTypeById(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map { f =>
+      val pn =
+        if (f.metadata.contains("delta.columnMapping.physicalName"))
+          f.metadata.getString("delta.columnMapping.physicalName")
+        else f.name
+      if (!f.metadata.contains("delta.columnMapping.id"))
+        throw new UnsupportedOperationException(
+          s"columnMapping mode 'id': field '${f.name}' carries no " +
+            "delta.columnMapping.id — cannot resolve it against " +
+            "parquet field ids")
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id",
+          f.metadata.getLong("delta.columnMapping.id"))
+        .build()
+      StructField(pn, physicalTypeById(f.dataType), f.nullable, md)
+    })
+    case ArrayType(et, n) => ArrayType(physicalTypeById(et), n)
+    case MapType(k, v, n) =>
+      MapType(physicalTypeById(k), physicalTypeById(v), n)
+    case other => other
+  }
+
   private def replay(spark: SparkSession, root: String,
                      upTo: Long): Snapshot = {
     val layout = layoutOf(spark, root)
@@ -410,9 +443,10 @@ object DeltaInterop {
           // typeWidening — and return wrong data). This replay
           // implements exactly THREE optional reader features —
           // deletionVectors ([[DeltaDeletionVectors]]), v2Checkpoint
-          // ([[checkpointActions]]) and columnMapping 'name' mode
-          // ([[physicalType]]; 'id' mode still refuses at metaData
-          // parse) — so any other listed feature refuses.
+          // ([[checkpointActions]]) and columnMapping ('name' mode via
+          // [[physicalType]], 'id' mode via [[physicalTypeById]] +
+          // parquet field-id matching) — so any other listed feature
+          // refuses.
           // minReaderVersion 2 IS column mapping (the pre-feature-list
           // way to mandate it), so it is admitted on the same grounds.
           val implemented =
@@ -478,16 +512,20 @@ object DeltaInterop {
         s"$root: no metaData action in the replayed log")))
       .asInstanceOf[StructType]
     // column mapping: 'name' mode resolves by physical names carried in
-    // the schema metadata; 'id' mode (parquet field-id resolution) is
-    // refused loudly — serving it by name would silently misread any
-    // file whose physical layout diverged from the current schema
+    // the schema metadata; 'id' mode resolves against the parquet
+    // files by the writer-embedded field ids (the parquet column names
+    // of an id-mode table are arbitrary) — the requested scan schema
+    // carries `parquet.field.id` per field and the session flips on
+    // Spark's field-id matching (a session-level conf read at scan
+    // build; a no-op for every schema without id metadata, so enabling
+    // it here cannot change any other read's resolution)
     val physSchema =
       tableConf.getOrElse("delta.columnMapping.mode", "none") match {
         case "none" => schema
         case "name" => physicalType(schema).asInstanceOf[StructType]
-        case "id" => throw new UnsupportedOperationException(
-          s"$root uses columnMapping mode 'id' (parquet field-id " +
-            "resolution); this interop reader implements 'name' mode only")
+        case "id" =>
+          spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+          physicalTypeById(schema).asInstanceOf[StructType]
         case other => throw new UnsupportedOperationException(
           s"$root declares unknown columnMapping mode '$other'")
       }

@@ -164,6 +164,8 @@ class GraftLakeCatalog extends TableCatalog
   *   CALL graftlake.system.reindex('/data/t')
   *   CALL graftlake.system.compact_index('/data/t')
   *   CALL graftlake.system.vacuum('/data/t', 4)
+  *   CALL graftlake.system.sync_delta('/data/t', '/mirror/delta')
+  *   CALL graftlake.system.sync_iceberg('/data/t', '/mirror/ice', 5)
   * }}}
   *
   * Each returns one row (the resulting version; vacuum returns the
@@ -315,7 +317,20 @@ private[sources] object GraftLakeProcedures {
       Seq(in("iceberg_root", StringType), in("keep_last", LongType)),
       outCol = "snapshots_dropped")(r =>
       IcebergInterop.expireIcebergSnapshots(spark,
-        r.getUTF8String(0).toString, r.getLong(1).toInt).size.toLong)
+        r.getUTF8String(0).toString, r.getLong(1).toInt).size.toLong),
+    new Proc("sync_iceberg",
+      "mirror the lake table into an Iceberg table: every unsynced " +
+        "lake version appends one snapshot (published ids are the " +
+        "resume cursor, re-running is a no-op), then keep_last " +
+        "(optional) expires history — the Iceberg twin of sync_delta; " +
+        "returns the number of snapshots published (0 = up to date)",
+      Seq(in("table", StringType), in("iceberg_root", StringType),
+        inD("keep_last", LongType, "NULL")),
+      outCol = "snapshots_published")(r =>
+      IcebergInterop.syncToIceberg(spark, r.getUTF8String(0).toString,
+        r.getUTF8String(1).toString,
+        if (r.isNullAt(2)) None else Some(r.getLong(2).toInt))
+        .size.toLong)
   ).map(p => p.name() -> p).toMap
 }
 

@@ -1077,4 +1077,36 @@ object IcebergInterop {
     finally hintOut.close()
     v
   }
+
+  /** CONTINUOUSLY publish a [[LakeTable]] as an Iceberg table — the
+    * Iceberg twin of [[DeltaInterop.syncToDelta]]: every lake version
+    * newer than the newest published snapshot exports as one appended
+    * snapshot (the published snapshot ids ARE the resume cursor, so
+    * re-running is a no-op and a crashed run resumes where it
+    * stopped), then optionally expires history down to `expireKeepLast`
+    * snapshots ([[expireIcebergSnapshots]] — publication hygiene in the
+    * same call, so a cron'd `CALL graftlake.system.sync_iceberg` keeps
+    * the mirror both current AND bounded). Returns the lake versions
+    * published (empty = up to date). Cost per call: O(changed files)
+    * driver-side metadata per unsynced version + hard links. */
+  def syncToIceberg(spark: SparkSession, lakeRoot: String,
+                    iceRoot: String,
+                    expireKeepLast: Option[Int] = None): Seq[Long] = {
+    val lakeVs = LakeTable.versions(spark, lakeRoot)
+    require(lakeVs.nonEmpty, s"no lake table at $lakeRoot")
+    val f = fs(spark, iceRoot)
+    val published: Set[Long] =
+      if (f.exists(new Path(s"$iceRoot/metadata")))
+        parseMetadata(spark, iceRoot).snapshots.map(_.id).toSet
+      else Set.empty
+    // cursor = the NEWEST published snapshot: expiry may have dropped
+    // older ids, which must not be re-exported (their files are gone)
+    val cursor = published.maxOption.getOrElse(-1L)
+    val todo = lakeVs.filter(_ > cursor)
+    todo.foreach(v => exportToIceberg(spark, lakeRoot, iceRoot, Some(v)))
+    expireKeepLast.foreach { k =>
+      expireIcebergSnapshots(spark, iceRoot, k): Unit
+    }
+    todo
+  }
 }

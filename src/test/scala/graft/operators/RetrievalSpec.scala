@@ -120,7 +120,7 @@ class RetrievalSpec extends SparkSpec {
       ("ababab", 3L), ("abcabc", 2L), ("aabb", 5L), ("banana", 4L),
       ("bandana", 2L), ("cabbage", 1L), ("baggage", 2L), ("cabana", 3L))
     val got = Bpe.trainMerges(fixture.toDF("word", "freq"), "word", "freq",
-      rounds = 14)
+      rounds = 14, driverBudget = 0L) // pin the distributed delta path
       .collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toSeq
@@ -146,9 +146,11 @@ class RetrievalSpec extends SparkSpec {
         ("bandana", 2L), ("cabbage", 1L), ("baggage", 2L), ("cabana", 3L)))
     for (fx <- fixtures; rounds <- Seq(6, 14)) {
       val seq1 = Bpe.trainMerges(fx.toDF("word", "freq"), "word", "freq",
-        rounds, batchMerges = 1).collect().map(_.toSeq).toSeq
+        rounds, batchMerges = 1, driverBudget = 0L)
+        .collect().map(_.toSeq).toSeq
       val bat = Bpe.trainMerges(fx.toDF("word", "freq"), "word", "freq",
-        rounds, batchMerges = 8).collect().map(_.toSeq).toSeq
+        rounds, batchMerges = 8, driverBudget = 0L)
+        .collect().map(_.toSeq).toSeq
       assert(bat == seq1, s"batch diverged on $fx at $rounds rounds:\n" +
         s" batch $bat\n seq   $seq1")
     }
@@ -169,20 +171,44 @@ class RetrievalSpec extends SparkSpec {
       (s"$a$b$a$b", (1000L - i))
     }
     val seq1 = Bpe.trainMerges(fx.toDF("word", "freq"), "word", "freq",
-      rounds = 40, batchMerges = 1).collect().map(_.toSeq).toSeq
+      rounds = 40, batchMerges = 1, driverBudget = 0L)
+      .collect().map(_.toSeq).toSeq
     val ad = Bpe.trainMerges(fx.toDF("word", "freq"), "word", "freq",
-      rounds = 40, batchMerges = 2).collect().map(_.toSeq).toSeq
+      rounds = 40, batchMerges = 2, driverBudget = 0L)
+      .collect().map(_.toSeq).toSeq
     assert(ad == seq1)
     assert(ad.size == 40)
+  }
+
+  test("bpe: the driver-held fast path is bit-identical to the "
+      + "distributed path, and an over-budget vocab falls back to the "
+      + "distributed path (same output)") {
+    val fixture = Seq(
+      ("ababab", 3L), ("abcabc", 2L), ("aabb", 5L), ("banana", 4L),
+      ("bandana", 2L), ("cabbage", 1L), ("baggage", 2L), ("cabana", 3L))
+    val df = fixture.toDF("word", "freq")
+    val dist = Bpe.trainMerges(df, "word", "freq", rounds = 14,
+      driverBudget = 0L).collect().map(_.toSeq).toSeq
+    // default budget (1M words) admits this vocab → driver-held loop
+    val drv = Bpe.trainMerges(df, "word", "freq", rounds = 14)
+      .collect().map(_.toSeq).toSeq
+    assert(drv == dist,
+      s"driver path diverged:\n drv  $drv\n dist $dist")
+    // a budget smaller than the vocab (8 words > 3) must fall back to
+    // the distributed path, not truncate or fail
+    val over = Bpe.trainMerges(df, "word", "freq", rounds = 14,
+      driverBudget = 3L).collect().map(_.toSeq).toSeq
+    assert(over == dist)
   }
 
   test("bpe: reliable-checkpoint path trains identical merges") {
     val vocab = Seq(("abab", 2L), ("abc", 1L), ("aaa", 3L)).toDF("word", "freq")
     val dir = java.nio.file.Files.createTempDirectory("bpeckpt").toString
-    val local = Bpe.trainMerges(vocab, "word", "freq", rounds = 3)
-      .collect().map(_.toSeq).toSeq
+    val local = Bpe.trainMerges(vocab, "word", "freq", rounds = 3,
+      driverBudget = 0L).collect().map(_.toSeq).toSeq
     val durable = Bpe.trainMerges(vocab, "word", "freq", rounds = 3,
-      checkpointDir = Some(dir)).collect().map(_.toSeq).toSeq
+      checkpointDir = Some(dir), driverBudget = 0L)
+      .collect().map(_.toSeq).toSeq
     assert(local == durable)
   }
 

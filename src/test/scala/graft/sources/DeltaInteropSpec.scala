@@ -550,18 +550,29 @@ class DeltaInteropSpec extends SparkSpec {
       .select("k").as[Long].collect().toSet == Set(1L, 2L))
   }
 
-  test("columnMapping: 'id' mode and unknown modes refuse loudly") {
+  test("columnMapping 'id' mode resolves by PARQUET FIELD IDS — the "
+      + "file's column names share NOTHING with the physical names, so "
+      + "name resolution would return nulls; unknown modes refuse "
+      + "loudly") {
+    import org.apache.spark.sql.types.MetadataBuilder
     val root = freshRoot()
-    writeOne(Seq((1L, "a")).toDF("col-kkk", "col-vvv"), root, "f0.parquet")
+    def pmeta(id: Long) = new MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    // id-mode writers may name parquet columns anything; only the
+    // embedded field ids align with the schema's columnMapping ids
+    val df = Seq((1L, "a"), (2L, "b")).toDF("x1", "x2")
+      .select(col("x1").as("anon_1", pmeta(1L)),
+        col("x2").as("anon_2", pmeta(2L)))
+    writeOne(df, root, "f0.parquet")
     val sj = mappedSchemaJson(withPart = false)
     commit(root, 0L, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
       s"""{"metaData":{"id":"m","schemaString":$sj,"partitionColumns":[],"format":{"provider":"parquet"},"configuration":{"delta.columnMapping.mode":"id"}}}""",
       """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
-    val e = intercept[UnsupportedOperationException] {
-      DeltaInterop.readDelta(spark, root)
-    }
-    assert(e.getMessage.contains("'name' mode only"), e.getMessage)
+    assert(DeltaInterop.readDelta(spark, root)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    assert(DeltaInterop.deltaSchema(spark, root).fieldNames.toSeq ==
+      Seq("k", "v"))
     val r2 = freshRoot()
     writeOne(Seq((1L, "a")).toDF("col-kkk", "col-vvv"), r2, "f0.parquet")
     commit(r2, 0L, Seq(
