@@ -908,6 +908,111 @@ object VectorQueries {
       },
       "MMR diversified top-k: unrolled greedy ≡ executor-side rerank"),
 
+    // ---- MMR over the IVF scale path ---------------------------------------
+    // q335 diversifies a brute-force shortlist; this is the composed
+    // production shape — the shortlist comes from the partition-probed
+    // inverted file (seeded centroids, nProbe=2: each query scores
+    // only its probed buckets, the 100 TB path), then MMR diversifies
+    // the probed top-8 down to 4. The oracle replays BOTH stages: the
+    // q161 IVF probe CTEs feed the q335 MMR unroll.
+    "q341_mmr_ivf" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 8)
+        val shortlist = Similarity.ivfTopKDeterministic(emb,
+          emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+          k = 8, cents, nProbe = 2)
+          .join(emb.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("nvec")), Seq("neighbor_id"))
+        Similarity.mmrRerank(shortlist, "nvec", k = 4, lambdaPct = 70)
+          .select(col("query_id"), col("neighbor_id"),
+            col("mmr_rank").cast("int").as("mmr_rank"),
+            col("cos4"), col("mmr4"))
+      },
+      Some {
+        val simc = (a: String, b: String) =>
+          s"floor(list_cosine_similarity(CAST($a AS DOUBLE[]), " +
+            s"CAST($b AS DOUBLE[])) * 10000 + 0.5) / 10000"
+        val mmr = (cos: String, red: String) =>
+          s"floor(((70 * $cos - 30 * $red) / 100) * 10000 + 0.5) / 10000"
+        s"""WITH init AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+                 embedding AS cvec
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+        cassign AS (
+          SELECT vec_id, embedding, cid AS bucket FROM (
+            SELECT e.vec_id, e.embedding, i.cid,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${Q4("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(i.cvec AS DOUBLE[]))")} DESC,
+                i.cid) AS rn
+            FROM embeddings e CROSS JOIN init i) WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, embedding AS qemb, cid AS bucket FROM (
+            SELECT e.vec_id, e.embedding, i.cid,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${Q4("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(i.cvec AS DOUBLE[]))")} DESC,
+                i.cid) AS rn
+            FROM (SELECT * FROM embeddings WHERE vec_id < 4) e
+            CROSS JOIN init i) WHERE rn <= 2),
+        cand AS (
+          SELECT query_id, neighbor_id, cos4, nvec FROM (
+            SELECT p.query_id, c.vec_id AS neighbor_id,
+              ${Q4("list_cosine_similarity(CAST(p.qemb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))")} AS cos4,
+              c.embedding AS nvec,
+              row_number() OVER (PARTITION BY p.query_id
+                ORDER BY ${Q4("list_cosine_similarity(CAST(p.qemb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))")} DESC,
+                         c.vec_id) AS rk
+            FROM probes p JOIN cassign c ON c.bucket = p.bucket
+            WHERE c.vec_id <> p.query_id)
+          WHERE rk <= 8),
+        s1 AS (SELECT *, ${mmr("cos4", "0")} AS mmr FROM cand),
+        p1 AS (SELECT * FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY mmr DESC, neighbor_id) rn
+          FROM s1) WHERE rn = 1),
+        b2 AS (SELECT c.* FROM cand c
+          ANTI JOIN p1 USING (query_id, neighbor_id)),
+        s2 AS (SELECT b.query_id, b.neighbor_id, b.cos4, b.nvec,
+            ${mmr("b.cos4", simc("b.nvec", "p.nvec"))} AS mmr
+          FROM b2 b JOIN p1 p USING (query_id)),
+        p2 AS (SELECT * FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY mmr DESC, neighbor_id) rn
+          FROM s2) WHERE rn = 1),
+        sel2 AS (SELECT query_id, neighbor_id, nvec FROM p1
+          UNION ALL SELECT query_id, neighbor_id, nvec FROM p2),
+        b3 AS (SELECT c.* FROM cand c
+          ANTI JOIN sel2 USING (query_id, neighbor_id)),
+        r3 AS (SELECT b.query_id, b.neighbor_id,
+            any_value(b.cos4) AS cos4, any_value(b.nvec) AS nvec,
+            max(${simc("b.nvec", "s.nvec")}) AS red
+          FROM b3 b JOIN sel2 s USING (query_id)
+          GROUP BY b.query_id, b.neighbor_id),
+        s3 AS (SELECT query_id, neighbor_id, cos4, nvec,
+            ${mmr("cos4", "red")} AS mmr FROM r3),
+        p3 AS (SELECT * FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY mmr DESC, neighbor_id) rn
+          FROM s3) WHERE rn = 1),
+        sel3 AS (SELECT query_id, neighbor_id, nvec FROM sel2
+          UNION ALL SELECT query_id, neighbor_id, nvec FROM p3),
+        b4 AS (SELECT c.* FROM cand c
+          ANTI JOIN sel3 USING (query_id, neighbor_id)),
+        r4 AS (SELECT b.query_id, b.neighbor_id,
+            any_value(b.cos4) AS cos4, any_value(b.nvec) AS nvec,
+            max(${simc("b.nvec", "s.nvec")}) AS red
+          FROM b4 b JOIN sel3 s USING (query_id)
+          GROUP BY b.query_id, b.neighbor_id),
+        s4 AS (SELECT query_id, neighbor_id, cos4, nvec,
+            ${mmr("cos4", "red")} AS mmr FROM r4),
+        p4 AS (SELECT * FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY mmr DESC, neighbor_id) rn
+          FROM s4) WHERE rn = 1)
+        SELECT query_id, neighbor_id, 1 AS mmr_rank, cos4,
+          mmr AS mmr4 FROM p1
+        UNION ALL SELECT query_id, neighbor_id, 2, cos4, mmr FROM p2
+        UNION ALL SELECT query_id, neighbor_id, 3, cos4, mmr FROM p3
+        UNION ALL SELECT query_id, neighbor_id, 4, cos4, mmr FROM p4"""
+      },
+      "MMR over the IVF-probed shortlist: the composed scale path"),
+
     // ---- Matryoshka truncated-dimension rerank ----------------------------
     // The MRL deployment cascade (Kusupati et al. 2022): shortlist on
     // the FIRST 16 of 64 dims (¼ the dot-product work; at scale the

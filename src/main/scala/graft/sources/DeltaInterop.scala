@@ -575,7 +575,7 @@ object DeltaInterop {
     * writer), so the transfer must be structurally bounded — not left
     * to the lake's own DV-maintenance budgets, which no foreign call
     * site enforces (VERDICT r13 #2). */
-  private[sources] val DvExportBudget = 10000000L
+  private[sources] var DvExportBudget = 10000000L // var: test seam only
 
   /** The lake snapshot's live deletion-vector state, per file: sorted
     * deleted row positions. The collect is gated by [[DvExportBudget]]

@@ -836,4 +836,85 @@ class DeltaInteropSpec extends SparkSpec {
       DeltaInterop.deltaVersions(spark, root)
     }
   }
+
+  test("COMPOUND corner: one log carrying a v2/UUID checkpoint with a "
+      + "sidecar, live deletion vectors ('i' in the checkpoint, 'u' in "
+      + "the tail) AND columnMapping 'name' replays correctly, logical "
+      + "names and all three features composing") {
+    val root = freshRoot()
+    // physical layout: mapped column names in every parquet file
+    writeOne(Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"))
+      .toDF("col-kkk", "col-vvv"), root, "f0.parquet")
+    writeOne(Seq((10L, "x"), (11L, "y"), (12L, "z"))
+      .toDF("col-kkk", "col-vvv"), root, "f1.parquet")
+    writeOne(Seq((20L, "p"), (21L, "q"))
+      .toDF("col-kkk", "col-vvv"), root, "f2.parquet")
+    val sj = mappedSchemaJson(withPart = false)
+    // checkpoint writer with the FULL action shape this corner needs
+    // (metaData.configuration for the mapping mode, complete DV
+    // descriptors on adds)
+    def writeCkptFull(dir: String, name: String,
+                      actions: Seq[String]): Unit = {
+      import org.apache.spark.sql.types._
+      val s = StructType(Seq(
+        StructField("add", StructType(Seq(
+          StructField("path", StringType),
+          StructField("partitionValues", MapType(StringType, StringType)),
+          StructField("stats", StringType),
+          StructField("deletionVector", StructType(Seq(
+            StructField("storageType", StringType),
+            StructField("pathOrInlineDv", StringType),
+            StructField("offset", IntegerType),
+            StructField("sizeInBytes", IntegerType),
+            StructField("cardinality", LongType)))))), nullable = true),
+        StructField("remove", StructType(Seq(
+          StructField("path", StringType))), nullable = true),
+        StructField("metaData", StructType(Seq(
+          StructField("schemaString", StringType),
+          StructField("partitionColumns", ArrayType(StringType)),
+          StructField("configuration", MapType(StringType, StringType)))),
+          nullable = true),
+        StructField("protocol", StructType(Seq(
+          StructField("minReaderVersion", IntegerType),
+          StructField("readerFeatures", ArrayType(StringType)))),
+          nullable = true),
+        StructField("sidecar", StructType(Seq(
+          StructField("path", StringType))), nullable = true)))
+      val df = spark.read.schema(s).json(actions.toDS)
+      writeOne(df, dir, name)
+    }
+    // inline DV on f0 inside the checkpoint: drops positions 1,3
+    val bm0 = DeltaDeletionVectors.serializeBitmap(Array(1L, 3L))
+    val enc0 = DeltaDeletionVectors.z85Encode(bm0)
+    writeCkptFull(s"$root/_delta_log",
+      "00000000000000000002.checkpoint." +
+        "0a1b2c3d-9999-8888-7777-666655554444.parquet",
+      Seq("""{"protocol":{"minReaderVersion":3,"readerFeatures":["v2Checkpoint","deletionVectors","columnMapping"]}}""",
+        s"""{"metaData":{"schemaString":$sj,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+        s"""{"add":{"path":"f0.parquet","partitionValues":{},"deletionVector":{"storageType":"i","pathOrInlineDv":"$enc0","sizeInBytes":${bm0.length},"cardinality":2}}}""",
+        """{"sidecar":{"path":"sc-001.parquet"}}"""))
+    writeCkptFull(s"$root/_delta_log/_sidecars", "sc-001.parquet",
+      Seq("""{"add":{"path":"f1.parquet","partitionValues":{}}}"""))
+    Files.writeString(Paths.get(s"$root/_delta_log/_last_checkpoint"),
+      """{"version":2}""")
+    // JSON tail: f2 lands with an on-disk 'u' DV dropping position 0
+    val uuid = java.util.UUID.randomUUID()
+    val bm2 = DeltaDeletionVectors.serializeBitmap(Array(0L))
+    val frames = DeltaDeletionVectors.writeDvFile(spark,
+      s"$root/deletion_vector_$uuid.bin", Seq(bm2))
+    val (off2, size2) = frames.head
+    val encU = DeltaDeletionVectors.encodeUuid(uuid)
+    commit(root, 3L, Seq(
+      s"""{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"$encU","offset":$off2,"sizeInBytes":$size2,"cardinality":1}}}"""))
+    assert(DeltaInterop.deltaSchema(spark, root).fieldNames.toSeq ==
+      Seq("k", "v"))
+    assert(DeltaInterop.readDelta(spark, root)
+      .select("k").as[Long].collect().toSet ==
+      Set(0L, 2L, 10L, 11L, 12L, 21L))
+    // time travel to the checkpoint version: the tail's file absent,
+    // the checkpoint's DVs still applied, names still logical
+    assert(DeltaInterop.readDelta(spark, root, Some(2L))
+      .select("k", "v").as[(Long, String)].collect().toSet ==
+      Set((0L, "a"), (2L, "c"), (10L, "x"), (11L, "y"), (12L, "z")))
+  }
 }

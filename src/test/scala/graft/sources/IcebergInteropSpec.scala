@@ -472,4 +472,173 @@ class IcebergInteropSpec extends SparkSpec {
     }
     assert(eBad.getMessage.contains("equality_ids"), eBad.getMessage)
   }
+
+  test("COMPOUND corner: a hand-built multi-snapshot v2 history with a "
+      + "REWRITE (file replaced between snapshots) plus BOTH delete "
+      + "kinds — time travel, sequence scoping and incremental reads "
+      + "all compose") {
+    val root = freshRoot()
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def writeOne(df: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val stage = s"$root/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = fsys.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/$rel").getParent)
+      fsys.rename(part, new org.apache.hadoop.fs.Path(s"$root/$rel"))
+      fsys.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+    }
+    writeOne((0L to 4L).map(k => (k, s"v$k")).toDF("k", "v"),
+      "data/fA1.parquet")
+    writeOne((5L to 9L).map(k => (k, s"v$k")).toDF("k", "v"),
+      "data/fA2.parquet")
+    // the rewrite of fA2 (same rows, compacted) landing at seq 2
+    writeOne((5L to 9L).map(k => (k, s"v$k")).toDF("k", "v"),
+      "data/fB.parquet")
+    // appended at seq 3 — RE-INSERTS k=3 after the equality delete
+    writeOne(Seq((3L, "v3b"), (10L, "v10"), (11L, "v11"), (12L, "v12"))
+      .toDF("k", "v"), "data/fC.parquet")
+    writeOne(Seq(3L).toDF("k"), "data/eq.parquet")       // eq delete k=3
+    writeOne(Seq(("data/fA1.parquet", 0L)).toDF("file_path", "pos"),
+      "data/pd.parquet")                                 // pos delete k=0
+    def manifestEntry(content: Int, path: String,
+        eqIds: Seq[Int] = Seq.empty): GenericData.Record = {
+      val df0 = new GenericData.Record(
+        IcebergInterop.manifestSchema.getField("data_file").schema())
+      df0.put("content", content)
+      df0.put("file_path", path)
+      df0.put("file_format", "PARQUET")
+      df0.put("partition", new GenericData.Record(
+        df0.getSchema.getField("partition").schema()))
+      df0.put("record_count", 1L)
+      df0.put("file_size_in_bytes", 1L)
+      if (eqIds.nonEmpty) {
+        val l = new java.util.ArrayList[Integer]()
+        eqIds.foreach(i => l.add(Int.box(i)))
+        df0.put("equality_ids", l)
+      }
+      val e = new GenericData.Record(IcebergInterop.manifestSchema)
+      e.put("status", 1)
+      e.put("data_file", df0)
+      e
+    }
+    def listEntry(path: String, content: Int, seq: Long)
+        : GenericData.Record = {
+      val r = new GenericData.Record(IcebergInterop.manifestListSchema)
+      r.put("manifest_path", path)
+      r.put("manifest_length", 1L)
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("sequence_number", seq)
+      r.put("min_sequence_number", seq)
+      r.put("added_snapshot_id", 100L)
+      r.put("added_files_count", 1)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", 1L)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r
+    }
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/metadata"))
+    def mf(name: String, entries: Seq[GenericData.Record]): String = {
+      IcebergInterop.writeAvro(spark, s"$root/metadata/$name",
+        IcebergInterop.manifestSchema, entries)
+      s"metadata/$name"
+    }
+    val mA1 = mf("mA1.avro", Seq(manifestEntry(0, "data/fA1.parquet")))
+    val mA2 = mf("mA2.avro", Seq(manifestEntry(0, "data/fA2.parquet")))
+    val mB = mf("mB.avro", Seq(manifestEntry(0, "data/fB.parquet")))
+    val mC = mf("mC.avro", Seq(manifestEntry(0, "data/fC.parquet")))
+    val mDel = mf("mDel.avro",
+      Seq(manifestEntry(2, "data/eq.parquet", Seq(1)),
+        manifestEntry(1, "data/pd.parquet")))
+    // snap 100 @ seq 1: fA1 + fA2.  snap 200 @ seq 2: fA2 REWRITTEN to
+    // fB, deletes land.  snap 300 @ seq 3: fC appended.
+    IcebergInterop.writeAvro(spark, s"$root/metadata/snap-100.avro",
+      IcebergInterop.manifestListSchema,
+      Seq(listEntry(mA1, 0, 1L), listEntry(mA2, 0, 1L)))
+    IcebergInterop.writeAvro(spark, s"$root/metadata/snap-200.avro",
+      IcebergInterop.manifestListSchema,
+      Seq(listEntry(mA1, 0, 1L), listEntry(mB, 0, 2L),
+        listEntry(mDel, 1, 2L)))
+    IcebergInterop.writeAvro(spark, s"$root/metadata/snap-300.avro",
+      IcebergInterop.manifestListSchema,
+      Seq(listEntry(mA1, 0, 1L), listEntry(mB, 0, 2L),
+        listEntry(mDel, 1, 2L), listEntry(mC, 0, 3L)))
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"k","required":false,"type":"long"},
+        |{"id":2,"name":"v","required":false,"type":"string"}]}"""
+        .stripMargin.replace("\n", "")
+    def snapJson(id: Long, seq: Long, ts: Long) =
+      s"""{"snapshot-id":$id,"timestamp-ms":$ts,"sequence-number":$seq,
+         |"manifest-list":"metadata/snap-$id.avro"}"""
+        .stripMargin.replace("\n", "")
+    Files.writeString(Paths.get(s"$root/metadata/v1.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"cmp","location":"$root",
+         |"last-sequence-number":3,"last-updated-ms":30,"last-column-id":2,
+         |"current-schema-id":0,"schemas":[$schemaJson],
+         |"default-spec-id":0,"partition-specs":[],"last-partition-id":9,
+         |"current-snapshot-id":300,
+         |"snapshots":[${snapJson(100, 1, 10)},${snapJson(200, 2, 20)},
+         |${snapJson(300, 3, 30)}]}"""
+        .stripMargin.replace("\n", ""))
+    // current (snap 300): fA1 loses k=0 (pos) and k=3 (eq, seq 1 < 2);
+    // fB survives whole (seq 2 not < 2); fC re-inserted k=3 survives
+    assert(IcebergInterop.readIceberg(spark, root)
+      .select("k").as[Long].collect().toSet ==
+      Set(1L, 2L, 4L, 5L, 6L, 7L, 8L, 9L, 3L, 10L, 11L, 12L))
+    // time travel BEFORE the deletes/rewrite: the original ten rows
+    assert(IcebergInterop.readIceberg(spark, root, Some(100L))
+      .select("k").as[Long].collect().toSet == (0L to 9L).toSet)
+    // mid-history: deletes applied, fC absent
+    assert(IcebergInterop.readIceberg(spark, root, Some(200L))
+      .select("k").as[Long].collect().toSet ==
+      Set(1L, 2L, 4L, 5L, 6L, 7L, 8L, 9L))
+    // incremental 100→300: the rewrite surfaces fB, the append fC,
+    // with snapshot-300 deletes applied to what is read
+    assert(IcebergInterop.readIcebergChanges(spark, root,
+      Some(100L), 300L).select("k").as[Long].collect().toSet ==
+      Set(5L, 6L, 7L, 8L, 9L, 3L, 10L, 11L, 12L))
+    // the change-kind probe sees the rewrite: fA2 removed, deletes new
+    val (removed, newDel) = IcebergInterop.icebergChangeKinds(
+      spark, root, 100L, 200L)
+    assert(removed == Seq("data/fA2.parquet"), removed)
+    assert(newDel.toSet ==
+      Set("data/eq.parquet", "data/pd.parquet"), newDel)
+  }
+
+  test("the delete-position export is DISTRIBUTED: a DV far over the "
+      + "Delta driver-serialization budget exports to Iceberg fine "
+      + "(positions never reach the driver) while the Delta export "
+      + "refuses, naming the purge escape hatch") {
+    val lake = freshRoot()
+    val ice = freshRoot() + "_i"
+    LakeTable.append(spark.range(0, 120000)
+      .select(col("id").as("k"), (col("id") % 7).as("v")), lake,
+      zoneKey = Some("k"))
+    LakeTable.deleteWhereDV(spark, lake, "k % 2 = 0") // 60k positions
+    val saved = DeltaInterop.DvExportBudget
+    try {
+      DeltaInterop.DvExportBudget = 1000L
+      // Iceberg path: distributed sorted write — budget-independent
+      IcebergInterop.exportToIceberg(spark, lake, ice)
+      assert(IcebergInterop.readIceberg(spark, ice).count() == 60000L)
+      assert(IcebergInterop.readIceberg(spark, ice)
+        .agg(min("k"), max("k")).as[(Long, Long)].head() ==
+        ((1L, 119999L)))
+      // Delta path: driver-side RoaringBitmap serialization — refuses
+      // over budget, pointing at the purge escape hatch
+      val e = intercept[IllegalArgumentException] {
+        DeltaInterop.exportToDelta(spark, lake, freshRoot() + "_d")
+      }
+      assert(e.getMessage.contains("purge"), e.getMessage)
+    } finally DeltaInterop.DvExportBudget = saved
+    // within budget the Delta export serves as before
+    val d2 = freshRoot() + "_d2"
+    DeltaInterop.exportToDelta(spark, lake, d2)
+    assert(DeltaInterop.readDelta(spark, d2).count() == 60000L)
+  }
 }
