@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -2033,5 +2034,96 @@ object CorpusQueries {
         FROM n a JOIN n b ON a.source < b.source
         LEFT JOIN c ON c.src_a = a.source AND c.src_b = b.source"""),
       "HLL inclusion-exclusion: cross-source overlap from mergeable sketches"),
+
+    // ---- PII scrub: redact + count, one codegen Project -------------------
+    // The synthetic corpus carries no PII, so both sides inject it
+    // deterministically from doc_id first (emails everywhere; phones,
+    // IPs, SSNs, cards on residue classes), then run the same ordered
+    // regexp chain. The whole scrub is ONE Project riding the scan —
+    // zero exchanges; a 100 TB corpus pays its read cost only.
+    "q342_pii_scrub" -> Q(
+      (s, d) => {
+        val inj = graft.queries.CorpusQueries.withInjectedPii(
+          Tables.documents(s, d))
+        graft.ops.Pii.scrub(inj, "text")
+          .select(col("doc_id"), col("clean_text"), col("n_email"),
+            col("n_ip"), col("n_ssn"), col("n_cc"), col("n_phone"))
+      },
+      Some(graft.ops.Pii.scrubSql(
+        s"(SELECT doc_id, $injectedPiiSql AS text FROM documents) __inj",
+        "doc_id", "text")),
+      "PII scrub: ordered redaction chain + per-category counts, " +
+        "one codegen Project"),
+
+    // ---- PII prevalence audit: per-source release gate --------------------
+    // The aggregate view a release run reads: per source, how many
+    // documents carry each category and in what volume. Partial
+    // aggregation rides the same single-Project scrub — one scan, one
+    // small shuffle keyed by source.
+    "q343_pii_rates" -> Q(
+      (s, d) => {
+        val inj = graft.queries.CorpusQueries.withInjectedPii(
+          Tables.documents(s, d))
+        graft.ops.Pii.scrub(inj, "text")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(graft.ops.Pii.hasPii().cast("long")).as("docs_with_pii"),
+            sum(col("n_email").cast("long")).as("emails"),
+            sum(col("n_phone").cast("long")).as("phones"),
+            sum((col("n_ip") + col("n_ssn") + col("n_cc")).cast("long"))
+              .as("other_pii"))
+      },
+      Some {
+        val scrub = graft.ops.Pii.scrubSql(
+          s"""(SELECT doc_id, source, $injectedPiiSql AS text
+             | FROM documents) __inj""".stripMargin,
+          "doc_id, source", "text")
+        s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN n_email > 0 OR n_ip > 0 OR n_ssn > 0
+           |    OR n_cc > 0 OR n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS docs_with_pii,
+           |  CAST(sum(n_email) AS BIGINT) AS emails,
+           |  CAST(sum(n_phone) AS BIGINT) AS phones,
+           |  CAST(sum(n_ip + n_ssn + n_cc) AS BIGINT) AS other_pii
+           |FROM ($scrub) GROUP BY source""".stripMargin
+      },
+      "PII prevalence by source: release-gate audit over the scrub chain"),
   )
+
+  /** Deterministic PII injection for the q342/q343 fixtures: every doc
+    * gains an email; residue classes of doc_id add a phone, an IP, an
+    * SSN shape, and a card shape. Pure column exprs (same Project as
+    * the scrub). */
+  private[queries] def withInjectedPii(docs: DataFrame): DataFrame = {
+    def pad(n: Column, w: Int) = lpad(n.cast("string"), w, "0")
+    val id = col("doc_id")
+    docs.withColumn("text", concat(
+      col("text"),
+      lit(" contact user"), id.cast("string"),
+      lit("@ex"), (id % 7).cast("string"), lit(".org"),
+      when(id % 3 === 0, concat(lit(" call 555-"), pad(id % 1000, 3),
+        lit("-"), pad(id % 10000, 4))).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" from 10."), (id % 256).cast("string"),
+        lit(".0.1"))).otherwise(lit("")),
+      when(id % 7 === 0, concat(lit(" ssn 123-45-"), pad(id % 10000, 4)))
+        .otherwise(lit("")),
+      when(id % 11 === 0, concat(lit(" card 4111 1111 1111 "),
+        pad(id % 10000, 4))).otherwise(lit(""))))
+  }
+
+  /** DuckDB rendering of [[withInjectedPii]]'s text expression (a def:
+    * it is referenced while `defs` is still being constructed). */
+  private def injectedPiiSql: String =
+    """text || ' contact user' || CAST(doc_id AS VARCHAR)
+      | || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+      | || CASE WHEN doc_id % 3 = 0 THEN ' call 555-'
+      |   || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+      |   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      | || CASE WHEN doc_id % 5 = 0 THEN ' from 10.'
+      |   || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END
+      | || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-'
+      |   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      | || CASE WHEN doc_id % 11 = 0 THEN ' card 4111 1111 1111 '
+      |   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"""
+      .stripMargin.replace("\n", "")
 }

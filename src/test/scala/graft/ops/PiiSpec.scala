@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Unit checks for the PII scrub chain: redaction correctness on
+  * hand-picked edge cases, no-double-count across categories, and the
+  * zero-exchange plan shape that makes it free at corpus scale. */
+class PiiSpec extends SparkSpec {
+
+  private def one(text: String): (String, Map[String, Int]) = {
+    val s = spark
+    import s.implicits._
+    val row = Pii.scrub(Seq((1L, text)).toDF("id", "text"), "text")
+      .collect().head
+    (row.getAs[String]("clean_text"),
+      Pii.Defaults.map(c =>
+        c.name -> row.getAs[Int](s"n_${c.name}")).toMap)
+  }
+
+  test("each default category redacts its shape and counts it once") {
+    val (t, n) = one("mail a@b.org or x.y+z@sub.example.co.uk, " +
+      "host 192.168.0.1, ssn 123-45-6789, card 4111 1111 1111 1234, " +
+      "call 555-010-1234 now")
+    assert(t == "mail <EMAIL> or <EMAIL>, host <IP>, ssn <ID>, " +
+      "card <CC>, call <PHONE> now")
+    assert(n == Map("email" -> 2, "ip" -> 1, "ssn" -> 1, "cc" -> 1,
+      "phone" -> 1))
+  }
+
+  test("ordering prevents double counting: an SSN is not also a phone, " +
+      "a card is not four IPs, an email's digits are not an id") {
+    val (t, n) = one("id9-99-9999@mail.net and 999-99-9999 and " +
+      "1234-5678-9012-3456")
+    // the email (containing an SSN-shaped local part) redacts FIRST,
+    // so only the bare SSN counts; the dashed card is a CC, which the
+    // later phone pass no longer sees
+    assert(t == "<EMAIL> and <ID> and <CC>")
+    assert(n("email") == 1 && n("ssn") == 1 && n("cc") == 1)
+    assert(n("phone") == 0 && n("ip") == 0)
+  }
+
+  test("word boundaries hold: digit runs inside longer numbers are " +
+      "not ids, dotted section numbers shorter than a quad are kept") {
+    val (t, n) = one("serial 91234-56-78901 stays; see 1.2.3 and " +
+      "version 10.2.33.445566")
+    assert(t == "serial 91234-56-78901 stays; see 1.2.3 and " +
+      "version 10.2.33.445566")
+    assert(n.values.sum == 0)
+  }
+
+  test("clean text is untouched and counts are zero") {
+    val (t, n) = one("no personal data here at all")
+    assert(t == "no personal data here at all")
+    assert(n.values.sum == 0)
+  }
+
+  test("the scrub plans as a single stage with zero exchanges") {
+    val s = spark
+    import s.implicits._
+    val df = Pii.scrub(Seq((1L, "a@b.co")).toDF("id", "text"), "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("hasPii gates on any category") {
+    val s = spark
+    import s.implicits._
+    val df = Pii.scrub(Seq((1L, "write to a@b.org"), (2L, "nothing"))
+      .toDF("id", "text"), "text")
+    val flagged = df.filter(Pii.hasPii()).select("id")
+      .as[Long].collect().toSet
+    assert(flagged == Set(1L))
+  }
+}
