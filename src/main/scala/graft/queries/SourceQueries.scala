@@ -2587,6 +2587,126 @@ object SourceQueries {
         FROM orders WHERE o_orderkey % 20 = 0"""),
       "Iceberg v2 equality+position deletes, sequence-number scoped"),
 
+    // ---- Iceberg v3: Puffin deletion vectors --------------------------------
+    // The v3 delete shape: position deletes live as a roaring-bitmap
+    // blob in a Puffin file, referenced from the delete manifest by
+    // (referenced_data_file, content_offset, content_size_in_bytes).
+    // The blob decodes on EXECUTORS (binaryFile + broadcast
+    // descriptor) into the same (file, row-index) anti-join the v2
+    // position-delete path uses. The oracle recomputes the surviving
+    // positions relationally.
+    "q344_iceberg_v3_dv" -> Q(
+      (s, d) => {
+        import org.apache.avro.generic.GenericData
+        import graft.sources.{IcebergInterop, PuffinFiles}
+        val root = freshRoot("graft_icev3_q344") + "/t"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        def writeOne(df: org.apache.spark.sql.DataFrame,
+                     rel: String): Unit = {
+          val stage = s"$root/_stage"
+          df.coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+            .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+          fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/$rel")
+            .getParent)
+          fs.rename(part, new org.apache.hadoop.fs.Path(s"$root/$rel"))
+          fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+        }
+        // f1 @ seq 1: every 4th order, sorted so positions are defined
+        val f1 = o.filter(col("o_orderkey") % 4 === 0)
+          .orderBy("o_orderkey")
+        writeOne(f1, "data/f1.parquet")
+        val n = f1.count() // one scalar job parameterizes the vector
+        // the DV deletes every 3rd position of f1
+        val dvPos = (0L until n by 3L).toArray
+        val blob = PuffinFiles.write(s, s"$root/data/dv.puffin", Seq(
+          PuffinFiles.Blob(PuffinFiles.DvBlobType, Seq(2147483546),
+            7L, 2L, PuffinFiles.dvBlobBytes(dvPos),
+            Map("referenced-data-file" -> "data/f1.parquet",
+              "cardinality" -> dvPos.length.toString)))).head
+        def listEntry(path: String, content: Int, seq: Long)
+            : GenericData.Record = {
+          val r = new GenericData.Record(
+            IcebergInterop.manifestListSchema)
+          r.put("manifest_path", path)
+          r.put("manifest_length", 1L)
+          r.put("partition_spec_id", 0)
+          r.put("content", content)
+          r.put("sequence_number", seq)
+          r.put("min_sequence_number", seq)
+          r.put("added_snapshot_id", 7L)
+          r.put("added_files_count", 1)
+          r.put("existing_files_count", 0)
+          r.put("deleted_files_count", 0)
+          r.put("added_rows_count", 1L)
+          r.put("existing_rows_count", 0L)
+          r.put("deleted_rows_count", 0L)
+          r
+        }
+        val v3 = IcebergInterop.manifestSchemaV3
+        def entry(content: Int, path: String, fmt: String)
+            : GenericData.Record = {
+          val df0 = new GenericData.Record(
+            v3.getField("data_file").schema())
+          df0.put("content", content)
+          df0.put("file_path", path)
+          df0.put("file_format", fmt)
+          df0.put("partition", new GenericData.Record(
+            df0.getSchema.getField("partition").schema()))
+          df0.put("record_count",
+            if (content == 1) dvPos.length.toLong else n)
+          df0.put("file_size_in_bytes", 1L)
+          if (content == 1) {
+            df0.put("referenced_data_file", "data/f1.parquet")
+            df0.put("content_offset", blob.offset)
+            df0.put("content_size_in_bytes", blob.length)
+          }
+          val e = new GenericData.Record(v3)
+          e.put("status", 1)
+          e.put("data_file", df0)
+          e
+        }
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/metadata"))
+        IcebergInterop.writeAvro(s, s"$root/metadata/md1.avro", v3,
+          Seq(entry(0, "data/f1.parquet", "PARQUET")))
+        IcebergInterop.writeAvro(s, s"$root/metadata/mdv.avro", v3,
+          Seq(entry(1, "data/dv.puffin", "PUFFIN")))
+        IcebergInterop.writeAvro(s, s"$root/metadata/snap-7.avro",
+          IcebergInterop.manifestListSchema,
+          Seq(listEntry("metadata/md1.avro", 0, 1L),
+            listEntry("metadata/mdv.avro", 1, 2L)))
+        val schemaJson =
+          """{"type":"struct","schema-id":0,"fields":[
+            |{"id":1,"name":"o_orderkey","required":false,"type":"long"},
+            |{"id":2,"name":"o_orderstatus","required":false,
+            |"type":"string"},
+            |{"id":3,"name":"o_totalprice","required":false,
+            |"type":"double"}]}""".stripMargin.replace("\n", "")
+        Files.writeString(
+          Paths.get(s"$root/metadata/v1.metadata.json"),
+          s"""{"format-version":3,"table-uuid":"q344","location":"$root",
+             |"last-sequence-number":2,"last-updated-ms":9,
+             |"last-column-id":3,"current-schema-id":0,
+             |"schemas":[$schemaJson],"default-spec-id":0,
+             |"partition-specs":[],"last-partition-id":9,"next-row-id":0,
+             |"current-snapshot-id":7,
+             |"snapshots":[{"snapshot-id":7,"timestamp-ms":9,
+             |"sequence-number":2,
+             |"manifest-list":"metadata/snap-7.avro"}]}"""
+            .stripMargin.replace("\n", ""))
+        IcebergInterop.readIceberg(s, root)
+      },
+      Some("""WITH f1 AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice,
+                 row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+          FROM orders WHERE o_orderkey % 4 = 0)
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM f1
+        WHERE pos % 3 <> 0"""),
+      "Iceberg v3 Puffin deletion vector, decoded on executors"),
+
     // ---- Iceberg STREAMING source ------------------------------------------
     // The third open-format streaming leg: an incrementally-published
     // Iceberg table tails into Structured Streaming via

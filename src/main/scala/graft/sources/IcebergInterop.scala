@@ -28,13 +28,23 @@ import org.apache.spark.sql.types._
   *    deletes (what Flink CDC and other streaming writers emit)
   *    null-safely on their equality-id columns, scoped to data files
   *    with strictly older sequence numbers per the spec.
-  *  - REFUSED LOUDLY, never silently wrong: format-version 3+,
-  *    equality deletes in v1 logs (no sequence order to scope by) or
-  *    without equality_ids, non-parquet data files, v1 logs carrying
-  *    the legacy inline `manifests` snapshot field, and Iceberg types
-  *    this engine cannot map (uuid, fixed, time). Column resolution is
-  *    by NAME (the overwhelmingly common case); field-id-based rename
-  *    tracking is out of scope and documented as such.
+  *  - Format-version 3 reads serve the v3 DELETE shape: deletion
+  *    vectors stored in Puffin files ([[PuffinFiles]]) decode on
+  *    EXECUTORS (binaryFile + broadcast descriptors, the Delta DV
+  *    plan) into the same (file, row-index) anti-join, with the
+  *    manifest's `record_count` re-verified against each decoded
+  *    vector's cardinality.
+  *  - REFUSED LOUDLY, never silently wrong: format-version 4+, v3
+  *    schema default values (`initial-default`/`write-default` — a
+  *    name-resolving scan would return nulls instead of defaults),
+  *    DV manifest entries missing `referenced_data_file` or
+  *    `content_offset`, equality deletes in v1 logs (no sequence
+  *    order to scope by) or without equality_ids, non-parquet data
+  *    files, v1 logs carrying the legacy inline `manifests` snapshot
+  *    field, and Iceberg types this engine cannot map (uuid, fixed,
+  *    time). Column resolution is by NAME (the overwhelmingly common
+  *    case); field-id-based rename tracking is out of scope and
+  *    documented as such.
   *  - WRITE: [[exportToIceberg]] publishes a lake snapshot as an
   *    Iceberg v2 table — hard-linked parquet, one data manifest, a
   *    position-delete manifest when the snapshot carries live deletion
@@ -188,6 +198,20 @@ object IcebergInterop {
       |{"type":"array","items":"int"}]}
       |]}}]}""".stripMargin)
 
+  /** Manifest-entry Avro schema, v3 shape: the v2 fields plus the
+    * deletion-vector reference triple (spec field-ids 143-145). Only
+    * fixtures and future v3 exports write it; the reader resolves all
+    * fields by name with schema-checked access, so v2 and v3 entries
+    * parse through one path. */
+  private[graft] val manifestSchemaV3 =
+    new org.apache.avro.Schema.Parser().parse(
+      manifestSchema.toString.replace(
+        """{"name":"equality_ids"""",
+        """{"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+          |{"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+          |{"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145},
+          |{"name":"equality_ids"""".stripMargin))
+
   // ---- Iceberg single-value binary serialization (bounds) -------------
   // Per the spec: int/long/float/double little-endian, string UTF-8.
 
@@ -301,15 +325,24 @@ object IcebergInterop {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = om.readTree(txt)
     val fv = node.path("format-version").asInt(-1)
-    if (fv != 1 && fv != 2)
+    if (fv != 1 && fv != 2 && fv != 3)
       throw new UnsupportedOperationException(
         s"$root declares Iceberg format-version $fv; this interop " +
-          "reader implements versions 1 and 2")
+          "reader implements versions 1, 2 and 3")
     def parseSchema(s: com.fasterxml.jackson.databind.JsonNode)
         : IceSchema = IceSchema(
       sparkType(s).asInstanceOf[StructType],
-      s.path("fields").elements().asScala.map(f =>
-        f.path("name").asText -> f.path("id").asInt(-1)).toMap)
+      s.path("fields").elements().asScala.map { f =>
+        // v3 default values: a scan that ignored them would serve
+        // nulls where the writer promised defaults — refuse, never
+        // silently wrong
+        if (f.has("initial-default") || f.has("write-default"))
+          throw new UnsupportedOperationException(
+            s"$root: schema field '${f.path("name").asText}' carries " +
+              "a v3 default value (initial-default/write-default); " +
+              "this reader does not materialize defaults")
+        f.path("name").asText -> f.path("id").asInt(-1)
+      }.toMap)
     val schemas: Map[Int, IceSchema] =
       if (node.has("schemas"))
         node.path("schemas").elements().asScala.map { s =>
@@ -377,9 +410,12 @@ object IcebergInterop {
     * deletes (file_path, pos rows), 2 = equality deletes (rows of the
     * columns named by `equalityIds`, matched null-safely, scoped to
     * data files with STRICTLY older sequence numbers per the v2
-    * spec). */
+    * spec). `dv` present = the position deletes live in a v3 Puffin
+    * deletion-vector blob instead of a parquet file. */
+  private[sources] case class DvRef(offset: Long, size: Long,
+      referencedFile: String, records: Long)
   private[sources] case class DeleteFileMeta(path: String, content: Int,
-      seq: Long, equalityIds: Seq[Int])
+      seq: Long, equalityIds: Seq[Int], dv: Option[DvRef] = None)
 
   /** Walk a snapshot's manifest list + manifests: the resolved schema,
     * live data files (with bounds + sequence numbers) and delete files
@@ -436,14 +472,42 @@ object IcebergInterop {
         // sequence number takes its manifest's
         val seq = lng(e, "sequence_number", mSeq)
         if (status != 2) { // 2 = DELETED (removed from this snapshot)
-          if (!fmt.equalsIgnoreCase("parquet"))
+          val isPuffinDv = fmt.equalsIgnoreCase("puffin") &&
+            mContent == 1 && content == 1
+          if (!fmt.equalsIgnoreCase("parquet") && !isPuffinDv)
             throw new UnsupportedOperationException(
               s"$root: data file $path has format $fmt; this interop " +
-                "reader scans parquet only")
+                "reader scans parquet (and v3 Puffin DVs) only")
           (mContent, content) match {
             case (0, 0) => dataFiles :+= DataFileMeta(path,
               boundsOf(df0, "lower_bounds"), boundsOf(df0, "upper_bounds"),
               seq)
+            case (1, 1) if isPuffinDv =>
+              // v3 deletion vector: position deletes as a Puffin blob
+              if (meta.formatVersion < 3)
+                throw new UnsupportedOperationException(
+                  s"$root: $path is a Puffin deletion vector in a " +
+                    s"format-v${meta.formatVersion} table; DVs are a " +
+                    "v3 feature")
+              // schema-checked access: v2-written manifests lack the
+              // DV triple entirely (plain .get would throw)
+              def dvField(k: String): Option[AnyRef] =
+                if (df0.getSchema.getField(k) == null) None
+                else Option(df0.get(k))
+              val ref = dvField("referenced_data_file").map(_.toString)
+                .getOrElse(throw new UnsupportedOperationException(
+                  s"$root: DV $path lacks referenced_data_file; the " +
+                    "vector cannot be applied"))
+              val off = dvField("content_offset")
+                .map(_.asInstanceOf[Number].longValue)
+                .getOrElse(throw new UnsupportedOperationException(
+                  s"$root: DV $path lacks content_offset"))
+              val sz = dvField("content_size_in_bytes")
+                .map(_.asInstanceOf[Number].longValue)
+                .getOrElse(throw new UnsupportedOperationException(
+                  s"$root: DV $path lacks content_size_in_bytes"))
+              deleteFiles :+= DeleteFileMeta(path, 1, seq, Seq.empty,
+                Some(DvRef(off, sz, ref, lng(df0, "record_count", -1L))))
             case (1, 1) =>
               deleteFiles :+= DeleteFileMeta(path, 1, seq, Seq.empty)
             case (1, 2) =>
@@ -515,11 +579,46 @@ object IcebergInterop {
     if (posDeletes.nonEmpty) {
       val uris = dataFiles.map(f => (f.path, qualify(f.path)))
         .toDF("__p", "__uri")
-      val deletes = spark.read
-        .schema(StructType(Seq(
-          StructField("file_path", StringType),
-          StructField("pos", LongType))))
-        .parquet(posDeletes.map(d => resolve(root, d.path)): _*)
+      val (dvRefs, pdFiles) = posDeletes.partition(_.dv.nonEmpty)
+      val parquetSide: Option[DataFrame] =
+        if (pdFiles.isEmpty) None
+        else Some(spark.read
+          .schema(StructType(Seq(
+            StructField("file_path", StringType),
+            StructField("pos", LongType))))
+          .parquet(pdFiles.map(d => resolve(root, d.path)): _*))
+      // v3 Puffin DVs: blob bytes load through binaryFile and decode
+      // on EXECUTORS after a broadcast join on the Puffin file's
+      // qualified URI — the Delta DV plan; the manifest's record_count
+      // re-verifies each decoded cardinality so a truncated vector can
+      // never silently resurrect rows. Driver state stays
+      // descriptor-sized.
+      val dvSide: Option[DataFrame] =
+        if (dvRefs.isEmpty) None
+        else {
+          val descs = dvRefs.map { d =>
+            val r = d.dv.get
+            (qualify(d.path), r.offset, r.size, r.referencedFile,
+              r.records)
+          }.toDF("__puri", "__off", "__len", "__ref", "__card")
+          val bytes = spark.read.format("binaryFile")
+            .load(dvRefs.map(d => qualify(d.path)).distinct: _*)
+            .select(col("path").as("__puri"), col("content"))
+          Some(bytes.join(broadcast(descs), Seq("__puri"))
+            .select(col("__ref"), col("content"), col("__off"),
+              col("__len"), col("__card"))
+            .as[(String, Array[Byte], Long, Long, Long)]
+            .flatMap { case (ref, fb, off, len, card) =>
+              val pos = PuffinFiles.dvPositions(fb, off, len)
+              if (card >= 0 && pos.length.toLong != card)
+                throw new IllegalStateException(
+                  s"deletion vector for $ref decodes ${pos.length} " +
+                    s"rows but its manifest declares $card")
+              pos.map(ref -> _)
+            }.toDF("file_path", "pos"))
+        }
+      val deletes = (parquetSide.toSeq ++ dvSide.toSeq)
+        .reduce(_.unionByName(_))
         .join(broadcast(uris),
           col("file_path") === col("__p") ||
             col("file_path") === col("__uri"))

@@ -1,0 +1,202 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.util.zip.CRC32
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Reader/writer for the PUBLIC Puffin container format (the Iceberg
+  * statistics/deletion-vector file format, apache/iceberg Puffin spec):
+  *
+  *   Magic Blob₁ … Blobₙ Footer
+  *   Footer = Magic FooterPayload FooterPayloadSize(4, LE) Flags(4) Magic
+  *
+  * with Magic = the 4 bytes "PFA1" and FooterPayload a UTF-8 JSON
+  * object `{"blobs":[…], "properties":{…}}`; each blob entry carries
+  * `type`, `fields`, `snapshot-id`, `sequence-number`, `offset`,
+  * `length` and optional `compression-codec`/`properties`. Flags bit 0
+  * (payload compressed) is refused — this implementation writes and
+  * reads uncompressed payloads only, loudly.
+  *
+  * The `deletion-vector-v1` blob payload (Iceberg v3 spec, Delete
+  * Formats → Deletion vectors) is byte-identical to a Delta DV frame:
+  * a 4-byte big-endian length covering magic+vector, the magic bytes
+  * D1 D3 39 64 (the little-endian spelling of the portable
+  * RoaringBitmapArray magic), the 64-bit roaring bitmap in the
+  * portable format, and a big-endian CRC-32 of magic+vector — so the
+  * frame codec is shared with [[DeltaDeletionVectors]] outright.
+  */
+object PuffinFiles {
+
+  private val Magic = "PFA1".getBytes(StandardCharsets.UTF_8)
+
+  /** The v3 DV blob type name (the only blob type the engine decodes;
+    * others round-trip opaquely through the footer). */
+  val DvBlobType = "deletion-vector-v1"
+
+  /** One blob's footer metadata. `offset`/`length` address the blob's
+    * raw bytes inside the file — for a DV blob that is exactly what a
+    * manifest entry's `content_offset`/`content_size_in_bytes` carry,
+    * so readers never need the footer on the data path. */
+  final case class BlobMeta(blobType: String, fields: Seq[Int],
+      snapshotId: Long, sequenceNumber: Long, offset: Long, length: Long,
+      properties: Map[String, String])
+
+  /** A blob to write: its footer metadata (offset/length assigned by
+    * the writer) and raw payload bytes. */
+  final case class Blob(blobType: String, fields: Seq[Int],
+      snapshotId: Long, sequenceNumber: Long, bytes: Array[Byte],
+      properties: Map[String, String] = Map.empty)
+
+  // ---- DV blob payload (shared frame codec) --------------------------
+
+  /** Serialize row positions as a `deletion-vector-v1` blob payload. */
+  def dvBlobBytes(positions: Array[Long]): Array[Byte] = {
+    val b = DeltaDeletionVectors.serializeBitmap(positions)
+    val crc = new CRC32(); crc.update(b)
+    val bb = ByteBuffer.allocate(8 + b.length) // big-endian default
+    bb.putInt(b.length); bb.put(b); bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  /** Decode a `deletion-vector-v1` blob at `offset` (+`length`) inside
+    * raw Puffin file bytes back to row positions — length and CRC
+    * mismatches refuse loudly (a silently truncated DV would resurrect
+    * deleted rows). Delegates to the shared Delta frame codec: the two
+    * formats' frames are byte-identical. */
+  def dvPositions(fileBytes: Array[Byte], offset: Long, length: Long)
+      : Array[Long] = {
+    require(offset >= Magic.length && offset + length <= fileBytes.length,
+      s"DV blob [$offset, +$length) exceeds Puffin file of " +
+        s"${fileBytes.length} bytes")
+    DeltaDeletionVectors.framePositions(fileBytes, offset.toInt,
+      length.toInt - 8)
+  }
+
+  // ---- container write -----------------------------------------------
+
+  /** Write a Puffin file holding `blobs` (payload bytes laid back to
+    * back after the leading magic) plus file-level `properties`;
+    * returns each blob's footer metadata with its assigned offset.
+    * Metadata-sized driver work — blob payloads are the caller's. */
+  def write(spark: SparkSession, path: String, blobs: Seq[Blob],
+            properties: Map[String, String] = Map.empty): Seq[BlobMeta] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    var at = Magic.length.toLong
+    val metas = blobs.map { b =>
+      val m = BlobMeta(b.blobType, b.fields, b.snapshotId,
+        b.sequenceNumber, at, b.bytes.length.toLong, b.properties)
+      at += b.bytes.length
+      m
+    }
+    val payloadNode = om.createObjectNode()
+    val arr = payloadNode.putArray("blobs")
+    metas.foreach { m =>
+      val n = arr.addObject()
+      n.put("type", m.blobType)
+      val f = n.putArray("fields")
+      m.fields.foreach(f.add)
+      n.put("snapshot-id", m.snapshotId)
+      n.put("sequence-number", m.sequenceNumber)
+      n.put("offset", m.offset)
+      n.put("length", m.length)
+      if (m.properties.nonEmpty) {
+        val p = n.putObject("properties")
+        m.properties.foreach { case (k, v) => p.put(k, v) }
+      }
+    }
+    if (properties.nonEmpty) {
+      val p = payloadNode.putObject("properties")
+      properties.foreach { case (k, v) => p.put(k, v) }
+    }
+    val payload = om.writeValueAsBytes(payloadNode)
+    val out = new ByteArrayOutputStream()
+    out.write(Magic)
+    blobs.foreach(b => out.write(b.bytes))
+    out.write(Magic)
+    out.write(payload)
+    val tail = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    tail.putInt(payload.length)
+    tail.putInt(0) // flags: payload uncompressed
+    out.write(tail.array())
+    out.write(Magic)
+    val f = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val os = f.create(new Path(path), /* overwrite = */ false)
+    try os.write(out.toByteArray) finally os.close()
+    metas
+  }
+
+  // ---- container read ------------------------------------------------
+
+  /** Parse a Puffin footer from raw file bytes: blob metadata plus
+    * file properties. Refuses non-Puffin magic, compressed payloads
+    * and malformed framing loudly. */
+  def footerOf(fileBytes: Array[Byte])
+      : (Seq[BlobMeta], Map[String, String]) = {
+    require(fileBytes.length >= 2 * Magic.length + 12,
+      s"${fileBytes.length} bytes is too short for a Puffin file")
+    require(fileBytes.take(4).sameElements(Magic) &&
+      fileBytes.takeRight(4).sameElements(Magic),
+      "not a Puffin file (magic missing)")
+    val tail = ByteBuffer.wrap(fileBytes, fileBytes.length - 12, 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val payloadSize = tail.getInt
+    val flags = tail.getInt
+    require((flags & 1) == 0,
+      "Puffin footer payload is compressed; this reader consumes " +
+        "uncompressed footers only")
+    val payloadStart = fileBytes.length - 12 - payloadSize
+    require(payloadStart >= 2 * Magic.length,
+      s"corrupt Puffin footer (payload size $payloadSize)")
+    require(fileBytes.slice(payloadStart - 4, payloadStart)
+      .sameElements(Magic),
+      "corrupt Puffin footer (leading magic missing)")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(
+      new String(fileBytes, payloadStart, payloadSize,
+        StandardCharsets.UTF_8))
+    def props(n: com.fasterxml.jackson.databind.JsonNode)
+        : Map[String, String] =
+      if (!n.has("properties")) Map.empty
+      else n.path("properties").fields().asScala.map(e =>
+        e.getKey -> e.getValue.asText).toMap
+    val blobs = node.path("blobs").elements().asScala.map { b =>
+      BlobMeta(b.path("type").asText,
+        b.path("fields").elements().asScala.map(_.asInt).toSeq,
+        b.path("snapshot-id").asLong,
+        b.path("sequence-number").asLong,
+        b.path("offset").asLong, b.path("length").asLong,
+        props(b))
+    }.toSeq
+    node.path("blobs").elements().asScala.foreach { b =>
+      if (b.has("compression-codec") &&
+        b.path("compression-codec").asText.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"Puffin blob compressed with " +
+            s"'${b.path("compression-codec").asText}'; this reader " +
+            "consumes uncompressed blobs only")
+    }
+    (blobs, props(node))
+  }
+
+  /** Read a Puffin file's footer from storage (driver-side, one small
+    * file — the metadata path; DV payload decode stays on executors
+    * via the binaryFile source). */
+  def readFooter(spark: SparkSession, path: String)
+      : (Seq[BlobMeta], Map[String, String]) = {
+    val p = new Path(path)
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val len = f.getFileStatus(p).getLen
+    require(len <= 64L * 1024 * 1024,
+      s"$path: ${len}B Puffin metadata read refused (>64MiB)")
+    val in = f.open(p)
+    val bytes = new Array[Byte](len.toInt)
+    try in.readFully(0, bytes) finally in.close()
+    footerOf(bytes)
+  }
+}

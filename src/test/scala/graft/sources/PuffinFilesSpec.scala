@@ -1,0 +1,100 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+/** Byte-level checks of the Puffin container: the spec framing is
+  * asserted against hand-computed offsets, not just round-tripped, so
+  * a misread of the public layout cannot self-referee. */
+class PuffinFilesSpec extends SparkSpec {
+
+  private def fresh(): String =
+    Files.createTempDirectory("puffin").toString + "/f.puffin"
+
+  test("write → footer round-trip with hand-verified framing") {
+    val path = fresh()
+    val dv = PuffinFiles.dvBlobBytes(Array(1L, 3L, 1L << 33))
+    val other = "not-a-dv".getBytes("UTF-8")
+    val metas = PuffinFiles.write(spark, path, Seq(
+      PuffinFiles.Blob(PuffinFiles.DvBlobType, Seq(2), 100L, 7L, dv,
+        Map("referenced-data-file" -> "data/f.parquet",
+          "cardinality" -> "3")),
+      PuffinFiles.Blob("some-stat", Seq(1), 100L, 7L, other)),
+      Map("created-by" -> "graft"))
+    // assigned offsets: magic(4) then blobs back to back
+    assert(metas.map(m => (m.offset, m.length)) ==
+      Seq((4L, dv.length.toLong), (4L + dv.length, other.length.toLong)))
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val magic = "PFA1".getBytes("UTF-8")
+    // leading magic, trailing magic, and the footer's own lead magic
+    assert(bytes.take(4).sameElements(magic))
+    assert(bytes.takeRight(4).sameElements(magic))
+    val tail = ByteBuffer.wrap(bytes, bytes.length - 12, 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val payloadSize = tail.getInt
+    assert(tail.getInt == 0) // flags: uncompressed
+    val payloadStart = bytes.length - 12 - payloadSize
+    assert(bytes.slice(payloadStart - 4, payloadStart)
+      .sameElements(magic))
+    // blob bytes sit exactly at their declared offsets
+    assert(bytes.slice(4, 4 + dv.length).sameElements(dv))
+    assert(bytes.slice(4 + dv.length, 4 + dv.length + other.length)
+      .sameElements(other))
+    // footer parse returns everything
+    val (blobs, props) = PuffinFiles.readFooter(spark, path)
+    assert(props == Map("created-by" -> "graft"))
+    assert(blobs.map(_.blobType) ==
+      Seq(PuffinFiles.DvBlobType, "some-stat"))
+    assert(blobs.head.properties("cardinality") == "3")
+    assert(blobs.head.fields == Seq(2))
+    assert(blobs.head.snapshotId == 100L &&
+      blobs.head.sequenceNumber == 7L)
+    // and the DV decodes from the raw file at the footer's offset
+    assert(PuffinFiles.dvPositions(bytes, blobs.head.offset,
+      blobs.head.length).toSeq == Seq(1L, 3L, 1L << 33))
+  }
+
+  test("the DV blob is the shared frame codec: length covers "
+      + "magic+vector big-endian, CRC verifies, corruption refuses") {
+    val dv = PuffinFiles.dvBlobBytes(Array(0L, 5L))
+    val bitmap = DeltaDeletionVectors.serializeBitmap(Array(0L, 5L))
+    // 4B BE length + bitmap(with its D1D33964 magic) + 4B BE crc
+    assert(dv.length == 8 + bitmap.length)
+    assert(ByteBuffer.wrap(dv, 0, 4).getInt == bitmap.length)
+    assert(dv.slice(4, 8).sameElements(
+      Array(0xD1, 0xD3, 0x39, 0x64).map(_.toByte)))
+    assert(dv.slice(4, 4 + bitmap.length).sameElements(bitmap))
+    // wrap in a file prefix to exercise offset addressing
+    val file = "PFA1".getBytes("UTF-8") ++ dv
+    assert(PuffinFiles.dvPositions(file, 4L, dv.length.toLong).toSeq ==
+      Seq(0L, 5L))
+    // flipped payload byte → CRC refusal, never a silent partial DV
+    val bad = file.clone(); bad(10) = (bad(10) ^ 1).toByte
+    val e = intercept[IllegalArgumentException] {
+      PuffinFiles.dvPositions(bad, 4L, dv.length.toLong)
+    }
+    assert(e.getMessage.contains("CRC"), e.getMessage)
+  }
+
+  test("compressed footers and truncated files refuse loudly") {
+    val path = fresh()
+    PuffinFiles.write(spark, path, Seq(
+      PuffinFiles.Blob("b", Seq(1), 1L, 1L, Array[Byte](1, 2, 3))))
+    val bytes = Files.readAllBytes(Paths.get(path))
+    // set the compression flag bit
+    val flagged = bytes.clone()
+    flagged(bytes.length - 8) = 1
+    val e = intercept[IllegalArgumentException] {
+      PuffinFiles.footerOf(flagged)
+    }
+    assert(e.getMessage.contains("compressed"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      PuffinFiles.footerOf(bytes.take(10))
+    }
+    intercept[IllegalArgumentException] {
+      PuffinFiles.footerOf("XXXX".getBytes ++ bytes.drop(4))
+    }
+  }
+}
