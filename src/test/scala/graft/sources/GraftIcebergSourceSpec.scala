@@ -162,4 +162,26 @@ class GraftIcebergSourceSpec extends SparkSpec {
     assert(LakeTable.read(spark, dst2).select("k").as[Long]
       .collect().toSet == (0L until 60L).toSet)
   }
+
+  test("a format-v3 table with a PUFFIN deletion vector streams: the "
+      + "bootstrap batch serves the DV-applied snapshot (batch and "
+      + "stream read the same merge-on-read plan)") {
+    val root = IcebergV3Fixture.build(spark, Array(1L, 3L))
+    val dir = Files.createTempDirectory("icev3src")
+    val dst = dir.resolve("dst").toString
+    // batch via the DSv2 relation first (covers USING grafticeberg)
+    assert(spark.read.format("grafticeberg").load(root)
+      .select("k").as[Long].collect().toSet ==
+      Set(0L, 2L, 4L, 5L, 6L, 7L, 8L, 9L))
+    val q = spark.readStream.format("grafticeberg")
+      .option("path", root).load()
+      .writeStream.format("graftlake")
+      .option("path", dst).option("appId", "icev3-tail")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(LakeTable.read(spark, dst).select("k").as[Long]
+      .collect().toSet == Set(0L, 2L, 4L, 5L, 6L, 7L, 8L, 9L))
+  }
 }

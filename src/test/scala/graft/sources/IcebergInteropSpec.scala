@@ -644,118 +644,10 @@ class IcebergInteropSpec extends SparkSpec {
 
   // ---- format-version 3: Puffin deletion vectors -----------------------
 
-  /** Hand-build a v3 table: fA (k 0-4) + fB (k 5-9) at seq 1 as
-    * snapshot 100, then a Puffin DV dropping fA positions `dvPos` at
-    * seq 2 as snapshot 200. Returns (root, declared record_count
-    * override applied). */
   private def buildV3Table(dvPos: Array[Long],
                            declaredCount: Option[Long] = None,
-                           schemaExtra: String = ""): String = {
-    val root = freshRoot()
-    val fsys = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    def writeOne(df: org.apache.spark.sql.DataFrame, rel: String): Unit = {
-      val stage = s"$root/_stage"
-      df.coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = fsys.listStatus(new org.apache.hadoop.fs.Path(stage))
-        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-      fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/$rel").getParent)
-      fsys.rename(part, new org.apache.hadoop.fs.Path(s"$root/$rel"))
-      fsys.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
-    }
-    writeOne((0L to 4L).map(k => (k, s"v$k")).toDF("k", "v"),
-      "data/fA.parquet")
-    writeOne((5L to 9L).map(k => (k, s"v$k")).toDF("k", "v"),
-      "data/fB.parquet")
-    val blobMeta = PuffinFiles.write(spark, s"$root/data/dv.puffin", Seq(
-      PuffinFiles.Blob(PuffinFiles.DvBlobType, Seq(2147483546), 200L, 2L,
-        PuffinFiles.dvBlobBytes(dvPos),
-        Map("referenced-data-file" -> "data/fA.parquet",
-          "cardinality" -> dvPos.length.toString)))).head
-    def dataEntry(path: String): GenericData.Record = {
-      val s0 = IcebergInterop.manifestSchemaV3
-      val df0 = new GenericData.Record(
-        s0.getField("data_file").schema())
-      df0.put("content", 0)
-      df0.put("file_path", path)
-      df0.put("file_format", "PARQUET")
-      df0.put("partition", new GenericData.Record(
-        df0.getSchema.getField("partition").schema()))
-      df0.put("record_count", 5L)
-      df0.put("file_size_in_bytes", 1L)
-      val e = new GenericData.Record(s0)
-      e.put("status", 1); e.put("data_file", df0)
-      e
-    }
-    def dvEntry(): GenericData.Record = {
-      val s0 = IcebergInterop.manifestSchemaV3
-      val df0 = new GenericData.Record(
-        s0.getField("data_file").schema())
-      df0.put("content", 1)
-      df0.put("file_path", "data/dv.puffin")
-      df0.put("file_format", "PUFFIN")
-      df0.put("partition", new GenericData.Record(
-        df0.getSchema.getField("partition").schema()))
-      df0.put("record_count",
-        declaredCount.getOrElse(dvPos.length.toLong))
-      df0.put("file_size_in_bytes", 1L)
-      df0.put("referenced_data_file", "data/fA.parquet")
-      df0.put("content_offset", blobMeta.offset)
-      df0.put("content_size_in_bytes", blobMeta.length)
-      val e = new GenericData.Record(s0)
-      e.put("status", 1); e.put("data_file", df0)
-      e
-    }
-    def listEntry(path: String, content: Int, seq: Long)
-        : GenericData.Record = {
-      val r = new GenericData.Record(IcebergInterop.manifestListSchema)
-      r.put("manifest_path", path)
-      r.put("manifest_length", 1L)
-      r.put("partition_spec_id", 0)
-      r.put("content", content)
-      r.put("sequence_number", seq)
-      r.put("min_sequence_number", seq)
-      r.put("added_snapshot_id", 100L)
-      r.put("added_files_count", 1)
-      r.put("existing_files_count", 0)
-      r.put("deleted_files_count", 0)
-      r.put("added_rows_count", 1L)
-      r.put("existing_rows_count", 0L)
-      r.put("deleted_rows_count", 0L)
-      r
-    }
-    fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/metadata"))
-    IcebergInterop.writeAvro(spark, s"$root/metadata/mData.avro",
-      IcebergInterop.manifestSchemaV3,
-      Seq(dataEntry("data/fA.parquet"), dataEntry("data/fB.parquet")))
-    IcebergInterop.writeAvro(spark, s"$root/metadata/mDv.avro",
-      IcebergInterop.manifestSchemaV3, Seq(dvEntry()))
-    IcebergInterop.writeAvro(spark, s"$root/metadata/snap-100.avro",
-      IcebergInterop.manifestListSchema,
-      Seq(listEntry("metadata/mData.avro", 0, 1L)))
-    IcebergInterop.writeAvro(spark, s"$root/metadata/snap-200.avro",
-      IcebergInterop.manifestListSchema,
-      Seq(listEntry("metadata/mData.avro", 0, 1L),
-        listEntry("metadata/mDv.avro", 1, 2L)))
-    val schemaJson =
-      s"""{"type":"struct","schema-id":0,"fields":[
-        |{"id":1,"name":"k","required":false,"type":"long"},
-        |{"id":2,"name":"v","required":false,"type":"string"$schemaExtra}]}"""
-        .stripMargin.replace("\n", "")
-    def snapJson(id: Long, seq: Long, ts: Long) =
-      s"""{"snapshot-id":$id,"timestamp-ms":$ts,"sequence-number":$seq,
-         |"manifest-list":"metadata/snap-$id.avro"}"""
-        .stripMargin.replace("\n", "")
-    Files.writeString(Paths.get(s"$root/metadata/v1.metadata.json"),
-      s"""{"format-version":3,"table-uuid":"v3dv","location":"$root",
-         |"last-sequence-number":2,"last-updated-ms":20,"last-column-id":2,
-         |"current-schema-id":0,"schemas":[$schemaJson],
-         |"default-spec-id":0,"partition-specs":[],"last-partition-id":9,
-         |"next-row-id":10,"current-snapshot-id":200,
-         |"snapshots":[${snapJson(100, 1, 10)},${snapJson(200, 2, 20)}]}"""
-        .stripMargin.replace("\n", ""))
-    root
-  }
+                           schemaExtra: String = ""): String =
+    IcebergV3Fixture.build(spark, dvPos, declaredCount, schemaExtra)
 
   test("v3 PUFFIN deletion vectors serve merge-on-read: current read "
       + "drops the vector's positions, time travel predates it, "

@@ -97,4 +97,29 @@ class PuffinFilesSpec extends SparkSpec {
       PuffinFiles.footerOf("XXXX".getBytes ++ bytes.drop(4))
     }
   }
+
+  test("property: random 64-bit position sets round-trip the whole "
+      + "container (blob → write → footer → decode)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val posGen = Gen.listOf(Gen.oneOf(
+      Gen.chooseNum(0L, 5000L),
+      Gen.chooseNum(0L, Long.MaxValue >> 16))).map(_.toArray)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40),
+      Prop.forAll(posGen) { pos =>
+        val expect = pos.distinct.sorted.toSeq
+        val blob = PuffinFiles.dvBlobBytes(pos)
+        val path = fresh()
+        val meta = PuffinFiles.write(spark, path, Seq(
+          PuffinFiles.Blob(PuffinFiles.DvBlobType, Seq(1), 1L, 1L,
+            blob))).head
+        val bytes = java.nio.file.Files.readAllBytes(Paths.get(path))
+        val (fblobs, _) = PuffinFiles.footerOf(bytes)
+        fblobs.head.offset == meta.offset &&
+          fblobs.head.length == blob.length.toLong &&
+          PuffinFiles.dvPositions(bytes, meta.offset, meta.length)
+            .toSeq == expect
+      })
+    assert(res.passed, res.status)
+  }
 }
