@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semi-structured (JSONL) ingestion for metadata-bearing corpora:
+  * parse each document's JSON ONCE into Spark's `VariantType` and
+  * project every requested field out of that single parsed value —
+  * the "parse once, project many" shape. At 100 TB the alternative
+  * (one `get_json_object` per field) re-parses the document per
+  * extraction; variant parses once and `variant_get` walks the binary
+  * encoding, so the whole shred stays ONE Project riding the scan,
+  * zero exchanges.
+  *
+  * Corrupt rows (truncated JSONL lines, the standing hazard of crawl
+  * metadata) surface as an explicit `corrupt` flag via
+  * `try_parse_json`; extractions are `try_variant_get`, so schema
+  * DRIFT (a field missing or re-typed in part of the corpus) degrades
+  * to nulls per row, never a failed job — and [[fieldPresence]] turns
+  * exactly that degradation into a measurable per-field rate.
+  */
+object SemiStructured {
+
+  /** One field to shred: output column name, a variant path
+    * (`$.a.b[0]`), and the target Spark type name (`"long"`,
+    * `"string"`, …). */
+  final case class Field(name: String, path: String, dataType: String)
+
+  /** Shred `jsonCol`: one `corrupt` boolean (non-null input that
+    * failed to parse) plus one typed column per field, all projected
+    * from a single parsed variant. */
+  def shredVariant(df: DataFrame, jsonCol: String,
+                   fields: Seq[Field]): DataFrame = {
+    require(fields.map(_.name).distinct.size == fields.size,
+      "duplicate shred field names")
+    val parsed = df.withColumn("__v", try_parse_json(col(jsonCol)))
+    val out = fields.foldLeft(
+      parsed.withColumn("corrupt",
+        col(jsonCol).isNotNull && col("__v").isNull)) { (d, f) =>
+      d.withColumn(f.name, try_variant_get(col("__v"), f.path, f.dataType))
+    }
+    out.drop("__v")
+  }
+
+  /** Per-field extraction success over the corpus — the schema-drift
+    * audit: one row per field with its present count and presence
+    * rate (4-dp). ONE aggregate pass (partial+final) over the same
+    * single-parse Project. */
+  def fieldPresence(df: DataFrame, jsonCol: String,
+                    fields: Seq[Field]): DataFrame = {
+    val shredded = shredVariant(df, jsonCol, fields)
+    val n = count(lit(1))
+    val perField = fields.map(f =>
+      struct(lit(f.name).as("field"),
+        sum(col(f.name).isNotNull.cast("long")).as("n_present")))
+    shredded.agg(array(perField: _*).as("fs"), n.as("n_total"))
+      .select(explode(col("fs")).as("f"), col("n_total"))
+      .select(col("f.field").as("field"), col("f.n_present"),
+        col("n_total"),
+        (floor(col("f.n_present") * 10000d / col("n_total") + 0.5d)
+          .cast("double") / 10000d).as("pct4"))
+  }
+
+  /** Top-level key histogram over raw JSONL — schema DISCOVERY before
+    * any shred spec exists. Invalid rows contribute nothing
+    * (`json_object_keys` is null there). The explode is key-count-
+    * sized per row (shallow), the aggregate is partial+final. */
+  def topKeys(df: DataFrame, jsonCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.select(explode(json_object_keys(col(jsonCol))).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("key").asc).limit(k)
+  }
+}

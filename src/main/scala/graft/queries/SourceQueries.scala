@@ -2707,6 +2707,82 @@ object SourceQueries {
         WHERE pos % 3 <> 0"""),
       "Iceberg v3 Puffin deletion vector, decoded on executors"),
 
+    // ---- semi-structured JSONL ingestion (variant shredding) ---------------
+    // Metadata sidecar ingestion: JSON built deterministically from
+    // orders on BOTH sides, 1-in-13 rows truncated mid-document (the
+    // crawl-metadata hazard). parse ONCE into a variant, project many
+    // — one codegen Project riding the scan; corrupt rows flag, they
+    // never fail the job.
+    "q345_variant_shred" -> Q(
+      (s, d) => {
+        val j = jsonFixture(Tables.orders(s, d), drift = false)
+        graft.ops.SemiStructured.shredVariant(j, "j", Seq(
+          graft.ops.SemiStructured.Field("id", "$.id", "long"),
+          graft.ops.SemiStructured.Field("cust_key", "$.cust.key", "long"),
+          graft.ops.SemiStructured.Field("seg", "$.cust.seg", "string"),
+          graft.ops.SemiStructured.Field("cents", "$.cents", "long"),
+          graft.ops.SemiStructured.Field("item1", "$.items[1]", "long")))
+          .select("o_orderkey", "corrupt", "id", "cust_key", "seg",
+            "cents", "item1")
+      },
+      Some(s"""WITH raw AS (${jsonFixtureSql(drift = false)})
+        SELECT o_orderkey, NOT json_valid(j) AS corrupt,
+          CASE WHEN json_valid(j)
+            THEN try_cast(json_extract(j, '$$.id') AS BIGINT) END AS id,
+          CASE WHEN json_valid(j)
+            THEN try_cast(json_extract(j, '$$.cust.key') AS BIGINT) END
+            AS cust_key,
+          CASE WHEN json_valid(j)
+            THEN json_extract_string(j, '$$.cust.seg') END AS seg,
+          CASE WHEN json_valid(j)
+            THEN try_cast(json_extract(j, '$$.cents') AS BIGINT) END
+            AS cents,
+          CASE WHEN json_valid(j)
+            THEN try_cast(json_extract(j, '$$.items[1]') AS BIGINT) END
+            AS item1
+        FROM raw"""),
+      "variant shred: parse JSON once, project five typed fields"),
+
+    // ---- JSON schema discovery: top-level key histogram --------------------
+    // Over a corpus with SHAPE DRIFT (a third of rows lack the nested
+    // object, a quarter carry an extra v2 field) — what you run before
+    // any shred spec exists. Truncated rows contribute nothing.
+    "q346_json_top_keys" -> Q(
+      (s, d) => graft.ops.SemiStructured.topKeys(
+        jsonFixture(Tables.orders(s, d), drift = true), "j", 10),
+      Some(s"""WITH raw AS (${jsonFixtureSql(drift = true)})
+        SELECT key, CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT unnest(json_keys(j)) AS key FROM raw
+          WHERE json_valid(j))
+        GROUP BY key ORDER BY n DESC, key LIMIT 10"""),
+      "JSON schema discovery: top-level key histogram under drift"),
+
+    // ---- schema-drift audit: per-field presence rates ----------------------
+    "q347_json_field_presence" -> Q(
+      (s, d) => graft.ops.SemiStructured.fieldPresence(
+        jsonFixture(Tables.orders(s, d), drift = true), "j", Seq(
+          graft.ops.SemiStructured.Field("id", "$.id", "long"),
+          graft.ops.SemiStructured.Field("cust_key", "$.cust.key", "long"),
+          graft.ops.SemiStructured.Field("v2", "$.v2", "boolean"))),
+      Some {
+        def leg(name: String, path: String) =
+          s"""SELECT '$name' AS field,
+             |CAST(sum(CASE WHEN json_valid(j) AND
+             |  json_extract(j, '$path') IS NOT NULL
+             |  THEN 1 ELSE 0 END) AS BIGINT) AS n_present,
+             |CAST(count(*) AS BIGINT) AS n_total,
+             |CAST(CAST(floor(sum(CASE WHEN json_valid(j) AND
+             |  json_extract(j, '$path') IS NOT NULL THEN 1 ELSE 0
+             |  END) * 10000.0 / count(*) + 0.5) AS BIGINT) AS DOUBLE)
+             |  / 10000 AS pct4
+             |FROM raw""".stripMargin
+        s"""WITH raw AS (${jsonFixtureSql(drift = true)})
+           |${leg("id", "$.id")}
+           |UNION ALL ${leg("cust_key", "$.cust.key")}
+           |UNION ALL ${leg("v2", "$.v2")}""".stripMargin
+      },
+      "schema-drift audit: per-field extraction success in one pass"),
+
     // ---- Iceberg STREAMING source ------------------------------------------
     // The third open-format streaming leg: an incrementally-published
     // Iceberg table tails into Structured Streaming via
@@ -2954,4 +3030,56 @@ object SourceQueries {
         CASE WHEN o_orderkey % 11 = 0 OR o_orderkey % 13 = 0 THEN NULL
              ELSE o_orderstatus END AS status
       FROM orders WHERE o_orderkey % 5 <> 0"""
+
+  /** Deterministic JSONL fixture for q345-q347, built from orders on
+    * BOTH sides: a nested cust object, integer cents (floor-quantized
+    * so the string renders identically everywhere), a two-element
+    * array; 1-in-13 rows truncate mid-document. With `drift`, a third
+    * of rows LACK the cust object and a quarter gain an extra `v2`
+    * field — the shape-drift corpus for discovery/audit. */
+  private def jsonFixture(orders: org.apache.spark.sql.DataFrame,
+                          drift: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    val id = col("o_orderkey")
+    val cust = concat(lit(",\"cust\":{\"key\":"),
+      col("o_custkey").cast("string"),
+      lit(",\"seg\":\""), col("o_orderstatus"), lit("\"}"))
+    val full = concat(
+      lit("{\"id\":"), id.cast("string"),
+      if (drift) when(id % 3 =!= 0, cust).otherwise(lit("")) else cust,
+      lit(",\"cents\":"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").cast("string"),
+      if (drift) when(id % 4 === 0, lit(",\"v2\":true"))
+        .otherwise(lit("")) else lit(""),
+      lit(",\"items\":["), (id % 5).cast("string"), lit(","),
+      (id % 7).cast("string"), lit("]}"))
+    orders.select(id.as("o_orderkey"),
+      when(id % 13 === 0, substring(full, 1, 20)).otherwise(full)
+        .as("j"))
+  }
+
+  /** DuckDB rendering of [[jsonFixture]]. */
+  private def jsonFixtureSql(drift: Boolean): String = {
+    val cust = """ || ',"cust":{"key":' || CAST(o_custkey AS VARCHAR)""" +
+      """ || ',"seg":"' || o_orderstatus || '"}'"""
+    val custPart =
+      if (drift)
+        s""" || CASE WHEN o_orderkey % 3 <> 0 THEN ''$cust ELSE '' END"""
+      else cust
+    val v2Part =
+      if (drift)
+        """ || CASE WHEN o_orderkey % 4 = 0 THEN ',"v2":true' ELSE '' END"""
+      else ""
+    s"""SELECT o_orderkey,
+       |CASE WHEN o_orderkey % 13 = 0 THEN substring(fj, 1, 20)
+       |  ELSE fj END AS j FROM (
+       |SELECT o_orderkey, '{"id":' || CAST(o_orderkey AS VARCHAR)
+       |$custPart
+       | || ',"cents":' ||
+       | CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+       |$v2Part
+       | || ',"items":[' || CAST(o_orderkey % 5 AS VARCHAR) || ','
+       | || CAST(o_orderkey % 7 AS VARCHAR) || ']}' AS fj
+       |FROM orders)""".stripMargin.replace("\n", " ")
+  }
 }

@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.ops.SemiStructured.Field
+
+/** Unit checks for variant shredding: corrupt-row tolerance, drift →
+  * nulls (never failures), re-typed fields degrade per row, and the
+  * zero-exchange plan shape. */
+class SemiStructuredSpec extends SparkSpec {
+
+  private val fields = Seq(
+    Field("a", "$.a", "long"),
+    Field("bx", "$.b.x", "string"),
+    Field("c0", "$.c[0]", "double"))
+
+  test("shredVariant: typed extraction, corrupt flag, drift nulls") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, """{"a":7,"b":{"x":"hi"},"c":[1.5,2.5]}"""),
+      (2L, """{"a":8}"""),              // drift: b and c absent
+      (3L, """{"a":"not-a-number"}"""), // drift: a re-typed
+      (4L, """{"a":9,"b":{"""),         // truncated mid-document
+      (5L, null)                        // null line: not corrupt
+    ).toDF("id", "j")
+    val out = SemiStructured.shredVariant(df, "j", fields)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(!out(1L).getAs[Boolean]("corrupt"))
+    assert(out(1L).getAs[Long]("a") == 7L)
+    assert(out(1L).getAs[String]("bx") == "hi")
+    assert(out(1L).getAs[Double]("c0") == 1.5d)
+    assert(!out(2L).getAs[Boolean]("corrupt"))
+    assert(out(2L).getAs[Long]("a") == 8L &&
+      out(2L).getAs[String]("bx") == null)
+    // re-typed field: THAT extraction nulls, the row survives
+    assert(!out(3L).getAs[Boolean]("corrupt"))
+    assert(out(3L).isNullAt(out(3L).fieldIndex("a")))
+    assert(out(4L).getAs[Boolean]("corrupt"))
+    assert(out(4L).isNullAt(out(4L).fieldIndex("a")))
+    assert(!out(5L).getAs[Boolean]("corrupt")) // null input ≠ corrupt
+  }
+
+  test("the shred plans with zero exchanges (parse once, project many)") {
+    val s = spark
+    import s.implicits._
+    // parquet-backed input: a literal LocalRelation would constant-fold
+    // the whole shred away and prove nothing about the plan
+    val dir = java.nio.file.Files.createTempDirectory("shred").toString
+    Seq((1L, """{"a":1}""")).toDF("id", "j")
+      .write.mode("overwrite").parquet(dir)
+    val df = SemiStructured.shredVariant(
+      spark.read.parquet(dir), "j", fields)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // and exactly ONE parse in the optimized plan (the optimizer
+    // rewrites try_parse_json to a parseJson static invoke) — the
+    // extractions all read that single parsed variant
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert("parseJson|parse_json".r.findAllIn(opt).size == 1, opt)
+  }
+
+  test("fieldPresence reports drift rates; topKeys ranks discovery") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      """{"a":1,"b":{"x":"u"}}""", """{"a":2}""", """{"a":3}""",
+      """{"zz":true}""", """{"a":"""
+    ).toDF("j")
+    val pres = SemiStructured.fieldPresence(df, "j", fields)
+      .collect().map(r => r.getAs[String]("field") ->
+        (r.getAs[Long]("n_present"), r.getAs[Long]("n_total"),
+          r.getAs[Double]("pct4"))).toMap
+    assert(pres("a") == ((3L, 5L, 0.6d)))
+    assert(pres("bx") == ((1L, 5L, 0.2d)))
+    assert(pres("c0") == ((0L, 5L, 0.0d)))
+    // the truncated row contributes no keys (json_object_keys is null
+    // on invalid JSON), so "a" counts 3, not 4
+    val keys = SemiStructured.topKeys(df, "j", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(keys == Seq(("a", 3L), ("b", 1L)))
+  }
+}
