@@ -2783,6 +2783,57 @@ object SourceQueries {
       },
       "schema-drift audit: per-field extraction success in one pass"),
 
+    // ---- metadata-only COUNT(*) on the interop mirrors ---------------------
+    // The 100 TB fast path for the most common query there is: a
+    // published Delta mirror answers COUNT(*) from add-action
+    // numRecords minus DV cardinalities (zero data I/O); the Iceberg
+    // publication answers from manifest record_counts minus a
+    // delete-file-sized distinct count. Both emitted beside the real
+    // scan count so the oracle proves them EQUAL.
+    "q348_delta_meta_count" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val root = freshRoot("graft_metacount_q348")
+        val lake = root + "/lake"
+        val delta = root + "/delta"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        graft.sources.LakeTable.append(o, lake, zoneKey = Some("o_orderkey"))
+        graft.sources.LakeTable.deleteWhereDV(s, lake,
+          "o_orderkey % 3 = 0")
+        graft.sources.DeltaInterop.exportToDelta(s, lake, delta)
+        val meta = graft.sources.DeltaInterop.deltaRowCount(s, delta)
+          .getOrElse(sys.error("mirror lost numRecords stats"))
+        val scan = graft.sources.DeltaInterop.readDelta(s, delta).count()
+        Seq((meta, scan)).toDF("n_meta", "n_scan")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_meta,
+          CAST(count(*) AS BIGINT) AS n_scan
+        FROM orders WHERE o_orderkey % 3 <> 0"""),
+      "Delta mirror COUNT(*) from metadata == the scan"),
+
+    "q349_iceberg_meta_count" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val root = freshRoot("graft_metacount_q349")
+        val lake = root + "/lake"
+        val ice = root + "/ice"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        graft.sources.LakeTable.append(o, lake, zoneKey = Some("o_orderkey"))
+        graft.sources.LakeTable.deleteWhereDV(s, lake,
+          "o_orderkey % 5 = 0")
+        graft.sources.IcebergInterop.exportToIceberg(s, lake, ice)
+        val meta = graft.sources.IcebergInterop.icebergRowCount(s, ice)
+          .getOrElse(sys.error("published table lost record counts"))
+        val scan = graft.sources.IcebergInterop.readIceberg(s, ice).count()
+        Seq((meta, scan)).toDF("n_meta", "n_scan")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_meta,
+          CAST(count(*) AS BIGINT) AS n_scan
+        FROM orders WHERE o_orderkey % 5 <> 0"""),
+      "Iceberg publication COUNT(*) from metadata == the scan"),
+
     // ---- Iceberg STREAMING source ------------------------------------------
     // The third open-format streaming leg: an incrementally-published
     // Iceberg table tails into Structured Streaming via

@@ -534,13 +534,17 @@ object DeltaInterop {
   }
 
   /** Manifest zone stats rendered as Delta per-file `stats` JSON
-    * (minValues/maxValues), so Delta readers' data skipping — and
-    * [[readDeltaRange]] — prunes published tables exactly like the
-    * native zone reads prune the source table. */
+    * (numRecords + minValues/maxValues), so Delta readers' data
+    * skipping — and [[readDeltaRange]] — prunes published tables
+    * exactly like the native zone reads prune the source table, and
+    * [[deltaRowCount]]-style metadata COUNT(*) works on the mirror. */
   private def statsJsonOf(e: LakeTable.FileEntry, schema: StructType,
       om: com.fasterxml.jackson.databind.ObjectMapper): Option[String] = {
     val zs = e.dataZones.filter(z => schema.fieldNames.contains(z.key))
-    if (zs.isEmpty) None
+    val nr = e.rowCount.map(n => s""""numRecords":$n,""").getOrElse("")
+    if (zs.isEmpty && nr.isEmpty) None
+    else if (zs.isEmpty)
+      Some(om.writeValueAsString(s"{${nr.dropRight(1)}}"))
     else {
       def side(pick: LakeTable.Zone => String) = zs.map { z =>
         val v = schema(z.key).dataType match {
@@ -550,7 +554,7 @@ object DeltaInterop {
         s"${om.writeValueAsString(z.key)}:$v"
       }.mkString("{", ",", "}")
       Some(om.writeValueAsString(
-        s"""{"minValues":${side(_.lo)},"maxValues":${side(_.hi)}}"""))
+        s"""{$nr"minValues":${side(_.lo)},"maxValues":${side(_.hi)}}"""))
     }
   }
 
@@ -1102,6 +1106,34 @@ object DeltaInterop {
     require(vs.contains(upTo), s"version $upTo not in ${vs.mkString(",")}")
     val snap = replay(spark, root, upTo)
     readLive(spark, root, snap, snap.live)
+  }
+
+  /** Metadata-only COUNT(*) of a Delta snapshot: Σ add `stats.
+    * numRecords` − Σ live deletion-vector cardinalities — zero data
+    * I/O, driver work O(live files), the bound every Delta client
+    * pays. EXACT by the protocol: at most one DV per live file and a
+    * re-added file replaces its descriptor. None when any live add
+    * lacks `numRecords` (foreign writers may omit stats) — callers
+    * fall back to a scan, never a wrong number. At 100 TB this is the
+    * difference between a manifest read and a full-table scan for the
+    * most common query there is. */
+  def deltaRowCount(spark: SparkSession, root: String,
+                    versionAsOf: Option[Long] = None): Option[Long] = {
+    val vs = deltaVersions(spark, root)
+    require(vs.nonEmpty, s"no Delta log under $root")
+    val upTo = versionAsOf.getOrElse(vs.max)
+    require(vs.contains(upTo), s"version $upTo not in ${vs.mkString(",")}")
+    val snap = replay(spark, root, upTo)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val counts = snap.live.values.map { lf =>
+      lf.stats.flatMap { s =>
+        scala.util.Try(om.readTree(s).get("numRecords")).toOption
+          .flatMap(Option(_)).map(_.asLong(-1L)).filter(_ >= 0)
+      }
+    }
+    if (counts.exists(_.isEmpty)) None
+    else Some(counts.flatten.sum -
+      snap.live.values.flatMap(_.dv).map(_.cardinality).sum)
   }
 
   /** Range read with Delta data skipping: only files whose

@@ -404,7 +404,7 @@ object IcebergInterop {
   private case class DataFileMeta(path: String,
       lower: Map[Int, java.nio.ByteBuffer],
       upper: Map[Int, java.nio.ByteBuffer],
-      seq: Long = 0L)
+      seq: Long = 0L, records: Long = -1L)
 
   /** One live delete file of a snapshot. `content` 1 = position
     * deletes (file_path, pos rows), 2 = equality deletes (rows of the
@@ -415,7 +415,8 @@ object IcebergInterop {
   private[sources] case class DvRef(offset: Long, size: Long,
       referencedFile: String, records: Long)
   private[sources] case class DeleteFileMeta(path: String, content: Int,
-      seq: Long, equalityIds: Seq[Int], dv: Option[DvRef] = None)
+      seq: Long, equalityIds: Seq[Int], dv: Option[DvRef] = None,
+      records: Long = -1L)
 
   /** Walk a snapshot's manifest list + manifests: the resolved schema,
     * live data files (with bounds + sequence numbers) and delete files
@@ -481,7 +482,7 @@ object IcebergInterop {
           (mContent, content) match {
             case (0, 0) => dataFiles :+= DataFileMeta(path,
               boundsOf(df0, "lower_bounds"), boundsOf(df0, "upper_bounds"),
-              seq)
+              seq, lng(df0, "record_count", -1L))
             case (1, 1) if isPuffinDv =>
               // v3 deletion vector: position deletes as a Puffin blob
               if (meta.formatVersion < 3)
@@ -509,7 +510,8 @@ object IcebergInterop {
               deleteFiles :+= DeleteFileMeta(path, 1, seq, Seq.empty,
                 Some(DvRef(off, sz, ref, lng(df0, "record_count", -1L))))
             case (1, 1) =>
-              deleteFiles :+= DeleteFileMeta(path, 1, seq, Seq.empty)
+              deleteFiles :+= DeleteFileMeta(path, 1, seq, Seq.empty,
+                records = lng(df0, "record_count", -1L))
             case (1, 2) =>
               // equality deletes serve only under the v2 total order —
               // sequence-number scoping is what makes them row-exact
@@ -661,6 +663,57 @@ object IcebergInterop {
     val (schema, dataFiles, deleteFiles) =
       snapshotFiles(spark, root, snapshotId)
     readLiveIce(spark, root, schema, dataFiles, deleteFiles)
+  }
+
+  /** COUNT(*) of an Iceberg snapshot WITHOUT scanning data: Σ data
+    * `record_count` − deletes. Pure appends answer from the manifests
+    * alone (zero data I/O); v3 deletion vectors subtract their
+    * `record_count` exactly (the spec allows at most one DV per data
+    * file — a duplicated reference refuses with None rather than
+    * double-subtract); position-DELETE files cost one delete-file-
+    * sized job (distinct live (file, pos) pairs — overlapping delete
+    * files or dangling references must not inflate the subtraction),
+    * still O(deleted rows), never O(data). None — fall back to a
+    * scan, never a wrong number — when equality deletes are present
+    * (their matched-row count needs the data) or any record_count is
+    * missing. */
+  def icebergRowCount(spark: SparkSession, root: String,
+                      snapshotId: Option[Long] = None): Option[Long] = {
+    val (_, dataFiles, deleteFiles) =
+      snapshotFiles(spark, root, snapshotId)
+    if (deleteFiles.exists(_.content == 2)) return None
+    if (dataFiles.exists(_.records < 0)) return None
+    val total = dataFiles.map(_.records).sum
+    val dvs = deleteFiles.flatMap(_.dv)
+    if (dvs.map(_.referencedFile).distinct.size != dvs.size) return None
+    if (dvs.exists(_.records < 0)) return None
+    val pds = deleteFiles.filter(d => d.content == 1 && d.dv.isEmpty)
+    // mixed DV + position-delete snapshots (a v2→v3 migration state)
+    // could delete one row through BOTH shapes; computing the union
+    // needs the DV payloads, so refuse with None instead of risking a
+    // double subtraction
+    if (dvs.nonEmpty && pds.nonEmpty) return None
+    val pdRows =
+      if (pds.isEmpty) 0L
+      else {
+        import spark.implicits._
+        val conf = spark.sessionState.newHadoopConf()
+        def qualify(p: String): String = {
+          val hp = new Path(resolve(root, p))
+          hp.getFileSystem(conf).makeQualified(hp).toString
+        }
+        val live = dataFiles.flatMap(f =>
+          Seq(f.path, qualify(f.path))).toDF("__p")
+        spark.read
+          .schema(StructType(Seq(
+            StructField("file_path", StringType),
+            StructField("pos", LongType))))
+          .parquet(pds.map(d => resolve(root, d.path)): _*)
+          .join(broadcast(live), col("file_path") === col("__p"),
+            "left_semi")
+          .select("file_path", "pos").distinct().count()
+      }
+    Some(total - dvs.map(_.records).sum - pdRows)
   }
 
   /** Range read with Iceberg data skipping: only files whose

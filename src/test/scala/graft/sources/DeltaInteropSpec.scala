@@ -917,4 +917,39 @@ class DeltaInteropSpec extends SparkSpec {
       .select("k", "v").as[(Long, String)].collect().toSet ==
       Set((0L, "a"), (2L, "c"), (10L, "x"), (11L, "y"), (12L, "z")))
   }
+
+  test("deltaRowCount: metadata-only COUNT(*) — exports carry "
+      + "numRecords, DV cardinalities subtract exactly, a foreign log "
+      + "without stats answers None (fall back, never wrong)") {
+    val lake = freshRoot()
+    val delta = freshRoot() + "_d"
+    LakeTable.append(spark.range(0, 250)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake,
+      zoneKey = Some("k"))
+    DeltaInterop.syncToDelta(spark, lake, delta)
+    assert(DeltaInterop.deltaRowCount(spark, delta).contains(250L))
+    // DV delete mirrors as descriptor re-adds; count stays exact with
+    // zero data I/O, and time travel answers the pre-delete version
+    LakeTable.deleteWhereDV(spark, lake, "k % 5 = 0")
+    DeltaInterop.syncToDelta(spark, lake, delta)
+    assert(DeltaInterop.deltaRowCount(spark, delta).contains(200L))
+    assert(DeltaInterop.deltaRowCount(spark, delta, Some(0L))
+      .contains(250L))
+    assert(DeltaInterop.readDelta(spark, delta).count() == 200L)
+    // a stats-less foreign log refuses with None
+    val bare = freshRoot() + "_b"
+    writeOne(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), bare,
+      "f0.parquet")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val sj = om.writeValueAsString(org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))).json)
+    commit(bare, 0L, Seq(
+      s"""{"metaData":{"id":"b","schemaString":$sj,"partitionColumns":[],"format":{"provider":"parquet"}}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    assert(DeltaInterop.deltaRowCount(spark, bare).isEmpty)
+    assert(DeltaInterop.readDelta(spark, bare).count() == 2L)
+  }
 }

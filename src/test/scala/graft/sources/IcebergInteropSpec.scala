@@ -608,6 +608,9 @@ class IcebergInteropSpec extends SparkSpec {
     assert(removed == Seq("data/fA2.parquet"), removed)
     assert(newDel.toSet ==
       Set("data/eq.parquet", "data/pd.parquet"), newDel)
+    // equality deletes make the row count data-dependent → None,
+    // never a wrong number
+    assert(IcebergInterop.icebergRowCount(spark, root).isEmpty)
   }
 
   test("the delete-position export is DISTRIBUTED: a DV far over the "
@@ -687,6 +690,115 @@ class IcebergInteropSpec extends SparkSpec {
       IcebergInterop.readIceberg(spark, root)
     }
     assert(e.getMessage.contains("default"), e.getMessage)
+  }
+
+  test("icebergRowCount: pure-append answers from manifests alone, a "
+      + "position-delete export costs one delete-sized job, v3 DVs "
+      + "subtract exactly, equality deletes refuse with None") {
+    val lake = freshRoot()
+    val ice = freshRoot() + "_i"
+    LakeTable.append(spark.range(0, 300)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake,
+      zoneKey = Some("k"))
+    IcebergInterop.exportToIceberg(spark, lake, ice)
+    assert(IcebergInterop.icebergRowCount(spark, ice).contains(300L))
+    // DV delete → published position deletes: exact after the
+    // delete-file-sized distinct
+    LakeTable.deleteWhereDV(spark, lake, "k % 3 = 0")
+    IcebergInterop.exportToIceberg(spark, lake, ice)
+    assert(IcebergInterop.icebergRowCount(spark, ice).contains(200L))
+    // the pre-delete snapshot still answers 300 (time travel)
+    val first = IcebergInterop.icebergSnapshots(spark, ice).head._1
+    assert(IcebergInterop.icebergRowCount(spark, ice, Some(first))
+      .contains(300L))
+    // v3 DV fixture: 10 data rows, 2 vectored off — metadata-exact
+    val v3 = IcebergV3Fixture.build(spark, Array(1L, 3L))
+    assert(IcebergInterop.icebergRowCount(spark, v3).contains(8L))
+  }
+
+  test("icebergRowCount does not double-subtract overlapping position-"
+      + "delete files (the foreign-writer hazard the distinct guards)") {
+    val root = freshRoot()
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def writeOne(df: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val stage = s"$root/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = fsys.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/$rel").getParent)
+      fsys.rename(part, new org.apache.hadoop.fs.Path(s"$root/$rel"))
+      fsys.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+    }
+    writeOne((0L to 9L).map(k => (k, s"v$k")).toDF("k", "v"),
+      "data/f1.parquet")
+    // BOTH delete files remove position 0; pd2 also removes 1 — the
+    // true deleted set is {0, 1}, naive record_count sums say 3
+    writeOne(Seq(("data/f1.parquet", 0L)).toDF("file_path", "pos"),
+      "data/pd1.parquet")
+    writeOne(Seq(("data/f1.parquet", 0L), ("data/f1.parquet", 1L))
+      .toDF("file_path", "pos"), "data/pd2.parquet")
+    def entry(content: Int, path: String, rows: Long)
+        : GenericData.Record = {
+      val df0 = new GenericData.Record(
+        IcebergInterop.manifestSchema.getField("data_file").schema())
+      df0.put("content", content)
+      df0.put("file_path", path)
+      df0.put("file_format", "PARQUET")
+      df0.put("partition", new GenericData.Record(
+        df0.getSchema.getField("partition").schema()))
+      df0.put("record_count", rows)
+      df0.put("file_size_in_bytes", 1L)
+      val e = new GenericData.Record(IcebergInterop.manifestSchema)
+      e.put("status", 1); e.put("data_file", df0)
+      e
+    }
+    def listEntry(path: String, content: Int, seq: Long)
+        : GenericData.Record = {
+      val r = new GenericData.Record(IcebergInterop.manifestListSchema)
+      r.put("manifest_path", path)
+      r.put("manifest_length", 1L)
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("sequence_number", seq)
+      r.put("min_sequence_number", seq)
+      r.put("added_snapshot_id", 5L)
+      r.put("added_files_count", 1)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", 1L)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r
+    }
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/metadata"))
+    IcebergInterop.writeAvro(spark, s"$root/metadata/m0.avro",
+      IcebergInterop.manifestSchema,
+      Seq(entry(0, "data/f1.parquet", 10L)))
+    IcebergInterop.writeAvro(spark, s"$root/metadata/m1.avro",
+      IcebergInterop.manifestSchema,
+      Seq(entry(1, "data/pd1.parquet", 1L),
+        entry(1, "data/pd2.parquet", 2L)))
+    IcebergInterop.writeAvro(spark, s"$root/metadata/snap-5.avro",
+      IcebergInterop.manifestListSchema,
+      Seq(listEntry("metadata/m0.avro", 0, 1L),
+        listEntry("metadata/m1.avro", 1, 2L)))
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"k","required":false,"type":"long"},
+        |{"id":2,"name":"v","required":false,"type":"string"}]}"""
+        .stripMargin.replace("\n", "")
+    Files.writeString(Paths.get(s"$root/metadata/v1.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"ovl","location":"$root",
+         |"last-sequence-number":2,"last-updated-ms":9,"last-column-id":2,
+         |"current-schema-id":0,"schemas":[$schemaJson],
+         |"default-spec-id":0,"partition-specs":[],"last-partition-id":9,
+         |"current-snapshot-id":5,
+         |"snapshots":[{"snapshot-id":5,"timestamp-ms":9,
+         |"sequence-number":2,"manifest-list":"metadata/snap-5.avro"}]}"""
+        .stripMargin.replace("\n", ""))
+    assert(IcebergInterop.icebergRowCount(spark, root).contains(8L))
+    assert(IcebergInterop.readIceberg(spark, root).count() == 8L)
   }
 
   test("format-version 4 still refuses") {
