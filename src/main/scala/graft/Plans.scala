@@ -98,7 +98,10 @@ object Plans {
     "q309_image_neardup" -> "banded Hamming near-dup: distinct-fingerprint banding (hot-hash-immune) + exact verify, member expansion only on verified pairs; decode stays partition-local mapPartitions",
     "q315_lake_agg_pushdown" -> "DSv2 aggregate pushdown: COUNT/MIN/MAX served from manifest metadata as a LocalTableScan — the plan should contain NO parquet scan",
     "q328_html_extract" -> "HTML main-content extraction: pure codegen'd column expressions riding the scan — ONE WholeStageCodegen span, zero exchanges",
-    "q334_interop_sql" -> "interop batch SQL: published Delta + Iceberg mirrors scan as native pruned parquet relations — PushedFilters present on both legs, no fallback RDD scan")
+    "q334_interop_sql" -> "interop batch SQL: published Delta + Iceberg mirrors scan as native pruned parquet relations — PushedFilters present on both legs, no fallback RDD scan",
+    "q342_pii_scrub" -> "PII scrub: the whole ordered redaction chain (5 regexp_count + 5 regexp_replace) rides the scan as ONE WholeStageCodegen span of stacked Projects — zero exchanges",
+    "q344_iceberg_v3_dv" -> "Iceberg v3 Puffin DV: binaryFile blob scan + broadcast descriptors decode executor-side, then BroadcastHashJoin LeftAnti on (uri, row-index) — the data side never shuffles",
+    "q345_variant_shred" -> "variant shred: ONE parseJson static-invoke Project serving five try_variant_get extractions — parse once, project many, zero exchanges")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
