@@ -2834,6 +2834,65 @@ object SourceQueries {
         FROM orders WHERE o_orderkey % 5 <> 0"""),
       "Iceberg publication COUNT(*) from metadata == the scan"),
 
+    // ---- interop table doctor ----------------------------------------------
+    // The foreign-table assessment pass: clean publications report
+    // ZERO issues; deleting one data file from each surfaces exactly
+    // one missing_file row per format and nothing else. The oracle is
+    // the literal expected diagnosis — hash-matching it proves the
+    // doctor found the planted issue and no phantom ones.
+    "q350_table_doctor" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val root = freshRoot("graft_doctor_q350")
+        val lake = root + "/lake"
+        val delta = root + "/delta"
+        val ice = root + "/ice"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        graft.sources.LakeTable.append(o, lake,
+          zoneKey = Some("o_orderkey"))
+        graft.sources.LakeTable.deleteWhereDV(s, lake,
+          "o_orderkey % 7 = 0")
+        graft.sources.DeltaInterop.syncToDelta(s, lake, delta)
+        graft.sources.IcebergInterop.exportToIceberg(s, lake, ice)
+        val clean =
+          graft.sources.DeltaInterop.validateDelta(s, delta).count() +
+          graft.sources.IcebergInterop.validateIceberg(s, ice).count()
+        // plant exactly one corruption per format: the first live file
+        val rel = graft.sources.LakeTable.entries(s, lake,
+          graft.sources.LakeTable.versions(s, lake).last)
+          .map(_.path).sorted.head
+        java.nio.file.Files.delete(Paths.get(s"$delta/$rel"))
+        val fsys = new org.apache.hadoop.fs.Path(ice)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val it = fsys.listFiles(
+          new org.apache.hadoop.fs.Path(s"$ice/data"), true)
+        val dataFiles = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val f0 = it.next()
+          if (f0.getPath.getName.endsWith(".parquet") &&
+            !f0.getPath.getName.startsWith("deletes-"))
+            dataFiles += f0.getPath.toString
+        }
+        fsys.delete(new org.apache.hadoop.fs.Path(
+          dataFiles.result().sorted.head), false)
+        def tally(fmt: String, df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("severity", "code")
+            .agg(count(lit(1)).as("n"))
+            .withColumn("fmt", lit(fmt))
+        tally("delta", graft.sources.DeltaInterop.validateDelta(s, delta))
+          .unionByName(tally("iceberg",
+            graft.sources.IcebergInterop.validateIceberg(s, ice)))
+          .withColumn("n_clean_issues", lit(clean))
+          .select("fmt", "severity", "code", "n", "n_clean_issues")
+      },
+      Some("""SELECT 'delta' AS fmt, 'error' AS severity,
+          'missing_file' AS code, CAST(1 AS BIGINT) AS n,
+          CAST(0 AS BIGINT) AS n_clean_issues
+        UNION ALL
+        SELECT 'iceberg', 'error', 'missing_file', 1, 0"""),
+      "table doctor: planted corruption diagnosed exactly, clean = 0"),
+
     // ---- Iceberg STREAMING source ------------------------------------------
     // The third open-format streaming leg: an incrementally-published
     // Iceberg table tails into Structured Streaming via

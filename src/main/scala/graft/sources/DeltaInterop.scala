@@ -1482,4 +1482,131 @@ object DeltaInterop {
         .drop("__dv_uri", "__dv_pos")
     }
   }
+
+  /** Table doctor: walk a Delta snapshot's metadata and report every
+    * issue found as a row instead of throwing at the first one — the
+    * assessment you run on a foreign table BEFORE pointing a large
+    * job at it (see [[TableDoctor]] for the cost model; everything is
+    * metadata-sized).
+    *
+    * Checks: the log replays at all (`unreadable_log`); every live
+    * add's parquet exists (`missing_file`); declared `stats.
+    * numRecords` matches the parquet FOOTER's row count
+    * (`count_mismatch` — a lying count breaks metadata COUNT(*) and
+    * skipping); every deletion vector's storage exists (`dv_missing`),
+    * decodes CRC-clean at its declared cardinality (`dv_corrupt`),
+    * and stays inside its file's row count (`dv_out_of_range`); a
+    * `_last_checkpoint` pointer references an existing checkpoint
+    * (`checkpoint_dangling`); declared partition columns exist in the
+    * schema (`schema_partition`). */
+  def validateDelta(spark: SparkSession, root: String,
+                    versionAsOf: Option[Long] = None): DataFrame = {
+    import TableDoctor._
+    val issues = scala.collection.mutable.ArrayBuffer.empty[Issue]
+    // the checkpoint pointer is diagnosed BEFORE replay: a dangling
+    // pointer makes replay itself refuse, and the precise code beats
+    // a bare unreadable_log
+    val lc = new Path(s"$root/_delta_log/_last_checkpoint")
+    val lcFs = lc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (lcFs.exists(lc)) {
+      val node = scala.util.Try(new com.fasterxml.jackson.databind
+        .ObjectMapper().readTree(
+        scala.io.Source.fromInputStream(lcFs.open(lc), "UTF-8")
+          .mkString))
+      node.toOption.map(_.path("version").asLong(-1L)) match {
+        case Some(v) if v >= 0 =>
+          val any = lcFs.globStatus(new Path(
+            f"$root/_delta_log/$v%020d.checkpoint*.parquet"))
+          if (any == null || any.isEmpty)
+            issues += Issue("error", "checkpoint_dangling",
+              "_last_checkpoint",
+              s"points at version $v but no checkpoint file exists")
+        case _ =>
+          issues += Issue("warn", "checkpoint_dangling",
+            "_last_checkpoint", "pointer file does not parse")
+      }
+    }
+    val snap =
+      try {
+        val vs = deltaVersions(spark, root)
+        require(vs.nonEmpty, s"no Delta log under $root")
+        val upTo = versionAsOf.getOrElse(vs.max)
+        replay(spark, root, upTo)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          return toDf(spark, issues.toSeq :+
+            Issue("error", "unreadable_log", root,
+              String.valueOf(e.getMessage)))
+      }
+    snap.partCols.filterNot(snap.schema.fieldNames.contains).foreach(c =>
+      issues += Issue("error", "schema_partition", c,
+        "declared partition column absent from the schema"))
+    val uriOf: Map[String, String] =
+      snap.live.keys.map(p => p -> s"$root/$p").toMap
+    val present = existing(spark, uriOf.values.toSeq)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    snap.live.toSeq.sortBy(_._1).foreach { case (p, lf) =>
+      val uri = uriOf(p)
+      if (!present.contains(uri))
+        issues += Issue("error", "missing_file", p,
+          "live add's parquet file absent from storage")
+      else {
+        val footer = footerRows(spark, uri)
+        if (footer.isEmpty)
+          issues += Issue("error", "unreadable_footer", p,
+            "parquet footer does not parse")
+        val declared = lf.stats.flatMap(s =>
+          scala.util.Try(om.readTree(s).get("numRecords")).toOption
+            .flatMap(Option(_)).map(_.asLong(-1L)).filter(_ >= 0))
+        for (d <- declared; f <- footer; if d != f)
+          issues += Issue("error", "count_mismatch", p,
+            s"stats.numRecords $d != parquet footer rows $f")
+        lf.dv.foreach { d =>
+          // None = already reported (missing storage); Left = decode
+          // failure; Right = decoded positions, ascending
+          val decoded: Option[Either[String, Array[Long]]] =
+            d.storageType match {
+              case "i" => Some(
+                scala.util.Try(DeltaDeletionVectors.deserializeBitmap(
+                  DeltaDeletionVectors.z85Decode(d.pathOrInlineDv,
+                    d.sizeInBytes)))
+                  .toEither.left.map(e => s"inline DV: ${e.getMessage}"))
+              case _ =>
+                DeltaDeletionVectors.fileOf(root, d) match {
+                  case Some(df0) if existing(spark, Seq(df0))(df0) =>
+                    Some(scala.util.Try {
+                      val fs = new Path(df0).getFileSystem(
+                        spark.sessionState.newHadoopConf())
+                      val len = fs.getFileStatus(new Path(df0)).getLen
+                      val in = fs.open(new Path(df0))
+                      val bytes = new Array[Byte](len.toInt)
+                      try in.readFully(0, bytes) finally in.close()
+                      DeltaDeletionVectors.framePositions(bytes,
+                        d.offset.getOrElse(1), d.sizeInBytes)
+                    }.toEither.left.map(e => String.valueOf(e.getMessage)))
+                  case Some(df0) =>
+                    issues += Issue("error", "dv_missing", p,
+                      s"deletion-vector file absent: $df0")
+                    None
+                  case None => Some(Left("unresolvable DV storage"))
+                }
+            }
+          decoded.foreach {
+            case Left(msg) =>
+              issues += Issue("error", "dv_corrupt", p, msg)
+            case Right(pos) =>
+              if (pos.length.toLong != d.cardinality)
+                issues += Issue("error", "dv_corrupt", p,
+                  s"decodes ${pos.length} rows, descriptor declares " +
+                    s"${d.cardinality}")
+              for (f <- footerRows(spark, uri); last <- pos.lastOption;
+                   if last >= f)
+                issues += Issue("error", "dv_out_of_range", p,
+                  s"position $last >= file rows $f")
+          }
+        }
+      }
+    }
+    toDf(spark, issues.toSeq)
+  }
 }

@@ -1261,4 +1261,129 @@ object IcebergInterop {
     }
     todo
   }
+
+  /** Table doctor: walk an Iceberg snapshot's metadata and report
+    * every issue as a row instead of throwing at the first — the
+    * foreign-table assessment pass (see [[TableDoctor]]; all checks
+    * metadata-sized or delete-file-sized).
+    *
+    * Checks: metadata/manifests parse at all (`unreadable_metadata`);
+    * every live data file exists (`missing_file`); declared
+    * `record_count` matches the parquet FOOTER (`count_mismatch`);
+    * spec bounds are ordered lower ≤ upper per field
+    * (`bounds_invalid` — inverted bounds silently break data
+    * skipping); position-delete files exist, their record_counts
+    * match, and their `file_path` references resolve to live data
+    * files (`dangling_delete_ref` — a dangling reference deletes
+    * nothing, which usually means the delete was orphaned by a
+    * rewrite); v3 Puffin DVs decode CRC-clean at their declared
+    * cardinality (`dv_corrupt`) and reference live files. */
+  def validateIceberg(spark: SparkSession, root: String,
+                      snapshotId: Option[Long] = None): DataFrame = {
+    import TableDoctor._
+    val issues = scala.collection.mutable.ArrayBuffer.empty[Issue]
+    val (schema, dataFiles, deleteFiles) =
+      try snapshotFiles(spark, root, snapshotId)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          return toDf(spark,
+            Seq(Issue("error", "unreadable_metadata", root,
+              String.valueOf(e.getMessage))))
+      }
+    val idToName: Map[Int, String] = schema.fieldIds.map(_.swap)
+    val livePaths: Set[String] = dataFiles.map(_.path).toSet
+    val uriOf: Map[String, String] =
+      (dataFiles.map(_.path) ++ deleteFiles.map(_.path))
+        .map(p => p -> resolve(root, p)).toMap
+    val present = existing(spark, uriOf.values.toSeq)
+    def qualify(p: String): String = {
+      val hp = new Path(resolve(root, p))
+      hp.getFileSystem(spark.sessionState.newHadoopConf())
+        .makeQualified(hp).toString
+    }
+    val liveQualified: Set[String] = livePaths.map(qualify)
+    dataFiles.sortBy(_.path).foreach { f =>
+      if (!present.contains(uriOf(f.path)))
+        issues += Issue("error", "missing_file", f.path,
+          "live data file absent from storage")
+      else {
+        val footer = footerRows(spark, uriOf(f.path))
+        if (footer.isEmpty)
+          issues += Issue("error", "unreadable_footer", f.path,
+            "parquet footer does not parse")
+        for (fr <- footer; if f.records >= 0 && f.records != fr)
+          issues += Issue("error", "count_mismatch", f.path,
+            s"manifest record_count ${f.records} != footer rows $fr")
+      }
+      f.lower.keySet.intersect(f.upper.keySet).toSeq.sorted.foreach {
+        id =>
+        for {
+          name <- idToName.get(id)
+          dt <- schema.spark.fields.find(_.name == name).map(_.dataType)
+          lo <- boundValue(dt, f.lower(id))
+          hi <- boundValue(dt, f.upper(id))
+        } {
+          val inverted = (lo, hi) match {
+            case (a: BigDecimal, b: BigDecimal) => a > b
+            case (a: String, b: String) => a > b
+            case _ => false
+          }
+          if (inverted)
+            issues += Issue("warn", "bounds_invalid", f.path,
+              s"field '$name' lower bound $lo > upper bound $hi")
+        }
+      }
+    }
+    deleteFiles.sortBy(_.path).foreach { d =>
+      if (!present.contains(uriOf(d.path)))
+        issues += Issue("error", "missing_file", d.path,
+          "delete file absent from storage")
+      else d.dv match {
+        case Some(r) =>
+          if (!livePaths.contains(r.referencedFile) &&
+            !liveQualified.contains(r.referencedFile))
+            issues += Issue("warn", "dangling_delete_ref", d.path,
+              s"DV references '${r.referencedFile}', not a live " +
+                "data file")
+          val fs = new Path(uriOf(d.path)).getFileSystem(
+            spark.sessionState.newHadoopConf())
+          scala.util.Try {
+            val len = fs.getFileStatus(new Path(uriOf(d.path))).getLen
+            val in = fs.open(new Path(uriOf(d.path)))
+            val bytes = new Array[Byte](len.toInt)
+            try in.readFully(0, bytes) finally in.close()
+            PuffinFiles.dvPositions(bytes, r.offset, r.size)
+          } match {
+            case scala.util.Failure(e) =>
+              issues += Issue("error", "dv_corrupt", d.path,
+                String.valueOf(e.getMessage))
+            case scala.util.Success(pos) =>
+              if (r.records >= 0 && pos.length.toLong != r.records)
+                issues += Issue("error", "dv_corrupt", d.path,
+                  s"decodes ${pos.length} rows, manifest declares " +
+                    s"${r.records}")
+          }
+        case None if d.content == 1 =>
+          val footer = footerRows(spark, uriOf(d.path))
+          for (fr <- footer; if d.records >= 0 && d.records != fr)
+            issues += Issue("error", "count_mismatch", d.path,
+              s"manifest record_count ${d.records} != footer rows $fr")
+          // referenced paths: ≤ one distinct row per referenced file
+          val refs = scala.util.Try(
+            spark.read.schema(StructType(Seq(
+              StructField("file_path", StringType))))
+              .parquet(uriOf(d.path))
+              .distinct().collect().map(_.getString(0)).toSeq)
+            .getOrElse(Seq.empty)
+          refs.sorted.foreach { ref =>
+            if (!livePaths.contains(ref) && !liveQualified.contains(ref))
+              issues += Issue("warn", "dangling_delete_ref", d.path,
+                s"position delete references '$ref', not a live " +
+                  "data file")
+          }
+        case None => () // equality deletes: columns validated at parse
+      }
+    }
+    toDf(spark, issues.toSeq)
+  }
 }

@@ -1,0 +1,59 @@
+package graft.sources
+
+/** Shared diagnostics row for the interop table validators
+  * ([[DeltaInterop.validateDelta]], [[IcebergInterop.validateIceberg]]).
+  *
+  * The validators turn the interop readers' refuse-loudly philosophy
+  * into an OPS surface: instead of the first corruption throwing
+  * mid-scan, a doctor pass walks the table's metadata and reports
+  * every issue it can find as a row — so an operator can assess a
+  * foreign table BEFORE pointing a 1000-executor job at it. All
+  * checks are metadata-sized: file listings (one listStatus per
+  * distinct parent directory), parquet FOOTER reads (row counts, no
+  * data pages), deletion-vector frame decodes (O(deleted rows), the
+  * size of the vectors themselves), and delete-file distinct-path
+  * scans (≤ one row per referenced file). Severity `error` = a read
+  * would fail or be wrong; `warn` = tolerated by the reader but
+  * suspicious.
+  */
+object TableDoctor {
+  final case class Issue(severity: String, code: String, path: String,
+                         detail: String)
+
+  private[sources] def toDf(spark: org.apache.spark.sql.SparkSession,
+                            issues: Seq[Issue])
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    issues.sortBy(i => (i.severity, i.code, i.path))
+      .toDF("severity", "code", "path", "detail")
+  }
+
+  /** Row count from a parquet footer — metadata only, no data pages.
+    * None when the footer is unreadable (the caller reports that as
+    * its own issue). */
+  private[sources] def footerRows(spark: org.apache.spark.sql.SparkSession,
+                                  uri: String): Option[Long] =
+    scala.util.Try {
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(uri),
+          spark.sessionState.newHadoopConf()))
+      try rdr.getRecordCount finally rdr.close()
+    }.toOption
+
+  /** One existence set per distinct parent directory (a listStatus
+    * each) — the same listing bound the scan's FileIndex pays. */
+  private[sources] def existing(spark: org.apache.spark.sql.SparkSession,
+                                uris: Seq[String]): Set[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    uris.groupBy(u => new org.apache.hadoop.fs.Path(u).getParent)
+      .flatMap { case (dir, paths) =>
+        val fs = dir.getFileSystem(conf)
+        val present: Set[String] =
+          scala.util.Try(fs.listStatus(dir).map(_.getPath.getName).toSet)
+            .getOrElse(Set.empty)
+        paths.filter(p => present.contains(
+          new org.apache.hadoop.fs.Path(p).getName))
+      }.toSet
+  }
+}

@@ -1,0 +1,123 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The interop table doctors: clean tables report nothing; every
+  * planted corruption surfaces as exactly its issue row. */
+class TableDoctorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("doctor").toString + "/t"
+
+  private def codes(df: org.apache.spark.sql.DataFrame)
+      : Seq[(String, String)] =
+    df.select("severity", "code").as[(String, String)].collect().toSeq
+
+  test("clean Delta mirror and Iceberg publication: zero issues; one "
+      + "deleted data file each → exactly one missing_file") {
+    val lake = freshRoot()
+    val delta = freshRoot() + "_d"
+    val ice = freshRoot() + "_i"
+    LakeTable.append(spark.range(0, 200)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake,
+      zoneKey = Some("k"))
+    LakeTable.deleteWhereDV(spark, lake, "k % 4 = 0")
+    DeltaInterop.syncToDelta(spark, lake, delta)
+    IcebergInterop.exportToIceberg(spark, lake, ice)
+    assert(DeltaInterop.validateDelta(spark, delta).count() == 0L)
+    assert(IcebergInterop.validateIceberg(spark, ice).count() == 0L)
+    // delete the lexicographically first live data file of each
+    val rel = LakeTable.entries(spark, lake,
+      LakeTable.versions(spark, lake).last).map(_.path).sorted.head
+    Files.delete(Paths.get(s"$delta/$rel"))
+    val dIssues = codes(DeltaInterop.validateDelta(spark, delta))
+    assert(dIssues == Seq(("error", "missing_file")), dIssues)
+    val fsys = new org.apache.hadoop.fs.Path(ice)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dataFiles = {
+      val it = fsys.listFiles(new org.apache.hadoop.fs.Path(s"$ice/data"),
+        true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet") &&
+          !f.getPath.getName.startsWith("deletes-"))
+          b += f.getPath.toString
+      }
+      b.result().sorted
+    }
+    fsys.delete(new org.apache.hadoop.fs.Path(dataFiles.head), false)
+    val iIssues = codes(IcebergInterop.validateIceberg(spark, ice))
+    assert(iIssues == Seq(("error", "missing_file")), iIssues)
+  }
+
+  test("a flipped deletion-vector byte and a dangling _last_checkpoint "
+      + "both surface on the Delta side") {
+    val lake = freshRoot()
+    val delta = freshRoot() + "_d"
+    LakeTable.append(spark.range(0, 100)
+      .select(col("id").as("k"), col("id").as("v")), lake)
+    LakeTable.deleteWhereDV(spark, lake, "k < 7")
+    DeltaInterop.syncToDelta(spark, lake, delta)
+    assert(DeltaInterop.validateDelta(spark, delta).count() == 0L)
+    // flip one byte inside the DV bin payload
+    val dvBin = new java.io.File(delta).listFiles()
+      .find(_.getName.startsWith("deletion_vector_")).get.toPath
+    val bytes = Files.readAllBytes(dvBin)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 1).toByte
+    Files.write(dvBin, bytes)
+    val issues = codes(DeltaInterop.validateDelta(spark, delta))
+    assert(issues.nonEmpty && issues.forall(_._2 == "dv_corrupt"),
+      issues)
+    // dangling checkpoint pointer: the precise code, AND the
+    // replay-level refusal it causes, both reported
+    Files.write(Paths.get(s"$delta/_delta_log/_last_checkpoint"),
+      "{\"version\":99}".getBytes("UTF-8"))
+    val issues2 = codes(DeltaInterop.validateDelta(spark, delta))
+    assert(issues2.contains(("error", "checkpoint_dangling")), issues2)
+    assert(issues2.contains(("error", "unreadable_log")), issues2)
+  }
+
+  test("a lying numRecords stat surfaces as count_mismatch (the check "
+      + "that keeps metadata COUNT(*) honest)") {
+    val root = freshRoot()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val stage = s"$root/_stage"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .coalesce(1).write.parquet(stage)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$root/f0.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val sj = om.writeValueAsString(org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))).json)
+    Files.createDirectories(Paths.get(s"$root/_delta_log"))
+    Files.writeString(Paths.get(
+      s"$root/_delta_log/00000000000000000000.json"),
+      s"""{"metaData":{"id":"x","schemaString":$sj,"partitionColumns":[],"format":{"provider":"parquet"}}}
+         |{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":99}"}}"""
+        .stripMargin)
+    val issues = codes(DeltaInterop.validateDelta(spark, root))
+    assert(issues == Seq(("error", "count_mismatch")), issues)
+  }
+
+  test("Iceberg: a mis-declared DV cardinality and a dangling position-"
+      + "delete reference both surface without failing the walk") {
+    // v3 fixture declaring 7 where the vector holds 2
+    val v3 = IcebergV3Fixture.build(spark, Array(1L, 3L),
+      declaredCount = Some(7L))
+    val issues = codes(IcebergInterop.validateIceberg(spark, v3))
+    assert(issues == Seq(("error", "dv_corrupt")), issues)
+    // clean v3 table: no issues at all
+    val ok = IcebergV3Fixture.build(spark, Array(1L))
+    assert(IcebergInterop.validateIceberg(spark, ok).count() == 0L)
+  }
+}
