@@ -2849,6 +2849,7 @@ object SourceQueries {
         val ice = root + "/ice"
         val o = Tables.orders(s, d)
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .repartitionByRange(4, col("o_orderkey")) // ≥2 files to corrupt
         graft.sources.LakeTable.append(o, lake,
           zoneKey = Some("o_orderkey"))
         graft.sources.LakeTable.deleteWhereDV(s, lake,
@@ -2857,12 +2858,16 @@ object SourceQueries {
         graft.sources.IcebergInterop.exportToIceberg(s, lake, ice)
         val clean =
           graft.sources.DeltaInterop.validateDelta(s, delta).count() +
-          graft.sources.IcebergInterop.validateIceberg(s, ice).count()
-        // plant exactly one corruption per format: the first live file
-        val rel = graft.sources.LakeTable.entries(s, lake,
+          graft.sources.IcebergInterop.validateIceberg(s, ice).count() +
+          graft.sources.LakeTable.validate(s, lake).count()
+        // plant exactly one corruption per format: delete one data
+        // file each (hard links: each format's copy dies alone)
+        val rels = graft.sources.LakeTable.entries(s, lake,
           graft.sources.LakeTable.versions(s, lake).last)
-          .map(_.path).sorted.head
+          .map(_.path).sorted
+        val rel = rels.head
         java.nio.file.Files.delete(Paths.get(s"$delta/$rel"))
+        java.nio.file.Files.delete(Paths.get(s"$lake/${rels(1)}"))
         val fsys = new org.apache.hadoop.fs.Path(ice)
           .getFileSystem(s.sessionState.newHadoopConf())
         val it = fsys.listFiles(
@@ -2883,6 +2888,8 @@ object SourceQueries {
         tally("delta", graft.sources.DeltaInterop.validateDelta(s, delta))
           .unionByName(tally("iceberg",
             graft.sources.IcebergInterop.validateIceberg(s, ice)))
+          .unionByName(tally("lake",
+            graft.sources.LakeTable.validate(s, lake)))
           .withColumn("n_clean_issues", lit(clean))
           .select("fmt", "severity", "code", "n", "n_clean_issues")
       },
@@ -2890,7 +2897,9 @@ object SourceQueries {
           'missing_file' AS code, CAST(1 AS BIGINT) AS n,
           CAST(0 AS BIGINT) AS n_clean_issues
         UNION ALL
-        SELECT 'iceberg', 'error', 'missing_file', 1, 0"""),
+        SELECT 'iceberg', 'error', 'missing_file', 1, 0
+        UNION ALL
+        SELECT 'lake', 'error', 'missing_file', 1, 0"""),
       "table doctor: planted corruption diagnosed exactly, clean = 0"),
 
     // ---- Iceberg STREAMING source ------------------------------------------

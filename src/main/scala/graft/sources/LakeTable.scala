@@ -2555,4 +2555,101 @@ object LakeTable {
       }
     }
   }
+
+  /** Table doctor for the native lake — the third leg beside
+    * [[DeltaInterop.validateDelta]] and
+    * [[IcebergInterop.validateIceberg]] (see [[TableDoctor]] for the
+    * cost model): walk a snapshot's manifest and report every issue
+    * found as a row. Checks: the manifest parses (`unreadable_
+    * manifest`); every live file exists (`missing_file`) and its
+    * parquet footer parses (`unreadable_footer`); the recorded
+    * `#rows` count matches the footer (`count_mismatch` — the lie
+    * that breaks [[countRows]] and DV maintenance math); zone stats
+    * are ordered lo ≤ hi under the schema's types (`bounds_invalid`
+    * — inverted zones silently break skipping); deletion-vector
+    * sidecar dirs exist (`dv_missing`), reference live files
+    * (`dangling_delete_ref`), and hold positions inside their file's
+    * row count (`dv_out_of_range`). */
+  def validate(spark: SparkSession, root: String,
+               versionAsOf: Option[Long] = None): DataFrame = {
+    import TableDoctor._
+    val issues = scala.collection.mutable.ArrayBuffer.empty[Issue]
+    val state =
+      try {
+        val vs = versions(spark, root)
+        require(vs.nonEmpty, s"no lake manifest under $root")
+        val v = versionAsOf.getOrElse(vs.max)
+        (entries(spark, root, v), schemaOf(spark, root, v),
+          dvOf(spark, root, v))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          return toDf(spark,
+            Seq(Issue("error", "unreadable_manifest", root,
+              String.valueOf(e.getMessage))))
+      }
+    val (ents, schema, dvDirs) = state
+    val uriOf: Map[String, String] =
+      ents.map(e => e.path -> s"$root/${e.path}").toMap
+    val present = existing(spark, uriOf.values.toSeq)
+    val footerOf = scala.collection.mutable.Map.empty[String, Option[Long]]
+    ents.sortBy(_.path).foreach { e =>
+      val uri = uriOf(e.path)
+      if (!present.contains(uri))
+        issues += Issue("error", "missing_file", e.path,
+          "live file absent from storage")
+      else {
+        val footer = footerRows(spark, uri)
+        footerOf(e.path) = footer
+        if (footer.isEmpty)
+          issues += Issue("error", "unreadable_footer", e.path,
+            "parquet footer does not parse")
+        for (d <- e.rowCount; f <- footer; if d != f)
+          issues += Issue("error", "count_mismatch", e.path,
+            s"manifest #rows $d != parquet footer rows $f")
+        e.dataZones.foreach { z =>
+          val numeric = schema.exists(_.fields.exists(f0 =>
+            f0.name == z.key && f0.dataType.isInstanceOf[NumericType]))
+          val inverted =
+            if (numeric)
+              scala.util.Try(
+                BigDecimal(z.lo) > BigDecimal(z.hi)).getOrElse(false)
+            else z.lo > z.hi
+          if (inverted)
+            issues += Issue("warn", "bounds_invalid", e.path,
+              s"zone '${z.key}' lo ${z.lo} > hi ${z.hi}")
+        }
+      }
+    }
+    val livePaths = ents.map(_.path).toSet
+    dvDirs.sorted.foreach { d =>
+      val dir = new Path(s"$root/$d")
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(dir))
+        issues += Issue("error", "dv_missing", d,
+          "deletion-vector sidecar dir absent from storage")
+      else scala.util.Try {
+        // ≤ one row per (referenced file): max position + liveness
+        spark.read.schema(dvSchema).parquet(s"$root/$d")
+          .groupBy("file")
+          .agg(max("pos").as("maxPos"), count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+      } match {
+        case scala.util.Failure(e) =>
+          issues += Issue("error", "dv_corrupt", d,
+            String.valueOf(e.getMessage))
+        case scala.util.Success(perFile) =>
+          perFile.sortBy(_._1).foreach { case (f0, maxPos) =>
+            if (!livePaths.contains(f0))
+              issues += Issue("warn", "dangling_delete_ref", d,
+                s"vector references '$f0', not a live file")
+            else footerOf.getOrElse(f0, None).foreach { rows =>
+              if (maxPos >= rows)
+                issues += Issue("error", "dv_out_of_range", d,
+                  s"position $maxPos in '$f0' >= file rows $rows")
+            }
+          }
+      }
+    }
+    toDf(spark, issues.toSeq)
+  }
 }

@@ -59,6 +59,26 @@ class SemiStructuredSpec extends SparkSpec {
     assert("parseJson|parse_json".r.findAllIn(opt).size == 1, opt)
   }
 
+  test("a parsed variant column round-trips parquet: shred once, "
+      + "store the parsed value, extract later without re-parsing") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("varpq").toString
+    Seq((1L, """{"a":7,"b":{"x":"hi"}}"""), (2L, """{"a":8}"""))
+      .toDF("id", "j")
+      .withColumn("v", try_parse_json(col("j"))).drop("j")
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+      .select(col("id"),
+        try_variant_get(col("v"), "$.a", "long").as("a"),
+        try_variant_get(col("v"), "$.b.x", "string").as("bx"))
+      .collect().map(r => r.getLong(0) ->
+        (r.get(1), r.get(2))).toMap
+    assert(back(1L) == ((7L, "hi")))
+    assert(back(2L) == ((8L, null)))
+  }
+
   test("fieldPresence reports drift rates; topKeys ranks discovery") {
     val s = spark
     import s.implicits._

@@ -109,6 +109,43 @@ class TableDoctorSpec extends SparkSpec {
     assert(issues == Seq(("error", "count_mismatch")), issues)
   }
 
+  test("native lake validate: clean tables report nothing; a deleted "
+      + "data file, an orphaned DV sidecar dir, and an out-of-range "
+      + "vector each surface precisely") {
+    val lake = freshRoot()
+    LakeTable.append(spark.range(0, 120)
+      .select(col("id").as("k"), (col("id") * 3).as("v")), lake,
+      zoneKey = Some("k"))
+    LakeTable.deleteWhereDV(spark, lake, "k % 6 = 0")
+    assert(LakeTable.validate(spark, lake).count() == 0L)
+    // delete one live data file
+    val rel = LakeTable.entries(spark, lake,
+      LakeTable.versions(spark, lake).last).map(_.path).sorted.head
+    val bytes = Files.readAllBytes(Paths.get(s"$lake/$rel"))
+    Files.delete(Paths.get(s"$lake/$rel"))
+    val issues = codes(LakeTable.validate(spark, lake))
+    assert(issues == Seq(("error", "missing_file")), issues)
+    Files.write(Paths.get(s"$lake/$rel"), bytes) // restore
+    // remove a DV sidecar dir → dv_missing
+    val dvDir = LakeTable.dvOf(spark, lake,
+      LakeTable.versions(spark, lake).last).head
+    val fsys = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val moved = s"$lake/_moved_dv"
+    fsys.rename(new org.apache.hadoop.fs.Path(s"$lake/$dvDir"),
+      new org.apache.hadoop.fs.Path(moved))
+    val issues2 = codes(LakeTable.validate(spark, lake))
+    assert(issues2 == Seq(("error", "dv_missing")), issues2)
+    fsys.rename(new org.apache.hadoop.fs.Path(moved),
+      new org.apache.hadoop.fs.Path(s"$lake/$dvDir"))
+    // overwrite the sidecar with an out-of-range position
+    spark.range(1).select(lit(rel).as("file"),
+        lit(999999L).as("pos"))
+      .write.mode("overwrite").parquet(s"$lake/$dvDir")
+    val issues3 = codes(LakeTable.validate(spark, lake))
+    assert(issues3 == Seq(("error", "dv_out_of_range")), issues3)
+  }
+
   test("Iceberg: a mis-declared DV cardinality and a dangling position-"
       + "delete reference both surface without failing the walk") {
     // v3 fixture declaring 7 where the vector holds 2
