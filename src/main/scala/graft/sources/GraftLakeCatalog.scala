@@ -213,7 +213,59 @@ private[sources] object GraftLakeProcedures {
 
   private def spark = SparkSession.active
 
+  /** A procedure returning diagnostics rows (severity, code, path,
+    * detail) — the doctors' SQL surface. The row set is issue-count-
+    * sized (bounded by the table's file count), so the driver
+    * materialization is the same metadata bound the validators
+    * themselves carry. */
+  private final class DoctorProc(procName: String, desc: String,
+      ps: Seq[ProcedureParameter])
+      (run: InternalRow => org.apache.spark.sql.DataFrame)
+      extends UnboundProcedure with BoundProcedure {
+    private val out = StructType(
+      Seq("severity", "code", "path", "detail")
+        .map(StructField(_, StringType, nullable = false)))
+    override def name(): String = procName
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = ps.toArray
+    override def isDeterministic: Boolean = false // inspects storage
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val issueRows = run(input).collect().map(r => InternalRow(
+        (0 until 4).map(i => org.apache.spark.unsafe.types.UTF8String
+          .fromString(String.valueOf(r.getString(i)))): _*))
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = issueRows
+        override def readSchema(): StructType = out
+      }
+      java.util.Collections.singletonList(scan).iterator()
+    }
+  }
+
   val all: Map[String, UnboundProcedure] = Seq[UnboundProcedure](
+    new DoctorProc("doctor",
+      "walk a lake snapshot's manifest and report every issue as a " +
+        "row (missing files, #rows vs footer, inverted zones, DV " +
+        "sidecar problems); empty = healthy",
+      Seq(in("table", StringType), inD("version", LongType, "NULL")))(r =>
+      LakeTable.validate(spark, r.getUTF8String(0).toString,
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))),
+    new DoctorProc("doctor_delta",
+      "diagnose a foreign Delta table's metadata (missing files, " +
+        "numRecords lies, DV corruption, dangling checkpoint " +
+        "pointers); empty = healthy",
+      Seq(in("delta_root", StringType),
+        inD("version", LongType, "NULL")))(r =>
+      DeltaInterop.validateDelta(spark, r.getUTF8String(0).toString,
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))),
+    new DoctorProc("doctor_iceberg",
+      "diagnose a foreign Iceberg table's metadata (missing files, " +
+        "record_count lies, DV corruption, dangling delete refs, " +
+        "inverted bounds); empty = healthy",
+      Seq(in("iceberg_root", StringType),
+        inD("snapshot_id", LongType, "NULL")))(r =>
+      IcebergInterop.validateIceberg(spark, r.getUTF8String(0).toString,
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))),
     new Proc("restore",
       "roll the table back to a retained version (metadata-only commit)",
       Seq(in("table", StringType), in("version", LongType)))(r =>

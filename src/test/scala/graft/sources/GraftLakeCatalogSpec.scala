@@ -542,6 +542,33 @@ class GraftLakeCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CALL graftlake.system.{doctor, doctor_delta, doctor_iceberg}: "
+      + "the diagnostics surface as SQL — empty on healthy tables, "
+      + "the planted issue row after corruption") {
+    val root = freshRoot()
+    val delta = root + "_delta"
+    val ice = root + "_ice"
+    LakeTable.append(spark.range(0, 80)
+      .select(col("id").as("k"), (col("id") * 2).as("v")),
+      root, zoneKey = Some("k"))
+    spark.sql(s"CALL graftlake.system.sync_delta('$root', '$delta')")
+    spark.sql(s"CALL graftlake.system.export_iceberg('$root', '$ice')")
+    assert(spark.sql(
+      s"CALL graftlake.system.doctor('$root')").count() == 0L)
+    assert(spark.sql(
+      s"CALL graftlake.system.doctor_delta('$delta')").count() == 0L)
+    assert(spark.sql(
+      s"CALL graftlake.system.doctor_iceberg('$ice')").count() == 0L)
+    // corrupt the mirror: delete its (hard-linked) data file copy
+    val rel = LakeTable.entries(spark, root,
+      LakeTable.versions(spark, root).last).map(_.path).sorted.head
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$delta/$rel"))
+    val rows = spark.sql(
+      s"CALL graftlake.system.doctor_delta('$delta')").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("error", "missing_file")), rows.mkString(";"))
+  }
+
   test("aggregate pushdown: COUNT(*)/MIN/MAX answer from the manifest " +
       "as a LocalScan; anything unsound falls back to the real scan") {
     val root = freshRoot()
