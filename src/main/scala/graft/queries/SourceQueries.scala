@@ -2902,6 +2902,47 @@ object SourceQueries {
         SELECT 'lake', 'error', 'missing_file', 1, 0"""),
       "table doctor: planted corruption diagnosed exactly, clean = 0"),
 
+    // ---- streaming INTO the open format: the graftdelta sink ---------------
+    // The missing leg of the interop story: a Structured Streaming
+    // pipeline lands EXACTLY-ONCE in a real Delta log (one commit per
+    // micro-batch, SetTransaction replay cursor), immediately
+    // consumable by any Delta reader. Drained twice + an empty drain;
+    // the oracle is the source table itself.
+    "q351_delta_sink" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_deltasink_q351")
+        val lake = root + "/lake"
+        val dst = root + "/delta"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        def run(): Unit = {
+          val q = s.readStream.format("graftlake")
+            .option("path", lake).load()
+            .writeStream.format("graftdelta")
+            .option("path", dst).option("appId", "q351")
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming
+              .Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 2 === 0), lake)
+        run() // bootstrap drain → first Delta commit(s)
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 2 =!= 0), lake)
+        run() // incremental drain → more commits, no re-delivery
+        val vBefore = graft.sources.DeltaInterop
+          .deltaVersions(s, dst).max
+        run() // nothing new → the log does not move
+        require(graft.sources.DeltaInterop
+          .deltaVersions(s, dst).max == vBefore,
+          "empty drain committed to the Delta log")
+        graft.sources.DeltaInterop.readDelta(s, dst)
+      },
+      Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"),
+      "graftlake stream → exactly-once graftdelta sink ≡ source table"),
+
     // ---- Iceberg STREAMING source ------------------------------------------
     // The third open-format streaming leg: an incrementally-published
     // Iceberg table tails into Structured Streaming via

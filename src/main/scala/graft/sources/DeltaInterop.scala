@@ -1001,6 +1001,120 @@ object DeltaInterop {
     written.result()
   }
 
+  /** EXACTLY-ONCE append of a micro-batch into a Delta log — the
+    * engine under `writeStream.format("graftdelta")`: each batch lands
+    * as ONE Delta commit carrying its add actions (with `numRecords`
+    * stats from the parquet footers, zero data I/O) plus a `txn`
+    * (SetTransaction) action recording (`appId`, batchId) — the
+    * protocol's OWN idempotent-writer cursor, so an at-least-once
+    * replay after a crash re-commits NOTHING, and any foreign Delta
+    * writer would honor the same cursor. Returns true when the batch
+    * committed, false when the cursor proves it already had.
+    *
+    * The first commit declares protocol (1,2) + metaData from the
+    * batch schema; later batches must match that schema exactly
+    * (loud refusal — silent column reordering is how streams corrupt
+    * tables). Commit publication is the log's native optimistic
+    * concurrency: create-no-overwrite of the next version's JSON,
+    * losing a race → re-replay (the cursor re-check makes the retry
+    * safe beside concurrent replicas of the SAME stream too). */
+  def appendOnce(df: DataFrame, deltaRoot: String, appId: String,
+                 batchId: Long): Boolean = {
+    val spark = df.sparkSession
+    val f = new Path(deltaRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def state(): (Long, Option[StructType], Option[Long]) = {
+      val vs =
+        if (!f.exists(new Path(s"$deltaRoot/_delta_log"))) Seq.empty
+        else deltaVersions(spark, deltaRoot)
+      if (vs.isEmpty) (0L, None, None)
+      else {
+        val snap = replay(spark, deltaRoot, vs.max)
+        (vs.max + 1, Some(snap.schema), snap.txns.get(appId))
+      }
+    }
+    var (nextV, schemaExisting, cursor) = state()
+    if (cursor.exists(_ >= batchId)) return false
+    schemaExisting.foreach { s0 =>
+      require(s0.fields.map(x => (x.name, x.dataType)).toSeq ==
+        df.schema.fields.map(x => (x.name, x.dataType)).toSeq,
+        s"graftdelta sink: batch schema ${df.schema.simpleString} " +
+          s"does not match the table's ${s0.simpleString} — refusing " +
+          "to commit a shape-shifted batch")
+    }
+    // data files: stage, then move under the root with unique names
+    val uuid = java.util.UUID.randomUUID().toString
+    val stage = s"$deltaRoot/_stage_$uuid"
+    df.write.parquet(stage)
+    val rels = f.listStatus(new Path(stage))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName).zipWithIndex.map { case (st, i) =>
+        val rel = f"part-$batchId%05d-$i%05d-$uuid.snappy.parquet"
+        if (!f.rename(st.getPath, new Path(s"$deltaRoot/$rel")))
+          throw new java.io.IOException(
+            s"rename ${st.getPath} -> $deltaRoot/$rel failed")
+        rel
+      }.toSeq
+    f.delete(new Path(stage), true)
+    def addJson(rel: String): String = {
+      val p = new Path(s"$deltaRoot/$rel")
+      val st = f.getFileStatus(p)
+      val rows = TableDoctor.footerRows(spark, p.toString)
+        .getOrElse(throw new IllegalStateException(
+          s"freshly written $rel has no readable parquet footer"))
+      s"""{"add":{"path":${om.writeValueAsString(rel)},""" +
+        s""""partitionValues":{},"size":${st.getLen},""" +
+        s""""modificationTime":${st.getModificationTime},""" +
+        s""""stats":${om.writeValueAsString(s"""{"numRecords":$rows}""")},""" +
+        s""""dataChange":true}}"""
+    }
+    val addActions = rels.map(addJson)
+    val txnJson = s"""{"txn":{"appId":${om.writeValueAsString(appId)},""" +
+      s""""version":$batchId,"lastUpdated":0}}"""
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20,
+        s"graftdelta sink: lost $attempts commit races at $deltaRoot")
+      val head =
+        if (nextV == 0L) Seq(
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          s"""{"metaData":{"id":${om.writeValueAsString(uuid)},""" +
+            s""""format":{"provider":"parquet","options":{}},""" +
+            s""""schemaString":${om.writeValueAsString(df.schema.json)},""" +
+            s""""partitionColumns":[],"configuration":{},""" +
+            s""""createdTime":0}}""")
+        else Seq.empty
+      val actions = head ++ addActions :+ txnJson
+      f.mkdirs(new Path(s"$deltaRoot/_delta_log"))
+      try {
+        val out = f.create(
+          new Path(f"$deltaRoot/_delta_log/$nextV%020d.json"),
+          /* overwrite = */ false)
+        try out.write(actions.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        return true
+      } catch {
+        case _: java.io.IOException =>
+          // lost the race — refresh: a concurrent replica may have
+          // landed THIS batch (cursor satisfied → drop our files)
+          val (v2, s2, c2) = state()
+          if (c2.exists(_ >= batchId)) {
+            rels.foreach(r => f.delete(new Path(s"$deltaRoot/$r"), false))
+            return false
+          }
+          s2.foreach { s0 =>
+            require(s0.fields.map(x => (x.name, x.dataType)).toSeq ==
+              df.schema.fields.map(x => (x.name, x.dataType)).toSeq,
+              "graftdelta sink: schema changed under a commit race")
+          }
+          nextV = v2
+      }
+    }
+    false // unreachable
+  }
+
   /** Write a CLASSIC single-part checkpoint (`<v>.checkpoint.parquet`
     * + `_last_checkpoint` pointer) for the Delta log at `deltaRoot` —
     * the writer-side companion of the checkpoint READER: the version's

@@ -29,6 +29,7 @@ import org.apache.spark.sql.types.StructType
 class GraftDeltaSource
     extends org.apache.spark.sql.sources.StreamSourceProvider
     with org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graftdelta"
@@ -97,6 +98,53 @@ class GraftDeltaSource
       .exists(_.toBoolean)
     new GraftDeltaStreamSource(sqlContext, root, fixed, startAt, maxV,
       ignoreChanges)
+  }
+
+  /** `df.writeStream.format("graftdelta")` — EXACTLY-ONCE streaming
+    * append into a real Delta log ([[DeltaInterop.appendOnce]]): each
+    * micro-batch is one commit whose `txn` (SetTransaction) cursor on
+    * (`appId`, batchId) makes at-least-once replays no-ops — the
+    * table is immediately consumable by ANY Delta reader. `appId`
+    * defaults to the checkpoint location, the [[GraftLakeSource]]
+    * sink's convention. */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming
+                            .OutputMode): org.apache.spark.sql
+                            .execution.streaming.Sink = {
+    require(outputMode ==
+        org.apache.spark.sql.streaming.OutputMode.Append ||
+      outputMode == org.apache.spark.sql.streaming.OutputMode.Update,
+      s"graftdelta sink: unsupported output mode $outputMode " +
+        "(append-only log)")
+    require(partitionColumns.isEmpty,
+      "graftdelta sink: partitioned streaming writes are not " +
+        "supported (append unpartitioned, OPTIMIZE-style layout later)")
+    val root = rootOf(parameters)
+    val appId = parameters.get("appId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graftdelta sink: need 'appId' or a checkpointLocation"))
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long,
+                            data: org.apache.spark.sql.DataFrame): Unit = {
+        // lift the incremental plan's rows into a plain batch frame
+        // (re-planning the streaming DataFrame trips the analyzer)
+        val spark = data.sparkSession
+        val schema = data.schema
+        val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+          org.apache.spark.sql.catalyst.encoders.RowEncoder
+            .encoderFor(schema)).resolveAndBind()
+        val rowRdd = data.queryExecution.toRdd.mapPartitions { it =>
+          val de = enc.createDeserializer()
+          it.map(r => de(r))
+        }
+        val batchDf = spark.createDataFrame(rowRdd, schema)
+        DeltaInterop.appendOnce(batchDf, root, appId, batchId): Unit
+      }
+      override def toString: String = s"GraftDeltaSink[$root]"
+    }
   }
 }
 
