@@ -28,19 +28,23 @@ object Pii {
   final case class Category(name: String, pattern: String, token: String)
 
   /** The default release-gate categories, in application order.
-    * Ordering matters: emails go first (their local parts may contain
-    * digit runs), then dotted quads, then the fixed-width id shapes
-    * from most to least specific (SSN 3-2-4, card 4-4-4-4, phone
-    * 3-3-4 — the widths are mutually exclusive, so order among them
-    * is cosmetic but fixed for determinism). */
+    * Ordering matters twice over: emails go first (their local parts
+    * may contain digit runs), then dotted quads, then the fixed-width
+    * id shapes — and PHONE must precede CARD: the widths are mutually
+    * exclusive within one token, but ACROSS adjacent tokens a phone's
+    * 4-digit tail plus a space-separated card's first three groups
+    * form a fake 4-4-4-4 match ("…-9999 4111 1111 1111"), while the
+    * converse cannot happen (no card group can satisfy the 3-3-4
+    * phone shape). Scrubbing phone first makes adjacent PII items
+    * count exactly — property-tested. */
   val Defaults: Seq[Category] = Seq(
     Category("email",
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     Category("ip",
       "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
     Category("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<ID>"),
-    Category("cc", "\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b", "<CC>"),
-    Category("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"))
+    Category("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
+    Category("cc", "\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b", "<CC>"))
 
   /** Scrub `textCol`: adds `outCol` (the redacted text) and one
     * `n_<category>` int column per category. The input column is left

@@ -62,6 +62,40 @@ class PiiSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("property: counts are exactly the injected occurrences on a "
+      + "letters-only carrier (no digits or @ → no accidental matches)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val s = spark
+    import s.implicits._
+    val word = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val injectable = Map(
+      "email" -> "ann@site.org", "ip" -> "10.1.2.3",
+      "ssn" -> "123-45-6789", "cc" -> "4111 1111 1111 1234",
+      "phone" -> "555-010-9999")
+    val gen = for {
+      words <- Gen.listOf(word)
+      picks <- Gen.listOf(Gen.oneOf(injectable.keys.toSeq))
+    } yield (words, picks)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30),
+      Prop.forAll(gen) { case (words, picks) =>
+        // interleave: words then one injected token per pick
+        val text = (words ++ picks.map(injectable)).mkString(" ")
+        val row = Pii.scrub(Seq((1L, text)).toDF("id", "text"), "text")
+          .collect().head
+        val got = Pii.Defaults.map(c =>
+          c.name -> row.getAs[Int](s"n_${c.name}")).toMap
+        val want = picks.groupBy(identity)
+          .map { case (k, v) => k -> v.size }
+        Pii.Defaults.forall(c =>
+          got(c.name) == want.getOrElse(c.name, 0)) &&
+          !Pii.Defaults.exists(c =>
+            row.getAs[String]("clean_text").contains(injectable(c.name)))
+      })
+    assert(res.passed, res.status)
+  }
+
   test("hasPii gates on any category") {
     val s = spark
     import s.implicits._
