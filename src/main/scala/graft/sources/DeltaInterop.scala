@@ -515,17 +515,15 @@ object DeltaInterop {
     // the schema metadata; 'id' mode resolves against the parquet
     // files by the writer-embedded field ids (the parquet column names
     // of an id-mode table are arbitrary) — the requested scan schema
-    // carries `parquet.field.id` per field and the session flips on
-    // Spark's field-id matching (a session-level conf read at scan
-    // build; a no-op for every schema without id metadata, so enabling
-    // it here cannot change any other read's resolution)
+    // carries `parquet.field.id` per field; [[readLive]] scopes
+    // Spark's field-id matching conf to the scan it builds (a CLONED
+    // session holds the flag, so reading an id-mode table never
+    // mutates the caller's session-wide parquet resolution)
     val physSchema =
       tableConf.getOrElse("delta.columnMapping.mode", "none") match {
         case "none" => schema
         case "name" => physicalType(schema).asInstanceOf[StructType]
-        case "id" =>
-          spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-          physicalTypeById(schema).asInstanceOf[StructType]
+        case "id" => physicalTypeById(schema).asInstanceOf[StructType]
         case other => throw new UnsupportedOperationException(
           s"$root declares unknown columnMapping mode '$other'")
       }
@@ -942,9 +940,18 @@ object DeltaInterop {
             .filter(_.getPath.getName.endsWith(".parquet"))
           val out = parts.zipWithIndex.map { case (st, i) =>
             val rel = f"_change_data/v$lv%011d-ow-$i%05d.parquet"
-            f.rename(st.getPath, new Path(s"$deltaRoot/$rel"))
-            val len = f.getFileStatus(
-              new Path(s"$deltaRoot/$rel")).getLen
+            // HDFS-semantics rename-to-existing returns false (it does
+            // not overwrite); unchecked, a stale destination would be
+            // stat'ed and published as this version's cdc action —
+            // silently wrong feed content. Same discipline as the
+            // checkpoint rename in [[writeLogParquet]].
+            val dst = new Path(s"$deltaRoot/$rel")
+            if (f.exists(dst)) f.delete(dst, false): Unit
+            if (!f.rename(st.getPath, dst))
+              throw new java.io.IOException(
+                s"rename ${st.getPath} -> $dst failed; cdc feed for " +
+                  s"version $lv not committed")
+            val len = f.getFileStatus(dst).getLen
             s"""{"cdc":{"path":${om.writeValueAsString(rel)},""" +
               s""""partitionValues":{},"size":$len,""" +
               s""""dataChange":false}}"""
@@ -1088,15 +1095,36 @@ object DeltaInterop {
         else Seq.empty
       val actions = head ++ addActions :+ txnJson
       f.mkdirs(new Path(s"$deltaRoot/_delta_log"))
-      try {
-        val out = f.create(
-          new Path(f"$deltaRoot/_delta_log/$nextV%020d.json"),
-          /* overwrite = */ false)
-        try out.write(actions.mkString("\n").getBytes("UTF-8"))
-        finally out.close()
-        return true
-      } catch {
-        case _: java.io.IOException =>
+      val dst = new Path(f"$deltaRoot/_delta_log/$nextV%020d.json")
+      // ONLY a create-time already-exists is a lost commit race. Any
+      // other I/O failure (create succeeded, write/close failed: disk
+      // full, stream error) is OURS — the version file must not stay
+      // behind truncated, or every future state() replay of the log
+      // fails at it. Delete the partial file, then rethrow: the error
+      // is real, not a race to absorb.
+      val created: Option[org.apache.hadoop.fs.FSDataOutputStream] =
+        try Some(f.create(dst, /* overwrite = */ false))
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
+          case _: java.nio.file.FileAlreadyExistsException => None
+          // filesystems that signal exists-at-create with a plain
+          // IOException: the destination holding a commit IS the race
+          case e: java.io.IOException if f.exists(dst) => None
+        }
+      created match {
+        case Some(out) =>
+          try {
+            out.write(actions.mkString("\n").getBytes("UTF-8"))
+            out.close()
+            return true
+          } catch {
+            case e: Throwable =>
+              try out.close() catch { case _: Throwable => () }
+              try f.delete(dst, false): Unit
+              catch { case _: Throwable => () }
+              throw e
+          }
+        case None =>
           // lost the race — refresh: a concurrent replica may have
           // landed THIS batch (cursor satisfied → drop our files)
           val (v2, s2, c2) = state()
@@ -1542,8 +1570,28 @@ object DeltaInterop {
     // that skip row groups); a DV-free table's plan is untouched.
     // The physical→logical projection is rename-only casts (struct
     // casts rename nested fields by position), a no-op without mapping.
+    // columnMapping 'id' mode: parquet field-id matching is a SESSION
+    // conf, so the scan builds on a clone holding the flag — the
+    // relation captures the clone (execution sees it lazily) and the
+    // caller's session conf is never touched
+    def hasFieldIds(dt: DataType): Boolean = dt match {
+      case st: StructType => st.fields.exists(f =>
+        f.metadata.contains("parquet.field.id") ||
+          hasFieldIds(f.dataType))
+      case ArrayType(et, _) => hasFieldIds(et)
+      case MapType(k, v, _) => hasFieldIds(k) || hasFieldIds(v)
+      case _ => false
+    }
+    val scanSession =
+      if (!hasFieldIds(dataSchema)) spark
+      else {
+        val s2 = org.apache.spark.sql.graftbridge.ColumnBridge
+          .cloneSession(spark)
+        s2.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        s2
+      }
     def scan(paths: Seq[String]): DataFrame = {
-      val raw = spark.read.schema(dataSchema)
+      val raw = scanSession.read.schema(dataSchema)
         .parquet(paths.sorted.map(p => s"$root/$p"): _*)
       val withDv =
         if (dvs.isEmpty) raw
@@ -1685,6 +1733,13 @@ object DeltaInterop {
                   DeltaDeletionVectors.z85Decode(d.pathOrInlineDv,
                     d.sizeInBytes)))
                   .toEither.left.map(e => s"inline DV: ${e.getMessage}"))
+              case _ if d.offset.isEmpty =>
+                // the READ path (DeltaDeletionVectors) refuses an
+                // on-disk descriptor without an offset; assuming a
+                // default here would let the doctor bless a table
+                // every read of it rejects
+                Some(Left("on-disk DV descriptor lacks an offset — " +
+                  "every read of this table will refuse it"))
               case _ =>
                 DeltaDeletionVectors.fileOf(root, d) match {
                   case Some(df0) if existing(spark, Seq(df0))(df0) =>
@@ -1696,7 +1751,7 @@ object DeltaInterop {
                       val bytes = new Array[Byte](len.toInt)
                       try in.readFully(0, bytes) finally in.close()
                       DeltaDeletionVectors.framePositions(bytes,
-                        d.offset.getOrElse(1), d.sizeInBytes)
+                        d.offset.get, d.sizeInBytes)
                     }.toEither.left.map(e => String.valueOf(e.getMessage)))
                   case Some(df0) =>
                     issues += Issue("error", "dv_missing", p,

@@ -113,11 +113,16 @@ class GraftDeltaSource
                           outputMode: org.apache.spark.sql.streaming
                             .OutputMode): org.apache.spark.sql
                             .execution.streaming.Sink = {
+    // Append ONLY — the same restriction Delta's own streaming sink
+    // enforces: appendOnce is append-only, so an Update-mode query's
+    // re-emitted rows would land as DUPLICATE appended rows in a table
+    // promising exactly-once to any Delta reader
     require(outputMode ==
-        org.apache.spark.sql.streaming.OutputMode.Append ||
-      outputMode == org.apache.spark.sql.streaming.OutputMode.Update,
-      s"graftdelta sink: unsupported output mode $outputMode " +
-        "(append-only log)")
+        org.apache.spark.sql.streaming.OutputMode.Append,
+      s"graftdelta sink: unsupported output mode $outputMode — the " +
+        "sink appends exactly-once into the Delta log; Update-mode " +
+        "re-emissions would append as duplicate rows (use Append, as " +
+        "Delta's own streaming sink requires)")
     require(partitionColumns.isEmpty,
       "graftdelta sink: partitioned streaming writes are not " +
         "supported (append unpartitioned, OPTIMIZE-style layout later)")

@@ -670,7 +670,10 @@ object IcebergInterop {
     * alone (zero data I/O); v3 deletion vectors subtract their
     * `record_count` exactly (the spec allows at most one DV per data
     * file — a duplicated reference refuses with None rather than
-    * double-subtract); position-DELETE files cost one delete-file-
+    * double-subtract, and a DANGLING reference — a DV whose
+    * referenced_data_file is not a live data file, which the read
+    * path tolerates by deleting nothing — refuses with None rather
+    * than undercount); position-DELETE files cost one delete-file-
     * sized job (distinct live (file, pos) pairs — overlapping delete
     * files or dangling references must not inflate the subtraction),
     * still O(deleted rows), never O(data). None — fall back to a
@@ -687,6 +690,19 @@ object IcebergInterop {
     val dvs = deleteFiles.flatMap(_.dv)
     if (dvs.map(_.referencedFile).distinct.size != dvs.size) return None
     if (dvs.exists(_.records < 0)) return None
+    // a DANGLING DV reference deletes nothing at read time (the
+    // anti-join matches no live file — validateIceberg warns about
+    // exactly this), so subtracting its record_count here would
+    // UNDERCOUNT; per the contract — None, never a wrong number
+    if (dvs.nonEmpty) {
+      val conf0 = spark.sessionState.newHadoopConf()
+      val liveSpellings: Set[String] = dataFiles.flatMap { f0 =>
+        val hp = new Path(resolve(root, f0.path))
+        Seq(f0.path, hp.getFileSystem(conf0).makeQualified(hp).toString)
+      }.toSet
+      if (!dvs.forall(d => liveSpellings.contains(d.referencedFile)))
+        return None
+    }
     val pds = deleteFiles.filter(d => d.content == 1 && d.dv.isEmpty)
     // mixed DV + position-delete snapshots (a v2→v3 migration state)
     // could delete one row through BOTH shapes; computing the union

@@ -34,6 +34,16 @@ object ColumnBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** A full clone of the session — state, runtime conf, registered
+    * functions (classic `cloneSession` is private[sql]). Lets a read
+    * API scope a session-level SQL conf to ONE scan: the relation the
+    * clone builds captures the clone, so the conf applies when that
+    * scan executes without ever mutating the caller's session. */
+  def cloneSession(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .cloneSession()
+
   /** Streaming-tagged batch frame from internal rows — the V1 streaming
     * `Source.getBatch` return contract (what FileStreamSource does);
     * classic `internalCreateDataFrame` is private[sql]. */

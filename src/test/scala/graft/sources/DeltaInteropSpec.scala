@@ -571,6 +571,12 @@ class DeltaInteropSpec extends SparkSpec {
       """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
     assert(DeltaInterop.readDelta(spark, root)
       .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // field-id matching is scoped to the scan's CLONED session — the
+    // caller's session-wide parquet resolution must stay untouched
+    // (unrelated scans whose requested schemas carry field-id metadata
+    // would otherwise silently change resolution behavior)
+    assert(spark.conf.get(
+      "spark.sql.parquet.fieldId.read.enabled") == "false")
     assert(DeltaInterop.deltaSchema(spark, root).fieldNames.toSeq ==
       Seq("k", "v"))
     val r2 = freshRoot()
@@ -822,6 +828,33 @@ class DeltaInteropSpec extends SparkSpec {
     // snapshot reads are untouched by the cdc publication
     assert(DeltaInterop.readDelta(spark, out)
       .select("k").as[Long].collect().toSet == (100L until 110L).toSet)
+  }
+
+  test("CDC overwrite publication replaces a stale destination part "
+      + "(HDFS rename-to-existing returns false) instead of silently "
+      + "publishing the stale bytes as this version's feed") {
+    val lake = freshRoot()
+    val out = freshRoot() + "_d"
+    LakeTable.append(spark.range(0, 30)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake) // v1
+    LakeTable.overwrite(spark.range(100, 105)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake) // v2
+    // squat garbage exactly where the overwrite's computed cdc part
+    // will land: an unchecked rename would return false and the stale
+    // bytes would be stat'ed and published as the cdc action
+    Files.createDirectories(Paths.get(s"$out/_change_data"))
+    Files.write(Paths.get(
+      s"$out/_change_data/v00000000002-ow-00000.parquet"),
+      Array.fill[Byte](96)(7))
+    DeltaInterop.syncToDelta(spark, lake, out)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "_change_type")
+        .as[(Long, Long, String)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+    // mirror feed of the overwrite version ≡ the lake's own feed —
+    // fresh content, not the squatted garbage
+    assert(norm(DeltaInterop.readDeltaFeed(spark, out, 0L, 1L)) ==
+      norm(LakeTable.changeFeed(spark, lake, 1L, 2L)))
   }
 
   test("a log-cleaned (non-contiguous) JSON history errors instead of "

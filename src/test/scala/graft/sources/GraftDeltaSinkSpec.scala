@@ -77,6 +77,70 @@ class GraftDeltaSinkSpec extends SparkSpec {
       .select("k").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("Update output mode refuses loudly: appendOnce is append-only, "
+      + "so a stateful query's re-emitted rows would land as DUPLICATE "
+      + "appended rows (Delta's own streaming sink rejects Update too)") {
+    val dir = fresh()
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val agg = mem.toDF().groupBy((col("value") % 10).as("g")).count()
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val e = intercept[Throwable] {
+      val q = agg.writeStream.format("graftdelta")
+        .outputMode("update")
+        .option("path", s"$dir/t").option("appId", "upd")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      try { mem.addData(1L, 2L); q.processAllAvailable() }
+      finally q.stop()
+    }
+    assert(messages(e).exists(_.contains("unsupported output mode")),
+      messages(e).mkString(" | "))
+    // nothing half-landed
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/t/_delta_log")))
+  }
+
+  test("two concurrent writers interleave commits without loss or "
+      + "duplication: lost create races retry at the refreshed version "
+      + "and the final log replays clean") {
+    val root = fresh() + "/t"
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutor(pool)
+    def writer(appId: String, base: Long): Future[Unit] = Future {
+      (0 until 10).foreach { b =>
+        val df = spark.range(base + b * 10, base + b * 10 + 10)
+          .select(col("id").as("k"), lit(appId).as("v"))
+        assert(DeltaInterop.appendOnce(df, root, appId, b.toLong))
+      }
+    }
+    val fa = writer("wA", 0L)
+    val fb = writer("wB", 10000L)
+    Await.result(fa, 120.seconds)
+    Await.result(fb, 120.seconds)
+    pool.shutdown()
+    val keys = DeltaInterop.readDelta(spark, root)
+      .select("k").as[Long].collect().toSeq
+    assert(keys.size == 200, s"expected 200 rows, got ${keys.size}")
+    assert(keys.toSet ==
+      ((0L until 100L) ++ (10000L until 10100L)).toSet)
+    // 20 commits, contiguous versions, doctor-clean — no truncated
+    // version file survived any lost race
+    assert(DeltaInterop.deltaVersions(spark, root) == (0L until 20L))
+    assert(DeltaInterop.validateDelta(spark, root).count() == 0L)
+    // both cursors are final: every batch replays as a no-op
+    (0 until 10).foreach { b =>
+      assert(!DeltaInterop.appendOnce(
+        Seq((-1L, "x")).toDF("k", "v"), root, "wA", b.toLong))
+      assert(!DeltaInterop.appendOnce(
+        Seq((-1L, "x")).toDF("k", "v"), root, "wB", b.toLong))
+    }
+  }
+
   test("the sunk table round-trips through the WHOLE interop surface: "
       + "graftdelta batch SQL reads it and sync-style consumers tail it") {
     val dir = fresh()

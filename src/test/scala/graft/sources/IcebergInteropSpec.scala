@@ -716,6 +716,21 @@ class IcebergInteropSpec extends SparkSpec {
     assert(IcebergInterop.icebergRowCount(spark, v3).contains(8L))
   }
 
+  test("icebergRowCount refuses (None) on a DANGLING DV reference: the "
+      + "read path tolerates it by deleting nothing, so subtracting its "
+      + "record_count would undercount — None, never a wrong number") {
+    val root = IcebergV3Fixture.build(spark, Array(1L, 3L),
+      dvRef = "data/NOT_A_LIVE_FILE.parquet")
+    // the read path serves ALL 10 rows (the anti-join matches nothing)
+    assert(IcebergInterop.readIceberg(spark, root).count() == 10L)
+    // so 10 − 2 = 8 would be WRONG; the metadata count must refuse
+    assert(IcebergInterop.icebergRowCount(spark, root).isEmpty)
+    // the doctor flags the same state as a warning
+    val issues = IcebergInterop.validateIceberg(spark, root)
+      .select("severity", "code").as[(String, String)].collect().toSeq
+    assert(issues.contains(("warn", "dangling_delete_ref")), issues)
+  }
+
   test("icebergRowCount does not double-subtract overlapping position-"
       + "delete files (the foreign-writer hazard the distinct guards)") {
     val root = freshRoot()

@@ -16,7 +16,8 @@ object IcebergV3Fixture {
   def build(spark: org.apache.spark.sql.SparkSession,
             dvPos: Array[Long],
                            declaredCount: Option[Long] = None,
-                           schemaExtra: String = ""): String = {
+                           schemaExtra: String = "",
+                           dvRef: String = "data/fA.parquet"): String = {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("icev3").toString + "/t"
     val fsys = new org.apache.hadoop.fs.Path(root)
@@ -37,7 +38,7 @@ object IcebergV3Fixture {
     val blobMeta = PuffinFiles.write(spark, s"$root/data/dv.puffin", Seq(
       PuffinFiles.Blob(PuffinFiles.DvBlobType, Seq(2147483546), 200L, 2L,
         PuffinFiles.dvBlobBytes(dvPos),
-        Map("referenced-data-file" -> "data/fA.parquet",
+        Map("referenced-data-file" -> dvRef,
           "cardinality" -> dvPos.length.toString)))).head
     def dataEntry(path: String): GenericData.Record = {
       val s0 = IcebergInterop.manifestSchemaV3
@@ -66,7 +67,7 @@ object IcebergV3Fixture {
       df0.put("record_count",
         declaredCount.getOrElse(dvPos.length.toLong))
       df0.put("file_size_in_bytes", 1L)
-      df0.put("referenced_data_file", "data/fA.parquet")
+      df0.put("referenced_data_file", dvRef)
       df0.put("content_offset", blobMeta.offset)
       df0.put("content_size_in_bytes", blobMeta.length)
       val e = new GenericData.Record(s0)

@@ -146,6 +146,51 @@ class TableDoctorSpec extends SparkSpec {
     assert(issues3 == Seq(("error", "dv_out_of_range")), issues3)
   }
 
+  test("an on-disk DV descriptor WITHOUT an offset is its own dv_corrupt "
+      + "error — the read path refuses such a descriptor, so a doctor "
+      + "assuming a default would bless a table every read rejects") {
+    val root = freshRoot()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val stage = s"$root/_stage"
+    Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "v")
+      .coalesce(1).write.parquet(stage)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$root/f0.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    val uuid = java.util.UUID.randomUUID()
+    val bm = DeltaDeletionVectors.serializeBitmap(Array(1L))
+    val (off, size) = DeltaDeletionVectors.writeDvFile(spark,
+      s"$root/deletion_vector_$uuid.bin", Seq(bm)).head
+    assert(off > 0 && size > 0)
+    val enc = DeltaDeletionVectors.encodeUuid(uuid)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val sj = om.writeValueAsString(org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))).json)
+    Files.createDirectories(Paths.get(s"$root/_delta_log"))
+    Files.writeString(Paths.get(
+      s"$root/_delta_log/00000000000000000000.json"),
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}
+         |{"metaData":{"id":"noff","schemaString":$sj,"partitionColumns":[],"format":{"provider":"parquet"}}}
+         |{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"$enc","sizeInBytes":$size,"cardinality":1}}}"""
+        .stripMargin)
+    // the read path refuses the offset-less descriptor…
+    intercept[Exception] {
+      DeltaInterop.readDelta(spark, root).count()
+    }
+    // …and the doctor reports the SAME judgment instead of assuming
+    // a default offset and certifying the table healthy
+    val issues = codes(DeltaInterop.validateDelta(spark, root))
+    assert(issues == Seq(("error", "dv_corrupt")), issues)
+    val msg = DeltaInterop.validateDelta(spark, root)
+      .select("detail").as[String].collect().head
+    assert(msg.contains("offset"), msg)
+  }
+
   test("Iceberg: a mis-declared DV cardinality and a dangling position-"
       + "delete reference both surface without failing the walk") {
     // v3 fixture declaring 7 where the vector holds 2
