@@ -3154,6 +3154,107 @@ object SourceQueries {
           CAST(max(o_orderkey) AS BIGINT) AS mx
         FROM orders"""),
       "metadata-only SQL aggregates: LocalTableScan plan ≡ direct SQL"),
+
+    // ---- Iceberg IDENTITY-partition pruning --------------------------------
+    // The dominant real-world Iceberg layout is identity partitioning
+    // (day/source); at 100 TB a `WHERE day = X` must skip files by
+    // their manifest partition VALUES — bounds may be absent or wide.
+    // The fixture records NO column bounds at all, and every file
+    // outside the probed partition is corrupted after manifest
+    // publication: only genuine partition-value pruning keeps the
+    // read alive. The oracle recomputes the partition from orders.
+    "q352_iceberg_partition_prune" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_icepart_q352") + "/ice"
+        val fsys = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_totalprice"),
+          pmod(col("o_orderkey"), lit(16)).cast("int").as("bucket"))
+        // per-partition row counts for the manifest (≤16 rows — the
+        // same bounded driver transfer every Iceberg writer performs)
+        val counts = o.groupBy("bucket").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        (0 until 16).foreach { b =>
+          val stage = s"$root/_stage"
+          o.filter(col("bucket") === b).coalesce(1)
+            .write.mode("overwrite").parquet(stage)
+          val part = fsys.listStatus(
+            new org.apache.hadoop.fs.Path(stage))
+            .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+          fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data"))
+          fsys.rename(part,
+            new org.apache.hadoop.fs.Path(s"$root/data/b$b.parquet"))
+          fsys.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+        }
+        import org.apache.avro.generic.GenericData
+        val ms = graft.sources.IcebergInterop.manifestSchemaWithPartition(
+          """{"name":"bucket","type":["null","int"],"default":null}""")
+        val entries = (0 until 16).map { b =>
+          val df0 = new GenericData.Record(
+            ms.getField("data_file").schema())
+          df0.put("content", 0)
+          df0.put("file_path", s"data/b$b.parquet")
+          df0.put("file_format", "PARQUET")
+          val pr = new GenericData.Record(
+            df0.getSchema.getField("partition").schema())
+          pr.put("bucket", Integer.valueOf(b))
+          df0.put("partition", pr)
+          df0.put("record_count", counts.getOrElse(b, 0L))
+          df0.put("file_size_in_bytes", 1L)
+          val e = new GenericData.Record(ms)
+          e.put("status", 1); e.put("data_file", df0)
+          e
+        }
+        graft.sources.IcebergInterop.writeAvro(s,
+          s"$root/metadata/m0.avro", ms, entries)
+        val ls = graft.sources.IcebergInterop.manifestListSchema
+        val le = new GenericData.Record(ls)
+        le.put("manifest_path", "metadata/m0.avro")
+        le.put("manifest_length", 1L)
+        le.put("partition_spec_id", 0)
+        le.put("content", 0)
+        le.put("sequence_number", 1L)
+        le.put("min_sequence_number", 1L)
+        le.put("added_snapshot_id", 100L)
+        le.put("added_files_count", 16)
+        le.put("existing_files_count", 0)
+        le.put("deleted_files_count", 0)
+        le.put("added_rows_count", counts.values.sum)
+        le.put("existing_rows_count", 0L)
+        le.put("deleted_rows_count", 0L)
+        graft.sources.IcebergInterop.writeAvro(s,
+          s"$root/metadata/snap-100.avro", ls, Seq(le))
+        Files.writeString(Paths.get(s"$root/metadata/v1.metadata.json"),
+          s"""{"format-version":2,"table-uuid":"q352","location":"$root",
+             |"last-sequence-number":1,"last-updated-ms":10,
+             |"last-column-id":3,"current-schema-id":0,
+             |"schemas":[{"type":"struct","schema-id":0,"fields":[
+             |{"id":1,"name":"o_orderkey","required":false,"type":"long"},
+             |{"id":2,"name":"o_totalprice","required":false,"type":"double"},
+             |{"id":3,"name":"bucket","required":false,"type":"int"}]}],
+             |"default-spec-id":0,"partition-specs":[{"spec-id":0,
+             |"fields":[{"name":"bucket","transform":"identity",
+             |"source-id":3,"field-id":1000}]}],
+             |"last-partition-id":1000,"current-snapshot-id":100,
+             |"snapshots":[{"snapshot-id":100,"timestamp-ms":10,
+             |"sequence-number":1,
+             |"manifest-list":"metadata/snap-100.avro"}]}"""
+            .stripMargin.replace("\n", ""))
+        // corrupt every file OUTSIDE the probed partition: only
+        // partition-value pruning keeps the read alive (no bounds)
+        (0 until 16).filter(_ != 3).foreach { b =>
+          Files.delete(Paths.get(s"$root/data/b$b.parquet"))
+          Files.write(Paths.get(s"$root/data/b$b.parquet"),
+            Array.fill[Byte](64)(0)): Unit
+        }
+        graft.sources.IcebergInterop.readIcebergRange(
+          s, root, "bucket", 3, 3)
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+          CAST(o_orderkey % 16 AS INTEGER) AS bucket
+        FROM orders WHERE o_orderkey % 16 = 3"""),
+      "Iceberg identity-partition pruning: only the probed partition opens"),
   )
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed

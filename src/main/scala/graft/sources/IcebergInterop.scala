@@ -212,6 +212,20 @@ object IcebergInterop {
           |{"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145},
           |{"name":"equality_ids"""".stripMargin))
 
+  /** The v2 manifest-entry schema with a NON-EMPTY partition record —
+    * the shape identity-partitioned writers emit. `fieldsJson` is the
+    * Avro field list of the partition record (e.g.
+    * `{"name":"day","type":["null","string"],"default":null}`). The
+    * READER needs no counterpart: Avro files embed their writer
+    * schema, so any partition shape parses through the one read path
+    * (used by partitioned fixtures and tests). */
+  private[graft] def manifestSchemaWithPartition(fieldsJson: String)
+      : org.apache.avro.Schema =
+    new org.apache.avro.Schema.Parser().parse(
+      manifestSchema.toString.replace(
+        """"name":"r102","fields":[]""",
+        s""""name":"r102","fields":[$fieldsJson]"""))
+
   // ---- Iceberg single-value binary serialization (bounds) -------------
   // Per the spec: int/long/float/double little-endian, string UTF-8.
 
@@ -275,12 +289,17 @@ object IcebergInterop {
     * name→field-id map (bounds maps key on field ids, not names). */
   private case class IceSchema(spark: StructType,
                                fieldIds: Map[String, Int])
+  /** One partition-spec field: (name, transform, source field id).
+    * Only `identity` transforms prune; others (bucket[N], day, …)
+    * admit their files — never a wrong skip. */
   private case class IceMeta(formatVersion: Int, version: Int,
                              schemas: Map[Int, IceSchema],
                              currentSchemaId: Int,
                              snapshots: Seq[IceSnapshot],
                              currentSnapshotId: Option[Long],
-                             raw: com.fasterxml.jackson.databind.JsonNode)
+                             raw: com.fasterxml.jackson.databind.JsonNode,
+                             partitionSpecs: Map[Int,
+                               Seq[(String, String, Int)]] = Map.empty)
 
   private val PlainMeta = """v(\d+)\.metadata\.json""".r
   private val UuidMeta = """(\d+)-[0-9a-fA-F-]+\.metadata\.json""".r
@@ -365,8 +384,27 @@ object IcebergInterop {
         s.path("sequence-number").asLong(0L))
     }.toSeq
     val cur = node.path("current-snapshot-id").asLong(-1L)
+    // partition specs: the identity transforms are the 100 TB scan
+    // lever — a `WHERE day = X` on an identity-partitioned table must
+    // skip files by their manifest partition VALUES even when column
+    // bounds are absent (v1's flat `partition-spec` parses too)
+    val partitionSpecs: Map[Int, Seq[(String, String, Int)]] =
+      if (node.has("partition-specs"))
+        node.path("partition-specs").elements().asScala.map { sp =>
+          sp.path("spec-id").asInt(0) ->
+            sp.path("fields").elements().asScala.map { f =>
+              (f.path("name").asText, f.path("transform").asText,
+                f.path("source-id").asInt(-1))
+            }.toSeq
+        }.toMap
+      else if (node.has("partition-spec"))
+        Map(0 -> node.path("partition-spec").elements().asScala.map { f =>
+          (f.path("name").asText, f.path("transform").asText,
+            f.path("source-id").asInt(-1))
+        }.toSeq)
+      else Map.empty
     IceMeta(fv, ver, schemas, currentSchemaId, snapshots,
-      if (cur >= 0) Some(cur) else None, node)
+      if (cur >= 0) Some(cur) else None, node, partitionSpecs)
   }
 
   /** Resolve a possibly-relative manifest/data location against the
@@ -404,7 +442,11 @@ object IcebergInterop {
   private case class DataFileMeta(path: String,
       lower: Map[Int, java.nio.ByteBuffer],
       upper: Map[Int, java.nio.ByteBuffer],
-      seq: Long = 0L, records: Long = -1L)
+      seq: Long = 0L, records: Long = -1L,
+      // identity-transform partition values keyed by SOURCE field id;
+      // Some(None) = explicit null partition value (all rows null for
+      // the source column). Non-identity transforms never appear here.
+      partitionIdVals: Map[Int, Option[Any]] = Map.empty)
 
   /** One live delete file of a snapshot. `content` 1 = position
     * deletes (file_path, pos rows), 2 = equality deletes (rows of the
@@ -459,10 +501,13 @@ object IcebergInterop {
         .getOrElse(dflt)
     val manifests = listEntries.map(e =>
       (str(e, "manifest_path"), int(e, "content", 0),
-        lng(e, "sequence_number", 0L)))
+        lng(e, "sequence_number", 0L),
+        int(e, "partition_spec_id", 0)))
     var dataFiles = Seq.empty[DataFileMeta]
     var deleteFiles = Seq.empty[DeleteFileMeta]
-    manifests.foreach { case (mPath, mContent, mSeq) =>
+    manifests.foreach { case (mPath, mContent, mSeq, mSpecId) =>
+      val specFields = meta.partitionSpecs.getOrElse(mSpecId, Seq.empty)
+        .filter(_._2 == "identity")
       readAvro(spark, resolve(root, mPath)).foreach { e =>
         val status = int(e, "status", 0)
         val df0 = e.get("data_file").asInstanceOf[GenericRecord]
@@ -479,10 +524,27 @@ object IcebergInterop {
             throw new UnsupportedOperationException(
               s"$root: data file $path has format $fmt; this interop " +
                 "reader scans parquet (and v3 Puffin DVs) only")
+          // the data_file's `partition` record, resolved against this
+          // manifest's spec: identity fields map source-id → value
+          // (Utf8 → String; numerics stay boxed); a field the writer's
+          // partition record does not carry is simply absent (admit)
+          def identityVals(): Map[Int, Option[Any]] =
+            if (specFields.isEmpty) Map.empty
+            else Option(df0.get("partition")) match {
+              case Some(pr: GenericRecord) =>
+                specFields.flatMap { case (nm, _, srcId) =>
+                  if (pr.getSchema.getField(nm) == null) None
+                  else Some(srcId -> Option(pr.get(nm)).map {
+                    case u: org.apache.avro.util.Utf8 => u.toString
+                    case other => other
+                  })
+                }.toMap
+              case _ => Map.empty
+            }
           (mContent, content) match {
             case (0, 0) => dataFiles :+= DataFileMeta(path,
               boundsOf(df0, "lower_bounds"), boundsOf(df0, "upper_bounds"),
-              seq, lng(df0, "record_count", -1L))
+              seq, lng(df0, "record_count", -1L), identityVals())
             case (1, 1) if isPuffinDv =>
               // v3 deletion vector: position deletes as a Puffin blob
               if (meta.formatVersion < 3)
@@ -763,14 +825,30 @@ object IcebergInterop {
       case _ => 0
     }
     val admitted = dataFiles.filter { f =>
+      // IDENTITY-PARTITION pruning — the dominant real-world layout
+      // (day/source partitioning): the manifest's partition VALUE
+      // decides the file outright, even when column bounds are absent
+      // or wide. An explicit null partition value means every row's
+      // key is null — no row can satisfy a range predicate, so the
+      // file prunes. Non-identity transforms and unconvertible types
+      // admit (never a wrong skip).
+      val partAdmit = f.partitionIdVals.get(fieldId) match {
+        case None => true
+        case Some(None) => false
+        case Some(Some(v)) => (qv(v), qlo, qhi) match {
+          case (Some(pv), Some(ql), Some(qh)) =>
+            cmp(pv, ql) >= 0 && cmp(pv, qh) <= 0
+          case _ => true
+        }
+      }
       val flo = f.lower.get(fieldId).flatMap(boundValue(dt, _))
       val fhi = f.upper.get(fieldId).flatMap(boundValue(dt, _))
       // a missing/undecodable bound (or unsupported type) admits
-      (flo, fhi, qlo, qhi) match {
+      partAdmit && ((flo, fhi, qlo, qhi) match {
         case (Some(l), Some(h), Some(ql), Some(qh)) =>
           cmp(l, qh) <= 0 && cmp(h, ql) >= 0
         case _ => true
-      }
+      })
     }
     readLiveIce(spark, root, schema, admitted, deleteFiles)
       .filter(col(key) >= lit(lo) && col(key) <= lit(hi))
@@ -798,10 +876,17 @@ object IcebergInterop {
     else (schema.spark, Some(dataFiles.map { f =>
       val zones = schema.spark.fields.toSeq.flatMap { sf =>
         val id = schema.fieldIds.getOrElse(sf.name, -1)
-        for {
+        val bound = for {
           lo <- f.lower.get(id).flatMap(boundValue(sf.dataType, _))
           hi <- f.upper.get(id).flatMap(boundValue(sf.dataType, _))
         } yield LakeTable.Zone(sf.name, lo.toString, hi.toString)
+        // identity partition value = a degenerate [v, v] zone, so SQL
+        // `USING grafticeberg` prunes partitioned tables through the
+        // same zone machinery even when the writer recorded no bounds
+        val part = f.partitionIdVals.get(id).flatten.filter(_ =>
+          bound.isEmpty).map(v =>
+          LakeTable.Zone(sf.name, v.toString, v.toString))
+        bound.orElse(part).toSeq
       }
       (resolve(root, f.path), zones)
     }))

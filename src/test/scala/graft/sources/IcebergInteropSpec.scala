@@ -49,6 +49,134 @@ class IcebergInteropSpec extends SparkSpec {
       .count() == 60L)
   }
 
+  // Hand-built identity-partitioned v2 table (the layout real Iceberg
+  // tables overwhelmingly use): spec 0 = identity(p); spec 1 =
+  // bucket[4](k) (NOT prunable — must always admit). NO column bounds
+  // anywhere, so any skipping observed is the partition values' doing.
+  //   f1: p=1 (k 0-4)   f2: p=2 (k 5-9)   fN: p=null (k 100-102)
+  //   fB: bucket spec (k 200-204, p=2)
+  private def partitionedFixture(): String = {
+    val root = freshRoot()
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def writeOne(df: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val stage = s"$root/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = fsys.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/$rel").getParent)
+      fsys.rename(part, new org.apache.hadoop.fs.Path(s"$root/$rel"))
+      fsys.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+    }
+    def rows(ks: Range, p: Option[Int]) = ks.map(k =>
+      (k.toLong, s"v$k", p.map(Integer.valueOf).orNull))
+      .toDF("k", "v", "p")
+    writeOne(rows(0 to 4, Some(1)), "data/f1.parquet")
+    writeOne(rows(5 to 9, Some(2)), "data/f2.parquet")
+    writeOne(rows(100 to 102, None), "data/fN.parquet")
+    writeOne(rows(200 to 204, Some(2)), "data/fB.parquet")
+    val idSchema = IcebergInterop.manifestSchemaWithPartition(
+      """{"name":"p","type":["null","int"],"default":null}""")
+    val bkSchema = IcebergInterop.manifestSchemaWithPartition(
+      """{"name":"k_bucket","type":["null","int"],"default":null}""")
+    def entry(s0: org.apache.avro.Schema, path: String,
+              partName: String, pv: Any): GenericData.Record = {
+      val df0 = new GenericData.Record(s0.getField("data_file").schema())
+      df0.put("content", 0)
+      df0.put("file_path", path)
+      df0.put("file_format", "PARQUET")
+      val pr = new GenericData.Record(
+        df0.getSchema.getField("partition").schema())
+      pr.put(partName, pv)
+      df0.put("partition", pr)
+      df0.put("record_count", 5L)
+      df0.put("file_size_in_bytes", 1L)
+      val e = new GenericData.Record(s0)
+      e.put("status", 1); e.put("data_file", df0)
+      e
+    }
+    IcebergInterop.writeAvro(spark, s"$root/metadata/m0.avro", idSchema,
+      Seq(entry(idSchema, "data/f1.parquet", "p", Integer.valueOf(1)),
+        entry(idSchema, "data/f2.parquet", "p", Integer.valueOf(2)),
+        entry(idSchema, "data/fN.parquet", "p", null)))
+    IcebergInterop.writeAvro(spark, s"$root/metadata/m1.avro", bkSchema,
+      Seq(entry(bkSchema, "data/fB.parquet", "k_bucket",
+        Integer.valueOf(2))))
+    def listEntry(path: String, specId: Int): GenericData.Record = {
+      val r = new GenericData.Record(IcebergInterop.manifestListSchema)
+      r.put("manifest_path", path)
+      r.put("manifest_length", 1L)
+      r.put("partition_spec_id", specId)
+      r.put("content", 0)
+      r.put("sequence_number", 1L)
+      r.put("min_sequence_number", 1L)
+      r.put("added_snapshot_id", 100L)
+      r.put("added_files_count", 1)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", 1L)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r
+    }
+    IcebergInterop.writeAvro(spark, s"$root/metadata/snap-100.avro",
+      IcebergInterop.manifestListSchema,
+      Seq(listEntry("metadata/m0.avro", 0),
+        listEntry("metadata/m1.avro", 1)))
+    Files.writeString(Paths.get(s"$root/metadata/v1.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"part","location":"$root",
+         |"last-sequence-number":1,"last-updated-ms":10,"last-column-id":3,
+         |"current-schema-id":0,"schemas":[{"type":"struct","schema-id":0,
+         |"fields":[{"id":1,"name":"k","required":false,"type":"long"},
+         |{"id":2,"name":"v","required":false,"type":"string"},
+         |{"id":3,"name":"p","required":false,"type":"int"}]}],
+         |"default-spec-id":0,"partition-specs":[
+         |{"spec-id":0,"fields":[{"name":"p","transform":"identity",
+         |"source-id":3,"field-id":1000}]},
+         |{"spec-id":1,"fields":[{"name":"k_bucket","transform":"bucket[4]",
+         |"source-id":1,"field-id":1001}]}],
+         |"last-partition-id":1001,"current-snapshot-id":100,
+         |"snapshots":[{"snapshot-id":100,"timestamp-ms":10,
+         |"sequence-number":1,"manifest-list":"metadata/snap-100.avro"}]}"""
+        .stripMargin.replace("\n", ""))
+    root
+  }
+
+  test("IDENTITY-partition pruning: manifest partition VALUES skip "
+      + "files with no bounds recorded; null partition values prune "
+      + "range reads; non-identity transforms always admit; the SQL "
+      + "zone path prunes on partition values too") {
+    val root = partitionedFixture()
+    // SQL path first (fN must stay readable here: null has no zone)
+    Files.delete(Paths.get(s"$root/data/f1.parquet"))
+    Files.write(Paths.get(s"$root/data/f1.parquet"),
+      Array.fill[Byte](64)(0)) // p=1 zone must prune this corrupt file
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW ice_part USING " +
+      s"grafticeberg OPTIONS (path '$root')")
+    assert(spark.sql("SELECT k FROM ice_part WHERE p = 2")
+      .as[Long].collect().toSet ==
+      ((5L to 9L) ++ (200L to 204L)).toSet)
+    // API range path: the null-partition file prunes too (all rows
+    // null ⇒ no row satisfies a range predicate) — corrupt it
+    Files.delete(Paths.get(s"$root/data/fN.parquet"))
+    Files.write(Paths.get(s"$root/data/fN.parquet"),
+      Array.fill[Byte](64)(0))
+    assert(IcebergInterop.readIcebergRange(spark, root, "p", 2, 2)
+      .select("k").as[Long].collect().toSet ==
+      ((5L to 9L) ++ (200L to 204L)).toSet)
+    // wide range: still prunes f1 (p=1 outside [2,5]) and fN (null),
+    // still ADMITS the bucket-transform file (conservative)
+    assert(IcebergInterop.readIcebergRange(spark, root, "p", 2, 5)
+      .select("k").as[Long].collect().toSet ==
+      ((5L to 9L) ++ (200L to 204L)).toSet)
+    // a range covering p=1 now fails loudly on the corrupt file —
+    // proof the earlier reads genuinely skipped it
+    intercept[Exception] {
+      IcebergInterop.readIcebergRange(spark, root, "p", 1, 2)
+        .count()
+    }
+  }
+
   test("live deletion vectors publish as Iceberg v2 POSITION DELETES: "
       + "no data file rewrites, the read anti-joins them out, stacked "
       + "deletes compose across snapshots") {
