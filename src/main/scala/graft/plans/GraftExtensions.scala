@@ -107,5 +107,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPostHocResolutionRule(spark => LakeDmlRules(spark))
     // custom operator: bounded-heap limit-per-group (logical + physical)
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    // SQL COUNT(*) over USING graftdelta/grafticeberg served from
+    // metadata (refusal-is-fallback keeps every unsound case a scan)
+    ext.injectOptimizerRule(spark => InteropCountRule(spark))
   }
 }

@@ -1,0 +1,90 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+  LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
+
+/** Serve plain-SQL `SELECT count(*)` over `USING graftdelta` /
+  * `USING grafticeberg` relations FROM METADATA — the same answers the
+  * [[graft.sources.DeltaInterop.deltaRowCount]] /
+  * [[graft.sources.IcebergInterop.icebergRowCount]] APIs give, behind
+  * standard SQL. Counting a foreign table is the first query every
+  * user runs; at 100 TB this is one manifest/log read instead of a
+  * full scan.
+  *
+  * The foreign readers are V1 relations (HadoopFsRelation for plain
+  * snapshots, [[graft.sources.InteropSnapshotRelation]] for
+  * merge-on-read ones), so the DSv2 `SupportsPushDownAggregates` seam
+  * does not exist for them; this optimizer rule is the Spark-first
+  * equivalent: rewrite `Aggregate([], count(1)*, Project* → relation)`
+  * to a one-row LocalRelation when — and ONLY when — the metadata
+  * count is sound. Refusal is fallback: the metadata APIs return None
+  * under equality deletes, missing record counts, dangling/duplicated
+  * DV references…, and the plan then scans, correct as before. A
+  * Filter below the aggregate, grouping, DISTINCT, or a FILTER clause
+  * never matches the pattern at all.
+  *
+  * Projections are transparent to row counts, so any Project chain
+  * between the Aggregate and the relation is unwrapped; anything else
+  * (Filter, Join, …) keeps the scan plan. Time travel is honored: the
+  * pinned version/snapshot rides in the relation's options
+  * (`graft.interop.version`, stamped at relation creation).
+  */
+case class InteropCountRule(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  /** (format, root, pinned version) of an interop relation under any
+    * Project chain; None = not a shape this rule may count. */
+  private def tableOf(plan: LogicalPlan)
+      : Option[(String, String, Option[Long])] = plan match {
+    case Project(_, child) => tableOf(child)
+    case lr: LogicalRelation => lr.relation match {
+      case h: HadoopFsRelation
+          if h.options.contains("graft.interop.format") =>
+        Some((h.options("graft.interop.format"), h.options("path"),
+          h.options.get("graft.interop.version").map(_.toLong)))
+      case r: graft.sources.InteropSnapshotRelation => r.interopRef
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** count(1)/count(*) with no DISTINCT and no FILTER clause — the
+    * only aggregate a row count can serve. */
+  private def isCountStar(
+      e: org.apache.spark.sql.catalyst.expressions.NamedExpression)
+      : Boolean = e match {
+    case Alias(ae: AggregateExpression, _) =>
+      !ae.isDistinct && ae.filter.isEmpty &&
+        (ae.aggregateFunction match {
+          case Count(Seq(Literal(v, _))) => v != null
+          case _ => false
+        })
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ Aggregate(Nil, exprs, child, _)
+        if exprs.nonEmpty && exprs.forall(isCountStar) =>
+      tableOf(child).flatMap { case (fmt, root, version) =>
+        val n = fmt match {
+          case "delta" =>
+            graft.sources.DeltaInterop.deltaRowCount(spark, root, version)
+          case "iceberg" =>
+            graft.sources.IcebergInterop.icebergRowCount(spark, root,
+              version)
+          case _ => None
+        }
+        n.map(cnt => LocalRelation(
+          agg.output.map(_.toAttribute),
+          Seq(InternalRow.fromSeq(Seq.fill(exprs.size)(cnt)))))
+      }.getOrElse(agg)
+  }
+}

@@ -2466,116 +2466,8 @@ object SourceQueries {
     // files with STRICTLY older sequence numbers, so the seq-3
     // re-inserts survive. The oracle recomputes all of it relationally.
     "q338_iceberg_equality_deletes" -> Q(
-      (s, d) => {
-        import org.apache.avro.generic.GenericData
-        import graft.sources.IcebergInterop
-        val root = freshRoot("graft_iceeq_q338") + "/t"
-        val fs = new org.apache.hadoop.fs.Path(root)
-          .getFileSystem(s.sessionState.newHadoopConf())
-        val o = Tables.orders(s, d)
-          .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        def writeOne(df: org.apache.spark.sql.DataFrame,
-                     rel: String): Unit = {
-          val stage = s"$root/_stage"
-          df.coalesce(1).write.mode("overwrite").parquet(stage)
-          val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
-            .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-          fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/$rel")
-            .getParent)
-          fs.rename(part, new org.apache.hadoop.fs.Path(s"$root/$rel"))
-          fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
-        }
-        // f1 @ seq 1: every 4th order, sorted so positions are defined
-        writeOne(o.filter(col("o_orderkey") % 4 === 0)
-          .orderBy("o_orderkey"), "data/f1.parquet")
-        // f2 @ seq 3: re-inserts the eq-deleted keys at doubled price
-        writeOne(o.filter(col("o_orderkey") % 20 === 0)
-          .withColumn("o_totalprice", col("o_totalprice") * 2),
-          "data/f2.parquet")
-        // equality delete @ seq 2: keys divisible by 20 (field id 1)
-        writeOne(o.filter(col("o_orderkey") % 20 === 0)
-          .select("o_orderkey"), "data/eq1.parquet")
-        // position delete @ seq 2: the first 25 rows of f1
-        writeOne(s.range(0, 25)
-          .select(lit("data/f1.parquet").as("file_path"),
-            col("id").as("pos")), "data/pd1.parquet")
-        def manifestEntry(content: Int, path: String,
-            eqIds: Seq[Int] = Seq.empty): GenericData.Record = {
-          val df0 = new GenericData.Record(
-            IcebergInterop.manifestSchema.getField("data_file").schema())
-          df0.put("content", content)
-          df0.put("file_path", path)
-          df0.put("file_format", "PARQUET")
-          df0.put("partition", new GenericData.Record(
-            df0.getSchema.getField("partition").schema()))
-          df0.put("record_count", 1L)
-          df0.put("file_size_in_bytes", 1L)
-          if (eqIds.nonEmpty) {
-            val l = new java.util.ArrayList[Integer]()
-            eqIds.foreach(i => l.add(Int.box(i)))
-            df0.put("equality_ids", l)
-          }
-          val e = new GenericData.Record(IcebergInterop.manifestSchema)
-          e.put("status", 1)
-          e.put("data_file", df0)
-          e // entry seq inherits from the manifest-list entry
-        }
-        def listEntry(path: String, content: Int, seq: Long)
-            : GenericData.Record = {
-          val r = new GenericData.Record(
-            IcebergInterop.manifestListSchema)
-          r.put("manifest_path", path)
-          r.put("manifest_length", 1L)
-          r.put("partition_spec_id", 0)
-          r.put("content", content)
-          r.put("sequence_number", seq)
-          r.put("min_sequence_number", seq)
-          r.put("added_snapshot_id", 7L)
-          r.put("added_files_count", 1)
-          r.put("existing_files_count", 0)
-          r.put("deleted_files_count", 0)
-          r.put("added_rows_count", 1L)
-          r.put("existing_rows_count", 0L)
-          r.put("deleted_rows_count", 0L)
-          r
-        }
-        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/metadata"))
-        IcebergInterop.writeAvro(s, s"$root/metadata/md1.avro",
-          IcebergInterop.manifestSchema,
-          Seq(manifestEntry(0, "data/f1.parquet")))
-        IcebergInterop.writeAvro(s, s"$root/metadata/md2.avro",
-          IcebergInterop.manifestSchema,
-          Seq(manifestEntry(0, "data/f2.parquet")))
-        IcebergInterop.writeAvro(s, s"$root/metadata/mdel.avro",
-          IcebergInterop.manifestSchema,
-          Seq(manifestEntry(2, "data/eq1.parquet", Seq(1)),
-            manifestEntry(1, "data/pd1.parquet")))
-        IcebergInterop.writeAvro(s, s"$root/metadata/snap-7.avro",
-          IcebergInterop.manifestListSchema,
-          Seq(listEntry("metadata/md1.avro", 0, 1L),
-            listEntry("metadata/md2.avro", 0, 3L),
-            listEntry("metadata/mdel.avro", 1, 2L)))
-        val schemaJson =
-          """{"type":"struct","schema-id":0,"fields":[
-            |{"id":1,"name":"o_orderkey","required":false,"type":"long"},
-            |{"id":2,"name":"o_orderstatus","required":false,
-            |"type":"string"},
-            |{"id":3,"name":"o_totalprice","required":false,
-            |"type":"double"}]}""".stripMargin.replace("\n", "")
-        Files.writeString(
-          Paths.get(s"$root/metadata/v1.metadata.json"),
-          s"""{"format-version":2,"table-uuid":"q338","location":"$root",
-             |"last-sequence-number":3,"last-updated-ms":9,
-             |"last-column-id":3,"current-schema-id":0,
-             |"schemas":[$schemaJson],"default-spec-id":0,
-             |"partition-specs":[],"last-partition-id":9,
-             |"current-snapshot-id":7,
-             |"snapshots":[{"snapshot-id":7,"timestamp-ms":9,
-             |"sequence-number":3,
-             |"manifest-list":"metadata/snap-7.avro"}]}"""
-            .stripMargin.replace("\n", ""))
-        IcebergInterop.readIceberg(s, root)
-      },
+      (s, d) => graft.sources.IcebergInterop.readIceberg(s,
+        eqDeleteFixture(s, d, "graft_iceeq_q338")),
       Some("""WITH f1 AS (
           SELECT o_orderkey, o_orderstatus, o_totalprice,
                  row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
@@ -3255,7 +3147,181 @@ object SourceQueries {
           CAST(o_orderkey % 16 AS INTEGER) AS bucket
         FROM orders WHERE o_orderkey % 16 = 3"""),
       "Iceberg identity-partition pruning: only the probed partition opens"),
+
+    // ---- SQL COUNT(*) served from interop metadata --------------------------
+    // Counting a foreign table is the first query every user runs;
+    // q348/q349 proved the metadata answers as APIs — this serves them
+    // behind PLAIN SQL: `SELECT count(*) FROM <USING graftdelta view>`
+    // plans as one LocalTableScan (asserted in-line, q315-style: the
+    // refusal-is-fallback design means a silent fallback would still
+    // hash-match, so the plan assert is what proves the pushdown
+    // engaged), while an Iceberg table carrying EQUALITY deletes must
+    // NOT push (their matched-row count needs the data) — that leg
+    // asserts the scan fallback and still counts correctly.
+    "q353_interop_sql_count" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val root = freshRoot("graft_sqlcount_q353")
+        val lake = root + "/lake"
+        val delta = root + "/delta"
+        val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        graft.sources.LakeTable.append(o, lake,
+          zoneKey = Some("o_orderkey"))
+        graft.sources.LakeTable.deleteWhereDV(s, lake,
+          "o_orderkey % 7 = 0")
+        graft.sources.DeltaInterop.syncToDelta(s, lake, delta)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q353_d USING " +
+          s"graftdelta OPTIONS (path '$delta')")
+        val dq = s.sql("SELECT count(*) AS n FROM q353_d")
+        val dplan = dq.queryExecution.executedPlan.toString
+        require(dplan.contains("LocalTableScan") &&
+          !dplan.toLowerCase.contains("parquet"),
+          s"q353: Delta COUNT(*) did not serve from metadata:\n$dplan")
+        val ice = eqDeleteFixture(s, d, "graft_sqlcount_q353_ice")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q353_i USING " +
+          s"grafticeberg OPTIONS (path '$ice')")
+        val iq = s.sql("SELECT count(*) AS n FROM q353_i")
+        val iplan = iq.queryExecution.executedPlan.toString
+        require(!iplan.contains("LocalTableScan"),
+          s"q353: COUNT(*) under EQUALITY deletes must scan, not " +
+            s"trust metadata:\n$iplan")
+        Seq((dq.as[Long].head(), iq.as[Long].head()))
+          .toDF("n_delta", "n_ice")
+      },
+      Some("""WITH f1 AS (
+          SELECT o_orderkey,
+                 row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+          FROM orders WHERE o_orderkey % 4 = 0)
+        SELECT
+          CAST((SELECT count(*) FROM orders WHERE o_orderkey % 7 <> 0)
+            AS BIGINT) AS n_delta,
+          CAST((SELECT count(*) FROM f1
+                WHERE pos >= 25 AND o_orderkey % 20 <> 0)
+             + (SELECT count(*) FROM orders WHERE o_orderkey % 20 = 0)
+            AS BIGINT) AS n_ice"""),
+      "SQL COUNT(*): metadata LocalTableScan on Delta, scan fallback " +
+        "under Iceberg equality deletes"),
   )
+
+
+  /** q338/q353 fixture: a hand-built Iceberg v2 log with EQUALITY and
+    * position deletes exactly as a foreign CDC writer (Flink et al.)
+    * lays it out — data file @ seq 1, one delete manifest @ seq 2
+    * carrying an equality-delete file (equality_ids on o_orderkey)
+    * AND a position-delete file, and a second data file @ seq 3 that
+    * re-inserts equality-deleted keys (the v2 strictly-older-sequence
+    * scoping rule is what keeps those alive). Returns the table root. */
+  private def eqDeleteFixture(s: org.apache.spark.sql.SparkSession,
+                              d: String, name: String): String = {
+    import org.apache.avro.generic.GenericData
+    import graft.sources.IcebergInterop
+    val root = freshRoot(name) + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val o = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    def writeOne(df: org.apache.spark.sql.DataFrame,
+             rel: String): Unit = {
+      val stage = s"$root/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+    .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/$rel")
+    .getParent)
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$root/$rel"))
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+    }
+    // f1 @ seq 1: every 4th order, sorted so positions are defined
+    writeOne(o.filter(col("o_orderkey") % 4 === 0)
+      .orderBy("o_orderkey"), "data/f1.parquet")
+    // f2 @ seq 3: re-inserts the eq-deleted keys at doubled price
+    writeOne(o.filter(col("o_orderkey") % 20 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2),
+      "data/f2.parquet")
+    // equality delete @ seq 2: keys divisible by 20 (field id 1)
+    writeOne(o.filter(col("o_orderkey") % 20 === 0)
+      .select("o_orderkey"), "data/eq1.parquet")
+    // position delete @ seq 2: the first 25 rows of f1
+    writeOne(s.range(0, 25)
+      .select(lit("data/f1.parquet").as("file_path"),
+    col("id").as("pos")), "data/pd1.parquet")
+    def manifestEntry(content: Int, path: String,
+    eqIds: Seq[Int] = Seq.empty): GenericData.Record = {
+      val df0 = new GenericData.Record(
+    IcebergInterop.manifestSchema.getField("data_file").schema())
+      df0.put("content", content)
+      df0.put("file_path", path)
+      df0.put("file_format", "PARQUET")
+      df0.put("partition", new GenericData.Record(
+    df0.getSchema.getField("partition").schema()))
+      df0.put("record_count", 1L)
+      df0.put("file_size_in_bytes", 1L)
+      if (eqIds.nonEmpty) {
+    val l = new java.util.ArrayList[Integer]()
+    eqIds.foreach(i => l.add(Int.box(i)))
+    df0.put("equality_ids", l)
+      }
+      val e = new GenericData.Record(IcebergInterop.manifestSchema)
+      e.put("status", 1)
+      e.put("data_file", df0)
+      e // entry seq inherits from the manifest-list entry
+    }
+    def listEntry(path: String, content: Int, seq: Long)
+    : GenericData.Record = {
+      val r = new GenericData.Record(
+    IcebergInterop.manifestListSchema)
+      r.put("manifest_path", path)
+      r.put("manifest_length", 1L)
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("sequence_number", seq)
+      r.put("min_sequence_number", seq)
+      r.put("added_snapshot_id", 7L)
+      r.put("added_files_count", 1)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", 1L)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r
+    }
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/metadata"))
+    IcebergInterop.writeAvro(s, s"$root/metadata/md1.avro",
+      IcebergInterop.manifestSchema,
+      Seq(manifestEntry(0, "data/f1.parquet")))
+    IcebergInterop.writeAvro(s, s"$root/metadata/md2.avro",
+      IcebergInterop.manifestSchema,
+      Seq(manifestEntry(0, "data/f2.parquet")))
+    IcebergInterop.writeAvro(s, s"$root/metadata/mdel.avro",
+      IcebergInterop.manifestSchema,
+      Seq(manifestEntry(2, "data/eq1.parquet", Seq(1)),
+    manifestEntry(1, "data/pd1.parquet")))
+    IcebergInterop.writeAvro(s, s"$root/metadata/snap-7.avro",
+      IcebergInterop.manifestListSchema,
+      Seq(listEntry("metadata/md1.avro", 0, 1L),
+    listEntry("metadata/md2.avro", 0, 3L),
+    listEntry("metadata/mdel.avro", 1, 2L)))
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+    |{"id":1,"name":"o_orderkey","required":false,"type":"long"},
+    |{"id":2,"name":"o_orderstatus","required":false,
+    |"type":"string"},
+    |{"id":3,"name":"o_totalprice","required":false,
+    |"type":"double"}]}""".stripMargin.replace("\n", "")
+    Files.writeString(
+      Paths.get(s"$root/metadata/v1.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"q338","location":"$root",
+     |"last-sequence-number":3,"last-updated-ms":9,
+     |"last-column-id":3,"current-schema-id":0,
+     |"schemas":[$schemaJson],"default-spec-id":0,
+     |"partition-specs":[],"last-partition-id":9,
+     |"current-snapshot-id":7,
+     |"snapshots":[{"snapshot-id":7,"timestamp-ms":9,
+     |"sequence-number":3,
+     |"manifest-list":"metadata/snap-7.avro"}]}"""
+    .stripMargin.replace("\n", ""))
+    root
+  }
 
   /** q235/q236 fixture pair: deterministic old/new snapshots of a keyed
     * orders projection with inserts (%7 keys return), deletes (%5 keys

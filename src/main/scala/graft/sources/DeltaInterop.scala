@@ -193,6 +193,11 @@ object DeltaInterop {
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("stats", StringType),
+      // live-file bytes: summed into the fallback relation's
+      // sizeInBytes so Catalyst broadcast decisions see real sizes;
+      // spec-required on write, but a foreign log missing it just
+      // yields no size hint (never a wrong one)
+      StructField("size", LongType),
       StructField("dataChange", BooleanType),
       StructField("deletionVector", StructType(Seq(
         StructField("storageType", StringType),
@@ -330,7 +335,8 @@ object DeltaInterop {
   private case class LiveFile(partitionValues: Map[String, String],
                               stats: Option[String],
                               dv: Option[DeltaDeletionVectors.Descriptor]
-                                = None)
+                                = None,
+                              size: Long = -1L)
 
   /** `schema` carries the LOGICAL field names users query; `physSchema`
     * the PHYSICAL names the parquet files (and partitionValues / stats
@@ -500,10 +506,15 @@ object DeltaInterop {
               d.getInt(d.fieldIndex("sizeInBytes")),
               d.getLong(d.fieldIndex("cardinality")))
           }.filter(_.cardinality > 0L)
+          val sz =
+            if (ad.schema.fieldNames.contains("size") &&
+                !ad.isNullAt(ad.fieldIndex("size")))
+              ad.getLong(ad.fieldIndex("size"))
+            else -1L
           live += ad.getAs[String]("path") -> LiveFile(
             Option(ad.getAs[Map[String, String]]("partitionValues"))
               .getOrElse(Map.empty),
-            Option(ad.getAs[String]("stats")), dv)
+            Option(ad.getAs[String]("stats")), dv, sz)
         }
       }
     }
@@ -1470,20 +1481,28 @@ object DeltaInterop {
       files: Seq[(String, Seq[LakeTable.Zone])],
       partValues: Map[String, Map[String, String]])
 
+  /** Third element: the snapshot's total live-file bytes from the log's
+    * own add-action sizes (None when a foreign writer omitted one) —
+    * what the fallback relation reports as `sizeInBytes` so Catalyst's
+    * broadcast decision sees the true table size instead of the
+    * never-broadcast default. */
   private[sources] def relationInfo(spark: SparkSession, root: String,
                                     versionAsOf: Option[Long])
-      : (StructType, Option[DeltaRelationFiles]) = {
+      : (StructType, Option[DeltaRelationFiles], Option[Long]) = {
     val vs = deltaVersions(spark, root)
     require(vs.nonEmpty, s"no Delta log under $root")
     val v = versionAsOf.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
     val snap = replay(spark, root, v)
+    val sizeHint: Option[Long] =
+      if (snap.live.values.exists(_.size < 0)) None
+      else Some(snap.live.values.map(_.size).sum)
     val partsAreSuffix = snap.partCols.isEmpty ||
       snap.schema.fieldNames.takeRight(snap.partCols.length).toSeq ==
         snap.partCols
     val plain = snap.schema == snap.physSchema &&
       snap.live.values.forall(_.dv.isEmpty) && partsAreSuffix
-    if (!plain) (snap.schema, None)
+    if (!plain) (snap.schema, None, sizeHint)
     else {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val dataSchema = StructType(snap.schema.fields
@@ -1518,7 +1537,8 @@ object DeltaInterop {
         abs(p) -> lf.partitionValues
       }.toMap
       (snap.schema,
-        Some(DeltaRelationFiles(dataSchema, partSchema, files, pv)))
+        Some(DeltaRelationFiles(dataSchema, partSchema, files, pv)),
+        sizeHint)
     }
   }
 

@@ -51,8 +51,13 @@ class GraftDeltaSource
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
     val v = parameters.get("versionAsOf").map(_.toLong)
+    // marker options let InteropCountRule serve SQL COUNT(*) from the
+    // log's numRecords stats (the pinned version rides along)
+    val marked = parameters ++
+      Map("graft.interop.format" -> "delta") ++
+      v.map(x => "graft.interop.version" -> x.toString)
     DeltaInterop.relationInfo(spark, root, v) match {
-      case (_, Some(fi)) =>
+      case (_, Some(fi), _) =>
         org.apache.spark.sql.execution.datasources.HadoopFsRelation(
           location = new InteropFileIndex(spark, root, fi.files,
             fi.dataSchema, fi.partSchema, fi.partValues),
@@ -61,10 +66,11 @@ class GraftDeltaSource
           bucketSpec = None,
           fileFormat = new org.apache.spark.sql.execution.datasources
             .parquet.ParquetFileFormat,
-          options = parameters)(spark)
-      case (schema, None) =>
+          options = marked)(spark)
+      case (schema, None, sizeHint) =>
         new InteropSnapshotRelation(sqlContext, schema,
-          () => DeltaInterop.readDelta(spark, root, v))
+          () => DeltaInterop.readDelta(spark, root, v),
+          Some(("delta", root, v)), sizeHint)
     }
   }
 

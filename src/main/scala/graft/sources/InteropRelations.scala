@@ -105,12 +105,21 @@ class InteropFileIndex(spark: SparkSession, tableRoot: String,
   * cannot express (deletion vectors / position deletes, column
   * mapping, partitioned Delta): serves the full merge-on-read
   * DataFrame. Filters still apply above the scan — correct always,
-  * pruned only by parquet row groups. */
+  * pruned only by parquet row groups. `interopRef` = (format, root,
+  * pinned version) — what [[graft.plans.InteropCountRule]] needs to
+  * serve SQL COUNT(*) from metadata when that is sound. */
 class InteropSnapshotRelation(ctx: SQLContext, s: StructType,
-                              mk: () => DataFrame)
+                              mk: () => DataFrame,
+                              val interopRef: Option[
+                                (String, String, Option[Long])] = None,
+                              sizeHint: Option[Long] = None)
     extends BaseRelation with org.apache.spark.sql.sources.TableScan {
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = s
+  // the snapshot's live bytes from its own metadata: without this a
+  // V1 relation reports spark.sql.defaultSizeInBytes (≈ Long.Max) and
+  // a KB-sized foreign dimension table never broadcasts
+  override def sizeInBytes: Long = sizeHint.getOrElse(super.sizeInBytes)
   override def buildScan(): org.apache.spark.rdd.RDD[
       org.apache.spark.sql.Row] = mk().rdd
 }

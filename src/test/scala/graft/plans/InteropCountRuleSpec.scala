@@ -1,0 +1,129 @@
+package graft.plans
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.{DeltaInterop, LakeTable}
+
+/** SQL COUNT(*) over USING graftdelta/grafticeberg served from
+  * metadata — and every shape it must NOT serve. */
+class InteropCountRuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): String =
+    Files.createTempDirectory("countrule").toString
+
+  private def planOf(sql: String): (String, Long) = {
+    val df = spark.sql(sql)
+    (df.queryExecution.executedPlan.toString, df.as[Long].head())
+  }
+
+  test("count(*) on a graftdelta view is ONE LocalTableScan (no file "
+      + "opens), honors versionAsOf, and subtracts live DV rows") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    val delta = s"$dir/delta"
+    LakeTable.append(spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake,
+      zoneKey = Some("k"))
+    LakeTable.deleteWhereDV(spark, lake, "k % 5 = 0")
+    DeltaInterop.syncToDelta(spark, lake, delta)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW cr_d USING graftdelta " +
+      s"OPTIONS (path '$delta')")
+    val (plan, n) = planOf("SELECT count(*) FROM cr_d")
+    assert(n == 80L)
+    assert(plan.contains("LocalTableScan") &&
+      !plan.toLowerCase.contains("parquet"), plan)
+    // hard proof no data file opens: corrupt every data parquet
+    LakeTable.entries(spark, lake, LakeTable.versions(spark, lake).last)
+      .map(_.path).foreach { rel =>
+        Files.delete(Paths.get(s"$delta/$rel"))
+        Files.write(Paths.get(s"$delta/$rel"), Array.fill[Byte](32)(1))
+      }
+    assert(planOf("SELECT count(*) FROM cr_d")._2 == 80L)
+    // versionAsOf pins the pre-delete commit (delta v0 = lake v1)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW cr_d0 USING graftdelta " +
+      s"OPTIONS (path '$delta', versionAsOf '0')")
+    val (plan0, n0) = planOf("SELECT count(*) FROM cr_d0")
+    assert(n0 == 100L)
+    assert(plan0.contains("LocalTableScan"), plan0)
+  }
+
+  test("shapes the rule must NOT touch: WHERE, count(col), "
+      + "count(DISTINCT), grouping, and a foreign log without stats "
+      + "all keep the scan plan and stay correct") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    val delta = s"$dir/delta"
+    LakeTable.append(spark.range(0, 50)
+      .select(col("id").as("k"), (col("id") % 3).as("v")), lake,
+      zoneKey = Some("k"))
+    DeltaInterop.syncToDelta(spark, lake, delta)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW cr_n USING graftdelta " +
+      s"OPTIONS (path '$delta')")
+    val guarded = Seq(
+      ("SELECT count(*) FROM cr_n WHERE k < 10", 10L),
+      ("SELECT count(v) FROM cr_n", 50L),
+      ("SELECT count(DISTINCT v) FROM cr_n", 3L),
+      ("SELECT count(*) FILTER (WHERE k < 5) FROM cr_n", 5L))
+    guarded.foreach { case (q, expect) =>
+      val (plan, n) = planOf(q)
+      assert(n == expect, q)
+      assert(!plan.contains("LocalTableScan"), s"$q must scan:\n$plan")
+    }
+    // grouped counts keep the scan too
+    val g = spark.sql("SELECT v, count(*) AS c FROM cr_n GROUP BY v")
+    assert(!g.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(g.collect().map(_.getLong(1)).sum == 50L)
+    // a foreign Delta log whose adds carry NO stats: deltaRowCount is
+    // None → the rule falls back to the scan, still correct
+    val foreign = s"$dir/foreign"
+    val stage = s"$foreign/_stage"
+    spark.range(0, 7).select(col("id").as("k")).coalesce(1)
+      .write.parquet(stage)
+    val fsys = new org.apache.hadoop.fs.Path(foreign)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val part = fsys.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fsys.rename(part, new org.apache.hadoop.fs.Path(s"$foreign/f0.parquet"))
+    fsys.delete(new org.apache.hadoop.fs.Path(stage), true)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val sj = om.writeValueAsString(org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType))).json)
+    Files.createDirectories(Paths.get(s"$foreign/_delta_log"))
+    Files.writeString(Paths.get(
+      s"$foreign/_delta_log/00000000000000000000.json"),
+      s"""{"metaData":{"id":"f","schemaString":$sj,"partitionColumns":[],"format":{"provider":"parquet"}}}
+         |{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+        .stripMargin)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW cr_f USING graftdelta " +
+      s"OPTIONS (path '$foreign')")
+    val (fplan, fn) = planOf("SELECT count(*) FROM cr_f")
+    assert(fn == 7L)
+    assert(!fplan.contains("LocalTableScan"),
+      s"stats-less log must scan:\n$fplan")
+  }
+
+  test("a merge-on-read snapshot relation reports its METADATA size, "
+      + "not the never-broadcast default — Catalyst's join planning "
+      + "sees a KB-sized foreign dimension as KB-sized") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    val delta = s"$dir/delta"
+    LakeTable.append(spark.range(0, 200)
+      .select(col("id").as("k"), (col("id") % 9).as("v")), lake,
+      zoneKey = Some("k"))
+    // the DV forces the fallback (InteropSnapshotRelation) path
+    LakeTable.deleteWhereDV(spark, lake, "k % 2 = 0")
+    DeltaInterop.syncToDelta(spark, lake, delta)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW cr_sz USING graftdelta " +
+      s"OPTIONS (path '$delta')")
+    val stats = spark.table("cr_sz")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    // the log's add sizes sum to a few KB; the V1 default is ~Long.Max
+    assert(stats > 0 && stats < 10L * 1024 * 1024,
+      s"expected metadata-sized stats, got $stats")
+  }
+}
