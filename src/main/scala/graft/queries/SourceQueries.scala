@@ -3201,6 +3201,49 @@ object SourceQueries {
             AS BIGINT) AS n_ice"""),
       "SQL COUNT(*): metadata LocalTableScan on Delta, scan fallback " +
         "under Iceberg equality deletes"),
+
+    // ---- Iceberg STREAMING sink ----------------------------------------------
+    // The Iceberg twin of q351: writeStream.format("grafticeberg")
+    // appends each micro-batch as ONE v2 snapshot whose summary
+    // properties (graft-app-id/graft-batch-id) are the idempotence
+    // cursor — Iceberg has no SetTransaction, so the cursor rides the
+    // spec's own summary extension point (Flink's sink records its
+    // checkpoint id the same way). The third drain proves replay
+    // discipline: nothing new to consume ⇒ the table must not move.
+    "q354_iceberg_sink" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_icesink_q354")
+        val lake = root + "/lake"
+        val dst = root + "/ice"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        def run(): Unit = {
+          val q = s.readStream.format("graftlake")
+            .option("path", lake).load()
+            .writeStream.format("grafticeberg")
+            .option("path", dst).option("appId", "q354")
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming
+              .Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 2 === 0), lake)
+        run() // bootstrap drain → first snapshot(s)
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 2 =!= 0), lake)
+        run() // incremental drain → more snapshots, no re-delivery
+        val nBefore = graft.sources.IcebergInterop
+          .icebergSnapshots(s, dst).size
+        run() // nothing new → the table does not move
+        require(graft.sources.IcebergInterop
+          .icebergSnapshots(s, dst).size == nBefore,
+          "empty drain committed an Iceberg snapshot")
+        graft.sources.IcebergInterop.readIceberg(s, dst)
+      },
+      Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"),
+      "graftlake stream → exactly-once grafticeberg sink ≡ source table"),
   )
 
 

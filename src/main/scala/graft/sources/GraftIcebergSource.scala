@@ -28,6 +28,7 @@ import org.apache.spark.sql.types.StructType
 class GraftIcebergSource
     extends org.apache.spark.sql.sources.StreamSourceProvider
     with org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with DataSourceRegister {
 
   override def shortName(): String = "grafticeberg"
@@ -54,8 +55,14 @@ class GraftIcebergSource
           .getOrElse(throw new IllegalArgumentException(
             s"grafticeberg: no snapshot at or before timestamp $ts"))
       })
+    // marker options let InteropCountRule serve SQL COUNT(*) from the
+    // manifests' record counts (the pinned snapshot — including one
+    // resolved from timestampAsOf — rides along)
+    val marked = parameters ++
+      Map("graft.interop.format" -> "iceberg") ++
+      snap.map(x => "graft.interop.version" -> x.toString)
     IcebergInterop.relationInfo(spark, root, snap) match {
-      case (schema, Some(files)) =>
+      case (schema, Some(files), _) =>
         org.apache.spark.sql.execution.datasources.HadoopFsRelation(
           location = new InteropFileIndex(spark, root, files, schema),
           partitionSchema = new StructType(),
@@ -63,10 +70,11 @@ class GraftIcebergSource
           bucketSpec = None,
           fileFormat = new org.apache.spark.sql.execution.datasources
             .parquet.ParquetFileFormat,
-          options = parameters)(spark)
-      case (schema, None) =>
+          options = marked)(spark)
+      case (schema, None, sizeHint) =>
         new InteropSnapshotRelation(sqlContext, schema,
-          () => IcebergInterop.readIceberg(spark, root, snap))
+          () => IcebergInterop.readIceberg(spark, root, snap),
+          Some(("iceberg", root, snap)), sizeHint)
     }
   }
 
@@ -97,6 +105,57 @@ class GraftIcebergSource
       .exists(_.toBoolean)
     new GraftIcebergStreamSource(sqlContext, root, fixed, startAt, maxV,
       ignoreChanges)
+  }
+
+  /** `df.writeStream.format("grafticeberg")` — EXACTLY-ONCE streaming
+    * append into an Iceberg v2 table
+    * ([[IcebergInterop.appendOnceIceberg]]): each micro-batch is one
+    * snapshot whose `summary` cursor on (`appId`, batchId) makes
+    * at-least-once replays no-ops — the table is immediately
+    * consumable by ANY Iceberg reader. `appId` defaults to the
+    * checkpoint location, the [[GraftDeltaSource]] sink's convention. */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming
+                            .OutputMode): org.apache.spark.sql
+                            .execution.streaming.Sink = {
+    // Append ONLY — appendOnceIceberg is append-only, so an
+    // Update-mode query's re-emitted rows would land as DUPLICATE
+    // appended rows in a table promising exactly-once to any reader
+    require(outputMode ==
+        org.apache.spark.sql.streaming.OutputMode.Append,
+      s"grafticeberg sink: unsupported output mode $outputMode — the " +
+        "sink appends exactly-once into the Iceberg table; " +
+        "Update-mode re-emissions would append as duplicate rows")
+    require(partitionColumns.isEmpty,
+      "grafticeberg sink: partitioned streaming writes are not " +
+        "supported (append unpartitioned, maintenance layout later)")
+    val root = rootOf(parameters)
+    val appId = parameters.get("appId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "grafticeberg sink: need 'appId' or a checkpointLocation"))
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long,
+                            data: org.apache.spark.sql.DataFrame): Unit = {
+        // lift the incremental plan's rows into a plain batch frame
+        // (re-planning the streaming DataFrame trips the analyzer)
+        val spark = data.sparkSession
+        val schema = data.schema
+        val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+          org.apache.spark.sql.catalyst.encoders.RowEncoder
+            .encoderFor(schema)).resolveAndBind()
+        val rowRdd = data.queryExecution.toRdd.mapPartitions { it =>
+          val de = enc.createDeserializer()
+          it.map(r => de(r))
+        }
+        val batchDf = spark.createDataFrame(rowRdd, schema)
+        IcebergInterop.appendOnceIceberg(batchDf, root, appId,
+          batchId): Unit
+      }
+      override def toString: String = s"GraftIcebergSink[$root]"
+    }
   }
 }
 

@@ -335,8 +335,35 @@ object IcebergInterop {
     }
   }
 
+  /** The highest-versioned `*.metadata.json`, IGNORING
+    * `version-hint.text` — the WRITER's view. The hint is advisory
+    * (best-effort, written after the metadata file): a writer that
+    * trusted a hint left stale by a crash between metadata-create and
+    * hint-write would retry the same already-taken version forever. */
+  private def latestMetadataFile(spark: SparkSession, root: String)
+      : Option[(String, Int)] = {
+    val f = fs(spark, root)
+    val dir = new Path(s"$root/metadata")
+    if (!f.exists(dir)) None
+    else {
+      val byName = f.listStatus(dir).toSeq.map(_.getPath.getName)
+        .collect {
+          case n @ PlainMeta(v) => (v.toInt, n)
+          case n @ UuidMeta(v) => (v.toInt, n)
+        }
+      byName.maxOption.map { case (v, n) =>
+        (s"$root/metadata/$n", v)
+      }
+    }
+  }
+
   private def parseMetadata(spark: SparkSession, root: String): IceMeta = {
     val (file, ver) = currentMetadataFile(spark, root)
+    parseMetadataAt(spark, root, file, ver)
+  }
+
+  private def parseMetadataAt(spark: SparkSession, root: String,
+                              file: String, ver: Int): IceMeta = {
     val f = fs(spark, root)
     val in = f.open(new Path(file))
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -442,7 +469,7 @@ object IcebergInterop {
   private case class DataFileMeta(path: String,
       lower: Map[Int, java.nio.ByteBuffer],
       upper: Map[Int, java.nio.ByteBuffer],
-      seq: Long = 0L, records: Long = -1L,
+      seq: Long = 0L, records: Long = -1L, bytes: Long = -1L,
       // identity-transform partition values keyed by SOURCE field id;
       // Some(None) = explicit null partition value (all rows null for
       // the source column). Non-identity transforms never appear here.
@@ -544,7 +571,8 @@ object IcebergInterop {
           (mContent, content) match {
             case (0, 0) => dataFiles :+= DataFileMeta(path,
               boundsOf(df0, "lower_bounds"), boundsOf(df0, "upper_bounds"),
-              seq, lng(df0, "record_count", -1L), identityVals())
+              seq, lng(df0, "record_count", -1L),
+              lng(df0, "file_size_in_bytes", -1L), identityVals())
             case (1, 1) if isPuffinDv =>
               // v3 deletion vector: position deletes as a Puffin blob
               if (meta.formatVersion < 3)
@@ -869,10 +897,16 @@ object IcebergInterop {
     * zone comparison machinery. */
   private[sources] def relationInfo(spark: SparkSession, root: String,
                                     snapshotId: Option[Long])
-      : (StructType, Option[Seq[(String, Seq[LakeTable.Zone])]]) = {
+      : (StructType, Option[Seq[(String, Seq[LakeTable.Zone])]],
+        Option[Long]) = {
     val (schema, dataFiles, deleteFiles) =
       snapshotFiles(spark, root, snapshotId)
-    if (deleteFiles.nonEmpty) (schema.spark, None)
+    // manifest file_size_in_bytes sum → the fallback relation's
+    // sizeInBytes, so Catalyst can broadcast a small foreign table
+    val sizeHint: Option[Long] =
+      if (dataFiles.isEmpty || dataFiles.exists(_.bytes < 0)) None
+      else Some(dataFiles.map(_.bytes).sum)
+    if (deleteFiles.nonEmpty) (schema.spark, None, sizeHint)
     else (schema.spark, Some(dataFiles.map { f =>
       val zones = schema.spark.fields.toSeq.flatMap { sf =>
         val id = schema.fieldIds.getOrElse(sf.name, -1)
@@ -889,7 +923,7 @@ object IcebergInterop {
         bound.orElse(part).toSeq
       }
       (resolve(root, f.path), zones)
-    }))
+    }), sizeHint)
   }
 
   /** Snapshots ordered by the spec's monotonic `sequence-number`
@@ -1361,6 +1395,264 @@ object IcebergInterop {
       expireIcebergSnapshots(spark, iceRoot, k): Unit
     }
     todo
+  }
+
+  /** EXACTLY-ONCE append of a micro-batch into an Iceberg v2 table —
+    * the engine under `writeStream.format("grafticeberg")` and the
+    * Iceberg twin of [[DeltaInterop.appendOnce]]. Iceberg has no
+    * SetTransaction action, so the cursor rides the spec's OWN
+    * extension point: snapshot `summary` properties (`graft-app-id`,
+    * `graft-batch-id`) — exactly how Flink's Iceberg sink records its
+    * checkpoint cursor (`flink.max-committed-checkpoint-id`). An
+    * at-least-once replay finds a summary with `graft-batch-id >=
+    * batchId` for this `appId` and re-commits NOTHING. Returns true
+    * when the batch committed, false when the cursor proves it
+    * already had.
+    *
+    * Commit publication is the filesystem-catalog's native optimistic
+    * concurrency: create-no-overwrite of the next `v<N>.metadata.json`
+    * (the same protocol Iceberg's HadoopTableOperations uses), losing
+    * a race → re-read, re-check the cursor, retry at the refreshed
+    * version. State is read from the HIGHEST-versioned metadata file,
+    * not `version-hint.text` — the hint is written after the commit,
+    * so trusting one left stale by a crash would retry a taken
+    * version forever; the hint is refreshed on every successful
+    * commit, healing staleness for hint-following readers.
+    *
+    * The first commit creates the table (format-version 2, field ids
+    * 1..n); later batches must match that schema exactly and the
+    * table must be unpartitioned v2 (loud refusal — a silently
+    * reordered column or an ignored partition spec is how streams
+    * corrupt tables). Each commit appends ONE data manifest; the new
+    * manifest list carries the current snapshot's manifests forward
+    * by reference (O(batch + #manifests) metadata, no data rewrite).
+    */
+  def appendOnceIceberg(df: DataFrame, iceRoot: String, appId: String,
+                        batchId: Long): Boolean = {
+    val spark = df.sparkSession
+    val f = fs(spark, iceRoot)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def state(): Option[IceMeta] =
+      latestMetadataFile(spark, iceRoot).map { case (file, ver) =>
+        parseMetadataAt(spark, iceRoot, file, ver)
+      }
+    def cursorOf(m: IceMeta): Option[Long] =
+      m.raw.path("snapshots").elements().asScala.flatMap { s =>
+        val sm = s.path("summary")
+        if (sm.path("graft-app-id").asText("") == appId &&
+            sm.has("graft-batch-id"))
+          Some(sm.path("graft-batch-id").asText.toLong)
+        else None
+      }.maxOption
+    def gate(m: IceMeta): Unit = {
+      require(m.formatVersion == 2,
+        s"grafticeberg sink: $iceRoot is format-version " +
+          s"${m.formatVersion}; the sink appends v2 tables only")
+      require(m.partitionSpecs.getOrElse(
+          m.raw.path("default-spec-id").asInt(0), Seq.empty).isEmpty,
+        s"grafticeberg sink: $iceRoot is partitioned; the sink " +
+          "appends unpartitioned tables only")
+      val s0 = m.schemas(m.currentSchemaId).spark
+      require(s0.fields.map(x => (x.name, x.dataType)).toSeq ==
+          df.schema.fields.map(x => (x.name, x.dataType)).toSeq,
+        s"grafticeberg sink: batch schema ${df.schema.simpleString} " +
+          s"does not match the table's ${s0.simpleString} — refusing " +
+          "to commit a shape-shifted batch")
+    }
+    var meta = state()
+    if (meta.flatMap(cursorOf).exists(_ >= batchId)) return false
+    meta.foreach(gate)
+    val conf = spark.sessionState.newHadoopConf()
+    def qualify(p: Path): String =
+      p.getFileSystem(conf).makeQualified(p).toString
+    // data files: stage, then move under data/ with unique names
+    val uuid = java.util.UUID.randomUUID().toString
+    val stage = s"$iceRoot/_stage_$uuid"
+    df.write.parquet(stage)
+    f.mkdirs(new Path(s"$iceRoot/data"))
+    val dataUris = f.listStatus(new Path(stage))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName).zipWithIndex.map { case (st, i) =>
+        val rel = f"data/part-$batchId%05d-$i%05d-$uuid.parquet"
+        val dst = new Path(s"$iceRoot/$rel")
+        if (!f.rename(st.getPath, dst))
+          throw new java.io.IOException(
+            s"rename ${st.getPath} -> $dst failed")
+        qualify(dst)
+      }.toSeq
+    f.delete(new Path(stage), true)
+    val staged = scala.collection.mutable.ArrayBuffer(dataUris: _*)
+    def dropStaged(): Unit =
+      staged.foreach(u => f.delete(new Path(new java.net.URI(u)), false))
+    val fileMeta = dataUris.map { uri =>
+      val st = f.getFileStatus(new Path(new java.net.URI(uri)))
+      val rows = TableDoctor.footerRows(spark, uri)
+        .getOrElse(throw new IllegalStateException(
+          s"freshly written $uri has no readable parquet footer"))
+      (uri, rows, st.getLen)
+    }
+    val totalRows = fileMeta.map(_._2).sum
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 20) {
+        dropStaged()
+        throw new IllegalStateException(
+          s"grafticeberg sink: lost $attempts commit races at $iceRoot")
+      }
+      val seqNum = meta.map(
+        _.raw.path("last-sequence-number").asLong(0L) + 1).getOrElse(1L)
+      val snapId = meta.map(
+        _.snapshots.map(_.id).maxOption.getOrElse(0L) + 1).getOrElse(1L)
+      val newVer = meta.map(_.version + 1).getOrElse(1)
+      // ONE new data manifest for the batch's files
+      val manifest =
+        s"$iceRoot/metadata/$uuid-$attempts-m0.avro"
+      val entries = fileMeta.map { case (uri, rows, size) =>
+        val df0 = new GenericData.Record(
+          manifestSchema.getField("data_file").schema())
+        df0.put("content", 0)
+        df0.put("file_path", uri)
+        df0.put("file_format", "PARQUET")
+        df0.put("partition", new GenericData.Record(
+          df0.getSchema.getField("partition").schema()))
+        df0.put("record_count", rows)
+        df0.put("file_size_in_bytes", size)
+        val e = new GenericData.Record(manifestSchema)
+        e.put("status", 1) // ADDED
+        e.put("snapshot_id", snapId)
+        e.put("sequence_number", seqNum)
+        e.put("file_sequence_number", seqNum)
+        e.put("data_file", df0)
+        e
+      }
+      val mLen = writeAvro(spark, manifest, manifestSchema, entries)
+      staged += qualify(new Path(manifest))
+      // the new list = current snapshot's manifests (by reference,
+      // field-by-field copy so fixture-written shapes normalize) + ours
+      val prevList: Seq[GenericRecord] = meta.flatMap { m =>
+        m.currentSnapshotId.flatMap(id => m.snapshots.find(_.id == id))
+          .map(s => readAvro(spark, resolve(iceRoot, s.manifestList)))
+      }.getOrElse(Seq.empty).map { r =>
+        val out = new GenericData.Record(manifestListSchema)
+        manifestListSchema.getFields.iterator().asScala.foreach { fld =>
+          val v = r.get(fld.name())
+          require(v != null,
+            s"$iceRoot: manifest-list entry lacks required field " +
+              s"'${fld.name()}' — refusing to carry a malformed " +
+              "manifest list forward")
+          out.put(fld.name(), v)
+        }
+        out
+      }
+      val newEntry = {
+        val r = new GenericData.Record(manifestListSchema)
+        r.put("manifest_path", qualify(new Path(manifest)))
+        r.put("manifest_length", mLen)
+        r.put("partition_spec_id", 0)
+        r.put("content", 0)
+        r.put("sequence_number", seqNum)
+        r.put("min_sequence_number", seqNum)
+        r.put("added_snapshot_id", snapId)
+        r.put("added_files_count", entries.size)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", totalRows)
+        r.put("existing_rows_count", 0L)
+        r.put("deleted_rows_count", 0L)
+        r
+      }
+      val listPath =
+        s"$iceRoot/metadata/snap-$snapId-$attempts-$uuid.avro"
+      f.mkdirs(new Path(s"$iceRoot/metadata"))
+      writeAvro(spark, listPath, manifestListSchema,
+        prevList :+ newEntry)
+      staged += qualify(new Path(listPath))
+      val ts = System.currentTimeMillis()
+      val snapJson =
+        s"""{"snapshot-id":$snapId,"sequence-number":$seqNum,""" +
+          s""""timestamp-ms":$ts,"schema-id":${meta.map(
+            _.currentSchemaId).getOrElse(0)},""" +
+          s""""summary":{"operation":"append",""" +
+          s""""graft-app-id":${om.writeValueAsString(appId)},""" +
+          s""""graft-batch-id":"$batchId"},""" +
+          s""""manifest-list":${om.writeValueAsString(
+            qualify(new Path(listPath)))}}"""
+      val snaps = meta.map(_.raw.path("snapshots").elements().asScala
+        .map(_.toString).toSeq).getOrElse(Seq.empty) :+ snapJson
+      val (schemasJson, schemaId, lastColId) = meta match {
+        case Some(m) =>
+          (m.raw.path("schemas").elements().asScala
+            .map(_.toString).toSeq,
+            m.currentSchemaId, m.raw.path("last-column-id").asInt(0))
+        case None =>
+          val ids = df.schema.fields.zipWithIndex
+            .map { case (fd, i) => fd.name -> (i + 1) }.toMap
+          (Seq(icebergSchemaJson(df.schema, om, 0, ids)), 0, ids.size)
+      }
+      val tableUuid = meta.map(_.raw.path("table-uuid").asText())
+        .filter(_.nonEmpty).getOrElse(uuid)
+      val propsJson = meta.map(_.raw.path("properties"))
+        .filter(p => !p.isMissingNode && p.isObject)
+        .map(_.toString).getOrElse("{}")
+      val metaJson =
+        s"""{"format-version":2,""" +
+          s""""table-uuid":${om.writeValueAsString(tableUuid)},""" +
+          s""""location":${om.writeValueAsString(iceRoot)},""" +
+          s""""last-sequence-number":$seqNum,"last-updated-ms":$ts,""" +
+          s""""last-column-id":$lastColId,""" +
+          s""""current-schema-id":$schemaId,""" +
+          s""""schemas":${schemasJson.mkString("[", ",", "]")},""" +
+          s""""default-spec-id":0,""" +
+          s""""partition-specs":[{"spec-id":0,"fields":[]}],""" +
+          s""""last-partition-id":999,"default-sort-order-id":0,""" +
+          s""""sort-orders":[{"order-id":0,"fields":[]}],""" +
+          s""""properties":$propsJson,"current-snapshot-id":$snapId,""" +
+          s""""snapshots":${snaps.mkString("[", ",", "]")},""" +
+          s""""snapshot-log":[],"metadata-log":[]}"""
+      val dst = new Path(s"$iceRoot/metadata/v$newVer.metadata.json")
+      // ONLY a create-time already-exists is a lost commit race; any
+      // other I/O failure is OURS — delete the partial metadata file
+      // (a truncated one would poison every later read) and rethrow
+      val created: Option[org.apache.hadoop.fs.FSDataOutputStream] =
+        try Some(f.create(dst, /* overwrite = */ false))
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
+          case _: java.nio.file.FileAlreadyExistsException => None
+          case _: java.io.IOException if f.exists(dst) => None
+        }
+      created match {
+        case Some(out) =>
+          try {
+            out.write(metaJson.getBytes("UTF-8"))
+            out.close()
+          } catch {
+            case e: Throwable =>
+              try out.close() catch { case _: Throwable => () }
+              try f.delete(dst, false): Unit
+              catch { case _: Throwable => () }
+              throw e
+          }
+          // hint is best-effort (readers fall back to max version on
+          // a missing hint; a crash here heals at the next commit)
+          val hintOut = f.create(
+            new Path(s"$iceRoot/metadata/version-hint.text"),
+            /* overwrite = */ true)
+          try hintOut.write(newVer.toString.getBytes("UTF-8"))
+          finally hintOut.close()
+          return true
+        case None =>
+          // lost the race — refresh: a concurrent replica may have
+          // landed THIS batch (cursor satisfied → drop our files)
+          meta = state()
+          if (meta.flatMap(cursorOf).exists(_ >= batchId)) {
+            dropStaged()
+            return false
+          }
+          meta.foreach(gate)
+      }
+    }
+    false // unreachable
   }
 
   /** Table doctor: walk an Iceberg snapshot's metadata and report

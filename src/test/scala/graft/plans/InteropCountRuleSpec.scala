@@ -106,6 +106,41 @@ class InteropCountRuleSpec extends SparkSpec {
       s"stats-less log must scan:\n$fplan")
   }
 
+  test("count(*) on a grafticeberg view is served from manifest "
+      + "record counts (LocalTableScan, no file opens); snapshotId "
+      + "time travel pins the counted snapshot") {
+    val dir = fresh()
+    val root = s"$dir/t"
+    (0 until 3).foreach { b =>
+      graft.sources.IcebergInterop.appendOnceIceberg(
+        spark.range(b * 10, b * 10 + 10).select(col("id").as("k")),
+        root, "cr", b.toLong)
+    }
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW cr_i USING " +
+      s"grafticeberg OPTIONS (path '$root')")
+    val (plan, n) = planOf("SELECT count(*) FROM cr_i")
+    assert(n == 30L)
+    assert(plan.contains("LocalTableScan") &&
+      !plan.toLowerCase.contains("parquet"), plan)
+    // hard proof no data file opens: corrupt every data parquet
+    val dataDir = Paths.get(s"$root/data")
+    Files.list(dataDir).forEach { p =>
+      if (p.toString.endsWith(".parquet")) {
+        Files.delete(p)
+        Files.write(p, Array.fill[Byte](16)(1)): Unit
+      }
+    }
+    assert(planOf("SELECT count(*) FROM cr_i")._2 == 30L)
+    // time travel: the first snapshot counts only its own files
+    val firstSnap = graft.sources.IcebergInterop
+      .icebergSnapshots(spark, root).map(_._1).min
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW cr_i0 USING " +
+      s"grafticeberg OPTIONS (path '$root', snapshotId '$firstSnap')")
+    val (plan0, n0) = planOf("SELECT count(*) FROM cr_i0")
+    assert(n0 == 10L)
+    assert(plan0.contains("LocalTableScan"), plan0)
+  }
+
   test("a merge-on-read snapshot relation reports its METADATA size, "
       + "not the never-broadcast default — Catalyst's join planning "
       + "sees a KB-sized foreign dimension as KB-sized") {

@@ -1,0 +1,187 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** `writeStream.format("grafticeberg")` — the exactly-once Iceberg
+  * sink: one v2 snapshot per micro-batch, a summary-property cursor
+  * (`graft-app-id`/`graft-batch-id`) for replay-skip, a table any
+  * Iceberg reader consumes (and the doctor certifies). */
+class GraftIcebergSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): String =
+    Files.createTempDirectory("icesink").toString
+
+  test("micro-batches land as Iceberg snapshots with record counts; "
+      + "replays are no-ops; the doctor finds a healthy table and "
+      + "metadata COUNT(*) works") {
+    val dir = fresh()
+    val root = s"$dir/t"
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().select(col("value").as("k"),
+        (col("value") * 2).as("v"))
+      .writeStream.format("grafticeberg")
+      .option("path", root).option("appId", "sink-a")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    mem.addData(0L until 40L: _*)
+    q.processAllAvailable()
+    mem.addData(40L until 70L: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(IcebergInterop.readIceberg(spark, root)
+      .select("k").as[Long].collect().toSet == (0L until 70L).toSet)
+    assert(IcebergInterop.icebergSnapshots(spark, root).size == 2)
+    // the table is foreign-consumable: manifests carry record counts
+    // (metadata COUNT(*)), and the doctor reports nothing
+    assert(IcebergInterop.icebergRowCount(spark, root).contains(70L))
+    assert(IcebergInterop.validateIceberg(spark, root).count() == 0L)
+    // direct replay of an already-committed batch: cursor no-op
+    val batch = Seq((999L, 0L)).toDF("k", "v")
+    assert(!IcebergInterop.appendOnceIceberg(batch, root, "sink-a", 1L))
+    assert(IcebergInterop.readIceberg(spark, root).count() == 70L)
+    // a NEW batch id commits
+    assert(IcebergInterop.appendOnceIceberg(batch, root, "sink-a", 2L))
+    assert(IcebergInterop.readIceberg(spark, root).count() == 71L)
+    // restart with the same checkpoint: nothing re-lands
+    val q2 = mem.toDF().select(col("value").as("k"),
+        (col("value") * 2).as("v"))
+      .writeStream.format("grafticeberg")
+      .option("path", root).option("appId", "sink-a")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(IcebergInterop.readIceberg(spark, root).count() == 71L)
+  }
+
+  test("a shape-shifted batch refuses loudly; independent appIds keep "
+      + "independent cursors on one table; the sunk table streams "
+      + "back out through the grafticeberg SOURCE") {
+    val dir = fresh()
+    val root = s"$dir/t"
+    assert(IcebergInterop.appendOnceIceberg(
+      Seq((1L, "a")).toDF("k", "v"), root, "app1", 0L))
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.appendOnceIceberg(
+        Seq(("a", 1L)).toDF("v", "k"), root, "app1", 1L)
+    }
+    assert(e.getMessage.contains("shape-shifted"), e.getMessage)
+    // a second appId at batch 0 is NOT a replay of the first's
+    assert(IcebergInterop.appendOnceIceberg(
+      Seq((2L, "b")).toDF("k", "v"), root, "app2", 0L))
+    assert(!IcebergInterop.appendOnceIceberg(
+      Seq((3L, "c")).toDF("k", "v"), root, "app1", 0L))
+    assert(IcebergInterop.readIceberg(spark, root)
+      .select("k").as[Long].collect().toSet == Set(1L, 2L))
+    // round-trip: the sunk snapshots tail back out as a stream
+    val q = spark.readStream.format("grafticeberg")
+      .option("path", root).load()
+      .writeStream.format("memory").queryName("icesink_rt")
+      .option("checkpointLocation", s"$dir/rtckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("icesink_rt")
+      .select("k").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("Update output mode refuses loudly and nothing half-lands") {
+    val dir = fresh()
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val agg = mem.toDF().groupBy((col("value") % 10).as("g")).count()
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val e = intercept[Throwable] {
+      val q = agg.writeStream.format("grafticeberg")
+        .outputMode("update")
+        .option("path", s"$dir/t").option("appId", "upd")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      try { mem.addData(1L, 2L); q.processAllAvailable() }
+      finally q.stop()
+    }
+    assert(messages(e).exists(_.contains("unsupported output mode")),
+      messages(e).mkString(" | "))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/t/metadata")))
+  }
+
+  test("two concurrent writers interleave commits without loss or "
+      + "duplication: lost metadata-create races retry at the "
+      + "refreshed version and the final table replays clean") {
+    val root = fresh() + "/t"
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutor(pool)
+    def writer(appId: String, base: Long): Future[Unit] = Future {
+      (0 until 8).foreach { b =>
+        val df = spark.range(base + b * 10, base + b * 10 + 10)
+          .select(col("id").as("k"), lit(appId).as("v"))
+        assert(IcebergInterop.appendOnceIceberg(df, root, appId,
+          b.toLong))
+      }
+    }
+    val fa = writer("wA", 0L)
+    val fb = writer("wB", 10000L)
+    Await.result(fa, 120.seconds)
+    Await.result(fb, 120.seconds)
+    pool.shutdown()
+    val keys = IcebergInterop.readIceberg(spark, root)
+      .select("k").as[Long].collect().toSeq
+    assert(keys.size == 160, s"expected 160 rows, got ${keys.size}")
+    assert(keys.toSet ==
+      ((0L until 80L) ++ (10000L until 10080L)).toSet)
+    // 16 snapshots with contiguous sequence numbers, doctor-clean —
+    // no truncated metadata file survived any lost race
+    assert(IcebergInterop.icebergSnapshots(spark, root).size == 16)
+    assert(IcebergInterop.validateIceberg(spark, root).count() == 0L)
+    // both cursors are final: every batch replays as a no-op
+    (0 until 8).foreach { b =>
+      assert(!IcebergInterop.appendOnceIceberg(
+        Seq((-1L, "x")).toDF("k", "v"), root, "wA", b.toLong))
+      assert(!IcebergInterop.appendOnceIceberg(
+        Seq((-1L, "x")).toDF("k", "v"), root, "wB", b.toLong))
+    }
+  }
+
+  test("the sink refuses a v1 table, a partitioned table, and a "
+      + "crash-simulated stale version-hint still resumes (state reads "
+      + "the MAX metadata version, not the hint)") {
+    val dir = fresh()
+    // v1 refusal
+    val v1root = s"$dir/v1t"
+    Files.createDirectories(java.nio.file.Paths.get(s"$v1root/metadata"))
+    Files.writeString(java.nio.file.Paths.get(
+      s"$v1root/metadata/v1.metadata.json"),
+      """{"format-version":1,"table-uuid":"x","location":"l",
+        |"last-column-id":1,
+        |"schema":{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"k","required":false,"type":"long"}]},
+        |"partition-spec":[],"properties":{},"snapshots":[]}"""
+        .stripMargin.replace("\n", ""))
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergInterop.appendOnceIceberg(
+        Seq(1L).toDF("k"), v1root, "a", 0L)
+    }
+    assert(e1.getMessage.contains("format-version"), e1.getMessage)
+    // stale hint: commit once, roll the hint back to a lower version,
+    // then commit again — the writer must take v2 (max), not retry v1
+    val root = s"$dir/t"
+    assert(IcebergInterop.appendOnceIceberg(
+      Seq((1L, "a")).toDF("k", "v"), root, "app", 0L))
+    Files.writeString(java.nio.file.Paths.get(
+      s"$root/metadata/version-hint.text"), "1")
+    assert(IcebergInterop.appendOnceIceberg(
+      Seq((2L, "b")).toDF("k", "v"), root, "app", 1L))
+    assert(IcebergInterop.readIceberg(spark, root)
+      .select("k").as[Long].collect().toSet == Set(1L, 2L))
+  }
+}
