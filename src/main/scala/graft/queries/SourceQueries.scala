@@ -3244,6 +3244,49 @@ object SourceQueries {
       },
       Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"),
       "graftlake stream → exactly-once grafticeberg sink ≡ source table"),
+
+    // ---- Iceberg v3 export: deletion vectors as Puffin blobs -----------------
+    // The v3 export variant for modern consumers: sync_iceberg with
+    // format_version 3 publishes the lake's deletion vectors as Puffin
+    // `deletion-vector-v1` blobs (one content-addressed container, one
+    // blob per referenced file, manifest entries carrying the spec's
+    // referenced_data_file + content_offset/content_size_in_bytes) —
+    // not position-delete parquet. The in-line asserts prove the
+    // on-disk shape (a .puffin, no delete parquet, format-version 3);
+    // the oracle proves the rows: read-back ≡ the undeleted set.
+    "q355_iceberg_puffin_export" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graftlake",
+          classOf[graft.sources.GraftLakeCatalog].getName)
+        val root = freshRoot("graft_icev3_q355")
+        val lake = root + "/lake"
+        val ice = root + "/ice"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        graft.sources.LakeTable.append(o, lake,
+          zoneKey = Some("o_orderkey"))
+        graft.sources.LakeTable.deleteWhereDV(s, lake,
+          "o_orderkey % 7 = 0")
+        s.sql("CALL graftlake.system.sync_iceberg(" +
+          s"'$lake', '$ice', NULL, 3)").collect(): Unit
+        val fsys = new org.apache.hadoop.fs.Path(ice)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val dels = fsys.listStatus(
+            new org.apache.hadoop.fs.Path(s"$ice/data"))
+          .map(_.getPath.getName).filter(_.startsWith("deletes-")).toSeq
+        require(dels.count(_.endsWith(".puffin")) == 1 &&
+            !dels.exists(_.endsWith(".parquet")),
+          s"q355: expected one Puffin DV container, got $dels")
+        require(Files.readString(
+            Paths.get(s"$ice/metadata/v1.metadata.json"))
+          .contains("\"format-version\":3"),
+          "q355: export did not declare format-version 3")
+        graft.sources.IcebergInterop.readIceberg(s, ice)
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey % 7 <> 0"""),
+      "v3 Iceberg export: lake DVs as Puffin deletion-vector blobs, " +
+        "read-back ≡ undeleted rows"),
   )
 
 

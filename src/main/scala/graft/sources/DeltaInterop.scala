@@ -595,8 +595,10 @@ object DeltaInterop {
     * — the cardinality is counted FIRST (one agg, no positions moved)
     * and an over-budget state refuses, naming the purge escape hatch
     * that folds vectors into rewritten data files instead. */
-  private def lakeDvByFile(spark: SparkSession, lakeRoot: String,
-                           v: Long): Map[String, Array[Long]] = {
+  // shared with IcebergInterop's v3 Puffin DV export — same budget,
+  // same driver-held shape
+  private[sources] def lakeDvByFile(spark: SparkSession, lakeRoot: String,
+                                    v: Long): Map[String, Array[Long]] = {
     val dvDirs = LakeTable.dvOf(spark, lakeRoot, v)
     if (dvDirs.isEmpty) Map.empty
     else {

@@ -352,16 +352,20 @@ private[sources] object GraftLakeProcedures {
         r.getUTF8String(1).toString,
         checkpointInterval = r.getLong(2).toInt).size.toLong),
     new Proc("export_iceberg",
-      "publish a lake snapshot (default latest) as an Iceberg v2 " +
+      "publish a lake snapshot (default latest) as an Iceberg " +
         "table; repeated calls APPEND snapshots (time-travelable " +
-        "history); live deletion vectors publish as position deletes; " +
-        "returns the published snapshot id (= the lake version)",
+        "history); live deletion vectors publish as position deletes " +
+        "(format_version 2, default) or Puffin deletion vectors " +
+        "(format_version 3); returns the published snapshot id " +
+        "(= the lake version)",
       Seq(in("table", StringType), in("iceberg_root", StringType),
-        inD("version", LongType, "NULL")),
+        inD("version", LongType, "NULL"),
+        inD("format_version", LongType, "2")),
       outCol = "snapshot_id")(r =>
       IcebergInterop.exportToIceberg(spark, r.getUTF8String(0).toString,
         r.getUTF8String(1).toString,
-        if (r.isNullAt(2)) None else Some(r.getLong(2)))),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) 2 else r.getLong(3).toInt)),
     new Proc("expire_iceberg",
       "expire all but the newest keep_last snapshots of a published " +
         "Iceberg table (reachability GC: dropped-only files deleted, " +
@@ -377,11 +381,13 @@ private[sources] object GraftLakeProcedures {
         "(optional) expires history — the Iceberg twin of sync_delta; " +
         "returns the number of snapshots published (0 = up to date)",
       Seq(in("table", StringType), in("iceberg_root", StringType),
-        inD("keep_last", LongType, "NULL")),
+        inD("keep_last", LongType, "NULL"),
+        inD("format_version", LongType, "2")),
       outCol = "snapshots_published")(r =>
       IcebergInterop.syncToIceberg(spark, r.getUTF8String(0).toString,
         r.getUTF8String(1).toString,
-        if (r.isNullAt(2)) None else Some(r.getLong(2).toInt))
+        if (r.isNullAt(2)) None else Some(r.getLong(2).toInt),
+        if (r.isNullAt(3)) 2 else r.getLong(3).toInt)
         .size.toLong)
   ).map(p => p.name() -> p).toMap
 }

@@ -1081,7 +1081,12 @@ object IcebergInterop {
     * row positions write distributedly and never reach the driver. */
   def exportToIceberg(spark: SparkSession, lakeRoot: String,
                       iceRoot: String,
-                      version: Option[Long] = None): Long = {
+                      version: Option[Long] = None,
+                      formatVersion: Int = 2): Long = {
+    require(formatVersion == 2 || formatVersion == 3,
+      s"exportToIceberg: format-version $formatVersion is not " +
+        "supported (2 = position-delete parquet, 3 = Puffin deletion " +
+        "vectors)")
     val lakeVs = LakeTable.versions(spark, lakeRoot)
     require(lakeVs.nonEmpty, s"no lake table at $lakeRoot")
     val v = version.getOrElse(lakeVs.last)
@@ -1097,6 +1102,10 @@ object IcebergInterop {
         Some(m)
       } else None
     if (existing.exists(_.snapshots.exists(_.id == v))) return v // no-op
+    // effective format version: never downgrade a table that already
+    // declares a higher one (the spec allows upgrades only)
+    val fv = math.max(formatVersion,
+      existing.map(_.formatVersion).getOrElse(formatVersion))
     val ents = LakeTable.entries(spark, lakeRoot, v)
     val schema = LakeTable.schemaOf(spark, lakeRoot, v)
       .getOrElse(LakeTable.read(spark, lakeRoot, Some(v)).schema)
@@ -1226,7 +1235,89 @@ object IcebergInterop {
     val dvDirs = LakeTable.dvOf(spark, lakeRoot, v)
     val deleteManifest: Option[(String, Long, Long)] =
       if (dvDirs.isEmpty) None
-      else {
+      else if (fv >= 3) {
+        // v3 export variant: the lake's DVs publish as Puffin
+        // `deletion-vector-v1` blobs — ONE content-addressed Puffin
+        // file per delete state, one blob per referenced data file,
+        // manifest entries (v3 shape) carrying the spec's
+        // referenced_data_file + content_offset/content_size_in_bytes
+        // triple so readers never need the Puffin footer on the data
+        // path. Driver-held and budget-gated exactly like the Delta DV
+        // export ([[DeltaInterop.lakeDvByFile]] refuses over-budget
+        // vectors loudly: purge first, then export rewrites files).
+        val dvByFile = DeltaInterop.lakeDvByFile(spark, lakeRoot, v)
+        val orphans = dvByFile.keySet -- uriOf.keySet
+        require(orphans.isEmpty,
+          s"$lakeRoot version $v: DV sidecars reference " +
+            s"${orphans.size} files not live at the version — " +
+            "refusing to export a corrupt delete set")
+        if (dvByFile.isEmpty || dvByFile.values.forall(_.isEmpty)) None
+        else {
+          val sorted = dvByFile.toSeq.filter(_._2.nonEmpty)
+            .sortBy(_._1).map { case (p, pos) =>
+              (uriOf(p), pos, PuffinFiles.dvBlobBytes(pos))
+            }
+          // content digest over (uri, positions): an unchanged DV
+          // state across exports reuses the same Puffin file by
+          // reference — no rewrite, and incremental consumers see
+          // "no new delete files" for append-only snapshot ranges
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+          sorted.foreach { case (uri, pos, _) =>
+            md5.update(uri.getBytes("UTF-8"))
+            pos.foreach { x =>
+              md5.update(java.nio.ByteBuffer.allocate(8)
+                .putLong(x).array())
+            }
+          }
+          val digest = md5.digest().map(b => f"$b%02x").mkString
+          val delFile = new Path(s"$iceRoot/data/deletes-$digest.puffin")
+          // blob offsets are deterministic (4-byte magic, payloads
+          // back to back — [[PuffinFiles.write]]'s own layout), so an
+          // existing content-addressed file needs no footer re-read
+          var at = 4L
+          val metas = sorted.map { case (uri, pos, bytes) =>
+            val m = (uri, pos.length.toLong, at, bytes.length.toLong)
+            at += bytes.length
+            m
+          }
+          if (!f.exists(delFile))
+            PuffinFiles.write(spark, delFile.toString,
+              sorted.map { case (uri, pos, bytes) =>
+                // 2147483546 = the spec's reserved field id for the
+                // implicit row-position column DVs address
+                PuffinFiles.Blob(PuffinFiles.DvBlobType,
+                  Seq(2147483546), v, seqNum, bytes,
+                  Map("referenced-data-file" -> uri,
+                    "cardinality" -> pos.length.toString))
+              }): Unit
+          val delUri = qualify(delFile)
+          val delLen = f.getFileStatus(delFile).getLen
+          val entries = metas.map { case (uri, card, off, len) =>
+            val df0 = new GenericData.Record(
+              manifestSchemaV3.getField("data_file").schema())
+            df0.put("content", 1)
+            df0.put("file_path", delUri)
+            df0.put("file_format", "PUFFIN")
+            df0.put("partition", new GenericData.Record(
+              df0.getSchema.getField("partition").schema()))
+            df0.put("record_count", card)
+            df0.put("file_size_in_bytes", delLen)
+            df0.put("referenced_data_file", uri)
+            df0.put("content_offset", off)
+            df0.put("content_size_in_bytes", len)
+            val e = new GenericData.Record(manifestSchemaV3)
+            e.put("status", 1)
+            e.put("snapshot_id", v)
+            e.put("sequence_number", seqNum)
+            e.put("file_sequence_number", seqNum)
+            e.put("data_file", df0)
+            e
+          }
+          val mf = s"$iceRoot/metadata/$uuid-m1.avro"
+          val len = writeAvro(spark, mf, manifestSchemaV3, entries)
+          Some((mf, len, metas.map(_._2).sum))
+        }
+      } else {
         import spark.implicits._
         val uriDf = broadcast(
           uriOf.toSeq.toDF("__p", "file_path"))
@@ -1339,7 +1430,7 @@ object IcebergInterop {
       .getOrElse(java.util.UUID.randomUUID().toString)
     val newVer = existing.map(_.version + 1).getOrElse(1)
     val metaJson =
-      s"""{"format-version":2,""" +
+      s"""{"format-version":$fv,""" +
         s""""table-uuid":${om.writeValueAsString(tableUuid)},""" +
         s""""location":${om.writeValueAsString(iceRoot)},""" +
         s""""last-sequence-number":$seqNum,"last-updated-ms":$ts,""" +
@@ -1378,7 +1469,8 @@ object IcebergInterop {
     * driver-side metadata per unsynced version + hard links. */
   def syncToIceberg(spark: SparkSession, lakeRoot: String,
                     iceRoot: String,
-                    expireKeepLast: Option[Int] = None): Seq[Long] = {
+                    expireKeepLast: Option[Int] = None,
+                    formatVersion: Int = 2): Seq[Long] = {
     val lakeVs = LakeTable.versions(spark, lakeRoot)
     require(lakeVs.nonEmpty, s"no lake table at $lakeRoot")
     val f = fs(spark, iceRoot)
@@ -1390,7 +1482,8 @@ object IcebergInterop {
     // older ids, which must not be re-exported (their files are gone)
     val cursor = published.maxOption.getOrElse(-1L)
     val todo = lakeVs.filter(_ > cursor)
-    todo.foreach(v => exportToIceberg(spark, lakeRoot, iceRoot, Some(v)))
+    todo.foreach(v => exportToIceberg(spark, lakeRoot, iceRoot, Some(v),
+      formatVersion))
     expireKeepLast.foreach { k =>
       expireIcebergSnapshots(spark, iceRoot, k): Unit
     }

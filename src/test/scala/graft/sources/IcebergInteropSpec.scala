@@ -944,6 +944,69 @@ class IcebergInteropSpec extends SparkSpec {
     assert(IcebergInterop.readIceberg(spark, root).count() == 8L)
   }
 
+  test("v3 Puffin DV export round-trips through our own reader: the "
+      + "lake's DVs publish as deletion-vector-v1 blobs (no delete "
+      + "parquet), subtract exactly in metadata counts, pass the "
+      + "doctor, content-address across exports, and v2 exports are "
+      + "byte-for-byte unaffected") {
+    val lake = freshRoot()
+    val ice = freshRoot() + "_v3"
+    val ice2 = freshRoot() + "_v2"
+    LakeTable.append(spark.range(0, 300)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake,
+      zoneKey = Some("k"))
+    LakeTable.deleteWhereDV(spark, lake, "k % 3 = 0")
+    IcebergInterop.exportToIceberg(spark, lake, ice, formatVersion = 3)
+    // round trip: exactly the undeleted rows
+    assert(IcebergInterop.readIceberg(spark, ice)
+      .select("k").as[Long].collect().toSet ==
+      (0L until 300L).filter(_ % 3 != 0).toSet)
+    // the delete state is ONE Puffin container, no delete parquet
+    val fsys = new org.apache.hadoop.fs.Path(ice)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def deleteFiles(): Seq[String] =
+      fsys.listStatus(new org.apache.hadoop.fs.Path(s"$ice/data"))
+        .map(_.getPath.getName).filter(_.startsWith("deletes-")).toSeq
+    assert(deleteFiles().count(_.endsWith(".puffin")) == 1,
+      deleteFiles().toString)
+    assert(!deleteFiles().exists(_.endsWith(".parquet")),
+      deleteFiles().toString)
+    // metadata declares v3; counts subtract from DV record counts
+    assert(Files.readString(Paths.get(s"$ice/metadata/v1.metadata.json"))
+      .contains("\"format-version\":3"))
+    assert(IcebergInterop.icebergRowCount(spark, ice).contains(200L))
+    // the doctor decodes the vectors CRC-clean against live files
+    assert(IcebergInterop.validateIceberg(spark, ice).count() == 0L)
+    // an append with UNCHANGED DV state reuses the content-addressed
+    // Puffin file — no rewrite, still one container
+    LakeTable.append(spark.range(300, 320)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake,
+      zoneKey = Some("k"))
+    IcebergInterop.syncToIceberg(spark, lake, ice, formatVersion = 3)
+    assert(deleteFiles().size == 1, deleteFiles().toString)
+    assert(IcebergInterop.icebergRowCount(spark, ice).contains(220L))
+    assert(IcebergInterop.readIceberg(spark, ice).count() == 220L)
+    // the v2 default is untouched: same lake exports position-delete
+    // parquet under format-version 2, same rows
+    IcebergInterop.exportToIceberg(spark, lake, ice2)
+    assert(Files.readString(Paths.get(s"$ice2/metadata/v1.metadata.json"))
+      .contains("\"format-version\":2"))
+    val f2 = new org.apache.hadoop.fs.Path(ice2)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .listStatus(new org.apache.hadoop.fs.Path(s"$ice2/data"))
+      .map(_.getPath.getName).filter(_.startsWith("deletes-")).toSeq
+    assert(f2.size == 1 && f2.head.endsWith(".parquet"), f2.toString)
+    assert(IcebergInterop.readIceberg(spark, ice2).count() == 220L)
+    // no silent downgrade: asking v2 on a v3 table keeps v3
+    LakeTable.append(spark.range(320, 330)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake,
+      zoneKey = Some("k"))
+    IcebergInterop.exportToIceberg(spark, lake, ice) // default fv=2
+    assert(Files.readString(Paths.get(s"$ice/metadata/v3.metadata.json"))
+      .contains("\"format-version\":3"))
+    assert(IcebergInterop.readIceberg(spark, ice).count() == 230L)
+  }
+
   test("format-version 4 still refuses") {
     val root = freshRoot()
     val fsys = new org.apache.hadoop.fs.Path(root)
