@@ -2049,9 +2049,16 @@ object CorpusQueries {
           .select(col("doc_id"), col("clean_text"), col("n_email"),
             col("n_ip"), col("n_ssn"), col("n_cc"), col("n_phone"))
       },
-      Some(graft.ops.Pii.scrubSql(
-        s"(SELECT doc_id, $injectedPiiSql AS text FROM documents) __inj",
-        "doc_id", "text")),
+      Some {
+        // the fixture injects only the five original shapes; q356
+        // covers the credential/E.164 categories — project the five
+        // here so the row's hash stays pinned across category growth
+        val scrub = graft.ops.Pii.scrubSql(
+          s"(SELECT doc_id, $injectedPiiSql AS text FROM documents) __inj",
+          "doc_id", "text")
+        s"""SELECT doc_id, clean_text, n_email, n_ip, n_ssn, n_cc,
+           |n_phone FROM ($scrub)""".stripMargin
+      },
       "PII scrub: ordered redaction chain + per-category counts, " +
         "one codegen Project"),
 
@@ -2088,6 +2095,29 @@ object CorpusQueries {
            |FROM ($scrub) GROUP BY source""".stripMargin
       },
       "PII prevalence by source: release-gate audit over the scrub chain"),
+
+    // ---- PII scrub: credential + E.164 categories ---------------------------
+    // The release gate's secret-shaped additions: AWS access key ids
+    // (AKIA/ASIA + 16), GitHub tokens (gh?_ + 36), JWTs (eyJ…·…·…) and
+    // E.164 international phones — all fixed-prefix RE2-portable
+    // shapes riding the SAME single codegen Project as q342's chain
+    // (credentials apply first: no other category's shape can contain
+    // their prefixes, so no span is ever lost to ordering). All nine
+    // count columns project so the oracle replays the whole chain.
+    "q356_pii_credentials" -> Q(
+      (s, d) => {
+        val inj = graft.queries.CorpusQueries.withInjectedCredentials(
+          Tables.documents(s, d))
+        graft.ops.Pii.scrub(inj, "text")
+          .select(col("doc_id") +: col("clean_text") +:
+            graft.ops.Pii.Defaults.map(c => col(s"n_${c.name}")): _*)
+      },
+      Some(graft.ops.Pii.scrubSql(
+        s"""(SELECT doc_id, $injectedCredentialsSql AS text
+           | FROM documents) __inj""".stripMargin,
+        "doc_id", "text")),
+      "PII scrub: credential (AWS/GitHub/JWT) + E.164 categories, " +
+        "same one-Project chain"),
   )
 
   /** Deterministic PII injection for the q342/q343 fixtures: every doc
@@ -2110,6 +2140,46 @@ object CorpusQueries {
       when(id % 11 === 0, concat(lit(" card 4111 1111 1111 "),
         pad(id % 10000, 4))).otherwise(lit(""))))
   }
+
+  /** Deterministic credential/E.164 injection for the q356 fixture:
+    * residue classes of doc_id add an AWS key id, a GitHub token, a
+    * JWT and an E.164 phone — digit/letter fills keep every shape
+    * inside its category's character class. Pure column exprs (same
+    * Project as the scrub). */
+  private[queries] def withInjectedCredentials(docs: DataFrame)
+      : DataFrame = {
+    def pad(n: Column, w: Int, fill: String) =
+      lpad(n.cast("string"), w, fill)
+    val id = col("doc_id")
+    docs.withColumn("text", concat(
+      col("text"),
+      when(id % 4 === 0, concat(lit(" key AKIA"),
+        pad(id % 10000, 16, "0"))).otherwise(lit("")),
+      when(id % 6 === 0, concat(lit(" tok ghp_"),
+        pad(id % 100000, 36, "a"))).otherwise(lit("")),
+      when(id % 9 === 0, concat(lit(" jwt eyJ"),
+        pad(id % 1000, 10, "x"), lit("."),
+        pad(id % 1000, 10, "y"), lit("."),
+        pad(id % 100, 5, "z"))).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" tel +1"),
+        pad(id % 1000000000, 9, "5"))).otherwise(lit(""))))
+  }
+
+  /** DuckDB rendering of [[withInjectedCredentials]]'s text expression. */
+  private def injectedCredentialsSql: String =
+    """text
+      | || CASE WHEN doc_id % 4 = 0 THEN ' key AKIA'
+      |   || lpad(CAST(doc_id % 10000 AS VARCHAR), 16, '0') ELSE '' END
+      | || CASE WHEN doc_id % 6 = 0 THEN ' tok ghp_'
+      |   || lpad(CAST(doc_id % 100000 AS VARCHAR), 36, 'a') ELSE '' END
+      | || CASE WHEN doc_id % 9 = 0 THEN ' jwt eyJ'
+      |   || lpad(CAST(doc_id % 1000 AS VARCHAR), 10, 'x') || '.'
+      |   || lpad(CAST(doc_id % 1000 AS VARCHAR), 10, 'y') || '.'
+      |   || lpad(CAST(doc_id % 100 AS VARCHAR), 5, 'z') ELSE '' END
+      | || CASE WHEN doc_id % 5 = 0 THEN ' tel +1'
+      |   || lpad(CAST(doc_id % 1000000000 AS VARCHAR), 9, '5')
+      |   ELSE '' END"""
+      .stripMargin.replace("\n", "")
 
   /** DuckDB rendering of [[withInjectedPii]]'s text expression (a def:
     * it is referenced while `defs` is still being constructed). */
