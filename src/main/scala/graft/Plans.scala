@@ -99,9 +99,13 @@ object Plans {
     "q315_lake_agg_pushdown" -> "DSv2 aggregate pushdown: COUNT/MIN/MAX served from manifest metadata as a LocalTableScan — the plan should contain NO parquet scan",
     "q328_html_extract" -> "HTML main-content extraction: pure codegen'd column expressions riding the scan — ONE WholeStageCodegen span, zero exchanges",
     "q334_interop_sql" -> "interop batch SQL: published Delta + Iceberg mirrors scan as native pruned parquet relations — PushedFilters present on both legs, no fallback RDD scan",
-    "q342_pii_scrub" -> "PII scrub: the whole ordered redaction chain (5 regexp_count + 5 regexp_replace) rides the scan as ONE WholeStageCodegen span of stacked Projects — zero exchanges",
+    "q342_pii_scrub" -> "PII scrub: the whole ordered redaction chain (9 regexp_count + 9 regexp_replace, phone BEFORE card, credentials first) rides the scan as ONE WholeStageCodegen span of stacked Projects — zero exchanges",
     "q344_iceberg_v3_dv" -> "Iceberg v3 Puffin DV: binaryFile blob scan + broadcast descriptors decode executor-side, then BroadcastHashJoin LeftAnti on (uri, row-index) — the data side never shuffles",
-    "q345_variant_shred" -> "variant shred: ONE parseJson static-invoke Project serving five try_variant_get extractions — parse once, project many, zero exchanges")
+    "q345_variant_shred" -> "variant shred: ONE parseJson static-invoke Project serving five try_variant_get extractions — parse once, project many, zero exchanges",
+    "q352_iceberg_partition_prune" -> "Iceberg identity-partition pruning: manifest partition values render as degenerate zones, so the scan lists ONLY the probed partition's files — the 15 corrupted siblings never open",
+    "q353_interop_sql_count" -> "interop SQL COUNT(*): the Delta leg plans as ONE LocalTableScan (metadata-served, no parquet scan); the Iceberg equality-delete leg keeps the full scan — refusal is fallback",
+    "q355_iceberg_puffin_export" -> "v3 Puffin export read-back: broadcast DV descriptors decode executor-side, BroadcastHashJoin LeftAnti on (uri, row-index) — the data side never shuffles",
+    "q356_pii_credentials" -> "credential/E.164 scrub: all nine categories still ONE WholeStageCodegen span of stacked Projects riding the scan — zero exchanges")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
