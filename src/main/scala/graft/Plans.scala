@@ -105,7 +105,8 @@ object Plans {
     "q352_iceberg_partition_prune" -> "Iceberg identity-partition pruning: manifest partition values render as degenerate zones, so the scan lists ONLY the probed partition's files — the 15 corrupted siblings never open",
     "q353_interop_sql_count" -> "interop SQL COUNT(*): the Delta leg plans as ONE LocalTableScan (metadata-served, no parquet scan); the Iceberg equality-delete leg keeps the full scan — refusal is fallback",
     "q355_iceberg_puffin_export" -> "v3 Puffin export read-back: broadcast DV descriptors decode executor-side, BroadcastHashJoin LeftAnti on (uri, row-index) — the data side never shuffles",
-    "q356_pii_credentials" -> "credential/E.164 scrub: all nine categories still ONE WholeStageCodegen span of stacked Projects riding the scan — zero exchanges")
+    "q356_pii_credentials" -> "credential/E.164 scrub: all nine categories still ONE WholeStageCodegen span of stacked Projects riding the scan — zero exchanges",
+    "q357_interop_sql_minmax" -> "interop SQL MIN/MAX: stats/bounds fold to ONE LocalTableScan on both formats; the live-DV leg keeps the scan for bounds while count(*) still serves")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1,90 +1,148 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Alias,
+  AttributeReference, ExprId, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Count}
+  AggregateExpression, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
   LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   LogicalRelation}
 
-/** Serve plain-SQL `SELECT count(*)` over `USING graftdelta` /
-  * `USING grafticeberg` relations FROM METADATA — the same answers the
+/** Serve plain-SQL whole-table `count(*)` / `min(col)` / `max(col)`
+  * over `USING graftdelta` / `USING grafticeberg` relations FROM
+  * METADATA — the same answers the
   * [[graft.sources.DeltaInterop.deltaRowCount]] /
-  * [[graft.sources.IcebergInterop.icebergRowCount]] APIs give, behind
-  * standard SQL. Counting a foreign table is the first query every
-  * user runs; at 100 TB this is one manifest/log read instead of a
-  * full scan.
+  * [[graft.sources.IcebergInterop.icebergRowCount]] /
+  * [[graft.sources.DeltaInterop.deltaColumnBounds]] /
+  * [[graft.sources.IcebergInterop.icebergColumnBounds]] APIs give,
+  * behind standard SQL. Counting and bounding a foreign table are the
+  * first queries every user runs; at 100 TB each is one manifest/log
+  * read instead of a full scan.
   *
   * The foreign readers are V1 relations (HadoopFsRelation for plain
   * snapshots, [[graft.sources.InteropSnapshotRelation]] for
   * merge-on-read ones), so the DSv2 `SupportsPushDownAggregates` seam
   * does not exist for them; this optimizer rule is the Spark-first
-  * equivalent: rewrite `Aggregate([], count(1)*, Project* → relation)`
-  * to a one-row LocalRelation when — and ONLY when — the metadata
-  * count is sound. Refusal is fallback: the metadata APIs return None
-  * under equality deletes, missing record counts, dangling/duplicated
-  * DV references…, and the plan then scans, correct as before. A
-  * Filter below the aggregate, grouping, DISTINCT, or a FILTER clause
-  * never matches the pattern at all.
+  * equivalent: rewrite `Aggregate([], servable-aggs, Project* →
+  * relation)` to a one-row LocalRelation when — and ONLY when — EVERY
+  * aggregate in the list is metadata-servable. Refusal is fallback:
+  * the metadata APIs return None under equality deletes, live
+  * deletion vectors (for bounds), missing stats, NaN-capable or
+  * truncation-prone column types…, and the plan then scans, correct
+  * as before. A Filter below the aggregate, grouping, DISTINCT, a
+  * FILTER clause, or a min/max over anything but a directly
+  * passed-through column never matches the pattern at all.
   *
-  * Projections are transparent to row counts, so any Project chain
-  * between the Aggregate and the relation is unwrapped; anything else
-  * (Filter, Join, …) keeps the scan plan. Time travel is honored: the
-  * pinned version/snapshot rides in the relation's options
+  * Projections are transparent when they only select/rename
+  * attributes — the chain walk carries each ExprId back to its
+  * underlying relation column, so `min(renamed)` resolves and
+  * `min(computed)` refuses. Time travel is honored: the pinned
+  * version/snapshot rides in the relation's options
   * (`graft.interop.version`, stamped at relation creation).
   */
 case class InteropCountRule(spark: SparkSession)
     extends Rule[LogicalPlan] {
 
-  /** (format, root, pinned version) of an interop relation under any
-    * Project chain; None = not a shape this rule may count. */
-  private def tableOf(plan: LogicalPlan)
-      : Option[(String, String, Option[Long])] = plan match {
-    case Project(_, child) => tableOf(child)
-    case lr: LogicalRelation => lr.relation match {
-      case h: HadoopFsRelation
-          if h.options.contains("graft.interop.format") =>
-        Some((h.options("graft.interop.format"), h.options("path"),
-          h.options.get("graft.interop.version").map(_.toLong)))
-      case r: graft.sources.InteropSnapshotRelation => r.interopRef
-      case _ => None
+  /** (format, root, pinned version, ExprId → relation column name) of
+    * an interop relation under a pure select/rename Project chain;
+    * None = not a shape this rule may serve. Computed projections
+    * simply drop out of the name map (count(*) still serves above
+    * them; min/max over them refuses). */
+  private def chainOf(plan: LogicalPlan): Option[
+      (String, String, Option[Long], Map[ExprId, String])] = plan match {
+    case Project(list, child) => chainOf(child).map {
+      case (fmt, root, ver, names) =>
+        val mapped = list.flatMap {
+          case a: AttributeReference =>
+            names.get(a.exprId).map(a.exprId -> _)
+          case al @ Alias(ar: AttributeReference, _) =>
+            names.get(ar.exprId).map(al.exprId -> _)
+          case _ => None
+        }.toMap
+        (fmt, root, ver, mapped)
     }
+    case lr: LogicalRelation =>
+      val ref = lr.relation match {
+        case h: HadoopFsRelation
+            if h.options.contains("graft.interop.format") =>
+          Some((h.options("graft.interop.format"), h.options("path"),
+            h.options.get("graft.interop.version").map(_.toLong)))
+        case r: graft.sources.InteropSnapshotRelation => r.interopRef
+        case _ => None
+      }
+      ref.map { case (fmt, root, ver) =>
+        (fmt, root, ver,
+          lr.output.map(a => a.exprId -> a.name).toMap)
+      }
     case _ => None
   }
 
-  /** count(1)/count(*) with no DISTINCT and no FILTER clause — the
-    * only aggregate a row count can serve. */
-  private def isCountStar(
-      e: org.apache.spark.sql.catalyst.expressions.NamedExpression)
-      : Boolean = e match {
-    case Alias(ae: AggregateExpression, _) =>
-      !ae.isDistinct && ae.filter.isEmpty &&
-        (ae.aggregateFunction match {
-          case Count(Seq(Literal(v, _))) => v != null
-          case _ => false
-        })
-    case _ => false
-  }
+  private sealed trait Served
+  private case object CountStar extends Served
+  private case class MinOf(column: String) extends Served
+  private case class MaxOf(column: String) extends Served
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case agg @ Aggregate(Nil, exprs, child, _)
-        if exprs.nonEmpty && exprs.forall(isCountStar) =>
-      tableOf(child).flatMap { case (fmt, root, version) =>
-        val n = fmt match {
-          case "delta" =>
-            graft.sources.DeltaInterop.deltaRowCount(spark, root, version)
-          case "iceberg" =>
-            graft.sources.IcebergInterop.icebergRowCount(spark, root,
-              version)
+  /** count(1)/count(*), min(col), max(col) — no DISTINCT, no FILTER
+    * clause, col a direct pass-through of a relation column. */
+  private def classify(e: NamedExpression,
+                       names: Map[ExprId, String]): Option[Served] =
+    e match {
+      case Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(Literal(v, _))) if v != null => Some(CountStar)
+          case Min(ar: AttributeReference) =>
+            names.get(ar.exprId).map(MinOf)
+          case Max(ar: AttributeReference) =>
+            names.get(ar.exprId).map(MaxOf)
           case _ => None
         }
-        n.map(cnt => LocalRelation(
-          agg.output.map(_.toAttribute),
-          Seq(InternalRow.fromSeq(Seq.fill(exprs.size)(cnt)))))
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ Aggregate(Nil, exprs, child, _) if exprs.nonEmpty =>
+      chainOf(child).flatMap { case (fmt, root, ver, names) =>
+        val served = exprs.map(classify(_, names))
+        if (served.exists(_.isEmpty)) None
+        else {
+          lazy val rowCount: Option[Long] = fmt match {
+            case "delta" =>
+              graft.sources.DeltaInterop.deltaRowCount(spark, root, ver)
+            case "iceberg" =>
+              graft.sources.IcebergInterop.icebergRowCount(spark, root,
+                ver)
+            case _ => None
+          }
+          val boundsCache =
+            scala.collection.mutable.Map.empty[String, Option[(Any, Any)]]
+          def boundsOf(c: String): Option[(Any, Any)] =
+            boundsCache.getOrElseUpdate(c, fmt match {
+              case "delta" => graft.sources.DeltaInterop
+                .deltaColumnBounds(spark, root, c, ver)
+              case "iceberg" => graft.sources.IcebergInterop
+                .icebergColumnBounds(spark, root, c, ver)
+              case _ => None
+            })
+          val values: Seq[Option[Any]] =
+            served.map(_.get).zip(agg.output).map { case (s, attr) =>
+              val conv = CatalystTypeConverters
+                .createToCatalystConverter(attr.dataType)
+              s match {
+                case CountStar => rowCount.map(conv)
+                case MinOf(c) => boundsOf(c).map(b => conv(b._1))
+                case MaxOf(c) => boundsOf(c).map(b => conv(b._2))
+              }
+            }
+          if (values.exists(_.isEmpty)) None
+          else Some(LocalRelation(
+            agg.output.map(_.toAttribute),
+            Seq(InternalRow.fromSeq(values.map(_.get)))))
+        }
       }.getOrElse(agg)
   }
 }

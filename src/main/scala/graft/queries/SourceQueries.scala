@@ -3287,6 +3287,73 @@ object SourceQueries {
           FROM orders WHERE o_orderkey % 7 <> 0"""),
       "v3 Iceberg export: lake DVs as Puffin deletion-vector blobs, " +
         "read-back ≡ undeleted rows"),
+
+    // ---- SQL MIN/MAX served from interop metadata ----------------------------
+    // q353's companion: whole-table min/max over USING graftdelta /
+    // grafticeberg fold the log's per-file stats / the manifests'
+    // bounds — one metadata read at any scale (plan-asserted, q315
+    // style). Refusal legs prove the contract's edge: a live deletion
+    // vector could delete the extremal row, so max() under a DV must
+    // SCAN (count(*) still serves — the vector's cardinality is
+    // known); the values stay correct either way.
+    "q357_interop_sql_minmax" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val root = freshRoot("graft_sqlminmax_q357")
+        val lake = root + "/lake"
+        val delta = root + "/delta"
+        val ice = root + "/ice"
+        val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        graft.sources.LakeTable.append(o, lake,
+          zoneKey = Some("o_orderkey"))
+        graft.sources.DeltaInterop.syncToDelta(s, lake, delta)
+        graft.sources.IcebergInterop.exportToIceberg(s, lake, ice)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q357_d USING " +
+          s"graftdelta OPTIONS (path '$delta')")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q357_i USING " +
+          s"grafticeberg OPTIONS (path '$ice')")
+        val dq = s.sql("SELECT count(*) AS n, min(o_orderkey) AS lo, " +
+          "max(o_orderkey) AS hi FROM q357_d")
+        val dplan = dq.queryExecution.executedPlan.toString
+        require(dplan.contains("LocalTableScan") &&
+          !dplan.toLowerCase.contains("parquet"),
+          s"q357: Delta min/max did not serve from metadata:\n$dplan")
+        val iq = s.sql("SELECT min(o_orderkey) AS lo, " +
+          "max(o_orderkey) AS hi FROM q357_i")
+        require(iq.queryExecution.executedPlan.toString
+          .contains("LocalTableScan"),
+          "q357: Iceberg min/max did not serve from manifest bounds")
+        // live DV: bounds refuse (scan), count still serves
+        graft.sources.LakeTable.deleteWhereDV(s, lake,
+          "o_orderkey % 2 = 0")
+        graft.sources.DeltaInterop.syncToDelta(s, lake, delta)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q357_dv USING " +
+          s"graftdelta OPTIONS (path '$delta')")
+        val vq = s.sql("SELECT max(o_orderkey) AS hi FROM q357_dv")
+        require(!vq.queryExecution.executedPlan.toString
+          .contains("LocalTableScan"),
+          "q357: max() under a live DV must scan, not trust bounds")
+        val cq = s.sql("SELECT count(*) AS n FROM q357_dv")
+        require(cq.queryExecution.executedPlan.toString
+          .contains("LocalTableScan"),
+          "q357: count(*) under a DV still serves (cardinality known)")
+        val dr = dq.collect()(0)
+        val ir = iq.collect()(0)
+        Seq((dr.getLong(0), dr.getLong(1), dr.getLong(2),
+          ir.getLong(0), ir.getLong(1),
+          vq.as[Long].head(), cq.as[Long].head()))
+          .toDF("n", "lo", "hi", "ice_lo", "ice_hi", "dv_hi", "dv_n")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+          min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+          min(o_orderkey) AS ice_lo, max(o_orderkey) AS ice_hi,
+          (SELECT max(o_orderkey) FROM orders
+           WHERE o_orderkey % 2 <> 0) AS dv_hi,
+          CAST((SELECT count(*) FROM orders
+           WHERE o_orderkey % 2 <> 0) AS BIGINT) AS dv_n
+        FROM orders"""),
+      "SQL MIN/MAX from interop metadata: stats/bounds fold to one " +
+        "LocalTableScan; live DVs force the scan for bounds only"),
   )
 
 

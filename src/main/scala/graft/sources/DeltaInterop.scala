@@ -1291,6 +1291,93 @@ object DeltaInterop {
       snap.live.values.flatMap(_.dv).map(_.cardinality).sum)
   }
 
+  /** METADATA-ONLY MIN/MAX of `column` — fold the log's per-file
+    * `stats.minValues/maxValues`, the interop twin of
+    * [[LakeTable.columnBounds]]. Same contract: Some means the exact
+    * answer, None means "fall back to the scan", NEVER a wrong bound:
+    *
+    *  - live deletion vectors refuse (a vector could delete the
+    *    extremal row);
+    *  - only integral, decimal and date columns serve: file stats
+    *    cannot represent NaN (`max(NaN)` beats every bound, so
+    *    float/double would answer wrong on NaN-bearing foreign data)
+    *    and writers truncate long strings (a truncated max is not the
+    *    max);
+    *  - a file whose stats omit the column serves ONLY when its
+    *    `nullCount` proves the column all-null there (contributes
+    *    nothing to min/max); otherwise refuse — absence is unknowable.
+    *
+    * Column mapping resolves through physical names like every other
+    * stats consumer. Returned values are EXTERNAL Spark values of the
+    * column's type (Long, java.math.BigDecimal, java.sql.Date, …). */
+  def deltaColumnBounds(spark: SparkSession, root: String,
+                        column: String,
+                        versionAsOf: Option[Long] = None)
+      : Option[(Any, Any)] = {
+    val vs = deltaVersions(spark, root)
+    require(vs.nonEmpty, s"no Delta log under $root")
+    val upTo = versionAsOf.getOrElse(vs.max)
+    require(vs.contains(upTo), s"version $upTo not in ${vs.mkString(",")}")
+    val snap = replay(spark, root, upTo)
+    if (snap.live.values.exists(_.dv.isDefined)) return None
+    val dt = snap.schema.fields.find(_.name == column)
+      .map(_.dataType).getOrElse(return None)
+    val servable = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _: DecimalType | DateType => true
+      case _ => false
+    }
+    if (!servable) return None
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val statsKey = snap.physNameOf(column)
+    // per file: Some(None) = provably all-null (skip), Some(Some(b)) =
+    // bounds, None = unknown → refuse
+    val perFile: Iterable[Option[Option[(BigDecimal, BigDecimal)]]] =
+      snap.live.values.map { lf =>
+        lf.stats.flatMap { s =>
+          scala.util.Try(om.readTree(s)).toOption.map { node =>
+            def side(which: String): Option[BigDecimal] = {
+              val n = node.path(which).path(statsKey)
+              if (n.isMissingNode || n.isNull) None
+              else scala.util.Try(dt match {
+                case DateType => BigDecimal(
+                  java.time.LocalDate.parse(n.asText).toEpochDay)
+                case _ if n.isTextual => BigDecimal(n.asText)
+                case _ => BigDecimal(n.decimalValue())
+              }).toOption
+            }
+            (side("minValues"), side("maxValues")) match {
+              case (Some(lo), Some(hi)) => Some(Some((lo, hi)))
+              case _ =>
+                val nulls = node.path("nullCount").path(statsKey)
+                val rows = node.path("numRecords")
+                if (!nulls.isMissingNode && !rows.isMissingNode &&
+                    nulls.isNumber && rows.isNumber &&
+                    nulls.asLong(-1L) == rows.asLong(-2L))
+                  Some(None) // provably all-null in this file
+                else None
+            }
+          }.getOrElse(None)
+        } // a stats-less file leaves None → unknown → refuse below
+      }
+    if (perFile.exists(_.isEmpty)) return None
+    val bounds = perFile.flatten.flatten
+    if (bounds.isEmpty) return None // empty/all-null: let the scan answer
+    val lo = bounds.map(_._1).min
+    val hi = bounds.map(_._2).max
+    def render(b: BigDecimal): Any = dt match {
+      case ByteType => b.toByteExact
+      case ShortType => b.toShortExact
+      case IntegerType => b.toIntExact
+      case LongType => b.toLongExact
+      case d: DecimalType => b.bigDecimal
+      case DateType =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(b.toLong))
+      case _ => b
+    }
+    scala.util.Try((render(lo), render(hi))).toOption
+  }
+
   /** Range read with Delta data skipping: only files whose
     * `stats.minValues/maxValues` for `key` overlap [lo, hi] are opened
     * (plus, conservatively, files without stats for the key — a failed

@@ -822,6 +822,46 @@ object IcebergInterop {
     Some(total - dvs.map(_.records).sum - pdRows)
   }
 
+  /** METADATA-ONLY MIN/MAX of `column` — fold the manifests'
+    * field-id-keyed `lower_bounds`/`upper_bounds`, the Iceberg twin of
+    * [[DeltaInterop.deltaColumnBounds]]. Some = the exact answer,
+    * None = fall back to the scan, never a wrong bound:
+    *
+    *  - ANY delete file refuses (a delete could remove the extremal
+    *    row);
+    *  - only int and long columns serve: the spec truncates
+    *    string/binary bounds (a truncated upper is not the max) and
+    *    excludes NaN from float/double bounds, so those shapes cannot
+    *    answer `max()` exactly without the data;
+    *  - a data file without both bounds for the field refuses —
+    *    absence is unknowable without null_value_counts.
+    *
+    * Returned values are EXTERNAL Spark values of the column's type. */
+  def icebergColumnBounds(spark: SparkSession, root: String,
+                          column: String,
+                          snapshotId: Option[Long] = None)
+      : Option[(Any, Any)] = {
+    val (schema, dataFiles, deleteFiles) =
+      snapshotFiles(spark, root, snapshotId)
+    if (deleteFiles.nonEmpty) return None
+    val dt = schema.spark.fields.find(_.name == column)
+      .map(_.dataType).getOrElse(return None)
+    if (dt != IntegerType && dt != LongType) return None
+    val fid = schema.fieldIds.getOrElse(column, return None)
+    val perFile = dataFiles.map { f0 =>
+      for {
+        lo <- f0.lower.get(fid).flatMap(boundValue(dt, _))
+        hi <- f0.upper.get(fid).flatMap(boundValue(dt, _))
+      } yield (lo.asInstanceOf[BigDecimal], hi.asInstanceOf[BigDecimal])
+    }
+    if (perFile.isEmpty || perFile.exists(_.isEmpty)) return None
+    val bounds = perFile.flatten
+    val (lo, hi) = (bounds.map(_._1).min, bounds.map(_._2).max)
+    def render(b: BigDecimal): Any =
+      if (dt == IntegerType) b.toIntExact else b.toLongExact
+    scala.util.Try((render(lo), render(hi))).toOption
+  }
+
   /** Range read with Iceberg data skipping: only files whose
     * `lower_bounds`/`upper_bounds` for `key` (the spec's field-id-keyed
     * single-value binaries) overlap [lo, hi] are opened — plus,

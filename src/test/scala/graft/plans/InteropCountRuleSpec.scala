@@ -141,6 +141,112 @@ class InteropCountRuleSpec extends SparkSpec {
     assert(plan0.contains("LocalTableScan"), plan0)
   }
 
+  test("min/max/count over a graftdelta view serve together from "
+      + "metadata (ONE LocalTableScan, corrupted-file proof); renames "
+      + "resolve; computed columns, strings, doubles and live DVs all "
+      + "keep the scan and stay correct") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    val delta = s"$dir/delta"
+    LakeTable.append(spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") % 7).cast("double").as("d"),
+        concat(lit("s"), col("id")).as("s")), lake,
+      zoneKey = Some("k"))
+    DeltaInterop.syncToDelta(spark, lake, delta)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW mm_d USING graftdelta " +
+      s"OPTIONS (path '$delta')")
+    val q = spark.sql(
+      "SELECT count(*) AS n, min(k) AS lo, max(k) AS hi FROM mm_d")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") &&
+      !plan.toLowerCase.contains("parquet"), plan)
+    assert(q.collect().head.toSeq == Seq(100L, 0L, 99L))
+    // a rename in between still resolves to the relation column
+    val r = spark.sql(
+      "SELECT max(kk) AS hi FROM (SELECT k AS kk FROM mm_d)")
+    assert(r.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(r.as[Long].head() == 99L)
+    // corrupted-file proof: the served plan opens nothing
+    LakeTable.entries(spark, lake, LakeTable.versions(spark, lake).last)
+      .map(_.path).foreach { rel =>
+        Files.delete(Paths.get(s"$delta/$rel"))
+        Files.write(Paths.get(s"$delta/$rel"), Array.fill[Byte](16)(1))
+      }
+    assert(spark.sql("SELECT min(k) FROM mm_d").as[Long].head() == 0L)
+    // refusal shapes scan — rebuild an uncorrupted table for them
+    val lake2 = s"$dir/lake2"
+    val delta2 = s"$dir/delta2"
+    LakeTable.append(spark.range(0, 50)
+      .select(col("id").as("k"), (col("id") % 7).cast("double").as("d"),
+        concat(lit("s"), col("id")).as("s")), lake2,
+      zoneKey = Some("k"))
+    DeltaInterop.syncToDelta(spark, lake2, delta2)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW mm_d2 USING graftdelta " +
+      s"OPTIONS (path '$delta2')")
+    val refuse = Seq(
+      // computed projection under the aggregate
+      "SELECT max(k2) FROM (SELECT k + 1 AS k2 FROM mm_d2)",
+      // strings truncate in foreign stats; doubles can hide NaN
+      "SELECT max(s) FROM mm_d2",
+      "SELECT min(d) FROM mm_d2")
+    refuse.foreach { sql =>
+      val p = spark.sql(sql).queryExecution.executedPlan.toString
+      assert(!p.contains("LocalTableScan"), s"$sql must scan:\n$p")
+    }
+    assert(spark.sql(refuse(0)).collect().head.getLong(0) == 50L)
+    assert(spark.sql(refuse(1)).collect().head.getString(0) == "s9")
+    assert(spark.sql(refuse(2)).collect().head.getDouble(0) == 0.0)
+    // a live DV refuses bounds (vector could delete the extremal row)
+    // but count(*) alone still serves
+    LakeTable.deleteWhereDV(spark, lake2, "k >= 45")
+    DeltaInterop.syncToDelta(spark, lake2, delta2)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW mm_d3 USING graftdelta " +
+      s"OPTIONS (path '$delta2')")
+    val mixed = spark.sql("SELECT count(*) AS n, max(k) AS hi FROM mm_d3")
+    assert(!mixed.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(mixed.collect().head.toSeq == Seq(45L, 44L))
+    val cOnly = spark.sql("SELECT count(*) AS n FROM mm_d3")
+    assert(cOnly.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(cOnly.as[Long].head() == 45L)
+  }
+
+  test("min/max over a grafticeberg view serve from manifest bounds "
+      + "when every data file carries them; bound-less files (the "
+      + "streaming sink's) refuse to the scan") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    val ice = s"$dir/ice"
+    LakeTable.append(spark.range(5, 205)
+      .select(col("id").as("k"), (col("id") * 3).as("v")), lake,
+      zoneKey = Some("k"))
+    graft.sources.IcebergInterop.exportToIceberg(spark, lake, ice)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW mm_i USING " +
+      s"grafticeberg OPTIONS (path '$ice')")
+    val q = spark.sql(
+      "SELECT min(k) AS lo, max(k) AS hi, count(*) AS n FROM mm_i")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(q.collect().head.toSeq == Seq(5L, 204L, 200L))
+    // sink-written files carry record counts but no bounds: count
+    // serves, min/max scans (and both stay correct)
+    val sunk = s"$dir/sunk"
+    graft.sources.IcebergInterop.appendOnceIceberg(
+      spark.range(0, 30).select(col("id").as("k")), sunk, "mm", 0L)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW mm_s USING " +
+      s"grafticeberg OPTIONS (path '$sunk')")
+    val sc = spark.sql("SELECT count(*) AS n FROM mm_s")
+    assert(sc.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(sc.as[Long].head() == 30L)
+    val sm = spark.sql("SELECT max(k) AS hi FROM mm_s")
+    assert(!sm.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(sm.as[Long].head() == 29L)
+  }
+
   test("a merge-on-read snapshot relation reports its METADATA size, "
       + "not the never-broadcast default — Catalyst's join planning "
       + "sees a KB-sized foreign dimension as KB-sized") {
