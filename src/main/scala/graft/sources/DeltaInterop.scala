@@ -1083,10 +1083,33 @@ object DeltaInterop {
       val rows = TableDoctor.footerRows(spark, p.toString)
         .getOrElse(throw new IllegalStateException(
           s"freshly written $rel has no readable parquet footer"))
+      // integral-column bounds from the SAME footer read: the sunk
+      // table prunes range reads and serves metadata MIN/MAX like any
+      // synced table, at zero extra data I/O. Only spark-typed
+      // int/long columns publish (dates/decimals render differently
+      // in stats JSON; floats can hide NaN) — absent bounds just mean
+      // downstream consumers fall back, never read wrong.
+      val intCols = df.schema.fields.collect {
+        case fd if fd.dataType == org.apache.spark.sql.types.IntegerType
+          || fd.dataType == org.apache.spark.sql.types.LongType =>
+          fd.name
+      }.toSet
+      val bounds = TableDoctor.footerIntBounds(spark, p.toString)
+        .filter { case (k, _) => intCols.contains(k) }
+      val boundsJson =
+        if (bounds.isEmpty) ""
+        else {
+          def side(pick: ((Long, Long)) => Long) = bounds.toSeq.sortBy(_._1)
+            .map { case (k, b) =>
+              s"${om.writeValueAsString(k)}:${pick(b)}"
+            }.mkString("{", ",", "}")
+          s""","minValues":${side(_._1)},"maxValues":${side(_._2)}"""
+        }
       s"""{"add":{"path":${om.writeValueAsString(rel)},""" +
         s""""partitionValues":{},"size":${st.getLen},""" +
         s""""modificationTime":${st.getModificationTime},""" +
-        s""""stats":${om.writeValueAsString(s"""{"numRecords":$rows}""")},""" +
+        s""""stats":${om.writeValueAsString(
+          s"""{"numRecords":$rows$boundsJson}""")},""" +
         s""""dataChange":true}}"""
     }
     val addActions = rels.map(addJson)

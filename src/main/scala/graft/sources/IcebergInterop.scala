@@ -1617,12 +1617,22 @@ object IcebergInterop {
     val staged = scala.collection.mutable.ArrayBuffer(dataUris: _*)
     def dropStaged(): Unit =
       staged.foreach(u => f.delete(new Path(new java.net.URI(u)), false))
+    // integral-column bounds from the SAME footer read: the sunk
+    // table prunes range reads and serves metadata MIN/MAX like an
+    // exported one, at zero extra data I/O (absent bounds downstream
+    // = fall back, never wrong)
+    val intCols = df.schema.fields.collect {
+      case fd if fd.dataType == IntegerType || fd.dataType == LongType =>
+        fd.name -> fd.dataType
+    }.toMap
     val fileMeta = dataUris.map { uri =>
       val st = f.getFileStatus(new Path(new java.net.URI(uri)))
       val rows = TableDoctor.footerRows(spark, uri)
         .getOrElse(throw new IllegalStateException(
           s"freshly written $uri has no readable parquet footer"))
-      (uri, rows, st.getLen)
+      val bounds = TableDoctor.footerIntBounds(spark, uri)
+        .filter { case (k, _) => intCols.contains(k) }
+      (uri, rows, st.getLen, bounds)
     }
     val totalRows = fileMeta.map(_._2).sum
     var attempts = 0
@@ -1638,10 +1648,17 @@ object IcebergInterop {
       val snapId = meta.map(
         _.snapshots.map(_.id).maxOption.getOrElse(0L) + 1).getOrElse(1L)
       val newVer = meta.map(_.version + 1).getOrElse(1)
-      // ONE new data manifest for the batch's files
+      // ONE new data manifest for the batch's files; bounds key on
+      // the table's field ids (first commit assigns 1..n, later ones
+      // reuse the schema's — the gate pins names/types, so ids hold)
+      val fieldIdOf: Map[String, Int] = meta match {
+        case Some(m) => m.schemas(m.currentSchemaId).fieldIds
+        case None => df.schema.fields.zipWithIndex
+          .map { case (fd, i) => fd.name -> (i + 1) }.toMap
+      }
       val manifest =
         s"$iceRoot/metadata/$uuid-$attempts-m0.avro"
-      val entries = fileMeta.map { case (uri, rows, size) =>
+      val entries = fileMeta.map { case (uri, rows, size, bnds) =>
         val df0 = new GenericData.Record(
           manifestSchema.getField("data_file").schema())
         df0.put("content", 0)
@@ -1651,6 +1668,36 @@ object IcebergInterop {
           df0.getSchema.getField("partition").schema()))
         df0.put("record_count", rows)
         df0.put("file_size_in_bytes", size)
+        val typedBounds = bnds.toSeq.sortBy(_._1).flatMap {
+          case (name, (lo, hi)) =>
+            val dt = intCols(name)
+            for {
+              l <- boundBytes(dt, if (dt == IntegerType) lo.toInt.toString
+                else lo.toString)
+              h <- boundBytes(dt, if (dt == IntegerType) hi.toInt.toString
+                else hi.toString)
+              fid <- fieldIdOf.get(name)
+            } yield (fid, l, h)
+        }
+        if (typedBounds.nonEmpty) {
+          def boundArr(field: String,
+              pick: ((Int, java.nio.ByteBuffer, java.nio.ByteBuffer))
+                => java.nio.ByteBuffer): Unit = {
+            val arrSchema = df0.getSchema.getField(field).schema()
+              .getTypes.get(1) // union [null, array]
+            val arr = new GenericData.Array[GenericRecord](
+              typedBounds.size, arrSchema)
+            typedBounds.foreach { b =>
+              val kv = new GenericData.Record(arrSchema.getElementType)
+              kv.put("key", b._1)
+              kv.put("value", pick(b))
+              arr.add(kv)
+            }
+            df0.put(field, arr)
+          }
+          boundArr("lower_bounds", _._2)
+          boundArr("upper_bounds", _._3)
+        }
         val e = new GenericData.Record(manifestSchema)
         e.put("status", 1) // ADDED
         e.put("snapshot_id", snapId)

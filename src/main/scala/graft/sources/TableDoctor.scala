@@ -41,6 +41,64 @@ object TableDoctor {
       try rdr.getRecordCount finally rdr.close()
     }.toOption
 
+  /** Exact per-column (min, max) for top-level INT32/INT64 columns
+    * from a parquet FOOTER — metadata only, no data pages; the
+    * zero-extra-I/O source the streaming sinks use to publish bounds.
+    * A column serves only when EVERY row group either carries
+    * statistics for it or is provably all-null there (null count =
+    * row count); anything unknowable omits the column — callers write
+    * no bound, never a wrong one. */
+  private[sources] def footerIntBounds(
+      spark: org.apache.spark.sql.SparkSession,
+      uri: String): Map[String, (Long, Long)] =
+    scala.util.Try {
+      import scala.jdk.CollectionConverters._
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(uri),
+          spark.sessionState.newHadoopConf()))
+      try {
+        val blocks = rdr.getFooter.getBlocks.asScala.toSeq
+        // per block per column: Some(Some(b)) = bounds, Some(None) =
+        // provably all-null (contributes nothing), None = unknown
+        val perBlock: Seq[Map[String, Option[(Long, Long)]]] =
+          blocks.map { b =>
+            b.getColumns.asScala.flatMap { c =>
+              val name = c.getPath.toDotString
+              if (name.contains(".")) None
+              else {
+                val pt = c.getPrimitiveType.getPrimitiveTypeName
+                val st = c.getStatistics
+                val served: Option[Option[(Long, Long)]] =
+                  if (st == null || st.isEmpty) None
+                  else if (!st.hasNonNullValue)
+                    if (st.isNumNullsSet && st.getNumNulls == b.getRowCount)
+                      Some(None)
+                    else None
+                  else pt match {
+                    case PrimitiveTypeName.INT32 => Some(Some((
+                      st.genericGetMin.asInstanceOf[Number].longValue,
+                      st.genericGetMax.asInstanceOf[Number].longValue)))
+                    case PrimitiveTypeName.INT64 => Some(Some((
+                      st.genericGetMin.asInstanceOf[Number].longValue,
+                      st.genericGetMax.asInstanceOf[Number].longValue)))
+                    case _ => None
+                  }
+                served.map(name -> _)
+              }
+            }.toMap
+          }
+        val keys = perBlock.map(_.keySet)
+          .reduceOption(_ & _).getOrElse(Set.empty)
+        keys.flatMap { k =>
+          val bs = perBlock.flatMap(_(k))
+          if (bs.isEmpty) None // all-null in every block: no bound
+          else Some(k -> (bs.map(_._1).min, bs.map(_._2).max))
+        }.toMap
+      } finally rdr.close()
+    }.getOrElse(Map.empty)
+
   /** One existence set per distinct parent directory (a listStatus
     * each) — the same listing bound the scan's FileIndex pays. */
   private[sources] def existing(spark: org.apache.spark.sql.SparkSession,

@@ -230,21 +230,24 @@ class InteropCountRuleSpec extends SparkSpec {
     assert(q.queryExecution.executedPlan.toString
       .contains("LocalTableScan"))
     assert(q.collect().head.toSeq == Seq(5L, 204L, 200L))
-    // sink-written files carry record counts but no bounds: count
-    // serves, min/max scans (and both stay correct)
+    // sink-written files carry record counts AND footer-derived
+    // integral bounds, so a streamed-in table serves count and
+    // min/max alike — but a string column still refuses to the scan
     val sunk = s"$dir/sunk"
     graft.sources.IcebergInterop.appendOnceIceberg(
-      spark.range(0, 30).select(col("id").as("k")), sunk, "mm", 0L)
+      spark.range(0, 30).select(col("id").as("k"),
+        concat(lit("s"), col("id")).as("s")), sunk, "mm", 0L)
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW mm_s USING " +
       s"grafticeberg OPTIONS (path '$sunk')")
-    val sc = spark.sql("SELECT count(*) AS n FROM mm_s")
+    val sc = spark.sql(
+      "SELECT count(*) AS n, min(k) AS lo, max(k) AS hi FROM mm_s")
     assert(sc.queryExecution.executedPlan.toString
       .contains("LocalTableScan"))
-    assert(sc.as[Long].head() == 30L)
-    val sm = spark.sql("SELECT max(k) AS hi FROM mm_s")
+    assert(sc.collect().head.toSeq == Seq(30L, 0L, 29L))
+    val sm = spark.sql("SELECT max(s) AS hi FROM mm_s")
     assert(!sm.queryExecution.executedPlan.toString
       .contains("LocalTableScan"))
-    assert(sm.as[Long].head() == 29L)
+    assert(sm.as[String].head() == "s9")
   }
 
   test("a merge-on-read snapshot relation reports its METADATA size, "

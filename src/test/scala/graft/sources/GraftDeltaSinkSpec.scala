@@ -155,8 +155,28 @@ class GraftDeltaSinkSpec extends SparkSpec {
       s"OPTIONS (path '$root')")
     assert(spark.sql("SELECT count(*) FROM sunk WHERE k >= 10")
       .as[Long].head() == 20L)
+    // sink commits carry footer-derived integral bounds: whole-table
+    // min/max serve from metadata (one LocalTableScan, no file scan)
+    val mm = spark.sql("SELECT min(k) AS lo, max(k) AS hi FROM sunk")
+    assert(mm.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      mm.queryExecution.executedPlan.toString)
+    assert(mm.collect().head.toSeq == Seq(0L, 29L))
     // incremental read sees exactly the later commits' files
     assert(DeltaInterop.readDeltaChanges(spark, root, Some(0L), 2L)
       .select("k").as[Long].collect().toSet == (10L until 30L).toSet)
+    // ...and those bounds PRUNE range reads: corrupt the k∈[0,9]
+    // batch's file — a [15,25] range read never opens it
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    f.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+      .filter(_.getPath.getName.startsWith("part-00000-"))
+      .foreach { st =>
+        val p = java.nio.file.Paths.get(st.getPath.toUri.getPath)
+        Files.delete(p)
+        Files.write(p, Array.fill[Byte](16)(1)): Unit
+      }
+    assert(DeltaInterop.readDeltaRange(spark, root, "k", 15L, 25L)
+      .select("k").as[Long].collect().toSet == (15L to 25L).toSet)
   }
 }
