@@ -106,7 +106,8 @@ object Plans {
     "q353_interop_sql_count" -> "interop SQL COUNT(*): the Delta leg plans as ONE LocalTableScan (metadata-served, no parquet scan); the Iceberg equality-delete leg keeps the full scan — refusal is fallback",
     "q355_iceberg_puffin_export" -> "v3 Puffin export read-back: broadcast DV descriptors decode executor-side, BroadcastHashJoin LeftAnti on (uri, row-index) — the data side never shuffles",
     "q356_pii_credentials" -> "credential/E.164 scrub: all nine categories still ONE WholeStageCodegen span of stacked Projects riding the scan — zero exchanges",
-    "q357_interop_sql_minmax" -> "interop SQL MIN/MAX: stats/bounds fold to ONE LocalTableScan on both formats; the live-DV leg keeps the scan for bounds while count(*) still serves")
+    "q357_interop_sql_minmax" -> "interop SQL MIN/MAX: stats/bounds fold to ONE LocalTableScan on both formats; the live-DV leg keeps the scan for bounds while count(*) still serves",
+    "q358_iceberg_partitioned_export" -> "identity-partitioned export read-back: the scan lists only the probed partition's files (manifest partition values decide outright), corrupted non-probed partitions never open")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -3354,6 +3354,43 @@ object SourceQueries {
         FROM orders"""),
       "SQL MIN/MAX from interop metadata: stats/bounds fold to one " +
         "LocalTableScan; live DVs force the scan for bounds only"),
+
+    // ---- Iceberg PARTITIONED export -------------------------------------------
+    // The write-side twin of q352: publish a lake snapshot as an
+    // identity-partitioned Iceberg table — one partition value per
+    // data file, partition records in the manifests, the identity
+    // spec in the metadata — so ANY Iceberg engine prunes
+    // `WHERE status = x` from metadata alone. The corruption trick
+    // proves it against our own reader: every non-'F' partition's
+    // files are garbage and the probe never opens them.
+    "q358_iceberg_partitioned_export" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_icepart_q358")
+        val lake = root + "/lake"
+        val ice = root + "/ice"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        graft.sources.LakeTable.append(o, lake)
+        graft.sources.IcebergInterop.exportToIcebergPartitioned(
+          s, lake, ice, "o_orderstatus")
+        val fsys = new org.apache.hadoop.fs.Path(ice)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fsys.globStatus(new org.apache.hadoop.fs.Path(
+            s"$ice/data/*/*.parquet"))
+          .foreach { st =>
+            if (!st.getPath.getParent.getName.endsWith("=F")) {
+              val p = java.nio.file.Paths.get(st.getPath.toUri.getPath)
+              Files.delete(p)
+              Files.write(p, Array.fill[Byte](16)(1)): Unit
+            }
+          }
+        graft.sources.IcebergInterop.readIcebergRange(
+          s, ice, "o_orderstatus", "F", "F")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderstatus = 'F'"""),
+      "identity-partitioned Iceberg export: non-probed partitions' " +
+        "files are corrupted and never opened"),
   )
 
 

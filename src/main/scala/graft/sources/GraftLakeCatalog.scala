@@ -366,6 +366,20 @@ private[sources] object GraftLakeProcedures {
         r.getUTF8String(1).toString,
         if (r.isNullAt(2)) None else Some(r.getLong(2)),
         if (r.isNullAt(3)) 2 else r.getLong(3).toInt)),
+    new Proc("export_iceberg_partitioned",
+      "publish a lake snapshot (default latest) as an IDENTITY-" +
+        "partitioned Iceberg table: one partition value per data " +
+        "file, so any Iceberg engine prunes WHERE part_col = x from " +
+        "metadata; rewrites the data grouped by part_col (the " +
+        "unpartitioned export stays zero-copy); one-shot — the " +
+        "target must be fresh; returns the published snapshot id",
+      Seq(in("table", StringType), in("iceberg_root", StringType),
+        in("part_col", StringType), inD("version", LongType, "NULL")),
+      outCol = "snapshot_id")(r =>
+      IcebergInterop.exportToIcebergPartitioned(spark,
+        r.getUTF8String(0).toString, r.getUTF8String(1).toString,
+        r.getUTF8String(2).toString,
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))),
     new Proc("expire_iceberg",
       "expire all but the newest keep_last snapshots of a published " +
         "Iceberg table (reachability GC: dropped-only files deleted, " +

@@ -1496,6 +1496,210 @@ object IcebergInterop {
     v
   }
 
+  /** Publish a lake snapshot as an IDENTITY-PARTITIONED Iceberg v2
+    * table — the write-side twin of the reader's identity-partition
+    * pruning: every data file carries exactly ONE value of `partCol`,
+    * the manifest's partition records carry it, and the metadata
+    * declares the identity spec, so ANY Iceberg engine prunes
+    * `WHERE partCol = x` to the matching files from metadata alone
+    * (as does our own reader and its SQL path).
+    *
+    * Identity partitioning requires single-valued files, so unlike
+    * [[exportToIceberg]] this REWRITES the data grouped by `partCol`
+    * (O(data) once — what any partitioned publish pays; the
+    * unpartitioned export/sync remain the zero-copy path). The
+    * partition column stays IN the data files too — the spec lets
+    * engines read it from metadata, but self-contained files serve
+    * every reader. One-shot by design: `iceRoot` must not already
+    * hold a table (continuous publication is [[syncToIceberg]]'s
+    * job); a null partition value lands in its own partition, spec
+    * semantics. Int/long footer bounds publish per file, so
+    * non-partition range predicates prune too. Returns the published
+    * snapshot id (= the lake version). */
+  def exportToIcebergPartitioned(spark: SparkSession, lakeRoot: String,
+                                 iceRoot: String, partCol: String,
+                                 version: Option[Long] = None): Long = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val lakeVs = LakeTable.versions(spark, lakeRoot)
+    require(lakeVs.nonEmpty, s"no lake table at $lakeRoot")
+    val v = version.getOrElse(lakeVs.last)
+    require(lakeVs.contains(v), s"version $v not in ${lakeVs.mkString(",")}")
+    val f = fs(spark, iceRoot)
+    require(!f.exists(new Path(s"$iceRoot/metadata")),
+      s"$iceRoot already holds an Iceberg table; the partitioned " +
+        "export is a one-shot snapshot publish — export to a fresh " +
+        "location (continuous publication: syncToIceberg)")
+    val df = LakeTable.read(spark, lakeRoot, Some(v))
+    val schema = df.schema
+    val pf = schema.fields.find(_.name == partCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"partition column '$partCol' not in ${schema.fieldNames
+          .mkString(",")}"))
+    val avroPartType = pf.dataType match {
+      case IntegerType => "int"
+      case LongType => "long"
+      case StringType => "string"
+      case other => throw new UnsupportedOperationException(
+        s"partitioned export supports int/long/string partition " +
+          s"columns; '$partCol' is ${other.simpleString}")
+    }
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val conf = spark.sessionState.newHadoopConf()
+    def qualify(p: Path): String =
+      p.getFileSystem(conf).makeQualified(p).toString
+    // rewrite grouped by partCol; the duplicate __gpart keys the
+    // directory layout while partCol itself stays in the files
+    val stage = s"$iceRoot/_stage_part"
+    df.withColumn("__gpart", col(partCol))
+      .repartition(col("__gpart"))
+      .write.partitionBy("__gpart").parquet(stage)
+    val parts = f.globStatus(new Path(s"$stage/__gpart=*/*.parquet"))
+      .toSeq.sortBy(_.getPath.toString)
+    require(parts.nonEmpty, s"$lakeRoot version $v is empty — nothing " +
+      "to publish (partitioned export of an empty snapshot)")
+    val intCols = schema.fields.collect {
+      case fd if fd.dataType == IntegerType || fd.dataType == LongType =>
+        fd.name -> fd.dataType
+    }.toMap
+    case class PubFile(uri: String, partValue: Option[Any], rows: Long,
+                       size: Long, bounds: Map[String, (Long, Long)])
+    val published = parts.zipWithIndex.map { case (st, i) =>
+      val dirName = st.getPath.getParent.getName // __gpart=<escaped>
+      val raw = ExternalCatalogUtils.unescapePathName(
+        dirName.substring(dirName.indexOf('=') + 1))
+      val value: Option[Any] =
+        if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None
+        else Some(pf.dataType match {
+          case IntegerType => Int.box(raw.toInt)
+          case LongType => Long.box(raw.toLong)
+          case _ => raw
+        })
+      val rel = f"data/$dirName/part-$i%05d.parquet"
+      val dst = new Path(s"$iceRoot/$rel")
+      f.mkdirs(dst.getParent)
+      if (!f.rename(st.getPath, dst))
+        throw new java.io.IOException(s"rename ${st.getPath} -> $dst failed")
+      val uri = qualify(dst)
+      val rows = TableDoctor.footerRows(spark, uri).getOrElse(
+        throw new IllegalStateException(
+          s"freshly written $uri has no readable parquet footer"))
+      PubFile(uri, value, rows, f.getFileStatus(dst).getLen,
+        TableDoctor.footerIntBounds(spark, uri)
+          .filter { case (k, _) => intCols.contains(k) })
+    }
+    f.delete(new Path(stage), true)
+    // field ids 1..n; the spec's partition-field id space starts at 1000
+    val fieldIdOf: Map[String, Int] = schema.fields.zipWithIndex
+      .map { case (fd, i) => fd.name -> (i + 1) }.toMap
+    val mSchema = manifestSchemaWithPartition(
+      s"""{"name":${om.writeValueAsString(partCol)},""" +
+        s""""type":["null","$avroPartType"],"default":null}""")
+    val entries = published.map { p =>
+      val df0 = new GenericData.Record(
+        mSchema.getField("data_file").schema())
+      df0.put("content", 0)
+      df0.put("file_path", p.uri)
+      df0.put("file_format", "PARQUET")
+      val pr = new GenericData.Record(
+        df0.getSchema.getField("partition").schema())
+      pr.put(partCol, p.partValue.orNull)
+      df0.put("partition", pr)
+      df0.put("record_count", p.rows)
+      df0.put("file_size_in_bytes", p.size)
+      val typedBounds = p.bounds.toSeq.sortBy(_._1).flatMap {
+        case (name, (lo, hi)) =>
+          val dt = intCols(name)
+          for {
+            l <- boundBytes(dt, if (dt == IntegerType) lo.toInt.toString
+              else lo.toString)
+            h <- boundBytes(dt, if (dt == IntegerType) hi.toInt.toString
+              else hi.toString)
+          } yield (fieldIdOf(name), l, h)
+      }
+      if (typedBounds.nonEmpty) {
+        def boundArr(field: String,
+            pick: ((Int, java.nio.ByteBuffer, java.nio.ByteBuffer))
+              => java.nio.ByteBuffer): Unit = {
+          val arrSchema = df0.getSchema.getField(field).schema()
+            .getTypes.get(1)
+          val arr = new GenericData.Array[GenericRecord](
+            typedBounds.size, arrSchema)
+          typedBounds.foreach { b =>
+            val kv = new GenericData.Record(arrSchema.getElementType)
+            kv.put("key", b._1)
+            kv.put("value", pick(b))
+            arr.add(kv)
+          }
+          df0.put(field, arr)
+        }
+        boundArr("lower_bounds", _._2)
+        boundArr("upper_bounds", _._3)
+      }
+      val e = new GenericData.Record(mSchema)
+      e.put("status", 1)
+      e.put("snapshot_id", v)
+      e.put("sequence_number", 1L)
+      e.put("file_sequence_number", 1L)
+      e.put("data_file", df0)
+      e
+    }
+    val uuid = java.util.UUID.randomUUID().toString
+    f.mkdirs(new Path(s"$iceRoot/metadata"))
+    val manifest = s"$iceRoot/metadata/$uuid-m0.avro"
+    val mLen = writeAvro(spark, manifest, mSchema, entries)
+    val listPath = s"$iceRoot/metadata/snap-$v-1-$uuid.avro"
+    val listEntry = {
+      val r = new GenericData.Record(manifestListSchema)
+      r.put("manifest_path", qualify(new Path(manifest)))
+      r.put("manifest_length", mLen)
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      r.put("sequence_number", 1L)
+      r.put("min_sequence_number", 1L)
+      r.put("added_snapshot_id", v)
+      r.put("added_files_count", entries.size)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", published.map(_.rows).sum)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r
+    }
+    writeAvro(spark, listPath, manifestListSchema, Seq(listEntry))
+    val ts = LakeTable.commitTimeOf(spark, lakeRoot, v).getOrElse(0L)
+    val specJson =
+      s"""[{"spec-id":0,"fields":[{"name":${om.writeValueAsString(
+        partCol)},""" +
+        s""""transform":"identity","source-id":${fieldIdOf(partCol)},""" +
+        s""""field-id":1000}]}]"""
+    val metaJson =
+      s"""{"format-version":2,""" +
+        s""""table-uuid":${om.writeValueAsString(uuid)},""" +
+        s""""location":${om.writeValueAsString(iceRoot)},""" +
+        s""""last-sequence-number":1,"last-updated-ms":$ts,""" +
+        s""""last-column-id":${schema.fields.length},""" +
+        s""""current-schema-id":0,""" +
+        s""""schemas":[${icebergSchemaJson(schema, om, 0, fieldIdOf)}],""" +
+        s""""default-spec-id":0,"partition-specs":$specJson,""" +
+        s""""last-partition-id":1000,"default-sort-order-id":0,""" +
+        s""""sort-orders":[{"order-id":0,"fields":[]}],""" +
+        s""""properties":{},"current-snapshot-id":$v,""" +
+        s""""snapshots":[{"snapshot-id":$v,"sequence-number":1,""" +
+        s""""timestamp-ms":$ts,"schema-id":0,""" +
+        s""""summary":{"operation":"append"},""" +
+        s""""manifest-list":${om.writeValueAsString(
+          qualify(new Path(listPath)))}}],""" +
+        s""""snapshot-log":[],"metadata-log":[]}"""
+    val metaOut = f.create(new Path(s"$iceRoot/metadata/v1.metadata.json"),
+      /* overwrite = */ false)
+    try metaOut.write(metaJson.getBytes("UTF-8")) finally metaOut.close()
+    val hintOut = f.create(
+      new Path(s"$iceRoot/metadata/version-hint.text"),
+      /* overwrite = */ true)
+    try hintOut.write("1".getBytes("UTF-8")) finally hintOut.close()
+    v
+  }
+
   /** CONTINUOUSLY publish a [[LakeTable]] as an Iceberg table — the
     * Iceberg twin of [[DeltaInterop.syncToDelta]]: every lake version
     * newer than the newest published snapshot exports as one appended
