@@ -107,7 +107,8 @@ object Plans {
     "q355_iceberg_puffin_export" -> "v3 Puffin export read-back: broadcast DV descriptors decode executor-side, BroadcastHashJoin LeftAnti on (uri, row-index) — the data side never shuffles",
     "q356_pii_credentials" -> "credential/E.164 scrub: all nine categories still ONE WholeStageCodegen span of stacked Projects riding the scan — zero exchanges",
     "q357_interop_sql_minmax" -> "interop SQL MIN/MAX: stats/bounds fold to ONE LocalTableScan on both formats; the live-DV leg keeps the scan for bounds while count(*) still serves",
-    "q358_iceberg_partitioned_export" -> "identity-partitioned export read-back: the scan lists only the probed partition's files (manifest partition values decide outright), corrupted non-probed partitions never open")
+    "q358_iceberg_partitioned_export" -> "identity-partitioned export read-back: the scan lists only the probed partition's files (manifest partition values decide outright), corrupted non-probed partitions never open",
+    "q359_delta_partitioned_export" -> "partitioned Delta export via SQL: PartitionFilters prune whole partitions in the FileIndex, the partition column materializes from partitionValues, corrupted non-probed partitions never open")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

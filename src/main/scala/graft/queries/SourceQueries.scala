@@ -3391,6 +3391,44 @@ object SourceQueries {
           FROM orders WHERE o_orderstatus = 'F'"""),
       "identity-partitioned Iceberg export: non-probed partitions' " +
         "files are corrupted and never opened"),
+
+    // ---- Delta PARTITIONED export ----------------------------------------------
+    // The Delta twin of q358: partitionValues are authoritative (the
+    // column is NOT in the data files, per the protocol), metaData
+    // declares partitionColumns, and the SQL path's partition filters
+    // prune whole partitions in the FileIndex — proven the same way,
+    // by corrupting every non-'F' partition's files and reading
+    // through plain SQL.
+    "q359_delta_partitioned_export" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_deltapart_q359")
+        val lake = root + "/lake"
+        val delta = root + "/delta"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        graft.sources.LakeTable.append(o, lake)
+        graft.sources.DeltaInterop.exportToDeltaPartitioned(
+          s, lake, delta, "o_orderstatus")
+        val fsys = new org.apache.hadoop.fs.Path(delta)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fsys.globStatus(new org.apache.hadoop.fs.Path(
+            s"$delta/o_orderstatus=*/*.parquet"))
+          .foreach { st =>
+            if (!st.getPath.getParent.getName.endsWith("=F")) {
+              val p = java.nio.file.Paths.get(st.getPath.toUri.getPath)
+              Files.delete(p)
+              Files.write(p, Array.fill[Byte](16)(1)): Unit
+            }
+          }
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q359_d USING " +
+          s"graftdelta OPTIONS (path '$delta')")
+        s.sql("SELECT o_orderkey, o_orderstatus, o_totalprice " +
+          "FROM q359_d WHERE o_orderstatus = 'F'")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderstatus = 'F'"""),
+      "partitioned Delta export: SQL partition filters prune; " +
+        "non-probed partitions' files are corrupted and never opened"),
   )
 
 

@@ -727,6 +727,125 @@ object DeltaInterop {
     finally out.close()
   }
 
+  /** Publish a lake snapshot as a PARTITIONED Delta table — the Delta
+    * twin of [[IcebergInterop.exportToIcebergPartitioned]]: each data
+    * file holds exactly one value of `partCol`, its add action's
+    * `partitionValues` carries it, and `metaData.partitionColumns`
+    * declares it, so ANY Delta engine prunes `WHERE partCol = x` from
+    * the log alone (as do both of our own read paths — the pruned
+    * parquet relation's partition filters and the merge-on-read
+    * materialization).
+    *
+    * Per Delta convention the partition column is NOT written into
+    * the data files — readers materialize it from `partitionValues`
+    * (string-typed per the protocol, cast to the declared type), which
+    * is why the supported partition types are the exactly
+    * string-round-trippable int/long/string. Partitioning requires
+    * single-valued files, so this REWRITES the data grouped by
+    * `partCol` (O(data) once; [[exportToDelta]]/[[syncToDelta]] remain
+    * the zero-copy paths) and is one-shot: the target must be fresh.
+    * The declared schema moves `partCol` last (the protocol's
+    * conventional layout, and what keeps the pruned parquet relation
+    * serving it). Int/long footer bounds publish as per-file stats so
+    * non-partition ranges prune and metadata MIN/MAX serves. */
+  def exportToDeltaPartitioned(spark: SparkSession, lakeRoot: String,
+                               deltaRoot: String, partCol: String,
+                               version: Option[Long] = None): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val vs = LakeTable.versions(spark, lakeRoot)
+    require(vs.nonEmpty, s"no lake table at $lakeRoot")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
+    val f = fs(spark, deltaRoot)
+    require(!f.exists(new Path(s"$deltaRoot/_delta_log")),
+      s"$deltaRoot already holds a Delta log — the partitioned export " +
+        "is a one-shot snapshot publish to a fresh location " +
+        "(continuous publication: syncToDelta)")
+    val df = LakeTable.read(spark, lakeRoot, Some(v))
+    val schema = df.schema
+    val pf = schema.fields.find(_.name == partCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"partition column '$partCol' not in ${schema.fieldNames
+          .mkString(",")}"))
+    pf.dataType match {
+      case IntegerType | LongType | StringType => ()
+      case other => throw new UnsupportedOperationException(
+        s"partitioned export supports int/long/string partition " +
+          s"columns (protocol string round-trip); '$partCol' is " +
+          other.simpleString)
+    }
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val stage = s"$deltaRoot/_stage_part"
+    df.repartition(col(partCol))
+      .write.partitionBy(partCol).parquet(stage)
+    val parts = f.globStatus(
+        new Path(s"$stage/${partCol}=*/*.parquet"))
+      .toSeq.sortBy(_.getPath.toString)
+    require(parts.nonEmpty, s"$lakeRoot version $v is empty — nothing " +
+      "to publish (partitioned export of an empty snapshot)")
+    val intCols = schema.fields.collect {
+      case fd if fd.name != partCol &&
+          (fd.dataType == IntegerType || fd.dataType == LongType) =>
+        fd.name
+    }.toSet
+    val adds = parts.zipWithIndex.map { case (st, i) =>
+      val dirName = st.getPath.getParent.getName
+      val raw = ExternalCatalogUtils.unescapePathName(
+        dirName.substring(dirName.indexOf('=') + 1))
+      val pv: String =
+        if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+        else raw
+      val rel = f"$dirName/part-$i%05d.parquet"
+      val dst = new Path(s"$deltaRoot/$rel")
+      f.mkdirs(dst.getParent)
+      if (!f.rename(st.getPath, dst))
+        throw new java.io.IOException(
+          s"rename ${st.getPath} -> $dst failed")
+      val stat = f.getFileStatus(dst)
+      val rows = TableDoctor.footerRows(spark, dst.toString).getOrElse(
+        throw new IllegalStateException(
+          s"freshly written $rel has no readable parquet footer"))
+      val bounds = TableDoctor.footerIntBounds(spark, dst.toString)
+        .filter { case (k, _) => intCols.contains(k) }
+      val boundsJson =
+        if (bounds.isEmpty) ""
+        else {
+          def side(pick: ((Long, Long)) => Long) =
+            bounds.toSeq.sortBy(_._1).map { case (k, b) =>
+              s"${om.writeValueAsString(k)}:${pick(b)}"
+            }.mkString("{", ",", "}")
+          s""","minValues":${side(_._1)},"maxValues":${side(_._2)}"""
+        }
+      s"""{"add":{"path":${om.writeValueAsString(rel)},""" +
+        s""""partitionValues":{${om.writeValueAsString(partCol)}:${
+          om.writeValueAsString(pv)}},""" +
+        s""""size":${stat.getLen},""" +
+        s""""modificationTime":${stat.getModificationTime},""" +
+        s""""stats":${om.writeValueAsString(
+          s"""{"numRecords":$rows$boundsJson}""")},""" +
+        s""""dataChange":true}}"""
+    }
+    f.delete(new Path(stage), true)
+    // partCol last: the protocol's conventional layout (and the shape
+    // the pruned parquet relation requires — partsAreSuffix)
+    val declared = StructType(
+      schema.fields.filter(_.name != partCol) :+ pf)
+    val header = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":${om.writeValueAsString(
+        java.util.UUID.randomUUID().toString)},""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${om.writeValueAsString(declared.json)},""" +
+        s""""partitionColumns":[${om.writeValueAsString(partCol)}],""" +
+        """"configuration":{}}}""")
+    f.mkdirs(new Path(s"$deltaRoot/_delta_log"))
+    val out = f.create(
+      new Path(s"$deltaRoot/_delta_log/00000000000000000000.json"),
+      /* overwrite = */ false)
+    try out.write((header ++ adds).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
   // ---- continuous publication: incremental sync + checkpoint writer ----
 
   // full writer-side action schema for checkpoint parquet files — a

@@ -351,6 +351,24 @@ private[sources] object GraftLakeProcedures {
       DeltaInterop.syncToDelta(spark, r.getUTF8String(0).toString,
         r.getUTF8String(1).toString,
         checkpointInterval = r.getLong(2).toInt).size.toLong),
+    new Proc("export_delta_partitioned",
+      "publish a lake snapshot (default latest) as a PARTITIONED " +
+        "Delta table: one partition value per data file, " +
+        "partitionValues authoritative (the column is not in the " +
+        "data, per the protocol), so any Delta engine prunes " +
+        "WHERE part_col = x from the log; rewrites the data grouped " +
+        "by part_col; one-shot — the target must be fresh; returns " +
+        "the exported lake version",
+      Seq(in("table", StringType), in("delta_root", StringType),
+        in("part_col", StringType), inD("version", LongType, "NULL")),
+      outCol = "version")(r => {
+      val v = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      DeltaInterop.exportToDeltaPartitioned(spark,
+        r.getUTF8String(0).toString, r.getUTF8String(1).toString,
+        r.getUTF8String(2).toString, v)
+      v.getOrElse(LakeTable.versions(spark,
+        r.getUTF8String(0).toString).last)
+    }),
     new Proc("export_iceberg",
       "publish a lake snapshot (default latest) as an Iceberg " +
         "table; repeated calls APPEND snapshots (time-travelable " +

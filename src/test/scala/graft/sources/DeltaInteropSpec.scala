@@ -985,4 +985,63 @@ class DeltaInteropSpec extends SparkSpec {
     assert(DeltaInterop.deltaRowCount(spark, bare).isEmpty)
     assert(DeltaInterop.readDelta(spark, bare).count() == 2L)
   }
+
+  test("partitioned Delta EXPORT: one value per file, partitionValues "
+      + "authoritative (column absent from data), SQL prunes via the "
+      + "partition filters (corruption proof), null partition rides, "
+      + "metadata counts/bounds serve, doctor clean, one-shot") {
+    val lake = Files.createTempDirectory("dpart").toString + "/lake"
+    val delta = lake + "_d"
+    LakeTable.append(spark.range(0, 300)
+      .select(col("id").as("k"),
+        when(col("id") % 10 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("s"), col("id") % 3)).as("src")), lake)
+    DeltaInterop.exportToDeltaPartitioned(spark, lake, delta, "src")
+    // read-back: the partition column materializes from the log with
+    // its declared type, moved last per the protocol convention
+    val back = DeltaInterop.readDelta(spark, delta)
+    assert(back.schema.fieldNames.toSeq == Seq("k", "src"))
+    assert(back.count() == 300L)
+    assert(back.filter(col("src").isNull).count() == 30L)
+    assert(back.filter(col("src") === "s2")
+      .select("k").as[Long].collect()
+      .forall(k => k % 3 == 2 && k % 10 != 0))
+    // the parquet files do NOT carry the partition column
+    val fsys = new org.apache.hadoop.fs.Path(delta)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val one = fsys.globStatus(
+      new org.apache.hadoop.fs.Path(s"$delta/src=*/*.parquet")).head
+    assert(!spark.read.parquet(one.getPath.toString)
+      .schema.fieldNames.contains("src"))
+    // SQL pruning proof: corrupt the s0/s2 partitions; WHERE src='s1'
+    // never opens them (InteropFileIndex partition filters)
+    fsys.globStatus(new org.apache.hadoop.fs.Path(s"$delta/src=*/*.parquet"))
+      .foreach { st =>
+        if (!st.getPath.getParent.getName.endsWith("=s1")) {
+          val p = Paths.get(st.getPath.toUri.getPath)
+          Files.delete(p)
+          Files.write(p, Array.fill[Byte](16)(1)): Unit
+        }
+      }
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW dpart USING graftdelta " +
+      s"OPTIONS (path '$delta')")
+    val q = spark.sql(
+      "SELECT count(*) AS n, max(k) AS hi FROM dpart WHERE src = 's1'")
+    assert(q.collect().head.toSeq == Seq(90L, 298L))
+    // whole-table metadata count/bounds still serve (no file opens)
+    val mm = spark.sql("SELECT count(*) AS n, min(k) AS lo, " +
+      "max(k) AS hi FROM dpart")
+    assert(mm.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(mm.collect().head.toSeq == Seq(300L, 0L, 299L))
+    // fresh export for the doctor (uncorrupted)
+    val delta2 = lake + "_d2"
+    DeltaInterop.exportToDeltaPartitioned(spark, lake, delta2, "src")
+    assert(DeltaInterop.validateDelta(spark, delta2).count() == 0L)
+    // one-shot refusal
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.exportToDeltaPartitioned(spark, lake, delta2, "src")
+    }
+    assert(e.getMessage.contains("one-shot"), e.getMessage)
+  }
 }
