@@ -1464,6 +1464,32 @@ object DeltaInterop {
     if (snap.live.values.exists(_.dv.isDefined)) return None
     val dt = snap.schema.fields.find(_.name == column)
       .map(_.dataType).getOrElse(return None)
+    // a PARTITION column's values are exact protocol strings (never
+    // truncated like stats), so strings serve here too; every live
+    // file must carry the key (a JSON-null value = all-null file,
+    // contributes nothing). String order is Spark's binary UTF-8
+    // order, not String.compareTo — they differ above the BMP.
+    if (snap.partCols.contains(column)) {
+      val okType = dt match {
+        case IntegerType | LongType | StringType => true
+        case _ => false
+      }
+      if (!okType) return None
+      val perFile = snap.live.values.map(_.partitionValues.get(column))
+      if (perFile.exists(_.isEmpty)) return None
+      val raw = perFile.flatten.filter(_ != null).toSeq
+      if (raw.isEmpty) return None // empty/all-null: let the scan answer
+      return scala.util.Try(dt match {
+        case IntegerType =>
+          val vs = raw.map(_.toInt); (Int.box(vs.min), Int.box(vs.max))
+        case LongType =>
+          val vs = raw.map(_.toLong); (Long.box(vs.min), Long.box(vs.max))
+        case _ =>
+          val vs = raw.map(
+            org.apache.spark.unsafe.types.UTF8String.fromString)
+          (vs.min.toString, vs.max.toString)
+      }).toOption
+    }
     val servable = dt match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _: DecimalType | DateType => true

@@ -846,8 +846,36 @@ object IcebergInterop {
     if (deleteFiles.nonEmpty) return None
     val dt = schema.spark.fields.find(_.name == column)
       .map(_.dataType).getOrElse(return None)
-    if (dt != IntegerType && dt != LongType) return None
     val fid = schema.fieldIds.getOrElse(column, return None)
+    // an IDENTITY-partition column's manifest values are exact (never
+    // truncated like bounds), so strings serve from them too; every
+    // data file must carry the value (explicit null = all-null file,
+    // contributes nothing). String order is Spark's binary UTF-8
+    // order (UTF8String), not String.compareTo.
+    if (dataFiles.nonEmpty &&
+        dataFiles.forall(_.partitionIdVals.contains(fid))) {
+      val okType = dt match {
+        case IntegerType | LongType | StringType => true
+        case _ => false
+      }
+      if (!okType) return None
+      val raw = dataFiles.flatMap(_.partitionIdVals(fid))
+      if (raw.isEmpty) return None // all-null: let the scan answer
+      return scala.util.Try(dt match {
+        case IntegerType =>
+          val vs = raw.map(x => x.asInstanceOf[Number].intValue)
+          (Int.box(vs.min), Int.box(vs.max))
+        case LongType =>
+          val vs = raw.map(x => x.asInstanceOf[Number].longValue)
+          (Long.box(vs.min), Long.box(vs.max))
+        case _ =>
+          val vs = raw.map(x =>
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(x.toString))
+          (vs.min.toString, vs.max.toString)
+      }).toOption
+    }
+    if (dt != IntegerType && dt != LongType) return None
     val perFile = dataFiles.map { f0 =>
       for {
         lo <- f0.lower.get(fid).flatMap(boundValue(dt, _))

@@ -1034,6 +1034,14 @@ class DeltaInteropSpec extends SparkSpec {
     assert(mm.queryExecution.executedPlan.toString
       .contains("LocalTableScan"))
     assert(mm.collect().head.toSeq == Seq(300L, 0L, 299L))
+    // ...and the PARTITION column's min/max serve from its exact
+    // partitionValues — strings included (values never truncate like
+    // stats); nulls contribute nothing, matching min/max semantics
+    val pm = spark.sql("SELECT min(src) AS lo, max(src) AS hi FROM dpart")
+    assert(pm.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      pm.queryExecution.executedPlan.toString)
+    assert(pm.collect().head.toSeq == Seq("s0", "s2"))
     // fresh export for the doctor (uncorrupted)
     val delta2 = lake + "_d2"
     DeltaInterop.exportToDeltaPartitioned(spark, lake, delta2, "src")

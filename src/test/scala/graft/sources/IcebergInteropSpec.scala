@@ -1069,6 +1069,14 @@ class IcebergInteropSpec extends SparkSpec {
     assert(mm.queryExecution.executedPlan.toString
       .contains("LocalTableScan"))
     assert(mm.collect().head.toSeq == Seq(0L, 299L))
+    // the partition column's own min/max serve from the manifests'
+    // exact identity values — strings included; nulls excluded
+    val pm = spark.sql(
+      "SELECT min(src) AS lo, max(src) AS hi FROM pice2")
+    assert(pm.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      pm.queryExecution.executedPlan.toString)
+    assert(pm.collect().head.toSeq == Seq("s0", "s2"))
     // refusals: an existing table, an unsupported partition type
     val e1 = intercept[IllegalArgumentException] {
       IcebergInterop.exportToIcebergPartitioned(spark, lake, ice2, "src")
