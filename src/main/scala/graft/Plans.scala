@@ -108,7 +108,8 @@ object Plans {
     "q356_pii_credentials" -> "credential/E.164 scrub: all nine categories still ONE WholeStageCodegen span of stacked Projects riding the scan — zero exchanges",
     "q357_interop_sql_minmax" -> "interop SQL MIN/MAX: stats/bounds fold to ONE LocalTableScan on both formats; the live-DV leg keeps the scan for bounds while count(*) still serves",
     "q358_iceberg_partitioned_export" -> "identity-partitioned export read-back: the scan lists only the probed partition's files (manifest partition values decide outright), corrupted non-probed partitions never open",
-    "q359_delta_partitioned_export" -> "partitioned Delta export via SQL: PartitionFilters prune whole partitions in the FileIndex, the partition column materializes from partitionValues, corrupted non-probed partitions never open")
+    "q359_delta_partitioned_export" -> "partitioned Delta export via SQL: PartitionFilters prune whole partitions in the FileIndex, the partition column materializes from partitionValues, corrupted non-probed partitions never open",
+    "q360_interop_group_counts" -> "GROUP BY partition value COUNT(*): both legs plan as LocalTableScan joined — every data file corrupted and none opened")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

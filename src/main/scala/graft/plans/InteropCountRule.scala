@@ -105,6 +105,50 @@ case class InteropCountRule(spark: SparkSession)
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // GROUP BY <partition column> COUNT(*): one row per partition
+    // value from the log/manifests ("rows per day over years" is pure
+    // metadata). The group-counts APIs return None unless the column
+    // is a partition column with complete values and counts — refusal
+    // is fallback, exactly like the ungrouped case below.
+    case agg @ Aggregate(Seq(g: AttributeReference), exprs, child, _)
+        if exprs.nonEmpty =>
+      chainOf(child).flatMap { case (fmt, root, ver, names) =>
+        names.get(g.exprId).flatMap { gcol =>
+          // every output must be the group key itself (possibly
+          // renamed) or a servable count(*)
+          val shapes: Seq[Option[Boolean]] = exprs.map {
+            case a: AttributeReference if a.exprId == g.exprId =>
+              Some(true)
+            case Alias(ar: AttributeReference, _)
+                if ar.exprId == g.exprId => Some(true)
+            case e => classify(e, names) match {
+              case Some(CountStar) => Some(false)
+              case _ => None
+            }
+          }
+          if (shapes.exists(_.isEmpty)) None
+          else {
+            val counts = fmt match {
+              case "delta" => graft.sources.DeltaInterop
+                .deltaGroupCounts(spark, root, gcol, ver)
+              case "iceberg" => graft.sources.IcebergInterop
+                .icebergGroupCounts(spark, root, gcol, ver)
+              case _ => None
+            }
+            counts.map { cs =>
+              val convs = agg.output.map(a => CatalystTypeConverters
+                .createToCatalystConverter(a.dataType))
+              val rows = cs.map { case (v, n) =>
+                InternalRow.fromSeq(shapes.map(_.get).zip(convs).map {
+                  case (true, c) => c(v)
+                  case (false, c) => c(n)
+                })
+              }
+              LocalRelation(agg.output.map(_.toAttribute), rows)
+            }
+          }
+        }
+      }.getOrElse(agg)
     case agg @ Aggregate(Nil, exprs, child, _) if exprs.nonEmpty =>
       chainOf(child).flatMap { case (fmt, root, ver, names) =>
         val served = exprs.map(classify(_, names))

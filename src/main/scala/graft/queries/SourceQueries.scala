@@ -3429,6 +3429,60 @@ object SourceQueries {
           FROM orders WHERE o_orderstatus = 'F'"""),
       "partitioned Delta export: SQL partition filters prune; " +
         "non-probed partitions' files are corrupted and never opened"),
+
+    // ---- grouped COUNT(*) by partition value from metadata -------------------
+    // "Rows per day over years of data" is the canonical 100 TB
+    // metadata query: GROUP BY <partition column> COUNT(*) folds each
+    // live file's partitionValues + numRecords (Delta) / identity
+    // partition value + record_count (Iceberg) — one log/manifest
+    // read, zero data I/O, proven by corrupting EVERY data file on
+    // both legs and plan-asserting the LocalTableScan.
+    "q360_interop_group_counts" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_groupcount_q360")
+        val lake = root + "/lake"
+        val delta = root + "/delta"
+        val ice = root + "/ice"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        graft.sources.LakeTable.append(o, lake)
+        graft.sources.DeltaInterop.exportToDeltaPartitioned(
+          s, lake, delta, "o_orderstatus")
+        graft.sources.IcebergInterop.exportToIcebergPartitioned(
+          s, lake, ice, "o_orderstatus")
+        def corruptAll(r: String, glob: String): Unit = {
+          val fsys = new org.apache.hadoop.fs.Path(r)
+            .getFileSystem(s.sessionState.newHadoopConf())
+          fsys.globStatus(new org.apache.hadoop.fs.Path(s"$r/$glob"))
+            .foreach { st =>
+              val p = java.nio.file.Paths.get(st.getPath.toUri.getPath)
+              Files.delete(p)
+              Files.write(p, Array.fill[Byte](16)(1)): Unit
+            }
+        }
+        corruptAll(delta, "o_orderstatus=*/*.parquet")
+        corruptAll(ice, "data/*/*.parquet")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q360_d USING " +
+          s"graftdelta OPTIONS (path '$delta')")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q360_i USING " +
+          s"grafticeberg OPTIONS (path '$ice')")
+        val dq = s.sql("SELECT o_orderstatus, count(*) AS n_delta " +
+          "FROM q360_d GROUP BY o_orderstatus")
+        val iq = s.sql("SELECT o_orderstatus, count(*) AS n_ice " +
+          "FROM q360_i GROUP BY o_orderstatus")
+        Seq(dq, iq).foreach { q =>
+          val p = q.queryExecution.executedPlan.toString
+          require(p.contains("LocalTableScan") &&
+            !p.toLowerCase.contains("parquet"),
+            s"q360: grouped count did not serve from metadata:\n$p")
+        }
+        dq.join(iq, Seq("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_delta,
+          CAST(count(*) AS BIGINT) AS n_ice
+        FROM orders GROUP BY o_orderstatus"""),
+      "GROUP BY partition value COUNT(*) from pure metadata on both " +
+        "formats — every data file corrupted, none opened"),
   )
 
 

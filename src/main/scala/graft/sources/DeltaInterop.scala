@@ -1433,6 +1433,61 @@ object DeltaInterop {
       snap.live.values.flatMap(_.dv).map(_.cardinality).sum)
   }
 
+  /** METADATA-ONLY `GROUP BY partition-column COUNT(*)` — per-value
+    * row counts folded from the log: each live file's `partitionValues`
+    * names its group, its stats `numRecords` contributes, and a file's
+    * deletion vector subtracts exactly (the protocol guarantees at
+    * most one DV per file and its cardinality counts rows of THAT
+    * file, so attribution is exact). "Rows per day over years of
+    * data" is pure metadata at any scale. Same contract as the other
+    * metadata APIs — Some is exact, None falls back to the scan:
+    * a non-partition column, a file missing the key or numRecords,
+    * or a non-int/long/string partition type all refuse. Returns
+    * (external group value — null for the null partition, count). */
+  def deltaGroupCounts(spark: SparkSession, root: String,
+                       column: String,
+                       versionAsOf: Option[Long] = None)
+      : Option[Seq[(Any, Long)]] = {
+    val vs = deltaVersions(spark, root)
+    require(vs.nonEmpty, s"no Delta log under $root")
+    val upTo = versionAsOf.getOrElse(vs.max)
+    require(vs.contains(upTo), s"version $upTo not in ${vs.mkString(",")}")
+    val snap = replay(spark, root, upTo)
+    if (!snap.partCols.contains(column)) return None
+    val dt = snap.schema.fields.find(_.name == column)
+      .map(_.dataType).getOrElse(return None)
+    val okType = dt match {
+      case IntegerType | LongType | StringType => true
+      case _ => false
+    }
+    if (!okType) return None
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val perFile: Iterable[Option[(String, Long)]] =
+      snap.live.values.map { lf =>
+        if (!lf.partitionValues.contains(column)) None
+        else lf.stats.flatMap { s =>
+          scala.util.Try(om.readTree(s).get("numRecords")).toOption
+            .flatMap(Option(_)).map(_.asLong(-1L)).filter(_ >= 0)
+        }.map { rows =>
+          (lf.partitionValues(column),
+            rows - lf.dv.map(_.cardinality).getOrElse(0L))
+        }
+      }
+    if (perFile.exists(_.isEmpty)) return None
+    val grouped = perFile.flatten.toSeq.groupBy(_._1)
+      .map { case (k, xs) => (k, xs.map(_._2).sum) }.toSeq
+    scala.util.Try(grouped.map { case (k, n) =>
+      val v: Any =
+        if (k == null) null
+        else dt match {
+          case IntegerType => Int.box(k.toInt)
+          case LongType => Long.box(k.toLong)
+          case _ => k
+        }
+      (v, n)
+    }).toOption
+  }
+
   /** METADATA-ONLY MIN/MAX of `column` — fold the log's per-file
     * `stats.minValues/maxValues`, the interop twin of
     * [[LakeTable.columnBounds]]. Same contract: Some means the exact

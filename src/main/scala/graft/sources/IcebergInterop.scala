@@ -822,6 +822,49 @@ object IcebergInterop {
     Some(total - dvs.map(_.records).sum - pdRows)
   }
 
+  /** METADATA-ONLY `GROUP BY partition-column COUNT(*)` — per-value
+    * row counts folded from the manifests: each data file's identity
+    * partition value names its group and its `record_count`
+    * contributes. The Iceberg twin of
+    * [[DeltaInterop.deltaGroupCounts]]; ANY delete file refuses
+    * (position deletes and equality deletes need their payloads to
+    * attribute deletions to groups — None, never a wrong count).
+    * Returns (external group value — null for the null partition,
+    * count). */
+  def icebergGroupCounts(spark: SparkSession, root: String,
+                         column: String,
+                         snapshotId: Option[Long] = None)
+      : Option[Seq[(Any, Long)]] = {
+    val (schema, dataFiles, deleteFiles) =
+      snapshotFiles(spark, root, snapshotId)
+    if (deleteFiles.nonEmpty) return None
+    val dt = schema.spark.fields.find(_.name == column)
+      .map(_.dataType).getOrElse(return None)
+    val okType = dt match {
+      case IntegerType | LongType | StringType => true
+      case _ => false
+    }
+    if (!okType) return None
+    val fid = schema.fieldIds.getOrElse(column, return None)
+    if (dataFiles.isEmpty ||
+        dataFiles.exists(f => !f.partitionIdVals.contains(fid) ||
+          f.records < 0)) return None
+    val grouped = dataFiles
+      .groupBy(_.partitionIdVals(fid))
+      .map { case (k, xs) => (k, xs.map(_.records).sum) }.toSeq
+    scala.util.Try(grouped.map { case (k, n) =>
+      val v: Any = k match {
+        case None => null
+        case Some(x) => dt match {
+          case IntegerType => Int.box(x.asInstanceOf[Number].intValue)
+          case LongType => Long.box(x.asInstanceOf[Number].longValue)
+          case _ => x.toString
+        }
+      }
+      (v, n)
+    }).toOption
+  }
+
   /** METADATA-ONLY MIN/MAX of `column` — fold the manifests'
     * field-id-keyed `lower_bounds`/`upper_bounds`, the Iceberg twin of
     * [[DeltaInterop.deltaColumnBounds]]. Some = the exact answer,

@@ -250,6 +250,124 @@ class InteropCountRuleSpec extends SparkSpec {
     assert(sm.as[String].head() == "s9")
   }
 
+  test("GROUP BY partition column COUNT(*) serves one row per value "
+      + "from the log/manifests on BOTH formats (files corrupted, "
+      + "never opened); renames resolve; a non-partition group keeps "
+      + "the scan") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    def src = when(col("id") % 10 === 0, lit(null).cast("string"))
+      .otherwise(concat(lit("s"), col("id") % 3))
+    LakeTable.append(spark.range(0, 300)
+      .select(col("id").as("k"), src.as("src")), lake)
+    val expect = Set[(Any, Long)]((null, 30L), ("s0", 90L),
+      ("s1", 90L), ("s2", 90L))
+    def corruptAll(root: String, glob: String): Unit = {
+      val fsys = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fsys.globStatus(new org.apache.hadoop.fs.Path(s"$root/$glob"))
+        .foreach { st =>
+          val p = Paths.get(st.getPath.toUri.getPath)
+          Files.delete(p)
+          Files.write(p, Array.fill[Byte](16)(1)): Unit
+        }
+    }
+    // Delta leg
+    val delta = s"$dir/delta"
+    graft.sources.DeltaInterop.exportToDeltaPartitioned(
+      spark, lake, delta, "src")
+    corruptAll(delta, "src=*/*.parquet")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW gc_d USING graftdelta " +
+      s"OPTIONS (path '$delta')")
+    val gd = spark.sql(
+      "SELECT src, count(*) AS n FROM gc_d GROUP BY src")
+    assert(gd.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      gd.queryExecution.executedPlan.toString)
+    assert(gd.collect().map(r => (r.get(0), r.getLong(1))).toSet
+      == expect)
+    // a rename of the group key still serves
+    val gr = spark.sql("SELECT g, count(*) AS n FROM " +
+      "(SELECT src AS g FROM gc_d) GROUP BY g")
+    assert(gr.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(gr.collect().map(r => (r.get(0), r.getLong(1))).toSet
+      == expect)
+    // grouping a NON-partition column keeps the scan (here: fails on
+    // the corrupted files, which is the proof it really scans)
+    val gk = spark.sql("SELECT k, count(*) AS n FROM gc_d GROUP BY k")
+    assert(!gk.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    // Iceberg leg
+    val ice = s"$dir/ice"
+    graft.sources.IcebergInterop.exportToIcebergPartitioned(
+      spark, lake, ice, "src")
+    corruptAll(ice, "data/*/*.parquet")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW gc_i USING " +
+      s"grafticeberg OPTIONS (path '$ice')")
+    val gi = spark.sql(
+      "SELECT src, count(*) AS n FROM gc_i GROUP BY src")
+    assert(gi.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      gi.queryExecution.executedPlan.toString)
+    assert(gi.collect().map(r => (r.get(0), r.getLong(1))).toSet
+      == expect)
+  }
+
+  test("grouped counts subtract a file's deletion vector EXACTLY (the "
+      + "protocol pins one DV per file, so group attribution is "
+      + "exact) — hand-built partitioned log with an on-disk DV") {
+    val root = fresh() + "/t"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def writeOne(df: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val stage = s"$root/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = fsys.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/$rel").getParent)
+      fsys.rename(part, new org.apache.hadoop.fs.Path(s"$root/$rel"))
+      fsys.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+    }
+    writeOne(spark.range(0, 10).select(col("id").as("k")),
+      "p=a/f1.parquet")
+    writeOne(spark.range(100, 105).select(col("id").as("k")),
+      "p=b/f2.parquet")
+    // on-disk DV dropping 3 rows of f1, exportToDelta's exact shape
+    val uuid = java.util.UUID.randomUUID()
+    val frames = graft.sources.DeltaDeletionVectors.writeDvFile(spark,
+      s"$root/deletion_vector_$uuid.bin",
+      Seq(graft.sources.DeltaDeletionVectors.serializeBitmap(
+        Array(1L, 3L, 5L))))
+    val enc = graft.sources.DeltaDeletionVectors.encodeUuid(uuid)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val sj = om.writeValueAsString(org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.StringType))).json)
+    Files.createDirectories(Paths.get(s"$root/_delta_log"))
+    Files.writeString(Paths.get(
+      s"$root/_delta_log/00000000000000000000.json"),
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}
+         |{"metaData":{"id":"gdv","schemaString":$sj,"partitionColumns":["p"],"format":{"provider":"parquet"}}}
+         |{"add":{"path":"p=a/f1.parquet","partitionValues":{"p":"a"},"size":1,"modificationTime":1,"stats":"{\\"numRecords\\":10}","deletionVector":{"storageType":"u","pathOrInlineDv":${om.writeValueAsString(enc)},"offset":${frames.head._1},"sizeInBytes":${frames.head._2},"cardinality":3},"dataChange":true}}
+         |{"add":{"path":"p=b/f2.parquet","partitionValues":{"p":"b"},"size":1,"modificationTime":1,"stats":"{\\"numRecords\\":5}","dataChange":true}}"""
+        .stripMargin)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW gc_dv USING graftdelta " +
+      s"OPTIONS (path '$root')")
+    val g = spark.sql("SELECT p, count(*) AS n FROM gc_dv GROUP BY p")
+    assert(g.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      g.queryExecution.executedPlan.toString)
+    assert(g.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == Set(("a", 7L), ("b", 5L)))
+    // the scan agrees (merge-on-read applies the same vector)
+    assert(spark.table("gc_dv").groupBy("p").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+      == Set(("a", 7L), ("b", 5L)))
+  }
+
   test("a merge-on-read snapshot relation reports its METADATA size, "
       + "not the never-broadcast default — Catalyst's join planning "
       + "sees a KB-sized foreign dimension as KB-sized") {
