@@ -1433,6 +1433,32 @@ object DeltaInterop {
       snap.live.values.flatMap(_.dv).map(_.cardinality).sum)
   }
 
+  /** The version current AS OF `timestampMs` — Delta's timestamp time
+    * travel: each commit's time is its log file's modification time
+    * (the protocol's pre-inCommitTimestamp source), MONOTONIZED
+    * exactly like Delta's own resolution (a later commit's clock
+    * never runs backwards: fold max-so-far), and the newest version
+    * at or before the timestamp wins. Only versions whose commit
+    * JSONs survive can be timed — None when the timestamp predates
+    * the earliest surviving commit (log-cleaned history has no
+    * timestamps to consult; refuse, never guess). */
+  def deltaVersionAsOf(spark: SparkSession, root: String,
+                       timestampMs: Long): Option[Long] = {
+    val f = fs(spark, root)
+    val layout = layoutOf(spark, root)
+    val timed = layout.jsons.sorted.map { v =>
+      (v, f.getFileStatus(
+        new Path(f"$root/_delta_log/$v%020d.json")).getModificationTime)
+    }
+    if (timed.isEmpty) return None
+    var maxSoFar = Long.MinValue
+    val mono = timed.map { case (v, t) =>
+      maxSoFar = math.max(maxSoFar, t); (v, maxSoFar)
+    }
+    val at = mono.filter(_._2 <= timestampMs)
+    at.lastOption.map(_._1)
+  }
+
   /** METADATA-ONLY `GROUP BY partition-column COUNT(*)` — per-value
     * row counts folded from the log: each live file's `partitionValues`
     * names its group, its stats `numRecords` contributes, and a file's

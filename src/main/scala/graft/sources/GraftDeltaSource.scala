@@ -44,13 +44,22 @@ class GraftDeltaSource
     * no live DVs) serve as a native pruned parquet relation whose
     * Delta `stats` skip files through the zone machinery
     * ([[InteropFileIndex]]); everything else falls back to the full
-    * merge-on-read read. `versionAsOf` pins a snapshot. */
+    * merge-on-read read. `versionAsOf` pins a snapshot; `timestampAsOf`
+    * resolves one through the log's monotonized commit times
+    * ([[DeltaInterop.deltaVersionAsOf]]). */
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String])
       : org.apache.spark.sql.sources.BaseRelation = {
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
     val v = parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map { ts =>
+        DeltaInterop.deltaVersionAsOf(spark, root, ts.toLong)
+          .getOrElse(throw new IllegalArgumentException(
+            s"graftdelta: no commit at or before timestamp $ts (or " +
+              "its history was log-cleaned — only surviving commit " +
+              "JSONs carry timestamps)"))
+      })
     // marker options let InteropCountRule serve SQL COUNT(*) from the
     // log's numRecords stats (the pinned version rides along)
     val marked = parameters ++

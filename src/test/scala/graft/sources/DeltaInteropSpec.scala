@@ -1052,4 +1052,54 @@ class DeltaInteropSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("one-shot"), e.getMessage)
   }
+
+  test("timestampAsOf resolves versions through MONOTONIZED commit "
+      + "times (a backwards clock never reorders history), refuses "
+      + "before the first surviving commit, and rides the SQL view "
+      + "option") {
+    val lake = Files.createTempDirectory("dts").toString + "/lake"
+    val delta = lake + "_d"
+    (0 until 3).foreach { i =>
+      LakeTable.append(spark.range(i * 10, i * 10 + 10)
+        .select(col("id").as("k")), lake)
+      DeltaInterop.syncToDelta(spark, lake, delta): Unit
+    }
+    val fsys = new org.apache.hadoop.fs.Path(delta)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def stamp(v: Long, t: Long): Unit =
+      fsys.setTimes(new org.apache.hadoop.fs.Path(
+        f"$delta/_delta_log/$v%020d.json"), t, -1)
+    // v1's clock runs BACKWARDS relative to v0 — monotonization keeps
+    // v1 at v0's effective time, exactly Delta's own resolution
+    stamp(0L, 2000L); stamp(1L, 1500L); stamp(2L, 3000L)
+    // before the first commit's time: nothing to serve
+    assert(DeltaInterop.deltaVersionAsOf(spark, delta, 1999L).isEmpty)
+    // at 2000 BOTH v0 and the monotonized-up v1 qualify; the latest
+    // version within the timestamp wins (Delta's own rule)
+    assert(DeltaInterop.deltaVersionAsOf(spark, delta, 2000L)
+      .contains(1L))
+    assert(DeltaInterop.deltaVersionAsOf(spark, delta, 2999L)
+      .contains(1L))
+    assert(DeltaInterop.deltaVersionAsOf(spark, delta, 3000L)
+      .contains(2L))
+    assert(DeltaInterop.deltaVersionAsOf(spark, delta, 100L).isEmpty)
+    // the SQL view option pins the resolved version (and the count
+    // rule serves it from that version's metadata)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW dts_v USING graftdelta " +
+      s"OPTIONS (path '$delta', timestampAsOf '2500')")
+    val q = spark.sql("SELECT count(*) AS n FROM dts_v")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(q.as[Long].head() == 20L)
+    val e = intercept[Exception] {
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW dts_x USING " +
+        s"graftdelta OPTIONS (path '$delta', timestampAsOf '100')")
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("no commit at or before")),
+      msgs(e).mkString(" | "))
+  }
 }
