@@ -110,5 +110,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL COUNT(*) over USING graftdelta/grafticeberg served from
     // metadata (refusal-is-fallback keeps every unsound case a scan)
     ext.injectOptimizerRule(spark => InteropCountRule(spark))
+    // INSERT INTO/OVERWRITE those views commits through the real
+    // log/metadata writers — the V1 default would write raw parquet
+    // PAST the log (rows that never appear; overwrite deletes live
+    // files), so this must fire before DataSourceAnalysis
+    ext.injectResolutionRule(spark => InteropInsertRule(spark))
   }
 }

@@ -1,0 +1,108 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.plans.QueryPlan
+import org.apache.spark.sql.catalyst.plans.logical.{
+  InsertIntoStatement, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
+import org.apache.spark.sql.types.DataType
+
+/** Route `INSERT INTO` / `INSERT OVERWRITE` over `USING graftdelta` /
+  * `grafticeberg` views into REAL log/metadata commits.
+  *
+  * Without this rule the V1 path is silently WRONG: Spark's built-in
+  * `DataSourceAnalysis` turns the insert into a raw parquet write
+  * under the table root — the files land outside the transaction log,
+  * the statement "succeeds", and the rows never appear to any reader
+  * (overwrite is worse: it deletes live data files the log still
+  * references). This resolution rule fires BEFORE the post-hoc
+  * `DataSourceAnalysis` batch and replaces the statement with a
+  * command that commits through [[graft.sources.DeltaInterop
+  * .appendDelta]] / [[graft.sources.IcebergInterop.appendIceberg]] —
+  * one atomic commit/snapshot, the same OCC discipline as the
+  * streaming sinks, loud refusals for partitioned/column-mapped
+  * targets.
+  *
+  * Shapes outside the supported surface refuse loudly rather than
+  * fall through to the corrupting default: time-travel views,
+  * PARTITION specs, and explicit column lists all throw with the
+  * reason. Rows are aligned positionally and cast to the table's
+  * column types (ANSI cast semantics — overflow throws). */
+case class InteropInsertRule(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  /** (format, root, user-pinned?) — `pinned` means the user asked for
+    * time travel (versionAsOf/snapshotId/timestampAsOf), which write
+    * paths refuse; the automatic snapshot pin every relation carries
+    * for consistent metadata answers does NOT block writes. */
+  private def refOf(plan: LogicalPlan)
+      : Option[(String, String, Boolean)] = plan match {
+    case SubqueryAlias(_, child) => refOf(child)
+    case lr: LogicalRelation => lr.relation match {
+      case h: HadoopFsRelation
+          if h.options.contains("graft.interop.format") =>
+        Some((h.options("graft.interop.format"), h.options("path"),
+          h.options.contains("graft.interop.pinned")))
+      case r: graft.sources.InteropSnapshotRelation =>
+        r.interopRef.map { case (fmt, root, _) =>
+          (fmt, root, r.userPinned)
+        }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case i: InsertIntoStatement
+        if i.query.resolved && refOf(i.table).isDefined =>
+      val (fmt, root, pinned) = refOf(i.table).get
+      require(!pinned,
+        s"graft$fmt: cannot INSERT through a time-travel view of " +
+          s"$root — writes always target the latest version")
+      require(i.partitionSpec.isEmpty && !i.ifPartitionNotExists,
+        s"graft$fmt: PARTITION specs are not supported on $root " +
+          "(the interop writers append unpartitioned commits)")
+      require(i.userSpecifiedCols.isEmpty,
+        s"graft$fmt: explicit column lists are not supported on " +
+          s"$root — insert all columns positionally")
+      val out = i.table.output
+      require(i.query.output.size == out.size,
+        s"graft$fmt: INSERT provides ${i.query.output.size} columns, " +
+          s"$root has ${out.size}")
+      InteropAppendCommand(fmt, root,
+        out.map(a => (a.name, a.dataType)), i.query, i.overwrite)
+  }
+}
+
+/** The command [[InteropInsertRule]] plans: align the query's rows to
+  * the table's columns (positional, ANSI casts) and commit them
+  * through the format's batch writer. */
+case class InteropAppendCommand(fmt: String, root: String,
+                                cols: Seq[(String, DataType)],
+                                query: LogicalPlan,
+                                overwrite: Boolean)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(query)
+  override def run(session: SparkSession): Seq[Row] = {
+    val df0 = org.apache.spark.sql.graftbridge.ColumnBridge
+      .ofRows(session, query)
+    val aligned = df0.select(df0.queryExecution.analyzed.output
+      .zip(cols).map { case (attr, (n, dt)) =>
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .column(attr).cast(dt).as(n)
+      }: _*)
+    fmt match {
+      case "delta" =>
+        graft.sources.DeltaInterop.appendDelta(aligned, root, overwrite)
+      case "iceberg" =>
+        graft.sources.IcebergInterop.appendIceberg(aligned, root,
+          overwrite)
+      case other => throw new IllegalStateException(
+        s"unknown interop format $other")
+    }
+    Seq.empty
+  }
+}

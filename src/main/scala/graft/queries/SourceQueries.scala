@@ -3483,6 +3483,54 @@ object SourceQueries {
         FROM orders GROUP BY o_orderstatus"""),
       "GROUP BY partition value COUNT(*) from pure metadata on both " +
         "formats — every data file corrupted, none opened"),
+
+    // ---- SQL INSERT INTO/OVERWRITE interop tables -----------------------------
+    // Batch WRITES through plain SQL: INSERT INTO a graftdelta view
+    // commits one real Delta log entry (without the routing rule the
+    // V1 path writes raw parquet PAST the log — the statement
+    // "succeeds" and the rows never appear); INSERT OVERWRITE a
+    // grafticeberg view publishes a replace snapshot. The oracle
+    // recomputes both final states relationally.
+    "q361_interop_sql_insert" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_sqlinsert_q361")
+        val lake = root + "/lake"
+        val delta = root + "/delta"
+        val ice = root + "/ice"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        o.filter(col("o_orderkey") % 2 =!= 0)
+          .createOrReplaceTempView("q361_src")
+        // Delta: start from the evens, INSERT the odds via SQL
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 2 === 0), lake)
+        graft.sources.DeltaInterop.syncToDelta(s, lake, delta)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q361_d USING " +
+          s"graftdelta OPTIONS (path '$delta')")
+        s.sql("INSERT INTO q361_d SELECT * FROM q361_src")
+        require(graft.sources.DeltaInterop.deltaVersions(s, delta)
+          == Seq(0L, 1L), "q361: INSERT did not land as ONE commit")
+        // Iceberg: start from everything, OVERWRITE down to the odds
+        graft.sources.IcebergInterop.appendIceberg(o, ice)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q361_i USING " +
+          s"grafticeberg OPTIONS (path '$ice')")
+        s.sql("INSERT OVERWRITE q361_i SELECT * FROM q361_src")
+        // re-resolve both views (a V1 view is a snapshot)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q361_d USING " +
+          s"graftdelta OPTIONS (path '$delta')")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q361_i USING " +
+          s"grafticeberg OPTIONS (path '$ice')")
+        s.sql("""SELECT 'delta' AS leg, o_orderkey, o_orderstatus,
+            o_totalprice FROM q361_d
+          UNION ALL SELECT 'iceberg' AS leg, o_orderkey,
+            o_orderstatus, o_totalprice FROM q361_i""")
+      },
+      Some("""SELECT 'delta' AS leg, o_orderkey, o_orderstatus,
+            o_totalprice FROM orders
+          UNION ALL SELECT 'iceberg' AS leg, o_orderkey, o_orderstatus,
+            o_totalprice FROM orders WHERE o_orderkey % 2 <> 0"""),
+      "SQL INSERT INTO (Delta, one commit) + INSERT OVERWRITE " +
+        "(Iceberg, replace snapshot) ≡ relational recompute"),
   )
 
 

@@ -1158,30 +1158,66 @@ object DeltaInterop {
     * losing a race → re-replay (the cursor re-check makes the retry
     * safe beside concurrent replicas of the SAME stream too). */
   def appendOnce(df: DataFrame, deltaRoot: String, appId: String,
-                 batchId: Long): Boolean = {
+                 batchId: Long): Boolean =
+    appendCommit(df, deltaRoot, Some((appId, batchId)))
+
+  /** Batch write — ONE Delta commit of this DataFrame's rows, the
+    * engine under `INSERT INTO` / `df.write.format("graftdelta")`:
+    * [[appendOnce]] minus the idempotence cursor (batch writes have
+    * no replay identity; streams should use the sink). `overwrite`
+    * additionally REMOVES every file live before the commit — the
+    * protocol's own INSERT OVERWRITE shape, atomic in the one commit.
+    * Same OCC publication, same loud refusals. */
+  def appendDelta(df: DataFrame, deltaRoot: String,
+                  overwrite: Boolean = false): Unit =
+    appendCommit(df, deltaRoot, None, overwrite): Unit
+
+  private def appendCommit(df: DataFrame, deltaRoot: String,
+                           txn: Option[(String, Long)],
+                           overwrite: Boolean = false): Boolean = {
     val spark = df.sparkSession
     val f = new Path(deltaRoot)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    def state(): (Long, Option[StructType], Option[Long]) = {
+    def state(): (Long, Option[Snapshot], Option[Long]) = {
       val vs =
         if (!f.exists(new Path(s"$deltaRoot/_delta_log"))) Seq.empty
         else deltaVersions(spark, deltaRoot)
       if (vs.isEmpty) (0L, None, None)
       else {
         val snap = replay(spark, deltaRoot, vs.max)
-        (vs.max + 1, Some(snap.schema), snap.txns.get(appId))
+        (vs.max + 1, Some(snap),
+          txn.flatMap { case (appId, _) => snap.txns.get(appId) })
       }
     }
-    var (nextV, schemaExisting, cursor) = state()
-    if (cursor.exists(_ >= batchId)) return false
-    schemaExisting.foreach { s0 =>
-      require(s0.fields.map(x => (x.name, x.dataType)).toSeq ==
+    def gate(snap: Snapshot): Unit = {
+      require(snap.schema.fields.map(x => (x.name, x.dataType)).toSeq ==
         df.schema.fields.map(x => (x.name, x.dataType)).toSeq,
         s"graftdelta sink: batch schema ${df.schema.simpleString} " +
-          s"does not match the table's ${s0.simpleString} — refusing " +
-          "to commit a shape-shifted batch")
+          s"does not match the table's ${snap.schema.simpleString} — " +
+          "refusing to commit a shape-shifted batch")
+      // appends write unpartitioned adds with logical column names; a
+      // partitioned or column-mapped table would read them WRONG —
+      // refuse, never corrupt
+      require(snap.partCols.isEmpty,
+        s"graftdelta append: $deltaRoot is partitioned " +
+          s"(${snap.partCols.mkString(",")}); appends into " +
+          "partitioned interop tables are not supported")
+      require(snap.schema == snap.physSchema,
+        s"graftdelta append: $deltaRoot uses column mapping; appends " +
+          "would write logical names into a physically-mapped table")
     }
+    var (nextV, snapExisting, cursor) = state()
+    if (txn.exists { case (_, b) => cursor.exists(_ >= b) }) return false
+    snapExisting.foreach(gate)
+    // INSERT OVERWRITE: the same commit removes everything that was
+    // live — recomputed per attempt from the refreshed state, so a
+    // race never resurrects a concurrent commit's files
+    def removeActions: Seq[String] = if (!overwrite) Seq.empty
+      else snapExisting.toSeq.flatMap(_.live.keys.toSeq.sorted).map { p =>
+        s"""{"remove":{"path":${om.writeValueAsString(p)},""" +
+          s""""deletionTimestamp":0,"dataChange":true}}"""
+      }
     // data files: stage, then move under the root with unique names
     val uuid = java.util.UUID.randomUUID().toString
     val stage = s"$deltaRoot/_stage_$uuid"
@@ -1189,7 +1225,8 @@ object DeltaInterop {
     val rels = f.listStatus(new Path(stage))
       .filter(_.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName).zipWithIndex.map { case (st, i) =>
-        val rel = f"part-$batchId%05d-$i%05d-$uuid.snappy.parquet"
+        val tag = txn.map(_._2).getOrElse(0L)
+        val rel = f"part-$tag%05d-$i%05d-$uuid.snappy.parquet"
         if (!f.rename(st.getPath, new Path(s"$deltaRoot/$rel")))
           throw new java.io.IOException(
             s"rename ${st.getPath} -> $deltaRoot/$rel failed")
@@ -1232,8 +1269,10 @@ object DeltaInterop {
         s""""dataChange":true}}"""
     }
     val addActions = rels.map(addJson)
-    val txnJson = s"""{"txn":{"appId":${om.writeValueAsString(appId)},""" +
-      s""""version":$batchId,"lastUpdated":0}}"""
+    val txnJson = txn.map { case (appId, batchId) =>
+      s"""{"txn":{"appId":${om.writeValueAsString(appId)},""" +
+        s""""version":$batchId,"lastUpdated":0}}"""
+    }
     var attempts = 0
     while (true) {
       attempts += 1
@@ -1248,7 +1287,7 @@ object DeltaInterop {
             s""""partitionColumns":[],"configuration":{},""" +
             s""""createdTime":0}}""")
         else Seq.empty
-      val actions = head ++ addActions :+ txnJson
+      val actions = head ++ removeActions ++ addActions ++ txnJson.toSeq
       f.mkdirs(new Path(s"$deltaRoot/_delta_log"))
       val dst = new Path(f"$deltaRoot/_delta_log/$nextV%020d.json")
       // ONLY a create-time already-exists is a lost commit race. Any
@@ -1283,16 +1322,13 @@ object DeltaInterop {
           // lost the race — refresh: a concurrent replica may have
           // landed THIS batch (cursor satisfied → drop our files)
           val (v2, s2, c2) = state()
-          if (c2.exists(_ >= batchId)) {
+          if (txn.exists { case (_, b) => c2.exists(_ >= b) }) {
             rels.foreach(r => f.delete(new Path(s"$deltaRoot/$r"), false))
             return false
           }
-          s2.foreach { s0 =>
-            require(s0.fields.map(x => (x.name, x.dataType)).toSeq ==
-              df.schema.fields.map(x => (x.name, x.dataType)).toSeq,
-              "graftdelta sink: schema changed under a commit race")
-          }
+          s2.foreach(gate)
           nextV = v2
+          snapExisting = s2
       }
     }
     false // unreachable

@@ -30,7 +30,41 @@ class GraftDeltaSource
     extends org.apache.spark.sql.sources.StreamSourceProvider
     with org.apache.spark.sql.sources.RelationProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider
     with DataSourceRegister {
+
+  /** `df.write.format("graftdelta").mode(...)` — BATCH writes into a
+    * real Delta log ([[DeltaInterop.appendDelta]]): Append commits the
+    * rows, Overwrite removes-and-adds in one atomic commit (the
+    * protocol's INSERT OVERWRITE shape), ErrorIfExists creates a fresh
+    * table only, Ignore is a no-op on an existing one. Partitioned and
+    * column-mapped targets refuse loudly — a blind append would
+    * corrupt them. */
+  override def createRelation(sqlContext: SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame)
+      : org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val root = rootOf(parameters)
+    val exists = new org.apache.hadoop.fs.Path(s"$root/_delta_log")
+      .getFileSystem(sqlContext.sparkSession.sessionState.newHadoopConf())
+      .exists(new org.apache.hadoop.fs.Path(s"$root/_delta_log"))
+    mode match {
+      case SaveMode.Append =>
+        DeltaInterop.appendDelta(data, root)
+      case SaveMode.Overwrite =>
+        DeltaInterop.appendDelta(data, root, overwrite = true)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalArgumentException(
+          s"graftdelta: $root already holds a Delta table " +
+            "(SaveMode.ErrorIfExists)")
+        DeltaInterop.appendDelta(data, root)
+      case SaveMode.Ignore =>
+        if (!exists) DeltaInterop.appendDelta(data, root)
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   override def shortName(): String = "graftdelta"
 
@@ -52,7 +86,7 @@ class GraftDeltaSource
       : org.apache.spark.sql.sources.BaseRelation = {
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
-    val v = parameters.get("versionAsOf").map(_.toLong)
+    val v0 = parameters.get("versionAsOf").map(_.toLong)
       .orElse(parameters.get("timestampAsOf").map { ts =>
         DeltaInterop.deltaVersionAsOf(spark, root, ts.toLong)
           .getOrElse(throw new IllegalArgumentException(
@@ -60,10 +94,17 @@ class GraftDeltaSource
               "its history was log-cleaned — only surviving commit " +
               "JSONs carry timestamps)"))
       })
-    // marker options let InteropCountRule serve SQL COUNT(*) from the
-    // log's numRecords stats (the pinned version rides along)
+    // pin the RESOLVED version even when the user did not: a V1
+    // relation's file list is fixed at creation, so metadata answers
+    // (COUNT/MIN/MAX via InteropCountRule) must describe THIS
+    // snapshot, not whatever a writer advances the table to later
+    val v = Some(v0.getOrElse(
+      DeltaInterop.deltaVersions(spark, root).max))
     val marked = parameters ++
       Map("graft.interop.format" -> "delta") ++
+      // user time travel (vs the automatic snapshot pin): write paths
+      // refuse through a pinned view, reads are unaffected
+      v0.map(_ => "graft.interop.pinned" -> "true") ++
       v.map(x => "graft.interop.version" -> x.toString)
     DeltaInterop.relationInfo(spark, root, v) match {
       case (_, Some(fi), _) =>
@@ -79,7 +120,7 @@ class GraftDeltaSource
       case (schema, None, sizeHint) =>
         new InteropSnapshotRelation(sqlContext, schema,
           () => DeltaInterop.readDelta(spark, root, v),
-          Some(("delta", root, v)), sizeHint)
+          Some(("delta", root, v)), sizeHint, v0.isDefined)
     }
   }
 

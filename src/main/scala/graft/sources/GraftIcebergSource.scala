@@ -29,7 +29,41 @@ class GraftIcebergSource
     extends org.apache.spark.sql.sources.StreamSourceProvider
     with org.apache.spark.sql.sources.RelationProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider
     with DataSourceRegister {
+
+  /** `df.write.format("grafticeberg").mode(...)` — BATCH writes into a
+    * real Iceberg v2 table ([[IcebergInterop.appendIceberg]]): Append
+    * commits one snapshot, Overwrite publishes a replace snapshot
+    * (older files stay time-travelable and expire with their
+    * snapshots), ErrorIfExists creates a fresh table only, Ignore is a
+    * no-op on an existing one. Partitioned and v1/v3 targets refuse
+    * loudly. */
+  override def createRelation(sqlContext: SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame)
+      : org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val root = rootOf(parameters)
+    val exists = new org.apache.hadoop.fs.Path(s"$root/metadata")
+      .getFileSystem(sqlContext.sparkSession.sessionState.newHadoopConf())
+      .exists(new org.apache.hadoop.fs.Path(s"$root/metadata"))
+    mode match {
+      case SaveMode.Append =>
+        IcebergInterop.appendIceberg(data, root)
+      case SaveMode.Overwrite =>
+        IcebergInterop.appendIceberg(data, root, overwrite = true)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalArgumentException(
+          s"grafticeberg: $root already holds an Iceberg table " +
+            "(SaveMode.ErrorIfExists)")
+        IcebergInterop.appendIceberg(data, root)
+      case SaveMode.Ignore =>
+        if (!exists) IcebergInterop.appendIceberg(data, root)
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   override def shortName(): String = "grafticeberg"
 
@@ -49,17 +83,22 @@ class GraftIcebergSource
       : org.apache.spark.sql.sources.BaseRelation = {
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
-    val snap = parameters.get("snapshotId").map(_.toLong)
+    val snap0 = parameters.get("snapshotId").map(_.toLong)
       .orElse(parameters.get("timestampAsOf").map { ts =>
         IcebergInterop.icebergSnapshotAsOf(spark, root, ts.toLong)
           .getOrElse(throw new IllegalArgumentException(
             s"grafticeberg: no snapshot at or before timestamp $ts"))
       })
-    // marker options let InteropCountRule serve SQL COUNT(*) from the
-    // manifests' record counts (the pinned snapshot — including one
-    // resolved from timestampAsOf — rides along)
+    // pin the RESOLVED snapshot even when the user did not (see the
+    // graftdelta twin): metadata answers must describe the snapshot
+    // this relation scans, not a later writer's
+    val snap = snap0.orElse(
+      IcebergInterop.icebergCurrentSnapshot(spark, root))
     val marked = parameters ++
       Map("graft.interop.format" -> "iceberg") ++
+      // user time travel (vs the automatic snapshot pin): write paths
+      // refuse through a pinned view, reads are unaffected
+      snap0.map(_ => "graft.interop.pinned" -> "true") ++
       snap.map(x => "graft.interop.version" -> x.toString)
     IcebergInterop.relationInfo(spark, root, snap) match {
       case (schema, Some(files), _) =>
@@ -74,7 +113,7 @@ class GraftIcebergSource
       case (schema, None, sizeHint) =>
         new InteropSnapshotRelation(sqlContext, schema,
           () => IcebergInterop.readIceberg(spark, root, snap),
-          Some(("iceberg", root, snap)), sizeHint)
+          Some(("iceberg", root, snap)), sizeHint, snap0.isDefined)
     }
   }
 

@@ -446,6 +446,15 @@ object IcebergInterop {
 
   // ---- READ ------------------------------------------------------------
 
+  /** The table's CURRENT snapshot id (None for an empty table) — what
+    * an unpinned relation resolves to at creation, stamped into the
+    * metadata-answer marker so `count(*)` and the scan always describe
+    * the SAME snapshot even when writers advance the table under a
+    * live temp view. */
+  def icebergCurrentSnapshot(spark: SparkSession, root: String)
+      : Option[Long] =
+    parseMetadata(spark, root).currentSnapshotId
+
   /** Snapshot ids + commit times (ms) of the Iceberg table at `root`,
     * ascending by time — the time-travel surface. */
   def icebergSnapshots(spark: SparkSession, root: String)
@@ -1836,7 +1845,25 @@ object IcebergInterop {
     * by reference (O(batch + #manifests) metadata, no data rewrite).
     */
   def appendOnceIceberg(df: DataFrame, iceRoot: String, appId: String,
-                        batchId: Long): Boolean = {
+                        batchId: Long): Boolean =
+    appendCommitIceberg(df, iceRoot, Some((appId, batchId)))
+
+  /** Batch write — ONE Iceberg snapshot of this DataFrame's rows,
+    * the engine under `INSERT INTO` / `df.write.format("grafticeberg")`:
+    * [[appendOnceIceberg]] minus the idempotence cursor (batch writes
+    * have no replay identity; streams should use the sink).
+    * `overwrite` publishes a snapshot whose manifest list holds ONLY
+    * the new manifest — the spec's replace shape: older files stay
+    * time-travelable through older snapshots and expire with them.
+    * Same OCC publication, same loud refusals. */
+  def appendIceberg(df: DataFrame, iceRoot: String,
+                    overwrite: Boolean = false): Unit =
+    appendCommitIceberg(df, iceRoot, None, overwrite): Unit
+
+  private def appendCommitIceberg(df: DataFrame, iceRoot: String,
+                                  txn: Option[(String, Long)],
+                                  overwrite: Boolean = false)
+      : Boolean = {
     val spark = df.sparkSession
     val f = fs(spark, iceRoot)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -1844,14 +1871,16 @@ object IcebergInterop {
       latestMetadataFile(spark, iceRoot).map { case (file, ver) =>
         parseMetadataAt(spark, iceRoot, file, ver)
       }
-    def cursorOf(m: IceMeta): Option[Long] =
-      m.raw.path("snapshots").elements().asScala.flatMap { s =>
+    // replay-skip cursor: defined only for the sink's exactly-once
+    // path (batch appends carry no identity)
+    def cursorHit(m: IceMeta): Boolean = txn.exists { case (appId, b) =>
+      m.raw.path("snapshots").elements().asScala.exists { s =>
         val sm = s.path("summary")
-        if (sm.path("graft-app-id").asText("") == appId &&
-            sm.has("graft-batch-id"))
-          Some(sm.path("graft-batch-id").asText.toLong)
-        else None
-      }.maxOption
+        sm.path("graft-app-id").asText("") == appId &&
+          sm.has("graft-batch-id") &&
+          sm.path("graft-batch-id").asText.toLong >= b
+      }
+    }
     def gate(m: IceMeta): Unit = {
       require(m.formatVersion == 2,
         s"grafticeberg sink: $iceRoot is format-version " +
@@ -1868,7 +1897,7 @@ object IcebergInterop {
           "to commit a shape-shifted batch")
     }
     var meta = state()
-    if (meta.flatMap(cursorOf).exists(_ >= batchId)) return false
+    if (meta.exists(cursorHit)) return false
     meta.foreach(gate)
     val conf = spark.sessionState.newHadoopConf()
     def qualify(p: Path): String =
@@ -1881,7 +1910,8 @@ object IcebergInterop {
     val dataUris = f.listStatus(new Path(stage))
       .filter(_.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName).zipWithIndex.map { case (st, i) =>
-        val rel = f"data/part-$batchId%05d-$i%05d-$uuid.parquet"
+        val tag = txn.map(_._2).getOrElse(0L)
+        val rel = f"data/part-$tag%05d-$i%05d-$uuid.parquet"
         val dst = new Path(s"$iceRoot/$rel")
         if (!f.rename(st.getPath, dst))
           throw new java.io.IOException(
@@ -1985,7 +2015,8 @@ object IcebergInterop {
       staged += qualify(new Path(manifest))
       // the new list = current snapshot's manifests (by reference,
       // field-by-field copy so fixture-written shapes normalize) + ours
-      val prevList: Seq[GenericRecord] = meta.flatMap { m =>
+      val prevList: Seq[GenericRecord] = (if (overwrite) None
+      else meta).flatMap { m =>
         m.currentSnapshotId.flatMap(id => m.snapshots.find(_.id == id))
           .map(s => readAvro(spark, resolve(iceRoot, s.manifestList)))
       }.getOrElse(Seq.empty).map { r =>
@@ -2028,9 +2059,12 @@ object IcebergInterop {
         s"""{"snapshot-id":$snapId,"sequence-number":$seqNum,""" +
           s""""timestamp-ms":$ts,"schema-id":${meta.map(
             _.currentSchemaId).getOrElse(0)},""" +
-          s""""summary":{"operation":"append",""" +
-          s""""graft-app-id":${om.writeValueAsString(appId)},""" +
-          s""""graft-batch-id":"$batchId"},""" +
+          s""""summary":{"operation":"${if (overwrite) "overwrite"
+            else "append"}"${txn.map {
+            case (appId, batchId) =>
+              s""","graft-app-id":${om.writeValueAsString(appId)},""" +
+                s""""graft-batch-id":"$batchId""""
+          }.getOrElse("")}},""" +
           s""""manifest-list":${om.writeValueAsString(
             qualify(new Path(listPath)))}}"""
       val snaps = meta.map(_.raw.path("snapshots").elements().asScala
@@ -2100,7 +2134,7 @@ object IcebergInterop {
           // lost the race — refresh: a concurrent replica may have
           // landed THIS batch (cursor satisfied → drop our files)
           meta = state()
-          if (meta.flatMap(cursorOf).exists(_ >= batchId)) {
+          if (meta.exists(cursorHit)) {
             dropStaged()
             return false
           }

@@ -112,7 +112,10 @@ class InteropSnapshotRelation(ctx: SQLContext, s: StructType,
                               mk: () => DataFrame,
                               val interopRef: Option[
                                 (String, String, Option[Long])] = None,
-                              sizeHint: Option[Long] = None)
+                              sizeHint: Option[Long] = None,
+                              // user time travel (vs the automatic
+                              // snapshot pin): write paths refuse
+                              val userPinned: Boolean = false)
     extends BaseRelation with org.apache.spark.sql.sources.TableScan {
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = s

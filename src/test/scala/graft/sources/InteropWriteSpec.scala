@@ -1,0 +1,172 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Batch WRITES into interop tables: INSERT INTO/OVERWRITE through
+  * the resolution rule (the V1 default would write raw parquet PAST
+  * the log — rows that never appear), and
+  * `df.write.format("graftdelta"/"grafticeberg")` save modes. */
+class InteropWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): String =
+    Files.createTempDirectory("iwrite").toString
+
+  test("INSERT INTO a graftdelta view COMMITS through the log (the "
+      + "silent write-past-the-log no-op is dead); OVERWRITE replaces "
+      + "atomically and the old version stays time-travelable") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    val delta = s"$dir/delta"
+    LakeTable.append(spark.range(0, 10)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake)
+    DeltaInterop.syncToDelta(spark, lake, delta)
+    def view(): Unit = spark.sql(
+      "CREATE OR REPLACE TEMPORARY VIEW iw_d USING graftdelta " +
+        s"OPTIONS (path '$delta')")
+    view()
+    // int literals cast to the long columns positionally
+    spark.sql("INSERT INTO iw_d VALUES (100, 200), (101, 202)")
+    // a V1 view is a SNAPSHOT: the pre-insert view still answers 10 —
+    // and its metadata count agrees with its own scan (the resolved
+    // version is pinned into the relation, so count(*) can never
+    // describe a newer snapshot than the files the view reads)
+    assert(spark.sql("SELECT count(*) FROM iw_d").as[Long].head() == 10L)
+    assert(spark.table("iw_d").count() == 10L)
+    view() // re-resolve → the committed rows appear
+    assert(spark.sql("SELECT count(*) FROM iw_d").as[Long].head() == 12L)
+    assert(DeltaInterop.readDelta(spark, delta)
+      .filter(col("k") >= 100).count() == 2L)
+    assert(DeltaInterop.deltaVersions(spark, delta) == Seq(0L, 1L))
+    // SELECT-sourced insert
+    spark.sql("INSERT INTO iw_d SELECT k + 1000, v FROM iw_d WHERE k < 2")
+    view()
+    assert(spark.sql("SELECT count(*) FROM iw_d").as[Long].head() == 14L)
+    // OVERWRITE: one atomic commit removes everything live
+    spark.sql("INSERT OVERWRITE iw_d VALUES (7, 8)")
+    view()
+    assert(spark.sql("SELECT k, v FROM iw_d").as[(Long, Long)]
+      .collect().toSeq == Seq((7L, 8L)))
+    // ...and the pre-overwrite version still serves (time travel)
+    val vPrev = DeltaInterop.deltaVersions(spark, delta).max - 1
+    assert(DeltaInterop.readDelta(spark, delta, Some(vPrev))
+      .count() == 14L)
+    // the doctor blesses the written log; metadata count serves
+    assert(DeltaInterop.validateDelta(spark, delta).count() == 0L)
+    assert(DeltaInterop.deltaRowCount(spark, delta).contains(1L))
+  }
+
+  test("INSERT INTO a grafticeberg view appends a snapshot; OVERWRITE "
+      + "publishes a replace snapshot with history intact") {
+    val dir = fresh()
+    val ice = s"$dir/ice"
+    IcebergInterop.appendIceberg(
+      spark.range(0, 10).select(col("id").as("k")), ice)
+    def view(): Unit = spark.sql(
+      "CREATE OR REPLACE TEMPORARY VIEW iw_i USING " +
+        s"grafticeberg OPTIONS (path '$ice')")
+    view()
+    spark.sql("INSERT INTO iw_i VALUES (100), (101)")
+    // pre-insert view = its snapshot, metadata count agrees
+    assert(spark.sql("SELECT count(*) FROM iw_i").as[Long].head() == 10L)
+    view()
+    assert(spark.sql("SELECT count(*) FROM iw_i").as[Long].head() == 12L)
+    spark.sql("INSERT OVERWRITE iw_i VALUES (7)")
+    view()
+    assert(spark.sql("SELECT k FROM iw_i").as[Long].collect().toSeq
+      == Seq(7L))
+    // snapshots: initial + insert + overwrite, all time-travelable
+    val snaps = IcebergInterop.icebergSnapshots(spark, ice).map(_._1)
+    assert(snaps.size == 3)
+    assert(IcebergInterop.readIceberg(spark, ice,
+      Some(snaps.sorted.apply(1))).count() == 12L)
+    assert(IcebergInterop.validateIceberg(spark, ice).count() == 0L)
+    assert(IcebergInterop.icebergRowCount(spark, ice).contains(1L))
+  }
+
+  test("df.write.format save modes: Append commits, Overwrite "
+      + "replaces, ErrorIfExists refuses an existing table, Ignore "
+      + "no-ops on one — both formats") {
+    val dir = fresh()
+    val d = s"$dir/d"
+    spark.range(0, 5).select(col("id").as("k"))
+      .write.format("graftdelta").mode("errorifexists").save(d)
+    spark.range(5, 8).select(col("id").as("k"))
+      .write.format("graftdelta").mode("append").save(d)
+    assert(DeltaInterop.readDelta(spark, d).count() == 8L)
+    val e = intercept[IllegalArgumentException] {
+      spark.range(0, 1).select(col("id").as("k"))
+        .write.format("graftdelta").mode("errorifexists").save(d)
+    }
+    assert(e.getMessage.contains("already holds"), e.getMessage)
+    spark.range(100, 101).select(col("id").as("k"))
+      .write.format("graftdelta").mode("ignore").save(d)
+    assert(DeltaInterop.readDelta(spark, d).count() == 8L) // no-op
+    spark.range(50, 52).select(col("id").as("k"))
+      .write.format("graftdelta").mode("overwrite").save(d)
+    assert(DeltaInterop.readDelta(spark, d)
+      .select("k").as[Long].collect().toSet == Set(50L, 51L))
+    val i = s"$dir/i"
+    spark.range(0, 5).select(col("id").as("k"))
+      .write.format("grafticeberg").mode("append").save(i)
+    spark.range(5, 8).select(col("id").as("k"))
+      .write.format("grafticeberg").mode("append").save(i)
+    assert(IcebergInterop.readIceberg(spark, i).count() == 8L)
+    spark.range(60, 61).select(col("id").as("k"))
+      .write.format("grafticeberg").mode("overwrite").save(i)
+    assert(IcebergInterop.readIceberg(spark, i)
+      .select("k").as[Long].collect().toSeq == Seq(60L))
+  }
+
+  test("unsupported INSERT shapes refuse LOUDLY instead of falling "
+      + "through to the corrupting raw-parquet default: time-travel "
+      + "views, column lists, partitioned and shape-shifted targets") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    val delta = s"$dir/delta"
+    LakeTable.append(spark.range(0, 10)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake)
+    DeltaInterop.syncToDelta(spark, lake, delta)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW iw_tt USING graftdelta " +
+      s"OPTIONS (path '$delta', versionAsOf '0')")
+    val e1 = intercept[Throwable] {
+      spark.sql("INSERT INTO iw_tt VALUES (1, 2)")
+    }
+    assert(msgs(e1).exists(_.contains("time-travel")),
+      msgs(e1).mkString(" | "))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW iw_now USING " +
+      s"graftdelta OPTIONS (path '$delta')")
+    val e2 = intercept[Throwable] {
+      spark.sql("INSERT INTO iw_now (k, v) VALUES (1, 2)")
+    }
+    assert(msgs(e2).exists(_.contains("column lists")),
+      msgs(e2).mkString(" | "))
+    // a partitioned export: the writer's gate refuses the append
+    val pd = s"$dir/pd"
+    LakeTable.append(spark.range(0, 10)
+      .select(col("id").as("k"),
+        concat(lit("s"), col("id") % 2).as("src")), s"$dir/plake")
+    DeltaInterop.exportToDeltaPartitioned(spark, s"$dir/plake", pd, "src")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW iw_part USING " +
+      s"graftdelta OPTIONS (path '$pd')")
+    val e3 = intercept[Throwable] {
+      spark.sql("INSERT INTO iw_part VALUES (1, 's0')")
+    }
+    assert(msgs(e3).exists(_.contains("partitioned")),
+      msgs(e3).mkString(" | "))
+    // arity mismatch refuses at analysis
+    val e4 = intercept[Throwable] {
+      spark.sql("INSERT INTO iw_now VALUES (1)")
+    }
+    assert(msgs(e4).exists(m => m.contains("columns") ||
+      m.contains("INSERT")), msgs(e4).mkString(" | "))
+    // nothing half-landed anywhere
+    assert(DeltaInterop.readDelta(spark, delta).count() == 10L)
+    assert(DeltaInterop.validateDelta(spark, delta).count() == 0L)
+  }
+}
