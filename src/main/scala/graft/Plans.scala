@@ -109,7 +109,8 @@ object Plans {
     "q357_interop_sql_minmax" -> "interop SQL MIN/MAX: stats/bounds fold to ONE LocalTableScan on both formats; the live-DV leg keeps the scan for bounds while count(*) still serves",
     "q358_iceberg_partitioned_export" -> "identity-partitioned export read-back: the scan lists only the probed partition's files (manifest partition values decide outright), corrupted non-probed partitions never open",
     "q359_delta_partitioned_export" -> "partitioned Delta export via SQL: PartitionFilters prune whole partitions in the FileIndex, the partition column materializes from partitionValues, corrupted non-probed partitions never open",
-    "q360_interop_group_counts" -> "GROUP BY partition value COUNT(*): both legs plan as LocalTableScan joined — every data file corrupted and none opened")
+    "q360_interop_group_counts" -> "GROUP BY partition value COUNT(*): both legs plan as LocalTableScan joined — every data file corrupted and none opened",
+    "q361_interop_sql_insert" -> "SQL INSERT through the interop routing rule: the final reads are ordinary pruned scans of the COMMITTED state — the raw write-past-the-log default never fires")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
