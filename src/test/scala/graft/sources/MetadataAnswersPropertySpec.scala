@@ -1,0 +1,160 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The metadata-answer contract, property-tested: on RANDOMIZED table
+  * histories (appends with nulls and duplicates, deletion-vector
+  * deletes with varying predicates), every metadata API either
+  * matches the scan exactly or refuses with None — `Some(wrong)` is
+  * the one outcome that must never occur, on either format. This is
+  * the generator-shaped sibling of the hand-picked refusal units:
+  * those pin the KNOWN edges, this hunts unknown ones. */
+class MetadataAnswersPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Op(lo: Long, n: Long, nullEvery: Int,
+                        delMod: Option[(Int, Int)])
+
+  private def applyOps(lake: String, ops: Seq[Op]): Unit =
+    ops.foreach { op =>
+      LakeTable.append(spark.range(op.lo, op.lo + op.n)
+        .select(col("id").as("k"),
+          when(col("id") % op.nullEvery === 0,
+            lit(null).cast("int"))
+            .otherwise((col("id") % 97).cast("int")).as("v")), lake)
+      op.delMod.foreach { case (m, r) =>
+        LakeTable.deleteWhereDV(spark, lake, s"k % $m = $r")
+      }
+    }
+
+  private def checkDelta(root: String): Unit = {
+    val scan = DeltaInterop.readDelta(spark, root)
+    val n = scan.count()
+    DeltaInterop.deltaRowCount(spark, root).foreach { m =>
+      assert(m == n, s"deltaRowCount said $m, scan says $n")
+    }
+    Seq("k", "v").foreach { c =>
+      DeltaInterop.deltaColumnBounds(spark, root, c).foreach {
+        case (lo, hi) =>
+          val r = scan.agg(min(col(c)), max(col(c))).collect()(0)
+          assert(r.get(0) == lo && r.get(1) == hi,
+            s"deltaColumnBounds($c) said ($lo,$hi), scan says " +
+              s"(${r.get(0)},${r.get(1)})")
+      }
+    }
+  }
+
+  private def checkIceberg(root: String): Unit = {
+    val scan = IcebergInterop.readIceberg(spark, root)
+    val n = scan.count()
+    IcebergInterop.icebergRowCount(spark, root).foreach { m =>
+      assert(m == n, s"icebergRowCount said $m, scan says $n")
+    }
+    Seq("k", "v").foreach { c =>
+      IcebergInterop.icebergColumnBounds(spark, root, c).foreach {
+        case (lo, hi) =>
+          val r = scan.agg(min(col(c)), max(col(c))).collect()(0)
+          assert(r.get(0) == lo && r.get(1) == hi,
+            s"icebergColumnBounds($c) said ($lo,$hi), scan says " +
+              s"(${r.get(0)},${r.get(1)})")
+      }
+    }
+  }
+
+  test("property: on randomized append/DV-delete histories, every "
+      + "metadata answer (row counts, column bounds, grouped counts) "
+      + "matches the scan or refuses — Some(wrong) never occurs, "
+      + "both formats") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val opGen = for {
+      lo <- Gen.chooseNum(-50L, 200L)
+      n <- Gen.chooseNum(1L, 120L)
+      nullEvery <- Gen.oneOf(2, 3, 7, 1000000)
+      del <- Gen.option(for {
+        m <- Gen.chooseNum(2, 9)
+        r <- Gen.chooseNum(0, 8)
+      } yield (m, r % m))
+    } yield Op(lo, n, nullEvery, del)
+    val histGen = Gen.chooseNum(1, 4).flatMap(k =>
+      Gen.listOfN(k, opGen))
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8),
+      Prop.forAll(histGen) { ops =>
+        val dir = Files.createTempDirectory("mdprop").toString
+        val lake = s"$dir/lake"
+        applyOps(lake, ops)
+        val delta = s"$dir/delta"
+        DeltaInterop.syncToDelta(spark, lake, delta)
+        checkDelta(delta)
+        val ice = s"$dir/ice"
+        IcebergInterop.syncToIceberg(spark, lake, ice)
+        checkIceberg(ice)
+        // v3 export variant answers identically
+        val ice3 = s"$dir/ice3"
+        IcebergInterop.syncToIceberg(spark, lake, ice3,
+          formatVersion = 3)
+        checkIceberg(ice3)
+        true
+      })
+    assert(res.passed, res.status)
+  }
+
+  test("property: grouped counts on randomized partitioned exports "
+      + "match the scan's GROUP BY exactly (null groups included), "
+      + "both formats") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.chooseNum(5L, 200L)
+      mod <- Gen.chooseNum(2, 5)
+      nullEvery <- Gen.oneOf(3, 7, 1000000)
+    } yield (n, mod, nullEvery)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6),
+      Prop.forAll(gen) { case (n, mod, nullEvery) =>
+        val dir = Files.createTempDirectory("gcprop").toString
+        val lake = s"$dir/lake"
+        LakeTable.append(spark.range(0, n)
+          .select(col("id").as("k"),
+            when(col("id") % nullEvery === 0,
+              lit(null).cast("string"))
+              .otherwise(concat(lit("g"), col("id") % mod))
+              .as("g")), lake)
+        val delta = s"$dir/delta"
+        val ice = s"$dir/ice"
+        DeltaInterop.exportToDeltaPartitioned(spark, lake, delta, "g")
+        IcebergInterop.exportToIcebergPartitioned(spark, lake, ice, "g")
+        val want = spark.range(0, n)
+          .select(when(col("id") % nullEvery === 0,
+            lit(null).cast("string"))
+            .otherwise(concat(lit("g"), col("id") % mod)).as("g"))
+          .groupBy("g").count().collect()
+          .map(r => (Option(r.get(0)), r.getLong(1))).toSet
+        val gotD = DeltaInterop.deltaGroupCounts(spark, delta, "g")
+          .getOrElse(fail("delta grouped counts refused on a clean " +
+            "partitioned export"))
+          .map { case (v, c) => (Option(v), c) }.toSet
+        val gotI = IcebergInterop.icebergGroupCounts(spark, ice, "g")
+          .getOrElse(fail("iceberg grouped counts refused on a clean " +
+            "partitioned export"))
+          .map { case (v, c) => (Option(v), c) }.toSet
+        assert(gotD == want, s"delta grouped counts $gotD != $want")
+        assert(gotI == want, s"iceberg grouped counts $gotI != $want")
+        // partition-column bounds match the scan's min/max too
+        val mm = spark.range(0, n)
+          .select(when(col("id") % nullEvery === 0,
+            lit(null).cast("string"))
+            .otherwise(concat(lit("g"), col("id") % mod)).as("g"))
+          .agg(min("g"), max("g")).collect()(0)
+        if (mm.get(0) != null) {
+          assert(DeltaInterop.deltaColumnBounds(spark, delta, "g")
+            .contains((mm.getString(0), mm.getString(1))))
+          assert(IcebergInterop.icebergColumnBounds(spark, ice, "g")
+            .contains((mm.getString(0), mm.getString(1))))
+        }
+        true
+      })
+    assert(res.passed, res.status)
+  }
+}
