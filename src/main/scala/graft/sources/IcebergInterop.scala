@@ -238,6 +238,9 @@ object IcebergInterop {
       case IntegerType => Some(le(4).putInt(s.toInt).rewind())
       case DoubleType => Some(le(8).putDouble(s.toDouble).rewind())
       case FloatType => Some(le(4).putFloat(s.toFloat).rewind())
+      // spec: date = int32 days from epoch, little-endian
+      case DateType => Some(le(4).putInt(
+        java.time.LocalDate.parse(s).toEpochDay.toInt).rewind())
       case StringType =>
         Some(ByteBuffer.wrap(s.getBytes("UTF-8")))
       case _ => None // other types: no bounds, readers admit
@@ -253,6 +256,7 @@ object IcebergInterop {
       case IntegerType => Some(BigDecimal(b.getInt))
       case DoubleType => Some(BigDecimal(b.getDouble))
       case FloatType => Some(BigDecimal(b.getFloat.toDouble))
+      case DateType => Some(BigDecimal(b.getInt)) // days from epoch
       case StringType =>
         val arr = new Array[Byte](b.remaining()); b.get(arr)
         Some(new String(arr, "UTF-8"))
@@ -927,7 +931,10 @@ object IcebergInterop {
           (vs.min.toString, vs.max.toString)
       }).toOption
     }
-    if (dt != IntegerType && dt != LongType) return None
+    // int/long/date only: all decode exactly from the spec's
+    // single-value binaries, none can hide NaN, none truncate
+    if (dt != IntegerType && dt != LongType && dt != DateType)
+      return None
     val perFile = dataFiles.map { f0 =>
       for {
         lo <- f0.lower.get(fid).flatMap(boundValue(dt, _))
@@ -937,8 +944,12 @@ object IcebergInterop {
     if (perFile.isEmpty || perFile.exists(_.isEmpty)) return None
     val bounds = perFile.flatten
     val (lo, hi) = (bounds.map(_._1).min, bounds.map(_._2).max)
-    def render(b: BigDecimal): Any =
-      if (dt == IntegerType) b.toIntExact else b.toLongExact
+    def render(b: BigDecimal): Any = dt match {
+      case IntegerType => b.toIntExact
+      case DateType =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(b.toLong))
+      case _ => b.toLongExact
+    }
     scala.util.Try((render(lo), render(hi))).toOption
   }
 
@@ -1030,10 +1041,19 @@ object IcebergInterop {
     else (schema.spark, Some(dataFiles.map { f =>
       val zones = schema.spark.fields.toSeq.flatMap { sf =>
         val id = schema.fieldIds.getOrElse(sf.name, -1)
+        // zones render in the CASTABLE spelling the zone machinery
+        // compares with (dates: ISO, not the spec's epoch-days int —
+        // a days-number string casts to null date, which only admits,
+        // so this is a pruning win, never a correctness risk)
+        def render(v: Any): String = sf.dataType match {
+          case DateType => java.time.LocalDate
+            .ofEpochDay(v.asInstanceOf[BigDecimal].toLong).toString
+          case _ => v.toString
+        }
         val bound = for {
           lo <- f.lower.get(id).flatMap(boundValue(sf.dataType, _))
           hi <- f.upper.get(id).flatMap(boundValue(sf.dataType, _))
-        } yield LakeTable.Zone(sf.name, lo.toString, hi.toString)
+        } yield LakeTable.Zone(sf.name, render(lo), render(hi))
         // identity partition value = a degenerate [v, v] zone, so SQL
         // `USING grafticeberg` prunes partitioned tables through the
         // same zone machinery even when the writer recorded no bounds

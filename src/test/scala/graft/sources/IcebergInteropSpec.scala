@@ -1092,6 +1092,52 @@ class IcebergInteropSpec extends SparkSpec {
     assert(e2.getMessage.contains("int/long/string"), e2.getMessage)
   }
 
+  test("DATE columns serve metadata MIN/MAX: the export writes int32-"
+      + "days bounds, the reader folds them exactly (dates cannot "
+      + "hide NaN or truncate), and the SQL rule plans one "
+      + "LocalTableScan") {
+    val lake = freshRoot()
+    val ice = freshRoot() + "_d"
+    LakeTable.append(spark.range(0, 200)
+      .select(col("id").as("k"),
+        date_add(lit("2020-01-01").cast("date"),
+          (col("id") % 400).cast("int")).as("d")), lake,
+      zoneKey = Some("d"))
+    IcebergInterop.exportToIceberg(spark, lake, ice)
+    val want = (java.sql.Date.valueOf("2020-01-01"),
+      java.sql.Date.valueOf(java.time.LocalDate.parse("2020-01-01")
+        .plusDays(199)))
+    assert(IcebergInterop.icebergColumnBounds(spark, ice, "d")
+      .contains(want))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW dmm USING " +
+      s"grafticeberg OPTIONS (path '$ice')")
+    val q = spark.sql("SELECT min(d) AS lo, max(d) AS hi FROM dmm")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      q.queryExecution.executedPlan.toString)
+    assert(q.collect().head.toSeq == Seq(want._1, want._2))
+    // ...and date RANGES prune through the SQL path: the zones render
+    // ISO (castable), so files outside the probed window never open
+    val pruned = IcebergInterop.readIcebergRange(spark, ice, "k",
+      0L, 49L) // establish which files hold the first window
+    assert(pruned.count() == 50L)
+    val fsys = new org.apache.hadoop.fs.Path(ice)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // corrupt every data file NOT overlapping d < 2020-02-20 (k < 50)
+    val keep = pruned.inputFiles.map(f =>
+      new org.apache.hadoop.fs.Path(f).getName).toSet
+    fsys.globStatus(new org.apache.hadoop.fs.Path(s"$ice/data/*.parquet"))
+      .foreach { st =>
+        if (!keep.contains(st.getPath.getName)) {
+          val p = java.nio.file.Paths.get(st.getPath.toUri.getPath)
+          Files.delete(p)
+          Files.write(p, Array.fill[Byte](16)(1)): Unit
+        }
+      }
+    assert(spark.sql("SELECT count(*) FROM dmm " +
+      "WHERE d < DATE'2020-02-20'").as[Long].head() == 50L)
+  }
+
   test("format-version 4 still refuses") {
     val root = freshRoot()
     val fsys = new org.apache.hadoop.fs.Path(root)
