@@ -30,7 +30,14 @@ import org.apache.spark.sql.types.DataType
   * fall through to the corrupting default: time-travel views,
   * PARTITION specs, and explicit column lists all throw with the
   * reason. Rows are aligned positionally and cast to the table's
-  * column types (ANSI cast semantics — overflow throws). */
+  * column types (ANSI cast semantics — overflow throws).
+  *
+  * `INSERT INTO ... BY NAME` (Spark 4.x) is honored: the rule fires at
+  * resolution time, BEFORE Spark's own by-name rewrite, so it must do
+  * the name alignment itself — the query's output columns are matched
+  * to the table's columns case-insensitively and reordered; a missing
+  * or duplicate name refuses loudly. Ignoring the flag here would
+  * silently swap columns whenever the types happen to cast. */
 case class InteropInsertRule(spark: SparkSession)
     extends Rule[LogicalPlan] {
 
@@ -73,23 +80,38 @@ case class InteropInsertRule(spark: SparkSession)
         s"graft$fmt: INSERT provides ${i.query.output.size} columns, " +
           s"$root has ${out.size}")
       InteropAppendCommand(fmt, root,
-        out.map(a => (a.name, a.dataType)), i.query, i.overwrite)
+        out.map(a => (a.name, a.dataType)), i.query, i.overwrite,
+        byName = i.byName)
   }
 }
 
 /** The command [[InteropInsertRule]] plans: align the query's rows to
-  * the table's columns (positional, ANSI casts) and commit them
-  * through the format's batch writer. */
+  * the table's columns (positional by default, by matching column name
+  * when the statement carried `BY NAME`; ANSI casts either way) and
+  * commit them through the format's batch writer. */
 case class InteropAppendCommand(fmt: String, root: String,
                                 cols: Seq[(String, DataType)],
                                 query: LogicalPlan,
-                                overwrite: Boolean)
+                                overwrite: Boolean,
+                                byName: Boolean = false)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[QueryPlan[_]] = Seq(query)
   override def run(session: SparkSession): Seq[Row] = {
     val df0 = org.apache.spark.sql.graftbridge.ColumnBridge
       .ofRows(session, query)
-    val aligned = df0.select(df0.queryExecution.analyzed.output
+    val qOut = df0.queryExecution.analyzed.output
+    val ordered =
+      if (!byName) qOut
+      else cols.map { case (n, _) =>
+        val hits = qOut.filter(_.name.equalsIgnoreCase(n))
+        require(hits.size == 1,
+          s"graft$fmt: INSERT BY NAME into $root — query " +
+            (if (hits.isEmpty) s"provides no column named '$n'"
+             else s"provides ${hits.size} columns named '$n'") +
+            s" (query columns: ${qOut.map(_.name).mkString(", ")})")
+        hits.head
+      }
+    val aligned = df0.select(ordered
       .zip(cols).map { case (attr, (n, dt)) =>
         org.apache.spark.sql.graftbridge.ColumnBridge
           .column(attr).cast(dt).as(n)

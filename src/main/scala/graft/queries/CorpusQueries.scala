@@ -2101,8 +2101,9 @@ object CorpusQueries {
     // (AKIA/ASIA + 16), GitHub tokens (gh?_ + 36), JWTs (eyJ…·…·…) and
     // E.164 international phones — all fixed-prefix RE2-portable
     // shapes riding the SAME single codegen Project as q342's chain
-    // (credentials apply first: no other category's shape can contain
-    // their prefixes, so no span is ever lost to ordering). All nine
+    // (email applies first: a credential-shaped run inside an email's
+    // local part must redact as the EMAIL, or the replacement token
+    // would break the address match and leak the domain). All nine
     // count columns project so the oracle replays the whole chain.
     "q356_pii_credentials" -> Q(
       (s, d) => {

@@ -1,0 +1,83 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardOpenOption,
+  FileAlreadyExistsException => NioExistsException}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Create-no-overwrite publication of a small commit file — the one
+  * primitive every log-structured commit protocol (Delta's
+  * `NNNN.json`, Iceberg's `vN.metadata.json`) rests on: whoever
+  * creates the next version file wins; a loser must observe
+  * already-exists, never interleave bytes.
+  *
+  * `FileSystem.create(dst, overwrite = false)` is atomic on HDFS
+  * (namenode create is exclusive) but NOT on `ChecksumFileSystem`
+  * (local `file:`): there the no-overwrite check is exists-then-create
+  * — two racing writers can both pass the check and interleave one
+  * writer's bytes with the other's CRC sidecar, leaving a version file
+  * that fails checksum on every later read. On `file:` schemes this
+  * helper instead writes the full content to a temp file (java.nio,
+  * below the checksum layer) and publishes it with
+  * [[java.nio.file.Files.createLink]] — `link(2)` fails with EEXIST
+  * atomically, so exactly one writer's COMPLETE file ever appears at
+  * the destination and no CRC sidecar exists to corrupt. Filesystems
+  * without hard links fall back to the stream path.
+  *
+  * Failure policy (both paths): ONLY already-exists is a lost race
+  * (returns false). Any other I/O failure is the caller's — the
+  * partial destination is deleted (a truncated version file would
+  * poison every later log replay) and the error rethrown. */
+object AtomicPublish {
+
+  /** Publish `bytes` at `dst` iff `dst` does not exist. True on
+    * success; false when another writer already holds the version. */
+  def createExclusive(f: FileSystem, dst: Path,
+                      bytes: Array[Byte]): Boolean =
+    if (f.getUri.getScheme == "file") createExclusiveLocal(f, dst, bytes)
+    else createExclusiveStream(f, dst, bytes)
+
+  private def createExclusiveLocal(f: FileSystem, dst: Path,
+                                   bytes: Array[Byte]): Boolean = {
+    val dstNio = Paths.get(dst.toUri.getPath)
+    if (dstNio.getParent != null) Files.createDirectories(dstNio.getParent)
+    val tmp = dstNio.resolveSibling(
+      s".${dstNio.getFileName}.tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+    try {
+      Files.write(tmp, bytes,
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      try { Files.createLink(dstNio, tmp); true }
+      catch {
+        case _: NioExistsException => false
+        case _: UnsupportedOperationException =>
+          createExclusiveStream(f, dst, bytes)
+      }
+    } finally {
+      try Files.deleteIfExists(tmp): Unit catch { case _: Throwable => () }
+    }
+  }
+
+  private def createExclusiveStream(f: FileSystem, dst: Path,
+                                    bytes: Array[Byte]): Boolean = {
+    val created: Option[org.apache.hadoop.fs.FSDataOutputStream] =
+      try Some(f.create(dst, /* overwrite = */ false))
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
+        case _: java.nio.file.FileAlreadyExistsException => None
+        // filesystems that signal exists-at-create with a plain
+        // IOException: the destination holding a commit IS the race
+        case _: java.io.IOException if f.exists(dst) => None
+      }
+    created match {
+      case Some(out) =>
+        try { out.write(bytes); out.close(); true }
+        catch {
+          case e: Throwable =>
+            try out.close() catch { case _: Throwable => () }
+            try f.delete(dst, false): Unit catch { case _: Throwable => () }
+            throw e
+        }
+      case None => false
+    }
+  }
+}

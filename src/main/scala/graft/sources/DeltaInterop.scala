@@ -1290,45 +1290,24 @@ object DeltaInterop {
       val actions = head ++ removeActions ++ addActions ++ txnJson.toSeq
       f.mkdirs(new Path(s"$deltaRoot/_delta_log"))
       val dst = new Path(f"$deltaRoot/_delta_log/$nextV%020d.json")
-      // ONLY a create-time already-exists is a lost commit race. Any
-      // other I/O failure (create succeeded, write/close failed: disk
-      // full, stream error) is OURS — the version file must not stay
-      // behind truncated, or every future state() replay of the log
-      // fails at it. Delete the partial file, then rethrow: the error
-      // is real, not a race to absorb.
-      val created: Option[org.apache.hadoop.fs.FSDataOutputStream] =
-        try Some(f.create(dst, /* overwrite = */ false))
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
-          case _: java.nio.file.FileAlreadyExistsException => None
-          // filesystems that signal exists-at-create with a plain
-          // IOException: the destination holding a commit IS the race
-          case e: java.io.IOException if f.exists(dst) => None
+      // Atomic create-no-overwrite (hard-link publish on local fs —
+      // see [[AtomicPublish]]): exactly one writer's COMPLETE file
+      // appears at the version; a loser observes already-exists. Any
+      // non-race I/O failure deletes the partial and rethrows there.
+      if (AtomicPublish.createExclusive(f, dst,
+          actions.mkString("\n").getBytes("UTF-8"))) {
+        return true
+      } else {
+        // lost the race — refresh: a concurrent replica may have
+        // landed THIS batch (cursor satisfied → drop our files)
+        val (v2, s2, c2) = state()
+        if (txn.exists { case (_, b) => c2.exists(_ >= b) }) {
+          rels.foreach(r => f.delete(new Path(s"$deltaRoot/$r"), false))
+          return false
         }
-      created match {
-        case Some(out) =>
-          try {
-            out.write(actions.mkString("\n").getBytes("UTF-8"))
-            out.close()
-            return true
-          } catch {
-            case e: Throwable =>
-              try out.close() catch { case _: Throwable => () }
-              try f.delete(dst, false): Unit
-              catch { case _: Throwable => () }
-              throw e
-          }
-        case None =>
-          // lost the race — refresh: a concurrent replica may have
-          // landed THIS batch (cursor satisfied → drop our files)
-          val (v2, s2, c2) = state()
-          if (txn.exists { case (_, b) => c2.exists(_ >= b) }) {
-            rels.foreach(r => f.delete(new Path(s"$deltaRoot/$r"), false))
-            return false
-          }
-          s2.foreach(gate)
-          nextV = v2
-          snapExisting = s2
+        s2.foreach(gate)
+        nextV = v2
+        snapExisting = s2
       }
     }
     false // unreachable
@@ -1536,8 +1515,14 @@ object DeltaInterop {
         }
       }
     if (perFile.exists(_.isEmpty)) return None
+    // a group whose live count sums to ZERO (a file's DV deletes every
+    // row, or a spec-legal zero-row add) must be DROPPED: the real
+    // scan emits no such group, so returning (v, 0) would be a wrong
+    // SQL answer, not a refusal — "Some is exact" includes group
+    // membership, not just the counts.
     val grouped = perFile.flatten.toSeq.groupBy(_._1)
-      .map { case (k, xs) => (k, xs.map(_._2).sum) }.toSeq
+      .map { case (k, xs) => (k, xs.map(_._2).sum) }
+      .filter(_._2 > 0L).toSeq
     scala.util.Try(grouped.map { case (k, n) =>
       val v: Any =
         if (k == null) null
@@ -1592,7 +1577,21 @@ object DeltaInterop {
         case _ => false
       }
       if (!okType) return None
-      val perFile = snap.live.values.map(_.partitionValues.get(column))
+      // a ZERO-ROW add (spec-legal) still carries a partition value
+      // the scan never emits — its value must not widen the bound.
+      // Skip zero-row files; a file whose row count is unknowable
+      // (no stats/numRecords) refuses: it COULD be zero.
+      val om0 = new com.fasterxml.jackson.databind.ObjectMapper()
+      val counted: Iterable[Option[(LiveFile, Long)]] =
+        snap.live.values.map { lf =>
+          lf.stats.flatMap { s =>
+            scala.util.Try(om0.readTree(s).get("numRecords")).toOption
+              .flatMap(Option(_)).map(_.asLong(-1L)).filter(_ >= 0)
+          }.map(r => (lf, r))
+        }
+      if (counted.exists(_.isEmpty)) return None
+      val perFile = counted.flatten.filter(_._2 > 0L)
+        .map(_._1.partitionValues.get(column))
       if (perFile.exists(_.isEmpty)) return None
       val raw = perFile.flatten.filter(_ != null).toSeq
       if (raw.isEmpty) return None // empty/all-null: let the scan answer
@@ -1631,8 +1630,16 @@ object DeltaInterop {
                 case _ => BigDecimal(n.decimalValue())
               }).toOption
             }
+            val zeroRows = {
+              val rows = node.path("numRecords")
+              rows.isNumber && rows.asLong(-1L) == 0L
+            }
             (side("minValues"), side("maxValues")) match {
-              case (Some(lo), Some(hi)) => Some(Some((lo, hi)))
+              // a zero-row file's bounds (if a writer emitted any)
+              // describe no live row — contribute nothing
+              case (Some(lo), Some(hi)) if !zeroRows =>
+                Some(Some((lo, hi)))
+              case _ if zeroRows => Some(None)
               case _ =>
                 val nulls = node.path("nullCount").path(statsKey)
                 val rows = node.path("numRecords")

@@ -98,8 +98,11 @@ class GraftDeltaSource
     // relation's file list is fixed at creation, so metadata answers
     // (COUNT/MIN/MAX via InteropCountRule) must describe THIS
     // snapshot, not whatever a writer advances the table to later
-    val v = Some(v0.getOrElse(
-      DeltaInterop.deltaVersions(spark, root).max))
+    val v = Some(v0.getOrElse {
+      val vs = DeltaInterop.deltaVersions(spark, root)
+      require(vs.nonEmpty, s"graftdelta: no Delta log under $root")
+      vs.max
+    })
     val marked = parameters ++
       Map("graft.interop.format" -> "delta") ++
       // user time travel (vs the automatic snapshot pin): write paths

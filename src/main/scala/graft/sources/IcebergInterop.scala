@@ -862,9 +862,13 @@ object IcebergInterop {
     if (dataFiles.isEmpty ||
         dataFiles.exists(f => !f.partitionIdVals.contains(fid) ||
           f.records < 0)) return None
+    // a group whose record_count sums to ZERO (spec-legal empty data
+    // files) must be DROPPED: the real scan emits no such group, so
+    // returning (v, 0) would be a wrong SQL answer, not a refusal.
     val grouped = dataFiles
       .groupBy(_.partitionIdVals(fid))
-      .map { case (k, xs) => (k, xs.map(_.records).sum) }.toSeq
+      .map { case (k, xs) => (k, xs.map(_.records).sum) }
+      .filter(_._2 > 0L).toSeq
     scala.util.Try(grouped.map { case (k, n) =>
       val v: Any = k match {
         case None => null
@@ -908,15 +912,21 @@ object IcebergInterop {
     // data file must carry the value (explicit null = all-null file,
     // contributes nothing). String order is Spark's binary UTF-8
     // order (UTF8String), not String.compareTo.
+    // a ZERO-record data file (spec-legal) still carries a partition
+    // value the scan never emits — skip it so it cannot widen the
+    // bound; an unknown record_count refuses (it could be zero).
     if (dataFiles.nonEmpty &&
-        dataFiles.forall(_.partitionIdVals.contains(fid))) {
+        dataFiles.forall(f => f.records == 0L ||
+          f.partitionIdVals.contains(fid))) {
       val okType = dt match {
         case IntegerType | LongType | StringType => true
         case _ => false
       }
       if (!okType) return None
-      val raw = dataFiles.flatMap(_.partitionIdVals(fid))
-      if (raw.isEmpty) return None // all-null: let the scan answer
+      if (dataFiles.exists(_.records < 0L)) return None
+      val raw = dataFiles.filter(_.records > 0L)
+        .flatMap(_.partitionIdVals(fid))
+      if (raw.isEmpty) return None // all-null/empty: let the scan answer
       return scala.util.Try(dt match {
         case IntegerType =>
           val vs = raw.map(x => x.asInstanceOf[Number].intValue)
@@ -935,7 +945,9 @@ object IcebergInterop {
     // single-value binaries, none can hide NaN, none truncate
     if (dt != IntegerType && dt != LongType && dt != DateType)
       return None
-    val perFile = dataFiles.map { f0 =>
+    // zero-record files contribute nothing (phantom bounds describe
+    // no live row); files with rows must carry both bounds
+    val perFile = dataFiles.filter(_.records != 0L).map { f0 =>
       for {
         lo <- f0.lower.get(fid).flatMap(boundValue(dt, _))
         hi <- f0.upper.get(fid).flatMap(boundValue(dt, _))
@@ -2120,45 +2132,29 @@ object IcebergInterop {
           s""""snapshots":${snaps.mkString("[", ",", "]")},""" +
           s""""snapshot-log":[],"metadata-log":[]}"""
       val dst = new Path(s"$iceRoot/metadata/v$newVer.metadata.json")
-      // ONLY a create-time already-exists is a lost commit race; any
-      // other I/O failure is OURS — delete the partial metadata file
-      // (a truncated one would poison every later read) and rethrow
-      val created: Option[org.apache.hadoop.fs.FSDataOutputStream] =
-        try Some(f.create(dst, /* overwrite = */ false))
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
-          case _: java.nio.file.FileAlreadyExistsException => None
-          case _: java.io.IOException if f.exists(dst) => None
+      // Atomic create-no-overwrite (hard-link publish on local fs —
+      // see [[AtomicPublish]]): exactly one writer's COMPLETE metadata
+      // file appears at the version; a loser observes already-exists.
+      // Non-race I/O failures delete the partial and rethrow there.
+      if (AtomicPublish.createExclusive(f, dst,
+          metaJson.getBytes("UTF-8"))) {
+        // hint is best-effort (readers fall back to max version on
+        // a missing hint; a crash here heals at the next commit)
+        val hintOut = f.create(
+          new Path(s"$iceRoot/metadata/version-hint.text"),
+          /* overwrite = */ true)
+        try hintOut.write(newVer.toString.getBytes("UTF-8"))
+        finally hintOut.close()
+        return true
+      } else {
+        // lost the race — refresh: a concurrent replica may have
+        // landed THIS batch (cursor satisfied → drop our files)
+        meta = state()
+        if (meta.exists(cursorHit)) {
+          dropStaged()
+          return false
         }
-      created match {
-        case Some(out) =>
-          try {
-            out.write(metaJson.getBytes("UTF-8"))
-            out.close()
-          } catch {
-            case e: Throwable =>
-              try out.close() catch { case _: Throwable => () }
-              try f.delete(dst, false): Unit
-              catch { case _: Throwable => () }
-              throw e
-          }
-          // hint is best-effort (readers fall back to max version on
-          // a missing hint; a crash here heals at the next commit)
-          val hintOut = f.create(
-            new Path(s"$iceRoot/metadata/version-hint.text"),
-            /* overwrite = */ true)
-          try hintOut.write(newVer.toString.getBytes("UTF-8"))
-          finally hintOut.close()
-          return true
-        case None =>
-          // lost the race — refresh: a concurrent replica may have
-          // landed THIS batch (cursor satisfied → drop our files)
-          meta = state()
-          if (meta.exists(cursorHit)) {
-            dropStaged()
-            return false
-          }
-          meta.foreach(gate)
+        meta.foreach(gate)
       }
     }
     false // unreachable

@@ -1,0 +1,78 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The create-no-overwrite primitive under REAL contention — the
+  * failure this kills was caught live: two writers both passed
+  * ChecksumFileSystem's non-atomic exists-then-create and interleaved
+  * one writer's bytes with the other's CRC, leaving a version file
+  * that fails checksum forever. No Spark session needed: the
+  * primitive is pure filesystem. */
+class AtomicPublishSpec extends AnyFunSuite {
+
+  private def localFs() = {
+    val f = org.apache.hadoop.fs.FileSystem
+      .get(new java.net.URI("file:///"), new Configuration())
+    f
+  }
+
+  test("N threads racing the SAME destination: exactly one wins, the "
+      + "winner's bytes are complete, losers all observe the race") {
+    val f = localFs()
+    val dir = Files.createTempDirectory("apub").toString
+    val threads = 16
+    val versions = 50
+    val pool = Executors.newFixedThreadPool(threads)
+    try {
+      (0 until versions).foreach { v =>
+        val dst = new Path(f"$dir/$v%020d.json")
+        val latch = new CountDownLatch(1)
+        val results = (0 until threads).map { t =>
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean = {
+              latch.await()
+              AtomicPublish.createExclusive(f, dst,
+                s"writer-$t content for v$v padded ${"x" * 256}"
+                  .getBytes("UTF-8"))
+            }
+          })
+        }
+        latch.countDown()
+        val wins = results.map(_.get())
+        assert(wins.count(identity) == 1,
+          s"v$v: ${wins.count(identity)} winners")
+        // the surviving file is one writer's COMPLETE content — no
+        // interleaving, no truncation, and it reads back through the
+        // same (checksummed) filesystem without a ChecksumException
+        val in = f.open(dst)
+        val bytes = new Array[Byte](f.getFileStatus(dst).getLen.toInt)
+        in.readFully(bytes); in.close()
+        val s = new String(bytes, "UTF-8")
+        assert(s.matches(s"writer-\\d+ content for v$v padded x{256}"), s)
+      }
+      // no temp droppings survive
+      val leftovers = f.listStatus(new Path(dir))
+        .map(_.getPath.getName).filter(_.contains(".tmp-"))
+      assert(leftovers.isEmpty, leftovers.mkString(","))
+    } finally pool.shutdown()
+  }
+
+  test("already-exists is a lost race (false), not an error; the "
+      + "existing content is untouched") {
+    val f = localFs()
+    val dir = Files.createTempDirectory("apub2").toString
+    val dst = new Path(s"$dir/00000000000000000000.json")
+    assert(AtomicPublish.createExclusive(f, dst, "first".getBytes))
+    assert(!AtomicPublish.createExclusive(f, dst, "second".getBytes))
+    val in = f.open(dst)
+    val bytes = new Array[Byte](5)
+    in.readFully(bytes); in.close()
+    assert(new String(bytes, "UTF-8") == "first")
+  }
+}

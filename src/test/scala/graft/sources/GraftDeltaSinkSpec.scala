@@ -141,6 +141,37 @@ class GraftDeltaSinkSpec extends SparkSpec {
     }
   }
 
+  test("FOUR concurrent writers under induced contention: the "
+      + "hard-link publish never interleaves bytes with a CRC sidecar "
+      + "(the ChecksumException TOCTOU is dead) and the log replays "
+      + "clean") {
+    val root = fresh() + "/t"
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val n = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutor(pool)
+    val futures = (0 until n).map { w =>
+      Future {
+        (0 until 6).foreach { b =>
+          val base = w * 1000L + b * 10L
+          val df = spark.range(base, base + 10)
+            .select(col("id").as("k"), lit(s"w$w").as("v"))
+          assert(DeltaInterop.appendOnce(df, root, s"w$w", b.toLong))
+        }
+      }
+    }
+    futures.foreach(Await.result(_, 180.seconds))
+    pool.shutdown()
+    // 24 commits, contiguous, every byte readable through the
+    // checksummed local fs — a single interleaved write would fail
+    // the replay with a ChecksumException
+    assert(DeltaInterop.deltaVersions(spark, root) == (0L until 24L))
+    assert(DeltaInterop.readDelta(spark, root).count() == 240L)
+    assert(DeltaInterop.validateDelta(spark, root).count() == 0L)
+  }
+
   test("the sunk table round-trips through the WHOLE interop surface: "
       + "graftdelta batch SQL reads it and sync-style consumers tail it") {
     val dir = fresh()

@@ -169,4 +169,45 @@ class InteropWriteSpec extends SparkSpec {
     assert(DeltaInterop.readDelta(spark, delta).count() == 10L)
     assert(DeltaInterop.validateDelta(spark, delta).count() == 0L)
   }
+
+  test("INSERT INTO ... BY NAME aligns by COLUMN NAME, not position — " +
+      "the silent column swap is dead; a missing name refuses") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    val delta = s"$dir/delta"
+    LakeTable.append(spark.range(0, 3)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake)
+    DeltaInterop.syncToDelta(spark, lake, delta)
+    def view(): Unit = spark.sql(
+      "CREATE OR REPLACE TEMPORARY VIEW iw_bn USING graftdelta " +
+        s"OPTIONS (path '$delta')")
+    view()
+    // the query's columns arrive REVERSED vs the table (v, k): BY
+    // NAME must land v=777 into column v and k=100 into column k —
+    // positional alignment would silently swap them (and the ANSI
+    // casts would launder it, both columns being long)
+    spark.sql("INSERT INTO iw_bn BY NAME SELECT 777L AS v, 100L AS k")
+    view()
+    assert(spark.sql("SELECT k, v FROM iw_bn WHERE k >= 100")
+      .as[(Long, Long)].collect().toSeq == Seq((100L, 777L)))
+    // case-insensitive match, same semantics
+    spark.sql("INSERT INTO iw_bn BY NAME SELECT 888L AS V, 101L AS K")
+    view()
+    assert(spark.sql("SELECT k, v FROM iw_bn WHERE k = 101")
+      .as[(Long, Long)].collect().toSeq == Seq((101L, 888L)))
+    // a query column that matches NO table column refuses loudly
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e = intercept[Throwable] {
+      spark.sql("INSERT INTO iw_bn BY NAME SELECT 1L AS v, 2L AS wrong")
+    }
+    assert(msgs(e).exists(_.contains("BY NAME")), msgs(e).mkString(" | "))
+    // non-BY-NAME inserts still align positionally
+    spark.sql("INSERT INTO iw_bn VALUES (200, 999)")
+    view()
+    assert(spark.sql("SELECT k, v FROM iw_bn WHERE k = 200")
+      .as[(Long, Long)].collect().toSeq == Seq((200L, 999L)))
+    assert(DeltaInterop.validateDelta(spark, delta).count() == 0L)
+  }
 }
