@@ -217,7 +217,9 @@ object DeltaInterop {
       nullable = true),
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("readerFeatures", ArrayType(StringType)))),
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType)))),
       nullable = true),
     // SetTransaction actions (the protocol's idempotent-writer cursor):
     // [[syncToDelta]] records the last mirrored lake version here, and
@@ -347,7 +349,9 @@ object DeltaInterop {
                               conf: Map[String, String] = Map.empty,
                               txns: Map[String, Long] = Map.empty,
                               metaId: Option[String] = None,
-                              protoFeatures: Set[String] = Set.empty) {
+                              protoFeatures: Set[String] = Set.empty,
+                              minWriterVersion: Int = 2,
+                              writerFeatures: Set[String] = Set.empty) {
     def physNameOf(logical: String): String =
       schema.fields.zip(physSchema.fields)
         .collectFirst { case (lf, pf) if lf.name == logical => pf.name }
@@ -417,6 +421,8 @@ object DeltaInterop {
     var txns = Map.empty[String, Long]
     var metaId: Option[String] = None
     var protoFeatures = Set.empty[String]
+    var minWriterVersion = 1
+    var writerFeatures = Set.empty[String]
     // base: with a complete JSON history replay JSON from 0 (keeps time
     // travel to every version); otherwise load the newest checkpoint
     // (any replayable shape) at or below `upTo` — its rows are the
@@ -466,6 +472,15 @@ object DeltaInterop {
                 s"${unsupported.mkString(", ")}; this interop reader " +
                 s"implements only ${implemented.mkString(", ")}")
           protoFeatures ++= feats
+          // WRITER protocol is retained (not gated here — reading a
+          // table whose writer features we lack is legal; WRITING one
+          // is not, and [[appendCommit]]'s gate refuses there)
+          if (!p.isNullAt(p.fieldIndex("minWriterVersion")))
+            minWriterVersion = math.max(minWriterVersion,
+              p.getInt(p.fieldIndex("minWriterVersion")))
+          writerFeatures ++= Option(
+            p.getAs[scala.collection.Seq[String]]("writerFeatures"))
+            .map(_.toSeq).getOrElse(Seq.empty)
           val mrv = if (p.isNullAt(p.fieldIndex("minReaderVersion"))) 1
             else p.getInt(p.fieldIndex("minReaderVersion"))
           if (mrv != 1 && mrv != 2 && mrv != 3)
@@ -539,7 +554,7 @@ object DeltaInterop {
           s"$root declares unknown columnMapping mode '$other'")
       }
     Snapshot(live, schema, physSchema, partCols, tableConf, txns,
-      metaId, protoFeatures)
+      metaId, protoFeatures, minWriterVersion, writerFeatures)
   }
 
   /** Manifest zone stats rendered as Delta per-file `stats` JSON
@@ -1172,6 +1187,119 @@ object DeltaInterop {
                   overwrite: Boolean = false): Unit =
     appendCommit(df, deltaRoot, None, overwrite): Unit
 
+  /** Writer features this append path actually honors. The Delta spec
+    * requires a writer to enforce-or-refuse every writer feature the
+    * table declares; an ALLOWLIST (like the reader gate) is the only
+    * shape that stays correct as the spec grows:
+    *  - appendOnly / invariants / checkConstraints / generatedColumns:
+    *    ENFORCED — see [[writerProtocolGate]] and
+    *    [[enforceWriterInvariants]];
+    *  - changeDataFeed: appends and overwrites are legal without cdc
+    *    files — the spec mandates CDF readers reconstruct from
+    *    add/remove actions with `dataChange=true` when cdc actions are
+    *    absent, which is exactly what this writer emits;
+    *  - deletionVectors / v2Checkpoint / domainMetadata / timestampNtz
+    *    / columnMapping: appends neither produce nor disturb these
+    *    (an actually column-mapped table is refused by the physSchema
+    *    gate; DV'd files are never rewritten by an append).
+    * Everything else (identityColumns, rowTracking, icebergCompat*,
+    * clustering, defaultColumns, …) requires per-commit maintenance
+    * this writer does not perform — refuse, never corrupt. */
+  private val ImplementedWriterFeatures = Set(
+    "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+    "generatedColumns", "deletionVectors", "v2Checkpoint",
+    "domainMetadata", "timestampNtz", "columnMapping")
+
+  /** Refuse writes the table's WRITER protocol or configuration
+    * forbids: unknown writerFeatures / minWriterVersion, identity
+    * columns (their high watermark needs maintenance), and OVERWRITE
+    * into `delta.appendOnly=true` (remove actions are a protocol
+    * violation there). */
+  private def writerProtocolGate(snap: Snapshot, root: String,
+                                 overwrite: Boolean): Unit = {
+    val unknown = snap.writerFeatures.filterNot(ImplementedWriterFeatures)
+    require(unknown.isEmpty,
+      s"graftdelta write: $root requires Delta writer features " +
+        s"${unknown.toSeq.sorted.mkString(", ")}; this writer " +
+        s"implements only ${ImplementedWriterFeatures.toSeq.sorted
+          .mkString(", ")} — refusing rather than violate the " +
+        "table's protocol")
+    require(snap.minWriterVersion <= 7,
+      s"graftdelta write: $root declares minWriterVersion " +
+        s"${snap.minWriterVersion}; this writer supports versions " +
+        "1-7 (feature-listed)")
+    // legacy v6 (and the identityColumns feature, already refused
+    // above) only bites when the schema actually declares an identity
+    // column — its high watermark lives in metaData and must advance
+    // with every insert, which this writer does not do
+    val identity = snap.schema.fields.filter(f =>
+      f.metadata.contains("delta.identity.start") ||
+        f.metadata.contains("delta.identity.step"))
+    require(identity.isEmpty,
+      s"graftdelta write: $root has identity column(s) " +
+        s"${identity.map(_.name).mkString(", ")}; inserts must " +
+        "maintain the identity high watermark — refusing")
+    require(!(overwrite &&
+        snap.conf.get("delta.appendOnly").exists(_.toBoolean)),
+      s"graftdelta write: $root declares delta.appendOnly=true; " +
+        "INSERT OVERWRITE would commit remove actions into an " +
+        "append-only table — a protocol violation, refusing")
+  }
+
+  /** Enforce the table's declared row invariants on the batch BEFORE
+    * anything lands — CHECK constraints (`delta.constraints.<name>` in
+    * the table configuration), column invariants (`delta.invariants`
+    * field metadata), NOT NULL (non-nullable schema fields), and
+    * generated columns (`delta.generationExpression` field metadata:
+    * provided values must equal the expression). The spec requires
+    * writers to enforce-or-refuse; committing a violating row makes
+    * every compliant engine serve a table that lies about its own
+    * invariant. One aggregate pass over the batch (counts per rule,
+    * null-safe); matches delta-spark semantics where a NULL check
+    * result is a violation. */
+  private def enforceWriterInvariants(df: DataFrame, snap: Snapshot,
+                                      root: String): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def violatesSql(sql: String): org.apache.spark.sql.Column =
+      not(coalesce(expr(sql), lit(false)))
+    val checks: Seq[(String, org.apache.spark.sql.Column)] =
+      snap.conf.toSeq.sorted.collect {
+        case (k, sql) if k.startsWith("delta.constraints.") =>
+          (s"CHECK constraint ${k.stripPrefix("delta.constraints.")} " +
+            s"($sql)", violatesSql(sql))
+      } ++
+      snap.schema.fields.toSeq.flatMap { fd =>
+        val inv = if (!fd.metadata.contains("delta.invariants")) None
+          else scala.util.Try(om.readTree(
+              fd.metadata.getString("delta.invariants"))
+            .path("expression").path("expression").asText())
+            .toOption.filter(_.nonEmpty)
+        inv.map(sql => (s"column invariant on ${fd.name} ($sql)",
+          violatesSql(sql))).toSeq ++
+        (if (fd.nullable) Seq.empty
+         else Seq((s"NOT NULL on ${fd.name}", col(fd.name).isNull))) ++
+        (if (!fd.metadata.contains("delta.generationExpression"))
+           Seq.empty
+         else {
+           val gen = fd.metadata.getString("delta.generationExpression")
+           Seq((s"generated column ${fd.name} AS ($gen)",
+             not(col(fd.name) <=> expr(gen))))
+         })
+      }
+    if (checks.isEmpty) return
+    val row = df.select(checks.zipWithIndex.map { case ((_, viol), i) =>
+      sum(when(viol, 1L).otherwise(0L)).as(s"v$i")
+    }: _*).collect().head
+    val violated = checks.zipWithIndex.collect {
+      case ((name, _), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+        s"$name: ${row.getLong(i)} row(s)"
+    }
+    require(violated.isEmpty,
+      s"graftdelta write: batch violates $root's declared " +
+        s"invariants — ${violated.mkString("; ")} — refusing to " +
+        "commit (the table would lie about its own constraints)")
+  }
+
   private def appendCommit(df: DataFrame, deltaRoot: String,
                            txn: Option[(String, Long)],
                            overwrite: Boolean = false): Boolean = {
@@ -1190,6 +1318,10 @@ object DeltaInterop {
           txn.flatMap { case (appId, _) => snap.txns.get(appId) })
       }
     }
+    // the writer-side protocol/config fingerprint last ENFORCED on the
+    // batch's rows — re-runs only when a refreshed snapshot (lost
+    // commit race) changed the enforcement inputs
+    var enforcedFp: Option[String] = None
     def gate(snap: Snapshot): Unit = {
       require(snap.schema.fields.map(x => (x.name, x.dataType)).toSeq ==
         df.schema.fields.map(x => (x.name, x.dataType)).toSeq,
@@ -1206,6 +1338,13 @@ object DeltaInterop {
       require(snap.schema == snap.physSchema,
         s"graftdelta append: $deltaRoot uses column mapping; appends " +
           "would write logical names into a physically-mapped table")
+      writerProtocolGate(snap, deltaRoot, overwrite)
+      val fp = snap.schema.json + "|" +
+        snap.conf.toSeq.sorted.mkString(";")
+      if (!enforcedFp.contains(fp)) {
+        enforceWriterInvariants(df, snap, deltaRoot)
+        enforcedFp = Some(fp)
+      }
     }
     var (nextV, snapExisting, cursor) = state()
     if (txn.exists { case (_, b) => cursor.exists(_ >= b) }) return false

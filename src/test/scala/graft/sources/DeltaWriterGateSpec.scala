@@ -1,0 +1,192 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The interop Delta WRITE gate: the spec requires a writer to
+  * enforce-or-refuse the table's writer protocol and declared
+  * invariants. A writer that commits a constraint-violating row makes
+  * every compliant engine serve a table that lies about its own
+  * invariant; a writer that emits removes into an append-only table
+  * violates the protocol outright. */
+class DeltaWriterGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): String =
+    Files.createTempDirectory("dwgate").toString + "/t"
+
+  private def commit(root: String, v: Long, actions: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(s"$root/_delta_log"))
+    Files.writeString(Paths.get(f"$root/_delta_log/$v%020d.json"),
+      actions.mkString("\n")): Unit
+  }
+
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def kvSchema(extra: String = ""): String = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    om.writeValueAsString(schema.json)
+  }
+
+  private def msgs(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x =>
+      Option(x.getMessage).toSeq ++ msgs(x.getCause))
+
+  /** A one-commit table: protocol 1/2, k,v BIGINT, `conf` as given. */
+  private def tableWith(conf: Map[String, String],
+                        protocol: String =
+                          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+                        schemaJson: Option[String] = None): String = {
+    val root = fresh()
+    val cj = conf.map { case (k, v) =>
+      s"${om.writeValueAsString(k)}:${om.writeValueAsString(v)}"
+    }.mkString("{", ",", "}")
+    commit(root, 0L, Seq(
+      protocol,
+      s"""{"metaData":{"id":"wg","schemaString":${schemaJson
+        .getOrElse(kvSchema())},"partitionColumns":[],""" +
+        s""""format":{"provider":"parquet"},"configuration":$cj}}"""))
+    root
+  }
+
+  test("a CHECK-constraint-violating batch refuses LOUDLY and nothing "
+      + "lands; a satisfying batch commits; NULL check results are "
+      + "violations (delta-spark semantics)") {
+    val root = tableWith(Map("delta.constraints.vpos" -> "v > 0"))
+    val e = intercept[Throwable] {
+      DeltaInterop.appendDelta(
+        Seq((1L, 5L), (2L, -1L)).toDF("k", "v"), root)
+    }
+    assert(msgs(e).exists(m => m.contains("CHECK constraint vpos")),
+      msgs(e).mkString(" | "))
+    assert(DeltaInterop.deltaVersions(spark, root) == Seq(0L))
+    // a NULL check result violates too (delta treats null as violation)
+    val e2 = intercept[Throwable] {
+      DeltaInterop.appendDelta(
+        Seq((1L, Some(5L)), (2L, None)).toDF("k", "v")
+          .select(col("k"), col("v").cast("long")), root)
+    }
+    assert(msgs(e2).exists(_.contains("CHECK constraint vpos")),
+      msgs(e2).mkString(" | "))
+    // a satisfying batch commits and reads back
+    DeltaInterop.appendDelta(Seq((1L, 5L), (2L, 7L)).toDF("k", "v"), root)
+    assert(DeltaInterop.readDelta(spark, root)
+      .select("v").as[Long].collect().toSet == Set(5L, 7L))
+    assert(DeltaInterop.validateDelta(spark, root).count() == 0L)
+  }
+
+  test("INSERT OVERWRITE into delta.appendOnly=true refuses (removes "
+      + "are a protocol violation there); plain appends still commit") {
+    val root = tableWith(Map("delta.appendOnly" -> "true"))
+    DeltaInterop.appendDelta(Seq((1L, 2L)).toDF("k", "v"), root)
+    val e = intercept[Throwable] {
+      DeltaInterop.appendDelta(Seq((9L, 9L)).toDF("k", "v"), root,
+        overwrite = true)
+    }
+    assert(msgs(e).exists(_.contains("append-only")),
+      msgs(e).mkString(" | "))
+    assert(DeltaInterop.readDelta(spark, root).count() == 1L)
+  }
+
+  test("unknown writerFeatures refuse (allowlist): identityColumns; "
+      + "and a legacy schema-declared identity column refuses even "
+      + "under a feature-less protocol") {
+    val root = tableWith(Map.empty,
+      protocol = """{"protocol":{"minReaderVersion":1,""" +
+        """"minWriterVersion":7,"writerFeatures":["identityColumns"]}}""")
+    val e = intercept[Throwable] {
+      DeltaInterop.appendDelta(Seq((1L, 2L)).toDF("k", "v"), root)
+    }
+    assert(msgs(e).exists(_.contains("identityColumns")),
+      msgs(e).mkString(" | "))
+    // legacy identity: the column's metadata carries the watermark
+    val idSchema = """{"type":"struct","fields":[""" +
+      """{"name":"k","type":"long","nullable":true,"metadata":""" +
+      """{"delta.identity.start":1,"delta.identity.step":1}},""" +
+      """{"name":"v","type":"long","nullable":true,"metadata":{}}]}"""
+    val root2 = tableWith(Map.empty,
+      protocol = """{"protocol":{"minReaderVersion":1,""" +
+        """"minWriterVersion":6}}""",
+      schemaJson = Some(om.writeValueAsString(idSchema)))
+    val e2 = intercept[Throwable] {
+      DeltaInterop.appendDelta(Seq((1L, 2L)).toDF("k", "v"), root2)
+    }
+    assert(msgs(e2).exists(_.contains("identity")),
+      msgs(e2).mkString(" | "))
+    // a minWriterVersion past the known range refuses
+    val root3 = tableWith(Map.empty,
+      protocol = """{"protocol":{"minReaderVersion":1,""" +
+        """"minWriterVersion":9}}""")
+    val e3 = intercept[Throwable] {
+      DeltaInterop.appendDelta(Seq((1L, 2L)).toDF("k", "v"), root3)
+    }
+    assert(msgs(e3).exists(_.contains("minWriterVersion")),
+      msgs(e3).mkString(" | "))
+  }
+
+  test("column invariants and NOT NULL enforce from the schema "
+      + "metadata; generated columns validate provided values against "
+      + "their expression") {
+    val invSchema = """{"type":"struct","fields":[""" +
+      """{"name":"k","type":"long","nullable":false,"metadata":{}},""" +
+      """{"name":"v","type":"long","nullable":true,"metadata":""" +
+      """{"delta.invariants":""" +
+      """"{\"expression\":{\"expression\":\"v < 100\"}}"}}]}"""
+    val root = tableWith(Map.empty,
+      schemaJson = Some(om.writeValueAsString(invSchema)))
+    val e = intercept[Throwable] {
+      DeltaInterop.appendDelta(Seq((1L, 500L)).toDF("k", "v"), root)
+    }
+    assert(msgs(e).exists(_.contains("column invariant on v")),
+      msgs(e).mkString(" | "))
+    val e2 = intercept[Throwable] {
+      DeltaInterop.appendDelta(
+        Seq((Option.empty[Long], 5L)).toDF("k", "v")
+          .select(col("k").cast("long"), col("v")), root)
+    }
+    assert(msgs(e2).exists(_.contains("NOT NULL on k")),
+      msgs(e2).mkString(" | "))
+    DeltaInterop.appendDelta(Seq((1L, 50L)).toDF("k", "v"), root)
+    assert(DeltaInterop.readDelta(spark, root).count() == 1L)
+    // generated column: v must equal k * 2
+    val genSchema = """{"type":"struct","fields":[""" +
+      """{"name":"k","type":"long","nullable":true,"metadata":{}},""" +
+      """{"name":"v","type":"long","nullable":true,"metadata":""" +
+      """{"delta.generationExpression":"k * 2"}}]}"""
+    val root2 = tableWith(Map.empty,
+      schemaJson = Some(om.writeValueAsString(genSchema)))
+    val e3 = intercept[Throwable] {
+      DeltaInterop.appendDelta(Seq((1L, 3L)).toDF("k", "v"), root2)
+    }
+    assert(msgs(e3).exists(_.contains("generated column v")),
+      msgs(e3).mkString(" | "))
+    DeltaInterop.appendDelta(Seq((1L, 2L), (4L, 8L)).toDF("k", "v"),
+      root2)
+    assert(DeltaInterop.readDelta(spark, root2).count() == 2L)
+  }
+
+  test("clean tables are untouched by the gate: a plain sync + append "
+      + "+ overwrite round-trip still works end to end") {
+    val dir = Files.createTempDirectory("dwgate-clean").toString
+    LakeTable.append(spark.range(0, 10)
+      .select(col("id").as("k"), (col("id") * 2).as("v")),
+      s"$dir/lake")
+    DeltaInterop.syncToDelta(spark, s"$dir/lake", s"$dir/delta")
+    DeltaInterop.appendDelta(Seq((100L, 200L)).toDF("k", "v"),
+      s"$dir/delta")
+    assert(DeltaInterop.readDelta(spark, s"$dir/delta").count() == 11L)
+    DeltaInterop.appendDelta(Seq((7L, 8L)).toDF("k", "v"),
+      s"$dir/delta", overwrite = true)
+    assert(DeltaInterop.readDelta(spark, s"$dir/delta")
+      .as[(Long, Long)].collect().toSeq == Seq((7L, 8L)))
+    assert(DeltaInterop.validateDelta(spark, s"$dir/delta")
+      .count() == 0L)
+  }
+}
