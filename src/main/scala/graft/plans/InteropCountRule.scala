@@ -12,9 +12,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   LogicalRelation}
 
-/** Serve plain-SQL whole-table `count(*)` / `min(col)` / `max(col)`
-  * over `USING graftdelta` / `USING grafticeberg` relations FROM
-  * METADATA — the same answers the
+/** Serve plain-SQL whole-table `count(*)` / `count(col)` / `min(col)`
+  * / `max(col)` over `USING graftdelta` / `USING grafticeberg`
+  * relations FROM METADATA — the same answers the
+  * [[graft.sources.DeltaInterop.deltaColumnCount]] /
+  * [[graft.sources.IcebergInterop.icebergColumnCount]] /
   * [[graft.sources.DeltaInterop.deltaRowCount]] /
   * [[graft.sources.IcebergInterop.icebergRowCount]] /
   * [[graft.sources.DeltaInterop.deltaColumnBounds]] /
@@ -83,11 +85,13 @@ case class InteropCountRule(spark: SparkSession)
 
   private sealed trait Served
   private case object CountStar extends Served
+  private case class CountOf(column: String) extends Served
   private case class MinOf(column: String) extends Served
   private case class MaxOf(column: String) extends Served
 
-  /** count(1)/count(*), min(col), max(col) — no DISTINCT, no FILTER
-    * clause, col a direct pass-through of a relation column. */
+  /** count(1)/count(*), count(col), min(col), max(col) — no DISTINCT,
+    * no FILTER clause, col a direct pass-through of a relation
+    * column. */
   private def classify(e: NamedExpression,
                        names: Map[ExprId, String]): Option[Served] =
     e match {
@@ -95,6 +99,8 @@ case class InteropCountRule(spark: SparkSession)
           if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
           case Count(Seq(Literal(v, _))) if v != null => Some(CountStar)
+          case Count(Seq(ar: AttributeReference)) =>
+            names.get(ar.exprId).map(CountOf)
           case Min(ar: AttributeReference) =>
             names.get(ar.exprId).map(MinOf)
           case Max(ar: AttributeReference) =>
@@ -172,12 +178,23 @@ case class InteropCountRule(spark: SparkSession)
                 .icebergColumnBounds(spark, root, c, ver)
               case _ => None
             })
+          val colCountCache =
+            scala.collection.mutable.Map.empty[String, Option[Long]]
+          def colCountOf(c: String): Option[Long] =
+            colCountCache.getOrElseUpdate(c, fmt match {
+              case "delta" => graft.sources.DeltaInterop
+                .deltaColumnCount(spark, root, c, ver)
+              case "iceberg" => graft.sources.IcebergInterop
+                .icebergColumnCount(spark, root, c, ver)
+              case _ => None
+            })
           val values: Seq[Option[Any]] =
             served.map(_.get).zip(agg.output).map { case (s, attr) =>
               val conv = CatalystTypeConverters
                 .createToCatalystConverter(attr.dataType)
               s match {
                 case CountStar => rowCount.map(conv)
+                case CountOf(c) => colCountOf(c).map(conv)
                 case MinOf(c) => boundsOf(c).map(b => conv(b._1))
                 case MaxOf(c) => boundsOf(c).map(b => conv(b._2))
               }

@@ -3531,6 +3531,79 @@ object SourceQueries {
             o_totalprice FROM orders WHERE o_orderkey % 2 <> 0"""),
       "SQL INSERT INTO (Delta, one commit) + INSERT OVERWRITE " +
         "(Iceberg, replace snapshot) ≡ relational recompute"),
+
+    // ---- SQL count(col) served from interop metadata -------------------------
+    // After count(*), per-column null profiling is the second query
+    // every user runs on a foreign table. Delta stats carry nullCount
+    // and Iceberg manifests carry value_counts/null_value_counts, so
+    // `count(col)` = rows − nulls is exactly servable under the same
+    // refusal matrix: both writers now publish the counts from the
+    // parquet footers they already read, and the LocalTableScan is
+    // plan-asserted in-line on a NULL-BEARING column (a silent scan
+    // fallback would still hash-match; the assert is the proof). The
+    // refusal leg: equality deletes could remove null or non-null
+    // rows, so count(col) there must scan — asserted too.
+    "q362_interop_sql_count_col" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val root = freshRoot("graft_sqlcountcol_q362")
+        val delta = root + "/delta"
+        val ice = root + "/ice"
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          when(col("o_totalprice") > 150000.0, col("o_totalprice"))
+            .as("pricey"))
+        graft.sources.DeltaInterop.appendDelta(o, delta)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q362_d USING " +
+          s"graftdelta OPTIONS (path '$delta')")
+        val dq = s.sql("SELECT count(pricey) AS n_d_pricey, " +
+          "count(o_orderkey) AS n_d_key, count(*) AS n_d FROM q362_d")
+        val dplan = dq.queryExecution.executedPlan.toString
+        require(dplan.contains("LocalTableScan") &&
+          !dplan.toLowerCase.contains("parquet"),
+          s"q362: Delta count(col) did not serve from metadata:\n$dplan")
+        graft.sources.IcebergInterop.appendIceberg(o, ice)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q362_i USING " +
+          s"grafticeberg OPTIONS (path '$ice')")
+        val iq = s.sql("SELECT count(pricey) AS n_i_pricey FROM q362_i")
+        val iplan = iq.queryExecution.executedPlan.toString
+        require(iplan.contains("LocalTableScan") &&
+          !iplan.toLowerCase.contains("parquet"),
+          s"q362: Iceberg count(col) did not serve from " +
+            s"metadata:\n$iplan")
+        // refusal leg: equality deletes force the scan (and the scan
+        // still answers right)
+        val eqRoot = eqDeleteFixture(s, d, "graft_sqlcountcol_q362_eq")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q362_eq USING " +
+          s"grafticeberg OPTIONS (path '$eqRoot')")
+        val rq = s.sql(
+          "SELECT count(o_totalprice) AS n_eq FROM q362_eq")
+        val rplan = rq.queryExecution.executedPlan.toString
+        require(!rplan.contains("LocalTableScan"),
+          s"q362: count(col) under EQUALITY deletes must scan, not " +
+            s"trust metadata:\n$rplan")
+        dq.crossJoin(iq).crossJoin(rq)
+      },
+      Some("""WITH f1 AS (
+          SELECT o_orderkey,
+                 row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+          FROM orders WHERE o_orderkey % 4 = 0)
+        SELECT
+          CAST((SELECT count(CASE WHEN o_totalprice > 150000
+                  THEN o_totalprice END) FROM orders) AS BIGINT)
+            AS n_d_pricey,
+          CAST((SELECT count(o_orderkey) FROM orders) AS BIGINT)
+            AS n_d_key,
+          CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_d,
+          CAST((SELECT count(CASE WHEN o_totalprice > 150000
+                  THEN o_totalprice END) FROM orders) AS BIGINT)
+            AS n_i_pricey,
+          CAST((SELECT count(*) FROM f1
+                WHERE pos >= 25 AND o_orderkey % 20 <> 0)
+             + (SELECT count(*) FROM orders WHERE o_orderkey % 20 = 0)
+            AS BIGINT) AS n_eq"""),
+      "SQL count(col): metadata LocalTableScan from Delta nullCount / " +
+        "Iceberg value_counts on a null-bearing column; equality " +
+        "deletes fall back to the scan"),
   )
 
 

@@ -1400,11 +1400,20 @@ object DeltaInterop {
             }.mkString("{", ",", "}")
           s""","minValues":${side(_._1)},"maxValues":${side(_._2)}"""
         }
+      // per-column null counts from the SAME footer read: published so
+      // metadata count(col) serves on the sunk table (absent counts
+      // downstream = fall back, never wrong)
+      val nulls = TableDoctor.footerNullCounts(spark, p.toString)
+      val nullsJson =
+        if (nulls.isEmpty) ""
+        else s""","nullCount":${nulls.toSeq.sortBy(_._1)
+          .map { case (k, n) => s"${om.writeValueAsString(k)}:$n" }
+          .mkString("{", ",", "}")}"""
       s"""{"add":{"path":${om.writeValueAsString(rel)},""" +
         s""""partitionValues":{},"size":${st.getLen},""" +
         s""""modificationTime":${st.getModificationTime},""" +
         s""""stats":${om.writeValueAsString(
-          s"""{"numRecords":$rows$boundsJson}""")},""" +
+          s"""{"numRecords":$rows$boundsJson$nullsJson}""")},""" +
         s""""dataChange":true}}"""
     }
     val addActions = rels.map(addJson)
@@ -1672,6 +1681,71 @@ object DeltaInterop {
         }
       (v, n)
     }).toOption
+  }
+
+  /** METADATA-ONLY `count(column)` — non-null row count folded from
+    * the log's per-file `stats.numRecords - stats.nullCount[col]`
+    * (NaN counts: it is non-null, so NaN-capable types serve here
+    * even though they refuse for MIN/MAX). Same contract as the other
+    * metadata APIs — Some is exact, None falls back to the scan:
+    *
+    *  - live deletion vectors refuse (a vector could delete a null OR
+    *    a non-null row; attribution needs the payload);
+    *  - complex-typed columns refuse (their nullCount semantics are
+    *    per-leaf, not per-row);
+    *  - a PARTITION column serves from partitionValues (explicit null
+    *    = every row null there → 0; any value → numRecords), still
+    *    requiring numRecords;
+    *  - a file whose stats omit numRecords or the column's nullCount
+    *    refuses — absence is unknowable. */
+  def deltaColumnCount(spark: SparkSession, root: String,
+                       column: String,
+                       versionAsOf: Option[Long] = None): Option[Long] = {
+    val vs = deltaVersions(spark, root)
+    require(vs.nonEmpty, s"no Delta log under $root")
+    val upTo = versionAsOf.getOrElse(vs.max)
+    require(vs.contains(upTo), s"version $upTo not in ${vs.mkString(",")}")
+    val snap = replay(spark, root, upTo)
+    if (snap.live.values.exists(_.dv.isDefined)) return None
+    val dt = snap.schema.fields.find(_.name == column)
+      .map(_.dataType).getOrElse(return None)
+    dt match {
+      case _: ArrayType | _: MapType | _: StructType => return None
+      case _ => ()
+    }
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def numRecords(lf: LiveFile): Option[Long] =
+      lf.stats.flatMap { s =>
+        scala.util.Try(om.readTree(s).get("numRecords")).toOption
+          .flatMap(Option(_)).map(_.asLong(-1L)).filter(_ >= 0)
+      }
+    val perFile: Iterable[Option[Long]] =
+      if (snap.partCols.contains(column))
+        snap.live.values.map { lf =>
+          numRecords(lf).flatMap { r =>
+            lf.partitionValues.get(column) match {
+              case Some(null) => Some(0L)
+              case Some(_) => Some(r)
+              case None => None
+            }
+          }
+        }
+      else {
+        val statsKey = snap.physNameOf(column)
+        snap.live.values.map { lf =>
+          lf.stats.flatMap { s =>
+            scala.util.Try(om.readTree(s)).toOption.flatMap { node =>
+              val rows = node.path("numRecords")
+              val nulls = node.path("nullCount").path(statsKey)
+              if (rows.isNumber && nulls.isNumber)
+                Some(rows.asLong(0L) - nulls.asLong(0L))
+              else None
+            }
+          }
+        }
+      }
+    if (perFile.exists(_.isEmpty)) return None
+    Some(perFile.flatten.sum)
   }
 
   /** METADATA-ONLY MIN/MAX of `column` — fold the log's per-file

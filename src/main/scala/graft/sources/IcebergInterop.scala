@@ -186,6 +186,14 @@ object IcebergInterop {
       |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
       |{"name":"record_count","type":"long","field-id":103},
       |{"name":"file_size_in_bytes","type":"long","field-id":104},
+      |{"name":"value_counts","field-id":109,"default":null,"type":["null",
+      |{"type":"array","logicalType":"map","items":{"type":"record","name":"k119_v120","fields":[
+      |{"name":"key","type":"int","field-id":119},
+      |{"name":"value","type":"long","field-id":120}]}}]},
+      |{"name":"null_value_counts","field-id":110,"default":null,"type":["null",
+      |{"type":"array","logicalType":"map","items":{"type":"record","name":"k121_v122","fields":[
+      |{"name":"key","type":"int","field-id":121},
+      |{"name":"value","type":"long","field-id":122}]}}]},
       |{"name":"lower_bounds","field-id":125,"default":null,"type":["null",
       |{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[
       |{"name":"key","type":"int","field-id":126},
@@ -486,7 +494,12 @@ object IcebergInterop {
       // identity-transform partition values keyed by SOURCE field id;
       // Some(None) = explicit null partition value (all rows null for
       // the source column). Non-identity transforms never appear here.
-      partitionIdVals: Map[Int, Option[Any]] = Map.empty)
+      partitionIdVals: Map[Int, Option[Any]] = Map.empty,
+      // spec field-id-keyed per-column counts (value_counts includes
+      // nulls and NaNs; null_value_counts is nulls only) — the inputs
+      // to metadata count(col)
+      valueCounts: Map[Int, Long] = Map.empty,
+      nullCounts: Map[Int, Long] = Map.empty)
 
   /** One live delete file of a snapshot. `content` 1 = position
     * deletes (file_path, pos rows), 2 = equality deletes (rows of the
@@ -539,6 +552,20 @@ object IcebergInterop {
     def lng(r: GenericRecord, k: String, dflt: Long): Long =
       Option(r.get(k)).map(_.asInstanceOf[Number].longValue)
         .getOrElse(dflt)
+    // field-id → long maps (value_counts / null_value_counts); a
+    // writer that omits them (or the field predating this schema)
+    // yields an empty map — absence refuses downstream, never lies
+    def countsOf(r: GenericRecord, k: String): Map[Int, Long] =
+      if (r.getSchema.getField(k) == null) Map.empty
+      else Option(r.get(k)) match {
+        case Some(arr: java.util.Collection[_]) =>
+          arr.iterator().asScala.map { kv0 =>
+            val kv = kv0.asInstanceOf[GenericRecord]
+            kv.get("key").asInstanceOf[Number].intValue ->
+              kv.get("value").asInstanceOf[Number].longValue
+          }.toMap
+        case _ => Map.empty
+      }
     val manifests = listEntries.map(e =>
       (str(e, "manifest_path"), int(e, "content", 0),
         lng(e, "sequence_number", 0L),
@@ -585,7 +612,9 @@ object IcebergInterop {
             case (0, 0) => dataFiles :+= DataFileMeta(path,
               boundsOf(df0, "lower_bounds"), boundsOf(df0, "upper_bounds"),
               seq, lng(df0, "record_count", -1L),
-              lng(df0, "file_size_in_bytes", -1L), identityVals())
+              lng(df0, "file_size_in_bytes", -1L), identityVals(),
+              countsOf(df0, "value_counts"),
+              countsOf(df0, "null_value_counts"))
             case (1, 1) if isPuffinDv =>
               // v3 deletion vector: position deletes as a Puffin blob
               if (meta.formatVersion < 3)
@@ -880,6 +909,51 @@ object IcebergInterop {
       }
       (v, n)
     }).toOption
+  }
+
+  /** METADATA-ONLY `count(column)` — non-null row count folded from
+    * the manifests' `value_counts - null_value_counts` (both spec
+    * maps keyed by field id; for a top-level non-repeated column
+    * value_counts = record_count, so the difference is exactly the
+    * scan's count(col) — NaN is non-null and counts, so float/double
+    * serve here even though they refuse for MIN/MAX). The Iceberg
+    * twin of [[DeltaInterop.deltaColumnCount]]. Some = exact, None =
+    * fall back to the scan:
+    *
+    *  - ANY delete file refuses (a delete could remove a null or a
+    *    non-null row; attribution needs the payload);
+    *  - complex-typed columns refuse (their value_counts count leaf
+    *    values, not rows);
+    *  - a data file without both counts serves from its IDENTITY
+    *    partition value instead (explicit null = all rows null → 0;
+    *    a value = no row null → record_count); otherwise refuses. */
+  def icebergColumnCount(spark: SparkSession, root: String,
+                         column: String,
+                         snapshotId: Option[Long] = None): Option[Long] = {
+    val (schema, dataFiles, deleteFiles) =
+      snapshotFiles(spark, root, snapshotId)
+    if (deleteFiles.nonEmpty) return None
+    val dt = schema.spark.fields.find(_.name == column)
+      .map(_.dataType).getOrElse(return None)
+    dt match {
+      case _: org.apache.spark.sql.types.ArrayType
+           | _: org.apache.spark.sql.types.MapType
+           | _: org.apache.spark.sql.types.StructType => return None
+      case _ => ()
+    }
+    val fid = schema.fieldIds.getOrElse(column, return None)
+    val perFile: Seq[Option[Long]] = dataFiles.map { f0 =>
+      (f0.valueCounts.get(fid), f0.nullCounts.get(fid)) match {
+        case (Some(v), Some(n)) if v >= n => Some(v - n)
+        case _ => f0.partitionIdVals.get(fid) match {
+          case Some(None) => Some(0L)
+          case Some(Some(_)) if f0.records >= 0L => Some(f0.records)
+          case _ => None
+        }
+      }
+    }
+    if (perFile.exists(_.isEmpty)) return None
+    Some(perFile.flatten.sum)
   }
 
   /** METADATA-ONLY MIN/MAX of `column` — fold the manifests'
@@ -1969,7 +2043,11 @@ object IcebergInterop {
           s"freshly written $uri has no readable parquet footer"))
       val bounds = TableDoctor.footerIntBounds(spark, uri)
         .filter { case (k, _) => intCols.contains(k) }
-      (uri, rows, st.getLen, bounds)
+      // per-column null counts from the SAME footer: published as
+      // value_counts/null_value_counts so metadata count(col) serves
+      // on the sunk table (top-level value_counts = record_count)
+      val nulls = TableDoctor.footerNullCounts(spark, uri)
+      (uri, rows, st.getLen, bounds, nulls)
     }
     val totalRows = fileMeta.map(_._2).sum
     var attempts = 0
@@ -1995,7 +2073,7 @@ object IcebergInterop {
       }
       val manifest =
         s"$iceRoot/metadata/$uuid-$attempts-m0.avro"
-      val entries = fileMeta.map { case (uri, rows, size, bnds) =>
+      val entries = fileMeta.map { case (uri, rows, size, bnds, nulls) =>
         val df0 = new GenericData.Record(
           manifestSchema.getField("data_file").schema())
         df0.put("content", 0)
@@ -2005,6 +2083,27 @@ object IcebergInterop {
           df0.getSchema.getField("partition").schema()))
         df0.put("record_count", rows)
         df0.put("file_size_in_bytes", size)
+        val counted = nulls.toSeq.sortBy(_._1).flatMap { case (n, nc) =>
+          fieldIdOf.get(n).map(fid => (fid, rows, nc))
+        }
+        if (counted.nonEmpty) {
+          def countArr(field: String,
+              pick: ((Int, Long, Long)) => Long): Unit = {
+            val arrSchema = df0.getSchema.getField(field).schema()
+              .getTypes.get(1) // union [null, array]
+            val arr = new GenericData.Array[GenericRecord](
+              counted.size, arrSchema)
+            counted.foreach { c =>
+              val kv = new GenericData.Record(arrSchema.getElementType)
+              kv.put("key", c._1)
+              kv.put("value", pick(c))
+              arr.add(kv)
+            }
+            df0.put(field, arr)
+          }
+          countArr("value_counts", _._2)
+          countArr("null_value_counts", _._3)
+        }
         val typedBounds = bnds.toSeq.sortBy(_._1).flatMap {
           case (name, (lo, hi)) =>
             val dt = intCols(name)

@@ -41,6 +41,46 @@ object TableDoctor {
       try rdr.getRecordCount finally rdr.close()
     }.toOption
 
+  /** Exact per-column NULL counts for top-level columns from a parquet
+    * FOOTER — metadata only. A column serves only when EVERY row group
+    * carries a set null count for it; anything unknowable omits the
+    * column (callers write no count, never a wrong one). Nested
+    * columns never serve: a struct field's definition levels make its
+    * footer null count ambiguous between parent-null and field-null. */
+  private[sources] def footerNullCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      uri: String): Map[String, Long] =
+    scala.util.Try {
+      import scala.jdk.CollectionConverters._
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(uri),
+          spark.sessionState.newHadoopConf()))
+      try {
+        val blocks = rdr.getFooter.getBlocks.asScala.toSeq
+        val perBlock: Seq[Map[String, Option[Long]]] = blocks.map { b =>
+          b.getColumns.asScala.flatMap { c =>
+            val name = c.getPath.toDotString
+            if (name.contains(".")) None
+            else {
+              val st = c.getStatistics
+              val served: Option[Long] =
+                if (st == null || !st.isNumNullsSet) None
+                else Some(st.getNumNulls)
+              Some(name -> served)
+            }
+          }.toMap
+        }
+        val keys = perBlock.map(_.keySet)
+          .reduceOption(_ & _).getOrElse(Set.empty)
+        keys.flatMap { k =>
+          val ns = perBlock.map(_(k))
+          if (ns.exists(_.isEmpty)) None
+          else Some(k -> ns.map(_.get).sum)
+        }.toMap
+      } finally rdr.close()
+    }.getOrElse(Map.empty)
+
   /** Exact per-column (min, max) for top-level INT32/INT64 columns
     * from a parquet FOOTER — metadata only, no data pages; the
     * zero-extra-I/O source the streaming sinks use to publish bounds.

@@ -49,9 +49,10 @@ class InteropCountRuleSpec extends SparkSpec {
     assert(plan0.contains("LocalTableScan"), plan0)
   }
 
-  test("shapes the rule must NOT touch: WHERE, count(col), "
-      + "count(DISTINCT), grouping, and a foreign log without stats "
-      + "all keep the scan plan and stay correct") {
+  test("shapes the rule must NOT touch: WHERE, count(DISTINCT), "
+      + "FILTER clauses, a count(col) whose log lacks nullCount, and "
+      + "a foreign log without stats all keep the scan plan and stay "
+      + "correct") {
     val dir = fresh()
     val lake = s"$dir/lake"
     val delta = s"$dir/delta"
@@ -63,6 +64,8 @@ class InteropCountRuleSpec extends SparkSpec {
       s"OPTIONS (path '$delta')")
     val guarded = Seq(
       ("SELECT count(*) FROM cr_n WHERE k < 10", 10L),
+      // the synced log's stats carry no nullCount, so count(col)
+      // REFUSES here (the serving leg lives in its own test below)
       ("SELECT count(v) FROM cr_n", 50L),
       ("SELECT count(DISTINCT v) FROM cr_n", 3L),
       ("SELECT count(*) FILTER (WHERE k < 5) FROM cr_n", 5L))
@@ -387,5 +390,72 @@ class InteropCountRuleSpec extends SparkSpec {
     // the log's add sizes sum to a few KB; the V1 default is ~Long.Max
     assert(stats > 0 && stats < 10L * 1024 * 1024,
       s"expected metadata-sized stats, got $stats")
+  }
+
+  test("count(col) serves from metadata null counts on BOTH formats "
+      + "(null-bearing column, LocalTableScan, corrupted-file proof); "
+      + "live DVs and partition-value fallbacks behave") {
+    val dir = fresh()
+    val delta = s"$dir/delta"
+    val ice = s"$dir/ice"
+    // 100 rows; v null on multiples of 3 (34 nulls → count(v) = 66)
+    val src = spark.range(0, 100).select(col("id").as("k"),
+      when(col("id") % 3 =!= 0, col("id") * 2).as("v"))
+    DeltaInterop.appendDelta(src, delta)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW cc_d USING graftdelta " +
+      s"OPTIONS (path '$delta')")
+    val q = spark.sql(
+      "SELECT count(v) AS nv, count(k) AS nk, count(*) AS n FROM cc_d")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") &&
+      !plan.toLowerCase.contains("parquet"), plan)
+    assert(q.collect().head.toSeq == Seq(66L, 100L, 100L))
+    // corrupted-file proof: the served plan opens nothing
+    val fsys = new org.apache.hadoop.fs.Path(delta)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fsys.listStatus(new org.apache.hadoop.fs.Path(delta))
+      .filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
+        fsys.delete(st.getPath, false)
+        val out = fsys.create(st.getPath, true)
+        out.write(Array.fill[Byte](32)(0)); out.close()
+      }
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW cc_d USING graftdelta " +
+      s"OPTIONS (path '$delta')")
+    assert(spark.sql("SELECT count(v) AS nv FROM cc_d")
+      .as[Long].head() == 66L)
+    // Iceberg: the sink publishes value_counts/null_value_counts
+    graft.sources.IcebergInterop.appendIceberg(src, ice)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW cc_i USING " +
+      s"grafticeberg OPTIONS (path '$ice')")
+    val qi = spark.sql("SELECT count(v) AS nv FROM cc_i")
+    assert(qi.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      qi.queryExecution.executedPlan.toString)
+    assert(qi.as[Long].head() == 66L)
+    // the API twins agree and refuse correctly
+    assert(graft.sources.IcebergInterop
+      .icebergColumnCount(spark, ice, "v").contains(66L))
+    assert(graft.sources.DeltaInterop
+      .deltaColumnCount(spark, delta, "v").contains(66L))
+    assert(graft.sources.DeltaInterop
+      .deltaColumnCount(spark, delta, "nope").isEmpty)
+    // a live DV refuses count(col) — the vector could have deleted a
+    // null or a non-null row
+    val lake2 = s"$dir/lake2"
+    val delta2 = s"$dir/delta2"
+    LakeTable.append(spark.range(0, 40).select(col("id").as("k"),
+      when(col("id") % 4 =!= 0, col("id")).as("v")), lake2,
+      zoneKey = Some("k"))
+    LakeTable.deleteWhereDV(spark, lake2, "k % 2 = 0")
+    DeltaInterop.syncToDelta(spark, lake2, delta2)
+    assert(DeltaInterop.deltaColumnCount(spark, delta2, "v").isEmpty)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW cc_dv USING " +
+      s"graftdelta OPTIONS (path '$delta2')")
+    val qdv = spark.sql("SELECT count(v) AS nv FROM cc_dv")
+    assert(!qdv.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    // survivors are the 20 odd keys; odd k is never %4==0, so v is
+    // non-null on every survivor
+    assert(qdv.as[Long].head() == 20L)
   }
 }
