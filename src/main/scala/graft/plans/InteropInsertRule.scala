@@ -70,8 +70,10 @@ case class InteropInsertRule(spark: SparkSession)
         s"graft$fmt: cannot INSERT through a time-travel view of " +
           s"$root — writes always target the latest version")
       require(i.partitionSpec.isEmpty && !i.ifPartitionNotExists,
-        s"graft$fmt: PARTITION specs are not supported on $root " +
-          "(the interop writers append unpartitioned commits)")
+        s"graft$fmt: static PARTITION specs are not supported on " +
+          s"$root — identity-partitioned targets route dynamically " +
+          "by the partition columns' values, so insert them as " +
+          "ordinary columns")
       require(i.userSpecifiedCols.isEmpty,
         s"graft$fmt: explicit column lists are not supported on " +
           s"$root — insert all columns positionally")

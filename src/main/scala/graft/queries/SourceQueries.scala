@@ -3604,6 +3604,81 @@ object SourceQueries {
       "SQL count(col): metadata LocalTableScan from Delta nullCount / " +
         "Iceberg value_counts on a null-bearing column; equality " +
         "deletes fall back to the scan"),
+
+    // ---- partition-ROUTED interop INSERT -------------------------------------
+    // Real Delta/Iceberg tables are overwhelmingly identity-
+    // partitioned; a writer that can only append to unpartitioned
+    // targets covers the demo, not the production layout. INSERT into
+    // a partitioned view now routes each row to its partition's file
+    // (Delta: partitionValues adds, column dropped from data files
+    // per convention; Iceberg: typed manifest partition records,
+    // column kept) — and the proof is q352-style: every file OUTSIDE
+    // the probed partition is corrupted before the filtered read, so
+    // a read that didn't prune would crash, not just be slow.
+    "q363_interop_insert_partitioned" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_partinsert_q363")
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        def corruptOthers(dir: String, keep: String): Unit = {
+          val f = new org.apache.hadoop.fs.Path(dir)
+            .getFileSystem(s.sessionState.newHadoopConf())
+          val it = f.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+          while (it.hasNext) {
+            val st = it.next()
+            val p = st.getPath
+            if (p.getName.endsWith(".parquet") &&
+                !p.toString.contains(keep) &&
+                !p.toString.contains("_delta_log") &&
+                !p.toString.contains("/metadata/")) {
+              f.delete(p, false)
+              val out = f.create(p, true)
+              out.write(Array.fill[Byte](48)(7)); out.close()
+            }
+          }
+        }
+        // Delta: export the evens partitioned, INSERT the odds via SQL
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 2 === 0), s"$root/lake")
+        graft.sources.DeltaInterop.exportToDeltaPartitioned(
+          s, s"$root/lake", s"$root/delta", "o_orderstatus")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q363_d USING " +
+          s"graftdelta OPTIONS (path '${root + "/delta"}')")
+        o.filter(col("o_orderkey") % 2 =!= 0)
+          .createOrReplaceTempView("q363_src")
+        s.sql("INSERT INTO q363_d SELECT * FROM q363_src")
+        corruptOthers(s"$root/delta", "o_orderstatus=F")
+        val dLeg = graft.sources.DeltaInterop
+          .readDelta(s, s"$root/delta")
+          .filter(col("o_orderstatus") === "F")
+        // Iceberg: same play on an int partition column
+        val ob = o.withColumn("bucket",
+          (col("o_orderkey") % 8).cast("int"))
+        graft.sources.LakeTable.append(
+          ob.filter(col("o_orderkey") % 2 === 0), s"$root/lake2")
+        graft.sources.IcebergInterop.exportToIcebergPartitioned(
+          s, s"$root/lake2", s"$root/ice", "bucket")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q363_i USING " +
+          s"grafticeberg OPTIONS (path '${root + "/ice"}')")
+        ob.filter(col("o_orderkey") % 2 =!= 0)
+          .createOrReplaceTempView("q363_isrc")
+        s.sql("INSERT INTO q363_i SELECT * FROM q363_isrc")
+        corruptOthers(s"$root/ice", "=3/")
+        val iLeg = graft.sources.IcebergInterop
+          .readIcebergRange(s, s"$root/ice", "bucket", 3, 3)
+          .select("o_orderkey", "o_orderstatus")
+        dLeg.select(lit("delta").as("leg"), col("o_orderkey"),
+            col("o_orderstatus"))
+          .unionAll(iLeg.select(lit("iceberg").as("leg"),
+            col("o_orderkey"), col("o_orderstatus")))
+      },
+      Some("""SELECT 'delta' AS leg, o_orderkey, o_orderstatus
+          FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL SELECT 'iceberg' AS leg, o_orderkey, o_orderstatus
+          FROM orders WHERE o_orderkey % 8 = 3"""),
+      "partition-routed SQL INSERT on both formats: per-partition " +
+        "files the readers prune (files outside the probed partition " +
+        "corrupted before the read)"),
   )
 
 

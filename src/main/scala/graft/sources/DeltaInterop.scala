@@ -1328,13 +1328,20 @@ object DeltaInterop {
         s"graftdelta sink: batch schema ${df.schema.simpleString} " +
           s"does not match the table's ${snap.schema.simpleString} — " +
           "refusing to commit a shape-shifted batch")
-      // appends write unpartitioned adds with logical column names; a
-      // partitioned or column-mapped table would read them WRONG —
-      // refuse, never corrupt
-      require(snap.partCols.isEmpty,
-        s"graftdelta append: $deltaRoot is partitioned " +
-          s"(${snap.partCols.mkString(",")}); appends into " +
-          "partitioned interop tables are not supported")
+      // appends route by the table's partition columns (see the
+      // staging block below); only the string-round-trippable types
+      // may key partitionValues — anything else would publish values
+      // foreign engines decode differently. Refuse, never corrupt.
+      snap.partCols.foreach { pc =>
+        val dt = snap.schema.fields.find(_.name == pc).map(_.dataType)
+        require(dt.exists {
+          case IntegerType | LongType | StringType => true
+          case _ => false
+        }, s"graftdelta append: $deltaRoot partitions on '$pc' of " +
+          s"type ${dt.map(_.simpleString).getOrElse("?")}; " +
+          "partition-routed appends support int/long/string " +
+          "(protocol string round-trip) — refusing")
+      }
       require(snap.schema == snap.physSchema,
         s"graftdelta append: $deltaRoot uses column mapping; appends " +
           "would write logical names into a physically-mapped table")
@@ -1357,20 +1364,61 @@ object DeltaInterop {
         s"""{"remove":{"path":${om.writeValueAsString(p)},""" +
           s""""deletionTimestamp":0,"dataChange":true}}"""
       }
-    // data files: stage, then move under the root with unique names
+    // data files: stage, then move under the root with unique names.
+    // A PARTITIONED table routes: the batch stages partitionBy'd (per
+    // Delta convention the partition columns are NOT written into the
+    // data files — readers materialize them from partitionValues), and
+    // each staged file's hive dir names decode into its add action's
+    // partitionValues — the same per-partition shape the partitioned
+    // export publishes and every read path prunes.
+    val partCols0 = snapExisting.map(_.partCols).getOrElse(Seq.empty)
     val uuid = java.util.UUID.randomUUID().toString
     val stage = s"$deltaRoot/_stage_$uuid"
-    df.write.parquet(stage)
-    val rels = f.listStatus(new Path(stage))
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName).zipWithIndex.map { case (st, i) =>
-        val tag = txn.map(_._2).getOrElse(0L)
-        val rel = f"part-$tag%05d-$i%05d-$uuid.snappy.parquet"
-        if (!f.rename(st.getPath, new Path(s"$deltaRoot/$rel")))
-          throw new java.io.IOException(
-            s"rename ${st.getPath} -> $deltaRoot/$rel failed")
-        rel
-      }.toSeq
+    val tag = txn.map(_._2).getOrElse(0L)
+    val relsWithParts: Seq[(String, Map[String, String])] =
+      if (partCols0.isEmpty) {
+        df.write.parquet(stage)
+        f.listStatus(new Path(stage))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName).zipWithIndex.map { case (st, i) =>
+            val rel = f"part-$tag%05d-$i%05d-$uuid.snappy.parquet"
+            if (!f.rename(st.getPath, new Path(s"$deltaRoot/$rel")))
+              throw new java.io.IOException(
+                s"rename ${st.getPath} -> $deltaRoot/$rel failed")
+            (rel, Map.empty[String, String])
+          }.toSeq
+      } else {
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        df.repartition(partCols0.map(col): _*)
+          .write.partitionBy(partCols0: _*).parquet(stage)
+        val glob = partCols0.map(_ + "=*").mkString("/")
+        f.globStatus(new Path(s"$stage/$glob/*.parquet"))
+          .toSeq.sortBy(_.getPath.toString).zipWithIndex
+          .map { case (st, i) =>
+            val dirs = new Array[String](partCols0.size)
+            var p = st.getPath.getParent
+            (partCols0.size - 1 to 0 by -1).foreach { lvl =>
+              dirs(lvl) = p.getName; p = p.getParent
+            }
+            val pv = partCols0.zip(dirs).map { case (c, dn) =>
+              val raw = ExternalCatalogUtils.unescapePathName(
+                dn.substring(dn.indexOf('=') + 1))
+              c -> (if (raw == ExternalCatalogUtils
+                  .DEFAULT_PARTITION_NAME) null
+                else raw)
+            }.toMap
+            val rel = dirs.mkString("/") +
+              f"/part-$tag%05d-$i%05d-$uuid.snappy.parquet"
+            val dst = new Path(s"$deltaRoot/$rel")
+            f.mkdirs(dst.getParent)
+            if (!f.rename(st.getPath, dst))
+              throw new java.io.IOException(
+                s"rename ${st.getPath} -> $dst failed")
+            (rel, pv)
+          }
+      }
+    val rels = relsWithParts.map(_._1)
+    val partValsOf: Map[String, Map[String, String]] = relsWithParts.toMap
     f.delete(new Path(stage), true)
     def addJson(rel: String): String = {
       val p = new Path(s"$deltaRoot/$rel")
@@ -1409,8 +1457,12 @@ object DeltaInterop {
         else s""","nullCount":${nulls.toSeq.sortBy(_._1)
           .map { case (k, n) => s"${om.writeValueAsString(k)}:$n" }
           .mkString("{", ",", "}")}"""
+      val pvJson = partValsOf.getOrElse(rel, Map.empty).toSeq.sortBy(_._1)
+        .map { case (k, v) =>
+          s"${om.writeValueAsString(k)}:${om.writeValueAsString(v)}"
+        }.mkString("{", ",", "}")
       s"""{"add":{"path":${om.writeValueAsString(rel)},""" +
-        s""""partitionValues":{},"size":${st.getLen},""" +
+        s""""partitionValues":$pvJson,"size":${st.getLen},""" +
         s""""modificationTime":${st.getModificationTime},""" +
         s""""stats":${om.writeValueAsString(
           s"""{"numRecords":$rows$boundsJson$nullsJson}""")},""" +
@@ -1454,6 +1506,12 @@ object DeltaInterop {
           return false
         }
         s2.foreach(gate)
+        // the staged files were routed by the ENTRY snapshot's
+        // partition layout; a concurrent repartitioning commit would
+        // make them lie — refuse rather than publish misrouted adds
+        require(s2.map(_.partCols).getOrElse(Seq.empty) == partCols0,
+          s"graftdelta append: $deltaRoot changed partitioning " +
+            "mid-commit; retry the write")
         nextV = v2
         snapExisting = s2
       }

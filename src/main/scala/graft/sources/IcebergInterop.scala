@@ -1991,11 +1991,29 @@ object IcebergInterop {
       require(m.formatVersion == 2,
         s"grafticeberg sink: $iceRoot is format-version " +
           s"${m.formatVersion}; the sink appends v2 tables only")
-      require(m.partitionSpecs.getOrElse(
-          m.raw.path("default-spec-id").asInt(0), Seq.empty).isEmpty,
-        s"grafticeberg sink: $iceRoot is partitioned; the sink " +
-          "appends unpartitioned tables only")
+      // appends route by the default spec's IDENTITY fields (the
+      // dominant real-world layout); non-identity transforms (bucket,
+      // truncate, days…) need the transform evaluated per row to
+      // route — refuse, never misroute
       val s0 = m.schemas(m.currentSchemaId).spark
+      val specFields = m.partitionSpecs.getOrElse(
+        m.raw.path("default-spec-id").asInt(0), Seq.empty)
+      specFields.foreach { case (nm, transform, srcId) =>
+        require(transform == "identity",
+          s"grafticeberg sink: $iceRoot partitions by " +
+            s"'$nm' with transform '$transform'; partition-routed " +
+            "appends support identity transforms only")
+        val srcName = m.schemas(m.currentSchemaId).fieldIds
+          .collectFirst { case (n, id) if id == srcId => n }
+        val dt = srcName.flatMap(n =>
+          s0.fields.find(_.name == n).map(_.dataType))
+        require(dt.exists {
+          case IntegerType | LongType | StringType => true
+          case _ => false
+        }, s"grafticeberg sink: $iceRoot partition field '$nm' " +
+          s"sources a ${dt.map(_.simpleString).getOrElse("?")} " +
+          "column; partition-routed appends support int/long/string")
+      }
       require(s0.fields.map(x => (x.name, x.dataType)).toSeq ==
           df.schema.fields.map(x => (x.name, x.dataType)).toSeq,
         s"grafticeberg sink: batch schema ${df.schema.simpleString} " +
@@ -2008,22 +2026,91 @@ object IcebergInterop {
     val conf = spark.sessionState.newHadoopConf()
     def qualify(p: Path): String =
       p.getFileSystem(conf).makeQualified(p).toString
-    // data files: stage, then move under data/ with unique names
+    // data files: stage, then move under data/ with unique names.
+    // A PARTITIONED table routes: the batch stages grouped by the
+    // spec's identity source columns via duplicate __gp keys (the
+    // source columns themselves STAY in the data files, the Iceberg
+    // layout), and each staged file's hive dir names decode into its
+    // manifest entry's typed partition record — the same shape the
+    // partitioned export publishes and identity pruning reads.
+    // (spec field name, source column name, source type)
+    def specFieldsOf(m: IceMeta): Seq[(String, String, DataType)] = {
+      val fieldIds = m.schemas(m.currentSchemaId).fieldIds
+      val s0 = m.schemas(m.currentSchemaId).spark
+      m.partitionSpecs.getOrElse(
+          m.raw.path("default-spec-id").asInt(0), Seq.empty)
+        .map { case (nm, _, srcId) =>
+          val srcName = fieldIds.collectFirst {
+            case (n, id) if id == srcId => n
+          }.getOrElse(throw new IllegalStateException(
+            s"$iceRoot: partition field '$nm' sources unknown field " +
+              s"id $srcId"))
+          (nm, srcName, s0.fields.find(_.name == srcName).get.dataType)
+        }
+    }
+    val specFields0: Seq[(String, String, DataType)] =
+      meta.map(specFieldsOf).getOrElse(Seq.empty)
     val uuid = java.util.UUID.randomUUID().toString
     val stage = s"$iceRoot/_stage_$uuid"
-    df.write.parquet(stage)
     f.mkdirs(new Path(s"$iceRoot/data"))
-    val dataUris = f.listStatus(new Path(stage))
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName).zipWithIndex.map { case (st, i) =>
-        val tag = txn.map(_._2).getOrElse(0L)
-        val rel = f"data/part-$tag%05d-$i%05d-$uuid.parquet"
-        val dst = new Path(s"$iceRoot/$rel")
-        if (!f.rename(st.getPath, dst))
-          throw new java.io.IOException(
-            s"rename ${st.getPath} -> $dst failed")
-        qualify(dst)
-      }.toSeq
+    val tag = txn.map(_._2).getOrElse(0L)
+    // (qualified uri, typed partition values in spec-field order)
+    val dataFilesStaged: Seq[(String, Seq[Option[Any]])] =
+      if (specFields0.isEmpty) {
+        df.write.parquet(stage)
+        f.listStatus(new Path(stage))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName).zipWithIndex.map { case (st, i) =>
+            val rel = f"data/part-$tag%05d-$i%05d-$uuid.parquet"
+            val dst = new Path(s"$iceRoot/$rel")
+            if (!f.rename(st.getPath, dst))
+              throw new java.io.IOException(
+                s"rename ${st.getPath} -> $dst failed")
+            (qualify(dst), Seq.empty[Option[Any]])
+          }.toSeq
+      } else {
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        val gp = specFields0.indices.map(i => s"__gp$i")
+        val staged0 = specFields0.zip(gp).foldLeft(df) {
+          case (d, ((_, src, _), g)) => d.withColumn(g, col(src))
+        }
+        staged0.repartition(gp.map(col): _*)
+          .write.partitionBy(gp: _*).parquet(stage)
+        val glob = gp.map(_ + "=*").mkString("/")
+        f.globStatus(new Path(s"$stage/$glob/*.parquet"))
+          .toSeq.sortBy(_.getPath.toString).zipWithIndex
+          .map { case (st, i) =>
+            val dirs = new Array[String](gp.size)
+            var p = st.getPath.getParent
+            (gp.size - 1 to 0 by -1).foreach { lvl =>
+              dirs(lvl) = p.getName; p = p.getParent
+            }
+            val vals = specFields0.zip(dirs).map {
+              case ((_, _, dt), dn) =>
+                val raw = ExternalCatalogUtils.unescapePathName(
+                  dn.substring(dn.indexOf('=') + 1))
+                if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+                  None
+                else Some(dt match {
+                  case IntegerType => Int.box(raw.toInt)
+                  case LongType => Long.box(raw.toLong)
+                  case _ => raw: Any
+                })
+            }
+            val rel = "data/" + specFields0.map(_._1).zip(dirs)
+              .map { case (nm, dn) =>
+                nm + dn.substring(dn.indexOf('=')) }.mkString("/") +
+              f"/part-$tag%05d-$i%05d-$uuid.parquet"
+            val dst = new Path(s"$iceRoot/$rel")
+            f.mkdirs(dst.getParent)
+            if (!f.rename(st.getPath, dst))
+              throw new java.io.IOException(
+                s"rename ${st.getPath} -> $dst failed")
+            (qualify(dst), vals)
+          }
+      }
+    val dataUris = dataFilesStaged.map(_._1)
+    val partValsOf: Map[String, Seq[Option[Any]]] = dataFilesStaged.toMap
     f.delete(new Path(stage), true)
     val staged = scala.collection.mutable.ArrayBuffer(dataUris: _*)
     def dropStaged(): Unit =
@@ -2073,14 +2160,29 @@ object IcebergInterop {
       }
       val manifest =
         s"$iceRoot/metadata/$uuid-$attempts-m0.avro"
+      val mSchema =
+        if (specFields0.isEmpty) manifestSchema
+        else manifestSchemaWithPartition(specFields0.map {
+          case (nm, _, dt) =>
+            val avroT = dt match {
+              case IntegerType => "int"
+              case LongType => "long"
+              case _ => "string"
+            }
+            s"""{"name":${om.writeValueAsString(nm)},""" +
+              s""""type":["null","$avroT"],"default":null}"""
+        }.mkString(","))
       val entries = fileMeta.map { case (uri, rows, size, bnds, nulls) =>
         val df0 = new GenericData.Record(
-          manifestSchema.getField("data_file").schema())
+          mSchema.getField("data_file").schema())
         df0.put("content", 0)
         df0.put("file_path", uri)
         df0.put("file_format", "PARQUET")
-        df0.put("partition", new GenericData.Record(
-          df0.getSchema.getField("partition").schema()))
+        val pr = new GenericData.Record(
+          df0.getSchema.getField("partition").schema())
+        specFields0.map(_._1).zip(partValsOf.getOrElse(uri, Seq.empty))
+          .foreach { case (nm, v) => pr.put(nm, v.orNull) }
+        df0.put("partition", pr)
         df0.put("record_count", rows)
         df0.put("file_size_in_bytes", size)
         val counted = nulls.toSeq.sortBy(_._1).flatMap { case (n, nc) =>
@@ -2134,7 +2236,7 @@ object IcebergInterop {
           boundArr("lower_bounds", _._2)
           boundArr("upper_bounds", _._3)
         }
-        val e = new GenericData.Record(manifestSchema)
+        val e = new GenericData.Record(mSchema)
         e.put("status", 1) // ADDED
         e.put("snapshot_id", snapId)
         e.put("sequence_number", seqNum)
@@ -2142,7 +2244,7 @@ object IcebergInterop {
         e.put("data_file", df0)
         e
       }
-      val mLen = writeAvro(spark, manifest, manifestSchema, entries)
+      val mLen = writeAvro(spark, manifest, mSchema, entries)
       staged += qualify(new Path(manifest))
       // the new list = current snapshot's manifests (by reference,
       // field-by-field copy so fixture-written shapes normalize) + ours
@@ -2166,7 +2268,8 @@ object IcebergInterop {
         val r = new GenericData.Record(manifestListSchema)
         r.put("manifest_path", qualify(new Path(manifest)))
         r.put("manifest_length", mLen)
-        r.put("partition_spec_id", 0)
+        r.put("partition_spec_id", meta.map(
+          _.raw.path("default-spec-id").asInt(0)).getOrElse(0))
         r.put("content", 0)
         r.put("sequence_number", seqNum)
         r.put("min_sequence_number", seqNum)
@@ -2223,9 +2326,19 @@ object IcebergInterop {
           s""""last-column-id":$lastColId,""" +
           s""""current-schema-id":$schemaId,""" +
           s""""schemas":${schemasJson.mkString("[", ",", "]")},""" +
-          s""""default-spec-id":0,""" +
-          s""""partition-specs":[{"spec-id":0,"fields":[]}],""" +
-          s""""last-partition-id":999,"default-sort-order-id":0,""" +
+          // carry the TABLE's partition layout forward verbatim — an
+          // append must never rewrite a partitioned table's spec
+          s""""default-spec-id":${meta.map(
+            _.raw.path("default-spec-id").asInt(0)).getOrElse(0)},""" +
+          s""""partition-specs":${meta.map(m =>
+            Option(m.raw.path("partition-specs"))
+              .filter(p => !p.isMissingNode && p.isArray)
+              .map(_.toString)
+              .getOrElse("""[{"spec-id":0,"fields":[]}]"""))
+            .getOrElse("""[{"spec-id":0,"fields":[]}]""")},""" +
+          s""""last-partition-id":${meta.map(
+            _.raw.path("last-partition-id").asInt(999))
+            .getOrElse(999)},"default-sort-order-id":0,""" +
           s""""sort-orders":[{"order-id":0,"fields":[]}],""" +
           s""""properties":$propsJson,"current-snapshot-id":$snapId,""" +
           s""""snapshots":${snaps.mkString("[", ",", "]")},""" +
@@ -2254,6 +2367,12 @@ object IcebergInterop {
           return false
         }
         meta.foreach(gate)
+        // the staged files were routed by the ENTRY metadata's spec; a
+        // concurrent repartitioning commit would make them lie
+        require(meta.map(specFieldsOf).getOrElse(Seq.empty)
+            == specFields0,
+          s"grafticeberg append: $iceRoot changed partitioning " +
+            "mid-commit; retry the write")
       }
     }
     false // unreachable

@@ -146,7 +146,8 @@ class InteropWriteSpec extends SparkSpec {
     }
     assert(msgs(e2).exists(_.contains("column lists")),
       msgs(e2).mkString(" | "))
-    // a partitioned export: the writer's gate refuses the append
+    // a STATIC PARTITION clause refuses (dynamic routing by value is
+    // the supported shape — see InteropPartitionedWriteSpec)
     val pd = s"$dir/pd"
     LakeTable.append(spark.range(0, 10)
       .select(col("id").as("k"),
@@ -155,9 +156,9 @@ class InteropWriteSpec extends SparkSpec {
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW iw_part USING " +
       s"graftdelta OPTIONS (path '$pd')")
     val e3 = intercept[Throwable] {
-      spark.sql("INSERT INTO iw_part VALUES (1, 's0')")
+      spark.sql("INSERT INTO iw_part PARTITION (src='s0') VALUES (1)")
     }
-    assert(msgs(e3).exists(_.contains("partitioned")),
+    assert(msgs(e3).exists(_.contains("PARTITION")),
       msgs(e3).mkString(" | "))
     // arity mismatch refuses at analysis
     val e4 = intercept[Throwable] {
