@@ -3679,6 +3679,67 @@ object SourceQueries {
       "partition-routed SQL INSERT on both formats: per-partition " +
         "files the readers prune (files outside the probed partition " +
         "corrupted before the read)"),
+
+    // ---- grafticeberg stream: mid-stream v3 DV folds -------------------------
+    // The CDC shape a foreign writer lands between micro-batches:
+    // ONE snapshot appends a data file AND a Puffin deletion vector
+    // for some of its rows. A delete that only references data files
+    // added in the same range folds exactly — the incremental read
+    // applies the target snapshot's deletes to the new files, so the
+    // stream emits precisely the surviving rows (no refusal, no
+    // ignoreChanges). A delete touching already-streamed rows still
+    // refuses (covered in the spec suite). Lifecycle: stream →
+    // append+DV-delete → stream again; the accumulated sink ≡ the
+    // batch read ≡ the relational recompute.
+    "q364_iceberg_stream_middv" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val root = freshRoot("graft_middv_q364")
+        val lake = root + "/lake"
+        val ice = root + "/ice"
+        val dst = root + "/dst"
+        val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        def run(): Unit = {
+          val q = s.readStream.format("grafticeberg")
+            .option("path", ice).load()
+            .writeStream.format("graftlake")
+            .option("path", dst).option("appId", "q364")
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming
+              .Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        // bootstrap: the evens, exported v3
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 2 === 0), lake)
+        graft.sources.IcebergInterop.exportToIceberg(s, lake, ice,
+          formatVersion = 3)
+        run()
+        // mid-stream: ONE snapshot appends the odds AND a Puffin DV
+        // deleting the odd multiples of 5 (rows of the NEW file only)
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 2 =!= 0), lake)
+        graft.sources.LakeTable.deleteWhereDV(s, lake,
+          "o_orderkey % 2 = 1 AND o_orderkey % 5 = 0")
+        graft.sources.IcebergInterop.exportToIceberg(s, lake, ice,
+          formatVersion = 3)
+        run() // folds — the DV references only the new data file
+        val streamed = graft.sources.LakeTable.read(s, dst)
+          .select("o_orderkey", "o_totalprice")
+        // batch twin ≡ the streamed accumulation
+        val batch = graft.sources.IcebergInterop.readIceberg(s, ice)
+          .select("o_orderkey", "o_totalprice")
+        require(streamed.exceptAll(batch).isEmpty &&
+            batch.exceptAll(streamed).isEmpty,
+          "q364: streamed accumulation diverged from the batch read")
+        streamed
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        WHERE NOT (o_orderkey % 2 = 1 AND o_orderkey % 5 = 0)"""),
+      "grafticeberg stream folds a mid-stream Puffin DV on same-range " +
+        "files: stream → append+DV-delete → stream; sink ≡ batch ≡ " +
+        "recompute"),
   )
 
 

@@ -21,10 +21,16 @@ import org.apache.spark.sql.types.StructType
   * and multi-batch Trigger.AvailableNow carry over from the other two
   * sources unchanged — here a "version" is one snapshot.
   *
-  * Append discipline: a sequence range that removed data files or
-  * added new position-delete files fails the stream loudly (continuing
-  * would miss or duplicate rewritten rows); `ignoreChanges=true` opts
-  * into streaming only newly added data files. */
+  * Append discipline: a sequence range that removed data files fails
+  * the stream loudly (continuing would miss or duplicate rewritten
+  * rows). A range that added DELETE files folds them when they only
+  * reference data files also added in the range — the incremental
+  * read applies the target snapshot's deletes, so a CDC-style
+  * append+delete landing between micro-batches streams exactly
+  * (including v3 Puffin DVs); a delete touching already-streamed rows
+  * still refuses (no source can retract emitted rows).
+  * `ignoreChanges=true` opts into streaming only newly added data
+  * files. */
 class GraftIcebergSource
     extends org.apache.spark.sql.sources.StreamSourceProvider
     with org.apache.spark.sql.sources.RelationProvider
@@ -284,14 +290,28 @@ class GraftIcebergStreamSource(ctx: SQLContext, root: String,
       if (!ignoreChanges) {
         val (removed, newDeletes) =
           IcebergInterop.icebergChangeKinds(spark, root, f, toSnap)
-        if (removed.nonEmpty || newDeletes.nonEmpty)
+        if (removed.nonEmpty)
           throw new IllegalStateException(
             s"grafticeberg source: sequences ($from, $to] of $root " +
               "contain non-append changes (removed data files: " +
-              s"${removed.take(3).mkString(", ")}; new delete files: " +
-              s"${newDeletes.take(3).mkString(", ")}) — streaming past " +
+              s"${removed.take(3).mkString(", ")}) — streaming past " +
               "them would miss or duplicate rewritten rows; set " +
               "ignoreChanges=true to stream only newly added files")
+        // a delete file that only references data files ADDED in this
+        // range FOLDS exactly (the incremental read applies the target
+        // snapshot's deletes to the new files); one touching
+        // already-streamed files would need a retraction — refuse
+        if (newDeletes.nonEmpty) {
+          val unfoldable = IcebergInterop
+            .unfoldableNewDeletes(spark, root, f, toSnap)
+          if (unfoldable.nonEmpty)
+            throw new IllegalStateException(
+              s"grafticeberg source: sequences ($from, $to] of $root " +
+                "add delete files touching already-streamed rows (" +
+                s"${unfoldable.take(3).mkString("; ")}) — a streaming " +
+                "source cannot retract emitted rows; set " +
+                "ignoreChanges=true to stream only newly added files")
+        }
       }
     }
     val df = IcebergInterop.readIcebergChanges(spark, root, fromSnap,

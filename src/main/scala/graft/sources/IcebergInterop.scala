@@ -1183,6 +1183,63 @@ object IcebergInterop {
     (removed, newDeletes)
   }
 
+  /** Which of the delete files added in `(fromSnap, toSnap]` can a
+    * STREAM fold exactly, and which cannot? A delete landing on a data
+    * file the stream already emitted would need a retraction (no
+    * streaming source can un-emit a row), but a delete that only
+    * references data files ALSO added in the range folds exactly: the
+    * incremental read applies the target snapshot's deletes to the new
+    * files, so the emitted rows ≡ the batch read of those files.
+    * Returns the UNFOLDABLE delete paths with reasons (empty = every
+    * new delete folds):
+    *  - v3 Puffin DVs name their referenced file → fold iff it is a
+    *    new data file (pure metadata);
+    *  - parquet position deletes are read for their distinct
+    *    `file_path` references (delete-file-sized I/O, bounded);
+    *  - equality deletes scope EVERY strictly-older data file — never
+    *    foldable mid-stream. */
+  private[sources] def unfoldableNewDeletes(spark: SparkSession,
+      root: String, fromSnap: Long, toSnap: Long): Seq[String] = {
+    val (_, aData, aDel) = snapshotFiles(spark, root, Some(fromSnap))
+    val (_, bData, bDel) = snapshotFiles(spark, root, Some(toSnap))
+    val conf = spark.sessionState.newHadoopConf()
+    def qualify(p: String): String = {
+      val hp = new Path(resolve(root, p))
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+    // new data files under every spelling a delete might reference
+    val newFiles: Set[String] = {
+      val raw = bData.map(_.path).toSet -- aData.map(_.path).toSet
+      raw ++ raw.map(qualify)
+    }
+    val aPaths = aDel.map(_.path).toSet
+    bDel.filterNot(d => aPaths(d.path)).flatMap { d =>
+      d.content match {
+        case 2 => Some(s"${d.path} (equality deletes scope every " +
+          "older data file)")
+        case 1 if d.dv.isDefined =>
+          val ref = d.dv.get.referencedFile
+          if (newFiles(ref) || newFiles(qualify(ref))) None
+          else Some(s"${d.path} (deletion vector references " +
+            s"already-streamed $ref)")
+        case 1 =>
+          val refs = spark.read
+            .schema(StructType(Seq(
+              StructField("file_path", StringType),
+              StructField("pos", LongType))))
+            .parquet(resolve(root, d.path))
+            .select("file_path").distinct().collect()
+            .map(_.getString(0))
+          val old = refs.filterNot(r =>
+            newFiles(r) || newFiles(qualify(r)))
+          if (old.isEmpty) None
+          else Some(s"${d.path} (position deletes reference " +
+            s"already-streamed ${old.take(2).mkString(", ")})")
+        case _ => Some(s"${d.path} (unknown delete content)")
+      }
+    }
+  }
+
   /** Incremental read over an Iceberg log: the rows of the data files
     * ADDED between `fromSnapshot` (exclusive; None = everything) and
     * `toSnapshot` — O(changed) I/O, the interop twin of

@@ -138,9 +138,13 @@ class GraftIcebergSourceSpec extends SparkSpec {
     IcebergInterop.exportToIceberg(spark, lake, ice)
     val e = intercept[org.apache.spark.sql.streaming
       .StreamingQueryException] { run(ignore = false) }
-    assert(e.getMessage.contains("non-append") ||
-      Option(e.getCause).exists(_.getMessage.contains("non-append")),
-      e.getMessage)
+    // the delete references rows the stream ALREADY emitted — that
+    // stays a refusal (a foldable delete on new files streams; see the
+    // mid-stream DV test)
+    def hasMsg(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(m => m.contains("already-streamed"))
+        || hasMsg(t.getCause))
+    assert(hasMsg(e), e.getMessage)
     run(ignore = true) // newly added files stream
     assert(LakeTable.read(spark, dst).select("k").as[Long]
       .collect().toSet == (0L until 60L).toSet)
@@ -161,6 +165,51 @@ class GraftIcebergSourceSpec extends SparkSpec {
     // bootstrap snapshot 1 predates the DV, so k<5 is present there
     assert(LakeTable.read(spark, dst2).select("k").as[Long]
       .collect().toSet == (0L until 60L).toSet)
+  }
+
+  test("a delete landing MID-STREAM folds when it only references " +
+      "data files added in the same range: position deletes (v2) and " +
+      "Puffin DVs (v3) both stream exactly; batch twin agrees") {
+    Seq(2, 3).foreach { fv =>
+      val dir = Files.createTempDirectory(s"icefold$fv")
+      val lake = dir.resolve("lake").toString
+      val ice = dir.resolve("ice").toString
+      val dst = dir.resolve("dst").toString
+      val ckpt = dir.resolve("ckpt").toString
+      LakeTable.append(spark.range(0, 40)
+        .select(col("id").as("k"), (col("id") * 2).as("v")), lake)
+      IcebergInterop.exportToIceberg(spark, lake, ice,
+        formatVersion = fv)
+      def run(): Unit = {
+        val q = spark.readStream.format("grafticeberg")
+          .option("path", ice).load()
+          .writeStream.format("graftlake")
+          .option("path", dst).option("appId", s"ice-fold$fv")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming
+            .Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      run()
+      assert(LakeTable.read(spark, dst).count() == 40L)
+      // CDC-style tail: append 40..60 AND delete five of the NEW rows
+      // — exported as ONE snapshot whose delete file references only
+      // the data file added in the same snapshot
+      LakeTable.append(spark.range(40, 60)
+        .select(col("id").as("k"), (col("id") * 2).as("v")), lake)
+      LakeTable.deleteWhereDV(spark, lake, "k >= 40 AND k < 45")
+      IcebergInterop.exportToIceberg(spark, lake, ice,
+        formatVersion = fv)
+      run() // folds — no refusal, no ignoreChanges needed
+      val streamed = LakeTable.read(spark, dst).select("k").as[Long]
+        .collect().toSet
+      assert(streamed == ((0L until 40L) ++ (45L until 60L)).toSet,
+        s"fv=$fv: ${streamed.toSeq.sorted.mkString(",")}")
+      // batch twin ≡ the streamed accumulation
+      assert(IcebergInterop.readIceberg(spark, ice)
+        .select("k").as[Long].collect().toSet == streamed)
+    }
   }
 
   test("a format-v3 table with a PUFFIN deletion vector streams: the "
