@@ -115,5 +115,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // PAST the log (rows that never appear; overwrite deletes live
     // files), so this must fire before DataSourceAnalysis
     ext.injectResolutionRule(spark => InteropInsertRule(spark))
+    // DELETE FROM a graftdelta view → deletion-vector commit (no data
+    // rewrite); must fire in the MAIN resolution batch — Spark's own
+    // RewriteDeleteFromTable dies on V1 relations before post-hoc
+    // rules run. Unmatched shapes keep the standard v2-only error.
+    ext.injectResolutionRule(spark => InteropDeleteRule(spark))
   }
 }

@@ -40,27 +40,7 @@ import org.apache.spark.sql.types.DataType
   * silently swap columns whenever the types happen to cast. */
 case class InteropInsertRule(spark: SparkSession)
     extends Rule[LogicalPlan] {
-
-  /** (format, root, user-pinned?) — `pinned` means the user asked for
-    * time travel (versionAsOf/snapshotId/timestampAsOf), which write
-    * paths refuse; the automatic snapshot pin every relation carries
-    * for consistent metadata answers does NOT block writes. */
-  private def refOf(plan: LogicalPlan)
-      : Option[(String, String, Boolean)] = plan match {
-    case SubqueryAlias(_, child) => refOf(child)
-    case lr: LogicalRelation => lr.relation match {
-      case h: HadoopFsRelation
-          if h.options.contains("graft.interop.format") =>
-        Some((h.options("graft.interop.format"), h.options("path"),
-          h.options.contains("graft.interop.pinned")))
-      case r: graft.sources.InteropSnapshotRelation =>
-        r.interopRef.map { case (fmt, root, _) =>
-          (fmt, root, r.userPinned)
-        }
-      case _ => None
-    }
-    case _ => None
-  }
+  import InteropWriteRefs.refOf
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case i: InsertIntoStatement
@@ -127,6 +107,95 @@ case class InteropAppendCommand(fmt: String, root: String,
       case other => throw new IllegalStateException(
         s"unknown interop format $other")
     }
+    Seq.empty
+  }
+}
+
+/** Shared target-resolution for the interop WRITE rules. */
+private[plans] object InteropWriteRefs {
+  /** (format, root, user-pinned?) — `pinned` means the user asked for
+    * time travel (versionAsOf/snapshotId/timestampAsOf), which write
+    * paths refuse; the automatic snapshot pin every relation carries
+    * for consistent metadata answers does NOT block writes. */
+  def refOf(plan: LogicalPlan): Option[(String, String, Boolean)] =
+    plan match {
+      case SubqueryAlias(_, child) => refOf(child)
+      // DML resolution wraps a datasource temp view in a View node
+      // (INSERT's table does not) — unwrap it the same way
+      case v: org.apache.spark.sql.catalyst.plans.logical.View =>
+        refOf(v.child)
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation
+            if h.options.contains("graft.interop.format") =>
+          Some((h.options("graft.interop.format"), h.options("path"),
+            h.options.contains("graft.interop.pinned")))
+        case r: graft.sources.InteropSnapshotRelation =>
+          r.interopRef.map { case (fmt, root, _) =>
+            (fmt, root, r.userPinned)
+          }
+        case _ => None
+      }
+      case _ => None
+    }
+}
+
+/** SQL `DELETE FROM` a `USING graftdelta` view — routed into
+  * [[graft.sources.DeltaInterop.deleteWhereDeltaDV]]: rows delete as
+  * DELETION VECTORS (one sidecar + remove/add-with-DV commit, no data
+  * rewrite), exactly the protocol's own DELETE shape. Without this
+  * rule the statement dies on Spark's "DELETE is only supported with
+  * v2 tables" — with it, the foreign table takes standard SQL DML.
+  *
+  * Shapes left to the standard error rather than half-translated:
+  * subquery conditions, grafticeberg targets (no DV write path yet).
+  * Time-travel views refuse loudly (an immutable snapshot cannot take
+  * DML). The condition renders back to SQL text with bare column
+  * names and re-parses against the table's own frame. */
+case class InteropDeleteRule(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{
+    And => CAnd, AttributeReference, Between, Expression,
+    GreaterThanOrEqual, LessThanOrEqual, RuntimeReplaceable,
+    SubqueryExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable
+  import InteropWriteRefs.refOf
+
+  private def renderable(e: Expression): Boolean =
+    !SubqueryExpression.hasSubquery(e) &&
+      e.find {
+        case _: Between => false
+        case _: RuntimeReplaceable => true
+        case _ => false
+      }.isEmpty
+
+  private def bareSql(e: Expression): String =
+    e.transformUp {
+      case b: Between => CAnd(GreaterThanOrEqual(b.input, b.lower),
+        LessThanOrEqual(b.input, b.upper))
+    }.transformUp {
+      case a: AttributeReference => a.withQualifier(Seq.empty)
+    }.sql
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case d @ DeleteFromTable(target, cond)
+          if d.resolved && cond.resolved &&
+            refOf(target).exists(_._1 == "delta") &&
+            renderable(cond) =>
+        val (_, root, pinned) = refOf(target).get
+        require(!pinned,
+          s"graftdelta: cannot DELETE through a time-travel view of " +
+            s"$root — writes always target the latest version")
+        InteropDeleteCommand(root, bareSql(cond))
+    }
+}
+
+/** The command [[InteropDeleteRule]] plans. */
+case class InteropDeleteCommand(root: String, condSql: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    graft.sources.DeltaInterop.deleteWhereDeltaDV(session, root,
+      condSql): Unit
     Seq.empty
   }
 }

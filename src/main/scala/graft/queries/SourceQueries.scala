@@ -3740,6 +3740,65 @@ object SourceQueries {
       "grafticeberg stream folds a mid-stream Puffin DV on same-range " +
         "files: stream → append+DV-delete → stream; sink ≡ batch ≡ " +
         "recompute"),
+
+    // ---- SQL DELETE FROM a foreign Delta table (deletion vectors) ------------
+    // The natural next write primitive after INSERT: DELETE commits as
+    // the protocol's own merge-on-read shape — ONE deletion-vector
+    // sidecar plus a remove/add-with-DV commit, no data rewrite (the
+    // old snapshot stays time-travelable byte-for-byte). The in-line
+    // asserts prove the three-way agreement the verdict asks for: the
+    // reader, the metadata COUNT(*) (which subtracts vectors exactly),
+    // and the doctor all see the same post-delete table; re-added
+    // stats carry tightBounds:false so foreign engines stop trusting
+    // possibly-deleted extrema.
+    "q365_interop_sql_delete" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val root = freshRoot("graft_sqldelete_q365")
+        val delta = root + "/delta"
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        // DV-enabled empty table (the spec's writer opt-in), then the
+        // rows land through the gated batch writer
+        val fsys = new org.apache.hadoop.fs.Path(delta)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$delta/_delta_log"))
+        val out0 = fsys.create(new org.apache.hadoop.fs.Path(
+          s"$delta/_delta_log/00000000000000000000.json"), false)
+        out0.write((
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
+            "\n" +
+            s"""{"metaData":{"id":"q365","schemaString":${om
+              .writeValueAsString(o.schema.json)},""" +
+            """"partitionColumns":[],"format":{"provider":"parquet"},""" +
+            """"configuration":{"delta.enableDeletionVectors":"true"}}}"""
+          ).getBytes("UTF-8"))
+        out0.close()
+        graft.sources.DeltaInterop.appendDelta(o, delta)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q365_d USING " +
+          s"graftdelta OPTIONS (path '$delta')")
+        s.sql("DELETE FROM q365_d WHERE o_orderkey % 3 = 0")
+        // re-resolve (a V1 view is a snapshot) and prove agreement
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q365_d USING " +
+          s"graftdelta OPTIONS (path '$delta')")
+        val scanned = s.table("q365_d").count()
+        val metaCount = graft.sources.DeltaInterop
+          .deltaRowCount(s, delta)
+        require(metaCount.contains(scanned),
+          s"q365: metadata count $metaCount != scan $scanned")
+        require(graft.sources.DeltaInterop.validateDelta(s, delta)
+          .count() == 0L, "q365: doctor found issues after DELETE")
+        // the pre-delete snapshot still serves (no data rewrite)
+        require(graft.sources.DeltaInterop
+          .readDelta(s, delta, Some(1L)).count() > scanned,
+          "q365: time travel to the pre-delete snapshot broke")
+        s.table("q365_d")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 <> 0"""),
+      "SQL DELETE FROM a graftdelta view: deletion-vector commit, " +
+        "reader ≡ metadata count ≡ doctor; old snapshot intact"),
   )
 
 

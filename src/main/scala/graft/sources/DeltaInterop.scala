@@ -1300,6 +1300,200 @@ object DeltaInterop {
         "commit (the table would lie about its own constraints)")
   }
 
+  /** DV-backed `DELETE FROM` a foreign Delta table — the write twin of
+    * the deletion-vector READ path: rows matching `condSql` are
+    * recorded as row positions in ONE new
+    * `deletion_vector_<uuid>.bin` sidecar (portable RoaringBitmapArray
+    * frames, merged with each file's existing vector), and one commit
+    * re-adds every affected file with its fresh descriptor (remove +
+    * add-with-DV — the protocol's own DELETE shape, no data rewrite).
+    * Returns the number of newly deleted rows.
+    *
+    * Refusals keep the table honest: column-mapped targets refuse
+    * (positions are physical, the scan must be proven under mapping
+    * first); `delta.appendOnly` tables refuse (removes are a protocol
+    * violation); a table that neither carries the deletionVectors
+    * feature nor sets `delta.enableDeletionVectors=true` refuses — the
+    * spec forbids writers to add vectors unenabled. When the property
+    * is set but the protocol predates features, the SAME commit
+    * upgrades to (3, 7) carrying the legacy-implied features forward,
+    * and re-added stats gain `tightBounds:false` (a deleted extremum
+    * must not serve as a tight bound to foreign engines; our own
+    * metadata MIN/MAX already refuses under live DVs). */
+  def deleteWhereDeltaDV(spark: SparkSession, deltaRoot: String,
+                         condSql: String): Long = {
+    val f = fs(spark, deltaRoot)
+    val vs = deltaVersions(spark, deltaRoot)
+    require(vs.nonEmpty, s"no Delta log under $deltaRoot")
+    val v = vs.max
+    val snap = replay(spark, deltaRoot, v)
+    require(snap.schema == snap.physSchema,
+      s"graftdelta DELETE: $deltaRoot uses column mapping; positions " +
+        "are physical and the mapped scan is unproven — refusing")
+    writerProtocolGate(snap, deltaRoot, overwrite = false)
+    require(!snap.conf.get("delta.appendOnly").exists(_.toBoolean),
+      s"graftdelta DELETE: $deltaRoot declares delta.appendOnly=true; " +
+        "DELETE commits remove actions — a protocol violation, refusing")
+    val hasFeature = snap.writerFeatures.contains("deletionVectors") ||
+      snap.protoFeatures.contains("deletionVectors")
+    val enabled =
+      snap.conf.get("delta.enableDeletionVectors").exists(_.toBoolean)
+    require(hasFeature || enabled,
+      s"graftdelta DELETE: $deltaRoot neither carries the " +
+        "deletionVectors feature nor sets " +
+        "delta.enableDeletionVectors=true; the spec forbids writers " +
+        "to add vectors to an unenabled table — set the property " +
+        "first (ALTER TABLE ... SET TBLPROPERTIES)")
+    if (snap.live.isEmpty) return 0L
+    // candidate scan with PHYSICAL row positions; partition columns
+    // materialize per file group so the predicate may reference them
+    val dataSchema = StructType(snap.schema.fields
+      .filterNot(fd => snap.partCols.contains(fd.name)))
+    def scan(paths: Seq[String]): DataFrame =
+      spark.read.schema(dataSchema)
+        .parquet(paths.sorted.map(p => s"$deltaRoot/$p"): _*)
+        .withColumn("__uri", col("_metadata.file_path"))
+        .withColumn("__pos", col("_metadata.row_index"))
+    val base =
+      if (snap.partCols.isEmpty) scan(snap.live.keys.toSeq)
+      else snap.live.groupBy(_._2.partitionValues)
+        .map { case (pv, group) =>
+          snap.partCols.foldLeft(scan(group.keys.toSeq)) { (d, c) =>
+            d.withColumn(c,
+              lit(pv.getOrElse(c, null)).cast(snap.schema(c).dataType))
+          }
+        }.reduce(_.unionByName(_))
+    val hits = base
+      .filter(coalesce(expr(condSql), lit(false)))
+      .select("__uri", "__pos")
+    // (qualified uri → relative path), driver-side, bounded by #files
+    val conf = spark.sessionState.newHadoopConf()
+    def qualify(rel: String): String = {
+      val hp = new Path(s"$deltaRoot/$rel")
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+    val relOfUri: Map[String, String] =
+      snap.live.keys.map(p => qualify(p) -> p).toMap
+    // matched positions per file — sidecar-sized by the same contract
+    // as the DV read path and exports (purge is the escape hatch)
+    val matchedByFile: Map[String, Array[Long]] = hits
+      .groupBy(col("__uri"))
+      .agg(collect_list(col("__pos")).as("ps"))
+      .collect().map { r =>
+        val rel = relOfUri.getOrElse(r.getString(0),
+          throw new IllegalStateException(
+            s"graftdelta DELETE: scanned uri ${r.getString(0)} maps " +
+              "to no live file"))
+        rel -> r.getSeq[Long](1).toArray
+      }.toMap
+    if (matchedByFile.isEmpty) return 0L
+    // merge with each file's existing vector (a position deleted twice
+    // is one deletion; the count reports NEW deletions only)
+    val priorByFile: Map[String, Array[Long]] = {
+      val dvs = matchedByFile.keys.toSeq.sorted.flatMap { p =>
+        snap.live(p).dv.map(d => qualify(p) -> d)
+      }
+      if (dvs.isEmpty) Map.empty
+      else DeltaDeletionVectors.deletedPositions(spark, deltaRoot, dvs)
+        .collect().groupBy(_.getString(0))
+        .map { case (u, rows) =>
+          relOfUri(u) -> rows.map(_.getLong(1)).toArray
+        }
+    }
+    val mergedByFile: Map[String, Array[Long]] =
+      matchedByFile.map { case (p, nw) =>
+        p -> (nw ++ priorByFile.getOrElse(p, Array.empty))
+          .distinct.sorted
+      }
+    val newlyDeleted = mergedByFile.map { case (p, m) =>
+      m.length - priorByFile.getOrElse(p, Array.empty[Long]).length
+    }.sum.toLong
+    if (newlyDeleted == 0L) return 0L
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val affected = mergedByFile.keys.toSeq.sorted
+    val uuid = java.util.UUID.randomUUID()
+    val frames = DeltaDeletionVectors.writeDvFile(spark,
+      s"$deltaRoot/deletion_vector_$uuid.bin",
+      affected.map(p =>
+        DeltaDeletionVectors.serializeBitmap(mergedByFile(p))))
+    val enc = DeltaDeletionVectors.encodeUuid(uuid)
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (!hasFeature) {
+      // protocol upgrade in the same commit: (3, 7) with the legacy
+      // versions' implied features carried forward explicitly
+      val legacyWriter =
+        (if (snap.minWriterVersion >= 2)
+           Seq("appendOnly", "invariants") else Seq.empty) ++
+        (if (snap.minWriterVersion >= 3)
+           Seq("checkConstraints") else Seq.empty) ++
+        (if (snap.minWriterVersion >= 4)
+           Seq("changeDataFeed", "generatedColumns") else Seq.empty)
+      val wf = (snap.writerFeatures ++ legacyWriter +
+        "deletionVectors").toSeq.sorted
+      val rf = (snap.protoFeatures + "deletionVectors").toSeq.sorted
+      actions += s"""{"protocol":{"minReaderVersion":3,""" +
+        s""""minWriterVersion":7,""" +
+        s""""readerFeatures":${rf.map(om.writeValueAsString)
+          .mkString("[", ",", "]")},""" +
+        s""""writerFeatures":${wf.map(om.writeValueAsString)
+          .mkString("[", ",", "]")}}}"""
+      // ...and declare the property so future writer gates see an
+      // enabled table
+      val conf2 = snap.conf + ("delta.enableDeletionVectors" -> "true")
+      val confJson = conf2.toSeq.sorted.map { case (k, x) =>
+        s"${om.writeValueAsString(k)}:${om.writeValueAsString(x)}"
+      }.mkString("{", ",", "}")
+      actions += s"""{"metaData":{"id":${om.writeValueAsString(
+          snap.metaId.getOrElse(
+            java.util.UUID.randomUUID().toString))},""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${om.writeValueAsString(snap.schema.json)},""" +
+        s""""partitionColumns":${snap.partCols
+          .map(om.writeValueAsString).mkString("[", ",", "]")},""" +
+        s""""configuration":$confJson}}"""
+    }
+    affected.zip(frames).foreach { case (p, (off, size)) =>
+      val lf = snap.live(p)
+      actions += s"""{"remove":{"path":${om.writeValueAsString(p)},""" +
+        s""""deletionTimestamp":0,"dataChange":true}}"""
+      val pvJson = lf.partitionValues.toSeq.sortBy(_._1)
+        .map { case (k, x) =>
+          s"${om.writeValueAsString(k)}:${om.writeValueAsString(x)}"
+        }.mkString("{", ",", "}")
+      // re-added stats: bounds are no longer provably tight (a deleted
+      // row may have held the extremum) — say so per the spec
+      val statsJson = lf.stats.map { s =>
+        val tagged = scala.util.Try {
+          val node = om.readTree(s)
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          node.put("tightBounds", false)
+          om.writeValueAsString(node)
+        }.getOrElse(s)
+        s""""stats":${om.writeValueAsString(tagged)},"""
+      }.getOrElse("")
+      val st = f.getFileStatus(new Path(s"$deltaRoot/$p"))
+      actions += s"""{"add":{"path":${om.writeValueAsString(p)},""" +
+        s""""partitionValues":$pvJson,"size":${st.getLen},""" +
+        s""""modificationTime":${st.getModificationTime},""" +
+        statsJson +
+        s""""dataChange":true,"deletionVector":{"storageType":"u",""" +
+        s""""pathOrInlineDv":${om.writeValueAsString(enc)},""" +
+        s""""offset":$off,"sizeInBytes":$size,""" +
+        s""""cardinality":${mergedByFile(p).length}}}}"""
+    }
+    val dst = new Path(f"$deltaRoot/_delta_log/${v + 1}%020d.json")
+    if (!AtomicPublish.createExclusive(f, dst,
+        actions.mkString("\n").getBytes("UTF-8"))) {
+      // the positions were computed against version v; a concurrent
+      // commit may have rewritten the files — refuse, never mis-delete
+      f.delete(new Path(s"$deltaRoot/deletion_vector_$uuid.bin"), false)
+      throw new IllegalStateException(
+        s"graftdelta DELETE: lost a commit race at $deltaRoot " +
+          s"version ${v + 1}; re-run the DELETE against the new state")
+    }
+    newlyDeleted
+  }
+
   private def appendCommit(df: DataFrame, deltaRoot: String,
                            txn: Option[(String, Long)],
                            overwrite: Boolean = false): Boolean = {

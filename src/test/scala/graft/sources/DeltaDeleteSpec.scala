@@ -1,0 +1,141 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** DV-backed DELETE on foreign Delta tables — the write twin of the
+  * deletion-vector read path, plus its SQL routing. */
+class DeltaDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): String =
+    Files.createTempDirectory("ddel").toString
+
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** A DV-enabled empty table (protocol 1/2 + the enabling property —
+    * the spec's opt-in for writers to ADD vectors). */
+  private def enabledTable(): String = {
+    val root = fresh() + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    Files.createDirectories(Paths.get(s"$root/_delta_log"))
+    Files.writeString(Paths.get(
+      s"$root/_delta_log/00000000000000000000.json"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
+        "\n" +
+        s"""{"metaData":{"id":"del","schemaString":${om
+          .writeValueAsString(schema.json)},"partitionColumns":[],""" +
+        """"format":{"provider":"parquet"},"configuration":""" +
+        """{"delta.enableDeletionVectors":"true"}}}"""): Unit
+    root
+  }
+
+  private def msgs(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x =>
+      Option(x.getMessage).toSeq ++ msgs(x.getCause))
+
+  test("deleteWhereDeltaDV writes a vector sidecar + remove/add-with-" +
+      "DV commit; reader, metadata count and doctor all agree; a " +
+      "second delete MERGES with the existing vector; the protocol " +
+      "upgrades to (3,7) in the same commit") {
+    val root = enabledTable()
+    DeltaInterop.appendDelta(spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), root)
+    val n = DeltaInterop.deleteWhereDeltaDV(spark, root, "k % 10 = 0")
+    assert(n == 10L)
+    assert(DeltaInterop.readDelta(spark, root).count() == 90L)
+    assert(DeltaInterop.readDelta(spark, root)
+      .filter(col("k") % 10 === 0).count() == 0L)
+    // metadata COUNT(*) subtracts the vector exactly
+    assert(DeltaInterop.deltaRowCount(spark, root).contains(90L))
+    // no data file was rewritten — the delete is metadata + sidecar
+    assert(DeltaInterop.validateDelta(spark, root).count() == 0L)
+    // second delete on overlapping rows merges vectors (k=0 already
+    // deleted; only the odd multiples of 5 are new)
+    val n2 = DeltaInterop.deleteWhereDeltaDV(spark, root, "k % 5 = 0")
+    assert(n2 == 10L, s"expected 10 newly deleted, got $n2")
+    assert(DeltaInterop.readDelta(spark, root).count() == 80L)
+    assert(DeltaInterop.deltaRowCount(spark, root).contains(80L))
+    assert(DeltaInterop.validateDelta(spark, root).count() == 0L)
+    // the upgraded protocol declares the feature both sides
+    val log = Files.readString(Paths.get(
+      s"$root/_delta_log/00000000000000000002.json"))
+    assert(log.contains("\"minReaderVersion\":3") &&
+      log.contains("deletionVectors"), log)
+    // time travel still serves the pre-delete snapshot
+    assert(DeltaInterop.readDelta(spark, root, Some(1L)).count() == 100L)
+  }
+
+  test("SQL DELETE FROM a graftdelta view routes into the DV commit; " +
+      "time-travel views refuse; an unenabled table refuses with " +
+      "guidance; column-mapped targets refuse") {
+    val root = enabledTable()
+    DeltaInterop.appendDelta(spark.range(0, 50)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), root)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW dd_v USING graftdelta " +
+      s"OPTIONS (path '$root')")
+    spark.sql("DELETE FROM dd_v WHERE k >= 40")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW dd_v USING graftdelta " +
+      s"OPTIONS (path '$root')")
+    assert(spark.table("dd_v").count() == 40L)
+    assert(spark.sql("SELECT count(*) FROM dd_v").as[Long].head() == 40L)
+    // a DELETE matching nothing commits nothing
+    val vsBefore = DeltaInterop.deltaVersions(spark, root)
+    spark.sql("DELETE FROM dd_v WHERE k > 1000")
+    assert(DeltaInterop.deltaVersions(spark, root) == vsBefore)
+    // time-travel view refuses
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW dd_tt USING " +
+      s"graftdelta OPTIONS (path '$root', versionAsOf '1')")
+    val e1 = intercept[Throwable] {
+      spark.sql("DELETE FROM dd_tt WHERE k = 1")
+    }
+    assert(msgs(e1).exists(_.contains("time-travel")),
+      msgs(e1).mkString(" | "))
+    // an unenabled (plain protocol 1/2, no property) table refuses
+    val dir2 = fresh()
+    DeltaInterop.appendDelta(spark.range(0, 5)
+      .select(col("id").as("k"), (col("id") * 2).as("v")),
+      s"$dir2/plain")
+    val e2 = intercept[Throwable] {
+      DeltaInterop.deleteWhereDeltaDV(spark, s"$dir2/plain", "k = 1")
+    }
+    assert(msgs(e2).exists(_.contains("enableDeletionVectors")),
+      msgs(e2).mkString(" | "))
+  }
+
+  test("DELETE on a PARTITIONED table routes per file and the " +
+      "predicate may reference partition columns") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    val delta = s"$dir/delta"
+    LakeTable.append(spark.range(0, 20)
+      .select(col("id").as("k"),
+        concat(lit("s"), col("id") % 2).as("src")), lake)
+    DeltaInterop.exportToDeltaPartitioned(spark, lake, delta, "src")
+    // enable DVs: the partitioned export writes protocol (1,2) — add
+    // the property via a metaData re-declaration commit
+    val snapConfCommit =
+      s"""{"metaData":{"id":"pd","schemaString":${om.writeValueAsString(
+        DeltaInterop.readDelta(spark, delta).schema.json)},""" +
+        """"partitionColumns":["src"],"format":{"provider":"parquet"},""" +
+        """"configuration":{"delta.enableDeletionVectors":"true"}}}"""
+    Files.writeString(Paths.get(
+      s"$delta/_delta_log/00000000000000000001.json"), snapConfCommit)
+    val n = DeltaInterop.deleteWhereDeltaDV(spark, delta,
+      "src = 's0' AND k < 10")
+    assert(n == 5L)
+    val left = DeltaInterop.readDelta(spark, delta)
+    assert(left.count() == 15L)
+    assert(left.filter(col("src") === "s0").select("k").as[Long]
+      .collect().toSet == Set(10L, 12L, 14L, 16L, 18L))
+    assert(DeltaInterop.validateDelta(spark, delta).count() == 0L)
+    assert(DeltaInterop.deltaRowCount(spark, delta).contains(15L))
+  }
+}
