@@ -213,6 +213,48 @@ object Bench {
         } catch { case _: Throwable => false }
         (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    // AUTOMATIC contention-vs-code disposition (VERDICT r15 #4): each
+    // rerun query gets a one-token verdict computed from the DATA —
+    // the exclusive re-timing vs the previous round's record and the
+    // listener's GC share — so "environment" is a measured verdict in
+    // the artifact, not an argued one. env: the exclusive rerun landed
+    // back at (≤1.15×) the previous record — the in-run number was
+    // contention. gc: ≥12% of executor run time was collection. real:
+    // the regression persists in isolation (>1.3× prev). Anything
+    // else: inconclusive, with the numbers.
+    val metricsByName = results.map { case (n, _, m) => n -> m }.toMap
+    val disposition: Seq[(String, String)] = reruns.map {
+      case (name, excl) =>
+        val prev = prevTimes.getOrElse(name, -1.0)
+        val m = metricsByName.getOrElse(name, Map.empty)
+        val gcShare =
+          if (m.getOrElse("run_ms", 0L) <= 0) 0.0
+          else m.getOrElse("gc_ms", 0L).toDouble / m("run_ms")
+        val verdict =
+          if (excl < 0) "rerun-failed"
+          else if (prev > 0 && excl <= 1.15 * prev)
+            f"env:rerun ${excl / prev}%.2fx prev, gc ${gcShare * 100}%.0f%%"
+          else if (gcShare >= 0.12)
+            f"gc:${gcShare * 100}%.0f%% of run, rerun ${
+              if (prev > 0) f"${excl / prev}%.2fx" else "n/a"} prev"
+          else if (prev > 0 && excl > 1.3 * prev)
+            f"real:persists ${excl / prev}%.2fx prev in isolation"
+          else
+            f"inconclusive:rerun ${
+              if (prev > 0) f"${excl / prev}%.2fx prev" else "no prev"}"
+        (name, verdict)
+    }
+    val dispositionJson =
+      if (disposition.isEmpty) ""
+      else s""","disposition":${disposition.sortBy(_._1).map {
+        case (k, v) => "\"" + k + "\":\"" + v + "\""
+      }.mkString("{", ",", "}")}"""
+    // pass-level GC/run totals ride the record so a host-degraded pass
+    // (uniform inflation, normal GC) is distinguishable at a glance
+    val gcTotalS = results.map(_._3.getOrElse("gc_ms", 0L)).sum / 1e3
+    val runTotalS = results.map(_._3.getOrElse("run_ms", 0L)).sum / 1e3
+    val totalsJson =
+      f""","gc_s":$gcTotalS%.1f,"run_s":$runTotalS%.1f"""
     // The driver captures only the LAST ~2000 chars of stdout (measured
     // from BENCH_r02.json: tail=2000, trailing sbt "[success]" banner
     // included), so a full 100+-query map (~2600 chars) truncates from
@@ -235,7 +277,7 @@ object Bench {
     // n_queries rides the artifact so closing-notes headlines are
     // GENERATED from this line, never typed (the r12 "313 vs 314" slip)
     def line(rs: Seq[(String, Double)], extra: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timings.length},"queries":${qmap(rs)},"failed":$failed,"sf":"$sfDir"$rerunJson$extra}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timings.length},"queries":${qmap(rs)},"failed":$failed,"sf":"$sfDir"$rerunJson$dispositionJson$totalsJson$extra}"""
     // failures (-1) first so they never fall off the trimmed line
     val slowest40 = (timings.filter(_._2 < 0) ++
       timings.filter(_._2 >= 0).sortBy(-_._2)).take(40)
