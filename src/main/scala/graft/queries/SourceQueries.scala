@@ -3799,6 +3799,78 @@ object SourceQueries {
         FROM orders WHERE o_orderkey % 3 <> 0"""),
       "SQL DELETE FROM a graftdelta view: deletion-vector commit, " +
         "reader ≡ metadata count ≡ doctor; old snapshot intact"),
+
+    // ---- DESCRIBE foreign tables: declared invariants as rows ----------------
+    // The read surface for everything the write gate enforces: a user
+    // assessing a foreign table sees its CHECK constraints, column
+    // invariants, generated columns, NOT NULL fields, writer protocol
+    // and properties as rows BEFORE pointing a job (or a writer) at
+    // it — pure metadata, one log/metadata.json parse, zero data I/O.
+    "q366_interop_describe" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_describe_q366")
+        val delta = root + "/delta"
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        // a Delta table declaring one of everything
+        val schemaJson = """{"type":"struct","fields":[""" +
+          """{"name":"k","type":"long","nullable":false,"metadata":{}},""" +
+          """{"name":"v","type":"long","nullable":true,"metadata":""" +
+          """{"delta.invariants":""" +
+          """"{\"expression\":{\"expression\":\"v < 100\"}}"}},""" +
+          """{"name":"g","type":"long","nullable":true,"metadata":""" +
+          """{"delta.generationExpression":"k * 2"}}]}"""
+        val fsys = new org.apache.hadoop.fs.Path(delta)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$delta/_delta_log"))
+        val out0 = fsys.create(new org.apache.hadoop.fs.Path(
+          s"$delta/_delta_log/00000000000000000000.json"), false)
+        out0.write((
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
+            "\n" +
+            s"""{"metaData":{"id":"q366","schemaString":${om
+              .writeValueAsString(schemaJson)},""" +
+            """"partitionColumns":[],"format":{"provider":"parquet"},""" +
+            """"configuration":{"delta.appendOnly":"true",""" +
+            """"delta.constraints.vpos":"v > 0"}}}"""
+          ).getBytes("UTF-8"))
+        out0.close()
+        val dLeg = graft.sources.DeltaInterop.describeDelta(s, delta)
+          .select(lit("delta").as("fmt"), col("category"), col("name"),
+            col("value"))
+        // an identity-partitioned Iceberg table (stable categories
+        // only — snapshot ids vary with the fixture lifecycle)
+        graft.sources.LakeTable.append(
+          Tables.orders(s, d).select(col("o_orderkey").as("k"),
+            (col("o_orderkey") % 4).cast("int").as("b")),
+          root + "/lake")
+        graft.sources.IcebergInterop.exportToIcebergPartitioned(
+          s, root + "/lake", root + "/ice", "b")
+        val iLeg = graft.sources.IcebergInterop
+          .describeIceberg(s, root + "/ice")
+          .filter(col("category").isin("format", "column",
+            "partitioning"))
+          .select(lit("iceberg").as("fmt"), col("category"),
+            col("name"), col("value"))
+        dLeg.unionAll(iLeg)
+      },
+      Some("""SELECT * FROM (VALUES
+          ('delta', 'protocol', 'minWriterVersion', '2'),
+          ('delta', 'column', 'k', 'bigint'),
+          ('delta', 'not_null', 'k', 'true'),
+          ('delta', 'column', 'v', 'bigint'),
+          ('delta', 'invariant', 'v', 'v < 100'),
+          ('delta', 'column', 'g', 'bigint'),
+          ('delta', 'generated', 'g', 'k * 2'),
+          ('delta', 'constraint', 'vpos', 'v > 0'),
+          ('delta', 'property', 'delta.appendOnly', 'true'),
+          ('iceberg', 'format', 'format-version', '2'),
+          ('iceberg', 'column', 'k', 'bigint (field-id 1)'),
+          ('iceberg', 'column', 'b', 'int (field-id 2)'),
+          ('iceberg', 'partitioning', 'b', 'identity(source-id 2)')
+        ) AS t(fmt, category, name, value)"""),
+      "DESCRIBE foreign tables: declared constraints/invariants/" +
+        "generated columns/protocol as rows — the read twin of the " +
+        "write gate"),
   )
 
 

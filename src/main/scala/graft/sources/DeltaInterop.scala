@@ -2511,6 +2511,56 @@ object DeltaInterop {
     }
   }
 
+  /** DESCRIBE a foreign Delta table — the read surface for everything
+    * the WRITE gate enforces: one (category, name, value) row per
+    * declared fact, so a user can see a table's constraints, column
+    * invariants, generated columns, NOT NULL fields, writer
+    * protocol/features and properties BEFORE pointing a job (or a
+    * writer) at it. Pure metadata — one log replay, zero data I/O.
+    * Categories: `protocol`, `partitioning`, `column`, `constraint`,
+    * `invariant`, `generated`, `not_null`, `property`. */
+  def describeDelta(spark: SparkSession, root: String,
+                    versionAsOf: Option[Long] = None): DataFrame = {
+    val vs = deltaVersions(spark, root)
+    require(vs.nonEmpty, s"no Delta log under $root")
+    val upTo = versionAsOf.getOrElse(vs.max)
+    require(vs.contains(upTo), s"version $upTo not in ${vs.mkString(",")}")
+    val snap = replay(spark, root, upTo)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String)]
+    rows += (("protocol", "minWriterVersion",
+      snap.minWriterVersion.toString))
+    if (snap.protoFeatures.nonEmpty)
+      rows += (("protocol", "readerFeatures",
+        snap.protoFeatures.toSeq.sorted.mkString(",")))
+    if (snap.writerFeatures.nonEmpty)
+      rows += (("protocol", "writerFeatures",
+        snap.writerFeatures.toSeq.sorted.mkString(",")))
+    if (snap.partCols.nonEmpty)
+      rows += (("partitioning", "columns", snap.partCols.mkString(",")))
+    snap.schema.fields.foreach { fd =>
+      rows += (("column", fd.name, fd.dataType.simpleString))
+      if (!fd.nullable) rows += (("not_null", fd.name, "true"))
+      if (fd.metadata.contains("delta.invariants"))
+        scala.util.Try(om.readTree(
+            fd.metadata.getString("delta.invariants"))
+          .path("expression").path("expression").asText())
+          .toOption.filter(_.nonEmpty)
+          .foreach(sql => rows += (("invariant", fd.name, sql)))
+      if (fd.metadata.contains("delta.generationExpression"))
+        rows += (("generated", fd.name,
+          fd.metadata.getString("delta.generationExpression")))
+    }
+    snap.conf.toSeq.sorted.foreach {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        rows += (("constraint", k.stripPrefix("delta.constraints."), v))
+      case (k, v) => rows += (("property", k, v))
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("category", "name", "value")
+  }
+
   /** Table doctor: walk a Delta snapshot's metadata and report every
     * issue found as a row instead of throwing at the first one — the
     * assessment you run on a foreign table BEFORE pointing a large

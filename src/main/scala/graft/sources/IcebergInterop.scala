@@ -2435,6 +2435,46 @@ object IcebergInterop {
     false // unreachable
   }
 
+  /** DESCRIBE a foreign Iceberg table — the Iceberg twin of
+    * [[DeltaInterop.describeDelta]]: one (category, name, value) row
+    * per declared fact (format version, schema columns with their
+    * field ids, identity/transform partition fields, snapshot count +
+    * current id, table properties). Pure metadata — one metadata.json
+    * parse, zero data I/O. Categories: `format`, `column`,
+    * `partitioning`, `snapshot`, `property`. */
+  def describeIceberg(spark: SparkSession, root: String): DataFrame = {
+    val meta = parseMetadata(spark, root)
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String)]
+    rows += (("format", "format-version", meta.formatVersion.toString))
+    val schema = meta.schemas.getOrElse(meta.currentSchemaId,
+      meta.schemas.head._2)
+    schema.spark.fields.foreach { fd =>
+      val fid = schema.fieldIds.get(fd.name)
+        .map(i => s" (field-id $i)").getOrElse("")
+      rows += (("column", fd.name, fd.dataType.simpleString + fid))
+    }
+    meta.partitionSpecs.getOrElse(
+        meta.raw.path("default-spec-id").asInt(0), Seq.empty)
+      .foreach { case (nm, transform, srcId) =>
+        rows += (("partitioning", nm,
+          s"$transform(source-id $srcId)"))
+      }
+    rows += (("snapshot", "count", meta.snapshots.size.toString))
+    meta.currentSnapshotId.foreach(id =>
+      rows += (("snapshot", "current-snapshot-id", id.toString)))
+    val props = meta.raw.path("properties")
+    if (props.isObject) {
+      val it = props.fieldNames()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) buf += it.next()
+      buf.sorted.foreach(k =>
+        rows += (("property", k, props.path(k).asText())))
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("category", "name", "value")
+  }
+
   /** Table doctor: walk an Iceberg snapshot's metadata and report
     * every issue as a row instead of throwing at the first — the
     * foreign-table assessment pass (see [[TableDoctor]]; all checks
