@@ -120,5 +120,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // RewriteDeleteFromTable dies on V1 relations before post-hoc
     // rules run. Unmatched shapes keep the standard v2-only error.
     ext.injectResolutionRule(spark => InteropDeleteRule(spark))
+    // UPDATE a graftdelta view → DV-out + rewrite-matched-rows commit
+    ext.injectResolutionRule(spark => InteropUpdateRule(spark))
   }
 }

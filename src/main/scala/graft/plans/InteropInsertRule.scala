@@ -199,3 +199,69 @@ case class InteropDeleteCommand(root: String, condSql: String)
     Seq.empty
   }
 }
+
+/** SQL `UPDATE` a `USING graftdelta` view — routed into
+  * [[graft.sources.DeltaInterop.updateWhereDelta]]: matched rows
+  * deletion-vector out of their files and re-write with the
+  * assignments applied, one commit, full writer-invariant enforcement
+  * on the rewritten rows. Unmatched shapes (subqueries, nested-field
+  * targets, non-delta formats) keep Spark's standard error; time
+  * travel refuses loudly. */
+case class InteropUpdateRule(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{
+    And => CAnd, AttributeReference, Between, Expression,
+    GreaterThanOrEqual, LessThanOrEqual, RuntimeReplaceable,
+    SubqueryExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
+    UpdateTable}
+  import InteropWriteRefs.refOf
+
+  private def renderable(e: Expression): Boolean =
+    !SubqueryExpression.hasSubquery(e) &&
+      e.find {
+        case _: Between => false
+        case _: RuntimeReplaceable => true
+        case _ => false
+      }.isEmpty
+
+  private def bareSql(e: Expression): String =
+    e.transformUp {
+      case b: Between => CAnd(GreaterThanOrEqual(b.input, b.lower),
+        LessThanOrEqual(b.input, b.upper))
+    }.transformUp {
+      case a: AttributeReference => a.withQualifier(Seq.empty)
+    }.sql
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case u @ UpdateTable(target, assignments, cond)
+          if u.resolved &&
+            refOf(target).exists(_._1 == "delta") &&
+            cond.forall(renderable) &&
+            assignments.forall {
+              case Assignment(_: AttributeReference, v) => renderable(v)
+              case _ => false // nested-field targets stay unsupported
+            } =>
+        val (_, root, pinned) = refOf(target).get
+        require(!pinned,
+          s"graftdelta: cannot UPDATE through a time-travel view of " +
+            s"$root — writes always target the latest version")
+        InteropUpdateCommand(root,
+          cond.map(bareSql).getOrElse("true"),
+          assignments.map { case Assignment(k, v) =>
+            (k.asInstanceOf[AttributeReference].name, bareSql(v))
+          })
+    }
+}
+
+/** The command [[InteropUpdateRule]] plans. */
+case class InteropUpdateCommand(root: String, condSql: String,
+                                sets: Seq[(String, String)])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    graft.sources.DeltaInterop.updateWhereDelta(session, root,
+      condSql, sets): Unit
+    Seq.empty
+  }
+}

@@ -3871,6 +3871,64 @@ object SourceQueries {
       "DESCRIBE foreign tables: declared constraints/invariants/" +
         "generated columns/protocol as rows — the read twin of the " +
         "write gate"),
+
+    // ---- SQL UPDATE a foreign Delta table (DV + rewrite) ---------------------
+    // DELETE's natural extension: matched rows deletion-vector out of
+    // their files AND re-write with the assignments applied — ONE
+    // commit, the protocol's merge-on-read UPDATE shape (untouched
+    // rows never rewrite; the old snapshot stays time-travelable).
+    // The rewritten rows pass the full writer-invariant gate, so an
+    // UPDATE can never commit a row the table's own CHECK/NOT NULL/
+    // generated declarations forbid.
+    "q367_interop_sql_update" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_sqlupdate_q367")
+        val delta = root + "/delta"
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val fsys = new org.apache.hadoop.fs.Path(delta)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$delta/_delta_log"))
+        val out0 = fsys.create(new org.apache.hadoop.fs.Path(
+          s"$delta/_delta_log/00000000000000000000.json"), false)
+        out0.write((
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
+            "\n" +
+            s"""{"metaData":{"id":"q367","schemaString":${om
+              .writeValueAsString(o.schema.json)},""" +
+            """"partitionColumns":[],"format":{"provider":"parquet"},""" +
+            """"configuration":{"delta.enableDeletionVectors":"true"}}}"""
+          ).getBytes("UTF-8"))
+        out0.close()
+        graft.sources.DeltaInterop.appendDelta(o, delta)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q367_d USING " +
+          s"graftdelta OPTIONS (path '$delta')")
+        s.sql("UPDATE q367_d SET o_orderstatus = 'X', " +
+          "o_totalprice = o_totalprice + 1 WHERE o_orderkey % 7 = 0")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q367_d USING " +
+          s"graftdelta OPTIONS (path '$delta')")
+        // agreement: reader count unchanged, metadata count agrees,
+        // doctor clean, pre-update snapshot intact
+        val scanned = s.table("q367_d").count()
+        require(graft.sources.DeltaInterop.deltaRowCount(s, delta)
+          .contains(scanned), "q367: metadata count diverged")
+        require(graft.sources.DeltaInterop.validateDelta(s, delta)
+          .count() == 0L, "q367: doctor found issues after UPDATE")
+        require(graft.sources.DeltaInterop
+          .readDelta(s, delta, Some(1L))
+          .filter(col("o_orderstatus") === "X").count() == 0L,
+          "q367: time travel to the pre-update snapshot broke")
+        s.table("q367_d")
+      },
+      Some("""SELECT o_orderkey,
+          CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+               ELSE o_orderstatus END AS o_orderstatus,
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+               ELSE o_totalprice END AS o_totalprice
+        FROM orders"""),
+      "SQL UPDATE a graftdelta view: DV-out + rewrite in one commit; " +
+        "reader ≡ metadata count ≡ doctor; old snapshot intact"),
   )
 
 

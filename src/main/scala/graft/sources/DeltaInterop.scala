@@ -1321,29 +1321,64 @@ object DeltaInterop {
     * must not serve as a tight bound to foreign engines; our own
     * metadata MIN/MAX already refuses under live DVs). */
   def deleteWhereDeltaDV(spark: SparkSession, deltaRoot: String,
-                         condSql: String): Long = {
+                         condSql: String): Long =
+    dvMutate(spark, deltaRoot, condSql, Seq.empty)
+
+  /** DV-backed `UPDATE` on a foreign Delta table — DELETE's natural
+    * extension: matched live rows are deletion-vectored out of their
+    * files AND re-written (with `sets` applied, ANSI casts to the
+    * column types) as NEW data files, all in ONE commit — the
+    * protocol's merge-on-read UPDATE shape, no untouched-row rewrite.
+    * The rewritten rows pass the full writer-invariant gate (CHECK
+    * constraints, NOT NULL, column invariants, generated columns), so
+    * an UPDATE can never commit a row the table's own declarations
+    * forbid. Same refusal matrix as DELETE, plus: partitioned targets
+    * refuse (rewritten rows would need partition routing — export
+    * shape first), and `sets` keys must be existing non-partition
+    * columns. Returns the number of updated rows. */
+  def updateWhereDelta(spark: SparkSession, deltaRoot: String,
+                       condSql: String,
+                       sets: Seq[(String, String)]): Long = {
+    require(sets.nonEmpty, "updateWhereDelta: no SET assignments")
+    dvMutate(spark, deltaRoot, condSql, sets)
+  }
+
+  private def dvMutate(spark: SparkSession, deltaRoot: String,
+                       condSql: String,
+                       sets: Seq[(String, String)]): Long = {
+    val verb = if (sets.isEmpty) "DELETE" else "UPDATE"
     val f = fs(spark, deltaRoot)
     val vs = deltaVersions(spark, deltaRoot)
     require(vs.nonEmpty, s"no Delta log under $deltaRoot")
     val v = vs.max
     val snap = replay(spark, deltaRoot, v)
     require(snap.schema == snap.physSchema,
-      s"graftdelta DELETE: $deltaRoot uses column mapping; positions " +
+      s"graftdelta $verb: $deltaRoot uses column mapping; positions " +
         "are physical and the mapped scan is unproven — refusing")
     writerProtocolGate(snap, deltaRoot, overwrite = false)
     require(!snap.conf.get("delta.appendOnly").exists(_.toBoolean),
-      s"graftdelta DELETE: $deltaRoot declares delta.appendOnly=true; " +
-        "DELETE commits remove actions — a protocol violation, refusing")
+      s"graftdelta $verb: $deltaRoot declares delta.appendOnly=true; " +
+        s"$verb commits remove actions — a protocol violation, refusing")
     val hasFeature = snap.writerFeatures.contains("deletionVectors") ||
       snap.protoFeatures.contains("deletionVectors")
     val enabled =
       snap.conf.get("delta.enableDeletionVectors").exists(_.toBoolean)
     require(hasFeature || enabled,
-      s"graftdelta DELETE: $deltaRoot neither carries the " +
+      s"graftdelta $verb: $deltaRoot neither carries the " +
         "deletionVectors feature nor sets " +
         "delta.enableDeletionVectors=true; the spec forbids writers " +
         "to add vectors to an unenabled table — set the property " +
         "first (ALTER TABLE ... SET TBLPROPERTIES)")
+    if (sets.nonEmpty) {
+      require(snap.partCols.isEmpty,
+        s"graftdelta UPDATE: $deltaRoot is partitioned; rewritten " +
+          "rows would need partition routing — not supported yet")
+      sets.foreach { case (c, _) =>
+        require(snap.schema.fieldNames.contains(c),
+          s"graftdelta UPDATE: no column '$c' in $deltaRoot " +
+            s"(${snap.schema.fieldNames.mkString(",")})")
+      }
+    }
     if (snap.live.isEmpty) return 0L
     // candidate scan with PHYSICAL row positions; partition columns
     // materialize per file group so the predicate may reference them
@@ -1382,7 +1417,7 @@ object DeltaInterop {
       .collect().map { r =>
         val rel = relOfUri.getOrElse(r.getString(0),
           throw new IllegalStateException(
-            s"graftdelta DELETE: scanned uri ${r.getString(0)} maps " +
+            s"graftdelta $verb: scanned uri ${r.getString(0)} maps " +
               "to no live file"))
         rel -> r.getSeq[Long](1).toArray
       }.toMap
@@ -1481,15 +1516,92 @@ object DeltaInterop {
         s""""offset":$off,"sizeInBytes":$size,""" +
         s""""cardinality":${mergedByFile(p).length}}}}"""
     }
+    // UPDATE: the matched LIVE rows (already-deleted positions
+    // excluded) re-write with the assignments applied, as new adds in
+    // the same commit — gated by the full writer-invariant pass so the
+    // rewritten rows honor the table's own declarations
+    val newRels: Seq[String] =
+      if (sets.isEmpty) Seq.empty
+      else {
+        val priorPos = priorByFile.toSeq.flatMap { case (p, ps) =>
+          ps.map(x => (qualify(p), x))
+        }
+        val matchedLive0 = base
+          .filter(coalesce(expr(condSql), lit(false)))
+        val matchedLive =
+          if (priorPos.isEmpty) matchedLive0
+          else {
+            import spark.implicits._
+            matchedLive0.join(
+              priorPos.toDF("__uri", "__pos"),
+              Seq("__uri", "__pos"), "left_anti")
+          }
+        val updated0 = sets.foldLeft(
+            matchedLive.drop("__uri", "__pos")) { case (d, (c, sql)) =>
+          d.withColumn(c, expr(sql))
+        }
+        val updated = updated0.select(snap.schema.fields.map(fd =>
+          col(fd.name).cast(fd.dataType).as(fd.name)).toIndexedSeq: _*)
+        enforceWriterInvariants(updated, snap, deltaRoot)
+        val stage = s"$deltaRoot/_stage_$uuid"
+        updated.write.parquet(stage)
+        val rels = f.listStatus(new Path(stage))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName).zipWithIndex.map { case (st, i) =>
+            val rel = f"part-u-$i%05d-$uuid.snappy.parquet"
+            if (!f.rename(st.getPath, new Path(s"$deltaRoot/$rel")))
+              throw new java.io.IOException(
+                s"rename ${st.getPath} -> $deltaRoot/$rel failed")
+            rel
+          }.toSeq
+        f.delete(new Path(stage), true)
+        rels
+      }
+    val intCols = snap.schema.fields.collect {
+      case fd if fd.dataType == IntegerType || fd.dataType == LongType =>
+        fd.name
+    }.toSet
+    newRels.foreach { rel =>
+      val p = new Path(s"$deltaRoot/$rel")
+      val st = f.getFileStatus(p)
+      val rows = TableDoctor.footerRows(spark, p.toString)
+        .getOrElse(throw new IllegalStateException(
+          s"freshly written $rel has no readable parquet footer"))
+      val bounds = TableDoctor.footerIntBounds(spark, p.toString)
+        .filter { case (k, _) => intCols.contains(k) }
+      val boundsJson =
+        if (bounds.isEmpty) ""
+        else {
+          def side(pick: ((Long, Long)) => Long) =
+            bounds.toSeq.sortBy(_._1).map { case (k, b) =>
+              s"${om.writeValueAsString(k)}:${pick(b)}"
+            }.mkString("{", ",", "}")
+          s""","minValues":${side(_._1)},"maxValues":${side(_._2)}"""
+        }
+      val nulls = TableDoctor.footerNullCounts(spark, p.toString)
+      val nullsJson =
+        if (nulls.isEmpty) ""
+        else s""","nullCount":${nulls.toSeq.sortBy(_._1)
+          .map { case (k, n) => s"${om.writeValueAsString(k)}:$n" }
+          .mkString("{", ",", "}")}"""
+      actions += s"""{"add":{"path":${om.writeValueAsString(rel)},""" +
+        s""""partitionValues":{},"size":${st.getLen},""" +
+        s""""modificationTime":${st.getModificationTime},""" +
+        s""""stats":${om.writeValueAsString(
+          s"""{"numRecords":$rows$boundsJson$nullsJson}""")},""" +
+        s""""dataChange":true}}"""
+    }
     val dst = new Path(f"$deltaRoot/_delta_log/${v + 1}%020d.json")
     if (!AtomicPublish.createExclusive(f, dst,
         actions.mkString("\n").getBytes("UTF-8"))) {
       // the positions were computed against version v; a concurrent
       // commit may have rewritten the files — refuse, never mis-delete
       f.delete(new Path(s"$deltaRoot/deletion_vector_$uuid.bin"), false)
+      newRels.foreach(r =>
+        f.delete(new Path(s"$deltaRoot/$r"), false))
       throw new IllegalStateException(
-        s"graftdelta DELETE: lost a commit race at $deltaRoot " +
-          s"version ${v + 1}; re-run the DELETE against the new state")
+        s"graftdelta $verb: lost a commit race at $deltaRoot " +
+          s"version ${v + 1}; re-run the $verb against the new state")
     }
     newlyDeleted
   }

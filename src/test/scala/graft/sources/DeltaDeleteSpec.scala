@@ -110,6 +110,77 @@ class DeltaDeleteSpec extends SparkSpec {
       msgs(e2).mkString(" | "))
   }
 
+  test("UPDATE on a foreign Delta table: matched rows DV out of their " +
+      "files and re-write in ONE commit; constraints enforce on the " +
+      "rewritten rows; SQL UPDATE routes; already-deleted rows stay " +
+      "deleted") {
+    val root = enabledTable()
+    DeltaInterop.appendDelta(spark.range(0, 50)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), root)
+    val n = DeltaInterop.updateWhereDelta(spark, root,
+      "k >= 40", Seq("v" -> "v + 1000"))
+    assert(n == 10L)
+    val after = DeltaInterop.readDelta(spark, root)
+    assert(after.count() == 50L)
+    assert(after.filter(col("k") >= 40).select("v").as[Long]
+      .collect().toSet == (40L until 50L).map(_ * 2 + 1000).toSet)
+    assert(after.filter(col("k") < 40).filter(col("v") >= 1000)
+      .count() == 0L)
+    assert(DeltaInterop.validateDelta(spark, root).count() == 0L)
+    assert(DeltaInterop.deltaRowCount(spark, root).contains(50L))
+    // rows already DELETED must not resurrect through an UPDATE
+    DeltaInterop.deleteWhereDeltaDV(spark, root, "k < 5")
+    val n2 = DeltaInterop.updateWhereDelta(spark, root,
+      "k < 10", Seq("v" -> "0"))
+    assert(n2 == 5L, s"expected 5 live rows updated, got $n2")
+    val after2 = DeltaInterop.readDelta(spark, root)
+    assert(after2.count() == 45L)
+    assert(after2.filter(col("k") < 5).count() == 0L)
+    assert(after2.filter(col("k") >= 5 && col("k") < 10)
+      .select("v").as[Long].collect().toSet == Set(0L))
+    // SQL UPDATE routes through the same commit shape
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW du_v USING graftdelta " +
+      s"OPTIONS (path '$root')")
+    spark.sql("UPDATE du_v SET v = v + 1 WHERE k = 20")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW du_v USING graftdelta " +
+      s"OPTIONS (path '$root')")
+    assert(spark.sql("SELECT v FROM du_v WHERE k = 20")
+      .as[Long].head() == 41L)
+    assert(DeltaInterop.validateDelta(spark, root).count() == 0L)
+    // a rewritten row violating a declared CHECK constraint refuses
+    // and nothing lands (build a constrained table)
+    val cdir = fresh() + "/ct"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$cdir/_delta_log"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$cdir/_delta_log/" +
+        "00000000000000000000.json"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""" +
+        "\n" +
+        s"""{"metaData":{"id":"cu","schemaString":${om
+          .writeValueAsString(schema.json)},"partitionColumns":[],""" +
+        """"format":{"provider":"parquet"},"configuration":""" +
+        """{"delta.enableDeletionVectors":"true",""" +
+        """"delta.constraints.vpos":"v > 0"}}}""")
+    DeltaInterop.appendDelta(spark.range(1, 6)
+      .select(col("id").as("k"), col("id").as("v")), cdir)
+    val vsBefore = DeltaInterop.deltaVersions(spark, cdir)
+    val e = intercept[Throwable] {
+      DeltaInterop.updateWhereDelta(spark, cdir, "k = 3",
+        Seq("v" -> "-9"))
+    }
+    assert(msgs(e).exists(_.contains("CHECK constraint vpos")),
+      msgs(e).mkString(" | "))
+    assert(DeltaInterop.deltaVersions(spark, cdir) == vsBefore)
+    assert(DeltaInterop.readDelta(spark, cdir).filter(col("v") < 0)
+      .count() == 0L)
+  }
+
   test("DELETE on a PARTITIONED table routes per file and the " +
       "predicate may reference partition columns") {
     val dir = fresh()
