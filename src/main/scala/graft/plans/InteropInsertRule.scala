@@ -146,11 +146,14 @@ private[plans] object InteropWriteRefs {
   * rule the statement dies on Spark's "DELETE is only supported with
   * v2 tables" — with it, the foreign table takes standard SQL DML.
   *
-  * Shapes left to the standard error rather than half-translated:
-  * subquery conditions, grafticeberg targets (no DV write path yet).
-  * Time-travel views refuse loudly (an immutable snapshot cannot take
-  * DML). The condition renders back to SQL text with bare column
-  * names and re-parses against the table's own frame. */
+  * `USING grafticeberg` views route the same way into
+  * [[graft.sources.IcebergInterop.deleteWhereIcebergDV]] (v3 Puffin
+  * deletion vectors / v2 position deletes, delete manifests replaced
+  * with the merged state). Shapes left to the standard error rather
+  * than half-translated: subquery conditions. Time-travel views
+  * refuse loudly (an immutable snapshot cannot take DML). The
+  * condition renders back to SQL text with bare column names and
+  * re-parses against the table's own frame. */
 case class InteropDeleteRule(spark: SparkSession)
     extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.{
@@ -180,22 +183,31 @@ case class InteropDeleteRule(spark: SparkSession)
     plan.resolveOperators {
       case d @ DeleteFromTable(target, cond)
           if d.resolved && cond.resolved &&
-            refOf(target).exists(_._1 == "delta") &&
+            refOf(target).isDefined &&
             renderable(cond) =>
-        val (_, root, pinned) = refOf(target).get
+        val (fmt, root, pinned) = refOf(target).get
         require(!pinned,
-          s"graftdelta: cannot DELETE through a time-travel view of " +
+          s"graft$fmt: cannot DELETE through a time-travel view of " +
             s"$root — writes always target the latest version")
-        InteropDeleteCommand(root, bareSql(cond))
+        InteropDeleteCommand(fmt, root, bareSql(cond))
     }
 }
 
 /** The command [[InteropDeleteRule]] plans. */
-case class InteropDeleteCommand(root: String, condSql: String)
+case class InteropDeleteCommand(fmt: String, root: String,
+                                condSql: String)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    graft.sources.DeltaInterop.deleteWhereDeltaDV(session, root,
-      condSql): Unit
+    fmt match {
+      case "delta" =>
+        graft.sources.DeltaInterop.deleteWhereDeltaDV(session, root,
+          condSql): Unit
+      case "iceberg" =>
+        graft.sources.IcebergInterop.deleteWhereIcebergDV(session,
+          root, condSql): Unit
+      case other => throw new IllegalStateException(
+        s"unknown interop format $other")
+    }
     Seq.empty
   }
 }

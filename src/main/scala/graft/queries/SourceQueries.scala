@@ -3929,6 +3929,44 @@ object SourceQueries {
         FROM orders"""),
       "SQL UPDATE a graftdelta view: DV-out + rewrite in one commit; " +
         "reader ≡ metadata count ≡ doctor; old snapshot intact"),
+
+    // ---- SQL DELETE FROM a foreign Iceberg table (v3 Puffin DVs) -------------
+    // The Iceberg twin of q365: matched rows publish as a Puffin
+    // deletion-vector snapshot (v3; v2 tables get a position-delete
+    // parquet) — no data rewrite, old snapshots time-travelable, and
+    // repeated deletes REPLACE the delete manifests with the merged
+    // per-file state so the spec's one-DV-per-file rule holds.
+    "q368_iceberg_sql_delete" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_icedelete_q368")
+        val lake = root + "/lake"
+        val ice = root + "/ice"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        graft.sources.LakeTable.append(o, lake)
+        graft.sources.IcebergInterop.exportToIceberg(s, lake, ice,
+          formatVersion = 3)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q368_i USING " +
+          s"grafticeberg OPTIONS (path '$ice')")
+        s.sql("DELETE FROM q368_i WHERE o_orderkey % 3 = 0")
+        // second, overlapping delete merges (one DV per file holds)
+        s.sql("DELETE FROM q368_i WHERE o_orderkey % 6 = 0 OR " +
+          "o_orderkey % 5 = 0")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q368_i USING " +
+          s"grafticeberg OPTIONS (path '$ice')")
+        val scanned = s.table("q368_i").count()
+        require(graft.sources.IcebergInterop.icebergRowCount(s, ice)
+          .contains(scanned), "q368: metadata count diverged")
+        require(graft.sources.IcebergInterop.validateIceberg(s, ice)
+          .count() == 0L, "q368: doctor found issues after DELETE")
+        s.table("q368_i")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0"""),
+      "SQL DELETE FROM a grafticeberg view: v3 Puffin DV snapshots, " +
+        "merged across repeated deletes; reader ≡ metadata count ≡ " +
+        "doctor"),
   )
 
 

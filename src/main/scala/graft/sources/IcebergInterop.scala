@@ -2023,6 +2023,295 @@ object IcebergInterop {
                     overwrite: Boolean = false): Unit =
     appendCommitIceberg(df, iceRoot, None, overwrite): Unit
 
+  /** DV-backed `DELETE FROM` a foreign Iceberg table — the Iceberg
+    * twin of [[DeltaInterop.deleteWhereDeltaDV]]: matched live rows
+    * record as row positions in the format's native delete shape and
+    * ONE new snapshot publishes them — v3 tables get a
+    * content-addressed Puffin deletion-vector file (one blob per
+    * referenced data file, spec triple in the manifest), v2 tables a
+    * spec-sorted position-delete parquet. No data rewrite; older
+    * snapshots stay time-travelable.
+    *
+    * Composition is by REPLACEMENT: the new manifest list carries the
+    * current snapshot's DATA manifests forward by reference and
+    * replaces every delete manifest with one holding the MERGED
+    * positions (old ∪ new per file) — which is also what keeps v3's
+    * one-DV-per-file rule intact across repeated deletes. Equality
+    * deletes refuse (merging their semantics into positions needs the
+    * matched payload); identity-partition source columns evaluate
+    * from the MANIFEST values (authoritative even when a foreign
+    * writer omitted the column from the data files). Returns the
+    * number of newly deleted rows. */
+  def deleteWhereIcebergDV(spark: SparkSession, iceRoot: String,
+                           condSql: String): Long = {
+    val f = fs(spark, iceRoot)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = parseMetadata(spark, iceRoot)
+    val fv = meta.formatVersion
+    require(fv == 2 || fv == 3,
+      s"grafticeberg DELETE: $iceRoot is format-version $fv; DELETE " +
+        "writes v2 position deletes or v3 deletion vectors")
+    val (schema, dataFiles, deleteFiles) =
+      snapshotFiles(spark, iceRoot, None)
+    require(deleteFiles.forall(_.content != 2),
+      s"grafticeberg DELETE: $iceRoot carries EQUALITY deletes; " +
+        "merging their semantics into positions needs the matched " +
+        "payload — refusing")
+    if (dataFiles.isEmpty) return 0L
+    val conf = spark.sessionState.newHadoopConf()
+    def qualify(p: String): String = {
+      val hp = new Path(resolve(iceRoot, p))
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+    val relOfUri: Map[String, String] =
+      dataFiles.map(d => qualify(d.path) -> d.path).toMap
+    def relOf(s: String): Option[String] =
+      if (relOfUri.values.exists(_ == s)) Some(s)
+      else relOfUri.get(s).orElse(relOfUri.get(qualify(s)))
+    // candidate scan with PHYSICAL row positions; identity-partition
+    // source columns override from the manifest values per file group
+    val fieldNameOf: Map[Int, String] = schema.fieldIds.map(_.swap)
+    def scan(paths: Seq[String]): DataFrame =
+      spark.read.schema(schema.spark)
+        .parquet(paths.sorted: _*)
+        .withColumn("__uri", col("_metadata.file_path"))
+        .withColumn("__pos", col("_metadata.row_index"))
+    val base = dataFiles.groupBy(_.partitionIdVals)
+      .map { case (pv, group) =>
+        pv.foldLeft(scan(group.map(g => resolve(iceRoot, g.path)))) {
+          case (d, (fid, v)) =>
+            fieldNameOf.get(fid).map { n =>
+              d.withColumn(n, lit(v.orNull)
+                .cast(schema.spark(n).dataType))
+            }.getOrElse(d)
+        }
+      }.reduce(_.unionByName(_))
+    val hits = base
+      .filter(coalesce(expr(condSql), lit(false)))
+      .select("__uri", "__pos")
+    val matchedByFile: Map[String, Array[Long]] = hits
+      .groupBy(col("__uri"))
+      .agg(collect_list(col("__pos")).as("ps"))
+      .collect().map { r =>
+        val rel = relOfUri.getOrElse(r.getString(0),
+          throw new IllegalStateException(
+            s"grafticeberg DELETE: scanned uri ${r.getString(0)} " +
+              "maps to no live file"))
+        rel -> r.getSeq[Long](1).toArray
+      }.toMap
+    if (matchedByFile.isEmpty) return 0L
+    // existing delete positions per data file — delete-file-sized
+    // reads (Puffin blobs driver-side, position parquet via one scan)
+    val existingByFile: Map[String, Array[Long]] = {
+      val buf = scala.collection.mutable.Map.empty[String,
+        scala.collection.mutable.ArrayBuffer[Long]]
+      def add(ref: String, pos: Iterable[Long]): Unit =
+        relOf(ref).foreach { rel => // refs to dead files drop: they
+          buf.getOrElseUpdate(rel,   // deleted nothing live anyway
+            scala.collection.mutable.ArrayBuffer.empty) ++= pos
+        }
+      deleteFiles.foreach { d =>
+        d.dv match {
+          case Some(ref) =>
+            val p = new Path(resolve(iceRoot, d.path))
+            val in = f.open(p)
+            val bytes = new Array[Byte](
+              f.getFileStatus(p).getLen.toInt)
+            try in.readFully(bytes) finally in.close()
+            add(ref.referencedFile,
+              PuffinFiles.dvPositions(bytes, ref.offset, ref.size))
+          case None =>
+            spark.read.schema(StructType(Seq(
+                StructField("file_path", StringType),
+                StructField("pos", LongType))))
+              .parquet(resolve(iceRoot, d.path))
+              .collect().groupBy(_.getString(0))
+              .foreach { case (ref, rows) =>
+                add(ref, rows.map(_.getLong(1)))
+              }
+        }
+      }
+      buf.map { case (k, v) => k -> v.toArray.distinct }.toMap
+    }
+    val mergedByFile: Map[String, Array[Long]] =
+      (matchedByFile.keySet ++ existingByFile.keySet).map { p =>
+        p -> (matchedByFile.getOrElse(p, Array.empty[Long]) ++
+          existingByFile.getOrElse(p, Array.empty[Long]))
+          .distinct.sorted
+      }.toMap
+    val newlyDeleted = mergedByFile.map { case (p, m) =>
+      m.length - existingByFile.getOrElse(p, Array.empty[Long]).length
+    }.sum.toLong
+    if (newlyDeleted == 0L) return 0L
+    // publish the merged delete state as ONE delete file + manifest
+    val uuid = java.util.UUID.randomUUID().toString
+    val seqNum = meta.raw.path("last-sequence-number").asLong(0L) + 1
+    val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1
+    val newVer = meta.version + 1
+    val sorted = mergedByFile.toSeq.sortBy(_._1)
+    f.mkdirs(new Path(s"$iceRoot/metadata"))
+    val staged = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val (delManifest, delLenOut, delRows) =
+      if (fv >= 3) {
+        val delFile = new Path(s"$iceRoot/data/deletes-$uuid.puffin")
+        var at = 4L
+        val metas = sorted.map { case (p, pos) =>
+          val bytes = PuffinFiles.dvBlobBytes(pos)
+          val m = (qualify(p), pos.length.toLong, at,
+            bytes.length.toLong, bytes)
+          at += bytes.length
+          m
+        }
+        PuffinFiles.write(spark, delFile.toString,
+          metas.map { case (uri, card, _, _, bytes) =>
+            PuffinFiles.Blob(PuffinFiles.DvBlobType,
+              Seq(2147483546), snapId, seqNum, bytes,
+              Map("referenced-data-file" -> uri,
+                "cardinality" -> card.toString))
+          }): Unit
+        staged += delFile
+        val delUri = qualify(delFile.toString)
+        val delLen = f.getFileStatus(delFile).getLen
+        val entries = metas.map { case (uri, card, off, len, _) =>
+          val df0 = new GenericData.Record(
+            manifestSchemaV3.getField("data_file").schema())
+          df0.put("content", 1)
+          df0.put("file_path", delUri)
+          df0.put("file_format", "PUFFIN")
+          df0.put("partition", new GenericData.Record(
+            df0.getSchema.getField("partition").schema()))
+          df0.put("record_count", card)
+          df0.put("file_size_in_bytes", delLen)
+          df0.put("referenced_data_file", uri)
+          df0.put("content_offset", off)
+          df0.put("content_size_in_bytes", len)
+          val e = new GenericData.Record(manifestSchemaV3)
+          e.put("status", 1)
+          e.put("snapshot_id", snapId)
+          e.put("sequence_number", seqNum)
+          e.put("file_sequence_number", seqNum)
+          e.put("data_file", df0)
+          e
+        }
+        val mf = s"$iceRoot/metadata/$uuid-m1.avro"
+        val len = writeAvro(spark, mf, manifestSchemaV3, entries)
+        staged += new Path(mf)
+        (mf, len, metas.map(_._2).sum)
+      } else {
+        import spark.implicits._
+        val delFile = new Path(s"$iceRoot/data/deletes-$uuid.parquet")
+        val rows = sorted.flatMap { case (p, pos) =>
+          val uri = qualify(p)
+          pos.map(uri -> _)
+        }
+        val stage = s"$iceRoot/_stage_del_$uuid"
+        rows.toDF("file_path", "pos").repartition(1)
+          .sortWithinPartitions("file_path", "pos")
+          .write.parquet(stage)
+        val part = f.listStatus(new Path(stage)).map(_.getPath)
+          .find(_.getName.endsWith(".parquet")).get
+        if (!f.rename(part, delFile))
+          throw new java.io.IOException(
+            s"rename $part -> $delFile failed")
+        f.delete(new Path(stage), true): Unit
+        staged += delFile
+        val delUri = qualify(delFile.toString)
+        val df0 = new GenericData.Record(
+          manifestSchema.getField("data_file").schema())
+        df0.put("content", 1)
+        df0.put("file_path", delUri)
+        df0.put("file_format", "PARQUET")
+        df0.put("partition", new GenericData.Record(
+          df0.getSchema.getField("partition").schema()))
+        df0.put("record_count", rows.length.toLong)
+        df0.put("file_size_in_bytes", f.getFileStatus(delFile).getLen)
+        val e = new GenericData.Record(manifestSchema)
+        e.put("status", 1)
+        e.put("snapshot_id", snapId)
+        e.put("sequence_number", seqNum)
+        e.put("file_sequence_number", seqNum)
+        e.put("data_file", df0)
+        val mf = s"$iceRoot/metadata/$uuid-m1.avro"
+        val len = writeAvro(spark, mf, manifestSchema, Seq(e))
+        staged += new Path(mf)
+        (mf, len, rows.length.toLong)
+      }
+    // new manifest list: DATA manifests carry forward by reference;
+    // every old DELETE manifest is REPLACED by the merged one (the
+    // v3 one-DV-per-file rule across repeated deletes)
+    val prevList: Seq[GenericRecord] = meta.currentSnapshotId
+      .flatMap(id => meta.snapshots.find(_.id == id))
+      .map(s => readAvro(spark, resolve(iceRoot, s.manifestList)))
+      .getOrElse(Seq.empty)
+      .filter(r => Option(r.get("content"))
+        .forall(_.asInstanceOf[Number].intValue == 0))
+      .map { r =>
+        val out = new GenericData.Record(manifestListSchema)
+        manifestListSchema.getFields.iterator().asScala.foreach { fld =>
+          val v = r.get(fld.name())
+          require(v != null,
+            s"$iceRoot: manifest-list entry lacks required field " +
+              s"'${fld.name()}' — refusing to carry a malformed " +
+              "manifest list forward")
+          out.put(fld.name(), v)
+        }
+        out
+      }
+    val delEntry = {
+      val r = new GenericData.Record(manifestListSchema)
+      r.put("manifest_path", qualify(delManifest))
+      r.put("manifest_length", delLenOut)
+      r.put("partition_spec_id",
+        meta.raw.path("default-spec-id").asInt(0))
+      r.put("content", 1)
+      r.put("sequence_number", seqNum)
+      r.put("min_sequence_number", seqNum)
+      r.put("added_snapshot_id", snapId)
+      r.put("added_files_count", 1)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", delRows)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r
+    }
+    val listPath = s"$iceRoot/metadata/snap-$snapId-1-$uuid.avro"
+    writeAvro(spark, listPath, manifestListSchema,
+      prevList :+ delEntry)
+    staged += new Path(listPath)
+    val ts = System.currentTimeMillis()
+    val snapJson =
+      s"""{"snapshot-id":$snapId,"sequence-number":$seqNum,""" +
+        s""""timestamp-ms":$ts,"schema-id":${meta.currentSchemaId},""" +
+        s""""summary":{"operation":"delete"},""" +
+        s""""manifest-list":${om.writeValueAsString(
+          qualify(listPath))}}"""
+    val node = meta.raw.deepCopy[com.fasterxml.jackson.databind.node
+      .ObjectNode]()
+    node.put("last-sequence-number", seqNum)
+    node.put("last-updated-ms", ts)
+    node.put("current-snapshot-id", snapId)
+    val snapArr = om.createArrayNode()
+    meta.raw.path("snapshots").elements().asScala.foreach(snapArr.add)
+    snapArr.add(om.readTree(snapJson))
+    node.set[com.fasterxml.jackson.databind.JsonNode]("snapshots",
+      snapArr)
+    val dst = new Path(s"$iceRoot/metadata/v$newVer.metadata.json")
+    if (!AtomicPublish.createExclusive(f, dst,
+        om.writeValueAsString(node).getBytes("UTF-8"))) {
+      staged.foreach(p => f.delete(p, false))
+      throw new IllegalStateException(
+        s"grafticeberg DELETE: lost a commit race at $iceRoot " +
+          s"v$newVer; re-run the DELETE against the new state")
+    }
+    val hintOut = f.create(
+      new Path(s"$iceRoot/metadata/version-hint.text"),
+      /* overwrite = */ true)
+    try hintOut.write(newVer.toString.getBytes("UTF-8"))
+    finally hintOut.close()
+    newlyDeleted
+  }
+
   private def appendCommitIceberg(df: DataFrame, iceRoot: String,
                                   txn: Option[(String, Long)],
                                   overwrite: Boolean = false)
