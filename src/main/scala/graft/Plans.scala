@@ -110,7 +110,12 @@ object Plans {
     "q358_iceberg_partitioned_export" -> "identity-partitioned export read-back: the scan lists only the probed partition's files (manifest partition values decide outright), corrupted non-probed partitions never open",
     "q359_delta_partitioned_export" -> "partitioned Delta export via SQL: PartitionFilters prune whole partitions in the FileIndex, the partition column materializes from partitionValues, corrupted non-probed partitions never open",
     "q360_interop_group_counts" -> "GROUP BY partition value COUNT(*): both legs plan as LocalTableScan joined — every data file corrupted and none opened",
-    "q361_interop_sql_insert" -> "SQL INSERT through the interop routing rule: the final reads are ordinary pruned scans of the COMMITTED state — the raw write-past-the-log default never fires")
+    "q361_interop_sql_insert" -> "SQL INSERT through the interop routing rule: the final reads are ordinary pruned scans of the COMMITTED state — the raw write-past-the-log default never fires",
+    "q362_interop_sql_count_col" -> "SQL count(col) from metadata: the null-bearing-column counts on BOTH formats plan as LocalTableScan (Delta nullCount / Iceberg value_counts serve); the equality-delete leg keeps the scan — refusal is fallback",
+    "q363_interop_insert_partitioned" -> "partition-routed SQL INSERT: the filtered read after the insert lists ONLY the probed partition's files on both formats — every non-probed file is corrupted and never opens",
+    "q365_interop_sql_delete" -> "SQL DELETE via deletion vectors: the post-delete read is the broadcast-anti-join merge-on-read shape (DV side is sidecar-sized), no data file was rewritten",
+    "q367_interop_sql_update" -> "SQL UPDATE (DV-out + rewrite): the post-update read unions untouched files with the rewritten adds under one pruned scan; old snapshot intact",
+    "q368_iceberg_sql_delete" -> "Iceberg SQL DELETE: v3 Puffin DVs decode executor-side into the same broadcast-anti-join MoR shape; repeated deletes keep ONE delete manifest (replacement, not accretion)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
