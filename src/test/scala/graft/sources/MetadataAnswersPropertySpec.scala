@@ -43,6 +43,10 @@ class MetadataAnswersPropertySpec extends SparkSpec {
             s"deltaColumnBounds($c) said ($lo,$hi), scan says " +
               s"(${r.get(0)},${r.get(1)})")
       }
+      DeltaInterop.deltaColumnCount(spark, root, c).foreach { m =>
+        val s = scan.agg(count(col(c))).collect()(0).getLong(0)
+        assert(m == s, s"deltaColumnCount($c) said $m, scan says $s")
+      }
     }
   }
 
@@ -59,6 +63,10 @@ class MetadataAnswersPropertySpec extends SparkSpec {
           assert(r.get(0) == lo && r.get(1) == hi,
             s"icebergColumnBounds($c) said ($lo,$hi), scan says " +
               s"(${r.get(0)},${r.get(1)})")
+      }
+      IcebergInterop.icebergColumnCount(spark, root, c).foreach { m =>
+        val s = scan.agg(count(col(c))).collect()(0).getLong(0)
+        assert(m == s, s"icebergColumnCount($c) said $m, scan says $s")
       }
     }
   }
@@ -96,6 +104,21 @@ class MetadataAnswersPropertySpec extends SparkSpec {
         IcebergInterop.syncToIceberg(spark, lake, ice3,
           formatVersion = 3)
         checkIceberg(ice3)
+        // BATCH-WRITER twins: the same content through appendDelta/
+        // appendIceberg, whose footer-derived nullCount/value_counts
+        // make count(col) actually SERVE — the contract must hold on
+        // the serving path, not just the refusing one
+        val content = LakeTable.read(spark, lake)
+        val delta2 = s"$dir/delta2"
+        DeltaInterop.appendDelta(content, delta2)
+        assert(DeltaInterop.deltaColumnCount(spark, delta2, "v")
+          .isDefined, "appendDelta tables must SERVE count(col)")
+        checkDelta(delta2)
+        val ice2 = s"$dir/ice2"
+        IcebergInterop.appendIceberg(content, ice2)
+        assert(IcebergInterop.icebergColumnCount(spark, ice2, "v")
+          .isDefined, "appendIceberg tables must SERVE count(col)")
+        checkIceberg(ice2)
         true
       })
     assert(res.passed, res.status)
