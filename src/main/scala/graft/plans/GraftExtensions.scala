@@ -122,5 +122,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(spark => InteropDeleteRule(spark))
     // UPDATE a graftdelta view → DV-out + rewrite-matched-rows commit
     ext.injectResolutionRule(spark => InteropUpdateRule(spark))
+    // MERGE INTO a graftdelta view → fate batch over the DV machinery
+    ext.injectResolutionRule(spark => InteropMergeRule(spark))
   }
 }

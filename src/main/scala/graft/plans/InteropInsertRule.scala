@@ -277,3 +277,52 @@ case class InteropUpdateCommand(root: String, condSql: String,
     Seq.empty
   }
 }
+
+/** SQL `MERGE INTO` a `USING graftdelta` view — the shared
+  * [[MergeTranslation]] maps exact-shape statements onto a
+  * one-row-per-key fate batch, and
+  * [[graft.sources.DeltaInterop.mergeIntoDelta]] runs it as ONE
+  * deletion-vector + new-adds commit (matched rows DV out; updated and
+  * inserted rows land writer-invariant-gated). Inexact shapes keep
+  * Spark's standard unsupported error; time travel refuses loudly. */
+case class InteropMergeRule(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
+  import InteropWriteRefs.refOf
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case m: MergeIntoTable if m.resolved &&
+          refOf(m.targetTable).exists(_._1 == "delta") &&
+          m.notMatchedBySourceActions.isEmpty &&
+          !m.schemaEvolutionEnabled =>
+        val (_, root, pinned) = refOf(m.targetTable).get
+        require(!pinned,
+          s"graftdelta: cannot MERGE into a time-travel view of " +
+            s"$root — writes always target the latest version")
+        MergeTranslation.translate(m).map { case (keys, cols, op) =>
+          InteropMergeCommand(root, m.sourceTable, keys, cols,
+            op): LogicalPlan
+        }.getOrElse(m)
+    }
+}
+
+/** The command [[InteropMergeRule]] plans: project the resolved source
+  * into the fate batch and run the DV merge. */
+case class InteropMergeCommand(root: String, source: LogicalPlan,
+                               keys: Seq[String],
+                               columns: Seq[(String, String)],
+                               opSql: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.graftbridge.ColumnBridge
+      .ofRows(spark, source)
+    val batch = src.select(
+      (columns.map { case (n, sql) =>
+        org.apache.spark.sql.functions.expr(sql).as(n) } :+
+        org.apache.spark.sql.functions.expr(opSql).as("__op")): _*)
+    graft.sources.DeltaInterop.mergeIntoDelta(spark, root, batch,
+      keys, "__op"): Unit
+    Seq.empty
+  }
+}

@@ -86,26 +86,52 @@ case class LakeDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
           lakeTable(m.targetTable).exists(_.pinnedVersion.isEmpty) &&
           m.notMatchedBySourceActions.isEmpty &&
           !m.schemaEvolutionEnabled => // batch carries target cols only
-        translateMerge(m).getOrElse(m)
+        MergeTranslation.translate(m).map { case (keys, cols, op) =>
+          GraftLakeMergeCommand(lakeTable(m.targetTable).get.tableRoot,
+            m.sourceTable, keys, cols, op): LogicalPlan
+        }.getOrElse(m)
     }
 
-  /** Map a resolved MERGE onto [[LakeTable.mergeInto]]'s four row fates
-    * when the statement's shape preserves exactness:
-    *
-    *   UPDATE(all cols) + INSERT(same values)          → fate U
-    *   UPDATE(all cols) only                           → fate M
-    *   UPDATE(all cols) + DELETE(source-only cond)     → CASE cond D M
-    *   DELETE (unconditional) only                     → fate D
-    *   INSERT only                                     → fate I
-    *
-    * Everything else — partial-column updates (the rewritten row would
-    * need target values the batch doesn't carry), conditional matched
-    * updates, DELETE beside INSERT (a not-matched row must insert even
-    * when the delete condition holds), expressions touching target
-    * columns, non-equi merge conditions — returns None and falls back
-    * to Spark's standard unsupported-table error. */
-  private def translateMerge(m: MergeIntoTable): Option[LogicalPlan] = {
-    val table = lakeTable(m.targetTable).get
+}
+
+/** The MERGE → fate-batch translation, shared by the lake catalog rule
+  * and the interop Delta rule. Maps a resolved MERGE onto a
+  * one-row-per-key fate batch when the statement's shape preserves
+  * exactness:
+  *
+  *   UPDATE(all cols) + INSERT(same values)          → fate U
+  *   UPDATE(all cols) only                           → fate M
+  *   UPDATE(all cols) + DELETE(source-only cond)     → CASE cond D M
+  *   DELETE (unconditional) only                     → fate D
+  *   INSERT only                                     → fate I
+  *
+  * Everything else — partial-column updates (the rewritten row would
+  * need target values the batch doesn't carry), conditional matched
+  * updates, DELETE beside INSERT (a not-matched row must insert even
+  * when the delete condition holds), expressions touching target
+  * columns, non-equi merge conditions — returns None and falls back
+  * to Spark's standard unsupported-table error. Returns (key columns,
+  * (column, value-SQL) pairs, op-SQL). */
+private[plans] object MergeTranslation {
+
+  private def renderable(e: Expression): Boolean =
+    !SubqueryExpression.hasSubquery(e) &&
+      e.find {
+        case _: Between => false
+        case _: RuntimeReplaceable => true
+        case _ => false
+      }.isEmpty
+
+  private def bareSql(e: Expression): String =
+    e.transformUp {
+      case b: Between => CAnd(GreaterThanOrEqual(b.input, b.lower),
+        LessThanOrEqual(b.input, b.upper))
+    }.transformUp {
+      case a: AttributeReference => a.withQualifier(Seq.empty)
+    }.sql
+
+  def translate(m: MergeIntoTable)
+      : Option[(Seq[String], Seq[(String, String)], String)] = {
     val targetOut = m.targetTable.outputSet
     val sourceOut = m.sourceTable.outputSet
     def sourceOnly(e: Expression): Boolean =
@@ -199,8 +225,7 @@ case class LakeDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
             c -> values.get(c).map(bareSql)
               .getOrElse(s"CAST(NULL AS ${typeOf(c).sql})")
           }
-          GraftLakeMergeCommand(table.tableRoot, m.sourceTable,
-            keys.map(_._1), cols, op)
+          (keys.map(_._1), cols, op)
         }
       }
     }

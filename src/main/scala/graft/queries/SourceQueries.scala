@@ -3967,6 +3967,69 @@ object SourceQueries {
       "SQL DELETE FROM a grafticeberg view: v3 Puffin DV snapshots, " +
         "merged across repeated deletes; reader ≡ metadata count ≡ " +
         "doctor"),
+
+    // ---- SQL MERGE INTO a foreign Delta table ---------------------------------
+    // The DML surface's capstone: the shared fate-batch translation
+    // (the lake catalog's own MERGE route) maps the exact upsert shape
+    // onto ONE deletion-vector + new-adds commit — matched rows DV out
+    // of their files, updated and inserted rows land writer-invariant-
+    // gated, untouched rows never rewrite.
+    "q369_interop_sql_merge" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_sqlmerge_q369")
+        val delta = root + "/delta"
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val fsys = new org.apache.hadoop.fs.Path(delta)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$delta/_delta_log"))
+        val out0 = fsys.create(new org.apache.hadoop.fs.Path(
+          s"$delta/_delta_log/00000000000000000000.json"), false)
+        out0.write((
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
+            "\n" +
+            s"""{"metaData":{"id":"q369","schemaString":${om
+              .writeValueAsString(o.schema.json)},""" +
+            """"partitionColumns":[],"format":{"provider":"parquet"},""" +
+            """"configuration":{"delta.enableDeletionVectors":"true"}}}"""
+          ).getBytes("UTF-8"))
+        out0.close()
+        // target = the evens; source = every key ≡ 0 (mod 3) with
+        // re-priced rows → matched evens update, odd multiples insert
+        graft.sources.DeltaInterop.appendDelta(
+          o.filter(col("o_orderkey") % 2 === 0), delta)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q369_d USING " +
+          s"graftdelta OPTIONS (path '$delta')")
+        o.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey").as("sk"),
+            col("o_orderstatus").as("ss"),
+            (col("o_totalprice") + 100).as("sp"))
+          .createOrReplaceTempView("q369_src")
+        s.sql("""MERGE INTO q369_d t USING q369_src s
+          ON t.o_orderkey = s.sk
+          WHEN MATCHED THEN UPDATE SET o_orderkey = s.sk,
+            o_orderstatus = s.ss, o_totalprice = s.sp
+          WHEN NOT MATCHED THEN INSERT
+            (o_orderkey, o_orderstatus, o_totalprice)
+            VALUES (s.sk, s.ss, s.sp)""")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q369_d USING " +
+          s"graftdelta OPTIONS (path '$delta')")
+        val scanned = s.table("q369_d").count()
+        require(graft.sources.DeltaInterop.deltaRowCount(s, delta)
+          .contains(scanned), "q369: metadata count diverged")
+        require(graft.sources.DeltaInterop.validateDelta(s, delta)
+          .count() == 0L, "q369: doctor found issues after MERGE")
+        s.table("q369_d")
+      },
+      Some("""SELECT o_orderkey,
+          o_orderstatus,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100
+               ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0"""),
+      "SQL MERGE INTO a graftdelta view: upsert fate batch over the " +
+        "DV machinery, one commit; reader ≡ metadata count ≡ doctor"),
   )
 
 

@@ -1347,7 +1347,113 @@ object DeltaInterop {
                        condSql: String,
                        sets: Seq[(String, String)]): Long = {
     val verb = if (sets.isEmpty) "DELETE" else "UPDATE"
-    val f = fs(spark, deltaRoot)
+    val (snap, v) = dvGates(spark, deltaRoot, verb)
+    if (sets.nonEmpty) {
+      require(snap.partCols.isEmpty,
+        s"graftdelta UPDATE: $deltaRoot is partitioned; rewritten " +
+          "rows would need partition routing — not supported yet")
+      sets.foreach { case (c, _) =>
+        require(snap.schema.fieldNames.contains(c),
+          s"graftdelta UPDATE: no column '$c' in $deltaRoot " +
+            s"(${snap.schema.fieldNames.mkString(",")})")
+      }
+    }
+    if (snap.live.isEmpty) return 0L
+    val priorByFile = dvPriorPositions(spark, deltaRoot, snap)
+    val base = dvScanLive(spark, deltaRoot, snap, priorByFile)
+    val matched = base.filter(coalesce(expr(condSql), lit(false)))
+    val newRows =
+      if (sets.isEmpty) None
+      else Some(sets.foldLeft(matched.drop("__uri", "__pos")) {
+        case (d, (c, sql)) => d.withColumn(c, expr(sql))
+      }.select(snap.schema.fields.map(fd =>
+        col(fd.name).cast(fd.dataType).as(fd.name)).toIndexedSeq: _*))
+    dvPublish(spark, deltaRoot, snap, v, verb,
+      matched.select("__uri", "__pos"), priorByFile, newRows)
+  }
+
+  /** MERGE INTO a foreign Delta table — the interop twin of
+    * [[LakeTable.mergeInto]]'s fate batch, built on the DV machinery:
+    * `batch` carries ONE row per key (duplicates refuse, SQL MERGE's
+    * multiple-matches rejection) with the target's columns plus
+    * `opCol` ∈ {'U' upsert, 'M' update-if-matched, 'D'
+    * delete-if-matched, 'I' insert-if-absent}. Matched LIVE target
+    * rows for U/M/D deletion-vector out of their files; U/M matches
+    * and U/I non-matches land as new adds with the batch's values —
+    * ONE commit, writer-invariant-gated, untouched rows never
+    * rewrite. A key matching MULTIPLE live target rows refuses (the
+    * rewrite would change row multiplicity). Returns (updated,
+    * deleted, inserted). */
+  def mergeIntoDelta(spark: SparkSession, deltaRoot: String,
+                     batch: DataFrame, keys: Seq[String],
+                     opCol: String): (Long, Long, Long) = {
+    val (snap, v) = dvGates(spark, deltaRoot, "MERGE")
+    require(snap.partCols.isEmpty,
+      s"graftdelta MERGE: $deltaRoot is partitioned; rewritten rows " +
+        "would need partition routing — not supported yet")
+    require(keys.nonEmpty && keys.forall(snap.schema.fieldNames.contains),
+      s"graftdelta MERGE: keys ${keys.mkString(",")} must be columns " +
+        s"of $deltaRoot")
+    require(batch.columns.contains(opCol),
+      s"graftdelta MERGE: batch lacks the op column '$opCol'")
+    snap.schema.fieldNames.foreach(c =>
+      require(batch.columns.contains(c),
+        s"graftdelta MERGE: batch lacks target column '$c'"))
+    // one row per key — localCheckpoint so the three consumers below
+    // (dup check, join, anti) never recompute a non-deterministic source
+    val b0 = batch.select((snap.schema.fieldNames.map(col) :+
+      col(opCol).as("__op")).toIndexedSeq: _*).localCheckpoint(true)
+    val dupKeys = b0.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+    require(dupKeys == 0L,
+      s"graftdelta MERGE: batch carries $dupKeys duplicate key(s) — " +
+        "SQL MERGE rejects multiple matches; dedup the source first")
+    val priorByFile = dvPriorPositions(spark, deltaRoot, snap)
+    val base = dvScanLive(spark, deltaRoot, snap, priorByFile)
+    // join LIVE target rows to the batch by key equality; batch
+    // columns ride with __b_ prefixes so both sides stay addressable
+    val bAliased = b0.select(b0.columns.map(c =>
+      col(c).as(s"__b_$c")).toIndexedSeq: _*)
+    val joinCond = keys.map(k => col(k) === col(s"__b_$k"))
+      .reduce(_ && _)
+    val joined = base.join(bAliased, joinCond, "inner")
+      .localCheckpoint(true)
+    // a key matching multiple live target rows would change row
+    // multiplicity under a one-row-per-key rewrite — refuse
+    val multi = joined.groupBy(keys.map(k => col(s"__b_$k")): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+    require(multi == 0L,
+      s"graftdelta MERGE: $multi key(s) match multiple live target " +
+        "rows — refusing (the rewrite would change multiplicity)")
+    val matched = joined
+      .filter(col("__b___op").isin("U", "M", "D"))
+      .select("__uri", "__pos")
+    val updatedRows = joined.filter(col("__b___op").isin("U", "M"))
+      .select(snap.schema.fields.map(fd =>
+        col(s"__b_${fd.name}").cast(fd.dataType).as(fd.name))
+        .toIndexedSeq: _*)
+    val insertedRows = bAliased
+      .join(base.select(keys.map(col): _*).distinct(),
+        keys.map(k => col(k) === col(s"__b_$k")).reduce(_ && _),
+        "left_anti")
+      .filter(col("__b___op").isin("U", "I"))
+      .select(snap.schema.fields.map(fd =>
+        col(s"__b_${fd.name}").cast(fd.dataType).as(fd.name))
+        .toIndexedSeq: _*)
+    val nUpd = joined.filter(col("__b___op").isin("U", "M")).count()
+    val nDel = joined.filter(col("__b___op") === "D").count()
+    val nIns = insertedRows.count()
+    if (nUpd + nDel + nIns == 0L) return (0L, 0L, 0L)
+    dvPublish(spark, deltaRoot, snap, v, "MERGE", matched,
+      priorByFile, Some(updatedRows.unionAll(insertedRows))): Unit
+    (nUpd, nDel, nIns)
+  }
+
+  /** Shared gates for the DV write paths: latest-version replay,
+    * column-mapping / writer-protocol / appendOnly / DV-capability
+    * refusals. Returns (snapshot, version). */
+  private def dvGates(spark: SparkSession, deltaRoot: String,
+                      verb: String): (Snapshot, Long) = {
     val vs = deltaVersions(spark, deltaRoot)
     require(vs.nonEmpty, s"no Delta log under $deltaRoot")
     val v = vs.max
@@ -1369,19 +1475,44 @@ object DeltaInterop {
         "delta.enableDeletionVectors=true; the spec forbids writers " +
         "to add vectors to an unenabled table — set the property " +
         "first (ALTER TABLE ... SET TBLPROPERTIES)")
-    if (sets.nonEmpty) {
-      require(snap.partCols.isEmpty,
-        s"graftdelta UPDATE: $deltaRoot is partitioned; rewritten " +
-          "rows would need partition routing — not supported yet")
-      sets.foreach { case (c, _) =>
-        require(snap.schema.fieldNames.contains(c),
-          s"graftdelta UPDATE: no column '$c' in $deltaRoot " +
-            s"(${snap.schema.fieldNames.mkString(",")})")
-      }
+    (snap, v)
+  }
+
+  /** Existing DV positions per live file (driver-side, sidecar-sized
+    * by the read path's own contract). */
+  private def dvPriorPositions(spark: SparkSession, deltaRoot: String,
+                               snap: Snapshot)
+      : Map[String, Array[Long]] = {
+    val conf = spark.sessionState.newHadoopConf()
+    def qualify(rel: String): String = {
+      val hp = new Path(s"$deltaRoot/$rel")
+      hp.getFileSystem(conf).makeQualified(hp).toString
     }
-    if (snap.live.isEmpty) return 0L
-    // candidate scan with PHYSICAL row positions; partition columns
-    // materialize per file group so the predicate may reference them
+    val dvs = snap.live.toSeq.sortBy(_._1).flatMap { case (p, lf) =>
+      lf.dv.map(d => qualify(p) -> d)
+    }
+    if (dvs.isEmpty) Map.empty
+    else DeltaDeletionVectors.deletedPositions(spark, deltaRoot, dvs)
+      .collect().groupBy(_.getString(0))
+      .map { case (u, rows) =>
+        snap.live.keys.find(p => qualify(p) == u).get ->
+          rows.map(_.getLong(1)).toArray
+      }
+  }
+
+  /** Scan of the LIVE rows (already-DV-deleted positions excluded)
+    * with schema columns + `__uri`/`__pos` physical positions;
+    * partition columns materialize per file group so predicates may
+    * reference them. */
+  private def dvScanLive(spark: SparkSession, deltaRoot: String,
+                         snap: Snapshot,
+                         priorByFile: Map[String, Array[Long]])
+      : DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    def qualify(rel: String): String = {
+      val hp = new Path(s"$deltaRoot/$rel")
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
     val dataSchema = StructType(snap.schema.fields
       .filterNot(fd => snap.partCols.contains(fd.name)))
     def scan(paths: Seq[String]): DataFrame =
@@ -1389,7 +1520,7 @@ object DeltaInterop {
         .parquet(paths.sorted.map(p => s"$deltaRoot/$p"): _*)
         .withColumn("__uri", col("_metadata.file_path"))
         .withColumn("__pos", col("_metadata.row_index"))
-    val base =
+    val base0 =
       if (snap.partCols.isEmpty) scan(snap.live.keys.toSeq)
       else snap.live.groupBy(_._2.partitionValues)
         .map { case (pv, group) =>
@@ -1398,10 +1529,28 @@ object DeltaInterop {
               lit(pv.getOrElse(c, null)).cast(snap.schema(c).dataType))
           }
         }.reduce(_.unionByName(_))
-    val hits = base
-      .filter(coalesce(expr(condSql), lit(false)))
-      .select("__uri", "__pos")
-    // (qualified uri → relative path), driver-side, bounded by #files
+    if (priorByFile.isEmpty) base0
+    else {
+      import spark.implicits._
+      val priorDf = priorByFile.toSeq.flatMap { case (p, ps) =>
+        ps.map(x => (qualify(p), x))
+      }.toDF("__uri", "__pos")
+      base0.join(priorDf, Seq("__uri", "__pos"), "left_anti")
+    }
+  }
+
+  /** The DV write paths' shared COMMIT: merge matched positions into
+    * per-file vectors, optionally stage `newRows` as new adds (full
+    * writer-invariant gate), and publish ONE commit (protocol upgrade
+    * to (3,7) in the same commit when only the enabling property is
+    * set). Returns the number of newly deleted rows. */
+  private def dvPublish(spark: SparkSession, deltaRoot: String,
+                        snap: Snapshot, v: Long, verb: String,
+                        matchedPos: DataFrame,
+                        priorByFile: Map[String, Array[Long]],
+                        newRows: Option[DataFrame]): Long = {
+    val f = fs(spark, deltaRoot)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val conf = spark.sessionState.newHadoopConf()
     def qualify(rel: String): String = {
       val hp = new Path(s"$deltaRoot/$rel")
@@ -1411,7 +1560,7 @@ object DeltaInterop {
       snap.live.keys.map(p => qualify(p) -> p).toMap
     // matched positions per file — sidecar-sized by the same contract
     // as the DV read path and exports (purge is the escape hatch)
-    val matchedByFile: Map[String, Array[Long]] = hits
+    val matchedByFile: Map[String, Array[Long]] = matchedPos
       .groupBy(col("__uri"))
       .agg(collect_list(col("__pos")).as("ps"))
       .collect().map { r =>
@@ -1421,39 +1570,19 @@ object DeltaInterop {
               "to no live file"))
         rel -> r.getSeq[Long](1).toArray
       }.toMap
-    if (matchedByFile.isEmpty) return 0L
-    // merge with each file's existing vector (a position deleted twice
-    // is one deletion; the count reports NEW deletions only)
-    val priorByFile: Map[String, Array[Long]] = {
-      val dvs = matchedByFile.keys.toSeq.sorted.flatMap { p =>
-        snap.live(p).dv.map(d => qualify(p) -> d)
-      }
-      if (dvs.isEmpty) Map.empty
-      else DeltaDeletionVectors.deletedPositions(spark, deltaRoot, dvs)
-        .collect().groupBy(_.getString(0))
-        .map { case (u, rows) =>
-          relOfUri(u) -> rows.map(_.getLong(1)).toArray
-        }
-    }
+    val hasNewRows = newRows.isDefined
+    if (matchedByFile.isEmpty && !hasNewRows) return 0L
     val mergedByFile: Map[String, Array[Long]] =
       matchedByFile.map { case (p, nw) =>
         p -> (nw ++ priorByFile.getOrElse(p, Array.empty))
           .distinct.sorted
       }
-    val newlyDeleted = mergedByFile.map { case (p, m) =>
-      m.length - priorByFile.getOrElse(p, Array.empty[Long]).length
-    }.sum.toLong
-    if (newlyDeleted == 0L) return 0L
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val affected = mergedByFile.keys.toSeq.sorted
+    val newlyDeleted = matchedByFile.values.map(_.length.toLong).sum
+    val hasFeature = snap.writerFeatures.contains("deletionVectors") ||
+      snap.protoFeatures.contains("deletionVectors")
     val uuid = java.util.UUID.randomUUID()
-    val frames = DeltaDeletionVectors.writeDvFile(spark,
-      s"$deltaRoot/deletion_vector_$uuid.bin",
-      affected.map(p =>
-        DeltaDeletionVectors.serializeBitmap(mergedByFile(p))))
-    val enc = DeltaDeletionVectors.encodeUuid(uuid)
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
-    if (!hasFeature) {
+    if (!hasFeature && mergedByFile.nonEmpty) {
       // protocol upgrade in the same commit: (3, 7) with the legacy
       // versions' implied features carried forward explicitly
       val legacyWriter =
@@ -1487,76 +1616,62 @@ object DeltaInterop {
           .map(om.writeValueAsString).mkString("[", ",", "]")},""" +
         s""""configuration":$confJson}}"""
     }
-    affected.zip(frames).foreach { case (p, (off, size)) =>
-      val lf = snap.live(p)
-      actions += s"""{"remove":{"path":${om.writeValueAsString(p)},""" +
-        s""""deletionTimestamp":0,"dataChange":true}}"""
-      val pvJson = lf.partitionValues.toSeq.sortBy(_._1)
-        .map { case (k, x) =>
-          s"${om.writeValueAsString(k)}:${om.writeValueAsString(x)}"
-        }.mkString("{", ",", "}")
-      // re-added stats: bounds are no longer provably tight (a deleted
-      // row may have held the extremum) — say so per the spec
-      val statsJson = lf.stats.map { s =>
-        val tagged = scala.util.Try {
-          val node = om.readTree(s)
-            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-          node.put("tightBounds", false)
-          om.writeValueAsString(node)
-        }.getOrElse(s)
-        s""""stats":${om.writeValueAsString(tagged)},"""
-      }.getOrElse("")
-      val st = f.getFileStatus(new Path(s"$deltaRoot/$p"))
-      actions += s"""{"add":{"path":${om.writeValueAsString(p)},""" +
-        s""""partitionValues":$pvJson,"size":${st.getLen},""" +
-        s""""modificationTime":${st.getModificationTime},""" +
-        statsJson +
-        s""""dataChange":true,"deletionVector":{"storageType":"u",""" +
-        s""""pathOrInlineDv":${om.writeValueAsString(enc)},""" +
-        s""""offset":$off,"sizeInBytes":$size,""" +
-        s""""cardinality":${mergedByFile(p).length}}}}"""
-    }
-    // UPDATE: the matched LIVE rows (already-deleted positions
-    // excluded) re-write with the assignments applied, as new adds in
-    // the same commit — gated by the full writer-invariant pass so the
-    // rewritten rows honor the table's own declarations
-    val newRels: Seq[String] =
-      if (sets.isEmpty) Seq.empty
-      else {
-        val priorPos = priorByFile.toSeq.flatMap { case (p, ps) =>
-          ps.map(x => (qualify(p), x))
-        }
-        val matchedLive0 = base
-          .filter(coalesce(expr(condSql), lit(false)))
-        val matchedLive =
-          if (priorPos.isEmpty) matchedLive0
-          else {
-            import spark.implicits._
-            matchedLive0.join(
-              priorPos.toDF("__uri", "__pos"),
-              Seq("__uri", "__pos"), "left_anti")
-          }
-        val updated0 = sets.foldLeft(
-            matchedLive.drop("__uri", "__pos")) { case (d, (c, sql)) =>
-          d.withColumn(c, expr(sql))
-        }
-        val updated = updated0.select(snap.schema.fields.map(fd =>
-          col(fd.name).cast(fd.dataType).as(fd.name)).toIndexedSeq: _*)
-        enforceWriterInvariants(updated, snap, deltaRoot)
-        val stage = s"$deltaRoot/_stage_$uuid"
-        updated.write.parquet(stage)
-        val rels = f.listStatus(new Path(stage))
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .sortBy(_.getPath.getName).zipWithIndex.map { case (st, i) =>
-            val rel = f"part-u-$i%05d-$uuid.snappy.parquet"
-            if (!f.rename(st.getPath, new Path(s"$deltaRoot/$rel")))
-              throw new java.io.IOException(
-                s"rename ${st.getPath} -> $deltaRoot/$rel failed")
-            rel
-          }.toSeq
-        f.delete(new Path(stage), true)
-        rels
+    val affected = mergedByFile.keys.toSeq.sorted
+    if (affected.nonEmpty) {
+      val frames = DeltaDeletionVectors.writeDvFile(spark,
+        s"$deltaRoot/deletion_vector_$uuid.bin",
+        affected.map(p =>
+          DeltaDeletionVectors.serializeBitmap(mergedByFile(p))))
+      val enc = DeltaDeletionVectors.encodeUuid(uuid)
+      affected.zip(frames).foreach { case (p, (off, size)) =>
+        val lf = snap.live(p)
+        actions += s"""{"remove":{"path":${om.writeValueAsString(p)},""" +
+          s""""deletionTimestamp":0,"dataChange":true}}"""
+        val pvJson = lf.partitionValues.toSeq.sortBy(_._1)
+          .map { case (k, x) =>
+            s"${om.writeValueAsString(k)}:${om.writeValueAsString(x)}"
+          }.mkString("{", ",", "}")
+        // re-added stats: bounds are no longer provably tight (a
+        // deleted row may have held the extremum) — say so per spec
+        val statsJson = lf.stats.map { s =>
+          val tagged = scala.util.Try {
+            val node = om.readTree(s).asInstanceOf[
+              com.fasterxml.jackson.databind.node.ObjectNode]
+            node.put("tightBounds", false)
+            om.writeValueAsString(node)
+          }.getOrElse(s)
+          s""""stats":${om.writeValueAsString(tagged)},"""
+        }.getOrElse("")
+        val st = f.getFileStatus(new Path(s"$deltaRoot/$p"))
+        actions += s"""{"add":{"path":${om.writeValueAsString(p)},""" +
+          s""""partitionValues":$pvJson,"size":${st.getLen},""" +
+          s""""modificationTime":${st.getModificationTime},""" +
+          statsJson +
+          s""""dataChange":true,"deletionVector":{"storageType":"u",""" +
+          s""""pathOrInlineDv":${om.writeValueAsString(enc)},""" +
+          s""""offset":$off,"sizeInBytes":$size,""" +
+          s""""cardinality":${mergedByFile(p).length}}}}"""
       }
+    }
+    // rewritten/inserted rows land as new adds in the same commit —
+    // gated by the full writer-invariant pass so the new rows honor
+    // the table's own declarations
+    val newRels: Seq[String] = newRows.filter(!_.isEmpty).map { updated =>
+      enforceWriterInvariants(updated, snap, deltaRoot)
+      val stage = s"$deltaRoot/_stage_$uuid"
+      updated.write.parquet(stage)
+      val rels = f.listStatus(new Path(stage))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName).zipWithIndex.map { case (st, i) =>
+          val rel = f"part-u-$i%05d-$uuid.snappy.parquet"
+          if (!f.rename(st.getPath, new Path(s"$deltaRoot/$rel")))
+            throw new java.io.IOException(
+              s"rename ${st.getPath} -> $deltaRoot/$rel failed")
+          rel
+        }.toSeq
+      f.delete(new Path(stage), true)
+      rels
+    }.getOrElse(Seq.empty)
     val intCols = snap.schema.fields.collect {
       case fd if fd.dataType == IntegerType || fd.dataType == LongType =>
         fd.name
@@ -1591,12 +1706,15 @@ object DeltaInterop {
           s"""{"numRecords":$rows$boundsJson$nullsJson}""")},""" +
         s""""dataChange":true}}"""
     }
+    if (actions.isEmpty) return 0L
     val dst = new Path(f"$deltaRoot/_delta_log/${v + 1}%020d.json")
     if (!AtomicPublish.createExclusive(f, dst,
         actions.mkString("\n").getBytes("UTF-8"))) {
       // the positions were computed against version v; a concurrent
       // commit may have rewritten the files — refuse, never mis-delete
-      f.delete(new Path(s"$deltaRoot/deletion_vector_$uuid.bin"), false)
+      if (affected.nonEmpty)
+        f.delete(new Path(s"$deltaRoot/deletion_vector_$uuid.bin"),
+          false)
       newRels.foreach(r =>
         f.delete(new Path(s"$deltaRoot/$r"), false))
       throw new IllegalStateException(

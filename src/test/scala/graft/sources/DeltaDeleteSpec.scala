@@ -181,6 +181,64 @@ class DeltaDeleteSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("MERGE INTO a foreign Delta table: fate batch over the DV " +
+      "machinery — upsert, matched-update, delete, insert shapes all " +
+      "land as ONE commit; SQL MERGE routes; duplicate keys refuse") {
+    val root = enabledTable()
+    DeltaInterop.appendDelta(spark.range(0, 10)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), root)
+    // upsert batch: k=5 exists (update to 500), k=100 is new (insert)
+    val (u1, d1, i1) = DeltaInterop.mergeIntoDelta(spark, root,
+      Seq((5L, 500L, "U"), (100L, 1000L, "U")).toDF("k", "v", "op"),
+      Seq("k"), "op")
+    assert((u1, d1, i1) == (1L, 0L, 1L))
+    val after1 = DeltaInterop.readDelta(spark, root)
+    assert(after1.count() == 11L)
+    assert(after1.filter(col("k") === 5).select("v").as[Long]
+      .head() == 500L)
+    assert(after1.filter(col("k") === 100).select("v").as[Long]
+      .head() == 1000L)
+    // mixed fates in one batch: M updates only if matched (k=200
+    // absent → nothing), D deletes k=1, I inserts only if absent
+    // (k=2 present → nothing)
+    val (u2, d2, i2) = DeltaInterop.mergeIntoDelta(spark, root,
+      Seq((200L, 9L, "M"), (1L, 0L, "D"), (2L, 7L, "I"),
+        (300L, 3L, "I")).toDF("k", "v", "op"),
+      Seq("k"), "op")
+    assert((u2, d2, i2) == (0L, 1L, 1L))
+    val after2 = DeltaInterop.readDelta(spark, root)
+    assert(after2.count() == 11L) // -1 (k=1) +1 (k=300)
+    assert(after2.filter(col("k") === 1).count() == 0L)
+    assert(after2.filter(col("k") === 2).select("v").as[Long]
+      .head() == 4L) // I on a present key: untouched
+    assert(DeltaInterop.validateDelta(spark, root).count() == 0L)
+    assert(DeltaInterop.deltaRowCount(spark, root).contains(11L))
+    // duplicate batch keys refuse
+    val e = intercept[Throwable] {
+      DeltaInterop.mergeIntoDelta(spark, root,
+        Seq((7L, 1L, "U"), (7L, 2L, "U")).toDF("k", "v", "op"),
+        Seq("k"), "op")
+    }
+    assert(msgs(e).exists(_.contains("duplicate")),
+      msgs(e).mkString(" | "))
+    // SQL MERGE: upsert shape routes through the translation
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW dm_v USING graftdelta " +
+      s"OPTIONS (path '$root')")
+    Seq((3L, 333L), (400L, 444L)).toDF("sk", "sv")
+      .createOrReplaceTempView("dm_src")
+    spark.sql("""MERGE INTO dm_v t USING dm_src s ON t.k = s.sk
+      WHEN MATCHED THEN UPDATE SET k = s.sk, v = s.sv
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.sk, s.sv)""")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW dm_v USING graftdelta " +
+      s"OPTIONS (path '$root')")
+    assert(spark.sql("SELECT v FROM dm_v WHERE k = 3")
+      .as[Long].head() == 333L)
+    assert(spark.sql("SELECT v FROM dm_v WHERE k = 400")
+      .as[Long].head() == 444L)
+    assert(spark.table("dm_v").count() == 12L)
+    assert(DeltaInterop.validateDelta(spark, root).count() == 0L)
+  }
+
   test("DELETE on a PARTITIONED table routes per file and the " +
       "predicate may reference partition columns") {
     val dir = fresh()
