@@ -249,17 +249,17 @@ case class InteropUpdateRule(spark: SparkSession)
     plan.resolveOperators {
       case u @ UpdateTable(target, assignments, cond)
           if u.resolved &&
-            refOf(target).exists(_._1 == "delta") &&
+            refOf(target).isDefined &&
             cond.forall(renderable) &&
             assignments.forall {
               case Assignment(_: AttributeReference, v) => renderable(v)
               case _ => false // nested-field targets stay unsupported
             } =>
-        val (_, root, pinned) = refOf(target).get
+        val (fmt, root, pinned) = refOf(target).get
         require(!pinned,
-          s"graftdelta: cannot UPDATE through a time-travel view of " +
+          s"graft$fmt: cannot UPDATE through a time-travel view of " +
             s"$root — writes always target the latest version")
-        InteropUpdateCommand(root,
+        InteropUpdateCommand(fmt, root,
           cond.map(bareSql).getOrElse("true"),
           assignments.map { case Assignment(k, v) =>
             (k.asInstanceOf[AttributeReference].name, bareSql(v))
@@ -268,12 +268,21 @@ case class InteropUpdateRule(spark: SparkSession)
 }
 
 /** The command [[InteropUpdateRule]] plans. */
-case class InteropUpdateCommand(root: String, condSql: String,
+case class InteropUpdateCommand(fmt: String, root: String,
+                                condSql: String,
                                 sets: Seq[(String, String)])
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    graft.sources.DeltaInterop.updateWhereDelta(session, root,
-      condSql, sets): Unit
+    fmt match {
+      case "delta" =>
+        graft.sources.DeltaInterop.updateWhereDelta(session, root,
+          condSql, sets): Unit
+      case "iceberg" =>
+        graft.sources.IcebergInterop.updateWhereIceberg(session, root,
+          condSql, sets): Unit
+      case other => throw new IllegalStateException(
+        s"unknown interop format $other")
+    }
     Seq.empty
   }
 }

@@ -4030,6 +4030,46 @@ object SourceQueries {
         WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0"""),
       "SQL MERGE INTO a graftdelta view: upsert fate batch over the " +
         "DV machinery, one commit; reader ≡ metadata count ≡ doctor"),
+
+    // ---- SQL UPDATE a foreign Iceberg table -----------------------------------
+    // The Iceberg twin of q367: matched live rows delete via the
+    // format's native shape (v3 Puffin DV here) AND re-write with the
+    // assignments applied as new data files in the SAME snapshot
+    // (summary operation `overwrite`, the spec's row-level-op label) —
+    // untouched rows never rewrite, old snapshots stay
+    // time-travelable, and the new files carry value_counts so
+    // metadata count(col) keeps serving.
+    "q370_iceberg_sql_update" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_iceupdate_q370")
+        val lake = root + "/lake"
+        val ice = root + "/ice"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        graft.sources.LakeTable.append(o, lake)
+        graft.sources.IcebergInterop.exportToIceberg(s, lake, ice,
+          formatVersion = 3)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q370_i USING " +
+          s"grafticeberg OPTIONS (path '$ice')")
+        s.sql("UPDATE q370_i SET o_orderstatus = 'X', " +
+          "o_totalprice = o_totalprice + 1 WHERE o_orderkey % 7 = 0")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q370_i USING " +
+          s"grafticeberg OPTIONS (path '$ice')")
+        val scanned = s.table("q370_i").count()
+        require(graft.sources.IcebergInterop.icebergRowCount(s, ice)
+          .contains(scanned), "q370: metadata count diverged")
+        require(graft.sources.IcebergInterop.validateIceberg(s, ice)
+          .count() == 0L, "q370: doctor found issues after UPDATE")
+        s.table("q370_i")
+      },
+      Some("""SELECT o_orderkey,
+          CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+               ELSE o_orderstatus END AS o_orderstatus,
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+               ELSE o_totalprice END AS o_totalprice
+        FROM orders"""),
+      "SQL UPDATE a grafticeberg view: v3 Puffin DV + rewritten data " +
+        "file in one snapshot; reader ≡ metadata count ≡ doctor"),
   )
 
 

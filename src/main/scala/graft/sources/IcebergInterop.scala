@@ -2043,20 +2043,55 @@ object IcebergInterop {
     * writer omitted the column from the data files). Returns the
     * number of newly deleted rows. */
   def deleteWhereIcebergDV(spark: SparkSession, iceRoot: String,
-                           condSql: String): Long = {
+                           condSql: String): Long =
+    icebergDvMutate(spark, iceRoot, condSql, Seq.empty)
+
+  /** DV-backed `UPDATE` on a foreign Iceberg table — the Iceberg twin
+    * of [[DeltaInterop.updateWhereDelta]]: matched live rows are
+    * deleted via the format's native delete shape (v3 Puffin DV / v2
+    * position deletes, delete manifests REPLACED with the merged
+    * state) AND re-written with `sets` applied as a new data file in
+    * the SAME snapshot (summary operation `overwrite`, the spec's
+    * row-level-op label). Unpartitioned targets only (rewritten rows
+    * would need partition routing); returns the number of updated
+    * rows. */
+  def updateWhereIceberg(spark: SparkSession, iceRoot: String,
+                         condSql: String,
+                         sets: Seq[(String, String)]): Long = {
+    require(sets.nonEmpty, "updateWhereIceberg: no SET assignments")
+    icebergDvMutate(spark, iceRoot, condSql, sets)
+  }
+
+  private def icebergDvMutate(spark: SparkSession, iceRoot: String,
+                              condSql: String,
+                              sets: Seq[(String, String)]): Long = {
+    val verb = if (sets.isEmpty) "DELETE" else "UPDATE"
     val f = fs(spark, iceRoot)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val meta = parseMetadata(spark, iceRoot)
     val fv = meta.formatVersion
     require(fv == 2 || fv == 3,
-      s"grafticeberg DELETE: $iceRoot is format-version $fv; DELETE " +
+      s"grafticeberg $verb: $iceRoot is format-version $fv; $verb " +
         "writes v2 position deletes or v3 deletion vectors")
     val (schema, dataFiles, deleteFiles) =
       snapshotFiles(spark, iceRoot, None)
     require(deleteFiles.forall(_.content != 2),
-      s"grafticeberg DELETE: $iceRoot carries EQUALITY deletes; " +
+      s"grafticeberg $verb: $iceRoot carries EQUALITY deletes; " +
         "merging their semantics into positions needs the matched " +
         "payload — refusing")
+    if (sets.nonEmpty) {
+      val schema0 = meta.schemas.getOrElse(meta.currentSchemaId,
+        meta.schemas.head._2)
+      require(meta.partitionSpecs.getOrElse(
+          meta.raw.path("default-spec-id").asInt(0), Seq.empty).isEmpty,
+        s"grafticeberg UPDATE: $iceRoot is partitioned; rewritten " +
+          "rows would need partition routing — not supported yet")
+      sets.foreach { case (c, _) =>
+        require(schema0.spark.fieldNames.contains(c),
+          s"grafticeberg UPDATE: no column '$c' in $iceRoot " +
+            s"(${schema0.spark.fieldNames.mkString(",")})")
+      }
+    }
     if (dataFiles.isEmpty) return 0L
     val conf = spark.sessionState.newHadoopConf()
     def qualify(p: String): String = {
@@ -2095,7 +2130,7 @@ object IcebergInterop {
       .collect().map { r =>
         val rel = relOfUri.getOrElse(r.getString(0),
           throw new IllegalStateException(
-            s"grafticeberg DELETE: scanned uri ${r.getString(0)} " +
+            s"grafticeberg $verb: scanned uri ${r.getString(0)} " +
               "maps to no live file"))
         rel -> r.getSeq[Long](1).toArray
       }.toMap
@@ -2151,6 +2186,51 @@ object IcebergInterop {
     val sorted = mergedByFile.toSeq.sortBy(_._1)
     f.mkdirs(new Path(s"$iceRoot/metadata"))
     val staged = scala.collection.mutable.ArrayBuffer.empty[Path]
+    // UPDATE: rewrite the matched LIVE rows (already-deleted positions
+    // excluded) with the assignments applied, as new data files in the
+    // SAME snapshot
+    val newDataFiles: Seq[(String, Long, Long, Map[String, Long])] =
+      if (sets.isEmpty) Seq.empty
+      else {
+        val priorPos = existingByFile.toSeq.flatMap { case (p, ps) =>
+          ps.map(x => (qualify(p), x))
+        }
+        val matchedLive0 = base
+          .filter(coalesce(expr(condSql), lit(false)))
+        val matchedLive =
+          if (priorPos.isEmpty) matchedLive0
+          else {
+            import spark.implicits._
+            matchedLive0.join(priorPos.toDF("__uri", "__pos"),
+              Seq("__uri", "__pos"), "left_anti")
+          }
+        val updated = sets.foldLeft(
+            matchedLive.drop("__uri", "__pos")) { case (d, (c, sql)) =>
+          d.withColumn(c, expr(sql))
+        }.select(schema.spark.fields.map(fd =>
+          col(fd.name).cast(fd.dataType).as(fd.name)).toIndexedSeq: _*)
+        val stage = s"$iceRoot/_stage_upd_$uuid"
+        updated.write.parquet(stage)
+        f.mkdirs(new Path(s"$iceRoot/data"))
+        val out = f.listStatus(new Path(stage))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName).zipWithIndex.map { case (st, i) =>
+            val rel = f"data/part-u-$i%05d-$uuid.parquet"
+            val dst = new Path(s"$iceRoot/$rel")
+            if (!f.rename(st.getPath, dst))
+              throw new java.io.IOException(
+                s"rename ${st.getPath} -> $dst failed")
+            staged += dst
+            val uri = qualify(rel)
+            val rows = TableDoctor.footerRows(spark, uri)
+              .getOrElse(throw new IllegalStateException(
+                s"freshly written $rel has no readable parquet footer"))
+            (uri, rows, f.getFileStatus(dst).getLen,
+              TableDoctor.footerNullCounts(spark, uri))
+          }.toSeq
+        f.delete(new Path(stage), true)
+        out
+      }
     val (delManifest, delLenOut, delRows) =
       if (fv >= 3) {
         val delFile = new Path(s"$iceRoot/data/deletes-$uuid.puffin")
@@ -2275,15 +2355,81 @@ object IcebergInterop {
       r.put("deleted_rows_count", 0L)
       r
     }
+    // UPDATE: the rewritten rows' data manifest (value_counts ride so
+    // metadata count(col) keeps serving on the updated table)
+    val dataEntryOpt: Option[GenericRecord] =
+      if (newDataFiles.isEmpty) None
+      else {
+        val fieldIdOf = schema.fieldIds
+        val entries = newDataFiles.map { case (uri, rows, size, nulls) =>
+          val df0 = new GenericData.Record(
+            manifestSchema.getField("data_file").schema())
+          df0.put("content", 0)
+          df0.put("file_path", uri)
+          df0.put("file_format", "PARQUET")
+          df0.put("partition", new GenericData.Record(
+            df0.getSchema.getField("partition").schema()))
+          df0.put("record_count", rows)
+          df0.put("file_size_in_bytes", size)
+          val counted = nulls.toSeq.sortBy(_._1).flatMap {
+            case (n, nc) => fieldIdOf.get(n).map(fid => (fid, rows, nc))
+          }
+          if (counted.nonEmpty) {
+            def countArr(field: String,
+                pick: ((Int, Long, Long)) => Long): Unit = {
+              val arrSchema = df0.getSchema.getField(field).schema()
+                .getTypes.get(1)
+              val arr = new GenericData.Array[GenericRecord](
+                counted.size, arrSchema)
+              counted.foreach { c =>
+                val kv = new GenericData.Record(arrSchema.getElementType)
+                kv.put("key", c._1)
+                kv.put("value", pick(c))
+                arr.add(kv)
+              }
+              df0.put(field, arr)
+            }
+            countArr("value_counts", _._2)
+            countArr("null_value_counts", _._3)
+          }
+          val e = new GenericData.Record(manifestSchema)
+          e.put("status", 1)
+          e.put("snapshot_id", snapId)
+          e.put("sequence_number", seqNum)
+          e.put("file_sequence_number", seqNum)
+          e.put("data_file", df0)
+          e
+        }
+        val mf = s"$iceRoot/metadata/$uuid-m2.avro"
+        val len = writeAvro(spark, mf, manifestSchema, entries)
+        staged += new Path(mf)
+        val r = new GenericData.Record(manifestListSchema)
+        r.put("manifest_path", qualify(mf))
+        r.put("manifest_length", len)
+        r.put("partition_spec_id",
+          meta.raw.path("default-spec-id").asInt(0))
+        r.put("content", 0)
+        r.put("sequence_number", seqNum)
+        r.put("min_sequence_number", seqNum)
+        r.put("added_snapshot_id", snapId)
+        r.put("added_files_count", entries.size)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", newDataFiles.map(_._2).sum)
+        r.put("existing_rows_count", 0L)
+        r.put("deleted_rows_count", 0L)
+        Some(r)
+      }
     val listPath = s"$iceRoot/metadata/snap-$snapId-1-$uuid.avro"
     writeAvro(spark, listPath, manifestListSchema,
-      prevList :+ delEntry)
+      (prevList :+ delEntry) ++ dataEntryOpt.toSeq)
     staged += new Path(listPath)
     val ts = System.currentTimeMillis()
     val snapJson =
       s"""{"snapshot-id":$snapId,"sequence-number":$seqNum,""" +
         s""""timestamp-ms":$ts,"schema-id":${meta.currentSchemaId},""" +
-        s""""summary":{"operation":"delete"},""" +
+        s""""summary":{"operation":"${
+          if (sets.isEmpty) "delete" else "overwrite"}"},""" +
         s""""manifest-list":${om.writeValueAsString(
           qualify(listPath))}}"""
     val node = meta.raw.deepCopy[com.fasterxml.jackson.databind.node
@@ -2301,8 +2447,8 @@ object IcebergInterop {
         om.writeValueAsString(node).getBytes("UTF-8"))) {
       staged.foreach(p => f.delete(p, false))
       throw new IllegalStateException(
-        s"grafticeberg DELETE: lost a commit race at $iceRoot " +
-          s"v$newVer; re-run the DELETE against the new state")
+        s"grafticeberg $verb: lost a commit race at $iceRoot " +
+          s"v$newVer; re-run the $verb against the new state")
     }
     val hintOut = f.create(
       new Path(s"$iceRoot/metadata/version-hint.text"),

@@ -95,6 +95,54 @@ class IcebergDeleteSpec extends SparkSpec {
     assert(IcebergInterop.validateIceberg(spark, ice2).count() == 0L)
   }
 
+  test("UPDATE on a foreign Iceberg table: matched live rows delete " +
+      "via the native shape AND re-write in the SAME snapshot (v3 " +
+      "Puffin + new data manifest); SQL UPDATE routes; deleted rows " +
+      "never resurrect; metadata count(col) keeps serving") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    val ice = s"$dir/ice"
+    LakeTable.append(spark.range(0, 50)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake)
+    IcebergInterop.exportToIceberg(spark, lake, ice, formatVersion = 3)
+    val n = IcebergInterop.updateWhereIceberg(spark, ice,
+      "k >= 40", Seq("v" -> "v + 1000"))
+    assert(n == 10L)
+    val after = IcebergInterop.readIceberg(spark, ice)
+    assert(after.count() == 50L)
+    assert(after.filter(col("k") >= 40).select("v").as[Long]
+      .collect().toSet == (40L until 50L).map(_ * 2 + 1000).toSet)
+    assert(after.filter(col("k") < 40).filter(col("v") >= 1000)
+      .count() == 0L)
+    assert(IcebergInterop.validateIceberg(spark, ice).count() == 0L)
+    assert(IcebergInterop.icebergRowCount(spark, ice).contains(50L))
+    // a prior DELETE's rows never resurrect through an UPDATE
+    IcebergInterop.deleteWhereIcebergDV(spark, ice, "k < 5")
+    val n2 = IcebergInterop.updateWhereIceberg(spark, ice,
+      "k < 10", Seq("v" -> "0"))
+    assert(n2 == 5L, s"expected 5 live rows updated, got $n2")
+    val after2 = IcebergInterop.readIceberg(spark, ice)
+    assert(after2.count() == 45L)
+    assert(after2.filter(col("k") < 5).count() == 0L)
+    assert(after2.filter(col("k") >= 5 && col("k") < 10)
+      .select("v").as[Long].collect().toSet == Set(0L))
+    // SQL UPDATE routes; v2 tables take the same path
+    val lake2 = s"$dir/lake2"
+    val ice2 = s"$dir/ice2"
+    LakeTable.append(spark.range(0, 20)
+      .select(col("id").as("k"), (col("id") * 3).as("v")), lake2)
+    IcebergInterop.exportToIceberg(spark, lake2, ice2)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW iu_v USING " +
+      s"grafticeberg OPTIONS (path '$ice2')")
+    spark.sql("UPDATE iu_v SET v = v + 1 WHERE k = 7")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW iu_v USING " +
+      s"grafticeberg OPTIONS (path '$ice2')")
+    assert(spark.sql("SELECT v FROM iu_v WHERE k = 7")
+      .as[Long].head() == 22L)
+    assert(spark.table("iu_v").count() == 20L)
+    assert(IcebergInterop.validateIceberg(spark, ice2).count() == 0L)
+  }
+
   test("refusals: equality-delete tables refuse; time-travel views " +
       "refuse; format-v1 refuses") {
     val dir = fresh()
