@@ -115,7 +115,9 @@ object Plans {
     "q363_interop_insert_partitioned" -> "partition-routed SQL INSERT: the filtered read after the insert lists ONLY the probed partition's files on both formats — every non-probed file is corrupted and never opens",
     "q365_interop_sql_delete" -> "SQL DELETE via deletion vectors: the post-delete read is the broadcast-anti-join merge-on-read shape (DV side is sidecar-sized), no data file was rewritten",
     "q367_interop_sql_update" -> "SQL UPDATE (DV-out + rewrite): the post-update read unions untouched files with the rewritten adds under one pruned scan; old snapshot intact",
-    "q368_iceberg_sql_delete" -> "Iceberg SQL DELETE: v3 Puffin DVs decode executor-side into the same broadcast-anti-join MoR shape; repeated deletes keep ONE delete manifest (replacement, not accretion)")
+    "q368_iceberg_sql_delete" -> "Iceberg SQL DELETE: v3 Puffin DVs decode executor-side into the same broadcast-anti-join MoR shape; repeated deletes keep ONE delete manifest (replacement, not accretion)",
+    "q369_interop_sql_merge" -> "SQL MERGE (upsert fate batch): one DV + new-adds commit; the post-merge read unions untouched files with the rewritten adds under one pruned scan",
+    "q370_iceberg_sql_update" -> "Iceberg SQL UPDATE: v3 DV + rewritten data file in ONE snapshot — the post-update read is the MoR anti-join over old files plus a plain scan of the new adds")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
