@@ -2480,9 +2480,9 @@ object IcebergInterop {
       }
     }
     def gate(m: IceMeta): Unit = {
-      require(m.formatVersion == 2,
+      require(m.formatVersion == 2 || m.formatVersion == 3,
         s"grafticeberg sink: $iceRoot is format-version " +
-          s"${m.formatVersion}; the sink appends v2 tables only")
+          s"${m.formatVersion}; the sink appends v2 and v3 tables")
       // appends route by the default spec's IDENTITY fields (the
       // dominant real-world layout); non-identity transforms (bucket,
       // truncate, days…) need the transform evaluated per row to
@@ -2811,7 +2811,10 @@ object IcebergInterop {
         .filter(p => !p.isMissingNode && p.isObject)
         .map(_.toString).getOrElse("{}")
       val metaJson =
-        s"""{"format-version":2,""" +
+        // carry the table's declared format forward — an append must
+        // never downgrade a v3 table to v2 (spec: upgrades only)
+        s"""{"format-version":${meta.map(_.formatVersion)
+          .getOrElse(2)},""" +
           s""""table-uuid":${om.writeValueAsString(tableUuid)},""" +
           s""""location":${om.writeValueAsString(iceRoot)},""" +
           s""""last-sequence-number":$seqNum,"last-updated-ms":$ts,""" +

@@ -1,0 +1,187 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The interop DML write surface, property-tested against an
+  * in-memory MODEL: randomized histories of append / DV-delete /
+  * DV-update ops run against both formats, and after every op the
+  * table's scan must equal the model exactly — with the metadata
+  * answers holding their Some-is-exact contract throughout. This is
+  * the write-side sibling of [[MetadataAnswersPropertySpec]]: that one
+  * hunts wrong metadata ANSWERS, this one hunts wrong TABLE STATES
+  * (rows lost, resurrected, double-applied, or mutated twice). */
+class InteropDmlPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private sealed trait Op
+  private case class Append(lo: Long, n: Long, nullEvery: Int) extends Op
+  private case class Delete(m: Int, r: Int) extends Op
+  private case class Update(m: Int, r: Int, add: Long) extends Op
+
+  // the model: k → Option[v] (None = v is null)
+  private type Model = Map[Long, Option[Long]]
+
+  private def applyModel(model: Model, op: Op): Model = op match {
+    case Append(lo, n, nullEvery) =>
+      // duplicate keys are legal rows in the table; model keys on a
+      // synthetic row id instead — so use (k) disjointness: appends
+      // use fresh ranges by construction (see the generator)
+      model ++ (lo until lo + n).map(k =>
+        k -> (if (k % nullEvery == 0) None else Some(k % 97)))
+    case Delete(m, r) =>
+      model.filterNot { case (k, _) => math.floorMod(k, m) == r }
+    case Update(m, r, add) =>
+      model.map { case (k, v) =>
+        if (math.floorMod(k, m) == r) k -> v.map(_ + add) else k -> v
+      }
+  }
+
+  private def appendDf(op: Append) =
+    spark.range(op.lo, op.lo + op.n)
+      .select(col("id").as("k"),
+        when(col("id") % op.nullEvery === 0, lit(null).cast("long"))
+          .otherwise(col("id") % 97).as("v"))
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): Model =
+    df.select("k", "v").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+  test("property: randomized append/delete/update histories on a " +
+      "foreign DELTA table — scan ≡ model after every op; metadata " +
+      "row counts and count(col) hold their contract") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val opsGen: Gen[Seq[Op]] = for {
+      k <- Gen.chooseNum(2, 5)
+      ops <- Gen.sequence[Seq[Op], Op]((0 until k).map { i =>
+        if (i == 0) Gen.chooseNum(5L, 60L).flatMap(n =>
+          Gen.oneOf(2, 3, 1000000).map(ne =>
+            Append(i * 1000L, n, ne): Op))
+        else Gen.oneOf(
+          Gen.chooseNum(5L, 60L).flatMap(n =>
+            Gen.oneOf(2, 3, 1000000).map(ne =>
+              Append(i * 1000L, n, ne): Op)),
+          Gen.chooseNum(2, 7).flatMap(m =>
+            Gen.chooseNum(0, 6).map(r => Delete(m, r % m): Op)),
+          Gen.chooseNum(2, 7).flatMap(m =>
+            Gen.chooseNum(0, 6).flatMap(r =>
+              Gen.chooseNum(1L, 500L).map(a =>
+                Update(m, r % m, a): Op))))
+      })
+    } yield ops
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6),
+      Prop.forAll(opsGen) { ops =>
+        val root = Files.createTempDirectory("dmlprop").toString + "/t"
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType)))
+        Files.createDirectories(Paths.get(s"$root/_delta_log"))
+        Files.writeString(Paths.get(
+          s"$root/_delta_log/00000000000000000000.json"),
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
+            "\n" +
+            s"""{"metaData":{"id":"p","schemaString":${om
+              .writeValueAsString(schema.json)},"partitionColumns":[],""" +
+            """"format":{"provider":"parquet"},"configuration":""" +
+            """{"delta.enableDeletionVectors":"true"}}}""") : Unit
+        var model: Model = Map.empty
+        ops.foreach { op =>
+          op match {
+            case a: Append =>
+              DeltaInterop.appendDelta(appendDf(a), root)
+            case Delete(m, r) =>
+              DeltaInterop.deleteWhereDeltaDV(spark, root,
+                s"k % $m = $r"): Unit
+            case Update(m, r, add) =>
+              DeltaInterop.updateWhereDelta(spark, root,
+                s"k % $m = $r", Seq("v" -> s"v + $add")): Unit
+          }
+          model = applyModel(model, op)
+          val got = scanOf(DeltaInterop.readDelta(spark, root))
+          assert(got == model,
+            s"after $op: scan ${got.size} rows != model " +
+              s"${model.size}; diff=${(got.toSet diff model.toSet)
+                .take(5)} / ${(model.toSet diff got.toSet).take(5)}")
+          DeltaInterop.deltaRowCount(spark, root).foreach(m0 =>
+            assert(m0 == model.size.toLong,
+              s"after $op: metadata count $m0 != ${model.size}"))
+          DeltaInterop.deltaColumnCount(spark, root, "v").foreach(c =>
+            assert(c == model.values.count(_.isDefined).toLong,
+              s"after $op: count(v) $c != model"))
+        }
+        // the final table is doctor-clean
+        assert(DeltaInterop.validateDelta(spark, root).count() == 0L)
+        true
+      })
+    assert(res.passed, res.status)
+  }
+
+  test("property: the same histories on a foreign ICEBERG v3 table — " +
+      "scan ≡ model after every op; Puffin DV replacement never " +
+      "loses or resurrects rows") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val opsGen: Gen[Seq[Op]] = for {
+      k <- Gen.chooseNum(2, 4)
+      ops <- Gen.sequence[Seq[Op], Op]((0 until k).map { i =>
+        if (i == 0) Gen.chooseNum(5L, 50L).flatMap(n =>
+          Gen.oneOf(2, 3, 1000000).map(ne =>
+            Append(i * 1000L, n, ne): Op))
+        else Gen.oneOf(
+          Gen.chooseNum(5L, 50L).flatMap(n =>
+            Gen.oneOf(2, 3, 1000000).map(ne =>
+              Append(i * 1000L, n, ne): Op)),
+          Gen.chooseNum(2, 7).flatMap(m =>
+            Gen.chooseNum(0, 6).map(r => Delete(m, r % m): Op)),
+          Gen.chooseNum(2, 7).flatMap(m =>
+            Gen.chooseNum(0, 6).flatMap(r =>
+              Gen.chooseNum(1L, 500L).map(a =>
+                Update(m, r % m, a): Op))))
+      })
+    } yield ops
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5),
+      Prop.forAll(opsGen) { ops =>
+        val dir = Files.createTempDirectory("dmlpropi").toString
+        val lake = s"$dir/lake"
+        val ice = s"$dir/ice"
+        // bootstrap via the v3 export so the table exists before DML
+        val first = ops.head.asInstanceOf[Append]
+        LakeTable.append(appendDf(first), lake)
+        IcebergInterop.exportToIceberg(spark, lake, ice,
+          formatVersion = 3)
+        var model: Model = applyModel(Map.empty, first)
+        ops.tail.foreach { op =>
+          op match {
+            case a: Append =>
+              IcebergInterop.appendIceberg(appendDf(a), ice)
+            case Delete(m, r) =>
+              IcebergInterop.deleteWhereIcebergDV(spark, ice,
+                s"k % $m = $r"): Unit
+            case Update(m, r, add) =>
+              IcebergInterop.updateWhereIceberg(spark, ice,
+                s"k % $m = $r", Seq("v" -> s"v + $add")): Unit
+          }
+          model = applyModel(model, op)
+          val got = scanOf(IcebergInterop.readIceberg(spark, ice))
+          assert(got == model,
+            s"after $op: scan ${got.size} rows != model " +
+              s"${model.size}; diff=${(got.toSet diff model.toSet)
+                .take(5)} / ${(model.toSet diff got.toSet).take(5)}")
+          IcebergInterop.icebergRowCount(spark, ice).foreach(m0 =>
+            assert(m0 == model.size.toLong,
+              s"after $op: metadata count $m0 != ${model.size}"))
+        }
+        assert(IcebergInterop.validateIceberg(spark, ice).count() == 0L)
+        true
+      })
+    assert(res.passed, res.status)
+  }
+}
