@@ -1668,7 +1668,13 @@ object DeltaInterop {
             throw new java.io.IOException(
               s"rename ${st.getPath} -> $deltaRoot/$rel failed")
           rel
-        }.toSeq
+        }.toSeq.filter { rel =>
+          // zero-row parts never commit (stats-less noise)
+          val keep = !TableDoctor.footerRows(spark, s"$deltaRoot/$rel")
+            .contains(0L)
+          if (!keep) f.delete(new Path(s"$deltaRoot/$rel"), false): Unit
+          keep
+        }
       f.delete(new Path(stage), true)
       rels
     }.getOrElse(Seq.empty)
@@ -1841,8 +1847,17 @@ object DeltaInterop {
             (rel, pv)
           }
       }
-    val rels = relsWithParts.map(_._1)
-    val partValsOf: Map[String, Map[String, String]] = relsWithParts.toMap
+    // ZERO-ROW staged parts (empty partitions of the batch) never
+    // commit: an empty add is pure metadata noise, and its stats-less
+    // footer would force metadata count(col) to refuse forever
+    val (kept, empty0) = relsWithParts.partition { case (rel, _) =>
+      !TableDoctor.footerRows(spark, s"$deltaRoot/$rel").contains(0L)
+    }
+    empty0.foreach { case (rel, _) =>
+      f.delete(new Path(s"$deltaRoot/$rel"), false): Unit
+    }
+    val rels = kept.map(_._1)
+    val partValsOf: Map[String, Map[String, String]] = kept.toMap
     f.delete(new Path(stage), true)
     def addJson(rel: String): String = {
       val p = new Path(s"$deltaRoot/$rel")

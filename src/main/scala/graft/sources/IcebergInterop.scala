@@ -2227,7 +2227,12 @@ object IcebergInterop {
                 s"freshly written $rel has no readable parquet footer"))
             (uri, rows, f.getFileStatus(dst).getLen,
               TableDoctor.footerNullCounts(spark, uri))
-          }.toSeq
+          }.toSeq.filter { case (uri, rows, _, _) =>
+            // zero-row parts never commit (stats-less noise)
+            if (rows == 0L)
+              f.delete(new Path(new java.net.URI(uri)), false): Unit
+            rows > 0L
+          }
         f.delete(new Path(stage), true)
         out
       }
@@ -2601,8 +2606,18 @@ object IcebergInterop {
             (qualify(dst), vals)
           }
       }
-    val dataUris = dataFilesStaged.map(_._1)
-    val partValsOf: Map[String, Seq[Option[Any]]] = dataFilesStaged.toMap
+    // ZERO-ROW staged parts never commit: a record_count=0 data file
+    // is metadata noise (and the zero-row edge cases the readers just
+    // learned to skip)
+    val (keptStaged, emptyStaged) = dataFilesStaged.partition {
+      case (uri, _) =>
+        !TableDoctor.footerRows(spark, uri).contains(0L)
+    }
+    emptyStaged.foreach { case (uri, _) =>
+      f.delete(new Path(new java.net.URI(uri)), false): Unit
+    }
+    val dataUris = keptStaged.map(_._1)
+    val partValsOf: Map[String, Seq[Option[Any]]] = keptStaged.toMap
     f.delete(new Path(stage), true)
     val staged = scala.collection.mutable.ArrayBuffer(dataUris: _*)
     def dropStaged(): Unit =
