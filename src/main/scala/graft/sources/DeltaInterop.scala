@@ -1465,16 +1465,18 @@ object DeltaInterop {
     require(!snap.conf.get("delta.appendOnly").exists(_.toBoolean),
       s"graftdelta $verb: $deltaRoot declares delta.appendOnly=true; " +
         s"$verb commits remove actions — a protocol violation, refusing")
-    val hasFeature = snap.writerFeatures.contains("deletionVectors") ||
-      snap.protoFeatures.contains("deletionVectors")
+    // the spec's writer requirement is the PROPERTY, not the feature:
+    // new deletion vectors may only be created when
+    // delta.enableDeletionVectors=true — a table that merely carries
+    // the writer feature (so existing vectors are readable) but has
+    // the property unset/false has DV creation switched OFF
     val enabled =
       snap.conf.get("delta.enableDeletionVectors").exists(_.toBoolean)
-    require(hasFeature || enabled,
-      s"graftdelta $verb: $deltaRoot neither carries the " +
-        "deletionVectors feature nor sets " +
+    require(enabled,
+      s"graftdelta $verb: $deltaRoot does not set " +
         "delta.enableDeletionVectors=true; the spec forbids writers " +
-        "to add vectors to an unenabled table — set the property " +
-        "first (ALTER TABLE ... SET TBLPROPERTIES)")
+        "to create new deletion vectors unless the property is true " +
+        "— set it first (ALTER TABLE ... SET TBLPROPERTIES)")
     (snap, v)
   }
 
@@ -1912,6 +1914,14 @@ object DeltaInterop {
       s"""{"txn":{"appId":${om.writeValueAsString(appId)},""" +
         s""""version":$batchId,"lastUpdated":0}}"""
     }
+    // an EMPTY batch into an existing table would reach the loop with
+    // zero actions and publish an actionless version bump foreign
+    // tooling may flag — vacuous success, no commit. (The
+    // table-CREATING commit still publishes protocol+metaData; an
+    // overwrite of live files still publishes its removes; a streaming
+    // batch still publishes its txn cursor.)
+    if (nextV > 0L && addActions.isEmpty && txnJson.isEmpty &&
+        removeActions.isEmpty) return true
     var attempts = 0
     while (true) {
       attempts += 1
