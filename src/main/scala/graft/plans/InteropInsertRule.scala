@@ -287,13 +287,15 @@ case class InteropUpdateCommand(fmt: String, root: String,
   }
 }
 
-/** SQL `MERGE INTO` a `USING graftdelta` view — the shared
-  * [[MergeTranslation]] maps exact-shape statements onto a
+/** SQL `MERGE INTO` a `USING graftdelta` / `grafticeberg` view — the
+  * shared [[MergeTranslation]] maps exact-shape statements onto a
   * one-row-per-key fate batch, and
-  * [[graft.sources.DeltaInterop.mergeIntoDelta]] runs it as ONE
-  * deletion-vector + new-adds commit (matched rows DV out; updated and
-  * inserted rows land writer-invariant-gated). Inexact shapes keep
-  * Spark's standard unsupported error; time travel refuses loudly. */
+  * [[graft.sources.DeltaInterop.mergeIntoDelta]] /
+  * [[graft.sources.IcebergInterop.mergeIntoIceberg]] runs it as ONE
+  * native-delete + new-adds commit (matched rows delete via the
+  * format's own shape; updated and inserted rows land gated and
+  * partition-routed). Inexact shapes keep Spark's standard
+  * unsupported error; time travel refuses loudly. */
 case class InteropMergeRule(spark: SparkSession)
     extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
@@ -302,23 +304,24 @@ case class InteropMergeRule(spark: SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperators {
       case m: MergeIntoTable if m.resolved &&
-          refOf(m.targetTable).exists(_._1 == "delta") &&
+          refOf(m.targetTable).isDefined &&
           m.notMatchedBySourceActions.isEmpty &&
           !m.schemaEvolutionEnabled =>
-        val (_, root, pinned) = refOf(m.targetTable).get
+        val (fmt, root, pinned) = refOf(m.targetTable).get
         require(!pinned,
-          s"graftdelta: cannot MERGE into a time-travel view of " +
+          s"graft$fmt: cannot MERGE into a time-travel view of " +
             s"$root — writes always target the latest version")
         MergeTranslation.translate(m).map { case (keys, cols, op) =>
-          InteropMergeCommand(root, m.sourceTable, keys, cols,
+          InteropMergeCommand(fmt, root, m.sourceTable, keys, cols,
             op): LogicalPlan
         }.getOrElse(m)
     }
 }
 
 /** The command [[InteropMergeRule]] plans: project the resolved source
-  * into the fate batch and run the DV merge. */
-case class InteropMergeCommand(root: String, source: LogicalPlan,
+  * into the fate batch and run the format's native merge. */
+case class InteropMergeCommand(fmt: String, root: String,
+                               source: LogicalPlan,
                                keys: Seq[String],
                                columns: Seq[(String, String)],
                                opSql: String)
@@ -330,8 +333,16 @@ case class InteropMergeCommand(root: String, source: LogicalPlan,
       (columns.map { case (n, sql) =>
         org.apache.spark.sql.functions.expr(sql).as(n) } :+
         org.apache.spark.sql.functions.expr(opSql).as("__op")): _*)
-    graft.sources.DeltaInterop.mergeIntoDelta(spark, root, batch,
-      keys, "__op"): Unit
+    fmt match {
+      case "delta" =>
+        graft.sources.DeltaInterop.mergeIntoDelta(spark, root, batch,
+          keys, "__op"): Unit
+      case "iceberg" =>
+        graft.sources.IcebergInterop.mergeIntoIceberg(spark, root,
+          batch, keys, "__op"): Unit
+      case other => throw new IllegalStateException(
+        s"unknown interop format $other")
+    }
     Seq.empty
   }
 }

@@ -1361,7 +1361,13 @@ object DeltaInterop {
     if (snap.live.isEmpty) return 0L
     val priorByFile = dvPriorPositions(spark, deltaRoot, snap)
     val base = dvScanLive(spark, deltaRoot, snap, priorByFile)
-    val matched = base.filter(coalesce(expr(condSql), lit(false)))
+    val matched0 = base.filter(coalesce(expr(condSql), lit(false)))
+    // ONE candidate scan: an UPDATE's matched frame materializes once
+    // (localCheckpoint) and both consumers — position collection and
+    // the rewrite — read it back; O(matched rows), the delete-state
+    // class's documented bound
+    val matched =
+      if (sets.isEmpty) matched0 else matched0.localCheckpoint(true)
     val newRows =
       if (sets.isEmpty) None
       else Some(sets.foldLeft(matched.drop("__uri", "__pos")) {

@@ -234,6 +234,17 @@ object IcebergInterop {
         """"name":"r102","fields":[]""",
         s""""name":"r102","fields":[$fieldsJson]"""))
 
+  /** [[manifestSchemaV3]] with a NON-EMPTY partition record — the
+    * shape identity-partitioned DELETE manifests publish (each entry
+    * carries its referenced data file's partition tuple so foreign
+    * readers scope the deletes per the spec). */
+  private[graft] def manifestSchemaV3WithPartition(fieldsJson: String)
+      : org.apache.avro.Schema =
+    new org.apache.avro.Schema.Parser().parse(
+      manifestSchemaV3.toString.replace(
+        """"name":"r102","fields":[]""",
+        s""""name":"r102","fields":[$fieldsJson]"""))
+
   // ---- Iceberg single-value binary serialization (bounds) -------------
   // Per the spec: int/long/float/double little-endian, string UTF-8.
 
@@ -2028,20 +2039,24 @@ object IcebergInterop {
     * record as row positions in the format's native delete shape and
     * ONE new snapshot publishes them — v3 tables get a
     * content-addressed Puffin deletion-vector file (one blob per
-    * referenced data file, spec triple in the manifest), v2 tables a
-    * spec-sorted position-delete parquet. No data rewrite; older
-    * snapshots stay time-travelable.
+    * referenced data file, spec triple in the manifest), v2 tables
+    * position-delete parquet (one file per affected partition tuple).
+    * No data rewrite; older snapshots stay time-travelable.
     *
     * Composition is by REPLACEMENT: the new manifest list carries the
     * current snapshot's DATA manifests forward by reference and
     * replaces every delete manifest with one holding the MERGED
     * positions (old ∪ new per file) — which is also what keeps v3's
-    * one-DV-per-file rule intact across repeated deletes. Equality
-    * deletes refuse (merging their semantics into positions needs the
-    * matched payload); identity-partition source columns evaluate
-    * from the MANIFEST values (authoritative even when a foreign
-    * writer omitted the column from the data files). Returns the
-    * number of newly deleted rows. */
+    * one-DV-per-file rule intact across repeated deletes. EQUALITY
+    * deletes FOLD: their matched payloads scan into physical positions
+    * (sequence-number-scoped, exactly the read path's semantics) and
+    * the superseded equality files drop from the new snapshot.
+    * Identity-partition source columns evaluate from the MANIFEST
+    * values (authoritative even when a foreign writer omitted the
+    * column from the data files), and delete-manifest entries carry
+    * each referenced data file's partition tuple so foreign readers
+    * scope them per the spec. Returns the number of newly deleted
+    * rows. */
   def deleteWhereIcebergDV(spark: SparkSession, iceRoot: String,
                            condSql: String): Long =
     icebergDvMutate(spark, iceRoot, condSql, Seq.empty)
@@ -2050,10 +2065,11 @@ object IcebergInterop {
     * of [[DeltaInterop.updateWhereDelta]]: matched live rows are
     * deleted via the format's native delete shape (v3 Puffin DV / v2
     * position deletes, delete manifests REPLACED with the merged
-    * state) AND re-written with `sets` applied as a new data file in
+    * state) AND re-written with `sets` applied as new data files in
     * the SAME snapshot (summary operation `overwrite`, the spec's
-    * row-level-op label). Unpartitioned targets only (rewritten rows
-    * would need partition routing); returns the number of updated
+    * row-level-op label). Identity-partitioned targets route the
+    * rewritten rows to their partitions' files — including rows whose
+    * SET moves them to a NEW partition; returns the number of updated
     * rows. */
   def updateWhereIceberg(spark: SparkSession, iceRoot: String,
                          condSql: String,
@@ -2062,12 +2078,111 @@ object IcebergInterop {
     icebergDvMutate(spark, iceRoot, condSql, sets)
   }
 
-  private def icebergDvMutate(spark: SparkSession, iceRoot: String,
-                              condSql: String,
-                              sets: Seq[(String, String)]): Long = {
-    val verb = if (sets.isEmpty) "DELETE" else "UPDATE"
+  /** MERGE INTO a foreign Iceberg table — the Iceberg twin of
+    * [[DeltaInterop.mergeIntoDelta]], on the shared DML machinery:
+    * `batch` carries ONE row per key (duplicates refuse, SQL MERGE's
+    * multiple-matches rejection) with the target's columns plus
+    * `opCol` ∈ {'U' upsert, 'M' update-if-matched, 'D'
+    * delete-if-matched, 'I' insert-if-absent}. Matched LIVE target
+    * rows for U/M/D delete via the format's native shape (v3 Puffin
+    * DVs / v2 position deletes, merged delete manifests); U/M matches
+    * and U/I non-matches land as partition-routed new data files —
+    * ONE snapshot (summary `overwrite`), untouched rows never
+    * rewrite. A key matching MULTIPLE live target rows refuses (the
+    * rewrite would change row multiplicity). Returns (updated,
+    * deleted, inserted). */
+  def mergeIntoIceberg(spark: SparkSession, iceRoot: String,
+                       batch: DataFrame, keys: Seq[String],
+                       opCol: String): (Long, Long, Long) = {
+    val st = iceDmlGates(spark, iceRoot, "MERGE")
+    val names = st.schema.spark.fieldNames.toSeq
+    require(keys.nonEmpty && keys.forall(names.contains),
+      s"grafticeberg MERGE: keys ${keys.mkString(",")} must be " +
+        s"columns of $iceRoot")
+    require(batch.columns.contains(opCol),
+      s"grafticeberg MERGE: batch lacks the op column '$opCol'")
+    names.foreach(c => require(batch.columns.contains(c),
+      s"grafticeberg MERGE: batch lacks target column '$c'"))
+    // one row per key — localCheckpoint so the three consumers below
+    // (dup check, join, anti) never recompute a non-deterministic
+    // source
+    val b0 = batch.select((names.map(col) :+
+      col(opCol).as("__op")).toIndexedSeq: _*).localCheckpoint(true)
+    val dupKeys = b0.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+    require(dupKeys == 0L,
+      s"grafticeberg MERGE: batch carries $dupKeys duplicate key(s) " +
+        "— SQL MERGE rejects multiple matches; dedup the source first")
+    val bAliased = b0.select(b0.columns.map(c =>
+      col(c).as(s"__b_$c")).toIndexedSeq: _*)
+    val joinCond = keys.map(k => col(k) === col(s"__b_$k"))
+      .reduce(_ && _)
+    val joined = st.base.join(bAliased, joinCond, "inner")
+      .localCheckpoint(true)
+    val multi = joined.groupBy(keys.map(k => col(s"__b_$k")): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+    require(multi == 0L,
+      s"grafticeberg MERGE: $multi key(s) match multiple live target " +
+        "rows — refusing (the rewrite would change multiplicity)")
+    val matched = joined
+      .filter(col("__b___op").isin("U", "M", "D"))
+      .select("__uri", "__pos")
+    val updatedRows = joined.filter(col("__b___op").isin("U", "M"))
+      .select(st.schema.spark.fields.map(fd =>
+        col(s"__b_${fd.name}").cast(fd.dataType).as(fd.name))
+        .toIndexedSeq: _*)
+    val insertedRows = bAliased
+      .join(st.base.select(keys.map(col): _*).distinct(),
+        keys.map(k => col(k) === col(s"__b_$k")).reduce(_ && _),
+        "left_anti")
+      .filter(col("__b___op").isin("U", "I"))
+      .select(st.schema.spark.fields.map(fd =>
+        col(s"__b_${fd.name}").cast(fd.dataType).as(fd.name))
+        .toIndexedSeq: _*)
+    val nUpd = joined.filter(col("__b___op").isin("U", "M")).count()
+    val nDel = joined.filter(col("__b___op") === "D").count()
+    val nIns = insertedRows.count()
+    if (nUpd + nDel + nIns == 0L) return (0L, 0L, 0L)
+    icePublish(spark, iceRoot, st, "MERGE", matched,
+      Some(updatedRows.unionAll(insertedRows))): Unit
+    (nUpd, nDel, nIns)
+  }
+
+  /** One identity partition-spec field of the default spec:
+    * (spec field name, source column name, source field id, type). */
+  private case class IceSpecField(name: String, srcName: String,
+                                  srcId: Int, dt: DataType)
+
+  /** Parsed state the Iceberg DML write paths share. `base` scans the
+    * LIVE rows only — already-position-deleted rows AND rows killed by
+    * equality deletes are excluded up front — with the schema columns
+    * plus `__uri`/`__pos` physical positions; identity-partition
+    * source columns materialize from the manifest values.
+    * `priorByFile` is the full existing delete state as positions per
+    * live file (v3 Puffin + v2 position parquet + FOLDED equality
+    * deletes). */
+  private case class IceDmlState(meta: IceMeta, schema: IceSchema,
+                                 dataFiles: Seq[DataFileMeta],
+                                 specFields: Seq[IceSpecField],
+                                 priorByFile: Map[String, Array[Long]],
+                                 base: DataFrame)
+
+  /** Shared gates + live-scan for DELETE/UPDATE/MERGE on a foreign
+    * Iceberg table. Refusals: format v1/v4+, non-identity partition
+    * transforms (a delete manifest must carry the referenced file's
+    * partition tuple and a rewrite must route by it — both need the
+    * transform evaluated per row), non-int/long/string partition
+    * sources. EQUALITY deletes do NOT refuse: their matched payloads
+    * scan into physical positions here (each (sequence, ids) group
+    * reads only its equality columns, scopes to STRICTLY-older data
+    * files, null-safe match — exactly the read path's semantics), so
+    * the commit can publish pure position state and drop the
+    * superseded equality files. The fold is O(deleted rows) driver
+    * state — the delete-state class's documented bound, with
+    * compaction as the escape hatch. */
+  private def iceDmlGates(spark: SparkSession, iceRoot: String,
+                          verb: String): IceDmlState = {
     val f = fs(spark, iceRoot)
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val meta = parseMetadata(spark, iceRoot)
     val fv = meta.formatVersion
     require(fv == 2 || fv == 3,
@@ -2075,56 +2190,208 @@ object IcebergInterop {
         "writes v2 position deletes or v3 deletion vectors")
     val (schema, dataFiles, deleteFiles) =
       snapshotFiles(spark, iceRoot, None)
-    require(deleteFiles.forall(_.content != 2),
-      s"grafticeberg $verb: $iceRoot carries EQUALITY deletes; " +
-        "merging their semantics into positions needs the matched " +
-        "payload — refusing")
-    if (sets.nonEmpty) {
-      val schema0 = meta.schemas.getOrElse(meta.currentSchemaId,
-        meta.schemas.head._2)
-      require(meta.partitionSpecs.getOrElse(
-          meta.raw.path("default-spec-id").asInt(0), Seq.empty).isEmpty,
-        s"grafticeberg UPDATE: $iceRoot is partitioned; rewritten " +
-          "rows would need partition routing — not supported yet")
-      sets.foreach { case (c, _) =>
-        require(schema0.spark.fieldNames.contains(c),
-          s"grafticeberg UPDATE: no column '$c' in $iceRoot " +
-            s"(${schema0.spark.fieldNames.mkString(",")})")
+    val fieldIds = schema.fieldIds
+    val specId = meta.raw.path("default-spec-id").asInt(0)
+    val specFields: Seq[IceSpecField] =
+      meta.partitionSpecs.getOrElse(specId, Seq.empty)
+        .map { case (nm, transform, srcId) =>
+          require(transform == "identity",
+            s"grafticeberg $verb: $iceRoot partitions by '$nm' with " +
+              s"transform '$transform'; DML supports identity " +
+              "transforms only")
+          val srcName = fieldIds.collectFirst {
+            case (n, id) if id == srcId => n
+          }.getOrElse(throw new IllegalStateException(
+            s"$iceRoot: partition field '$nm' sources unknown field " +
+              s"id $srcId"))
+          val dt = schema.spark.fields.find(_.name == srcName).get
+            .dataType
+          require(dt == IntegerType || dt == LongType ||
+              dt == StringType,
+            s"grafticeberg $verb: $iceRoot partition field '$nm' " +
+              s"sources a ${dt.simpleString} column; partition-routed " +
+              "DML supports int/long/string")
+          IceSpecField(nm, srcName, srcId, dt)
+        }
+    val conf = spark.sessionState.newHadoopConf()
+    def qualify(p: String): String = {
+      val hp = new Path(resolve(iceRoot, p))
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+    val relSet: Set[String] = dataFiles.map(_.path).toSet
+    val relOfQual: Map[String, String] =
+      dataFiles.map(d => qualify(d.path) -> d.path).toMap
+    def relOf(s: String): Option[String] =
+      if (relSet.contains(s)) Some(s)
+      else relOfQual.get(s).orElse(relOfQual.get(qualify(s)))
+    // candidate scan with PHYSICAL row positions; identity-partition
+    // source columns override from the manifest values per file group
+    val fieldNameOf: Map[Int, String] = fieldIds.map(_.swap)
+    def scanFiles(files: Seq[DataFileMeta]): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          schema.spark)
+          .withColumn("__uri", lit(null).cast(StringType))
+          .withColumn("__pos", lit(null).cast(LongType))
+      else files.groupBy(_.partitionIdVals)
+        .map { case (pv, group) =>
+          val d0 = spark.read.schema(schema.spark)
+            .parquet(group.map(g =>
+              resolve(iceRoot, g.path)).sorted: _*)
+            .withColumn("__uri", col("_metadata.file_path"))
+            .withColumn("__pos", col("_metadata.row_index"))
+          pv.foldLeft(d0) { case (d, (fid, v)) =>
+            fieldNameOf.get(fid).map { n =>
+              d.withColumn(n, lit(v.orNull)
+                .cast(schema.spark(n).dataType))
+            }.getOrElse(d)
+          }
+        }.reduce(_.unionByName(_))
+    // existing POSITION delete state per live data file — delete-file-
+    // sized reads (Puffin blobs driver-side, position parquet via one
+    // scan); refs to dead files drop (they deleted nothing live)
+    val posBuf = scala.collection.mutable.Map.empty[String,
+      scala.collection.mutable.ArrayBuffer[Long]]
+    def addPos(ref: String, pos: Iterable[Long]): Unit =
+      relOf(ref).foreach { rel =>
+        posBuf.getOrElseUpdate(rel,
+          scala.collection.mutable.ArrayBuffer.empty) ++= pos
+      }
+    deleteFiles.filter(_.content == 1).foreach { d =>
+      d.dv match {
+        case Some(ref) =>
+          val p = new Path(resolve(iceRoot, d.path))
+          val in = f.open(p)
+          val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+          try in.readFully(bytes) finally in.close()
+          addPos(ref.referencedFile,
+            PuffinFiles.dvPositions(bytes, ref.offset, ref.size))
+        case None =>
+          spark.read.schema(StructType(Seq(
+              StructField("file_path", StringType),
+              StructField("pos", LongType))))
+            .parquet(resolve(iceRoot, d.path))
+            .collect().groupBy(_.getString(0))
+            .foreach { case (ref, rows) =>
+              addPos(ref, rows.map(_.getLong(1)))
+            }
       }
     }
-    if (dataFiles.isEmpty) return 0L
+    // FOLD equality deletes into positions: per (sequence, ids) group,
+    // the distinct delete payloads null-safe-match the STRICTLY-older
+    // data files' rows (the v2 scoping rule) and those rows' physical
+    // positions join the prior delete state
+    deleteFiles.filter(_.content == 2)
+      .groupBy(d => (d.seq, d.equalityIds)).toSeq
+      .sortBy { case ((s0, ids), _) => (s0, ids.mkString(",")) }
+      .foreach { case ((dSeq, ids), group) =>
+        val cols = ids.map(id => fieldNameOf.getOrElse(id,
+          throw new UnsupportedOperationException(
+            s"$iceRoot: EQUALITY delete references field id $id, " +
+              "not in the snapshot schema — the delete cannot be " +
+              "folded")))
+        val delSchema = StructType(cols.map(c =>
+          StructField(c, schema.spark(c).dataType)))
+        val del = spark.read.schema(delSchema)
+          .parquet(group.map(d => resolve(iceRoot, d.path)): _*)
+          .distinct()
+        val scoped = dataFiles.filter(_.seq < dSeq)
+        if (scoped.nonEmpty) {
+          val sc = scanFiles(scoped)
+          val cond = cols.map(c => sc(c) <=> del(c)).reduce(_ && _)
+          sc.join(broadcast(del), cond, "left_semi")
+            .select("__uri", "__pos").collect().foreach { r =>
+              addPos(r.getString(0), Seq(r.getLong(1)))
+            }
+        }
+      }
+    val priorByFile: Map[String, Array[Long]] =
+      posBuf.map { case (k, v) => k -> v.toArray.distinct }.toMap
+    val base0 = scanFiles(dataFiles)
+    val base =
+      if (priorByFile.isEmpty) base0
+      else {
+        import spark.implicits._
+        val priorDf = priorByFile.toSeq.flatMap { case (p, ps) =>
+          ps.map(x => (qualify(p), x))
+        }.toDF("__uri", "__pos")
+        base0.join(priorDf, Seq("__uri", "__pos"), "left_anti")
+      }
+    IceDmlState(meta, schema, dataFiles, specFields, priorByFile, base)
+  }
+
+  private def icebergDvMutate(spark: SparkSession, iceRoot: String,
+                              condSql: String,
+                              sets: Seq[(String, String)]): Long = {
+    val verb = if (sets.isEmpty) "DELETE" else "UPDATE"
+    val st = iceDmlGates(spark, iceRoot, verb)
+    sets.foreach { case (c, _) =>
+      require(st.schema.spark.fieldNames.contains(c),
+        s"grafticeberg UPDATE: no column '$c' in $iceRoot " +
+          s"(${st.schema.spark.fieldNames.mkString(",")})")
+    }
+    if (st.dataFiles.isEmpty) return 0L
+    val matched0 = st.base.filter(coalesce(expr(condSql), lit(false)))
+    // ONE candidate scan: an UPDATE's matched frame materializes once
+    // (localCheckpoint) and both consumers — position collection and
+    // the rewrite — read it back; O(matched rows), the delete-state
+    // class's documented bound
+    val matched =
+      if (sets.isEmpty) matched0 else matched0.localCheckpoint(true)
+    val newRows =
+      if (sets.isEmpty) None
+      else Some(sets.foldLeft(matched.drop("__uri", "__pos")) {
+        case (d, (c, sql)) => d.withColumn(c, expr(sql))
+      }.select(st.schema.spark.fields.map(fd =>
+        col(fd.name).cast(fd.dataType).as(fd.name)).toIndexedSeq: _*))
+    icePublish(spark, iceRoot, st, verb,
+      matched.select("__uri", "__pos"), newRows)
+  }
+
+  /** The Iceberg DML write paths' shared COMMIT: merge the matched
+    * positions into the per-file delete state and publish ONE
+    * snapshot —
+    *
+    *  - v3: ONE Puffin file, one DV blob + manifest entry per
+    *    referenced data file; v2: ONE position-delete parquet per
+    *    affected partition tuple. Every delete-manifest entry carries
+    *    its referenced data file's partition tuple under the default
+    *    spec (foreign readers resolve manifest partitions via the
+    *    spec and scope position deletes by partition — an empty
+    *    struct there would make them skip the deletes).
+    *  - DATA manifests carry forward by reference; every old DELETE
+    *    manifest is REPLACED by the merged one (the v3 one-DV-per-file
+    *    rule across repeated deletes; folded equality files drop). A
+    *    publish with NO new delete state (pure-insert MERGE) carries
+    *    the old delete manifests forward untouched.
+    *  - `newRows` (UPDATE rewrites, MERGE upserts/inserts) stage as
+    *    partition-ROUTED new data files with footer-derived
+    *    record_count/value_counts/bounds, so metadata count(col) and
+    *    range pruning keep serving on the mutated table.
+    *
+    * Returns the number of newly deleted rows. */
+  private def icePublish(spark: SparkSession, iceRoot: String,
+                         st: IceDmlState, verb: String,
+                         matchedPos: DataFrame,
+                         newRows: Option[DataFrame]): Long = {
+    val f = fs(spark, iceRoot)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = st.meta
+    val fv = meta.formatVersion
+    val schema = st.schema
+    val specFields = st.specFields
     val conf = spark.sessionState.newHadoopConf()
     def qualify(p: String): String = {
       val hp = new Path(resolve(iceRoot, p))
       hp.getFileSystem(conf).makeQualified(hp).toString
     }
     val relOfUri: Map[String, String] =
-      dataFiles.map(d => qualify(d.path) -> d.path).toMap
-    def relOf(s: String): Option[String] =
-      if (relOfUri.values.exists(_ == s)) Some(s)
-      else relOfUri.get(s).orElse(relOfUri.get(qualify(s)))
-    // candidate scan with PHYSICAL row positions; identity-partition
-    // source columns override from the manifest values per file group
-    val fieldNameOf: Map[Int, String] = schema.fieldIds.map(_.swap)
-    def scan(paths: Seq[String]): DataFrame =
-      spark.read.schema(schema.spark)
-        .parquet(paths.sorted: _*)
-        .withColumn("__uri", col("_metadata.file_path"))
-        .withColumn("__pos", col("_metadata.row_index"))
-    val base = dataFiles.groupBy(_.partitionIdVals)
-      .map { case (pv, group) =>
-        pv.foldLeft(scan(group.map(g => resolve(iceRoot, g.path)))) {
-          case (d, (fid, v)) =>
-            fieldNameOf.get(fid).map { n =>
-              d.withColumn(n, lit(v.orNull)
-                .cast(schema.spark(n).dataType))
-            }.getOrElse(d)
-        }
-      }.reduce(_.unionByName(_))
-    val hits = base
-      .filter(coalesce(expr(condSql), lit(false)))
-      .select("__uri", "__pos")
-    val matchedByFile: Map[String, Array[Long]] = hits
+      st.dataFiles.map(d => qualify(d.path) -> d.path).toMap
+    // matched positions per file — sidecar-sized by the same contract
+    // as the DV read path (purgeDeletes/compaction is the escape
+    // hatch)
+    val matchedByFile: Map[String, Array[Long]] = matchedPos
       .groupBy(col("__uri"))
       .agg(collect_list(col("__pos")).as("ps"))
       .collect().map { r =>
@@ -2134,250 +2401,231 @@ object IcebergInterop {
               "maps to no live file"))
         rel -> r.getSeq[Long](1).toArray
       }.toMap
-    if (matchedByFile.isEmpty) return 0L
-    // existing delete positions per data file — delete-file-sized
-    // reads (Puffin blobs driver-side, position parquet via one scan)
-    val existingByFile: Map[String, Array[Long]] = {
-      val buf = scala.collection.mutable.Map.empty[String,
-        scala.collection.mutable.ArrayBuffer[Long]]
-      def add(ref: String, pos: Iterable[Long]): Unit =
-        relOf(ref).foreach { rel => // refs to dead files drop: they
-          buf.getOrElseUpdate(rel,   // deleted nothing live anyway
-            scala.collection.mutable.ArrayBuffer.empty) ++= pos
-        }
-      deleteFiles.foreach { d =>
-        d.dv match {
-          case Some(ref) =>
-            val p = new Path(resolve(iceRoot, d.path))
-            val in = f.open(p)
-            val bytes = new Array[Byte](
-              f.getFileStatus(p).getLen.toInt)
-            try in.readFully(bytes) finally in.close()
-            add(ref.referencedFile,
-              PuffinFiles.dvPositions(bytes, ref.offset, ref.size))
-          case None =>
-            spark.read.schema(StructType(Seq(
-                StructField("file_path", StringType),
-                StructField("pos", LongType))))
-              .parquet(resolve(iceRoot, d.path))
-              .collect().groupBy(_.getString(0))
-              .foreach { case (ref, rows) =>
-                add(ref, rows.map(_.getLong(1)))
-              }
-        }
-      }
-      buf.map { case (k, v) => k -> v.toArray.distinct }.toMap
-    }
+    val rows = newRows.filter(!_.isEmpty)
+    if (matchedByFile.isEmpty && rows.isEmpty) return 0L
+    val newlyDeleted = matchedByFile.values.map(_.length.toLong).sum
     val mergedByFile: Map[String, Array[Long]] =
-      (matchedByFile.keySet ++ existingByFile.keySet).map { p =>
+      (matchedByFile.keySet ++ st.priorByFile.keySet).map { p =>
         p -> (matchedByFile.getOrElse(p, Array.empty[Long]) ++
-          existingByFile.getOrElse(p, Array.empty[Long]))
+          st.priorByFile.getOrElse(p, Array.empty[Long]))
           .distinct.sorted
       }.toMap
-    val newlyDeleted = mergedByFile.map { case (p, m) =>
-      m.length - existingByFile.getOrElse(p, Array.empty[Long]).length
-    }.sum.toLong
-    if (newlyDeleted == 0L) return 0L
-    // publish the merged delete state as ONE delete file + manifest
     val uuid = java.util.UUID.randomUUID().toString
     val seqNum = meta.raw.path("last-sequence-number").asLong(0L) + 1
     val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1
     val newVer = meta.version + 1
-    val sorted = mergedByFile.toSeq.sortBy(_._1)
     f.mkdirs(new Path(s"$iceRoot/metadata"))
     val staged = scala.collection.mutable.ArrayBuffer.empty[Path]
-    // UPDATE: rewrite the matched LIVE rows (already-deleted positions
-    // excluded) with the assignments applied, as new data files in the
-    // SAME snapshot
-    val newDataFiles: Seq[(String, Long, Long, Map[String, Long])] =
-      if (sets.isEmpty) Seq.empty
-      else {
-        val priorPos = existingByFile.toSeq.flatMap { case (p, ps) =>
-          ps.map(x => (qualify(p), x))
-        }
-        val matchedLive0 = base
-          .filter(coalesce(expr(condSql), lit(false)))
-        val matchedLive =
-          if (priorPos.isEmpty) matchedLive0
-          else {
-            import spark.implicits._
-            matchedLive0.join(priorPos.toDF("__uri", "__pos"),
-              Seq("__uri", "__pos"), "left_anti")
-          }
-        val updated = sets.foldLeft(
-            matchedLive.drop("__uri", "__pos")) { case (d, (c, sql)) =>
-          d.withColumn(c, expr(sql))
-        }.select(schema.spark.fields.map(fd =>
-          col(fd.name).cast(fd.dataType).as(fd.name)).toIndexedSeq: _*)
-        val stage = s"$iceRoot/_stage_upd_$uuid"
-        updated.write.parquet(stage)
-        f.mkdirs(new Path(s"$iceRoot/data"))
-        val out = f.listStatus(new Path(stage))
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .sortBy(_.getPath.getName).zipWithIndex.map { case (st, i) =>
-            val rel = f"data/part-u-$i%05d-$uuid.parquet"
-            val dst = new Path(s"$iceRoot/$rel")
-            if (!f.rename(st.getPath, dst))
-              throw new java.io.IOException(
-                s"rename ${st.getPath} -> $dst failed")
-            staged += dst
-            val uri = qualify(rel)
-            val rows = TableDoctor.footerRows(spark, uri)
-              .getOrElse(throw new IllegalStateException(
-                s"freshly written $rel has no readable parquet footer"))
-            (uri, rows, f.getFileStatus(dst).getLen,
-              TableDoctor.footerNullCounts(spark, uri))
-          }.toSeq.filter { case (uri, rows, _, _) =>
-            // zero-row parts never commit (stats-less noise)
-            if (rows == 0L)
-              f.delete(new Path(new java.net.URI(uri)), false): Unit
-            rows > 0L
-          }
-        f.delete(new Path(stage), true)
-        out
+    def partFieldsJson: String = specFields.map { sf =>
+      val avroT = sf.dt match {
+        case IntegerType => "int"
+        case LongType => "long"
+        case _ => "string"
       }
-    val (delManifest, delLenOut, delRows) =
-      if (fv >= 3) {
-        val delFile = new Path(s"$iceRoot/data/deletes-$uuid.puffin")
-        var at = 4L
-        val metas = sorted.map { case (p, pos) =>
-          val bytes = PuffinFiles.dvBlobBytes(pos)
-          val m = (qualify(p), pos.length.toLong, at,
-            bytes.length.toLong, bytes)
-          at += bytes.length
-          m
-        }
-        PuffinFiles.write(spark, delFile.toString,
-          metas.map { case (uri, card, _, _, bytes) =>
-            PuffinFiles.Blob(PuffinFiles.DvBlobType,
-              Seq(2147483546), snapId, seqNum, bytes,
-              Map("referenced-data-file" -> uri,
-                "cardinality" -> card.toString))
-          }): Unit
-        staged += delFile
-        val delUri = qualify(delFile.toString)
-        val delLen = f.getFileStatus(delFile).getLen
-        val entries = metas.map { case (uri, card, off, len, _) =>
-          val df0 = new GenericData.Record(
-            manifestSchemaV3.getField("data_file").schema())
-          df0.put("content", 1)
-          df0.put("file_path", delUri)
-          df0.put("file_format", "PUFFIN")
-          df0.put("partition", new GenericData.Record(
-            df0.getSchema.getField("partition").schema()))
-          df0.put("record_count", card)
-          df0.put("file_size_in_bytes", delLen)
-          df0.put("referenced_data_file", uri)
-          df0.put("content_offset", off)
-          df0.put("content_size_in_bytes", len)
-          val e = new GenericData.Record(manifestSchemaV3)
-          e.put("status", 1)
-          e.put("snapshot_id", snapId)
-          e.put("sequence_number", seqNum)
-          e.put("file_sequence_number", seqNum)
-          e.put("data_file", df0)
-          e
-        }
-        val mf = s"$iceRoot/metadata/$uuid-m1.avro"
-        val len = writeAvro(spark, mf, manifestSchemaV3, entries)
-        staged += new Path(mf)
-        (mf, len, metas.map(_._2).sum)
-      } else {
-        import spark.implicits._
-        val delFile = new Path(s"$iceRoot/data/deletes-$uuid.parquet")
-        val rows = sorted.flatMap { case (p, pos) =>
-          val uri = qualify(p)
-          pos.map(uri -> _)
-        }
-        val stage = s"$iceRoot/_stage_del_$uuid"
-        rows.toDF("file_path", "pos").repartition(1)
-          .sortWithinPartitions("file_path", "pos")
-          .write.parquet(stage)
-        val part = f.listStatus(new Path(stage)).map(_.getPath)
-          .find(_.getName.endsWith(".parquet")).get
-        if (!f.rename(part, delFile))
-          throw new java.io.IOException(
-            s"rename $part -> $delFile failed")
-        f.delete(new Path(stage), true): Unit
-        staged += delFile
-        val delUri = qualify(delFile.toString)
-        val df0 = new GenericData.Record(
-          manifestSchema.getField("data_file").schema())
-        df0.put("content", 1)
-        df0.put("file_path", delUri)
-        df0.put("file_format", "PARQUET")
-        df0.put("partition", new GenericData.Record(
-          df0.getSchema.getField("partition").schema()))
-        df0.put("record_count", rows.length.toLong)
-        df0.put("file_size_in_bytes", f.getFileStatus(delFile).getLen)
-        val e = new GenericData.Record(manifestSchema)
-        e.put("status", 1)
-        e.put("snapshot_id", snapId)
-        e.put("sequence_number", seqNum)
-        e.put("file_sequence_number", seqNum)
-        e.put("data_file", df0)
-        val mf = s"$iceRoot/metadata/$uuid-m1.avro"
-        val len = writeAvro(spark, mf, manifestSchema, Seq(e))
-        staged += new Path(mf)
-        (mf, len, rows.length.toLong)
-      }
-    // new manifest list: DATA manifests carry forward by reference;
-    // every old DELETE manifest is REPLACED by the merged one (the
-    // v3 one-DV-per-file rule across repeated deletes)
-    val prevList: Seq[GenericRecord] = meta.currentSnapshotId
-      .flatMap(id => meta.snapshots.find(_.id == id))
-      .map(s => readAvro(spark, resolve(iceRoot, s.manifestList)))
-      .getOrElse(Seq.empty)
-      .filter(r => Option(r.get("content"))
-        .forall(_.asInstanceOf[Number].intValue == 0))
-      .map { r =>
-        val out = new GenericData.Record(manifestListSchema)
-        manifestListSchema.getFields.iterator().asScala.foreach { fld =>
-          val v = r.get(fld.name())
-          require(v != null,
-            s"$iceRoot: manifest-list entry lacks required field " +
-              s"'${fld.name()}' — refusing to carry a malformed " +
-              "manifest list forward")
-          out.put(fld.name(), v)
-        }
-        out
-      }
-    val delEntry = {
-      val r = new GenericData.Record(manifestListSchema)
-      r.put("manifest_path", qualify(delManifest))
-      r.put("manifest_length", delLenOut)
-      r.put("partition_spec_id",
-        meta.raw.path("default-spec-id").asInt(0))
-      r.put("content", 1)
-      r.put("sequence_number", seqNum)
-      r.put("min_sequence_number", seqNum)
-      r.put("added_snapshot_id", snapId)
-      r.put("added_files_count", 1)
-      r.put("existing_files_count", 0)
-      r.put("deleted_files_count", 0)
-      r.put("added_rows_count", delRows)
-      r.put("existing_rows_count", 0L)
-      r.put("deleted_rows_count", 0L)
-      r
+      s"""{"name":${om.writeValueAsString(sf.name)},""" +
+        s""""type":["null","$avroT"],"default":null}"""
+    }.mkString(",")
+    val metaOfRel: Map[String, DataFileMeta] =
+      st.dataFiles.map(d => d.path -> d).toMap
+    // the partition tuple of a referenced data file, spec-field order;
+    // a live file the default spec covers but whose manifest carries
+    // no value (evolved spec) refuses — a delete manifest declaring
+    // the default spec-id must carry a truthful tuple
+    def partTuple(rel: String): Seq[Option[Any]] = specFields.map { sf =>
+      val vals = metaOfRel(rel).partitionIdVals
+      require(vals.contains(sf.srcId),
+        s"grafticeberg $verb: $iceRoot data file $rel carries no " +
+          s"partition value for '${sf.name}' (evolved spec?) — " +
+          "refusing to publish a delete manifest with an untruthful " +
+          "partition tuple")
+      vals(sf.srcId)
     }
-    // UPDATE: the rewritten rows' data manifest (value_counts ride so
-    // metadata count(col) keeps serving on the updated table)
+    def putPart(df0: GenericData.Record,
+                vals: Seq[Option[Any]]): Unit = {
+      val pr = new GenericData.Record(
+        df0.getSchema.getField("partition").schema())
+      specFields.map(_.name).zip(vals).foreach { case (nm, v) =>
+        pr.put(nm, v.orNull)
+      }
+      df0.put("partition", pr)
+    }
+    // UPDATE/MERGE: rewritten + inserted rows land as NEW data files,
+    // partition-ROUTED by the identity source columns (the batch
+    // append path's staging), in the SAME snapshot
+    val newDataFiles: Seq[(String, Seq[Option[Any]])] = rows.map { df =>
+      val out = stageIceData(df, iceRoot,
+        specFields.map(sf => (sf.name, sf.srcName, sf.dt)), uuid, "u")
+      out.foreach { case (uri, _) =>
+        staged += new Path(new java.net.URI(uri))
+      }
+      out
+    }.getOrElse(Seq.empty)
+    val sorted = mergedByFile.toSeq.sortBy(_._1)
+    // the merged DELETE state: one manifest, entries carrying the
+    // referenced data files' partition tuples
+    val delEntryOpt: Option[GenericRecord] =
+      if (matchedByFile.isEmpty) None
+      else {
+        f.mkdirs(new Path(s"$iceRoot/data"))
+        val (delManifest, delLenOut, delRows, nDelFiles) =
+          if (fv >= 3) {
+            val delFile =
+              new Path(s"$iceRoot/data/deletes-$uuid.puffin")
+            var at = 4L
+            val metas = sorted.map { case (p, pos) =>
+              val bytes = PuffinFiles.dvBlobBytes(pos)
+              val m = (p, qualify(p), pos.length.toLong, at,
+                bytes.length.toLong, bytes)
+              at += bytes.length
+              m
+            }
+            PuffinFiles.write(spark, delFile.toString,
+              metas.map { case (_, uri, card, _, _, bytes) =>
+                PuffinFiles.Blob(PuffinFiles.DvBlobType,
+                  Seq(2147483546), snapId, seqNum, bytes,
+                  Map("referenced-data-file" -> uri,
+                    "cardinality" -> card.toString))
+              }): Unit
+            staged += delFile
+            val delUri = qualify(delFile.toString)
+            val delLen = f.getFileStatus(delFile).getLen
+            val mSchemaDel =
+              if (specFields.isEmpty) manifestSchemaV3
+              else manifestSchemaV3WithPartition(partFieldsJson)
+            val entries = metas.map {
+              case (rel, uri, card, off, len, _) =>
+                val df0 = new GenericData.Record(
+                  mSchemaDel.getField("data_file").schema())
+                df0.put("content", 1)
+                df0.put("file_path", delUri)
+                df0.put("file_format", "PUFFIN")
+                putPart(df0, partTuple(rel))
+                df0.put("record_count", card)
+                df0.put("file_size_in_bytes", delLen)
+                df0.put("referenced_data_file", uri)
+                df0.put("content_offset", off)
+                df0.put("content_size_in_bytes", len)
+                val e = new GenericData.Record(mSchemaDel)
+                e.put("status", 1)
+                e.put("snapshot_id", snapId)
+                e.put("sequence_number", seqNum)
+                e.put("file_sequence_number", seqNum)
+                e.put("data_file", df0)
+                e
+            }
+            val mf = s"$iceRoot/metadata/$uuid-m1.avro"
+            val len = writeAvro(spark, mf, mSchemaDel, entries)
+            staged += new Path(mf)
+            (mf, len, metas.map(_._3).sum, 1)
+          } else {
+            import spark.implicits._
+            // ONE sorted position-delete parquet per affected
+            // partition tuple (a file's (file_path,pos) rows must all
+            // share its manifest entry's partition value)
+            val byTuple: Seq[(Seq[Option[Any]],
+                Seq[(String, Array[Long])])] =
+              sorted.groupBy { case (p, _) => partTuple(p) }
+                .toSeq.sortBy(_._1.map(_.map(_.toString)
+                  .getOrElse(" ")).mkString("/"))
+            val mSchemaDel =
+              if (specFields.isEmpty) manifestSchema
+              else manifestSchemaWithPartition(partFieldsJson)
+            var totalRows = 0L
+            val entries = byTuple.zipWithIndex.map {
+              case ((tuple, group), gi) =>
+                val delFile = new Path(
+                  s"$iceRoot/data/deletes-$uuid-$gi.parquet")
+                val rows0 = group.flatMap { case (p, pos) =>
+                  val uri = qualify(p)
+                  pos.map(uri -> _)
+                }
+                val stage = s"$iceRoot/_stage_del_${gi}_$uuid"
+                rows0.toDF("file_path", "pos").repartition(1)
+                  .sortWithinPartitions("file_path", "pos")
+                  .write.parquet(stage)
+                val part = f.listStatus(new Path(stage)).map(_.getPath)
+                  .find(_.getName.endsWith(".parquet")).get
+                if (!f.rename(part, delFile))
+                  throw new java.io.IOException(
+                    s"rename $part -> $delFile failed")
+                f.delete(new Path(stage), true): Unit
+                staged += delFile
+                totalRows += rows0.length.toLong
+                val df0 = new GenericData.Record(
+                  mSchemaDel.getField("data_file").schema())
+                df0.put("content", 1)
+                df0.put("file_path", qualify(delFile.toString))
+                df0.put("file_format", "PARQUET")
+                putPart(df0, tuple)
+                df0.put("record_count", rows0.length.toLong)
+                df0.put("file_size_in_bytes",
+                  f.getFileStatus(delFile).getLen)
+                val e = new GenericData.Record(mSchemaDel)
+                e.put("status", 1)
+                e.put("snapshot_id", snapId)
+                e.put("sequence_number", seqNum)
+                e.put("file_sequence_number", seqNum)
+                e.put("data_file", df0)
+                e
+            }
+            val mf = s"$iceRoot/metadata/$uuid-m1.avro"
+            val len = writeAvro(spark, mf, mSchemaDel, entries)
+            staged += new Path(mf)
+            (mf, len, totalRows, entries.size)
+          }
+        val r = new GenericData.Record(manifestListSchema)
+        r.put("manifest_path", qualify(delManifest))
+        r.put("manifest_length", delLenOut)
+        r.put("partition_spec_id",
+          meta.raw.path("default-spec-id").asInt(0))
+        r.put("content", 1)
+        r.put("sequence_number", seqNum)
+        r.put("min_sequence_number", seqNum)
+        r.put("added_snapshot_id", snapId)
+        r.put("added_files_count", nDelFiles)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", delRows)
+        r.put("existing_rows_count", 0L)
+        r.put("deleted_rows_count", 0L)
+        Some(r)
+      }
+    // the rewritten/inserted rows' data manifest: partition tuples +
+    // footer-derived record_count/value_counts/bounds ride so
+    // metadata count(col) and range pruning keep serving
     val dataEntryOpt: Option[GenericRecord] =
       if (newDataFiles.isEmpty) None
       else {
         val fieldIdOf = schema.fieldIds
-        val entries = newDataFiles.map { case (uri, rows, size, nulls) =>
+        val intColTypes: Map[String, DataType] =
+          schema.spark.fields.collect {
+            case fd if fd.dataType == IntegerType ||
+                fd.dataType == LongType => fd.name -> fd.dataType
+          }.toMap
+        val mSchemaData =
+          if (specFields.isEmpty) manifestSchema
+          else manifestSchemaWithPartition(partFieldsJson)
+        var totalRows = 0L
+        val entries = newDataFiles.map { case (uri, pvals) =>
+          val stF = f.getFileStatus(new Path(new java.net.URI(uri)))
+          val nrows = TableDoctor.footerRows(spark, uri)
+            .getOrElse(throw new IllegalStateException(
+              s"freshly written $uri has no readable parquet footer"))
+          totalRows += nrows
+          val nulls = TableDoctor.footerNullCounts(spark, uri)
+          val bnds = TableDoctor.footerIntBounds(spark, uri)
+            .filter { case (k, _) => intColTypes.contains(k) }
           val df0 = new GenericData.Record(
-            manifestSchema.getField("data_file").schema())
+            mSchemaData.getField("data_file").schema())
           df0.put("content", 0)
           df0.put("file_path", uri)
           df0.put("file_format", "PARQUET")
-          df0.put("partition", new GenericData.Record(
-            df0.getSchema.getField("partition").schema()))
-          df0.put("record_count", rows)
-          df0.put("file_size_in_bytes", size)
+          putPart(df0, pvals)
+          df0.put("record_count", nrows)
+          df0.put("file_size_in_bytes", stF.getLen)
           val counted = nulls.toSeq.sortBy(_._1).flatMap {
-            case (n, nc) => fieldIdOf.get(n).map(fid => (fid, rows, nc))
+            case (n, nc) =>
+              fieldIdOf.get(n).map(fid => (fid, nrows, nc))
           }
           if (counted.nonEmpty) {
             def countArr(field: String,
@@ -2387,7 +2635,8 @@ object IcebergInterop {
               val arr = new GenericData.Array[GenericRecord](
                 counted.size, arrSchema)
               counted.foreach { c =>
-                val kv = new GenericData.Record(arrSchema.getElementType)
+                val kv = new GenericData.Record(
+                  arrSchema.getElementType)
                 kv.put("key", c._1)
                 kv.put("value", pick(c))
                 arr.add(kv)
@@ -2397,7 +2646,40 @@ object IcebergInterop {
             countArr("value_counts", _._2)
             countArr("null_value_counts", _._3)
           }
-          val e = new GenericData.Record(manifestSchema)
+          val typedBounds = bnds.toSeq.sortBy(_._1).flatMap {
+            case (name, (lo, hi)) =>
+              val dt = intColTypes(name)
+              for {
+                l <- boundBytes(dt,
+                  if (dt == IntegerType) lo.toInt.toString
+                  else lo.toString)
+                h <- boundBytes(dt,
+                  if (dt == IntegerType) hi.toInt.toString
+                  else hi.toString)
+                fid <- fieldIdOf.get(name)
+              } yield (fid, l, h)
+          }
+          if (typedBounds.nonEmpty) {
+            def boundArr(field: String,
+                pick: ((Int, java.nio.ByteBuffer, java.nio.ByteBuffer))
+                  => java.nio.ByteBuffer): Unit = {
+              val arrSchema = df0.getSchema.getField(field).schema()
+                .getTypes.get(1)
+              val arr = new GenericData.Array[GenericRecord](
+                typedBounds.size, arrSchema)
+              typedBounds.foreach { b =>
+                val kv = new GenericData.Record(
+                  arrSchema.getElementType)
+                kv.put("key", b._1)
+                kv.put("value", pick(b))
+                arr.add(kv)
+              }
+              df0.put(field, arr)
+            }
+            boundArr("lower_bounds", _._2)
+            boundArr("upper_bounds", _._3)
+          }
+          val e = new GenericData.Record(mSchemaData)
           e.put("status", 1)
           e.put("snapshot_id", snapId)
           e.put("sequence_number", seqNum)
@@ -2406,7 +2688,7 @@ object IcebergInterop {
           e
         }
         val mf = s"$iceRoot/metadata/$uuid-m2.avro"
-        val len = writeAvro(spark, mf, manifestSchema, entries)
+        val len = writeAvro(spark, mf, mSchemaData, entries)
         staged += new Path(mf)
         val r = new GenericData.Record(manifestListSchema)
         r.put("manifest_path", qualify(mf))
@@ -2420,21 +2702,47 @@ object IcebergInterop {
         r.put("added_files_count", entries.size)
         r.put("existing_files_count", 0)
         r.put("deleted_files_count", 0)
-        r.put("added_rows_count", newDataFiles.map(_._2).sum)
+        r.put("added_rows_count", totalRows)
         r.put("existing_rows_count", 0L)
         r.put("deleted_rows_count", 0L)
         Some(r)
       }
+    // new manifest list: DATA manifests carry forward by reference;
+    // when new delete state publishes, every old DELETE manifest is
+    // REPLACED by the merged one (the v3 one-DV-per-file rule across
+    // repeated deletes; folded equality files drop) — a publish with
+    // no new delete state carries the old delete manifests forward
+    val prevList: Seq[GenericRecord] = meta.currentSnapshotId
+      .flatMap(id => meta.snapshots.find(_.id == id))
+      .map(s => readAvro(spark, resolve(iceRoot, s.manifestList)))
+      .getOrElse(Seq.empty)
+      .filter { r =>
+        val isData = Option(r.get("content"))
+          .forall(_.asInstanceOf[Number].intValue == 0)
+        isData || matchedByFile.isEmpty
+      }
+      .map { r =>
+        val out = new GenericData.Record(manifestListSchema)
+        manifestListSchema.getFields.iterator().asScala.foreach { fld =>
+          val v = r.get(fld.name())
+          require(v != null,
+            s"$iceRoot: manifest-list entry lacks required field " +
+              s"'${fld.name()}' — refusing to carry a malformed " +
+              "manifest list forward")
+          out.put(fld.name(), v)
+        }
+        out
+      }
     val listPath = s"$iceRoot/metadata/snap-$snapId-1-$uuid.avro"
     writeAvro(spark, listPath, manifestListSchema,
-      (prevList :+ delEntry) ++ dataEntryOpt.toSeq)
+      (prevList ++ delEntryOpt.toSeq) ++ dataEntryOpt.toSeq)
     staged += new Path(listPath)
     val ts = System.currentTimeMillis()
     val snapJson =
       s"""{"snapshot-id":$snapId,"sequence-number":$seqNum,""" +
         s""""timestamp-ms":$ts,"schema-id":${meta.currentSchemaId},""" +
         s""""summary":{"operation":"${
-          if (sets.isEmpty) "delete" else "overwrite"}"},""" +
+          if (rows.isEmpty) "delete" else "overwrite"}"},""" +
         s""""manifest-list":${om.writeValueAsString(
           qualify(listPath))}}"""
     val node = meta.raw.deepCopy[com.fasterxml.jackson.databind.node
@@ -2461,6 +2769,91 @@ object IcebergInterop {
     try hintOut.write(newVer.toString.getBytes("UTF-8"))
     finally hintOut.close()
     newlyDeleted
+  }
+
+  /** Stage `df`'s rows as parquet data files under `data/`, routed by
+    * the table's identity partition source columns: partitioned
+    * targets stage `partitionBy` duplicate `__gp` keys (the source
+    * columns themselves STAY in the data files — the Iceberg layout)
+    * and each staged file's hive dir names decode into its typed
+    * partition tuple, the same shape the partitioned export publishes
+    * and identity pruning reads. Zero-row parts never commit (stats-
+    * less metadata noise). Returns (qualified uri, spec-field-ordered
+    * typed partition values). */
+  private def stageIceData(df: DataFrame, iceRoot: String,
+      specFields0: Seq[(String, String, DataType)], uuid: String,
+      tag: String): Seq[(String, Seq[Option[Any]])] = {
+    val spark = df.sparkSession
+    val f = fs(spark, iceRoot)
+    val conf = spark.sessionState.newHadoopConf()
+    def qualify(p: Path): String =
+      p.getFileSystem(conf).makeQualified(p).toString
+    val stage = s"$iceRoot/_stage_${tag}_$uuid"
+    f.mkdirs(new Path(s"$iceRoot/data"))
+    val out: Seq[(String, Seq[Option[Any]])] =
+      if (specFields0.isEmpty) {
+        df.write.parquet(stage)
+        f.listStatus(new Path(stage))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName).zipWithIndex.map { case (st, i) =>
+            val rel = f"data/part-$tag-$i%05d-$uuid.parquet"
+            val dst = new Path(s"$iceRoot/$rel")
+            if (!f.rename(st.getPath, dst))
+              throw new java.io.IOException(
+                s"rename ${st.getPath} -> $dst failed")
+            (qualify(dst), Seq.empty[Option[Any]])
+          }.toSeq
+      } else {
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        val gp = specFields0.indices.map(i => s"__gp$i")
+        val staged0 = specFields0.zip(gp).foldLeft(df) {
+          case (d, ((_, src, _), g)) => d.withColumn(g, col(src))
+        }
+        staged0.repartition(gp.map(col): _*)
+          .write.partitionBy(gp: _*).parquet(stage)
+        val glob = gp.map(_ + "=*").mkString("/")
+        f.globStatus(new Path(s"$stage/$glob/*.parquet"))
+          .toSeq.sortBy(_.getPath.toString).zipWithIndex
+          .map { case (st, i) =>
+            val dirs = new Array[String](gp.size)
+            var p = st.getPath.getParent
+            (gp.size - 1 to 0 by -1).foreach { lvl =>
+              dirs(lvl) = p.getName; p = p.getParent
+            }
+            val vals = specFields0.zip(dirs).map {
+              case ((_, _, dt), dn) =>
+                val raw = ExternalCatalogUtils.unescapePathName(
+                  dn.substring(dn.indexOf('=') + 1))
+                if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+                  None
+                else Some(dt match {
+                  case IntegerType => Int.box(raw.toInt)
+                  case LongType => Long.box(raw.toLong)
+                  case _ => raw: Any
+                })
+            }
+            val rel = "data/" + specFields0.map(_._1).zip(dirs)
+              .map { case (nm, dn) =>
+                nm + dn.substring(dn.indexOf('=')) }.mkString("/") +
+              f"/part-$tag-$i%05d-$uuid.parquet"
+            val dst = new Path(s"$iceRoot/$rel")
+            f.mkdirs(dst.getParent)
+            if (!f.rename(st.getPath, dst))
+              throw new java.io.IOException(
+                s"rename ${st.getPath} -> $dst failed")
+            (qualify(dst), vals)
+          }
+      }
+    // ZERO-ROW staged parts never commit (the zero-row edge cases the
+    // readers just learned to skip)
+    val (kept, empty0) = out.partition { case (uri, _) =>
+      !TableDoctor.footerRows(spark, uri).contains(0L)
+    }
+    empty0.foreach { case (uri, _) =>
+      f.delete(new Path(new java.net.URI(uri)), false): Unit
+    }
+    f.delete(new Path(stage), true)
+    kept
   }
 
   private def appendCommitIceberg(df: DataFrame, iceRoot: String,
@@ -2548,77 +2941,13 @@ object IcebergInterop {
     val specFields0: Seq[(String, String, DataType)] =
       meta.map(specFieldsOf).getOrElse(Seq.empty)
     val uuid = java.util.UUID.randomUUID().toString
-    val stage = s"$iceRoot/_stage_$uuid"
-    f.mkdirs(new Path(s"$iceRoot/data"))
     val tag = txn.map(_._2).getOrElse(0L)
-    // (qualified uri, typed partition values in spec-field order)
+    // (qualified uri, typed partition values in spec-field order) —
+    // the shared staging the DML rewrites also use
     val dataFilesStaged: Seq[(String, Seq[Option[Any]])] =
-      if (specFields0.isEmpty) {
-        df.write.parquet(stage)
-        f.listStatus(new Path(stage))
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .sortBy(_.getPath.getName).zipWithIndex.map { case (st, i) =>
-            val rel = f"data/part-$tag%05d-$i%05d-$uuid.parquet"
-            val dst = new Path(s"$iceRoot/$rel")
-            if (!f.rename(st.getPath, dst))
-              throw new java.io.IOException(
-                s"rename ${st.getPath} -> $dst failed")
-            (qualify(dst), Seq.empty[Option[Any]])
-          }.toSeq
-      } else {
-        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        val gp = specFields0.indices.map(i => s"__gp$i")
-        val staged0 = specFields0.zip(gp).foldLeft(df) {
-          case (d, ((_, src, _), g)) => d.withColumn(g, col(src))
-        }
-        staged0.repartition(gp.map(col): _*)
-          .write.partitionBy(gp: _*).parquet(stage)
-        val glob = gp.map(_ + "=*").mkString("/")
-        f.globStatus(new Path(s"$stage/$glob/*.parquet"))
-          .toSeq.sortBy(_.getPath.toString).zipWithIndex
-          .map { case (st, i) =>
-            val dirs = new Array[String](gp.size)
-            var p = st.getPath.getParent
-            (gp.size - 1 to 0 by -1).foreach { lvl =>
-              dirs(lvl) = p.getName; p = p.getParent
-            }
-            val vals = specFields0.zip(dirs).map {
-              case ((_, _, dt), dn) =>
-                val raw = ExternalCatalogUtils.unescapePathName(
-                  dn.substring(dn.indexOf('=') + 1))
-                if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
-                  None
-                else Some(dt match {
-                  case IntegerType => Int.box(raw.toInt)
-                  case LongType => Long.box(raw.toLong)
-                  case _ => raw: Any
-                })
-            }
-            val rel = "data/" + specFields0.map(_._1).zip(dirs)
-              .map { case (nm, dn) =>
-                nm + dn.substring(dn.indexOf('=')) }.mkString("/") +
-              f"/part-$tag%05d-$i%05d-$uuid.parquet"
-            val dst = new Path(s"$iceRoot/$rel")
-            f.mkdirs(dst.getParent)
-            if (!f.rename(st.getPath, dst))
-              throw new java.io.IOException(
-                s"rename ${st.getPath} -> $dst failed")
-            (qualify(dst), vals)
-          }
-      }
-    // ZERO-ROW staged parts never commit: a record_count=0 data file
-    // is metadata noise (and the zero-row edge cases the readers just
-    // learned to skip)
-    val (keptStaged, emptyStaged) = dataFilesStaged.partition {
-      case (uri, _) =>
-        !TableDoctor.footerRows(spark, uri).contains(0L)
-    }
-    emptyStaged.foreach { case (uri, _) =>
-      f.delete(new Path(new java.net.URI(uri)), false): Unit
-    }
-    val dataUris = keptStaged.map(_._1)
-    val partValsOf: Map[String, Seq[Option[Any]]] = keptStaged.toMap
-    f.delete(new Path(stage), true)
+      stageIceData(df, iceRoot, specFields0, uuid, f"$tag%05d")
+    val dataUris = dataFilesStaged.map(_._1)
+    val partValsOf: Map[String, Seq[Option[Any]]] = dataFilesStaged.toMap
     val staged = scala.collection.mutable.ArrayBuffer(dataUris: _*)
     def dropStaged(): Unit =
       staged.foreach(u => f.delete(new Path(new java.net.URI(u)), false))

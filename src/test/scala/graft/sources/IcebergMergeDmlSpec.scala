@@ -1,0 +1,330 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.avro.generic.GenericData
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-17 DML surface on foreign Iceberg tables: MERGE INTO (fate
+  * batch over the native-delete machinery), partition-ROUTED UPDATE
+  * rewrites, partition tuples in delete manifests, EQUALITY-delete
+  * folding, and the one-candidate-scan guarantee (non-deterministic
+  * predicates stay consistent because the matched frame materializes
+  * once). */
+class IcebergMergeDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): String =
+    Files.createTempDirectory("imerge").toString
+
+  test("mergeIntoIceberg: U/M/D/I fate batch — matched rows delete " +
+      "via Puffin DVs, updates+inserts land as new data files in ONE " +
+      "snapshot; counts, doctor, metadata row count and time travel " +
+      "agree") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    val ice = s"$dir/ice"
+    LakeTable.append(spark.range(0, 20)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake)
+    IcebergInterop.exportToIceberg(spark, lake, ice, formatVersion = 3)
+    val preSnap = IcebergInterop.icebergCurrentSnapshot(spark, ice)
+    val batch = Seq(
+      (5L, 500L, "U"),   // matched → update
+      (25L, 2500L, "U"), // unmatched → insert
+      (10L, 0L, "D"),    // matched → delete
+      (15L, 1500L, "M"), // matched → update
+      (18L, 0L, "I"),    // matched → no-op (insert-if-absent)
+      (30L, 3000L, "I")  // unmatched → insert
+    ).toDF("k", "v", "op")
+    val (u, d, i) = IcebergInterop.mergeIntoIceberg(spark, ice,
+      batch, Seq("k"), "op")
+    assert((u, d, i) == (2L, 1L, 2L), s"got ($u, $d, $i)")
+    val got = IcebergInterop.readIceberg(spark, ice)
+      .as[(Long, Long)].collect().toMap
+    val want = (0L until 20L).map(k => k -> k * 2).toMap -
+      10L ++ Map(5L -> 500L, 15L -> 1500L, 25L -> 2500L, 30L -> 3000L)
+    assert(got == want,
+      s"diff=${(got.toSet diff want.toSet).take(5)} / " +
+        s"${(want.toSet diff got.toSet).take(5)}")
+    assert(IcebergInterop.validateIceberg(spark, ice).count() == 0L)
+    assert(IcebergInterop.icebergRowCount(spark, ice).contains(21L))
+    // time travel: the pre-merge snapshot is intact
+    assert(IcebergInterop.readIceberg(spark, ice, preSnap)
+      .count() == 20L)
+    // duplicate batch keys refuse (SQL MERGE's multiple-matches rule)
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.mergeIntoIceberg(spark, ice,
+        Seq((1L, 1L, "U"), (1L, 2L, "U")).toDF("k", "v", "op"),
+        Seq("k"), "op")
+    }
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+  }
+
+  test("SQL MERGE INTO a grafticeberg view routes through the shared " +
+      "fate-batch translation; reader ≡ metadata count ≡ doctor") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    val ice = s"$dir/ice"
+    LakeTable.append(spark.range(0, 30).filter(col("id") % 2 === 0)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake)
+    IcebergInterop.exportToIceberg(spark, lake, ice, formatVersion = 3)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW imrg_t USING " +
+      s"grafticeberg OPTIONS (path '$ice')")
+    spark.range(0, 30).filter(col("id") % 3 === 0)
+      .select(col("id").as("sk"), (col("id") * 100).as("sv"))
+      .createOrReplaceTempView("imrg_s")
+    spark.sql("""MERGE INTO imrg_t t USING imrg_s s
+      ON t.k = s.sk
+      WHEN MATCHED THEN UPDATE SET k = s.sk, v = s.sv
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.sk, s.sv)""")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW imrg_t USING " +
+      s"grafticeberg OPTIONS (path '$ice')")
+    val got = spark.table("imrg_t").as[(Long, Long)].collect().toMap
+    val want = ((0L until 30L by 2).map(k => k -> k * 2) ++
+      (0L until 30L by 3).map(k => k -> k * 100)).toMap
+    assert(got == want)
+    assert(IcebergInterop.icebergRowCount(spark, ice)
+      .contains(want.size.toLong))
+    assert(IcebergInterop.validateIceberg(spark, ice).count() == 0L)
+  }
+
+  test("partitioned UPDATE routes rewrites: rows land in their " +
+      "partitions' files (including a partition-MOVING assignment), " +
+      "identity pruning holds on the rewritten table (corrupted-file " +
+      "proof), and the delete manifest carries each referenced data " +
+      "file's partition tuple") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    val ice = s"$dir/ice"
+    LakeTable.append(spark.range(0, 40)
+      .select(col("id").as("k"), (col("id") % 4).cast("int").as("b"),
+        (col("id") * 2).as("v")), lake)
+    IcebergInterop.exportToIcebergPartitioned(spark, lake, ice, "b")
+    // v2 partitioned table: UPDATE in place within partition b=2
+    val n = IcebergInterop.updateWhereIceberg(spark, ice,
+      "b = 2 AND k < 20", Seq("v" -> "v + 1000"))
+    assert(n == 5L) // k = 2, 6, 10, 14, 18
+    // partition-MOVING update: k=3 moves from b=3 to a NEW partition 9
+    val n2 = IcebergInterop.updateWhereIceberg(spark, ice,
+      "k = 3", Seq("b" -> "9"))
+    assert(n2 == 1L)
+    val after = IcebergInterop.readIceberg(spark, ice)
+    assert(after.count() == 40L)
+    assert(after.filter(col("b") === 2 && col("k") < 20)
+      .select("v").as[Long].collect().toSet ==
+      Set(2L, 6L, 10L, 14L, 18L).map(_ * 2 + 1000))
+    assert(after.filter(col("k") === 3).select("b").as[Int]
+      .head() == 9)
+    assert(IcebergInterop.validateIceberg(spark, ice).count() == 0L)
+    // the delete manifests carry partition tuples: every delete entry
+    // resolves its referenced file's partition value (never an empty
+    // struct that would make foreign readers skip the delete)
+    val fsys = new org.apache.hadoop.fs.Path(ice)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val m1 = fsys.listStatus(new org.apache.hadoop.fs.Path(
+        s"$ice/metadata")).map(_.getPath)
+      .filter(_.getName.endsWith("-m1.avro")).sortBy(_.toString)
+    assert(m1.nonEmpty, "no delete manifest written")
+    val reader = new org.apache.avro.file.DataFileReader(
+      new java.io.File(m1.last.toUri),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    var entries = 0
+    try while (reader.hasNext) {
+      val e = reader.next()
+      val df0 = e.get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      val part = df0.get("partition")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      assert(part.getSchema.getField("b") != null,
+        "delete-manifest partition record lacks the spec field")
+      assert(part.get("b") != null,
+        "delete-manifest entry carries a null partition tuple")
+      entries += 1
+    } finally reader.close()
+    assert(entries > 0)
+    // pruning proof: corrupt every data file OUTSIDE partition 9 —
+    // a read of b=9 that didn't prune would crash, not just be slow
+    val it = fsys.listFiles(new org.apache.hadoop.fs.Path(ice), true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      if (p.getName.endsWith(".parquet") && !p.toString.contains("b=9")
+          && !p.getName.startsWith("deletes-")
+          && !p.toString.contains("/metadata/")) {
+        fsys.delete(p, false)
+        val out = fsys.create(p, true)
+        out.write(Array.fill[Byte](48)(7)); out.close()
+      }
+    }
+    val probed = IcebergInterop.readIcebergRange(spark, ice, "b", 9, 9)
+      .select("k").as[Long].collect().toSet
+    assert(probed == Set(3L))
+  }
+
+  test("EQUALITY deletes FOLD: DML on a Flink-style table (equality " +
+      "+ position deletes) converts the equality semantics to " +
+      "positions, drops the superseded files, and never resurrects " +
+      "or double-kills rows; metadata row count starts serving") {
+    val root = fresh() + "/t"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def writeOne(df: org.apache.spark.sql.DataFrame,
+                 rel: String): Unit = {
+      val stage = s"$root/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = fsys.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/$rel")
+        .getParent)
+      fsys.rename(part, new org.apache.hadoop.fs.Path(s"$root/$rel"))
+      fsys.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+    }
+    // f1 @ seq 1 (pos 0..3): (1,a) (2,b) (3,c) (null,n)
+    writeOne(Seq((Option(1L), "a"), (Option(2L), "b"),
+      (Option(3L), "c"), (Option.empty[Long], "n")).toDF("k", "v"),
+      "data/f1.parquet")
+    // f2 @ seq 3: re-inserts k=2 after the deletes, plus k=4
+    writeOne(Seq((Option(2L), "b2"), (Option(4L), "d")).toDF("k", "v"),
+      "data/f2.parquet")
+    // equality delete @ seq 2 on k: kills k=2 and k IS NULL of f1 only
+    writeOne(Seq(Option(2L), Option.empty[Long]).toDF("k"),
+      "data/eq1.parquet")
+    // position delete @ seq 2: f1 pos 2 → (3, "c")
+    writeOne(Seq(("data/f1.parquet", 2L)).toDF("file_path", "pos"),
+      "data/pd1.parquet")
+    def manifestEntry(content: Int, path: String, records: Long,
+        eqIds: Seq[Int] = Seq.empty): GenericData.Record = {
+      val df0 = new GenericData.Record(
+        IcebergInterop.manifestSchema.getField("data_file").schema())
+      df0.put("content", content)
+      df0.put("file_path", path)
+      df0.put("file_format", "PARQUET")
+      df0.put("partition", new GenericData.Record(
+        df0.getSchema.getField("partition").schema()))
+      df0.put("record_count", records)
+      df0.put("file_size_in_bytes", 1L)
+      if (eqIds.nonEmpty) {
+        val l = new java.util.ArrayList[Integer]()
+        eqIds.foreach(i => l.add(Int.box(i)))
+        df0.put("equality_ids", l)
+      }
+      val e = new GenericData.Record(IcebergInterop.manifestSchema)
+      e.put("status", 1)
+      e.put("data_file", df0)
+      e
+    }
+    def listEntry(path: String, content: Int, seq: Long)
+        : GenericData.Record = {
+      val r = new GenericData.Record(IcebergInterop.manifestListSchema)
+      r.put("manifest_path", path)
+      r.put("manifest_length", 1L)
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("sequence_number", seq)
+      r.put("min_sequence_number", seq)
+      r.put("added_snapshot_id", 30L)
+      r.put("added_files_count", 1)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", 1L)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r
+    }
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/metadata"))
+    IcebergInterop.writeAvro(spark, s"$root/metadata/md1.avro",
+      IcebergInterop.manifestSchema,
+      Seq(manifestEntry(0, "data/f1.parquet", 4L)))
+    IcebergInterop.writeAvro(spark, s"$root/metadata/md2.avro",
+      IcebergInterop.manifestSchema,
+      Seq(manifestEntry(0, "data/f2.parquet", 2L)))
+    IcebergInterop.writeAvro(spark, s"$root/metadata/mdel.avro",
+      IcebergInterop.manifestSchema,
+      Seq(manifestEntry(2, "data/eq1.parquet", 2L, Seq(1)),
+        manifestEntry(1, "data/pd1.parquet", 1L)))
+    IcebergInterop.writeAvro(spark, s"$root/metadata/snap-30.avro",
+      IcebergInterop.manifestListSchema,
+      Seq(listEntry("metadata/md1.avro", 0, 1L),
+        listEntry("metadata/md2.avro", 0, 3L),
+        listEntry("metadata/mdel.avro", 1, 2L)))
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"k","required":false,"type":"long"},
+        |{"id":2,"name":"v","required":false,"type":"string"}]}"""
+        .stripMargin.replace("\n", "")
+    Files.writeString(Paths.get(s"$root/metadata/v1.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"tf","location":"$root",
+         |"last-sequence-number":3,"last-updated-ms":9,
+         |"last-column-id":2,"current-schema-id":0,
+         |"schemas":[$schemaJson],"default-spec-id":0,
+         |"partition-specs":[],"last-partition-id":9,
+         |"current-snapshot-id":30,
+         |"snapshots":[{"snapshot-id":30,"timestamp-ms":9,
+         |"sequence-number":3,"manifest-list":"metadata/snap-30.avro"}]}"""
+        .stripMargin.replace("\n", ""))
+    // live = (1,a) (2,b2) (4,d); equality deletes make rowCount refuse
+    assert(IcebergInterop.icebergRowCount(spark, root).isEmpty)
+    // UPDATE the LIVE k=2 only: the equality-killed f1 (2,b) must not
+    // resurrect through the rewrite
+    val n = IcebergInterop.updateWhereIceberg(spark, root,
+      "k = 2", Seq("v" -> "'X'"))
+    assert(n == 1L)
+    val got = IcebergInterop.readIceberg(spark, root)
+      .as[(Option[Long], String)].collect().toSet
+    assert(got == Set((Some(1L), "a"), (Some(2L), "X"),
+      (Some(4L), "d")), got)
+    // the fold published pure position state: equality files are gone
+    // from the new snapshot, so metadata row count SERVES now
+    assert(IcebergInterop.icebergRowCount(spark, root).contains(3L))
+    assert(IcebergInterop.validateIceberg(spark, root).count() == 0L)
+    // and a follow-up DELETE composes on the folded state
+    val n2 = IcebergInterop.deleteWhereIcebergDV(spark, root, "k = 4")
+    assert(n2 == 1L)
+    assert(IcebergInterop.readIceberg(spark, root)
+      .as[(Option[Long], String)].collect().toSet ==
+      Set((Some(1L), "a"), (Some(2L), "X")))
+    assert(IcebergInterop.icebergRowCount(spark, root).contains(2L))
+  }
+
+  test("ONE candidate scan: an UPDATE with a NON-DETERMINISTIC " +
+      "predicate stays consistent (positions and rewrites come from " +
+      "the same materialized matched frame) — both formats") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    val ice = s"$dir/ice"
+    LakeTable.append(spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake)
+    IcebergInterop.exportToIceberg(spark, lake, ice, formatVersion = 3)
+    IcebergInterop.updateWhereIceberg(spark, ice,
+      "rand() < 0.5", Seq("v" -> "v + 1")): Unit
+    // a double scan would delete one sample and rewrite another —
+    // row count drifts; one scan keeps it exactly 100
+    assert(IcebergInterop.readIceberg(spark, ice).count() == 100L)
+    assert(IcebergInterop.icebergRowCount(spark, ice).contains(100L))
+    assert(IcebergInterop.validateIceberg(spark, ice).count() == 0L)
+    // Delta twin
+    val delta = s"$dir/delta"
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schema = spark.range(0, 1)
+      .select(col("id").as("k"), col("id").as("v")).schema
+    Files.createDirectories(Paths.get(s"$delta/_delta_log"))
+    Files.writeString(Paths.get(
+      s"$delta/_delta_log/00000000000000000000.json"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
+        "\n" +
+        s"""{"metaData":{"id":"nd","schemaString":${om
+          .writeValueAsString(schema.json)},"partitionColumns":[],""" +
+        """"format":{"provider":"parquet"},"configuration":""" +
+        """{"delta.enableDeletionVectors":"true"}}}""") : Unit
+    DeltaInterop.appendDelta(spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), delta)
+    DeltaInterop.updateWhereDelta(spark, delta,
+      "rand() < 0.5", Seq("v" -> "v + 1")): Unit
+    assert(DeltaInterop.readDelta(spark, delta).count() == 100L)
+    assert(DeltaInterop.deltaRowCount(spark, delta).contains(100L))
+    assert(DeltaInterop.validateDelta(spark, delta).count() == 0L)
+  }
+}
