@@ -4070,6 +4070,209 @@ object SourceQueries {
         FROM orders"""),
       "SQL UPDATE a grafticeberg view: v3 Puffin DV + rewritten data " +
         "file in one snapshot; reader ≡ metadata count ≡ doctor"),
+
+    // ---- SQL MERGE INTO a foreign Iceberg table --------------------------------
+    // Completes the DML matrix: the Iceberg twin of q369 — the shared
+    // fate-batch translation routes into ONE snapshot built on the
+    // native-delete machinery (matched rows out via Puffin DVs,
+    // updated + inserted rows as new data files). MERGE is the verb
+    // CDC pipelines actually run; Iceberg is the more common open
+    // format in production.
+    "q371_iceberg_sql_merge" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_icemerge_q371")
+        val lake = root + "/lake"
+        val ice = root + "/ice"
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        // target = the evens; source = every key ≡ 0 (mod 3) with
+        // re-priced rows → matched evens update, odd multiples insert
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 2 === 0), lake)
+        graft.sources.IcebergInterop.exportToIceberg(s, lake, ice,
+          formatVersion = 3)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q371_i USING " +
+          s"grafticeberg OPTIONS (path '$ice')")
+        o.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey").as("sk"),
+            col("o_orderstatus").as("ss"),
+            (col("o_totalprice") + 100).as("sp"))
+          .createOrReplaceTempView("q371_src")
+        s.sql("""MERGE INTO q371_i t USING q371_src s
+          ON t.o_orderkey = s.sk
+          WHEN MATCHED THEN UPDATE SET o_orderkey = s.sk,
+            o_orderstatus = s.ss, o_totalprice = s.sp
+          WHEN NOT MATCHED THEN INSERT
+            (o_orderkey, o_orderstatus, o_totalprice)
+            VALUES (s.sk, s.ss, s.sp)""")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q371_i USING " +
+          s"grafticeberg OPTIONS (path '$ice')")
+        val scanned = s.table("q371_i").count()
+        require(graft.sources.IcebergInterop.icebergRowCount(s, ice)
+          .contains(scanned), "q371: metadata count diverged")
+        require(graft.sources.IcebergInterop.validateIceberg(s, ice)
+          .count() == 0L, "q371: doctor found issues after MERGE")
+        s.table("q371_i")
+      },
+      Some("""SELECT o_orderkey,
+          o_orderstatus,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100
+               ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0"""),
+      "SQL MERGE INTO a grafticeberg view: fate batch over Puffin-DV " +
+        "+ new-adds machinery, one snapshot; reader ≡ metadata count " +
+        "≡ doctor"),
+
+    // ---- partition-ROUTED UPDATE/MERGE rewrites, both formats -----------------
+    // Production Delta/Iceberg tables are overwhelmingly identity-
+    // partitioned; an UPDATE that refuses partitioned targets covers
+    // the demo layout only. Rewritten rows now route to their
+    // partitions' files — including a partition-MOVING SET — and the
+    // proof is q352-style: every data file OUTSIDE the probed
+    // partition is corrupted before the filtered read, so a read that
+    // didn't prune would crash, not just be slow.
+    "q372_interop_partitioned_rewrite" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_partrewrite_q372")
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+        def corruptOthers(dir: String, keep: String): Unit = {
+          val f = new org.apache.hadoop.fs.Path(dir)
+            .getFileSystem(s.sessionState.newHadoopConf())
+          val it = f.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+          while (it.hasNext) {
+            val st = it.next()
+            val p = st.getPath
+            if (p.getName.endsWith(".parquet") &&
+                !p.toString.contains(keep) &&
+                !p.getName.startsWith("deletes-") &&
+                !p.toString.contains("_delta_log") &&
+                !p.toString.contains("/metadata/")) {
+              f.delete(p, false)
+              val out = f.create(p, true)
+              out.write(Array.fill[Byte](48)(7)); out.close()
+            }
+          }
+        }
+        // Delta: partitioned by o_orderstatus; a partition-MOVING
+        // UPDATE routes every %11 key into the NEW partition 'Z'
+        val delta = root + "/delta"
+        graft.sources.LakeTable.append(o, s"$root/lake")
+        graft.sources.DeltaInterop.exportToDeltaPartitioned(
+          s, s"$root/lake", delta, "o_orderstatus")
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(
+          s"$delta/_delta_log/00000000000000000001.json"),
+          s"""{"metaData":{"id":"q372","schemaString":${om
+            .writeValueAsString(o.schema.json)},""" +
+            """"partitionColumns":["o_orderstatus"],""" +
+            """"format":{"provider":"parquet"},"configuration":""" +
+            """{"delta.enableDeletionVectors":"true"}}}""")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q372_d USING " +
+          s"graftdelta OPTIONS (path '$delta')")
+        s.sql("UPDATE q372_d SET o_orderstatus = 'Z' " +
+          "WHERE o_orderkey % 11 = 0")
+        corruptOthers(delta, "o_orderstatus=Z")
+        val dLeg = graft.sources.DeltaInterop.readDelta(s, delta)
+          .filter(col("o_orderstatus") === "Z")
+        // Iceberg: identity int partition (bucket = key % 4); MERGE
+        // upserts re-route matched evens in place and insert odds
+        val ice = root + "/ice"
+        val ob = o.withColumn("bucket",
+          (col("o_orderkey") % 4).cast("int"))
+        graft.sources.LakeTable.append(
+          ob.filter(col("o_orderkey") % 2 === 0), s"$root/lake2")
+        graft.sources.IcebergInterop.exportToIcebergPartitioned(
+          s, s"$root/lake2", ice, "bucket")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q372_i USING " +
+          s"grafticeberg OPTIONS (path '$ice')")
+        ob.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey").as("sk"),
+            col("o_orderstatus").as("ss"),
+            (col("o_totalprice") + 100).as("sp"),
+            col("bucket").as("sb"))
+          .createOrReplaceTempView("q372_src")
+        s.sql("""MERGE INTO q372_i t USING q372_src s
+          ON t.o_orderkey = s.sk
+          WHEN MATCHED THEN UPDATE SET o_orderkey = s.sk,
+            o_orderstatus = s.ss, o_totalprice = s.sp, bucket = s.sb
+          WHEN NOT MATCHED THEN INSERT
+            (o_orderkey, o_orderstatus, o_totalprice, bucket)
+            VALUES (s.sk, s.ss, s.sp, s.sb)""")
+        // the export's files live under data/__gpart=N/, the DML
+        // rewrites' under data/bucket=N/ — "=2/" keeps both spellings
+        corruptOthers(ice, "=2/")
+        val iLeg = graft.sources.IcebergInterop
+          .readIcebergRange(s, ice, "bucket", 2, 2)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        dLeg.select(lit("delta").as("leg"), col("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+          .unionAll(iLeg.select(lit("iceberg").as("leg"),
+            col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice")))
+      },
+      Some("""SELECT 'delta' AS leg, o_orderkey, 'Z' AS o_orderstatus,
+            o_totalprice
+          FROM orders WHERE o_orderkey % 11 = 0
+        UNION ALL
+        SELECT 'iceberg' AS leg, o_orderkey, o_orderstatus,
+            CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100
+                 ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 4 = 2"""),
+      "partition-routed UPDATE/MERGE rewrites on both formats: a " +
+        "partition-MOVING Delta SET and an Iceberg MERGE land routed " +
+        "files the readers prune (files outside the probed partition " +
+        "corrupted before the read)"),
+
+    // ---- equality-delete FOLD in DML ------------------------------------------
+    // DML on a Flink-style table (equality + position deletes, the
+    // CDC layout): instead of refusing, the equality payloads fold
+    // into physical positions (sequence-scoped, exactly the read
+    // path's semantics) and the superseded equality files DROP from
+    // the new snapshot — so the metadata row count, which must refuse
+    // (None) while equality deletes are present, starts serving
+    // exactly afterwards.
+    "q373_iceberg_eqdelete_fold_dml" -> Q(
+      (s, d) => {
+        val root = eqDeleteFixture(s, d, "graft_eqfold_q373")
+        // equality deletes present → metadata count must refuse
+        require(graft.sources.IcebergInterop.icebergRowCount(s, root)
+          .isEmpty, "q373: rowCount must refuse under equality deletes")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q373_i USING " +
+          s"grafticeberg OPTIONS (path '$root')")
+        s.sql("UPDATE q373_i SET o_totalprice = o_totalprice + 5 " +
+          "WHERE o_orderkey % 8 = 0")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q373_i USING " +
+          s"grafticeberg OPTIONS (path '$root')")
+        val scanned = s.table("q373_i").count()
+        // the fold published pure position state: equality files are
+        // gone and the metadata count serves EXACTLY now
+        require(graft.sources.IcebergInterop.icebergRowCount(s, root)
+          .contains(scanned),
+          "q373: metadata count must serve after the fold")
+        require(graft.sources.IcebergInterop.validateIceberg(s, root)
+          .count() == 0L, "q373: doctor found issues after the fold")
+        s.table("q373_i")
+      },
+      Some("""WITH f1 AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice,
+                 row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+          FROM orders WHERE o_orderkey % 4 = 0),
+        live AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice FROM f1
+          WHERE pos >= 25 AND o_orderkey % 20 <> 0
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, o_totalprice * 2
+          FROM orders WHERE o_orderkey % 20 = 0)
+        SELECT o_orderkey, o_orderstatus,
+          CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice + 5
+               ELSE o_totalprice END AS o_totalprice
+        FROM live"""),
+      "SQL UPDATE on a Flink-style equality-delete table: the fold " +
+        "converts equality semantics to positions, drops the " +
+        "superseded files, and metadata counts start serving"),
   )
 
 
@@ -4090,7 +4293,7 @@ object SourceQueries {
     val o = Tables.orders(s, d)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
     def writeOne(df: org.apache.spark.sql.DataFrame,
-             rel: String): Unit = {
+             rel: String): Long = {
       val stage = s"$root/_stage"
       df.coalesce(1).write.mode("overwrite").parquet(stage)
       val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
@@ -4099,23 +4302,27 @@ object SourceQueries {
     .getParent)
       fs.rename(part, new org.apache.hadoop.fs.Path(s"$root/$rel"))
       fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+      df.count()
     }
     // f1 @ seq 1: every 4th order, sorted so positions are defined
-    writeOne(o.filter(col("o_orderkey") % 4 === 0)
+    val f1Rows = writeOne(o.filter(col("o_orderkey") % 4 === 0)
       .orderBy("o_orderkey"), "data/f1.parquet")
     // f2 @ seq 3: re-inserts the eq-deleted keys at doubled price
-    writeOne(o.filter(col("o_orderkey") % 20 === 0)
+    val f2Rows = writeOne(o.filter(col("o_orderkey") % 20 === 0)
       .withColumn("o_totalprice", col("o_totalprice") * 2),
       "data/f2.parquet")
     // equality delete @ seq 2: keys divisible by 20 (field id 1)
     writeOne(o.filter(col("o_orderkey") % 20 === 0)
-      .select("o_orderkey"), "data/eq1.parquet")
+      .select("o_orderkey"), "data/eq1.parquet"): Unit
     // position delete @ seq 2: the first 25 rows of f1
     writeOne(s.range(0, 25)
       .select(lit("data/f1.parquet").as("file_path"),
-    col("id").as("pos")), "data/pd1.parquet")
+    col("id").as("pos")), "data/pd1.parquet"): Unit
+    // data-file record counts are TRUE (metadata answers on the
+    // folded table depend on them); delete-file counts stay nominal
     def manifestEntry(content: Int, path: String,
-    eqIds: Seq[Int] = Seq.empty): GenericData.Record = {
+    eqIds: Seq[Int] = Seq.empty,
+    records: Long = 1L): GenericData.Record = {
       val df0 = new GenericData.Record(
     IcebergInterop.manifestSchema.getField("data_file").schema())
       df0.put("content", content)
@@ -4123,7 +4330,7 @@ object SourceQueries {
       df0.put("file_format", "PARQUET")
       df0.put("partition", new GenericData.Record(
     df0.getSchema.getField("partition").schema()))
-      df0.put("record_count", 1L)
+      df0.put("record_count", records)
       df0.put("file_size_in_bytes", 1L)
       if (eqIds.nonEmpty) {
     val l = new java.util.ArrayList[Integer]()
@@ -4157,10 +4364,10 @@ object SourceQueries {
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/metadata"))
     IcebergInterop.writeAvro(s, s"$root/metadata/md1.avro",
       IcebergInterop.manifestSchema,
-      Seq(manifestEntry(0, "data/f1.parquet")))
+      Seq(manifestEntry(0, "data/f1.parquet", records = f1Rows)))
     IcebergInterop.writeAvro(s, s"$root/metadata/md2.avro",
       IcebergInterop.manifestSchema,
-      Seq(manifestEntry(0, "data/f2.parquet")))
+      Seq(manifestEntry(0, "data/f2.parquet", records = f2Rows)))
     IcebergInterop.writeAvro(s, s"$root/metadata/mdel.avro",
       IcebergInterop.manifestSchema,
       Seq(manifestEntry(2, "data/eq1.parquet", Seq(1)),

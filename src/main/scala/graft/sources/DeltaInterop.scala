@@ -1332,10 +1332,11 @@ object DeltaInterop {
     * The rewritten rows pass the full writer-invariant gate (CHECK
     * constraints, NOT NULL, column invariants, generated columns), so
     * an UPDATE can never commit a row the table's own declarations
-    * forbid. Same refusal matrix as DELETE, plus: partitioned targets
-    * refuse (rewritten rows would need partition routing — export
-    * shape first), and `sets` keys must be existing non-partition
-    * columns. Returns the number of updated rows. */
+    * forbid. Partitioned targets route the rewritten rows to their
+    * partitions' files — including rows whose SET moves them to a NEW
+    * partition. Same refusal matrix as DELETE, plus: `sets` keys must
+    * be existing columns and partition columns must be
+    * string-round-trippable. Returns the number of updated rows. */
   def updateWhereDelta(spark: SparkSession, deltaRoot: String,
                        condSql: String,
                        sets: Seq[(String, String)]): Long = {
@@ -1349,9 +1350,7 @@ object DeltaInterop {
     val verb = if (sets.isEmpty) "DELETE" else "UPDATE"
     val (snap, v) = dvGates(spark, deltaRoot, verb)
     if (sets.nonEmpty) {
-      require(snap.partCols.isEmpty,
-        s"graftdelta UPDATE: $deltaRoot is partitioned; rewritten " +
-          "rows would need partition routing — not supported yet")
+      partitionRoutableGate(snap, deltaRoot, "UPDATE")
       sets.foreach { case (c, _) =>
         require(snap.schema.fieldNames.contains(c),
           s"graftdelta UPDATE: no column '$c' in $deltaRoot " +
@@ -1385,18 +1384,16 @@ object DeltaInterop {
     * `opCol` ∈ {'U' upsert, 'M' update-if-matched, 'D'
     * delete-if-matched, 'I' insert-if-absent}. Matched LIVE target
     * rows for U/M/D deletion-vector out of their files; U/M matches
-    * and U/I non-matches land as new adds with the batch's values —
-    * ONE commit, writer-invariant-gated, untouched rows never
-    * rewrite. A key matching MULTIPLE live target rows refuses (the
+    * and U/I non-matches land as partition-routed new adds with the
+    * batch's values — ONE commit, writer-invariant-gated, untouched
+    * rows never rewrite. A key matching MULTIPLE live target rows refuses (the
     * rewrite would change row multiplicity). Returns (updated,
     * deleted, inserted). */
   def mergeIntoDelta(spark: SparkSession, deltaRoot: String,
                      batch: DataFrame, keys: Seq[String],
                      opCol: String): (Long, Long, Long) = {
     val (snap, v) = dvGates(spark, deltaRoot, "MERGE")
-    require(snap.partCols.isEmpty,
-      s"graftdelta MERGE: $deltaRoot is partitioned; rewritten rows " +
-        "would need partition routing — not supported yet")
+    partitionRoutableGate(snap, deltaRoot, "MERGE")
     require(keys.nonEmpty && keys.forall(snap.schema.fieldNames.contains),
       s"graftdelta MERGE: keys ${keys.mkString(",")} must be columns " +
         s"of $deltaRoot")
@@ -1485,6 +1482,23 @@ object DeltaInterop {
         "— set it first (ALTER TABLE ... SET TBLPROPERTIES)")
     (snap, v)
   }
+
+  /** Rewrite paths (UPDATE/MERGE) route new rows by the table's
+    * partition columns; only string-round-trippable types may key
+    * partitionValues — anything else would publish values foreign
+    * engines decode differently. Refuse, never corrupt. */
+  private def partitionRoutableGate(snap: Snapshot, root: String,
+                                    verb: String): Unit =
+    snap.partCols.foreach { pc =>
+      val dt = snap.schema.fields.find(_.name == pc).map(_.dataType)
+      require(dt.exists {
+        case IntegerType | LongType | StringType => true
+        case _ => false
+      }, s"graftdelta $verb: $root partitions on '$pc' of type " +
+        s"${dt.map(_.simpleString).getOrElse("?")}; partition-routed " +
+        "rewrites support int/long/string (protocol string " +
+        "round-trip) — refusing")
+    }
 
   /** Existing DV positions per live file (driver-side, sidecar-sized
     * by the read path's own contract). */
@@ -1663,34 +1677,21 @@ object DeltaInterop {
     }
     // rewritten/inserted rows land as new adds in the same commit —
     // gated by the full writer-invariant pass so the new rows honor
-    // the table's own declarations
-    val newRels: Seq[String] = newRows.filter(!_.isEmpty).map { updated =>
-      enforceWriterInvariants(updated, snap, deltaRoot)
-      val stage = s"$deltaRoot/_stage_$uuid"
-      updated.write.parquet(stage)
-      val rels = f.listStatus(new Path(stage))
-        .filter(_.getPath.getName.endsWith(".parquet"))
-        .sortBy(_.getPath.getName).zipWithIndex.map { case (st, i) =>
-          val rel = f"part-u-$i%05d-$uuid.snappy.parquet"
-          if (!f.rename(st.getPath, new Path(s"$deltaRoot/$rel")))
-            throw new java.io.IOException(
-              s"rename ${st.getPath} -> $deltaRoot/$rel failed")
-          rel
-        }.toSeq.filter { rel =>
-          // zero-row parts never commit (stats-less noise)
-          val keep = !TableDoctor.footerRows(spark, s"$deltaRoot/$rel")
-            .contains(0L)
-          if (!keep) f.delete(new Path(s"$deltaRoot/$rel"), false): Unit
-          keep
-        }
-      f.delete(new Path(stage), true)
-      rels
-    }.getOrElse(Seq.empty)
+    // the table's own declarations, and partition-ROUTED by the
+    // table's partition columns (a SET that moves a row to a new
+    // partition routes it there)
+    val newAdds: Seq[(String, Map[String, String])] =
+      newRows.filter(!_.isEmpty).map { updated =>
+        enforceWriterInvariants(updated, snap, deltaRoot)
+        stageDeltaData(updated, deltaRoot, snap.partCols,
+          uuid.toString, "u")
+      }.getOrElse(Seq.empty)
+    val newRels: Seq[String] = newAdds.map(_._1)
     val intCols = snap.schema.fields.collect {
       case fd if fd.dataType == IntegerType || fd.dataType == LongType =>
         fd.name
     }.toSet
-    newRels.foreach { rel =>
+    newAdds.foreach { case (rel, pv) =>
       val p = new Path(s"$deltaRoot/$rel")
       val st = f.getFileStatus(p)
       val rows = TableDoctor.footerRows(spark, p.toString)
@@ -1713,8 +1714,12 @@ object DeltaInterop {
         else s""","nullCount":${nulls.toSeq.sortBy(_._1)
           .map { case (k, n) => s"${om.writeValueAsString(k)}:$n" }
           .mkString("{", ",", "}")}"""
+      val pvJson = pv.toSeq.sortBy(_._1)
+        .map { case (k, x) =>
+          s"${om.writeValueAsString(k)}:${om.writeValueAsString(x)}"
+        }.mkString("{", ",", "}")
       actions += s"""{"add":{"path":${om.writeValueAsString(rel)},""" +
-        s""""partitionValues":{},"size":${st.getLen},""" +
+        s""""partitionValues":$pvJson,"size":${st.getLen},""" +
         s""""modificationTime":${st.getModificationTime},""" +
         s""""stats":${om.writeValueAsString(
           s"""{"numRecords":$rows$boundsJson$nullsJson}""")},""" +
@@ -1736,6 +1741,75 @@ object DeltaInterop {
           s"version ${v + 1}; re-run the $verb against the new state")
     }
     newlyDeleted
+  }
+
+  /** Stage `df`'s rows as parquet data files under the table root,
+    * routed by `partCols0` (Delta convention: the partition columns
+    * are NOT written into the data files — readers materialize them
+    * from the add actions' partitionValues); each staged file's hive
+    * dir names decode into its partitionValues. Zero-row parts never
+    * commit (stats-less metadata noise that would force metadata
+    * count(col) to refuse forever). Shared by the batch append and
+    * the DML rewrite paths. Returns (relative path, partitionValues —
+    * null value = null partition). */
+  private def stageDeltaData(df: DataFrame, deltaRoot: String,
+      partCols0: Seq[String], uuid: String, tag: String)
+      : Seq[(String, Map[String, String])] = {
+    val spark = df.sparkSession
+    val f = fs(spark, deltaRoot)
+    val stage = s"$deltaRoot/_stage_${tag}_$uuid"
+    val relsWithParts: Seq[(String, Map[String, String])] =
+      if (partCols0.isEmpty) {
+        df.write.parquet(stage)
+        f.listStatus(new Path(stage))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName).zipWithIndex.map { case (st, i) =>
+            val rel = f"part-$tag-$i%05d-$uuid.snappy.parquet"
+            if (!f.rename(st.getPath, new Path(s"$deltaRoot/$rel")))
+              throw new java.io.IOException(
+                s"rename ${st.getPath} -> $deltaRoot/$rel failed")
+            (rel, Map.empty[String, String])
+          }.toSeq
+      } else {
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        df.repartition(partCols0.map(col): _*)
+          .write.partitionBy(partCols0: _*).parquet(stage)
+        val glob = partCols0.map(_ + "=*").mkString("/")
+        f.globStatus(new Path(s"$stage/$glob/*.parquet"))
+          .toSeq.sortBy(_.getPath.toString).zipWithIndex
+          .map { case (st, i) =>
+            val dirs = new Array[String](partCols0.size)
+            var p = st.getPath.getParent
+            (partCols0.size - 1 to 0 by -1).foreach { lvl =>
+              dirs(lvl) = p.getName; p = p.getParent
+            }
+            val pv = partCols0.zip(dirs).map { case (c, dn) =>
+              val raw = ExternalCatalogUtils.unescapePathName(
+                dn.substring(dn.indexOf('=') + 1))
+              c -> (if (raw == ExternalCatalogUtils
+                  .DEFAULT_PARTITION_NAME) null
+                else raw)
+            }.toMap
+            val rel = dirs.mkString("/") +
+              f"/part-$tag-$i%05d-$uuid.snappy.parquet"
+            val dst = new Path(s"$deltaRoot/$rel")
+            f.mkdirs(dst.getParent)
+            if (!f.rename(st.getPath, dst))
+              throw new java.io.IOException(
+                s"rename ${st.getPath} -> $dst failed")
+            (rel, pv)
+          }
+      }
+    // ZERO-ROW staged parts (empty partitions of the batch) never
+    // commit
+    val (kept, empty0) = relsWithParts.partition { case (rel, _) =>
+      !TableDoctor.footerRows(spark, s"$deltaRoot/$rel").contains(0L)
+    }
+    empty0.foreach { case (rel, _) =>
+      f.delete(new Path(s"$deltaRoot/$rel"), false): Unit
+    }
+    f.delete(new Path(stage), true)
+    kept
   }
 
   private def appendCommit(df: DataFrame, deltaRoot: String,
@@ -1811,62 +1885,11 @@ object DeltaInterop {
     // export publishes and every read path prunes.
     val partCols0 = snapExisting.map(_.partCols).getOrElse(Seq.empty)
     val uuid = java.util.UUID.randomUUID().toString
-    val stage = s"$deltaRoot/_stage_$uuid"
     val tag = txn.map(_._2).getOrElse(0L)
-    val relsWithParts: Seq[(String, Map[String, String])] =
-      if (partCols0.isEmpty) {
-        df.write.parquet(stage)
-        f.listStatus(new Path(stage))
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .sortBy(_.getPath.getName).zipWithIndex.map { case (st, i) =>
-            val rel = f"part-$tag%05d-$i%05d-$uuid.snappy.parquet"
-            if (!f.rename(st.getPath, new Path(s"$deltaRoot/$rel")))
-              throw new java.io.IOException(
-                s"rename ${st.getPath} -> $deltaRoot/$rel failed")
-            (rel, Map.empty[String, String])
-          }.toSeq
-      } else {
-        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        df.repartition(partCols0.map(col): _*)
-          .write.partitionBy(partCols0: _*).parquet(stage)
-        val glob = partCols0.map(_ + "=*").mkString("/")
-        f.globStatus(new Path(s"$stage/$glob/*.parquet"))
-          .toSeq.sortBy(_.getPath.toString).zipWithIndex
-          .map { case (st, i) =>
-            val dirs = new Array[String](partCols0.size)
-            var p = st.getPath.getParent
-            (partCols0.size - 1 to 0 by -1).foreach { lvl =>
-              dirs(lvl) = p.getName; p = p.getParent
-            }
-            val pv = partCols0.zip(dirs).map { case (c, dn) =>
-              val raw = ExternalCatalogUtils.unescapePathName(
-                dn.substring(dn.indexOf('=') + 1))
-              c -> (if (raw == ExternalCatalogUtils
-                  .DEFAULT_PARTITION_NAME) null
-                else raw)
-            }.toMap
-            val rel = dirs.mkString("/") +
-              f"/part-$tag%05d-$i%05d-$uuid.snappy.parquet"
-            val dst = new Path(s"$deltaRoot/$rel")
-            f.mkdirs(dst.getParent)
-            if (!f.rename(st.getPath, dst))
-              throw new java.io.IOException(
-                s"rename ${st.getPath} -> $dst failed")
-            (rel, pv)
-          }
-      }
-    // ZERO-ROW staged parts (empty partitions of the batch) never
-    // commit: an empty add is pure metadata noise, and its stats-less
-    // footer would force metadata count(col) to refuse forever
-    val (kept, empty0) = relsWithParts.partition { case (rel, _) =>
-      !TableDoctor.footerRows(spark, s"$deltaRoot/$rel").contains(0L)
-    }
-    empty0.foreach { case (rel, _) =>
-      f.delete(new Path(s"$deltaRoot/$rel"), false): Unit
-    }
+    val kept: Seq[(String, Map[String, String])] =
+      stageDeltaData(df, deltaRoot, partCols0, uuid, f"$tag%05d")
     val rels = kept.map(_._1)
     val partValsOf: Map[String, Map[String, String]] = kept.toMap
-    f.delete(new Path(stage), true)
     def addJson(rel: String): String = {
       val p = new Path(s"$deltaRoot/$rel")
       val st = f.getFileStatus(p)

@@ -267,4 +267,60 @@ class DeltaDeleteSpec extends SparkSpec {
     assert(DeltaInterop.validateDelta(spark, delta).count() == 0L)
     assert(DeltaInterop.deltaRowCount(spark, delta).contains(15L))
   }
+
+  test("UPDATE and MERGE on a PARTITIONED table route the rewritten " +
+      "rows to their partitions' files — including a partition-MOVING " +
+      "SET — and the add actions carry the routed partitionValues") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    val delta = s"$dir/delta"
+    LakeTable.append(spark.range(0, 20)
+      .select(col("id").as("k"),
+        concat(lit("s"), col("id") % 2).as("src"),
+        (col("id") * 2).as("v")), lake)
+    DeltaInterop.exportToDeltaPartitioned(spark, lake, delta, "src")
+    val snapConfCommit =
+      s"""{"metaData":{"id":"pu","schemaString":${om.writeValueAsString(
+        DeltaInterop.readDelta(spark, delta).schema.json)},""" +
+        """"partitionColumns":["src"],"format":{"provider":"parquet"},""" +
+        """"configuration":{"delta.enableDeletionVectors":"true"}}}"""
+    Files.writeString(Paths.get(
+      s"$delta/_delta_log/00000000000000000001.json"), snapConfCommit)
+    // in-partition UPDATE + partition-MOVING UPDATE
+    assert(DeltaInterop.updateWhereDelta(spark, delta,
+      "src = 's0' AND k < 10", Seq("v" -> "v + 1000")) == 5L)
+    assert(DeltaInterop.updateWhereDelta(spark, delta,
+      "k = 7", Seq("src" -> "'sx'")) == 1L)
+    val after = DeltaInterop.readDelta(spark, delta)
+    assert(after.count() == 20L)
+    assert(after.filter(col("src") === "s0" && col("k") < 10)
+      .select("v").as[Long].collect().toSet ==
+      Set(0L, 2L, 4L, 6L, 8L).map(_ * 2 + 1000))
+    assert(after.filter(col("k") === 7).select("src").as[String]
+      .head() == "sx")
+    // the moved row's file landed under the NEW partition dir with
+    // matching partitionValues (routing, not just column rewrite)
+    val fsys = new org.apache.hadoop.fs.Path(delta)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fsys.globStatus(new org.apache.hadoop.fs.Path(
+      s"$delta/src=sx/*.parquet")).nonEmpty,
+      "partition-moving UPDATE did not route the rewritten row")
+    // MERGE with upserts + inserts routes too
+    val batch = Seq((4L, "s0", 9999L, "U"), (100L, "s9", 100L, "U"),
+      (6L, "s0", 0L, "D")).toDF("k", "src", "v", "op")
+    val (u, d, i2) = DeltaInterop.mergeIntoDelta(spark, delta, batch,
+      Seq("k"), "op")
+    assert((u, d, i2) == (1L, 1L, 1L))
+    val m = DeltaInterop.readDelta(spark, delta)
+    assert(m.count() == 20L)
+    assert(m.filter(col("k") === 4).select("v").as[Long].head() == 9999L)
+    assert(m.filter(col("k") === 6).count() == 0L)
+    assert(m.filter(col("k") === 100).select("src").as[String]
+      .head() == "s9")
+    assert(fsys.globStatus(new org.apache.hadoop.fs.Path(
+      s"$delta/src=s9/*.parquet")).nonEmpty,
+      "MERGE insert did not route to its partition")
+    assert(DeltaInterop.validateDelta(spark, delta).count() == 0L)
+    assert(DeltaInterop.deltaRowCount(spark, delta).contains(20L))
+  }
 }

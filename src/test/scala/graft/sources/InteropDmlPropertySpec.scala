@@ -8,12 +8,14 @@ import graft.SparkSpec
 
 /** The interop DML write surface, property-tested against an
   * in-memory MODEL: randomized histories of append / DV-delete /
-  * DV-update ops run against both formats, and after every op the
-  * table's scan must equal the model exactly — with the metadata
+  * DV-update / MERGE ops run against both formats, and after every op
+  * the table's scan must equal the model exactly — with the metadata
   * answers holding their Some-is-exact contract throughout. This is
   * the write-side sibling of [[MetadataAnswersPropertySpec]]: that one
   * hunts wrong metadata ANSWERS, this one hunts wrong TABLE STATES
-  * (rows lost, resurrected, double-applied, or mutated twice). */
+  * (rows lost, resurrected, double-applied, or mutated twice). A
+  * third property replays the same histories on identity-PARTITIONED
+  * tables of both formats, where every rewrite must also route. */
 class InteropDmlPropertySpec extends SparkSpec {
   import spark.implicits._
 
@@ -21,6 +23,12 @@ class InteropDmlPropertySpec extends SparkSpec {
   private case class Append(lo: Long, n: Long, nullEvery: Int) extends Op
   private case class Delete(m: Int, r: Int) extends Op
   private case class Update(m: Int, r: Int, add: Long) extends Op
+  // MERGE upsert: matched keys (k % m = r) update to k%89+add; a
+  // fresh disjoint range inserts with the same formula
+  private case class MergeUp(m: Int, r: Int, add: Long, lo: Long,
+                             n: Long) extends Op
+  // MERGE delete-if-matched over keys k % m = r
+  private case class MergeDel(m: Int, r: Int) extends Op
 
   // the model: k → Option[v] (None = v is null)
   private type Model = Map[Long, Option[Long]]
@@ -38,60 +46,121 @@ class InteropDmlPropertySpec extends SparkSpec {
       model.map { case (k, v) =>
         if (math.floorMod(k, m) == r) k -> v.map(_ + add) else k -> v
       }
+    case MergeUp(m, r, add, lo, n) =>
+      model.map { case (k, v) =>
+        if (math.floorMod(k, m) == r) k -> Some(k % 89 + add)
+        else k -> v
+      } ++ (lo until lo + n).map(k => k -> Some(k % 89 + add))
+    case MergeDel(m, r) =>
+      model.filterNot { case (k, _) => math.floorMod(k, m) == r }
   }
 
-  private def appendDf(op: Append) =
-    spark.range(op.lo, op.lo + op.n)
+  /** The fate batch a MERGE op renders, built from the CURRENT model
+    * (one row per key by construction). `withB` adds the partition
+    * column the partitioned tables carry. */
+  private def mergeBatch(model: Model, op: Op, withB: Boolean) = {
+    val rows: Seq[(Long, Option[Long], String)] = op match {
+      case MergeUp(m, r, add, lo, n) =>
+        model.keys.toSeq.filter(k => math.floorMod(k, m) == r)
+          .map(k => (k, Option(k % 89 + add), "U")) ++
+          (lo until lo + n).map(k => (k, Option(k % 89 + add), "U"))
+      case MergeDel(m, r) =>
+        model.keys.toSeq.filter(k => math.floorMod(k, m) == r)
+          .map(k => (k, Option.empty[Long], "D"))
+      case other => throw new IllegalStateException(s"not a merge: $other")
+    }
+    val df = rows.toDF("k", "v", "op")
+    if (withB) df.select(col("k"), (col("k") % 3).as("b"), col("v"),
+      col("op"))
+    else df
+  }
+
+  private def appendDf(op: Append, withB: Boolean = false) = {
+    val df = spark.range(op.lo, op.lo + op.n)
       .select(col("id").as("k"),
         when(col("id") % op.nullEvery === 0, lit(null).cast("long"))
           .otherwise(col("id") % 97).as("v"))
+    if (withB) df.select(col("k"), (col("k") % 3).as("b"), col("v"))
+    else df
+  }
 
   private def scanOf(df: org.apache.spark.sql.DataFrame): Model =
     df.select("k", "v").collect()
       .map(r => r.getLong(0) ->
         (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
 
-  test("property: randomized append/delete/update histories on a " +
-      "foreign DELTA table — scan ≡ model after every op; metadata " +
-      "row counts and count(col) hold their contract") {
-    import org.scalacheck.{Gen, Prop, Test => SCTest}
-    val opsGen: Gen[Seq[Op]] = for {
-      k <- Gen.chooseNum(2, 5)
+  private def opsGen(maxOps: Int, withMerge: Boolean) = {
+    import org.scalacheck.Gen
+    for {
+      k <- Gen.chooseNum(2, maxOps)
       ops <- Gen.sequence[Seq[Op], Op]((0 until k).map { i =>
-        if (i == 0) Gen.chooseNum(5L, 60L).flatMap(n =>
+        def append = Gen.chooseNum(5L, 60L).flatMap(n =>
           Gen.oneOf(2, 3, 1000000).map(ne =>
             Append(i * 1000L, n, ne): Op))
-        else Gen.oneOf(
-          Gen.chooseNum(5L, 60L).flatMap(n =>
-            Gen.oneOf(2, 3, 1000000).map(ne =>
-              Append(i * 1000L, n, ne): Op)),
-          Gen.chooseNum(2, 7).flatMap(m =>
-            Gen.chooseNum(0, 6).map(r => Delete(m, r % m): Op)),
-          Gen.chooseNum(2, 7).flatMap(m =>
-            Gen.chooseNum(0, 6).flatMap(r =>
-              Gen.chooseNum(1L, 500L).map(a =>
-                Update(m, r % m, a): Op))))
+        if (i == 0) append
+        else {
+          val base = Seq(
+            append,
+            Gen.chooseNum(2, 7).flatMap(m =>
+              Gen.chooseNum(0, 6).map(r => Delete(m, r % m): Op)),
+            Gen.chooseNum(2, 7).flatMap(m =>
+              Gen.chooseNum(0, 6).flatMap(r =>
+                Gen.chooseNum(1L, 500L).map(a =>
+                  Update(m, r % m, a): Op))))
+          val merges = Seq(
+            Gen.chooseNum(2, 7).flatMap(m =>
+              Gen.chooseNum(0, 6).flatMap(r =>
+                Gen.chooseNum(1L, 500L).flatMap(a =>
+                  Gen.chooseNum(3L, 20L).map(n =>
+                    MergeUp(m, r % m, a, i * 1000L, n): Op)))),
+            Gen.chooseNum(2, 7).flatMap(m =>
+              Gen.chooseNum(0, 6).map(r => MergeDel(m, r % m): Op)))
+          val all = if (withMerge) base ++ merges else base
+          Gen.choose(0, all.size - 1).flatMap(all(_))
+        }
       })
     } yield ops
+  }
+
+  /** A DV-enabled empty Delta table (the spec's writer opt-in). */
+  private def deltaFixture(root: String, partCols: Seq[String],
+                           schemaJson: String): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    Files.createDirectories(Paths.get(s"$root/_delta_log"))
+    Files.writeString(Paths.get(
+      s"$root/_delta_log/00000000000000000000.json"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
+        "\n" +
+        s"""{"metaData":{"id":"p","schemaString":${om
+          .writeValueAsString(schemaJson)},"partitionColumns":${partCols
+          .map(om.writeValueAsString).mkString("[", ",", "]")},""" +
+        """"format":{"provider":"parquet"},"configuration":""" +
+        """{"delta.enableDeletionVectors":"true"}}}""") : Unit
+  }
+
+  private val flatSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("k",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.LongType)))
+
+  private val partSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("k",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("b",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.LongType)))
+
+  test("property: randomized append/delete/update/merge histories on " +
+      "a foreign DELTA table — scan ≡ model after every op; metadata " +
+      "row counts and count(col) hold their contract") {
+    import org.scalacheck.{Prop, Test => SCTest}
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(6),
-      Prop.forAll(opsGen) { ops =>
+      Prop.forAll(opsGen(5, withMerge = true)) { ops =>
         val root = Files.createTempDirectory("dmlprop").toString + "/t"
-        val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("k",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("v",
-            org.apache.spark.sql.types.LongType)))
-        Files.createDirectories(Paths.get(s"$root/_delta_log"))
-        Files.writeString(Paths.get(
-          s"$root/_delta_log/00000000000000000000.json"),
-          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
-            "\n" +
-            s"""{"metaData":{"id":"p","schemaString":${om
-              .writeValueAsString(schema.json)},"partitionColumns":[],""" +
-            """"format":{"provider":"parquet"},"configuration":""" +
-            """{"delta.enableDeletionVectors":"true"}}}""") : Unit
+        deltaFixture(root, Seq.empty, flatSchema.json)
         var model: Model = Map.empty
         ops.foreach { op =>
           op match {
@@ -103,6 +172,10 @@ class InteropDmlPropertySpec extends SparkSpec {
             case Update(m, r, add) =>
               DeltaInterop.updateWhereDelta(spark, root,
                 s"k % $m = $r", Seq("v" -> s"v + $add")): Unit
+            case mo =>
+              DeltaInterop.mergeIntoDelta(spark, root,
+                mergeBatch(model, mo, withB = false),
+                Seq("k"), "op"): Unit
           }
           model = applyModel(model, op)
           val got = scanOf(DeltaInterop.readDelta(spark, root))
@@ -127,28 +200,10 @@ class InteropDmlPropertySpec extends SparkSpec {
   test("property: the same histories on a foreign ICEBERG v3 table — " +
       "scan ≡ model after every op; Puffin DV replacement never " +
       "loses or resurrects rows") {
-    import org.scalacheck.{Gen, Prop, Test => SCTest}
-    val opsGen: Gen[Seq[Op]] = for {
-      k <- Gen.chooseNum(2, 4)
-      ops <- Gen.sequence[Seq[Op], Op]((0 until k).map { i =>
-        if (i == 0) Gen.chooseNum(5L, 50L).flatMap(n =>
-          Gen.oneOf(2, 3, 1000000).map(ne =>
-            Append(i * 1000L, n, ne): Op))
-        else Gen.oneOf(
-          Gen.chooseNum(5L, 50L).flatMap(n =>
-            Gen.oneOf(2, 3, 1000000).map(ne =>
-              Append(i * 1000L, n, ne): Op)),
-          Gen.chooseNum(2, 7).flatMap(m =>
-            Gen.chooseNum(0, 6).map(r => Delete(m, r % m): Op)),
-          Gen.chooseNum(2, 7).flatMap(m =>
-            Gen.chooseNum(0, 6).flatMap(r =>
-              Gen.chooseNum(1L, 500L).map(a =>
-                Update(m, r % m, a): Op))))
-      })
-    } yield ops
+    import org.scalacheck.{Prop, Test => SCTest}
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(5),
-      Prop.forAll(opsGen) { ops =>
+      Prop.forAll(opsGen(4, withMerge = true)) { ops =>
         val dir = Files.createTempDirectory("dmlpropi").toString
         val lake = s"$dir/lake"
         val ice = s"$dir/ice"
@@ -168,6 +223,10 @@ class InteropDmlPropertySpec extends SparkSpec {
             case Update(m, r, add) =>
               IcebergInterop.updateWhereIceberg(spark, ice,
                 s"k % $m = $r", Seq("v" -> s"v + $add")): Unit
+            case mo =>
+              IcebergInterop.mergeIntoIceberg(spark, ice,
+                mergeBatch(model, mo, withB = false),
+                Seq("k"), "op"): Unit
           }
           model = applyModel(model, op)
           val got = scanOf(IcebergInterop.readIceberg(spark, ice))
@@ -179,6 +238,81 @@ class InteropDmlPropertySpec extends SparkSpec {
             assert(m0 == model.size.toLong,
               s"after $op: metadata count $m0 != ${model.size}"))
         }
+        assert(IcebergInterop.validateIceberg(spark, ice).count() == 0L)
+        true
+      })
+    assert(res.passed, res.status)
+  }
+
+  test("property: the same histories on identity-PARTITIONED tables " +
+      "of BOTH formats — every rewrite routes, delete manifests carry " +
+      "partition tuples, and the scans still equal the model after " +
+      "every op") {
+    import org.scalacheck.{Prop, Test => SCTest}
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(4),
+      Prop.forAll(opsGen(4, withMerge = true)) { ops =>
+        val dir = Files.createTempDirectory("dmlpropp").toString
+        val droot = s"$dir/delta"
+        val lake = s"$dir/lake"
+        val ice = s"$dir/ice"
+        deltaFixture(droot, Seq("b"), partSchema.json)
+        val first = ops.head.asInstanceOf[Append]
+        DeltaInterop.appendDelta(appendDf(first, withB = true), droot)
+        LakeTable.append(appendDf(first, withB = true), lake)
+        IcebergInterop.exportToIcebergPartitioned(spark, lake, ice, "b")
+        var model: Model = applyModel(Map.empty, first)
+        ops.tail.foreach { op =>
+          op match {
+            case a: Append =>
+              DeltaInterop.appendDelta(appendDf(a, withB = true), droot)
+              IcebergInterop.appendIceberg(appendDf(a, withB = true),
+                ice)
+            case Delete(m, r) =>
+              DeltaInterop.deleteWhereDeltaDV(spark, droot,
+                s"k % $m = $r"): Unit
+              IcebergInterop.deleteWhereIcebergDV(spark, ice,
+                s"k % $m = $r"): Unit
+            case Update(m, r, add) =>
+              DeltaInterop.updateWhereDelta(spark, droot,
+                s"k % $m = $r", Seq("v" -> s"v + $add")): Unit
+              IcebergInterop.updateWhereIceberg(spark, ice,
+                s"k % $m = $r", Seq("v" -> s"v + $add")): Unit
+            case mo =>
+              DeltaInterop.mergeIntoDelta(spark, droot,
+                mergeBatch(model, mo, withB = true),
+                Seq("k"), "op"): Unit
+              IcebergInterop.mergeIntoIceberg(spark, ice,
+                mergeBatch(model, mo, withB = true),
+                Seq("k"), "op"): Unit
+          }
+          model = applyModel(model, op)
+          val gotD = scanOf(DeltaInterop.readDelta(spark, droot))
+          assert(gotD == model,
+            s"after $op (delta): scan ${gotD.size} != model " +
+              s"${model.size}; diff=${(gotD.toSet diff model.toSet)
+                .take(5)} / ${(model.toSet diff gotD.toSet).take(5)}")
+          val gotI = scanOf(IcebergInterop.readIceberg(spark, ice))
+          assert(gotI == model,
+            s"after $op (iceberg): scan ${gotI.size} != model " +
+              s"${model.size}; diff=${(gotI.toSet diff model.toSet)
+                .take(5)} / ${(model.toSet diff gotI.toSet).take(5)}")
+          // the partition column itself must stay consistent with the
+          // routing (b ≡ k % 3 by construction on every path)
+          assert(DeltaInterop.readDelta(spark, droot)
+            .filter(col("b") =!= col("k") % 3).count() == 0L,
+            s"after $op: delta partition values diverged from rows")
+          assert(IcebergInterop.readIceberg(spark, ice)
+            .filter(col("b") =!= col("k") % 3).count() == 0L,
+            s"after $op: iceberg partition values diverged from rows")
+          DeltaInterop.deltaRowCount(spark, droot).foreach(m0 =>
+            assert(m0 == model.size.toLong,
+              s"after $op: delta metadata count $m0 != ${model.size}"))
+          IcebergInterop.icebergRowCount(spark, ice).foreach(m0 =>
+            assert(m0 == model.size.toLong,
+              s"after $op: iceberg metadata count $m0 != ${model.size}"))
+        }
+        assert(DeltaInterop.validateDelta(spark, droot).count() == 0L)
         assert(IcebergInterop.validateIceberg(spark, ice).count() == 0L)
         true
       })
