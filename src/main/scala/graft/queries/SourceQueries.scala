@@ -4273,7 +4273,147 @@ object SourceQueries {
       "SQL UPDATE on a Flink-style equality-delete table: the fold " +
         "converts equality semantics to positions, drops the " +
         "superseded files, and metadata counts start serving"),
+
+    // ---- NON-identity transform pruning: day(ts) -------------------------------
+    // The dominant production time-series layout: a day(ts)-
+    // partitioned events table. The spec-published transform math
+    // (days-from-epoch ordinals; [[IcebergTransforms]]) prunes a
+    // one-day range to exactly that day's files — both through the
+    // range API and the SQL zone path (the stored day renders back to
+    // the source column's first/last microsecond as a zone). The
+    // corrupted-file proof: every file outside the probed day is
+    // garbage before the reads, so a read that didn't prune would
+    // crash.
+    "q374_iceberg_day_transform_pruning" -> Q(
+      (s, d) => {
+        val root = dayTransformFixture(s, d, "graft_dayxform_q374")
+        val fsys = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        (0 until 5).filter(_ != 3).foreach { dd =>
+          val p = new org.apache.hadoop.fs.Path(
+            s"$root/data/day$dd.parquet")
+          fsys.delete(p, false)
+          val out = fsys.create(p, true)
+          out.write(Array.fill[Byte](48)(7)); out.close()
+        }
+        val api = graft.sources.IcebergInterop.readIcebergRange(
+          s, root, "ts", "1970-01-04 00:00:00",
+          "1970-01-04 23:59:59.999999")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q374_v USING " +
+          s"grafticeberg OPTIONS (path '$root')")
+        val sqlLeg = s.sql("SELECT k, ts, price FROM q374_v " +
+          "WHERE ts >= TIMESTAMP '1970-01-04 00:00:00' AND " +
+          "ts <= TIMESTAMP '1970-01-04 23:59:59.999999'")
+        api.select(lit("api").as("leg"), col("k"), col("ts"),
+            col("price"))
+          .unionAll(sqlLeg.select(lit("sql").as("leg"), col("k"),
+            col("ts"), col("price")))
+      },
+      Some("""WITH t AS (
+          SELECT o_orderkey AS k,
+            make_timestamp(((o_orderkey % 5) * 86400
+              + o_orderkey % 86400) * 1000000) AS ts,
+            o_totalprice AS price
+          FROM orders WHERE o_orderkey % 5 = 3)
+        SELECT 'api' AS leg, k, ts, price FROM t
+        UNION ALL SELECT 'sql' AS leg, k, ts, price FROM t"""),
+      "day(ts) transform pruning: a one-day range opens only that " +
+        "day's files (corrupted-file proof), via the range API and " +
+        "the SQL zone path"),
   )
+
+  /** q374 fixture: a hand-built v2 table partitioned by day(ts) — one
+    * data file per day, spec-compliant int days-from-epoch partition
+    * records, the `day` transform declared in partition-specs.
+    * ts = epoch + (o_orderkey % 5) days + (o_orderkey % 86400) s, so
+    * the oracle expresses each day's rows as a key residue. */
+  private def dayTransformFixture(s: org.apache.spark.sql.SparkSession,
+                                  d: String, name: String): String = {
+    import org.apache.avro.generic.GenericData
+    import graft.sources.IcebergInterop
+    val root = freshRoot(name) + "/t"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    def writeOne(df: org.apache.spark.sql.DataFrame,
+                 rel: String): Long = {
+      val stage = s"$root/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = fsys.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/$rel")
+        .getParent)
+      fsys.rename(part, new org.apache.hadoop.fs.Path(s"$root/$rel"))
+      fsys.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+      df.count()
+    }
+    val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      timestamp_seconds((col("o_orderkey") % 5) * 86400L +
+        col("o_orderkey") % 86400).as("ts"),
+      col("o_totalprice").as("price"))
+    val mSchema = IcebergInterop.manifestSchemaWithPartition(
+      """{"name":"ts_day","type":["null","int"],"default":null}""")
+    val entries = (0 until 5).map { dd =>
+      val rel = s"data/day$dd.parquet"
+      val rows = writeOne(base.filter(col("k") % 5 === dd)
+        .orderBy("k"), rel)
+      val df0 = new GenericData.Record(
+        mSchema.getField("data_file").schema())
+      df0.put("content", 0)
+      df0.put("file_path", rel)
+      df0.put("file_format", "PARQUET")
+      val pr = new GenericData.Record(
+        df0.getSchema.getField("partition").schema())
+      pr.put("ts_day", Int.box(dd))
+      df0.put("partition", pr)
+      df0.put("record_count", rows)
+      df0.put("file_size_in_bytes", 1L)
+      val e = new GenericData.Record(mSchema)
+      e.put("status", 1)
+      e.put("data_file", df0)
+      e
+    }
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/metadata"))
+    IcebergInterop.writeAvro(s, s"$root/metadata/m0.avro",
+      mSchema, entries)
+    val list = {
+      val r = new GenericData.Record(IcebergInterop.manifestListSchema)
+      r.put("manifest_path", "metadata/m0.avro")
+      r.put("manifest_length", 1L)
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      r.put("sequence_number", 1L)
+      r.put("min_sequence_number", 1L)
+      r.put("added_snapshot_id", 9L)
+      r.put("added_files_count", 5)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", 1L)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r
+    }
+    IcebergInterop.writeAvro(s, s"$root/metadata/snap-9.avro",
+      IcebergInterop.manifestListSchema, Seq(list))
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"k","required":false,"type":"long"},
+        |{"id":2,"name":"ts","required":false,"type":"timestamptz"},
+        |{"id":3,"name":"price","required":false,"type":"double"}]}"""
+        .stripMargin.replace("\n", "")
+    Files.writeString(Paths.get(s"$root/metadata/v1.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"q374","location":"$root",
+         |"last-sequence-number":1,"last-updated-ms":9,
+         |"last-column-id":3,"current-schema-id":0,
+         |"schemas":[$schemaJson],"default-spec-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[
+         |{"name":"ts_day","transform":"day","source-id":2,
+         |"field-id":1000}]}],"last-partition-id":1000,
+         |"current-snapshot-id":9,
+         |"snapshots":[{"snapshot-id":9,"timestamp-ms":9,
+         |"sequence-number":1,"manifest-list":"metadata/snap-9.avro"}]}"""
+        .stripMargin.replace("\n", ""))
+    root
+  }
 
 
   /** q338/q353 fixture: a hand-built Iceberg v2 log with EQUALITY and

@@ -313,8 +313,10 @@ object IcebergInterop {
   private case class IceSchema(spark: StructType,
                                fieldIds: Map[String, Int])
   /** One partition-spec field: (name, transform, source field id).
-    * Only `identity` transforms prune; others (bucket[N], day, …)
-    * admit their files — never a wrong skip. */
+    * `identity` values prune directly; ordered transforms (day/month/
+    * year/hour/truncate) prune by the interval rule and bucket[N] by
+    * point-lookup hash ([[IcebergTransforms]]); anything unknown
+    * admits — never a wrong skip. */
   private case class IceMeta(formatVersion: Int, version: Int,
                              schemas: Map[Int, IceSchema],
                              currentSchemaId: Int,
@@ -506,6 +508,12 @@ object IcebergInterop {
       // Some(None) = explicit null partition value (all rows null for
       // the source column). Non-identity transforms never appear here.
       partitionIdVals: Map[Int, Option[Any]] = Map.empty,
+      // NON-identity transform partition values: (source field id,
+      // transform, stored value — None = explicit null). day/month/
+      // year/hour/truncate/bucket prune through
+      // [[IcebergTransforms]]; unknown transforms ride along and
+      // admit.
+      partitionXforms: Seq[(Int, String, Option[Any])] = Seq.empty,
       // spec field-id-keyed per-column counts (value_counts includes
       // nulls and NaNs; null_value_counts is nulls only) — the inputs
       // to metadata count(col)
@@ -584,8 +592,9 @@ object IcebergInterop {
     var dataFiles = Seq.empty[DataFileMeta]
     var deleteFiles = Seq.empty[DeleteFileMeta]
     manifests.foreach { case (mPath, mContent, mSeq, mSpecId) =>
-      val specFields = meta.partitionSpecs.getOrElse(mSpecId, Seq.empty)
-        .filter(_._2 == "identity")
+      val allSpecFields = meta.partitionSpecs.getOrElse(mSpecId, Seq.empty)
+      val specFields = allSpecFields.filter(_._2 == "identity")
+      val xformFields = allSpecFields.filterNot(_._2 == "identity")
       readAvro(spark, resolve(root, mPath)).foreach { e =>
         val status = int(e, "status", 0)
         val df0 = e.get("data_file").asInstanceOf[GenericRecord]
@@ -619,11 +628,26 @@ object IcebergInterop {
                 }.toMap
               case _ => Map.empty
             }
+          def xformVals(): Seq[(Int, String, Option[Any])] =
+            if (xformFields.isEmpty) Seq.empty
+            else Option(df0.get("partition")) match {
+              case Some(pr: GenericRecord) =>
+                xformFields.flatMap { case (nm, transform, srcId) =>
+                  if (pr.getSchema.getField(nm) == null) None
+                  else Some((srcId, transform,
+                    Option(pr.get(nm)).map {
+                      case u: org.apache.avro.util.Utf8 => u.toString
+                      case other => other
+                    }))
+                }
+              case _ => Seq.empty
+            }
           (mContent, content) match {
             case (0, 0) => dataFiles :+= DataFileMeta(path,
               boundsOf(df0, "lower_bounds"), boundsOf(df0, "upper_bounds"),
               seq, lng(df0, "record_count", -1L),
               lng(df0, "file_size_in_bytes", -1L), identityVals(),
+              xformVals(),
               countsOf(df0, "value_counts"),
               countsOf(df0, "null_value_counts"))
             case (1, 1) if isPuffinDv =>
@@ -1097,10 +1121,22 @@ object IcebergInterop {
           case _ => true
         }
       }
+      // NON-identity transform pruning — day/month/year/hour/
+      // truncate by the ordered-interval rule, bucket by point-lookup
+      // hash equality ([[IcebergTransforms]]); an explicit null
+      // transform value means every row's source is null (no row can
+      // satisfy a range predicate); an unevaluable triple admits
+      val xformAdmit = f.partitionXforms
+        .filter(_._1 == fieldId).forall {
+          case (_, _, None) => false
+          case (_, transform, Some(pv)) =>
+            IcebergTransforms.admits(transform, dt, pv, lo, hi)
+              .getOrElse(true)
+        }
       val flo = f.lower.get(fieldId).flatMap(boundValue(dt, _))
       val fhi = f.upper.get(fieldId).flatMap(boundValue(dt, _))
       // a missing/undecodable bound (or unsupported type) admits
-      partAdmit && ((flo, fhi, qlo, qhi) match {
+      partAdmit && xformAdmit && ((flo, fhi, qlo, qhi) match {
         case (Some(l), Some(h), Some(ql), Some(qh)) =>
           cmp(l, qh) <= 0 && cmp(h, ql) >= 0
         case _ => true
@@ -1157,7 +1193,16 @@ object IcebergInterop {
         val part = f.partitionIdVals.get(id).flatten.filter(_ =>
           bound.isEmpty).map(v =>
           LakeTable.Zone(sf.name, v.toString, v.toString))
-        bound.orElse(part).toSeq
+        // a NON-identity ordered transform value renders back to its
+        // inclusive source range (day 19723 → that day's first/last
+        // microsecond) so SQL reads of day/month/year/hour/truncate-
+        // partitioned tables prune through the same zone machinery
+        val xform = f.partitionXforms.collectFirst {
+          case (srcId, transform, Some(pv))
+              if srcId == id && bound.isEmpty && part.isEmpty =>
+            IcebergTransforms.zoneOf(transform, sf.dataType, pv)
+        }.flatten.map { case (l, h) => LakeTable.Zone(sf.name, l, h) }
+        bound.orElse(part).orElse(xform).toSeq
       }
       (resolve(root, f.path), zones)
     }), sizeHint)
@@ -2526,7 +2571,7 @@ object IcebergInterop {
                 Seq[(String, Array[Long])])] =
               sorted.groupBy { case (p, _) => partTuple(p) }
                 .toSeq.sortBy(_._1.map(_.map(_.toString)
-                  .getOrElse(" ")).mkString("/"))
+                  .getOrElse("")).mkString("/"))
             val mSchemaDel =
               if (specFields.isEmpty) manifestSchema
               else manifestSchemaWithPartition(partFieldsJson)

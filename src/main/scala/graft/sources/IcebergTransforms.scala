@@ -1,0 +1,260 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+
+/** The Iceberg partition-transform math (iceberg.apache.org spec
+  * "Partition Transforms" + Appendix B hash spec), pure and
+  * driver-side, used to PRUNE data files of tables partitioned by
+  * NON-identity transforms — `day(ts)`-partitioned events tables are
+  * the dominant production time-series layout, and without this a
+  * one-day query full-scans.
+  *
+  *  - `year`/`month`/`day`/`hour`: ordered (monotonic non-decreasing
+  *    in the source value), so a source range [lo, hi] admits exactly
+  *    the files whose stored transform value lies in
+  *    [t(lo), t(hi)].
+  *  - `truncate[W]`: ordered too (floor-to-multiple for integers,
+  *    prefix for strings) — same interval rule.
+  *  - `bucket[N]`: murmur3_x86_32 of the spec's byte encodings — NOT
+  *    ordered, so only a point lookup (lo == hi) can prune, by hash
+  *    equality.
+  *
+  * Every `Option` return treats "cannot evaluate" as admit-upstream —
+  * a missing parse is never a wrong skip. */
+private[sources] object IcebergTransforms {
+
+  private val BucketRe = """bucket\[(\d+)\]""".r
+  private val TruncateRe = """truncate\[(\d+)\]""".r
+
+  /** murmur3_x86_32 (public-domain MurmurHash3, 32-bit x86 variant),
+    * seed 0 — the spec's hash for bucket transforms. Implemented here
+    * rather than via Spark's hash utilities because those diverge
+    * from the reference algorithm on tail bytes. */
+  private[sources] def murmur3(data: Array[Byte], seed: Int = 0): Int = {
+    val c1 = 0xcc9e2d51
+    val c2 = 0x1b873593
+    var h1 = seed
+    val len = data.length
+    val nblocks = len / 4
+    var i = 0
+    while (i < nblocks) {
+      var k1 = (data(4 * i) & 0xff) |
+        ((data(4 * i + 1) & 0xff) << 8) |
+        ((data(4 * i + 2) & 0xff) << 16) |
+        ((data(4 * i + 3) & 0xff) << 24)
+      k1 *= c1
+      k1 = Integer.rotateLeft(k1, 15)
+      k1 *= c2
+      h1 ^= k1
+      h1 = Integer.rotateLeft(h1, 13)
+      h1 = h1 * 5 + 0xe6546b64
+      i += 1
+    }
+    var k1 = 0
+    val tail = nblocks * 4
+    if ((len & 3) >= 3) k1 ^= (data(tail + 2) & 0xff) << 16
+    if ((len & 3) >= 2) k1 ^= (data(tail + 1) & 0xff) << 8
+    if ((len & 3) >= 1) {
+      k1 ^= data(tail) & 0xff
+      k1 *= c1
+      k1 = Integer.rotateLeft(k1, 15)
+      k1 *= c2
+      h1 ^= k1
+    }
+    h1 ^= len
+    h1 ^= h1 >>> 16
+    h1 *= 0x85ebca6b
+    h1 ^= h1 >>> 13
+    h1 *= 0xc2b2ae35
+    h1 ^= h1 >>> 16
+    h1
+  }
+
+  /** The spec's bucket hash of a typed value: int/long/date/timestamp
+    * hash as the LONG's 8 little-endian bytes (ints widen — the spec's
+    * cross-type bucketing guarantee), strings as UTF-8 bytes. */
+  private[sources] def bucketHash(dt: DataType, v: Any): Option[Int] = {
+    def longBytes(x: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putLong(x)
+      b.array()
+    }
+    dt match {
+      case IntegerType | LongType =>
+        toLongVal(v).map(x => murmur3(longBytes(x)))
+      case DateType => toEpochDay(v).map(x => murmur3(longBytes(x)))
+      case TimestampType | TimestampNTZType => toMicros(v).map(x => murmur3(longBytes(x)))
+      case StringType => Some(murmur3(v.toString.getBytes("UTF-8")))
+      case _ => None
+    }
+  }
+
+  // ---- literal conversions (query endpoints arrive as Any) ----------
+
+  private def toLongVal(x: Any): Option[Long] = x match {
+    case n: Number => Some(n.longValue)
+    case s: String => scala.util.Try(s.trim.toLong).toOption
+    case _ => None
+  }
+
+  /** Epoch MICROS of a timestamp-ish literal, UTC. */
+  private[sources] def toMicros(x: Any): Option[Long] = x match {
+    case t: java.sql.Timestamp =>
+      Some(Math.multiplyExact(t.getTime / 1000, 1000000L) +
+        (t.getNanos / 1000) % 1000000L)
+    case i: java.time.Instant =>
+      Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+        i.getNano / 1000L))
+    case s: String => scala.util.Try {
+      val iso = s.trim.replace(' ', 'T')
+      val ldt =
+        if (iso.contains("T")) java.time.LocalDateTime.parse(iso)
+        else java.time.LocalDate.parse(iso).atStartOfDay()
+      val ins = ldt.toInstant(java.time.ZoneOffset.UTC)
+      ins.getEpochSecond * 1000000L + ins.getNano / 1000L
+    }.toOption
+    case _ => None
+  }
+
+  /** Epoch DAYS of a date-ish literal. */
+  private[sources] def toEpochDay(x: Any): Option[Long] = x match {
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case s: String => scala.util.Try(
+      java.time.LocalDate.parse(s.trim.take(10)).toEpochDay).toOption
+    case n: Number => Some(n.longValue)
+    case _ => None
+  }
+
+  /** The ordered transform value of a source literal, or None when
+    * the (transform, type, literal) triple cannot evaluate. day/
+    * month/year/hour return the spec's int ordinals; truncate returns
+    * a Long (numeric) or String (prefix). */
+  private[sources] def ordinalOf(transform: String, dt: DataType,
+                                 v: Any): Option[Any] = {
+    def fromMicros(f: java.time.LocalDateTime => Long): Option[Long] =
+      toMicros(v).map { us =>
+        f(java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC))
+      }
+    def fromDate(f: java.time.LocalDate => Long): Option[Long] =
+      (dt match {
+        case DateType => toEpochDay(v)
+        case TimestampType | TimestampNTZType =>
+          toMicros(v).map(us => Math.floorDiv(us, 86400000000L))
+        case _ => None
+      }).map(d => f(java.time.LocalDate.ofEpochDay(d)))
+    transform match {
+      case "day" => dt match {
+        case DateType => toEpochDay(v)
+        case TimestampType | TimestampNTZType =>
+          toMicros(v).map(us => Math.floorDiv(us, 86400000000L))
+        case _ => None
+      }
+      case "hour" => dt match {
+        case TimestampType | TimestampNTZType =>
+          toMicros(v).map(us => Math.floorDiv(us, 3600000000L))
+        case _ => None
+      }
+      case "month" =>
+        fromDate(ld => (ld.getYear - 1970) * 12L + (ld.getMonthValue - 1))
+      case "year" => fromDate(ld => (ld.getYear - 1970).toLong)
+      case TruncateRe(w) => dt match {
+        case IntegerType | LongType =>
+          toLongVal(v).map(x => x - Math.floorMod(x, w.toLong))
+        case StringType => Some(v.toString.take(w.toInt))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Does a data file whose stored transform value is `pv` possibly
+    * hold rows with source value in [lo, hi]? Some(false) = provably
+    * not (prune); Some(true) = yes; None = cannot decide (admit). */
+  private[sources] def admits(transform: String, dt: DataType, pv: Any,
+                              lo: Any, hi: Any): Option[Boolean] =
+    transform match {
+      case BucketRe(n) =>
+        // bucket is unordered: only a point lookup prunes
+        if (lo != hi) None
+        else for {
+          h <- bucketHash(dt, lo)
+          p <- toLongVal(pv)
+        } yield (h & Integer.MAX_VALUE) % n.toInt == p
+      case _ =>
+        (ordinalOf(transform, dt, lo), ordinalOf(transform, dt, hi)) match {
+          case (Some(tl: Long), Some(th: Long)) =>
+            toLongVal(pv).map(p => p >= tl && p <= th)
+          case (Some(tl: String), Some(th: String)) =>
+            Some(pv.toString >= tl && pv.toString <= th)
+          case _ => None
+        }
+    }
+
+  /** Render a stored ordered-transform value back to an INCLUSIVE
+    * source-column [lo, hi] in the zone machinery's castable string
+    * spelling — how SQL reads of transform-partitioned tables prune
+    * through [[LakeTable.splitByPredicate]] without evaluating the
+    * transform per predicate. Timestamps render in UTC with microsecond
+    * end bounds; dates in ISO. Buckets (unordered) and strings (no
+    * closed upper prefix bound) return None. */
+  private[sources] def zoneOf(transform: String, dt: DataType, pv: Any)
+      : Option[(String, String)] = {
+    val tsFmt = java.time.format.DateTimeFormatter
+      .ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS")
+    def tsZone(startUs: Long, endUsExclusive: Long)
+        : Option[(String, String)] = {
+      def render(us: Long) = java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(us, 1000000L),
+        (Math.floorMod(us, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC).format(tsFmt)
+      Some((render(startUs), render(endUsExclusive - 1L)))
+    }
+    def dayRange(p: Long): (java.time.LocalDate, java.time.LocalDate) =
+      (java.time.LocalDate.ofEpochDay(p),
+        java.time.LocalDate.ofEpochDay(p + 1))
+    def monthRange(p: Long)
+        : (java.time.LocalDate, java.time.LocalDate) = {
+      val y = 1970 + Math.floorDiv(p, 12L).toInt
+      val m = Math.floorMod(p, 12L).toInt + 1
+      (java.time.LocalDate.of(y, m, 1),
+        java.time.LocalDate.of(y, m, 1).plusMonths(1))
+    }
+    def yearRange(p: Long)
+        : (java.time.LocalDate, java.time.LocalDate) =
+      (java.time.LocalDate.of(1970 + p.toInt, 1, 1),
+        java.time.LocalDate.of(1970 + p.toInt + 1, 1, 1))
+    def ofDates(r: (java.time.LocalDate, java.time.LocalDate))
+        : Option[(String, String)] = dt match {
+      case DateType =>
+        Some((r._1.toString, r._2.minusDays(1).toString))
+      case TimestampType | TimestampNTZType =>
+        tsZone(r._1.toEpochDay * 86400000000L,
+          r._2.toEpochDay * 86400000000L)
+      case _ => None
+    }
+    val p = pv match {
+      case n: Number => Some(n.longValue)
+      case _ => None
+    }
+    transform match {
+      case "day" => p.flatMap(x => ofDates(dayRange(x)))
+      case "month" => p.flatMap(x => ofDates(monthRange(x)))
+      case "year" => p.flatMap(x => ofDates(yearRange(x)))
+      case "hour" => p.flatMap { x =>
+        if (dt != TimestampType && dt != TimestampNTZType) None
+        else tsZone(x * 3600000000L, (x + 1) * 3600000000L)
+      }
+      case TruncateRe(w) => (dt, p) match {
+        case (IntegerType | LongType, Some(x)) =>
+          Some((x.toString, (x + w.toLong - 1).toString))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+}

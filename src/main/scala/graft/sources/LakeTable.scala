@@ -1065,6 +1065,10 @@ object LakeTable {
   private def zoneSupported(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
          DoubleType | StringType | DateType => true
+    // timestamps compare via string→ts CAST in the session's UTC
+    // timezone (every engine session pins UTC); zones render as
+    // "uuuu-MM-dd HH:mm:ss[.SSSSSS]" which casts losslessly
+    case TimestampType | TimestampNTZType => true
     case _: DecimalType => true
     case _ => false
   }

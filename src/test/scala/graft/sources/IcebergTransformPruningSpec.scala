@@ -1,0 +1,291 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.avro.generic.GenericData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** NON-identity partition transform pruning on Iceberg reads: the
+  * spec's day/month/year/hour/truncate interval rule and bucket[N]
+  * murmur3 point-lookup, verified against the spec's own Appendix-B
+  * hash vectors and a corrupted-file proof on a day(ts)-partitioned
+  * fixture (the dominant production time-series layout). */
+class IcebergTransformPruningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): String =
+    Files.createTempDirectory("ixform").toString
+
+  test("bucket hashes match the Iceberg spec's Appendix-B test " +
+      "vectors exactly (int/long widen, string UTF-8, date days, " +
+      "timestamp micros)") {
+    def h(dt: DataType, v: Any): Int =
+      IcebergTransforms.bucketHash(dt, v).get
+    assert(h(IntegerType, 34) == 2017239379)
+    assert(h(LongType, 34L) == 2017239379)
+    assert(h(StringType, "iceberg") == 1210000089)
+    assert(h(DateType, java.time.LocalDate.parse("2017-11-16"))
+      == -653330422)
+    assert(h(TimestampType, "2017-11-16T22:31:08") == -2047944441)
+  }
+
+  test("ordered-transform interval math: day/month/year/hour " +
+      "ordinals, truncate floors and prefixes, admit/prune decisions") {
+    import IcebergTransforms.{admits, ordinalOf}
+    // 2024-03-05 is epoch day 19787
+    assert(ordinalOf("day", TimestampType, "2024-03-05 10:00:00")
+      .contains(19787L))
+    assert(ordinalOf("month", TimestampType, "2024-03-05 10:00:00")
+      .contains((2024 - 1970) * 12L + 2))
+    assert(ordinalOf("year", DateType, "2024-03-05").contains(54L))
+    assert(ordinalOf("hour", TimestampType, "1970-01-02 03:00:00")
+      .contains(27L))
+    assert(ordinalOf("truncate[10]", LongType, -7L).contains(-10L))
+    assert(ordinalOf("truncate[3]", StringType, "iceberg")
+      .contains("ice"))
+    // a one-day range admits only that day's file
+    assert(admits("day", TimestampType, 19787,
+      "2024-03-05 00:00:00", "2024-03-05 23:59:59").contains(true))
+    assert(admits("day", TimestampType, 19788,
+      "2024-03-05 00:00:00", "2024-03-05 23:59:59").contains(false))
+    // bucket: point lookup prunes, ranges admit (None)
+    assert(admits("bucket[8]", LongType, (IcebergTransforms
+      .bucketHash(LongType, 34L).get & Int.MaxValue) % 8, 34L, 34L)
+      .contains(true))
+    assert(admits("bucket[8]", LongType, 7, 34L, 35L).isEmpty)
+    // unknown transform → None (admit upstream)
+    assert(admits("void", LongType, 1, 1L, 2L).isEmpty)
+  }
+
+  /** Hand-built v2 table partitioned by day(ts): one data file per
+    * day, spec-compliant partition records (int days-from-epoch),
+    * transform declared in partition-specs. Returns (root, day →
+    * expected keys). */
+  private def dayFixture(): (String, Map[Int, Set[Long]]) = {
+    val root = fresh() + "/t"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def writeOne(df: org.apache.spark.sql.DataFrame,
+                 rel: String): Long = {
+      val stage = s"$root/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = fsys.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/$rel")
+        .getParent)
+      fsys.rename(part, new org.apache.hadoop.fs.Path(s"$root/$rel"))
+      fsys.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+      df.count()
+    }
+    // keys 0..59; ts = day (k % 5) at second k within the day
+    val base = spark.range(0, 60).select(col("id").as("k"),
+      timestamp_seconds((col("id") % 5) * 86400L + col("id"))
+        .as("ts"), (col("id") * 2.0).as("v"))
+    val byDay = (0 until 5).map { d =>
+      d -> (0L until 60L).filter(_ % 5 == d).toSet
+    }.toMap
+    val mSchema = IcebergInterop.manifestSchemaWithPartition(
+      """{"name":"ts_day","type":["null","int"],"default":null}""")
+    val entries = (0 until 5).map { d =>
+      val rel = s"data/day$d.parquet"
+      val rows = writeOne(base.filter(col("k") % 5 === d)
+        .orderBy("k"), rel)
+      val df0 = new GenericData.Record(
+        mSchema.getField("data_file").schema())
+      df0.put("content", 0)
+      df0.put("file_path", rel)
+      df0.put("file_format", "PARQUET")
+      val pr = new GenericData.Record(
+        df0.getSchema.getField("partition").schema())
+      pr.put("ts_day", Int.box(d))
+      df0.put("partition", pr)
+      df0.put("record_count", rows)
+      df0.put("file_size_in_bytes", 1L)
+      val e = new GenericData.Record(mSchema)
+      e.put("status", 1)
+      e.put("data_file", df0)
+      e
+    }
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/metadata"))
+    IcebergInterop.writeAvro(spark, s"$root/metadata/m0.avro",
+      mSchema, entries)
+    val list = {
+      val r = new GenericData.Record(IcebergInterop.manifestListSchema)
+      r.put("manifest_path", "metadata/m0.avro")
+      r.put("manifest_length", 1L)
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      r.put("sequence_number", 1L)
+      r.put("min_sequence_number", 1L)
+      r.put("added_snapshot_id", 9L)
+      r.put("added_files_count", 5)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", 60L)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r
+    }
+    IcebergInterop.writeAvro(spark, s"$root/metadata/snap-9.avro",
+      IcebergInterop.manifestListSchema, Seq(list))
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"k","required":false,"type":"long"},
+        |{"id":2,"name":"ts","required":false,"type":"timestamptz"},
+        |{"id":3,"name":"v","required":false,"type":"double"}]}"""
+        .stripMargin.replace("\n", "")
+    Files.writeString(Paths.get(s"$root/metadata/v1.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"xf","location":"$root",
+         |"last-sequence-number":1,"last-updated-ms":9,
+         |"last-column-id":3,"current-schema-id":0,
+         |"schemas":[$schemaJson],"default-spec-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[
+         |{"name":"ts_day","transform":"day","source-id":2,
+         |"field-id":1000}]}],"last-partition-id":1000,
+         |"current-snapshot-id":9,
+         |"snapshots":[{"snapshot-id":9,"timestamp-ms":9,
+         |"sequence-number":1,"manifest-list":"metadata/snap-9.avro"}]}"""
+        .stripMargin.replace("\n", ""))
+    (root, byDay)
+  }
+
+  test("a day(ts)-partitioned table PRUNES a one-day range: only the " +
+      "probed day's file opens (corrupted-file proof) — both the " +
+      "range API and the SQL zone path") {
+    val (root, byDay) = dayFixture()
+    // corrupt every file except day 3's — a read that didn't prune
+    // would crash, not just be slow
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (0 until 5).filter(_ != 3).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/data/day$d.parquet")
+      fsys.delete(p, false)
+      val out = fsys.create(p, true)
+      out.write(Array.fill[Byte](48)(7)); out.close()
+    }
+    val got = IcebergInterop.readIcebergRange(spark, root, "ts",
+      "1970-01-04 00:00:00", "1970-01-04 23:59:59.999999")
+      .select("k").as[Long].collect().toSet
+    assert(got == byDay(3), s"got $got")
+    // SQL leg: the derived source-column zones prune the same way
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW xform_v USING " +
+      s"grafticeberg OPTIONS (path '$root')")
+    val sqlGot = spark.sql("SELECT k FROM xform_v WHERE ts >= " +
+      "TIMESTAMP '1970-01-04 00:00:00' AND ts <= " +
+      "TIMESTAMP '1970-01-04 23:59:59.999999'")
+      .as[Long].collect().toSet
+    assert(sqlGot == byDay(3), s"sql got $sqlGot")
+    // a range spanning two days admits exactly those two days' files:
+    // day 4 is corrupted, so the read must fail loudly (proof the
+    // admit side is not over-pruning either)
+    intercept[Throwable] {
+      IcebergInterop.readIcebergRange(spark, root, "ts",
+        "1970-01-04 00:00:00", "1970-01-05 23:59:59").count()
+    }
+  }
+
+  test("a bucket[N]-partitioned table PRUNES a point lookup by the " +
+      "spec hash (corrupted-file proof); ranges admit") {
+    val root = fresh() + "/t"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def writeOne(df: org.apache.spark.sql.DataFrame,
+                 rel: String): Long = {
+      val stage = s"$root/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = fsys.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/$rel")
+        .getParent)
+      fsys.rename(part, new org.apache.hadoop.fs.Path(s"$root/$rel"))
+      fsys.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+      df.count()
+    }
+    def bucketOf(k: Long): Int =
+      (IcebergTransforms.bucketHash(LongType, k).get
+        & Int.MaxValue) % 4
+    val base = spark.range(0, 40).select(col("id").as("k"),
+      (col("id") * 3).as("v"))
+    val rowsByBucket = (0L until 40L).groupBy(bucketOf)
+    val mSchema = IcebergInterop.manifestSchemaWithPartition(
+      """{"name":"k_bucket","type":["null","int"],"default":null}""")
+    val entries = rowsByBucket.toSeq.sortBy(_._1).map { case (b, ks) =>
+      val rel = s"data/b$b.parquet"
+      val rows = writeOne(base.filter(col("k").isin(ks: _*))
+        .orderBy("k"), rel)
+      val df0 = new GenericData.Record(
+        mSchema.getField("data_file").schema())
+      df0.put("content", 0)
+      df0.put("file_path", rel)
+      df0.put("file_format", "PARQUET")
+      val pr = new GenericData.Record(
+        df0.getSchema.getField("partition").schema())
+      pr.put("k_bucket", Int.box(b))
+      df0.put("partition", pr)
+      df0.put("record_count", rows)
+      df0.put("file_size_in_bytes", 1L)
+      val e = new GenericData.Record(mSchema)
+      e.put("status", 1)
+      e.put("data_file", df0)
+      e
+    }
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/metadata"))
+    IcebergInterop.writeAvro(spark, s"$root/metadata/m0.avro",
+      mSchema, entries)
+    val list = {
+      val r = new GenericData.Record(IcebergInterop.manifestListSchema)
+      r.put("manifest_path", "metadata/m0.avro")
+      r.put("manifest_length", 1L)
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      r.put("sequence_number", 1L)
+      r.put("min_sequence_number", 1L)
+      r.put("added_snapshot_id", 9L)
+      r.put("added_files_count", entries.size)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", 40L)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r
+    }
+    IcebergInterop.writeAvro(spark, s"$root/metadata/snap-9.avro",
+      IcebergInterop.manifestListSchema, Seq(list))
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"k","required":false,"type":"long"},
+        |{"id":2,"name":"v","required":false,"type":"long"}]}"""
+        .stripMargin.replace("\n", "")
+    Files.writeString(Paths.get(s"$root/metadata/v1.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"bk","location":"$root",
+         |"last-sequence-number":1,"last-updated-ms":9,
+         |"last-column-id":2,"current-schema-id":0,
+         |"schemas":[$schemaJson],"default-spec-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[
+         |{"name":"k_bucket","transform":"bucket[4]","source-id":1,
+         |"field-id":1000}]}],"last-partition-id":1000,
+         |"current-snapshot-id":9,
+         |"snapshots":[{"snapshot-id":9,"timestamp-ms":9,
+         |"sequence-number":1,"manifest-list":"metadata/snap-9.avro"}]}"""
+        .stripMargin.replace("\n", ""))
+    // point lookup k=17: corrupt every bucket but bucketOf(17)'s file
+    val keep = bucketOf(17L)
+    rowsByBucket.keys.filter(_ != keep).foreach { b =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/data/b$b.parquet")
+      fsys.delete(p, false)
+      val out = fsys.create(p, true)
+      out.write(Array.fill[Byte](48)(7)); out.close()
+    }
+    val got = IcebergInterop.readIcebergRange(spark, root, "k", 17, 17)
+      .select("v").as[Long].collect().toSet
+    assert(got == Set(51L), s"got $got")
+    // a RANGE cannot prune by bucket — it must try to open corrupted
+    // files and fail loudly (no silent wrong skip)
+    intercept[Throwable] {
+      IcebergInterop.readIcebergRange(spark, root, "k", 10, 20).count()
+    }
+  }
+}
