@@ -111,6 +111,42 @@ case class InteropAppendCommand(fmt: String, root: String,
   }
 }
 
+/** `col IN (<subquery>)` support for the DML rules: split a DML
+  * condition into (renderable rest, target column, subquery plan) when
+  * it is a conjunction carrying exactly ONE uncorrelated
+  * single-column IN-subquery over a plain target column and every
+  * other conjunct is renderable. The command evaluates the subquery
+  * plan at run time and the write path broadcast-semi-joins it into
+  * the matched-candidate scan — the eval-decontamination DELETE shape
+  * (`WHERE id IN (SELECT doc_id FROM eval_set)`). NOT IN, correlated
+  * and multi-column subqueries keep Spark's standard unsupported
+  * error. */
+private[plans] object DmlInSubquery {
+  import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
+    AttributeReference, Expression, InSubquery, ListQuery}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  def split(cond: Expression, renderable: Expression => Boolean)
+      : Option[(Option[Expression], String, LogicalPlan)] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val cs = conjuncts(cond)
+    val (ins, rest) = cs.partition {
+      case InSubquery(Seq(_: AttributeReference), _) => true
+      case _ => false
+    }
+    ins match {
+      case Seq(InSubquery(Seq(a: AttributeReference), l: ListQuery))
+          if l.outerAttrs.isEmpty && l.joinCond.isEmpty &&
+            l.plan.output.size == 1 && rest.forall(renderable) =>
+        Some((rest.reduceOption(CAnd), a.name, l.plan))
+      case _ => None
+    }
+  }
+}
+
 /** Shared target-resolution for the interop WRITE rules. */
 private[plans] object InteropWriteRefs {
   /** (format, root, user-pinned?) — `pinned` means the user asked for
@@ -190,21 +226,42 @@ case class InteropDeleteRule(spark: SparkSession)
           s"graft$fmt: cannot DELETE through a time-travel view of " +
             s"$root — writes always target the latest version")
         InteropDeleteCommand(fmt, root, bareSql(cond))
+      // DELETE WHERE k IN (SELECT ...) — the eval-decontamination
+      // shape: the subquery plan rides the command and evaluates at
+      // run time into a broadcast semi-join
+      case d @ DeleteFromTable(target, cond)
+          if d.resolved && cond.resolved && refOf(target).isDefined &&
+            DmlInSubquery.split(cond, renderable).isDefined =>
+        val (fmt, root, pinned) = refOf(target).get
+        require(!pinned,
+          s"graft$fmt: cannot DELETE through a time-travel view of " +
+            s"$root — writes always target the latest version")
+        val (rest, k, sub) = DmlInSubquery.split(cond, renderable).get
+        InteropDeleteCommand(fmt, root,
+          rest.map(bareSql).getOrElse("true"),
+          subCol = Some(k), subPlan = Some(sub))
     }
 }
 
-/** The command [[InteropDeleteRule]] plans. */
+/** The command [[InteropDeleteRule]] plans. `subPlan`/`subCol` carry
+  * an IN-subquery membership: the plan evaluates at run time and
+  * semi-joins the matched-candidate scan. */
 case class InteropDeleteCommand(fmt: String, root: String,
-                                condSql: String)
+                                condSql: String,
+                                subCol: Option[String] = None,
+                                subPlan: Option[LogicalPlan] = None)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
+    val inSub = for (k <- subCol; p <- subPlan) yield
+      (org.apache.spark.sql.graftbridge.ColumnBridge
+        .ofRows(session, p), k)
     fmt match {
       case "delta" =>
         graft.sources.DeltaInterop.deleteWhereDeltaDV(session, root,
-          condSql): Unit
+          condSql, inSub): Unit
       case "iceberg" =>
         graft.sources.IcebergInterop.deleteWhereIcebergDV(session,
-          root, condSql): Unit
+          root, condSql, inSub): Unit
       case other => throw new IllegalStateException(
         s"unknown interop format $other")
     }
@@ -250,7 +307,8 @@ case class InteropUpdateRule(spark: SparkSession)
       case u @ UpdateTable(target, assignments, cond)
           if u.resolved &&
             refOf(target).isDefined &&
-            cond.forall(renderable) &&
+            cond.forall(c => renderable(c) ||
+              DmlInSubquery.split(c, renderable).isDefined) &&
             assignments.forall {
               case Assignment(_: AttributeReference, v) => renderable(v)
               case _ => false // nested-field targets stay unsupported
@@ -259,27 +317,41 @@ case class InteropUpdateRule(spark: SparkSession)
         require(!pinned,
           s"graft$fmt: cannot UPDATE through a time-travel view of " +
             s"$root — writes always target the latest version")
+        val split = cond.filterNot(renderable)
+          .flatMap(DmlInSubquery.split(_, renderable))
         InteropUpdateCommand(fmt, root,
-          cond.map(bareSql).getOrElse("true"),
+          split match {
+            case Some((rest, _, _)) =>
+              rest.map(bareSql).getOrElse("true")
+            case None => cond.map(bareSql).getOrElse("true")
+          },
           assignments.map { case Assignment(k, v) =>
             (k.asInstanceOf[AttributeReference].name, bareSql(v))
-          })
+          },
+          subCol = split.map(_._2), subPlan = split.map(_._3))
     }
 }
 
-/** The command [[InteropUpdateRule]] plans. */
+/** The command [[InteropUpdateRule]] plans. `subPlan`/`subCol` carry
+  * an IN-subquery membership evaluated at run time into a broadcast
+  * semi-join on the matched-candidate scan. */
 case class InteropUpdateCommand(fmt: String, root: String,
                                 condSql: String,
-                                sets: Seq[(String, String)])
+                                sets: Seq[(String, String)],
+                                subCol: Option[String] = None,
+                                subPlan: Option[LogicalPlan] = None)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
+    val inSub = for (k <- subCol; p <- subPlan) yield
+      (org.apache.spark.sql.graftbridge.ColumnBridge
+        .ofRows(session, p), k)
     fmt match {
       case "delta" =>
         graft.sources.DeltaInterop.updateWhereDelta(session, root,
-          condSql, sets): Unit
+          condSql, sets, inSub): Unit
       case "iceberg" =>
         graft.sources.IcebergInterop.updateWhereIceberg(session, root,
-          condSql, sets): Unit
+          condSql, sets, inSub): Unit
       case other => throw new IllegalStateException(
         s"unknown interop format $other")
     }

@@ -71,16 +71,38 @@ case class LakeDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
       case u @ UpdateTable(target, assignments, cond)
           if u.resolved &&
             lakeTable(target).exists(_.pinnedVersion.isEmpty) &&
-            cond.forall(renderable) &&
+            cond.forall(c => renderable(c) ||
+              DmlInSubquery.split(c, renderable).isDefined) &&
             assignments.forall {
               case Assignment(_: AttributeReference, v) => renderable(v)
               case _ => false // nested-field targets stay unsupported
             } =>
+        val split = cond.filterNot(renderable)
+          .flatMap(DmlInSubquery.split(_, renderable))
         GraftLakeUpdateCommand(lakeTable(target).get.tableRoot,
-          cond.map(bareSql).getOrElse("true"),
+          split match {
+            case Some((rest, _, _)) =>
+              rest.map(bareSql).getOrElse("true")
+            case None => cond.map(bareSql).getOrElse("true")
+          },
           assignments.map { case Assignment(k: AttributeReference, v) =>
             k.name -> bareSql(v)
-          }.toMap)
+          }.toMap,
+          subCol = split.map(_._2), subPlan = split.map(_._3))
+
+      // DELETE WHERE k IN (SELECT ...) — plain deletes route through
+      // DSv2 SupportsDelete (filter-renderable), but an IN-subquery
+      // cannot become a V2 filter; this resolution case carries the
+      // subquery plan to run time instead (the eval-decontamination
+      // shape on the lake catalog)
+      case d @ org.apache.spark.sql.catalyst.plans.logical
+          .DeleteFromTable(target, cond)
+          if d.resolved && cond.resolved &&
+            lakeTable(target).exists(_.pinnedVersion.isEmpty) &&
+            DmlInSubquery.split(cond, renderable).isDefined =>
+        val (rest, k, sub) = DmlInSubquery.split(cond, renderable).get
+        GraftLakeDeleteCommand(lakeTable(target).get.tableRoot,
+          rest.map(bareSql).getOrElse("true"), k, sub)
 
       case m: MergeIntoTable if m.resolved &&
           lakeTable(m.targetTable).exists(_.pinnedVersion.isEmpty) &&
@@ -233,17 +255,46 @@ private[plans] object MergeTranslation {
 }
 
 /** Eagerly-executed UPDATE: one manifest transaction via
-  * [[LakeTable.updateWhere]]. */
+  * [[LakeTable.updateWhere]]. `subPlan`/`subCol` carry an IN-subquery
+  * membership evaluated at run time into a broadcast join on the
+  * candidate scan. */
 case class GraftLakeUpdateCommand(root: String, condSql: String,
-                                  assignments: Map[String, String])
+                                  assignments: Map[String, String],
+                                  subCol: Option[String] = None,
+                                  subPlan: Option[LogicalPlan] = None)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    val inSub = for (k <- subCol; p <- subPlan) yield
+      (org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, p),
+        k)
     LakeTable.withRetry() { () =>
       // session merge-on-read switch: vector the pre-images + append
       // the post-images instead of rewriting affected files
       if (graft.sources.GraftLakeV2Table.mergeOnRead(spark))
-        LakeTable.updateWhereDV(spark, root, condSql, assignments)
-      else LakeTable.updateWhere(spark, root, condSql, assignments)
+        LakeTable.updateWhereDV(spark, root, condSql, assignments,
+          inSub = inSub)
+      else LakeTable.updateWhere(spark, root, condSql, assignments,
+        inSub = inSub)
+    }
+    Seq.empty
+  }
+}
+
+/** Eagerly-executed DELETE for the IN-subquery shape (plain deletes
+  * route through DSv2 SupportsDelete): one manifest transaction via
+  * [[LakeTable.deleteWhere]]/[[LakeTable.deleteWhereDV]] with the
+  * evaluated subquery broadcast into the candidate scan. */
+case class GraftLakeDeleteCommand(root: String, condSql: String,
+                                  subCol: String,
+                                  subPlan: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val inSub = Some((org.apache.spark.sql.graftbridge.ColumnBridge
+      .ofRows(spark, subPlan), subCol))
+    LakeTable.withRetry() { () =>
+      if (graft.sources.GraftLakeV2Table.mergeOnRead(spark))
+        LakeTable.deleteWhereDV(spark, root, condSql, inSub = inSub)
+      else LakeTable.deleteWhere(spark, root, condSql, inSub = inSub)
     }
     Seq.empty
   }

@@ -4320,6 +4320,71 @@ object SourceQueries {
       "day(ts) transform pruning: a one-day range opens only that " +
         "day's files (corrupted-file proof), via the range API and " +
         "the SQL zone path"),
+
+    // ---- IN-subquery DML conditions --------------------------------------------
+    // The exact shape of an eval-decontamination delete, as SQL on a
+    // foreign table AND on the lake catalog: `DELETE WHERE id IN
+    // (SELECT doc_id FROM eval_set)`. The subquery evaluates at run
+    // time and broadcast-SEMI-joins the matched-candidate scan — never
+    // an IN-list literal (which would break codegen at eval-set
+    // scale). NOT IN keeps the standard error (three-valued-logic
+    // trap).
+    "q375_dml_in_subquery" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_insub_q375")
+        val delta = root + "/delta"
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice")
+        val fsys = new org.apache.hadoop.fs.Path(delta)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$delta/_delta_log"))
+        val out0 = fsys.create(new org.apache.hadoop.fs.Path(
+          s"$delta/_delta_log/00000000000000000000.json"), false)
+        out0.write((
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
+            "\n" +
+            s"""{"metaData":{"id":"q375","schemaString":${om
+              .writeValueAsString(o.schema.json)},""" +
+            """"partitionColumns":[],"format":{"provider":"parquet"},""" +
+            """"configuration":{"delta.enableDeletionVectors":"true"}}}"""
+          ).getBytes("UTF-8"))
+        out0.close()
+        graft.sources.DeltaInterop.appendDelta(o, delta)
+        Tables.orders(s, d).filter(col("o_orderkey") % 13 === 0)
+          .select(col("o_orderkey").as("doc_id"))
+          .createOrReplaceTempView("q375_eval")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q375_d USING " +
+          s"graftdelta OPTIONS (path '$delta')")
+        s.sql("DELETE FROM q375_d WHERE o_totalprice < 100000 AND " +
+          "o_orderkey IN (SELECT doc_id FROM q375_eval)")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q375_d USING " +
+          s"graftdelta OPTIONS (path '$delta')")
+        require(graft.sources.DeltaInterop.validateDelta(s, delta)
+          .count() == 0L, "q375: doctor found issues after DELETE")
+        // lake-catalog leg: the same shape through graftlake SQL
+        val lake = root + "/lake"
+        graft.sources.LakeTable.append(o, lake)
+        s.conf.set("spark.sql.catalog.graftlake",
+          classOf[graft.sources.GraftLakeCatalog].getName)
+        s.sql(s"DELETE FROM graftlake.`$lake` WHERE " +
+          "o_orderkey IN (SELECT doc_id FROM q375_eval)")
+        s.table("q375_d")
+          .select(lit("delta").as("leg"), col("o_orderkey"),
+            col("o_totalprice"))
+          .unionAll(graft.sources.LakeTable.read(s, lake)
+            .select(lit("lake").as("leg"), col("o_orderkey"),
+              col("o_totalprice")))
+      },
+      Some("""SELECT 'delta' AS leg, o_orderkey, o_totalprice
+          FROM orders
+          WHERE NOT (o_totalprice < 100000 AND o_orderkey % 13 = 0)
+        UNION ALL
+        SELECT 'lake' AS leg, o_orderkey, o_totalprice
+          FROM orders WHERE o_orderkey % 13 <> 0"""),
+      "DELETE WHERE id IN (SELECT ...) — the eval-decontamination " +
+        "shape — on a foreign Delta view and the lake catalog: the " +
+        "subquery broadcast-semi-joins the candidate scan"),
   )
 
   /** q374 fixture: a hand-built v2 table partitioned by day(ts) — one

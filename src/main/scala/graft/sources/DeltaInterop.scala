@@ -1321,8 +1321,10 @@ object DeltaInterop {
     * must not serve as a tight bound to foreign engines; our own
     * metadata MIN/MAX already refuses under live DVs). */
   def deleteWhereDeltaDV(spark: SparkSession, deltaRoot: String,
-                         condSql: String): Long =
-    dvMutate(spark, deltaRoot, condSql, Seq.empty)
+                         condSql: String,
+                         inSub: Option[(DataFrame, String)] = None)
+      : Long =
+    dvMutate(spark, deltaRoot, condSql, Seq.empty, inSub)
 
   /** DV-backed `UPDATE` on a foreign Delta table — DELETE's natural
     * extension: matched live rows are deletion-vectored out of their
@@ -1339,14 +1341,24 @@ object DeltaInterop {
     * string-round-trippable. Returns the number of updated rows. */
   def updateWhereDelta(spark: SparkSession, deltaRoot: String,
                        condSql: String,
-                       sets: Seq[(String, String)]): Long = {
+                       sets: Seq[(String, String)],
+                       inSub: Option[(DataFrame, String)] = None)
+      : Long = {
     require(sets.nonEmpty, "updateWhereDelta: no SET assignments")
-    dvMutate(spark, deltaRoot, condSql, sets)
+    dvMutate(spark, deltaRoot, condSql, sets, inSub)
   }
 
+  /** `inSub` = an evaluated `col IN (<subquery>)` membership: the
+    * (single-column values frame, target column) pair broadcast
+    * SEMI-joins the matched-candidate scan — the eval-decontamination
+    * DELETE shape (`WHERE id IN (SELECT doc_id FROM eval_set)`) at
+    * O(|subquery result|) broadcast, never an IN-list literal that
+    * would break codegen at list scale. */
   private def dvMutate(spark: SparkSession, deltaRoot: String,
                        condSql: String,
-                       sets: Seq[(String, String)]): Long = {
+                       sets: Seq[(String, String)],
+                       inSub: Option[(DataFrame, String)] = None)
+      : Long = {
     val verb = if (sets.isEmpty) "DELETE" else "UPDATE"
     val (snap, v) = dvGates(spark, deltaRoot, verb)
     if (sets.nonEmpty) {
@@ -1360,7 +1372,14 @@ object DeltaInterop {
     if (snap.live.isEmpty) return 0L
     val priorByFile = dvPriorPositions(spark, deltaRoot, snap)
     val base = dvScanLive(spark, deltaRoot, snap, priorByFile)
-    val matched0 = base.filter(coalesce(expr(condSql), lit(false)))
+    val matchedC = base.filter(coalesce(expr(condSql), lit(false)))
+    val matched0 = inSub match {
+      case None => matchedC
+      case Some((sub, k)) =>
+        matchedC.join(broadcast(sub.select(col(sub.columns.head)
+          .as("__in_k")).distinct()),
+          col(k) === col("__in_k"), "left_semi")
+    }
     // ONE candidate scan: an UPDATE's matched frame materializes once
     // (localCheckpoint) and both consumers — position collection and
     // the rewrite — read it back; O(matched rows), the delete-state

@@ -2103,8 +2103,10 @@ object IcebergInterop {
     * scope them per the spec. Returns the number of newly deleted
     * rows. */
   def deleteWhereIcebergDV(spark: SparkSession, iceRoot: String,
-                           condSql: String): Long =
-    icebergDvMutate(spark, iceRoot, condSql, Seq.empty)
+                           condSql: String,
+                           inSub: Option[(DataFrame, String)] = None)
+      : Long =
+    icebergDvMutate(spark, iceRoot, condSql, Seq.empty, inSub)
 
   /** DV-backed `UPDATE` on a foreign Iceberg table — the Iceberg twin
     * of [[DeltaInterop.updateWhereDelta]]: matched live rows are
@@ -2118,9 +2120,11 @@ object IcebergInterop {
     * rows. */
   def updateWhereIceberg(spark: SparkSession, iceRoot: String,
                          condSql: String,
-                         sets: Seq[(String, String)]): Long = {
+                         sets: Seq[(String, String)],
+                         inSub: Option[(DataFrame, String)] = None)
+      : Long = {
     require(sets.nonEmpty, "updateWhereIceberg: no SET assignments")
-    icebergDvMutate(spark, iceRoot, condSql, sets)
+    icebergDvMutate(spark, iceRoot, condSql, sets, inSub)
   }
 
   /** MERGE INTO a foreign Iceberg table — the Iceberg twin of
@@ -2366,9 +2370,15 @@ object IcebergInterop {
     IceDmlState(meta, schema, dataFiles, specFields, priorByFile, base)
   }
 
+  /** `inSub` = an evaluated `col IN (<subquery>)` membership: the
+    * (single-column values frame, target column) pair broadcast
+    * SEMI-joins the matched-candidate scan — the eval-decontamination
+    * DELETE shape at O(|subquery result|) broadcast. */
   private def icebergDvMutate(spark: SparkSession, iceRoot: String,
                               condSql: String,
-                              sets: Seq[(String, String)]): Long = {
+                              sets: Seq[(String, String)],
+                              inSub: Option[(DataFrame, String)] = None)
+      : Long = {
     val verb = if (sets.isEmpty) "DELETE" else "UPDATE"
     val st = iceDmlGates(spark, iceRoot, verb)
     sets.foreach { case (c, _) =>
@@ -2377,7 +2387,14 @@ object IcebergInterop {
           s"(${st.schema.spark.fieldNames.mkString(",")})")
     }
     if (st.dataFiles.isEmpty) return 0L
-    val matched0 = st.base.filter(coalesce(expr(condSql), lit(false)))
+    val matchedB = st.base.filter(coalesce(expr(condSql), lit(false)))
+    val matched0 = inSub match {
+      case None => matchedB
+      case Some((sub, k)) =>
+        matchedB.join(broadcast(sub.select(col(sub.columns.head)
+          .as("__in_k")).distinct()),
+          col(k) === col("__in_k"), "left_semi")
+    }
     // ONE candidate scan: an UPDATE's matched frame materializes once
     // (localCheckpoint) and both consumers — position collection and
     // the rewrite — read it back; O(matched rows), the delete-state

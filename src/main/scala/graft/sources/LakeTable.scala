@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.ops.Relational
@@ -1756,8 +1756,29 @@ object LakeTable {
     * the removed rows ride a `#cdc` sidecar tagged `delete`, so
     * [[changeFeed]] serves the deletion row-level at O(changes).
     * Wrap in [[withRetry]] alongside concurrent writers. */
+  /** `col IN (<subquery>)` membership for DML conditions: the
+    * evaluated subquery values broadcast-LEFT-join onto the candidate
+    * frame as a boolean flag, so `cond AND membership` composes in the
+    * existing single-frame filter idiom (SQL IN semantics hold: a null
+    * key or a non-member is simply not matched). Returns the flagged
+    * frame and the membership column; callers drop `__in_f` before any
+    * write. O(|subquery result|) broadcast — eval-decontamination
+    * lists, not data-scale. */
+  private def withInFlag(df: DataFrame,
+                         inSub: Option[(DataFrame, String)])
+      : (DataFrame, Column) = inSub match {
+    case None => (df, lit(true))
+    case Some((sub, k)) =>
+      val subd = broadcast(sub.select(col(sub.columns.head)
+          .as("__in_k")).distinct()
+        .withColumn("__in_f", lit(true)))
+      (df.join(subd, df(k) === col("__in_k"), "left").drop("__in_k"),
+        coalesce(col("__in_f"), lit(false)))
+  }
+
   def deleteWhere(spark: SparkSession, root: String, condSql: String,
-                  cdf: Boolean = true): Long = {
+                  cdf: Boolean = true,
+                  inSub: Option[(DataFrame, String)] = None): Long = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"deleteWhere: no table at $root")
     val cur = vs.last
@@ -1767,10 +1788,12 @@ object LakeTable {
     val (affected, kept) = splitByPredicate(spark, ents, tableSchema, parsed)
     if (affected.isEmpty) cur
     else {
-      val touched =
-        readFiles(spark, root, affected.map(_.path), tableSchema, cur)
-      val matches = coalesce(expr(condSql), lit(false))
+      val (touched, inFlag) = withInFlag(
+        readFiles(spark, root, affected.map(_.path), tableSchema, cur),
+        inSub)
+      val matches = coalesce(expr(condSql), lit(false)) && inFlag
       val rewritten = touched.filter(!matches)
+        .drop("__in_f")
       // rewritten files keep the table's full zoning discipline
       val zoneKeys = ents.flatMap(_.dataZones.map(_.key)).distinct
       val fresh = writeData(rewritten, root, zoneKeys)
@@ -1778,7 +1801,7 @@ object LakeTable {
         if (!cdf) None
         else {
           val dir = s"cdc/${java.util.UUID.randomUUID().toString}"
-          touched.filter(matches)
+          touched.filter(matches).drop("__in_f")
             .withColumn("_change_type", lit("delete"))
             .write.mode("errorifexists").parquet(s"$root/$dir")
           Some(dir)
@@ -1812,7 +1835,8 @@ object LakeTable {
     * pre-images ride a `#cdc` sidecar tagged `delete`. A delete the
     * zones prove empty — or that matches no row — commits nothing. */
   def deleteWhereDV(spark: SparkSession, root: String, condSql: String,
-                    cdf: Boolean = true): Long = {
+                    cdf: Boolean = true,
+                    inSub: Option[(DataFrame, String)] = None): Long = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"deleteWhereDV: no table at $root")
     val cur = vs.last
@@ -1821,7 +1845,6 @@ object LakeTable {
     val parsed = spark.sessionState.sqlParser.parseExpression(condSql)
     val (affected, _) = splitByPredicate(spark, ents, tableSchema, parsed)
     if (affected.isEmpty) return cur
-    val matches = coalesce(expr(condSql), lit(false))
     // candidate-file scan with positions attached; rows ALREADY deleted
     // by earlier vectors are excluded so their positions never re-enter
     // (and the CDC feed never double-reports them)
@@ -1832,18 +1855,20 @@ object LakeTable {
         spark.read.option("mergeSchema", "true").parquet(paths: _*)
     }
     val priorDirs = dvOf(spark, root, cur)
-    val keyed0 = withFilePos(scan)
-    val keyed =
-      if (priorDirs.isEmpty) keyed0
-      else keyed0.join(
+    val keyed1 = withFilePos(scan)
+    val keyed0 =
+      if (priorDirs.isEmpty) keyed1
+      else keyed1.join(
         spark.read.schema(dvSchema)
           .parquet(priorDirs.map(d => s"$root/$d"): _*)
           .select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
         Seq("__dv_file", "__dv_pos"), "left_anti")
+    val (keyed, inFlag) = withInFlag(keyed0, inSub)
+    val matches = coalesce(expr(condSql), lit(false)) && inFlag
     // O(matched) rows, consumed up to three times (no-op check, vector,
     // CDC) — materialize once instead of rescanning the candidate files
     // per consumer
-    val hits = keyed.filter(matches).localCheckpoint(true)
+    val hits = keyed.filter(matches).drop("__in_f").localCheckpoint(true)
     if (hits.isEmpty) {
       // nothing matched → commit nothing (parity with the COW path's
       // zone-proven no-op)
@@ -2079,7 +2104,8 @@ object LakeTable {
     * downstream aggregates without consulting the table. */
   def updateWhere(spark: SparkSession, root: String, condSql: String,
                   assignments: Map[String, String],
-                  cdf: Boolean = true): Long = {
+                  cdf: Boolean = true,
+                  inSub: Option[(DataFrame, String)] = None): Long = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"updateWhere: no table at $root")
     require(assignments.nonEmpty, "updateWhere: no assignments")
@@ -2095,15 +2121,17 @@ object LakeTable {
     val (affected, kept) = splitByPredicate(spark, ents, tableSchema, parsed)
     if (affected.isEmpty) cur
     else {
-      val touched =
-        readFiles(spark, root, affected.map(_.path), tableSchema, cur)
-      val matches = coalesce(expr(condSql), lit(false))
+      val (touched, inFlag) = withInFlag(
+        readFiles(spark, root, affected.map(_.path), tableSchema, cur),
+        inSub)
+      val matches = coalesce(expr(condSql), lit(false)) && inFlag
       // ONE select applies every assignment SIMULTANEOUSLY against the
       // input row — the SQL UPDATE rule: `SET a = b, b = a` swaps, it
       // doesn't copy (a sequential withColumn fold would feed the new
-      // `a` into `b`'s expression)
+      // `a` into `b`'s expression). Projecting the declared columns
+      // also strips the membership flag before anything writes.
       def applied(df: DataFrame): DataFrame =
-        df.select(df.columns.map { c =>
+        df.select(schemaNow.fieldNames.map { c =>
           assignments.get(c) match {
             case Some(sql) =>
               when(matches, expr(sql).cast(schemaNow(c).dataType))
@@ -2123,9 +2151,10 @@ object LakeTable {
         if (!cdf) None
         else {
           val dir = s"cdc/${java.util.UUID.randomUUID().toString}"
-          val pre = touched.filter(matches)
-          pre.withColumn("_change_type", lit("update_preimage"))
-            .unionByName(applied(pre)
+          val preFlagged = touched.filter(matches)
+          preFlagged.drop("__in_f")
+            .withColumn("_change_type", lit("update_preimage"))
+            .unionByName(applied(preFlagged)
               .withColumn("_change_type", lit("update_postimage")))
             .write.mode("errorifexists").parquet(s"$root/$dir")
           Some(dir)
@@ -2152,7 +2181,8 @@ object LakeTable {
     * the vector half back into the layout later. */
   def updateWhereDV(spark: SparkSession, root: String, condSql: String,
                     assignments: Map[String, String],
-                    cdf: Boolean = true): Long = {
+                    cdf: Boolean = true,
+                    inSub: Option[(DataFrame, String)] = None): Long = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"updateWhereDV: no table at $root")
     require(assignments.nonEmpty, "updateWhereDV: no assignments")
@@ -2167,7 +2197,6 @@ object LakeTable {
     val parsed = spark.sessionState.sqlParser.parseExpression(condSql)
     val (affected, _) = splitByPredicate(spark, ents, tableSchema, parsed)
     if (affected.isEmpty) return cur
-    val matches = coalesce(expr(condSql), lit(false))
     val paths = affected.map(p => s"$root/${p.path}")
     val scan = tableSchema match {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
@@ -2175,18 +2204,20 @@ object LakeTable {
         spark.read.option("mergeSchema", "true").parquet(paths: _*)
     }
     val priorDirs = dvOf(spark, root, cur)
-    val keyed0 = withFilePos(scan)
-    val keyed =
-      if (priorDirs.isEmpty) keyed0
-      else keyed0.join(
+    val keyed1 = withFilePos(scan)
+    val keyed0 =
+      if (priorDirs.isEmpty) keyed1
+      else keyed1.join(
         spark.read.schema(dvSchema)
           .parquet(priorDirs.map(d => s"$root/$d"): _*)
           .select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
         Seq("__dv_file", "__dv_pos"), "left_anti")
+    val (keyed, inFlag) = withInFlag(keyed0, inSub)
+    val matches = coalesce(expr(condSql), lit(false)) && inFlag
     // O(matched) rows, consumed four times (vector, fresh data, CDC,
     // constraint check) — materialize once instead of re-scanning the
     // candidate files per consumer
-    val hits = keyed.filter(matches).localCheckpoint(true)
+    val hits = keyed.filter(matches).drop("__in_f").localCheckpoint(true)
     if (hits.isEmpty) { freeLocalCheckpoint(hits); return cur }
     def applied(df: DataFrame): DataFrame =
       df.select(schemaNow.fieldNames.map { c =>

@@ -1,0 +1,143 @@
+package graft.plans
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.{DeltaInterop, IcebergInterop, LakeTable}
+
+/** `DELETE/UPDATE ... WHERE k IN (SELECT ...)` — the
+  * eval-decontamination shape — on foreign Delta/Iceberg views AND
+  * graftlake catalog tables: the subquery evaluates at run time and
+  * broadcast-semi-joins the matched-candidate scan (never an IN-list
+  * literal). NOT IN and correlated shapes keep the standard error. */
+class DmlInSubquerySpec extends SparkSpec {
+  import spark.implicits._
+
+  spark.conf.set("spark.sql.catalog.graftlake",
+    classOf[graft.sources.GraftLakeCatalog].getName)
+
+  private def fresh(): String =
+    Files.createTempDirectory("insub").toString
+
+  private def deltaFixture(root: String): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    Files.createDirectories(Paths.get(s"$root/_delta_log"))
+    Files.writeString(Paths.get(
+      s"$root/_delta_log/00000000000000000000.json"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
+        "\n" +
+        s"""{"metaData":{"id":"is","schemaString":${om
+          .writeValueAsString(schema.json)},"partitionColumns":[],""" +
+        """"format":{"provider":"parquet"},"configuration":""" +
+        """{"delta.enableDeletionVectors":"true"}}}""") : Unit
+  }
+
+  test("SQL DELETE WHERE k IN (SELECT ...) on a foreign DELTA view: " +
+      "the subquery semi-joins the candidate scan; an extra " +
+      "renderable conjunct composes; null keys never match") {
+    val root = fresh() + "/t"
+    deltaFixture(root)
+    DeltaInterop.appendDelta(spark.range(0, 40)
+      .select(when(col("id") === 39, lit(null).cast("long"))
+        .otherwise(col("id")).as("k"), (col("id") * 2).as("v")), root)
+    spark.range(0, 100).filter(col("id") % 5 === 0)
+      .select(col("id").as("doc_id"))
+      .createOrReplaceTempView("insub_eval")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW insub_d USING " +
+      s"graftdelta OPTIONS (path '$root')")
+    // conjunct + IN-subquery: delete multiples of 5 below 20 only
+    spark.sql("DELETE FROM insub_d WHERE k < 20 AND " +
+      "k IN (SELECT doc_id FROM insub_eval)")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW insub_d USING " +
+      s"graftdelta OPTIONS (path '$root')")
+    val got = spark.table("insub_d").select("k")
+      .collect().map(r => Option(r.get(0))).toSet
+    val want = ((0L until 39L).filterNot(k => k < 20 && k % 5 == 0)
+      .map(Option(_)) :+ None).toSet
+    assert(got == want)
+    assert(DeltaInterop.validateDelta(spark, root).count() == 0L)
+    // bare IN-subquery (no conjunct)
+    spark.sql("DELETE FROM insub_d WHERE " +
+      "k IN (SELECT doc_id FROM insub_eval)")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW insub_d USING " +
+      s"graftdelta OPTIONS (path '$root')")
+    assert(spark.table("insub_d")
+      .filter(col("k") % 5 === 0).count() == 0L)
+    // the null-keyed row is never matched by IN
+    assert(spark.table("insub_d").filter(col("k").isNull)
+      .count() == 1L)
+  }
+
+  test("SQL UPDATE/DELETE WHERE k IN (SELECT ...) on a foreign " +
+      "ICEBERG view") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    val ice = s"$dir/ice"
+    LakeTable.append(spark.range(0, 30)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake)
+    IcebergInterop.exportToIceberg(spark, lake, ice, formatVersion = 3)
+    spark.range(0, 30).filter(col("id") % 3 === 0)
+      .select(col("id").as("doc_id"))
+      .createOrReplaceTempView("insub_eval2")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW insub_i USING " +
+      s"grafticeberg OPTIONS (path '$ice')")
+    spark.sql("UPDATE insub_i SET v = 0 WHERE k >= 9 AND " +
+      "k IN (SELECT doc_id FROM insub_eval2)")
+    spark.sql("DELETE FROM insub_i WHERE " +
+      "k IN (SELECT doc_id FROM insub_eval2) AND k < 9")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW insub_i USING " +
+      s"grafticeberg OPTIONS (path '$ice')")
+    val got = spark.table("insub_i").as[(Long, Long)].collect().toMap
+    val want = (0L until 30L).filterNot(k => k % 3 == 0 && k < 9)
+      .map(k => k -> (if (k % 3 == 0 && k >= 9) 0L else k * 2)).toMap
+    assert(got == want)
+    assert(IcebergInterop.validateIceberg(spark, ice).count() == 0L)
+    assert(IcebergInterop.icebergRowCount(spark, ice)
+      .contains(want.size.toLong))
+  }
+
+  test("graftlake catalog: DELETE and UPDATE with IN-subquery " +
+      "conditions route (COW and merge-on-read both); NOT IN keeps " +
+      "the standard error") {
+    val root = fresh() + "/t"
+    LakeTable.append(spark.range(0, 50)
+      .select(col("id").as("k"), (col("id") * 3).as("v")), root)
+    spark.range(0, 50).filter(col("id") % 7 === 0)
+      .select(col("id").as("doc_id"))
+      .createOrReplaceTempView("insub_eval3")
+    spark.sql(s"UPDATE graftlake.`$root` SET v = -1 WHERE " +
+      "k IN (SELECT doc_id FROM insub_eval3) AND k > 10")
+    spark.sql(s"DELETE FROM graftlake.`$root` WHERE " +
+      "k IN (SELECT doc_id FROM insub_eval3) AND k <= 10")
+    val got = LakeTable.read(spark, root).as[(Long, Long)]
+      .collect().toMap
+    val want = (0L until 50L).filterNot(k => k % 7 == 0 && k <= 10)
+      .map(k => k -> (if (k % 7 == 0 && k > 10) -1L else k * 3)).toMap
+    assert(got == want)
+    // merge-on-read route too
+    spark.conf.set("spark.graftlake.dml.mode", "merge-on-read")
+    try {
+      spark.sql(s"DELETE FROM graftlake.`$root` WHERE " +
+        "k IN (SELECT doc_id FROM insub_eval3)")
+      val got2 = LakeTable.read(spark, root).as[(Long, Long)]
+        .collect().toMap
+      assert(got2 == want.filterNot { case (k, _) => k % 7 == 0 })
+    } finally spark.conf.unset("spark.graftlake.dml.mode")
+    // NOT IN keeps the standard unsupported error (never a silent
+    // wrong delete: NOT IN over a null-bearing subquery is a
+    // three-valued trap)
+    intercept[Throwable] {
+      spark.sql(s"DELETE FROM graftlake.`$root` WHERE " +
+        "k NOT IN (SELECT doc_id FROM insub_eval3)")
+    }
+    val after = LakeTable.read(spark, root).count()
+    assert(after == want.count { case (k, _) => k % 7 != 0 })
+  }
+}

@@ -147,12 +147,13 @@ class GraftLakeCatalogSpec extends SparkSpec {
       spark.sql(s"UPDATE graftlake.`$root2` SET v = -1 WHERE k = 1")
     }
     assert(LakeTable.versions(spark, root2) == Seq(1L, 2L))
-    // a subquery condition is refused with Spark's standard error, not
-    // half-translated
-    intercept[Exception] {
-      spark.sql(s"UPDATE graftlake.`$root2` SET v = 0 WHERE k IN " +
-        s"(SELECT k FROM graftlake.`$root2` WHERE v > 100)")
-    }
+    // an IN-subquery condition now ROUTES (the eval-decontamination
+    // shape): the subquery evaluates at run time and broadcast-joins
+    // the candidate scan
+    spark.sql(s"UPDATE graftlake.`$root2` SET v = 0 WHERE k IN " +
+      s"(SELECT k FROM graftlake.`$root2` WHERE v > 5)")
+    assert(spark.sql(s"SELECT v FROM graftlake.`$root2` WHERE k = 1")
+      .as[Long].head() == 0L)
   }
 
   test("SQL MERGE INTO: the exactness-preserving shapes route through "
