@@ -370,23 +370,79 @@ case class InteropUpdateCommand(fmt: String, root: String,
   * unsupported error; time travel refuses loudly. */
 case class InteropMergeRule(spark: SparkSession)
     extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
+  import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
+    AttributeReference, Between, Expression, GreaterThanOrEqual,
+    LessThanOrEqual, RuntimeReplaceable, SubqueryExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
+    DeleteAction, MergeIntoTable, UpdateAction}
   import InteropWriteRefs.refOf
+
+  private def renderable(e: Expression): Boolean =
+    !SubqueryExpression.hasSubquery(e) &&
+      e.find {
+        case _: Between => false
+        case _: RuntimeReplaceable => true
+        case _ => false
+      }.isEmpty
+
+  private def bareSql(e: Expression): String =
+    e.transformUp {
+      case b: Between => CAnd(GreaterThanOrEqual(b.input, b.lower),
+        LessThanOrEqual(b.input, b.upper))
+    }.transformUp {
+      case a: AttributeReference => a.withQualifier(Seq.empty)
+    }.sql
+
+  /** `WHEN NOT MATCHED BY SOURCE` translation: ONE action, DELETE or
+    * UPDATE, condition and assignment values renderable and
+    * TARGET-only (the clause sees no source row by definition).
+    * Some(None) = no clause; Some(Some(...)) = translated; None =
+    * untranslatable (fall through to Spark's standard error). */
+  private def translateNmbs(m: MergeIntoTable)
+      : Option[Option[(String, Option[Seq[(String, String)]])]] = {
+    val targetOut = m.targetTable.outputSet
+    def targetOnly(e: Expression): Boolean =
+      renderable(e) && e.references.subsetOf(targetOut)
+    m.notMatchedBySourceActions match {
+      case Seq() => Some(None)
+      case Seq(d: DeleteAction) if d.condition.forall(targetOnly) =>
+        Some(Some((d.condition.map(bareSql).getOrElse("true"), None)))
+      case Seq(u: UpdateAction)
+          if u.condition.forall(targetOnly) &&
+            u.assignments.forall {
+              case Assignment(_: AttributeReference, v) =>
+                targetOnly(v)
+              case _ => false
+            } =>
+        Some(Some((u.condition.map(bareSql).getOrElse("true"),
+          Some(u.assignments.map { case Assignment(k, v) =>
+            (k.asInstanceOf[AttributeReference].name, bareSql(v))
+          }))))
+      case _ => None
+    }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperators {
       case m: MergeIntoTable if m.resolved &&
           refOf(m.targetTable).isDefined &&
-          m.notMatchedBySourceActions.isEmpty &&
+          // NOT MATCHED BY SOURCE translates on delta only; SQL-level
+          // schema evolution stays on the standard error (a V1 target
+          // cannot resolve assignments to not-yet-existing columns —
+          // the programmatic mergeIntoDelta(evolveSchema=true) is the
+          // evolution surface)
+          (m.notMatchedBySourceActions.isEmpty ||
+            refOf(m.targetTable).exists(_._1 == "delta")) &&
           !m.schemaEvolutionEnabled =>
         val (fmt, root, pinned) = refOf(m.targetTable).get
         require(!pinned,
           s"graft$fmt: cannot MERGE into a time-travel view of " +
             s"$root — writes always target the latest version")
-        MergeTranslation.translate(m).map { case (keys, cols, op) =>
-          InteropMergeCommand(fmt, root, m.sourceTable, keys, cols,
-            op): LogicalPlan
-        }.getOrElse(m)
+        (for {
+          (keys, cols, op) <- MergeTranslation.translate(m)
+          nmbs <- translateNmbs(m)
+        } yield InteropMergeCommand(fmt, root, m.sourceTable, keys,
+          cols, op, nmbs): LogicalPlan).getOrElse(m)
     }
 }
 
@@ -396,7 +452,9 @@ case class InteropMergeCommand(fmt: String, root: String,
                                source: LogicalPlan,
                                keys: Seq[String],
                                columns: Seq[(String, String)],
-                               opSql: String)
+                               opSql: String,
+                               nmbs: Option[(String,
+                                 Option[Seq[(String, String)]])] = None)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.graftbridge.ColumnBridge
@@ -408,7 +466,7 @@ case class InteropMergeCommand(fmt: String, root: String,
     fmt match {
       case "delta" =>
         graft.sources.DeltaInterop.mergeIntoDelta(spark, root, batch,
-          keys, "__op"): Unit
+          keys, "__op", nmbs): Unit
       case "iceberg" =>
         graft.sources.IcebergInterop.mergeIntoIceberg(spark, root,
           batch, keys, "__op"): Unit

@@ -4385,6 +4385,106 @@ object SourceQueries {
       "DELETE WHERE id IN (SELECT ...) — the eval-decontamination " +
         "shape — on a foreign Delta view and the lake catalog: the " +
         "subquery broadcast-semi-joins the candidate scan"),
+
+    // ---- MERGE: NOT MATCHED BY SOURCE + schema evolution -----------------------
+    // Two MERGE shapes production CDC/sync jobs run daily: (a) the
+    // snapshot-sync idiom — `WHEN NOT MATCHED BY SOURCE` marks or
+    // deletes target rows the source no longer carries (target-only
+    // conditions, the clause sees no source row by definition); (b)
+    // graftlake-parity schema EVOLUTION — a batch with columns beyond
+    // the target's widens the declared schema in the SAME commit
+    // (nullable; pre-existing rows read null).
+    "q376_delta_merge_nmbs_evolution" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_nmbsevo_q376")
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        def dvTable(path: String, id: String): Unit = {
+          val fsys = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(s.sessionState.newHadoopConf())
+          fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_delta_log"))
+          val out0 = fsys.create(new org.apache.hadoop.fs.Path(
+            s"$path/_delta_log/00000000000000000000.json"), false)
+          out0.write((
+            """{"protocol":{"minReaderVersion":1,""" +
+              """"minWriterVersion":2}}""" + "\n" +
+              s"""{"metaData":{"id":"$id","schemaString":${om
+                .writeValueAsString(o.schema.json)},""" +
+              """"partitionColumns":[],""" +
+              """"format":{"provider":"parquet"},"configuration":""" +
+              """{"delta.enableDeletionVectors":"true"}}}"""
+            ).getBytes("UTF-8"))
+          out0.close()
+        }
+        // leg A: WHEN NOT MATCHED BY SOURCE — conditional target-only
+        // UPDATE marks the rows the source snapshot no longer carries
+        val d1 = root + "/nmbs"
+        dvTable(d1, "q376a")
+        graft.sources.DeltaInterop.appendDelta(
+          o.filter(col("o_orderkey") % 2 === 0), d1)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q376_t USING " +
+          s"graftdelta OPTIONS (path '$d1')")
+        o.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey").as("sk"),
+            col("o_orderstatus").as("ss"),
+            (col("o_totalprice") + 100).as("sp"))
+          .createOrReplaceTempView("q376_src")
+        s.sql("""MERGE INTO q376_t t USING q376_src s
+          ON t.o_orderkey = s.sk
+          WHEN MATCHED THEN UPDATE SET o_orderkey = s.sk,
+            o_orderstatus = s.ss, o_totalprice = s.sp
+          WHEN NOT MATCHED THEN INSERT
+            (o_orderkey, o_orderstatus, o_totalprice)
+            VALUES (s.sk, s.ss, s.sp)
+          WHEN NOT MATCHED BY SOURCE AND o_totalprice < 100000
+            THEN UPDATE SET o_orderstatus = 'S'""")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q376_t USING " +
+          s"graftdelta OPTIONS (path '$d1')")
+        require(graft.sources.DeltaInterop.validateDelta(s, d1)
+          .count() == 0L, "q376: doctor found issues after NMBS MERGE")
+        val legA = s.table("q376_t")
+          .select(lit("nmbs").as("leg"), col("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"),
+            lit(null).cast("string").as("lang"))
+        // leg B: programmatic schema EVOLUTION (graftlake parity) —
+        // the batch carries a NEW column; the commit widens the schema
+        val d2 = root + "/evo"
+        dvTable(d2, "q376b")
+        graft.sources.DeltaInterop.appendDelta(
+          o.filter(col("o_orderkey") % 2 === 0), d2)
+        val batch = o.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") + 7).as("o_totalprice"),
+            concat(col("o_orderstatus"), lit("_L")).as("lang"),
+            lit("U").as("op"))
+        graft.sources.DeltaInterop.mergeIntoDelta(s, d2, batch,
+          Seq("o_orderkey"), "op", evolveSchema = true): Unit
+        require(graft.sources.DeltaInterop.validateDelta(s, d2)
+          .count() == 0L, "q376: doctor found issues after evolution")
+        val legB = graft.sources.DeltaInterop.readDelta(s, d2)
+          .select(lit("evo").as("leg"), col("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"), col("lang"))
+        legA.unionAll(legB)
+      },
+      Some("""SELECT 'nmbs' AS leg, o_orderkey,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus
+               WHEN o_totalprice < 100000 THEN 'S'
+               ELSE o_orderstatus END AS o_orderstatus,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100
+               ELSE o_totalprice END AS o_totalprice,
+          CAST(NULL AS VARCHAR) AS lang
+        FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 2 = 0
+        UNION ALL
+        SELECT 'evo' AS leg, o_orderkey, o_orderstatus,
+          CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 7
+               ELSE o_totalprice END AS o_totalprice,
+          CASE WHEN o_orderkey % 5 = 0 THEN o_orderstatus || '_L'
+               ELSE NULL END AS lang
+        FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 5 = 0"""),
+      "MERGE: NOT MATCHED BY SOURCE (conditional target-only mark) " +
+        "and schema-evolving merge (new column widens the declared " +
+        "schema in the same commit) on foreign Delta"),
   )
 
   /** q374 fixture: a hand-built v2 table partitioned by day(ts) — one

@@ -1406,11 +1406,27 @@ object DeltaInterop {
     * and U/I non-matches land as partition-routed new adds with the
     * batch's values — ONE commit, writer-invariant-gated, untouched
     * rows never rewrite. A key matching MULTIPLE live target rows refuses (the
-    * rewrite would change row multiplicity). Returns (updated,
-    * deleted, inserted). */
+    * rewrite would change row multiplicity).
+    *
+    * `notMatchedBySource` = the SQL `WHEN NOT MATCHED BY SOURCE`
+    * clause (the snapshot-sync idiom): target rows matching NO batch
+    * key take (condition SQL, None = DELETE / Some(sets) = UPDATE) —
+    * they DV out of their files (and, for UPDATE, rewrite with the
+    * target-only assignments applied).
+    *
+    * `evolveSchema` = the graftlake MERGE evolution contract
+    * ([[LakeTable.mergeInto]]'s twin): batch columns beyond the
+    * target's WIDEN the table schema in the SAME commit (new columns
+    * nullable; pre-existing rows read null), instead of refusing.
+    * Returns (updated, deleted, inserted) — not-matched-by-source
+    * updates/deletes count in the first two. */
   def mergeIntoDelta(spark: SparkSession, deltaRoot: String,
                      batch: DataFrame, keys: Seq[String],
-                     opCol: String): (Long, Long, Long) = {
+                     opCol: String,
+                     notMatchedBySource: Option[
+                       (String, Option[Seq[(String, String)]])] = None,
+                     evolveSchema: Boolean = false)
+      : (Long, Long, Long) = {
     val (snap, v) = dvGates(spark, deltaRoot, "MERGE")
     partitionRoutableGate(snap, deltaRoot, "MERGE")
     require(keys.nonEmpty && keys.forall(snap.schema.fieldNames.contains),
@@ -1421,9 +1437,20 @@ object DeltaInterop {
     snap.schema.fieldNames.foreach(c =>
       require(batch.columns.contains(c),
         s"graftdelta MERGE: batch lacks target column '$c'"))
+    // schema EVOLUTION: batch columns beyond the target's widen the
+    // declared schema in the same commit (nullable, the batch's types)
+    val extraCols = batch.columns
+      .filterNot(c => c == opCol || snap.schema.fieldNames.contains(c))
+    require(extraCols.isEmpty || evolveSchema,
+      s"graftdelta MERGE: batch carries columns beyond $deltaRoot's " +
+        s"schema (${extraCols.mkString(",")}); pass " +
+        "evolveSchema=true (SQL: WITH SCHEMA EVOLUTION) to widen")
+    val outSchema = StructType(snap.schema.fields ++ extraCols.map(c =>
+      StructField(c, batch.schema(c).dataType, nullable = true)))
+    val newSchema = if (extraCols.isEmpty) None else Some(outSchema)
     // one row per key — localCheckpoint so the three consumers below
     // (dup check, join, anti) never recompute a non-deterministic source
-    val b0 = batch.select((snap.schema.fieldNames.map(col) :+
+    val b0 = batch.select((outSchema.fieldNames.map(col) :+
       col(opCol).as("__op")).toIndexedSeq: _*).localCheckpoint(true)
     val dupKeys = b0.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
@@ -1451,7 +1478,7 @@ object DeltaInterop {
       .filter(col("__b___op").isin("U", "M", "D"))
       .select("__uri", "__pos")
     val updatedRows = joined.filter(col("__b___op").isin("U", "M"))
-      .select(snap.schema.fields.map(fd =>
+      .select(outSchema.fields.map(fd =>
         col(s"__b_${fd.name}").cast(fd.dataType).as(fd.name))
         .toIndexedSeq: _*)
     val insertedRows = bAliased
@@ -1459,15 +1486,47 @@ object DeltaInterop {
         keys.map(k => col(k) === col(s"__b_$k")).reduce(_ && _),
         "left_anti")
       .filter(col("__b___op").isin("U", "I"))
-      .select(snap.schema.fields.map(fd =>
+      .select(outSchema.fields.map(fd =>
         col(s"__b_${fd.name}").cast(fd.dataType).as(fd.name))
         .toIndexedSeq: _*)
-    val nUpd = joined.filter(col("__b___op").isin("U", "M")).count()
-    val nDel = joined.filter(col("__b___op") === "D").count()
+    // WHEN NOT MATCHED BY SOURCE: target rows matching NO batch key,
+    // under the target-only condition — materialized once (positions +
+    // optional rewrite read it back)
+    val nmbs: Option[(DataFrame, Option[Seq[(String, String)]])] =
+      notMatchedBySource.map { case (condSql, setsOpt) =>
+        setsOpt.foreach(_.foreach { case (c, _) =>
+          require(outSchema.fieldNames.contains(c),
+            s"graftdelta MERGE: NOT MATCHED BY SOURCE UPDATE sets " +
+              s"unknown column '$c'")
+        })
+        val un = base.join(bAliased, joinCond, "left_anti")
+          .filter(coalesce(expr(condSql), lit(false)))
+          .localCheckpoint(true)
+        (un, setsOpt)
+      }
+    val nmbsRows: Option[DataFrame] = nmbs.flatMap { case (un, so) =>
+      so.map { sets =>
+        val applied = sets.foldLeft(un.drop("__uri", "__pos")) {
+          case (d, (c, sql)) => d.withColumn(c, expr(sql))
+        }
+        applied.select(outSchema.fields.map(fd =>
+          (if (applied.columns.contains(fd.name)) col(fd.name)
+           else lit(null)).cast(fd.dataType).as(fd.name))
+          .toIndexedSeq: _*)
+      }
+    }
+    val nUpd = joined.filter(col("__b___op").isin("U", "M")).count() +
+      nmbs.filter(_._2.isDefined).map(_._1.count()).getOrElse(0L)
+    val nDel = joined.filter(col("__b___op") === "D").count() +
+      nmbs.filter(_._2.isEmpty).map(_._1.count()).getOrElse(0L)
     val nIns = insertedRows.count()
     if (nUpd + nDel + nIns == 0L) return (0L, 0L, 0L)
-    dvPublish(spark, deltaRoot, snap, v, "MERGE", matched,
-      priorByFile, Some(updatedRows.unionAll(insertedRows))): Unit
+    val allMatched = nmbs.map(_._1.select("__uri", "__pos"))
+      .map(matched.unionAll).getOrElse(matched)
+    val newRows = Seq(Some(updatedRows.unionAll(insertedRows)),
+      nmbsRows).flatten.reduce(_ unionAll _)
+    dvPublish(spark, deltaRoot, snap, v, "MERGE", allMatched,
+      priorByFile, Some(newRows), newSchema): Unit
     (nUpd, nDel, nIns)
   }
 
@@ -1589,7 +1648,8 @@ object DeltaInterop {
                         snap: Snapshot, v: Long, verb: String,
                         matchedPos: DataFrame,
                         priorByFile: Map[String, Array[Long]],
-                        newRows: Option[DataFrame]): Long = {
+                        newRows: Option[DataFrame],
+                        newSchema: Option[StructType] = None): Long = {
     val f = fs(spark, deltaRoot)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val conf = spark.sessionState.newHadoopConf()
@@ -1623,6 +1683,27 @@ object DeltaInterop {
       snap.protoFeatures.contains("deletionVectors")
     val uuid = java.util.UUID.randomUUID()
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    // the declared schema this commit publishes: widened when the verb
+    // evolves it (MERGE WITH SCHEMA EVOLUTION)
+    val declaredSchema = newSchema.getOrElse(snap.schema)
+    def metaDataJson(conf: Map[String, String]): String = {
+      val confJson = conf.toSeq.sorted.map { case (k, x) =>
+        s"${om.writeValueAsString(k)}:${om.writeValueAsString(x)}"
+      }.mkString("{", ",", "}")
+      s"""{"metaData":{"id":${om.writeValueAsString(
+          snap.metaId.getOrElse(
+            java.util.UUID.randomUUID().toString))},""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${om.writeValueAsString(
+          declaredSchema.json)},""" +
+        s""""partitionColumns":${snap.partCols
+          .map(om.writeValueAsString).mkString("[", ",", "]")},""" +
+        s""""configuration":$confJson}}"""
+    }
+    if (newSchema.isDefined && (hasFeature || mergedByFile.isEmpty))
+      // evolution without a protocol upgrade: re-declare metaData with
+      // the widened schema (the upgrade branch below re-declares too)
+      actions += metaDataJson(snap.conf)
     if (!hasFeature && mergedByFile.nonEmpty) {
       // protocol upgrade in the same commit: (3, 7) with the legacy
       // versions' implied features carried forward explicitly
@@ -1643,19 +1724,10 @@ object DeltaInterop {
         s""""writerFeatures":${wf.map(om.writeValueAsString)
           .mkString("[", ",", "]")}}}"""
       // ...and declare the property so future writer gates see an
-      // enabled table
-      val conf2 = snap.conf + ("delta.enableDeletionVectors" -> "true")
-      val confJson = conf2.toSeq.sorted.map { case (k, x) =>
-        s"${om.writeValueAsString(k)}:${om.writeValueAsString(x)}"
-      }.mkString("{", ",", "}")
-      actions += s"""{"metaData":{"id":${om.writeValueAsString(
-          snap.metaId.getOrElse(
-            java.util.UUID.randomUUID().toString))},""" +
-        s""""format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":${om.writeValueAsString(snap.schema.json)},""" +
-        s""""partitionColumns":${snap.partCols
-          .map(om.writeValueAsString).mkString("[", ",", "]")},""" +
-        s""""configuration":$confJson}}"""
+      // enabled table (the declared schema rides along — widened when
+      // this commit evolves it)
+      actions += metaDataJson(
+        snap.conf + ("delta.enableDeletionVectors" -> "true"))
     }
     val affected = mergedByFile.keys.toSeq.sorted
     if (affected.nonEmpty) {

@@ -239,6 +239,81 @@ class DeltaDeleteSpec extends SparkSpec {
     assert(DeltaInterop.validateDelta(spark, root).count() == 0L)
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE routes on foreign Delta: " +
+      "DELETE syncs the target to the source snapshot; a conditional " +
+      "target-only UPDATE marks stale rows; counts and doctor agree") {
+    val root = enabledTable()
+    DeltaInterop.appendDelta(spark.range(0, 20)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), root)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW nmbs_t USING " +
+      s"graftdelta OPTIONS (path '$root')")
+    // source = keys 10..24 re-valued: matched update, unmatched
+    // insert, AND target rows absent from the source (k < 10) DELETE —
+    // the snapshot-sync idiom
+    spark.range(10, 25).select(col("id").as("sk"),
+        (col("id") * 100).as("sv"))
+      .createOrReplaceTempView("nmbs_s")
+    spark.sql("""MERGE INTO nmbs_t t USING nmbs_s s
+      ON t.k = s.sk
+      WHEN MATCHED THEN UPDATE SET k = s.sk, v = s.sv
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.sk, s.sv)
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW nmbs_t USING " +
+      s"graftdelta OPTIONS (path '$root')")
+    val got = spark.table("nmbs_t").as[(Long, Long)].collect().toMap
+    assert(got == (10L until 25L).map(k => k -> k * 100).toMap)
+    assert(DeltaInterop.validateDelta(spark, root).count() == 0L)
+    assert(DeltaInterop.deltaRowCount(spark, root).contains(15L))
+    // conditional target-only NMBS UPDATE: mark (not delete) stale
+    spark.range(12, 20).select(col("id").as("sk"),
+        (col("id") * 100).as("sv"))
+      .createOrReplaceTempView("nmbs_s2")
+    spark.sql("""MERGE INTO nmbs_t t USING nmbs_s2 s
+      ON t.k = s.sk
+      WHEN MATCHED THEN UPDATE SET k = s.sk, v = s.sv
+      WHEN NOT MATCHED BY SOURCE AND k < 11 THEN UPDATE SET v = -1""")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW nmbs_t USING " +
+      s"graftdelta OPTIONS (path '$root')")
+    val got2 = spark.table("nmbs_t").as[(Long, Long)].collect().toMap
+    assert(got2 == (10L until 25L).map(k =>
+      k -> (if (k < 11) -1L else k * 100)).toMap)
+    assert(DeltaInterop.validateDelta(spark, root).count() == 0L)
+  }
+
+  test("mergeIntoDelta with evolveSchema widens the declared schema " +
+      "in the SAME commit: new columns nullable, pre-existing rows " +
+      "read null, the doctor is clean and old snapshots keep their " +
+      "shape") {
+    val root = enabledTable()
+    DeltaInterop.appendDelta(spark.range(0, 10)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), root)
+    val batch = Seq((5L, 500L, "en", "U"), (20L, 2000L, "is", "U"))
+      .toDF("k", "v", "lang", "op")
+    // without the flag, extra columns refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.mergeIntoDelta(spark, root, batch, Seq("k"), "op")
+    }
+    assert(e.getMessage.contains("SCHEMA EVOLUTION"), e.getMessage)
+    val (u, d, i2) = DeltaInterop.mergeIntoDelta(spark, root, batch,
+      Seq("k"), "op", evolveSchema = true)
+    assert((u, d, i2) == (1L, 0L, 1L))
+    val after = DeltaInterop.readDelta(spark, root)
+    assert(after.columns.toSeq == Seq("k", "v", "lang"))
+    assert(after.count() == 11L)
+    assert(after.filter(col("k") === 5).select("lang").as[String]
+      .head() == "en")
+    assert(after.filter(col("k") === 20).select("lang").as[String]
+      .head() == "is")
+    // pre-existing rows read null for the widened column
+    assert(after.filter(col("lang").isNull).count() == 9L)
+    assert(DeltaInterop.validateDelta(spark, root).count() == 0L)
+    assert(DeltaInterop.deltaColumnCount(spark, root, "lang")
+      .forall(_ == 2L))
+    // the pre-evolution snapshot still reads with its own shape
+    assert(DeltaInterop.readDelta(spark, root, Some(1L))
+      .columns.toSeq == Seq("k", "v"))
+  }
+
   test("DELETE on a PARTITIONED table routes per file and the " +
       "predicate may reference partition columns") {
     val dir = fresh()
