@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression,
+  UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{
+  CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The Iceberg spec's bucket-transform hash (murmur3_x86_32 of the
+  * typed byte encoding, spec Appendix B) as a CODEGEN scalar
+  * expression — what routes appends and DML rewrites into `bucket[N]`
+  * partitions without a black-box UDF. int/long/date hash as the
+  * widened 8-byte little-endian long (the spec's cross-type bucketing
+  * guarantee; dates are epoch days, timestamps epoch micros), strings
+  * as UTF-8 bytes. Null in → null out. */
+case class IcebergBucketHash(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case IntegerType | LongType | DateType | TimestampType |
+           TimestampNTZType | StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"iceberg_bucket_hash does not support ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(v: Any): Any =
+    child.dataType match {
+      case StringType =>
+        graft.sources.IcebergTransforms.murmur3(
+          v.asInstanceOf[UTF8String].getBytes)
+      case IntegerType | DateType => // internal form: Int (days)
+        graft.sources.IcebergTransforms.hashLong(
+          v.asInstanceOf[Int].toLong)
+      case _ => // Long / Timestamp[NTZ] internal form: Long (micros)
+        graft.sources.IcebergTransforms.hashLong(v.asInstanceOf[Long])
+    }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val m = "graft.sources.IcebergTransforms$.MODULE$"
+      child.dataType match {
+        case StringType =>
+          s"${ev.value} = $m.murmur3($c.getBytes(), 0);"
+        case IntegerType | DateType =>
+          s"${ev.value} = $m.hashLong((long) $c);"
+        case _ =>
+          s"${ev.value} = $m.hashLong($c);"
+      }
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : IcebergBucketHash = copy(child = newChild)
+}

@@ -4485,6 +4485,66 @@ object SourceQueries {
       "MERGE: NOT MATCHED BY SOURCE (conditional target-only mark) " +
         "and schema-evolving merge (new column widens the declared " +
         "schema in the same commit) on foreign Delta"),
+
+    // ---- transform-ROUTED writes: day(ts) appends + DML ------------------------
+    // The write-side twin of q374: INSERT and UPDATE on a day(ts)-
+    // partitioned table route rows by the spec-published transform
+    // math evaluated per row as pure Catalyst (no UDFs) — appended
+    // rows land in their days' files (a NEW day creates its
+    // partition), an UPDATE's rewrites route back, and the delete
+    // manifests carry day tuples. Without routing, every write to the
+    // dominant production time-series layout refused.
+    "q377_iceberg_day_transform_writes" -> Q(
+      (s, d) => {
+        val root = dayTransformFixture(s, d, "graft_dayroute_q377")
+        // append a NEW day (7): the routed file must land under its
+        // transform dir
+        val app = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 10 === 1)
+          .select(col("o_orderkey").as("k"),
+            timestamp_seconds(lit(7L * 86400L) +
+              col("o_orderkey") % 86400).as("ts"),
+            (col("o_totalprice") + 1).as("price"))
+        graft.sources.IcebergInterop.appendIceberg(app, root)
+        val fsys = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        require(fsys.globStatus(new org.apache.hadoop.fs.Path(
+          s"$root/data/ts_day=7/*.parquet")).nonEmpty,
+          "q377: append did not route into the new day's dir")
+        // SQL UPDATE of day 4 (1970-01-05): rewrites route back
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q377_v USING " +
+          s"grafticeberg OPTIONS (path '$root')")
+        s.sql("UPDATE q377_v SET price = price + 1000 WHERE " +
+          "ts >= TIMESTAMP '1970-01-05 00:00:00' AND " +
+          "ts < TIMESTAMP '1970-01-06 00:00:00'")
+        require(fsys.globStatus(new org.apache.hadoop.fs.Path(
+          s"$root/data/ts_day=4/part-u-*.parquet")).nonEmpty,
+          "q377: the UPDATE rewrite did not route into its day's dir")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q377_v USING " +
+          s"grafticeberg OPTIONS (path '$root')")
+        val scanned = s.table("q377_v").count()
+        require(graft.sources.IcebergInterop.icebergRowCount(s, root)
+          .contains(scanned), "q377: metadata count diverged")
+        s.table("q377_v")
+      },
+      Some("""WITH t AS (
+          SELECT o_orderkey AS k,
+            make_timestamp(((o_orderkey % 5) * 86400
+              + o_orderkey % 86400) * 1000000) AS ts,
+            o_totalprice AS price
+          FROM orders)
+        SELECT k, ts,
+          CASE WHEN k % 5 = 4 THEN price + 1000 ELSE price END AS price
+        FROM t
+        UNION ALL
+        SELECT o_orderkey AS k,
+          make_timestamp((7 * 86400 + o_orderkey % 86400) * 1000000)
+            AS ts,
+          o_totalprice + 1 AS price
+        FROM orders WHERE o_orderkey % 10 = 1"""),
+      "transform-ROUTED writes on day(ts) partitioning: appends land " +
+        "in their days' files (new days create partitions) and SQL " +
+        "UPDATE rewrites route back; metadata counts agree"),
   )
 
   /** q374 fixture: a hand-built v2 table partitioned by day(ts) — one

@@ -2197,10 +2197,12 @@ object IcebergInterop {
     (nUpd, nDel, nIns)
   }
 
-  /** One identity partition-spec field of the default spec:
-    * (spec field name, source column name, source field id, type). */
-  private case class IceSpecField(name: String, srcName: String,
-                                  srcId: Int, dt: DataType)
+  /** One partition-spec field of the default spec: (spec field name,
+    * transform, source column name, source field id, source type,
+    * transform result type). */
+  private case class IceSpecField(name: String, transform: String,
+                                  srcName: String, srcId: Int,
+                                  dt: DataType, outType: DataType)
 
   /** Parsed state the Iceberg DML write paths share. `base` scans the
     * LIVE rows only — already-position-deleted rows AND rows killed by
@@ -2244,10 +2246,6 @@ object IcebergInterop {
     val specFields: Seq[IceSpecField] =
       meta.partitionSpecs.getOrElse(specId, Seq.empty)
         .map { case (nm, transform, srcId) =>
-          require(transform == "identity",
-            s"grafticeberg $verb: $iceRoot partitions by '$nm' with " +
-              s"transform '$transform'; DML supports identity " +
-              "transforms only")
           val srcName = fieldIds.collectFirst {
             case (n, id) if id == srcId => n
           }.getOrElse(throw new IllegalStateException(
@@ -2255,12 +2253,19 @@ object IcebergInterop {
               s"id $srcId"))
           val dt = schema.spark.fields.find(_.name == srcName).get
             .dataType
-          require(dt == IntegerType || dt == LongType ||
-              dt == StringType,
-            s"grafticeberg $verb: $iceRoot partition field '$nm' " +
-              s"sources a ${dt.simpleString} column; partition-routed " +
-              "DML supports int/long/string")
-          IceSpecField(nm, srcName, srcId, dt)
+          // any transform the router can evaluate with an
+          // int/long/string result routes (identity, day/month/year/
+          // hour, truncate, bucket) — anything else refuses loudly
+          val out = IcebergTransforms.outType(transform, dt)
+          require(out.exists {
+            case IntegerType | LongType | StringType => true
+            case _ => false
+          }, s"grafticeberg $verb: $iceRoot partition field '$nm' " +
+            s"(transform '$transform' over a ${dt.simpleString} " +
+            "column) cannot be routed — supported: identity/day/" +
+            "month/year/hour/truncate/bucket with an int/long/string " +
+            "result")
+          IceSpecField(nm, transform, srcName, srcId, dt, out.get)
         }
     val conf = spark.sessionState.newHadoopConf()
     def qualify(p: String): String = {
@@ -2479,7 +2484,7 @@ object IcebergInterop {
     f.mkdirs(new Path(s"$iceRoot/metadata"))
     val staged = scala.collection.mutable.ArrayBuffer.empty[Path]
     def partFieldsJson: String = specFields.map { sf =>
-      val avroT = sf.dt match {
+      val avroT = sf.outType match {
         case IntegerType => "int"
         case LongType => "long"
         case _ => "string"
@@ -2489,18 +2494,26 @@ object IcebergInterop {
     }.mkString(",")
     val metaOfRel: Map[String, DataFileMeta] =
       st.dataFiles.map(d => d.path -> d).toMap
-    // the partition tuple of a referenced data file, spec-field order;
-    // a live file the default spec covers but whose manifest carries
-    // no value (evolved spec) refuses — a delete manifest declaring
-    // the default spec-id must carry a truthful tuple
+    // the partition tuple of a referenced data file, spec-field order
+    // (identity values and non-identity transform values both come
+    // from the MANIFEST — truthful by construction); a live file the
+    // default spec covers but whose manifest carries no value
+    // (evolved spec) refuses — a delete manifest declaring the
+    // default spec-id must carry a truthful tuple
     def partTuple(rel: String): Seq[Option[Any]] = specFields.map { sf =>
-      val vals = metaOfRel(rel).partitionIdVals
-      require(vals.contains(sf.srcId),
+      val m0 = metaOfRel(rel)
+      val v =
+        if (sf.transform == "identity") m0.partitionIdVals.get(sf.srcId)
+        else m0.partitionXforms.collectFirst {
+          case (srcId, tr, pv) if srcId == sf.srcId &&
+            tr == sf.transform => pv
+        }
+      require(v.isDefined,
         s"grafticeberg $verb: $iceRoot data file $rel carries no " +
           s"partition value for '${sf.name}' (evolved spec?) — " +
           "refusing to publish a delete manifest with an untruthful " +
           "partition tuple")
-      vals(sf.srcId)
+      v.get
     }
     def putPart(df0: GenericData.Record,
                 vals: Seq[Option[Any]]): Unit = {
@@ -2512,11 +2525,13 @@ object IcebergInterop {
       df0.put("partition", pr)
     }
     // UPDATE/MERGE: rewritten + inserted rows land as NEW data files,
-    // partition-ROUTED by the identity source columns (the batch
+    // partition-ROUTED by the spec's transform expressions (the batch
     // append path's staging), in the SAME snapshot
     val newDataFiles: Seq[(String, Seq[Option[Any]])] = rows.map { df =>
       val out = stageIceData(df, iceRoot,
-        specFields.map(sf => (sf.name, sf.srcName, sf.dt)), uuid, "u")
+        specFields.map(sf => (sf.name,
+          IcebergTransforms.routingColumn(sf.transform, sf.dt,
+            col(sf.srcName)).get, sf.outType)), uuid, "u")
       out.foreach { case (uri, _) =>
         staged += new Path(new java.net.URI(uri))
       }
@@ -2834,16 +2849,21 @@ object IcebergInterop {
   }
 
   /** Stage `df`'s rows as parquet data files under `data/`, routed by
-    * the table's identity partition source columns: partitioned
-    * targets stage `partitionBy` duplicate `__gp` keys (the source
-    * columns themselves STAY in the data files — the Iceberg layout)
-    * and each staged file's hive dir names decode into its typed
-    * partition tuple, the same shape the partitioned export publishes
-    * and identity pruning reads. Zero-row parts never commit (stats-
-    * less metadata noise). Returns (qualified uri, spec-field-ordered
-    * typed partition values). */
+    * the table's partition TRANSFORM expressions (identity is
+    * `col(src)`; day/month/year/hour/truncate/bucket come from
+    * [[IcebergTransforms.routingColumn]] — pure Catalyst, no UDFs):
+    * partitioned targets stage `partitionBy` duplicate `__gp` keys
+    * (the source columns themselves STAY in the data files — the
+    * Iceberg layout) and each staged file's hive dir names decode into
+    * its typed partition tuple in the transform's RESULT type, the
+    * same shape the partitioned export publishes and the pruning
+    * paths read. Zero-row parts never commit (stats-less metadata
+    * noise). `specFields0` = (spec field name, routing expression,
+    * transform result type). Returns (qualified uri,
+    * spec-field-ordered typed partition values). */
   private def stageIceData(df: DataFrame, iceRoot: String,
-      specFields0: Seq[(String, String, DataType)], uuid: String,
+      specFields0: Seq[(String, org.apache.spark.sql.Column, DataType)],
+      uuid: String,
       tag: String): Seq[(String, Seq[Option[Any]])] = {
     val spark = df.sparkSession
     val f = fs(spark, iceRoot)
@@ -2869,7 +2889,7 @@ object IcebergInterop {
         import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         val gp = specFields0.indices.map(i => s"__gp$i")
         val staged0 = specFields0.zip(gp).foldLeft(df) {
-          case (d, ((_, src, _), g)) => d.withColumn(g, col(src))
+          case (d, ((_, route, _), g)) => d.withColumn(g, route)
         }
         staged0.repartition(gp.map(col): _*)
           .write.partitionBy(gp: _*).parquet(stage)
@@ -2943,28 +2963,30 @@ object IcebergInterop {
       require(m.formatVersion == 2 || m.formatVersion == 3,
         s"grafticeberg sink: $iceRoot is format-version " +
           s"${m.formatVersion}; the sink appends v2 and v3 tables")
-      // appends route by the default spec's IDENTITY fields (the
-      // dominant real-world layout); non-identity transforms (bucket,
-      // truncate, days…) need the transform evaluated per row to
-      // route — refuse, never misroute
+      // appends route by the default spec's TRANSFORMS — identity,
+      // day/month/year/hour, truncate, bucket (the transform math is
+      // spec-published and evaluates per row as pure Catalyst); a
+      // (transform, type) pair the router cannot evaluate, or whose
+      // result type cannot round-trip a hive staging dir, refuses —
+      // never misroutes
       val s0 = m.schemas(m.currentSchemaId).spark
       val specFields = m.partitionSpecs.getOrElse(
         m.raw.path("default-spec-id").asInt(0), Seq.empty)
       specFields.foreach { case (nm, transform, srcId) =>
-        require(transform == "identity",
-          s"grafticeberg sink: $iceRoot partitions by " +
-            s"'$nm' with transform '$transform'; partition-routed " +
-            "appends support identity transforms only")
         val srcName = m.schemas(m.currentSchemaId).fieldIds
           .collectFirst { case (n, id) if id == srcId => n }
         val dt = srcName.flatMap(n =>
           s0.fields.find(_.name == n).map(_.dataType))
-        require(dt.exists {
+        val out = dt.flatMap(t =>
+          IcebergTransforms.outType(transform, t))
+        require(out.exists {
           case IntegerType | LongType | StringType => true
           case _ => false
         }, s"grafticeberg sink: $iceRoot partition field '$nm' " +
-          s"sources a ${dt.map(_.simpleString).getOrElse("?")} " +
-          "column; partition-routed appends support int/long/string")
+          s"(transform '$transform' over a ${dt.map(_.simpleString)
+            .getOrElse("?")} column) cannot be routed — supported: " +
+          "identity/day/month/year/hour/truncate/bucket with an " +
+          "int/long/string result")
       }
       require(s0.fields.map(x => (x.name, x.dataType)).toSeq ==
           df.schema.fields.map(x => (x.name, x.dataType)).toSeq,
@@ -2980,28 +3002,39 @@ object IcebergInterop {
       p.getFileSystem(conf).makeQualified(p).toString
     // data files: stage, then move under data/ with unique names.
     // A PARTITIONED table routes: the batch stages grouped by the
-    // spec's identity source columns via duplicate __gp keys (the
+    // spec's TRANSFORM expressions via duplicate __gp keys (the
     // source columns themselves STAY in the data files, the Iceberg
     // layout), and each staged file's hive dir names decode into its
     // manifest entry's typed partition record — the same shape the
-    // partitioned export publishes and identity pruning reads.
-    // (spec field name, source column name, source type)
-    def specFieldsOf(m: IceMeta): Seq[(String, String, DataType)] = {
+    // partitioned export publishes and the pruning paths read.
+    // (spec field name, transform, source column name, source type)
+    def specFieldsOf(m: IceMeta)
+        : Seq[(String, String, String, DataType)] = {
       val fieldIds = m.schemas(m.currentSchemaId).fieldIds
       val s0 = m.schemas(m.currentSchemaId).spark
       m.partitionSpecs.getOrElse(
           m.raw.path("default-spec-id").asInt(0), Seq.empty)
-        .map { case (nm, _, srcId) =>
+        .map { case (nm, transform, srcId) =>
           val srcName = fieldIds.collectFirst {
             case (n, id) if id == srcId => n
           }.getOrElse(throw new IllegalStateException(
             s"$iceRoot: partition field '$nm' sources unknown field " +
               s"id $srcId"))
-          (nm, srcName, s0.fields.find(_.name == srcName).get.dataType)
+          (nm, transform, srcName,
+            s0.fields.find(_.name == srcName).get.dataType)
         }
     }
-    val specFields0: Seq[(String, String, DataType)] =
+    val specFieldsRaw: Seq[(String, String, String, DataType)] =
       meta.map(specFieldsOf).getOrElse(Seq.empty)
+    // (name, routing expression, transform result type) — gate() has
+    // already proven both lookups defined
+    val specFields0: Seq[(String, org.apache.spark.sql.Column,
+        DataType)] =
+      specFieldsRaw.map { case (nm, transform, srcName, st) =>
+        (nm, IcebergTransforms.routingColumn(transform, st,
+          col(srcName)).get,
+          IcebergTransforms.outType(transform, st).get)
+      }
     val uuid = java.util.UUID.randomUUID().toString
     val tag = txn.map(_._2).getOrElse(0L)
     // (qualified uri, typed partition values in spec-field order) —
@@ -3271,7 +3304,7 @@ object IcebergInterop {
         // the staged files were routed by the ENTRY metadata's spec; a
         // concurrent repartitioning commit would make them lie
         require(meta.map(specFieldsOf).getOrElse(Seq.empty)
-            == specFields0,
+            == specFieldsRaw,
           s"grafticeberg append: $iceRoot changed partitioning " +
             "mid-commit; retry the write")
       }

@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
   *
   * Every `Option` return treats "cannot evaluate" as admit-upstream —
   * a missing parse is never a wrong skip. */
-private[sources] object IcebergTransforms {
+private[graft] object IcebergTransforms {
 
   private val BucketRe = """bucket\[(\d+)\]""".r
   private val TruncateRe = """truncate\[(\d+)\]""".r
@@ -30,7 +30,7 @@ private[sources] object IcebergTransforms {
     * seed 0 — the spec's hash for bucket transforms. Implemented here
     * rather than via Spark's hash utilities because those diverge
     * from the reference algorithm on tail bytes. */
-  private[sources] def murmur3(data: Array[Byte], seed: Int = 0): Int = {
+  private[graft] def murmur3(data: Array[Byte], seed: Int = 0): Int = {
     val c1 = 0xcc9e2d51
     val c2 = 0x1b873593
     var h1 = seed
@@ -73,13 +73,20 @@ private[sources] object IcebergTransforms {
   /** The spec's bucket hash of a typed value: int/long/date/timestamp
     * hash as the LONG's 8 little-endian bytes (ints widen — the spec's
     * cross-type bucketing guarantee), strings as UTF-8 bytes. */
+  private def longBytes(x: Long): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putLong(x)
+    b.array()
+  }
+
+  /** The spec's hash of a widened long (int/long/date-days/
+    * timestamp-micros): murmur3 of the 8 little-endian bytes. Public
+    * within the library so [[graft.functions.IcebergBucketHash]]'s
+    * generated code can call it. */
+  private[graft] def hashLong(x: Long): Int = murmur3(longBytes(x))
+
   private[sources] def bucketHash(dt: DataType, v: Any): Option[Int] = {
-    def longBytes(x: Long): Array[Byte] = {
-      val b = java.nio.ByteBuffer.allocate(8)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      b.putLong(x)
-      b.array()
-    }
     dt match {
       case IntegerType | LongType =>
         toLongVal(v).map(x => murmur3(longBytes(x)))
@@ -254,6 +261,87 @@ private[sources] object IcebergTransforms {
           Some((x.toString, (x + w.toLong - 1).toString))
         case _ => None
       }
+      case _ => None
+    }
+  }
+
+  /** The transform's RESULT type — what the manifest partition field
+    * stores and the hive staging dir decodes back to: identity keeps
+    * the source type; day/month/year/hour and bucket are int; truncate
+    * keeps the source type. None = (transform, source type) pair this
+    * writer cannot route — refuse, never misroute. */
+  private[graft] def outType(transform: String, src: DataType)
+      : Option[DataType] = transform match {
+    case "identity" => Some(src)
+    case "day" | "month" | "year" => src match {
+      case DateType | TimestampType | TimestampNTZType =>
+        Some(IntegerType)
+      case _ => None
+    }
+    case "hour" => src match {
+      case TimestampType | TimestampNTZType => Some(IntegerType)
+      case _ => None
+    }
+    case BucketRe(_) => src match {
+      case IntegerType | LongType | DateType | TimestampType |
+           TimestampNTZType | StringType => Some(IntegerType)
+      case _ => None
+    }
+    case TruncateRe(_) => src match {
+      case IntegerType | LongType | StringType => Some(src)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** The transform as a ROUTING expression over the source column —
+    * pure Catalyst (codegen-friendly, no UDFs): appends and DML
+    * rewrites group rows by this to land each in its partition's
+    * file. Sessions pin UTC, so the calendar math is deterministic. */
+  private[graft] def routingColumn(xform: String, src: DataType,
+                                   c: org.apache.spark.sql.Column)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    val epoch = lit("1970-01-01").cast(DateType)
+    xform match {
+      case "identity" => Some(c)
+      case "day" => src match {
+        case DateType => Some(datediff(c, epoch))
+        case TimestampType | TimestampNTZType =>
+          Some(datediff(c.cast(DateType), epoch))
+        case _ => None
+      }
+      case "month" => src match {
+        case DateType | TimestampType | TimestampNTZType =>
+          Some(((year(c) - 1970) * 12 + month(c) - 1)
+            .cast(IntegerType))
+        case _ => None
+      }
+      case "year" => src match {
+        case DateType | TimestampType | TimestampNTZType =>
+          Some((year(c) - 1970).cast(IntegerType))
+        case _ => None
+      }
+      case "hour" => src match {
+        case TimestampType | TimestampNTZType =>
+          val us = unix_micros(c.cast(TimestampType))
+          Some(((us - pmod(us, lit(3600000000L))) / lit(3600000000L))
+            .cast(IntegerType))
+        case _ => None
+      }
+      case TruncateRe(w) => src match {
+        case IntegerType | LongType =>
+          Some((c - pmod(c, lit(w.toLong))).cast(src))
+        case StringType => Some(substring(c, 1, w.toInt))
+        case _ => None
+      }
+      case BucketRe(n) if outType(xform, src).isDefined =>
+        val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.IcebergBucketHash(
+            org.apache.spark.sql.graftbridge.ColumnBridge
+              .expression(c)))
+        Some(pmod(h.bitwiseAND(lit(Int.MaxValue)), lit(n.toInt))
+          .cast(IntegerType))
       case _ => None
     }
   }

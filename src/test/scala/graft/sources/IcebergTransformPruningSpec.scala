@@ -187,6 +187,215 @@ class IcebergTransformPruningSpec extends SparkSpec {
     }
   }
 
+  test("routing expressions agree with the driver-side transform " +
+      "math on a sample including pre-1970 timestamps (day floor vs " +
+      "truncation, hour pmod, month/year calendar, truncate, bucket)") {
+    import IcebergTransforms.{ordinalOf, routingColumn}
+    val samples = Seq("1969-12-31 23:59:59", "1970-01-01 00:00:00",
+      "1969-07-20 20:17:40", "2024-02-29 12:00:00",
+      "1999-12-31 23:00:01")
+    val df = samples.toDF("s")
+      .select(col("s").cast("timestamp").as("ts"))
+    Seq("day", "month", "year", "hour").foreach { tr =>
+      val got = df.select(
+        routingColumn(tr, TimestampType, col("ts")).get.as("r"))
+        .collect().map(_.getInt(0)).toSeq
+      val want = samples.map(s =>
+        ordinalOf(tr, TimestampType, s).get.asInstanceOf[Long].toInt)
+      assert(got == want, s"$tr: $got != $want")
+    }
+    // truncate on negative ints floors toward -inf (spec), and the
+    // bucket routing equals the spec hash mod N
+    val ints = Seq(-7L, -10L, 0L, 3L, 34L)
+    val gotT = ints.toDF("k").select(
+      routingColumn("truncate[10]", LongType, col("k")).get.as("r"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(gotT == ints.map(x => x - Math.floorMod(x, 10L)))
+    val gotB = ints.toDF("k").select(
+      routingColumn("bucket[8]", LongType, col("k")).get.as("r"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(gotB == ints.map(x =>
+      (IcebergTransforms.bucketHash(LongType, x).get
+        & Int.MaxValue) % 8))
+  }
+
+  test("APPEND and DML on a day(ts)-partitioned table ROUTE by the " +
+      "transform: inserted and rewritten rows land in their days' " +
+      "files, the delete manifest carries the day tuple, and pruning " +
+      "holds on the mutated table") {
+    val (root, byDay) = dayFixture()
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // append rows for day 1 (existing) and day 7 (new partition)
+    val add = spark.range(100, 110).select(col("id").as("k"),
+      timestamp_seconds(when(col("id") < 105, lit(86400L))
+        .otherwise(lit(7L * 86400L)) + col("id")).as("ts"),
+      (col("id") * 2.0).as("v"))
+    IcebergInterop.appendIceberg(add, root)
+    // the routed files landed under the transform dirs
+    assert(fsys.globStatus(new org.apache.hadoop.fs.Path(
+      s"$root/data/ts_day=7/*.parquet")).nonEmpty)
+    assert(fsys.globStatus(new org.apache.hadoop.fs.Path(
+      s"$root/data/ts_day=1/*.parquet")).nonEmpty)
+    val day7 = IcebergInterop.readIcebergRange(spark, root, "ts",
+      "1970-01-08 00:00:00", "1970-01-08 23:59:59.999999")
+      .select("k").as[Long].collect().toSet
+    assert(day7 == (105L until 110L).toSet, s"got $day7")
+    // UPDATE day 1 (original + appended rows): the rewrite routes back
+    // into ts_day=1 and the delete manifest carries the day tuple
+    val n = IcebergInterop.updateWhereIceberg(spark, root,
+      "ts >= TIMESTAMP '1970-01-02 00:00:00' AND " +
+        "ts < TIMESTAMP '1970-01-03 00:00:00'",
+      Seq("v" -> "v + 1000"))
+    assert(n == byDay(1).size + 5L, s"updated $n")
+    val day1 = IcebergInterop.readIcebergRange(spark, root, "ts",
+      "1970-01-02 00:00:00", "1970-01-02 23:59:59.999999")
+    assert(day1.count() == byDay(1).size + 5L)
+    assert(day1.filter(col("v") < 1000).count() == 0L)
+    // other days untouched
+    assert(IcebergInterop.readIcebergRange(spark, root, "ts",
+      "1970-01-04 00:00:00", "1970-01-04 23:59:59.999999")
+      .filter(col("v") >= 1000).count() == 0L)
+    // the delete manifest entries carry the ts_day partition tuple
+    val m1 = fsys.listStatus(new org.apache.hadoop.fs.Path(
+        s"$root/metadata")).map(_.getPath)
+      .filter(_.getName.endsWith("-m1.avro")).sortBy(_.toString)
+    assert(m1.nonEmpty)
+    val reader = new org.apache.avro.file.DataFileReader(
+      new java.io.File(m1.last.toUri),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    try while (reader.hasNext) {
+      val df0 = reader.next().get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      val part = df0.get("partition")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      assert(part.get("ts_day") != null,
+        "delete-manifest entry lacks the day tuple")
+    } finally reader.close()
+    // DELETE composes on the routed table
+    val n2 = IcebergInterop.deleteWhereIcebergDV(spark, root,
+      "k >= 105")
+    assert(n2 == 5L)
+    assert(IcebergInterop.readIcebergRange(spark, root, "ts",
+      "1970-01-08 00:00:00", "1970-01-08 23:59:59.999999")
+      .count() == 0L)
+  }
+
+  test("APPEND into a bucket[4]-partitioned table routes by the spec " +
+      "hash: the new row's file lands in its bucket's dir and a point " +
+      "lookup finds it after every other bucket is corrupted") {
+    // reuse the bucket fixture by rebuilding it here (hand-built v2)
+    val root = fresh() + "/t"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def writeOne(df: org.apache.spark.sql.DataFrame,
+                 rel: String): Long = {
+      val stage = s"$root/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = fsys.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/$rel")
+        .getParent)
+      fsys.rename(part, new org.apache.hadoop.fs.Path(s"$root/$rel"))
+      fsys.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+      df.count()
+    }
+    def bucketOf(k: Long): Int =
+      (IcebergTransforms.bucketHash(LongType, k).get
+        & Int.MaxValue) % 4
+    val base = spark.range(0, 20).select(col("id").as("k"),
+      (col("id") * 3).as("v"))
+    val rowsByBucket = (0L until 20L).groupBy(bucketOf)
+    val mSchema = IcebergInterop.manifestSchemaWithPartition(
+      """{"name":"k_bucket","type":["null","int"],"default":null}""")
+    val entries = rowsByBucket.toSeq.sortBy(_._1).map { case (b, ks) =>
+      val rel = s"data/b$b.parquet"
+      val rows = writeOne(base.filter(col("k").isin(ks: _*))
+        .orderBy("k"), rel)
+      val df0 = new GenericData.Record(
+        mSchema.getField("data_file").schema())
+      df0.put("content", 0)
+      df0.put("file_path", rel)
+      df0.put("file_format", "PARQUET")
+      val pr = new GenericData.Record(
+        df0.getSchema.getField("partition").schema())
+      pr.put("k_bucket", Int.box(b))
+      df0.put("partition", pr)
+      df0.put("record_count", rows)
+      df0.put("file_size_in_bytes", 1L)
+      val e = new GenericData.Record(mSchema)
+      e.put("status", 1)
+      e.put("data_file", df0)
+      e
+    }
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/metadata"))
+    IcebergInterop.writeAvro(spark, s"$root/metadata/m0.avro",
+      mSchema, entries)
+    val list = {
+      val r = new GenericData.Record(IcebergInterop.manifestListSchema)
+      r.put("manifest_path", "metadata/m0.avro")
+      r.put("manifest_length", 1L)
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      r.put("sequence_number", 1L)
+      r.put("min_sequence_number", 1L)
+      r.put("added_snapshot_id", 9L)
+      r.put("added_files_count", entries.size)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", 20L)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r
+    }
+    IcebergInterop.writeAvro(spark, s"$root/metadata/snap-9.avro",
+      IcebergInterop.manifestListSchema, Seq(list))
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"k","required":false,"type":"long"},
+        |{"id":2,"name":"v","required":false,"type":"long"}]}"""
+        .stripMargin.replace("\n", "")
+    Files.writeString(Paths.get(s"$root/metadata/v1.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"bk2","location":"$root",
+         |"last-sequence-number":1,"last-updated-ms":9,
+         |"last-column-id":2,"current-schema-id":0,
+         |"schemas":[$schemaJson],"default-spec-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[
+         |{"name":"k_bucket","transform":"bucket[4]","source-id":1,
+         |"field-id":1000}]}],"last-partition-id":1000,
+         |"current-snapshot-id":9,
+         |"snapshots":[{"snapshot-id":9,"timestamp-ms":9,
+         |"sequence-number":1,"manifest-list":"metadata/snap-9.avro"}]}"""
+        .stripMargin.replace("\n", ""))
+    // append k = 1000..1004: each routes to its spec-hash bucket
+    IcebergInterop.appendIceberg(spark.range(1000, 1005)
+      .select(col("id").as("k"), (col("id") * 3).as("v")), root)
+    val probe = 1002L
+    val keep = bucketOf(probe)
+    assert(fsys.globStatus(new org.apache.hadoop.fs.Path(
+      s"$root/data/k_bucket=$keep/*.parquet")).nonEmpty,
+      "append did not route into the bucket dir")
+    // corrupt every data file outside the probed bucket (both the
+    // fixture files bN.parquet and routed dirs k_bucket=N)
+    val it = fsys.listFiles(new org.apache.hadoop.fs.Path(
+      s"$root/data"), true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      val inKeep = p.toString.contains(s"k_bucket=$keep/") ||
+        p.getName == s"b$keep.parquet"
+      if (p.getName.endsWith(".parquet") && !inKeep) {
+        fsys.delete(p, false)
+        val out = fsys.create(p, true)
+        out.write(Array.fill[Byte](48)(7)); out.close()
+      }
+    }
+    val got = IcebergInterop.readIcebergRange(spark, root, "k",
+      probe, probe).select("v").as[Long].collect().toSet
+    assert(got == Set(probe * 3), s"got $got")
+  }
+
   test("a bucket[N]-partitioned table PRUNES a point lookup by the " +
       "spec hash (corrupted-file proof); ranges admit") {
     val root = fresh() + "/t"

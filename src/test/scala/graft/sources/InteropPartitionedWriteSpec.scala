@@ -172,6 +172,8 @@ class InteropPartitionedWriteSpec extends SparkSpec {
     val in = f.open(mPath)
     val json = scala.io.Source.fromInputStream(in).mkString
     in.close()
+    // a bucket[16]-over-string spec now ROUTES (the spec hash is
+    // implemented); an UNKNOWN transform still refuses loudly
     val bucketed = json.replace("\"transform\":\"identity\"",
       "\"transform\":\"bucket[16]\"")
     val dir2 = fresh()
@@ -180,17 +182,39 @@ class InteropPartitionedWriteSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(ice), f,
       new org.apache.hadoop.fs.Path(ice2), false,
       spark.sessionState.newHadoopConf())
-    val out = f.create(new org.apache.hadoop.fs.Path(
-      s"$ice2/metadata/v$ver.metadata.json"), true)
-    out.write(bucketed.getBytes("UTF-8")); out.close()
+    def writeMeta(body: String): Unit = {
+      val out = f.create(new org.apache.hadoop.fs.Path(
+        s"$ice2/metadata/v$ver.metadata.json"), true)
+      out.write(body.getBytes("UTF-8")); out.close()
+    }
+    writeMeta(bucketed)
+    IcebergInterop.appendIceberg(
+      Seq((1L, "pZ")).toDF("k", "src"), ice2)
+    val bucketOfPz = (IcebergTransforms.bucketHash(
+      org.apache.spark.sql.types.StringType, "pZ").get
+      & Int.MaxValue) % 16
+    assert(f.globStatus(new org.apache.hadoop.fs.Path(
+      s"$ice2/data/src=$bucketOfPz/*.parquet")).nonEmpty,
+      "bucket append did not route by the spec hash")
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x =>
         Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val voided = json.replace("\"transform\":\"identity\"",
+      "\"transform\":\"zorder\"")
+    val dir3 = fresh()
+    val ice3 = s"$dir3/ice"
+    org.apache.hadoop.fs.FileUtil.copy(f,
+      new org.apache.hadoop.fs.Path(ice), f,
+      new org.apache.hadoop.fs.Path(ice3), false,
+      spark.sessionState.newHadoopConf())
+    val out3 = f.create(new org.apache.hadoop.fs.Path(
+      s"$ice3/metadata/v$ver.metadata.json"), true)
+    out3.write(voided.getBytes("UTF-8")); out3.close()
     val e = intercept[Throwable] {
       IcebergInterop.appendIceberg(
-        Seq((1L, "p0")).toDF("k", "src"), ice2)
+        Seq((1L, "p0")).toDF("k", "src"), ice3)
     }
-    assert(msgs(e).exists(_.contains("identity")),
+    assert(msgs(e).exists(_.contains("cannot be routed")),
       msgs(e).mkString(" | "))
   }
 }
