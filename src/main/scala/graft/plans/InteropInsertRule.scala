@@ -426,13 +426,10 @@ case class InteropMergeRule(spark: SparkSession)
     plan.resolveOperators {
       case m: MergeIntoTable if m.resolved &&
           refOf(m.targetTable).isDefined &&
-          // NOT MATCHED BY SOURCE translates on delta only; SQL-level
-          // schema evolution stays on the standard error (a V1 target
-          // cannot resolve assignments to not-yet-existing columns —
-          // the programmatic mergeIntoDelta(evolveSchema=true) is the
-          // evolution surface)
-          (m.notMatchedBySourceActions.isEmpty ||
-            refOf(m.targetTable).exists(_._1 == "delta")) &&
+          // SQL-level schema evolution stays on the standard error (a
+          // V1 target cannot resolve assignments to not-yet-existing
+          // columns — the programmatic merge(evolveSchema=true) is
+          // the evolution surface on both formats)
           !m.schemaEvolutionEnabled =>
         val (fmt, root, pinned) = refOf(m.targetTable).get
         require(!pinned,
@@ -469,7 +466,7 @@ case class InteropMergeCommand(fmt: String, root: String,
           keys, "__op", nmbs): Unit
       case "iceberg" =>
         graft.sources.IcebergInterop.mergeIntoIceberg(spark, root,
-          batch, keys, "__op"): Unit
+          batch, keys, "__op", nmbs): Unit
       case other => throw new IllegalStateException(
         s"unknown interop format $other")
     }

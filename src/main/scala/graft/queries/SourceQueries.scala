@@ -4545,6 +4545,92 @@ object SourceQueries {
       "transform-ROUTED writes on day(ts) partitioning: appends land " +
         "in their days' files (new days create partitions) and SQL " +
         "UPDATE rewrites route back; metadata counts agree"),
+
+    // ---- Iceberg MERGE: NOT MATCHED BY SOURCE + schema evolution ---------------
+    // The Iceberg twin of q376, completing the DML-matrix symmetry:
+    // the snapshot-sync clause routes through the same fate-batch
+    // translation into Puffin-DV deletes + routed rewrites, and a
+    // schema-evolving merge widens the table as a NEW schema-id with
+    // FRESH field ids (the spec's ids-never-move rule) in the SAME
+    // snapshot.
+    "q378_iceberg_merge_nmbs_evolution" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_inmbsevo_q378")
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        // leg A: NMBS conditional mark via SQL
+        val lake1 = root + "/lake1"
+        val ice1 = root + "/ice1"
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 2 === 0), lake1)
+        graft.sources.IcebergInterop.exportToIceberg(s, lake1, ice1,
+          formatVersion = 3)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q378_t USING " +
+          s"grafticeberg OPTIONS (path '$ice1')")
+        o.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey").as("sk"),
+            col("o_orderstatus").as("ss"),
+            (col("o_totalprice") + 100).as("sp"))
+          .createOrReplaceTempView("q378_src")
+        s.sql("""MERGE INTO q378_t t USING q378_src s
+          ON t.o_orderkey = s.sk
+          WHEN MATCHED THEN UPDATE SET o_orderkey = s.sk,
+            o_orderstatus = s.ss, o_totalprice = s.sp
+          WHEN NOT MATCHED THEN INSERT
+            (o_orderkey, o_orderstatus, o_totalprice)
+            VALUES (s.sk, s.ss, s.sp)
+          WHEN NOT MATCHED BY SOURCE AND o_totalprice < 100000
+            THEN UPDATE SET o_orderstatus = 'S'""")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q378_t USING " +
+          s"grafticeberg OPTIONS (path '$ice1')")
+        require(graft.sources.IcebergInterop.validateIceberg(s, ice1)
+          .count() == 0L, "q378: doctor found issues after NMBS MERGE")
+        require(graft.sources.IcebergInterop.icebergRowCount(s, ice1)
+          .contains(s.table("q378_t").count()),
+          "q378: metadata count diverged after NMBS MERGE")
+        val legA = s.table("q378_t")
+          .select(lit("nmbs").as("leg"), col("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"),
+            lit(null).cast("string").as("lang"))
+        // leg B: programmatic schema evolution
+        val lake2 = root + "/lake2"
+        val ice2 = root + "/ice2"
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 2 === 0), lake2)
+        graft.sources.IcebergInterop.exportToIceberg(s, lake2, ice2,
+          formatVersion = 3)
+        val batch = o.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") + 7).as("o_totalprice"),
+            concat(col("o_orderstatus"), lit("_L")).as("lang"),
+            lit("U").as("op"))
+        graft.sources.IcebergInterop.mergeIntoIceberg(s, ice2, batch,
+          Seq("o_orderkey"), "op", evolveSchema = true): Unit
+        require(graft.sources.IcebergInterop.validateIceberg(s, ice2)
+          .count() == 0L, "q378: doctor found issues after evolution")
+        val legB = graft.sources.IcebergInterop.readIceberg(s, ice2)
+          .select(lit("evo").as("leg"), col("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"), col("lang"))
+        legA.unionAll(legB)
+      },
+      Some("""SELECT 'nmbs' AS leg, o_orderkey,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus
+               WHEN o_totalprice < 100000 THEN 'S'
+               ELSE o_orderstatus END AS o_orderstatus,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100
+               ELSE o_totalprice END AS o_totalprice,
+          CAST(NULL AS VARCHAR) AS lang
+        FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 2 = 0
+        UNION ALL
+        SELECT 'evo' AS leg, o_orderkey, o_orderstatus,
+          CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 7
+               ELSE o_totalprice END AS o_totalprice,
+          CASE WHEN o_orderkey % 5 = 0 THEN o_orderstatus || '_L'
+               ELSE NULL END AS lang
+        FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 5 = 0"""),
+      "Iceberg MERGE: NOT MATCHED BY SOURCE (conditional target-only " +
+        "mark via SQL) and schema-evolving merge (new schema-id, " +
+        "fresh field ids, same snapshot)"),
   )
 
   /** q374 fixture: a hand-built v2 table partitioned by day(ts) — one

@@ -2138,11 +2138,23 @@ object IcebergInterop {
     * and U/I non-matches land as partition-routed new data files —
     * ONE snapshot (summary `overwrite`), untouched rows never
     * rewrite. A key matching MULTIPLE live target rows refuses (the
-    * rewrite would change row multiplicity). Returns (updated,
-    * deleted, inserted). */
+    * rewrite would change row multiplicity).
+    *
+    * `notMatchedBySource` = the SQL `WHEN NOT MATCHED BY SOURCE`
+    * clause (the snapshot-sync idiom): target rows matching NO batch
+    * key take (condition SQL, None = DELETE / Some(sets) = UPDATE).
+    * `evolveSchema` = batch columns beyond the target's WIDEN the
+    * table schema in the SAME snapshot — a NEW schema-id with fresh
+    * field ids (ids never move, the spec's evolution rule), optional
+    * fields, pre-existing rows read null. Returns (updated, deleted,
+    * inserted). */
   def mergeIntoIceberg(spark: SparkSession, iceRoot: String,
                        batch: DataFrame, keys: Seq[String],
-                       opCol: String): (Long, Long, Long) = {
+                       opCol: String,
+                       notMatchedBySource: Option[
+                         (String, Option[Seq[(String, String)]])] = None,
+                       evolveSchema: Boolean = false)
+      : (Long, Long, Long) = {
     val st = iceDmlGates(spark, iceRoot, "MERGE")
     val names = st.schema.spark.fieldNames.toSeq
     require(keys.nonEmpty && keys.forall(names.contains),
@@ -2152,10 +2164,27 @@ object IcebergInterop {
       s"grafticeberg MERGE: batch lacks the op column '$opCol'")
     names.foreach(c => require(batch.columns.contains(c),
       s"grafticeberg MERGE: batch lacks target column '$c'"))
+    // schema EVOLUTION: extra batch columns widen the declared schema
+    // with FRESH field ids in the same snapshot
+    val extraCols = batch.columns
+      .filterNot(c => c == opCol || names.contains(c))
+    require(extraCols.isEmpty || evolveSchema,
+      s"grafticeberg MERGE: batch carries columns beyond $iceRoot's " +
+        s"schema (${extraCols.mkString(",")}); pass " +
+        "evolveSchema=true (SQL: WITH SCHEMA EVOLUTION) to widen")
+    val outSchema = StructType(st.schema.spark.fields ++
+      extraCols.map(c =>
+        StructField(c, batch.schema(c).dataType, nullable = true)))
+    val lastColId = st.meta.raw.path("last-column-id").asInt(0)
+    val evolve: Option[(StructType, Map[String, Int])] =
+      if (extraCols.isEmpty) None
+      else Some((outSchema, st.schema.fieldIds ++
+        extraCols.zipWithIndex.map { case (c, i) =>
+          c -> (lastColId + 1 + i) }))
     // one row per key — localCheckpoint so the three consumers below
     // (dup check, join, anti) never recompute a non-deterministic
     // source
-    val b0 = batch.select((names.map(col) :+
+    val b0 = batch.select((outSchema.fieldNames.map(col) :+
       col(opCol).as("__op")).toIndexedSeq: _*).localCheckpoint(true)
     val dupKeys = b0.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
@@ -2177,7 +2206,7 @@ object IcebergInterop {
       .filter(col("__b___op").isin("U", "M", "D"))
       .select("__uri", "__pos")
     val updatedRows = joined.filter(col("__b___op").isin("U", "M"))
-      .select(st.schema.spark.fields.map(fd =>
+      .select(outSchema.fields.map(fd =>
         col(s"__b_${fd.name}").cast(fd.dataType).as(fd.name))
         .toIndexedSeq: _*)
     val insertedRows = bAliased
@@ -2185,15 +2214,46 @@ object IcebergInterop {
         keys.map(k => col(k) === col(s"__b_$k")).reduce(_ && _),
         "left_anti")
       .filter(col("__b___op").isin("U", "I"))
-      .select(st.schema.spark.fields.map(fd =>
+      .select(outSchema.fields.map(fd =>
         col(s"__b_${fd.name}").cast(fd.dataType).as(fd.name))
         .toIndexedSeq: _*)
-    val nUpd = joined.filter(col("__b___op").isin("U", "M")).count()
-    val nDel = joined.filter(col("__b___op") === "D").count()
+    // WHEN NOT MATCHED BY SOURCE: target rows matching NO batch key,
+    // under the target-only condition
+    val nmbs: Option[(DataFrame, Option[Seq[(String, String)]])] =
+      notMatchedBySource.map { case (condSql, setsOpt) =>
+        setsOpt.foreach(_.foreach { case (c, _) =>
+          require(outSchema.fieldNames.contains(c),
+            s"grafticeberg MERGE: NOT MATCHED BY SOURCE UPDATE sets " +
+              s"unknown column '$c'")
+        })
+        val un = st.base.join(bAliased, joinCond, "left_anti")
+          .filter(coalesce(expr(condSql), lit(false)))
+          .localCheckpoint(true)
+        (un, setsOpt)
+      }
+    val nmbsRows: Option[DataFrame] = nmbs.flatMap { case (un, so) =>
+      so.map { sets =>
+        val applied = sets.foldLeft(un.drop("__uri", "__pos")) {
+          case (d, (c, sql)) => d.withColumn(c, expr(sql))
+        }
+        applied.select(outSchema.fields.map(fd =>
+          (if (applied.columns.contains(fd.name)) col(fd.name)
+           else lit(null)).cast(fd.dataType).as(fd.name))
+          .toIndexedSeq: _*)
+      }
+    }
+    val nUpd = joined.filter(col("__b___op").isin("U", "M")).count() +
+      nmbs.filter(_._2.isDefined).map(_._1.count()).getOrElse(0L)
+    val nDel = joined.filter(col("__b___op") === "D").count() +
+      nmbs.filter(_._2.isEmpty).map(_._1.count()).getOrElse(0L)
     val nIns = insertedRows.count()
     if (nUpd + nDel + nIns == 0L) return (0L, 0L, 0L)
-    icePublish(spark, iceRoot, st, "MERGE", matched,
-      Some(updatedRows.unionAll(insertedRows))): Unit
+    val allMatched = nmbs.map(_._1.select("__uri", "__pos"))
+      .map(matched.unionAll).getOrElse(matched)
+    val newRows = Seq(Some(updatedRows.unionAll(insertedRows)),
+      nmbsRows).flatten.reduce(_ unionAll _)
+    icePublish(spark, iceRoot, st, "MERGE", allMatched,
+      Some(newRows), evolve): Unit
     (nUpd, nDel, nIns)
   }
 
@@ -2441,7 +2501,9 @@ object IcebergInterop {
   private def icePublish(spark: SparkSession, iceRoot: String,
                          st: IceDmlState, verb: String,
                          matchedPos: DataFrame,
-                         newRows: Option[DataFrame]): Long = {
+                         newRows: Option[DataFrame],
+                         evolve: Option[(StructType, Map[String, Int])]
+                           = None): Long = {
     val f = fs(spark, iceRoot)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val meta = st.meta
@@ -2673,9 +2735,11 @@ object IcebergInterop {
     val dataEntryOpt: Option[GenericRecord] =
       if (newDataFiles.isEmpty) None
       else {
-        val fieldIdOf = schema.fieldIds
+        // evolution: the new files' stats key the WIDENED id map
+        val fieldIdOf = evolve.map(_._2).getOrElse(schema.fieldIds)
+        val statsSchema = evolve.map(_._1).getOrElse(schema.spark)
         val intColTypes: Map[String, DataType] =
-          schema.spark.fields.collect {
+          statsSchema.fields.collect {
             case fd if fd.dataType == IntegerType ||
                 fd.dataType == LongType => fd.name -> fd.dataType
           }.toMap
@@ -2815,9 +2879,15 @@ object IcebergInterop {
       (prevList ++ delEntryOpt.toSeq) ++ dataEntryOpt.toSeq)
     staged += new Path(listPath)
     val ts = System.currentTimeMillis()
+    // evolution: the widened schema lands as a NEW schema-id (ids
+    // never move — the spec's evolution rule) and the snapshot and
+    // current-schema-id point at it
+    val newSchemaId = evolve.map(_ =>
+      meta.schemas.keys.maxOption.getOrElse(0) + 1)
+    val effSchemaId = newSchemaId.getOrElse(meta.currentSchemaId)
     val snapJson =
       s"""{"snapshot-id":$snapId,"sequence-number":$seqNum,""" +
-        s""""timestamp-ms":$ts,"schema-id":${meta.currentSchemaId},""" +
+        s""""timestamp-ms":$ts,"schema-id":$effSchemaId,""" +
         s""""summary":{"operation":"${
           if (rows.isEmpty) "delete" else "overwrite"}"},""" +
         s""""manifest-list":${om.writeValueAsString(
@@ -2827,6 +2897,18 @@ object IcebergInterop {
     node.put("last-sequence-number", seqNum)
     node.put("last-updated-ms", ts)
     node.put("current-snapshot-id", snapId)
+    evolve.foreach { case (widened, ids) =>
+      node.put("current-schema-id", effSchemaId)
+      node.put("last-column-id",
+        math.max(meta.raw.path("last-column-id").asInt(0),
+          ids.values.max))
+      val schemaArr = om.createArrayNode()
+      meta.raw.path("schemas").elements().asScala.foreach(schemaArr.add)
+      schemaArr.add(om.readTree(
+        icebergSchemaJson(widened, om, effSchemaId, ids)))
+      node.set[com.fasterxml.jackson.databind.JsonNode]("schemas",
+        schemaArr)
+    }
     val snapArr = om.createArrayNode()
     meta.raw.path("snapshots").elements().asScala.foreach(snapArr.add)
     snapArr.add(om.readTree(snapJson))

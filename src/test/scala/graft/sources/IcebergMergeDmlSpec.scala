@@ -90,6 +90,82 @@ class IcebergMergeDmlSpec extends SparkSpec {
     assert(IcebergInterop.validateIceberg(spark, ice).count() == 0L)
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE on foreign Iceberg: SQL " +
+      "DELETE-sync and a conditional target-only UPDATE both route; " +
+      "metadata counts and the doctor agree") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    val ice = s"$dir/ice"
+    LakeTable.append(spark.range(0, 20)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake)
+    IcebergInterop.exportToIceberg(spark, lake, ice, formatVersion = 3)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW inmbs_t USING " +
+      s"grafticeberg OPTIONS (path '$ice')")
+    spark.range(10, 25).select(col("id").as("sk"),
+        (col("id") * 100).as("sv"))
+      .createOrReplaceTempView("inmbs_s")
+    spark.sql("""MERGE INTO inmbs_t t USING inmbs_s s
+      ON t.k = s.sk
+      WHEN MATCHED THEN UPDATE SET k = s.sk, v = s.sv
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.sk, s.sv)
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW inmbs_t USING " +
+      s"grafticeberg OPTIONS (path '$ice')")
+    assert(spark.table("inmbs_t").as[(Long, Long)].collect().toMap ==
+      (10L until 25L).map(k => k -> k * 100).toMap)
+    assert(IcebergInterop.icebergRowCount(spark, ice).contains(15L))
+    assert(IcebergInterop.validateIceberg(spark, ice).count() == 0L)
+    // conditional target-only NMBS UPDATE
+    val (u, d2, i2) = IcebergInterop.mergeIntoIceberg(spark, ice,
+      spark.range(12, 25).select(col("id").as("k"),
+        (col("id") * 100).as("v"), lit("M").as("op")),
+      Seq("k"), "op",
+      notMatchedBySource = Some(("k < 11", Some(Seq("v" -> "-1")))))
+    assert((u, d2, i2) == (14L, 0L, 0L), s"got ($u, $d2, $i2)")
+    val got = IcebergInterop.readIceberg(spark, ice)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (10L until 25L).map(k =>
+      k -> (if (k < 11) -1L else k * 100)).toMap)
+    assert(IcebergInterop.validateIceberg(spark, ice).count() == 0L)
+  }
+
+  test("mergeIntoIceberg with evolveSchema widens the schema as a " +
+      "NEW schema-id with fresh field ids: pre-existing rows read " +
+      "null, old snapshots keep their shape, and the new files' " +
+      "value_counts key the widened ids") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    val ice = s"$dir/ice"
+    LakeTable.append(spark.range(0, 10)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake)
+    IcebergInterop.exportToIceberg(spark, lake, ice, formatVersion = 3)
+    val preSnap = IcebergInterop.icebergCurrentSnapshot(spark, ice)
+    val batch = Seq((5L, 500L, "en", "U"), (20L, 2000L, "is", "U"))
+      .toDF("k", "v", "lang", "op")
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.mergeIntoIceberg(spark, ice, batch, Seq("k"), "op")
+    }
+    assert(e.getMessage.contains("SCHEMA EVOLUTION"), e.getMessage)
+    val (u, d2, i2) = IcebergInterop.mergeIntoIceberg(spark, ice,
+      batch, Seq("k"), "op", evolveSchema = true)
+    assert((u, d2, i2) == (1L, 0L, 1L))
+    val after = IcebergInterop.readIceberg(spark, ice)
+    assert(after.columns.toSeq == Seq("k", "v", "lang"))
+    assert(after.count() == 11L)
+    assert(after.filter(col("k") === 5).select("lang").as[String]
+      .head() == "en")
+    assert(after.filter(col("lang").isNull).count() == 9L)
+    assert(IcebergInterop.icebergRowCount(spark, ice).contains(11L))
+    // metadata count(col) of the NEW column serves from the widened
+    // field ids (the merge's files carry value_counts keyed on them)
+    assert(IcebergInterop.icebergColumnCount(spark, ice, "lang")
+      .forall(_ == 2L))
+    // the pre-evolution snapshot still reads with ITS schema
+    assert(IcebergInterop.readIceberg(spark, ice, preSnap)
+      .columns.toSeq == Seq("k", "v"))
+    assert(IcebergInterop.validateIceberg(spark, ice).count() == 0L)
+  }
+
   test("partitioned UPDATE routes rewrites: rows land in their " +
       "partitions' files (including a partition-MOVING assignment), " +
       "identity pruning holds on the rewritten table (corrupted-file " +
