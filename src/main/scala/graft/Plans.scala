@@ -117,7 +117,12 @@ object Plans {
     "q367_interop_sql_update" -> "SQL UPDATE (DV-out + rewrite): the post-update read unions untouched files with the rewritten adds under one pruned scan; old snapshot intact",
     "q368_iceberg_sql_delete" -> "Iceberg SQL DELETE: v3 Puffin DVs decode executor-side into the same broadcast-anti-join MoR shape; repeated deletes keep ONE delete manifest (replacement, not accretion)",
     "q369_interop_sql_merge" -> "SQL MERGE (upsert fate batch): one DV + new-adds commit; the post-merge read unions untouched files with the rewritten adds under one pruned scan",
-    "q370_iceberg_sql_update" -> "Iceberg SQL UPDATE: v3 DV + rewritten data file in ONE snapshot — the post-update read is the MoR anti-join over old files plus a plain scan of the new adds")
+    "q370_iceberg_sql_update" -> "Iceberg SQL UPDATE: v3 DV + rewritten data file in ONE snapshot — the post-update read is the MoR anti-join over old files plus a plain scan of the new adds",
+    "q371_iceberg_sql_merge" -> "Iceberg SQL MERGE (upsert fate batch): one Puffin-DV + routed new-adds snapshot; the post-merge read is the MoR anti-join plus a plain scan of the adds",
+    "q372_interop_partitioned_rewrite" -> "partition-routed rewrites: the post-DML filtered reads list ONLY the probed partition's files on both formats — every non-probed file corrupted and never opened",
+    "q374_iceberg_day_transform_pruning" -> "day(ts) transform pruning: both the range API and the SQL zone path list only the probed day's file — the transform ordinal decides the file outright",
+    "q375_dml_in_subquery" -> "IN-subquery DML: the matched-candidate scan carries a BroadcastHashJoin LeftSemi against the evaluated eval-set — never an IN-list literal in the filter",
+    "q377_iceberg_day_transform_writes" -> "transform-routed writes: the post-write reads are ordinary pruned scans of the routed files; the day routing is pure Catalyst (datediff), no UDF in the staging plan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -2276,7 +2276,15 @@ object IcebergInterop {
                                  dataFiles: Seq[DataFileMeta],
                                  specFields: Seq[IceSpecField],
                                  priorByFile: Map[String, Array[Long]],
-                                 base: DataFrame)
+                                 base: DataFrame,
+                                 // ALL physical rows (already-deleted
+                                 // ones included): pure DELETEs match
+                                 // over this and let the publish's
+                                 // merged−prior arithmetic discount
+                                 // dead rows — skipping the
+                                 // prior-position anti-join the
+                                 // rewrite paths genuinely need
+                                 baseAll: DataFrame)
 
   /** Shared gates + live-scan for DELETE/UPDATE/MERGE on a foreign
     * Iceberg table. Refusals: format v1/v4+, non-identity partition
@@ -2432,7 +2440,8 @@ object IcebergInterop {
         }.toDF("__uri", "__pos")
         base0.join(priorDf, Seq("__uri", "__pos"), "left_anti")
       }
-    IceDmlState(meta, schema, dataFiles, specFields, priorByFile, base)
+    IceDmlState(meta, schema, dataFiles, specFields, priorByFile, base,
+      base0)
   }
 
   /** `inSub` = an evaluated `col IN (<subquery>)` membership: the
@@ -2452,7 +2461,11 @@ object IcebergInterop {
           s"(${st.schema.spark.fieldNames.mkString(",")})")
     }
     if (st.dataFiles.isEmpty) return 0L
-    val matchedB = st.base.filter(coalesce(expr(condSql), lit(false)))
+    // a pure DELETE matches over ALL rows and lets the publish's
+    // merged−prior arithmetic discount already-dead rows — one plain
+    // scan, no anti-join; an UPDATE's rewrite must see LIVE rows only
+    val scanBase = if (sets.isEmpty) st.baseAll else st.base
+    val matchedB = scanBase.filter(coalesce(expr(condSql), lit(false)))
     val matched0 = inSub match {
       case None => matchedB
       case Some((sub, k)) =>
@@ -2532,13 +2545,20 @@ object IcebergInterop {
       }.toMap
     val rows = newRows.filter(!_.isEmpty)
     if (matchedByFile.isEmpty && rows.isEmpty) return 0L
-    val newlyDeleted = matchedByFile.values.map(_.length.toLong).sum
     val mergedByFile: Map[String, Array[Long]] =
       (matchedByFile.keySet ++ st.priorByFile.keySet).map { p =>
         p -> (matchedByFile.getOrElse(p, Array.empty[Long]) ++
           st.priorByFile.getOrElse(p, Array.empty[Long]))
           .distinct.sorted
       }.toMap
+    // merged − prior, NOT |matched|: a pure DELETE's matched set may
+    // include already-dead rows (it scans without the anti-join) —
+    // the arithmetic discounts them exactly either way
+    val newlyDeleted = mergedByFile.map { case (p, m) =>
+      m.length.toLong -
+        st.priorByFile.getOrElse(p, Array.empty[Long]).length
+    }.sum
+    if (newlyDeleted == 0L && rows.isEmpty) return 0L
     val uuid = java.util.UUID.randomUUID().toString
     val seqNum = meta.raw.path("last-sequence-number").asLong(0L) + 1
     val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1
