@@ -4753,7 +4753,9 @@ object SourceQueries {
     .getParent)
       fs.rename(part, new org.apache.hadoop.fs.Path(s"$root/$rel"))
       fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
-      df.count()
+      // true record count from the footer just written — zero jobs
+      graft.sources.TableDoctor.footerRows(s, s"$root/$rel")
+    .getOrElse(0L)
     }
     // f1 @ seq 1: every 4th order, sorted so positions are defined
     val f1Rows = writeOne(o.filter(col("o_orderkey") % 4 === 0)

@@ -31,7 +31,7 @@ object TableDoctor {
   /** Row count from a parquet footer — metadata only, no data pages.
     * None when the footer is unreadable (the caller reports that as
     * its own issue). */
-  private[sources] def footerRows(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def footerRows(spark: org.apache.spark.sql.SparkSession,
                                   uri: String): Option[Long] =
     scala.util.Try {
       val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
