@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{DeltaInterop, IcebergInterop}
+
+/** Wide-DELETE scale stress for the row-level DML publish (dev tool,
+  * like Stress/LakeStress): a table-wide `DELETE WHERE` whose matched
+  * position count (default 9×10⁷ of 10⁸ rows, env-tunable to 10⁹)
+  * would not fit a driver JVM if collected as boxed rows — the shape
+  * that motivated moving DV/position-delete serialization into the
+  * shuffle tasks. Run on all three delete-state shapes:
+  *
+  *   1. foreign DELTA → deletion vectors (protocol upgrade + per-task
+  *      DV containers),
+  *   2. foreign ICEBERG v2 → position-delete parquet per partition
+  *      tuple (task-written, driver renames),
+  *   3. foreign ICEBERG v3 → Puffin DV blobs (per-task containers).
+  *
+  * After each DELETE the table is read back and the surviving count
+  * checked exactly; a second DELETE exercises the prior-state merge
+  * (tasks fold the existing sidecars in — again without a driver
+  * collect). Reports per-step wall seconds; numbers land in
+  * BENCH_STRESS.md.
+  *
+  * Env: DML_STRESS_ROWS (default 1e8), DML_STRESS_DIR
+  * (default /tmp/graft_dmlstress). */
+object DmlStress {
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("DML_STRESS_ROWS", "100000000").toLong
+    val base = sys.env.getOrElse("DML_STRESS_DIR", "/tmp/graft_dmlstress")
+    val spark = Engine.local(appName = "graft-dmlstress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def wipe(p: String): Unit = {
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(del)
+        f.delete(): Unit
+      }
+      del(new java.io.File(p))
+    }
+    wipe(base)
+
+    // 32 data files of n/32 rows each; id is globally unique, v is a
+    // scattered payload so the files are not trivially constant
+    def rows = spark.range(n).select(col("id"),
+        (col("id") % 97).as("bucket"),
+        pmod(col("id") * lit(2654435761L), lit(1000000007L)).as("v"))
+      .repartition(32)
+
+    val expectDel1 = n - n / 10          // DELETE WHERE id % 10 != 0
+    val expectLive1 = n / 10
+    val expectDel2 = (n / 10 - 1) / 2 + 1 // of the survivors (id%10=0):
+                                          // id % 20 = 0 dies
+    val expectLive2 = expectLive1 - expectDel2
+    val report = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    def check(label: String, got: Long, want: Long): Unit = {
+      require(got == want, s"$label: got $got, want $want")
+      println(s"  $label OK ($got)")
+    }
+
+    // ---- 1. foreign Delta: deletion vectors -------------------------
+    {
+      val root = s"$base/delta"
+      // DV-enabled empty table (the spec's writer opt-in), then the
+      // rows land through the gated batch writer
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val fsys = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_delta_log"))
+      val out0 = fsys.create(new org.apache.hadoop.fs.Path(
+        s"$root/_delta_log/00000000000000000000.json"), false)
+      out0.write((
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
+          "\n" +
+          s"""{"metaData":{"id":"dmlstress","schemaString":${om
+            .writeValueAsString(rows.schema.json)},""" +
+          """"partitionColumns":[],"format":{"provider":"parquet"},""" +
+          """"configuration":{"delta.enableDeletionVectors":"true"}}}"""
+        ).getBytes("UTF-8"))
+      out0.close()
+      val (_, tw) = timed(DeltaInterop.appendDelta(rows, root))
+      val (d1, t1) = timed(DeltaInterop.deleteWhereDeltaDV(spark, root,
+        "id % 10 != 0"))
+      check("delta del1", d1, expectDel1)
+      check("delta live1",
+        DeltaInterop.readDelta(spark, root).count(), expectLive1)
+      val (d2, t2) = timed(DeltaInterop.deleteWhereDeltaDV(spark, root,
+        "id % 20 = 0"))
+      check("delta del2", d2, expectDel2)
+      check("delta live2",
+        DeltaInterop.readDelta(spark, root).count(), expectLive2)
+      report += f"| delta DV | $n%d | $expectDel1%d | $tw%.1f | $t1%.1f | $t2%.1f |"
+    }
+
+    // ---- 2. foreign Iceberg v2: position-delete parquet --------------
+    {
+      val root = s"$base/ice2"
+      val (_, tw) = timed(IcebergInterop.appendIceberg(rows, root))
+      val (d1, t1) = timed(IcebergInterop.deleteWhereIcebergDV(spark,
+        root, "id % 10 != 0"))
+      check("ice2 del1", d1, expectDel1)
+      check("ice2 live1",
+        IcebergInterop.readIceberg(spark, root).count(), expectLive1)
+      val (d2, t2) = timed(IcebergInterop.deleteWhereIcebergDV(spark,
+        root, "id % 20 = 0"))
+      check("ice2 del2", d2, expectDel2)
+      check("ice2 live2",
+        IcebergInterop.readIceberg(spark, root).count(), expectLive2)
+      report += f"| iceberg v2 pos-del | $n%d | $expectDel1%d | $tw%.1f | $t1%.1f | $t2%.1f |"
+    }
+
+    // ---- 3. foreign Iceberg v3: Puffin DV blobs ----------------------
+    {
+      val root = s"$base/ice3"
+      val (_, tw) = timed(IcebergInterop.appendIceberg(rows, root))
+      // fixture shim: redeclare the fresh table as format-version 3
+      // (the append creator writes v2; the v3 DML path is what we
+      // stress). Same trick as the test fixtures — metadata-only.
+      val mdDir = new java.io.File(s"$root/metadata")
+      mdDir.listFiles().filter(_.getName.endsWith(".metadata.json"))
+        .foreach { mf =>
+          val s0 = java.nio.file.Files.readString(mf.toPath)
+          java.nio.file.Files.writeString(mf.toPath, s0.replace(
+            "\"format-version\":2", "\"format-version\":3"))
+        }
+      val (d1, t1) = timed(IcebergInterop.deleteWhereIcebergDV(spark,
+        root, "id % 10 != 0"))
+      check("ice3 del1", d1, expectDel1)
+      check("ice3 live1",
+        IcebergInterop.readIceberg(spark, root).count(), expectLive1)
+      val (d2, t2) = timed(IcebergInterop.deleteWhereIcebergDV(spark,
+        root, "id % 20 = 0"))
+      check("ice3 del2", d2, expectDel2)
+      check("ice3 live2",
+        IcebergInterop.readIceberg(spark, root).count(), expectLive2)
+      val puffins = new java.io.File(s"$root/data").listFiles()
+        .filter(_.getName.endsWith(".puffin"))
+      report += f"| iceberg v3 puffin DV | $n%d | $expectDel1%d | $tw%.1f | $t1%.1f | $t2%.1f | ${puffins.length}%d puffin containers |"
+    }
+
+    println("\n| path | rows | deleted (1st) | write s | delete1 s | delete2 s |")
+    println("|---|---|---|---|---|---|")
+    report.foreach(println)
+    spark.stop()
+  }
+}

@@ -439,7 +439,13 @@ case class InteropMergeRule(spark: SparkSession)
           (keys, cols, op) <- MergeTranslation.translate(m)
           nmbs <- translateNmbs(m)
         } yield InteropMergeCommand(fmt, root, m.sourceTable, keys,
-          cols, op, nmbs): LogicalPlan).getOrElse(m)
+          cols, op, nmbs): LogicalPlan)
+          .orElse(for {
+            (keys, cols, op) <- MergeTranslation.translateJoined(m)
+            nmbs <- translateNmbs(m)
+          } yield InteropMergeJoinedCommand(fmt, root, m.sourceTable,
+            keys, cols, op, nmbs): LogicalPlan)
+          .getOrElse(m)
     }
 }
 
@@ -469,6 +475,44 @@ case class InteropMergeCommand(fmt: String, root: String,
           batch, keys, "__op", nmbs): Unit
       case other => throw new IllegalStateException(
         s"unknown interop format $other")
+    }
+    Seq.empty
+  }
+}
+
+/** The joined-translation twin of [[InteropMergeCommand]]
+  * (partial-column updates, multi-clause conditional fates,
+  * target-referencing conditions): reads the target table, joins it
+  * into the fate batch per [[MergeTranslation.joinedBatch]], and runs
+  * the format's native merge. */
+case class InteropMergeJoinedCommand(fmt: String, root: String,
+                                     source: LogicalPlan,
+                                     keys: Seq[(String, String)],
+                                     columns: Seq[(String, String)],
+                                     opSql: String,
+                                     nmbs: Option[(String,
+                                       Option[Seq[(String, String)]])]
+                                       = None)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.graftbridge.ColumnBridge
+      .ofRows(spark, source)
+    val target = fmt match {
+      case "delta" => graft.sources.DeltaInterop.readDelta(spark, root)
+      case "iceberg" =>
+        graft.sources.IcebergInterop.readIceberg(spark, root)
+      case other => throw new IllegalStateException(
+        s"unknown interop format $other")
+    }
+    val batch = MergeTranslation.joinedBatch(src, target, keys,
+      columns, opSql)
+    fmt match {
+      case "delta" =>
+        graft.sources.DeltaInterop.mergeIntoDelta(spark, root, batch,
+          keys.map(_._1), "__op", nmbs): Unit
+      case _ =>
+        graft.sources.IcebergInterop.mergeIntoIceberg(spark, root,
+          batch, keys.map(_._1), "__op", nmbs): Unit
     }
     Seq.empty
   }

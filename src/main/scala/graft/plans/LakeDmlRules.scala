@@ -111,7 +111,12 @@ case class LakeDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
         MergeTranslation.translate(m).map { case (keys, cols, op) =>
           GraftLakeMergeCommand(lakeTable(m.targetTable).get.tableRoot,
             m.sourceTable, keys, cols, op): LogicalPlan
-        }.getOrElse(m)
+        }.orElse(MergeTranslation.translateJoined(m).map {
+          case (keys, cols, op) =>
+            GraftLakeMergeJoinedCommand(
+              lakeTable(m.targetTable).get.tableRoot,
+              m.sourceTable, keys, cols, op): LogicalPlan
+        }).getOrElse(m)
     }
 
 }
@@ -251,6 +256,209 @@ private[plans] object MergeTranslation {
         }
       }
     }
+  }
+
+  /** The GENERALIZED translation, used when [[translate]]'s exact
+    * shapes don't fit: the command JOINS the matched target row into
+    * the fate batch (target columns aliased `__t_<name>`, plus a
+    * `__matched` flag), which admits —
+    *
+    *   - partial-column `UPDATE SET` (unassigned columns keep the
+    *     target's current value, read from `__t_`),
+    *   - multiple matched clauses with conditions, first-match-wins
+    *     (SQL MERGE's rule), including DELETE beside INSERT,
+    *   - conditions and assignment values referencing TARGET columns.
+    *
+    * "Do nothing" needs no new fate: a matched row no clause claims
+    * rides as 'I' (insert-if-absent = no-op on a present key), an
+    * unmatched row no insert claims as 'M' (update-if-present = no-op
+    * on an absent key). Key columns always carry the ON expression's
+    * source-side value (key-CHANGING assignments still refuse — the
+    * batch would match on the new key, not the old one), so no-op
+    * rows keep distinct keys and the engines' one-row-per-key check
+    * stays meaningful.
+    *
+    * Returns (key → source-expression SQL pairs, per-column CASE SQL
+    * over the joined frame, op CASE SQL); None falls back to Spark's
+    * standard unsupported-table error (subqueries, non-equi ON,
+    * nested-field targets, key-changing updates, partial INSERT). */
+  def translateJoined(m: MergeIntoTable)
+      : Option[(Seq[(String, String)], Seq[(String, String)], String)]
+      = {
+    val targetOut = m.targetTable.outputSet
+    val sourceOut = m.sourceTable.outputSet
+    def sourceOnly(e: Expression): Boolean =
+      renderable(e) && e.references.subsetOf(sourceOut)
+    def joinedOk(e: Expression): Boolean =
+      renderable(e) &&
+        e.references.subsetOf(targetOut ++ sourceOut)
+    // render against the JOINED frame: target attrs as `__t_<name>`,
+    // source attrs bare
+    def joinedSql(e: Expression): String =
+      e.transformUp {
+        case b: Between => CAnd(GreaterThanOrEqual(b.input, b.lower),
+          LessThanOrEqual(b.input, b.upper))
+      }.transformUp {
+        case a: AttributeReference if targetOut.contains(a) =>
+          a.withQualifier(Seq.empty).withName(s"__t_${a.name}")
+        case a: AttributeReference => a.withQualifier(Seq.empty)
+      }.sql
+
+    def keyPairs(e: Expression): Option[Seq[(String, Expression)]] =
+      e match {
+        case CAnd(l, r) =>
+          for (lp <- keyPairs(l); rp <- keyPairs(r)) yield lp ++ rp
+        case EqualTo(t: AttributeReference, s)
+            if targetOut.contains(t) && sourceOnly(s) =>
+          Some(Seq(t.name -> s))
+        case EqualTo(s, t: AttributeReference)
+            if targetOut.contains(t) && sourceOnly(s) =>
+          Some(Seq(t.name -> s))
+        case _ => None
+      }
+
+    val targetCols = m.targetTable.output.map(_.name)
+    val typeOf = m.targetTable.output
+      .map(a => a.name -> a.dataType).toMap
+
+    keyPairs(m.mergeCondition).flatMap { keys =>
+      val keyNames = keys.map(_._1).toSet
+      val onSqlOf: Map[String, String] =
+        keys.map { case (k, e) => k -> joinedSql(e) }.toMap
+      // a key column may only be assigned the ON expression itself or
+      // the target's current value (equal by definition on a match)
+      def keyStable(k: String, v: Expression): Boolean =
+        joinedSql(v) == onSqlOf(k) ||
+          joinedSql(v) == joinedSql(m.targetTable.output
+            .find(_.name == k).get)
+      // one (whenSql, op, per-column value) branch per clause
+      type Branch = (String, String, String => Option[String])
+      val matchedBranches: Option[Seq[Branch]] =
+        traverse(m.matchedActions) {
+          case u: UpdateAction if u.condition.forall(joinedOk) &&
+              u.assignments.forall {
+                case Assignment(k: AttributeReference, v) =>
+                  joinedOk(v) &&
+                    (!keyNames.contains(k.name) || keyStable(k.name, v))
+                case _ => false
+              } =>
+            val assign = u.assignments.map {
+              case Assignment(k: AttributeReference, v) =>
+                k.name -> joinedSql(v)
+            }.toMap
+            Some((("__matched" +: u.condition.map(c =>
+              s"(${joinedSql(c)})").toSeq).mkString(" AND "),
+              "'M'", (c: String) => Some(assign.getOrElse(c,
+                s"`__t_$c`"))))
+          case d: DeleteAction if d.condition.forall(joinedOk) =>
+            Some((("__matched" +: d.condition.map(c =>
+              s"(${joinedSql(c)})").toSeq).mkString(" AND "),
+              "'D'", (_: String) => None)) // values unread on delete
+          case _ => None
+        }
+      val insertBranches: Option[Seq[Branch]] =
+        traverse(m.notMatchedActions) {
+          case i: InsertAction if i.condition.forall(sourceOnly) &&
+              i.assignments.forall {
+                case Assignment(k: AttributeReference, v) =>
+                  sourceOnly(v) &&
+                    (!keyNames.contains(k.name) || keyStable(k.name, v))
+                case _ => false
+              } &&
+              // INSERT must cover every target column (no defaults)
+              targetCols.forall(c => i.assignments.exists {
+                case Assignment(k: AttributeReference, _) => k.name == c
+                case _ => false
+              }) =>
+            val assign = i.assignments.map {
+              case Assignment(k: AttributeReference, v) =>
+                k.name -> joinedSql(v)
+            }.toMap
+            Some((("(NOT __matched)" +: i.condition.map(c =>
+              s"(${joinedSql(c)})").toSeq).mkString(" AND "),
+              "'I'", (c: String) => Some(assign(c))))
+          case _ => None
+        }
+      for {
+        mb <- matchedBranches
+        ib <- insertBranches
+        if mb.nonEmpty || ib.nonEmpty
+      } yield {
+        val branches = mb ++ ib
+        val opSql = "CASE " + branches.map { case (w, op, _) =>
+          s"WHEN $w THEN $op"
+        }.mkString(" ") +
+          " ELSE (CASE WHEN __matched THEN 'I' ELSE 'M' END) END"
+        val cols = targetCols.map { c =>
+          if (keyNames.contains(c)) c -> onSqlOf(c)
+          else {
+            // per-branch value; delete branches and the no-op tail
+            // read the target's value when matched, a typed null when
+            // not (never consulted either way — types must line up)
+            val tail = s"CASE WHEN __matched THEN `__t_$c` " +
+              s"ELSE CAST(NULL AS ${typeOf(c).sql}) END"
+            c -> ("CASE " + branches.map { case (w, _, vOf) =>
+              s"WHEN $w THEN ${vOf(c).getOrElse(s"`__t_$c`")}"
+            }.mkString(" ") + s" ELSE ($tail) END")
+          }
+        }
+        (keys.map { case (k, e) => k -> joinedSql(e) }, cols, opSql)
+      }
+    }
+  }
+
+  private def traverse[A, B](xs: Seq[A])(f: A => Option[B])
+      : Option[Seq[B]] = {
+    val out = xs.map(f)
+    if (out.forall(_.isDefined)) Some(out.map(_.get)) else None
+  }
+
+  /** Build the joined fate batch [[translateJoined]]'s SQL references:
+    * `source LEFT JOIN target` on the ON keys, target columns aliased
+    * `__t_<name>`, plus a `__matched` flag — then project the
+    * translated column/op CASEs. One extra target scan per MERGE; the
+    * join shuffles on the keys (or broadcasts, AQE's call) exactly
+    * like the engine's own matched-join. */
+  def joinedBatch(src: org.apache.spark.sql.DataFrame,
+                  target: org.apache.spark.sql.DataFrame,
+                  keys: Seq[(String, String)],
+                  columns: Seq[(String, String)],
+                  opSql: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val tAliased = target.select(target.columns.map(c =>
+      col(c).as(s"__t_$c")).toIndexedSeq: _*)
+      .withColumn("__matched_t", lit(true))
+    val joinCond = keys.map { case (k, s) =>
+      expr(s) === col(s"__t_$k")
+    }.reduce(_ && _)
+    src.join(tAliased, joinCond, "left")
+      .withColumn("__matched",
+        coalesce(col("__matched_t"), lit(false)))
+      .select((columns.map { case (n, sql) => expr(sql).as(n) } :+
+        expr(opSql).as("__op")).toIndexedSeq: _*)
+  }
+}
+
+/** Eagerly-executed MERGE for the JOINED translation (partial-column
+  * updates, multi-clause conditional fates, target-referencing
+  * conditions): reads the target, joins it into the fate batch, runs
+  * [[LakeTable.mergeInto]]. The read happens INSIDE the retry so a
+  * lost commit race re-joins against the new state. */
+case class GraftLakeMergeJoinedCommand(root: String,
+                                       source: LogicalPlan,
+                                       keys: Seq[(String, String)],
+                                       columns: Seq[(String, String)],
+                                       opSql: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.graftbridge.ColumnBridge
+      .ofRows(spark, source)
+    LakeTable.withRetry() { () =>
+      val batch = MergeTranslation.joinedBatch(src,
+        LakeTable.read(spark, root), keys, columns, opSql)
+      LakeTable.mergeInto(spark, root, batch, keys.map(_._1), "__op")
+    }
+    Seq.empty
   }
 }
 

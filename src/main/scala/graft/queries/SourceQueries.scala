@@ -4631,7 +4631,148 @@ object SourceQueries {
       "Iceberg MERGE: NOT MATCHED BY SOURCE (conditional target-only " +
         "mark via SQL) and schema-evolving merge (new schema-id, " +
         "fresh field ids, same snapshot)"),
+
+    // ---- partial-column MERGE assignments, both formats ------------------------
+    // `WHEN MATCHED THEN UPDATE SET one_col = v` — the most common CDC
+    // shape after upsert: unassigned columns must keep the TARGET's
+    // current value, which the source-only fate batch cannot express.
+    // The joined translation reads the matched target row into the
+    // batch (__t_ aliases), so o_orderstatus survives a price-only
+    // update byte-for-byte. (Reference analogue: the column-wise
+    // overlay of shrimp_support_tables.R:2100-2132, which patches only
+    // the fixed columns.)
+    "q379_merge_partial_update" -> Q(
+      (s, d) => {
+        val (delta, ice) =
+          mergeTargetsFixture(s, d, "graft_mpartial_q379", "q379_src")
+        val stmt = (t: String) => s"""MERGE INTO $t t USING q379_src s
+          ON t.o_orderkey = s.sk
+          WHEN MATCHED THEN UPDATE SET o_totalprice = s.sp
+          WHEN NOT MATCHED THEN INSERT
+            (o_orderkey, o_orderstatus, o_totalprice)
+            VALUES (s.sk, s.ss, s.sp)"""
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q379_d USING " +
+          s"graftdelta OPTIONS (path '$delta')")
+        s.sql(stmt("q379_d"))
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q379_i USING " +
+          s"grafticeberg OPTIONS (path '$ice')")
+        s.sql(stmt("q379_i"))
+        require(graft.sources.DeltaInterop.validateDelta(s, delta)
+          .count() == 0L, "q379: delta doctor found issues")
+        require(graft.sources.IcebergInterop.validateIceberg(s, ice)
+          .count() == 0L, "q379: iceberg doctor found issues")
+        graft.sources.DeltaInterop.readDelta(s, delta)
+          .select(lit("delta").as("leg"), col("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+          .unionAll(graft.sources.IcebergInterop.readIceberg(s, ice)
+            .select(lit("iceberg").as("leg"), col("o_orderkey"),
+              col("o_orderstatus"), col("o_totalprice")))
+      },
+      Some("""SELECT leg, o_orderkey, o_orderstatus,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100
+               ELSE o_totalprice END AS o_totalprice
+        FROM orders CROSS JOIN (
+          SELECT UNNEST(['delta', 'iceberg']) AS leg)
+        WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0"""),
+      "partial-column MERGE on both formats: price-only UPDATE keeps " +
+        "the target's status via the joined fate batch; inserts land " +
+        "whole rows"),
+
+    // ---- multi-clause conditional MERGE, both formats --------------------------
+    // Matched DELETE beside matched UPDATE (first-match-wins, SQL
+    // MERGE's rule) plus a CONDITIONAL insert — with the delete
+    // condition reading a TARGET column, the other shape the
+    // source-only batch could never see. Rows no clause claims are
+    // no-ops (matched → fate 'I', unmatched → fate 'M').
+    "q380_merge_multi_clause" -> Q(
+      (s, d) => {
+        val (delta, ice) =
+          mergeTargetsFixture(s, d, "graft_mmulti_q380", "q380_src")
+        val stmt = (t: String) => s"""MERGE INTO $t t USING q380_src s
+          ON t.o_orderkey = s.sk
+          WHEN MATCHED AND t.o_totalprice > 150000 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET o_totalprice = s.sp,
+            o_orderstatus = 'M'
+          WHEN NOT MATCHED AND s.sp < 50000 THEN INSERT
+            (o_orderkey, o_orderstatus, o_totalprice)
+            VALUES (s.sk, 'N', s.sp)"""
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q380_d USING " +
+          s"graftdelta OPTIONS (path '$delta')")
+        s.sql(stmt("q380_d"))
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q380_i USING " +
+          s"grafticeberg OPTIONS (path '$ice')")
+        s.sql(stmt("q380_i"))
+        require(graft.sources.DeltaInterop.validateDelta(s, delta)
+          .count() == 0L, "q380: delta doctor found issues")
+        require(graft.sources.IcebergInterop.validateIceberg(s, ice)
+          .count() == 0L, "q380: iceberg doctor found issues")
+        graft.sources.DeltaInterop.readDelta(s, delta)
+          .select(lit("delta").as("leg"), col("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+          .unionAll(graft.sources.IcebergInterop.readIceberg(s, ice)
+            .select(lit("iceberg").as("leg"), col("o_orderkey"),
+              col("o_orderstatus"), col("o_totalprice")))
+      },
+      Some("""WITH legs AS (SELECT UNNEST(['delta', 'iceberg']) AS leg)
+        SELECT leg, o_orderkey,
+          CASE WHEN o_orderkey % 3 = 0 THEN 'M'
+               ELSE o_orderstatus END AS o_orderstatus,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100
+               ELSE o_totalprice END AS o_totalprice
+        FROM orders CROSS JOIN legs
+        WHERE o_orderkey % 2 = 0
+          AND NOT (o_orderkey % 3 = 0 AND o_totalprice > 150000)
+        UNION ALL
+        SELECT leg, o_orderkey, 'N' AS o_orderstatus,
+          o_totalprice + 100 AS o_totalprice
+        FROM orders CROSS JOIN legs
+        WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0
+          AND o_totalprice + 100 < 50000"""),
+      "multi-clause MERGE on both formats: target-conditioned DELETE " +
+        "beside UPDATE (first-match-wins) plus conditional INSERT; " +
+        "unclaimed rows no-op through the fate encoding"),
   )
+
+  /** q379/q380 fixture: a DV-enabled foreign DELTA target and a v3
+    * ICEBERG target, both holding the EVEN orders keys, plus a source
+    * view of the %3 ≡ 0 keys re-priced (+100) as (sk, ss, sp). */
+  private def mergeTargetsFixture(s: org.apache.spark.sql.SparkSession,
+                                  d: String, name: String,
+                                  srcView: String): (String, String) = {
+    val root = freshRoot(name)
+    val o = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val delta = root + "/delta"
+    val fsys = new org.apache.hadoop.fs.Path(delta)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$delta/_delta_log"))
+    val out0 = fsys.create(new org.apache.hadoop.fs.Path(
+      s"$delta/_delta_log/00000000000000000000.json"), false)
+    out0.write((
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
+        "\n" +
+        s"""{"metaData":{"id":"$name","schemaString":${om
+          .writeValueAsString(o.schema.json)},""" +
+        """"partitionColumns":[],"format":{"provider":"parquet"},""" +
+        """"configuration":{"delta.enableDeletionVectors":"true"}}}"""
+      ).getBytes("UTF-8"))
+    out0.close()
+    graft.sources.DeltaInterop.appendDelta(
+      o.filter(col("o_orderkey") % 2 === 0), delta)
+    val lake = root + "/lake"
+    val ice = root + "/ice"
+    graft.sources.LakeTable.append(
+      o.filter(col("o_orderkey") % 2 === 0), lake)
+    graft.sources.IcebergInterop.exportToIceberg(s, lake, ice,
+      formatVersion = 3)
+    Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("sk"),
+        col("o_orderstatus").as("ss"),
+        (col("o_totalprice") + 100).as("sp"))
+      .createOrReplaceTempView(srcView)
+    (delta, ice)
+  }
 
   /** q374 fixture: a hand-built v2 table partitioned by day(ts) — one
     * data file per day, spec-compliant int days-from-epoch partition

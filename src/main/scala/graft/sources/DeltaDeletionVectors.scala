@@ -111,24 +111,51 @@ object DeltaDeletionVectors {
 
   private val PortableMagic = 1681511377
 
-  /** Serialize sorted distinct 64-bit row indexes as a portable
-    * RoaringBitmapArray (the exact bytes a DV frame carries). */
-  def serializeBitmap(positions: Array[Long]): Array[Byte] = {
-    require(positions.forall(_ >= 0), "row indexes are non-negative")
-    val byKey = positions.distinct.sorted.groupBy(p => (p >>> 32).toInt)
-    val baos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(baos)
-    out.writeInt(Integer.reverseBytes(PortableMagic))
-    out.writeLong(java.lang.Long.reverseBytes(byKey.size.toLong))
-    byKey.keys.toArray.sorted.foreach { key =>
-      out.writeInt(Integer.reverseBytes(key))
-      val rb = new org.roaringbitmap.RoaringBitmap()
-      byKey(key).foreach(p => rb.add((p & 0xffffffffL).toInt))
-      rb.runOptimize()
-      rb.serialize(out) // standard spec format (little-endian)
+  /** Incremental portable-RoaringBitmapArray builder: positions add
+    * one at a time (any order; duplicates collapse), `serialize()`
+    * emits the exact frame payload [[serializeBitmap]] would. Built
+    * for EXECUTOR tasks merging a file's matched + prior deletions —
+    * memory is the compressed bitmap, never an `Array[Long]` of the
+    * positions. */
+  final class BitmapBuilder {
+    private val byKey =
+      new java.util.TreeMap[Int, org.roaringbitmap.RoaringBitmap]()
+    def add(pos: Long): Unit = {
+      require(pos >= 0, "row indexes are non-negative")
+      val key = (pos >>> 32).toInt
+      var rb = byKey.get(key)
+      if (rb == null) {
+        rb = new org.roaringbitmap.RoaringBitmap()
+        byKey.put(key, rb)
+      }
+      rb.add((pos & 0xffffffffL).toInt)
     }
-    out.flush()
-    baos.toByteArray
+    def cardinality: Long = {
+      var c = 0L
+      byKey.values.forEach(rb => c += rb.getLongCardinality)
+      c
+    }
+    def serialize(): Array[Byte] = {
+      val baos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(baos)
+      out.writeInt(Integer.reverseBytes(PortableMagic))
+      out.writeLong(java.lang.Long.reverseBytes(byKey.size.toLong))
+      byKey.forEach { (key, rb) => // TreeMap iterates keys ascending
+        out.writeInt(Integer.reverseBytes(key))
+        rb.runOptimize()
+        rb.serialize(out) // standard spec format (little-endian)
+      }
+      out.flush()
+      baos.toByteArray
+    }
+  }
+
+  /** Serialize 64-bit row indexes as a portable RoaringBitmapArray
+    * (the exact bytes a DV frame carries). */
+  def serializeBitmap(positions: Array[Long]): Array[Byte] = {
+    val b = new BitmapBuilder
+    positions.foreach(b.add)
+    b.serialize()
   }
 
   /** Parse a portable RoaringBitmapArray back to 64-bit row indexes. */
@@ -155,6 +182,26 @@ object DeltaDeletionVectors {
 
   // ---- DV file frames ------------------------------------------------
 
+  /** Appends DV FRAMES to an open stream — the format-version byte (1)
+    * first, then per frame a big-endian length, the bitmap bytes, and
+    * a big-endian CRC-32 of those bytes; tracks offsets so callers get
+    * descriptor (offset, sizeInBytes) pairs back. Runs wherever the
+    * stream lives: the driver ([[writeDvFile]]) or a publish task
+    * packing all of ITS shuffle partition's files into one container. */
+  final class FrameWriter(out: java.io.OutputStream) {
+    private var pos = 0L
+    def append(b: Array[Byte]): (Long, Int) = {
+      if (pos == 0L) { out.write(1); pos = 1L } // format version
+      val crc = new CRC32(); crc.update(b)
+      val bb = ByteBuffer.allocate(8 + b.length) // big-endian default
+      bb.putInt(b.length); bb.put(b); bb.putInt(crc.getValue.toInt)
+      out.write(bb.array())
+      val at = pos
+      pos += 8 + b.length
+      (at, b.length)
+    }
+  }
+
   /** Write one DV FILE holding the given bitmaps back to back; returns
     * per-bitmap (offset, sizeInBytes) for the descriptors. Layout per
     * the protocol: a version byte (1), then per DV a big-endian length,
@@ -164,16 +211,10 @@ object DeltaDeletionVectors {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(new Path(path), /* overwrite = */ false)
     try {
-      out.write(1) // format version
-      var pos = 1
+      val w = new FrameWriter(out)
       bitmaps.map { b =>
-        val crc = new CRC32(); crc.update(b)
-        val bb = ByteBuffer.allocate(8 + b.length) // big-endian default
-        bb.putInt(b.length); bb.put(b); bb.putInt(crc.getValue.toInt)
-        out.write(bb.array())
-        val at = pos
-        pos += 8 + b.length
-        (at, b.length)
+        val (off, size) = w.append(b)
+        (off.toInt, size)
       }
     } finally out.close()
   }
@@ -187,7 +228,45 @@ object DeltaDeletionVectors {
     require(offset >= 1 && offset + 8 + sizeInBytes <= fileBytes.length,
       s"DV frame [$offset, +${8 + sizeInBytes}) exceeds file of " +
         s"${fileBytes.length} bytes")
-    val bb = ByteBuffer.wrap(fileBytes, offset, 8 + sizeInBytes)
+    parseFrame(ByteBuffer.wrap(fileBytes, offset, 8 + sizeInBytes),
+      sizeInBytes)
+  }
+
+  /** Read ONE DV frame's positions from `path` with a ranged read
+    * (seek + readFully of the frame only) — the executor-task prior
+    * merge never loads a whole container. */
+  def readFrame(fs: org.apache.hadoop.fs.FileSystem, path: Path,
+                offset: Long, sizeInBytes: Int): Array[Long] = {
+    val in = fs.open(path)
+    val buf = new Array[Byte](8 + sizeInBytes)
+    try { in.seek(offset); in.readFully(buf) } finally in.close()
+    parseFrame(ByteBuffer.wrap(buf), sizeInBytes)
+  }
+
+  /** Decode a descriptor's positions with a caller-supplied Hadoop
+    * conf — the executor-task twin of [[deletedPositions]], used by
+    * the DML publish's per-file prior merge (one ranged read per
+    * prior DV, no driver round-trip). */
+  def descriptorPositions(conf: org.apache.hadoop.conf.Configuration,
+                          root: String, d: Descriptor): Array[Long] = {
+    val pos = d.storageType match {
+      case "i" => deserializeBitmap(z85Decode(d.pathOrInlineDv,
+        d.sizeInBytes))
+      case _ =>
+        val p = new Path(fileOf(root, d).get)
+        readFrame(p.getFileSystem(conf), p, d.offset.getOrElse(
+          throw new IllegalStateException(
+            s"on-disk deletion vector lacks an offset")).toLong,
+          d.sizeInBytes)
+    }
+    require(pos.length.toLong == d.cardinality,
+      s"deletion vector decodes ${pos.length} rows but declares " +
+        s"cardinality ${d.cardinality}")
+    pos
+  }
+
+  private def parseFrame(bb: ByteBuffer, sizeInBytes: Int)
+      : Array[Long] = {
     val len = bb.getInt
     require(len == sizeInBytes,
       s"DV frame length $len != descriptor sizeInBytes $sizeInBytes")

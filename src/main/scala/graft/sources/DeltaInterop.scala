@@ -1370,8 +1370,8 @@ object DeltaInterop {
       }
     }
     if (snap.live.isEmpty) return 0L
-    val priorByFile = dvPriorPositions(spark, deltaRoot, snap)
-    val base = dvScanLive(spark, deltaRoot, snap, priorByFile)
+    val priorDf = dvPriorDf(spark, deltaRoot, snap)
+    val base = dvScanLive(spark, deltaRoot, snap, priorDf)
     val matchedC = base.filter(coalesce(expr(condSql), lit(false)))
     val matched0 = inSub match {
       case None => matchedC
@@ -1393,7 +1393,7 @@ object DeltaInterop {
       }.select(snap.schema.fields.map(fd =>
         col(fd.name).cast(fd.dataType).as(fd.name)).toIndexedSeq: _*))
     dvPublish(spark, deltaRoot, snap, v, verb,
-      matched.select("__uri", "__pos"), priorByFile, newRows)
+      matched.select("__uri", "__pos"), newRows)
   }
 
   /** MERGE INTO a foreign Delta table — the interop twin of
@@ -1457,8 +1457,8 @@ object DeltaInterop {
     require(dupKeys == 0L,
       s"graftdelta MERGE: batch carries $dupKeys duplicate key(s) — " +
         "SQL MERGE rejects multiple matches; dedup the source first")
-    val priorByFile = dvPriorPositions(spark, deltaRoot, snap)
-    val base = dvScanLive(spark, deltaRoot, snap, priorByFile)
+    val priorDf = dvPriorDf(spark, deltaRoot, snap)
+    val base = dvScanLive(spark, deltaRoot, snap, priorDf)
     // join LIVE target rows to the batch by key equality; batch
     // columns ride with __b_ prefixes so both sides stay addressable
     val bAliased = b0.select(b0.columns.map(c =>
@@ -1526,7 +1526,7 @@ object DeltaInterop {
     val newRows = Seq(Some(updatedRows.unionAll(insertedRows)),
       nmbsRows).flatten.reduce(_ unionAll _)
     dvPublish(spark, deltaRoot, snap, v, "MERGE", allMatched,
-      priorByFile, Some(newRows), newSchema): Unit
+      Some(newRows), newSchema): Unit
     (nUpd, nDel, nIns)
   }
 
@@ -1580,9 +1580,13 @@ object DeltaInterop {
 
   /** Existing DV positions per live file (driver-side, sidecar-sized
     * by the read path's own contract). */
-  private def dvPriorPositions(spark: SparkSession, deltaRoot: String,
-                               snap: Snapshot)
-      : Map[String, Array[Long]] = {
+  /** The snapshot's existing DV state as a DataFrame of (qualified
+    * data-file uri `__uri`, row index `__pos`) — frames decode on
+    * EXECUTORS via [[DeltaDeletionVectors.deletedPositions]]; the
+    * driver only ever handles descriptors (≤ live-file count). None
+    * when no live file carries a DV. */
+  private def dvPriorDf(spark: SparkSession, deltaRoot: String,
+                        snap: Snapshot): Option[DataFrame] = {
     val conf = spark.sessionState.newHadoopConf()
     def qualify(rel: String): String = {
       val hp = new Path(s"$deltaRoot/$rel")
@@ -1591,13 +1595,9 @@ object DeltaInterop {
     val dvs = snap.live.toSeq.sortBy(_._1).flatMap { case (p, lf) =>
       lf.dv.map(d => qualify(p) -> d)
     }
-    if (dvs.isEmpty) Map.empty
-    else DeltaDeletionVectors.deletedPositions(spark, deltaRoot, dvs)
-      .collect().groupBy(_.getString(0))
-      .map { case (u, rows) =>
-        snap.live.keys.find(p => qualify(p) == u).get ->
-          rows.map(_.getLong(1)).toArray
-      }
+    if (dvs.isEmpty) None
+    else Some(DeltaDeletionVectors.deletedPositions(spark, deltaRoot,
+      dvs).toDF("__uri", "__pos"))
   }
 
   /** Scan of the LIVE rows (already-DV-deleted positions excluded)
@@ -1606,13 +1606,8 @@ object DeltaInterop {
     * reference them. */
   private def dvScanLive(spark: SparkSession, deltaRoot: String,
                          snap: Snapshot,
-                         priorByFile: Map[String, Array[Long]])
+                         priorDf: Option[DataFrame])
       : DataFrame = {
-    val conf = spark.sessionState.newHadoopConf()
-    def qualify(rel: String): String = {
-      val hp = new Path(s"$deltaRoot/$rel")
-      hp.getFileSystem(conf).makeQualified(hp).toString
-    }
     val dataSchema = StructType(snap.schema.fields
       .filterNot(fd => snap.partCols.contains(fd.name)))
     def scan(paths: Seq[String]): DataFrame =
@@ -1629,25 +1624,27 @@ object DeltaInterop {
               lit(pv.getOrElse(c, null)).cast(snap.schema(c).dataType))
           }
         }.reduce(_.unionByName(_))
-    if (priorByFile.isEmpty) base0
-    else {
-      import spark.implicits._
-      val priorDf = priorByFile.toSeq.flatMap { case (p, ps) =>
-        ps.map(x => (qualify(p), x))
-      }.toDF("__uri", "__pos")
-      base0.join(priorDf, Seq("__uri", "__pos"), "left_anti")
-    }
+    priorDf.map(pr =>
+      base0.join(pr, Seq("__uri", "__pos"), "left_anti"))
+      .getOrElse(base0)
   }
 
   /** The DV write paths' shared COMMIT: merge matched positions into
     * per-file vectors, optionally stage `newRows` as new adds (full
     * writer-invariant gate), and publish ONE commit (protocol upgrade
     * to (3,7) in the same commit when only the enabling property is
-    * set). Returns the number of newly deleted rows. */
+    * set). The merge runs ON EXECUTORS: matched positions shuffle by
+    * data-file uri, each task folds in its files' PRIOR vectors (one
+    * ranged read per descriptor), serializes the merged bitmaps into
+    * ONE task-local DV container, and reports a metadata row per file
+    * — the driver folds rows into add actions without ever holding a
+    * row position (a table-wide DELETE's positions would not fit one
+    * JVM; its per-FILE descriptor rows always do, they are the same
+    * scale as the commit's own actions). Returns the number of newly
+    * deleted rows. */
   private def dvPublish(spark: SparkSession, deltaRoot: String,
                         snap: Snapshot, v: Long, verb: String,
                         matchedPos: DataFrame,
-                        priorByFile: Map[String, Array[Long]],
                         newRows: Option[DataFrame],
                         newSchema: Option[StructType] = None): Long = {
     val f = fs(spark, deltaRoot)
@@ -1659,26 +1656,76 @@ object DeltaInterop {
     }
     val relOfUri: Map[String, String] =
       snap.live.keys.map(p => qualify(p) -> p).toMap
-    // matched positions per file — sidecar-sized by the same contract
-    // as the DV read path and exports (purge is the escape hatch)
-    val matchedByFile: Map[String, Array[Long]] = matchedPos
-      .groupBy(col("__uri"))
-      .agg(collect_list(col("__pos")).as("ps"))
-      .collect().map { r =>
-        val rel = relOfUri.getOrElse(r.getString(0),
-          throw new IllegalStateException(
-            s"graftdelta $verb: scanned uri ${r.getString(0)} maps " +
-              "to no live file"))
-        rel -> r.getSeq[Long](1).toArray
+    // prior DESCRIPTORS ride to the tasks (driver metadata, ≤ live
+    // files); the scan already anti-joined prior positions, so
+    // merged = matched ⊎ prior and cardinality − priorCardinality is
+    // exactly this verb's newly-deleted share per file
+    val priorDescOf: Map[String, DeltaDeletionVectors.Descriptor] =
+      snap.live.toSeq.flatMap { case (p, lf) =>
+        lf.dv.map(d => qualify(p) -> d)
       }.toMap
+    val priorDescB = spark.sparkContext.broadcast(priorDescOf)
+    val shc = new SerializableHadoopConf(conf)
+    val rootStr = deltaRoot
+    import spark.implicits._
+    val frames: Array[DvTaskFrame] = matchedPos
+      .select(col("__uri").cast(StringType),
+        col("__pos").cast(LongType))
+      .repartition(col("__uri"))
+      .sortWithinPartitions("__uri", "__pos")
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val hconf = shc.value
+          val taskUuid = java.util.UUID.randomUUID()
+          val dvRel = s"deletion_vector_$taskUuid.bin"
+          val dvPath = new Path(s"$rootStr/$dvRel")
+          val fsx = dvPath.getFileSystem(hconf)
+          val os = fsx.create(dvPath, /* overwrite = */ false)
+          val w = new DeltaDeletionVectors.FrameWriter(os)
+          val enc = DeltaDeletionVectors.encodeUuid(taskUuid)
+          val out =
+            scala.collection.mutable.ArrayBuffer.empty[DvTaskFrame]
+          try {
+            var curUri: String = null
+            var builder: DeltaDeletionVectors.BitmapBuilder = null
+            var priorCard = 0L
+            def flush(): Unit = if (curUri != null) {
+              val (off, size) = w.append(builder.serialize())
+              out += DvTaskFrame(curUri, dvRel, enc, off, size.toLong,
+                builder.cardinality, priorCard, 0L)
+            }
+            it.foreach { case (uri, pos) =>
+              if (uri != curUri) {
+                flush()
+                curUri = uri
+                builder = new DeltaDeletionVectors.BitmapBuilder
+                priorCard = 0L
+                priorDescB.value.get(uri).foreach { d =>
+                  val prior = DeltaDeletionVectors
+                    .descriptorPositions(hconf, rootStr, d)
+                  prior.foreach(builder.add)
+                  priorCard = prior.length.toLong
+                }
+              }
+              builder.add(pos)
+            }
+            flush()
+          } finally os.close()
+          out.iterator
+        }
+      }.collect()
+    frames.foreach { fr =>
+      require(relOfUri.contains(fr.uri), s"graftdelta $verb: scanned " +
+        s"uri ${fr.uri} maps to no live file")
+    }
     val hasNewRows = newRows.isDefined
-    if (matchedByFile.isEmpty && !hasNewRows) return 0L
-    val mergedByFile: Map[String, Array[Long]] =
-      matchedByFile.map { case (p, nw) =>
-        p -> (nw ++ priorByFile.getOrElse(p, Array.empty))
-          .distinct.sorted
-      }
-    val newlyDeleted = matchedByFile.values.map(_.length.toLong).sum
+    if (frames.isEmpty && !hasNewRows) return 0L
+    val frameOf: Map[String, DvTaskFrame] =
+      frames.map(fr => relOfUri(fr.uri) -> fr).toMap
+    val newlyDeleted =
+      frames.map(fr => fr.cardinality - fr.priorCardinality).sum
     val hasFeature = snap.writerFeatures.contains("deletionVectors") ||
       snap.protoFeatures.contains("deletionVectors")
     val uuid = java.util.UUID.randomUUID()
@@ -1700,11 +1747,11 @@ object DeltaInterop {
           .map(om.writeValueAsString).mkString("[", ",", "]")},""" +
         s""""configuration":$confJson}}"""
     }
-    if (newSchema.isDefined && (hasFeature || mergedByFile.isEmpty))
+    if (newSchema.isDefined && (hasFeature || frames.isEmpty))
       // evolution without a protocol upgrade: re-declare metaData with
       // the widened schema (the upgrade branch below re-declares too)
       actions += metaDataJson(snap.conf)
-    if (!hasFeature && mergedByFile.nonEmpty) {
+    if (!hasFeature && frames.nonEmpty) {
       // protocol upgrade in the same commit: (3, 7) with the legacy
       // versions' implied features carried forward explicitly
       val legacyWriter =
@@ -1729,14 +1776,10 @@ object DeltaInterop {
       actions += metaDataJson(
         snap.conf + ("delta.enableDeletionVectors" -> "true"))
     }
-    val affected = mergedByFile.keys.toSeq.sorted
+    val affected = frameOf.keys.toSeq.sorted
     if (affected.nonEmpty) {
-      val frames = DeltaDeletionVectors.writeDvFile(spark,
-        s"$deltaRoot/deletion_vector_$uuid.bin",
-        affected.map(p =>
-          DeltaDeletionVectors.serializeBitmap(mergedByFile(p))))
-      val enc = DeltaDeletionVectors.encodeUuid(uuid)
-      affected.zip(frames).foreach { case (p, (off, size)) =>
+      affected.foreach { p =>
+        val fr = frameOf(p)
         val lf = snap.live(p)
         actions += s"""{"remove":{"path":${om.writeValueAsString(p)},""" +
           s""""deletionTimestamp":0,"dataChange":true}}"""
@@ -1761,9 +1804,9 @@ object DeltaInterop {
           s""""modificationTime":${st.getModificationTime},""" +
           statsJson +
           s""""dataChange":true,"deletionVector":{"storageType":"u",""" +
-          s""""pathOrInlineDv":${om.writeValueAsString(enc)},""" +
-          s""""offset":$off,"sizeInBytes":$size,""" +
-          s""""cardinality":${mergedByFile(p).length}}}}"""
+          s""""pathOrInlineDv":${om.writeValueAsString(fr.enc)},""" +
+          s""""offset":${fr.offset},"sizeInBytes":${fr.size},""" +
+          s""""cardinality":${fr.cardinality}}}}"""
       }
     }
     // rewritten/inserted rows land as new adds in the same commit —
@@ -1822,9 +1865,8 @@ object DeltaInterop {
         actions.mkString("\n").getBytes("UTF-8"))) {
       // the positions were computed against version v; a concurrent
       // commit may have rewritten the files — refuse, never mis-delete
-      if (affected.nonEmpty)
-        f.delete(new Path(s"$deltaRoot/deletion_vector_$uuid.bin"),
-          false)
+      frames.map(_.file).distinct.foreach(rel =>
+        f.delete(new Path(s"$deltaRoot/$rel"), false))
       newRels.foreach(r =>
         f.delete(new Path(s"$deltaRoot/$r"), false))
       throw new IllegalStateException(

@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+
+/** A Hadoop Configuration that survives Java serialization into task
+  * closures, so the DML publish paths can open the table's FileSystem
+  * on EXECUTORS — each shuffle task serializes its data files' merged
+  * deletion sidecars where the positions land, instead of collecting
+  * every matched row position to the driver. (Production Delta and
+  * Iceberg writers do exactly this: sidecars are written per-task, the
+  * driver commits manifest entries only.) */
+final class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+/** One data file's merged deletion sidecar, as reported BACK from a
+  * publish task to the driver: the driver folds these metadata rows
+  * (one per affected data file — the same driver-side scale as the
+  * manifest entries the commit must write anyway) into add actions /
+  * manifest entries. `file` is the sidecar container the task wrote
+  * (DV bin or Puffin), `enc` the Z85 uuid for a Delta descriptor,
+  * `offset`/`size` the frame/blob coordinates inside the container,
+  * `cardinality` the MERGED (prior ∪ matched) deleted-row count and
+  * `priorCardinality` the prior-state share of it, so the driver's
+  * newly-deleted arithmetic stays exact without ever seeing a row
+  * position. `fileLen` is the container's final byte length (Iceberg
+  * manifest entries carry it; 0 where unused). */
+private[sources] final case class DvTaskFrame(
+    uri: String, file: String, enc: String,
+    offset: Long, size: Long,
+    cardinality: Long, priorCardinality: Long,
+    fileLen: Long)

@@ -2269,13 +2269,14 @@ object IcebergInterop {
     * equality deletes are excluded up front — with the schema columns
     * plus `__uri`/`__pos` physical positions; identity-partition
     * source columns materialize from the manifest values.
-    * `priorByFile` is the full existing delete state as positions per
-    * live file (v3 Puffin + v2 position parquet + FOLDED equality
-    * deletes). */
+    * `priorDf` is the full existing delete state as a DataFrame of
+    * (qualified uri, position) — v3 Puffin + v2 position parquet +
+    * FOLDED equality deletes, decoded on executors and materialized
+    * once (localCheckpoint). */
   private case class IceDmlState(meta: IceMeta, schema: IceSchema,
                                  dataFiles: Seq[DataFileMeta],
                                  specFields: Seq[IceSpecField],
-                                 priorByFile: Map[String, Array[Long]],
+                                 priorDf: Option[DataFrame],
                                  base: DataFrame,
                                  // ALL physical rows (already-deleted
                                  // ones included): pure DELETEs match
@@ -2370,35 +2371,50 @@ object IcebergInterop {
             }.getOrElse(d)
           }
         }.reduce(_.unionByName(_))
-    // existing POSITION delete state per live data file — delete-file-
-    // sized reads (Puffin blobs driver-side, position parquet via one
-    // scan); refs to dead files drop (they deleted nothing live)
-    val posBuf = scala.collection.mutable.Map.empty[String,
-      scala.collection.mutable.ArrayBuffer[Long]]
-    def addPos(ref: String, pos: Iterable[Long]): Unit =
-      relOf(ref).foreach { rel =>
-        posBuf.getOrElseUpdate(rel,
-          scala.collection.mutable.ArrayBuffer.empty) ++= pos
+    // existing POSITION delete state as a DataFrame of (qualified
+    // data-file uri, row index) — Puffin blobs decode on EXECUTORS
+    // (one ranged read per blob; only descriptor rows leave the
+    // driver), position parquets load through one scan with refs
+    // normalized via a broadcast form table; refs to dead files drop
+    // (they deleted nothing live)
+    import spark.implicits._
+    val shc = new SerializableHadoopConf(conf)
+    val priorParts = scala.collection.mutable.ArrayBuffer
+      .empty[DataFrame]
+    val dvRefs: Seq[(String, Long, Long, String)] =
+      deleteFiles.filter(_.content == 1).flatMap { d =>
+        d.dv.flatMap { ref =>
+          relOf(ref.referencedFile).map { rel =>
+            (resolve(iceRoot, d.path), ref.offset, ref.size,
+              qualify(rel))
+          }
+        }
       }
-    deleteFiles.filter(_.content == 1).foreach { d =>
-      d.dv match {
-        case Some(ref) =>
-          val p = new Path(resolve(iceRoot, d.path))
-          val in = f.open(p)
-          val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
-          try in.readFully(bytes) finally in.close()
-          addPos(ref.referencedFile,
-            PuffinFiles.dvPositions(bytes, ref.offset, ref.size))
-        case None =>
-          spark.read.schema(StructType(Seq(
-              StructField("file_path", StringType),
-              StructField("pos", LongType))))
-            .parquet(resolve(iceRoot, d.path))
-            .collect().groupBy(_.getString(0))
-            .foreach { case (ref, rows) =>
-              addPos(ref, rows.map(_.getLong(1)))
-            }
-      }
+    if (dvRefs.nonEmpty)
+      priorParts += dvRefs.toDS()
+        .mapPartitions { it =>
+          val hconf = shc.value
+          it.flatMap { case (file, off, len, uri) =>
+            val p = new Path(file)
+            DeltaDeletionVectors.readFrame(p.getFileSystem(hconf), p,
+              off, (len - 8).toInt).iterator.map(uri -> _)
+          }
+        }.toDF("__uri", "__pos")
+    val posDelPaths = deleteFiles
+      .filter(d => d.content == 1 && d.dv.isEmpty)
+      .map(d => resolve(iceRoot, d.path))
+    if (posDelPaths.nonEmpty) {
+      val forms = dataFiles.flatMap { d0 =>
+        val q = qualify(d0.path)
+        Seq(d0.path, resolve(iceRoot, d0.path), q).distinct
+          .map(_ -> q)
+      }.distinct.toDF("__form", "__uri")
+      priorParts += spark.read.schema(StructType(Seq(
+          StructField("file_path", StringType),
+          StructField("pos", LongType))))
+        .parquet(posDelPaths: _*)
+        .join(broadcast(forms), col("file_path") === col("__form"))
+        .select(col("__uri"), col("pos").as("__pos"))
     }
     // FOLD equality deletes into positions: per (sequence, ids) group,
     // the distinct delete payloads null-safe-match the STRICTLY-older
@@ -2422,25 +2438,22 @@ object IcebergInterop {
         if (scoped.nonEmpty) {
           val sc = scanFiles(scoped)
           val cond = cols.map(c => sc(c) <=> del(c)).reduce(_ && _)
-          sc.join(broadcast(del), cond, "left_semi")
-            .select("__uri", "__pos").collect().foreach { r =>
-              addPos(r.getString(0), Seq(r.getLong(1)))
-            }
+          priorParts += sc.join(broadcast(del), cond, "left_semi")
+            .select("__uri", "__pos")
         }
       }
-    val priorByFile: Map[String, Array[Long]] =
-      posBuf.map { case (k, v) => k -> v.toArray.distinct }.toMap
+    // distinct + localCheckpoint: the prior state materializes ONCE
+    // (distributed, block-manager storage) and both consumers — the
+    // live-scan anti-join and the publish merge — read it back
+    val priorDf: Option[DataFrame] =
+      if (priorParts.isEmpty) None
+      else Some(priorParts.reduce(_ unionAll _).distinct()
+        .localCheckpoint(true))
     val base0 = scanFiles(dataFiles)
-    val base =
-      if (priorByFile.isEmpty) base0
-      else {
-        import spark.implicits._
-        val priorDf = priorByFile.toSeq.flatMap { case (p, ps) =>
-          ps.map(x => (qualify(p), x))
-        }.toDF("__uri", "__pos")
-        base0.join(priorDf, Seq("__uri", "__pos"), "left_anti")
-      }
-    IceDmlState(meta, schema, dataFiles, specFields, priorByFile, base,
+    val base = priorDf.map(pr =>
+      base0.join(pr, Seq("__uri", "__pos"), "left_anti"))
+      .getOrElse(base0)
+    IceDmlState(meta, schema, dataFiles, specFields, priorDf, base,
       base0)
   }
 
@@ -2530,35 +2543,28 @@ object IcebergInterop {
     }
     val relOfUri: Map[String, String] =
       st.dataFiles.map(d => qualify(d.path) -> d.path).toMap
-    // matched positions per file — sidecar-sized by the same contract
-    // as the DV read path (purgeDeletes/compaction is the escape
-    // hatch)
-    val matchedByFile: Map[String, Array[Long]] = matchedPos
-      .groupBy(col("__uri"))
-      .agg(collect_list(col("__pos")).as("ps"))
-      .collect().map { r =>
-        val rel = relOfUri.getOrElse(r.getString(0),
-          throw new IllegalStateException(
-            s"grafticeberg $verb: scanned uri ${r.getString(0)} " +
-              "maps to no live file"))
-        rel -> r.getSeq[Long](1).toArray
-      }.toMap
     val rows = newRows.filter(!_.isEmpty)
-    if (matchedByFile.isEmpty && rows.isEmpty) return 0L
-    val mergedByFile: Map[String, Array[Long]] =
-      (matchedByFile.keySet ++ st.priorByFile.keySet).map { p =>
-        p -> (matchedByFile.getOrElse(p, Array.empty[Long]) ++
-          st.priorByFile.getOrElse(p, Array.empty[Long]))
-          .distinct.sorted
-      }.toMap
-    // merged − prior, NOT |matched|: a pure DELETE's matched set may
-    // include already-dead rows (it scans without the anti-join) —
-    // the arithmetic discounts them exactly either way
-    val newlyDeleted = mergedByFile.map { case (p, m) =>
-      m.length.toLong -
-        st.priorByFile.getOrElse(p, Array.empty[Long]).length
-    }.sum
-    if (newlyDeleted == 0L && rows.isEmpty) return 0L
+    val anyMatched = !matchedPos.isEmpty
+    if (!anyMatched && rows.isEmpty) return 0L
+    // the REPLACEMENT delete state = matched ⊎ prior over every file
+    // (old delete manifests drop from the new snapshot): positions
+    // merge ON EXECUTORS — matched rows shuffle by data-file uri
+    // alongside the prior state's rows (tagged, so each task counts
+    // the prior share exactly); no row position ever reaches the
+    // driver. merged − prior, NOT |matched|: a pure DELETE's matched
+    // set may include already-dead rows (it scans without the
+    // anti-join) — the arithmetic discounts them exactly either way
+    val mergedTagged: DataFrame = {
+      val matchedTagged = matchedPos
+        .select(col("__uri").cast(StringType),
+          col("__pos").cast(LongType))
+        .withColumn("__prior", lit(0))
+      st.priorDf.map(pr => matchedTagged.unionAll(
+        pr.select(col("__uri").cast(StringType),
+          col("__pos").cast(LongType))
+          .withColumn("__prior", lit(1))))
+        .getOrElse(matchedTagged)
+    }
     val uuid = java.util.UUID.randomUUID().toString
     val seqNum = meta.raw.path("last-sequence-number").asLong(0L) + 1
     val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1
@@ -2619,51 +2625,99 @@ object IcebergInterop {
       }
       out
     }.getOrElse(Seq.empty)
-    val sorted = mergedByFile.toSeq.sortBy(_._1)
     // the merged DELETE state: one manifest, entries carrying the
     // referenced data files' partition tuples
-    val delEntryOpt: Option[GenericRecord] =
-      if (matchedByFile.isEmpty) None
+    val delState: Option[(GenericRecord, Long)] =
+      if (!anyMatched) None
       else {
         f.mkdirs(new Path(s"$iceRoot/data"))
-        val (delManifest, delLenOut, delRows, nDelFiles) =
+        val (delManifest, delLenOut, delRows, nDelFiles, newlyDel) =
           if (fv >= 3) {
-            val delFile =
-              new Path(s"$iceRoot/data/deletes-$uuid.puffin")
-            var at = 4L
-            val metas = sorted.map { case (p, pos) =>
-              val bytes = PuffinFiles.dvBlobBytes(pos)
-              val m = (p, qualify(p), pos.length.toLong, at,
-                bytes.length.toLong, bytes)
-              at += bytes.length
-              m
-            }
-            PuffinFiles.write(spark, delFile.toString,
-              metas.map { case (_, uri, card, _, _, bytes) =>
-                PuffinFiles.Blob(PuffinFiles.DvBlobType,
-                  Seq(2147483546), snapId, seqNum, bytes,
-                  Map("referenced-data-file" -> uri,
-                    "cardinality" -> card.toString))
-              }): Unit
-            staged += delFile
-            val delUri = qualify(delFile.toString)
-            val delLen = f.getFileStatus(delFile).getLen
+            import spark.implicits._
+            val shc = new SerializableHadoopConf(conf)
+            val rootStr = iceRoot
+            val sid = snapId
+            val sq = seqNum
+            // each task packs its shuffle partition's files into ONE
+            // Puffin container (blob per file, prior state folded in
+            // from the tagged rows) and reports a descriptor row per
+            // file; the driver sees descriptors only
+            val frames: Array[DvTaskFrame] = mergedTagged
+              .repartition(col("__uri"))
+              .sortWithinPartitions("__uri", "__pos", "__prior")
+              .as[(String, Long, Int)]
+              .mapPartitions { it =>
+                if (!it.hasNext) Iterator.empty
+                else {
+                  val hconf = shc.value
+                  val tUuid = java.util.UUID.randomUUID()
+                  val delPath = new Path(
+                    s"$rootStr/data/deletes-$tUuid.puffin")
+                  val fsx = delPath.getFileSystem(hconf)
+                  val os = fsx.create(delPath, false)
+                  val w = new PuffinFiles.Writer(os)
+                  val buf = scala.collection.mutable.ArrayBuffer
+                    .empty[(String, Long, Long, Long, Long)]
+                  val totalLen =
+                    try {
+                      var curUri: String = null
+                      var builder: DeltaDeletionVectors.BitmapBuilder =
+                        null
+                      var priorCard = 0L
+                      def flush(): Unit = if (curUri != null) {
+                        val card = builder.cardinality
+                        val m = w.append(PuffinFiles.Blob(
+                          PuffinFiles.DvBlobType, Seq(2147483546),
+                          sid, sq,
+                          PuffinFiles.dvBlobFrame(builder.serialize()),
+                          Map("referenced-data-file" -> curUri,
+                            "cardinality" -> card.toString)))
+                        buf += ((curUri, m.offset, m.length, card,
+                          priorCard))
+                      }
+                      it.foreach { case (uri, pos, prior) =>
+                        if (uri != curUri) {
+                          flush()
+                          curUri = uri
+                          builder =
+                            new DeltaDeletionVectors.BitmapBuilder
+                          priorCard = 0L
+                        }
+                        builder.add(pos)
+                        if (prior == 1) priorCard += 1
+                      }
+                      flush()
+                      w.finish()
+                    } finally os.close()
+                  val file = delPath.toString
+                  buf.iterator.map { case (uri, off, len, card, pc) =>
+                    DvTaskFrame(uri, file, "", off, len, card, pc,
+                      totalLen)
+                  }
+                }
+              }.collect()
+            frames.foreach(fr => require(relOfUri.contains(fr.uri),
+              s"grafticeberg $verb: scanned uri ${fr.uri} maps to " +
+                "no live file"))
+            frames.map(_.file).distinct.foreach(p =>
+              staged += new Path(p))
             val mSchemaDel =
               if (specFields.isEmpty) manifestSchemaV3
               else manifestSchemaV3WithPartition(partFieldsJson)
-            val entries = metas.map {
-              case (rel, uri, card, off, len, _) =>
+            val entries = frames.sortBy(fr => relOfUri(fr.uri))
+              .map { fr =>
+                val rel = relOfUri(fr.uri)
                 val df0 = new GenericData.Record(
                   mSchemaDel.getField("data_file").schema())
                 df0.put("content", 1)
-                df0.put("file_path", delUri)
+                df0.put("file_path", qualify(fr.file))
                 df0.put("file_format", "PUFFIN")
                 putPart(df0, partTuple(rel))
-                df0.put("record_count", card)
-                df0.put("file_size_in_bytes", delLen)
-                df0.put("referenced_data_file", uri)
-                df0.put("content_offset", off)
-                df0.put("content_size_in_bytes", len)
+                df0.put("record_count", fr.cardinality)
+                df0.put("file_size_in_bytes", fr.fileLen)
+                df0.put("referenced_data_file", fr.uri)
+                df0.put("content_offset", fr.offset)
+                df0.put("content_size_in_bytes", fr.size)
                 val e = new GenericData.Record(mSchemaDel)
                 e.put("status", 1)
                 e.put("snapshot_id", snapId)
@@ -2671,52 +2725,79 @@ object IcebergInterop {
                 e.put("file_sequence_number", seqNum)
                 e.put("data_file", df0)
                 e
-            }
+              }.toSeq
             val mf = s"$iceRoot/metadata/$uuid-m1.avro"
             val len = writeAvro(spark, mf, mSchemaDel, entries)
             staged += new Path(mf)
-            (mf, len, metas.map(_._3).sum, 1)
+            (mf, len, frames.map(_.cardinality).sum,
+              frames.map(_.file).distinct.length,
+              frames.map(fr => fr.cardinality - fr.priorCardinality)
+                .sum)
           } else {
             import spark.implicits._
-            // ONE sorted position-delete parquet per affected
-            // partition tuple (a file's (file_path,pos) rows must all
-            // share its manifest entry's partition value)
-            val byTuple: Seq[(Seq[Option[Any]],
-                Seq[(String, Array[Long])])] =
-              sorted.groupBy { case (p, _) => partTuple(p) }
-                .toSeq.sortBy(_._1.map(_.map(_.toString)
-                  .getOrElse("")).mkString("/"))
+            // v2: sorted position-delete parquet per affected
+            // partition tuple, written BY TASKS (repartition on the
+            // tuple group routes, partitionBy splits, each file
+            // arrives sorted by (file_path, pos)); the driver renames
+            // staged parts and reads parquet footers only. The
+            // affected-URI collect is one row per FILE — manifest
+            // scale, never row scale
+            val merged = mergedTagged.select(col("__uri"),
+              col("__pos")).distinct()
+            val uris = merged.select("__uri").distinct()
+              .as[String].collect().sorted
+            uris.foreach(u => require(relOfUri.contains(u),
+              s"grafticeberg $verb: scanned uri $u maps to no live " +
+                "file"))
+            val tupleOfUri: Map[String, Seq[Option[Any]]] =
+              uris.map(u => u -> partTuple(relOfUri(u))).toMap
+            val tuples: IndexedSeq[Seq[Option[Any]]] =
+              tupleOfUri.values.toSeq.distinct
+                .sortBy(_.map(_.map(_.toString).getOrElse(""))
+                  .mkString("/")).toIndexedSeq
+            val gOf = uris.toSeq.map(u =>
+              u -> tuples.indexOf(tupleOfUri(u)))
+            val stage = s"$iceRoot/_stage_del_$uuid"
+            merged.join(broadcast(gOf.toDF("__uri", "__g")),
+                Seq("__uri"))
+              .repartition(col("__g"))
+              .sortWithinPartitions("__g", "__uri", "__pos")
+              .select(col("__g"), col("__uri").as("file_path"),
+                col("__pos").as("pos"))
+              .write.partitionBy("__g").parquet(stage)
             val mSchemaDel =
               if (specFields.isEmpty) manifestSchema
               else manifestSchemaWithPartition(partFieldsJson)
             var totalRows = 0L
-            val entries = byTuple.zipWithIndex.map {
-              case ((tuple, group), gi) =>
+            val entries = tuples.indices.flatMap { gi =>
+              val dir = new Path(s"$stage/__g=$gi")
+              val parts =
+                if (f.exists(dir))
+                  f.listStatus(dir).map(_.getPath)
+                    .filter(_.getName.endsWith(".parquet"))
+                    .sortBy(_.getName)
+                else Array.empty[Path]
+              parts.zipWithIndex.map { case (part, k) =>
                 val delFile = new Path(
-                  s"$iceRoot/data/deletes-$uuid-$gi.parquet")
-                val rows0 = group.flatMap { case (p, pos) =>
-                  val uri = qualify(p)
-                  pos.map(uri -> _)
-                }
-                val stage = s"$iceRoot/_stage_del_${gi}_$uuid"
-                rows0.toDF("file_path", "pos").repartition(1)
-                  .sortWithinPartitions("file_path", "pos")
-                  .write.parquet(stage)
-                val part = f.listStatus(new Path(stage)).map(_.getPath)
-                  .find(_.getName.endsWith(".parquet")).get
+                  s"$iceRoot/data/deletes-$uuid-$gi" +
+                    (if (k == 0) "" else s"-$k") + ".parquet")
                 if (!f.rename(part, delFile))
                   throw new java.io.IOException(
                     s"rename $part -> $delFile failed")
-                f.delete(new Path(stage), true): Unit
                 staged += delFile
-                totalRows += rows0.length.toLong
+                val nrows = TableDoctor.footerRows(spark,
+                  delFile.toString).getOrElse(
+                  throw new IllegalStateException(
+                    s"freshly written $delFile has no readable " +
+                      "parquet footer"))
+                totalRows += nrows
                 val df0 = new GenericData.Record(
                   mSchemaDel.getField("data_file").schema())
                 df0.put("content", 1)
                 df0.put("file_path", qualify(delFile.toString))
                 df0.put("file_format", "PARQUET")
-                putPart(df0, tuple)
-                df0.put("record_count", rows0.length.toLong)
+                putPart(df0, tuples(gi))
+                df0.put("record_count", nrows)
                 df0.put("file_size_in_bytes",
                   f.getFileStatus(delFile).getLen)
                 val e = new GenericData.Record(mSchemaDel)
@@ -2726,11 +2807,16 @@ object IcebergInterop {
                 e.put("file_sequence_number", seqNum)
                 e.put("data_file", df0)
                 e
+              }
             }
+            f.delete(new Path(stage), true): Unit
+            // |merged| − |prior| — both sides distinct, so the global
+            // difference equals the per-file sum exactly
+            val priorTotal = st.priorDf.map(_.count()).getOrElse(0L)
             val mf = s"$iceRoot/metadata/$uuid-m1.avro"
             val len = writeAvro(spark, mf, mSchemaDel, entries)
             staged += new Path(mf)
-            (mf, len, totalRows, entries.size)
+            (mf, len, totalRows, entries.size, totalRows - priorTotal)
           }
         val r = new GenericData.Record(manifestListSchema)
         r.put("manifest_path", qualify(delManifest))
@@ -2747,8 +2833,16 @@ object IcebergInterop {
         r.put("added_rows_count", delRows)
         r.put("existing_rows_count", 0L)
         r.put("deleted_rows_count", 0L)
-        Some(r)
+        Some((r, newlyDel))
       }
+    val delEntryOpt: Option[GenericRecord] = delState.map(_._1)
+    val newlyDeleted: Long = delState.map(_._2).getOrElse(0L)
+    if (newlyDeleted == 0L && rows.isEmpty) {
+      // every matched row was already dead and nothing inserts: no
+      // commit — drop the staged replacement delete state
+      staged.foreach(p => f.delete(p, false))
+      return 0L
+    }
     // the rewritten/inserted rows' data manifest: partition tuples +
     // footer-derived record_count/value_counts/bounds ride so
     // metadata count(col) and range pruning keep serving
@@ -2880,7 +2974,7 @@ object IcebergInterop {
       .filter { r =>
         val isData = Option(r.get("content"))
           .forall(_.asInstanceOf[Number].intValue == 0)
-        isData || matchedByFile.isEmpty
+        isData || !anyMatched
       }
       .map { r =>
         val out = new GenericData.Record(manifestListSchema)

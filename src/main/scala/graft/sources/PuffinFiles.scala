@@ -80,20 +80,22 @@ object PuffinFiles {
 
   // ---- container write -----------------------------------------------
 
-  /** Write a Puffin file holding `blobs` (payload bytes laid back to
-    * back after the leading magic) plus file-level `properties`;
-    * returns each blob's footer metadata with its assigned offset.
-    * Metadata-sized driver work — blob payloads are the caller's. */
-  def write(spark: SparkSession, path: String, blobs: Seq[Blob],
-            properties: Map[String, String] = Map.empty): Seq[BlobMeta] = {
+  /** Frame an already-serialized portable bitmap as a
+    * `deletion-vector-v1` blob payload ([BE length][bytes][BE CRC]) —
+    * the streaming twin of [[dvBlobBytes]] for publish tasks whose
+    * bitmaps come from a [[DeltaDeletionVectors.BitmapBuilder]]. */
+  def dvBlobFrame(bitmapBytes: Array[Byte]): Array[Byte] = {
+    val crc = new CRC32(); crc.update(bitmapBytes)
+    val bb = ByteBuffer.allocate(8 + bitmapBytes.length) // big-endian
+    bb.putInt(bitmapBytes.length); bb.put(bitmapBytes)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  private def footerPayload(metas: Seq[BlobMeta],
+                            properties: Map[String, String])
+      : Array[Byte] = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    var at = Magic.length.toLong
-    val metas = blobs.map { b =>
-      val m = BlobMeta(b.blobType, b.fields, b.snapshotId,
-        b.sequenceNumber, at, b.bytes.length.toLong, b.properties)
-      at += b.bytes.length
-      m
-    }
     val payloadNode = om.createObjectNode()
     val arr = payloadNode.putArray("blobs")
     metas.foreach { m =>
@@ -114,21 +116,55 @@ object PuffinFiles {
       val p = payloadNode.putObject("properties")
       properties.foreach { case (k, v) => p.put(k, v) }
     }
-    val payload = om.writeValueAsBytes(payloadNode)
-    val out = new ByteArrayOutputStream()
-    out.write(Magic)
-    blobs.foreach(b => out.write(b.bytes))
-    out.write(Magic)
-    out.write(payload)
-    val tail = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-    tail.putInt(payload.length)
-    tail.putInt(0) // flags: payload uncompressed
-    out.write(tail.array())
-    out.write(Magic)
+    om.writeValueAsBytes(payloadNode)
+  }
+
+  /** Streams blobs into an open Puffin container — leading magic on
+    * the first append, footer on [[finish]] (which returns the final
+    * file length). Runs wherever the stream lives: a publish TASK
+    * packing all of its shuffle partition's DV blobs into one file,
+    * or the driver via [[write]]. */
+  final class Writer(out: java.io.OutputStream) {
+    private var at = 0L
+    private val metas = scala.collection.mutable.ArrayBuffer
+      .empty[BlobMeta]
+    def append(b: Blob): BlobMeta = {
+      if (at == 0L) { out.write(Magic); at = Magic.length.toLong }
+      out.write(b.bytes)
+      val m = BlobMeta(b.blobType, b.fields, b.snapshotId,
+        b.sequenceNumber, at, b.bytes.length.toLong, b.properties)
+      at += b.bytes.length
+      metas += m
+      m
+    }
+    def finish(properties: Map[String, String] = Map.empty): Long = {
+      if (at == 0L) { out.write(Magic); at = Magic.length.toLong }
+      val payload = footerPayload(metas.toSeq, properties)
+      out.write(Magic)
+      out.write(payload)
+      val tail = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      tail.putInt(payload.length)
+      tail.putInt(0) // flags: payload uncompressed
+      out.write(tail.array())
+      out.write(Magic)
+      at + Magic.length + payload.length + 8 + Magic.length
+    }
+  }
+
+  /** Write a Puffin file holding `blobs` (payload bytes laid back to
+    * back after the leading magic) plus file-level `properties`;
+    * returns each blob's footer metadata with its assigned offset.
+    * Metadata-sized driver work — blob payloads are the caller's. */
+  def write(spark: SparkSession, path: String, blobs: Seq[Blob],
+            properties: Map[String, String] = Map.empty): Seq[BlobMeta] = {
     val f = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val os = f.create(new Path(path), /* overwrite = */ false)
-    try os.write(out.toByteArray) finally os.close()
-    metas
+    try {
+      val w = new Writer(os)
+      val metas = blobs.map(w.append)
+      w.finish(properties): Unit
+      metas
+    } finally os.close()
   }
 
   // ---- container read ------------------------------------------------
