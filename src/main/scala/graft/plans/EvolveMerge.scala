@@ -1,0 +1,91 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression,
+  Literal}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan,
+  MergeIntoTable, Project, SubqueryAlias}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** `MERGE ... WITH SCHEMA EVOLUTION` interception for V1 interop
+  * views. Spark's `ResolveReferences.checkResolvedMergeExpr` throws
+  * EAGERLY on an assignment to a not-yet-existing column — before any
+  * injected resolution rule can widen the target — and `UPDATE SET *`
+  * silently drops source-only columns from its expansion. So the
+  * interception happens at the PARSER: an evolution MERGE parses into
+  * [[InteropEvolveMergeCommand]], which at run time resolves the
+  * target and source independently, widens the RESOLVED target plan
+  * with the source's extra columns as typed nulls, and re-analyzes
+  * the statement — assignments and star expansions then resolve
+  * against the widened output, [[InteropMergeRule]] strips the
+  * widening off, and the engines declare the widened schema in the
+  * same commit (the programmatic merge's own evolution machinery).
+  * Targets that are not graft interop views re-analyze verbatim, so
+  * native V2 tables keep Spark's standard behavior. */
+class GraftSqlParser(delegate: ParserInterface)
+    extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(sqlText) match {
+      case m: MergeIntoTable if m.withSchemaEvolution =>
+        InteropEvolveMergeCommand(m)
+      case other => other
+    }
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String)
+      : FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+/** The eager command an evolution MERGE parses into — see
+  * [[GraftSqlParser]]. The unresolved statement rides as a FIELD
+  * (never a tree child), so analysis of the command itself is a
+  * no-op and the real resolution happens inside `run` against the
+  * widened target. */
+case class InteropEvolveMergeCommand(m: MergeIntoTable)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
+    def exec(p: LogicalPlan): Unit = bridge.ofRows(spark, p)
+      .collect(): Unit
+    val (alias, rel) = m.targetTable match {
+      case SubqueryAlias(id, child) => (Some(id), child)
+      case other => (None, other)
+    }
+    val analyzed = bridge.ofRows(spark, rel).queryExecution.analyzed
+    if (InteropWriteRefs.refOf(analyzed).isEmpty) {
+      // not an interop view: Spark's standard path, verbatim
+      exec(m)
+      return Seq.empty
+    }
+    val srcSchema = bridge.ofRows(spark, m.sourceTable).schema
+    val extra = srcSchema.fields.filterNot(f =>
+      analyzed.output.exists(_.name == f.name))
+    val widened: LogicalPlan =
+      if (extra.isEmpty) analyzed
+      else Project(analyzed.output ++ extra.map(f =>
+        Alias(Literal.create(null, f.dataType), f.name)()).toSeq,
+        analyzed)
+    val newTarget = alias match {
+      case Some(id) => SubqueryAlias(id, widened)
+      case None => widened
+    }
+    exec(m.copy(targetTable = newTarget))
+    Seq.empty
+  }
+}

@@ -124,5 +124,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(spark => InteropUpdateRule(spark))
     // MERGE INTO a graftdelta view → fate batch over the DV machinery
     ext.injectResolutionRule(spark => InteropMergeRule(spark))
+    // MERGE ... WITH SCHEMA EVOLUTION must intercept at the PARSER:
+    // Spark's resolver throws on the not-yet-existing columns before
+    // any injected rule could widen the target — see EvolveMerge.scala
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }

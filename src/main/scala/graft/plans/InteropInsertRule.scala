@@ -422,29 +422,81 @@ case class InteropMergeRule(spark: SparkSession)
     }
   }
 
+  /** `WITH SCHEMA EVOLUTION` arrives PRE-WIDENED: the parser-level
+    * [[InteropEvolveMergeCommand]] wraps the resolved target in a
+    * Project appending the source's extra columns as typed nulls
+    * (Spark's resolver throws on not-yet-existing columns before any
+    * injected rule could do this). This case strips the widening back
+    * off and hands evolveSchema to the engines, which declare the
+    * widened schema in the same commit. */
+  private def unwrapEvolved(p: LogicalPlan): Option[LogicalPlan] = {
+    def ofProject(
+        pr: org.apache.spark.sql.catalyst.plans.logical.Project)
+        : Option[LogicalPlan] = {
+      val isWiden = pr.projectList.forall {
+        case _: AttributeReference => true
+        case org.apache.spark.sql.catalyst.expressions.Alias(
+          org.apache.spark.sql.catalyst.expressions
+            .Literal(null, _), _) => true
+        case _ => false
+      } && pr.projectList.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.Alias => true
+        case _ => false
+      }
+      if (isWiden && refOf(pr.child).isDefined) Some(pr.child)
+      else None
+    }
+    p match {
+      case SubqueryAlias(_,
+          pr: org.apache.spark.sql.catalyst.plans.logical.Project) =>
+        ofProject(pr)
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        ofProject(pr)
+      case _ => None
+    }
+  }
+
+  /** (format, root, pinned, PRE-evolution column names) of a MERGE
+    * target this rule owns — evolution-widened targets unwrap to the
+    * base relation. */
+  private def mergeTargetOf(m: MergeIntoTable)
+      : Option[(String, String, Boolean, Seq[String])] =
+    if (!m.withSchemaEvolution)
+      refOf(m.targetTable).map { case (f, r, p) =>
+        (f, r, p, m.targetTable.output.map(_.name))
+      }
+    else unwrapEvolved(m.targetTable).flatMap(base =>
+      refOf(base).map { case (f, r, p) =>
+        (f, r, p, base.output.map(_.name))
+      }).orElse(refOf(m.targetTable).map { case (f, r, p) =>
+        // evolution requested but the source added no columns
+        (f, r, p, m.targetTable.output.map(_.name))
+      })
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperators {
       case m: MergeIntoTable if m.resolved &&
-          refOf(m.targetTable).isDefined &&
-          // SQL-level schema evolution stays on the standard error (a
-          // V1 target cannot resolve assignments to not-yet-existing
-          // columns — the programmatic merge(evolveSchema=true) is
-          // the evolution surface on both formats)
-          !m.schemaEvolutionEnabled =>
-        val (fmt, root, pinned) = refOf(m.targetTable).get
+          mergeTargetOf(m).isDefined =>
+        val (fmt, root, pinned, baseCols) = mergeTargetOf(m).get
         require(!pinned,
           s"graft$fmt: cannot MERGE into a time-travel view of " +
             s"$root — writes always target the latest version")
+        val evolve = m.withSchemaEvolution
+        // columns the evolution added: the joined batch materializes
+        // them as typed nulls on the target side
+        val widen: Seq[(String, String)] = m.targetTable.output
+          .filterNot(a => baseCols.contains(a.name))
+          .map(a => a.name -> a.dataType.sql)
         (for {
           (keys, cols, op) <- MergeTranslation.translate(m)
           nmbs <- translateNmbs(m)
         } yield InteropMergeCommand(fmt, root, m.sourceTable, keys,
-          cols, op, nmbs): LogicalPlan)
+          cols, op, nmbs, evolve): LogicalPlan)
           .orElse(for {
             (keys, cols, op) <- MergeTranslation.translateJoined(m)
             nmbs <- translateNmbs(m)
           } yield InteropMergeJoinedCommand(fmt, root, m.sourceTable,
-            keys, cols, op, nmbs): LogicalPlan)
+            keys, cols, op, nmbs, widen, evolve): LogicalPlan)
           .getOrElse(m)
     }
 }
@@ -457,7 +509,8 @@ case class InteropMergeCommand(fmt: String, root: String,
                                columns: Seq[(String, String)],
                                opSql: String,
                                nmbs: Option[(String,
-                                 Option[Seq[(String, String)]])] = None)
+                                 Option[Seq[(String, String)]])] = None,
+                               evolve: Boolean = false)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.graftbridge.ColumnBridge
@@ -469,10 +522,10 @@ case class InteropMergeCommand(fmt: String, root: String,
     fmt match {
       case "delta" =>
         graft.sources.DeltaInterop.mergeIntoDelta(spark, root, batch,
-          keys, "__op", nmbs): Unit
+          keys, "__op", nmbs, evolveSchema = evolve): Unit
       case "iceberg" =>
         graft.sources.IcebergInterop.mergeIntoIceberg(spark, root,
-          batch, keys, "__op", nmbs): Unit
+          batch, keys, "__op", nmbs, evolveSchema = evolve): Unit
       case other => throw new IllegalStateException(
         s"unknown interop format $other")
     }
@@ -492,7 +545,10 @@ case class InteropMergeJoinedCommand(fmt: String, root: String,
                                      opSql: String,
                                      nmbs: Option[(String,
                                        Option[Seq[(String, String)]])]
-                                       = None)
+                                       = None,
+                                     widen: Seq[(String, String)]
+                                       = Seq.empty,
+                                     evolve: Boolean = false)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.graftbridge.ColumnBridge
@@ -505,14 +561,15 @@ case class InteropMergeJoinedCommand(fmt: String, root: String,
         s"unknown interop format $other")
     }
     val batch = MergeTranslation.joinedBatch(src, target, keys,
-      columns, opSql)
+      columns, opSql, widen)
     fmt match {
       case "delta" =>
         graft.sources.DeltaInterop.mergeIntoDelta(spark, root, batch,
-          keys.map(_._1), "__op", nmbs): Unit
+          keys.map(_._1), "__op", nmbs, evolveSchema = evolve): Unit
       case _ =>
         graft.sources.IcebergInterop.mergeIntoIceberg(spark, root,
-          batch, keys.map(_._1), "__op", nmbs): Unit
+          batch, keys.map(_._1), "__op", nmbs,
+          evolveSchema = evolve): Unit
     }
     Seq.empty
   }

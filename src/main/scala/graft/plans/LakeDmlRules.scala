@@ -107,7 +107,7 @@ case class LakeDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
       case m: MergeIntoTable if m.resolved &&
           lakeTable(m.targetTable).exists(_.pinnedVersion.isEmpty) &&
           m.notMatchedBySourceActions.isEmpty &&
-          !m.schemaEvolutionEnabled => // batch carries target cols only
+          !m.withSchemaEvolution => // batch carries target cols only
         MergeTranslation.translate(m).map { case (keys, cols, op) =>
           GraftLakeMergeCommand(lakeTable(m.targetTable).get.tableRoot,
             m.sourceTable, keys, cols, op): LogicalPlan
@@ -423,11 +423,20 @@ private[plans] object MergeTranslation {
                   target: org.apache.spark.sql.DataFrame,
                   keys: Seq[(String, String)],
                   columns: Seq[(String, String)],
-                  opSql: String): org.apache.spark.sql.DataFrame = {
+                  opSql: String,
+                  widen: Seq[(String, String)] = Seq.empty)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
-    val tAliased = target.select(target.columns.map(c =>
+    val tAliased0 = target.select(target.columns.map(c =>
       col(c).as(s"__t_$c")).toIndexedSeq: _*)
       .withColumn("__matched_t", lit(true))
+    // schema evolution: columns the statement added don't exist in
+    // the table yet — their target side is a typed null
+    val tAliased = widen.filterNot { case (n, _) =>
+      target.columns.contains(n)
+    }.foldLeft(tAliased0) { case (df, (n, t)) =>
+      df.withColumn(s"__t_$n", expr(s"CAST(NULL AS $t)"))
+    }
     val joinCond = keys.map { case (k, s) =>
       expr(s) === col(s"__t_$k")
     }.reduce(_ && _)

@@ -4731,7 +4731,175 @@ object SourceQueries {
       "multi-clause MERGE on both formats: target-conditioned DELETE " +
         "beside UPDATE (first-match-wins) plus conditional INSERT; " +
         "unclaimed rows no-op through the fate encoding"),
+
+    // ---- DML on column-mapped foreign Delta ------------------------------------
+    // Any table ever ALTER COLUMN'd in Databricks is column-mapped;
+    // until now it was read-only here. The candidate scan now reads
+    // PHYSICALLY and projects to logical (the read path's own
+    // discipline), and rewrites rename back to physical before
+    // staging — id-mode staged files embed parquet field ids so
+    // strict id-resolving readers keep working. The protocol upgrade
+    // to (3,7) carries columnMapping into reader+writer features.
+    "q381_colmap_dml" -> Q(
+      (s, d) => {
+        // name mode: UPDATE rewrites rows into physically-named files
+        val rootN = mappedDeltaFixture(s, d, "graft_cmdml_q381n",
+          "name")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q381_n USING " +
+          s"graftdelta OPTIONS (path '$rootN')")
+        s.sql("UPDATE q381_n SET o_totalprice = o_totalprice + 9 " +
+          "WHERE o_orderkey % 4 = 0")
+        require(graft.sources.DeltaInterop.validateDelta(s, rootN)
+          .count() == 0L, "q381: doctor found issues (name mode)")
+        // id mode: DELETE then UPDATE — the second statement's scan
+        // must merge the first's DV AND id-resolve the rewritten file
+        val rootI = mappedDeltaFixture(s, d, "graft_cmdml_q381i", "id")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q381_i USING " +
+          s"graftdelta OPTIONS (path '$rootI')")
+        s.sql("DELETE FROM q381_i WHERE o_orderkey % 5 = 0")
+        s.sql("UPDATE q381_i SET o_orderstatus = 'Z' " +
+          "WHERE o_orderkey % 7 = 0")
+        require(graft.sources.DeltaInterop.validateDelta(s, rootI)
+          .count() == 0L, "q381: doctor found issues (id mode)")
+        graft.sources.DeltaInterop.readDelta(s, rootN)
+          .select(lit("name").as("leg"), col("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+          .unionAll(graft.sources.DeltaInterop.readDelta(s, rootI)
+            .select(lit("id").as("leg"), col("o_orderkey"),
+              col("o_orderstatus"), col("o_totalprice")))
+      },
+      Some("""SELECT 'name' AS leg, o_orderkey, o_orderstatus,
+          CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 9
+               ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        UNION ALL
+        SELECT 'id' AS leg, o_orderkey,
+          CASE WHEN o_orderkey % 7 = 0 THEN 'Z'
+               ELSE o_orderstatus END AS o_orderstatus,
+          o_totalprice
+        FROM orders WHERE o_orderkey % 5 <> 0"""),
+      "DML on column-mapped Delta, both modes: physical scan → " +
+        "logical rewrite → physical staging (field ids embedded in " +
+        "id mode); DV merge across statements"),
+
+    // ---- SQL MERGE ... WITH SCHEMA EVOLUTION, both formats ----------------------
+    // A V1 target cannot resolve assignments to not-yet-existing
+    // columns, so the rule widens the target relation's output with
+    // the source's extra columns (typed nulls) BEFORE resolution,
+    // strips the widening off after, and hands evolveSchema to the
+    // engines — the same machinery the programmatic merge uses. The
+    // delta leg evolves through UPDATE/INSERT * (full-batch fast
+    // path); the iceberg leg sets ONLY the new column (joined path:
+    // untouched columns keep target values, the table widens anyway).
+    "q382_merge_schema_evolution_sql" -> Q(
+      (s, d) => {
+        val (delta, ice) =
+          mergeTargetsFixture(s, d, "graft_msevo_q382", "q382_unused")
+        Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") + 100).as("o_totalprice"),
+            concat(col("o_orderstatus"), lit("_L")).as("lang"))
+          .createOrReplaceTempView("q382_src")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q382_d USING " +
+          s"graftdelta OPTIONS (path '$delta')")
+        s.sql("""MERGE WITH SCHEMA EVOLUTION INTO q382_d t
+          USING q382_src s ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+        require(graft.sources.DeltaInterop.validateDelta(s, delta)
+          .count() == 0L, "q382: delta doctor found issues")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q382_i USING " +
+          s"grafticeberg OPTIONS (path '$ice')")
+        s.sql("""MERGE WITH SCHEMA EVOLUTION INTO q382_i t
+          USING q382_src s ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED THEN UPDATE SET lang = s.lang""")
+        require(graft.sources.IcebergInterop.validateIceberg(s, ice)
+          .count() == 0L, "q382: iceberg doctor found issues")
+        graft.sources.DeltaInterop.readDelta(s, delta)
+          .select(lit("delta").as("leg"), col("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"), col("lang"))
+          .unionAll(graft.sources.IcebergInterop.readIceberg(s, ice)
+            .select(lit("iceberg").as("leg"), col("o_orderkey"),
+              col("o_orderstatus"), col("o_totalprice"), col("lang")))
+      },
+      Some("""SELECT 'delta' AS leg, o_orderkey, o_orderstatus,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100
+               ELSE o_totalprice END AS o_totalprice,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus || '_L'
+               ELSE NULL END AS lang
+        FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
+        UNION ALL
+        SELECT 'iceberg' AS leg, o_orderkey, o_orderstatus,
+          o_totalprice,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus || '_L'
+               ELSE NULL END AS lang
+        FROM orders WHERE o_orderkey % 2 = 0"""),
+      "SQL MERGE WITH SCHEMA EVOLUTION on both formats: target " +
+        "widened pre-resolution, engines declare the new column in " +
+        "the same commit; star and single-new-column shapes"),
   )
+
+  /** q381 fixture: a q326/q339-style column-mapped Delta table of the
+    * orders projection, TWO physically-named data files, the mapping
+    * `mode` ('name' or 'id' — id-mode parquet columns carry arbitrary
+    * names plus writer-embedded field ids), and
+    * delta.enableDeletionVectors=true so DML may create vectors. */
+  private def mappedDeltaFixture(s: org.apache.spark.sql.SparkSession,
+                                 d: String, name: String,
+                                 mode: String): String = {
+    val root = freshRoot(name) + "/t"
+    val o = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val fsy = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    def writeOne(df: org.apache.spark.sql.DataFrame,
+                 nm: String): Unit = {
+      val stage = s"$root/_stage_$nm"
+      df.coalesce(1).write.parquet(stage)
+      val part = fsy.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fsy.rename(part, new org.apache.hadoop.fs.Path(s"$root/$nm"))
+      fsy.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+    }
+    def pmeta(id: Long) =
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", id).build()
+    val phys =
+      if (mode == "name") o.toDF("col-a1", "col-b2", "col-c3")
+      else o.select(
+        col("o_orderkey").as("anon_x", pmeta(1L)),
+        col("o_orderstatus").as("anon_y", pmeta(2L)),
+        col("o_totalprice").as("anon_z", pmeta(3L)))
+    val keyCol = if (mode == "name") col("`col-a1`") else col("anon_x")
+    writeOne(phys.filter(keyCol % 2 === 0), "f-even.parquet")
+    writeOne(phys.filter(keyCol % 2 =!= 0), "f-odd.parquet")
+    def meta(pn: String, id: Long) =
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", pn)
+        .putLong("delta.columnMapping.id", id).build()
+    val logical = StructType(Seq(
+      StructField("o_orderkey", LongType, nullable = true,
+        meta("col-a1", 1L)),
+      StructField("o_orderstatus", StringType, nullable = true,
+        meta("col-b2", 2L)),
+      StructField("o_totalprice", DoubleType, nullable = true,
+        meta("col-c3", 3L))))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schemaJson = om.writeValueAsString(logical.json)
+    Files.createDirectories(Paths.get(s"$root/_delta_log"))
+    Files.writeString(
+      Paths.get(s"$root/_delta_log/00000000000000000000.json"), Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"$name","schemaString":$schemaJson,""" +
+          """"partitionColumns":[],"format":{"provider":"parquet"},""" +
+          s""""configuration":{"delta.columnMapping.mode":"$mode",""" +
+          """"delta.columnMapping.maxColumnId":"3",""" +
+          """"delta.enableDeletionVectors":"true"}}}""",
+        """{"add":{"path":"f-even.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""",
+        """{"add":{"path":"f-odd.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
+        .mkString("\n"))
+    root
+  }
 
   /** q379/q380 fixture: a DV-enabled foreign DELTA target and a v3
     * ICEBERG target, both holding the EVEN orders keys, plus a source

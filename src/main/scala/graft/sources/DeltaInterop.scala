@@ -1445,6 +1445,10 @@ object DeltaInterop {
       s"graftdelta MERGE: batch carries columns beyond $deltaRoot's " +
         s"schema (${extraCols.mkString(",")}); pass " +
         "evolveSchema=true (SQL: WITH SCHEMA EVOLUTION) to widen")
+    require(extraCols.isEmpty || snap.schema == snap.physSchema,
+      s"graftdelta MERGE: schema evolution on a column-mapped table " +
+        "needs fresh physicalName/id assignment per new column — " +
+        "refusing rather than writing unmapped fields")
     val outSchema = StructType(snap.schema.fields ++ extraCols.map(c =>
       StructField(c, batch.schema(c).dataType, nullable = true)))
     val newSchema = if (extraCols.isEmpty) None else Some(outSchema)
@@ -1539,9 +1543,11 @@ object DeltaInterop {
     require(vs.nonEmpty, s"no Delta log under $deltaRoot")
     val v = vs.max
     val snap = replay(spark, deltaRoot, v)
-    require(snap.schema == snap.physSchema,
-      s"graftdelta $verb: $deltaRoot uses column mapping; positions " +
-        "are physical and the mapped scan is unproven — refusing")
+    // column-mapped tables (ANY table ever ALTER COLUMN'd in a
+    // mapping-mode engine) take DML: the candidate scan reads
+    // physically and projects to logical exactly like the read path,
+    // and the publish renames rewrite rows back to physical before
+    // staging — positions are physical row indexes either way
     writerProtocolGate(snap, deltaRoot, overwrite = false)
     require(!snap.conf.get("delta.appendOnly").exists(_.toBoolean),
       s"graftdelta $verb: $deltaRoot declares delta.appendOnly=true; " +
@@ -1608,20 +1614,46 @@ object DeltaInterop {
                          snap: Snapshot,
                          priorDf: Option[DataFrame])
       : DataFrame = {
-    val dataSchema = StructType(snap.schema.fields
-      .filterNot(fd => snap.partCols.contains(fd.name)))
+    // PHYSICAL scan + rename-only logical projection, the read path's
+    // own discipline (readLive) — a no-op without column mapping;
+    // 'id' mode resolves by parquet field ids on a session clone
+    val pairs = snap.schema.fields.zip(snap.physSchema.fields)
+    val dataPairs = pairs.filterNot {
+      case (lf, _) => snap.partCols.contains(lf.name) }
+    val dataSchema = StructType(dataPairs.map(_._2))
+    def hasFieldIds(dt: DataType): Boolean = dt match {
+      case st: StructType => st.fields.exists(f =>
+        f.metadata.contains("parquet.field.id") ||
+          hasFieldIds(f.dataType))
+      case ArrayType(et, _) => hasFieldIds(et)
+      case MapType(k, v2, _) => hasFieldIds(k) || hasFieldIds(v2)
+      case _ => false
+    }
+    val scanSession =
+      if (!hasFieldIds(dataSchema)) spark
+      else {
+        val s2 = org.apache.spark.sql.graftbridge.ColumnBridge
+          .cloneSession(spark)
+        s2.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        s2
+      }
     def scan(paths: Seq[String]): DataFrame =
-      spark.read.schema(dataSchema)
+      scanSession.read.schema(dataSchema)
         .parquet(paths.sorted.map(p => s"$deltaRoot/$p"): _*)
         .withColumn("__uri", col("_metadata.file_path"))
         .withColumn("__pos", col("_metadata.row_index"))
+        .select(dataPairs.map { case (lf, pf) =>
+          col(s"`${pf.name}`").cast(lf.dataType).as(lf.name)
+        } ++ Seq(col("__uri"), col("__pos")): _*)
     val base0 =
       if (snap.partCols.isEmpty) scan(snap.live.keys.toSeq)
       else snap.live.groupBy(_._2.partitionValues)
         .map { case (pv, group) =>
+          // partitionValues keys are PHYSICAL names under mapping
           snap.partCols.foldLeft(scan(group.keys.toSeq)) { (d, c) =>
             d.withColumn(c,
-              lit(pv.getOrElse(c, null)).cast(snap.schema(c).dataType))
+              lit(pv.getOrElse(snap.physNameOf(c), null))
+                .cast(snap.schema(c).dataType))
           }
         }.reduce(_.unionByName(_))
     priorDf.map(pr =>
@@ -1754,16 +1786,25 @@ object DeltaInterop {
     if (!hasFeature && frames.nonEmpty) {
       // protocol upgrade in the same commit: (3, 7) with the legacy
       // versions' implied features carried forward explicitly
+      val mapped = snap.conf
+        .getOrElse("delta.columnMapping.mode", "none") != "none"
       val legacyWriter =
         (if (snap.minWriterVersion >= 2)
            Seq("appendOnly", "invariants") else Seq.empty) ++
         (if (snap.minWriterVersion >= 3)
            Seq("checkConstraints") else Seq.empty) ++
         (if (snap.minWriterVersion >= 4)
-           Seq("changeDataFeed", "generatedColumns") else Seq.empty)
+           Seq("changeDataFeed", "generatedColumns") else Seq.empty) ++
+        (if (snap.minWriterVersion >= 5 || mapped)
+           Seq("columnMapping") else Seq.empty)
       val wf = (snap.writerFeatures ++ legacyWriter +
         "deletionVectors").toSeq.sorted
-      val rf = (snap.protoFeatures + "deletionVectors").toSeq.sorted
+      // a mapped table's readers must declare the capability once the
+      // protocol moves to table features (legacy minReaderVersion 2
+      // implied it)
+      val rf = (snap.protoFeatures ++
+        (if (mapped) Set("columnMapping") else Set.empty[String]) +
+        "deletionVectors").toSeq.sorted
       actions += s"""{"protocol":{"minReaderVersion":3,""" +
         s""""minWriterVersion":7,""" +
         s""""readerFeatures":${rf.map(om.writeValueAsString)
@@ -1817,11 +1858,25 @@ object DeltaInterop {
     val newAdds: Seq[(String, Map[String, String])] =
       newRows.filter(!_.isEmpty).map { updated =>
         enforceWriterInvariants(updated, snap, deltaRoot)
-        stageDeltaData(updated, deltaRoot, snap.partCols,
-          uuid.toString, "u")
+        // column mapping: staged files carry PHYSICAL names (rename-
+        // only, aligned by position); partition routing and the
+        // resulting partitionValues keys follow the physical spelling
+        val physRows =
+          if (snap.schema == snap.physSchema) updated
+          else updated.select(snap.schema.fields
+            .zip(snap.physSchema.fields).map { case (lf, pf) =>
+              // pf.metadata carries parquet.field.id under 'id' mode —
+              // Spark embeds it in the staged footers, so strict
+              // id-resolving readers (fieldId.read, ignoreMissing off)
+              // keep reading the rewritten files
+              col(s"`${lf.name}`").as(pf.name, pf.metadata)
+            }.toIndexedSeq: _*)
+        stageDeltaData(physRows, deltaRoot,
+          snap.partCols.map(snap.physNameOf), uuid.toString, "u")
       }.getOrElse(Seq.empty)
     val newRels: Seq[String] = newAdds.map(_._1)
-    val intCols = snap.schema.fields.collect {
+    // staged files carry physical names — bounds filter keys likewise
+    val intCols = snap.physSchema.fields.collect {
       case fd if fd.dataType == IntegerType || fd.dataType == LongType =>
         fd.name
     }.toSet

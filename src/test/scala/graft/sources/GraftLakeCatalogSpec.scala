@@ -208,15 +208,14 @@ class GraftLakeCatalogSpec extends SparkSpec {
       WHEN MATCHED THEN UPDATE SET k = s.k, v = s.flag * 1000""")
     assert(table == Map(3L -> 2000L, 4L -> 400L, 5L -> 500L))
 
-    // partial-column update: refused (falls to Spark's standard error),
-    // table untouched
+    // partial-column update with a TARGET-referencing value: the
+    // joined translation applies it (the unassigned key column keeps
+    // its value, the expression reads the matched target row)
     Seq((4L, 9L)).toDF("k", "v").createOrReplaceTempView("m_src")
-    intercept[Exception] {
-      spark.sql(s"""MERGE INTO graftlake.`$root` t USING m_src s
-        ON t.k = s.k
-        WHEN MATCHED THEN UPDATE SET v = s.v + t.v""")
-    }
-    assert(table == Map(3L -> 2000L, 4L -> 400L, 5L -> 500L))
+    spark.sql(s"""MERGE INTO graftlake.`$root` t USING m_src s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v + t.v""")
+    assert(table == Map(3L -> 2000L, 4L -> 409L, 5L -> 500L))
     // duplicate source keys hit the one-row-per-key contract
     Seq((4L, 1L), (4L, 2L)).toDF("k", "v")
       .createOrReplaceTempView("m_src")
@@ -233,7 +232,7 @@ class GraftLakeCatalogSpec extends SparkSpec {
         ON t.k = s.k
         WHEN MATCHED THEN UPDATE SET k = s.k + 1, v = s.v""")
     }
-    assert(table == Map(3L -> 2000L, 4L -> 400L, 5L -> 500L))
+    assert(table == Map(3L -> 2000L, 4L -> 409L, 5L -> 500L))
   }
 
   test("SQL DELETE ≡ filter(NOT pred) for randomized predicate shapes "
