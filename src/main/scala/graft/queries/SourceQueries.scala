@@ -4837,7 +4837,148 @@ object SourceQueries {
       "SQL MERGE WITH SCHEMA EVOLUTION on both formats: target " +
         "widened pre-resolution, engines declare the new column in " +
         "the same commit; star and single-new-column shapes"),
+
+    // ---- DML across Iceberg partition-spec evolution ---------------------------
+    // Long-lived production tables evolve specs (day(ts) →
+    // identity(b) here); their data files span spec ids, and a delete
+    // manifest must declare each referenced file's OWN spec to carry
+    // a truthful partition tuple. Writes route by the CURRENT spec;
+    // the delete state publishes ONE manifest PER SPEC. The UPDATE
+    // rewrites old-spec rows into identity-routed files, and the
+    // DELETE then kills rows in BOTH generations — the fixture
+    // asserts a spec-0 and a spec-1 delete manifest exist.
+    "q384_iceberg_spec_evolution_dml" -> Q(
+      (s, d) => {
+        val root = specEvolutionFixture(s, d, "graft_specevo_q384")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q384_i USING " +
+          s"grafticeberg OPTIONS (path '$root')")
+        s.sql("UPDATE q384_i SET price = price + 5 WHERE k % 4 = 0")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q384_i USING " +
+          s"grafticeberg OPTIONS (path '$root')")
+        s.sql("DELETE FROM q384_i WHERE k % 6 = 0")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q384_i USING " +
+          s"grafticeberg OPTIONS (path '$root')")
+        val scanned = s.table("q384_i").count()
+        require(graft.sources.IcebergInterop.icebergRowCount(s, root)
+          .contains(scanned), "q384: metadata count diverged")
+        require(graft.sources.IcebergInterop.validateIceberg(s, root)
+          .count() == 0L, "q384: doctor found issues")
+        // one delete manifest per spec generation
+        val fsys = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val sids = fsys.listStatus(new org.apache.hadoop.fs.Path(
+            s"$root/metadata")).map(_.getPath.getName)
+          .flatMap("-m1-s(\\d+)\\.avro$".r.findFirstMatchIn(_)
+            .map(_.group(1).toInt)).toSet
+        require(sids == Set(0, 1),
+          s"q384: delete manifests span specs $sids, want {0, 1}")
+        s.table("q384_i").select("k", "b", "price")
+      },
+      Some("""SELECT o_orderkey AS k,
+          CAST(o_orderkey % 3 AS INT) AS b,
+          CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 5
+               ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 6 <> 0"""),
+      "DML across Iceberg spec evolution: per-spec delete manifests " +
+        "with truthful tuples, rewrites routed by the current spec"),
   )
+
+  /** q384 fixture: a hand-built v2 table whose SPEC EVOLVED — five
+    * data files written under spec 0 (day(ts), one file per day,
+    * spec-compliant int partition records) while the CURRENT default
+    * spec is 1 (identity(b)). DML rewrites must route by spec 1 and
+    * delete manifests must declare each referenced file's own spec. */
+  private def specEvolutionFixture(s: org.apache.spark.sql.SparkSession,
+                                   d: String, name: String): String = {
+    import org.apache.avro.generic.GenericData
+    import graft.sources.IcebergInterop
+    val root = freshRoot(name) + "/t"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    def writeOne(df: org.apache.spark.sql.DataFrame,
+                 rel: String): Long = {
+      val stage = s"$root/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = fsys.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/$rel")
+        .getParent)
+      fsys.rename(part, new org.apache.hadoop.fs.Path(s"$root/$rel"))
+      fsys.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+      df.count()
+    }
+    val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      timestamp_seconds((col("o_orderkey") % 5) * 86400L +
+        col("o_orderkey") % 86400).as("ts"),
+      (col("o_orderkey") % 3).cast("int").as("b"),
+      col("o_totalprice").as("price"))
+    val mSchema = IcebergInterop.manifestSchemaWithPartition(
+      """{"name":"ts_day","type":["null","int"],"default":null}""")
+    val entries = (0 until 5).map { dd =>
+      val rel = s"data/day$dd.parquet"
+      val rows = writeOne(base.filter(col("k") % 5 === dd)
+        .orderBy("k"), rel)
+      val df0 = new GenericData.Record(
+        mSchema.getField("data_file").schema())
+      df0.put("content", 0)
+      df0.put("file_path", rel)
+      df0.put("file_format", "PARQUET")
+      val pr = new GenericData.Record(
+        df0.getSchema.getField("partition").schema())
+      pr.put("ts_day", Int.box(dd))
+      df0.put("partition", pr)
+      df0.put("record_count", rows)
+      df0.put("file_size_in_bytes", 1L)
+      val e = new GenericData.Record(mSchema)
+      e.put("status", 1)
+      e.put("data_file", df0)
+      e
+    }
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/metadata"))
+    IcebergInterop.writeAvro(s, s"$root/metadata/m0.avro",
+      mSchema, entries)
+    val list = {
+      val r = new GenericData.Record(IcebergInterop.manifestListSchema)
+      r.put("manifest_path", "metadata/m0.avro")
+      r.put("manifest_length", 1L)
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      r.put("sequence_number", 1L)
+      r.put("min_sequence_number", 1L)
+      r.put("added_snapshot_id", 9L)
+      r.put("added_files_count", 5)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", 1L)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r
+    }
+    IcebergInterop.writeAvro(s, s"$root/metadata/snap-9.avro",
+      IcebergInterop.manifestListSchema, Seq(list))
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"k","required":false,"type":"long"},
+        |{"id":2,"name":"ts","required":false,"type":"timestamptz"},
+        |{"id":3,"name":"b","required":false,"type":"int"},
+        |{"id":4,"name":"price","required":false,"type":"double"}]}"""
+        .stripMargin.replace("\n", "")
+    Files.writeString(Paths.get(s"$root/metadata/v1.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"q384","location":"$root",
+         |"last-sequence-number":1,"last-updated-ms":9,
+         |"last-column-id":4,"current-schema-id":0,
+         |"schemas":[$schemaJson],"default-spec-id":1,
+         |"partition-specs":[{"spec-id":0,"fields":[
+         |{"name":"ts_day","transform":"day","source-id":2,
+         |"field-id":1000}]},{"spec-id":1,"fields":[
+         |{"name":"b","transform":"identity","source-id":3,
+         |"field-id":1001}]}],"last-partition-id":1001,
+         |"current-snapshot-id":9,
+         |"snapshots":[{"snapshot-id":9,"timestamp-ms":9,
+         |"sequence-number":1,"manifest-list":"metadata/snap-9.avro"}]}"""
+        .stripMargin.replace("\n", ""))
+    root
+  }
 
   /** q381 fixture: a q326/q339-style column-mapped Delta table of the
     * orders projection, TWO physically-named data files, the mapping

@@ -518,7 +518,12 @@ object IcebergInterop {
       // nulls and NaNs; null_value_counts is nulls only) — the inputs
       // to metadata count(col)
       valueCounts: Map[Int, Long] = Map.empty,
-      nullCounts: Map[Int, Long] = Map.empty)
+      nullCounts: Map[Int, Long] = Map.empty,
+      // the partition-spec id of the MANIFEST that listed this file —
+      // long-lived tables evolve specs, and a delete manifest must
+      // declare the referenced file's OWN spec to carry a truthful
+      // partition tuple
+      specId: Int = 0)
 
   /** One live delete file of a snapshot. `content` 1 = position
     * deletes (file_path, pos rows), 2 = equality deletes (rows of the
@@ -649,7 +654,7 @@ object IcebergInterop {
               lng(df0, "file_size_in_bytes", -1L), identityVals(),
               xformVals(),
               countsOf(df0, "value_counts"),
-              countsOf(df0, "null_value_counts"))
+              countsOf(df0, "null_value_counts"), mSpecId)
             case (1, 1) if isPuffinDv =>
               // v3 deletion vector: position deletes as a Puffin blob
               if (meta.formatVersion < 3)
@@ -2300,6 +2305,41 @@ object IcebergInterop {
     * superseded equality files. The fold is O(deleted rows) driver
     * state — the delete-state class's documented bound, with
     * compaction as the escape hatch. */
+  /** Resolve ONE partition spec's fields against the current schema:
+    * names in spec order, transform, source column, and the
+    * int/long/string transform result type (anything else refuses —
+    * both routing and truthful manifest tuples need the value). Used
+    * for the DEFAULT spec (write routing) and for every spec the
+    * live files were written under (per-spec delete manifests). */
+  private def resolveSpecFields(iceRoot: String, meta: IceMeta,
+                                schema: IceSchema, specId: Int,
+                                verb: String): Seq[IceSpecField] = {
+    val fieldIds = schema.fieldIds
+    meta.partitionSpecs.getOrElse(specId, Seq.empty)
+      .map { case (nm, transform, srcId) =>
+        val srcName = fieldIds.collectFirst {
+          case (n, id) if id == srcId => n
+        }.getOrElse(throw new IllegalStateException(
+          s"$iceRoot: partition field '$nm' sources unknown field " +
+            s"id $srcId"))
+        val dt = schema.spark.fields.find(_.name == srcName).get
+          .dataType
+        // any transform the router can evaluate with an
+        // int/long/string result routes (identity, day/month/year/
+        // hour, truncate, bucket) — anything else refuses loudly
+        val out = IcebergTransforms.outType(transform, dt)
+        require(out.exists {
+          case IntegerType | LongType | StringType => true
+          case _ => false
+        }, s"grafticeberg $verb: $iceRoot partition field '$nm' " +
+          s"(transform '$transform' over a ${dt.simpleString} " +
+          "column) cannot be routed — supported: identity/day/" +
+          "month/year/hour/truncate/bucket with an int/long/string " +
+          "result")
+        IceSpecField(nm, transform, srcName, srcId, dt, out.get)
+      }
+  }
+
   private def iceDmlGates(spark: SparkSession, iceRoot: String,
                           verb: String): IceDmlState = {
     val f = fs(spark, iceRoot)
@@ -2310,32 +2350,9 @@ object IcebergInterop {
         "writes v2 position deletes or v3 deletion vectors")
     val (schema, dataFiles, deleteFiles) =
       snapshotFiles(spark, iceRoot, None)
-    val fieldIds = schema.fieldIds
     val specId = meta.raw.path("default-spec-id").asInt(0)
     val specFields: Seq[IceSpecField] =
-      meta.partitionSpecs.getOrElse(specId, Seq.empty)
-        .map { case (nm, transform, srcId) =>
-          val srcName = fieldIds.collectFirst {
-            case (n, id) if id == srcId => n
-          }.getOrElse(throw new IllegalStateException(
-            s"$iceRoot: partition field '$nm' sources unknown field " +
-              s"id $srcId"))
-          val dt = schema.spark.fields.find(_.name == srcName).get
-            .dataType
-          // any transform the router can evaluate with an
-          // int/long/string result routes (identity, day/month/year/
-          // hour, truncate, bucket) — anything else refuses loudly
-          val out = IcebergTransforms.outType(transform, dt)
-          require(out.exists {
-            case IntegerType | LongType | StringType => true
-            case _ => false
-          }, s"grafticeberg $verb: $iceRoot partition field '$nm' " +
-            s"(transform '$transform' over a ${dt.simpleString} " +
-            "column) cannot be routed — supported: identity/day/" +
-            "month/year/hour/truncate/bucket with an int/long/string " +
-            "result")
-          IceSpecField(nm, transform, srcName, srcId, dt, out.get)
-        }
+      resolveSpecFields(iceRoot, meta, schema, specId, verb)
     val conf = spark.sessionState.newHadoopConf()
     def qualify(p: String): String = {
       val hp = new Path(resolve(iceRoot, p))
@@ -2349,7 +2366,7 @@ object IcebergInterop {
       else relOfQual.get(s).orElse(relOfQual.get(qualify(s)))
     // candidate scan with PHYSICAL row positions; identity-partition
     // source columns override from the manifest values per file group
-    val fieldNameOf: Map[Int, String] = fieldIds.map(_.swap)
+    val fieldNameOf: Map[Int, String] = schema.fieldIds.map(_.swap)
     def scanFiles(files: Seq[DataFileMeta]): DataFrame =
       if (files.isEmpty)
         spark.createDataFrame(
@@ -2571,15 +2588,17 @@ object IcebergInterop {
     val newVer = meta.version + 1
     f.mkdirs(new Path(s"$iceRoot/metadata"))
     val staged = scala.collection.mutable.ArrayBuffer.empty[Path]
-    def partFieldsJson: String = specFields.map { sf =>
-      val avroT = sf.outType match {
-        case IntegerType => "int"
-        case LongType => "long"
-        case _ => "string"
-      }
-      s"""{"name":${om.writeValueAsString(sf.name)},""" +
-        s""""type":["null","$avroT"],"default":null}"""
-    }.mkString(",")
+    def partFieldsJsonFor(sfs: Seq[IceSpecField]): String =
+      sfs.map { sf =>
+        val avroT = sf.outType match {
+          case IntegerType => "int"
+          case LongType => "long"
+          case _ => "string"
+        }
+        s"""{"name":${om.writeValueAsString(sf.name)},""" +
+          s""""type":["null","$avroT"],"default":null}"""
+      }.mkString(",")
+    def partFieldsJson: String = partFieldsJsonFor(specFields)
     val metaOfRel: Map[String, DataFileMeta] =
       st.dataFiles.map(d => d.path -> d).toMap
     // the partition tuple of a referenced data file, spec-field order
@@ -2588,7 +2607,13 @@ object IcebergInterop {
     // default spec covers but whose manifest carries no value
     // (evolved spec) refuses — a delete manifest declaring the
     // default spec-id must carry a truthful tuple
-    def partTuple(rel: String): Seq[Option[Any]] = specFields.map { sf =>
+    // the partition tuple of a data file under a GIVEN spec's fields
+    // — delete manifests declare each referenced file's OWN spec
+    // (long-lived tables evolve specs; a day→identity evolution must
+    // not refuse DML), so the values always come from the manifest
+    // that listed the file, truthful by construction
+    def partTupleFor(rel: String, sfs: Seq[IceSpecField])
+        : Seq[Option[Any]] = sfs.map { sf =>
       val m0 = metaOfRel(rel)
       val v =
         if (sf.transform == "identity") m0.partitionIdVals.get(sf.srcId)
@@ -2598,20 +2623,32 @@ object IcebergInterop {
         }
       require(v.isDefined,
         s"grafticeberg $verb: $iceRoot data file $rel carries no " +
-          s"partition value for '${sf.name}' (evolved spec?) — " +
+          s"partition value for '${sf.name}' under its own spec — " +
           "refusing to publish a delete manifest with an untruthful " +
           "partition tuple")
       v.get
     }
-    def putPart(df0: GenericData.Record,
-                vals: Seq[Option[Any]]): Unit = {
+    def putPartFor(df0: GenericData.Record, sfs: Seq[IceSpecField],
+                   vals: Seq[Option[Any]]): Unit = {
       val pr = new GenericData.Record(
         df0.getSchema.getField("partition").schema())
-      specFields.map(_.name).zip(vals).foreach { case (nm, v) =>
+      sfs.map(_.name).zip(vals).foreach { case (nm, v) =>
         pr.put(nm, v.orNull)
       }
       df0.put("partition", pr)
     }
+    def putPart(df0: GenericData.Record,
+                vals: Seq[Option[Any]]): Unit =
+      putPartFor(df0, specFields, vals)
+    // every spec the live files were written under, resolved against
+    // the current schema (the default spec routes WRITES; per-file
+    // specs shape the delete manifests)
+    val defaultSpecId = meta.raw.path("default-spec-id").asInt(0)
+    val specFieldsOf: Map[Int, Seq[IceSpecField]] =
+      (st.dataFiles.map(_.specId) :+ defaultSpecId).distinct
+        .map(sid => sid -> (if (sid == defaultSpecId) specFields
+          else resolveSpecFields(iceRoot, meta, schema, sid, verb)))
+        .toMap
     // UPDATE/MERGE: rewritten + inserted rows land as NEW data files,
     // partition-ROUTED by the spec's transform expressions (the batch
     // append path's staging), in the SAME snapshot
@@ -2625,86 +2662,92 @@ object IcebergInterop {
       }
       out
     }.getOrElse(Seq.empty)
-    // the merged DELETE state: one manifest, entries carrying the
-    // referenced data files' partition tuples
-    val delState: Option[(GenericRecord, Long)] =
+    // the merged DELETE state: ONE manifest PER SPEC the referenced
+    // files were written under (a manifest declares a single
+    // partition-record shape), entries carrying truthful tuples
+    val delState: Option[(Seq[(Int, String, Long, Long, Int)], Long)] =
       if (!anyMatched) None
       else {
         f.mkdirs(new Path(s"$iceRoot/data"))
-        val (delManifest, delLenOut, delRows, nDelFiles, newlyDel) =
-          if (fv >= 3) {
-            import spark.implicits._
-            val shc = new SerializableHadoopConf(conf)
-            val rootStr = iceRoot
-            val sid = snapId
-            val sq = seqNum
-            // each task packs its shuffle partition's files into ONE
-            // Puffin container (blob per file, prior state folded in
-            // from the tagged rows) and reports a descriptor row per
-            // file; the driver sees descriptors only
-            val frames: Array[DvTaskFrame] = mergedTagged
-              .repartition(col("__uri"))
-              .sortWithinPartitions("__uri", "__pos", "__prior")
-              .as[(String, Long, Int)]
-              .mapPartitions { it =>
-                if (!it.hasNext) Iterator.empty
-                else {
-                  val hconf = shc.value
-                  val tUuid = java.util.UUID.randomUUID()
-                  val delPath = new Path(
-                    s"$rootStr/data/deletes-$tUuid.puffin")
-                  val fsx = delPath.getFileSystem(hconf)
-                  val os = fsx.create(delPath, false)
-                  val w = new PuffinFiles.Writer(os)
-                  val buf = scala.collection.mutable.ArrayBuffer
-                    .empty[(String, Long, Long, Long, Long)]
-                  val totalLen =
-                    try {
-                      var curUri: String = null
-                      var builder: DeltaDeletionVectors.BitmapBuilder =
-                        null
-                      var priorCard = 0L
-                      def flush(): Unit = if (curUri != null) {
-                        val card = builder.cardinality
-                        val m = w.append(PuffinFiles.Blob(
-                          PuffinFiles.DvBlobType, Seq(2147483546),
-                          sid, sq,
-                          PuffinFiles.dvBlobFrame(builder.serialize()),
-                          Map("referenced-data-file" -> curUri,
-                            "cardinality" -> card.toString)))
-                        buf += ((curUri, m.offset, m.length, card,
-                          priorCard))
+        if (fv >= 3) {
+          import spark.implicits._
+          val shc = new SerializableHadoopConf(conf)
+          val rootStr = iceRoot
+          val sid0 = snapId
+          val sq = seqNum
+          // each task packs its shuffle partition's files into ONE
+          // Puffin container (blob per file, prior state folded in
+          // from the tagged rows) and reports a descriptor row per
+          // file; the driver sees descriptors only
+          val frames: Array[DvTaskFrame] = mergedTagged
+            .repartition(col("__uri"))
+            .sortWithinPartitions("__uri", "__pos", "__prior")
+            .as[(String, Long, Int)]
+            .mapPartitions { it =>
+              if (!it.hasNext) Iterator.empty
+              else {
+                val hconf = shc.value
+                val tUuid = java.util.UUID.randomUUID()
+                val delPath = new Path(
+                  s"$rootStr/data/deletes-$tUuid.puffin")
+                val fsx = delPath.getFileSystem(hconf)
+                val os = fsx.create(delPath, false)
+                val w = new PuffinFiles.Writer(os)
+                val buf = scala.collection.mutable.ArrayBuffer
+                  .empty[(String, Long, Long, Long, Long)]
+                val totalLen =
+                  try {
+                    var curUri: String = null
+                    var builder: DeltaDeletionVectors.BitmapBuilder =
+                      null
+                    var priorCard = 0L
+                    def flush(): Unit = if (curUri != null) {
+                      val card = builder.cardinality
+                      val m = w.append(PuffinFiles.Blob(
+                        PuffinFiles.DvBlobType, Seq(2147483546),
+                        sid0, sq,
+                        PuffinFiles.dvBlobFrame(builder.serialize()),
+                        Map("referenced-data-file" -> curUri,
+                          "cardinality" -> card.toString)))
+                      buf += ((curUri, m.offset, m.length, card,
+                        priorCard))
+                    }
+                    it.foreach { case (uri, pos, prior) =>
+                      if (uri != curUri) {
+                        flush()
+                        curUri = uri
+                        builder =
+                          new DeltaDeletionVectors.BitmapBuilder
+                        priorCard = 0L
                       }
-                      it.foreach { case (uri, pos, prior) =>
-                        if (uri != curUri) {
-                          flush()
-                          curUri = uri
-                          builder =
-                            new DeltaDeletionVectors.BitmapBuilder
-                          priorCard = 0L
-                        }
-                        builder.add(pos)
-                        if (prior == 1) priorCard += 1
-                      }
-                      flush()
-                      w.finish()
-                    } finally os.close()
-                  val file = delPath.toString
-                  buf.iterator.map { case (uri, off, len, card, pc) =>
-                    DvTaskFrame(uri, file, "", off, len, card, pc,
-                      totalLen)
-                  }
+                      builder.add(pos)
+                      if (prior == 1) priorCard += 1
+                    }
+                    flush()
+                    w.finish()
+                  } finally os.close()
+                val file = delPath.toString
+                buf.iterator.map { case (uri, off, len, card, pc) =>
+                  DvTaskFrame(uri, file, "", off, len, card, pc,
+                    totalLen)
                 }
-              }.collect()
-            frames.foreach(fr => require(relOfUri.contains(fr.uri),
-              s"grafticeberg $verb: scanned uri ${fr.uri} maps to " +
-                "no live file"))
-            frames.map(_.file).distinct.foreach(p =>
-              staged += new Path(p))
+              }
+            }.collect()
+          frames.foreach(fr => require(relOfUri.contains(fr.uri),
+            s"grafticeberg $verb: scanned uri ${fr.uri} maps to " +
+              "no live file"))
+          frames.map(_.file).distinct.foreach(p =>
+            staged += new Path(p))
+          val bySpec = frames
+            .groupBy(fr => metaOfRel(relOfUri(fr.uri)).specId)
+            .toSeq.sortBy(_._1)
+          val gs = bySpec.map { case (sid, frs) =>
+            val sfs = specFieldsOf(sid)
             val mSchemaDel =
-              if (specFields.isEmpty) manifestSchemaV3
-              else manifestSchemaV3WithPartition(partFieldsJson)
-            val entries = frames.sortBy(fr => relOfUri(fr.uri))
+              if (sfs.isEmpty) manifestSchemaV3
+              else manifestSchemaV3WithPartition(
+                partFieldsJsonFor(sfs))
+            val entries = frs.sortBy(fr => relOfUri(fr.uri))
               .map { fr =>
                 val rel = relOfUri(fr.uri)
                 val df0 = new GenericData.Record(
@@ -2712,7 +2755,7 @@ object IcebergInterop {
                 df0.put("content", 1)
                 df0.put("file_path", qualify(fr.file))
                 df0.put("file_format", "PUFFIN")
-                putPart(df0, partTuple(rel))
+                putPartFor(df0, sfs, partTupleFor(rel, sfs))
                 df0.put("record_count", fr.cardinality)
                 df0.put("file_size_in_bytes", fr.fileLen)
                 df0.put("referenced_data_file", fr.uri)
@@ -2726,50 +2769,55 @@ object IcebergInterop {
                 e.put("data_file", df0)
                 e
               }.toSeq
-            val mf = s"$iceRoot/metadata/$uuid-m1.avro"
+            val mf = s"$iceRoot/metadata/$uuid-m1-s$sid.avro"
             val len = writeAvro(spark, mf, mSchemaDel, entries)
             staged += new Path(mf)
-            (mf, len, frames.map(_.cardinality).sum,
-              frames.map(_.file).distinct.length,
-              frames.map(fr => fr.cardinality - fr.priorCardinality)
-                .sum)
-          } else {
-            import spark.implicits._
-            // v2: sorted position-delete parquet per affected
-            // partition tuple, written BY TASKS (repartition on the
-            // tuple group routes, partitionBy splits, each file
-            // arrives sorted by (file_path, pos)); the driver renames
-            // staged parts and reads parquet footers only. The
-            // affected-URI collect is one row per FILE — manifest
-            // scale, never row scale
-            val merged = mergedTagged.select(col("__uri"),
-              col("__pos")).distinct()
-            val uris = merged.select("__uri").distinct()
-              .as[String].collect().sorted
-            uris.foreach(u => require(relOfUri.contains(u),
-              s"grafticeberg $verb: scanned uri $u maps to no live " +
-                "file"))
-            val tupleOfUri: Map[String, Seq[Option[Any]]] =
-              uris.map(u => u -> partTuple(relOfUri(u))).toMap
-            val tuples: IndexedSeq[Seq[Option[Any]]] =
-              tupleOfUri.values.toSeq.distinct
-                .sortBy(_.map(_.map(_.toString).getOrElse(""))
-                  .mkString("/")).toIndexedSeq
-            val gOf = uris.toSeq.map(u =>
-              u -> tuples.indexOf(tupleOfUri(u)))
-            val stage = s"$iceRoot/_stage_del_$uuid"
-            merged.join(broadcast(gOf.toDF("__uri", "__g")),
-                Seq("__uri"))
-              .repartition(col("__g"))
-              .sortWithinPartitions("__g", "__uri", "__pos")
-              .select(col("__g"), col("__uri").as("file_path"),
-                col("__pos").as("pos"))
-              .write.partitionBy("__g").parquet(stage)
-            val mSchemaDel =
-              if (specFields.isEmpty) manifestSchema
-              else manifestSchemaWithPartition(partFieldsJson)
-            var totalRows = 0L
-            val entries = tuples.indices.flatMap { gi =>
+            (sid, mf, len, frs.map(_.cardinality).sum,
+              frs.map(_.file).distinct.length)
+          }
+          Some((gs,
+            frames.map(fr => fr.cardinality - fr.priorCardinality)
+              .sum))
+        } else {
+          import spark.implicits._
+          // v2: sorted position-delete parquet per affected
+          // (spec, partition tuple) group, written BY TASKS
+          // (repartition on the group routes, partitionBy splits,
+          // each file arrives sorted by (file_path, pos)); the driver
+          // renames staged parts and reads parquet footers only. The
+          // affected-URI collect is one row per FILE — manifest
+          // scale, never row scale
+          val merged = mergedTagged.select(col("__uri"),
+            col("__pos")).distinct()
+          val uris = merged.select("__uri").distinct()
+            .as[String].collect().sorted
+          uris.foreach(u => require(relOfUri.contains(u),
+            s"grafticeberg $verb: scanned uri $u maps to no live " +
+              "file"))
+          val sidOfUri: Map[String, Int] =
+            uris.map(u => u -> metaOfRel(relOfUri(u)).specId).toMap
+          val tupleOfUri: Map[String, Seq[Option[Any]]] =
+            uris.map(u => u -> partTupleFor(relOfUri(u),
+              specFieldsOf(sidOfUri(u)))).toMap
+          val groupsIdx: IndexedSeq[(Int, Seq[Option[Any]])] =
+            uris.map(u => (sidOfUri(u), tupleOfUri(u))).distinct
+              .sortBy { case (sid, t) =>
+                (sid, t.map(_.map(_.toString).getOrElse(""))
+                  .mkString("/"))
+              }.toIndexedSeq
+          val gOf = uris.toSeq.map(u =>
+            u -> groupsIdx.indexOf((sidOfUri(u), tupleOfUri(u))))
+          val stage = s"$iceRoot/_stage_del_$uuid"
+          merged.join(broadcast(gOf.toDF("__uri", "__g")),
+              Seq("__uri"))
+            .repartition(col("__g"))
+            .sortWithinPartitions("__g", "__uri", "__pos")
+            .select(col("__g"), col("__uri").as("file_path"),
+              col("__pos").as("pos"))
+            .write.partitionBy("__g").parquet(stage)
+          var totalRows = 0L
+          val renamed: Seq[(Int, Path, Long)] =
+            groupsIdx.indices.flatMap { gi =>
               val dir = new Path(s"$stage/__g=$gi")
               val parts =
                 if (f.exists(dir))
@@ -2791,12 +2839,25 @@ object IcebergInterop {
                     s"freshly written $delFile has no readable " +
                       "parquet footer"))
                 totalRows += nrows
+                (gi, delFile, nrows)
+              }
+            }
+          f.delete(new Path(stage), true): Unit
+          val gs = renamed.groupBy { case (gi, _, _) =>
+            groupsIdx(gi)._1
+          }.toSeq.sortBy(_._1).map { case (sid, files) =>
+            val sfs = specFieldsOf(sid)
+            val mSchemaDel =
+              if (sfs.isEmpty) manifestSchema
+              else manifestSchemaWithPartition(partFieldsJsonFor(sfs))
+            val entries = files.sortBy(_._1).map {
+              case (gi, delFile, nrows) =>
                 val df0 = new GenericData.Record(
                   mSchemaDel.getField("data_file").schema())
                 df0.put("content", 1)
                 df0.put("file_path", qualify(delFile.toString))
                 df0.put("file_format", "PARQUET")
-                putPart(df0, tuples(gi))
+                putPartFor(df0, sfs, groupsIdx(gi)._2)
                 df0.put("record_count", nrows)
                 df0.put("file_size_in_bytes",
                   f.getFileStatus(delFile).getLen)
@@ -2807,35 +2868,36 @@ object IcebergInterop {
                 e.put("file_sequence_number", seqNum)
                 e.put("data_file", df0)
                 e
-              }
             }
-            f.delete(new Path(stage), true): Unit
-            // |merged| − |prior| — both sides distinct, so the global
-            // difference equals the per-file sum exactly
-            val priorTotal = st.priorDf.map(_.count()).getOrElse(0L)
-            val mf = s"$iceRoot/metadata/$uuid-m1.avro"
+            val mf = s"$iceRoot/metadata/$uuid-m1-s$sid.avro"
             val len = writeAvro(spark, mf, mSchemaDel, entries)
             staged += new Path(mf)
-            (mf, len, totalRows, entries.size, totalRows - priorTotal)
+            (sid, mf, len, files.map(_._3).sum, files.size)
           }
+          // |merged| − |prior| — both sides distinct, so the global
+          // difference equals the per-file sum exactly
+          val priorTotal = st.priorDf.map(_.count()).getOrElse(0L)
+          Some((gs, totalRows - priorTotal))
+        }
+      }
+    val delEntries: Seq[GenericRecord] = delState.map(_._1)
+      .getOrElse(Seq.empty).map { case (sid, mf, len, rows, nf) =>
         val r = new GenericData.Record(manifestListSchema)
-        r.put("manifest_path", qualify(delManifest))
-        r.put("manifest_length", delLenOut)
-        r.put("partition_spec_id",
-          meta.raw.path("default-spec-id").asInt(0))
+        r.put("manifest_path", qualify(mf))
+        r.put("manifest_length", len)
+        r.put("partition_spec_id", sid)
         r.put("content", 1)
         r.put("sequence_number", seqNum)
         r.put("min_sequence_number", seqNum)
         r.put("added_snapshot_id", snapId)
-        r.put("added_files_count", nDelFiles)
+        r.put("added_files_count", nf)
         r.put("existing_files_count", 0)
         r.put("deleted_files_count", 0)
-        r.put("added_rows_count", delRows)
+        r.put("added_rows_count", rows)
         r.put("existing_rows_count", 0L)
         r.put("deleted_rows_count", 0L)
-        Some((r, newlyDel))
+        r
       }
-    val delEntryOpt: Option[GenericRecord] = delState.map(_._1)
     val newlyDeleted: Long = delState.map(_._2).getOrElse(0L)
     if (newlyDeleted == 0L && rows.isEmpty) {
       // every matched row was already dead and nothing inserts: no
@@ -2990,7 +3052,7 @@ object IcebergInterop {
       }
     val listPath = s"$iceRoot/metadata/snap-$snapId-1-$uuid.avro"
     writeAvro(spark, listPath, manifestListSchema,
-      (prevList ++ delEntryOpt.toSeq) ++ dataEntryOpt.toSeq)
+      (prevList ++ delEntries) ++ dataEntryOpt.toSeq)
     staged += new Path(listPath)
     val ts = System.currentTimeMillis()
     // evolution: the widened schema lands as a NEW schema-id (ids

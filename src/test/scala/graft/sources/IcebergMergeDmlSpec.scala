@@ -201,7 +201,8 @@ class IcebergMergeDmlSpec extends SparkSpec {
       .getFileSystem(spark.sessionState.newHadoopConf())
     val m1 = fsys.listStatus(new org.apache.hadoop.fs.Path(
         s"$ice/metadata")).map(_.getPath)
-      .filter(_.getName.endsWith("-m1.avro")).sortBy(_.toString)
+      .filter(_.getName.matches(".*-m1(-s\\d+)?\\.avro"))
+      .sortBy(_.toString)
     assert(m1.nonEmpty, "no delete manifest written")
     val reader = new org.apache.avro.file.DataFileReader(
       new java.io.File(m1.last.toUri),

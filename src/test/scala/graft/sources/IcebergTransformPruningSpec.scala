@@ -259,7 +259,8 @@ class IcebergTransformPruningSpec extends SparkSpec {
     // the delete manifest entries carry the ts_day partition tuple
     val m1 = fsys.listStatus(new org.apache.hadoop.fs.Path(
         s"$root/metadata")).map(_.getPath)
-      .filter(_.getName.endsWith("-m1.avro")).sortBy(_.toString)
+      .filter(_.getName.matches(".*-m1(-s\\d+)?\\.avro"))
+      .sortBy(_.toString)
     assert(m1.nonEmpty)
     val reader = new org.apache.avro.file.DataFileReader(
       new java.io.File(m1.last.toUri),
