@@ -122,7 +122,10 @@ object Plans {
     "q372_interop_partitioned_rewrite" -> "partition-routed rewrites: the post-DML filtered reads list ONLY the probed partition's files on both formats — every non-probed file corrupted and never opened",
     "q374_iceberg_day_transform_pruning" -> "day(ts) transform pruning: both the range API and the SQL zone path list only the probed day's file — the transform ordinal decides the file outright",
     "q375_dml_in_subquery" -> "IN-subquery DML: the matched-candidate scan carries a BroadcastHashJoin LeftSemi against the evaluated eval-set — never an IN-list literal in the filter",
-    "q377_iceberg_day_transform_writes" -> "transform-routed writes: the post-write reads are ordinary pruned scans of the routed files; the day routing is pure Catalyst (datediff), no UDF in the staging plan")
+    "q377_iceberg_day_transform_writes" -> "transform-routed writes: the post-write reads are ordinary pruned scans of the routed files; the day routing is pure Catalyst (datediff), no UDF in the staging plan",
+    "q379_merge_partial_update" -> "partial-column MERGE (joined fate batch): the batch plan is source LEFT-JOIN target on the keys with CASE projections — unassigned columns read the __t_ side, no per-row driver work; the post-merge reads are the usual MoR/pruned-add shapes",
+    "q381_colmap_dml" -> "column-mapped DML: the candidate scan requests PHYSICAL names (id mode adds parquet field-id resolution) and projects to logical via rename-only casts riding the scan; the post-DML reads stay the mapped MoR shape",
+    "q384_iceberg_spec_evolution_dml" -> "DML across spec evolution: the post-DML read unions old-spec day files (MoR anti-join) with identity-routed rewrites; per-spec delete manifests keep the DV side sidecar-sized")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -123,11 +123,16 @@ case class InteropAppendCommand(fmt: String, root: String,
   * error. */
 private[plans] object DmlInSubquery {
   import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
-    AttributeReference, Expression, InSubquery, ListQuery}
+    AttributeReference, Expression, InSubquery, ListQuery, Not}
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
+  /** Returns (renderable rest, key column, subquery plan, negated).
+    * `negated` = the conjunct was `k NOT IN (<subquery>)` — supported
+    * with the three-valued-logic guards applied at run time (a null
+    * in the subquery result matches NOTHING, a null key never
+    * matches), the standard null-guarded NOT EXISTS rewrite. */
   def split(cond: Expression, renderable: Expression => Boolean)
-      : Option[(Option[Expression], String, LogicalPlan)] = {
+      : Option[(Option[Expression], String, LogicalPlan, Boolean)] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
@@ -135,13 +140,19 @@ private[plans] object DmlInSubquery {
     val cs = conjuncts(cond)
     val (ins, rest) = cs.partition {
       case InSubquery(Seq(_: AttributeReference), _) => true
+      case Not(InSubquery(Seq(_: AttributeReference), _)) => true
       case _ => false
     }
+    def ok(l: ListQuery): Boolean =
+      l.outerAttrs.isEmpty && l.joinCond.isEmpty &&
+        l.plan.output.size == 1 && rest.forall(renderable)
     ins match {
       case Seq(InSubquery(Seq(a: AttributeReference), l: ListQuery))
-          if l.outerAttrs.isEmpty && l.joinCond.isEmpty &&
-            l.plan.output.size == 1 && rest.forall(renderable) =>
-        Some((rest.reduceOption(CAnd), a.name, l.plan))
+          if ok(l) =>
+        Some((rest.reduceOption(CAnd), a.name, l.plan, false))
+      case Seq(Not(InSubquery(Seq(a: AttributeReference),
+          l: ListQuery))) if ok(l) =>
+        Some((rest.reduceOption(CAnd), a.name, l.plan, true))
       case _ => None
     }
   }
@@ -236,10 +247,11 @@ case class InteropDeleteRule(spark: SparkSession)
         require(!pinned,
           s"graft$fmt: cannot DELETE through a time-travel view of " +
             s"$root — writes always target the latest version")
-        val (rest, k, sub) = DmlInSubquery.split(cond, renderable).get
+        val (rest, k, sub, neg) =
+          DmlInSubquery.split(cond, renderable).get
         InteropDeleteCommand(fmt, root,
           rest.map(bareSql).getOrElse("true"),
-          subCol = Some(k), subPlan = Some(sub))
+          subCol = Some(k), subPlan = Some(sub), subNegated = neg)
     }
 }
 
@@ -249,12 +261,13 @@ case class InteropDeleteRule(spark: SparkSession)
 case class InteropDeleteCommand(fmt: String, root: String,
                                 condSql: String,
                                 subCol: Option[String] = None,
-                                subPlan: Option[LogicalPlan] = None)
+                                subPlan: Option[LogicalPlan] = None,
+                                subNegated: Boolean = false)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val inSub = for (k <- subCol; p <- subPlan) yield
       (org.apache.spark.sql.graftbridge.ColumnBridge
-        .ofRows(session, p), k)
+        .ofRows(session, p), k, subNegated)
     fmt match {
       case "delta" =>
         graft.sources.DeltaInterop.deleteWhereDeltaDV(session, root,
@@ -321,14 +334,15 @@ case class InteropUpdateRule(spark: SparkSession)
           .flatMap(DmlInSubquery.split(_, renderable))
         InteropUpdateCommand(fmt, root,
           split match {
-            case Some((rest, _, _)) =>
+            case Some((rest, _, _, _)) =>
               rest.map(bareSql).getOrElse("true")
             case None => cond.map(bareSql).getOrElse("true")
           },
           assignments.map { case Assignment(k, v) =>
             (k.asInstanceOf[AttributeReference].name, bareSql(v))
           },
-          subCol = split.map(_._2), subPlan = split.map(_._3))
+          subCol = split.map(_._2), subPlan = split.map(_._3),
+          subNegated = split.exists(_._4))
     }
 }
 
@@ -339,12 +353,13 @@ case class InteropUpdateCommand(fmt: String, root: String,
                                 condSql: String,
                                 sets: Seq[(String, String)],
                                 subCol: Option[String] = None,
-                                subPlan: Option[LogicalPlan] = None)
+                                subPlan: Option[LogicalPlan] = None,
+                                subNegated: Boolean = false)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val inSub = for (k <- subCol; p <- subPlan) yield
       (org.apache.spark.sql.graftbridge.ColumnBridge
-        .ofRows(session, p), k)
+        .ofRows(session, p), k, subNegated)
     fmt match {
       case "delta" =>
         graft.sources.DeltaInterop.updateWhereDelta(session, root,

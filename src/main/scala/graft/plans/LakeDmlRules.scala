@@ -81,14 +81,15 @@ case class LakeDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
           .flatMap(DmlInSubquery.split(_, renderable))
         GraftLakeUpdateCommand(lakeTable(target).get.tableRoot,
           split match {
-            case Some((rest, _, _)) =>
+            case Some((rest, _, _, _)) =>
               rest.map(bareSql).getOrElse("true")
             case None => cond.map(bareSql).getOrElse("true")
           },
           assignments.map { case Assignment(k: AttributeReference, v) =>
             k.name -> bareSql(v)
           }.toMap,
-          subCol = split.map(_._2), subPlan = split.map(_._3))
+          subCol = split.map(_._2), subPlan = split.map(_._3),
+          subNegated = split.exists(_._4))
 
       // DELETE WHERE k IN (SELECT ...) — plain deletes route through
       // DSv2 SupportsDelete (filter-renderable), but an IN-subquery
@@ -100,9 +101,10 @@ case class LakeDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
           if d.resolved && cond.resolved &&
             lakeTable(target).exists(_.pinnedVersion.isEmpty) &&
             DmlInSubquery.split(cond, renderable).isDefined =>
-        val (rest, k, sub) = DmlInSubquery.split(cond, renderable).get
+        val (rest, k, sub, neg) =
+          DmlInSubquery.split(cond, renderable).get
         GraftLakeDeleteCommand(lakeTable(target).get.tableRoot,
-          rest.map(bareSql).getOrElse("true"), k, sub)
+          rest.map(bareSql).getOrElse("true"), k, sub, neg)
 
       case m: MergeIntoTable if m.resolved &&
           lakeTable(m.targetTable).exists(_.pinnedVersion.isEmpty) &&
@@ -478,12 +480,13 @@ case class GraftLakeMergeJoinedCommand(root: String,
 case class GraftLakeUpdateCommand(root: String, condSql: String,
                                   assignments: Map[String, String],
                                   subCol: Option[String] = None,
-                                  subPlan: Option[LogicalPlan] = None)
+                                  subPlan: Option[LogicalPlan] = None,
+                                  subNegated: Boolean = false)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val inSub = for (k <- subCol; p <- subPlan) yield
       (org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, p),
-        k)
+        k, subNegated)
     LakeTable.withRetry() { () =>
       // session merge-on-read switch: vector the pre-images + append
       // the post-images instead of rewriting affected files
@@ -503,11 +506,12 @@ case class GraftLakeUpdateCommand(root: String, condSql: String,
   * evaluated subquery broadcast into the candidate scan. */
 case class GraftLakeDeleteCommand(root: String, condSql: String,
                                   subCol: String,
-                                  subPlan: LogicalPlan)
+                                  subPlan: LogicalPlan,
+                                  subNegated: Boolean = false)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val inSub = Some((org.apache.spark.sql.graftbridge.ColumnBridge
-      .ofRows(spark, subPlan), subCol))
+      .ofRows(spark, subPlan), subCol, subNegated))
     LakeTable.withRetry() { () =>
       if (graft.sources.GraftLakeV2Table.mergeOnRead(spark))
         LakeTable.deleteWhereDV(spark, root, condSql, inSub = inSub)

@@ -4881,6 +4881,73 @@ object SourceQueries {
         FROM orders WHERE o_orderkey % 6 <> 0"""),
       "DML across Iceberg spec evolution: per-spec delete manifests " +
         "with truthful tuples, rewrites routed by the current spec"),
+
+    // ---- NOT IN (SELECT ...) in DML — null-guarded ------------------------------
+    // The keep-list decontamination shape ("delete everything not in
+    // the curated set"). NOT IN is a three-valued trap — a single
+    // NULL in the subquery makes every row UNKNOWN — so the rewrite
+    // applies the guards explicitly: a null-bearing subquery matches
+    // NOTHING (proved in-query: the second DELETE is a no-op), a null
+    // key never matches, and the clean case anti-joins broadcast.
+    // Runs on a foreign Iceberg v3 view AND a graftlake catalog table.
+    "q385_dml_not_in_subquery" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graftlake",
+          classOf[graft.sources.GraftLakeCatalog].getName)
+        val root = freshRoot("graft_notin_q385")
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val lakeSrc = root + "/lakesrc"
+        val ice = root + "/ice"
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 2 === 0), lakeSrc)
+        graft.sources.IcebergInterop.exportToIceberg(s, lakeSrc, ice,
+          formatVersion = 3)
+        val lake = root + "/lake"
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 2 === 0), lake)
+        o.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey").as("sk"))
+          .createOrReplaceTempView("q385_keep")
+        s.sql("SELECT sk FROM q385_keep " +
+            "UNION ALL SELECT CAST(NULL AS BIGINT)")
+          .createOrReplaceTempView("q385_keep_null")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q385_i USING " +
+          s"grafticeberg OPTIONS (path '$ice')")
+        val del = "WHERE o_orderkey NOT IN (SELECT sk FROM " +
+          "q385_keep) AND o_totalprice > 1000"
+        s.sql(s"DELETE FROM q385_i $del")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q385_i USING " +
+          s"grafticeberg OPTIONS (path '$ice')")
+        val n1 = s.table("q385_i").count()
+        // the null-bearing keep list must delete NOTHING
+        s.sql("DELETE FROM q385_i WHERE o_orderkey NOT IN " +
+          "(SELECT sk FROM q385_keep_null)")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q385_i USING " +
+          s"grafticeberg OPTIONS (path '$ice')")
+        require(s.table("q385_i").count() == n1,
+          "q385: a null-bearing NOT IN subquery must be a no-op")
+        s.sql(s"DELETE FROM graftlake.`$lake` $del")
+        val lakeN = graft.sources.LakeTable.read(s, lake).count()
+        s.sql(s"DELETE FROM graftlake.`$lake` WHERE o_orderkey NOT " +
+          "IN (SELECT sk FROM q385_keep_null)")
+        require(graft.sources.LakeTable.read(s, lake).count() == lakeN,
+          "q385: lake null-bearing NOT IN must be a no-op")
+        s.table("q385_i")
+          .select(lit("iceberg").as("leg"), col("o_orderkey"),
+            col("o_totalprice"))
+          .unionAll(graft.sources.LakeTable.read(s, lake)
+            .select(lit("lake").as("leg"), col("o_orderkey"),
+              col("o_totalprice")))
+      },
+      Some("""SELECT leg, o_orderkey, o_totalprice
+        FROM orders CROSS JOIN (
+          SELECT UNNEST(['iceberg', 'lake']) AS leg)
+        WHERE o_orderkey % 2 = 0
+          AND NOT (o_orderkey % 3 <> 0 AND o_totalprice > 1000)"""),
+      "NOT IN (SELECT ...) DML with three-valued guards: keep-list " +
+        "decontamination on Iceberg + lake; null-bearing subquery " +
+        "provably no-ops"),
   )
 
   /** q384 fixture: a hand-built v2 table whose SPEC EVOLVED — five

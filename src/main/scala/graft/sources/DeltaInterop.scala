@@ -1322,7 +1322,8 @@ object DeltaInterop {
     * metadata MIN/MAX already refuses under live DVs). */
   def deleteWhereDeltaDV(spark: SparkSession, deltaRoot: String,
                          condSql: String,
-                         inSub: Option[(DataFrame, String)] = None)
+                         inSub: Option[(DataFrame, String, Boolean)]
+                           = None)
       : Long =
     dvMutate(spark, deltaRoot, condSql, Seq.empty, inSub)
 
@@ -1342,7 +1343,8 @@ object DeltaInterop {
   def updateWhereDelta(spark: SparkSession, deltaRoot: String,
                        condSql: String,
                        sets: Seq[(String, String)],
-                       inSub: Option[(DataFrame, String)] = None)
+                       inSub: Option[(DataFrame, String, Boolean)]
+                         = None)
       : Long = {
     require(sets.nonEmpty, "updateWhereDelta: no SET assignments")
     dvMutate(spark, deltaRoot, condSql, sets, inSub)
@@ -1357,7 +1359,8 @@ object DeltaInterop {
   private def dvMutate(spark: SparkSession, deltaRoot: String,
                        condSql: String,
                        sets: Seq[(String, String)],
-                       inSub: Option[(DataFrame, String)] = None)
+                       inSub: Option[(DataFrame, String, Boolean)]
+                         = None)
       : Long = {
     val verb = if (sets.isEmpty) "DELETE" else "UPDATE"
     val (snap, v) = dvGates(spark, deltaRoot, verb)
@@ -1375,10 +1378,19 @@ object DeltaInterop {
     val matchedC = base.filter(coalesce(expr(condSql), lit(false)))
     val matched0 = inSub match {
       case None => matchedC
-      case Some((sub, k)) =>
-        matchedC.join(broadcast(sub.select(col(sub.columns.head)
-          .as("__in_k")).distinct()),
-          col(k) === col("__in_k"), "left_semi")
+      case Some((sub, k, negated)) =>
+        val s0 = sub.select(col(sub.columns.head).as("__in_k"))
+        if (!negated)
+          matchedC.join(broadcast(s0.distinct()),
+            col(k) === col("__in_k"), "left_semi")
+        // NOT IN, three-valued: a null in the subquery matches
+        // NOTHING; a null key never matches — the null-guarded
+        // NOT EXISTS rewrite
+        else if (!s0.filter(col("__in_k").isNull).isEmpty)
+          matchedC.filter(lit(false))
+        else matchedC.filter(col(k).isNotNull)
+          .join(broadcast(s0.distinct()),
+            col(k) === col("__in_k"), "left_anti")
     }
     // ONE candidate scan: an UPDATE's matched frame materializes once
     // (localCheckpoint) and both consumers — position collection and

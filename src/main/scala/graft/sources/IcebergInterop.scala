@@ -2109,7 +2109,8 @@ object IcebergInterop {
     * rows. */
   def deleteWhereIcebergDV(spark: SparkSession, iceRoot: String,
                            condSql: String,
-                           inSub: Option[(DataFrame, String)] = None)
+                           inSub: Option[(DataFrame, String, Boolean)]
+                             = None)
       : Long =
     icebergDvMutate(spark, iceRoot, condSql, Seq.empty, inSub)
 
@@ -2126,7 +2127,8 @@ object IcebergInterop {
   def updateWhereIceberg(spark: SparkSession, iceRoot: String,
                          condSql: String,
                          sets: Seq[(String, String)],
-                         inSub: Option[(DataFrame, String)] = None)
+                         inSub: Option[(DataFrame, String, Boolean)]
+                           = None)
       : Long = {
     require(sets.nonEmpty, "updateWhereIceberg: no SET assignments")
     icebergDvMutate(spark, iceRoot, condSql, sets, inSub)
@@ -2481,7 +2483,8 @@ object IcebergInterop {
   private def icebergDvMutate(spark: SparkSession, iceRoot: String,
                               condSql: String,
                               sets: Seq[(String, String)],
-                              inSub: Option[(DataFrame, String)] = None)
+                              inSub: Option[(DataFrame, String,
+                                Boolean)] = None)
       : Long = {
     val verb = if (sets.isEmpty) "DELETE" else "UPDATE"
     val st = iceDmlGates(spark, iceRoot, verb)
@@ -2498,10 +2501,19 @@ object IcebergInterop {
     val matchedB = scanBase.filter(coalesce(expr(condSql), lit(false)))
     val matched0 = inSub match {
       case None => matchedB
-      case Some((sub, k)) =>
-        matchedB.join(broadcast(sub.select(col(sub.columns.head)
-          .as("__in_k")).distinct()),
-          col(k) === col("__in_k"), "left_semi")
+      case Some((sub, k, negated)) =>
+        val s0 = sub.select(col(sub.columns.head).as("__in_k"))
+        if (!negated)
+          matchedB.join(broadcast(s0.distinct()),
+            col(k) === col("__in_k"), "left_semi")
+        // NOT IN, three-valued: a null in the subquery matches
+        // NOTHING; a null key never matches — the null-guarded
+        // NOT EXISTS rewrite
+        else if (!s0.filter(col("__in_k").isNull).isEmpty)
+          matchedB.filter(lit(false))
+        else matchedB.filter(col(k).isNotNull)
+          .join(broadcast(s0.distinct()),
+            col(k) === col("__in_k"), "left_anti")
     }
     // ONE candidate scan: an UPDATE's matched frame materializes once
     // (localCheckpoint) and both consumers — position collection and

@@ -1765,20 +1765,35 @@ object LakeTable {
     * write. O(|subquery result|) broadcast — eval-decontamination
     * lists, not data-scale. */
   private def withInFlag(df: DataFrame,
-                         inSub: Option[(DataFrame, String)])
+                         inSub: Option[(DataFrame, String, Boolean)])
       : (DataFrame, Column) = inSub match {
     case None => (df, lit(true))
-    case Some((sub, k)) =>
-      val subd = broadcast(sub.select(col(sub.columns.head)
-          .as("__in_k")).distinct()
-        .withColumn("__in_f", lit(true)))
-      (df.join(subd, df(k) === col("__in_k"), "left").drop("__in_k"),
-        coalesce(col("__in_f"), lit(false)))
+    case Some((sub, k, negated)) =>
+      val s0 = sub.select(col(sub.columns.head).as("__in_k"))
+      if (!negated) {
+        val subd = broadcast(s0.distinct()
+          .withColumn("__in_f", lit(true)))
+        (df.join(subd, df(k) === col("__in_k"), "left")
+          .drop("__in_k"),
+          coalesce(col("__in_f"), lit(false)))
+      }
+      // NOT IN, three-valued: a null in the subquery matches NOTHING;
+      // a null key never matches — the null-guarded NOT EXISTS rewrite
+      else if (!s0.filter(col("__in_k").isNull).isEmpty)
+        (df.withColumn("__in_f", lit(false)), lit(false))
+      else {
+        val subd = broadcast(s0.distinct()
+          .withColumn("__in_f", lit(true)))
+        (df.join(subd, df(k) === col("__in_k"), "left")
+          .drop("__in_k"),
+          col("__in_f").isNull && df(k).isNotNull)
+      }
   }
 
   def deleteWhere(spark: SparkSession, root: String, condSql: String,
                   cdf: Boolean = true,
-                  inSub: Option[(DataFrame, String)] = None): Long = {
+                  inSub: Option[(DataFrame, String, Boolean)]
+                    = None): Long = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"deleteWhere: no table at $root")
     val cur = vs.last
@@ -1836,7 +1851,8 @@ object LakeTable {
     * zones prove empty — or that matches no row — commits nothing. */
   def deleteWhereDV(spark: SparkSession, root: String, condSql: String,
                     cdf: Boolean = true,
-                    inSub: Option[(DataFrame, String)] = None): Long = {
+                    inSub: Option[(DataFrame, String, Boolean)]
+                    = None): Long = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"deleteWhereDV: no table at $root")
     val cur = vs.last
@@ -2105,7 +2121,8 @@ object LakeTable {
   def updateWhere(spark: SparkSession, root: String, condSql: String,
                   assignments: Map[String, String],
                   cdf: Boolean = true,
-                  inSub: Option[(DataFrame, String)] = None): Long = {
+                  inSub: Option[(DataFrame, String, Boolean)]
+                    = None): Long = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"updateWhere: no table at $root")
     require(assignments.nonEmpty, "updateWhere: no assignments")
@@ -2182,7 +2199,8 @@ object LakeTable {
   def updateWhereDV(spark: SparkSession, root: String, condSql: String,
                     assignments: Map[String, String],
                     cdf: Boolean = true,
-                    inSub: Option[(DataFrame, String)] = None): Long = {
+                    inSub: Option[(DataFrame, String, Boolean)]
+                    = None): Long = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"updateWhereDV: no table at $root")
     require(assignments.nonEmpty, "updateWhereDV: no assignments")

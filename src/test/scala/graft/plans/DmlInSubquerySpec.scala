@@ -130,14 +130,23 @@ class DmlInSubquerySpec extends SparkSpec {
         .collect().toMap
       assert(got2 == want.filterNot { case (k, _) => k % 7 == 0 })
     } finally spark.conf.unset("spark.graftlake.dml.mode")
-    // NOT IN keeps the standard unsupported error (never a silent
-    // wrong delete: NOT IN over a null-bearing subquery is a
-    // three-valued trap)
-    intercept[Throwable] {
-      spark.sql(s"DELETE FROM graftlake.`$root` WHERE " +
-        "k NOT IN (SELECT doc_id FROM insub_eval3)")
-    }
-    val after = LakeTable.read(spark, root).count()
-    assert(after == want.count { case (k, _) => k % 7 != 0 })
+    // NOT IN routes with the three-valued guards (the null-guarded
+    // NOT EXISTS rewrite). A NULL in the subquery matches NOTHING —
+    // the classic trap becomes a provable no-op, never a table wipe:
+    spark.sql("SELECT doc_id FROM insub_eval3 " +
+        "UNION ALL SELECT CAST(NULL AS BIGINT)")
+      .createOrReplaceTempView("insub_eval_null")
+    spark.sql(s"DELETE FROM graftlake.`$root` WHERE " +
+      "k NOT IN (SELECT doc_id FROM insub_eval_null)")
+    assert(LakeTable.read(spark, root).count() ==
+      want.count { case (k, _) => k % 7 != 0 })
+    // a clean subquery deletes exactly the non-members (composed
+    // with a renderable conjunct)
+    spark.sql(s"DELETE FROM graftlake.`$root` WHERE " +
+      "k NOT IN (SELECT doc_id FROM insub_eval3) AND k < 30")
+    val got3 = LakeTable.read(spark, root).select("k").as[Long]
+      .collect().toSet
+    assert(got3 ==
+      want.keySet.filter(k => k % 7 != 0 && k >= 30))
   }
 }
