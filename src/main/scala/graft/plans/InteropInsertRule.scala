@@ -118,9 +118,10 @@ case class InteropAppendCommand(fmt: String, root: String,
   * other conjunct is renderable. The command evaluates the subquery
   * plan at run time and the write path broadcast-semi-joins it into
   * the matched-candidate scan — the eval-decontamination DELETE shape
-  * (`WHERE id IN (SELECT doc_id FROM eval_set)`). NOT IN, correlated
-  * and multi-column subqueries keep Spark's standard unsupported
-  * error. */
+  * (`WHERE id IN (SELECT doc_id FROM eval_set)`). `NOT IN` routes too,
+  * with the three-valued guards applied explicitly (see [[split]]);
+  * correlated and multi-column subqueries keep Spark's standard
+  * unsupported error. */
 private[plans] object DmlInSubquery {
   import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
     AttributeReference, Expression, InSubquery, ListQuery, Not}

@@ -11,7 +11,8 @@ import graft.sources.{DeltaInterop, IcebergInterop, LakeTable}
   * eval-decontamination shape — on foreign Delta/Iceberg views AND
   * graftlake catalog tables: the subquery evaluates at run time and
   * broadcast-semi-joins the matched-candidate scan (never an IN-list
-  * literal). NOT IN and correlated shapes keep the standard error. */
+  * literal). NOT IN routes with the three-valued guards; correlated
+  * shapes keep the standard error. */
 class DmlInSubquerySpec extends SparkSpec {
   import spark.implicits._
 
@@ -104,8 +105,8 @@ class DmlInSubquerySpec extends SparkSpec {
   }
 
   test("graftlake catalog: DELETE and UPDATE with IN-subquery " +
-      "conditions route (COW and merge-on-read both); NOT IN keeps " +
-      "the standard error") {
+      "conditions route (COW and merge-on-read both); NOT IN " +
+      "applies the three-valued guards") {
     val root = fresh() + "/t"
     LakeTable.append(spark.range(0, 50)
       .select(col("id").as("k"), (col("id") * 3).as("v")), root)
