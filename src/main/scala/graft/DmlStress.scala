@@ -35,6 +35,8 @@ object DmlStress {
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("DML_STRESS_ROWS", "100000000").toLong
     val base = sys.env.getOrElse("DML_STRESS_DIR", "/tmp/graft_dmlstress")
+    val legs = sys.env.getOrElse("DML_STRESS_PATHS", "delta,ice2,ice3")
+      .split(",").map(_.trim).toSet
     val spark = Engine.local(appName = "graft-dmlstress")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -52,7 +54,8 @@ object DmlStress {
     def rows = spark.range(n).select(col("id"),
         (col("id") % 97).as("bucket"),
         pmod(col("id") * lit(2654435761L), lit(1000000007L)).as("v"))
-      .repartition(32)
+      .repartitionByRange(32, col("id")) // range-clustered: delete3
+                                         // below can target ONE file
 
     val expectDel1 = n - n / 10          // DELETE WHERE id % 10 != 0
     val expectLive1 = n / 10
@@ -67,7 +70,7 @@ object DmlStress {
     }
 
     // ---- 1. foreign Delta: deletion vectors -------------------------
-    {
+    if (legs("delta")) {
       val root = s"$base/delta"
       // DV-enabled empty table (the spec's writer opt-in), then the
       // rows land through the gated batch writer
@@ -101,7 +104,7 @@ object DmlStress {
     }
 
     // ---- 2. foreign Iceberg v2: position-delete parquet --------------
-    {
+    if (legs("ice2")) {
       val root = s"$base/ice2"
       val (_, tw) = timed(IcebergInterop.appendIceberg(rows, root))
       val (d1, t1) = timed(IcebergInterop.deleteWhereIcebergDV(spark,
@@ -118,7 +121,7 @@ object DmlStress {
     }
 
     // ---- 3. foreign Iceberg v3: Puffin DV blobs ----------------------
-    {
+    if (legs("ice3")) {
       val root = s"$base/ice3"
       val (_, tw) = timed(IcebergInterop.appendIceberg(rows, root))
       // fixture shim: redeclare the fresh table as format-version 3
@@ -141,9 +144,21 @@ object DmlStress {
       check("ice3 del2", d2, expectDel2)
       check("ice3 live2",
         IcebergInterop.readIceberg(spark, root).count(), expectLive2)
+      // delete3: a FILE-TARGETED predicate (ids are range-clustered,
+      // so only the first file's keys match) — the carry-forward
+      // path: 31 of 32 blobs must neither be read nor rewritten, and
+      // the wall time should be a small fraction of delete2's
+      val expectDel3 = (n / 32 - 10 + 39) / 40 // ids ≡ 10 (mod 40),
+                                               // all alive after 1+2
+      val (d3, t3) = timed(IcebergInterop.deleteWhereIcebergDV(spark,
+        root, s"id < ${n / 32} AND id % 40 = 10"))
+      check("ice3 del3", d3, expectDel3)
+      check("ice3 live3",
+        IcebergInterop.readIceberg(spark, root).count(),
+        expectLive2 - expectDel3)
       val puffins = new java.io.File(s"$root/data").listFiles()
         .filter(_.getName.endsWith(".puffin"))
-      report += f"| iceberg v3 puffin DV | $n%d | $expectDel1%d | $tw%.1f | $t1%.1f | $t2%.1f | ${puffins.length}%d puffin containers |"
+      report += f"| iceberg v3 puffin DV | $n%d | $expectDel1%d | $tw%.1f | $t1%.1f | $t2%.1f | $t3%.1f (file-targeted, 31/32 carried) | ${puffins.length}%d puffin containers |"
     }
 
     println("\n| path | rows | deleted (1st) | write s | delete1 s | delete2 s |")

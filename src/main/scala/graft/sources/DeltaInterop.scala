@@ -1375,7 +1375,10 @@ object DeltaInterop {
     if (snap.live.isEmpty) return 0L
     val priorDf = dvPriorDf(spark, deltaRoot, snap)
     val base = dvScanLive(spark, deltaRoot, snap, priorDf)
-    val matchedC = base.filter(coalesce(expr(condSql), lit(false)))
+    // plain filter(pred): SQL WHERE semantics (NULL drops) AND the
+    // predicate stays translatable, so it pushes into the parquet
+    // scan — a COALESCE wrapper would force a full-table read
+    val matchedC = base.filter(expr(condSql))
     val matched0 = inSub match {
       case None => matchedC
       case Some((sub, k, negated)) =>
@@ -1516,7 +1519,7 @@ object DeltaInterop {
               s"unknown column '$c'")
         })
         val un = base.join(bAliased, joinCond, "left_anti")
-          .filter(coalesce(expr(condSql), lit(false)))
+          .filter(expr(condSql)) // pushable; NULL drops either way
           .localCheckpoint(true)
         (un, setsOpt)
       }

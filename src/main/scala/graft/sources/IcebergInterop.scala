@@ -2095,9 +2095,10 @@ object IcebergInterop {
     *
     * Composition is by REPLACEMENT: the new manifest list carries the
     * current snapshot's DATA manifests forward by reference and
-    * replaces every delete manifest with one holding the MERGED
-    * positions (old ∪ new per file) — which is also what keeps v3's
-    * one-DV-per-file rule intact across repeated deletes. EQUALITY
+    * replaces every delete manifest with the MERGED state — rewritten
+    * blobs for matched files, carried references to the old
+    * containers for untouched ones — which keeps v3's one-DV-per-file
+    * rule intact across repeated deletes. EQUALITY
     * deletes FOLD: their matched payloads scan into physical positions
     * (sequence-number-scoped, exactly the read path's semantics) and
     * the superseded equality files drop from the new snapshot.
@@ -2234,7 +2235,7 @@ object IcebergInterop {
               s"unknown column '$c'")
         })
         val un = st.base.join(bAliased, joinCond, "left_anti")
-          .filter(coalesce(expr(condSql), lit(false)))
+          .filter(expr(condSql)) // pushable; NULL drops either way
           .localCheckpoint(true)
         (un, setsOpt)
       }
@@ -2292,7 +2293,21 @@ object IcebergInterop {
                                  // dead rows — skipping the
                                  // prior-position anti-join the
                                  // rewrite paths genuinely need
-                                 baseAll: DataFrame)
+                                 baseAll: DataFrame,
+                                 // per-file Puffin DV descriptors
+                                 // (uri -> (container, offset, size,
+                                 // cardinality)): matched files fold
+                                 // theirs in-task; unmatched files'
+                                 // blobs CARRY FORWARD unread
+                                 priorPuffin: Map[String,
+                                   (String, Long, Long, Long)] =
+                                   Map.empty,
+                                 // v2 position-parquet + folded
+                                 // equality positions — no per-file
+                                 // container to carry; these ride the
+                                 // publish shuffle tagged
+                                 nonPuffinPrior: Option[DataFrame] =
+                                   None)
 
   /** Shared gates + live-scan for DELETE/UPDATE/MERGE on a foreign
     * Iceberg table. Refusals: format v1/v4+, non-identity partition
@@ -2390,27 +2405,33 @@ object IcebergInterop {
             }.getOrElse(d)
           }
         }.reduce(_.unionByName(_))
-    // existing POSITION delete state as a DataFrame of (qualified
-    // data-file uri, row index) — Puffin blobs decode on EXECUTORS
-    // (one ranged read per blob; only descriptor rows leave the
-    // driver), position parquets load through one scan with refs
-    // normalized via a broadcast form table; refs to dead files drop
-    // (they deleted nothing live)
+    // existing POSITION delete state, STRUCTURED by source: Puffin DV
+    // descriptors stay per-file driver metadata (the publish folds a
+    // matched file's blob IN-TASK via a ranged read and CARRIES
+    // unmatched files' blobs forward without reading them); non-Puffin
+    // rows (v2 position parquets, folded equality deletes) load as a
+    // DataFrame — the shapes that have no per-file container to carry.
+    // The scan anti-join consumes the union of both. Refs to dead
+    // files drop (they deleted nothing live)
     import spark.implicits._
     val shc = new SerializableHadoopConf(conf)
-    val priorParts = scala.collection.mutable.ArrayBuffer
-      .empty[DataFrame]
-    val dvRefs: Seq[(String, Long, Long, String)] =
+    val priorPuffin: Map[String, (String, Long, Long, Long)] =
       deleteFiles.filter(_.content == 1).flatMap { d =>
         d.dv.flatMap { ref =>
           relOf(ref.referencedFile).map { rel =>
-            (resolve(iceRoot, d.path), ref.offset, ref.size,
-              qualify(rel))
+            qualify(rel) -> ((resolve(iceRoot, d.path), ref.offset,
+              ref.size, ref.records))
           }
         }
-      }
-    if (dvRefs.nonEmpty)
-      priorParts += dvRefs.toDS()
+      }.toMap
+    val priorParts = scala.collection.mutable.ArrayBuffer
+      .empty[DataFrame]
+    val nonPuffinParts = scala.collection.mutable.ArrayBuffer
+      .empty[DataFrame]
+    if (priorPuffin.nonEmpty)
+      priorParts += priorPuffin.toSeq.map { case (uri, (f0, o, l, _)) =>
+          (f0, o, l, uri)
+        }.toDS()
         .mapPartitions { it =>
           val hconf = shc.value
           it.flatMap { case (file, off, len, uri) =>
@@ -2428,7 +2449,7 @@ object IcebergInterop {
         Seq(d0.path, resolve(iceRoot, d0.path), q).distinct
           .map(_ -> q)
       }.distinct.toDF("__form", "__uri")
-      priorParts += spark.read.schema(StructType(Seq(
+      nonPuffinParts += spark.read.schema(StructType(Seq(
           StructField("file_path", StringType),
           StructField("pos", LongType))))
         .parquet(posDelPaths: _*)
@@ -2457,23 +2478,30 @@ object IcebergInterop {
         if (scoped.nonEmpty) {
           val sc = scanFiles(scoped)
           val cond = cols.map(c => sc(c) <=> del(c)).reduce(_ && _)
-          priorParts += sc.join(broadcast(del), cond, "left_semi")
+          nonPuffinParts += sc.join(broadcast(del), cond, "left_semi")
             .select("__uri", "__pos")
         }
       }
-    // distinct + localCheckpoint: the prior state materializes ONCE
-    // (distributed, block-manager storage) and both consumers — the
-    // live-scan anti-join and the publish merge — read it back
+    // distinct + LAZY localCheckpoint: each prior frame materializes
+    // at most once (distributed), and only IF a consumer reads it —
+    // a pure DELETE scans baseAll and publishes v3 state from
+    // in-task blob folds, touching neither, so it must not pay a
+    // 9×10⁷-position decode it never uses
+    val nonPuffinPrior: Option[DataFrame] =
+      if (nonPuffinParts.isEmpty) None
+      else Some(nonPuffinParts.reduce(_ unionAll _).distinct()
+        .localCheckpoint(false))
+    val allParts = priorParts ++ nonPuffinPrior
     val priorDf: Option[DataFrame] =
-      if (priorParts.isEmpty) None
-      else Some(priorParts.reduce(_ unionAll _).distinct()
-        .localCheckpoint(true))
+      if (allParts.isEmpty) None
+      else Some(allParts.reduce(_ unionAll _).distinct()
+        .localCheckpoint(false))
     val base0 = scanFiles(dataFiles)
     val base = priorDf.map(pr =>
       base0.join(pr, Seq("__uri", "__pos"), "left_anti"))
       .getOrElse(base0)
     IceDmlState(meta, schema, dataFiles, specFields, priorDf, base,
-      base0)
+      base0, priorPuffin, nonPuffinPrior)
   }
 
   /** `inSub` = an evaluated `col IN (<subquery>)` membership: the
@@ -2498,7 +2526,10 @@ object IcebergInterop {
     // merged−prior arithmetic discount already-dead rows — one plain
     // scan, no anti-join; an UPDATE's rewrite must see LIVE rows only
     val scanBase = if (sets.isEmpty) st.baseAll else st.base
-    val matchedB = scanBase.filter(coalesce(expr(condSql), lit(false)))
+    // plain filter(pred): SQL WHERE semantics (NULL drops) AND the
+    // predicate stays translatable, so it pushes into the parquet
+    // scan — a COALESCE wrapper would force a full-table read
+    val matchedB = scanBase.filter(expr(condSql))
     val matched0 = inSub match {
       case None => matchedB
       case Some((sub, k, negated)) =>
@@ -2535,13 +2566,19 @@ object IcebergInterop {
     * positions into the per-file delete state and publish ONE
     * snapshot —
     *
-    *  - v3: ONE Puffin file, one DV blob + manifest entry per
-    *    referenced data file; v2: ONE position-delete parquet per
-    *    affected partition tuple. Every delete-manifest entry carries
-    *    its referenced data file's partition tuple under the default
-    *    spec (foreign readers resolve manifest partitions via the
-    *    spec and scope position deletes by partition — an empty
-    *    struct there would make them skip the deletes).
+    *  - v3: matched files get fresh DV blobs in per-TASK Puffin
+    *    containers (the file's old blob folds in via one ranged read
+    *    in the task); files the statement never touched keep their
+    *    OLD container — manifest entries carry it forward at its old
+    *    offsets unread, so DML cost is O(matched), not O(total
+    *    deleted so far). v2: ONE position-delete parquet per affected
+    *    (spec, partition tuple) group (row-form state has no per-file
+    *    container to carry — the format's own profile). Every
+    *    delete-manifest entry carries its referenced data file's
+    *    partition tuple under the file's OWN spec (foreign readers
+    *    resolve manifest partitions via the spec and scope position
+    *    deletes by partition — an empty struct there would make them
+    *    skip the deletes).
     *  - DATA manifests carry forward by reference; every old DELETE
     *    manifest is REPLACED by the merged one (the v3 one-DV-per-file
     *    rule across repeated deletes; folded equality files drop). A
@@ -2583,17 +2620,19 @@ object IcebergInterop {
     // driver. merged − prior, NOT |matched|: a pure DELETE's matched
     // set may include already-dead rows (it scans without the
     // anti-join) — the arithmetic discounts them exactly either way
-    val mergedTagged: DataFrame = {
-      val matchedTagged = matchedPos
-        .select(col("__uri").cast(StringType),
-          col("__pos").cast(LongType))
-        .withColumn("__prior", lit(0))
-      st.priorDf.map(pr => matchedTagged.unionAll(
+    val matchedTagged0: DataFrame = matchedPos
+      .select(col("__uri").cast(StringType),
+        col("__pos").cast(LongType))
+      .withColumn("__prior", lit(0))
+    // v2's replacement delete state needs EVERY prior row in the
+    // shuffle (row-form parquet has no per-file container to carry);
+    // v3 builds its own leaner frame below
+    lazy val mergedTagged: DataFrame =
+      st.priorDf.map(pr => matchedTagged0.unionAll(
         pr.select(col("__uri").cast(StringType),
           col("__pos").cast(LongType))
           .withColumn("__prior", lit(1))))
-        .getOrElse(matchedTagged)
-    }
+        .getOrElse(matchedTagged0)
     val uuid = java.util.UUID.randomUUID().toString
     val seqNum = meta.raw.path("last-sequence-number").asLong(0L) + 1
     val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1
@@ -2687,11 +2726,21 @@ object IcebergInterop {
           val rootStr = iceRoot
           val sid0 = snapId
           val sq = seqNum
-          // each task packs its shuffle partition's files into ONE
-          // Puffin container (blob per file, prior state folded in
-          // from the tagged rows) and reports a descriptor row per
-          // file; the driver sees descriptors only
-          val frames: Array[DvTaskFrame] = mergedTagged
+          // only MATCHED rows and container-less priors (v2 parquet /
+          // folded equality positions) ride the shuffle; a matched
+          // file's own Puffin blob folds IN-TASK via one ranged read,
+          // and UNMATCHED files' blobs never move at all — their
+          // manifest entries carry the OLD container forward below.
+          // DML cost is O(matched + container-less prior), not
+          // O(total deleted so far)
+          val puffB = spark.sparkContext.broadcast(st.priorPuffin)
+          val v3Tagged = st.nonPuffinPrior.map(pr =>
+            matchedTagged0.unionAll(
+              pr.select(col("__uri").cast(StringType),
+                col("__pos").cast(LongType))
+                .withColumn("__prior", lit(1))))
+            .getOrElse(matchedTagged0)
+          val frames: Array[DvTaskFrame] = v3Tagged
             .repartition(col("__uri"))
             .sortWithinPartitions("__uri", "__pos", "__prior")
             .as[(String, Long, Int)]
@@ -2712,7 +2761,8 @@ object IcebergInterop {
                     var curUri: String = null
                     var builder: DeltaDeletionVectors.BitmapBuilder =
                       null
-                    var priorCard = 0L
+                    var priorB: DeltaDeletionVectors.BitmapBuilder =
+                      null
                     def flush(): Unit = if (curUri != null) {
                       val card = builder.cardinality
                       val m = w.append(PuffinFiles.Blob(
@@ -2722,7 +2772,7 @@ object IcebergInterop {
                         Map("referenced-data-file" -> curUri,
                           "cardinality" -> card.toString)))
                       buf += ((curUri, m.offset, m.length, card,
-                        priorCard))
+                        priorB.cardinality))
                     }
                     it.foreach { case (uri, pos, prior) =>
                       if (uri != curUri) {
@@ -2730,10 +2780,24 @@ object IcebergInterop {
                         curUri = uri
                         builder =
                           new DeltaDeletionVectors.BitmapBuilder
-                        priorCard = 0L
+                        priorB =
+                          new DeltaDeletionVectors.BitmapBuilder
+                        // fold this file's OWN Puffin blob (one
+                        // ranged read; prior positions count via
+                        // their own bitmap so |merged| − |prior|
+                        // stays exact even when sources overlap)
+                        puffB.value.get(uri).foreach {
+                          case (pf, off, len, _) =>
+                            val pp = new Path(pf)
+                            DeltaDeletionVectors.readFrame(
+                              pp.getFileSystem(hconf), pp, off,
+                              (len - 8).toInt).foreach { x =>
+                              builder.add(x); priorB.add(x)
+                            }
+                        }
                       }
                       builder.add(pos)
-                      if (prior == 1) priorCard += 1
+                      if (prior == 1) priorB.add(pos)
                     }
                     flush()
                     w.finish()
@@ -2750,29 +2814,56 @@ object IcebergInterop {
               "no live file"))
           frames.map(_.file).distinct.foreach(p =>
             staged += new Path(p))
-          val bySpec = frames
-            .groupBy(fr => metaOfRel(relOfUri(fr.uri)).specId)
+          // CARRY-FORWARD: files with a Puffin blob the statement
+          // never touched keep it — new manifest entries reference
+          // the OLD container at its old offsets (never staged, so a
+          // lost commit race never deletes it)
+          val rewritten: Set[String] = frames.map(_.uri).toSet
+          val carried: Seq[(String, (String, Long, Long, Long))] =
+            st.priorPuffin.toSeq
+              .filter { case (u, _) =>
+                !rewritten.contains(u) && relOfUri.contains(u)
+              }.sortBy(_._1)
+          val carriedLen: Map[String, Long] =
+            carried.map(_._2._1).distinct.map(pf =>
+              pf -> f.getFileStatus(new Path(pf)).getLen).toMap
+          // one manifest per spec over BOTH kinds of entry
+          val allRefs: Seq[(String, Either[DvTaskFrame,
+              (String, Long, Long, Long)])] =
+            frames.toSeq.map(fr => fr.uri -> Left(fr)) ++
+              carried.map { case (u, d) => u -> Right(d) }
+          val bySpec = allRefs
+            .groupBy { case (u, _) => metaOfRel(relOfUri(u)).specId }
             .toSeq.sortBy(_._1)
-          val gs = bySpec.map { case (sid, frs) =>
+          val gs = bySpec.map { case (sid, refs) =>
             val sfs = specFieldsOf(sid)
             val mSchemaDel =
               if (sfs.isEmpty) manifestSchemaV3
               else manifestSchemaV3WithPartition(
                 partFieldsJsonFor(sfs))
-            val entries = frs.sortBy(fr => relOfUri(fr.uri))
-              .map { fr =>
-                val rel = relOfUri(fr.uri)
+            val entries = refs.sortBy(r => relOfUri(r._1))
+              .map { case (u, ref) =>
+                val rel = relOfUri(u)
                 val df0 = new GenericData.Record(
                   mSchemaDel.getField("data_file").schema())
                 df0.put("content", 1)
-                df0.put("file_path", qualify(fr.file))
                 df0.put("file_format", "PUFFIN")
                 putPartFor(df0, sfs, partTupleFor(rel, sfs))
-                df0.put("record_count", fr.cardinality)
-                df0.put("file_size_in_bytes", fr.fileLen)
-                df0.put("referenced_data_file", fr.uri)
-                df0.put("content_offset", fr.offset)
-                df0.put("content_size_in_bytes", fr.size)
+                df0.put("referenced_data_file", u)
+                ref match {
+                  case Left(fr) =>
+                    df0.put("file_path", qualify(fr.file))
+                    df0.put("record_count", fr.cardinality)
+                    df0.put("file_size_in_bytes", fr.fileLen)
+                    df0.put("content_offset", fr.offset)
+                    df0.put("content_size_in_bytes", fr.size)
+                  case Right((pf, off, len, card)) =>
+                    df0.put("file_path", qualify(pf))
+                    df0.put("record_count", card)
+                    df0.put("file_size_in_bytes", carriedLen(pf))
+                    df0.put("content_offset", off)
+                    df0.put("content_size_in_bytes", len)
+                }
                 val e = new GenericData.Record(mSchemaDel)
                 e.put("status", 1)
                 e.put("snapshot_id", snapId)
@@ -2780,12 +2871,19 @@ object IcebergInterop {
                 e.put("file_sequence_number", seqNum)
                 e.put("data_file", df0)
                 e
-              }.toSeq
+              }
             val mf = s"$iceRoot/metadata/$uuid-m1-s$sid.avro"
             val len = writeAvro(spark, mf, mSchemaDel, entries)
             staged += new Path(mf)
-            (sid, mf, len, frs.map(_.cardinality).sum,
-              frs.map(_.file).distinct.length)
+            val rows = refs.map {
+              case (_, Left(fr)) => fr.cardinality
+              case (_, Right((_, _, _, card))) => card
+            }.sum
+            val nf = refs.map {
+              case (_, Left(fr)) => fr.file
+              case (_, Right((pf, _, _, _))) => pf
+            }.distinct.length
+            (sid, mf, len, rows, nf)
           }
           Some((gs,
             frames.map(fr => fr.cardinality - fr.priorCardinality)

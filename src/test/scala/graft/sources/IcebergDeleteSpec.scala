@@ -52,6 +52,66 @@ class IcebergDeleteSpec extends SparkSpec {
     assert(IcebergInterop.icebergRowCount(spark, ice).contains(80L))
   }
 
+  test("v3 DV CARRY-FORWARD: a DELETE touching one file's keys leaves " +
+      "the other files' blobs in their OLD container (manifest entries " +
+      "reference it at the old offsets, nothing rewritten); a later " +
+      "delete folds carried and fresh generations exactly") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    val ice = s"$dir/ice"
+    // four range-clustered files so predicates can target ONE file
+    LakeTable.append(spark.range(0, 400)
+      .select(col("id").as("k"), (col("id") * 2).as("v"))
+      .repartitionByRange(4, col("k")), lake)
+    IcebergInterop.exportToIceberg(spark, lake, ice, formatVersion = 3)
+    // delete A touches every file → every file gets a blob
+    assert(IcebergInterop.deleteWhereIcebergDV(spark, ice,
+      "k % 10 = 0") == 40L)
+    val fsys = new org.apache.hadoop.fs.Path(ice)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def puffins(): Set[String] =
+      fsys.listStatus(new org.apache.hadoop.fs.Path(s"$ice/data"))
+        .map(_.getPath.getName).filter(_.endsWith(".puffin")).toSet
+    val gen1 = puffins()
+    // delete B touches only the first file's key range
+    assert(IcebergInterop.deleteWhereIcebergDV(spark, ice,
+      "k < 50 AND k % 10 = 5") == 5L)
+    // the untouched files' delete entries must still point INTO a
+    // generation-1 container — carried, not rewritten
+    val delManifests = fsys.listStatus(
+        new org.apache.hadoop.fs.Path(s"$ice/metadata"))
+      .map(_.getPath).filter(_.getName.matches(".*-m1(-s\\d+)?\\.avro"))
+      .sortBy(_.toString)
+    val latest = delManifests.last
+    val reader = new org.apache.avro.file.DataFileReader(
+      new java.io.File(latest.toUri),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    var carried = 0
+    var fresh0 = 0
+    try while (reader.hasNext) {
+      val df0 = reader.next().get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      val fp = df0.get("file_path").toString
+      if (gen1.exists(fp.endsWith)) carried += 1 else fresh0 += 1
+    } finally reader.close()
+    assert(carried == 3,
+      s"want 3 carried gen-1 entries, got $carried (fresh $fresh0)")
+    assert(fresh0 == 1, s"want 1 rewritten entry, got $fresh0")
+    assert(IcebergInterop.readIceberg(spark, ice).count() == 355L)
+    assert(IcebergInterop.icebergRowCount(spark, ice).contains(355L))
+    assert(IcebergInterop.validateIceberg(spark, ice).count() == 0L)
+    // delete C spans everything: carried blobs fold with the fresh one
+    assert(IcebergInterop.deleteWhereIcebergDV(spark, ice,
+      "k % 10 = 5") == 35L)
+    assert(IcebergInterop.readIceberg(spark, ice).count() == 320L)
+    assert(IcebergInterop.readIceberg(spark, ice)
+      .filter(col("k") % 10 === 0 || col("k") % 10 === 5)
+      .count() == 0L)
+    assert(IcebergInterop.icebergRowCount(spark, ice).contains(320L))
+    assert(IcebergInterop.validateIceberg(spark, ice).count() == 0L)
+  }
+
   test("v2 table: DELETE publishes a sorted position-delete parquet; " +
       "SQL DELETE FROM a grafticeberg view routes; no-op DELETEs " +
       "commit nothing; identity-partitioned predicates evaluate from " +
