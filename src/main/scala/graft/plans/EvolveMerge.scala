@@ -23,8 +23,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * against the widened output, [[InteropMergeRule]] strips the
   * widening off, and the engines declare the widened schema in the
   * same commit (the programmatic merge's own evolution machinery).
-  * Targets that are not graft interop views re-analyze verbatim, so
-  * native V2 tables keep Spark's standard behavior. */
+  * Works for the graftlake catalog too (its mergeInto widens the
+  * table for any batch columns beyond the schema). Targets that are
+  * not graft tables re-analyze verbatim, so native V2 tables keep
+  * Spark's standard behavior. */
 class GraftSqlParser(delegate: ParserInterface)
     extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
@@ -68,8 +70,15 @@ case class InteropEvolveMergeCommand(m: MergeIntoTable)
       case other => (None, other)
     }
     val analyzed = bridge.ofRows(spark, rel).queryExecution.analyzed
-    if (InteropWriteRefs.refOf(analyzed).isEmpty) {
-      // not an interop view: Spark's standard path, verbatim
+    def isLake(p: LogicalPlan): Boolean = p match {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation =>
+        r.table.isInstanceOf[graft.sources.GraftLakeV2Table]
+      case SubqueryAlias(_, child) => isLake(child)
+      case _ => false
+    }
+    if (InteropWriteRefs.refOf(analyzed).isEmpty && !isLake(analyzed)) {
+      // not a graft table: Spark's standard path, verbatim
       exec(m)
       return Seq.empty
     }

@@ -66,6 +66,44 @@ case class LakeDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  // a MERGE target this rule owns: the plain relation, or — under
+  // WITH SCHEMA EVOLUTION — the parser-level widening Project over it
+  // (pass-through attrs + typed-null aliases); returns the table and
+  // its PRE-evolution column names
+  private def mergeLakeTable(m: MergeIntoTable)
+      : Option[(GraftLakeV2Table, Seq[String])] = {
+    def unwrapWiden(p: LogicalPlan): Option[LogicalPlan] = p match {
+      case org.apache.spark.sql.catalyst.plans.logical
+          .SubqueryAlias(_, pr: org.apache.spark.sql.catalyst.plans
+            .logical.Project) => ofProject(pr)
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        ofProject(pr)
+      case _ => None
+    }
+    def ofProject(pr: org.apache.spark.sql.catalyst.plans.logical
+        .Project): Option[LogicalPlan] = {
+      val isWiden = pr.projectList.forall {
+        case _: AttributeReference => true
+        case org.apache.spark.sql.catalyst.expressions.Alias(
+          org.apache.spark.sql.catalyst.expressions
+            .Literal(null, _), _) => true
+        case _ => false
+      } && pr.projectList.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.Alias => true
+        case _ => false
+      }
+      if (isWiden && lakeTable(pr.child).isDefined) Some(pr.child)
+      else None
+    }
+    if (!m.withSchemaEvolution)
+      lakeTable(m.targetTable).map(t =>
+        (t, m.targetTable.output.map(_.name)))
+    else unwrapWiden(m.targetTable).flatMap(base =>
+      lakeTable(base).map(t => (t, base.output.map(_.name))))
+      .orElse(lakeTable(m.targetTable).map(t =>
+        (t, m.targetTable.output.map(_.name))))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperators {
       case u @ UpdateTable(target, assignments, cond)
@@ -107,17 +145,23 @@ case class LakeDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
           rest.map(bareSql).getOrElse("true"), k, sub, neg)
 
       case m: MergeIntoTable if m.resolved &&
-          lakeTable(m.targetTable).exists(_.pinnedVersion.isEmpty) &&
-          m.notMatchedBySourceActions.isEmpty &&
-          !m.withSchemaEvolution => // batch carries target cols only
+          mergeLakeTable(m).exists(_._1.pinnedVersion.isEmpty) &&
+          m.notMatchedBySourceActions.isEmpty =>
+        // WITH SCHEMA EVOLUTION arrives pre-widened by the parser-
+        // level command (typed-null Project over the relation, see
+        // EvolveMerge.scala); the batch then carries the new columns
+        // and mergeInto's own evolution widens the table
+        val (tbl, baseCols) = mergeLakeTable(m).get
+        val widen: Seq[(String, String)] = m.targetTable.output
+          .filterNot(a => baseCols.contains(a.name))
+          .map(a => a.name -> a.dataType.sql)
         MergeTranslation.translate(m).map { case (keys, cols, op) =>
-          GraftLakeMergeCommand(lakeTable(m.targetTable).get.tableRoot,
+          GraftLakeMergeCommand(tbl.tableRoot,
             m.sourceTable, keys, cols, op): LogicalPlan
         }.orElse(MergeTranslation.translateJoined(m).map {
           case (keys, cols, op) =>
-            GraftLakeMergeJoinedCommand(
-              lakeTable(m.targetTable).get.tableRoot,
-              m.sourceTable, keys, cols, op): LogicalPlan
+            GraftLakeMergeJoinedCommand(tbl.tableRoot,
+              m.sourceTable, keys, cols, op, widen): LogicalPlan
         }).getOrElse(m)
     }
 
@@ -459,14 +503,16 @@ case class GraftLakeMergeJoinedCommand(root: String,
                                        source: LogicalPlan,
                                        keys: Seq[(String, String)],
                                        columns: Seq[(String, String)],
-                                       opSql: String)
+                                       opSql: String,
+                                       widen: Seq[(String, String)]
+                                         = Seq.empty)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.graftbridge.ColumnBridge
       .ofRows(spark, source)
     LakeTable.withRetry() { () =>
       val batch = MergeTranslation.joinedBatch(src,
-        LakeTable.read(spark, root), keys, columns, opSql)
+        LakeTable.read(spark, root), keys, columns, opSql, widen)
       LakeTable.mergeInto(spark, root, batch, keys.map(_._1), "__op")
     }
     Seq.empty

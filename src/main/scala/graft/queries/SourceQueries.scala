@@ -4948,6 +4948,61 @@ object SourceQueries {
       "NOT IN (SELECT ...) DML with three-valued guards: keep-list " +
         "decontamination on Iceberg + lake; null-bearing subquery " +
         "provably no-ops"),
+
+    // ---- SQL MERGE WITH SCHEMA EVOLUTION on the lake catalog --------------------
+    // The third table surface: same parser-level widening as the
+    // interop formats (q382), resolved through the graftlake catalog
+    // rule; the lake engine's mergeInto widens the table for any
+    // batch columns beyond the schema, so kept files null-fill at
+    // read time. One star leg (full-batch fast path) and one
+    // partial leg (joined path sets ONLY the new column).
+    "q386_lake_merge_evolution_sql" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graftlake",
+          classOf[graft.sources.GraftLakeCatalog].getName)
+        val root = freshRoot("graft_lakeevo_q386")
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val t1 = root + "/star"
+        val t2 = root + "/partial"
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 2 === 0), t1)
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 2 === 0), t2)
+        Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") + 100).as("o_totalprice"),
+            concat(col("o_orderstatus"), lit("_L")).as("lang"))
+          .createOrReplaceTempView("q386_src")
+        s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graftlake.`$t1` t
+          USING q386_src s ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+        s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graftlake.`$t2` t
+          USING q386_src s ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED THEN UPDATE SET lang = s.lang""")
+        graft.sources.LakeTable.read(s, t1)
+          .select(lit("star").as("leg"), col("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"), col("lang"))
+          .unionAll(graft.sources.LakeTable.read(s, t2)
+            .select(lit("partial").as("leg"), col("o_orderkey"),
+              col("o_orderstatus"), col("o_totalprice"), col("lang")))
+      },
+      Some("""SELECT 'star' AS leg, o_orderkey, o_orderstatus,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100
+               ELSE o_totalprice END AS o_totalprice,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus || '_L'
+               ELSE NULL END AS lang
+        FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
+        UNION ALL
+        SELECT 'partial' AS leg, o_orderkey, o_orderstatus,
+          o_totalprice,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus || '_L'
+               ELSE NULL END AS lang
+        FROM orders WHERE o_orderkey % 2 = 0"""),
+      "SQL MERGE WITH SCHEMA EVOLUTION on the lake catalog: star and " +
+        "single-new-column shapes; kept files null-fill the widened " +
+        "column"),
   )
 
   /** q384 fixture: a hand-built v2 table whose SPEC EVOLVED — five
