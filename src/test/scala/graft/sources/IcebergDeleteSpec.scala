@@ -78,11 +78,12 @@ class IcebergDeleteSpec extends SparkSpec {
       "k < 50 AND k % 10 = 5") == 5L)
     // the untouched files' delete entries must still point INTO a
     // generation-1 container — carried, not rewritten
-    val delManifests = fsys.listStatus(
+    // newest by mtime: manifest names carry random uuids, so a
+    // lexicographic "last" could pick the FIRST commit's manifest
+    val latest = fsys.listStatus(
         new org.apache.hadoop.fs.Path(s"$ice/metadata"))
-      .map(_.getPath).filter(_.getName.matches(".*-m1(-s\\d+)?\\.avro"))
-      .sortBy(_.toString)
-    val latest = delManifests.last
+      .filter(_.getPath.getName.matches(".*-m1(-s\\d+)?\\.avro"))
+      .maxBy(_.getModificationTime).getPath
     val reader = new org.apache.avro.file.DataFileReader(
       new java.io.File(latest.toUri),
       new org.apache.avro.generic.GenericDatumReader[
