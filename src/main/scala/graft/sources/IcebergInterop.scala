@@ -2307,6 +2307,20 @@ object IcebergInterop {
                                  // container to carry; these ride the
                                  // publish shuffle tagged
                                  nonPuffinPrior: Option[DataFrame] =
+                                   None,
+                                 // equality deletes present → the
+                                 // publish must FOLD and REPLACE;
+                                 // without them v2 position state is
+                                 // ADDITIVE (the format's own
+                                 // convention)
+                                 hasEq: Boolean = false,
+                                 // the SAME rows un-distinct and
+                                 // un-checkpointed: membership-only
+                                 // consumers (the additive newly-
+                                 // deleted anti-join) read it without
+                                 // paying a distinct shuffle + block-
+                                 // manager write
+                                 nonPuffinRaw: Option[DataFrame] =
                                    None)
 
   /** Shared gates + live-scan for DELETE/UPDATE/MERGE on a foreign
@@ -2501,7 +2515,10 @@ object IcebergInterop {
       base0.join(pr, Seq("__uri", "__pos"), "left_anti"))
       .getOrElse(base0)
     IceDmlState(meta, schema, dataFiles, specFields, priorDf, base,
-      base0, priorPuffin, nonPuffinPrior)
+      base0, priorPuffin, nonPuffinPrior,
+      deleteFiles.exists(_.content == 2),
+      if (nonPuffinParts.isEmpty) None
+      else Some(nonPuffinParts.reduce(_ unionAll _)))
   }
 
   /** `inSub` = an evaluated `col IN (<subquery>)` membership: the
@@ -2611,6 +2628,9 @@ object IcebergInterop {
       st.dataFiles.map(d => qualify(d.path) -> d.path).toMap
     val rows = newRows.filter(!_.isEmpty)
     val anyMatched = !matchedPos.isEmpty
+    // without equality deletes, v2 position state composes ADDITIVELY
+    // (new matched-only delete file beside the carried old manifests)
+    val additiveV2 = fv < 3 && !st.hasEq
     if (!anyMatched && rows.isEmpty) return 0L
     // the REPLACEMENT delete state = matched ⊎ prior over every file
     // (old delete manifests drop from the new snapshot): positions
@@ -2896,9 +2916,16 @@ object IcebergInterop {
           // each file arrives sorted by (file_path, pos)); the driver
           // renames staged parts and reads parquet footers only. The
           // affected-URI collect is one row per FILE — manifest
-          // scale, never row scale
-          val merged = mergedTagged.select(col("__uri"),
-            col("__pos")).distinct()
+          // scale, never row scale.
+          // ADDITIVE (no equality deletes): only the MATCHED
+          // positions land — prior delete manifests carry forward
+          // via prevList, so the write is O(matched), not O(total
+          // deleted so far); delete-file accretion is compaction's
+          // job, the format's own convention. Equality folds keep
+          // the fold-and-replace shape (their files must drop).
+          val merged =
+            (if (additiveV2) matchedTagged0 else mergedTagged)
+              .select(col("__uri"), col("__pos")).distinct()
           val uris = merged.select("__uri").distinct()
             .as[String].collect().sorted
           uris.foreach(u => require(relOfUri.contains(u),
@@ -2918,9 +2945,14 @@ object IcebergInterop {
           val gOf = uris.toSeq.map(u =>
             u -> groupsIdx.indexOf((sidOfUri(u), tupleOfUri(u))))
           val stage = s"$iceRoot/_stage_del_$uuid"
+          // repartition by (group, uri): a tuple group spanning many
+          // data files writes in PARALLEL (several sorted parquets
+          // per group — the manifest entries already take -k
+          // suffixes), instead of funnelling an unpartitioned
+          // table's whole delete state through one task
           merged.join(broadcast(gOf.toDF("__uri", "__g")),
               Seq("__uri"))
-            .repartition(col("__g"))
+            .repartition(col("__g"), col("__uri"))
             .sortWithinPartitions("__g", "__uri", "__pos")
             .select(col("__g"), col("__uri").as("file_path"),
               col("__pos").as("pos"))
@@ -2984,10 +3016,22 @@ object IcebergInterop {
             staged += new Path(mf)
             (sid, mf, len, files.map(_._3).sum, files.size)
           }
-          // |merged| − |prior| — both sides distinct, so the global
-          // difference equals the per-file sum exactly
-          val priorTotal = st.priorDf.map(_.count()).getOrElse(0L)
-          Some((gs, totalRows - priorTotal))
+          // newly deleted — additive: |matched \ prior| (an
+          // anti-join COUNT; reads the prior state, never rewrites
+          // it); replacement: |merged| − |prior| (both sides
+          // distinct, so the global difference equals the per-file
+          // sum exactly)
+          val newlyDel =
+            if (additiveV2)
+              st.nonPuffinRaw.map(pr =>
+                merged.join(pr, Seq("__uri", "__pos"), "left_anti")
+                  .count()).getOrElse(totalRows)
+            else {
+              val priorTotal =
+                st.priorDf.map(_.count()).getOrElse(0L)
+              totalRows - priorTotal
+            }
+          Some((gs, newlyDel))
         }
       }
     val delEntries: Seq[GenericRecord] = delState.map(_._1)
@@ -3146,7 +3190,12 @@ object IcebergInterop {
       .filter { r =>
         val isData = Option(r.get("content"))
           .forall(_.asInstanceOf[Number].intValue == 0)
-        isData || !anyMatched
+        // additive v2: prior position-delete manifests stay valid
+        // beside the new matched-only delete file (the spec's own
+        // composition; readers union position deletes) — only the
+        // fold-and-replace paths (v3 DV rule, equality folds) drop
+        // old delete manifests
+        isData || !anyMatched || additiveV2
       }
       .map { r =>
         val out = new GenericData.Record(manifestListSchema)

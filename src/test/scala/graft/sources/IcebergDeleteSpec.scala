@@ -113,6 +113,47 @@ class IcebergDeleteSpec extends SparkSpec {
     assert(IcebergInterop.validateIceberg(spark, ice).count() == 0L)
   }
 
+  test("v2 ADDITIVE delete state: a second DELETE lands a " +
+      "matched-only delete file and CARRIES the first statement's " +
+      "manifest — prior delete parquets are neither rewritten nor " +
+      "dropped; readers union and counts stay exact") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    val ice = s"$dir/ice"
+    LakeTable.append(spark.range(0, 200)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake)
+    IcebergInterop.exportToIceberg(spark, lake, ice) // v2
+    val fsys = new org.apache.hadoop.fs.Path(ice)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def delParquets(): Set[String] =
+      fsys.listStatus(new org.apache.hadoop.fs.Path(s"$ice/data"))
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("deletes-") && n.endsWith(".parquet"))
+        .toSet
+    assert(IcebergInterop.deleteWhereIcebergDV(spark, ice,
+      "k % 10 = 0") == 20L)
+    val gen1 = delParquets()
+    assert(gen1.nonEmpty)
+    // 50 keys match k % 4 = 2, but 10 (k ≡ 10 mod 20) are already
+    // dead — the additive publish still counts newly-deleted exactly
+    assert(IcebergInterop.deleteWhereIcebergDV(spark, ice,
+      "k % 4 = 2") == 40L)
+    val gen2 = delParquets()
+    // additive: generation 1 files untouched, new file(s) beside them
+    assert(gen1.subsetOf(gen2), "a prior delete parquet was removed")
+    assert(gen2.size > gen1.size, "no new delete file landed")
+    assert(IcebergInterop.readIceberg(spark, ice).count() == 140L)
+    assert(IcebergInterop.readIceberg(spark, ice)
+      .filter(col("k") % 10 === 0 || col("k") % 4 === 2)
+      .count() == 0L)
+    assert(IcebergInterop.icebergRowCount(spark, ice).contains(140L))
+    assert(IcebergInterop.validateIceberg(spark, ice).count() == 0L)
+    // an overlapping third delete counts only the NEWLY dead rows
+    assert(IcebergInterop.deleteWhereIcebergDV(spark, ice,
+      "k % 20 = 0") == 0L) // k%20==0 ⊂ k%10==0, all already dead
+    assert(IcebergInterop.readIceberg(spark, ice).count() == 140L)
+  }
+
   test("v2 table: DELETE publishes a sorted position-delete parquet; " +
       "SQL DELETE FROM a grafticeberg view routes; no-op DELETEs " +
       "commit nothing; identity-partitioned predicates evaluate from " +
