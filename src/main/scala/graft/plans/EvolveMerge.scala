@@ -83,8 +83,12 @@ case class InteropEvolveMergeCommand(m: MergeIntoTable)
       return Seq.empty
     }
     val srcSchema = bridge.ofRows(spark, m.sourceTable).schema
+    // name comparison uses the session resolver (case-insensitive by
+    // default) — a source column differing only in case resolves to
+    // the existing target column instead of widening a duplicate
+    val resolver = spark.sessionState.conf.resolver
     val extra = srcSchema.fields.filterNot(f =>
-      analyzed.output.exists(_.name == f.name))
+      analyzed.output.exists(a => resolver(a.name, f.name)))
     val widened: LogicalPlan =
       if (extra.isEmpty) analyzed
       else Project(analyzed.output ++ extra.map(f =>

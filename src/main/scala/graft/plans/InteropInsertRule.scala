@@ -501,7 +501,7 @@ case class InteropMergeRule(spark: SparkSession)
         // columns the evolution added: the joined batch materializes
         // them as typed nulls on the target side
         val widen: Seq[(String, String)] = m.targetTable.output
-          .filterNot(a => baseCols.contains(a.name))
+          .filterNot(a => baseCols.exists(conf.resolver(_, a.name)))
           .map(a => a.name -> a.dataType.sql)
         (for {
           (keys, cols, op) <- MergeTranslation.translate(m)

@@ -153,7 +153,7 @@ case class LakeDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
         // and mergeInto's own evolution widens the table
         val (tbl, baseCols) = mergeLakeTable(m).get
         val widen: Seq[(String, String)] = m.targetTable.output
-          .filterNot(a => baseCols.contains(a.name))
+          .filterNot(a => baseCols.exists(conf.resolver(_, a.name)))
           .map(a => a.name -> a.dataType.sql)
         MergeTranslation.translate(m).map { case (keys, cols, op) =>
           GraftLakeMergeCommand(tbl.tableRoot,

@@ -1391,6 +1391,9 @@ object DeltaInterop {
         // NOT EXISTS rewrite
         else if (!s0.filter(col("__in_k").isNull).isEmpty)
           matchedC.filter(lit(false))
+        // NOT IN over an EMPTY set is TRUE for every row — including
+        // null keys — so pass the candidates through unfiltered
+        else if (s0.isEmpty) matchedC
         else matchedC.filter(col(k).isNotNull)
           .join(broadcast(s0.distinct()),
             col(k) === col("__in_k"), "left_anti")
@@ -1714,6 +1717,11 @@ object DeltaInterop {
     val priorDescB = spark.sparkContext.broadcast(priorDescOf)
     val shc = new SerializableHadoopConf(conf)
     val rootStr = deltaRoot
+    // tasks write their DV containers under a per-statement _stage
+    // dir; only files named by SUCCESSFUL attempts' frames rename to
+    // the table root, and the stage dir (holding any failed or
+    // speculative attempt's orphan) deletes wholesale afterward
+    val dvStage = s"_dv_stage-${java.util.UUID.randomUUID()}"
     import spark.implicits._
     val frames: Array[DvTaskFrame] = matchedPos
       .select(col("__uri").cast(StringType),
@@ -1727,7 +1735,7 @@ object DeltaInterop {
           val hconf = shc.value
           val taskUuid = java.util.UUID.randomUUID()
           val dvRel = s"deletion_vector_$taskUuid.bin"
-          val dvPath = new Path(s"$rootStr/$dvRel")
+          val dvPath = new Path(s"$rootStr/$dvStage/$dvRel")
           val fsx = dvPath.getFileSystem(hconf)
           val os = fsx.create(dvPath, /* overwrite = */ false)
           val w = new DeltaDeletionVectors.FrameWriter(os)
@@ -1767,6 +1775,16 @@ object DeltaInterop {
       require(relOfUri.contains(fr.uri), s"graftdelta $verb: scanned " +
         s"uri ${fr.uri} maps to no live file")
     }
+    // promote the winners out of the stage dir, then drop it — any
+    // orphaned attempt file vanishes with the dir
+    frames.map(_.file).distinct.foreach { rel =>
+      val src = new Path(s"$rootStr/$dvStage/$rel")
+      val dstP = new Path(s"$rootStr/$rel")
+      if (!f.rename(src, dstP))
+        throw new java.io.IOException(
+          s"graftdelta $verb: promote $src -> $dstP failed")
+    }
+    f.delete(new Path(s"$rootStr/$dvStage"), true): Unit
     val hasNewRows = newRows.isDefined
     if (frames.isEmpty && !hasNewRows) return 0L
     val frameOf: Map[String, DvTaskFrame] =

@@ -535,7 +535,13 @@ object IcebergInterop {
       referencedFile: String, records: Long)
   private[sources] case class DeleteFileMeta(path: String, content: Int,
       seq: Long, equalityIds: Seq[Int], dv: Option[DvRef] = None,
-      records: Long = -1L)
+      records: Long = -1L,
+      // the manifest entry's ORIGINAL snapshot id (inherited from the
+      // manifest-list's added_snapshot_id when the writer omitted it);
+      // -1 = unknown. DML carry-forward re-emits untouched DV refs as
+      // EXISTING with this id + `seq` so incremental consumers never
+      // see a carried delete as re-added
+      snapshotId: Long = -1L)
 
   /** Walk a snapshot's manifest list + manifests: the resolved schema,
     * live data files (with bounds + sequence numbers) and delete files
@@ -593,10 +599,11 @@ object IcebergInterop {
     val manifests = listEntries.map(e =>
       (str(e, "manifest_path"), int(e, "content", 0),
         lng(e, "sequence_number", 0L),
-        int(e, "partition_spec_id", 0)))
+        int(e, "partition_spec_id", 0),
+        lng(e, "added_snapshot_id", -1L)))
     var dataFiles = Seq.empty[DataFileMeta]
     var deleteFiles = Seq.empty[DeleteFileMeta]
-    manifests.foreach { case (mPath, mContent, mSeq, mSpecId) =>
+    manifests.foreach { case (mPath, mContent, mSeq, mSpecId, mSnap) =>
       val allSpecFields = meta.partitionSpecs.getOrElse(mSpecId, Seq.empty)
       val specFields = allSpecFields.filter(_._2 == "identity")
       val xformFields = allSpecFields.filterNot(_._2 == "identity")
@@ -607,8 +614,10 @@ object IcebergInterop {
         val path = str(df0, "file_path")
         val fmt = Option(str(df0, "file_format")).getOrElse("PARQUET")
         // v2 sequence-number inheritance: an entry without an explicit
-        // sequence number takes its manifest's
+        // sequence number takes its manifest's; same for snapshot id
+        // (the manifest-list's added_snapshot_id)
         val seq = lng(e, "sequence_number", mSeq)
+        val snapIdE = lng(e, "snapshot_id", mSnap)
         if (status != 2) { // 2 = DELETED (removed from this snapshot)
           val isPuffinDv = fmt.equalsIgnoreCase("puffin") &&
             mContent == 1 && content == 1
@@ -680,10 +689,12 @@ object IcebergInterop {
                 .getOrElse(throw new UnsupportedOperationException(
                   s"$root: DV $path lacks content_size_in_bytes"))
               deleteFiles :+= DeleteFileMeta(path, 1, seq, Seq.empty,
-                Some(DvRef(off, sz, ref, lng(df0, "record_count", -1L))))
+                Some(DvRef(off, sz, ref, lng(df0, "record_count", -1L))),
+                snapshotId = snapIdE)
             case (1, 1) =>
               deleteFiles :+= DeleteFileMeta(path, 1, seq, Seq.empty,
-                records = lng(df0, "record_count", -1L))
+                records = lng(df0, "record_count", -1L),
+                snapshotId = snapIdE)
             case (1, 2) =>
               // equality deletes serve only under the v2 total order —
               // sequence-number scoping is what makes them row-exact
@@ -2281,6 +2292,16 @@ object IcebergInterop {
     * (qualified uri, position) — v3 Puffin + v2 position parquet +
     * FOLDED equality deletes, decoded on executors and materialized
     * once (localCheckpoint). */
+  /** One freshly written delete manifest headed for the manifest
+    * list, with its added/existing entry counts split so carried
+    * (EXISTING) DV refs are never double-counted as added rows, and
+    * the min sequence number across entries (carried refs keep their
+    * ORIGINAL sequence numbers, which precede the commit's). */
+  private case class DelManifestRef(specId: Int, path: String,
+      len: Long, addedRows: Long, addedFiles: Int,
+      existingRows: Long = 0L, existingFiles: Int = 0,
+      minSeq: Long)
+
   private case class IceDmlState(meta: IceMeta, schema: IceSchema,
                                  dataFiles: Seq[DataFileMeta],
                                  specFields: Seq[IceSpecField],
@@ -2302,6 +2323,13 @@ object IcebergInterop {
                                  priorPuffin: Map[String,
                                    (String, Long, Long, Long)] =
                                    Map.empty,
+                                 // uri -> (original snapshot id,
+                                 // original sequence number) of each
+                                 // prior DV's manifest entry — the
+                                 // identity carried refs keep when
+                                 // re-emitted as EXISTING
+                                 priorPuffinOrigin: Map[String,
+                                   (Long, Long)] = Map.empty,
                                  // v2 position-parquet + folded
                                  // equality positions — no per-file
                                  // container to carry; these ride the
@@ -2438,6 +2466,11 @@ object IcebergInterop {
           }
         }
       }.toMap
+    val priorPuffinOrigin: Map[String, (Long, Long)] =
+      deleteFiles.filter(_.content == 1).flatMap { d =>
+        d.dv.flatMap(ref => relOf(ref.referencedFile)
+          .map(rel => qualify(rel) -> ((d.snapshotId, d.seq))))
+      }.toMap
     val priorParts = scala.collection.mutable.ArrayBuffer
       .empty[DataFrame]
     val nonPuffinParts = scala.collection.mutable.ArrayBuffer
@@ -2515,7 +2548,7 @@ object IcebergInterop {
       base0.join(pr, Seq("__uri", "__pos"), "left_anti"))
       .getOrElse(base0)
     IceDmlState(meta, schema, dataFiles, specFields, priorDf, base,
-      base0, priorPuffin, nonPuffinPrior,
+      base0, priorPuffin, priorPuffinOrigin, nonPuffinPrior,
       deleteFiles.exists(_.content == 2),
       if (nonPuffinParts.isEmpty) None
       else Some(nonPuffinParts.reduce(_ unionAll _)))
@@ -2559,6 +2592,9 @@ object IcebergInterop {
         // NOT EXISTS rewrite
         else if (!s0.filter(col("__in_k").isNull).isEmpty)
           matchedB.filter(lit(false))
+        // NOT IN over an EMPTY set is TRUE for every row — including
+        // null keys — so pass the candidates through unfiltered
+        else if (s0.isEmpty) matchedB
         else matchedB.filter(col(k).isNotNull)
           .join(broadcast(s0.distinct()),
             col(k) === col("__in_k"), "left_anti")
@@ -2736,7 +2772,7 @@ object IcebergInterop {
     // the merged DELETE state: ONE manifest PER SPEC the referenced
     // files were written under (a manifest declares a single
     // partition-record shape), entries carrying truthful tuples
-    val delState: Option[(Seq[(Int, String, Long, Long, Int)], Long)] =
+    val delState: Option[(Seq[DelManifestRef], Long)] =
       if (!anyMatched) None
       else {
         f.mkdirs(new Path(s"$iceRoot/data"))
@@ -2760,7 +2796,13 @@ object IcebergInterop {
                 col("__pos").cast(LongType))
                 .withColumn("__prior", lit(1))))
             .getOrElse(matchedTagged0)
-          val frames: Array[DvTaskFrame] = v3Tagged
+          // tasks write Puffin containers under a per-statement
+          // _stage dir; only successful attempts' files promote to
+          // data/ and the stage dir (holding any failed/speculative
+          // attempt's orphan) deletes wholesale afterward
+          val dvStage =
+            s"_dv_stage-${java.util.UUID.randomUUID()}"
+          val frames0: Array[DvTaskFrame] = v3Tagged
             .repartition(col("__uri"))
             .sortWithinPartitions("__uri", "__pos", "__prior")
             .as[(String, Long, Int)]
@@ -2770,7 +2812,7 @@ object IcebergInterop {
                 val hconf = shc.value
                 val tUuid = java.util.UUID.randomUUID()
                 val delPath = new Path(
-                  s"$rootStr/data/deletes-$tUuid.puffin")
+                  s"$rootStr/data/$dvStage/deletes-$tUuid.puffin")
                 val fsx = delPath.getFileSystem(hconf)
                 val os = fsx.create(delPath, false)
                 val w = new PuffinFiles.Writer(os)
@@ -2829,6 +2871,21 @@ object IcebergInterop {
                 }
               }
             }.collect()
+          // promote the winners out of the stage dir, then drop it —
+          // frames re-point at the promoted paths
+          val promoted: Map[String, String] =
+            frames0.map(_.file).distinct.map { sp =>
+              val src = new Path(sp)
+              val dst = new Path(
+                s"$rootStr/data/${src.getName}")
+              if (!f.rename(src, dst))
+                throw new java.io.IOException(
+                  s"grafticeberg $verb: promote $src -> $dst failed")
+              sp -> dst.toString
+            }.toMap
+          f.delete(new Path(s"$rootStr/data/$dvStage"), true): Unit
+          val frames = frames0.map(fr =>
+            fr.copy(file = promoted(fr.file)))
           frames.foreach(fr => require(relOfUri.contains(fr.uri),
             s"grafticeberg $verb: scanned uri ${fr.uri} maps to " +
               "no live file"))
@@ -2885,25 +2942,51 @@ object IcebergInterop {
                     df0.put("content_size_in_bytes", len)
                 }
                 val e = new GenericData.Record(mSchemaDel)
-                e.put("status", 1)
-                e.put("snapshot_id", snapId)
-                e.put("sequence_number", seqNum)
-                e.put("file_sequence_number", seqNum)
+                ref match {
+                  case Left(_) =>
+                    e.put("status", 1)
+                    e.put("snapshot_id", snapId)
+                    e.put("sequence_number", seqNum)
+                    e.put("file_sequence_number", seqNum)
+                  case Right(_) =>
+                    // carried-forward unread blob: per the spec an
+                    // entry carried into a rewritten manifest is
+                    // EXISTING with its ORIGINAL snapshot id and
+                    // sequence numbers — incremental/CDC consumers
+                    // must not see it re-added. A pre-graft writer
+                    // that omitted them (-1) falls back to this
+                    // commit's ids (still scan-correct)
+                    val (oSnap, oSeq) = st.priorPuffinOrigin
+                      .getOrElse(u, (-1L, -1L))
+                    e.put("status", 0)
+                    e.put("snapshot_id",
+                      if (oSnap >= 0) oSnap else snapId)
+                    e.put("sequence_number",
+                      if (oSeq >= 0) oSeq else seqNum)
+                    e.put("file_sequence_number",
+                      if (oSeq >= 0) oSeq else seqNum)
+                }
                 e.put("data_file", df0)
                 e
               }
             val mf = s"$iceRoot/metadata/$uuid-m1-s$sid.avro"
             val len = writeAvro(spark, mf, mSchemaDel, entries)
             staged += new Path(mf)
-            val rows = refs.map {
-              case (_, Left(fr)) => fr.cardinality
-              case (_, Right((_, _, _, card))) => card
-            }.sum
-            val nf = refs.map {
-              case (_, Left(fr)) => fr.file
-              case (_, Right((pf, _, _, _))) => pf
-            }.distinct.length
-            (sid, mf, len, rows, nf)
+            val addedRows = refs.collect {
+              case (_, Left(fr)) => fr.cardinality }.sum
+            val existRows = refs.collect {
+              case (_, Right((_, _, _, card))) => card }.sum
+            val addedFiles = refs.collect {
+              case (_, Left(fr)) => fr.file }.distinct.length
+            val existFiles = refs.collect {
+              case (_, Right((pf, _, _, _))) => pf }.distinct.length
+            val minSeq = (seqNum +: refs.collect {
+              case (u0, Right(_)) =>
+                st.priorPuffinOrigin.get(u0).map(_._2)
+                  .filter(_ >= 0).getOrElse(seqNum)
+            }).min
+            DelManifestRef(sid, mf, len, addedRows, addedFiles,
+              existRows, existFiles, minSeq)
           }
           Some((gs,
             frames.map(fr => fr.cardinality - fr.priorCardinality)
@@ -3014,7 +3097,8 @@ object IcebergInterop {
             val mf = s"$iceRoot/metadata/$uuid-m1-s$sid.avro"
             val len = writeAvro(spark, mf, mSchemaDel, entries)
             staged += new Path(mf)
-            (sid, mf, len, files.map(_._3).sum, files.size)
+            DelManifestRef(sid, mf, len, files.map(_._3).sum,
+              files.size, minSeq = seqNum)
           }
           // newly deleted — additive: |matched \ prior| (an
           // anti-join COUNT; reads the prior state, never rewrites
@@ -3035,20 +3119,20 @@ object IcebergInterop {
         }
       }
     val delEntries: Seq[GenericRecord] = delState.map(_._1)
-      .getOrElse(Seq.empty).map { case (sid, mf, len, rows, nf) =>
+      .getOrElse(Seq.empty).map { m =>
         val r = new GenericData.Record(manifestListSchema)
-        r.put("manifest_path", qualify(mf))
-        r.put("manifest_length", len)
-        r.put("partition_spec_id", sid)
+        r.put("manifest_path", qualify(m.path))
+        r.put("manifest_length", m.len)
+        r.put("partition_spec_id", m.specId)
         r.put("content", 1)
         r.put("sequence_number", seqNum)
-        r.put("min_sequence_number", seqNum)
+        r.put("min_sequence_number", m.minSeq)
         r.put("added_snapshot_id", snapId)
-        r.put("added_files_count", nf)
-        r.put("existing_files_count", 0)
+        r.put("added_files_count", m.addedFiles)
+        r.put("existing_files_count", m.existingFiles)
         r.put("deleted_files_count", 0)
-        r.put("added_rows_count", rows)
-        r.put("existing_rows_count", 0L)
+        r.put("added_rows_count", m.addedRows)
+        r.put("existing_rows_count", m.existingRows)
         r.put("deleted_rows_count", 0L)
         r
       }

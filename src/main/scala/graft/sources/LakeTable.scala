@@ -1781,6 +1781,9 @@ object LakeTable {
       // a null key never matches — the null-guarded NOT EXISTS rewrite
       else if (!s0.filter(col("__in_k").isNull).isEmpty)
         (df.withColumn("__in_f", lit(false)), lit(false))
+      // NOT IN over an EMPTY set is TRUE for every row — including
+      // null keys — so the membership flag is unconditionally true
+      else if (s0.isEmpty) (df, lit(true))
       else {
         val subd = broadcast(s0.distinct()
           .withColumn("__in_f", lit(true)))
