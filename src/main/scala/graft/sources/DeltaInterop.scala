@@ -1908,44 +1908,9 @@ object DeltaInterop {
           snap.partCols.map(snap.physNameOf), uuid.toString, "u")
       }.getOrElse(Seq.empty)
     val newRels: Seq[String] = newAdds.map(_._1)
-    // staged files carry physical names — bounds filter keys likewise
-    val intCols = snap.physSchema.fields.collect {
-      case fd if fd.dataType == IntegerType || fd.dataType == LongType =>
-        fd.name
-    }.toSet
     newAdds.foreach { case (rel, pv) =>
-      val p = new Path(s"$deltaRoot/$rel")
-      val st = f.getFileStatus(p)
-      val rows = TableDoctor.footerRows(spark, p.toString)
-        .getOrElse(throw new IllegalStateException(
-          s"freshly written $rel has no readable parquet footer"))
-      val bounds = TableDoctor.footerIntBounds(spark, p.toString)
-        .filter { case (k, _) => intCols.contains(k) }
-      val boundsJson =
-        if (bounds.isEmpty) ""
-        else {
-          def side(pick: ((Long, Long)) => Long) =
-            bounds.toSeq.sortBy(_._1).map { case (k, b) =>
-              s"${om.writeValueAsString(k)}:${pick(b)}"
-            }.mkString("{", ",", "}")
-          s""","minValues":${side(_._1)},"maxValues":${side(_._2)}"""
-        }
-      val nulls = TableDoctor.footerNullCounts(spark, p.toString)
-      val nullsJson =
-        if (nulls.isEmpty) ""
-        else s""","nullCount":${nulls.toSeq.sortBy(_._1)
-          .map { case (k, n) => s"${om.writeValueAsString(k)}:$n" }
-          .mkString("{", ",", "}")}"""
-      val pvJson = pv.toSeq.sortBy(_._1)
-        .map { case (k, x) =>
-          s"${om.writeValueAsString(k)}:${om.writeValueAsString(x)}"
-        }.mkString("{", ",", "}")
-      actions += s"""{"add":{"path":${om.writeValueAsString(rel)},""" +
-        s""""partitionValues":$pvJson,"size":${st.getLen},""" +
-        s""""modificationTime":${st.getModificationTime},""" +
-        s""""stats":${om.writeValueAsString(
-          s"""{"numRecords":$rows$boundsJson$nullsJson}""")},""" +
-        s""""dataChange":true}}"""
+      actions += stagedAddJson(spark, f, om, snap, deltaRoot, rel, pv,
+        dataChange = true)
     }
     if (actions.isEmpty) return 0L
     val dst = new Path(f"$deltaRoot/_delta_log/${v + 1}%020d.json")
@@ -1973,6 +1938,173 @@ object DeltaInterop {
     * count(col) to refuse forever). Shared by the batch append and
     * the DML rewrite paths. Returns (relative path, partitionValues —
     * null value = null partition). */
+  /** `REORG TABLE ... APPLY (PURGE)` for a FOREIGN Delta table — the
+    * graftdelta twin of [[LakeTable.purgeDeletes]], the escape hatch
+    * the DV export budget's own refusal names. Exactly the files
+    * carrying a deletion vector rewrite WITHOUT their deleted rows
+    * (the scan applies the vectors, so content is identical by
+    * construction); clean files stay untouched, and one commit
+    * removes the DV-bearing adds and publishes vector-free
+    * replacements — `dataChange=false` on both sides, a layout-only
+    * commit the change feed skips. Returns the committed version
+    * (the current version when no live file carries a vector). */
+  def purgeDeltaDeletes(spark: SparkSession, deltaRoot: String): Long = {
+    val (snap, v) = maintenanceGates(spark, deltaRoot, "purge")
+    deltaMaintenanceCore(spark, deltaRoot, "purge", snap, v,
+      snap.live.filter(_._2.dv.isDefined).keys.toSeq.sorted, None)
+  }
+
+  /** OPTIMIZE-style bin-packing compaction for a FOREIGN Delta table:
+    * per partition, live files smaller than `smallFileBytes` (at
+    * least two — one small file alone gains nothing) rewrite into
+    * ~`targetFileBytes` outputs; a picked file's deletion vector is
+    * applied during the rewrite, so compaction subsumes purge for the
+    * files it touches. Content is identical by construction —
+    * `dataChange=false` remove+add, a layout commit the change feed
+    * skips. Returns the committed version (current when nothing
+    * qualifies). At scale the rewrite is one distributed scan of the
+    * picked files — never O(table). */
+  def compactDelta(spark: SparkSession, deltaRoot: String,
+                   smallFileBytes: Long = 32L << 20,
+                   targetFileBytes: Long = 128L << 20): Long = {
+    val (snap, v) = maintenanceGates(spark, deltaRoot, "compact")
+    val f = fs(spark, deltaRoot)
+    def sizeOf(p: String, lf: LiveFile): Long =
+      if (lf.size >= 0) lf.size
+      else f.getFileStatus(new Path(s"$deltaRoot/$p")).getLen
+    val picked = snap.live.toSeq
+      .map { case (p, lf) => (p, lf, sizeOf(p, lf)) }
+      .filter(_._3 < smallFileBytes)
+      .groupBy(_._2.partitionValues)
+      .filter(_._2.size >= 2)
+      .values.flatten.toSeq
+    val targets = picked.map(_._1).sorted
+    // unpartitioned targets coalesce to the bin-packed width;
+    // partitioned ones route through the staging's own partitionBy
+    val nOut = math.max(1L,
+      (picked.map(_._3).sum + targetFileBytes - 1) / targetFileBytes)
+    deltaMaintenanceCore(spark, deltaRoot, "compact", snap, v,
+      targets, Some(nOut.toInt))
+  }
+
+  /** Shared write gates of the maintenance verbs: protocol, not
+    * append-only (maintenance commits remove actions), partition
+    * columns string-round-trippable (rewrites partition-route).
+    * Unlike the DML gates this does NOT require
+    * `delta.enableDeletionVectors` — maintenance only ever REMOVES
+    * vectors, which the spec always permits. */
+  private def maintenanceGates(spark: SparkSession, deltaRoot: String,
+                               verb: String): (Snapshot, Long) = {
+    val vs = deltaVersions(spark, deltaRoot)
+    require(vs.nonEmpty, s"no Delta log under $deltaRoot")
+    val v = vs.max
+    val snap = replay(spark, deltaRoot, v)
+    writerProtocolGate(snap, deltaRoot, overwrite = false)
+    require(!snap.conf.get("delta.appendOnly").exists(_.toBoolean),
+      s"graftdelta $verb: $deltaRoot declares delta.appendOnly=true; " +
+        s"$verb commits remove actions — a protocol violation, refusing")
+    partitionRoutableGate(snap, deltaRoot, verb)
+    (snap, v)
+  }
+
+  private def deltaMaintenanceCore(spark: SparkSession,
+      deltaRoot: String, verb: String, snap: Snapshot, v: Long,
+      targets: Seq[String], coalesceTo: Option[Int]): Long = {
+    if (targets.isEmpty) return v
+    val f = fs(spark, deltaRoot)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val targetSet = targets.toSet
+    val subSnap = snap.copy(live =
+      snap.live.filter(kv => targetSet(kv._1)))
+    // surviving rows of the targets, vectors applied — the rewrite's
+    // content source; one distributed scan of the picked files only
+    val surviving0 = dvScanLive(spark, deltaRoot, subSnap,
+      dvPriorDf(spark, deltaRoot, subSnap))
+      .drop("__uri", "__pos")
+      .select(snap.schema.fields.map(fd => col(fd.name))
+        .toIndexedSeq: _*)
+    val surviving = coalesceTo.filter(_ => snap.partCols.isEmpty)
+      .map(surviving0.coalesce).getOrElse(surviving0)
+    // column mapping: staged files carry PHYSICAL names (rename-only;
+    // 'id' mode field-id metadata rides into the footers)
+    val physRows =
+      if (snap.schema == snap.physSchema) surviving
+      else surviving.select(snap.schema.fields
+        .zip(snap.physSchema.fields).map { case (lf, pf) =>
+          col(s"`${lf.name}`").as(pf.name, pf.metadata)
+        }.toIndexedSeq: _*)
+    val uuid = java.util.UUID.randomUUID()
+    val newAdds = stageDeltaData(physRows, deltaRoot,
+      snap.partCols.map(snap.physNameOf), uuid.toString, verb)
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    targets.foreach { p =>
+      actions += s"""{"remove":{"path":${om.writeValueAsString(p)},""" +
+        s""""deletionTimestamp":0,"dataChange":false}}"""
+    }
+    newAdds.foreach { case (rel, pv) =>
+      actions += stagedAddJson(spark, f, om, snap, deltaRoot, rel, pv,
+        dataChange = false)
+    }
+    val dst = new Path(f"$deltaRoot/_delta_log/${v + 1}%020d.json")
+    if (!AtomicPublish.createExclusive(f, dst,
+        actions.mkString("\n").getBytes("UTF-8"))) {
+      newAdds.foreach { case (rel, _) =>
+        f.delete(new Path(s"$deltaRoot/$rel"), false) }
+      throw new IllegalStateException(
+        s"graftdelta $verb: lost a commit race at $deltaRoot " +
+          s"version ${v + 1}; re-run against the new state")
+    }
+    v + 1
+  }
+
+  /** One `add` action for a freshly STAGED file: size/modificationTime
+    * from the file status, numRecords + int bounds + null counts from
+    * the parquet footer (stats keys are the staged files' PHYSICAL
+    * column names, the spelling a mapped table's readers resolve). */
+  private def stagedAddJson(spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem,
+      om: com.fasterxml.jackson.databind.ObjectMapper,
+      snap: Snapshot, deltaRoot: String,
+      rel: String, pv: Map[String, String],
+      dataChange: Boolean): String = {
+    val intCols = snap.physSchema.fields.collect {
+      case fd if fd.dataType == IntegerType || fd.dataType == LongType =>
+        fd.name
+    }.toSet
+    val p = new Path(s"$deltaRoot/$rel")
+    val st = f.getFileStatus(p)
+    val rows = TableDoctor.footerRows(spark, p.toString)
+      .getOrElse(throw new IllegalStateException(
+        s"freshly written $rel has no readable parquet footer"))
+    val bounds = TableDoctor.footerIntBounds(spark, p.toString)
+      .filter { case (k, _) => intCols.contains(k) }
+    val boundsJson =
+      if (bounds.isEmpty) ""
+      else {
+        def side(pick: ((Long, Long)) => Long) =
+          bounds.toSeq.sortBy(_._1).map { case (k, b) =>
+            s"${om.writeValueAsString(k)}:${pick(b)}"
+          }.mkString("{", ",", "}")
+        s""","minValues":${side(_._1)},"maxValues":${side(_._2)}"""
+      }
+    val nulls = TableDoctor.footerNullCounts(spark, p.toString)
+    val nullsJson =
+      if (nulls.isEmpty) ""
+      else s""","nullCount":${nulls.toSeq.sortBy(_._1)
+        .map { case (k, n) => s"${om.writeValueAsString(k)}:$n" }
+        .mkString("{", ",", "}")}"""
+    val pvJson = pv.toSeq.sortBy(_._1)
+      .map { case (k, x) =>
+        s"${om.writeValueAsString(k)}:${om.writeValueAsString(x)}"
+      }.mkString("{", ",", "}")
+    s"""{"add":{"path":${om.writeValueAsString(rel)},""" +
+      s""""partitionValues":$pvJson,"size":${st.getLen},""" +
+      s""""modificationTime":${st.getModificationTime},""" +
+      s""""stats":${om.writeValueAsString(
+        s"""{"numRecords":$rows$boundsJson$nullsJson}""")},""" +
+      s""""dataChange":$dataChange}}"""
+  }
+
   private def stageDeltaData(df: DataFrame, deltaRoot: String,
       partCols0: Seq[String], uuid: String, tag: String)
       : Seq[(String, Map[String, String])] = {

@@ -523,7 +523,13 @@ object IcebergInterop {
       // long-lived tables evolve specs, and a delete manifest must
       // declare the referenced file's OWN spec to carry a truthful
       // partition tuple
-      specId: Int = 0)
+      specId: Int = 0,
+      // the manifest that listed this file, and the entry's ORIGINAL
+      // snapshot id — maintenance rewrites (purge/compact) only
+      // rewrite manifests that LOSE a file; untouched manifests carry
+      // forward by reference, and kept entries re-emit as EXISTING
+      // under their original identity
+      manifestPath: String = "", snapshotId: Long = -1L)
 
   /** One live delete file of a snapshot. `content` 1 = position
     * deletes (file_path, pos rows), 2 = equality deletes (rows of the
@@ -663,7 +669,8 @@ object IcebergInterop {
               lng(df0, "file_size_in_bytes", -1L), identityVals(),
               xformVals(),
               countsOf(df0, "value_counts"),
-              countsOf(df0, "null_value_counts"), mSpecId)
+              countsOf(df0, "null_value_counts"), mSpecId,
+              mPath, snapIdE)
             case (1, 1) if isPuffinDv =>
               // v3 deletion vector: position deletes as a Puffin blob
               if (meta.formatVersion < 3)

@@ -1,0 +1,167 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Foreign-table maintenance verbs on the Delta side: purgeDeltaDeletes
+  * (REORG ... APPLY (PURGE)) folds accumulated deletion vectors back
+  * into the data; compactDelta bin-packs small files. Both publish
+  * layout-only commits (dataChange=false) with content identical by
+  * construction. */
+class DeltaMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): String =
+    Files.createTempDirectory("dmaint").toString
+
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def enabledTable(): String = {
+    val root = fresh() + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    Files.createDirectories(Paths.get(s"$root/_delta_log"))
+    Files.writeString(Paths.get(
+      s"$root/_delta_log/00000000000000000000.json"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
+        "\n" +
+        s"""{"metaData":{"id":"mnt","schemaString":${om
+          .writeValueAsString(schema.json)},"partitionColumns":[],""" +
+        """"format":{"provider":"parquet"},"configuration":""" +
+        """{"delta.enableDeletionVectors":"true"}}}"""): Unit
+    root
+  }
+
+  private def logText(root: String, v: Long): String =
+    Files.readString(Paths.get(f"$root/_delta_log/$v%020d.json"))
+
+  test("purgeDeltaDeletes rewrites exactly the DV-bearing files " +
+      "without their deleted rows: content identical, vectors gone, " +
+      "dataChange=false both sides, doctor clean, and a second purge " +
+      "is a no-op") {
+    val root = enabledTable()
+    DeltaInterop.appendDelta(spark.range(0, 200)
+      .select(col("id").as("k"), (col("id") * 3).as("v")), root)
+    assert(DeltaInterop.deleteWhereDeltaDV(spark, root,
+      "k % 5 = 0") == 40L)
+    val before = DeltaInterop.readDelta(spark, root)
+      .as[(Long, Long)].collect().toSet
+    assert(before.size == 160)
+    val pv = DeltaInterop.purgeDeltaDeletes(spark, root)
+    assert(pv == 3L, s"purge committed version $pv")
+    val after = DeltaInterop.readDelta(spark, root)
+      .as[(Long, Long)].collect().toSet
+    assert(after == before)
+    // metadata count still exact; doctor clean; vectors gone from the
+    // live state (the purge commit's adds carry no deletionVector and
+    // both action sides are layout-only)
+    assert(DeltaInterop.deltaRowCount(spark, root).contains(160L))
+    assert(DeltaInterop.validateDelta(spark, root).count() == 0L)
+    val log = logText(root, 3L)
+    assert(log.contains("\"dataChange\":false"))
+    assert(!log.contains("deletionVector\":{"), log)
+    assert(!log.contains("\"dataChange\":true"))
+    // idempotent: nothing left to purge — same version comes back
+    assert(DeltaInterop.purgeDeltaDeletes(spark, root) == 3L)
+    // time travel still serves the pre-purge (DV) snapshot
+    assert(DeltaInterop.readDelta(spark, root, Some(2L))
+      .count() == 160L)
+  }
+
+  test("purge on a PARTITIONED table routes rewritten rows back to " +
+      "their partition dirs and leaves clean partitions untouched") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    val delta = s"$dir/delta"
+    LakeTable.append(spark.range(0, 40)
+      .select(col("id").as("k"),
+        concat(lit("s"), col("id") % 2).as("src")), lake)
+    DeltaInterop.exportToDeltaPartitioned(spark, lake, delta, "src")
+    Files.writeString(Paths.get(
+      s"$delta/_delta_log/00000000000000000001.json"),
+      s"""{"metaData":{"id":"pm","schemaString":${om.writeValueAsString(
+        DeltaInterop.readDelta(spark, delta).schema.json)},""" +
+        """"partitionColumns":["src"],"format":{"provider":"parquet"},""" +
+        """"configuration":{"delta.enableDeletionVectors":"true"}}}""")
+    // only s0 takes deletes — s1's file must survive the purge as-is
+    assert(DeltaInterop.deleteWhereDeltaDV(spark, delta,
+      "src = 's0' AND k < 20") == 10L)
+    val fsys = new org.apache.hadoop.fs.Path(delta)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val s1Before = fsys.globStatus(new org.apache.hadoop.fs.Path(
+      s"$delta/src=s1/*.parquet")).map(_.getPath.getName).toSet
+    val pv = DeltaInterop.purgeDeltaDeletes(spark, delta)
+    val after = DeltaInterop.readDelta(spark, delta)
+    assert(after.count() == 30L)
+    assert(after.filter(col("src") === "s0").select("k").as[Long]
+      .collect().toSet == (20L until 40L by 2).toSet)
+    assert(DeltaInterop.validateDelta(spark, delta).count() == 0L)
+    // the clean partition's file carried by reference (same name)
+    val s1After = fsys.globStatus(new org.apache.hadoop.fs.Path(
+      s"$delta/src=s1/*.parquet")).map(_.getPath.getName).toSet
+    assert(s1Before.subsetOf(s1After))
+    // the rewritten rows landed under their partition dir
+    assert(logText(delta, pv).contains("\"src\":\"s0\""))
+  }
+
+  test("compactDelta bin-packs small files per partition, applies " +
+      "any DV on a picked file, and is a no-op when nothing " +
+      "qualifies") {
+    val root = enabledTable()
+    // four small appends = four files
+    (0 until 4).foreach { i =>
+      DeltaInterop.appendDelta(spark.range(i * 50L, i * 50L + 50)
+        .coalesce(1)
+        .select(col("id").as("k"), (col("id") * 7).as("v")), root)
+    }
+    assert(DeltaInterop.deleteWhereDeltaDV(spark, root,
+      "k % 10 = 0") == 20L)
+    val before = DeltaInterop.readDelta(spark, root)
+      .as[(Long, Long)].collect().toSet
+    assert(before.size == 180)
+    val cv = DeltaInterop.compactDelta(spark, root)
+    assert(cv == 6L, s"compact committed version $cv")
+    // four removes, one add — the compact commit's own arithmetic
+    val log0 = logText(root, cv)
+    assert("\"remove\"".r.findAllIn(log0).size == 4, log0)
+    assert("\"add\"".r.findAllIn(log0).size == 1, log0)
+    val after = DeltaInterop.readDelta(spark, root)
+      .as[(Long, Long)].collect().toSet
+    assert(after == before)
+    assert(DeltaInterop.deltaRowCount(spark, root).contains(180L))
+    assert(DeltaInterop.validateDelta(spark, root).count() == 0L)
+    val log = logText(root, 6L)
+    assert(log.contains("\"dataChange\":false") &&
+      !log.contains("\"dataChange\":true"))
+    assert(!log.contains("deletionVector\":{"))
+    // nothing small left in pairs -> no-op (single file stays)
+    assert(DeltaInterop.compactDelta(spark, root) == 6L)
+  }
+
+  test("purge is refused on an appendOnly table (removes are a " +
+      "protocol violation)") {
+    val root = fresh() + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    Files.createDirectories(Paths.get(s"$root/_delta_log"))
+    Files.writeString(Paths.get(
+      s"$root/_delta_log/00000000000000000000.json"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
+        "\n" +
+        s"""{"metaData":{"id":"ao","schemaString":${om
+          .writeValueAsString(schema.json)},"partitionColumns":[],""" +
+        """"format":{"provider":"parquet"},"configuration":""" +
+        """{"delta.appendOnly":"true"}}}""")
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.purgeDeltaDeletes(spark, root)
+    }
+    assert(e.getMessage.contains("appendOnly"))
+  }
+}
