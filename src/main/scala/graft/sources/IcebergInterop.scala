@@ -2356,7 +2356,13 @@ object IcebergInterop {
                                  // paying a distinct shuffle + block-
                                  // manager write
                                  nonPuffinRaw: Option[DataFrame] =
-                                   None)
+                                   None,
+                                 // the gate's own file-scoped scan
+                                 // constructor: maintenance rewrites
+                                 // scan ONLY their target files —
+                                 // never O(table)
+                                 scanOf: Seq[DataFileMeta] => DataFrame
+                                   = _ => null)
 
   /** Shared gates + live-scan for DELETE/UPDATE/MERGE on a foreign
     * Iceberg table. Refusals: format v1/v4+, non-identity partition
@@ -2558,7 +2564,8 @@ object IcebergInterop {
       base0, priorPuffin, priorPuffinOrigin, nonPuffinPrior,
       deleteFiles.exists(_.content == 2),
       if (nonPuffinParts.isEmpty) None
-      else Some(nonPuffinParts.reduce(_ unionAll _)))
+      else Some(nonPuffinParts.reduce(_ unionAll _)),
+      scanFiles)
   }
 
   /** `inSub` = an evaluated `col IN (<subquery>)` membership: the
@@ -3152,123 +3159,14 @@ object IcebergInterop {
     }
     // the rewritten/inserted rows' data manifest: partition tuples +
     // footer-derived record_count/value_counts/bounds ride so
-    // metadata count(col) and range pruning keep serving
-    val dataEntryOpt: Option[GenericRecord] =
-      if (newDataFiles.isEmpty) None
-      else {
-        // evolution: the new files' stats key the WIDENED id map
-        val fieldIdOf = evolve.map(_._2).getOrElse(schema.fieldIds)
-        val statsSchema = evolve.map(_._1).getOrElse(schema.spark)
-        val intColTypes: Map[String, DataType] =
-          statsSchema.fields.collect {
-            case fd if fd.dataType == IntegerType ||
-                fd.dataType == LongType => fd.name -> fd.dataType
-          }.toMap
-        val mSchemaData =
-          if (specFields.isEmpty) manifestSchema
-          else manifestSchemaWithPartition(partFieldsJson)
-        var totalRows = 0L
-        val entries = newDataFiles.map { case (uri, pvals) =>
-          val stF = f.getFileStatus(new Path(new java.net.URI(uri)))
-          val nrows = TableDoctor.footerRows(spark, uri)
-            .getOrElse(throw new IllegalStateException(
-              s"freshly written $uri has no readable parquet footer"))
-          totalRows += nrows
-          val nulls = TableDoctor.footerNullCounts(spark, uri)
-          val bnds = TableDoctor.footerIntBounds(spark, uri)
-            .filter { case (k, _) => intColTypes.contains(k) }
-          val df0 = new GenericData.Record(
-            mSchemaData.getField("data_file").schema())
-          df0.put("content", 0)
-          df0.put("file_path", uri)
-          df0.put("file_format", "PARQUET")
-          putPart(df0, pvals)
-          df0.put("record_count", nrows)
-          df0.put("file_size_in_bytes", stF.getLen)
-          val counted = nulls.toSeq.sortBy(_._1).flatMap {
-            case (n, nc) =>
-              fieldIdOf.get(n).map(fid => (fid, nrows, nc))
-          }
-          if (counted.nonEmpty) {
-            def countArr(field: String,
-                pick: ((Int, Long, Long)) => Long): Unit = {
-              val arrSchema = df0.getSchema.getField(field).schema()
-                .getTypes.get(1)
-              val arr = new GenericData.Array[GenericRecord](
-                counted.size, arrSchema)
-              counted.foreach { c =>
-                val kv = new GenericData.Record(
-                  arrSchema.getElementType)
-                kv.put("key", c._1)
-                kv.put("value", pick(c))
-                arr.add(kv)
-              }
-              df0.put(field, arr)
-            }
-            countArr("value_counts", _._2)
-            countArr("null_value_counts", _._3)
-          }
-          val typedBounds = bnds.toSeq.sortBy(_._1).flatMap {
-            case (name, (lo, hi)) =>
-              val dt = intColTypes(name)
-              for {
-                l <- boundBytes(dt,
-                  if (dt == IntegerType) lo.toInt.toString
-                  else lo.toString)
-                h <- boundBytes(dt,
-                  if (dt == IntegerType) hi.toInt.toString
-                  else hi.toString)
-                fid <- fieldIdOf.get(name)
-              } yield (fid, l, h)
-          }
-          if (typedBounds.nonEmpty) {
-            def boundArr(field: String,
-                pick: ((Int, java.nio.ByteBuffer, java.nio.ByteBuffer))
-                  => java.nio.ByteBuffer): Unit = {
-              val arrSchema = df0.getSchema.getField(field).schema()
-                .getTypes.get(1)
-              val arr = new GenericData.Array[GenericRecord](
-                typedBounds.size, arrSchema)
-              typedBounds.foreach { b =>
-                val kv = new GenericData.Record(
-                  arrSchema.getElementType)
-                kv.put("key", b._1)
-                kv.put("value", pick(b))
-                arr.add(kv)
-              }
-              df0.put(field, arr)
-            }
-            boundArr("lower_bounds", _._2)
-            boundArr("upper_bounds", _._3)
-          }
-          val e = new GenericData.Record(mSchemaData)
-          e.put("status", 1)
-          e.put("snapshot_id", snapId)
-          e.put("sequence_number", seqNum)
-          e.put("file_sequence_number", seqNum)
-          e.put("data_file", df0)
-          e
-        }
-        val mf = s"$iceRoot/metadata/$uuid-m2.avro"
-        val len = writeAvro(spark, mf, mSchemaData, entries)
-        staged += new Path(mf)
-        val r = new GenericData.Record(manifestListSchema)
-        r.put("manifest_path", qualify(mf))
-        r.put("manifest_length", len)
-        r.put("partition_spec_id",
-          meta.raw.path("default-spec-id").asInt(0))
-        r.put("content", 0)
-        r.put("sequence_number", seqNum)
-        r.put("min_sequence_number", seqNum)
-        r.put("added_snapshot_id", snapId)
-        r.put("added_files_count", entries.size)
-        r.put("existing_files_count", 0)
-        r.put("deleted_files_count", 0)
-        r.put("added_rows_count", totalRows)
-        r.put("existing_rows_count", 0L)
-        r.put("deleted_rows_count", 0L)
-        Some(r)
-      }
+    // metadata count(col) and range pruning keep serving; under
+    // evolution the new files' stats key the WIDENED id map
+    val dataEntryOpt: Option[GenericRecord] = newDataManifest(
+      spark, iceRoot, uuid, specFields,
+      meta.raw.path("default-spec-id").asInt(0),
+      evolve.map(_._1).getOrElse(schema.spark),
+      evolve.map(_._2).getOrElse(schema.fieldIds),
+      newDataFiles, snapId, seqNum, staged)
     // new manifest list: DATA manifests carry forward by reference;
     // when new delete state publishes, every old DELETE manifest is
     // REPLACED by the merged one (the v3 one-DV-per-file rule across
@@ -3354,6 +3252,464 @@ object IcebergInterop {
     try hintOut.write(newVer.toString.getBytes("UTF-8"))
     finally hintOut.close()
     newlyDeleted
+  }
+
+  /** Write the NEW data files' manifest and return its manifest-list
+    * entry: partition tuples + footer-derived record_count /
+    * value_counts / null counts / int bounds ride so metadata
+    * count(col) and range pruning keep serving on the new files.
+    * `statsSchema`/`fieldIdOf` key the stats (the widened pair under
+    * MERGE schema evolution). None when there are no new files. */
+  private def newDataManifest(spark: SparkSession, iceRoot: String,
+      uuid: String, specFields: Seq[IceSpecField], defaultSpecId: Int,
+      statsSchema: StructType, fieldIdOf: Map[String, Int],
+      newDataFiles: Seq[(String, Seq[Option[Any]])],
+      snapId: Long, seqNum: Long,
+      staged: scala.collection.mutable.ArrayBuffer[Path])
+      : Option[GenericRecord] = {
+    if (newDataFiles.isEmpty) return None
+    val f = fs(spark, iceRoot)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val conf = spark.sessionState.newHadoopConf()
+    def qualify(p: String): String = {
+      val hp = new Path(resolve(iceRoot, p))
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+    val intColTypes: Map[String, DataType] =
+      statsSchema.fields.collect {
+        case fd if fd.dataType == IntegerType ||
+            fd.dataType == LongType => fd.name -> fd.dataType
+      }.toMap
+    val mSchemaData =
+      if (specFields.isEmpty) manifestSchema
+      else manifestSchemaWithPartition(
+        partFieldsJsonOf(specFields, om))
+    var totalRows = 0L
+    val entries = newDataFiles.map { case (uri, pvals) =>
+      val stF = f.getFileStatus(new Path(new java.net.URI(uri)))
+      val nrows = TableDoctor.footerRows(spark, uri)
+        .getOrElse(throw new IllegalStateException(
+          s"freshly written $uri has no readable parquet footer"))
+      totalRows += nrows
+      val nulls = TableDoctor.footerNullCounts(spark, uri)
+      val bnds = TableDoctor.footerIntBounds(spark, uri)
+        .filter { case (k, _) => intColTypes.contains(k) }
+      val df0 = new GenericData.Record(
+        mSchemaData.getField("data_file").schema())
+      df0.put("content", 0)
+      df0.put("file_path", uri)
+      df0.put("file_format", "PARQUET")
+      val pr = new GenericData.Record(
+        df0.getSchema.getField("partition").schema())
+      specFields.map(_.name).zip(pvals).foreach { case (nm, v) =>
+        pr.put(nm, v.orNull)
+      }
+      df0.put("partition", pr)
+      df0.put("record_count", nrows)
+      df0.put("file_size_in_bytes", stF.getLen)
+      val counted = nulls.toSeq.sortBy(_._1).flatMap {
+        case (n, nc) =>
+          fieldIdOf.get(n).map(fid => (fid, nrows, nc))
+      }
+      if (counted.nonEmpty) {
+        def countArr(field: String,
+            pick: ((Int, Long, Long)) => Long): Unit = {
+          val arrSchema = df0.getSchema.getField(field).schema()
+            .getTypes.get(1)
+          val arr = new GenericData.Array[GenericRecord](
+            counted.size, arrSchema)
+          counted.foreach { c =>
+            val kv = new GenericData.Record(
+              arrSchema.getElementType)
+            kv.put("key", c._1)
+            kv.put("value", pick(c))
+            arr.add(kv)
+          }
+          df0.put(field, arr)
+        }
+        countArr("value_counts", _._2)
+        countArr("null_value_counts", _._3)
+      }
+      val typedBounds = bnds.toSeq.sortBy(_._1).flatMap {
+        case (name, (lo, hi)) =>
+          val dt = intColTypes(name)
+          for {
+            l <- boundBytes(dt,
+              if (dt == IntegerType) lo.toInt.toString
+              else lo.toString)
+            h <- boundBytes(dt,
+              if (dt == IntegerType) hi.toInt.toString
+              else hi.toString)
+            fid <- fieldIdOf.get(name)
+          } yield (fid, l, h)
+      }
+      if (typedBounds.nonEmpty) {
+        def boundArr(field: String,
+            pick: ((Int, java.nio.ByteBuffer, java.nio.ByteBuffer))
+              => java.nio.ByteBuffer): Unit = {
+          val arrSchema = df0.getSchema.getField(field).schema()
+            .getTypes.get(1)
+          val arr = new GenericData.Array[GenericRecord](
+            typedBounds.size, arrSchema)
+          typedBounds.foreach { b =>
+            val kv = new GenericData.Record(
+              arrSchema.getElementType)
+            kv.put("key", b._1)
+            kv.put("value", pick(b))
+            arr.add(kv)
+          }
+          df0.put(field, arr)
+        }
+        boundArr("lower_bounds", _._2)
+        boundArr("upper_bounds", _._3)
+      }
+      val e = new GenericData.Record(mSchemaData)
+      e.put("status", 1)
+      e.put("snapshot_id", snapId)
+      e.put("sequence_number", seqNum)
+      e.put("file_sequence_number", seqNum)
+      e.put("data_file", df0)
+      e
+    }
+    val mf = s"$iceRoot/metadata/$uuid-m2.avro"
+    val len = writeAvro(spark, mf, mSchemaData, entries)
+    staged += new Path(mf)
+    val r = new GenericData.Record(manifestListSchema)
+    r.put("manifest_path", qualify(mf))
+    r.put("manifest_length", len)
+    r.put("partition_spec_id", defaultSpecId)
+    r.put("content", 0)
+    r.put("sequence_number", seqNum)
+    r.put("min_sequence_number", seqNum)
+    r.put("added_snapshot_id", snapId)
+    r.put("added_files_count", entries.size)
+    r.put("existing_files_count", 0)
+    r.put("deleted_files_count", 0)
+    r.put("added_rows_count", totalRows)
+    r.put("existing_rows_count", 0L)
+    r.put("deleted_rows_count", 0L)
+    Some(r)
+  }
+
+  /** Avro field-list JSON of a partition record over `sfs` — shared
+    * by the writers that declare a non-empty partition shape. */
+  private def partFieldsJsonOf(sfs: Seq[IceSpecField],
+      om: com.fasterxml.jackson.databind.ObjectMapper): String =
+    sfs.map { sf =>
+      val avroT = sf.outType match {
+        case IntegerType => "int"
+        case LongType => "long"
+        case _ => "string"
+      }
+      s"""{"name":${om.writeValueAsString(sf.name)},""" +
+        s""""type":["null","$avroT"],"default":null}"""
+    }.mkString(",")
+
+  /** `rewrite_data_files`-style maintenance for a FOREIGN Iceberg
+    * table: fold ALL live delete state (v3 Puffin DVs, v2 position
+    * parquets, folded equality deletes) back into the data. Exactly
+    * the delete-affected data files rewrite without their deleted
+    * rows; untouched data manifests carry forward BY REFERENCE, a
+    * manifest that loses a file rewrites with kept entries EXISTING
+    * under their original identity, and every delete manifest drops.
+    * Content is identical by construction (the purged rows were
+    * already logically deleted) — the snapshot's operation is
+    * `replace`. Returns the committed metadata version (the current
+    * one when there is nothing to purge). */
+  def purgeIcebergDeletes(spark: SparkSession, iceRoot: String): Long =
+    iceMaintenance(spark, iceRoot, "purge", None)
+
+  /** Bin-packing compaction for a FOREIGN Iceberg table: per
+    * (spec, partition tuple), live data files smaller than
+    * `smallFileBytes` (at least two — one small file alone gains
+    * nothing) rewrite into ~`targetFileBytes` outputs. Compaction
+    * SUBSUMES purge: delete-affected files always join the rewrite
+    * set and all delete state drops, so the committed snapshot is
+    * delete-free. Returns the committed metadata version. */
+  def compactIceberg(spark: SparkSession, iceRoot: String,
+                     smallFileBytes: Long = 32L << 20,
+                     targetFileBytes: Long = 128L << 20): Long =
+    iceMaintenance(spark, iceRoot, "compact",
+      Some((smallFileBytes, targetFileBytes)))
+
+  private def iceMaintenance(spark: SparkSession, iceRoot: String,
+      verb: String, small: Option[(Long, Long)]): Long = {
+    val st = iceDmlGates(spark, iceRoot, verb)
+    val meta = st.meta
+    val schema = st.schema
+    val specFields = st.specFields
+    val f = fs(spark, iceRoot)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val conf = spark.sessionState.newHadoopConf()
+    def qualify(p: String): String = {
+      val hp = new Path(resolve(iceRoot, p))
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+    val relOfQual: Map[String, String] =
+      st.dataFiles.map(d => qualify(d.path) -> d.path).toMap
+    // files any delete touches: Puffin refs are driver metadata; the
+    // row-form state's distinct uris collect at FILE scale only
+    val deleteAffected: Set[String] =
+      st.priorPuffin.keys.flatMap(relOfQual.get).toSet ++
+        st.nonPuffinPrior.toSeq.flatMap(pr =>
+          pr.select("__uri").distinct().collect()
+            .flatMap(r => relOfQual.get(r.getString(0))))
+    val smallRels: Set[String] = small match {
+      case None => Set.empty
+      case Some((smallBytes, _)) =>
+        st.dataFiles.map { d =>
+          val sz =
+            if (d.bytes >= 0) d.bytes
+            else f.getFileStatus(
+              new Path(resolve(iceRoot, d.path))).getLen
+          (d, sz)
+        }.filter(_._2 < smallBytes)
+          .groupBy { case (d, _) =>
+            (d.specId, d.partitionIdVals, d.partitionXforms) }
+          .filter(_._2.size >= 2)
+          .values.flatten.map(_._1.path).toSet
+    }
+    val targetSet: Set[String] = deleteAffected ++ smallRels
+    val prevEntries: Seq[GenericRecord] = meta.currentSnapshotId
+      .flatMap(id => meta.snapshots.find(_.id == id))
+      .map(s => readAvro(spark, resolve(iceRoot, s.manifestList)))
+      .getOrElse(Seq.empty)
+    val hasDeleteManifests = prevEntries.exists(r =>
+      Option(r.get("content"))
+        .exists(_.asInstanceOf[Number].intValue == 1))
+    if (targetSet.isEmpty && !hasDeleteManifests) return meta.version
+    val uuid = java.util.UUID.randomUUID().toString
+    val seqNum = meta.raw.path("last-sequence-number").asLong(0L) + 1
+    val snapId = meta.snapshots.map(_.id).maxOption.getOrElse(0L) + 1
+    val newVer = meta.version + 1
+    f.mkdirs(new Path(s"$iceRoot/metadata"))
+    val staged = scala.collection.mutable.ArrayBuffer.empty[Path]
+    // surviving rows of the target files — the scan reads ONLY the
+    // targets (never O(table)); prior deletes anti-join away; the
+    // rewrite routes by the DEFAULT spec (spec roll-forward, the
+    // format's own rewrite behavior)
+    val targetsMeta = st.dataFiles.filter(d => targetSet(d.path))
+    val newDataFiles: Seq[(String, Seq[Option[Any]])] =
+      if (targetsMeta.isEmpty) Seq.empty
+      else {
+        val scoped0 = st.scanOf(targetsMeta)
+        val scoped = st.priorDf.map(pr =>
+          scoped0.join(pr, Seq("__uri", "__pos"), "left_anti"))
+          .getOrElse(scoped0)
+          .drop("__uri", "__pos")
+          .select(schema.spark.fields.map(fd => col(fd.name))
+            .toIndexedSeq: _*)
+        val routed = small match {
+          case Some((_, targetBytes)) if specFields.isEmpty =>
+            val total = targetsMeta.map(d => math.max(0L, d.bytes)).sum
+            scoped.coalesce(math.max(1L,
+              (total + targetBytes - 1) / targetBytes).toInt)
+          case _ => scoped
+        }
+        val out = stageIceData(routed, iceRoot,
+          specFields.map(sf => (sf.name,
+            IcebergTransforms.routingColumn(sf.transform, sf.dt,
+              col(sf.srcName)).get, sf.outType)), uuid, verb)
+        out.foreach { case (uri, _) =>
+          staged += new Path(new java.net.URI(uri)) }
+        out
+      }
+    val dataEntryOpt = newDataManifest(spark, iceRoot, uuid,
+      specFields, meta.raw.path("default-spec-id").asInt(0),
+      schema.spark, schema.fieldIds, newDataFiles, snapId, seqNum,
+      staged)
+    // prior manifests: every DELETE manifest drops (its state just
+    // dissolved into the rewrite); a data manifest that LOSES a file
+    // rewrites — kept entries EXISTING under their ORIGINAL snapshot
+    // id / sequence numbers, lost entries DELETED under this snapshot
+    // — and untouched data manifests carry forward by reference
+    val byManifest: Map[String, Seq[DataFileMeta]] =
+      st.dataFiles.groupBy(_.manifestPath)
+    var mIdx = 0
+    val carried: Seq[GenericRecord] = prevEntries.flatMap { r =>
+      val isData = Option(r.get("content"))
+        .forall(_.asInstanceOf[Number].intValue == 0)
+      if (!isData) None
+      else {
+        val mPath = r.get("manifest_path").toString
+        val files = byManifest.getOrElse(mPath, Seq.empty)
+        val (lost, kept) = files.partition(d => targetSet(d.path))
+        if (lost.isEmpty) {
+          val out = new GenericData.Record(manifestListSchema)
+          manifestListSchema.getFields.iterator().asScala
+            .foreach { fld =>
+              val v = r.get(fld.name())
+              require(v != null,
+                s"$iceRoot: manifest-list entry lacks required " +
+                  s"field '${fld.name()}' — refusing to carry a " +
+                  "malformed manifest list forward")
+              out.put(fld.name(), v)
+            }
+          Some(out)
+        } else {
+          mIdx += 1
+          Some(rewriteDataManifest(spark, iceRoot, meta, schema,
+            verb, uuid, mIdx, kept, lost, snapId, seqNum, staged))
+        }
+      }
+    }
+    val listPath = s"$iceRoot/metadata/snap-$snapId-1-$uuid.avro"
+    writeAvro(spark, listPath, manifestListSchema,
+      carried ++ dataEntryOpt.toSeq)
+    staged += new Path(listPath)
+    val ts = System.currentTimeMillis()
+    val snapJson =
+      s"""{"snapshot-id":$snapId,"sequence-number":$seqNum,""" +
+        s""""timestamp-ms":$ts,"schema-id":${meta.currentSchemaId},""" +
+        s""""summary":{"operation":"replace"},""" +
+        s""""manifest-list":${om.writeValueAsString(
+          qualify(listPath))}}"""
+    val node = meta.raw.deepCopy[com.fasterxml.jackson.databind.node
+      .ObjectNode]()
+    node.put("last-sequence-number", seqNum)
+    node.put("last-updated-ms", ts)
+    node.put("current-snapshot-id", snapId)
+    val snapArr = om.createArrayNode()
+    meta.raw.path("snapshots").elements().asScala.foreach(snapArr.add)
+    snapArr.add(om.readTree(snapJson))
+    node.set[com.fasterxml.jackson.databind.JsonNode]("snapshots",
+      snapArr)
+    val dst = new Path(s"$iceRoot/metadata/v$newVer.metadata.json")
+    if (!AtomicPublish.createExclusive(f, dst,
+        om.writeValueAsString(node).getBytes("UTF-8"))) {
+      staged.foreach(p => f.delete(p, false))
+      throw new IllegalStateException(
+        s"grafticeberg $verb: lost a commit race at $iceRoot " +
+          s"v$newVer; re-run against the new state")
+    }
+    val hintOut = f.create(
+      new Path(s"$iceRoot/metadata/version-hint.text"),
+      /* overwrite = */ true)
+    try hintOut.write(newVer.toString.getBytes("UTF-8"))
+    finally hintOut.close()
+    newVer.toLong
+  }
+
+  /** Rewrite ONE data manifest that loses files: `kept` entries
+    * re-emit as EXISTING with their original snapshot id and sequence
+    * numbers (stats and partition tuples re-emitted from the parsed
+    * manifest — truthful by construction), `lost` entries as DELETED
+    * under the rewriting snapshot. Returns the manifest-list entry. */
+  private def rewriteDataManifest(spark: SparkSession, iceRoot: String,
+      meta: IceMeta, schema: IceSchema, verb: String, uuid: String,
+      idx: Int, kept: Seq[DataFileMeta], lost: Seq[DataFileMeta],
+      snapId: Long, seqNum: Long,
+      staged: scala.collection.mutable.ArrayBuffer[Path])
+      : GenericRecord = {
+    val f = fs(spark, iceRoot)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val conf = spark.sessionState.newHadoopConf()
+    def qualify(p: String): String = {
+      val hp = new Path(resolve(iceRoot, p))
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+    val sid = (kept ++ lost).head.specId
+    val sfs = resolveSpecFields(iceRoot, meta, schema, sid, verb)
+    val mSchema =
+      if (sfs.isEmpty) manifestSchema
+      else manifestSchemaWithPartition(partFieldsJsonOf(sfs, om))
+    def entryOf(d: DataFileMeta, status: Int): GenericRecord = {
+      val df0 = new GenericData.Record(
+        mSchema.getField("data_file").schema())
+      df0.put("content", 0)
+      df0.put("file_path", d.path)
+      df0.put("file_format", "PARQUET")
+      val pr = new GenericData.Record(
+        df0.getSchema.getField("partition").schema())
+      sfs.foreach { sf =>
+        val v =
+          if (sf.transform == "identity")
+            d.partitionIdVals.get(sf.srcId)
+          else d.partitionXforms.collectFirst {
+            case (srcId, tr, pv) if srcId == sf.srcId &&
+              tr == sf.transform => pv
+          }
+        require(v.isDefined,
+          s"grafticeberg $verb: $iceRoot data file ${d.path} " +
+            s"carries no partition value for '${sf.name}' under " +
+            "its own spec — refusing to rewrite its manifest with " +
+            "an untruthful tuple")
+        pr.put(sf.name, v.get.orNull)
+      }
+      df0.put("partition", pr)
+      require(d.records >= 0,
+        s"grafticeberg $verb: $iceRoot data file ${d.path} lacks " +
+          "record_count in its manifest — refusing to re-emit it")
+      df0.put("record_count", d.records)
+      df0.put("file_size_in_bytes",
+        if (d.bytes >= 0) d.bytes
+        else f.getFileStatus(
+          new Path(resolve(iceRoot, d.path))).getLen)
+      def longMapArr(field: String, m: Map[Int, Long]): Unit =
+        if (m.nonEmpty) {
+          val arrSchema = df0.getSchema.getField(field).schema()
+            .getTypes.get(1)
+          val arr = new GenericData.Array[GenericRecord](
+            m.size, arrSchema)
+          m.toSeq.sortBy(_._1).foreach { case (k, v2) =>
+            val kv = new GenericData.Record(arrSchema.getElementType)
+            kv.put("key", k)
+            kv.put("value", v2)
+            arr.add(kv)
+          }
+          df0.put(field, arr)
+        }
+      longMapArr("value_counts", d.valueCounts)
+      longMapArr("null_value_counts", d.nullCounts)
+      def byteMapArr(field: String,
+          m: Map[Int, java.nio.ByteBuffer]): Unit =
+        if (m.nonEmpty) {
+          val arrSchema = df0.getSchema.getField(field).schema()
+            .getTypes.get(1)
+          val arr = new GenericData.Array[GenericRecord](
+            m.size, arrSchema)
+          m.toSeq.sortBy(_._1).foreach { case (k, b) =>
+            val kv = new GenericData.Record(arrSchema.getElementType)
+            kv.put("key", k)
+            kv.put("value", b.duplicate().rewind())
+            arr.add(kv)
+          }
+          df0.put(field, arr)
+        }
+      byteMapArr("lower_bounds", d.lower)
+      byteMapArr("upper_bounds", d.upper)
+      val e = new GenericData.Record(mSchema)
+      e.put("status", status)
+      e.put("snapshot_id",
+        if (status == 0 && d.snapshotId >= 0) d.snapshotId
+        else snapId)
+      e.put("sequence_number", d.seq)
+      e.put("file_sequence_number", d.seq)
+      e.put("data_file", df0)
+      e
+    }
+    val entries = kept.sortBy(_.path).map(entryOf(_, 0)) ++
+      lost.sortBy(_.path).map(entryOf(_, 2))
+    val mf = s"$iceRoot/metadata/$uuid-m3-$idx.avro"
+    val len = writeAvro(spark, mf, mSchema, entries)
+    staged += new Path(mf)
+    val r = new GenericData.Record(manifestListSchema)
+    r.put("manifest_path", qualify(mf))
+    r.put("manifest_length", len)
+    r.put("partition_spec_id", sid)
+    r.put("content", 0)
+    r.put("sequence_number", seqNum)
+    r.put("min_sequence_number", (kept ++ lost).map(_.seq).min)
+    r.put("added_snapshot_id", snapId)
+    r.put("added_files_count", 0)
+    r.put("existing_files_count", kept.size)
+    r.put("deleted_files_count", lost.size)
+    r.put("added_rows_count", 0L)
+    r.put("existing_rows_count",
+      kept.map(x => math.max(0L, x.records)).sum)
+    r.put("deleted_rows_count",
+      lost.map(x => math.max(0L, x.records)).sum)
+    r
   }
 
   /** Stage `df`'s rows as parquet data files under `data/`, routed by

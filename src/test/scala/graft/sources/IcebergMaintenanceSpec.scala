@@ -1,0 +1,213 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.generic.GenericRecord
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Foreign-table maintenance on the Iceberg side: purgeIcebergDeletes
+  * (rewrite_data_files applying all delete state) and compactIceberg
+  * (bin-packing that subsumes purge). Checks content identity, the
+  * manifest bookkeeping (delete manifests drop; untouched data
+  * manifests carry by REFERENCE; kept entries re-emit EXISTING under
+  * their original snapshot identity), doctor cleanliness and
+  * metadata-answer exactness after the rewrite. */
+class IcebergMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): String =
+    Files.createTempDirectory("imaint").toString
+
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** (manifest_path, content) rows of the CURRENT snapshot's manifest
+    * list, read with plain Avro (the writer schema is embedded). */
+  private def manifestList(root: String): Seq[(String, Int)] = {
+    val metaDir = new java.io.File(s"$root/metadata")
+    val ver = Files.readString(
+      Paths.get(s"$root/metadata/version-hint.text")).trim.toInt
+    val meta = om.readTree(
+      new java.io.File(s"$root/metadata/v$ver.metadata.json"))
+    val snapId = meta.path("current-snapshot-id").asLong()
+    val listPath = meta.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong() == snapId).get
+      .path("manifest-list").asText()
+    val lf = new java.io.File(new java.net.URI(listPath).getPath)
+    assert(lf.exists(), s"manifest list $lf missing (dir=$metaDir)")
+    readAvroFile(lf).map(r =>
+      (r.get("manifest_path").toString,
+        r.get("content").asInstanceOf[Number].intValue))
+  }
+
+  private def readAvroFile(f: java.io.File): Seq[GenericRecord] = {
+    val rd = new org.apache.avro.file.DataFileReader(f,
+      new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+    try rd.iterator().asScala.toList finally rd.close()
+  }
+
+  private def toFile(pathOrUri: String): java.io.File = {
+    val s = pathOrUri
+    if (s.startsWith("file:")) new java.io.File(new java.net.URI(s).getPath)
+    else new java.io.File(s)
+  }
+
+  /** Live (status != 2) data-file entries of the current snapshot:
+    * (file_path, status, snapshot_id). */
+  private def liveDataEntries(root: String): Seq[(String, Int, Long)] =
+    manifestList(root).filter(_._2 == 0).flatMap { case (mp, _) =>
+      readAvroFile(toFile(mp)).flatMap { e =>
+        val status = e.get("status").asInstanceOf[Number].intValue
+        if (status == 2) None
+        else Some((e.get("data_file").asInstanceOf[GenericRecord]
+          .get("file_path").toString, status,
+          Option(e.get("snapshot_id"))
+            .map(_.asInstanceOf[Number].longValue).getOrElse(-1L)))
+      }
+    }
+
+  test("v3 purge: DV-affected files rewrite, content identical, all " +
+      "delete manifests drop, the untouched data manifest carries by " +
+      "REFERENCE, kept entries are EXISTING under their original " +
+      "snapshot, and a second purge is a no-op") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    val ice = s"$dir/ice"
+    LakeTable.append(spark.range(0, 20)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), lake)
+    IcebergInterop.exportToIceberg(spark, lake, ice, formatVersion = 3)
+    // second snapshot = second data manifest, untouched by the delete
+    IcebergInterop.appendIceberg(spark.range(100, 120)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), ice)
+    val preDel = IcebergInterop.icebergCurrentSnapshot(spark, ice)
+    // k<10 touches only the first two of the export's four files —
+    // the other two must re-emit EXISTING in the rewritten manifest
+    assert(IcebergInterop.deleteWhereIcebergDV(spark, ice,
+      "k < 10") == 10L)
+    val untouchedManifests = manifestList(ice).filter(_._2 == 0)
+      .map(_._1).toSet
+    assert(manifestList(ice).exists(_._2 == 1), "no delete manifest?")
+    val before = IcebergInterop.readIceberg(spark, ice)
+      .as[(Long, Long)].collect().toSet
+    assert(before.size == 30)
+    val pv = IcebergInterop.purgeIcebergDeletes(spark, ice)
+    val after = IcebergInterop.readIceberg(spark, ice)
+      .as[(Long, Long)].collect().toSet
+    assert(after == before)
+    assert(IcebergInterop.validateIceberg(spark, ice).count() == 0L)
+    assert(IcebergInterop.icebergRowCount(spark, ice).contains(30L))
+    // delete state fully dissolved
+    val ml = manifestList(ice)
+    assert(!ml.exists(_._2 == 1), s"delete manifest survived: $ml")
+    // the second append's manifest carried forward BY REFERENCE
+    assert(ml.map(_._1).toSet.intersect(untouchedManifests).nonEmpty,
+      s"no prior manifest carried by reference:\n$ml")
+    // kept files in the REWRITTEN manifest are EXISTING (status 0)
+    // and keep an original (non-purge) snapshot id
+    val entries = liveDataEntries(ice)
+    val existing = entries.filter(_._2 == 0)
+    assert(existing.nonEmpty, s"no EXISTING entries: $entries")
+    val purgeSnap = IcebergInterop.icebergCurrentSnapshot(spark, ice).get
+    assert(existing.forall(_._3 != purgeSnap), existing.toString)
+    // second purge: nothing to do — version unchanged
+    assert(IcebergInterop.purgeIcebergDeletes(spark, ice) == pv)
+    // time travel still serves the pre-purge (delete-bearing) snapshot
+    assert(IcebergInterop.readIceberg(spark, ice, preDel)
+      .count() == 40L)
+  }
+
+  test("v2 purge: position-delete parquet state folds into the data " +
+      "and drops; content identical; doctor clean") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    val ice = s"$dir/ice"
+    LakeTable.append(spark.range(0, 30)
+      .select(col("id").as("k"), (col("id") * 3).as("v")), lake)
+    IcebergInterop.exportToIceberg(spark, lake, ice, formatVersion = 2)
+    assert(IcebergInterop.deleteWhereIcebergDV(spark, ice,
+      "k % 3 = 0") == 10L)
+    assert(IcebergInterop.deleteWhereIcebergDV(spark, ice,
+      "k = 1") == 1L)
+    val before = IcebergInterop.readIceberg(spark, ice)
+      .as[(Long, Long)].collect().toSet
+    assert(before.size == 19)
+    IcebergInterop.purgeIcebergDeletes(spark, ice)
+    val after = IcebergInterop.readIceberg(spark, ice)
+      .as[(Long, Long)].collect().toSet
+    assert(after == before)
+    assert(!manifestList(ice).exists(_._2 == 1))
+    assert(IcebergInterop.validateIceberg(spark, ice).count() == 0L)
+    assert(IcebergInterop.icebergRowCount(spark, ice).contains(19L))
+  }
+
+  test("compactIceberg bin-packs small files AND subsumes purge: " +
+      "delete-affected files join the rewrite, the snapshot is " +
+      "delete-free, content identical; a second compact is a no-op") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    val ice = s"$dir/ice"
+    LakeTable.append(spark.range(0, 25)
+      .select(col("id").as("k"), (col("id") + 1).as("v")), lake)
+    IcebergInterop.exportToIceberg(spark, lake, ice, formatVersion = 3)
+    (1 until 4).foreach { i =>
+      IcebergInterop.appendIceberg(
+        spark.range(i * 25L, i * 25L + 25).coalesce(1)
+          .select(col("id").as("k"), (col("id") + 1).as("v")), ice)
+    }
+    assert(IcebergInterop.deleteWhereIcebergDV(spark, ice,
+      "k % 10 = 0") == 10L)
+    val nFilesBefore = liveDataEntries(ice).size
+    assert(nFilesBefore >= 4, s"$nFilesBefore files")
+    val before = IcebergInterop.readIceberg(spark, ice)
+      .as[(Long, Long)].collect().toSet
+    assert(before.size == 90)
+    val cv = IcebergInterop.compactIceberg(spark, ice)
+    val after = IcebergInterop.readIceberg(spark, ice)
+      .as[(Long, Long)].collect().toSet
+    assert(after == before)
+    assert(!manifestList(ice).exists(_._2 == 1))
+    val nFilesAfter = liveDataEntries(ice).size
+    assert(nFilesAfter < nFilesBefore,
+      s"$nFilesBefore -> $nFilesAfter")
+    assert(IcebergInterop.validateIceberg(spark, ice).count() == 0L)
+    assert(IcebergInterop.icebergRowCount(spark, ice).contains(90L))
+    assert(IcebergInterop.compactIceberg(spark, ice) == cv)
+  }
+
+  test("purge on an identity-PARTITIONED table rewrites only the " +
+      "affected partition's files and routes survivors back to their " +
+      "partitions; partition metadata answers stay exact") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    val ice = s"$dir/ice"
+    LakeTable.append(spark.range(0, 40)
+      .select(col("id").as("k"),
+        concat(lit("s"), col("id") % 2).as("src")), lake)
+    IcebergInterop.exportToIcebergPartitioned(spark, lake, ice, "src")
+    assert(IcebergInterop.deleteWhereIcebergDV(spark, ice,
+      "src = 's0' AND k < 20") == 10L)
+    val untouched = liveDataEntries(ice).map(_._1)
+      .filter(_.contains("s1")).toSet
+    val before = IcebergInterop.readIceberg(spark, ice)
+      .as[(Long, String)].collect().toSet
+    assert(before.size == 30)
+    IcebergInterop.purgeIcebergDeletes(spark, ice)
+    val after = IcebergInterop.readIceberg(spark, ice)
+      .as[(Long, String)].collect().toSet
+    assert(after == before)
+    // the clean partition's files carried through unchanged
+    val liveAfter = liveDataEntries(ice).map(_._1).toSet
+    assert(untouched.subsetOf(liveAfter),
+      s"lost untouched files: ${untouched -- liveAfter}")
+    assert(IcebergInterop.validateIceberg(spark, ice).count() == 0L)
+    // per-partition metadata counts stay exact after the rewrite
+    val gc = IcebergInterop.icebergGroupCounts(spark, ice, "src")
+    assert(gc.exists(_.toSeq.toSet ==
+      Set("s0" -> 10L, "s1" -> 20L) || gc.isEmpty), gc.toString)
+    assert(IcebergInterop.readIceberg(spark, ice)
+      .filter(col("src") === "s0").count() == 10L)
+  }
+}
