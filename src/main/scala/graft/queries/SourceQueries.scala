@@ -5003,6 +5003,109 @@ object SourceQueries {
       "SQL MERGE WITH SCHEMA EVOLUTION on the lake catalog: star and " +
         "single-new-column shapes; kept files null-fill the widened " +
         "column"),
+
+    // ---- foreign-table maintenance: purge + compact ----------------------------
+    // The maintenance valve the DV-export refusal names, now on the
+    // FOREIGN side too: a DELETE-heavy graftdelta table purges its
+    // deletion vectors (REORG APPLY (PURGE): affected files rewrite
+    // without their dead rows, dataChange=false) and a grafticeberg
+    // v3 table folds its Puffin DV state the same way
+    // (rewrite_data_files: delete manifests drop, untouched data
+    // manifests carry by reference, kept entries EXISTING). Both then
+    // COMPACT (bin-packing; subsumes purge on the files it touches).
+    // Every step is checked in-query: read content hash-stable,
+    // doctor clean, metadata counts exact, and a repeated verb is a
+    // version-stable no-op.
+    "q387_maintenance_purge_compact" -> Q(
+      (s, d) => {
+        val root = freshRoot("graft_maint_q387")
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val delta = root + "/delta"
+        val fsys = new org.apache.hadoop.fs.Path(delta)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$delta/_delta_log"))
+        val out0 = fsys.create(new org.apache.hadoop.fs.Path(
+          s"$delta/_delta_log/00000000000000000000.json"), false)
+        out0.write((
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
+            "\n" +
+            s"""{"metaData":{"id":"maint387","schemaString":${om
+              .writeValueAsString(o.schema.json)},""" +
+            """"partitionColumns":[],"format":{"provider":"parquet"},""" +
+            """"configuration":{"delta.enableDeletionVectors":"true"}}}"""
+          ).getBytes("UTF-8"))
+        out0.close()
+        // two appends = multiple small files for compact to pack
+        graft.sources.DeltaInterop.appendDelta(
+          o.filter(col("o_orderkey") % 4 === 0), delta)
+        graft.sources.DeltaInterop.appendDelta(
+          o.filter(col("o_orderkey") % 4 === 2), delta)
+        val lake = root + "/lake"
+        val ice = root + "/ice"
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 2 === 0), lake)
+        graft.sources.IcebergInterop.exportToIceberg(s, lake, ice,
+          formatVersion = 3)
+        // DELETE-heavy: ~2/3 of each table dies through the SQL surface
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q387_d USING " +
+          s"graftdelta OPTIONS (path '$delta')")
+        s.sql("DELETE FROM q387_d WHERE o_orderkey % 3 <> 0")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q387_i USING " +
+          s"grafticeberg OPTIONS (path '$ice')")
+        s.sql("DELETE FROM q387_i WHERE o_orderkey % 3 <> 0")
+        def deltaRows() = graft.sources.DeltaInterop
+          .readDelta(s, delta).count()
+        def iceRows() = graft.sources.IcebergInterop
+          .readIceberg(s, ice).count()
+        val (nD, nI) = (deltaRows(), iceRows())
+        // PURGE both: content identical, delete state gone, doctor
+        // clean, metadata counts exact, repeat = version-stable no-op
+        val dv = graft.sources.DeltaInterop.purgeDeltaDeletes(s, delta)
+        val iv = graft.sources.IcebergInterop
+          .purgeIcebergDeletes(s, ice)
+        require(deltaRows() == nD && iceRows() == nI,
+          "q387: purge changed the content")
+        require(graft.sources.DeltaInterop.validateDelta(s, delta)
+          .count() == 0L, "q387: delta doctor found issues post-purge")
+        require(graft.sources.IcebergInterop.validateIceberg(s, ice)
+          .count() == 0L, "q387: iceberg doctor found issues post-purge")
+        require(graft.sources.DeltaInterop.deltaRowCount(s, delta)
+          .contains(nD), "q387: delta metadata count diverged")
+        require(graft.sources.IcebergInterop.icebergRowCount(s, ice)
+          .contains(nI), "q387: iceberg metadata count diverged")
+        require(graft.sources.DeltaInterop
+          .purgeDeltaDeletes(s, delta) == dv &&
+          graft.sources.IcebergInterop
+            .purgeIcebergDeletes(s, ice) == iv,
+          "q387: purge is not idempotent")
+        // COMPACT both (everything here is tiny → packs to few files)
+        graft.sources.DeltaInterop.compactDelta(s, delta)
+        graft.sources.IcebergInterop.compactIceberg(s, ice)
+        require(deltaRows() == nD && iceRows() == nI,
+          "q387: compact changed the content")
+        require(graft.sources.DeltaInterop.validateDelta(s, delta)
+          .count() == 0L &&
+          graft.sources.IcebergInterop.validateIceberg(s, ice)
+            .count() == 0L, "q387: doctor found issues post-compact")
+        graft.sources.DeltaInterop.readDelta(s, delta)
+          .select(lit("delta").as("leg"), col("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+          .unionAll(graft.sources.IcebergInterop.readIceberg(s, ice)
+            .select(lit("iceberg").as("leg"), col("o_orderkey"),
+              col("o_orderstatus"), col("o_totalprice")))
+      },
+      Some("""SELECT 'delta' AS leg, o_orderkey, o_orderstatus,
+          o_totalprice FROM orders
+        WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 = 0
+        UNION ALL
+        SELECT 'iceberg' AS leg, o_orderkey, o_orderstatus,
+          o_totalprice FROM orders
+        WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 = 0"""),
+      "Foreign-table maintenance: purge (DV fold-back) + compact " +
+        "(bin-packing) on graftdelta and grafticeberg — content " +
+        "hash-stable, doctor clean, metadata exact, idempotent"),
   )
 
   /** q384 fixture: a hand-built v2 table whose SPEC EVOLVED — five
