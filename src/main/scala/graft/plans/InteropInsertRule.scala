@@ -323,10 +323,11 @@ case class InteropUpdateRule(spark: SparkSession)
             refOf(target).isDefined &&
             cond.forall(c => renderable(c) ||
               DmlInSubquery.split(c, renderable).isDefined) &&
-            assignments.forall {
-              case Assignment(_: AttributeReference, v) => renderable(v)
-              case _ => false // nested-field targets stay unsupported
-            } =>
+            assignments.forall(a => renderable(a.value)) &&
+            // nested struct-field targets fold to named_struct
+            // rebuilds of their top-level column
+            NestedAssignments.fold(assignments, bareSql,
+              c => s"`$c`").isDefined =>
         val (fmt, root, pinned) = refOf(target).get
         require(!pinned,
           s"graft$fmt: cannot UPDATE through a time-travel view of " +
@@ -339,9 +340,8 @@ case class InteropUpdateRule(spark: SparkSession)
               rest.map(bareSql).getOrElse("true")
             case None => cond.map(bareSql).getOrElse("true")
           },
-          assignments.map { case Assignment(k, v) =>
-            (k.asInstanceOf[AttributeReference].name, bareSql(v))
-          },
+          NestedAssignments.fold(assignments, bareSql,
+            c => s"`$c`").get,
           subCol = split.map(_._2), subPlan = split.map(_._3),
           subNegated = split.exists(_._4))
     }

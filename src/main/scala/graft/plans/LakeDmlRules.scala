@@ -111,10 +111,11 @@ case class LakeDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
             lakeTable(target).exists(_.pinnedVersion.isEmpty) &&
             cond.forall(c => renderable(c) ||
               DmlInSubquery.split(c, renderable).isDefined) &&
-            assignments.forall {
-              case Assignment(_: AttributeReference, v) => renderable(v)
-              case _ => false // nested-field targets stay unsupported
-            } =>
+            assignments.forall(a => renderable(a.value)) &&
+            // nested struct-field targets fold to named_struct
+            // rebuilds of their top-level column
+            NestedAssignments.fold(assignments, bareSql,
+              c => s"`$c`").isDefined =>
         val split = cond.filterNot(renderable)
           .flatMap(DmlInSubquery.split(_, renderable))
         GraftLakeUpdateCommand(lakeTable(target).get.tableRoot,
@@ -123,9 +124,8 @@ case class LakeDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
               rest.map(bareSql).getOrElse("true")
             case None => cond.map(bareSql).getOrElse("true")
           },
-          assignments.map { case Assignment(k: AttributeReference, v) =>
-            k.name -> bareSql(v)
-          }.toMap,
+          NestedAssignments.fold(assignments, bareSql,
+            c => s"`$c`").get.toMap,
           subCol = split.map(_._2), subPlan = split.map(_._3),
           subNegated = split.exists(_._4))
 
@@ -382,16 +382,22 @@ private[plans] object MergeTranslation {
       val matchedBranches: Option[Seq[Branch]] =
         traverse(m.matchedActions) {
           case u: UpdateAction if u.condition.forall(joinedOk) &&
-              u.assignments.forall {
-                case Assignment(k: AttributeReference, v) =>
-                  joinedOk(v) &&
-                    (!keyNames.contains(k.name) || keyStable(k.name, v))
-                case _ => false
-              } =>
-            val assign = u.assignments.map {
-              case Assignment(k: AttributeReference, v) =>
-                k.name -> joinedSql(v)
-            }.toMap
+              u.assignments.forall(a => joinedOk(a.value)) &&
+              // a KEY column takes only a key-stable whole-column
+              // assignment; nested struct-field targets (never keys)
+              // fold to named_struct rebuilds over the `__t_` values
+              u.assignments.forall(a =>
+                NestedAssignments.pathOf(a.key).exists {
+                  case (attr, p) =>
+                    if (p.isEmpty)
+                      !keyNames.contains(attr.name) ||
+                        keyStable(attr.name, a.value)
+                    else !keyNames.contains(attr.name)
+                }) &&
+              NestedAssignments.fold(u.assignments, joinedSql,
+                c => s"`__t_$c`").isDefined =>
+            val assign = NestedAssignments.fold(u.assignments,
+              joinedSql, c => s"`__t_$c`").get.toMap
             Some((("__matched" +: u.condition.map(c =>
               s"(${joinedSql(c)})").toSeq).mkString(" AND "),
               "'M'", (c: String) => Some(assign.getOrElse(c,

@@ -1,0 +1,111 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, GetStructField}
+import org.apache.spark.sql.catalyst.plans.logical.Assignment
+import org.apache.spark.sql.types.StructType
+
+/** Folds DML assignments whose KEYS are struct-field paths
+  * (`UPDATE t SET s.f = v`, MERGE matched `SET s.f = v`) into the
+  * top-level (column -> value SQL) pairs the engines already apply:
+  * each nested write renders as a `named_struct` REBUILD of its
+  * enclosing struct — unassigned fields read their current value, and
+  * a NULL struct stays NULL (Spark's own UpdateFields/WithField
+  * semantics) — so the one-select simultaneous-assignment rule and
+  * the engines' final cast-to-table-type hold unchanged. Arbitrary
+  * nesting depth. Refuses (None): a key that is neither an attribute
+  * nor a struct-field path, conflicting writes (one leaf assigned
+  * twice, a leaf under a whole-struct assignment), and paths crossing
+  * a non-struct.
+  *
+  * Reference semantics: the R warehouse mutates nested list-columns in
+  * place (`x$a$b <- v`); SQL engines express the same with
+  * struct-field UPDATE SET (mfdb-hafro-etl has no struct columns, so
+  * the shape is pure extension surface). */
+private[plans] object NestedAssignments {
+
+  /** (root attribute, field path) of an assignment key; the path is
+    * empty for a whole-column assignment. */
+  def pathOf(k: Expression): Option[(AttributeReference, Seq[String])] =
+    k match {
+      case a: AttributeReference => Some((a, Seq.empty))
+      case g: GetStructField =>
+        pathOf(g.child).map { case (a, p) =>
+          (a, p :+ g.extractFieldName)
+        }
+      case _ => None
+    }
+
+  /** Fold `assignments` to top-level pairs. `valueSql` renders an
+    * assignment VALUE; `curSql` renders the CURRENT value of a
+    * top-level target column (the candidate frame's own column for
+    * UPDATE; the `__t_` alias for the joined MERGE batch). Pair order
+    * follows the first assignment touching each column. */
+  def fold(assignments: Seq[Assignment],
+           valueSql: Expression => String,
+           curSql: String => String)
+      : Option[Seq[(String, String)]] = {
+    val pathed = assignments.map(a =>
+      pathOf(a.key).map { case (attr, p) => (attr, p, a.value) })
+    if (pathed.exists(_.isEmpty)) return None
+    val flat = pathed.map(_.get)
+    val byCol = flat.groupBy(_._1.name)
+    val out = flat.map(_._1.name).distinct.map { c =>
+      val writes = byCol(c)
+      val attr = writes.head._1
+      if (writes.exists(_._2.isEmpty)) {
+        // whole-column assignment: must be the ONLY write to c
+        if (writes.size > 1) return None
+        c -> valueSql(writes.head._3)
+      } else attr.dataType match {
+        case st: StructType =>
+          rebuild(curSql(c), st,
+            writes.map(w => (w._2, valueSql(w._3)))) match {
+            case Some(sql) => c -> sql
+            case None => return None
+          }
+        case _ => return None
+      }
+    }
+    Some(out)
+  }
+
+  /** One level of the named_struct rebuild; None on conflicting or
+    * non-struct paths. `baseSql` must be a (cheap) column reference —
+    * it re-renders per field. */
+  private def rebuild(baseSql: String, dt: StructType,
+                      writes: Seq[(Seq[String], String)])
+      : Option[String] = {
+    val direct = writes.collect { case (Seq(f), v) => f -> v }
+    if (direct.map(_._1).distinct.size != direct.size) return None
+    val directM = direct.toMap
+    val nested: Map[String, Seq[(Seq[String], String)]] = writes
+      .collect { case (f +: rest, v) if rest.nonEmpty =>
+        (f, (rest, v)) }
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2) }
+    if (nested.keySet.intersect(directM.keySet).nonEmpty) return None
+    if (!writes.forall(w => dt.fieldNames.contains(w._1.head)))
+      return None
+    val parts = dt.fields.map { fd =>
+      val cur = s"$baseSql.`${fd.name}`"
+      val fSql: String = directM.get(fd.name) match {
+        case Some(v) => v
+        case None => nested.get(fd.name) match {
+          case Some(ws) => fd.dataType match {
+            case st: StructType => rebuild(cur, st, ws) match {
+              case Some(s0) => s0
+              case None => return None
+            }
+            case _ => return None
+          }
+          case None => cur
+        }
+      }
+      s"${quoteLit(fd.name)}, $fSql"
+    }
+    Some(s"IF($baseSql IS NULL, CAST(NULL AS ${dt.sql}), " +
+      s"named_struct(${parts.mkString(", ")}))")
+  }
+
+  private def quoteLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+}

@@ -5106,6 +5106,104 @@ object SourceQueries {
       "Foreign-table maintenance: purge (DV fold-back) + compact " +
         "(bin-packing) on graftdelta and grafticeberg — content " +
         "hash-stable, doctor clean, metadata exact, idempotent"),
+
+    // ---- nested struct-field DML assignments -----------------------------------
+    // `UPDATE t SET s.f = v` and MERGE matched `SET s.f = v` fold to
+    // named_struct rebuilds of the top-level column (unassigned
+    // fields keep their current value; a NULL struct stays NULL —
+    // Spark's own UpdateFields semantics), so the engines' top-level
+    // assignment machinery, one-select simultaneous-assignment rule
+    // and cast-to-table-type hold unchanged. Exercised on all three
+    // write surfaces: the lake catalog, graftdelta and grafticeberg
+    // v3 (whose schema export now renders nested types with
+    // deterministic nested field ids).
+    "q388_nested_field_dml" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graftlake",
+          classOf[graft.sources.GraftLakeCatalog].getName)
+        val root = freshRoot("graft_nested_q388")
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"),
+            struct(col("o_orderstatus").as("st"),
+              col("o_totalprice").as("tp")).as("meta"))
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        // lake leg
+        val lakeT = root + "/lake"
+        graft.sources.LakeTable.append(o, lakeT)
+        s.sql(s"UPDATE graftlake.`$lakeT` " +
+          "SET meta.tp = meta.tp + 50 WHERE o_orderkey % 5 = 0")
+        // delta leg: nested UPDATE + MERGE matched nested SET
+        val delta = root + "/delta"
+        val fsys = new org.apache.hadoop.fs.Path(delta)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$delta/_delta_log"))
+        val out0 = fsys.create(new org.apache.hadoop.fs.Path(
+          s"$delta/_delta_log/00000000000000000000.json"), false)
+        out0.write((
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
+            "\n" +
+            s"""{"metaData":{"id":"nested388","schemaString":${om
+              .writeValueAsString(o.schema.json)},""" +
+            """"partitionColumns":[],"format":{"provider":"parquet"},""" +
+            """"configuration":{"delta.enableDeletionVectors":"true"}}}"""
+          ).getBytes("UTF-8"))
+        out0.close()
+        graft.sources.DeltaInterop.appendDelta(o, delta)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q388_d USING " +
+          s"graftdelta OPTIONS (path '$delta')")
+        s.sql("UPDATE q388_d SET meta.st = concat(meta.st, '!') " +
+          "WHERE o_orderkey % 3 = 0")
+        Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey").as("mk"),
+            (col("o_totalprice") + 7).as("np"))
+          .createOrReplaceTempView("q388_src")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q388_d USING " +
+          s"graftdelta OPTIONS (path '$delta')")
+        s.sql("""MERGE INTO q388_d t USING q388_src m
+          ON t.o_orderkey = m.mk
+          WHEN MATCHED THEN UPDATE SET meta.tp = m.np""")
+        // iceberg leg (v3) — struct column rides the nested-id export
+        val lakeSrc = root + "/lakesrc"
+        val ice = root + "/ice"
+        graft.sources.LakeTable.append(o, lakeSrc)
+        graft.sources.IcebergInterop.exportToIceberg(s, lakeSrc, ice,
+          formatVersion = 3)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q388_i USING " +
+          s"grafticeberg OPTIONS (path '$ice')")
+        s.sql("UPDATE q388_i SET meta.tp = CAST(-1 AS DOUBLE) " +
+          "WHERE o_orderkey % 11 = 0")
+        require(graft.sources.IcebergInterop.validateIceberg(s, ice)
+          .count() == 0L, "q388: iceberg doctor found issues")
+        graft.sources.LakeTable.read(s, lakeT)
+          .select(lit("lake").as("leg"), col("o_orderkey"),
+            col("meta.st").as("st"), col("meta.tp").as("tp"))
+          .unionAll(graft.sources.DeltaInterop.readDelta(s, delta)
+            .select(lit("delta").as("leg"), col("o_orderkey"),
+              col("meta.st").as("st"), col("meta.tp").as("tp")))
+          .unionAll(graft.sources.IcebergInterop.readIceberg(s, ice)
+            .select(lit("iceberg").as("leg"), col("o_orderkey"),
+              col("meta.st").as("st"), col("meta.tp").as("tp")))
+      },
+      Some("""SELECT 'lake' AS leg, o_orderkey, o_orderstatus AS st,
+          CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 50
+               ELSE o_totalprice END AS tp
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT 'delta' AS leg, o_orderkey,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus || '!'
+               ELSE o_orderstatus END AS st,
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 7
+               ELSE o_totalprice END AS tp
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT 'iceberg' AS leg, o_orderkey, o_orderstatus AS st,
+          CASE WHEN o_orderkey % 11 = 0 THEN CAST(-1 AS DOUBLE)
+               ELSE o_totalprice END AS tp
+        FROM orders WHERE o_orderkey % 2 = 0"""),
+      "Nested struct-field DML (UPDATE SET s.f, MERGE matched SET " +
+        "s.f) as named_struct rebuilds on lake, graftdelta and " +
+        "grafticeberg v3 with nested-id schema export"),
   )
 
   /** q384 fixture: a hand-built v2 table whose SPEC EVOLVED — five

@@ -35,6 +35,13 @@ object DeltaInterop {
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Nullability-relaxed rendering of a declared type: parquet file
+    * reads are nullable and DML-computed values type as nullable, so
+    * every cast BETWEEN the file/batch side and the declared schema
+    * relaxes — the declared schema itself is never rewritten. */
+  private def relaxed(dt: DataType): DataType =
+    org.apache.spark.sql.graftbridge.ColumnBridge.relaxNullability(dt)
+
   /** One replayable checkpoint of the log, in any of the three shapes
     * the open protocol defines. */
   private sealed trait Ckpt { def version: Long }
@@ -1409,7 +1416,8 @@ object DeltaInterop {
       else Some(sets.foldLeft(matched.drop("__uri", "__pos")) {
         case (d, (c, sql)) => d.withColumn(c, expr(sql))
       }.select(snap.schema.fields.map(fd =>
-        col(fd.name).cast(fd.dataType).as(fd.name)).toIndexedSeq: _*))
+        col(fd.name).cast(relaxed(fd.dataType)).as(fd.name))
+        .toIndexedSeq: _*))
     dvPublish(spark, deltaRoot, snap, v, verb,
       matched.select("__uri", "__pos"), newRows)
   }
@@ -1501,7 +1509,7 @@ object DeltaInterop {
       .select("__uri", "__pos")
     val updatedRows = joined.filter(col("__b___op").isin("U", "M"))
       .select(outSchema.fields.map(fd =>
-        col(s"__b_${fd.name}").cast(fd.dataType).as(fd.name))
+        col(s"__b_${fd.name}").cast(relaxed(fd.dataType)).as(fd.name))
         .toIndexedSeq: _*)
     val insertedRows = bAliased
       .join(base.select(keys.map(col): _*).distinct(),
@@ -1509,7 +1517,7 @@ object DeltaInterop {
         "left_anti")
       .filter(col("__b___op").isin("U", "I"))
       .select(outSchema.fields.map(fd =>
-        col(s"__b_${fd.name}").cast(fd.dataType).as(fd.name))
+        col(s"__b_${fd.name}").cast(relaxed(fd.dataType)).as(fd.name))
         .toIndexedSeq: _*)
     // WHEN NOT MATCHED BY SOURCE: target rows matching NO batch key,
     // under the target-only condition — materialized once (positions +
@@ -1533,7 +1541,7 @@ object DeltaInterop {
         }
         applied.select(outSchema.fields.map(fd =>
           (if (applied.columns.contains(fd.name)) col(fd.name)
-           else lit(null)).cast(fd.dataType).as(fd.name))
+           else lit(null)).cast(relaxed(fd.dataType)).as(fd.name))
           .toIndexedSeq: _*)
       }
     }
@@ -1661,7 +1669,7 @@ object DeltaInterop {
         .withColumn("__uri", col("_metadata.file_path"))
         .withColumn("__pos", col("_metadata.row_index"))
         .select(dataPairs.map { case (lf, pf) =>
-          col(s"`${pf.name}`").cast(lf.dataType).as(lf.name)
+          col(s"`${pf.name}`").cast(relaxed(lf.dataType)).as(lf.name)
         } ++ Seq(col("__uri"), col("__pos")): _*)
     val base0 =
       if (snap.partCols.isEmpty) scan(snap.live.keys.toSeq)
@@ -3101,7 +3109,7 @@ object DeltaInterop {
         else raw.withColumn("__dv_uri", col("_metadata.file_path"))
           .withColumn("__dv_pos", col("_metadata.row_index"))
       withDv.select(dataPairs.map { case (lf, pf) =>
-        col(pf.name).cast(lf.dataType).as(lf.name) } ++
+        col(pf.name).cast(relaxed(lf.dataType)).as(lf.name) } ++
         dvCols.map(col): _*)
     }
     val cols = snap.schema.fieldNames.toIndexedSeq ++ dvCols

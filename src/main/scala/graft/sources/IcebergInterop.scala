@@ -58,6 +58,13 @@ object IcebergInterop {
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Nullability-relaxed rendering of a declared type: parquet file
+    * reads are nullable and DML-computed values type as nullable, so
+    * every cast BETWEEN the file/batch side and the declared schema
+    * relaxes — the declared schema itself is never rewritten. */
+  private def relaxed(dt: DataType): DataType =
+    org.apache.spark.sql.graftbridge.ColumnBridge.relaxNullability(dt)
+
   // ---- Iceberg schema JSON <-> Spark StructType -----------------------
 
   private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
@@ -125,22 +132,59 @@ object IcebergInterop {
         "columns only)")
   }
 
+  /** True when the type carries NESTED fields that need their own
+    * Iceberg field ids (struct/list/map anywhere). */
+  private def hasNestedIds(dt: DataType): Boolean = dt match {
+    case _: StructType | _: ArrayType | _: MapType => true
+    case _ => false
+  }
+
   /** The lake schema as Iceberg schema JSON. `ids` is the STABLE
-    * name→field-id assignment (Iceberg resolves columns, bounds and
-    * delete files by field id, so ids must never move between columns
-    * across schema evolution — [[exportToIceberg]] computes the
-    * carried-forward assignment; a fresh table gets 1..n). */
+    * TOP-LEVEL name→field-id assignment (Iceberg resolves columns,
+    * bounds and delete files by field id, so ids must never move
+    * between columns across schema evolution — [[exportToIceberg]]
+    * computes the carried-forward assignment; a fresh table gets
+    * 1..n). NESTED fields (struct members, list elements, map
+    * entries) allocate ids deterministically from `nestedFrom`+1 in
+    * field order; returns (json, last id used) so last-column-id
+    * covers them. Because nested ids are position-allocated, schema
+    * EVOLUTION of a nested-bearing schema is refused by the callers —
+    * regeneration could move an id between fields. */
   private def icebergSchemaJson(schema: StructType,
       om: com.fasterxml.jackson.databind.ObjectMapper,
-      schemaId: Int, ids: Map[String, Int]): String = {
+      schemaId: Int, ids: Map[String, Int],
+      nestedFrom: Int): (String, Int) = {
+    var nextId = nestedFrom
+    def alloc(): Int = { nextId += 1; nextId }
+    def typeJson(dt: DataType): String = dt match {
+      case st: StructType =>
+        val fs = st.fields.map { f =>
+          val fid = alloc()
+          s"""{"id":$fid,"name":${om.writeValueAsString(f.name)},""" +
+            s""""required":${!f.nullable},""" +
+            s""""type":${typeJson(f.dataType)}}"""
+        }
+        s"""{"type":"struct","fields":${fs.mkString("[", ",", "]")}}"""
+      case ArrayType(et, containsNull) =>
+        val eid = alloc()
+        s"""{"type":"list","element-id":$eid,""" +
+          s""""element-required":${!containsNull},""" +
+          s""""element":${typeJson(et)}}"""
+      case MapType(kt, vt, vNull) =>
+        val (kid, vid) = (alloc(), alloc())
+        s"""{"type":"map","key-id":$kid,"value-id":$vid,""" +
+          s""""value-required":${!vNull},""" +
+          s""""key":${typeJson(kt)},"value":${typeJson(vt)}}"""
+      case prim => om.writeValueAsString(icebergTypeName(prim))
+    }
     val fields = schema.fields.map { f =>
       s"""{"id":${ids(f.name)},"name":${om.writeValueAsString(f.name)},""" +
         s""""required":${!f.nullable},""" +
-        s""""type":${om.writeValueAsString(icebergTypeName(f.dataType))}}"""
+        s""""type":${typeJson(f.dataType)}}"""
     }
-    s"""{"type":"struct","schema-id":$schemaId,""" +
+    (s"""{"type":"struct","schema-id":$schemaId,""" +
       s""""identifier-field-ids":[],""" +
-      s""""fields":${fields.mkString("[", ",", "]")}}"""
+      s""""fields":${fields.mkString("[", ",", "]")}}""", nextId)
   }
 
   // ---- Avro plumbing (driver-side, like every Iceberg client) ---------
@@ -1759,8 +1803,11 @@ object IcebergInterop {
     // metadata: append the snapshot (and the schema, ONLY if it
     // evolved — an unchanged schema reuses its existing schema-id, so
     // a continuously published table's metadata.json stays bounded)
-    val (schemas, schemaId) = existing match {
-      case None => (Seq(icebergSchemaJson(schema, om, 0, fieldIdOf)), 0)
+    val (schemas, schemaId, lastColWithNested) = existing match {
+      case None =>
+        val (json, lastN) =
+          icebergSchemaJson(schema, om, 0, fieldIdOf, lastColumnId)
+        (Seq(json), 0, lastN)
       case Some(m) =>
         val olds = m.raw.path("schemas").elements().asScala
           .map(_.toString).toSeq
@@ -1773,10 +1820,22 @@ object IcebergInterop {
           case (id, st) if shapeOf(st.spark) == shapeOf(schema) &&
             st.fieldIds == fieldIdOf => id }
         matching match {
-          case Some(id) => (olds, id)
+          case Some(id) => (olds, id, lastColumnId)
           case None =>
+            // nested ids are POSITION-allocated: regenerating a
+            // nested-bearing schema under evolution could move an id
+            // between fields — refuse, export to a fresh location
+            require(!schema.fields.exists(f =>
+                hasNestedIds(f.dataType)) &&
+              !m.schemas.values.exists(_.spark.fields.exists(f =>
+                hasNestedIds(f.dataType))),
+              s"$iceRoot: schema evolution on a nested-type-bearing " +
+                "Iceberg export is unsupported (nested field ids " +
+                "cannot be carried) — export to a fresh location")
             val id = m.schemas.keys.max + 1
-            (olds :+ icebergSchemaJson(schema, om, id, fieldIdOf), id)
+            val (json, lastN) =
+              icebergSchemaJson(schema, om, id, fieldIdOf, lastColumnId)
+            (olds :+ json, id, lastN)
         }
     }
     val snapJson =
@@ -1796,7 +1855,7 @@ object IcebergInterop {
         s""""table-uuid":${om.writeValueAsString(tableUuid)},""" +
         s""""location":${om.writeValueAsString(iceRoot)},""" +
         s""""last-sequence-number":$seqNum,"last-updated-ms":$ts,""" +
-        s""""last-column-id":$lastColumnId,""" +
+        s""""last-column-id":$lastColWithNested,""" +
         s""""current-schema-id":$schemaId,""" +
         s""""schemas":${schemas.mkString("[", ",", "]")},""" +
         s""""default-spec-id":0,""" +
@@ -1999,9 +2058,11 @@ object IcebergInterop {
         s""""table-uuid":${om.writeValueAsString(uuid)},""" +
         s""""location":${om.writeValueAsString(iceRoot)},""" +
         s""""last-sequence-number":1,"last-updated-ms":$ts,""" +
-        s""""last-column-id":${schema.fields.length},""" +
+        s""""last-column-id":${icebergSchemaJson(schema, om, 0,
+          fieldIdOf, schema.fields.length)._2},""" +
         s""""current-schema-id":0,""" +
-        s""""schemas":[${icebergSchemaJson(schema, om, 0, fieldIdOf)}],""" +
+        s""""schemas":[${icebergSchemaJson(schema, om, 0, fieldIdOf,
+          schema.fields.length)._1}],""" +
         s""""default-spec-id":0,"partition-specs":$specJson,""" +
         s""""last-partition-id":1000,"default-sort-order-id":0,""" +
         s""""sort-orders":[{"order-id":0,"fields":[]}],""" +
@@ -2233,7 +2294,7 @@ object IcebergInterop {
       .select("__uri", "__pos")
     val updatedRows = joined.filter(col("__b___op").isin("U", "M"))
       .select(outSchema.fields.map(fd =>
-        col(s"__b_${fd.name}").cast(fd.dataType).as(fd.name))
+        col(s"__b_${fd.name}").cast(relaxed(fd.dataType)).as(fd.name))
         .toIndexedSeq: _*)
     val insertedRows = bAliased
       .join(st.base.select(keys.map(col): _*).distinct(),
@@ -2241,7 +2302,7 @@ object IcebergInterop {
         "left_anti")
       .filter(col("__b___op").isin("U", "I"))
       .select(outSchema.fields.map(fd =>
-        col(s"__b_${fd.name}").cast(fd.dataType).as(fd.name))
+        col(s"__b_${fd.name}").cast(relaxed(fd.dataType)).as(fd.name))
         .toIndexedSeq: _*)
     // WHEN NOT MATCHED BY SOURCE: target rows matching NO batch key,
     // under the target-only condition
@@ -2264,7 +2325,7 @@ object IcebergInterop {
         }
         applied.select(outSchema.fields.map(fd =>
           (if (applied.columns.contains(fd.name)) col(fd.name)
-           else lit(null)).cast(fd.dataType).as(fd.name))
+           else lit(null)).cast(relaxed(fd.dataType)).as(fd.name))
           .toIndexedSeq: _*)
       }
     }
@@ -2456,7 +2517,7 @@ object IcebergInterop {
           pv.foldLeft(d0) { case (d, (fid, v)) =>
             fieldNameOf.get(fid).map { n =>
               d.withColumn(n, lit(v.orNull)
-                .cast(schema.spark(n).dataType))
+                .cast(relaxed(schema.spark(n).dataType)))
             }.getOrElse(d)
           }
         }.reduce(_.unionByName(_))
@@ -2624,7 +2685,8 @@ object IcebergInterop {
       else Some(sets.foldLeft(matched.drop("__uri", "__pos")) {
         case (d, (c, sql)) => d.withColumn(c, expr(sql))
       }.select(st.schema.spark.fields.map(fd =>
-        col(fd.name).cast(fd.dataType).as(fd.name)).toIndexedSeq: _*))
+        col(fd.name).cast(relaxed(fd.dataType)).as(fd.name))
+        .toIndexedSeq: _*))
     icePublish(spark, iceRoot, st, verb,
       matched.select("__uri", "__pos"), newRows)
   }
@@ -3222,14 +3284,22 @@ object IcebergInterop {
     node.put("last-updated-ms", ts)
     node.put("current-snapshot-id", snapId)
     evolve.foreach { case (widened, ids) =>
+      // nested ids are POSITION-allocated by the schema renderer:
+      // regenerating a nested-bearing schema under evolution could
+      // move an id between fields — refuse, never alias
+      require(!widened.fields.exists(f => hasNestedIds(f.dataType)),
+        s"grafticeberg $verb: schema evolution on a nested-type-" +
+          s"bearing table ($iceRoot) is unsupported — nested field " +
+          "ids cannot be carried")
       node.put("current-schema-id", effSchemaId)
-      node.put("last-column-id",
-        math.max(meta.raw.path("last-column-id").asInt(0),
-          ids.values.max))
+      val evoBase = math.max(
+        meta.raw.path("last-column-id").asInt(0), ids.values.max)
+      val (evoJson, evoLast) =
+        icebergSchemaJson(widened, om, effSchemaId, ids, evoBase)
+      node.put("last-column-id", evoLast)
       val schemaArr = om.createArrayNode()
       meta.raw.path("schemas").elements().asScala.foreach(schemaArr.add)
-      schemaArr.add(om.readTree(
-        icebergSchemaJson(widened, om, effSchemaId, ids)))
+      schemaArr.add(om.readTree(evoJson))
       node.set[com.fasterxml.jackson.databind.JsonNode]("schemas",
         schemaArr)
     }
@@ -4106,7 +4176,9 @@ object IcebergInterop {
         case None =>
           val ids = df.schema.fields.zipWithIndex
             .map { case (fd, i) => fd.name -> (i + 1) }.toMap
-          (Seq(icebergSchemaJson(df.schema, om, 0, ids)), 0, ids.size)
+          val (json, lastN) =
+            icebergSchemaJson(df.schema, om, 0, ids, ids.size)
+          (Seq(json), 0, lastN)
       }
       val tableUuid = meta.map(_.raw.path("table-uuid").asText())
         .filter(_.nonEmpty).getOrElse(uuid)

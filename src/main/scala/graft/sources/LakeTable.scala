@@ -386,10 +386,20 @@ object LakeTable {
     * readable under the widened table schema. Anything else is a
     * genuine contract break and throws rather than silently picking a
     * side. */
+  /** Nullability-relaxed rendering of a type (asNullable is
+    * private[spark]) — DML-computed batches type nested struct fields
+    * nullable; casts and evolution checks compare through this. */
+  private def relaxed(dt: DataType): DataType =
+    org.apache.spark.sql.graftbridge.ColumnBridge.relaxNullability(dt)
+
   private[sources] def widen(a: DataType, b: DataType): DataType = {
     val ints = IndexedSeq[DataType](ByteType, ShortType, IntegerType, LongType)
     val (ia, ib) = (ints.indexOf(a), ints.indexOf(b))
     if (a == b) a
+    // nullability-only drift (nested struct fields of a computed DML
+    // batch type as nullable): not an evolution — keep the declared
+    // side
+    else if (relaxed(a) == relaxed(b)) a
     else if (ia >= 0 && ib >= 0) ints(math.max(ia, ib))
     else if (Set[DataType](FloatType, DoubleType)(a) &&
              Set[DataType](FloatType, DoubleType)(b)) DoubleType
@@ -2154,7 +2164,7 @@ object LakeTable {
         df.select(schemaNow.fieldNames.map { c =>
           assignments.get(c) match {
             case Some(sql) =>
-              when(matches, expr(sql).cast(schemaNow(c).dataType))
+              when(matches, expr(sql).cast(relaxed(schemaNow(c).dataType)))
                 .otherwise(col(c)).as(c)
             case None => col(c)
           }
@@ -2244,7 +2254,7 @@ object LakeTable {
       df.select(schemaNow.fieldNames.map { c =>
         assignments.get(c) match {
           // all RHS evaluate against the OLD row (simultaneous SET)
-          case Some(sql) => expr(sql).cast(schemaNow(c).dataType).as(c)
+          case Some(sql) => expr(sql).cast(relaxed(schemaNow(c).dataType)).as(c)
           case None => col(c)
         }
       }.toIndexedSeq: _*)

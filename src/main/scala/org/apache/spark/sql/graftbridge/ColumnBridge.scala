@@ -22,6 +22,13 @@ import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, Expression
   */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** `DataType.asNullable` is private[spark]: the nullability-relaxed
+    * rendering of a type (nested struct fields included) — DML rewrite
+    * batches cast to it so a computed (nullable) value may land in a
+    * column whose DECLARED nested fields are non-null. */
+  def relaxNullability(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt.asNullable
   def expression(c: Column): Expression =
     ColumnNodeToExpressionConverter(c.node)
 

@@ -1,0 +1,163 @@
+package graft.plans
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.{DeltaInterop, IcebergInterop, LakeTable}
+
+/** Nested struct-field DML targets: `UPDATE t SET s.f = v` and MERGE
+  * matched `SET s.f = v` fold to named_struct rebuilds of the
+  * top-level column (NestedAssignments), so the engines' existing
+  * top-level assignment machinery applies unchanged. Covers the lake
+  * catalog, graftdelta and grafticeberg SQL surfaces, null-struct
+  * preservation, deep nesting, and the refusal shapes. */
+class NestedDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): String =
+    Files.createTempDirectory("ndml").toString
+
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def structDf() =
+    spark.range(0, 10).select(col("id").as("k"),
+      when(col("id") === 9, lit(null))
+        .otherwise(struct((col("id") * 2).as("a"),
+          concat(lit("x"), col("id")).as("b"))).as("s"))
+
+  test("lake catalog: UPDATE SET s.a rewrites one field, keeps the " +
+      "others, and a NULL struct stays NULL") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val root = fresh() + "/t"
+    LakeTable.append(structDf(), root)
+    spark.sql(s"UPDATE graftlake.`$root` SET s.a = s.a + 100 " +
+      "WHERE k % 2 = 0")
+    val got = LakeTable.read(spark, root)
+      .select(col("k"), col("s.a").as("a"), col("s.b").as("b"))
+      .as[(Long, Option[Long], Option[String])].collect().toSet
+    val want = (0L until 9L).map(k =>
+      (k, Some(if (k % 2 == 0) k * 2 + 100 else k * 2),
+        Some(s"x$k"))).toSet + ((9L, None, None))
+    assert(got == want, s"got $got")
+  }
+
+  test("graftdelta view: UPDATE SET s.b via SQL; simultaneous nested " +
+      "and top-level assignment on DIFFERENT columns") {
+    val root = fresh() + "/t"
+    val df = structDf().withColumn("v", col("k") * 10)
+    Files.createDirectories(Paths.get(s"$root/_delta_log"))
+    Files.writeString(Paths.get(
+      s"$root/_delta_log/00000000000000000000.json"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
+        "\n" +
+        s"""{"metaData":{"id":"nst","schemaString":${om
+          .writeValueAsString(df.schema.json)},"partitionColumns":[],""" +
+        """"format":{"provider":"parquet"},"configuration":""" +
+        """{"delta.enableDeletionVectors":"true"}}}""")
+    DeltaInterop.appendDelta(df, root)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW ndml_d USING " +
+      s"graftdelta OPTIONS (path '$root')")
+    spark.sql("UPDATE ndml_d SET s.b = concat(s.b, '!'), v = v + 1 " +
+      "WHERE k < 5")
+    val got = DeltaInterop.readDelta(spark, root)
+      .select(col("k"), col("s.a").as("a"), col("s.b").as("b"),
+        col("v"))
+      .as[(Long, Option[Long], Option[String], Long)].collect().toSet
+    val want = (0L until 9L).map(k =>
+      (k, Some(k * 2),
+        Some(if (k < 5) s"x$k!" else s"x$k"),
+        if (k < 5) k * 10 + 1 else k * 10)).toSet +
+      ((9L, None, None, 90L))
+    assert(got == want, s"got $got")
+  }
+
+  test("grafticeberg view: UPDATE SET s.a via SQL on a v3 table") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    val ice = s"$dir/ice"
+    LakeTable.append(structDf(), lake)
+    IcebergInterop.exportToIceberg(spark, lake, ice, formatVersion = 3)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW ndml_i USING " +
+      s"grafticeberg OPTIONS (path '$ice')")
+    spark.sql("UPDATE ndml_i SET s.a = -1 WHERE k >= 5 AND k < 9")
+    val got = IcebergInterop.readIceberg(spark, ice)
+      .select(col("k"), col("s.a").as("a"), col("s.b").as("b"))
+      .as[(Long, Option[Long], Option[String])].collect().toSet
+    val want = (0L until 9L).map(k =>
+      (k, Some(if (k >= 5) -1L else k * 2), Some(s"x$k"))).toSet +
+      ((9L, None, None))
+    assert(got == want, s"got $got")
+  }
+
+  test("MERGE matched SET s.f routes through the joined fate batch " +
+      "on the lake catalog and on graftdelta") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val dir = fresh()
+    val lakeT = s"$dir/lt"
+    LakeTable.append(structDf(), lakeT)
+    Seq((2L, 222L), (4L, 444L), (100L, -1L))
+      .toDF("mk", "ma").createOrReplaceTempView("ndml_src")
+    spark.sql(s"""MERGE INTO graftlake.`$lakeT` t USING ndml_src m
+      ON t.k = m.mk
+      WHEN MATCHED THEN UPDATE SET s.a = m.ma""")
+    val got = LakeTable.read(spark, lakeT)
+      .select(col("k"), col("s.a").as("a"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got(2L).contains(222L) && got(4L).contains(444L))
+    assert(got(3L).contains(6L) && got(9L).isEmpty)
+    assert(got.size == 10)
+
+    val deltaT = s"$dir/dt"
+    Files.createDirectories(Paths.get(s"$deltaT/_delta_log"))
+    Files.writeString(Paths.get(
+      s"$deltaT/_delta_log/00000000000000000000.json"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
+        "\n" +
+        s"""{"metaData":{"id":"nsm","schemaString":${om
+          .writeValueAsString(structDf().schema.json)},""" +
+        """"partitionColumns":[],"format":{"provider":"parquet"},""" +
+        """"configuration":{"delta.enableDeletionVectors":"true"}}}""")
+    DeltaInterop.appendDelta(structDf(), deltaT)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW ndml_dm USING " +
+      s"graftdelta OPTIONS (path '$deltaT')")
+    spark.sql("""MERGE INTO ndml_dm t USING ndml_src m
+      ON t.k = m.mk
+      WHEN MATCHED THEN UPDATE SET s.a = m.ma""")
+    val got2 = DeltaInterop.readDelta(spark, deltaT)
+      .select(col("k"), col("s.a").as("a"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got2(2L).contains(222L) && got2(4L).contains(444L))
+    assert(got2(3L).contains(6L) && got2(9L).isEmpty)
+  }
+
+  test("deep nesting s.x.y folds recursively; conflicting writes " +
+      "refuse (whole struct + leaf under it)") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val root = fresh() + "/t"
+    val df = spark.range(0, 5).select(col("id").as("k"),
+      struct(struct((col("id") * 3).as("y"),
+        lit("c").as("z")).as("x"),
+        lit(1L).as("w")).as("s"))
+    LakeTable.append(df, root)
+    spark.sql(s"UPDATE graftlake.`$root` SET s.x.y = 0 WHERE k > 2")
+    val got = LakeTable.read(spark, root)
+      .select(col("k"), col("s.x.y").as("y"), col("s.x.z").as("z"),
+        col("s.w").as("w"))
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(got == (0L until 5L).map(k =>
+      (k, if (k > 2) 0L else k * 3, "c", 1L)).toSet, s"got $got")
+    // conflicting: s assigned whole AND s.x.y — Spark's own analyzer
+    // or our fold must refuse, never silently pick one
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE graftlake.`$root` " +
+        "SET s = named_struct('x', named_struct('y', 1L, 'z', 'q'), " +
+        "'w', 2L), s.x.y = 5 WHERE k = 0")
+    }
+    assert(e.getMessage != null)
+  }
+}
