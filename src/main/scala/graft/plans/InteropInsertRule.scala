@@ -509,10 +509,12 @@ case class InteropMergeRule(spark: SparkSession)
         } yield InteropMergeCommand(fmt, root, m.sourceTable, keys,
           cols, op, nmbs, evolve): LogicalPlan)
           .orElse(for {
-            (keys, cols, op) <- MergeTranslation.translateJoined(m)
+            (keys, cols, op, inFlags) <-
+              MergeTranslation.translateJoined(m)
             nmbs <- translateNmbs(m)
           } yield InteropMergeJoinedCommand(fmt, root, m.sourceTable,
-            keys, cols, op, nmbs, widen, evolve): LogicalPlan)
+            keys, cols, op, nmbs, widen, evolve,
+            inFlags): LogicalPlan)
           .getOrElse(m)
     }
 }
@@ -564,7 +566,10 @@ case class InteropMergeJoinedCommand(fmt: String, root: String,
                                        = None,
                                      widen: Seq[(String, String)]
                                        = Seq.empty,
-                                     evolve: Boolean = false)
+                                     evolve: Boolean = false,
+                                     inFlags: Seq[(String, String,
+                                       LogicalPlan, Boolean)]
+                                       = Seq.empty)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.graftbridge.ColumnBridge
@@ -577,7 +582,7 @@ case class InteropMergeJoinedCommand(fmt: String, root: String,
         s"unknown interop format $other")
     }
     val batch = MergeTranslation.joinedBatch(src, target, keys,
-      columns, opSql, widen)
+      columns, opSql, widen, inFlags)
     fmt match {
       case "delta" =>
         graft.sources.DeltaInterop.mergeIntoDelta(spark, root, batch,

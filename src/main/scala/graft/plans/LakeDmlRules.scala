@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
   AttributeReference, Between, EqualTo, Expression, GreaterThanOrEqual,
-  LessThanOrEqual, RuntimeReplaceable, SubqueryExpression}
+  InSubquery, LessThanOrEqual, ListQuery, Not, RuntimeReplaceable,
+  SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
   DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction,
   UpdateTable}
@@ -159,9 +160,10 @@ case class LakeDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
           GraftLakeMergeCommand(tbl.tableRoot,
             m.sourceTable, keys, cols, op): LogicalPlan
         }.orElse(MergeTranslation.translateJoined(m).map {
-          case (keys, cols, op) =>
+          case (keys, cols, op, inFlags) =>
             GraftLakeMergeJoinedCommand(tbl.tableRoot,
-              m.sourceTable, keys, cols, op, widen): LogicalPlan
+              m.sourceTable, keys, cols, op, widen,
+              inFlags): LogicalPlan
         }).getOrElse(m)
     }
 
@@ -324,12 +326,22 @@ private[plans] object MergeTranslation {
     * rows keep distinct keys and the engines' one-row-per-key check
     * stays meaningful.
     *
+    * Clause conditions may carry uncorrelated single-column
+    * `k IN (SELECT ...)` / `NOT IN` conjuncts: each lifts into a
+    * broadcast membership FLAG (`__inN` boolean column) the command
+    * computes on the joined frame at run time — the
+    * eval-decontamination upsert shape ("update only rows whose key
+    * is in the curated set"). NOT IN keeps its three-valued guards
+    * (a null in the subquery matches nothing; an empty subquery
+    * admits every row).
+    *
     * Returns (key → source-expression SQL pairs, per-column CASE SQL
-    * over the joined frame, op CASE SQL); None falls back to Spark's
-    * standard unsupported-table error (subqueries, non-equi ON,
-    * nested-field targets, key-changing updates, partial INSERT). */
+    * over the joined frame, op CASE SQL, lifted IN flags); None falls
+    * back to Spark's standard unsupported-table error (correlated
+    * subqueries, non-equi ON, key-changing updates, partial INSERT). */
   def translateJoined(m: MergeIntoTable)
-      : Option[(Seq[(String, String)], Seq[(String, String)], String)]
+      : Option[(Seq[(String, String)], Seq[(String, String)], String,
+        Seq[(String, String, LogicalPlan, Boolean)])]
       = {
     val targetOut = m.targetTable.outputSet
     val sourceOut = m.sourceTable.outputSet
@@ -367,6 +379,52 @@ private[plans] object MergeTranslation {
     val typeOf = m.targetTable.output
       .map(a => a.name -> a.dataType).toMap
 
+    // lifted IN-subquery membership flags: (flag column, key SQL over
+    // the joined frame, subquery plan, negated)
+    val flags = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, LogicalPlan, Boolean)]
+    def flagNames: Set[String] = flags.map(_._1).toSet
+    def uncorrelated(l: ListQuery): Boolean =
+      l.outerAttrs.isEmpty && l.joinCond.isEmpty &&
+        l.plan.output.size == 1
+    /** Replace each liftable IN/NOT-IN conjunct with a reference to a
+      * fresh `__inN` boolean; None when a subquery key is out of
+      * scope or an unliftable subquery remains. */
+    def liftIn(e: Expression, keyOk: Expression => Boolean)
+        : Option[Expression] = {
+      var failed = false
+      def lift(k: Expression, l: ListQuery, negated: Boolean)
+          : Expression = {
+        val nm = s"__in${flags.size}"
+        flags += ((nm, joinedSql(k), l.plan, negated))
+        AttributeReference(nm,
+          org.apache.spark.sql.types.BooleanType,
+          nullable = false)()
+      }
+      val lifted = e.transformDown {
+        case n @ Not(InSubquery(Seq(k), l: ListQuery))
+            if uncorrelated(l) =>
+          if (keyOk(k)) lift(k, l, negated = true)
+          else { failed = true; n }
+        case in @ InSubquery(Seq(k), l: ListQuery)
+            if uncorrelated(l) =>
+          if (keyOk(k)) lift(k, l, negated = false)
+          else { failed = true; in }
+      }
+      if (failed || SubqueryExpression.hasSubquery(lifted)) None
+      else Some(lifted)
+    }
+    // scope checks over LIFTED conditions: flag references are legal
+    def joinedOkL(e: Expression): Boolean =
+      renderable(e) && e.references.forall(a =>
+        m.targetTable.outputSet.contains(a) ||
+          m.sourceTable.outputSet.contains(a) ||
+          flagNames.contains(a.name))
+    def sourceOnlyL(e: Expression): Boolean =
+      renderable(e) && e.references.forall(a =>
+        m.sourceTable.outputSet.contains(a) ||
+          flagNames.contains(a.name))
+
     keyPairs(m.mergeCondition).flatMap { keys =>
       val keyNames = keys.map(_._1).toSet
       val onSqlOf: Map[String, String] =
@@ -381,37 +439,50 @@ private[plans] object MergeTranslation {
       type Branch = (String, String, String => Option[String])
       val matchedBranches: Option[Seq[Branch]] =
         traverse(m.matchedActions) {
-          case u: UpdateAction if u.condition.forall(joinedOk) &&
+          case u: UpdateAction =>
+            val condL: Option[Option[Expression]] = u.condition match {
+              case None => Some(None)
+              case Some(c0) =>
+                liftIn(c0, joinedOk).filter(joinedOkL).map(Some(_))
+            }
+            // a KEY column takes only a key-stable whole-column
+            // assignment; nested struct-field targets (never keys)
+            // fold to named_struct rebuilds over the `__t_` values
+            val assignsOk =
               u.assignments.forall(a => joinedOk(a.value)) &&
-              // a KEY column takes only a key-stable whole-column
-              // assignment; nested struct-field targets (never keys)
-              // fold to named_struct rebuilds over the `__t_` values
-              u.assignments.forall(a =>
-                NestedAssignments.pathOf(a.key).exists {
-                  case (attr, p) =>
-                    if (p.isEmpty)
-                      !keyNames.contains(attr.name) ||
-                        keyStable(attr.name, a.value)
-                    else !keyNames.contains(attr.name)
-                }) &&
-              NestedAssignments.fold(u.assignments, joinedSql,
-                c => s"`__t_$c`").isDefined =>
-            val assign = NestedAssignments.fold(u.assignments,
-              joinedSql, c => s"`__t_$c`").get.toMap
-            Some((("__matched" +: u.condition.map(c =>
-              s"(${joinedSql(c)})").toSeq).mkString(" AND "),
-              "'M'", (c: String) => Some(assign.getOrElse(c,
-                s"`__t_$c`"))))
-          case d: DeleteAction if d.condition.forall(joinedOk) =>
-            Some((("__matched" +: d.condition.map(c =>
-              s"(${joinedSql(c)})").toSeq).mkString(" AND "),
-              "'D'", (_: String) => None)) // values unread on delete
+                u.assignments.forall(a =>
+                  NestedAssignments.pathOf(a.key).exists {
+                    case (attr, p) =>
+                      if (p.isEmpty)
+                        !keyNames.contains(attr.name) ||
+                          keyStable(attr.name, a.value)
+                      else !keyNames.contains(attr.name)
+                  }) &&
+                NestedAssignments.fold(u.assignments, joinedSql,
+                  c => s"`__t_$c`").isDefined
+            condL.filter(_ => assignsOk).map { cOpt =>
+              val assign = NestedAssignments.fold(u.assignments,
+                joinedSql, c => s"`__t_$c`").get.toMap
+              (("__matched" +: cOpt.map(c =>
+                s"(${joinedSql(c)})").toSeq).mkString(" AND "),
+                "'M'", (c: String) => Some(assign.getOrElse(c,
+                  s"`__t_$c`")))
+            }
+          case d: DeleteAction =>
+            val condL: Option[Option[Expression]] = d.condition match {
+              case None => Some(None)
+              case Some(c0) =>
+                liftIn(c0, joinedOk).filter(joinedOkL).map(Some(_))
+            }
+            condL.map(cOpt =>
+              (("__matched" +: cOpt.map(c =>
+                s"(${joinedSql(c)})").toSeq).mkString(" AND "),
+                "'D'", (_: String) => None)) // values unread on delete
           case _ => None
         }
       val insertBranches: Option[Seq[Branch]] =
         traverse(m.notMatchedActions) {
-          case i: InsertAction if i.condition.forall(sourceOnly) &&
-              i.assignments.forall {
+          case i: InsertAction if i.assignments.forall {
                 case Assignment(k: AttributeReference, v) =>
                   sourceOnly(v) &&
                     (!keyNames.contains(k.name) || keyStable(k.name, v))
@@ -422,13 +493,20 @@ private[plans] object MergeTranslation {
                 case Assignment(k: AttributeReference, _) => k.name == c
                 case _ => false
               }) =>
-            val assign = i.assignments.map {
-              case Assignment(k: AttributeReference, v) =>
-                k.name -> joinedSql(v)
-            }.toMap
-            Some((("(NOT __matched)" +: i.condition.map(c =>
-              s"(${joinedSql(c)})").toSeq).mkString(" AND "),
-              "'I'", (c: String) => Some(assign(c))))
+            val condL: Option[Option[Expression]] = i.condition match {
+              case None => Some(None)
+              case Some(c0) =>
+                liftIn(c0, sourceOnly).filter(sourceOnlyL).map(Some(_))
+            }
+            condL.map { cOpt =>
+              val assign = i.assignments.map {
+                case Assignment(k: AttributeReference, v) =>
+                  k.name -> joinedSql(v)
+              }.toMap
+              (("(NOT __matched)" +: cOpt.map(c =>
+                s"(${joinedSql(c)})").toSeq).mkString(" AND "),
+                "'I'", (c: String) => Some(assign(c)))
+            }
           case _ => None
         }
       for {
@@ -454,7 +532,8 @@ private[plans] object MergeTranslation {
             }.mkString(" ") + s" ELSE ($tail) END")
           }
         }
-        (keys.map { case (k, e) => k -> joinedSql(e) }, cols, opSql)
+        (keys.map { case (k, e) => k -> joinedSql(e) }, cols, opSql,
+          flags.toSeq)
       }
     }
   }
@@ -476,9 +555,12 @@ private[plans] object MergeTranslation {
                   keys: Seq[(String, String)],
                   columns: Seq[(String, String)],
                   opSql: String,
-                  widen: Seq[(String, String)] = Seq.empty)
+                  widen: Seq[(String, String)] = Seq.empty,
+                  inFlags: Seq[(String, String, LogicalPlan, Boolean)]
+                    = Seq.empty)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col,
+      lit}
     val tAliased0 = target.select(target.columns.map(c =>
       col(c).as(s"__t_$c")).toIndexedSeq: _*)
       .withColumn("__matched_t", lit(true))
@@ -492,9 +574,38 @@ private[plans] object MergeTranslation {
     val joinCond = keys.map { case (k, s) =>
       expr(s) === col(s"__t_$k")
     }.reduce(_ && _)
-    src.join(tAliased, joinCond, "left")
+    val joined = src.join(tAliased, joinCond, "left")
       .withColumn("__matched",
         coalesce(col("__matched_t"), lit(false)))
+    // lifted IN-subquery memberships: each flag column evaluates its
+    // subquery ONCE and broadcast-joins the values in — SQL IN
+    // semantics (null key / non-member = false); NOT IN three-valued:
+    // a null member kills every row, an EMPTY set admits every row
+    // (null keys included), else null-guarded anti membership
+    val withFlags = inFlags.foldLeft(joined) {
+      case (df, (nm, keySql, plan, negated)) =>
+        val sub = org.apache.spark.sql.graftbridge.ColumnBridge
+          .ofRows(df.sparkSession, plan)
+        val s0 = sub.select(col(sub.columns.head).as("__in_k"))
+        if (!negated) {
+          val subd = broadcast(s0.distinct()
+            .withColumn("__in_f", lit(true)))
+          df.join(subd, expr(keySql) === col("__in_k"), "left")
+            .withColumn(nm, coalesce(col("__in_f"), lit(false)))
+            .drop("__in_k", "__in_f")
+        } else if (!s0.filter(col("__in_k").isNull).isEmpty)
+          df.withColumn(nm, lit(false))
+        else if (s0.isEmpty) df.withColumn(nm, lit(true))
+        else {
+          val subd = broadcast(s0.distinct()
+            .withColumn("__in_f", lit(true)))
+          df.join(subd, expr(keySql) === col("__in_k"), "left")
+            .withColumn(nm,
+              col("__in_f").isNull && expr(keySql).isNotNull)
+            .drop("__in_k", "__in_f")
+        }
+    }
+    withFlags
       .select((columns.map { case (n, sql) => expr(sql).as(n) } :+
         expr(opSql).as("__op")).toIndexedSeq: _*)
   }
@@ -511,6 +622,9 @@ case class GraftLakeMergeJoinedCommand(root: String,
                                        columns: Seq[(String, String)],
                                        opSql: String,
                                        widen: Seq[(String, String)]
+                                         = Seq.empty,
+                                       inFlags: Seq[(String, String,
+                                         LogicalPlan, Boolean)]
                                          = Seq.empty)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
@@ -518,7 +632,8 @@ case class GraftLakeMergeJoinedCommand(root: String,
       .ofRows(spark, source)
     LakeTable.withRetry() { () =>
       val batch = MergeTranslation.joinedBatch(src,
-        LakeTable.read(spark, root), keys, columns, opSql, widen)
+        LakeTable.read(spark, root), keys, columns, opSql, widen,
+        inFlags)
       LakeTable.mergeInto(spark, root, batch, keys.map(_._1), "__op")
     }
     Seq.empty

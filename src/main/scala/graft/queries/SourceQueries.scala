@@ -5204,6 +5204,77 @@ object SourceQueries {
       "Nested struct-field DML (UPDATE SET s.f, MERGE matched SET " +
         "s.f) as named_struct rebuilds on lake, graftdelta and " +
         "grafticeberg v3 with nested-id schema export"),
+
+    // ---- IN-subqueries in MERGE conditions -------------------------------------
+    // The decontamination UPSERT: refresh rows from a feed, but only
+    // keys in the curated set; quarantined keys (NOT IN) are deleted.
+    // Each uncorrelated single-column IN/NOT-IN conjunct in a WHEN
+    // condition lifts into a broadcast membership flag on the joined
+    // fate batch (evaluated once, never a per-row subquery); NOT IN
+    // keeps its three-valued guards. Runs on grafticeberg v3 AND the
+    // lake catalog.
+    "q389_merge_in_subquery" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graftlake",
+          classOf[graft.sources.GraftLakeCatalog].getName)
+        val root = freshRoot("graft_mergein_q389")
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        // curated set: keys % 3 = 0; feed: keys % 2 = 0 shifted prices
+        o.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey").as("ck"))
+          .createOrReplaceTempView("q389_keep")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("mk"),
+            col("o_orderstatus").as("ms"),
+            (col("o_totalprice") + 100).as("mp"))
+          .createOrReplaceTempView("q389_src")
+        val lakeSrc = root + "/lakesrc"
+        val ice = root + "/ice"
+        graft.sources.LakeTable.append(o, lakeSrc)
+        graft.sources.IcebergInterop.exportToIceberg(s, lakeSrc, ice,
+          formatVersion = 3)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q389_i USING " +
+          s"grafticeberg OPTIONS (path '$ice')")
+        s.sql("""MERGE INTO q389_i t USING q389_src m
+          ON t.o_orderkey = m.mk
+          WHEN MATCHED AND t.o_orderkey IN (SELECT ck FROM q389_keep)
+            THEN UPDATE SET o_totalprice = m.mp
+          WHEN MATCHED AND t.o_orderkey NOT IN
+              (SELECT ck FROM q389_keep) AND t.o_totalprice < 1000
+            THEN DELETE""")
+        val lake = root + "/lake"
+        graft.sources.LakeTable.append(o, lake)
+        s.sql(s"""MERGE INTO graftlake.`$lake` t USING q389_src m
+          ON t.o_orderkey = m.mk
+          WHEN MATCHED AND t.o_orderkey IN (SELECT ck FROM q389_keep)
+            THEN UPDATE SET o_totalprice = m.mp
+          WHEN MATCHED AND t.o_orderkey NOT IN
+              (SELECT ck FROM q389_keep) AND t.o_totalprice < 1000
+            THEN DELETE""")
+        graft.sources.IcebergInterop.readIceberg(s, ice)
+          .select(lit("iceberg").as("leg"), col("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+          .unionAll(graft.sources.LakeTable.read(s, lake)
+            .select(lit("lake").as("leg"), col("o_orderkey"),
+              col("o_orderstatus"), col("o_totalprice")))
+      },
+      Some("""WITH merged AS (
+          SELECT o_orderkey, o_orderstatus,
+            CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 3 = 0
+                 THEN o_totalprice + 100 ELSE o_totalprice
+            END AS o_totalprice
+          FROM orders
+          WHERE NOT (o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+                     AND o_totalprice < 1000))
+        SELECT 'iceberg' AS leg, o_orderkey, o_orderstatus,
+          o_totalprice FROM merged
+        UNION ALL
+        SELECT 'lake' AS leg, o_orderkey, o_orderstatus,
+          o_totalprice FROM merged"""),
+      "IN/NOT-IN subqueries in MERGE WHEN conditions lift to " +
+        "broadcast membership flags on the joined fate batch — " +
+        "decontamination upsert on grafticeberg v3 + lake catalog"),
   )
 
   /** q384 fixture: a hand-built v2 table whose SPEC EVOLVED — five

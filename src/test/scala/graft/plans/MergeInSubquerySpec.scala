@@ -1,0 +1,111 @@
+package graft.plans
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.{DeltaInterop, IcebergInterop, LakeTable}
+
+/** Uncorrelated IN/NOT-IN subqueries in MERGE clause conditions lift
+  * into broadcast membership flags on the joined fate batch — the
+  * eval-decontamination upsert ("update only keys in the curated
+  * set"). Covers lake catalog, graftdelta and grafticeberg, the NOT IN
+  * null guard, and insert-clause conditions. */
+class MergeInSubquerySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): String =
+    Files.createTempDirectory("minq").toString
+
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def baseDf() = spark.range(0, 10)
+    .select(col("id").as("k"), (col("id") * 10).as("v"))
+
+  test("lake: MERGE matched condition with IN (SELECT ...) updates " +
+      "only curated keys; others no-op") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val root = fresh() + "/t"
+    LakeTable.append(baseDf(), root)
+    Seq((2L, 222L), (3L, 333L), (4L, 444L))
+      .toDF("mk", "mv").createOrReplaceTempView("minq_src")
+    Seq(2L, 4L, 7L).toDF("ck").createOrReplaceTempView("minq_keep")
+    spark.sql(s"""MERGE INTO graftlake.`$root` t USING minq_src m
+      ON t.k = m.mk
+      WHEN MATCHED AND t.k IN (SELECT ck FROM minq_keep)
+        THEN UPDATE SET v = m.mv""")
+    val got = LakeTable.read(spark, root).as[(Long, Long)]
+      .collect().toMap
+    assert(got(2L) == 222L && got(4L) == 444L)
+    assert(got(3L) == 30L, s"uncurated key updated: $got")
+    assert(got.size == 10)
+  }
+
+  test("graftdelta: NOT IN (SELECT ...) matched-delete keeps curated " +
+      "keys; a null in the subquery disarms the delete entirely") {
+    val root = fresh() + "/t"
+    val df = baseDf()
+    Files.createDirectories(Paths.get(s"$root/_delta_log"))
+    Files.writeString(Paths.get(
+      s"$root/_delta_log/00000000000000000000.json"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
+        "\n" +
+        s"""{"metaData":{"id":"minq","schemaString":${om
+          .writeValueAsString(df.schema.json)},"partitionColumns":[],""" +
+        """"format":{"provider":"parquet"},"configuration":""" +
+        """{"delta.enableDeletionVectors":"true"}}}""")
+    DeltaInterop.appendDelta(df, root)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW minq_d USING " +
+      s"graftdelta OPTIONS (path '$root')")
+    // every key is a merge candidate; keep only the curated set
+    spark.range(0, 10).select(col("id").as("mk"))
+      .createOrReplaceTempView("minq_all")
+    Seq(1L, 5L, 9L).toDF("ck").createOrReplaceTempView("minq_keep2")
+    spark.sql("""MERGE INTO minq_d t USING minq_all m
+      ON t.k = m.mk
+      WHEN MATCHED AND t.k NOT IN (SELECT ck FROM minq_keep2)
+        THEN DELETE""")
+    assert(DeltaInterop.readDelta(spark, root).select("k").as[Long]
+      .collect().toSet == Set(1L, 5L, 9L))
+    // null-bearing subquery: NOT IN is never true — no-op
+    spark.sql("SELECT ck FROM minq_keep2 UNION ALL " +
+      "SELECT CAST(NULL AS BIGINT)")
+      .createOrReplaceTempView("minq_keep_null")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW minq_d USING " +
+      s"graftdelta OPTIONS (path '$root')")
+    spark.sql("""MERGE INTO minq_d t USING minq_all m
+      ON t.k = m.mk
+      WHEN MATCHED AND t.k NOT IN (SELECT ck FROM minq_keep_null)
+        THEN DELETE""")
+    assert(DeltaInterop.readDelta(spark, root).count() == 3L)
+  }
+
+  test("grafticeberg: IN-subquery matched update + conditioned " +
+      "insert with source-side IN") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    val ice = s"$dir/ice"
+    LakeTable.append(baseDf(), lake)
+    IcebergInterop.exportToIceberg(spark, lake, ice, formatVersion = 3)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW minq_i USING " +
+      s"grafticeberg OPTIONS (path '$ice')")
+    Seq((2L, 222L), (3L, 333L), (20L, 2000L), (30L, 3000L))
+      .toDF("mk", "mv").createOrReplaceTempView("minq_src3")
+    Seq(2L, 20L).toDF("ck").createOrReplaceTempView("minq_keep3")
+    spark.sql("""MERGE INTO minq_i t USING minq_src3 m
+      ON t.k = m.mk
+      WHEN MATCHED AND t.k IN (SELECT ck FROM minq_keep3)
+        THEN UPDATE SET v = m.mv
+      WHEN NOT MATCHED AND m.mk IN (SELECT ck FROM minq_keep3)
+        THEN INSERT (k, v) VALUES (m.mk, m.mv)""")
+    val got = IcebergInterop.readIceberg(spark, ice)
+      .as[(Long, Long)].collect().toMap
+    assert(got(2L) == 222L, s"curated matched not updated: $got")
+    assert(got(3L) == 30L, s"uncurated matched updated: $got")
+    assert(got.get(20L).contains(2000L), s"curated insert missing: $got")
+    assert(!got.contains(30L), s"uncurated insert landed: $got")
+    assert(got.size == 11)
+  }
+}
