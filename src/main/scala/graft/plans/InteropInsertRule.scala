@@ -515,6 +515,13 @@ case class InteropMergeRule(spark: SparkSession)
           } yield InteropMergeJoinedCommand(fmt, root, m.sourceTable,
             keys, cols, op, nmbs, widen, evolve,
             inFlags): LogicalPlan)
+          .orElse(for {
+            (keys, updSet, fireSql, insert, colTypes) <-
+              MergeTranslation.translateKeyChange(m)
+            if !evolve
+          } yield InteropMergeKeyChangeCommand(fmt, root,
+            m.sourceTable, keys, updSet, fireSql, insert,
+            colTypes): LogicalPlan)
           .getOrElse(m)
     }
 }
@@ -556,6 +563,42 @@ case class InteropMergeCommand(fmt: String, root: String,
   * target-referencing conditions): reads the target table, joins it
   * into the fate batch per [[MergeTranslation.joinedBatch]], and runs
   * the format's native merge. */
+/** Eagerly-executed KEY-CHANGING MERGE on a foreign table: the fate
+  * batch splits each key-moving row into a D(old key) + I(new key)
+  * pair (see [[MergeTranslation.keyChangeBatch]]); one native-merge
+  * transaction, the engines' one-row-per-key check intact. */
+case class InteropMergeKeyChangeCommand(fmt: String, root: String,
+    source: LogicalPlan,
+    keys: Seq[(String, String)],
+    updSet: Map[String, String],
+    fireSql: String,
+    insert: Option[(String, Map[String, String])],
+    colTypes: Seq[(String, String)])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.graftbridge.ColumnBridge
+      .ofRows(spark, source)
+    val target = fmt match {
+      case "delta" => graft.sources.DeltaInterop.readDelta(spark, root)
+      case "iceberg" =>
+        graft.sources.IcebergInterop.readIceberg(spark, root)
+      case other => throw new IllegalStateException(
+        s"unknown interop format $other")
+    }
+    val batch = MergeTranslation.keyChangeBatch(src, target, keys,
+      updSet, fireSql, insert, colTypes)
+    fmt match {
+      case "delta" =>
+        graft.sources.DeltaInterop.mergeIntoDelta(spark, root, batch,
+          keys.map(_._1), "__op"): Unit
+      case _ =>
+        graft.sources.IcebergInterop.mergeIntoIceberg(spark, root,
+          batch, keys.map(_._1), "__op"): Unit
+    }
+    Seq.empty
+  }
+}
+
 case class InteropMergeJoinedCommand(fmt: String, root: String,
                                      source: LogicalPlan,
                                      keys: Seq[(String, String)],

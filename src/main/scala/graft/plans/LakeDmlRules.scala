@@ -164,6 +164,11 @@ case class LakeDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
             GraftLakeMergeJoinedCommand(tbl.tableRoot,
               m.sourceTable, keys, cols, op, widen,
               inFlags): LogicalPlan
+        }).orElse(MergeTranslation.translateKeyChange(m).map {
+          case (keys, updSet, fireSql, insert, colTypes) =>
+            GraftLakeMergeKeyChangeCommand(tbl.tableRoot,
+              m.sourceTable, keys, updSet, fireSql, insert,
+              colTypes): LogicalPlan
         }).getOrElse(m)
     }
 
@@ -544,6 +549,198 @@ private[plans] object MergeTranslation {
     if (out.forall(_.isDefined)) Some(out.map(_.get)) else None
   }
 
+  /** KEY-CHANGING matched UPDATE (exact-equi ON): a single fate row
+    * cannot express "this row's key moves", so the translation emits
+    * a DELETE+INSERT pair per key-moving row — the batch deletes the
+    * OLD key and inserts the row under its NEW key, in the same
+    * engine transaction. Rows whose assigned key happens to equal the
+    * old key stay a plain in-place 'M'. Applies when the statement is
+    * one matched UPDATE (condition allowed) assigning at least one ON
+    * key a value other than the key itself, plus at most one
+    * key-stable full-coverage INSERT. The engines' one-row-per-key
+    * batch check still holds (a would-be key swap shows up as a
+    * duplicate batch key and refuses), and [[keyChangeBatch]] refuses
+    * a new key that collides with a surviving target row — SQL MERGE
+    * would silently produce a duplicate-key table there.
+    *
+    * Returns (keys → ON source SQL, update col→SQL over the joined
+    * frame, update fire SQL, optional (insert cond SQL, insert
+    * col→SQL), target (col, type SQL) list). */
+  def translateKeyChange(m: MergeIntoTable)
+      : Option[(Seq[(String, String)], Map[String, String], String,
+        Option[(String, Map[String, String])],
+        Seq[(String, String)])] = {
+    val targetOut = m.targetTable.outputSet
+    val sourceOut = m.sourceTable.outputSet
+    def sourceOnly(e: Expression): Boolean =
+      renderable(e) && e.references.subsetOf(sourceOut)
+    def joinedOk(e: Expression): Boolean =
+      renderable(e) &&
+        e.references.subsetOf(targetOut ++ sourceOut)
+    def joinedSql(e: Expression): String =
+      e.transformUp {
+        case b: Between => CAnd(GreaterThanOrEqual(b.input, b.lower),
+          LessThanOrEqual(b.input, b.upper))
+      }.transformUp {
+        case a: AttributeReference if targetOut.contains(a) =>
+          a.withQualifier(Seq.empty).withName(s"__t_${a.name}")
+        case a: AttributeReference => a.withQualifier(Seq.empty)
+      }.sql
+    def keyPairs(e: Expression): Option[Seq[(String, Expression)]] =
+      e match {
+        case CAnd(l, r) =>
+          for (lp <- keyPairs(l); rp <- keyPairs(r)) yield lp ++ rp
+        case EqualTo(t: AttributeReference, s)
+            if targetOut.contains(t) && sourceOnly(s) =>
+          Some(Seq(t.name -> s))
+        case EqualTo(s, t: AttributeReference)
+            if targetOut.contains(t) && sourceOnly(s) =>
+          Some(Seq(t.name -> s))
+        case _ => None
+      }
+    val targetCols = m.targetTable.output.map(_.name)
+    if (m.notMatchedBySourceActions.nonEmpty) return None
+    keyPairs(m.mergeCondition).flatMap { keys =>
+      val keyNames = keys.map(_._1).toSet
+      val onSqlOf = keys.map { case (k, e) => k -> joinedSql(e) }.toMap
+      m.matchedActions match {
+        case Seq(u: UpdateAction)
+            if u.condition.forall(joinedOk) &&
+              u.assignments.forall {
+                case Assignment(_: AttributeReference, v) =>
+                  joinedOk(v)
+                case _ => false
+              } =>
+          val updSet = u.assignments.map {
+            case Assignment(k: AttributeReference, v) =>
+              k.name -> joinedSql(v)
+          }.toMap
+          val changing = keys.exists { case (k, _) =>
+            updSet.get(k).exists(s0 => s0 != onSqlOf(k) &&
+              s0 != joinedSql(m.targetTable.output
+                .find(_.name == k).get))
+          }
+          if (!changing) None
+          else {
+            def keyStable(k: String, v: Expression): Boolean =
+              joinedSql(v) == onSqlOf(k) ||
+                joinedSql(v) == joinedSql(m.targetTable.output
+                  .find(_.name == k).get)
+            val insert: Option[Option[(String,
+                Map[String, String])]] =
+              m.notMatchedActions match {
+                case Seq() => Some(None)
+                case Seq(i: InsertAction)
+                    if i.condition.forall(sourceOnly) &&
+                      i.assignments.forall {
+                        case Assignment(k: AttributeReference, v) =>
+                          sourceOnly(v) && (!keyNames.contains(k.name)
+                            || keyStable(k.name, v))
+                        case _ => false
+                      } &&
+                      targetCols.forall(c => i.assignments.exists {
+                        case Assignment(k: AttributeReference, _) =>
+                          k.name == c
+                        case _ => false
+                      }) =>
+                  Some(Some((
+                    i.condition.map(c => s"(${joinedSql(c)})")
+                      .getOrElse("true"),
+                    i.assignments.map {
+                      case Assignment(k: AttributeReference, v) =>
+                        k.name -> joinedSql(v)
+                    }.toMap)))
+                case _ => None
+              }
+            insert.map { ins =>
+              val fire = ("__matched" +: u.condition.map(c =>
+                s"(${joinedSql(c)})").toSeq).mkString(" AND ")
+              (keys.map { case (k, e) => k -> joinedSql(e) },
+                updSet, fire, ins,
+                m.targetTable.output.map(a =>
+                  a.name -> a.dataType.sql))
+            }
+          }
+        case _ => None
+      }
+    }
+  }
+
+  /** Build the KEY-CHANGING fate batch: `rest` rows ride the standard
+    * single-row translation; key-moving rows split into a D(old key)
+    * + I(new key) pair. Refuses a new key colliding with a SURVIVING
+    * target row (SQL MERGE would duplicate the key; the keyed engines
+    * would silently skip the insert). */
+  def keyChangeBatch(src: org.apache.spark.sql.DataFrame,
+                     target: org.apache.spark.sql.DataFrame,
+                     keys: Seq[(String, String)],
+                     updSet: Map[String, String],
+                     fireSql: String,
+                     insert: Option[(String, Map[String, String])],
+                     colTypes: Seq[(String, String)])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val tAliased = target.select(target.columns.map(c =>
+      col(c).as(s"__t_$c")).toIndexedSeq: _*)
+      .withColumn("__matched_t", lit(true))
+    val joinCond = keys.map { case (k, s) =>
+      expr(s) === col(s"__t_$k")
+    }.reduce(_ && _)
+    // three consumers read the joined frame — materialize once
+    val joined = src.join(tAliased, joinCond, "left")
+      .withColumn("__matched",
+        coalesce(col("__matched_t"), lit(false)))
+      .localCheckpoint(false)
+    val fire = expr(fireSql)
+    val kchg = keys.collect {
+      case (k, onS) if updSet.contains(k) =>
+        !(expr(updSet(k)) <=> expr(onS))
+    }.reduceOption(_ || _)
+      .getOrElse(org.apache.spark.sql.functions.lit(false))
+    val colsOrder = colTypes.map(_._1)
+    val typeSqlOf = colTypes.toMap
+    def tcol(c: String) = s"`__t_$c`"
+    val moved = joined.filter(fire && kchg)
+    val delRows = moved.select((colsOrder.map { c =>
+      keys.find(_._1 == c).map { case (_, s0) => expr(s0).as(c) }
+        .getOrElse(expr(tcol(c)).as(c))
+    } :+ lit("D").as("__op")).toIndexedSeq: _*)
+    val insRows = moved.select((colsOrder.map { c =>
+      expr(updSet.getOrElse(c, tcol(c))).as(c)
+    } :+ lit("I").as("__op")).toIndexedSeq: _*)
+    val keyCols = keys.map(_._1)
+    val tKeys = target.select(keyCols.map(col).toIndexedSeq: _*)
+    val movedOld = moved.select(keys.map { case (k, s0) =>
+      expr(s0).as(k) }.toIndexedSeq: _*)
+    val surviving = tKeys.join(movedOld, keyCols, "left_anti")
+    val collide = insRows
+      .select(keyCols.map(col).toIndexedSeq: _*)
+      .join(surviving, keyCols, "left_semi")
+    require(collide.isEmpty,
+      "key-changing MERGE: a new key collides with an existing " +
+        "target row — SQL MERGE would duplicate the key; refusing")
+    val insCondSql = insert.map(_._1).getOrElse("false")
+    val insSet = insert.map(_._2).getOrElse(Map.empty[String, String])
+    val rest = joined.filter(!(fire && kchg))
+      .select((colsOrder.map { c =>
+        keys.find(_._1 == c) match {
+          case Some((_, s0)) => expr(s0).as(c)
+          case None =>
+            val t = typeSqlOf(c)
+            expr(s"CASE WHEN ($fireSql) THEN " +
+              s"${updSet.getOrElse(c, tcol(c))} " +
+              s"WHEN (NOT __matched) AND ($insCondSql) THEN " +
+              s"${insSet.getOrElse(c, s"CAST(NULL AS $t)")} " +
+              s"WHEN __matched THEN ${tcol(c)} " +
+              s"ELSE CAST(NULL AS $t) END").as(c)
+        }
+      } :+ expr(s"CASE WHEN ($fireSql) THEN 'M' " +
+        s"WHEN (NOT __matched) AND ($insCondSql) THEN 'I' " +
+        "WHEN __matched THEN 'I' ELSE 'M' END").as("__op"))
+        .toIndexedSeq: _*)
+    rest.unionAll(delRows).unionAll(insRows)
+  }
+
   /** Build the joined fate batch [[translateJoined]]'s SQL references:
     * `source LEFT JOIN target` on the ON keys, target columns aliased
     * `__t_<name>`, plus a `__matched` flag — then project the
@@ -634,6 +831,30 @@ case class GraftLakeMergeJoinedCommand(root: String,
       val batch = MergeTranslation.joinedBatch(src,
         LakeTable.read(spark, root), keys, columns, opSql, widen,
         inFlags)
+      LakeTable.mergeInto(spark, root, batch, keys.map(_._1), "__op")
+    }
+    Seq.empty
+  }
+}
+
+/** Eagerly-executed KEY-CHANGING MERGE: the fate batch splits each
+  * key-moving row into a D(old key) + I(new key) pair (see
+  * [[MergeTranslation.keyChangeBatch]]); one engine transaction. */
+case class GraftLakeMergeKeyChangeCommand(root: String,
+    source: LogicalPlan,
+    keys: Seq[(String, String)],
+    updSet: Map[String, String],
+    fireSql: String,
+    insert: Option[(String, Map[String, String])],
+    colTypes: Seq[(String, String)])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.graftbridge.ColumnBridge
+      .ofRows(spark, source)
+    LakeTable.withRetry() { () =>
+      val batch = MergeTranslation.keyChangeBatch(src,
+        LakeTable.read(spark, root), keys, updSet, fireSql, insert,
+        colTypes)
       LakeTable.mergeInto(spark, root, batch, keys.map(_._1), "__op")
     }
     Seq.empty

@@ -5275,6 +5275,91 @@ object SourceQueries {
       "IN/NOT-IN subqueries in MERGE WHEN conditions lift to " +
         "broadcast membership flags on the joined fate batch — " +
         "decontamination upsert on grafticeberg v3 + lake catalog"),
+
+    // ---- key-changing MERGE updates --------------------------------------------
+    // The vessel re-registration shape (a ship changes registration
+    // number; reference: the SCD machinery around initdb.R's vessel
+    // tables): MERGE matched UPDATE SET key = m.newkey. A single fate
+    // row cannot express a key move, so the translation emits a
+    // DELETE(old key) + INSERT(new key) pair per moving row in ONE
+    // engine transaction; unchanged-key rows stay in-place updates,
+    // the engines' one-row-per-key batch check stays intact, and a
+    // new key colliding with a surviving row refuses loudly. All
+    // three write surfaces.
+    "q390_merge_key_change" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graftlake",
+          classOf[graft.sources.GraftLakeCatalog].getName)
+        val root = freshRoot("graft_keychange_q390")
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        Tables.orders(s, d).filter(col("o_orderkey") % 14 === 0)
+          .select(col("o_orderkey").as("mk"),
+            (col("o_orderkey") + 10000000L).as("newk"),
+            (col("o_totalprice") + 9).as("np"))
+          .createOrReplaceTempView("q390_src")
+        val merge = (view: String) => s"""MERGE INTO $view t
+          USING q390_src m ON t.o_orderkey = m.mk
+          WHEN MATCHED THEN
+            UPDATE SET o_orderkey = m.newk, o_totalprice = m.np"""
+        // delta leg
+        val delta = root + "/delta"
+        val fsys = new org.apache.hadoop.fs.Path(delta)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$delta/_delta_log"))
+        val out0 = fsys.create(new org.apache.hadoop.fs.Path(
+          s"$delta/_delta_log/00000000000000000000.json"), false)
+        out0.write((
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
+            "\n" +
+            s"""{"metaData":{"id":"kc390","schemaString":${om
+              .writeValueAsString(o.schema.json)},""" +
+            """"partitionColumns":[],"format":{"provider":"parquet"},""" +
+            """"configuration":{"delta.enableDeletionVectors":"true"}}}"""
+          ).getBytes("UTF-8"))
+        out0.close()
+        graft.sources.DeltaInterop.appendDelta(o, delta)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q390_d USING " +
+          s"graftdelta OPTIONS (path '$delta')")
+        s.sql(merge("q390_d"))
+        // iceberg leg
+        val lakeSrc = root + "/lakesrc"
+        val ice = root + "/ice"
+        graft.sources.LakeTable.append(o, lakeSrc)
+        graft.sources.IcebergInterop.exportToIceberg(s, lakeSrc, ice,
+          formatVersion = 3)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW q390_i USING " +
+          s"grafticeberg OPTIONS (path '$ice')")
+        s.sql(merge("q390_i"))
+        // lake leg
+        val lake = root + "/lake"
+        graft.sources.LakeTable.append(o, lake)
+        s.sql(merge(s"graftlake.`$lake`"))
+        graft.sources.DeltaInterop.readDelta(s, delta)
+          .select(lit("delta").as("leg"), col("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+          .unionAll(graft.sources.IcebergInterop.readIceberg(s, ice)
+            .select(lit("iceberg").as("leg"), col("o_orderkey"),
+              col("o_orderstatus"), col("o_totalprice")))
+          .unionAll(graft.sources.LakeTable.read(s, lake)
+            .select(lit("lake").as("leg"), col("o_orderkey"),
+              col("o_orderstatus"), col("o_totalprice")))
+      },
+      Some("""WITH moved AS (
+          SELECT CASE WHEN o_orderkey % 14 = 0
+                 THEN o_orderkey + 10000000 ELSE o_orderkey
+            END AS o_orderkey, o_orderstatus,
+            CASE WHEN o_orderkey % 14 = 0 THEN o_totalprice + 9
+                 ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 2 = 0)
+        SELECT 'delta' AS leg, * FROM moved
+        UNION ALL SELECT 'iceberg' AS leg, * FROM moved
+        UNION ALL SELECT 'lake' AS leg, * FROM moved"""),
+      "Key-changing MERGE (UPDATE SET key = m.newk) as a " +
+        "delete+insert fate pair in one transaction, on graftdelta, " +
+        "grafticeberg v3 and the lake catalog"),
   )
 
   /** q384 fixture: a hand-built v2 table whose SPEC EVOLVED — five

@@ -1,0 +1,108 @@
+package graft.plans
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.{DeltaInterop, IcebergInterop, LakeTable}
+
+/** Key-changing MERGE updates: a matched UPDATE that assigns an ON
+  * key a new value translates to a DELETE(old key) + INSERT(new key)
+  * fate pair in one engine transaction. Unchanged-key rows stay plain
+  * updates; collisions with surviving rows refuse; batch-internal key
+  * swaps trip the engines' one-row-per-key check. */
+class MergeKeyChangeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): String =
+    Files.createTempDirectory("mkc").toString
+
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def baseDf() = spark.range(0, 10)
+    .select(col("id").as("k"), (col("id") * 10).as("v"))
+
+  test("lake: vessel re-registration shape — matched UPDATE SET " +
+      "k = m.newk moves the row; unmatched keys no-op; content " +
+      "elsewhere untouched") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val root = fresh() + "/t"
+    LakeTable.append(baseDf(), root)
+    Seq((2L, 102L), (7L, 107L), (55L, 155L))
+      .toDF("mk", "newk").createOrReplaceTempView("mkc_src")
+    spark.sql(s"""MERGE INTO graftlake.`$root` t USING mkc_src m
+      ON t.k = m.mk
+      WHEN MATCHED THEN UPDATE SET k = m.newk, v = t.v + 1000""")
+    val got = LakeTable.read(spark, root).as[(Long, Long)]
+      .collect().toMap
+    assert(!got.contains(2L) && !got.contains(7L), s"old keys: $got")
+    assert(got(102L) == 1020L && got(107L) == 1070L, s"got $got")
+    assert(got(3L) == 30L && got.size == 10)
+  }
+
+  test("graftdelta: key change with condition + insert clause; " +
+      "unchanged-key assignment stays an in-place update") {
+    val root = fresh() + "/t"
+    val df = baseDf()
+    Files.createDirectories(Paths.get(s"$root/_delta_log"))
+    Files.writeString(Paths.get(
+      s"$root/_delta_log/00000000000000000000.json"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
+        "\n" +
+        s"""{"metaData":{"id":"mkc","schemaString":${om
+          .writeValueAsString(df.schema.json)},"partitionColumns":[],""" +
+        """"format":{"provider":"parquet"},"configuration":""" +
+        """{"delta.enableDeletionVectors":"true"}}}""")
+    DeltaInterop.appendDelta(df, root)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW mkc_d USING " +
+      s"graftdelta OPTIONS (path '$root')")
+    // rows with mk<5 move to mk+100; mk=9 maps to itself (in-place);
+    // mk=20 is unmatched -> insert
+    Seq((1L, 101L, 11L), (4L, 104L, 44L), (9L, 9L, 99L),
+      (20L, 120L, 200L))
+      .toDF("mk", "newk", "nv").createOrReplaceTempView("mkc_src2")
+    spark.sql("""MERGE INTO mkc_d t USING mkc_src2 m
+      ON t.k = m.mk
+      WHEN MATCHED THEN UPDATE SET k = m.newk, v = m.nv
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (m.mk, m.nv)""")
+    val got = DeltaInterop.readDelta(spark, root).as[(Long, Long)]
+      .collect().toMap
+    assert(!got.contains(1L) && !got.contains(4L))
+    assert(got(101L) == 11L && got(104L) == 44L)
+    assert(got(9L) == 99L, s"in-place update broken: $got")
+    assert(got(20L) == 200L, s"insert missing: $got")
+    assert(got.size == 11, s"got $got")
+  }
+
+  test("grafticeberg: key change on a v3 table; new-key collision " +
+      "with a surviving row refuses loudly") {
+    val dir = fresh()
+    val lake = s"$dir/lake"
+    val ice = s"$dir/ice"
+    LakeTable.append(baseDf(), lake)
+    IcebergInterop.exportToIceberg(spark, lake, ice, formatVersion = 3)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW mkc_i USING " +
+      s"grafticeberg OPTIONS (path '$ice')")
+    Seq((3L, 203L)).toDF("mk", "newk")
+      .createOrReplaceTempView("mkc_src3")
+    spark.sql("""MERGE INTO mkc_i t USING mkc_src3 m
+      ON t.k = m.mk
+      WHEN MATCHED THEN UPDATE SET k = m.newk, v = t.v""")
+    val got = IcebergInterop.readIceberg(spark, ice)
+      .as[(Long, Long)].collect().toMap
+    assert(!got.contains(3L) && got(203L) == 30L && got.size == 10)
+    // collision: move 5 -> 6 while 6 survives
+    Seq((5L, 6L)).toDF("mk", "newk")
+      .createOrReplaceTempView("mkc_src4")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW mkc_i USING " +
+      s"grafticeberg OPTIONS (path '$ice')")
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO mkc_i t USING mkc_src4 m
+        ON t.k = m.mk
+        WHEN MATCHED THEN UPDATE SET k = m.newk, v = t.v""")
+    }
+    assert(e.getMessage.contains("collides"), e.getMessage)
+  }
+}
