@@ -32,6 +32,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Dev-only profiling hook: GRAFT_JFR=/path/out.jfr records the forked
+// JVM (bench/verify/test) with Java Flight Recorder from process start.
+javaOptions ++= sys.env.get("GRAFT_JFR").map(f =>
+  s"-XX:StartFlightRecording=settings=profile,filename=$f").toSeq
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -2270,9 +2270,11 @@ object IcebergInterop {
           c -> (lastColId + 1 + i) }))
     // one row per key — localCheckpoint so the three consumers below
     // (dup check, join, anti) never recompute a non-deterministic
-    // source
+    // source. LAZY: the dup-key aggregate is the first action, so one
+    // job materializes the checkpoint and returns the count (the
+    // Delta MERGE / connectedComponents fusion).
     val b0 = batch.select((outSchema.fieldNames.map(col) :+
-      col(opCol).as("__op")).toIndexedSeq: _*).localCheckpoint(true)
+      col(opCol).as("__op")).toIndexedSeq: _*).localCheckpoint(false)
     val dupKeys = b0.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
     require(dupKeys == 0L,
@@ -2283,9 +2285,25 @@ object IcebergInterop {
     val joinCond = keys.map(k => col(k) === col(s"__b_$k"))
       .reduce(_ && _)
     val joined = st.base.join(bAliased, joinCond, "inner")
-      .localCheckpoint(true)
-    val multi = joined.groupBy(keys.map(k => col(s"__b_$k")): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+      .localCheckpoint(false)
+    // ONE fused aggregate job over `joined` materializes the lazy
+    // checkpoint AND answers the multiplicity gate plus the matched
+    // update/delete counts — previously three separate count jobs
+    // (per-key inner agg partial-aggregates map-side; nothing wide
+    // shuffles)
+    val statsRow = joined
+      .groupBy(keys.map(k => col(s"__b_$k")): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__b___op").isin("U", "M"), 1L).otherwise(0L))
+          .as("__u"),
+        sum(when(col("__b___op") === "D", 1L).otherwise(0L)).as("__d"))
+      .agg(sum(when(col("__n") > 1, 1L).otherwise(0L)).as("__multi"),
+        sum("__u").as("__us"), sum("__d").as("__ds"))
+      .head()
+    def statAt(i: Int): Long =
+      if (statsRow.isNullAt(i)) 0L else statsRow.getLong(i)
+    val (multi, nUpdMatched, nDelMatched) =
+      (statAt(0), statAt(1), statAt(2))
     require(multi == 0L,
       s"grafticeberg MERGE: $multi key(s) match multiple live target " +
         "rows — refusing (the rewrite would change multiplicity)")
@@ -2313,9 +2331,11 @@ object IcebergInterop {
             s"grafticeberg MERGE: NOT MATCHED BY SOURCE UPDATE sets " +
               s"unknown column '$c'")
         })
+        // LAZY checkpoint: the branch count below is the first action,
+        // so one job materializes the frame and counts it
         val un = st.base.join(bAliased, joinCond, "left_anti")
           .filter(expr(condSql)) // pushable; NULL drops either way
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         (un, setsOpt)
       }
     val nmbsRows: Option[DataFrame] = nmbs.flatMap { case (un, so) =>
@@ -2329,10 +2349,14 @@ object IcebergInterop {
           .toIndexedSeq: _*)
       }
     }
-    val nUpd = joined.filter(col("__b___op").isin("U", "M")).count() +
-      nmbs.filter(_._2.isDefined).map(_._1.count()).getOrElse(0L)
-    val nDel = joined.filter(col("__b___op") === "D").count() +
-      nmbs.filter(_._2.isEmpty).map(_._1.count()).getOrElse(0L)
+    // matched update/delete counts come from the fused stats aggregate
+    // above (zero extra jobs); the NMBS frame is counted once — it
+    // feeds whichever branch (update vs delete) the clause declares
+    val nNmbs = nmbs.map(_._1.count()).getOrElse(0L)
+    val nUpd = nUpdMatched +
+      (if (nmbs.exists(_._2.isDefined)) nNmbs else 0L)
+    val nDel = nDelMatched +
+      (if (nmbs.exists(_._2.isEmpty)) nNmbs else 0L)
     val nIns = insertedRows.count()
     if (nUpd + nDel + nIns == 0L) return (0L, 0L, 0L)
     val allMatched = nmbs.map(_._1.select("__uri", "__pos"))

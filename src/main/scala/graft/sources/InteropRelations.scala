@@ -123,6 +123,21 @@ class InteropSnapshotRelation(ctx: SQLContext, s: StructType,
   // V1 relation reports spark.sql.defaultSizeInBytes (≈ Long.Max) and
   // a KB-sized foreign dimension table never broadcasts
   override def sizeInBytes: Long = sizeHint.getOrElse(super.sizeInBytes)
+  // The relation serves INTERNAL rows: `needConversion = false` hands
+  // the planner `toRdd` directly, skipping the per-row InternalRow →
+  // Row → InternalRow double conversion a TableScan otherwise pays on
+  // EVERY row of every read (RDDConversions.rowToRowRdd) — pure
+  // per-row overhead at any scale. The RDD is cached per relation
+  // instance: the snapshot is version-pinned and immutable, so the
+  // merge-on-read plan (metadata parse + analysis + codegen, 0.2-0.5 s
+  // per call measured) need not be rebuilt when the same view is
+  // referenced again — the RDD itself stays lazy, every action still
+  // computes from the parquet + delete state underneath.
+  override def needConversion: Boolean = false
+  private lazy val scanRdd: org.apache.spark.rdd.RDD[
+      org.apache.spark.sql.Row] =
+    mk().queryExecution.toRdd
+      .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
   override def buildScan(): org.apache.spark.rdd.RDD[
-      org.apache.spark.sql.Row] = mk().rdd
+      org.apache.spark.sql.Row] = scanRdd
 }

@@ -1,0 +1,24 @@
+#!/bin/bash
+# Profile a subset of bench queries with JFR: starts the bench fork,
+# attaches a flight recording to the forked JVM, and dumps it when the
+# bench exits. Usage: tools/profile_bench.sh OUT.jfr q376_... [q...]
+set -u
+OUT=$1; shift
+rm -f "$OUT"
+SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
+BENCH_OUT=/tmp/profile_bench_out.json \
+  sbt -batch "runMain graft.Bench $*" > /tmp/profile_bench.log 2>&1 &
+SBT_PID=$!
+# wait for the forked bench JVM (the one whose cmdline has graft.Bench)
+FORK=""
+for i in $(seq 1 120); do
+  FORK=$(ps -eo pid,cmd | grep '[j]ava' | grep -e 'spark.ui.enabled=false' | grep -v sbt-launch.jar | awk '{print $1}' | head -1)
+  [ -n "$FORK" ] && break
+  sleep 1
+done
+if [ -z "$FORK" ]; then echo "no fork found"; kill $SBT_PID; exit 1; fi
+echo "fork pid $FORK"
+jcmd "$FORK" JFR.start name=bench settings=profile filename="$OUT" >/dev/null
+wait $SBT_PID
+echo "bench exited; jfr at $OUT"
