@@ -4384,6 +4384,43 @@ object IcebergInterop {
         }
       }
     }
+    // Referenced-path audit for position-delete payloads: ONE Spark
+    // job reads every pd file's file_path column (input_file_name
+    // attributes rows back to their payload) instead of one job per
+    // delete file — a doctor pass over a 10k-delete-file table would
+    // otherwise launch 10k jobs. Falls back to per-file reads if the
+    // batch read trips on a corrupt member (preserving the per-file
+    // Try semantics: unreadable payload ⇒ no refs, no issue here).
+    val pdAudit = deleteFiles.filter(d => d.dv.isEmpty &&
+      d.content == 1 && present.contains(uriOf(d.path)))
+    val refsOfPath: Map[String, Seq[String]] =
+      if (pdAudit.isEmpty) Map.empty
+      else {
+        // normalize both sides through Path.toString: input_file_name
+        // renders file:///x where makeQualified renders file:/x
+        val qualToPath = pdAudit
+          .map(d => new Path(qualify(d.path)).toString -> d.path).toMap
+        scala.util.Try {
+          spark.read.schema(StructType(Seq(
+              StructField("file_path", StringType))))
+            .parquet(pdAudit.map(d => uriOf(d.path)): _*)
+            .select(org.apache.spark.sql.functions.input_file_name()
+              .as("__src"), col("file_path"))
+            .distinct().collect()
+            .flatMap(r => qualToPath.get(new Path(r.getString(0)).toString)
+              .map(_ -> r.getString(1))).toSeq
+            .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        }.getOrElse {
+          pdAudit.map { d =>
+            d.path -> scala.util.Try(
+              spark.read.schema(StructType(Seq(
+                  StructField("file_path", StringType))))
+                .parquet(uriOf(d.path))
+                .distinct().collect().map(_.getString(0)).toSeq)
+              .getOrElse(Seq.empty)
+          }.toMap
+        }
+      }
     deleteFiles.sortBy(_.path).foreach { d =>
       if (!present.contains(uriOf(d.path)))
         issues += Issue("error", "missing_file", d.path,
@@ -4419,12 +4456,8 @@ object IcebergInterop {
             issues += Issue("error", "count_mismatch", d.path,
               s"manifest record_count ${d.records} != footer rows $fr")
           // referenced paths: ≤ one distinct row per referenced file
-          val refs = scala.util.Try(
-            spark.read.schema(StructType(Seq(
-              StructField("file_path", StringType))))
-              .parquet(uriOf(d.path))
-              .distinct().collect().map(_.getString(0)).toSeq)
-            .getOrElse(Seq.empty)
+          // (batched across all pd files above — one job, not one per)
+          val refs = refsOfPath.getOrElse(d.path, Seq.empty)
           refs.sorted.foreach { ref =>
             if (!livePaths.contains(ref) && !liveQualified.contains(ref))
               issues += Issue("warn", "dangling_delete_ref", d.path,
