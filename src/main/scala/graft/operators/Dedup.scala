@@ -256,6 +256,12 @@ object Dedup {
         col("n").as("na")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("hs").as("hb"),
         col("n").as("nb")), "id_b")
+      // explicit width before the per-pair set intersection: AQE
+      // coalesces the join's output exchange by BYTES (candidate rows
+      // are slim) without seeing that each row then pays an
+      // O(|A|+|B|) hash-set intersection — measured: the verification
+      // stage ran on 4 of 32 cores (the q306 single-partition lesson)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .withColumn("common", size(array_intersect(col("ha"), col("hb")))
         .cast("long"))
       .withColumn("jac", col("common").cast("double") /

@@ -1108,47 +1108,72 @@ object LakeTable {
         "columns named '#rows' are not zone-indexable")
     val keys = zoneKeys.distinct.filter(k =>
       df.schema.fieldNames.contains(k) && zoneSupported(df.schema(k).dataType))
-    // per-file ROW COUNTS from the parquet FOOTERS just written —
-    // driver-side, O(files in this commit), zero data I/O — recorded as
-    // the reserved `#rows` pseudo-zone so COUNT(*) ([[countRows]]) and
-    // the DV maintenance math are manifest-resident, the Delta
-    // `numRecords` rule. Footer metadata is authoritative (the writer
-    // flushed it a moment ago).
+    // per-file ROW COUNTS and zone bounds from the parquet FOOTERS
+    // just written — driver-side, O(files in this commit), zero data
+    // I/O. Row counts ride the reserved `#rows` pseudo-zone so
+    // COUNT(*) ([[countRows]]) and the DV maintenance math are
+    // manifest-resident (the Delta `numRecords` rule); zone bounds
+    // serve from the same footer open for the types whose render is
+    // provably the engine's own ([[TableDoctor.footerZoneStats]]) —
+    // previously EVERY commit re-read its whole delta with a Spark
+    // min/max job just to learn bounds the writer had flushed into the
+    // footers a moment earlier (one extra scan + driver round-trip per
+    // commit, at any scale).
+    val footEligible: Set[String] = keys.filter(k =>
+      df.schema(k).dataType match {
+        case ByteType | ShortType | IntegerType | LongType |
+             StringType | DateType => true
+        case _ => false
+      }).toSet
+    val footInfo: Map[String,
+        (Option[Long], Map[String, Option[(String, String)]])] =
+      rels.map(rel => rel -> TableDoctor.footerZoneStats(spark,
+        s"$root/$rel", footEligible)).toMap
     val rowCounts: Map[String, Long] = rels.map { rel =>
-      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new Path(s"$root/$rel"), spark.sessionState.newHadoopConf()))
-      val n = try rdr.getRecordCount finally rdr.close()
-      rel -> n
+      rel -> footInfo(rel)._1.getOrElse(throw new IllegalStateException(
+        s"freshly written $rel has no readable parquet footer"))
     }.toMap
+    // a key serves from footers only when EVERY file answers for it;
+    // the rest (timestamps/floats/decimals, or dropped stats) fall
+    // back to the one-pass Spark aggregate over just those columns
+    val served = keys.filter(k => footEligible.contains(k) &&
+      rels.forall(rel => footInfo(rel)._2.contains(k)))
+    val sparkKeys = keys.filterNot(served.contains)
+    val sparkStats: Map[String, Map[String, (String, String)]] =
+      if (sparkKeys.isEmpty) Map.empty
+      else {
+        val aggs = sparkKeys.flatMap(k =>
+          Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
+        spark.read
+          .parquet(rels.map(r => s"$root/$r"): _*)
+          .select(input_file_name().as("__f") +: sparkKeys.map(col): _*)
+          .groupBy("__f")
+          .agg(aggs.head, aggs.tail: _*)
+          .collect() // bounded: one row per file just written
+          .map { r =>
+            val m = sparkKeys.zipWithIndex.flatMap { case (k, i) =>
+              (Option(r.get(1 + 2 * i)), Option(r.get(2 + 2 * i))) match {
+                case (Some(lo), Some(hi)) =>
+                  Some(k -> (lo.toString, hi.toString))
+                case _ => None // all-null column in this file
+              }
+            }.toMap
+            new Path(r.getString(0)).getName -> m
+          }.toMap
+      }
     def withRows(rel: String, zones: Seq[Zone]): FileEntry =
       FileEntry(rel, zones ++ rowCounts.get(rel).map(n =>
         Zone(RowsKey, n.toString, n.toString)))
-    if (keys.isEmpty) rels.map(withRows(_, Seq.empty))
-    else {
-      // per-file min/max of all keys in ONE pass, keyed by FILE NAME:
-      // the commit dir is unique to this write, so names are unambiguous
-      // and no scheme/URI normalization of input_file_name is needed
-      val aggs = keys.flatMap(k =>
-        Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
-      val stats = spark.read
-        .parquet(rels.map(r => s"$root/$r"): _*)
-        .select(input_file_name().as("__f") +: keys.map(col): _*)
-        .groupBy("__f")
-        .agg(aggs.head, aggs.tail: _*)
-        .collect() // bounded: one row per file just written
-        .map { r =>
-          val zones = keys.zipWithIndex.flatMap { case (k, i) =>
-            (Option(r.get(1 + 2 * i)), Option(r.get(2 + 2 * i))) match {
-              case (Some(lo), Some(hi)) =>
-                Some(Zone(k, lo.toString, hi.toString))
-              case _ => None // all-null column in this file
-            }
-          }
-          new Path(r.getString(0)).getName -> zones
-        }.toMap
-      rels.map(rel =>
-        withRows(rel, stats.getOrElse(new Path(rel).getName, Seq.empty)))
+    rels.map { rel =>
+      val byName = sparkStats.getOrElse(new Path(rel).getName, Map.empty)
+      // zones keep the caller's key ORDER: the first data zone is the
+      // table's primary zone key (FileEntry.zoneKey)
+      val zones = keys.flatMap { k =>
+        if (served.contains(k))
+          footInfo(rel)._2(k).map { case (lo, hi) => Zone(k, lo, hi) }
+        else byName.get(k).map { case (lo, hi) => Zone(k, lo, hi) }
+      }
+      withRows(rel, zones)
     }
   }
 

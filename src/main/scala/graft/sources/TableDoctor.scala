@@ -139,6 +139,146 @@ object TableDoctor {
       } finally rdr.close()
     }.getOrElse(Map.empty)
 
+  /** Row count plus exact per-column zone bounds from ONE parquet
+    * footer open — the zero-extra-I/O stats source for freshly written
+    * lake files ([[LakeTable]] writeData): reading the delta back with
+    * a Spark min/max job costs a full scan + a driver round-trip per
+    * commit, while the writer flushed the same bounds into the footer
+    * a moment ago.
+    *
+    * Bounds serve ONLY when the footer render is provably identical to
+    * the engine's collected-value render (zones are compared and
+    * echoed as strings, so the spelling is part of the contract):
+    *   - INT32/INT64 with no logical annotation or a signed INT
+    *     annotation (Byte/Short/Integer/Long columns) — decimal digits;
+    *   - BINARY with a STRING annotation — parquet's unsigned
+    *     byte-lexicographic stats order equals UTF8String ordering,
+    *     and the bytes round-trip verbatim (over-long stats are
+    *     dropped by the writer at 4 KB and simply don't serve);
+    *   - DATE within the pure-Gregorian 4-digit-year range
+    *     [1582-10-15, 9999-12-31] where LocalDate's ISO render equals
+    *     java.sql.Date.toString (outside it the hybrid-calendar /
+    *     5-digit renders diverge — no bound, never a wrong one).
+    * Timestamps, floats/doubles (NaN ordering differs between parquet
+    * stats and the engine's aggregate) and decimals never serve here.
+    *
+    * Per column: `Some(Some((lo, hi)))` = bounds; `Some(None)` =
+    * provably all-null in this file (serve "no zone"); absent =
+    * unknowable from the footer — the caller computes that column
+    * another way. Row count is None when the footer is unreadable. */
+  private[sources] def footerZoneStats(
+      spark: org.apache.spark.sql.SparkSession,
+      uri: String, cols: Set[String])
+      : (Option[Long], Map[String, Option[(String, String)]]) =
+    scala.util.Try {
+      import scala.jdk.CollectionConverters._
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(uri),
+          spark.sessionState.newHadoopConf()))
+      try {
+        val blocks = rdr.getFooter.getBlocks.asScala.toSeq
+        val rows = rdr.getRecordCount
+        // kinds: 0 = signed integral (merge by Long), 1 = DATE (merge
+        // by epoch-day Long, render gated), 2 = STRING (merge by
+        // UTF8String's unsigned byte order)
+        final case class FB(kind: Int, loL: Long, hiL: Long,
+                            loS: String, hiS: String)
+        // per block per column: Some(Some(FB)) = bounds, Some(None) =
+        // provably all-null, None = unknown
+        val perBlock: Seq[Map[String, Option[FB]]] =
+          blocks.map { b =>
+            b.getColumns.asScala.flatMap { c =>
+              val name = c.getPath.toDotString
+              if (!cols.contains(name) || name.contains(".")) None
+              else {
+                val pt = c.getPrimitiveType
+                val ann = pt.getLogicalTypeAnnotation
+                val st = c.getStatistics
+                def intSigned: Boolean = ann match {
+                  case null => true
+                  case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                    i.isSigned
+                  case _ => false
+                }
+                def bounds: Option[FB] = {
+                  def numLo = st.genericGetMin
+                    .asInstanceOf[Number].longValue
+                  def numHi = st.genericGetMax
+                    .asInstanceOf[Number].longValue
+                  pt.getPrimitiveTypeName match {
+                    case PrimitiveTypeName.INT32
+                        if ann.isInstanceOf[
+                          LogicalTypeAnnotation
+                            .DateLogicalTypeAnnotation] =>
+                      Some(FB(1, numLo, numHi, null, null))
+                    case PrimitiveTypeName.INT32 if intSigned =>
+                      Some(FB(0, numLo, numHi, null, null))
+                    case PrimitiveTypeName.INT64
+                        if ann == null || intSigned =>
+                      Some(FB(0, numLo, numHi, null, null))
+                    case PrimitiveTypeName.BINARY
+                        if ann.isInstanceOf[
+                          LogicalTypeAnnotation
+                            .StringLogicalTypeAnnotation] =>
+                      Some(FB(2, 0L, 0L,
+                        st.genericGetMin
+                          .asInstanceOf[org.apache.parquet.io.api.Binary]
+                          .toStringUsingUTF8,
+                        st.genericGetMax
+                          .asInstanceOf[org.apache.parquet.io.api.Binary]
+                          .toStringUsingUTF8))
+                    case _ => None
+                  }
+                }
+                val served: Option[Option[FB]] =
+                  if (st == null || st.isEmpty) None
+                  else if (!st.hasNonNullValue)
+                    if (st.isNumNullsSet && st.getNumNulls == b.getRowCount)
+                      Some(None)
+                    else None
+                  else bounds.map(Some(_))
+                served.map(name -> _)
+              }
+            }.toMap
+          }
+        def strMin(a: String, b: String): String =
+          if (org.apache.spark.unsafe.types.UTF8String.fromString(a)
+              .compareTo(org.apache.spark.unsafe.types.UTF8String
+                .fromString(b)) <= 0) a else b
+        val keys = perBlock.map(_.keySet)
+          .reduceOption(_ & _).getOrElse(Set.empty)
+        val zones = keys.flatMap { k =>
+          val nonNull = perBlock.map(_(k)).flatten
+          if (nonNull.isEmpty)
+            Some(k -> (None: Option[(String, String)]))
+          else {
+            val m = nonNull.reduce { (a, b) =>
+              if (a.kind == 2)
+                FB(2, 0L, 0L, strMin(a.loS, b.loS),
+                  if (strMin(a.hiS, b.hiS) == a.hiS) b.hiS else a.hiS)
+              else FB(a.kind, math.min(a.loL, b.loL),
+                math.max(a.hiL, b.hiL), null, null)
+            }
+            m.kind match {
+              case 0 =>
+                Some(k -> Some((m.loL.toString, m.hiL.toString)))
+              case 1 =>
+                // pure-Gregorian, 4-digit-year render range only
+                if (m.loL < -141427L || m.hiL > 2932896L) None
+                else Some(k -> Some((
+                  java.time.LocalDate.ofEpochDay(m.loL).toString,
+                  java.time.LocalDate.ofEpochDay(m.hiL).toString)))
+              case _ => Some(k -> Some((m.loS, m.hiS)))
+            }
+          }
+        }.toMap
+        (Some(rows), zones)
+      } finally rdr.close()
+    }.getOrElse((None, Map.empty))
+
   /** One existence set per distinct parent directory (a listStatus
     * each) — the same listing bound the scan's FileIndex pays. */
   private[sources] def existing(spark: org.apache.spark.sql.SparkSession,
