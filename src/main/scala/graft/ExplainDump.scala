@@ -1,0 +1,27 @@
+package graft
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Dump `.explain("formatted")` for named queries into a directory —
+  * the per-query plan evidence the optimization rounds commit under
+  * `plans/r<N>/`. Building a query's DataFrame runs any fixture-
+  * building steps its closure performs (use a small SF dir).
+  *
+  * Usage: runMain graft.ExplainDump <sfDir> <outDir> <query> [query...]
+  */
+object ExplainDump {
+  def main(args: Array[String]): Unit = {
+    val (sfDir, outDir) = (args(0), args(1))
+    val spark = Engine.local(appName = "graft-explain")
+    spark.sparkContext.setLogLevel("ERROR")
+    new java.io.File(outDir).mkdirs()
+    args.drop(2).foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      Files.writeString(Paths.get(s"$outDir/$q.txt"),
+        df.queryExecution.explainString(
+          ExplainMode.fromString("formatted")))
+      System.err.println(s"[explain] wrote $outDir/$q.txt")
+    }
+    spark.stop()
+  }
+}

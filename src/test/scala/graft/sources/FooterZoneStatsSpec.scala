@@ -1,0 +1,111 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The footer-served zone bounds ([[TableDoctor.footerZoneStats]] via
+  * LakeTable.writeData) must render EXACTLY what the previous
+  * Spark-aggregate pass rendered — zones are compared and echoed as
+  * strings, so the spelling is part of the manifest contract. This
+  * spec pins the render equality on every served type (ints, longs,
+  * strings incl. non-ASCII, dates), the all-null no-zone case, the
+  * fallback types (timestamp, double, decimal), and the over-long
+  * string stats drop (parquet omits >4 KB stats → Spark fallback).
+  */
+class FooterZoneStatsSpec extends SparkSpec {
+
+  private def zonesVia(df: org.apache.spark.sql.DataFrame,
+                       keys: Seq[String])
+      : Map[String, Seq[(String, String, String)]] = {
+    val root = Files.createTempDirectory("graft_fzs").toString + "/t"
+    LakeTable.append(df, root, zoneKeys = keys)
+    LakeTable.entries(spark, root, 1L).map { e =>
+      e.path -> e.dataZones.map(z => (z.key, z.lo, z.hi))
+    }.toMap
+  }
+
+  /** The pre-change reference: Spark min/max renders per file. */
+  private def sparkRender(df: org.apache.spark.sql.DataFrame,
+                          keys: Seq[String])
+      : Map[String, (String, String)] = {
+    val r = df.agg(min(col(keys.head)), max(col(keys.head))).head()
+    (Option(r.get(0)), Option(r.get(1))) match {
+      case (Some(lo), Some(hi)) =>
+        Map(keys.head -> (lo.toString, hi.toString))
+      case _ => Map.empty
+    }
+  }
+
+  test("int/long/string/date zones equal the Spark-collected render") {
+    import spark.implicits._
+    val df = Seq(
+      (7, -42L, "alpha", java.sql.Date.valueOf("1994-01-07"), 1.5d),
+      (-3, 900L, "Ωmega", java.sql.Date.valueOf("2031-12-31"), -2.5d),
+      (12, 0L, "zetaé", java.sql.Date.valueOf("1601-02-03"),
+        Double.NaN)
+    ).toDF("i", "l", "s", "d", "x").coalesce(1)
+    val zs = zonesVia(df, Seq("i", "l", "s", "d", "x"))
+    assert(zs.size == 1)
+    val byKey = zs.values.head.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byKey("i") == ("-3", "12"))
+    assert(byKey("l") == ("-42", "900"))
+    assert(byKey("s") == ("alpha", "Ωmega") ||
+      byKey("s") == sparkRender(df, Seq("s"))("s"))
+    // string order is UTF8 byte order: Ωmega (0xCE...) > zeta é
+    assert(byKey("s")._2 == "Ωmega")
+    assert(byKey("d") == ("1601-02-03", "2031-12-31"))
+    // double falls back to the Spark pass; its render must match too
+    assert(byKey("x") == sparkRender(df, Seq("x"))("x"))
+    // zone ORDER follows the caller's key order (primary zone first)
+    assert(zs.values.head.map(_._1) == Seq("i", "l", "s", "d", "x"))
+  }
+
+  test("all-null column gets no zone; timestamp falls back and matches") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option.empty[String],
+        java.sql.Timestamp.valueOf("2020-05-06 07:08:09.25")),
+      (2L, Option.empty[String],
+        java.sql.Timestamp.valueOf("1999-12-31 23:59:59"))
+    ).toDF("k", "sn", "ts").coalesce(1)
+    val zs = zonesVia(df, Seq("k", "sn", "ts"))
+    val byKey = zs.values.head.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(!byKey.contains("sn"))
+    assert(byKey("k") == ("1", "2"))
+    assert(byKey("ts") == sparkRender(df, Seq("ts"))("ts"))
+  }
+
+  test("multi-file write: per-file bounds, ragged nulls, row counts") {
+    import spark.implicits._
+    val df = (1 to 1000).map { i =>
+      (i.toLong, if (i % 2 == 0) null else f"s$i%04d", i % 7)
+    }.toDF("k", "s", "m").repartition(4)
+    val root = Files.createTempDirectory("graft_fzs").toString + "/t"
+    LakeTable.append(df, root, zoneKeys = Seq("k", "s", "m"))
+    val ents = LakeTable.entries(spark, root, 1L)
+    assert(ents.size == 4)
+    // recompute the reference per file with Spark and compare renders
+    ents.foreach { e =>
+      val fdf = spark.read.parquet(s"$root/${e.path}")
+      val r = fdf.agg(min("k"), max("k"), min("s"), max("s"),
+        min("m"), max("m"), count(lit(1))).head()
+      val byKey = e.dataZones.map(z => z.key -> (z.lo, z.hi)).toMap
+      assert(byKey("k") == (r.get(0).toString, r.get(1).toString))
+      assert(byKey("s") == (r.get(2).toString, r.get(3).toString))
+      assert(byKey("m") == (r.get(4).toString, r.get(5).toString))
+      assert(e.rowCount.contains(r.getLong(6)))
+    }
+  }
+
+  test("over-long string stats (>4 KB) drop from the footer and fall " +
+      "back to the Spark render") {
+    import spark.implicits._
+    val big = "z" * 5000
+    val df = Seq((1L, big), (2L, "a")).toDF("k", "s").coalesce(1)
+    val zs = zonesVia(df, Seq("k", "s"))
+    val byKey = zs.values.head.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byKey("k") == ("1", "2"))
+    assert(byKey("s") == ("a", big)) // exact values either way
+  }
+}
