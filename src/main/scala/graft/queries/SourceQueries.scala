@@ -5374,29 +5374,36 @@ object SourceQueries {
     val root = freshRoot(name) + "/t"
     val fsys = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sessionState.newHadoopConf())
-    def writeOne(df: org.apache.spark.sql.DataFrame,
-                 rel: String): Long = {
-      val stage = s"$root/_stage"
-      df.coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = fsys.listStatus(new org.apache.hadoop.fs.Path(stage))
-        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-      fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/$rel")
-        .getParent)
-      fsys.rename(part, new org.apache.hadoop.fs.Path(s"$root/$rel"))
-      fsys.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
-      df.count()
-    }
     val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
       timestamp_seconds((col("o_orderkey") % 5) * 86400L +
         col("o_orderkey") % 86400).as("ts"),
       (col("o_orderkey") % 3).cast("int").as("b"),
       col("o_totalprice").as("price"))
+    // ONE partitioned write stages all five day files (each sorted by
+    // k, the same content the old five coalesce(1) writes produced
+    // one at a time), then driver renames; row counts come from the
+    // freshly-written footers — zero recount jobs
+    val stage = s"$root/_stage"
+    base.withColumn("__dd", (col("k") % 5).cast("int"))
+      .repartition(col("__dd"))
+      .sortWithinPartitions("__dd", "k")
+      .write.mode("overwrite").partitionBy("__dd").parquet(stage)
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data"))
+    (0 until 5).foreach { dd =>
+      val part = fsys.listStatus(
+          new org.apache.hadoop.fs.Path(s"$stage/__dd=$dd"))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fsys.rename(part, new org.apache.hadoop.fs.Path(
+        s"$root/data/day$dd.parquet")): Unit
+    }
+    fsys.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
     val mSchema = IcebergInterop.manifestSchemaWithPartition(
       """{"name":"ts_day","type":["null","int"],"default":null}""")
     val entries = (0 until 5).map { dd =>
       val rel = s"data/day$dd.parquet"
-      val rows = writeOne(base.filter(col("k") % 5 === dd)
-        .orderBy("k"), rel)
+      val rows = graft.sources.TableDoctor.footerRows(s, s"$root/$rel")
+        .getOrElse(throw new IllegalStateException(
+          s"q384 fixture: no readable footer for $rel"))
       val df0 = new GenericData.Record(
         mSchema.getField("data_file").schema())
       df0.put("content", 0)
