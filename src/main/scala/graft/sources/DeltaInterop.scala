@@ -1486,8 +1486,16 @@ object DeltaInterop {
     // would spend a separate job per batch on materialization alone).
     val b0 = batch.select((outSchema.fieldNames.map(col) :+
       col(opCol).as("__op")).toIndexedSeq: _*).localCheckpoint(false)
-    val dupKeys = b0.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+    val bStatsRow = b0.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__op").isin("U", "I"), 1L).otherwise(0L))
+          .as("__ui"))
+      .agg(sum(when(col("__n") > 1, 1L).otherwise(0L)).as("__dups"),
+        sum("__ui").as("__uis"))
+      .head()
+    def bStatAt(i: Int): Long =
+      if (bStatsRow.isNullAt(i)) 0L else bStatsRow.getLong(i)
+    val (dupKeys, nUIBatch) = (bStatAt(0), bStatAt(1))
     require(dupKeys == 0L,
       s"graftdelta MERGE: batch carries $dupKeys duplicate key(s) — " +
         "SQL MERGE rejects multiple matches; dedup the source first")
@@ -1512,14 +1520,17 @@ object DeltaInterop {
       .agg(count(lit(1)).as("__n"),
         sum(when(col("__b___op").isin("U", "M"), 1L).otherwise(0L))
           .as("__u"),
-        sum(when(col("__b___op") === "D", 1L).otherwise(0L)).as("__d"))
+        sum(when(col("__b___op") === "D", 1L).otherwise(0L)).as("__d"),
+        sum(when(col("__b___op").isin("U", "I"), 1L).otherwise(0L))
+          .as("__ui"))
       .agg(sum(when(col("__n") > 1, 1L).otherwise(0L)).as("__multi"),
-        sum("__u").as("__us"), sum("__d").as("__ds"))
+        sum("__u").as("__us"), sum("__d").as("__ds"),
+        sum("__ui").as("__uis"))
       .head()
     def statAt(i: Int): Long =
       if (statsRow.isNullAt(i)) 0L else statsRow.getLong(i)
-    val (multi, nUpdMatched, nDelMatched) =
-      (statAt(0), statAt(1), statAt(2))
+    val (multi, nUpdMatched, nDelMatched, nUIMatched) =
+      (statAt(0), statAt(1), statAt(2), statAt(3))
     require(multi == 0L,
       s"graftdelta MERGE: $multi key(s) match multiple live target " +
         "rows — refusing (the rewrite would change multiplicity)")
@@ -1574,7 +1585,10 @@ object DeltaInterop {
       (if (nmbs.exists(_._2.isDefined)) nNmbs else 0L)
     val nDel = nDelMatched +
       (if (nmbs.exists(_._2.isEmpty)) nNmbs else 0L)
-    val nIns = insertedRows.count()
+    // inserts = batch U/I rows minus the MATCHED U/I rows (exact under
+    // the dup-key and multiplicity gates above: every batch row either
+    // matches exactly one live row or none) — no third count job
+    val nIns = nUIBatch - nUIMatched
     if (nUpd + nDel + nIns == 0L) return (0L, 0L, 0L)
     val allMatched = nmbs.map(_._1.select("__uri", "__pos"))
       .map(matched.unionAll).getOrElse(matched)
