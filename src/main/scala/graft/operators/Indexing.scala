@@ -326,44 +326,70 @@ object Indexing {
     * b=0.75, 4-dp quantized contribs, fixed-point sums). */
   def bm25MaxScoreTopK(toks: DataFrame, nDocs: Long, terms: Seq[String],
                        k: Int): DataFrame = {
-    val totToks = toks.count()
-    val avgdl = totToks.toDouble / nDocs.toDouble
     def q4d(c: Column) =
       floor(c * 10000d + 0.5d).cast("long").cast("double") / 10000d
     def fx4(c: Column) = floor(c * 10000d + 0.5d).cast("long")
+    val ts = terms.distinct
+    // ONE tokenization pass, lazily checkpointed (r19): the operator's
+    // driver decisions (corpus stats, rarest-term θ seed, final
+    // scoring) are separate actions, and each used to re-derive dl/tf
+    // from the raw token stream — ~6 full corpus passes per call. All
+    // statistics now ride one map-side-aggregated |docs|-row frame,
+    // materialized once; dl and the per-term tf tallies are columns of
+    // it, so the old dl join disappears too.
+    val perDoc = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"),
+        ts.zipWithIndex.map { case (t, i) =>
+          count(when(col("term") === t, 1)).as(s"__tf_$i") }: _*)
+      .localCheckpoint(false)
+    // one stats collect: total tokens (→ avgdl) + per-term df. The
+    // values are the same exact longs the old toks.count() and dfreq
+    // jobs produced; they re-enter the plan as literals, so executor
+    // arithmetic on them is unchanged.
+    val statsRow = perDoc.agg(sum("dl").as("tot"),
+      ts.indices.map(i =>
+        count(when(col(s"__tf_$i") > 0L, 1)).as(s"__df_$i")): _*).collect()(0)
+    val totToks = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
+    val avgdl = totToks.toDouble / nDocs.toDouble
+    val dfs = ts.indices.map(i => statsRow.getLong(1 + i))
+    val matched = ts.zipWithIndex.filter { case (_, i) => dfs(i) > 0L }
+    if (matched.isEmpty) // no query term matches any doc
+      return perDoc.select(col("doc_id"), lit(0.0d).as("bm25")).limit(0)
     val idfq = q4d(log(lit(1.0d) +
       (lit(nDocs.toDouble) - col("df") + lit(0.5d)) / (col("df") + lit(0.5d))))
     val tfnorm = (col("tf") * lit(2.2d)) /
       (col("tf") + lit(1.2d) *
         (lit(0.25d) + lit(0.75d) * (col("dl") / lit(avgdl))))
-    val tf = toks.filter(col("term").isin(terms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val mIdx = matched.map(_._2)
+    // slim (doc, term) pairs for matched terms only, df attached as a
+    // literal lookup — the dfreq broadcast join is gone
+    def pairsOf(docStats: DataFrame): DataFrame = docStats
+      .select(col("doc_id"), col("dl"),
+        posexplode(array(mIdx.map(i => col(s"__tf_$i")): _*))
+          .as(Seq("__i", "tf")))
+      .filter(col("tf") > 0L)
+      .withColumn("df", element_at(
+        array(mIdx.map(i => lit(dfs(i))): _*), col("__i") + 1))
+    val pairs = pairsOf(perDoc)
     def exactFx(t: DataFrame): DataFrame = t
-      .join(broadcast(dfreq), "term").join(dl, "doc_id")
       .withColumn("cfx", fx4(q4d(idfq * tfnorm)))
       .groupBy("doc_id").agg(sum("cfx").as("s_fx"))
-    // phase 1: rarest term (1 driver row) → θ from its exact scores
-    val rarestRows = dfreq.orderBy(col("df").asc, col("term").asc).limit(1)
-      .collect()
-    if (rarestRows.isEmpty) // no query term matches any doc
-      return exactFx(tf).select(col("doc_id"), lit(0.0d).as("bm25")).limit(0)
-    val rarest = rarestRows(0).getString(0)
-    val seedDocs = tf.filter(col("term") === rarest).select("doc_id")
-    val seedTop = exactFx(tf.join(broadcast(seedDocs), Seq("doc_id"), "left_semi"))
+    // phase 1: rarest matched term (driver pick from the stats row)
+    // → θ from its docs' exact scores
+    val rarestIdx = matched.minBy { case (t, i) => (dfs(i), t) }._2
+    val seedTop = exactFx(pairsOf(perDoc.filter(col(s"__tf_$rarestIdx") > 0L)))
       .orderBy(col("s_fx").desc, col("doc_id").asc).limit(k)
       .select("s_fx").collect() // ≤ k driver rows
     val theta = if (seedTop.length < k) Long.MinValue
                 else seedTop.last.getLong(0)
-    // phase 2: UB-bounded candidates from (doc, term) pairs only
-    val ub = dfreq.select(col("term"), fx4(q4d(idfq * lit(2.2d))).as("ub_fx"))
-    val cands = tf.join(broadcast(ub), "term")
+    // phase 2: UB-bounded candidates from the (doc, term) pairs only
+    val ubFx = fx4(q4d(idfq * lit(2.2d)))
+    val cands = pairs.withColumn("ub_fx", ubFx)
       .groupBy("doc_id").agg(sum("ub_fx").as("ub_sum"))
       .filter(col("ub_sum") >= theta)
       .select("doc_id")
     // exact scoring only for survivors; output matches exhaustive BM25
-    exactFx(tf.join(cands, Seq("doc_id"), "left_semi"))
+    exactFx(pairs.join(cands, Seq("doc_id"), "left_semi"))
       .select(col("doc_id"),
         q4d(col("s_fx").cast("double") / 10000d).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id").asc)

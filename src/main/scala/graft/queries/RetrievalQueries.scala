@@ -2,7 +2,7 @@ package graft.queries
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -281,30 +281,68 @@ object RetrievalQueries {
       FROM dw JOIN syms$rounds USING (word)
       GROUP BY doc_id"""
 
+  /** ONE tokenization pass over the corpus: per-doc length plus the
+    * per-query-term tf tallies, map-side partial-aggregated so the only
+    * exchange carries |docs| slim rows, never token rows (guide §1.2 /
+    * §2.3). Every retrieval statistic (dl, tf, df, cf, avgdl, total
+    * tokens) derives from this frame; subtrees of one action that call
+    * it with the same term list share the exchange via ReusedExchange,
+    * so a query mixing BM25 + QL + qrels tokenizes the corpus once
+    * where it previously tokenized it per statistic. */
+  private def perDocTermStats(s: SparkSession, d: String,
+                              terms: Seq[String]): DataFrame = {
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      count(when(col("term") === t, 1)).as(s"__tf_$i") }
+    Tables.documents(s, d).select(col("doc_id"),
+        explode(Text.tokens(Text.normalize(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+  }
+
+  /** Count of distinct query terms present in the doc — the qrel/
+    * positive-label construction, as a column over [[perDocTermStats]]. */
+  private def matchedTermCount(terms: Seq[String]): Column =
+    terms.indices.map(i =>
+      when(col(s"__tf_$i") > 0L, 1L).otherwise(0L)).reduce(_ + _)
+
   /** Per-(doc, term) quantized BM25 contributions (k1=1.2, b=0.75) —
     * the shared engine of [[bm25Scores]] and the q198 feedback rescoring
-    * (which needs term granularity to apply per-term weights). */
+    * (which needs term granularity to apply per-term weights).
+    * Restructured r19: dl/tf/df/avgdl all ride the single
+    * [[perDocTermStats]] exchange (previously three separate corpus
+    * tokenizations in-plan plus a fourth for the avgdl count job); the
+    * df/avgdl scalars broadcast as one row. Arithmetic is unchanged —
+    * every input to the q4 quantizations is the same exact count, so
+    * contribs are bit-identical. */
   private def bm25Contribs(s: SparkSession, d: String,
                            terms: Seq[String]): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val toks = docs.select(col("doc_id"),
-      explode(Text.tokens(Text.normalize(col("text")))).as("term"))
-      .filter(col("term") =!= "")
-    val nDocs = docs.count()       // scalar metadata jobs: N and total
-    val totToks = toks.count()     // token count parameterize idf/avgdl
-    val avgdl = totToks.toDouble / nDocs.toDouble
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val tf = toks.filter(col("term").isin(terms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val ts = terms.distinct        // groupBy(doc,term) dedup'd before
+    val nDocs = Tables.documents(s, d).count()   // metadata-only count
+    val perDoc = perDocTermStats(s, d, ts)
+    // avgdl/df as one broadcast scalar row: sum(dl)/nDocs is the same
+    // exact long-over-long division the old toks.count() job computed.
+    val scal = perDoc.agg(
+      (sum("dl").cast("double") / lit(nDocs.toDouble)).as("avgdl"),
+      ts.indices.map(i =>
+        count(when(col(s"__tf_$i") > 0L, 1)).as(s"__df_$i")): _*)
+    val tf = perDoc.select(col("doc_id"), col("dl"),
+        posexplode(array(ts.indices.map(i => col(s"__tf_$i")): _*))
+          .as(Seq("__i", "tf")))
+      .filter(col("tf") > 0L)
+      .crossJoin(broadcast(scal))
+      .withColumn("term",
+        element_at(array(ts.map(lit): _*), col("__i") + 1))
+      .withColumn("df",
+        element_at(array(ts.indices.map(i => col(s"__df_$i")): _*),
+          col("__i") + 1))
     val idf = q4(log(lit(1.0d) +
       (lit(nDocs.toDouble) - col("df") + lit(0.5d)) /
         (col("df") + lit(0.5d))))
     val tfnorm = (col("tf") * lit(2.2d)) /
       (col("tf") + lit(1.2d) *
-        (lit(0.25d) + lit(0.75d) * (col("dl") / lit(avgdl))))
-    tf.join(broadcast(dfreq), "term").join(dl, "doc_id")
-      .select(col("doc_id"), col("term"), q4(idf * tfnorm).as("contrib"))
+        (lit(0.25d) + lit(0.75d) * (col("dl") / col("avgdl"))))
+    tf.select(col("doc_id"), col("term"), q4(idf * tfnorm).as("contrib"))
   }
 
   /** The q218 Dirichlet query-likelihood program: (doc_id, ql) for
@@ -313,25 +351,30 @@ object RetrievalQueries {
     * q230 leaderboard. */
   private def qlScores(s: SparkSession, d: String,
                        terms: Seq[String]): DataFrame = {
-    val toks = Tables.documents(s, d).select(col("doc_id"),
-      explode(Text.tokens(Text.normalize(col("text")))).as("term"))
-      .filter(col("term") =!= "")
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val tot = dl.agg(sum("dl").cast("double").as("t"))
-    val cf = toks.filter(col("term").isin(terms: _*))
-      .groupBy("term").agg(count(lit(1)).as("cf"))
-    val tf = toks.filter(col("term").isin(terms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    import s.implicits._
-    val qt = terms.toDF("term")
+    // Restructured r19 like [[bm25Contribs]]: dl/tf/cf/total all derive
+    // from the single perDocTermStats exchange — the old shape
+    // tokenized the corpus three times in-plan (dl, cf, tf subtrees)
+    // and joined them back per (doc, term). A term absent from the
+    // whole corpus had no cf row and was inner-joined away; the cf > 0
+    // filter reproduces that. tf was a left join (null → 0); the tally
+    // column is already 0 for non-matching docs.
+    val ts = terms.distinct
+    val perDoc = perDocTermStats(s, d, ts)
+    val scal = perDoc.agg(
+      sum("dl").cast("double").as("t"),
+      ts.indices.map(i => sum(col(s"__tf_$i")).as(s"__cf_$i")): _*)
     val lp = q4(log(
-      (coalesce(col("tf"), lit(0L)).cast("double") +
+      (col("tf").cast("double") +
         lit(2000.0d) * (col("cf").cast("double") / col("t"))) /
         (col("dl").cast("double") + lit(2000.0d))))
-    dl.crossJoin(broadcast(qt))
-      .join(broadcast(cf), Seq("term"))
-      .join(tf, Seq("doc_id", "term"), "left")
-      .crossJoin(broadcast(tot))
+    perDoc.select(col("doc_id"), col("dl"),
+        posexplode(array(ts.indices.map(i => col(s"__tf_$i")): _*))
+          .as(Seq("__i", "tf")))
+      .crossJoin(broadcast(scal))
+      .withColumn("cf",
+        element_at(array(ts.indices.map(i => col(s"__cf_$i")): _*),
+          col("__i") + 1))
+      .filter(col("cf") > 0L)
       .select(col("doc_id"), lp.as("lp"))
       .groupBy("doc_id").agg(q4(xsum4(col("lp"))).as("ql"))
   }
@@ -503,11 +546,14 @@ object RetrievalQueries {
     "q230_retrieval_leaderboard" -> Q(
       (s, d) => {
         val terms = Seq("spark", "merge", "filter")
-        val qrels = Tables.documents(s, d).select(col("doc_id"),
-            explode(Text.tokens(Text.normalize(col("text")))).as("term"))
-          .filter(col("term").isin(terms: _*))
-          .groupBy("doc_id")
-          .agg(countDistinct(col("term")).as("n"))
+        // r19: qrels from the shared perDocTermStats frame — the BM25,
+        // QL and qrel legs of this query now share ONE corpus
+        // tokenization via ReusedExchange (previously ~6 in one plan).
+        // The n >= 1 filter reproduces the old row set exactly: the
+        // isin-filtered groupBy had no row for docs matching no term.
+        val qrels = perDocTermStats(s, d, terms)
+          .withColumn("n", matchedTermCount(terms))
+          .filter(col("n") >= 1L)
           .select(col("doc_id"),
             greatest(col("n") - 1, lit(0L)).cast("int").as("rel"))
         def top10(df: DataFrame, scoreCol: String, name: String) =
@@ -576,11 +622,11 @@ object RetrievalQueries {
     "q244_hard_negatives" -> Q(
       (s, d) => {
         val terms = Seq("spark", "merge", "filter")
-        val pos = Tables.documents(s, d).select(col("doc_id"),
-            explode(Text.tokens(Text.normalize(col("text")))).as("term"))
-          .filter(col("term").isin(terms: _*))
-          .groupBy("doc_id").agg(countDistinct(col("term")).as("n"))
-          .filter(col("n") >= 2)
+        // r19: the positive labels derive from the same perDocTermStats
+        // frame the BM25 leg aggregates — one corpus tokenization for
+        // the whole query instead of one per leg (ReusedExchange).
+        val pos = perDocTermStats(s, d, terms)
+          .filter(matchedTermCount(terms) >= 2L)
           .select(lit("q0").as("query_id"), col("doc_id"))
         val scored = bm25Scores(s, d, terms)
           .select(lit("q0").as("query_id"), col("doc_id"),
@@ -621,7 +667,11 @@ object RetrievalQueries {
         val toks = docs.select(col("doc_id"),
           explode(Text.tokens(Text.normalize(col("text")))).as("term"))
           .filter(col("term") =!= "")
-        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        // r19: dl from the perDocTermStats frame the fb leg already
+        // aggregates (ReusedExchange) instead of a third tokenization;
+        // the raw toks pass above survives only for the feedback docs'
+        // arbitrary-term tf.
+        val dl = perDocTermStats(s, d, q0).select(col("doc_id"), col("dl"))
         val expTop = toks.join(broadcast(fb), Seq("doc_id"), "left_semi")
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
           .join(dl, "doc_id")
