@@ -1098,6 +1098,10 @@ object SourceQueries {
         val docs = Tables.documents(s, d)
         val ev = docs.filter(col("doc_id") % 50 === 0)
         val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+        // r19: the three appends below each re-ran the WHOLE prep
+        // pipeline (lang gate → quality → dedup → decontamination) —
+        // one lazy localCheckpoint materializes it once and the
+        // appends read the slim released rows (guide §1.2).
         val released = graft.operators.CorpusPrep.prepare(corpus,
           "doc_id", "text", "lang", keepLang = "en", minQuality = 0.5,
           evalDocs = ev, shingleSize = 5)
@@ -1105,6 +1109,7 @@ object SourceQueries {
             col("quality"),
             graft.functions.Text.tokenCount(col("text")).cast("long")
               .as("n_tokens"))
+          .localCheckpoint(false)
         val root = freshRoot("graft_lakerel_q270") + "/t"
         graft.sources.LakeTable.append(
           released.filter(col("doc_id") % 3 === 0), root,
