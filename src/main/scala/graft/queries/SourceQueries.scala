@@ -45,6 +45,26 @@ object SourceQueries {
     dir.toString
   }
 
+  /** Run independent fixture LEGS concurrently (optimization guide
+    * §2.6 "overlap independent jobs"): Spark's scheduler happily runs
+    * jobs submitted from several driver threads at once, and the
+    * multi-leg interop queries (a Delta leg, an Iceberg leg, a lake
+    * leg — disjoint roots, disjoint temp views) are driver-latency
+    * bound (~0.2/32 executor parallelism measured), so overlapping
+    * them backfills both the idle executors and the driver's own
+    * planning/commit stalls. SparkSession.active propagates to child
+    * threads (InheritableThreadLocal); job descriptions stay
+    * per-thread. The first leg failure rethrows after all legs join,
+    * so a failing query still fails loudly and deterministically. */
+  private def inParallel(legs: (() => Unit)*): Unit = {
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val ts = legs.map(f => new Thread(() =>
+      try f() catch { case t: Throwable => err.compareAndSet(null, t): Unit }))
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    if (err.get != null) throw err.get
+  }
+
   private def ensureFiles(): Unit = synchronized {
     Files.createDirectories(Paths.get(root))
     def w(name: String, content: String): Unit =
@@ -4161,54 +4181,60 @@ object SourceQueries {
             }
           }
         }
-        // Delta: partitioned by o_orderstatus; a partition-MOVING
-        // UPDATE routes every %11 key into the NEW partition 'Z'
         val delta = root + "/delta"
-        graft.sources.LakeTable.append(o, s"$root/lake")
-        graft.sources.DeltaInterop.exportToDeltaPartitioned(
-          s, s"$root/lake", delta, "o_orderstatus")
-        val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        java.nio.file.Files.writeString(java.nio.file.Paths.get(
-          s"$delta/_delta_log/00000000000000000001.json"),
-          s"""{"metaData":{"id":"q372","schemaString":${om
-            .writeValueAsString(o.schema.json)},""" +
-            """"partitionColumns":["o_orderstatus"],""" +
-            """"format":{"provider":"parquet"},"configuration":""" +
-            """{"delta.enableDeletionVectors":"true"}}}""")
-        s.sql("CREATE OR REPLACE TEMPORARY VIEW q372_d USING " +
-          s"graftdelta OPTIONS (path '$delta')")
-        s.sql("UPDATE q372_d SET o_orderstatus = 'Z' " +
-          "WHERE o_orderkey % 11 = 0")
-        corruptOthers(delta, "o_orderstatus=Z")
-        val dLeg = graft.sources.DeltaInterop.readDelta(s, delta)
-          .filter(col("o_orderstatus") === "Z")
-        // Iceberg: identity int partition (bucket = key % 4); MERGE
-        // upserts re-route matched evens in place and insert odds
         val ice = root + "/ice"
         val ob = o.withColumn("bucket",
           (col("o_orderkey") % 4).cast("int"))
-        graft.sources.LakeTable.append(
-          ob.filter(col("o_orderkey") % 2 === 0), s"$root/lake2")
-        graft.sources.IcebergInterop.exportToIcebergPartitioned(
-          s, s"$root/lake2", ice, "bucket")
-        s.sql("CREATE OR REPLACE TEMPORARY VIEW q372_i USING " +
-          s"grafticeberg OPTIONS (path '$ice')")
-        ob.filter(col("o_orderkey") % 3 === 0)
-          .select(col("o_orderkey").as("sk"),
-            col("o_orderstatus").as("ss"),
-            (col("o_totalprice") + 100).as("sp"),
-            col("bucket").as("sb"))
-          .createOrReplaceTempView("q372_src")
-        s.sql("""MERGE INTO q372_i t USING q372_src s
-          ON t.o_orderkey = s.sk
-          WHEN MATCHED THEN UPDATE SET o_orderkey = s.sk,
-            o_orderstatus = s.ss, o_totalprice = s.sp, bucket = s.sb
-          WHEN NOT MATCHED THEN INSERT
-            (o_orderkey, o_orderstatus, o_totalprice, bucket)
-            VALUES (s.sk, s.ss, s.sp, s.sb)""")
-        // the export's files live under data/__gpart=N/, the DML
-        // rewrites' under data/bucket=N/ — "=2/" keeps both spellings
-        corruptOthers(ice, "=2/")
+        // two independent format legs — overlapped per guide §2.6
+        inParallel(
+          () => {
+            // Delta: partitioned by o_orderstatus; a partition-MOVING
+            // UPDATE routes every %11 key into the NEW partition 'Z'
+            graft.sources.LakeTable.append(o, s"$root/lake")
+            graft.sources.DeltaInterop.exportToDeltaPartitioned(
+              s, s"$root/lake", delta, "o_orderstatus")
+            val om = new com.fasterxml.jackson.databind.ObjectMapper()
+            java.nio.file.Files.writeString(java.nio.file.Paths.get(
+              s"$delta/_delta_log/00000000000000000001.json"),
+              s"""{"metaData":{"id":"q372","schemaString":${om
+                .writeValueAsString(o.schema.json)},""" +
+                """"partitionColumns":["o_orderstatus"],""" +
+                """"format":{"provider":"parquet"},"configuration":""" +
+                """{"delta.enableDeletionVectors":"true"}}}""")
+            s.sql("CREATE OR REPLACE TEMPORARY VIEW q372_d USING " +
+              s"graftdelta OPTIONS (path '$delta')")
+            s.sql("UPDATE q372_d SET o_orderstatus = 'Z' " +
+              "WHERE o_orderkey % 11 = 0")
+            corruptOthers(delta, "o_orderstatus=Z")
+          },
+          () => {
+            // Iceberg: identity int partition (bucket = key % 4); MERGE
+            // upserts re-route matched evens in place and insert odds
+            graft.sources.LakeTable.append(
+              ob.filter(col("o_orderkey") % 2 === 0), s"$root/lake2")
+            graft.sources.IcebergInterop.exportToIcebergPartitioned(
+              s, s"$root/lake2", ice, "bucket")
+            s.sql("CREATE OR REPLACE TEMPORARY VIEW q372_i USING " +
+              s"grafticeberg OPTIONS (path '$ice')")
+            ob.filter(col("o_orderkey") % 3 === 0)
+              .select(col("o_orderkey").as("sk"),
+                col("o_orderstatus").as("ss"),
+                (col("o_totalprice") + 100).as("sp"),
+                col("bucket").as("sb"))
+              .createOrReplaceTempView("q372_src")
+            s.sql("""MERGE INTO q372_i t USING q372_src s
+              ON t.o_orderkey = s.sk
+              WHEN MATCHED THEN UPDATE SET o_orderkey = s.sk,
+                o_orderstatus = s.ss, o_totalprice = s.sp, bucket = s.sb
+              WHEN NOT MATCHED THEN INSERT
+                (o_orderkey, o_orderstatus, o_totalprice, bucket)
+                VALUES (s.sk, s.ss, s.sp, s.sb)""")
+            // the export's files live under data/__gpart=N/, the DML
+            // rewrites' under data/bucket=N/ — "=2/" keeps both
+            corruptOthers(ice, "=2/")
+          })
+        val dLeg = graft.sources.DeltaInterop.readDelta(s, delta)
+          .filter(col("o_orderstatus") === "Z")
         val iLeg = graft.sources.IcebergInterop
           .readIcebergRange(s, ice, "bucket", 2, 2)
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -4422,51 +4448,60 @@ object SourceQueries {
             ).getBytes("UTF-8"))
           out0.close()
         }
-        // leg A: WHEN NOT MATCHED BY SOURCE — conditional target-only
-        // UPDATE marks the rows the source snapshot no longer carries
         val d1 = root + "/nmbs"
-        dvTable(d1, "q376a")
-        graft.sources.DeltaInterop.appendDelta(
-          o.filter(col("o_orderkey") % 2 === 0), d1)
-        s.sql("CREATE OR REPLACE TEMPORARY VIEW q376_t USING " +
-          s"graftdelta OPTIONS (path '$d1')")
-        o.filter(col("o_orderkey") % 3 === 0)
-          .select(col("o_orderkey").as("sk"),
-            col("o_orderstatus").as("ss"),
-            (col("o_totalprice") + 100).as("sp"))
-          .createOrReplaceTempView("q376_src")
-        s.sql("""MERGE INTO q376_t t USING q376_src s
-          ON t.o_orderkey = s.sk
-          WHEN MATCHED THEN UPDATE SET o_orderkey = s.sk,
-            o_orderstatus = s.ss, o_totalprice = s.sp
-          WHEN NOT MATCHED THEN INSERT
-            (o_orderkey, o_orderstatus, o_totalprice)
-            VALUES (s.sk, s.ss, s.sp)
-          WHEN NOT MATCHED BY SOURCE AND o_totalprice < 100000
-            THEN UPDATE SET o_orderstatus = 'S'""")
-        s.sql("CREATE OR REPLACE TEMPORARY VIEW q376_t USING " +
-          s"graftdelta OPTIONS (path '$d1')")
-        require(graft.sources.DeltaInterop.validateDelta(s, d1)
-          .count() == 0L, "q376: doctor found issues after NMBS MERGE")
+        val d2 = root + "/evo"
+        // legs A and B are independent table chains — overlapped per
+        // guide §2.6
+        inParallel(
+          () => {
+            // leg A: WHEN NOT MATCHED BY SOURCE — conditional
+            // target-only UPDATE marks the rows the source snapshot no
+            // longer carries
+            dvTable(d1, "q376a")
+            graft.sources.DeltaInterop.appendDelta(
+              o.filter(col("o_orderkey") % 2 === 0), d1)
+            s.sql("CREATE OR REPLACE TEMPORARY VIEW q376_t USING " +
+              s"graftdelta OPTIONS (path '$d1')")
+            o.filter(col("o_orderkey") % 3 === 0)
+              .select(col("o_orderkey").as("sk"),
+                col("o_orderstatus").as("ss"),
+                (col("o_totalprice") + 100).as("sp"))
+              .createOrReplaceTempView("q376_src")
+            s.sql("""MERGE INTO q376_t t USING q376_src s
+              ON t.o_orderkey = s.sk
+              WHEN MATCHED THEN UPDATE SET o_orderkey = s.sk,
+                o_orderstatus = s.ss, o_totalprice = s.sp
+              WHEN NOT MATCHED THEN INSERT
+                (o_orderkey, o_orderstatus, o_totalprice)
+                VALUES (s.sk, s.ss, s.sp)
+              WHEN NOT MATCHED BY SOURCE AND o_totalprice < 100000
+                THEN UPDATE SET o_orderstatus = 'S'""")
+            s.sql("CREATE OR REPLACE TEMPORARY VIEW q376_t USING " +
+              s"graftdelta OPTIONS (path '$d1')")
+            require(graft.sources.DeltaInterop.validateDelta(s, d1)
+              .count() == 0L, "q376: doctor found issues after NMBS MERGE")
+          },
+          () => {
+            // leg B: programmatic schema EVOLUTION (graftlake parity) —
+            // the batch carries a NEW column; the commit widens the
+            // schema
+            dvTable(d2, "q376b")
+            graft.sources.DeltaInterop.appendDelta(
+              o.filter(col("o_orderkey") % 2 === 0), d2)
+            val batch = o.filter(col("o_orderkey") % 5 === 0)
+              .select(col("o_orderkey"), col("o_orderstatus"),
+                (col("o_totalprice") + 7).as("o_totalprice"),
+                concat(col("o_orderstatus"), lit("_L")).as("lang"),
+                lit("U").as("op"))
+            graft.sources.DeltaInterop.mergeIntoDelta(s, d2, batch,
+              Seq("o_orderkey"), "op", evolveSchema = true): Unit
+            require(graft.sources.DeltaInterop.validateDelta(s, d2)
+              .count() == 0L, "q376: doctor found issues after evolution")
+          })
         val legA = s.table("q376_t")
           .select(lit("nmbs").as("leg"), col("o_orderkey"),
             col("o_orderstatus"), col("o_totalprice"),
             lit(null).cast("string").as("lang"))
-        // leg B: programmatic schema EVOLUTION (graftlake parity) —
-        // the batch carries a NEW column; the commit widens the schema
-        val d2 = root + "/evo"
-        dvTable(d2, "q376b")
-        graft.sources.DeltaInterop.appendDelta(
-          o.filter(col("o_orderkey") % 2 === 0), d2)
-        val batch = o.filter(col("o_orderkey") % 5 === 0)
-          .select(col("o_orderkey"), col("o_orderstatus"),
-            (col("o_totalprice") + 7).as("o_totalprice"),
-            concat(col("o_orderstatus"), lit("_L")).as("lang"),
-            lit("U").as("op"))
-        graft.sources.DeltaInterop.mergeIntoDelta(s, d2, batch,
-          Seq("o_orderkey"), "op", evolveSchema = true): Unit
-        require(graft.sources.DeltaInterop.validateDelta(s, d2)
-          .count() == 0L, "q376: doctor found issues after evolution")
         val legB = graft.sources.DeltaInterop.readDelta(s, d2)
           .select(lit("evo").as("leg"), col("o_orderkey"),
             col("o_orderstatus"), col("o_totalprice"), col("lang"))
@@ -4563,56 +4598,61 @@ object SourceQueries {
         val root = freshRoot("graft_inmbsevo_q378")
         val o = Tables.orders(s, d)
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        // leg A: NMBS conditional mark via SQL
         val lake1 = root + "/lake1"
         val ice1 = root + "/ice1"
-        graft.sources.LakeTable.append(
-          o.filter(col("o_orderkey") % 2 === 0), lake1)
-        graft.sources.IcebergInterop.exportToIceberg(s, lake1, ice1,
-          formatVersion = 3)
-        s.sql("CREATE OR REPLACE TEMPORARY VIEW q378_t USING " +
-          s"grafticeberg OPTIONS (path '$ice1')")
-        o.filter(col("o_orderkey") % 3 === 0)
-          .select(col("o_orderkey").as("sk"),
-            col("o_orderstatus").as("ss"),
-            (col("o_totalprice") + 100).as("sp"))
-          .createOrReplaceTempView("q378_src")
-        s.sql("""MERGE INTO q378_t t USING q378_src s
-          ON t.o_orderkey = s.sk
-          WHEN MATCHED THEN UPDATE SET o_orderkey = s.sk,
-            o_orderstatus = s.ss, o_totalprice = s.sp
-          WHEN NOT MATCHED THEN INSERT
-            (o_orderkey, o_orderstatus, o_totalprice)
-            VALUES (s.sk, s.ss, s.sp)
-          WHEN NOT MATCHED BY SOURCE AND o_totalprice < 100000
-            THEN UPDATE SET o_orderstatus = 'S'""")
-        s.sql("CREATE OR REPLACE TEMPORARY VIEW q378_t USING " +
-          s"grafticeberg OPTIONS (path '$ice1')")
-        require(graft.sources.IcebergInterop.validateIceberg(s, ice1)
-          .count() == 0L, "q378: doctor found issues after NMBS MERGE")
-        require(graft.sources.IcebergInterop.icebergRowCount(s, ice1)
-          .contains(s.table("q378_t").count()),
-          "q378: metadata count diverged after NMBS MERGE")
+        val lake2 = root + "/lake2"
+        val ice2 = root + "/ice2"
+        // legs A and B are independent table chains — overlapped per
+        // guide §2.6
+        inParallel(
+          () => { // leg A: NMBS conditional mark via SQL
+            graft.sources.LakeTable.append(
+              o.filter(col("o_orderkey") % 2 === 0), lake1)
+            graft.sources.IcebergInterop.exportToIceberg(s, lake1, ice1,
+              formatVersion = 3)
+            s.sql("CREATE OR REPLACE TEMPORARY VIEW q378_t USING " +
+              s"grafticeberg OPTIONS (path '$ice1')")
+            o.filter(col("o_orderkey") % 3 === 0)
+              .select(col("o_orderkey").as("sk"),
+                col("o_orderstatus").as("ss"),
+                (col("o_totalprice") + 100).as("sp"))
+              .createOrReplaceTempView("q378_src")
+            s.sql("""MERGE INTO q378_t t USING q378_src s
+              ON t.o_orderkey = s.sk
+              WHEN MATCHED THEN UPDATE SET o_orderkey = s.sk,
+                o_orderstatus = s.ss, o_totalprice = s.sp
+              WHEN NOT MATCHED THEN INSERT
+                (o_orderkey, o_orderstatus, o_totalprice)
+                VALUES (s.sk, s.ss, s.sp)
+              WHEN NOT MATCHED BY SOURCE AND o_totalprice < 100000
+                THEN UPDATE SET o_orderstatus = 'S'""")
+            s.sql("CREATE OR REPLACE TEMPORARY VIEW q378_t USING " +
+              s"grafticeberg OPTIONS (path '$ice1')")
+            require(graft.sources.IcebergInterop.validateIceberg(s, ice1)
+              .count() == 0L, "q378: doctor found issues after NMBS MERGE")
+            require(graft.sources.IcebergInterop.icebergRowCount(s, ice1)
+              .contains(s.table("q378_t").count()),
+              "q378: metadata count diverged after NMBS MERGE")
+          },
+          () => { // leg B: programmatic schema evolution
+            graft.sources.LakeTable.append(
+              o.filter(col("o_orderkey") % 2 === 0), lake2)
+            graft.sources.IcebergInterop.exportToIceberg(s, lake2, ice2,
+              formatVersion = 3)
+            val batch = o.filter(col("o_orderkey") % 5 === 0)
+              .select(col("o_orderkey"), col("o_orderstatus"),
+                (col("o_totalprice") + 7).as("o_totalprice"),
+                concat(col("o_orderstatus"), lit("_L")).as("lang"),
+                lit("U").as("op"))
+            graft.sources.IcebergInterop.mergeIntoIceberg(s, ice2, batch,
+              Seq("o_orderkey"), "op", evolveSchema = true): Unit
+            require(graft.sources.IcebergInterop.validateIceberg(s, ice2)
+              .count() == 0L, "q378: doctor found issues after evolution")
+          })
         val legA = s.table("q378_t")
           .select(lit("nmbs").as("leg"), col("o_orderkey"),
             col("o_orderstatus"), col("o_totalprice"),
             lit(null).cast("string").as("lang"))
-        // leg B: programmatic schema evolution
-        val lake2 = root + "/lake2"
-        val ice2 = root + "/ice2"
-        graft.sources.LakeTable.append(
-          o.filter(col("o_orderkey") % 2 === 0), lake2)
-        graft.sources.IcebergInterop.exportToIceberg(s, lake2, ice2,
-          formatVersion = 3)
-        val batch = o.filter(col("o_orderkey") % 5 === 0)
-          .select(col("o_orderkey"), col("o_orderstatus"),
-            (col("o_totalprice") + 7).as("o_totalprice"),
-            concat(col("o_orderstatus"), lit("_L")).as("lang"),
-            lit("U").as("op"))
-        graft.sources.IcebergInterop.mergeIntoIceberg(s, ice2, batch,
-          Seq("o_orderkey"), "op", evolveSchema = true): Unit
-        require(graft.sources.IcebergInterop.validateIceberg(s, ice2)
-          .count() == 0L, "q378: doctor found issues after evolution")
         val legB = graft.sources.IcebergInterop.readIceberg(s, ice2)
           .select(lit("evo").as("leg"), col("o_orderkey"),
             col("o_orderstatus"), col("o_totalprice"), col("lang"))
@@ -4656,16 +4696,22 @@ object SourceQueries {
           WHEN NOT MATCHED THEN INSERT
             (o_orderkey, o_orderstatus, o_totalprice)
             VALUES (s.sk, s.ss, s.sp)"""
-        s.sql("CREATE OR REPLACE TEMPORARY VIEW q379_d USING " +
-          s"graftdelta OPTIONS (path '$delta')")
-        s.sql(stmt("q379_d"))
-        s.sql("CREATE OR REPLACE TEMPORARY VIEW q379_i USING " +
-          s"grafticeberg OPTIONS (path '$ice')")
-        s.sql(stmt("q379_i"))
-        require(graft.sources.DeltaInterop.validateDelta(s, delta)
-          .count() == 0L, "q379: delta doctor found issues")
-        require(graft.sources.IcebergInterop.validateIceberg(s, ice)
-          .count() == 0L, "q379: iceberg doctor found issues")
+        // the two format MERGEs are independent — guide §2.6
+        inParallel(
+          () => {
+            s.sql("CREATE OR REPLACE TEMPORARY VIEW q379_d USING " +
+              s"graftdelta OPTIONS (path '$delta')")
+            s.sql(stmt("q379_d"))
+            require(graft.sources.DeltaInterop.validateDelta(s, delta)
+              .count() == 0L, "q379: delta doctor found issues")
+          },
+          () => {
+            s.sql("CREATE OR REPLACE TEMPORARY VIEW q379_i USING " +
+              s"grafticeberg OPTIONS (path '$ice')")
+            s.sql(stmt("q379_i"))
+            require(graft.sources.IcebergInterop.validateIceberg(s, ice)
+              .count() == 0L, "q379: iceberg doctor found issues")
+          })
         graft.sources.DeltaInterop.readDelta(s, delta)
           .select(lit("delta").as("leg"), col("o_orderkey"),
             col("o_orderstatus"), col("o_totalprice"))
@@ -4701,16 +4747,22 @@ object SourceQueries {
           WHEN NOT MATCHED AND s.sp < 50000 THEN INSERT
             (o_orderkey, o_orderstatus, o_totalprice)
             VALUES (s.sk, 'N', s.sp)"""
-        s.sql("CREATE OR REPLACE TEMPORARY VIEW q380_d USING " +
-          s"graftdelta OPTIONS (path '$delta')")
-        s.sql(stmt("q380_d"))
-        s.sql("CREATE OR REPLACE TEMPORARY VIEW q380_i USING " +
-          s"grafticeberg OPTIONS (path '$ice')")
-        s.sql(stmt("q380_i"))
-        require(graft.sources.DeltaInterop.validateDelta(s, delta)
-          .count() == 0L, "q380: delta doctor found issues")
-        require(graft.sources.IcebergInterop.validateIceberg(s, ice)
-          .count() == 0L, "q380: iceberg doctor found issues")
+        // the two format MERGEs are independent — guide §2.6
+        inParallel(
+          () => {
+            s.sql("CREATE OR REPLACE TEMPORARY VIEW q380_d USING " +
+              s"graftdelta OPTIONS (path '$delta')")
+            s.sql(stmt("q380_d"))
+            require(graft.sources.DeltaInterop.validateDelta(s, delta)
+              .count() == 0L, "q380: delta doctor found issues")
+          },
+          () => {
+            s.sql("CREATE OR REPLACE TEMPORARY VIEW q380_i USING " +
+              s"grafticeberg OPTIONS (path '$ice')")
+            s.sql(stmt("q380_i"))
+            require(graft.sources.IcebergInterop.validateIceberg(s, ice)
+              .count() == 0L, "q380: iceberg doctor found issues")
+          })
         graft.sources.DeltaInterop.readDelta(s, delta)
           .select(lit("delta").as("leg"), col("o_orderkey"),
             col("o_orderstatus"), col("o_totalprice"))
@@ -4805,21 +4857,27 @@ object SourceQueries {
             (col("o_totalprice") + 100).as("o_totalprice"),
             concat(col("o_orderstatus"), lit("_L")).as("lang"))
           .createOrReplaceTempView("q382_src")
-        s.sql("CREATE OR REPLACE TEMPORARY VIEW q382_d USING " +
-          s"graftdelta OPTIONS (path '$delta')")
-        s.sql("""MERGE WITH SCHEMA EVOLUTION INTO q382_d t
-          USING q382_src s ON t.o_orderkey = s.o_orderkey
-          WHEN MATCHED THEN UPDATE SET *
-          WHEN NOT MATCHED THEN INSERT *""")
-        require(graft.sources.DeltaInterop.validateDelta(s, delta)
-          .count() == 0L, "q382: delta doctor found issues")
-        s.sql("CREATE OR REPLACE TEMPORARY VIEW q382_i USING " +
-          s"grafticeberg OPTIONS (path '$ice')")
-        s.sql("""MERGE WITH SCHEMA EVOLUTION INTO q382_i t
-          USING q382_src s ON t.o_orderkey = s.o_orderkey
-          WHEN MATCHED THEN UPDATE SET lang = s.lang""")
-        require(graft.sources.IcebergInterop.validateIceberg(s, ice)
-          .count() == 0L, "q382: iceberg doctor found issues")
+        // the two format MERGEs are independent — guide §2.6
+        inParallel(
+          () => {
+            s.sql("CREATE OR REPLACE TEMPORARY VIEW q382_d USING " +
+              s"graftdelta OPTIONS (path '$delta')")
+            s.sql("""MERGE WITH SCHEMA EVOLUTION INTO q382_d t
+              USING q382_src s ON t.o_orderkey = s.o_orderkey
+              WHEN MATCHED THEN UPDATE SET *
+              WHEN NOT MATCHED THEN INSERT *""")
+            require(graft.sources.DeltaInterop.validateDelta(s, delta)
+              .count() == 0L, "q382: delta doctor found issues")
+          },
+          () => {
+            s.sql("CREATE OR REPLACE TEMPORARY VIEW q382_i USING " +
+              s"grafticeberg OPTIONS (path '$ice')")
+            s.sql("""MERGE WITH SCHEMA EVOLUTION INTO q382_i t
+              USING q382_src s ON t.o_orderkey = s.o_orderkey
+              WHEN MATCHED THEN UPDATE SET lang = s.lang""")
+            require(graft.sources.IcebergInterop.validateIceberg(s, ice)
+              .count() == 0L, "q382: iceberg doctor found issues")
+          })
         graft.sources.DeltaInterop.readDelta(s, delta)
           .select(lit("delta").as("leg"), col("o_orderkey"),
             col("o_orderstatus"), col("o_totalprice"), col("lang"))
@@ -5028,72 +5086,85 @@ object SourceQueries {
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val delta = root + "/delta"
-        val fsys = new org.apache.hadoop.fs.Path(delta)
-          .getFileSystem(s.sessionState.newHadoopConf())
-        fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$delta/_delta_log"))
-        val out0 = fsys.create(new org.apache.hadoop.fs.Path(
-          s"$delta/_delta_log/00000000000000000000.json"), false)
-        out0.write((
-          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
-            "\n" +
-            s"""{"metaData":{"id":"maint387","schemaString":${om
-              .writeValueAsString(o.schema.json)},""" +
-            """"partitionColumns":[],"format":{"provider":"parquet"},""" +
-            """"configuration":{"delta.enableDeletionVectors":"true"}}}"""
-          ).getBytes("UTF-8"))
-        out0.close()
-        // two appends = multiple small files for compact to pack
-        graft.sources.DeltaInterop.appendDelta(
-          o.filter(col("o_orderkey") % 4 === 0), delta)
-        graft.sources.DeltaInterop.appendDelta(
-          o.filter(col("o_orderkey") % 4 === 2), delta)
         val lake = root + "/lake"
         val ice = root + "/ice"
-        graft.sources.LakeTable.append(
-          o.filter(col("o_orderkey") % 2 === 0), lake)
-        graft.sources.IcebergInterop.exportToIceberg(s, lake, ice,
-          formatVersion = 3)
-        // DELETE-heavy: ~2/3 of each table dies through the SQL surface
-        s.sql("CREATE OR REPLACE TEMPORARY VIEW q387_d USING " +
-          s"graftdelta OPTIONS (path '$delta')")
-        s.sql("DELETE FROM q387_d WHERE o_orderkey % 3 <> 0")
-        s.sql("CREATE OR REPLACE TEMPORARY VIEW q387_i USING " +
-          s"grafticeberg OPTIONS (path '$ice')")
-        s.sql("DELETE FROM q387_i WHERE o_orderkey % 3 <> 0")
-        def deltaRows() = graft.sources.DeltaInterop
-          .readDelta(s, delta).count()
-        def iceRows() = graft.sources.IcebergInterop
-          .readIceberg(s, ice).count()
-        val (nD, nI) = (deltaRows(), iceRows())
-        // PURGE both: content identical, delete state gone, doctor
-        // clean, metadata counts exact, repeat = version-stable no-op
-        val dv = graft.sources.DeltaInterop.purgeDeltaDeletes(s, delta)
-        val iv = graft.sources.IcebergInterop
-          .purgeIcebergDeletes(s, ice)
-        require(deltaRows() == nD && iceRows() == nI,
-          "q387: purge changed the content")
-        require(graft.sources.DeltaInterop.validateDelta(s, delta)
-          .count() == 0L, "q387: delta doctor found issues post-purge")
-        require(graft.sources.IcebergInterop.validateIceberg(s, ice)
-          .count() == 0L, "q387: iceberg doctor found issues post-purge")
-        require(graft.sources.DeltaInterop.deltaRowCount(s, delta)
-          .contains(nD), "q387: delta metadata count diverged")
-        require(graft.sources.IcebergInterop.icebergRowCount(s, ice)
-          .contains(nI), "q387: iceberg metadata count diverged")
-        require(graft.sources.DeltaInterop
-          .purgeDeltaDeletes(s, delta) == dv &&
-          graft.sources.IcebergInterop
-            .purgeIcebergDeletes(s, ice) == iv,
-          "q387: purge is not idempotent")
-        // COMPACT both (everything here is tiny → packs to few files)
-        graft.sources.DeltaInterop.compactDelta(s, delta)
-        graft.sources.IcebergInterop.compactIceberg(s, ice)
-        require(deltaRows() == nD && iceRows() == nI,
-          "q387: compact changed the content")
-        require(graft.sources.DeltaInterop.validateDelta(s, delta)
-          .count() == 0L &&
-          graft.sources.IcebergInterop.validateIceberg(s, ice)
-            .count() == 0L, "q387: doctor found issues post-compact")
+        // two independent format legs (disjoint roots/views), each the
+        // exact sequential statement chain — overlapped per guide §2.6
+        inParallel(
+          () => { // delta leg
+            val fsys = new org.apache.hadoop.fs.Path(delta)
+              .getFileSystem(s.sessionState.newHadoopConf())
+            fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$delta/_delta_log"))
+            val out0 = fsys.create(new org.apache.hadoop.fs.Path(
+              s"$delta/_delta_log/00000000000000000000.json"), false)
+            out0.write((
+              """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
+                "\n" +
+                s"""{"metaData":{"id":"maint387","schemaString":${om
+                  .writeValueAsString(o.schema.json)},""" +
+                """"partitionColumns":[],"format":{"provider":"parquet"},""" +
+                """"configuration":{"delta.enableDeletionVectors":"true"}}}"""
+              ).getBytes("UTF-8"))
+            out0.close()
+            // two appends = multiple small files for compact to pack
+            graft.sources.DeltaInterop.appendDelta(
+              o.filter(col("o_orderkey") % 4 === 0), delta)
+            graft.sources.DeltaInterop.appendDelta(
+              o.filter(col("o_orderkey") % 4 === 2), delta)
+            // DELETE-heavy: ~2/3 dies through the SQL surface
+            s.sql("CREATE OR REPLACE TEMPORARY VIEW q387_d USING " +
+              s"graftdelta OPTIONS (path '$delta')")
+            s.sql("DELETE FROM q387_d WHERE o_orderkey % 3 <> 0")
+            def deltaRows() = graft.sources.DeltaInterop
+              .readDelta(s, delta).count()
+            val nD = deltaRows()
+            // PURGE: content identical, delete state gone, doctor
+            // clean, metadata count exact, repeat = version-stable no-op
+            val dv = graft.sources.DeltaInterop.purgeDeltaDeletes(s, delta)
+            require(deltaRows() == nD,
+              "q387: purge changed the content")
+            require(graft.sources.DeltaInterop.validateDelta(s, delta)
+              .count() == 0L, "q387: delta doctor found issues post-purge")
+            require(graft.sources.DeltaInterop.deltaRowCount(s, delta)
+              .contains(nD), "q387: delta metadata count diverged")
+            require(graft.sources.DeltaInterop
+              .purgeDeltaDeletes(s, delta) == dv,
+              "q387: purge is not idempotent")
+            // COMPACT (everything here is tiny → packs to few files)
+            graft.sources.DeltaInterop.compactDelta(s, delta)
+            require(deltaRows() == nD,
+              "q387: compact changed the content")
+            require(graft.sources.DeltaInterop.validateDelta(s, delta)
+              .count() == 0L, "q387: doctor found issues post-compact")
+          },
+          () => { // iceberg leg
+            graft.sources.LakeTable.append(
+              o.filter(col("o_orderkey") % 2 === 0), lake)
+            graft.sources.IcebergInterop.exportToIceberg(s, lake, ice,
+              formatVersion = 3)
+            s.sql("CREATE OR REPLACE TEMPORARY VIEW q387_i USING " +
+              s"grafticeberg OPTIONS (path '$ice')")
+            s.sql("DELETE FROM q387_i WHERE o_orderkey % 3 <> 0")
+            def iceRows() = graft.sources.IcebergInterop
+              .readIceberg(s, ice).count()
+            val nI = iceRows()
+            val iv = graft.sources.IcebergInterop
+              .purgeIcebergDeletes(s, ice)
+            require(iceRows() == nI,
+              "q387: purge changed the content")
+            require(graft.sources.IcebergInterop.validateIceberg(s, ice)
+              .count() == 0L, "q387: iceberg doctor found issues post-purge")
+            require(graft.sources.IcebergInterop.icebergRowCount(s, ice)
+              .contains(nI), "q387: iceberg metadata count diverged")
+            require(graft.sources.IcebergInterop
+              .purgeIcebergDeletes(s, ice) == iv,
+              "q387: purge is not idempotent")
+            graft.sources.IcebergInterop.compactIceberg(s, ice)
+            require(iceRows() == nI,
+              "q387: compact changed the content")
+            require(graft.sources.IcebergInterop.validateIceberg(s, ice)
+              .count() == 0L, "q387: doctor found issues post-compact")
+          })
         graft.sources.DeltaInterop.readDelta(s, delta)
           .select(lit("delta").as("leg"), col("o_orderkey"),
             col("o_orderstatus"), col("o_totalprice"))
@@ -5133,53 +5204,58 @@ object SourceQueries {
             struct(col("o_orderstatus").as("st"),
               col("o_totalprice").as("tp")).as("meta"))
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        // lake leg
         val lakeT = root + "/lake"
-        graft.sources.LakeTable.append(o, lakeT)
-        s.sql(s"UPDATE graftlake.`$lakeT` " +
-          "SET meta.tp = meta.tp + 50 WHERE o_orderkey % 5 = 0")
-        // delta leg: nested UPDATE + MERGE matched nested SET
         val delta = root + "/delta"
-        val fsys = new org.apache.hadoop.fs.Path(delta)
-          .getFileSystem(s.sessionState.newHadoopConf())
-        fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$delta/_delta_log"))
-        val out0 = fsys.create(new org.apache.hadoop.fs.Path(
-          s"$delta/_delta_log/00000000000000000000.json"), false)
-        out0.write((
-          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
-            "\n" +
-            s"""{"metaData":{"id":"nested388","schemaString":${om
-              .writeValueAsString(o.schema.json)},""" +
-            """"partitionColumns":[],"format":{"provider":"parquet"},""" +
-            """"configuration":{"delta.enableDeletionVectors":"true"}}}"""
-          ).getBytes("UTF-8"))
-        out0.close()
-        graft.sources.DeltaInterop.appendDelta(o, delta)
-        s.sql("CREATE OR REPLACE TEMPORARY VIEW q388_d USING " +
-          s"graftdelta OPTIONS (path '$delta')")
-        s.sql("UPDATE q388_d SET meta.st = concat(meta.st, '!') " +
-          "WHERE o_orderkey % 3 = 0")
-        Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
-          .select(col("o_orderkey").as("mk"),
-            (col("o_totalprice") + 7).as("np"))
-          .createOrReplaceTempView("q388_src")
-        s.sql("CREATE OR REPLACE TEMPORARY VIEW q388_d USING " +
-          s"graftdelta OPTIONS (path '$delta')")
-        s.sql("""MERGE INTO q388_d t USING q388_src m
-          ON t.o_orderkey = m.mk
-          WHEN MATCHED THEN UPDATE SET meta.tp = m.np""")
-        // iceberg leg (v3) — struct column rides the nested-id export
         val lakeSrc = root + "/lakesrc"
         val ice = root + "/ice"
-        graft.sources.LakeTable.append(o, lakeSrc)
-        graft.sources.IcebergInterop.exportToIceberg(s, lakeSrc, ice,
-          formatVersion = 3)
-        s.sql("CREATE OR REPLACE TEMPORARY VIEW q388_i USING " +
-          s"grafticeberg OPTIONS (path '$ice')")
-        s.sql("UPDATE q388_i SET meta.tp = CAST(-1 AS DOUBLE) " +
-          "WHERE o_orderkey % 11 = 0")
-        require(graft.sources.IcebergInterop.validateIceberg(s, ice)
-          .count() == 0L, "q388: iceberg doctor found issues")
+        // three independent surface legs — overlapped per guide §2.6
+        inParallel(
+          () => { // lake leg
+            graft.sources.LakeTable.append(o, lakeT)
+            s.sql(s"UPDATE graftlake.`$lakeT` " +
+              "SET meta.tp = meta.tp + 50 WHERE o_orderkey % 5 = 0"): Unit
+          },
+          () => { // delta leg: nested UPDATE + MERGE matched nested SET
+            val fsys = new org.apache.hadoop.fs.Path(delta)
+              .getFileSystem(s.sessionState.newHadoopConf())
+            fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$delta/_delta_log"))
+            val out0 = fsys.create(new org.apache.hadoop.fs.Path(
+              s"$delta/_delta_log/00000000000000000000.json"), false)
+            out0.write((
+              """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
+                "\n" +
+                s"""{"metaData":{"id":"nested388","schemaString":${om
+                  .writeValueAsString(o.schema.json)},""" +
+                """"partitionColumns":[],"format":{"provider":"parquet"},""" +
+                """"configuration":{"delta.enableDeletionVectors":"true"}}}"""
+              ).getBytes("UTF-8"))
+            out0.close()
+            graft.sources.DeltaInterop.appendDelta(o, delta)
+            s.sql("CREATE OR REPLACE TEMPORARY VIEW q388_d USING " +
+              s"graftdelta OPTIONS (path '$delta')")
+            s.sql("UPDATE q388_d SET meta.st = concat(meta.st, '!') " +
+              "WHERE o_orderkey % 3 = 0")
+            Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
+              .select(col("o_orderkey").as("mk"),
+                (col("o_totalprice") + 7).as("np"))
+              .createOrReplaceTempView("q388_src")
+            s.sql("CREATE OR REPLACE TEMPORARY VIEW q388_d USING " +
+              s"graftdelta OPTIONS (path '$delta')")
+            s.sql("""MERGE INTO q388_d t USING q388_src m
+              ON t.o_orderkey = m.mk
+              WHEN MATCHED THEN UPDATE SET meta.tp = m.np"""): Unit
+          },
+          () => { // iceberg leg (v3) — struct rides the nested-id export
+            graft.sources.LakeTable.append(o, lakeSrc)
+            graft.sources.IcebergInterop.exportToIceberg(s, lakeSrc, ice,
+              formatVersion = 3)
+            s.sql("CREATE OR REPLACE TEMPORARY VIEW q388_i USING " +
+              s"grafticeberg OPTIONS (path '$ice')")
+            s.sql("UPDATE q388_i SET meta.tp = CAST(-1 AS DOUBLE) " +
+              "WHERE o_orderkey % 11 = 0")
+            require(graft.sources.IcebergInterop.validateIceberg(s, ice)
+              .count() == 0L, "q388: iceberg doctor found issues")
+          })
         graft.sources.LakeTable.read(s, lakeT)
           .select(lit("lake").as("leg"), col("o_orderkey"),
             col("meta.st").as("st"), col("meta.tp").as("tp"))
@@ -5236,27 +5312,33 @@ object SourceQueries {
           .createOrReplaceTempView("q389_src")
         val lakeSrc = root + "/lakesrc"
         val ice = root + "/ice"
-        graft.sources.LakeTable.append(o, lakeSrc)
-        graft.sources.IcebergInterop.exportToIceberg(s, lakeSrc, ice,
-          formatVersion = 3)
-        s.sql("CREATE OR REPLACE TEMPORARY VIEW q389_i USING " +
-          s"grafticeberg OPTIONS (path '$ice')")
-        s.sql("""MERGE INTO q389_i t USING q389_src m
-          ON t.o_orderkey = m.mk
-          WHEN MATCHED AND t.o_orderkey IN (SELECT ck FROM q389_keep)
-            THEN UPDATE SET o_totalprice = m.mp
-          WHEN MATCHED AND t.o_orderkey NOT IN
-              (SELECT ck FROM q389_keep) AND t.o_totalprice < 1000
-            THEN DELETE""")
         val lake = root + "/lake"
-        graft.sources.LakeTable.append(o, lake)
-        s.sql(s"""MERGE INTO graftlake.`$lake` t USING q389_src m
-          ON t.o_orderkey = m.mk
-          WHEN MATCHED AND t.o_orderkey IN (SELECT ck FROM q389_keep)
-            THEN UPDATE SET o_totalprice = m.mp
-          WHEN MATCHED AND t.o_orderkey NOT IN
-              (SELECT ck FROM q389_keep) AND t.o_totalprice < 1000
-            THEN DELETE""")
+        // two independent surface legs — overlapped per guide §2.6
+        inParallel(
+          () => { // iceberg leg
+            graft.sources.LakeTable.append(o, lakeSrc)
+            graft.sources.IcebergInterop.exportToIceberg(s, lakeSrc, ice,
+              formatVersion = 3)
+            s.sql("CREATE OR REPLACE TEMPORARY VIEW q389_i USING " +
+              s"grafticeberg OPTIONS (path '$ice')")
+            s.sql("""MERGE INTO q389_i t USING q389_src m
+              ON t.o_orderkey = m.mk
+              WHEN MATCHED AND t.o_orderkey IN (SELECT ck FROM q389_keep)
+                THEN UPDATE SET o_totalprice = m.mp
+              WHEN MATCHED AND t.o_orderkey NOT IN
+                  (SELECT ck FROM q389_keep) AND t.o_totalprice < 1000
+                THEN DELETE"""): Unit
+          },
+          () => { // lake leg
+            graft.sources.LakeTable.append(o, lake)
+            s.sql(s"""MERGE INTO graftlake.`$lake` t USING q389_src m
+              ON t.o_orderkey = m.mk
+              WHEN MATCHED AND t.o_orderkey IN (SELECT ck FROM q389_keep)
+                THEN UPDATE SET o_totalprice = m.mp
+              WHEN MATCHED AND t.o_orderkey NOT IN
+                  (SELECT ck FROM q389_keep) AND t.o_totalprice < 1000
+                THEN DELETE"""): Unit
+          })
         graft.sources.IcebergInterop.readIceberg(s, ice)
           .select(lit("iceberg").as("leg"), col("o_orderkey"),
             col("o_orderstatus"), col("o_totalprice"))
@@ -5309,39 +5391,46 @@ object SourceQueries {
           USING q390_src m ON t.o_orderkey = m.mk
           WHEN MATCHED THEN
             UPDATE SET o_orderkey = m.newk, o_totalprice = m.np"""
-        // delta leg
+        // three independent legs (disjoint roots/views) — overlapped
+        // per guide §2.6; each leg is the exact statement sequence the
+        // sequential form ran
         val delta = root + "/delta"
-        val fsys = new org.apache.hadoop.fs.Path(delta)
-          .getFileSystem(s.sessionState.newHadoopConf())
-        fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$delta/_delta_log"))
-        val out0 = fsys.create(new org.apache.hadoop.fs.Path(
-          s"$delta/_delta_log/00000000000000000000.json"), false)
-        out0.write((
-          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
-            "\n" +
-            s"""{"metaData":{"id":"kc390","schemaString":${om
-              .writeValueAsString(o.schema.json)},""" +
-            """"partitionColumns":[],"format":{"provider":"parquet"},""" +
-            """"configuration":{"delta.enableDeletionVectors":"true"}}}"""
-          ).getBytes("UTF-8"))
-        out0.close()
-        graft.sources.DeltaInterop.appendDelta(o, delta)
-        s.sql("CREATE OR REPLACE TEMPORARY VIEW q390_d USING " +
-          s"graftdelta OPTIONS (path '$delta')")
-        s.sql(merge("q390_d"))
-        // iceberg leg
         val lakeSrc = root + "/lakesrc"
         val ice = root + "/ice"
-        graft.sources.LakeTable.append(o, lakeSrc)
-        graft.sources.IcebergInterop.exportToIceberg(s, lakeSrc, ice,
-          formatVersion = 3)
-        s.sql("CREATE OR REPLACE TEMPORARY VIEW q390_i USING " +
-          s"grafticeberg OPTIONS (path '$ice')")
-        s.sql(merge("q390_i"))
-        // lake leg
         val lake = root + "/lake"
-        graft.sources.LakeTable.append(o, lake)
-        s.sql(merge(s"graftlake.`$lake`"))
+        inParallel(
+          () => { // delta leg
+            val fsys = new org.apache.hadoop.fs.Path(delta)
+              .getFileSystem(s.sessionState.newHadoopConf())
+            fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$delta/_delta_log"))
+            val out0 = fsys.create(new org.apache.hadoop.fs.Path(
+              s"$delta/_delta_log/00000000000000000000.json"), false)
+            out0.write((
+              """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +
+                "\n" +
+                s"""{"metaData":{"id":"kc390","schemaString":${om
+                  .writeValueAsString(o.schema.json)},""" +
+                """"partitionColumns":[],"format":{"provider":"parquet"},""" +
+                """"configuration":{"delta.enableDeletionVectors":"true"}}}"""
+              ).getBytes("UTF-8"))
+            out0.close()
+            graft.sources.DeltaInterop.appendDelta(o, delta)
+            s.sql("CREATE OR REPLACE TEMPORARY VIEW q390_d USING " +
+              s"graftdelta OPTIONS (path '$delta')")
+            s.sql(merge("q390_d")): Unit
+          },
+          () => { // iceberg leg
+            graft.sources.LakeTable.append(o, lakeSrc)
+            graft.sources.IcebergInterop.exportToIceberg(s, lakeSrc, ice,
+              formatVersion = 3)
+            s.sql("CREATE OR REPLACE TEMPORARY VIEW q390_i USING " +
+              s"grafticeberg OPTIONS (path '$ice')")
+            s.sql(merge("q390_i")): Unit
+          },
+          () => { // lake leg
+            graft.sources.LakeTable.append(o, lake)
+            s.sql(merge(s"graftlake.`$lake`")): Unit
+          })
         graft.sources.DeltaInterop.readDelta(s, delta)
           .select(lit("delta").as("leg"), col("o_orderkey"),
             col("o_orderstatus"), col("o_totalprice"))
@@ -5558,14 +5647,18 @@ object SourceQueries {
         """"configuration":{"delta.enableDeletionVectors":"true"}}}"""
       ).getBytes("UTF-8"))
     out0.close()
-    graft.sources.DeltaInterop.appendDelta(
-      o.filter(col("o_orderkey") % 2 === 0), delta)
     val lake = root + "/lake"
     val ice = root + "/ice"
-    graft.sources.LakeTable.append(
-      o.filter(col("o_orderkey") % 2 === 0), lake)
-    graft.sources.IcebergInterop.exportToIceberg(s, lake, ice,
-      formatVersion = 3)
+    // the two target builds are independent — overlapped per guide §2.6
+    inParallel(
+      () => graft.sources.DeltaInterop.appendDelta(
+        o.filter(col("o_orderkey") % 2 === 0), delta),
+      () => {
+        graft.sources.LakeTable.append(
+          o.filter(col("o_orderkey") % 2 === 0), lake)
+        graft.sources.IcebergInterop.exportToIceberg(s, lake, ice,
+          formatVersion = 3)
+      })
     Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
       .select(col("o_orderkey").as("sk"),
         col("o_orderstatus").as("ss"),
