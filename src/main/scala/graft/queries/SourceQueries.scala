@@ -3662,33 +3662,39 @@ object SourceQueries {
             }
           }
         }
-        // Delta: export the evens partitioned, INSERT the odds via SQL
-        graft.sources.LakeTable.append(
-          o.filter(col("o_orderkey") % 2 === 0), s"$root/lake")
-        graft.sources.DeltaInterop.exportToDeltaPartitioned(
-          s, s"$root/lake", s"$root/delta", "o_orderstatus")
-        s.sql("CREATE OR REPLACE TEMPORARY VIEW q363_d USING " +
-          s"graftdelta OPTIONS (path '${root + "/delta"}')")
-        o.filter(col("o_orderkey") % 2 =!= 0)
-          .createOrReplaceTempView("q363_src")
-        s.sql("INSERT INTO q363_d SELECT * FROM q363_src")
-        corruptOthers(s"$root/delta", "o_orderstatus=F")
+        val ob = o.withColumn("bucket",
+          (col("o_orderkey") % 8).cast("int"))
+        // the two format legs are independent — guide §2.6
+        inParallel(
+          () => {
+            // Delta: export the evens partitioned, INSERT odds via SQL
+            graft.sources.LakeTable.append(
+              o.filter(col("o_orderkey") % 2 === 0), s"$root/lake")
+            graft.sources.DeltaInterop.exportToDeltaPartitioned(
+              s, s"$root/lake", s"$root/delta", "o_orderstatus")
+            s.sql("CREATE OR REPLACE TEMPORARY VIEW q363_d USING " +
+              s"graftdelta OPTIONS (path '${root + "/delta"}')")
+            o.filter(col("o_orderkey") % 2 =!= 0)
+              .createOrReplaceTempView("q363_src")
+            s.sql("INSERT INTO q363_d SELECT * FROM q363_src")
+            corruptOthers(s"$root/delta", "o_orderstatus=F")
+          },
+          () => {
+            // Iceberg: same play on an int partition column
+            graft.sources.LakeTable.append(
+              ob.filter(col("o_orderkey") % 2 === 0), s"$root/lake2")
+            graft.sources.IcebergInterop.exportToIcebergPartitioned(
+              s, s"$root/lake2", s"$root/ice", "bucket")
+            s.sql("CREATE OR REPLACE TEMPORARY VIEW q363_i USING " +
+              s"grafticeberg OPTIONS (path '${root + "/ice"}')")
+            ob.filter(col("o_orderkey") % 2 =!= 0)
+              .createOrReplaceTempView("q363_isrc")
+            s.sql("INSERT INTO q363_i SELECT * FROM q363_isrc")
+            corruptOthers(s"$root/ice", "=3/")
+          })
         val dLeg = graft.sources.DeltaInterop
           .readDelta(s, s"$root/delta")
           .filter(col("o_orderstatus") === "F")
-        // Iceberg: same play on an int partition column
-        val ob = o.withColumn("bucket",
-          (col("o_orderkey") % 8).cast("int"))
-        graft.sources.LakeTable.append(
-          ob.filter(col("o_orderkey") % 2 === 0), s"$root/lake2")
-        graft.sources.IcebergInterop.exportToIcebergPartitioned(
-          s, s"$root/lake2", s"$root/ice", "bucket")
-        s.sql("CREATE OR REPLACE TEMPORARY VIEW q363_i USING " +
-          s"grafticeberg OPTIONS (path '${root + "/ice"}')")
-        ob.filter(col("o_orderkey") % 2 =!= 0)
-          .createOrReplaceTempView("q363_isrc")
-        s.sql("INSERT INTO q363_i SELECT * FROM q363_isrc")
-        corruptOthers(s"$root/ice", "=3/")
         val iLeg = graft.sources.IcebergInterop
           .readIcebergRange(s, s"$root/ice", "bucket", 3, 3)
           .select("o_orderkey", "o_orderstatus")
@@ -4381,25 +4387,30 @@ object SourceQueries {
             """"configuration":{"delta.enableDeletionVectors":"true"}}}"""
           ).getBytes("UTF-8"))
         out0.close()
-        graft.sources.DeltaInterop.appendDelta(o, delta)
         Tables.orders(s, d).filter(col("o_orderkey") % 13 === 0)
           .select(col("o_orderkey").as("doc_id"))
           .createOrReplaceTempView("q375_eval")
-        s.sql("CREATE OR REPLACE TEMPORARY VIEW q375_d USING " +
-          s"graftdelta OPTIONS (path '$delta')")
-        s.sql("DELETE FROM q375_d WHERE o_totalprice < 100000 AND " +
-          "o_orderkey IN (SELECT doc_id FROM q375_eval)")
-        s.sql("CREATE OR REPLACE TEMPORARY VIEW q375_d USING " +
-          s"graftdelta OPTIONS (path '$delta')")
-        require(graft.sources.DeltaInterop.validateDelta(s, delta)
-          .count() == 0L, "q375: doctor found issues after DELETE")
-        // lake-catalog leg: the same shape through graftlake SQL
-        val lake = root + "/lake"
-        graft.sources.LakeTable.append(o, lake)
         s.conf.set("spark.sql.catalog.graftlake",
           classOf[graft.sources.GraftLakeCatalog].getName)
-        s.sql(s"DELETE FROM graftlake.`$lake` WHERE " +
-          "o_orderkey IN (SELECT doc_id FROM q375_eval)")
+        val lake = root + "/lake"
+        // the two surface legs are independent — guide §2.6
+        inParallel(
+          () => { // delta leg
+            graft.sources.DeltaInterop.appendDelta(o, delta)
+            s.sql("CREATE OR REPLACE TEMPORARY VIEW q375_d USING " +
+              s"graftdelta OPTIONS (path '$delta')")
+            s.sql("DELETE FROM q375_d WHERE o_totalprice < 100000 AND " +
+              "o_orderkey IN (SELECT doc_id FROM q375_eval)")
+            s.sql("CREATE OR REPLACE TEMPORARY VIEW q375_d USING " +
+              s"graftdelta OPTIONS (path '$delta')")
+            require(graft.sources.DeltaInterop.validateDelta(s, delta)
+              .count() == 0L, "q375: doctor found issues after DELETE")
+          },
+          () => { // lake-catalog leg: the same shape through graftlake
+            graft.sources.LakeTable.append(o, lake)
+            s.sql(s"DELETE FROM graftlake.`$lake` WHERE " +
+              "o_orderkey IN (SELECT doc_id FROM q375_eval)"): Unit
+          })
         s.table("q375_d")
           .select(lit("delta").as("leg"), col("o_orderkey"),
             col("o_totalprice"))
@@ -4962,40 +4973,46 @@ object SourceQueries {
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
         val lakeSrc = root + "/lakesrc"
         val ice = root + "/ice"
-        graft.sources.LakeTable.append(
-          o.filter(col("o_orderkey") % 2 === 0), lakeSrc)
-        graft.sources.IcebergInterop.exportToIceberg(s, lakeSrc, ice,
-          formatVersion = 3)
         val lake = root + "/lake"
-        graft.sources.LakeTable.append(
-          o.filter(col("o_orderkey") % 2 === 0), lake)
         o.filter(col("o_orderkey") % 3 === 0)
           .select(col("o_orderkey").as("sk"))
           .createOrReplaceTempView("q385_keep")
         s.sql("SELECT sk FROM q385_keep " +
             "UNION ALL SELECT CAST(NULL AS BIGINT)")
           .createOrReplaceTempView("q385_keep_null")
-        s.sql("CREATE OR REPLACE TEMPORARY VIEW q385_i USING " +
-          s"grafticeberg OPTIONS (path '$ice')")
         val del = "WHERE o_orderkey NOT IN (SELECT sk FROM " +
           "q385_keep) AND o_totalprice > 1000"
-        s.sql(s"DELETE FROM q385_i $del")
-        s.sql("CREATE OR REPLACE TEMPORARY VIEW q385_i USING " +
-          s"grafticeberg OPTIONS (path '$ice')")
-        val n1 = s.table("q385_i").count()
-        // the null-bearing keep list must delete NOTHING
-        s.sql("DELETE FROM q385_i WHERE o_orderkey NOT IN " +
-          "(SELECT sk FROM q385_keep_null)")
-        s.sql("CREATE OR REPLACE TEMPORARY VIEW q385_i USING " +
-          s"grafticeberg OPTIONS (path '$ice')")
-        require(s.table("q385_i").count() == n1,
-          "q385: a null-bearing NOT IN subquery must be a no-op")
-        s.sql(s"DELETE FROM graftlake.`$lake` $del")
-        val lakeN = graft.sources.LakeTable.read(s, lake).count()
-        s.sql(s"DELETE FROM graftlake.`$lake` WHERE o_orderkey NOT " +
-          "IN (SELECT sk FROM q385_keep_null)")
-        require(graft.sources.LakeTable.read(s, lake).count() == lakeN,
-          "q385: lake null-bearing NOT IN must be a no-op")
+        // the two surface legs are independent — guide §2.6
+        inParallel(
+          () => { // iceberg leg
+            graft.sources.LakeTable.append(
+              o.filter(col("o_orderkey") % 2 === 0), lakeSrc)
+            graft.sources.IcebergInterop.exportToIceberg(s, lakeSrc, ice,
+              formatVersion = 3)
+            s.sql("CREATE OR REPLACE TEMPORARY VIEW q385_i USING " +
+              s"grafticeberg OPTIONS (path '$ice')")
+            s.sql(s"DELETE FROM q385_i $del")
+            s.sql("CREATE OR REPLACE TEMPORARY VIEW q385_i USING " +
+              s"grafticeberg OPTIONS (path '$ice')")
+            val n1 = s.table("q385_i").count()
+            // the null-bearing keep list must delete NOTHING
+            s.sql("DELETE FROM q385_i WHERE o_orderkey NOT IN " +
+              "(SELECT sk FROM q385_keep_null)")
+            s.sql("CREATE OR REPLACE TEMPORARY VIEW q385_i USING " +
+              s"grafticeberg OPTIONS (path '$ice')")
+            require(s.table("q385_i").count() == n1,
+              "q385: a null-bearing NOT IN subquery must be a no-op")
+          },
+          () => { // lake leg
+            graft.sources.LakeTable.append(
+              o.filter(col("o_orderkey") % 2 === 0), lake)
+            s.sql(s"DELETE FROM graftlake.`$lake` $del")
+            val lakeN = graft.sources.LakeTable.read(s, lake).count()
+            s.sql(s"DELETE FROM graftlake.`$lake` WHERE o_orderkey NOT " +
+              "IN (SELECT sk FROM q385_keep_null)")
+            require(graft.sources.LakeTable.read(s, lake).count() == lakeN,
+              "q385: lake null-bearing NOT IN must be a no-op")
+          })
         s.table("q385_i")
           .select(lit("iceberg").as("leg"), col("o_orderkey"),
             col("o_totalprice"))
@@ -5028,22 +5045,28 @@ object SourceQueries {
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
         val t1 = root + "/star"
         val t2 = root + "/partial"
-        graft.sources.LakeTable.append(
-          o.filter(col("o_orderkey") % 2 === 0), t1)
-        graft.sources.LakeTable.append(
-          o.filter(col("o_orderkey") % 2 === 0), t2)
         Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
           .select(col("o_orderkey"), col("o_orderstatus"),
             (col("o_totalprice") + 100).as("o_totalprice"),
             concat(col("o_orderstatus"), lit("_L")).as("lang"))
           .createOrReplaceTempView("q386_src")
-        s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graftlake.`$t1` t
-          USING q386_src s ON t.o_orderkey = s.o_orderkey
-          WHEN MATCHED THEN UPDATE SET *
-          WHEN NOT MATCHED THEN INSERT *""")
-        s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graftlake.`$t2` t
-          USING q386_src s ON t.o_orderkey = s.o_orderkey
-          WHEN MATCHED THEN UPDATE SET lang = s.lang""")
+        // the two table legs are independent — guide §2.6
+        inParallel(
+          () => {
+            graft.sources.LakeTable.append(
+              o.filter(col("o_orderkey") % 2 === 0), t1)
+            s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graftlake.`$t1` t
+              USING q386_src s ON t.o_orderkey = s.o_orderkey
+              WHEN MATCHED THEN UPDATE SET *
+              WHEN NOT MATCHED THEN INSERT *"""): Unit
+          },
+          () => {
+            graft.sources.LakeTable.append(
+              o.filter(col("o_orderkey") % 2 === 0), t2)
+            s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graftlake.`$t2` t
+              USING q386_src s ON t.o_orderkey = s.o_orderkey
+              WHEN MATCHED THEN UPDATE SET lang = s.lang"""): Unit
+          })
         graft.sources.LakeTable.read(s, t1)
           .select(lit("star").as("leg"), col("o_orderkey"),
             col("o_orderstatus"), col("o_totalprice"), col("lang"))
