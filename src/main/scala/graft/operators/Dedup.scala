@@ -163,37 +163,21 @@ object Dedup {
                                   textCol: String, blockCol: String,
                                   shingleSize: Int,
                                   maxDocFreq: Long): DataFrame = {
-    // ONE text pass, ONE slim exchange: shingles hash to 64 bits AT THE
-    // SCAN and the raw (id, block, h) rows exchange once at pinned
-    // width; per-doc and per-shingle dedup then happens INSIDE the
-    // aggregates (count_distinct / collect_set) instead of via a
-    // separate string-keyed DISTINCT exchange. Previously each of the
-    // three consumers below re-derived the distinct subtree — three
-    // full scan+normalize+shingle passes over the corpus text — and
-    // the distinct exchange carried shingle STRINGS (guide §2.3:
-    // shuffle keys, not payloads). The explicit width keeps every
-    // downstream aggregate wide on few-split inputs. Same
-    // exact-up-to-xxhash64-collision contract as before (dedup by hash
-    // instead of by string is the one place the tolerance moves, and
-    // the oracle's string-keyed replay still hash-verifies it).
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val sh = shingleRows(df, idCol, textCol, shingleSize,
+    val sh = explodedShingles(df, idCol, textCol, shingleSize,
         carry = Seq(blockCol -> "block"))
       .filter(col("block").isNotNull)
       .select(col("id"), col("block"), xxhash64(col("shingle")).as("h"))
-      .repartition(par, col("block"), col("h"))
     // Jaccard/containment denominators: per-doc distinct-shingle counts,
     // computed ABOVE the df cap so dropping hot shingles from pair
     // generation keeps the result a strict lower bound (exact whenever no
     // compared pair shares a dropped shingle).
-    val sizes = sh.groupBy("id").agg(count_distinct(col("h")).as("n"))
-    val eligible = sh.groupBy("block", "h")
-      .agg(count_distinct(col("id")).as("__df"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val eligible = sh.groupBy("block", "h").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2 && col("__df") <= maxDocFreq)
       .select("block", "h")
     val groups = sh.join(eligible, Seq("block", "h"))
       .groupBy("block", "h")
-      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
     groups
       // the group-size² pair explode follows the (id-list-sized) groups
       // exchange, whose byte size AQE can coalesce to a handful of
@@ -317,17 +301,7 @@ object Dedup {
     * the dedup block key).
     */
   def explodedShingles(df: DataFrame, idCol: String, textCol: String,
-                       n: Int, carry: Seq[(String, String)] = Nil): DataFrame =
-    shingleRows(df, idCol, textCol, n, carry).distinct()
-
-  /** [[explodedShingles]] WITHOUT the dedup exchange — one row per
-    * shingle POSITION. Callers that dedup inside their own aggregates
-    * (count_distinct / collect_set) use this to keep the text pass
-    * single and the exchange slim. */
-  private[operators] def shingleRows(df: DataFrame, idCol: String,
-                                     textCol: String, n: Int,
-                                     carry: Seq[(String, String)] = Nil)
-      : DataFrame = {
+                       n: Int, carry: Seq[(String, String)] = Nil): DataFrame = {
     val carried = carry.map { case (src, alias) => col(src).as(alias) }
     val carriedOut = carry.map { case (_, alias) => col(alias) }
     df.select(col(idCol).as("id") +: carried :+
@@ -339,6 +313,7 @@ object Dedup {
       .select(col("id") +: carriedOut :+ concat_ws(" ",
         (0 until n).map(k =>
           element_at(col("__toks"), col("__i") + k + 1)): _*).as("shingle"): _*)
+      .distinct()
   }
 
   /** 64-bit SimHash over tokens: per bit, majority vote of token-hash

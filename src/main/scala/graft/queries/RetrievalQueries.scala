@@ -38,51 +38,30 @@ object RetrievalQueries {
     * re-aggregate of the unigram table broadcast as one row, not a
     * second tokenization pass. Per-position log-probs quantize before
     * the exact fixed-point mean. */
-  /** ONE tokenize pass for the bigram-LM family: every token position
-    * as a slim (doc_id, w1, w2-or-null) row, exchanged once at pinned
-    * width. All model statistics (unigram, bigram, left-context) and
-    * the per-position probe re-read THIS exchange (ReuseExchange) —
-    * previously each statistic was its own corpus scan + tokenize leg
-    * (3–4 full text passes per query; guide §1.2 "how many passes are
-    * unavoidable" → one), and on a few-split input every leg ran its
-    * tokenize serially inside the scan task. The explicit width pins
-    * the downstream stages (AQE would coalesce the slim exchange by
-    * bytes and serialize the joins — the q306/q219 lesson). */
-  private def lmPositions(s: SparkSession, d: String): DataFrame = {
-    val par = s.sparkContext.defaultParallelism
-    Tables.documents(s, d)
+  private def bigramLmDocScores(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables.documents(s, d)
       .select(col("doc_id"),
         filter(Text.tokens(Text.normalize(col("text"))),
           t => t =!= "").as("toks"))
-      .filter(size(col("toks")) >= 1)
-      .select(col("doc_id"), col("toks"),
-        posexplode(col("toks")).as(Seq("i", "w1")))
-      .select(col("doc_id"), col("w1"),
-        try_element_at(col("toks"), col("i") + lit(2)).as("w2"))
-      .repartition(par, col("w1"), col("w2"))
-  }
-
-  private def bigramLmDocScores(s: SparkSession, d: String): DataFrame = {
-    val pos = lmPositions(s, d)
-    val big = pos.filter(col("w2").isNotNull)
-    // unigram counts: every token appears exactly once as a position's
-    // w1 (the last token's row just carries a null w2)
-    val uni = pos.groupBy(col("w1").as("w2")).agg(count(lit(1)).as("c2"))
+    val big = tk.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("toks")) - 2)).as("i"),
+        col("toks"))
+      .select(col("doc_id"),
+        element_at(col("toks"), col("i") + 1).as("w1"),
+        element_at(col("toks"), col("i") + 2).as("w2"))
+    val uniToks = tk.select(explode(col("toks")).as("w2"))
+    val uni = uniToks.groupBy("w2").agg(count(lit(1)).as("c2"))
     val tot = uni.agg(sum(col("c2")).cast("double").as("t"))
     val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val lc = big.groupBy("w1").agg(count(lit(1)).as("c1"))
     val p = lit(0.7d) * (col("c12").cast("double") / col("c1").cast("double")) +
       lit(0.3d) * (col("c2").cast("double") / col("t"))
-    // model statistics join each other at VOCAB scale first; the
-    // position-scale probe then joins the assembled model once on
-    // (w1, w2) — co-partitioned with the pinned position exchange, so
-    // the probe side never re-shuffles (guide §3: join small first)
-    val model = bc.join(lc, Seq("w1")).join(uni, Seq("w2"))
+    big.join(bc, Seq("w1", "w2"))
+      .join(lc, Seq("w1"))
+      .join(uni, Seq("w2"))
       .crossJoin(broadcast(tot))
-      .withColumn("p", p)
-      .select("w1", "w2", "p")
-    big.join(model, Seq("w1", "w2"))
-      .withColumn("lp", q4(log(col("p"))))
+      .withColumn("lp", q4(log(p)))
       .groupBy("doc_id")
       .agg(q4(xsum4(col("lp")) / count(lit(1))).as("mean_lp"),
         count(lit(1)).as("n_big"))
@@ -95,11 +74,17 @@ object RetrievalQueries {
     * type total broadcasts as one row); per-position log-probs quantize
     * before the exact fixed-point mean. */
   private def knLmDocScores(s: SparkSession, d: String): DataFrame = {
-    // same one-tokenize-pass frame as [[bigramLmDocScores]]: every
-    // KN statistic re-aggregates the vocab-sized distinct-bigram
-    // table, the model assembles at vocab scale, and the position
-    // probe joins it once on the pinned (w1, w2) exchange
-    val big = lmPositions(s, d).filter(col("w2").isNotNull)
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"),
+        filter(Text.tokens(Text.normalize(col("text"))),
+          t => t =!= "").as("toks"))
+    val big = tk.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("toks")) - 2)).as("i"),
+        col("toks"))
+      .select(col("doc_id"),
+        element_at(col("toks"), col("i") + 1).as("w1"),
+        element_at(col("toks"), col("i") + 2).as("w2"))
     val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val lc = bc.groupBy("w1").agg(sum(col("c12")).as("c1"),
       count(lit(1)).as("nf")) // tokens out of w1 + distinct followers
@@ -109,12 +94,11 @@ object RetrievalQueries {
         col("c1").cast("double")) +
       (lit(0.75d) * col("nf").cast("double") / col("c1").cast("double")) *
         (col("np").cast("double") / col("nt"))
-    val model = bc.join(lc, Seq("w1")).join(np, Seq("w2"))
+    big.join(bc, Seq("w1", "w2"))
+      .join(lc, Seq("w1"))
+      .join(np, Seq("w2"))
       .crossJoin(broadcast(nt))
-      .withColumn("p", p)
-      .select("w1", "w2", "p")
-    big.join(model, Seq("w1", "w2"))
-      .withColumn("lp", q4(log(col("p"))))
+      .withColumn("lp", q4(log(p)))
       .groupBy("doc_id")
       .agg(q4(xsum4(col("lp")) / count(lit(1))).as("mean_kn"),
         count(lit(1)).as("n_big"))
