@@ -125,7 +125,11 @@ object Plans {
     "q377_iceberg_day_transform_writes" -> "transform-routed writes: the post-write reads are ordinary pruned scans of the routed files; the day routing is pure Catalyst (datediff), no UDF in the staging plan",
     "q379_merge_partial_update" -> "partial-column MERGE (joined fate batch): the batch plan is source LEFT-JOIN target on the keys with CASE projections — unassigned columns read the __t_ side, no per-row driver work; the post-merge reads are the usual MoR/pruned-add shapes",
     "q381_colmap_dml" -> "column-mapped DML: the candidate scan requests PHYSICAL names (id mode adds parquet field-id resolution) and projects to logical via rename-only casts riding the scan; the post-DML reads stay the mapped MoR shape",
-    "q384_iceberg_spec_evolution_dml" -> "DML across spec evolution: the post-DML read unions old-spec day files (MoR anti-join) with identity-routed rewrites; per-spec delete manifests keep the DV side sidecar-sized")
+    "q384_iceberg_spec_evolution_dml" -> "DML across spec evolution: the post-DML read unions old-spec day files (MoR anti-join) with identity-routed rewrites; per-spec delete manifests keep the DV side sidecar-sized",
+    "q387_maintenance_purge_compact" -> "foreign-table maintenance: the post-purge/compact reads must be PLAIN pruned file scans — no merge-on-read anti-join, no DV/delete-state subtree left in the plan (the purge folded them into rewritten data files)",
+    "q388_nested_field_dml" -> "nested-field DML: struct-field assignments fold to named_struct rebuilds riding the fate-batch projection (unassigned fields read the current struct) — the post-DML read is the usual merge-on-read shape (broadcast anti-join against the delete state), no per-row UDF anywhere",
+    "q389_merge_in_subquery" -> "MERGE with IN-subquery clause conditions: each uncorrelated IN/NOT-IN conjunct became a broadcast membership flag on the joined fate batch at DML time; the post-merge read carries no subquery — just the usual MoR/snapshot scan",
+    "q390_merge_key_change" -> "key-changing MERGE: moving rows translate to delete+insert fate pairs inside one transaction; the post-merge read is the usual merge-on-read union (old-key rows DV'd away by broadcast anti-join, new-key rows in appended files)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
