@@ -191,9 +191,14 @@ object Stress {
     * builder invalidates corpora built before it existed). */
   def buildCorpus(spark: SparkSession, srcDir: String, outDir: String,
                   factor: Int): Unit = {
-    val marker = new java.io.File(s"$outDir/_built_v4_x$factor")
+    val marker = new java.io.File(s"$outDir/_built_v5_x$factor")
     if (marker.exists()) return
-    val off = 10000000L // id-space stride per replica
+    // id-space stride per replica. Must clear any key arithmetic the
+    // stressed fixtures perform WITHIN a replica: q390's key-changing
+    // MERGE moves keys by +1e7, and a 1e7 stride made replica c's moved
+    // keys land exactly on replica c+1's live keys — the engine's
+    // collision gate (correctly) refused the merge at 10×.
+    val off = 100000000L
     def salted(table: String)(f: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Unit = {
       val df = spark.read.parquet(s"$srcDir/$table.parquet")
       val copies = df.crossJoin(

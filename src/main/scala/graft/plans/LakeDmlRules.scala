@@ -779,28 +779,30 @@ private[plans] object MergeTranslation {
     // semantics (null key / non-member = false); NOT IN three-valued:
     // a null member kills every row, an EMPTY set admits every row
     // (null keys included), else null-guarded anti membership
+    // each UNIQUE subquery plan evaluates ONCE — the decontamination
+    // shape's IN + NOT IN flags over the same curated set share a
+    // single distinct+checkpoint, and NOT IN's two guards come from
+    // the same one-pass aggregate instead of two more scans
+    val setByPlan = inFlags.groupBy(_._3.canonicalized).map {
+      case (cp, fs) =>
+        val sub = org.apache.spark.sql.graftbridge.ColumnBridge
+          .ofRows(joined.sparkSession, fs.head._3)
+        cp -> graft.sources.DmlInSet.eval(sub,
+          guards = fs.exists(_._4), share = fs.size > 1)
+    }
     val withFlags = inFlags.foldLeft(joined) {
       case (df, (nm, keySql, plan, negated)) =>
-        val sub = org.apache.spark.sql.graftbridge.ColumnBridge
-          .ofRows(df.sparkSession, plan)
-        val s0 = sub.select(col(sub.columns.head).as("__in_k"))
-        if (!negated) {
-          val subd = broadcast(s0.distinct()
-            .withColumn("__in_f", lit(true)))
-          df.join(subd, expr(keySql) === col("__in_k"), "left")
-            .withColumn(nm, coalesce(col("__in_f"), lit(false)))
+        val set = setByPlan(plan.canonicalized)
+        def joinFlag(flag: org.apache.spark.sql.Column) =
+          df.join(broadcast(set.keys.withColumn("__in_f", lit(true))),
+            expr(keySql) === col("__in_k"), "left")
+            .withColumn(nm, flag)
             .drop("__in_k", "__in_f")
-        } else if (!s0.filter(col("__in_k").isNull).isEmpty)
-          df.withColumn(nm, lit(false))
-        else if (s0.isEmpty) df.withColumn(nm, lit(true))
-        else {
-          val subd = broadcast(s0.distinct()
-            .withColumn("__in_f", lit(true)))
-          df.join(subd, expr(keySql) === col("__in_k"), "left")
-            .withColumn(nm,
-              col("__in_f").isNull && expr(keySql).isNotNull)
-            .drop("__in_k", "__in_f")
-        }
+        if (!negated)
+          joinFlag(coalesce(col("__in_f"), lit(false)))
+        else if (set.hasNull) df.withColumn(nm, lit(false))
+        else if (set.isEmpty) df.withColumn(nm, lit(true))
+        else joinFlag(col("__in_f").isNull && expr(keySql).isNotNull)
     }
     withFlags
       .select((columns.map { case (n, sql) => expr(sql).as(n) } :+

@@ -1389,20 +1389,20 @@ object DeltaInterop {
     val matched0 = inSub match {
       case None => matchedC
       case Some((sub, k, negated)) =>
-        val s0 = sub.select(col(sub.columns.head).as("__in_k"))
+        val set = DmlInSet.eval(sub, guards = negated)
         if (!negated)
-          matchedC.join(broadcast(s0.distinct()),
+          matchedC.join(broadcast(set.keys),
             col(k) === col("__in_k"), "left_semi")
-        // NOT IN, three-valued: a null in the subquery matches
-        // NOTHING; a null key never matches — the null-guarded
-        // NOT EXISTS rewrite
-        else if (!s0.filter(col("__in_k").isNull).isEmpty)
-          matchedC.filter(lit(false))
+        // NOT IN, three-valued (both guards from DmlInSet's ONE pass
+        // over the subquery): a null in the subquery matches NOTHING;
+        // a null key never matches — the null-guarded NOT EXISTS
+        // rewrite
+        else if (set.hasNull) matchedC.filter(lit(false))
         // NOT IN over an EMPTY set is TRUE for every row — including
         // null keys — so pass the candidates through unfiltered
-        else if (s0.isEmpty) matchedC
+        else if (set.isEmpty) matchedC
         else matchedC.filter(col(k).isNotNull)
-          .join(broadcast(s0.distinct()),
+          .join(broadcast(set.keys),
             col(k) === col("__in_k"), "left_anti")
     }
     // ONE candidate scan: an UPDATE's matched frame materializes once

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, count, lit, when}
+
+/** One-pass evaluation of a DML IN / NOT-IN subquery's key set.
+  *
+  * Every DML surface (lake DELETE/UPDATE, Delta/Iceberg DELETE/UPDATE,
+  * the joined-batch MERGE flags) needs the same three things from an
+  * uncorrelated single-column subquery: its DISTINCT key set for the
+  * membership join, and — for NOT IN's three-valued guards — whether
+  * the raw result contains a NULL member and whether it is empty.
+  *
+  * The naive shape evaluated the subquery plan once PER question
+  * (null-probe scan, emptiness scan, then the distinct feeding the
+  * broadcast) — three full passes over the subquery input per NOT-IN
+  * statement, each its own Spark job. Here the distinct materializes
+  * ONCE into a lazy localCheckpoint and a single count aggregate over
+  * it answers both guards; the membership join then reads the same
+  * materialization. One pass over the subquery input, O(|distinct
+  * keys|) afterwards.
+  */
+object DmlInSet {
+
+  /** `keys` is the single-column (`__in_k`) distinct frame; the guard
+    * fields are only populated when `guards` was requested (NOT IN). */
+  final case class InSet(keys: DataFrame, hasNull: Boolean,
+                         isEmpty: Boolean)
+
+  /** @param sub    analyzed subquery frame (first column is the key)
+    * @param guards evaluate the NOT-IN guards (forces the one-pass
+    *               materialization NOW via the count aggregate)
+    * @param share  checkpoint the distinct even without guards, for
+    *               callers that consume it more than once */
+  def eval(sub: DataFrame, guards: Boolean,
+           share: Boolean = false): InSet = {
+    val s0 = sub.select(col(sub.columns.head).as("__in_k"))
+    val d0 = s0.distinct()
+    if (!guards) {
+      InSet(if (share) d0.localCheckpoint(false) else d0,
+        hasNull = false, isEmpty = false)
+    } else {
+      val d = d0.localCheckpoint(false)
+      // distinct ⇒ at most one null row, so n > nonNull ⟺ a null
+      // member exists; n == 0 ⟺ the raw subquery result was empty
+      val r = d.agg(count(lit(1)).as("n"),
+        count(when(col("__in_k").isNotNull, lit(1))).as("nn")).head()
+      InSet(d, hasNull = r.getLong(0) > r.getLong(1),
+        isEmpty = r.getLong(0) == 0L)
+    }
+  }
+}

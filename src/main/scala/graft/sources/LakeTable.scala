@@ -1804,24 +1804,23 @@ object LakeTable {
       : (DataFrame, Column) = inSub match {
     case None => (df, lit(true))
     case Some((sub, k, negated)) =>
-      val s0 = sub.select(col(sub.columns.head).as("__in_k"))
+      val set = DmlInSet.eval(sub, guards = negated)
       if (!negated) {
-        val subd = broadcast(s0.distinct()
-          .withColumn("__in_f", lit(true)))
+        val subd = broadcast(set.keys.withColumn("__in_f", lit(true)))
         (df.join(subd, df(k) === col("__in_k"), "left")
           .drop("__in_k"),
           coalesce(col("__in_f"), lit(false)))
       }
-      // NOT IN, three-valued: a null in the subquery matches NOTHING;
+      // NOT IN, three-valued (both guards from DmlInSet's ONE pass
+      // over the subquery): a null in the subquery matches NOTHING;
       // a null key never matches — the null-guarded NOT EXISTS rewrite
-      else if (!s0.filter(col("__in_k").isNull).isEmpty)
+      else if (set.hasNull)
         (df.withColumn("__in_f", lit(false)), lit(false))
       // NOT IN over an EMPTY set is TRUE for every row — including
       // null keys — so the membership flag is unconditionally true
-      else if (s0.isEmpty) (df, lit(true))
+      else if (set.isEmpty) (df, lit(true))
       else {
-        val subd = broadcast(s0.distinct()
-          .withColumn("__in_f", lit(true)))
+        val subd = broadcast(set.keys.withColumn("__in_f", lit(true)))
         (df.join(subd, df(k) === col("__in_k"), "left")
           .drop("__in_k"),
           col("__in_f").isNull && df(k).isNotNull)

@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.util.LongAccumulator
+
+import graft.SparkSpec
+
+/** The one-pass IN/NOT-IN subquery evaluator behind every DML surface:
+  * the distinct key set, the NOT-IN null-member guard and the NOT-IN
+  * emptiness guard must all come from a SINGLE pass over the subquery
+  * input (the naive shape ran three), and the guards must keep SQL's
+  * three-valued semantics exactly. */
+class DmlInSetSpec extends SparkSpec {
+
+  /** Subquery frame whose every source-row evaluation bumps `acc` —
+    * the pass counter. */
+  private def counted(values: Seq[java.lang.Long])
+      : (DataFrame, LongAccumulator) = {
+    val acc = spark.sparkContext.longAccumulator("insetScans")
+    val rdd = spark.sparkContext.parallelize(values, 2)
+      .map { v => acc.add(1L); Row(v) }
+    (spark.createDataFrame(rdd,
+      StructType(Seq(StructField("doc_id", LongType)))), acc)
+  }
+
+  test("guards: null member detected, emptiness false, keys distinct; " +
+      "guards + repeated key consumption = ONE pass over the input") {
+    val (sub, acc) = counted(Seq[java.lang.Long](1L, 2L, 2L, null, 3L))
+    val set = DmlInSet.eval(sub, guards = true)
+    assert(set.hasNull); assert(!set.isEmpty)
+    // distinct keys: 1,2,3,null — and reading them twice must hit the
+    // checkpointed materialization, not the source again
+    assert(set.keys.count() == 4L)
+    assert(set.keys.na.drop().count() == 3L)
+    assert(acc.value == 5L,
+      s"expected one pass over 5 source rows, counted ${acc.value}")
+  }
+
+  test("guards on an empty subquery: isEmpty true, hasNull false") {
+    val (sub, _) = counted(Seq.empty)
+    val set = DmlInSet.eval(sub, guards = true)
+    assert(set.isEmpty); assert(!set.hasNull)
+  }
+
+  test("guards with no null member: hasNull false, keys complete") {
+    val (sub, _) = counted(Seq[java.lang.Long](10L, 20L, 10L))
+    val set = DmlInSet.eval(sub, guards = true)
+    assert(!set.hasNull); assert(!set.isEmpty)
+    assert(set.keys.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10L, 20L))
+  }
+
+  test("no guards, no share: evaluation stays lazy until the " +
+      "membership join consumes it") {
+    val (sub, acc) = counted(Seq[java.lang.Long](7L, 7L, 8L))
+    val set = DmlInSet.eval(sub, guards = false)
+    assert(acc.value == 0L, "eval() without guards must not run a job")
+    assert(set.keys.count() == 2L)
+  }
+
+  test("share without guards checkpoints: two consumers, one pass") {
+    val (sub, acc) = counted(Seq[java.lang.Long](1L, 2L, 3L))
+    val set = DmlInSet.eval(sub, guards = false, share = true)
+    assert(set.keys.count() == 3L)
+    assert(set.keys.count() == 3L)
+    assert(acc.value == 3L,
+      s"expected one pass over 3 source rows, counted ${acc.value}")
+  }
+}
