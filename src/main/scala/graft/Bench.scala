@@ -144,17 +144,34 @@ object Bench {
     // below: the committed bench_out.json (last round's artifact of
     // record) unless BENCH_PREV points elsewhere. Absent/unparsable →
     // no reference, no reruns.
+    // Core-count guard (VERDICT r19 #1): the reference file records the
+    // `cpus` it ran with; if it mismatches this run's core count the
+    // per-query times are not comparable (the driver also benches at a
+    // lower core count) and using them would fire the ≥1.3×/1.5× rerun
+    // triggers on nearly every query — so a mismatched reference is
+    // dropped and this pass runs without adjudication rather than with a
+    // poisoned one. A reference without the field (pre-r20) is trusted.
+    val cpusNow = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val prevTimes: Map[String, Double] = {
       val path = sys.env.getOrElse("BENCH_PREV", "bench_out.json")
       try {
-        val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(new java.io.File(path)).path("queries")
-        val it = node.fieldNames()
-        val b = Map.newBuilder[String, Double]
-        while (it.hasNext) {
-          val k = it.next(); b += k -> node.path(k).asDouble()
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File(path))
+        val prevCpus = root.path("cpus")
+        if (!prevCpus.isMissingNode && prevCpus.asText() != cpusNow) {
+          System.err.println(
+            s"[bench] reference $path ran at cpus=${prevCpus.asText()}, " +
+              s"this run is cpus=$cpusNow — adjudication disabled")
+          Map.empty
+        } else {
+          val node = root.path("queries")
+          val it = node.fieldNames()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) {
+            val k = it.next(); b += k -> node.path(k).asDouble()
+          }
+          b.result()
         }
-        b.result()
       } catch { case _: Throwable => Map.empty }
     }
     def resetBetweenQueries(): Unit = {
@@ -277,7 +294,9 @@ object Bench {
     // n_queries rides the artifact so closing-notes headlines are
     // GENERATED from this line, never typed (the r12 "313 vs 314" slip)
     def line(rs: Seq[(String, Double)], extra: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timings.length},"queries":${qmap(rs)},"failed":$failed,"sf":"$sfDir"$rerunJson$dispositionJson$totalsJson$extra}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timings.length},"cpus":${
+        if (cpusNow.nonEmpty && cpusNow.forall(_.isDigit)) cpusNow
+        else "\"" + cpusNow + "\""},"queries":${qmap(rs)},"failed":$failed,"sf":"$sfDir"$rerunJson$dispositionJson$totalsJson$extra}"""
     // failures (-1) first so they never fall off the trimmed line
     val slowest40 = (timings.filter(_._2 < 0) ++
       timings.filter(_._2 >= 0).sortBy(-_._2)).take(40)
