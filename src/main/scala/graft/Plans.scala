@@ -94,7 +94,7 @@ object Plans {
     "q278_lake_sql_dml" -> "catalog SQL read after DML: V1Scan-bridged plan — the same pruning FileIndex + vectorized parquet scan under the v2 table",
     "q288_lake_dv_delete" -> "merge-on-read DELETE: vectored read = parquet scan + BroadcastHashJoin LeftAnti against the sidecar — data side never shuffles, no sort-merge",
     "q289_lake_dv_purge" -> "post-purge range read: #dv refs dropped, the plan is the vector-free zone-pruned scan again (no anti-join node)",
-    "q306_suffix_spans" -> "suffix-ranked exact dup spans: 16-char gram window (the only text shuffle), one doubling round on long labels with the dup count fused into its window, explicit-width repartition guarding the explode from post-AQE single-partition collapse",
+    "q306_suffix_spans" -> "suffix-ranked exact dup spans: 32-char grams hashed at the scan (xxhash64 — NO text shuffle at all), one fixed-width exchange + window carrying the dup count, explicit-width repartition guarding the explode from post-AQE single-partition collapse",
     "q309_image_neardup" -> "banded Hamming near-dup: distinct-fingerprint banding (hot-hash-immune) + exact verify, member expansion only on verified pairs; decode stays partition-local mapPartitions",
     "q315_lake_agg_pushdown" -> "DSv2 aggregate pushdown: COUNT/MIN/MAX served from manifest metadata as a LocalTableScan — the plan should contain NO parquet scan",
     "q328_html_extract" -> "HTML main-content extraction: pure codegen'd column expressions riding the scan — ONE WholeStageCodegen span, zero exchanges",

@@ -702,31 +702,26 @@ object Dedup {
                       - 1))))))
           .as("clean_text"))
 
-  /** EXACT duplicated-span detection by distributed suffix ranking
-    * (prefix doubling) — the hash-FREE counterpart to
-    * [[removeDuplicateSpans]]'s rolling-hash windows, and the structure
-    * behind suffix-array dedup (Lee et al. 2022, "Deduplicating
-    * Training Data Makes Language Models Better"). Position `p` of a
-    * document is a duplicate start iff some OTHER position (same or
-    * different doc) shares its first `span` CHARACTERS exactly.
+  /** EXACT duplicated-span detection — the character-level counterpart
+    * to [[removeDuplicateSpans]]'s rolling-hash token windows, and the
+    * operation behind suffix-array dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better").
+    * Position `p` of a document is a duplicate start iff some OTHER
+    * position (same or different doc) shares its first `span`
+    * CHARACTERS exactly.
     *
-    * Why not group `span`-char substrings directly? That shuffles
-    * span × corpus bytes of text. Prefix doubling shuffles 4-char grams
-    * ONCE (round 0); every later round moves only (doc, pos, label)
-    * rows: rank_{2k}(p) = canonical label of the PAIR
-    * (rank_k(p), rank_k(p+k)), where the canonical label is the group's
-    * minimum (doc, pos) — equality-preserving with a hash-partitioned
-    * groupBy-min, NO global sort (a corpus-length dense_rank window
-    * would serialize on one partition; min-labeling is the same trick
-    * as the CC loop's min-label propagation). Equal final label ⟺ equal
-    * span-prefix, by induction over rounds — no hash collisions to
-    * argue away, which the oracle proves by direct substring group-by.
+    * Grouping key: xxhash64 of the span-char gram, hashed at the scan
+    * so no text ever shuffles (see [[suffixLastRound]] — one
+    * fixed-width exchange for the whole decision). Exact up to 64-bit
+    * collisions, the q162/q58 contract; the oracle groups the
+    * substrings DIRECTLY, so a hash match also certifies
+    * collision-freedom on the corpus checked.
     *
-    * `span` must be a power of two ≥ 4 (the ladder 4 → 8 → … → span):
-    * log2(span) − 2 self-joins on (doc, pos+k) keys, one label shuffle
-    * each. Documents shorter than `span` report n_pos = 0. Returns one
-    * row per input doc: (idCol, n_pos, n_dup) with n_dup the number of
-    * duplicated span-start positions. */
+    * `span` must be a power of two ≥ 4 (kept from the r19
+    * prefix-doubling ladder so the operator's accepted-span surface is
+    * unchanged). Documents shorter than `span` report n_pos = 0.
+    * Returns one row per input doc: (idCol, n_pos, n_dup) with n_dup
+    * the number of duplicated span-start positions. */
   def suffixDupSpans(docs: DataFrame, idCol: String, textCol: String,
                      span: Int = 32): DataFrame = {
     val base = docs.select(col(idCol).as("id"), lit(0).as("side"),
@@ -742,14 +737,15 @@ object Dedup {
         coalesce(col("n_dup"), lit(0L)).as("n_dup"))
   }
 
-  /** EXACT cross-corpus span contamination through the same suffix
-    * ladder: a train position is contaminated iff some EVAL position
-    * shares its first `span` characters byte-for-byte — the exact form
-    * of [[removeContaminatedSpans]]' rolling-hash check (no collision
-    * caveat to argue away). One ladder over the tagged union; the last
-    * labeling window's fused max(side) answers "does an eval member sit
-    * in this group" with zero extra exchange. Returns one row per TRAIN
-    * doc: (idCol, n_pos, n_contam). */
+  /** EXACT cross-corpus span contamination through the same span-gram
+    * grouping: a train position is contaminated iff some EVAL position
+    * shares its first `span` characters — the character-exact form of
+    * [[removeContaminatedSpans]]' rolling-hash check (same
+    * up-to-64-bit-collision contract, certified by the
+    * string-comparing oracle). One grouping over the tagged union; the
+    * labeling window's fused max(side) answers "does an eval member
+    * sit in this group" with zero extra exchange. Returns one row per
+    * TRAIN doc: (idCol, n_pos, n_contam). */
   def suffixContamination(train: DataFrame, eval: DataFrame,
                           idCol: String, textCol: String,
                           span: Int = 32): DataFrame = {
@@ -774,9 +770,9 @@ object Dedup {
     * `span` characters to the doc's cut set; survivors reassemble in
     * order. The globally-first occurrence of every duplicated span
     * stays — the Lee et al. convention [[removeDuplicateSpans]] applies
-    * at token level with hashes, here char-exact. Canonical order is
-    * (doc, position) because the ladder's gp coordinates are monotone
-    * in exactly that order. Reassembly is LINEAR per doc (sorted cut
+    * at token level with hashes, here char-granular. Canonical order
+    * is (doc, position) because the grouping's gp coordinates are
+    * monotone in exactly that order. Reassembly is LINEAR per doc (sorted cut
     * positions band the text into keep-slices, the
     * [[reassembleWithout]] discipline at character granularity).
     * Returns (idCol, clean_text). */
@@ -787,10 +783,11 @@ object Dedup {
     val flagged = suffixLastRound(base, span)
       .filter(col("__n") >= 2 && col("r") =!= col("gp"))
     // map gp back to the doc-local position via the SAME deterministic
-    // cumsum the ladder used (doc-keyed metadata join, no text moves)
-    val g = math.max(4, math.min(16, span / 2))
+    // cumsum the grouping used (doc-keyed metadata join, no text moves);
+    // the eligibility filter MUST match suffixLastRound's or the
+    // per-doc offsets diverge
     val offs = graft.ops.Relational.globalCumSum(
-        base.filter(length(col("__t")) >= g),
+        base.filter(length(col("__t")) >= span),
         Seq(col("side"), col("id")),
         (length(col("__t")) + lit(span)).cast("long"), "__cum")
       .select(col("id"),
@@ -814,33 +811,39 @@ object Dedup {
           .as("clean_text"))
   }
 
-  /** The shared prefix-doubling ladder behind [[suffixDupSpans]] and
-    * [[suffixContamination]]: input (id, side, __t), output one row per
-    * position surviving to the last round with its final group's size
-    * (`__n`) and max side tag (`__mx`).
+  /** The shared span-gram grouping behind [[suffixDupSpans]],
+    * [[suffixContamination]] and [[removeSuffixDupSpans]]: input
+    * (id, side, __t), output one row per span-start position with its
+    * group's canonical min-gp label (`r`), size (`__n`) and max side
+    * tag (`__mx`).
     *
-    * Round 0 grams are up to 16 chars — the only stage that ever
-    * shuffles text. Every halving of the base adds one (join + label
-    * shuffle) BARRIER over the whole corpus, so the base takes the
-    * widest gram whose shuffle rows stay label-sized (16 ASCII chars ≈
-    * two label longs); past 16, doubling's 8-byte labels are strictly
-    * narrower and the ladder takes over (span=32 = round 0 plus ONE
-    * doubling round). Positions get a GLOBAL LONG coordinate
-    * gp = docOffset + p with an inter-doc gap of `span`, so gp ± k
-    * arithmetic never lands in a neighboring document and labels are
-    * plain longs (min gp per group — struct labels fell out of codegen
-    * ordering and ran ~3× slower); offsets come from the scale-safe
-    * distributed cumsum. The explode multiplies rows ~docLength× AFTER
-    * the tiny doc-level cumsum exchange — without an explicit-width
-    * repartition AQE rightly coalesces that exchange to ONE partition
-    * and the whole ladder runs single-threaded (measured). Every
-    * round's output feeds its successor's join twice (probe + shifted
-    * build), so each round localCheckpoints or the lineage doubles. */
+    * r19 shape was a prefix-doubling ladder (16-char round-0 grams +
+    * one doubling round) whose rationale was "never shuffle text". The
+    * r20 guide-§2.3 pass replaces it: keying every position on
+    * xxhash64(substr(text, p, span)) — computed AT THE SCAN, before
+    * any exchange — also never shuffles text, and collapses the whole
+    * grouping into ONE fixed-width exchange + window instead of the
+    * ladder's round-0 string-keyed window + self-join (two more
+    * exchanges) + round-1 window + two eager localCheckpoints.
+    * Shuffled rows are 16-28 bytes (id, hash, plus side/gp only where
+    * the consumer references them — column pruning trims per query)
+    * and the window sort compares longs, not 16-char strings. The
+    * exactness contract moves from hash-free to exact-up-to-64-bit-
+    * collisions — the SAME contract q162/q58 already carry — and the
+    * string-comparing oracle certifies collision-freedom on every
+    * corpus it checks.
+    *
+    * Positions get a GLOBAL LONG coordinate gp = docOffset + p with an
+    * inter-doc gap of `span` (offsets from the scale-safe distributed
+    * cumsum), so min-gp canonical order IS (doc, position) order. The
+    * explode multiplies rows ~docLength× AFTER the tiny doc-level
+    * cumsum exchange — without an explicit-width repartition AQE
+    * rightly coalesces that exchange to ONE partition and the
+    * per-position hashing runs single-threaded (measured in r19). */
   private def suffixLastRound(docs2: DataFrame, span: Int): DataFrame = {
     require(span >= 4 && (span & (span - 1)) == 0,
       s"suffix ladder: span must be a power of two >= 4, got $span")
-    val g = math.max(4, math.min(16, span / 2))
-    val eligible = docs2.filter(length(col("__t")) >= g)
+    val eligible = docs2.filter(length(col("__t")) >= span)
     val offs = graft.ops.Relational.globalCumSum(
         eligible, Seq(col("side"), col("id")),
         (length(col("__t")) + lit(span)).cast("long"), "__cum")
@@ -850,41 +853,16 @@ object Dedup {
     val pos = offs
       .repartition(par)
       .select(col("id"), col("side"), col("__off"),
-        explode(sequence(lit(1), length(col("__t")) - (g - 1))).as("p"),
+        explode(sequence(lit(1), length(col("__t")) - (span - 1))).as("p"),
         col("__t"))
       .select(col("id"), col("side"),
         (col("__off") + col("p")).as("gp"),
-        col("__t").substr(col("p"), lit(g)).as("__g"))
-    def label(df: DataFrame, keys: Seq[String],
-              last: Boolean): DataFrame = {
-      val w = Window.partitionBy(keys.map(col): _*)
-      val withMin = df.withColumn("r", min(col("gp")).over(w))
-      (if (last) withMin
-         .withColumn("__n", count(lit(1)).over(w))
-         .withColumn("__mx", max(col("side")).over(w))
-         .select("id", "side", "gp", "r", "__n", "__mx")
-       else withMin.select("id", "side", "gp", "r"))
-        .localCheckpoint(false)
-    }
-    var cur = label(pos, Seq("__g"), last = g >= span)
-    var k = g
-    while (k < span) {
-      // rank_{2k}(gp) keys on (rank_k(gp), rank_k(gp+k)); the shifted
-      // side joins on gp, so the position set tightens to positions
-      // with 2k chars of runway automatically (gp+k must itself exist)
-      val prev = cur
-      cur = label(
-        prev.join(
-          prev.select((col("gp") - k).as("gp"), col("r").as("__r2")),
-          Seq("gp")),
-        Seq("r", "__r2"), last = k * 2 >= span)
-      // the new round is materialized (localCheckpoint is eager), so
-      // the superseded round's corpus-position-sized cache can go —
-      // same discipline as Graphs.freeCheckpoint in the CC/LPA loops
-      graft.operators.Graphs.freeCheckpoint(prev)
-      k *= 2
-    }
-    cur
+        xxhash64(col("__t").substr(col("p"), lit(span))).as("__h"))
+    val w = Window.partitionBy("__h")
+    pos.withColumn("r", min(col("gp")).over(w))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__mx", max(col("side")).over(w))
+      .select("id", "side", "gp", "r", "__n", "__mx")
   }
 
   /** Cross-source k-gram overlap matrix — the corpus forensic behind

@@ -1444,16 +1444,16 @@ object CorpusQueries {
         FROM picked GROUP BY lang"""),
       "temperature-scaled mix: rate (n_min/n)^(1-alpha), md5 gate"),
 
-    // ---- suffix-ranked exact duplicated spans (prefix doubling) ------------
-    // The hash-FREE form of Lee et al.'s suffix-array pass: a position
-    // is a duplicate start iff another position shares its first 32
-    // CHARACTERS exactly, decided by 3 rounds of prefix doubling over
-    // min-(doc,pos) group labels — after round 0's 4-char grams, only
-    // (doc, pos, label) rows ever shuffle, and there is no global sort
-    // (dense_rank would serialize) and no hash to collide. The oracle
-    // groups the 32-char substrings DIRECTLY, so the hash match proves
-    // the doubling ladder's equal-label ⟺ equal-span invariant on the
-    // whole corpus.
+    // ---- suffix-ranked exact duplicated spans ------------------------------
+    // Lee et al.'s suffix-array pass at character level: a position is
+    // a duplicate start iff another position shares its first 32
+    // CHARACTERS exactly, decided by grouping on xxhash64 of the
+    // 32-char gram hashed AT THE SCAN — one fixed-width exchange, no
+    // text ever shuffles, no global sort (r20 §2.3 rework of the r19
+    // prefix-doubling ladder; exact up to 64-bit collisions, the
+    // q162/q58 contract). The oracle groups the 32-char substrings
+    // DIRECTLY, so the hash match also certifies collision-freedom on
+    // the whole corpus.
     "q306_suffix_spans" -> Q(
       (s, d) => Dedup.suffixDupSpans(Tables.documents(s, d),
         "doc_id", "text", span = 32),
@@ -1471,13 +1471,14 @@ object CorpusQueries {
         FROM documents d LEFT JOIN agg USING (doc_id)"""),
       "suffix-ranked exact 32-char dup spans ≡ direct substring groups"),
 
-    // ---- EXACT cross-corpus decontamination via the suffix ladder ----------
-    // q194's rolling-hash contamination check, EXACT: a train position
-    // is contaminated iff an eval (src19) position shares its first 32
-    // characters byte-for-byte, decided by the same one-doubling-round
-    // ladder over the tagged union — the last labeling window's fused
-    // max(side) answers "is an eval member in this group" with zero
-    // extra exchange. Oracle compares substrings directly.
+    // ---- EXACT cross-corpus decontamination via the span grouping ----------
+    // q194's rolling-hash contamination check at character level: a
+    // train position is contaminated iff an eval (src19) position
+    // shares its first 32 characters, decided by the same scan-hashed
+    // span grouping over the tagged union — the labeling window's
+    // fused max(side) answers "is an eval member in this group" with
+    // zero extra exchange. Oracle compares substrings directly (the
+    // hash match certifies collision-freedom on this corpus).
     "q314_exact_decontaminate" -> Q(
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -1507,12 +1508,13 @@ object CorpusQueries {
       "exact eval-span contamination via the suffix ladder ≡ direct"),
 
     // ---- EXACT span removal (the q306 verdicts, applied) -------------------
-    // q163's span removal at character granularity and hash-free: every
+    // q163's span removal at character granularity: every
     // non-canonical duplicated 32-char span cuts (the globally-first
     // (doc, pos) occurrence stays — gp order IS (doc, pos) order), and
-    // survivors reassemble linearly per doc. The oracle rebuilds every
-    // document character by character from the direct substring groups,
-    // so both the verdicts and the reassembly replay exactly.
+    // survivors reassemble linearly per doc. Verdicts come from the
+    // same scan-hashed span grouping as q306; the oracle rebuilds
+    // every document character by character from the direct substring
+    // groups, so both the verdicts and the reassembly replay exactly.
     "q318_suffix_removal" -> Q(
       (s, d) => Dedup.removeSuffixDupSpans(Tables.documents(s, d),
         "doc_id", "text", span = 32),

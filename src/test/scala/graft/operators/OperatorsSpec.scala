@@ -86,6 +86,25 @@ class DedupSpec extends SparkSpec {
       Dedup.suffixDupSpans(docs, "doc_id", "text", span = 24))
   }
 
+  test("suffixDupSpans: multibyte text groups at CHARACTER granularity " +
+      "(r20 scan-hashed grams — substr semantics must survive hashing)") {
+    // 8-char grams over non-ASCII text: doc 1 and doc 2 share the
+    // 8-char span "αβγδεζηθ" (one dup start each); doc 3 shares no
+    // 8-char window with anyone. If the gram key ever became
+    // byte-indexed (e.g. hashing a byte slice), the shared span would
+    // misalign and the counts change.
+    val docs = Seq(
+      (1L, "x:αβγδεζηθ…tail"),
+      (2L, "αβγδεζηθ!!different"),
+      (3L, "ωψχφυτσρποξν"))
+      .toDF("doc_id", "text")
+    val out = Dedup.suffixDupSpans(docs, "doc_id", "text", span = 8)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 8L, 1L)))  // 15 chars → 8 positions
+    assert(out(2L) == ((2L, 12L, 1L)))
+    assert(out(3L) == ((3L, 5L, 0L)))
+  }
+
   test("removeSuffixDupSpans: canonical kept, non-canonical cut, " +
       "within-doc repeats cut, short docs pass") {
     val docs = Seq(
