@@ -99,16 +99,17 @@ object Graphs {
         .select(col("id"), coalesce(col("__pc"), col("component")).as("component"),
           col("__changed"))
     }
-    // TWO rounds per materialization: per-round cost on an iterative
-    // DataFrame loop is dominated by the fixed job/stage overhead of the
-    // checkpoint + convergence count, not by data volume, so batching
-    // rounds halves wall-clock. Two is the sweet spot: each lazy round
+    // ONE round per materialization (re-measured r20). Each lazy round
     // references its input ~3× (hop probe, hop build, parents), so k
-    // chained rounds inline ~3^k copies of the subtree — at k=2 the
-    // duplicated shuffles all collapse via ReuseExchange (measured: a
-    // 2-round chunk materializes in single-round time), at k=3 plan
-    // explosion makes chunks 3× slower. Overshooting past convergence is
-    // harmless: a hop-stable labeling is a fixpoint of hop and jump.
+    // chained rounds inline ~3^k copies of the subtree; k=2 was the r16
+    // winner when each materialization paid an eager-checkpoint job plus
+    // a separate convergence count. r19 fused those into one job (lazy
+    // checkpoint + count), which removed exactly the fixed cost batching
+    // amortized — re-measured r20 on matched quiet subsets, k=1 beats
+    // k=2 by ~10-15% on the CC family (q87 7.0 vs 8.2-9.0 s, q97 6.3-6.6
+    // vs 7.1-7.8 s; k=3 was already 3× worse in r16 from plan
+    // explosion). Overshooting past convergence is harmless either way:
+    // a hop-stable labeling is a fixpoint of hop and jump.
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -117,7 +118,7 @@ object Graphs {
       // on `next`, so ONE job both materializes the checkpoint blocks and
       // returns the changed-row count — the eager variant spends a
       // separate job per pass on materialization alone.
-      val next = persistStep(round(round(labels).drop("__changed")),
+      val next = persistStep(round(labels),
         checkpointDir, eager = false)
       // Convergence is tested on the LAST EDGE HOP's flag: a hop-stable
       // labeling is constant across every edge, hence constant per
@@ -129,7 +130,7 @@ object Graphs {
       // ContextCleaner's GC-driven sweep (at corpus scale each round
       // pins a full labeling in the block manager)
       freeCheckpoint(prev)
-      iter += 2
+      iter += 1
     }
     require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")
     labels
