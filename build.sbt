@@ -36,6 +36,11 @@ val jdk17AddOpens = Seq(
 // JVM (bench/verify/test) with Java Flight Recorder from process start.
 javaOptions ++= sys.env.get("GRAFT_JFR").map(f =>
   s"-XX:StartFlightRecording=settings=profile,filename=$f").toSeq
+// Dev-only driver-timeline hook: GRAFT_EVLOG=/existing/dir writes the
+// Spark event log there (job/stage/SQL-execution timestamps — the
+// attribution source for "where does a driver-bound query's wall go").
+javaOptions ++= sys.env.get("GRAFT_EVLOG").map(d => Seq(
+  "-Dspark.eventLog.enabled=true", s"-Dspark.eventLog.dir=$d")).getOrElse(Seq.empty)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

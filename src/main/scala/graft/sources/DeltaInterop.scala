@@ -1486,19 +1486,20 @@ object DeltaInterop {
     // would spend a separate job per batch on materialization alone).
     val b0 = batch.select((outSchema.fieldNames.map(col) :+
       col(opCol).as("__op")).toIndexedSeq: _*).localCheckpoint(false)
-    val bStatsRow = b0.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__n"),
-        sum(when(col("__op").isin("U", "I"), 1L).otherwise(0L))
-          .as("__ui"))
-      .agg(sum(when(col("__n") > 1, 1L).otherwise(0L)).as("__dups"),
-        sum("__ui").as("__uis"))
-      .head()
-    def bStatAt(i: Int): Long =
-      if (bStatsRow.isNullAt(i)) 0L else bStatsRow.getLong(i)
-    val (dupKeys, nUIBatch) = (bStatAt(0), bStatAt(1))
-    require(dupKeys == 0L,
-      s"graftdelta MERGE: batch carries $dupKeys duplicate key(s) — " +
-        "SQL MERGE rejects multiple matches; dedup the source first")
+    // gate OVERLAP (r20, guide §2.6 via DriverAsync): the batch-only
+    // dup-key gate and the joined multiplicity gate below are
+    // independent DAGs; running this one on its own driver thread
+    // hides one full gate round-trip per MERGE. Both requires still
+    // evaluate in the original order after the join handle resolves.
+    val bStatsFut = DriverAsync.start("graftdelta-merge-batch-gate") {
+      b0.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n"),
+          sum(when(col("__op").isin("U", "I"), 1L).otherwise(0L))
+            .as("__ui"))
+        .agg(sum(when(col("__n") > 1, 1L).otherwise(0L)).as("__dups"),
+          sum("__ui").as("__uis"))
+        .head()
+    }
     val priorDf = dvPriorDf(spark, deltaRoot, snap)
     val base = dvScanLive(spark, deltaRoot, snap, priorDf)
     // join LIVE target rows to the batch by key equality; batch
@@ -1509,6 +1510,29 @@ object DeltaInterop {
       .reduce(_ && _)
     val joined = base.join(bAliased, joinCond, "inner")
       .localCheckpoint(false)
+    // WHEN NOT MATCHED BY SOURCE: target rows matching NO batch key,
+    // under the target-only condition — materialized once (positions +
+    // optional rewrite read it back). Built HERE (r20) so its branch
+    // count overlaps the multiplicity-gate aggregate below on its own
+    // driver thread: the two DAGs are independent (anti-join vs inner
+    // join of the same sides).
+    val nmbs: Option[(DataFrame, Option[Seq[(String, String)]])] =
+      notMatchedBySource.map { case (condSql, setsOpt) =>
+        setsOpt.foreach(_.foreach { case (c, _) =>
+          require(outSchema.fieldNames.contains(c),
+            s"graftdelta MERGE: NOT MATCHED BY SOURCE UPDATE sets " +
+              s"unknown column '$c'")
+        })
+        // LAZY checkpoint: the overlapped branch count is the first
+        // action, so one job materializes the frame and counts it
+        val un = base.join(bAliased, joinCond, "left_anti")
+          .filter(expr(condSql)) // pushable; NULL drops either way
+          .localCheckpoint(false)
+        (un, setsOpt)
+      }
+    val nmbsCountFut = DriverAsync.start("graftdelta-merge-nmbs-count") {
+      nmbs.map(_._1.count()).getOrElse(0L)
+    }
     // ONE fused aggregate job over `joined` materializes the lazy
     // checkpoint AND answers the multiplicity gate plus the matched
     // update/delete counts — previously three separate count jobs, and
@@ -1527,6 +1551,15 @@ object DeltaInterop {
         sum("__u").as("__us"), sum("__d").as("__ds"),
         sum("__ui").as("__uis"))
       .head()
+    // join the overlapped batch gate, then check the gates in the
+    // original order (dup-key before multiplicity)
+    val bStatsRow = bStatsFut()
+    def bStatAt(i: Int): Long =
+      if (bStatsRow.isNullAt(i)) 0L else bStatsRow.getLong(i)
+    val (dupKeys, nUIBatch) = (bStatAt(0), bStatAt(1))
+    require(dupKeys == 0L,
+      s"graftdelta MERGE: batch carries $dupKeys duplicate key(s) — " +
+        "SQL MERGE rejects multiple matches; dedup the source first")
     def statAt(i: Int): Long =
       if (statsRow.isNullAt(i)) 0L else statsRow.getLong(i)
     val (multi, nUpdMatched, nDelMatched, nUIMatched) =
@@ -1549,23 +1582,6 @@ object DeltaInterop {
       .select(outSchema.fields.map(fd =>
         col(s"__b_${fd.name}").cast(relaxed(fd.dataType)).as(fd.name))
         .toIndexedSeq: _*)
-    // WHEN NOT MATCHED BY SOURCE: target rows matching NO batch key,
-    // under the target-only condition — materialized once (positions +
-    // optional rewrite read it back)
-    val nmbs: Option[(DataFrame, Option[Seq[(String, String)]])] =
-      notMatchedBySource.map { case (condSql, setsOpt) =>
-        setsOpt.foreach(_.foreach { case (c, _) =>
-          require(outSchema.fieldNames.contains(c),
-            s"graftdelta MERGE: NOT MATCHED BY SOURCE UPDATE sets " +
-              s"unknown column '$c'")
-        })
-        // LAZY checkpoint: the branch count below is the first action,
-        // so one job materializes the frame and counts it
-        val un = base.join(bAliased, joinCond, "left_anti")
-          .filter(expr(condSql)) // pushable; NULL drops either way
-          .localCheckpoint(false)
-        (un, setsOpt)
-      }
     val nmbsRows: Option[DataFrame] = nmbs.flatMap { case (un, so) =>
       so.map { sets =>
         val applied = sets.foldLeft(un.drop("__uri", "__pos")) {
@@ -1578,9 +1594,9 @@ object DeltaInterop {
       }
     }
     // matched update/delete counts come from the fused stats aggregate
-    // above (zero extra jobs); the NMBS frame is counted once — it
-    // feeds whichever branch (update vs delete) the clause declares
-    val nNmbs = nmbs.map(_._1.count()).getOrElse(0L)
+    // above (zero extra jobs); the NMBS count ran overlapped with the
+    // multiplicity gate — join it here
+    val nNmbs = nmbsCountFut()
     val nUpd = nUpdMatched +
       (if (nmbs.exists(_._2.isDefined)) nNmbs else 0L)
     val nDel = nDelMatched +

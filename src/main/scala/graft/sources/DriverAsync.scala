@@ -1,0 +1,33 @@
+package graft.sources
+
+/** Driver-side action overlap (optimization guide §2.6): Spark's
+  * scheduler happily runs several jobs at once inside one application —
+  * actions are only sequential because the driver calls them
+  * sequentially. A multi-gate DML statement pays one driver round-trip
+  * of latency per gate aggregate; the aggregates are independent DAGs
+  * (batch-only dup-key gate, batch⋈target multiplicity gate, the
+  * NOT-MATCHED-BY-SOURCE branch count), so they can run concurrently
+  * and the `require` checks still evaluate IN ORDER once all have
+  * joined — error precedence is unchanged, and every gate still fires
+  * before any write.
+  *
+  * `start` runs `body` on its own daemon thread and returns a join
+  * handle that rethrows the body's own failure (unwrapped). Jobs
+  * submitted from the thread inherit the active session via Spark's
+  * InheritableThreadLocal, the same contract the multi-leg fixture
+  * queries' `inParallel` already relies on.
+  */
+private[graft] object DriverAsync {
+  def start[T](name: String)(body: => T): () => T = {
+    val task = new java.util.concurrent.FutureTask[T](() => body)
+    val t = new Thread(task, name)
+    t.setDaemon(true)
+    t.start()
+    () =>
+      try task.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause
+      }
+  }
+}

@@ -2275,25 +2275,47 @@ object IcebergInterop {
     // Delta MERGE / connectedComponents fusion).
     val b0 = batch.select((outSchema.fieldNames.map(col) :+
       col(opCol).as("__op")).toIndexedSeq: _*).localCheckpoint(false)
-    val bStatsRow = b0.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__n"),
-        sum(when(col("__op").isin("U", "I"), 1L).otherwise(0L))
-          .as("__ui"))
-      .agg(sum(when(col("__n") > 1, 1L).otherwise(0L)).as("__dups"),
-        sum("__ui").as("__uis"))
-      .head()
-    def bStatAt(i: Int): Long =
-      if (bStatsRow.isNullAt(i)) 0L else bStatsRow.getLong(i)
-    val (dupKeys, nUIBatch) = (bStatAt(0), bStatAt(1))
-    require(dupKeys == 0L,
-      s"grafticeberg MERGE: batch carries $dupKeys duplicate key(s) " +
-        "— SQL MERGE rejects multiple matches; dedup the source first")
+    // gate OVERLAP (r20, guide §2.6 via DriverAsync): the batch-only
+    // dup-key gate runs on its own driver thread while the joined
+    // multiplicity gate below computes; requires still check in the
+    // original order after the join handle resolves.
+    val bStatsFut = DriverAsync.start("grafticeberg-merge-batch-gate") {
+      b0.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n"),
+          sum(when(col("__op").isin("U", "I"), 1L).otherwise(0L))
+            .as("__ui"))
+        .agg(sum(when(col("__n") > 1, 1L).otherwise(0L)).as("__dups"),
+          sum("__ui").as("__uis"))
+        .head()
+    }
     val bAliased = b0.select(b0.columns.map(c =>
       col(c).as(s"__b_$c")).toIndexedSeq: _*)
     val joinCond = keys.map(k => col(k) === col(s"__b_$k"))
       .reduce(_ && _)
     val joined = st.base.join(bAliased, joinCond, "inner")
       .localCheckpoint(false)
+    // WHEN NOT MATCHED BY SOURCE: target rows matching NO batch key,
+    // under the target-only condition. Built HERE (r20) so its branch
+    // count overlaps the multiplicity-gate aggregate below on its own
+    // driver thread (independent DAGs: anti-join vs inner join).
+    val nmbs: Option[(DataFrame, Option[Seq[(String, String)]])] =
+      notMatchedBySource.map { case (condSql, setsOpt) =>
+        setsOpt.foreach(_.foreach { case (c, _) =>
+          require(outSchema.fieldNames.contains(c),
+            s"grafticeberg MERGE: NOT MATCHED BY SOURCE UPDATE sets " +
+              s"unknown column '$c'")
+        })
+        // LAZY checkpoint: the overlapped branch count is the first
+        // action, so one job materializes the frame and counts it
+        val un = st.base.join(bAliased, joinCond, "left_anti")
+          .filter(expr(condSql)) // pushable; NULL drops either way
+          .localCheckpoint(false)
+        (un, setsOpt)
+      }
+    val nmbsCountFut =
+      DriverAsync.start("grafticeberg-merge-nmbs-count") {
+        nmbs.map(_._1.count()).getOrElse(0L)
+      }
     // ONE fused aggregate job over `joined` materializes the lazy
     // checkpoint AND answers the multiplicity gate plus the matched
     // update/delete counts — previously three separate count jobs
@@ -2311,6 +2333,15 @@ object IcebergInterop {
         sum("__u").as("__us"), sum("__d").as("__ds"),
         sum("__ui").as("__uis"))
       .head()
+    // join the overlapped batch gate, then check the gates in the
+    // original order (dup-key before multiplicity)
+    val bStatsRow = bStatsFut()
+    def bStatAt(i: Int): Long =
+      if (bStatsRow.isNullAt(i)) 0L else bStatsRow.getLong(i)
+    val (dupKeys, nUIBatch) = (bStatAt(0), bStatAt(1))
+    require(dupKeys == 0L,
+      s"grafticeberg MERGE: batch carries $dupKeys duplicate key(s) " +
+        "— SQL MERGE rejects multiple matches; dedup the source first")
     def statAt(i: Int): Long =
       if (statsRow.isNullAt(i)) 0L else statsRow.getLong(i)
     val (multi, nUpdMatched, nDelMatched, nUIMatched) =
@@ -2333,22 +2364,6 @@ object IcebergInterop {
       .select(outSchema.fields.map(fd =>
         col(s"__b_${fd.name}").cast(relaxed(fd.dataType)).as(fd.name))
         .toIndexedSeq: _*)
-    // WHEN NOT MATCHED BY SOURCE: target rows matching NO batch key,
-    // under the target-only condition
-    val nmbs: Option[(DataFrame, Option[Seq[(String, String)]])] =
-      notMatchedBySource.map { case (condSql, setsOpt) =>
-        setsOpt.foreach(_.foreach { case (c, _) =>
-          require(outSchema.fieldNames.contains(c),
-            s"grafticeberg MERGE: NOT MATCHED BY SOURCE UPDATE sets " +
-              s"unknown column '$c'")
-        })
-        // LAZY checkpoint: the branch count below is the first action,
-        // so one job materializes the frame and counts it
-        val un = st.base.join(bAliased, joinCond, "left_anti")
-          .filter(expr(condSql)) // pushable; NULL drops either way
-          .localCheckpoint(false)
-        (un, setsOpt)
-      }
     val nmbsRows: Option[DataFrame] = nmbs.flatMap { case (un, so) =>
       so.map { sets =>
         val applied = sets.foldLeft(un.drop("__uri", "__pos")) {
@@ -2361,9 +2376,9 @@ object IcebergInterop {
       }
     }
     // matched update/delete counts come from the fused stats aggregate
-    // above (zero extra jobs); the NMBS frame is counted once — it
-    // feeds whichever branch (update vs delete) the clause declares
-    val nNmbs = nmbs.map(_._1.count()).getOrElse(0L)
+    // above (zero extra jobs); the NMBS count ran overlapped with the
+    // multiplicity gate — join it here
+    val nNmbs = nmbsCountFut()
     val nUpd = nUpdMatched +
       (if (nmbs.exists(_._2.isDefined)) nNmbs else 0L)
     val nDel = nDelMatched +

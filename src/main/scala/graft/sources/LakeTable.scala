@@ -1442,12 +1442,15 @@ object LakeTable {
       .flatMap(_.fields.find(_.name == lead).map(_.dataType))
       .map(widen(_, updates.schema(lead).dataType))
       .getOrElse(updates.schema(lead).dataType)
-    val (nRows, nKeys) = updates
-      .agg(count(lit(1)), count_distinct(struct(keys.map(col): _*)))
-      .as[(Long, Long)].head()
-    require(nRows == nKeys,
-      s"mergeInto: updates must carry one row per key " +
-        s"($nRows rows over $nKeys distinct keys ${keys.mkString(",")})")
+    // gate OVERLAP (r20, guide §2.6 via DriverAsync): the one-row-per-
+    // key gate aggregate runs on its own driver thread while the zone
+    // pruning below does its (independent) collects; the require still
+    // fires before any file is read back or written.
+    val keyGateFut = DriverAsync.start("graftlake-merge-key-gate") {
+      updates
+        .agg(count(lit(1)), count_distinct(struct(keys.map(col): _*)))
+        .as[(Long, Long)].head()
+    }
     val tableChecks = constraintsOf(spark, root, cur)
 
     val withZone = ents.map(e => e -> e.zoneFor(lead))
@@ -1479,6 +1482,11 @@ object LakeTable {
         (hit, bad)
       }
     val affected = affectedZoned ++ castBad ++ unzoned.map(_.path)
+    // join the overlapped key gate before anything is read back/written
+    val (nRows, nKeys) = keyGateFut()
+    require(nRows == nKeys,
+      s"mergeInto: updates must carry one row per key " +
+        s"($nRows rows over $nKeys distinct keys ${keys.mkString(",")})")
 
     val kept = ents.filterNot(e => affected.contains(e.path))
 
