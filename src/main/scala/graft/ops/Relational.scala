@@ -511,11 +511,18 @@ object Relational {
     val (lOut, rOut) =
       if (leftKey == rightKey) (s"${leftKey}_l", s"${rightKey}_r")
       else (leftKey, rightKey)
-    // key + its 1-deletion variants, as (key, variant) rows. The
+    // key + its 1-deletion variants, as (key, variantHash) rows. The
     // ~|key|× explode sits right after the distinct's (small) exchange,
     // which AQE coalesces to very few partitions — the explicit-width
     // repartition keeps the variant generation and the downstream join
     // map side parallel (the q306 single-partition-collapse lesson).
+    // The variant rides as xxhash64 (r20, guide §2.3 "shuffle keys and
+    // metadata instead of payloads"): the join key only PAIRS
+    // candidates — the exact levenshtein verify below keeps results
+    // identical even under a hash collision (a colliding pair is
+    // either within ED 1, which deletion-blocking already finds, or
+    // the verify drops it) — and an 8-byte key makes the candidate
+    // join's build/probe and the pair distinct string-free.
     def variants(df: DataFrame, key: String, out: String): DataFrame = {
       val c = col(key).as(out)
       df.select(c).distinct()
@@ -524,7 +531,8 @@ object Relational {
           array(col(out)),
           transform(sequence(lit(1), length(col(out))), i =>
             concat(col(out).substr(lit(1), i - 1),
-              col(out).substr(i + 1, length(col(out)))))))).as("__v"))
+              col(out).substr(i + 1, length(col(out)))))))).as("__vs"))
+        .select(col(out), xxhash64(col("__vs")).as("__v"))
     }
     variants(left, leftKey, lOut)
       .join(variants(right, rightKey, rOut), Seq("__v"))

@@ -4283,14 +4283,23 @@ object SourceQueries {
           "WHERE o_orderkey % 8 = 0")
         s.sql("CREATE OR REPLACE TEMPORARY VIEW q373_i USING " +
           s"grafticeberg OPTIONS (path '$root')")
-        val scanned = s.table("q373_i").count()
         // the fold published pure position state: equality files are
-        // gone and the metadata count serves EXACTLY now
-        require(graft.sources.IcebergInterop.icebergRowCount(s, root)
-          .contains(scanned),
+        // gone and the metadata count serves EXACTLY now. The three
+        // post-state validations are independent reads of the same
+        // snapshot — overlap them (guide §2.6), check in order after
+        var scanned = -1L
+        var metaCount: Option[Long] = None
+        var doctorIssues = -1L
+        inParallel(
+          () => scanned = s.table("q373_i").count(),
+          () => metaCount =
+            graft.sources.IcebergInterop.icebergRowCount(s, root),
+          () => doctorIssues =
+            graft.sources.IcebergInterop.validateIceberg(s, root).count())
+        require(metaCount.contains(scanned),
           "q373: metadata count must serve after the fold")
-        require(graft.sources.IcebergInterop.validateIceberg(s, root)
-          .count() == 0L, "q373: doctor found issues after the fold")
+        require(doctorIssues == 0L,
+          "q373: doctor found issues after the fold")
         s.table("q373_i")
       },
       Some("""WITH f1 AS (
@@ -4573,9 +4582,16 @@ object SourceQueries {
           "q377: the UPDATE rewrite did not route into its day's dir")
         s.sql("CREATE OR REPLACE TEMPORARY VIEW q377_v USING " +
           s"grafticeberg OPTIONS (path '$root')")
-        val scanned = s.table("q377_v").count()
-        require(graft.sources.IcebergInterop.icebergRowCount(s, root)
-          .contains(scanned), "q377: metadata count diverged")
+        // scan count and metadata count are independent reads of the
+        // same snapshot — overlap them (guide §2.6)
+        var scanned = -1L
+        var metaCount: Option[Long] = None
+        inParallel(
+          () => scanned = s.table("q377_v").count(),
+          () => metaCount =
+            graft.sources.IcebergInterop.icebergRowCount(s, root))
+        require(metaCount.contains(scanned),
+          "q377: metadata count diverged")
         s.table("q377_v")
       },
       Some("""WITH t AS (
@@ -4932,11 +4948,21 @@ object SourceQueries {
         s.sql("DELETE FROM q384_i WHERE k % 6 = 0")
         s.sql("CREATE OR REPLACE TEMPORARY VIEW q384_i USING " +
           s"grafticeberg OPTIONS (path '$root')")
-        val scanned = s.table("q384_i").count()
-        require(graft.sources.IcebergInterop.icebergRowCount(s, root)
-          .contains(scanned), "q384: metadata count diverged")
-        require(graft.sources.IcebergInterop.validateIceberg(s, root)
-          .count() == 0L, "q384: doctor found issues")
+        // the three post-state validations (scan count, metadata count,
+        // doctor) read the same final snapshot independently — overlap
+        // them (guide §2.6), check in the original order after joining
+        var scanned = -1L
+        var metaCount: Option[Long] = None
+        var doctorIssues = -1L
+        inParallel(
+          () => scanned = s.table("q384_i").count(),
+          () => metaCount =
+            graft.sources.IcebergInterop.icebergRowCount(s, root),
+          () => doctorIssues =
+            graft.sources.IcebergInterop.validateIceberg(s, root).count())
+        require(metaCount.contains(scanned),
+          "q384: metadata count diverged")
+        require(doctorIssues == 0L, "q384: doctor found issues")
         // one delete manifest per spec generation
         val fsys = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(s.sessionState.newHadoopConf())
