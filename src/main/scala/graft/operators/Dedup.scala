@@ -163,10 +163,18 @@ object Dedup {
                                   textCol: String, blockCol: String,
                                   shingleSize: Int,
                                   maxDocFreq: Long): DataFrame = {
+    // r20 §2.3/§1.2: hash BEFORE the per-doc dedup (its exchange then
+    // carries (id, block, hash) instead of shingle strings) and
+    // lazy-localCheckpoint the result — the three consumers below
+    // (sizes, eligibility, group build) otherwise re-run the
+    // tokenize + explode + dedup pipeline once each. In-query reuse
+    // only; every action still computes from parquet.
     val sh = explodedShingles(df, idCol, textCol, shingleSize,
-        carry = Seq(blockCol -> "block"))
+        carry = Seq(blockCol -> "block"), dedup = false)
       .filter(col("block").isNotNull)
       .select(col("id"), col("block"), xxhash64(col("shingle")).as("h"))
+      .distinct()
+      .localCheckpoint(false)
     // Jaccard/containment denominators: per-doc distinct-shingle counts,
     // computed ABOVE the df cap so dropping hot shingles from pair
     // generation keeps the result a strict lower bound (exact whenever no
@@ -223,10 +231,17 @@ object Dedup {
                          shingleSize: Int = 3,
                          minJaccard: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = explodedShingles(df, idCol, textCol, shingleSize)
+    // r20 §2.3/§1.2 (the sharedShingleCounts treatment): dedup on the
+    // portable 60-bit hash, not the shingle string, and checkpoint the
+    // slim (id, h) frame its three consumers (df counts, ranking,
+    // verification sets) otherwise each recompute.
+    val sh = explodedShingles(df, idCol, textCol, shingleSize,
+        dedup = false)
       .select(col("id"),
         conv(substring(md5(col("shingle")), 1, 15), 16, 10)
           .cast("long").as("h"))
+      .distinct()
+      .localCheckpoint(false)
     val dfq = sh.groupBy("h").agg(count(lit(1)).as("df"))
     val ranked = sh.join(dfq, "h")
       .withColumn("rn", row_number().over(
@@ -301,10 +316,11 @@ object Dedup {
     * the dedup block key).
     */
   def explodedShingles(df: DataFrame, idCol: String, textCol: String,
-                       n: Int, carry: Seq[(String, String)] = Nil): DataFrame = {
+                       n: Int, carry: Seq[(String, String)] = Nil,
+                       dedup: Boolean = true): DataFrame = {
     val carried = carry.map { case (src, alias) => col(src).as(alias) }
     val carriedOut = carry.map { case (_, alias) => col(alias) }
-    df.select(col(idCol).as("id") +: carried :+
+    val out = df.select(col(idCol).as("id") +: carried :+
         split(Text.normalize(col(textCol)), " ").as("__toks"): _*)
       .select(col("id") +: carriedOut :+ col("__toks") :+
         explode(when(size(col("__toks")) >= n,
@@ -313,7 +329,11 @@ object Dedup {
       .select(col("id") +: carriedOut :+ concat_ws(" ",
         (0 until n).map(k =>
           element_at(col("__toks"), col("__i") + k + 1)): _*).as("shingle"): _*)
-      .distinct()
+    // dedup=false lets hash-keyed callers dedup on the HASHED row
+    // instead (guide §2.3: the distinct's exchange then carries an
+    // 8-byte key, not the shingle string) — same collision contract
+    // their downstream intersection math already carries
+    if (dedup) out.distinct() else out
   }
 
   /** 64-bit SimHash over tokens: per bit, majority vote of token-hash
